@@ -1,0 +1,148 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.functions.Pure
+
+/** Distributed re-expression of the reference's metrics pipeline
+  * (`/root/reference/icebergdiag/metrics/table_metrics.py:46-155`).
+  *
+  * Scale design (the part that must survive 100 TB / 1000 executors):
+  *   - ONE wide shuffle: `groupByKey((table, partitionKey))`. Everything the
+  *     reference computes per partition — counts, sums, overheads, and the
+  *     sequential bin-packing simulation — is produced in a single pass over
+  *     each group (`mapGroups`), holding only the data-file sizes (8 B each)
+  *     per group in memory, exactly the reference's own bound.
+  *   - The per-table rollup then runs over `Dataset[PartitionStats]`, whose
+  *     cardinality is #partitions (tiny vs #files), with declarative
+  *     aggregates (codegen'd) and deterministic `max_by` tie-breaks.
+  *   - Thousands of tables fan in as ONE union-all plan with `table` as a
+  *     grouping column — no driver-side loop over tables.
+  *
+  * The bin-packer is a sequential scan-with-carry whose groups overshoot the
+  * cap (see [[Pure.buildPartitionGroups]]); a closed-form window cumsum is
+  * deliberately NOT used because `floor(cumsum/cap)` changes group shapes.
+  */
+object MetricsCalculator {
+
+  /** Stage 1: per-(table, partition) stats + compaction simulation.
+    * Input needs only (table, content, partitionKey, sizeBytes) — project
+    * before calling so the shuffle carries 4 narrow columns. */
+  def partitionStats(files: Dataset[FileEntry], cfg: EngineConfig = EngineConfig.default): Dataset[PartitionStats] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .groupByKey(f => (f.table, f.partitionKey))
+      .mapGroups { (key: (String, String), it: Iterator[FileEntry]) =>
+        val (table, pk) = key
+        var fileCount = 0L; var totalSize = 0L; var scanOverhead = 0L
+        var dataCount = 0L; var dataSize = 0L
+        val dataSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val f = it.next()
+          fileCount += 1
+          totalSize += f.sizeBytes
+          scanOverhead += Pure.readFileCost(f.sizeBytes, cfg.fetchSize) * cfg.msPerScan
+          if (f.content == FileContent.Data) {
+            dataCount += 1; dataSize += f.sizeBytes
+            dataSizes += f.sizeBytes
+          }
+        }
+        val sorted = dataSizes.toArray
+        java.util.Arrays.sort(sorted)
+        val (groups, afterOverhead) = Pure.packStats(sorted.iterator, cfg)
+        PartitionStats(table, pk, fileCount, totalSize, scanOverhead, dataCount, dataSize, groups, afterOverhead)
+      }
+  }
+
+  /** Stage 2: per-table rollup over partition stats (A6-A12 of SURVEY §2.4).
+    *
+    * `manifestCounts` seeds FULL_SCAN_OVERHEAD's *before* value with
+    * `manifest_count * msPerScan` (reference `table_metrics.py:50`); the
+    * *after* value intentionally does NOT re-add it (`:116-121`).
+    *
+    * Argmax tie-breaks: the reference keeps the FIRST partition seen with the
+    * strictly-max reduction (dict order — nondeterministic for us), so we
+    * impose a deterministic total order: (reduction, partitionKey) both
+    * ascending under `max_by`, i.e. ties go to the lexicographically largest
+    * key. Reductions must be strictly positive, else 0/0.
+    */
+  def tableMetrics(
+      parts: Dataset[PartitionStats],
+      manifestCounts: Dataset[(String, Long)],
+      cfg: EngineConfig = EngineConfig.default): Dataset[TableMetricsWide] = {
+    val spark = parts.sparkSession
+    import spark.implicits._
+
+    val fcReduction = col("fileCount") - col("afterGroupCount")
+    val soReduction = col("scanOverhead") - col("afterOverhead")
+
+    val agg = parts
+      .groupBy(col("table"))
+      .agg(
+        sum("scanOverhead").as("scanOverheadSum"),
+        sum("afterOverhead").as("fullScanOverheadAfter"),
+        sum("fileCount").as("fileCountBefore"),
+        sum("afterGroupCount").as("fileCountAfter"),
+        sum("dataFileSize").as("dataSize"),
+        sum("dataFileCount").as("dataCount"),
+        // WORST_AVG_FILE_SIZE is avg over ALL files incl. deletes — the
+        // reference's intentional asymmetry vs the global data-only average
+        // (table_metrics.py:103-105). Groups are never empty post-groupBy.
+        min(col("totalSize").cast("double") / col("fileCount").cast("double")).as("worstAvgFileSize"),
+        max("totalSize").as("largestPartitionSize"),
+        sum("totalSize").as("totalTableSize"),
+        count(lit(1)).as("totalPartitions"),
+        max(struct(fcReduction.as("red"), col("partitionKey"))).as("bestFc"),
+        max_by(struct(col("fileCount").as("b"), col("afterGroupCount").as("a")),
+          struct(fcReduction, col("partitionKey"))).as("worstFc"),
+        max(struct(soReduction.as("red"), col("partitionKey"))).as("bestSo"),
+        max_by(struct(col("scanOverhead").as("b"), col("afterOverhead").as("a")),
+          struct(soReduction, col("partitionKey"))).as("worstSo"))
+
+    val withManifests = agg
+      .join(manifestCounts.toDF("table", "manifestCount"), Seq("table"), "left_outer")
+      .na.fill(0L, Seq("manifestCount"))
+
+    withManifests
+      .select(
+        col("table"),
+        (col("scanOverheadSum") + col("manifestCount") * lit(cfg.msPerScan)).as("fullScanOverheadBefore"),
+        col("fullScanOverheadAfter"),
+        when(col("bestSo.red") > 0, col("worstSo.b")).otherwise(0L).as("worstScanOverheadBefore"),
+        when(col("bestSo.red") > 0, col("worstSo.a")).otherwise(0L).as("worstScanOverheadAfter"),
+        col("fileCountBefore"),
+        col("fileCountAfter"),
+        when(col("bestFc.red") > 0, col("worstFc.b")).otherwise(0L).as("worstFileCountBefore"),
+        when(col("bestFc.red") > 0, col("worstFc.a")).otherwise(0L).as("worstFileCountAfter"),
+        when(col("dataCount") === 0, lit(0.0))
+          .otherwise(col("dataSize").cast("double") / col("dataCount").cast("double")).as("avgFileSize"),
+        col("worstAvgFileSize"),
+        col("totalTableSize"),
+        col("largestPartitionSize"),
+        col("totalPartitions"))
+      .as[TableMetricsWide]
+  }
+
+  /** End-to-end, multi-table: `Dataset[FileEntry]` (+ per-table manifest
+    * counts) -> one wide metrics row per table. */
+  def computeMetricsWide(
+      files: Dataset[FileEntry],
+      manifestCounts: Dataset[(String, Long)],
+      cfg: EngineConfig = EngineConfig.default): Dataset[TableMetricsWide] =
+    tableMetrics(partitionStats(files, cfg), manifestCounts, cfg)
+
+  /** Single-table convenience mirroring the reference's
+    * `compute_metrics(files, manifest_files_count)`; returns the 9 metrics
+    * in the reference's enum order. */
+  def computeMetrics(
+      files: Dataset[FileEntry],
+      manifestCount: Long,
+      cfg: EngineConfig = EngineConfig.default): Seq[MetricRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val mc = files.select("table").distinct().as[String].map(t => (t, manifestCount))
+    computeMetricsWide(files, mc, cfg).collect().toSeq.flatMap(_.toRows)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{FileContent, FileEntry}
+import graft.functions.Pure
+
+/** Sources producing the engine's input relation `Dataset[FileEntry]`.
+  *
+  * The reference reads Iceberg manifests (`manager.py:154-186`). No Iceberg
+  * runtime jar ships in this environment, so the source interface is modeled
+  * such that a real `db.tbl.files` metadata-table read (
+  * `spark.read.format("iceberg").load("db.tbl.files")` projected to
+  * (content, partition, file_size_in_bytes)) can be dropped in without
+  * touching the metrics pipeline.
+  */
+object FileEntrySource {
+
+  /** Treat every file under `dir` (recursively) as a DataFile; partition key
+    * is the hive-style relative subdirectory (`k=v/...`) when present, else
+    * the empty-tuple canonical form. Listing runs driver-side — manifest
+    * listings are metadata (1 row per file), small relative to data; for
+    * tables with millions of files switch to a distributed listing via
+    * `spark.read.format("binaryFile")` or the Iceberg files table. */
+  def fromDirectory(spark: SparkSession, dir: String, table: String): Dataset[FileEntry] = {
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.getFileStatus(p).getPath
+    val it = fs.listFiles(base, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")) {
+        val rel = st.getPath.getParent.toString.stripPrefix(base.toString).stripPrefix("/")
+        val pk = canonicalKey(
+          rel.split('/').filter(_.contains('=')).toSeq
+            .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) })
+        entries += FileEntry(table, FileContent.Data, pk, st.getLen)
+      }
+    }
+    spark.createDataset(entries.toSeq)
+  }
+
+  /** Canonical partition-tuple string (reference `deterministic_repr`,
+    * `table_metrics.py:86-91`): sorted key order, stable text. The exact
+    * Python repr() text is NOT reproduced — this is an internal grouping key
+    * only, never displayed; any stable canonical form is equivalent. */
+  def canonicalKey(fields: Seq[(String, String)]): String =
+    fields.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("Record[", ", ", "]")
+
+  /** Canonical-key Column for DataFrame pipelines: sorted-field struct via
+    * to_json — field order fixed by selection, so stable. */
+  def canonicalKeyCol(fields: Seq[(String, Column)]): Column = {
+    val sorted = fields.sortBy(_._1)
+    to_json(struct(sorted.map { case (k, c) => c.as(k) }: _*))
+  }
+
+  /** Synthesize a file-entry relation from any DataFrame: one entry per row.
+    * Used to exercise the metrics pipeline against the parquet corpus (and
+    * its DuckDB oracle) with realistic cardinalities. */
+  def fromDataFrame(
+      df: DataFrame,
+      table: String,
+      partitionKey: Column,
+      sizeBytes: Column,
+      content: Column = lit(FileContent.Data)): Dataset[FileEntry] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      lit(table).as("table"),
+      content.cast("int").as("content"),
+      partitionKey.cast("string").as("partitionKey"),
+      sizeBytes.cast("long").as("sizeBytes"))
+      .as[FileEntry]
+  }
+}
+
+/** Catalog exploration (reference S1-S3, P5: `manager.py:74-125`). */
+object CatalogOps {
+
+  /** Sorted database names. */
+  def listDatabases(spark: SparkSession): Seq[String] =
+    spark.catalog.listDatabases().collect().map(_.name).toSeq.sorted
+
+  /** Sorted table names in `db` matching a shell glob; provider filter keeps
+    * only tables whose provider is in `providers` (the reference keeps only
+    * Glue entries with table_type == ICEBERG; pass Set() to keep all). */
+  def listTables(spark: SparkSession, db: String, glob: String = "*",
+      providers: Set[String] = Set.empty): Seq[String] = {
+    val regex = Pure.globToRegex(glob)
+    spark.catalog.listTables(db).collect().toSeq
+      .filter(t => providers.isEmpty || t.tableType == null ||
+        providers.contains(Option(t.tableType).getOrElse("").toLowerCase))
+      .map(_.name)
+      .filter(_.matches(regex))
+      .sorted
+  }
+}
