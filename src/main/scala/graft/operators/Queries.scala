@@ -1,0 +1,356 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The engine's query surface over the driver's parquet corpus: every
+  * operator family from SURVEY §2 re-expressed as a declarative Spark plan,
+  * each paired (in [[Oracles]]) with ANSI/DuckDB SQL computing the same
+  * result for the driver's hash-compare gate.
+  *
+  * Conventions for oracle parity:
+  *   - every computed column is aliased identically on both sides;
+  *   - doubles that pass through engine-order-dependent summation are
+  *     round()ed on both sides;
+  *   - double->int conversions always FLOOR first (DuckDB CAST rounds,
+  *     Spark CAST truncates);
+  *   - timestamps compare as epoch microseconds (bigint);
+  *   - every query ends in a deterministic ORDER BY.
+  *
+  * Scale notes are per-query; the common ones: aggregates are partial
+  * (map-side combine) by construction, filters/projections push to the
+  * parquet scan, and small dimension tables are broadcast.
+  */
+object Queries {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default; read nanos as long and derive the micros /
+    * timestamp columns explicitly (ts_us bigint, tsx timestamp). */
+  private def events(dir: String)(implicit s: SparkSession): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+  }
+
+  /** Derived file-entry relation used by the metadata-engine queries: one
+    * "file" per lineitem row — partition = l_returnflag, content cycles
+    * 0/1/2 from l_linenumber, size from the price. Mirrors the reference's
+    * input relation shape at oracle-checkable scale. */
+  private def fileRel(dir: String)(implicit s: SparkSession): DataFrame =
+    t(dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_returnflag").as("pk"),
+      (col("l_linenumber") % 3).cast("int").as("content"),
+      expr("CAST(FLOOR(l_extendedprice * 1000) AS BIGINT)").as("size"))
+
+  val fetchSize = 33554432L
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-core: projections, cost model, aggregates ----
+    "q1_pricing_summary" -> { (s, dir) => implicit val sp = s
+      t(dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "q2_file_stats" -> { (s, dir) => implicit val sp = s
+      // A1-A4,A6,A7: one fused aggregate pass (single HashAggregateExec)
+      fileRel(dir).agg(
+        count(lit(1)).as("file_count"),
+        sum(col("size")).as("total_size"),
+        sum(expr(s"size div $fetchSize") + lit(2)).as("scan_overhead"),
+        count(when(col("content") === 0, 1)).as("data_count"),
+        sum(when(col("content") === 0, col("size"))).as("data_size"),
+        countDistinct(col("pk")).as("n_partitions"))
+        .withColumn("avg_data_size",
+          round(col("data_size").cast("double") / col("data_count"), 4))
+    },
+    "q3_partition_stats" -> { (s, dir) => implicit val sp = s
+      // A5: the engine's one wide shuffle, keyed by partition
+      fileRel(dir)
+        .groupBy(col("pk"))
+        .agg(
+          count(lit(1)).as("file_count"),
+          sum(col("size")).as("total_size"),
+          sum(expr(s"size div $fetchSize") + lit(2)).as("scan_overhead"),
+          min(col("size")).as("min_size"),
+          max(col("size")).as("max_size"))
+        .orderBy(col("pk"))
+    },
+    "q4_worst_partition" -> { (s, dir) => implicit val sp = s
+      // A8/A9 argmax with deterministic tie-break (size desc, pk asc)
+      fileRel(dir)
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("file_count"), sum(col("size")).as("total_size"))
+        .orderBy(col("total_size").desc, col("pk"))
+        .limit(1)
+    },
+    "q5_read_costs" -> { (s, dir) => implicit val sp = s
+      // P1/P2 projection — stays inside one WholeStageCodegen span
+      fileRel(dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("size"),
+          (expr(s"size div $fetchSize") + lit(2)).as("read_cost"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- joins ----
+    "q6_revenue_by_region" -> { (s, dir) => implicit val sp = s
+      // shuffle join on the fact side; nation/region broadcast (tiny dims)
+      t(dir, "orders")
+        .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    },
+    "q7_customers_with_orders" -> { (s, dir) => implicit val sp = s
+      t(dir, "customer")
+        .join(t(dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    "q8_customers_no_big_order" -> { (s, dir) => implicit val sp = s
+      t(dir, "customer")
+        .join(t(dir, "orders").filter(col("o_totalprice") > 350000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- windows / top-k ----
+    "q9_top_orders_per_customer" -> { (s, dir) => implicit val sp = s
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+    "q10_sessionize" -> { (s, dir) => implicit val sp = s
+      // gap-based sessionization (30 min): the batch shape of the streaming
+      // mapGroupsWithState sessionizer in graft.streaming
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      events(dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- set ops / grouping sets ----
+    "q11_rollup" -> { (s, dir) => implicit val sp = s
+      t(dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    "q12_nation_keys_union" -> { (s, dir) => implicit val sp = s
+      t(dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .union(t(dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    },
+    "q13_nation_keys_except" -> { (s, dir) => implicit val sp = s
+      t(dir, "nation").select(col("n_nationkey").cast("int").as("nationkey"))
+        .except(t(dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
+    // ---- text / documents (training-data ops) ----
+    "q14_dedup_exact" -> { (s, dir) => implicit val sp = s
+      // exact dedup: hash-groupBy on content digest, keep lowest id
+      t(dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash"))
+    },
+    "q15_token_stats" -> { (s, dir) => implicit val sp = s
+      // whitespace token counting via occurrence arithmetic (identical
+      // semantics in Spark and DuckDB, unlike regex splits)
+      t(dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit(""))) + lit(1))
+            .cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    "q16_lang_profile" -> { (s, dir) => implicit val sp = s
+      t(dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // ---- vectors / similarity search ----
+    "q17_knn_quantized" -> { (s, dir) => implicit val sp = s
+      // brute-force top-3 by quantized dot product; the 20-row query side is
+      // broadcast so the 5k-row base never shuffles. Quantization (×1000,
+      // floor, int64) makes scores exact integers => engine-independent.
+      val emb = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+      val probes = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qe").as("qa"))
+      val base = emb.select(col("vec_id").as("neighbor_id"), col("qe").as("qb"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
+      base.join(broadcast(probes), col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- events / json ----
+    "q18_json_extract" -> { (s, dir) => implicit val sp = s
+      events(dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+    "q19_event_windows" -> { (s, dir) => implicit val sp = s
+      // tumbling 1 h event-time windows — batch twin of the streaming agg
+      events(dir)
+        .groupBy(window(col("tsx"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("win.start")).as("window_start_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    })
+
+  /** DuckDB-runnable SQL oracles, column-name-aligned with [[all]]. */
+  def oracles: Map[String, String] = {
+    val fileRelSql =
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag AS pk,
+         |  CAST(l_linenumber % 3 AS INT) AS content,
+         |  CAST(FLOOR(l_extendedprice * 1000) AS BIGINT) AS size
+         |FROM lineitem""".stripMargin
+    Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_base_price,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |  round(avg(l_quantity), 4) AS avg_qty,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q2_file_stats" ->
+        s"""SELECT count(*) AS file_count, sum(size) AS total_size,
+           |  sum(size // $fetchSize + 2) AS scan_overhead,
+           |  count(CASE WHEN content = 0 THEN 1 END) AS data_count,
+           |  sum(CASE WHEN content = 0 THEN size END) AS data_size,
+           |  count(DISTINCT pk) AS n_partitions,
+           |  round(CAST(sum(CASE WHEN content = 0 THEN size END) AS DOUBLE)
+           |        / count(CASE WHEN content = 0 THEN 1 END), 4) AS avg_data_size
+           |FROM ($fileRelSql)""".stripMargin,
+      "q3_partition_stats" ->
+        s"""SELECT pk, count(*) AS file_count, sum(size) AS total_size,
+           |  sum(size // $fetchSize + 2) AS scan_overhead,
+           |  min(size) AS min_size, max(size) AS max_size
+           |FROM ($fileRelSql) GROUP BY pk ORDER BY pk""".stripMargin,
+      "q4_worst_partition" ->
+        s"""SELECT pk, count(*) AS file_count, sum(size) AS total_size
+           |FROM ($fileRelSql) GROUP BY pk
+           |ORDER BY total_size DESC, pk LIMIT 1""".stripMargin,
+      "q5_read_costs" ->
+        s"""SELECT l_orderkey, l_linenumber, size, size // $fetchSize + 2 AS read_cost
+           |FROM ($fileRelSql) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "q6_revenue_by_region" ->
+        """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+          |  count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "q7_customers_with_orders" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "q8_customers_no_big_order" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+          |ORDER BY c_custkey""".stripMargin,
+      "q9_top_orders_per_customer" ->
+        """SELECT o_custkey, o_orderkey, totalprice, rank FROM (
+          |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          |  FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+      "q10_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, epoch_us(ts) AS ts_us,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+          |  FROM events)
+          |SELECT user_id,
+          |  sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+          |  count(*) AS n_events
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q11_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q12_nation_keys_union" ->
+        """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+          |UNION SELECT CAST(s_nationkey AS INT) FROM supplier ORDER BY nationkey""".stripMargin,
+      "q13_nation_keys_except" ->
+        """SELECT CAST(n_nationkey AS INT) AS nationkey FROM nation
+          |EXCEPT SELECT CAST(s_nationkey AS INT) FROM supplier ORDER BY nationkey""".stripMargin,
+      "q14_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+      "q15_token_stats" ->
+        """SELECT doc_id, lang,
+          |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+          |  CAST(length(text) AS BIGINT) AS n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q16_lang_profile" ->
+        """SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+          |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+      "q17_knn_quantized" ->
+        """WITH q AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+          |  FROM embeddings),
+          |pairs AS (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |    CAST(list_sum(list_apply(range(1, len(a.qe) + 1),
+          |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot
+          |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+          |  WHERE a.vec_id < 20),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY dot DESC, neighbor_id) AS rank FROM pairs)
+          |SELECT query_id, neighbor_id, dot, rank FROM ranked
+          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "q18_json_extract" ->
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q19_event_windows" ->
+        """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin)
+  }
+}
