@@ -1,0 +1,394 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.PolyHash64
+import graft.metrics.MetricsCalculator
+import graft.model.EngineConfig
+import graft.sources.FileEntrySource
+
+/** Training-data pipeline operators (dedup, similarity, text analysis) plus
+  * the end-to-end metadata-metrics pipeline, each with a DuckDB oracle.
+  *
+  * Portability rules that make these oracle-checkable:
+  *   - token hash = first 7 hex digits of md5 -> int (28 bits), so every
+  *     permutation `(a*h + b) % p` with a < 2^31 stays < 2^59: no int64
+  *     overflow, identical in ANSI Spark and DuckDB;
+  *   - all similarity scores derive from INTEGER dots/norms (quantized
+  *     embeddings), so cross-engine float summation order can't bite;
+  *   - near-dup corpora are made non-degenerate by synthesizing twins
+  *     (drop-first-token texts, +1-perturbed vectors) deterministically
+  *     inside the query on BOTH sides.
+  */
+object TextQueries {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // MinHash permutation constants: (a*h + b) % p over 28-bit token hashes.
+  private val P = 2147483647L
+  private val A = Seq(1000003L, 1999993L, 999331L, 1112111L)
+  private val B = Seq(12345L, 54321L, 7777L, 424242L)
+  private val SimBits = 16
+
+  /** Dedup corpus: originals + near-dup twins (first token dropped). */
+  private def corpus(dir: String)(implicit s: SparkSession): DataFrame = {
+    val docs = t(dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substring(text, position(' ' IN text) + 1) AS text
+      |  FROM documents""".stripMargin
+
+  /** doc_id, tok, h(28-bit portable token hash); distinct tokens per doc. */
+  private def tokenHashes(c: DataFrame): DataFrame =
+    c.select(col("doc_id"), explode(array_distinct(split(col("text"), lit(" ")))).as("tok"))
+      .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"))
+
+  private val tokenHashesSql =
+    s"""SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |        FROM corpus)""".stripMargin
+
+  private def minhashAggs = A.indices.map(j =>
+    min((col("h") * A(j) + B(j)) % P).as(s"mh$j"))
+
+  private def minhashAggsSql = A.indices.map(j =>
+    s"min((h * ${A(j)} + ${B(j)}) % $P) AS mh$j").mkString(", ")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- the full metadata-metrics pipeline as one query ----
+    "q20_table_metrics" -> { (s, dir) => implicit val sp = s
+      // Derived file relation: one "file" per (returnflag, orderkey%200)
+      // bucket, size = floor(avg(price)*1000), content cycles 0/1/2.
+      val filesDf = t(dir, "lineitem")
+        .groupBy(col("l_returnflag").cast("string").as("pk"),
+          (col("l_orderkey") % 200).cast("int").as("bucket"))
+        .agg(expr("CAST(FLOOR(avg(l_extendedprice) * 1000) AS BIGINT)").as("size"))
+        .withColumn("content", (col("bucket") % 3).cast("int"))
+      val files = FileEntrySource.fromDataFrame(filesDf, "files", col("pk"), col("size"), col("content"))
+      val manifests = s.createDataset(Seq(("files", 0L)))(
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+      MetricsCalculator.computeMetricsWide(files, manifests, EngineConfig.default)
+        .toDF()
+        .select(
+          col("fullScanOverheadBefore").as("full_scan_before"),
+          col("fullScanOverheadAfter").as("full_scan_after"),
+          col("worstScanOverheadBefore").as("worst_scan_before"),
+          col("worstScanOverheadAfter").as("worst_scan_after"),
+          col("fileCountBefore").as("file_count_before"),
+          col("fileCountAfter").as("file_count_after"),
+          col("worstFileCountBefore").as("worst_fc_before"),
+          col("worstFileCountAfter").as("worst_fc_after"),
+          round(col("avgFileSize"), 4).as("avg_data_size"),
+          round(col("worstAvgFileSize"), 4).as("worst_avg_size"),
+          col("totalTableSize").as("total_size"),
+          col("largestPartitionSize").as("largest_partition"),
+          col("totalPartitions").as("n_partitions"))
+    },
+
+    // ---- dedup: MinHash, LSH, SimHash, n-gram Jaccard ----
+    "q21_minhash_signatures" -> { (s, dir) => implicit val sp = s
+      tokenHashes(corpus(dir))
+        .groupBy(col("doc_id"))
+        .agg(minhashAggs.head, minhashAggs.tail: _*)
+        .orderBy(col("doc_id"))
+    },
+    "q22_lsh_candidate_pairs" -> { (s, dir) => implicit val sp = s
+      // bands of 2 minhashes; same band key => candidate pair
+      val sigs = tokenHashes(corpus(dir))
+        .groupBy(col("doc_id"))
+        .agg(minhashAggs.head, minhashAggs.tail: _*)
+      val bands = sigs.select(col("doc_id"), lit(0).as("band"),
+          concat_ws("_", col("mh0"), col("mh1")).as("bkey"))
+        .union(sigs.select(col("doc_id"), lit(1).as("band"),
+          concat_ws("_", col("mh2"), col("mh3")).as("bkey")))
+      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q23_simhash" -> { (s, dir) => implicit val sp = s
+      // 16-bit SimHash over ALL token occurrences (frequency-weighted)
+      val toks = corpus(dir)
+        .select(col("doc_id"), explode(split(col("text"), lit(" "))).as("tok"))
+        .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"))
+      val bitSums = (0 until SimBits).map(i =>
+        sum(expr(s"CASE WHEN shiftright(h, $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
+      val simhashExpr = (0 until SimBits)
+        .map(i => s"(CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      toks.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash", expr(s"CAST($simhashExpr AS BIGINT)"))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    "q24_ngram_jaccard_pairs" -> { (s, dir) => implicit val sp = s
+      // 3-gram shingle Jaccard >= 0.5 among docs 0..199 and their twins
+      val sub = corpus(dir).filter(col("doc_id") % 100000 < 200)
+      val sh = sub
+        .withColumn("toks", split(col("text"), lit(" ")))
+        .withColumn("sh", explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  array_distinct(transform(sequence(0, size(toks) - 3),
+            |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+            |ELSE array() END""".stripMargin)))
+        .select(col("doc_id"), col("sh"))
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("jaccard", round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- text analysis ----
+    "q25_lang_id" -> { (s, dir) => implicit val sp = s
+      // n-gram/stopword heuristic language ID (the corpus is synthetic
+      // word-salad, so this checks the OPERATOR, not corpus ground truth)
+      t(dir, "documents")
+        .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("en_hits",
+          ((length(col("p")) - length(regexp_replace(col("p"), lit(" the "), lit("")))) / 5 +
+           (length(col("p")) - length(regexp_replace(col("p"), lit(" a "), lit("")))) / 3).cast("long"))
+        .withColumn("pred_lang", when(col("en_hits") >= 1, lit("en")).otherwise(lit("unk")))
+        .select(col("doc_id"), col("lang"), col("en_hits"), col("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+    "q26_quality_score" -> { (s, dir) => implicit val sp = s
+      t(dir, "documents")
+        .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_tokens",
+          (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit(""))) + 1).cast("long"))
+        .withColumn("stop_hits",
+          ((length(col("p")) - length(regexp_replace(col("p"), lit(" the "), lit("")))) / 5).cast("long"))
+        .withColumn("avg_tok_len", round(
+          (length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double")) / col("n_tokens"), 4))
+        .withColumn("quality", round(
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.5 +
+          least(lit(1.0), col("stop_hits").cast("double") * 5.0 / col("n_tokens")) * 0.5, 4))
+        .select(col("doc_id"), col("n_tokens"), col("stop_hits"), col("avg_tok_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    "q27_fingerprint" -> { (s, dir) => implicit val sp = s
+      // content fingerprint via the native codegen'd PolyHash64 expression
+      PolyHash64.register(s)
+      t(dir, "documents")
+        .select(col("doc_id"), expr("poly_hash(text)").as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- embedding near-dup (quantized => engine-exact) ----
+    "q28_embedding_neardup" -> { (s, dir) => implicit val sp = s
+      val q = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+      val twins = q.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(qe, x -> x + 1)").as("qe"))
+      val c = q.union(twins)
+        .withColumn("nrm", expr(
+          "aggregate(zip_with(qe, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      val a = c.select(col("vec_id").as("vec_a"), col("qe").as("qa"), col("nrm").as("na"))
+      val b = c.select(col("vec_id").as("vec_b"), col("qe").as("qb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos_q", round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4))
+        .filter(col("cos_q") >= 0.999)
+        .select(col("vec_a"), col("vec_b"), col("cos_q"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- true-float ANN baseline (no oracle: float-order dependent) ----
+    "q29_cosine_topk" -> { (s, dir) => implicit val sp = s
+      val e = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("nrm") * col("qn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q20_table_metrics" -> {
+      val cap = EngineConfig.default.maxGroupBytes
+      val fetch = EngineConfig.default.fetchSize
+      s"""WITH RECURSIVE files AS (
+         |  SELECT pk, bucket, CAST(bucket % 3 AS INT) AS content,
+         |         CAST(FLOOR(avgp * 1000) AS BIGINT) AS size
+         |  FROM (SELECT CAST(l_returnflag AS VARCHAR) AS pk,
+         |               CAST(l_orderkey % 200 AS INT) AS bucket,
+         |               avg(l_extendedprice) AS avgp
+         |        FROM lineitem GROUP BY 1, 2)),
+         |datafiles AS (
+         |  SELECT pk, size, row_number() OVER (PARTITION BY pk ORDER BY size, bucket) AS rn
+         |  FROM files WHERE content = 0),
+         |rec AS (
+         |  SELECT pk, rn, size AS cur_sum, 1 AS group_id FROM datafiles WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.pk, d.rn,
+         |    CASE WHEN rec.cur_sum > $cap THEN d.size ELSE rec.cur_sum + d.size END,
+         |    CASE WHEN rec.cur_sum > $cap THEN rec.group_id + 1 ELSE rec.group_id END
+         |  FROM rec JOIN datafiles d ON d.pk = rec.pk AND d.rn = rec.rn + 1),
+         |groups_ AS (
+         |  SELECT pk, group_id, max(cur_sum) AS gsum FROM rec GROUP BY pk, group_id),
+         |after_pk AS (
+         |  SELECT pk, max(group_id) AS n_groups,
+         |         sum(gsum // $fetch + 2) AS after_overhead
+         |  FROM groups_ GROUP BY pk),
+         |before_pk AS (
+         |  SELECT pk, count(*) AS fc, sum(size) AS tsz,
+         |         sum(size // $fetch + 2) AS ovh,
+         |         count(CASE WHEN content = 0 THEN 1 END) AS dc,
+         |         sum(CASE WHEN content = 0 THEN size END) AS dsz
+         |  FROM files GROUP BY pk),
+         |per_pk AS (
+         |  SELECT b.*, coalesce(a.n_groups, 0) AS n_groups,
+         |         coalesce(a.after_overhead, 0) AS after_overhead
+         |  FROM before_pk b LEFT JOIN after_pk a USING (pk)),
+         |worst_fc AS (
+         |  SELECT fc, n_groups, fc - n_groups AS red FROM per_pk
+         |  ORDER BY red DESC, pk DESC LIMIT 1),
+         |worst_so AS (
+         |  SELECT ovh, after_overhead, ovh - after_overhead AS red FROM per_pk
+         |  ORDER BY red DESC, pk DESC LIMIT 1)
+         |SELECT
+         |  (SELECT sum(ovh) FROM per_pk) AS full_scan_before,
+         |  (SELECT sum(after_overhead) FROM per_pk) AS full_scan_after,
+         |  (SELECT CASE WHEN red > 0 THEN ovh ELSE 0 END FROM worst_so) AS worst_scan_before,
+         |  (SELECT CASE WHEN red > 0 THEN after_overhead ELSE 0 END FROM worst_so) AS worst_scan_after,
+         |  (SELECT sum(fc) FROM per_pk) AS file_count_before,
+         |  (SELECT sum(n_groups) FROM per_pk) AS file_count_after,
+         |  (SELECT CASE WHEN red > 0 THEN fc ELSE 0 END FROM worst_fc) AS worst_fc_before,
+         |  (SELECT CASE WHEN red > 0 THEN n_groups ELSE 0 END FROM worst_fc) AS worst_fc_after,
+         |  (SELECT round(CAST(sum(dsz) AS DOUBLE) / sum(dc), 4) FROM per_pk) AS avg_data_size,
+         |  (SELECT round(min(CAST(tsz AS DOUBLE) / fc), 4) FROM per_pk) AS worst_avg_size,
+         |  (SELECT sum(tsz) FROM per_pk) AS total_size,
+         |  (SELECT max(tsz) FROM per_pk) AS largest_partition,
+         |  (SELECT count(*) FROM per_pk) AS n_partitions""".stripMargin
+    },
+    "q21_minhash_signatures" ->
+      s"""WITH corpus AS ($corpusSql)
+         |SELECT doc_id, $minhashAggsSql
+         |FROM ($tokenHashesSql) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q22_lsh_candidate_pairs" ->
+      s"""WITH corpus AS ($corpusSql),
+         |sigs AS (SELECT doc_id, $minhashAggsSql
+         |         FROM ($tokenHashesSql) GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, concat(mh2, '_', mh3) AS bkey FROM sigs)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q23_simhash" -> {
+      val bitSums = (0 until SimBits).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+      val simhashExpr = (0 until SimBits)
+        .map(i => s"(CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS ($corpusSql),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+         |h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h FROM toks),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin
+    },
+    "q24_ngram_jaccard_pairs" ->
+      s"""WITH corpus AS ($corpusSql),
+         |sub AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         |         || ' ' || string_split(text, ' ')[i+2]))) AS sh
+         |  FROM sub),
+         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
+         |FROM inter
+         |JOIN counts ca ON ca.doc_id = doc_a
+         |JOIN counts cb ON cb.doc_id = doc_b
+         |WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CAST((length(p) - length(replace(p, ' the ', ''))) // 5 +
+        |       (length(p) - length(replace(p, ' a ', ''))) // 3 AS BIGINT) AS en_hits,
+        |  CASE WHEN (length(p) - length(replace(p, ' the ', ''))) // 5 +
+        |            (length(p) - length(replace(p, ' a ', ''))) // 3 >= 1
+        |       THEN 'en' ELSE 'unk' END AS pred_lang
+        |FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q26_quality_score" ->
+      """SELECT doc_id, n_tokens, stop_hits,
+        |  round(CAST(nosp AS DOUBLE) / n_tokens, 4) AS avg_tok_len,
+        |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+        |        least(1.0, CAST(stop_hits AS DOUBLE) * 5.0 / n_tokens) * 0.5, 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST((length(' ' || text || ' ') -
+        |          length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS BIGINT) AS stop_hits,
+        |    length(replace(text, ' ', '')) AS nosp
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS BIGINT) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_embedding_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, qe FROM q
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(qe, x -> x + 1) FROM q),
+        |n AS (
+        |  SELECT vec_id, qe,
+        |    CAST(list_sum(list_apply(range(1, len(qe) + 1), i -> qe[i] * qe[i])) AS BIGINT) AS nrm
+        |  FROM c),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(list_sum(list_apply(range(1, len(a.qe) + 1),
+        |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_q
+        |FROM pairs
+        |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) >= 0.999
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}
