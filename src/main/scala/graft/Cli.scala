@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.metrics.MetricsCalculator
 import graft.model.FileEntry
 import graft.render.Renderer
@@ -16,12 +17,27 @@ import graft.functions.Pure
   * Usage:
   *   graft.Cli list <dataRoot> [glob]
   *   graft.Cli diag <dataRoot> [glob]
+  *   graft.Cli stream <dataRoot>     — run the streaming sessionizer over
+  *                                     the events table as a file stream
+  *   graft.Cli media <dataRoot>      — multimodal decode pipeline summary
   *
   * A "table" here is each `<name>.parquet` file/dir under dataRoot (the
   * environment has no Iceberg catalog; with one, the source swaps for the
   * `db.tbl.files` metadata relation — see FileEntrySource docs).
   */
 object Cli {
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val usage = "usage: graft.Cli (list|diag) <dataRoot> [glob]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
@@ -44,14 +60,7 @@ object Cli {
 
       case "diag" =>
         if (tables.isEmpty) { System.err.println(s"error: no tables match '$glob' under $root"); sys.exit(1) }
-        val spark = SparkSession.builder()
-          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-          .appName("graft-cli")
-          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
+        val spark = session()
         import spark.implicits._
         try {
           // union-all multi-table plan: one Dataset[FileEntry] for ALL tables
@@ -65,6 +74,42 @@ object Cli {
             println(Renderer.renderTable(w.table, w.toRows, Renderer.LocalMode))
             println()
           }
+        } finally spark.stop()
+
+      case "stream" =>
+        val spark = session()
+        import spark.implicits._
+        try {
+          // file-source streaming read of the events table (nanos as long),
+          // gap-sessionized with event-time state + watermark timeout
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val schema = spark.read.parquet(s"$root/events.parquet").schema
+          val stream = spark.readStream.schema(schema).parquet(s"$root/events*.parquet")
+            .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "value")
+            .as[graft.streaming.Sessionizer.Event]
+          val sessions = graft.streaming.Sessionizer.sessionize(stream, gapUs = 30L * 60 * 1000000)
+          val q = sessions.writeStream.format("memory").queryName("sessions")
+            .outputMode("append").start()
+          q.processAllAvailable()
+          q.stop()
+          val n = spark.table("sessions").count()
+          val perUser = spark.table("sessions").groupBy(col("user_id"))
+            .count().orderBy(col("count").desc, col("user_id")).limit(5).collect()
+          println(s"closed sessions: $n")
+          perUser.foreach(r => println(s"  user ${r.get(0)}: ${r.get(1)} sessions"))
+        } finally spark.stop()
+
+      case "media" =>
+        val spark = session()
+        try {
+          val feats = graft.multimodal.Multimodal.extractFeatures(
+            graft.multimodal.Multimodal.syntheticMedia(spark, root))
+          val summary = feats.groupBy(col("kind"))
+            .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_w"),
+              avg(col("n_frames")).as("avg_frames"))
+            .orderBy(col("kind")).collect()
+          summary.foreach(r => println(
+            f"${r.getString(0)}%-6s n=${r.getLong(1)} avg_width=${r.getDouble(2)}%.1f avg_frames=${r.getDouble(3)}%.1f"))
         } finally spark.stop()
 
       case other =>

@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: images/audio/video travel as opaque `binary`
+  * columns with typed metadata; decode/feature-extraction runs partition-wise
+  * in bounded batches (the Scala analogue of `mapInPandas` batch processing).
+  *
+  * The actual media codecs are STUBBED ([[FakeCodec]]) — decode libraries are
+  * not available in this environment — but everything Spark-side is real and
+  * tested: the schema, the binary column plumbing, the partition-wise batch
+  * shape, and the feature vector output contract. Swapping [[FakeCodec]] for
+  * a JNI/javacv decoder changes no plan shape.
+  *
+  * Scale: decode is the hot loop — it runs inside `mapPartitions` with NO
+  * shuffle (narrow dependency on the scan); batches bound peak memory to
+  * `batchSize * maxMediaBytes`; downstream joins see only the small decoded
+  * features, never the raw bytes (project-away early).
+  */
+object Multimodal {
+
+  case class MediaFile(media_id: Long, kind: String, content: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  /** Deterministic stand-in for an image/audio/video decoder. Derives
+    * "dimensions" and a feature vector from the bytes themselves so tests
+    * are reproducible. Replace with a real codec at the same signature. */
+  object FakeCodec {
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      val n = bytes.length
+      kind match {
+        case "image" => (64 + n % 512, 64 + (n / 7) % 512, 1)
+        case "video" => (320, 240, 1 + n % 240)
+        case "audio" => (1, 0, n / 4) // channels, -, samples
+        case _       => (0, 0, 0)
+      }
+    }
+
+    /** 8-dim byte-histogram feature, L1-normalized — deterministic fake of
+      * an embedding model's output. */
+    def features(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
+      val hist = new Array[Float](dims)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xFF) % dims) += 1f; i += 1 }
+      val total = math.max(bytes.length, 1).toFloat
+      hist.map(_ / total)
+    }
+  }
+
+  /** Partition-wise batched decode: groups each partition's rows into
+    * `batchSize` batches (modeling a vectorized decoder call), maps each
+    * batch through the codec, and emits typed features. */
+  def extractFeatures(media: Dataset[MediaFile], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "vectorized" codec invocation per batch
+        batch.map { m =>
+          val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
+          MediaFeatures(m.media_id, m.kind, w, h, frames, FakeCodec.features(m.content))
+        }
+      }
+    }
+  }
+
+  /** Synthesize a media table from the documents corpus (deterministic):
+    * text bytes as payload, kind cycling image/audio/video. Lets the
+    * multimodal path run against the driver's parquet corpus. */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaFile]
+  }
+
+  /** Frame sampling for video-kind media: every `stride`-th frame index up
+    * to n_frames — the plumbing for frame-level feature extraction. */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+    features.filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_idx"))
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the events stream.
+  *
+  * The reference is pure batch (SURVEY §2.10); these are the engine's
+  * streaming extensions, designed so their BATCH twins (q10_sessionize,
+  * q19_event_windows) compute identical results — the standard
+  * lambda-architecture check, used by StreamingSpec.
+  *
+  * Scale: state is per-user (one open session, 32 bytes); watermark bounds
+  * state growth; the shuffle is the groupByKey on user_id only.
+  */
+object Sessionizer {
+
+  case class Event(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+  case class SessionState(startUs: Long, endUs: Long, nEvents: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization with event-time timeout. Emits a session when
+    * a gap > `gapUs` is observed within a key's batch, or when the watermark
+    * passes the open session's end + gap (timeout). */
+  def sessionize(events: Dataset[Event], gapUs: Long, watermarkDelay: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processUser(gapUs))
+  }
+
+  private def processUser(gapUs: Long)(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (events.isEmpty && state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(Session(userId, s.startUs, s.endUs, s.nEvents))
+    }
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur = state.getOption
+    for (e <- sorted) {
+      cur match {
+        case Some(s) if e.ts_us - s.endUs > gapUs =>
+          out += Session(userId, s.startUs, s.endUs, s.nEvents)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        case Some(s) =>
+          cur = Some(SessionState(s.startUs, math.max(s.endUs, e.ts_us), s.nEvents + 1))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // close the session once the watermark passes its end + gap
+      state.setTimeoutTimestamp((s.endUs + gapUs) / 1000 + 1)
+    }
+    out.iterator
+  }
+
+  /** Tumbling event-time windowed aggregation (streaming twin of
+    * q19_event_windows): per (1 h window, event_type) counts and sums. */
+  def windowedCounts(events: Dataset[Event], eventTypes: Dataset[(Long, String)] = null): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n"), col("sum_value"))
+      .as[(Long, Long, Double)]
+  }
+}

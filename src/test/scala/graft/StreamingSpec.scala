@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Sessionizer
+import graft.streaming.Sessionizer.{Event, Session}
+
+/** Streaming sessionization: feed the events through a MemoryStream in two
+  * batches and check sessions against a hand-computed expectation AND the
+  * batch twin's semantics (gap > 30 min closes a session). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val H = 3600L * 1000000 // 1h in micros
+
+  test("gap sessionization over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionizer.sessionize(input.toDS(), gapUs = 30L * 60 * 1000000)
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // NOTE: events at/below the initial watermark (0) are dropped as late;
+      // keep all test timestamps strictly positive past the delay.
+      val base = 1000 * H
+      val tenMin = 10 * 60 * 1000000L
+      // user 1: two events close together, then a 2h gap, then one more
+      input.addData(
+        Event(1, 1, base, 1.0), Event(1, 2, base + tenMin, 1.0),
+        Event(2, 3, base, 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1, 4, base + 2 * H + tenMin, 1.0))
+      q.processAllAvailable()
+      // user 1's first session must have closed (gap 2h > 30min)
+      val closed = spark.table("sess").as[Session].collect()
+      withClue(s"closed=${closed.toSeq}") {
+        assert(closed.exists(s => s.user_id == 1 && s.n_events == 2 && s.start_us == base))
+      }
+      // push the watermark far ahead so open sessions time out
+      input.addData(Event(9, 99, base + 100 * H, 1.0))
+      q.processAllAvailable()
+      input.addData(Event(9, 100, base + 101 * H, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[Session].collect()
+      withClue(s"all=${all.toSeq}") {
+        assert(all.exists(s => s.user_id == 2 && s.n_events == 1))
+        assert(all.exists(s => s.user_id == 1 && s.n_events == 1 && s.start_us == base + 2 * H + tenMin))
+      }
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts match the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 100).map(i =>
+      Event(i % 7, i, i * 97L * 1000000, i * 0.5))
+    val input = MemoryStream[Event]
+    val agg = Sessionizer.windowedCounts(input.toDS())
+    val q = agg.writeStream.format("memory").queryName("winagg").outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("winagg").as[(Long, Long, Double)].collect().toSet
+      val batch = events.groupBy(e => e.ts_us / H * H).map { case (w, es) =>
+        (w, es.size.toLong, es.map(_.value).sum)
+      }.toSet
+      assert(streamed.map(t => (t._1, t._2)) == batch.map(t => (t._1, t._2)))
+      // sums may differ in float order; compare rounded
+      val sMap = streamed.map(t => t._1 -> math.round(t._3 * 100)).toMap
+      val bMap = batch.map(t => t._1 -> math.round(t._3 * 100)).toMap
+      assert(sMap == bMap)
+    } finally q.stop()
+  }
+}
