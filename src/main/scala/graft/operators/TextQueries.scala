@@ -27,10 +27,27 @@ object TextQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   // MinHash permutation constants: (a*h + b) % p over 28-bit token hashes.
+  // 8 permutations -> 2 bands of 4 rows: on a low-entropy vocabulary,
+  // 2-row bands collide pathologically (one bucket held 76% of docs at
+  // sf0.1 => 35M candidate pairs); 4-row bands keep buckets near-unique
+  // while twins (Jaccard ~ 1) still collide with probability ~ J^4 per band.
   private val P = 2147483647L
-  private val A = Seq(1000003L, 1999993L, 999331L, 1112111L)
-  private val B = Seq(12345L, 54321L, 7777L, 424242L)
+  private val A = Seq(1000003L, 1999993L, 999331L, 1112111L, 1300021L, 1500007L, 1700021L, 1900037L)
+  private val B = Seq(12345L, 54321L, 7777L, 424242L, 98765L, 13579L, 24680L, 111111L)
   private val SimBits = 16
+
+  /** Deterministic hyperplane weights for sign-LSH over quantized
+    * embeddings: w(plane, dim) = (first-7-hex-of-md5("p:d") % 2001) - 1000.
+    * Computed driver-side; the oracle receives the SAME values as an inline
+    * VALUES table, so both engines bucket identically (all-integer math). */
+  private lazy val planes: Seq[(Int, Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (p <- 0 until 16; d <- 0 until 64) yield {
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString.take(7)
+      (p, d, java.lang.Long.parseLong(hex, 16) % 2001L - 1000L)
+    }
+  }
 
   /** Dedup corpus: originals + near-dup twins (first token dropped). */
   private def corpus(dir: String)(implicit s: SparkSession): DataFrame = {
@@ -46,14 +63,32 @@ object TextQueries {
       |         substring(text, position(' ' IN text) + 1) AS text
       |  FROM documents""".stripMargin
 
-  /** doc_id, tok, h(28-bit portable token hash); distinct tokens per doc. */
-  private def tokenHashes(c: DataFrame): DataFrame =
-    c.select(col("doc_id"), explode(array_distinct(split(col("text"), lit(" ")))).as("tok"))
-      .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"))
+  /** doc_id, h: 28-bit portable hashes of the doc's DISTINCT 3-gram token
+    * shingles. Shingles, not single tokens: on a small vocabulary every doc
+    * contains the same frequent tokens, so token-level minhashes collapse to
+    * one global signature (at sf0.1 that put 76% of docs in one LSH bucket);
+    * 3-gram shingles give |V|^3 effective vocabulary and discriminative
+    * minima. Docs with < 3 tokens yield no shingles (consistently absent on
+    * both engines). */
+  private def shingleHashes(c: DataFrame): DataFrame =
+    c.withColumn("toks", split(col("text"), lit(" ")))
+      .withColumn("sh", explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  array_distinct(transform(sequence(0, size(toks) - 3),
+          |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+          |ELSE array() END""".stripMargin)))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)").as("h"))
 
-  private val tokenHashesSql =
-    s"""SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  // NOTE: continuation lines must not begin with "||" — stripMargin would
+  // eat the first pipe and turn concat into bitwise-or.
+  private val shingleHashesSql =
+    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |          i -> string_split(text, ' ')[i] || ' ' ||
+       |            string_split(text, ' ')[i+1] || ' ' ||
+       |            string_split(text, ' ')[i+2]))) AS sh
        |        FROM corpus)""".stripMargin
 
   private def minhashAggs = A.indices.map(j =>
@@ -96,20 +131,20 @@ object TextQueries {
 
     // ---- dedup: MinHash, LSH, SimHash, n-gram Jaccard ----
     "q21_minhash_signatures" -> { (s, dir) => implicit val sp = s
-      tokenHashes(corpus(dir))
+      shingleHashes(corpus(dir))
         .groupBy(col("doc_id"))
         .agg(minhashAggs.head, minhashAggs.tail: _*)
         .orderBy(col("doc_id"))
     },
     "q22_lsh_candidate_pairs" -> { (s, dir) => implicit val sp = s
-      // bands of 2 minhashes; same band key => candidate pair
-      val sigs = tokenHashes(corpus(dir))
+      // bands of 4 minhashes; same band key => candidate pair
+      val sigs = shingleHashes(corpus(dir))
         .groupBy(col("doc_id"))
         .agg(minhashAggs.head, minhashAggs.tail: _*)
       val bands = sigs.select(col("doc_id"), lit(0).as("band"),
-          concat_ws("_", col("mh0"), col("mh1")).as("bkey"))
+          concat_ws("_", col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("bkey"))
         .union(sigs.select(col("doc_id"), lit(1).as("band"),
-          concat_ws("_", col("mh2"), col("mh3")).as("bkey")))
+          concat_ws("_", col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("bkey")))
       val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
       a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -193,7 +228,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ---- embedding near-dup (quantized => engine-exact) ----
+    // ---- embedding near-dup: sign-LSH prebucket + exact verify ----
+    // The scale path: instead of the O(n^2) cross join (which is 100M pairs
+    // at sf0.1), each vector gets 2 sign-LSH band keys (8 deterministic
+    // integer hyperplanes each); only same-bucket pairs are exact-verified.
+    // A cos>=0.999 pair flips a plane with prob ~theta/pi = 0.45%, so the
+    // miss probability per 8-plane band is ~3.5%, ~0.1% for both — and the
+    // oracle runs the IDENTICAL bucketing, so results match bit-for-bit.
     "q28_embedding_neardup" -> { (s, dir) => implicit val sp = s
       val q = t(dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
@@ -202,9 +243,26 @@ object TextQueries {
       val c = q.union(twins)
         .withColumn("nrm", expr(
           "aggregate(zip_with(qe, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      val a = c.select(col("vec_id").as("vec_a"), col("qe").as("qa"), col("nrm").as("na"))
-      val b = c.select(col("vec_id").as("vec_b"), col("qe").as("qb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      // sign bits: explode dims, broadcast-join the 1024-row plane table
+      val planesDf = s.createDataFrame(planes.map(p => (p._1, p._2, p._3)))
+        .toDF("p", "d", "w")
+      val sigs = c.select(col("vec_id"), posexplode(col("qe")).as(Seq("d", "x")))
+        .join(broadcast(planesDf), Seq("d"))
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("x") * col("w")).as("s"))
+        .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+        .groupBy(col("vec_id"))
+        .agg(
+          sum(expr("CASE WHEN p < 8 THEN shiftleft(bit, p) ELSE 0 END")).as("sig0"),
+          sum(expr("CASE WHEN p >= 8 THEN shiftleft(bit, p - 8) ELSE 0 END")).as("sig1"))
+      val vecs = c.join(sigs, Seq("vec_id"))
+      val bands = vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(0).as("band"), col("sig0").as("sig"))
+        .union(vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(1).as("band"), col("sig1").as("sig")))
+      val a = bands.select(col("band"), col("sig"), col("vec_id").as("vec_a"), col("qe").as("qa"), col("nrm").as("na"))
+      val b = bands.select(col("band"), col("sig"), col("vec_id").as("vec_b"), col("qe").as("qb"), col("nrm").as("nb"))
+      a.join(b, Seq("band", "sig")).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("qa"), col("qb"), col("na"), col("nb"))
+        .distinct()
         .withColumn("dot", expr(
           "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .withColumn("cos_q", round(col("dot").cast("double")
@@ -293,15 +351,17 @@ object TextQueries {
     "q21_minhash_signatures" ->
       s"""WITH corpus AS ($corpusSql)
          |SELECT doc_id, $minhashAggsSql
-         |FROM ($tokenHashesSql) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM ($shingleHashesSql) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q22_lsh_candidate_pairs" ->
       s"""WITH corpus AS ($corpusSql),
          |sigs AS (SELECT doc_id, $minhashAggsSql
-         |         FROM ($tokenHashesSql) GROUP BY doc_id),
+         |         FROM ($shingleHashesSql) GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bkey FROM sigs
+         |  SELECT doc_id, 0 AS band,
+         |    concat(mh0, '_', mh1, '_', mh2, '_', mh3) AS bkey FROM sigs
          |  UNION ALL
-         |  SELECT doc_id, 1 AS band, concat(mh2, '_', mh3) AS bkey FROM sigs)
+         |  SELECT doc_id, 1 AS band,
+         |    concat(mh4, '_', mh5, '_', mh6, '_', mh7) AS bkey FROM sigs)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
          |  AND a.doc_id < b.doc_id
@@ -367,28 +427,52 @@ object TextQueries {
         |    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS BIGINT) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q28_embedding_neardup" ->
-      """WITH q AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, qe FROM q
-        |  UNION ALL
-        |  SELECT vec_id + 100000, list_transform(qe, x -> x + 1) FROM q),
-        |n AS (
-        |  SELECT vec_id, qe,
-        |    CAST(list_sum(list_apply(range(1, len(qe) + 1), i -> qe[i] * qe[i])) AS BIGINT) AS nrm
-        |  FROM c),
-        |pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    CAST(list_sum(list_apply(range(1, len(a.qe) + 1),
-        |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
-        |    a.nrm AS na, b.nrm AS nb
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b,
-        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_q
-        |FROM pairs
-        |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) >= 0.999
-        |ORDER BY vec_a, vec_b""".stripMargin)
+    "q28_embedding_neardup" -> {
+      val planeValues = planes.map { case (p, d, w) => s"($p,$d,$w)" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, qe FROM q
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(qe, x -> x + 1) FROM q),
+         |n AS (
+         |  SELECT vec_id, qe,
+         |    CAST(list_sum(list_apply(range(1, len(qe) + 1), i -> qe[i] * qe[i])) AS BIGINT) AS nrm
+         |  FROM c),
+         |planes(p, d, w) AS (VALUES $planeValues),
+         |dims AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS d, qe[i] AS x
+         |  FROM (SELECT vec_id, qe, unnest(range(1, len(qe) + 1)) AS i FROM c)),
+         |proj AS (
+         |  SELECT vec_id, p, sum(x * w) AS s
+         |  FROM dims JOIN planes USING (d) GROUP BY vec_id, p),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN p < 8 AND s >= 0 THEN 1 << p ELSE 0 END) AS sig0,
+         |    sum(CASE WHEN p >= 8 AND s >= 0 THEN 1 << (p - 8) ELSE 0 END) AS sig1
+         |  FROM proj GROUP BY vec_id),
+         |bands AS (
+         |  SELECT n.vec_id, qe, nrm, 0 AS band, sig0 AS sig FROM n JOIN sigs USING (vec_id)
+         |  UNION ALL
+         |  SELECT n.vec_id, qe, nrm, 1 AS band, sig1 AS sig FROM n JOIN sigs USING (vec_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(list_sum(list_apply(range(1, len(x.qe) + 1),
+         |      i -> x.qe[i] * y.qe[i])) AS BIGINT) AS dot,
+         |    x.nrm AS na, y.nrm AS nb
+         |  FROM cand
+         |  JOIN n x ON x.vec_id = vec_a
+         |  JOIN n y ON y.vec_id = vec_b)
+         |SELECT vec_a, vec_b,
+         |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_q
+         |FROM pairs
+         |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin
+    })
 }
