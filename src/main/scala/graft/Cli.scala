@@ -20,6 +20,9 @@ import graft.functions.Pure
   *   graft.Cli stream <dataRoot>     — run the streaming sessionizer over
   *                                     the events table as a file stream
   *   graft.Cli media <dataRoot>      — multimodal decode pipeline summary
+  *   graft.Cli remote <responseJson> — parse a remote-diagnostics response
+  *                                     document and render its report
+  *                                     (parsing only; nothing is posted)
   *
   * A "table" here is each `<name>.parquet` file/dir under dataRoot (the
   * environment has no Iceberg catalog; with one, the source swaps for the
@@ -44,6 +47,26 @@ object Cli {
     val cmd = args(0)
     val root = args(1)
     val glob = if (args.length > 2) args(2) else "*"
+
+    if (cmd == "remote") {
+      val f = new java.io.File(root)
+      if (!f.isFile) { System.err.println(s"error: no such response file: $root"); sys.exit(1) }
+      val spark = session()
+      import spark.implicits._
+      try {
+        val doc = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val (rows, errors) = graft.sources.RemoteMetrics.parse(spark.createDataset(Seq(doc)))
+        rows.collect().groupBy(_.table).toSeq.sortBy(_._1).foreach { case (tbl, rs) =>
+          println(Renderer.renderTable(tbl, rs.toSeq, Renderer.RemoteMode)); println()
+        }
+        val errs = errors.collect()
+        if (errs.nonEmpty) {
+          System.err.println("errors:")
+          errs.foreach { case (t, e) => System.err.println(s"  $t: $e") }
+        }
+      } finally spark.stop()
+      return
+    }
 
     val rootFile = new java.io.File(root)
     if (!rootFile.isDirectory) { System.err.println(s"error: no such data root: $root"); sys.exit(1) }

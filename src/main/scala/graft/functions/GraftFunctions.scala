@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration for the engine's custom functions, so
+  * `spark.sql(...)` users get the same surface as the DataFrame API:
+  *
+  *   - poly_hash(str) -> bigint       (native codegen'd expression)
+  *   - format_size(bytes) -> str      ("1.21 KB")
+  *   - format_duration(ms) -> str     ("1h 0m 0s" / "<0.01s")
+  *   - read_file_cost(bytes) -> bigint (cost model: size // 32MiB + 2)
+  *
+  * Formatters are plain UDFs: they run at the rendering edge on tiny
+  * result sets, never in a hot scan path (PolyHash64 is native precisely
+  * because fingerprinting IS hot-path).
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    PolyHash64.register(spark)
+    spark.udf.register("format_size", (b: Double) => Pure.formatSize(b))
+    spark.udf.register("format_duration", (ms: Double) => Pure.formatDuration(ms))
+    spark.udf.register("read_file_cost", (b: Long) => Pure.readFileCost(b))
+  }
+}

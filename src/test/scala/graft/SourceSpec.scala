@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CatalogOps, FileEntrySource}
+import graft.model.TableRef
+import graft.functions.GraftFunctions
+
+class SourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("TableRef dotted-name split (maxsplit=1)") {
+    assert(TableRef.fromFullName("db.tbl") == TableRef("db", "tbl"))
+    assert(TableRef.fromFullName("db.tbl.extra") == TableRef("db", "tbl.extra"))
+    assert(TableRef.fromFullName("plain") == TableRef("", "plain"))
+    assert(TableRef("db", "t").fullName == "db.t")
+    assert(TableRef("", "t").fullName == "t")
+  }
+
+  test("catalog listing with glob filter") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_test_db.alpha (x INT) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_test_db.beta (x INT) USING parquet")
+    try {
+      assert(CatalogOps.listDatabases(spark).contains("graft_test_db"))
+      assert(CatalogOps.listTables(spark, "graft_test_db") == Seq("alpha", "beta"))
+      assert(CatalogOps.listTables(spark, "graft_test_db", "a*") == Seq("alpha"))
+      assert(CatalogOps.listTables(spark, "graft_test_db", "?eta") == Seq("beta"))
+    } finally spark.sql("DROP DATABASE graft_test_db CASCADE")
+  }
+
+  test("fromDirectory: hive-partitioned dir becomes file entries") {
+    val base = java.nio.file.Files.createTempDirectory("graft_src").toFile
+    try {
+      val p1 = new java.io.File(base, "day=1"); p1.mkdirs()
+      val p2 = new java.io.File(base, "day=2/region=eu"); p2.mkdirs()
+      java.nio.file.Files.write(new java.io.File(p1, "a.parquet").toPath, Array.fill[Byte](100)(1))
+      java.nio.file.Files.write(new java.io.File(p1, "b.parquet").toPath, Array.fill[Byte](50)(1))
+      java.nio.file.Files.write(new java.io.File(p2, "c.parquet").toPath, Array.fill[Byte](7)(1))
+      java.nio.file.Files.write(new java.io.File(base, "_SUCCESS").toPath, Array.emptyByteArray)
+      val entries = FileEntrySource.fromDirectory(spark, base.getAbsolutePath, "t").collect()
+      assert(entries.length == 3) // _SUCCESS skipped
+      assert(entries.count(_.partitionKey == "Record[day=1]") == 2)
+      assert(entries.exists(e => e.partitionKey == "Record[day=2, region=eu]" && e.sizeBytes == 7))
+      assert(entries.map(_.sizeBytes).sum == 157)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(base)
+    }
+  }
+
+  test("canonical key sorts fields") {
+    assert(FileEntrySource.canonicalKey(Seq("b" -> "2", "a" -> "1")) == "Record[a=1, b=2]")
+    assert(FileEntrySource.canonicalKey(Nil) == "Record[]")
+  }
+
+  test("registered SQL functions") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT poly_hash('ab') AS h, format_size(1234.0) AS s, format_duration(5500.0) AS d, read_file_cost(0) AS c")
+      .collect()(0)
+    assert(r.getLong(0) == (('a'.toLong * 131 + 'b') % 1000000007L))
+    assert(r.getString(1) == "1.21 KB")
+    assert(r.getString(2) == "5.5s")
+    assert(r.getLong(3) == 2)
+  }
+
+  test("poly_hash native expression matches DuckDB list_reduce semantics") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    // fold with first element as seed == fold from 0 since c < mod
+    val got = spark.createDataset(Seq("spark", "", "The quick brown fox"))
+      .toDF("s").selectExpr("poly_hash(s)").as[Long].collect()
+    def ref(s: String) = s.foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
+    assert(got.toSeq == Seq(ref("spark"), ref(""), ref("The quick brown fox")))
+  }
+}
