@@ -157,6 +157,20 @@ object Queries {
         .orderBy(col("user_id"))
     },
 
+    "q30_running_total" -> { (s, dir) => implicit val sp = s
+      // explicit frame spec: cumulative revenue per customer in order-date
+      // order (rowsBetween unboundedPreceding..current)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // ---- set ops / grouping sets ----
     "q11_rollup" -> { (s, dir) => implicit val sp = s
       t(dir, "lineitem")
@@ -308,6 +322,13 @@ object Queries {
           |  sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
           |  count(*) AS n_events
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q30_running_total" ->
+        """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+          |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+          |FROM orders WHERE o_custkey <= 100
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
       "q11_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

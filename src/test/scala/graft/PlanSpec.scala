@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast strategy, no accidental cartesian)
+  * asserted against the actual physical plans. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q2: column pruning — only 3 columns read") {
+    val p = plan("q2_file_stats")
+    assert(p.contains("ReadSchema: struct<l_linenumber:int,l_extendedprice:double,l_returnflag:string>"))
+  }
+
+  test("q6: all dimension joins broadcast, no sort-merge") {
+    val p = plan("q6_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q7/q8: semi and anti joins planned") {
+    assert(plan("q7_customers_with_orders").contains("LeftSemi"))
+    assert(plan("q8_customers_no_big_order").contains("LeftAnti"))
+  }
+
+  test("q17: probe side broadcast, base never shuffled before join") {
+    val p = plan("q17_knn_quantized")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]"))
+  }
+
+  test("q22: equi-join on band key (no cartesian)") {
+    val p = plan("q22_lsh_candidate_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q28: LSH prebucket join is an equi-join, not a cross join") {
+    val p = plan("q28_embedding_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregates are partial (map-side combine) around the exchange") {
+    val p = plan("q3_partition_stats")
+    // partial + final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+
+  test("whole-stage codegen active on the scan-project-agg path") {
+    // AQE materializes the final plan only on execution; run, then inspect
+    val df = SparkEntry.queries("q2_file_stats")(spark, dir)
+    df.collect()
+    // codegen'd operators carry the "*(stageId)" prefix in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("HashAggregate"))
+  }
+}
