@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, mirroring what a 100 TB pipeline needs:
+  *   - [[bruteForceTopK]]: exact cosine top-k with a BROADCAST probe set —
+  *     correct baseline, O(base × probes), no shuffle of the base.
+  *   - [[signLshNearDuplicates]]: sign-LSH (random-hyperplane) bucketing +
+  *     exact verification — near-dup detection as an EQUI-join, O(n) buckets
+  *     instead of O(n²) pairs. Hyperplanes are integers derived from md5 so
+  *     bucketing is deterministic and engine-portable (q28's oracle runs the
+  *     identical computation in DuckDB).
+  */
+object AnnOps {
+
+  /** Quantize a float vector to int64 (×scale, floor): all downstream dots/
+    * norms become exact integer math. */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, v => floor(v.cast("double") * scale).cast("long"))
+
+  /** Integer dot product of two equal-length int64 array columns. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic hyperplane weights: w(p, d) = md5-28bit("p:d") % 2001 - 1000. */
+  def planeWeights(nPlanes: Int, dims: Int): Seq[(Int, Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (p <- 0 until nPlanes; d <- 0 until dims) yield {
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString.take(7)
+      (p, d, java.lang.Long.parseLong(hex, 16) % 2001L - 1000L)
+    }
+  }
+
+  /** Per-vector sign-LSH band signatures: returns (idCol, sig0..sig{bands-1}),
+    * each signature an int of `planesPerBand` sign bits. */
+  def signatures(
+      df: DataFrame, idCol: String, qVecCol: String,
+      bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    val nPlanes = bands * planesPerBand
+    val planesDf = spark.createDataFrame(planeWeights(nPlanes, dims)).toDF("p", "d", "w")
+    val proj = df.select(col(idCol), posexplode(col(qVecCol)).as(Seq("d", "x")))
+      .join(broadcast(planesDf), Seq("d"))
+      .groupBy(col(idCol), col("p"))
+      .agg(sum(col("x") * col("w")).as("s"))
+      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+    val sigAggs = (0 until bands).map { b =>
+      sum(when(col("p") >= b * planesPerBand && col("p") < (b + 1) * planesPerBand,
+        expr(s"shiftleft(bit, CAST(p AS INT) - ${b * planesPerBand})"))
+        .otherwise(0L)).as(s"sig$b")
+    }
+    proj.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** Exact cosine top-k for a (small, broadcastable) probe set against the
+    * full base. Probes join the base without shuffling it; ranking is
+    * deterministic (cos desc, id asc). */
+  def bruteForceTopK(
+      base: DataFrame, idCol: String, vecCol: String,
+      probeIds: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = base.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0d), (acc, x) => acc + x)))
+    val probes = e.filter(probeIds)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    e.join(broadcast(probes), col(idCol) =!= col("query_id"))
+      .withColumn("cos", aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+        lit(0d), (acc, x) => acc + x) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Sign-LSH near-duplicate pairs with exact verification: candidates from
+    * same-band-signature equi-joins, verified by quantized cosine >= minCos.
+    * Returns (id_a, id_b, cos_q). */
+  def signLshNearDuplicates(
+      df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, bands: Int = 2, planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    val q = df.select(col(idCol), quantize(col(vecCol)).as("qe"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    val sigs = signatures(q, idCol, "qe", bands, planesPerBand, dims)
+    val vecs = q.join(sigs, Seq(idCol))
+    val bandsDf = (0 until bands).map { b =>
+      vecs.select(col(idCol), col("qe"), col("nrm"), lit(b).as("band"), col(s"sig$b").as("sig"))
+    }.reduce(_ union _)
+    val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"),
+      col("qe").as("qa"), col("nrm").as("na"))
+    val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_b"),
+      col("qe").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("qa"), col("qb"), col("na"), col("nb"))
+      .distinct()
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .withColumn("cos_q", col("dot").cast("double")
+        / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_q") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos_q"))
+  }
+}

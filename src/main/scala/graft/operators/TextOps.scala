@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public text-analysis / dedup API — the Column- and DataFrame-level
+  * operators behind the q14/q21-q27 query surface, usable directly by
+  * library consumers.
+  *
+  * All hashing is engine-portable (md5-prefix 28-bit integers, overflow-free
+  * permutations) so results can be cross-checked against any SQL engine —
+  * see TextQueries for the DuckDB oracles.
+  */
+object TextOps {
+
+  /** Whitespace token count via occurrence arithmetic (portable across
+    * engines, unlike regex splits). */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, lit(" "), lit(""))) + lit(1)).cast("long")
+
+  /** Occurrences of `needle` in `hay` (non-overlapping replace semantics). */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(regexp_replace(hay, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** 28-bit portable hash of a string: first 7 hex digits of md5. Safe for
+    * `(a*h+b) % p` permutations with a < 2^31 under ANSI arithmetic. */
+  def portableHash28(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a text column (empty array when the
+    * text has fewer than n tokens). Shingles — not raw tokens — are the
+    * right minhash domain on low-entropy vocabularies. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signatures over distinct n-gram shingles: one row per id with
+    * columns mh0..mh{k-1}. `perms` are (a, b) pairs for `(a*h+b) % p`. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      perms: Seq[(Long, Long)], p: Long = 2147483647L, shingleN: Int = 3): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .withColumn("h", portableHash28(col("sh")))
+    val aggs = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % p).as(s"mh$j")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from minhash signatures: same band key (rowsPerBand
+    * consecutive minhashes concatenated) => candidate. Returns (id_a, id_b)
+    * with id_a < id_b, distinct. Equi-join on the band key — never a cross
+    * join — which is what makes this the scale path for near-dup detection. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, nPerms: Int, rowsPerBand: Int): DataFrame = {
+    require(nPerms % rowsPerBand == 0, "nPerms must be divisible by rowsPerBand")
+    val nBands = nPerms / rowsPerBand
+    val bands = (0 until nBands).map { bIdx =>
+      val keyCols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(j => col(s"mh$j"))
+      sigs.select(col(idCol), lit(bIdx).as("band"), concat_ws("_", keyCols: _*).as("bkey"))
+    }.reduce(_ union _)
+    val a = bands.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = bands.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Frequency-weighted SimHash over whitespace tokens (bits <= 31). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), lit(" "))).as("tok"))
+      .withColumn("h", portableHash28(col("tok")))
+    val bitSums = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val shCol = (0 until bits)
+      .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", shCol.cast("long"))
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (near-dup test on
+    * signatures: distance <= k). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Stopword-hit language heuristic (see q25); returns hit count. */
+  def englishStopwordHits(text: Column): Column = {
+    val p = concat(lit(" "), text, lit(" "))
+    (occurrences(p, " the ") + occurrences(p, " a ")).cast("long")
+  }
+}

@@ -37,17 +37,10 @@ object TextQueries {
   private val SimBits = 16
 
   /** Deterministic hyperplane weights for sign-LSH over quantized
-    * embeddings: w(plane, dim) = (first-7-hex-of-md5("p:d") % 2001) - 1000.
-    * Computed driver-side; the oracle receives the SAME values as an inline
-    * VALUES table, so both engines bucket identically (all-integer math). */
-  private lazy val planes: Seq[(Int, Int, Long)] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    for (p <- 0 until 16; d <- 0 until 64) yield {
-      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString.take(7)
-      (p, d, java.lang.Long.parseLong(hex, 16) % 2001L - 1000L)
-    }
-  }
+    * embeddings ([[AnnOps.planeWeights]]): w(p, d) = md5-28bit("p:d") % 2001
+    * - 1000. Computed driver-side; the oracle receives the SAME values as an
+    * inline VALUES table, so both engines bucket identically. */
+  private lazy val planes: Seq[(Int, Int, Long)] = AnnOps.planeWeights(16, 64)
 
   /** Dedup corpus: originals + near-dup twins (first token dropped). */
   private def corpus(dir: String)(implicit s: SparkSession): DataFrame = {
@@ -64,21 +57,16 @@ object TextQueries {
       |  FROM documents""".stripMargin
 
   /** doc_id, h: 28-bit portable hashes of the doc's DISTINCT 3-gram token
-    * shingles. Shingles, not single tokens: on a small vocabulary every doc
-    * contains the same frequent tokens, so token-level minhashes collapse to
-    * one global signature (at sf0.1 that put 76% of docs in one LSH bucket);
+    * shingles (via [[TextOps.shingles]]/[[TextOps.portableHash28]]).
+    * Shingles, not single tokens: on a small vocabulary every doc contains
+    * the same frequent tokens, so token-level minhashes collapse to one
+    * global signature (at sf0.1 that put 76% of docs in one LSH bucket);
     * 3-gram shingles give |V|^3 effective vocabulary and discriminative
     * minima. Docs with < 3 tokens yield no shingles (consistently absent on
     * both engines). */
   private def shingleHashes(c: DataFrame): DataFrame =
-    c.withColumn("toks", split(col("text"), lit(" ")))
-      .withColumn("sh", explode(expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  array_distinct(transform(sequence(0, size(toks) - 3),
-          |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-          |ELSE array() END""".stripMargin)))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)").as("h"))
+    c.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), TextOps.portableHash28(col("sh")).as("h"))
 
   // NOTE: continuation lines must not begin with "||" — stripMargin would
   // eat the first pipe and turn concat into bitwise-or.
@@ -131,39 +119,19 @@ object TextQueries {
 
     // ---- dedup: MinHash, LSH, SimHash, n-gram Jaccard ----
     "q21_minhash_signatures" -> { (s, dir) => implicit val sp = s
-      shingleHashes(corpus(dir))
-        .groupBy(col("doc_id"))
-        .agg(minhashAggs.head, minhashAggs.tail: _*)
+      TextOps.minhashSignatures(corpus(dir), "doc_id", "text", A.zip(B), P)
         .orderBy(col("doc_id"))
     },
     "q22_lsh_candidate_pairs" -> { (s, dir) => implicit val sp = s
       // bands of 4 minhashes; same band key => candidate pair
-      val sigs = shingleHashes(corpus(dir))
-        .groupBy(col("doc_id"))
-        .agg(minhashAggs.head, minhashAggs.tail: _*)
-      val bands = sigs.select(col("doc_id"), lit(0).as("band"),
-          concat_ws("_", col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("bkey"))
-        .union(sigs.select(col("doc_id"), lit(1).as("band"),
-          concat_ws("_", col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("bkey")))
-      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val sigs = TextOps.minhashSignatures(corpus(dir), "doc_id", "text", A.zip(B), P)
+      TextOps.lshCandidatePairs(sigs, "doc_id", nPerms = A.size, rowsPerBand = 4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     "q23_simhash" -> { (s, dir) => implicit val sp = s
       // 16-bit SimHash over ALL token occurrences (frequency-weighted)
-      val toks = corpus(dir)
-        .select(col("doc_id"), explode(split(col("text"), lit(" "))).as("tok"))
-        .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"))
-      val bitSums = (0 until SimBits).map(i =>
-        sum(expr(s"CASE WHEN shiftright(h, $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
-      val simhashExpr = (0 until SimBits)
-        .map(i => s"(CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-      toks.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash", expr(s"CAST($simhashExpr AS BIGINT)"))
-        .select(col("doc_id"), col("simhash"))
+      TextOps.simhash(corpus(dir), "doc_id", "text", SimBits)
         .orderBy(col("doc_id"))
     },
     "q24_ngram_jaccard_pairs" -> { (s, dir) => implicit val sp = s
@@ -197,10 +165,7 @@ object TextQueries {
       // n-gram/stopword heuristic language ID (the corpus is synthetic
       // word-salad, so this checks the OPERATOR, not corpus ground truth)
       t(dir, "documents")
-        .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
-        .withColumn("en_hits",
-          ((length(col("p")) - length(regexp_replace(col("p"), lit(" the "), lit("")))) / 5 +
-           (length(col("p")) - length(regexp_replace(col("p"), lit(" a "), lit("")))) / 3).cast("long"))
+        .withColumn("en_hits", TextOps.englishStopwordHits(col("text")))
         .withColumn("pred_lang", when(col("en_hits") >= 1, lit("en")).otherwise(lit("unk")))
         .select(col("doc_id"), col("lang"), col("en_hits"), col("pred_lang"))
         .orderBy(col("doc_id"))
@@ -208,10 +173,8 @@ object TextQueries {
     "q26_quality_score" -> { (s, dir) => implicit val sp = s
       t(dir, "documents")
         .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
-        .withColumn("n_tokens",
-          (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit(""))) + 1).cast("long"))
-        .withColumn("stop_hits",
-          ((length(col("p")) - length(regexp_replace(col("p"), lit(" the "), lit("")))) / 5).cast("long"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .withColumn("stop_hits", TextOps.occurrences(col("p"), " the "))
         .withColumn("avg_tok_len", round(
           (length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double")) / col("n_tokens"), 4))
         .withColumn("quality", round(
@@ -236,25 +199,14 @@ object TextQueries {
     // miss probability per 8-plane band is ~3.5%, ~0.1% for both — and the
     // oracle runs the IDENTICAL bucketing, so results match bit-for-bit.
     "q28_embedding_neardup" -> { (s, dir) => implicit val sp = s
+      // assembled from AnnOps building blocks; filter applies to the ROUNDED
+      // cosine so the oracle's round-then-compare matches exactly
       val q = t(dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+        AnnOps.quantize(col("embedding")).as("qe"))
       val twins = q.select((col("vec_id") + 100000).as("vec_id"),
-        expr("transform(qe, x -> x + 1)").as("qe"))
-      val c = q.union(twins)
-        .withColumn("nrm", expr(
-          "aggregate(zip_with(qe, qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      // sign bits: explode dims, broadcast-join the 1024-row plane table
-      val planesDf = s.createDataFrame(planes.map(p => (p._1, p._2, p._3)))
-        .toDF("p", "d", "w")
-      val sigs = c.select(col("vec_id"), posexplode(col("qe")).as(Seq("d", "x")))
-        .join(broadcast(planesDf), Seq("d"))
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("x") * col("w")).as("s"))
-        .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
-        .groupBy(col("vec_id"))
-        .agg(
-          sum(expr("CASE WHEN p < 8 THEN shiftleft(bit, p) ELSE 0 END")).as("sig0"),
-          sum(expr("CASE WHEN p >= 8 THEN shiftleft(bit, p - 8) ELSE 0 END")).as("sig1"))
+        transform(col("qe"), x => x + 1).as("qe"))
+      val c = q.union(twins).withColumn("nrm", AnnOps.dotQ(col("qe"), col("qe")))
+      val sigs = AnnOps.signatures(c, "vec_id", "qe", bands = 2, planesPerBand = 8, dims = 64)
       val vecs = c.join(sigs, Seq("vec_id"))
       val bands = vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(0).as("band"), col("sig0").as("sig"))
         .union(vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(1).as("band"), col("sig1").as("sig")))
@@ -263,8 +215,7 @@ object TextQueries {
       a.join(b, Seq("band", "sig")).filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), col("qa"), col("qb"), col("na"), col("nb"))
         .distinct()
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("dot", AnnOps.dotQ(col("qa"), col("qb")))
         .withColumn("cos_q", round(col("dot").cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4))
         .filter(col("cos_q") >= 0.999)
