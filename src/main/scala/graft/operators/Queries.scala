@@ -171,6 +171,41 @@ object Queries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    "q31_asof_join" -> { (s, dir) => implicit val sp = s
+      // As-of join: for each purchase event, the latest signup of the same
+      // user at or before it. Spark-first shape: NO range join — tag both
+      // sides, union, one window sort per user, carry the last signup id
+      // with last(ignoreNulls). Scales as a single shuffle on user_id.
+      val ev = events(dir)
+      // dedupe signups to one per (user, ts) so as-of ties are well-defined
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("signup_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val tagged = signups.select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+          col("signup_id"), lit(null).cast("long").as("event_id"))
+        .unionByName(purchases.select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          lit(null).cast("long").as("signup_id"), col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("tag"), col("signup_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("asof_signup_id"))
+        .orderBy(col("event_id"))
+    },
+    "q32_percentiles" -> { (s, dir) => implicit val sp = s
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- set ops / grouping sets ----
     "q11_rollup" -> { (s, dir) => implicit val sp = s
       t(dir, "lineitem")
@@ -329,6 +364,24 @@ object Queries {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
           |FROM orders WHERE o_custkey <= 100
           |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "q31_asof_join" ->
+        """WITH signups AS (
+          |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
+          |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+          |purchases AS (
+          |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id, p.ts_us, s.signup_id AS asof_signup_id
+          |FROM purchases p
+          |ASOF LEFT JOIN signups s
+          |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
+          |ORDER BY p.event_id""".stripMargin,
+      "q32_percentiles" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+          |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+          |  round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q11_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
