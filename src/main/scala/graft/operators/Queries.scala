@@ -196,6 +196,19 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("ts_us"), col("asof_signup_id"))
         .orderBy(col("event_id"))
     },
+    "q33_regex_tokens" -> { (s, dir) => implicit val sp = s
+      // BPE-ish pre-tokenization classes: letter runs / digit runs / other
+      // runs, counted per document+props — regexp_extract_all is codegen'd
+      // and the simple char classes behave identically across engines
+      val ev = events(dir)
+      ev.select(col("event_id"),
+          size(expr("regexp_extract_all(props, '[A-Za-z]+', 0)")).cast("long").as("n_word"),
+          size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long").as("n_num"),
+          size(expr("regexp_extract_all(props, '[^A-Za-z0-9 ]+', 0)")).cast("long").as("n_punct"))
+        .groupBy(col("n_word"), col("n_num"), col("n_punct"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_word"), col("n_num"), col("n_punct"))
+    },
     "q32_percentiles" -> { (s, dir) => implicit val sp = s
       t(dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -376,6 +389,13 @@ object Queries {
           |ASOF LEFT JOIN signups s
           |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
           |ORDER BY p.event_id""".stripMargin,
+      "q33_regex_tokens" ->
+        """SELECT n_word, n_num, n_punct, count(*) AS n_events FROM (
+          |  SELECT CAST(len(regexp_extract_all(props, '[A-Za-z]+')) AS BIGINT) AS n_word,
+          |         CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_num,
+          |         CAST(len(regexp_extract_all(props, '[^A-Za-z0-9 ]+')) AS BIGINT) AS n_punct
+          |  FROM events)
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "q32_percentiles" ->
         """SELECT l_returnflag,
           |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
