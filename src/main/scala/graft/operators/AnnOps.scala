@@ -35,8 +35,36 @@ object AnnOps {
     }
   }
 
-  /** Per-vector sign-LSH band signatures: returns (idCol, sig0..sig{bands-1}),
-    * each signature an int of `planesPerBand` sign bits. */
+  /** Per-vector sign-LSH band signatures computed INLINE — one projection,
+    * zero shuffles: each plane's projection is a zip_with dot against a
+    * literal weight array. Preferred at any scale (the explode/join variant
+    * in [[signatures]] shuffles dims×planes rows). */
+  def signaturesInline(
+      df: DataFrame, idCol: String, qVecCol: String,
+      bands: Int, planesPerBand: Int, dims: Int): DataFrame =
+    df.select(col(idCol) +: signatureColumns(qVecCol, bands, planesPerBand, dims): _*)
+
+  /** The sig0..sig{bands-1} Columns themselves — append them to any frame
+    * (`df.select(col("*") +: signatureColumns(...): _*)`) with no join. */
+  def signatureColumns(qVecCol: String, bands: Int, planesPerBand: Int, dims: Int): Seq[Column] = {
+    val nPlanes = bands * planesPerBand
+    val w = planeWeights(nPlanes, dims).groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val bits: Seq[Column] = (0 until nPlanes).map { p =>
+      val lits = array(w(p).map(lit): _*)
+      when(aggregate(zip_with(col(qVecCol), lits, (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)
+    }
+    (0 until bands).map { b =>
+      (0 until planesPerBand)
+        .map(j => bits(b * planesPerBand + j) * lit(1L << j))
+        .reduce(_ + _).as(s"sig$b")
+    }
+  }
+
+  /** Per-vector sign-LSH band signatures via explode + broadcast plane join:
+    * returns (idCol, sig0..sig{bands-1}). Relational formulation kept for
+    * reference; [[signaturesInline]] is the fast path. */
   def signatures(
       df: DataFrame, idCol: String, qVecCol: String,
       bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
@@ -85,8 +113,7 @@ object AnnOps {
       minCos: Double, bands: Int = 2, planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
     val q = df.select(col(idCol), quantize(col(vecCol)).as("qe"))
       .withColumn("nrm", dotQ(col("qe"), col("qe")))
-    val sigs = signatures(q, idCol, "qe", bands, planesPerBand, dims)
-    val vecs = q.join(sigs, Seq(idCol))
+    val vecs = q.select(col("*") +: signatureColumns("qe", bands, planesPerBand, dims): _*)
     val bandsDf = (0 until bands).map { b =>
       vecs.select(col(idCol), col("qe"), col("nrm"), lit(b).as("band"), col(s"sig$b").as("sig"))
     }.reduce(_ union _)

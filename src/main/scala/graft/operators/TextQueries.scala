@@ -65,7 +65,8 @@ object TextQueries {
     * minima. Docs with < 3 tokens yield no shingles (consistently absent on
     * both engines). */
   private def shingleHashes(c: DataFrame): DataFrame =
-    c.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+    c.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__toks"))).as("sh"))
       .select(col("doc_id"), TextOps.portableHash28(col("sh")).as("h"))
 
   // NOTE: continuation lines must not begin with "||" — stripMargin would
@@ -206,8 +207,9 @@ object TextQueries {
       val twins = q.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("qe"), x => x + 1).as("qe"))
       val c = q.union(twins).withColumn("nrm", AnnOps.dotQ(col("qe"), col("qe")))
-      val sigs = AnnOps.signatures(c, "vec_id", "qe", bands = 2, planesPerBand = 8, dims = 64)
-      val vecs = c.join(sigs, Seq("vec_id"))
+      // signatures appended inline: one projection, no shuffle, no join
+      val vecs = c.select(col("*") +:
+        AnnOps.signatureColumns("qe", bands = 2, planesPerBand = 8, dims = 64): _*)
       val bands = vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(0).as("band"), col("sig0").as("sig"))
         .union(vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(1).as("band"), col("sig1").as("sig")))
       val a = bands.select(col("band"), col("sig"), col("vec_id").as("vec_a"), col("qe").as("qa"), col("nrm").as("na"))
