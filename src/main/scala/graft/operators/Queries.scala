@@ -209,6 +209,16 @@ object Queries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("n_word"), col("n_num"), col("n_punct"))
     },
+    "q34_lead_ntile" -> { (s, dir) => implicit val sp = s
+      // remaining window families: lead (next order gap) + ntile quartiles
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("next_key"), col("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
     "q32_percentiles" -> { (s, dir) => implicit val sp = s
       t(dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -236,6 +246,19 @@ object Queries {
       t(dir, "nation").select(col("n_nationkey").cast("int").as("nationkey"))
         .except(t(dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
         .orderBy(col("nationkey"))
+    },
+
+    "q35_sketches" -> { (s, dir) => implicit val sp = s
+      // approximate aggregates (HLL distinct, quantile sketch): sketch
+      // internals are engine-specific, so NO SQL oracle — the driver's
+      // rows-only check applies. Kept deterministic within Spark.
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("price_quantiles"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
     },
 
     // ---- text / documents (training-data ops) ----
@@ -396,6 +419,13 @@ object Queries {
           |         CAST(len(regexp_extract_all(props, '[^A-Za-z0-9 ]+')) AS BIGINT) AS n_punct
           |  FROM events)
           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "q34_lead_ntile" ->
+        """SELECT o_custkey, o_orderkey,
+          |  lead(o_orderkey, 1) OVER w AS next_key,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          |FROM orders WHERE o_custkey <= 50
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
       "q32_percentiles" ->
         """SELECT l_returnflag,
           |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

@@ -59,6 +59,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange"))
   }
 
+  test("partitioned write + partition pruning on read-back") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      val df = spark.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // pruning shows as a PartitionFilters entry on the scan, and the
+      // filter must NOT appear as a post-scan data filter
+      assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"))
+      assert(plan.contains("1-URGENT"))
+      // the partition predicate must not survive as a post-scan Filter
+      assert(!plan.contains("Filter (o_orderpriority"))
+      val expected = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      assert(df.count() == expected)
+    } finally {
+      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("whole-stage codegen active on the scan-project-agg path") {
     // AQE materializes the final plan only on execution; run, then inspect
     val df = SparkEntry.queries("q2_file_stats")(spark, dir)

@@ -49,6 +49,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming metrics over a file-entry stream match the batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.model.FileEntry]
+    val results = scala.collection.mutable.Map.empty[Long, Map[String, graft.model.TableMetricsWide]]
+    val q = graft.streaming.MetricsStream.start(input.toDS(), manifestCountPerTable = 2) {
+      (wide, batchId) =>
+        results.synchronized { results(batchId) = wide.collect().map(w => w.table -> w).toMap }
+    }
+    try {
+      val mib = 1024L * 1024
+      val batch = Seq(
+        graft.model.FileEntry("t1", 0, "p1", 100 * mib),
+        graft.model.FileEntry("t1", 0, "p1", 900 * mib),
+        graft.model.FileEntry("t1", 2, "p1", 10 * mib),
+        graft.model.FileEntry("t2", 0, "px", 5 * mib))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val got = results.synchronized(results.values.flatten.toMap)
+      assert(got.keySet == Set("t1", "t2"))
+      // cross-check against the batch pipeline on the same data
+      val batchWide = graft.metrics.MetricsCalculator.computeMetricsWide(
+        spark.createDataset(batch),
+        spark.createDataset(Seq(("t1", 2L), ("t2", 2L)))).collect()
+        .map(w => w.table -> w).toMap
+      assert(got == batchWide)
+      assert(got("t1").fileCountBefore == 3 && got("t1").totalPartitions == 1)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
