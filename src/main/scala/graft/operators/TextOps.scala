@@ -44,6 +44,14 @@ object TextOps {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(split(text, " "), n)
 
+  /** ORDERED (positional, non-distinct) n-gram shingle sequence — the input
+    * to sliding-window fingerprinting (winnowing), where position matters. */
+  def shingleSequence(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** MinHash signatures over distinct n-gram shingles: one row per id with
     * columns mh0..mh{k-1}. `perms` are (a, b) pairs for `(a*h+b) % p`. */
   def minhashSignatures(

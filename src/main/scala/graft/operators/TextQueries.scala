@@ -161,6 +161,35 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    "q36_dedup_keep" -> { (s, dir) => implicit val sp = s
+      // operational dedup: return the CLEANED corpus — one survivor (lowest
+      // doc_id) per distinct content hash, via window rank over md5
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      corpus(dir)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    },
+    "q37_winnowing" -> { (s, dir) => implicit val sp = s
+      // MOSS-style winnowing fingerprints: per doc, the DISTINCT minima of a
+      // sliding window (w=4) over the ordered 3-gram shingle hash sequence.
+      // Robust content fingerprints for partial-overlap detection.
+      val hashed = corpus(dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(TextOps.shingleSequence(col("toks"))).as(Seq("idx", "sh")))
+        .select(col("doc_id"), col("idx"), TextOps.portableHash28(col("sh")).as("h"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val frame = byDoc.orderBy(col("idx")).rowsBetween(Window.currentRow, 3)
+      hashed
+        .withColumn("wmin", min(col("h")).over(frame))
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .filter(col("idx") <= col("n") - 4)
+        .select(col("doc_id"), col("wmin")).distinct()
+        .orderBy(col("doc_id"), col("wmin"))
+    },
+
     // ---- text analysis ----
     "q25_lang_id" -> { (s, dir) => implicit val sp = s
       // n-gram/stopword heuristic language ID (the corpus is synthetic
@@ -352,6 +381,33 @@ object TextQueries {
          |JOIN counts cb ON cb.doc_id = doc_b
          |WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36_dedup_keep" ->
+      s"""WITH corpus AS ($corpusSql)
+         |SELECT doc_id, content_hash FROM (
+         |  SELECT doc_id, md5(text) AS content_hash,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q37_winnowing" ->
+      s"""WITH corpus AS ($corpusSql),
+         |shs AS (
+         |  SELECT doc_id, list_transform(
+         |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |    i -> string_split(text, ' ')[i] || ' ' ||
+         |      string_split(text, ' ')[i+1] || ' ' ||
+         |      string_split(text, ' ')[i+2]) AS shl
+         |  FROM corpus),
+         |hashed AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         |    CAST('0x' || substring(md5(shl[i]), 1, 7) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, shl, unnest(range(1, len(shl) + 1)) AS i FROM shs)),
+         |win AS (
+         |  SELECT doc_id, idx,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY idx
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM hashed)
+         |SELECT DISTINCT doc_id, wmin FROM win WHERE idx <= n - 4
+         |ORDER BY doc_id, wmin""".stripMargin,
     "q25_lang_id" ->
       """SELECT doc_id, lang,
         |  CAST((length(p) - length(replace(p, ' the ', ''))) // 5 +
