@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Spark extension entry point: makes the engine's custom expressions
+  * available in ANY session created with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), i.e.
+  * without calling [[graft.functions.GraftFunctions.registerAll]] manually.
+  *
+  * Only expression-level injection is needed: the engine deliberately has no
+  * custom logical plans or planner strategies — every operator is expressed
+  * through Catalyst built-ins plus typed group processing (see SURVEY §4:
+  * the one non-built-in physical piece, the bin-packer, is a
+  * `groupByKey.mapGroups`, which needs no extension).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.PolyHash64Expr].getName, "poly_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.PolyHash64Expr(exprs.head)))
+  }
+}

@@ -80,9 +80,6 @@ object TextQueries {
        |            string_split(text, ' ')[i+2]))) AS sh
        |        FROM corpus)""".stripMargin
 
-  private def minhashAggs = A.indices.map(j =>
-    min((col("h") * A(j) + B(j)) % P).as(s"mh$j"))
-
   private def minhashAggsSql = A.indices.map(j =>
     s"min((h * ${A(j)} + ${B(j)}) % $P) AS mh$j").mkString(", ")
 
