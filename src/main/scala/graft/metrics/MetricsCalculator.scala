@@ -27,9 +27,74 @@ import graft.functions.Pure
 object MetricsCalculator {
 
   /** Stage 1: per-(table, partition) stats + compaction simulation.
+    *
+    * O(1) MEMORY PER GROUP: instead of materializing each partition's size
+    * array (`groupByKey.mapGroups` — see [[partitionStatsBuffered]]), the
+    * shuffle itself delivers rows SORTED by (table, partitionKey, sizeBytes)
+    * via `repartition` + `sortWithinPartitions`; a boundary-detecting
+    * `mapPartitions` then folds every aggregate AND the sequential bin-pack
+    * carry in one streaming pass. A pathological partition with 100M files
+    * costs this path nothing — the buffered path would hold an 800 MB array.
+    *
     * Input needs only (table, content, partitionKey, sizeBytes) — project
     * before calling so the shuffle carries 4 narrow columns. */
   def partitionStats(files: Dataset[FileEntry], cfg: EngineConfig = EngineConfig.default): Dataset[PartitionStats] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .repartition(col("table"), col("partitionKey"))
+      .sortWithinPartitions(col("table"), col("partitionKey"), col("sizeBytes"))
+      .as[FileEntry]
+      .mapPartitions { it =>
+        new Iterator[PartitionStats] {
+          private var pending: Option[FileEntry] = None
+          private def nextEntry(): Option[FileEntry] = {
+            val e = pending.orElse(if (it.hasNext) Some(it.next()) else None)
+            pending = None
+            e
+          }
+          private var lookahead: Option[FileEntry] = None
+          def hasNext: Boolean = {
+            if (lookahead.isEmpty) lookahead = nextEntry()
+            lookahead.isDefined
+          }
+          def next(): PartitionStats = {
+            if (!hasNext) throw new NoSuchElementException
+            val first = lookahead.get; lookahead = None
+            val table = first.table; val pk = first.partitionKey
+            var fileCount = 0L; var totalSize = 0L; var scanOverhead = 0L
+            var dataCount = 0L; var dataSize = 0L
+            // streaming bin-pack carry (sizes arrive ascending for the group)
+            var groups = 0L; var costSum = 0L; var curSize = 0L; var open = false
+            var cur: Option[FileEntry] = Some(first)
+            while (cur.isDefined && cur.get.table == table && cur.get.partitionKey == pk) {
+              val f = cur.get
+              fileCount += 1
+              totalSize += f.sizeBytes
+              scanOverhead += Pure.readFileCost(f.sizeBytes, cfg.fetchSize) * cfg.msPerScan
+              if (f.content == FileContent.Data) {
+                dataCount += 1; dataSize += f.sizeBytes
+                if (curSize > cfg.maxGroupBytes) {
+                  groups += 1; costSum += Pure.readFileCost(curSize, cfg.fetchSize)
+                  curSize = 0L; open = false
+                }
+                curSize += f.sizeBytes; open = true
+              }
+              cur = nextEntry()
+            }
+            pending = cur // first entry of the NEXT group (or None)
+            if (open) { groups += 1; costSum += Pure.readFileCost(curSize, cfg.fetchSize) }
+            PartitionStats(table, pk, fileCount, totalSize, scanOverhead, dataCount, dataSize,
+              groups, costSum * cfg.msPerScan)
+          }
+        }
+      }
+  }
+
+  /** Buffered formulation (groupByKey + in-memory sort per group) — kept as
+    * the reference implementation for the equivalence spec; memory bound is
+    * O(data files per partition), same as the reference engine. */
+  def partitionStatsBuffered(files: Dataset[FileEntry], cfg: EngineConfig = EngineConfig.default): Dataset[PartitionStats] = {
     val spark = files.sparkSession
     import spark.implicits._
     files

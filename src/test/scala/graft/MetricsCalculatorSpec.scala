@@ -112,6 +112,26 @@ class MetricsCalculatorSpec extends AnyFunSuite {
     assert(m("TOTAL_PARTITIONS").before == 2.0)
   }
 
+  test("streaming partitionStats == buffered formulation on random data") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val entries = (1 to 3000).map { i =>
+      FileEntry(
+        table = s"t${rnd.nextInt(3)}",
+        content = rnd.nextInt(3),
+        partitionKey = s"p${rnd.nextInt(5)}",
+        sizeBytes = math.abs(rnd.nextLong()) % (2000L * 1024 * 1024))
+    }
+    val ds = spark.createDataset(entries).repartition(7) // scramble placement
+    val streaming = MetricsCalculator.partitionStats(ds).collect()
+      .map(p => (p.table, p.partitionKey) -> p).toMap
+    val buffered = MetricsCalculator.partitionStatsBuffered(ds).collect()
+      .map(p => (p.table, p.partitionKey) -> p).toMap
+    assert(streaming == buffered)
+    assert(streaming.size == entries.map(e => (e.table, e.partitionKey)).distinct.size)
+  }
+
   test("rendered improvements match reference goldens") {
     val cells = graft.render.Renderer.metricCells(
       rows.values.toSeq, graft.render.Renderer.LocalMode)
