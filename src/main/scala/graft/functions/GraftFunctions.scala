@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     PolyHash64.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("format_size", (b: Double) => Pure.formatSize(b))
     spark.udf.register("format_duration", (ms: Double) => Pure.formatDuration(ms))
     spark.udf.register("read_file_cost", (b: Long) => Pure.readFileCost(b))

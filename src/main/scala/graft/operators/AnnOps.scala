@@ -21,9 +21,11 @@ object AnnOps {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, v => floor(v.cast("double") * scale).cast("long"))
 
-  /** Integer dot product of two equal-length int64 array columns. */
+  /** Integer dot product of two equal-length int64 array columns — the
+    * native codegen'd [[graft.functions.LongArrayDot]] (the higher-order
+    * aggregate/zip_with formulation is interpreted per element). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.LongArrayDot.longDot(a, b)
 
   /** Deterministic hyperplane weights: w(p, d) = md5-28bit("p:d") % 2001 - 1000. */
   def planeWeights(nPlanes: Int, dims: Int): Seq[(Int, Int, Long)] = {
@@ -51,9 +53,8 @@ object AnnOps {
     val w = planeWeights(nPlanes, dims).groupBy(_._1)
       .view.mapValues(_.sortBy(_._2).map(_._3)).toMap
     val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      val lits = array(w(p).map(lit): _*)
-      when(aggregate(zip_with(col(qVecCol), lits, (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)
+      val lits = typedLit(w(p).toArray)
+      when(dotQ(col(qVecCol), lits) >= 0, 1L).otherwise(0L)
     }
     (0 until bands).map { b =>
       (0 until planesPerBand)
@@ -92,14 +93,13 @@ object AnnOps {
       probeIds: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = base.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
-        lit(0d), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(graft.functions.DoubleArrayDot.doubleDot(col("v"), col("v"))))
     val probes = e.filter(probeIds)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
     e.join(broadcast(probes), col(idCol) =!= col("query_id"))
-      .withColumn("cos", aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-        lit(0d), (acc, x) => acc + x) / (col("nrm") * col("qn")))
+      .withColumn("cos", graft.functions.DoubleArrayDot.doubleDot(col("v"), col("qv"))
+        / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
@@ -114,16 +114,21 @@ object AnnOps {
     val q = df.select(col(idCol), quantize(col(vecCol)).as("qe"))
       .withColumn("nrm", dotQ(col("qe"), col("qe")))
     val vecs = q.select(col("*") +: signatureColumns("qe", bands, planesPerBand, dims): _*)
-    val bandsDf = (0 until bands).map { b =>
-      vecs.select(col(idCol), col("qe"), col("nrm"), lit(b).as("band"), col(s"sig$b").as("sig"))
-    }.reduce(_ union _)
-    val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"),
-      col("qe").as("qa"), col("nrm").as("na"))
-    val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_b"),
-      col("qe").as("qb"), col("nrm").as("nb"))
-    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("qa"), col("qb"), col("na"), col("nb"))
-      .distinct()
+    // dedup BY CONSTRUCTION: a band-b match counts only when no earlier
+    // band matched — pure join predicates, no distinct shuffle
+    def side(tag: String) =
+      vecs.select(col(idCol).as(s"id_$tag") +: col("qe").as(s"q$tag") +: col("nrm").as(s"n$tag") +:
+        (0 until bands).map(i => col(s"sig$i").as(s"sig${i}_$tag")): _*)
+    val (a, b) = (side("a"), side("b"))
+    val candByBand = (0 until bands).map { bd =>
+      val earlierDiffer = (0 until bd)
+        .map(i => col(s"sig${i}_a") =!= col(s"sig${i}_b"))
+        .foldLeft(lit(true))(_ && _)
+      a.join(b, col(s"sig${bd}_a") === col(s"sig${bd}_b") && earlierDiffer
+        && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("qa"), col("qb"), col("na"), col("nb"))
+    }
+    candByBand.reduce(_ union _)
       .withColumn("dot", dotQ(col("qa"), col("qb")))
       .withColumn("cos_q", col("dot").cast("double")
         / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))

@@ -299,7 +299,7 @@ object Queries {
       val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
       base.join(broadcast(probes), col("neighbor_id") =!= col("query_id"))
         .withColumn("dot",
-          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          graft.functions.LongArrayDot.longDot(col("qa"), col("qb")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))

@@ -236,13 +236,18 @@ object TextQueries {
       // signatures appended inline: one projection, no shuffle, no join
       val vecs = c.select(col("*") +:
         AnnOps.signatureColumns("qe", bands = 2, planesPerBand = 8, dims = 64): _*)
-      val bands = vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(0).as("band"), col("sig0").as("sig"))
-        .union(vecs.select(col("vec_id"), col("qe"), col("nrm"), lit(1).as("band"), col("sig1").as("sig")))
-      val a = bands.select(col("band"), col("sig"), col("vec_id").as("vec_a"), col("qe").as("qa"), col("nrm").as("na"))
-      val b = bands.select(col("band"), col("sig"), col("vec_id").as("vec_b"), col("qe").as("qb"), col("nrm").as("nb"))
-      a.join(b, Seq("band", "sig")).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), col("qa"), col("qb"), col("na"), col("nb"))
-        .distinct()
+      // dedup BY CONSTRUCTION, no distinct: a band-1 match only counts when
+      // the pair did NOT already match in band 0 (sig0 differs)
+      def side(tag: String) = vecs.select(
+        col("vec_id").as(s"vec_$tag"), col("qe").as(s"q$tag"), col("nrm").as(s"n$tag"),
+        col("sig0").as(s"sig0_$tag"), col("sig1").as(s"sig1_$tag"))
+      val (a, b) = (side("a"), side("b"))
+      val cand0 = a.join(b, col("sig0_a") === col("sig0_b") && col("vec_a") < col("vec_b"))
+      val cand1 = a.join(b, col("sig1_a") === col("sig1_b") && col("sig0_a") =!= col("sig0_b")
+        && col("vec_a") < col("vec_b"))
+      cand0.union(cand1)
+        .select(col("vec_a"), col("vec_b"), col("qa"), col("qb"),
+          col("na").as("na"), col("nb").as("nb"))
         .withColumn("dot", AnnOps.dotQ(col("qa"), col("qb")))
         .withColumn("cos_q", round(col("dot").cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4))
@@ -255,12 +260,12 @@ object TextQueries {
     "q29_cosine_topk" -> { (s, dir) => implicit val sp = s
       val e = t(dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+        .withColumn("nrm", sqrt(graft.functions.DoubleArrayDot.doubleDot(col("v"), col("v"))))
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(probes), col("vec_id") =!= col("query_id"))
-        .withColumn("cos", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        .withColumn("cos", graft.functions.DoubleArrayDot.doubleDot(col("v"), col("qv"))
           / (col("nrm") * col("qn")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
@@ -459,13 +464,12 @@ object TextQueries {
          |    sum(CASE WHEN p < 8 AND s >= 0 THEN 1 << p ELSE 0 END) AS sig0,
          |    sum(CASE WHEN p >= 8 AND s >= 0 THEN 1 << (p - 8) ELSE 0 END) AS sig1
          |  FROM proj GROUP BY vec_id),
-         |bands AS (
-         |  SELECT n.vec_id, qe, nrm, 0 AS band, sig0 AS sig FROM n JOIN sigs USING (vec_id)
-         |  UNION ALL
-         |  SELECT n.vec_id, qe, nrm, 1 AS band, sig1 AS sig FROM n JOIN sigs USING (vec_id)),
          |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b ON a.sig0 = b.sig0 AND a.vec_id < b.vec_id
+         |  UNION ALL
+         |  SELECT a.vec_id, b.vec_id
+         |  FROM sigs a JOIN sigs b ON a.sig1 = b.sig1 AND a.sig0 <> b.sig0
          |    AND a.vec_id < b.vec_id),
          |pairs AS (
          |  SELECT vec_a, vec_b,

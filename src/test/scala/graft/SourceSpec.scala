@@ -66,6 +66,25 @@ class SourceSpec extends AnyFunSuite {
     assert(r.getLong(3) == 2)
   }
 
+  test("long_dot native expression matches the higher-order formulation") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map(_ => (
+      Array.fill(64)(rnd.nextLong() % 100000),
+      Array.fill(64)(rnd.nextLong() % 100000)))
+    val df = spark.createDataset(rows).toDF("a", "b")
+    val native = df.select(graft.functions.LongArrayDot.longDot(col("a"), col("b"))).as[Long].collect()
+    val hof = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")).as[Long].collect()
+    assert(native.toSeq == hof.toSeq)
+    // SQL surface + null propagation + mismatched lengths (min-length rule)
+    assert(spark.sql("SELECT long_dot(array(1L,2L,3L), array(4L,5L,6L))").collect()(0).getLong(0) == 32L)
+    assert(spark.sql("SELECT long_dot(array(1L,2L), array(4L,5L,6L))").collect()(0).getLong(0) == 14L)
+    assert(spark.sql("SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L))").collect()(0).isNullAt(0))
+  }
+
   test("poly_hash native expression matches DuckDB list_reduce semantics") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
