@@ -132,6 +132,28 @@ class MetricsCalculatorSpec extends AnyFunSuite {
     assert(streaming.size == entries.map(e => (e.table, e.partitionKey)).distinct.size)
   }
 
+  test("one giant skewed partition (1M files) streams through") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // the buffered path would hold 1M longs for this single group; the
+    // streaming path carries O(1) state — and must produce the exact pack
+    val n = 1000000
+    val files = spark.range(n.toLong).select(
+      org.apache.spark.sql.functions.lit("big").as("table"),
+      org.apache.spark.sql.functions.lit(0).as("content"),
+      org.apache.spark.sql.functions.lit("hot").as("partitionKey"),
+      (org.apache.spark.sql.functions.col("id") % 997 * 1024 * 1024).as("sizeBytes"))
+      .as[FileEntry]
+    val stats = MetricsCalculator.partitionStats(files).collect()
+    assert(stats.length == 1)
+    val p = stats.head
+    assert(p.fileCount == n && p.dataFileCount == n)
+    // cross-check group count against the pure packer on the same multiset
+    val sizes = (0 until n).map(i => i.toLong % 997 * 1024 * 1024).sorted
+    val (expGroups, expCost) = graft.functions.Pure.packStats(sizes.iterator, graft.model.EngineConfig.default)
+    assert(p.afterGroupCount == expGroups && p.afterOverhead == expCost)
+  }
+
   test("rendered improvements match reference goldens") {
     val cells = graft.render.Renderer.metricCells(
       rows.values.toSeq, graft.render.Renderer.LocalMode)

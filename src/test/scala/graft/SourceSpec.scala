@@ -55,6 +55,14 @@ class SourceSpec extends AnyFunSuite {
     assert(FileEntrySource.canonicalKey(Nil) == "Record[]")
   }
 
+  test("IcebergFilesSource surfaces a clear error without the runtime jar") {
+    val e = intercept[IllegalStateException] {
+      graft.sources.IcebergFilesSource.fromMetadataTable(spark, "db.tbl")
+    }
+    assert(e.getMessage.contains("Iceberg runtime not available"))
+    assert(e.getMessage.contains("fromDirectory"))
+  }
+
   test("registered SQL functions") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
