@@ -248,6 +248,25 @@ object Queries {
         .orderBy(col("nationkey"))
     },
 
+    "q38_sql_correlated" -> { (s, dir) => implicit val sp = s
+      // the engine's SQL surface: temp views + a correlated scalar subquery
+      t(dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_custkey, count(*) AS n_above
+          |FROM orders_v o
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v i
+          |                      WHERE i.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey
+          |ORDER BY o_custkey""".stripMargin)
+    },
+    "q39_pivot" -> { (s, dir) => implicit val sp = s
+      // pivot = grouped conditional aggregation with value-named columns
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))
+    },
     "q35_sketches" -> { (s, dir) => implicit val sp = s
       // approximate aggregates (HLL distinct, quantile sketch): sketch
       // internals are engine-specific, so NO SQL oracle — the driver's
@@ -412,6 +431,18 @@ object Queries {
           |ASOF LEFT JOIN signups s
           |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
           |ORDER BY p.event_id""".stripMargin,
+      "q38_sql_correlated" ->
+        """SELECT o_custkey, count(*) AS n_above
+          |FROM orders o
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+          |                      WHERE i.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey
+          |ORDER BY o_custkey""".stripMargin,
+      "q39_pivot" ->
+        """SELECT l_returnflag,
+          |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+          |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q33_regex_tokens" ->
         """SELECT n_word, n_num, n_punct, count(*) AS n_events FROM (
           |  SELECT CAST(len(regexp_extract_all(props, '[A-Za-z]+')) AS BIGINT) AS n_word,
