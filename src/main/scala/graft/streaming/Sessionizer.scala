@@ -66,6 +66,35 @@ object Sessionizer {
     out.iterator
   }
 
+  /** Stream-stream interval join: each purchase event joined to the signup
+    * events of the same user within the preceding `intervalUs`. Watermarks
+    * on BOTH sides + the time-range condition bound the join state — the
+    * canonical streaming-join shape (batch twin: q31's as-of join, which
+    * keeps only the latest; the interval join keeps all matches in range).
+    */
+  def purchasesWithRecentSignups(
+      purchases: Dataset[Event],
+      signups: Dataset[Event],
+      intervalUs: Long,
+      watermarkDelay: String = "30 minutes"): org.apache.spark.sql.DataFrame = {
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("p_ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("p_ts"), col("ts_us").as("p_ts_us"))
+    val sWm = signups
+      .withColumn("s_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("s_ts", watermarkDelay)
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("s_ts"), col("ts_us").as("s_ts_us"))
+    p.join(sWm,
+      col("p_user") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL ${intervalUs / 1000000} SECONDS") &&
+        col("s_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"),
+        col("p_ts_us"), col("s_ts_us"))
+  }
+
   /** Tumbling event-time windowed aggregation (streaming twin of
     * q19_event_windows): per (1 h window, event_type) counts and sums. */
   def windowedCounts(events: Dataset[Event], eventTypes: Dataset[(Long, String)] = null): Dataset[(Long, Long, Double)] = {

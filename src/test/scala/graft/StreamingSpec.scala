@@ -79,6 +79,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases pick up in-range signups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val joined = Sessionizer.purchasesWithRecentSignups(
+      purchases.toDS(), signups.toDS(), intervalUs = H) // 1h lookback
+    val q = joined.writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      val base = 1000 * H
+      signups.addData(
+        Event(1, 10, base, 0), // in range of purchase at base+30min
+        Event(1, 11, base - 2 * H, 0), // too old
+        Event(2, 12, base, 0)) // other user
+      purchases.addData(Event(1, 100, base + 30 * 60 * 1000000L, 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
