@@ -120,6 +120,18 @@ object Cli {
             .count().orderBy(col("count").desc, col("user_id")).limit(5).collect()
           println(s"closed sessions: $n")
           perUser.foreach(r => println(s"  user ${r.get(0)}: ${r.get(1)} sessions"))
+          // stream-stream interval join: purchases x signups within 24h
+          val evStream = spark.readStream.schema(schema).parquet(s"$root/events*.parquet")
+          def side(t: String) = evStream.filter(col("event_type") === t)
+            .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "value")
+            .as[graft.streaming.Sessionizer.Event]
+          val joined = graft.streaming.Sessionizer.purchasesWithRecentSignups(
+            side("purchase"), side("signup"), intervalUs = 24L * 3600 * 1000000)
+          val q2 = joined.writeStream.format("memory").queryName("ssjoin")
+            .outputMode("append").start()
+          q2.processAllAvailable()
+          q2.stop()
+          println(s"purchase-signup pairs within 24h: ${spark.table("ssjoin").count()}")
         } finally spark.stop()
 
       case "media" =>

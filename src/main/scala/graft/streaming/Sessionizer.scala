@@ -77,6 +77,9 @@ object Sessionizer {
       signups: Dataset[Event],
       intervalUs: Long,
       watermarkDelay: String = "30 minutes"): org.apache.spark.sql.DataFrame = {
+    // NOTE: interval carries full microsecond granularity (INTERVAL n
+    // MICROSECONDS) — dividing down to seconds would truncate sub-second
+    // lookbacks
     val p = purchases
       .withColumn("p_ts", timestamp_micros(col("ts_us")))
       .withWatermark("p_ts", watermarkDelay)
@@ -89,7 +92,7 @@ object Sessionizer {
         col("s_ts"), col("ts_us").as("s_ts_us"))
     p.join(sWm,
       col("p_user") === col("s_user") &&
-        col("s_ts") >= col("p_ts") - expr(s"INTERVAL ${intervalUs / 1000000} SECONDS") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $intervalUs MICROSECONDS") &&
         col("s_ts") <= col("p_ts"))
       .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"),
         col("p_ts_us"), col("s_ts_us"))

@@ -101,6 +101,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join honors sub-second lookbacks (no truncation)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    // 0.5s lookback: would degenerate to exact-timestamp-only if the
+    // interval were truncated to whole seconds
+    val joined = Sessionizer.purchasesWithRecentSignups(
+      purchases.toDS(), signups.toDS(), intervalUs = 500000L)
+    val q = joined.writeStream.format("memory").queryName("ssjoin2").outputMode("append").start()
+    try {
+      val base = 1000 * H
+      signups.addData(
+        Event(1, 20, base - 300000L, 0), // 0.3s before: in range
+        Event(1, 21, base - 800000L, 0)) // 0.8s before: out of range
+      purchases.addData(Event(1, 200, base, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin2")
+        .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((200L, 20L)))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
