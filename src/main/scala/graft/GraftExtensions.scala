@@ -20,13 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.PolyHash64Expr].getName, "poly_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.PolyHash64Expr(exprs.head)))
+      graft.functions.GraftFunctions.arity("poly_hash", 1)(exprs =>
+        graft.functions.PolyHash64Expr(exprs.head))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("long_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.LongArrayDot].getName, "long_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.LongArrayDot(exprs(0), exprs(1))))
+      graft.functions.GraftFunctions.arity("long_dot", 2)(exprs =>
+        graft.functions.LongArrayDot(exprs(0), exprs(1)))))
   }
 }

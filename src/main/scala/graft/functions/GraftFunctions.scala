@@ -15,10 +15,21 @@ import org.apache.spark.sql.SparkSession
   * because fingerprinting IS hot-path).
   */
 object GraftFunctions {
+  /** Arity-checked builder: wrong argument counts surface as a clear
+    * AnalysisException-style message, not IndexOutOfBoundsException. */
+  def arity(name: String, n: Int)(
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(s"$name requires $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   def registerAll(spark: SparkSession): Unit = {
     PolyHash64.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "scala_udf")
+      "long_dot", arity("long_dot", 2)(exprs => LongArrayDot(exprs(0), exprs(1))), "scala_udf")
     spark.udf.register("format_size", (b: Double) => Pure.formatSize(b))
     spark.udf.register("format_duration", (ms: Double) => Pure.formatDuration(ms))
     spark.udf.register("read_file_cost", (b: Long) => Pure.readFileCost(b))

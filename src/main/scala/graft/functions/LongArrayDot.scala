@@ -26,13 +26,19 @@ case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpre
       case (l, r) => TypeCheckResult.TypeCheckFailure(s"long_dot requires array<bigint> args, got ($l, $r)")
     }
 
+  // a null ELEMENT null-propagates the whole result — matching the
+  // aggregate/zip_with formulation this expression replaces (x*y -> null,
+  // null + acc -> null)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i); i += 1
+    }
     acc
   }
 
@@ -45,11 +51,14 @@ case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpre
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongArrayDot =
     copy(left = newLeft, right = newRight)
@@ -81,7 +90,10 @@ case class DoubleArrayDot(left: Expression, right: Expression) extends BinaryExp
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0d
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     acc
   }
 
@@ -94,11 +106,14 @@ case class DoubleArrayDot(left: Expression, right: Expression) extends BinaryExp
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DoubleArrayDot =
     copy(left = newLeft, right = newRight)

@@ -32,7 +32,7 @@ object PolyHash64 {
   /** Idempotently register `poly_hash` for SQL/expr use on this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHash64Expr(exprs.head), "scala_udf")
+      "poly_hash", GraftFunctions.arity("poly_hash", 1)(exprs => PolyHash64Expr(exprs.head)), "scala_udf")
 }
 
 case class PolyHash64Expr(child: Expression) extends UnaryExpression {

@@ -63,27 +63,9 @@ object AnnOps {
     }
   }
 
-  /** Per-vector sign-LSH band signatures via explode + broadcast plane join:
-    * returns (idCol, sig0..sig{bands-1}). Relational formulation kept for
-    * reference; [[signaturesInline]] is the fast path. */
-  def signatures(
-      df: DataFrame, idCol: String, qVecCol: String,
-      bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
-    val spark = df.sparkSession
-    val nPlanes = bands * planesPerBand
-    val planesDf = spark.createDataFrame(planeWeights(nPlanes, dims)).toDF("p", "d", "w")
-    val proj = df.select(col(idCol), posexplode(col(qVecCol)).as(Seq("d", "x")))
-      .join(broadcast(planesDf), Seq("d"))
-      .groupBy(col(idCol), col("p"))
-      .agg(sum(col("x") * col("w")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
-    val sigAggs = (0 until bands).map { b =>
-      sum(when(col("p") >= b * planesPerBand && col("p") < (b + 1) * planesPerBand,
-        expr(s"shiftleft(bit, CAST(p AS INT) - ${b * planesPerBand})"))
-        .otherwise(0L)).as(s"sig$b")
-    }
-    proj.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
-  }
+  // (an explode + broadcast-plane-join formulation of signatures existed
+  // here; removed — it shuffled dims x planes rows per vector, and diverged
+  // from signatureColumns on empty vectors. One implementation only.)
 
   /** Exact cosine top-k for a (small, broadcastable) probe set against the
     * full base. Probes join the base without shuffling it; ranking is

@@ -55,9 +55,12 @@ object JoinOps {
       left: DataFrame, pointCol: String,
       right: DataFrame, loCol: String, hiCol: String,
       bucket: Long): DataFrame = {
-    val l = left.withColumn("__b", (col(pointCol) / bucket).cast("long"))
+    // integer `div`, not double division: `/` on longs goes through double
+    // and loses exactness above 2^53, silently mis-bucketing (and dropping)
+    // rows with e.g. nanosecond-epoch points
+    val l = left.withColumn("__b", expr(s"$pointCol div $bucket"))
     val r = right.withColumn("__b", explode(sequence(
-      (col(loCol) / bucket).cast("long"), (col(hiCol) / bucket).cast("long"))))
+      expr(s"$loCol div $bucket"), expr(s"$hiCol div $bucket"))))
     l.join(r, Seq("__b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__b")

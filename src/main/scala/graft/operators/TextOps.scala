@@ -18,9 +18,13 @@ object TextOps {
   def tokenCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, lit(" "), lit(""))) + lit(1)).cast("long")
 
-  /** Occurrences of `needle` in `hay` (non-overlapping replace semantics). */
-  def occurrences(hay: Column, needle: String): Column =
-    ((length(hay) - length(regexp_replace(hay, lit(needle), lit("")))) / needle.length).cast("long")
+  /** Occurrences of the LITERAL `needle` in `hay` (non-overlapping replace
+    * semantics). The needle is regex-quoted so metacharacters ("$5.00",
+    * "(") count literally instead of miscounting or throwing. */
+  def occurrences(hay: Column, needle: String): Column = {
+    val quoted = java.util.regex.Pattern.quote(needle)
+    ((length(hay) - length(regexp_replace(hay, lit(quoted), lit("")))) / needle.length).cast("long")
+  }
 
   /** 28-bit portable hash of a string: first 7 hex digits of md5. Safe for
     * `(a*h+b) % p` permutations with a < 2^31 under ANSI arithmetic. */

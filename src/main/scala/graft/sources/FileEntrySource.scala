@@ -93,16 +93,16 @@ object IcebergFilesSource {
     * via pyiceberg. Requires `spark.read.format("iceberg")` support. */
   def fromMetadataTable(spark: SparkSession, table: String): (Dataset[FileEntry], Long) = {
     import spark.implicits._
-    val files =
-      try spark.read.format("iceberg").load(s"$table.files")
+    def icebergRead(rel: String) =
+      try spark.read.format("iceberg").load(rel)
       catch {
         case e: Exception =>
           throw new IllegalStateException(
-            s"Iceberg runtime not available for '$table.files' — add the " +
+            s"Iceberg runtime not available for '$rel' — add the " +
               "iceberg-spark-runtime jar and an Iceberg catalog, or use " +
               "FileEntrySource.fromDirectory/fromDataFrame", e)
       }
-    val entries = files
+    val entries = icebergRead(s"$table.files")
       .select(
         lit(table).as("table"),
         col("content").cast("int").as("content"),
@@ -111,7 +111,7 @@ object IcebergFilesSource {
         to_json(col("partition")).as("partitionKey"),
         col("file_size_in_bytes").cast("long").as("sizeBytes"))
       .as[FileEntry]
-    val manifests = spark.read.format("iceberg").load(s"$table.manifests").count()
+    val manifests = icebergRead(s"$table.manifests").count()
     (entries, manifests)
   }
 }

@@ -12,10 +12,10 @@ import graft.model.{EngineConfig, FileEntry, TableMetricsWide}
   * standard pattern for making a batch engine incremental without
   * duplicating operator logic.
   *
-  * State across batches (cumulative file sets) is the CALLER's choice:
-  * pass `cumulative=true` to aggregate over everything seen so far (backed
-  * by a union with the previous batch's union), or false to diagnose each
-  * snapshot batch independently.
+  * Each micro-batch is diagnosed INDEPENDENTLY (a batch = one snapshot's
+  * file set). Cumulative-over-the-stream metrics are the caller's concern:
+  * accumulate batches in `onBatch` (e.g. append to a table and re-aggregate)
+  * — this operator deliberately keeps no cross-batch state.
   */
 object MetricsStream {
 

@@ -32,7 +32,8 @@ class OpsSpec extends AnyFunSuite {
 
   test("minhash + LSH finds planted near-dup twins") {
     import spark.implicits._
-    val base = docs.select(col("doc_id"), col("text")).limit(100)
+    // deterministic subset (limit without orderBy is not)
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
     val twins = base.select((col("doc_id") + 5000).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
     val corpus = base.union(twins)

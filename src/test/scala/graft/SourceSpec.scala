@@ -91,6 +91,11 @@ class SourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT long_dot(array(1L,2L,3L), array(4L,5L,6L))").collect()(0).getLong(0) == 32L)
     assert(spark.sql("SELECT long_dot(array(1L,2L), array(4L,5L,6L))").collect()(0).getLong(0) == 14L)
     assert(spark.sql("SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L))").collect()(0).isNullAt(0))
+    // a null ELEMENT null-propagates (same as the zip_with formulation)
+    assert(spark.sql("SELECT long_dot(array(1L, NULL), array(2L, 3L))").collect()(0).isNullAt(0))
+    // wrong arity: clear error, not IndexOutOfBounds
+    val err = intercept[Exception] { spark.sql("SELECT long_dot(array(1L))").collect() }
+    assert(err.getMessage.contains("requires 2 argument"))
   }
 
   test("poly_hash native expression matches DuckDB list_reduce semantics") {
