@@ -187,6 +187,56 @@ object TextQueries {
         .orderBy(col("doc_id"), col("wmin"))
     },
 
+    "q40_simhash_neardup" -> { (s, dir) => implicit val sp = s
+      // SimHash near-dup pairs: hamming <= 3 over 16-bit signatures, found
+      // EXACTLY via hamming-ball LSH: with 4 nibbles and <= 3 differing
+      // bits, pigeonhole guarantees one intact nibble — so banding on the 4
+      // nibbles is a lossless equi-join prefilter (no O(n^2) cross join).
+      // Dedup by construction: band b counts only if no earlier nibble
+      // matched.
+      // bounded subset: 16-bit signatures on a ~50-word vocabulary make
+      // near-dups genuinely dense (30%+ of pairs), so the OUTPUT is O(n^2)
+      // regardless of algorithm — cap the corpus, keep the operator exact
+      val sub = corpus(dir).filter(col("doc_id") % 100000 < 250)
+      val sh = TextOps.simhash(sub, "doc_id", "text", SimBits)
+        .select(col("doc_id") +: col("simhash") +:
+          (0 until 4).map(i => expr(s"shiftright(simhash, ${4 * i}) & 15").as(s"nib$i")): _*)
+      def side(tag: String) = sh.select(
+        col("doc_id").as(s"doc_$tag"), col("simhash").as(s"sh_$tag"),
+        col("nib0").as(s"n0_$tag"), col("nib1").as(s"n1_$tag"),
+        col("nib2").as(s"n2_$tag"), col("nib3").as(s"n3_$tag"))
+      val (a, b) = (side("a"), side("b"))
+      val cands = (0 until 4).map { bd =>
+        val earlierDiffer = (0 until bd)
+          .map(i => col(s"n${i}_a") =!= col(s"n${i}_b"))
+          .foldLeft(lit(true))(_ && _)
+        a.join(b, col(s"n${bd}_a") === col(s"n${bd}_b") && earlierDiffer
+          && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      }.reduce(_ union _)
+      cands
+        .withColumn("hamming", TextOps.hammingDistance(col("sh_a"), col("sh_b")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q41_tfidf" -> { (s, dir) => implicit val sp = s
+      // TF-IDF: top-3 terms per doc (docs 0..99), idf = ln(N/df), ties by
+      // term asc. All inputs integer-derived => doubles identical x-engine.
+      val docs = t(dir, "documents").filter(col("doc_id") < 100)
+      val nDocs = 100L
+      val terms = docs.select(col("doc_id"), explode(split(col("text"), lit(" "))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // ---- text analysis ----
     "q25_lang_id" -> { (s, dir) => implicit val sp = s
       // n-gram/stopword heuristic language ID (the corpus is synthetic
@@ -383,6 +433,51 @@ object TextQueries {
          |JOIN counts cb ON cb.doc_id = doc_b
          |WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q40_simhash_neardup" -> {
+      val bitSums = (0 until SimBits).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+      val simhashExpr = (0 until SimBits)
+        .map(i => s"(CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS ($corpusSql),
+         |sub AS (SELECT * FROM corpus WHERE doc_id % 100000 < 250),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM sub),
+         |h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h FROM toks),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash,
+         |         (CAST($simhashExpr AS BIGINT) >> 0) & 15 AS nib0,
+         |         (CAST($simhashExpr AS BIGINT) >> 4) & 15 AS nib1,
+         |         (CAST($simhashExpr AS BIGINT) >> 8) & 15 AS nib2,
+         |         (CAST($simhashExpr AS BIGINT) >> 12) & 15 AS nib3
+         |       FROM bits),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM sh a JOIN sh b ON a.nib0 = b.nib0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sh a JOIN sh b ON a.nib1 = b.nib1 AND a.nib0 <> b.nib0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sh a JOIN sh b ON a.nib2 = b.nib2 AND a.nib0 <> b.nib0 AND a.nib1 <> b.nib1
+         |    AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sh a JOIN sh b ON a.nib3 = b.nib3 AND a.nib0 <> b.nib0 AND a.nib1 <> b.nib1
+         |    AND a.nib2 <> b.nib2 AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q41_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |x AS (SELECT doc_id, term, round(tf * ln(100.0 / df), 6) AS tfidf
+        |      FROM tf JOIN df USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank FROM x)
+        |SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q36_dedup_keep" ->
       s"""WITH corpus AS ($corpusSql)
          |SELECT doc_id, content_hash FROM (
