@@ -87,6 +87,48 @@ object AnnOps {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** IVF-style top-k: a coarse quantizer (centroids) partitions the base
+    * into inverted lists; each probe searches only its `nprobe` nearest
+    * lists. Centroids here are the per-`clusterCol` mean vectors (any
+    * k-means output slots in the same way). At scale the base is
+    * hash-partitioned by list id, so a query touches nprobe partitions
+    * instead of the whole corpus — the standard IVF trade (recall vs
+    * fraction of corpus scanned).
+    */
+  def ivfTopK(
+      base: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      probeIds: Column, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = base.select(col(idCol), col(clusterCol).as("__list"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DoubleArrayDot.doubleDot(col("v"), col("v"))))
+    // centroids: element-wise mean per list (posexplode keeps it relational)
+    val centroids = e.select(col("__list"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("__list"), col("d")).agg(avg(col("x")).as("m"))
+      .groupBy(col("__list"))
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("__list").as("c_list"), expr("transform(dm, s -> s.m)").as("cv"))
+    // probe -> nprobe nearest centroids (by cosine against the centroid)
+    val probes = e.filter(probeIds)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_list"))
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", graft.functions.DoubleArrayDot.doubleDot(col("qv"), col("cv"))
+        / (col("qn") * sqrt(graft.functions.DoubleArrayDot.doubleDot(col("cv"), col("cv")))))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("c_list").as("__list"))
+    // search only the selected inverted lists
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    e.join(broadcast(probeLists), Seq("__list"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", graft.functions.DoubleArrayDot.doubleDot(col("v"), col("qv"))
+        / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Sign-LSH near-duplicate pairs with exact verification: candidates from
     * same-band-signature equi-joins, verified by quantized cosine >= minCos.
     * Returns (id_a, id_b, cos_q). */

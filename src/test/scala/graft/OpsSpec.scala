@@ -93,6 +93,25 @@ class OpsSpec extends AnyFunSuite {
     assert(topk.forall { case (q, n, _, _) => q != n })
   }
 
+  test("IVF top-k: recall against brute force with nprobe sweep") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val exact = AnnOps.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 20, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val ivf = AnnOps.ivfTopK(emb, "vec_id", "embedding", "label",
+        col("vec_id") < 20, k = 5, nprobe = nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (ivf & exact).size.toDouble / exact.size
+    }
+    val r3 = recall(3)
+    val r10 = recall(10) // all lists => must equal brute force exactly
+    assert(r10 == 1.0, s"nprobe=all recall $r10")
+    assert(r3 >= 0.3, s"nprobe=3 recall $r3") // partial scan, partial recall
+    assert(r3 <= r10)
+  }
+
   test("hamming distance column") {
     import spark.implicits._
     val df = Seq((0xFFL, 0x0FL)).toDF("a", "b")

@@ -124,6 +124,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first-seen content across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.StreamingDedup.Doc]
+    val q = graft.streaming.StreamingDedup.dedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      val base = 1000 * H
+      input.addData(
+        graft.streaming.StreamingDedup.Doc(1, "alpha beta", base),
+        graft.streaming.StreamingDedup.Doc(2, "alpha beta", base + 1), // dup in-batch
+        graft.streaming.StreamingDedup.Doc(3, "gamma", base))
+      q.processAllAvailable()
+      input.addData(
+        graft.streaming.StreamingDedup.Doc(4, "gamma", base + 1000), // dup cross-batch
+        graft.streaming.StreamingDedup.Doc(5, "delta", base + 1000))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(3L) && ids.contains(5L))
+      assert(!ids.contains(4L)) // cross-batch duplicate suppressed by state
+      assert((ids & Set(1L, 2L)).size == 1) // exactly one of the in-batch dups
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
