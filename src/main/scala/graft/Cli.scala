@@ -42,7 +42,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag) <dataRoot> [glob]"
+    val usage = "usage: graft.Cli (list|diag|stream|media) <dataRoot> [glob] | graft.Cli remote <responseJson>"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)

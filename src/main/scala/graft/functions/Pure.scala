@@ -150,12 +150,20 @@ object Pure {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
-          val j = glob.indexOf(']', i + 1)
+          // fnmatch rules: ']' as the FIRST class member (after optional
+          // '!') is a literal — the closing bracket search must skip it,
+          // else '[]a]' / '[!]x]' emit an invalid empty regex class
+          val negated = i + 1 < glob.length && glob.charAt(i + 1) == '!'
+          val clsStart = i + 1 + (if (negated) 1 else 0)
+          val searchFrom = if (clsStart < glob.length && glob.charAt(clsStart) == ']') clsStart + 1 else clsStart
+          val j = glob.indexOf(']', searchFrom)
           if (j < 0) { sb.append("\\["); }
           else {
-            var cls = glob.substring(i + 1, j)
-            if (cls.startsWith("!")) cls = "^" + cls.substring(1)
-            sb.append('[').append(cls).append(']')
+            val cls = glob.substring(clsStart, j)
+              .replace("\\", "\\\\").replace("[", "\\[").replace("]", "\\]")
+            sb.append('[')
+            if (negated) sb.append('^')
+            sb.append(cls).append(']')
             i = j
           }
         case c if "\\.^$+{}()|".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)

@@ -166,9 +166,17 @@ object MetricsCalculator {
         max_by(struct(col("scanOverhead").as("b"), col("afterOverhead").as("a")),
           struct(soReduction, col("partitionKey"))).as("worstSo"))
 
+    // FULL outer: manifestCounts is the authoritative table list, so a
+    // table with an empty snapshot (no file entries at all) still reports a
+    // full metrics row — FULL_SCAN_OVERHEAD seeded by its manifest count,
+    // everything else 0 — matching the reference's empty-iterator behavior
+    // (compute_metrics([], n) returns all 9 metrics).
     val withManifests = agg
-      .join(manifestCounts.toDF("table", "manifestCount"), Seq("table"), "left_outer")
-      .na.fill(0L, Seq("manifestCount"))
+      .join(manifestCounts.toDF("table", "manifestCount"), Seq("table"), "full_outer")
+      .na.fill(0L, Seq("manifestCount", "scanOverheadSum", "fullScanOverheadAfter",
+        "fileCountBefore", "fileCountAfter", "dataSize", "dataCount",
+        "largestPartitionSize", "totalTableSize", "totalPartitions"))
+      .na.fill(0.0, Seq("worstAvgFileSize"))
 
     withManifests
       .select(

@@ -124,16 +124,27 @@ object CatalogOps {
     spark.catalog.listDatabases().collect().map(_.name).toSeq.sorted
 
   /** Sorted table names in `db` matching a shell glob; provider filter keeps
-    * only tables whose provider is in `providers` (the reference keeps only
-    * Glue entries with table_type == ICEBERG; pass Set() to keep all). */
+    * only tables whose PROVIDER (parquet/iceberg/...) is in `providers` —
+    * the reference keeps only Glue entries with table_type == ICEBERG; pass
+    * Set() to keep all. Provider comes from the catalog's table metadata
+    * (`spark.catalog.listTables`' tableType is MANAGED/EXTERNAL/VIEW, which
+    * is NOT the provider). Temp views have no metadata and are dropped when
+    * a provider filter is requested. */
   def listTables(spark: SparkSession, db: String, glob: String = "*",
       providers: Set[String] = Set.empty): Seq[String] = {
     val regex = Pure.globToRegex(glob)
-    spark.catalog.listTables(db).collect().toSeq
-      .filter(t => providers.isEmpty || t.tableType == null ||
-        providers.contains(Option(t.tableType).getOrElse("").toLowerCase))
-      .map(_.name)
-      .filter(_.matches(regex))
-      .sorted
+    val names = spark.catalog.listTables(db).collect().toSeq.map(_.name)
+    val filtered =
+      if (providers.isEmpty) names
+      else {
+        val cat = spark.sessionState.catalog
+        names.filter { n =>
+          scala.util.Try(
+            cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n, Some(db)))
+              .provider.exists(p => providers.contains(p.toLowerCase))
+          ).getOrElse(false)
+        }
+      }
+    filtered.filter(_.matches(regex)).sorted
   }
 }

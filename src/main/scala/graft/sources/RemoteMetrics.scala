@@ -59,9 +59,20 @@ object RemoteMetrics {
   def parse(docs: Dataset[String]): (Dataset[MetricRow], Dataset[(String, String)]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val parsed = docs.select(from_json(col("value"), responseSchema).as("r"))
+    val parsed = docs.select(col("value"), from_json(col("value"), responseSchema).as("r"))
 
-    val results = parsed
+    // a document from_json cannot parse would otherwise vanish silently —
+    // route it to the error channel (the reference raises; we report).
+    // PERMISSIVE from_json returns an all-null struct for bad input, so
+    // "malformed" = both top-level arrays null.
+    val isMalformed = col("r").isNull ||
+      (col("r.analysisResults").isNull && col("r.errors").isNull)
+    val malformed = parsed.filter(isMalformed)
+      .select(lit("<unparseable>").as("table"),
+        concat(lit("malformed response document: "), substring(col("value"), 1, 80)).as("error"))
+      .as[(String, String)]
+
+    val results = parsed.filter(!isMalformed)
       .select(explode(col("r.analysisResults")).as("a"))
       .select(
         col("a.table.name").as("table"),
@@ -87,9 +98,12 @@ object RemoteMetrics {
         col("a.largestPartition.targetSizeBytes").cast("double").as("lps_a"),
         col("a.table.totalPartitionsCount").cast("double").as("tp_b"))
 
-    val rows = results.flatMap { r =>
-      val table = r.getString(0)
-      def d(i: Int): Double = r.getDouble(i)
+    // null-safe extraction: a response missing a numeric field reports 0 for
+    // that metric instead of NPE-aborting the whole job (deviation from the
+    // reference, which raises KeyError per document; documented trade)
+    val rows = results.na.fill(0.0).flatMap { r =>
+      val table = Option(r.getString(0)).getOrElse("<unnamed>")
+      def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
       Seq(
         MetricRow(table, 0, "FULL_SCAN_OVERHEAD", d(1), Some(d(2))),
         MetricRow(table, 1, "WORST_SCAN_OVERHEAD", d(3), Some(d(4))),
@@ -103,13 +117,13 @@ object RemoteMetrics {
     }
 
     // errors lacking a table name are dropped (response.py:43-48)
-    val errors = parsed
+    val errors = parsed.filter(!isMalformed)
       .select(explode(col("r.errors")).as("e"))
       .select(col("e.table"), col("e.error"))
       .filter(col("table").isNotNull && col("table") =!= "")
       .na.fill("Unknown Error", Seq("error"))
       .as[(String, String)]
 
-    (rows, errors)
+    (rows, errors.union(malformed))
   }
 }

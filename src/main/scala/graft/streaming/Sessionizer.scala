@@ -98,9 +98,10 @@ object Sessionizer {
         col("p_ts_us"), col("s_ts_us"))
   }
 
-  /** Tumbling event-time windowed aggregation (streaming twin of
-    * q19_event_windows): per (1 h window, event_type) counts and sums. */
-  def windowedCounts(events: Dataset[Event], eventTypes: Dataset[(Long, String)] = null): Dataset[(Long, Long, Double)] = {
+  /** Tumbling 1 h event-time windowed aggregation: per-window event count
+    * and value sum. (q19's batch version additionally groups by event_type,
+    * which [[Event]] does not carry — group further upstream if needed.) */
+  def windowedCounts(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
     events

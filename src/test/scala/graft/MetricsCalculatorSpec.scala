@@ -97,8 +97,27 @@ class MetricsCalculatorSpec extends AnyFunSuite {
   test("empty input: zero metrics, no after-positives") {
     val spark = SparkSpec.spark
     import spark.implicits._
+    // single-table convenience can't know the table name for an empty
+    // relation; the multi-table path (below) enumerates via manifestCounts
     val out = MetricsCalculator.computeMetrics(spark.emptyDataset[FileEntry], 0)
-    assert(out.isEmpty) // no table rows at all for an empty relation
+    assert(out.isEmpty)
+  }
+
+  test("empty-snapshot table still reports a full row (manifest-seeded)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // reference: compute_metrics([], manifest_count=10) -> all 9 metrics,
+    // FULL_SCAN_OVERHEAD = 10, everything else 0
+    val files = spark.createDataset(Seq(FileEntry("present", 0, "p", 100L)))
+    val mc = spark.createDataset(Seq(("present", 2L), ("empty_snapshot", 10L)))
+    val wide = MetricsCalculator.computeMetricsWide(files, mc).collect()
+      .map(w => w.table -> w).toMap
+    assert(wide.keySet == Set("present", "empty_snapshot"))
+    val e = wide("empty_snapshot")
+    assert(e.fullScanOverheadBefore == 10L && e.fullScanOverheadAfter == 0L)
+    assert(e.fileCountBefore == 0L && e.totalPartitions == 0L)
+    assert(e.avgFileSize == 0.0 && e.worstAvgFileSize == 0.0)
+    assert(wide("present").fileCountBefore == 1L)
   }
 
   test("all-delete partition contributes 0 groups") {

@@ -114,5 +114,11 @@ class PureSpec extends AnyFunSuite {
     assert(!Pure.globMatch("t[!ab]l", "tal"))
     assert(Pure.globMatch("a.b", "a.b"))
     assert(!Pure.globMatch("a.b", "aXb"))
+    // fnmatch edge: ']' as first class member is a literal
+    assert(Pure.globMatch("t[]a]l", "t]l"))
+    assert(Pure.globMatch("t[]a]l", "tal"))
+    assert(!Pure.globMatch("t[]a]l", "tbl"))
+    assert(Pure.globMatch("t[!]a]l", "tbl"))
+    assert(!Pure.globMatch("t[!]a]l", "t]l"))
   }
 }

@@ -65,6 +65,15 @@ class RemoteMetricsSpec extends AnyFunSuite {
     assert(errs.toSeq == Seq(("db1.gone", "table not found")))
   }
 
+  test("malformed document routes to the error channel, not silence") {
+    import spark.implicits._
+    val (rows, errors) = RemoteMetrics.parse(
+      spark.createDataset(Seq("{not json at all", doc)))
+    assert(rows.count() == 9) // the good doc still parses
+    val errs = errors.collect()
+    assert(errs.exists(_._2.startsWith("malformed response document")))
+  }
+
   test("zero counts guard division") {
     import spark.implicits._
     val zeroDoc = doc

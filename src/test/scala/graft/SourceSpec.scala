@@ -25,6 +25,11 @@ class SourceSpec extends AnyFunSuite {
       assert(CatalogOps.listTables(spark, "graft_test_db") == Seq("alpha", "beta"))
       assert(CatalogOps.listTables(spark, "graft_test_db", "a*") == Seq("alpha"))
       assert(CatalogOps.listTables(spark, "graft_test_db", "?eta") == Seq("beta"))
+      // provider filter reads table METADATA (tableType is MANAGED/EXTERNAL,
+      // not the provider)
+      assert(CatalogOps.listTables(spark, "graft_test_db", "*", Set("parquet"))
+        == Seq("alpha", "beta"))
+      assert(CatalogOps.listTables(spark, "graft_test_db", "*", Set("iceberg")).isEmpty)
     } finally spark.sql("DROP DATABASE graft_test_db CASCADE")
   }
 
