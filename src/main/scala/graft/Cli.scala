@@ -79,6 +79,7 @@ object Cli {
     cmd match {
       case "list" =>
         println(Renderer.renderList(tables.map(_._1), s"Tables in $root matching '$glob'"))
+        println(Renderer.countMessage(tables.size, "table"))
         if (tables.isEmpty) System.err.println("warning: no tables matched")
 
       case "diag" =>

@@ -49,4 +49,12 @@ object Renderer {
 
   def renderList(items: Seq[String], heading: String): String =
     (heading +: ("-" * heading.length) +: items).mkString("\n")
+
+  /** Count message with pluralization (reference F8, `cli.py:92-99`):
+    * "1 table" / "3 tables" / "No tables". */
+  def countMessage(n: Long, noun: String): String = n match {
+    case 0 => s"No ${noun}s"
+    case 1 => s"1 $noun"
+    case _ => s"$n ${noun}s"
+  }
 }
