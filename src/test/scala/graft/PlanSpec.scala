@@ -83,6 +83,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("g_orders_bkt")
+      spark.read.parquet(s"$dir/customer.parquet")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("g_cust_bkt")
+      val j = spark.table("g_orders_bkt")
+        .join(spark.table("g_cust_bkt"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // bucket-pruned co-location: the join needs NO shuffle at all
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS g_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS g_cust_bkt")
+    }
+  }
+
   test("whole-stage codegen active on the scan-project-agg path") {
     // AQE materializes the final plan only on execution; run, then inspect
     val df = SparkEntry.queries("q2_file_stats")(spark, dir)
