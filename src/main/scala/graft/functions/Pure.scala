@@ -159,8 +159,13 @@ object Pure {
           val j = glob.indexOf(']', searchFrom)
           if (j < 0) { sb.append("\\["); }
           else {
-            val cls = glob.substring(clsStart, j)
+            // escape regex-class metacharacters: '\', '[', ']', '&' (Java
+            // class intersection), and a leading '^' in a NON-negated class
+            // (fnmatch treats it as a literal)
+            var cls = glob.substring(clsStart, j)
               .replace("\\", "\\\\").replace("[", "\\[").replace("]", "\\]")
+              .replace("&", "\\&")
+            if (!negated && cls.startsWith("^")) cls = "\\" + cls
             sb.append('[')
             if (negated) sb.append('^')
             sb.append(cls).append(']')

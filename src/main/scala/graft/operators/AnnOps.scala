@@ -38,9 +38,9 @@ object AnnOps {
   }
 
   /** Per-vector sign-LSH band signatures computed INLINE — one projection,
-    * zero shuffles: each plane's projection is a zip_with dot against a
-    * literal weight array. Preferred at any scale (the explode/join variant
-    * in [[signatures]] shuffles dims×planes rows). */
+    * zero shuffles: each plane's projection is a native dot against a
+    * literal weight array. (An explode + broadcast-plane-join formulation
+    * was removed: it shuffled dims×planes rows per vector.) */
   def signaturesInline(
       df: DataFrame, idCol: String, qVecCol: String,
       bands: Int, planesPerBand: Int, dims: Int): DataFrame =
@@ -99,8 +99,12 @@ object AnnOps {
       base: DataFrame, idCol: String, vecCol: String, clusterCol: String,
       probeIds: Column, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = base.select(col(idCol), col(clusterCol).as("__list"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    // null/empty vectors are excluded from the index: a list of only empty
+    // vectors would have no centroid (posexplode emits nothing) and its
+    // members would be silently unreachable even at nprobe = all lists
+    val e = base.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), col(clusterCol).as("__list"),
+        transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.DoubleArrayDot.doubleDot(col("v"), col("v"))))
     // centroids: element-wise mean per list (posexplode keeps it relational)
     val centroids = e.select(col("__list"), posexplode(col("v")).as(Seq("d", "x")))

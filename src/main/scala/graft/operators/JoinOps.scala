@@ -57,10 +57,11 @@ object JoinOps {
       bucket: Long): DataFrame = {
     // integer `div`, not double division: `/` on longs goes through double
     // and loses exactness above 2^53, silently mis-bucketing (and dropping)
-    // rows with e.g. nanosecond-epoch points
-    val l = left.withColumn("__b", expr(s"$pointCol div $bucket"))
-    val r = right.withColumn("__b", explode(sequence(
-      expr(s"$loCol div $bucket"), expr(s"$hiCol div $bucket"))))
+    // rows with e.g. nanosecond-epoch points. Columns must be integral;
+    // names are backtick-quoted so dotted/spaced names resolve as columns.
+    def bucketOf(c: String) = expr(s"`$c` div $bucket")
+    val l = left.withColumn("__b", bucketOf(pointCol))
+    val r = right.withColumn("__b", explode(sequence(bucketOf(loCol), bucketOf(hiCol))))
     l.join(r, Seq("__b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__b")

@@ -133,18 +133,23 @@ object CatalogOps {
   def listTables(spark: SparkSession, db: String, glob: String = "*",
       providers: Set[String] = Set.empty): Seq[String] = {
     val regex = Pure.globToRegex(glob)
-    val names = spark.catalog.listTables(db).collect().toSeq.map(_.name)
+    // glob FIRST: the provider check is one catalog metadata round-trip per
+    // table — on a 5000-table Glue-style catalog that's minutes if applied
+    // before narrowing. Tables whose metadata can't be read (temp views,
+    // transient catalog errors) are excluded when a filter is requested.
+    val named = spark.catalog.listTables(db).collect().toSeq.map(_.name)
+      .filter(_.matches(regex))
     val filtered =
-      if (providers.isEmpty) names
+      if (providers.isEmpty) named
       else {
         val cat = spark.sessionState.catalog
-        names.filter { n =>
+        named.filter { n =>
           scala.util.Try(
             cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n, Some(db)))
               .provider.exists(p => providers.contains(p.toLowerCase))
           ).getOrElse(false)
         }
       }
-    filtered.filter(_.matches(regex)).sorted
+    filtered.sorted
   }
 }

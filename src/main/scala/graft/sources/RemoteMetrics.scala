@@ -101,7 +101,7 @@ object RemoteMetrics {
     // null-safe extraction: a response missing a numeric field reports 0 for
     // that metric instead of NPE-aborting the whole job (deviation from the
     // reference, which raises KeyError per document; documented trade)
-    val rows = results.na.fill(0.0).flatMap { r =>
+    val rows = results.flatMap { r =>
       val table = Option(r.getString(0)).getOrElse("<unnamed>")
       def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
       Seq(

@@ -14,12 +14,17 @@ object StreamingDedup {
 
   case class Doc(doc_id: Long, text: String, ts_us: Long)
 
-  /** First-seen-content documents within the watermark horizon. */
+  /** First-seen-content documents within the watermark horizon.
+    *
+    * `dropDuplicatesWithinWatermark` — NOT plain `dropDuplicates` — is what
+    * bounds the state: plain dropDuplicates only evicts state when the
+    * event-time column is part of the dedup key, so keying on content_hash
+    * alone would grow state forever on an unbounded stream. */
   def dedup(docs: Dataset[Doc], watermarkDelay: String = "1 hour"): DataFrame =
     docs
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("content_hash"), col("ts_us"))
 }

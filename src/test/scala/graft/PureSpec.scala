@@ -120,5 +120,12 @@ class PureSpec extends AnyFunSuite {
     assert(!Pure.globMatch("t[]a]l", "tbl"))
     assert(Pure.globMatch("t[!]a]l", "tbl"))
     assert(!Pure.globMatch("t[!]a]l", "t]l"))
+    // leading '^' in a non-negated class is a literal per fnmatch
+    assert(Pure.globMatch("[^a]", "^"))
+    assert(Pure.globMatch("[^a]", "a"))
+    assert(!Pure.globMatch("[^a]", "b"))
+    // '&&' must not become Java regex class intersection
+    assert(Pure.globMatch("[a&b]", "&"))
+    assert(Pure.globMatch("[a&b]", "a"))
   }
 }
