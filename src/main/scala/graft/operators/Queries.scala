@@ -270,13 +270,19 @@ object Queries {
     "q35_sketches" -> { (s, dir) => implicit val sp = s
       // approximate aggregates (HLL distinct, quantile sketch): sketch
       // internals are engine-specific, so NO SQL oracle — the driver's
-      // rows-only check applies. Kept deterministic within Spark.
+      // rows-only check applies. Kept deterministic within Spark. Quantiles
+      // are emitted as SCALAR columns: an array column breaks the driver's
+      // row-sort normalization (unhashable in pandas).
       t(dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("price_quantiles"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("pq"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("approx_parts"),
+          round(element_at(col("pq"), 1), 2).as("p50_price"),
+          round(element_at(col("pq"), 2), 2).as("p99_price"),
+          col("exact_parts"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -359,22 +365,25 @@ object Queries {
           |  count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      // NOTE: DuckDB sum(BIGINT) yields HUGEINT (float64/object in pandas);
+      // Spark emits int64 — every integer sum must be CAST back to BIGINT or
+      // the driver's dtype-sensitive hash mismatches on equal values.
       "q2_file_stats" ->
-        s"""SELECT count(*) AS file_count, sum(size) AS total_size,
-           |  sum(size // $fetchSize + 2) AS scan_overhead,
+        s"""SELECT count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size,
+           |  CAST(sum(size // $fetchSize + 2) AS BIGINT) AS scan_overhead,
            |  count(CASE WHEN content = 0 THEN 1 END) AS data_count,
-           |  sum(CASE WHEN content = 0 THEN size END) AS data_size,
+           |  CAST(sum(CASE WHEN content = 0 THEN size END) AS BIGINT) AS data_size,
            |  count(DISTINCT pk) AS n_partitions,
            |  round(CAST(sum(CASE WHEN content = 0 THEN size END) AS DOUBLE)
            |        / count(CASE WHEN content = 0 THEN 1 END), 4) AS avg_data_size
            |FROM ($fileRelSql)""".stripMargin,
       "q3_partition_stats" ->
-        s"""SELECT pk, count(*) AS file_count, sum(size) AS total_size,
-           |  sum(size // $fetchSize + 2) AS scan_overhead,
+        s"""SELECT pk, count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size,
+           |  CAST(sum(size // $fetchSize + 2) AS BIGINT) AS scan_overhead,
            |  min(size) AS min_size, max(size) AS max_size
            |FROM ($fileRelSql) GROUP BY pk ORDER BY pk""".stripMargin,
       "q4_worst_partition" ->
-        s"""SELECT pk, count(*) AS file_count, sum(size) AS total_size
+        s"""SELECT pk, count(*) AS file_count, CAST(sum(size) AS BIGINT) AS total_size
            |FROM ($fileRelSql) GROUP BY pk
            |ORDER BY total_size DESC, pk LIMIT 1""".stripMargin,
       "q5_read_costs" ->
@@ -409,7 +418,7 @@ object Queries {
           |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
           |  FROM events)
           |SELECT user_id,
-          |  sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+          |  CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
           |  count(*) AS n_events
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
       "q30_running_total" ->

@@ -325,6 +325,27 @@ object TextQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // Float cosine IS oracle-checkable: float32 values cast to double are
+    // exact, DuckDB's list_sum folds left-to-right like DoubleArrayDot, and
+    // *, /, sqrt are IEEE-deterministic — identical bits on both engines.
+    "q29_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_apply(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_apply(range(1, len(b.v) + 1), i -> b.v[i] * q.v[i]))
+        |      / (b.nrm * q.nrm) AS cos
+        |  FROM n b JOIN n q ON b.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q20_table_metrics" -> {
       val cap = EngineConfig.default.maxGroupBytes
       val fetch = EngineConfig.default.fetchSize
@@ -368,18 +389,18 @@ object TextQueries {
          |  SELECT ovh, after_overhead, ovh - after_overhead AS red FROM per_pk
          |  ORDER BY red DESC, pk DESC LIMIT 1)
          |SELECT
-         |  (SELECT sum(ovh) FROM per_pk) AS full_scan_before,
-         |  (SELECT sum(after_overhead) FROM per_pk) AS full_scan_after,
-         |  (SELECT CASE WHEN red > 0 THEN ovh ELSE 0 END FROM worst_so) AS worst_scan_before,
-         |  (SELECT CASE WHEN red > 0 THEN after_overhead ELSE 0 END FROM worst_so) AS worst_scan_after,
-         |  (SELECT sum(fc) FROM per_pk) AS file_count_before,
-         |  (SELECT sum(n_groups) FROM per_pk) AS file_count_after,
-         |  (SELECT CASE WHEN red > 0 THEN fc ELSE 0 END FROM worst_fc) AS worst_fc_before,
-         |  (SELECT CASE WHEN red > 0 THEN n_groups ELSE 0 END FROM worst_fc) AS worst_fc_after,
+         |  (SELECT CAST(sum(ovh) AS BIGINT) FROM per_pk) AS full_scan_before,
+         |  (SELECT CAST(sum(after_overhead) AS BIGINT) FROM per_pk) AS full_scan_after,
+         |  (SELECT CAST(CASE WHEN red > 0 THEN ovh ELSE 0 END AS BIGINT) FROM worst_so) AS worst_scan_before,
+         |  (SELECT CAST(CASE WHEN red > 0 THEN after_overhead ELSE 0 END AS BIGINT) FROM worst_so) AS worst_scan_after,
+         |  (SELECT CAST(sum(fc) AS BIGINT) FROM per_pk) AS file_count_before,
+         |  (SELECT CAST(sum(n_groups) AS BIGINT) FROM per_pk) AS file_count_after,
+         |  (SELECT CAST(CASE WHEN red > 0 THEN fc ELSE 0 END AS BIGINT) FROM worst_fc) AS worst_fc_before,
+         |  (SELECT CAST(CASE WHEN red > 0 THEN n_groups ELSE 0 END AS BIGINT) FROM worst_fc) AS worst_fc_after,
          |  (SELECT round(CAST(sum(dsz) AS DOUBLE) / sum(dc), 4) FROM per_pk) AS avg_data_size,
          |  (SELECT round(min(CAST(tsz AS DOUBLE) / fc), 4) FROM per_pk) AS worst_avg_size,
-         |  (SELECT sum(tsz) FROM per_pk) AS total_size,
-         |  (SELECT max(tsz) FROM per_pk) AS largest_partition,
+         |  (SELECT CAST(sum(tsz) AS BIGINT) FROM per_pk) AS total_size,
+         |  (SELECT CAST(max(tsz) AS BIGINT) FROM per_pk) AS largest_partition,
          |  (SELECT count(*) FROM per_pk) AS n_partitions""".stripMargin
     },
     "q21_minhash_signatures" ->

@@ -34,8 +34,15 @@ for name, sql in sorted(oracle.items()):
         print(f"SCHEMA   {name}: spark={list(g.columns)} oracle={list(e.columns)}"); fail += 1; continue
     if len(g) != len(e):
         print(f"ROWS     {name}: spark={len(g)} oracle={len(e)}"); fail += 1; continue
+    # the driver's hash is dtype/format-sensitive: DuckDB HUGEINT (from
+    # sum(BIGINT)) lands as float64/object while Spark writes int64 — treat
+    # any dtype divergence as a failure even when values compare equal
+    mism = [(c, str(g[c].dtype), str(e[c].dtype))
+            for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+    if mism:
+        print(f"DTYPE    {name}: {mism}"); fail += 1; continue
     try:
-        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
         print(f"OK       {name}: {len(g)} rows")
     except AssertionError as ex:
         print(f"VALUES   {name}: {str(ex).splitlines()[0]}")
