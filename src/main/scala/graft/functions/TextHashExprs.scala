@@ -1,0 +1,212 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared per-thread MD5 kernels for the text-signature expressions.
+  *
+  * All signatures (minhash, simhash, winnowing) are PER-DOCUMENT
+  * computations: expressing them relationally (explode shingles → hash →
+  * groupBy doc) costs a 100×-row explode plus a full shuffle per signature,
+  * purely to re-assemble rows that started co-located. These kernels compute
+  * the whole signature inside one projection — no explode, no shuffle — which
+  * is the shape that survives a 100 TB corpus: embarrassingly parallel
+  * map-side work, shuffles reserved for the candidate-pair joins.
+  *
+  * Hash parity: `hash28(x)` equals the relational
+  * `conv(substring(md5(x), 1, 7), 16, 10)` (first 7 hex nibbles of MD5,
+  * 28 bits), streamed over the same bytes without the hex-string /
+  * concat_ws allocations. Oracle SQL is unchanged.
+  */
+object TextHashKernels {
+  private val SP: Byte = ' '.toByte
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 28 bits (7 hex nibbles) of the digest as a long. */
+  private def top28(b: Array[Byte]): Long =
+    ((b(0) & 0xffL) << 20) | ((b(1) & 0xffL) << 12) | ((b(2) & 0xffL) << 4) | ((b(3) & 0xffL) >>> 4)
+
+  /** 28-bit MD5 hash of the n-token shingle toks[i..i+n-1] joined by ' ',
+    * streamed into the digest (md5(a || ' ' || b) without building the
+    * concatenated string). */
+  private def shingleHash(toks: ArrayData, i: Int, n: Int): Long = {
+    val d = md.get(); d.reset()
+    var j = 0
+    while (j < n) {
+      if (j > 0) d.update(SP)
+      d.update(toks.getUTF8String(i + j).getBytes)
+      j += 1
+    }
+    top28(d.digest())
+  }
+
+  /** MinHash signature over the doc's 3-gram shingles: mins of
+    * `(h * a(j) + b(j)) % p` per permutation j. Distinctness of shingles is
+    * irrelevant to a min, so no dedup pass is needed. Returns null when the
+    * doc has < n tokens (parity with the explode pipeline, where such docs
+    * produce no rows). */
+  def minhashSig(toks: ArrayData, n: Int, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return null
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i <= sz - n) {
+      val h = shingleHash(toks, i, n)
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Frequency-weighted SimHash over single tokens: bit i of the result is
+    * set when `sum(+1/-1 over tokens by bit i of hash28(token)) >= 0`. */
+  def simhash(toks: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val sz = toks.numElements()
+    var t = 0
+    while (t < sz) {
+      val h = shingleHash(toks, t, 1)
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < bits) { if (counts(i) >= 0) r |= (1L << i); i += 1 }
+    r
+  }
+
+  /** Winnowing fingerprints: DISTINCT minima of a `w`-wide sliding window
+    * over the doc's ORDERED 3-gram shingle-hash sequence, for window starts
+    * idx <= L - w (L = number of shingles). Empty array when there are
+    * fewer than w shingles. */
+  def winnow(toks: ArrayData, n: Int, w: Int): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Long])
+    val L = sz - n + 1
+    if (L < w) return new GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](L)
+    var i = 0
+    while (i < L) { h(i) = shingleHash(toks, i, n); i += 1 }
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i <= L - w) {
+      var m = h(i)
+      var j = i + 1
+      while (j < i + w) { if (h(j) < m) m = h(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+private[functions] trait TokenArrayExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+}
+
+/** `minhash_sig(tokens)` → array<bigint> of k permutation minima over the
+  * doc's n-gram shingles (null when the doc has fewer than n tokens).
+  * Whole-stage-codegen-friendly: the generated code is one call into
+  * [[TextHashKernels]]. */
+case class MinHashSig(child: Expression, n: Int, a: Array[Long], b: Array[Long], p: Long)
+    extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextHashKernels.minhashSig(toks.asInstanceOf[ArrayData], n, a, b, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mh", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData r = $ref.kernel($c);
+       |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+     """.stripMargin)
+  }
+
+  /** Codegen entry point (stable against field reordering). */
+  def kernel(toks: ArrayData): ArrayData = TextHashKernels.minhashSig(toks, n, a, b, p)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash(tokens)` → frequency-weighted SimHash (long, `bits` wide). */
+case class SimHashSig(child: Expression, bits: Int) extends TokenArrayExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextHashKernels.simhash(toks.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sh", this, classOf[SimHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+
+  def kernel(toks: ArrayData): Long = TextHashKernels.simhash(toks, bits)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** `winnow_fingerprints(tokens)` → array<bigint> of the doc's distinct
+  * winnowing window-minima (ascending; order is normalized so downstream
+  * explodes are deterministic). */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextHashKernels.winnow(toks.asInstanceOf[ArrayData], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wf", this, classOf[WinnowFingerprints].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+
+  def kernel(toks: ArrayData): ArrayData = TextHashKernels.winnow(toks, n, w)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object TextHashExprs {
+  def minhashSig(toks: Column, perms: Seq[(Long, Long)], p: Long, n: Int = 3): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(toks), n,
+      perms.map(_._1).toArray, perms.map(_._2).toArray, p))
+
+  def simhash(toks: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(toks), bits))
+
+  def winnowFingerprints(toks: Column, n: Int = 3, w: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(toks), n, w))
+}

@@ -56,19 +56,25 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signatures over distinct n-gram shingles: one row per id with
-    * columns mh0..mh{k-1}. `perms` are (a, b) pairs for `(a*h+b) % p`. */
+  /** MinHash signatures over n-gram shingles: one row per id with columns
+    * mh0..mh{k-1}. `perms` are (a, b) pairs for `(a*h+b) % p`.
+    *
+    * A signature is a PER-ROW computation, so this is a pure projection via
+    * the native [[graft.functions.MinHashSig]] expression — no explode, no
+    * shuffle. The former relational shape (explode shingles → hash →
+    * groupBy id) shuffled ~100× the corpus row count only to re-assemble
+    * rows that started co-located; at 100 TB that shuffle IS the job.
+    * Results are identical: a min is insensitive to duplicate shingles and
+    * to evaluation order. Docs with < shingleN tokens are absent (parity
+    * with the explode shape, where they produce no rows). */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       perms: Seq[(Long, Long)], p: Long = 2147483647L, shingleN: Int = 3): DataFrame = {
-    val hashed = df
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), shingleN)).as("sh"))
-      .withColumn("h", portableHash28(col("sh")))
-    val aggs = perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % p).as(s"mh$j")
-    }
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.TextHashExprs.minhashSig(
+      split(col(textCol), " "), perms, p, shingleN)
+    df.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +: perms.indices.map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** LSH candidate pairs from minhash signatures: same band key (rowsPerBand
@@ -88,19 +94,12 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Frequency-weighted SimHash over whitespace tokens (bits <= 31). */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), lit(" "))).as("tok"))
-      .withColumn("h", portableHash28(col("tok")))
-    val bitSums = (0 until bits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val shCol = (0 until bits)
-      .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", shCol.cast("long"))
-      .select(col(idCol), col("simhash"))
-  }
+  /** Frequency-weighted SimHash over whitespace tokens (bits <= 31).
+    * Per-row like minhash: one native-expression projection
+    * ([[graft.functions.SimHashSig]]), no explode/shuffle. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextHashExprs.simhash(split(col(textCol), lit(" ")), bits).as("simhash"))
 
   /** Hamming distance between two simhash values (near-dup test on
     * signatures: distance <= k). */

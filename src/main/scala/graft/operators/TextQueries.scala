@@ -172,18 +172,14 @@ object TextQueries {
     "q37_winnowing" -> { (s, dir) => implicit val sp = s
       // MOSS-style winnowing fingerprints: per doc, the DISTINCT minima of a
       // sliding window (w=4) over the ordered 3-gram shingle hash sequence.
-      // Robust content fingerprints for partial-overlap detection.
-      val hashed = corpus(dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), posexplode(TextOps.shingleSequence(col("toks"))).as(Seq("idx", "sh")))
-        .select(col("doc_id"), col("idx"), TextOps.portableHash28(col("sh")).as("h"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      val frame = byDoc.orderBy(col("idx")).rowsBetween(Window.currentRow, 3)
-      hashed
-        .withColumn("wmin", min(col("h")).over(frame))
-        .withColumn("n", count(lit(1)).over(byDoc))
-        .filter(col("idx") <= col("n") - 4)
-        .select(col("doc_id"), col("wmin")).distinct()
+      // Robust content fingerprints for partial-overlap detection. A per-doc
+      // computation => one native-expression projection + explode; the former
+      // posexplode → two-windows → distinct shape paid a shuffle and sort
+      // for what never leaves the row.
+      corpus(dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashExprs.winnowFingerprints(
+            split(col("text"), " "))).as("wmin"))
         .orderBy(col("doc_id"), col("wmin"))
     },
 
