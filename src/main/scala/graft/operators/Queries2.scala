@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-2 operator families: clustering dedup, deterministic sampling,
+  * hopping windows, funnel/sequence analysis, corpus top-k, histograms, and
+  * IVF-style ANN — same oracle-parity conventions as [[Queries]].
+  */
+object Queries2 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(dir: String)(implicit s: SparkSession): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+  }
+
+  /** Same dedup corpus as [[TextQueries]]: originals + drop-first-token twins. */
+  private def corpus(dir: String)(implicit s: SparkSession): DataFrame = {
+    val docs = t(dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val P = 2147483647L
+  private val A = Seq(1000003L, 1999993L, 999331L, 1112111L, 1300021L, 1500007L, 1700021L, 1900037L)
+  private val B = Seq(12345L, 54321L, 7777L, 424242L, 98765L, 13579L, 24680L, 111111L)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- near-dup CLUSTERS: connected components over LSH candidate pairs.
+    // The full dedup pipeline a training corpus needs: LSH prefilter (q22)
+    // gives pairwise edges; components give transitive duplicate groups; one
+    // canonical doc (min id) survives per group. Min-label propagation:
+    // each round is one distributed join+agg, state truncated per round
+    // (localCheckpoint) so lineage stays bounded at any scale; rounds =
+    // O(component diameter), which for dedup graphs is small.
+    "q42_dedup_clusters" -> { (s, dir) => implicit val sp = s
+      val sigs = TextOps.minhashSignatures(corpus(dir), "doc_id", "text", A.zip(B), P)
+      val pairs = TextOps.lshCandidatePairs(sigs, "doc_id", nPerms = A.size, rowsPerBand = 4)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 30) {
+        val next = edges.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("lbl"))
+          .union(labels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic stratified sampling: EXACT ceil(10%) per stratum,
+    // rank-by-portable-hash inside each stratum (reproducible across
+    // engines/runs, unlike Bernoulli rand()). One window pass per stratum.
+    "q43_stratified_sample" -> { (s, dir) => implicit val sp = s
+      val h = TextOps.portableHash28(concat(lit("s:"), col("doc_id")))
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      t(dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rn") <= ceil(col("n_stratum") / 10.0))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- hopping (sliding) event-time windows: 1h length, 30m hop — each
+    // event lands in 2 windows. The batch twin of the streaming hop window.
+    "q44_sliding_windows" -> { (s, dir) => implicit val sp = s
+      events(dir)
+        .groupBy(window(col("tsx"), "1 hour", "30 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("win.start")).as("window_start_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    },
+
+    // ---- funnel / sequence analysis: per user, first signup, then first
+    // purchase at-or-after it; converted = within 1h. Two aggregations over
+    // the same shuffle key (user_id) — AQE coalesces; no windows needed.
+    "q45_funnel" -> { (s, dir) => implicit val sp = s
+      val ev = events(dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .join(signups, "user_id")
+        .filter(col("ts_us") >= col("signup_us"))
+        .groupBy(col("user_id"), col("signup_us"))
+        .agg(min(col("ts_us")).as("purchase_us"))
+      signups.join(firstPurchase.drop("signup_us"), Seq("user_id"), "left")
+        .withColumn("converted_1h",
+          when(col("purchase_us").isNotNull &&
+            col("purchase_us") - col("signup_us") <= 3600000000L, 1L).otherwise(0L))
+        .select(col("user_id"), col("signup_us"), col("purchase_us"), col("converted_1h"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- corpus top-k: top-5 tokens per lang by occurrence count. The
+    // explode is irreducible (corpus-level aggregation); partial (map-side)
+    // aggregation collapses the token stream before the one shuffle.
+    "q46_token_topk" -> { (s, dir) => implicit val sp = s
+      val tf = t(dir, "documents")
+        .select(col("lang"), explode(split(col("text"), lit(" "))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+      tf.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("tok"), col("n"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
+    // ---- histogram: fixed-width price buckets (floor division — identical
+    // IEEE double op on both engines; no width_bucket dependence).
+    "q47_histogram" -> { (s, dir) => implicit val sp = s
+      t(dir, "orders")
+        .withColumn("bucket",
+          expr("CAST(FLOOR(o_totalprice / 50000) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- IVF-style ANN: coarse quantizer = 4 deterministic hyperplane
+    // signs => 16 cells; search only the query's own cell (nprobe=1). The
+    // 100 TB scale path: candidate generation becomes an equi-join on the
+    // cell id; recall < 1 by design and the oracle models the IDENTICAL
+    // search, so results still hash-match.
+    "q49_ivf_topk" -> { (s, dir) => implicit val sp = s
+      val cell = AnnOps.signatureColumns("qe", bands = 1, planesPerBand = 4, dims = 64).head
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), AnnOps.quantize(col("embedding")).as("qe"))
+        .withColumn("cell", cell)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qe").as("qa"), col("cell"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("qe").as("qb"), col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot", AnnOps.dotQ(col("qa"), col("qb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- multimodal binary columns: documents as opaque BLOBs with typed
+    // metadata extracted portably (size, head bytes, tail checksum). Decode
+    // beyond metadata lives in graft.multimodal (stub codec, real plumbing).
+    "q48_media_stats" -> { (s, dir) => implicit val sp = s
+      t(dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lower(substring(hex(col("payload")), 1, 8)).as("head_hex"),
+          expr("ascii(substring(text, length(text), 1))").cast("long").as("tail_byte"))
+        .orderBy(col("doc_id"))
+    })
+
+  private def minhashAggsSql = A.indices.map(j =>
+    s"min((h * ${A(j)} + ${B(j)}) % $P) AS mh$j").mkString(", ")
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substring(text, position(' ' IN text) + 1) AS text
+      |  FROM documents""".stripMargin
+
+  private val shingleHashesSql =
+    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |          i -> string_split(text, ' ')[i] || ' ' ||
+       |            string_split(text, ' ')[i+1] || ' ' ||
+       |            string_split(text, ' ')[i+2]))) AS sh
+       |        FROM corpus)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q42_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |sigs AS (SELECT doc_id, $minhashAggsSql
+         |         FROM ($shingleHashesSql) GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    concat(mh0, '_', mh1, '_', mh2, '_', mh3) AS bkey FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band,
+         |    concat(mh4, '_', mh5, '_', mh6, '_', mh7) AS bkey FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+         |FROM comp JOIN sizes USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q43_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_stratum
+        |  FROM (SELECT doc_id, lang,
+        |          CAST('0x' || substring(md5('s:' || doc_id), 1, 7) AS BIGINT) AS h
+        |        FROM documents))
+        |WHERE rn <= ceil(n_stratum / 10.0) ORDER BY doc_id""".stripMargin,
+    "q44_sliding_windows" ->
+      """WITH starts AS (
+        |  SELECT event_type, value,
+        |    unnest(ARRAY[time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        |  FROM events)
+        |SELECT epoch_us(ws) AS window_start_us, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM starts GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+    "q45_funnel" ->
+      """WITH signups AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+        |  FROM events e JOIN signups s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+        |  GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_us, fp.purchase_us,
+        |  CAST(CASE WHEN fp.purchase_us IS NOT NULL
+        |            AND fp.purchase_us - s.signup_us <= 3600000000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS converted_1h
+        |FROM signups s LEFT JOIN fp ON s.user_id = fp.user_id
+        |ORDER BY s.user_id""".stripMargin,
+    "q46_token_topk" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS n FROM tf GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, tok) AS BIGINT) AS rank FROM cnt)
+        |SELECT lang, tok, n, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "q47_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q49_ivf_topk" -> {
+      val planeValues = AnnOps.planeWeights(4, 64)
+        .map { case (p, d, w) => s"($p,$d,$w)" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |planes(p, d, w) AS (VALUES $planeValues),
+         |dims AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS d, qe[i] AS x
+         |  FROM (SELECT vec_id, qe, unnest(range(1, len(qe) + 1)) AS i FROM q)),
+         |proj AS (
+         |  SELECT vec_id, p, sum(x * w) AS s
+         |  FROM dims JOIN planes USING (d) GROUP BY vec_id, p),
+         |cells AS (
+         |  SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS cell
+         |  FROM proj GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_apply(range(1, len(qa.qe) + 1),
+         |      i -> qa.qe[i] * qb.qe[i])) AS BIGINT) AS dot
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  JOIN q qa ON qa.vec_id = a.vec_id
+         |  JOIN q qb ON qb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 20),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    "q48_media_stats" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  lower(substring(hex(CAST(text AS BLOB)), 1, 8)) AS head_hex,
+        |  CAST(ascii(substring(text, length(text), 1)) AS BIGINT) AS tail_byte
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
