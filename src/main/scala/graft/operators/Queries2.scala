@@ -48,6 +48,10 @@ object Queries2 {
         .localCheckpoint()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")).localCheckpoint()
+      // convergence via the label-sum checksum: propagation only ever
+      // LOWERS labels, so an unchanged sum == fixpoint — one cheap scan per
+      // round instead of a join-based diff
+      var checksum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 30) {
@@ -56,8 +60,9 @@ object Queries2 {
           .union(labels)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).isEmpty
+        val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+        converged = nextSum == checksum
+        checksum = nextSum
         labels = next
         rounds += 1
       }
