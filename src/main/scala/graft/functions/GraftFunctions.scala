@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql(...)` users get the same surface as the DataFrame API:
   *
   *   - poly_hash(str) -> bigint       (native codegen'd expression)
+  *   - long_dot/double_dot(arr, arr)  (native dot products)
+  *   - minhash_sig(tokens) -> array<bigint>   (8-perm signature)
+  *   - simhash_sig(tokens) -> bigint          (16-bit simhash)
+  *   - winnow_fingerprints(tokens) -> array<bigint>
   *   - format_size(bytes) -> str      ("1.21 KB")
   *   - format_duration(ms) -> str     ("1h 0m 0s" / "<0.01s")
   *   - read_file_cost(bytes) -> bigint (cost model: size // 32MiB + 2)
@@ -26,10 +30,28 @@ object GraftFunctions {
       build(exprs)
     }
 
+  /** Default minhash permutation constants for the SQL surface (the
+    * DataFrame API takes explicit perms; SQL users get the engine's
+    * standard 8). */
+  private val DefaultA = Array(1000003L, 1999993L, 999331L, 1112111L, 1300021L, 1500007L, 1700021L, 1900037L)
+  private val DefaultB = Array(12345L, 54321L, 7777L, 424242L, 98765L, 13579L, 24680L, 111111L)
+  private val DefaultP = 2147483647L
+
   def registerAll(spark: SparkSession): Unit = {
     PolyHash64.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "long_dot", arity("long_dot", 2)(exprs => LongArrayDot(exprs(0), exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "double_dot", arity("double_dot", 2)(exprs => DoubleArrayDot(exprs(0), exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", arity("minhash_sig", 1)(exprs =>
+        MinHashSig(exprs.head, 3, DefaultA, DefaultB, DefaultP)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash_sig", arity("simhash_sig", 1)(exprs => SimHashSig(exprs.head, 16)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "winnow_fingerprints", arity("winnow_fingerprints", 1)(exprs =>
+        WinnowFingerprints(exprs.head, 3, 4)), "scala_udf")
     spark.udf.register("format_size", (b: Double) => Pure.formatSize(b))
     spark.udf.register("format_duration", (ms: Double) => Pure.formatDuration(ms))
     spark.udf.register("read_file_cost", (b: Long) => Pure.readFileCost(b))

@@ -52,6 +52,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q49: probes broadcast; cell match is an equi-join") {
+    val p = plan("q49_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q46: token counts partially aggregated before the shuffle") {
+    val p = plan("q46_token_topk")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q21/q23/q37: per-row signature queries plan NO exchange before write") {
+    // signature computation is a pure projection — the only exchange
+    // allowed is the final presentation sort's range partitioning
+    for (q <- Seq("q21_minhash_signatures", "q23_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles for a per-row signature:\n$p")
+    }
+  }
+
+  test("new SQL functions usable from spark.sql") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT minhash_sig(split('a b c d', ' ')) AS mh,
+        |       simhash_sig(split('a b c', ' ')) AS sh,
+        |       winnow_fingerprints(split('a b c d e f', ' ')) AS wf,
+        |       double_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dd
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 8)
+    assert(r.getSeq[Long](2).length == 1)
+    assert(r.getDouble(3) == 11.0)
+  }
+
   test("aggregates are partial (map-side combine) around the exchange") {
     val p = plan("q3_partition_stats")
     // partial + final HashAggregate pair

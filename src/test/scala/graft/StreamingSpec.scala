@@ -13,6 +13,51 @@ class StreamingSpec extends AnyFunSuite {
 
   private val H = 3600L * 1000000 // 1h in micros
 
+  test("streaming funnel matches q45 semantics (first signup, first purchase after, 1h flag)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    import graft.streaming.Funnel.{Conversion, FunnelEvent}
+    val input = MemoryStream[FunnelEvent]
+    val conv = Funnel.conversions(input.toDS())
+    val q = conv.writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      val base = 1000 * H
+      input.addData(
+        // user 1: signup then purchase 10 min later -> converted
+        FunnelEvent(1, "signup", base), FunnelEvent(1, "purchase", base + 600000000L),
+        // user 2: purchase BEFORE signup, next purchase 2h after -> not converted (but purchase recorded)
+        FunnelEvent(2, "purchase", base - 600000000L), FunnelEvent(2, "signup", base),
+        FunnelEvent(2, "purchase", base + 2 * H),
+        // user 3: signup, no purchase -> not converted, no purchase_us
+        FunnelEvent(3, "signup", base),
+        // user 4: purchases only -> no funnel row
+        FunnelEvent(4, "purchase", base))
+      q.processAllAvailable()
+      // out-of-order: user 5's purchase arrives before their EARLIER signup
+      // (timestamps sit above the batch-1 watermark of base + 2h - 30min)
+      input.addData(FunnelEvent(5, "purchase", base + 3 * H + 300000000L))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(5, "signup", base + 3 * H + 100000000L))
+      q.processAllAvailable()
+      // advance the watermark far past base + horizon so all states finalize
+      input.addData(FunnelEvent(99, "signup", base + 200 * H))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99, "signup", base + 400 * H))
+      q.processAllAvailable()
+      val out = spark.table("funnel").as[Conversion].collect()
+        .map(c => c.user_id -> c).toMap
+      withClue(s"out=${out.toSeq.sortBy(_._1)}") {
+        assert(out.get(1L).contains(Conversion(1, base, Some(base + 600000000L), 1)))
+        assert(out.get(2L).contains(Conversion(2, base, Some(base + 2 * H), 0)))
+        assert(out.get(3L).contains(Conversion(3, base, None, 0)))
+        assert(!out.contains(4L))
+        assert(out.get(5L).contains(
+          Conversion(5, base + 3 * H + 100000000L, Some(base + 3 * H + 300000000L), 1)))
+      }
+    } finally q.stop()
+  }
+
   test("gap sessionization over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
