@@ -19,6 +19,9 @@ import graft.functions.Pure
   *   graft.Cli diag <dataRoot> [glob]
   *   graft.Cli stream <dataRoot>     — run the streaming sessionizer over
   *                                     the events table as a file stream
+  *   graft.Cli compact <dataRoot> [outRoot] — EXECUTE the 750 MiB bin-pack
+  *                                     the diag report simulates, one
+  *                                     distributed rewrite per table
   *   graft.Cli media <dataRoot>      — multimodal decode pipeline summary
   *   graft.Cli remote <responseJson> — parse a remote-diagnostics response
   *                                     document and render its report
@@ -42,7 +45,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media) <dataRoot> [glob] | graft.Cli remote <responseJson>"
+    val usage = "usage: graft.Cli (list|diag|stream|media) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson>"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -133,6 +136,27 @@ object Cli {
           q2.processAllAvailable()
           q2.stop()
           println(s"purchase-signup pairs within 24h: ${spark.table("ssjoin").count()}")
+        } finally spark.stop()
+
+      case "compact" =>
+        // executable compaction of every table into <outRoot>/<table>
+        // (third arg = output root; data roots may be read-only)
+        val outRoot = if (args.length > 2) args(2)
+          else java.nio.file.Files.createTempDirectory("graft_compacted").toString
+        val allTables = rootFile.listFiles().toSeq
+          .filter(f => f.getName.endsWith(".parquet"))
+          .map(f => f.getName.stripSuffix(".parquet") -> f.getAbsolutePath)
+          .sortBy(_._1)
+        if (allTables.isEmpty) { System.err.println(s"error: no tables under $root"); sys.exit(1) }
+        val spark = session()
+        // nanos timestamps (events) read as long — value-preserving rewrite
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try {
+          allTables.foreach { case (name, path) =>
+            val r = graft.sources.Compactor.compact(spark, path, s"$outRoot/$name")
+            println(f"$name%-12s ${r.filesBefore}%4d files -> ${r.filesAfter}%4d " +
+              s"(${Pure.formatSize(r.bytesTotal.toDouble)}) at $outRoot/$name")
+          }
         } finally spark.stop()
 
       case "media" =>
