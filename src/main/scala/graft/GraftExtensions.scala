@@ -28,5 +28,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.LongArrayDot].getName, "long_dot"),
       graft.functions.GraftFunctions.arity("long_dot", 2)(exprs =>
         graft.functions.LongArrayDot(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("double_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DoubleArrayDot].getName, "double_dot"),
+      graft.functions.GraftFunctions.arity("double_dot", 2)(exprs =>
+        graft.functions.DoubleArrayDot(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SimHashSig].getName, "simhash_sig"),
+      graft.functions.GraftFunctions.arity("simhash_sig", 1)(exprs =>
+        graft.functions.SimHashSig(exprs.head, 16))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.WinnowFingerprints].getName, "winnow_fingerprints"),
+      graft.functions.GraftFunctions.arity("winnow_fingerprints", 1)(exprs =>
+        graft.functions.WinnowFingerprints(exprs.head, 3, 4))))
   }
 }

@@ -168,6 +168,43 @@ object Queries2 {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- partial-overlap containment: |fp(A) ∩ fp(B)| / |fp(A)| over
+    // winnowing fingerprints — detects docs CONTAINED in others (plagiarism/
+    // quote detection), which symmetric Jaccard misses. Directed pairs.
+    "q50_containment" -> { (s, dir) => implicit val sp = s
+      val sub = corpus(dir).filter(col("doc_id") % 100000 < 150)
+      val fps = sub.select(col("doc_id"),
+        explode(graft.functions.TextHashExprs.winnowFingerprints(
+          split(col("text"), " "))).as("wmin"))
+      val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = fps.select(col("doc_id").as("doc_a"), col("wmin"))
+        .join(fps.select(col("doc_id").as("doc_b"), col("wmin")), Seq("wmin"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .withColumn("containment", round(col("inter").cast("double") / col("na"), 4))
+        .filter(col("containment") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- RANGE-frame window: per customer, orders within the PRECEDING
+    // 30 days (value-based frame over an epoch-day axis — the window family
+    // ROWS frames can't express).
+    "q51_range_frame" -> { (s, dir) => implicit val sp = s
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+        .rangeBetween(-30, Window.currentRow)
+      t(dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("day_num", datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("sum_30d", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+          col("n_30d"), col("sum_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // ---- multimodal binary columns: documents as opaque BLOBs with typed
     // metadata extracted portably (size, head bytes, tail checksum). Decode
     // beyond metadata lives in graft.multimodal (stub codec, real plumbing).
@@ -306,6 +343,47 @@ object Queries2 {
          |SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+    "q50_containment" ->
+      s"""WITH corpus AS ($corpusSql),
+         |sub AS (SELECT * FROM corpus WHERE doc_id % 100000 < 150),
+         |shs AS (
+         |  SELECT doc_id, list_transform(
+         |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |    i -> string_split(text, ' ')[i] || ' ' ||
+         |      string_split(text, ' ')[i+1] || ' ' ||
+         |      string_split(text, ' ')[i+2]) AS shl
+         |  FROM sub),
+         |hashed AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         |    CAST('0x' || substring(md5(shl[i]), 1, 7) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, shl, unnest(range(1, len(shl) + 1)) AS i FROM shs)),
+         |win AS (
+         |  SELECT doc_id, idx,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY idx
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM hashed),
+         |fps AS (SELECT DISTINCT doc_id, wmin FROM win WHERE idx <= n - 4),
+         |counts AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM fps a JOIN fps b ON a.wmin = b.wmin AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / ca.n, 4) AS containment
+         |FROM inter JOIN counts ca ON ca.doc_id = doc_a
+         |WHERE round(CAST(inter AS DOUBLE) / ca.n, 4) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q51_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS day_num,
+        |  count(*) OVER w AS n_30d,
+        |  round(sum(o_totalprice) OVER w, 2) AS sum_30d
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q48_media_stats" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  lower(substring(hex(CAST(text AS BLOB)), 1, 8)) AS head_hex,

@@ -84,13 +84,19 @@ object TextOps {
   def lshCandidatePairs(sigs: DataFrame, idCol: String, nPerms: Int, rowsPerBand: Int): DataFrame = {
     require(nPerms % rowsPerBand == 0, "nPerms must be divisible by rowsPerBand")
     val nBands = nPerms / rowsPerBand
-    val bands = (0 until nBands).map { bIdx =>
-      val keyCols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(j => col(s"mh$j"))
-      sigs.select(col(idCol), lit(bIdx).as("band"), concat_ws("_", keyCols: _*).as("bkey"))
-    }.reduce(_ union _)
-    val a = bands.select(col("band"), col("bkey"), col(idCol).as("id_a"))
-    val b = bands.select(col("band"), col("bkey"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+    // band index folded into the key and ALL bands emitted by one explode:
+    // the signature subtree is scanned once (not once per band), and the
+    // self-join's two sides are canonically identical, so the band-key
+    // exchange is computed once and reused
+    val bandKeys = (0 until nBands).map { bIdx =>
+      val keyCols = lit(s"$bIdx") +:
+        (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(j => col(s"mh$j"))
+      concat_ws("_", keyCols: _*)
+    }
+    val bands = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bkey"))
+    val a = bands.select(col("bkey"), col(idCol).as("id_a"))
+    val b = bands.select(col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("bkey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
