@@ -90,4 +90,30 @@ object Multimodal {
     features.filter(col("kind") === "video")
       .select(col("media_id"), col("n_frames"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_idx"))
+
+  /** Resize image-kind media to fit inside `maxDim` x `maxDim`, preserving
+    * aspect ratio (no-op for media already within bounds, and for non-image
+    * kinds). Same partition-wise no-shuffle shape as [[extractFeatures]];
+    * the payload transform is stubbed (content passes through — a real
+    * resizer swaps in at the same signature), the DIMENSION arithmetic and
+    * plumbing are real and tested. */
+  def resize(media: Dataset[MediaFile], maxDim: Int, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
+          val (rw, rh) =
+            if (m.kind != "image" || math.max(w, h) <= maxDim) (w, h)
+            else {
+              val scale = maxDim.toDouble / math.max(w, h)
+              (math.max(1, math.round(w * scale).toInt),
+                math.max(1, math.round(h * scale).toInt))
+            }
+          MediaFeatures(m.media_id, m.kind, rw, rh, frames, FakeCodec.features(m.content))
+        }
+      }
+    }
+  }
 }

@@ -28,6 +28,24 @@ class MultimodalSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.media_id) == f.feature.toSeq))
   }
 
+  test("resize fits images inside the bound, preserves aspect, skips others") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaFile(1, "image", Array.fill[Byte](300)(1)),  // 364 x 106 -> resized
+      MediaFile(2, "image", Array.fill[Byte](10)(1)),   // 74 x 65 -> untouched
+      MediaFile(3, "video", Array.fill[Byte](500)(1)))) // non-image -> untouched
+    val out = Multimodal.resize(media, maxDim = 128).collect()
+      .map(f => f.media_id -> f).toMap
+    val (w1, h1, _) = Multimodal.FakeCodec.decode("image", Array.fill[Byte](300)(1))
+    assert(out(1).width == 128)
+    assert(out(1).height == math.round(h1 * 128.0 / w1).toInt)
+    assert(math.max(out(1).width, out(1).height) <= 128)
+    val (w2, h2, _) = Multimodal.FakeCodec.decode("image", Array.fill[Byte](10)(1))
+    assert(out(2).width == w2 && out(2).height == h2)
+    val (w3, h3, _) = Multimodal.FakeCodec.decode("video", Array.fill[Byte](500)(1))
+    assert(out(3).width == w3 && out(3).height == h3)
+  }
+
   test("synthetic media from documents + frame sampling") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
