@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.GraftFunctions.arity("double_dot", 2)(exprs =>
         graft.functions.DoubleArrayDot(exprs(0), exprs(1)))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      graft.functions.GraftFunctions.arity("minhash_sig", 1)(exprs =>
+        graft.functions.GraftFunctions.defaultMinHashSig(exprs.head))))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_sig"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.SimHashSig].getName, "simhash_sig"),

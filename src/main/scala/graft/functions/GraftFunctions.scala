@@ -37,6 +37,12 @@ object GraftFunctions {
   private val DefaultB = Array(12345L, 54321L, 7777L, 424242L, 98765L, 13579L, 24680L, 111111L)
   private val DefaultP = 2147483647L
 
+  /** minhash_sig with the engine's standard permutations — shared by
+    * [[registerAll]] and [[graft.GraftExtensions]] so both SQL surfaces
+    * stay identical. */
+  def defaultMinHashSig(child: org.apache.spark.sql.catalyst.expressions.Expression): MinHashSig =
+    MinHashSig(child, 3, DefaultA, DefaultB, DefaultP)
+
   def registerAll(spark: SparkSession): Unit = {
     PolyHash64.register(spark)
     val reg = spark.sessionState.functionRegistry
@@ -46,7 +52,7 @@ object GraftFunctions {
       "double_dot", arity("double_dot", 2)(exprs => DoubleArrayDot(exprs(0), exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_sig", arity("minhash_sig", 1)(exprs =>
-        MinHashSig(exprs.head, 3, DefaultA, DefaultB, DefaultP)), "scala_udf")
+        defaultMinHashSig(exprs.head)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash_sig", arity("simhash_sig", 1)(exprs => SimHashSig(exprs.head, 16)), "scala_udf")
     reg.createOrReplaceTempFunction(

@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * `conv(substring(md5(x), 1, 7), 16, 10)` (first 7 hex nibbles of MD5,
   * 28 bits), streamed over the same bytes without the hex-string /
   * concat_ws allocations. Oracle SQL is unchanged.
+  *
+  * Null contract: a null ELEMENT inside the token array null-propagates the
+  * whole signature (kernels return null), mirroring [[LongArrayDot]]; a
+  * null array is handled by the expressions' standard null gate.
   */
 object TextHashKernels {
   private val SP: Byte = ' '.toByte
@@ -38,11 +42,13 @@ object TextHashKernels {
 
   /** 28-bit MD5 hash of the n-token shingle toks[i..i+n-1] joined by ' ',
     * streamed into the digest (md5(a || ' ' || b) without building the
-    * concatenated string). */
+    * concatenated string). Returns -1 when an element in range is null
+    * (negative is impossible for a real hash — used as the null sentinel). */
   private def shingleHash(toks: ArrayData, i: Int, n: Int): Long = {
     val d = md.get(); d.reset()
     var j = 0
     while (j < n) {
+      if (toks.isNullAt(i + j)) return -1L
       if (j > 0) d.update(SP)
       d.update(toks.getUTF8String(i + j).getBytes)
       j += 1
@@ -54,7 +60,7 @@ object TextHashKernels {
     * `(h * a(j) + b(j)) % p` per permutation j. Distinctness of shingles is
     * irrelevant to a min, so no dedup pass is needed. Returns null when the
     * doc has < n tokens (parity with the explode pipeline, where such docs
-    * produce no rows). */
+    * produce no rows) or when a token is null. */
   def minhashSig(toks: ArrayData, n: Int, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
     val sz = toks.numElements()
     if (sz < n) return null
@@ -63,6 +69,7 @@ object TextHashKernels {
     var i = 0
     while (i <= sz - n) {
       val h = shingleHash(toks, i, n)
+      if (h < 0) return null
       var j = 0
       while (j < k) {
         val v = (h * a(j) + b(j)) % p
@@ -75,13 +82,15 @@ object TextHashKernels {
   }
 
   /** Frequency-weighted SimHash over single tokens: bit i of the result is
-    * set when `sum(+1/-1 over tokens by bit i of hash28(token)) >= 0`. */
-  def simhash(toks: ArrayData, bits: Int): Long = {
+    * set when `sum(+1/-1 over tokens by bit i of hash28(token)) >= 0`.
+    * Null on null tokens. */
+  def simhash(toks: ArrayData, bits: Int): java.lang.Long = {
     val counts = new Array[Int](bits)
     val sz = toks.numElements()
     var t = 0
     while (t < sz) {
       val h = shingleHash(toks, t, 1)
+      if (h < 0) return null
       var i = 0
       while (i < bits) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
@@ -92,13 +101,13 @@ object TextHashKernels {
     var r = 0L
     var i = 0
     while (i < bits) { if (counts(i) >= 0) r |= (1L << i); i += 1 }
-    r
+    java.lang.Long.valueOf(r)
   }
 
   /** Winnowing fingerprints: DISTINCT minima of a `w`-wide sliding window
     * over the doc's ORDERED 3-gram shingle-hash sequence, for window starts
     * idx <= L - w (L = number of shingles). Empty array when there are
-    * fewer than w shingles. */
+    * fewer than w shingles; null on null tokens. */
   def winnow(toks: ArrayData, n: Int, w: Int): ArrayData = {
     val sz = toks.numElements()
     if (sz < n) return new GenericArrayData(Array.empty[Long])
@@ -106,7 +115,11 @@ object TextHashKernels {
     if (L < w) return new GenericArrayData(Array.empty[Long])
     val h = new Array[Long](L)
     var i = 0
-    while (i < L) { h(i) = shingleHash(toks, i, n); i += 1 }
+    while (i < L) {
+      h(i) = shingleHash(toks, i, n)
+      if (h(i) < 0) return null
+      i += 1
+    }
     val seen = new java.util.TreeSet[java.lang.Long]()
     i = 0
     while (i <= L - w) {
@@ -129,6 +142,7 @@ private[functions] trait TokenArrayExpression extends UnaryExpression {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
   }
+  override def nullable: Boolean = true
 }
 
 /** `minhash_sig(tokens)` → array<bigint> of k permutation minima over the
@@ -138,7 +152,6 @@ private[functions] trait TokenArrayExpression extends UnaryExpression {
 case class MinHashSig(child: Expression, n: Int, a: Array[Long], b: Array[Long], p: Long)
     extends TokenArrayExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(toks: Any): Any =
@@ -146,9 +159,10 @@ case class MinHashSig(child: Expression, n: Int, a: Array[Long], b: Array[Long],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("mh", this, classOf[MinHashSig].getName)
+    val r = ctx.freshName("mhRes")
     nullSafeCodeGen(ctx, ev, c => s"""
-       |org.apache.spark.sql.catalyst.util.ArrayData r = $ref.kernel($c);
-       |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.kernel($c);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
      """.stripMargin)
   }
 
@@ -159,7 +173,7 @@ case class MinHashSig(child: Expression, n: Int, a: Array[Long], b: Array[Long],
     copy(child = newChild)
 }
 
-/** `simhash(tokens)` → frequency-weighted SimHash (long, `bits` wide). */
+/** `simhash_sig(tokens)` → frequency-weighted SimHash (long, `bits` wide). */
 case class SimHashSig(child: Expression, bits: Int) extends TokenArrayExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
@@ -169,10 +183,14 @@ case class SimHashSig(child: Expression, bits: Int) extends TokenArrayExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sh", this, classOf[SimHashSig].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+    val r = ctx.freshName("shRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long $r = $ref.kernel($c);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+     """.stripMargin)
   }
 
-  def kernel(toks: ArrayData): Long = TextHashKernels.simhash(toks, bits)
+  def kernel(toks: ArrayData): java.lang.Long = TextHashKernels.simhash(toks, bits)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
@@ -190,7 +208,11 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends TokenAr
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("wf", this, classOf[WinnowFingerprints].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+    val r = ctx.freshName("wfRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.kernel($c);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+     """.stripMargin)
   }
 
   def kernel(toks: ArrayData): ArrayData = TextHashKernels.winnow(toks, n, w)

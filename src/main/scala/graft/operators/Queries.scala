@@ -25,17 +25,11 @@ import org.apache.spark.sql.expressions.Window
 object Queries {
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Rel.t(dir, name)
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; read nanos as long and derive the micros /
-    * timestamp columns explicitly (ts_us bigint, tsx timestamp). */
-  private def events(dir: String)(implicit s: SparkSession): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("tsx", timestamp_micros(col("ts_us")))
-  }
+  /** Events with ts_us/tsx derived from the nanos timestamp ([[Rel]]). */
+  private def events(dir: String)(implicit s: SparkSession): DataFrame =
+    Rel.events(dir)
 
   /** Derived file-entry relation used by the metadata-engine queries: one
     * "file" per lineitem row — partition = l_returnflag, content cycles

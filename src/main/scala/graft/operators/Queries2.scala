@@ -11,25 +11,19 @@ import org.apache.spark.sql.expressions.Window
 object Queries2 {
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Rel.t(dir, name)
 
-  private def events(dir: String)(implicit s: SparkSession): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("tsx", timestamp_micros(col("ts_us")))
-  }
+  private def events(dir: String)(implicit s: SparkSession): DataFrame =
+    Rel.events(dir)
 
-  /** Same dedup corpus as [[TextQueries]]: originals + drop-first-token twins. */
-  private def corpus(dir: String)(implicit s: SparkSession): DataFrame = {
-    val docs = t(dir, "documents").select(col("doc_id"), col("text"))
-    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"),
-      expr("substring(text, instr(text, ' ') + 1)").as("text")))
-  }
+  /** Same dedup corpus as q21/q22 ([[DedupCorpus]]) — shared, because q42's
+    * oracle parity depends on identical twins and permutations. */
+  private def corpus(dir: String)(implicit s: SparkSession): DataFrame =
+    DedupCorpus.corpus(dir)
 
-  private val P = 2147483647L
-  private val A = Seq(1000003L, 1999993L, 999331L, 1112111L, 1300021L, 1500007L, 1700021L, 1900037L)
-  private val B = Seq(12345L, 54321L, 7777L, 424242L, 98765L, 13579L, 24680L, 111111L)
+  private val P = DedupCorpus.P
+  private val A = DedupCorpus.A
+  private val B = DedupCorpus.B
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -66,6 +60,9 @@ object Queries2 {
         labels = next
         rounds += 1
       }
+      if (!converged)
+        System.err.println(s"[q42] WARNING: label propagation truncated at $rounds rounds " +
+          "before the fixpoint — a component wider than the cap exists; clusters may be split")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -218,24 +215,11 @@ object Queries2 {
         .orderBy(col("doc_id"))
     })
 
-  private def minhashAggsSql = A.indices.map(j =>
-    s"min((h * ${A(j)} + ${B(j)}) % $P) AS mh$j").mkString(", ")
+  private def minhashAggsSql = DedupCorpus.minhashAggsSql
 
-  private val corpusSql =
-    """SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
-      |         substring(text, position(' ' IN text) + 1) AS text
-      |  FROM documents""".stripMargin
+  private val corpusSql = DedupCorpus.corpusSql
 
-  private val shingleHashesSql =
-    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-       |          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-       |          i -> string_split(text, ' ')[i] || ' ' ||
-       |            string_split(text, ' ')[i+1] || ' ' ||
-       |            string_split(text, ' ')[i+2]))) AS sh
-       |        FROM corpus)""".stripMargin
+  private val shingleHashesSql = DedupCorpus.shingleHashesSql
 
   def oracles: Map[String, String] = Map(
     "q42_dedup_clusters" ->

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relations shared by the query files — one definition each, because
+  * oracle parity across queries (q21/q22 vs q42, q10 vs q44/q45) depends on
+  * these staying bit-identical. */
+private[operators] object Rel {
+
+  def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default; read nanos as long and derive the micros /
+    * timestamp columns explicitly (ts_us bigint, tsx timestamp). */
+  def events(dir: String)(implicit s: SparkSession): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+  }
+}
+
+/** The dedup test corpus and its minhash machinery: originals + synthesized
+  * near-dup twins (first token dropped), the engine's standard permutation
+  * constants, and the DuckDB SQL fragments that recompute them verbatim. */
+private[operators] object DedupCorpus {
+
+  val P = 2147483647L
+  val A = Seq(1000003L, 1999993L, 999331L, 1112111L, 1300021L, 1500007L, 1700021L, 1900037L)
+  val B = Seq(12345L, 54321L, 7777L, 424242L, 98765L, 13579L, 24680L, 111111L)
+
+  /** Originals + drop-first-token twins (doc_id + 100000). */
+  def corpus(dir: String)(implicit s: SparkSession): DataFrame = {
+    val docs = Rel.t(dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  val corpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substring(text, position(' ' IN text) + 1) AS text
+      |  FROM documents""".stripMargin
+
+  // NOTE: continuation lines must not begin with "||" — stripMargin would
+  // eat the first pipe and turn concat into bitwise-or.
+  val shingleHashesSql: String =
+    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |          i -> string_split(text, ' ')[i] || ' ' ||
+       |            string_split(text, ' ')[i+1] || ' ' ||
+       |            string_split(text, ' ')[i+2]))) AS sh
+       |        FROM corpus)""".stripMargin
+
+  def minhashAggsSql: String = A.indices.map(j =>
+    s"min((h * ${A(j)} + ${B(j)}) % $P) AS mh$j").mkString(", ")
+}

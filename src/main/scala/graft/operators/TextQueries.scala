@@ -24,16 +24,17 @@ import graft.sources.FileEntrySource
 object TextQueries {
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Rel.t(dir, name)
 
-  // MinHash permutation constants: (a*h + b) % p over 28-bit token hashes.
-  // 8 permutations -> 2 bands of 4 rows: on a low-entropy vocabulary,
-  // 2-row bands collide pathologically (one bucket held 76% of docs at
-  // sf0.1 => 35M candidate pairs); 4-row bands keep buckets near-unique
-  // while twins (Jaccard ~ 1) still collide with probability ~ J^4 per band.
-  private val P = 2147483647L
-  private val A = Seq(1000003L, 1999993L, 999331L, 1112111L, 1300021L, 1500007L, 1700021L, 1900037L)
-  private val B = Seq(12345L, 54321L, 7777L, 424242L, 98765L, 13579L, 24680L, 111111L)
+  // MinHash permutation constants ([[DedupCorpus]]): (a*h + b) % p over
+  // 28-bit token hashes. 8 permutations -> 2 bands of 4 rows: on a
+  // low-entropy vocabulary, 2-row bands collide pathologically (one bucket
+  // held 76% of docs at sf0.1 => 35M candidate pairs); 4-row bands keep
+  // buckets near-unique while twins (Jaccard ~ 1) still collide with
+  // probability ~ J^4 per band.
+  private val P = DedupCorpus.P
+  private val A = DedupCorpus.A
+  private val B = DedupCorpus.B
   private val SimBits = 16
 
   /** Deterministic hyperplane weights for sign-LSH over quantized
@@ -43,18 +44,10 @@ object TextQueries {
   private lazy val planes: Seq[(Int, Int, Long)] = AnnOps.planeWeights(16, 64)
 
   /** Dedup corpus: originals + near-dup twins (first token dropped). */
-  private def corpus(dir: String)(implicit s: SparkSession): DataFrame = {
-    val docs = t(dir, "documents").select(col("doc_id"), col("text"))
-    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"),
-      expr("substring(text, instr(text, ' ') + 1)").as("text")))
-  }
+  private def corpus(dir: String)(implicit s: SparkSession): DataFrame =
+    DedupCorpus.corpus(dir)
 
-  private val corpusSql =
-    """SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
-      |         substring(text, position(' ' IN text) + 1) AS text
-      |  FROM documents""".stripMargin
+  private val corpusSql = DedupCorpus.corpusSql
 
   /** doc_id, h: 28-bit portable hashes of the doc's DISTINCT 3-gram token
     * shingles (via [[TextOps.shingles]]/[[TextOps.portableHash28]]).
@@ -69,19 +62,9 @@ object TextQueries {
       .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__toks"))).as("sh"))
       .select(col("doc_id"), TextOps.portableHash28(col("sh")).as("h"))
 
-  // NOTE: continuation lines must not begin with "||" — stripMargin would
-  // eat the first pipe and turn concat into bitwise-or.
-  private val shingleHashesSql =
-    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-       |          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-       |          i -> string_split(text, ' ')[i] || ' ' ||
-       |            string_split(text, ' ')[i+1] || ' ' ||
-       |            string_split(text, ' ')[i+2]))) AS sh
-       |        FROM corpus)""".stripMargin
+  private val shingleHashesSql = DedupCorpus.shingleHashesSql
 
-  private def minhashAggsSql = A.indices.map(j =>
-    s"min((h * ${A(j)} + ${B(j)}) % $P) AS mh$j").mkString(", ")
+  private def minhashAggsSql = DedupCorpus.minhashAggsSql
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 

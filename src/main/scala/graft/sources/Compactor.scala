@@ -77,14 +77,25 @@ object Compactor {
     if (bins.isEmpty) return CompactionResult(0, 0, 0, outDir)
     import spark.implicits._
     val binDf = bins.toDF().select(col("path"), col("bin").as("__bin"))
+    // normalize input_file_name's URI form with the SAME parser the listing
+    // used (Path.toUri.getPath): strips scheme AND authority and decodes
+    // percent-encoding — a regex would keep hdfs://host:port authorities or
+    // encoded spaces in the key and silently empty the join
+    val toBarePath = udf((s: String) => new Path(s).toUri.getPath)
     val data = spark.read.parquet(inDir)
-      // normalize scheme'd URIs (file:///x, hdfs://nn/x) to bare paths so
-      // they join with the listing's toUri.getPath form
-      .withColumn("path", regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .withColumn("path", toBarePath(input_file_name()))
     data.join(broadcast(binDf), Seq("path"))
       .drop("path")
       .repartition(col("__bin"))
       .write.mode("overwrite").partitionBy("__bin").parquet(outDir)
+    // row-preservation gate (footer-metadata counts — no data scan): a
+    // path-key mismatch must fail loudly, never ship a lossy "compaction"
+    val rowsIn = spark.read.parquet(inDir).count()
+    val rowsOut = spark.read.parquet(outDir).count()
+    if (rowsIn != rowsOut)
+      throw new IllegalStateException(
+        s"compaction row mismatch: $inDir has $rowsIn rows, $outDir has $rowsOut — " +
+          "file-path keys failed to join (scheme/encoding drift?)")
     CompactionResult(bins.length, bins.map(_.bin).distinct.length, bins.map(_.size).sum, outDir)
   }
 }

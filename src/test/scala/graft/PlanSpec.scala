@@ -67,7 +67,7 @@ class PlanSpec extends AnyFunSuite {
   test("q21/q23/q37: per-row signature queries plan NO exchange before write") {
     // signature computation is a pure projection — the only exchange
     // allowed is the final presentation sort's range partitioning
-    for (q <- Seq("q21_minhash_signatures", "q23_simhash")) {
+    for (q <- Seq("q21_minhash_signatures", "q23_simhash", "q37_winnowing")) {
       val p = plan(q)
       assert(!p.contains("hashpartitioning"), s"$q shuffles for a per-row signature:\n$p")
     }

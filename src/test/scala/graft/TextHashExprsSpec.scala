@@ -93,6 +93,18 @@ class TextHashExprsSpec extends AnyFunSuite {
     assert(native == relational)
   }
 
+  test("null tokens null-propagate (no NPE) across all three kernels") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT minhash_sig(array('a', CAST(NULL AS STRING), 'b', 'c')) AS mh,
+        |       simhash_sig(array('a', CAST(NULL AS STRING))) AS sh,
+        |       winnow_fingerprints(array('a', NULL, 'b', 'c', 'd', 'e', 'f')) AS wf,
+        |       simhash_sig(CAST(NULL AS ARRAY<STRING>)) AS shnull
+        |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("WinnowFingerprints: short docs yield no fingerprints") {
     import spark.implicits._
     // 5 tokens -> 3 shingles < window of 4 -> empty; 6 tokens -> exactly one
