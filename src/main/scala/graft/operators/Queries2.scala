@@ -202,6 +202,45 @@ object Queries2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- snapshot diff (CDC shape): row-level Inserted/Deleted/Updated
+    // between two table snapshots via ONE full-outer join on the key.
+    // Snapshot B is derived deterministically from A inside the query
+    // (deletes %97, updates %101, inserts %103) on both engines.
+    "q52_snapshot_diff" -> { (s, dir) => implicit val sp = s
+      val a = t(dir, "orders")
+        .select(col("o_orderkey").as("key"), round(col("o_totalprice"), 2).as("price"))
+      val b = a.filter(col("key") % 97 =!= 0)
+        .withColumn("price",
+          when(col("key") % 101 === 0, round(col("price") + 1, 2)).otherwise(col("price")))
+        .unionByName(a.filter(col("key") % 103 === 0)
+          .select((col("key") + 1000000000L).as("key"), col("price")))
+      a.select(col("key"), col("price").as("price_a"))
+        .join(b.select(col("key"), col("price").as("price_b")), Seq("key"), "full_outer")
+        .withColumn("change",
+          when(col("price_b").isNull, lit("D"))
+            .when(col("price_a").isNull, lit("I"))
+            .when(col("price_a") =!= col("price_b"), lit("U")))
+        .filter(col("change").isNotNull)
+        .select(col("key"), col("change"))
+        .orderBy(col("key"))
+    },
+
+    // ---- min/max file pruning estimate: the data-lake scan optimization
+    // the metrics engine models — per-"file" (bucket) min/max stats decide
+    // which files a predicate can skip without reading.
+    "q53_pruning_estimate" -> { (s, dir) => implicit val sp = s
+      val stats = t(dir, "lineitem")
+        .groupBy(col("l_returnflag").as("pk"), (col("l_orderkey") % 50).as("bucket"))
+        .agg(max(col("l_extendedprice")).as("max_price"),
+          min(col("l_extendedprice")).as("min_price"))
+      stats.groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_files"),
+          count(when(col("max_price") <= 80000.0, 1)).as("n_skipped"))
+        .withColumn("skip_ratio",
+          round(col("n_skipped").cast("double") / col("n_files"), 4))
+        .orderBy(col("pk"))
+    },
+
     // ---- multimodal binary columns: documents as opaque BLOBs with typed
     // metadata extracted portably (size, head bytes, tail checksum). Decode
     // beyond metadata lives in graft.multimodal (stub codec, real plumbing).
@@ -368,6 +407,32 @@ object Queries2 {
         |  ORDER BY CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q52_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS key, round(o_totalprice, 2) AS price FROM orders),
+        |b AS (
+        |  SELECT key,
+        |    CASE WHEN key % 101 = 0 THEN round(price + 1, 2) ELSE price END AS price
+        |  FROM a WHERE key % 97 <> 0
+        |  UNION ALL
+        |  SELECT key + 1000000000, price FROM a WHERE key % 103 = 0),
+        |d AS (
+        |  SELECT coalesce(a.key, b.key) AS key,
+        |    CASE WHEN b.key IS NULL THEN 'D'
+        |         WHEN a.key IS NULL THEN 'I'
+        |         WHEN a.price <> b.price THEN 'U' END AS change
+        |  FROM a FULL OUTER JOIN b ON a.key = b.key)
+        |SELECT key, change FROM d WHERE change IS NOT NULL ORDER BY key""".stripMargin,
+    "q53_pruning_estimate" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag AS pk, l_orderkey % 50 AS bucket,
+        |    max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT pk, count(*) AS n_files,
+        |  count(CASE WHEN max_price <= 80000.0 THEN 1 END) AS n_skipped,
+        |  round(CAST(count(CASE WHEN max_price <= 80000.0 THEN 1 END) AS DOUBLE)
+        |        / count(*), 4) AS skip_ratio
+        |FROM stats GROUP BY pk ORDER BY pk""".stripMargin,
     "q48_media_stats" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  lower(substring(hex(CAST(text AS BLOB)), 1, 8)) AS head_hex,
