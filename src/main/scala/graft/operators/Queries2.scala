@@ -202,6 +202,23 @@ object Queries2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- top-k per group via a typed UDAF (bounded-buffer Aggregator):
+    // same result as q9's window formulation, but the PARTIAL aggregate
+    // already caps each map partition at k rows per group before the
+    // shuffle — the window version shuffles and sorts EVERY row. Same
+    // oracle as q9 modulo k.
+    "q54_topk_agg" -> { (s, dir) => implicit val sp = s
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3))
+      t(dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("idx", "t")))
+        .select(col("o_custkey"), col("t.tiebreak").as("o_orderkey"),
+          round(col("t.value"), 2).as("totalprice"),
+          (col("idx") + 1).cast("long").as("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+
     // ---- snapshot diff (CDC shape): row-level Inserted/Deleted/Updated
     // between two table snapshots via ONE full-outer join on the key.
     // Snapshot B is derived deterministically from A inside the query
@@ -407,6 +424,12 @@ object Queries2 {
         |  ORDER BY CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q54_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q52_snapshot_diff" ->
       """WITH a AS (
         |  SELECT o_orderkey AS key, round(o_totalprice, 2) AS price FROM orders),

@@ -73,6 +73,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q54: top-k UDAF aggregates partially (k rows per group) before the exchange") {
+    val p = plan("q54_topk_agg")
+    // partial + final ObjectHashAggregate pair around one exchange —
+    // unlike the window formulation, which sorts every row of every group
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("new SQL functions usable from spark.sql") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(
