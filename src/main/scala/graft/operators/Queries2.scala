@@ -219,6 +219,30 @@ object Queries2 {
         .orderBy(col("o_custkey"), col("rank"))
     },
 
+    // ---- CUBE: the remaining grouping-set family (q11 covers ROLLUP) —
+    // all four (returnflag × linestatus) marginal combinations in one pass.
+    "q55_cube" -> { (s, dir) => implicit val sp = s
+      t(dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- inverted index: token → (df, sorted posting list). Postings as a
+    // STRING (not array — arrays break the gate's row sort) built
+    // deterministically; the index is the retrieval-side core of a corpus
+    // pipeline. Map-side combine collapses (token, doc) dups pre-shuffle.
+    "q56_inverted_index" -> { (s, dir) => implicit val sp = s
+      t(dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), lit(" "))).as("token"))
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings"))
+        .orderBy(col("token"))
+    },
+
     // ---- snapshot diff (CDC shape): row-level Inserted/Deleted/Updated
     // between two table snapshots via ONE full-outer join on the key.
     // Snapshot B is derived deterministically from A inside the query
@@ -424,6 +448,18 @@ object Queries2 {
         |  ORDER BY CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q55_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q56_inverted_index" ->
+      """SELECT token, count(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 50)
+        |GROUP BY token ORDER BY token""".stripMargin,
     "q54_topk_agg" ->
       """SELECT o_custkey, o_orderkey, totalprice, rank FROM (
         |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
