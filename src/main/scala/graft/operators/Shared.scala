@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Relations shared by the query files — one definition each, because
   * oracle parity across queries (q21/q22 vs q42, q10 vs q44/q45) depends on
   * these staying bit-identical. */
-private[operators] object Rel {
+private[graft] object Rel {
 
   def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")

@@ -18,11 +18,10 @@ object SqlEnv {
       .sortBy(_._1).toSeq
     tables.map { case (name, path) =>
       if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path)
-          .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-          .withColumn("tsx", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.col("ts_us")))
+        // the ONE canonical events derivation (nanos→ts_us/tsx) lives in
+        // Rel — SQL views must not drift from the oracle-gated relation
+        implicit val sp: SparkSession = spark
+        graft.operators.Rel.events(new java.io.File(path).getParent)
           .createOrReplaceTempView(name)
       } else {
         spark.read.parquet(path).createOrReplaceTempView(name)

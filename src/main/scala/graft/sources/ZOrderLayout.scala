@@ -31,7 +31,12 @@ object ZOrderLayout {
     val grid = (1L << bits) - 1
     def norm(c: Column, mn: Double, mx: Double) = {
       val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-      least(lit(grid), floor((c.cast("double") - mn) / span * (grid + 1)).cast("long"))
+      val cell = floor((c.cast("double") - mn) / span * (grid + 1)).cast("long")
+      // explicit null gate: least/greatest SKIP nulls (a null value would
+      // otherwise land in the max cell); clamp both ends so stale stats
+      // (value outside [mn, mx]) degrade to edge tiles, not wrapped codes
+      when(c.isNull, lit(null).cast("long"))
+        .otherwise(greatest(lit(0L), least(lit(grid), cell)))
     }
     MortonCode.morton(norm(a, aMin, aMax), norm(b, bMin, bMax), bits)
   }
@@ -41,6 +46,12 @@ object ZOrderLayout {
     val stats = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      // empty input (or an all-null cluster column): nothing to cluster —
+      // write the data as-is rather than NPE on absent stats
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     val z = zorderKey(col(colA), stats.getDouble(0), stats.getDouble(1),
       col(colB), stats.getDouble(2), stats.getDouble(3))
     df.withColumn("__z", z)
@@ -60,7 +71,10 @@ object ZOrderLayout {
       .agg(min(col(column).cast("double")).as("mn"),
         max(col(column).cast("double")).as("mx"))
       .collect()
-    val hit = perFile.count(r => r.getDouble(2) >= lo && r.getDouble(1) <= hi)
+    if (perFile.isEmpty) return 0.0
+    // a file with all-null stats carries no values in range -> skippable
+    val hit = perFile.count(r =>
+      !r.isNullAt(1) && !r.isNullAt(2) && r.getDouble(2) >= lo && r.getDouble(1) <= hi)
     hit.toDouble / perFile.length
   }
 }
