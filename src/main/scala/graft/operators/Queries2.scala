@@ -219,6 +219,30 @@ object Queries2 {
         .orderBy(col("o_custkey"), col("rank"))
     },
 
+    // ---- the capstone cleaning pipeline: quality gate + language gate +
+    // token bounds + exact dedup (keep lowest id per content hash), one
+    // query — the composition a training corpus actually ships through.
+    // One scan, one narrow shuffle (the dedup window on content_hash).
+    "q57_corpus_clean" -> { (s, dir) => implicit val sp = s
+      val withFeatures = t(dir, "documents")
+        .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .withColumn("stop_hits", TextOps.occurrences(col("p"), " the "))
+        .withColumn("quality", round(
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.5 +
+          least(lit(1.0), col("stop_hits").cast("double") * 5.0 / col("n_tokens")) * 0.5, 4))
+        .withColumn("en_hits", TextOps.englishStopwordHits(col("text")))
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      withFeatures
+        .filter(col("quality") >= 0.3 && col("en_hits") >= 1 &&
+          col("n_tokens").between(10, 500))
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- CUBE: the remaining grouping-set family (q11 covers ROLLUP) —
     // all four (returnflag × linestatus) marginal combinations in one pass.
     "q55_cube" -> { (s, dir) => implicit val sp = s
@@ -448,6 +472,32 @@ object Queries2 {
         |  ORDER BY CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q57_corpus_clean" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST((length(' ' || text || ' ') -
+        |          length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS BIGINT) AS stop_hits,
+        |    CAST((length(' ' || text || ' ') -
+        |          length(replace(' ' || text || ' ', ' the ', ''))) // 5 +
+        |         (length(' ' || text || ' ') -
+        |          length(replace(' ' || text || ' ', ' a ', ''))) // 3 AS BIGINT) AS en_hits
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, n_tokens, en_hits,
+        |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 +
+        |          least(1.0, CAST(stop_hits AS DOUBLE) * 5.0 / n_tokens) * 0.5, 4) AS quality
+        |  FROM f),
+        |gated AS (
+        |  SELECT doc_id, n_tokens, quality, md5(text) AS content_hash
+        |  FROM scored
+        |  WHERE quality >= 0.3 AND en_hits >= 1 AND n_tokens BETWEEN 10 AND 500),
+        |deduped AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM gated)
+        |SELECT doc_id, n_tokens, quality FROM deduped WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q55_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty
