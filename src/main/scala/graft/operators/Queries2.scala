@@ -37,35 +37,10 @@ object Queries2 {
     "q42_dedup_clusters" -> { (s, dir) => implicit val sp = s
       val sigs = TextOps.minhashSignatures(corpus(dir), "doc_id", "text", A.zip(B), P)
       val pairs = TextOps.lshCandidatePairs(sigs, "doc_id", nPerms = A.size, rowsPerBand = 4)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      // convergence via the label-sum checksum: propagation only ever
-      // LOWERS labels, so an unchanged sum == fixpoint — one cheap scan per
-      // round instead of a join-based diff
-      var checksum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 30) {
-        val next = edges.join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("lbl"))
-          .union(labels)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-        converged = nextSum == checksum
-        checksum = nextSum
-        labels = next
-        rounds += 1
-      }
-      if (!converged)
-        System.err.println(s"[q42] WARNING: label propagation truncated at $rounds rounds " +
-          "before the fixpoint — a component wider than the cap exists; clusters may be split")
-      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "lbl")
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      val labels = ClusterOps.connectedComponents(pairs, "id_a", "id_b")
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))
     },
 

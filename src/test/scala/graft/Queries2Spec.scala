@@ -29,6 +29,21 @@ class Queries2Spec extends AnyFunSuite {
     }
   }
 
+  test("connected components: local union-find == distributed min-label on the same graph") {
+    import spark.implicits._
+    import graft.operators.ClusterOps
+    // two chains, one triangle, one isolated pair (edges one orientation)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("a", "b")
+    val local = ClusterOps.connectedComponents(edges, "a", "b", localEdgeThreshold = 1000)
+      .as[(Long, Long)].collect().toMap
+    val dist = ClusterOps.connectedComponents(edges, "a", "b", localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("stratified sample: exactly ceil(n/10) rows per stratum") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
