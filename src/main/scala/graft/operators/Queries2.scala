@@ -194,6 +194,32 @@ object Queries2 {
         .orderBy(col("o_custkey"), col("rank"))
     },
 
+    // ---- skewed aggregation via explicit salting: 50% of rows land on one
+    // hot key; the two-phase (key, salt) -> (key) rollup spreads the hot
+    // key across partitions. Result identical to the plain GROUP BY — the
+    // oracle gate proves it.
+    "q58_skew_agg" -> { (s, dir) => implicit val sp = s
+      val skewed = t(dir, "orders")
+        .withColumn("key", when(col("o_custkey") % 10 < 5, 0L).otherwise(col("o_custkey")))
+      JoinOps.saltedCountSum(skewed, "key", "o_totalprice", col("o_orderkey"))
+        .select(col("key"), col("cnt"), round(col("sum"), 2).as("sum_price"))
+        .orderBy(col("key"))
+    },
+
+    // ---- range (interval) join via bucketed equi-join: point-in-interval
+    // as an equi-join on covering bucket ids + residual predicate — the
+    // theta join never materializes.
+    "q59_range_join" -> { (s, dir) => implicit val sp = s
+      val points = t(dir, "customer")
+        .select(col("c_custkey"), (col("c_custkey") % 1000).cast("long").as("p"))
+      val iv = t(dir, "supplier")
+        .select(col("s_suppkey"), ((col("s_suppkey") * 37) % 900).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 25)
+      JoinOps.rangeJoin(points, "p", iv, "lo", "hi", bucket = 16)
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_points"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // ---- the capstone cleaning pipeline: quality gate + language gate +
     // token bounds + exact dedup (keep lowest id per content hash), one
     // query — the composition a training corpus actually ships through.
@@ -447,6 +473,22 @@ object Queries2 {
         |  ORDER BY CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q58_skew_agg" ->
+      """SELECT key, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM (SELECT CASE WHEN o_custkey % 10 < 5 THEN 0 ELSE o_custkey END AS key,
+        |             o_totalprice
+        |      FROM orders)
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "q59_range_join" ->
+      """WITH points AS (
+        |  SELECT c_custkey, CAST(c_custkey % 1000 AS BIGINT) AS p FROM customer),
+        |iv AS (
+        |  SELECT s_suppkey, CAST((s_suppkey * 37) % 900 AS BIGINT) AS lo,
+        |         CAST((s_suppkey * 37) % 900 + 25 AS BIGINT) AS hi
+        |  FROM supplier)
+        |SELECT s_suppkey, count(*) AS n_points
+        |FROM points JOIN iv ON p >= lo AND p < hi
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q57_corpus_clean" ->
       """WITH f AS (
         |  SELECT doc_id, text,
