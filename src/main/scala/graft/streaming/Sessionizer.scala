@@ -113,4 +113,23 @@ object Sessionizer {
         col("n"), col("sum_value"))
       .as[(Long, Long, Double)]
   }
+
+  /** Hopping (sliding) event-time windows — the streaming twin of the
+    * batch q44: `length`-wide windows every `hop`, so each event lands in
+    * length/hop windows. Same state model as tumbling (one row per open
+    * window), watermark-bounded. */
+  def hoppingCounts(
+      events: Dataset[Event],
+      length: String = "1 hour", hop: String = "30 minutes"): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), length, hop))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n"), col("sum_value"))
+      .as[(Long, Long, Double)]
+  }
 }

@@ -215,4 +215,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(sMap == bMap)
     } finally q.stop()
   }
+
+  test("hopping windows: each event counted in exactly length/hop windows (q44 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = Sessionizer.hoppingCounts(input.toDS()) // 1h window, 30m hop
+    val q = agg.writeStream.format("memory").queryName("hopagg").outputMode("complete").start()
+    try {
+      val base = 1000 * H
+      val events = Seq(
+        Event(1, 1, base + 10 * 60 * 1000000L, 2.0),   // 10 min past the hour
+        Event(1, 2, base + 40 * 60 * 1000000L, 3.0),   // 40 min past
+        Event(2, 3, base + H + 5 * 60 * 1000000L, 1.0)) // next hour
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val rows = spark.table("hopagg").as[(Long, Long, Double)].collect()
+      // every event lands in exactly 2 windows
+      assert(rows.map(_._2).sum == 2 * events.size)
+      val byStart = rows.map(r => r._1 -> r).toMap
+      val halfH = 30 * 60 * 1000000L
+      // window [base, base+1h) holds events 1 and 2; [base-30m, ...) only event 1
+      assert(byStart(base)._2 == 2)
+      assert(byStart(base - halfH)._2 == 1)
+      assert(byStart(base + halfH)._2 == 2) // events 2 and 3
+    } finally q.stop()
+  }
 }
