@@ -71,13 +71,13 @@ object Cli {
       return
     }
 
-    val rootFile = new java.io.File(root)
-    if (!rootFile.isDirectory) { System.err.println(s"error: no such data root: $root"); sys.exit(1) }
-    val tables = rootFile.listFiles().toSeq
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => f.getName.stripSuffix(".parquet") -> f.getAbsolutePath)
-      .filter { case (n, _) => Pure.globMatch(glob, n) }
-      .sortBy(_._1)
+    // Hadoop FileSystem discovery (not java.io.File): hdfs:// and s3a://
+    // roots list identically to local paths, and a missing root is loud
+    val allTables =
+      try graft.sources.TableDiscovery.list(new org.apache.hadoop.conf.Configuration(), root)
+      catch { case e: java.io.FileNotFoundException =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(1); Seq.empty }
+    val tables = allTables.filter { case (n, _) => Pure.globMatch(glob, n) }
 
     cmd match {
       case "list" =>
@@ -143,10 +143,6 @@ object Cli {
         // (third arg = output root; data roots may be read-only)
         val outRoot = if (args.length > 2) args(2)
           else java.nio.file.Files.createTempDirectory("graft_compacted").toString
-        val allTables = rootFile.listFiles().toSeq
-          .filter(f => f.getName.endsWith(".parquet"))
-          .map(f => f.getName.stripSuffix(".parquet") -> f.getAbsolutePath)
-          .sortBy(_._1)
         if (allTables.isEmpty) { System.err.println(s"error: no tables under $root"); sys.exit(1) }
         val spark = session()
         // nanos timestamps (events) read as long — value-preserving rewrite

@@ -19,10 +19,14 @@ object ClusterOps {
 
   /** @param edges two long columns (src, dst); undirected (either
     *              orientation suffices)
+    * @param localEdgeThreshold max edges collected to the driver for the
+    *              union-find path; 1M edges ≈ 16 MB of longs (plus map
+    *              overhead) — well inside a default driver heap. Above it,
+    *              the distributed path runs with no driver materialization.
     * @return (id, cluster_id) — cluster_id = min member id */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      localEdgeThreshold: Long = 10000000L, maxRounds: Int = 50): DataFrame = {
+      localEdgeThreshold: Long = 1000000L, maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     // materialize the (post-LSH, small) edge set once: the sizing count,
     // the collect/propagation, and nothing else re-evaluates the upstream
@@ -60,7 +64,6 @@ object ClusterOps {
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
-    var checksum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -69,9 +72,13 @@ object ClusterOps {
         .union(labels)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-      converged = nextSum == checksum
-      checksum = nextSum
+      // exact fixpoint test: count labels that changed this round (an
+      // id-equijoin of two checkpointed relations — no lineage re-run; a
+      // label-sum checksum would be one scan cheaper but is inexact under
+      // 64-bit wraparound)
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      converged = changed == 0L
       labels = next
       rounds += 1
     }

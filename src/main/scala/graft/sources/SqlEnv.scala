@@ -8,20 +8,18 @@ import org.apache.spark.sql.SparkSession
   * reachable from `spark.sql(...)` alone. */
 object SqlEnv {
 
-  /** Returns the registered view names (sorted). */
+  /** Returns the registered view names (sorted). Tables are discovered with
+    * the Hadoop FileSystem API ([[TableDiscovery]]) so non-local roots
+    * (hdfs://, s3a://) work, and a missing root fails loudly. */
   def register(spark: SparkSession, dir: String): Seq[String] = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val root = new java.io.File(dir)
-    val tables = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => f.getName.stripSuffix(".parquet") -> f.getAbsolutePath)
-      .sortBy(_._1).toSeq
+    val tables = TableDiscovery.list(spark.sparkContext.hadoopConfiguration, dir)
     tables.map { case (name, path) =>
       if (name == "events") {
         // the ONE canonical events derivation (nanos→ts_us/tsx) lives in
         // Rel — SQL views must not drift from the oracle-gated relation
         implicit val sp: SparkSession = spark
-        graft.operators.Rel.events(new java.io.File(path).getParent)
+        graft.operators.Rel.events(new org.apache.hadoop.fs.Path(path).getParent.toString)
           .createOrReplaceTempView(name)
       } else {
         spark.read.parquet(path).createOrReplaceTempView(name)

@@ -58,6 +58,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel tombstone: re-activity after emission does not duplicate the user's row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    import graft.streaming.Funnel.{Conversion, FunnelEvent}
+    val input = MemoryStream[FunnelEvent]
+    val conv = Funnel.conversions(input.toDS())
+    val q = conv.writeStream.format("memory").queryName("funnel_ts").outputMode("append").start()
+    try {
+      val base = 1000 * H
+      input.addData(FunnelEvent(1, "signup", base), FunnelEvent(1, "purchase", base + 600000000L))
+      q.processAllAvailable()
+      // advance the watermark past base + horizon: user 1 finalizes and emits
+      input.addData(FunnelEvent(99, "signup", base + 10 * H))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99, "signup", base + 11 * H))
+      q.processAllAvailable()
+      assert(spark.table("funnel_ts").as[Conversion].collect().count(_.user_id == 1L) == 1)
+      // user 1 reappears (second signup + purchase) within the tombstone
+      // horizon; finalize again by pushing the watermark far ahead
+      input.addData(
+        FunnelEvent(1, "signup", base + 12 * H), FunnelEvent(1, "purchase", base + 12 * H + 1))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99, "signup", base + 20 * H))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99, "signup", base + 40 * H))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ts").as[Conversion].collect().filter(_.user_id == 1L)
+      withClue(s"rows=${rows.toSeq}") {
+        assert(rows.length == 1, "user 1 must be emitted exactly once despite re-activity")
+        assert(rows.head == Conversion(1, base, Some(base + 600000000L), 1))
+      }
+    } finally q.stop()
+  }
+
   test("gap sessionization over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
