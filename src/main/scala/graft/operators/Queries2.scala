@@ -38,9 +38,10 @@ object Queries2 {
       val sigs = TextOps.minhashSignatures(corpus(dir), "doc_id", "text", A.zip(B), P)
       val pairs = TextOps.lshCandidatePairs(sigs, "doc_id", nPerms = A.size, rowsPerBand = 4)
       val labels = ClusterOps.connectedComponents(pairs, "id_a", "id_b")
-      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "cluster_id")
-        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      // cluster size as a window count: one exchange on cluster_id instead
+      // of the groupBy+join double-shuffle of the same tiny relation
+      labels.select(col("id").as("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).as("cluster_size"))
         .orderBy(col("doc_id"))
     },
 

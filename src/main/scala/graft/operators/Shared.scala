@@ -25,7 +25,7 @@ private[graft] object Rel {
 /** The dedup test corpus and its minhash machinery: originals + synthesized
   * near-dup twins (first token dropped), the engine's standard permutation
   * constants, and the DuckDB SQL fragments that recompute them verbatim. */
-private[operators] object DedupCorpus {
+private[graft] object DedupCorpus {
 
   val P = 2147483647L
   val A = Seq(1000003L, 1999993L, 999331L, 1112111L, 1300021L, 1500007L, 1700021L, 1900037L)
