@@ -42,10 +42,20 @@ object Bench {
       val good = times.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail: round 3's 67-query full-name full-precision
+    // line overflowed the buffer, the line start was cut off, and the bench
+    // went ungraded ("parsed": null). Keep the stdout line compact — short
+    // query keys (the unique qNN prefix) and 3-decimal times (~12 chars per
+    // query leaves headroom past 100 queries) — and send the full-name
+    // full-precision detail to stderr for humans.
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    results.foreach { case (k, v) => System.err.println(s"[bench] $k ${d3(v)} s") }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + d3(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

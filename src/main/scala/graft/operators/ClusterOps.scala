@@ -20,9 +20,12 @@ object ClusterOps {
   /** @param edges two long columns (src, dst); undirected (either
     *              orientation suffices)
     * @param localEdgeThreshold max edges collected to the driver for the
-    *              union-find path; 1M edges ≈ 16 MB of longs (plus map
-    *              overhead) — well inside a default driver heap. Above it,
-    *              the distributed path runs with no driver materialization.
+    *              union-find path; collect() materializes boxed Rows (two
+    *              boxed Longs + Row wrapper each), so 1M edges is realistically
+    *              ~150-200 MB of driver heap, not the 16 MB the raw longs
+    *              suggest — still safe at the default threshold, but size any
+    *              bump off the boxed figure. Above it, the distributed path
+    *              runs with no driver materialization.
     * @return (id, cluster_id) — cluster_id = min member id */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,

@@ -78,13 +78,15 @@ object Queries3 {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- benchmark decontamination: which training docs leak eval-set
-    // content? 8-gram shingle-hash equi-join (never a cross join); the eval
-    // side is tiny (1/97th of the corpus) and broadcast, so at 100 TB this
-    // is one scan of the training corpus with a map-side join + partial agg.
+    // content? 8-gram shingle-hash equi-join (never a cross join). No explicit
+    // broadcast hint: the eval side is 1/97 of the corpus, which at fixture
+    // scale AQE broadcasts on its own, but at 100 TB is ~1 TB of shingle
+    // hashes — far past the 8 GB broadcast-relation limit — so the plan must
+    // be allowed to fall back to a shuffled hash join.
     "q60_decontamination" -> { (s, dir) => implicit val sp = s
       val tr = shingleHashes(trainSet(dir))
       val ev = shingleHashes(evalSet(dir))
-      tr.join(broadcast(ev.withColumnRenamed("doc_id", "eval_doc_id")), "h")
+      tr.join(ev.withColumnRenamed("doc_id", "eval_doc_id"), "h")
         .groupBy(col("doc_id").as("train_doc_id"), col("eval_doc_id"))
         .agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= OverlapMin)
@@ -168,17 +170,20 @@ object Queries3 {
     },
 
     // ---- rank-family windows: percent_rank / cume_dist / lag delta over
-    // the high-value order stratum, partitioned by priority.
+    // the high-value order stratum, partitioned by priority. Raw doubles, no
+    // round(): (rank-1)/(n-1), rank/n, and a-b are single IEEE ops with
+    // identical operand order on both engines so they compare bit-exactly,
+    // whereas round() HALF_UP on the shortest decimal repr (Spark) vs
+    // binary-double rounding (DuckDB) diverges at the rounded digit.
     "q65_rank_windows" -> { (s, dir) => implicit val sp = s
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       t(dir, "orders").filter(col("o_totalprice") > 400000.0)
         .select(col("o_orderkey"), col("o_orderpriority"),
-          round(col("o_totalprice"), 2).as("price"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
-          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
-            .as("prev_diff"))
+          col("o_totalprice").as("price"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("prev_diff"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -196,7 +201,7 @@ object Queries3 {
       val est = a.join(b, "doc_id").select(col("doc_id"),
         (DedupCorpus.A.indices.map(j =>
           when(col(s"a$j") === col(s"b$j"), 1).otherwise(0): Column)
-          .reduce(_ + _).cast("double") / 8.0).as("est0"))
+          .reduce(_ + _).cast("double") / lit(DedupCorpus.A.size.toDouble)).as("est0"))
       val sh = sub
         .withColumn("toks", split(col("text"), lit(" ")))
         .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("toks"), 3)).as("sh"))
@@ -216,18 +221,20 @@ object Queries3 {
     },
 
     // ---- the decontaminated corpus: training set minus every doc the q60
-    // detector flagged, reported per language (left anti-join shape; the
-    // flagged set is tiny and broadcast).
+    // detector flagged, reported per language (left anti-join shape). As in
+    // q60, no broadcast hints: AQE broadcasts the eval/flagged sides at
+    // fixture scale, and at 100 TB (where the eval shingle relation is ~1 TB)
+    // the plan falls back to a shuffled hash join instead of OOMing.
     "q67_decontaminated_corpus" -> { (s, dir) => implicit val sp = s
       val tr = shingleHashes(trainSet(dir))
       val ev = shingleHashes(evalSet(dir))
       val flagged = tr
-        .join(broadcast(ev.withColumnRenamed("doc_id", "eval_doc_id")), "h")
+        .join(ev.withColumnRenamed("doc_id", "eval_doc_id"), "h")
         .groupBy(col("doc_id"), col("eval_doc_id")).agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= OverlapMin)
         .select(col("doc_id")).distinct()
         .withColumn("flagged", lit(1L))
-      trainSet(dir).join(broadcast(flagged), Seq("doc_id"), "left_outer")
+      trainSet(dir).join(flagged, Seq("doc_id"), "left_outer")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"),
           coalesce(sum(col("flagged")), lit(0L)).as("n_removed"))
@@ -300,10 +307,10 @@ object Queries3 {
         |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
         |ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q65_rank_windows" ->
-      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd,
-        |  round(o_totalprice - lag(o_totalprice) OVER w, 2) AS prev_diff
+      """SELECT o_orderkey, o_orderpriority, o_totalprice AS price,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  o_totalprice - lag(o_totalprice) OVER w AS prev_diff
         |FROM orders WHERE o_totalprice > 400000
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
@@ -316,7 +323,7 @@ object Queries3 {
          |         FROM (${DedupCorpus.shingleHashesSql.replace("FROM corpus", "FROM sub")})
          |         GROUP BY doc_id),
          |est AS (
-         |  SELECT a.doc_id, CAST($eqSum AS DOUBLE) / 8.0 AS est0
+         |  SELECT a.doc_id, CAST($eqSum AS DOUBLE) / ${DedupCorpus.A.size}.0 AS est0
          |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000),
          |sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
