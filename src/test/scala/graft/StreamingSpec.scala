@@ -276,4 +276,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(byStart(base + halfH)._2 == 2) // events 2 and 3
     } finally q.stop()
   }
+
+  test("streaming anomaly detector matches batch q72 on in-order delivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnomalyDetector
+    import graft.streaming.AnomalyDetector.{Anomaly, ValueEvent}
+    implicit val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.operators.Rel.events(dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .as[ValueEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[ValueEvent]
+    val q = AnomalyDetector.anomalies(input.toDS())
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      // deliver in three event-time-ordered chunks (order across batches
+      // preserved -> the stream must reproduce the batch scores exactly)
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("anom").as[Anomaly].collect()
+        .map(a => a.event_id -> a).toMap
+      val batch = graft.operators.Queries4.all("q72_anomaly_zscore")(spark, dir)
+        .as[(Long, String, Long, Long, Double)].collect()
+      assert(batch.nonEmpty)
+      assert(streamed.keySet == batch.map(_._1).toSet)
+      batch.foreach { case (id, _, v, nPrior, z) =>
+        val a = streamed(id)
+        assert(a.v == v && a.n_prior == nPrior)
+        assert(math.abs(a.z - z) < 1e-12, s"event $id: stream z=${a.z} batch z=$z")
+      }
+    } finally q.stop()
+  }
 }
