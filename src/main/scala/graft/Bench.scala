@@ -55,7 +55,11 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + d3(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop BEFORE printing: the driver merges stderr into the same ~2000-char
+    // tail it parses, so any shutdown logging after the JSON line could push
+    // it out of the buffer. The JSON line is the process's last output.
     spark.stop()
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

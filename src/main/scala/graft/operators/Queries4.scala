@@ -65,7 +65,10 @@ object Queries4 {
     // relation is (labels × dims) rows — thousands at most — so the join
     // back to the exploded vectors is a broadcast; one shuffle for the
     // per-(label,pos) partial-aggregated sums, one for the per-vector
-    // distance sum, both map-side combined.
+    // distance sum, both map-side combined. Exactness bound (analogous to
+    // q72's ss limit): |d| = |qv·n − s| ≤ ~1024·n, so sum(d²) over 64 dims
+    // stays under 2^63 only while a label holds ≲4e5 vectors; beyond that,
+    // trade exactness for d = (qv − s/n) computed once in double.
     "q69_centroid_outliers" -> { (s, dir) => implicit val sp = s
       val qd = t(dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -183,7 +186,8 @@ object Queries4 {
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
     "q69_centroid_outliers" ->
       s"""WITH pe AS (
-         |  SELECT vec_id, label, unnest(range(1, 65)) AS pos, embedding
+         |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    embedding
          |  FROM embeddings),
          |qd AS (
          |  SELECT vec_id, label, pos,
