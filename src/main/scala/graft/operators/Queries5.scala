@@ -1,0 +1,426 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 operator families: PII detection/redaction, corpus-wide
+  * duplicate-n-gram fraction (the Lee-et-al-style "how much of this doc is
+  * boilerplate" filter), bloom-prefiltered decontamination, CDC latest-wins
+  * upsert (MERGE semantics over a base snapshot + versioned change log), a
+  * one-pass column profiler, and k-means clustering over quantized
+  * embeddings (the assignment/update core of SemDeDup-style semantic dedup).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, CAST integer sums to BIGINT, FLOOR before int casts, round()
+  * only on order-dependent double sums, full ORDER BY tie-breaks.
+  */
+object Queries5 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  // ---------------------------------------------------------------- q73 PII
+  // The corpus has no real PII (50-word salad), so — like the dedup twins —
+  // PII is SYNTHESIZED deterministically on both engines: every 7th doc
+  // gains an email, every 11th an IPv4, every 13th a long card number. The
+  // detector sees only the augmented text. Patterns are written in the
+  // common Java-regex/RE2 subset (no backrefs/lookarounds) so Spark and
+  // DuckDB match identically.
+  private val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val Ipv4Re  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val DigitRe = """\d{12,19}"""
+
+  // ------------------------------------------------------------ q74 corpus
+  // 8-gram shingles over the dedup corpus (originals + drop-first-token
+  // twins — the twins guarantee real cross-doc duplication to measure).
+  private val DupN = 8
+
+  /** DuckDB: distinct 8-gram shingle hashes of a (doc_id, text) relation. */
+  private def shingle8Sql(rel: String): String =
+    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, greatest(len(string_split(text, ' ')) - ${DupN - 2}, 1)),
+       |          i -> ${(0 until DupN).map(j => s"string_split(text, ' ')[i+$j]")
+                        .mkString(" || ' ' || ")}))) AS sh
+       |        FROM $rel)""".stripMargin
+
+  /** Spark: distinct 8-gram shingle hashes (same shape as the oracle). */
+  private def shingle8(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), lit(" ")))
+      .select(col("doc_id"),
+        explode(TextOps.shinglesFromTokens(col("toks"), DupN)).as("sh"))
+      .select(col("doc_id"), TextOps.portableHash28(col("sh")).as("h"))
+
+  // ---------------------------------------------------- q75 decontamination
+  // Same synthesized train/eval fixture as q60 (every 97th doc is the eval
+  // set; a contaminated twin at id+500000 carries its text minus the first
+  // token) — q75 differs in the EXECUTION STRATEGY (bloom prefilter) and in
+  // aggregating hits per train doc rather than per (train, eval) pair.
+  private val HitMin = 3
+
+  private def evalDocs(dir: String)(implicit s: SparkSession): DataFrame =
+    t(dir, "documents").filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+
+  private def trainDocs(dir: String)(implicit s: SparkSession): DataFrame = {
+    val docs = t(dir, "documents").select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .union(evalDocs(dir).select((col("doc_id") + 500000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val evalSql =
+    "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
+
+  private val trainSql =
+    s"""SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id,
+       |         substring(text, position(' ' IN text) + 1) AS text
+       |  FROM documents WHERE doc_id % 97 = 0""".stripMargin
+
+  // ------------------------------------------------------------ q78 k-means
+  /** Quantization scale (same rationale as q69: ×512 keeps float→double→
+    * multiply exact; all distance numerators become integer sums). */
+  private val KQ = 512
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** One assignment pass: nearest centroid per vector, with the exact
+    * integer numerator num = Σ_pos (qv·n − s)² and the single IEEE division
+    * num/n² as the comparable cost (identical op order on both engines;
+    * ties broken by cid). Exactness bound: per-dim |qv·n − s| ≤ ~2·272·n,
+    * so the 64-dim num stays under 2^63 while a cluster holds ≲1.9e5
+    * vectors; beyond that switch the cost to double accumulation. */
+  private def kmAssign(qd: DataFrame, cent: DataFrame): DataFrame = {
+    val cost = qd.join(broadcast(cent), "pos")
+      .withColumn("d", col("qv") * col("n") - col("s"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("d") * col("d")).as("num"), max(col("n")).as("n"))
+      .withColumn("cost", col("num").cast("double") / (col("n") * col("n")))
+    cost.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cost"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("cost"))
+  }
+
+  /** One update pass: per-(cid, pos) integer sums + member count. */
+  private def kmUpdate(qd: DataFrame, asg: DataFrame): DataFrame =
+    qd.join(asg.select(col("vec_id"), col("cid")), "vec_id")
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+
+  /** DuckDB twins of [[kmAssign]]/[[kmUpdate]] as CTE fragments. */
+  private def kmAssignSql(centRel: String, asgName: String): String =
+    s"""${asgName}_cost AS (
+       |  SELECT q.vec_id, c.cid,
+       |    CAST(sum((q.qv*c.n - c.s)*(q.qv*c.n - c.s)) AS BIGINT) AS num,
+       |    max(c.n) AS n
+       |  FROM qd q JOIN $centRel c ON q.pos = c.pos
+       |  GROUP BY 1, 2),
+       |$asgName AS (
+       |  SELECT vec_id, cid, cost FROM (
+       |    SELECT vec_id, cid, CAST(num AS DOUBLE)/(n*n) AS cost,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY CAST(num AS DOUBLE)/(n*n), cid) AS rk
+       |    FROM ${asgName}_cost) WHERE rk = 1)""".stripMargin
+
+  private def kmUpdateSql(asgName: String, centName: String): String =
+    s"""$centName AS (
+       |  SELECT a.cid, q.pos, CAST(sum(q.qv) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM qd q JOIN $asgName a ON q.vec_id = a.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- PII detection + redaction: regex counts per class and a hash of
+    // the redacted text. Pure per-row projection + filter — NO shuffle (the
+    // ORDER BY is the verify sink's): at 100 TB this is a map-only scan,
+    // exactly how a scrubbing pass should run. Counts are computed on the
+    // augmented text; redaction cascades email → IP → digit-run so the
+    // classes can't capture each other's replacement tokens.
+    "q73_pii_redaction" -> { (s, dir) => implicit val sp = s
+      val aug = t(dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" contact bob.smith@example-mail.com now")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" host 192.168.4.27 up")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" card 4111222233334444 used")).otherwise(lit("")))
+          .as("aug"))
+      aug.select(col("doc_id"),
+          regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("aug"), lit(Ipv4Re)).cast("long").as("n_ip"),
+          regexp_count(col("aug"), lit(DigitRe)).cast("long").as("n_num"),
+          TextOps.portableHash28(
+            regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), DigitRe, "<NUM>"))
+            .as("redacted_hash"))
+        .filter(col("n_email") + col("n_ip") + col("n_num") > 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- duplicate-n-gram fraction: for each doc, what share of its
+    // distinct 8-gram shingles also occurs in ANOTHER doc? (Lee et al.'s
+    // dedup signal; the drop-first-token twins provide true duplication.)
+    // Two shuffles, both on the shingle hash: one partial-aggregated count
+    // per hash, one join back — never a cross join, and the per-hash count
+    // relation is NOT broadcast (at 100 TB it is the biggest relation in
+    // the job; AQE picks the shuffled hash join). Per-doc re-aggregation is
+    // map-side combinable because the join preserves doc grouping density.
+    "q74_dup_ngram_fraction" -> { (s, dir) => implicit val sp = s
+      val sh = shingle8(DedupCorpus.corpus(dir))
+      val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      sh.join(freq, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("n_docs") > 1, 1)).as("n_dup"))
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_shingles"), 4).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- bloom-prefiltered decontamination: train docs ranked by how many
+    // of their 8-gram shingle hashes appear in the eval set. The bloom
+    // filter (built distributed over the eval hashes, collected to the
+    // driver, broadcast) is a map-side prefilter that drops ~99% of train
+    // shingles BEFORE the exact semi-join — at 100 TB the prefilter turns
+    // the dominant shuffle (every train shingle) into a candidate-only
+    // shuffle, while the exact join keeps the result false-positive-free:
+    // the bloom changes the plan, never the answer (which is why a plain
+    // SQL oracle can gate it).
+    "q75_bloom_decontamination" -> { (s, dir) => implicit val sp = s
+      val evalH = shingle8(evalDocs(dir)).select(col("h")).distinct()
+      val bf = evalH.stat.bloomFilter("h", 1 << 20, 0.01)
+      val bc = sp.sparkContext.broadcast(bf)
+      val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
+      shingle8(trainDocs(dir))
+        .filter(mightHit(col("h")))
+        .join(evalH, Seq("h"), "left_semi")
+        .groupBy(col("doc_id").as("train_doc_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") >= HitMin)
+        .orderBy(col("train_doc_id"))
+    },
+
+    // ---- CDC latest-wins upsert (MERGE): base snapshot (version 0) plus
+    // two versioned change batches — updates (+100 on every 10th key),
+    // deletes (every 50th key, which ALSO took the v1 update: ordering
+    // matters), and inserts (new keys at +10M for every 100th). The merge
+    // itself is [[CdcOps.latestWins]] — one shuffle on the key; at 100 TB
+    // this is the standard snapshot⋈changelog compaction, where bucketing
+    // the base by key makes repeated merges exchange-free and AQE handles
+    // hot-key skew. The summary then audits provenance per priority class.
+    "q76_cdc_upsert" -> { (s, dir) => implicit val sp = s
+      val base = t(dir, "orders").select(col("o_orderkey").as("k"),
+        lit(0L).as("version"), lit("U").as("op"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+      val v1 = t(dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit(1L).as("version"), lit("U").as("op"),
+          (col("o_totalprice") + 100.0).as("price"), col("o_orderpriority").as("prio"))
+      val v2d = t(dir, "orders").filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("k"), lit(2L).as("version"), lit("D").as("op"),
+          lit(0.0).as("price"), col("o_orderpriority").as("prio"))
+      val v2i = t(dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 10000000L).as("k"), lit(2L).as("version"),
+          lit("U").as("op"), (col("o_totalprice") * 2).as("price"),
+          col("o_orderpriority").as("prio"))
+      CdcOps.latestWins(base.union(v1).union(v2d).union(v2i),
+          Seq("k"), "version", "op")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("version") === 0, 1)).as("n_from_base"),
+          count(when(col("version") === 1, 1)).as("n_updated"),
+          count(when(col("version") === 2, 1)).as("n_inserted"),
+          round(sum(col("price")), 2).as("sum_price"))
+        .orderBy(col("prio"))
+    },
+
+    // ---- one-pass column profiler: null count / exact distinct / min/max
+    // per column of lineitem, unpivoted to one row per column. ONE scan and
+    // ONE aggregation node (Catalyst expands the multi-distinct internally);
+    // the unpivot is a zero-shuffle projection of the single agg row. At
+    // 100 TB swap the exact distincts for approx_count_distinct — the
+    // Expand-based exact form multiplies scan rows by the distinct-column
+    // count, which is the right trade only under a correctness gate.
+    "q77_column_profiler" -> { (s, dir) => implicit val sp = s
+      val li = t(dir, "lineitem")
+        .withColumn("ship_us", unix_micros(col("l_shipdate").cast("timestamp")))
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "ship_us")
+      val strs = Seq("l_returnflag", "l_linestatus")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++
+        (nums ++ strs).flatMap { c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__dist")) } ++
+        nums.flatMap { c => Seq(
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max")) } ++
+        strs.flatMap { c => Seq(
+          min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")) }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = nums.map { c => struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__dist").as("n_distinct"),
+          col(s"${c}__min").as("min_num"), col(s"${c}__max").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str")) } ++
+        strs.map { c => struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__dist").as("n_distinct"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col(s"${c}__smin").as("min_str"), col(s"${c}__smax").as("max_str")) }
+      one.select(col("n_rows"), explode(array(rows: _*)).as("p"))
+        .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+          col("p.min_str"), col("p.max_str"))
+        .orderBy(col("col_name"))
+    },
+
+    // ---- k-means over quantized embeddings (K=8, 2 Lloyd iterations +
+    // final assignment) — the clustering core of SemDeDup-style semantic
+    // dedup. Every centroid lives as exact integer state (Σqv, n) so the
+    // whole iteration is engine- and partitioning-exact; the only doubles
+    // are one division per (vector, centroid) written identically on both
+    // engines. Scale shape per iteration: the centroid relation is K×dims
+    // rows (always broadcast); assignment is a map-side broadcast join +
+    // one shuffle on vec_id-grouped partial sums; update shuffles on
+    // (cid, pos) with map-side combine. Nothing in the loop grows with
+    // corpus size except the two combinable aggregations.
+    "q78_kmeans" -> { (s, dir) => implicit val sp = s
+      val qd = t(dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          floor(col("x").cast("double") * KQ).cast("long").as("qv"))
+      val init = qd.filter(col("vec_id") < KmK)
+        .select(col("vec_id").as("cid"), col("pos"), col("qv").as("s"), lit(1L).as("n"))
+      var cent = init
+      for (_ <- 1 to KmIters) cent = kmUpdate(qd, kmAssign(qd, cent))
+      kmAssign(qd, cent)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), round(sum(col("cost")), 2).as("inertia"))
+        .orderBy(col("cid"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q73_pii_redaction" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' contact bob.smith@example-mail.com now' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' host 192.168.4.27 up' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' card 4111222233334444 used' ELSE '' END
+         |    AS aug
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |    CAST(len(regexp_extract_all(aug, '$DigitRe')) AS BIGINT) AS n_num,
+         |    CAST('0x' || substring(md5(
+         |      regexp_replace(regexp_replace(regexp_replace(aug,
+         |        '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |        '$DigitRe', '<NUM>', 'g')), 1, 7) AS BIGINT) AS redacted_hash
+         |  FROM aug)
+         |SELECT doc_id, n_email, n_ip, n_num, redacted_hash
+         |FROM f WHERE n_email + n_ip + n_num > 0 ORDER BY doc_id""".stripMargin,
+    "q74_dup_ngram_fraction" ->
+      s"""WITH corpus AS (${DedupCorpus.corpusSql}),
+         |sh AS (${shingle8Sql("corpus")}),
+         |freq AS (SELECT h, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY h)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(CASE WHEN freq.n_docs > 1 THEN 1 END) AS BIGINT) AS n_dup,
+         |  round(CAST(count(CASE WHEN freq.n_docs > 1 THEN 1 END) AS DOUBLE)
+         |    / count(*), 4) AS dup_frac
+         |FROM sh JOIN freq ON sh.h = freq.h
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "q75_bloom_decontamination" ->
+      s"""WITH train AS ($trainSql),
+         |eval AS ($evalSql),
+         |evh AS (SELECT DISTINCT h FROM (${shingle8Sql("eval")})),
+         |trh AS (${shingle8Sql("train")})
+         |SELECT trh.doc_id AS train_doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |FROM trh JOIN evh ON trh.h = evh.h
+         |GROUP BY 1 HAVING count(*) >= $HitMin
+         |ORDER BY train_doc_id""".stripMargin,
+    "q76_cdc_upsert" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS version, 'U' AS op,
+        |         o_totalprice AS price, o_orderpriority AS prio FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', o_totalprice + 100.0, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', 0.0, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 2, 'U', o_totalprice * 2, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |merged AS (
+        |  SELECT * FROM (
+        |    SELECT log.*, row_number() OVER (PARTITION BY k ORDER BY version DESC,
+        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+        |    FROM log) WHERE rn = 1 AND op <> 'D')
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN version = 0 THEN 1 END) AS BIGINT) AS n_from_base,
+        |  CAST(count(CASE WHEN version = 1 THEN 1 END) AS BIGINT) AS n_updated,
+        |  CAST(count(CASE WHEN version = 2 THEN 1 END) AS BIGINT) AS n_inserted,
+        |  round(sum(price), 2) AS sum_price
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "q77_column_profiler" ->
+      """WITH li AS (SELECT *, epoch_us(l_shipdate) AS ship_us FROM lineitem),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) AS q_nulls,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_dist,
+        |    CAST(min(l_quantity) AS DOUBLE) AS q_min, CAST(max(l_quantity) AS DOUBLE) AS q_max,
+        |    CAST(count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS BIGINT) AS e_nulls,
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS e_dist,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS e_min, CAST(max(l_extendedprice) AS DOUBLE) AS e_max,
+        |    CAST(count(CASE WHEN l_discount IS NULL THEN 1 END) AS BIGINT) AS d_nulls,
+        |    CAST(count(DISTINCT l_discount) AS BIGINT) AS d_dist,
+        |    CAST(min(l_discount) AS DOUBLE) AS d_min, CAST(max(l_discount) AS DOUBLE) AS d_max,
+        |    CAST(count(CASE WHEN ship_us IS NULL THEN 1 END) AS BIGINT) AS s_nulls,
+        |    CAST(count(DISTINCT ship_us) AS BIGINT) AS s_dist,
+        |    CAST(min(ship_us) AS DOUBLE) AS s_min, CAST(max(ship_us) AS DOUBLE) AS s_max,
+        |    CAST(count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS BIGINT) AS r_nulls,
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS r_dist,
+        |    min(l_returnflag) AS r_min, max(l_returnflag) AS r_max,
+        |    CAST(count(CASE WHEN l_linestatus IS NULL THEN 1 END) AS BIGINT) AS ls_nulls,
+        |    CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ls_dist,
+        |    min(l_linestatus) AS ls_min, max(l_linestatus) AS ls_max
+        |  FROM li)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_name, n_rows, q_nulls AS n_nulls, q_dist AS n_distinct,
+        |    q_min AS min_num, q_max AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM agg
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', n_rows, e_nulls, e_dist, e_min, e_max, NULL, NULL FROM agg
+        |  UNION ALL
+        |  SELECT 'l_discount', n_rows, d_nulls, d_dist, d_min, d_max, NULL, NULL FROM agg
+        |  UNION ALL
+        |  SELECT 'ship_us', n_rows, s_nulls, s_dist, s_min, s_max, NULL, NULL FROM agg
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n_rows, r_nulls, r_dist,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), r_min, r_max FROM agg
+        |  UNION ALL
+        |  SELECT 'l_linestatus', n_rows, ls_nulls, ls_dist,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ls_min, ls_max FROM agg)
+        |ORDER BY col_name""".stripMargin,
+    "q78_kmeans" -> {
+      val iterCtes = (1 to KmIters).map { i =>
+        kmAssignSql(s"cent${i - 1}", s"asg$i") + ",\n" +
+          kmUpdateSql(s"asg$i", s"cent$i")
+      }.mkString(",\n")
+      s"""WITH pe AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos, embedding
+         |  FROM embeddings),
+         |qd AS (
+         |  SELECT vec_id, pos,
+         |    CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * $KQ) AS BIGINT) AS qv
+         |  FROM pe),
+         |cent0 AS (
+         |  SELECT vec_id AS cid, pos, qv AS s, CAST(1 AS BIGINT) AS n
+         |  FROM qd WHERE vec_id < $KmK),
+         |$iterCtes,
+         |${kmAssignSql(s"cent$KmIters", "asgF")}
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(sum(cost), 2) AS inertia
+         |FROM asgF GROUP BY cid ORDER BY cid""".stripMargin
+    })
+}
