@@ -56,6 +56,47 @@ object TextHashKernels {
     top28(d.digest())
   }
 
+  /** DISTINCT 28-bit hashes of the doc's n-gram shingles, ascending.
+    * Matches explode(array_distinct(shingles)) → hash28 with one caveat:
+    * distinctness here is keyed on the shingles' top-64-bit MD5 (not the
+    * string), so two DIFFERENT shingles in one doc would collapse only on a
+    * 64-bit digest collision (P ≈ m²/2⁶⁵ per doc — ~1e-15 at m=200
+    * shingles, negligible even at 1e10 docs). Duplicate 28-bit OUTPUT
+    * values from distinct shingles are preserved, exactly like the
+    * relational shape. Empty array when the doc has < n tokens (such docs
+    * produce no rows after explode); null on null tokens. */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](sz - n + 1)
+    var m = 0
+    var i = 0
+    while (i <= sz - n) {
+      val d = md.get(); d.reset()
+      var j = 0
+      var nullTok = false
+      while (j < n && !nullTok) {
+        if (toks.isNullAt(i + j)) nullTok = true
+        else {
+          if (j > 0) d.update(SP)
+          d.update(toks.getUTF8String(i + j).getBytes)
+        }
+        j += 1
+      }
+      if (nullTok) return null
+      val b = d.digest()
+      val k64 = ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+        ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+        ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+      if (seen.add(k64)) { out(m) = top28(b); m += 1 }
+      i += 1
+    }
+    val res = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(res)
+    new GenericArrayData(res)
+  }
+
   /** MinHash signature over the doc's 3-gram shingles: mins of
     * `(h * a(j) + b(j)) % p` per permutation j. Distinctness of shingles is
     * irrelevant to a min, so no dedup pass is needed. Returns null when the
@@ -173,6 +214,33 @@ case class MinHashSig(child: Expression, n: Int, a: Array[Long], b: Array[Long],
     copy(child = newChild)
 }
 
+/** `shingle_hashes(tokens)` → array<bigint> of the doc's distinct n-gram
+  * shingle hash28s, ascending (empty when the doc has < n tokens). The
+  * per-row replacement for the explode→concat_ws→md5→conv pipeline: one
+  * streamed MD5 pass per row inside whole-stage codegen, no per-shingle
+  * string allocation. */
+case class ShingleHashes(child: Expression, n: Int) extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextHashKernels.shingleHashes(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shh", this, classOf[ShingleHashes].getName)
+    val r = ctx.freshName("shhRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.kernel($c);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+     """.stripMargin)
+  }
+
+  def kernel(toks: ArrayData): ArrayData = TextHashKernels.shingleHashes(toks, n)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** `simhash_sig(tokens)` → frequency-weighted SimHash (long, `bits` wide). */
 case class SimHashSig(child: Expression, bits: Int) extends TokenArrayExpression {
   override def dataType: DataType = LongType
@@ -225,6 +293,9 @@ object TextHashExprs {
   def minhashSig(toks: Column, perms: Seq[(Long, Long)], p: Long, n: Int = 3): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(toks), n,
       perms.map(_._1).toArray, perms.map(_._2).toArray, p))
+
+  def shingleHashes(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(toks), n))
 
   def simhash(toks: Column, bits: Int): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(toks), bits))

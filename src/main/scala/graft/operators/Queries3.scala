@@ -41,12 +41,14 @@ object Queries3 {
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
-  /** Distinct 8-gram shingle hashes of a (doc_id, text) relation. */
+  /** Distinct 8-gram shingle hashes of a (doc_id, text) relation — the
+    * native [[graft.functions.ShingleHashes]] kernel (one streamed MD5 pass
+    * per row, no per-shingle string allocation); value-identical to the
+    * relational explode→hash shape the oracle uses. */
   private def shingleHashes(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), lit(" ")))
-      .select(col("doc_id"),
-        explode(TextOps.shinglesFromTokens(col("toks"), NGram)).as("sh"))
-      .select(col("doc_id"), TextOps.portableHash28(col("sh")).as("h"))
+    df.select(col("doc_id"),
+      explode(graft.functions.TextHashExprs.shingleHashes(
+        split(col("text"), lit(" ")), NGram)).as("h"))
 
   private val evalSql =
     "SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 = 0"

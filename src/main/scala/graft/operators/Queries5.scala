@@ -45,12 +45,14 @@ object Queries5 {
                         .mkString(" || ' ' || ")}))) AS sh
        |        FROM $rel)""".stripMargin
 
-  /** Spark: distinct 8-gram shingle hashes (same shape as the oracle). */
+  /** Spark: distinct 8-gram shingle hashes — the native
+    * [[graft.functions.ShingleHashes]] kernel (one streamed MD5 pass per
+    * row, inside codegen) instead of the explode→concat_ws→md5 pipeline;
+    * value-identical to the oracle's relational shape. */
   private def shingle8(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), lit(" ")))
-      .select(col("doc_id"),
-        explode(TextOps.shinglesFromTokens(col("toks"), DupN)).as("sh"))
-      .select(col("doc_id"), TextOps.portableHash28(col("sh")).as("h"))
+    df.select(col("doc_id"),
+      explode(graft.functions.TextHashExprs.shingleHashes(
+        split(col("text"), lit(" ")), DupN)).as("h"))
 
   // ---------------------------------------------------- q75 decontamination
   // Same synthesized train/eval fixture as q60 (every 97th doc is the eval
@@ -284,14 +286,27 @@ object Queries5 {
     // (cid, pos) with map-side combine. Nothing in the loop grows with
     // corpus size except the two combinable aggregations.
     "q78_kmeans" -> { (s, dir) => implicit val sp = s
+      // cache the quantized-exploded corpus for the iteration's 2·iters+1
+      // jobs (the standard iterative-ML trade: at 100 TB this is
+      // MEMORY_AND_DISK on the cluster, or a pre-materialized table)
       val qd = t(dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .select(col("vec_id"), (col("pos0") + 1).as("pos"),
           floor(col("x").cast("double") * KQ).cast("long").as("qv"))
+        .cache()
       val init = qd.filter(col("vec_id") < KmK)
         .select(col("vec_id").as("cid"), col("pos"), col("qv").as("s"), lit(1L).as("n"))
-      var cent = init
-      for (_ <- 1 to KmIters) cent = kmUpdate(qd, kmAssign(qd, cent))
+      // centroids are K×dims rows of exact integer state — collect them to
+      // the driver after every update (the canonical Lloyd's shape: k-means
+      // state is constant-size, so localizing it truncates the otherwise
+      // exponentially-growing recursive lineage and each pass scans the
+      // corpus exactly once). Values are exact longs, so the round-trip
+      // cannot perturb results.
+      import sp.implicits._
+      def localize(c: DataFrame): DataFrame =
+        c.as[(Long, Int, Long, Long)].collect().toSeq.toDF("cid", "pos", "s", "n")
+      var cent = localize(init)
+      for (_ <- 1 to KmIters) cent = localize(kmUpdate(qd, kmAssign(qd, cent)))
       kmAssign(qd, cent)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), round(sum(col("cost")), 2).as("inertia"))

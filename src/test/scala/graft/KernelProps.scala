@@ -94,6 +94,16 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("shingle-hash kernel == brute-force distinct shingle hashes") =
+    forAll(toksGen) { toks =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = TextHashKernels.shingleHashes(arr, 3)
+      val expected =
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(md5_28).sorted
+      got.toLongArray().toSeq == expected
+    }
+
   property("winnow kernel == brute-force sliding minima (distinct)") =
     forAll(toksGen) { toks =>
       val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
