@@ -113,6 +113,34 @@ object Queries5 {
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
 
+  /** Full Lloyd's run → final assignment (vec_id, cid, cost). Centroids are
+    * K×dims rows of exact integer state, collected to the driver after every
+    * update (the canonical k-means shape: constant-size state localized per
+    * iteration truncates the otherwise exponentially-growing recursive
+    * lineage; each pass scans the corpus exactly once). The exploded corpus
+    * is cached for the loop's 2·iters+1 jobs — at 100 TB that cache is
+    * MEMORY_AND_DISK on the cluster, or a pre-materialized table. */
+  private def kmFinalAssign(qd0: DataFrame)(implicit sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    val qd = qd0.cache()
+    val init = qd.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("pos"), col("qv").as("s"), lit(1L).as("n"))
+    def localize(c: DataFrame): DataFrame =
+      c.as[(Long, Int, Long, Long)].collect().toSeq.toDF("cid", "pos", "s", "n")
+    var cent = localize(init)
+    for (_ <- 1 to KmIters) cent = localize(kmUpdate(qd, kmAssign(qd, cent)))
+    kmAssign(qd, cent)
+  }
+
+  // -------------------------------------------------------- q79 SemDeDup
+  /** Cosine threshold above which two same-cluster vectors are duplicates.
+    * The corpus has no organic pairs this close; the +1-quantized twins
+    * (cos ≈ 0.9999) are the planted positives. */
+  private val SemThreshold = 0.99
+
+  /** Salt factor for the cluster-local pair join (tasks = K·SemBlocks). */
+  private val SemBlocks = 8
+
   /** DuckDB twins of [[kmAssign]]/[[kmUpdate]] as CTE fragments. */
   private def kmAssignSql(centRel: String, asgName: String): String =
     s"""${asgName}_cost AS (
@@ -286,31 +314,51 @@ object Queries5 {
     // (cid, pos) with map-side combine. Nothing in the loop grows with
     // corpus size except the two combinable aggregations.
     "q78_kmeans" -> { (s, dir) => implicit val sp = s
-      // cache the quantized-exploded corpus for the iteration's 2·iters+1
-      // jobs (the standard iterative-ML trade: at 100 TB this is
-      // MEMORY_AND_DISK on the cluster, or a pre-materialized table)
       val qd = t(dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .select(col("vec_id"), (col("pos0") + 1).as("pos"),
           floor(col("x").cast("double") * KQ).cast("long").as("qv"))
-        .cache()
-      val init = qd.filter(col("vec_id") < KmK)
-        .select(col("vec_id").as("cid"), col("pos"), col("qv").as("s"), lit(1L).as("n"))
-      // centroids are K×dims rows of exact integer state — collect them to
-      // the driver after every update (the canonical Lloyd's shape: k-means
-      // state is constant-size, so localizing it truncates the otherwise
-      // exponentially-growing recursive lineage and each pass scans the
-      // corpus exactly once). Values are exact longs, so the round-trip
-      // cannot perturb results.
-      import sp.implicits._
-      def localize(c: DataFrame): DataFrame =
-        c.as[(Long, Int, Long, Long)].collect().toSeq.toDF("cid", "pos", "s", "n")
-      var cent = localize(init)
-      for (_ <- 1 to KmIters) cent = localize(kmUpdate(qd, kmAssign(qd, cent)))
-      kmAssign(qd, cent)
+      kmFinalAssign(qd)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), round(sum(col("cost")), 2).as("inertia"))
         .orderBy(col("cid"))
+    },
+
+    // ---- SemDeDup: k-means over the twinned corpus (originals + their
+    // +1-quantized near-duplicates), then exact cosine pairs WITHIN each
+    // cluster — the O(n²/K) trick that makes semantic dedup feasible where
+    // the all-pairs O(n²) is not. All dots are integer-exact native-kernel
+    // projections ([[graft.functions.LongArrayDot]]); the only doubles are
+    // the final sqrt/division chain, written identically on both engines.
+    // The pair join salts each cluster into SemBlocks blocks (block-nested
+    // pair enumeration: the keep side carries blk = keep_id mod S, the drop
+    // side is replicated to every blk) so the K cluster keys fan out onto
+    // K·S tasks instead of serializing onto K — the same trick, with larger
+    // S, that keeps this operator alive on 1000 executors.
+    "q79_semdedup" -> { (s, dir) => implicit val sp = s
+      val base = t(dir, "embeddings").select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $KQ) AS BIGINT))")
+          .as("qarr"))
+      val vecs = base.union(base.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(qarr, q -> q + 1)").as("qarr")))
+      val qd = vecs.select(col("vec_id"), posexplode(col("qarr")).as(Seq("pos0", "qv")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("qv"))
+      val asg = kmFinalAssign(qd).select(col("vec_id"), col("cid"))
+      val sided = vecs.join(asg, "vec_id").withColumn("nrm",
+        graft.functions.LongArrayDot.longDot(col("qarr"), col("qarr")))
+      val a = sided.select(col("cid"), col("vec_id").as("keep_id"),
+        col("qarr").as("qa"), col("nrm").as("na"),
+        (col("vec_id") % SemBlocks).cast("int").as("blk"))
+      val b = sided.select(col("cid"), col("vec_id").as("drop_id"),
+        col("qarr").as("qb"), col("nrm").as("nb"),
+        explode(sequence(lit(0), lit(SemBlocks - 1))).as("blk"))
+      a.join(b, Seq("cid", "blk")).filter(col("keep_id") < col("drop_id"))
+        .withColumn("dot", graft.functions.LongArrayDot.longDot(col("qa"), col("qb")))
+        .withColumn("sim", col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("sim") > SemThreshold)
+        .select(col("keep_id"), col("drop_id"), col("sim"))
+        .orderBy(col("keep_id"), col("drop_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -437,5 +485,44 @@ object Queries5 {
          |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
          |  round(sum(cost), 2) AS inertia
          |FROM asgF GROUP BY cid ORDER BY cid""".stripMargin
+    },
+    "q79_semdedup" -> {
+      val iterCtes = (1 to KmIters).map { i =>
+        kmAssignSql(s"cent${i - 1}", s"asg$i") + ",\n" +
+          kmUpdateSql(s"asg$i", s"cent$i")
+      }.mkString(",\n")
+      s"""WITH pe AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos, embedding
+         |  FROM embeddings),
+         |q0 AS (
+         |  SELECT vec_id, pos,
+         |    CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * $KQ) AS BIGINT) AS qv
+         |  FROM pe),
+         |qd AS (
+         |  SELECT vec_id, pos, qv FROM q0
+         |  UNION ALL
+         |  SELECT vec_id + 100000, pos, qv + 1 FROM q0),
+         |cent0 AS (
+         |  SELECT vec_id AS cid, pos, qv AS s, CAST(1 AS BIGINT) AS n
+         |  FROM qd WHERE vec_id < $KmK),
+         |$iterCtes,
+         |${kmAssignSql(s"cent$KmIters", "asgF")},
+         |nrm AS (
+         |  SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS nrm FROM qd GROUP BY 1),
+         |dots AS (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+         |    CAST(sum(a.qv*b.qv) AS BIGINT) AS dot
+         |  FROM qd a JOIN asgF aa ON a.vec_id = aa.vec_id
+         |  JOIN asgF bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+         |  JOIN qd b ON b.vec_id = bb.vec_id AND b.pos = a.pos
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT keep_id, drop_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE))
+         |      * sqrt(CAST(nb.nrm AS DOUBLE))) AS sim
+         |  FROM dots JOIN nrm na ON dots.keep_id = na.vec_id
+         |  JOIN nrm nb ON dots.drop_id = nb.vec_id)
+         |SELECT keep_id, drop_id, sim FROM sims
+         |WHERE sim > $SemThreshold ORDER BY keep_id, drop_id""".stripMargin
     })
 }

@@ -136,4 +136,19 @@ class Queries5Spec extends AnyFunSuite {
     // at least two clusters survive two Lloyd iterations on 10-label data
     assert(rows.length >= 2)
   }
+
+  test("SemDeDup: finds (almost) all planted twins, sims near 1, no organic pairs") {
+    import spark.implicits._
+    val rows = Queries5.all("q79_semdedup")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    implicit val s = spark
+    val nVecs = graft.operators.Rel.t(dir, "embeddings").count()
+    // every found pair is original↔its own twin (the corpus has no organic
+    // near-dups above the threshold), and nearly all twins co-cluster
+    rows.foreach { case (keep, drop, sim) =>
+      assert(drop == keep + 100000, s"unexpected organic pair ($keep, $drop)")
+      assert(sim > 0.99 && sim <= 1.0)
+    }
+    assert(rows.length >= (nVecs * 9) / 10, s"only ${rows.length}/$nVecs twins co-clustered")
+  }
 }
