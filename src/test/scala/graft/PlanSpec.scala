@@ -80,6 +80,38 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q73: PII scrub plans as a map-only scan (no exchange before the sort)") {
+    val p = plan("q73_pii_redaction")
+    assert(!p.contains("hashpartitioning"), s"q73 shuffles a pure projection:\n$p")
+  }
+
+  test("q74/q75: shingle joins are equi-joins, never cartesian") {
+    for (q <- Seq("q74_dup_ngram_fraction", "q75_bloom_decontamination")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q75: bloom prefilter sits before the exact semi-join") {
+    val p = plan("q75_bloom_decontamination")
+    // the UDF prefilter must be a Filter on the train side, upstream of the join
+    assert(p.contains("LeftSemi"), p)
+    assert(p.indexOf("Filter") >= 0 && p.indexOf("Filter") < p.indexOf("LeftSemi"), p)
+  }
+
+  test("q76: CDC merge is one shuffle on the key (window), partial-agg'd summary") {
+    val p = plan("q76_cdc_upsert")
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q79: centroid join broadcast; pair join is an equi-join on (cid, blk)") {
+    val p = plan("q79_semdedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("new SQL functions usable from spark.sql") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(
