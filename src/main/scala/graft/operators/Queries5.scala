@@ -63,24 +63,46 @@ object Queries5 {
 
   private def evalDocs(dir: String)(implicit s: SparkSession): DataFrame =
     t(dir, "documents").filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("lang"), col("text"))
 
   private def trainDocs(dir: String)(implicit s: SparkSession): DataFrame = {
-    val docs = t(dir, "documents").select(col("doc_id"), col("text"))
+    val docs = t(dir, "documents").select(col("doc_id"), col("lang"), col("text"))
     docs.filter(col("doc_id") % 97 =!= 0)
-      .union(evalDocs(dir).select((col("doc_id") + 500000).as("doc_id"),
+      .union(evalDocs(dir).select((col("doc_id") + 500000).as("doc_id"), col("lang"),
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
   private val evalSql =
-    "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
+    "SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 = 0"
 
   private val trainSql =
-    s"""SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    s"""SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 500000 AS doc_id,
+       |  SELECT doc_id + 500000 AS doc_id, lang,
        |         substring(text, position(' ' IN text) + 1) AS text
        |  FROM documents WHERE doc_id % 97 = 0""".stripMargin
+
+  /** The PII-synthesis + augmentation expression shared by q73 and q80. */
+  private def augmented(text: Column, docId: Column): Column =
+    concat(text,
+      when(docId % 7 === 0, lit(" contact bob.smith@example-mail.com now")).otherwise(lit("")),
+      when(docId % 11 === 0, lit(" host 192.168.4.27 up")).otherwise(lit("")),
+      when(docId % 13 === 0, lit(" card 4111222233334444 used")).otherwise(lit("")))
+
+  /** DuckDB twin of [[augmented]]. Concatenation pipes sit at END of line:
+    * this fragment is embedded in templates that apply their own
+    * stripMargin, which would eat the first pipe of a leading `||`. */
+  private def augmentedSql(text: String, docId: String): String =
+    s"""$text ||
+       |    CASE WHEN $docId % 7 = 0 THEN ' contact bob.smith@example-mail.com now' ELSE '' END ||
+       |    CASE WHEN $docId % 11 = 0 THEN ' host 192.168.4.27 up' ELSE '' END ||
+       |    CASE WHEN $docId % 13 = 0 THEN ' card 4111222233334444 used' ELSE '' END""".stripMargin
+
+  // ------------------------------------------------------------ q80 release
+  /** Quality gates for the release capstone (non-degenerate on the fixture:
+    * tokens span 10–99, TTR 0.28–1.0). */
+  private val RelMinTokens = 20L
+  private val RelMinTtr = 0.35
 
   // ------------------------------------------------------------ q78 k-means
   /** Quantization scale (same rationale as q69: ×512 keeps float→double→
@@ -173,11 +195,7 @@ object Queries5 {
     // classes can't capture each other's replacement tokens.
     "q73_pii_redaction" -> { (s, dir) => implicit val sp = s
       val aug = t(dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 7 === 0, lit(" contact bob.smith@example-mail.com now")).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, lit(" host 192.168.4.27 up")).otherwise(lit("")),
-          when(col("doc_id") % 13 === 0, lit(" card 4111222233334444 used")).otherwise(lit("")))
-          .as("aug"))
+        augmented(col("text"), col("doc_id")).as("aug"))
       aug.select(col("doc_id"),
           regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_email"),
           regexp_count(col("aug"), lit(Ipv4Re)).cast("long").as("n_ip"),
@@ -359,15 +377,51 @@ object Queries5 {
         .filter(col("sim") > SemThreshold)
         .select(col("keep_id"), col("drop_id"), col("sim"))
         .orderBy(col("keep_id"), col("drop_id"))
+    },
+
+    // ---- training-corpus RELEASE capstone: one DAG chaining the round-5
+    // governance stages the way a real release pipeline would —
+    // decontaminate (bloom-prefiltered exact anti-join) → synthesize/detect
+    // PII → quality-gate (token count + type-token ratio) → per-language
+    // release report. Plan shape at 100 TB: the corpus is scanned once for
+    // shingles (map-side bloom drops ~99% before the only wide join) and
+    // once for scoring (pure projection); the anti-join's right side is the
+    // tiny contaminated-id list (broadcast); the report aggregation is
+    // partial-agg'd on the language domain.
+    "q80_corpus_release" -> { (s, dir) => implicit val sp = s
+      val evalH = shingle8(evalDocs(dir)).select(col("h")).distinct()
+      val bf = evalH.stat.bloomFilter("h", 1 << 20, 0.01)
+      val bc = sp.sparkContext.broadcast(bf)
+      val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
+      val contaminated = shingle8(trainDocs(dir))
+        .filter(mightHit(col("h")))
+        .join(evalH, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") >= HitMin)
+        .select(col("doc_id"))
+      val clean = trainDocs(dir).join(contaminated, Seq("doc_id"), "left_anti")
+      val scored = clean
+        .select(col("doc_id"), col("lang"),
+          augmented(col("text"), col("doc_id")).as("aug"))
+        .withColumn("toks", split(col("aug"), lit(" ")))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"),
+          (regexp_count(col("aug"), lit(EmailRe)) + regexp_count(col("aug"), lit(Ipv4Re))
+            + regexp_count(col("aug"), lit(DigitRe))).as("n_pii"))
+      scored.filter(col("n_tokens") >= RelMinTokens && col("ttr") >= RelMinTtr)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          count(when(col("n_pii") > 0, 1)).as("n_pii_docs"),
+          round(avg(col("ttr")), 4).as("avg_ttr"))
+        .orderBy(col("lang"))
     })
 
   def oracles: Map[String, String] = Map(
     "q73_pii_redaction" ->
       s"""WITH aug AS (
-         |  SELECT doc_id, text
-         |    || CASE WHEN doc_id % 7 = 0 THEN ' contact bob.smith@example-mail.com now' ELSE '' END
-         |    || CASE WHEN doc_id % 11 = 0 THEN ' host 192.168.4.27 up' ELSE '' END
-         |    || CASE WHEN doc_id % 13 = 0 THEN ' card 4111222233334444 used' ELSE '' END
+         |  SELECT doc_id, ${augmentedSql("text", "doc_id")}
          |    AS aug
          |  FROM documents),
          |f AS (
@@ -524,5 +578,36 @@ object Queries5 {
          |  JOIN nrm nb ON dots.drop_id = nb.vec_id)
          |SELECT keep_id, drop_id, sim FROM sims
          |WHERE sim > $SemThreshold ORDER BY keep_id, drop_id""".stripMargin
-    })
+    },
+    "q80_corpus_release" ->
+      s"""WITH train AS ($trainSql),
+         |eval AS ($evalSql),
+         |evh AS (SELECT DISTINCT h FROM (${shingle8Sql("eval")})),
+         |trh AS (${shingle8Sql("train")}),
+         |cont AS (
+         |  SELECT trh.doc_id FROM trh JOIN evh ON trh.h = evh.h
+         |  GROUP BY 1 HAVING count(*) >= $HitMin),
+         |clean AS (
+         |  SELECT * FROM train
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |aug AS (
+         |  SELECT doc_id, lang, ${augmentedSql("text", "doc_id")}
+         |    AS aug
+         |  FROM clean),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(aug, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(aug, ' '))) AS DOUBLE)
+         |      / len(string_split(aug, ' ')) AS ttr,
+         |    len(regexp_extract_all(aug, '$EmailRe'))
+         |      + len(regexp_extract_all(aug, '$Ipv4Re'))
+         |      + len(regexp_extract_all(aug, '$DigitRe')) AS n_pii
+         |  FROM aug)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+         |  CAST(count(CASE WHEN n_pii > 0 THEN 1 END) AS BIGINT) AS n_pii_docs,
+         |  round(avg(ttr), 4) AS avg_ttr
+         |FROM scored
+         |WHERE n_tokens >= $RelMinTokens AND ttr >= $RelMinTtr
+         |GROUP BY lang ORDER BY lang""".stripMargin)
 }

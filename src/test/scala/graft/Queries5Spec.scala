@@ -151,4 +151,24 @@ class Queries5Spec extends AnyFunSuite {
     }
     assert(rows.length >= (nVecs * 9) / 10, s"only ${rows.length}/$nVecs twins co-clustered")
   }
+
+  test("corpus release: decontamination removes the planted twins from the released set") {
+    import spark.implicits._
+    val rows = Queries5.all("q80_corpus_release")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    implicit val s = spark
+    val docs = graft.operators.Rel.t(dir, "documents")
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    assert(rows.map(_._1).sorted.toSeq == langs.toSeq)
+    rows.foreach { case (_, nDocs, nTok, nPii, avgTtr) =>
+      assert(nDocs > 0 && nTok >= nDocs * 20, "every released doc passed the token gate")
+      assert(nPii <= nDocs)
+      assert(avgTtr >= 0.35 && avgTtr <= 1.0)
+    }
+    // released docs < train docs: contamination + quality gates really cut
+    val nTrain = docs.filter(col("doc_id") % 97 =!= 0).count() +
+      docs.filter(col("doc_id") % 97 === 0).count() // originals + twins
+    assert(rows.map(_._2).sum < nTrain)
+  }
 }
