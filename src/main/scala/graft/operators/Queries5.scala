@@ -211,15 +211,16 @@ object Queries5 {
     // ---- duplicate-n-gram fraction: for each doc, what share of its
     // distinct 8-gram shingles also occurs in ANOTHER doc? (Lee et al.'s
     // dedup signal; the drop-first-token twins provide true duplication.)
-    // Two shuffles, both on the shingle hash: one partial-aggregated count
-    // per hash, one join back — never a cross join, and the per-hash count
-    // relation is NOT broadcast (at 100 TB it is the biggest relation in
-    // the job; AQE picks the shuffled hash join). Per-doc re-aggregation is
-    // map-side combinable because the join preserves doc grouping density.
+    // One exchange on the shingle hash: the per-hash corpus count is a
+    // WINDOW count over the same partitioning the rows already need — not a
+    // groupBy + join back, which would shuffle the (bigger) shingle
+    // relation twice. The per-doc re-aggregation is the second, smaller
+    // exchange. At 100 TB the h-window never materializes a per-hash
+    // relation at all; skewed boilerplate shingles are bounded because
+    // shingles are per-doc DISTINCT.
     "q74_dup_ngram_fraction" -> { (s, dir) => implicit val sp = s
-      val sh = shingle8(DedupCorpus.corpus(dir))
-      val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      sh.join(freq, "h")
+      shingle8(DedupCorpus.corpus(dir))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           count(when(col("n_docs") > 1, 1)).as("n_dup"))

@@ -98,6 +98,25 @@ class Queries5Spec extends AnyFunSuite {
     assert(rows.map(_._2).sum == base + ins - del)
   }
 
+  test("CDC batch merge == streaming replay on a randomized log (seeded)") {
+    import spark.implicits._
+    import graft.streaming.StreamingUpsert
+    import graft.streaming.StreamingUpsert.Change
+    val rnd = new scala.util.Random(42)
+    val log = Seq.fill(300)(Change(rnd.nextInt(40).toLong, rnd.nextInt(6).toLong,
+      if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(1000) / 10.0))
+    // version ties with mixed ops are resolved D-first in BOTH paths, but a
+    // same-(key, version, op) pair is ambiguous on price — dedupe those
+    val cleanLog = log.groupBy(c => (c.k, c.version, c.op)).map(_._2.head).toSeq
+    val batch = CdcOps.latestWins(cleanLog.toDF(), Seq("k"), "version", "op")
+      .as[(Long, Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    val stream = StreamingUpsert.replay(cleanLog).collect {
+      case (k, u) if u.alive => k -> (u.version, u.price)
+    }
+    assert(batch == stream)
+  }
+
   test("column profiler: one row per column, stats internally consistent") {
     import spark.implicits._
     val rows = Queries5.all("q77_column_profiler")(spark, dir)
