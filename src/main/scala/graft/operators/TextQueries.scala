@@ -116,19 +116,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     "q24_ngram_jaccard_pairs" -> { (s, dir) => implicit val sp = s
-      // 3-gram shingle Jaccard >= 0.5 among docs 0..199 and their twins
+      // 3-gram shingle Jaccard >= 0.5 among docs 0..199 and their twins.
+      // Jaccard is computed in the HASH domain (28-bit shingle hashes via
+      // the native ShingleHashes kernel): the intersection join shuffles
+      // longs instead of shingle strings, which is the shape that matters
+      // at corpus scale; parity with the oracle is exact because both
+      // engines hash identically, so collisions (if any) are shared.
       val sub = corpus(dir).filter(col("doc_id") % 100000 < 200)
-      val sh = sub
-        .withColumn("toks", split(col("text"), lit(" ")))
-        .withColumn("sh", explode(expr(
-          """CASE WHEN size(toks) >= 3 THEN
-            |  array_distinct(transform(sequence(0, size(toks) - 3),
-            |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-            |ELSE array() END""".stripMargin)))
-        .select(col("doc_id"), col("sh"))
+      val sh = sub.select(col("doc_id"),
+        explode(graft.functions.TextHashExprs.shingleHashes(
+          split(col("text"), lit(" ")), 3)).as("h"))
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
       inter
@@ -415,16 +415,19 @@ object TextQueries {
     "q24_ngram_jaccard_pairs" ->
       s"""WITH corpus AS ($corpusSql),
          |sub AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200),
-         |sh AS (
+         |shs AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
          |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
          |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
          |         || ' ' || string_split(text, ' ')[i+2]))) AS sh
          |  FROM sub),
+         |sh AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
+         |  FROM shs),
          |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
