@@ -142,7 +142,11 @@ object Queries5 {
     * lineage; each pass scans the corpus exactly once). The exploded corpus
     * is cached for the loop's 2·iters+1 jobs — at 100 TB that cache is
     * MEMORY_AND_DISK on the cluster, or a pre-materialized table. */
-  private def kmFinalAssign(qd0: DataFrame)(implicit sp: SparkSession): DataFrame = {
+  private def kmFinalAssign(qd0: DataFrame)(implicit sp: SparkSession): DataFrame =
+    kmFit(qd0)._2
+
+  /** Lloyd's run → (final centroids, final assignment). */
+  private def kmFit(qd0: DataFrame)(implicit sp: SparkSession): (DataFrame, DataFrame) = {
     import sp.implicits._
     val qd = qd0.cache()
     val init = qd.filter(col("vec_id") < KmK)
@@ -151,7 +155,7 @@ object Queries5 {
       c.as[(Long, Int, Long, Long)].collect().toSeq.toDF("cid", "pos", "s", "n")
     var cent = localize(init)
     for (_ <- 1 to KmIters) cent = localize(kmUpdate(qd, kmAssign(qd, cent)))
-    kmAssign(qd, cent)
+    (cent, kmAssign(qd, cent))
   }
 
   // -------------------------------------------------------- q79 SemDeDup
@@ -162,6 +166,11 @@ object Queries5 {
 
   /** Salt factor for the cluster-local pair join (tasks = K·SemBlocks). */
   private val SemBlocks = 8
+
+  // ------------------------------------------------------------- q81 IVF
+  private val IvfQueries = 20L
+  private val IvfProbe = 2
+  private val IvfTopK = 3
 
   /** DuckDB twins of [[kmAssign]]/[[kmUpdate]] as CTE fragments. */
   private def kmAssignSql(centRel: String, asgName: String): String =
@@ -380,6 +389,52 @@ object Queries5 {
         .orderBy(col("keep_id"), col("drop_id"))
     },
 
+    // ---- IVF-ANN with a TRAINED coarse quantizer: k-means clusters the
+    // corpus (vs q49's fixed sign-bit cells), each query probes its
+    // `IvfProbe` nearest centroids, and the exact cosine top-k runs only
+    // over those clusters' members — search touches nprobe/K of the corpus.
+    // Centroids are driver-localized (broadcast both into the probe ranking
+    // and the candidate equi-join on cid); the probe set is tiny and
+    // broadcast; the only wide work is the per-candidate dot, an exact
+    // integer native-kernel projection. The recall/latency dial is nprobe —
+    // the honest IVF trade, stated instead of hidden.
+    "q81_ivf_kmeans" -> { (s, dir) => implicit val sp = s
+      val base = t(dir, "embeddings").select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $KQ) AS BIGINT))")
+          .as("qarr"))
+      val qd = base.select(col("vec_id"), posexplode(col("qarr")).as(Seq("pos0", "qv")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("qv"))
+      val (cent, asgF) = kmFit(qd)
+      // probe ranking: each query's IvfProbe nearest centroids (same exact
+      // integer num / n² cost chain as assignment, rk <= nprobe)
+      val probes = qd.filter(col("vec_id") < IvfQueries)
+        .join(broadcast(cent), "pos")
+        .withColumn("d", col("qv") * col("n") - col("s"))
+        .groupBy(col("vec_id").as("query_id"), col("cid"))
+        .agg(sum(col("d") * col("d")).as("num"), max(col("n")).as("n"))
+        .withColumn("cost", col("num").cast("double") / (col("n") * col("n")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cost"), col("cid"))))
+        .filter(col("rk") <= IvfProbe)
+        .select(col("query_id"), col("cid"))
+      val sided = base.join(asgF.select(col("vec_id"), col("cid")), "vec_id")
+        .withColumn("nrm", graft.functions.LongArrayDot.longDot(col("qarr"), col("qarr")))
+      val qside = sided.filter(col("vec_id") < IvfQueries)
+        .select(col("vec_id").as("query_id"), col("qarr").as("qq"), col("nrm").as("nq"))
+      probes.join(broadcast(qside), "query_id")
+        .join(sided, "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dot", graft.functions.LongArrayDot.longDot(col("qq"), col("qarr")))
+        .withColumn("sim", col("dot").cast("double")
+          / (sqrt(col("nq").cast("double")) * sqrt(col("nrm").cast("double"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rk") <= IvfTopK)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("sim"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- training-corpus RELEASE capstone: one DAG chaining the round-5
     // governance stages the way a real release pipeline would —
     // decontaminate (bloom-prefiltered exact anti-join) → synthesize/detect
@@ -579,6 +634,58 @@ object Queries5 {
          |  JOIN nrm nb ON dots.drop_id = nb.vec_id)
          |SELECT keep_id, drop_id, sim FROM sims
          |WHERE sim > $SemThreshold ORDER BY keep_id, drop_id""".stripMargin
+    },
+    "q81_ivf_kmeans" -> {
+      val iterCtes = (1 to KmIters).map { i =>
+        kmAssignSql(s"cent${i - 1}", s"asg$i") + ",\n" +
+          kmUpdateSql(s"asg$i", s"cent$i")
+      }.mkString(",\n")
+      s"""WITH pe AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos, embedding
+         |  FROM embeddings),
+         |qd AS (
+         |  SELECT vec_id, pos,
+         |    CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * $KQ) AS BIGINT) AS qv
+         |  FROM pe),
+         |cent0 AS (
+         |  SELECT vec_id AS cid, pos, qv AS s, CAST(1 AS BIGINT) AS n
+         |  FROM qd WHERE vec_id < $KmK),
+         |$iterCtes,
+         |${kmAssignSql(s"cent$KmIters", "asgF")},
+         |nrm AS (
+         |  SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS nrm FROM qd GROUP BY 1),
+         |probec AS (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(sum((q.qv*c.n - c.s)*(q.qv*c.n - c.s)) AS BIGINT) AS num,
+         |    max(c.n) AS n
+         |  FROM qd q JOIN cent$KmIters c ON q.pos = c.pos
+         |  WHERE q.vec_id < $IvfQueries
+         |  GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(num AS DOUBLE)/(n*n), cid) AS rk
+         |    FROM probec) WHERE rk <= $IvfProbe),
+         |dots AS (
+         |  SELECT p.query_id, a.vec_id, CAST(sum(qq.qv * a.qv) AS BIGINT) AS dot
+         |  FROM probes p
+         |  JOIN asgF af ON af.cid = p.cid
+         |  JOIN qd a ON a.vec_id = af.vec_id
+         |  JOIN qd qq ON qq.vec_id = p.query_id AND qq.pos = a.pos
+         |  WHERE a.vec_id <> p.query_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT d.query_id, d.vec_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE))
+         |      * sqrt(CAST(na.nrm AS DOUBLE))) AS sim
+         |  FROM dots d JOIN nrm nq ON nq.vec_id = d.query_id
+         |  JOIN nrm na ON na.vec_id = d.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |  FROM sims)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+         |FROM ranked WHERE rk <= $IvfTopK ORDER BY query_id, rk""".stripMargin
     },
     "q80_corpus_release" ->
       s"""WITH train AS ($trainSql),

@@ -171,6 +171,37 @@ class Queries5Spec extends AnyFunSuite {
     assert(rows.length >= (nVecs * 9) / 10, s"only ${rows.length}/$nVecs twins co-clustered")
   }
 
+  test("IVF-kmeans ANN: 20 queries x top-3, ranked by sim, decent recall vs brute force") {
+    import spark.implicits._
+    val rows = Queries5.all("q81_ivf_kmeans")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).distinct.length == 20)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._4).zip(byRank.tail.map(_._4)).forall { case (a, b) => a >= b })
+      assert(rs.forall(_._3 != q), "self excluded")
+    }
+    // recall@3 vs exact brute force over the whole corpus (IVF with
+    // nprobe=2 of K=8 is approximate; demand > 50% on this fixture)
+    implicit val s = spark
+    val emb = graft.operators.Rel.t(dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 512) AS BIGINT)) AS q")
+      .as[(Long, Array[Long])].collect().toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val hits = (0L until 20L).map { q =>
+      val exact = emb.filter(_._1 != q).toSeq
+        .map { case (v, arr) => (v, cos(emb(q), arr)) }
+        .sortBy { case (v, sim) => (-sim, v) }.take(3).map(_._1).toSet
+      rows.filter(_._1 == q).map(_._3).count(exact)
+    }.sum
+    assert(hits >= 30, s"recall@3 too low: $hits/60")
+  }
+
   test("corpus release: decontamination removes the planted twins from the released set") {
     import spark.implicits._
     val rows = Queries5.all("q80_corpus_release")(spark, dir)
