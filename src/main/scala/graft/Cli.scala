@@ -23,6 +23,8 @@ import graft.functions.Pure
   *                                     the diag report simulates, one
   *                                     distributed rewrite per table
   *   graft.Cli media <dataRoot>      — multimodal decode pipeline summary
+  *   graft.Cli release <dataRoot>    — training-corpus release pipeline
+  *                                     (decontaminate → PII → quality gates)
   *   graft.Cli remote <responseJson> — parse a remote-diagnostics response
   *                                     document and render its report
   *                                     (parsing only; nothing is posted)
@@ -45,7 +47,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson>"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson>"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -153,6 +155,18 @@ object Cli {
             println(f"$name%-12s ${r.filesBefore}%4d files -> ${r.filesAfter}%4d " +
               s"(${Pure.formatSize(r.bytesTotal.toDouble)}) at $outRoot/$name")
           }
+        } finally spark.stop()
+
+      case "release" =>
+        // training-corpus release pipeline (q80): decontaminate → PII-scrub
+        // → quality-gate → per-language report, one DAG
+        val spark = session()
+        try {
+          val rows = graft.operators.Queries5.all("q80_corpus_release")(spark, root).collect()
+          println("lang   docs    tokens  pii_docs  avg_ttr")
+          rows.foreach(r => println(
+            f"${r.getString(0)}%-6s ${r.getLong(1)}%5d ${r.getLong(2)}%9d ${r.getLong(3)}%9d  ${r.getDouble(4)}%.4f"))
+          println(Renderer.countMessage(rows.map(_.getLong(1)).sum.toInt, "released doc"))
         } finally spark.stop()
 
       case "media" =>
