@@ -57,8 +57,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // stop BEFORE printing: the driver merges stderr into the same ~2000-char
     // tail it parses, so any shutdown logging after the JSON line could push
-    // it out of the buffer. The JSON line is the process's last output.
-    spark.stop()
+    // it out of the buffer. The JSON line is the process's last output — and
+    // a shutdown failure must not lose the already-computed results.
+    try spark.stop() catch { case e: Throwable => System.err.println(s"[bench] stop failed: $e") }
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }

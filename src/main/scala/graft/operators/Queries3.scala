@@ -22,52 +22,27 @@ object Queries3 {
 
   // ---------------------------------------------------------------- shared
   // Decontamination fixture: the corpus has no real eval-set leakage, so
-  // (like the dedup twins) contamination is SYNTHESIZED deterministically:
-  // every 97th doc is the "benchmark" set, and for each benchmark doc a
-  // contaminated training doc (id + 500000) carries its text minus the
-  // first token. The detector must not know this — it finds overlap purely
-  // via 8-gram shingle-hash equi-join.
-  private val NGram = 8
-  private val OverlapMin = 3
+  // (like the dedup twins) contamination is SYNTHESIZED deterministically —
+  // see [[DecontFixture]] (one definition shared with q74/q75/q80). The
+  // detector must not know the fixture — it finds overlap purely via
+  // 8-gram shingle-hash equi-join.
+  private val NGram = DecontFixture.NGram
+  private val OverlapMin = DecontFixture.OverlapMin
 
   private def evalSet(dir: String)(implicit s: SparkSession): DataFrame =
-    t(dir, "documents").filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id"), col("lang"), col("text"))
+    DecontFixture.evalDocs(dir)
 
-  private def trainSet(dir: String)(implicit s: SparkSession): DataFrame = {
-    val docs = t(dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-    docs.filter(col("doc_id") % 97 =!= 0)
-      .union(evalSet(dir).select((col("doc_id") + 500000).as("doc_id"), col("lang"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text")))
-  }
+  private def trainSet(dir: String)(implicit s: SparkSession): DataFrame =
+    DecontFixture.trainDocs(dir)
 
-  /** Distinct 8-gram shingle hashes of a (doc_id, text) relation — the
-    * native [[graft.functions.ShingleHashes]] kernel (one streamed MD5 pass
-    * per row, no per-shingle string allocation); value-identical to the
-    * relational explode→hash shape the oracle uses. */
   private def shingleHashes(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      explode(graft.functions.TextHashExprs.shingleHashes(
-        split(col("text"), lit(" ")), NGram)).as("h"))
+    DecontFixture.shingleHashes(df)
 
-  private val evalSql =
-    "SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 = 0"
+  private val evalSql = DecontFixture.evalSql
+  private val trainSql = DecontFixture.trainSql
 
-  private val trainSql =
-    s"""SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
-       |  UNION ALL
-       |  SELECT doc_id + 500000 AS doc_id, lang,
-       |         substring(text, position(' ' IN text) + 1) AS text
-       |  FROM documents WHERE doc_id % 97 = 0""".stripMargin
-
-  /** DuckDB twin of [[shingleHashes]] over a named relation. */
   private def shingleHashesSql(rel: String): String =
-    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-       |          range(1, greatest(len(string_split(text, ' ')) - ${NGram - 2}, 1)),
-       |          i -> ${(0 until NGram).map(j => s"string_split(text, ' ')[i+$j]")
-                          .mkString(" || ' ' || ")}))) AS sh
-       |        FROM $rel)""".stripMargin
+    DecontFixture.shingleHashesSql(rel)
 
   /** Shared contamination-pairs SQL (train_doc_id, eval_doc_id, n_overlap). */
   private val overlapSql =

@@ -31,56 +31,37 @@ object Queries5 {
   private val Ipv4Re  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   private val DigitRe = """\d{12,19}"""
 
-  // ------------------------------------------------------------ q74 corpus
-  // 8-gram shingles over the dedup corpus (originals + drop-first-token
-  // twins — the twins guarantee real cross-doc duplication to measure).
-  private val DupN = 8
-
-  /** DuckDB: distinct 8-gram shingle hashes of a (doc_id, text) relation. */
-  private def shingle8Sql(rel: String): String =
-    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-       |          range(1, greatest(len(string_split(text, ' ')) - ${DupN - 2}, 1)),
-       |          i -> ${(0 until DupN).map(j => s"string_split(text, ' ')[i+$j]")
-                        .mkString(" || ' ' || ")}))) AS sh
-       |        FROM $rel)""".stripMargin
-
-  /** Spark: distinct 8-gram shingle hashes — the native
-    * [[graft.functions.ShingleHashes]] kernel (one streamed MD5 pass per
-    * row, inside codegen) instead of the explode→concat_ws→md5 pipeline;
-    * value-identical to the oracle's relational shape. */
-  private def shingle8(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      explode(graft.functions.TextHashExprs.shingleHashes(
-        split(col("text"), lit(" ")), DupN)).as("h"))
-
-  // ---------------------------------------------------- q75 decontamination
-  // Same synthesized train/eval fixture as q60 (every 97th doc is the eval
-  // set; a contaminated twin at id+500000 carries its text minus the first
-  // token) — q75 differs in the EXECUTION STRATEGY (bloom prefilter) and in
-  // aggregating hits per train doc rather than per (train, eval) pair.
-  private val HitMin = 3
-
+  // ---------------------------------------- q74/q75/q80 shared machinery
+  // 8-gram shingle hashes (native kernel) and the synthesized train/eval
+  // decontamination fixture live in [[DecontFixture]] — one definition with
+  // Queries3's q60/q67 (the [[Rel]] bit-identity rule).
+  private def shingle8(df: DataFrame): DataFrame = DecontFixture.shingleHashes(df)
+  private def shingle8Sql(rel: String): String = DecontFixture.shingleHashesSql(rel)
   private def evalDocs(dir: String)(implicit s: SparkSession): DataFrame =
-    t(dir, "documents").filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id"), col("lang"), col("text"))
+    DecontFixture.evalDocs(dir)
+  private def trainDocs(dir: String)(implicit s: SparkSession): DataFrame =
+    DecontFixture.trainDocs(dir)
+  private val evalSql = DecontFixture.evalSql
+  private val trainSql = DecontFixture.trainSql
+  private val HitMin = DecontFixture.OverlapMin
 
-  private def trainDocs(dir: String)(implicit s: SparkSession): DataFrame = {
-    val docs = t(dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-    docs.filter(col("doc_id") % 97 =!= 0)
-      .union(evalDocs(dir).select((col("doc_id") + 500000).as("doc_id"), col("lang"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  /** q75/q80 shared detector: per-train-doc count of 8-gram shingle hashes
+    * present in the eval set — (doc_id, n_hit) with n_hit >= OverlapMin.
+    * The bloom filter (built distributed over the eval hashes, collected to
+    * the driver, broadcast) is a map-side prefilter that drops ~99% of
+    * train shingles BEFORE the exact semi-join; the bloom changes the plan,
+    * never the answer. */
+  private def contaminationHits(dir: String)(implicit sp: SparkSession): DataFrame = {
+    val evalH = shingle8(evalDocs(dir)).select(col("h")).distinct()
+    val bf = evalH.stat.bloomFilter("h", 1 << 20, 0.01)
+    val bc = sp.sparkContext.broadcast(bf)
+    val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
+    shingle8(trainDocs(dir))
+      .filter(mightHit(col("h")))
+      .join(evalH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= HitMin)
   }
-
-  private val evalSql =
-    "SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 = 0"
-
-  private val trainSql =
-    s"""SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
-       |  UNION ALL
-       |  SELECT doc_id + 500000 AS doc_id, lang,
-       |         substring(text, position(' ' IN text) + 1) AS text
-       |  FROM documents WHERE doc_id % 97 = 0""".stripMargin
 
   /** The PII-synthesis + augmentation expression shared by q73 and q80. */
   private def augmented(text: Column, docId: Column): Column =
@@ -111,13 +92,14 @@ object Queries5 {
   private val KmK = 8
   private val KmIters = 2
 
-  /** One assignment pass: nearest centroid per vector, with the exact
+  /** Assignment pass: the `topK` nearest centroids per vector (topK = 1 is
+    * Lloyd's assignment; q81 probes with topK = nprobe), with the exact
     * integer numerator num = Σ_pos (qv·n − s)² and the single IEEE division
     * num/n² as the comparable cost (identical op order on both engines;
     * ties broken by cid). Exactness bound: per-dim |qv·n − s| ≤ ~2·272·n,
     * so the 64-dim num stays under 2^63 while a cluster holds ≲1.9e5
     * vectors; beyond that switch the cost to double accumulation. */
-  private def kmAssign(qd: DataFrame, cent: DataFrame): DataFrame = {
+  private def kmAssign(qd: DataFrame, cent: DataFrame, topK: Int = 1): DataFrame = {
     val cost = qd.join(broadcast(cent), "pos")
       .withColumn("d", col("qv") * col("n") - col("s"))
       .groupBy(col("vec_id"), col("cid"))
@@ -125,7 +107,7 @@ object Queries5 {
       .withColumn("cost", col("num").cast("double") / (col("n") * col("n")))
     cost.withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cost"), col("cid"))))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= topK)
       .select(col("vec_id"), col("cid"), col("cost"))
   }
 
@@ -155,6 +137,11 @@ object Queries5 {
       c.as[(Long, Int, Long, Long)].collect().toSeq.toDF("cid", "pos", "s", "n")
     var cent = localize(init)
     for (_ <- 1 to KmIters) cent = localize(kmUpdate(qd, kmAssign(qd, cent)))
+    // the iteration actions are done — release the cache before handing the
+    // (lazy) final assignment back, so sessions running many queries don't
+    // accumulate one pinned corpus per k-means query; the final action pays
+    // one uncached scan instead
+    qd.unpersist(blocking = false)
     (cent, kmAssign(qd, cent))
   }
 
@@ -248,16 +235,8 @@ object Queries5 {
     // the bloom changes the plan, never the answer (which is why a plain
     // SQL oracle can gate it).
     "q75_bloom_decontamination" -> { (s, dir) => implicit val sp = s
-      val evalH = shingle8(evalDocs(dir)).select(col("h")).distinct()
-      val bf = evalH.stat.bloomFilter("h", 1 << 20, 0.01)
-      val bc = sp.sparkContext.broadcast(bf)
-      val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
-      shingle8(trainDocs(dir))
-        .filter(mightHit(col("h")))
-        .join(evalH, Seq("h"), "left_semi")
-        .groupBy(col("doc_id").as("train_doc_id"))
-        .agg(count(lit(1)).as("n_hit"))
-        .filter(col("n_hit") >= HitMin)
+      contaminationHits(dir)
+        .select(col("doc_id").as("train_doc_id"), col("n_hit"))
         .orderBy(col("train_doc_id"))
     },
 
@@ -279,8 +258,12 @@ object Queries5 {
       val v2d = t(dir, "orders").filter(col("o_orderkey") % 50 === 0)
         .select(col("o_orderkey").as("k"), lit(2L).as("version"), lit("D").as("op"),
           lit(0.0).as("price"), col("o_orderpriority").as("prio"))
+      // insert keys live in the strictly-NEGATIVE key space (-(k+1), since
+      // this fixture's orderkeys start at 0): a synthesized insert can
+      // never collide with (and silently overwrite) a real base key — a
+      // fixed positive offset would collide once orderkeys pass it
       val v2i = t(dir, "orders").filter(col("o_orderkey") % 100 === 0)
-        .select((col("o_orderkey") + 10000000L).as("k"), lit(2L).as("version"),
+        .select((-(col("o_orderkey") + 1)).as("k"), lit(2L).as("version"),
           lit("U").as("op"), (col("o_totalprice") * 2).as("price"),
           col("o_orderpriority").as("prio"))
       CdcOps.latestWins(base.union(v1).union(v2d).union(v2i),
@@ -405,18 +388,10 @@ object Queries5 {
       val qd = base.select(col("vec_id"), posexplode(col("qarr")).as(Seq("pos0", "qv")))
         .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("qv"))
       val (cent, asgF) = kmFit(qd)
-      // probe ranking: each query's IvfProbe nearest centroids (same exact
-      // integer num / n² cost chain as assignment, rk <= nprobe)
-      val probes = qd.filter(col("vec_id") < IvfQueries)
-        .join(broadcast(cent), "pos")
-        .withColumn("d", col("qv") * col("n") - col("s"))
-        .groupBy(col("vec_id").as("query_id"), col("cid"))
-        .agg(sum(col("d") * col("d")).as("num"), max(col("n")).as("n"))
-        .withColumn("cost", col("num").cast("double") / (col("n") * col("n")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("cost"), col("cid"))))
-        .filter(col("rk") <= IvfProbe)
-        .select(col("query_id"), col("cid"))
+      // probe ranking: each query's IvfProbe nearest centroids — the SAME
+      // assignment pass as Lloyd's, just with topK = nprobe
+      val probes = kmAssign(qd.filter(col("vec_id") < IvfQueries), cent, IvfProbe)
+        .select(col("vec_id").as("query_id"), col("cid"))
       val sided = base.join(asgF.select(col("vec_id"), col("cid")), "vec_id")
         .withColumn("nrm", graft.functions.LongArrayDot.longDot(col("qarr"), col("qarr")))
       val qside = sided.filter(col("vec_id") < IvfQueries)
@@ -445,16 +420,7 @@ object Queries5 {
     // tiny contaminated-id list (broadcast); the report aggregation is
     // partial-agg'd on the language domain.
     "q80_corpus_release" -> { (s, dir) => implicit val sp = s
-      val evalH = shingle8(evalDocs(dir)).select(col("h")).distinct()
-      val bf = evalH.stat.bloomFilter("h", 1 << 20, 0.01)
-      val bc = sp.sparkContext.broadcast(bf)
-      val mightHit = udf((h: Long) => bc.value.mightContainLong(h))
-      val contaminated = shingle8(trainDocs(dir))
-        .filter(mightHit(col("h")))
-        .join(evalH, Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-        .filter(col("n_hit") >= HitMin)
-        .select(col("doc_id"))
+      val contaminated = contaminationHits(dir).select(col("doc_id"))
       val clean = trainDocs(dir).join(contaminated, Seq("doc_id"), "left_anti")
       val scored = clean
         .select(col("doc_id"), col("lang"),
@@ -522,7 +488,7 @@ object Queries5 {
         |  SELECT o_orderkey, 2, 'D', 0.0, o_orderpriority
         |  FROM orders WHERE o_orderkey % 50 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 2, 'U', o_totalprice * 2, o_orderpriority
+        |  SELECT -(o_orderkey + 1), 2, 'U', o_totalprice * 2, o_orderpriority
         |  FROM orders WHERE o_orderkey % 100 = 0),
         |merged AS (
         |  SELECT * FROM (

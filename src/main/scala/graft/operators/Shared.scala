@@ -22,6 +22,57 @@ private[graft] object Rel {
   }
 }
 
+/** The decontamination fixture + 8-gram shingle machinery shared by
+  * q60/q67 (Queries3) and q74/q75/q80 (Queries5): every 97th doc is the
+  * eval set; each eval doc has a contaminated train twin at id+500000
+  * carrying its text minus the first token. ONE definition (the [[Rel]]
+  * rule): oracle parity across rounds depends on these staying
+  * bit-identical. */
+private[graft] object DecontFixture {
+
+  val NGram = 8
+  val OverlapMin = 3
+
+  def evalDocs(dir: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, "documents").filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+
+  def trainDocs(dir: String)(implicit s: SparkSession): DataFrame = {
+    val docs = Rel.t(dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .union(evalDocs(dir).select((col("doc_id") + 500000).as("doc_id"), col("lang"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  val evalSql: String =
+    "SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 = 0"
+
+  val trainSql: String =
+    s"""SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, lang,
+       |         substring(text, position(' ' IN text) + 1) AS text
+       |  FROM documents WHERE doc_id % 97 = 0""".stripMargin
+
+  /** Distinct 8-gram shingle hashes of a (doc_id, …, text) relation — the
+    * native [[graft.functions.ShingleHashes]] kernel (one streamed MD5 pass
+    * per row, no per-shingle string allocation); value-identical to the
+    * relational explode→hash shape the oracle uses. */
+  def shingleHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(graft.functions.TextHashExprs.shingleHashes(
+        split(col("text"), lit(" ")), NGram)).as("h"))
+
+  /** DuckDB twin of [[shingleHashes]] over a named relation. */
+  def shingleHashesSql(rel: String): String =
+    s"""SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, greatest(len(string_split(text, ' ')) - ${NGram - 2}, 1)),
+       |          i -> ${(0 until NGram).map(j => s"string_split(text, ' ')[i+$j]")
+                        .mkString(" || ' ' || ")}))) AS sh
+       |        FROM $rel)""".stripMargin
+}
+
 /** The dedup test corpus and its minhash machinery: originals + synthesized
   * near-dup twins (first token dropped), the engine's standard permutation
   * constants, and the DuckDB SQL fragments that recompute them verbatim. */
