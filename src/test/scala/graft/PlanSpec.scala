@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("UDF"), s"bloom prefilter UDF missing from plan:\n$p")
   }
 
+  test("q74: per-hash frequency is a window over the existing partitioning, not a join-back") {
+    val p = plan("q74_dup_ngram_fraction")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"q74 should not join the shingle relation against itself:\n$p")
+  }
+
+  test("q80: contaminated-id anti-join present; release scoring stays join-free downstream") {
+    val p = plan("q80_corpus_release")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q76: CDC merge is one shuffle on the key (window), partial-agg'd summary") {
     val p = plan("q76_cdc_upsert")
     assert(p.contains("Window"), p)
