@@ -77,22 +77,31 @@ object TextOps {
       .select(col(idCol) +: perms.indices.map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** THE band-key recipe, shared by the batch pair join and the streaming
+    * near-dup detector ([[graft.streaming.StreamingNearDup]]) so their
+    * flagged-set parity can't drift: band index folded into the key with
+    * `rowsPerBand` consecutive signature values, '_'-joined. `sig` is the
+    * signature as an ARRAY column (1-indexed element_at). */
+  def bandKeyColumns(sig: Column, nPerms: Int, rowsPerBand: Int): Seq[Column] = {
+    require(nPerms % rowsPerBand == 0, "nPerms must be divisible by rowsPerBand")
+    (0 until nPerms / rowsPerBand).map { bIdx =>
+      val keyCols = lit(s"$bIdx") +:
+        (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(j => element_at(sig, j + 1))
+      concat_ws("_", keyCols: _*)
+    }
+  }
+
   /** LSH candidate pairs from minhash signatures: same band key (rowsPerBand
     * consecutive minhashes concatenated) => candidate. Returns (id_a, id_b)
     * with id_a < id_b, distinct. Equi-join on the band key — never a cross
     * join — which is what makes this the scale path for near-dup detection. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, nPerms: Int, rowsPerBand: Int): DataFrame = {
-    require(nPerms % rowsPerBand == 0, "nPerms must be divisible by rowsPerBand")
-    val nBands = nPerms / rowsPerBand
     // band index folded into the key and ALL bands emitted by one explode:
     // the signature subtree is scanned once (not once per band), and the
     // self-join's two sides are canonically identical, so the band-key
     // exchange is computed once and reused
-    val bandKeys = (0 until nBands).map { bIdx =>
-      val keyCols = lit(s"$bIdx") +:
-        (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(j => col(s"mh$j"))
-      concat_ws("_", keyCols: _*)
-    }
+    val sigArr = array((0 until nPerms).map(j => col(s"mh$j")): _*)
+    val bandKeys = bandKeyColumns(sigArr, nPerms, rowsPerBand)
     val bands = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bkey"))
     val a = bands.select(col("bkey"), col(idCol).as("id_a"))
     val b = bands.select(col("bkey"), col(idCol).as("id_b"))

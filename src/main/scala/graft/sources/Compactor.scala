@@ -42,18 +42,11 @@ object Compactor {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.getFileStatus(p).getPath
-    val it = fs.listFiles(base, true)
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val rel = st.getPath.getParent.toString.stripPrefix(base.toString).stripPrefix("/")
-        val pk = FileEntrySource.canonicalKey(
-          rel.split('/').filter(_.contains('=')).toSeq
-            .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) })
-        files += ((st.getPath.toUri.getPath, st.getLen, pk))
-      }
+    val files = FileEntrySource.listDataFiles(fs, base).map { case (path, len, rel) =>
+      val pk = FileEntrySource.canonicalKey(
+        rel.split('/').filter(_.contains('=')).toSeq
+          .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) })
+      (path.toUri.getPath, len, pk)
     }
     var nextBin = 0
     files.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (pk, fsOfPk) =>

@@ -28,19 +28,35 @@ object FileEntrySource {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.getFileStatus(p).getPath
+    val entries = listDataFiles(fs, base).map { case (path, len, rel) =>
+      val pk = canonicalKey(
+        rel.split('/').filter(_.contains('=')).toSeq
+          .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) })
+      FileEntry(table, FileContent.Data, pk, len)
+    }
+    spark.createDataset(entries)
+  }
+
+  /** THE data-file listing rule, shared by every consumer (this source,
+    * [[Compactor]], [[OrphanFiles]]) so the manifest side and the
+    * storage-actual side can never drift: recursive, and a file is hidden
+    * when its NAME or ANY path component below `base` starts with `_` or
+    * `.` (in-flight `_temporary`/`.hive-staging` trees are invisible at
+    * every depth, not just the top level). Returns (path, length,
+    * relative-parent-dir) triples. */
+  def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, base: Path): Seq[(Path, Long, String)] = {
     val it = fs.listFiles(base, true)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Long, String)]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")) {
+      if (st.isFile) {
         val rel = st.getPath.getParent.toString.stripPrefix(base.toString).stripPrefix("/")
-        val pk = canonicalKey(
-          rel.split('/').filter(_.contains('=')).toSeq
-            .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) })
-        entries += FileEntry(table, FileContent.Data, pk, st.getLen)
+        val hidden = (rel.split('/').toSeq :+ st.getPath.getName)
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (!hidden) out += ((st.getPath, st.getLen, rel))
       }
     }
-    spark.createDataset(entries.toSeq)
+    out.toSeq
   }
 
   /** Canonical partition-tuple string (reference `deterministic_repr`,
