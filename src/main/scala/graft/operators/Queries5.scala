@@ -249,24 +249,9 @@ object Queries5 {
     // the base by key makes repeated merges exchange-free and AQE handles
     // hot-key skew. The summary then audits provenance per priority class.
     "q76_cdc_upsert" -> { (s, dir) => implicit val sp = s
-      val base = t(dir, "orders").select(col("o_orderkey").as("k"),
-        lit(0L).as("version"), lit("U").as("op"),
-        col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
-      val v1 = t(dir, "orders").filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey").as("k"), lit(1L).as("version"), lit("U").as("op"),
-          (col("o_totalprice") + 100.0).as("price"), col("o_orderpriority").as("prio"))
-      val v2d = t(dir, "orders").filter(col("o_orderkey") % 50 === 0)
-        .select(col("o_orderkey").as("k"), lit(2L).as("version"), lit("D").as("op"),
-          lit(0.0).as("price"), col("o_orderpriority").as("prio"))
-      // insert keys live in the strictly-NEGATIVE key space (-(k+1), since
-      // this fixture's orderkeys start at 0): a synthesized insert can
-      // never collide with (and silently overwrite) a real base key — a
-      // fixed positive offset would collide once orderkeys pass it
-      val v2i = t(dir, "orders").filter(col("o_orderkey") % 100 === 0)
-        .select((-(col("o_orderkey") + 1)).as("k"), lit(2L).as("version"),
-          lit("U").as("op"), (col("o_totalprice") * 2).as("price"),
-          col("o_orderpriority").as("prio"))
-      CdcOps.latestWins(base.union(v1).union(v2d).union(v2i),
+      // change log incl. negative-key-space inserts: [[CdcFixture]]
+      // (shared with q87's SCD2 history — bit-identical log both places)
+      CdcOps.latestWins(CdcFixture.log(dir),
           Seq("k"), "version", "op")
         .groupBy(col("prio"))
         .agg(count(lit(1)).as("n_rows"),
@@ -478,18 +463,7 @@ object Queries5 {
          |GROUP BY 1 HAVING count(*) >= $HitMin
          |ORDER BY train_doc_id""".stripMargin,
     "q76_cdc_upsert" ->
-      """WITH log AS (
-        |  SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS version, 'U' AS op,
-        |         o_totalprice AS price, o_orderpriority AS prio FROM orders
-        |  UNION ALL
-        |  SELECT o_orderkey, 1, 'U', o_totalprice + 100.0, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 10 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 2, 'D', 0.0, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 50 = 0
-        |  UNION ALL
-        |  SELECT -(o_orderkey + 1), 2, 'U', o_totalprice * 2, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 100 = 0),
+      s"""WITH log AS (${CdcFixture.logSql}),
         |merged AS (
         |  SELECT * FROM (
         |    SELECT log.*, row_number() OVER (PARTITION BY k ORDER BY version DESC,

@@ -1,0 +1,390 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 batch 2: the remaining large-pipeline families —
+  * training-sequence packing (secondary-sort carry scan), corpus mixture
+  * re-weighting, two-pass EXACT heavy hitters (Misra-Gries candidates +
+  * exact recount), cohort retention, the classic TPC-H Q3 join shape,
+  * SCD Type-2 history from a CDC log, incremental aggregate maintenance
+  * (partial-agg merge == full recompute), and deterministic hash-based
+  * train/val/test splitting.
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, CAST integer sums to BIGINT, FLOOR before int casts, integer
+  * math where exactness matters, full ORDER BY tie-breaks.
+  */
+object Queries6 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  /** q82: token budget per packed training sequence. Docs are 10-99 tokens,
+    * so no single doc exceeds the budget; bins close BEFORE overflow
+    * (first-fit sequential — the dual of the compactor's overshoot rule,
+    * both disciplines now covered). */
+  private val SeqBudget = 256L
+
+  /** q84: Misra-Gries summary capacity per partition. The two-pass answer
+    * is exact for any capacity >= the heavy-hitter ratio (64): an item with
+    * global count > n/64 has, in at least one partition p, local frequency
+    * > n_p/64 > n_p/(Cap+1), so it survives that partition's summary. */
+  private val MgCap = 256
+  private val HhRatio = 64L
+
+  /** q89: deterministic split hash — [[TextOps.portableHash28]] of a
+    * prefixed doc key, mod 10; 0-7 train, 8 val, 9 test. */
+  private def splitName(docId: Column): Column = {
+    val h = TextOps.portableHash28(concat(lit("split:"), docId.cast("string"))) % 10
+    when(h < 8, lit("train")).when(h === 8, lit("val")).otherwise(lit("test"))
+  }
+
+  /** q84 stream: an exponentially-skewed key family (key = bit-length of
+    * the orderkey, so key j carries ~2^j lineitem rows) unioned with a
+    * uniform background (5000 keys x ~12 rows) — the background is what a
+    * heavy-hitter sketch must wade through at 100 TB. bit-length via
+    * length(bin(x)) is integer-exact on both engines (no float log2). */
+  private def hhStream(dir: String)(implicit s: SparkSession): DataFrame =
+    t(dir, "lineitem").select(
+        concat(lit("L"), length(bin(col("l_orderkey") + 1)).cast("string")).as("k"))
+      .union(t(dir, "lineitem").select(
+        concat(lit("u"), ((col("l_orderkey") * 7919) % 5000).cast("string")).as("k")))
+
+  private val hhStreamSql: String =
+    """SELECT 'L' || CAST(length(bin(l_orderkey + 1)) AS VARCHAR) AS k FROM lineitem
+      |  UNION ALL
+      |  SELECT 'u' || CAST((l_orderkey * 7919) % 5000 AS VARCHAR) AS k FROM lineitem""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- training-sequence packing: docs in (lang, doc_id) order packed
+    // first-fit into 256-token sequences (close before overflow — the
+    // complement of the compactor's overshoot discipline). The sequential
+    // carry runs as ONE exchange (repartition by lang) + sortWithinPartitions
+    // + a streaming mapPartitions — the secondary-sort pattern: no per-group
+    // materialization, state is one open bin, output is bins only. At 100 TB
+    // the shard key becomes (lang, doc_id div SHARD) so every task's run is
+    // bounded; packing stays exact within shards because sequence identity
+    // is per-shard anyway in a real pipeline.
+    "q82_sequence_packing" -> { (s, dir) => implicit val sp = s
+      import s.implicits._
+      val docs = t(dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .repartition(col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+      val bins = docs.mapPartitions { it =>
+        var lang: String = null
+        var seq = 0L; var docsN = 0L; var toks = 0L
+        def closeBin(): (String, Long, Long, Long) = (lang, seq, docsN, toks)
+        val main = it.flatMap { r =>
+          val l = r.getString(0); val tok = r.getLong(2)
+          var out: List[(String, Long, Long, Long)] = Nil
+          if (lang == null) { lang = l; seq = 1 }
+          else if (l != lang) { out = closeBin() :: Nil; lang = l; seq = 1; docsN = 0; toks = 0 }
+          else if (toks + tok > SeqBudget) { out = closeBin() :: Nil; seq += 1; docsN = 0; toks = 0 }
+          docsN += 1; toks += tok
+          out
+        }
+        // `++` is by-name: the flush runs only after `main` is exhausted,
+        // so it sees the final open bin (or nothing for an empty partition)
+        main ++ Iterator.single(()).flatMap { _ =>
+          if (lang != null) Iterator.single(closeBin()) else Iterator.empty
+        }
+      }.toDF("lang", "seq_id", "n_docs", "n_tokens")
+      bins.select(col("lang"), col("seq_id"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / SeqBudget, 4).as("fill_frac"))
+        .orderBy(col("lang"), col("seq_id"))
+    },
+
+    // ---- corpus mixture re-weighting: per-language sampling weight that
+    // moves the corpus toward a uniform target mix, capped at 3x upsampling
+    // (the standard mixture-balancing step before training). One tiny agg +
+    // a broadcast of the single-row totals: at 100 TB this is one partial
+    // agg over the corpus and a driver-size join — no full shuffle.
+    "q83_mixture_weights" -> { (s, dir) => implicit val sp = s
+      val perLang = t(dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = t(dir, "documents")
+        .agg(count(lit(1)).as("total"), countDistinct(col("lang")).as("n_langs"))
+      perLang.crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("total"), 6).as("corpus_share"),
+          round(least(col("total").cast("double") / (col("n_langs") * col("n_docs")),
+            lit(3.0)), 6).as("weight"),
+          expr(s"CAST(FLOOR(least(CAST(total AS DOUBLE) / (n_langs * n_docs), 3.0D) * n_docs) AS BIGINT)")
+            .as("expected_docs"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- two-pass EXACT heavy hitters: pass 1 is a Misra-Gries summary
+    // per partition (a mapPartitions — NO shuffle of the stream), whose
+    // union is a guaranteed superset of every key with count > n/64; pass 2
+    // recounts exactly, but only for candidate keys, via a BROADCAST semi
+    // join — so the only aggregation shuffle that ever runs is over the
+    // tiny candidate subset. At 100 TB this is the shape that works when
+    // the key domain (tokens, URLs) is too large to groupBy: the full
+    // groupBy the oracle runs is exactly what this plan avoids. The final
+    // answer is partitioning-independent (MG is a superset; the recount is
+    // exact), which is why a plain SQL oracle can gate it.
+    "q84_heavy_hitters" -> { (s, dir) => implicit val sp = s
+      import s.implicits._
+      val stream = hhStream(dir)
+      val cands = stream.select(col("k")).as[String].mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { k =>
+          counts.get(k) match {
+            case Some(c) => counts.update(k, c + 1)
+            case None =>
+              if (counts.size < MgCap) counts.update(k, 1L)
+              else {
+                val dead = List.newBuilder[String]
+                counts.keysIterator.foreach { key =>
+                  val c = counts(key) - 1
+                  if (c == 0) dead += key else counts.update(key, c)
+                }
+                dead.result().foreach(counts.remove)
+              }
+          }
+        }
+        counts.keysIterator
+      }.toDF("k").distinct()
+      val totals = stream.agg(count(lit(1)).as("total"))
+      stream.join(broadcast(cands), Seq("k"), "left_semi")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(totals))
+        .filter(col("n") * HhRatio > col("total"))
+        .select(col("k"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"))
+        .orderBy(desc("n"), col("k"))
+    },
+
+    // ---- cohort retention: users cohorted by their first active epoch-week
+    // (integer week math — no date_trunc WEEK-start divergence), retention
+    // as the share of the cohort active at each week offset. The event
+    // stream is sampled (every 7th event) so activity is sparse enough for
+    // non-trivial retention. Two exchanges: min-week per user (window), then
+    // the (cohort, offset) rollup — both on small keys; at 100 TB the
+    // per-user min is a partial agg, not a window, and the rest is tiny.
+    "q85_cohort_retention" -> { (s, dir) => implicit val sp = s
+      val ev = Rel.events(dir).filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), expr("ts_us div 604800000000").as("wk"))
+        .distinct()
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val active = ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val w = Window.partitionBy(col("cohort_wk"))
+      active
+        .withColumn("cohort_size", max(when(col("offset_wk") === 0, col("n_users"))).over(w))
+        .select(col("cohort_wk"), col("offset_wk"), col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
+    },
+
+    // ---- TPC-H Q3 shape (shipping-priority revenue): the canonical
+    // dim ⋈ fact ⋈ fact OLAP join. The customer dimension (filtered to one
+    // segment) is explicitly BROADCAST — at 100 TB lineitem⋈orders is the
+    // real shuffle and AQE handles its skew; the dim never shuffles. Dates
+    // compared as epoch-micros integers (identical on both engines for
+    // TIMESTAMP_NTZ parquet under a UTC session).
+    "q86_ship_priority" -> { (s, dir) => implicit val sp = s
+      val cut = 852076800000000L       // 1997-01-01
+      val shipCut = 859852800000000L   // 1997-04-01
+      val cust = t(dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(dir, "orders")
+        .withColumn("o_date_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .filter(col("o_date_us") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date_us"))
+      val li = t(dir, "lineitem")
+        .filter(unix_micros(col("l_shipdate").cast("timestamp")) >= shipCut)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_date_us"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- SCD Type-2 history from the shared CDC log ([[CdcFixture]] —
+    // bit-identical to q76's merge input): each upsert opens a version
+    // interval, the next change (update OR delete) closes it; deletes close
+    // without opening. One window exchange on the key — the same shuffle
+    // the latest-wins merge needs, so at 100 TB SCD2 costs no more than
+    // MERGE. Restricted to the keys the fixture actually changes (v1/v2
+    // waves + negative-space inserts) to keep the history non-degenerate.
+    "q87_scd2_history" -> { (s, dir) => implicit val sp = s
+      val log = CdcFixture.log(dir)
+        .filter(col("k") % 10 === 0 || col("k") < 0)
+      val w = Window.partitionBy(col("k")).orderBy(col("version"))
+      log
+        .withColumn("ver_to", lead(col("version"), 1).over(w))
+        .withColumn("next_op", lead(col("op"), 1).over(w))
+        .filter(col("op") === "U")
+        .select(col("k"), col("version").as("ver_from"), col("ver_to"),
+          when(col("ver_to").isNull, 1L).otherwise(0L).as("is_current"),
+          when(col("next_op") === "D", 1L).otherwise(0L).as("closed_by_delete"),
+          col("price"), col("prio"))
+        .orderBy(col("k"), col("ver_from"))
+    },
+
+    // ---- incremental aggregate maintenance: yesterday's partial aggregates
+    // merged with today's delta partials must equal a full recompute — the
+    // algebraic-aggregate (count/sum/min/max) merge law that makes
+    // incremental view maintenance work. Money is exact integer cents
+    // (FLOOR(price*100)) so the merge is bit-exact, not merely close. The
+    // oracle recomputes from scratch: passing means the merge path IS the
+    // full answer. At 100 TB only the delta is scanned — the base partials
+    // are a 5-row state table.
+    "q88_incremental_agg" -> { (s, dir) => implicit val sp = s
+      val withCents = t(dir, "orders")
+        .withColumn("cents", expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val base = partial(withCents.filter(col("o_orderkey") % 7 =!= 0))
+      val delta = partial(withCents.filter(col("o_orderkey") % 7 === 0))
+      base.unionByName(delta)
+        .groupBy(col("prio"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .select(col("prio"), col("n_rows"), col("sum_cents"), col("min_cents"),
+          col("max_cents"),
+          round(col("sum_cents").cast("double") / (col("n_rows") * 100), 4)
+            .as("avg_price"))
+        .orderBy(col("prio"))
+    },
+
+    // ---- deterministic train/val/test split: a pure hash of the doc key
+    // (no RNG, no ordering dependence) assigns every doc to exactly one
+    // split — reproducible across engines, runs, and cluster sizes, which
+    // is the property that matters when the split must survive re-sharding
+    // at 100 TB. Map-only assignment + one small rollup.
+    "q89_split_assignment" -> { (s, dir) => implicit val sp = s
+      val assigned = t(dir, "documents")
+        .select(col("lang"), col("n_chars"), splitName(col("doc_id")).as("split"))
+      val w = Window.partitionBy(col("lang"))
+      assigned.groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("lang_share",
+          round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 4))
+        .orderBy(col("lang"), col("split"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q82_sequence_packing" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |rec AS (
+         |  SELECT lang, rn, tok AS cum, CAST(1 AS BIGINT) AS seq FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.rn,
+         |    CASE WHEN rec.cum + d.tok > $SeqBudget THEN d.tok ELSE rec.cum + d.tok END,
+         |    CASE WHEN rec.cum + d.tok > $SeqBudget THEN rec.seq + 1 ELSE rec.seq END
+         |  FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
+         |SELECT lang, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(cum) AS BIGINT) AS n_tokens,
+         |  round(CAST(max(cum) AS DOUBLE) / $SeqBudget, 4) AS fill_frac
+         |FROM rec GROUP BY lang, seq ORDER BY lang, seq_id""".stripMargin,
+
+    "q83_mixture_weights" ->
+      """WITH per_lang AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+        |totals AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / total, 6) AS corpus_share,
+        |  round(least(CAST(total AS DOUBLE) / (n_langs * n_docs), 3.0), 6) AS weight,
+        |  CAST(FLOOR(least(CAST(total AS DOUBLE) / (n_langs * n_docs), 3.0) * n_docs) AS BIGINT)
+        |    AS expected_docs
+        |FROM per_lang CROSS JOIN totals ORDER BY lang""".stripMargin,
+
+    "q84_heavy_hitters" ->
+      s"""WITH stream AS ($hhStreamSql),
+         |totals AS (SELECT CAST(count(*) AS BIGINT) AS total FROM stream),
+         |counts AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM stream GROUP BY k)
+         |SELECT k, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+         |FROM counts CROSS JOIN totals WHERE n * $HhRatio > total
+         |ORDER BY n DESC, k""".stripMargin,
+
+    "q85_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE event_id % 7 = 0),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |active AS (
+        |  SELECT c.cohort_wk, e.wk - c.cohort_wk AS offset_wk,
+        |         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort_wk, offset_wk, n_users,
+        |  round(CAST(n_users AS DOUBLE) / max(CASE WHEN offset_wk = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_wk), 4) AS retention
+        |FROM active ORDER BY cohort_wk, offset_wk""".stripMargin,
+
+    "q86_ship_priority" ->
+      """SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_date_us,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND epoch_us(o.o_orderdate) < 852076800000000
+        |  AND epoch_us(l.l_shipdate) >= 859852800000000
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "q87_scd2_history" ->
+      s"""WITH log AS (${CdcFixture.logSql}),
+        |changed AS (SELECT * FROM log WHERE k % 10 = 0 OR k < 0),
+        |v AS (
+        |  SELECT changed.*,
+        |    lead(version) OVER (PARTITION BY k ORDER BY version) AS ver_to,
+        |    lead(op) OVER (PARTITION BY k ORDER BY version) AS next_op
+        |  FROM changed)
+        |SELECT k, version AS ver_from, ver_to,
+        |  CAST(CASE WHEN ver_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+        |  CAST(CASE WHEN next_op = 'D' THEN 1 ELSE 0 END AS BIGINT) AS closed_by_delete,
+        |  price, prio
+        |FROM v WHERE op = 'U' ORDER BY k, ver_from""".stripMargin,
+
+    "q88_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / (count(*) * 100), 4) AS avg_price
+        |FROM o GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q89_split_assignment" ->
+      """WITH assigned AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT lang, n_chars,
+        |          CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 AS h
+        |        FROM documents)),
+        |g AS (
+        |  SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM assigned GROUP BY lang, split)
+        |SELECT lang, split, n_docs, sum_chars,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 4)
+        |    AS lang_share
+        |FROM g ORDER BY lang, split""".stripMargin
+  )
+}

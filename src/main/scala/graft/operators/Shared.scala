@@ -110,3 +110,45 @@ private[graft] object DedupCorpus {
   def minhashAggsSql: String = A.indices.map(j =>
     s"min((h * ${A(j)} + ${B(j)}) % $P) AS mh$j").mkString(", ")
 }
+
+/** The CDC change-log fixture shared by q76 (latest-wins MERGE, Queries5)
+  * and q87 (SCD Type-2 history, Queries6): base snapshot at version 0, a
+  * v1 update wave (+100 on every 10th key), v2 deletes (every 50th key —
+  * which also took the v1 update, so ordering matters) and v2 inserts in
+  * the strictly-negative key space (-(k+1); orderkeys start at 0, so a
+  * synthesized insert can never collide with a real base key). ONE
+  * definition (the [[Rel]] rule): q76/q87 oracle parity depends on the two
+  * queries seeing a bit-identical log. */
+private[graft] object CdcFixture {
+
+  def log(dir: String)(implicit s: SparkSession): DataFrame = {
+    val orders = Rel.t(dir, "orders")
+    val base = orders.select(col("o_orderkey").as("k"),
+      lit(0L).as("version"), lit("U").as("op"),
+      col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+    val v1 = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), lit(1L).as("version"), lit("U").as("op"),
+        (col("o_totalprice") + 100.0).as("price"), col("o_orderpriority").as("prio"))
+    val v2d = orders.filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey").as("k"), lit(2L).as("version"), lit("D").as("op"),
+        lit(0.0).as("price"), col("o_orderpriority").as("prio"))
+    val v2i = orders.filter(col("o_orderkey") % 100 === 0)
+      .select((-(col("o_orderkey") + 1)).as("k"), lit(2L).as("version"),
+        lit("U").as("op"), (col("o_totalprice") * 2).as("price"),
+        col("o_orderpriority").as("prio"))
+    base.union(v1).union(v2d).union(v2i)
+  }
+
+  val logSql: String =
+    """SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS version, 'U' AS op,
+      |         o_totalprice AS price, o_orderpriority AS prio FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 1, 'U', o_totalprice + 100.0, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'D', 0.0, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 50 = 0
+      |  UNION ALL
+      |  SELECT -(o_orderkey + 1), 2, 'U', o_totalprice * 2, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
+}

@@ -127,6 +127,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q82: packing is ONE lang exchange + in-partition sort, no join") {
+    val p = plan("q82_sequence_packing")
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q84: candidate recount joins via BROADCAST semi-join, stream never sort-merged") {
+    val p = plan("q84_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q86: customer dimension broadcast, no cartesian") {
+    val p = plan("q86_ship_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // segment filter reaches the customer parquet scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q88: incremental merge is a union of partial aggs — no join anywhere") {
+    val p = plan("q88_incremental_agg")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("new SQL functions usable from spark.sql") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(

@@ -1,0 +1,176 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Queries6
+
+/** Behavioral tests for the round-5 batch-2 operators (the oracle gate
+  * covers value parity; these pin down ALGORITHM invariants the oracle
+  * can't express — conservation laws, partitioning-independence, merge
+  * equivalence). */
+class Queries6Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sequence packing: tokens conserved, bins close before overflow, seq ids dense") {
+    import spark.implicits._
+    val bins = Queries6.all("q82_sequence_packing")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(bins.nonEmpty)
+    // docs are 10-99 tokens (< budget), so every bin must respect the cap
+    bins.foreach { case (lang, seq, nDocs, nToks, fill) =>
+      assert(nDocs >= 1)
+      assert(nToks <= 256L, s"$lang#$seq overflows: $nToks")
+      assert(math.abs(fill - nToks.toDouble / 256) < 1e-4) // fill_frac is round(..,4)
+    }
+    // conservation: total docs and tokens across bins == corpus totals
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+    assert(bins.map(_._3).sum == docs.count())
+    assert(bins.map(_._4).sum == docs.agg(sum("tok")).as[Long].head())
+    // per lang: seq ids are 1..n with no gaps
+    bins.groupBy(_._1).foreach { case (lang, bs) =>
+      val seqs = bs.map(_._2).sorted
+      assert(seqs.toSeq == (1L to seqs.length).toSeq, s"$lang seq ids not dense")
+    }
+    // greedy tightness: no bin except the last of each lang could have
+    // absorbed the first doc of the next bin — implied by close-on-overflow;
+    // spot-check that average fill is reasonable (> 60%)
+    val nonLast = bins.groupBy(_._1).toSeq.flatMap { case (_, bs) => bs.sortBy(_._2).dropRight(1).toSeq }
+    if (nonLast.nonEmpty)
+      assert(nonLast.map(_._4).sum.toDouble / (256L * nonLast.size) > 0.6)
+  }
+
+  test("mixture weights: shares sum to 1, weights capped, upweighting is toward uniform") {
+    import spark.implicits._
+    val rows = Queries6.all("q83_mixture_weights")(spark, dir)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    rows.foreach { case (_, n, share, w, exp) =>
+      assert(w <= 3.0 + 1e-9)
+      assert(w > 0)
+      assert(exp <= (3.0 * n).toLong)
+      // under-represented langs (share < uniform) get weight > 1, and vice
+      // versa (modulo the cap)
+      val uniform = 1.0 / rows.length
+      if (share < uniform - 1e-9) assert(w > 1.0 - 1e-9)
+      if (share > uniform + 1e-9) assert(w < 1.0 + 1e-9)
+    }
+  }
+
+  test("heavy hitters: two-pass answer equals the full groupBy answer and is partitioning-independent") {
+    import spark.implicits._
+    val got = Queries6.all("q84_heavy_hitters")(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // exact reference: full groupBy over the same derived stream
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val stream = li.select(concat(lit("L"), length(bin(col("l_orderkey") + 1)).cast("string")).as("k"))
+      .union(li.select(concat(lit("u"), ((col("l_orderkey") * 7919) % 5000).cast("string")).as("k")))
+    val total = stream.count()
+    val want = stream.groupBy("k").count().filter(col("count") * 64 > total)
+      .orderBy(desc("count"), col("k"))
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == want)
+    // every reported key really is heavy; background uniform keys never appear
+    got.foreach { case (k, n, share) =>
+      assert(n * 64 > total)
+      assert(k.startsWith("L"), s"uniform background key $k leaked into heavy set")
+      assert(math.abs(share - n.toDouble / total) < 1e-6) // share is round(..,6)
+    }
+  }
+
+  test("cohort retention: offset-0 retention is 1, retention in (0,1], cohort sizes consistent") {
+    import spark.implicits._
+    val rows = Queries6.all("q85_cohort_retention")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val zero = cs.filter(_._2 == 0L)
+      assert(zero.length == 1, "every cohort must have an offset-0 row")
+      assert(zero.head._4 == 1.0)
+      cs.foreach { case (_, off, n, r) =>
+        assert(off >= 0)
+        assert(r > 0 && r <= 1.0)
+        assert(n <= zero.head._3, "no offset can exceed cohort size")
+      }
+    }
+  }
+
+  test("ship priority: top-10, descending revenue, only pre-cutoff BUILDING orders") {
+    import spark.implicits._
+    val rows = Queries6.all("q86_ship_priority")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    rows.foreach { case (_, dateUs, rev) =>
+      assert(dateUs < 852076800000000L, "order date must be before the cutoff")
+      assert(rev > 0)
+    }
+    val building = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ordersOf = spark.read.parquet(s"$dir/orders.parquet")
+      .join(building, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    rows.foreach(r => assert(ordersOf.contains(r._1), s"order ${r._1} not from a BUILDING customer"))
+  }
+
+  test("scd2 history: one current row per live key, intervals chain, deletes close") {
+    import spark.implicits._
+    val rows = Queries6.all("q87_scd2_history")(spark, dir)
+      .as[(Long, Long, Option[Long], Long, Long, Double, String)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, hist) =>
+      val sorted = hist.sortBy(_._2)
+      // intervals chain: each ver_to equals the next ver_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), s"key $k: interval gap")
+        case _ => ()
+      }
+      val current = hist.filter(_._4 == 1L)
+      if (k % 50 == 0 && k >= 0) {
+        // deleted keys: no current row; last interval closed by the delete
+        assert(current.isEmpty, s"deleted key $k still has a current row")
+        assert(sorted.last._5 == 1L, s"deleted key $k: last interval not closed by D")
+      } else {
+        assert(current.length == 1, s"live key $k must have exactly one current row")
+        assert(current.head._3.isEmpty)
+      }
+      // inserted keys (negative space) have exactly one open version
+      if (k < 0) assert(hist.length == 1 && current.length == 1)
+    }
+  }
+
+  test("incremental agg: merged partials equal a direct full aggregation") {
+    import spark.implicits._
+    val got = Queries6.all("q88_incremental_agg")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("cents", expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .select(col("prio"), col("n_rows"), col("sum_cents"), col("min_cents"),
+        col("max_cents"),
+        round(col("sum_cents").cast("double") / (col("n_rows") * 100), 4).as("avg_price"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == want, "partial-agg merge must be bit-exact vs full recompute")
+  }
+
+  test("split assignment: deterministic, disjoint, exhaustive, ~80/10/10") {
+    import spark.implicits._
+    val rows = Queries6.all("q89_split_assignment")(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect()
+    val totalDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._3).sum == totalDocs, "every doc must land in exactly one split")
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val train = bySplit("train").toDouble / totalDocs
+    assert(train > 0.7 && train < 0.9, s"train share $train far from 0.8")
+    // determinism: a second run yields the identical assignment rollup
+    val again = Queries6.all("q89_split_assignment")(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+}
