@@ -132,32 +132,39 @@ object Queries6 {
     "q84_heavy_hitters" -> { (s, dir) => implicit val sp = s
       import s.implicits._
       val stream = hhStream(dir)
+      // Chunked MG: buffer up to 8*Cap exact local counts, then shrink by
+      // subtracting the (Cap+1)-th largest count from everything (== that
+      // many simultaneous MG decrements — the standard summary-merge step).
+      // Amortized O(1)/row vs O(Cap)/miss for textbook MG; memory stays
+      // bounded at 9*Cap entries regardless of the key domain.
       val cands = stream.select(col("k")).as[String].mapPartitions { it =>
         val counts = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { k =>
-          counts.get(k) match {
-            case Some(c) => counts.update(k, c + 1)
-            case None =>
-              if (counts.size < MgCap) counts.update(k, 1L)
-              else {
-                val dead = List.newBuilder[String]
-                counts.keysIterator.foreach { key =>
-                  val c = counts(key) - 1
-                  if (c == 0) dead += key else counts.update(key, c)
-                }
-                dead.result().foreach(counts.remove)
-              }
-          }
+        val buf = 8 * MgCap
+        def shrink(): Unit = {
+          val vs = counts.values.toArray
+          java.util.Arrays.sort(vs)
+          val t = vs(vs.length - MgCap - 1)
+          counts.filterInPlace((_, c) => c > t)
+          counts.mapValuesInPlace((_, c) => c - t)
         }
+        it.foreach { k =>
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          if (counts.size >= MgCap + buf) shrink()
+        }
+        // no final shrink: a larger candidate superset only grows the (tiny)
+        // broadcast — the exact recount pass makes the answer identical.
+        // No distinct() either: a semi-join build side tolerates duplicate
+        // keys, so deduping the candidates would buy nothing but a shuffle.
         counts.keysIterator
-      }.toDF("k").distinct()
-      val totals = stream.agg(count(lit(1)).as("total"))
+      }.toDF("k")
+      // total = 2x the lineitem row count (the stream is a 2-way union of
+      // one row per lineitem row) — parquet metadata, not a third stream scan
+      val total = t(dir, "lineitem").count() * 2
       stream.join(broadcast(cands), Seq("k"), "left_semi")
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(totals))
-        .filter(col("n") * HhRatio > col("total"))
+        .filter(col("n") * HhRatio > total)
         .select(col("k"), col("n"),
-          round(col("n").cast("double") / col("total"), 6).as("share"))
+          round(col("n").cast("double") / total, 6).as("share"))
         .orderBy(desc("n"), col("k"))
     },
 

@@ -228,6 +228,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: alert exactly once on crossing, set matches batch recount") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{Alert, KeyEvent}
+    // skewed stream: key "hot" 12x, "warm" 5x, background keys 1-2x
+    val evs = (0 until 12).map(i => KeyEvent("hot", i)) ++
+      (0 until 5).map(i => KeyEvent("warm", 100 + i)) ++
+      (0 until 8).map(i => KeyEvent(s"bg${i % 4}", 200 + i))
+    val input = MemoryStream[KeyEvent]
+    val q = StreamingHeavyHitters.alerts(input.toDS(), threshold = 5L)
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      // feed in three batches so "hot" crosses mid-stream and keeps flowing after
+      val batches = evs.grouped(9).toSeq
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val alerts = spark.table("hh").as[Alert].collect()
+      // exactly-once: one alert row per flagged key
+      assert(alerts.map(_.k).toSeq.sorted == alerts.map(_.k).distinct.toSeq.sorted)
+      // flagged set == batch recount at the same threshold
+      val want = evs.groupBy(_.k).filter(_._2.size >= 5).keySet
+      assert(alerts.map(_.k).toSet == want)
+      assert(want == Set("hot", "warm"), "fixture must be non-degenerate")
+      // the crossing count is recorded at-or-after the threshold, never before
+      alerts.foreach(a => assert(a.n_at_alert >= 5))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
