@@ -270,6 +270,77 @@ object Queries6 {
         .orderBy(col("prio"))
     },
 
+    // ---- KMV distinct sketch, oracle-gated: per group, keep the k=64
+    // smallest DISTINCT hash values of the key ([[graft.functions
+    // .MinKDistinct]], a bounded typed UDAF) and estimate the distinct
+    // count as (k-1) * 2^28 div h_k — integer math on a deterministic
+    // md5-derived 28-bit hash, so the APPROXIMATE sketch is bit-reproducible
+    // by the SQL oracle. The sketch is a pure partial aggregation (k longs
+    // of state per group, map-side bounded, merge = min-k of union): at
+    // 100 TB this replaces the full distinct shuffle that the exact
+    // validation column (and the oracle) pays. Contrast q35, whose HLL
+    // internals are engine-specific and only rows-gated.
+    "q90_kmv_distinct" -> { (s, dir) => implicit val sp = s
+      val k = 64
+      val minK = udaf(new graft.functions.MinKDistinct.MinK(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val hashed = t(dir, "lineitem").select(col("l_returnflag").as("flag"),
+        TextOps.portableHash28(concat(lit("kmv:"), col("l_partkey").cast("string"))).as("h"))
+      hashed.groupBy(col("flag"))
+        .agg(minK(col("h")).as("mins"), countDistinct(col("h")).as("exact_distinct"))
+        .select(col("flag"), col("exact_distinct"),
+          when(size(col("mins")) < k, col("exact_distinct"))
+            .otherwise(expr(s"(${k - 1} * 268435456L) div element_at(mins, $k)"))
+            .as("kmv_est"))
+        .withColumn("rel_err",
+          round(abs(col("kmv_est") - col("exact_distinct")).cast("double")
+            / col("exact_distinct"), 4))
+        .orderBy(col("flag"))
+    },
+
+    // ---- PageRank over the part co-purchase graph, integer-quantized so
+    // three power iterations are bit-exact on both engines: ranks live in
+    // micro-units, each step is rank div outdeg summed over in-edges, then
+    // 150000 + (85 * sum) div 100 (d = 0.85). The adjacency (edges + out-
+    // degree, deg attached via a broadcast of the 1-row-per-node degree
+    // relation) is localCheckpoint'ed ONCE — the [[ClusterOps]] iterative
+    // recipe — so the three rounds scan materialized blocks instead of
+    // re-running the self-join per round. Each round is then a map-side
+    // broadcast probe of the (tiny) rank relation + one partially-aggregated
+    // exchange on dst. At 100 TB the node relation outgrows broadcast and
+    // the rounds become shuffle joins co-partitioned with the persisted
+    // adjacency — the shape is unchanged; hot parts are AQE-skew-split.
+    "q91_part_pagerank" -> { (s, dir) => implicit val sp = s
+      // distinct (order, part) FIRST: pairs from the self-join are then
+      // automatically distinct per order — no 4x-larger triple distinct
+      val li = t(dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.join(li.withColumnRenamed("p", "q"), Seq("o"))
+        .filter(col("p") =!= col("q"))
+        .select(col("p").as("src"), col("q").as("dst"))
+      // checkpoint the RAW edge list (the only expensive relation): outdeg,
+      // nodes, and the per-round scans all derive from these materialized
+      // blocks — the self-join runs exactly once
+      val edgesC = edges.localCheckpoint()
+      // one row per node — checkpointing it makes the degree aggregation
+      // run once instead of once per downstream reference (7 of them)
+      val outdeg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+      val edgesDeg = edgesC.join(broadcast(outdeg), Seq("src"))
+      val nodes = outdeg.select(col("src").as("node"))
+      var rank = nodes.select(col("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edgesDeg.join(broadcast(rank), col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        rank = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100")).as("r"))
+      }
+      rank.select(col("node").as("part"), col("r").as("rank"))
+        .orderBy(desc("rank"), col("part"))
+        .limit(20)
+    },
+
     // ---- deterministic train/val/test split: a pure hash of the doc key
     // (no RNG, no ordering dependence) assigns every doc to exactly one
     // split — reproducible across engines, runs, and cluster sizes, which
@@ -377,6 +448,45 @@ object Queries6 {
         |  CAST(max(cents) AS BIGINT) AS max_cents,
         |  round(CAST(sum(cents) AS DOUBLE) / (count(*) * 100), 4) AS avg_price
         |FROM o GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q90_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    CAST('0x' || substring(md5('kmv:' || CAST(l_partkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM h),
+        |ex AS (SELECT flag, CAST(count(*) AS BIGINT) AS exact_distinct FROM h GROUP BY flag),
+        |kth AS (SELECT flag, h AS hk FROM r WHERE rn = 64)
+        |SELECT ex.flag, ex.exact_distinct,
+        |  CAST(CASE WHEN kth.hk IS NULL THEN ex.exact_distinct
+        |       ELSE (63 * CAST(268435456 AS BIGINT)) // kth.hk END AS BIGINT) AS kmv_est,
+        |  round(CAST(abs((CASE WHEN kth.hk IS NULL THEN ex.exact_distinct
+        |       ELSE (63 * CAST(268435456 AS BIGINT)) // kth.hk END) - ex.exact_distinct) AS DOUBLE)
+        |    / ex.exact_distinct, 4) AS rel_err
+        |FROM ex LEFT JOIN kth ON ex.flag = kth.flag ORDER BY ex.flag""".stripMargin,
+
+    "q91_part_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |edges AS (SELECT src, dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT dst, sum(r // deg) AS s FROM edges
+        |       JOIN deg USING (src) JOIN r0 ON r0.node = edges.src GROUP BY dst),
+        |r1 AS (SELECT node, 150000 + (85 * coalesce(s, 0)) // 100 AS r
+        |       FROM r0 LEFT JOIN c1 ON c1.dst = r0.node),
+        |c2 AS (SELECT dst, sum(r // deg) AS s FROM edges
+        |       JOIN deg USING (src) JOIN r1 ON r1.node = edges.src GROUP BY dst),
+        |r2 AS (SELECT node, 150000 + (85 * coalesce(s, 0)) // 100 AS r
+        |       FROM r1 LEFT JOIN c2 ON c2.dst = r1.node),
+        |c3 AS (SELECT dst, sum(r // deg) AS s FROM edges
+        |       JOIN deg USING (src) JOIN r2 ON r2.node = edges.src GROUP BY dst),
+        |r3 AS (SELECT node, 150000 + (85 * coalesce(s, 0)) // 100 AS r
+        |       FROM r2 LEFT JOIN c3 ON c3.dst = r2.node)
+        |SELECT node AS part, CAST(r AS BIGINT) AS rank
+        |FROM r3 ORDER BY rank DESC, part LIMIT 20""".stripMargin,
 
     "q89_split_assignment" ->
       """WITH assigned AS (

@@ -153,6 +153,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q90: KMV sketch aggregates partially (ObjectHashAggregate) before the exchange") {
+    val p = plan("q90_kmv_distinct")
+    // the typed UDAF plans as ObjectHashAggregate with a partial_minik pass
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q91: co-purchase self-join and rank iterations are equi-joins, no cartesian") {
+    val p = plan("q91_part_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("new SQL functions usable from spark.sql") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(

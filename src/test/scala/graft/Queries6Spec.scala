@@ -158,6 +158,56 @@ class Queries6Spec extends AnyFunSuite {
     assert(got == want, "partial-agg merge must be bit-exact vs full recompute")
   }
 
+  test("kmv sketch: estimate within expected error, exact column matches countDistinct") {
+    import spark.implicits._
+    val rows = Queries6.all("q90_kmv_distinct")(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length >= 3)
+    rows.foreach { case (flag, exact, est, relErr) =>
+      assert(exact > 64, s"$flag: fixture must exercise the sketch path")
+      // KMV with k=64 has std error ~ 1/sqrt(k-2) ~ 12.7%; 4 sigma bound
+      assert(relErr < 0.5, s"$flag: estimate $est vs $exact (err $relErr) implausibly bad")
+      assert(math.abs(relErr - math.abs(est - exact).toDouble / exact) < 1e-4)
+    }
+  }
+
+  test("kmv aggregator: distinct min-k, order- and partitioning-independent, merge law") {
+    import graft.functions.MinKDistinct
+    val agg = new MinKDistinct.MinK(4)
+    val xs = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 2L)
+    val direct = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(agg.finish(direct) == Seq(1L, 2L, 3L, 5L))
+    // split arbitrarily, reduce each side, merge — same sketch
+    val (l, r) = xs.splitAt(4)
+    val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(m) == agg.finish(direct))
+    // reversed order — same sketch
+    val rev = xs.reverse.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(agg.finish(rev) == agg.finish(direct))
+  }
+
+  test("pagerank: ranks positive, top node is a hub, iteration is deterministic") {
+    import spark.implicits._
+    val rows = Queries6.all("q91_part_pagerank")(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (_, r) => assert(r >= 150000L, "rank below the damping floor") }
+    assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // determinism across runs
+    val again = Queries6.all("q91_part_pagerank")(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+    // the top-ranked part must have above-median co-purchase degree
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val deg = li.join(li.withColumnRenamed("p", "q"), Seq("o"))
+      .filter(col("p") =!= col("q")).select(col("o"), col("p"), col("q")).distinct()
+      .groupBy("p").count()
+    val medianDeg = deg.stat.approxQuantile("count", Array(0.5), 0.01).head
+    val topDeg = deg.filter(col("p") === rows.head._1).select("count").as[Long].head()
+    assert(topDeg >= medianDeg, "top PageRank node should not be a low-degree node")
+  }
+
   test("split assignment: deterministic, disjoint, exhaustive, ~80/10/10") {
     import spark.implicits._
     val rows = Queries6.all("q89_split_assignment")(spark, dir)
