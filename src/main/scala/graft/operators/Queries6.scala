@@ -341,6 +341,43 @@ object Queries6 {
         .limit(20)
     },
 
+    // ---- product quantization (PQ) encode: 64-dim quantized vectors split
+    // into 4 subspaces x 16 dims; each subvector maps to the nearest of 16
+    // seeded codewords (the subvectors of vec_id 0..15 — training the
+    // codebook per subspace is q78's k-means applied per slice). Distances
+    // are exact integer SSD computed as |a|^2 + |b|^2 - 2ab with the native
+    // codegen'd [[graft.functions.LongArrayDot]] kernel; argmin ties break
+    // to the smallest codeword via min(struct(ssd, c)). The codebook
+    // (64 rows) is BROADCAST; encoding is one map-side join + one
+    // aggregation per vector — at 100 TB this is the standard shape that
+    // turns a 256-byte float vector into 4 codes, and ADC search reuses the
+    // same broadcast codebook against query subvectors.
+    "q92_pq_encode" -> { (s, dir) => implicit val sp = s
+      import graft.functions.LongArrayDot.longDot
+      val qe = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+      val sub = qe.select(col("vec_id"), explode(array((0 until 4).map(lit(_)): _*)).as("s"))
+        .join(qe, Seq("vec_id"))
+        .select(col("vec_id"), col("s"),
+          expr("slice(qe, 16 * s + 1, 16)").as("subv"))
+        .withColumn("self_v", longDot(col("subv"), col("subv")))
+      val codebook = sub.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c"), col("s"), col("subv").as("cent"),
+          col("self_v").as("self_c"))
+      val best = sub.join(broadcast(codebook), Seq("s"))
+        .withColumn("ssd", col("self_v") + col("self_c") - lit(2L) * longDot(col("subv"), col("cent")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("ssd"), col("c"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m.ssd").as("ssd"), col("m.c").as("c"))
+      best.groupBy(col("vec_id"))
+        .agg(max(when(col("s") === 0, col("c"))).as("c0"),
+          max(when(col("s") === 1, col("c"))).as("c1"),
+          max(when(col("s") === 2, col("c"))).as("c2"),
+          max(when(col("s") === 3, col("c"))).as("c3"),
+          sum(col("ssd")).as("recon_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- deterministic train/val/test split: a pure hash of the doc key
     // (no RNG, no ordering dependence) assigns every doc to exactly one
     // split — reproducible across engines, runs, and cluster sizes, which
@@ -448,6 +485,32 @@ object Queries6 {
         |  CAST(max(cents) AS BIGINT) AS max_cents,
         |  round(CAST(sum(cents) AS DOUBLE) / (count(*) * 100), 4) AS avg_price
         |FROM o GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q92_pq_encode" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, s, list_slice(qe, 16 * s + 1, 16 * s + 16) AS subv
+        |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s)),
+        |cb AS (SELECT vec_id AS c, s, subv AS cent FROM sub WHERE vec_id < 16),
+        |d AS (
+        |  SELECT v.vec_id, v.s, cb.c,
+        |    CAST(list_sum(list_apply(range(1, 17),
+        |      i -> (v.subv[i] - cb.cent[i]) * (v.subv[i] - cb.cent[i]))) AS BIGINT) AS ssd
+        |  FROM sub v JOIN cb ON v.s = cb.s),
+        |best AS (
+        |  SELECT vec_id, s, ssd, c,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY ssd, c) AS rn
+        |  FROM d)
+        |SELECT vec_id,
+        |  max(CASE WHEN s = 0 THEN c END) AS c0,
+        |  max(CASE WHEN s = 1 THEN c END) AS c1,
+        |  max(CASE WHEN s = 2 THEN c END) AS c2,
+        |  max(CASE WHEN s = 3 THEN c END) AS c3,
+        |  CAST(sum(ssd) AS BIGINT) AS recon_err
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q90_kmv_distinct" ->
       """WITH h AS (

@@ -208,6 +208,26 @@ class Queries6Spec extends AnyFunSuite {
     assert(topDeg >= medianDeg, "top PageRank node should not be a low-degree node")
   }
 
+  test("pq encode: codebook vectors self-encode at zero error, codes in range") {
+    import spark.implicits._
+    val rows = Queries6.all("q92_pq_encode")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == total, "every vector must be encoded")
+    rows.foreach { case (id, c0, c1, c2, c3, err) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 16, s"vec $id code $c out of range"))
+      assert(err >= 0)
+      if (id < 16) {
+        // a codebook seed's nearest codeword in every subspace is itself
+        assert(Seq(c0, c1, c2, c3).forall(_ == id), s"seed $id not self-coded")
+        assert(err == 0L, s"seed $id nonzero reconstruction error $err")
+      }
+    }
+    // non-seed vectors are word salad: reconstruction error must be nonzero
+    val nonSeed = rows.filter(_._1 >= 16)
+    assert(nonSeed.nonEmpty && nonSeed.forall(_._6 > 0))
+  }
+
   test("split assignment: deterministic, disjoint, exhaustive, ~80/10/10") {
     import spark.implicits._
     val rows = Queries6.all("q89_split_assignment")(spark, dir)
