@@ -57,6 +57,63 @@ object Queries6 {
       |  UNION ALL
       |  SELECT 'u' || CAST((l_orderkey * 7919) % 5000 AS VARCHAR) AS k FROM lineitem""".stripMargin
 
+  // ------------------------------------------------ q92/q93 PQ machinery
+  // One definition (the [[Rel]] bit-identity rule): q93's ADC search must
+  // see exactly the codes q92 emits.
+
+  /** (vec_id, s, subv, self_v): quantized 16-dim subvectors per subspace,
+    * with the |subv|^2 self-dot precomputed for SSD-via-dots. */
+  private def pqSub(dir: String)(implicit s: SparkSession): DataFrame = {
+    import graft.functions.LongArrayDot.longDot
+    val qe = t(dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+    qe.select(col("vec_id"), explode(array((0 until 4).map(lit(_)): _*)).as("s"))
+      .join(qe, Seq("vec_id"))
+      .select(col("vec_id"), col("s"),
+        expr("slice(qe, 16 * s + 1, 16)").as("subv"))
+      .withColumn("self_v", longDot(col("subv"), col("subv")))
+  }
+
+  /** Seeded codebook: the subvectors of vec_id 0..15 (16 codewords per
+    * subspace; training = q78's k-means applied per slice). */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c"), col("s"), col("subv").as("cent"),
+        col("self_v").as("self_c"))
+
+  /** (vec_id, s, ssd, c): per-subspace nearest codeword with integer SSD;
+    * ties break to the smallest codeword via min(struct(ssd, c)). */
+  private def pqBest(dir: String)(implicit s: SparkSession): DataFrame = {
+    import graft.functions.LongArrayDot.longDot
+    val sub = pqSub(dir)
+    sub.join(broadcast(pqCodebook(sub)), Seq("s"))
+      .withColumn("ssd", col("self_v") + col("self_c") - lit(2L) * longDot(col("subv"), col("cent")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("ssd"), col("c"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.ssd").as("ssd"), col("m.c").as("c"))
+  }
+
+  /** Shared oracle CTE prefix producing `best` = (vec_id, s, ssd, c). */
+  private val pqBestSql: String =
+    """q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, list_slice(qe, 16 * s + 1, 16 * s + 16) AS subv
+      |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s)),
+      |cb AS (SELECT vec_id AS c, s, subv AS cent FROM sub WHERE vec_id < 16),
+      |d AS (
+      |  SELECT v.vec_id, v.s, cb.c,
+      |    CAST(list_sum(list_apply(range(1, 17),
+      |      i -> (v.subv[i] - cb.cent[i]) * (v.subv[i] - cb.cent[i]))) AS BIGINT) AS ssd
+      |  FROM sub v JOIN cb ON v.s = cb.s),
+      |ranked_d AS (
+      |  SELECT vec_id, s, ssd, c,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY ssd, c) AS rn
+      |  FROM d),
+      |best AS (SELECT vec_id, s, ssd, c FROM ranked_d WHERE rn = 1)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- training-sequence packing: docs in (lang, doc_id) order packed
@@ -353,29 +410,88 @@ object Queries6 {
     // turns a 256-byte float vector into 4 codes, and ADC search reuses the
     // same broadcast codebook against query subvectors.
     "q92_pq_encode" -> { (s, dir) => implicit val sp = s
-      import graft.functions.LongArrayDot.longDot
-      val qe = t(dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
-      val sub = qe.select(col("vec_id"), explode(array((0 until 4).map(lit(_)): _*)).as("s"))
-        .join(qe, Seq("vec_id"))
-        .select(col("vec_id"), col("s"),
-          expr("slice(qe, 16 * s + 1, 16)").as("subv"))
-        .withColumn("self_v", longDot(col("subv"), col("subv")))
-      val codebook = sub.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c"), col("s"), col("subv").as("cent"),
-          col("self_v").as("self_c"))
-      val best = sub.join(broadcast(codebook), Seq("s"))
-        .withColumn("ssd", col("self_v") + col("self_c") - lit(2L) * longDot(col("subv"), col("cent")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("ssd"), col("c"))).as("m"))
-        .select(col("vec_id"), col("s"), col("m.ssd").as("ssd"), col("m.c").as("c"))
-      best.groupBy(col("vec_id"))
+      pqBest(dir).groupBy(col("vec_id"))
         .agg(max(when(col("s") === 0, col("c"))).as("c0"),
           max(when(col("s") === 1, col("c"))).as("c1"),
           max(when(col("s") === 2, col("c"))).as("c2"),
           max(when(col("s") === 3, col("c"))).as("c3"),
           sum(col("ssd")).as("recon_err"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- ADC (asymmetric distance) search over the PQ codes: each query
+    // keeps its RAW subvectors and builds a 4x16 lookup table of exact
+    // integer SSDs to every codeword (the LUT is 64 rows per query,
+    // BROADCAST); a candidate's distance is then 4 LUT lookups summed —
+    // the codes relation never touches raw vectors. At 100 TB this is the
+    // memory shape that makes billion-scale ANN work: the scan side carries
+    // 4 small ints per vector, and the only join is a broadcast equi-join
+    // on (subspace, code). Top-5 per query, integer-exact end to end.
+    "q93_pq_adc_search" -> { (s, dir) => implicit val sp = s
+      import graft.functions.LongArrayDot.longDot
+      val sub = pqSub(dir)
+      val cb = pqCodebook(sub)
+      val lut = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("s"), col("subv"), col("self_v"))
+        .join(broadcast(cb), Seq("s"))
+        .select(col("query_id"), col("s"), col("c"),
+          (col("self_v") + col("self_c") - lit(2L) * longDot(col("subv"), col("cent"))).as("ssd"))
+      val codes = pqBest(dir).select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
+      val adc = codes.join(broadcast(lut), Seq("s", "c"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("ssd")).as("adc_dist"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
+      adc.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- sketch-based join-cardinality estimation: the optimizer-statistics
+    // use of the KMV sketch. Two key sets (distinct (part, supp) pairs
+    // shipped in 1996 vs 1997) are sketched with min-128; the union sketch
+    // is the min-k of the concatenated streams (mergeability again), the
+    // union cardinality comes from the k-th minimum, and the intersection —
+    // the join size a planner wants BEFORE running the join — is the
+    // Jaccard fraction of the union sketch present in both side sketches.
+    // Every estimate is integer math over deterministic hashes, so the
+    // approximate statistics are oracle-gated exactly; the exact columns
+    // (via inclusion-exclusion — no join anywhere) gate the error. At
+    // 100 TB each sketch is one partial agg over its scan: 128 longs per
+    // relation buys a join-size estimate without shuffling either side.
+    "q94_join_cardinality_sketch" -> { (s, dir) => implicit val sp = s
+      val k = 128
+      val minK = udaf(new graft.functions.MinKDistinct.MinK(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      def pairsOf(y0: Long, y1: Long): DataFrame =
+        t(dir, "lineitem")
+          .withColumn("ship_us", unix_micros(col("l_shipdate").cast("timestamp")))
+          .filter(col("ship_us") >= y0 && col("ship_us") < y1)
+          .select(TextOps.portableHash28(concat(lit("jc:"),
+            col("l_partkey").cast("string"), lit(":"),
+            col("l_suppkey").cast("string"))).as("h"))
+      val y96 = 820454400000000L; val y97 = 852076800000000L; val y98 = 883612800000000L
+      val ha = pairsOf(y96, y97); val hb = pairsOf(y97, y98)
+      val skA = ha.agg(minK(col("h")).as("sa"), countDistinct(col("h")).as("exact_a"))
+      val skB = hb.agg(minK(col("h")).as("sb"), countDistinct(col("h")).as("exact_b"))
+      val skU = ha.union(hb).agg(minK(col("h")).as("su"),
+        countDistinct(col("h")).as("exact_union"))
+      skA.crossJoin(skB).crossJoin(skU)
+        .withColumn("exact_inter", col("exact_a") + col("exact_b") - col("exact_union"))
+        .withColumn("est_union",
+          when(size(col("su")) < k, col("exact_union"))
+            .otherwise(expr(s"(${k - 1} * 268435456L) div element_at(su, $k)")))
+        .withColumn("m",
+          size(array_intersect(array_intersect(col("su"), col("sa")), col("sb"))).cast("long"))
+        .withColumn("est_inter", expr(s"m * est_union div $k"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+          col("est_union"), col("est_inter"),
+          round(abs(col("est_union") - col("exact_union")).cast("double")
+            / col("exact_union"), 4).as("err_union"),
+          when(col("exact_inter") === 0, lit(0.0))
+            .otherwise(round(abs(col("est_inter") - col("exact_inter")).cast("double")
+              / col("exact_inter"), 4)).as("err_inter"))
     },
 
     // ---- deterministic train/val/test split: a pure hash of the doc key
@@ -487,30 +603,68 @@ object Queries6 {
         |FROM o GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q92_pq_encode" ->
-      """WITH q AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |sub AS (
-        |  SELECT vec_id, s, list_slice(qe, 16 * s + 1, 16 * s + 16) AS subv
-        |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s)),
-        |cb AS (SELECT vec_id AS c, s, subv AS cent FROM sub WHERE vec_id < 16),
-        |d AS (
-        |  SELECT v.vec_id, v.s, cb.c,
-        |    CAST(list_sum(list_apply(range(1, 17),
-        |      i -> (v.subv[i] - cb.cent[i]) * (v.subv[i] - cb.cent[i]))) AS BIGINT) AS ssd
-        |  FROM sub v JOIN cb ON v.s = cb.s),
-        |best AS (
-        |  SELECT vec_id, s, ssd, c,
-        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY ssd, c) AS rn
-        |  FROM d)
+      s"""WITH $pqBestSql
         |SELECT vec_id,
         |  max(CASE WHEN s = 0 THEN c END) AS c0,
         |  max(CASE WHEN s = 1 THEN c END) AS c1,
         |  max(CASE WHEN s = 2 THEN c END) AS c2,
         |  max(CASE WHEN s = 3 THEN c END) AS c3,
         |  CAST(sum(ssd) AS BIGINT) AS recon_err
-        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q93_pq_adc_search" ->
+      s"""WITH $pqBestSql,
+        |lut AS (
+        |  SELECT p.vec_id AS query_id, p.s, cb.c,
+        |    CAST(list_sum(list_apply(range(1, 17),
+        |      i -> (p.subv[i] - cb.cent[i]) * (p.subv[i] - cb.cent[i]))) AS BIGINT) AS ssd
+        |  FROM sub p JOIN cb ON p.s = cb.s WHERE p.vec_id < 10),
+        |adc AS (
+        |  SELECT lut.query_id, best.vec_id AS neighbor_id,
+        |    CAST(sum(lut.ssd) AS BIGINT) AS adc_dist
+        |  FROM best JOIN lut ON best.s = lut.s AND best.c = lut.c
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rnk
+        |  FROM adc WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rank
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q94_join_cardinality_sketch" ->
+      """WITH a AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5('jc:' || CAST(l_partkey AS VARCHAR)
+        |    || ':' || CAST(l_suppkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem WHERE epoch_us(l_shipdate) >= 820454400000000
+        |    AND epoch_us(l_shipdate) < 852076800000000),
+        |b AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5('jc:' || CAST(l_partkey AS VARCHAR)
+        |    || ':' || CAST(l_suppkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem WHERE epoch_us(l_shipdate) >= 852076800000000
+        |    AND epoch_us(l_shipdate) < 883612800000000),
+        |u AS (SELECT h FROM a UNION SELECT h FROM b),
+        |ska AS (SELECT list(h ORDER BY h) AS sa FROM (SELECT h FROM a ORDER BY h LIMIT 128)),
+        |skb AS (SELECT list(h ORDER BY h) AS sb FROM (SELECT h FROM b ORDER BY h LIMIT 128)),
+        |sku AS (SELECT list(h ORDER BY h) AS su FROM (SELECT h FROM u ORDER BY h LIMIT 128)),
+        |ex AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM u) AS exact_union),
+        |base AS (
+        |  SELECT exact_a, exact_b, exact_union,
+        |    exact_a + exact_b - exact_union AS exact_inter,
+        |    CAST(CASE WHEN len(su) < 128 THEN exact_union
+        |         ELSE (127 * CAST(268435456 AS BIGINT)) // su[128] END AS BIGINT) AS est_union,
+        |    CAST(len(list_filter(su, x -> list_contains(sa, x) AND list_contains(sb, x)))
+        |      AS BIGINT) AS m
+        |  FROM ex CROSS JOIN ska CROSS JOIN skb CROSS JOIN sku)
+        |SELECT exact_a, exact_b, exact_union, exact_inter, est_union,
+        |  CAST(m * est_union // 128 AS BIGINT) AS est_inter,
+        |  round(CAST(abs(est_union - exact_union) AS DOUBLE) / exact_union, 4) AS err_union,
+        |  CASE WHEN exact_inter = 0 THEN 0.0
+        |       ELSE round(CAST(abs(m * est_union // 128 - exact_inter) AS DOUBLE)
+        |         / exact_inter, 4) END AS err_inter
+        |FROM base""".stripMargin,
 
     "q90_kmv_distinct" ->
       """WITH h AS (

@@ -165,6 +165,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q93: codes never touch raw vectors — LUT joins broadcast, no cartesian") {
+    val p = plan("q93_pq_adc_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("new SQL functions usable from spark.sql") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(

@@ -228,6 +228,37 @@ class Queries6Spec extends AnyFunSuite {
     assert(nonSeed.nonEmpty && nonSeed.forall(_._6 > 0))
   }
 
+  test("pq adc search: ranks dense per query, adc distance is the sum of per-subspace LUT entries") {
+    import spark.implicits._
+    val rows = Queries6.all("q93_pq_adc_search")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 50, "10 queries x top-5")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to 5L), s"query $q ranks not dense")
+      // adc distances ascend with rank
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+      assert(!rs.exists(_._2 == q), "self must be excluded")
+    }
+    // a query that IS a codebook seed (id < 10 < 16) has adc_dist 0 to any
+    // vector whose 4 codes equal the seed's id — in particular rank-1 dist
+    // to itself would be 0; excluding self, distances are still >= 0
+    rows.foreach(r => assert(r._3 >= 0))
+  }
+
+  test("join-cardinality sketch: union estimate within 4 sigma, exact columns consistent") {
+    import spark.implicits._
+    val r = Queries6.all("q94_join_cardinality_sketch")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].head()
+    val (ea, eb, eu, ei, estU, estI, errU, _) = r
+    assert(ea + eb - eu == ei, "inclusion-exclusion must hold")
+    assert(ei >= 0 && ei <= math.min(ea, eb))
+    assert(ea > 128 && eb > 128, "fixture must exercise the sketch path")
+    // KMV k=128: std err ~ 1/sqrt(126) ~ 8.9%; 4 sigma
+    assert(errU < 0.36, s"union estimate $estU vs $eu (err $errU) implausibly bad")
+    assert(estI >= 0 && estI <= estU)
+  }
+
   test("split assignment: deterministic, disjoint, exhaustive, ~80/10/10") {
     import spark.implicits._
     val rows = Queries6.all("q89_split_assignment")(spark, dir)
