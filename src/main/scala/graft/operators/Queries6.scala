@@ -65,10 +65,10 @@ object Queries6 {
     * with the |subv|^2 self-dot precomputed for SSD-via-dots. */
   private def pqSub(dir: String)(implicit s: SparkSession): DataFrame = {
     import graft.functions.LongArrayDot.longDot
-    val qe = t(dir, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
-    qe.select(col("vec_id"), explode(array((0 until 4).map(lit(_)): _*)).as("s"))
-      .join(qe, Seq("vec_id"))
+    t(dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("s"))
       .select(col("vec_id"), col("s"),
         expr("slice(qe, 16 * s + 1, 16)").as("subv"))
       .withColumn("self_v", longDot(col("subv"), col("subv")))
@@ -82,11 +82,12 @@ object Queries6 {
         col("self_v").as("self_c"))
 
   /** (vec_id, s, ssd, c): per-subspace nearest codeword with integer SSD;
-    * ties break to the smallest codeword via min(struct(ssd, c)). */
-  private def pqBest(dir: String)(implicit s: SparkSession): DataFrame = {
+    * ties break to the smallest codeword via min(struct(ssd, c)). Takes the
+    * already-built sub/codebook so a caller composing several PQ stages
+    * (q93) scans the embeddings once, not once per stage. */
+  private def pqBest(sub: DataFrame, codebook: DataFrame): DataFrame = {
     import graft.functions.LongArrayDot.longDot
-    val sub = pqSub(dir)
-    sub.join(broadcast(pqCodebook(sub)), Seq("s"))
+    sub.join(broadcast(codebook), Seq("s"))
       .withColumn("ssd", col("self_v") + col("self_c") - lit(2L) * longDot(col("subv"), col("cent")))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("ssd"), col("c"))).as("m"))
@@ -410,7 +411,8 @@ object Queries6 {
     // turns a 256-byte float vector into 4 codes, and ADC search reuses the
     // same broadcast codebook against query subvectors.
     "q92_pq_encode" -> { (s, dir) => implicit val sp = s
-      pqBest(dir).groupBy(col("vec_id"))
+      val sub = pqSub(dir)
+      pqBest(sub, pqCodebook(sub)).groupBy(col("vec_id"))
         .agg(max(when(col("s") === 0, col("c"))).as("c0"),
           max(when(col("s") === 1, col("c"))).as("c1"),
           max(when(col("s") === 2, col("c"))).as("c2"),
@@ -436,7 +438,7 @@ object Queries6 {
         .join(broadcast(cb), Seq("s"))
         .select(col("query_id"), col("s"), col("c"),
           (col("self_v") + col("self_c") - lit(2L) * longDot(col("subv"), col("cent"))).as("ssd"))
-      val codes = pqBest(dir).select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
+      val codes = pqBest(sub, cb).select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
       val adc = codes.join(broadcast(lut), Seq("s", "c"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
@@ -484,7 +486,11 @@ object Queries6 {
             .otherwise(expr(s"(${k - 1} * 268435456L) div element_at(su, $k)")))
         .withColumn("m",
           size(array_intersect(array_intersect(col("su"), col("sa")), col("sb"))).cast("long"))
-        .withColumn("est_inter", expr(s"m * est_union div $k"))
+        // when the union fits in the sketch, all three sketches are complete
+        // and m IS the exact intersection — scaling by est_union/k would
+        // underestimate by |su|/k
+        .withColumn("est_inter",
+          when(size(col("su")) < k, col("m")).otherwise(expr(s"m * est_union div $k")))
         .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
           col("est_union"), col("est_inter"),
           round(abs(col("est_union") - col("exact_union")).cast("double")
@@ -653,18 +659,22 @@ object Queries6 {
         |base AS (
         |  SELECT exact_a, exact_b, exact_union,
         |    exact_a + exact_b - exact_union AS exact_inter,
+        |    len(su) AS len_su,
         |    CAST(CASE WHEN len(su) < 128 THEN exact_union
         |         ELSE (127 * CAST(268435456 AS BIGINT)) // su[128] END AS BIGINT) AS est_union,
         |    CAST(len(list_filter(su, x -> list_contains(sa, x) AND list_contains(sb, x)))
         |      AS BIGINT) AS m
-        |  FROM ex CROSS JOIN ska CROSS JOIN skb CROSS JOIN sku)
-        |SELECT exact_a, exact_b, exact_union, exact_inter, est_union,
-        |  CAST(m * est_union // 128 AS BIGINT) AS est_inter,
+        |  FROM ex CROSS JOIN ska CROSS JOIN skb CROSS JOIN sku),
+        |withest AS (
+        |  SELECT *, CAST(CASE WHEN complete THEN m
+        |       ELSE m * est_union // 128 END AS BIGINT) AS est_inter
+        |  FROM (SELECT *, len_su < 128 AS complete FROM base))
+        |SELECT exact_a, exact_b, exact_union, exact_inter, est_union, est_inter,
         |  round(CAST(abs(est_union - exact_union) AS DOUBLE) / exact_union, 4) AS err_union,
         |  CASE WHEN exact_inter = 0 THEN 0.0
-        |       ELSE round(CAST(abs(m * est_union // 128 - exact_inter) AS DOUBLE)
+        |       ELSE round(CAST(abs(est_inter - exact_inter) AS DOUBLE)
         |         / exact_inter, 4) END AS err_inter
-        |FROM base""".stripMargin,
+        |FROM withest""".stripMargin,
 
     "q90_kmv_distinct" ->
       """WITH h AS (
