@@ -500,6 +500,79 @@ object Queries6 {
               / col("exact_inter"), 4)).as("err_inter"))
     },
 
+    // ---- equi-depth histogram (optimizer statistics, pairing q94): 8
+    // equal-count buckets over price via ntile with a full tie-break, then
+    // per-bucket bounds — the histogram shape planners use for selectivity.
+    // One window sort; at 100 TB the exact ntile becomes approxQuantile
+    // boundaries + a bucketing join, same output contract.
+    "q95_equidepth_histogram" -> { (s, dir) => implicit val sp = s
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    // quantity total clears a threshold, joined back to customer. The
+    // HAVING set is tiny, so it broadcasts into both enrichment joins —
+    // the aggregate-then-broadcast-back pattern that keeps the fact table
+    // to ONE shuffle (the groupBy) at any scale.
+    "q96_large_volume_customers" -> { (s, dir) => implicit val sp = s
+      // l_quantity is an integral-valued DOUBLE in the parquet: the sum is
+      // exact, FLOOR-cast to BIGINT per the oracle-parity rule
+      val bigOrders = t(dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(expr("CAST(FLOOR(sum(l_quantity)) AS BIGINT)").as("total_qty"))
+        .filter(col("total_qty") > 150L)
+      val enriched = t(dir, "orders")
+        .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+        .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+      enriched
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("total_qty"), col("o_totalprice"))
+        .orderBy(desc("total_qty"), col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ---- as-of join with a staleness tolerance (feature-store semantics):
+    // each purchase matches its user's latest prior signup ONLY if that
+    // signup is at most 1 day old — q31's single-shuffle union+window
+    // as-of, with the tolerance as a post-predicate (both the match id and
+    // its timestamp ride the same last(ignoreNulls) window). No range join
+    // at any scale; staleness bounds are what keep point-in-time training
+    // features honest.
+    "q97_asof_tolerance" -> { (s, dir) => implicit val sp = s
+      val tol = 86400000000L // 1 day in micros
+      val ev = Rel.events(dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("signup_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val tagged = signups.select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+          col("signup_id"), lit(null).cast("long").as("event_id"))
+        .unionByName(purchases.select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          lit(null).cast("long").as("signup_id"), col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("tag"), col("signup_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_id", last(col("signup_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts",
+          last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("ts_us") - col("asof_ts") <= tol, col("asof_id"))
+            .as("fresh_signup_id"),
+          when(col("ts_us") - col("asof_ts") <= tol, col("ts_us") - col("asof_ts"))
+            .as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- deterministic train/val/test split: a pure hash of the doc key
     // (no RNG, no ordering dependence) assigns every doc to exactly one
     // split — reproducible across engines, runs, and cluster sizes, which
@@ -675,6 +748,44 @@ object Queries6 {
         |       ELSE round(CAST(abs(est_inter - exact_inter) AS DOUBLE)
         |         / exact_inter, 4) END AS err_inter
         |FROM withest""".stripMargin,
+
+    "q95_equidepth_histogram" ->
+      """WITH b AS (
+        |  SELECT l_extendedprice,
+        |    CAST(ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |      AS BIGINT) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q96_large_volume_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(FLOOR(sum(l_quantity)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(FLOOR(sum(l_quantity)) AS BIGINT) > 150)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, b.total_qty, o.o_totalprice
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    "q97_asof_tolerance" ->
+      """WITH signups AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  CASE WHEN p.ts_us - s.ts_us <= 86400000000 THEN s.signup_id END
+        |    AS fresh_signup_id,
+        |  CASE WHEN p.ts_us - s.ts_us <= 86400000000 THEN p.ts_us - s.ts_us END
+        |    AS gap_us
+        |FROM purchases p
+        |ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
 
     "q90_kmv_distinct" ->
       """WITH h AS (

@@ -259,6 +259,34 @@ class Queries6Spec extends AnyFunSuite {
     assert(estI >= 0 && estI <= estU)
   }
 
+  test("equi-depth histogram: bucket counts within 1, bounds non-overlapping and ordered") {
+    import spark.implicits._
+    val rows = Queries6.all("q95_equidepth_histogram")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length == 8)
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1, "equi-depth buckets must differ by at most 1")
+    rows.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, "bucket bounds must not overlap")
+      case _ => ()
+    }
+  }
+
+  test("asof tolerance: fresh matches within bound, stale matches nulled, fixture non-degenerate") {
+    import spark.implicits._
+    val rows = Queries6.all("q97_asof_tolerance")(spark, dir)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, id, gap) =>
+      assert(id.isDefined == gap.isDefined, "id and gap must null together")
+      gap.foreach(g => assert(g >= 0 && g <= 86400000000L, s"gap $g outside tolerance"))
+    }
+    // the 1-day bound must actually split the data: some fresh, some stale/unmatched
+    assert(rows.exists(_._4.isDefined) && rows.exists(_._4.isEmpty),
+      "tolerance must be non-degenerate on this fixture")
+  }
+
   test("split assignment: deterministic, disjoint, exhaustive, ~80/10/10") {
     import spark.implicits._
     val rows = Queries6.all("q89_split_assignment")(spark, dir)

@@ -256,6 +256,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming packer: closed bins match batch q82 on in-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPacker
+    import graft.streaming.StreamingPacker.{Doc, PackedSeq}
+    import org.apache.spark.sql.functions.{col, size, split}
+    val dir = "/root/testdata/sf0.001"
+    // the same corpus the batch query packs, in (lang, doc_id) order
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .as[Doc].collect().sortBy(d => (d.lang, d.doc_id))
+    val input = MemoryStream[Doc]
+    val q = StreamingPacker.pack(input.toDS())
+      .writeStream.format("memory").queryName("packer").outputMode("append").start()
+    try {
+      docs.grouped(97).foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("packer").as[PackedSeq].collect()
+        .map(p => (p.lang, p.seq_id, p.n_docs, p.n_tokens)).toSet
+      val batch = graft.operators.Queries6.all("q82_sequence_packing")(spark, dir)
+        .select(col("lang"), col("seq_id"), col("n_docs"), col("n_tokens"))
+        .as[(String, Long, Long, Long)].collect()
+      val batchSet = batch.toSet
+      // every streamed (closed) bin is a batch bin
+      streamed.foreach(b => assert(batchSet.contains(b), s"stream-only bin $b"))
+      // batch bins not yet streamed are exactly the per-lang OPEN (last) bins
+      val open = batch.groupBy(_._1).map { case (_, bs) => bs.maxBy(_._2) }.toSet
+      assert(batchSet -- streamed == open, "missing bins must be the open tails")
+      assert(streamed.size == batchSet.size - open.size)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
