@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.metrics.MetricsCalculator
+import graft.model.EngineConfig
+import graft.sources.FileEntrySource
 
 /** Round-5 batch 2: the remaining large-pipeline families —
   * training-sequence packing (secondary-sort carry scan), corpus mixture
@@ -573,6 +576,56 @@ object Queries6 {
         .orderBy(col("event_id"))
     },
 
+    // ---- the flagship multi-table fan-in, oracle-gated: THREE derived
+    // file relations (different partition keys, sizes, delete-file mixes)
+    // plus one EMPTY-snapshot table run through the metrics pipeline as a
+    // single union-all DAG — one wide shuffle keyed (table, partition),
+    // one per-table rollup, no driver-side loop over tables. This is
+    // exactly the 100 TB / thousands-of-tables design SURVEY §3.2 claims;
+    // t0 (no file entries, manifests only) additionally gates the
+    // reference's empty-iterator behavior (full outer join on the
+    // authoritative manifest list; overhead seeded from manifest count).
+    "q98_multi_table_metrics" -> { (s, dir) => implicit val sp = s
+      val li = t(dir, "lineitem")
+      def derived(pk: Column, bucket: Column, sizeExpr: String, nContent: Int): DataFrame =
+        li.groupBy(pk.as("pk"), bucket.cast("int").as("bucket"))
+          .agg(expr(sizeExpr).as("size"))
+          .withColumn("content", (col("bucket") % nContent).cast("int"))
+      val t1 = FileEntrySource.fromDataFrame(
+        derived(col("l_returnflag").cast("string"), col("l_orderkey") % 200,
+          "CAST(FLOOR(avg(l_extendedprice) * 1000) AS BIGINT)", 3),
+        "t1", col("pk"), col("size"), col("content"))
+      val t2 = FileEntrySource.fromDataFrame(
+        derived(col("l_linestatus").cast("string"), col("l_orderkey") % 120,
+          "CAST(FLOOR(avg(l_quantity) * 50000) AS BIGINT)", 2),
+        "t2", col("pk"), col("size"), col("content"))
+      val t3 = FileEntrySource.fromDataFrame(
+        derived((col("l_partkey") % 5).cast("string"), col("l_suppkey") % 80,
+          "CAST(FLOOR(avg(l_discount) * 1000000000) AS BIGINT)", 1),
+        "t3", col("pk"), col("size"), col("content"))
+      val files = t1.union(t2).union(t3)
+      val manifests = s.createDataset(Seq(("t0", 5L), ("t1", 3L), ("t2", 0L), ("t3", 7L)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+      MetricsCalculator.computeMetricsWide(files, manifests, EngineConfig.default)
+        .toDF()
+        .select(col("table").as("tbl"),
+          col("fullScanOverheadBefore").as("full_scan_before"),
+          col("fullScanOverheadAfter").as("full_scan_after"),
+          col("worstScanOverheadBefore").as("worst_scan_before"),
+          col("worstScanOverheadAfter").as("worst_scan_after"),
+          col("fileCountBefore").as("file_count_before"),
+          col("fileCountAfter").as("file_count_after"),
+          col("worstFileCountBefore").as("worst_fc_before"),
+          col("worstFileCountAfter").as("worst_fc_after"),
+          round(col("avgFileSize"), 4).as("avg_data_size"),
+          round(col("worstAvgFileSize"), 4).as("worst_avg_size"),
+          col("totalTableSize").as("total_size"),
+          col("largestPartitionSize").as("largest_partition"),
+          col("totalPartitions").as("n_partitions"))
+        .orderBy(col("tbl"))
+    },
+
     // ---- deterministic train/val/test split: a pure hash of the doc key
     // (no RNG, no ordering dependence) assigns every doc to exactly one
     // split — reproducible across engines, runs, and cluster sizes, which
@@ -786,6 +839,93 @@ object Queries6 {
         |ASOF LEFT JOIN signups s
         |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
         |ORDER BY p.event_id""".stripMargin,
+
+    "q98_multi_table_metrics" -> {
+      val cap = EngineConfig.default.maxGroupBytes
+      val fetch = EngineConfig.default.fetchSize
+      val ms = EngineConfig.default.msPerScan
+      s"""WITH RECURSIVE files AS (
+         |  SELECT 't1' AS tbl, pk, bucket, CAST(bucket % 3 AS INT) AS content, size FROM (
+         |    SELECT CAST(l_returnflag AS VARCHAR) AS pk, CAST(l_orderkey % 200 AS INT) AS bucket,
+         |           CAST(FLOOR(avg(l_extendedprice) * 1000) AS BIGINT) AS size
+         |    FROM lineitem GROUP BY 1, 2)
+         |  UNION ALL
+         |  SELECT 't2', pk, bucket, CAST(bucket % 2 AS INT), size FROM (
+         |    SELECT CAST(l_linestatus AS VARCHAR) AS pk, CAST(l_orderkey % 120 AS INT) AS bucket,
+         |           CAST(FLOOR(avg(l_quantity) * 50000) AS BIGINT) AS size
+         |    FROM lineitem GROUP BY 1, 2)
+         |  UNION ALL
+         |  SELECT 't3', pk, bucket, CAST(0 AS INT), size FROM (
+         |    SELECT CAST(l_partkey % 5 AS VARCHAR) AS pk, CAST(l_suppkey % 80 AS INT) AS bucket,
+         |           CAST(FLOOR(avg(l_discount) * 1000000000) AS BIGINT) AS size
+         |    FROM lineitem GROUP BY 1, 2)),
+         |datafiles AS (
+         |  SELECT tbl, pk, size,
+         |    row_number() OVER (PARTITION BY tbl, pk ORDER BY size, bucket) AS rn
+         |  FROM files WHERE content = 0),
+         |rec AS (
+         |  SELECT tbl, pk, rn, size AS cur_sum, 1 AS group_id FROM datafiles WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.tbl, d.pk, d.rn,
+         |    CASE WHEN rec.cur_sum > $cap THEN d.size ELSE rec.cur_sum + d.size END,
+         |    CASE WHEN rec.cur_sum > $cap THEN rec.group_id + 1 ELSE rec.group_id END
+         |  FROM rec JOIN datafiles d
+         |    ON d.tbl = rec.tbl AND d.pk = rec.pk AND d.rn = rec.rn + 1),
+         |groups_ AS (
+         |  SELECT tbl, pk, group_id, max(cur_sum) AS gsum FROM rec GROUP BY tbl, pk, group_id),
+         |after_pk AS (
+         |  SELECT tbl, pk, max(group_id) AS n_groups,
+         |         sum(gsum // $fetch + 2) AS after_overhead
+         |  FROM groups_ GROUP BY tbl, pk),
+         |before_pk AS (
+         |  SELECT tbl, pk, count(*) AS fc, sum(size) AS tsz,
+         |         sum(size // $fetch + 2) AS ovh,
+         |         count(CASE WHEN content = 0 THEN 1 END) AS dc,
+         |         sum(CASE WHEN content = 0 THEN size END) AS dsz
+         |  FROM files GROUP BY tbl, pk),
+         |per_pk AS (
+         |  SELECT b.*, coalesce(a.n_groups, 0) AS n_groups,
+         |         coalesce(a.after_overhead, 0) AS after_overhead
+         |  FROM before_pk b LEFT JOIN after_pk a ON a.tbl = b.tbl AND a.pk = b.pk),
+         |per_tbl AS (
+         |  SELECT tbl, sum(ovh) AS ovh_sum, sum(after_overhead) AS after_sum,
+         |         sum(fc) AS fc_sum, sum(n_groups) AS ng_sum,
+         |         sum(dsz) AS dsz_sum, sum(dc) AS dc_sum,
+         |         min(CAST(tsz AS DOUBLE) / fc) AS wavg,
+         |         max(tsz) AS max_tsz, sum(tsz) AS tsz_sum, count(*) AS n_pk
+         |  FROM per_pk GROUP BY tbl),
+         |wfc AS (
+         |  SELECT tbl, fc, n_groups, red FROM (
+         |    SELECT tbl, fc, n_groups, fc - n_groups AS red,
+         |      row_number() OVER (PARTITION BY tbl ORDER BY fc - n_groups DESC, pk DESC) AS rn
+         |    FROM per_pk) WHERE rn = 1),
+         |wso AS (
+         |  SELECT tbl, ovh, after_overhead, red FROM (
+         |    SELECT tbl, ovh, after_overhead, ovh - after_overhead AS red,
+         |      row_number() OVER (PARTITION BY tbl ORDER BY ovh - after_overhead DESC, pk DESC) AS rn
+         |    FROM per_pk) WHERE rn = 1),
+         |mani AS (SELECT * FROM (VALUES ('t0', 5), ('t1', 3), ('t2', 0), ('t3', 7)) AS v(tbl, mc))
+         |SELECT m.tbl,
+         |  CAST(coalesce(p.ovh_sum, 0) + m.mc * $ms AS BIGINT) AS full_scan_before,
+         |  CAST(coalesce(p.after_sum, 0) AS BIGINT) AS full_scan_after,
+         |  CAST(CASE WHEN coalesce(so.red, 0) > 0 THEN so.ovh ELSE 0 END AS BIGINT) AS worst_scan_before,
+         |  CAST(CASE WHEN coalesce(so.red, 0) > 0 THEN so.after_overhead ELSE 0 END AS BIGINT) AS worst_scan_after,
+         |  CAST(coalesce(p.fc_sum, 0) AS BIGINT) AS file_count_before,
+         |  CAST(coalesce(p.ng_sum, 0) AS BIGINT) AS file_count_after,
+         |  CAST(CASE WHEN coalesce(fc.red, 0) > 0 THEN fc.fc ELSE 0 END AS BIGINT) AS worst_fc_before,
+         |  CAST(CASE WHEN coalesce(fc.red, 0) > 0 THEN fc.n_groups ELSE 0 END AS BIGINT) AS worst_fc_after,
+         |  round(CASE WHEN coalesce(p.dc_sum, 0) = 0 THEN 0.0
+         |        ELSE CAST(p.dsz_sum AS DOUBLE) / p.dc_sum END, 4) AS avg_data_size,
+         |  round(coalesce(p.wavg, 0.0), 4) AS worst_avg_size,
+         |  CAST(coalesce(p.tsz_sum, 0) AS BIGINT) AS total_size,
+         |  CAST(coalesce(p.max_tsz, 0) AS BIGINT) AS largest_partition,
+         |  CAST(coalesce(p.n_pk, 0) AS BIGINT) AS n_partitions
+         |FROM mani m
+         |LEFT JOIN per_tbl p ON p.tbl = m.tbl
+         |LEFT JOIN wfc fc ON fc.tbl = m.tbl
+         |LEFT JOIN wso so ON so.tbl = m.tbl
+         |ORDER BY m.tbl""".stripMargin
+    },
 
     "q90_kmv_distinct" ->
       """WITH h AS (

@@ -287,6 +287,26 @@ class Queries6Spec extends AnyFunSuite {
       "tolerance must be non-degenerate on this fixture")
   }
 
+  test("multi-table metrics: one DAG covers populated, delete-heavy, and EMPTY tables") {
+    import spark.implicits._
+    val rows = Queries6.all("q98_multi_table_metrics")(spark, dir).collect()
+    assert(rows.length == 4)
+    val byTbl = rows.map(r => r.getString(0) -> r).toMap
+    assert(byTbl.keySet == Set("t0", "t1", "t2", "t3"))
+    // t0 has no file entries: overhead seeded purely from its 5 manifests,
+    // every other metric zero — the reference's empty-iterator behavior
+    val t0 = byTbl("t0")
+    assert(t0.getLong(1) == 5L, "empty table overhead must be manifestCount * msPerScan")
+    (2 to 8).foreach(i => assert(t0.getLong(i) == 0L, s"t0 col $i must be 0"))
+    assert(t0.getDouble(9) == 0.0 && t0.getDouble(10) == 0.0)
+    // populated tables: compaction strictly reduces file counts
+    Seq("t1", "t2", "t3").foreach { tn =>
+      val r = byTbl(tn)
+      assert(r.getLong(5) > r.getLong(6), s"$tn: after-count must shrink")
+      assert(r.getLong(13) > 0, s"$tn: partitions present")
+    }
+  }
+
   test("split assignment: deterministic, disjoint, exhaustive, ~80/10/10") {
     import spark.implicits._
     val rows = Queries6.all("q89_split_assignment")(spark, dir)
