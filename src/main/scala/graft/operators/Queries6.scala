@@ -379,13 +379,15 @@ object Queries6 {
       val edges = li.join(li.withColumnRenamed("p", "q"), Seq("o"))
         .filter(col("p") =!= col("q"))
         .select(col("p").as("src"), col("q").as("dst"))
-      // checkpoint the RAW edge list (the only expensive relation): outdeg,
-      // nodes, and the per-round scans all derive from these materialized
-      // blocks — the self-join runs exactly once
-      val edgesC = edges.localCheckpoint()
-      // one row per node — checkpointing it makes the degree aggregation
-      // run once instead of once per downstream reference (7 of them)
-      val outdeg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+      // cache the RAW edge list and the degree relation (the q78 recipe:
+      // cache -> iterate -> collect -> UNPERSIST): the self-join runs once,
+      // the three rounds scan cached blocks, and — unlike localCheckpoint,
+      // whose blocks outlive the query — both caches are released before
+      // returning, so a session running 98 queries doesn't accumulate one
+      // pinned edge relation per PageRank evaluation. The 20-row result is
+      // driver-localized (exact integers; plan changes, answer doesn't).
+      val edgesC = edges.cache()
+      val outdeg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
       val edgesDeg = edgesC.join(broadcast(outdeg), Seq("src"))
       val nodes = outdeg.select(col("src").as("node"))
       var rank = nodes.select(col("node"), lit(1000000L).as("r"))
@@ -397,9 +399,14 @@ object Queries6 {
           .select(col("node"),
             (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100")).as("r"))
       }
-      rank.select(col("node").as("part"), col("r").as("rank"))
+      import sp.implicits._
+      val top = rank.select(col("node").as("part"), col("r").as("rank"))
         .orderBy(desc("rank"), col("part"))
         .limit(20)
+        .as[(Long, Long)].collect().toSeq
+      edgesC.unpersist(blocking = false)
+      outdeg.unpersist(blocking = false)
+      top.toDF("part", "rank")
     },
 
     // ---- product quantization (PQ) encode: 64-dim quantized vectors split
