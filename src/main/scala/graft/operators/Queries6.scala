@@ -633,6 +633,40 @@ object Queries6 {
         .orderBy(col("tbl"))
     },
 
+    // ---- time-series resampling with forward fill: every user's event
+    // stream re-sampled onto a 6-hour grid (generated with sequence(), no
+    // driver loop), each grid point carrying the value of the latest event
+    // at or before it. The fill is the q31 as-of shape — grid and events
+    // tagged, unioned, ONE window per user — not a range join; the grid is
+    // bounded per user by its own event span (ceil/floor integer period
+    // math). At 100 TB this is the standard gap-fill before feature
+    // extraction: one shuffle on user, state one row per open value.
+    "q99_resample_ffill" -> { (s, dir) => implicit val sp = s
+      val P = 21600000000L // 6 hours in micros
+      val ev = Rel.events(dir)
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(expr(s"(min(ts_us) + $P - 1) div $P").as("h0"),
+          expr(s"max(ts_us) div $P").as("h1"))
+        // a user whose events all land inside one period has h0 = h1 + 1;
+        // Spark sequence(h0, h1) would go DESCENDING there (DuckDB range is
+        // empty) — filter the degenerate span instead of relying on the data.
+        .filter(col("h0") <= col("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+        .select(col("user_id"), (col("h") * P).as("ts_us"))
+      val tagged = ev.select(col("user_id"), col("ts_us"), lit(0).as("tag"), col("value"))
+        .unionByName(grid.select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          lit(null).cast("double").as("value")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("ts_us").as("grid_us"), col("filled"))
+        .orderBy(col("user_id"), col("grid_us"))
+    },
+
     // ---- deterministic train/val/test split: a pure hash of the doc key
     // (no RNG, no ordering dependence) assigns every doc to exactly one
     // split — reproducible across engines, runs, and cluster sizes, which
@@ -933,6 +967,23 @@ object Queries6 {
          |LEFT JOIN wso so ON so.tbl = m.tbl
          |ORDER BY m.tbl""".stripMargin
     },
+
+    "q99_resample_ffill" ->
+      """WITH dedup AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max_by(value, event_id) AS value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, (min(ts_us) + 21600000000 - 1) // 21600000000 AS h0,
+        |         max(ts_us) // 21600000000 AS h1
+        |  FROM dedup GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(range(h0, h1 + 1)) * 21600000000 AS BIGINT) AS grid_us
+        |  FROM bounds)
+        |SELECT g.user_id, g.grid_us, s.value AS filled
+        |FROM grid g
+        |ASOF LEFT JOIN dedup s
+        |  ON s.user_id = g.user_id AND s.ts_us <= g.grid_us
+        |ORDER BY g.user_id, g.grid_us""".stripMargin,
 
     "q90_kmv_distinct" ->
       """WITH h AS (

@@ -307,6 +307,39 @@ class Queries6Spec extends AnyFunSuite {
     }
   }
 
+  test("resample+ffill: grid aligned and bounded, fill matches latest prior event") {
+    import spark.implicits._
+    val P = 21600000000L
+    val rows = Queries6.all("q99_resample_ffill")(spark, dir)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    // every grid point is period-aligned, and the first point per user has a
+    // fill (grid starts at ceil(min_ts), so an event always precedes it)
+    rows.foreach { case (_, g, v) =>
+      assert(g % P == 0, s"grid point $g not aligned")
+      assert(v.isDefined, "grid starts after the first event; fill can't be null")
+    }
+    // the grid is dense: per user, consecutive points differ by exactly P
+    rows.groupBy(_._1).values.foreach { pts =>
+      pts.map(_._2).sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a == P, s"gap in grid: $a -> $b")
+        case _ => ()
+      }
+    }
+    // spot-check semantics: fill == value of the latest event at/before the
+    // grid point (ties on ts broken by max event_id), for one user
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val u = rows.head._1
+    val evU = ev.filter(_._1 == u)
+    rows.filter(_._1 == u).foreach { case (_, g, v) =>
+      val expected = evU.filter(_._2 <= g).maxBy(e => (e._2, e._3))._4
+      assert(v.contains(expected), s"user $u grid $g: got $v want $expected")
+    }
+  }
+
   test("split assignment: deterministic, disjoint, exhaustive, ~80/10/10") {
     import spark.implicits._
     val rows = Queries6.all("q89_split_assignment")(spark, dir)
