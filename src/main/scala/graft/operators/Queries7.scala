@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 3: the classic multi-way-join analytics shapes the engine
+  * was still missing (TPC-H Q5 and Q10 — dim-fan broadcast joins around one
+  * fact shuffle), record linkage (blocked edit-distance join — the fuzzy
+  * dedup that exact/MinHash dedup can't do), a count-min sketch built
+  * relationally (mergeable counter cells, point estimates with the
+  * one-sided error law), and PMI-style co-occurrence scoring (the signal
+  * behind phrase mining and word-vector training data).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, CAST integer sums to BIGINT, integer math where exactness
+  * matters, full ORDER BY tie-breaks, round(.,2) on order-dependent
+  * double sums.
+  */
+object Queries7 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  /** 1996-01-01 / 1997-01-01 / 1996-04-01 as epoch micros (UTC). */
+  private val Y96 = 820454400000000L
+  private val Y97 = 852076800000000L
+  private val Q96_2 = 828316800000000L
+
+  /** q103: count-min geometry. Width 65536 keeps expected per-cell load
+    * (#distinct keys / W) below 1 at bench scale so the estimates are
+    * near-exact; depth 3 gives the min three independent chances. The
+    * sketch is 3*65536 counter cells regardless of data size — the whole
+    * point at 100 TB: cells are a groupBy with map-side combine, merge
+    * across partitions is cell-wise addition (associative), and the final
+    * sketch broadcasts anywhere. */
+  private val CmsW = 65536L
+  private val CmsD = 3
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- TPC-H Q5 shape (local supplier volume): the canonical snowflake
+    // fan — region→nation→(customer, supplier) dimensions around the
+    // lineitem⋈orders fact join. Every dimension is BROADCAST (region and
+    // nation are tiny; customer/supplier are key+nationkey projections), so
+    // the ONLY shuffle at any scale is lineitem⋈orders on orderkey — AQE
+    // splits its skew. The c_nationkey = s_nationkey constraint rides the
+    // supplier broadcast probe, not a second shuffle. Revenue is an
+    // order-dependent double sum → round(.,2) on both engines.
+    "q100_local_supplier_volume" -> { (s, dir) => implicit val sp = s
+      val asiaNations = t(dir, "nation")
+        .join(t(dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(dir, "orders")
+        .withColumn("o_date_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .filter(col("o_date_us") >= Y96 && col("o_date_us") < Y97)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val supp = t(dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val li = t(dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // ---- TPC-H Q10 shape (returned-item losers): which customers returned
+    // the most revenue in a quarter. Same join discipline as q100: one fact
+    // shuffle (lineitem⋈orders), customer and nation broadcast; the
+    // returnflag filter lands in the parquet scan (PushedFilters), so at
+    // 100 TB only the 'R' third of lineitem is read into the join at all.
+    // Revenue in exact integer ten-thousandths (FLOOR-cents × FLOOR-percent,
+    // the q88 money discipline): at sf0.01 the round(sum(double),2) pattern
+    // landed one customer's sum on opposite sides of a half-cent across
+    // engines — integer sums cannot.
+    "q101_returned_item_losers" -> { (s, dir) => implicit val sp = s
+      val ord = t(dir, "orders")
+        .withColumn("o_date_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .filter(col("o_date_us") >= Y96 && col("o_date_us") < Q96_2)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (floor(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev4"))
+      val cust = t(dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("rev4")).as("rev4"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+          (col("rev4").cast("double") / 10000).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- record linkage / fuzzy dedup: blocked edit-distance join. Exact
+    // and MinHash dedup both miss single-character corruptions; the linkage
+    // answer is a LEVENSHTEIN join, made tractable by blocking — candidates
+    // only within the same 8-char title prefix, so the join is quadratic
+    // ONLY inside a block (max block ~165 rows at sf0.1). The corpus has no
+    // real typos (TESTDATA.md), so twins are SYNTHESIZED deterministically:
+    // every 131st doc gets a copy at id+1000000 with the 13th character
+    // dropped — an edit past the block prefix, so the pair stays findable.
+    // At 100 TB this is the standard shape: one shuffle on the block key,
+    // oversized blocks capped or salted, cost linear in Σ(block²).
+    "q102_fuzzy_linkage" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents")
+      val corpus = docs
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("title"))
+        .unionByName(docs.filter(col("doc_id") % 131 === 0)
+          .select((col("doc_id") + 1000000L).as("id"),
+            concat(substring(col("text"), 1, 12),
+              substring(col("text"), 14, 11)).as("title")))
+      val blocked = corpus.withColumn("blk", substring(col("title"), 1, 8))
+      blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .withColumn("dist",
+          levenshtein(col("a.title"), col("b.title")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"),
+          when(col("b.id") - col("a.id") === 1000000L, 1L).otherwise(0L)
+            .as("is_synth_twin"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- count-min sketch, built relationally: d=3 deterministic 28-bit
+    // md5 hashes mod w=65536 index a (i, bucket) counter matrix — the
+    // sketch is ONE partially-aggregated groupBy (cell-wise addition is the
+    // merge, so map-side combine IS the distributed sketch union). Point
+    // estimates for the top-10 exact keys take min over the key's d cells
+    // (CMS one-sided law: est >= exact, always); the 30 probe rows
+    // broadcast against the cell relation, so estimation never shuffles
+    // the sketch. The overcount column makes the collision error visible
+    // and oracle-gated rather than approximate-and-untested.
+    "q103_countmin_sketch" -> { (s, dir) => implicit val sp = s
+      val items = t(dir, "lineitem").select(col("l_partkey").as("k"))
+      def bucket(i: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+        TextOps.portableHash28(concat(i.cast("string"), lit(":"), k.cast("string"))) % CmsW
+      val cells = items
+        .select(col("k"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("i"))
+        .select(col("i"), bucket(col("i"), col("k")).as("b"))
+        .groupBy(col("i"), col("b")).agg(count(lit(1)).as("cnt"))
+      val exactTop = items.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("k")).limit(10)
+      val probes = exactTop
+        .select(col("k"), col("exact_cnt"),
+          explode(expr(s"sequence(0, ${CmsD - 1})")).as("i"))
+        .select(col("k"), col("exact_cnt"), col("i"), bucket(col("i"), col("k")).as("b"))
+      cells.join(broadcast(probes), Seq("i", "b"))
+        .groupBy(col("k").as("part"), col("exact_cnt"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("part"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(desc("exact_cnt"), col("part"))
+    },
+
+    // ---- PMI-style co-occurrence: which word pairs appear together in
+    // documents more than independence predicts — the signal behind phrase
+    // mining and skip-gram training pairs. Ranked by LIFT = c12*N/(c1*c2):
+    // PMI = ln(lift) is monotone in it, so the ranking is identical and the
+    // score stays a single exact-integer-operand division (bit-equal across
+    // engines; a log would be libm-dependent). Doc-word incidence is
+    // distinct'd FIRST (one shuffle), the pair expansion is a self-join on
+    // doc_id — quadratic in per-doc DISTINCT vocabulary, not doc length —
+    // and collapses via map-side combine to |V|² counters. Unigram counts
+    // broadcast twice; N rides a 1-row broadcast.
+    "q104_pmi_cooccurrence" -> { (s, dir) => implicit val sp = s
+      val dw = t(dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val c1 = dw.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nd = t(dir, "documents").agg(countDistinct(col("doc_id")).as("nd"))
+      val pairs = dw.as("a").join(dw.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      pairs
+        .join(broadcast(c1.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cw1")), Seq("w1"))
+        .join(broadcast(c1.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cw2")), Seq("w2"))
+        .crossJoin(broadcast(nd))
+        .select(col("w1"), col("w2"), col("c12"),
+          ((col("c12") * col("nd")).cast("double") / (col("cw1") * col("cw2")))
+            .as("lift"))
+        .orderBy(desc("lift"), col("w1"), col("w2"))
+        .limit(20)
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q100_local_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND epoch_us(o_orderdate) >= 820454400000000
+        |  AND epoch_us(o_orderdate) < 852076800000000
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q101_returned_item_losers" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND epoch_us(o_orderdate) >= 820454400000000
+        |  AND epoch_us(o_orderdate) < 828316800000000
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q102_fuzzy_linkage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, substring(text, 1, 24) AS title FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |         substring(text, 1, 12) || substring(text, 14, 11) AS title
+        |  FROM documents WHERE doc_id % 131 = 0),
+        |blocked AS (SELECT id, title, substring(title, 1, 8) AS blk FROM corpus)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist,
+        |  CASE WHEN b.id - a.id = 1000000 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS is_synth_twin
+        |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.title, b.title) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q103_countmin_sketch" ->
+      """WITH items AS (SELECT l_partkey AS k FROM lineitem),
+        |hashed AS (
+        |  SELECT k, i,
+        |    CAST('0x' || substring(md5(i || ':' || k), 1, 7) AS BIGINT) % 65536 AS b
+        |  FROM items, (SELECT unnest(range(3)) AS i)),
+        |cells AS (SELECT i, b, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM hashed GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt FROM items GROUP BY k
+        |  ORDER BY exact_cnt DESC, k LIMIT 10)
+        |SELECT e.k AS part, e.exact_cnt, min(c.cnt) AS cms_est,
+        |  min(c.cnt) - e.exact_cnt AS overcount
+        |FROM exact e, (SELECT unnest(range(3)) AS i) h
+        |JOIN cells c ON c.i = h.i
+        | AND c.b = CAST('0x' || substring(md5(h.i || ':' || e.k), 1, 7) AS BIGINT) % 65536
+        |GROUP BY e.k, e.exact_cnt
+        |ORDER BY exact_cnt DESC, part""".stripMargin,
+
+    "q104_pmi_cooccurrence" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM dw GROUP BY w),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM documents),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2)
+        |SELECT w1, w2, c12,
+        |  CAST(c12 * nd AS DOUBLE) / (ca.cw * cb.cw) AS lift
+        |FROM pairs, n
+        |JOIN c1 ca ON ca.w = w1
+        |JOIN c1 cb ON cb.w = w2
+        |WHERE c12 >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)
+}

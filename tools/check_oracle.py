@@ -53,7 +53,11 @@ for name, sql in sorted(oracle.items()):
                 try:
                     import numpy as np
                     if g[c].dtype.kind == 'f':
-                        diff = ~np.isclose(g[c], e[c], rtol=0, atol=0, equal_nan=True)
+                        # keep it a Series: np.isclose returns an ndarray,
+                        # which has no .index for the report below
+                        diff = pd.Series(
+                            ~np.isclose(g[c], e[c], rtol=0, atol=0, equal_nan=True),
+                            index=g.index)
                 except Exception:
                     pass
                 idx = diff[diff].index[:3]
