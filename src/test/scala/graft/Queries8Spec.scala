@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Queries8
+
+/** Behavioral tests for the round-5 batch-4 operators — algorithm
+  * invariants on top of the oracle gate's value parity: prefix-filter
+  * recall vs a brute-force Jaccard join, LM probability laws, bucket
+  * accounting, hard-negative rank band, struct-min argmin semantics,
+  * chunking locality. */
+class Queries8Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("set-similarity join: prefix filtering is EXACT vs brute force") {
+    import spark.implicits._
+    val got = Queries8.all("q105_set_similarity_join")(spark, dir)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)].collect().toSet
+    // brute force: all shingle-sharing pairs, exact threshold, no prefix
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(graft.operators.TextOps.shingles(col("text"), 3)).as("w"))
+    val sz = sh.groupBy("doc_id").count()
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.select(col("doc_id").as("id_a"), col("count").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("count").as("nb")), "id_b")
+      .filter(col("c") * 5 >= (col("na") + col("nb") - col("c")) * 4)
+      .select(col("id_a"), col("id_b"), col("c")).as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, "prefix filtering must lose no pair above the threshold")
+    assert(got.nonEmpty)
+  }
+
+  test("bigram LM: probabilities in (0,1], continuation counts positive") {
+    import spark.implicits._
+    val rows = Queries8.all("q106_bigram_lm")(spark, dir)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    assert(rows.length == 30)
+    rows.foreach { case (_, _, c12, c1, p, nLeft) =>
+      assert(c12 <= c1, "bigram count bounded by left-unigram count")
+      assert(p > 0 && p <= 1.0)
+      assert(p == c12.toDouble / c1)
+      assert(nLeft >= 1)
+    }
+  }
+
+  test("length buckets: doc and token totals are conserved") {
+    import spark.implicits._
+    val rows = Queries8.all("q107_length_buckets")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows.map(_._2).sum == docs.count())
+    rows.foreach { case (bucket, nDocs, total, padded, waste) =>
+      assert(padded == bucket * nDocs)
+      assert(total <= padded, "no doc exceeds its bucket cap")
+      assert(waste >= 0 && waste < 100)
+    }
+    val buckets = rows.map(_._1)
+    assert(buckets.sameElements(buckets.sorted))
+  }
+
+  test("hard negatives: exactly ranks 6..15 per query, cos descending") {
+    import spark.implicits._
+    val rows = Queries8.all("q108_hard_negatives")(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.sameElements(6L to 15L))
+      val cs = g.sortBy(_._4).map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("min-cost supplier: struct-min equals windowed argmin with tie-breaks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = Queries8.all("q109_min_cost_supplier")(spark, dir)
+      .select("p_partkey", "s_suppkey", "min_price").as[(Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("cents"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val ref = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_partkey") <= 200)
+      .withColumn("cents", floor(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("cents").cast("double") / 100).as("p"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == ref, "partial-agg struct-min must equal the window argmin")
+  }
+
+  test("session paths: every path has 3 steps, counts descending") {
+    import spark.implicits._
+    val rows = Queries8.all("q110_session_paths")(spark, dir)
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, n) =>
+      assert(p.split(">").length == 3)
+      assert(n >= 1)
+    }
+    val ns = rows.map(_._2)
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
+  }
+
+  test("cdc chunks: chunks reassemble each document exactly") {
+    import spark.implicits._
+    // reproduce the chunking (not the shared-chunk aggregate) and check the
+    // concatenation invariant: chunks of a doc, in start order, rebuild it
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50).cache()
+    val cuts = docs
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= 9,
+          sequence(lit(2), length(col("text")) - 7))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .filter(graft.operators.TextOps.portableHash28(
+        substring(col("text"), col("i"), lit(8))) % 16 === 0)
+      .select(col("doc_id"), col("i").as("start"))
+    val starts = docs.select(col("doc_id"), lit(1).as("start")).unionByName(cuts)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    val rebuilt = starts.join(docs, Seq("doc_id"))
+      .withColumn("nxt", lead(col("start"), 1).over(wd))
+      .select(col("doc_id"),
+        when(col("nxt").isNull, expr("substring(text, start)"))
+          .otherwise(expr("substring(text, start, nxt - start)")).as("chunk"),
+        col("start"))
+      .groupBy("doc_id")
+      .agg(concat_ws("", expr("transform(sort_array(collect_list(struct(start, chunk))), x -> x.chunk)")).as("joined"))
+    val bad = rebuilt.join(docs, Seq("doc_id"))
+      .filter(col("joined") =!= col("text")).count()
+    assert(bad == 0, "chunk concatenation must reproduce the original text")
+    docs.unpersist()
+  }
+}
