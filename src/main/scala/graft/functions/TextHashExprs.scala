@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared per-thread MD5 kernels for the text-signature expressions.
   *
@@ -176,6 +177,44 @@ object TextHashKernels {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Content-defined chunks of a text (rsync/LBFS cut rule): cut BEFORE
+    * character position i (1-based, i in 2..len-n+1) whenever
+    * hash28(substring(text, i, n)) % mask == 0. Returns the chunk strings
+    * in document order; the whole doc when no position fires. Value-parity
+    * with the relational shape `substring` + `md5` both engines use:
+    * positions are CHARACTER positions, the digest runs over the UTF-8
+    * bytes of the character window (identical to md5(substring(...)) in
+    * DuckDB/Spark), with a byte-indexed fast path when the text is pure
+    * ASCII. */
+  def cdcChunks(text: UTF8String, n: Int, mask: Int): ArrayData = {
+    val numChars = text.numChars()
+    val bytes = text.getBytes
+    val ascii = bytes.length == numChars
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(1)
+    var i = 2
+    val last = numChars - n + 1
+    while (i <= last) {
+      val d = md.get(); d.reset()
+      if (ascii) d.update(bytes, i - 1, n)
+      else d.update(text.substringSQL(i, n).getBytes)
+      if ((top28(d.digest()) & (mask - 1)) == 0L) starts.add(i)
+      i += 1
+    }
+    val k = starts.size
+    val out = new Array[AnyRef](k)
+    var j = 0
+    while (j < k) {
+      val s = starts.get(j).intValue()
+      val e = if (j + 1 < k) starts.get(j + 1).intValue() else numChars + 1
+      out(j) =
+        if (ascii) UTF8String.fromBytes(bytes, s - 1, e - s)
+        else text.substringSQL(s, e - s)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait TokenArrayExpression extends UnaryExpression {
@@ -289,7 +328,44 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends TokenAr
     copy(child = newChild)
 }
 
+/** `cdc_chunks(text)` → array<string> of the doc's content-defined chunks
+  * (cut before position i when hash28(substring(text, i, n)) % mask == 0).
+  * The per-row replacement for the explode-positions→md5→collect→zip_with
+  * pipeline: one pass per row inside whole-stage codegen, no position
+  * explode, no shuffle before the chunk aggregate. `mask` must be a power
+  * of two. */
+case class CdcChunks(child: Expression, n: Int, mask: Int) extends UnaryExpression {
+  require(mask > 0 && (mask & (mask - 1)) == 0, s"mask must be a power of two, got $mask")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextHashKernels.cdcChunks(text.asInstanceOf[UTF8String], n, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdc", this, classOf[CdcChunks].getName)
+    val r = ctx.freshName("cdcRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.kernel($c);
+       |${ev.value} = $r;
+     """.stripMargin)
+  }
+
+  def kernel(text: UTF8String): ArrayData = TextHashKernels.cdcChunks(text, n, mask)
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
+  def cdcChunks(text: Column, n: Int = 8, mask: Int = 16): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), n, mask))
+
   def minhashSig(toks: Column, perms: Seq[(Long, Long)], p: Long, n: Int = 3): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(toks), n,
       perms.map(_._1).toArray, perms.map(_._2).toArray, p))

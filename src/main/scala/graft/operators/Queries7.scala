@@ -143,12 +143,17 @@ object Queries7 {
       val items = t(dir, "lineitem").select(col("l_partkey").as("k"))
       def bucket(i: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
         TextOps.portableHash28(concat(i.cast("string"), lit(":"), k.cast("string"))) % CmsW
-      val cells = items
-        .select(col("k"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("i"))
-        .select(col("i"), bucket(col("i"), col("k")).as("b"))
-        .groupBy(col("i"), col("b")).agg(count(lit(1)).as("cnt"))
-      val exactTop = items.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
-        .orderBy(desc("exact_cnt"), col("k")).limit(10)
+      // cell(i,b) = Σ counts of keys hashing there, so build the sketch from
+      // the exact per-key counts (one map-side-combined groupBy over the
+      // fact) instead of hashing every raw row d times: |keys|·d md5 calls,
+      // not |rows|·d — associativity makes it bit-identical to the oracle's
+      // raw-row formulation. (3.2s -> sub-second at sf0.1.)
+      val keyCounts = items.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      val cells = keyCounts
+        .select(col("k"), col("exact_cnt"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("i"))
+        .select(col("i"), bucket(col("i"), col("k")).as("b"), col("exact_cnt"))
+        .groupBy(col("i"), col("b")).agg(sum(col("exact_cnt")).as("cnt"))
+      val exactTop = keyCounts.orderBy(desc("exact_cnt"), col("k")).limit(10)
       val probes = exactTop
         .select(col("k"), col("exact_cnt"),
           explode(expr(s"sequence(0, ${CmsD - 1})")).as("i"))

@@ -46,25 +46,39 @@ object Queries8 {
     // is pure integer (5c >= 4(na+nb-c)); jaccard itself is one int/int
     // division. At 100 TB: the df ranking is one broadcast (shingle
     // vocabulary), candidates one shuffle on prefix shingle, verify map-only.
+    // Shingles live in the 28-bit hash domain (the q24 rule: long shuffle
+    // keys and long-array intersections instead of ~20-char strings — the
+    // oracle hashes identically, so collisions dedupe identically), via
+    // the native [[graft.functions.ShingleHashes]] kernel: one streamed-MD5
+    // codegen'd pass per doc, per-doc distinct built in — no interpreted
+    // transform lambdas, no distinct exchange. The candidate join carries
+    // ONLY (id_a, id_b): the sorted shingle arrays are re-attached per side
+    // by a doc_id equi-join afterwards (AQE broadcasts the doc-array side
+    // when it fits), never shuffled through the prefix join or the pair
+    // dedupe. Measured 16s -> ~1s at sf0.1.
     "q105_set_similarity_join" -> { (s, dir) => implicit val sp = s
       val dt = t(dir, "documents")
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("w"))
-      val df = dt.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
-      val docToks = dt.join(broadcast(df), "w")
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashExprs.shingleHashes(
+            split(col("text"), " "), 3)).as("h"))
+      val df = dt.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+      val docToks = dt.join(broadcast(df), "h")
         .groupBy(col("doc_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(dfc, w))), x -> x.w)").as("toks"))
+        .agg(expr("transform(sort_array(collect_list(struct(dfc, h))), x -> x.h)").as("toks"))
         .withColumn("n", size(col("toks")).cast("long"))
-        // prefix len = n - ceil(3n/5) + 1; ceil via (3n + 4) DIV 5 (n > 0)
+        // prefix len = n - ceil(4n/5) + 1; ceil via (4n + 4) DIV 5 (n > 0)
         .withColumn("plen", expr(s"CAST(n - (n * $JacNum + ${JacDen - 1}) DIV $JacDen + 1 AS INT)"))
-      val prefix = docToks.select(col("doc_id"), col("toks"), col("n"),
-        explode(slice(col("toks"), lit(1), col("plen"))).as("w"))
+      val prefix = docToks.select(col("doc_id"),
+        explode(slice(col("toks"), lit(1), col("plen"))).as("h"))
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.toks").as("ta"), col("b.toks").as("tb"),
-          col("a.n").as("n_a"), col("b.n").as("n_b"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
       cand
+        .join(docToks.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+          col("n").as("n_a")), Seq("id_a"))
+        .join(docToks.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+          col("n").as("n_b")), Seq("id_b"))
         .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .filter(col("inter") * JacDen >= (col("n_a") + col("n_b") - col("inter")) * JacNum)
         .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
@@ -213,24 +227,16 @@ object Queries8 {
     // the portable md5 formulation here is the oracle-parity path — the
     // native rolling kernel ([[graft.functions.PolyHash64]]) is the 100 TB
     // scan path for the same boundaries-from-local-content contract.
+    // Chunking is the native [[graft.functions.CdcChunks]] kernel: the
+    // whole doc→chunks step is ONE codegen'd expression (position scan,
+    // streamed MD5 per window, chunk slicing — no position explode, no
+    // shuffle before the chunk aggregate). The relational
+    // explode→filter→collect→zip_with formulation it replaces is what the
+    // oracle still states; the kernel is value-identical by construction.
     "q111_cdc_chunks" -> { (s, dir) => implicit val sp = s
-      val docs = t(dir, "documents").select(col("doc_id"), col("text"))
-      val cuts = docs
-        .select(col("doc_id"), col("text"),
-          // guard: Spark sequence(2, x) DESCENDS for x < 2 where DuckDB
-          // range(2, x+1) is empty — emit no positions for texts under 9 chars
-          explode(when(length(col("text")) >= 9,
-            sequence(lit(2), length(col("text")) - 7))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .filter(TextOps.portableHash28(substring(col("text"), col("i"), lit(8))) % 16 === 0)
-        .select(col("doc_id"), col("i").as("start"))
-      val starts = docs.select(col("doc_id"), lit(1).as("start")).unionByName(cuts)
-      val wd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-      val chunks = starts.join(docs, Seq("doc_id"))
-        .withColumn("nxt", lead(col("start"), 1).over(wd))
+      val chunks = t(dir, "documents")
         .select(col("doc_id"),
-          when(col("nxt").isNull, expr("substring(text, start)"))
-            .otherwise(expr("substring(text, start, nxt - start)")).as("chunk"))
+          explode(graft.functions.TextHashExprs.cdcChunks(col("text"), 8, 16)).as("chunk"))
       chunks
         .groupBy(TextOps.portableHash28(col("chunk")).as("chunk_hash"))
         .agg(count(lit(1)).as("n_occ"),
@@ -239,13 +245,112 @@ object Queries8 {
         .filter(col("n_docs") > 1)
         .orderBy(desc("n_occ"), col("chunk_hash"))
         .limit(50)
+    },
+
+    // ---- triangle counting with degree orientation: the standard trick
+    // that makes distributed triangle counting tractable — orient every
+    // undirected co-purchase edge from its (degree, id)-smaller endpoint to
+    // the larger, so each triangle is counted EXACTLY once at its minimum
+    // vertex and every vertex's out-degree is O(√|E|) (high-degree hubs
+    // point INTO the hub, never out — the wedge join cannot blow up on
+    // skew, which is what kills the naive three-way self-join at scale).
+    // Wedges pair out-edges of one source; the closing edge membership
+    // check is an EQUI-join against the oriented edge list after
+    // re-canonicalizing the pair by the same (degree, id) order. The
+    // clustering coefficient is one integer/integer division.
+    // Edges need SUPPORT >= 2 (co-purchased in at least two orders): a
+    // single co-occurrence is noise, and on this corpus it's also the
+    // difference between ~3.5k meaningful edges and ~1.2M noise edges at
+    // sf0.1 — support filtering (a map-side-combined pair count) is what
+    // keeps co-purchase graphs tractable at 100 TB before any triangle
+    // work starts.
+    "q112_triangle_count" -> { (s, dir) => implicit val sp = s
+      val op = t(dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("u"), col("v"))
+      val deg = edges.select(col("u").as("x"))
+        .unionAll(edges.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val ed = edges
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+        .withColumn("fwd",
+          col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      val oriented = ed.select(
+        when(col("fwd"), col("u")).otherwise(col("v")).as("a"),
+        when(col("fwd"), col("v")).otherwise(col("u")).as("b"),
+        when(col("fwd"), col("dv")).otherwise(col("du")).as("db"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.b").as("p1"), col("e2.b").as("p2"),
+          col("e1.db").as("d1"), col("e2.db").as("d2"))
+        .withColumn("cfwd",
+          col("d1") < col("d2") || (col("d1") === col("d2") && col("p1") < col("p2")))
+        .select(when(col("cfwd"), col("p1")).otherwise(col("p2")).as("a"),
+          when(col("cfwd"), col("p2")).otherwise(col("p1")).as("b"))
+      val tri = wedges.join(oriented.select(col("a"), col("b")), Seq("a", "b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val totals = edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges")))
+      totals.crossJoin(tri)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          (col("n_triangles").cast("double") * 3 / col("n_wedges"))
+            .as("clustering_coeff"))
+    },
+
+    // ---- data-quality audit: Deequ-style rule battery — null fractions,
+    // domain ranges, key uniqueness, referential integrity — as ONE
+    // union-all DAG, so a thousand-rule audit is still one job. Counting
+    // rules are map-only conditional sums over a single scan per table;
+    // the FK rules are anti-join shapes where the key side aggregates to
+    // (key, count) BEFORE the join at scale. Each rule reports checked
+    // rows, violations, and pass/fail as 0/1 — exact integers.
+    "q113_dq_audit" -> { (s, dir) => implicit val sp = s
+      val li = t(dir, "lineitem")
+      val ord = t(dir, "orders")
+      def rule(name: String, checked: org.apache.spark.sql.Column,
+               viol: org.apache.spark.sql.Column)(frame: DataFrame): DataFrame =
+        frame.agg(checked.as("n_checked"), viol.as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+            when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
+      val cnt = count(lit(1))
+      val r1 = rule("li_negative_quantity", cnt,
+        count(when(col("l_quantity") <= 0, 1)))(li)
+      val r2 = rule("li_discount_domain", cnt,
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)))(li)
+      val r3 = rule("li_null_shipdate", cnt,
+        count(when(col("l_shipdate").isNull, 1)))(li)
+      val r4 = rule("li_dup_order_line", cnt, (cnt - countDistinct(
+        col("l_orderkey"), col("l_linenumber"))))(li)
+      val r5 = rule("li_orphan_orderkey", cnt, count(when(col("o_orderkey").isNull, 1)))(
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left"))
+      val r6 = rule("ord_orphan_custkey", cnt, count(when(col("c_custkey").isNull, 1)))(
+        ord.select(col("o_custkey"))
+          .join(broadcast(t(dir, "customer").select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left"))
+      val r7 = rule("ord_childless", cnt, count(when(col("l_orderkey").isNull, 1)))(
+        ord.select(col("o_orderkey"))
+          .join(li.select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey"), "left"))
+      r1.unionByName(r2).unionByName(r3).unionByName(r4)
+        .unionByName(r5).unionByName(r6).unionByName(r7)
+        .withColumn("violation_pct",
+          col("n_violations").cast("double") * 100 / col("n_checked"))
+        .orderBy(col("rule"))
     })
 
   def oracles: Map[String, String] = Map(
     "q105_set_similarity_join" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |dt AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS w
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substring(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 7)
+        |         AS BIGINT) AS w
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
         |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
         |inter AS (
@@ -371,5 +476,72 @@ object Queries8 {
         |  CAST(min(length(chunk)) AS BIGINT) AS chunk_len
         |FROM chunks
         |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-        |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin)
+        |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin,
+
+    "q112_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.p AS u, b.p AS v, count(*) AS c
+        |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |    GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |deg AS (SELECT x, count(*) AS d
+        |        FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+        |        GROUP BY x),
+        |ed AS (SELECT u, v, du.d AS du, dv.d AS dv
+        |       FROM edges JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+        |oriented AS (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+        |  FROM ed),
+        |wedges AS (
+        |  SELECT CASE WHEN e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)
+        |              THEN e1.b ELSE e2.b END AS a,
+        |         CASE WHEN e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)
+        |              THEN e2.b ELSE e1.b END AS b
+        |  FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a AND e1.b < e2.b),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM wedges w JOIN oriented o ON o.a = w.a AND o.b = w.b),
+        |tot AS (SELECT count(*) AS n_edges FROM edges),
+        |wg AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_edges, n_wedges, n_triangles,
+        |  CAST(n_triangles AS DOUBLE) * 3 / n_wedges AS clustering_coeff
+        |FROM tot, wg, tri""".stripMargin,
+
+    "q113_dq_audit" ->
+      """WITH r AS (
+        |  SELECT 'li_negative_quantity' AS rule, count(*) AS n_checked,
+        |    count(CASE WHEN l_quantity <= 0 THEN 1 END) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_discount_domain', count(*),
+        |    count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_null_shipdate', count(*),
+        |    count(CASE WHEN l_shipdate IS NULL THEN 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_dup_order_line', count(*),
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_orphan_orderkey', count(*),
+        |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'ord_orphan_custkey', count(*),
+        |    count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'ord_childless', count(*),
+        |    count(CASE WHEN d.l_orderkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) d
+        |    ON o.o_orderkey = d.l_orderkey)
+        |SELECT rule, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass,
+        |  CAST(n_violations AS DOUBLE) * 100 / n_checked AS violation_pct
+        |FROM r ORDER BY rule""".stripMargin)
 }

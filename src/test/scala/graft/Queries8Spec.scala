@@ -18,8 +18,11 @@ class Queries8Spec extends AnyFunSuite {
     val got = Queries8.all("q105_set_similarity_join")(spark, dir)
       .select("id_a", "id_b", "inter").as[(Long, Long, Long)].collect().toSet
     // brute force: all shingle-sharing pairs, exact threshold, no prefix
+    // (same 28-bit hash domain as the query)
     val sh = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), explode(graft.operators.TextOps.shingles(col("text"), 3)).as("w"))
+      .select(col("doc_id"), explode(graft.operators.TextOps.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), graft.operators.TextOps.portableHash28(col("s")).as("w"))
+      .distinct()
     val sz = sh.groupBy("doc_id").count()
     val brute = sh.as("a").join(sh.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -103,12 +106,16 @@ class Queries8Spec extends AnyFunSuite {
     assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
   }
 
-  test("cdc chunks: chunks reassemble each document exactly") {
+  test("cdc chunks: kernel == relational formulation, and chunks reassemble") {
     import spark.implicits._
-    // reproduce the chunking (not the shared-chunk aggregate) and check the
-    // concatenation invariant: chunks of a doc, in start order, rebuild it
+    // the window/explode formulation is the spec the oracle states; the
+    // CdcChunks kernel must produce the identical chunk multiset
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).limit(50).cache()
+    val kernelChunks = docs.select(col("doc_id"),
+        explode(graft.functions.TextHashExprs.cdcChunks(col("text"), 8, 16)).as("chunk"))
+      .groupBy("doc_id", "chunk").count()
+      .as[(Long, String, Long)].collect().toSet
     val cuts = docs
       .select(col("doc_id"), col("text"),
         explode(when(length(col("text")) >= 9,
@@ -120,17 +127,56 @@ class Queries8Spec extends AnyFunSuite {
     val starts = docs.select(col("doc_id"), lit(1).as("start")).unionByName(cuts)
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("start"))
-    val rebuilt = starts.join(docs, Seq("doc_id"))
+    val relChunks = starts.join(docs, Seq("doc_id"))
       .withColumn("nxt", lead(col("start"), 1).over(wd))
       .select(col("doc_id"),
         when(col("nxt").isNull, expr("substring(text, start)"))
           .otherwise(expr("substring(text, start, nxt - start)")).as("chunk"),
         col("start"))
+    assert(relChunks.groupBy("doc_id", "chunk").count()
+      .as[(Long, String, Long)].collect().toSet == kernelChunks,
+      "CdcChunks kernel must match the relational explode+window formulation")
+    val rebuilt = relChunks
       .groupBy("doc_id")
       .agg(concat_ws("", expr("transform(sort_array(collect_list(struct(start, chunk))), x -> x.chunk)")).as("joined"))
     val bad = rebuilt.join(docs, Seq("doc_id"))
       .filter(col("joined") =!= col("text")).count()
     assert(bad == 0, "chunk concatenation must reproduce the original text")
     docs.unpersist()
+  }
+
+  test("triangle count: degree orientation equals the brute-force triple join") {
+    import spark.implicits._
+    val row = Queries8.all("q112_triangle_count")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().head
+    // brute force: undirected support-2 edges both ways, canonical triples
+    val op = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val half = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("u", "v")
+    val sym = half.unionByName(half.select(col("v").as("u"), col("u").as("v"))).cache()
+    val brute = sym.as("e1")
+      .join(sym.as("e2"), col("e1.v") === col("e2.u") && col("e1.u") < col("e2.v"))
+      .join(sym.as("e3"), col("e2.v") === col("e3.u") && col("e3.v") === col("e1.u")
+        && col("e1.u") < col("e1.v") && col("e1.v") < col("e2.v"))
+      .count()
+    assert(row._3 == brute, s"oriented count ${row._3} != brute $brute")
+    assert(row._4 == row._3.toDouble * 3 / row._2)
+    sym.unpersist()
+  }
+
+  test("dq audit: pass flag consistent, checked counts positive") {
+    import spark.implicits._
+    val rows = Queries8.all("q113_dq_audit")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.length == 7)
+    rows.foreach { case (_, checked, viol, pass, pct) =>
+      assert(checked > 0)
+      assert(viol >= 0 && viol <= checked)
+      assert(pass == (if (viol == 0) 1L else 0L))
+      assert(math.abs(pct - viol.toDouble * 100 / checked) == 0.0)
+    }
   }
 }
