@@ -31,6 +31,12 @@ object Queries8 {
   private val JacNum = 4L
   private val JacDen = 5L
 
+  /** 1996-01-01 / 1997-01-01 / 1996-04-01 as epoch micros (UTC) — the same
+    * window constants Queries7 uses. */
+  private val Y96 = 820454400000000L
+  private val Y97 = 852076800000000L
+  private val Q96_2 = 828316800000000L
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact set-similarity join via prefix filtering (AllPairs/PPJoin)
@@ -342,6 +348,88 @@ object Queries8 {
         .withColumn("violation_pct",
           col("n_violations").cast("double") * 100 / col("n_checked"))
         .orderBy(col("rule"))
+    },
+
+    // ---- TPC-H Q4 shape (order priority checking): orders in a window
+    // that had at least one problem line — the canonical EXISTS → LEFT SEMI
+    // join. The semi join keeps the orders side deduplicated by
+    // construction (no distinct needed, no row multiplication), the
+    // returnflag filter pushes into the lineitem scan, and both sides
+    // shuffle once on orderkey. (This corpus has no commit/receipt dates;
+    // a returned line is the problem-line proxy.)
+    "q114_order_priority" -> { (s, dir) => implicit val sp = s
+      val ord = t(dir, "orders")
+        .withColumn("o_date_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .filter(col("o_date_us") >= Y96 && col("o_date_us") < Q96_2)
+      val problem = t(dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord.join(problem, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- TPC-H Q12 shape (shipping modes / priority split): one fact
+    // shuffle (lineitem⋈orders on orderkey), then conditional counts per
+    // linestatus — the CASE aggregation pattern. The shipdate filter lands
+    // in the parquet scan.
+    "q115_priority_split" -> { (s, dir) => implicit val sp = s
+      val li = t(dir, "lineitem")
+        .withColumn("ship_us", unix_micros(col("l_shipdate").cast("timestamp")))
+        .filter(col("ship_us") >= Y96 && col("ship_us") < Y97)
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ord = t(dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT"
+            || col("o_orderpriority") === "2-HIGH", 1)).as("high_line_count"),
+          count(when(col("o_orderpriority") =!= "1-URGENT"
+            && col("o_orderpriority") =!= "2-HIGH", 1)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // ---- TPC-H Q14 shape (promo revenue share): the ratio of two sums
+    // over the same join. Revenue in exact integer ten-thousandths (the
+    // q101 money discipline) so the share is ONE division of exact
+    // integers — the round(sum(double)) form is order-dependent across
+    // engines precisely when the ratio matters. Part is a broadcast
+    // key+type projection; the fact shuffles once.
+    "q116_promo_share" -> { (s, dir) => implicit val sp = s
+      val li = t(dir, "lineitem")
+        .withColumn("ship_us", unix_micros(col("l_shipdate").cast("timestamp")))
+        .filter(col("ship_us") >= Y96 && col("ship_us") < Y97)
+        .select(col("l_partkey"),
+          (floor(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev4"))
+      val part = t(dir, "part").select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev4")).otherwise(0L)).as("promo_rev4"),
+          sum(col("rev4")).as("total_rev4"))
+        .select(col("promo_rev4"), col("total_rev4"),
+          (col("promo_rev4").cast("double") * 100 / col("total_rev4")).as("promo_share_pct"))
+    },
+
+    // ---- rolling 7-day distinct users: sliding COUNT DISTINCT does not
+    // decompose into partial aggregates, so the scale shape is day-grain
+    // pre-aggregation FIRST (events → distinct (day, user): one shuffle
+    // that shrinks the input to |days × daily actives|), then a range join
+    // against the tiny broadcast day spine, then the distinct count per
+    // spine day. Never a per-event window, never collect_set over raw
+    // events.
+    "q117_rolling_distinct" -> { (s, dir) => implicit val sp = s
+      val du = Rel.events(dir)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      val spine = du.select(col("day")).distinct()
+      du.as("d").join(broadcast(spine.as("s")),
+          col("d.day") >= col("s.day") - 6 && col("d.day") <= col("s.day"))
+        .groupBy(col("s.day").as("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"),
+          countDistinct(when(col("d.day") === col("s.day"), col("user_id")))
+            .as("active_1d"))
+        .orderBy(col("day"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -543,5 +631,49 @@ object Queries8 {
         |SELECT rule, n_checked, n_violations,
         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass,
         |  CAST(n_violations AS DOUBLE) * 100 / n_checked AS violation_pct
-        |FROM r ORDER BY rule""".stripMargin)
+        |FROM r ORDER BY rule""".stripMargin,
+
+    "q114_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE epoch_us(o_orderdate) >= 820454400000000
+        |  AND epoch_us(o_orderdate) < 828316800000000
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q115_priority_split" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE epoch_us(l_shipdate) >= 820454400000000
+        |  AND epoch_us(l_shipdate) < 852076800000000
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q116_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT)) AS rev4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE epoch_us(l_shipdate) >= 820454400000000
+        |    AND epoch_us(l_shipdate) < 852076800000000)
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END) AS BIGINT)
+        |    AS promo_rev4,
+        |  CAST(sum(rev4) AS BIGINT) AS total_rev4,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END) AS DOUBLE) * 100
+        |    / sum(rev4) AS promo_share_pct
+        |FROM j""".stripMargin,
+
+    "q117_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |spine AS (SELECT DISTINCT day FROM du)
+        |SELECT s.day, count(DISTINCT d.user_id) AS active_7d,
+        |  count(DISTINCT CASE WHEN d.day = s.day THEN d.user_id END) AS active_1d
+        |FROM du d JOIN spine s ON d.day BETWEEN s.day - 6 AND s.day
+        |GROUP BY s.day ORDER BY s.day""".stripMargin)
 }

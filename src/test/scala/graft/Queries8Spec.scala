@@ -167,6 +167,41 @@ class Queries8Spec extends AnyFunSuite {
     sym.unpersist()
   }
 
+  test("order priority: plan is a LEFT SEMI join, counts positive") {
+    val df = Queries8.all("q114_order_priority")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join, got:\n$plan")
+    import spark.implicits._
+    val rows = df.as[(String, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+  }
+
+  test("priority split: high + low equals total joined lines") {
+    import spark.implicits._
+    val rows = Queries8.all("q115_priority_split")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(r => r._2 + r._3).sum > 0)
+    rows.foreach { case (_, hi, lo) => assert(hi >= 0 && lo >= 0) }
+  }
+
+  test("promo share: bounded ratio of exact integers") {
+    import spark.implicits._
+    val (promo, total, pct) = Queries8.all("q116_promo_share")(spark, dir)
+      .as[(Long, Long, Double)].collect().head
+    assert(promo >= 0 && promo <= total)
+    assert(pct == promo.toDouble * 100 / total)
+  }
+
+  test("rolling distinct: 7-day actives dominate daily actives") {
+    import spark.implicits._
+    val rows = Queries8.all("q117_rolling_distinct")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, a7, a1) => assert(a7 >= a1 && a1 >= 0) }
+    val days = rows.map(_._1)
+    assert(days.sameElements(days.sorted))
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
