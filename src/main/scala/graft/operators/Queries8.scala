@@ -430,6 +430,71 @@ object Queries8 {
           countDistinct(when(col("d.day") === col("s.day"), col("user_id")))
             .as("active_1d"))
         .orderBy(col("day"))
+    },
+
+    // ---- group-wise linear regression (value vs hours since the corpus
+    // epoch): ONLY the five classical sums (n, Σx, Σy, Σxy, Σx²) cross the
+    // wire — all partially aggregable exact integers (y in micro-units,
+    // x in hours), so the fit runs in one map-side-combined pass at any
+    // scale. Slope/intercept assemble driver-free from the sums with a
+    // FIXED double expression tree: sums are bit-identical longs on both
+    // engines, and an identical IEEE op sequence on identical inputs is
+    // bit-identical output, so even the rounding matches. (Σxy fits int64
+    // to ~1e7 rows/group at these magnitudes — at 100 TB, shrink x's unit
+    // or pre-aggregate per (group, hour) first.)
+    "q118_group_regression" -> { (s, dir) => implicit val sp = s
+      val t0 = 1704067200000000L // 2024-01-01T00:00:00Z
+      val pts = Rel.events(dir).select(col("event_type"),
+        expr(s"(ts_us - ${t0}L) div 3600000000").as("x"),
+        floor(col("value") * 1000000).cast("long").as("y"))
+      pts.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"))
+        .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- last-touch attribution: every purchase credits the most recent
+    // click/view of the same user within 1 hour — the q31 union+window
+    // as-of shape (tag both streams, ONE window per user, carry the last
+    // touch forward with last(..., ignoreNulls)), never a range join.
+    // Same-timestamp ties are deterministic: touches sort before purchases
+    // (kind 0 < 1), then event_id. Unattributed purchases report as
+    // 'none' with a NULL average gap on both engines.
+    "q119_last_touch" -> { (s, dir) => implicit val sp = s
+      val tagged = Rel.events(dir)
+        .withColumn("kind",
+          when(col("event_type").isin("click", "view"), 0)
+            .when(col("event_type") === "purchase", 1))
+        .filter(col("kind").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("kind"),
+          col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("lt_type",
+          last(when(col("kind") === 0, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("lt_ts",
+          last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .withColumn("gap_us", col("ts_us") - col("lt_ts"))
+        .withColumn("touch",
+          when(col("gap_us").isNotNull && col("gap_us") <= 3600000000L, col("lt_type"))
+            .otherwise(lit("none")))
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_conversions"),
+          (sum(when(col("touch") =!= "none", col("gap_us"))).cast("double")
+            / count(when(col("touch") =!= "none", 1))).as("avg_gap_us"))
+        .orderBy(col("touch"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -675,5 +740,54 @@ object Queries8 {
         |SELECT s.day, count(DISTINCT d.user_id) AS active_7d,
         |  count(DISTINCT CASE WHEN d.day = s.day THEN d.user_id END) AS active_1d
         |FROM du d JOIN spine s ON d.day BETWEEN s.day - 6 AND s.day
-        |GROUP BY s.day ORDER BY s.day""".stripMargin)
+        |GROUP BY s.day ORDER BY s.day""".stripMargin,
+
+    "q118_group_regression" ->
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS y
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY event_type),
+        |fit AS (
+        |  SELECT event_type, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM sums)
+        |SELECT event_type, n, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    AS intercept
+        |FROM fit ORDER BY event_type""".stripMargin,
+
+    "q119_last_touch" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 0
+        |         WHEN event_type = 'purchase' THEN 1 END AS kind
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |carried AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS) OVER w
+        |      AS lt_type,
+        |    last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w
+        |      AS lt_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |conv AS (
+        |  SELECT CASE WHEN ts_us - lt_ts <= 3600000000 THEN lt_type
+        |              ELSE 'none' END AS touch,
+        |         ts_us - lt_ts AS gap_us
+        |  FROM carried WHERE kind = 1)
+        |SELECT touch, count(*) AS n_conversions,
+        |  CAST(sum(CASE WHEN touch <> 'none' THEN gap_us END) AS DOUBLE)
+        |    / count(CASE WHEN touch <> 'none' THEN 1 END) AS avg_gap_us
+        |FROM conv GROUP BY touch ORDER BY touch""".stripMargin)
 }

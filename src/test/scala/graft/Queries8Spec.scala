@@ -202,6 +202,41 @@ class Queries8Spec extends AnyFunSuite {
     assert(days.sameElements(days.sorted))
   }
 
+  test("group regression: slope matches a driver-side fit from the same sums") {
+    import spark.implicits._
+    val rows = Queries8.all("q118_group_regression")(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.length == 5)
+    // recompute one group's fit from raw points driver-side
+    val pts = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .filter(col("event_type") === "click")
+      .select(expr("(ts_us - 1704067200000000) div 3600000000").as("x"),
+        floor(col("value") * 1000000).cast("long").as("y"))
+      .as[(Long, Long)].collect()
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = rows.find(_._1 == "click").get._3
+    assert(math.abs(got - slope) < 1e-9 * math.max(1.0, math.abs(slope)))
+  }
+
+  test("last touch: every purchase attributed exactly once") {
+    import spark.implicits._
+    val rows = Queries8.all("q119_last_touch")(spark, dir)
+      .as[(String, Long, Option[Double])].collect()
+    val purchases = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum == purchases, "attribution must partition purchases")
+    rows.foreach { case (touch, n, gap) =>
+      assert(n > 0)
+      if (touch == "none") assert(gap.isEmpty)
+      else { assert(Set("click", "view")(touch)); assert(gap.exists(g => g >= 0 && g <= 3600000000.0)) }
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
