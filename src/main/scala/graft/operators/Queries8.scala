@@ -37,6 +37,25 @@ object Queries8 {
   private val Y97 = 852076800000000L
   private val Q96_2 = 828316800000000L
 
+  /** q120's typed row: exact integer price (cents) so dominance is integer
+    * comparison. */
+  final case class SkyPoint(p_partkey: Long, price_cents: Long, p_size: Int)
+
+  /** Local skyline prune (pure, conservative): sorted by (price asc,
+    * size desc, key), a point whose size is strictly below the running max
+    * is dominated by an earlier point (earlier = price <=, maxSize > size
+    * makes it strict). Ties are KEPT — equal (price, size) points dominate
+    * neither way, and the exact global anti-join finishes the job. Skyline
+    * is distributive: skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)),
+    * which is what makes the per-partition prune safe at any scale. */
+  def localSkyline(it: Iterator[SkyPoint]): Iterator[SkyPoint] = {
+    val arr = it.toArray.sortBy(p => (p.price_cents, -p.p_size, p.p_partkey))
+    var maxSize = Int.MinValue
+    arr.iterator.filter { p =>
+      if (p.p_size >= maxSize) { maxSize = p.p_size; true } else false
+    }
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact set-similarity join via prefix filtering (AllPairs/PPJoin)
@@ -495,6 +514,100 @@ object Queries8 {
           (sum(when(col("touch") =!= "none", col("gap_us"))).cast("double")
             / count(when(col("touch") =!= "none", 1))).as("avg_gap_us"))
         .orderBy(col("touch"))
+    },
+
+    // ---- skyline (pareto front): parts where no other part is both
+    // cheaper-or-equal AND bigger-or-equal (strictly better in one).
+    // Skyline is DISTRIBUTIVE — skyline(A ∪ B) = skyline(skyline(A) ∪
+    // skyline(B)) — so phase 1 prunes each partition locally (typed
+    // mapPartitions, a sort + one linear scan, no shuffle), and only the
+    // survivors meet the exact quadratic anti-join in phase 2. At 100 TB
+    // the anti-join input is |local skylines|, not |parts|. Dominance is
+    // exact integer comparison on cents.
+    "q120_skyline" -> { (s, dir) => implicit val sp = s
+      import sp.implicits._
+      val pts = t(dir, "part")
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size"))
+        .as[SkyPoint]
+      val reduced = pts.mapPartitions(localSkyline).toDF()
+      val sky = reduced.as("a").join(reduced.as("b"),
+          col("b.price_cents") <= col("a.price_cents")
+            && col("b.p_size") >= col("a.p_size")
+            && (col("b.price_cents") < col("a.price_cents")
+              || col("b.p_size") > col("a.p_size")), "left_anti")
+      sky.select(col("p_partkey"), col("price_cents"),
+          col("p_size").cast("long").as("p_size"),
+          (col("price_cents").cast("double") / 100).as("price"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- weighted median: per order priority, the totalprice-median
+    // weighted by each order's line count — the crossing point of the
+    // cumulative weight (one window sort per priority), picked exactly:
+    // first row where 2·cumweight >= total weight. All integer math until
+    // the final cents→currency division.
+    "q121_weighted_median" -> { (s, dir) => implicit val sp = s
+      val wt = t(dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("w"))
+      val ord = t(dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(wt, col("o_orderkey") === col("l_orderkey"))
+      val win = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("o_orderpriority"))
+      ord
+        .withColumn("cw", sum(col("w")).over(win))
+        .withColumn("wtot", sum(col("w")).over(tot))
+        .withColumn("n", count(lit(1)).over(tot))
+        .filter(col("cw") * 2 >= col("wtot"))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("cents")).as("median_cents"),
+          min(col("wtot")).as("total_weight"), min(col("n")).as("n_orders"))
+        .select(col("o_orderpriority"), col("n_orders"), col("total_weight"),
+          (col("median_cents").cast("double") / 100).as("weighted_median"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- association rules over sessions: which event type predicts
+    // which inside one q10 session — support, confidence, lift for ordered
+    // pairs (A -> B means B present given A present; direction matters for
+    // confidence, so both orientations of each unordered pair appear).
+    // Session-distinct incidence first (one shuffle), pair expansion
+    // quadratic only in the 5-type vocabulary, type totals broadcast back.
+    // Confidence and lift are single divisions of exact integers.
+    "q122_session_rules" -> { (s, dir) => implicit val sp = s
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val sess = Rel.events(dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("sess_id"), col("event_type"))
+        .distinct()
+      val n = sess.select(col("user_id"), col("sess_id")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val c1 = sess.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      val pairs = sess.as("a").join(sess.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.sess_id") === col("b.sess_id")
+            && col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("lhs"), col("b.event_type").as("rhs"))
+        .agg(count(lit(1)).as("c_both"))
+      pairs
+        .join(broadcast(c1.select(col("event_type").as("lhs"), col("c").as("c_lhs"))), Seq("lhs"))
+        .join(broadcast(c1.select(col("event_type").as("rhs"), col("c").as("c_rhs"))), Seq("rhs"))
+        .crossJoin(broadcast(n))
+        .select(col("lhs"), col("rhs"), col("c_both"), col("c_lhs"), col("c_rhs"),
+          (col("c_both").cast("double") / col("c_lhs")).as("confidence"),
+          ((col("c_both") * col("n_sessions")).cast("double")
+            / (col("c_lhs") * col("c_rhs"))).as("lift"))
+        .orderBy(col("lhs"), col("rhs"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -789,5 +902,69 @@ object Queries8 {
         |SELECT touch, count(*) AS n_conversions,
         |  CAST(sum(CASE WHEN touch <> 'none' THEN gap_us END) AS DOUBLE)
         |    / count(CASE WHEN touch <> 'none' THEN 1 END) AS avg_gap_us
-        |FROM conv GROUP BY touch ORDER BY touch""".stripMargin)
+        |FROM conv GROUP BY touch ORDER BY touch""".stripMargin,
+
+    "q120_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey, CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    p_size
+        |  FROM part)
+        |SELECT a.p_partkey, a.price_cents, CAST(a.p_size AS BIGINT) AS p_size,
+        |  CAST(a.price_cents AS DOUBLE) / 100 AS price
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
+
+    "q121_weighted_median" ->
+      """WITH wt AS (SELECT l_orderkey, count(*) AS w FROM lineitem GROUP BY 1),
+        |ord AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, w
+        |  FROM orders JOIN wt ON o_orderkey = l_orderkey),
+        |c AS (
+        |  SELECT *,
+        |    sum(w) OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY o_orderpriority) AS wtot,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM ord)
+        |SELECT o_orderpriority, CAST(min(n) AS BIGINT) AS n_orders,
+        |  CAST(min(wtot) AS BIGINT) AS total_weight,
+        |  CAST(min(cents) AS DOUBLE) / 100 AS weighted_median
+        |FROM c WHERE cw * 2 >= wtot
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q122_session_rules" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |inc AS (SELECT DISTINCT user_id, sess_id, event_type FROM s),
+        |n AS (SELECT count(*) AS n_sessions
+        |      FROM (SELECT DISTINCT user_id, sess_id FROM inc)),
+        |c1 AS (SELECT event_type, count(*) AS c FROM inc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS c_both
+        |  FROM inc a JOIN inc b
+        |    ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+        |   AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT lhs, rhs, c_both, ca.c AS c_lhs, cb.c AS c_rhs,
+        |  CAST(c_both AS DOUBLE) / ca.c AS confidence,
+        |  CAST(c_both * n_sessions AS DOUBLE) / (ca.c * cb.c) AS lift
+        |FROM pairs, n
+        |JOIN c1 ca ON ca.event_type = lhs
+        |JOIN c1 cb ON cb.event_type = rhs
+        |ORDER BY lhs, rhs""".stripMargin)
 }

@@ -237,6 +237,57 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("skyline: local prune + anti-join equals brute force, nothing dominated") {
+    import spark.implicits._
+    val got = Queries8.all("q120_skyline")(spark, dir)
+      .select("p_partkey").as[Long].collect().toSet
+    val pts = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("pc"), col("p_size"))
+    val brute = pts.as("a").join(pts.as("b"),
+        col("b.pc") <= col("a.pc") && col("b.p_size") >= col("a.p_size")
+          && (col("b.pc") < col("a.pc") || col("b.p_size") > col("a.p_size")), "left_anti")
+      .select(col("a.p_partkey")).as[Long].collect().toSet
+    assert(got == brute, "two-phase skyline must equal the single anti-join")
+    assert(got.nonEmpty)
+  }
+
+  test("weighted median: crossing point halves the weight") {
+    import spark.implicits._
+    val rows = Queries8.all("q121_weighted_median")(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    val wt = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_orderkey").count()
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .join(wt, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"), col("count"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (prio, _, wtot, median) =>
+      val grp = ord.filter(_._1 == prio)
+      val mc = (median * 100).round
+      val below = grp.filter(_._2 < mc).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= mc).map(_._3).sum
+      assert(below * 2 < wtot, s"$prio: weight strictly below median must be < half")
+      assert(atOrBelow * 2 >= wtot, s"$prio: weight at-or-below median must reach half")
+    }
+  }
+
+  test("session rules: c_both symmetric, confidence consistent") {
+    import spark.implicits._
+    val rows = Queries8.all("q122_session_rules")(spark, dir)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == 20, "5 types -> 20 ordered pairs")
+    val byPair = rows.map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (lhs, rhs, cBoth, cLhs, _, conf, lift) =>
+      assert(byPair((rhs, lhs)) == cBoth, "joint support must be symmetric")
+      assert(conf == cBoth.toDouble / cLhs)
+      assert(cBoth <= cLhs)
+      assert(lift > 0)
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
