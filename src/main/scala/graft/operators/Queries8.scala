@@ -608,6 +608,56 @@ object Queries8 {
           ((col("c_both") * col("n_sessions")).cast("double")
             / (col("c_lhs") * col("c_rhs"))).as("lift"))
         .orderBy(col("lhs"), col("rhs"))
+    },
+
+    // ---- BPE merge statistics (the first tokenizer-training iteration):
+    // frequency-weighted adjacent character-pair counts. The corpus
+    // collapses to the WORD VOCABULARY first (one map-side-combined
+    // groupBy — the classic BPE trick: pair counts are per-word counts ×
+    // word frequency, so the char expansion runs over |vocab| rows, not
+    // |corpus|), then pairs explode map-side and collapse again to the
+    // character-bigram alphabet. Both shuffles are vocabulary-sized.
+    "q123_bpe_pairs" -> { (s, dir) => implicit val sp = s
+      val words = t(dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .filter(length(col("word")) >= 2)
+      words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(word) - 1), " +
+            "i -> struct(substring(word, i, 1) AS c1, substring(word, i + 1, 1) AS c2))"))
+          .as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(sum(col("wc")).as("pair_count"))
+        .orderBy(desc("pair_count"), col("c1"), col("c2"))
+        .limit(20)
+    },
+
+    // ---- kNN label-noise detection: vectors whose nearest neighbors
+    // mostly carry a DIFFERENT label are suspect annotations (Confident
+    // Learning's cheap cousin). Same broadcast-probe discipline as
+    // q17/q29 — the base never shuffles, scores are exact integer
+    // quantized dots — with the label ride-along; the disagreement
+    // fraction is one division of exact integers.
+    "q124_label_noise" -> { (s, dir) => implicit val sp = s
+      val emb = t(dir, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+      val probes = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("qe").as("qa"))
+      val base = emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), col("qe").as("qb"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
+      base.join(broadcast(probes), col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot", graft.functions.LongArrayDot.longDot(col("qa"), col("qb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .groupBy(col("query_id"), col("q_label"))
+        .agg(count(when(col("n_label") =!= col("q_label"), 1)).as("n_disagree"))
+        .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+          col("n_disagree"),
+          (col("n_disagree").cast("double") / 5).as("disagree_frac"))
+        .orderBy(desc("n_disagree"), col("query_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -966,5 +1016,41 @@ object Queries8 {
         |FROM pairs, n
         |JOIN c1 ca ON ca.event_type = lhs
         |JOIN c1 cb ON cb.event_type = rhs
-        |ORDER BY lhs, rhs""".stripMargin)
+        |ORDER BY lhs, rhs""".stripMargin,
+
+    "q123_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT word, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |pairs AS (
+        |  SELECT substring(word, i, 1) AS c1, substring(word, i + 1, 1) AS c2, wc
+        |  FROM (SELECT word, wc, unnest(range(1, length(word))) AS i
+        |        FROM words WHERE length(word) >= 2))
+        |SELECT c1, c2, CAST(sum(wc) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY c1, c2
+        |ORDER BY pair_count DESC, c1, c2 LIMIT 20""".stripMargin,
+
+    "q124_label_noise" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, a.label AS q_label, b.label AS n_label,
+        |    CAST(list_sum(list_apply(range(1, len(a.qe) + 1),
+        |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+        |    b.vec_id AS neighbor_id
+        |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id % 37 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id) AS rank FROM pairs)
+        |SELECT query_id, CAST(q_label AS BIGINT) AS q_label,
+        |  count(CASE WHEN n_label <> q_label THEN 1 END) AS n_disagree,
+        |  CAST(count(CASE WHEN n_label <> q_label THEN 1 END) AS DOUBLE) / 5
+        |    AS disagree_frac
+        |FROM ranked WHERE rank <= 5
+        |GROUP BY query_id, q_label
+        |ORDER BY n_disagree DESC, query_id""".stripMargin)
 }

@@ -288,6 +288,36 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("bpe pairs: vocabulary-weighted counts conserve corpus char-pair totals") {
+    import spark.implicits._
+    val rows = Queries8.all("q123_bpe_pairs")(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_._3)
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
+    // cross-check the top pair against a direct corpus-level count
+    val (c1, c2, n) = rows.head
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("bg"))
+      .filter(col("bg") === (c1 + c2)).count()
+    assert(direct == n, s"top pair ($c1,$c2): vocab-weighted $n != direct $direct")
+  }
+
+  test("label noise: disagreement bounded by k, fraction consistent") {
+    import spark.implicits._
+    val rows = Queries8.all("q124_label_noise")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, _, nd, frac) =>
+      assert(qid % 37 == 0)
+      assert(nd >= 0 && nd <= 5)
+      assert(frac == nd.toDouble / 5)
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
