@@ -241,6 +241,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q100/q101: dimensions broadcast around ONE fact sort-merge join") {
+    Seq("q100_local_supplier_volume", "q101_returned_item_losers").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dimensions must broadcast")
+      assert(!p.contains("CartesianProduct"), q)
+      // the only non-broadcast join is lineitem⋈orders
+      val sm = p.split("\n").count(l => l.contains("SortMergeJoin"))
+      assert(sm <= 1, s"$q: more than one sort-merge join:\n$p")
+    }
+  }
+
+  test("q101/q116: pushed filters reach the lineitem scan") {
+    assert(plan("q101_returned_item_losers")
+      .contains("EqualTo(l_returnflag,R)"), "returnflag must push down")
+    assert(plan("q116_promo_share")
+      .contains("PushedFilters: [IsNotNull(l_shipdate)"), "shipdate must push down")
+  }
+
+  test("q105: candidate generation is an equi-join, arrays re-attached by key") {
+    val p = plan("q105_set_similarity_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay an equi-join:\n$p")
+  }
+
+  test("q109: correlated-min is a partial-aggregated struct-min, not a window") {
+    val p = plan("q109_min_cost_supplier")
+    assert(!p.contains("Window"), "must not window the fact")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("q117: day spine broadcast, pre-aggregated input") {
+    val p = plan("q117_rolling_distinct")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"spine must broadcast:\n$p")
+  }
+
+  test("q123: char-pair expansion runs over the word vocabulary, not the corpus") {
+    // the plan aggregates words BEFORE the pair explode: exactly two
+    // aggregates (word counts, pair counts) with the generate in between
+    val p = plan("q123_bpe_pairs")
+    val genIdx = p.indexOf("Generate explode")
+    assert(genIdx >= 0, s"expected explode:\n$p")
+    assert(p.substring(genIdx).contains("HashAggregate"),
+      "pair counts must aggregate after the explode")
+    assert(p.substring(0, genIdx).contains("HashAggregate"),
+      "word counts must aggregate before the explode")
+  }
+
   test("whole-stage codegen active on the scan-project-agg path") {
     // AQE materializes the final plan only on execution; run, then inspect
     val df = SparkEntry.queries("q2_file_stats")(spark, dir)
