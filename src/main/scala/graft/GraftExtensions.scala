@@ -8,14 +8,17 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `SparkSession.builder().withExtensions(new GraftExtensions)`), i.e.
   * without calling [[graft.functions.GraftFunctions.registerAll]] manually.
   *
-  * Only expression-level injection is needed: the engine deliberately has no
-  * custom logical plans or planner strategies — every operator is expressed
-  * through Catalyst built-ins plus typed group processing (see SURVEY §4:
-  * the one non-built-in physical piece, the bin-packer, is a
-  * `groupByKey.mapGroups`, which needs no extension).
+  * Expression-level injection plus ONE peephole optimizer rule
+  * ([[graft.plans.PortableHash28Rewrite]]: the portable conv∘substring∘md5
+  * hash idiom → the native [[graft.functions.Hash28]]). The engine
+  * deliberately has no custom logical plans or planner strategies — every
+  * operator is expressed through Catalyst built-ins plus typed group
+  * processing (see SURVEY §4: the one non-built-in physical piece, the
+  * bin-packer, is a `groupByKey.mapGroups`, which needs no extension).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.PortableHash28Rewrite)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -178,6 +178,15 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** hash28 of a string's UTF-8 bytes — value-identical to the relational
+    * idiom `CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)` without
+    * materializing the 32-char hex string or re-parsing 7 digits of it. */
+  def hash28(s: UTF8String): Long = {
+    val d = md.get(); d.reset()
+    d.update(s.getBytes)
+    top28(d.digest())
+  }
+
   /** Content-defined chunks of a text (rsync/LBFS cut rule): cut BEFORE
     * character position i (1-based, i in 2..len-n+1) whenever
     * hash28(substring(text, i, n)) % mask == 0. Returns the chunk strings
@@ -359,6 +368,34 @@ case class CdcChunks(child: Expression, n: Int, mask: Int) extends UnaryExpressi
   def kernel(text: UTF8String): ArrayData = TextHashKernels.cdcChunks(text, n, mask)
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+/** `hash28(text)` → the engine's 28-bit portable MD5 hash as one codegen'd
+  * long-valued expression. Not used directly by query authors — the
+  * [[graft.plans.PortableHash28Rewrite]] optimizer rule substitutes it for
+  * the relational conv∘substring∘md5 idiom, so portable SQL gets kernel
+  * speed automatically. */
+case class Hash28(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash28"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextHashKernels.hash28(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("h28", this, classOf[Hash28].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  def kernel(text: UTF8String): Long = TextHashKernels.hash28(text)
+
+  override protected def withNewChildInternal(newChild: Expression): Hash28 =
     copy(child = newChild)
 }
 

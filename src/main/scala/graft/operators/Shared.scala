@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * these staying bit-identical. */
 private[graft] object Rel {
 
-  def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+  def t(dir: String, name: String)(implicit s: SparkSession): DataFrame = {
+    // sessions not built via GraftExtensions still get the hash28 peephole
+    graft.plans.PortableHash28Rewrite.ensure(s)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects by default; read nanos as long and derive the micros /
