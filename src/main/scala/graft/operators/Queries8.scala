@@ -289,12 +289,22 @@ object Queries8 {
     // sf0.1 — support filtering (a map-side-combined pair count) is what
     // keeps co-purchase graphs tractable at 100 TB before any triangle
     // work starts.
+    // Pair generation is basket-collect + a map-side combination expansion
+    // (collect_set per order = the distinct step and the co-location in ONE
+    // exchange; the i<j expansion runs over the sorted basket array, so
+    // u < v for free) — the op⋈op self-join formulation cost two more
+    // 600k-row exchanges for identical pairs. Baskets are small (~4); a
+    // pathological giant basket would need a per-order pair cap here.
     "q112_triangle_count" -> { (s, dir) => implicit val sp = s
-      val op = t(dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      val baskets = t(dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val edges = baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"""
+            .stripMargin)).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select(col("u"), col("v"))
       val deg = edges.select(col("u").as("x"))
