@@ -668,6 +668,54 @@ object Queries8 {
           col("n_disagree"),
           (col("n_disagree").cast("double") / 5).as("disagree_frac"))
         .orderBy(desc("n_disagree"), col("query_id"))
+    },
+
+    // ---- OHLC bars (6-hour resample): open/close are argmin/argmax by
+    // event time — expressed as struct-min/max over (ts, event_id, value),
+    // the q109 trick, so the whole bar is ONE partially-aggregable groupBy
+    // (map-side combine reduces each partition to one candidate bar per
+    // key before the shuffle). A window formulation would sort every
+    // event; this never sorts. Values in exact micro-units until the final
+    // divisions.
+    "q125_ohlc_bars" -> { (s, dir) => implicit val sp = s
+      val b = Rel.events(dir).select(col("event_type"),
+        expr("ts_us div 21600000000").as("bucket"),
+        col("ts_us"), col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("vm"))
+      b.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts_us"), col("event_id"), col("vm"))).as("o"),
+          max(struct(col("ts_us"), col("event_id"), col("vm"))).as("c"),
+          max(col("vm")).as("hi"), min(col("vm")).as("lo"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          (col("o.vm").cast("double") / 1000000).as("open"),
+          (col("hi").cast("double") / 1000000).as("high"),
+          (col("lo").cast("double") / 1000000).as("low"),
+          (col("c.vm").cast("double") / 1000000).as("close"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
+    // ---- time-weighted average (TWAP): each observation holds until the
+    // user's next event, so the mean weights values by their holding time —
+    // one lead window per user, then exact integer Σ(v·Δt)/ΣΔt. Δt in
+    // SECONDS deliberately: micro-second weights overflow int64 at ~1e3
+    // rows/user with these magnitudes (the q69/q72 overflow-bound
+    // discipline — documented, not discovered at 100 TB).
+    "q126_twap" -> { (s, dir) => implicit val sp = s
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Rel.events(dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+        .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt_s", expr("(nxt - ts_us) div 1000000"))
+        .filter(col("dt_s") > 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("dt_s")).as("total_s"),
+          sum(col("vm") * col("dt_s")).as("vw"))
+        .select(col("user_id"), col("n_intervals"), col("total_s"),
+          (col("vw").cast("double") / 1000000 / col("total_s")).as("twap"))
+        .orderBy(col("user_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1062,5 +1110,42 @@ object Queries8 {
         |    AS disagree_frac
         |FROM ranked WHERE rank <= 5
         |GROUP BY query_id, q_label
-        |ORDER BY n_disagree DESC, query_id""".stripMargin)
+        |ORDER BY n_disagree DESC, query_id""".stripMargin,
+
+    "q125_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 21600000000 AS bucket,
+        |    epoch_us(ts) AS ts_us, event_id,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts_us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  CAST(min(CASE WHEN rn_a = 1 THEN vm END) AS DOUBLE) / 1000000 AS open,
+        |  CAST(max(vm) AS DOUBLE) / 1000000 AS high,
+        |  CAST(min(vm) AS DOUBLE) / 1000000 AS low,
+        |  CAST(min(CASE WHEN rn_d = 1 THEN vm END) AS DOUBLE) / 1000000 AS close
+        |FROM r GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q126_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, vm, (nxt - ts_us) // 1000000 AS dt_s
+        |  FROM e WHERE nxt IS NOT NULL AND (nxt - ts_us) // 1000000 > 0)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dt_s) AS BIGINT) AS total_s,
+        |  CAST(sum(vm * dt_s) AS DOUBLE) / 1000000 / CAST(sum(dt_s) AS BIGINT)
+        |    AS twap
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -318,6 +318,37 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("ohlc bars: low <= open/close <= high, no window in the plan") {
+    import spark.implicits._
+    val df = Queries8.all("q125_ohlc_bars")(spark, dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "bars must be a partial-aggregable groupBy, not a window sort")
+    val rows = df.as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, o, h, l, c) =>
+      assert(n > 0)
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  test("twap: bounded by min/max of the user's values") {
+    import spark.implicits._
+    val rows = Queries8.all("q126_twap")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val bounds = graft.operators.Rel.events(dir)(spark)
+      .groupBy("user_id")
+      .agg(min(floor(col("value") * 1000000).cast("long")).as("lo"),
+        max(floor(col("value") * 1000000).cast("long")).as("hi"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (uid, n, totalS, twap) =>
+      assert(n > 0 && totalS > 0)
+      val (lo, hi) = bounds(uid)
+      assert(twap >= lo / 1e6 - 1e-6 && twap <= hi / 1e6 + 1e-6,
+        s"user $uid twap $twap outside [${lo / 1e6}, ${hi / 1e6}]")
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
