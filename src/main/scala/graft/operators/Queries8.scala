@@ -716,6 +716,34 @@ object Queries8 {
         .select(col("user_id"), col("n_intervals"), col("total_s"),
           (col("vw").cast("double") / 1000000 / col("total_s")).as("twap"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- snapshot-retention planning (expire_snapshots dry run): the lake
+    // maintenance decision next to compaction — for every keep-latest-R
+    // policy, how many files become unreachable and how many bytes come
+    // back. Files carry a [first, last] snapshot liveness interval (derived
+    // deterministically, the q52 fixture discipline); a file is reclaimable
+    // under R iff its last snapshot predates the oldest kept one. The
+    // policy sweep is a 10-row broadcast cross-join over the file relation
+    // with a partially-aggregated rollup — at 100 TB the files table is the
+    // only big side and it streams through once. File size is an integer
+    // division of exact cents (no double avg — order-dependent).
+    "q127_retention_planning" -> { (s, dir) => implicit val sp = s
+      val files = t(dir, "lineitem")
+        .groupBy((col("l_orderkey") % 500).as("fid"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("cnt"))
+        .select(col("fid"), expr("cents div cnt").as("size"))
+        .withColumn("first_snap", col("fid") % 7)
+        .withColumn("last_snap", least(col("first_snap") + col("fid") % 5, lit(9)))
+      val policies = sp.range(1, 11).select(col("id").as("keep_last"))
+      files.crossJoin(broadcast(policies))
+        .withColumn("reclaimable", col("last_snap") < lit(10) - col("keep_last"))
+        .groupBy(col("keep_last"))
+        .agg(count(lit(1)).as("n_files"),
+          count(when(col("reclaimable"), 1)).as("n_expired"),
+          sum(when(col("reclaimable"), col("size")).otherwise(0L)).as("bytes_reclaimed"))
+        .orderBy(col("keep_last"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1147,5 +1175,22 @@ object Queries8 {
         |  CAST(sum(dt_s) AS BIGINT) AS total_s,
         |  CAST(sum(vm * dt_s) AS DOUBLE) / 1000000 / CAST(sum(dt_s) AS BIGINT)
         |    AS twap
-        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q127_retention_planning" ->
+      """WITH files AS (
+        |  SELECT l_orderkey % 500 AS fid,
+        |    CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) // count(*)
+        |         AS BIGINT) AS size
+        |  FROM lineitem GROUP BY 1),
+        |f2 AS (
+        |  SELECT fid, size, fid % 7 AS first_snap,
+        |    least(fid % 7 + fid % 5, 9) AS last_snap
+        |  FROM files),
+        |r AS (SELECT unnest(range(1, 11)) AS keep_last)
+        |SELECT keep_last, count(*) AS n_files,
+        |  count(CASE WHEN last_snap < 10 - keep_last THEN 1 END) AS n_expired,
+        |  CAST(sum(CASE WHEN last_snap < 10 - keep_last THEN size ELSE 0 END)
+        |       AS BIGINT) AS bytes_reclaimed
+        |FROM f2, r GROUP BY keep_last ORDER BY keep_last""".stripMargin)
 }

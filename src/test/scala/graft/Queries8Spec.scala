@@ -349,6 +349,20 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("retention planning: reclaim is monotone in aggressiveness") {
+    import spark.implicits._
+    val rows = Queries8.all("q127_retention_planning")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 10)
+    // keeping FEWER snapshots (smaller keep_last) reclaims at least as much
+    rows.sliding(2).foreach { case Array((_, nf1, ne1, b1), (_, nf2, ne2, b2)) =>
+      assert(nf1 == nf2, "file universe is policy-independent")
+      assert(ne1 >= ne2 && b1 >= b2, "reclaim must shrink as retention grows")
+    }
+    val last = rows.last
+    assert(last._3 == 0 && last._4 == 0, "keeping all 10 snapshots reclaims nothing")
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
