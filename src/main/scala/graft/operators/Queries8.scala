@@ -744,6 +744,34 @@ object Queries8 {
           count(when(col("reclaimable"), 1)).as("n_expired"),
           sum(when(col("reclaimable"), col("size")).otherwise(0L)).as("bytes_reclaimed"))
         .orderBy(col("keep_last"))
+    },
+
+    // ---- multimodal decode-plan accounting: what the partition-wise batch
+    // decode ([[graft.multimodal.Multimodal.extractFeatures]]) will do,
+    // computed relationally BEFORE touching any payload — files, bytes,
+    // frames, pixels, and codec batches per media kind. The frame/dimension
+    // arithmetic is the [[graft.multimodal.Multimodal.FakeCodec]] contract
+    // expressed as columns (deterministic in the byte length), so the spec
+    // can tie this oracle-gated plan to the actual mapPartitions decode
+    // output row for row. At 100 TB this is the admission-control query you
+    // run before committing a decode job: map-only projection, one
+    // kind-level rollup, payloads projected away immediately.
+    "q128_media_decode_plan" -> { (s, dir) => implicit val sp = s
+      val m = t(dir, "documents").select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+      val frames = when(col("kind") === "image", 1L)
+        .when(col("kind") === "video", lit(1L) + col("n") % 240)
+        .otherwise(expr("n div 4"))
+      val pixels = when(col("kind") === "image",
+        (lit(64L) + col("n") % 512) * (lit(64L) + expr("n div 7") % 512)).otherwise(0L)
+      m.select(col("kind"), col("n"), frames.as("frames"), pixels.as("pixels"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("total_bytes"),
+          sum(col("frames")).as("total_frames"), sum(col("pixels")).as("total_pixels"))
+        .withColumn("decode_batches", expr("(n_files + 63) div 64"))
+        .orderBy(col("kind"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1192,5 +1220,24 @@ object Queries8 {
         |  count(CASE WHEN last_snap < 10 - keep_last THEN 1 END) AS n_expired,
         |  CAST(sum(CASE WHEN last_snap < 10 - keep_last THEN size ELSE 0 END)
         |       AS BIGINT) AS bytes_reclaimed
-        |FROM f2, r GROUP BY keep_last ORDER BY keep_last""".stripMargin)
+        |FROM f2, r GROUP BY keep_last ORDER BY keep_last""".stripMargin,
+
+    "q128_media_decode_plan" ->
+      """WITH m AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (
+        |  SELECT kind, n,
+        |    CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN 1 + n % 240
+        |         ELSE n // 4 END AS frames,
+        |    CASE WHEN kind = 'image'
+        |         THEN (64 + n % 512) * (64 + (n // 7) % 512) ELSE 0 END AS pixels
+        |  FROM m)
+        |SELECT kind, count(*) AS n_files, CAST(sum(n) AS BIGINT) AS total_bytes,
+        |  CAST(sum(frames) AS BIGINT) AS total_frames,
+        |  CAST(sum(pixels) AS BIGINT) AS total_pixels,
+        |  (count(*) + 63) // 64 AS decode_batches
+        |FROM x GROUP BY kind ORDER BY kind""".stripMargin)
 }

@@ -363,6 +363,29 @@ class Queries8Spec extends AnyFunSuite {
     assert(last._3 == 0 && last._4 == 0, "keeping all 10 snapshots reclaims nothing")
   }
 
+  test("media decode plan: relational accounting matches the actual decode path") {
+    import spark.implicits._
+    val plan = Queries8.all("q128_media_decode_plan")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._4, r._5)).toMap
+    // run the REAL partition-wise decode and aggregate its output
+    val decoded = graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.syntheticMedia(spark, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("nf"), sum(col("n_frames").cast("long")).as("fr"),
+        sum(when(col("kind") === "image",
+          col("width").cast("long") * col("height")).otherwise(0L)).as("px"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(plan.keySet == decoded.keySet)
+    plan.foreach { case (kind, (nf, frames, pixels)) =>
+      val (dnf, dfr, dpx) = decoded(kind)
+      assert(nf == dnf, s"$kind file count")
+      assert(frames == dfr, s"$kind frames: plan $frames vs decode $dfr")
+      assert(pixels == dpx, s"$kind pixels: plan $pixels vs decode $dpx")
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
