@@ -114,4 +114,42 @@ object KernelProps extends Properties("kernels") {
         else hs.sliding(4).map(_.min).toSeq.distinct.sorted
       got.toLongArray().toSeq.sorted == expected
     }
+
+  // ---- hash28 / content-defined chunking ----
+  private val textGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("hash28 kernel == relational conv(substring(md5)) idiom") =
+    forAll(textGen) { s =>
+      TextHashKernels.hash28(UTF8String.fromString(s)) == md5_28(s)
+    }
+
+  private def chunksOf(s: String): Seq[String] = {
+    val a = TextHashKernels.cdcChunks(UTF8String.fromString(s), 8, 16)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  property("cdc chunks reassemble the input exactly") =
+    forAll(textGen) { s => chunksOf(s).mkString == s }
+
+  property("cdc chunks match the positional cut definition") =
+    forAll(textGen) { s =>
+      val cuts = 1 +: (2 to s.length - 7)
+        .filter(i => md5_28(s.substring(i - 1, i + 7)) % 16 == 0)
+      val expected = cuts.zip(cuts.drop(1) :+ (s.length + 1))
+        .map { case (a, b) => s.substring(a - 1, b - 1) }
+      chunksOf(s) == expected
+    }
+
+  property("cdc LOCALITY: every chunk after the first cut survives a prepended edit") =
+    forAll(textGen.suchThat(_.length >= 16), Gen.alphaNumChar) { (s, c) =>
+      // Cut windows never span the prepended char (they start at position
+      // 2), so every cut of s reappears in c+s shifted by one — the edited
+      // text's chunk list ENDS with all of s's chunks except its leading
+      // prefix chunk. This is the property that makes content-defined
+      // chunking a dedup signal under insertions, which fixed-offset
+      // windows lack.
+      val orig = chunksOf(s)
+      val edited = chunksOf(c.toString + s)
+      orig.length <= 1 || edited.takeRight(orig.length - 1) == orig.tail
+    }
 }
