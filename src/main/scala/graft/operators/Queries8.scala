@@ -772,6 +772,76 @@ object Queries8 {
           sum(col("frames")).as("total_frames"), sum(col("pixels")).as("total_pixels"))
         .withColumn("decode_batches", expr("(n_files + 63) div 64"))
         .orderBy(col("kind"))
+    },
+
+    // ---- temporal anti-join (abandonment): views with NO purchase by the
+    // same user within the next hour. The forward-looking as-of is the
+    // q119 shape REVERSED — tag both streams, one window per user in
+    // DESCENDING time carrying the next purchase backward — so the
+    // "no event within range" predicate needs no range join and no
+    // NOT EXISTS: it's a null-or-too-late check on one carried column.
+    // Purchases sort before views at the same timestamp (kind asc in a
+    // descending scan), so a purchase at the exact view time counts.
+    "q129_abandonment" -> { (s, dir) => implicit val sp = s
+      val tagged = Rel.events(dir)
+        .withColumn("kind",
+          when(col("event_type") === "purchase", 0).when(col("event_type") === "view", 1))
+        .filter(col("kind").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        // descending time; kind ASC so a purchase at the exact view
+        // timestamp is already carried when the view row is scanned
+        .orderBy(col("ts_us").desc, col("kind").asc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("next_purchase_us",
+          last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .withColumn("abandoned",
+          col("next_purchase_us").isNull
+            || col("next_purchase_us") - col("ts_us") > 3600000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          count(when(col("abandoned"), 1)).as("n_abandoned"))
+        .withColumn("abandon_rate",
+          col("n_abandoned").cast("double") / col("n_views"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Pareto concentration (80/20): per nation, how few customers
+    // carry 80% of revenue. Customer revenue is one partially-aggregated
+    // groupBy; the concentration point is a cumulative-share window per
+    // nation (the q121 crossing-point discipline, integer cents up to the
+    // final percentage). The 80% threshold predicate is pure integer:
+    // 5·cum >= 4·total.
+    "q130_pareto" -> { (s, dir) => implicit val sp = s
+      val rev = t(dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .join(broadcast(t(dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey"), col("cents"))
+      val wCum = Window.partitionBy(col("n_name"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("n_name"))
+      rev
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("tot", sum(col("cents")).over(wTot))
+        .withColumn("n_cust", count(lit(1)).over(wTot))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("n_name")).orderBy(col("cents").desc, col("o_custkey")))
+          .cast("long"))
+        .filter(col("cum") * 5 >= col("tot") * 4)
+        .groupBy(col("n_name"))
+        .agg(min(col("rnk")).as("n_top"), min(col("n_cust")).as("n_customers"),
+          min(col("tot")).as("total_cents"))
+        .select(col("n_name"), col("n_top"), col("n_customers"),
+          (col("n_top").cast("double") * 100 / col("n_customers")).as("pct_customers"),
+          (col("total_cents").cast("double") / 100).as("total_revenue"))
+        .orderBy(col("n_name"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1239,5 +1309,53 @@ object Queries8 {
         |  CAST(sum(frames) AS BIGINT) AS total_frames,
         |  CAST(sum(pixels) AS BIGINT) AS total_pixels,
         |  (count(*) + 63) // 64 AS decode_batches
-        |FROM x GROUP BY kind ORDER BY kind""".stripMargin)
+        |FROM x GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q129_abandonment" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 0
+        |         WHEN event_type = 'view' THEN 1 END AS kind
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |c AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w
+        |      AS next_purchase_us
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_us DESC, kind ASC, event_id DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |v AS (
+        |  SELECT user_id,
+        |    CASE WHEN next_purchase_us IS NULL
+        |              OR next_purchase_us - ts_us > 3600000000
+        |         THEN 1 ELSE 0 END AS ab
+        |  FROM c WHERE kind = 1)
+        |SELECT user_id, count(*) AS n_views, CAST(sum(ab) AS BIGINT) AS n_abandoned,
+        |  CAST(sum(ab) AS DOUBLE) / count(*) AS abandon_rate
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q130_pareto" ->
+      """WITH rev AS (
+        |  SELECT n_name, o_custkey,
+        |    CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_custkey),
+        |c AS (
+        |  SELECT *,
+        |    sum(cents) OVER (PARTITION BY n_name ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cents) OVER (PARTITION BY n_name) AS tot,
+        |    count(*) OVER (PARTITION BY n_name) AS n_cust,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY cents DESC, o_custkey) AS rnk
+        |  FROM rev)
+        |SELECT n_name, CAST(min(rnk) AS BIGINT) AS n_top,
+        |  CAST(min(n_cust) AS BIGINT) AS n_customers,
+        |  CAST(min(rnk) AS DOUBLE) * 100 / min(n_cust) AS pct_customers,
+        |  CAST(min(tot) AS DOUBLE) / 100 AS total_revenue
+        |FROM c WHERE cum * 5 >= tot * 4
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

@@ -386,6 +386,40 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("abandonment: rate bounds, matches a direct NOT-EXISTS count") {
+    import spark.implicits._
+    val rows = Queries8.all("q129_abandonment")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, views, ab, rate) =>
+      assert(ab <= views && rate >= 0 && rate <= 1)
+    }
+    // cross-check total abandoned against the quadratic NOT EXISTS form
+    val ev = graft.operators.Rel.events(dir)(spark)
+      .select(col("user_id"), col("ts_us"), col("event_type")).cache()
+    val views = ev.filter(col("event_type") === "view")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_us").as("pts"))
+    val notAbandoned = views.join(purch,
+      col("user_id") === col("pu") && col("pts") >= col("ts_us")
+        && col("pts") - col("ts_us") <= 3600000000L, "left_semi").count()
+    val totalViews = views.count()
+    assert(rows.map(_._3).sum == totalViews - notAbandoned)
+    ev.unpersist()
+  }
+
+  test("pareto: concentration point is minimal and within bounds") {
+    import spark.implicits._
+    val rows = Queries8.all("q130_pareto")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.length == 25)
+    rows.foreach { case (_, nTop, nCust, pct, rev) =>
+      assert(nTop >= 1 && nTop <= nCust)
+      assert(pct == nTop.toDouble * 100 / nCust)
+      assert(rev > 0)
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
