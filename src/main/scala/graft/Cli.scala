@@ -28,6 +28,9 @@ import graft.functions.Pure
   *   graft.Cli remote <responseJson> — parse a remote-diagnostics response
   *                                     document and render its report
   *                                     (parsing only; nothing is posted)
+  *   graft.Cli query <sfDir> <name|glob> [nRows] — run any catalog query
+  *                                     (QUERIES.md) against a testdata dir,
+  *                                     e.g. `query /root/testdata/sf0.001 q6*`
   *
   * A "table" here is each `<name>.parquet` file/dir under dataRoot (the
   * environment has no Iceberg catalog; with one, the source swaps for the
@@ -47,11 +50,28 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson>"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
     val glob = if (args.length > 2) args(2) else "*"
+
+    if (cmd == "query") {
+      // run any catalog query (QUERIES.md) by name or glob against a sf dir
+      val n = if (args.length > 3) args(3).toInt else 20
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .filter(Pure.globMatch(glob, _))
+      if (names.isEmpty) {
+        System.err.println(s"error: no query matches '$glob'; see QUERIES.md")
+        sys.exit(1)
+      }
+      val spark = session()
+      try names.foreach { name =>
+        println(s"== $name ==")
+        SparkEntry.queries(name)(spark, root).show(n, truncate = false)
+      } finally spark.stop()
+      return
+    }
 
     if (cmd == "remote") {
       val f = new java.io.File(root)
