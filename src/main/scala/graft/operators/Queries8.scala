@@ -842,6 +842,56 @@ object Queries8 {
           (col("n_top").cast("double") * 100 / col("n_customers")).as("pct_customers"),
           (col("total_cents").cast("double") / 100).as("total_revenue"))
         .orderBy(col("n_name"))
+    },
+
+    // ---- exponential recency decay, EXACTLY: half-life-one-day weights as
+    // powers of two (weight = 2^(20-age_days), zero past 20 days), so the
+    // decayed score is an exact INTEGER sum — no pow(), whose libm rounding
+    // differs across engines, and no order-dependent double accumulation.
+    // The whole score is one partially-aggregable groupBy; the bound
+    // v_micro·2^20·rows/user < 2^63 is the q126 overflow discipline.
+    // Ranks users by recency-weighted activity value.
+    "q131_decay_score" -> { (s, dir) => implicit val sp = s
+      val maxDay = Rel.events(dir).agg(max(expr("ts_us div 86400000000")).as("d0"))
+      Rel.events(dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+        .crossJoin(broadcast(maxDay))
+        .withColumn("age", col("d0") - col("day"))
+        .withColumn("w", when(col("age") <= 20,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - age AS INT))")).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vm") * col("w")).as("score_scaled"))
+        .select(col("user_id"), col("n_events"),
+          (col("score_scaled").cast("double") / 1048576 / 1000000).as("decay_score"))
+        .orderBy(desc("score_scaled"), col("user_id"))
+        .limit(50)
+    },
+
+    // ---- skew diagnosis: per-part lineitem load with the top heavy keys
+    // and the Gini coefficient of the load distribution — the planner-side
+    // answer to "will this key skew a shuffle". Gini via the sorted
+    // cumulative formula G = 2·Σ(i·x_i)/(n·Σx) - (n+1)/n: one window rank
+    // over per-key counts (already thousands of times smaller than the
+    // fact), exact integer Σ(i·x_i), and a fixed double expression at the
+    // end. Output: one summary row per returnflag stratum.
+    "q132_skew_gini" -> { (s, dir) => implicit val sp = s
+      val loads = t(dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"), col("l_partkey"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("x"), col("l_partkey"))
+      loads
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("total"),
+          max(col("x")).as("max_load"), sum(col("i") * col("x")).as("ix"))
+        .select(col("flag"), col("n_keys"), col("total"), col("max_load"),
+          (col("ix").cast("double") * 2
+            / (col("n_keys").cast("double") * col("total").cast("double"))
+            - (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+            .as("gini"))
+        .orderBy(col("flag"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1357,5 +1407,36 @@ object Queries8 {
         |  CAST(min(rnk) AS DOUBLE) * 100 / min(n_cust) AS pct_customers,
         |  CAST(min(tot) AS DOUBLE) / 100 AS total_revenue
         |FROM c WHERE cum * 5 >= tot * 4
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q131_decay_score" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |m AS (SELECT max(day) AS d0 FROM e),
+        |sc AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(vm * CASE WHEN d0 - day <= 20
+        |                       THEN CAST(1 AS BIGINT) << CAST(20 - (d0 - day) AS INT)
+        |                       ELSE 0 END) AS BIGINT) AS score_scaled
+        |  FROM e, m GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(score_scaled AS DOUBLE) / 1048576 / 1000000 AS decay_score
+        |FROM sc ORDER BY score_scaled DESC, user_id LIMIT 50""".stripMargin,
+
+    "q132_skew_gini" ->
+      """WITH loads AS (
+        |  SELECT l_returnflag AS flag, l_partkey, count(*) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY flag
+        |    ORDER BY x, l_partkey) AS BIGINT) AS i
+        |  FROM loads)
+        |SELECT flag, count(*) AS n_keys, CAST(sum(x) AS BIGINT) AS total,
+        |  CAST(max(x) AS BIGINT) AS max_load,
+        |  CAST(sum(i * x) AS DOUBLE) * 2
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin)
 }

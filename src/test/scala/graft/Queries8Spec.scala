@@ -420,6 +420,41 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("decay score: dyadic weights reproduce a driver-side decayed sum") {
+    import spark.implicits._
+    val rows = Queries8.all("q131_decay_score")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val ev = graft.operators.Rel.events(dir)(spark)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+        floor(col("value") * 1000000).cast("long").as("vm"))
+      .as[(Long, Long, Long)].collect()
+    val d0 = ev.map(_._2).max
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.map { case (_, day, vm) =>
+        val age = d0 - day
+        if (age <= 20) vm * (1L << (20 - age).toInt) else 0L
+      }.sum
+    }
+    rows.foreach { case (u, _, score) =>
+      assert(score == expect(u).toDouble / 1048576 / 1000000, s"user $u")
+    }
+    // descending by the exact scaled score
+    val scores = rows.map(r => expect(r._1))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+  }
+
+  test("skew gini: bounds and degenerate-uniform sanity") {
+    import spark.implicits._
+    val rows = Queries8.all("q132_skew_gini")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (_, nKeys, total, maxLoad, gini) =>
+      assert(nKeys > 0 && maxLoad >= 1 && total >= nKeys)
+      assert(gini >= -1e-9 && gini < 1.0, s"gini $gini out of [0,1)")
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
