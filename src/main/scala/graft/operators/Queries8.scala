@@ -424,6 +424,10 @@ object Queries8 {
     // integers — the round(sum(double)) form is order-dependent across
     // engines precisely when the ratio matters. Part is a broadcast
     // key+type projection; the fact shuffles once.
+    // Overflow bound (ANSI): rev4 <= ~1e9/row, so the GLOBAL sum holds to
+    // ~9e9 rows in the window; a 100 TB year-scan lifts the sums to
+    // DECIMAL(38,0) (the ratio stays one division) — unlike the per-key
+    // aggregates (q101), which partition the bound.
     "q116_promo_share" -> { (s, dir) => implicit val sp = s
       val li = t(dir, "lineitem")
         .withColumn("ship_us", unix_micros(col("l_shipdate").cast("timestamp")))
@@ -876,6 +880,9 @@ object Queries8 {
     // over per-key counts (already thousands of times smaller than the
     // fact), exact integer Σ(i·x_i), and a fixed double expression at the
     // end. Output: one summary row per returnflag stratum.
+    // Overflow bound (ANSI): Σ(i·x_i) <= n_keys · total_rows — safe to
+    // ~3e9 rows per stratum at 1e9 keys; past that, rank-bucket the keys
+    // (Gini over bucket totals) or lift Σ(i·x_i) to DECIMAL(38,0).
     "q132_skew_gini" -> { (s, dir) => implicit val sp = s
       val loads = t(dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"), col("l_partkey"))
