@@ -4,18 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-5 batch 4: the set-similarity join done the AllPairs/PPJoin way
-  * (prefix filtering turns an exact Jaccard-threshold join into an
-  * equi-join on each document's RAREST tokens), n-gram language-model
-  * statistics, sequence-length bucketing for training batches, hard-negative
-  * mining for contrastive training, the TPC-H Q2 correlated-min shape,
-  * session path mining, and content-defined chunking (the byte-level dedup
-  * signal exact/MinHash dedup can't see).
+/** Round-5 batches 4-5 (q105-q132): exact set-similarity join
+  * (AllPairs/PPJoin prefix filtering), n-gram LM statistics, length
+  * bucketing, hard-negative mining, TPC-H Q2/Q4/Q12/Q14 shapes, session
+  * path mining and association rules, content-defined chunking, triangle
+  * counting, data-quality audit, rolling distinct users, group-wise
+  * regression, attribution and its temporal anti-join dual, skyline,
+  * weighted median, BPE pair statistics, label-noise detection, OHLC/TWAP
+  * time-series, retention planning, multimodal decode accounting, Pareto
+  * concentration, exact exponential decay, and skew Gini diagnosis.
   *
   * Oracle-parity conventions as in [[Queries]]: identical aliases both
   * sides, integer math where exactness matters, any double produced by ONE
-  * division of exact integers (bit-equal across engines), full ORDER BY
-  * tie-breaks.
+  * division (or a fixed IEEE expression tree) over exact integers —
+  * bit-equal across engines — full ORDER BY tie-breaks, and ANSI overflow
+  * bounds documented next to every multiply-inside-sum.
   */
 object Queries8 {
 
