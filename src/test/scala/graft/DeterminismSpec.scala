@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count independence: the DuckDB hash gate only works because
+  * every query's RESULT is independent of how Spark partitions the work.
+  * This spec re-executes the shuffle-sensitive queries under three
+  * different shuffle-partition settings and demands identical row sets —
+  * the operational form of the exact-integer / fixed-IEEE / full-tie-break
+  * discipline the operators document. */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose shapes are most exposed to partitioning: multi-stage
+  // aggregation (q84), candidate joins (q105), window crossings (q121),
+  // iterative propagation (q42), float accumulation would-be hazards
+  // (q100 revenue, q118 regression), struct-argmin (q109, q125)
+  private val sensitive = Seq(
+    "q84_heavy_hitters", "q105_set_similarity_join", "q121_weighted_median",
+    "q42_dedup_clusters", "q100_local_supplier_volume", "q118_group_regression",
+    "q109_min_cost_supplier", "q125_ohlc_bars", "q131_decay_score")
+
+  private def run(q: String, parts: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  sensitive.foreach { q =>
+    test(s"$q: identical results at 1, 5, and 17 shuffle partitions") {
+      val base = run(q, "5")
+      assert(base.nonEmpty)
+      assert(run(q, "1") == base, s"$q diverges at 1 partition")
+      assert(run(q, "17") == base, s"$q diverges at 17 partitions")
+    }
+  }
+}
