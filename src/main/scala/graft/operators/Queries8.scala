@@ -902,6 +902,51 @@ object Queries8 {
             - (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
             .as("gini"))
         .orderBy(col("flag"))
+    },
+
+    // ---- distribution drift (data-drift monitoring): per event type, a
+    // chi-square statistic of week-4 values against week-1's decile bins —
+    // the check a training pipeline runs before trusting fresh data.
+    // Reference bins are exact ntile(10) cutpoints on week 1 (one window
+    // per type over the REFERENCE week only); week-4 rows bucket MAP-SIDE
+    // against the broadcast 9-cut array (count cutpoints strictly below —
+    // the scoring week is never sorted); zero-count bins stay in via a
+    // generated bin spine. χ² = Σ(10·obs - n4)² / (10·n4) — integer numerator, ONE
+    // division. Overflow bound (ANSI): (10·obs - n4)² <= 100·n4², safe to
+    // ~3e8 rows/type; DECIMAL(38) past that.
+    "q133_distribution_drift" -> { (s, dir) => implicit val sp = s
+      val ev = Rel.events(dir)
+        .select(col("event_type"), col("event_id"),
+          expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+      val d0 = ev.agg(min(col("day")).as("d0"))
+      val tagged = ev.crossJoin(broadcast(d0))
+        .withColumn("age", col("day") - col("d0"))
+      val w1 = tagged.filter(col("age") >= 0 && col("age") <= 6)
+      val w4 = tagged.filter(col("age") >= 21 && col("age") <= 27)
+      val tiles = w1.withColumn("tile", ntile(10).over(
+        Window.partitionBy(col("event_type")).orderBy(col("vm"), col("event_id"))))
+      val cuts = tiles.filter(col("tile") <= 9)
+        .groupBy(col("event_type"), col("tile")).agg(max(col("vm")).as("cut"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("cut"))).as("cs"))
+      val binned = w4.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("bin", expr("size(filter(cs, c -> vm > c)) + 1"))
+        .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("obs"))
+      val spine = w4.groupBy(col("event_type")).agg(count(lit(1)).as("n4"))
+        .select(col("event_type"), col("n4"),
+          explode(expr("sequence(1, 10)")).as("bin"))
+      spine.join(binned, Seq("event_type", "bin"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(min(col("n4")).as("n4"),
+          sum((col("obs") * 10 - col("n4")) * (col("obs") * 10 - col("n4")))
+            .as("num"))
+        .join(w1.groupBy(col("event_type")).agg(count(lit(1)).as("n1")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n1"), col("n4"),
+          (col("num").cast("double") / (col("n4") * 10)).as("chi2"))
+        .orderBy(col("event_type"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1448,5 +1493,43 @@ object Queries8 {
         |  CAST(sum(i * x) AS DOUBLE) * 2
         |    / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
         |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
-        |FROM r GROUP BY flag ORDER BY flag""".stripMargin)
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q133_distribution_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM ev),
+        |t AS (SELECT ev.*, day - d0 AS age FROM ev, d0),
+        |w1 AS (SELECT * FROM t WHERE age BETWEEN 0 AND 6),
+        |w4 AS (SELECT * FROM t WHERE age BETWEEN 21 AND 27),
+        |tiles AS (
+        |  SELECT event_type, vm, ntile(10) OVER (PARTITION BY event_type
+        |    ORDER BY vm, event_id) AS tile
+        |  FROM w1),
+        |cuts AS (SELECT event_type, tile, max(vm) AS cut FROM tiles
+        |         WHERE tile <= 9 GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT w4.event_type, w4.event_id,
+        |    count(CASE WHEN w4.vm > c.cut THEN 1 END) + 1 AS bin
+        |  FROM w4 JOIN cuts c ON c.event_type = w4.event_type
+        |  GROUP BY 1, 2),
+        |obs AS (SELECT event_type, bin, count(*) AS obs FROM binned GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, n4, unnest(range(1, 11)) AS bin
+        |  FROM (SELECT event_type, count(*) AS n4 FROM w4 GROUP BY 1)),
+        |agg AS (
+        |  SELECT s.event_type, min(s.n4) AS n4,
+        |    CAST(sum((coalesce(o.obs, 0) * 10 - s.n4)
+        |           * (coalesce(o.obs, 0) * 10 - s.n4)) AS BIGINT) AS num
+        |  FROM spine s LEFT JOIN obs o
+        |    ON o.event_type = s.event_type AND o.bin = s.bin
+        |  GROUP BY 1)
+        |SELECT a.event_type, w.n1, CAST(a.n4 AS BIGINT) AS n4,
+        |  CAST(num AS DOUBLE) / (a.n4 * 10) AS chi2
+        |FROM agg a
+        |JOIN (SELECT event_type, count(*) AS n1 FROM w1 GROUP BY 1) w
+        |  ON w.event_type = a.event_type
+        |ORDER BY a.event_type""".stripMargin)
 }

@@ -455,6 +455,19 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("distribution drift: chi2 non-negative, windows populated") {
+    import spark.implicits._
+    val rows = Queries8.all("q133_distribution_drift")(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (_, n1, n4, chi2) =>
+      assert(n1 > 0 && n4 > 0)
+      assert(chi2 >= 0)
+      // chi2 is bounded by the all-in-one-bin worst case: 9·n4/10·... loose
+      assert(chi2 <= 10.0 * n4, "chi2 beyond the degenerate bound")
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
