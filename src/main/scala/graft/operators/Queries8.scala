@@ -947,6 +947,43 @@ object Queries8 {
         .select(col("event_type"), col("n1"), col("n4"),
           (col("num").cast("double") / (col("n4") * 10)).as("chi2"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- correlation matrix: Pearson r between the event types' daily
+    // activity series. The fact collapses to the (day × type) grain first
+    // (one map-side-combined shuffle — the q117 shrink-first rule), the
+    // pair expansion is a self-join on day (bounded by the 5-type
+    // vocabulary), and r assembles from five exact integer sums through a
+    // fixed IEEE tree — sqrt is IEEE-deterministic, so r is bit-equal
+    // across engines like q118's slope. Daily totals in micro-units:
+    // Σxy <= (5.6e8·1e3)² · 30 days ≈ 1e25 would overflow — so daily
+    // totals are REscaled to whole units (div 1e6) before the products,
+    // bounding Σxy under 1e13 per pair at bench scale (document at 100 TB:
+    // rescale to the grain that keeps x·y·days < 2^63).
+    "q134_correlation_matrix" -> { (s, dir) => implicit val sp = s
+      val daily = Rel.events(dir)
+        .groupBy(expr("ts_us div 86400000000").as("day"), col("event_type"))
+        .agg(sum(floor(col("value") * 1000000).cast("long")).as("sv"))
+        // integer div, not a double quotient cast — a near-integer double
+        // quotient could truncate differently than floor division
+        .select(col("day"), col("event_type"), expr("sv div 1000000").as("v"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.v").as("x"), col("b.v").as("y"))
+      pairs.groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("type_a"), col("type_b"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("pearson_r"))
+        .orderBy(col("type_a"), col("type_b"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1531,5 +1568,32 @@ object Queries8 {
         |FROM agg a
         |JOIN (SELECT event_type, count(*) AS n1 FROM w1 GROUP BY 1) w
         |  ON w.event_type = a.event_type
-        |ORDER BY a.event_type""".stripMargin)
+        |ORDER BY a.event_type""".stripMargin,
+
+    "q134_correlation_matrix" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(sum(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      // 1000000 AS v
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.day = b.day AND a.event_type < b.event_type),
+        |sums AS (
+        |  SELECT type_a, type_b, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+        |FROM sums ORDER BY type_a, type_b""".stripMargin)
 }

@@ -468,6 +468,18 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("correlation matrix: 10 canonical pairs, r in [-1, 1]") {
+    import spark.implicits._
+    val rows = Queries8.all("q134_correlation_matrix")(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.length == 10, "5 types -> C(5,2) pairs")
+    rows.foreach { case (a, b, n, r) =>
+      assert(a < b)
+      assert(n > 1)
+      assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12, s"r=$r out of range")
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
