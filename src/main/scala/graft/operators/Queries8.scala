@@ -984,6 +984,72 @@ object Queries8 {
                 - col("sy").cast("double") * col("sy").cast("double"))))
             .as("pearson_r"))
         .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // ---- bulk feature materialization: the per-user feature vector a
+    // churn/recommendation model trains on, computed in ONE
+    // partially-aggregated pass over the fact (conditional aggregates per
+    // feature — no per-feature scans, no joins): activity counts,
+    // distinct active days, recency, monetary mean, purchase share.
+    // Every ratio is a single division of exact integers; recency comes
+    // from a broadcast 1-row max. This is the feature-store load q97's
+    // point-in-time join serves.
+    "q135_user_features" -> { (s, dir) => implicit val sp = s
+      val maxDay = Rel.events(dir).agg(max(expr("ts_us div 86400000000")).as("d0"))
+      Rel.events(dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          col("event_type"), floor(col("value") * 1000000).cast("long").as("vm"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("days_active"),
+          max(col("day")).as("last_day"),
+          sum(col("vm")).as("sum_vm"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("user_id"), col("n_events"), col("days_active"),
+          (col("d0") - col("last_day")).as("recency_days"),
+          (col("sum_vm").cast("double") / 1000000 / col("n_events")).as("mean_value"),
+          (col("n_purchases").cast("double") / col("n_events")).as("purchase_share"),
+          (col("n_errors").cast("double") / col("n_events")).as("error_share"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- A/B test readout: users hash-split 50/50 (the q89 pure-hash
+    // assignment — stable under resharding and re-runs), conversion =
+    // purchase share above 1/5 (an integer predicate, and scale-invariant:
+    // every user purchases SOMETHING at every sf, so "any purchase" would
+    // be rate 1.0 and the z denominator 0 — ANSI throws on that divide),
+    // significance via the two-proportion z-test. Counts aggregate in one
+    // pass; z assembles from four exact integers through a fixed IEEE tree
+    // (sqrt included), so the readout is bit-reproducible — an A/B
+    // platform that flickers between runs is worse than none.
+    "q136_ab_test" -> { (s, dir) => implicit val sp = s
+      val users = Rel.events(dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purch"))
+        .select(col("user_id"),
+          (TextOps.portableHash28(concat(lit("ab:"), col("user_id"))) % 2).as("arm"),
+          when(col("n_purch") * 5 > col("n_events"), 1L).otherwise(0L).as("converted"))
+      users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        .agg(
+          min(when(col("arm") === 0, col("n"))).as("n_a"),
+          min(when(col("arm") === 0, col("conv"))).as("conv_a"),
+          min(when(col("arm") === 1, col("n"))).as("n_b"),
+          min(when(col("arm") === 1, col("conv"))).as("conv_b"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          (col("conv_a").cast("double") / col("n_a")).as("rate_a"),
+          (col("conv_b").cast("double") / col("n_b")).as("rate_b"),
+          ((col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b"))
+            / sqrt(((col("conv_a") + col("conv_b")).cast("double")
+                / (col("n_a") + col("n_b")))
+              * (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double")
+                / (col("n_a") + col("n_b")))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+            .as("z_score"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1595,5 +1661,50 @@ object Queries8 {
         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
-        |FROM sums ORDER BY type_a, type_b""".stripMargin)
+        |FROM sums ORDER BY type_a, type_b""".stripMargin,
+
+    "q135_user_features" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |m AS (SELECT max(day) AS d0 FROM e),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    count(DISTINCT day) AS days_active, max(day) AS last_day,
+        |    CAST(sum(vm) AS BIGINT) AS sum_vm,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events, days_active, d0 - last_day AS recency_days,
+        |  CAST(sum_vm AS DOUBLE) / 1000000 / n_events AS mean_value,
+        |  CAST(n_purchases AS DOUBLE) / n_events AS purchase_share,
+        |  CAST(n_errors AS DOUBLE) / n_events AS error_share
+        |FROM u, m ORDER BY user_id""".stripMargin,
+
+    "q136_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST('0x' || substring(md5('ab:' || user_id), 1, 7) AS BIGINT) % 2
+        |      AS arm,
+        |    CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) * 5
+        |              > count(*)
+        |         THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+        |      FROM u GROUP BY arm),
+        |p AS (
+        |  SELECT min(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    min(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+        |    min(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    min(CASE WHEN arm = 1 THEN conv END) AS conv_b
+        |  FROM g)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+        |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)) AS z_score
+        |FROM p""".stripMargin)
 }

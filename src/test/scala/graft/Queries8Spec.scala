@@ -480,6 +480,35 @@ class Queries8Spec extends AnyFunSuite {
     }
   }
 
+  test("user features: shares bounded, recency non-negative, all users present") {
+    import spark.implicits._
+    val rows = Queries8.all("q135_user_features")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    val nUsers = graft.operators.Rel.events(dir)(spark)
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong == nUsers)
+    rows.foreach { case (_, nEv, daysActive, recency, mean, pShare, eShare) =>
+      assert(nEv > 0 && daysActive >= 1 && recency >= 0)
+      assert(mean >= 0)
+      assert(pShare >= 0 && pShare <= 1 && eShare >= 0 && eShare <= 1)
+      assert(pShare + eShare <= 1 + 1e-12)
+    }
+  }
+
+  test("ab test: arms partition the users, z consistent with rates") {
+    import spark.implicits._
+    val (nA, convA, nB, convB, rateA, rateB, z) =
+      Queries8.all("q136_ab_test")(spark, dir)
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    val nUsers = graft.operators.Rel.events(dir)(spark)
+      .select("user_id").distinct().count()
+    assert(nA + nB == nUsers)
+    assert(convA <= nA && convB <= nB)
+    assert(rateA == convA.toDouble / nA && rateB == convB.toDouble / nB)
+    assert((rateA > rateB) == (z > 0) || z == 0.0)
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
