@@ -37,4 +37,17 @@ class DeterminismSpec extends AnyFunSuite {
       assert(run(q, "17") == base, s"$q diverges at 17 partitions")
     }
   }
+
+  test("AQE on/off does not change results (plan freedom, value identity)") {
+    // AQE re-plans joins/partitions at runtime — results must not care
+    Seq("q105_set_similarity_join", "q84_heavy_hitters", "q100_local_supplier_volume")
+      .foreach { q =>
+        val prev = spark.conf.get("spark.sql.adaptive.enabled")
+        val on = run(q, "5")
+        try {
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          assert(run(q, "5") == on, s"$q diverges with AQE off")
+        } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+  }
 }
