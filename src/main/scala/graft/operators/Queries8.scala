@@ -1050,6 +1050,34 @@ object Queries8 {
                 / (col("n_a") + col("n_b")))
               * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
             .as("z_score"))
+    },
+
+    // ---- ledger reconciliation: does each order header's total match the
+    // sum of its lines priced gross (extprice · (1-disc) · (1+tax))?
+    // The classic financial close check: one partially-aggregated line
+    // rollup, one join on the key, discrepancies bucketed. The gross-cents
+    // projection is a FIXED IEEE chain (mult, mult, mult, floor) so the
+    // discrepancy is bit-identical across engines; buckets and counts are
+    // pure integers. The diff histogram — not just a pass/fail — is what
+    // lets an auditor see whether mismatch is rounding or systemic.
+    "q137_reconciliation" -> { (s, dir) => implicit val sp = s
+      val lines = t(dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100).cast("long")).as("line_cents"))
+      val diff = t(dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("diff", col("hdr_cents") - col("line_cents"))
+      val bucket = when(col("diff") === 0, "exact")
+        .when(abs(col("diff")) <= 100, "within_1_unit")
+        .when(abs(col("diff")) <= 10000, "within_100_units")
+        .otherwise("systemic")
+      diff.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_orders"), min(col("diff")).as("min_diff"),
+          max(col("diff")).as("max_diff"))
+        .orderBy(col("bucket"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1706,5 +1734,24 @@ object Queries8 {
         |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |      * (1.0 / n_a + 1.0 / n_b)) AS z_score
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    "q137_reconciliation" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS line_cents
+        |  FROM lineitem GROUP BY l_orderkey),
+        |d AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) - line_cents AS diff
+        |  FROM orders JOIN lines ON o_orderkey = l_orderkey),
+        |b AS (
+        |  SELECT CASE WHEN diff = 0 THEN 'exact'
+        |              WHEN abs(diff) <= 100 THEN 'within_1_unit'
+        |              WHEN abs(diff) <= 10000 THEN 'within_100_units'
+        |              ELSE 'systemic' END AS bucket, diff
+        |  FROM d)
+        |SELECT bucket, count(*) AS n_orders,
+        |  CAST(min(diff) AS BIGINT) AS min_diff, CAST(max(diff) AS BIGINT) AS max_diff
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

@@ -509,6 +509,26 @@ class Queries8Spec extends AnyFunSuite {
     assert(!z.isNaN && !z.isInfinite)
   }
 
+  test("reconciliation: buckets partition the orders, bounds ordered") {
+    import spark.implicits._
+    val rows = Queries8.all("q137_reconciliation")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(rows.map(_._2).sum == nOrders, "buckets must partition joined orders")
+    rows.foreach { case (bucket, n, lo, hi) =>
+      assert(n > 0 && lo <= hi)
+      bucket match {
+        case "exact" => assert(lo == 0 && hi == 0)
+        case "within_1_unit" => assert(math.max(math.abs(lo), math.abs(hi)) <= 100)
+        case "within_100_units" => assert(math.max(math.abs(lo), math.abs(hi)) <= 10000)
+        case "systemic" => assert(math.max(math.abs(lo), math.abs(hi)) > 10000)
+        case other => fail(s"unknown bucket $other")
+      }
+    }
+  }
+
   test("dq audit: pass flag consistent, checked counts positive") {
     import spark.implicits._
     val rows = Queries8.all("q113_dq_audit")(spark, dir)
