@@ -944,6 +944,10 @@ object Queries8 {
             .as("num"))
         .join(w1.groupBy(col("event_type")).agg(count(lit(1)).as("n1")),
           Seq("event_type"))
+        // a fixture spanning < 4 weeks would leave n4 = 0 and make the
+        // chi2 divisor an ANSI divide-by-zero; the guard is value-neutral
+        // on any corpus where week 4 exists
+        .filter(col("n4") > 0)
         .select(col("event_type"), col("n1"), col("n4"),
           (col("num").cast("double") / (col("n4") * 10)).as("chi2"))
         .orderBy(col("event_type"))
@@ -1662,6 +1666,7 @@ object Queries8 {
         |FROM agg a
         |JOIN (SELECT event_type, count(*) AS n1 FROM w1 GROUP BY 1) w
         |  ON w.event_type = a.event_type
+        |WHERE a.n4 > 0
         |ORDER BY a.event_type""".stripMargin,
 
     "q134_correlation_matrix" ->
