@@ -373,43 +373,24 @@ object Queries6 {
     // sort (broadcast joins preserve the streamed side's partitioning and
     // ordering) — instead of a pass over the materialized pair expansion
     // (measured 4.0s -> 1.6s at sf0.1; at 100 TB the gap is the difference
-    // between |basket|^2 blowup and linear). The rank vector (one long per
-    // node) is driver-localized per round, the q78 recipe: a lazy rank
-    // DataFrame drags its lineage into every broadcast, re-running round
-    // k-1 inside round k. At 100 TB rank outgrows the driver; the same
-    // loop keeps it distributed and localCheckpoints per round instead.
+    // between |basket|^2 blowup and linear). The rank loop lives in
+    // [[graft.operators.PageRank]] with ClusterOps-style hybrid dispatch:
+    // below 1M graph nodes the rank vector is driver-localized per round
+    // (a lazy rank DataFrame would drag its lineage into every broadcast,
+    // re-running round k-1 inside round k); above it, ranks stay a
+    // distributed DataFrame localCheckpointed per round. PageRankSpec
+    // proves both paths bit-identical on the same fixture.
     "q91_part_pagerank" -> { (s, dir) => implicit val sp = s
-      import sp.implicits._
       // distinct (order, part) FIRST: per-order part sets, no multiplicity
       val li = t(dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
         .repartition(col("o")).sortWithinPartitions(col("o"))
         .cache()
-      val wo = Window.partitionBy(col("o"))
-      // deg(p) = sum over p's orders of (basket size - 1); parts that only
-      // ever appear alone have no edges and are excluded (matches the edge-
-      // list node set, and keeps c = rank div deg well-defined)
-      val deg = li.withColumn("sz", count(lit(1)).over(wo))
-        .groupBy(col("p")).agg(sum(col("sz") - 1).as("deg"))
-        .filter(col("deg") > 0)
-        .as[(Long, Long)].collect()
-      var rank: Map[Long, Long] = deg.iterator.map { case (n, _) => n -> 1000000L }.toMap
-      for (_ <- 1 to 3) {
-        // per-part contribution precomputed driver-side: the cluster-side
-        // round is broadcast probe + window sum + tiny partial-agg'd groupBy
-        val cdf = broadcast(deg.iterator.map { case (n, d) => (n, rank(n) / d) }
-          .toSeq.toDF("p", "c"))
-        val in = li.join(cdf, Seq("p"))
-          .withColumn("so", sum(col("c")).over(wo))
-          .groupBy(col("p")).agg(sum(col("so") - col("c")).as("in_sum"))
-          .as[(Long, Long)].collect().toMap
-        rank = deg.iterator.map { case (n, _) =>
-          n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)
-        }.toMap
-      }
+      val ranks = PageRank.partRanks(li)
+        .orderBy(col("rank").desc, col("part")).limit(20)
+        .localCheckpoint()
       li.unpersist(blocking = false)
-      val top = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
-      top.toDF("part", "rank")
+      ranks
     },
 
     // ---- product quantization (PQ) encode: 64-dim quantized vectors split
