@@ -57,8 +57,16 @@ object Cli {
     val glob = if (args.length > 2) args(2) else "*"
 
     if (cmd == "query") {
-      // run any catalog query (QUERIES.md) by name or glob against a sf dir
-      val n = if (args.length > 3) args(3).toInt else 20
+      // run any catalog query (QUERIES.md) by name or glob against a sf dir;
+      // the glob is REQUIRED here — falling back to '*' would silently run
+      // all 137 catalog queries
+      if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+      val n = if (args.length > 3) {
+        args(3).toIntOption.getOrElse {
+          System.err.println(s"error: nRows must be an integer, got '${args(3)}'")
+          sys.exit(2)
+        }
+      } else 20
       val names = SparkEntry.queries.keys.toSeq.sorted
         .filter(Pure.globMatch(glob, _))
       if (names.isEmpty) {

@@ -45,8 +45,11 @@ object PortableHash28Rewrite extends Rule[LogicalPlan] {
   }
 
   /** Install into a session's extra optimizations (idempotent) — for
-    * sessions not built with `spark.sql.extensions=graft.GraftExtensions`. */
-  def ensure(spark: SparkSession): Unit = {
+    * sessions not built with `spark.sql.extensions=graft.GraftExtensions`.
+    * The check-and-append is synchronized on the session: extraOptimizations
+    * is a plain var, and two threads racing the first install could lose a
+    * rule (ours or another extension's appended concurrently). */
+  def ensure(spark: SparkSession): Unit = spark.synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(this)) spark.experimental.extraOptimizations = cur :+ this
   }

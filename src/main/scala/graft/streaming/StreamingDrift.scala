@@ -26,7 +26,14 @@ object StreamingDrift {
       events: Dataset[Ev],
       ref: Dataset[RefBins],
       windowLen: String = "6 hours",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    // bucket = window index = start div windowLen — derived from the SAME
+    // string that sized the window, so distinct closed windows can never
+    // collapse to one label under a non-default windowLen
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(windowLen))
+    require(iv.months == 0, s"windowLen must be a fixed duration: $windowLen")
+    val windowMicros = iv.days * 86400000000L + iv.microseconds
     events
       .withColumn("tsx", timestamp_micros(col("tsUs")))
       .withWatermark("tsx", watermark)
@@ -35,8 +42,9 @@ object StreamingDrift {
       .groupBy(col("eventType"), window(col("tsx"), windowLen).as("w"), col("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("eventType"),
-        expr("unix_micros(w.start) div 21600000000").as("bucket"),
+        expr(s"unix_micros(w.start) div ${windowMicros}L").as("bucket"),
         col("bin"), col("n"))
+  }
 
   /** Batch reference-cut computation (exact ntile(10) maxima — the q133
     * recipe) over a reference DataFrame of (eventType, vm, orderCol). */

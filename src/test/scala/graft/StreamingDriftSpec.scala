@@ -58,4 +58,26 @@ class StreamingDriftSpec extends AnyFunSuite {
       }
     } finally { q.stop(); ref.unpersist() }
   }
+
+  test("non-default windowLen: bucket labels index 1-hour windows, not 6-hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600000000L
+    // one event per hour for 8 hours, all same type/value — under the
+    // old hard-coded 6h divisor the first 6 would collapse to one bucket
+    val evs = (0 until 8).map(h => Ev("a", h * hour + 1, 5L))
+    val ref = spark.createDataset(Seq(
+      StreamingDrift.RefBins("a", Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))))
+    val input = MemoryStream[Ev]
+    val q = StreamingDrift.binCounts(input.toDS(), ref, windowLen = "1 hour")
+      .writeStream.format("memory").queryName("drift1h").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      input.addData(Ev("flush", 400 * hour, 0L))
+      q.processAllAvailable()
+      val buckets = spark.table("drift1h").filter(col("eventType") === "a")
+        .as[(String, Long, Long, Long)].collect().map(_._2).sorted.toSeq
+      assert(buckets == (0L until 8L), s"expected one bucket per hour, got $buckets")
+    } finally q.stop()
+  }
 }
