@@ -296,18 +296,16 @@ object Queries8 {
     // (collect_set per order = the distinct step and the co-location in ONE
     // exchange; the i<j expansion runs over the sorted basket array, so
     // u < v for free) — the op⋈op self-join formulation cost two more
-    // 600k-row exchanges for identical pairs. Baskets are small (~4); a
-    // pathological giant basket would need a per-order pair cap here.
+    // 600k-row exchanges for identical pairs. The expansion is capped at
+    // [[GraphOps.BasketCap]] items per basket (quadratic blowup guard —
+    // see [[GraphOps.basketPairs]]); value-neutral on TPC-H where baskets
+    // top out at 7 items.
     "q112_triangle_count" -> { (s, dir) => implicit val sp = s
       val baskets = t(dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      val edges = baskets
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"""
-            .stripMargin)).as("e"))
-        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      val edges = GraphOps.basketPairs(baskets, "ps")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select(col("u"), col("v"))
       val deg = edges.select(col("u").as("x"))
