@@ -262,21 +262,52 @@ object Queries {
         .orderBy(col("l_returnflag"))
     },
     "q35_sketches" -> { (s, dir) => implicit val sp = s
-      // approximate aggregates (HLL distinct, quantile sketch): sketch
-      // internals are engine-specific, so NO SQL oracle — the driver's
-      // rows-only check applies. Kept deterministic within Spark. Quantiles
-      // are emitted as SCALAR columns: an array column breaks the driver's
-      // row-sort normalization (unhashable in pandas).
-      t(dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("pq"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .select(col("l_returnflag"), col("approx_parts"),
-          round(element_at(col("pq"), 1), 2).as("p50_price"),
-          round(element_at(col("pq"), 2), 2).as("p99_price"),
-          col("exact_parts"))
+      // approximate aggregates, now FULLY oracle-gated (the q90/q103
+      // deterministic-sketch discipline): a 64-register HLL over the
+      // portable md5-derived 28-bit hash — register = h mod 64, rank =
+      // leading-zero count of the remaining 22 bits + 1 via length(bin(w))
+      // (integer both engines) — whose harmonic-mean denominator
+      // sum(2^(23-M[j])) is an exact INTEGER (absent registers contribute
+      // 2^23), so the estimate (709*4096*2^23) div (1000*S) is one integer
+      // division: bit-identical to the SQL oracle, no libm anywhere.
+      // Quantiles are exact rank-based (rank ceil(p*n) over floor-cents),
+      // replacing approx_percentile whose t-digest internals are
+      // engine-specific. The HLL register table is a pure partial
+      // aggregation (≤64 ints of state per group map-side); the rank
+      // quantile pays one per-group sort — the 100 TB swap-in is a KMV
+      // sample, but exactness here keeps the oracle gate airtight.
+      val hashed = t(dir, "lineitem").select(col("l_returnflag").as("flag"),
+        TextOps.portableHash28(concat(lit("hll:"), col("l_partkey").cast("string"))).as("h"))
+      val regs = hashed
+        .select(col("flag"), (col("h") % 64).as("idx"), expr("h div 64").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(23))
+          .otherwise(lit(23) - length(bin(col("w")))))
+        .groupBy(col("flag"), col("idx")).agg(max(col("rho")).as("mreg"))
+      val hll = regs.groupBy(col("flag"))
+        .agg(sum(expr("shiftleft(1L, cast(23 - mreg AS int))")).as("s_present"),
+          count(lit(1)).as("n_regs"))
+        .select(col("flag"),
+          (col("s_present") + (lit(64L) - col("n_regs")) * 8388608L).as("s_int"))
+      val exact = t(dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val cents = t(dir, "lineitem").select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val wf = Window.partitionBy(col("flag"))
+      val pq = cents
+        .withColumn("rn", row_number().over(wf.orderBy(col("cents"))))
+        .withColumn("n", count(lit(1)).over(wf))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(99 * n + 99) div 100"))
+        .groupBy(col("flag"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+      exact.join(hll, Seq("flag")).join(pq, Seq("flag"))
+        .select(col("flag").as("l_returnflag"),
+          expr("(709L * 4096L * 8388608L) div (1000L * s_int)").as("hll_est"),
+          col("exact_parts"),
+          round(abs(expr("(709L * 4096L * 8388608L) div (1000L * s_int)")
+            - col("exact_parts")).cast("double") / col("exact_parts"), 4).as("rel_err"),
+          col("p50_cents"), col("p99_cents"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -460,6 +491,47 @@ object Queries {
           |FROM orders WHERE o_custkey <= 50
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "q35_sketches" ->
+        """WITH h AS (
+          |  SELECT l_returnflag AS flag,
+          |    CAST('0x' || substring(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+          |  FROM lineitem),
+          |rw AS (SELECT flag, h % 64 AS idx, h // 64 AS w FROM h),
+          |regs AS (
+          |  SELECT flag, idx,
+          |    max(CASE WHEN w = 0 THEN 23 ELSE 23 - length(bin(w)) END) AS mreg
+          |  FROM rw GROUP BY flag, idx),
+          |s AS (
+          |  SELECT flag,
+          |    sum(CAST(1 AS BIGINT) << CAST(23 - mreg AS INT))
+          |      + (64 - count(*)) * 8388608 AS s_int
+          |  FROM regs GROUP BY flag),
+          |ex AS (
+          |  SELECT l_returnflag AS flag,
+          |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+          |  FROM lineitem GROUP BY 1),
+          |cents AS (
+          |  SELECT l_returnflag AS flag,
+          |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+          |rk AS (
+          |  SELECT flag, cents,
+          |    row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+          |    count(*) OVER (PARTITION BY flag) AS n
+          |  FROM cents),
+          |pq AS (
+          |  SELECT flag,
+          |    max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+          |    max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents
+          |  FROM rk WHERE rn = (n + 1) // 2 OR rn = (99 * n + 99) // 100
+          |  GROUP BY flag)
+          |SELECT ex.flag AS l_returnflag,
+          |  CAST((CAST(709 AS BIGINT) * 4096 * 8388608) // (1000 * s.s_int) AS BIGINT) AS hll_est,
+          |  ex.exact_parts,
+          |  round(CAST(abs((CAST(709 AS BIGINT) * 4096 * 8388608) // (1000 * s.s_int)
+          |    - ex.exact_parts) AS DOUBLE) / ex.exact_parts, 4) AS rel_err,
+          |  pq.p50_cents, pq.p99_cents
+          |FROM ex JOIN s ON ex.flag = s.flag JOIN pq ON ex.flag = pq.flag
+          |ORDER BY l_returnflag""".stripMargin,
       "q32_percentiles" ->
         """SELECT l_returnflag,
           |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

@@ -8,12 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
-  test("every oracle key names a query; q35 is the only rows-only query") {
+  test("every oracle key names a query; every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"orphan oracles: ${o -- q}")
-    assert((q -- o) == Set("q35_sketches"),
-      s"queries without oracles: ${q -- o} (only q35_sketches is exempt)")
+    assert((q -- o).isEmpty,
+      s"queries without oracles: ${q -- o} (zero exemptions — q35 went " +
+        "fully deterministic in round 6)")
   }
 
   test("query names are unique across files (no later-map shadowing)") {
