@@ -50,7 +50,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <manifestListAvro> [table] | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -97,6 +97,22 @@ object Cli {
           System.err.println("errors:")
           errs.foreach { case (t, e) => System.err.println(s"  $t: $e") }
         }
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "manifest") {
+      // diagnose straight from an Iceberg snapshot's manifest list (Avro) —
+      // the reference's actual input surface, no Iceberg runtime needed
+      val table = if (args.length > 2) args(2) else "table"
+      val spark = session()
+      try {
+        val (files, n) =
+          graft.sources.IcebergManifestSource.fromManifestList(spark, root, table)
+        MetricsCalculator.computeMetrics(files, n) match {
+          case rows => println(Renderer.renderTable(table, rows, Renderer.LocalMode))
+        }
+        println(Renderer.countMessage(n.toInt, "manifest"))
       } finally spark.stop()
       return
     }

@@ -8,12 +8,13 @@ import graft.functions.Pure
 
 /** Sources producing the engine's input relation `Dataset[FileEntry]`.
   *
-  * The reference reads Iceberg manifests (`manager.py:154-186`). No Iceberg
-  * runtime jar ships in this environment, so the source interface is modeled
-  * such that a real `db.tbl.files` metadata-table read (
-  * `spark.read.format("iceberg").load("db.tbl.files")` projected to
-  * (content, partition, file_size_in_bytes)) can be dropped in without
-  * touching the metrics pipeline.
+  * The reference reads Iceberg manifests (`manager.py:154-186`). Three
+  * roads lead there: [[IcebergManifestSource]] reads REAL manifest (Avro)
+  * files — the reference's actual input surface, no Iceberg runtime
+  * needed; [[IcebergFilesSource.fromMetadataTable]] is the drop-in when
+  * an Iceberg runtime jar + catalog exist; and the synthesizing sources
+  * here exercise the identical pipeline from plain storage listings and
+  * DataFrames (the oracle-gated path).
   */
 object FileEntrySource {
 

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import graft.model.{FileContent, FileEntry}
+import graft.metrics.MetricsCalculator
+import graft.sources.{FileEntrySource, IcebergManifestSource}
+
+/** S5 ground truth: a REAL Iceberg manifest fixture — a manifest list
+  * referencing one v2 manifest (data + delete files + one DELETED-status
+  * entry that must be discarded) and one v1 manifest (no `content`
+  * field) — read back via the Avro manifest source must yield the same
+  * FileEntry relation, and the same 9-metric output, as the synthetic
+  * `fromDataFrame` path on identical entries. */
+class IcebergManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val dir = {
+    val d = new java.io.File("target/tmp-manifests")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs(); d
+  }
+
+  // ---- Avro schemas: the minimal manifest_entry/manifest_file shapes the
+  // reader touches (real manifests carry more columns; GenericRecord
+  // access by name ignores extras, so the subset is the honest contract)
+  private val partSchema: Schema = SchemaBuilder.record("r102").fields()
+    .requiredInt("day").requiredString("region").endRecord()
+
+  private def dataFileSchema(v2: Boolean): Schema = {
+    val b = SchemaBuilder.record("data_file").fields()
+    val withContent = if (v2) b.requiredInt("content") else b
+    withContent
+      .requiredString("file_path").requiredString("file_format")
+      .name("partition").`type`(partSchema).noDefault()
+      .requiredLong("record_count").requiredLong("file_size_in_bytes")
+      .endRecord()
+  }
+
+  private def entrySchema(v2: Boolean): Schema = SchemaBuilder.record("manifest_entry").fields()
+    .requiredInt("status")
+    .name("data_file").`type`(dataFileSchema(v2)).noDefault()
+    .endRecord()
+
+  private val listSchema: Schema = SchemaBuilder.record("manifest_file").fields()
+    .requiredString("manifest_path").requiredLong("manifest_length")
+    .requiredLong("added_snapshot_id").endRecord()
+
+  private def part(day: Int, region: String): GenericRecord = {
+    val r = new GenericData.Record(partSchema)
+    r.put("day", day); r.put("region", region); r
+  }
+
+  private def entry(v2: Boolean, status: Int, content: Int, p: GenericRecord,
+      size: Long, idx: Int): GenericRecord = {
+    val dfs = dataFileSchema(v2)
+    val df = new GenericData.Record(dfs)
+    if (v2) df.put("content", content)
+    df.put("file_path", s"s3://bucket/tbl/data/f$idx.parquet")
+    df.put("file_format", "PARQUET")
+    df.put("partition", p)
+    df.put("record_count", 100L)
+    df.put("file_size_in_bytes", size)
+    val e = new GenericData.Record(entrySchema(v2))
+    e.put("status", status); e.put("data_file", df); e
+  }
+
+  private def writeAvro(file: java.io.File, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, file)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  // fixture: manifest A (v2) — two data files + one delete file in day=1/eu,
+  // one data file in day=2/us, one DELETED-status entry (must vanish);
+  // manifest B (v1, no content field) — two data files in day=2/us
+  private def writeFixture(): String = {
+    val mA = new java.io.File(dir, "manifest-a.avro")
+    writeAvro(mA, entrySchema(v2 = true), Seq(
+      entry(v2 = true, status = 1, content = 0, part(1, "eu"), 100L, 1),
+      entry(v2 = true, status = 0, content = 0, part(1, "eu"), 300L, 2),
+      entry(v2 = true, status = 1, content = 1, part(1, "eu"), 40L, 3),
+      entry(v2 = true, status = 1, content = 0, part(2, "us"), 900L, 4),
+      entry(v2 = true, status = 2, content = 0, part(2, "us"), 555L, 5)))
+    val mB = new java.io.File(dir, "manifest-b.avro")
+    writeAvro(mB, entrySchema(v2 = false), Seq(
+      entry(v2 = false, status = 1, content = 0, part(2, "us"), 700L, 6),
+      entry(v2 = false, status = 0, content = 0, part(2, "us"), 1100L, 7)))
+    val list = new java.io.File(dir, "snap-1-manifest-list.avro")
+    val rows = Seq(mA, mB).map { f =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", f.getAbsolutePath)
+      r.put("manifest_length", f.length())
+      r.put("added_snapshot_id", 1L); r
+    }
+    writeAvro(list, listSchema, rows)
+    list.getAbsolutePath
+  }
+
+  private def expected: Seq[FileEntry] = Seq(
+    FileEntry("tbl", FileContent.Data, """{"day":1,"region":"eu"}""", 100L),
+    FileEntry("tbl", FileContent.Data, """{"day":1,"region":"eu"}""", 300L),
+    FileEntry("tbl", FileContent.PositionDeletes, """{"day":1,"region":"eu"}""", 40L),
+    FileEntry("tbl", FileContent.Data, """{"day":2,"region":"us"}""", 900L),
+    FileEntry("tbl", FileContent.Data, """{"day":2,"region":"us"}""", 700L),
+    FileEntry("tbl", FileContent.Data, """{"day":2,"region":"us"}""", 1100L))
+
+  test("manifest list + manifests round-trip to the exact FileEntry relation") {
+    val listPath = writeFixture()
+    val (files, nManifests) =
+      IcebergManifestSource.fromManifestList(spark, listPath, "tbl")
+    assert(nManifests == 2L)
+    val got = files.collect().toSeq
+      .sortBy(e => (e.partitionKey, e.content, e.sizeBytes))
+    val want = expected.sortBy(e => (e.partitionKey, e.content, e.sizeBytes))
+    assert(got == want)
+  }
+
+  test("9-metric output identical to the fromDataFrame path on the same entries") {
+    import spark.implicits._
+    val listPath = writeFixture()
+    val (files, nManifests) =
+      IcebergManifestSource.fromManifestList(spark, listPath, "tbl")
+    val viaManifest = MetricsCalculator.computeMetrics(files, nManifests)
+
+    val synthetic = FileEntrySource.fromDataFrame(
+      expected.toDF(), "tbl", col("partitionKey"), col("sizeBytes"), col("content"))
+    val viaDataFrame = MetricsCalculator.computeMetrics(synthetic, 2L)
+
+    assert(viaManifest.nonEmpty)
+    assert(viaManifest == viaDataFrame)
+  }
+}
