@@ -50,7 +50,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <manifestListAvro> [table] | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <manifestListAvro> [table] | graft.Cli fanout <nTables> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -97,6 +97,29 @@ object Cli {
           System.err.println("errors:")
           errs.foreach { case (t, e) => System.err.println(s"  $t: $e") }
         }
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "fanout") {
+      // whole-catalog diagnosis at width: N synthesized tables, ONE job
+      val n = args(1).toIntOption.getOrElse {
+        System.err.println(s"error: fanout takes a table count, got '${args(1)}'")
+        sys.exit(2)
+      }
+      val spark = session()
+      try {
+        val t0 = System.nanoTime()
+        val wide = MetricsCalculator.computeMetricsWide(
+          graft.metrics.Fanout.syntheticEntries(spark, n),
+          graft.metrics.Fanout.manifestCounts(spark, n)).cache()
+        val rows = wide.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        wide.orderBy(col("table")).limit(2).collect().foreach { w =>
+          println(Renderer.renderTable(w.table, w.toRows, Renderer.LocalMode)); println()
+        }
+        println(f"diagnosed $rows tables in one job in $secs%.2f s " +
+          s"(shuffle count independent of table count; showing 2 of $rows panels)")
       } finally spark.stop()
       return
     }
