@@ -88,7 +88,7 @@ object Queries5 {
   // ------------------------------------------------------------ q78 k-means
   /** Quantization scale (same rationale as q69: ×512 keeps float→double→
     * multiply exact; all distance numerators become integer sums). */
-  private val KQ = 512
+  private[graft] val KQ = 512
   private val KmK = 8
   private val KmIters = 2
 
@@ -124,7 +124,7 @@ object Queries5 {
     * lineage; each pass scans the corpus exactly once). The exploded corpus
     * is cached for the loop's 2·iters+1 jobs — at 100 TB that cache is
     * MEMORY_AND_DISK on the cluster, or a pre-materialized table. */
-  private def kmFinalAssign(qd0: DataFrame)(implicit sp: SparkSession): DataFrame =
+  private[graft] def kmFinalAssign(qd0: DataFrame)(implicit sp: SparkSession): DataFrame =
     kmFit(qd0)._2
 
   /** Lloyd's run → (final centroids, final assignment). */
@@ -152,7 +152,7 @@ object Queries5 {
   private val SemThreshold = 0.99
 
   /** Salt factor for the cluster-local pair join (tasks = K·SemBlocks). */
-  private val SemBlocks = 8
+  private[graft] val SemBlocks = 8
 
   // ------------------------------------------------------------- q81 IVF
   private val IvfQueries = 20L
