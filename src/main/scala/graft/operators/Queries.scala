@@ -311,6 +311,38 @@ object Queries {
         .orderBy(col("l_returnflag"))
     },
 
+    "q138_hll_merge" -> { (s, dir) => implicit val sp = s
+      // sketch MERGEABILITY, oracle-visible: registers built at the FINE
+      // grain (returnflag × linestatus) then merged upward by per-register
+      // max must equal registers built directly at the coarse grain — max
+      // is associative, so the q35 HLL is a true partial aggregate:
+      // 64 ints per group ship from every executor and merge at any tree
+      // depth (the 100 TB property; the exact countDistinct shuffle is
+      // what it replaces). est_merged == est_direct by construction, and
+      // the oracle recomputes BOTH paths — the equality is hash-gated,
+      // not asserted.
+      val rho = t(dir, "lineitem").select(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("ls"),
+          TextOps.portableHash28(concat(lit("hll:"), col("l_partkey").cast("string"))).as("h"))
+        .select(col("flag"), col("ls"), (col("h") % 64).as("idx"), expr("h div 64").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(23))
+          .otherwise(lit(23) - length(bin(col("w")))))
+      val fine = rho.groupBy(col("flag"), col("ls"), col("idx")).agg(max(col("rho")).as("mreg"))
+      val merged = fine.groupBy(col("flag"), col("idx")).agg(max(col("mreg")).as("mreg"))
+      val direct = rho.groupBy(col("flag"), col("idx")).agg(max(col("rho")).as("mreg"))
+      def est(regs: DataFrame, alias: String) = regs.groupBy(col("flag"))
+        .agg(sum(expr("shiftleft(1L, cast(23 - mreg AS int))")).as("sp"),
+          count(lit(1)).as("nr"))
+        .select(col("flag"), expr(
+          "(709L * 4096L * 8388608L) div (1000L * (sp + (64 - nr) * 8388608L))").as(alias))
+      est(merged, "est_merged").join(est(direct, "est_direct"), Seq("flag"))
+        .join(t(dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts")), Seq("flag"))
+        .select(col("flag").as("l_returnflag"), col("est_merged"),
+          col("est_direct"), col("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- text / documents (training-data ops) ----
     "q14_dedup_exact" -> { (s, dir) => implicit val sp = s
       // exact dedup: hash-groupBy on content digest, keep lowest id
@@ -531,6 +563,34 @@ object Queries {
           |    - ex.exact_parts) AS DOUBLE) / ex.exact_parts, 4) AS rel_err,
           |  pq.p50_cents, pq.p99_cents
           |FROM ex JOIN s ON ex.flag = s.flag JOIN pq ON ex.flag = pq.flag
+          |ORDER BY l_returnflag""".stripMargin,
+      "q138_hll_merge" ->
+        """WITH rho AS (
+          |  SELECT l_returnflag AS flag, l_linestatus AS ls,
+          |    h % 64 AS idx, h // 64 AS w,
+          |    CASE WHEN h // 64 = 0 THEN 23 ELSE 23 - length(bin(h // 64)) END AS rho
+          |  FROM (SELECT l_returnflag, l_linestatus,
+          |          CAST('0x' || substring(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+          |        FROM lineitem)),
+          |fine AS (SELECT flag, ls, idx, max(rho) AS mreg FROM rho GROUP BY flag, ls, idx),
+          |merged AS (SELECT flag, idx, max(mreg) AS mreg FROM fine GROUP BY flag, idx),
+          |direct AS (SELECT flag, idx, max(rho) AS mreg FROM rho GROUP BY flag, idx),
+          |em AS (
+          |  SELECT flag, CAST((CAST(709 AS BIGINT) * 4096 * 8388608)
+          |    // (1000 * (sum(CAST(1 AS BIGINT) << CAST(23 - mreg AS INT))
+          |        + (64 - count(*)) * 8388608)) AS BIGINT) AS est_merged
+          |  FROM merged GROUP BY flag),
+          |ed AS (
+          |  SELECT flag, CAST((CAST(709 AS BIGINT) * 4096 * 8388608)
+          |    // (1000 * (sum(CAST(1 AS BIGINT) << CAST(23 - mreg AS INT))
+          |        + (64 - count(*)) * 8388608)) AS BIGINT) AS est_direct
+          |  FROM direct GROUP BY flag),
+          |ex AS (
+          |  SELECT l_returnflag AS flag,
+          |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+          |  FROM lineitem GROUP BY 1)
+          |SELECT ex.flag AS l_returnflag, em.est_merged, ed.est_direct, ex.exact_parts
+          |FROM ex JOIN em ON ex.flag = em.flag JOIN ed ON ex.flag = ed.flag
           |ORDER BY l_returnflag""".stripMargin,
       "q32_percentiles" ->
         """SELECT l_returnflag,
