@@ -95,7 +95,7 @@ object IcebergManifestSource {
     * metadata-table entries group identically. Strings are escaped
     * minimally (backslash, quote — partition values are path-safe
     * scalars). */
-  private[sources] def partitionJson(rec: GenericRecord): String = {
+  private[graft] def partitionJson(rec: GenericRecord): String = {
     val fields = rec.getSchema.getFields
     val sb = new StringBuilder("{")
     var first = true

@@ -109,6 +109,19 @@ class IcebergManifestSpec extends AnyFunSuite {
     FileEntry("tbl", FileContent.Data, """{"day":2,"region":"us"}""", 700L),
     FileEntry("tbl", FileContent.Data, """{"day":2,"region":"us"}""", 1100L))
 
+  test("partitionJson matches Spark to_json on awkward values") {
+    import spark.implicits._
+    val s: Schema = SchemaBuilder.record("p").fields()
+      .requiredLong("n").requiredString("s").requiredBoolean("b").endRecord()
+    val r = new GenericData.Record(s)
+    r.put("n", 42L); r.put("s", """pa"th\x y"""); r.put("b", true)
+    val mine = IcebergManifestSource.partitionJson(r)
+    val sparkJson = Seq((42L, """pa"th\x y""", true)).toDF("n", "s", "b")
+      .select(to_json(struct(col("n"), col("s"), col("b"))))
+      .head.getString(0)
+    assert(mine == sparkJson, s"$mine != $sparkJson")
+  }
+
   test("manifest list + manifests round-trip to the exact FileEntry relation") {
     val listPath = writeFixture()
     val (files, nManifests) =
