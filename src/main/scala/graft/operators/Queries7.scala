@@ -21,10 +21,11 @@ object Queries7 {
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     Rel.t(dir, name)
 
-  /** 1996-01-01 / 1997-01-01 / 1996-04-01 as epoch micros (UTC). */
+  /** 1996-01-01 / 1997-01-01 / 1996-04-01 / 2000-01-01 as epoch micros (UTC). */
   private val Y96 = 820454400000000L
   private val Y97 = 852076800000000L
   private val Q96_2 = 828316800000000L
+  private val Y2000 = 946684800000000L
 
   /** q103: count-min geometry. Width 65536 keeps expected per-cell load
     * (#distinct keys / W) below 1 at bench scale so the estimates are
@@ -98,6 +99,123 @@ object Queries7 {
           (col("rev4").cast("double") / 10000).as("revenue"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
+    },
+
+    // ---- TPC-H Q7: bilateral trade volume between two nations by ship
+    // year. Both dimension chains (supplier→nation, customer→nation)
+    // filter to the two nations BEFORE joining, so the broadcast inner
+    // joins drop non-qualifying fact rows immediately after the scan; the
+    // only wide work is the lineitem⋈orders key join. Revenue is the
+    // exact rev4 integer chain, one division at the end.
+    "q139_volume_shipping" -> { (s, dir) => implicit val sp = s
+      val nat = t(dir, "nation").filter(col("n_name").isin("NATION_3", "NATION_8"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cus = t(dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(dir, "lineitem")
+        .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("rev4", floor(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("rev4")).as("rev4"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          (col("rev4").cast("double") / 10000).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // ---- TPC-H Q8: national market share — NATION_3 suppliers' slice of
+    // EUROPE customers' LARGE-part purchases by order year. Numerator and
+    // denominator are BOTH exact integer sums carried per group (a
+    // conditional sum and a total), so the share is ONE division of two
+    // longs — never a ratio of order-dependent double sums.
+    "q140_market_share" -> { (s, dir) => implicit val sp = s
+      val eurNat = t(dir, "nation")
+        .join(broadcast(t(dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cus = t(dir, "customer")
+        .join(broadcast(eurNat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = t(dir, "supplier")
+        .join(broadcast(t(dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val par = t(dir, "part").filter(col("p_type") === "LARGE").select(col("p_partkey"))
+      t(dir, "lineitem")
+        .join(broadcast(par), col("l_partkey") === col("p_partkey"))
+        .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev4", floor(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("rev4"))
+          .otherwise(0L)).as("nation_rev4"),
+          sum(col("rev4")).as("total_rev4"))
+        .select(col("o_year"), col("nation_rev4"), col("total_rev4"),
+          round(col("nation_rev4").cast("double") / col("total_rev4"), 6)
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // ---- TPC-H Q19 shape: disjunctive predicate revenue — three
+    // brand/size/quantity AND-branches OR'd together. The whole predicate
+    // sits in ONE filter after a broadcast part join, so Catalyst pushes
+    // the common p_brand IN (...) prefix into the part scan and the fact
+    // scan sees a single codegen'd branch — the classic "OR-of-ANDs does
+    // not mean three scans" plan.
+    "q141_disjunctive_revenue" -> { (s, dir) => implicit val sp = s
+      val par = t(dir, "part")
+        .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      t(dir, "lineitem")
+        .join(broadcast(par), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .withColumn("rev4", floor(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("rev4")).as("rev4"), count(lit(1)).as("n_lines"))
+        .select(col("p_brand"), col("n_lines"),
+          (col("rev4").cast("double") / 10000).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- TPC-H Q22 shape: dormant high-balance customers — above-average
+    // balance AND no orders since 2000-01-01, per market segment (this
+    // corpus gives every customer SOME order, so classic Q22's no-orders-
+    // ever anti join would be vacuous — the recency window keeps the gate
+    // honest). The anti join broadcasts the DISTINCT recent customer keys
+    // (far smaller than the fact); the "above average" threshold never
+    // computes a double average: bal_cents · n > Σcents cross-multiplies
+    // exact integers, so the boundary cannot flip between engines.
+    "q142_dormant_customers" -> { (s, dir) => implicit val sp = s
+      val c = t(dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val stats = c.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sc"), count(lit(1)).as("nc"))
+      val rich = c.crossJoin(broadcast(stats))
+        .filter(col("bal_cents") * col("nc") > col("sc"))
+      val recent = t(dir, "orders")
+        .filter(unix_micros(col("o_orderdate").cast("timestamp")) >= Y2000)
+        .select(col("o_custkey")).distinct()
+      rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("bal_cents_sum"))
+        .orderBy(col("c_mktsegment"))
     },
 
     // ---- record linkage / fuzzy dedup: blocked edit-distance join. Exact
@@ -199,6 +317,85 @@ object Queries7 {
     })
 
   def oracles: Map[String, String] = Map(
+    "q139_volume_shipping" ->
+      """WITH nat AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_3', 'NATION_8')),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |        JOIN nat ON s_nationkey = n_nationkey),
+        |cus AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |        JOIN nat ON c_nationkey = n_nationkey)
+        |SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sup ON l_suppkey = s_suppkey
+        |JOIN cus ON o_custkey = c_custkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q140_market_share" ->
+      """WITH eur AS (
+        |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cus AS (SELECT c_custkey FROM customer JOIN eur ON c_nationkey = n_nationkey),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |        JOIN nation ON s_nationkey = n_nationkey),
+        |par AS (SELECT p_partkey FROM part WHERE p_type = 'LARGE'),
+        |base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT)) AS rev4,
+        |    supp_nation
+        |  FROM lineitem
+        |  JOIN par ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cus ON o_custkey = c_custkey
+        |  JOIN sup ON l_suppkey = s_suppkey)
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev4 ELSE 0 END) AS BIGINT)
+        |    AS nation_rev4,
+        |  CAST(sum(rev4) AS BIGINT) AS total_rev4,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev4 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rev4) AS BIGINT), 6) AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q141_disjunctive_revenue" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q142_dormant_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |stats AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sc,
+        |    CAST(count(*) AS BIGINT) AS nc
+        |  FROM c WHERE bal_cents > 0),
+        |rich AS (SELECT c.* FROM c, stats WHERE bal_cents * nc > sc)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+        |FROM rich
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = rich.c_custkey
+        |    AND epoch_us(o_orderdate) >= 946684800000000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q100_local_supplier_volume" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem
