@@ -290,6 +290,28 @@ class PlanSpec extends AnyFunSuite {
       "word counts must aggregate before the explode")
   }
 
+  test("q139/q140: dims broadcast around ONE fact join, no cartesian") {
+    Seq("q139_volume_shipping", "q140_market_share").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product leaked")
+      // the only non-broadcast join is lineitem⋈orders on orderkey
+      assert("SortMergeJoin".r.findAllIn(p).size <= 1, s"$q: extra wide join")
+    }
+  }
+
+  test("q141: brand IN-list pushed into the part scan") {
+    val p = plan("q141_disjunctive_revenue")
+    assert(p.contains("In(p_brand"), s"brand filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q142: anti join against recent orders is broadcast") {
+    val p = plan("q142_dormant_customers")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen active on the scan-project-agg path") {
     // AQE materializes the final plan only on execution; run, then inspect
     val df = SparkEntry.queries("q2_file_stats")(spark, dir)
