@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-6 batch: corpus-curation operators — deterministic balanced
+  * sampling (per-stratum quotas) and token-budget corpus assembly (the
+  * greedy fill that builds a training mix under a hard budget).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, CAST integer sums to BIGINT, integer math where exactness
+  * matters, full ORDER BY tie-breaks.
+  */
+object Queries9 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  /** q143: docs kept per language stratum. */
+  private val QuotaPerLang = 50
+
+  /** q144: whitespace-token budget per source. */
+  private val TokenBudget = 20000L
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deterministic balanced sample: keep the QuotaPerLang docs with
+    // the smallest (hash, doc_id) per language — hash order is as-good-as-
+    // random but REPRODUCIBLE across runs, engines, and partitionings (the
+    // q89 split discipline applied to stratified downsampling: no rand(),
+    // no sampleBy seed drift). The window ranks only a (lang, hash, id)
+    // projection — 16 bytes/row crosses the shuffle, never the text. At
+    // 100 TB swap the per-stratum sort for the bounded
+    // [[graft.functions.TopKAggregator]] (same result, map-side top-k
+    // state instead of a full partition sort — the rank is total because
+    // (h, doc_id) is unique).
+    "q143_balanced_sample" -> { (s, dir) => implicit val sp = s
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      t(dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.portableHash28(concat(lit("bal:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= QuotaPerLang)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"), col("h"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    // ---- token-budget corpus assembly: per source, admit docs in quality
+    // order (n_chars desc — the stand-in quality score; ties by doc_id)
+    // until the running whitespace-token total would exceed the budget.
+    // The running sum is an EXACT integer window over ints; the admission
+    // predicate (cum <= budget) is the overshoot-EXCLUDE dual of the
+    // compactor's overshoot-close rule — both disciplines pinned. Output
+    // is the per-source admission summary: docs kept, tokens used, the
+    // utilization as one division.
+    "q144_token_budget_trim" -> { (s, dir) => implicit val sp = s
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .filter(col("cum") <= TokenBudget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("cum")).as("tokens_used"))
+        // utilization in BASIS POINTS, floor-integer: tokens_used/budget
+        // lands exactly on half-way decimals (1657/20000 = .08285), where
+        // Spark's HALF_UP and DuckDB's rounding disagree — the integer
+        // quotient can't
+        .select(col("source"), col("n_docs"), col("tokens_used"),
+          expr(s"(tokens_used * 10000) div ${TokenBudget}L").as("util_bp"))
+        .orderBy(col("source"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q143_balanced_sample" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5('bal:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, h,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+        |FROM r WHERE rk <= ${QuotaPerLang}
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q144_token_budget_trim" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, toks,
+        |        sum(toks) OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(cum) AS BIGINT) AS tokens_used,
+        |  CAST((max(cum) * 10000) // ${TokenBudget} AS BIGINT) AS util_bp
+        |FROM c WHERE cum <= ${TokenBudget}
+        |GROUP BY source ORDER BY source""".stripMargin)
+}
