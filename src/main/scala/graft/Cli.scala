@@ -159,10 +159,15 @@ object Cli {
         val spark = session()
         import spark.implicits._
         try {
-          // union-all multi-table plan: one Dataset[FileEntry] for ALL tables
-          val files = tables
-            .map { case (name, path) => FileEntrySource.fromDirectory(spark, path, name) }
-            .reduce(_ union _)
+          // union-all multi-table plan: one Dataset[FileEntry] for ALL
+          // tables. Above 16 tables the LISTING itself goes distributed
+          // too (one task per table dir) — the driver loop of FS listings
+          // is the serial bottleneck at catalog width, not the metrics job
+          val files =
+            if (tables.size > 16) FileEntrySource.fromDirectories(spark, tables)
+            else tables
+              .map { case (name, path) => FileEntrySource.fromDirectory(spark, path, name) }
+              .reduce(_ union _)
           val manifests = tables.map { case (name, _) => (name, 1L) }.toDS
           val wide = MetricsCalculator.computeMetricsWide(files, manifests).collect()
             .sortBy(_.table)

@@ -60,6 +60,34 @@ object FileEntrySource {
     out.toSeq
   }
 
+  /** DISTRIBUTED multi-table listing: one task per table directory, each
+    * running the same [[listDataFiles]] rule executor-side — the catalog-
+    * width dual of [[fromDirectory]]. `Cli diag`'s loop of driver-side
+    * listings is fine for tens of tables; at 1,000 tables the listing
+    * itself becomes the serial bottleneck (1,000 sequential namenode/S3
+    * LIST round-trips from one machine), so the table set fans out as an
+    * RDD exactly like [[IcebergManifestSource.fromManifests]] fans out
+    * manifests. Same FileEntry rows, same hidden-file rule —
+    * SourceSpec proves equality with the per-table driver path. */
+  def fromDirectories(spark: SparkSession,
+      tables: Seq[(String, String)]): Dataset[FileEntry] = {
+    import spark.implicits._
+    val n = math.max(1, math.min(tables.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(tables, n)
+      .flatMap { case (table, dir) =>
+        val p = new Path(dir)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val base = fs.getFileStatus(p).getPath
+        listDataFiles(fs, base).map { case (_, len, rel) =>
+          val pk = canonicalKey(
+            rel.split('/').filter(_.contains('=')).toSeq
+              .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) })
+          FileEntry(table, FileContent.Data, pk, len)
+        }
+      }
+      .toDS()
+  }
+
   /** Canonical partition-tuple string (reference `deterministic_repr`,
     * `table_metrics.py:86-91`): sorted key order, stable text. The exact
     * Python repr() text is NOT reproduced — this is an internal grouping key

@@ -103,6 +103,20 @@ class SourceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("requires 2 argument"))
   }
 
+  test("fromDirectories (distributed listing) == per-table fromDirectory union") {
+    val tables = graft.sources.TableDiscovery.list(
+      spark.sparkContext.hadoopConfiguration, "/root/testdata/sf0.001")
+    assert(tables.size >= 5)
+    val distributed = FileEntrySource.fromDirectories(spark, tables)
+      .collect().sortBy(e => (e.table, e.partitionKey, e.sizeBytes)).toSeq
+    val driver = tables
+      .map { case (n, p) => FileEntrySource.fromDirectory(spark, p, n) }
+      .reduce(_ union _)
+      .collect().sortBy(e => (e.table, e.partitionKey, e.sizeBytes)).toSeq
+    assert(distributed.nonEmpty)
+    assert(distributed == driver)
+  }
+
   test("poly_hash native expression matches DuckDB list_reduce semantics") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
