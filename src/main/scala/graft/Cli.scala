@@ -131,7 +131,15 @@ object Cli {
       val spark = session()
       try {
         val (files, n) =
-          graft.sources.IcebergManifestSource.fromManifestList(spark, root, table)
+          try graft.sources.IcebergManifestSource.fromManifestList(spark, root, table)
+          catch {
+            case e: java.io.FileNotFoundException =>
+              System.err.println(s"error: no such manifest list: ${e.getMessage}")
+              sys.exit(1)
+            case e: org.apache.avro.InvalidAvroMagicException =>
+              System.err.println(s"error: not an Avro file: $root")
+              sys.exit(1)
+          }
         MetricsCalculator.computeMetrics(files, n) match {
           case rows => println(Renderer.renderTable(table, rows, Renderer.LocalMode))
         }
