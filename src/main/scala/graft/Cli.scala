@@ -140,9 +140,8 @@ object Cli {
               System.err.println(s"error: not an Avro file: $root")
               sys.exit(1)
           }
-        MetricsCalculator.computeMetrics(files, n) match {
-          case rows => println(Renderer.renderTable(table, rows, Renderer.LocalMode))
-        }
+        val rows = MetricsCalculator.computeMetrics(files, n)
+        println(Renderer.renderTable(table, rows, Renderer.LocalMode))
         println(Renderer.countMessage(n.toInt, "manifest"))
       } finally spark.stop()
       return

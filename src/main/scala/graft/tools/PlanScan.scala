@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Suite-wide plan hygiene scan: builds every catalog query's physical
+  * plan against a sf dir and reports any CartesianProduct (there must be
+  * none — the intended all-pairs shapes use broadcast nested-loop with a
+  * bounded build side) plus the SortMergeJoin count per query for
+  * eyeballing unexpected wide joins. Exit 1 on any cartesian.
+  *
+  *   sbt "runMain graft.tools.PlanScan /root/testdata/sf0.001"
+  */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-planscan")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var cartesians = List.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val smj = "SortMergeJoin".r.findAllIn(p).size
+        if (p.contains("CartesianProduct")) {
+          cartesians ::= name
+          println(s"CARTESIAN $name")
+        } else if (smj > 2) println(s"WIDE      $name ($smj SortMergeJoin)")
+      } catch {
+        case e: Throwable => println(s"ERROR     $name ${e.getClass.getSimpleName}")
+      }
+    }
+    spark.stop()
+    println(if (cartesians.isEmpty) "PLANSCAN: clean (no cartesian products)"
+      else s"PLANSCAN: ${cartesians.size} cartesian products: ${cartesians.mkString(",")}")
+    if (cartesians.nonEmpty) sys.exit(1)
+  }
+}
