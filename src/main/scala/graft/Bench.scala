@@ -51,14 +51,19 @@ object Bench {
       name -> (if (good.nonEmpty) good.min else -1.0)
     } :+ {
       // catalog-width fan-out: 1,000 synthesized tables diagnosed in ONE
-      // job (SURVEY §3.2's flagship multi-table claim, timed per round)
+      // job (SURVEY §3.2's flagship multi-table claim, timed per round) —
+      // min-of-2 like every other entry
       spark.catalog.clearCache(); System.gc()
-      val t0 = System.nanoTime()
-      val n = try graft.metrics.Fanout.run(spark, 1000).count() catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] fanout1000 FAILED: ${e.getMessage}"); -1L
+      def fanoutRep(): Double = {
+        val t0 = System.nanoTime()
+        val n = try graft.metrics.Fanout.run(spark, 1000).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] fanout1000 FAILED: ${e.getMessage}"); -1L
+        }
+        if (n == 1000L) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      "fanout1000" -> (if (n == 1000L) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val reps = Seq(fanoutRep(), fanoutRep()).filter(_ >= 0)
+      "fanout1000" -> (if (reps.nonEmpty) reps.min else -1.0)
     }
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail: round 3's 67-query full-name full-precision
