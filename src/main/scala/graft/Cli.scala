@@ -130,9 +130,16 @@ object Cli {
       val table = if (args.length > 2) args(2) else "table"
       val spark = session()
       try {
+        // a directory with metadata/ is a full Iceberg table layout;
+        // anything else is a manifest-list Avro file
+        val isTableDir = new java.io.File(root, "metadata").isDirectory
         val (files, n) =
-          try graft.sources.IcebergManifestSource.fromManifestList(spark, root, table)
-          catch {
+          try {
+            if (isTableDir)
+              graft.sources.IcebergManifestSource.fromTableDir(spark, root, table)
+            else
+              graft.sources.IcebergManifestSource.fromManifestList(spark, root, table)
+          } catch {
             case e: java.io.FileNotFoundException =>
               System.err.println(s"error: no such manifest list: ${e.getMessage}")
               sys.exit(1)

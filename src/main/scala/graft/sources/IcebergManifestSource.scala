@@ -38,6 +38,60 @@ import graft.model.FileEntry
   */
 object IcebergManifestSource {
 
+  /** Full table-directory resolution (the reference's `load_table` →
+    * `scan.snapshot()` chain, `manager.py:149-176`): find the current
+    * metadata JSON under `<tableDir>/metadata/` (version-hint.text when
+    * present, else the highest `*.metadata.json`), resolve
+    * current-snapshot-id to its snapshot's manifest list, and read it.
+    * A table with NO current snapshot returns (empty, 0) — the S6
+    * empty-snapshot short-circuit on the real format, which the metrics
+    * pipeline folds into the manifest-seeded all-zero row. The metadata
+    * JSON is parsed by Spark's own JSON reader (one driver-side file). */
+  def fromTableDir(spark: SparkSession, tableDir: String,
+      table: String): (Dataset[FileEntry], Long) = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new Path(tableDir, "metadata")
+    val fs = meta.getFileSystem(conf)
+    val hint = new Path(meta, "version-hint.text")
+    val metadataFile =
+      if (fs.exists(hint)) {
+        val in = fs.open(hint)
+        val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        new Path(meta, s"v$v.metadata.json")
+      } else {
+        val cands = fs.listStatus(meta).map(_.getPath)
+          .filter(_.getName.endsWith(".metadata.json"))
+        require(cands.nonEmpty, s"no *.metadata.json under $meta")
+        cands.maxBy(_.getName)
+      }
+    val md = spark.read.option("multiLine", "true").json(metadataFile.toString)
+    // schema-defensive: an empty `snapshots: []` infers as array<string>,
+    // and a snapshot-less table may omit current-snapshot-id entirely
+    val fields = md.schema.fieldNames.toSet
+    val curId: Option[Long] =
+      if (!fields.contains("current-snapshot-id")) None
+      else Option(md.select(col("`current-snapshot-id`")).head())
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
+    val listPath: Option[String] = curId.flatMap { id =>
+      md.schema("snapshots").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _)
+            if st.fieldNames.contains("snapshot-id")
+              && st.fieldNames.contains("manifest-list") =>
+          md.select(explode(col("snapshots")).as("s"))
+            .filter(col("s.`snapshot-id`") === id)
+            .select(col("s.`manifest-list`"))
+            .collect().headOption.map(_.getString(0))
+        case _ => None
+      }
+    }
+    listPath match {
+      case Some(p) => fromManifestList(spark, p, table)
+      case None => (spark.emptyDataset[FileEntry], 0L)
+    }
+  }
+
   /** Entries of every manifest in `manifestListPath`'s list, plus the
     * manifest count — the exact pair the reference feeds
     * `compute_metrics(files, len(manifests))`. */

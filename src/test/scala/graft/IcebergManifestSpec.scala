@@ -133,6 +133,48 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fromTableDir resolves metadata.json -> current snapshot -> manifest list") {
+    val listPath = writeFixture()
+    val tblDir = new java.io.File(dir, "tbl_layout"); tblDir.mkdirs()
+    val metaDir = new java.io.File(tblDir, "metadata"); metaDir.mkdirs()
+    val json =
+      s"""{
+         |  "format-version": 2,
+         |  "current-snapshot-id": 77,
+         |  "snapshots": [
+         |    {"snapshot-id": 11, "manifest-list": "/old/snap.avro"},
+         |    {"snapshot-id": 77, "manifest-list": "$listPath"}
+         |  ]
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v2.metadata.json").toPath,
+      json.getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "2".getBytes("UTF-8"))
+    val (files, n) = IcebergManifestSource.fromTableDir(spark, tblDir.getPath, "tbl")
+    assert(n == 2L)
+    assert(files.collect().toSeq.sortBy(e => (e.partitionKey, e.content, e.sizeBytes))
+      == expected.sortBy(e => (e.partitionKey, e.content, e.sizeBytes)))
+  }
+
+  test("fromTableDir: no current snapshot -> empty relation, 0 manifests") {
+    val tblDir = new java.io.File(dir, "tbl_empty"); tblDir.mkdirs()
+    val metaDir = new java.io.File(tblDir, "metadata"); metaDir.mkdirs()
+    val json =
+      """{"format-version": 2, "current-snapshot-id": -1, "snapshots": []}"""
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      json.getBytes("UTF-8"))
+    val (files, n) = IcebergManifestSource.fromTableDir(spark, tblDir.getPath, "tbl")
+    assert(n == 0L)
+    assert(files.count() == 0L)
+    // the S6 fold: an empty relation + the table's manifest row still
+    // yields one full all-zero metrics row (q98 gates the values)
+    import spark.implicits._
+    val wide = MetricsCalculator
+      .computeMetricsWide(files, Seq(("tbl", n)).toDS()).collect()
+    assert(wide.length == 1)
+    assert(wide.head.fileCountBefore == 0L && wide.head.totalPartitions == 0L)
+  }
+
   test("9-metric output identical to the fromDataFrame path on the same entries") {
     import spark.implicits._
     val listPath = writeFixture()
