@@ -50,7 +50,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <manifestListAvro> [table] | graft.Cli fanout <nTables> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli fanout <nTables> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -130,9 +130,16 @@ object Cli {
       val table = if (args.length > 2) args(2) else "table"
       val spark = session()
       try {
+        import spark.implicits._
         // a directory with metadata/ is a full Iceberg table layout;
-        // anything else is a manifest-list Avro file
-        val isTableDir = new java.io.File(root, "metadata").isDirectory
+        // anything else is a manifest-list Avro file. Hadoop FS detection
+        // (not java.io.File) so hdfs:///s3a:// table dirs route correctly
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val rootFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val metaPath = new org.apache.hadoop.fs.Path(rootPath, "metadata")
+        val isTableDir =
+          try rootFs.exists(metaPath) && rootFs.getFileStatus(metaPath).isDirectory
+          catch { case _: Exception => false }
         val (files, n) =
           try {
             if (isTableDir)
@@ -147,7 +154,11 @@ object Cli {
               System.err.println(s"error: not an Avro file: $root")
               sys.exit(1)
           }
-        val rows = MetricsCalculator.computeMetrics(files, n)
+        // seed the manifest count explicitly: an EMPTY snapshot must still
+        // render the all-zero 9-metric row (reference compute_metrics([], n))
+        val rows = MetricsCalculator
+          .computeMetricsWide(files, Seq((table, n)).toDS())
+          .collect().toSeq.flatMap(_.toRows)
         println(Renderer.renderTable(table, rows, Renderer.LocalMode))
         println(Renderer.countMessage(n.toInt, "manifest"))
       } finally spark.stop()

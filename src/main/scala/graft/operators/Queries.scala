@@ -301,12 +301,15 @@ object Queries {
         .groupBy(col("flag"))
         .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
           max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+      // rel error in FLOOR basis points — a pure integer quotient; the
+      // round(x, 4) form can land on a half-way 5th decimal where Spark's
+      // HALF_UP and DuckDB disagree (the q144 lesson)
       exact.join(hll, Seq("flag")).join(pq, Seq("flag"))
         .select(col("flag").as("l_returnflag"),
           expr("(709L * 4096L * 8388608L) div (1000L * s_int)").as("hll_est"),
           col("exact_parts"),
-          round(abs(expr("(709L * 4096L * 8388608L) div (1000L * s_int)")
-            - col("exact_parts")).cast("double") / col("exact_parts"), 4).as("rel_err"),
+          expr("""(abs((709L * 4096L * 8388608L) div (1000L * s_int)
+                 - exact_parts) * 10000) div exact_parts""").as("rel_err_bp"),
           col("p50_cents"), col("p99_cents"))
         .orderBy(col("l_returnflag"))
     },
@@ -559,8 +562,8 @@ object Queries {
           |SELECT ex.flag AS l_returnflag,
           |  CAST((CAST(709 AS BIGINT) * 4096 * 8388608) // (1000 * s.s_int) AS BIGINT) AS hll_est,
           |  ex.exact_parts,
-          |  round(CAST(abs((CAST(709 AS BIGINT) * 4096 * 8388608) // (1000 * s.s_int)
-          |    - ex.exact_parts) AS DOUBLE) / ex.exact_parts, 4) AS rel_err,
+          |  CAST((abs((CAST(709 AS BIGINT) * 4096 * 8388608) // (1000 * s.s_int)
+          |    - ex.exact_parts) * 10000) // ex.exact_parts AS BIGINT) AS rel_err_bp,
           |  pq.p50_cents, pq.p99_cents
           |FROM ex JOIN s ON ex.flag = s.flag JOIN pq ON ex.flag = pq.flag
           |ORDER BY l_returnflag""".stripMargin,

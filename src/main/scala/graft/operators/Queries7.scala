@@ -160,9 +160,12 @@ object Queries7 {
         .agg(sum(when(col("supp_nation") === "NATION_3", col("rev4"))
           .otherwise(0L)).as("nation_rev4"),
           sum(col("rev4")).as("total_rev4"))
+        // share in FLOOR parts-per-million: round(x, 6) can land on a
+        // half-way 7th decimal where Spark's HALF_UP and DuckDB disagree
+        // (the q144 lesson); floor of the fixed IEEE chain cannot
         .select(col("o_year"), col("nation_rev4"), col("total_rev4"),
-          round(col("nation_rev4").cast("double") / col("total_rev4"), 6)
-            .as("mkt_share"))
+          floor(col("nation_rev4").cast("double") * 1000000 / col("total_rev4"))
+            .as("mkt_share_ppm"))
         .orderBy(col("o_year"))
     },
 
@@ -360,8 +363,8 @@ object Queries7 {
         |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev4 ELSE 0 END) AS BIGINT)
         |    AS nation_rev4,
         |  CAST(sum(rev4) AS BIGINT) AS total_rev4,
-        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev4 ELSE 0 END) AS DOUBLE)
-        |    / CAST(sum(rev4) AS BIGINT), 6) AS mkt_share
+        |  CAST(FLOOR(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev4 ELSE 0 END) AS DOUBLE)
+        |    * 1000000 / CAST(sum(rev4) AS BIGINT)) AS BIGINT) AS mkt_share_ppm
         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q141_disjunctive_revenue" ->

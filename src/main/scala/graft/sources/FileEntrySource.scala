@@ -72,11 +72,15 @@ object FileEntrySource {
   def fromDirectories(spark: SparkSession,
       tables: Seq[(String, String)]): Dataset[FileEntry] = {
     import spark.implicits._
+    // session conf ships to tasks (OrphanFiles pattern): a fresh
+    // Configuration would drop spark.hadoop.* (s3a credentials, endpoints)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val n = math.max(1, math.min(tables.size, spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(tables, n)
       .flatMap { case (table, dir) =>
         val p = new Path(dir)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(conf.value)
         val base = fs.getFileStatus(p).getPath
         listDataFiles(fs, base).map { case (_, len, rel) =>
           val pk = canonicalKey(

@@ -63,7 +63,14 @@ object IcebergManifestSource {
         val cands = fs.listStatus(meta).map(_.getPath)
           .filter(_.getName.endsWith(".metadata.json"))
         require(cands.nonEmpty, s"no *.metadata.json under $meta")
-        cands.maxBy(_.getName)
+        // NUMERIC version order: lexicographic maxBy would rank v9 above
+        // v10; non-vN names (metastore UUID styles) sort by name below any
+        // parsed version
+        def version(p: Path): (Long, String) = {
+          val m = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(p.getName)
+          (m.map(_.group(1).toLong).getOrElse(-1L), p.getName)
+        }
+        cands.maxBy(version)
       }
     val md = spark.read.option("multiLine", "true").json(metadataFile.toString)
     // schema-defensive: an empty `snapshots: []` infers as array<string>,
@@ -108,16 +115,19 @@ object IcebergManifestSource {
       Iterator.single(rec.get("manifest_path").toString)
     }
 
-  /** Distributed manifest scan: one task per manifest file. Tasks open
-    * their manifest with a fresh Hadoop Configuration — manifest paths
-    * must be resolvable from executors (true for any shared filesystem;
-    * local-mode tests share the driver's FS). */
+  /** Distributed manifest scan: one task per manifest file. The SESSION's
+    * Hadoop configuration ships to tasks as a SerializableConfiguration
+    * (the OrphanFiles pattern) — a fresh executor-side Configuration
+    * would drop every spark.hadoop.* setting (s3a credentials, endpoints)
+    * and break exactly the remote filesystems manifests live on. */
   def fromManifests(spark: SparkSession, manifestPaths: Seq[String],
       table: String): Dataset[FileEntry] = {
     import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val n = math.max(1, math.min(manifestPaths.size, spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(manifestPaths, n)
-      .flatMap(p => readManifestEntries(p))
+      .flatMap(p => readManifestEntries(p, conf.value))
       .toDF("content", "partitionKey", "sizeBytes")
       .select(lit(table).as("table"), col("content"), col("partitionKey"),
         col("sizeBytes"))
@@ -125,10 +135,10 @@ object IcebergManifestSource {
   }
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
-    * Runs inside tasks: builds its own Configuration (serializable-free
-    * closure). */
-  private[sources] def readManifestEntries(path: String): Iterator[(Int, String, Long)] =
-    readAvro(new Configuration(), path) { entry =>
+    * Runs inside tasks with the session conf shipped by the caller. */
+  private[sources] def readManifestEntries(path: String,
+      conf: Configuration): Iterator[(Int, String, Long)] =
+    readAvro(conf, path) { entry =>
       val status = entry.get("status").asInstanceOf[Int]
       if (status == 2) Iterator.empty // DELETED — discard_deleted=True
       else {

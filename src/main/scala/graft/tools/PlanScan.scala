@@ -22,6 +22,7 @@ object PlanScan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var cartesians = List.empty[String]
+    var errors = List.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
@@ -31,12 +32,18 @@ object PlanScan {
           println(s"CARTESIAN $name")
         } else if (smj > 2) println(s"WIDE      $name ($smj SortMergeJoin)")
       } catch {
-        case e: Throwable => println(s"ERROR     $name ${e.getClass.getSimpleName}")
+        // an unbuildable plan is NOT clean — its plan was never inspected
+        case e: Throwable =>
+          errors ::= name
+          println(s"ERROR     $name ${e.getClass.getSimpleName}")
       }
     }
     spark.stop()
-    println(if (cartesians.isEmpty) "PLANSCAN: clean (no cartesian products)"
-      else s"PLANSCAN: ${cartesians.size} cartesian products: ${cartesians.mkString(",")}")
-    if (cartesians.nonEmpty) sys.exit(1)
+    println(if (cartesians.isEmpty && errors.isEmpty)
+      "PLANSCAN: clean (no cartesian products)"
+    else s"PLANSCAN: ${cartesians.size} cartesian products " +
+      s"(${cartesians.mkString(",")}); ${errors.size} uninspectable " +
+      s"(${errors.mkString(",")})")
+    if (cartesians.nonEmpty || errors.nonEmpty) sys.exit(1)
   }
 }

@@ -156,6 +156,22 @@ class IcebergManifestSpec extends AnyFunSuite {
       == expected.sortBy(e => (e.partitionKey, e.content, e.sizeBytes)))
   }
 
+  test("fromTableDir without version-hint picks v10 over v9 (numeric order)") {
+    val listPath = writeFixture()
+    val tblDir = new java.io.File(dir, "tbl_v10"); tblDir.mkdirs()
+    val metaDir = new java.io.File(tblDir, "metadata"); metaDir.mkdirs()
+    // v9 points at a DEAD path; only numeric ordering finds the live v10
+    java.nio.file.Files.write(new java.io.File(metaDir, "v9.metadata.json").toPath,
+      """{"current-snapshot-id": 1, "snapshots": [{"snapshot-id": 1, "manifest-list": "/dead/snap.avro"}]}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(metaDir, "v10.metadata.json").toPath,
+      s"""{"current-snapshot-id": 2, "snapshots": [{"snapshot-id": 2, "manifest-list": "$listPath"}]}"""
+        .getBytes("UTF-8"))
+    val (files, n) = IcebergManifestSource.fromTableDir(spark, tblDir.getPath, "tbl")
+    assert(n == 2L)
+    assert(files.count() == expected.size.toLong)
+  }
+
   test("fromTableDir: no current snapshot -> empty relation, 0 manifests") {
     val tblDir = new java.io.File(dir, "tbl_empty"); tblDir.mkdirs()
     val metaDir = new java.io.File(tblDir, "metadata"); metaDir.mkdirs()
