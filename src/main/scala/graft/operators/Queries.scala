@@ -272,10 +272,13 @@ object Queries {
       // division: bit-identical to the SQL oracle, no libm anywhere.
       // Quantiles are exact rank-based (rank ceil(p*n) over floor-cents),
       // replacing approx_percentile whose t-digest internals are
-      // engine-specific. The HLL register table is a pure partial
-      // aggregation (≤64 ints of state per group map-side); the rank
-      // quantile pays one per-group sort — the 100 TB swap-in is a KMV
-      // sample, but exactness here keeps the oracle gate airtight.
+      // engine-specific — computed over the per-(flag, cents) HISTOGRAM
+      // (the q117 shrink-first rule): the shuffle and the window sort see
+      // only distinct prices (vocabulary-sized, map-side combined), never
+      // the row count, so the exact quantile holds its shape at 100 TB.
+      // value-at-rank k over the multiset == min value whose cumulative
+      // count reaches k. The HLL register table is likewise a pure
+      // partial aggregation (≤64 ints of state per group map-side).
       val hashed = t(dir, "lineitem").select(col("l_returnflag").as("flag"),
         TextOps.portableHash28(concat(lit("hll:"), col("l_partkey").cast("string"))).as("h"))
       val regs = hashed
@@ -290,17 +293,16 @@ object Queries {
           (col("s_present") + (lit(64L) - col("n_regs")) * 8388608L).as("s_int"))
       val exact = t(dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      val cents = t(dir, "lineitem").select(col("l_returnflag").as("flag"),
-        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
       val wf = Window.partitionBy(col("flag"))
-      val pq = cents
-        .withColumn("rn", row_number().over(wf.orderBy(col("cents"))))
-        .withColumn("n", count(lit(1)).over(wf))
-        .filter(col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("(99 * n + 99) div 100"))
+      val pq = t(dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wf.orderBy(col("cents"))))
+        .withColumn("n", sum(col("c")).over(wf))
         .groupBy(col("flag"))
-        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
-          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
       // rel error in FLOOR basis points — a pure integer quotient; the
       // round(x, 4) form can land on a half-way 5th decimal where Spark's
       // HALF_UP and DuckDB disagree (the q144 lesson)

@@ -30,10 +30,7 @@ object StreamingDistinct {
       events: Dataset[Ev],
       windowLen: String = "6 hours",
       watermark: String = "1 hour"): DataFrame = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(windowLen))
-    require(iv.months == 0, s"windowLen must be a fixed duration: $windowLen")
-    val windowMicros = iv.days * 86400000000L + iv.microseconds
+    val windowMicros = Windows.windowMicros(windowLen)
     events
       .withColumn("tsx", timestamp_micros(col("tsUs")))
       .withWatermark("tsx", watermark)

@@ -27,13 +27,10 @@ object StreamingDrift {
       ref: Dataset[RefBins],
       windowLen: String = "6 hours",
       watermark: String = "1 hour"): DataFrame = {
-    // bucket = window index = start div windowLen — derived from the SAME
-    // string that sized the window, so distinct closed windows can never
-    // collapse to one label under a non-default windowLen
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(windowLen))
-    require(iv.months == 0, s"windowLen must be a fixed duration: $windowLen")
-    val windowMicros = iv.days * 86400000000L + iv.microseconds
+    // bucket = window index = start div windowLen ([[Windows.windowMicros]]:
+    // derived from the SAME string that sized the window, so distinct
+    // closed windows can never collapse to one label)
+    val windowMicros = Windows.windowMicros(windowLen)
     events
       .withColumn("tsx", timestamp_micros(col("tsUs")))
       .withWatermark("tsx", watermark)
