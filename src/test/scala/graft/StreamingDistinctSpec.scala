@@ -67,4 +67,22 @@ class StreamingDistinctSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("non-default windowLen: bucket labels index 1-hour windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600000000L
+    val evs = (0 until 6).map(h => Ev("a", h.toLong, h * hour + 1))
+    val input = MemoryStream[Ev]
+    val q = StreamingDistinct.registers(input.toDS(), windowLen = "1 hour")
+      .writeStream.format("memory").queryName("hll1h").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      input.addData(Ev("flush", 0L, 400 * hour))
+      q.processAllAvailable()
+      val buckets = spark.table("hll1h").filter(col("eventType") === "a")
+        .select("bucket").distinct().as[Long].collect().sorted.toSeq
+      assert(buckets == (0L until 6L), s"expected one bucket per hour, got $buckets")
+    } finally q.stop()
+  }
 }
