@@ -20,9 +20,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q84_heavy_hitters", "q105_set_similarity_join", "q121_weighted_median",
     "q42_dedup_clusters", "q100_local_supplier_volume", "q118_group_regression",
     "q109_min_cost_supplier", "q125_ohlc_bars", "q131_decay_score",
-    // round 6: HLL register builds (max-merge across any partitioning) and
-    // rank-based quantiles (value-at-rank is tie-order-insensitive)
-    "q35_sketches", "q138_hll_merge")
+    // round 6: HLL register builds (max-merge across any partitioning),
+    // rank-based quantiles (value-at-rank is tie-order-insensitive),
+    // floor-ppm market share, hash-rank sampling, budget-admission cumsum
+    "q35_sketches", "q138_hll_merge", "q140_market_share",
+    "q143_balanced_sample", "q144_token_budget_trim")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
