@@ -46,6 +46,52 @@ object Queries9 {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // ---- mergeable quantile SKETCH — the third leg of the sketch family
+    // (distinct: q35/q90/q138; frequency: q103; quantile: here). Bucket =
+    // bit-length of floor-cents (log2 octaves via length(bin(x)) — the
+    // q35 integer-rho trick applied to magnitudes), so the sketch is ≤64
+    // counters per group: a pure partial aggregation, mergeable by
+    // cell-wise addition at any tree depth, O(1) state at any corpus
+    // size. The approximate quantile is the upper boundary 2^b of the
+    // octave where the cumulative count crosses the rank — within one
+    // octave (2x) of the exact value BY CONSTRUCTION, and the exact
+    // rank quantile (the q35 histogram method) rides along so the
+    // guarantee is oracle-VISIBLE: the gate hashes approx, exact, and
+    // the ratio bound together.
+    "q145_quantile_sketch" -> { (s, dir) => implicit val sp = s
+      val wf = Window.partitionBy(col("flag"))
+      val oct = t(dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .withColumn("b", length(bin(col("cents"))))
+        .groupBy(col("flag"), col("b")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wf.orderBy(col("b"))))
+        .withColumn("n", sum(col("c")).over(wf))
+      val approx = oct.groupBy(col("flag"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("b"))).as("b50"),
+          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("b"))).as("b99"))
+        .select(col("flag"),
+          expr("shiftleft(1L, b50)").as("approx_p50_cents"),
+          expr("shiftleft(1L, b99)").as("approx_p99_cents"))
+      val exact = t(dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wf.orderBy(col("cents"))))
+        .withColumn("n", sum(col("c")).over(wf))
+        .groupBy(col("flag"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+      approx.join(exact, Seq("flag"))
+        .select(col("flag").as("l_returnflag"),
+          col("approx_p50_cents"), col("p50_cents"),
+          // octave guarantee, oracle-visible: upper bound within [1x, 2x)
+          expr("(approx_p50_cents * 100) div p50_cents").as("p50_ratio_pct"),
+          col("approx_p99_cents"), col("p99_cents"),
+          expr("(approx_p99_cents * 100) div p99_cents").as("p99_ratio_pct"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- token-budget corpus assembly: per source, admit docs in quality
     // order (n_chars desc — the stand-in quality score; ties by doc_id)
     // until the running whitespace-token total would exceed the budget.
@@ -86,6 +132,48 @@ object Queries9 {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
         |FROM r WHERE rk <= ${QuotaPerLang}
         |ORDER BY lang, rk""".stripMargin,
+
+    "q145_quantile_sketch" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |oct AS (
+        |  SELECT flag, length(bin(cents)) AS b, count(*) AS c
+        |  FROM cents GROUP BY flag, b),
+        |octc AS (
+        |  SELECT flag, b, c,
+        |    sum(c) OVER (PARTITION BY flag ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY flag) AS n
+        |  FROM oct),
+        |approx AS (
+        |  SELECT flag,
+        |    CAST(1 AS BIGINT) << CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS INT)
+        |      AS approx_p50_cents,
+        |    CAST(1 AS BIGINT) << CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN b END) AS INT)
+        |      AS approx_p99_cents
+        |  FROM octc GROUP BY flag),
+        |hist AS (
+        |  SELECT flag, cents, count(*) AS c FROM cents GROUP BY flag, cents),
+        |histc AS (
+        |  SELECT flag, cents,
+        |    sum(c) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY flag) AS n
+        |  FROM hist),
+        |ex AS (
+        |  SELECT flag,
+        |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS BIGINT) AS p50_cents,
+        |    CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
+        |  FROM histc GROUP BY flag)
+        |SELECT approx.flag AS l_returnflag,
+        |  approx.approx_p50_cents, ex.p50_cents,
+        |  CAST((approx.approx_p50_cents * 100) // ex.p50_cents AS BIGINT) AS p50_ratio_pct,
+        |  approx.approx_p99_cents, ex.p99_cents,
+        |  CAST((approx.approx_p99_cents * 100) // ex.p99_cents AS BIGINT) AS p99_ratio_pct
+        |FROM approx JOIN ex ON approx.flag = ex.flag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q144_token_budget_trim" ->
       s"""WITH d AS (
