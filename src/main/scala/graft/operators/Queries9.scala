@@ -20,6 +20,11 @@ object Queries9 {
   /** q143: docs kept per language stratum. */
   private val QuotaPerLang = 50
 
+  /** q146: leading embedding dims entering the Gram expansion (d(d+1)/2 =
+    * 136 pairs per vector — the pair vocabulary, NOT the corpus, sizes
+    * the shuffle; the full 64-dim matrix is the same plan at 2080 keys). */
+  private val CovDims = 16
+
   /** q144: whitespace-token budget per source. */
   private val TokenBudget = 20000L
 
@@ -44,6 +49,49 @@ object Queries9 {
         .filter(col("rk") <= QuotaPerLang)
         .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"), col("h"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // ---- embedding-dimension covariance/correlation (the PCA/whitening
+    // precursor): the exact Gram matrix over the first CovDims quantized
+    // dims. Each vector map-side expands to its d(d+1)/2 upper-triangle
+    // products, so the ONLY shuffle is keyed by the 136-pair vocabulary —
+    // corpus size never touches the exchange (the q123/q106 vocabulary-
+    // collapse rule applied to linear algebra). Covariance numerator
+    // n·Σxy − Σx·Σy and the correlation denominator assemble from exact
+    // longs through a fixed IEEE tree (the q118/q134 discipline), so the
+    // APPROXIMATE-looking statistic is bit-reproducible. Overflow: |qv| ≤
+    // 512 ⇒ Σxy ≤ 2.6e5·n — safe to ~3.5e13 vectors; n·Σxy needs n² ≤
+    // 2^63/2.6e5 ⇒ ~1.9e6 vectors, THE binding bound (documented; past it
+    // pre-scale qv to 2^7 or lift to DECIMAL).
+    "q146_dim_covariance" -> { (s, dir) => implicit val sp = s
+      val qd = t(dir, "embeddings")
+        .select(col("vec_id"), expr(
+          s"transform(slice(embedding, 1, $CovDims), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 512) AS BIGINT))")
+          .as("q"))
+      val pairs = qd.select(explode(expr(
+        s"""flatten(transform(q, (x, i) ->
+           |  transform(slice(q, i + 1, $CovDims), (y, j) ->
+           |    struct(i + 1 AS di, i + j + 1 AS dj, x * y AS xy, x AS xv, y AS yv))))"""
+          .stripMargin)).as("p"))
+        .select(col("p.di").cast("long").as("di"), col("p.dj").cast("long").as("dj"),
+          col("p.xy"), col("p.xv"), col("p.yv"))
+      pairs.groupBy(col("di"), col("dj"))
+        .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
+          sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("xv") * col("xv")).as("sxx"), sum(col("yv") * col("yv")).as("syy"))
+        .filter(col("di") < col("dj"))
+        // corr RAW (no round — the q118 precedent: identical IEEE op trees
+        // on identical longs are bit-identical; round(.,6) would reopen
+        // the half-way hazard). Zero-variance dims guard the ANSI double
+        // divide with an EXACT integer predicate, yielding NULL both sides.
+        .select(col("di"), col("dj"), col("n"), col("sxy"), col("sx"), col("sy"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0L ||
+               col("n") * col("syy") - col("sy") * col("sy") === 0L, lit(null))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr"))
+        .orderBy(col("di"), col("dj"))
     },
 
     // ---- mergeable quantile SKETCH — the third leg of the sketch family
@@ -132,6 +180,30 @@ object Queries9 {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
         |FROM r WHERE rk <= ${QuotaPerLang}
         |ORDER BY lang, rk""".stripMargin,
+
+    "q146_dim_covariance" ->
+      s"""WITH pe AS (
+         |  SELECT vec_id, unnest(range(1, $CovDims + 1)) AS pos, embedding
+         |  FROM embeddings),
+         |qd AS (
+         |  SELECT vec_id, pos,
+         |    CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 512) AS BIGINT) AS qv
+         |  FROM pe),
+         |pr AS (
+         |  SELECT a.pos AS di, b.pos AS dj, a.qv AS xv, b.qv AS yv
+         |  FROM qd a JOIN qd b ON a.vec_id = b.vec_id AND a.pos < b.pos),
+         |agg AS (
+         |  SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xv * yv) AS BIGINT) AS sxy,
+         |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         |    CAST(sum(xv * xv) AS BIGINT) AS sxx, CAST(sum(yv * yv) AS BIGINT) AS syy
+         |  FROM pr GROUP BY di, dj)
+         |SELECT di, dj, n, sxy, sx, sy,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr
+         |FROM agg ORDER BY di, dj""".stripMargin,
 
     "q145_quantile_sketch" ->
       """WITH cents AS (

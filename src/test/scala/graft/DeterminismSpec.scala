@@ -24,7 +24,7 @@ class DeterminismSpec extends AnyFunSuite {
     // rank-based quantiles (value-at-rank is tie-order-insensitive),
     // floor-ppm market share, hash-rank sampling, budget-admission cumsum
     "q35_sketches", "q138_hll_merge", "q140_market_share",
-    "q143_balanced_sample", "q144_token_budget_trim")
+    "q143_balanced_sample", "q144_token_budget_trim", "q146_dim_covariance")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
