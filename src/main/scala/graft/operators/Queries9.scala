@@ -94,6 +94,39 @@ object Queries9 {
         .orderBy(col("di"), col("dj"))
     },
 
+    // ---- two-sample Kolmogorov–Smirnov test: the exact distribution-
+    // distance between the returned ('R') and accepted ('A') price
+    // populations — the drift gate between cohorts (q133's chi² compares
+    // binned shapes; KS compares the FULL CDFs with no binning choice).
+    // Exactly integer until the last step: collapse to the price
+    // histogram with per-cohort conditional counts (one map-side-combined
+    // pass; the shuffle is distinct prices, not rows), cumsum both
+    // cohorts in ONE window, and maximize |cum1·n2 − cum2·n1| — the KS
+    // numerator over the common denominator n1·n2, ONE division at the
+    // end. Overflow: cum·n ≤ n1·n2 < 2^63 ⇒ safe to ~3e9 rows per
+    // cohort; DECIMAL(38) past that (audit table).
+    "q147_ks_test" -> { (s, dir) => implicit val sp = s
+      val wCum = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"),
+          when(col("l_returnflag") === "A", 1L).otherwise(0L).as("a"))
+        .groupBy(col("cents"))
+        .agg(sum(col("r")).as("c1"), sum(col("a")).as("c2"))
+        .withColumn("cum1", sum(col("c1")).over(wCum))
+        .withColumn("cum2", sum(col("c2")).over(wCum))
+        .withColumn("n1", sum(col("c1")).over(wAll))
+        .withColumn("n2", sum(col("c2")).over(wAll))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") / (col("n1") * col("n2"))).as("ks"))
+    },
+
     // ---- mergeable quantile SKETCH — the third leg of the sketch family
     // (distinct: q35/q90/q138; frequency: q103; quantile: here). Bucket =
     // bit-length of floor-cents (log2 octaves via length(bin(x)) — the
@@ -180,6 +213,29 @@ object Queries9 {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
         |FROM r WHERE rk <= ${QuotaPerLang}
         |ORDER BY lang, rk""".stripMargin,
+
+    "q147_ks_test" ->
+      """WITH cents AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |hist AS (
+        |  SELECT cents, CAST(sum(r) AS BIGINT) AS c1, CAST(sum(a) AS BIGINT) AS c2
+        |  FROM cents GROUP BY cents),
+        |cum AS (
+        |  SELECT
+        |    sum(c1) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+        |  FROM hist)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |    / (CAST(max(n1) AS BIGINT) * max(n2)) AS ks
+        |FROM cum""".stripMargin,
 
     "q146_dim_covariance" ->
       s"""WITH pe AS (
