@@ -50,7 +50,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli fanout <nTables> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -97,6 +97,21 @@ object Cli {
           System.err.println("errors:")
           errs.foreach { case (t, e) => System.err.println(s"  $t: $e") }
         }
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "sql") {
+      // ad-hoc SQL over the corpus: every <name>.parquet becomes a temp
+      // view (events with its canonical ts derivation) and the native
+      // graft functions are registered — the whole engine from one string
+      if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+      val stmt = args.drop(2).mkString(" ")
+      val spark = session()
+      try {
+        val views = graft.sources.SqlEnv.register(spark, root)
+        System.err.println(s"views: ${views.mkString(", ")}")
+        spark.sql(stmt).show(50, truncate = false)
       } finally spark.stop()
       return
     }
