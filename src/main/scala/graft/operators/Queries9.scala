@@ -94,6 +94,37 @@ object Queries9 {
         .orderBy(col("di"), col("dj"))
     },
 
+    // ---- merge-on-read snapshot read, oracle-gated: [[graft.sources
+    // .MorRead]]'s Iceberg v2 visibility rules (position deletes at
+    // data_seq <= delete_seq, equality deletes strictly below) applied to
+    // tombstones synthesized deterministically from lineitem — every row
+    // a (file=orderkey, pos=linenumber) cell with data_seq cycling 1..3,
+    // position tombstones on partkey%97 rows with a DIFFERENT seq cycle
+    // (so both sides of the <= boundary occur), equality tombstones at
+    // seq 2 on partkey%131 keys (killing only seq-1 rows). The oracle
+    // mirrors both anti joins as NOT EXISTS with the same seq predicates
+    // — the read-path semantics themselves are what the hash gates.
+    "q148_mor_snapshot_read" -> { (s, dir) => implicit val sp = s
+      val li = t(dir, "lineitem")
+      val data = li.select(
+        col("l_orderkey").cast("string").as("file_path"),
+        col("l_linenumber").cast("long").as("pos"),
+        (lit(1L) + col("l_orderkey") % 3).as("data_seq"),
+        col("l_partkey"), col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val posDel = li.filter(col("l_partkey") % 97 === 0)
+        .select(col("l_orderkey").cast("string").as("file_path"),
+          col("l_linenumber").cast("long").as("pos"),
+          (lit(1L) + (col("l_orderkey") + 1) % 3).as("seq"))
+      val eqDel = li.filter(col("l_partkey") % 131 === 0)
+        .select(col("l_partkey")).distinct()
+        .withColumn("seq", lit(2L))
+      graft.sources.MorRead.applyDeletes(data, posDel, eqDel, Seq("l_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- two-sample Kolmogorov–Smirnov test: the exact distribution-
     // distance between the returned ('R') and accepted ('A') price
     // populations — the drift gate between cohorts (q133's chi² compares
@@ -213,6 +244,33 @@ object Queries9 {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
         |FROM r WHERE rk <= ${QuotaPerLang}
         |ORDER BY lang, rk""".stripMargin,
+
+    "q148_mor_snapshot_read" ->
+      """WITH data AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS file_path,
+        |    CAST(l_linenumber AS BIGINT) AS pos,
+        |    1 + l_orderkey % 3 AS data_seq,
+        |    l_partkey, l_returnflag,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |pd AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS file_path,
+        |    CAST(l_linenumber AS BIGINT) AS pos,
+        |    1 + (l_orderkey + 1) % 3 AS seq
+        |  FROM lineitem WHERE l_partkey % 97 = 0),
+        |ed AS (
+        |  SELECT DISTINCT l_partkey AS id, 2 AS seq
+        |  FROM lineitem WHERE l_partkey % 131 = 0),
+        |surv AS (
+        |  SELECT * FROM data d
+        |  WHERE NOT EXISTS (SELECT 1 FROM pd
+        |          WHERE pd.file_path = d.file_path AND pd.pos = d.pos
+        |            AND d.data_seq <= pd.seq)
+        |    AND NOT EXISTS (SELECT 1 FROM ed
+        |          WHERE ed.id = d.l_partkey AND d.data_seq < ed.seq))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM surv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q147_ks_test" ->
       """WITH cents AS (
