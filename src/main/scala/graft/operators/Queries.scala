@@ -293,16 +293,9 @@ object Queries {
           (col("s_present") + (lit(64L) - col("n_regs")) * 8388608L).as("s_int"))
       val exact = t(dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      val wf = Window.partitionBy(col("flag"))
-      val pq = t(dir, "lineitem")
+      val pq = StatOps.rankQuantiles(t(dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(wf.orderBy(col("cents"))))
-        .withColumn("n", sum(col("c")).over(wf))
-        .groupBy(col("flag"))
-        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
-          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+          floor(col("l_extendedprice") * 100).cast("long").as("cents")))
       // rel error in FLOOR basis points — a pure integer quotient; the
       // round(x, 4) form can land on a half-way 5th decimal where Spark's
       // HALF_UP and DuckDB disagree (the q144 lesson)

@@ -65,6 +65,10 @@ object Queries9 {
     // pre-scale qv to 2^7 or lift to DECIMAL).
     "q146_dim_covariance" -> { (s, dir) => implicit val sp = s
       val qd = t(dir, "embeddings")
+        // explicit density predicate BOTH sides: explode drops null/short
+        // arrays silently while the oracle's range-unnest would keep the
+        // positions — align the population before any expansion
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= CovDims)
         .select(col("vec_id"), expr(
           s"transform(slice(embedding, 1, $CovDims), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 512) AS BIGINT))")
           .as("q"))
@@ -98,9 +102,12 @@ object Queries9 {
     // .MorRead]]'s Iceberg v2 visibility rules (position deletes at
     // data_seq <= delete_seq, equality deletes strictly below) applied to
     // tombstones synthesized deterministically from lineitem — every row
-    // a (file=orderkey, pos=linenumber) cell with data_seq cycling 1..3,
-    // position tombstones on partkey%97 rows with a DIFFERENT seq cycle
-    // (so both sides of the <= boundary occur), equality tombstones at
+    // a (file=orderkey, pos=linenumber) cell with data_seq = 1 + ok%3,
+    // position tombstones on partkey%97 rows with seq = 1 + (ok div 3)%3
+    // — the two cycles are independent, so all nine (data_seq, pd_seq)
+    // combinations INCLUDING EQUALITY occur and the <= boundary is
+    // hash-gated (an == cycle offset would make <= and < agree
+    // everywhere and gate nothing), equality tombstones at
     // seq 2 on partkey%131 keys (killing only seq-1 rows). The oracle
     // mirrors both anti joins as NOT EXISTS with the same seq predicates
     // — the read-path semantics themselves are what the hash gates.
@@ -115,7 +122,7 @@ object Queries9 {
       val posDel = li.filter(col("l_partkey") % 97 === 0)
         .select(col("l_orderkey").cast("string").as("file_path"),
           col("l_linenumber").cast("long").as("pos"),
-          (lit(1L) + (col("l_orderkey") + 1) % 3).as("seq"))
+          (lit(1L) + expr("(l_orderkey div 3) % 3")).as("seq"))
       val eqDel = li.filter(col("l_partkey") % 131 === 0)
         .select(col("l_partkey")).distinct()
         .withColumn("seq", lit(2L))
@@ -185,19 +192,14 @@ object Queries9 {
         .select(col("flag"),
           expr("shiftleft(1L, b50)").as("approx_p50_cents"),
           expr("shiftleft(1L, b99)").as("approx_p99_cents"))
-      val exact = t(dir, "lineitem")
+      val exact = StatOps.rankQuantiles(t(dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(wf.orderBy(col("cents"))))
-        .withColumn("n", sum(col("c")).over(wf))
-        .groupBy(col("flag"))
-        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
-          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+          floor(col("l_extendedprice") * 100).cast("long").as("cents")))
       approx.join(exact, Seq("flag"))
         .select(col("flag").as("l_returnflag"),
           col("approx_p50_cents"), col("p50_cents"),
-          // octave guarantee, oracle-visible: upper bound within [1x, 2x)
+          // octave guarantee, oracle-visible: ratio in (100, 200] pct —
+          // 200 EXACTLY when the quantile value is a power of two
           expr("(approx_p50_cents * 100) div p50_cents").as("p50_ratio_pct"),
           col("approx_p99_cents"), col("p99_cents"),
           expr("(approx_p99_cents * 100) div p99_cents").as("p99_ratio_pct"))
@@ -256,7 +258,7 @@ object Queries9 {
         |pd AS (
         |  SELECT CAST(l_orderkey AS VARCHAR) AS file_path,
         |    CAST(l_linenumber AS BIGINT) AS pos,
-        |    1 + (l_orderkey + 1) % 3 AS seq
+        |    1 + (l_orderkey // 3) % 3 AS seq
         |  FROM lineitem WHERE l_partkey % 97 = 0),
         |ed AS (
         |  SELECT DISTINCT l_partkey AS id, 2 AS seq
@@ -298,7 +300,8 @@ object Queries9 {
     "q146_dim_covariance" ->
       s"""WITH pe AS (
          |  SELECT vec_id, unnest(range(1, $CovDims + 1)) AS pos, embedding
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) >= $CovDims),
          |qd AS (
          |  SELECT vec_id, pos,
          |    CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 512) AS BIGINT) AS qv

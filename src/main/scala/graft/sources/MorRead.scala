@@ -40,12 +40,17 @@ object MorRead {
       col("file_path") === col("pd_file") && col("pos") === col("pd_pos")
         && col("data_seq") <= col("pd_seq"),
       "left_anti")
-    val ed = eqDeletes.select(
-      (col("seq").as("ed_seq") +: eqKeys.map(k => col(k).as(s"ed_$k"))): _*)
-    afterPos.join(
-      broadcast(ed),
-      eqKeys.map(k => col(k) === col(s"ed_$k"))
-        .reduce(_ && _) && col("data_seq") < col("ed_seq"),
-      "left_anti")
+    if (eqKeys.isEmpty) afterPos // no equality-delete key spec: pos-only read
+    else {
+      val ed = eqDeletes.select(
+        (col("seq").as("ed_seq") +: eqKeys.map(k => col(k).as(s"ed_$k"))): _*)
+      afterPos.join(
+        broadcast(ed),
+        // null-SAFE equality: Iceberg equality-delete matching treats
+        // null as equal to null (a NULL-keyed tombstone deletes NULL rows)
+        eqKeys.map(k => col(k) <=> col(s"ed_$k"))
+          .reduce(_ && _) && col("data_seq") < col("ed_seq"),
+        "left_anti")
+    }
   }
 }

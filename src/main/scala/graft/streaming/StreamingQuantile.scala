@@ -25,7 +25,10 @@ object StreamingQuantile {
     events
       .withColumn("tsx", timestamp_micros(col("tsUs")))
       .withWatermark("tsx", watermark)
-      .withColumn("b", length(bin(col("v"))))
+      // the sketch is defined over POSITIVE magnitudes; non-positive v
+      // clamps to octave 1 (bin() of a negative long is 64 bits of two's
+      // complement and shiftleft(1L, 64) wraps — garbage, not an error)
+      .withColumn("b", length(bin(greatest(col("v"), lit(1L)))))
       .groupBy(col("eventType"), window(col("tsx"), windowLen).as("w"), col("b"))
       .agg(count(lit(1)).as("c"))
       .select(col("eventType"),

@@ -45,6 +45,27 @@ class MorReadSpec extends AnyFunSuite {
     // and the casualties are exactly (f1,0) [pos, seq ==] and (f1,1) [eq 11]
   }
 
+  test("NULL-keyed equality tombstone deletes NULL-keyed rows (null-safe match)") {
+    import spark.implicits._
+    val data = Seq(
+      ("f1", 0L, 1L, Option(7L), "x"),
+      ("f1", 1L, 1L, Option.empty[Long], "nullkey")
+    ).toDF("file_path", "pos", "data_seq", "id", "v")
+    val noPos = Seq.empty[(String, Long, Long)].toDF("file_path", "pos", "seq")
+    val eqDel = Seq((Option.empty[Long], 2L)).toDF("id", "seq")
+    val out = MorRead.applyDeletes(data, noPos, eqDel, Seq("id"))
+      .collect().map(_.getString(4)).toSeq
+    assert(out == Seq("x"), "the NULL-keyed row must be deleted, the 7-keyed kept")
+  }
+
+  test("empty eqKeys -> position-only read, no crash") {
+    import spark.implicits._
+    val (data, posDel, _) = fixture()
+    val emptyEq = Seq.empty[(Long, Long)].toDF("id", "seq")
+    val out = MorRead.applyDeletes(data, posDel, emptyEq, Seq.empty)
+    assert(out.count() == 4L) // only the (f1,0) position casualty
+  }
+
   test("no deletes -> identity (empty tombstones fold to a plain scan)") {
     import spark.implicits._
     val (data, _, _) = fixture()

@@ -66,10 +66,12 @@ class StreamingQuantileSpec extends AnyFunSuite {
           "cast((count(v) + 1) div 2 AS int))").as("med"))
         .as[(String, Long, Long)].collect()
       assert(exact.nonEmpty)
+      // bound is INCLUSIVE above: approx = 2^bitlen(med) equals exactly
+      // 2*med when med itself is a power of two
       exact.foreach { case (t, bkt, med) =>
         val a = est((t, bkt))
-        assert(a >= med && a < 2 * med,
-          s"($t,$bkt): approx $a outside [med, 2*med) of exact lower median $med")
+        assert(a >= med && a <= 2 * med,
+          s"($t,$bkt): approx $a outside [med, 2*med] of exact lower median $med")
       }
     } finally q.stop()
   }
