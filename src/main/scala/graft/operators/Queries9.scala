@@ -98,6 +98,43 @@ object Queries9 {
         .orderBy(col("di"), col("dj"))
     },
 
+    // ---- point-in-time SCD2 dimension join: every order resolves the
+    // dimension version that was VALID AT its order date — the classic
+    // warehouse read over slowly-changing dimensions. Versions are
+    // synthesized deterministically (each customer upgrades tier at
+    // 1998-01-01 + custkey%365 days), and the interval join is executed
+    // as the q31 union+window AS-OF: dimension version-starts and facts
+    // merge into ONE per-customer event stream, last(tier) carries the
+    // active version forward — no range join, no interval explode; the
+    // single shuffle is the per-customer window sort. Same-timestamp ties
+    // are deterministic: a version starting AT the order's date applies
+    // (dim kind 0 sorts before fact kind 1). Revenue in floor-cents.
+    "q149_scd2_dimension_join" -> { (s, dir) => implicit val sp = s
+      val base = lit(883612800000000L) // 1998-01-01 UTC micros
+      val dayUs = 86400000000L
+      val custs = t(dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val dimEvents = custs.select(col("c_custkey").as("custkey"),
+          lit(0L).as("ts"), lit(0).as("kind"), lit("base").as("tier"),
+          lit(null).cast("long").as("orderkey"), lit(null).cast("long").as("cents"))
+        .unionByName(custs.select(col("c_custkey").as("custkey"),
+          (base + (col("c_custkey") % 365) * dayUs).as("ts"), lit(0).as("kind"),
+          lit("upgraded").as("tier"), lit(null).cast("long").as("orderkey"),
+          lit(null).cast("long").as("cents")))
+      val factEvents = t(dir, "orders").select(col("o_custkey").as("custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts"), lit(1).as("kind"),
+        lit(null).cast("string").as("tier"), col("o_orderkey").as("orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dimEvents.unionByName(factEvents)
+        .withColumn("active_tier", last(col("tier"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .groupBy(col("active_tier").as("tier"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .orderBy(col("tier"))
+    },
+
     // ---- merge-on-read snapshot read, oracle-gated: [[graft.sources
     // .MorRead]]'s Iceberg v2 visibility rules (position deletes at
     // data_seq <= delete_seq, equality deletes strictly below) applied to
@@ -246,6 +283,24 @@ object Queries9 {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
         |FROM r WHERE rk <= ${QuotaPerLang}
         |ORDER BY lang, rk""".stripMargin,
+
+    "q149_scd2_dimension_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS custkey, CAST(0 AS BIGINT) AS ts, 'base' AS tier
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 883612800000000 + (c_custkey % 365) * 86400000000,
+        |    'upgraded'
+        |  FROM customer),
+        |f AS (
+        |  SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS ts,
+        |    o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT d.tier, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents
+        |FROM f
+        |ASOF JOIN dim d ON f.custkey = d.custkey AND d.ts <= f.ts
+        |GROUP BY d.tier ORDER BY d.tier""".stripMargin,
 
     "q148_mor_snapshot_read" ->
       """WITH data AS (
