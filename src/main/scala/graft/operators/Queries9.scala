@@ -98,6 +98,49 @@ object Queries9 {
         .orderBy(col("di"), col("dj"))
     },
 
+    // ---- offline recommender evaluation: the ranking-metric battery
+    // (hits@10, micro precision@10, MRR) for a deterministic popularity
+    // recommender, scored against a TEMPORAL holdout — train on pre-1998
+    // purchases, test on 1998+ (the only honest offline protocol; random
+    // splits leak). Per customer: top-10 train parts by (count desc,
+    // partkey) via a window over the PRE-AGGREGATED (cust, part) counts
+    // (never the fact rows); hits = equi-join of the two small per-
+    // customer sets. Exactness: reciprocal ranks sum as 2520/rank —
+    // 2520 = lcm(1..10), so every 1/rank is an exact INTEGER and MRR's
+    // order-dependent float sum never exists; the two final metrics are
+    // one division each over exact sums.
+    "q150_recsys_eval" -> { (s, dir) => implicit val sp = s
+      val split = lit(883612800000000L) // 1998-01-01 UTC micros
+      val fact = t(dir, "lineitem")
+        .join(t(dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"), col("ts"))
+      val train = fact.filter(col("ts") < split)
+        .groupBy(col("custkey"), col("partkey")).agg(count(lit(1)).as("cnt"))
+      val rec = train
+        .withColumn("rk", row_number().over(Window.partitionBy(col("custkey"))
+          .orderBy(col("cnt").desc, col("partkey"))))
+        .filter(col("rk") <= 10)
+        .select(col("custkey"), col("partkey"), col("rk"))
+      val test = fact.filter(col("ts") >= split)
+        .select(col("custkey"), col("partkey")).distinct()
+      val hits = rec.join(test, Seq("custkey", "partkey"))
+        .groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n_hits"),
+          expr("2520 div min(rk)").as("rr2520")) // lcm(1..10)/best rank
+      val scored = rec.select(col("custkey")).distinct()
+        .join(test.select(col("custkey")).distinct(), Seq("custkey")) // has both periods
+        .join(hits, Seq("custkey"), "left")
+        .select(col("custkey"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("rr2520"), lit(0L)).as("rr2520"))
+      scored.agg(count(lit(1)).as("n_customers"),
+          sum(col("n_hits")).as("total_hits"), sum(col("rr2520")).as("sum_rr2520"))
+        .select(col("n_customers"), col("total_hits"), col("sum_rr2520"),
+          (col("total_hits").cast("double") / (col("n_customers") * 10)).as("p_at_10"),
+          (col("sum_rr2520").cast("double") / (col("n_customers") * 2520)).as("mrr"))
+    },
+
     // ---- point-in-time SCD2 dimension join: every order resolves the
     // dimension version that was VALID AT its order date — the classic
     // warehouse read over slowly-changing dimensions. Versions are
@@ -283,6 +326,41 @@ object Queries9 {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
         |FROM r WHERE rk <= ${QuotaPerLang}
         |ORDER BY lang, rk""".stripMargin,
+
+    "q150_recsys_eval" ->
+      """WITH fact AS (
+        |  SELECT o_custkey AS custkey, l_partkey AS partkey,
+        |    epoch_us(o_orderdate) AS ts
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |train AS (
+        |  SELECT custkey, partkey, count(*) AS cnt
+        |  FROM fact WHERE ts < 883612800000000 GROUP BY custkey, partkey),
+        |rec AS (
+        |  SELECT custkey, partkey, rk FROM (
+        |    SELECT custkey, partkey,
+        |      row_number() OVER (PARTITION BY custkey
+        |        ORDER BY cnt DESC, partkey) AS rk
+        |    FROM train) WHERE rk <= 10),
+        |test AS (
+        |  SELECT DISTINCT custkey, partkey
+        |  FROM fact WHERE ts >= 883612800000000),
+        |hits AS (
+        |  SELECT r.custkey, CAST(count(*) AS BIGINT) AS n_hits,
+        |    2520 // min(r.rk) AS rr2520
+        |  FROM rec r JOIN test t ON r.custkey = t.custkey AND r.partkey = t.partkey
+        |  GROUP BY r.custkey),
+        |scored AS (
+        |  SELECT b.custkey, coalesce(h.n_hits, 0) AS n_hits,
+        |    coalesce(h.rr2520, 0) AS rr2520
+        |  FROM (SELECT DISTINCT r.custkey FROM rec r
+        |        JOIN (SELECT DISTINCT custkey FROM test) t ON r.custkey = t.custkey) b
+        |  LEFT JOIN hits h ON b.custkey = h.custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+        |  CAST(sum(rr2520) AS BIGINT) AS sum_rr2520,
+        |  CAST(sum(n_hits) AS DOUBLE) / (count(*) * 10) AS p_at_10,
+        |  CAST(sum(rr2520) AS DOUBLE) / (count(*) * 2520) AS mrr
+        |FROM scored""".stripMargin,
 
     "q149_scd2_dimension_join" ->
       """WITH dim AS (
