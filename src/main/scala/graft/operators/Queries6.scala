@@ -495,15 +495,29 @@ object Queries6 {
     },
 
     // ---- equi-depth histogram (optimizer statistics, pairing q94): 8
-    // equal-count buckets over price via ntile with a full tie-break, then
+    // equal-count buckets over price with a full tie-break, then
     // per-bucket bounds — the histogram shape planners use for selectivity.
-    // One window sort; at 100 TB the exact ntile becomes approxQuantile
-    // boundaries + a bucketing join, same output contract.
+    // NOT an unpartitioned ntile window (Exchange SinglePartition — one
+    // task sorts the corpus): the global rank comes from
+    // [[StatOps.rangeCumsum]] (range exchange → parallel per-partition
+    // scans → broadcast offsets), and the bucket is the SQL-standard ntile
+    // arithmetic over (rank, n) — first n%8 buckets one row larger — so
+    // the output hash is bit-identical to the window formulation while the
+    // plan survives a 100× scale-up.
     "q95_equidepth_histogram" -> { (s, dir) => implicit val sp = s
-      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      t(dir, "lineitem")
-        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(8).over(w).cast("long"))
+      val ranked = StatOps.rangeCumsum(
+        t(dir, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        Nil, Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq("rk" -> lit(1L)))
+      ranked
+        .withColumn("bucket", expr(
+          """CAST(CASE WHEN rk <= (rk_total % 8) * (rk_total DIV 8 + 1)
+            |  THEN (rk - 1) DIV (rk_total DIV 8 + 1) + 1
+            |  ELSE (rk_total % 8)
+            |    + (rk - 1 - (rk_total % 8) * (rk_total DIV 8 + 1))
+            |      DIV greatest(rk_total DIV 8, 1) + 1
+            |END AS BIGINT)""".stripMargin))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))

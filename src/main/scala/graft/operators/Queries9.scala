@@ -219,28 +219,25 @@ object Queries9 {
     // Exactly integer until the last step: collapse to the price
     // histogram with per-cohort conditional counts (one map-side-combined
     // pass; the shuffle is distinct prices, not rows), cumsum both
-    // cohorts in ONE window, and maximize |cum1·n2 − cum2·n1| — the KS
-    // numerator over the common denominator n1·n2, ONE division at the
-    // end. Overflow: cum·n ≤ n1·n2 < 2^63 ⇒ safe to ~3e9 rows per
-    // cohort; DECIMAL(38) past that (audit table).
+    // cohorts in ONE [[StatOps.rangeCumsum]] pass (range-bucketed
+    // partials + broadcast offsets — no single-task global window even
+    // on an unbounded value domain), and maximize |cum1·n2 − cum2·n1| —
+    // the KS numerator over the common denominator n1·n2, ONE division
+    // at the end. Overflow: cum·n ≤ n1·n2 < 2^63 ⇒ safe to ~3e9 rows
+    // per cohort; DECIMAL(38) past that (audit table).
     "q147_ks_test" -> { (s, dir) => implicit val sp = s
-      val wCum = Window.orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      t(dir, "lineitem")
+      val hist = t(dir, "lineitem")
         .filter(col("l_returnflag").isin("R", "A"))
         .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"),
           when(col("l_returnflag") === "A", 1L).otherwise(0L).as("a"))
         .groupBy(col("cents"))
         .agg(sum(col("r")).as("c1"), sum(col("a")).as("c2"))
-        .withColumn("cum1", sum(col("c1")).over(wCum))
-        .withColumn("cum2", sum(col("c2")).over(wCum))
-        .withColumn("n1", sum(col("c1")).over(wAll))
-        .withColumn("n2", sum(col("c2")).over(wAll))
-        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-          max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+      StatOps.rangeCumsum(hist, Nil, Seq("cents"),
+          Seq("cum1" -> col("c1"), "cum2" -> col("c2")))
+        .agg(max(col("cum1_total")).as("n1"), max(col("cum2_total")).as("n2"),
+          max(abs(col("cum1") * col("cum2_total")
+            - col("cum2") * col("cum1_total"))).as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
           (col("d_num").cast("double") / (col("n1") * col("n2"))).as("ks"))
     },

@@ -21,12 +21,24 @@ object PlanScan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var cartesians = List.empty[String]
+    var globalWindows = List.empty[String]
     var errors = List.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val exec = fn(spark, dir).queryExecution.executedPlan
+        val p = exec.toString
         val smj = "SortMergeJoin".r.findAllIn(p).size
+        // empty-partitionSpec window = Exchange SinglePartition + one task
+        // sorting every row — the wrong-shape-at-100× class (see PlanSpec)
+        val gw = exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+        }
+        if (gw.nonEmpty) { globalWindows ::= name; println(s"GLOBALWIN $name") }
         if (p.contains("CartesianProduct")) {
           cartesians ::= name
           println(s"CARTESIAN $name")
@@ -39,11 +51,12 @@ object PlanScan {
       }
     }
     spark.stop()
-    println(if (cartesians.isEmpty && errors.isEmpty)
-      "PLANSCAN: clean (no cartesian products)"
+    println(if (cartesians.isEmpty && errors.isEmpty && globalWindows.isEmpty)
+      "PLANSCAN: clean (no cartesian products, no global windows)"
     else s"PLANSCAN: ${cartesians.size} cartesian products " +
-      s"(${cartesians.mkString(",")}); ${errors.size} uninspectable " +
+      s"(${cartesians.mkString(",")}); ${globalWindows.size} global windows " +
+      s"(${globalWindows.mkString(",")}); ${errors.size} uninspectable " +
       s"(${errors.mkString(",")})")
-    if (cartesians.nonEmpty || errors.nonEmpty) sys.exit(1)
+    if (cartesians.nonEmpty || errors.nonEmpty || globalWindows.nonEmpty) sys.exit(1)
   }
 }

@@ -320,4 +320,25 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(") && p.contains("HashAggregate"))
   }
+
+  test("NO catalog query plans a single-partition row-level global window") {
+    // an empty-partitionSpec Window plans as Exchange SinglePartition + one
+    // task sorting EVERY row — the wrong-shape-at-100× class the q95/q147
+    // rangeCumsum rewrites eliminated; this pins the whole catalog against
+    // regressing into it (tiny per-GROUP windows, e.g. q145's ≤64 octave
+    // rows per flag, are bounded and stay allowed)
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val globals = fn(spark, dir).queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+        }
+        if (globals.nonEmpty) Seq(name) else Nil
+      }
+      assert(offenders.isEmpty, s"global-window scale-killers: $offenders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
