@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+/** Minimal REAL Iceberg v2 table-layout writer: metadata JSON +
+  * version-hint + snapshot manifest list + Avro manifests whose
+  * data_file records carry the spec's statistics fields (record_count,
+  * lower_bounds/upper_bounds as the array<record<key,value>> "logical
+  * map" — Avro maps cannot key on int — with single-value little-endian
+  * binary bounds, Iceberg spec Appendix D).
+  *
+  * This is the fixture-side dual of [[IcebergManifestSource]]: what it
+  * writes, the source must read back bit-exactly — q151 runs the full
+  * loop (stats → layout on disk → manifest scan → decoded bounds →
+  * pruning estimate) against the DuckDB oracle, and the MOR fixture
+  * composes it with real parquet data/delete files. Data entries and
+  * delete entries are written to SEPARATE manifests (data vs delete
+  * manifests, as the spec requires), each listed in the manifest list.
+  */
+object IcebergLayoutWriter {
+
+  /** One manifest entry: `partition` is (name, value) pairs (Int/Long/
+    * String/Boolean scalars), `lower`/`upper` are field-id → serialized
+    * bound (see [[boundInt]]/[[boundLong]]/[[boundDouble]]/[[boundString]]). */
+  case class ManifestEntrySpec(status: Int, content: Int, filePath: String,
+      partition: Seq[(String, Any)] = Nil, recordCount: Long = 0L,
+      sizeBytes: Long = 0L, sequenceNumber: Long = 1L,
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty)
+
+  // ---- Iceberg single-value serialization (spec Appendix D) ----
+  def boundInt(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  def boundLong(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+  def boundDouble(v: Double): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+  def boundString(v: String): Array[Byte] = v.getBytes("UTF-8")
+
+  private def partitionSchema(partition: Seq[(String, Any)]): Schema = {
+    val b = partition.foldLeft(SchemaBuilder.record("r102").fields()) {
+      case (f, (n, _: Int)) => f.requiredInt(n)
+      case (f, (n, _: Long)) => f.requiredLong(n)
+      case (f, (n, _: Boolean)) => f.requiredBoolean(n)
+      case (f, (n, _)) => f.requiredString(n)
+    }
+    b.endRecord()
+  }
+
+  private def kvSchema: Schema = SchemaBuilder.record("k126_v127").fields()
+    .requiredInt("key").requiredBytes("value").endRecord()
+
+  private def dataFileSchema(pSchema: Schema): Schema =
+    SchemaBuilder.record("data_file").fields()
+      .requiredInt("content")
+      .requiredString("file_path").requiredString("file_format")
+      .name("partition").`type`(pSchema).noDefault()
+      .requiredLong("record_count").requiredLong("file_size_in_bytes")
+      .name("lower_bounds").`type`().nullable().array().items(kvSchema).noDefault()
+      .name("upper_bounds").`type`().nullable().array().items(kvSchema).noDefault()
+      .endRecord()
+
+  private def entrySchema(pSchema: Schema): Schema =
+    SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("sequence_number").`type`().nullable().longType().noDefault()
+      .name("data_file").`type`(dataFileSchema(pSchema)).noDefault()
+      .endRecord()
+
+  private val listSchema: Schema = SchemaBuilder.record("manifest_file").fields()
+    .requiredString("manifest_path").requiredLong("manifest_length")
+    .requiredInt("content")
+    .requiredLong("added_snapshot_id").endRecord()
+
+  private def kvList(schema: Schema, m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
+    val out = new java.util.ArrayList[GenericRecord](m.size)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(schema)
+      r.put("key", k); r.put("value", ByteBuffer.wrap(v)); out.add(r)
+    }
+    out
+  }
+
+  private def writeAvro(file: java.io.File, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, file)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def manifestRecords(entries: Seq[ManifestEntrySpec]): (Schema, Seq[GenericRecord]) = {
+    val pSchema = partitionSchema(entries.headOption.map(_.partition).getOrElse(Nil))
+    val eSchema = entrySchema(pSchema)
+    val dfSchema = eSchema.getField("data_file").schema()
+    val kv = kvSchema
+    val recs = entries.map { e =>
+      val p = new GenericData.Record(pSchema)
+      e.partition.foreach { case (n, v) => p.put(n, v) }
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", e.content)
+      df.put("file_path", e.filePath)
+      df.put("file_format", "PARQUET")
+      df.put("partition", p)
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.sizeBytes)
+      df.put("lower_bounds", kvList(kv, e.lower))
+      df.put("upper_bounds", kvList(kv, e.upper))
+      val r = new GenericData.Record(eSchema)
+      r.put("status", e.status)
+      r.put("sequence_number", e.sequenceNumber)
+      r.put("data_file", df)
+      r
+    }
+    (eSchema, recs)
+  }
+
+  /** Write a complete one-snapshot table layout under `tableDir`:
+    * `metadata/v1.metadata.json`, `metadata/version-hint.text`, the
+    * manifest list, and one manifest per (data, deletes) entry group.
+    * Re-runnable: the directory is wiped first. */
+  def writeTable(tableDir: java.io.File, entries: Seq[ManifestEntrySpec],
+      snapshotId: Long = 1L): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(tableDir)
+    val metaDir = new java.io.File(tableDir, "metadata")
+    require(metaDir.mkdirs(), s"cannot create $metaDir")
+    val groups = Seq(
+      0 -> entries.filter(_.content == 0), // data manifest
+      1 -> entries.filter(_.content != 0)) // delete manifest
+      .filter(_._2.nonEmpty)
+    val manifestFiles = groups.map { case (mContent, group) =>
+      val f = new java.io.File(metaDir, s"manifest-$mContent.avro")
+      val (schema, recs) = manifestRecords(group)
+      writeAvro(f, schema, recs)
+      (f, mContent)
+    }
+    val list = new java.io.File(metaDir, s"snap-$snapshotId-manifest-list.avro")
+    writeAvro(list, listSchema, manifestFiles.map { case (f, mContent) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", f.getAbsolutePath)
+      r.put("manifest_length", f.length())
+      r.put("content", mContent)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    })
+    val json =
+      s"""{
+         |  "format-version": 2,
+         |  "current-snapshot-id": $snapshotId,
+         |  "snapshots": [
+         |    {"snapshot-id": $snapshotId, "manifest-list": "${list.getAbsolutePath}"}
+         |  ]
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      json.getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes("UTF-8"))
+  }
+}

@@ -1,12 +1,16 @@
 package graft.sources
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.avro.file.DataFileReader
-import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.model.FileEntry
 
 /** REAL Iceberg manifest (Avro) reading — S5 without an Iceberg runtime.
@@ -23,10 +27,13 @@ import graft.model.FileEntry
   *   - the snapshot's MANIFEST LIST (one small Avro file, driver-side:
   *     it is a list of manifest paths, KBs);
   *   - each MANIFEST file DISTRIBUTED — one task per manifest via an RDD
-  *     of paths. Manifest reading is the one per-partition imperative
-  *     step in this engine (Spark has no built-in reader for the format);
-  *     at 100 TB a table has thousands of manifests and this scan
-  *     parallelizes across executors exactly like Iceberg's own planning.
+  *     of paths, streamed lazily (the Avro reader hands out one entry at
+  *     a time; per-task memory stays O(1) even on a pathological
+  *     multi-GB manifest). Manifest reading is the one per-partition
+  *     imperative step in this engine (Spark has no built-in reader for
+  *     the format); at 100 TB a table has thousands of manifests and
+  *     this scan parallelizes across executors exactly like Iceberg's
+  *     own planning.
   *
   * Schema handling matches the spec duality: v2 manifests carry
   * `data_file.content` (0=data, 1=position deletes, 2=equality deletes);
@@ -35,6 +42,14 @@ import graft.model.FileEntry
   * JSON in partition-spec field order with null fields omitted — the
   * same shape `IcebergFilesSource.fromMetadataTable` gets from
   * `to_json(partition)`.
+  *
+  * Beyond the 9-metric (content, partition, size) projection, the
+  * data_file record carries the column statistics the reference's
+  * `DataFile` exposes untouched (`manager.py:154-186`): `record_count`
+  * and per-field-id `lower_bounds`/`upper_bounds` serialized per the
+  * Iceberg spec's single-value binary form (little-endian for
+  * int/long/float/double, UTF-8 for strings). [[statsFromManifests]]
+  * surfaces those as a typed relation for min/max scan pruning (q151).
   */
 object IcebergManifestSource {
 
@@ -50,28 +65,60 @@ object IcebergManifestSource {
   def fromTableDir(spark: SparkSession, tableDir: String,
       table: String): (Dataset[FileEntry], Long) = {
     import spark.implicits._
+    resolveManifestList(spark, tableDir) match {
+      case Some(p) => fromManifestList(spark, p, table)
+      case None => (spark.emptyDataset[FileEntry], 0L)
+    }
+  }
+
+  /** The stats twin of [[fromTableDir]]: same resolution chain, but the
+    * manifests yield the typed per-file statistics relation. An empty or
+    * snapshot-less table gives an empty relation with the full schema. */
+  def statsFromTableDir(spark: SparkSession, tableDir: String, table: String,
+      fields: Seq[(Int, String, DataType)]): DataFrame =
+    resolveManifestList(spark, tableDir) match {
+      case Some(p) =>
+        val paths = manifestPaths(spark.sparkContext.hadoopConfiguration, p)
+        statsFromManifests(spark, paths, table, fields)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema(fields))
+    }
+
+  /** Current metadata file → current-snapshot-id → manifest-list path.
+    * version-hint.text normally holds a bare version integer; some
+    * writers store the full metadata FILENAME instead — if the hinted
+    * `v<N>.metadata.json` does not exist, the hint content is tried as a
+    * filename, and a dead hint falls back to the listing resolution
+    * rather than failing with a FileNotFoundException. */
+  private def resolveManifestList(spark: SparkSession,
+      tableDir: String): Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = new Path(tableDir, "metadata")
     val fs = meta.getFileSystem(conf)
+    def byListing: Path = {
+      val cands = fs.listStatus(meta).map(_.getPath)
+        .filter(_.getName.endsWith(".metadata.json"))
+      require(cands.nonEmpty, s"no *.metadata.json under $meta")
+      // NUMERIC version order: lexicographic maxBy would rank v9 above
+      // v10; non-vN names (metastore UUID styles) sort by name below any
+      // parsed version
+      def version(p: Path): (Long, String) = {
+        val m = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(p.getName)
+        (m.map(_.group(1).toLong).getOrElse(-1L), p.getName)
+      }
+      cands.maxBy(version)
+    }
     val hint = new Path(meta, "version-hint.text")
     val metadataFile =
       if (fs.exists(hint)) {
         val in = fs.open(hint)
-        val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        new Path(meta, s"v$v.metadata.json")
-      } else {
-        val cands = fs.listStatus(meta).map(_.getPath)
-          .filter(_.getName.endsWith(".metadata.json"))
-        require(cands.nonEmpty, s"no *.metadata.json under $meta")
-        // NUMERIC version order: lexicographic maxBy would rank v9 above
-        // v10; non-vN names (metastore UUID styles) sort by name below any
-        // parsed version
-        def version(p: Path): (Long, String) = {
-          val m = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(p.getName)
-          (m.map(_.group(1).toLong).getOrElse(-1L), p.getName)
-        }
-        cands.maxBy(version)
-      }
+        val h = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        val numeric = if (h.nonEmpty && h.forall(_.isDigit))
+          Some(new Path(meta, s"v$h.metadata.json")) else None
+        numeric.filter(fs.exists)
+          .orElse(Some(new Path(meta, h)).filter(fs.exists)) // hint = filename
+          .getOrElse(byListing)
+      } else byListing
     val md = spark.read.option("multiLine", "true").json(metadataFile.toString)
     // schema-defensive: an empty `snapshots: []` infers as array<string>,
     // and a snapshot-less table may omit current-snapshot-id entirely
@@ -80,10 +127,9 @@ object IcebergManifestSource {
       if (!fields.contains("current-snapshot-id")) None
       else Option(md.select(col("`current-snapshot-id`")).head())
         .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
-    val listPath: Option[String] = curId.flatMap { id =>
+    curId.flatMap { id =>
       md.schema("snapshots").dataType match {
-        case org.apache.spark.sql.types.ArrayType(
-            st: org.apache.spark.sql.types.StructType, _)
+        case ArrayType(st: StructType, _)
             if st.fieldNames.contains("snapshot-id")
               && st.fieldNames.contains("manifest-list") =>
           md.select(explode(col("snapshots")).as("s"))
@@ -92,10 +138,6 @@ object IcebergManifestSource {
             .collect().headOption.map(_.getString(0))
         case _ => None
       }
-    }
-    listPath match {
-      case Some(p) => fromManifestList(spark, p, table)
-      case None => (spark.emptyDataset[FileEntry], 0L)
     }
   }
 
@@ -109,11 +151,11 @@ object IcebergManifestSource {
   }
 
   /** Manifest paths from a manifest-list Avro file (driver-side — the
-    * list is one row per manifest). */
+    * list is one row per manifest, KBs; an eager Seq is fine here). */
   def manifestPaths(conf: Configuration, manifestListPath: String): Seq[String] =
-    readAvro(conf, manifestListPath) { rec =>
+    readAvroIterator(conf, manifestListPath) { rec =>
       Iterator.single(rec.get("manifest_path").toString)
-    }
+    }.toSeq
 
   /** Distributed manifest scan: one task per manifest file. The SESSION's
     * Hadoop configuration ships to tasks as a SerializableConfiguration
@@ -134,25 +176,134 @@ object IcebergManifestSource {
       .as[FileEntry]
   }
 
+  /** Typed per-file statistics relation from manifests: one row per live
+    * data_file with `record_count` and, for each requested
+    * `(fieldId, name, type)`, the decoded `lo_<name>`/`hi_<name>` bounds
+    * (null when the manifest carries no bound for that field). Decoding
+    * happens inside the manifest tasks — plain little-endian reads, no
+    * UDF in any hot path; the relation is metadata-sized (files, not
+    * rows), so downstream pruning math broadcasts trivially. */
+  def statsFromManifests(spark: SparkSession, manifestPaths: Seq[String],
+      table: String, fields: Seq[(Int, String, DataType)]): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val n = math.max(1, math.min(manifestPaths.size, spark.sparkContext.defaultParallelism))
+    val fieldSpec = fields // stable serializable copy for the closure
+    val rows = spark.sparkContext.parallelize(manifestPaths, n).flatMap { p =>
+      readManifestStats(p, conf.value).map { s =>
+        Row.fromSeq(Seq(table, s.filePath, s.content, s.partitionKey, s.sizeBytes,
+          s.recordCount) ++
+          fieldSpec.flatMap { case (id, _, dt) =>
+            Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
+              s.upper.get(id).map(decodeBound(_, dt)).orNull)
+          })
+      }
+    }
+    spark.createDataFrame(rows, statsSchema(fields))
+  }
+
+  private def statsSchema(fields: Seq[(Int, String, DataType)]): StructType =
+    StructType(
+      Seq(StructField("table", StringType), StructField("file_path", StringType),
+        StructField("content", IntegerType), StructField("partitionKey", StringType),
+        StructField("sizeBytes", LongType), StructField("record_count", LongType)) ++
+        fields.flatMap { case (_, nm, dt) =>
+          Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
+        })
+
+  private[sources] case class ManifestStats(filePath: String, content: Int,
+      partitionKey: String, sizeBytes: Long, recordCount: Long,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
   private[sources] def readManifestEntries(path: String,
       conf: Configuration): Iterator[(Int, String, Long)] =
-    readAvro(conf, path) { entry =>
-      val status = entry.get("status").asInstanceOf[Int]
-      if (status == 2) Iterator.empty // DELETED — discard_deleted=True
-      else {
-        val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        val content =
-          if (df.getSchema.getField("content") == null) 0 // v1: all DataFiles
-          else Option(df.get("content")).fold(0)(_.asInstanceOf[Int])
-        val size = df.get("file_size_in_bytes").asInstanceOf[Long]
-        val pk = Option(df.get("partition"))
-          .map(p => partitionJson(p.asInstanceOf[GenericRecord]))
-          .getOrElse("{}")
-        Iterator.single((content, pk, size))
-      }
-    }.iterator
+    liveDataFiles(path, conf).map { df =>
+      (fileContent(df), partitionKeyOf(df), df.get("file_size_in_bytes").asInstanceOf[Long])
+    }
+
+  /** Stats projection of one manifest's live entries (task-side). */
+  private[sources] def readManifestStats(path: String,
+      conf: Configuration): Iterator[ManifestStats] =
+    liveDataFiles(path, conf).map { df =>
+      ManifestStats(
+        filePath = Option(df.get("file_path")).map(_.toString).getOrElse(""),
+        content = fileContent(df),
+        partitionKey = partitionKeyOf(df),
+        sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+        recordCount =
+          if (df.getSchema.getField("record_count") == null) 0L
+          else Option(df.get("record_count")).fold(0L)(_.asInstanceOf[Long]),
+        lower = boundsMap(df, "lower_bounds"),
+        upper = boundsMap(df, "upper_bounds"))
+    }
+
+  private def fileContent(df: GenericRecord): Int =
+    if (df.getSchema.getField("content") == null) 0 // v1: all DataFiles
+    else Option(df.get("content")).fold(0)(_.asInstanceOf[Int])
+
+  private def partitionKeyOf(df: GenericRecord): String =
+    Option(df.get("partition"))
+      .map(p => partitionJson(p.asInstanceOf[GenericRecord]))
+      .getOrElse("{}")
+
+  /** data_file status filter: status=2 DELETED entries are discarded
+    * (pyiceberg `discard_deleted=True`), everything else streams through. */
+  private def liveDataFiles(path: String,
+      conf: Configuration): Iterator[GenericRecord] =
+    readAvroIterator(conf, path) { entry =>
+      if (entry.get("status").asInstanceOf[Int] == 2) Iterator.empty
+      else Iterator.single(entry.get("data_file").asInstanceOf[GenericRecord])
+    }
+
+  /** Bounds maps in either physical shape the format allows: a native
+    * Avro map (string keys) or the spec's array<record<key,value>>
+    * "logical map" (what Iceberg writers actually emit — Avro maps
+    * cannot have int keys). Values arrive as ByteBuffer/Fixed/byte[]. */
+  private def boundsMap(df: GenericRecord, field: String): Map[Int, Array[Byte]] = {
+    if (df.getSchema.getField(field) == null) return Map.empty
+    df.get(field) match {
+      case null => Map.empty
+      case m: java.util.Map[_, _] =>
+        val b = Map.newBuilder[Int, Array[Byte]]
+        m.forEach((k, v) => b += (k.toString.toInt -> toBytes(v)))
+        b.result()
+      case l: java.util.List[_] =>
+        val b = Map.newBuilder[Int, Array[Byte]]
+        l.forEach {
+          case r: GenericRecord =>
+            b += (r.get("key").asInstanceOf[Int] -> toBytes(r.get("value")))
+          case _ => ()
+        }
+        b.result()
+      case _ => Map.empty
+    }
+  }
+
+  private def toBytes(v: Any): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val d = new Array[Byte](b.remaining()); b.duplicate().get(d); d
+    case f: GenericData.Fixed => f.bytes()
+    case a: Array[Byte] => a
+    case other => String.valueOf(other).getBytes("UTF-8")
+  }
+
+  /** Iceberg single-value serialization (spec Appendix D): little-endian
+    * for fixed-width numerics, UTF-8 for strings. Null on a width
+    * mismatch rather than throwing — a foreign writer's truncated bound
+    * must not kill the scan. */
+  private[sources] def decodeBound(bytes: Array[Byte], dt: DataType): Any = {
+    def buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if bytes.length == 4 => buf.getInt
+      case LongType if bytes.length == 8 => buf.getLong
+      case FloatType if bytes.length == 4 => buf.getFloat
+      case DoubleType if bytes.length == 8 => buf.getDouble
+      case StringType => new String(bytes, "UTF-8")
+      case _ => null
+    }
+  }
 
   /** Canonical partition key: JSON in record-field order, null fields
     * omitted — `to_json(struct)` semantics, so manifest-read entries and
@@ -184,15 +335,25 @@ object IcebergManifestSource {
     sb.append('}').toString
   }
 
-  /** Fold every record of an Avro container file through `f`. */
-  private def readAvro[T](conf: Configuration, path: String)(
-      f: GenericRecord => Iterator[T]): Seq[T] = {
+  /** Stream every record of an Avro container file through `f` lazily —
+    * one record in memory at a time. The reader closes on exhaustion;
+    * inside a task a completion listener also closes it if the iterator
+    * is abandoned early. */
+  private def readAvroIterator[T](conf: Configuration, path: String)(
+      f: GenericRecord => Iterator[T]): Iterator[T] = {
     val in = new FsInput(new Path(path), conf)
     val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
-    try {
-      val out = scala.collection.mutable.ArrayBuffer.empty[T]
-      while (reader.hasNext) out ++= f(reader.next())
-      out.toSeq
-    } finally reader.close()
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    val records = new Iterator[GenericRecord] {
+      def hasNext: Boolean = {
+        val h = !closed && reader.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      def next(): GenericRecord = reader.next()
+    }
+    records.flatMap(f)
   }
 }

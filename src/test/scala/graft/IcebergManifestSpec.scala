@@ -191,6 +191,86 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(wide.head.fileCountBefore == 0L && wide.head.totalPartitions == 0L)
   }
 
+  test("fromTableDir: version-hint holding a full metadata FILENAME still resolves") {
+    // some writers store '00002-<uuid>.metadata.json' in version-hint.text
+    // instead of a bare version integer — the source must not die on a
+    // missing v<hint>.metadata.json
+    val listPath = writeFixture()
+    val tblDir = new java.io.File(dir, "tbl_hintname"); tblDir.mkdirs()
+    val metaDir = new java.io.File(tblDir, "metadata"); metaDir.mkdirs()
+    val name = "00002-deadbeef.metadata.json"
+    java.nio.file.Files.write(new java.io.File(metaDir, name).toPath,
+      s"""{"current-snapshot-id": 5, "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      name.getBytes("UTF-8"))
+    val (files, n) = IcebergManifestSource.fromTableDir(spark, tblDir.getPath, "tbl")
+    assert(n == 2L)
+    assert(files.count() == expected.size.toLong)
+  }
+
+  test("fromTableDir: DEAD numeric version-hint falls back to the listing") {
+    val listPath = writeFixture()
+    val tblDir = new java.io.File(dir, "tbl_deadhint"); tblDir.mkdirs()
+    val metaDir = new java.io.File(tblDir, "metadata"); metaDir.mkdirs()
+    // hint says 99 but only v3.metadata.json exists
+    java.nio.file.Files.write(new java.io.File(metaDir, "v3.metadata.json").toPath,
+      s"""{"current-snapshot-id": 5, "snapshots": [{"snapshot-id": 5, "manifest-list": "$listPath"}]}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "99".getBytes("UTF-8"))
+    val (files, n) = IcebergManifestSource.fromTableDir(spark, tblDir.getPath, "tbl")
+    assert(n == 2L)
+    assert(files.count() == expected.size.toLong)
+  }
+
+  test("layout writer -> stats reader: record_count and bounds round-trip bit-exactly") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_stats")
+    IcebergLayoutWriter.writeTable(tblDir, Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = "a.parquet",
+        recordCount = 42L, sizeBytes = 1000L,
+        lower = Map(1 -> IcebergLayoutWriter.boundDouble(-3.75),
+          2 -> IcebergLayoutWriter.boundLong(Long.MinValue + 1),
+          3 -> IcebergLayoutWriter.boundString("aardvark")),
+        upper = Map(1 -> IcebergLayoutWriter.boundDouble(9.5e12),
+          2 -> IcebergLayoutWriter.boundLong(Long.MaxValue),
+          3 -> IcebergLayoutWriter.boundString("zebra"))),
+      // a file with NO bounds at all — lo/hi must surface as nulls
+      ManifestEntrySpec(status = 0, content = 0, filePath = "b.parquet",
+        recordCount = 7L, sizeBytes = 500L),
+      // a delete file (content 1) — present in the stats relation too
+      ManifestEntrySpec(status = 1, content = 1, filePath = "d.parquet",
+        recordCount = 3L, sizeBytes = 60L)))
+    val got = IcebergManifestSource.statsFromTableDir(spark, tblDir.getPath, "tbl",
+        Seq((1, "x", DoubleType), (2, "y", LongType), (3, "s", StringType)))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(5),
+        Option(r.get(6)), Option(r.get(7)), Option(r.get(8)), Option(r.get(9)),
+        Option(r.get(10)), Option(r.get(11))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a.parquet", 0, 42L, Some(-3.75), Some(9.5e12),
+        Some(Long.MinValue + 1), Some(Long.MaxValue),
+        Some("aardvark"), Some("zebra")),
+      ("b.parquet", 0, 7L, None, None, None, None, None, None),
+      ("d.parquet", 1, 3L, None, None, None, None, None, None)))
+  }
+
+  test("stats reader on the MINIMAL fixture (no stats fields): zeros and nulls") {
+    // the hand-written fixture manifests carry record_count but no bounds
+    val listPath = writeFixture()
+    import org.apache.spark.sql.types.LongType
+    val paths = IcebergManifestSource.manifestPaths(
+      spark.sparkContext.hadoopConfiguration, listPath)
+    val got = IcebergManifestSource.statsFromManifests(spark, paths, "tbl",
+      Seq((1, "k", LongType))).collect()
+    assert(got.length == expected.size)
+    assert(got.forall(_.getLong(5) == 100L)) // record_count from the fixture
+    assert(got.forall(r => r.isNullAt(6) && r.isNullAt(7)))
+  }
+
   test("9-metric output identical to the fromDataFrame path on the same entries") {
     import spark.implicits._
     val listPath = writeFixture()
