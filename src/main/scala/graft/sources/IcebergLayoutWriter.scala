@@ -121,11 +121,13 @@ object IcebergLayoutWriter {
   /** Write a complete one-snapshot table layout under `tableDir`:
     * `metadata/v1.metadata.json`, `metadata/version-hint.text`, the
     * manifest list, and one manifest per (data, deletes) entry group.
-    * Re-runnable: the directory is wiped first. */
+    * Re-runnable: the METADATA directory is wiped first (data files
+    * referenced by the entries may live under the same table dir and
+    * must survive the rewrite). */
   def writeTable(tableDir: java.io.File, entries: Seq[ManifestEntrySpec],
       snapshotId: Long = 1L): Unit = {
-    org.apache.commons.io.FileUtils.deleteQuietly(tableDir)
     val metaDir = new java.io.File(tableDir, "metadata")
+    org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
     require(metaDir.mkdirs(), s"cannot create $metaDir")
     val groups = Seq(
       0 -> entries.filter(_.content == 0), // data manifest

@@ -192,7 +192,7 @@ object IcebergManifestSource {
     val rows = spark.sparkContext.parallelize(manifestPaths, n).flatMap { p =>
       readManifestStats(p, conf.value).map { s =>
         Row.fromSeq(Seq(table, s.filePath, s.content, s.partitionKey, s.sizeBytes,
-          s.recordCount) ++
+          s.recordCount, s.sequenceNumber) ++
           fieldSpec.flatMap { case (id, _, dt) =>
             Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
               s.upper.get(id).map(decodeBound(_, dt)).orNull)
@@ -206,27 +206,32 @@ object IcebergManifestSource {
     StructType(
       Seq(StructField("table", StringType), StructField("file_path", StringType),
         StructField("content", IntegerType), StructField("partitionKey", StringType),
-        StructField("sizeBytes", LongType), StructField("record_count", LongType)) ++
+        StructField("sizeBytes", LongType), StructField("record_count", LongType),
+        StructField("sequence_number", LongType)) ++
         fields.flatMap { case (_, nm, dt) =>
           Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
         })
 
   private[sources] case class ManifestStats(filePath: String, content: Int,
       partitionKey: String, sizeBytes: Long, recordCount: Long,
+      sequenceNumber: Long,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
   private[sources] def readManifestEntries(path: String,
       conf: Configuration): Iterator[(Int, String, Long)] =
-    liveDataFiles(path, conf).map { df =>
+    liveEntries(path, conf).map { case (_, df) =>
       (fileContent(df), partitionKeyOf(df), df.get("file_size_in_bytes").asInstanceOf[Long])
     }
 
-  /** Stats projection of one manifest's live entries (task-side). */
+  /** Stats projection of one manifest's live entries (task-side).
+    * sequence_number sits on the manifest ENTRY; a v1 manifest has none
+    * and an inherited (null) v2 value defaults to 0 — fixture layouts
+    * write it explicitly, which is what the MOR read path consumes. */
   private[sources] def readManifestStats(path: String,
       conf: Configuration): Iterator[ManifestStats] =
-    liveDataFiles(path, conf).map { df =>
+    liveEntries(path, conf).map { case (e, df) =>
       ManifestStats(
         filePath = Option(df.get("file_path")).map(_.toString).getOrElse(""),
         content = fileContent(df),
@@ -235,6 +240,9 @@ object IcebergManifestSource {
         recordCount =
           if (df.getSchema.getField("record_count") == null) 0L
           else Option(df.get("record_count")).fold(0L)(_.asInstanceOf[Long]),
+        sequenceNumber =
+          if (e.getSchema.getField("sequence_number") == null) 0L
+          else Option(e.get("sequence_number")).fold(0L)(_.asInstanceOf[Long]),
         lower = boundsMap(df, "lower_bounds"),
         upper = boundsMap(df, "upper_bounds"))
     }
@@ -249,12 +257,13 @@ object IcebergManifestSource {
       .getOrElse("{}")
 
   /** data_file status filter: status=2 DELETED entries are discarded
-    * (pyiceberg `discard_deleted=True`), everything else streams through. */
-  private def liveDataFiles(path: String,
-      conf: Configuration): Iterator[GenericRecord] =
+    * (pyiceberg `discard_deleted=True`), everything else streams through
+    * as (entry, data_file) — the entry carries sequence_number. */
+  private def liveEntries(path: String,
+      conf: Configuration): Iterator[(GenericRecord, GenericRecord)] =
     readAvroIterator(conf, path) { entry =>
       if (entry.get("status").asInstanceOf[Int] == 2) Iterator.empty
-      else Iterator.single(entry.get("data_file").asInstanceOf[GenericRecord])
+      else Iterator.single((entry, entry.get("data_file").asInstanceOf[GenericRecord]))
     }
 
   /** Bounds maps in either physical shape the format allows: a native

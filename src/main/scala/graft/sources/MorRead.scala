@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Merge-on-read delete application — the Iceberg v2 read-path semantics
@@ -17,12 +17,50 @@ import org.apache.spark.sql.functions._
   *     committed with it — that asymmetry is the spec's, not ours).
   *
   * Both applications are LEFT ANTI joins with the sequence predicate in
-  * the join condition — delete files are tiny relative to data (they are
-  * the tombstones, not the corpus), so both anti joins broadcast; the
-  * data side streams through map-side with no shuffle. MorReadSpec pins
-  * the two boundary asymmetries (seq ==) on a hand-built fixture.
+  * the join condition. Delete relations are USUALLY tiny relative to
+  * data (they are the tombstones, not the corpus), so the hint gates on
+  * the optimizer's size estimate rather than forcing a broadcast: a
+  * delete set that outgrows the broadcast budget would OOM the driver if
+  * hinted unconditionally, and an unhinted join still lets AQE convert
+  * to broadcast at runtime from exact sizes. MorReadSpec pins the two
+  * boundary asymmetries (seq ==) on a hand-built fixture; the same spec
+  * drives [[readTable]] over a REAL on-disk v2 layout.
   */
 object MorRead {
+
+  /** Broadcast only when the optimizer's size estimate fits the session's
+    * autoBroadcastJoinThreshold (disabled threshold = never hint). */
+  private def maybeBroadcast(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)) broadcast(df)
+    else df
+  }
+
+  /** Position-delete anti join: kills (file_path, pos) rows whose
+    * data_seq <= the tombstone's seq. */
+  def applyPosDeletes(data: DataFrame, posDeletes: DataFrame): DataFrame =
+    data.join(
+      maybeBroadcast(posDeletes.select(col("file_path").as("pd_file"),
+        col("pos").as("pd_pos"), col("seq").as("pd_seq"))),
+      col("file_path") === col("pd_file") && col("pos") === col("pd_pos")
+        && col("data_seq") <= col("pd_seq"),
+      "left_anti")
+
+  /** Equality-delete anti join: kills rows matching the key tuple with
+    * data_seq STRICTLY below the tombstone's seq. Null-SAFE equality:
+    * Iceberg equality-delete matching treats null as equal to null (a
+    * NULL-keyed tombstone deletes NULL rows). */
+  def applyEqDeletes(data: DataFrame, eqDeletes: DataFrame,
+      eqKeys: Seq[String]): DataFrame = {
+    val ed = eqDeletes.select(
+      (col("seq").as("ed_seq") +: eqKeys.map(k => col(k).as(s"ed_$k"))): _*)
+    data.join(
+      maybeBroadcast(ed),
+      eqKeys.map(k => col(k) <=> col(s"ed_$k"))
+        .reduce(_ && _) && col("data_seq") < col("ed_seq"),
+      "left_anti")
+  }
 
   /** @param data      data rows carrying `file_path`, `pos`, `data_seq`,
     *                   plus payload columns
@@ -34,23 +72,60 @@ object MorRead {
       posDeletes: DataFrame,
       eqDeletes: DataFrame,
       eqKeys: Seq[String]): DataFrame = {
-    val afterPos = data.join(
-      broadcast(posDeletes.select(col("file_path").as("pd_file"),
-        col("pos").as("pd_pos"), col("seq").as("pd_seq"))),
-      col("file_path") === col("pd_file") && col("pos") === col("pd_pos")
-        && col("data_seq") <= col("pd_seq"),
-      "left_anti")
+    val afterPos = applyPosDeletes(data, posDeletes)
     if (eqKeys.isEmpty) afterPos // no equality-delete key spec: pos-only read
-    else {
-      val ed = eqDeletes.select(
-        (col("seq").as("ed_seq") +: eqKeys.map(k => col(k).as(s"ed_$k"))): _*)
-      afterPos.join(
-        broadcast(ed),
-        // null-SAFE equality: Iceberg equality-delete matching treats
-        // null as equal to null (a NULL-keyed tombstone deletes NULL rows)
-        eqKeys.map(k => col(k) <=> col(s"ed_$k"))
-          .reduce(_ && _) && col("data_seq") < col("ed_seq"),
-        "left_anti")
+    else applyEqDeletes(afterPos, eqDeletes, eqKeys)
+  }
+
+  /** END-TO-END merge-on-read over a real v2 table directory: resolve
+    * the current snapshot through [[IcebergManifestSource]], split the
+    * manifest entries by content (0=data, 1=position deletes, 2=equality
+    * deletes) with their sequence numbers, read the parquet data AND
+    * delete files themselves, and apply both delete kinds. One call:
+    * `readTable(spark, dir, eqKeys)` → surviving payload rows.
+    *
+    * Positions come from the parquet reader's own `_metadata.row_index`
+    * (the row's ordinal within its file — exactly the spec's `pos`) and
+    * file identity from `_metadata.file_path`, normalized against the
+    * manifest/tombstone paths (`file:` scheme variants collapse to a
+    * bare absolute path). Per-file sequence numbers attach via a
+    * broadcast join against the metadata-sized (path, seq) relation —
+    * the fact scan itself never shuffles.
+    */
+  def readTable(spark: SparkSession, tableDir: String,
+      eqKeys: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val normCol = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^file:/+", "/")
+    val entries = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil)
+      .select(col("file_path"), col("content"), col("sequence_number"))
+      .collect() // metadata-sized: one row per FILE
+      .map(r => (norm(r.getString(0)), r.getInt(1), r.getLong(2)))
+    val dataFiles = entries.filter(_._2 == 0)
+    if (dataFiles.isEmpty) return spark.emptyDataFrame
+    val posFiles = entries.filter(_._2 == 1)
+    val eqFiles = entries.filter(_._2 == 2)
+
+    def withSeq(paths: Array[(String, Int, Long)], seqName: String): DataFrame = {
+      val seqDf = paths.map { case (p, _, s) => (p, s) }.toSeq.toDF("__fp", seqName)
+      spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
+        .withColumn("__own", normCol(col("_metadata.file_path")))
+        .join(broadcast(seqDf), col("__own") === col("__fp"))
+        .drop("__own", "__fp")
     }
+
+    val data = withSeq(dataFiles, "data_seq")
+      .withColumn("file_path", normCol(col("_metadata.file_path")))
+      .withColumn("pos", col("_metadata.row_index"))
+    val afterPos =
+      if (posFiles.isEmpty) data
+      else applyPosDeletes(data, withSeq(posFiles, "seq")
+        .select(normCol(col("file_path")).as("file_path"), col("pos"), col("seq")))
+    val afterEq =
+      if (eqFiles.isEmpty || eqKeys.isEmpty) afterPos
+      else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), eqKeys)
+    afterEq.drop("file_path", "pos", "data_seq")
   }
 }

@@ -247,8 +247,8 @@ class IcebergManifestSpec extends AnyFunSuite {
     val got = IcebergManifestSource.statsFromTableDir(spark, tblDir.getPath, "tbl",
         Seq((1, "x", DoubleType), (2, "y", LongType), (3, "s", StringType)))
       .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(5),
-        Option(r.get(6)), Option(r.get(7)), Option(r.get(8)), Option(r.get(9)),
-        Option(r.get(10)), Option(r.get(11))))
+        Option(r.get(7)), Option(r.get(8)), Option(r.get(9)), Option(r.get(10)),
+        Option(r.get(11)), Option(r.get(12))))
       .sortBy(_._1).toSeq
     assert(got == Seq(
       ("a.parquet", 0, 42L, Some(-3.75), Some(9.5e12),
@@ -268,7 +268,8 @@ class IcebergManifestSpec extends AnyFunSuite {
       Seq((1, "k", LongType))).collect()
     assert(got.length == expected.size)
     assert(got.forall(_.getLong(5) == 100L)) // record_count from the fixture
-    assert(got.forall(r => r.isNullAt(6) && r.isNullAt(7)))
+    assert(got.forall(_.getLong(6) == 0L)) // no sequence_number field -> 0
+    assert(got.forall(r => r.isNullAt(7) && r.isNullAt(8)))
   }
 
   test("9-metric output identical to the fromDataFrame path on the same entries") {
