@@ -82,13 +82,21 @@ object Cli {
     }
 
     if (cmd == "remote") {
+      // a file path renders a saved response document; an http(s) URL
+      // drives the full transport loop (tables listed after the URL)
+      val isUrl = root.startsWith("http://") || root.startsWith("https://")
       val f = new java.io.File(root)
-      if (!f.isFile) { System.err.println(s"error: no such response file: $root"); sys.exit(1) }
+      if (!isUrl && !f.isFile) { System.err.println(s"error: no such response file: $root"); sys.exit(1) }
       val spark = session()
       import spark.implicits._
       try {
-        val doc = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        val (rows, errors) = graft.sources.RemoteMetrics.parse(spark.createDataset(Seq(doc)))
+        val (rows, errors) =
+          if (isUrl)
+            graft.sources.RemoteRequester.requestMetrics(spark, root, args.drop(2).toSeq)
+          else {
+            val doc = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            graft.sources.RemoteMetrics.parse(spark.createDataset(Seq(doc)))
+          }
         rows.collect().groupBy(_.table).toSeq.sortBy(_._1).foreach { case (tbl, rs) =>
           println(Renderer.renderTable(tbl, rs.toSeq, Renderer.RemoteMode)); println()
         }

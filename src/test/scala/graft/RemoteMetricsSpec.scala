@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.RemoteMetrics
+import graft.sources.{RemoteMetrics, RemoteRequester}
 
 /** Remote-response parsing: synthesized document following the response
   * schema (FIXTURES.md §2); expected values re-derived from the mapping
@@ -81,5 +81,69 @@ class RemoteMetricsSpec extends AnyFunSuite {
     val (rows, _) = RemoteMetrics.parse(spark.createDataset(Seq(zeroDoc)))
     val m = rows.collect().map(r => r.metric -> r).toMap
     assert(m("AVG_FILE_SIZE").before == 0.0)
+  }
+
+  // ---- S7 transport: the POST/response loop against a LOOPBACK fixture
+  // server (requester.py:29-36) — no external endpoint, no credentials
+
+  private def withServer(status: Int, body: String)(
+      run: (String, () => (String, String, String)) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seen = ("", "", "") // (method, content-type, body)
+    server.createContext("/analyze", { exchange =>
+      seen = (exchange.getRequestMethod,
+        exchange.getRequestHeaders.getFirst("Content-Type"),
+        new String(exchange.getRequestBody.readAllBytes(), "UTF-8"))
+      val resp = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(status, resp.length)
+      exchange.getResponseBody.write(resp)
+      exchange.close()
+    })
+    server.start()
+    try run(s"http://127.0.0.1:${server.getAddress.getPort}/analyze", () => seen)
+    finally server.stop(0)
+  }
+
+  test("loopback transport: POST carries ONLY the table list, parse round-trips") {
+    withServer(200, doc) { (url, seen) =>
+      val (rows, errors) = RemoteRequester.requestMetrics(
+        spark, url, Seq("db1.tbl1", "db1.gone"))
+      // full 9-metric extraction arrived through the real HTTP loop
+      val m = rows.collect().map(r => r.metric -> r).toMap
+      assert(m.size == 9 && m("FILE_COUNT").before == 40.0)
+      // failed-table extension (response.py:43-48): named error kept,
+      // empty-table error dropped
+      assert(errors.collect().toSeq == Seq(("db1.gone", "table not found")))
+      val (method, ct, body) = seen()
+      assert(method == "POST" && ct == "application/json")
+      assert(body == """{"tables":["db1.tbl1","db1.gone"]}""")
+      // the reference posts accessKey/secretKey/tokenSession/region
+      // (manager.py:127-138); our payload must never contain them
+      for (k <- Seq("accessKey", "secretKey", "tokenSession", "region"))
+        assert(!body.contains(k), s"credential field $k leaked into the payload")
+    }
+  }
+
+  test("non-2xx response: every requested table lands on the error channel") {
+    withServer(500, """{"oops": true}""") { (url, _) =>
+      val (rows, errors) = RemoteRequester.requestMetrics(
+        spark, url, Seq("db1.a", "db1.b"))
+      assert(rows.count() == 0)
+      assert(errors.collect().toSeq.sorted == Seq(
+        ("db1.a", "request failed: HTTP 500"),
+        ("db1.b", "request failed: HTTP 500")))
+    }
+  }
+
+  test("dead endpoint: connect failure reports instead of raising") {
+    // port 1 on loopback: nothing listens there
+    val (rows, errors) = RemoteRequester.requestMetrics(
+      spark, "http://127.0.0.1:1/analyze", Seq("db1.x"), timeoutMs = 2000L)
+    assert(rows.count() == 0)
+    val errs = errors.collect()
+    assert(errs.length == 1 && errs.head._1 == "db1.x"
+      && errs.head._2.startsWith("request failed:"))
   }
 }
