@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode/feature-extraction runs partition-wise
   * in bounded batches (the Scala analogue of `mapInPandas` batch processing).
   *
-  * The actual media codecs are STUBBED ([[FakeCodec]]) — decode libraries are
-  * not available in this environment — but everything Spark-side is real and
-  * tested: the schema, the binary column plumbing, the partition-wise batch
-  * shape, and the feature vector output contract. Swapping [[FakeCodec]] for
-  * a JNI/javacv decoder changes no plan shape.
+  * Decode is content-sniffed per payload: the zero-dependency formats are
+  * decoded FOR REAL ([[RealCodec]] — P6 PPM images byte-exactly, 16-bit PCM
+  * WAV audio chunk-by-chunk); containers needing native libraries absent
+  * from this environment (JPEG, MP4, ...) fall back to the deterministic
+  * [[FakeCodec]] stub at the same signature. Either way the Spark side is
+  * identical and tested: the schema, the binary column plumbing, the
+  * partition-wise batch shape, and the feature vector output contract.
   *
   * Scale: decode is the hot loop — it runs inside `mapPartitions` with NO
   * shuffle (narrow dependency on the scan); batches bound peak memory to
@@ -54,6 +56,22 @@ object Multimodal {
     }
   }
 
+  /** Content-sniffed single-payload decode: real codec when the bytes
+    * are a format we can decode with the JDK alone, stub otherwise. */
+  private[multimodal] def decodeOne(m: MediaFile): MediaFeatures =
+    if (RealCodec.isPpm(m.content)) {
+      val img = RealCodec.decodePpm(m.content)
+      MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
+        RealCodec.imageFeatures(img))
+    } else if (RealCodec.isWav(m.content)) {
+      val w = RealCodec.decodeWav(m.content)
+      MediaFeatures(m.media_id, m.kind, w.channels, 0,
+        w.samples.length / math.max(w.channels, 1), RealCodec.audioFeatures(w))
+    } else {
+      val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
+      MediaFeatures(m.media_id, m.kind, w, h, frames, FakeCodec.features(m.content))
+    }
+
   /** Partition-wise batched decode: groups each partition's rows into
     * `batchSize` batches (modeling a vectorized decoder call), maps each
     * batch through the codec, and emits typed features. */
@@ -63,10 +81,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one "vectorized" codec invocation per batch
-        batch.map { m =>
-          val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
-          MediaFeatures(m.media_id, m.kind, w, h, frames, FakeCodec.features(m.content))
-        }
+        batch.map(decodeOne)
       }
     }
   }
@@ -93,25 +108,31 @@ object Multimodal {
 
   /** Resize image-kind media to fit inside `maxDim` x `maxDim`, preserving
     * aspect ratio (no-op for media already within bounds, and for non-image
-    * kinds). Same partition-wise no-shuffle shape as [[extractFeatures]];
-    * the payload transform is stubbed (content passes through — a real
-    * resizer swaps in at the same signature), the DIMENSION arithmetic and
-    * plumbing are real and tested. */
+    * kinds). Same partition-wise no-shuffle shape as [[extractFeatures]].
+    * A PPM payload is ACTUALLY resampled ([[RealCodec.resizeNearest]],
+    * pure integer nearest-neighbor) and its features come from the resized
+    * pixels; other payloads keep the stubbed dimension arithmetic. */
   def resize(media: Dataset[MediaFile], maxDim: Int, batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
-          val (rw, rh) =
-            if (m.kind != "image" || math.max(w, h) <= maxDim) (w, h)
-            else {
-              val scale = maxDim.toDouble / math.max(w, h)
-              (math.max(1, math.round(w * scale).toInt),
-                math.max(1, math.round(h * scale).toInt))
-            }
-          MediaFeatures(m.media_id, m.kind, rw, rh, frames, FakeCodec.features(m.content))
+          if (RealCodec.isPpm(m.content)) {
+            val img = RealCodec.resizeNearest(RealCodec.decodePpm(m.content), maxDim)
+            MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
+              RealCodec.imageFeatures(img))
+          } else {
+            val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
+            val (rw, rh) =
+              if (m.kind != "image" || math.max(w, h) <= maxDim) (w, h)
+              else {
+                val scale = maxDim.toDouble / math.max(w, h)
+                (math.max(1, math.round(w * scale).toInt),
+                  math.max(1, math.round(h * scale).toInt))
+              }
+            MediaFeatures(m.media_id, m.kind, rw, rh, frames, FakeCodec.features(m.content))
+          }
         }
       }
     }
