@@ -49,41 +49,50 @@ object Bench {
       val times = if (two.forall(_ >= 0) && two.max > two.min * 1.3) two :+ rep() else two
       val good = times.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0)
-    } :+ {
-      // catalog-width fan-out: 1,000 synthesized tables diagnosed in ONE
-      // job (SURVEY §3.2's flagship multi-table claim, timed per round) —
-      // min-of-2 like every other entry
+    } ++ Seq(1000, 10000).map { n =>
+      // catalog-width fan-out: 1,000 AND 10,000 synthesized tables each
+      // diagnosed in ONE job (SURVEY §3.2's flagship multi-table claim,
+      // timed per round; FanoutSpec proves the shuffle count is the same
+      // at both widths) — min-of-2 like every other entry
       spark.catalog.clearCache(); System.gc()
       def fanoutRep(): Double = {
         val t0 = System.nanoTime()
-        val n = try graft.metrics.Fanout.run(spark, 1000).count() catch {
+        val got = try graft.metrics.Fanout.run(spark, n).count() catch {
           case e: Throwable =>
-            System.err.println(s"[bench] fanout1000 FAILED: ${e.getMessage}"); -1L
+            System.err.println(s"[bench] fanout$n FAILED: ${e.getMessage}"); -1L
         }
-        if (n == 1000L) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (got == n.toLong) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val reps = Seq(fanoutRep(), fanoutRep()).filter(_ >= 0)
-      "fanout1000" -> (if (reps.nonEmpty) reps.min else -1.0)
+      s"fanout$n" -> (if (reps.nonEmpty) reps.min else -1.0)
     }
-    // The driver captures only the LAST ~2000 chars of stdout and parses the
-    // JSON line out of that tail: round 3's 67-query full-name full-precision
-    // line overflowed the buffer, the line start was cut off, and the bench
-    // went ungraded ("parsed": null). Keep the stdout line compact — short
-    // query keys (the unique qNN prefix) and 3-decimal times (~12 chars per
-    // query leaves headroom past 100 queries) — and send the full-name
-    // full-precision detail to stderr for humans.
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the JSON line out of that tail; sbt's own "[success]" epilogue eats
+    // ~100 of those chars too. Round 6's 151-entry 3-decimal line outgrew
+    // the window and went ungraded ("parsed": null). Two-pronged fix:
+    // (a) the stdout line stays SMALL — qNN keys + integer MILLISECONDS
+    // ("qunit":"ms" marks the unit; ~10 chars/query keeps 200+ queries
+    // inside the window); (b) the full-name full-precision detail is
+    // WRITTEN TO BENCH_DETAIL.json in the repo root, immune to any tail
+    // buffer, plus echoed to stderr for humans.
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     results.foreach { case (k, v) => System.err.println(s"[bench] $k ${d3(v)} s") }
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + d3(v)
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // stop BEFORE printing: the driver merges stderr into the same ~2000-char
-    // tail it parses, so any shutdown logging after the JSON line could push
-    // it out of the buffer. The JSON line is the process's last output — and
-    // a shutdown failure must not lose the already-computed results.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (s"""{"sf":"$sfDir","cpus":"$cpus","total_sec":${d3(total)},""" +
+        s""""queries_sec":$detail}""" + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
+    // stop BEFORE printing: any shutdown logging after the JSON line could
+    // push it out of the tail buffer — the JSON line must be the process's
+    // last output, and a shutdown failure must not lose computed results.
     try spark.stop() catch { case e: Throwable => System.err.println(s"[bench] stop failed: $e") }
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -509,7 +509,10 @@ object Queries6 {
         t(dir, "lineitem")
           .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
         Nil, Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
-        Seq("rk" -> lit(1L)))
+        Seq("rk" -> lit(1L)),
+        // floor-cents is monotone in price, so octave buckets respect the
+        // (price, ...) order; ties spread by the tie-break INSIDE a bucket
+        StatOps.octaveBucket16(floor(col("l_extendedprice") * 100)))
       ranked
         .withColumn("bucket", expr(
           """CAST(CASE WHEN rk <= (rk_total % 8) * (rk_total DIV 8 + 1)

@@ -60,9 +60,9 @@ object Queries9 {
     // n·Σxy − Σx·Σy and the correlation denominator assemble from exact
     // longs through a fixed IEEE tree (the q118/q134 discipline), so the
     // APPROXIMATE-looking statistic is bit-reproducible. Overflow: |qv| ≤
-    // 512 ⇒ Σxy ≤ 2.6e5·n — safe to ~3.5e13 vectors; n·Σxy needs n² ≤
-    // 2^63/2.6e5 ⇒ ~1.9e6 vectors, THE binding bound (documented; past it
-    // pre-scale qv to 2^7 or lift to DECIMAL).
+    // 512 ⇒ Σxy ≤ 2.62e5·n — safe to ~3.5e13 vectors; n·Σxy needs n² ≤
+    // 2^63/2.62e5 ⇒ n ≤ sqrt(3.52e13) ≈ 5.9e6 vectors, THE binding bound
+    // (documented; past it pre-scale qv to 2^7 or lift to DECIMAL).
     "q146_dim_covariance" -> { (s, dir) => implicit val sp = s
       val qd = t(dir, "embeddings")
         // explicit density predicate BOTH sides: explode drops null/short
@@ -234,7 +234,8 @@ object Queries9 {
         .groupBy(col("cents"))
         .agg(sum(col("r")).as("c1"), sum(col("a")).as("c2"))
       StatOps.rangeCumsum(hist, Nil, Seq("cents"),
-          Seq("cum1" -> col("c1"), "cum2" -> col("c2")))
+          Seq("cum1" -> col("c1"), "cum2" -> col("c2")),
+          StatOps.octaveBucket16(col("cents")))
         .agg(max(col("cum1_total")).as("n1"), max(col("cum2_total")).as("n2"),
           max(abs(col("cum1") * col("cum2_total")
             - col("cum2") * col("cum1_total"))).as("d_num"))
@@ -356,9 +357,89 @@ object Queries9 {
           when(col("hi_price") < 30000.0 || col("lo_price") > 60000.0, 1L)
             .otherwise(0L).as("skip"))
         .orderBy(col("file_path"))
+    },
+
+    // ---- merge-on-read ROUND TRIP through a real on-disk v2 table:
+    // where q148 synthesizes the (data, tombstone) RELATIONS, this writes
+    // the actual FILES — two data parquet files as commits seq 1/2 (rows
+    // sorted (orderkey, linenumber), so each row's position is its rank),
+    // a position-delete file killing every 7th row of the seq-1 file, an
+    // equality-delete file on partkey%131 keys — plus the manifests/
+    // metadata via IcebergLayoutWriter, then reads the table back with
+    // MorRead.readTable: manifest scan → _metadata.row_index positions →
+    // sequence attachment → both visibility-gated anti joins. The DuckDB
+    // oracle reconstructs the same table arithmetically (row_number-1 per
+    // file = position) and applies the NOT-EXISTS duals: pos deletes hit
+    // BOTH sequence 1 (2>1) — only file A is referenced — and eq deletes
+    // hit ONLY sequence 1 (strict <). The whole loop is hash-gated.
+    "q152_mor_table_roundtrip" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, MorRead}
+      // (orderkey, linenumber) is NOT unique in this corpus — the strict
+      // total order that makes row POSITIONS well-defined on both engines
+      // needs the full (orderkey, linenumber, partkey, suppkey) key
+      val base = t(dir, "lineitem").filter(col("l_orderkey") % 100 < 4)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty"),
+          (col("l_orderkey") % 2).as("fid"))
+      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-q152-${Integer.toHexString(dir.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val fa = new java.io.File(dataDir, "seq1.parquet")
+      val fb = new java.io.File(dataDir, "seq2.parquet")
+      val pd = new java.io.File(dataDir, "posdel.parquet")
+      val ed = new java.io.File(dataDir, "eqdel.parquet")
+      def commit(fid: Int, dest: java.io.File): Long =
+        IcebergLayoutWriter.writeSingleParquet(
+          base.filter(col("fid") === fid).drop("fid")
+            .sort(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")), dest)
+      val nA = commit(0, fa); val nB = commit(1, fb)
+      import s.implicits._
+      IcebergLayoutWriter.writeSingleParquet(
+        (0L until nA by 7).map(p => (fa.getAbsolutePath, p)).toDF("file_path", "pos"), pd)
+      IcebergLayoutWriter.writeSingleParquet(
+        base.filter(col("l_partkey") % 131 === 0).select(col("l_partkey"))
+          .distinct().sort(col("l_partkey")), ed)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = fa.getAbsolutePath, recordCount = nA, sizeBytes = fa.length(),
+          sequenceNumber = 1L),
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = fb.getAbsolutePath, recordCount = nB, sizeBytes = fb.length(),
+          sequenceNumber = 2L),
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 1,
+          filePath = pd.getAbsolutePath, sizeBytes = pd.length(), sequenceNumber = 2L),
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
+          filePath = ed.getAbsolutePath, sizeBytes = ed.length(), sequenceNumber = 2L)))
+      MorRead.readTable(s, tbl.getPath, Seq("l_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
 
   def oracles: Map[String, String] = Map(
+    "q152_mor_table_roundtrip" ->
+      """WITH sub AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+        |    l_orderkey % 2 AS fid
+        |  FROM lineitem WHERE l_orderkey % 100 < 4),
+        |posd AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY fid
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS pos,
+        |    CASE WHEN fid = 0 THEN 1 ELSE 2 END AS seq
+        |  FROM sub),
+        |alive AS (
+        |  SELECT * FROM posd d
+        |  WHERE NOT (d.fid = 0 AND d.pos % 7 = 0)
+        |    AND NOT (d.l_partkey % 131 = 0 AND d.seq < 2))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM alive GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q151_manifest_pruning" ->
       """SELECT 'file-' || CAST(fid AS VARCHAR) || '.parquet' AS file_path,
         |  CAST(count(*) AS BIGINT) AS record_count,

@@ -85,6 +85,24 @@ object IcebergLayoutWriter {
     out
   }
 
+  /** Write `df` as exactly ONE parquet file at `dest` (coalesce + rename
+    * of the part file), preserving the frame's row order — the writer for
+    * fixture DATA and DELETE files whose row positions must be knowable
+    * (`_metadata.row_index` on read == row ordinal here). Returns the row
+    * count (read back from the written footer, one metadata-only job). */
+  def writeSingleParquet(df: org.apache.spark.sql.DataFrame,
+      dest: java.io.File): Long = {
+    val tmp = new java.io.File(dest.getParentFile, dest.getName + ".tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    df.sparkSession.read.parquet(dest.getPath).count()
+  }
+
   private def writeAvro(file: java.io.File, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))

@@ -11,6 +11,31 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.tools.PlanScan /root/testdata/sf0.001"
   */
 object PlanScan {
+
+  /** Empty-partitionSpec (single-task) windows that sort ROW-LEVEL data —
+    * the wrong-shape-at-100× class. One structural exemption: the
+    * rangeCumsum bucket-offsets window, recognizable because its input is
+    * an aggregate grouped SOLELY by the `__bkt` bucket column — that
+    * relation is bounded at ≤ ~1040 rows by octaveBucket16's range (the
+    * q145-octave bounded-state idiom), so its single task holds ~KBs no
+    * matter the corpus. Naming an unbounded grouping column `__bkt` would
+    * fool this lint; the name is reserved for StatOps.rangeCumsum. */
+  def rowLevelGlobalWindows(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty && !isBucketTotalsWindow(w) => w.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => w.nodeName
+    }
+
+  private def isBucketTotalsWindow(
+      w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
+    w.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.name == "__bkt")
+    }.getOrElse(false)
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -31,14 +56,11 @@ object PlanScan {
         val p = exec.toString
         val smj = "SortMergeJoin".r.findAllIn(p).size
         // empty-partitionSpec window = Exchange SinglePartition + one task
-        // sorting every row — the wrong-shape-at-100× class (see PlanSpec)
-        val gw = exec.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-            if w.partitionSpec.isEmpty => w
+        // sorting every row — the wrong-shape-at-100× class (see
+        // rowLevelGlobalWindows for the one bounded exemption)
+        if (rowLevelGlobalWindows(exec).nonEmpty) {
+          globalWindows ::= name; println(s"GLOBALWIN $name")
         }
-        if (gw.nonEmpty) { globalWindows ::= name; println(s"GLOBALWIN $name") }
         if (p.contains("CartesianProduct")) {
           cartesians ::= name
           println(s"CARTESIAN $name")

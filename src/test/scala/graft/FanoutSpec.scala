@@ -15,10 +15,18 @@ class FanoutSpec extends AnyFunSuite {
     "(?m)^.*Exchange".r.findAllIn(plan).size
   }
 
-  test("shuffle count is independent of table count (10 vs 1000 tables)") {
+  test("shuffle count is independent of table count (10 vs 1000 vs 10000 tables)") {
     val e10 = exchanges(10)
     val e1000 = exchanges(1000)
+    val e10000 = exchanges(10000)
     assert(e10 == e1000, s"plan shape changed with table count: $e10 vs $e1000")
+    assert(e10 == e10000, s"plan shape changed at 10k tables: $e10 vs $e10000")
+  }
+
+  test("10000 tables produce 10000 metric rows from one job") {
+    // an order of magnitude past the flagship width: 640k generated file
+    // entries, same two exchanges, still one job
+    assert(Fanout.run(spark, 10000).count() == 10000L)
   }
 
   test("1000 tables produce 1000 metric rows from one job, values sane") {

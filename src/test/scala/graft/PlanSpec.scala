@@ -325,17 +325,16 @@ class PlanSpec extends AnyFunSuite {
     // an empty-partitionSpec Window plans as Exchange SinglePartition + one
     // task sorting EVERY row — the wrong-shape-at-100× class the q95/q147
     // rangeCumsum rewrites eliminated; this pins the whole catalog against
-    // regressing into it (tiny per-GROUP windows, e.g. q145's ≤64 octave
-    // rows per flag, are bounded and stay allowed)
-    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // regressing into it. Tiny per-GROUP windows (q145's ≤64 octave rows
+    // per flag) and rangeCumsum's ≤1040-row bucket-offsets window (the one
+    // structural exemption — see PlanScan.rowLevelGlobalWindows) stay
+    // allowed because their state is bounded by construction.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val globals = fn(spark, dir).queryExecution.executedPlan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
-        }
+        val globals = graft.tools.PlanScan.rowLevelGlobalWindows(
+          fn(spark, dir).queryExecution.executedPlan)
         if (globals.nonEmpty) Seq(name) else Nil
       }
       assert(offenders.isEmpty, s"global-window scale-killers: $offenders")
