@@ -417,9 +417,99 @@ object Queries9 {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- deterministic Bloom-filter runtime semi-join filter: the sketch
+    // family's MEMBERSHIP leg (distinct q35/q138, frequency q103, quantile
+    // q145 — now membership). Unlike q75's engine-opaque
+    // `df.stat.bloomFilter`, this bloom is a RELATION of 63-bit words (the sign bit stays clear — DuckDB checks
+    // left-shift overflow) both
+    // engines compute bit-identically from the portable 28-bit hash (two
+    // probes: h%4096, (h div 4096)%4096), so the FILTER ITSELF is
+    // oracle-gated, not just its effect. Build side: urgent-1995 orders
+    // (tiny) → ≤64-word bloom; probe side: every lineitem key tests via
+    // two broadcast joins on the word index — map-side, no shuffle of the
+    // fact table. Output pins the bloom contract cross-engine: zero false
+    // negatives (a Bloom GUARANTEE, hash-gated), the false-positive count,
+    // and the fp rate in floor basis points. At 100 TB the probe stays
+    // map-side (the bloom is KBs broadcast); the build side's bit_or
+    // aggregation is mergeable O(words) state — same discipline as the
+    // HLL register table.
+    "q153_bloom_filter_semijoin" -> { (s, dir) => implicit val sp = s
+      val build = t(dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"
+          && year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey").as("k")).distinct()
+      val bloom = build
+        .select(TextOps.portableHash28(concat(lit("bf:"), col("k").cast("string"))).as("h"))
+        .select(explode(array(expr("h % 4096"), expr("(h div 4096) % 4096"))).as("p"))
+        .groupBy(expr("p div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(p % 63 AS INT)))").as("bits"))
+      val probes = t(dir, "lineitem")
+        .select(col("l_orderkey").as("pk"))
+        .withColumn("h",
+          TextOps.portableHash28(concat(lit("bf:"), col("pk").cast("string"))))
+        .withColumn("p1", expr("h % 4096"))
+        .withColumn("p2", expr("(h div 4096) % 4096"))
+      val tested = probes
+        .join(broadcast(bloom.select(col("w").as("w1"), col("bits").as("bits1"))),
+          expr("p1 div 63") === col("w1"), "left")
+        .join(broadcast(bloom.select(col("w").as("w2"), col("bits").as("bits2"))),
+          expr("p2 div 63") === col("w2"), "left")
+        // arithmetic shiftright + & 1 reads the bit regardless of the sign
+        // bit; a missing word (null bits) is an unset bit
+        .withColumn("pass",
+          coalesce(expr("(shiftright(bits1, CAST(p1 % 63 AS INT)) & 1) = 1"), lit(false))
+            && coalesce(expr("(shiftright(bits2, CAST(p2 % 63 AS INT)) & 1) = 1"), lit(false)))
+        .join(broadcast(build.withColumn("ex", lit(1))), col("pk") === col("k"), "left")
+      tested.agg(
+        count(lit(1)).as("n_probes"),
+        count(col("ex")).as("n_exact"),
+        expr("CAST(count(CASE WHEN pass THEN 1 END) AS BIGINT)").as("n_pass"),
+        expr("CAST(count(CASE WHEN pass AND ex IS NULL THEN 1 END) AS BIGINT)").as("n_false_pos"),
+        // the Bloom guarantee, oracle-visible: members NEVER fail the filter
+        expr("CAST(count(CASE WHEN NOT pass AND ex IS NOT NULL THEN 1 END) AS BIGINT)").as("n_false_neg"))
+        .select(col("n_probes"), col("n_exact"), col("n_pass"),
+          col("n_false_pos"), col("n_false_neg"),
+          expr("(n_false_pos * 10000) div (n_probes - n_exact)").as("fp_bp"))
     })
 
   def oracles: Map[String, String] = Map(
+    "q153_bloom_filter_semijoin" ->
+      """WITH build AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995),
+        |bh AS (
+        |  SELECT CAST('0x' || substring(md5('bf:' || CAST(k AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM build),
+        |bp AS (
+        |  SELECT h % 4096 AS p FROM bh
+        |  UNION ALL SELECT (h // 4096) % 4096 FROM bh),
+        |bloom AS (
+        |  SELECT p // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+        |  FROM bp GROUP BY p // 63),
+        |probes AS (
+        |  SELECT l_orderkey AS pk,
+        |    CAST('0x' || substring(md5('bf:' || CAST(l_orderkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem),
+        |t AS (SELECT pk, h % 4096 AS p1, (h // 4096) % 4096 AS p2 FROM probes),
+        |tested AS (
+        |  SELECT pk,
+        |    COALESCE((b1.bits >> CAST(p1 % 63 AS INT)) & 1 = 1, false)
+        |      AND COALESCE((b2.bits >> CAST(p2 % 63 AS INT)) & 1 = 1, false) AS pass,
+        |    pk IN (SELECT k FROM build) AS ex
+        |  FROM t
+        |  LEFT JOIN bloom b1 ON p1 // 63 = b1.w
+        |  LEFT JOIN bloom b2 ON p2 // 63 = b2.w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(count(CASE WHEN ex THEN 1 END) AS BIGINT) AS n_exact,
+        |  CAST(count(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass,
+        |  CAST(count(CASE WHEN pass AND NOT ex THEN 1 END) AS BIGINT) AS n_false_pos,
+        |  CAST(count(CASE WHEN NOT pass AND ex THEN 1 END) AS BIGINT) AS n_false_neg,
+        |  (count(CASE WHEN pass AND NOT ex THEN 1 END) * 10000)
+        |    // (count(*) - count(CASE WHEN ex THEN 1 END)) AS fp_bp
+        |FROM tested""".stripMargin,
+
     "q152_mor_table_roundtrip" ->
       """WITH sub AS (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
