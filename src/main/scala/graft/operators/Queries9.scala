@@ -472,9 +472,75 @@ object Queries9 {
         .select(col("n_probes"), col("n_exact"), col("n_pass"),
           col("n_false_pos"), col("n_false_neg"),
           expr("(n_false_pos * 10000) div (n_probes - n_exact)").as("fp_bp"))
+    },
+
+    // ---- time travel (`VERSION AS OF`): a two-snapshot v2 layout —
+    // snapshot 1 is the 8 price-bucket files, snapshot 2 is the
+    // "compacted" table (bucket pairs merged into 4 files) — written
+    // through IcebergLayoutWriter.writeTableSnapshots, then BOTH
+    // snapshots read back by snapshot-id-pinned resolution
+    // (statsFromTableDir(snapshotId=...)), plus the unpinned CURRENT read
+    // which must equal snapshot 2 (tagged current_matches_s2, its
+    // equality hash-gated). Per-snapshot rollups come from the decoded
+    // manifest record counts, so the whole history surface — resolve →
+    // pick snapshot → manifest scan → stats — is exercised against the
+    // DuckDB arithmetic mirror. Metadata-sized end to end; the only
+    // corpus pass is the 8-row stats aggregation feeding the writer.
+    "q154_time_travel" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val stats = t(dir, "lineitem")
+        .groupBy(least(floor(col("l_extendedprice") / 12000).cast("long"), lit(7L))
+          .as("fid"))
+        .agg(count(lit(1)).as("rc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val snap1 = stats.map { case (fid, rc) =>
+        ManifestEntrySpec(status = 1, content = 0, filePath = s"f$fid.parquet",
+          recordCount = rc, sizeBytes = rc * 100L, sequenceNumber = 1L)
+      }
+      val snap2 = stats.groupBy(_._1 / 2).toSeq.sortBy(_._1).map { case (fid2, grp) =>
+        val rc = grp.map(_._2).sum
+        ManifestEntrySpec(status = 1, content = 0, filePath = s"c$fid2.parquet",
+          recordCount = rc, sizeBytes = rc * 100L, sequenceNumber = 2L)
+      }
+      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-q154-${Integer.toHexString(dir.hashCode)}")
+      IcebergLayoutWriter.writeTableSnapshots(tbl,
+        Seq(1L -> snap1.toSeq, 2L -> snap2))
+      def rollup(tag: Long, snapId: Option[Long]) =
+        IcebergManifestSource.statsFromTableDir(s, tbl.getPath, "t", Nil, snapId)
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("record_count")).as("total_records"),
+            sum(col("sizeBytes")).as("total_size"),
+            max(col("record_count")).as("max_file_records"))
+          .select(lit(tag).as("snapshot_id"), col("n_files"),
+            col("total_records"), col("total_size"), col("max_file_records"))
+      // row 3 = the UNPINNED current read; the oracle emits snapshot 2's
+      // rollup for id 3, so "current == latest snapshot" is hash-gated
+      rollup(1L, Some(1L))
+        .unionByName(rollup(2L, Some(2L)))
+        .unionByName(rollup(3L, None))
+        .orderBy(col("snapshot_id"))
     })
 
   def oracles: Map[String, String] = Map(
+    "q154_time_travel" ->
+      """WITH b AS (
+        |  SELECT LEAST(CAST(FLOOR(l_extendedprice / 12000) AS BIGINT), 7) AS fid
+        |  FROM lineitem),
+        |s1 AS (SELECT fid, CAST(count(*) AS BIGINT) AS rc FROM b GROUP BY fid),
+        |s2 AS (SELECT fid // 2 AS fid2, CAST(sum(rc) AS BIGINT) AS rc
+        |       FROM s1 GROUP BY fid // 2),
+        |r1 AS (SELECT CAST(1 AS BIGINT) AS snapshot_id,
+        |  CAST(count(*) AS BIGINT) AS n_files, CAST(sum(rc) AS BIGINT) AS total_records,
+        |  CAST(sum(rc * 100) AS BIGINT) AS total_size, max(rc) AS max_file_records FROM s1),
+        |r2 AS (SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(rc) AS BIGINT), CAST(sum(rc * 100) AS BIGINT), max(rc) FROM s2),
+        |r3 AS (SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(rc) AS BIGINT), CAST(sum(rc * 100) AS BIGINT), max(rc) FROM s2)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |ORDER BY snapshot_id""".stripMargin,
+
     "q153_bloom_filter_semijoin" ->
       """WITH build AS (
         |  SELECT DISTINCT o_orderkey AS k FROM orders

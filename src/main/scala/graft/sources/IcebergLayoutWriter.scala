@@ -143,35 +143,51 @@ object IcebergLayoutWriter {
     * referenced by the entries may live under the same table dir and
     * must survive the rewrite). */
   def writeTable(tableDir: java.io.File, entries: Seq[ManifestEntrySpec],
-      snapshotId: Long = 1L): Unit = {
+      snapshotId: Long = 1L): Unit =
+    writeTableSnapshots(tableDir, Seq(snapshotId -> entries))
+
+  /** Multi-snapshot layout (the time-travel surface): every snapshot's
+    * manifest list + manifests are written, the metadata JSON lists them
+    * all, and `current-snapshot-id` is the LAST one — reading any older
+    * snapshot id resolves its own manifest list, exactly like Iceberg's
+    * `VERSION AS OF`. */
+  def writeTableSnapshots(tableDir: java.io.File,
+      snapshots: Seq[(Long, Seq[ManifestEntrySpec])]): Unit = {
+    require(snapshots.nonEmpty, "at least one snapshot")
     val metaDir = new java.io.File(tableDir, "metadata")
     org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
     require(metaDir.mkdirs(), s"cannot create $metaDir")
-    val groups = Seq(
-      0 -> entries.filter(_.content == 0), // data manifest
-      1 -> entries.filter(_.content != 0)) // delete manifest
-      .filter(_._2.nonEmpty)
-    val manifestFiles = groups.map { case (mContent, group) =>
-      val f = new java.io.File(metaDir, s"manifest-$mContent.avro")
-      val (schema, recs) = manifestRecords(group)
-      writeAvro(f, schema, recs)
-      (f, mContent)
+    val lists = snapshots.map { case (snapshotId, entries) =>
+      val groups = Seq(
+        0 -> entries.filter(_.content == 0), // data manifest
+        1 -> entries.filter(_.content != 0)) // delete manifest
+        .filter(_._2.nonEmpty)
+      val manifestFiles = groups.map { case (mContent, group) =>
+        val f = new java.io.File(metaDir, s"manifest-$snapshotId-$mContent.avro")
+        val (schema, recs) = manifestRecords(group)
+        writeAvro(f, schema, recs)
+        (f, mContent)
+      }
+      val list = new java.io.File(metaDir, s"snap-$snapshotId-manifest-list.avro")
+      writeAvro(list, listSchema, manifestFiles.map { case (f, mContent) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", f.getAbsolutePath)
+        r.put("manifest_length", f.length())
+        r.put("content", mContent)
+        r.put("added_snapshot_id", snapshotId)
+        r
+      })
+      (snapshotId, list)
     }
-    val list = new java.io.File(metaDir, s"snap-$snapshotId-manifest-list.avro")
-    writeAvro(list, listSchema, manifestFiles.map { case (f, mContent) =>
-      val r = new GenericData.Record(listSchema)
-      r.put("manifest_path", f.getAbsolutePath)
-      r.put("manifest_length", f.length())
-      r.put("content", mContent)
-      r.put("added_snapshot_id", snapshotId)
-      r
-    })
+    val snapJson = lists.map { case (id, list) =>
+      s"""    {"snapshot-id": $id, "manifest-list": "${list.getAbsolutePath}"}"""
+    }.mkString(",\n")
     val json =
       s"""{
          |  "format-version": 2,
-         |  "current-snapshot-id": $snapshotId,
+         |  "current-snapshot-id": ${snapshots.last._1},
          |  "snapshots": [
-         |    {"snapshot-id": $snapshotId, "manifest-list": "${list.getAbsolutePath}"}
+         |$snapJson
          |  ]
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,

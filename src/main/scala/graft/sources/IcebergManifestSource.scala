@@ -63,9 +63,9 @@ object IcebergManifestSource {
     * pipeline folds into the manifest-seeded all-zero row. The metadata
     * JSON is parsed by Spark's own JSON reader (one driver-side file). */
   def fromTableDir(spark: SparkSession, tableDir: String,
-      table: String): (Dataset[FileEntry], Long) = {
+      table: String, snapshotId: Option[Long] = None): (Dataset[FileEntry], Long) = {
     import spark.implicits._
-    resolveManifestList(spark, tableDir) match {
+    resolveManifestList(spark, tableDir, snapshotId) match {
       case Some(p) => fromManifestList(spark, p, table)
       case None => (spark.emptyDataset[FileEntry], 0L)
     }
@@ -73,10 +73,13 @@ object IcebergManifestSource {
 
   /** The stats twin of [[fromTableDir]]: same resolution chain, but the
     * manifests yield the typed per-file statistics relation. An empty or
-    * snapshot-less table gives an empty relation with the full schema. */
+    * snapshot-less table gives an empty relation with the full schema.
+    * `snapshotId` pins a PAST snapshot (time travel / `VERSION AS OF`);
+    * None reads the current one. */
   def statsFromTableDir(spark: SparkSession, tableDir: String, table: String,
-      fields: Seq[(Int, String, DataType)]): DataFrame =
-    resolveManifestList(spark, tableDir) match {
+      fields: Seq[(Int, String, DataType)],
+      snapshotId: Option[Long] = None): DataFrame =
+    resolveManifestList(spark, tableDir, snapshotId) match {
       case Some(p) =>
         val paths = manifestPaths(spark.sparkContext.hadoopConfiguration, p)
         statsFromManifests(spark, paths, table, fields)
@@ -84,14 +87,15 @@ object IcebergManifestSource {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema(fields))
     }
 
-  /** Current metadata file → current-snapshot-id → manifest-list path.
+  /** Current metadata file → snapshot id (the given one, else
+    * current-snapshot-id) → manifest-list path.
     * version-hint.text normally holds a bare version integer; some
     * writers store the full metadata FILENAME instead — if the hinted
     * `v<N>.metadata.json` does not exist, the hint content is tried as a
     * filename, and a dead hint falls back to the listing resolution
     * rather than failing with a FileNotFoundException. */
   private def resolveManifestList(spark: SparkSession,
-      tableDir: String): Option[String] = {
+      tableDir: String, snapshotId: Option[Long] = None): Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = new Path(tableDir, "metadata")
     val fs = meta.getFileSystem(conf)
@@ -123,10 +127,11 @@ object IcebergManifestSource {
     // schema-defensive: an empty `snapshots: []` infers as array<string>,
     // and a snapshot-less table may omit current-snapshot-id entirely
     val fields = md.schema.fieldNames.toSet
-    val curId: Option[Long] =
+    val curId: Option[Long] = snapshotId.orElse {
       if (!fields.contains("current-snapshot-id")) None
       else Option(md.select(col("`current-snapshot-id`")).head())
         .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
+    }
     curId.flatMap { id =>
       md.schema("snapshots").dataType match {
         case ArrayType(st: StructType, _)

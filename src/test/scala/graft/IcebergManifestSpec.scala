@@ -272,6 +272,29 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(got.forall(r => r.isNullAt(7) && r.isNullAt(8)))
   }
 
+  test("multi-snapshot layout: snapshot-pinned reads time-travel, unpinned reads current") {
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_history")
+    IcebergLayoutWriter.writeTableSnapshots(tblDir, Seq(
+      10L -> Seq(
+        ManifestEntrySpec(status = 1, content = 0, filePath = "a.parquet",
+          recordCount = 5L, sizeBytes = 500L),
+        ManifestEntrySpec(status = 1, content = 0, filePath = "b.parquet",
+          recordCount = 7L, sizeBytes = 700L)),
+      20L -> Seq(
+        ManifestEntrySpec(status = 1, content = 0, filePath = "compacted.parquet",
+          recordCount = 12L, sizeBytes = 1200L))))
+    def files(snap: Option[Long]): Seq[(String, Long)] =
+      IcebergManifestSource.statsFromTableDir(spark, tblDir.getPath, "tbl", Nil, snap)
+        .collect().map(r => (r.getString(1), r.getLong(5))).sortBy(_._1).toSeq
+    assert(files(Some(10L)) == Seq(("a.parquet", 5L), ("b.parquet", 7L)))
+    assert(files(Some(20L)) == Seq(("compacted.parquet", 12L)))
+    assert(files(None) == files(Some(20L)), "unpinned read must be the current snapshot")
+    // a snapshot id that never existed resolves to nothing, not a crash
+    assert(files(Some(99L)).isEmpty)
+  }
+
   test("9-metric output identical to the fromDataFrame path on the same entries") {
     import spark.implicits._
     val listPath = writeFixture()
