@@ -31,6 +31,11 @@ import graft.functions.Pure
   *   graft.Cli query <sfDir> <name|glob> [nRows] — run any catalog query
   *                                     (QUERIES.md) against a testdata dir,
   *                                     e.g. `query /root/testdata/sf0.001 q6*`
+  *   graft.Cli expire <tableDir> <keepLast> — EXECUTE snapshot expiration
+  *                                     on a real v2 layout (metadata bump +
+  *                                     reachability-safe manifest cleanup)
+  *   graft.Cli rwmanifests <tableDir> — consolidate the current snapshot's
+  *                                     manifests (same relation, fewer files)
   *
   * A "table" here is each `<name>.parquet` file/dir under dataRoot (the
   * environment has no Iceberg catalog; with one, the source swaps for the
@@ -50,11 +55,29 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson> | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
     val glob = if (args.length > 2) args(2) else "*"
+
+    if (cmd == "expire" || cmd == "rwmanifests") {
+      // EXECUTED metadata maintenance on a real table layout
+      val spark = session()
+      try {
+        if (cmd == "expire") {
+          if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+          val (kept, deleted) = graft.sources.LayoutMaintenance
+            .expireSnapshots(spark, root, args(2).toInt)
+          println(s"kept snapshots: ${kept.mkString(", ")}; deleted $deleted metadata files")
+        } else {
+          val (before, after) = graft.sources.LayoutMaintenance
+            .rewriteManifests(spark, root)
+          println(s"manifests: $before -> $after")
+        }
+      } finally spark.stop()
+      return
+    }
 
     if (cmd == "query") {
       // run any catalog query (QUERIES.md) by name or glob against a sf dir;

@@ -136,6 +136,26 @@ object IcebergLayoutWriter {
     (eSchema, recs)
   }
 
+  /** Write one manifest file from entry specs (all one partition shape). */
+  def writeManifest(dest: java.io.File, entries: Seq[ManifestEntrySpec]): Unit = {
+    val (schema, recs) = manifestRecords(entries)
+    writeAvro(dest, schema, recs)
+  }
+
+  /** Write a manifest list referencing `manifests` ((file, content) pairs)
+    * for `snapshotId` — shared by the full-layout writers and
+    * [[LayoutMaintenance.rewriteManifests]]. */
+  def writeManifestList(dest: java.io.File,
+      manifests: Seq[(java.io.File, Int)], snapshotId: Long): Unit =
+    writeAvro(dest, listSchema, manifests.map { case (f, mContent) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", f.getAbsolutePath)
+      r.put("manifest_length", f.length())
+      r.put("content", mContent)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    })
+
   /** Write a complete one-snapshot table layout under `tableDir`:
     * `metadata/v1.metadata.json`, `metadata/version-hint.text`, the
     * manifest list, and one manifest per (data, deletes) entry group.
@@ -169,14 +189,7 @@ object IcebergLayoutWriter {
         (f, mContent)
       }
       val list = new java.io.File(metaDir, s"snap-$snapshotId-manifest-list.avro")
-      writeAvro(list, listSchema, manifestFiles.map { case (f, mContent) =>
-        val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", f.getAbsolutePath)
-        r.put("manifest_length", f.length())
-        r.put("content", mContent)
-        r.put("added_snapshot_id", snapshotId)
-        r
-      })
+      writeManifestList(list, manifestFiles, snapshotId)
       (snapshotId, list)
     }
     val snapJson = lists.map { case (id, list) =>

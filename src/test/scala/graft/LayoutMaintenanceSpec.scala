@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, LayoutMaintenance}
+import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+
+/** EXECUTED metadata maintenance on real on-disk layouts: snapshot
+  * expiration (history drop + physical manifest cleanup, reachability-
+  * safe) and manifest consolidation (same relation from fewer files,
+  * raw-record fidelity). */
+class LayoutMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def entry(name: String, rc: Long, seq: Long, content: Int = 0) =
+    ManifestEntrySpec(status = 1, content = content, filePath = name,
+      partition = Seq("day" -> 7), recordCount = rc, sizeBytes = rc * 10L,
+      sequenceNumber = seq,
+      lower = Map(1 -> IcebergLayoutWriter.boundLong(rc)),
+      upper = Map(1 -> IcebergLayoutWriter.boundLong(rc * 2)))
+
+  private def files(tbl: java.io.File, snap: Option[Long]): Seq[(String, Long)] =
+    IcebergManifestSource.statsFromTableDir(spark, tbl.getPath, "t", Nil, snap)
+      .collect().map(r => (r.getString(1), r.getLong(5))).sortBy(_._1).toSeq
+
+  test("expireSnapshots drops old history, keeps survivors bit-identical, deletes files") {
+    val tbl = new java.io.File("target/tmp-maint-expire")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    IcebergLayoutWriter.writeTableSnapshots(tbl, Seq(
+      1L -> Seq(entry("a.parquet", 5L, 1L)),
+      2L -> Seq(entry("a.parquet", 5L, 1L), entry("b.parquet", 7L, 2L)),
+      3L -> Seq(entry("c.parquet", 12L, 3L))))
+    val meta = new java.io.File(tbl, "metadata")
+    val manifestsBefore = meta.listFiles().count(_.getName.startsWith("manifest-"))
+    val keepSnapshot = files(tbl, Some(3L))
+
+    val (kept, deleted) = LayoutMaintenance.expireSnapshots(spark, tbl.getPath, keepLast = 1)
+    assert(kept == Seq(3L))
+    assert(deleted > 0, "expired manifests/lists must be physically removed")
+    // survivors unchanged, old ids gone, current still resolves
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath) == Seq(3L))
+    assert(files(tbl, None) == keepSnapshot)
+    assert(files(tbl, Some(3L)) == keepSnapshot)
+    val manifestsAfter = meta.listFiles().count(_.getName.startsWith("manifest-"))
+    assert(manifestsAfter < manifestsBefore)
+  }
+
+  test("expireSnapshots never deletes a manifest a surviving snapshot still references") {
+    // snapshots 1 and 2 SHARE manifest files: build by hand with one
+    // manifest referenced from both lists
+    val tbl = new java.io.File("target/tmp-maint-shared")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val meta = new java.io.File(tbl, "metadata"); meta.mkdirs()
+    val shared = new java.io.File(meta, "manifest-shared.avro")
+    IcebergLayoutWriter.writeManifest(shared, Seq(entry("a.parquet", 5L, 1L)))
+    val only2 = new java.io.File(meta, "manifest-only2.avro")
+    IcebergLayoutWriter.writeManifest(only2, Seq(entry("b.parquet", 7L, 2L)))
+    val l1 = new java.io.File(meta, "snap-1-list.avro")
+    IcebergLayoutWriter.writeManifestList(l1, Seq((shared, 0)), 1L)
+    val l2 = new java.io.File(meta, "snap-2-list.avro")
+    IcebergLayoutWriter.writeManifestList(l2, Seq((shared, 0), (only2, 0)), 2L)
+    java.nio.file.Files.write(new java.io.File(meta, "v1.metadata.json").toPath,
+      s"""{"format-version": 2, "current-snapshot-id": 2, "snapshots": [
+         |  {"snapshot-id": 1, "manifest-list": "${l1.getAbsolutePath}"},
+         |  {"snapshot-id": 2, "manifest-list": "${l2.getAbsolutePath}"}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(meta, "version-hint.text").toPath,
+      "1".getBytes("UTF-8"))
+    val before = files(tbl, Some(2L))
+    val (kept, _) = LayoutMaintenance.expireSnapshots(spark, tbl.getPath, keepLast = 1)
+    assert(kept == Seq(2L))
+    assert(shared.isFile, "shared manifest must survive — snapshot 2 references it")
+    assert(!l1.isFile, "expired snapshot's manifest list must be deleted")
+    assert(files(tbl, None) == before)
+  }
+
+  test("rewriteManifests: same relation from fewer files, stats/partitions intact") {
+    val tbl = new java.io.File("target/tmp-maint-rewrite")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val meta = new java.io.File(tbl, "metadata"); meta.mkdirs()
+    // six tiny manifests (a streaming writer's leavings) + one delete manifest
+    val manifests = (0 until 6).map { i =>
+      val f = new java.io.File(meta, s"manifest-small-$i.avro")
+      IcebergLayoutWriter.writeManifest(f,
+        Seq(entry(s"f$i.parquet", 10L + i, 1L + i)))
+      (f, 0)
+    } :+ {
+      val f = new java.io.File(meta, "manifest-del.avro")
+      IcebergLayoutWriter.writeManifest(f,
+        Seq(entry("d.parquet", 3L, 7L, content = 1)))
+      (f, 1)
+    }
+    val list = new java.io.File(meta, "snap-5-list.avro")
+    IcebergLayoutWriter.writeManifestList(list, manifests, 5L)
+    java.nio.file.Files.write(new java.io.File(meta, "v1.metadata.json").toPath,
+      s"""{"format-version": 2, "current-snapshot-id": 5, "snapshots": [
+         |  {"snapshot-id": 5, "manifest-list": "${list.getAbsolutePath}"}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(meta, "version-hint.text").toPath,
+      "1".getBytes("UTF-8"))
+
+    // full-fidelity snapshot of the relation BEFORE (stats + partition + seq)
+    def relation = IcebergManifestSource.statsFromTableDir(spark, tbl.getPath, "t",
+        Seq((1, "x", org.apache.spark.sql.types.LongType)))
+      .collect().map(_.toString).sorted.toSeq
+    val before = relation
+    val (nBefore, nAfter) = LayoutMaintenance.rewriteManifests(spark, tbl.getPath)
+    assert(nBefore == 7 && nAfter == 2, s"expected 7 -> 2 manifests, got $nBefore -> $nAfter")
+    assert(relation == before, "consolidation must not change the relation")
+    assert(!manifests.head._1.isFile, "old small manifests must be deleted")
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath) == Seq(5L))
+  }
+}
