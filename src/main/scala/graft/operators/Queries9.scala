@@ -293,13 +293,21 @@ object Queries9 {
     // is the per-source admission summary: docs kept, tokens used, the
     // utilization as one division.
     "q144_token_budget_trim" -> { (s, dir) => implicit val sp = s
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          size(split(col("text"), " ")).cast("long").as("toks"))
-        .withColumn("cum", sum(col("toks")).over(w))
+      // the admission cumsum rides [[StatOps.rangeCumsum]] in GROUPED mode:
+      // `source` has ~5 values, so a partitionBy(source) window would hand
+      // each task 20% of the corpus at any scale — the same wide-group
+      // hazard as the q95/q147 global windows, just partitioned. Quality
+      // order n_chars DESC becomes the ascending key (2^20 - n_chars)
+      // (docs are < 1M chars; a larger constant only shifts buckets), so
+      // the octave bucketing stays monotone in the admission order.
+      val cum = StatOps.rangeCumsum(
+        t(dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("neg_chars", lit(1048576) - col("n_chars")),
+        Seq("source"), Seq("neg_chars", "doc_id"), Seq("cum" -> col("toks")),
+        StatOps.octaveBucket16(col("neg_chars")))
+      cum
         .filter(col("cum") <= TokenBudget)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), max(col("cum")).as("tokens_used"))

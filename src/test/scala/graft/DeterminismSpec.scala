@@ -25,10 +25,12 @@ class DeterminismSpec extends AnyFunSuite {
     // floor-ppm market share, hash-rank sampling, budget-admission cumsum
     "q35_sketches", "q138_hll_merge", "q140_market_share",
     "q143_balanced_sample", "q144_token_budget_trim", "q146_dim_covariance",
-    // round 7: the two rangeCumsum rewrites — global rank / global CDF
-    // assembled from range-bucketed partials + broadcast offsets must not
-    // depend on where the range partitioner draws its boundaries
-    "q95_equidepth_histogram", "q147_ks_test")
+    // round 7: the rangeCumsum rewrites (global rank / global CDF /
+    // grouped admission cumsum via q144 above) and the bit-packed bloom —
+    // bucketed partials + broadcast offsets and bit_or words must not
+    // depend on partitioning
+    "q95_equidepth_histogram", "q147_ks_test", "q153_bloom_filter_semijoin",
+    "q154_time_travel")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
