@@ -170,9 +170,12 @@ object IcebergLayoutWriter {
     * manifest list + manifests are written, the metadata JSON lists them
     * all, and `current-snapshot-id` is the LAST one — reading any older
     * snapshot id resolves its own manifest list, exactly like Iceberg's
-    * `VERSION AS OF`. */
+    * `VERSION AS OF`. `refs` adds named branches/tags
+    * (name → (snapshotId, "branch"|"tag")) in the spec's `refs` map —
+    * resolvable via [[IcebergManifestSource.refSnapshotId]]. */
   def writeTableSnapshots(tableDir: java.io.File,
-      snapshots: Seq[(Long, Seq[ManifestEntrySpec])]): Unit = {
+      snapshots: Seq[(Long, Seq[ManifestEntrySpec])],
+      refs: Map[String, (Long, String)] = Map.empty): Unit = {
     require(snapshots.nonEmpty, "at least one snapshot")
     val metaDir = new java.io.File(tableDir, "metadata")
     org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
@@ -195,13 +198,18 @@ object IcebergLayoutWriter {
     val snapJson = lists.map { case (id, list) =>
       s"""    {"snapshot-id": $id, "manifest-list": "${list.getAbsolutePath}"}"""
     }.mkString(",\n")
+    val refsJson =
+      if (refs.isEmpty) ""
+      else refs.toSeq.sortBy(_._1).map { case (name, (id, kind)) =>
+        s"""    "$name": {"snapshot-id": $id, "type": "$kind"}"""
+      }.mkString(",\n  \"refs\": {\n", ",\n", "\n  }")
     val json =
       s"""{
          |  "format-version": 2,
          |  "current-snapshot-id": ${snapshots.last._1},
          |  "snapshots": [
          |$snapJson
-         |  ]
+         |  ]$refsJson
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
       json.getBytes("UTF-8"))

@@ -96,6 +96,46 @@ object IcebergManifestSource {
     * rather than failing with a FileNotFoundException. */
   private def resolveManifestList(spark: SparkSession,
       tableDir: String, snapshotId: Option[Long] = None): Option[String] = {
+    val md = readCurrentMetadata(spark, tableDir)
+    // schema-defensive: an empty `snapshots: []` infers as array<string>,
+    // and a snapshot-less table may omit current-snapshot-id entirely
+    val fields = md.schema.fieldNames.toSet
+    val curId: Option[Long] = snapshotId.orElse {
+      if (!fields.contains("current-snapshot-id")) None
+      else Option(md.select(col("`current-snapshot-id`")).head())
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
+    }
+    curId.flatMap { id =>
+      md.schema("snapshots").dataType match {
+        case ArrayType(st: StructType, _)
+            if st.fieldNames.contains("snapshot-id")
+              && st.fieldNames.contains("manifest-list") =>
+          md.select(explode(col("snapshots")).as("s"))
+            .filter(col("s.`snapshot-id`") === id)
+            .select(col("s.`manifest-list`"))
+            .collect().headOption.map(_.getString(0))
+        case _ => None
+      }
+    }
+  }
+
+  /** Snapshot id of a named BRANCH or TAG from the metadata `refs` map
+    * (Iceberg's named-reference surface — `spark.read ... AS OF 'name'`).
+    * None when the table has no refs or the name is absent. */
+  def refSnapshotId(spark: SparkSession, tableDir: String,
+      ref: String): Option[Long] = {
+    val md = readCurrentMetadata(spark, tableDir)
+    md.schema.find(_.name == "refs").map(_.dataType) match {
+      case Some(st: StructType) if st.fieldNames.contains(ref) =>
+        Option(md.select(col(s"refs.`$ref`.`snapshot-id`")).head())
+          .filterNot(_.isNullAt(0)).map(_.getLong(0))
+      case _ => None
+    }
+  }
+
+  /** Locate and parse the CURRENT metadata JSON (version-hint integer,
+    * hint-as-filename, or numeric-version listing fallback). */
+  private def readCurrentMetadata(spark: SparkSession, tableDir: String) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = new Path(tableDir, "metadata")
     val fs = meta.getFileSystem(conf)
@@ -123,27 +163,7 @@ object IcebergManifestSource {
           .orElse(Some(new Path(meta, h)).filter(fs.exists)) // hint = filename
           .getOrElse(byListing)
       } else byListing
-    val md = spark.read.option("multiLine", "true").json(metadataFile.toString)
-    // schema-defensive: an empty `snapshots: []` infers as array<string>,
-    // and a snapshot-less table may omit current-snapshot-id entirely
-    val fields = md.schema.fieldNames.toSet
-    val curId: Option[Long] = snapshotId.orElse {
-      if (!fields.contains("current-snapshot-id")) None
-      else Option(md.select(col("`current-snapshot-id`")).head())
-        .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
-    }
-    curId.flatMap { id =>
-      md.schema("snapshots").dataType match {
-        case ArrayType(st: StructType, _)
-            if st.fieldNames.contains("snapshot-id")
-              && st.fieldNames.contains("manifest-list") =>
-          md.select(explode(col("snapshots")).as("s"))
-            .filter(col("s.`snapshot-id`") === id)
-            .select(col("s.`manifest-list`"))
-            .collect().headOption.map(_.getString(0))
-        case _ => None
-      }
-    }
+    spark.read.option("multiLine", "true").json(metadataFile.toString)
   }
 
   /** Entries of every manifest in `manifestListPath`'s list, plus the

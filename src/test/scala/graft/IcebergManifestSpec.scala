@@ -295,6 +295,32 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(files(Some(99L)).isEmpty)
   }
 
+  test("named refs: branch/tag resolve to their snapshot, absent ref -> None") {
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_refs")
+    IcebergLayoutWriter.writeTableSnapshots(tblDir,
+      Seq(
+        1L -> Seq(ManifestEntrySpec(status = 1, content = 0,
+          filePath = "a.parquet", recordCount = 5L, sizeBytes = 500L)),
+        2L -> Seq(ManifestEntrySpec(status = 1, content = 0,
+          filePath = "b.parquet", recordCount = 9L, sizeBytes = 900L))),
+      refs = Map("main" -> (2L, "branch"), "v1.0" -> (1L, "tag")))
+    assert(IcebergManifestSource.refSnapshotId(spark, tblDir.getPath, "main") == Some(2L))
+    assert(IcebergManifestSource.refSnapshotId(spark, tblDir.getPath, "v1.0") == Some(1L))
+    assert(IcebergManifestSource.refSnapshotId(spark, tblDir.getPath, "nope").isEmpty)
+    // the resolved tag id feeds the ordinary pinned read path
+    val tagId = IcebergManifestSource.refSnapshotId(spark, tblDir.getPath, "v1.0")
+    val got = IcebergManifestSource.statsFromTableDir(
+      spark, tblDir.getPath, "tbl", Nil, tagId).collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("a.parquet"))
+    // a refs-less table resolves no names (schema-defensive)
+    val plain = new java.io.File(dir, "tbl_norefs")
+    IcebergLayoutWriter.writeTable(plain, Seq(ManifestEntrySpec(status = 1,
+      content = 0, filePath = "x.parquet", recordCount = 1L, sizeBytes = 10L)))
+    assert(IcebergManifestSource.refSnapshotId(spark, plain.getPath, "main").isEmpty)
+  }
+
   test("9-metric output identical to the fromDataFrame path on the same entries") {
     import spark.implicits._
     val listPath = writeFixture()
