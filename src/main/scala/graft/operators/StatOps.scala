@@ -59,12 +59,23 @@ private[graft] object StatOps {
       case (d, (n, w)) => d.withColumn(s"__w_$n", w.cast("long"))
     }
     val keyCols = group :+ "__bkt"
-    // level 2: per-(group, bucket) totals, offsets via a BOUNDED window
-    // over the aggregated relation
+    // level 1: windowed cumsum inside each (group, bucket) — parallel
+    val wLocal = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = weights.foldLeft(withW) { case (d, (n, _)) =>
+      d.withColumn(s"__local_$n", sum(col(s"__w_$n")).over(wLocal))
+    }
+    // level 2: per-(group, bucket) totals from a direct map-side
+    // aggregation of the weighted input (the branch re-derives the input
+    // rather than consuming the window — Catalyst prunes the two branches
+    // differently so ReuseExchange cannot merge them, and the no-window
+    // branch is the cheaper second pass: scan + partial agg collapsing to
+    // ≤ ~1040 rows per task). Offsets via a BOUNDED window over the
+    // bucket aggregate — group-less that is an empty-partitionSpec
+    // window, the structural exemption PlanScan.rowLevelGlobalWindows
+    // recognizes.
     val totAggs = weights.map { case (n, _) => sum(col(s"__w_$n")).as(s"__t_$n") }
-    // group-less: an empty-partitionSpec window, but over the __bkt
-    // aggregate — bounded ≤ ~1040 rows, the structural exemption
-    // PlanScan.rowLevelGlobalWindows recognizes
     val wOff = (if (group.isEmpty) Window.partitionBy()
       else Window.partitionBy(group.map(col): _*))
       .orderBy(col("__bkt"))
@@ -78,13 +89,6 @@ private[graft] object StatOps {
       .agg(totAggs.head, totAggs.tail: _*)
       .select(keyCols.map(col) ++ offCols: _*)
 
-    // level 1: windowed cumsum inside each (group, bucket) — parallel
-    val wLocal = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(order.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = weights.foldLeft(withW) { case (d, (n, _)) =>
-      d.withColumn(s"__local_$n", sum(col(s"__w_$n")).over(wLocal))
-    }
     val joined = withLocal.join(broadcast(offsets), keyCols)
     val withCums = weights.foldLeft(joined) { case (d, (n, _)) =>
       d.withColumn(n, col(s"__off_$n") + col(s"__local_$n"))
