@@ -57,20 +57,29 @@ object Multimodal {
   }
 
   /** Content-sniffed single-payload decode: real codec when the bytes
-    * are a format we can decode with the JDK alone, stub otherwise. */
-  private[multimodal] def decodeOne(m: MediaFile): MediaFeatures =
-    if (RealCodec.isPpm(m.content)) {
-      val img = RealCodec.decodePpm(m.content)
-      MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
-        RealCodec.imageFeatures(img))
-    } else if (RealCodec.isWav(m.content)) {
-      val w = RealCodec.decodeWav(m.content)
-      MediaFeatures(m.media_id, m.kind, w.channels, 0,
-        w.samples.length / math.max(w.channels, 1), RealCodec.audioFeatures(w))
-    } else {
+    * are a format we can decode with the JDK alone, stub otherwise. A
+    * payload that passes the magic-byte sniff but fails the strict
+    * decoder (truncated raster, non-PCM WAV, absurd dimensions) falls
+    * back to the stub too — ONE corrupt file in a 100 TB media column
+    * must degrade that row's features, not kill the whole job. */
+  private[multimodal] def decodeOne(m: MediaFile): MediaFeatures = {
+    val real: Option[MediaFeatures] =
+      try {
+        if (RealCodec.isPpm(m.content)) {
+          val img = RealCodec.decodePpm(m.content)
+          Some(MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
+            RealCodec.imageFeatures(img)))
+        } else if (RealCodec.isWav(m.content)) {
+          val w = RealCodec.decodeWav(m.content)
+          Some(MediaFeatures(m.media_id, m.kind, w.channels, 0,
+            w.samples.length / math.max(w.channels, 1), RealCodec.audioFeatures(w)))
+        } else None
+      } catch { case _: IllegalArgumentException => None }
+    real.getOrElse {
       val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
       MediaFeatures(m.media_id, m.kind, w, h, frames, FakeCodec.features(m.content))
     }
+  }
 
   /** Partition-wise batched decode: groups each partition's rows into
     * `batchSize` batches (modeling a vectorized decoder call), maps each
@@ -118,20 +127,28 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          if (RealCodec.isPpm(m.content)) {
-            val img = RealCodec.resizeNearest(RealCodec.decodePpm(m.content), maxDim)
-            MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
-              RealCodec.imageFeatures(img))
-          } else {
-            val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
-            val (rw, rh) =
-              if (m.kind != "image" || math.max(w, h) <= maxDim) (w, h)
-              else {
-                val scale = maxDim.toDouble / math.max(w, h)
-                (math.max(1, math.round(w * scale).toInt),
-                  math.max(1, math.round(h * scale).toInt))
-              }
-            MediaFeatures(m.media_id, m.kind, rw, rh, frames, FakeCodec.features(m.content))
+          // kind gate preserved (resize documents "no-op for non-image
+          // kinds"); decode failures degrade to the stub like decodeOne
+          val realImg =
+            if (m.kind == "image" && RealCodec.isPpm(m.content))
+              try Some(RealCodec.resizeNearest(RealCodec.decodePpm(m.content), maxDim))
+              catch { case _: IllegalArgumentException => None }
+            else None
+          realImg match {
+            case Some(img) =>
+              MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
+                RealCodec.imageFeatures(img))
+            case None =>
+              val (w, h, frames) = FakeCodec.decode(m.kind, m.content)
+              val (rw, rh) =
+                if (m.kind != "image" || math.max(w, h) <= maxDim) (w, h)
+                else {
+                  val scale = maxDim.toDouble / math.max(w, h)
+                  (math.max(1, math.round(w * scale).toInt),
+                    math.max(1, math.round(h * scale).toInt))
+                }
+              MediaFeatures(m.media_id, m.kind, rw, rh, frames,
+                FakeCodec.features(m.content))
           }
         }
       }

@@ -50,9 +50,12 @@ object RealCodec {
     val w = int(); val h = int(); val maxval = int()
     require(maxval == 255, s"only 8-bit PPM supported (maxval 255), got $maxval")
     i += 1 // exactly ONE whitespace byte separates the header from the raster
-    val n = w * h * 3
+    // raster size in LONG: 50000x28634 wraps Int and would bypass the
+    // truncation check with garbage dimensions
+    val n = w.toLong * h * 3
+    require(n <= Int.MaxValue, s"PPM raster too large: ${w}x$h")
     require(bytes.length >= i + n, s"truncated PPM raster: need $n bytes")
-    Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n))
+    Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt))
   }
 
   /** Re-encode to canonical P6 bytes ("P6\nW H\n255\n" + raster). */

@@ -89,7 +89,16 @@ private[graft] object StatOps {
       .agg(totAggs.head, totAggs.tail: _*)
       .select(keyCols.map(col) ++ offCols: _*)
 
-    val joined = withLocal.join(broadcast(offsets), keyCols)
+    // NULL-SAFE join on the group keys: a NULL group is a real group to
+    // the window formulation this replaces (partitionBy keeps it as its
+    // own partition) — a using-columns join would silently drop its rows
+    val offRenamed = offsets.select(offsets.columns.map { c =>
+      if (keyCols.contains(c)) col(c).as(s"__o_$c") else col(c)
+    }.toIndexedSeq: _*)
+    val joinCond = group.map(g => col(g) <=> col(s"__o_$g"))
+      .foldLeft(col("__bkt") === col("__o___bkt"))(_ && _)
+    val joined = withLocal.join(broadcast(offRenamed), joinCond)
+      .drop(keyCols.map(k => s"__o_$k"): _*)
     val withCums = weights.foldLeft(joined) { case (d, (n, _)) =>
       d.withColumn(n, col(s"__off_$n") + col(s"__local_$n"))
     }

@@ -133,9 +133,12 @@ object IcebergManifestSource {
     }
   }
 
-  /** Locate and parse the CURRENT metadata JSON (version-hint integer,
-    * hint-as-filename, or numeric-version listing fallback). */
-  private def readCurrentMetadata(spark: SparkSession, tableDir: String) = {
+  /** Locate the CURRENT metadata JSON (version-hint integer,
+    * hint-as-filename, or numeric-version listing fallback) — the ONE
+    * resolver, shared with [[LayoutMaintenance]] so reader and
+    * maintenance can never disagree about which file is current. */
+  private[sources] def currentMetadataPath(spark: SparkSession,
+      tableDir: String): Path = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = new Path(tableDir, "metadata")
     val fs = meta.getFileSystem(conf)
@@ -153,18 +156,21 @@ object IcebergManifestSource {
       cands.maxBy(version)
     }
     val hint = new Path(meta, "version-hint.text")
-    val metadataFile =
-      if (fs.exists(hint)) {
-        val in = fs.open(hint)
-        val h = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-        val numeric = if (h.nonEmpty && h.forall(_.isDigit))
-          Some(new Path(meta, s"v$h.metadata.json")) else None
-        numeric.filter(fs.exists)
-          .orElse(Some(new Path(meta, h)).filter(fs.exists)) // hint = filename
-          .getOrElse(byListing)
-      } else byListing
-    spark.read.option("multiLine", "true").json(metadataFile.toString)
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val h = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      val numeric = if (h.nonEmpty && h.forall(_.isDigit))
+        Some(new Path(meta, s"v$h.metadata.json")) else None
+      numeric.filter(fs.exists)
+        .orElse(Some(new Path(meta, h)).filter(fs.exists)) // hint = filename
+        .getOrElse(byListing)
+    } else byListing
   }
+
+  /** Parse the current metadata JSON. */
+  private def readCurrentMetadata(spark: SparkSession, tableDir: String) =
+    spark.read.option("multiLine", "true")
+      .json(currentMetadataPath(spark, tableDir).toString)
 
   /** Entries of every manifest in `manifestListPath`'s list, plus the
     * manifest count — the exact pair the reference feeds

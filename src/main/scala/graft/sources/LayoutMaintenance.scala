@@ -30,53 +30,69 @@ object LayoutMaintenance {
 
   private def metaDir(tableDir: String) = new java.io.File(tableDir, "metadata")
 
-  /** Snapshot ids listed in the current metadata JSON, oldest first. */
-  def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] = {
-    val md = spark.read.option("multiLine", "true")
+  /** The SAME resolver the reader uses ([[IcebergManifestSource]]) —
+    * maintenance and reads can never disagree about which metadata file
+    * is current (incl. hint-as-filename and dead-hint listing fallback). */
+  private def currentMetadataFile(spark: SparkSession,
+      tableDir: String): java.io.File =
+    new java.io.File(
+      IcebergManifestSource.currentMetadataPath(spark, tableDir).toUri.getPath)
+
+  private def readMetadata(spark: SparkSession, tableDir: String) =
+    spark.read.option("multiLine", "true")
       .json(currentMetadataFile(spark, tableDir).getPath)
-    md.schema("snapshots").dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-          st: org.apache.spark.sql.types.StructType, _)
+
+  /** Snapshot ids listed in the current metadata JSON, history order. */
+  def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
+    snapshots(spark, tableDir).map(_.id)
+
+  private case class Snap(id: Long, listPath: String)
+
+  /** Snapshots in METADATA ARRAY ORDER — the commit history order, NOT
+    * sorted by id (ids may be random longs on real tables). */
+  private def snapshots(spark: SparkSession, tableDir: String): Seq[Snap] = {
+    val md = readMetadata(spark, tableDir)
+    md.schema.find(_.name == "snapshots").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.ArrayType(
+          st: org.apache.spark.sql.types.StructType, _))
           if st.fieldNames.contains("snapshot-id") =>
-        md.select(explode(col("snapshots")).as("s"))
-          .select(col("s.`snapshot-id`")).collect().map(_.getLong(0)).sorted.toSeq
+        md.select(posexplode(col("snapshots")).as(Seq("p", "s")))
+          .select(col("p"), col("s.`snapshot-id`"), col("s.`manifest-list`"))
+          .collect().sortBy(_.getInt(0))
+          .map(r => Snap(r.getLong(1), r.getString(2))).toSeq
       case _ => Nil
     }
   }
 
-  private def currentMetadataFile(spark: SparkSession,
-      tableDir: String): java.io.File = {
-    val m = metaDir(tableDir)
-    val hint = new java.io.File(m, "version-hint.text")
-    if (hint.isFile) {
-      val h = new String(java.nio.file.Files.readAllBytes(hint.toPath), "UTF-8").trim
-      val byNum = new java.io.File(m, s"v$h.metadata.json")
-      if (h.nonEmpty && h.forall(_.isDigit) && byNum.isFile) byNum
-      else new java.io.File(m, h)
-    } else {
-      m.listFiles().filter(_.getName.endsWith(".metadata.json"))
-        .maxBy { f =>
-          "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(f.getName)
-            .map(_.group(1).toLong).getOrElse(-1L)
+  private def currentSnapshotId(spark: SparkSession, tableDir: String): Option[Long] = {
+    val md = readMetadata(spark, tableDir)
+    if (!md.schema.fieldNames.contains("current-snapshot-id")) None
+    else Option(md.select(col("`current-snapshot-id`")).head())
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
+  }
+
+  /** Named refs from the current metadata (name, snapshotId, type). */
+  private def refs(spark: SparkSession, tableDir: String): Seq[(String, Long, String)] = {
+    val md = readMetadata(spark, tableDir)
+    md.schema.find(_.name == "refs").map(_.dataType) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        st.fieldNames.toSeq.sorted.flatMap { name =>
+          val row = md.select(col(s"refs.`$name`.`snapshot-id`"),
+            col(s"refs.`$name`.`type`")).head()
+          if (row.isNullAt(0)) None
+          else Some((name, row.getLong(0),
+            if (row.isNullAt(1)) "branch" else row.getString(1)))
         }
+      case _ => Nil
     }
   }
 
-  private case class Snap(id: Long, listPath: String)
-
-  private def snapshots(spark: SparkSession, tableDir: String): Seq[Snap] = {
-    val md = spark.read.option("multiLine", "true")
-      .json(currentMetadataFile(spark, tableDir).getPath)
-    md.select(explode(col("snapshots")).as("s"))
-      .select(col("s.`snapshot-id`"), col("s.`manifest-list`"))
-      .collect().map(r => Snap(r.getLong(0), r.getString(1)))
-      .sortBy(_.id).toSeq
-  }
-
   /** Bump the metadata version: write v<next>.metadata.json with the
-    * given snapshots (current = last) and update version-hint.text. */
+    * given snapshots, current pointer, and refs; update
+    * version-hint.text. */
   private def writeMetadataVersion(spark: SparkSession, tableDir: String,
-      keep: Seq[Snap]): Unit = {
+      keep: Seq[Snap], currentId: Long,
+      keepRefs: Seq[(String, Long, String)]): Unit = {
     val m = metaDir(tableDir)
     val cur = currentMetadataFile(spark, tableDir)
     val curV = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(cur.getName)
@@ -84,13 +100,18 @@ object LayoutMaintenance {
     val snapJson = keep.map { s =>
       s"""    {"snapshot-id": ${s.id}, "manifest-list": "${s.listPath}"}"""
     }.mkString(",\n")
+    val refsJson =
+      if (keepRefs.isEmpty) ""
+      else keepRefs.map { case (name, id, kind) =>
+        s"""    "$name": {"snapshot-id": $id, "type": "$kind"}"""
+      }.mkString(",\n  \"refs\": {\n", ",\n", "\n  }")
     val json =
       s"""{
          |  "format-version": 2,
-         |  "current-snapshot-id": ${keep.last.id},
+         |  "current-snapshot-id": $currentId,
          |  "snapshots": [
          |$snapJson
-         |  ]
+         |  ]$refsJson
          |}""".stripMargin
     java.nio.file.Files.write(
       new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
@@ -104,11 +125,15 @@ object LayoutMaintenance {
     IcebergManifestSource.manifestPaths(
       spark.sparkContext.hadoopConfiguration, s.listPath)
 
-  /** Expire all but the last `keepLast` snapshots: metadata version bump
-    * + physical deletion of unreferenced manifest lists and manifests.
-    * Returns (kept ids, deleted file count). Reachability-safe: a
-    * manifest referenced by ANY surviving snapshot survives, even if an
-    * expired snapshot also referenced it. */
+  /** Expire all but the last `keepLast` snapshots (HISTORY order — the
+    * metadata array, not id order): metadata version bump + physical
+    * deletion of unreferenced manifest lists and manifests. Returns
+    * (kept ids, deleted file count). Reachability-safe: a manifest
+    * referenced by ANY surviving snapshot survives, even if an expired
+    * snapshot also referenced it. The existing current-snapshot-id is
+    * preserved when it survives (a rolled-back table's pointer is not
+    * silently moved); refs to surviving snapshots are carried through,
+    * refs to expired ones are dropped WITH the history they named. */
   def expireSnapshots(spark: SparkSession, tableDir: String,
       keepLast: Int): (Seq[Long], Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
@@ -117,7 +142,11 @@ object LayoutMaintenance {
     if (expire.isEmpty) return (keep.map(_.id), 0)
     val reachable = keep.flatMap(manifestsOf(spark, _)).toSet
     val doomedManifests = expire.flatMap(manifestsOf(spark, _)).toSet -- reachable
-    writeMetadataVersion(spark, tableDir, keep)
+    val keepIds = keep.map(_.id).toSet
+    val currentId = currentSnapshotId(spark, tableDir)
+      .filter(keepIds.contains).getOrElse(keep.last.id)
+    val keepRefs = refs(spark, tableDir).filter(r => keepIds.contains(r._2))
+    writeMetadataVersion(spark, tableDir, keep, currentId, keepRefs)
     val doomed = expire.map(_.listPath) ++ doomedManifests
     var deleted = 0
     doomed.foreach { p =>
@@ -142,7 +171,10 @@ object LayoutMaintenance {
     import org.apache.avro.mapred.FsInput
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
-    val cur = all.last
+    // the snapshot the CURRENT pointer names, not the array tail — a
+    // rolled-back table rewrites what readers actually see
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val cur = all.find(_.id == curId).getOrElse(all.last)
     val conf = spark.sparkContext.hadoopConfiguration
     val before = manifestsOf(spark, cur)
     if (before.size <= 2) return (before.size, before.size)
@@ -181,9 +213,11 @@ object LayoutMaintenance {
     val newList = new java.io.File(m, s"snap-${cur.id}-rw-manifest-list.avro")
     IcebergLayoutWriter.writeManifestList(newList,
       outs.toSeq.sortBy(_._1).map { case (c, (f, _)) => (f, c) }, cur.id)
-    val stillReferenced = all.dropRight(1).flatMap(manifestsOf(spark, _)).toSet
-    writeMetadataVersion(spark, tableDir,
-      all.dropRight(1) :+ Snap(cur.id, newList.getAbsolutePath))
+    val others = all.filterNot(_.id == cur.id)
+    val stillReferenced = others.flatMap(manifestsOf(spark, _)).toSet
+    val rewritten = all.map(s =>
+      if (s.id == cur.id) Snap(cur.id, newList.getAbsolutePath) else s)
+    writeMetadataVersion(spark, tableDir, rewritten, curId, refs(spark, tableDir))
     new java.io.File(cur.listPath).delete()
     (before.toSet -- stillReferenced).foreach(p => new java.io.File(p).delete())
     val after = manifestsOf(spark, Snap(cur.id, newList.getAbsolutePath))

@@ -29,12 +29,26 @@ object PlanScan {
     }
 
   private def isBucketTotalsWindow(
-      w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
-    w.collectFirst {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
+    import org.apache.spark.sql.execution._
+    // the aggregate must be the window's DIRECT input (through sort/
+    // exchange/project/codegen wrappers only) — a collect over the whole
+    // subtree would also exempt a genuine row-level global window that
+    // merely has a rangeCumsum somewhere upstream
+    @annotation.tailrec
+    def walk(p: SparkPlan): Boolean = p match {
+      case a: aggregate.BaseAggregateExec =>
         a.groupingExpressions.nonEmpty &&
           a.groupingExpressions.forall(_.name == "__bkt")
-    }.getOrElse(false)
+      case s: SortExec => walk(s.child)
+      case e: exchange.ShuffleExchangeExec => walk(e.child)
+      case pr: ProjectExec => walk(pr.child)
+      case c: WholeStageCodegenExec => walk(c.child)
+      case i: InputAdapter => walk(i.child)
+      case _ => false
+    }
+    walk(w.child)
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
