@@ -14,7 +14,8 @@ object SparkEntry {
       graft.operators.Queries2.all ++ graft.operators.Queries3.all ++
       graft.operators.Queries4.all ++ graft.operators.Queries5.all ++
       graft.operators.Queries6.all ++ graft.operators.Queries7.all ++
-      graft.operators.Queries8.all ++ graft.operators.Queries9.all
+      graft.operators.Queries8.all ++ graft.operators.Queries9.all ++
+      graft.operators.Queries10.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.operators.Queries2.oracles ++ graft.operators.Queries3.oracles ++
       graft.operators.Queries4.oracles ++ graft.operators.Queries5.oracles ++
       graft.operators.Queries6.oracles ++ graft.operators.Queries7.oracles ++
-      graft.operators.Queries8.oracles ++ graft.operators.Queries9.oracles
+      graft.operators.Queries8.oracles ++ graft.operators.Queries9.oracles ++
+      graft.operators.Queries10.oracles
 }

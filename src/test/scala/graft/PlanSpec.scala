@@ -312,6 +312,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q156/q157/q159: TPC-H batch dims broadcast; Q15 max is a broadcast-back, not a window") {
+    // Q9: name-filtered part + supplier + nation all broadcast — the fact
+    // table's only shuffle is the (nation, year) aggregate
+    val p156 = plan("q156_product_profit")
+    assert(p156.contains("BroadcastHashJoin") && !p156.contains("SortMergeJoin"))
+    // Q11: the 25-row national-totals aggregate broadcasts back; no window
+    // re-sorts the (nation, part) aggregate
+    val p157 = plan("q157_important_parts")
+    assert(p157.contains("BroadcastHashJoin") && !p157.contains("Window"))
+    // Q15: the classic max-revenue-view temptation is a global window;
+    // this plan must realize it as a 1-row broadcast equality instead
+    val p159 = plan("q159_top_supplier")
+    assert(p159.contains("BroadcastHashJoin") && !p159.contains("Window"))
+  }
+
+  test("q163: Q21's double-EXISTS collapses to one rollup — lineitem scanned once, window keyed by order") {
+    val p = plan("q163_waiting_suppliers")
+    // no self-join: exactly one lineitem scan in the whole plan
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, s"lineitem scanned more than once:\n$p")
+    // the existentials ride a window PARTITIONED by l_orderkey (never global)
+    assert(p.contains("Window") && p.contains("windowspecdefinition(l_orderkey"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen active on the scan-project-agg path") {
     // AQE materializes the final plan only on execution; run, then inspect
     val df = SparkEntry.queries("q2_file_stats")(spark, dir)
