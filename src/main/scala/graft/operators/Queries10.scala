@@ -281,29 +281,16 @@ object Queries10 {
         .filter(col("yr").isin(1996, 1997))
       val sk = o.groupBy(when(col("yr") === 1996, "A").otherwise("B").as("cohort"))
         .agg(minK(col("h")).as("mins"), countDistinct(col("h")).as("exact"))
-      sk.groupBy()
+      val one = sk.groupBy()
         .agg(
           first(when(col("cohort") === "A", col("mins")), ignoreNulls = true).as("am"),
           first(when(col("cohort") === "B", col("mins")), ignoreNulls = true).as("bm"),
           first(when(col("cohort") === "A", col("exact")), ignoreNulls = true).as("exact_a"),
           first(when(col("cohort") === "B", col("exact")), ignoreNulls = true).as("exact_b"))
-        .withColumn("theta", least(
-          when(size(col("am")) < k, lit(268435456L)).otherwise(expr(s"element_at(am, $k)")),
-          when(size(col("bm")) < k, lit(268435456L)).otherwise(expr(s"element_at(bm, $k)"))))
-        .withColumn("n_inter",
-          expr("size(filter(array_intersect(am, bm), x -> x < theta))").cast("long"))
-        .withColumn("n_anotb",
-          expr("size(filter(array_except(am, bm), x -> x < theta))").cast("long"))
-        .withColumn("n_bnota",
-          expr("size(filter(array_except(bm, am), x -> x < theta))").cast("long"))
-        .withColumn("n_union", col("n_inter") + col("n_anotb") + col("n_bnota"))
+      SketchOps.kmvAlgebra(one, k)
         .select(col("exact_a"), col("exact_b"),
           col("theta"), col("n_union"), col("n_inter"), col("n_anotb"), col("n_bnota"),
-          expr("n_union * 268435456L div theta").as("est_union"),
-          expr("n_inter * 268435456L div theta").as("est_inter"),
-          expr("n_anotb * 268435456L div theta").as("est_anotb"),
-          when(col("n_union") === 0L, lit(null))
-            .otherwise(expr("n_inter * 10000L div n_union")).as("jaccard_bp"))
+          col("est_union"), col("est_inter"), col("est_anotb"), col("jaccard_bp"))
     }
   )
 
