@@ -291,6 +291,36 @@ object Queries10 {
         .select(col("exact_a"), col("exact_b"),
           col("theta"), col("n_union"), col("n_inter"), col("n_anotb"), col("n_bnota"),
           col("est_union"), col("est_inter"), col("est_anotb"), col("jaccard_bp"))
+    },
+
+    // ---- peak concurrency (interval sweep line): the classic "max
+    // simultaneous active sessions" — every event opens a 1-hour active
+    // interval [ts, ts+1h); the peak per type is the max of the
+    // boundary-delta running sum. The running sum is the textbook
+    // single-task global-window trap, so it rides [[StatOps.rangeCumsum]]
+    // (range-bucketed partials + broadcast offsets — the q95/q147
+    // discipline) keyed by the SAME strict total order both engines use:
+    // (t_us, delta, event_id), with delta = -1 sorting before +1 so a
+    // closed-open interval ending at t never overlaps one starting at t.
+    // First-peak time is a struct-max argmax (max active, then min t via
+    // negated micros) — no second pass, no window.
+    "q165_peak_concurrency" -> { (s, dir) => implicit val sp = s
+      val ttl = 3600000000L
+      val ev = Rel.events(dir)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+      val bounds = ev
+        .select(col("event_type"), col("ts_us").as("t_us"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionByName(ev.select(col("event_type"),
+          (col("ts_us") + ttl).as("t_us"), lit(-1L).as("delta"), col("event_id")))
+      val cum = StatOps.rangeCumsum(bounds, Seq("event_type"),
+        Seq("t_us", "delta", "event_id"), Seq(("active", col("delta"))),
+        StatOps.octaveBucket16(col("t_us")))
+      cum.groupBy(col("event_type"))
+        .agg(max(struct(col("active"), (-col("t_us")).as("negt"))).as("m"))
+        .select(col("event_type"), col("m.active").as("peak"),
+          (-col("m.negt")).as("first_peak_us"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -466,6 +496,27 @@ object Queries10 {
         |  CAST(CASE WHEN n_inter + n_anotb + n_bnota = 0 THEN NULL
         |       ELSE n_inter * 10000 // (n_inter + n_anotb + n_bnota) END AS BIGINT)
         |    AS jaccard_bp
-        |FROM th, cnt""".stripMargin
+        |FROM th, cnt""".stripMargin,
+
+    "q165_peak_concurrency" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS t_us, 1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 3600000000 AS t_us, -1 AS delta, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, t_us,
+        |    sum(delta) OVER (PARTITION BY event_type
+        |                     ORDER BY t_us, delta, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS active
+        |  FROM b),
+        |pk AS (SELECT event_type, CAST(max(active) AS BIGINT) AS peak
+        |       FROM c GROUP BY event_type)
+        |SELECT event_type, peak,
+        |  CAST(min(t_us) AS BIGINT) AS first_peak_us
+        |FROM c JOIN pk USING (event_type)
+        |WHERE active = peak
+        |GROUP BY event_type, peak
+        |ORDER BY event_type""".stripMargin
   )
 }

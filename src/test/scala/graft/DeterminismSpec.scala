@@ -31,9 +31,10 @@ class DeterminismSpec extends AnyFunSuite {
     // depend on partitioning
     "q95_equidepth_histogram", "q147_ks_test", "q153_bloom_filter_semijoin",
     "q154_time_travel",
-    // round 7 late batch: Q21's window-over-rollup existentials and the
-    // min-k sketch merges behind the set algebra must be merge-order-free
-    "q163_waiting_suppliers", "q164_kmv_set_algebra")
+    // round 7 late batch: Q21's window-over-rollup existentials, the
+    // min-k sketch merges behind the set algebra, and the sweep-line
+    // running sum must all be merge-order-free
+    "q163_waiting_suppliers", "q164_kmv_set_algebra", "q165_peak_concurrency")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
