@@ -131,20 +131,24 @@ object LayoutMaintenance {
     * (kept ids, deleted file count). Reachability-safe: a manifest
     * referenced by ANY surviving snapshot survives, even if an expired
     * snapshot also referenced it. The existing current-snapshot-id is
-    * preserved when it survives (a rolled-back table's pointer is not
-    * silently moved); refs to surviving snapshots are carried through,
-    * refs to expired ones are dropped WITH the history they named. */
+    * preserved (the CURRENT snapshot is never expired, whatever its
+    * history position — a rolled-back table keeps both its pointer and
+    * the snapshot it names, like Iceberg's expire_snapshots); refs to
+    * surviving snapshots are carried through, refs to expired ones are
+    * dropped WITH the history they named. */
   def expireSnapshots(spark: SparkSession, tableDir: String,
       keepLast: Int): (Seq[Long], Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots(spark, tableDir)
-    val (expire, keep) = all.splitAt(math.max(all.size - keepLast, 0))
+    val curId = currentSnapshotId(spark, tableDir)
+    val tail = all.takeRight(keepLast).map(_.id).toSet
+    val keep = all.filter(s => tail.contains(s.id) || curId.contains(s.id))
+    val expire = all.filterNot(s => tail.contains(s.id) || curId.contains(s.id))
     if (expire.isEmpty) return (keep.map(_.id), 0)
     val reachable = keep.flatMap(manifestsOf(spark, _)).toSet
     val doomedManifests = expire.flatMap(manifestsOf(spark, _)).toSet -- reachable
     val keepIds = keep.map(_.id).toSet
-    val currentId = currentSnapshotId(spark, tableDir)
-      .filter(keepIds.contains).getOrElse(keep.last.id)
+    val currentId = curId.filter(keepIds.contains).getOrElse(keep.last.id)
     val keepRefs = refs(spark, tableDir).filter(r => keepIds.contains(r._2))
     writeMetadataVersion(spark, tableDir, keep, currentId, keepRefs)
     val doomed = expire.map(_.listPath) ++ doomedManifests
@@ -153,6 +157,28 @@ object LayoutMaintenance {
       if (new java.io.File(p).delete()) deleted += 1
     }
     (keep.map(_.id), deleted)
+  }
+
+  /** Roll the table back to `snapshotId`: write a new metadata version
+    * whose current-snapshot-id names that snapshot, keeping the FULL
+    * snapshot history and every ref intact (newer snapshots stay until
+    * [[expireSnapshots]] removes them — rollback moves the pointer, it
+    * never deletes, so it is instantly reversible). A "main" branch ref,
+    * if present, follows the pointer — Iceberg's rollback semantics,
+    * where main IS the current lineage. Returns the previous current
+    * snapshot id. */
+  def rollback(spark: SparkSession, tableDir: String,
+      snapshotId: Long): Option[Long] = {
+    val all = snapshots(spark, tableDir)
+    require(all.exists(_.id == snapshotId),
+      s"snapshot $snapshotId not in ${tableDir}'s history (${all.map(_.id)})")
+    val prev = currentSnapshotId(spark, tableDir)
+    val movedRefs = refs(spark, tableDir).map {
+      case ("main", _, kind) => ("main", snapshotId, kind)
+      case r => r
+    }
+    writeMetadataVersion(spark, tableDir, all, snapshotId, movedRefs)
+    prev
   }
 
   /** Consolidate the CURRENT snapshot's manifests into one manifest per

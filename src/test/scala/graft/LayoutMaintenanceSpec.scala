@@ -109,4 +109,35 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
     assert(!manifests.head._1.isFile, "old small manifests must be deleted")
     assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath) == Seq(5L))
   }
+
+  test("rollback moves the current pointer (and main) without losing history; expire keeps it") {
+    val tbl = new java.io.File("target/tmp-maint-rollback")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    IcebergLayoutWriter.writeTableSnapshots(tbl, Seq(
+      1L -> Seq(entry("a.parquet", 5L, 1L)),
+      2L -> Seq(entry("a.parquet", 5L, 1L), entry("b.parquet", 7L, 2L)),
+      3L -> Seq(entry("c.parquet", 12L, 3L))),
+      refs = Map("main" -> (3L, "branch"), "audit" -> (2L, "tag")))
+    val snap1 = files(tbl, Some(1L))
+
+    val prev = LayoutMaintenance.rollback(spark, tbl.getPath, 1L)
+    assert(prev.contains(3L))
+    // current read IS snapshot 1 now; nothing was deleted
+    assert(files(tbl, None) == snap1)
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath) == Seq(1L, 2L, 3L))
+    // main follows the pointer, other refs stay
+    assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "main").contains(1L))
+    assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "audit").contains(2L))
+    // rollback is reversible: snapshot 3 still reads
+    assert(files(tbl, Some(3L)).nonEmpty)
+
+    // expire keepLast=1 keeps the HISTORY tail (3) AND the current (1);
+    // only 2 goes — the current snapshot is never expired
+    val (kept, _) = LayoutMaintenance.expireSnapshots(spark, tbl.getPath, keepLast = 1)
+    assert(kept == Seq(1L, 3L), s"got $kept")
+    assert(files(tbl, None) == snap1, "rolled-back pointer must survive expiration")
+    assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "main").contains(1L))
+    // the tag pointed at expired snapshot 2 and is dropped with it
+    assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "audit").isEmpty)
+  }
 }
