@@ -55,13 +55,13 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
     val glob = if (args.length > 2) args(2) else "*"
 
-    if (cmd == "expire" || cmd == "rwmanifests") {
+    if (cmd == "expire" || cmd == "rwmanifests" || cmd == "rollback") {
       // EXECUTED metadata maintenance on a real table layout
       val spark = session()
       try {
@@ -70,6 +70,11 @@ object Cli {
           val (kept, deleted) = graft.sources.LayoutMaintenance
             .expireSnapshots(spark, root, args(2).toInt)
           println(s"kept snapshots: ${kept.mkString(", ")}; deleted $deleted metadata files")
+        } else if (cmd == "rollback") {
+          if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+          val prev = graft.sources.LayoutMaintenance
+            .rollback(spark, root, args(2).toLong)
+          println(s"current snapshot: ${prev.map(_.toString).getOrElse("(none)")} -> ${args(2)}")
         } else {
           val (before, after) = graft.sources.LayoutMaintenance
             .rewriteManifests(spark, root)
