@@ -321,6 +321,56 @@ object Queries10 {
         .select(col("event_type"), col("m.active").as("peak"),
           (-col("m.negt")).as("first_peak_us"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- label propagation over the part co-purchase graph (community
+    // detection's cheap workhorse): two synchronized majority-vote
+    // rounds from 5 seed labels (partkey mod 5). The co-purchase edge
+    // set is QUADRATIC in basket size and is NEVER materialized — the
+    // q91 subtract-self identity applied to votes: part p's neighbor
+    // count for label l is Σ over p's orders of the order's label-l
+    // histogram, minus p's own degree when l is p's label (p is not its
+    // own neighbor). Per-order histograms are LABEL-vocabulary-bounded
+    // (5 rows/order) and per-part tallies are parts x 5, so every
+    // relation is linear in lines or parts. Majority = struct-max
+    // (votes desc, label asc), zero-vote isolates keep their label —
+    // all integer, bit-equal on any engine and partitioning.
+    "q166_label_propagation" -> { (s, dir) => implicit val sp = s
+      val pairs = t(dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val seed = pairs.select(col("pk")).distinct()
+        .select(col("pk"), pmod(col("pk"), lit(5L)).as("lbl"))
+
+      def round(labels: DataFrame): DataFrame = {
+        val lbled = pairs.join(labels, "pk")
+        val hist = lbled.groupBy(col("ok"), col("lbl")).agg(count(lit(1)).as("c"))
+        val deg = lbled.groupBy(col("pk"), col("lbl").as("own"))
+          .agg(count(lit(1)).as("deg"))
+        val tot = pairs.join(hist, "ok")
+          .groupBy(col("pk"), col("lbl")).agg(sum(col("c")).as("t"))
+        // argmax (votes desc, label asc) as ONE integer: code = votes*8
+        // + (7 - lbl) — max code is max votes then min label; decodes on
+        // any engine identically (the struct-max would too, but the
+        // encoding keeps the oracle SQL to a plain max())
+        tot.join(deg, "pk")
+          .select(col("pk"), col("own"),
+            (col("t") - when(col("lbl") === col("own"), col("deg"))
+              .otherwise(lit(0L))).as("votes"),
+            col("lbl"))
+          .groupBy(col("pk"))
+          .agg(max(when(col("votes") > 0L,
+              col("votes") * 8L + (lit(7L) - col("lbl")))).as("code"),
+            first(col("own")).as("own"))
+          .select(col("pk"),
+            coalesce(lit(7L) - pmod(col("code"), lit(8L)), col("own")).as("lbl"))
+      }
+
+      val r2 = round(round(seed))
+      r2.join(seed.select(col("pk"), col("lbl").as("lbl0")), "pk")
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L)).as("n_changed"))
+        .orderBy(col("lbl"))
     }
   )
 
@@ -517,6 +567,41 @@ object Queries10 {
         |FROM c JOIN pk USING (event_type)
         |WHERE active = peak
         |GROUP BY event_type, peak
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q166_label_propagation" ->
+      """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |seed AS (SELECT pk, pk % 5 AS lbl FROM (SELECT DISTINCT pk FROM pairs) u),
+        |lb1 AS (SELECT ok, pairs.pk, seed.lbl FROM pairs JOIN seed USING (pk)),
+        |h1 AS (SELECT ok, lbl, count(*) AS c FROM lb1 GROUP BY ok, lbl),
+        |d1 AS (SELECT pk, lbl AS own, count(*) AS deg FROM lb1 GROUP BY pk, lbl),
+        |t1 AS (SELECT pairs.pk, h1.lbl, CAST(sum(c) AS BIGINT) AS t
+        |       FROM pairs JOIN h1 USING (ok) GROUP BY pairs.pk, h1.lbl),
+        |v1 AS (SELECT t1.pk, d1.own,
+        |         t1.t - CASE WHEN t1.lbl = d1.own THEN d1.deg ELSE 0 END AS votes,
+        |         t1.lbl
+        |       FROM t1 JOIN d1 ON t1.pk = d1.pk),
+        |r1 AS (SELECT pk,
+        |         coalesce(7 - max(CASE WHEN votes > 0 THEN votes * 8 + (7 - lbl) END) % 8,
+        |                  min(own)) AS lbl
+        |       FROM v1 GROUP BY pk),
+        |lb2 AS (SELECT ok, pairs.pk, r1.lbl FROM pairs JOIN r1 USING (pk)),
+        |h2 AS (SELECT ok, lbl, count(*) AS c FROM lb2 GROUP BY ok, lbl),
+        |d2 AS (SELECT pk, lbl AS own, count(*) AS deg FROM lb2 GROUP BY pk, lbl),
+        |t2 AS (SELECT pairs.pk, h2.lbl, CAST(sum(c) AS BIGINT) AS t
+        |       FROM pairs JOIN h2 USING (ok) GROUP BY pairs.pk, h2.lbl),
+        |v2 AS (SELECT t2.pk, d2.own,
+        |         t2.t - CASE WHEN t2.lbl = d2.own THEN d2.deg ELSE 0 END AS votes,
+        |         t2.lbl
+        |       FROM t2 JOIN d2 ON t2.pk = d2.pk),
+        |r2 AS (SELECT pk,
+        |         coalesce(7 - max(CASE WHEN votes > 0 THEN votes * 8 + (7 - lbl) END) % 8,
+        |                  min(own)) AS lbl
+        |       FROM v2 GROUP BY pk)
+        |SELECT r2.lbl, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CASE WHEN r2.lbl <> seed.lbl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed
+        |FROM r2 JOIN seed USING (pk)
+        |GROUP BY r2.lbl ORDER BY r2.lbl""".stripMargin
   )
 }

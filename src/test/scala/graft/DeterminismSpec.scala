@@ -34,7 +34,8 @@ class DeterminismSpec extends AnyFunSuite {
     // round 7 late batch: Q21's window-over-rollup existentials, the
     // min-k sketch merges behind the set algebra, and the sweep-line
     // running sum must all be merge-order-free
-    "q163_waiting_suppliers", "q164_kmv_set_algebra", "q165_peak_concurrency")
+    "q163_waiting_suppliers", "q164_kmv_set_algebra", "q165_peak_concurrency",
+    "q166_label_propagation")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
