@@ -371,6 +371,48 @@ object Queries10 {
         .agg(count(lit(1)).as("n_parts"),
           sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L)).as("n_changed"))
         .orderBy(col("lbl"))
+    },
+
+    // ---- partition fingerprint diff (anti-entropy / replica sync): find
+    // WHICH partitions of two table copies diverge without comparing a
+    // single row pair. Per (ship-month) partition each side folds every
+    // row into an ORDER-INDEPENDENT fingerprint — sum of row hashes mod
+    // 2^40 plus a row count (sum, not xor: xor misses even-multiplicity
+    // corruption; Σ of 2^28-bounded hashes stays under 2^63 to ~3.4e10
+    // rows PER PARTITION — past that, lift the Σ to DECIMAL(38,0)
+    // before the mod, audit table) — so each side is ONE map-side-combined aggregate
+    // of ~month-count rows, and only fingerprint-mismatched partitions
+    // would ever go row-level. Replica B is derived in-query with
+    // deterministic corruption: rows at hash%97==0 get their quantity
+    // bumped, rows at hash%211==0 are dropped — B diverges in SOME
+    // months, matches the rest bit-for-bit, and the diff must name
+    // exactly the corrupted months on both engines.
+    "q167_partition_fingerprint_diff" -> { (s, dir) => implicit val sp = s
+      val base = t(dir, "lineitem").select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("pt"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        .withColumn("rh", TextOps.portableHash28(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("qty"))))
+      val replica = base
+        .filter(pmod(col("rh"), lit(211L)) =!= 0L)
+        .withColumn("qty", when(pmod(col("rh"), lit(97L)) === 0L,
+          col("qty") + 1L).otherwise(col("qty")))
+        .drop("rh")
+        .withColumn("rh", TextOps.portableHash28(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("qty"))))
+      def fp(side: DataFrame) = side.groupBy(col("pt"))
+        .agg(pmod(sum(col("rh")), lit(1099511627776L)).as("fp"),
+          count(lit(1)).as("n"))
+      fp(base).select(col("pt"), col("fp").as("fp_a"), col("n").as("n_a"))
+        .join(fp(replica).select(col("pt"), col("fp").as("fp_b"), col("n").as("n_b")),
+          Seq("pt"), "full_outer")
+        .filter(!(col("fp_a") <=> col("fp_b")) || !(col("n_a") <=> col("n_b")))
+        .select(col("pt"), col("fp_a"), col("fp_b"), col("n_a"), col("n_b"),
+          (coalesce(col("n_a"), lit(0L)) - coalesce(col("n_b"), lit(0L))).as("row_delta"))
+        .orderBy(col("pt"))
     }
   )
 
@@ -602,6 +644,33 @@ object Queries10 {
         |  CAST(sum(CASE WHEN r2.lbl <> seed.lbl THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_changed
         |FROM r2 JOIN seed USING (pk)
-        |GROUP BY r2.lbl ORDER BY r2.lbl""".stripMargin
+        |GROUP BY r2.lbl ORDER BY r2.lbl""".stripMargin,
+
+    "q167_partition_fingerprint_diff" ->
+      """WITH base AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS pt,
+        |    l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST('0x' || substring(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |      l_partkey, l_suppkey, CAST(l_quantity AS BIGINT))), 1, 7) AS BIGINT) AS rh
+        |  FROM lineitem),
+        |replica AS (
+        |  SELECT pt, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CASE WHEN rh % 97 = 0 THEN qty + 1 ELSE qty END AS qty
+        |  FROM base WHERE rh % 211 <> 0),
+        |rep AS (
+        |  SELECT pt, qty,
+        |    CAST('0x' || substring(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |      l_partkey, l_suppkey, qty)), 1, 7) AS BIGINT) AS rh
+        |  FROM replica),
+        |fa AS (SELECT pt, CAST(sum(rh) % 1099511627776 AS BIGINT) AS fp_a,
+        |         CAST(count(*) AS BIGINT) AS n_a FROM base GROUP BY pt),
+        |fb AS (SELECT pt, CAST(sum(rh) % 1099511627776 AS BIGINT) AS fp_b,
+        |         CAST(count(*) AS BIGINT) AS n_b FROM rep GROUP BY pt)
+        |SELECT coalesce(fa.pt, fb.pt) AS pt, fp_a, fp_b, n_a, n_b,
+        |  CAST(coalesce(n_a, 0) - coalesce(n_b, 0) AS BIGINT) AS row_delta
+        |FROM fa FULL OUTER JOIN fb ON fa.pt = fb.pt
+        |WHERE fp_a IS DISTINCT FROM fp_b OR n_a IS DISTINCT FROM n_b
+        |ORDER BY pt""".stripMargin
   )
 }

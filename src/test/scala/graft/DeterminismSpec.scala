@@ -35,7 +35,7 @@ class DeterminismSpec extends AnyFunSuite {
     // min-k sketch merges behind the set algebra, and the sweep-line
     // running sum must all be merge-order-free
     "q163_waiting_suppliers", "q164_kmv_set_algebra", "q165_peak_concurrency",
-    "q166_label_propagation")
+    "q166_label_propagation", "q167_partition_fingerprint_diff")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
