@@ -363,6 +363,13 @@ object Queries10 {
             first(col("own")).as("own"))
           .select(col("pk"),
             coalesce(lit(7L) - pmod(col("code"), lit(8L)), col("own")).as("lbl"))
+          // MATERIALIZE each round's labels (parts-sized, tiny): nesting
+          // round 2's three consumers over round 1's live DAG re-derives
+          // it per consumer — 28 source scans and exponential growth per
+          // iteration. The q91 per-round localCheckpoint discipline cuts
+          // the lineage; content is partitioning-independent (exact
+          // integer argmax), so DeterminismSpec still holds.
+          .localCheckpoint()
       }
 
       val r2 = round(round(seed))
