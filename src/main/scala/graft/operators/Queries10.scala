@@ -253,7 +253,10 @@ object Queries10 {
         .join(broadcast(t(dir, "supplier").select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
-        .orderBy(desc("numwait"), col("s_name"))
+        // s_suppkey last: names are unique in this corpus, but a LIMIT
+        // needs a total order on EVERY corpus or the row set is
+        // engine-dependent at the boundary
+        .orderBy(desc("numwait"), col("s_name"), col("s_suppkey"))
         .limit(20)
     },
 
@@ -555,7 +558,7 @@ object Queries10 {
         |FROM flagged JOIN supplier ON l_suppkey = s_suppkey
         |WHERE late = 1 AND n_supp >= 2 AND n_late = 1
         |GROUP BY s_suppkey, s_name
-        |ORDER BY numwait DESC, s_name
+        |ORDER BY numwait DESC, s_name, s_suppkey
         |LIMIT 20""".stripMargin,
 
     "q164_kmv_set_algebra" ->
