@@ -127,8 +127,12 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          // kind gate preserved (resize documents "no-op for non-image
-          // kinds"); decode failures degrade to the stub like decodeOne
+          // DELIBERATE asymmetry with decodeOne: decode sniffs content
+          // regardless of declared kind (features of mislabeled media
+          // are still real), but RESIZING is an image-kind operation —
+          // this scaladoc's "no-op for non-image kinds" contract keeps
+          // a PPM payload tagged audio/video untouched here. Decode
+          // failures degrade to the stub like decodeOne.
           val realImg =
             if (m.kind == "image" && RealCodec.isPpm(m.content))
               try Some(RealCodec.resizeNearest(RealCodec.decodePpm(m.content), maxDim))

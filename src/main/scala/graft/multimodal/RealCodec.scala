@@ -41,13 +41,19 @@ object RealCodec {
       skipWs()
       require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
         s"malformed PPM header at byte $i")
-      var v = 0
+      // accumulate in LONG with a cap: an Int accumulator wraps on
+      // crafted headers (4294967297 -> 1), laundering absurd dimensions
+      // PAST the raster-size guard below
+      var v = 0L
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = v * 10 + (bytes(i) - '0'); i += 1
+        v = v * 10 + (bytes(i) - '0')
+        require(v <= Int.MaxValue, "PPM header number overflows Int")
+        i += 1
       }
-      v
+      v.toInt
     }
     val w = int(); val h = int(); val maxval = int()
+    require(w > 0 && h > 0, s"non-positive PPM dimensions: ${w}x$h")
     require(maxval == 255, s"only 8-bit PPM supported (maxval 255), got $maxval")
     i += 1 // exactly ONE whitespace byte separates the header from the raster
     // raster size in LONG: 50000x28634 wraps Int and would bypass the

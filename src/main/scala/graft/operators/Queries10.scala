@@ -284,12 +284,21 @@ object Queries10 {
         .filter(col("yr").isin(1996, 1997))
       val sk = o.groupBy(when(col("yr") === 1996, "A").otherwise("B").as("cohort"))
         .agg(minK(col("h")).as("mins"), countDistinct(col("h")).as("exact"))
+      // an ABSENT cohort is the EMPTY sketch (theta convention: complete
+      // set, theta 2^28, zero counts) — exactly what the oracle's CASE
+      // arms produce; a NULL array would null-propagate through the
+      // algebra and hash-mismatch on any corpus with an empty year
+      val emptySk = array().cast("array<bigint>")
       val one = sk.groupBy()
         .agg(
           first(when(col("cohort") === "A", col("mins")), ignoreNulls = true).as("am"),
           first(when(col("cohort") === "B", col("mins")), ignoreNulls = true).as("bm"),
           first(when(col("cohort") === "A", col("exact")), ignoreNulls = true).as("exact_a"),
           first(when(col("cohort") === "B", col("exact")), ignoreNulls = true).as("exact_b"))
+        .select(coalesce(col("am"), emptySk).as("am"),
+          coalesce(col("bm"), emptySk).as("bm"),
+          coalesce(col("exact_a"), lit(0L)).as("exact_a"),
+          coalesce(col("exact_b"), lit(0L)).as("exact_b"))
       SketchOps.kmvAlgebra(one, k)
         .select(col("exact_a"), col("exact_b"),
           col("theta"), col("n_union"), col("n_inter"), col("n_anotb"), col("n_bnota"),

@@ -71,17 +71,28 @@ object LayoutMaintenance {
       .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
   }
 
-  /** Named refs from the current metadata (name, snapshotId, type). */
+  /** Named refs from the current metadata (name, snapshotId, type) —
+    * ONE job: the whole refs struct comes back in a single head() and is
+    * walked driver-side (a per-ref select would cost one Spark job per
+    * branch/tag). */
   private def refs(spark: SparkSession, tableDir: String): Seq[(String, Long, String)] = {
     val md = readMetadata(spark, tableDir)
     md.schema.find(_.name == "refs").map(_.dataType) match {
       case Some(st: org.apache.spark.sql.types.StructType) =>
-        st.fieldNames.toSeq.sorted.flatMap { name =>
-          val row = md.select(col(s"refs.`$name`.`snapshot-id`"),
-            col(s"refs.`$name`.`type`")).head()
-          if (row.isNullAt(0)) None
-          else Some((name, row.getLong(0),
-            if (row.isNullAt(1)) "branch" else row.getString(1)))
+        val top = md.select(col("refs")).head()
+        val rs = if (top.isNullAt(0)) null else top.getStruct(0)
+        if (rs == null) Nil
+        else st.fieldNames.toSeq.sorted.flatMap { name =>
+          val idx = st.fieldIndex(name)
+          val fst = st(idx).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          val fld = if (rs.isNullAt(idx)) null else rs.getStruct(idx)
+          val sid = fst.fieldNames.indexOf("snapshot-id")
+          if (fld == null || sid < 0 || fld.isNullAt(sid)) None
+          else {
+            val tid = fst.fieldNames.indexOf("type")
+            val kind = if (tid >= 0 && !fld.isNullAt(tid)) fld.getString(tid) else "branch"
+            Some((name, fld.getLong(sid), kind))
+          }
         }
       case _ => Nil
     }

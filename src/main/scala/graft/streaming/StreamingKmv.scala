@@ -56,15 +56,23 @@ object StreamingKmv {
         .as("kmv_est"))
 
   /** q164's set algebra between two event types per closed window:
-    * est(A∪B / A∩B / A∖B) + Jaccard bp from the emitted sketches. */
+    * est(A∪B / A∩B / A∖B) + Jaccard bp from the emitted sketches. A
+    * window where only ONE type emitted still gets a row — the absent
+    * side is the EMPTY sketch (theta convention: complete set, zero
+    * counts), so "B saw nothing" reads as est_inter=0 / est_union=
+    * est(A), never as a silently missing window. */
   def setAlgebra(sketches: DataFrame, typeA: String, typeB: String,
       k: Int = 64): DataFrame = {
+    val emptySk = array().cast("array<bigint>")
     val a = sketches.filter(col("eventType") === typeA)
-      .select(col("bucket"), col("mins").as("am"))
+      .select(col("bucket").as("a_bucket"), col("mins").as("a_mins"))
     val b = sketches.filter(col("eventType") === typeB)
-      .select(col("bucket").as("b_bucket"), col("mins").as("bm"))
-    SketchOps.kmvAlgebra(
-      a.join(b, col("bucket") === col("b_bucket")), k)
+      .select(col("bucket").as("b_bucket"), col("mins").as("b_mins"))
+    val joined = a.join(b, col("a_bucket") === col("b_bucket"), "full_outer")
+      .select(coalesce(col("a_bucket"), col("b_bucket")).as("bucket"),
+        coalesce(col("a_mins"), emptySk).as("am"),
+        coalesce(col("b_mins"), emptySk).as("bm"))
+    SketchOps.kmvAlgebra(joined, k)
       .select(col("bucket"), col("theta"), col("n_union"), col("n_inter"),
         col("est_union"), col("est_inter"), col("est_anotb"), col("jaccard_bp"))
       .orderBy(col("bucket"))

@@ -83,4 +83,21 @@ class StreamingKmvSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("setAlgebra keeps one-sided windows: absent side = empty sketch, not a dropped row") {
+    import spark.implicits._
+    val sk = Seq(
+      ("a", 0L, Seq(10L, 20L, 30L)),   // bucket 0: both types
+      ("b", 0L, Seq(20L, 40L)),
+      ("a", 1L, Seq(5L, 6L))           // bucket 1: type b emitted NOTHING
+    ).toDF("eventType", "bucket", "mins")
+    val alg = StreamingKmv.setAlgebra(sk, "a", "b", K)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(alg.map(_._1).toSeq == Seq(0L, 1L), "one-sided window must still emit")
+    val b1 = alg.find(_._1 == 1L).get
+    // (bucket, theta, n_union, n_inter, est_union, est_inter, est_anotb, jaccard)
+    assert(b1._2 == 268435456L, "unsaturated sketches -> theta = 2^28")
+    assert(b1._4 == 0L && b1._6 == 0L, "empty B side -> zero intersection")
+    assert(b1._3 == 2L && b1._5 == 2L, "union of a one-sided window = est(A), exact when unsaturated")
+  }
 }
