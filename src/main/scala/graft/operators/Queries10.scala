@@ -380,7 +380,11 @@ object Queries10 {
           // it per consumer — 28 source scans and exponential growth per
           // iteration. The q91 per-round localCheckpoint discipline cuts
           // the lineage; content is partitioning-independent (exact
-          // integer argmax), so DeterminismSpec still holds.
+          // integer argmax), so DeterminismSpec still holds. Below ~1M
+          // parts the q91 hybrid's OTHER arm applies too: collect labels
+          // to a driver map and broadcast it into round's join, saving
+          // the label shuffle — same result, swap-in documented not
+          // wired (the checkpointed form is the one that scales).
           .localCheckpoint()
       }
 
