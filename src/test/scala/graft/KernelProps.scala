@@ -152,4 +152,36 @@ object KernelProps extends Properties("kernels") {
       val edited = chunksOf(c.toString + s)
       orig.length <= 1 || edited.takeRight(orig.length - 1) == orig.tail
     }
+
+  // ---- KMV min-k sketch (q90/q164/StreamingKmv state) ----
+  private val kGen = Gen.chooseNum(1, 16)
+  private val xsGen = Gen.listOf(Gen.chooseNum(0L, 1000L))
+
+  private def buildMinK(k: Int, xs: Seq[Long]): Seq[Long] = {
+    val agg = new graft.functions.MinKDistinct.MinK(k)
+    agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+  }
+
+  property("minK sketch IS the k smallest distinct values, sorted") =
+    forAll(kGen, xsGen) { (k, xs) =>
+      buildMinK(k, xs) == xs.distinct.sorted.take(k)
+    }
+
+  property("minK merge == build over the concatenation (any split point)") =
+    forAll(kGen, xsGen, xsGen) { (k, a, b) =>
+      val agg = new graft.functions.MinKDistinct.MinK(k)
+      val merged = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+      merged == buildMinK(k, a ++ b)
+    }
+
+  property("minK merge is commutative") =
+    forAll(kGen, xsGen, xsGen) { (k, a, b) =>
+      val agg = new graft.functions.MinKDistinct.MinK(k)
+      val ab = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+      val ba = agg.finish(agg.merge(
+        b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce)))
+      ab == ba
+    }
 }

@@ -124,6 +124,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3).width == fw && out(3).height == fh) // stub fallback intact
   }
 
+  test("corrupt/adversarial payloads degrade to the stub, never crash the decode") {
+    import spark.implicits._
+    // truncated raster, wrap-attack headers (Int-overflow laundering),
+    // zero dimension, non-PCM WAV: every one sniffs as real, every one
+    // must fall back to FakeCodec at the ROW level (one bad file in a
+    // media column cannot fail the job)
+    val truncated = "P6\n10 10\n255\n".getBytes("ISO-8859-1") ++ Array.fill[Byte](5)(1)
+    val wrap32 = "P6\n4294967297 4294967297\n255\n".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](9)(1)
+    val wrapNeg = "P6\n50000 28634\n255\n".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](8)(1)
+    val zeroDim = "P6\n0 5\n255\n".getBytes("ISO-8859-1")
+    val media = spark.createDataset(Seq(
+      MediaFile(1, "image", truncated), MediaFile(2, "image", wrap32),
+      MediaFile(3, "image", wrapNeg), MediaFile(4, "image", zeroDim)))
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out.size == 4, "all corrupt rows must survive")
+    out.values.foreach { f =>
+      val (fw, fh, _) = Multimodal.FakeCodec.decode("image", Array[Byte]())
+      assert(f.width > 0 || f.width == fw, s"media ${f.media_id} leaked garbage dims")
+      assert(f.width <= 4096 && f.height <= 4096,
+        s"media ${f.media_id}: wrap-attack dimensions escaped: ${f.width}x${f.height}")
+    }
+    // resize path takes the same fallback
+    val resized = Multimodal.resize(media, 2).collect()
+    assert(resized.length == 4)
+  }
+
   test("resize actually resamples a PPM payload (features from resized pixels)") {
     import spark.implicits._
     // 4x4 PPM, all-white except one black pixel at (0,0)
