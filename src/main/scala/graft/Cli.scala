@@ -36,6 +36,12 @@ import graft.functions.Pure
   *                                     reachability-safe manifest cleanup)
   *   graft.Cli rwmanifests <tableDir> — consolidate the current snapshot's
   *                                     manifests (same relation, fewer files)
+  *   graft.Cli rollback <tableDir> <snapshotId> — move the current pointer
+  *                                     (and main) to a past snapshot; nothing
+  *                                     deleted, instantly reversible
+  *   graft.Cli manifest <tableDir>[@snap|@ref] — diagnose a real layout;
+  *                                     @ pins a snapshot id or named ref
+  *                                     (time travel)
   *
   * A "table" here is each `<name>.parquet` file/dir under dataRoot (the
   * environment has no Iceberg catalog; with one, the source swaps for the
@@ -55,7 +61,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir|manifestListAvro> [table] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -177,7 +183,10 @@ object Cli {
 
     if (cmd == "manifest") {
       // diagnose straight from an Iceberg snapshot's manifest list (Avro) —
-      // the reference's actual input surface, no Iceberg runtime needed
+      // the reference's actual input surface, no Iceberg runtime needed.
+      // Trailing `@<snapshotId>` or `@<refName>` on a table dir pins a
+      // past snapshot / named ref (time travel through the same resolver
+      // q154 gates).
       val table = if (args.length > 2) args(2) else "table"
       val spark = session()
       try {
@@ -185,24 +194,41 @@ object Cli {
         // a directory with metadata/ is a full Iceberg table layout;
         // anything else is a manifest-list Avro file. Hadoop FS detection
         // (not java.io.File) so hdfs:///s3a:// table dirs route correctly
-        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val (rootDir, pin) = root.lastIndexOf('@') match {
+          case i if i > 0 => (root.substring(0, i), Some(root.substring(i + 1)))
+          case _ => (root, None)
+        }
+        val root2 = if (pin.isDefined) rootDir else root
+        val rootPath = new org.apache.hadoop.fs.Path(root2)
         val rootFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val metaPath = new org.apache.hadoop.fs.Path(rootPath, "metadata")
         val isTableDir =
           try rootFs.exists(metaPath) && rootFs.getFileStatus(metaPath).isDirectory
           catch { case _: Exception => false }
+        val snapId: Option[Long] = pin.flatMap { p =>
+          if (!isTableDir) {
+            System.err.println(s"error: @$p pinning needs a table directory, not a manifest list")
+            sys.exit(1)
+          }
+          if (p.nonEmpty && p.forall(_.isDigit)) Some(p.toLong)
+          else graft.sources.IcebergManifestSource.refSnapshotId(spark, root2, p)
+            .orElse {
+              System.err.println(s"error: no such ref or snapshot: $p")
+              sys.exit(1); None
+            }
+        }
         val (files, n) =
           try {
             if (isTableDir)
-              graft.sources.IcebergManifestSource.fromTableDir(spark, root, table)
+              graft.sources.IcebergManifestSource.fromTableDir(spark, root2, table, snapId)
             else
-              graft.sources.IcebergManifestSource.fromManifestList(spark, root, table)
+              graft.sources.IcebergManifestSource.fromManifestList(spark, root2, table)
           } catch {
             case e: java.io.FileNotFoundException =>
               System.err.println(s"error: no such manifest list: ${e.getMessage}")
               sys.exit(1)
             case e: org.apache.avro.InvalidAvroMagicException =>
-              System.err.println(s"error: not an Avro file: $root")
+              System.err.println(s"error: not an Avro file: $root2")
               sys.exit(1)
           }
         // seed the manifest count explicitly: an EMPTY snapshot must still
