@@ -93,7 +93,7 @@ object Cli {
     if (cmd == "query") {
       // run any catalog query (QUERIES.md) by name or glob against a sf dir;
       // the glob is REQUIRED here — falling back to '*' would silently run
-      // all 137 catalog queries
+      // every catalog query
       if (args.length < 3) { System.err.println(usage); sys.exit(2) }
       val n = if (args.length > 3) {
         args(3).toIntOption.getOrElse {
