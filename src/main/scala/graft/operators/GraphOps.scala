@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Basket → co-occurrence pair expansion with a hard per-basket cap.
@@ -39,4 +39,87 @@ object GraphOps {
           .stripMargin)).as("e"))
       .select(org.apache.spark.sql.functions.col("e.u").as("u"),
         org.apache.spark.sql.functions.col("e.v").as("v"))
+
+  /** Synchronized majority-vote label propagation over the basket
+    * co-membership graph (q166's engine), without ever materializing the
+    * quadratic co-occurrence edge set: part p's neighbor count for label
+    * l is Σ over p's baskets of the basket's label-l histogram, minus
+    * p's own degree when l is p's label — the subtract-self identity
+    * [[PageRank]] uses for contributions, applied to votes. Every
+    * relation is linear in `pairs` or in nodes; per-basket histograms
+    * are label-vocabulary-bounded (< 8 rows per basket).
+    *
+    * Hybrid dispatch mirrors [[PageRank.partRanks]]: below
+    * `localNodeThreshold` nodes the label vector (one long per node)
+    * lives on the driver — each round broadcasts it into the vote join
+    * and collects the node-sized result back, so there is no label-side
+    * shuffle and no lineage growth BY CONSTRUCTION (each round's input
+    * is literal data). Above the threshold labels stay a distributed
+    * DataFrame, coalesced to `checkpointBlocks` partitions (the label
+    * relation is nodes × 2 longs — writing it at full shuffle
+    * parallelism scatters hundreds of near-empty cache blocks whose
+    * placement, not content, dominated the round wall time) and
+    * localCheckpointed per round — the lineage cut that stops round k
+    * re-deriving round k-1 once per consumer (3 consumers/round ⇒
+    * exponential re-derivation when left live). Votes are exact integer
+    * arithmetic (argmax encoded as votes·8 + (7−label), so max-code =
+    * max-votes-then-min-label), so both arms — and any partitioning —
+    * produce bit-identical labels; GraphOpsSpec pins arm equality the
+    * way PageRankSpec does for ranks.
+    *
+    * @param pairs distinct (basket, node) rows, columns `ok` and `pk`;
+    *              cache it — each round reads it twice
+    * @param seed  (pk, lbl) initial integer labels, lbl in [0, 8)
+    * @param localNodeThreshold driver-arm cutoff: one boxed (Long, Long)
+    *              per node on collect, ~100 MB heap at the default 1M
+    * @return (pk, lbl) after `rounds` synchronized rounds */
+  def labelPropagation(pairs: DataFrame, seed: DataFrame, rounds: Int = 2,
+      localNodeThreshold: Long = 1000000L, checkpointBlocks: Int = 8): DataFrame = {
+    implicit val sp: SparkSession = pairs.sparkSession
+    import sp.implicits._
+
+    // degree(p) = # baskets containing p — label-INDEPENDENT, so it is
+    // computed ONCE (node-sized) instead of re-aggregated over the full
+    // pairs relation inside every round's vote
+    val degree = pairs.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+
+    // labels3 carries (pk, lbl, deg); output is next-round (pk, lbl)
+    // for exactly the nodes present in `pairs`
+    def vote(labels3: DataFrame): DataFrame = {
+      val hist = pairs.join(labels3.select(col("pk"), col("lbl")), "pk")
+        .groupBy(col("ok"), col("lbl")).agg(count(lit(1)).as("c"))
+      val tot = pairs.join(hist, "ok")
+        .groupBy(col("pk"), col("lbl")).agg(sum(col("c")).as("t"))
+      tot.join(labels3.select(col("pk"), col("lbl").as("own"), col("deg")), "pk")
+        .select(col("pk"), col("own"),
+          (col("t") - when(col("lbl") === col("own"), col("deg"))
+            .otherwise(lit(0L))).as("votes"),
+          col("lbl"))
+        .groupBy(col("pk"))
+        .agg(max(when(col("votes") > 0L,
+            col("votes") * 8L + (lit(7L) - col("lbl")))).as("code"),
+          first(col("own")).as("own"))
+        // zero-vote isolates keep their current label
+        .select(col("pk"),
+          coalesce(lit(7L) - pmod(col("code"), lit(8L)), col("own")).as("lbl"))
+    }
+
+    if (seed.count() <= localNodeThreshold) {
+      val degM = degree.as[(Long, Long)].collect().toMap
+      var lbl = seed.select(col("pk"), col("lbl")).as[(Long, Long)].collect()
+      for (_ <- 1 to rounds)
+        lbl = vote(broadcast(lbl.iterator
+            .map { case (p, l) => (p, l, degM.getOrElse(p, 0L)) }
+            .toSeq.toDF("pk", "lbl", "deg")))
+          .as[(Long, Long)].collect()
+      lbl.toSeq.toDF("pk", "lbl")
+    } else {
+      val degDf = degree.localCheckpoint()
+      var labels = seed.select(col("pk"), col("lbl"))
+      for (_ <- 1 to rounds)
+        labels = vote(labels.join(degDf, "pk"))
+          .coalesce(checkpointBlocks).localCheckpoint()
+      labels
+    }
+  }
 }

@@ -337,63 +337,34 @@ object Queries10 {
 
     // ---- label propagation over the part co-purchase graph (community
     // detection's cheap workhorse): two synchronized majority-vote
-    // rounds from 5 seed labels (partkey mod 5). The co-purchase edge
-    // set is QUADRATIC in basket size and is NEVER materialized — the
-    // q91 subtract-self identity applied to votes: part p's neighbor
-    // count for label l is Σ over p's orders of the order's label-l
-    // histogram, minus p's own degree when l is p's label (p is not its
-    // own neighbor). Per-order histograms are LABEL-vocabulary-bounded
-    // (5 rows/order) and per-part tallies are parts x 5, so every
-    // relation is linear in lines or parts. Majority = struct-max
-    // (votes desc, label asc), zero-vote isolates keep their label —
-    // all integer, bit-equal on any engine and partitioning.
+    // rounds from 5 seed labels (partkey mod 5), run by
+    // [[GraphOps.labelPropagation]] — the quadratic co-purchase edge set
+    // is never materialized (subtract-self vote identity), per-order
+    // label histograms are vocabulary-bounded, and the label vector
+    // follows the q91 hybrid: driver-resident + broadcast per round
+    // below 1M parts (no label shuffle, no lineage by construction),
+    // distributed + coalesced localCheckpoint above (GraphOpsSpec pins
+    // the two arms bit-equal). `pairs` is cached q91-style: each round
+    // reads it twice, and a live DAG would re-derive the distinct per
+    // consumer.
     "q166_label_propagation" -> { (s, dir) => implicit val sp = s
       val pairs = t(dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .cache()
+      // seed reused three ways (node count, round-0 labels, the final
+      // n_changed join) — parts-sized, so one materialization is cheap
       val seed = pairs.select(col("pk")).distinct()
         .select(col("pk"), pmod(col("pk"), lit(5L)).as("lbl"))
-
-      def round(labels: DataFrame): DataFrame = {
-        val lbled = pairs.join(labels, "pk")
-        val hist = lbled.groupBy(col("ok"), col("lbl")).agg(count(lit(1)).as("c"))
-        val deg = lbled.groupBy(col("pk"), col("lbl").as("own"))
-          .agg(count(lit(1)).as("deg"))
-        val tot = pairs.join(hist, "ok")
-          .groupBy(col("pk"), col("lbl")).agg(sum(col("c")).as("t"))
-        // argmax (votes desc, label asc) as ONE integer: code = votes*8
-        // + (7 - lbl) — max code is max votes then min label; decodes on
-        // any engine identically (the struct-max would too, but the
-        // encoding keeps the oracle SQL to a plain max())
-        tot.join(deg, "pk")
-          .select(col("pk"), col("own"),
-            (col("t") - when(col("lbl") === col("own"), col("deg"))
-              .otherwise(lit(0L))).as("votes"),
-            col("lbl"))
-          .groupBy(col("pk"))
-          .agg(max(when(col("votes") > 0L,
-              col("votes") * 8L + (lit(7L) - col("lbl")))).as("code"),
-            first(col("own")).as("own"))
-          .select(col("pk"),
-            coalesce(lit(7L) - pmod(col("code"), lit(8L)), col("own")).as("lbl"))
-          // MATERIALIZE each round's labels (parts-sized, tiny): nesting
-          // round 2's three consumers over round 1's live DAG re-derives
-          // it per consumer — 28 source scans and exponential growth per
-          // iteration. The q91 per-round localCheckpoint discipline cuts
-          // the lineage; content is partitioning-independent (exact
-          // integer argmax), so DeterminismSpec still holds. Below ~1M
-          // parts the q91 hybrid's OTHER arm applies too: collect labels
-          // to a driver map and broadcast it into round's join, saving
-          // the label shuffle — same result, swap-in documented not
-          // wired (the checkpointed form is the one that scales).
-          .localCheckpoint()
-      }
-
-      val r2 = round(round(seed))
-      r2.join(seed.select(col("pk"), col("lbl").as("lbl0")), "pk")
+        .localCheckpoint()
+      val r2 = GraphOps.labelPropagation(pairs, seed, rounds = 2)
+      val out = r2.join(seed.select(col("pk"), col("lbl").as("lbl0")), "pk")
         .groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_parts"),
           sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L)).as("n_changed"))
         .orderBy(col("lbl"))
+        .localCheckpoint()
+      pairs.unpersist(blocking = false)
+      out
     },
 
     // ---- partition fingerprint diff (anti-entropy / replica sync): find

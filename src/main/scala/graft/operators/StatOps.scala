@@ -66,16 +66,26 @@ private[graft] object StatOps {
     val withLocal = weights.foldLeft(withW) { case (d, (n, _)) =>
       d.withColumn(s"__local_$n", sum(col(s"__w_$n")).over(wLocal))
     }
-    // level 2: per-(group, bucket) totals from a direct map-side
-    // aggregation of the weighted input (the branch re-derives the input
-    // rather than consuming the window — Catalyst prunes the two branches
-    // differently so ReuseExchange cannot merge them, and the no-window
-    // branch is the cheaper second pass: scan + partial agg collapsing to
-    // ≤ ~1040 rows per task). Offsets via a BOUNDED window over the
-    // bucket aggregate — group-less that is an empty-partitionSpec
-    // window, the structural exemption PlanScan.rowLevelGlobalWindows
-    // recognizes.
-    val totAggs = weights.map { case (n, _) => sum(col(s"__w_$n")).as(s"__t_$n") }
+    // level 2: per-(group, bucket) totals taken from the LEVEL-1 OUTPUT —
+    // the bucket total IS the last inclusive local cumsum (max_by over
+    // the strict order; a plain max would be wrong for negative weights,
+    // e.g. q165's ±1 sweep deltas). Consuming the windowed relation
+    // instead of re-deriving the input makes the whole helper SINGLE-
+    // SCAN: both branches demand the same columns (group ∪ order ∪ __w)
+    // from the same child, so their `__bkt` hash exchanges canonicalize
+    // identically and ReuseExchange / AQE stage reuse computes the
+    // upstream (scan, derivation aggregates, shuffle) exactly once; only
+    // the bucket-local sort+window runs per branch, and the offsets
+    // branch collapses to ≤ ~1040 rows per task right above it. (The
+    // join below must stay null-safe on `__bkt` — an equi-join would
+    // infer an `isnotnull(bucket)` filter into the probe branch only,
+    // de-canonicalizing the exchanges and silently re-deriving the
+    // source twice.) Offsets via a BOUNDED window over the bucket
+    // aggregate — group-less that is an empty-partitionSpec window, the
+    // structural exemption PlanScan.rowLevelGlobalWindows recognizes.
+    val lastOrd = struct(order.map(col): _*)
+    val totAggs = weights.map { case (n, _) =>
+      max_by(col(s"__local_$n"), lastOrd).as(s"__t_$n") }
     val wOff = (if (group.isEmpty) Window.partitionBy()
       else Window.partitionBy(group.map(col): _*))
       .orderBy(col("__bkt"))
@@ -85,7 +95,7 @@ private[graft] object StatOps {
       sum(col(s"__t_$n")).over(
         wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .as(s"${n}_total")) }
-    val offsets = withW.groupBy(keyCols.map(col): _*)
+    val offsets = withLocal.groupBy(keyCols.map(col): _*)
       .agg(totAggs.head, totAggs.tail: _*)
       .select(keyCols.map(col) ++ offCols: _*)
 
@@ -96,7 +106,7 @@ private[graft] object StatOps {
       if (keyCols.contains(c)) col(c).as(s"__o_$c") else col(c)
     }.toIndexedSeq: _*)
     val joinCond = group.map(g => col(g) <=> col(s"__o_$g"))
-      .foldLeft(col("__bkt") === col("__o___bkt"))(_ && _)
+      .foldLeft(col("__bkt") <=> col("__o___bkt"))(_ && _)
     val joined = withLocal.join(broadcast(offRenamed), joinCond)
       .drop(keyCols.map(k => s"__o_$k"): _*)
     val withCums = weights.foldLeft(joined) { case (d, (n, _)) =>

@@ -34,4 +34,53 @@ class GraphOpsSpec extends AnyFunSuite {
       .agg(max(greatest(col("u"), col("v")))).head.getLong(0)
     assert(maxId == cap.toLong)
   }
+
+  // ---- labelPropagation: the two arms of the hybrid dispatch must be
+  // bit-identical — the threshold is a memory decision, never a
+  // semantics one (same contract PageRankSpec pins for partRanks)
+
+  private def copurchase() = {
+    implicit val sp = spark
+    graft.operators.Rel.t("/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .cache()
+  }
+
+  private def seedOf(pairs: org.apache.spark.sql.DataFrame) =
+    pairs.select(col("pk")).distinct()
+      .select(col("pk"), pmod(col("pk"), lit(5L)).as("lbl"))
+      .localCheckpoint()
+
+  test("labelPropagation driver and distributed arms are bit-identical") {
+    val pairs = copurchase()
+    try {
+      val seed = seedOf(pairs)
+      // threshold above any node count -> driver arm; 0 -> distributed
+      val driver = GraphOps.labelPropagation(pairs, seed, rounds = 2,
+          localNodeThreshold = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val dist = GraphOps.labelPropagation(pairs, seed, rounds = 2,
+          localNodeThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(driver.nonEmpty)
+      assert(driver.size == seed.count(), "one label per node")
+      assert(dist == driver, "distributed labels diverge from driver arm")
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  test("labelPropagation labels change across rounds but stay in the seed vocabulary") {
+    val pairs = copurchase()
+    try {
+      val seed = seedOf(pairs)
+      val r2 = GraphOps.labelPropagation(pairs, seed, rounds = 2,
+        localNodeThreshold = Long.MaxValue)
+      val lbls = r2.select(col("lbl")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(lbls.subsetOf((0L to 4L).toSet), s"labels outside seed vocabulary: $lbls")
+      // propagation must actually move SOME labels off the seed
+      val changed = r2.join(seed.withColumnRenamed("lbl", "lbl0"), "pk")
+        .filter(col("lbl") =!= col("lbl0")).count()
+      assert(changed > 0, "two rounds changed nothing — vote identity broken?")
+    } finally pairs.unpersist(blocking = false)
+  }
 }
