@@ -194,8 +194,18 @@ object Cli {
         // a directory with metadata/ is a full Iceberg table layout;
         // anything else is a manifest-list Avro file. Hadoop FS detection
         // (not java.io.File) so hdfs:///s3a:// table dirs route correctly
+        // '@' is legal inside paths — the suffix is a pin ONLY when the
+        // full path does not exist but the prefix before the last '@'
+        // does (so `tbl@2` pins, while a real dir literally named
+        // `data@v2` resolves as itself)
+        def hfsExists(p: String): Boolean =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+          } catch { case _: Exception => false }
         val (rootDir, pin) = root.lastIndexOf('@') match {
-          case i if i > 0 => (root.substring(0, i), Some(root.substring(i + 1)))
+          case i if i > 0 && !hfsExists(root) && hfsExists(root.substring(0, i)) =>
+            (root.substring(0, i), Some(root.substring(i + 1)))
           case _ => (root, None)
         }
         val root2 = if (pin.isDefined) rootDir else root
@@ -210,7 +220,18 @@ object Cli {
             System.err.println(s"error: @$p pinning needs a table directory, not a manifest list")
             sys.exit(1)
           }
-          if (p.nonEmpty && p.forall(_.isDigit)) Some(p.toLong)
+          if (p.nonEmpty && p.forall(_.isDigit)) {
+            // a numeric pin gets the same existence gate a ref name does —
+            // `tbl@999` must error, not print an empty diagnosis
+            val id = p.toLong
+            val ids = graft.sources.LayoutMaintenance.snapshotIds(spark, root2)
+            if (!ids.contains(id)) {
+              System.err.println(
+                s"error: no such snapshot: $p (history: ${ids.mkString(", ")})")
+              sys.exit(1)
+            }
+            Some(id)
+          }
           else graft.sources.IcebergManifestSource.refSnapshotId(spark, root2, p)
             .orElse {
               System.err.println(s"error: no such ref or snapshot: $p")

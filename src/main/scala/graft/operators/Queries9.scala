@@ -479,7 +479,11 @@ object Queries9 {
         expr("CAST(count(CASE WHEN NOT pass AND ex IS NOT NULL THEN 1 END) AS BIGINT)").as("n_false_neg"))
         .select(col("n_probes"), col("n_exact"), col("n_pass"),
           col("n_false_pos"), col("n_false_neg"),
-          expr("(n_false_pos * 10000) div (n_probes - n_exact)").as("fp_bp"))
+          // NULL when every probe is a member: Spark's div yields NULL on
+          // /0 but DuckDB's // raises, so the guard must live on BOTH
+          // engines for the gate to compare rather than error-diverge
+          expr("CASE WHEN n_probes = n_exact THEN NULL " +
+            "ELSE (n_false_pos * 10000) div (n_probes - n_exact) END").as("fp_bp"))
     },
 
     // ---- time travel (`VERSION AS OF`): a two-snapshot v2 layout —
@@ -580,8 +584,9 @@ object Queries9 {
         |  CAST(count(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass,
         |  CAST(count(CASE WHEN pass AND NOT ex THEN 1 END) AS BIGINT) AS n_false_pos,
         |  CAST(count(CASE WHEN NOT pass AND ex THEN 1 END) AS BIGINT) AS n_false_neg,
-        |  (count(CASE WHEN pass AND NOT ex THEN 1 END) * 10000)
-        |    // (count(*) - count(CASE WHEN ex THEN 1 END)) AS fp_bp
+        |  CASE WHEN count(*) = count(CASE WHEN ex THEN 1 END) THEN NULL
+        |    ELSE (count(CASE WHEN pass AND NOT ex THEN 1 END) * 10000)
+        |      // (count(*) - count(CASE WHEN ex THEN 1 END)) END AS fp_bp
         |FROM tested""".stripMargin,
 
     "q152_mor_table_roundtrip" ->

@@ -25,10 +25,14 @@ object IcebergLayoutWriter {
 
   /** One manifest entry: `partition` is (name, value) pairs (Int/Long/
     * String/Boolean scalars), `lower`/`upper` are field-id → serialized
-    * bound (see [[boundInt]]/[[boundLong]]/[[boundDouble]]/[[boundString]]). */
+    * bound (see [[boundInt]]/[[boundLong]]/[[boundDouble]]/[[boundString]]).
+    * `sequenceNumber` may be `null` on an ADDED entry — real v2 writers
+    * emit null there and the READER inherits the manifest list's
+    * sequence_number (spec "Sequence Number Inheritance"), which
+    * [[IcebergManifestSource.readManifestStats]] implements. */
   case class ManifestEntrySpec(status: Int, content: Int, filePath: String,
       partition: Seq[(String, Any)] = Nil, recordCount: Long = 0L,
-      sizeBytes: Long = 0L, sequenceNumber: Long = 1L,
+      sizeBytes: Long = 0L, sequenceNumber: java.lang.Long = 1L,
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty)
 
@@ -74,6 +78,7 @@ object IcebergLayoutWriter {
   private val listSchema: Schema = SchemaBuilder.record("manifest_file").fields()
     .requiredString("manifest_path").requiredLong("manifest_length")
     .requiredInt("content")
+    .requiredLong("sequence_number")
     .requiredLong("added_snapshot_id").endRecord()
 
   private def kvList(schema: Schema, m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
@@ -144,7 +149,11 @@ object IcebergLayoutWriter {
 
   /** Write a manifest list referencing `manifests` ((file, content) pairs)
     * for `snapshotId` — shared by the full-layout writers and
-    * [[LayoutMaintenance.rewriteManifests]]. */
+    * [[LayoutMaintenance.rewriteManifests]]. The list rows carry the v2
+    * `sequence_number` field; in this fixture dialect the snapshot id
+    * doubles as the snapshot's sequence number (both are the 1-based
+    * commit ordinal), which is what null ADDED-entry sequence numbers
+    * inherit on read. */
   def writeManifestList(dest: java.io.File,
       manifests: Seq[(java.io.File, Int)], snapshotId: Long): Unit =
     writeAvro(dest, listSchema, manifests.map { case (f, mContent) =>
@@ -152,6 +161,7 @@ object IcebergLayoutWriter {
       r.put("manifest_path", f.getAbsolutePath)
       r.put("manifest_length", f.length())
       r.put("content", mContent)
+      r.put("sequence_number", snapshotId)
       r.put("added_snapshot_id", snapshotId)
       r
     })

@@ -81,8 +81,8 @@ object IcebergManifestSource {
       snapshotId: Option[Long] = None): DataFrame =
     resolveManifestList(spark, tableDir, snapshotId) match {
       case Some(p) =>
-        val paths = manifestPaths(spark.sparkContext.hadoopConfiguration, p)
-        statsFromManifests(spark, paths, table, fields)
+        val paths = manifestPathSeqs(spark.sparkContext.hadoopConfiguration, p)
+        statsFromManifestSeqs(spark, paths, table, fields)
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema(fields))
     }
@@ -188,6 +188,18 @@ object IcebergManifestSource {
       Iterator.single(rec.get("manifest_path").toString)
     }.toSeq
 
+  /** (manifest_path, sequence_number) rows of a manifest list — the
+    * inheritance input for v2 null ADDED-entry sequence numbers. A v1
+    * list (or a pre-v2 fixture) has no sequence_number field → 0. */
+  def manifestPathSeqs(conf: Configuration,
+      manifestListPath: String): Seq[(String, Long)] =
+    readAvroIterator(conf, manifestListPath) { rec =>
+      val seq =
+        if (rec.getSchema.getField("sequence_number") == null) 0L
+        else Option(rec.get("sequence_number")).fold(0L)(_.asInstanceOf[Long])
+      Iterator.single((rec.get("manifest_path").toString, seq))
+    }.toSeq
+
   /** Distributed manifest scan: one task per manifest file. The SESSION's
     * Hadoop configuration ships to tasks as a SerializableConfiguration
     * (the OrphanFiles pattern) — a fresh executor-side Configuration
@@ -215,13 +227,22 @@ object IcebergManifestSource {
     * UDF in any hot path; the relation is metadata-sized (files, not
     * rows), so downstream pruning math broadcasts trivially. */
   def statsFromManifests(spark: SparkSession, manifestPaths: Seq[String],
+      table: String, fields: Seq[(Int, String, DataType)]): DataFrame =
+    statsFromManifestSeqs(spark, manifestPaths.map(_ -> 0L), table, fields)
+
+  /** [[statsFromManifests]] with each manifest's OWN manifest-list
+    * sequence_number — the value a null ADDED-entry sequence number
+    * inherits (v2 inheritance; [[statsFromTableDir]] always routes
+    * through here so MOR delete visibility is correct on layouts whose
+    * writers left ADDED sequence numbers null). */
+  def statsFromManifestSeqs(spark: SparkSession, manifests: Seq[(String, Long)],
       table: String, fields: Seq[(Int, String, DataType)]): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val n = math.max(1, math.min(manifestPaths.size, spark.sparkContext.defaultParallelism))
+    val n = math.max(1, math.min(manifests.size, spark.sparkContext.defaultParallelism))
     val fieldSpec = fields // stable serializable copy for the closure
-    val rows = spark.sparkContext.parallelize(manifestPaths, n).flatMap { p =>
-      readManifestStats(p, conf.value).map { s =>
+    val rows = spark.sparkContext.parallelize(manifests, n).flatMap { case (p, inheritSeq) =>
+      readManifestStats(p, conf.value, inheritSeq).map { s =>
         Row.fromSeq(Seq(table, s.filePath, s.content, s.partitionKey, s.sizeBytes,
           s.recordCount, s.sequenceNumber) ++
           fieldSpec.flatMap { case (id, _, dt) =>
@@ -257,11 +278,17 @@ object IcebergManifestSource {
     }
 
   /** Stats projection of one manifest's live entries (task-side).
-    * sequence_number sits on the manifest ENTRY; a v1 manifest has none
-    * and an inherited (null) v2 value defaults to 0 — fixture layouts
-    * write it explicitly, which is what the MOR read path consumes. */
-  private[sources] def readManifestStats(path: String,
-      conf: Configuration): Iterator[ManifestStats] =
+    * sequence_number sits on the manifest ENTRY; a v1 manifest has no
+    * such field (→ 0). A NULL v2 value is what real writers emit for
+    * ADDED entries — it INHERITS `inheritSeq`, the manifest's own
+    * sequence_number from the manifest list (spec "Sequence Number
+    * Inheritance"); defaulting it to 0 would put every file below every
+    * equality delete and break MOR visibility. A null on an EXISTING
+    * entry has nothing to inherit (the entry was added by an OLDER
+    * snapshot than this manifest) — that is a corrupt manifest, and
+    * failing loudly beats silently misordering delete application. */
+  private[sources] def readManifestStats(path: String, conf: Configuration,
+      inheritSeq: Long = 0L): Iterator[ManifestStats] =
     liveEntries(path, conf).map { case (e, df) =>
       ManifestStats(
         filePath = Option(df.get("file_path")).map(_.toString).getOrElse(""),
@@ -273,7 +300,13 @@ object IcebergManifestSource {
           else Option(df.get("record_count")).fold(0L)(_.asInstanceOf[Long]),
         sequenceNumber =
           if (e.getSchema.getField("sequence_number") == null) 0L
-          else Option(e.get("sequence_number")).fold(0L)(_.asInstanceOf[Long]),
+          else Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+            .getOrElse {
+              if (e.get("status").asInstanceOf[Int] == 1) inheritSeq
+              else throw new IllegalStateException(
+                s"manifest $path: null sequence_number on a non-ADDED " +
+                  "entry (status != 1) has nothing to inherit")
+            },
         lower = boundsMap(df, "lower_bounds"),
         upper = boundsMap(df, "upper_bounds"))
     }

@@ -98,37 +98,70 @@ object LayoutMaintenance {
     }
   }
 
-  /** Bump the metadata version: write v<next>.metadata.json with the
-    * given snapshots, current pointer, and refs; update
-    * version-hint.text. */
+  /** Bump the metadata version: READ-MODIFY-WRITE the current metadata
+    * document — only `current-snapshot-id`, the `snapshots` array
+    * membership (each kept snapshot's ORIGINAL node survives, with its
+    * timestamps/summary/whatever a real writer put there; only
+    * `manifest-list` is updated when maintenance moved it), and `refs`
+    * are touched. Every other field — table-uuid, schemas,
+    * partition-specs, sort-orders, properties, fields this code has
+    * never heard of — passes through byte-for-semantics, so a table
+    * written by a real engine stays readable by that engine after
+    * maintenance here. Writes v<next>.metadata.json + version-hint.text
+    * and returns the new version number. */
   private def writeMetadataVersion(spark: SparkSession, tableDir: String,
       keep: Seq[Snap], currentId: Long,
-      keepRefs: Seq[(String, Long, String)]): Unit = {
+      keepRefs: Seq[(String, Long, String)]): Long = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val m = metaDir(tableDir)
     val cur = currentMetadataFile(spark, tableDir)
     val curV = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(cur.getName)
       .map(_.group(1).toLong).getOrElse(0L)
-    val snapJson = keep.map { s =>
-      s"""    {"snapshot-id": ${s.id}, "manifest-list": "${s.listPath}"}"""
-    }.mkString(",\n")
-    val refsJson =
-      if (keepRefs.isEmpty) ""
-      else keepRefs.map { case (name, id, kind) =>
-        s"""    "$name": {"snapshot-id": $id, "type": "$kind"}"""
-      }.mkString(",\n  \"refs\": {\n", ",\n", "\n  }")
-    val json =
-      s"""{
-         |  "format-version": 2,
-         |  "current-snapshot-id": $currentId,
-         |  "snapshots": [
-         |$snapJson
-         |  ]$refsJson
-         |}""".stripMargin
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(cur) match {
+      case o: ObjectNode => o
+      case other => throw new IllegalStateException(
+        s"$cur is not a JSON object: ${other.getNodeType}")
+    }
+    root.put("current-snapshot-id", currentId)
+    // snapshots: filter/patch the ORIGINAL nodes, in `keep` order
+    val keptById = new java.util.LinkedHashMap[Long, ObjectNode]()
+    val orig = root.get("snapshots")
+    if (orig != null && orig.isArray) orig.forEach { n =>
+      val sid = n.get("snapshot-id")
+      if (sid != null && sid.canConvertToLong)
+        keptById.put(sid.asLong(), n.asInstanceOf[ObjectNode])
+    }
+    val snapArr = mapper.createArrayNode()
+    keep.foreach { s =>
+      val node = Option(keptById.get(s.id)).getOrElse(
+        mapper.createObjectNode().put("snapshot-id", s.id))
+      node.put("manifest-list", s.listPath)
+      snapArr.add(node)
+    }
+    root.set[ArrayNode]("snapshots", snapArr)
+    // refs: original node per surviving name (extra fields like
+    // min-snapshots-to-keep survive), target id patched when moved
+    if (keepRefs.isEmpty) root.remove("refs")
+    else {
+      val origRefs = root.get("refs")
+      val refObj = mapper.createObjectNode()
+      keepRefs.foreach { case (name, id, kind) =>
+        val node = Option(origRefs).map(_.get(name)).filter(_ != null)
+          .collect { case o: ObjectNode => o }
+          .getOrElse(mapper.createObjectNode().put("type", kind))
+        node.put("snapshot-id", id)
+        refObj.set[ObjectNode](name, node)
+      }
+      root.set[ObjectNode]("refs", refObj)
+    }
     java.nio.file.Files.write(
       new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
-      json.getBytes("UTF-8"))
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     java.nio.file.Files.write(new java.io.File(m, "version-hint.text").toPath,
       (curV + 1).toString.getBytes("UTF-8"))
+    curV + 1
   }
 
   /** Manifest paths referenced by a snapshot's manifest list. */
@@ -161,8 +194,21 @@ object LayoutMaintenance {
     val keepIds = keep.map(_.id).toSet
     val currentId = curId.filter(keepIds.contains).getOrElse(keep.last.id)
     val keepRefs = refs(spark, tableDir).filter(r => keepIds.contains(r._2))
-    writeMetadataVersion(spark, tableDir, keep, currentId, keepRefs)
-    val doomed = expire.map(_.listPath) ++ doomedManifests
+    val newV = writeMetadataVersion(spark, tableDir, keep, currentId, keepRefs)
+    // superseded metadata versions still REFERENCE the lists/manifests
+    // deleted below — a reader resolving one (stale version-hint, racing
+    // listing) would hit FileNotFoundException instead of a clean miss,
+    // so the old v*.metadata.json go with the files they reference.
+    // (Single-writer assumption, like Iceberg's own expire: a reader
+    // that resolved an old version BEFORE this runs still races the
+    // file deletion — expiry is never safe under a concurrent reader
+    // pinned to expired history.)
+    val mdPattern = "^v(\\d+)\\.metadata\\.json$".r
+    val doomedMeta = Option(metaDir(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => mdPattern.findFirstMatchIn(f.getName)
+        .exists(_.group(1).toLong != newV))
+      .map(_.getPath)
+    val doomed = expire.map(_.listPath) ++ doomedManifests ++ doomedMeta
     var deleted = 0
     doomed.foreach { p =>
       if (new java.io.File(p).delete()) deleted += 1

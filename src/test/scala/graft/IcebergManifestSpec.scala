@@ -272,6 +272,39 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(got.forall(r => r.isNullAt(7) && r.isNullAt(8)))
   }
 
+  test("null ADDED-entry sequence_number inherits from the manifest list (v2 inheritance)") {
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_inherit")
+    // snapshot id 7 doubles as the list sequence_number (writer dialect);
+    // the ADDED entry leaves its own sequence_number NULL like real v2
+    // writers do, the EXISTING one pins an explicit older value
+    IcebergLayoutWriter.writeTable(tblDir, Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = "new.parquet",
+        recordCount = 4L, sizeBytes = 400L, sequenceNumber = null),
+      ManifestEntrySpec(status = 0, content = 0, filePath = "old.parquet",
+        recordCount = 9L, sizeBytes = 900L, sequenceNumber = 3L)),
+      snapshotId = 7L)
+    val got = IcebergManifestSource.statsFromTableDir(spark, tblDir.getPath, "tbl", Nil)
+      .collect().map(r => (r.getString(1), r.getLong(6))).sortBy(_._1).toSeq
+    assert(got == Seq(("new.parquet", 7L), ("old.parquet", 3L)),
+      "ADDED inherits the list sequence_number; explicit values win")
+  }
+
+  test("null sequence_number on a non-ADDED entry fails loudly, not seq=0") {
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_badseq")
+    IcebergLayoutWriter.writeTable(tblDir, Seq(
+      ManifestEntrySpec(status = 0, content = 0, filePath = "orphan.parquet",
+        recordCount = 1L, sizeBytes = 10L, sequenceNumber = null)))
+    val e = intercept[org.apache.spark.SparkException] {
+      IcebergManifestSource.statsFromTableDir(spark, tblDir.getPath, "tbl", Nil).collect()
+    }
+    assert(e.getMessage.contains("sequence_number")
+      || Option(e.getCause).exists(_.getMessage.contains("sequence_number")))
+  }
+
   test("multi-snapshot layout: snapshot-pinned reads time-travel, unpinned reads current") {
     import graft.sources.IcebergLayoutWriter
     import graft.sources.IcebergLayoutWriter.ManifestEntrySpec

@@ -140,4 +140,65 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
     // the tag pointed at expired snapshot 2 and is dropped with it
     assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "audit").isEmpty)
   }
+
+  test("maintenance preserves metadata fields it does not model (real-writer tables)") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val tbl = new java.io.File("target/tmp-maint-preserve")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    IcebergLayoutWriter.writeTableSnapshots(tbl, Seq(
+      1L -> Seq(entry("a.parquet", 5L, 1L)),
+      2L -> Seq(entry("b.parquet", 7L, 2L))),
+      refs = Map("main" -> (2L, "branch")))
+    // decorate the metadata the way a real engine would: top-level fields
+    // this repo's model knows nothing about, extra per-snapshot fields,
+    // extra per-ref fields
+    val meta = new java.io.File(tbl, "metadata")
+    val v1 = new java.io.File(meta, "v1.metadata.json")
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(v1).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("table-uuid", "9c3a2f00-aaaa-bbbb-cccc-123456789abc")
+    root.putArray("schemas").addObject().put("schema-id", 0)
+    root.putObject("properties").put("write.format.default", "parquet")
+    root.get("snapshots").get(1).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("timestamp-ms", 1723500000000L)
+    root.get("refs").get("main").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("min-snapshots-to-keep", 5)
+    java.nio.file.Files.write(v1.toPath, mapper.writeValueAsBytes(root))
+
+    // rollback bumps the metadata version — every decoration must survive
+    LayoutMaintenance.rollback(spark, tbl.getPath, 1L)
+    val v2 = new java.io.File(meta, "v2.metadata.json")
+    assert(v2.isFile)
+    val after = mapper.readTree(v2)
+    assert(after.get("table-uuid").asText == "9c3a2f00-aaaa-bbbb-cccc-123456789abc")
+    assert(after.get("schemas").get(0).get("schema-id").asInt == 0)
+    assert(after.get("properties").get("write.format.default").asText == "parquet")
+    assert(after.get("format-version").asInt == 2)
+    val snap2 = after.get("snapshots").get(1)
+    assert(snap2.get("snapshot-id").asLong == 2L)
+    assert(snap2.get("timestamp-ms").asLong == 1723500000000L,
+      "per-snapshot fields beyond id/manifest-list must survive maintenance")
+    val main = after.get("refs").get("main")
+    assert(main.get("snapshot-id").asLong == 1L, "rollback moves main")
+    assert(main.get("min-snapshots-to-keep").asInt == 5,
+      "per-ref fields beyond snapshot-id/type must survive")
+  }
+
+  test("expireSnapshots removes superseded metadata versions with the files they reference") {
+    val tbl = new java.io.File("target/tmp-maint-mdpurge")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    IcebergLayoutWriter.writeTableSnapshots(tbl, Seq(
+      1L -> Seq(entry("a.parquet", 5L, 1L)),
+      2L -> Seq(entry("b.parquet", 7L, 2L)),
+      3L -> Seq(entry("c.parquet", 9L, 3L))))
+    LayoutMaintenance.expireSnapshots(spark, tbl.getPath, keepLast = 1)
+    val meta = new java.io.File(tbl, "metadata")
+    val mdFiles = meta.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+\\.metadata\\.json")).sorted.toSeq
+    assert(mdFiles == Seq("v2.metadata.json"),
+      s"old metadata versions reference deleted manifests and must go; got $mdFiles")
+    // and the survivor still resolves + reads
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath) == Seq(3L))
+    assert(files(tbl, None).nonEmpty)
+  }
 }
