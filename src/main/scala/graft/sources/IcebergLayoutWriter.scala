@@ -173,8 +173,10 @@ object IcebergLayoutWriter {
     * referenced by the entries may live under the same table dir and
     * must survive the rewrite). */
   def writeTable(tableDir: java.io.File, entries: Seq[ManifestEntrySpec],
-      snapshotId: Long = 1L): Unit =
-    writeTableSnapshots(tableDir, Seq(snapshotId -> entries))
+      snapshotId: Long = 1L,
+      partitionSpec: Seq[(String, String, Int)] = Nil): Unit =
+    writeTableSnapshots(tableDir, Seq(snapshotId -> entries),
+      partitionSpec = partitionSpec)
 
   /** Multi-snapshot layout (the time-travel surface): every snapshot's
     * manifest list + manifests are written, the metadata JSON lists them
@@ -183,9 +185,18 @@ object IcebergLayoutWriter {
     * `VERSION AS OF`. `refs` adds named branches/tags
     * (name → (snapshotId, "branch"|"tag")) in the spec's `refs` map —
     * resolvable via [[IcebergManifestSource.refSnapshotId]]. */
+  /** `partitionSpec` declares the table's partition transforms as
+    * (field-name, transform, source-id) — e.g. ("ts_day", "day", 2) or
+    * ("id_bucket", "bucket[4]", 1) — written to the metadata JSON's
+    * `partition-specs` (spec-id 0, field-ids from 1000) exactly as the
+    * Iceberg spec lays them out, so [[IcebergManifestSource.partitionSpec]]
+    * (and any real reader) can interpret the manifest partition values.
+    * The VALUES in each entry's `partition` must already be transformed
+    * ([[PartitionTransforms]]); manifests store results, not sources. */
   def writeTableSnapshots(tableDir: java.io.File,
       snapshots: Seq[(Long, Seq[ManifestEntrySpec])],
-      refs: Map[String, (Long, String)] = Map.empty): Unit = {
+      refs: Map[String, (Long, String)] = Map.empty,
+      partitionSpec: Seq[(String, String, Int)] = Nil): Unit = {
     require(snapshots.nonEmpty, "at least one snapshot")
     val metaDir = new java.io.File(tableDir, "metadata")
     org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
@@ -213,13 +224,21 @@ object IcebergLayoutWriter {
       else refs.toSeq.sortBy(_._1).map { case (name, (id, kind)) =>
         s"""    "$name": {"snapshot-id": $id, "type": "$kind"}"""
       }.mkString(",\n  \"refs\": {\n", ",\n", "\n  }")
+    val specJson =
+      if (partitionSpec.isEmpty) ""
+      else partitionSpec.zipWithIndex.map { case ((name, transform, srcId), i) =>
+        s"""      {"name": "$name", "transform": "$transform", """ +
+          s""""source-id": $srcId, "field-id": ${1000 + i}}"""
+      }.mkString(
+        ",\n  \"default-spec-id\": 0,\n  \"partition-specs\": [\n" +
+          "    {\"spec-id\": 0, \"fields\": [\n", ",\n", "\n    ]}\n  ]")
     val json =
       s"""{
          |  "format-version": 2,
          |  "current-snapshot-id": ${snapshots.last._1},
          |  "snapshots": [
          |$snapJson
-         |  ]$refsJson
+         |  ]$refsJson$specJson
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
       json.getBytes("UTF-8"))

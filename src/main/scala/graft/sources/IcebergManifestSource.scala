@@ -133,6 +133,50 @@ object IcebergManifestSource {
     }
   }
 
+  /** The table's DEFAULT partition spec as (field-name, transform,
+    * source-id) rows, from the metadata `partition-specs` array (spec
+    * "Partition Specs") — how a reader learns that partition value
+    * `ts_day=17486` means `day(ts)` and `id_bucket=3` means
+    * `bucket[4](id)`. Empty for unpartitioned tables, v1-style metadata
+    * without the field, or an unresolvable default-spec-id. Driver-side
+    * Jackson over the one metadata document (KBs). */
+  def partitionSpec(spark: SparkSession,
+      tableDir: String): Seq[(String, String, Int)] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val p = currentMetadataPath(spark, tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root =
+      try new ObjectMapper().readTree(in)
+      finally in.close()
+    val specs = root.get("partition-specs")
+    if (specs == null || !specs.isArray) Nil
+    else {
+      val defaultId =
+        Option(root.get("default-spec-id")).filter(_.canConvertToLong)
+          .map(_.asInt()).getOrElse(0)
+      val it = specs.elements()
+      var chosen: Option[com.fasterxml.jackson.databind.JsonNode] = None
+      while (it.hasNext && chosen.isEmpty) {
+        val s = it.next()
+        if (Option(s.get("spec-id")).exists(_.asInt() == defaultId)) chosen = Some(s)
+      }
+      chosen.flatMap(s => Option(s.get("fields"))).filter(_.isArray).toSeq
+        .flatMap { fieldsNode =>
+          val fit = fieldsNode.elements()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+          while (fit.hasNext) {
+            val f = fit.next()
+            val name = Option(f.get("name")).map(_.asText()).getOrElse("")
+            val transform = Option(f.get("transform")).map(_.asText()).getOrElse("identity")
+            val srcId = Option(f.get("source-id")).map(_.asInt()).getOrElse(-1)
+            buf += ((name, transform, srcId))
+          }
+          buf.toSeq
+        }
+    }
+  }
+
   /** Locate the CURRENT metadata JSON (version-hint integer,
     * hint-as-filename, or numeric-version listing fallback) — the ONE
     * resolver, shared with [[LayoutMaintenance]] so reader and

@@ -368,4 +368,44 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(viaManifest.nonEmpty)
     assert(viaManifest == viaDataFrame)
   }
+
+  test("transform-partitioned layout: spec + transformed partition values round-trip") {
+    import graft.sources.{IcebergLayoutWriter, PartitionTransforms => PT}
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_transforms")
+    // partition values are what a spec-compliant writer derives: one
+    // entry per (day(ts), bucket[4](id), truncate[3](name)) — values
+    // computed by the SCALAR transforms the Column forms are spec-pinned
+    // against in PartitionTransformsSpec
+    val srcRows = Seq(
+      (1510871468000000L, 34L, "iceberg"),
+      (1510871468000000L, 149L, "icicle"),
+      (0L, 34L, "ax"))
+    IcebergLayoutWriter.writeTable(tblDir, srcRows.zipWithIndex.map {
+      case ((us, id, name), i) =>
+        ManifestEntrySpec(status = 1, content = 0, filePath = s"f$i.parquet",
+          partition = Seq(
+            "ts_day" -> PT.dayFromMicros(us),
+            "id_bucket" -> PT.bucketLong(id, 4),
+            "name_tr" -> PT.truncateString(name, 3)),
+          recordCount = 1L, sizeBytes = 100L)
+    }, partitionSpec = Seq(("ts_day", "day", 1), ("id_bucket", "bucket[4]", 2),
+      ("name_tr", "truncate[3]", 3)))
+    // 1. the declared spec round-trips through the metadata document
+    assert(IcebergManifestSource.partitionSpec(spark, tblDir.getPath) == Seq(
+      ("ts_day", "day", 1), ("id_bucket", "bucket[4]", 2), ("name_tr", "truncate[3]", 3)))
+    // 2. the manifest partition records canonicalize to the transformed keys
+    val (files, _) = IcebergManifestSource.fromTableDir(spark, tblDir.getPath, "tbl")
+    val keys = files.collect().map(_.partitionKey).sorted.toSeq
+    val b34 = PT.bucketLong(34L, 4); val b149 = PT.bucketLong(149L, 4)
+    assert(keys == Seq(
+      s"""{"ts_day":0,"id_bucket":$b34,"name_tr":"ax"}""",
+      s"""{"ts_day":17486,"id_bucket":$b149,"name_tr":"ici"}""",
+      s"""{"ts_day":17486,"id_bucket":$b34,"name_tr":"ice"}""").sorted)
+    // 3. an unpartitioned table reports an EMPTY spec (schema-defensive)
+    val plain = new java.io.File(dir, "tbl_nospec")
+    IcebergLayoutWriter.writeTable(plain, Seq(ManifestEntrySpec(status = 1,
+      content = 0, filePath = "x.parquet", recordCount = 1L, sizeBytes = 10L)))
+    assert(IcebergManifestSource.partitionSpec(spark, plain.getPath).isEmpty)
+  }
 }
