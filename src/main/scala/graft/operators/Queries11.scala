@@ -98,6 +98,46 @@ object Queries11 {
           col("totalTableSize").as("total_size"),
           col("largestPartitionSize").as("largest_partition"),
           col("totalPartitions").as("n_partitions"))
+    },
+
+    // ---- incremental snapshot changelog over a REAL multi-snapshot
+    // layout (Iceberg's incremental-read surface; q52's snapshot-diff
+    // semantics lifted onto written metadata): snapshot 1 is eight files
+    // f0..f7; snapshot 2 compacts f0..f3 into c0/c1, KEEPS f4..f7
+    // byte-identical (they must drop out of the diff — file immutability
+    // makes path identity sufficient), and adds a position-delete file.
+    // changesBetween reads both endpoints as pinned lazy manifest scans
+    // and diffs on ONE full-outer join of manifest-sized relations — no
+    // data I/O, which is the whole point of metadata-driven changelogs
+    // at 100 TB. Every row (path, content, change, rc, bytes) is
+    // hash-gated against DuckDB recomputing the fixture arithmetic.
+    "q169_snapshot_changelog" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val stats = t(dir, "lineitem")
+        .groupBy(least(floor(col("l_extendedprice") / 12000).cast("long"), lit(7L))
+          .as("fid"))
+        .agg(count(lit(1)).as("rc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val nDel = t(dir, "lineitem").filter(col("l_orderkey") % 13 === 0).count()
+      def dataFile(path: String, rc: Long, seq: Long) =
+        ManifestEntrySpec(status = 1, content = 0, filePath = path,
+          recordCount = rc, sizeBytes = rc * 100L, sequenceNumber = seq)
+      val snap1 = stats.map { case (fid, rc) => dataFile(s"f$fid.parquet", rc, 1L) }
+      val compacted = stats.filter(_._1 < 4).groupBy(_._1 / 2).toSeq.sortBy(_._1)
+        .map { case (fid2, grp) => dataFile(s"c$fid2.parquet", grp.map(_._2).sum, 2L) }
+      val kept = stats.filter(_._1 >= 4).map { case (fid, rc) =>
+        dataFile(s"f$fid.parquet", rc, 1L)
+      }
+      val snap2 = compacted ++ kept :+ ManifestEntrySpec(status = 1, content = 1,
+        filePath = "del0.parquet", recordCount = nDel, sizeBytes = nDel * 20L + 40L,
+        sequenceNumber = 2L)
+      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-q169-${Integer.toHexString(dir.hashCode)}")
+      IcebergLayoutWriter.writeTableSnapshots(tbl,
+        Seq(1L -> snap1.toSeq, 2L -> snap2.toSeq))
+      IcebergManifestSource.changesBetween(s, tbl.getPath, "t", 1L, 2L)
+        .orderBy(col("change"), col("file_path"))
     })
 
   /** The spec murmur3_x86_32 of a BIGINT's 8-byte little-endian form,
@@ -191,5 +231,29 @@ object Queries11 {
          |  (SELECT CAST(sum(tsz) AS BIGINT) FROM per_pk) AS total_size,
          |  (SELECT CAST(max(tsz) AS BIGINT) FROM per_pk) AS largest_partition,
          |  (SELECT count(*) FROM per_pk) AS n_partitions""".stripMargin
-    })
+    },
+
+    "q169_snapshot_changelog" ->
+      """WITH b AS (
+        |  SELECT LEAST(CAST(FLOOR(l_extendedprice / 12000) AS BIGINT), 7) AS fid
+        |  FROM lineitem),
+        |s1 AS (SELECT fid, CAST(count(*) AS BIGINT) AS rc FROM b GROUP BY fid),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |       WHERE l_orderkey % 13 = 0),
+        |removed AS (
+        |  SELECT 'f' || fid || '.parquet' AS file_path, CAST(0 AS INT) AS content,
+        |         'removed' AS change, rc AS record_count,
+        |         CAST(rc * 100 AS BIGINT) AS size_bytes
+        |  FROM s1 WHERE fid < 4),
+        |added_data AS (
+        |  SELECT 'c' || (fid // 2) || '.parquet' AS file_path, CAST(0 AS INT),
+        |         'added', CAST(sum(rc) AS BIGINT),
+        |         CAST(sum(rc) * 100 AS BIGINT)
+        |  FROM s1 WHERE fid < 4 GROUP BY fid // 2),
+        |added_del AS (
+        |  SELECT 'del0.parquet', CAST(1 AS INT), 'added', n,
+        |         CAST(n * 20 + 40 AS BIGINT) FROM nd)
+        |SELECT * FROM removed UNION ALL SELECT * FROM added_data
+        |UNION ALL SELECT * FROM added_del
+        |ORDER BY change, file_path""".stripMargin)
 }

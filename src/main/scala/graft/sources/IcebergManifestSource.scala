@@ -87,6 +87,40 @@ object IcebergManifestSource {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema(fields))
     }
 
+  /** Incremental snapshot changelog: which files a snapshot range added
+    * and removed, with their record-count/size deltas — straight from
+    * manifest metadata, no data files touched (Iceberg's
+    * changelog/incremental-read surface; the q52 snapshot-diff semantics
+    * applied to a REAL layout). Each endpoint is the lazy distributed
+    * manifest scan pinned to its snapshot; the diff is ONE full-outer
+    * join on file_path over manifest-sized relations, so a 100k-file
+    * table diffs in a single small shuffle with zero data I/O. Output:
+    * (file_path, content, change ∈ added|removed, record_count,
+    * size_bytes) — unchanged files drop out. Endpoints may be resolved
+    * from named refs via [[refSnapshotId]]. */
+  def changesBetween(spark: SparkSession, tableDir: String, table: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    def side(id: Long) =
+      statsFromTableDir(spark, tableDir, table, Nil, Some(id))
+        .select(col("file_path"), col("content"),
+          col("record_count"), col("sizeBytes"))
+    val before = side(fromSnapshotId)
+      .withColumnRenamed("content", "c_b")
+      .withColumnRenamed("record_count", "rc_b")
+      .withColumnRenamed("sizeBytes", "sz_b")
+    val after = side(toSnapshotId)
+      .withColumnRenamed("content", "c_a")
+      .withColumnRenamed("record_count", "rc_a")
+      .withColumnRenamed("sizeBytes", "sz_a")
+    before.join(after, Seq("file_path"), "full_outer")
+      .filter(col("rc_b").isNull || col("rc_a").isNull)
+      .select(col("file_path"),
+        coalesce(col("c_a"), col("c_b")).as("content"),
+        when(col("rc_b").isNull, lit("added")).otherwise(lit("removed")).as("change"),
+        coalesce(col("rc_a"), col("rc_b")).as("record_count"),
+        coalesce(col("sz_a"), col("sz_b")).as("size_bytes"))
+  }
+
   /** Current metadata file → snapshot id (the given one, else
     * current-snapshot-id) → manifest-list path.
     * version-hint.text normally holds a bare version integer; some

@@ -369,6 +369,31 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(viaManifest == viaDataFrame)
   }
 
+  test("changesBetween: ref-resolved endpoints equal id-pinned endpoints") {
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_changelog")
+    def f(p: String, rc: Long) = ManifestEntrySpec(status = 1, content = 0,
+      filePath = p, recordCount = rc, sizeBytes = rc * 10L)
+    IcebergLayoutWriter.writeTableSnapshots(tblDir,
+      Seq(1L -> Seq(f("a.parquet", 5L), f("b.parquet", 7L)),
+        2L -> Seq(f("a.parquet", 5L), f("c.parquet", 12L))),
+      refs = Map("v1" -> (1L, "tag"), "main" -> (2L, "branch")))
+    val fromRef = IcebergManifestSource.refSnapshotId(spark, tblDir.getPath, "v1").get
+    val toRef = IcebergManifestSource.refSnapshotId(spark, tblDir.getPath, "main").get
+    val viaRefs = IcebergManifestSource
+      .changesBetween(spark, tblDir.getPath, "t", fromRef, toRef)
+      .orderBy("change", "file_path").collect().map(_.toSeq).toSeq
+    val viaIds = IcebergManifestSource
+      .changesBetween(spark, tblDir.getPath, "t", 1L, 2L)
+      .orderBy("change", "file_path").collect().map(_.toSeq).toSeq
+    assert(viaRefs == viaIds)
+    // a.parquet is in BOTH snapshots -> must drop out of the diff
+    assert(viaIds == Seq(
+      Seq("c.parquet", 0, "added", 12L, 120L),
+      Seq("b.parquet", 0, "removed", 7L, 70L)))
+  }
+
   test("transform-partitioned layout: spec + transformed partition values round-trip") {
     import graft.sources.{IcebergLayoutWriter, PartitionTransforms => PT}
     import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
