@@ -69,6 +69,10 @@ object Multimodal {
           val img = RealCodec.decodePpm(m.content)
           Some(MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
             RealCodec.imageFeatures(img)))
+        } else if (RealCodec.isPng(m.content)) {
+          val img = RealCodec.decodePng(m.content)
+          Some(MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
+            RealCodec.imageFeatures(img)))
         } else if (RealCodec.isWav(m.content)) {
           val w = RealCodec.decodeWav(m.content)
           Some(MediaFeatures(m.media_id, m.kind, w.channels, 0,
@@ -134,9 +138,12 @@ object Multimodal {
           // a PPM payload tagged audio/video untouched here. Decode
           // failures degrade to the stub like decodeOne.
           val realImg =
-            if (m.kind == "image" && RealCodec.isPpm(m.content))
-              try Some(RealCodec.resizeNearest(RealCodec.decodePpm(m.content), maxDim))
-              catch { case _: IllegalArgumentException => None }
+            if (m.kind == "image" && (RealCodec.isPpm(m.content) || RealCodec.isPng(m.content)))
+              try {
+                val decoded = if (RealCodec.isPpm(m.content)) RealCodec.decodePpm(m.content)
+                  else RealCodec.decodePng(m.content)
+                Some(RealCodec.resizeNearest(decoded, maxDim))
+              } catch { case _: IllegalArgumentException => None }
             else None
           realImg match {
             case Some(img) =>

@@ -1,7 +1,8 @@
 package graft.multimodal
 
-/** REAL zero-dependency media codecs: binary PPM (P6) images and 16-bit
-  * PCM WAV audio — the two formats decodable byte-exactly with nothing
+/** REAL zero-dependency media codecs: binary PPM (P6) and 8-bit
+  * truecolor PNG images, and 16-bit PCM WAV audio — the formats
+  * decodable byte-exactly with nothing
   * but the JDK. They replace [[Multimodal.FakeCodec]] wherever the
   * payload actually IS one of these formats (content-sniffed by magic
   * bytes); containers without in-sandbox decoders (JPEG, MP4, ...) still
@@ -120,6 +121,171 @@ object RealCodec {
       sums(0) / px / 255f, sums(1) / px / 255f, sums(2) / px / 255f,
       maxs(0) / 255f, maxs(1) / 255f, maxs(2) / 255f,
       img.width / wh, img.height / wh)
+  }
+
+  // ---- PNG (8-bit RGB / RGBA, zlib + the five defilter types) -----------
+
+  private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (0 until 8).forall(i => (b(i) & 0xFF) == PngSig(i))
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  /** Decode an 8-bit truecolor PNG (color type 2 RGB or 6 RGBA; RGBA's
+    * alpha is dropped after defiltering so features run on color
+    * channels) with nothing but `java.util.zip`: chunk walk with CRC32
+    * verification, concatenated IDAT → `Inflater`, then the spec's five
+    * scanline filters (None/Sub/Up/Average/Paeth) undone in place.
+    * Strict by design — bad CRC, truncated raster, absurd dimensions,
+    * palette/16-bit/interlaced files all throw, and
+    * [[Multimodal.decodeOne]] degrades those rows to the stub. */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(isPng(bytes), "not a PNG")
+    var pos = 8
+    var width = 0; var height = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(pos + 8 <= bytes.length, "truncated chunk header")
+      val len = be32(bytes, pos)
+      require(len >= 0 && pos + 12 + len.toLong <= bytes.length, "truncated chunk")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, pos + 8 + len), s"bad CRC in $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          width = be32(bytes, pos + 8); height = be32(bytes, pos + 12)
+          require(width > 0 && height > 0 && width.toLong * height <= 64L * 1024 * 1024,
+            "absurd dimensions")
+          require(bytes(pos + 16) == 8, "only 8-bit depth")
+          colorType = bytes(pos + 17) & 0xFF
+          require(colorType == 2 || colorType == 6, "only RGB/RGBA")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0 && bytes(pos + 20) == 0,
+            "unsupported compression/filter/interlace")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped (already CRC-checked)
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr, "no IHDR")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0) {
+          require(!inf.needsInput() && !inf.needsDictionary(), "truncated IDAT")
+        }
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException("bad deflate stream: " + e.getMessage)
+    } finally inf.end()
+    require(off == raw.length, "short raster")
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xFF
+      val in0 = y * (stride + 1) + 1
+      val out0 = y * stride
+      var x = 0
+      ft match {
+        case 0 =>
+          System.arraycopy(raw, in0, out, out0, stride)
+        case 1 => // Sub: left neighbor
+          while (x < stride) {
+            val a = if (x >= bpp) out(out0 + x - bpp) & 0xFF else 0
+            out(out0 + x) = ((raw(in0 + x) & 0xFF) + a).toByte; x += 1
+          }
+        case 2 => // Up: north neighbor
+          while (x < stride) {
+            val b = if (y > 0) out(out0 - stride + x) & 0xFF else 0
+            out(out0 + x) = ((raw(in0 + x) & 0xFF) + b).toByte; x += 1
+          }
+        case 3 => // Average: floor((left + up) / 2)
+          while (x < stride) {
+            val a = if (x >= bpp) out(out0 + x - bpp) & 0xFF else 0
+            val b = if (y > 0) out(out0 - stride + x) & 0xFF else 0
+            out(out0 + x) = ((raw(in0 + x) & 0xFF) + ((a + b) >> 1)).toByte; x += 1
+          }
+        case 4 => // Paeth predictor
+          while (x < stride) {
+            val a = if (x >= bpp) out(out0 + x - bpp) & 0xFF else 0
+            val b = if (y > 0) out(out0 - stride + x) & 0xFF else 0
+            val c = if (x >= bpp && y > 0) out(out0 - stride + x - bpp) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            out(out0 + x) = ((raw(in0 + x) & 0xFF) + pred).toByte; x += 1
+          }
+        case other => throw new IllegalArgumentException(s"bad filter type $other")
+      }
+      y += 1
+    }
+    if (bpp == 3) Image(width, height, out)
+    else {
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0; var j = 0
+      while (i < out.length) {
+        rgb(j) = out(i); rgb(j + 1) = out(i + 1); rgb(j + 2) = out(i + 2)
+        i += 4; j += 3
+      }
+      Image(width, height, rgb)
+    }
+  }
+
+  /** Encode an [[Image]] as an 8-bit RGB PNG (filter 0 rows, one IDAT,
+    * correct CRCs) — the fixture writer [[decodePng]] round-trips
+    * byte-exactly against. */
+  def encodePng(img: Image): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(bos.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      bos.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = typ.getBytes("US-ASCII")
+      bos.write(tb); bos.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val v = crc.getValue.toInt
+      bos.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    val stride = img.width * 3
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      raw(y * (stride + 1)) = 0
+      System.arraycopy(img.rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](8192)
+    val comp = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
   }
 
   // ---- WAV (RIFF, PCM 16-bit) -------------------------------------------

@@ -164,4 +164,123 @@ class MultimodalSpec extends AnyFunSuite {
     // nearest-neighbor keeps the black pixel at (0,0): mean < 1.0
     assert(out.feature(0) == (0f + 255f * 3) / 4 / 255f)
   }
+
+  // ---- PNG ---------------------------------------------------------------
+
+  /** Hand-assemble a PNG from raw (already-filtered) scanlines — the
+    * encoder only emits filter 0, so the five defilter paths need a
+    * fixture built from first principles. */
+  private def pngFromRaw(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).foreach(bos.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      bos.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      val tb = typ.getBytes("US-ASCII")
+      bos.write(tb); bos.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      val v = crc.getValue.toInt
+      bos.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](8192)
+    val comp = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  test("PNG: encoder round-trips byte-exactly; RGBA drops alpha") {
+    val rnd = new scala.util.Random(7)
+    val rgb = Array.fill[Byte](5 * 3 * 3)(rnd.nextInt(256).toByte)
+    val png = RealCodec.encodePng(RealCodec.Image(5, 3, rgb))
+    assert(RealCodec.isPng(png) && !RealCodec.isPpm(png) && !RealCodec.isWav(png))
+    val back = RealCodec.decodePng(png)
+    assert(back.width == 5 && back.height == 3)
+    assert(back.rgb.toSeq == rgb.toSeq)
+    // RGBA (color type 6): alpha byte stripped, colors byte-exact
+    val w = 3; val h = 2
+    val rgba = Array.tabulate[Byte](w * h * 4)(i => (i * 7 + 3).toByte)
+    val raw = new Array[Byte]((w * 4 + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (w * 4 + 1)) = 0
+      System.arraycopy(rgba, y * w * 4, raw, y * (w * 4 + 1) + 1, w * 4)
+    }
+    val img = RealCodec.decodePng(pngFromRaw(w, h, 6, raw))
+    val expect = (0 until w * h).flatMap(p => (0 until 3).map(c => rgba(p * 4 + c)))
+    assert(img.rgb.toSeq == expect)
+  }
+
+  test("PNG: all five scanline filters defilter to the exact raster") {
+    // known raster, 4x5 RGB; filter each row FORWARD with type = row % 5,
+    // per the spec's filter equations — the decoder must invert them all
+    val w = 4; val h = 5; val bpp = 3; val stride = w * bpp
+    val rnd = new scala.util.Random(13)
+    val raster = Array.fill[Byte](stride * h)(rnd.nextInt(256).toByte)
+    def px(y: Int, x: Int): Int =
+      if (x < 0) 0 else if (y < 0) 0 else raster(y * stride + x) & 0xFF
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = px(y, x); val a = px(y, x - bpp); val b = px(y - 1, x)
+        val c = if (x >= bpp && y > 0) px(y - 1, x - bpp) else 0
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            cur - pred
+        }
+        raw(y * (stride + 1) + 1 + x) = filtered.toByte
+      }
+    }
+    val img = RealCodec.decodePng(pngFromRaw(w, h, 2, raw))
+    assert(img.width == w && img.height == h)
+    assert(img.rgb.toSeq == raster.toSeq)
+  }
+
+  test("PNG: corrupt/adversarial payloads degrade to the stub") {
+    import spark.implicits._
+    val good = RealCodec.encodePng(RealCodec.Image(4, 4, Array.fill[Byte](48)(9)))
+    // bit-flip inside IDAT (CRC catches it), truncation series, absurd
+    // dims, bad filter type, 16-bit depth
+    val flipped = good.clone(); flipped(good.length - 20) = (flipped(good.length - 20) ^ 0x40).toByte
+    val truncated = good.take(good.length - 9)
+    val headerOnly = good.take(20)
+    val absurd = {
+      val raw = Array[Byte](0, 1, 1, 1) // 1 row
+      pngFromRaw(1, 1, 2, raw).patch(16, Array[Byte](127, -1, -1, -1), 4) // huge width, stale CRC
+    }
+    val badFilter = {
+      val raw = Array[Byte](9, 1, 1, 1) // filter type 9
+      pngFromRaw(1, 1, 2, raw)
+    }
+    val media = spark.createDataset(Seq(
+      MediaFile(1, "image", flipped), MediaFile(2, "image", truncated),
+      MediaFile(3, "image", headerOnly), MediaFile(4, "image", absurd),
+      MediaFile(5, "image", badFilter), MediaFile(6, "image", good)))
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out.size == 6, "all rows must survive")
+    // the good row decodes for real (4x4); corrupt rows take stub dims
+    assert(out(6L).width == 4 && out(6L).height == 4)
+    (1L to 5L).foreach { id =>
+      assert(out(id).width <= 4096 && out(id).height <= 4096,
+        s"media $id leaked adversarial dims: ${out(id).width}x${out(id).height}")
+    }
+    // resize path: PNG now resamples like PPM
+    val resized = Multimodal.resize(spark.createDataset(Seq(MediaFile(7, "image", good))),
+      maxDim = 2).collect().head
+    assert(resized.width == 2 && resized.height == 2)
+  }
 }
