@@ -47,8 +47,12 @@ object Bench {
       }
       val two = Seq(rep(), rep())
       val times = if (two.forall(_ >= 0) && two.max > two.min * 1.3) two :+ rep() else two
-      val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      val good = times.filter(_ >= 0).sorted
+      // spread = the two FASTEST reps (the slowest is usually the first
+      // rep paying codegen compile — that's startup, not instability)
+      if (good.size >= 2) (name, good(0), good(1))
+      else if (good.nonEmpty) (name, good.head, good.head)
+      else (name, -1.0, -1.0)
     } ++ Seq(1000, 10000).map { n =>
       // catalog-width fan-out: 1,000 AND 10,000 synthesized tables each
       // diagnosed in ONE job (SURVEY §3.2's flagship multi-table claim,
@@ -63,8 +67,10 @@ object Bench {
         }
         if (got == n.toLong) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val reps = Seq(fanoutRep(), fanoutRep()).filter(_ >= 0)
-      s"fanout$n" -> (if (reps.nonEmpty) reps.min else -1.0)
+      val reps = Seq(fanoutRep(), fanoutRep()).filter(_ >= 0).sorted
+      if (reps.size >= 2) (s"fanout$n", reps(0), reps(1))
+      else if (reps.nonEmpty) (s"fanout$n", reps.head, reps.head)
+      else (s"fanout$n", -1.0, -1.0)
     }
     // The driver captures only the LAST ~2000 chars of output and parses
     // the JSON line out of that tail; sbt's own "[success]" epilogue eats
@@ -76,15 +82,29 @@ object Bench {
     // WRITTEN TO BENCH_DETAIL.json in the repo root, immune to any tail
     // buffer, plus echoed to stderr for humans.
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    results.foreach { case (k, v) => System.err.println(s"[bench] $k ${d3(v)} s") }
+    results.foreach { case (k, v, _) => System.err.println(s"[bench] $k ${d3(v)} s") }
+    // variance telemetry: a query whose two FASTEST reps disagree >2x
+    // inside ONE run is environment-hostage (checkpoint placement, GC
+    // debt, page cache) and its min is not trustworthy as "the" time —
+    // self-report it here instead of leaving the discovery to a
+    // cross-host comparison
+    val flagged = results.filter { case (_, mn, m2) => mn > 0.05 && m2 > mn * 2 }
+    flagged.foreach { case (k, mn, m2) =>
+      System.err.println(s"[bench] SPREAD $k: fastest reps ${d3(mn)}..${d3(m2)} s (>2x)")
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+    val detail = results.map { case (k, v, _) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, mn, mx) =>
+      "\"" + k + "\":[" + d3(mn) + "," + d3(mx) + "]"
+    }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (s"""{"sf":"$sfDir","cpus":"$cpus","total_sec":${d3(total)},""" +
-        s""""queries_sec":$detail}""" + "\n").getBytes("UTF-8"))
+        s""""queries_sec":$detail,"rep_spread_sec":$spread,""" +
+        s""""spread_flagged":$flaggedJson}""" + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
         (if (v < 0) "-1" else math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
