@@ -59,9 +59,7 @@ object Queries11 {
         .agg(count(lit(1)).as("rc"), sum(col("m")).as("ssum"))
         .collect()
         .sortBy(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3)))
-      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-q168-${Integer.toHexString(dir.hashCode)}")
-      tbl.deleteOnExit()
+      val tbl = TmpFixture.dir("q168", dir)
       IcebergLayoutWriter.writeTable(tbl, fileRows.map { r =>
         val (d, b, tr, sub) = (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3))
         IcebergLayoutWriter.ManifestEntrySpec(
@@ -132,8 +130,7 @@ object Queries11 {
       val snap2 = compacted ++ kept :+ ManifestEntrySpec(status = 1, content = 1,
         filePath = "del0.parquet", recordCount = nDel, sizeBytes = nDel * 20L + 40L,
         sequenceNumber = 2L)
-      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-q169-${Integer.toHexString(dir.hashCode)}")
+      val tbl = TmpFixture.dir("q169", dir)
       IcebergLayoutWriter.writeTableSnapshots(tbl,
         Seq(1L -> snap1.toSeq, 2L -> snap2.toSeq))
       IcebergManifestSource.changesBetween(s, tbl.getPath, "t", 1L, 2L)

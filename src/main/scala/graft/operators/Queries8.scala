@@ -304,10 +304,20 @@ object Queries8 {
       val baskets = t(dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // support>=2 collapses ~1.2M candidate pairs to ~3.5k edges at
+      // sf0.1 — and edges is consumed by THREE differently-pruned
+      // branches (deg, the orientation join, totals), each of which
+      // would re-run the basket expansion + pair count from the scan
+      // (column pruning defeats ReuseExchange across them). One
+      // localCheckpoint of the edge-count-sized relation (coalesced to a
+      // handful of blocks, the q166 discipline) makes the expensive
+      // expansion run ONCE; the q91/q166 precedent for cutting lineage
+      // at a support-filtered small relation.
       val edges = GraphOps.basketPairs(baskets, "ps")
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select(col("u"), col("v"))
+        .coalesce(8).localCheckpoint()
       val deg = edges.select(col("u").as("x"))
         .unionAll(edges.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -320,6 +330,7 @@ object Queries8 {
         when(col("fwd"), col("u")).otherwise(col("v")).as("a"),
         when(col("fwd"), col("v")).otherwise(col("u")).as("b"),
         when(col("fwd"), col("dv")).otherwise(col("du")).as("db"))
+        .coalesce(8).localCheckpoint()
       val wedges = oriented.as("e1").join(oriented.as("e2"),
           col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
         .select(col("e1.b").as("p1"), col("e2.b").as("p2"),

@@ -345,8 +345,7 @@ object Queries9 {
           min(col("l_extendedprice")).as("lo_p"), max(col("l_extendedprice")).as("hi_p"),
           min(col("l_orderkey")).as("lo_k"), max(col("l_orderkey")).as("hi_k"))
         .collect()
-      val tblDir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-q151-${Integer.toHexString(dir.hashCode)}")
+      val tblDir = TmpFixture.dir("q151", dir)
       IcebergLayoutWriter.writeTable(tblDir, stats.toSeq.map { r =>
         IcebergLayoutWriter.ManifestEntrySpec(
           status = 1, content = 0,
@@ -390,8 +389,7 @@ object Queries9 {
           col("l_suppkey"),
           col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty"),
           (col("l_orderkey") % 2).as("fid"))
-      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-q152-${Integer.toHexString(dir.hashCode)}")
+      val tbl = TmpFixture.dir("q152", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val fa = new java.io.File(dataDir, "seq1.parquet")
@@ -515,8 +513,7 @@ object Queries9 {
         ManifestEntrySpec(status = 1, content = 0, filePath = s"c$fid2.parquet",
           recordCount = rc, sizeBytes = rc * 100L, sequenceNumber = 2L)
       }
-      val tbl = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-q154-${Integer.toHexString(dir.hashCode)}")
+      val tbl = TmpFixture.dir("q154", dir)
       IcebergLayoutWriter.writeTableSnapshots(tbl,
         Seq(1L -> snap1.toSeq, 2L -> snap2))
       def rollup(tag: Long, snapId: Option[Long]) =

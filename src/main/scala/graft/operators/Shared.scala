@@ -25,6 +25,25 @@ private[graft] object Rel {
   }
 }
 
+/** Tmpdir table-layout fixtures for the lake-ops queries (q151/q152/
+  * q154/q168/q169 build REAL Iceberg layouts inside the query body).
+  * One JVM-exit hook per distinct dir deletes the tree recursively, so
+  * repeated runs against different corpus paths don't accumulate orphan
+  * `graft-q*` trees on bench hosts. */
+private[graft] object TmpFixture {
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** `<tmpdir>/graft-<tag>-<corpus-hash>`, cleaned on JVM exit. */
+  def dir(tag: String, corpusDir: String): java.io.File = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-$tag-${Integer.toHexString(corpusDir.hashCode)}")
+    if (registered.putIfAbsent(f.getAbsolutePath, java.lang.Boolean.TRUE) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f)))
+    f
+  }
+}
+
 /** The decontamination fixture + 8-gram shingle machinery shared by
   * q60/q67 (Queries3) and q74/q75/q80 (Queries5): every 97th doc is the
   * eval set; each eval doc has a contaminated train twin at id+500000

@@ -11,7 +11,7 @@ class CompactorSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
   private def tmp(name: String) =
-    java.nio.file.Files.createTempDirectory(name).toString
+    TestTmp.dir(name)
 
   test("compaction: one output file per bin, data preserved") {
     import spark.implicits._

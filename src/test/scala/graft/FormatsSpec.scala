@@ -13,7 +13,7 @@ class FormatsSpec extends AnyFunSuite {
   test("query result round-trips through parquet/orc/json/csv") {
     val result = SparkEntry.queries("q6_revenue_by_region")(spark, dir)
     val expected = result.collect().map(_.toString).sorted.toSeq
-    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val base = TestTmp.dir("graft_fmt")
     try {
       for (fmt <- Seq("parquet", "orc", "json", "csv")) {
         val path = s"$base/$fmt"
@@ -37,7 +37,7 @@ class FormatsSpec extends AnyFunSuite {
       graft.model.FileEntry("t2", 0, "p1", 2000L)))
     val mc = spark.createDataset(Seq(("t1", 1L), ("t2", 1L)))
     val wide = graft.metrics.MetricsCalculator.computeMetricsWide(files, mc)
-    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val base = TestTmp.dir("graft_sink")
     try {
       wide.write.mode("overwrite").partitionBy("table").parquet(base)
       val back = spark.read.parquet(base)

@@ -15,7 +15,7 @@ class LakeMaintenanceSpec extends AnyFunSuite {
 
   test("orphan detection finds exactly the unreferenced files, at any nesting") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_orphans").toString
+    val root = TestTmp.dir("graft_orphans")
     try {
       // a real partitioned table = the referenced set
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

@@ -193,7 +193,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("partitioned write + partition pruning on read-back") {
     import org.apache.spark.sql.functions._
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = TestTmp.dir("graft_part")
     try {
       spark.read.parquet(s"$dir/orders.parquet")
         .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)

@@ -34,7 +34,7 @@ class SourceSpec extends AnyFunSuite {
   }
 
   test("fromDirectory: hive-partitioned dir becomes file entries") {
-    val base = java.nio.file.Files.createTempDirectory("graft_src").toFile
+    val base = new java.io.File(TestTmp.dir("graft_src"))
     try {
       val p1 = new java.io.File(base, "day=1"); p1.mkdirs()
       val p2 = new java.io.File(base, "day=2/region=eu"); p2.mkdirs()

@@ -2,6 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Temp directories for suites, deleted recursively on JVM exit — a
+  * bench/test host must not accumulate graft_* trees across runs. */
+object TestTmp {
+  def dir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)))
+    p.toString
+  }
+}
+
 /** One shared local session for all suites (cheap startup, no UI). */
 object SparkSpec {
   lazy val spark: SparkSession = {

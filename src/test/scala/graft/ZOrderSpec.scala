@@ -28,8 +28,8 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("z-ordered layout prunes files on BOTH dimensions; row order preserved as a set") {
     import spark.implicits._
-    val naiveDir = java.nio.file.Files.createTempDirectory("graft_naive").toString
-    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val naiveDir = TestTmp.dir("graft_naive")
+    val zDir = TestTmp.dir("graft_z")
     // 2-D uniform data, insertion order random in both dims
     val df = spark.range(40000)
       .select(col("id"),
