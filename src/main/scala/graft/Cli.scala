@@ -304,12 +304,13 @@ object Cli {
         val spark = session()
         import spark.implicits._
         try {
-          // file-source streaming read of the events table (nanos as long),
+          // file-source streaming read of the events table,
           // gap-sessionized with event-time state + watermark timeout
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           val schema = spark.read.parquet(s"$root/events.parquet").schema
+          val tsUs = graft.operators.Rel.tsUsSql(schema("ts").dataType)
           val stream = spark.readStream.schema(schema).parquet(s"$root/events*.parquet")
-            .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "value")
+            .selectExpr("user_id", "event_id", s"$tsUs AS ts_us", "value")
             .as[graft.streaming.Sessionizer.Event]
           val sessions = graft.streaming.Sessionizer.sessionize(stream, gapUs = 30L * 60 * 1000000)
           val q = sessions.writeStream.format("memory").queryName("sessions")
@@ -324,7 +325,7 @@ object Cli {
           // stream-stream interval join: purchases x signups within 24h
           val evStream = spark.readStream.schema(schema).parquet(s"$root/events*.parquet")
           def side(t: String) = evStream.filter(col("event_type") === t)
-            .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "value")
+            .selectExpr("user_id", "event_id", s"$tsUs AS ts_us", "value")
             .as[graft.streaming.Sessionizer.Event]
           val joined = graft.streaming.Sessionizer.purchasesWithRecentSignups(
             side("purchase"), side("signup"), intervalUs = 24L * 3600 * 1000000)

@@ -14,14 +14,29 @@ private[graft] object Rel {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; read nanos as long and derive the micros /
-    * timestamp columns explicitly (ts_us bigint, tsx timestamp). */
+  /** The canonical events derivation: `ts_us` (bigint epoch micros) and
+    * `tsx` (session-tz timestamp) from whatever physical type the
+    * generator gave `ts`. Earlier corpora shipped INT64 TIMESTAMP(NANOS)
+    * (read nanos-as-long, divide); current ones ship timestamp[us]
+    * (TIMESTAMP_NTZ — epoch micros via a tz-independent timestampdiff,
+    * matching the DuckDB oracles' `epoch_us(ts)` exactly). Sniffing the
+    * schema instead of pinning one dialect keeps every query and oracle
+    * byte-stable across corpus regenerations. */
   def events(dir: String)(implicit s: SparkSession): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = t(dir, "events")
+    raw.withColumn("ts_us", expr(tsUsSql(raw.schema("ts").dataType)))
       .withColumn("tsx", timestamp_micros(col("ts_us")))
+  }
+
+  /** SQL expression deriving epoch-micros from an events `ts` column of
+    * the given physical type (shared with the CLI's streaming reads,
+    * whose schema comes from the same parquet). */
+  def tsUsSql(tsType: org.apache.spark.sql.types.DataType): String = tsType match {
+    case org.apache.spark.sql.types.LongType => "ts div 1000" // nanos-as-long
+    case _: org.apache.spark.sql.types.TimestampNTZType =>
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    case _ => "unix_micros(cast(ts as timestamp))"
   }
 }
 

@@ -328,8 +328,7 @@ class Queries6Spec extends AnyFunSuite {
     }
     // spot-check semantics: fill == value of the latest event at/before the
     // grid point (ties on ts broken by max event_id), for one user
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.operators.Rel.events(dir)(spark)
       .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
       .as[(Long, Long, Long, Double)].collect()
     val u = rows.head._1

@@ -208,8 +208,7 @@ class Queries8Spec extends AnyFunSuite {
       .as[(String, Long, Double, Double)].collect()
     assert(rows.length == 5)
     // recompute one group's fit from raw points driver-side
-    val pts = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val pts = graft.operators.Rel.events(dir)(spark)
       .filter(col("event_type") === "click")
       .select(expr("(ts_us - 1704067200000000) div 3600000000").as("x"),
         floor(col("value") * 1000000).cast("long").as("y"))
