@@ -135,6 +135,115 @@ object Queries11 {
         Seq(1L -> snap1.toSeq, 2L -> snap2.toSeq))
       IcebergManifestSource.changesBetween(s, tbl.getPath, "t", 1L, 2L)
         .orderBy(col("change"), col("file_path"))
+    },
+
+    // ---- BM25 relevance scoring (Robertson/Sparck-Jones; the classic
+    // probabilistic ranker TF-IDF callers graduate to). Corpus stats
+    // (df, avgdl) aggregate map-side over the whole documents table;
+    // the per-doc score touches only docs containing a query term — an
+    // equi-join on term, never a corpus scan per query. At 100 TB the
+    // shape is: one df/avgdl pass (amortized across queries), then a
+    // query-term-sized broadcast join. q41-precedent determinism: all
+    // inputs integer counts, one ln + divisions per term, round(6).
+    "q170_bm25" -> { (s, dir) => implicit val sp = s
+      val qTerms = Seq("scan", "window", "part")
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), lit(" ")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val n = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      val terms = docs.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+      val tf = terms.groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val k1 = 1.2; val b = 0.75
+      val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        // avgdl enters ONLY via dl/avgdl = dl*n/sdl — one double divide
+        .withColumn("part", log(
+          (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl") * col("n")).cast("double") / col("sdl"))))
+      // per-term columns summed in FIXED term order — a float sum over an
+      // unordered group would be partitioning-dependent in the last ulp
+      val termAggs = qTerms.map(tm =>
+        sum(when(col("term") === tm, col("part"))).as(s"p_$tm"))
+      val perTerm = scored.groupBy(col("doc_id"), col("dl"))
+        .agg(termAggs.head, termAggs.tail: _*)
+        .na.fill(0.0, qTerms.map(tm => s"p_$tm"))
+      perTerm
+        .withColumn("score", round(qTerms.map(tm => col(s"p_$tm"))
+          .reduce(_ + _), 6))
+        .withColumn("n_terms_hit", qTerms.map(tm =>
+          when(col(s"p_$tm") =!= 0.0, 1L).otherwise(0L)).reduce(_ + _))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("dl"), col("n_terms_hit"), col("score"))
+    },
+
+    // ---- k-anonymity audit (privacy): equivalence classes over the
+    // quasi-identifier (nation, segment, acctbal-kilobucket), reported
+    // as the class-size histogram with each size's share of the
+    // population — the standard re-identification-risk profile (rows in
+    // classes of size < k are risky). Two map-side-combined aggregates;
+    // the histogram is vocabulary-collapsed (≤ distinct sizes rows), so
+    // the shape is flat at any scale. No global window: the share comes
+    // from a broadcast of the 1-row total.
+    "q171_k_anonymity" -> { (s, dir) => implicit val sp = s
+      val qi = t(dir, "customer").select(
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("balk"))
+      val classes = qi.groupBy(col("nat"), col("seg"), col("balk"))
+        .agg(count(lit(1)).as("class_size"))
+      val total = qi.agg(count(lit(1)).as("total"))
+      classes.groupBy(col("class_size"))
+        .agg(count(lit(1)).as("n_classes"))
+        .withColumn("n_rows", col("class_size") * col("n_classes"))
+        .crossJoin(broadcast(total))
+        .select(col("class_size"), col("n_classes"), col("n_rows"),
+          (col("n_rows").cast("double") / col("total")).as("pct_rows"))
+        .orderBy(col("class_size"))
+    },
+
+    // ---- top principal direction by power iteration (spectral): the
+    // Gram matrix of integer-quantized embeddings (dims 1..16, vecs
+    // < 2000 — the overflow budget: |q|<=64 so G <= 64*64*2000 = 8.2e6,
+    // v1 <= 16*G, v2 <= 16*G*max(v1) ~ 1.7e16 < 2^63), then TWO exact
+    // integer matrix-vector products from v0 = 1. Everything before the
+    // final two divides is int64, so the result is bit-identical at any
+    // partitioning and cross-engine (q146 precedent). Per-dim output:
+    // the iterate values, the per-dim Rayleigh-style ratio v2/v1 (→ the
+    // dominant eigenvalue as iterates align), and the normalized
+    // direction v2/max|v2|. At 100 TB the expansion is row-local
+    // (transform x transform), the Gram reduce is one map-side-combined
+    // 256-key agg, and everything after is matrix-sized.
+    "q172_power_iteration" -> { (s, dir) => implicit val sp = s
+      val dims = 16
+      val qd = t(dir, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= dims &&
+          col("vec_id") < 2000)
+        .select(expr(
+          s"transform(slice(embedding, 1, $dims), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+          .as("q"))
+      val gram = qd.select(explode(expr(
+          s"""flatten(transform(q, (x, i) ->
+             |  transform(q, (y, j) -> struct(i + 1 AS di, j + 1 AS dj, x * y AS xy))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.di").cast("long").as("di"), col("p.dj").cast("long").as("dj"), col("p.xy"))
+        .groupBy(col("di"), col("dj")).agg(sum(col("xy")).as("g"))
+      val v1 = gram.groupBy(col("di")).agg(sum(col("g")).as("v1"))
+      val v2 = gram.join(broadcast(v1.select(col("di").as("dj"), col("v1"))), "dj")
+        .groupBy(col("di")).agg(sum(col("g") * col("v1")).as("v2"))
+      val m = v2.agg(max(abs(col("v2"))).as("m2"))
+      v1.join(v2, "di").crossJoin(broadcast(m))
+        .select(col("di").as("dim"), col("v1"), col("v2"),
+          when(col("v1") === 0L, lit(null))
+            .otherwise(col("v2").cast("double") / col("v1")).as("eig_ratio"),
+          when(col("m2") === 0L, lit(null))
+            .otherwise(col("v2").cast("double") / col("m2")).as("direction"))
+        .orderBy(col("dim"))
     })
 
   /** The spec murmur3_x86_32 of a BIGINT's 8-byte little-endian form,
@@ -229,6 +338,71 @@ object Queries11 {
          |  (SELECT CAST(max(tsz) AS BIGINT) FROM per_pk) AS largest_partition,
          |  (SELECT count(*) FROM per_pk) AS n_partitions""".stripMargin
     },
+
+    "q170_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+        |terms AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM terms
+        |       WHERE term IN ('scan', 'window', 'part') GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, dl, term,
+        |    ln((CAST(n.n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * (1.2 + 1.0)) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl * n.n AS DOUBLE) / n.sdl)) AS part
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |pt AS (
+        |  SELECT doc_id, dl,
+        |    coalesce(sum(CASE WHEN term = 'scan' THEN part END), 0.0) AS p_scan,
+        |    coalesce(sum(CASE WHEN term = 'window' THEN part END), 0.0) AS p_window,
+        |    coalesce(sum(CASE WHEN term = 'part' THEN part END), 0.0) AS p_part
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT doc_id, dl,
+        |  CAST((CASE WHEN p_scan <> 0.0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN p_window <> 0.0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN p_part <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+        |  round(p_scan + p_window + p_part, 6) AS score
+        |FROM pt ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q171_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balk
+        |  FROM customer),
+        |classes AS (
+        |  SELECT nat, seg, balk, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM qi GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM qi),
+        |h AS (SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes
+        |      FROM classes GROUP BY 1)
+        |SELECT class_size, n_classes, class_size * n_classes AS n_rows,
+        |  CAST(class_size * n_classes AS DOUBLE) / total AS pct_rows
+        |FROM h CROSS JOIN tot ORDER BY class_size""".stripMargin,
+
+    "q172_power_iteration" ->
+      """WITH pe AS (
+        |  SELECT vec_id, unnest(range(1, 17)) AS pos, embedding
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) >= 16 AND vec_id < 2000),
+        |q AS (SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |        CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 64) AS BIGINT) AS qv
+        |      FROM pe),
+        |g AS (SELECT a.pos AS di, b.pos AS dj, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+        |      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v1 AS (SELECT di, CAST(sum(g) AS BIGINT) AS v1 FROM g GROUP BY 1),
+        |v2 AS (SELECT g.di, CAST(sum(g.g * v1.v1) AS BIGINT) AS v2
+        |       FROM g JOIN v1 ON g.dj = v1.di GROUP BY 1),
+        |m AS (SELECT CAST(max(abs(v2)) AS BIGINT) AS m2 FROM v2)
+        |SELECT v1.di AS dim, v1.v1 AS v1, v2.v2 AS v2,
+        |  CASE WHEN v1.v1 = 0 THEN NULL
+        |       ELSE CAST(v2.v2 AS DOUBLE) / v1.v1 END AS eig_ratio,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |       ELSE CAST(v2.v2 AS DOUBLE) / m2 END AS direction
+        |FROM v1 JOIN v2 USING (di) CROSS JOIN m ORDER BY dim""".stripMargin,
 
     "q169_snapshot_changelog" ->
       """WITH b AS (

@@ -95,6 +95,23 @@ object PartitionTransforms {
   def dayFromMicros(us: Long): Int =
     java.lang.Math.floorDiv(us, 86400000000L).toInt
 
+  /** hour transform: hours from the unix epoch (floor division). */
+  def hourFromMicros(us: Long): Int =
+    java.lang.Math.floorDiv(us, 3600000000L).toInt
+
+  /** month transform: months from 1970-01 (spec: month ordinal, so
+    * 1970-01 = 0, 1969-12 = -1 — derived from the civil date of the
+    * floor DAY, keeping day/month/year mutually consistent). */
+  def monthFromMicros(us: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(java.lang.Math.floorDiv(us, 86400000000L))
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+
+  /** year transform: years from 1970. */
+  def yearFromMicros(us: Long): Int =
+    java.time.LocalDate.ofEpochDay(
+      java.lang.Math.floorDiv(us, 86400000000L)).getYear - 1970
+
   // ---- Column forms (codegen-friendly; no UDFs) ----
 
   /** [[hashLong]] as a native Catalyst expression ([[IcebergHashLong]]):
@@ -117,6 +134,19 @@ object PartitionTransforms {
     * from epoch, the value a `day`-partitioned table stores. */
   def dayCol(ts: Column): Column =
     datediff(ts.cast("date"), to_date(lit("1970-01-01")))
+
+  /** hour ordinal of a timestamp column: hours from epoch (floor). */
+  def hourCol(ts: Column): Column =
+    floor(unix_micros(ts.cast("timestamp")) / lit(3600000000L)).cast("int")
+
+  /** month ordinal of a timestamp/date column: months from 1970-01. */
+  def monthCol(ts: Column): Column =
+    ((year(ts.cast("date")) - lit(1970)) * lit(12) +
+      month(ts.cast("date")) - lit(1)).cast("int")
+
+  /** year ordinal of a timestamp/date column: years from 1970. */
+  def yearCol(ts: Column): Column =
+    (year(ts.cast("date")) - lit(1970)).cast("int")
 
   /** truncate[W] of an integral column (floor semantics = `pmod`). */
   def truncateLongCol(c: Column, w: Long): Column =

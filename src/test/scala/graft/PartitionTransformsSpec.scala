@@ -53,6 +53,20 @@ class PartitionTransformsSpec extends AnyFunSuite {
     }
   }
 
+  test("hour/month/year: spec example ordinals + floor semantics pre-1970") {
+    // 2017-11-16T22:31:08 UTC: hour = 17486*24 + 22, month = 574, year = 47
+    val us = 1510871468000000L
+    assert(PT.hourFromMicros(us) == 17486 * 24 + 22)
+    assert(PT.monthFromMicros(us) == (2017 - 1970) * 12 + 10)
+    assert(PT.yearFromMicros(us) == 47)
+    assert(PT.hourFromMicros(0L) == 0 && PT.monthFromMicros(0L) == 0 &&
+      PT.yearFromMicros(0L) == 0)
+    // floor: one micro before the epoch is the previous hour/month/year
+    assert(PT.hourFromMicros(-1L) == -1)
+    assert(PT.monthFromMicros(-1L) == -1)
+    assert(PT.yearFromMicros(-1L) == -1)
+  }
+
   // ---- Column forms == scalar forms (codegen parity) ----
 
   test("hashLongCol (native kernel) matches the scalar on arbitrary longs") {
@@ -85,6 +99,25 @@ class PartitionTransformsSpec extends AnyFunSuite {
       .collect()
     days.foreach { r =>
       assert(r.getInt(1) == PT.dayFromMicros(r.getLong(0)), s"day(${r.getLong(0)})")
+    }
+  }
+
+  test("hourCol / monthCol / yearCol match scalars over timestamps (UTC)") {
+    import spark.implicits._
+    val micros = Seq(0L, 1510871468000000L, 86399999999L, 86400000000L,
+      1704067200000000L, 2678400000000L /* 1970-02-01 */, 31535999999999L,
+      31536000000000L /* 1971-01-01 */, -1L)
+    val rows = micros.toDF("us")
+      .select(col("us"),
+        PT.hourCol(timestamp_micros(col("us"))).as("h"),
+        PT.monthCol(timestamp_micros(col("us"))).as("m"),
+        PT.yearCol(timestamp_micros(col("us"))).as("y"))
+      .collect()
+    rows.foreach { r =>
+      val us = r.getLong(0)
+      assert(r.getInt(1) == PT.hourFromMicros(us), s"hour($us)")
+      assert(r.getInt(2) == PT.monthFromMicros(us), s"month($us)")
+      assert(r.getInt(3) == PT.yearFromMicros(us), s"year($us)")
     }
   }
 }
