@@ -137,6 +137,82 @@ object Queries11 {
         .orderBy(col("change"), col("file_path"))
     },
 
+    // ---- partition-spec EVOLUTION over a real written layout: snapshot
+    // 1 is year(o_orderdate)-partitioned (spec 0); snapshot 2 keeps
+    // those files and ADDS month-partitioned ones under spec 1 — the
+    // Iceberg evolution contract: old files are never rewritten, each
+    // manifest-list row names the spec its manifests were written under
+    // (`partition_spec_id`), and the current snapshot legitimately
+    // mixes partition shapes. The reader decodes each manifest's
+    // partition record generically, so the per-partition profile over
+    // the CURRENT snapshot carries both {"o_year":N} and {"o_month":M}
+    // keys; every key value is a year/month transform ordinal, so both
+    // new transforms are hash-gated cross-engine here. The grouped
+    // collect is bounded fixture state (≤ years×2 + months×2 rows); the
+    // manifest scan is the distributed path under test.
+    "q173_spec_evolution" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, PartitionTransforms => PT}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val o = t(dir, "orders").select(
+        (col("o_orderkey") % 3).as("grp"),
+        PT.yearCol(col("o_orderdate")).as("y"),
+        PT.monthCol(col("o_orderdate")).as("m"),
+        (col("o_custkey") % 2).cast("int").as("sub"),
+        (col("o_orderkey") % 997).as("w"))
+      val f1 = o.filter(col("grp") < 2).groupBy(col("y"), col("sub"))
+        .agg(count(lit(1)).as("rc"), sum(col("w")).as("msum"))
+        .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+        .map { r =>
+          ManifestEntrySpec(status = 1, content = 0,
+            filePath = s"data/y${r.getInt(0)}-${r.getInt(1)}.parquet",
+            partition = Seq("o_year" -> r.getInt(0)),
+            recordCount = r.getLong(2),
+            sizeBytes = (r.getLong(3) + 50L * r.getLong(2)) * 4096L, specId = 0)
+        }.toSeq
+      val f2 = o.filter(col("grp") === 2).groupBy(col("m"), col("sub"))
+        .agg(count(lit(1)).as("rc"), sum(col("w")).as("msum"))
+        .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+        .map { r =>
+          ManifestEntrySpec(status = 1, content = 0,
+            filePath = s"data/m${r.getInt(0)}-${r.getInt(1)}.parquet",
+            partition = Seq("o_month" -> r.getInt(0)),
+            recordCount = r.getLong(2),
+            sizeBytes = (r.getLong(3) + 50L * r.getLong(2)) * 4096L, specId = 1)
+        }.toSeq
+      val tbl = TmpFixture.dir("q173", dir)
+      IcebergLayoutWriter.writeTableSnapshots(tbl,
+        Seq(1L -> f1, 2L -> (f1 ++ f2)),
+        partitionSpecs = Seq(Seq(("o_year", "year", 5)), Seq(("o_month", "month", 5))))
+      // the metadata round trip must surface the FULL evolution history,
+      // current default being the evolved spec — fail loudly otherwise
+      val (defId, specs) = IcebergManifestSource.partitionSpecs(s, tbl.getPath)
+      require(defId == 1 && specs == Seq(
+        0 -> Seq(("o_year", "year", 5)), 1 -> Seq(("o_month", "month", 5))),
+        s"evolution history broke: default=$defId specs=$specs")
+      val (files, _) = IcebergManifestSource.fromTableDir(s, tbl.getPath, "t")
+      files.toDF()
+        .groupBy(col("partitionKey").as("pk"))
+        .agg(count(lit(1)).as("n_files"), sum(col("sizeBytes")).as("total_bytes"))
+        .orderBy(col("pk"))
+    },
+
+    // ---- the time-transform ordinal profile: every Iceberg time
+    // transform (year/month/day/hour) derived over the events table and
+    // hash-gated against DuckDB's date arithmetic — the cross-engine
+    // value gate for the transform family (q168/q173 gate day/bucket/
+    // truncate/year/month through written layouts; this pins hour and
+    // the ordinals directly). Map-only derivation + one ~days-sized agg.
+    "q174_transform_ordinals" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{PartitionTransforms => PT}
+      Rel.events(dir)
+        .select(PT.yearCol(col("tsx")).as("y"), PT.monthCol(col("tsx")).as("m"),
+          PT.dayCol(col("tsx")).as("d"), PT.hourCol(col("tsx")).as("h"))
+        .groupBy(col("y"), col("m"), col("d"))
+        .agg(count(lit(1)).as("n_events"), min(col("h")).as("h_min"),
+          max(col("h")).as("h_max"), countDistinct(col("h")).as("n_hours"))
+        .orderBy(col("d"))
+    },
+
     // ---- BM25 relevance scoring (Robertson/Sparck-Jones; the classic
     // probabilistic ranker TF-IDF callers graduate to). Corpus stats
     // (df, avgdl) aggregate map-side over the whole documents table;
@@ -338,6 +414,37 @@ object Queries11 {
          |  (SELECT CAST(max(tsz) AS BIGINT) FROM per_pk) AS largest_partition,
          |  (SELECT count(*) FROM per_pk) AS n_partitions""".stripMargin
     },
+
+    "q173_spec_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 3 AS grp,
+        |         CAST(year(o_orderdate) - 1970 AS INT) AS y,
+        |         CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS INT) AS m,
+        |         o_custkey % 2 AS sub, o_orderkey % 997 AS w
+        |  FROM orders),
+        |f1 AS (SELECT y, sub, count(*) AS rc, sum(w) AS msum
+        |       FROM o WHERE grp < 2 GROUP BY 1, 2),
+        |f2 AS (SELECT m, sub, count(*) AS rc, sum(w) AS msum
+        |       FROM o WHERE grp = 2 GROUP BY 1, 2),
+        |files AS (
+        |  SELECT '{"o_year":' || y || '}' AS pk,
+        |         CAST((msum + 50 * rc) * 4096 AS BIGINT) AS size FROM f1
+        |  UNION ALL
+        |  SELECT '{"o_month":' || m || '}',
+        |         CAST((msum + 50 * rc) * 4096 AS BIGINT) FROM f2)
+        |SELECT pk, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(size) AS BIGINT) AS total_bytes
+        |FROM files GROUP BY pk ORDER BY pk""".stripMargin,
+
+    "q174_transform_ordinals" ->
+      """SELECT CAST(year(CAST(ts AS DATE)) - 1970 AS INT) AS y,
+        |  CAST((year(CAST(ts AS DATE)) - 1970) * 12 + month(CAST(ts AS DATE)) - 1 AS INT) AS m,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS d,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(epoch_us(ts) // 3600000000) AS INT) AS h_min,
+        |  CAST(max(epoch_us(ts) // 3600000000) AS INT) AS h_max,
+        |  CAST(count(DISTINCT epoch_us(ts) // 3600000000) AS BIGINT) AS n_hours
+        |FROM events GROUP BY 1, 2, 3 ORDER BY d""".stripMargin,
 
     "q170_bm25" ->
       """WITH dl AS (

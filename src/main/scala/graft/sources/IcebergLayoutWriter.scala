@@ -34,7 +34,8 @@ object IcebergLayoutWriter {
       partition: Seq[(String, Any)] = Nil, recordCount: Long = 0L,
       sizeBytes: Long = 0L, sequenceNumber: java.lang.Long = 1L,
       lower: Map[Int, Array[Byte]] = Map.empty,
-      upper: Map[Int, Array[Byte]] = Map.empty)
+      upper: Map[Int, Array[Byte]] = Map.empty,
+      specId: Int = 0)
 
   // ---- Iceberg single-value serialization (spec Appendix D) ----
   def boundInt(v: Int): Array[Byte] =
@@ -77,6 +78,7 @@ object IcebergLayoutWriter {
 
   private val listSchema: Schema = SchemaBuilder.record("manifest_file").fields()
     .requiredString("manifest_path").requiredLong("manifest_length")
+    .requiredInt("partition_spec_id")
     .requiredInt("content")
     .requiredLong("sequence_number")
     .requiredLong("added_snapshot_id").endRecord()
@@ -153,13 +155,22 @@ object IcebergLayoutWriter {
     * `sequence_number` field; in this fixture dialect the snapshot id
     * doubles as the snapshot's sequence number (both are the 1-based
     * commit ordinal), which is what null ADDED-entry sequence numbers
-    * inherit on read. */
+    * inherit on read. Each row also carries `partition_spec_id` (spec
+    * "Manifest Lists") — the spec the manifest's partition records were
+    * written under, which is how mixed-spec tables (partition evolution)
+    * stay interpretable; the 2-tuple overload writes spec 0. */
   def writeManifestList(dest: java.io.File,
       manifests: Seq[(java.io.File, Int)], snapshotId: Long): Unit =
-    writeAvro(dest, listSchema, manifests.map { case (f, mContent) =>
+    writeManifestListSpecs(dest, manifests.map { case (f, c) => (f, c, 0) },
+      snapshotId)
+
+  def writeManifestListSpecs(dest: java.io.File,
+      manifests: Seq[(java.io.File, Int, Int)], snapshotId: Long): Unit =
+    writeAvro(dest, listSchema, manifests.map { case (f, mContent, specId) =>
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", f.getAbsolutePath)
       r.put("manifest_length", f.length())
+      r.put("partition_spec_id", specId)
       r.put("content", mContent)
       r.put("sequence_number", snapshotId)
       r.put("added_snapshot_id", snapshotId)
@@ -196,24 +207,32 @@ object IcebergLayoutWriter {
   def writeTableSnapshots(tableDir: java.io.File,
       snapshots: Seq[(Long, Seq[ManifestEntrySpec])],
       refs: Map[String, (Long, String)] = Map.empty,
-      partitionSpec: Seq[(String, String, Int)] = Nil): Unit = {
+      partitionSpec: Seq[(String, String, Int)] = Nil,
+      partitionSpecs: Seq[Seq[(String, String, Int)]] = Nil): Unit = {
     require(snapshots.nonEmpty, "at least one snapshot")
+    // one spec (the common case) or a full evolution history: specs is
+    // indexed by spec-id; entries choose theirs via ManifestEntrySpec.specId
+    val specs: Seq[Seq[(String, String, Int)]] =
+      if (partitionSpecs.nonEmpty) partitionSpecs
+      else if (partitionSpec.nonEmpty) Seq(partitionSpec) else Nil
     val metaDir = new java.io.File(tableDir, "metadata")
     org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
     require(metaDir.mkdirs(), s"cannot create $metaDir")
     val lists = snapshots.map { case (snapshotId, entries) =>
-      val groups = Seq(
-        0 -> entries.filter(_.content == 0), // data manifest
-        1 -> entries.filter(_.content != 0)) // delete manifest
-        .filter(_._2.nonEmpty)
-      val manifestFiles = groups.map { case (mContent, group) =>
-        val f = new java.io.File(metaDir, s"manifest-$snapshotId-$mContent.avro")
+      // a manifest holds files of ONE content class written under ONE
+      // spec (spec: manifests are homogeneous in partition shape)
+      val groups = entries
+        .groupBy(e => (if (e.content == 0) 0 else 1, e.specId)).toSeq
+        .sortBy(_._1)
+      val manifestFiles = groups.map { case ((mContent, specId), group) =>
+        val f = new java.io.File(metaDir,
+          s"manifest-$snapshotId-$mContent-s$specId.avro")
         val (schema, recs) = manifestRecords(group)
         writeAvro(f, schema, recs)
-        (f, mContent)
+        (f, mContent, specId)
       }
       val list = new java.io.File(metaDir, s"snap-$snapshotId-manifest-list.avro")
-      writeManifestList(list, manifestFiles, snapshotId)
+      writeManifestListSpecs(list, manifestFiles, snapshotId)
       (snapshotId, list)
     }
     val snapJson = lists.map { case (id, list) =>
@@ -225,13 +244,21 @@ object IcebergLayoutWriter {
         s"""    "$name": {"snapshot-id": $id, "type": "$kind"}"""
       }.mkString(",\n  \"refs\": {\n", ",\n", "\n  }")
     val specJson =
-      if (partitionSpec.isEmpty) ""
-      else partitionSpec.zipWithIndex.map { case ((name, transform, srcId), i) =>
-        s"""      {"name": "$name", "transform": "$transform", """ +
-          s""""source-id": $srcId, "field-id": ${1000 + i}}"""
-      }.mkString(
-        ",\n  \"default-spec-id\": 0,\n  \"partition-specs\": [\n" +
-          "    {\"spec-id\": 0, \"fields\": [\n", ",\n", "\n    ]}\n  ]")
+      if (specs.isEmpty) ""
+      else {
+        // field-ids are assigned once across the whole history (1000 +
+        // running index) — evolution never reuses a field-id (spec rule)
+        var fieldId = 999
+        val specObjs = specs.zipWithIndex.map { case (fields, specId) =>
+          val fs = fields.map { case (name, transform, srcId) =>
+            fieldId += 1
+            s"""      {"name": "$name", "transform": "$transform", """ +
+              s""""source-id": $srcId, "field-id": $fieldId}"""
+          }.mkString(",\n")
+          s"""    {"spec-id": $specId, "fields": [\n$fs\n    ]}"""
+        }.mkString(",\n")
+        s""",\n  "default-spec-id": ${specs.size - 1},\n  "partition-specs": [\n$specObjs\n  ]"""
+      }
     val json =
       s"""{
          |  "format-version": 2,

@@ -176,6 +176,18 @@ object IcebergManifestSource {
     * Jackson over the one metadata document (KBs). */
   def partitionSpec(spark: SparkSession,
       tableDir: String): Seq[(String, String, Int)] = {
+    val (defaultId, all) = partitionSpecs(spark, tableDir)
+    all.find(_._1 == defaultId).map(_._2).getOrElse(Nil)
+  }
+
+  /** EVERY partition spec in the metadata as (spec-id, fields) plus the
+    * default-spec-id — the full evolution history. A table whose spec
+    * changed mid-life has manifests written under different spec-ids
+    * (each manifest-list row names its spec via `partition_spec_id`,
+    * see [[manifestSpecIds]]); interpreting an old file's partition
+    * values needs its OWN spec, not the current default. */
+  def partitionSpecs(spark: SparkSession,
+      tableDir: String): (Int, Seq[(Int, Seq[(String, String, Int)])]) = {
     import com.fasterxml.jackson.databind.ObjectMapper
     val p = currentMetadataPath(spark, tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -184,19 +196,17 @@ object IcebergManifestSource {
       try new ObjectMapper().readTree(in)
       finally in.close()
     val specs = root.get("partition-specs")
-    if (specs == null || !specs.isArray) Nil
+    val defaultId =
+      Option(root.get("default-spec-id")).filter(_.canConvertToLong)
+        .map(_.asInt()).getOrElse(0)
+    if (specs == null || !specs.isArray) (defaultId, Nil)
     else {
-      val defaultId =
-        Option(root.get("default-spec-id")).filter(_.canConvertToLong)
-          .map(_.asInt()).getOrElse(0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[(String, String, Int)])]
       val it = specs.elements()
-      var chosen: Option[com.fasterxml.jackson.databind.JsonNode] = None
-      while (it.hasNext && chosen.isEmpty) {
+      while (it.hasNext) {
         val s = it.next()
-        if (Option(s.get("spec-id")).exists(_.asInt() == defaultId)) chosen = Some(s)
-      }
-      chosen.flatMap(s => Option(s.get("fields"))).filter(_.isArray).toSeq
-        .flatMap { fieldsNode =>
+        val specId = Option(s.get("spec-id")).map(_.asInt()).getOrElse(0)
+        val fields = Option(s.get("fields")).filter(_.isArray).toSeq.flatMap { fieldsNode =>
           val fit = fieldsNode.elements()
           val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
           while (fit.hasNext) {
@@ -208,8 +218,23 @@ object IcebergManifestSource {
           }
           buf.toSeq
         }
+        out += ((specId, fields))
+      }
+      (defaultId, out.toSeq)
     }
   }
+
+  /** (manifest_path, partition_spec_id) rows of a manifest list — which
+    * spec each manifest's partition records were written under. A list
+    * without the field (v1 / older fixtures) reads as spec 0. */
+  def manifestSpecIds(conf: Configuration,
+      manifestListPath: String): Seq[(String, Int)] =
+    readAvroIterator(conf, manifestListPath) { rec =>
+      val specId =
+        if (rec.getSchema.getField("partition_spec_id") == null) 0
+        else Option(rec.get("partition_spec_id")).fold(0)(_.asInstanceOf[Int])
+      Iterator.single((rec.get("manifest_path").toString, specId))
+    }.toSeq
 
   /** Locate the CURRENT metadata JSON (version-hint integer,
     * hint-as-filename, or numeric-version listing fallback) — the ONE

@@ -433,4 +433,47 @@ class IcebergManifestSpec extends AnyFunSuite {
       content = 0, filePath = "x.parquet", recordCount = 1L, sizeBytes = 10L)))
     assert(IcebergManifestSource.partitionSpec(spark, plain.getPath).isEmpty)
   }
+
+  test("partition-spec evolution: mixed-spec snapshot reads, spec ids carried") {
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_evolved")
+    val old = Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = "y25.parquet",
+        partition = Seq("o_year" -> 25), recordCount = 10L, sizeBytes = 100L,
+        specId = 0),
+      ManifestEntrySpec(status = 1, content = 0, filePath = "y26.parquet",
+        partition = Seq("o_year" -> 26), recordCount = 20L, sizeBytes = 200L,
+        specId = 0))
+    val added = Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = "m300.parquet",
+        partition = Seq("o_month" -> 300), recordCount = 5L, sizeBytes = 50L,
+        specId = 1))
+    IcebergLayoutWriter.writeTableSnapshots(tblDir,
+      Seq(1L -> old, 2L -> (old ++ added)),
+      partitionSpecs = Seq(Seq(("o_year", "year", 5)), Seq(("o_month", "month", 5))))
+    // the full evolution history round-trips; the default is the NEW spec
+    val (defId, specs) = IcebergManifestSource.partitionSpecs(spark, tblDir.getPath)
+    assert(defId == 1)
+    assert(specs == Seq(0 -> Seq(("o_year", "year", 5)),
+      1 -> Seq(("o_month", "month", 5))))
+    // partitionSpec (the default-spec view) resolves through the history
+    assert(IcebergManifestSource.partitionSpec(spark, tblDir.getPath) ==
+      Seq(("o_month", "month", 5)))
+    // each manifest-list row names its manifest's spec
+    val conf = spark.sparkContext.hadoopConfiguration
+    val list2 = new java.io.File(tblDir, "metadata/snap-2-manifest-list.avro")
+    val specIds = IcebergManifestSource.manifestSpecIds(conf, list2.getPath)
+    assert(specIds.map(_._2).sorted == Seq(0, 1))
+    // the current snapshot reads BOTH partition dialects
+    val (files, nManifests) =
+      IcebergManifestSource.fromTableDir(spark, tblDir.getPath, "tbl")
+    assert(nManifests == 2L)
+    assert(files.collect().map(_.partitionKey).sorted.toSeq == Seq(
+      """{"o_month":300}""", """{"o_year":25}""", """{"o_year":26}"""))
+    // back-compat: a manifest list WITHOUT partition_spec_id reads as spec 0
+    val legacyList = writeFixture()
+    assert(IcebergManifestSource.manifestSpecIds(conf, legacyList)
+      .map(_._2).forall(_ == 0))
+  }
 }
