@@ -213,6 +213,31 @@ object Queries11 {
         .orderBy(col("d"))
     },
 
+    // ---- privacy-budgeted statistics release: per-(lang, source)
+    // document counts with Laplace-mechanism noise (sensitivity 1,
+    // b = 1/eps = 1) — the standard differentially-private histogram
+    // release a curated-corpus publisher runs before sharing counts.
+    // Real DP draws fresh randomness; the testable analogue here feeds
+    // the inverse-CDF with a DETERMINISTIC per-group uniform (integer
+    // modular arithmetic over the group's doc_id sum — exact on both
+    // engines), so the mechanism's whole dataflow is hash-gated while
+    // the sampling step stays swappable. One map-side-combined agg; the
+    // noise arithmetic is per-group scalar work on a vocabulary-sized
+    // relation. ln() + round(6) per the q41 precedent.
+    "q175_dp_release" -> { (s, dir) => implicit val sp = s
+      val groups = t(dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("true_n"), sum(col("doc_id")).as("sd"))
+      groups
+        .withColumn("u",
+          ((col("sd") * 2654435761L) % 1000003L).cast("double") / 1000003.0)
+        .withColumn("noise", round(
+          -signum(col("u") - 0.5) * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6))
+        .select(col("lang"), col("source"), col("true_n"), col("noise"),
+          (col("true_n") + col("noise")).as("noisy_n"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // ---- BM25 relevance scoring (Robertson/Sparck-Jones; the classic
     // probabilistic ranker TF-IDF callers graduate to). Corpus stats
     // (df, avgdl) aggregate map-side over the whole documents table;
@@ -445,6 +470,16 @@ object Queries11 {
         |  CAST(max(epoch_us(ts) // 3600000000) AS INT) AS h_max,
         |  CAST(count(DISTINCT epoch_us(ts) // 3600000000) AS BIGINT) AS n_hours
         |FROM events GROUP BY 1, 2, 3 ORDER BY d""".stripMargin,
+
+    "q175_dp_release" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS true_n,
+        |         CAST(sum(doc_id) AS BIGINT) AS sd
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (SELECT *, CAST((sd * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS u FROM g),
+        |nz AS (SELECT *, round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise FROM u)
+        |SELECT lang, source, true_n, noise, true_n + noise AS noisy_n
+        |FROM nz ORDER BY lang, source""".stripMargin,
 
     "q170_bm25" ->
       """WITH dl AS (

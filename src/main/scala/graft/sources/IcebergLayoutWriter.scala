@@ -204,11 +204,17 @@ object IcebergLayoutWriter {
     * (and any real reader) can interpret the manifest partition values.
     * The VALUES in each entry's `partition` must already be transformed
     * ([[PartitionTransforms]]); manifests store results, not sources. */
+  /** `sortOrder` declares the table's write order as (source-id,
+    * transform, direction, null-order) rows — metadata `sort-orders`
+    * (order-id 1), the spec's "Sort Orders" section. Readers use it to
+    * know data files are clustered (e.g. a z-order write registers
+    * itself here); empty means unsorted (order-id 0 by convention). */
   def writeTableSnapshots(tableDir: java.io.File,
       snapshots: Seq[(Long, Seq[ManifestEntrySpec])],
       refs: Map[String, (Long, String)] = Map.empty,
       partitionSpec: Seq[(String, String, Int)] = Nil,
-      partitionSpecs: Seq[Seq[(String, String, Int)]] = Nil): Unit = {
+      partitionSpecs: Seq[Seq[(String, String, Int)]] = Nil,
+      sortOrder: Seq[(Int, String, String, String)] = Nil): Unit = {
     require(snapshots.nonEmpty, "at least one snapshot")
     // one spec (the common case) or a full evolution history: specs is
     // indexed by spec-id; entries choose theirs via ManifestEntrySpec.specId
@@ -259,13 +265,23 @@ object IcebergLayoutWriter {
         }.mkString(",\n")
         s""",\n  "default-spec-id": ${specs.size - 1},\n  "partition-specs": [\n$specObjs\n  ]"""
       }
+    val sortJson =
+      if (sortOrder.isEmpty) ""
+      else {
+        val fs = sortOrder.map { case (srcId, transform, dir, nullOrder) =>
+          s"""      {"transform": "$transform", "source-id": $srcId, """ +
+            s""""direction": "$dir", "null-order": "$nullOrder"}"""
+        }.mkString(",\n")
+        s""",\n  "default-sort-order-id": 1,\n  "sort-orders": [\n""" +
+          s"""    {"order-id": 1, "fields": [\n$fs\n    ]}\n  ]"""
+      }
     val json =
       s"""{
          |  "format-version": 2,
          |  "current-snapshot-id": ${snapshots.last._1},
          |  "snapshots": [
          |$snapJson
-         |  ]$refsJson$specJson
+         |  ]$refsJson$specJson$sortJson
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
       json.getBytes("UTF-8"))

@@ -224,6 +224,48 @@ object IcebergManifestSource {
     }
   }
 
+  /** The table's default sort order as (source-id, transform, direction,
+    * null-order) rows from metadata `sort-orders` (spec "Sort Orders") —
+    * how a reader learns the data files are write-clustered (a z-order
+    * or sorted compaction registers itself here). Empty when unsorted
+    * (no sort-orders field, or default-sort-order-id 0 / unresolvable). */
+  def sortOrder(spark: SparkSession,
+      tableDir: String): Seq[(Int, String, String, String)] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val p = currentMetadataPath(spark, tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root =
+      try new ObjectMapper().readTree(in)
+      finally in.close()
+    val orders = root.get("sort-orders")
+    val defaultId =
+      Option(root.get("default-sort-order-id")).filter(_.canConvertToLong)
+        .map(_.asInt()).getOrElse(0)
+    if (orders == null || !orders.isArray || defaultId == 0) Nil
+    else {
+      val it = orders.elements()
+      var out = Seq.empty[(Int, String, String, String)]
+      while (it.hasNext) {
+        val o = it.next()
+        if (Option(o.get("order-id")).exists(_.asInt() == defaultId)) {
+          val fit = Option(o.get("fields")).filter(_.isArray)
+            .map(_.elements()).getOrElse(java.util.Collections.emptyIterator())
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
+          while (fit.hasNext) {
+            val f = fit.next()
+            buf += ((Option(f.get("source-id")).map(_.asInt()).getOrElse(-1),
+              Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+              Option(f.get("direction")).map(_.asText()).getOrElse("asc"),
+              Option(f.get("null-order")).map(_.asText()).getOrElse("nulls-first")))
+          }
+          out = buf.toSeq
+        }
+      }
+      out
+    }
+  }
+
   /** (manifest_path, partition_spec_id) rows of a manifest list — which
     * spec each manifest's partition records were written under. A list
     * without the field (v1 / older fixtures) reads as spec 0. */

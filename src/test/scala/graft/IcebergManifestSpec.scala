@@ -476,4 +476,22 @@ class IcebergManifestSpec extends AnyFunSuite {
     assert(IcebergManifestSource.manifestSpecIds(conf, legacyList)
       .map(_._2).forall(_ == 0))
   }
+
+  test("sort-order metadata round-trips; absent or order-id 0 reads empty") {
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_sorted")
+    val entry = ManifestEntrySpec(status = 1, content = 0,
+      filePath = "x.parquet", recordCount = 1L, sizeBytes = 10L)
+    IcebergLayoutWriter.writeTableSnapshots(tblDir, Seq(1L -> Seq(entry)),
+      sortOrder = Seq((4, "identity", "asc", "nulls-first"),
+        (2, "bucket[16]", "desc", "nulls-last")))
+    assert(IcebergManifestSource.sortOrder(spark, tblDir.getPath) == Seq(
+      (4, "identity", "asc", "nulls-first"),
+      (2, "bucket[16]", "desc", "nulls-last")))
+    // a table written without a sort order reads as unsorted
+    val plain = new java.io.File(dir, "tbl_unsorted")
+    IcebergLayoutWriter.writeTableSnapshots(plain, Seq(1L -> Seq(entry)))
+    assert(IcebergManifestSource.sortOrder(spark, plain.getPath).isEmpty)
+  }
 }
