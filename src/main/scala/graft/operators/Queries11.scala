@@ -213,6 +213,56 @@ object Queries11 {
         .orderBy(col("d"))
     },
 
+    // ---- manifest SKIPPING from manifest-list partition summaries: the
+    // layout writer emits per-manifest field_summary bounds (spec
+    // "Manifest Lists"), and the planner prunes whole MANIFESTS against
+    // a day-range predicate before reading any of them — Iceberg's
+    // planning-scale feature: at 100k manifests the planning read drops
+    // from every manifest to the few whose ranges overlap. Fixture: one
+    // data manifest per month (the real append-stream grain), day(ts)
+    // partition values; the query proves pruning actually skipped
+    // manifests (require), applies the residual day filter (summaries
+    // are coarse), and hash-gates the surviving per-day profile.
+    "q176_manifest_skipping" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, PartitionTransforms => PT}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val o = t(dir, "orders").select(
+        PT.dayCol(col("o_orderdate")).as("d"),
+        PT.monthCol(col("o_orderdate")).as("m"),
+        (col("o_custkey") % 2).cast("int").as("sub"),
+        (col("o_orderkey") % 997).as("w"))
+      val entries = o.groupBy(col("d"), col("m"), col("sub"))
+        .agg(count(lit(1)).as("rc"), sum(col("w")).as("msum"))
+        .collect().sortBy(r => (r.getInt(0), r.getInt(2)))
+        .map { r =>
+          ManifestEntrySpec(status = 1, content = 0,
+            filePath = s"data/d${r.getInt(0)}-${r.getInt(2)}.parquet",
+            partition = Seq("o_day" -> r.getInt(0)),
+            recordCount = r.getLong(3),
+            sizeBytes = (r.getLong(4) + 50L * r.getLong(3)) * 4096L,
+            manifestGroup = r.getInt(1))
+        }.toSeq
+      val tbl = TmpFixture.dir("q176", dir)
+      IcebergLayoutWriter.writeTable(tbl, entries,
+        partitionSpec = Seq(("o_day", "day", 5)))
+      val conf = s.sparkContext.hadoopConfiguration
+      val list = IcebergManifestSource.manifestListPath(s, tbl.getPath)
+        .getOrElse(sys.error("no current manifest list"))
+      val total = IcebergManifestSource.manifestPaths(conf, list).size
+      val lo = java.time.LocalDate.of(1996, 2, 1).toEpochDay
+      val hi = java.time.LocalDate.of(1996, 4, 30).toEpochDay
+      val pruned = IcebergManifestSource.manifestsOverlapping(conf, list, 0, lo, hi)
+      require(pruned.nonEmpty && pruned.size < total,
+        s"manifest skipping failed: kept ${pruned.size} of $total")
+      IcebergManifestSource.fromManifests(s, pruned, "t").toDF()
+        // residual row-level predicate — summaries are manifest-coarse
+        .withColumn("d", get_json_object(col("partitionKey"), "$.o_day").cast("int"))
+        .filter(col("d") >= lo && col("d") <= hi)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_files"), sum(col("sizeBytes")).as("total_bytes"))
+        .orderBy(col("d"))
+    },
+
     // ---- privacy-budgeted statistics release: per-(lang, source)
     // document counts with Laplace-mechanism noise (sensitivity 1,
     // b = 1/eps = 1) — the standard differentially-private histogram
@@ -470,6 +520,19 @@ object Queries11 {
         |  CAST(max(epoch_us(ts) // 3600000000) AS INT) AS h_max,
         |  CAST(count(DISTINCT epoch_us(ts) // 3600000000) AS BIGINT) AS n_hours
         |FROM events GROUP BY 1, 2, 3 ORDER BY d""".stripMargin,
+
+    "q176_manifest_skipping" ->
+      """WITH o AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d,
+        |         o_custkey % 2 AS sub, o_orderkey % 997 AS w
+        |  FROM orders),
+        |f AS (SELECT d, sub, count(*) AS rc, sum(w) AS msum FROM o GROUP BY 1, 2)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum((msum + 50 * rc) * 4096) AS BIGINT) AS total_bytes
+        |FROM f
+        |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1996-02-01')
+        |            AND date_diff('day', DATE '1970-01-01', DATE '1996-04-30')
+        |GROUP BY d ORDER BY d""".stripMargin,
 
     "q175_dp_release" ->
       """WITH g AS (

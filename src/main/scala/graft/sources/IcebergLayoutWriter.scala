@@ -35,7 +35,7 @@ object IcebergLayoutWriter {
       sizeBytes: Long = 0L, sequenceNumber: java.lang.Long = 1L,
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
-      specId: Int = 0)
+      specId: Int = 0, manifestGroup: Int = 0)
 
   // ---- Iceberg single-value serialization (spec Appendix D) ----
   def boundInt(v: Int): Array[Byte] =
@@ -76,12 +76,22 @@ object IcebergLayoutWriter {
       .name("data_file").`type`(dataFileSchema(pSchema)).noDefault()
       .endRecord()
 
+  private val fieldSummarySchema: Schema =
+    SchemaBuilder.record("field_summary").fields()
+      .requiredBoolean("contains_null")
+      .name("lower_bound").`type`().nullable().bytesType().noDefault()
+      .name("upper_bound").`type`().nullable().bytesType().noDefault()
+      .endRecord()
+
   private val listSchema: Schema = SchemaBuilder.record("manifest_file").fields()
     .requiredString("manifest_path").requiredLong("manifest_length")
     .requiredInt("partition_spec_id")
     .requiredInt("content")
     .requiredLong("sequence_number")
-    .requiredLong("added_snapshot_id").endRecord()
+    .requiredLong("added_snapshot_id")
+    .name("partitions").`type`().nullable().array()
+    .items(fieldSummarySchema).noDefault()
+    .endRecord()
 
   private def kvList(schema: Schema, m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
     val out = new java.util.ArrayList[GenericRecord](m.size)
@@ -166,7 +176,46 @@ object IcebergLayoutWriter {
 
   def writeManifestListSpecs(dest: java.io.File,
       manifests: Seq[(java.io.File, Int, Int)], snapshotId: Long): Unit =
-    writeAvro(dest, listSchema, manifests.map { case (f, mContent, specId) =>
+    writeManifestListFull(dest,
+      manifests.map { case (f, c, s) => (f, c, s, None) }, snapshotId)
+
+  /** Appendix-D single-value serialization of a partition value —
+    * the byte form `field_summary` bounds carry. */
+  private[sources] def serializePartitionValue(v: Any): Array[Byte] = v match {
+    case i: Int => ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(i).array()
+    case l: Long => boundLong(l)
+    case b: Boolean => Array[Byte](if (b) 1 else 0)
+    case s => s.toString.getBytes("UTF-8")
+  }
+
+  /** Per-field (contains_null, lower, upper) over a manifest's entries —
+    * the manifest-list partition summary a planner prunes on (spec
+    * "Manifest Lists": field_summary). Field order = the entries'
+    * partition record order; null partition values are not modeled by
+    * the fixture writer, so contains_null is always false. */
+  private def summarize(entries: Seq[ManifestEntrySpec]): Option[Seq[(Boolean, Array[Byte], Array[Byte])]] =
+    entries.headOption.filter(_.partition.nonEmpty).map { head =>
+      head.partition.indices.map { i =>
+        val vs = entries.map(_.partition(i)._2)
+        val (lo, hi) = vs.head match {
+          case _: Int =>
+            val xs = vs.map(_.asInstanceOf[Int]); (xs.min: Any, xs.max: Any)
+          case _: Long =>
+            val xs = vs.map(_.asInstanceOf[Long]); (xs.min: Any, xs.max: Any)
+          case _: Boolean =>
+            val xs = vs.map(_.asInstanceOf[Boolean]); (xs.min: Any, xs.max: Any)
+          case _ =>
+            val xs = vs.map(_.toString); (xs.min: Any, xs.max: Any)
+        }
+        (false, serializePartitionValue(lo), serializePartitionValue(hi))
+      }
+    }
+
+  private def writeManifestListFull(dest: java.io.File,
+      manifests: Seq[(java.io.File, Int, Int, Option[Seq[(Boolean, Array[Byte], Array[Byte])]])],
+      snapshotId: Long): Unit =
+    writeAvro(dest, listSchema, manifests.map { case (f, mContent, specId, sums) =>
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", f.getAbsolutePath)
       r.put("manifest_length", f.length())
@@ -174,6 +223,17 @@ object IcebergLayoutWriter {
       r.put("content", mContent)
       r.put("sequence_number", snapshotId)
       r.put("added_snapshot_id", snapshotId)
+      r.put("partitions", sums.map { ss =>
+        val out = new java.util.ArrayList[GenericRecord](ss.size)
+        ss.foreach { case (cn, lo, hi) =>
+          val fr = new GenericData.Record(fieldSummarySchema)
+          fr.put("contains_null", cn)
+          fr.put("lower_bound", ByteBuffer.wrap(lo))
+          fr.put("upper_bound", ByteBuffer.wrap(hi))
+          out.add(fr)
+        }
+        out
+      }.orNull)
       r
     })
 
@@ -226,19 +286,22 @@ object IcebergLayoutWriter {
     require(metaDir.mkdirs(), s"cannot create $metaDir")
     val lists = snapshots.map { case (snapshotId, entries) =>
       // a manifest holds files of ONE content class written under ONE
-      // spec (spec: manifests are homogeneous in partition shape)
+      // spec (spec: manifests are homogeneous in partition shape);
+      // manifestGroup further splits data manifests the way real append
+      // streams do (one manifest per commit), giving the manifest-list
+      // partition summaries something to prune
       val groups = entries
-        .groupBy(e => (if (e.content == 0) 0 else 1, e.specId)).toSeq
-        .sortBy(_._1)
-      val manifestFiles = groups.map { case ((mContent, specId), group) =>
+        .groupBy(e => (if (e.content == 0) 0 else 1, e.specId, e.manifestGroup))
+        .toSeq.sortBy(_._1)
+      val manifestFiles = groups.map { case ((mContent, specId, grp), group) =>
         val f = new java.io.File(metaDir,
-          s"manifest-$snapshotId-$mContent-s$specId.avro")
+          s"manifest-$snapshotId-$mContent-s$specId-g$grp.avro")
         val (schema, recs) = manifestRecords(group)
         writeAvro(f, schema, recs)
-        (f, mContent, specId)
+        (f, mContent, specId, summarize(group))
       }
       val list = new java.io.File(metaDir, s"snap-$snapshotId-manifest-list.avro")
-      writeManifestListSpecs(list, manifestFiles, snapshotId)
+      writeManifestListFull(list, manifestFiles, snapshotId)
       (snapshotId, list)
     }
     val snapJson = lists.map { case (id, list) =>

@@ -278,6 +278,72 @@ object IcebergManifestSource {
       Iterator.single((rec.get("manifest_path").toString, specId))
     }.toSeq
 
+  /** Per-manifest partition summaries from the manifest list (spec
+    * "Manifest Lists", `partitions: list<field_summary>`): each row is
+    * (manifest_path, per-field (contains_null, lower, upper) bounds in
+    * partition-field order, serialized single-values). `None` when the
+    * list row carries no summary — the planner must keep such manifests.
+    * This is the metadata a planner prunes MANIFESTS with before reading
+    * any of them: at 100k manifests the planning read drops from every
+    * manifest to the few whose ranges overlap the predicate. */
+  def manifestPartitionSummaries(conf: Configuration, manifestListPath: String)
+      : Seq[(String, Option[Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]])] =
+    readAvroIterator(conf, manifestListPath) { rec =>
+      val sums =
+        if (rec.getSchema.getField("partitions") == null) None
+        else Option(rec.get("partitions")).map { arr =>
+          import scala.jdk.CollectionConverters._
+          arr.asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+            .asScala.toSeq.map { fr =>
+              (fr.get("contains_null").asInstanceOf[Boolean],
+                Option(fr.get("lower_bound")).map(toBytes),
+                Option(fr.get("upper_bound")).map(toBytes))
+            }
+        }
+      Iterator.single((rec.get("manifest_path").toString, sums))
+    }.toSeq
+
+  /** DATA-manifest paths whose summary for partition field `fieldIndex`
+    * overlaps [lo, hi] (integral partition values: 4-byte int or 8-byte
+    * long little-endian bounds). Conservative: manifests with no
+    * summary, a missing field, non-integral bounds, or a null-containing
+    * field are KEPT — pruning may only skip what provably cannot match.
+    * Delete manifests (content 1) are also kept: delete-file visibility
+    * is not range-prunable here. */
+  def manifestsOverlapping(conf: Configuration, manifestListPath: String,
+      fieldIndex: Int, lo: Long, hi: Long): Seq[String] = {
+    val contents = readAvroIterator(conf, manifestListPath) { rec =>
+      val c =
+        if (rec.getSchema.getField("content") == null) 0
+        else Option(rec.get("content")).fold(0)(_.asInstanceOf[Int])
+      Iterator.single((rec.get("manifest_path").toString, c))
+    }.toMap
+    manifestPartitionSummaries(conf, manifestListPath).collect {
+      case (p, _) if contents.getOrElse(p, 0) != 0 => p // delete manifest
+      case (p, None) => p
+      case (p, Some(sums)) if sums.lift(fieldIndex).forall { case (cn, l, u) =>
+        def asLong(b: Array[Byte]): Option[Long] = b.length match {
+          case 4 => Some(java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong)
+          case 8 => Some(java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+          case _ => None
+        }
+        cn || ((l.flatMap(asLong), u.flatMap(asLong)) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true // undecodable → keep
+        })
+      } => p
+    }
+  }
+
+  /** The manifest-list path of a snapshot (current when None) — public
+    * so planners can compose manifest-level pruning with
+    * [[fromManifests]]. */
+  def manifestListPath(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): Option[String] =
+    resolveManifestList(spark, tableDir, snapshotId)
+
   /** Locate the CURRENT metadata JSON (version-hint integer,
     * hint-as-filename, or numeric-version listing fallback) — the ONE
     * resolver, shared with [[LayoutMaintenance]] so reader and

@@ -35,7 +35,13 @@ class DeterminismSpec extends AnyFunSuite {
     // min-k sketch merges behind the set algebra, and the sweep-line
     // running sum must all be merge-order-free
     "q163_waiting_suppliers", "q164_kmv_set_algebra", "q165_peak_concurrency",
-    "q166_label_propagation", "q167_partition_fingerprint_diff")
+    "q166_label_propagation", "q167_partition_fingerprint_diff",
+    // round 8: BM25's fixed-order float assembly, the integer power
+    // iterates, the mixed-spec layout profile (fixture written from a
+    // grouped collect — its content must not depend on partitioning),
+    // and the DP release's modular-arithmetic uniform
+    "q170_bm25", "q172_power_iteration", "q173_spec_evolution",
+    "q175_dp_release")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
