@@ -61,7 +61,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -85,6 +85,39 @@ object Cli {
           val (before, after) = graft.sources.LayoutMaintenance
             .rewriteManifests(spark, root)
           println(s"manifests: $before -> $after")
+        }
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "changelog") {
+      // incremental snapshot changelog straight from manifest metadata
+      // (q169 semantics): endpoints are snapshot ids or ref names
+      if (args.length < 4) { System.err.println(usage); sys.exit(2) }
+      val spark = session()
+      try {
+        def endpoint(a: String): Long =
+          if (a.nonEmpty && a.forall(_.isDigit)) a.toLong
+          else graft.sources.IcebergManifestSource.refSnapshotId(spark, root, a)
+            .getOrElse {
+              System.err.println(s"error: no such ref or snapshot: $a")
+              sys.exit(1)
+            }
+        val (from, to) = (endpoint(args(2)), endpoint(args(3)))
+        val ids = graft.sources.LayoutMaintenance.snapshotIds(spark, root)
+        Seq(from, to).filterNot(ids.contains).foreach { id =>
+          System.err.println(s"error: no such snapshot: $id (history: ${ids.mkString(", ")})")
+          sys.exit(1)
+        }
+        val rows = graft.sources.IcebergManifestSource
+          .changesBetween(spark, root, "t", from, to)
+          .orderBy(col("change"), col("file_path"))
+          .collect()
+        println(s"changes $from -> $to: ${rows.length} files")
+        rows.foreach { r =>
+          println(f"  ${r.getAs[String]("change")}%-8s c${r.getAs[Int]("content")} " +
+            f"${r.getAs[Long]("record_count")}%8d rows ${r.getAs[Long]("size_bytes")}%12d B  " +
+            r.getAs[String]("file_path"))
         }
       } finally spark.stop()
       return
