@@ -263,6 +263,44 @@ object Queries11 {
         .orderBy(col("d"))
     },
 
+    // ---- matryoshka truncation audit: how much of each embedding's
+    // energy (and per-vector cosine vs the full vector) survives
+    // truncating to the first 8/16/32 dims — the operational question
+    // behind MRL-style nested embeddings ("which dim budget can serving
+    // afford?"). A truncated vector is the prefix zero-padded, so
+    // cos(full, trunc) = sqrt(prefix energy / full energy) — everything
+    // derives from exact integer squared sums of quantized dims
+    // (cross-engine sqrt/divide on exact longs, q146/q172 discipline),
+    // so min/max/threshold counts are bit-deterministic. Row-local
+    // expansion, one agg per budget tier over a 3x-vecs relation.
+    "q177_matryoshka_audit" -> { (s, dir) => implicit val sp = s
+      val qd = t(dir, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(expr(
+          "transform(slice(embedding, 1, 64), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+          .as("q"))
+        .withColumn("s8", expr("aggregate(slice(q, 1, 8), 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("s16", expr("aggregate(slice(q, 1, 16), 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("s32", expr("aggregate(slice(q, 1, 32), 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("s64", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+        .filter(col("s64") > 0L)
+      val tiers = Seq(8 -> "s8", 16 -> "s16", 32 -> "s32").map { case (b, c) =>
+        qd.select(lit(b).as("budget"), col(c).as("sb"), col("s64"))
+      }.reduce(_ unionByName _)
+      tiers
+        .withColumn("cos", sqrt(col("sb").cast("double")) / sqrt(col("s64").cast("double")))
+        .groupBy(col("budget"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("sb")).as("energy_b"), sum(col("s64")).as("energy_full"),
+          min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"),
+          sum(when(col("cos") >= 0.95, 1L).otherwise(0L)).as("n_hi"))
+        .withColumn("energy_kept",
+          col("energy_b").cast("double") / col("energy_full"))
+        .select(col("budget"), col("n_vecs"), col("energy_b"), col("energy_full"),
+          col("energy_kept"), col("min_cos"), col("max_cos"), col("n_hi"))
+        .orderBy(col("budget"))
+    },
+
     // ---- privacy-budgeted statistics release: per-(lang, source)
     // document counts with Laplace-mechanism noise (sensitivity 1,
     // b = 1/eps = 1) — the standard differentially-private histogram
@@ -533,6 +571,33 @@ object Queries11 {
         |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1996-02-01')
         |            AND date_diff('day', DATE '1970-01-01', DATE '1996-04-30')
         |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q177_matryoshka_audit" ->
+      """WITH pe AS (
+        |  SELECT vec_id, unnest(range(1, 65)) AS pos, embedding
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        |q AS (SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |        CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 64) AS BIGINT) AS qv
+        |      FROM pe),
+        |s AS (SELECT vec_id,
+        |        CAST(sum(CASE WHEN pos <= 8 THEN qv * qv ELSE 0 END) AS BIGINT) AS s8,
+        |        CAST(sum(CASE WHEN pos <= 16 THEN qv * qv ELSE 0 END) AS BIGINT) AS s16,
+        |        CAST(sum(CASE WHEN pos <= 32 THEN qv * qv ELSE 0 END) AS BIGINT) AS s32,
+        |        CAST(sum(qv * qv) AS BIGINT) AS s64
+        |      FROM q GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(8 AS INT) AS budget, s8 AS sb, s64 FROM s WHERE s64 > 0
+        |  UNION ALL SELECT 16, s16, s64 FROM s WHERE s64 > 0
+        |  UNION ALL SELECT 32, s32, s64 FROM s WHERE s64 > 0),
+        |c AS (SELECT budget, sb, s64,
+        |        sqrt(CAST(sb AS DOUBLE)) / sqrt(CAST(s64 AS DOUBLE)) AS cos FROM b)
+        |SELECT budget, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(sb) AS BIGINT) AS energy_b,
+        |  CAST(sum(s64) AS BIGINT) AS energy_full,
+        |  CAST(CAST(sum(sb) AS BIGINT) AS DOUBLE) / CAST(sum(s64) AS BIGINT) AS energy_kept,
+        |  min(cos) AS min_cos, max(cos) AS max_cos,
+        |  CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM c GROUP BY budget ORDER BY budget""".stripMargin,
 
     "q175_dp_release" ->
       """WITH g AS (
