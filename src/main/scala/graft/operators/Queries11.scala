@@ -263,6 +263,67 @@ object Queries11 {
         .orderBy(col("d"))
     },
 
+    // ---- changelog-driven incremental maintenance: per-content file/
+    // row/byte totals maintained from snapshot 1 + the q169 changelog
+    // deltas, proved IN-QUERY equal to a direct snapshot-2 recompute
+    // (the require), then hash-gated against DuckDB deriving snapshot
+    // 2's truth from the raw tables. This is what the changelog is FOR
+    // at 100 TB: a consumer keeps a materialized rollup current by
+    // folding metadata-sized deltas instead of rescanning the table —
+    // both sides here are manifest-sized relations, zero data I/O.
+    "q178_incremental_maintenance" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      // the q169 two-snapshot fixture: 8 files, then compact f0..f3 into
+      // c0/c1, keep f4..f7, add one position-delete file
+      val stats = t(dir, "lineitem")
+        .groupBy(least(floor(col("l_extendedprice") / 12000).cast("long"), lit(7L))
+          .as("fid"))
+        .agg(count(lit(1)).as("rc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val nDel = t(dir, "lineitem").filter(col("l_orderkey") % 13 === 0).count()
+      def dataFile(path: String, rc: Long, seq: Long) =
+        ManifestEntrySpec(status = 1, content = 0, filePath = path,
+          recordCount = rc, sizeBytes = rc * 100L, sequenceNumber = seq)
+      val snap1 = stats.map { case (fid, rc) => dataFile(s"f$fid.parquet", rc, 1L) }
+      val compacted = stats.filter(_._1 < 4).groupBy(_._1 / 2).toSeq.sortBy(_._1)
+        .map { case (fid2, grp) => dataFile(s"c$fid2.parquet", grp.map(_._2).sum, 2L) }
+      val kept = stats.filter(_._1 >= 4).map { case (fid, rc) =>
+        dataFile(s"f$fid.parquet", rc, 1L)
+      }
+      val snap2 = compacted ++ kept :+ ManifestEntrySpec(status = 1, content = 1,
+        filePath = "del0.parquet", recordCount = nDel, sizeBytes = nDel * 20L + 40L,
+        sequenceNumber = 2L)
+      val tbl = TmpFixture.dir("q178", dir)
+      IcebergLayoutWriter.writeTableSnapshots(tbl,
+        Seq(1L -> snap1.toSeq, 2L -> snap2.toSeq))
+      // maintained = snapshot-1 base + signed changelog deltas
+      val base = IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil, Some(1L))
+        .select(col("content"), lit(1L).as("df"),
+          col("record_count").as("dr"), col("sizeBytes").as("db"))
+      val deltas = IcebergManifestSource
+        .changesBetween(s, tbl.getPath, "t", 1L, 2L)
+        .withColumn("sign", when(col("change") === "added", 1L).otherwise(-1L))
+        .select(col("content"), col("sign").as("df"),
+          (col("sign") * col("record_count")).as("dr"),
+          (col("sign") * col("size_bytes")).as("db"))
+      val maintained = base.unionByName(deltas)
+        .groupBy(col("content"))
+        .agg(sum(col("df")).as("n_files"), sum(col("dr")).as("total_rows"),
+          sum(col("db")).as("total_bytes"))
+      // the maintenance identity, proved against a direct recompute
+      val direct = IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil, Some(2L))
+        .groupBy(col("content"))
+        .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("total_rows"),
+          sum(col("sizeBytes")).as("total_bytes"))
+      val (m, d0) = (maintained.collect().sortBy(_.getInt(0)).toSeq,
+        direct.collect().sortBy(_.getInt(0)).toSeq)
+      require(m == d0, s"incremental maintenance diverged: $m vs $d0")
+      maintained.orderBy(col("content"))
+    },
+
     // ---- matryoshka truncation audit: how much of each embedding's
     // energy (and per-vector cosine vs the full vector) survives
     // truncating to the first 8/16/32 dims — the operational question
@@ -571,6 +632,22 @@ object Queries11 {
         |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1996-02-01')
         |            AND date_diff('day', DATE '1970-01-01', DATE '1996-04-30')
         |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q178_incremental_maintenance" ->
+      """WITH b AS (
+        |  SELECT LEAST(CAST(FLOOR(l_extendedprice / 12000) AS BIGINT), 7) AS fid
+        |  FROM lineitem),
+        |s1 AS (SELECT fid, CAST(count(*) AS BIGINT) AS rc FROM b GROUP BY fid),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |       WHERE l_orderkey % 13 = 0)
+        |SELECT CAST(0 AS INT) AS content,
+        |  (SELECT CAST(count(DISTINCT fid // 2) AS BIGINT) FROM s1 WHERE fid < 4)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM s1 WHERE fid >= 4) AS n_files,
+        |  (SELECT CAST(sum(rc) AS BIGINT) FROM s1) AS total_rows,
+        |  (SELECT CAST(sum(rc) * 100 AS BIGINT) FROM s1) AS total_bytes
+        |UNION ALL
+        |SELECT 1, 1, n, n * 20 + 40 FROM nd
+        |ORDER BY content""".stripMargin,
 
     "q177_matryoshka_audit" ->
       """WITH pe AS (

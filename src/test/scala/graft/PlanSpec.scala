@@ -336,6 +336,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q170: df and corpus-stat sides broadcast around the term-filtered scan") {
+    val p = plan("q170_bm25")
+    // the per-doc score joins tiny df/corpus relations into the tf side —
+    // both must broadcast; a sort-merge here would shuffle the corpus
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q171: histogram is window-free — share via broadcast total, not a global window") {
+    val p = plan("q171_k_anonymity")
+    assert(!p.contains("Window"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q172: power iterates join matrix-sized relations broadcast") {
+    val p = plan("q172_power_iteration")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q177: truncation audit is one expand + agg — no join, no window") {
+    val p = plan("q177_matryoshka_audit")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("whole-stage codegen active on the scan-project-agg path") {
     // AQE materializes the final plan only on execution; run, then inspect
     val df = SparkEntry.queries("q2_file_stats")(spark, dir)
