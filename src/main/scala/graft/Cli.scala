@@ -61,11 +61,24 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
     val glob = if (args.length > 2) args(2) else "*"
+
+    if (cmd == "compactcommit") {
+      // EXECUTE the compaction preview as a new snapshot (metadata commit)
+      val spark = session()
+      try {
+        val cap = if (args.length > 2) args(2).toLong
+          else graft.model.EngineConfig.default.maxGroupBytes
+        val (snap, before, after) =
+          graft.sources.LayoutMaintenance.commitCompaction(spark, root, cap)
+        println(s"committed snapshot $snap: $before data files -> $after")
+      } finally spark.stop()
+      return
+    }
 
     if (cmd == "expire" || cmd == "rwmanifests" || cmd == "rollback") {
       // EXECUTED metadata maintenance on a real table layout

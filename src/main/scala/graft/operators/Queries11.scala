@@ -263,6 +263,70 @@ object Queries11 {
         .orderBy(col("d"))
     },
 
+    // ---- the two-level PLANNING FUNNEL, composed end-to-end: manifest
+    // skipping (q176's manifest-list field_summary bounds) followed by
+    // per-file column-stat pruning (q151's lower/upper bounds) — the
+    // full Iceberg planning path a 100 TB scan survives on: 100k
+    // manifests → the few whose partition ranges overlap → their files
+    // → the few whose column bounds can match. Both levels are proved
+    // to skip in-query (requires), and the surviving per-day scan-set
+    // profile is hash-gated. Planning I/O is manifest-list-sized, then
+    // surviving-manifest-sized — never table-sized.
+    "q179_planning_funnel" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, PartitionTransforms => PT}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val o = t(dir, "orders").select(
+        PT.dayCol(col("o_orderdate")).as("d"),
+        PT.monthCol(col("o_orderdate")).as("m"),
+        (col("o_custkey") % 2).cast("int").as("sub"),
+        col("o_totalprice").as("p"))
+      val entries = o.groupBy(col("d"), col("m"), col("sub"))
+        .agg(count(lit(1)).as("rc"), min(col("p")).as("lo"), max(col("p")).as("hi"))
+        .collect().sortBy(r => (r.getInt(0), r.getInt(2)))
+        .map { r =>
+          ManifestEntrySpec(status = 1, content = 0,
+            filePath = s"data/d${r.getInt(0)}-${r.getInt(2)}.parquet",
+            partition = Seq("o_day" -> r.getInt(0)),
+            recordCount = r.getLong(3), sizeBytes = r.getLong(3) * 4096L,
+            lower = Map(4 -> IcebergLayoutWriter.boundDouble(r.getDouble(4))),
+            upper = Map(4 -> IcebergLayoutWriter.boundDouble(r.getDouble(5))),
+            manifestGroup = r.getInt(1))
+        }.toSeq
+      val tbl = TmpFixture.dir("q179", dir)
+      IcebergLayoutWriter.writeTable(tbl, entries,
+        partitionSpec = Seq(("o_day", "day", 5)))
+      val conf = s.sparkContext.hadoopConfiguration
+      val list = IcebergManifestSource.manifestListPath(s, tbl.getPath)
+        .getOrElse(sys.error("no current manifest list"))
+      val lo = java.time.LocalDate.of(1997, 6, 1).toEpochDay
+      val hi = java.time.LocalDate.of(1997, 8, 31).toEpochDay
+      // level 1: whole manifests, by partition summary
+      val total = IcebergManifestSource.manifestPaths(conf, list).size
+      val prunedSet = IcebergManifestSource
+        .manifestsOverlapping(conf, list, 0, lo, hi).toSet
+      require(prunedSet.nonEmpty && prunedSet.size < total,
+        s"level-1 skipped nothing: ${prunedSet.size} of $total")
+      val seqs = IcebergManifestSource.manifestPathSeqs(conf, list)
+        .filter { case (p, _) => prunedSet.contains(p) }
+      // level 2: per-file column bounds inside the survivors
+      val thresh = 300000.0
+      val funnel = IcebergManifestSource.statsFromManifestSeqs(s, seqs, "t", Seq(
+          (4, "price", org.apache.spark.sql.types.DoubleType)))
+        .withColumn("d", get_json_object(col("partitionKey"), "$.o_day").cast("int"))
+        .filter(col("d") >= lo && col("d") <= hi) // residual partition filter
+        .withColumn("skip", when(col("hi_price") < thresh, 1L).otherwise(0L))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("files_after_l1"),
+          sum(col("skip")).as("files_skipped_l2"),
+          sum(lit(1L) - col("skip")).as("files_scanned"),
+          sum(when(col("skip") === 0L, col("sizeBytes")).otherwise(0L))
+            .as("bytes_scanned"))
+        .orderBy(col("d"))
+      require(funnel.agg(sum(col("files_skipped_l2"))).head.getLong(0) > 0L,
+        "level-2 skipped nothing")
+      funnel
+    },
+
     // ---- changelog-driven incremental maintenance: per-content file/
     // row/byte totals maintained from snapshot 1 + the q169 changelog
     // deltas, proved IN-QUERY equal to a direct snapshot-2 recompute
@@ -631,6 +695,22 @@ object Queries11 {
         |FROM f
         |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1996-02-01')
         |            AND date_diff('day', DATE '1970-01-01', DATE '1996-04-30')
+        |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q179_planning_funnel" ->
+      """WITH o AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d,
+        |         o_custkey % 2 AS sub, o_totalprice AS p
+        |  FROM orders),
+        |f AS (SELECT d, sub, CAST(count(*) AS BIGINT) AS rc, max(p) AS hi
+        |      FROM o GROUP BY 1, 2)
+        |SELECT d, CAST(count(*) AS BIGINT) AS files_after_l1,
+        |  CAST(sum(CASE WHEN hi < 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped_l2,
+        |  CAST(sum(CASE WHEN hi < 300000.0 THEN 0 ELSE 1 END) AS BIGINT) AS files_scanned,
+        |  CAST(sum(CASE WHEN hi < 300000.0 THEN 0 ELSE rc * 4096 END) AS BIGINT) AS bytes_scanned
+        |FROM f
+        |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1997-06-01')
+        |            AND date_diff('day', DATE '1970-01-01', DATE '1997-08-31')
         |GROUP BY d ORDER BY d""".stripMargin,
 
     "q178_incremental_maintenance" ->

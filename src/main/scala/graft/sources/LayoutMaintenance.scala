@@ -306,4 +306,115 @@ object LayoutMaintenance {
     val after = manifestsOf(spark, Snap(cur.id, newList.getAbsolutePath))
     (before.size, after.size)
   }
+
+  /** EXECUTE the compaction the metrics pipeline previews: bin-pack each
+    * partition's data files with the EXACT `Pure.buildPartitionGroups`
+    * semantics (ascending size, close-on-overshoot), and commit the
+    * result as a NEW snapshot appended to the metadata document — old
+    * snapshots stay time-travelable, delete files are carried with
+    * their original sequence numbers, multi-file groups become one
+    * compacted entry at the new snapshot's sequence, singleton groups
+    * keep their original file untouched. Because the packer is shared,
+    * the executed data-file count EQUALS the simulation's
+    * `fileCountAfter` for the same `maxGroupBytes` — the
+    * preview-equals-execution identity, pinned in LayoutMaintenanceSpec.
+    *
+    * Driver state is the per-file stats relation (~100 B/file — a
+    * 100k-file table is ~10 MB; the group ASSIGNMENT is inherently a
+    * planning decision, same as Iceberg's own rewrite_data_files
+    * planning). Single-spec tables only (the commit writes spec-0
+    * partition records). Returns (newSnapshotId, dataFilesBefore,
+    * dataFilesAfter). */
+  def commitCompaction(spark: SparkSession, tableDir: String,
+      maxGroupBytes: Long): (Long, Int, Int) = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import IcebergLayoutWriter.ManifestEntrySpec
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val stats = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil, Some(curId))
+      .select("file_path", "content", "partitionKey", "sizeBytes",
+        "record_count", "sequence_number")
+      .collect()
+    require(stats.nonEmpty, s"current snapshot $curId has no files")
+    val newId = all.map(_.id).max + 1
+    val mapper = new ObjectMapper()
+    def partitionPairs(pk: String): Seq[(String, Any)] =
+      if (pk == null || pk.isEmpty || pk == "{}") Nil
+      else {
+        val node = mapper.readTree(pk)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+        node.fields().forEachRemaining { e =>
+          val v: Any = e.getValue match {
+            case n if n.isInt => n.asInt()
+            case n if n.isLong => n.asLong()
+            case n if n.isBoolean => n.asBoolean()
+            case n => n.asText()
+          }
+          out += ((e.getKey, v))
+        }
+        out.toSeq
+      }
+    case class F(path: String, content: Int, pk: String, size: Long,
+        rc: Long, seq: Long)
+    val files = stats.map(r => F(r.getString(0), r.getInt(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val (data, deletes) = files.partition(_.content == 0)
+    // the Pure.buildPartitionGroups loop, carried over file identities:
+    // ascending (size, path), close the group BEFORE adding once its
+    // running sum exceeds the cap — group COUNT therefore equals the
+    // size-multiset packing the simulation computed
+    def pack(fs: Seq[F]): Vector[Vector[F]] = {
+      val sorted = fs.sortBy(f => (f.size, f.path))
+      val result = Vector.newBuilder[Vector[F]]
+      var group = Vector.newBuilder[F]
+      var nonEmpty = false
+      var cur = 0L
+      for (f <- sorted) {
+        if (cur > maxGroupBytes) {
+          result += group.result(); group = Vector.newBuilder[F]
+          nonEmpty = false; cur = 0L
+        }
+        group += f; nonEmpty = true; cur += f.size
+      }
+      if (nonEmpty) result += group.result()
+      result.result()
+    }
+    var ci = 0
+    val dataEntries = data.groupBy(_.pk).toSeq.sortBy(_._1).flatMap {
+      case (pk, fs) =>
+        val pairs = partitionPairs(pk)
+        pack(fs).map { g =>
+          if (g.size == 1)
+            ManifestEntrySpec(status = 1, content = 0, filePath = g.head.path,
+              partition = pairs, recordCount = g.head.rc,
+              sizeBytes = g.head.size, sequenceNumber = g.head.seq)
+          else {
+            ci += 1
+            ManifestEntrySpec(status = 1, content = 0,
+              filePath = s"data/compact-$newId-$ci.parquet",
+              partition = pairs, recordCount = g.map(_.rc).sum,
+              sizeBytes = g.map(_.size).sum, sequenceNumber = newId)
+          }
+        }
+    }
+    val deleteEntries = deletes.map(f =>
+      ManifestEntrySpec(status = 1, content = f.content, filePath = f.path,
+        partition = partitionPairs(f.pk), recordCount = f.rc,
+        sizeBytes = f.size, sequenceNumber = f.seq))
+    val m = metaDir(tableDir)
+    val manifests = Seq(0 -> dataEntries, 1 -> deleteEntries)
+      .filter(_._2.nonEmpty)
+      .map { case (c, es) =>
+        val f = new java.io.File(m, s"manifest-$newId-$c.avro")
+        IcebergLayoutWriter.writeManifest(f, es)
+        (f, c)
+      }
+    val newList = new java.io.File(m, s"snap-$newId-manifest-list.avro")
+    IcebergLayoutWriter.writeManifestList(newList, manifests, newId)
+    writeMetadataVersion(spark, tableDir,
+      all :+ Snap(newId, newList.getAbsolutePath), newId, refs(spark, tableDir))
+    (newId, data.size, dataEntries.size)
+  }
 }

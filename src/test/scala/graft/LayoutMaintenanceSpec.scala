@@ -201,4 +201,70 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
     assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath) == Seq(3L))
     assert(files(tbl, None).nonEmpty)
   }
+
+  test("commitCompaction: executed file count equals the simulation's fileCountAfter") {
+    import org.apache.spark.sql.functions._
+    val tbl = new java.io.File("target/tmp-maint-compact")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    def df(name: String, day: Int, size: Long, rc: Long) =
+      ManifestEntrySpec(status = 1, content = 0, filePath = name,
+        partition = Seq("day" -> day), recordCount = rc, sizeBytes = size,
+        sequenceNumber = 1L)
+    // day=1: 10+20+30 pack into one group under cap 50 (close fires on 60
+    // only when the NEXT file arrives), 1000 stays alone; day=2: 5+6 pack
+    val entries = Seq(
+      df("a.parquet", 1, 10L, 1L), df("b.parquet", 1, 20L, 2L),
+      df("c.parquet", 1, 30L, 3L), df("d.parquet", 1, 1000L, 4L),
+      df("e.parquet", 2, 5L, 5L), df("f.parquet", 2, 6L, 6L),
+      ManifestEntrySpec(status = 1, content = 1, filePath = "del.parquet",
+        partition = Seq("day" -> 1), recordCount = 3L, sizeBytes = 99L,
+        sequenceNumber = 1L))
+    IcebergLayoutWriter.writeTable(tbl, entries,
+      partitionSpec = Seq(("day", "identity", 1)))
+
+    // the SIMULATION's prediction for the same cap
+    val cfg = graft.model.EngineConfig.default.copy(maxGroupBytes = 50L)
+    val (filesDs, nManifests) =
+      IcebergManifestSource.fromTableDir(spark, tbl.getPath, "t")
+    val manifests = spark.createDataset(Seq(("t", nManifests)))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val predicted = graft.metrics.MetricsCalculator
+      .computeMetricsWide(filesDs, manifests, cfg).head().fileCountAfter
+
+    val (newId, before, after) =
+      LayoutMaintenance.commitCompaction(spark, tbl.getPath, 50L)
+    assert(newId == 2L && before == 6)
+    assert(after.toLong == predicted,
+      s"executed $after data files != simulated fileCountAfter $predicted")
+
+    // totals preserved, deletes carried, old snapshot still time-travels
+    val now = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+    val dataNow = now.filter(col("content") === 0)
+    assert(dataNow.count() == after.toLong)
+    assert(dataNow.agg(sum(col("sizeBytes")), sum(col("record_count")))
+      .head() == org.apache.spark.sql.Row(10L + 20L + 30L + 1000L + 5L + 6L,
+        1L + 2L + 3L + 4L + 5L + 6L))
+    // compacted entries carry the new sequence; kept singleton keeps seq 1
+    val seqs = now.filter(col("content") === 0)
+      .select(col("file_path"), col("sequence_number")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seqs("d.parquet") == 1L)
+    assert(seqs.filterKeys(_.startsWith("data/compact-2-")).values.toSet == Set(2L))
+    val delNow = now.filter(col("content") =!= 0).collect()
+    assert(delNow.map(r => (r.getString(1), r.getLong(6))).toSeq ==
+      Seq(("del.parquet", 1L)), "delete file must carry its original seq")
+    assert(files(tbl, Some(1L)).size == 7, "snapshot 1 stays readable")
+    // the changelog records exactly the rewrite
+    val changes = IcebergManifestSource
+      .changesBetween(spark, tbl.getPath, "t", 1L, 2L).collect()
+      .map(r => (r.getString(0), r.getString(2))).sorted.toSeq
+    assert(changes == Seq(
+      ("a.parquet", "removed"), ("b.parquet", "removed"),
+      ("c.parquet", "removed"),
+      ("data/compact-2-1.parquet", "added"), ("data/compact-2-2.parquet", "added"),
+      ("e.parquet", "removed"), ("f.parquet", "removed")))
+  }
 }
