@@ -263,6 +263,72 @@ object Queries11 {
         .orderBy(col("d"))
     },
 
+    // ---- NDV statistics through a REAL Puffin container: per-column
+    // KMV min-k sketches built distributed (the q90 machinery), written
+    // into a spec-shaped Puffin file (magic/blobs/footer framing,
+    // [[graft.sources.PuffinIO]]), registered in the metadata
+    // `statistics` array (spec "Table statistics"), then READ BACK
+    // through metadata → container → blob and used for the NDV
+    // estimates — the require proves the disk round trip preserved the
+    // sketches bit-exactly, and the DuckDB oracle recomputes the same
+    // estimates from raw data, so the whole statistics subsystem is
+    // hash-gated through the file. At 100 TB this is how a planner gets
+    // NDV without scanning: sketch once at write time, read KBs at plan
+    // time.
+    "q180_ndv_stats_file" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, LayoutMaintenance, PuffinIO}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val k = 64
+      val minK = udaf(new graft.functions.MinKDistinct.MinK(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val li = t(dir, "lineitem")
+      val sk = li.agg(
+        minK(TextOps.portableHash28(
+          concat(lit("ndv:p:"), col("l_partkey").cast("string")))).as("pm"),
+        minK(TextOps.portableHash28(
+          concat(lit("ndv:s:"), col("l_suppkey").cast("string")))).as("sm"),
+        countDistinct(col("l_partkey")).as("pd"),
+        countDistinct(col("l_suppkey")).as("sd")).head()
+      val (pm, sm) = (sk.getSeq[Long](0), sk.getSeq[Long](1))
+      val (pd, sd) = (sk.getLong(2), sk.getLong(3))
+      val tbl = TmpFixture.dir("q180", dir)
+      IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(status = 1,
+        content = 0, filePath = "data/all.parquet", recordCount = 1L,
+        sizeBytes = 1L << 20)))
+      val pf = new java.io.File(new java.io.File(tbl, "metadata"), "stats-1.puffin")
+      PuffinIO.write(pf, Seq(
+        PuffinIO.Blob("graft-kmv-sketch-v1", Seq(2), 1L, 1L,
+          Map("k" -> k.toString, "column" -> "l_partkey"), PuffinIO.sketchBytes(pm)),
+        PuffinIO.Blob("graft-kmv-sketch-v1", Seq(3), 1L, 1L,
+          Map("k" -> k.toString, "column" -> "l_suppkey"), PuffinIO.sketchBytes(sm))))
+      LayoutMaintenance.attachStatistics(s, tbl.getPath, 1L, pf, Seq(
+        ("graft-kmv-sketch-v1", Seq(2), Map("column" -> "l_partkey")),
+        ("graft-kmv-sketch-v1", Seq(3), Map("column" -> "l_suppkey"))))
+      // read back through metadata registration + container framing
+      val reg = IcebergManifestSource.statisticsFiles(s, tbl.getPath)
+      require(reg.map(_._1) == Seq(1L), s"statistics not registered: $reg")
+      val blobs = PuffinIO.read(new java.io.File(reg.head._2))
+      require(blobs.size == 2 && blobs.forall(_.blobType == "graft-kmv-sketch-v1"),
+        s"unexpected blobs: ${blobs.map(_.blobType)}")
+      val byCol = blobs.map(b =>
+        b.properties("column") -> PuffinIO.sketchLongs(b.data)).toMap
+      require(byCol("l_partkey") == pm && byCol("l_suppkey") == sm,
+        "sketch round trip diverged")
+      // q90's estimator over the FILE's sketches (unsaturated → the
+      // sketch IS the distinct-hash set)
+      def est(mins: Seq[Long]): Long =
+        if (mins.size < k) mins.size.toLong
+        else (k - 1).toLong * 268435456L / mins(k - 1)
+      import s.implicits._
+      Seq(("l_partkey", pd, est(byCol("l_partkey"))),
+        ("l_suppkey", sd, est(byCol("l_suppkey"))))
+        .toDF("column", "exact_distinct", "ndv_est")
+        .withColumn("rel_err",
+          round(abs(col("ndv_est") - col("exact_distinct")).cast("double")
+            / col("exact_distinct"), 4))
+        .orderBy(col("column"))
+    },
+
     // ---- the two-level PLANNING FUNNEL, composed end-to-end: manifest
     // skipping (q176's manifest-list field_summary bounds) followed by
     // per-file column-stat pruning (q151's lower/upper bounds) — the
@@ -696,6 +762,33 @@ object Queries11 {
         |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1996-02-01')
         |            AND date_diff('day', DATE '1970-01-01', DATE '1996-04-30')
         |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q180_ndv_stats_file" ->
+      """WITH hp AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5('ndv:p:' || CAST(l_partkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem),
+        |hs AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5('ndv:s:' || CAST(l_suppkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem),
+        |rp AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hp),
+        |rs AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs),
+        |b AS (
+        |  SELECT 'l_partkey' AS "column",
+        |    (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS exact_distinct,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hp) AS nh,
+        |    (SELECT h FROM rp WHERE rn = 64) AS hk
+        |  UNION ALL
+        |  SELECT 'l_suppkey',
+        |    (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hs),
+        |    (SELECT h FROM rs WHERE rn = 64))
+        |SELECT "column", exact_distinct,
+        |  CAST(CASE WHEN hk IS NULL THEN nh
+        |       ELSE (63 * CAST(268435456 AS BIGINT)) // hk END AS BIGINT) AS ndv_est,
+        |  round(CAST(abs((CASE WHEN hk IS NULL THEN nh
+        |       ELSE (63 * CAST(268435456 AS BIGINT)) // hk END) - exact_distinct) AS DOUBLE)
+        |    / exact_distinct, 4) AS rel_err
+        |FROM b ORDER BY "column"""".stripMargin,
 
     "q179_planning_funnel" ->
       """WITH o AS (

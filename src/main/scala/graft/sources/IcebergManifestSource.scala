@@ -344,6 +344,33 @@ object IcebergManifestSource {
       snapshotId: Option[Long] = None): Option[String] =
     resolveManifestList(spark, tableDir, snapshotId)
 
+  /** Statistics files registered in the metadata `statistics` array
+    * (spec "Table statistics"): (snapshot-id, statistics-path) rows — a
+    * planner resolves its snapshot's entry and reads the Puffin blobs
+    * ([[PuffinIO.read]]) instead of scanning data. Empty when the table
+    * carries no statistics. */
+  def statisticsFiles(spark: SparkSession,
+      tableDir: String): Seq[(Long, String)] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val p = currentMetadataPath(spark, tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root =
+      try new ObjectMapper().readTree(in)
+      finally in.close()
+    val arr = root.get("statistics")
+    if (arr == null || !arr.isArray) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      arr.forEach { n =>
+        val sid = Option(n.get("snapshot-id")).filter(_.canConvertToLong)
+        val path = Option(n.get("statistics-path")).map(_.asText())
+        for (s <- sid; pp <- path) out += ((s.asLong(), pp))
+      }
+      out.toSeq
+    }
+  }
+
   /** Locate the CURRENT metadata JSON (version-hint integer,
     * hint-as-filename, or numeric-version listing fallback) — the ONE
     * resolver, shared with [[LayoutMaintenance]] so reader and

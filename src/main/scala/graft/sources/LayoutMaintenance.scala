@@ -417,4 +417,54 @@ object LayoutMaintenance {
       all :+ Snap(newId, newList.getAbsolutePath), newId, refs(spark, tableDir))
     (newId, data.size, dataEntries.size)
   }
+
+  /** Register a statistics file (e.g. a [[PuffinIO]] container) for a
+    * snapshot in the metadata `statistics` array (spec "Table
+    * statistics"): read-modify-write the current document — existing
+    * statistics entries for OTHER snapshots survive, an entry for the
+    * same snapshot is replaced — and bump the version. Returns the new
+    * metadata version. */
+  def attachStatistics(spark: SparkSession, tableDir: String,
+      snapshotId: Long, statsFile: java.io.File,
+      blobMeta: Seq[(String, Seq[Int], Map[String, String])]): Long = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val m = metaDir(tableDir)
+    val cur = currentMetadataFile(spark, tableDir)
+    val curV = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(cur.getName)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(cur).asInstanceOf[ObjectNode]
+    val arr = mapper.createArrayNode()
+    val orig = root.get("statistics")
+    if (orig != null && orig.isArray) orig.forEach { n =>
+      val sid = n.get("snapshot-id")
+      if (sid == null || !sid.canConvertToLong || sid.asLong() != snapshotId)
+        arr.add(n)
+    }
+    val entry = mapper.createObjectNode()
+    entry.put("snapshot-id", snapshotId)
+    entry.put("statistics-path", statsFile.getAbsolutePath)
+    entry.put("file-size-in-bytes", statsFile.length())
+    val blobs = mapper.createArrayNode()
+    blobMeta.foreach { case (tpe, fields, props) =>
+      val b = mapper.createObjectNode()
+      b.put("type", tpe)
+      val fs = mapper.createArrayNode(); fields.foreach(fs.add); b.set[ArrayNode]("fields", fs)
+      b.put("snapshot-id", snapshotId)
+      val p = mapper.createObjectNode()
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      b.set[ObjectNode]("properties", p)
+      blobs.add(b)
+    }
+    entry.set[ArrayNode]("blob-metadata", blobs)
+    arr.add(entry)
+    root.set[ArrayNode]("statistics", arr)
+    java.nio.file.Files.write(
+      new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    java.nio.file.Files.write(new java.io.File(m, "version-hint.text").toPath,
+      (curV + 1).toString.getBytes("UTF-8"))
+    curV + 1
+  }
 }
