@@ -329,6 +329,71 @@ object Queries11 {
         .orderBy(col("column"))
     },
 
+    // ---- the stats CONSUMED: textbook join-cardinality estimation
+    // |L|·|R| / max(ndv_L, ndv_R) where both NDVs come from the q180
+    // Puffin sketches read back off disk — what a cost-based planner
+    // actually does with registered statistics at plan time. Sides are
+    // the even/odd orderkey halves of lineitem joined on suppkey; the
+    // estimate is exact integer arithmetic off the file's sketches, the
+    // actual is the distributed join count, and DuckDB re-derives both
+    // from raw data — so the stats write → register → read → estimate
+    // chain is hash-gated end to end.
+    "q181_stats_join_estimate" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, LayoutMaintenance, PuffinIO}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val k = 64
+      val minK = udaf(new graft.functions.MinKDistinct.MinK(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val li = t(dir, "lineitem")
+      def side(even: Boolean) =
+        li.filter((col("l_orderkey") % 2 === 0) === lit(even))
+      val agg = li
+        .withColumn("even", col("l_orderkey") % 2 === 0)
+        .groupBy(col("even"))
+        .agg(count(lit(1)).as("n"),
+          minK(TextOps.portableHash28(
+            concat(lit("jk:"), col("l_suppkey").cast("string")))).as("mins"))
+        .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getSeq[Long](2)))
+        .toMap
+      val tbl = TmpFixture.dir("q181", dir)
+      IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(status = 1,
+        content = 0, filePath = "data/all.parquet", recordCount = 1L,
+        sizeBytes = 1L << 20)))
+      val pf = new java.io.File(new java.io.File(tbl, "metadata"), "stats-1.puffin")
+      PuffinIO.write(pf, Seq(
+        PuffinIO.Blob("graft-kmv-sketch-v1", Seq(3), 1L, 1L,
+          Map("k" -> k.toString, "side" -> "even", "n" -> agg(true)._1.toString),
+          PuffinIO.sketchBytes(agg(true)._2)),
+        PuffinIO.Blob("graft-kmv-sketch-v1", Seq(3), 1L, 1L,
+          Map("k" -> k.toString, "side" -> "odd", "n" -> agg(false)._1.toString),
+          PuffinIO.sketchBytes(agg(false)._2))))
+      LayoutMaintenance.attachStatistics(s, tbl.getPath, 1L, pf, Seq(
+        ("graft-kmv-sketch-v1", Seq(3), Map("side" -> "even")),
+        ("graft-kmv-sketch-v1", Seq(3), Map("side" -> "odd"))))
+      // plan-time: metadata → container → sketches → estimate
+      val reg = IcebergManifestSource.statisticsFiles(s, tbl.getPath)
+      val blobs = PuffinIO.read(new java.io.File(reg.head._2))
+        .map(b => b.properties("side") ->
+          (b.properties("n").toLong, PuffinIO.sketchLongs(b.data))).toMap
+      def ndv(mins: Seq[Long]): Long =
+        if (mins.size < k) mins.size.toLong
+        else (k - 1).toLong * 268435456L / mins(k - 1)
+      val (nE, ndvE) = (blobs("even")._1, ndv(blobs("even")._2))
+      val (nO, ndvO) = (blobs("odd")._1, ndv(blobs("odd")._2))
+      require(blobs("even")._2 == agg(true)._2 && blobs("odd")._2 == agg(false)._2,
+        "sketch round trip diverged")
+      val estRows = nE * nO / math.max(ndvE, ndvO)
+      val actual = side(even = true).select(col("l_suppkey"))
+        .join(side(even = false).select(col("l_suppkey")), "l_suppkey")
+        .count()
+      import s.implicits._
+      Seq((nE, nO, ndvE, ndvO, estRows, actual))
+        .toDF("n_even", "n_odd", "ndv_even", "ndv_odd", "est_rows", "actual_rows")
+        .withColumn("rel_err",
+          round(abs(col("est_rows") - col("actual_rows")).cast("double")
+            / col("actual_rows"), 4))
+    },
+
     // ---- the two-level PLANNING FUNNEL, composed end-to-end: manifest
     // skipping (q176's manifest-list field_summary bounds) followed by
     // per-file column-stat pruning (q151's lower/upper bounds) — the
@@ -762,6 +827,38 @@ object Queries11 {
         |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1996-02-01')
         |            AND date_diff('day', DATE '1970-01-01', DATE '1996-04-30')
         |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q181_stats_join_estimate" ->
+      """WITH sides AS (
+        |  SELECT (l_orderkey % 2 = 0) AS even, l_suppkey,
+        |    CAST('0x' || substring(md5('jk:' || CAST(l_suppkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem),
+        |n AS (SELECT even, CAST(count(*) AS BIGINT) AS n FROM sides GROUP BY 1),
+        |hh AS (SELECT DISTINCT even, h FROM sides),
+        |r AS (SELECT even, h, row_number() OVER (PARTITION BY even ORDER BY h) AS rn FROM hh),
+        |ndv AS (
+        |  SELECT even,
+        |    CAST(CASE WHEN max(CASE WHEN rn = 64 THEN h END) IS NULL
+        |         THEN count(*)
+        |         ELSE (63 * CAST(268435456 AS BIGINT)) // max(CASE WHEN rn = 64 THEN h END)
+        |         END AS BIGINT) AS ndv
+        |  FROM r GROUP BY even),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS actual
+        |  FROM (SELECT l_suppkey FROM sides WHERE even) a
+        |  JOIN (SELECT l_suppkey FROM sides WHERE NOT even) b USING (l_suppkey)),
+        |flat AS (
+        |  SELECT
+        |    (SELECT n FROM n WHERE even) AS n_even,
+        |    (SELECT n FROM n WHERE NOT even) AS n_odd,
+        |    (SELECT ndv FROM ndv WHERE even) AS ndv_even,
+        |    (SELECT ndv FROM ndv WHERE NOT even) AS ndv_odd,
+        |    (SELECT actual FROM j) AS actual_rows)
+        |SELECT n_even, n_odd, ndv_even, ndv_odd,
+        |  n_even * n_odd // GREATEST(ndv_even, ndv_odd) AS est_rows, actual_rows,
+        |  round(CAST(abs(n_even * n_odd // GREATEST(ndv_even, ndv_odd) - actual_rows) AS DOUBLE)
+        |    / actual_rows, 4) AS rel_err
+        |FROM flat""".stripMargin,
 
     "q180_ndv_stats_file" ->
       """WITH hp AS (
