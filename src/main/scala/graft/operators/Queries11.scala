@@ -383,9 +383,15 @@ object Queries11 {
       require(blobs("even")._2 == agg(true)._2 && blobs("odd")._2 == agg(false)._2,
         "sketch round trip diverged")
       val estRows = nE * nO / math.max(ndvE, ndvO)
-      val actual = side(even = true).select(col("l_suppkey"))
-        .join(side(even = false).select(col("l_suppkey")), "l_suppkey")
-        .count()
+      // actual join rows = Σ_key cE·cO — per-key counts first, so the
+      // "actual" never materializes the joined rows (at sf0.1 the raw
+      // join is ~9e7 rows; the count-product is a key-vocabulary join)
+      val actual = side(even = true).groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("ce"))
+        .join(side(even = false).groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("co")), "l_suppkey")
+        .agg(sum(col("ce") * col("co")))
+        .head().getLong(0)
       import s.implicits._
       Seq((nE, nO, ndvE, ndvO, estRows, actual))
         .toDF("n_even", "n_odd", "ndv_even", "ndv_odd", "est_rows", "actual_rows")
@@ -406,10 +412,14 @@ object Queries11 {
     "q179_planning_funnel" -> { (s, dir) => implicit val sp = s
       import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, PartitionTransforms => PT}
       import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      // file grain day x (orderkey % 16): fine enough that per-file price
+      // maxima stay varied at ANY sf — a coarser grain (2 files/day) made
+      // every file's max exceed the threshold at sf0.1, so level 2 had
+      // nothing provable to skip and the gate below (correctly) fired
       val o = t(dir, "orders").select(
         PT.dayCol(col("o_orderdate")).as("d"),
         PT.monthCol(col("o_orderdate")).as("m"),
-        (col("o_custkey") % 2).cast("int").as("sub"),
+        (col("o_orderkey") % 16).cast("int").as("sub"),
         col("o_totalprice").as("p"))
       val entries = o.groupBy(col("d"), col("m"), col("sub"))
         .agg(count(lit(1)).as("rc"), min(col("p")).as("lo"), max(col("p")).as("hi"))
@@ -890,7 +900,7 @@ object Queries11 {
     "q179_planning_funnel" ->
       """WITH o AS (
         |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d,
-        |         o_custkey % 2 AS sub, o_totalprice AS p
+        |         o_orderkey % 16 AS sub, o_totalprice AS p
         |  FROM orders),
         |f AS (SELECT d, sub, CAST(count(*) AS BIGINT) AS rc, max(p) AS hi
         |      FROM o GROUP BY 1, 2)
