@@ -263,6 +263,47 @@ object Queries11 {
         .orderBy(col("d"))
     },
 
+    // ---- LM perplexity filtering (the KenLM-style quality gate every
+    // pretraining pipeline runs): an add-one-smoothed bigram model over
+    // the train split scores each eval doc's mean log-prob. Scoring is
+    // in exact integer MICRO-NATS — each bigram's ln() is floored to a
+    // long once, per occurrence, and everything after is integer sums —
+    // so the per-doc score is partitioning-proof (a naive sum-of-ln
+    // scorer drifts in the last ulp with shuffle order). The LM tables
+    // are vocabulary-collapsed broadcasts; the eval side is one
+    // row-local expansion + equi-joins. ln cross-engine per the q41
+    // precedent; the keep decision is a pure integer comparison.
+    "q182_perplexity_filter" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+      val bigramsOf = (d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) => d
+        .select(cols :+ split(col("text"), " ").as("toks"): _*)
+        .filter(size(col("toks")) >= 2)
+        .select(cols :+ explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("p"): _*)
+        .select(cols ++ Seq(col("p.w1").as("w1"), col("p.w2").as("w2")): _*)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val tb = bigramsOf(train, Nil)
+      val c12 = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = tb.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = train.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val eb = bigramsOf(docs.filter(col("doc_id") % 10 === 0), Seq(col("doc_id")))
+      eb.join(broadcast(c12), Seq("w1", "w2"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("mnats", floor(log(
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")
+            / (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1e6)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("mnats")).as("total_mnats"))
+        .select(col("doc_id"), col("n_bigrams"), col("total_mnats"),
+          (col("total_mnats").cast("double") / col("n_bigrams")).as("avg_mnats"),
+          (col("total_mnats") > lit(-9000000L) * col("n_bigrams")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- NDV statistics through a REAL Puffin container: per-column
     // KMV min-k sketches built distributed (the q90 machinery), written
     // into a spec-shaped Puffin file (magic/blobs/footer framing,
@@ -837,6 +878,29 @@ object Queries11 {
         |WHERE d BETWEEN date_diff('day', DATE '1970-01-01', DATE '1996-02-01')
         |            AND date_diff('day', DATE '1970-01-01', DATE '1996-04-30')
         |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q182_perplexity_filter" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |ttoks AS (SELECT string_split(text, ' ') AS t FROM docs WHERE doc_id % 10 <> 0),
+        |tidx AS (SELECT t, unnest(range(1, len(t))) AS i FROM ttoks),
+        |tb AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM tidx),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tb GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS w FROM docs WHERE doc_id % 10 <> 0)),
+        |etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs WHERE doc_id % 10 = 0),
+        |eidx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM etoks WHERE len(t) >= 2),
+        |eb AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM eidx),
+        |sc AS (
+        |  SELECT doc_id, CAST(FLOOR(ln(
+        |    CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE) / (coalesce(c1.c1, 0) + v.v)) * 1e6) AS BIGINT) AS mnats
+        |  FROM eb LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        CAST(sum(mnats) AS BIGINT) AS total_mnats FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, total_mnats,
+        |  CAST(total_mnats AS DOUBLE) / n_bigrams AS avg_mnats,
+        |  (total_mnats > -9000000 * n_bigrams) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q181_stats_join_estimate" ->
       """WITH sides AS (

@@ -41,7 +41,8 @@ class DeterminismSpec extends AnyFunSuite {
     // grouped collect — its content must not depend on partitioning),
     // and the DP release's modular-arithmetic uniform
     "q170_bm25", "q172_power_iteration", "q173_spec_evolution",
-    "q175_dp_release", "q176_manifest_skipping", "q177_matryoshka_audit")
+    "q175_dp_release", "q176_manifest_skipping", "q177_matryoshka_audit",
+    "q182_perplexity_filter")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
