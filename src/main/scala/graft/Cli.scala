@@ -75,7 +75,9 @@ object Cli {
           else graft.model.EngineConfig.default.maxGroupBytes
         val (snap, before, after) =
           graft.sources.LayoutMaintenance.commitCompaction(spark, root, cap)
-        println(s"committed snapshot $snap: $before data files -> $after")
+        if (before == after)
+          println(s"already packed at $cap B: $before data files (snapshot $snap unchanged)")
+        else println(s"committed snapshot $snap: $before data files -> $after")
       } finally spark.stop()
       return
     }

@@ -399,6 +399,11 @@ object LayoutMaintenance {
           }
         }
     }
+    // no-op guard: if every group is a singleton the table is already
+    // packed for this cap — committing would churn a new snapshot whose
+    // file set is identical (Iceberg's rewrite_data_files skips too)
+    if (dataEntries.size == data.size)
+      return (curId, data.size, data.size)
     val deleteEntries = deletes.map(f =>
       ManifestEntrySpec(status = 1, content = f.content, filePath = f.path,
         partition = partitionPairs(f.pk), recordCount = f.rc,

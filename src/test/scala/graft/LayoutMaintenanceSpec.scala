@@ -266,5 +266,17 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
       ("c.parquet", "removed"),
       ("data/compact-2-1.parquet", "added"), ("data/compact-2-2.parquet", "added"),
       ("e.parquet", "removed"), ("f.parquet", "removed")))
+
+    // idempotence: an already-packed table is a NO-OP — same snapshot id
+    // back, no metadata churn
+    val versionsBefore = new java.io.File(tbl, "metadata").listFiles()
+      .count(_.getName.matches("v\\d+\\.metadata\\.json"))
+    val (sameId, b2, a2) =
+      LayoutMaintenance.commitCompaction(spark, tbl.getPath, 50L)
+    assert(sameId == 2L && b2 == a2,
+      s"re-compaction must be a no-op, got $sameId: $b2 -> $a2")
+    val versionsAfter = new java.io.File(tbl, "metadata").listFiles()
+      .count(_.getName.matches("v\\d+\\.metadata\\.json"))
+    assert(versionsAfter == versionsBefore, "no-op must not write metadata")
   }
 }
