@@ -338,7 +338,12 @@ object LayoutMaintenance {
         "record_count", "sequence_number")
       .collect()
     require(stats.nonEmpty, s"current snapshot $curId has no files")
-    val newId = all.map(_.id).max + 1
+    // the new snapshot's id doubles as its sequence (fixture dialect) —
+    // it must exceed every EXISTING entry sequence too, or a compacted
+    // file could land below a pinned file's sequence in delete-visibility
+    // order
+    val newId = (all.map(_.id) ++
+      stats.map(_.getLong(5))).max + 1
     val mapper = new ObjectMapper()
     def partitionPairs(pk: String): Seq[(String, Any)] =
       if (pk == null || pk.isEmpty || pk == "{}") Nil
@@ -361,6 +366,18 @@ object LayoutMaintenance {
     val files = stats.map(r => F(r.getString(0), r.getInt(1), r.getString(2),
       r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     val (data, deletes) = files.partition(_.content == 0)
+    // MOR safety: a data file some delete file may still apply to must
+    // keep its IDENTITY — a position delete references the old path
+    // (which would dangle after packing) and an equality delete applies
+    // only to files with a strictly LOWER sequence (a compacted file's
+    // new sequence would escape it). This metadata-level commit never
+    // rewrites rows, so it conservatively pins every data file with
+    // seq <= the newest delete file's seq and packs only newer ones —
+    // visibility before == after, which the spec asserts. (A full
+    // rewrite_data_files applies the deletes during the data rewrite;
+    // that is `Compactor`'s territory, not this commit's.)
+    val maxDeleteSeq = if (deletes.isEmpty) Long.MinValue else deletes.map(_.seq).max
+    val (packable, pinned) = data.partition(_.seq > maxDeleteSeq)
     // the Pure.buildPartitionGroups loop, carried over file identities:
     // ascending (size, path), close the group BEFORE adding once its
     // running sum exceeds the cap — group COUNT therefore equals the
@@ -381,15 +398,16 @@ object LayoutMaintenance {
       if (nonEmpty) result += group.result()
       result.result()
     }
+    def keepEntry(f: F) =
+      ManifestEntrySpec(status = 1, content = 0, filePath = f.path,
+        partition = partitionPairs(f.pk), recordCount = f.rc,
+        sizeBytes = f.size, sequenceNumber = f.seq)
     var ci = 0
-    val dataEntries = data.groupBy(_.pk).toSeq.sortBy(_._1).flatMap {
-      case (pk, fs) =>
+    val dataEntries = pinned.sortBy(_.path).map(keepEntry) ++
+      packable.groupBy(_.pk).toSeq.sortBy(_._1).flatMap { case (pk, fs) =>
         val pairs = partitionPairs(pk)
         pack(fs).map { g =>
-          if (g.size == 1)
-            ManifestEntrySpec(status = 1, content = 0, filePath = g.head.path,
-              partition = pairs, recordCount = g.head.rc,
-              sizeBytes = g.head.size, sequenceNumber = g.head.seq)
+          if (g.size == 1) keepEntry(g.head)
           else {
             ci += 1
             ManifestEntrySpec(status = 1, content = 0,
@@ -398,7 +416,7 @@ object LayoutMaintenance {
               sizeBytes = g.map(_.size).sum, sequenceNumber = newId)
           }
         }
-    }
+      }
     // no-op guard: if every group is a singleton the table is already
     // packed for this cap — committing would churn a new snapshot whose
     // file set is identical (Iceberg's rewrite_data_files skips too)

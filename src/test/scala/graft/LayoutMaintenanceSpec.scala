@@ -206,10 +206,13 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val tbl = new java.io.File("target/tmp-maint-compact")
     org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    // data at seq 2, the delete at seq 1 — every data file is NEWER than
+    // the delete, so all are packable (the MOR pinning rule is exercised
+    // by its own test below)
     def df(name: String, day: Int, size: Long, rc: Long) =
       ManifestEntrySpec(status = 1, content = 0, filePath = name,
         partition = Seq("day" -> day), recordCount = rc, sizeBytes = size,
-        sequenceNumber = 1L)
+        sequenceNumber = 2L)
     // day=1: 10+20+30 pack into one group under cap 50 (close fires on 60
     // only when the NEXT file arrives), 1000 stays alone; day=2: 5+6 pack
     val entries = Seq(
@@ -235,7 +238,7 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
 
     val (newId, before, after) =
       LayoutMaintenance.commitCompaction(spark, tbl.getPath, 50L)
-    assert(newId == 2L && before == 6)
+    assert(newId == 3L && before == 6)
     assert(after.toLong == predicted,
       s"executed $after data files != simulated fileCountAfter $predicted")
 
@@ -247,24 +250,24 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
     assert(dataNow.agg(sum(col("sizeBytes")), sum(col("record_count")))
       .head() == org.apache.spark.sql.Row(10L + 20L + 30L + 1000L + 5L + 6L,
         1L + 2L + 3L + 4L + 5L + 6L))
-    // compacted entries carry the new sequence; kept singleton keeps seq 1
+    // compacted entries carry the new sequence; kept singleton keeps its own
     val seqs = now.filter(col("content") === 0)
       .select(col("file_path"), col("sequence_number")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(seqs("d.parquet") == 1L)
-    assert(seqs.filterKeys(_.startsWith("data/compact-2-")).values.toSet == Set(2L))
+    assert(seqs("d.parquet") == 2L)
+    assert(seqs.filterKeys(_.startsWith("data/compact-3-")).values.toSet == Set(3L))
     val delNow = now.filter(col("content") =!= 0).collect()
     assert(delNow.map(r => (r.getString(1), r.getLong(6))).toSeq ==
       Seq(("del.parquet", 1L)), "delete file must carry its original seq")
     assert(files(tbl, Some(1L)).size == 7, "snapshot 1 stays readable")
     // the changelog records exactly the rewrite
     val changes = IcebergManifestSource
-      .changesBetween(spark, tbl.getPath, "t", 1L, 2L).collect()
+      .changesBetween(spark, tbl.getPath, "t", 1L, 3L).collect()
       .map(r => (r.getString(0), r.getString(2))).sorted.toSeq
     assert(changes == Seq(
       ("a.parquet", "removed"), ("b.parquet", "removed"),
       ("c.parquet", "removed"),
-      ("data/compact-2-1.parquet", "added"), ("data/compact-2-2.parquet", "added"),
+      ("data/compact-3-1.parquet", "added"), ("data/compact-3-2.parquet", "added"),
       ("e.parquet", "removed"), ("f.parquet", "removed")))
 
     // idempotence: an already-packed table is a NO-OP — same snapshot id
@@ -273,10 +276,43 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
       .count(_.getName.matches("v\\d+\\.metadata\\.json"))
     val (sameId, b2, a2) =
       LayoutMaintenance.commitCompaction(spark, tbl.getPath, 50L)
-    assert(sameId == 2L && b2 == a2,
+    assert(sameId == 3L && b2 == a2,
       s"re-compaction must be a no-op, got $sameId: $b2 -> $a2")
     val versionsAfter = new java.io.File(tbl, "metadata").listFiles()
       .count(_.getName.matches("v\\d+\\.metadata\\.json"))
     assert(versionsAfter == versionsBefore, "no-op must not write metadata")
+  }
+
+  test("commitCompaction pins data files a delete may still apply to (MOR safety)") {
+    import org.apache.spark.sql.functions._
+    val tbl = new java.io.File("target/tmp-maint-morpin")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    def df(name: String, size: Long, seq: Long) =
+      ManifestEntrySpec(status = 1, content = 0, filePath = name,
+        partition = Seq("day" -> 1), recordCount = size / 10, sizeBytes = size,
+        sequenceNumber = seq)
+    // old files (seq 1) are covered by the position delete (seq 2):
+    // packing them would dangle the delete's path refs / change eq-delete
+    // visibility — they must keep their identity. The seq-3 files are
+    // newer than every delete and pack freely.
+    IcebergLayoutWriter.writeTable(tbl, Seq(
+      df("old1.parquet", 10L, 1L), df("old2.parquet", 20L, 1L),
+      df("new1.parquet", 5L, 3L), df("new2.parquet", 6L, 3L),
+      ManifestEntrySpec(status = 1, content = 1, filePath = "pos.parquet",
+        partition = Seq("day" -> 1), recordCount = 2L, sizeBytes = 40L,
+        sequenceNumber = 2L)))
+    val (newId, before, after) =
+      LayoutMaintenance.commitCompaction(spark, tbl.getPath, 50L)
+    assert(newId == 4L && before == 4 && after == 3,
+      s"expected only the seq-3 pair to pack: $before -> $after")
+    val now = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .select(col("file_path"), col("content"), col("sequence_number"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(now == Seq(
+      ("data/compact-4-1.parquet", 0, 4L),
+      ("old1.parquet", 0, 1L), ("old2.parquet", 0, 1L),
+      ("pos.parquet", 1, 2L)).sorted,
+      s"pinned files must survive byte-identical with their seqs: $now")
   }
 }
