@@ -1,0 +1,406 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 2: the v2 WRITE path end-to-end (MERGE upsert via
+  * equality deletes, write-audit-publish branch staging), the Iceberg
+  * metadata-tables inspection surface, parquet field-id schema
+  * evolution, a char-entropy quality gate, and a bucketed
+  * storage-co-located join whose plan is asserted shuffle-free.
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, per-row FLOOR before integer sums (never a cross-engine
+  * double sum), one final division for any double, full ORDER BY
+  * tie-breaks.
+  */
+object Queries12 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  /** 26 letters + space: the char-entropy alphabet (q187). Everything
+    * outside it is ignored on BOTH engines, so the gate is total. */
+  private val Alphabet: Seq[Char] = ('a' to 'z') :+ ' '
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- MERGE-style upsert through the REAL v2 write path: base rows
+    // land as a data file at sequence 1; LayoutMaintenance.commitUpsert
+    // writes the update set as ONE new data file + ONE equality-delete
+    // file on the key at sequence 2 (the spec's strict-< eq-delete
+    // visibility makes that exactly MERGE: stale versions die, the new
+    // file survives, unseen keys are pure inserts); MorRead.readTable
+    // applies the tombstones and the per-nation rollup of the merged
+    // state is hash-gated against DuckDB computing textbook MERGE
+    // semantics (updates ∪ base-minus-updated). At 100 TB the commit
+    // costs O(update set): the table's existing files are carried by
+    // identity in metadata, no data rewrite — that is the entire point
+    // of merge-on-read upserts.
+    "q183_merge_upsert" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      val base = t(dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal")).cast("long").as("bal"))
+      val updates = t(dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg((sum(floor(col("o_totalprice")).cast("long")) / lit(100L))
+          .cast("long").as("bal"))
+        .join(t(dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal"))
+      val tbl = TmpFixture.dir("q183", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val bf = new java.io.File(dataDir, "base.parquet")
+      val nBase = IcebergLayoutWriter.writeSingleParquet(
+        base.sort(col("c_custkey")), bf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = bf.getAbsolutePath, recordCount = nBase,
+          sizeBytes = bf.length(), sequenceNumber = 1L)))
+      val (snapId, nUp) = LayoutMaintenance.commitUpsert(
+        s, tbl.getPath, updates, Seq("c_custkey"))
+      require(snapId == 2L && nUp > 0, s"upsert commit broke: $snapId/$nUp")
+      MorRead.readTable(s, tbl.getPath, Seq("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("bal")).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // ---- write-audit-publish (Iceberg's WAP / branch commits): the
+    // 1996 delta is STAGED on branch `audit` (snapshot appended, head
+    // unmoved — LayoutMaintenance.stageAppend), audited by reading the
+    // branch ref, then PUBLISHED by fast-forwarding main. The output
+    // pins the isolation property itself: the head's file set between
+    // stage and publish ('staged_head') must equal 'base' — a reader
+    // never sees unaudited data — and 'published' must equal the
+    // audited branch. All four phases are metadata-only reads
+    // (MetadataTables.files is the distributed manifest scan); nothing
+    // below file grain ever moves, which is why WAP is free at 100 TB.
+    "q184_wap_publish" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource,
+        LayoutMaintenance, MetadataTables}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      def monthFiles(yr: Int) = t(dir, "orders")
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("rc"),
+          sum((col("o_orderkey") % 997).cast("long")).as("w"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      def entries(yr: Int, seq: Long) = monthFiles(yr).toSeq.map { case (m, rc, w) =>
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = s"data/y$yr-m$m.parquet",
+          partition = Seq("o_month" -> m), recordCount = rc,
+          sizeBytes = (w + 50L * rc) * 1024L, sequenceNumber = seq)
+      }
+      val tbl = TmpFixture.dir("q184", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      IcebergLayoutWriter.writeTable(tbl, entries(1995, 1L),
+        snapshotId = 1L)
+      val staged = LayoutMaintenance.stageAppend(
+        s, tbl.getPath, entries(1996, 2L), branch = "audit")
+      val headDuringAudit = MetadataTables.files(s, tbl.getPath)
+      val branchId = IcebergManifestSource.refSnapshotId(s, tbl.getPath, "audit")
+        .getOrElse(sys.error("audit ref missing"))
+      require(branchId == staged, s"audit ref points at $branchId, staged $staged")
+      val branchView = MetadataTables.files(s, tbl.getPath, Some(branchId))
+      // the audit gate: every staged file carries rows (a real pipeline
+      // would run its quality battery here, against the branch ref)
+      require(branchView.filter(col("record_count") <= 0).isEmpty,
+        "audit failed: staged snapshot has an empty file")
+      val published = LayoutMaintenance.fastForward(s, tbl.getPath, from = "audit")
+      require(published == staged, s"publish moved to $published, staged $staged")
+      def phase(name: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("n_rows"))
+        .select(lit(name).as("phase"), col("n_files"), col("n_rows"))
+      phase("1_base", MetadataTables.files(s, tbl.getPath, Some(1L)))
+        .unionAll(phase("2_staged_head", headDuringAudit))
+        .unionAll(phase("3_audit_branch", branchView))
+        .unionAll(phase("4_published", MetadataTables.files(s, tbl.getPath)))
+        .orderBy(col("phase"))
+    },
+
+    // ---- the metadata-tables inspection surface (`$partitions` here,
+    // `$snapshots`/`$refs`/`$history` pinned by requires + spec): a
+    // two-snapshot month-partitioned layout with a position-delete file
+    // in the second commit; the partitions rollup — file/record/size
+    // sums plus delete-file counts per partition — is computed by
+    // MetadataTables.partitions from the distributed manifest scan and
+    // hash-gated against DuckDB re-deriving every cell from the fixture
+    // arithmetic. Planning-time observability at 100 TB IS this table:
+    // a skew hunt reads manifest-sized metadata, never the data.
+    "q185_metadata_tables" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, MetadataTables}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val files = t(dir, "orders")
+        .groupBy(month(col("o_orderdate")).as("m"),
+          (col("o_orderkey") % 3).cast("int").as("sub"))
+        .agg(count(lit(1)).as("rc"),
+          sum((col("o_custkey") % 499).cast("long")).as("w"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2))
+      def entry(m: Int, sub: Int, rc: Long, w: Long, seq: Long) =
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = s"data/m$m-s$sub.parquet",
+          partition = Seq("o_month" -> m), recordCount = rc,
+          sizeBytes = (w + 25L * rc) * 512L, sequenceNumber = seq)
+      val s1 = files.filter(_._2 < 2).map { case (m, sub, rc, w) =>
+        entry(m, sub, rc, w, 1L) }
+      val s2 = files.map { case (m, sub, rc, w) => entry(m, sub, rc, w, 2L) }
+      val posDels = files.map(_._1).distinct.sorted.filter(_ % 2 == 0).map { m =>
+        ManifestEntrySpec(status = 1, content = 1,
+          filePath = s"data/posdel-m$m.parquet",
+          partition = Seq("o_month" -> m), recordCount = 7L,
+          sizeBytes = 4096L, sequenceNumber = 2L)
+      }
+      val tbl = TmpFixture.dir("q185", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      IcebergLayoutWriter.writeTableSnapshots(tbl,
+        Seq(1L -> s1.toSeq, 2L -> (s2 ++ posDels).toSeq),
+        refs = Map("main" -> (2L, "branch"), "v1" -> (1L, "tag")))
+      // the sibling tables, pinned in-query (spec-grade invariants; the
+      // hash-gated relation below is $partitions)
+      val snaps = MetadataTables.snapshots(s, tbl.getPath)
+        .orderBy(col("ordinal")).collect()
+      require(snaps.length == 2 && snaps(1).getBoolean(3) && !snaps(0).getBoolean(3),
+        "snapshots table: wrong history or current flag")
+      val refRows = MetadataTables.refs(s, tbl.getPath).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+      require(refRows.toSeq == Seq(("main", 2L, "branch"), ("v1", 1L, "tag")),
+        s"refs table broke: ${refRows.toSeq}")
+      require(MetadataTables.history(s, tbl.getPath)
+        .filter(col("is_current_ancestor")).count() == 2L, "history table broke")
+      MetadataTables.partitions(s, tbl.getPath)
+        .withColumn("o_month",
+          get_json_object(col("partition"), "$.o_month").cast("int"))
+        .select(col("o_month"), col("file_count"), col("record_count"),
+          col("total_size"), col("position_delete_file_count").as("n_posdel"),
+          col("equality_delete_file_count").as("n_eqdel"))
+        .orderBy(col("o_month"))
+    },
+
+    // ---- schema evolution resolved by parquet FIELD IDS (the Iceberg
+    // column-resolution rule, riding Spark's native
+    // spark.sql.parquet.fieldId.{write,read} support — no custom reader):
+    // file A is written under schema v1 (pk:1, sz:2), file B under v2
+    // where field 2 was RENAMED sz→psize and field 3 (brand) was added.
+    // Reading both through the v2 schema with field-id matching maps
+    // A.sz→psize by id 2 and null-fills brand — exactly how an engine
+    // reads a table whose ALTERs never rewrote old files. The builder
+    // proves the rename is real (reading A by NAME yields `sz`). The
+    // rollup over the union is hash-gated against DuckDB reconstructing
+    // both schema generations arithmetically. At 100 TB: resolution is
+    // per-file reader wiring — zero data movement, the old files are
+    // never rewritten.
+    "q186_schema_evolution" -> { (s, dir) => implicit val sp = s
+      import org.apache.spark.sql.types._
+      def fid(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+      val part = t(dir, "part")
+      val tbl = TmpFixture.dir("q186", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl); tbl.mkdirs()
+      val fa = new java.io.File(tbl, "v1").getAbsolutePath
+      val fb = new java.io.File(tbl, "v2").getAbsolutePath
+      def withIds(df: DataFrame, ids: Seq[(String, Int)]): DataFrame = {
+        val st = StructType(df.schema.zip(ids).map { case (f, (nm, id)) =>
+          f.copy(name = nm, metadata = fid(id)) })
+        s.createDataFrame(df.rdd, st)
+      }
+      withIds(part.filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey"), col("p_size").cast("int")),
+        Seq("pk" -> 1, "sz" -> 2))
+        .repartition(1).sortWithinPartitions(col("pk"))
+        .write.mode("overwrite").parquet(fa)
+      withIds(part.filter(col("p_partkey") % 2 === 1)
+          .select(col("p_partkey"), (col("p_size") + 1000).cast("int"),
+            col("p_brand")),
+        Seq("pk" -> 1, "psize" -> 2, "brand" -> 3))
+        .repartition(1).sortWithinPartitions(col("pk"))
+        .write.mode("overwrite").parquet(fb)
+      // the rename is real: by NAME, file A has no `psize`
+      require(s.read.parquet(fa).columns.toSeq == Seq("pk", "sz"),
+        "v1 file schema drifted")
+      // field-id matching only engages when the REQUESTED schema carries
+      // ids, so leaving it enabled never disturbs name-matched reads
+      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val v2Schema = StructType(Seq(
+        StructField("pk", LongType, nullable = true, fid(1)),
+        StructField("psize", IntegerType, nullable = true, fid(2)),
+        StructField("brand", StringType, nullable = true, fid(3))))
+      s.read.schema(v2Schema).parquet(fa, fb)
+        .groupBy(coalesce(col("brand"), lit("<pre-evolution>")).as("brand"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("psize")).as("sum_psize"),
+          min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+        .orderBy(col("brand"))
+    },
+
+    // ---- char-entropy quality gate (the compression-proxy signal
+    // pretraining filters use next to q25's ratio battery): per-doc
+    // Shannon entropy over the 27-char alphabet in EXACT INTEGER
+    // micro-nats — H = ln N − (Σ n_c·ln n_c)/N with every ln floored to
+    // a long ONCE per (doc, char) term, so the score is
+    // partitioning-proof (q182's discipline). The histogram is computed
+    // ROW-LOCALLY via 27 length(replace(...)) terms — no per-char
+    // explode, no shuffle: the whole query is one codegen'd map over
+    // the corpus plus the final sort. Low-entropy docs (repeated-token
+    // degenerate text) gate out; the threshold comparison is pure
+    // integer.
+    "q187_char_entropy" -> { (s, dir) => implicit val sp = s
+      val counts: Seq[Column] = Alphabet.map(c =>
+        (length(col("text")) - length(regexp_replace(col("text"),
+          java.util.regex.Pattern.quote(c.toString), ""))).cast("long"))
+      val nTotal = counts.reduce(_ + _)
+      val s1 = counts.map(n =>
+        when(n > 0L, n * floor(log(n.cast("double")) * lit(1e6)).cast("long"))
+          .otherwise(lit(0L))).reduce(_ + _)
+      t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), nTotal.as("n"), s1.as("s1"))
+        .filter(col("n") > 0L)
+        .select(col("doc_id"), col("source"), col("n"),
+          (floor(log(col("n").cast("double")) * lit(1e6)).cast("long")
+            - expr("s1 div n")).as("h_mnats"))
+        .withColumn("keep", col("h_mnats") >= lit(2600000L))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- storage-co-located join: both sides are written BUCKETED by
+    // the join key (16 buckets, sorted within buckets — Spark's
+    // CLUSTERED BY), so the sort-merge join consumes the layout's
+    // hash-partitioning and the whole join+aggregate plan contains ZERO
+    // shuffle exchanges — asserted mechanically on the executed plan,
+    // not claimed. This is the bucketing discipline for 100 TB fact
+    // tables: pay one shuffle at WRITE time, then every keyed join or
+    // rollup against the table is exchange-free forever. The grouped
+    // output also rides the bucket partitioning (custkey ⊆ grouping
+    // key); only the final presentation sort ranges — and the result is
+    // hash-gated against the ordinary join in DuckDB.
+    "q188_bucketed_join" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q188", dir)
+      val ordT = "graft_q188_orders"; val custT = "graft_q188_cust"
+      def ensure(name: String, df: DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(name)) {
+          df.write.bucketBy(16, key).sortBy(key)
+            .option("path", new java.io.File(wh, name).getAbsolutePath)
+            .mode("overwrite").saveAsTable(name)
+        }
+      ensure(ordT, t(dir, "orders").select(col("o_custkey"),
+        floor(col("o_totalprice")).cast("long").as("tp")), "o_custkey")
+      ensure(custT, t(dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment")), "c_custkey")
+      val joined = s.table(ordT).filter(col("o_custkey") % 100 < 7)
+        .hint("merge")
+        .join(s.table(custT).filter(col("c_custkey") % 100 < 7),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("sum_total"))
+      val shuffles = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).size
+      require(shuffles == 0,
+        s"bucketed join plan has $shuffles shuffle exchange(s) — co-location lost")
+      joined.orderBy(col("o_custkey"), col("c_mktsegment"))
+    })
+
+  /** The 27-term SQL for q187, generated from the same alphabet the
+    * Spark side uses — one source of truth for the gate arithmetic. */
+  private def entropySql: String = {
+    def term(c: Char) = {
+      val lit = if (c == '\'') "''" else c.toString
+      s"(length(text) - length(replace(text, '$lit', '')))"
+    }
+    val n = Alphabet.map(term).mkString(" + ")
+    val s1 = Alphabet.map { c =>
+      val t = term(c)
+      s"CASE WHEN $t > 0 THEN CAST($t AS BIGINT) * CAST(FLOOR(ln($t) * 1e6) AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST($n AS BIGINT) AS n, $s1 AS s1
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (
+       |  SELECT doc_id, source, n,
+       |    CAST(FLOOR(ln(n) * 1e6) AS BIGINT) - s1 // n AS h_mnats
+       |  FROM d WHERE n > 0)
+       |SELECT doc_id, source, n, h_mnats, h_mnats >= 2600000 AS keep
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    "q183_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |upd AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(sum(CAST(FLOOR(o_totalprice) AS BIGINT)) // 100 AS BIGINT) AS bal
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  GROUP BY 1),
+        |updn AS (
+        |  SELECT u.c_custkey, c.c_nationkey, u.bal
+        |  FROM upd u JOIN customer c ON u.c_custkey = c.c_custkey),
+        |merged AS (
+        |  SELECT * FROM updn
+        |  UNION ALL
+        |  SELECT * FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM updn u WHERE u.c_custkey = b.c_custkey))
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q184_wap_publish" ->
+      """WITH y AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+        |         month(CAST(o_orderdate AS DATE)) AS m, count(*) AS rc
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |                CAST(sum(rc) AS BIGINT) AS n_rows FROM y WHERE yr = 1995),
+        |yall AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |                CAST(sum(rc) AS BIGINT) AS n_rows FROM y)
+        |SELECT '1_base' AS phase, n_files, n_rows FROM base
+        |UNION ALL SELECT '2_staged_head', n_files, n_rows FROM base
+        |UNION ALL SELECT '3_audit_branch', n_files, n_rows FROM yall
+        |UNION ALL SELECT '4_published', n_files, n_rows FROM yall
+        |ORDER BY phase""".stripMargin,
+
+    "q185_metadata_tables" ->
+      """WITH f AS (
+        |  SELECT month(CAST(o_orderdate AS DATE)) AS m,
+        |         CAST(o_orderkey % 3 AS INT) AS sub,
+        |         CAST(count(*) AS BIGINT) AS rc,
+        |         CAST(sum(o_custkey % 499) AS BIGINT) AS w
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(m AS INT) AS o_month,
+        |  CAST(count(*) AS BIGINT) AS file_count,
+        |  CAST(sum(rc) AS BIGINT) AS record_count,
+        |  CAST(sum((w + 25 * rc) * 512) AS BIGINT) AS total_size,
+        |  CAST(CASE WHEN m % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_posdel,
+        |  CAST(0 AS BIGINT) AS n_eqdel
+        |FROM f GROUP BY m ORDER BY o_month""".stripMargin,
+
+    "q186_schema_evolution" ->
+      """WITH v1 AS (
+        |  SELECT p_partkey AS pk, CAST(p_size AS INT) AS psize,
+        |         CAST(NULL AS VARCHAR) AS brand
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |v2 AS (
+        |  SELECT p_partkey AS pk, CAST(p_size + 1000 AS INT) AS psize, p_brand AS brand
+        |  FROM part WHERE p_partkey % 2 = 1),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT coalesce(brand, '<pre-evolution>') AS brand,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(psize) AS BIGINT) AS sum_psize,
+        |  CAST(min(pk) AS BIGINT) AS min_pk, CAST(max(pk) AS BIGINT) AS max_pk
+        |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "q187_char_entropy" -> entropySql,
+
+    "q188_bucketed_join" ->
+      """SELECT o_custkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey % 100 < 7 AND c_custkey % 100 < 7
+        |GROUP BY 1, 2 ORDER BY o_custkey, c_mktsegment""".stripMargin)
+}

@@ -441,6 +441,173 @@ object LayoutMaintenance {
     (newId, data.size, dataEntries.size)
   }
 
+  // ---- read accessors for [[MetadataTables]] (metadata-sized) ----
+
+  /** (snapshotId, manifestListPath) in commit-history order. */
+  private[sources] def snapshotList(spark: SparkSession,
+      tableDir: String): Seq[(Long, String)] =
+    snapshots(spark, tableDir).map(s => (s.id, s.listPath))
+
+  /** The current snapshot id, if the table points at one. */
+  private[sources] def currentSnapshot(spark: SparkSession,
+      tableDir: String): Option[Long] =
+    currentSnapshotId(spark, tableDir)
+      .orElse(snapshots(spark, tableDir).lastOption.map(_.id))
+
+  /** (name, snapshotId, type) for every named ref. */
+  private[sources] def refList(spark: SparkSession,
+      tableDir: String): Seq[(String, Long, String)] =
+    refs(spark, tableDir)
+
+  // ---- commit primitives: the v2 WRITE path (append / upsert / WAP) ----
+
+  private def partitionPairsOf(pk: String): Seq[(String, Any)] =
+    if (pk == null || pk.isEmpty || pk == "{}") Nil
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(pk)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+      node.fields().forEachRemaining { e =>
+        val v: Any = e.getValue match {
+          case n if n.isInt => n.asInt()
+          case n if n.isLong => n.asLong()
+          case n if n.isBoolean => n.asBoolean()
+          case n => n.asText()
+        }
+        out += ((e.getKey, v))
+      }
+      out.toSeq
+    }
+
+  /** The current snapshot's entries re-expressed as writer specs —
+    * identity carry: path/content/partition/record-count/size/SEQUENCE
+    * survive verbatim, so a commit that appends on top never disturbs
+    * delete visibility for pre-existing files. Metadata-sized. */
+  private def carriedEntries(spark: SparkSession, tableDir: String,
+      snapshotId: Long): Seq[IcebergLayoutWriter.ManifestEntrySpec] =
+    IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil, Some(snapshotId))
+      .select("file_path", "content", "partitionKey", "sizeBytes",
+        "record_count", "sequence_number")
+      .collect().toSeq
+      .map(r => IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+        content = r.getInt(1), filePath = r.getString(0),
+        partition = partitionPairsOf(r.getString(2)),
+        recordCount = r.getLong(4), sizeBytes = r.getLong(3),
+        sequenceNumber = r.getLong(5)))
+
+  /** Append a snapshot holding `carried ++ added` on top of the current
+    * history. `currentAfter` is the snapshot the table POINTS AT after
+    * the commit (the new id for a normal commit; the old id for a staged
+    * write-audit-publish commit), `refsAfter` the full refs map to
+    * persist. Returns the new snapshot id. */
+  private def appendSnapshot(spark: SparkSession, tableDir: String,
+      entries: Seq[IcebergLayoutWriter.ManifestEntrySpec], newId: Long,
+      currentAfter: Long,
+      refsAfter: Seq[(String, Long, String)]): Long = {
+    val m = metaDir(tableDir)
+    val (data, deletes) = entries.partition(_.content == 0)
+    val manifests = Seq(0 -> data, 1 -> deletes).filter(_._2.nonEmpty)
+      .map { case (c, es) =>
+        val f = new java.io.File(m, s"manifest-$newId-$c.avro")
+        IcebergLayoutWriter.writeManifest(f, es)
+        (f, c)
+      }
+    val newList = new java.io.File(m, s"snap-$newId-manifest-list.avro")
+    IcebergLayoutWriter.writeManifestList(newList, manifests, newId)
+    writeMetadataVersion(spark, tableDir,
+      snapshots(spark, tableDir) :+ Snap(newId, newList.getAbsolutePath),
+      currentAfter, refsAfter)
+    newId
+  }
+
+  /** MERGE-style upsert commit — the Iceberg v2 merge-on-read WRITE path
+    * (spec "Row-level deletes"; the write twin of [[MorRead.readTable]]):
+    * ONE new data file holding the upserted rows (sorted by `keyCols`, so
+    * positions are deterministic) plus ONE equality-delete file listing
+    * the distinct update keys, both at a sequence number above every
+    * existing entry. The spec's strict-< equality-delete visibility makes
+    * this exactly MERGE: old versions of updated keys (strictly lower
+    * sequence) die, the new file (same sequence as the tombstones)
+    * survives, and never-seen keys are pure inserts whose tombstones
+    * match nothing. Branch refs pointing at the old head fast-forward,
+    * exactly like a real commit moves `main`. Data the size of the
+    * UPDATE SET moves; the table's existing files are carried by
+    * identity — at 100 TB an upsert costs O(updates), not O(table).
+    * Returns (newSnapshotId, upsertedRowCount). */
+  def commitUpsert(spark: SparkSession, tableDir: String,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "commitUpsert needs at least one key column")
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val up = new java.io.File(dataDir, s"upsert-$newId.parquet")
+    val ed = new java.io.File(dataDir, s"eqdel-$newId.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      updates.sort(keyCols.map(col): _*), up)
+    val nk = IcebergLayoutWriter.writeSingleParquet(
+      updates.select(keyCols.map(col): _*).distinct()
+        .sort(keyCols.map(col): _*), ed)
+    val added = Seq(
+      IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+        filePath = up.getAbsolutePath, recordCount = n,
+        sizeBytes = up.length(), sequenceNumber = newId),
+      IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
+        filePath = ed.getAbsolutePath, recordCount = nk,
+        sizeBytes = ed.length(), sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    (newId, n)
+  }
+
+  /** Stage an append WITHOUT moving the table head — the write half of
+    * write-audit-publish (Iceberg's WAP / branch commits): the new
+    * snapshot lands in history and `branch` points at it, but
+    * `current-snapshot-id` (and `main`) stay put, so readers of the
+    * table see nothing until [[fastForward]] publishes. Returns the
+    * staged snapshot id. */
+  def stageAppend(spark: SparkSession, tableDir: String,
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      branch: String): Long = {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val stamped = added.map(e => e.copy(sequenceNumber = newId))
+    val refsAfter = refs(spark, tableDir).filterNot(_._1 == branch) :+
+      ((branch, newId, "branch"))
+    appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
+      refsAfter.sortBy(_._1))
+    newId
+  }
+
+  /** Publish a staged branch: fast-forward `to` (default the table head
+    * + `main`) onto `from`'s snapshot — metadata-only, nothing moves on
+    * disk. The audit step between [[stageAppend]] and this call reads
+    * the staged snapshot via its ref
+    * ([[IcebergManifestSource.refSnapshotId]]) without ever exposing it
+    * to table readers. Returns the published snapshot id. */
+  def fastForward(spark: SparkSession, tableDir: String,
+      from: String, to: String = "main"): Long = {
+    val rs = refs(spark, tableDir)
+    val target = rs.collectFirst { case (`from`, id, _) => id }
+      .getOrElse(sys.error(s"no ref named '$from' in $tableDir"))
+    val refsAfter = (rs.filterNot(_._1 == to) :+ ((to, target, "branch")))
+      .sortBy(_._1)
+    writeMetadataVersion(spark, tableDir, snapshots(spark, tableDir),
+      target, refsAfter)
+    target
+  }
+
   /** Register a statistics file (e.g. a [[PuffinIO]] container) for a
     * snapshot in the metadata `statistics` array (spec "Table
     * statistics"): read-modify-write the current document — existing

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style metadata tables over a written v2 layout — the
+  * inspection surface real engines expose as `table$files`,
+  * `table$partitions`, `table$snapshots`, `table$refs`, `table$history`
+  * (Iceberg docs "Inspecting tables"; Spark reads them as ordinary
+  * relations). Each is a DataFrame:
+  *
+  *   - [[files]] / [[partitions]] are DISTRIBUTED — they ride
+  *     [[IcebergManifestSource.statsFromTableDir]]'s one-task-per-
+  *     manifest scan, so a 100k-manifest table's files listing
+  *     parallelizes like any other read and the partitions rollup is one
+  *     map-side-combined aggregation of a manifest-sized relation;
+  *   - [[snapshots]], [[refs]], [[history]] are metadata-document-sized
+  *     (a JSON head read) and materialize driver-side like every other
+  *     metadata access in [[LayoutMaintenance]].
+  *
+  * All accept an optional snapshot pin (time travel: `files` of an old
+  * snapshot is the diff source for incremental reads).
+  */
+object MetadataTables {
+
+  /** Per-file metadata rows: (content, file_path, partition JSON,
+    * record_count, file_size_in_bytes, sequence_number). Distributed. */
+  def files(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    IcebergManifestSource.statsFromTableDir(spark, tableDir, "t", Nil, snapshotId)
+      .select(col("content"), col("file_path"),
+        col("partitionKey").as("partition"),
+        col("record_count"),
+        col("sizeBytes").as("file_size_in_bytes"),
+        col("sequence_number"))
+
+  /** Per-partition rollup of DATA files (the `$partitions` table):
+    * (partition, file_count, record_count, total_size, position/equality
+    * delete file counts). One aggregation, manifest-sized input. */
+  def partitions(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    files(spark, tableDir, snapshotId)
+      .groupBy(col("partition"))
+      .agg(
+        sum(when(col("content") === 0, 1L).otherwise(0L)).as("file_count"),
+        sum(when(col("content") === 0, col("record_count")).otherwise(0L))
+          .as("record_count"),
+        sum(when(col("content") === 0, col("file_size_in_bytes")).otherwise(0L))
+          .as("total_size"),
+        sum(when(col("content") === 1, 1L).otherwise(0L))
+          .as("position_delete_file_count"),
+        sum(when(col("content") === 2, 1L).otherwise(0L))
+          .as("equality_delete_file_count"))
+
+  /** The `$snapshots` table: (ordinal, snapshot_id, manifest_list,
+    * is_current) in commit-history order. */
+  def snapshots(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val cur = LayoutMaintenance.currentSnapshot(spark, tableDir)
+    LayoutMaintenance.snapshotList(spark, tableDir).zipWithIndex
+      .map { case ((id, list), i) => (i, id, list, cur.contains(id)) }
+      .toDF("ordinal", "snapshot_id", "manifest_list", "is_current")
+  }
+
+  /** The `$refs` table: (name, snapshot_id, type). */
+  def refs(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    LayoutMaintenance.refList(spark, tableDir)
+      .toDF("name", "snapshot_id", "type")
+  }
+
+  /** The `$history` table: commit order with reachability from the
+    * current head — `is_current_ancestor` here means "at or before the
+    * current snapshot in history order" (this layout's history is
+    * linear; a rolled-back table's later snapshots are retained but no
+    * longer ancestors, matching Iceberg's history semantics). */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val cur = LayoutMaintenance.currentSnapshot(spark, tableDir)
+    val snaps = LayoutMaintenance.snapshotList(spark, tableDir)
+    val curOrd = snaps.indexWhere(s => cur.contains(s._1))
+    snaps.zipWithIndex.map { case ((id, _), i) =>
+      (i, id, curOrd >= 0 && i <= curOrd)
+    }.toDF("ordinal", "snapshot_id", "is_current_ancestor")
+  }
+}

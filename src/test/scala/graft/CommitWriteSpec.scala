@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{IcebergLayoutWriter, IcebergManifestSource,
+  LayoutMaintenance, MetadataTables, MorRead}
+import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+
+/** The v2 WRITE path: MERGE upsert commits (equality-delete + data file
+  * at a fresh sequence), write-audit-publish staging (head isolation
+  * until fast-forward), and the metadata-tables inspection surface over
+  * both. Everything runs against real on-disk layouts. */
+class CommitWriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def freshTable(tag: String,
+      rows: Seq[(Long, String, Long)]): java.io.File = {
+    import spark.implicits._
+    val tbl = new java.io.File(s"target/tmp-commit-$tag")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    val bf = new java.io.File(dataDir, "base.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      rows.toDF("k", "name", "v").sort(col("k")), bf)
+    IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(status = 1,
+      content = 0, filePath = bf.getAbsolutePath, recordCount = n,
+      sizeBytes = bf.length(), sequenceNumber = 1L)))
+    tbl
+  }
+
+  private def state(tbl: java.io.File): Seq[(Long, String, Long)] =
+    MorRead.readTable(spark, tbl.getPath, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("commitUpsert: updates replace, inserts append, untouched rows survive") {
+    import spark.implicits._
+    val tbl = freshTable("upsert", Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val (snap, n) = LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((2L, "b2", 200L), (9L, "i", 900L)).toDF("k", "name", "v"), Seq("k"))
+    assert(snap == 2L && n == 2L)
+    assert(state(tbl) == Seq((1L, "a", 10L), (2L, "b2", 200L),
+      (3L, "c", 30L), (9L, "i", 900L)))
+  }
+
+  test("commitUpsert stacks: a second upsert supersedes the first (sequence order)") {
+    import spark.implicits._
+    val tbl = freshTable("upsert2", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((2L, "b2", 200L)).toDF("k", "name", "v"), Seq("k"))
+    val (snap3, _) = LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((2L, "b3", 300L), (1L, "a2", 100L)).toDF("k", "name", "v"), Seq("k"))
+    assert(snap3 == 3L)
+    assert(state(tbl) == Seq((1L, "a2", 100L), (2L, "b3", 300L)))
+    // time travel still sees the intermediate state through snapshot 2
+    val mid = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil, Some(2L))
+      .filter(col("content") === 0).count()
+    assert(mid == 2L, "snapshot 2 must hold base + first upsert data files")
+  }
+
+  test("commitUpsert carries existing entries verbatim (paths + sequences)") {
+    import spark.implicits._
+    val tbl = freshTable("carry", Seq((1L, "a", 10L)))
+    LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((5L, "x", 50L)).toDF("k", "name", "v"), Seq("k"))
+    val ent = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .select("file_path", "content", "sequence_number")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(ent.count(_._2 == 0) == 2 && ent.count(_._2 == 2) == 1)
+    assert(ent.filter(_._1.endsWith("base.parquet")).map(_._3) == Seq(1L),
+      "carried base file must keep sequence 1")
+    assert(ent.filterNot(_._1.endsWith("base.parquet")).map(_._3).distinct == Seq(2L))
+  }
+
+  test("stageAppend isolates until fastForward publishes (WAP)") {
+    val tbl = freshTable("wap", Seq((1L, "a", 10L)))
+    val headBefore = MetadataTables.files(spark, tbl.getPath)
+      .select("file_path").collect().map(_.getString(0)).sorted.toSeq
+    val staged = LayoutMaintenance.stageAppend(spark, tbl.getPath,
+      Seq(ManifestEntrySpec(status = 1, content = 0,
+        filePath = "data/staged.parquet", recordCount = 4L, sizeBytes = 64L)),
+      branch = "audit")
+    assert(staged == 2L)
+    // head unmoved; branch sees the staged file; refs table is truthful
+    assert(MetadataTables.files(spark, tbl.getPath)
+      .select("file_path").collect().map(_.getString(0)).sorted.toSeq == headBefore)
+    assert(MetadataTables.files(spark, tbl.getPath, Some(staged)).count() == 2L)
+    val refs = MetadataTables.refs(spark, tbl.getPath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(refs("audit") == 2L)
+    val published = LayoutMaintenance.fastForward(spark, tbl.getPath, "audit")
+    assert(published == 2L)
+    assert(MetadataTables.files(spark, tbl.getPath).count() == 2L)
+    val refs2 = MetadataTables.refs(spark, tbl.getPath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(refs2("main") == 2L && refs2("audit") == 2L)
+    val hist = MetadataTables.history(spark, tbl.getPath)
+      .filter(col("is_current_ancestor")).count()
+    assert(hist == 2L)
+  }
+
+  test("metadata tables: partitions rollup splits data from delete files") {
+    val tbl = new java.io.File("target/tmp-commit-meta")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    IcebergLayoutWriter.writeTable(tbl, Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = "d1.parquet",
+        partition = Seq("m" -> 1), recordCount = 10L, sizeBytes = 100L),
+      ManifestEntrySpec(status = 1, content = 0, filePath = "d2.parquet",
+        partition = Seq("m" -> 1), recordCount = 5L, sizeBytes = 50L),
+      ManifestEntrySpec(status = 1, content = 0, filePath = "d3.parquet",
+        partition = Seq("m" -> 2), recordCount = 7L, sizeBytes = 70L),
+      ManifestEntrySpec(status = 1, content = 1, filePath = "pd.parquet",
+        partition = Seq("m" -> 1), recordCount = 2L, sizeBytes = 8L),
+      ManifestEntrySpec(status = 1, content = 2, filePath = "ed.parquet",
+        partition = Seq("m" -> 2), recordCount = 1L, sizeBytes = 4L)))
+    val rows = MetadataTables.partitions(spark, tbl.getPath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("""{"m":1}""", 2L, 15L, 150L, 1L, 0L),
+      ("""{"m":2}""", 1L, 7L, 70L, 0L, 1L)))
+  }
+}

@@ -42,7 +42,13 @@ class DeterminismSpec extends AnyFunSuite {
     // and the DP release's modular-arithmetic uniform
     "q170_bm25", "q172_power_iteration", "q173_spec_evolution",
     "q175_dp_release", "q176_manifest_skipping", "q177_matryoshka_audit",
-    "q182_perplexity_filter")
+    "q182_perplexity_filter",
+    // round 8 batch 2: the MERGE upsert's write-then-MOR-read loop (the
+    // update set is computed distributed, then committed), the entropy
+    // gate's 27-term integer score, and the bucketed join (result must
+    // not depend on the session's shuffle width — the join never
+    // shuffles at all)
+    "q183_merge_upsert", "q187_char_entropy", "q188_bucketed_join")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
