@@ -61,7 +61,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -101,6 +101,33 @@ object Cli {
             .rewriteManifests(spark, root)
           println(s"manifests: $before -> $after")
         }
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "meta") {
+      // metadata-tables inspection (q185 surface): partitions | files |
+      // snapshots | refs | history over a written v2 layout
+      if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+      val spark = session()
+      try {
+        import graft.sources.MetadataTables
+        val df = args(2) match {
+          case "partitions" => MetadataTables.partitions(spark, root)
+            .orderBy(col("partition"))
+          case "files" => MetadataTables.files(spark, root)
+            .orderBy(col("content"), col("file_path"))
+          case "snapshots" => MetadataTables.snapshots(spark, root)
+            .orderBy(col("ordinal"))
+          case "refs" => MetadataTables.refs(spark, root).orderBy(col("name"))
+          case "history" => MetadataTables.history(spark, root)
+            .orderBy(col("ordinal"))
+          case other =>
+            System.err.println(
+              s"error: unknown metadata table '$other' (partitions|files|snapshots|refs|history)")
+            sys.exit(2)
+        }
+        df.show(100, truncate = false)
       } finally spark.stop()
       return
     }

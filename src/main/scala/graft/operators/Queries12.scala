@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   * double sum), one final division for any double, full ORDER BY
   * tie-breaks.
   */
+/** Portable Morton interleave as pure %-and-compare SQL — ONE term
+  * generator feeds both the Spark `expr` and the DuckDB oracle, so the
+  * z-order tiles in q191 are bit-identical cross-engine (the native
+  * [[graft.sources.ZOrderLayout]] kernel is the scale path; this is its
+  * oracle-visible arithmetic twin). */
+private[operators] object MortonSql {
+  /** Interleave two 6-bit coordinates: Σ bit_i(x)·4^i + bit_i(y)·2·4^i. */
+  def interleave6(x: String, y: String): String =
+    (0 until 6).flatMap { i =>
+      val lo = 1L << i; val hi = 1L << (i + 1)
+      Seq(
+        s"(CASE WHEN $x % $hi >= $lo THEN ${1L << (2 * i)} ELSE 0 END)",
+        s"(CASE WHEN $y % $hi >= $lo THEN ${2L << (2 * i)} ELSE 0 END)")
+    }.mkString(" + ")
+}
+
 object Queries12 {
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
@@ -265,6 +281,105 @@ object Queries12 {
         .orderBy(col("doc_id"))
     },
 
+    // ---- tokenizer fertility by language (the tokenization-cost audit
+    // every multilingual pretraining mix needs): whitespace words vs
+    // BPE-ish letter-run pre-tokens (q33's cross-engine regex classes),
+    // fertility and chars-per-token in exact integer basis points. One
+    // map-only scoring pass + a language-collapsed aggregate — nothing
+    // here shuffles more than #langs rows.
+    "q189_tokenizer_fertility" -> { (s, dir) => implicit val sp = s
+      t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("re"),
+          length(col("text")).cast("long").as("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("re")).as("re_tokens"), sum(col("ch")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("re_tokens"),
+          expr("(re_tokens * 10000) div ws_tokens").as("fertility_bp"),
+          expr("(n_chars * 10000) div re_tokens").as("chars_per_token_bp"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- robust scaling statistics (median + MAD, the outlier-immune
+    // normalization feature pipelines prefer over mean/stddev): exact
+    // integer median via the q121 crossing discipline — doc lengths
+    // COLLAPSE to (source, len) counts first, the cumulative crossing
+    // runs over that vocabulary-sized relation (window partitioned by
+    // source, never global), and the MAD repeats the same trick on
+    // |len − med|. The corpus is touched twice map-only; every shuffle
+    // after the collapse is #distinct-lengths-sized. Outliers =
+    // |len − med| > 3·MAD, a pure integer comparison.
+    "q190_robust_scaling" -> { (s, dir) => implicit val sp = s
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), col("n_chars").as("len"))
+      def crossing(d: DataFrame, vCol: String, out: String): DataFrame = {
+        val counts = d.groupBy(col("source"), col(vCol))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("source")).orderBy(col(vCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c"))
+            .over(Window.partitionBy(col("source"))))
+          .filter(col("cum") * 2 >= col("n") + 1)
+          .groupBy(col("source")).agg(min(col(vCol)).as(out))
+      }
+      val med = crossing(docs, "len", "median_len")
+      val dev = docs.join(broadcast(med), Seq("source"))
+        .select(col("source"), abs(col("len") - col("median_len")).as("d"))
+      val mad = crossing(dev, "d", "mad_len")
+      docs.join(broadcast(med), Seq("source")).join(broadcast(mad), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("median_len")).as("median_len"), max(col("mad_len")).as("mad_len"),
+          sum(when(abs(col("len") - col("median_len")) > lit(3) * col("mad_len"),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("source"))
+    },
+
+    // ---- z-order skipping effectiveness, MEASURED: the part-supplier
+    // incidence grid is laid out into 16 files two ways — linear (by
+    // partkey ranges) and z-order (equal Morton-range tiles over a
+    // 64x64 normalized grid; the same interleave [[MortonCode]]
+    // implements, here as portable %-arithmetic so DuckDB re-derives it
+    // bit-identically) — and a 2-D box predicate counts which files'
+    // min/max bounds it must touch. File assignment, bounds, and
+    // overlap are all map-only arithmetic + one 16-row rollup per
+    // layout; the output IS the skipping ratio a 100 TB scan would see,
+    // hash-gated, layout vs layout.
+    "q191_zorder_skipping" -> { (s, dir) => implicit val sp = s
+      val pairs = t(dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      val dom = pairs.agg(max(col("pk")).as("pmax"), max(col("sk")).as("smax"))
+      val g = pairs.crossJoin(broadcast(dom))
+        .withColumn("px", expr("(pk * 64) div (pmax + 1)"))
+        .withColumn("sx", expr("(sk * 64) div (smax + 1)"))
+        .withColumn("mz", expr(MortonSql.interleave6("px", "sx")))
+        .withColumn("fid_lin", expr("px div 4")) // 16 partkey-range files
+        .withColumn("fid_z", expr("mz div 256")) // 16 Morton tiles
+        // the probe box: middle quarter of both dimensions
+        .withColumn("hit",
+          expr("px >= 16 AND px < 32 AND sx >= 16 AND sx < 32"))
+      def layout(name: String, fidCol: String) = g
+        .groupBy(col(fidCol).as("fid"))
+        .agg(min(col("px")).as("plo"), max(col("px")).as("phi"),
+          min(col("sx")).as("slo"), max(col("sx")).as("shi"),
+          count(lit(1)).as("n_pairs"), sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("touched",
+          col("phi") >= 16 && col("plo") < 32 && col("shi") >= 16 && col("slo") < 32)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("touched"), 1L).otherwise(0L)).as("files_touched"),
+          sum(when(col("touched"), col("n_pairs")).otherwise(0L)).as("pairs_scanned"),
+          sum(col("n_hit")).as("pairs_matching"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_touched"),
+          col("pairs_scanned"), col("pairs_matching"))
+      layout("1_linear", "fid_lin").unionAll(layout("2_zorder", "fid_z"))
+        .orderBy(col("layout"))
+    },
+
     // ---- storage-co-located join: both sides are written BUCKETED by
     // the join key (16 buckets, sorted within buckets — Spark's
     // CLUSTERED BY), so the sort-merge join consumes the layout's
@@ -395,6 +510,99 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q189_tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |    CAST(sum(re) AS BIGINT) AS re_tokens,
+        |    CAST(sum(ch) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, ws_tokens, re_tokens,
+        |  (re_tokens * 10000) // ws_tokens AS fertility_bp,
+        |  (n_chars * 10000) // re_tokens AS chars_per_token_bp
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q190_robust_scaling" ->
+      """WITH docs AS (
+        |  SELECT source, n_chars AS len FROM documents WHERE text IS NOT NULL),
+        |mc AS (SELECT source, len, count(*) AS c FROM docs GROUP BY 1, 2),
+        |mcum AS (
+        |  SELECT source, len,
+        |    sum(c) OVER (PARTITION BY source ORDER BY len) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM mc),
+        |med AS (SELECT source, CAST(min(len) AS BIGINT) AS median_len
+        |        FROM mcum WHERE cum * 2 >= n + 1 GROUP BY source),
+        |dev AS (
+        |  SELECT d.source, abs(d.len - m.median_len) AS dv
+        |  FROM docs d JOIN med m ON d.source = m.source),
+        |dc AS (SELECT source, dv, count(*) AS c FROM dev GROUP BY 1, 2),
+        |dcum AS (
+        |  SELECT source, dv,
+        |    sum(c) OVER (PARTITION BY source ORDER BY dv) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM dc),
+        |mad AS (SELECT source, CAST(min(dv) AS BIGINT) AS mad_len
+        |        FROM dcum WHERE cum * 2 >= n + 1 GROUP BY source)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(m.median_len) AS BIGINT) AS median_len,
+        |  CAST(max(a.mad_len) AS BIGINT) AS mad_len,
+        |  CAST(sum(CASE WHEN abs(d.len - m.median_len) > 3 * a.mad_len
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM docs d JOIN med m ON d.source = m.source
+        |            JOIN mad a ON d.source = a.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q191_zorder_skipping" -> {
+      val mz = MortonSql.interleave6("px", "sx")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |dom AS (SELECT max(pk) AS pmax, max(sk) AS smax FROM pairs),
+         |g AS (
+         |  SELECT (pk * 64) // (pmax + 1) AS px, (sk * 64) // (smax + 1) AS sx
+         |  FROM pairs CROSS JOIN dom),
+         |gm AS (
+         |  SELECT px, sx, $mz AS mz,
+         |    px // 4 AS fid_lin,
+         |    ($mz) // 256 AS fid_z,
+         |    (px >= 16 AND px < 32 AND sx >= 16 AND sx < 32) AS hit
+         |  FROM g),
+         |lin AS (
+         |  SELECT fid_lin AS fid, min(px) AS plo, max(px) AS phi,
+         |         min(sx) AS slo, max(sx) AS shi,
+         |         count(*) AS n_pairs, sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit
+         |  FROM gm GROUP BY 1),
+         |zo AS (
+         |  SELECT fid_z AS fid, min(px) AS plo, max(px) AS phi,
+         |         min(sx) AS slo, max(sx) AS shi,
+         |         count(*) AS n_pairs, sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit
+         |  FROM gm GROUP BY 1),
+         |roll AS (
+         |  SELECT '1_linear' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(CASE WHEN phi >= 16 AND plo < 32 AND shi >= 16 AND slo < 32
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |    CAST(sum(CASE WHEN phi >= 16 AND plo < 32 AND shi >= 16 AND slo < 32
+         |         THEN n_pairs ELSE 0 END) AS BIGINT) AS pairs_scanned,
+         |    CAST(sum(n_hit) AS BIGINT) AS pairs_matching
+         |  FROM lin
+         |  UNION ALL
+         |  SELECT '2_zorder', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN phi >= 16 AND plo < 32 AND shi >= 16 AND slo < 32
+         |         THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN phi >= 16 AND plo < 32 AND shi >= 16 AND slo < 32
+         |         THEN n_pairs ELSE 0 END) AS BIGINT),
+         |    CAST(sum(n_hit) AS BIGINT)
+         |  FROM zo)
+         |SELECT layout, n_files, files_touched, pairs_scanned, pairs_matching
+         |FROM roll ORDER BY layout""".stripMargin
+    },
 
     "q188_bucketed_join" ->
       """SELECT o_custkey, c_mktsegment,

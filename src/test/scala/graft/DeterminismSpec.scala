@@ -48,7 +48,8 @@ class DeterminismSpec extends AnyFunSuite {
     // gate's 27-term integer score, and the bucketed join (result must
     // not depend on the session's shuffle width — the join never
     // shuffles at all)
-    "q183_merge_upsert", "q187_char_entropy", "q188_bucketed_join")
+    "q183_merge_upsert", "q187_char_entropy", "q188_bucketed_join",
+    "q190_robust_scaling", "q191_zorder_skipping")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
