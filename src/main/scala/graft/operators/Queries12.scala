@@ -281,6 +281,167 @@ object Queries12 {
         .orderBy(col("doc_id"))
     },
 
+    // ---- full CRUD + EXECUTED rewrite_data_files: base commit, MERGE
+    // upsert (q183's machinery), a DELETE-only commit (eq-tombstones
+    // with no replacement rows — LayoutMaintenance.commitDelete), then
+    // the data-moving compaction commitCompaction deliberately is not:
+    // rewriteDataFiles reads the table merge-on-read, writes the
+    // surviving rows fresh, and commits a snapshot with ZERO delete
+    // files — read-before == read-after while every future read's plan
+    // loses its tombstone anti joins. The requires pin the physical
+    // shape (4 commits; exactly one data file and no tombstones after);
+    // the DuckDB oracle recomputes UPDATE ∘ INSERT ∘ DELETE from the
+    // part table, so the whole CRUD+compaction loop is hash-gated.
+    "q192_rewrite_data_files" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      val part = t(dir, "part")
+      val base = part.filter(col("p_partkey") % 4 =!= 3)
+        .select(col("p_partkey").as("k"), col("p_brand").as("b"),
+          floor(col("p_retailprice")).cast("long").as("price"))
+      val updates = part.filter(col("p_size") > 25)
+        .select(col("p_partkey").as("k"), col("p_brand").as("b"),
+          (floor(col("p_retailprice")).cast("long") + 10000L).as("price"))
+      val tbl = TmpFixture.dir("q192", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val bf = new java.io.File(dataDir, "base.parquet")
+      val nBase = IcebergLayoutWriter.writeSingleParquet(base.sort(col("k")), bf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = bf.getAbsolutePath, recordCount = nBase,
+          sizeBytes = bf.length(), sequenceNumber = 1L)))
+      LayoutMaintenance.commitUpsert(s, tbl.getPath, updates, Seq("k"))
+      LayoutMaintenance.commitDelete(s, tbl.getPath,
+        part.filter(col("p_partkey") % 10 === 0)
+          .select(col("p_partkey").as("k")), Seq("k"))
+      val (snap, _, before, after) =
+        LayoutMaintenance.rewriteDataFiles(s, tbl.getPath, Seq("k"))
+      require(snap == 4L && before == 2 && after == 1,
+        s"rewrite shape broke: snap=$snap files $before->$after")
+      val left = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .groupBy(col("content")).count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      require(left == Map(0 -> 1L), s"tombstones survived the rewrite: $left")
+      MorRead.readTable(s, tbl.getPath, Seq("k"))
+        .groupBy(col("b").as("p_brand"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("price")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- predicate DELETE via POSITION tombstones (the other
+    // row-level-delete write kind; q183/q192 exercise equality): a
+    // two-file table takes `commitDeleteWhere(price < 50000 OR urgent)`
+    // — the predicate runs over MorRead.readTableLineage, and exactly
+    // the matching (file_path, pos) pairs land as ONE sorted
+    // position-delete file (spec order: file, then position). The
+    // read-back rollup is hash-gated against DuckDB's DELETE-WHERE
+    // arithmetic; the requires pin the physical shape (one pos-delete
+    // file, both data files still carried). At 100 TB the predicate
+    // scan is an ordinary distributed read and only matched POSITIONS
+    // move — a DELETE touching 0.1% of rows writes 0.1%-sized
+    // tombstones, no data rewrite.
+    "q193_delete_where" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      val base = t(dir, "orders").filter(col("o_orderkey") % 50 < 3)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice")).cast("long").as("price"),
+          (col("o_orderkey") % 2).as("fid"))
+      val tbl = TmpFixture.dir("q193", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val entries = Seq(0, 1).map { f =>
+        val df = new java.io.File(dataDir, s"f$f.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          base.filter(col("fid") === f).drop("fid").sort(col("k")), df)
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = df.getAbsolutePath, recordCount = n,
+          sizeBytes = df.length(), sequenceNumber = 1L)
+      }
+      IcebergLayoutWriter.writeTable(tbl, entries)
+      val (snap, nDel) = LayoutMaintenance.commitDeleteWhere(s, tbl.getPath,
+        col("price") < 50000L || col("prio") === "1-URGENT")
+      require(snap == 2L && nDel > 0, s"delete-where broke: $snap/$nDel")
+      val shape = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .groupBy(col("content")).count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      require(shape == Map(0 -> 2L, 1 -> 1L),
+        s"expected 2 data + 1 pos-delete file, got $shape")
+      MorRead.readTable(s, tbl.getPath)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("sum_price"))
+        .orderBy(col("prio"))
+    },
+
+    // ---- commit audit trail: per-snapshot added/removed file and row
+    // deltas DERIVED from metadata alone (the `$snapshots` summary a
+    // real engine would store, recomputed here so it can never lie):
+    // over a 4-commit CRUD history (base append → MERGE upsert →
+    // eq-DELETE → rewrite_data_files) the audit runs changesBetween on
+    // each consecutive snapshot pair — N-1 manifest-sized diffs in one
+    // DAG, zero data I/O — and the resulting trail (which commit added
+    // what, which rewrote everything) is hash-gated against DuckDB
+    // re-deriving every delta from the customer/orders arithmetic.
+    "q194_commit_audit" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, LayoutMaintenance}
+      val base = t(dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal")).cast("long").as("bal"))
+      val updates = t(dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg((sum(floor(col("o_totalprice")).cast("long")) / lit(100L))
+          .cast("long").as("bal"))
+        .join(t(dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal"))
+      val tbl = TmpFixture.dir("q194", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val bf = new java.io.File(dataDir, "base.parquet")
+      val nBase = IcebergLayoutWriter.writeSingleParquet(
+        base.sort(col("c_custkey")), bf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = bf.getAbsolutePath, recordCount = nBase,
+          sizeBytes = bf.length(), sequenceNumber = 1L)))
+      LayoutMaintenance.commitUpsert(s, tbl.getPath, updates, Seq("c_custkey"))
+      LayoutMaintenance.commitDelete(s, tbl.getPath,
+        t(dir, "customer").filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey")), Seq("c_custkey"))
+      LayoutMaintenance.rewriteDataFiles(s, tbl.getPath, Seq("c_custkey"))
+      val ids = LayoutMaintenance.snapshotIds(s, tbl.getPath)
+      require(ids == Seq(1L, 2L, 3L, 4L), s"history broke: $ids")
+      def delta(ord: Int, from: Long, to: Long) =
+        IcebergManifestSource.changesBetween(s, tbl.getPath, "t", from, to)
+          .agg(
+            sum(when(col("change") === "added" && col("content") === 0, 1L)
+              .otherwise(0L)).as("files_added"),
+            sum(when(col("change") === "removed" && col("content") === 0, 1L)
+              .otherwise(0L)).as("files_removed"),
+            sum(when(col("change") === "added" && col("content") =!= 0, 1L)
+              .otherwise(0L)).as("tombstones_added"),
+            coalesce(sum(when(col("change") === "added" && col("content") === 0,
+              col("record_count"))), lit(0L)).as("rows_added"),
+            coalesce(sum(when(col("change") === "removed" && col("content") === 0,
+              col("record_count"))), lit(0L)).as("rows_removed"))
+          .select(lit(ord).as("ordinal"), col("files_added"),
+            col("files_removed"), col("tombstones_added"),
+            col("rows_added"), col("rows_removed"))
+      val first = IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil, Some(1L))
+        .agg(sum(when(col("content") === 0, 1L).otherwise(0L)).as("files_added"),
+          lit(0L).as("files_removed"), lit(0L).as("tombstones_added"),
+          coalesce(sum(when(col("content") === 0, col("record_count"))), lit(0L))
+            .as("rows_added"), lit(0L).as("rows_removed"))
+        .select(lit(1).as("ordinal"), col("files_added"), col("files_removed"),
+          col("tombstones_added"), col("rows_added"), col("rows_removed"))
+      ids.sliding(2).zipWithIndex.foldLeft(first) {
+        case (acc, (Seq(from, to), i)) => acc.unionAll(delta(i + 2, from, to))
+      }.orderBy(col("ordinal"))
+    },
+
     // ---- tokenizer fertility by language (the tokenization-cost audit
     // every multilingual pretraining mix needs): whitespace words vs
     // BPE-ish letter-run pre-tokens (q33's cross-engine regex classes),
@@ -510,6 +671,54 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q193_delete_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey % 50 < 3)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(price) AS BIGINT) AS sum_price
+        |FROM base WHERE NOT (price < 50000 OR prio = '1-URGENT')
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "q194_commit_audit" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 <> 0),
+        |upd AS (
+        |  SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |m AS (SELECT k FROM upd UNION SELECT k FROM base),
+        |fin AS (SELECT k FROM m WHERE k % 7 <> 0),
+        |c AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_base,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM upd) AS n_upd,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fin) AS n_fin)
+        |SELECT CAST(1 AS INT) AS ordinal, CAST(1 AS BIGINT) AS files_added,
+        |  CAST(0 AS BIGINT) AS files_removed, CAST(0 AS BIGINT) AS tombstones_added,
+        |  n_base AS rows_added, CAST(0 AS BIGINT) AS rows_removed FROM c
+        |UNION ALL SELECT 2, 1, 0, 1, n_upd, 0 FROM c
+        |UNION ALL SELECT 3, 0, 0, 1, 0, 0 FROM c
+        |UNION ALL SELECT 4, 1, 2, 0, n_fin, n_base + n_upd FROM c
+        |ORDER BY ordinal""".stripMargin,
+
+    "q192_rewrite_data_files" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS k, p_brand AS b,
+        |         CAST(FLOOR(p_retailprice) AS BIGINT) AS price
+        |  FROM part WHERE p_partkey % 4 <> 3),
+        |upd AS (
+        |  SELECT p_partkey AS k, p_brand AS b,
+        |         CAST(FLOOR(p_retailprice) AS BIGINT) + 10000 AS price
+        |  FROM part WHERE p_size > 25),
+        |m AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)),
+        |fin AS (SELECT * FROM m WHERE k % 10 <> 0)
+        |SELECT b AS p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(price) AS BIGINT) AS sum_price
+        |FROM fin GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "q189_tokenizer_fertility" ->
       """WITH d AS (

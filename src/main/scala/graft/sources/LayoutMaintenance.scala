@@ -567,6 +567,113 @@ object LayoutMaintenance {
     (newId, n)
   }
 
+  /** DELETE commit: an equality-delete file on `keyCols` with NO
+    * replacement rows — together with [[commitUpsert]] this closes CRUD
+    * over the layout. Same sequence discipline (tombstones land strictly
+    * above every live file). Returns (newSnapshotId, nDeleteKeys). */
+  def commitDelete(spark: SparkSession, tableDir: String,
+      deleteKeys: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "commitDelete needs at least one key column")
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val ed = new java.io.File(dataDir, s"eqdel-$newId.parquet")
+    val nk = IcebergLayoutWriter.writeSingleParquet(
+      deleteKeys.select(keyCols.map(col): _*).distinct()
+        .sort(keyCols.map(col): _*), ed)
+    val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+      content = 2, filePath = ed.getAbsolutePath, recordCount = nk,
+      sizeBytes = ed.length(), sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    (newId, nk)
+  }
+
+  /** Predicate DELETE via POSITION tombstones — the other half of the
+    * row-level delete write path ([[commitDelete]] writes equality
+    * tombstones): read the current state WITH row lineage
+    * ([[MorRead.readTableLineage]]), evaluate the predicate, and commit
+    * the matching (file_path, pos) pairs as a position-delete file
+    * (sorted by file then position, the spec's required order). Position
+    * visibility is `data_seq <= delete_seq`, and this commit adds no
+    * data, so the tombstones hit exactly the matched rows. At 100 TB
+    * the predicate scan is an ordinary distributed read; only the
+    * matched positions move. Returns (newSnapshotId, rowsDeleted). */
+  def commitDeleteWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      eqKeys: Seq[String] = Nil): (Long, Long) = {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val hits = MorRead.readTableLineage(spark, tableDir, eqKeys)
+      .filter(predicate)
+      .select(col("file_path"), col("pos"))
+      .sort(col("file_path"), col("pos"))
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val pd = new java.io.File(dataDir, s"posdel-$newId.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(hits, pd)
+    val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+      content = 1, filePath = pd.getAbsolutePath, recordCount = n,
+      sizeBytes = pd.length(), sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    (newId, n)
+  }
+
+  /** EXECUTED rewrite_data_files — the data-moving compaction that
+    * [[commitCompaction]]'s metadata-only commit deliberately is not:
+    * read the current snapshot MERGE-ON-READ (every position/equality
+    * tombstone applied), rewrite the surviving rows as fresh data files,
+    * and commit a snapshot that carries NO old data files and NO delete
+    * files. Read-before == read-after is the invariant (asserted by
+    * CommitWriteSpec and pinned in q192's oracle); what changes is the
+    * physical shape: tombstone anti joins disappear from every future
+    * read's plan. The rewrite here lands as one sorted file (fixture
+    * grain — `writeSingleParquet`); at 100 TB the same commit writes
+    * one file per partition from the distributed MOR relation and the
+    * metadata arithmetic is unchanged. Returns
+    * (newSnapshotId, rowsRewritten, filesBefore, filesAfter). */
+  def rewriteDataFiles(spark: SparkSession, tableDir: String,
+      eqKeys: Seq[String], sortCols: Seq[String] = Nil)
+      : (Long, Long, Int, Int) = {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val filesBefore = carried.count(_.content == 0)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val state = MorRead.readTable(spark, tableDir, eqKeys)
+    val order = if (sortCols.nonEmpty) sortCols else eqKeys
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val rw = new java.io.File(dataDir, s"rewrite-$newId.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      if (order.nonEmpty) state.sort(order.map(col): _*) else state, rw)
+    val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+      content = 0, filePath = rw.getAbsolutePath, recordCount = n,
+      sizeBytes = rw.length(), sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, added, newId, newId, movedRefs)
+    (newId, n, filesBefore, added.size)
+  }
+
   /** Stage an append WITHOUT moving the table head — the write half of
     * write-audit-publish (Iceberg's WAP / branch commits): the new
     * snapshot lands in history and `branch` points at it, but

@@ -93,6 +93,15 @@ object MorRead {
     * the fact scan itself never shuffles.
     */
   def readTable(spark: SparkSession, tableDir: String,
+      eqKeys: Seq[String] = Nil): DataFrame =
+    readTableLineage(spark, tableDir, eqKeys)
+      .drop("file_path", "pos", "data_seq")
+
+  /** [[readTable]] keeping the row lineage columns (`file_path`, `pos`,
+    * `data_seq`) — the input a position-delete WRITER needs: a predicate
+    * over this relation yields exactly the (file, pos) tombstones that
+    * delete those rows ([[LayoutMaintenance.commitDeleteWhere]]). */
+  def readTableLineage(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
@@ -123,9 +132,7 @@ object MorRead {
       if (posFiles.isEmpty) data
       else applyPosDeletes(data, withSeq(posFiles, "seq")
         .select(normCol(col("file_path")).as("file_path"), col("pos"), col("seq")))
-    val afterEq =
-      if (eqFiles.isEmpty || eqKeys.isEmpty) afterPos
-      else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), eqKeys)
-    afterEq.drop("file_path", "pos", "data_seq")
+    if (eqFiles.isEmpty || eqKeys.isEmpty) afterPos
+    else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), eqKeys)
   }
 }

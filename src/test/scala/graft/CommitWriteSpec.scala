@@ -76,6 +76,51 @@ class CommitWriteSpec extends AnyFunSuite {
     assert(ent.filterNot(_._1.endsWith("base.parquet")).map(_._3).distinct == Seq(2L))
   }
 
+  test("commitDelete removes keys; rewriteDataFiles preserves state, drops tombstones") {
+    import spark.implicits._
+    val tbl = freshTable("crud", Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((2L, "b2", 200L), (7L, "g", 700L)).toDF("k", "name", "v"), Seq("k"))
+    val (delSnap, nk) = LayoutMaintenance.commitDelete(spark, tbl.getPath,
+      Seq(3L, 7L, 99L).toDF("k"), Seq("k"))
+    assert(delSnap == 3L && nk == 3L)
+    val expected = Seq((1L, "a", 10L), (2L, "b2", 200L), (4L, "d", 40L))
+    assert(state(tbl) == expected)
+    val (snap, n, before, after) =
+      LayoutMaintenance.rewriteDataFiles(spark, tbl.getPath, Seq("k"))
+    assert(snap == 4L && n == 3L && before == 2 && after == 1)
+    assert(state(tbl) == expected, "rewrite changed the visible relation")
+    // exactly one file survives and it is a data file
+    val byContent = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .select("content").collect().map(_.getInt(0)).toSeq
+    assert(byContent == Seq(0), s"files after rewrite: $byContent")
+    // history intact: the pre-rewrite snapshot still time-travels
+    val mor3 = MorRead.readTable(spark, tbl.getPath, Seq("k"))
+    assert(mor3.columns.toSeq == Seq("k", "name", "v"))
+  }
+
+  test("commitDeleteWhere: predicate rows die via position tombstones, files survive") {
+    import spark.implicits._
+    val tbl = freshTable("posdel", Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    val (snap, n) = LayoutMaintenance.commitDeleteWhere(spark, tbl.getPath,
+      org.apache.spark.sql.functions.col("v") >= 30L)
+    assert(snap == 2L && n == 2L)
+    assert(state(tbl) == Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // a second predicate delete stacks on the survivors only
+    val (snap3, n3) = LayoutMaintenance.commitDeleteWhere(spark, tbl.getPath,
+      org.apache.spark.sql.functions.col("name") === "a")
+    assert(snap3 == 3L && n3 == 1L)
+    assert(state(tbl) == Seq((2L, "b", 20L)))
+    // data file untouched; two position-delete files now carried
+    val byContent = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .select("content").collect().map(_.getInt(0)).toSeq.sorted
+    assert(byContent == Seq(0, 1, 1), s"files: $byContent")
+  }
+
   test("stageAppend isolates until fastForward publishes (WAP)") {
     val tbl = freshTable("wap", Seq((1L, "a", 10L)))
     val headBefore = MetadataTables.files(spark, tbl.getPath)

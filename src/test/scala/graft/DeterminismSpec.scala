@@ -49,7 +49,8 @@ class DeterminismSpec extends AnyFunSuite {
     // not depend on the session's shuffle width — the join never
     // shuffles at all)
     "q183_merge_upsert", "q187_char_entropy", "q188_bucketed_join",
-    "q190_robust_scaling", "q191_zorder_skipping")
+    "q190_robust_scaling", "q191_zorder_skipping", "q192_rewrite_data_files",
+    "q193_delete_where", "q194_commit_audit")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
