@@ -61,7 +61,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -100,6 +100,35 @@ object Cli {
           val (before, after) = graft.sources.LayoutMaintenance
             .rewriteManifests(spark, root)
           println(s"manifests: $before -> $after")
+        }
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "rewrite" || cmd == "deletewhere") {
+      // executed data-path maintenance: rewrite_data_files (MOR state
+      // rewritten fresh, tombstones dropped) and predicate DELETE via
+      // position tombstones
+      val spark = session()
+      try {
+        if (cmd == "rewrite") {
+          val eqKeys = if (args.length > 2) args(2).split(',').toSeq.filter(_.nonEmpty) else Nil
+          val (snap, n, before, after) = graft.sources.LayoutMaintenance
+            .rewriteDataFiles(spark, root, eqKeys)
+          println(s"committed snapshot $snap: $before data files -> $after, $n rows rewritten, tombstones dropped")
+        } else {
+          // sbt passes each word separately — everything after the table
+          // (and an optional leading --keys=a,b) is the predicate
+          if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+          val (eqKeys, predParts) =
+            if (args(2).startsWith("--keys="))
+              (args(2).stripPrefix("--keys=").split(',').toSeq.filter(_.nonEmpty),
+                args.drop(3))
+            else (Nil, args.drop(2))
+          if (predParts.isEmpty) { System.err.println(usage); sys.exit(2) }
+          val (snap, n) = graft.sources.LayoutMaintenance
+            .commitDeleteWhere(spark, root, expr(predParts.mkString(" ")), eqKeys)
+          println(s"committed snapshot $snap: $n rows deleted via position tombstones")
         }
       } finally spark.stop()
       return
