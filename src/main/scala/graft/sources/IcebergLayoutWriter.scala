@@ -117,7 +117,13 @@ object IcebergLayoutWriter {
     java.nio.file.Files.move(part.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-    df.sparkSession.read.parquet(dest.getPath).count()
+    // row count straight from the footer, driver-side — a Spark job per
+    // fixture write adds up across the multi-commit queries
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dest.getAbsolutePath),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   private def writeAvro(file: java.io.File, schema: Schema,

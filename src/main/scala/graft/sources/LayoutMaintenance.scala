@@ -216,6 +216,42 @@ object LayoutMaintenance {
     (keep.map(_.id), deleted)
   }
 
+  /** Reachability GC — the expire flavor a FAILED write-audit-publish
+    * needs: drop every snapshot that is neither the current one nor
+    * named by any ref, WHEREVER it sits in history ([[expireSnapshots]]
+    * keeps history suffixes, so an abandoned staged snapshot — always
+    * the newest — would survive keep-last forever). Same physical
+    * cleanup discipline: lists/manifests referenced only by the dropped
+    * snapshots are deleted, shared ones survive, superseded metadata
+    * versions go with the files they reference. Returns
+    * (kept ids, deleted file count). */
+  def expireUnreferenced(spark: SparkSession,
+      tableDir: String): (Seq[Long], Int) = {
+    val all = snapshots(spark, tableDir)
+    val curId = currentSnapshotId(spark, tableDir)
+    val named = refs(spark, tableDir).map(_._2).toSet
+    val keep = all.filter(s => curId.contains(s.id) || named.contains(s.id))
+    require(keep.nonEmpty, s"nothing reachable under $tableDir")
+    val expire = all.filterNot(s => curId.contains(s.id) || named.contains(s.id))
+    if (expire.isEmpty) return (keep.map(_.id), 0)
+    val reachable = keep.flatMap(manifestsOf(spark, _)).toSet
+    val doomedManifests = expire.flatMap(manifestsOf(spark, _)).toSet -- reachable
+    val currentId = curId.getOrElse(keep.last.id)
+    val newV = writeMetadataVersion(spark, tableDir, keep, currentId,
+      refs(spark, tableDir))
+    val mdPattern = "^v(\\d+)\\.metadata\\.json$".r
+    val doomedMeta = Option(metaDir(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => mdPattern.findFirstMatchIn(f.getName)
+        .exists(_.group(1).toLong != newV))
+      .map(_.getPath)
+    val doomed = expire.map(_.listPath) ++ doomedManifests ++ doomedMeta
+    var deleted = 0
+    doomed.foreach { p =>
+      if (new java.io.File(p).delete()) deleted += 1
+    }
+    (keep.map(_.id), deleted)
+  }
+
   /** Roll the table back to `snapshotId`: write a new metadata version
     * whose current-snapshot-id names that snapshot, keeping the FULL
     * snapshot history and every ref intact (newer snapshots stay until
@@ -695,6 +731,21 @@ object LayoutMaintenance {
     appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
       refsAfter.sortBy(_._1))
     newId
+  }
+
+  /** Drop a named ref (the DROP BRANCH/TAG of a failed audit): the
+    * snapshot it pointed at stays in history — expireSnapshots reclaims
+    * it later — only the NAME goes. `main` is refused, like Iceberg's
+    * drop_branch; the current-snapshot-id pointer is independent of
+    * refs and never moves here. */
+  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit = {
+    require(name != "main", "refusing to drop 'main' (roll back instead)")
+    val rs = refs(spark, tableDir)
+    require(rs.exists(_._1 == name), s"no ref named '$name' in $tableDir")
+    writeMetadataVersion(spark, tableDir, snapshots(spark, tableDir),
+      currentSnapshotId(spark, tableDir)
+        .getOrElse(snapshots(spark, tableDir).last.id),
+      rs.filterNot(_._1 == name))
   }
 
   /** Publish a staged branch: fast-forward `to` (default the table head

@@ -148,6 +148,57 @@ class CommitWriteSpec extends AnyFunSuite {
     assert(hist == 2L)
   }
 
+  test("failing audit: dropRef withholds publish, head and main never move") {
+    val tbl = freshTable("wapfail", Seq((1L, "a", 10L)))
+    val staged = LayoutMaintenance.stageAppend(spark, tbl.getPath,
+      Seq(ManifestEntrySpec(status = 1, content = 0,
+        filePath = "data/bad.parquet", recordCount = 0L, sizeBytes = 0L)),
+      branch = "audit")
+    // the audit gate finds an empty file -> drop the branch, nothing publishes
+    val staged0 = MetadataTables.files(spark, tbl.getPath, Some(staged))
+      .filter(org.apache.spark.sql.functions.col("record_count") <= 0).count()
+    assert(staged0 == 1L, "fixture must stage a failing file")
+    LayoutMaintenance.dropRef(spark, tbl.getPath, "audit")
+    assert(MetadataTables.refs(spark, tbl.getPath).collect()
+      .forall(_.getString(0) != "audit"))
+    assert(MetadataTables.files(spark, tbl.getPath).count() == 1L,
+      "head moved despite the failed audit")
+    intercept[IllegalArgumentException] {
+      LayoutMaintenance.dropRef(spark, tbl.getPath, "main")
+    }
+    // the dead snapshot sits in history until reachability GC reclaims
+    // it (keep-last expiry can't: the abandoned snapshot is the newest)
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath) == Seq(1L, 2L))
+    val (kept, deleted) = LayoutMaintenance.expireUnreferenced(spark, tbl.getPath)
+    assert(kept == Seq(1L),
+      "GC must keep the CURRENT snapshot, drop the abandoned staged one")
+    assert(deleted > 0, "the staged snapshot's metadata files must go")
+    assert(MetadataTables.files(spark, tbl.getPath).count() == 1L)
+  }
+
+  test("rewrite then expire: old data files become orphans, cleanly listable") {
+    import spark.implicits._
+    val tbl = freshTable("rworphan", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((2L, "b2", 200L)).toDF("k", "name", "v"), Seq("k"))
+    LayoutMaintenance.rewriteDataFiles(spark, tbl.getPath, Seq("k"))
+    // all three commits still reference base/upsert/eqdel through history
+    val (kept, _) = LayoutMaintenance.expireSnapshots(spark, tbl.getPath, keepLast = 1)
+    assert(kept.size == 1)
+    // after expiry only the rewrite file is reachable; everything else
+    // under data/ is an orphan the GC would reclaim
+    val reachable = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(reachable.size == 1 && reachable.head.contains("rewrite-"))
+    val onDisk = new java.io.File(tbl, "data").listFiles().map(_.getAbsolutePath).toSet
+    val orphans = onDisk -- reachable
+    assert(orphans.exists(_.contains("base")) && orphans.exists(_.contains("upsert")) &&
+      orphans.exists(_.contains("eqdel")), s"expected orphans, got $orphans")
+    assert(state(tbl) == Seq((1L, "a", 10L), (2L, "b2", 200L)),
+      "the surviving snapshot must still read correctly after expiry")
+  }
+
   test("metadata tables: partitions rollup splits data from delete files") {
     val tbl = new java.io.File("target/tmp-commit-meta")
     org.apache.commons.io.FileUtils.deleteQuietly(tbl)
