@@ -131,24 +131,23 @@ object IcebergManifestSource {
   private def resolveManifestList(spark: SparkSession,
       tableDir: String, snapshotId: Option[Long] = None): Option[String] = {
     val md = readCurrentMetadata(spark, tableDir)
-    // schema-defensive: an empty `snapshots: []` infers as array<string>,
-    // and a snapshot-less table may omit current-snapshot-id entirely
-    val fields = md.schema.fieldNames.toSet
+    // defensive: an empty `snapshots: []`, a snapshot-less table
+    // omitting current-snapshot-id entirely, or -1 sentinel
     val curId: Option[Long] = snapshotId.orElse {
-      if (!fields.contains("current-snapshot-id")) None
-      else Option(md.select(col("`current-snapshot-id`")).head())
-        .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
+      Option(md.get("current-snapshot-id"))
+        .filter(_.canConvertToLong).map(_.asLong()).filter(_ != -1L)
     }
     curId.flatMap { id =>
-      md.schema("snapshots").dataType match {
-        case ArrayType(st: StructType, _)
-            if st.fieldNames.contains("snapshot-id")
-              && st.fieldNames.contains("manifest-list") =>
-          md.select(explode(col("snapshots")).as("s"))
-            .filter(col("s.`snapshot-id`") === id)
-            .select(col("s.`manifest-list`"))
-            .collect().headOption.map(_.getString(0))
-        case _ => None
+      Option(md.get("snapshots")).filter(_.isArray).flatMap { arr =>
+        var found: Option[String] = None
+        arr.forEach { n =>
+          val sid = n.get("snapshot-id")
+          val list = n.get("manifest-list")
+          if (found.isEmpty && sid != null && sid.canConvertToLong
+              && sid.asLong() == id && list != null && list.isTextual)
+            found = Some(list.asText())
+        }
+        found
       }
     }
   }
@@ -157,15 +156,11 @@ object IcebergManifestSource {
     * (Iceberg's named-reference surface — `spark.read ... AS OF 'name'`).
     * None when the table has no refs or the name is absent. */
   def refSnapshotId(spark: SparkSession, tableDir: String,
-      ref: String): Option[Long] = {
-    val md = readCurrentMetadata(spark, tableDir)
-    md.schema.find(_.name == "refs").map(_.dataType) match {
-      case Some(st: StructType) if st.fieldNames.contains(ref) =>
-        Option(md.select(col(s"refs.`$ref`.`snapshot-id`")).head())
-          .filterNot(_.isNullAt(0)).map(_.getLong(0))
-      case _ => None
-    }
-  }
+      ref: String): Option[Long] =
+    Option(readCurrentMetadata(spark, tableDir).get("refs"))
+      .flatMap(rs => Option(rs.get(ref)))
+      .flatMap(r => Option(r.get("snapshot-id")))
+      .filter(_.canConvertToLong).map(_.asLong())
 
   /** The table's DEFAULT partition spec as (field-name, transform,
     * source-id) rows, from the metadata `partition-specs` array (spec
@@ -405,10 +400,19 @@ object IcebergManifestSource {
     } else byListing
   }
 
-  /** Parse the current metadata JSON. */
-  private def readCurrentMetadata(spark: SparkSession, tableDir: String) =
-    spark.read.option("multiLine", "true")
-      .json(currentMetadataPath(spark, tableDir).toString)
+  /** Parse the current metadata JSON — DRIVER-SIDE Jackson over the one
+    * KB-sized document, exactly how a real Iceberg client reads it (a
+    * `spark.read.json` here costs a schema-inference job plus a collect
+    * job per call, and the commit path reads metadata several times per
+    * commit). */
+  private def readCurrentMetadata(spark: SparkSession,
+      tableDir: String): com.fasterxml.jackson.databind.JsonNode = {
+    val p = currentMetadataPath(spark, tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+  }
 
   /** Entries of every manifest in `manifestListPath`'s list, plus the
     * manifest count — the exact pair the reference feeds

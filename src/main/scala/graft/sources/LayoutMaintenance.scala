@@ -38,9 +38,14 @@ object LayoutMaintenance {
     new java.io.File(
       IcebergManifestSource.currentMetadataPath(spark, tableDir).toUri.getPath)
 
-  private def readMetadata(spark: SparkSession, tableDir: String) =
-    spark.read.option("multiLine", "true")
-      .json(currentMetadataFile(spark, tableDir).getPath)
+  /** Parse the current metadata JSON — DRIVER-SIDE Jackson over the one
+    * KB-sized document (the `spark.read.json` it replaces cost a
+    * schema-inference job + a collect job per call, several times per
+    * commit on the write path). */
+  private def readMetadata(spark: SparkSession,
+      tableDir: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(currentMetadataFile(spark, tableDir))
 
   /** Snapshot ids listed in the current metadata JSON, history order. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
@@ -51,50 +56,39 @@ object LayoutMaintenance {
   /** Snapshots in METADATA ARRAY ORDER — the commit history order, NOT
     * sorted by id (ids may be random longs on real tables). */
   private def snapshots(spark: SparkSession, tableDir: String): Seq[Snap] = {
-    val md = readMetadata(spark, tableDir)
-    md.schema.find(_.name == "snapshots").map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.ArrayType(
-          st: org.apache.spark.sql.types.StructType, _))
-          if st.fieldNames.contains("snapshot-id") =>
-        md.select(posexplode(col("snapshots")).as(Seq("p", "s")))
-          .select(col("p"), col("s.`snapshot-id`"), col("s.`manifest-list`"))
-          .collect().sortBy(_.getInt(0))
-          .map(r => Snap(r.getLong(1), r.getString(2))).toSeq
-      case _ => Nil
+    val arr = readMetadata(spark, tableDir).get("snapshots")
+    if (arr == null || !arr.isArray) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Snap]
+      arr.forEach { n =>
+        val sid = n.get("snapshot-id"); val list = n.get("manifest-list")
+        if (sid != null && sid.canConvertToLong && list != null && list.isTextual)
+          out += Snap(sid.asLong(), list.asText())
+      }
+      out.toSeq
     }
   }
 
-  private def currentSnapshotId(spark: SparkSession, tableDir: String): Option[Long] = {
-    val md = readMetadata(spark, tableDir)
-    if (!md.schema.fieldNames.contains("current-snapshot-id")) None
-    else Option(md.select(col("`current-snapshot-id`")).head())
-      .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ != -1L)
-  }
+  private def currentSnapshotId(spark: SparkSession, tableDir: String): Option[Long] =
+    Option(readMetadata(spark, tableDir).get("current-snapshot-id"))
+      .filter(_.canConvertToLong).map(_.asLong()).filter(_ != -1L)
 
-  /** Named refs from the current metadata (name, snapshotId, type) —
-    * ONE job: the whole refs struct comes back in a single head() and is
-    * walked driver-side (a per-ref select would cost one Spark job per
-    * branch/tag). */
+  /** Named refs from the current metadata (name, snapshotId, type),
+    * sorted by name — driver-side walk of the one refs object. */
   private def refs(spark: SparkSession, tableDir: String): Seq[(String, Long, String)] = {
-    val md = readMetadata(spark, tableDir)
-    md.schema.find(_.name == "refs").map(_.dataType) match {
-      case Some(st: org.apache.spark.sql.types.StructType) =>
-        val top = md.select(col("refs")).head()
-        val rs = if (top.isNullAt(0)) null else top.getStruct(0)
-        if (rs == null) Nil
-        else st.fieldNames.toSeq.sorted.flatMap { name =>
-          val idx = st.fieldIndex(name)
-          val fst = st(idx).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-          val fld = if (rs.isNullAt(idx)) null else rs.getStruct(idx)
-          val sid = fst.fieldNames.indexOf("snapshot-id")
-          if (fld == null || sid < 0 || fld.isNullAt(sid)) None
-          else {
-            val tid = fst.fieldNames.indexOf("type")
-            val kind = if (tid >= 0 && !fld.isNullAt(tid)) fld.getString(tid) else "branch"
-            Some((name, fld.getLong(sid), kind))
-          }
+    val rs = readMetadata(spark, tableDir).get("refs")
+    if (rs == null || !rs.isObject) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      rs.fields().forEachRemaining { e =>
+        val sid = e.getValue.get("snapshot-id")
+        if (sid != null && sid.canConvertToLong) {
+          val t = e.getValue.get("type")
+          val kind = if (t != null && t.isTextual) t.asText() else "branch"
+          out += ((e.getKey, sid.asLong(), kind))
         }
-      case _ => Nil
+      }
+      out.sortBy(_._1).toSeq
     }
   }
 
