@@ -442,6 +442,83 @@ object Queries12 {
       }.orderBy(col("ordinal"))
     },
 
+    // ---- CDC MERGE commit: ONE commit applies a mixed change batch —
+    // upserts AND deletes (op column, the compacted-CDC shape q76's
+    // latestWins emits) — as one data file + one equality-delete file
+    // (LayoutMaintenance.commitMerge). Tombstones cover every change
+    // key; only upsert rows are re-added; strict-< visibility does the
+    // rest. This is the batch sink a streaming CDC pipeline commits at
+    // each trigger: cost is O(change batch) regardless of table size.
+    // Read-back per-nation rollup hash-gated against textbook
+    // UPDATE∘INSERT∘DELETE arithmetic.
+    "q195_cdc_merge_commit" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      val base = t(dir, "customer").filter(col("c_custkey") % 4 =!= 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal")).cast("long").as("bal"))
+      val changes = t(dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg((sum(floor(col("o_totalprice")).cast("long")) / lit(100L))
+          .cast("long").as("bal"))
+        .join(t(dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal"),
+          when(col("c_custkey") % 5 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      val tbl = TmpFixture.dir("q195", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val bf = new java.io.File(dataDir, "base.parquet")
+      val nBase = IcebergLayoutWriter.writeSingleParquet(
+        base.sort(col("c_custkey")), bf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = bf.getAbsolutePath, recordCount = nBase,
+          sizeBytes = bf.length(), sequenceNumber = 1L)))
+      val (snap, nUp, nDel) = LayoutMaintenance.commitMerge(
+        s, tbl.getPath, changes, Seq("c_custkey"), "op")
+      require(snap == 2L && nUp > 0 && nDel > 0,
+        s"merge commit broke: $snap up=$nUp del=$nDel")
+      MorRead.readTable(s, tbl.getPath, Seq("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("bal")).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // ---- INTERSECT (the set-op family's third leg next to q12 UNION /
+    // q13 EXCEPT): customers who ordered in BOTH calendar half-years —
+    // distinct-intersect compiles to one shuffle-keyed join of two
+    // pre-distinct sides, then a broadcast nation rollup.
+    "q196_intersect" -> { (s, dir) => implicit val sp = s
+      def buyers(h: Int) = t(dir, "orders")
+        .filter(if (h == 1) month(col("o_orderdate")) <= 6
+                else month(col("o_orderdate")) > 6)
+        .select(col("o_custkey")).distinct()
+      buyers(1).intersect(buyers(2))
+        .join(broadcast(t(dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_repeat_buyers"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // ---- UNPIVOT (melt): the wide→long reshape every feature table
+    // needs before a metric-keyed join — `stack` is Spark's native
+    // codegen'd unpivot (one projection, rows×3 out, no shuffle beyond
+    // the source agg); the DuckDB oracle uses the portable UNION ALL
+    // dual. Values share one BIGINT domain, the metric name is the key.
+    "q197_unpivot" -> { (s, dir) => implicit val sp = s
+      t(dir, "orders")
+        .groupBy(col("o_custkey") % 100 as "ckey_band")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice")).cast("long")).as("sum_rev"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .selectExpr("ckey_band",
+          "stack(3, 'n_orders', n_orders, 'n_custs', n_custs, 'sum_rev', sum_rev) AS (metric, value)")
+        .orderBy(col("ckey_band"), col("metric"))
+    },
+
     // ---- tokenizer fertility by language (the tokenization-cost audit
     // every multilingual pretraining mix needs): whitespace words vs
     // BPE-ish letter-run pre-tokens (q33's cross-engine regex classes),
@@ -671,6 +748,50 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q195_cdc_merge_commit" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal
+        |  FROM customer WHERE c_custkey % 4 <> 0),
+        |chg AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(sum(CAST(FLOOR(o_totalprice) AS BIGINT)) // 100 AS BIGINT) AS bal,
+        |         CASE WHEN o_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |  GROUP BY 1, 3),
+        |chgn AS (
+        |  SELECT g.c_custkey, c.c_nationkey, g.bal, g.op
+        |  FROM chg g JOIN customer c ON g.c_custkey = c.c_custkey),
+        |merged AS (
+        |  SELECT c_custkey, c_nationkey, bal FROM chgn WHERE op <> 'D'
+        |  UNION ALL
+        |  SELECT * FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM chgn g WHERE g.c_custkey = b.c_custkey))
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q196_intersect" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE month(CAST(o_orderdate AS DATE)) <= 6),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE month(CAST(o_orderdate AS DATE)) > 6),
+        |i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_repeat_buyers
+        |FROM i JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q197_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_custkey % 100 AS ckey_band,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_rev,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |  FROM orders GROUP BY 1)
+        |SELECT ckey_band, 'n_orders' AS metric, n_orders AS value FROM w
+        |UNION ALL SELECT ckey_band, 'n_custs', n_custs FROM w
+        |UNION ALL SELECT ckey_band, 'sum_rev', sum_rev FROM w
+        |ORDER BY ckey_band, metric""".stripMargin,
 
     "q193_delete_where" ->
       """WITH base AS (

@@ -597,6 +597,49 @@ object LayoutMaintenance {
     (newId, n)
   }
 
+  /** CDC MERGE commit — one commit applying a mixed change set (the
+    * batch twin of a streaming CDC sink): every change key gets an
+    * equality tombstone (killing its prior version, strict-<), and only
+    * non-delete rows land in the new data file. `opCol` marks deletes
+    * with value "D"; all other rows are upserts. ONE data file + ONE
+    * delete file regardless of the mix — the commit costs O(change
+    * set). Assumes one change row per key (a compacted CDC batch —
+    * [[graft.operators.CdcOps.latestWins]] produces exactly that).
+    * Returns (newSnapshotId, nUpserts, nDeletes = keys − upserts). */
+  def commitMerge(spark: SparkSession, tableDir: String,
+      changes: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      opCol: String): (Long, Long, Long) = {
+    require(keyCols.nonEmpty, "commitMerge needs at least one key column")
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val up = new java.io.File(dataDir, s"merge-$newId.parquet")
+    val ed = new java.io.File(dataDir, s"eqdel-$newId.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      changes.filter(col(opCol) =!= "D").drop(opCol)
+        .sort(keyCols.map(col): _*), up)
+    val nk = IcebergLayoutWriter.writeSingleParquet(
+      changes.select(keyCols.map(col): _*).distinct()
+        .sort(keyCols.map(col): _*), ed)
+    val added = Seq(
+      IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+        filePath = up.getAbsolutePath, recordCount = n,
+        sizeBytes = up.length(), sequenceNumber = newId),
+      IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
+        filePath = ed.getAbsolutePath, recordCount = nk,
+        sizeBytes = ed.length(), sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    (newId, n, nk - n)
+  }
+
   /** DELETE commit: an equality-delete file on `keyCols` with NO
     * replacement rows — together with [[commitUpsert]] this closes CRUD
     * over the layout. Same sequence discipline (tombstones land strictly

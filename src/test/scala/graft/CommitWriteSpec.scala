@@ -101,6 +101,17 @@ class CommitWriteSpec extends AnyFunSuite {
     assert(mor3.columns.toSeq == Seq("k", "name", "v"))
   }
 
+  test("commitMerge: one commit applies mixed upserts and deletes") {
+    import spark.implicits._
+    val tbl = freshTable("merge", Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val (snap, nUp, nDel) = LayoutMaintenance.commitMerge(spark, tbl.getPath,
+      Seq((2L, "b2", 200L, "U"), (3L, "c", 0L, "D"), (9L, "i", 900L, "U"))
+        .toDF("k", "name", "v", "op"), Seq("k"), "op")
+    assert(snap == 2L && nUp == 2L && nDel == 1L)
+    assert(state(tbl) == Seq((1L, "a", 10L), (2L, "b2", 200L), (9L, "i", 900L)))
+  }
+
   test("commitDeleteWhere: predicate rows die via position tombstones, files survive") {
     import spark.implicits._
     val tbl = freshTable("posdel", Seq(
