@@ -535,13 +535,19 @@ object LayoutMaintenance {
       currentAfter: Long,
       refsAfter: Seq[(String, Long, String)]): Long = {
     val m = metaDir(tableDir)
-    val (data, deletes) = entries.partition(_.content == 0)
-    val manifests = Seq(0 -> data, 1 -> deletes).filter(_._2.nonEmpty)
-      .map { case (c, es) =>
-        val f = new java.io.File(m, s"manifest-$newId-$c.avro")
-        IcebergLayoutWriter.writeManifest(f, es)
-        (f, c)
-      }
+    // a manifest is homogeneous in partition SHAPE (the writer derives
+    // the Avro partition record from its first entry) — a commit whose
+    // new unpartitioned file lands next to carried partitioned entries
+    // must split manifests by shape, like an engine writing under a
+    // different spec-id
+    val groups = entries
+      .groupBy(e => (if (e.content == 0) 0 else 1, e.partition.map(_._1)))
+      .toSeq.sortBy { case ((c, names), _) => (c, names.mkString(",")) }
+    val manifests = groups.zipWithIndex.map { case (((c, _), es), i) =>
+      val f = new java.io.File(m, s"manifest-$newId-$c-g$i.avro")
+      IcebergLayoutWriter.writeManifest(f, es)
+      (f, c)
+    }
     val newList = new java.io.File(m, s"snap-$newId-manifest-list.avro")
     IcebergLayoutWriter.writeManifestList(newList, manifests, newId)
     writeMetadataVersion(spark, tableDir,

@@ -101,6 +101,33 @@ class CommitWriteSpec extends AnyFunSuite {
     assert(mor3.columns.toSeq == Seq("k", "name", "v"))
   }
 
+  test("commitUpsert on a PARTITIONED table: carried partitions survive, shapes split") {
+    import spark.implicits._
+    val tbl = new java.io.File("target/tmp-commit-part")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    val entries = Seq(1, 2).map { mth =>
+      val f = new java.io.File(dataDir, s"m$mth.parquet")
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        Seq((mth * 10L, s"r$mth", mth * 100L)).toDF("k", "name", "v"), f)
+      ManifestEntrySpec(status = 1, content = 0, filePath = f.getAbsolutePath,
+        partition = Seq("m" -> mth), recordCount = n, sizeBytes = f.length(),
+        sequenceNumber = 1L)
+    }
+    IcebergLayoutWriter.writeTable(tbl, entries,
+      partitionSpec = Seq(("m", "identity", 1)))
+    val (snap, n) = LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((10L, "r1b", 111L)).toDF("k", "name", "v"), Seq("k"))
+    assert(snap == 2L && n == 1L)
+    assert(state(tbl) == Seq((10L, "r1b", 111L), (20L, "r2", 200L)))
+    // the carried files keep their partition keys; the new file is shape-split
+    val pks = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 0)
+      .select("partitionKey").collect().map(_.getString(0)).sorted.toSeq
+    assert(pks.count(_.contains("\"m\"")) == 2, s"partition keys lost: $pks")
+  }
+
   test("commitMerge: one commit applies mixed upserts and deletes") {
     import spark.implicits._
     val tbl = freshTable("merge", Seq(
