@@ -442,6 +442,79 @@ object Queries12 {
       }.orderBy(col("ordinal"))
     },
 
+    // ---- PERSISTED Bloom runtime filter: q153's oracle-gated bloom
+    // arithmetic (63-bit words, two portable-hash probes) written into
+    // a real Puffin statistics container (the spec's
+    // apache-datasketches-blob framing dialect, [[PuffinIO]]),
+    // registered in table metadata, then READ BACK OFF DISK and applied
+    // as the semi-join filter — the index shape real engines ship
+    // (Iceberg puffin blobs / Delta bloom indexes): sketch once at
+    // write, filter every subsequent scan from KBs of stats. The
+    // require proves the disk round trip preserved the words bit-exactly;
+    // the filter's pass/fp counts are hash-gated against DuckDB
+    // recomputing the same bloom from raw data — so what's verified is
+    // the FILE's content, not just the arithmetic.
+    "q198_puffin_bloom_filter" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource,
+        LayoutMaintenance, PuffinIO}
+      val build = t(dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"
+          && year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey").as("k")).distinct()
+      val words = build
+        .select(TextOps.portableHash28(concat(lit("pbf:"), col("k").cast("string"))).as("h"))
+        .select(explode(array(expr("h % 4096"), expr("(h div 4096) % 4096"))).as("p"))
+        .groupBy(expr("p div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(p % 63 AS INT)))").as("bits"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val tbl = TmpFixture.dir("q198", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = "data/facts.parquet", recordCount = 1L,
+          sizeBytes = 1L << 20)))
+      val pf = new java.io.File(new java.io.File(tbl, "metadata"), "bloom-1.puffin")
+      PuffinIO.write(pf, Seq(PuffinIO.Blob("graft-bloom-v1", Seq(1), 1L, 1L,
+        Map("hash" -> "portable-md5-28", "words" -> "63-bit"),
+        PuffinIO.sketchBytes(words.flatMap { case (w, b) => Seq(w, b) }.toSeq))))
+      LayoutMaintenance.attachStatistics(s, tbl.getPath, 1L, pf,
+        Seq(("graft-bloom-v1", Seq(1), Map("column" -> "o_orderkey"))))
+      val reg = IcebergManifestSource.statisticsFiles(s, tbl.getPath)
+      val blob = PuffinIO.read(new java.io.File(reg.head._2))
+        .find(_.blobType == "graft-bloom-v1")
+        .getOrElse(sys.error("bloom blob missing from container"))
+      val fromDisk = PuffinIO.sketchLongs(blob.data).grouped(2)
+        .map { case Seq(w, b) => (w, b) }.toSeq
+      require(fromDisk == words.toSeq, "bloom round trip diverged")
+      import s.implicits._
+      val bloom = fromDisk.toDF("w", "bits")
+      val probes = t(dir, "lineitem")
+        .select(col("l_orderkey").as("pk"))
+        .withColumn("h",
+          TextOps.portableHash28(concat(lit("pbf:"), col("pk").cast("string"))))
+        .withColumn("p1", expr("h % 4096"))
+        .withColumn("p2", expr("(h div 4096) % 4096"))
+      probes
+        .join(broadcast(bloom.select(col("w").as("w1"), col("bits").as("bits1"))),
+          expr("p1 div 63") === col("w1"), "left")
+        .join(broadcast(bloom.select(col("w").as("w2"), col("bits").as("bits2"))),
+          expr("p2 div 63") === col("w2"), "left")
+        .withColumn("pass",
+          coalesce(expr("(shiftright(bits1, CAST(p1 % 63 AS INT)) & 1) = 1"), lit(false))
+            && coalesce(expr("(shiftright(bits2, CAST(p2 % 63 AS INT)) & 1) = 1"), lit(false)))
+        .join(broadcast(build.withColumn("ex", lit(1))), col("pk") === col("k"), "left")
+        .agg(
+          count(lit(1)).as("n_probes"),
+          count(col("ex")).as("n_exact"),
+          expr("CAST(count(CASE WHEN pass THEN 1 END) AS BIGINT)").as("n_pass"),
+          expr("CAST(count(CASE WHEN pass AND ex IS NULL THEN 1 END) AS BIGINT)").as("n_false_pos"),
+          expr("CAST(count(CASE WHEN NOT pass AND ex IS NOT NULL THEN 1 END) AS BIGINT)").as("n_false_neg"))
+        .select(col("n_probes"), col("n_exact"), col("n_pass"),
+          col("n_false_pos"), col("n_false_neg"),
+          expr("CASE WHEN n_probes = n_exact THEN NULL " +
+            "ELSE (n_false_pos * 10000) div (n_probes - n_exact) END").as("fp_bp"))
+    },
+
     // ---- CDC MERGE commit: ONE commit applies a mixed change batch —
     // upserts AND deletes (op column, the compacted-CDC shape q76's
     // latestWins emits) — as one data file + one equality-delete file
@@ -748,6 +821,42 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q198_puffin_bloom_filter" ->
+      """WITH build AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996),
+        |bh AS (
+        |  SELECT CAST('0x' || substring(md5('pbf:' || CAST(k AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM build),
+        |bp AS (
+        |  SELECT h % 4096 AS p FROM bh
+        |  UNION ALL SELECT (h // 4096) % 4096 FROM bh),
+        |bloom AS (
+        |  SELECT p // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+        |  FROM bp GROUP BY p // 63),
+        |probes AS (
+        |  SELECT l_orderkey AS pk,
+        |    CAST('0x' || substring(md5('pbf:' || CAST(l_orderkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM lineitem),
+        |t AS (SELECT pk, h % 4096 AS p1, (h // 4096) % 4096 AS p2 FROM probes),
+        |tested AS (
+        |  SELECT pk,
+        |    COALESCE((b1.bits >> CAST(p1 % 63 AS INT)) & 1 = 1, false)
+        |      AND COALESCE((b2.bits >> CAST(p2 % 63 AS INT)) & 1 = 1, false) AS pass,
+        |    pk IN (SELECT k FROM build) AS ex
+        |  FROM t
+        |  LEFT JOIN bloom b1 ON p1 // 63 = b1.w
+        |  LEFT JOIN bloom b2 ON p2 // 63 = b2.w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(count(CASE WHEN ex THEN 1 END) AS BIGINT) AS n_exact,
+        |  CAST(count(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass,
+        |  CAST(count(CASE WHEN pass AND NOT ex THEN 1 END) AS BIGINT) AS n_false_pos,
+        |  CAST(count(CASE WHEN NOT pass AND ex THEN 1 END) AS BIGINT) AS n_false_neg,
+        |  CASE WHEN count(*) = count(CASE WHEN ex THEN 1 END) THEN NULL
+        |    ELSE (count(CASE WHEN pass AND NOT ex THEN 1 END) * 10000)
+        |      // (count(*) - count(CASE WHEN ex THEN 1 END)) END AS fp_bp
+        |FROM tested""".stripMargin,
 
     "q195_cdc_merge_commit" ->
       """WITH base AS (
