@@ -61,7 +61,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -130,6 +130,17 @@ object Cli {
             .commitDeleteWhere(spark, root, expr(predParts.mkString(" ")), eqKeys)
           println(s"committed snapshot $snap: $n rows deleted via position tombstones")
         }
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "footprint") {
+      // per-column storage audit from parquet footers (KBs read per file)
+      val spark = session()
+      try {
+        graft.sources.ParquetFooterAudit.auditRoot(spark, root, glob)
+          .orderBy(col("table"), col("compressed_bytes").desc)
+          .show(500, truncate = false)
       } finally spark.stop()
       return
     }

@@ -442,6 +442,57 @@ object Queries12 {
       }.orderBy(col("ordinal"))
     },
 
+    // ---- metadata-driven FILE SAMPLING for approximate row-level
+    // stats (profile 100 TB by reading 1/k of it): a 16-file layout's
+    // manifest picks every 4th file DETERMINISTICALLY (fid % 4 == 0, a
+    // metadata-only decision), only those four parquet files are
+    // actually read (spark.read over the sampled paths — the I/O prune
+    // IS the operator), and the sampled average is compared to the
+    // exact one. Everything integer (price cents via floor), the
+    // sampled/exact gap in basis points is part of the hash-gated
+    // output — the estimator's quality is oracle-visible, not claimed.
+    "q199_file_sampling" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource}
+      val base = t(dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice")).cast("long").as("price"),
+          (col("o_orderkey") % 16).cast("int").as("fid"))
+      val tbl = TmpFixture.dir("q199", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val entries = (0 until 16).map { f =>
+        val df = new java.io.File(dataDir, s"f$f.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          base.filter(col("fid") === f).drop("fid").sort(col("k")), df)
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = df.getAbsolutePath, partition = Seq("fid" -> f),
+          recordCount = n, sizeBytes = df.length(), sequenceNumber = 1L)
+      }
+      IcebergLayoutWriter.writeTable(tbl, entries)
+      val meta = IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .select(col("file_path"),
+          get_json_object(col("partitionKey"), "$.fid").cast("int").as("fid"),
+          col("record_count"))
+        .collect()
+      val rowsTotalMeta = meta.map(_.getLong(2)).sum // metadata-only exact count
+      val sampledPaths = meta.filter(_.getInt(1) % 4 == 0).map(_.getString(0))
+      require(sampledPaths.length == 4, s"sampling broke: ${sampledPaths.length}")
+      val sampled = s.read.parquet(sampledPaths.toIndexedSeq: _*)
+        .agg(count(lit(1)).as("rows_sampled"), sum(col("price")).as("sum_sampled"))
+      val exact = base
+        .agg(count(lit(1)).as("rows_exact"), sum(col("price")).as("sum_exact"))
+      sampled.crossJoin(exact)
+        .select(
+          lit(16L).as("n_files"), lit(4L).as("n_sampled"),
+          lit(rowsTotalMeta).as("rows_total_meta"),
+          col("rows_sampled"),
+          expr("(sum_sampled * 100) div rows_sampled").as("avg_c_sampled"),
+          expr("(sum_exact * 100) div rows_exact").as("avg_c_exact"))
+        .withColumn("err_bp",
+          expr("abs(avg_c_sampled - avg_c_exact) * 10000 div avg_c_exact"))
+    },
+
     // ---- PERSISTED Bloom runtime filter: q153's oracle-gated bloom
     // arithmetic (63-bit words, two portable-hash probes) written into
     // a real Puffin statistics container (the spec's
@@ -821,6 +872,27 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q199_file_sampling" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(o_orderkey % 16 AS INT) AS fid
+        |  FROM orders),
+        |smp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rows_sampled,
+        |         CAST(sum(price) AS BIGINT) AS sum_sampled
+        |  FROM o WHERE fid % 4 = 0),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rows_exact,
+        |         CAST(sum(price) AS BIGINT) AS sum_exact
+        |  FROM o)
+        |SELECT CAST(16 AS BIGINT) AS n_files, CAST(4 AS BIGINT) AS n_sampled,
+        |  rows_exact AS rows_total_meta, rows_sampled,
+        |  (sum_sampled * 100) // rows_sampled AS avg_c_sampled,
+        |  (sum_exact * 100) // rows_exact AS avg_c_exact,
+        |  abs((sum_sampled * 100) // rows_sampled - (sum_exact * 100) // rows_exact)
+        |    * 10000 // ((sum_exact * 100) // rows_exact) AS err_bp
+        |FROM smp CROSS JOIN ex""".stripMargin,
 
     "q198_puffin_bloom_filter" ->
       """WITH build AS (
