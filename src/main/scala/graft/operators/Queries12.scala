@@ -35,9 +35,23 @@ object Queries12 {
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     Rel.t(dir, name)
 
-  /** 26 letters + space: the char-entropy alphabet (q187). Everything
-    * outside it is ignored on BOTH engines, so the gate is total. */
+  /** 26 letters + space: the char-entropy alphabet (q187/q200).
+    * Everything outside it is ignored on BOTH engines, so the gate is
+    * total. */
   private val Alphabet: Seq[Char] = ('a' to 'z') :+ ' '
+
+  /** (n, h_mnats) columns of the q187 entropy score over `text` — ONE
+    * definition feeds q187 and the q200 release gate. */
+  private def entropyCols: (Column, Column) = {
+    val counts: Seq[Column] = Alphabet.map(c =>
+      (length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(c.toString), ""))).cast("long"))
+    val nTotal = counts.reduce(_ + _)
+    val s1 = counts.map(n =>
+      when(n > 0L, n * floor(log(n.cast("double")) * lit(1e6)).cast("long"))
+        .otherwise(lit(0L))).reduce(_ + _)
+    (nTotal, s1)
+  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -264,13 +278,7 @@ object Queries12 {
     // degenerate text) gate out; the threshold comparison is pure
     // integer.
     "q187_char_entropy" -> { (s, dir) => implicit val sp = s
-      val counts: Seq[Column] = Alphabet.map(c =>
-        (length(col("text")) - length(regexp_replace(col("text"),
-          java.util.regex.Pattern.quote(c.toString), ""))).cast("long"))
-      val nTotal = counts.reduce(_ + _)
-      val s1 = counts.map(n =>
-        when(n > 0L, n * floor(log(n.cast("double")) * lit(1e6)).cast("long"))
-          .otherwise(lit(0L))).reduce(_ + _)
+      val (nTotal, s1) = entropyCols
       t(dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"), nTotal.as("n"), s1.as("s1"))
         .filter(col("n") > 0L)
@@ -440,6 +448,60 @@ object Queries12 {
       ids.sliding(2).zipWithIndex.foldLeft(first) {
         case (acc, (Seq(from, to), i)) => acc.unionAll(delta(i + 2, from, to))
       }.orderBy(col("ordinal"))
+    },
+
+    // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
+    // the q57/q80 curation discipline executed through the v2 write
+    // path instead of a one-shot DataFrame. Raw docs (with their q187
+    // entropy PRECOMPUTED as a column at ingest — score once, gate
+    // forever) land as snapshot 1; the LENGTH gate and the ENTROPY gate
+    // each run as a predicate DELETE (commitDeleteWhere → position
+    // tombstones, stacking); rewrite_data_files folds the survivors
+    // into the clean release file and drops every tombstone. The
+    // requires pin the 4-commit shape and the tombstone-free release;
+    // the per-language release profile is hash-gated against DuckDB
+    // re-deriving both gates from raw text. At 100 TB each gate costs
+    // one predicate scan + tombstones the size of the rejects, and the
+    // release rewrite is the only data movement.
+    "q200_corpus_release_table" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      val (nTotal, s1) = entropyCols
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          nTotal.as("n"), s1.as("s1"))
+        .filter(col("n") > 0L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (floor(log(col("n").cast("double")) * lit(1e6)).cast("long")
+            - expr("s1 div n")).as("h_mnats"))
+      val tbl = TmpFixture.dir("q200", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val bf = new java.io.File(dataDir, "raw.parquet")
+      val nRaw = IcebergLayoutWriter.writeSingleParquet(
+        docs.sort(col("doc_id")), bf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = bf.getAbsolutePath, recordCount = nRaw,
+          sizeBytes = bf.length(), sequenceNumber = 1L)))
+      val (s2, nLen) = LayoutMaintenance.commitDeleteWhere(
+        s, tbl.getPath, col("n_chars") < 150L)
+      val (s3, nEnt) = LayoutMaintenance.commitDeleteWhere(
+        s, tbl.getPath, col("h_mnats") < 2780000L)
+      val (s4, nRel, _, _) = LayoutMaintenance.rewriteDataFiles(
+        s, tbl.getPath, Nil, sortCols = Seq("doc_id"))
+      require(s2 == 2L && s3 == 3L && s4 == 4L && nLen > 0 && nEnt > 0
+        && nRel == nRaw - nLen - nEnt,
+        s"release arithmetic broke: gates $nLen/$nEnt, release $nRel of $nRaw")
+      val shape = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .groupBy(col("content")).count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      require(shape == Map(0 -> 1L), s"release still carries tombstones: $shape")
+      MorRead.readTable(s, tbl.getPath)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("h_mnats")).as("min_h_mnats"))
+        .orderBy(col("lang"))
     },
 
     // ---- metadata-driven FILE SAMPLING for approximate row-level
@@ -872,6 +934,27 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q200_corpus_release_table" -> {
+      def term(c: Char) = s"(length(text) - length(replace(text, '$c', '')))"
+      val n = Alphabet.map(term).mkString(" + ")
+      val s1 = Alphabet.map { c =>
+        val tm = term(c)
+        s"CASE WHEN $tm > 0 THEN CAST($tm AS BIGINT) * CAST(FLOOR(ln($tm) * 1e6) AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, CAST($n AS BIGINT) AS n, $s1 AS s1
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(FLOOR(ln(n) * 1e6) AS BIGINT) - s1 // n AS h_mnats
+         |  FROM d WHERE n > 0),
+         |rel AS (SELECT * FROM h WHERE n_chars >= 150 AND h_mnats >= 2780000)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(min(h_mnats) AS BIGINT) AS min_h_mnats
+         |FROM rel GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q199_file_sampling" ->
       """WITH o AS (
