@@ -521,14 +521,27 @@ object Queries12 {
           (col("o_orderkey") % 16).cast("int").as("fid"))
       val tbl = TmpFixture.dir("q199", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
-      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val dataDir = new java.io.File(tbl, "data")
+      // ONE partitioned write for all 16 files (16 single-file writes =
+      // 32 jobs; this is the write shape a real ingest uses anyway),
+      // record counts from the footers driver-side
+      base.repartition(16, col("fid")).sortWithinPartitions(col("fid"), col("k"))
+        .write.partitionBy("fid").mode("overwrite").parquet(dataDir.getPath)
       val entries = (0 until 16).map { f =>
-        val df = new java.io.File(dataDir, s"f$f.parquet")
-        val n = IcebergLayoutWriter.writeSingleParquet(
-          base.filter(col("fid") === f).drop("fid").sort(col("k")), df)
+        val part = new java.io.File(dataDir, s"fid=$f").listFiles()
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .toSeq match {
+            case Seq(one) => one
+            case many => sys.error(s"expected 1 file for fid=$f, got ${many.size}")
+          }
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
-          filePath = df.getAbsolutePath, partition = Seq("fid" -> f),
-          recordCount = n, sizeBytes = df.length(), sequenceNumber = 1L)
+          filePath = part.getAbsolutePath, partition = Seq("fid" -> f),
+          recordCount = n, sizeBytes = part.length(), sequenceNumber = 1L)
       }
       IcebergLayoutWriter.writeTable(tbl, entries)
       val meta = IcebergManifestSource
