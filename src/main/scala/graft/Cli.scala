@@ -42,6 +42,15 @@ import graft.functions.Pure
   *   graft.Cli manifest <tableDir>[@snap|@ref] — diagnose a real layout;
   *                                     @ pins a snapshot id or named ref
   *                                     (time travel)
+  *   graft.Cli meta <tableDir> <table> — metadata tables: partitions |
+  *                                     files | snapshots | refs | history
+  *   graft.Cli rewrite <tableDir> [keys] — EXECUTE rewrite_data_files:
+  *                                     MOR state rewritten fresh,
+  *                                     tombstones dropped
+  *   graft.Cli deletewhere <tableDir> [--keys=a,b] <pred...> — predicate
+  *                                     DELETE via position tombstones
+  *   graft.Cli footprint <dataRoot> [glob] — per-column storage audit
+  *                                     from parquet footers only
   *
   * A "table" here is each `<name>.parquet` file/dir under dataRoot (the
   * environment has no Iceberg catalog; with one, the source swaps for the

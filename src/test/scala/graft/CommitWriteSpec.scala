@@ -128,6 +128,23 @@ class CommitWriteSpec extends AnyFunSuite {
     assert(pks.count(_.contains("\"m\"")) == 2, s"partition keys lost: $pks")
   }
 
+  test("commitUpsert after position deletes: both tombstone kinds compose") {
+    import spark.implicits._
+    val tbl = freshTable("mixed", Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    LayoutMaintenance.commitDeleteWhere(spark, tbl.getPath,
+      org.apache.spark.sql.functions.col("k") === 2L)
+    LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((3L, "c2", 300L)).toDF("k", "name", "v"), Seq("k"))
+    // pos tombstone still kills k=2 (data_seq 1 <= del seq 2); eq
+    // tombstone at seq 3 kills the ORIGINAL k=3 but not its replacement
+    assert(state(tbl) == Seq((1L, "a", 10L), (3L, "c2", 300L)))
+    val contents = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .select("content").collect().map(_.getInt(0)).toSeq.sorted
+    assert(contents == Seq(0, 0, 1, 2), s"files: $contents")
+  }
+
   test("commitMerge: one commit applies mixed upserts and deletes") {
     import spark.implicits._
     val tbl = freshTable("merge", Seq(
