@@ -450,6 +450,66 @@ object Queries12 {
       }.orderBy(col("ordinal"))
     },
 
+    // ---- the connector leg: a genuine DataSourceV2
+    // (`format("graft-iceberg")`, [[graft.sources.v2.GraftIcebergSource]])
+    // reads the written layout — snapshot resolution through the
+    // manifest machinery, ONE input partition per data file,
+    // manifest-bound FILE SKIPPING in `planInputPartitions` (the require
+    // pins it: the filtered scan plans 3 of 8 files — pruning is a plan
+    // fact here, not a hope), parquet-level column pruning, residual
+    // row-level filters. The aggregate over the pruned scan is
+    // hash-gated against DuckDB computing the same bucket arithmetic
+    // from raw lineitem. This is how the engine plugs into ordinary
+    // `spark.read` at 100 TB: Catalyst sees a Scan whose planning cost
+    // is manifest-sized and whose skipped files cost zero I/O.
+    "q201_dsv2_scan" -> { (s, dir) => implicit val sp = s
+      import graft.sources.IcebergLayoutWriter
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val base = t(dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          floor(col("l_extendedprice")).cast("long").as("price"),
+          col("l_returnflag").as("flag"),
+          least(floor(col("l_extendedprice") / 12000).cast("int"), lit(7))
+            .as("b"))
+      val tbl = TmpFixture.dir("q201", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data")
+      base.repartition(8, col("b")).sortWithinPartitions(col("b"), col("okey"))
+        .write.partitionBy("b").mode("overwrite").parquet(dataDir.getPath)
+      val entries = (0 until 8).map { b =>
+        val part = new java.io.File(dataDir, s"b=$b").listFiles()
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .toSeq match {
+            case Seq(one) => one
+            case many => sys.error(s"expected 1 file for b=$b, got ${many.size}")
+          }
+        // bucket bounds are exact by construction: bucket b holds
+        // prices [12000b, 12000(b+1)) (top bucket open-ended)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = part.getAbsolutePath, recordCount = n,
+          sizeBytes = part.length(), sequenceNumber = 1L,
+          lower = Map(1 -> IcebergLayoutWriter.boundLong(12000L * b)),
+          upper = Map(1 -> IcebergLayoutWriter.boundLong(
+            if (b == 7) Long.MaxValue else 12000L * (b + 1) - 1)))
+      }
+      IcebergLayoutWriter.writeTable(tbl, entries)
+      val scan = s.read.format("graft-iceberg")
+        .option("pushdown.fields", "price:1:long")
+        .load(tbl.getPath)
+        .filter(col("price") >= 60000L && col("price") < 96000L)
+      val planned = scan.rdd.getNumPartitions
+      require(planned == 3, s"file skipping broke: planned $planned of 8 files")
+      scan.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("sum_price"),
+          min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+        .orderBy(col("flag"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -947,6 +1007,18 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q201_dsv2_scan" ->
+      """WITH l AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS price
+        |  FROM lineitem)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(price) AS BIGINT) AS min_price,
+        |  CAST(max(price) AS BIGINT) AS max_price
+        |FROM l WHERE price >= 60000 AND price < 96000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
 
     "q200_corpus_release_table" -> {
       def term(c: Char) = s"(length(text) - length(replace(text, '$c', '')))"

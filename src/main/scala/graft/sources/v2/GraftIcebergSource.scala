@@ -1,0 +1,283 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A real DataSourceV2 over the on-disk v2 layout:
+  * `spark.read.format("graft-iceberg").load(tableDir)` resolves the
+  * current (or `snapshot-id`-pinned) snapshot through
+  * [[graft.sources.IcebergManifestSource]], plans ONE input partition
+  * per surviving DATA file, and reads the parquet rows itself (flat
+  * primitive schemas — the layout writer's dialect).
+  *
+  * The Spark-first part is what the connector hands Catalyst:
+  *
+  *   - **file skipping from manifest bounds**: pushed filters
+  *     (`=[<,<=,>,>=]` on columns declared via
+  *     `option("pushdown.fields", "name:fieldId:long|double|string,…")`)
+  *     prune whole files against the manifests' decoded lower/upper
+  *     bounds BEFORE any parquet footer is opened — `planInputPartitions`
+  *     returns only overlapping files, so `df.rdd.getNumPartitions` IS
+  *     the post-pruning file count (GraftSourceSpec asserts it);
+  *   - **column pruning to the page level**: the required schema is
+  *     re-expressed as a parquet projection (`parquet.read.schema`), so
+  *     unselected columns' pages are never decoded;
+  *   - filters are also re-applied row-level (bounds are file-coarse —
+  *     the connector reports them as pushed-but-residual, Iceberg's own
+  *     contract).
+  *
+  * Deliberately out of scope: delete-file application (compose
+  * [[graft.sources.MorRead]] on top for MOR tables) and nested schemas.
+  * At 100 TB the shape is right: planning cost is manifest-sized,
+  * skipped files cost zero I/O, and each file is an independent task.
+  */
+class GraftIcebergSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-iceberg"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftIcebergSource.tableOf(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GraftIcebergSource.tableOf(
+      new CaseInsensitiveStringMap(properties))
+}
+
+object GraftIcebergSource {
+
+  private[v2] case class StatField(name: String, fieldId: Int, dt: DataType)
+
+  private[v2] def tableOf(options: CaseInsensitiveStringMap): GraftTable = {
+    val dir = Option(options.get("path"))
+      .getOrElse(sys.error("graft-iceberg: missing path"))
+    val snapshot = Option(options.get("snapshot-id")).map(_.toLong)
+    val fields = Option(options.get("pushdown.fields")).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty).map { s =>
+        s.split(':') match {
+          case Array(n, id, t) => StatField(n, id.toInt, t match {
+            case "long" => LongType
+            case "double" => DoubleType
+            case "string" => StringType
+            case other => sys.error(s"graft-iceberg: unsupported stats type $other")
+          })
+          case _ => sys.error(s"graft-iceberg: bad pushdown.fields entry '$s'")
+        }
+      }
+    new GraftTable(dir, snapshot, fields)
+  }
+
+  /** Flat parquet schema of the first data file → StructType. */
+  private[v2] def inferFrom(path: String): StructType = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), new Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    StructType(msg.getFields.asScala.toSeq.map { f =>
+      require(f.isPrimitive, s"graft-iceberg reads flat schemas; $f is nested")
+      val p = f.asPrimitiveType()
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val dt = p.getPrimitiveTypeName match {
+        case INT64 => LongType
+        case INT32 => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT => FloatType
+        case BOOLEAN => BooleanType
+        case BINARY => StringType
+        case other => sys.error(s"graft-iceberg: unsupported parquet type $other")
+      }
+      StructField(f.getName, dt, nullable = true)
+    })
+  }
+}
+
+private[v2] class GraftTable(dir: String, snapshot: Option[Long],
+    statFields: Seq[GraftIcebergSource.StatField])
+    extends Table with SupportsRead {
+  import graft.sources.IcebergManifestSource
+
+  /** (path, lo/hi per stat field) for every data file in the snapshot —
+    * metadata-sized, resolved once per scan. */
+  private[v2] lazy val dataFiles: Seq[(String, Map[String, (Any, Any)])] = {
+    val spark = SparkSession.active
+    val fields = statFields.map(f => (f.fieldId, f.name, f.dt))
+    IcebergManifestSource.statsFromTableDir(spark, dir, "t", fields, snapshot)
+      .collect().toSeq
+      .filter(_.getAs[Int]("content") == 0)
+      .map { r =>
+        val bounds = statFields.map { f =>
+          f.name -> ((r.getAs[Any](s"lo_${f.name}"), r.getAs[Any](s"hi_${f.name}")))
+        }.toMap
+        (r.getAs[String]("file_path"), bounds)
+      }
+  }
+
+  override def name(): String = s"graft_iceberg(`$dir`)"
+
+  override lazy val schema: StructType =
+    dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f._1))
+      .getOrElse(new StructType())
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this, schema, statFields)
+}
+
+private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
+    statFields: Seq[GraftIcebergSource.StatField])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val statCols = statFields.map(_.name).toSet
+    pushed = filters.filter {
+      case EqualTo(a, _) => statCols(a)
+      case GreaterThan(a, _) => statCols(a)
+      case GreaterThanOrEqual(a, _) => statCols(a)
+      case LessThan(a, _) => statCols(a)
+      case LessThanOrEqual(a, _) => statCols(a)
+      case _ => false
+    }
+    // bounds are file-coarse: every filter stays residual row-level too
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(table, fullSchema, required, pushed)
+}
+
+private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftIcebergScan pushed=[${pushed.mkString(", ")}] " +
+      s"columns=[${required.fieldNames.mkString(", ")}]"
+
+  /** File survives unless a pushed filter's range excludes its bounds.
+    * Null bounds (no stats for the column) keep the file — pruning is
+    * only ever an optimization, never a correctness lever. */
+  private def overlaps(bounds: Map[String, (Any, Any)]): Boolean =
+    pushed.forall { f =>
+      def rng(col: String): Option[(Double, Double)] =
+        bounds.get(col).flatMap {
+          case (lo: Number, hi: Number) => Some((lo.doubleValue, hi.doubleValue))
+          case _ => None
+        }
+      def num(v: Any): Option[Double] = v match {
+        case n: Number => Some(n.doubleValue); case _ => None
+      }
+      (f match {
+        case EqualTo(c, v) => for ((lo, hi) <- rng(c); x <- num(v))
+          yield lo <= x && x <= hi
+        case GreaterThan(c, v) => for ((_, hi) <- rng(c); x <- num(v)) yield hi > x
+        case GreaterThanOrEqual(c, v) => for ((_, hi) <- rng(c); x <- num(v)) yield hi >= x
+        case LessThan(c, v) => for ((lo, _) <- rng(c); x <- num(v)) yield lo < x
+        case LessThanOrEqual(c, v) => for ((lo, _) <- rng(c); x <- num(v)) yield lo <= x
+        case _ => None
+      }).getOrElse(true)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    table.dataFiles.filter(f => overlaps(f._2))
+      .map(f => GraftFilePartition(f._1): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+private[v2] case class GraftFilePartition(path: String) extends InputPartition
+
+private[v2] class GraftReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftFilePartition].path, required)
+}
+
+/** Reads one parquet file through parquet-hadoop's Group API with the
+  * projection pushed to the parquet reader (unselected columns' pages
+  * are never decoded). */
+private[v2] class GraftPartitionReader(path: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    if (required.nonEmpty) {
+      val fields = required.fields.map { f =>
+        val t = f.dataType match {
+          case LongType => "optional int64"
+          case IntegerType => "optional int32"
+          case DoubleType => "optional double"
+          case FloatType => "optional float"
+          case BooleanType => "optional boolean"
+          case StringType => "optional binary"
+          case other => sys.error(s"graft-iceberg: unsupported type $other")
+        }
+        s"  $t ${f.name};"
+      }.mkString("\n")
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        s"message projection {\n$fields\n}")
+    }
+    ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      if (current.getFieldRepetitionCount(f.name) == 0) row.update(i, null)
+      else f.dataType match {
+        case LongType => row.setLong(i, current.getLong(f.name, 0))
+        case IntegerType => row.setInt(i, current.getInteger(f.name, 0))
+        case DoubleType => row.setDouble(i, current.getDouble(f.name, 0))
+        case FloatType => row.setFloat(i, current.getFloat(f.name, 0))
+        case BooleanType => row.setBoolean(i, current.getBoolean(f.name, 0))
+        case StringType => row.update(i, UTF8String.fromString(current.getString(f.name, 0)))
+        case other => sys.error(s"graft-iceberg: unsupported type $other")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.IcebergLayoutWriter
+import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+
+/** The graft-iceberg DataSourceV2: snapshot resolution, one partition
+  * per data file, manifest-bound FILE SKIPPING visible as the partition
+  * count, parquet-level column pruning, and row-level residual filters
+  * — all against plain spark.read.parquet as ground truth. */
+class GraftSourceV2Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** 8 price-bucket files with real bounds in the manifests. */
+  private lazy val tbl: java.io.File = {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    val dataDir = new java.io.File(t, "data"); dataDir.mkdirs()
+    val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("okey"),
+        floor(col("l_extendedprice")).cast("long").as("price"),
+        col("l_returnflag").as("flag"))
+    val entries = (0 until 8).map { b =>
+      val df = new java.io.File(dataDir, s"b$b.parquet")
+      val part = base.filter(
+        least(floor(col("price") / lit(12000)).cast("int"), lit(7)) === b)
+        .sort(col("okey"))
+      val n = IcebergLayoutWriter.writeSingleParquet(part, df)
+      val (lo, hi) = part.agg(min(col("price")), max(col("price")))
+        .as[(Long, Long)].head()
+      ManifestEntrySpec(status = 1, content = 0,
+        filePath = df.getAbsolutePath, recordCount = n,
+        sizeBytes = df.length(), sequenceNumber = 1L,
+        lower = Map(1 -> IcebergLayoutWriter.boundLong(lo)),
+        upper = Map(1 -> IcebergLayoutWriter.boundLong(hi)))
+    }
+    IcebergLayoutWriter.writeTable(t, entries)
+    t
+  }
+
+  private def dsv2 = spark.read.format("graft-iceberg")
+    .option("pushdown.fields", "price:1:long")
+    .load(tbl.getPath)
+
+  private def ground = {
+    import org.apache.commons.io.FileUtils
+    spark.read.parquet(FileUtils.listFiles(new java.io.File(tbl, "data"),
+      Array("parquet"), false).toArray(Array.empty[java.io.File])
+      .map(_.getAbsolutePath).toIndexedSeq: _*)
+  }
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getString(2))
+
+  test("full scan: one partition per file, rows equal plain parquet") {
+    val got = dsv2.select("okey", "price", "flag")
+    assert(got.rdd.getNumPartitions == 8)
+    assert(got.collect().map(key).sorted.toSeq ==
+      ground.select("okey", "price", "flag").collect().map(key).sorted.toSeq)
+  }
+
+  test("manifest-bound file skipping: partitions drop with the predicate") {
+    val filtered = dsv2.filter(col("price") >= 60000L)
+      .select("okey", "price", "flag")
+    val parts = filtered.rdd.getNumPartitions
+    assert(parts < 8 && parts > 0, s"no pruning happened: $parts partitions")
+    assert(filtered.collect().map(key).sorted.toSeq ==
+      ground.filter(col("price") >= 60000L)
+        .select("okey", "price", "flag").collect().map(key).sorted.toSeq)
+    // the Scan advertises the pushed filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftIcebergScan") || plan.contains("BatchScan"),
+      s"expected the DSv2 scan in the plan:\n$plan")
+  }
+
+  test("residual row-level filtering stays exact inside surviving files") {
+    // a predicate no file excludes entirely: bounds keep every file,
+    // rows must still be filtered exactly
+    val filtered = dsv2.filter(col("price") % 2 === 0 && col("price") >= 0L)
+    assert(filtered.rdd.getNumPartitions == 8)
+    assert(filtered.count() ==
+      ground.filter(col("price") % 2 === 0).count())
+  }
+
+  test("column pruning: projected read returns the right columns") {
+    val got = dsv2.select("flag").collect().map(_.getString(0))
+    val exp = ground.select("flag").collect().map(_.getString(0))
+    assert(got.sorted.toSeq == exp.sorted.toSeq)
+  }
+
+  test("empty result when the predicate excludes every file") {
+    val none = dsv2.filter(col("price") > 10000000L)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0L)
+  }
+}
