@@ -603,6 +603,38 @@ object LayoutMaintenance {
     (newId, n)
   }
 
+  /** APPEND commit: add already-written data files as a new snapshot on
+    * top of the current one (the connector write path's commit step —
+    * [[graft.sources.v2.GraftIcebergSource]]'s BatchWrite calls this
+    * from its driver-side commit()). If the table has no metadata yet,
+    * the commit CREATES it (snapshot 1). Entries' sequence numbers are
+    * stamped here. Returns the new snapshot id. */
+  def commitAppend(spark: SparkSession, tableDir: String,
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long = {
+    val hasMeta = new java.io.File(metaDir(tableDir), "version-hint.text").exists() ||
+      Option(metaDir(tableDir).listFiles()).exists(_.exists(
+        _.getName.endsWith(".metadata.json")))
+    if (!hasMeta) {
+      IcebergLayoutWriter.writeTable(new java.io.File(tableDir),
+        added.map(_.copy(sequenceNumber = 1L)))
+      1L
+    } else {
+      val all = snapshots(spark, tableDir)
+      require(all.nonEmpty, s"metadata exists but no snapshots under $tableDir")
+      val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+      val carried = carriedEntries(spark, tableDir, curId)
+      val newId = (all.map(_.id) ++
+        carried.map(_.sequenceNumber.longValue)).max + 1
+      val stamped = added.map(_.copy(sequenceNumber = newId))
+      val movedRefs = refs(spark, tableDir).map {
+        case (name, id, "branch") if id == curId => (name, newId, "branch")
+        case other => other
+      }
+      appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId, movedRefs)
+      newId
+    }
+  }
+
   /** CDC MERGE commit — one commit applying a mixed change set (the
     * batch twin of a streaming CDC sink): every change key gets an
     * equality tombstone (killing its prior version, strict-<), and only

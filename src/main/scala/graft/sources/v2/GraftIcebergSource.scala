@@ -80,7 +80,12 @@ object GraftIcebergSource {
           case _ => sys.error(s"graft-iceberg: bad pushdown.fields entry '$s'")
         }
       }
-    new GraftTable(dir, snapshot, fields)
+    // `write.schema` (DDL) bootstraps the FIRST write to a fresh table —
+    // an empty table has no files to infer from, and v2 AppendData
+    // resolves by name against the table schema
+    val bootstrap = Option(options.get("write.schema"))
+      .map(StructType.fromDDL)
+    new GraftTable(dir, snapshot, fields, bootstrap)
   }
 
   /** Flat parquet schema of the first data file → StructType. */
@@ -108,8 +113,10 @@ object GraftIcebergSource {
 }
 
 private[v2] class GraftTable(dir: String, snapshot: Option[Long],
-    statFields: Seq[GraftIcebergSource.StatField])
-    extends Table with SupportsRead {
+    statFields: Seq[GraftIcebergSource.StatField],
+    bootstrapSchema: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import graft.sources.IcebergManifestSource
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —
@@ -130,15 +137,25 @@ private[v2] class GraftTable(dir: String, snapshot: Option[Long],
 
   override def name(): String = s"graft_iceberg(`$dir`)"
 
-  override lazy val schema: StructType =
-    dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f._1))
-      .getOrElse(new StructType())
+  override lazy val schema: StructType = {
+    val hasMeta = new java.io.File(new java.io.File(dir, "metadata"),
+      "version-hint.text").exists()
+    if (hasMeta)
+      dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f._1))
+        .orElse(bootstrapSchema).getOrElse(new StructType())
+    else bootstrapSchema.getOrElse(new StructType())
+  }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, schema, statFields)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(dir, info)
 }
 
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,

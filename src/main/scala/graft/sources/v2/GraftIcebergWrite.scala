@@ -1,0 +1,146 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** The WRITE half of the graft-iceberg connector:
+  * `df.write.format("graft-iceberg").mode("append").save(tableDir)`.
+  * Each task writes ONE parquet file under `data/` (parquet-hadoop
+  * writer, flat primitive schemas — the layout dialect) and reports
+  * (path, rows, bytes) in its commit message; the DRIVER commit turns
+  * the task reports into one atomic snapshot append
+  * ([[graft.sources.LayoutMaintenance.commitAppend]] — creates the
+  * table metadata on first write). Task failure/retry is safe the
+  * Iceberg way: files are written under unique names and only the
+  * driver commit makes anything visible; `abort` deletes the orphans.
+  * At 100 TB this is the standard two-phase object-store commit: data
+  * moves in parallel, visibility is one metadata swap.
+  */
+private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(dir, info.schema(), info.queryId())
+  }
+}
+
+private[v2] case class GraftCommitMessage(path: String, rows: Long,
+    bytes: Long) extends WriterCommitMessage
+
+private[v2] class GraftBatchWrite(dir: String, schema: StructType,
+    queryId: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(dir, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case GraftCommitMessage(path, rows, bytes) if rows > 0 =>
+        graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+          content = 0, filePath = path, recordCount = rows, sizeBytes = bytes)
+    }
+    // empty-task files were already deleted task-side; an all-empty
+    // write still commits an (empty) snapshot? No: real engines skip it
+    if (entries.nonEmpty)
+      graft.sources.LayoutMaintenance.commitAppend(
+        org.apache.spark.sql.SparkSession.active, dir, entries.toSeq)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftCommitMessage(path, _, _) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      case _ => ()
+    }
+}
+
+private[v2] class GraftWriterFactory(dir: String, schema: StructType,
+    queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, schema, queryId, partitionId, taskId)
+}
+
+private[v2] class GraftDataWriter(dir: String, schema: StructType,
+    queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = {
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    new java.io.File(dataDir,
+      s"append-$queryId-$partitionId-$taskId.parquet")
+  }
+
+  private val msgType = {
+    val fields = schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "optional int64"
+        case IntegerType => "optional int32"
+        case DoubleType => "optional double"
+        case FloatType => "optional float"
+        case BooleanType => "optional boolean"
+        case StringType => "optional binary"
+        case other => sys.error(s"graft-iceberg write: unsupported type $other")
+      }
+      s"  $t ${f.name}" +
+        (if (f.dataType == StringType) " (UTF8);" else ";")
+    }.mkString("\n")
+    MessageTypeParser.parseMessageType(s"message row {\n$fields\n}")
+  }
+
+  private val writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(msgType, conf)
+    ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath))
+      .withConf(conf)
+      .build()
+  }
+
+  private val factory = new SimpleGroupFactory(msgType)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!record.isNullAt(i)) {
+        val f = schema.fields(i)
+        f.dataType match {
+          case LongType => g.add(f.name, record.getLong(i))
+          case IntegerType => g.add(f.name, record.getInt(i))
+          case DoubleType => g.add(f.name, record.getDouble(i))
+          case FloatType => g.add(f.name, record.getFloat(i))
+          case BooleanType => g.add(f.name, record.getBoolean(i))
+          case StringType => g.add(f.name, record.getUTF8String(i).toString)
+          case other => sys.error(s"graft-iceberg write: unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (rows == 0) { // nothing to add: don't leave an empty file behind
+      org.apache.commons.io.FileUtils.deleteQuietly(file)
+      GraftCommitMessage(file.getAbsolutePath, 0L, 0L)
+    } else GraftCommitMessage(file.getAbsolutePath, rows, file.length())
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    org.apache.commons.io.FileUtils.deleteQuietly(file)
+  }
+
+  override def close(): Unit = ()
+}

@@ -91,6 +91,45 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(got.sorted.toSeq == exp.sorted.toSeq)
   }
 
+  test("write path: first append creates the table, second appends a snapshot") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-write")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    val a = Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("okey", "price", "flag")
+    a.write.format("graft-iceberg")
+      .option("write.schema", "okey LONG, price LONG, flag STRING")
+      .mode("append").save(t.getPath)
+    val b = Seq((3L, 30L, "C")).toDF("okey", "price", "flag")
+    b.write.format("graft-iceberg").mode("append").save(t.getPath)
+    // read back through the connector's own read path
+    val got = spark.read.format("graft-iceberg").load(t.getPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, "A"), (2L, 20L, "B"), (3L, 30L, "C")))
+    // two commits, history intact, snapshot 1 still time-travels
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, t.getPath) == Seq(1L, 2L))
+    assert(spark.read.format("graft-iceberg").option("snapshot-id", "1")
+      .load(t.getPath).count() == 2L)
+    // the written table composes with the maintenance surface
+    val (snap, n, before, after) = graft.sources.LayoutMaintenance
+      .rewriteDataFiles(spark, t.getPath, Nil, sortCols = Seq("okey"))
+    assert(snap == 3L && n == 3L && before >= 2 && after == 1)
+  }
+
+  test("write path: empty dataframe commits nothing") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-write2")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    Seq((1L, "x")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    Seq.empty[(Long, String)].toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(t.getPath)
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, t.getPath) == Seq(1L), "empty append must not commit")
+    assert(spark.read.format("graft-iceberg").load(t.getPath).count() == 1L)
+  }
+
   test("empty result when the predicate excludes every file") {
     val none = dsv2.filter(col("price") > 10000000L)
     assert(none.rdd.getNumPartitions == 0)
