@@ -510,6 +510,41 @@ object Queries12 {
         .orderBy(col("flag"))
     },
 
+    // ---- the connector WRITE→READ loop, hash-gated: two DSv2 appends
+    // (1995 orders, then 1996 — each commit is per-task parquet files +
+    // one atomic snapshot append, creating the table on the first
+    // write) and a DSv2 read back — plus a snapshot-1 time-travel read
+    // whose row count must equal the first append (pinned via require;
+    // the YEARLY rollup of the full table is the oracle-gated output).
+    // What q201 proves for the read path this proves for the write
+    // path: the connector's commits are real, ordered, time-travelable
+    // metadata.
+    "q202_dsv2_write_roundtrip" -> { (s, dir) => implicit val sp = s
+      val tbl = TmpFixture.dir("q202", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      def yearDf(yr: Int) = t(dir, "orders")
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_orderkey").as("okey"),
+          floor(col("o_totalprice")).cast("long").as("price"),
+          lit(yr.toLong).as("yr"))
+      yearDf(1995).write.format("graft-iceberg")
+        .option("write.schema", "okey LONG, price LONG, yr LONG")
+        .mode("append").save(tbl.getPath)
+      yearDf(1996).write.format("graft-iceberg")
+        .mode("append").save(tbl.getPath)
+      val ids = graft.sources.LayoutMaintenance.snapshotIds(s, tbl.getPath)
+      require(ids == Seq(1L, 2L), s"write commits broke: $ids")
+      val atFirst = s.read.format("graft-iceberg").option("snapshot-id", "1")
+        .load(tbl.getPath).count()
+      val n95 = yearDf(1995).count()
+      require(atFirst == n95,
+        s"snapshot 1 must hold exactly the first append: $atFirst vs $n95")
+      s.read.format("graft-iceberg").load(tbl.getPath)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("sum_price"))
+        .orderBy(col("yr"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1007,6 +1042,13 @@ object Queries12 {
         |FROM u GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q187_char_entropy" -> entropySql,
+
+    "q202_dsv2_write_roundtrip" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
+        |FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q201_dsv2_scan" ->
       """WITH l AS (

@@ -52,7 +52,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q190_robust_scaling", "q191_zorder_skipping", "q192_rewrite_data_files",
     "q193_delete_where", "q194_commit_audit", "q195_cdc_merge_commit",
     "q196_intersect", "q198_puffin_bloom_filter", "q199_file_sampling",
-    "q200_corpus_release_table", "q201_dsv2_scan")
+    "q200_corpus_release_table", "q201_dsv2_scan", "q202_dsv2_write_roundtrip")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
