@@ -112,7 +112,7 @@ object GraftIcebergSource {
   }
 }
 
-private[v2] class GraftTable(dir: String, snapshot: Option[Long],
+private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
     statFields: Seq[GraftIcebergSource.StatField],
     bootstrapSchema: Option[StructType] = None)
     extends Table with SupportsRead
@@ -147,7 +147,8 @@ private[v2] class GraftTable(dir: String, snapshot: Option[Long],
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, schema, statFields)
@@ -195,6 +196,10 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table.dir, required)
 
   override def description(): String =
     s"GraftIcebergScan pushed=[${pushed.mkString(", ")}] " +

@@ -130,6 +130,36 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(spark.read.format("graft-iceberg").load(t.getPath).count() == 1L)
   }
 
+  test("streaming read tails snapshot appends (offset = snapshot id)") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-stream")
+    val ckpt = new java.io.File("target/tmp-dsv2-stream-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    // first commit exists before the stream starts: the stream must
+    // pick it up as its first batch (initial offset 0)
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    val q = spark.readStream.format("graft-iceberg").load(t.getPath)
+      .writeStream.format("memory").queryName("dsv2stream")
+      .option("checkpointLocation", ckpt.getPath).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dsv2stream").count() == 1L)
+      // two more commits while the stream runs
+      Seq((2L, "b"), (3L, "c")).toDF("k", "v").write.format("graft-iceberg")
+        .mode("append").save(t.getPath)
+      q.processAllAvailable()
+      Seq((4L, "d")).toDF("k", "v").write.format("graft-iceberg")
+        .mode("append").save(t.getPath)
+      q.processAllAvailable()
+      val got = spark.table("dsv2stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+        s"stream diverged: $got")
+    } finally q.stop()
+  }
+
   test("empty result when the predicate excludes every file") {
     val none = dsv2.filter(col("price") > 10000000L)
     assert(none.rdd.getNumPartitions == 0)
