@@ -186,7 +186,11 @@ object CatalogOps {
     // table — on a 5000-table Glue-style catalog that's minutes if applied
     // before narrowing. Tables whose metadata can't be read (temp views,
     // transient catalog errors) are excluded when a filter is requested.
-    val named = spark.catalog.listTables(db).collect().toSeq.map(_.name)
+    // temp views ride along in listTables(db) whatever db is asked —
+    // the catalog surface lists persistent tables only (the reference
+    // lists Glue tables; a session-local view is not one)
+    val named = spark.catalog.listTables(db).collect().toSeq
+      .filterNot(_.isTemporary).map(_.name)
       .filter(_.matches(regex))
     val filtered =
       if (providers.isEmpty) named

@@ -143,21 +143,37 @@ class GraftSourceV2Spec extends AnyFunSuite {
     val q = spark.readStream.format("graft-iceberg").load(t.getPath)
       .writeStream.format("memory").queryName("dsv2stream")
       .option("checkpointLocation", ckpt.getPath).start()
-    try {
+    // under suite-wide load a single processAllAvailable can return
+    // between the commit and the next latestOffset poll — re-drive the
+    // trigger until the sink catches up (bounded; a REAL gap still fails)
+    def drainTo(n: Long): Unit = {
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
       q.processAllAvailable()
-      assert(spark.table("dsv2stream").count() == 1L)
+      while (spark.table("dsv2stream").count() < n
+          && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
+      assert(spark.table("dsv2stream").count() == n,
+        s"sink stuck below $n rows")
+    }
+    try {
+      drainTo(1L)
       // two more commits while the stream runs
       Seq((2L, "b"), (3L, "c")).toDF("k", "v").write.format("graft-iceberg")
         .mode("append").save(t.getPath)
-      q.processAllAvailable()
+      drainTo(3L)
       Seq((4L, "d")).toDF("k", "v").write.format("graft-iceberg")
         .mode("append").save(t.getPath)
-      q.processAllAvailable()
+      drainTo(4L)
       val got = spark.table("dsv2stream")
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
       assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
         s"stream diverged: $got")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("dsv2stream")
+    }
   }
 
   test("empty result when the predicate excludes every file") {
