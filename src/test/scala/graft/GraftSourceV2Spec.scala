@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sources.IcebergLayoutWriter
@@ -130,50 +132,43 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(spark.read.format("graft-iceberg").load(t.getPath).count() == 1L)
   }
 
-  test("streaming read tails snapshot appends (offset = snapshot id)") {
+  test("streaming read tails snapshot appends with checkpointed restart (offset = snapshot id)") {
     import spark.implicits._
     val t = new java.io.File("target/tmp-dsv2-stream")
     val ckpt = new java.io.File("target/tmp-dsv2-stream-ckpt")
     org.apache.commons.io.FileUtils.deleteQuietly(t)
     org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
-    // first commit exists before the stream starts: the stream must
-    // pick it up as its first batch (initial offset 0)
+    // every append happens while the query is STOPPED — each start
+    // drains exactly what accumulated, and the restart from checkpoint
+    // proves offsets resume without replay (exactly-once at the
+    // snapshot grain, deterministically: no live trigger race)
+    // a fresh collector per run (foreachBatch supports checkpoint
+    // recovery, unlike the memory sink): what each drain returns is
+    // exactly the batches THAT run processed — the exactly-once evidence
+    def drain(): Seq[(Long, String)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream.format("graft-iceberg").load(t.getPath)
+        .writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      got.asScala.toSeq.sortBy(_._1)
+    }
     Seq((1L, "a")).toDF("k", "v").write.format("graft-iceberg")
       .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
-    val q = spark.readStream.format("graft-iceberg").load(t.getPath)
-      .writeStream.format("memory").queryName("dsv2stream")
-      .option("checkpointLocation", ckpt.getPath).start()
-    // under suite-wide load a single processAllAvailable can return
-    // between the commit and the next latestOffset poll — re-drive the
-    // trigger until the sink catches up (bounded; a REAL gap still fails)
-    def drainTo(n: Long): Unit = {
-      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-      q.processAllAvailable()
-      while (spark.table("dsv2stream").count() < n
-          && System.nanoTime < deadline) {
-        Thread.sleep(100)
-        q.processAllAvailable()
-      }
-      assert(spark.table("dsv2stream").count() == n,
-        s"sink stuck below $n rows")
-    }
-    try {
-      drainTo(1L)
-      // two more commits while the stream runs
-      Seq((2L, "b"), (3L, "c")).toDF("k", "v").write.format("graft-iceberg")
-        .mode("append").save(t.getPath)
-      drainTo(3L)
-      Seq((4L, "d")).toDF("k", "v").write.format("graft-iceberg")
-        .mode("append").save(t.getPath)
-      drainTo(4L)
-      val got = spark.table("dsv2stream")
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
-      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
-        s"stream diverged: $got")
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView("dsv2stream")
-    }
+    assert(drain() == Seq((1L, "a")))
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(t.getPath)
+    Seq((4L, "d")).toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(t.getPath)
+    // two commits accumulated -> the resumed stream sees both, and does
+    // NOT replay snapshot 1
+    assert(drain() == Seq((2L, "b"), (3L, "c"), (4L, "d")))
+    // nothing new: an idle restart processes nothing
+    assert(drain().isEmpty)
   }
 
   test("empty result when the predicate excludes every file") {
