@@ -150,13 +150,34 @@ object LayoutMaintenance {
       }
       root.set[ObjectNode]("refs", refObj)
     }
+    // CREATE_NEW is the commit's compare-and-swap (Iceberg Hadoop-tables
+    // semantics: the rename to v(N+1) fails if the target exists): a
+    // concurrent writer that committed v(curV+1) since we read `cur`
+    // makes this throw FileAlreadyExistsException instead of silently
+    // dropping that commit's files. Same-JVM writers serialize through
+    // [[commitLock]]; cross-JVM racers get the explicit failure.
     java.nio.file.Files.write(
       new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     java.nio.file.Files.write(new java.io.File(m, "version-hint.text").toPath,
       (curV + 1).toString.getBytes("UTF-8"))
     curV + 1
   }
+
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** One lock object per table path: metadata commits from the same JVM
+    * (e.g. streaming epochs racing a maintenance call in local mode)
+    * serialize here, and [[commitAppend]] re-reads the base metadata
+    * under the lock, so each commit stacks on the previous one instead
+    * of overwriting it. Cross-JVM racers are caught by the CREATE_NEW
+    * swap in [[writeMetadataVersion]]. */
+  private[sources] def commitLock(tableDir: String): Object =
+    commitLocks.computeIfAbsent(
+      new java.io.File(tableDir).getAbsolutePath, _ => new Object)
 
   /** Manifest paths referenced by a snapshot's manifest list. */
   private def manifestsOf(spark: SparkSession, s: Snap): Seq[String] =
@@ -508,22 +529,43 @@ object LayoutMaintenance {
       out.toSeq
     }
 
+  /** Hard ceiling on driver-side file-entry state (here and in
+    * [[graft.sources.v2.GraftIcebergSource]]'s scan planning): at ~100 B
+    * per entry, 10M files ≈ 1 GB of driver heap — comfortably inside a
+    * planning driver's budget and the same order as Iceberg's own
+    * client-side rewrite planning; past it, the right design is
+    * distributed manifest carry (entries stay a DataFrame end-to-end and
+    * manifests are written per-partition), which this layout's writer
+    * does not need at any fixture scale. The require makes the ceiling
+    * explicit instead of an OOM. */
+  private[sources] val MaxDriverFileEntries: Int = 10 * 1000 * 1000
+
   /** The current snapshot's entries re-expressed as writer specs —
     * identity carry: path/content/partition/record-count/size/SEQUENCE
     * survive verbatim, so a commit that appends on top never disturbs
-    * delete visibility for pre-existing files. Metadata-sized. */
+    * delete visibility for pre-existing files. Metadata-sized; bounded
+    * by [[MaxDriverFileEntries]] (see its note for the 100M-file path). */
   private def carriedEntries(spark: SparkSession, tableDir: String,
-      snapshotId: Long): Seq[IcebergLayoutWriter.ManifestEntrySpec] =
-    IcebergManifestSource
+      snapshotId: Long): Seq[IcebergLayoutWriter.ManifestEntrySpec] = {
+    val df = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", Nil, Some(snapshotId))
       .select("file_path", "content", "partitionKey", "sizeBytes",
         "record_count", "sequence_number")
-      .collect().toSeq
+    // limit(N+1) bounds driver heap to the ceiling even on a runaway
+    // table — the over-limit case costs one truncated collect, not an OOM
+    val rows = df.limit(MaxDriverFileEntries + 1).collect()
+    require(rows.length <= MaxDriverFileEntries,
+      s"carriedEntries($tableDir@$snapshotId): more than " +
+        s"$MaxDriverFileEntries file entries exceed the driver-side " +
+        "planning ceiling; commits on tables this large need distributed " +
+        "manifest carry.")
+    rows.toSeq
       .map(r => IcebergLayoutWriter.ManifestEntrySpec(status = 1,
         content = r.getInt(1), filePath = r.getString(0),
         partition = partitionPairsOf(r.getString(2)),
         recordCount = r.getLong(4), sizeBytes = r.getLong(3),
         sequenceNumber = r.getLong(5)))
+  }
 
   /** Append a snapshot holding `carried ++ added` on top of the current
     * history. `currentAfter` is the snapshot the table POINTS AT after
@@ -610,7 +652,8 @@ object LayoutMaintenance {
     * the commit CREATES it (snapshot 1). Entries' sequence numbers are
     * stamped here. Returns the new snapshot id. */
   def commitAppend(spark: SparkSession, tableDir: String,
-      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long = {
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      commitLock(tableDir).synchronized {
     val hasMeta = new java.io.File(metaDir(tableDir), "version-hint.text").exists() ||
       Option(metaDir(tableDir).listFiles()).exists(_.exists(
         _.getName.endsWith(".metadata.json")))
@@ -717,7 +760,12 @@ object LayoutMaintenance {
     * visibility is `data_seq <= delete_seq`, and this commit adds no
     * data, so the tombstones hit exactly the matched rows. At 100 TB
     * the predicate scan is an ordinary distributed read; only the
-    * matched positions move. Returns (newSnapshotId, rowsDeleted). */
+    * matched positions move. Same eqKeys hazard as [[rewriteDataFiles]]:
+    * if the current snapshot carries equality-delete files and eqKeys is
+    * empty, the predicate is evaluated over un-tombstoned state — rows
+    * already equality-deleted can be re-matched (wasted tombstones) and
+    * the deleted-row count over-reports. Pass the equality keys whenever
+    * content==2 files are live. Returns (newSnapshotId, rowsDeleted). */
   def commitDeleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil): (Long, Long) = {
@@ -765,6 +813,16 @@ object LayoutMaintenance {
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
+    // Equality tombstones can only be applied when the caller names the
+    // equality keys (they are out-of-band here, unlike real Iceberg where
+    // equality field ids live in the delete-file metadata). A rewrite
+    // with eqKeys=Nil would skip eq-tombstone application in MorRead yet
+    // drop the delete files from the commit — silently resurrecting
+    // deleted rows as the new table truth. Fail fast instead.
+    require(eqKeys.nonEmpty || !carried.exists(_.content == 2),
+      s"rewriteDataFiles($tableDir): current snapshot carries equality-" +
+        "delete files but no eqKeys were given; the rewrite would drop " +
+        "the tombstones without applying them. Pass the equality keys.")
     val filesBefore = carried.count(_.content == 0)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
@@ -885,7 +943,9 @@ object LayoutMaintenance {
     root.set[ArrayNode]("statistics", arr)
     java.nio.file.Files.write(
       new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     java.nio.file.Files.write(new java.io.File(m, "version-hint.text").toPath,
       (curV + 1).toString.getBytes("UTF-8"))
     curV + 1

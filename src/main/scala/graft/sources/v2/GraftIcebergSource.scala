@@ -51,20 +51,27 @@ class GraftIcebergSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-iceberg"
 
+  /** Accept a user-specified `.schema(...)` (a projection or a
+    * bootstrap for an empty table) — without this Spark refuses the
+    * schema before [[getTable]] ever sees it. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftIcebergSource.tableOf(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     GraftIcebergSource.tableOf(
-      new CaseInsensitiveStringMap(properties))
+      new CaseInsensitiveStringMap(properties),
+      Option(schema).filter(_.nonEmpty))
 }
 
 object GraftIcebergSource {
 
   private[v2] case class StatField(name: String, fieldId: Int, dt: DataType)
 
-  private[v2] def tableOf(options: CaseInsensitiveStringMap): GraftTable = {
+  private[v2] def tableOf(options: CaseInsensitiveStringMap,
+      userSchema: Option[StructType] = None): GraftTable = {
     val dir = Option(options.get("path"))
       .getOrElse(sys.error("graft-iceberg: missing path"))
     val snapshot = Option(options.get("snapshot-id")).map(_.toLong)
@@ -85,7 +92,7 @@ object GraftIcebergSource {
     // resolves by name against the table schema
     val bootstrap = Option(options.get("write.schema"))
       .map(StructType.fromDDL)
-    new GraftTable(dir, snapshot, fields, bootstrap)
+    new GraftTable(dir, snapshot, fields, bootstrap, userSchema)
   }
 
   /** Flat parquet schema of the first data file → StructType. */
@@ -114,18 +121,30 @@ object GraftIcebergSource {
 
 private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
     statFields: Seq[GraftIcebergSource.StatField],
-    bootstrapSchema: Option[StructType] = None)
+    bootstrapSchema: Option[StructType] = None,
+    userSchema: Option[StructType] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import graft.sources.IcebergManifestSource
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —
-    * metadata-sized, resolved once per scan. */
+    * metadata-sized, resolved once per scan. Driver heap is bounded by
+    * [[graft.sources.LayoutMaintenance.MaxDriverFileEntries]] (~1 GB at
+    * the 10M-file ceiling): the same client-side planning budget
+    * Iceberg's own scan planning works in; past it a connector needs
+    * distributed planning (manifest evaluation as a Spark job). */
   private[v2] lazy val dataFiles: Seq[(String, Map[String, (Any, Any)])] = {
     val spark = SparkSession.active
     val fields = statFields.map(f => (f.fieldId, f.name, f.dt))
-    IcebergManifestSource.statsFromTableDir(spark, dir, "t", fields, snapshot)
-      .collect().toSeq
+    val cap = graft.sources.LayoutMaintenance.MaxDriverFileEntries
+    val rows = IcebergManifestSource
+      .statsFromTableDir(spark, dir, "t", fields, snapshot)
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"graft-iceberg($dir): more than $cap file entries exceed the " +
+        "driver-side scan-planning ceiling; a table this large needs " +
+        "distributed planning.")
+    rows.toSeq
       .filter(_.getAs[Int]("content") == 0)
       .map { r =>
         val bounds = statFields.map { f =>
@@ -137,7 +156,11 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
 
   override def name(): String = s"graft_iceberg(`$dir`)"
 
-  override lazy val schema: StructType = {
+  /** An explicit `.schema(...)` on read wins (the V2 contract — the
+    * caller's declared projection, e.g. a prefix of the file schema);
+    * otherwise infer from the first data file, then the `write.schema`
+    * bootstrap for a fresh table. */
+  override lazy val schema: StructType = userSchema.getOrElse {
     val hasMeta = new java.io.File(new java.io.File(dir, "metadata"),
       "version-hint.text").exists()
     if (hasMeta)
@@ -207,24 +230,42 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
 
   /** File survives unless a pushed filter's range excludes its bounds.
     * Null bounds (no stats for the column) keep the file — pruning is
-    * only ever an optimization, never a correctness lever. */
+    * only ever an optimization, never a correctness lever. Integral
+    * bounds/values compare as Long (doubles lose precision above 2^53;
+    * a rounded-down hi could wrongly prune a file that contains
+    * qualifying rows); Double is the fallback only when either side is
+    * genuinely floating. */
   private def overlaps(bounds: Map[String, (Any, Any)]): Boolean =
     pushed.forall { f =>
-      def rng(col: String): Option[(Double, Double)] =
-        bounds.get(col).flatMap {
-          case (lo: Number, hi: Number) => Some((lo.doubleValue, hi.doubleValue))
+      def bnds(col: String): Option[(Any, Any)] = bounds.get(col).filter {
+        case (lo, hi) => lo != null && hi != null
+      }
+      def lng(x: Any): Option[Long] = x match {
+        case n: java.lang.Long => Some(n)
+        case n: java.lang.Integer => Some(n.longValue)
+        case n: java.lang.Short => Some(n.longValue)
+        case n: java.lang.Byte => Some(n.longValue)
+        case _ => None
+      }
+      def cmp(a: Any, b: Any): Option[Int] = (lng(a), lng(b)) match {
+        case (Some(x), Some(y)) => Some(java.lang.Long.compare(x, y))
+        case _ => (a, b) match {
+          case (x: Number, y: Number) =>
+            Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
           case _ => None
         }
-      def num(v: Any): Option[Double] = v match {
-        case n: Number => Some(n.doubleValue); case _ => None
       }
       (f match {
-        case EqualTo(c, v) => for ((lo, hi) <- rng(c); x <- num(v))
-          yield lo <= x && x <= hi
-        case GreaterThan(c, v) => for ((_, hi) <- rng(c); x <- num(v)) yield hi > x
-        case GreaterThanOrEqual(c, v) => for ((_, hi) <- rng(c); x <- num(v)) yield hi >= x
-        case LessThan(c, v) => for ((lo, _) <- rng(c); x <- num(v)) yield lo < x
-        case LessThanOrEqual(c, v) => for ((lo, _) <- rng(c); x <- num(v)) yield lo <= x
+        case EqualTo(c, v) => for { (lo, hi) <- bnds(c); a <- cmp(lo, v);
+          b <- cmp(v, hi) } yield a <= 0 && b <= 0
+        case GreaterThan(c, v) =>
+          for ((_, hi) <- bnds(c); a <- cmp(hi, v)) yield a > 0
+        case GreaterThanOrEqual(c, v) =>
+          for ((_, hi) <- bnds(c); a <- cmp(hi, v)) yield a >= 0
+        case LessThan(c, v) =>
+          for ((lo, _) <- bnds(c); a <- cmp(lo, v)) yield a < 0
+        case LessThanOrEqual(c, v) =>
+          for ((lo, _) <- bnds(c); a <- cmp(lo, v)) yield a <= 0
         case _ => None
       }).getOrElse(true)
     }
@@ -255,20 +296,23 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     if (required.nonEmpty) {
+      // project with the FILE's own field declarations: repetition
+      // (required vs optional) and logical annotations must match the
+      // footer or parquet's containment check rejects the projection —
+      // fixture writers emit required columns for non-nullable frames
+      // while the connector's own writer emits optional ones
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fileSchema = try r.getFooter.getFileMetaData.getSchema finally r.close()
       val fields = required.fields.map { f =>
-        val t = f.dataType match {
-          case LongType => "optional int64"
-          case IntegerType => "optional int32"
-          case DoubleType => "optional double"
-          case FloatType => "optional float"
-          case BooleanType => "optional boolean"
-          case StringType => "optional binary"
-          case other => sys.error(s"graft-iceberg: unsupported type $other")
-        }
-        s"  $t ${f.name};"
-      }.mkString("\n")
+        require(fileSchema.containsField(f.name),
+          s"graft-iceberg: column ${f.name} not present in $path")
+        fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))
+      }
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        s"message projection {\n$fields\n}")
+        new org.apache.parquet.schema.MessageType("projection",
+          fields: _*).toString)
     }
     ParquetReader.builder(new GroupReadSupport(),
       new org.apache.hadoop.fs.Path(path)).withConf(conf).build()

@@ -29,9 +29,16 @@ private[v2] class GraftMicroBatchStream(dir: String,
 
   private def spark = SparkSession.active
 
+  /** The PUBLISHED head (`current-snapshot-id`), falling back to
+    * history-last only for legacy metadata without the pointer. A
+    * WAP-staged snapshot ([[graft.sources.LayoutMaintenance.stageAppend]])
+    * appends to the history while the head stays put, and a rollback
+    * retains later snapshots in history — tailing history-last would
+    * stream unaudited/rolled-back data, violating the isolation the
+    * write-audit-publish flow promises readers. */
   private def currentSnapshot: Long =
-    graft.sources.LayoutMaintenance.snapshotList(spark, dir)
-      .lastOption.map(_._1).getOrElse(0L)
+    graft.sources.LayoutMaintenance.currentSnapshot(spark, dir)
+      .getOrElse(0L)
 
   override def initialOffset(): Offset = GraftSnapOffset(0L)
 
@@ -52,11 +59,21 @@ private[v2] class GraftMicroBatchStream(dir: String,
     val to = end.asInstanceOf[GraftSnapOffset].snapshotId
     if (to == 0L || to == from) return Array.empty
     val paths: Seq[String] =
-      if (from == 0L)
-        graft.sources.IcebergManifestSource
+      if (from == 0L) {
+        // Full-snapshot initial load: the stream's append-only contract
+        // cannot apply tombstones, so a start snapshot carrying live
+        // position/equality deletes would silently emit logically-deleted
+        // rows. Fail fast — rewrite the table to a tombstone-free
+        // snapshot (graft.Cli rewrite) before tailing it from scratch.
+        val entries = graft.sources.IcebergManifestSource
           .statsFromTableDir(spark, dir, "t", Nil, Some(to))
-          .filter(org.apache.spark.sql.functions.col("content") === 0)
-          .select("file_path").collect().map(_.getString(0)).toSeq
+          .select("file_path", "content").collect()
+        require(!entries.exists(_.getInt(1) != 0),
+          s"graft-iceberg streaming: initial snapshot $to of $dir carries " +
+            "delete files; the append-only stream cannot apply tombstones. " +
+            "Rewrite to a tombstone-free snapshot before streaming.")
+        entries.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
+      }
       else
         graft.sources.IcebergManifestSource
           .changesBetween(spark, dir, "t", from, to)

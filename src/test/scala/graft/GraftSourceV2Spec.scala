@@ -176,4 +176,150 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(none.rdd.getNumPartitions == 0)
     assert(none.count() == 0L)
   }
+
+  test("streaming tails only the PUBLISHED head: a WAP-staged snapshot stays invisible until fast-forward") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-stream-wap")
+    val ckpt = new java.io.File("target/tmp-dsv2-stream-wap-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    def drain(): Seq[(Long, String)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream.format("graft-iceberg").load(t.getPath)
+        .writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      got.asScala.toSeq.sortBy(_._1)
+    }
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    assert(drain() == Seq((1L, "a")))
+    // stage an append on an audit branch: it lands in HISTORY but the
+    // published head (current-snapshot-id) stays at snapshot 1 — the
+    // stream must not emit unaudited data
+    val f = new java.io.File(new java.io.File(t, "data"), "staged.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      Seq((2L, "b")).toDF("k", "v"), f)
+    graft.sources.LayoutMaintenance.stageAppend(spark, t.getPath,
+      Seq(ManifestEntrySpec(status = 1, content = 0,
+        filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length(), sequenceNumber = 0L)), branch = "audit")
+    assert(drain().isEmpty, "stream advanced to an unaudited staged snapshot")
+    // publish: NOW the stream sees exactly the staged rows
+    graft.sources.LayoutMaintenance.fastForward(spark, t.getPath, from = "audit")
+    assert(drain() == Seq((2L, "b")))
+  }
+
+  test("initial streaming load fails fast when the snapshot carries delete files") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-stream-mor")
+    val ckpt = new java.io.File("target/tmp-dsv2-stream-mor-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    graft.sources.LayoutMaintenance.commitUpsert(spark, t.getPath,
+      Seq((2L, "b2")).toDF("k", "v"), keyCols = Seq("k"))
+    val q = spark.readStream.format("graft-iceberg").load(t.getPath)
+      .writeStream.option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(ex.getMessage.contains("delete files") ||
+      Option(ex.getCause).exists(_.getMessage.contains("delete files")),
+      s"expected the tombstone fail-fast, got: ${ex.getMessage}")
+  }
+
+  test("rewriteDataFiles refuses to drop live equality tombstones without keys") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-rewrite-guard")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    graft.sources.LayoutMaintenance.commitUpsert(spark, t.getPath,
+      Seq((2L, "b2")).toDF("k", "v"), keyCols = Seq("k"))
+    // eqKeys=Nil would skip eq-tombstone application yet drop the delete
+    // files — resurrecting row (2,"b"); must fail fast instead
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.LayoutMaintenance.rewriteDataFiles(spark, t.getPath, Nil)
+    }
+    assert(ex.getMessage.contains("equality"))
+    // with the keys it rewrites to the correct MOR state
+    graft.sources.LayoutMaintenance.rewriteDataFiles(
+      spark, t.getPath, eqKeys = Seq("k"))
+    val got = spark.read.format("graft-iceberg").load(t.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2")))
+  }
+
+  test("file pruning compares long bounds exactly above 2^53") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-longbounds")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    val dataDir = new java.io.File(t, "data"); dataDir.mkdirs()
+    val big = (1L << 53) + 1 // doubles round this DOWN to 2^53
+    val f = new java.io.File(dataDir, "big.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      Seq((1L, big)).toDF("okey", "price"), f)
+    IcebergLayoutWriter.writeTable(t, Seq(ManifestEntrySpec(status = 1,
+      content = 0, filePath = f.getAbsolutePath, recordCount = n,
+      sizeBytes = f.length(), sequenceNumber = 1L,
+      lower = Map(1 -> IcebergLayoutWriter.boundLong(0L)),
+      upper = Map(1 -> IcebergLayoutWriter.boundLong(big)))))
+    // hi=2^53+1 > v=2^53 holds in Long; a Double comparison would see
+    // 2^53 > 2^53 = false and wrongly prune the file
+    val got = spark.read.format("graft-iceberg")
+      .option("pushdown.fields", "price:1:long").load(t.getPath)
+      .filter(col("price") > (1L << 53))
+    assert(got.rdd.getNumPartitions == 1,
+      "double-rounded bound comparison wrongly pruned the file")
+    assert(got.count() == 1L)
+  }
+
+  test("explicit read schema is honored as a projection") {
+    val got = spark.read.format("graft-iceberg")
+      .schema("price BIGINT").load(tbl.getPath)
+    assert(got.schema.fieldNames.toSeq == Seq("price"))
+    assert(got.count() == ground.count())
+    assert(got.agg(sum(col("price"))).head.getLong(0) ==
+      ground.agg(sum(col("price"))).head.getLong(0))
+  }
+
+  test("concurrent appends both land: per-table lock + CREATE_NEW version swap") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-race")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    Seq((0L, "base")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    val dataDir = new java.io.File(t, "data")
+    def entryFor(k: Long, tag: String) = {
+      val f = new java.io.File(dataDir, s"race-$tag.parquet")
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        Seq((k, tag)).toDF("k", "v"), f)
+      ManifestEntrySpec(status = 1, content = 0,
+        filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length(), sequenceNumber = 0L)
+    }
+    val (e1, e2) = (entryFor(1L, "t1"), entryFor(2L, "t2"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(e1, e2).map { e =>
+      new Thread(() =>
+        try graft.sources.LayoutMaintenance.commitAppend(spark, t.getPath, Seq(e))
+        catch { case ex: Throwable => errs.add(ex) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing commit failed: ${errs.asScala.headOption}")
+    // neither commit dropped the other's files
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, t.getPath) == Seq(1L, 2L, 3L))
+    val got = spark.read.format("graft-iceberg").load(t.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, "base"), (1L, "t1"), (2L, "t2")))
+  }
 }
