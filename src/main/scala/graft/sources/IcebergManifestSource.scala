@@ -128,6 +128,29 @@ object IcebergManifestSource {
     * `v<N>.metadata.json` does not exist, the hint content is tried as a
     * filename, and a dead hint falls back to the listing resolution
     * rather than failing with a FileNotFoundException. */
+  /** Relocation tolerance: the layout stores absolute paths, so a moved
+    * or renamed table dir (e.g. the catalog's `ALTER TABLE ... RENAME`)
+    * leaves every stored path stale. All layout files live UNDER the
+    * table dir by construction (manifest lists + manifests in
+    * `metadata/`, data files in `data/…`), so a stale local path
+    * re-roots onto the current dir by its suffix. Probes only fire for
+    * scheme-less local paths that are not already under the new root —
+    * an unmoved table (or an object-store layout) never stats. */
+  private[sources] object Relocate {
+    def meta(metaDirFile: java.io.File, p: String): String =
+      if (!p.startsWith("/") || new java.io.File(p).exists()) p
+      else new java.io.File(metaDirFile,
+        new java.io.File(p).getName).getAbsolutePath
+    def data(tableDir: String, p: String): String = {
+      if (!p.startsWith("/") || p.startsWith(tableDir + "/") ||
+          new java.io.File(p).exists()) p
+      else {
+        val i = p.lastIndexOf("/data/")
+        if (i < 0) p else tableDir + p.substring(i)
+      }
+    }
+  }
+
   private def resolveManifestList(spark: SparkSession,
       tableDir: String, snapshotId: Option[Long] = None): Option[String] = {
     val md = readCurrentMetadata(spark, tableDir)
@@ -147,7 +170,8 @@ object IcebergManifestSource {
               && sid.asLong() == id && list != null && list.isTextual)
             found = Some(list.asText())
         }
-        found
+        found.map(Relocate.meta(
+          new java.io.File(tableDir, "metadata"), _))
       }
     }
   }
@@ -425,22 +449,28 @@ object IcebergManifestSource {
 
   /** Manifest paths from a manifest-list Avro file (driver-side — the
     * list is one row per manifest, KBs; an eager Seq is fine here). */
-  def manifestPaths(conf: Configuration, manifestListPath: String): Seq[String] =
+  def manifestPaths(conf: Configuration, manifestListPath: String): Seq[String] = {
+    val listDir = new java.io.File(manifestListPath).getParentFile
     readAvroIterator(conf, manifestListPath) { rec =>
-      Iterator.single(rec.get("manifest_path").toString)
+      Iterator.single(
+        Relocate.meta(listDir, rec.get("manifest_path").toString))
     }.toSeq
+  }
 
   /** (manifest_path, sequence_number) rows of a manifest list — the
     * inheritance input for v2 null ADDED-entry sequence numbers. A v1
     * list (or a pre-v2 fixture) has no sequence_number field → 0. */
   def manifestPathSeqs(conf: Configuration,
-      manifestListPath: String): Seq[(String, Long)] =
+      manifestListPath: String): Seq[(String, Long)] = {
+    val listDir = new java.io.File(manifestListPath).getParentFile
     readAvroIterator(conf, manifestListPath) { rec =>
       val seq =
         if (rec.getSchema.getField("sequence_number") == null) 0L
         else Option(rec.get("sequence_number")).fold(0L)(_.asInstanceOf[Long])
-      Iterator.single((rec.get("manifest_path").toString, seq))
+      Iterator.single(
+        (Relocate.meta(listDir, rec.get("manifest_path").toString), seq))
     }.toSeq
+  }
 
   /** Distributed manifest scan: one task per manifest file. The SESSION's
     * Hadoop configuration ships to tasks as a SerializableConfiguration
@@ -530,10 +560,14 @@ object IcebergManifestSource {
     * snapshot than this manifest) — that is a corrupt manifest, and
     * failing loudly beats silently misordering delete application. */
   private[sources] def readManifestStats(path: String, conf: Configuration,
-      inheritSeq: Long = 0L): Iterator[ManifestStats] =
+      inheritSeq: Long = 0L): Iterator[ManifestStats] = {
+    // tableDir = metadata dir's parent (layout construction)
+    val tableDir =
+      new java.io.File(path).getParentFile.getParentFile.getAbsolutePath
     liveEntries(path, conf).map { case (e, df) =>
       ManifestStats(
-        filePath = Option(df.get("file_path")).map(_.toString).getOrElse(""),
+        filePath = Relocate.data(tableDir,
+          Option(df.get("file_path")).map(_.toString).getOrElse("")),
         content = fileContent(df),
         partitionKey = partitionKeyOf(df),
         sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
@@ -552,6 +586,7 @@ object IcebergManifestSource {
         lower = boundsMap(df, "lower_bounds"),
         upper = boundsMap(df, "upper_bounds"))
     }
+  }
 
   private def fileContent(df: GenericRecord): Int =
     if (df.getSchema.getField("content") == null) 0 // v1: all DataFiles

@@ -63,7 +63,8 @@ object LayoutMaintenance {
       arr.forEach { n =>
         val sid = n.get("snapshot-id"); val list = n.get("manifest-list")
         if (sid != null && sid.canConvertToLong && list != null && list.isTextual)
-          out += Snap(sid.asLong(), list.asText())
+          out += Snap(sid.asLong(), IcebergManifestSource.Relocate.meta(
+            metaDir(tableDir), list.asText())) // survives a table-dir move
       }
       out.toSeq
     }

@@ -133,7 +133,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * the 10M-file ceiling): the same client-side planning budget
     * Iceberg's own scan planning works in; past it a connector needs
     * distributed planning (manifest evaluation as a Spark job). */
-  private[v2] lazy val dataFiles: Seq[(String, Map[String, (Any, Any)])] = {
+  private[v2] lazy val dataFiles: Seq[(String, Map[String, (Any, Any)])] =
+    if (!hasMetadata) Seq.empty // created but never written: empty scan
+    else {
     val spark = SparkSession.active
     val fields = statFields.map(f => (f.fieldId, f.name, f.dt))
     val cap = graft.sources.LayoutMaintenance.MaxDriverFileEntries
@@ -154,6 +156,13 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       }
   }
 
+  private def hasMetadata: Boolean = {
+    val m = new java.io.File(dir, "metadata")
+    new java.io.File(m, "version-hint.text").exists() ||
+      Option(m.listFiles()).exists(_.exists(
+        _.getName.endsWith(".metadata.json")))
+  }
+
   override def name(): String = s"graft_iceberg(`$dir`)"
 
   /** An explicit `.schema(...)` on read wins (the V2 contract — the
@@ -161,9 +170,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * otherwise infer from the first data file, then the `write.schema`
     * bootstrap for a fresh table. */
   override lazy val schema: StructType = userSchema.getOrElse {
-    val hasMeta = new java.io.File(new java.io.File(dir, "metadata"),
-      "version-hint.text").exists()
-    if (hasMeta)
+    if (hasMetadata)
       dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f._1))
         .orElse(bootstrapSchema).getOrElse(new StructType())
     else bootstrapSchema.getOrElse(new StructType())

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The graft TableCatalog: identifier-addressed SQL over layout tables —
+  * CREATE/INSERT/SELECT/DROP/SHOW plus namespaces, with the table state
+  * cross-checked through the path-addressed connector and the
+  * maintenance surface (one table, two addressing modes). */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSpec.spark
+    val wh = new java.io.File("target/tmp-catalog-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(wh)
+    s.conf.set("spark.sql.catalog.cattest",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.cattest.warehouse", wh.getAbsolutePath)
+    s
+  }
+
+  test("namespace + table DDL lifecycle: create, show, drop") {
+    spark.sql("CREATE NAMESPACE cattest.db1")
+    spark.sql("CREATE NAMESPACE cattest.db2")
+    assert(spark.sql("SHOW NAMESPACES IN cattest").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("db1", "db2"))
+    spark.sql("CREATE TABLE cattest.db1.t1 (k BIGINT, v STRING) USING `graft-iceberg`")
+    spark.sql("CREATE TABLE cattest.db1.t2 (k BIGINT) USING `graft-iceberg`")
+    assert(spark.sql("SHOW TABLES IN cattest.db1").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("t1", "t2"))
+    // an empty created table scans as zero rows, not an error
+    assert(spark.sql("SELECT * FROM cattest.db1.t2").count() == 0L)
+    spark.sql("DROP TABLE cattest.db1.t2")
+    assert(spark.sql("SHOW TABLES IN cattest.db1").collect()
+      .map(_.getString(1)).toSeq == Seq("t1"))
+    intercept[Exception] { spark.sql("SELECT * FROM cattest.db1.t2").collect() }
+    spark.sql("DROP NAMESPACE cattest.db2")
+    assert(spark.sql("SHOW NAMESPACES IN cattest").collect()
+      .map(_.getString(0)).toSeq == Seq("db1"))
+  }
+
+  test("INSERT INTO then SELECT: snapshots commit per statement, both addressing modes agree") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ins")
+    spark.sql("CREATE TABLE cattest.ins.t (k BIGINT, v STRING) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.ins.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO cattest.ins.t VALUES (3, 'c')")
+    val got = spark.sql("SELECT k, v FROM cattest.ins.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // same table through the path-addressed connector + maintenance API
+    val dir = new java.io.File("target/tmp-catalog-wh/ins/t")
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, dir.getPath) == Seq(1L, 2L))
+    assert(spark.read.format("graft-iceberg").load(dir.getPath).count() == 3L)
+    // aggregation pushes through the catalog identifier like any table
+    assert(spark.sql("SELECT count(*) FROM cattest.ins.t WHERE k >= 2")
+      .head.getLong(0) == 2L)
+  }
+
+  test("pushdown.fields table property applies file skipping to identifier reads") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.push")
+    spark.sql("""CREATE TABLE cattest.push.t (k BIGINT, b BIGINT)
+      USING `graft-iceberg` TBLPROPERTIES ('pushdown.fields'='k:1:long')""")
+    // two commits = two files with disjoint k-ranges and real bounds
+    val dir = new java.io.File("target/tmp-catalog-wh/push/t")
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    val entries = Seq((0L, 99L), (100L, 199L)).zipWithIndex.map {
+      case ((lo, hi), i) =>
+        val f = new java.io.File(dataDir, s"r$i.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          (lo to hi).map(k => (k, k % 7)).toDF("k", "b"), f)
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = f.getAbsolutePath, recordCount = n,
+          sizeBytes = f.length(), sequenceNumber = 1L,
+          lower = Map(1 -> IcebergLayoutWriter.boundLong(lo)),
+          upper = Map(1 -> IcebergLayoutWriter.boundLong(hi)))
+    }
+    IcebergLayoutWriter.writeTable(dir, entries)
+    val pruned = spark.sql("SELECT k, b FROM cattest.push.t WHERE k >= 150")
+    assert(pruned.rdd.getNumPartitions == 1,
+      "pushdown.fields from TBLPROPERTIES did not prune by manifest bounds")
+    assert(pruned.count() == 50L)
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES and RENAME keep the data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.alt")
+    spark.sql("CREATE TABLE cattest.alt.t (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.alt.t VALUES (7)")
+    spark.sql("ALTER TABLE cattest.alt.t SET TBLPROPERTIES ('note'='x')")
+    spark.sql("ALTER TABLE cattest.alt.t RENAME TO cattest.alt.t2")
+    assert(spark.sql("SELECT k FROM cattest.alt.t2").head.getLong(0) == 7L)
+    assert(spark.sql("SHOW TABLES IN cattest.alt").collect()
+      .map(_.getString(1)).toSeq == Seq("t2"))
+  }
+
+  test("externally-written layouts surface through the catalog without a descriptor") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ext")
+    val dir = new java.io.File("target/tmp-catalog-wh/ext/plain")
+    Seq((1L, "z")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append")
+      .save(dir.getPath)
+    assert(spark.sql("SHOW TABLES IN cattest.ext").collect()
+      .map(_.getString(1)).toSeq == Seq("plain"))
+    assert(spark.sql("SELECT v FROM cattest.ext.plain").head.getString(0) == "z")
+  }
+}
