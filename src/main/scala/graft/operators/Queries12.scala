@@ -589,6 +589,62 @@ object Queries12 {
                 |FROM $cat.sales.orders_t GROUP BY mon ORDER BY mon""".stripMargin)
     },
 
+    // ---- row-level SQL: `DELETE FROM` through the catalog
+    // (SupportsDelete → commitDeleteWhereCow, copy-on-write — the
+    // committed snapshot carries NO tombstones, so the connector's
+    // append-only scan reads the post-delete truth). The same starting
+    // state is built on a twin path-addressed table and deleted through
+    // the API; the two end states are pinned equal (except() both ways)
+    // before the survivors' profile is hash-gated against DuckDB
+    // applying the inverted predicate to raw lineitem. At 100 TB the
+    // COW bill is O(affected files) — untouched files carry verbatim,
+    // which the spec pins on the multi-file fixture.
+    "q204_sql_delete" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q204wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cur")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cur.li")
+      s.sql(s"CREATE TABLE $cat.cur.li " +
+        "(okey BIGINT, price BIGINT, flag STRING) USING `graft-iceberg`")
+      val src = t(dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("okey"),
+          floor(col("l_extendedprice")).cast("long").as("price"),
+          col("l_returnflag").as("flag"))
+      src.createOrReplaceTempView("q204_src")
+      s.sql(s"INSERT INTO $cat.cur.li SELECT * FROM q204_src WHERE price < 50000")
+      s.sql(s"INSERT INTO $cat.cur.li SELECT * FROM q204_src WHERE price >= 50000")
+      s.sql(s"DELETE FROM $cat.cur.li WHERE price < 30000 OR flag = 'R'")
+      val tblDir = new java.io.File(new java.io.File(wh, "cur"), "li")
+      // COW invariant: the post-delete snapshot carries no delete files
+      val entries = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tblDir.getPath, "t", Nil)
+        .select("content").collect().map(_.getInt(0))
+      require(entries.forall(_ == 0), "COW DELETE must not commit tombstones")
+      // API twin from the same starting state ends bit-identical
+      val twin = TmpFixture.dir("q204twin", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(twin)
+      src.filter(col("price") < 50000).write.format("graft-iceberg")
+        .option("write.schema", "okey LONG, price LONG, flag STRING")
+        .mode("append").save(twin.getPath)
+      src.filter(col("price") >= 50000).write.format("graft-iceberg")
+        .mode("append").save(twin.getPath)
+      graft.sources.LayoutMaintenance.commitDeleteWhereCow(s, twin.getPath,
+        col("price") < 30000 || col("flag") === "R")
+      val sqlState = s.sql(s"SELECT okey, price, flag FROM $cat.cur.li")
+      val apiState = s.read.format("graft-iceberg").load(twin.getPath)
+        .select("okey", "price", "flag")
+      require(sqlState.exceptAll(apiState).isEmpty &&
+        apiState.exceptAll(sqlState).isEmpty,
+        "SQL DELETE and API delete must land the same table state")
+      s.sql(s"""SELECT flag, count(*) AS n_rows, sum(price) AS sum_price,
+                |  min(okey) AS min_okey, max(okey) AS max_okey
+                |FROM $cat.cur.li GROUP BY flag ORDER BY flag""".stripMargin)
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1029,6 +1085,20 @@ object Queries12 {
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q204_sql_delete" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS okey,
+        |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS price,
+        |         l_returnflag AS flag
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |kept AS (
+        |  SELECT * FROM src WHERE NOT (price < 30000 OR flag = 'R'))
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey,
+        |  CAST(max(okey) AS BIGINT) AS max_okey
+        |FROM kept GROUP BY flag ORDER BY flag""".stripMargin,
 
     "q183_merge_upsert" ->
       """WITH base AS (

@@ -794,6 +794,66 @@ object LayoutMaintenance {
     (newId, n)
   }
 
+  /** Predicate DELETE, COPY-ON-WRITE mode (Iceberg's
+    * `write.delete.mode=copy-on-write`; the SQL `DELETE FROM` behind
+    * [[graft.sources.v2.GraftTable]]'s SupportsDelete): files containing
+    * matches are rewritten without the matched rows, untouched files are
+    * carried verbatim, and the committed snapshot holds NO delete files
+    * — so the connector's append-only scan (which does not apply
+    * tombstones) reads the post-delete truth with zero reader changes.
+    * When the current snapshot already carries tombstones (a MOR table),
+    * the whole state is rewritten instead (tombstone contents reference
+    * files by path, so partial carry would need reading every delete
+    * file to prove safety). At 100 TB the common path costs O(affected
+    * files) — the same bill Iceberg's own COW delete pays — and a
+    * predicate that matches nothing commits nothing. Returns
+    * (snapshotId after, rowsDeleted). */
+  def commitDeleteWhereCow(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      eqKeys: Seq[String] = Nil): (Long, Long) =
+      commitLock(tableDir).synchronized {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val hasTombstones = carried.exists(_.content != 0)
+    val lineage = MorRead.readTableLineage(spark, tableDir, eqKeys)
+    if (lineage.isEmpty) return (curId, 0L)
+    // DELETE removes rows where the predicate is TRUE; null keeps
+    val keep = not(coalesce(predicate, lit(false)))
+    val affected: Set[String] =
+      if (hasTombstones) carried.filter(_.content == 0).map(_.filePath).toSet
+      else lineage.filter(predicate).select("file_path")
+        .distinct().collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return (curId, 0L) // nothing matched: no commit
+    val norm = affected.map(_.replaceFirst("^file:/+", "/"))
+    val inScope = lineage.filter(col("file_path").isin(norm.toSeq: _*))
+      .localCheckpoint() // two actions (count + write) over one read
+    val deleted = inScope.filter(predicate).count()
+    if (deleted == 0L) return (curId, 0L)
+    val survivors = inScope.filter(keep).drop("file_path", "pos", "data_seq")
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val rw = new java.io.File(dataDir, s"cowdel-$newId.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(survivors, rw)
+    val kept = carried.filter(e =>
+      e.content == 0 && !affected(e.filePath) &&
+        !norm(e.filePath.replaceFirst("^file:/+", "/")))
+    val added =
+      if (n == 0L) { // every in-scope row died: no empty file in the commit
+        org.apache.commons.io.FileUtils.deleteQuietly(rw); Nil
+      } else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+        content = 0, filePath = rw.getAbsolutePath, recordCount = n,
+        sizeBytes = rw.length(), sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, kept ++ added, newId, newId, movedRefs)
+    (newId, deleted)
+  }
+
   /** EXECUTED rewrite_data_files — the data-moving compaction that
     * [[commitCompaction]]'s metadata-only commit deliberately is not:
     * read the current snapshot MERGE-ON-READ (every position/equality

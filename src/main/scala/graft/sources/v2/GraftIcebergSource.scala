@@ -95,6 +95,36 @@ object GraftIcebergSource {
     new GraftTable(dir, snapshot, fields, bootstrap, userSchema)
   }
 
+  /** V1 `Filter` → `Column`, total over the algebra Spark can hand a
+    * DELETE condition as; None marks a shape we refuse in canDeleteWhere
+    * (fail the statement, never mistranslate it). */
+  private[v2] def filterToColumn(
+      f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (x <- filterToColumn(l); y <- filterToColumn(r)) yield x && y
+      case Or(l, r) =>
+        for (x <- filterToColumn(l); y <- filterToColumn(r)) yield x || y
+      case Not(c) => filterToColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Flat parquet schema of the first data file → StructType. */
   private[v2] def inferFrom(path: String): StructType = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -124,8 +154,29 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     bootstrapSchema: Option[StructType] = None,
     userSchema: Option[StructType] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import graft.sources.IcebergManifestSource
+
+  /** SQL `DELETE FROM` (v1-filter form — Spark's SupportsDelete default
+    * converts V2 predicates down): copy-on-write via
+    * [[graft.sources.LayoutMaintenance.commitDeleteWhereCow]], so the
+    * committed snapshot carries no tombstones and this table's
+    * append-only scan reads the post-delete truth directly. Conditions
+    * that don't translate to a Column (none in the v1 filter algebra we
+    * accept) reject in canDeleteWhere and surface as an analysis error
+    * rather than a wrong answer. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftIcebergSource.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (!hasMetadata) return // created but never written: nothing to delete
+    val pred = filters.toSeq.flatMap(GraftIcebergSource.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.sources.LayoutMaintenance.commitDeleteWhereCow(
+      SparkSession.active, dir, pred)
+  }
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —
     * metadata-sized, resolved once per scan. Driver heap is bounded by

@@ -95,6 +95,47 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("t2"))
   }
 
+  test("SQL DELETE FROM: copy-on-write, untouched files carried, API path agrees") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.del")
+    spark.sql("CREATE TABLE cattest.del.t (k BIGINT, v STRING) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.del.t VALUES (1, 'a'), (2, 'b')") // file 1
+    spark.sql("INSERT INTO cattest.del.t VALUES (3, 'c'), (4, 'd')") // file 2
+    val dir = new java.io.File("target/tmp-catalog-wh/del/t")
+    val before = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir.getPath, "t", Nil)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(before.size >= 2) // VALUES inserts may split across tasks
+    spark.sql("DELETE FROM cattest.del.t WHERE k >= 3 AND v != 'd'") // only row 3
+    val got = spark.sql("SELECT k, v FROM cattest.del.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    // the untouched file 1 is carried VERBATIM; no tombstones committed
+    val after = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir.getPath, "t", Nil)
+      .select("file_path", "content").collect()
+    assert(after.forall(_.getInt(1) == 0), "COW delete must not commit tombstones")
+    assert(after.map(_.getString(0)).toSet.intersect(before).size == before.size - 1,
+      "all original files except the one containing the match should carry")
+    // a no-match DELETE commits nothing
+    val ids1 = graft.sources.LayoutMaintenance.snapshotIds(spark, dir.getPath)
+    spark.sql("DELETE FROM cattest.del.t WHERE k > 100")
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, dir.getPath) == ids1, "no-match DELETE must not commit")
+    // the API path over the same starting state lands the same rows
+    val twin = new java.io.File("target/tmp-catalog-del-twin")
+    org.apache.commons.io.FileUtils.deleteQuietly(twin)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(twin.getPath)
+    Seq((3L, "c"), (4L, "d")).toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(twin.getPath)
+    graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, twin.getPath,
+      col("k") >= 3 && col("v") =!= "d")
+    val apiGot = spark.read.format("graft-iceberg").load(twin.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(apiGot == got)
+  }
+
   test("externally-written layouts surface through the catalog without a descriptor") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ext")
