@@ -73,6 +73,10 @@ object Multimodal {
           val img = RealCodec.decodePng(m.content)
           Some(MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
             RealCodec.imageFeatures(img)))
+        } else if (RealCodec.isJpeg(m.content)) {
+          val img = RealCodec.decodeJpeg(m.content)
+          Some(MediaFeatures(m.media_id, m.kind, img.width, img.height, 1,
+            RealCodec.imageFeatures(img)))
         } else if (RealCodec.isWav(m.content)) {
           val w = RealCodec.decodeWav(m.content)
           Some(MediaFeatures(m.media_id, m.kind, w.channels, 0,

@@ -1,13 +1,14 @@
 package graft.multimodal
 
 /** REAL zero-dependency media codecs: binary PPM (P6) and 8-bit
-  * truecolor PNG images, and 16-bit PCM WAV audio — the formats
-  * decodable byte-exactly with nothing
-  * but the JDK. They replace [[Multimodal.FakeCodec]] wherever the
-  * payload actually IS one of these formats (content-sniffed by magic
-  * bytes); containers without in-sandbox decoders (JPEG, MP4, ...) still
-  * fall back to the deterministic stub, so the partition-wise batched
-  * plumbing is identical for real and stubbed media.
+  * truecolor PNG images (byte-exact, hand-rolled), JPEG (via the JDK's
+  * own bundled ImageIO reader — lossy format, exact decode of what the
+  * file encodes), and 16-bit PCM WAV audio. They replace
+  * [[Multimodal.FakeCodec]] wherever the payload actually IS one of
+  * these formats (content-sniffed by magic bytes); containers without
+  * in-sandbox decoders (MP4, webm, ...) still fall back to the
+  * deterministic stub, so the partition-wise batched plumbing is
+  * identical for real and stubbed media.
   *
   * Both decoders are strict enough to be trustworthy fixtures (maxval
   * must be 255, WAV must be PCM-16) and lenient where real files vary
@@ -286,6 +287,67 @@ object RealCodec {
     chunk("IDAT", comp.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     bos.toByteArray
+  }
+
+  // ---- JPEG (via the JDK's bundled ImageIO reader) ----------------------
+
+  /** SOI marker FF D8 followed by another marker byte — the JFIF/EXIF
+    * container sniff. */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+      (b(2) & 0xFF) == 0xFF
+
+  /** Decode a JPEG through `javax.imageio` (the JDK ships a JPEG reader
+    * — no external dependency) into the same 8-bit interleaved RGB
+    * [[Image]] the PPM/PNG decoders produce, so resize/features/encode
+    * compose identically. Undecodable or absurd payloads throw
+    * IllegalArgumentException like the other strict decoders, which the
+    * dispatch layer turns into the stub fallback. */
+  def decodeJpeg(bytes: Array[Byte]): Image = {
+    require(isJpeg(bytes), "not a JPEG")
+    val bi =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"JPEG decode failed: ${e.getMessage}") }
+    require(bi != null, "ImageIO found no reader for the payload")
+    val w = bi.getWidth; val h = bi.getHeight
+    require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
+      s"absurd JPEG dimensions ${w}x$h")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = bi.getRGB(x, y)
+        rgb(i) = ((p >> 16) & 0xFF).toByte
+        rgb(i + 1) = ((p >> 8) & 0xFF).toByte
+        rgb(i + 2) = (p & 0xFF).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    Image(w, h, rgb)
+  }
+
+  /** Encode through the JDK JPEG writer (fixture generation; lossy —
+    * round-trips are approximate, unlike PPM/PNG). */
+  def encodeJpeg(img: Image): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0; var i = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        bi.setRGB(x, y,
+          ((img.rgb(i) & 0xFF) << 16) | ((img.rgb(i + 1) & 0xFF) << 8) |
+            (img.rgb(i + 2) & 0xFF))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", out)
+    out.toByteArray
   }
 
   // ---- WAV (RIFF, PCM 16-bit) -------------------------------------------

@@ -283,4 +283,45 @@ class MultimodalSpec extends AnyFunSuite {
       maxDim = 2).collect().head
     assert(resized.width == 2 && resized.height == 2)
   }
+
+  // ---- JPEG (JDK ImageIO) -------------------------------------------------
+
+  test("JPEG: ImageIO round-trip decodes real dims and near-exact pixels") {
+    // a smooth gradient survives JPEG quantization within a small bound
+    val w = 16; val h = 12
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (x * 8).toByte; rgb(i + 1) = (y * 8).toByte; rgb(i + 2) = 64.toByte
+    }
+    val img = RealCodec.Image(w, h, rgb)
+    val jpeg = RealCodec.encodeJpeg(img)
+    assert(RealCodec.isJpeg(jpeg), "encoder must emit the FF D8 FF magic")
+    assert(!RealCodec.isPng(jpeg) && !RealCodec.isPpm(jpeg) && !RealCodec.isWav(jpeg))
+    val back = RealCodec.decodeJpeg(jpeg)
+    assert(back.width == w && back.height == h)
+    val maxErr = back.rgb.indices.map(i =>
+      math.abs((back.rgb(i) & 0xFF) - (rgb(i) & 0xFF))).max
+    assert(maxErr <= 32, s"JPEG round-trip drifted by $maxErr levels")
+  }
+
+  test("JPEG: dispatch decodes real payloads, corrupt ones degrade to the stub") {
+    import spark.implicits._
+    val good = RealCodec.encodeJpeg(RealCodec.Image(6, 4, Array.fill[Byte](72)(50)))
+    val truncated = good.take(8) // SOI + APP0 start, then nothing
+    val garbage = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++
+      Array.fill[Byte](64)(0x5A)
+    val media = spark.createDataset(Seq(
+      MediaFile(1, "image", good), MediaFile(2, "image", truncated),
+      MediaFile(3, "image", garbage)))
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out.size == 3, "all rows must survive")
+    assert(out(1L).width == 6 && out(1L).height == 4,
+      s"real JPEG went to the stub: ${out(1L).width}x${out(1L).height}")
+    // corrupt rows fall back to the stub's content-derived dims
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id).width <= 4096 && out(id).height <= 4096,
+        s"media $id leaked adversarial dims")
+    }
+  }
 }
