@@ -27,7 +27,91 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(dir, info.schema(), info.queryId())
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(dir, info.schema(), info.queryId())
   }
+}
+
+/** `writeStream.format("graft-iceberg")` without foreachBatch: each
+  * epoch's task files commit as ONE snapshot append — the same two-phase
+  * object-store shape as the batch write, once per trigger. Exactly-once
+  * across restarts is the standard epoch-ledger discipline: the commit
+  * is keyed by (queryId, epochId) in `metadata/streaming-epochs.json`;
+  * a replayed epoch (post-crash re-run of a trigger whose commit already
+  * landed) deletes its re-written files and commits nothing, so the
+  * table never double-counts. The ledger is read-modify-written under
+  * the same per-table lock (and CREATE_NEW version CAS) every other
+  * commit path uses. At 100 TB the steady-state bill per trigger is the
+  * append rate: task-parallel data files + one metadata swap. */
+private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(dir, schema, queryId)
+
+  private def ledgerFile =
+    new java.io.File(new java.io.File(dir, "metadata"), "streaming-epochs.json")
+
+  private def lastCommitted(): Long = {
+    val f = ledgerFile
+    if (!f.exists()) return -1L
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    Option(root.get(queryId)).filter(_.canConvertToLong)
+      .map(_.asLong()).getOrElse(-1L)
+  }
+
+  private def recordCommitted(epochId: Long): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = ledgerFile
+    val root =
+      if (f.exists())
+        mapper.readTree(f).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else mapper.createObjectNode()
+    root.put(queryId, epochId)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    graft.sources.LayoutMaintenance.commitLock(dir).synchronized {
+      if (epochId <= lastCommitted()) {
+        // replayed trigger: the snapshot already landed — drop the rerun's
+        // files instead of double-committing them
+        abort(epochId, messages)
+      } else {
+        val entries = messages.collect {
+          case GraftCommitMessage(path, rows, bytes) if rows > 0 =>
+            graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+              content = 0, filePath = path, recordCount = rows, sizeBytes = bytes)
+        }
+        if (entries.nonEmpty)
+          graft.sources.LayoutMaintenance.commitAppend(
+            org.apache.spark.sql.SparkSession.active, dir, entries.toSeq)
+        // empty epochs advance the ledger too: their replay is also a no-op
+        recordCommitted(epochId)
+      }
+    }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftCommitMessage(path, _, _) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      case _ => ()
+    }
+}
+
+private[v2] class GraftStreamingWriterFactory(dir: String, schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, schema, s"$queryId-e$epochId", partitionId, taskId)
 }
 
 private[v2] case class GraftCommitMessage(path: String, rows: Long,

@@ -291,6 +291,92 @@ class GraftSourceV2Spec extends AnyFunSuite {
       ground.agg(sum(col("price"))).head.getLong(0))
   }
 
+  test("native streaming WRITE: one snapshot per epoch, checkpointed restart, no replay double-count") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = new java.io.File("target/tmp-dsv2-swrite")
+    val ckpt = new java.io.File("target/tmp-dsv2-swrite-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    val input = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = input.toDS().toDF("k", "v")
+        .writeStream.format("graft-iceberg")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.getPath)
+        .option("write.schema", "k LONG, v STRING")
+        .start(t.getPath)
+      try q.awaitTermination() finally q.stop()
+    }
+    input.addData((1L, "a"), (2L, "b"))
+    run()
+    assert(spark.read.format("graft-iceberg").load(t.getPath).count() == 2L)
+    val idsAfter1 = graft.sources.LayoutMaintenance.snapshotIds(spark, t.getPath)
+    // restart with accumulated data: the resumed stream commits it once
+    input.addData((3L, "c"))
+    input.addData((4L, "d"))
+    run()
+    val got = spark.read.format("graft-iceberg").load(t.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(graft.sources.LayoutMaintenance.snapshotIds(spark, t.getPath)
+      .size > idsAfter1.size)
+    // idle restart: nothing new commits
+    val idsBefore = graft.sources.LayoutMaintenance.snapshotIds(spark, t.getPath)
+    run()
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, t.getPath) == idsBefore)
+    // END-TO-END epoch replay: deleting the newest commit marker from
+    // the checkpoint makes the restarted query RE-RUN that micro-batch
+    // (the crash-between-sink-commit-and-checkpoint-commit window). The
+    // sink's (queryId, epochId) ledger must swallow the re-delivered
+    // commit: rows stay exactly-once, no new snapshot, and the rerun's
+    // orphan files are deleted.
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, "." + newest.getName + ".crc").delete()
+    run()
+    val afterReplay = spark.read.format("graft-iceberg").load(t.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(afterReplay == got, "replayed epoch double-counted rows")
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, t.getPath) == idsBefore,
+      "replayed epoch must not commit a snapshot")
+  }
+
+  test("native streaming WRITE converges: arbitrary micro-batch splits land the batch-append state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(k => (k, s"v$k"))
+    def streamed(split: Seq[Seq[(Long, String)]]): Seq[(Long, String)] = {
+      val t = new java.io.File(s"target/tmp-dsv2-conv-${split.size}")
+      val ckpt = new java.io.File(s"target/tmp-dsv2-conv-${split.size}-ckpt")
+      org.apache.commons.io.FileUtils.deleteQuietly(t)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDS().toDF("k", "v")
+        .writeStream.format("graft-iceberg")
+        .option("checkpointLocation", ckpt.getPath)
+        .option("write.schema", "k LONG, v STRING")
+        .start(t.getPath)
+      try split.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally { q.stop(); q.awaitTermination() }
+      assert(graft.sources.LayoutMaintenance.snapshotIds(spark, t.getPath)
+        .size == split.count(_.nonEmpty), "one snapshot per non-empty trigger")
+      spark.read.format("graft-iceberg").load(t.getPath)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    }
+    val a = streamed(Seq(rows))                              // one big trigger
+    val b = streamed(rows.grouped(7).toSeq)                  // ragged splits
+    val c = streamed(Seq(rows.take(1), rows.drop(1)))        // 1 + rest
+    assert(a == rows.sortBy(_._1) && b == a && c == a,
+      "micro-batch split must not change the final table state")
+  }
+
   test("concurrent appends both land: per-table lock + CREATE_NEW version swap") {
     import spark.implicits._
     val t = new java.io.File("target/tmp-dsv2-race")
