@@ -125,6 +125,23 @@ object GraftIcebergSource {
     }
   }
 
+  /** `{"name":value,...}` partition-key JSON → name→value map (numbers
+    * as Long, everything else as String). */
+  private[v2] def parsePartitionKey(json: String): Map[String, Any] = {
+    if (json == null || json.isEmpty || json == "{}") return Map.empty
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val out = Map.newBuilder[String, Any]
+    node.fields().forEachRemaining { e =>
+      val v: Any = e.getValue match {
+        case n if n.isIntegralNumber => n.asLong()
+        case n if n.isFloatingPointNumber => n.asDouble()
+        case other => other.asText()
+      }
+      out += (e.getKey -> v)
+    }
+    out.result()
+  }
+
   /** Flat parquet schema of the first data file → StructType. */
   private[v2] def inferFrom(path: String): StructType = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -184,7 +201,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * the 10M-file ceiling): the same client-side planning budget
     * Iceberg's own scan planning works in; past it a connector needs
     * distributed planning (manifest evaluation as a Spark job). */
-  private[v2] lazy val dataFiles: Seq[(String, Map[String, (Any, Any)])] =
+  private[v2] lazy val dataFiles
+      : Seq[(String, Map[String, (Any, Any)], Map[String, Any])] =
     if (!hasMetadata) Seq.empty // created but never written: empty scan
     else {
     val spark = SparkSession.active
@@ -203,9 +221,25 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
         val bounds = statFields.map { f =>
           f.name -> ((r.getAs[Any](s"lo_${f.name}"), r.getAs[Any](s"hi_${f.name}")))
         }.toMap
-        (r.getAs[String]("file_path"), bounds)
+        (r.getAs[String]("file_path"), bounds,
+          GraftIcebergSource.parsePartitionKey(r.getAs[String]("partitionKey")))
       }
   }
+
+  /** (partitionFieldName, transform, sourceColumnName) for each declared
+    * partition transform whose SOURCE column is known to this scan
+    * (source-id resolved through `pushdown.fields` — the same contract
+    * that names stat fields names partition sources). Drives
+    * transform-aware pruning in [[GraftScan]]. */
+  private[v2] lazy val partitionFields: Seq[(String, String, String)] =
+    if (!hasMetadata) Nil
+    else {
+      val byId = statFields.map(f => f.fieldId -> f.name).toMap
+      IcebergManifestSource.partitionSpec(SparkSession.active, dir)
+        .flatMap { case (pfName, transform, srcId) =>
+          byId.get(srcId).map(srcName => (pfName, transform, srcName))
+        }
+    }
 
   private def hasMetadata: Boolean = {
     val m = new java.io.File(dir, "metadata")
@@ -328,8 +362,83 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
       }).getOrElse(true)
     }
 
+  /** Iceberg "Partition transform projection": a pushed predicate on a
+    * transform's SOURCE column projects to an INCLUSIVE predicate on the
+    * stored partition value — `ts >= X` skips `day(ts)` partitions below
+    * `day(X)` with no column stats at all; `id = K` skips every
+    * `bucket[N](id)` partition except `bucket(K)`'s. Monotonic
+    * transforms (identity/day/hour/month/year/truncate) project ranges;
+    * bucket projects equality only. Everything here is conservative:
+    * a missing partition value (older spec), an unprojectable shape, or
+    * a type mismatch keeps the file — pruning is never a correctness
+    * lever. */
+  private def partitionKeeps(pvals: Map[String, Any]): Boolean =
+    pushed.forall { f =>
+      table.partitionFields.forall { case (pfName, transform, srcCol) =>
+        keepByTransform(f, pfName, transform, srcCol, pvals)
+      }
+    }
+
+  private def keepByTransform(f: Filter, pfName: String, transform: String,
+      srcCol: String, pvals: Map[String, Any]): Boolean = {
+    import graft.sources.PartitionTransforms._
+    val pvLong: Option[Long] = pvals.get(pfName).collect { case l: Long => l }
+    def longVal(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
+      case _ => None
+    }
+    // transform(source value) → the partition ordinal it lands in
+    def ordinal(v: Any): Option[Long] = transform match {
+      case "identity" => longVal(v)
+      case "day" => longVal(v).map(us => dayFromMicros(us).toLong)
+      case "hour" => longVal(v).map(us => hourFromMicros(us).toLong)
+      case "month" => longVal(v).map(us => monthFromMicros(us).toLong)
+      case "year" => longVal(v).map(us => yearFromMicros(us).toLong)
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toLong
+        longVal(v).map(truncateLong(_, w))
+      case _ => None // bucket: equality-only, handled below
+    }
+    val bucketN: Option[Int] =
+      if (transform.startsWith("bucket["))
+        Some(transform.stripPrefix("bucket[").stripSuffix("]").toInt)
+      else None
+    (f, pvLong) match {
+      case (_, None) => true // no value for this field in this file: keep
+      case (EqualTo(c, v), Some(pv)) if c == srcCol =>
+        bucketN match {
+          case Some(n) => longVal(v).map(x => bucketLong(x, n).toLong == pv)
+            .orElse(v match {
+              case s: String => Some(bucketString(s, n).toLong == pv)
+              case _ => None
+            }).getOrElse(true)
+          case None => ordinal(v).forall(_ == pv)
+        }
+      // over integral values a strict bound shifts one unit before
+      // projecting (`> v` ≡ `>= v+1`), so a `ts < day-start` predicate
+      // prunes that whole day instead of keeping its boundary partition
+      case (GreaterThan(c, v), Some(pv)) if c == srcCol =>
+        longVal(v).map(x => ordinal(java.lang.Long.valueOf(
+            if (x == Long.MaxValue) x else x + 1)).forall(pv >= _))
+          .getOrElse(ordinal(v).forall(pv >= _))
+      case (GreaterThanOrEqual(c, v), Some(pv)) if c == srcCol =>
+        ordinal(v).forall(pv >= _)
+      case (LessThan(c, v), Some(pv)) if c == srcCol =>
+        longVal(v).map(x => ordinal(java.lang.Long.valueOf(
+            if (x == Long.MinValue) x else x - 1)).forall(pv <= _))
+          .getOrElse(ordinal(v).forall(pv <= _))
+      case (LessThanOrEqual(c, v), Some(pv)) if c == srcCol =>
+        ordinal(v).forall(pv <= _)
+      case _ => true
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    table.dataFiles.filter(f => overlaps(f._2))
+    table.dataFiles
+      .filter(f => overlaps(f._2) && partitionKeeps(f._3))
       .map(f => GraftFilePartition(f._1): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -347,6 +347,71 @@ class GraftSourceV2Spec extends AnyFunSuite {
       "replayed epoch must not commit a snapshot")
   }
 
+  test("transform-aware pruning: days(ts) partitions skip on a plain ts predicate, no column stats") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-daypart")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    val dataDir = new java.io.File(t, "data"); dataDir.mkdirs()
+    val usPerDay = 86400L * 1000 * 1000
+    // 6 day-partitions, one file each — NO lower/upper bounds anywhere
+    val entries = (0 until 6).map { d =>
+      val f = new java.io.File(dataDir, s"d$d.parquet")
+      val rows = (0 until 10).map(i => (d * usPerDay + i * 1000L, s"r$d-$i"))
+      val n = IcebergLayoutWriter.writeSingleParquet(rows.toDF("ts", "v"), f)
+      ManifestEntrySpec(status = 1, content = 0,
+        filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length(), sequenceNumber = 1L,
+        partition = Seq("ts_day" -> d))
+    }
+    IcebergLayoutWriter.writeTable(t, entries,
+      partitionSpec = Seq(("ts_day", "day", 1)))
+    def scan = spark.read.format("graft-iceberg")
+      .option("pushdown.fields", "ts:1:long").load(t.getPath)
+    // ts >= start of day 4 → days 4,5 survive (inclusive projection)
+    val ge = scan.filter(col("ts") >= 4 * usPerDay)
+    assert(ge.rdd.getNumPartitions == 2,
+      s"day pruning broke: ${ge.rdd.getNumPartitions} of 6 files planned")
+    assert(ge.count() == 20L)
+    // mid-day predicate keeps its own day
+    val mid = scan.filter(col("ts") > 4 * usPerDay + 5000L)
+    assert(mid.rdd.getNumPartitions == 2)
+    assert(mid.count() == 14L)
+    // range both ways
+    val range = scan.filter(col("ts") >= 2 * usPerDay && col("ts") < 3 * usPerDay)
+    assert(range.rdd.getNumPartitions == 1)
+    assert(range.count() == 10L)
+  }
+
+  test("transform-aware pruning: bucket[N] partitions skip on equality") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-bucketpart")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    val dataDir = new java.io.File(t, "data"); dataDir.mkdirs()
+    val keys = (1L to 64L)
+    val byBucket = keys.groupBy(k => graft.sources.PartitionTransforms.bucketLong(k, 4))
+    val entries = byBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
+      val f = new java.io.File(dataDir, s"b$b.parquet")
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        ks.map(k => (k, k * 10)).toDF("id", "x"), f)
+      ManifestEntrySpec(status = 1, content = 0,
+        filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length(), sequenceNumber = 1L,
+        partition = Seq("id_bucket" -> b))
+    }
+    IcebergLayoutWriter.writeTable(t, entries,
+      partitionSpec = Seq(("id_bucket", "bucket[4]", 1)))
+    val scan = spark.read.format("graft-iceberg")
+      .option("pushdown.fields", "id:1:long").load(t.getPath)
+    val eq = scan.filter(col("id") === 17L)
+    assert(eq.rdd.getNumPartitions == 1,
+      s"bucket pruning broke: ${eq.rdd.getNumPartitions} of ${entries.size}")
+    assert(eq.collect().map(_.getLong(1)).toSeq == Seq(170L))
+    // a RANGE predicate cannot project through bucket: all files planned
+    val rng = scan.filter(col("id") > 60L)
+    assert(rng.rdd.getNumPartitions == entries.size)
+    assert(rng.count() == 4L)
+  }
+
   test("native streaming WRITE converges: arbitrary micro-batch splits land the batch-append state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
