@@ -104,9 +104,18 @@ object GraphOps {
           coalesce(lit(7L) - pmod(col("code"), lit(8L)), col("own")).as("lbl"))
     }
 
-    if (seed.count() <= localNodeThreshold) {
+    // Dispatch probe and driver-arm materialization are ONE action: a
+    // LIMIT-bounded collect of threshold+1 rows. If the seed fits, the
+    // snapshot IS the round-0 label vector (limit(n+1) on a <=n-row
+    // relation returns every row); if it does not, at most threshold+1
+    // rows were pulled — the same driver cost as the count() probe this
+    // replaces, without the separate count job per invocation.
+    val snap = seed.select(col("pk"), col("lbl"))
+      .limit(math.min(localNodeThreshold, Int.MaxValue - 1L).toInt + 1)
+      .as[(Long, Long)].collect()
+    if (snap.length <= localNodeThreshold) {
       val degM = degree.as[(Long, Long)].collect().toMap
-      var lbl = seed.select(col("pk"), col("lbl")).as[(Long, Long)].collect()
+      var lbl = snap
       for (_ <- 1 to rounds)
         lbl = vote(broadcast(lbl.iterator
             .map { case (p, l) => (p, l, degM.getOrElse(p, 0L)) }

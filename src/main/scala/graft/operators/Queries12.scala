@@ -645,6 +645,159 @@ object Queries12 {
                 |FROM $cat.cur.li GROUP BY flag ORDER BY flag""".stripMargin)
     },
 
+    // ---- row-level SQL: `UPDATE … SET` through the catalog
+    // (SupportsRowLevelOperations → group-based copy-on-write, the
+    // rewrite shape Iceberg's COW mode plans). Catalyst rewrites the
+    // statement into ReplaceData over the connector's COW scan; runtime
+    // group filtering narrows the rewrite to files that contain matched
+    // rows (a first metadata+match pass feeds `_file IN (…)` back into
+    // scan planning); the commit swaps exactly the scanned files for the
+    // rewritten ones in ONE snapshot. The requires pin the one-commit
+    // shape and the tombstone-free invariant; the post-update profile is
+    // hash-gated against DuckDB applying the same SET arithmetic. At
+    // 100 TB the bill is matched-group I/O — an UPDATE touching one
+    // file rewrites one file, not the table.
+    "q205_sql_update" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q205wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cur")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cur.li")
+      s.sql(s"CREATE TABLE $cat.cur.li " +
+        "(okey BIGINT, qty BIGINT, price BIGINT, flag STRING) USING `graft-iceberg`")
+      t(dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("okey"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice")).cast("long").as("price"),
+          col("l_returnflag").as("flag"))
+        .createOrReplaceTempView("q205_src")
+      s.sql(s"INSERT INTO $cat.cur.li SELECT * FROM q205_src WHERE price < 50000")
+      s.sql(s"INSERT INTO $cat.cur.li SELECT * FROM q205_src WHERE price >= 50000")
+      s.sql(s"UPDATE $cat.cur.li SET price = price + 1000, qty = qty * 2 " +
+        "WHERE flag = 'R'")
+      val tblDir = new java.io.File(new java.io.File(wh, "cur"), "li")
+      val ids = graft.sources.LayoutMaintenance.snapshotIds(s, tblDir.getPath)
+      require(ids == Seq(1L, 2L, 3L),
+        s"UPDATE must land as exactly ONE replace snapshot: $ids")
+      val entries = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tblDir.getPath, "t", Nil)
+        .select("content").collect().map(_.getInt(0))
+      require(entries.forall(_ == 0), "COW UPDATE must not commit tombstones")
+      s.sql(s"""SELECT flag, count(*) AS n_rows, sum(price) AS sum_price,
+                |  sum(qty) AS sum_qty, min(okey) AS min_okey
+                |FROM $cat.cur.li GROUP BY flag ORDER BY flag""".stripMargin)
+    },
+
+    // ---- row-level SQL: `MERGE INTO` through the catalog — the
+    // lakehouse upsert statement, group-based COW like q205: matched
+    // target rows take the source balance, never-seen source keys insert,
+    // untouched target rows carry; Catalyst plans the whole thing as one
+    // ReplaceData (matched-group rewrite + insert union) and the commit
+    // is ONE snapshot. q183 is the MERGE-ON-READ twin of this statement
+    // (API commitUpsert → equality tombstones); this is the COPY-ON-WRITE
+    // twin, reachable from plain SQL. The final per-nation profile is
+    // hash-gated against DuckDB's FULL OUTER JOIN formulation of the
+    // same merge.
+    "q206_sql_merge" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q206wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cur")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cur.cust")
+      s.sql(s"CREATE TABLE $cat.cur.cust " +
+        "(ckey BIGINT, nkey BIGINT, bal BIGINT) USING `graft-iceberg`")
+      t(dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("ckey"),
+          col("c_nationkey").cast("long").as("nkey"),
+          floor(col("c_acctbal")).cast("long").as("bal"))
+        .createOrReplaceTempView("q206_base")
+      s.sql(s"INSERT INTO $cat.cur.cust SELECT * FROM q206_base WHERE ckey % 2 = 1")
+      s.sql(s"INSERT INTO $cat.cur.cust SELECT * FROM q206_base WHERE ckey % 2 = 0")
+      t(dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("ckey"),
+          col("c_nationkey").cast("long").as("nkey"),
+          (floor(col("c_acctbal")).cast("long") + 500L).as("bal"))
+        .createOrReplaceTempView("q206_updates")
+      val before = graft.sources.LayoutMaintenance
+        .snapshotIds(s, s"${wh.getPath}/cur/cust").size
+      s.sql(
+        s"""MERGE INTO $cat.cur.cust t
+           |USING q206_updates s
+           |ON t.ckey = s.ckey
+           |WHEN MATCHED THEN UPDATE SET t.bal = s.bal
+           |WHEN NOT MATCHED THEN INSERT (ckey, nkey, bal)
+           |  VALUES (s.ckey, s.nkey, s.bal)
+           |""".stripMargin)
+      val after = graft.sources.LayoutMaintenance
+        .snapshotIds(s, s"${wh.getPath}/cur/cust").size
+      require(after == before + 1, s"MERGE must land as ONE snapshot")
+      s.sql(s"""SELECT nkey, count(*) AS n_cust, sum(bal) AS sum_bal,
+                |  min(ckey) AS min_ckey, max(ckey) AS max_ckey
+                |FROM $cat.cur.cust GROUP BY nkey ORDER BY nkey""".stripMargin)
+    },
+
+    // ---- SQL time travel: `VERSION AS OF` / `TIMESTAMP AS OF` through
+    // the catalog (TableCatalog.loadTable(ident, version|timestamp) —
+    // the read-side half of the snapshot history every commit path
+    // maintains). Snapshot 1 holds 1995's orders, snapshot 2 adds
+    // 1996's; the query reads BOTH versions in one statement and emits
+    // the per-month before/after profile. TIMESTAMP AS OF is pinned
+    // in-query against VERSION AS OF (same snapshot via the recorded
+    // commit instant). Time travel costs what a current read costs —
+    // the pinned snapshot's manifest walk; history depth never taxes
+    // the scan.
+    "q207_sql_time_travel" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q207wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tt")
+      s.sql(s"DROP TABLE IF EXISTS $cat.tt.ord")
+      s.sql(s"CREATE TABLE $cat.tt.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg`")
+      t(dir, "orders").createOrReplaceTempView("q207_src")
+      def insertYear(yr: Int): Unit = s.sql(
+        s"""INSERT INTO $cat.tt.ord
+           |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+           |       CAST(month(o_orderdate) AS BIGINT)
+           |FROM q207_src WHERE year(o_orderdate) = $yr""".stripMargin)
+      insertYear(1995); insertYear(1996)
+      val tblDir = s"${wh.getPath}/tt/ord"
+      // TIMESTAMP AS OF at snapshot 1's commit instant == VERSION AS OF 1
+      val ts = graft.sources.LayoutMaintenance.snapshotTimestamps(s, tblDir)
+      require(ts.map(_._1) == Seq(1L, 2L) && ts.forall(_._2.isDefined),
+        s"snapshot history broke: $ts")
+      if (ts(1)._2.get > ts(0)._2.get) { // boundary only exists if ticks differ
+        val t1 = java.time.Instant.ofEpochMilli(ts.head._2.get)
+          .atZone(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        val viaTs = s.sql(
+          s"SELECT count(*) FROM $cat.tt.ord TIMESTAMP AS OF '$t1'")
+          .head.getLong(0)
+        val viaV = s.sql(s"SELECT count(*) FROM $cat.tt.ord VERSION AS OF 1")
+          .head.getLong(0)
+        require(viaTs == viaV,
+          s"TIMESTAMP AS OF must match VERSION AS OF 1: $viaTs vs $viaV")
+      }
+      s.sql(s"""SELECT cur.mon, v1.n_orders AS n_v1, cur.n_orders AS n_all,
+                |  cur.sum_price - v1.sum_price AS price_added
+                |FROM (SELECT mon, count(*) AS n_orders, sum(price) AS sum_price
+                |      FROM $cat.tt.ord VERSION AS OF 1 GROUP BY mon) v1
+                |JOIN (SELECT mon, count(*) AS n_orders, sum(price) AS sum_price
+                |      FROM $cat.tt.ord GROUP BY mon) cur
+                |  ON v1.mon = cur.mon
+                |ORDER BY cur.mon""".stripMargin)
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1099,6 +1252,61 @@ object Queries12 {
         |  CAST(min(okey) AS BIGINT) AS min_okey,
         |  CAST(max(okey) AS BIGINT) AS max_okey
         |FROM kept GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q205_sql_update" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS okey,
+        |         CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS price,
+        |         l_returnflag AS flag
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |upd AS (
+        |  SELECT okey,
+        |         CASE WHEN flag = 'R' THEN qty * 2 ELSE qty END AS qty,
+        |         CASE WHEN flag = 'R' THEN price + 1000 ELSE price END AS price,
+        |         flag
+        |  FROM src)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM upd GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q206_sql_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS ckey, CAST(c_nationkey AS BIGINT) AS nkey,
+        |         CAST(FLOOR(c_acctbal) AS BIGINT) AS bal
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |upd AS (
+        |  SELECT c_custkey AS ckey, CAST(c_nationkey AS BIGINT) AS nkey,
+        |         CAST(FLOOR(c_acctbal) AS BIGINT) + 500 AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |merged AS (
+        |  SELECT COALESCE(b.ckey, u.ckey) AS ckey,
+        |         COALESCE(b.nkey, u.nkey) AS nkey,
+        |         COALESCE(u.bal, b.bal) AS bal
+        |  FROM base b FULL OUTER JOIN upd u ON b.ckey = u.ckey)
+        |SELECT nkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal,
+        |  CAST(min(ckey) AS BIGINT) AS min_ckey,
+        |  CAST(max(ckey) AS BIGINT) AS max_ckey
+        |FROM merged GROUP BY nkey ORDER BY nkey""".stripMargin,
+
+    "q207_sql_time_travel" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         year(CAST(o_orderdate AS DATE)) AS yr
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon,
+        |  CAST(count(CASE WHEN yr = 1995 THEN 1 END) AS BIGINT) AS n_v1,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(sum(CASE WHEN yr = 1996 THEN price ELSE 0 END) AS BIGINT)
+        |    AS price_added
+        |FROM src GROUP BY mon
+        |HAVING count(CASE WHEN yr = 1995 THEN 1 END) > 0
+        |ORDER BY mon""".stripMargin,
 
     "q183_merge_upsert" ->
       """WITH base AS (

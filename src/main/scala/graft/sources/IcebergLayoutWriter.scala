@@ -310,8 +310,13 @@ object IcebergLayoutWriter {
       writeManifestListFull(list, manifestFiles, snapshotId)
       (snapshotId, list)
     }
-    val snapJson = lists.map { case (id, list) =>
-      s"""    {"snapshot-id": $id, "manifest-list": "${list.getAbsolutePath}"}"""
+    // timestamp-ms per snapshot (spec "Snapshots"): commit wall-clock,
+    // strictly increasing across the batch so TIMESTAMP AS OF resolves
+    // deterministically even when several snapshots land in one tick
+    val t0 = System.currentTimeMillis()
+    val snapJson = lists.zipWithIndex.map { case ((id, list), i) =>
+      s"""    {"snapshot-id": $id, "timestamp-ms": ${t0 + i}, """ +
+        s""""manifest-list": "${list.getAbsolutePath}"}"""
     }.mkString(",\n")
     val refsJson =
       if (refs.isEmpty) ""

@@ -51,6 +51,30 @@ object LayoutMaintenance {
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
     snapshots(spark, tableDir).map(_.id)
 
+  /** (snapshotId, timestampMs) in history order; None for snapshots
+    * written before timestamps existed in this layout. */
+  def snapshotTimestamps(spark: SparkSession,
+      tableDir: String): Seq[(Long, Option[Long])] = {
+    val arr = readMetadata(spark, tableDir).get("snapshots")
+    if (arr == null || !arr.isArray) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    arr.forEach { n =>
+      val sid = n.get("snapshot-id")
+      if (sid != null && sid.canConvertToLong)
+        out += ((sid.asLong(), Option(n.get("timestamp-ms"))
+          .filter(_.canConvertToLong).map(_.asLong())))
+    }
+    out.toSeq
+  }
+
+  /** The snapshot current AS OF `tsMs` — the LAST history entry whose
+    * commit timestamp is <= tsMs (Iceberg's time-travel resolution).
+    * Snapshots without timestamps are unresolvable and skipped. */
+  def snapshotIdAsOf(spark: SparkSession, tableDir: String,
+      tsMs: Long): Option[Long] =
+    snapshotTimestamps(spark, tableDir)
+      .collect { case (id, Some(t)) if t <= tsMs => id }.lastOption
+
   private case class Snap(id: Long, listPath: String)
 
   /** Snapshots in METADATA ARRAY ORDER — the commit history order, NOT
@@ -131,7 +155,10 @@ object LayoutMaintenance {
     val snapArr = mapper.createArrayNode()
     keep.foreach { s =>
       val node = Option(keptById.get(s.id)).getOrElse(
-        mapper.createObjectNode().put("snapshot-id", s.id))
+        // a NEW snapshot: stamp its commit wall-clock (spec "Snapshots")
+        // so TIMESTAMP AS OF can resolve it; existing nodes keep theirs
+        mapper.createObjectNode().put("snapshot-id", s.id)
+          .put("timestamp-ms", System.currentTimeMillis()))
       node.put("manifest-list", s.listPath)
       snapArr.add(node)
     }
@@ -852,6 +879,47 @@ object LayoutMaintenance {
     }
     appendSnapshot(spark, tableDir, kept ++ added, newId, newId, movedRefs)
     (newId, deleted)
+  }
+
+  /** Group-replace commit — the copy-on-write primitive behind SQL
+    * row-level operations (`UPDATE`/`MERGE INTO` through the connector's
+    * `SupportsRowLevelOperations`): one snapshot that drops exactly the
+    * data files the operation's scan read (`removedPaths` — the replaced
+    * "groups") and adds the files the operation wrote in their place.
+    * The group contract makes this correct at any filter granularity:
+    * every surviving row of a removed file is in the added set, so
+    * read-before minus matched-rows-delta equals read-after. Tombstones
+    * are refused (a carried delete file could reference a replaced data
+    * file, and the group write has already applied row-level truth), the
+    * same fail-fast as streaming's initial load; SQL-born tables never
+    * carry them. Commit cost is O(change set) metadata + the rewritten
+    * groups' data — with runtime group filtering the groups are only the
+    * matched files, the same bill Iceberg's own COW pays at 100 TB. */
+  def commitReplaceFiles(spark: SparkSession, tableDir: String,
+      removedPaths: Seq[String],
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      commitLock(tableDir).synchronized {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    require(!carried.exists(_.content != 0),
+      s"commitReplaceFiles($tableDir): current snapshot carries delete " +
+        "files; a group-replace commit cannot preserve their visibility. " +
+        "Run rewrite_data_files first.")
+    val removed = removedPaths.toSet
+    val removedNorm = removed.map(_.replaceFirst("^file:/+", "/"))
+    val kept = carried.filter(e => !removed(e.filePath) &&
+      !removedNorm(e.filePath.replaceFirst("^file:/+", "/")))
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val stamped = added.map(_.copy(sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, kept ++ stamped, newId, newId, movedRefs)
+    newId
   }
 
   /** EXECUTED rewrite_data_files — the data-moving compaction that

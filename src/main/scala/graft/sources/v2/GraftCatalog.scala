@@ -93,7 +93,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(n => Identifier.of(namespace, n))
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadTableAt(ident, snapshot = None)
+
+  /** SQL time travel `VERSION AS OF <snapshot-id>` — pins the scan to a
+    * named snapshot through the same `snapshot-id` resolution the
+    * path-addressed `option("snapshot-id", …)` read uses. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val snapId =
+      try version.toLong
+      catch { case _: NumberFormatException => sys.error(
+        s"graft catalog: VERSION AS OF takes a snapshot id, got '$version'") }
+    loadTableAt(ident, snapshot = Some(snapId))
+  }
+
+  /** SQL time travel `TIMESTAMP AS OF <ts>` — Spark hands the instant in
+    * MICROseconds; resolve to the last snapshot committed at or before
+    * it (`timestamp-ms` in the metadata, Iceberg's own resolution). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tsMs = timestamp / 1000L
+    val snapId = graft.sources.LayoutMaintenance
+      .snapshotIdAsOf(spark, dir.getAbsolutePath, tsMs)
+      .getOrElse(sys.error(
+        s"graft catalog: no snapshot of $ident at or before " +
+          s"timestamp ${tsMs}ms"))
+    loadTableAt(ident, snapshot = Some(snapId))
+  }
+
+  private def loadTableAt(ident: Identifier,
+      snapshot: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val (bootstrap, props) = readDescriptor(dir)
@@ -110,7 +141,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case _ => sys.error(s"graft catalog: bad pushdown.fields entry '$s'")
         }
       }
-    new GraftTable(dir.getAbsolutePath, snapshot = None, statFields,
+    new GraftTable(dir.getAbsolutePath, snapshot, statFields,
       bootstrapSchema = bootstrap)
   }
 

@@ -166,14 +166,42 @@ object GraftIcebergSource {
   }
 }
 
+private[v2] object GraftTable {
+  /** Name of the file-provenance metadata column (Iceberg's `_file`). */
+  val FileMetadataColumn = "_file"
+}
+
 private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
     statFields: Seq[GraftIcebergSource.StatField],
     bootstrapSchema: Option[StructType] = None,
     userSchema: Option[StructType] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import graft.sources.IcebergManifestSource
+
+  /** SQL `UPDATE`/`MERGE INTO` (and `DELETE FROM` whose condition the
+    * metadata path can't translate): group-based copy-on-write — see
+    * [[GraftRowLevelOperation]]. Pushable DELETEs still take the cheaper
+    * [[deleteWhere]] path (Catalyst's OptimizeMetadataOnlyDeleteFromTable
+    * swaps the rewrite back when [[canDeleteWhere]] accepts). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(this, info)
+
+  /** `_file` — which data file a row came from (Iceberg exposes the
+    * same): selectable by users and the group handle for runtime group
+    * filtering in row-level operations. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.FileMetadataColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+    })
 
   /** SQL `DELETE FROM` (v1-filter form — Spark's SupportsDelete default
     * converts V2 predicates down): copy-on-write via
@@ -460,9 +488,16 @@ private[v2] class GraftReaderFactory(required: StructType)
 private[v2] class GraftPartitionReader(path: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
+  // `_file` (and any future metadata column) is materialized by the
+  // reader itself, never projected against the parquet footer
+  private val isMeta: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.FileMetadataColumn)
+  private val dataFields: StructType =
+    StructType(required.fields.zip(isMeta).collect { case (f, false) => f })
+
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
-    if (required.nonEmpty) {
+    if (dataFields.nonEmpty) {
       // project with the FILE's own field declarations: repetition
       // (required vs optional) and logical annotations must match the
       // footer or parquet's containment check rejects the projection —
@@ -472,7 +507,7 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
         new org.apache.hadoop.fs.Path(path), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val fileSchema = try r.getFooter.getFileMetaData.getSchema finally r.close()
-      val fields = required.fields.map { f =>
+      val fields = dataFields.fields.map { f =>
         require(fileSchema.containsField(f.name),
           s"graft-iceberg: column ${f.name} not present in $path")
         fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))
@@ -497,7 +532,8 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
-      if (current.getFieldRepetitionCount(f.name) == 0) row.update(i, null)
+      if (isMeta(i)) row.update(i, UTF8String.fromString(path))
+      else if (current.getFieldRepetitionCount(f.name) == 0) row.update(i, null)
       else f.dataType match {
         case LongType => row.setLong(i, current.getLong(f.name, 0))
         case IntegerType => row.setInt(i, current.getInteger(f.name, 0))

@@ -147,4 +147,34 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("plain"))
     assert(spark.sql("SELECT v FROM cattest.ext.plain").head.getString(0) == "z")
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve snapshots") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.tt")
+    spark.sql("DROP TABLE IF EXISTS cattest.tt.t")
+    spark.sql("CREATE TABLE cattest.tt.t (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.tt.t VALUES (1), (2)")
+    Thread.sleep(20) // distinct commit timestamps for the AS OF boundary
+    spark.sql("INSERT INTO cattest.tt.t VALUES (3)")
+    assert(spark.sql("SELECT count(*) FROM cattest.tt.t").head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM cattest.tt.t VERSION AS OF 1")
+      .head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM cattest.tt.t VERSION AS OF 2")
+      .head.getLong(0) == 3L)
+    // TIMESTAMP AS OF at snapshot 1's own commit instant sees snapshot 1
+    val ts = graft.sources.LayoutMaintenance
+      .snapshotTimestamps(spark, "target/tmp-catalog-wh/tt/t")
+    assert(ts.map(_._1) == Seq(1L, 2L) && ts.forall(_._2.isDefined))
+    val t1 = new java.sql.Timestamp(ts.head._2.get).toInstant
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM cattest.tt.t TIMESTAMP AS OF '$t1'")
+      .head.getLong(0) == 2L)
+    // before the first commit: clear error, not an empty table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM cattest.tt.t TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+  }
 }
