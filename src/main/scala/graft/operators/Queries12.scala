@@ -798,6 +798,96 @@ object Queries12 {
                 |ORDER BY cur.mon""".stripMargin)
     },
 
+    // ---- SQL schema evolution: `ALTER TABLE ADD COLUMNS` through the
+    // catalog — the declared (descriptor) schema widens, files written
+    // BEFORE the evolution stay untouched on disk and their reads
+    // null-fill the new column (Iceberg "Schema Evolution": adds are
+    // metadata-only, never a rewrite). Year-1995 orders land pre-ALTER
+    // (no month column); 1996 lands post-ALTER with it; the profile
+    // buckets the pre-evolution rows under mon = -1 via coalesce. The
+    // q186 parquet-field-id evolution is the manifest-source twin of
+    // this statement; this is the SQL-visible half. At 100 TB an ADD
+    // COLUMN costs one descriptor write — zero data I/O.
+    "q208_sql_add_column" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q208wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.evo")
+      s.sql(s"DROP TABLE IF EXISTS $cat.evo.ord")
+      s.sql(s"CREATE TABLE $cat.evo.ord " +
+        "(okey BIGINT, price BIGINT) USING `graft-iceberg`")
+      t(dir, "orders").createOrReplaceTempView("q208_src")
+      s.sql(s"""INSERT INTO $cat.evo.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT)
+               |FROM q208_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val filesBefore = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getPath}/evo/ord", "t", Nil)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      s.sql(s"ALTER TABLE $cat.evo.ord ADD COLUMNS (mon BIGINT)")
+      s.sql(s"""INSERT INTO $cat.evo.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q208_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      // evolution is metadata-only: every pre-ALTER file carried verbatim
+      val filesAfter = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getPath}/evo/ord", "t", Nil)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      require(filesBefore.subsetOf(filesAfter),
+        "ADD COLUMN must not rewrite pre-evolution files")
+      s.sql(s"""SELECT coalesce(mon, -1) AS mon, count(*) AS n_orders,
+                |  sum(price) AS sum_price, min(okey) AS min_okey
+                |FROM $cat.evo.ord GROUP BY coalesce(mon, -1)
+                |ORDER BY mon""".stripMargin)
+    },
+
+    // ---- the remaining DML/DDL statements in one flow: CTAS (CREATE
+    // TABLE AS SELECT — non-atomic createTable + first append, Spark's
+    // plain-TableCatalog contract), INSERT OVERWRITE (full-table
+    // replacement through SupportsOverwrite → the same group-replace
+    // commit row-level SQL uses, old snapshots staying time-travelable),
+    // and a METADATA TABLE read (`<tbl>.snapshots`, Iceberg's
+    // dotted-name metadata relations served as a driver-local scan —
+    // planning-cost-only, zero executor tasks). The requires pin the
+    // 2-snapshot history and that VERSION AS OF 1 still sees the CTAS
+    // state after the overwrite; the final profile is the overwritten
+    // (1996) year, hash-gated. At 100 TB an overwrite's bill is the new
+    // data + one metadata swap; history costs nothing until expired.
+    "q209_sql_overwrite" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q209wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cur")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cur.snap")
+      t(dir, "orders").createOrReplaceTempView("q209_src")
+      s.sql(s"""CREATE TABLE $cat.cur.snap USING `graft-iceberg` AS
+               |SELECT o_orderkey AS okey,
+               |       CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+               |       CAST(month(o_orderdate) AS BIGINT) AS mon
+               |FROM q209_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val n95 = s.sql(s"SELECT count(*) FROM $cat.cur.snap").head.getLong(0)
+      s.sql(s"""INSERT OVERWRITE $cat.cur.snap
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q209_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      // the metadata table pins the commit history: CTAS + overwrite
+      val nSnaps = s.sql(s"SELECT count(*) FROM $cat.cur.snap.snapshots")
+        .head.getLong(0)
+      require(nSnaps == 2L, s"expected CTAS+overwrite history, got $nSnaps")
+      // the pre-overwrite state stays time-travelable
+      val atV1 = s.sql(s"SELECT count(*) FROM $cat.cur.snap VERSION AS OF 1")
+        .head.getLong(0)
+      require(atV1 == n95, s"VERSION AS OF 1 must see the CTAS state: $atV1 vs $n95")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  max(okey) AS max_okey
+                |FROM $cat.cur.snap GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1307,6 +1397,30 @@ object Queries12 {
         |FROM src GROUP BY mon
         |HAVING count(CASE WHEN yr = 1995 THEN 1 END) > 0
         |ORDER BY mon""".stripMargin,
+
+    "q208_sql_add_column" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+        |              THEN CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)
+        |              ELSE -1 END AS mon
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q209_sql_overwrite" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(max(okey) AS BIGINT) AS max_okey
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
 
     "q183_merge_upsert" ->
       """WITH base AS (

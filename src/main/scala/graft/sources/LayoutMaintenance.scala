@@ -897,19 +897,24 @@ object LayoutMaintenance {
     * matched files, the same bill Iceberg's own COW pays at 100 TB. */
   def commitReplaceFiles(spark: SparkSession, tableDir: String,
       removedPaths: Seq[String],
-      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      dropDeletes: Boolean = false): Long =
       commitLock(tableDir).synchronized {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
-    require(!carried.exists(_.content != 0),
+    // dropDeletes is the FULL-overwrite mode (every data file replaced,
+    // so tombstones reference nothing live and drop with them); partial
+    // group replacement must refuse tombstoned tables instead
+    require(dropDeletes || !carried.exists(_.content != 0),
       s"commitReplaceFiles($tableDir): current snapshot carries delete " +
         "files; a group-replace commit cannot preserve their visibility. " +
         "Run rewrite_data_files first.")
     val removed = removedPaths.toSet
     val removedNorm = removed.map(_.replaceFirst("^file:/+", "/"))
-    val kept = carried.filter(e => !removed(e.filePath) &&
+    val kept = carried.filter(e => (!dropDeletes || e.content == 0) &&
+      !removed(e.filePath) &&
       !removedNorm(e.filePath.replaceFirst("^file:/+", "/")))
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1

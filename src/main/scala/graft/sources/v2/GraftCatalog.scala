@@ -93,8 +93,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(n => Identifier.of(namespace, n))
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // metadata tables, Iceberg-style: `cat.db.t.snapshots` parses as
+    // Identifier(namespace=[db, t], name="snapshots") — when [db, t]
+    // names a real table and the trailing name is a metadata-table
+    // kind, serve that table's metadata relation instead of failing
+    if (!isTable(tableDir(ident)) && ident.namespace.nonEmpty &&
+        GraftMetaTable.Kinds(ident.name)) {
+      val parent = Identifier.of(
+        ident.namespace.dropRight(1), ident.namespace.last)
+      val pdir = tableDir(parent)
+      if (isTable(pdir))
+        return new GraftMetaTable(pdir.getAbsolutePath, ident.name)
+    }
     loadTableAt(ident, snapshot = None)
+  }
 
   /** SQL time travel `VERSION AS OF <snapshot-id>` — pins the scan to a
     * named snapshot through the same `snapshot-id` resolution the
@@ -167,14 +180,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val (bootstrap, props) = readDescriptor(dir)
+    var schema = bootstrap.getOrElse(new StructType())
     val newProps = changes.foldLeft(props) {
       case (p, c: TableChange.SetProperty) => p + (c.property() -> c.value())
       case (p, c: TableChange.RemoveProperty) => p - c.property()
+      // Schema evolution, Iceberg-style: ADD appends a nullable column
+      // (old files lack it and the reader null-fills — spec "Schema
+      // Evolution"); DROP narrows the declared schema (old files keep
+      // the physical column, reads just stop projecting it). RENAME is
+      // refused: without field-id name mapping on this read path a
+      // rename would silently sever old files' data from the column.
+      case (p, c: TableChange.AddColumn) =>
+        require(c.fieldNames().length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns only")
+        require(!schema.fieldNames.contains(c.fieldNames()(0)),
+          s"graft catalog: column ${c.fieldNames()(0)} already exists")
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          c.fieldNames()(0), c.dataType(), nullable = true))
+        p
+      case (p, c: TableChange.DeleteColumn) =>
+        require(c.fieldNames().length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns only")
+        require(schema.fieldNames.contains(c.fieldNames()(0)),
+          s"graft catalog: no column ${c.fieldNames()(0)} to drop")
+        schema = StructType(schema.fields.filterNot(
+          _.name == c.fieldNames()(0)))
+        p
       case (_, other) => sys.error(
         s"graft catalog: unsupported ALTER TABLE change $other " +
-          "(only SET/UNSET TBLPROPERTIES)")
+          "(SET/UNSET TBLPROPERTIES, ADD COLUMN, DROP COLUMN)")
     }
-    writeDescriptor(dir, bootstrap.getOrElse(new StructType()), newProps)
+    writeDescriptor(dir, schema, newProps)
     loadTable(ident)
   }
 
@@ -270,6 +306,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- descriptor I/O (one small JSON per table — catalog-entry sized) ----
 
+
   private def writeDescriptor(dir: java.io.File, schema: StructType,
       props: Map[String, String]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -294,4 +331,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }.getOrElse(Map.empty[String, String])
     (ddl.map(StructType.fromDDL), props)
   }
+}
+
+private[v2] object GraftMetaTable {
+  /** Metadata-table kinds addressable as `cat.db.t.<kind>` (Iceberg's
+    * own metadata-table names). */
+  val Kinds: Set[String] =
+    Set("snapshots", "files", "partitions", "refs", "history")
+}
+
+/** A table's metadata relation served as a read-only DSv2 table — the
+  * SQL face of [[graft.sources.MetadataTables]]. Rows are metadata-sized
+  * (files/snapshots/refs of ONE table), so they serve as a driver-local
+  * scan (`LocalScan`): planning cost is one manifest walk, no executor
+  * tasks at all — the same shape as `Cli meta`, now reachable from
+  * `SELECT * FROM cat.db.t.snapshots`. */
+private[v2] class GraftMetaTable(dir: String, kind: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+
+  private def df = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    kind match {
+      case "snapshots" => graft.sources.MetadataTables.snapshots(spark, dir)
+      case "files" => graft.sources.MetadataTables.files(spark, dir)
+      case "partitions" => graft.sources.MetadataTables.partitions(spark, dir)
+      case "refs" => graft.sources.MetadataTables.refs(spark, dir)
+      case "history" => graft.sources.MetadataTables.history(spark, dir)
+    }
+  }
+
+  override def name(): String = s"graft_meta(`$dir`#$kind)"
+
+  override lazy val schema: StructType = df.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+        override def description(): String = name()
+      }
+    }
 }

@@ -283,15 +283,24 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * otherwise infer from the first data file, then the `write.schema`
     * bootstrap for a fresh table. */
   override lazy val schema: StructType = userSchema.getOrElse {
-    if (hasMetadata)
-      dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f._1))
-        .orElse(bootstrapSchema).getOrElse(new StructType())
-    else bootstrapSchema.getOrElse(new StructType())
+    // The DECLARED schema (catalog descriptor / write.schema bootstrap)
+    // wins over first-file inference: after ALTER TABLE ADD COLUMN the
+    // descriptor is wider than pre-evolution files, whose reads
+    // null-fill the missing column (the reader's per-file projection
+    // handles absent fields). File inference remains the contract for
+    // descriptor-less external layouts.
+    bootstrapSchema.filter(_.nonEmpty).getOrElse {
+      if (hasMetadata)
+        dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f._1))
+          .getOrElse(new StructType())
+      else new StructType()
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, schema, statFields)
@@ -488,16 +497,18 @@ private[v2] class GraftReaderFactory(required: StructType)
 private[v2] class GraftPartitionReader(path: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  // `_file` (and any future metadata column) is materialized by the
-  // reader itself, never projected against the parquet footer
+  // Synthesized columns never projected against the parquet footer:
+  // `_file` (the reader materializes the path) and columns ABSENT from
+  // this file's schema (pre-evolution files after ALTER TABLE ADD
+  // COLUMN — null-filled, Iceberg's schema-evolution read semantics).
   private val isMeta: Array[Boolean] =
     required.fields.map(_.name == GraftTable.FileMetadataColumn)
-  private val dataFields: StructType =
-    StructType(required.fields.zip(isMeta).collect { case (f, false) => f })
+  private val isAbsent: Array[Boolean] = new Array[Boolean](required.length)
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
-    if (dataFields.nonEmpty) {
+    val hasData = required.fields.zip(isMeta).exists(!_._2)
+    if (hasData) {
       // project with the FILE's own field declarations: repetition
       // (required vs optional) and logical annotations must match the
       // footer or parquet's containment check rejects the projection —
@@ -507,14 +518,17 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
         new org.apache.hadoop.fs.Path(path), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val fileSchema = try r.getFooter.getFileMetaData.getSchema finally r.close()
-      val fields = dataFields.fields.map { f =>
-        require(fileSchema.containsField(f.name),
-          s"graft-iceberg: column ${f.name} not present in $path")
-        fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))
+      val fields = required.fields.zipWithIndex.flatMap { case (f, i) =>
+        if (isMeta(i)) None
+        else if (!fileSchema.containsField(f.name)) {
+          isAbsent(i) = true; None
+        } else Some(
+          fileSchema.getFields.get(fileSchema.getFieldIndex(f.name)))
       }
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        new org.apache.parquet.schema.MessageType("projection",
-          fields: _*).toString)
+      if (fields.nonEmpty)
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          new org.apache.parquet.schema.MessageType("projection",
+            fields: _*).toString)
     }
     ParquetReader.builder(new GroupReadSupport(),
       new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
@@ -533,6 +547,7 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
     while (i < required.length) {
       val f = required.fields(i)
       if (isMeta(i)) row.update(i, UTF8String.fromString(path))
+      else if (isAbsent(i)) row.update(i, null)
       else if (current.getFieldRepetitionCount(f.name) == 0) row.update(i, null)
       else f.dataType match {
         case LongType => row.setLong(i, current.getLong(f.name, 0))

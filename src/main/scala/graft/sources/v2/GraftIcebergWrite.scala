@@ -22,15 +22,82 @@ import org.apache.spark.sql.types._
   * At 100 TB this is the standard two-phase object-store commit: data
   * moves in parallel, visibility is one metadata swap.
   */
-private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
+private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
+    overwriteAll: Boolean = false)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+
+  /** `INSERT OVERWRITE` / `df.write.mode("overwrite")` — full-table
+    * replacement only (the unpartitioned static-overwrite shape): the
+    * commit swaps every current data file for the written ones in ONE
+    * snapshot via the same group-replace primitive row-level SQL uses.
+    * Filtered overwrite shapes are refused in canOverwrite (fail the
+    * statement, never half-replace). */
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    require(canOverwrite(filters),
+      s"graft-iceberg: only full-table overwrite is supported, got " +
+        filters.mkString(", "))
+    new GraftWriteBuilder(dir, info, overwriteAll = true)
+  }
+
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(dir, info, overwriteAll = true)
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(dir, info.schema(), info.queryId())
+      if (overwriteAll)
+        new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId())
+      else new GraftBatchWrite(dir, info.schema(), info.queryId())
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(dir, info.schema(), info.queryId())
   }
+}
+
+/** Full-table overwrite: task-parallel unique-file writes, then one
+  * snapshot that drops every pre-commit data file and adds the new set.
+  * A table that was never written truncates to a plain first append. */
+private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
+    queryId: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(dir, schema, s"ow-$queryId")
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val added = messages.collect {
+      case GraftCommitMessage(path, rows, bytes) if rows > 0 =>
+        graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+          content = 0, filePath = path, recordCount = rows, sizeBytes = bytes)
+    }
+    val m = new java.io.File(dir, "metadata")
+    val hasMeta = new java.io.File(m, "version-hint.text").exists() ||
+      Option(m.listFiles()).exists(_.exists(_.getName.endsWith(".metadata.json")))
+    if (!hasMeta) {
+      // overwrite of a never-written table == its first append
+      if (added.nonEmpty)
+        graft.sources.LayoutMaintenance.commitAppend(spark, dir, added.toSeq)
+    } else {
+      val current = graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, dir, "t", Nil)
+        .select("file_path").collect().map(_.getString(0)).toSeq
+      graft.sources.LayoutMaintenance.commitReplaceFiles(
+        spark, dir, current, added.toSeq, dropDeletes = true)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftCommitMessage(path, _, _) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      case _ => ()
+    }
 }
 
 /** `writeStream.format("graft-iceberg")` without foreachBatch: each

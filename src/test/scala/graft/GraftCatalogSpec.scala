@@ -177,4 +177,95 @@ class GraftCatalogSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("ALTER TABLE ADD COLUMNS: old files null-fill, new files carry the column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.evo")
+    spark.sql("DROP TABLE IF EXISTS cattest.evo.t")
+    spark.sql("CREATE TABLE cattest.evo.t (k BIGINT, v STRING) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.evo.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE cattest.evo.t ADD COLUMNS (w BIGINT)")
+    spark.sql("INSERT INTO cattest.evo.t VALUES (3, 'c', 30)")
+    val got = spark.sql("SELECT k, v, w FROM cattest.evo.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)))
+    // aggregate over the evolved column treats old rows as null
+    assert(spark.sql("SELECT count(w), sum(w) FROM cattest.evo.t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head == ((1L, 30L)))
+    // and the evolved column participates in row-level SQL
+    spark.sql("UPDATE cattest.evo.t SET w = 0 WHERE w IS NULL")
+    assert(spark.sql("SELECT sum(w) FROM cattest.evo.t").head.getLong(0) == 30L)
+  }
+
+  test("ALTER TABLE DROP COLUMN narrows the declared schema; RENAME COLUMN is refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.evo")
+    spark.sql("DROP TABLE IF EXISTS cattest.evo.d")
+    spark.sql("CREATE TABLE cattest.evo.d (k BIGINT, junk STRING) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.evo.d VALUES (1, 'x')")
+    spark.sql("ALTER TABLE cattest.evo.d DROP COLUMN junk")
+    assert(spark.sql("SELECT * FROM cattest.evo.d").columns.toSeq == Seq("k"))
+    assert(spark.sql("SELECT k FROM cattest.evo.d").head.getLong(0) == 1L)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.evo.d RENAME COLUMN k TO kk")
+    }
+  }
+
+  test("INSERT OVERWRITE replaces the table contents in one snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ow")
+    spark.sql("DROP TABLE IF EXISTS cattest.ow.t")
+    spark.sql("CREATE TABLE cattest.ow.t (k BIGINT, v STRING) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.ow.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO cattest.ow.t VALUES (3, 'c')")
+    val snapsBefore = graft.sources.LayoutMaintenance
+      .snapshotIds(spark, "target/tmp-catalog-wh/ow/t").size
+    spark.sql("INSERT OVERWRITE cattest.ow.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT k, v FROM cattest.ow.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, "target/tmp-catalog-wh/ow/t").size == snapsBefore + 1)
+    // old snapshots stay time-travelable past the overwrite
+    assert(spark.sql("SELECT count(*) FROM cattest.ow.t VERSION AS OF 2")
+      .head.getLong(0) == 3L)
+  }
+
+  test("TRUNCATE TABLE empties the table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ow")
+    spark.sql("DROP TABLE IF EXISTS cattest.ow.tr")
+    spark.sql("CREATE TABLE cattest.ow.tr (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.ow.tr VALUES (1), (2), (3)")
+    spark.sql("TRUNCATE TABLE cattest.ow.tr")
+    assert(spark.sql("SELECT count(*) FROM cattest.ow.tr").head.getLong(0) == 0L)
+    // and the table accepts inserts again
+    spark.sql("INSERT INTO cattest.ow.tr VALUES (7)")
+    assert(spark.sql("SELECT k FROM cattest.ow.tr").head.getLong(0) == 7L)
+  }
+
+  test("CTAS: CREATE TABLE AS SELECT lands schema and rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ow")
+    spark.sql("DROP TABLE IF EXISTS cattest.ow.ctas")
+    spark.sql("CREATE TABLE cattest.ow.ctas USING `graft-iceberg` AS " +
+      "SELECT id AS k, CAST(id * 10 AS BIGINT) AS v FROM range(5)")
+    assert(spark.sql("SELECT sum(k), sum(v) FROM cattest.ow.ctas")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head == ((10L, 100L)))
+  }
+
+  test("metadata tables: cat.db.t.snapshots / files / partitions / refs / history") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.meta")
+    spark.sql("DROP TABLE IF EXISTS cattest.meta.t")
+    spark.sql("CREATE TABLE cattest.meta.t (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.meta.t VALUES (1), (2)")
+    spark.sql("INSERT INTO cattest.meta.t VALUES (3)")
+    val snaps = spark.sql(
+      "SELECT snapshot_id, is_current FROM cattest.meta.t.snapshots ORDER BY ordinal")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(snaps == Seq((1L, false), (2L, true)))
+    assert(spark.sql("SELECT count(*) FROM cattest.meta.t.files")
+      .head.getLong(0) >= 2L)
+    assert(spark.sql("SELECT sum(record_count) FROM cattest.meta.t.partitions")
+      .head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM cattest.meta.t.history")
+      .head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM cattest.meta.t.refs")
+      .head.getLong(0) >= 0L)
+  }
 }
