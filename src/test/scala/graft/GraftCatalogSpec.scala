@@ -268,4 +268,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cattest.meta.t.refs")
       .head.getLong(0) >= 0L)
   }
+
+  test("streaming via catalog identifiers: readStream.table tails, writeStream.toTable commits") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.st")
+    spark.sql("DROP TABLE IF EXISTS cattest.st.src")
+    spark.sql("DROP TABLE IF EXISTS cattest.st.dst")
+    spark.sql("CREATE TABLE cattest.st.src (k BIGINT) USING `graft-iceberg`")
+    spark.sql("CREATE TABLE cattest.st.dst (k BIGINT) USING `graft-iceberg`")
+    val ckpt = new java.io.File("target/tmp-catalog-stream-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    // identifier-addressed stream: src table -> transform -> dst table,
+    // no path and no foreachBatch anywhere
+    def pump(): Unit = {
+      val q = spark.readStream.table("cattest.st.src")
+        .selectExpr("k * 10 AS k")
+        .writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .toTable("cattest.st.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.sql("INSERT INTO cattest.st.src VALUES (1), (2)")
+    pump()
+    assert(spark.sql("SELECT k FROM cattest.st.dst ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    spark.sql("INSERT INTO cattest.st.src VALUES (3)")
+    pump() // restart from checkpoint: no replay of snapshot 1
+    assert(spark.sql("SELECT k FROM cattest.st.dst ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+  }
 }
