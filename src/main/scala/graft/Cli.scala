@@ -70,7 +70,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli catsql <warehouseDir> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -277,6 +277,24 @@ object Cli {
       try {
         val views = graft.sources.SqlEnv.register(spark, root)
         System.err.println(s"views: ${views.mkString(", ")}")
+        spark.sql(stmt).show(50, truncate = false)
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "catsql") {
+      // identifier-addressed SQL over a layout-table WAREHOUSE: register
+      // the graft TableCatalog as `wh` and run the statement — the full
+      // DML/DDL surface (CREATE/INSERT/UPDATE/MERGE/DELETE/OVERWRITE,
+      // time travel, metadata tables) from one string.
+      //   Cli catsql <warehouseDir> SELECT * FROM wh.db.t.snapshots
+      if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+      val stmt = args.drop(2).mkString(" ")
+      val spark = session()
+      try {
+        spark.conf.set("spark.sql.catalog.wh",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.wh.warehouse", root)
         spark.sql(stmt).show(50, truncate = false)
       } finally spark.stop()
       return

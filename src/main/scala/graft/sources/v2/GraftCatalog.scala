@@ -109,14 +109,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTableAt(ident, snapshot = None)
   }
 
-  /** SQL time travel `VERSION AS OF <snapshot-id>` — pins the scan to a
-    * named snapshot through the same `snapshot-id` resolution the
-    * path-addressed `option("snapshot-id", …)` read uses. */
+  /** SQL time travel `VERSION AS OF <snapshot-id | 'ref-name'>` — a
+    * numeric version pins the snapshot directly (the same resolution as
+    * the path-addressed `option("snapshot-id", …)` read); a non-numeric
+    * one resolves through the table's named refs (branch/tag reads,
+    * Iceberg's `VERSION AS OF 'audit-branch'` idiom). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val snapId =
       try version.toLong
-      catch { case _: NumberFormatException => sys.error(
-        s"graft catalog: VERSION AS OF takes a snapshot id, got '$version'") }
+      catch {
+        case _: NumberFormatException =>
+          val dir = tableDir(ident)
+          if (!isTable(dir)) throw new NoSuchTableException(ident)
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.sources.LayoutMaintenance
+            .refList(spark, dir.getAbsolutePath)
+            .collectFirst { case (name, id, _) if name == version => id }
+            .getOrElse(sys.error(
+              s"graft catalog: VERSION AS OF '$version' names neither a " +
+                s"snapshot id nor a ref of $ident"))
+      }
     loadTableAt(ident, snapshot = Some(snapId))
   }
 

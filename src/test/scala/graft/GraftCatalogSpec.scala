@@ -269,6 +269,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) >= 0L)
   }
 
+  test("VERSION AS OF '<ref>' reads a staged branch; the head stays isolated (WAP via SQL)") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.wap")
+    spark.sql("DROP TABLE IF EXISTS cattest.wap.t")
+    spark.sql("CREATE TABLE cattest.wap.t (k BIGINT, v STRING) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.wap.t VALUES (1, 'a'), (2, 'b')")
+    // stage an audit-branch append without publishing (WAP write half)
+    val dir = "target/tmp-catalog-wh/wap/t"
+    val f = new java.io.File(s"$dir/data/staged-audit.parquet")
+    val n = graft.sources.IcebergLayoutWriter.writeSingleParquet(
+      Seq((9L, "z")).toDF("k", "v"), f)
+    graft.sources.LayoutMaintenance.stageAppend(spark, dir,
+      Seq(graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+        content = 0, filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length())), branch = "audit")
+    // readers of the table see nothing; the branch name reads the stage
+    assert(spark.sql("SELECT count(*) FROM cattest.wap.t").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM cattest.wap.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 3L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM cattest.wap.t VERSION AS OF 'nope'").collect()
+    }
+  }
+
   test("streaming via catalog identifiers: readStream.table tails, writeStream.toTable commits") {
     import scala.jdk.CollectionConverters._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.st")
