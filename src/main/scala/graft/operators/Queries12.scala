@@ -888,6 +888,61 @@ object Queries12 {
                 |FROM $cat.cur.snap GROUP BY mon ORDER BY mon""".stripMargin)
     },
 
+    // ---- the write-side statistics loop, pure SQL: files written by
+    // INSERT statements now RECORD per-column bounds in their manifest
+    // entries (the declared `pushdown.fields` contract, Appendix-D
+    // encodings), `write.sort-order` asks the planner for a range
+    // distribution + sort so those bounds come out TIGHT, and carries
+    // preserve them commit over commit — so a later identifier read
+    // skips files a real Iceberg reader would skip, on a table no API
+    // call ever touched. The requires pin bounds-on-every-file, physical
+    // sortedness, and actual file skipping (planned partitions < files);
+    // the band profile is hash-gated. At 100 TB this is the virtuous
+    // loop that makes scans cheap: write clustered, record bounds, prune
+    // forever after.
+    "q210_sql_sorted_write" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q210wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cur")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cur.li")
+      s.sql(s"CREATE TABLE $cat.cur.li (okey BIGINT, price BIGINT, qty BIGINT) " +
+        "USING `graft-iceberg` TBLPROPERTIES " +
+        "('pushdown.fields'='price:2:long', 'write.sort-order'='price')")
+      t(dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("okey"),
+          floor(col("l_extendedprice")).cast("long").as("price"),
+          col("l_quantity").cast("long").as("qty"))
+        .createOrReplaceTempView("q210_src")
+      s.sql(s"INSERT INTO $cat.cur.li SELECT * FROM q210_src WHERE price < 50000")
+      s.sql(s"INSERT INTO $cat.cur.li SELECT * FROM q210_src WHERE price >= 50000")
+      val tblDir = s"${wh.getPath}/cur/li"
+      val stats = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tblDir, "t",
+          Seq((2, "price", org.apache.spark.sql.types.LongType)))
+        .select("file_path", "lo_price", "hi_price").collect()
+      require(stats.nonEmpty && stats.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+        "every SQL-written file must carry price bounds")
+      // sorted writes: each file is physically ordered on price
+      stats.map(_.getString(0)).foreach { f =>
+        val p = s.read.parquet(f).select("price").collect().map(_.getLong(0)).toSeq
+        require(p == p.sorted, s"file $f must be sorted by price")
+      }
+      // bounds-driven skipping, plan-asserted: a low-band predicate must
+      // touch fewer files than the table holds
+      val planned = s.sql(
+        s"SELECT * FROM $cat.cur.li WHERE price < 20000").rdd.getNumPartitions
+      require(planned < stats.length,
+        s"file skipping must fire: $planned planned vs ${stats.length} files")
+      s.sql(s"""SELECT price div 10000 AS band, count(*) AS n_rows,
+                |  sum(qty) AS sum_qty, min(okey) AS min_okey
+                |FROM $cat.cur.li WHERE price < 20000
+                |GROUP BY price div 10000 ORDER BY band""".stripMargin)
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1421,6 +1476,18 @@ object Queries12 {
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(max(okey) AS BIGINT) AS max_okey
         |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q210_sql_sorted_write" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS okey,
+        |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS price,
+        |         CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 5 = 0)
+        |SELECT price // 10000 AS band, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src WHERE price < 20000
+        |GROUP BY price // 10000 ORDER BY band""".stripMargin,
 
     "q183_merge_upsert" ->
       """WITH base AS (

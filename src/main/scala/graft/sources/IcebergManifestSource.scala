@@ -151,7 +151,7 @@ object IcebergManifestSource {
     }
   }
 
-  private def resolveManifestList(spark: SparkSession,
+  private[sources] def resolveManifestList(spark: SparkSession,
       tableDir: String, snapshotId: Option[Long] = None): Option[String] = {
     val md = readCurrentMetadata(spark, tableDir)
     // defensive: an empty `snapshots: []`, a snapshot-less table

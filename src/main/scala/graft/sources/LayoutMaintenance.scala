@@ -570,29 +570,40 @@ object LayoutMaintenance {
 
   /** The current snapshot's entries re-expressed as writer specs —
     * identity carry: path/content/partition/record-count/size/SEQUENCE
-    * survive verbatim, so a commit that appends on top never disturbs
-    * delete visibility for pre-existing files. Metadata-sized; bounded
-    * by [[MaxDriverFileEntries]] (see its note for the 100M-file path). */
+    * and per-field COLUMN BOUNDS survive verbatim, so a commit that
+    * appends on top never disturbs delete visibility or file-skipping
+    * stats for pre-existing files. A driver-side manifest walk (the real
+    * Iceberg-client shape — no Spark job per commit); metadata-sized,
+    * bounded by [[MaxDriverFileEntries]] (see its note for the
+    * 100M-file path). */
   private def carriedEntries(spark: SparkSession, tableDir: String,
       snapshotId: Long): Seq[IcebergLayoutWriter.ManifestEntrySpec] = {
-    val df = IcebergManifestSource
-      .statsFromTableDir(spark, tableDir, "t", Nil, Some(snapshotId))
-      .select("file_path", "content", "partitionKey", "sizeBytes",
-        "record_count", "sequence_number")
-    // limit(N+1) bounds driver heap to the ceiling even on a runaway
-    // table — the over-limit case costs one truncated collect, not an OOM
-    val rows = df.limit(MaxDriverFileEntries + 1).collect()
-    require(rows.length <= MaxDriverFileEntries,
-      s"carriedEntries($tableDir@$snapshotId): more than " +
-        s"$MaxDriverFileEntries file entries exceed the driver-side " +
-        "planning ceiling; commits on tables this large need distributed " +
-        "manifest carry.")
-    rows.toSeq
-      .map(r => IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-        content = r.getInt(1), filePath = r.getString(0),
-        partition = partitionPairsOf(r.getString(2)),
-        recordCount = r.getLong(4), sizeBytes = r.getLong(3),
-        sequenceNumber = r.getLong(5)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(snapshotId)) match {
+      case None => Nil
+      case Some(list) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[IcebergLayoutWriter.ManifestEntrySpec]
+        IcebergManifestSource.manifestPathSeqs(conf, list)
+          .iterator
+          .flatMap { case (p, inherit) =>
+            IcebergManifestSource.readManifestStats(p, conf, inherit) }
+          .foreach { s =>
+            require(out.size < MaxDriverFileEntries,
+              s"carriedEntries($tableDir@$snapshotId): more than " +
+                s"$MaxDriverFileEntries file entries exceed the driver-side " +
+                "planning ceiling; commits on tables this large need " +
+                "distributed manifest carry.")
+            out += IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+              content = s.content, filePath = s.filePath,
+              partition = partitionPairsOf(s.partitionKey),
+              recordCount = s.recordCount, sizeBytes = s.sizeBytes,
+              sequenceNumber = s.sequenceNumber,
+              lower = s.lower, upper = s.upper)
+          }
+        out.toSeq
+    }
   }
 
   /** Append a snapshot holding `carried ++ added` on top of the current

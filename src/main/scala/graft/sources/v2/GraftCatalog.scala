@@ -166,8 +166,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case _ => sys.error(s"graft catalog: bad pushdown.fields entry '$s'")
         }
       }
+    val sortCols = props.get("write.sort-order").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     new GraftTable(dir.getAbsolutePath, snapshot, statFields,
-      bootstrapSchema = bootstrap)
+      bootstrapSchema = bootstrap, sortCols = sortCols)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

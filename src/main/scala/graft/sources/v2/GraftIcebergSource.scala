@@ -92,7 +92,9 @@ object GraftIcebergSource {
     // resolves by name against the table schema
     val bootstrap = Option(options.get("write.schema"))
       .map(StructType.fromDDL)
-    new GraftTable(dir, snapshot, fields, bootstrap, userSchema)
+    val sortCols = Option(options.get("write.sort-order")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    new GraftTable(dir, snapshot, fields, bootstrap, userSchema, sortCols)
   }
 
   /** V1 `Filter` → `Column`, total over the algebra Spark can hand a
@@ -174,7 +176,8 @@ private[v2] object GraftTable {
 private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
     statFields: Seq[GraftIcebergSource.StatField],
     bootstrapSchema: Option[StructType] = None,
-    userSchema: Option[StructType] = None)
+    userSchema: Option[StructType] = None,
+    sortCols: Seq[String] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -308,7 +311,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(dir, info)
+    new GraftWriteBuilder(dir, info, statFields, sortCols)
 }
 
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,

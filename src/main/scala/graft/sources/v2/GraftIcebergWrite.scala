@@ -23,6 +23,8 @@ import org.apache.spark.sql.types._
   * moves in parallel, visibility is one metadata swap.
   */
 private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    sortCols: Seq[String] = Nil,
     overwriteAll: Boolean = false)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -42,39 +44,62 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     require(canOverwrite(filters),
       s"graft-iceberg: only full-table overwrite is supported, got " +
         filters.mkString(", "))
-    new GraftWriteBuilder(dir, info, overwriteAll = true)
+    new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true)
   }
 
   override def truncate(): WriteBuilder =
-    new GraftWriteBuilder(dir, info, overwriteAll = true)
+    new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true)
 
-  override def build(): Write = new Write {
+  private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =
       if (overwriteAll)
-        new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId())
-      else new GraftBatchWrite(dir, info.schema(), info.queryId())
+        new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats)
+      else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(dir, info.schema(), info.queryId())
+      new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats)
   }
+
+  /** `write.sort-order` asks the PLANNER for a range distribution plus a
+    * per-partition sort on those columns (Iceberg's range write-
+    * distribution mode): tasks then write globally range-clustered files
+    * whose recorded bounds are DISJOINT — exactly what manifest-bound
+    * file skipping wants. Without the property the write is
+    * distribution-free, as before. (Batch path; a streaming sink with a
+    * sort order fails Spark's own global-sort check — set it on batch
+    * tables.) */
+  override def build(): Write =
+    if (sortCols.isEmpty) new GraftWrite {}
+    else new GraftWrite with RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      private val order = sortCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(order)
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] = order
+    }
 }
 
 /** Full-table overwrite: task-parallel unique-file writes, then one
   * snapshot that drops every pre-commit data file and adds the new set.
   * A table that was never written truncates to a plain first append. */
 private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
-    queryId: String) extends BatchWrite {
+    queryId: String,
+    stats: Seq[GraftIcebergSource.StatField] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, s"ow-$queryId")
+    new GraftWriterFactory(dir, schema, s"ow-$queryId", stats)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val added = messages.collect {
-      case GraftCommitMessage(path, rows, bytes) if rows > 0 =>
+      case m: GraftCommitMessage if m.rows > 0 =>
         graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-          content = 0, filePath = path, recordCount = rows, sizeBytes = bytes)
+          content = 0, filePath = m.path, recordCount = m.rows,
+          sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
     }
     val m = new java.io.File(dir, "metadata")
     val hasMeta = new java.io.File(m, "version-hint.text").exists() ||
@@ -94,8 +119,8 @@ private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftCommitMessage(path, _, _) =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      case m: GraftCommitMessage =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
       case _ => ()
     }
 }
@@ -112,12 +137,13 @@ private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
   * commit path uses. At 100 TB the steady-state bill per trigger is the
   * append rate: task-parallel data files + one metadata swap. */
 private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
-    queryId: String)
+    queryId: String,
+    stats: Seq[GraftIcebergSource.StatField] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(dir, schema, queryId)
+    new GraftStreamingWriterFactory(dir, schema, queryId, stats)
 
   private def ledgerFile =
     new java.io.File(new java.io.File(dir, "metadata"), "streaming-epochs.json")
@@ -152,9 +178,10 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
         abort(epochId, messages)
       } else {
         val entries = messages.collect {
-          case GraftCommitMessage(path, rows, bytes) if rows > 0 =>
+          case m: GraftCommitMessage if m.rows > 0 =>
             graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-              content = 0, filePath = path, recordCount = rows, sizeBytes = bytes)
+              content = 0, filePath = m.path, recordCount = m.rows,
+              sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
         }
         if (entries.nonEmpty)
           graft.sources.LayoutMaintenance.commitAppend(
@@ -167,35 +194,40 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftCommitMessage(path, _, _) =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      case m: GraftCommitMessage =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
       case _ => ()
     }
 }
 
 private[v2] class GraftStreamingWriterFactory(dir: String, schema: StructType,
-    queryId: String)
+    queryId: String,
+    stats: Seq[GraftIcebergSource.StatField] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, schema, s"$queryId-e$epochId", partitionId, taskId)
+    new GraftDataWriter(dir, schema, s"$queryId-e$epochId", partitionId, taskId,
+      stats)
 }
 
 private[v2] case class GraftCommitMessage(path: String, rows: Long,
-    bytes: Long) extends WriterCommitMessage
+    bytes: Long, lower: Map[Int, Array[Byte]] = Map.empty,
+    upper: Map[Int, Array[Byte]] = Map.empty) extends WriterCommitMessage
 
 private[v2] class GraftBatchWrite(dir: String, schema: StructType,
-    queryId: String) extends BatchWrite {
+    queryId: String,
+    stats: Seq[GraftIcebergSource.StatField] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, queryId)
+    new GraftWriterFactory(dir, schema, queryId, stats)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect {
-      case GraftCommitMessage(path, rows, bytes) if rows > 0 =>
+      case m: GraftCommitMessage if m.rows > 0 =>
         graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-          content = 0, filePath = path, recordCount = rows, sizeBytes = bytes)
+          content = 0, filePath = m.path, recordCount = m.rows,
+          sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
     }
     // empty-task files were already deleted task-side; an all-empty
     // write still commits an (empty) snapshot? No: real engines skip it
@@ -206,22 +238,36 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftCommitMessage(path, _, _) =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      case m: GraftCommitMessage =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
       case _ => ()
     }
 }
 
 private[v2] class GraftWriterFactory(dir: String, schema: StructType,
-    queryId: String) extends DataWriterFactory {
+    queryId: String,
+    stats: Seq[GraftIcebergSource.StatField] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, schema, queryId, partitionId, taskId)
+    new GraftDataWriter(dir, schema, queryId, partitionId, taskId, stats)
 }
 
 private[v2] class GraftDataWriter(dir: String, schema: StructType,
-    queryId: String, partitionId: Int, taskId: Long)
+    queryId: String, partitionId: Int, taskId: Long,
+    stats: Seq[GraftIcebergSource.StatField] = Nil)
     extends DataWriter[InternalRow] {
+
+  // Per-file column statistics for the declared stat fields (the same
+  // name:fieldId:type contract the read path prunes on): min/max over
+  // non-null values, encoded per Iceberg Appendix D at commit. A real
+  // writer records these so ITS OWN files skip on later reads.
+  private val statIdx: Array[(Int, GraftIcebergSource.StatField)] =
+    stats.flatMap(f => schema.fieldNames.indexOf(f.name) match {
+      case -1 => None
+      case i => Some((i, f))
+    }).toArray
+  private val statMin = new Array[Any](statIdx.length)
+  private val statMax = new Array[Any](statIdx.length)
 
   private val file = {
     val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
@@ -277,6 +323,31 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       i += 1
     }
     writer.write(g)
+    var j = 0
+    while (j < statIdx.length) {
+      val (i, _) = statIdx(j)
+      if (!record.isNullAt(i)) {
+        val v: Any = schema.fields(i).dataType match {
+          case LongType => record.getLong(i)
+          case IntegerType => record.getInt(i).toLong
+          case DoubleType => record.getDouble(i)
+          case FloatType => record.getFloat(i).toDouble
+          case StringType => record.getUTF8String(i).toString
+          case _ => null
+        }
+        if (v != null) {
+          def lt(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: Long, y: Long) => x < y
+            case (x: Double, y: Double) => x < y
+            case (x: String, y: String) => x < y
+            case _ => false
+          }
+          if (statMin(j) == null || lt(v, statMin(j))) statMin(j) = v
+          if (statMax(j) == null || lt(statMax(j), v)) statMax(j) = v
+        }
+      }
+      j += 1
+    }
     rows += 1
   }
 
@@ -285,7 +356,21 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     if (rows == 0) { // nothing to add: don't leave an empty file behind
       org.apache.commons.io.FileUtils.deleteQuietly(file)
       GraftCommitMessage(file.getAbsolutePath, 0L, 0L)
-    } else GraftCommitMessage(file.getAbsolutePath, rows, file.length())
+    } else {
+      // bounds per declared stat field, Iceberg Appendix-D encodings —
+      // all-null columns carry no bound (the reader keeps such files)
+      import graft.sources.IcebergLayoutWriter.{boundLong, boundDouble, boundString}
+      def enc(v: Any): Array[Byte] = v match {
+        case x: Long => boundLong(x)
+        case x: Double => boundDouble(x)
+        case x: String => boundString(x)
+      }
+      val lower = statIdx.indices.flatMap { j =>
+        Option(statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
+      val upper = statIdx.indices.flatMap { j =>
+        Option(statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
+      GraftCommitMessage(file.getAbsolutePath, rows, file.length(), lower, upper)
+    }
   }
 
   override def abort(): Unit = {

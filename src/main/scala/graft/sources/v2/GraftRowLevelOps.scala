@@ -130,9 +130,10 @@ private[v2] class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect {
-      case GraftCommitMessage(path, rows, bytes) if rows > 0 =>
+      case m: GraftCommitMessage if m.rows > 0 =>
         graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-          content = 0, filePath = path, recordCount = rows, sizeBytes = bytes)
+          content = 0, filePath = m.path, recordCount = m.rows,
+          sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
     }
     // nothing matched and nothing to add: no empty snapshot (an UPDATE
     // whose WHERE hits zero groups is a no-op, like Iceberg's)
@@ -144,8 +145,8 @@ private[v2] class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftCommitMessage(path, _, _) =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      case m: GraftCommitMessage =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
       case _ => ()
     }
 }

@@ -269,6 +269,52 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) >= 0L)
   }
 
+  test("SQL writes record column bounds; identifier reads skip files on them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.sw")
+    spark.sql("DROP TABLE IF EXISTS cattest.sw.b")
+    spark.sql("CREATE TABLE cattest.sw.b (k BIGINT, price BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES ('pushdown.fields'='price:2:long')")
+    spark.sql("INSERT INTO cattest.sw.b SELECT id, id FROM range(0, 500)")
+    spark.sql("INSERT INTO cattest.sw.b SELECT id, id FROM range(500, 1000)")
+    val dir = "target/tmp-catalog-wh/sw/b"
+    val stats = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir, "t",
+        Seq((2, "price", org.apache.spark.sql.types.LongType)))
+      .select("file_path", "lo_price", "hi_price").collect()
+    assert(stats.nonEmpty && stats.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "SQL-written files must carry recorded price bounds")
+    val total = stats.length
+    // bounds-driven skipping on a table built ONLY from SQL statements
+    val pruned = spark.sql("SELECT * FROM cattest.sw.b WHERE price < 100")
+      .rdd.getNumPartitions
+    assert(pruned < total,
+      s"expected file skipping: $pruned partitions vs $total files")
+    assert(spark.sql("SELECT count(*) FROM cattest.sw.b WHERE price < 100")
+      .head.getLong(0) == 100L)
+  }
+
+  test("write.sort-order: inserted files are physically sorted on the column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.sw")
+    spark.sql("DROP TABLE IF EXISTS cattest.sw.s")
+    spark.sql("CREATE TABLE cattest.sw.s (k BIGINT, price BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES ('write.sort-order'='price')")
+    // a deliberately shuffled price ordering on the way in
+    spark.sql("INSERT INTO cattest.sw.s " +
+      "SELECT id, (id * 7919) % 1000 AS price FROM range(1000)")
+    val dir = "target/tmp-catalog-wh/sw/s"
+    val files = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir, "t", Nil)
+      .select("file_path").collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val prices = spark.read.parquet(f).select("price")
+        .collect().map(_.getLong(0)).toSeq
+      assert(prices == prices.sorted,
+        s"file $f must be written sorted by price")
+    }
+    assert(spark.sql("SELECT count(*) FROM cattest.sw.s").head.getLong(0) == 1000L)
+  }
+
   test("VERSION AS OF '<ref>' reads a staged branch; the head stays isolated (WAP via SQL)") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.wap")
