@@ -943,6 +943,59 @@ object Queries12 {
                 |GROUP BY price div 10000 ORDER BY band""".stripMargin)
     },
 
+    // ---- INCREMENTAL dedup — the production shape of corpus dedup at
+    // 100 TB: never re-scan the whole corpus, dedup only what a snapshot
+    // ADDED against persisted fingerprint state. The corpus is a real
+    // layout table built in two commits; the incremental step reads
+    // exactly the files `changesBetween(1, 2)` names (metadata-only
+    // planning), anti-joins the new fingerprints against the batch-1
+    // winner state (first-seen-wins — arrival order, the true streaming
+    // -dedup semantics, NOT global min), and dedups within the new batch.
+    // The requires pin the integrity invariants: winner sets are
+    // disjoint, and base ∪ incremental covers every distinct content
+    // hash exactly once. Per-(lang, origin) winner profile hash-gated
+    // against DuckDB's two-phase formulation. Incremental bill: new-file
+    // I/O + a state-sized anti-join — O(delta), not O(corpus).
+    "q211_incremental_dedup" -> { (s, dir) => implicit val sp = s
+      import graft.sources.IcebergManifestSource
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      val tbl = TmpFixture.dir("q211", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      docs.filter(col("doc_id") % 3 =!= 0).write.format("graft-iceberg")
+        .option("write.schema", "doc_id LONG, lang STRING, h STRING")
+        .mode("append").save(tbl.getPath)
+      docs.filter(col("doc_id") % 3 === 0).write.format("graft-iceberg")
+        .mode("append").save(tbl.getPath)
+      // persisted state: batch-1 winners (min doc_id per content hash)
+      val state = s.read.format("graft-iceberg").option("snapshot-id", "1")
+        .load(tbl.getPath)
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .localCheckpoint() // the state table: read twice below
+      // incremental step: ONLY the files snapshot 2 added
+      val addedPaths = IcebergManifestSource
+        .changesBetween(s, tbl.getPath, "t", 1L, 2L)
+        .filter(col("change") === "added" && col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSeq
+      require(addedPaths.nonEmpty, "snapshot 2 must have added files")
+      val newAccepted = s.read.parquet(addedPaths: _*)
+        .join(broadcast(state.select(col("h"))), Seq("h"), "left_anti")
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val acc = state.withColumn("src", lit("base"))
+        .unionByName(newAccepted.withColumn("src", lit("incr")))
+        .localCheckpoint()
+      // integrity: one winner per distinct content hash, no overlap
+      val nAcc = acc.count()
+      val nDistinct = docs.select(col("h")).distinct().count()
+      require(nAcc == nDistinct,
+        s"incremental dedup must cover every hash once: $nAcc vs $nDistinct")
+      acc.join(docs, Seq("h", "doc_id"))
+        .groupBy(col("lang"), col("src"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"), col("src"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1488,6 +1541,26 @@ object Queries12 {
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src WHERE price < 20000
         |GROUP BY price // 10000 ORDER BY band""".stripMargin,
+
+    "q211_incremental_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, md5(text) AS h,
+        |         CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 2 END AS b
+        |  FROM documents WHERE text IS NOT NULL),
+        |firstb AS (SELECT h, min(b) AS mb FROM docs GROUP BY h),
+        |winners AS (
+        |  SELECT d.h, min(d.doc_id) AS doc_id, min(d.b) AS b
+        |  FROM docs d JOIN firstb f ON d.h = f.h AND d.b = f.mb
+        |  GROUP BY d.h),
+        |labeled AS (
+        |  SELECT d.lang,
+        |         CASE WHEN w.b = 1 THEN 'base' ELSE 'incr' END AS src,
+        |         w.doc_id
+        |  FROM winners w JOIN docs d ON d.h = w.h AND d.doc_id = w.doc_id)
+        |SELECT lang, src, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM labeled GROUP BY lang, src ORDER BY lang, src""".stripMargin,
 
     "q183_merge_upsert" ->
       """WITH base AS (

@@ -924,6 +924,17 @@ object LayoutMaintenance {
         "Run rewrite_data_files first.")
     val removed = removedPaths.toSet
     val removedNorm = removed.map(_.replaceFirst("^file:/+", "/"))
+    // OCC validation (Iceberg's commit-conflict semantics): every file
+    // this operation scanned must still be live at commit time. A
+    // concurrent commit that already replaced one of them would make
+    // this group swap resurrect/duplicate rows — fail the statement
+    // instead; the caller re-runs against the new snapshot.
+    val carriedNorm = carried
+      .map(_.filePath.replaceFirst("^file:/+", "/")).toSet
+    val gone = removedNorm.filterNot(carriedNorm)
+    require(gone.isEmpty,
+      s"commitReplaceFiles($tableDir): concurrent commit conflict — " +
+        s"scanned files no longer in snapshot $curId: ${gone.take(3).mkString(", ")}")
     val kept = carried.filter(e => (!dropDeletes || e.content == 0) &&
       !removed(e.filePath) &&
       !removedNorm(e.filePath.replaceFirst("^file:/+", "/")))

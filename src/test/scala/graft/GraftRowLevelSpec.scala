@@ -117,6 +117,21 @@ class GraftRowLevelSpec extends AnyFunSuite {
     assert(perFile.values.sum == 4L)
   }
 
+  test("group-replace commit rejects a stale scanned-file set (OCC conflict)") {
+    val dir = freshTable("occ")
+    val victim = dataFilesOf(dir).head
+    // a concurrent commit replaces `victim` first
+    graft.sources.LayoutMaintenance.commitReplaceFiles(
+      spark, dir, Seq(victim), Nil)
+    // the straggler tries to swap the SAME file out: must fail loudly,
+    // never resurrect/duplicate its rows
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LayoutMaintenance.commitReplaceFiles(
+        spark, dir, Seq(victim), Nil)
+    }
+    assert(e.getMessage.contains("concurrent commit conflict"))
+  }
+
   test("UPDATE on an empty match set leaves the table unchanged") {
     val dir = freshTable("noop")
     val before = dataFilesOf(dir)
