@@ -996,6 +996,57 @@ object Queries12 {
         .orderBy(col("lang"), col("src"))
     },
 
+    // ---- ANN index AS a lakehouse table — the similarity-search scale
+    // path made durable: q49's sign-LSH cell assignments are PERSISTED
+    // into a layout table written cell-sorted with recorded cell bounds
+    // (two range-disjoint commits), so an index probe is a CONNECTOR
+    // READ that skips index files by bounds before any I/O — pinned by a
+    // planned-partitions require. The search itself is the persisted
+    // index joined to broadcast probes, candidates re-joined to raw
+    // embeddings for exact integer dots, top-3 per query — bit-identical
+    // to q49's inline formulation (same oracle). At 100 TB the index is
+    // built once, maintained by appends, and every query's bill is
+    // matched-cell file I/O + candidate-sized dot products.
+    "q212_ann_index_table" -> { (s, dir) => implicit val sp = s
+      val cellExpr = AnnOps
+        .signatureColumns("qe", bands = 1, planesPerBand = 4, dims = 64).head
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), AnnOps.quantize(col("embedding")).as("qe"))
+        .withColumn("cell", cellExpr.cast("long"))
+        .localCheckpoint() // probes + candidate vectors + index build
+      val tbl = TmpFixture.dir("q212", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      def writeHalf(pred: org.apache.spark.sql.Column): Unit =
+        e.filter(pred).select(col("vec_id"), col("cell"))
+          .write.format("graft-iceberg")
+          .option("write.schema", "vec_id LONG, cell LONG")
+          .option("pushdown.fields", "cell:2:long")
+          .option("write.sort-order", "cell")
+          .mode("append").save(tbl.getPath)
+      writeHalf(col("cell") < 8L); writeHalf(col("cell") >= 8L)
+      def index = s.read.format("graft-iceberg")
+        .option("pushdown.fields", "cell:2:long").load(tbl.getPath)
+      val nFiles = index.rdd.getNumPartitions
+      val c0 = e.filter(col("vec_id") === 0L).select("cell").head.getLong(0)
+      val planned = index.filter(col("cell") === c0).rdd.getNumPartitions
+      require(planned < nFiles,
+        s"index probe must skip files: $planned planned vs $nFiles")
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qe").as("qa"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      index.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(e.select(col("vec_id"), col("qe").as("qb")), Seq("vec_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("dot", AnnOps.dotQ(col("qa"), col("qb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1561,6 +1612,38 @@ object Queries12 {
         |  CAST(min(doc_id) AS BIGINT) AS min_id,
         |  CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM labeled GROUP BY lang, src ORDER BY lang, src""".stripMargin,
+
+    "q212_ann_index_table" -> {
+      val planeValues = graft.operators.AnnOps.planeWeights(4, 64)
+        .map { case (p, d, w) => s"($p,$d,$w)" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |planes(p, d, w) AS (VALUES $planeValues),
+         |dims AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS d, qe[i] AS x
+         |  FROM (SELECT vec_id, qe, unnest(range(1, len(qe) + 1)) AS i FROM q)),
+         |proj AS (
+         |  SELECT vec_id, p, sum(x * w) AS s
+         |  FROM dims JOIN planes USING (d) GROUP BY vec_id, p),
+         |cells AS (
+         |  SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS cell
+         |  FROM proj GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_apply(range(1, len(qa.qe) + 1),
+         |      i -> qa.qe[i] * qb.qe[i])) AS BIGINT) AS dot
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  JOIN q qa ON qa.vec_id = a.vec_id
+         |  JOIN q qb ON qb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 20),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q183_merge_upsert" ->
       """WITH base AS (
