@@ -1047,6 +1047,102 @@ object Queries12 {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- METADATA-ONLY aggregates: `SELECT count(*), min, max` over a
+    // catalog table answered ENTIRELY from manifest statistics — the
+    // connector's SupportsPushDownAggregates folds record_count and the
+    // per-file bounds at plan time (complete pushdown: no Aggregate
+    // node, one synthesized row, zero data-file partitions). The query
+    // PROVES the zero-I/O claim the strong way: after the two INSERT
+    // commits, every data file on disk is overwritten with junk bytes —
+    // the aggregate must still answer, because at 100 TB this is the
+    // difference between a free catalog lookup and a full table scan.
+    // A row-reading twin on an intact path-addressed copy pins the
+    // pushed answers against physically-scanned truth.
+    "q213_metadata_only_agg" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q213wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.stats")
+      s.sql(s"DROP TABLE IF EXISTS $cat.stats.ord")
+      s.sql(s"CREATE TABLE $cat.stats.ord (okey BIGINT, price BIGINT) " +
+        "USING `graft-iceberg` " +
+        "TBLPROPERTIES ('pushdown.fields'='okey:1:long,price:2:long')")
+      t(dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          floor(col("o_totalprice")).cast("long").as("price"))
+        .createOrReplaceTempView("q213_src")
+      s.sql(s"INSERT INTO $cat.stats.ord SELECT * FROM q213_src WHERE price < 150000")
+      s.sql(s"INSERT INTO $cat.stats.ord SELECT * FROM q213_src WHERE price >= 150000")
+      // row-reading twin FIRST (intact files): the ground truth
+      val tblDir = new java.io.File(new java.io.File(wh, "stats"), "ord")
+      val twin = s.read.format("graft-iceberg").load(tblDir.getPath)
+        .agg(count(lit(1)), min(col("price")), max(col("price")),
+          min(col("okey")), max(col("okey")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).head
+      // now DESTROY every data file: any answer must be metadata-only
+      new java.io.File(tblDir, "data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val w = new java.io.FileOutputStream(f)
+          w.write("junk".getBytes); w.close()
+        }
+      val agg = s.sql(s"""SELECT count(*) AS n_rows,
+        |  min(price) AS min_price, max(price) AS max_price,
+        |  min(okey) AS min_okey, max(okey) AS max_okey
+        |FROM $cat.stats.ord""".stripMargin)
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("aggPushed"),
+        s"aggregate must push to manifest stats, got:\n$plan")
+      val got = agg.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).head
+      require(got == twin,
+        s"pushed aggregate disagrees with scanned truth: $got vs $twin")
+      agg
+    },
+
+    // ---- RUNTIME (dynamic) file pruning: a broadcast join's build
+    // side finishes, its key values flow into the connector's
+    // SupportsRuntimeFiltering, and the probe-side scan re-prunes files
+    // against manifest bounds BEFORE reading — Spark's DPP flow on a
+    // DSv2 source. The fixture is four okey-range commits; the dim
+    // selects keys confined to one range, and the post-execution scan
+    // metric pins that most of the table's rows were never read. At
+    // 100 TB this is the star-schema bill-shrinker: the fact scan is
+    // sized by the dimension's selectivity, not the fact's footprint.
+    "q214_runtime_file_pruning" -> { (s, dir) => implicit val sp = s
+      val tbl = TmpFixture.dir("q214", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val li = t(dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          floor(col("l_extendedprice")).cast("long").as("price"))
+      val hi = li.agg(max(col("okey"))).head.getLong(0)
+      val step = hi / 4 + 1
+      (0L until 4L).foreach { b =>
+        li.filter(col("okey") >= b * step && col("okey") < (b + 1) * step)
+          .write.format("graft-iceberg")
+          .option("write.schema", "okey LONG, price LONG")
+          .option("pushdown.fields", "okey:1:long")
+          .mode("append").save(tbl.getPath)
+      }
+      def fact = s.read.format("graft-iceberg")
+        .option("pushdown.fields", "okey:1:long").load(tbl.getPath)
+      // dim: keys confined to the first okey quarter
+      val dim = li.filter(col("okey") % 64 === 0 && col("okey") < step)
+        .select(col("okey")).distinct()
+      val joined = fact.join(broadcast(dim), Seq("okey"))
+      val total = fact.count()
+      val n = joined.collect().length // execute THIS plan: runtime
+      require(n > 0, "fixture must produce matches") // filters delivered
+      val scanned = PlanProbe.rowsReadByGraftScans(joined)
+      require(scanned > 0 && scanned < total / 2,
+        s"runtime pruning did not engage: scanned $scanned of $total rows")
+      joined.agg(count(lit(1)).as("n_rows"), sum(col("price")).as("sum_price"),
+        min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1475,6 +1571,33 @@ object Queries12 {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q213_metadata_only_agg" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(price) AS BIGINT) AS min_price,
+        |  CAST(max(price) AS BIGINT) AS max_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey,
+        |  CAST(max(okey) AS BIGINT) AS max_okey
+        |FROM src""".stripMargin,
+
+    "q214_runtime_file_pruning" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS okey,
+        |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS price
+        |  FROM lineitem),
+        |bound AS (SELECT max(okey) // 4 + 1 AS step FROM src),
+        |keys AS (
+        |  SELECT DISTINCT okey FROM src, bound
+        |  WHERE okey % 64 = 0 AND okey < step)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(s.price) AS BIGINT) AS sum_price,
+        |  CAST(min(s.okey) AS BIGINT) AS min_okey,
+        |  CAST(max(s.okey) AS BIGINT) AS max_okey
+        |FROM src s JOIN keys k ON s.okey = k.okey""".stripMargin,
 
     "q203_sql_catalog" ->
       """WITH src AS (

@@ -55,6 +55,38 @@ private[graft] object Rel {
   * One JVM-exit hook per distinct dir deletes the tree recursively, so
   * repeated runs against different corpus paths don't accumulate orphan
   * `graft-q*` trees on bench hosts. */
+private[graft] object PlanProbe {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+  /** Every graft-iceberg BatchScan in an EXECUTED plan, descending
+    * through AQE wrappers (QueryStageExec nodes are leaves — their
+    * materialized plan hangs off `plan`, not `children`). */
+  def graftScans(p: SparkPlan): Seq[BatchScanExec] =
+    p.collectWithSubqueries {
+      case b: BatchScanExec
+          if b.scan.description().contains("GraftIcebergScan") => Seq(b)
+      case q: QueryStageExec => graftScans(q.plan)
+      case a: AdaptiveSparkPlanExec => graftScans(a.executedPlan)
+    }.flatten
+
+  /** Sum of `numOutputRows` across the executed plan's graft scans —
+    * call AFTER an action on the same Dataset's queryExecution. */
+  def rowsReadByGraftScans(df: org.apache.spark.sql.DataFrame): Long =
+    graftScans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+
+  /** Every shuffle exchange in an executed plan (AQE-aware). */
+  def shuffles(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        Seq(e: SparkPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+    }.flatten
+}
+
 private[graft] object TmpFixture {
   private val registered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 

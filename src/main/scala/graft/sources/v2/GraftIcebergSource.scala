@@ -70,6 +70,14 @@ object GraftIcebergSource {
 
   private[v2] case class StatField(name: String, fieldId: Int, dt: DataType)
 
+  /** One data file's scan-planning facts: path, per-stat-field
+    * lower/upper bounds, partition-key values, and the manifest's exact
+    * `record_count` (Iceberg spec: the number of rows in the file —
+    * exact, not an estimate). */
+  private[v2] case class FileStat(path: String,
+      bounds: Map[String, (Any, Any)], pvals: Map[String, Any],
+      records: Long)
+
   private[v2] def tableOf(options: CaseInsensitiveStringMap,
       userSchema: Option[StructType] = None): GraftTable = {
     val dir = Option(options.get("path"))
@@ -232,9 +240,17 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * the 10M-file ceiling): the same client-side planning budget
     * Iceberg's own scan planning works in; past it a connector needs
     * distributed planning (manifest evaluation as a Spark job). */
-  private[v2] lazy val dataFiles
-      : Seq[(String, Map[String, (Any, Any)], Map[String, Any])] =
-    if (!hasMetadata) Seq.empty // created but never written: empty scan
+  private[v2] lazy val dataFiles: Seq[GraftIcebergSource.FileStat] =
+    scanState._1
+
+  /** Whether the bound snapshot carries any delete file (content != 0).
+    * Aggregate pushdown must refuse such tables: manifest record counts
+    * overcount rows that tombstones remove. */
+  private[v2] lazy val hasDeletes: Boolean = scanState._2
+
+  private lazy val scanState
+      : (Seq[GraftIcebergSource.FileStat], Boolean) =
+    if (!hasMetadata) (Seq.empty, false) // created but never written
     else {
     val spark = SparkSession.active
     val fields = statFields.map(f => (f.fieldId, f.name, f.dt))
@@ -246,15 +262,17 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       s"graft-iceberg($dir): more than $cap file entries exceed the " +
         "driver-side scan-planning ceiling; a table this large needs " +
         "distributed planning.")
-    rows.toSeq
+    val files = rows.toSeq
       .filter(_.getAs[Int]("content") == 0)
       .map { r =>
         val bounds = statFields.map { f =>
           f.name -> ((r.getAs[Any](s"lo_${f.name}"), r.getAs[Any](s"hi_${f.name}")))
         }.toMap
-        (r.getAs[String]("file_path"), bounds,
-          GraftIcebergSource.parsePartitionKey(r.getAs[String]("partitionKey")))
+        GraftIcebergSource.FileStat(r.getAs[String]("file_path"), bounds,
+          GraftIcebergSource.parsePartitionKey(r.getAs[String]("partitionKey")),
+          r.getAs[Long]("record_count"))
       }
+    (files, rows.exists(_.getAs[Int]("content") != 0))
   }
 
   /** (partitionFieldName, transform, sourceColumnName) for each declared
@@ -270,6 +288,25 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
         .flatMap { case (pfName, transform, srcId) =>
           byId.get(srcId).map(srcName => (pfName, transform, srcName))
         }
+    }
+
+  private[v2] def statFieldNames: Seq[String] = statFields.map(_.name)
+
+  /** (partitionFieldName, sourceColumnName, sourceType) when — and only
+    * when — the table's CURRENT partition spec is entirely identity
+    * transforms whose sources this scan can name. This is the shape
+    * that lets the scan report [[KeyGroupedPartitioning]] and unlock
+    * storage-partitioned joins. */
+  private[v2] lazy val identityPartitionCols: Seq[(String, String, DataType)] =
+    if (!hasMetadata) Nil
+    else {
+      val spec = IcebergManifestSource.partitionSpec(SparkSession.active, dir)
+      if (spec.nonEmpty && spec.forall(_._2 == "identity")) {
+        val byId = statFields.map(f => f.fieldId -> f).toMap
+        val resolved = spec.flatMap { case (pfName, _, srcId) =>
+          byId.get(srcId).map(f => (pfName, f.name, f.dt)) }
+        if (resolved.length == spec.length) resolved else Nil
+      } else Nil
     }
 
   private def hasMetadata: Boolean = {
@@ -294,7 +331,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     // descriptor-less external layouts.
     bootstrapSchema.filter(_.nonEmpty).getOrElse {
       if (hasMetadata)
-        dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f._1))
+        dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f.path))
           .getOrElse(new StructType())
       else new StructType()
     }
@@ -317,10 +354,12 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
     statFields: Seq[GraftIcebergSource.StatField])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val statCols = statFields.map(_.name).toSet
@@ -341,12 +380,156 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(table, fullSchema, required, pushed)
+  /** Metadata-only `COUNT(*)` / `MIN` / `MAX`: the aggregate a 100 TB
+    * table answers without touching ONE data byte. Manifest entries
+    * carry an exact `record_count` and, for declared stat fields, the
+    * file's lower/upper bounds — so the global count is the sum of
+    * record counts and a global min/max folds the per-file bounds,
+    * all already on the driver from scan planning. Complete pushdown
+    * (the plan keeps no Aggregate node; the scan's single row IS the
+    * answer), accepted only when it cannot be wrong:
+    *
+    *   - no residual filters (ours are always file-coarse, so any
+    *     WHERE leaves a post-scan Filter and Spark never offers the
+    *     aggregate — the guard is belt-and-braces);
+    *   - no grouping (GROUP BY needs per-group counts; partition-value
+    *     grouping is a possible extension);
+    *   - no delete files in the snapshot (record_count would overcount
+    *     tombstoned rows);
+    *   - min/max only over NUMERIC stat fields with bounds present for
+    *     EVERY file — the Iceberg spec lets writers truncate string
+    *     bounds, which preserves pruning but not exact extrema, and a
+    *     missing bound means that file's extrema are unknown;
+    *   - count(col) is NOT pushed (null counts aren't in our stats
+    *     projection, and record_count includes nulls).
+    *
+    * The empty table folds to (0, null, null) — SQL's own global-agg
+    * semantics on empty input. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = evalAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = evalAggregation(agg)
+    aggResult.isDefined
+  }
+
+  private def evalAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    if (table.hasDeletes) return None
+    val files = table.dataFiles
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[GraftIcebergSource.StatField] = e match {
+      case fr: NamedReference if fr.fieldNames.length == 1 =>
+        statFields.find(_.name == fr.fieldNames.head)
+          .filter(f => f.dt == LongType || f.dt == DoubleType ||
+            f.dt == IntegerType)
+      case _ => None
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+      case (x: Number, y: Number) =>
+        java.lang.Double.compare(x.doubleValue, y.doubleValue)
+      case _ => 0
+    }
+    def fold(f: GraftIcebergSource.StatField, lo: Boolean): Option[Any] = {
+      val sides = files.map(_.bounds.get(f.name)
+        .map(b => if (lo) b._1 else b._2).orNull)
+      if (sides.exists(_ == null)) None // a file without bounds: refuse
+      else if (sides.isEmpty) Some(null) // empty table: SQL null extremum
+      else Some(sides.reduce((a, b) =>
+        if ((cmp(a, b) <= 0) == lo) a else b))
+    }
+    val evaluated = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          files.map(_.records).sum: Any))
+      case m: Min => fieldOf(m.column).flatMap(f =>
+        fold(f, lo = true).map(v => (StructField(s"min_${f.name}", f.dt), v)))
+      case m: Max => fieldOf(m.column).flatMap(f =>
+        fold(f, lo = false).map(v => (StructField(s"max_${f.name}", f.dt), v)))
+      case _ => None
+    }
+    if (evaluated.exists(_.isEmpty)) None
+    else Some((StructType(evaluated.flatten.map(_._1)),
+      evaluated.flatten.map(_._2)))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new GraftAggScan(schema, values)
+    case None => new GraftScan(table, fullSchema, required, pushed)
+  }
 }
 
+/** The completely-pushed-aggregate scan: one partition, one row, zero
+  * data-file I/O — the values were folded from manifest statistics at
+  * plan time. */
+private[v2] class GraftAggScan(aggSchema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftIcebergScan aggPushed=[${aggSchema.fieldNames.mkString(", ")}] " +
+      "(metadata-only, no data files read)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values.map {
+      case null => null
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i
+      case d: java.lang.Double => d
+      case l: Long => java.lang.Long.valueOf(l)
+      case other => other
+    }))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[GraftAggPartition].values
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new GenericInternalRow(vals.toArray[Any])
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[v2] case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
 private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  /** Runtime (dynamic) filters delivered after planning — Spark's DPP:
+    * a broadcast-join build side finishes, its join-key values arrive
+    * here as an `In`, and [[planInputPartitions]] re-prunes files
+    * against manifest bounds and partition transforms before the probe
+    * side reads a byte. At 100 TB this is the difference between
+    * scanning a dimension-selected slice and scanning the table. Rows
+    * are NOT re-filtered — the join itself applies the predicate;
+    * pruning here is only ever subtractive and conservative. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (table.statFieldNames ++ table.partitionFields.map(_._3)).distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters
 
   override def readSchema(): StructType = required
 
@@ -368,7 +551,7 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     * qualifying rows); Double is the fallback only when either side is
     * genuinely floating. */
   private def overlaps(bounds: Map[String, (Any, Any)]): Boolean =
-    pushed.forall { f =>
+    (pushed ++ runtime).forall { f =>
       def bnds(col: String): Option[(Any, Any)] = bounds.get(col).filter {
         case (lo, hi) => lo != null && hi != null
       }
@@ -390,6 +573,12 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
       (f match {
         case EqualTo(c, v) => for { (lo, hi) <- bnds(c); a <- cmp(lo, v);
           b <- cmp(v, hi) } yield a <= 0 && b <= 0
+        // In — the shape runtime DPP filters arrive as: the file
+        // survives if ANY value lands inside its bounds
+        case In(c, vs) => bnds(c).map { case (lo, hi) =>
+          vs.exists(v => (for (a <- cmp(lo, v); b <- cmp(v, hi))
+            yield a <= 0 && b <= 0).getOrElse(true))
+        }
         case GreaterThan(c, v) =>
           for ((_, hi) <- bnds(c); a <- cmp(hi, v)) yield a > 0
         case GreaterThanOrEqual(c, v) =>
@@ -413,7 +602,7 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     * a type mismatch keeps the file — pruning is never a correctness
     * lever. */
   private def partitionKeeps(pvals: Map[String, Any]): Boolean =
-    pushed.forall { f =>
+    (pushed ++ runtime).forall { f =>
       table.partitionFields.forall { case (pfName, transform, srcCol) =>
         keepByTransform(f, pfName, transform, srcCol, pvals)
       }
@@ -448,6 +637,19 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
       else None
     (f, pvLong) match {
       case (_, None) => true // no value for this field in this file: keep
+      // In (runtime DPP shape): keep if ANY value's image under the
+      // transform is this file's partition ordinal
+      case (In(c, vs), Some(pv)) if c == srcCol =>
+        vs.exists { v =>
+          bucketN match {
+            case Some(n) => longVal(v).map(x => bucketLong(x, n).toLong == pv)
+              .orElse(v match {
+                case s: String => Some(bucketString(s, n).toLong == pv)
+                case _ => None
+              }).getOrElse(true)
+            case None => ordinal(v).forall(_ == pv)
+          }
+        }
       case (EqualTo(c, v), Some(pv)) if c == srcCol =>
         bucketN match {
           case Some(n) => longVal(v).map(x => bucketLong(x, n).toLong == pv)
@@ -476,10 +678,55 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     }
   }
 
+  /** Storage-partitioned join readiness: when the table is identity-
+    * partitioned, every file carries its partition values, and the user
+    * opted in via `spark.sql.sources.v2.bucketing.enabled`, the scan
+    * groups files by partition value and reports
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * — Spark then plans an equi-join of two tables co-partitioned on
+    * the same keys with NO shuffle on either side (each partition-value
+    * group joins its counterpart directly). At 100 TB this deletes the
+    * single largest cost of a fact-fact join: neither table moves.
+    * Conservative fallback everywhere: any file missing a value, a
+    * non-identity spec, or the conf off → one partition per file and
+    * unknown partitioning, exactly as before. */
+  private def spjActive: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      table.identityPartitionCols.nonEmpty && table.dataFiles.nonEmpty &&
+      table.dataFiles.forall(f =>
+        table.identityPartitionCols.forall(c => f.pvals.contains(c._1)))
+
+  private def survivors: Seq[GraftIcebergSource.FileStat] =
+    table.dataFiles.filter(f => overlaps(f.bounds) && partitionKeeps(f.pvals))
+
+  private def groupedSurvivors
+      : Seq[(Seq[Any], Seq[GraftIcebergSource.FileStat])] =
+    survivors.groupBy(f =>
+        table.identityPartitionCols.map(c => f.pvals(c._1)))
+      .toSeq.sortBy(_._1.mkString(" "))
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (spjActive)
+      new KeyGroupedPartitioning(
+        table.identityPartitionCols.map(c => Expressions.identity(c._2))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression],
+        groupedSurvivors.size)
+    else new UnknownPartitioning(survivors.size)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    table.dataFiles
-      .filter(f => overlaps(f._2) && partitionKeeps(f._3))
-      .map(f => GraftFilePartition(f._1): InputPartition).toArray
+    if (spjActive)
+      groupedSurvivors.map { case (key, files) =>
+        GraftGroupPartition(files.map(_.path),
+          key.zip(table.identityPartitionCols).map {
+            case (v, (_, _, dt)) => GraftGroupPartition.internalValue(v, dt)
+          }): InputPartition
+      }.toArray
+    else
+      survivors.map(f => GraftFilePartition(f.path): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
@@ -487,11 +734,51 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
 
 private[v2] case class GraftFilePartition(path: String) extends InputPartition
 
+/** One partition-value group of files (the SPJ unit): `partitionKey`
+  * is the identity partition values as an InternalRow — Spark's
+  * KeyGrouped machinery matches these rows across join sides to pair
+  * co-partitioned splits without a shuffle. */
+private[v2] case class GraftGroupPartition(paths: Seq[String],
+    keyValues: Seq[Any]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyValues.toArray)
+}
+
+private[v2] object GraftGroupPartition {
+  /** Partition-JSON value → Spark internal value of the source type. */
+  def internalValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: Long, LongType) => l
+    case (l: Long, IntegerType) => l.toInt
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (other, _) => other
+  }
+}
+
 private[v2] class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftFilePartition].path, required)
+    partition match {
+      case GraftFilePartition(path) => new GraftPartitionReader(path, required)
+      case g: GraftGroupPartition => new PartitionReader[InternalRow] {
+        // chain the group's files through one reader sequence
+        private val paths = g.paths.iterator
+        private var cur: GraftPartitionReader = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!paths.hasNext) return false
+              cur = new GraftPartitionReader(paths.next(), required)
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    }
 }
 
 /** Reads one parquet file through parquet-hadoop's Group API with the

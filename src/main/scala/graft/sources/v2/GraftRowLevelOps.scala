@@ -78,7 +78,7 @@ private[v2] class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
 
   /** Candidate groups: every data file of the current snapshot, until
     * runtime group filtering narrows them to files with matching rows. */
-  @volatile private var candidates: Seq[String] = table.dataFiles.map(_._1)
+  @volatile private var candidates: Seq[String] = table.dataFiles.map(_.path)
 
   override def readSchema(): StructType = required
 

@@ -473,4 +473,149 @@ class GraftSourceV2Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(got == Seq((0L, "base"), (1L, "t1"), (2L, "t2")))
   }
+
+  test("aggregate pushdown: count/min/max answered from manifests, zero data-file I/O") {
+    // ground truth BEFORE tampering
+    val want = ground.agg(count(lit(1)), min(col("price")), max(col("price")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // copy the layout, then DESTROY every data file: if the aggregate
+    // still answers, not one data byte was needed
+    val t2 = new java.io.File("target/tmp-dsv2-aggpush")
+    org.apache.commons.io.FileUtils.deleteQuietly(t2)
+    org.apache.commons.io.FileUtils.copyDirectory(tbl, t2)
+    val dataFiles = new java.io.File(t2, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val w = new java.io.FileOutputStream(f)
+      w.write("not parquet anymore".getBytes); w.close()
+    }
+    // schema must come from the caller (inference would open a file)
+    val df = spark.read.format("graft-iceberg")
+      .schema("okey LONG, price LONG, flag STRING")
+      .option("pushdown.fields", "price:1:long")
+      .load(t2.getPath)
+      .agg(count(lit(1)).as("n"), min(col("price")).as("lo"),
+        max(col("price")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed"), s"aggregate was not pushed:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got == want, s"pushed aggregate disagrees: $got vs $want")
+  }
+
+  test("aggregate pushdown refuses a WHERE (file-coarse bounds) and stays exact") {
+    val df = dsv2.filter(col("price") >= 60000L)
+      .agg(count(lit(1)).as("n"), max(col("price")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("aggPushed"),
+      s"must not push an aggregate past a residual filter:\n$plan")
+    val want = ground.filter(col("price") >= 60000L)
+      .agg(count(lit(1)), max(col("price")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got == want)
+  }
+
+  test("aggregate pushdown refuses a snapshot that carries delete files") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-aggdel")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v LONG").mode("append").save(t.getPath)
+    graft.sources.LayoutMaintenance.commitUpsert(spark, t.getPath,
+      Seq((2L, 21L)).toDF("k", "v"), keyCols = Seq("k"))
+    val df = spark.read.format("graft-iceberg")
+      .option("pushdown.fields", "k:1:long").load(t.getPath)
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("aggPushed"),
+      s"record_count overcounts under tombstones; must not push:\n$plan")
+  }
+
+  test("runtime (dynamic) file pruning: a broadcast join's keys prune files at execution") {
+    import spark.implicits._
+    // dim must carry a SELECTIVE predicate in its plan (Spark's DPP
+    // rule only injects a runtime filter when the build side filters)
+    // — and the predicate is on a NON-join column, so no static filter
+    // can be inferred onto the fact side: any file pruning observed
+    // below can ONLY have come from the runtime (dynamic) filter.
+    val topOkey = ground.sort(col("price").desc).limit(1)
+      .select(col("okey")).as[Long].head()
+    val dim = ground.filter(col("okey") === topOkey)
+      .select("price").distinct()
+    val joined = dsv2.join(broadcast(dim), "price")
+    val n = joined.collect().length.toLong // execute THIS plan
+    val want = ground.join(broadcast(dim), "price").count()
+    assert(n == want, s"join result wrong: $n vs $want")
+    // after execution, the final plan's BatchScan must have emitted only
+    // the surviving files' rows — far fewer than the full table
+    val total = ground.count()
+    // only the price-bucket files containing the dim's values survive —
+    // the runtime filter must prune the scan to exactly those files
+    val dimPrices = ground.filter(col("okey") === topOkey)
+      .select(col("price")).distinct().as[Long].collect().toSeq
+    val buckets = dimPrices.map(p => math.min(p / 12000, 7L)).distinct
+    val expected = ground.filter(
+      least(floor(col("price") / lit(12000)), lit(7L)).isin(buckets: _*))
+      .count()
+    val scanned = graft.operators.PlanProbe.rowsReadByGraftScans(joined)
+    assert(scanned == expected && expected < total,
+      s"runtime pruning did not engage: scanned $scanned, want exactly " +
+        s"$expected of $total rows\n" + joined.queryExecution.executedPlan)
+  }
+
+  test("storage-partitioned join: co-partitioned identity tables join with NO shuffle") {
+    import spark.implicits._
+    // two tables, both identity-partitioned on `region`, one file per
+    // region value, partition values in the manifests
+    def mk(tag: String, rows: Seq[(Long, Long)]): java.io.File = {
+      val t = new java.io.File(s"target/tmp-dsv2-spj-$tag")
+      org.apache.commons.io.FileUtils.deleteQuietly(t)
+      val dataDir = new java.io.File(t, "data"); dataDir.mkdirs()
+      val entries = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, rs) =>
+        val f = new java.io.File(dataDir, s"r$r.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          rs.toDF("region", "v"), f)
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = f.getAbsolutePath, recordCount = n,
+          sizeBytes = f.length(), sequenceNumber = 1L,
+          partition = Seq("region" -> r))
+      }
+      IcebergLayoutWriter.writeTable(t, entries,
+        partitionSpec = Seq(("region", "identity", 1)))
+      t
+    }
+    val rowsA = (0L until 5L).flatMap(r => (0L until 20L).map(i => (r, r * 100 + i)))
+    val rowsB = (0L until 5L).flatMap(r => (0L until 3L).map(i => (r, r * 1000 + i)))
+    val (tA, tB) = (mk("a", rowsA), mk("b", rowsB))
+    def rd(t: java.io.File) = spark.read.format("graft-iceberg")
+      .option("pushdown.fields", "region:1:long").load(t.getPath)
+    val (bucketing, bcast) = ("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prevB = spark.conf.getOption(bcast)
+    spark.conf.set(bucketing, "true")
+    spark.conf.set(bcast, "-1") // force a non-broadcast join
+    try {
+      val j = rd(tA).join(rd(tB).withColumnRenamed("v", "v2"), "region")
+        .select(col("region"), col("v"), col("v2"))
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val want = rowsA.flatMap { case (r, v) =>
+        rowsB.filter(_._1 == r).map { case (_, v2) => (r, v, v2) } }
+        .sorted.toSeq
+      assert(got == want, s"join result wrong: ${got.take(5)} vs ${want.take(5)}")
+      val shuffles = graft.operators.PlanProbe.shuffles(
+        j.queryExecution.executedPlan)
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join must not shuffle:\n" +
+          j.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set(bucketing, "false")
+      prevB match {
+        case Some(v) => spark.conf.set(bcast, v)
+        case None => spark.conf.unset(bcast)
+      }
+    }
+  }
 }
