@@ -40,6 +40,49 @@ object Queries12 {
     * total. */
   private val Alphabet: Seq[Char] = ('a' to 'z') :+ ' '
 
+  /** Write `df` as an identity-partitioned layout table in ONE Spark
+    * job: rows are clustered by `partCol` (hive-style dirs via a
+    * shadow column, so the real column STAYS in the files — Iceberg's
+    * identity layout), every file gets its partition value in the
+    * manifest, and the table declares `identity(partCol)` as its spec.
+    * Returns nothing; the table at `tbl` is ready for the connector's
+    * KeyGroupedPartitioning reporting. */
+  private def writeIdentityPartitioned(s: SparkSession, tbl: java.io.File,
+      df: DataFrame, partCol: String, fieldId: Int, nParts: Int): Unit = {
+    import graft.sources.IcebergLayoutWriter
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    val tmp = new java.io.File(tbl, "staging")
+    df.withColumn("__p", col(partCol))
+      .repartition(nParts, col("__p"))
+      .write.partitionBy("__p").parquet(tmp.getPath)
+    val entries = tmp.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("__p="))
+      .sortBy(_.getName)
+      .flatMap { d =>
+        val v = d.getName.stripPrefix("__p=").toLong
+        d.listFiles().toSeq
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map { f =>
+            val dest = new java.io.File(dataDir, s"p$v-${f.getName}")
+            java.nio.file.Files.move(f.toPath, dest.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(dest.getAbsolutePath),
+              s.sparkContext.hadoopConfiguration)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val n = try r.getRecordCount finally r.close()
+            IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+              filePath = dest.getAbsolutePath, recordCount = n,
+              sizeBytes = dest.length(), sequenceNumber = 1L,
+              partition = Seq(partCol -> v))
+          }
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    IcebergLayoutWriter.writeTable(tbl, entries,
+      partitionSpec = Seq((partCol, "identity", fieldId)))
+  }
+
   /** (n, h_mnats) columns of the q187 entropy score over `text` — ONE
     * definition feeds q187 and the q200 release gate. */
   private def entropyCols: (Column, Column) = {
@@ -1143,6 +1186,63 @@ object Queries12 {
         min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"))
     },
 
+    // ---- STORAGE-PARTITIONED JOIN: two fact tables identity-
+    // partitioned on the same key group join with NO shuffle on either
+    // side — the connector reports KeyGroupedPartitioning from the
+    // partition spec + per-file partition values, and Spark pairs
+    // co-partitioned splits directly (each grp's files join each
+    // other's). The require pins the claim structurally: zero shuffle
+    // exchanges anywhere above a graft scan in the executed join. At
+    // 100 TB this deletes the dominant cost of a fact-fact equi-join —
+    // neither table moves; the only data motion left is the group-local
+    // read itself.
+    "q215_storage_partitioned_join" -> { (s, dir) => implicit val sp = s
+      val (tblA, tblB) = (TmpFixture.dir("q215a", dir), TmpFixture.dir("q215b", dir))
+      Seq(tblA, tblB).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val a = t(dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          (col("o_orderkey") % 16).as("grp"),
+          floor(col("o_totalprice")).cast("long").as("price"))
+      val b = t(dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("okey"),
+          (col("l_orderkey") % 16).as("grp"),
+          col("l_quantity").cast("long").as("qty"))
+      writeIdentityPartitioned(s, tblA, a, "grp", 2, 16)
+      writeIdentityPartitioned(s, tblB, b, "grp", 2, 16)
+      def rd(tbl: java.io.File) = s.read.format("graft-iceberg")
+        .option("pushdown.fields", "grp:2:long").load(tbl.getPath)
+      val (bucketing, bcast, allKeys) = ("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.requireAllClusterKeysForCoPartition")
+      val prevB = s.conf.getOption(bcast)
+      s.conf.set(bucketing, "true"); s.conf.set(bcast, "-1")
+      // join keys (grp, okey) ⊃ partition keys (grp): co-partition on a
+      // key subset is safe (equal grp ⇒ same storage partition) and is
+      // exactly the fact-fact shape — opt in to recognizing it
+      s.conf.set(allKeys, "false")
+      try {
+        val j = rd(tblA).join(rd(tblB), Seq("grp", "okey"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("sum_price"),
+            sum(col("qty")).as("sum_qty"))
+          .orderBy(col("grp"))
+        val rows = j.collect()
+        val shuffled = PlanProbe.shufflesBelowJoins(
+          j.queryExecution.executedPlan)
+        require(shuffled.isEmpty,
+          s"storage-partitioned join must not shuffle a table side:\n" +
+            j.queryExecution.executedPlan)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, j.schema)
+      } finally {
+        s.conf.set(bucketing, "false"); s.conf.unset(allKeys)
+        prevB match {
+          case Some(v) => s.conf.set(bcast, v)
+          case None => s.conf.unset(bcast)
+        }
+      }
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1598,6 +1698,21 @@ object Queries12 {
         |  CAST(min(s.okey) AS BIGINT) AS min_okey,
         |  CAST(max(s.okey) AS BIGINT) AS max_okey
         |FROM src s JOIN keys k ON s.okey = k.okey""".stripMargin,
+
+    "q215_storage_partitioned_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS okey, o_orderkey % 16 AS grp,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+        |  FROM orders),
+        |b AS (
+        |  SELECT l_orderkey AS okey, l_orderkey % 16 AS grp,
+        |         CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 4 = 0)
+        |SELECT a.grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(a.price) AS BIGINT) AS sum_price,
+        |  CAST(sum(b.qty) AS BIGINT) AS sum_qty
+        |FROM a JOIN b ON a.grp = b.grp AND a.okey = b.okey
+        |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
 
     "q203_sql_catalog" ->
       """WITH src AS (

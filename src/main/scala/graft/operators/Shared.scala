@@ -85,6 +85,20 @@ private[graft] object PlanProbe {
       case q: QueryStageExec => shuffles(q.plan)
       case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
     }.flatten
+
+  /** Every join operator in an executed plan (AQE-aware). */
+  def joins(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        Seq(j: SparkPlan)
+      case q: QueryStageExec => joins(q.plan)
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+    }.flatten
+
+  /** Shuffles feeding any join's input — empty means every join in the
+    * plan ran co-partitioned (storage-partitioned or co-located). */
+  def shufflesBelowJoins(p: SparkPlan): Seq[SparkPlan] =
+    joins(p).flatMap(_.children.flatMap(shuffles))
 }
 
 private[graft] object TmpFixture {
