@@ -1243,6 +1243,54 @@ object Queries12 {
       }
     },
 
+    // ---- PARTITIONED TABLES through pure SQL DDL: `CREATE TABLE …
+    // PARTITIONED BY (mon)` declares the spec in the catalog
+    // descriptor; the INSERT's write asks the planner for a
+    // partition-source clustered distribution (one file per month, not
+    // tasks × months), computes each row's partition value task-side,
+    // and records it in the manifest; a month-predicate read then
+    // prunes to exactly one file with NO column statistics — the
+    // partition value IS the pruning fact. The requires pin the
+    // one-file-per-month layout and the one-planned-partition probe.
+    // At 100 TB this is the table layout the reference diagnoses
+    // (manager.py's partitioned tables): ingest clusters once, every
+    // time-sliced query reads its slice only.
+    "q216_sql_partitioned_table" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q216wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sales")
+      s.sql(s"DROP TABLE IF EXISTS $cat.sales.bymon")
+      s.sql(s"CREATE TABLE $cat.sales.bymon " +
+        "(mon BIGINT, okey BIGINT, price BIGINT) USING `graft-iceberg` " +
+        "PARTITIONED BY (mon) " +
+        "TBLPROPERTIES ('pushdown.fields'='mon:1:long')")
+      t(dir, "orders")
+        .select(month(col("o_orderdate")).cast("long").as("mon"),
+          col("o_orderkey").as("okey"),
+          floor(col("o_totalprice")).cast("long").as("price"))
+        .createOrReplaceTempView("q216_src")
+      s.sql(s"INSERT INTO $cat.sales.bymon SELECT * FROM q216_src")
+      val tblDir = new java.io.File(new java.io.File(wh, "sales"), "bymon")
+      // clustered write: exactly one file per month, value in manifest
+      val pkeys = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tblDir.getPath, "t", Nil)
+        .select("partitionKey").collect().map(_.getString(0)).toSeq
+      require(pkeys.size == 12 && pkeys.distinct.size == 12,
+        s"expected one file per month: $pkeys")
+      // month probe plans ONE file — partition-value pruning, no stats
+      val probe = s.sql(s"SELECT okey FROM $cat.sales.bymon WHERE mon = 3")
+      require(probe.rdd.getNumPartitions == 1,
+        s"partition pruning broke: ${probe.rdd.getNumPartitions} of 12")
+      s.sql(s"""SELECT mon, count(*) AS n_orders,
+        |  sum(price) AS sum_price, min(okey) AS min_okey,
+        |  max(okey) AS max_okey
+        |FROM $cat.sales.bymon GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1713,6 +1761,18 @@ object Queries12 {
         |  CAST(sum(b.qty) AS BIGINT) AS sum_qty
         |FROM a JOIN b ON a.grp = b.grp AND a.okey = b.okey
         |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
+
+    "q216_sql_partitioned_table" ->
+      """WITH src AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+        |  FROM orders)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey,
+        |  CAST(max(okey) AS BIGINT) AS max_okey
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
 
     "q203_sql_catalog" ->
       """WITH src AS (

@@ -691,14 +691,19 @@ object LayoutMaintenance {
     * the commit CREATES it (snapshot 1). Entries' sequence numbers are
     * stamped here. Returns the new snapshot id. */
   def commitAppend(spark: SparkSession, tableDir: String,
-      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      partitionSpec: Seq[(String, String, Int)] = Nil): Long =
       commitLock(tableDir).synchronized {
     val hasMeta = new java.io.File(metaDir(tableDir), "version-hint.text").exists() ||
       Option(metaDir(tableDir).listFiles()).exists(_.exists(
         _.getName.endsWith(".metadata.json")))
     if (!hasMeta) {
+      // first write creates the table; a declared partition spec (from
+      // the catalog descriptor or the write path) is born with it and
+      // carried verbatim by every later metadata version
       IcebergLayoutWriter.writeTable(new java.io.File(tableDir),
-        added.map(_.copy(sequenceNumber = 1L)))
+        added.map(_.copy(sequenceNumber = 1L)),
+        partitionSpec = partitionSpec)
       1L
     } else {
       val all = snapshots(spark, tableDir)

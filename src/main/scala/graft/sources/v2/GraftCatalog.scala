@@ -152,7 +152,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       snapshot: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrap, props) = readDescriptor(dir)
+    val (bootstrap, props, partSpec) = readDescriptor(dir)
     val statFields = props.get("pushdown.fields").toSeq
       .flatMap(_.split(',')).filter(_.nonEmpty).map { s =>
         s.split(':') match {
@@ -169,15 +169,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val sortCols = props.get("write.sort-order").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     new GraftTable(dir.getAbsolutePath, snapshot, statFields,
-      bootstrapSchema = bootstrap, sortCols = sortCols)
+      bootstrapSchema = bootstrap, sortCols = sortCols,
+      declaredPartSpec = partSpec)
+  }
+
+  /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each
+    * transform becomes a layout partition-spec field whose source id is
+    * the column's 1-based schema position (the dialect's field-id
+    * convention, same as `pushdown.fields`). The spec lands in the
+    * descriptor at CREATE and in the table metadata at first INSERT;
+    * the write path clusters rows by the sources and records partition
+    * values per file, so transform pruning and storage-partitioned
+    * joins work on the result with no extra setup. */
+  private def toSpecEntry(t: Transform,
+      schema: StructType): (String, String, String) = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val srcs = t.references().flatMap(_.fieldNames())
+    require(srcs.length == 1,
+      s"graft catalog: partition transform $t must have one source column")
+    val src = srcs.head
+    require(schema.fieldNames.contains(src),
+      s"graft catalog: partition source $src is not a table column")
+    def intArg: Int = t.arguments().collectFirst {
+      case l: Literal[_] => l.value() match {
+        case i: java.lang.Integer => i.intValue
+        case l2: java.lang.Long => l2.intValue
+        case other => sys.error(s"graft catalog: bad transform argument $other")
+      }
+    }.getOrElse(sys.error(s"graft catalog: $t needs a numeric argument"))
+    t.name() match {
+      case "identity" => (src, "identity", src)
+      case "days" | "day" => (s"${src}_day", "day", src)
+      case "hours" | "hour" => (s"${src}_hour", "hour", src)
+      case "months" | "month" => (s"${src}_month", "month", src)
+      case "years" | "year" => (s"${src}_year", "year", src)
+      case "bucket" => (s"${src}_bucket", s"bucket[$intArg]", src)
+      case "truncate" => (s"${src}_trunc", s"truncate[$intArg]", src)
+      case other => sys.error(
+        s"graft catalog: unsupported partition transform $other")
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported; partition via the " +
-        "write path (PartitionTransforms) instead")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (!isNamespace(nsDir(ident.namespace)))
@@ -186,14 +221,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     writeDescriptor(dir, schema,
       properties.asScala.toMap.filter { case (k, _) =>
         !Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER)(k)
-      })
+      },
+      partitions.map(t => toSpecEntry(t, schema)).toSeq)
     loadTable(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrap, props) = readDescriptor(dir)
+    val (bootstrap, props, partSpec) = readDescriptor(dir)
     var schema = bootstrap.getOrElse(new StructType())
     val newProps = changes.foldLeft(props) {
       case (p, c: TableChange.SetProperty) => p + (c.property() -> c.value())
@@ -224,7 +260,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog: unsupported ALTER TABLE change $other " +
           "(SET/UNSET TBLPROPERTIES, ADD COLUMN, DROP COLUMN)")
     }
-    writeDescriptor(dir, schema, newProps)
+    writeDescriptor(dir, schema, newProps, partSpec)
     loadTable(ident)
   }
 
@@ -322,20 +358,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 
   private def writeDescriptor(dir: java.io.File, schema: StructType,
-      props: Map[String, String]): Unit = {
+      props: Map[String, String],
+      partSpec: Seq[(String, String, String)] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema-ddl", schema.toDDL)
     val p = root.putObject("properties")
     props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    if (partSpec.nonEmpty) {
+      val arr = root.putArray("partition-spec")
+      partSpec.foreach { case (name, transform, src) =>
+        val n = arr.addObject()
+        n.put("name", name); n.put("transform", transform)
+        n.put("source", src)
+      }
+    }
     java.nio.file.Files.write(descriptor(dir).toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
   }
 
-  private def readDescriptor(
-      dir: java.io.File): (Option[StructType], Map[String, String]) = {
+  private def readDescriptor(dir: java.io.File)
+      : (Option[StructType], Map[String, String],
+        Seq[(String, String, String)]) = {
     val f = descriptor(dir)
-    if (!f.exists()) return (None, Map.empty)
+    if (!f.exists()) return (None, Map.empty, Nil)
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     val ddl = Option(root.get("schema-ddl")).map(_.asText()).filter(_.nonEmpty)
     val props = Option(root.get("properties")).map { node =>
@@ -343,7 +389,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       node.fields().forEachRemaining(e => out += (e.getKey -> e.getValue.asText()))
       out.result()
     }.getOrElse(Map.empty[String, String])
-    (ddl.map(StructType.fromDDL), props)
+    val spec = Option(root.get("partition-spec")).toSeq.flatMap { arr =>
+      val out = Seq.newBuilder[(String, String, String)]
+      arr.forEach(n => out += ((n.get("name").asText(),
+        n.get("transform").asText(), n.get("source").asText())))
+      out.result()
+    }
+    (ddl.map(StructType.fromDDL), props, spec)
   }
 }
 

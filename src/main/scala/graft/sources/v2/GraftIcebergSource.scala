@@ -185,7 +185,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     statFields: Seq[GraftIcebergSource.StatField],
     bootstrapSchema: Option[StructType] = None,
     userSchema: Option[StructType] = None,
-    sortCols: Seq[String] = Nil)
+    sortCols: Seq[String] = Nil,
+    declaredPartSpec: Seq[(String, String, String)] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -342,13 +343,42 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
+  /** The table's declared partition transforms (catalog descriptor
+    * first, layout metadata otherwise) as Spark `Transform`s — what
+    * `DESCRIBE TABLE` shows under `# Partitioning` and what planner
+    * components consult. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val spec =
+      if (declaredPartSpec.nonEmpty) declaredPartSpec
+      else partitionFields.map { case (pf, tr, src) => (pf, tr, src) }
+    spec.map { case (_, transform, src) =>
+      transform match {
+        case "identity" => Expressions.identity(src)
+        case "day" => Expressions.days(src)
+        case "hour" => Expressions.hours(src)
+        case "month" => Expressions.months(src)
+        case "year" => Expressions.years(src)
+        case t if t.startsWith("bucket[") => Expressions.bucket(
+          t.stripPrefix("bucket[").stripSuffix("]").toInt, src)
+        case t if t.startsWith("truncate[") =>
+          Expressions.apply("truncate",
+            Expressions.literal(
+              t.stripPrefix("truncate[").stripSuffix("]").toInt),
+            Expressions.column(src))
+        case other => sys.error(s"graft-iceberg: unknown transform $other")
+      }
+    }.toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, schema, statFields)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(dir, info, statFields, sortCols)
+    new GraftWriteBuilder(dir, info, statFields, sortCols,
+      declaredPartSpec = declaredPartSpec)
 }
 
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
@@ -359,7 +389,7 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val statCols = statFields.map(_.name).toSet
@@ -392,8 +422,12 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
     *   - no residual filters (ours are always file-coarse, so any
     *     WHERE leaves a post-scan Filter and Spark never offers the
     *     aggregate — the guard is belt-and-braces);
-    *   - no grouping (GROUP BY needs per-group counts; partition-value
-    *     grouping is a possible extension);
+    *   - GROUP BY only on identity PARTITION source columns with a
+    *     value recorded for every file — the groups then ARE the
+    *     partition values, and per-group counts/bounds fold from
+    *     manifests exactly like the global case (Iceberg's
+    *     `partitions` metadata profile for free); any other grouping
+    *     refuses;
     *   - no delete files in the snapshot (record_count would overcount
     *     tombstoned rows);
     *   - min/max only over NUMERIC stat fields with bounds present for
@@ -418,20 +452,38 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
 
   private def evalAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    if (pushed.nonEmpty) return None
     if (table.hasDeletes) return None
-    val files = table.dataFiles
-    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[GraftIcebergSource.StatField] = e match {
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
       case fr: NamedReference if fr.fieldNames.length == 1 =>
-        statFields.find(_.name == fr.fieldNames.head)
-          .filter(f => f.dt == LongType || f.dt == DoubleType ||
-            f.dt == IntegerType)
+        Some(fr.fieldNames.head)
       case _ => None
     }
+    // GROUP BY is pushable only onto identity PARTITION source columns
+    // with a value recorded for every file: the groups then ARE the
+    // partition values — per-group record counts and bounds fold from
+    // manifests exactly like the global case (Iceberg's `partitions`
+    // metadata profile, answered for free)
+    val idCols = table.identityPartitionCols // (pfName, srcName, dt)
+    val groupCols: Seq[(String, String, DataType)] =
+      agg.groupByExpressions.toSeq.map(e => nameOf(e).flatMap(n =>
+        idCols.find(_._2 == n)) match {
+          case Some(c) => c
+          case None => return None // non-partition group key: can't push
+        })
+    val files = table.dataFiles
+    if (groupCols.nonEmpty &&
+        !files.forall(f => groupCols.forall(c => f.pvals.contains(c._1))))
+      return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[GraftIcebergSource.StatField] =
+      nameOf(e).flatMap(n => statFields.find(_.name == n))
+        .filter(f => f.dt == LongType || f.dt == DoubleType ||
+          f.dt == IntegerType)
     def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
       case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
@@ -439,39 +491,56 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
         java.lang.Double.compare(x.doubleValue, y.doubleValue)
       case _ => 0
     }
-    def fold(f: GraftIcebergSource.StatField, lo: Boolean): Option[Any] = {
-      val sides = files.map(_.bounds.get(f.name)
+    def fold(group: Seq[GraftIcebergSource.FileStat],
+        f: GraftIcebergSource.StatField, lo: Boolean): Option[Any] = {
+      val sides = group.map(_.bounds.get(f.name)
         .map(b => if (lo) b._1 else b._2).orNull)
       if (sides.exists(_ == null)) None // a file without bounds: refuse
       else if (sides.isEmpty) Some(null) // empty table: SQL null extremum
       else Some(sides.reduce((a, b) =>
         if ((cmp(a, b) <= 0) == lo) a else b))
     }
-    val evaluated = agg.aggregateExpressions.toSeq.map {
+    // schema first (shape must be decidable even for an empty table),
+    // groupBy columns leading — V2ScanRelationPushDown's output contract
+    val groupFields = groupCols.map { case (_, src, dt) =>
+      StructField(src, dt) }
+    val aggFields = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        Some((StructField("count_star", LongType, nullable = false),
-          files.map(_.records).sum: Any))
-      case m: Min => fieldOf(m.column).flatMap(f =>
-        fold(f, lo = true).map(v => (StructField(s"min_${f.name}", f.dt), v)))
-      case m: Max => fieldOf(m.column).flatMap(f =>
-        fold(f, lo = false).map(v => (StructField(s"max_${f.name}", f.dt), v)))
+        Some(StructField("count_star", LongType, nullable = false))
+      case m: Min => fieldOf(m.column).map(f =>
+        StructField(s"min_${f.name}", f.dt))
+      case m: Max => fieldOf(m.column).map(f =>
+        StructField(s"max_${f.name}", f.dt))
       case _ => None
     }
-    if (evaluated.exists(_.isEmpty)) None
-    else Some((StructType(evaluated.flatten.map(_._1)),
-      evaluated.flatten.map(_._2)))
+    if (aggFields.exists(_.isEmpty)) return None
+    val groups: Seq[(Seq[Any], Seq[GraftIcebergSource.FileStat])] =
+      if (groupCols.isEmpty) Seq((Nil, files))
+      else files.groupBy(f => groupCols.map(c => f.pvals(c._1)))
+        .toSeq.sortBy(_._1.mkString(" "))
+    val rows = groups.map { case (key, group) =>
+      val aggVals = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(group.map(_.records).sum: Any)
+        case m: Min => fieldOf(m.column).flatMap(f => fold(group, f, lo = true))
+        case m: Max => fieldOf(m.column).flatMap(f => fold(group, f, lo = false))
+        case _ => None
+      }
+      if (aggVals.exists(_.isEmpty)) return None
+      key ++ aggVals.flatten
+    }
+    Some((StructType(groupFields ++ aggFields.flatten), rows))
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, values)) => new GraftAggScan(schema, values)
+    case Some((schema, rows)) => new GraftAggScan(schema, rows)
     case None => new GraftScan(table, fullSchema, required, pushed)
   }
 }
 
-/** The completely-pushed-aggregate scan: one partition, one row, zero
-  * data-file I/O — the values were folded from manifest statistics at
-  * plan time. */
-private[v2] class GraftAggScan(aggSchema: StructType, values: Seq[Any])
+/** The completely-pushed-aggregate scan: one partition, one row per
+  * group (one total row when ungrouped), zero data-file I/O — the
+  * values were folded from manifest statistics at plan time. */
+private[v2] class GraftAggScan(aggSchema: StructType, rows: Seq[Seq[Any]])
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
@@ -483,30 +552,38 @@ private[v2] class GraftAggScan(aggSchema: StructType, values: Seq[Any])
       "(metadata-only, no data files read)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(values.map {
+    Array(GraftAggPartition(rows.map(_.map {
       case null => null
+      case s: String => s // internalized reader-side
       case l: java.lang.Long => l
       case i: java.lang.Integer => i
       case d: java.lang.Double => d
       case l: Long => java.lang.Long.valueOf(l)
       case other => other
-    }))
+    })))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val vals = p.asInstanceOf[GraftAggPartition].values
-          private var emitted = false
-          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          private val it = p.asInstanceOf[GraftAggPartition].rows.iterator
+          private var cur: Seq[Any] = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            cur = it.next(); true
+          }
           override def get(): InternalRow =
-            new GenericInternalRow(vals.toArray[Any])
+            new GenericInternalRow(cur.map {
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            }.toArray[Any])
           override def close(): Unit = ()
         }
     }
 }
 
-private[v2] case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+private[v2] case class GraftAggPartition(rows: Seq[Seq[Any]])
+    extends InputPartition
 
 private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch

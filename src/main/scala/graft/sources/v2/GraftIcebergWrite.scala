@@ -25,9 +25,47 @@ import org.apache.spark.sql.types._
 private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     sortCols: Seq[String] = Nil,
-    overwriteAll: Boolean = false)
+    overwriteAll: Boolean = false,
+    declaredPartSpec: Seq[(String, String, String)] = Nil)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
+
+  /** The partition spec this write observes: the catalog's declared
+    * spec (pfName, transform, srcCol), or — for a path-addressed write
+    * to an already-partitioned layout — the table's CURRENT spec from
+    * its metadata, source field ids resolved positionally (the layout
+    * dialect: field id N = Nth schema column). An unpartitioned table
+    * yields Nil and the write behaves exactly as before. */
+  private lazy val partSpec: Seq[(String, String, Int)] = {
+    val schema = info.schema()
+    val named =
+      if (declaredPartSpec.nonEmpty) declaredPartSpec
+      else {
+        val m = new java.io.File(new java.io.File(dir, "metadata"), "")
+        val hasMeta = new java.io.File(m, "version-hint.text").exists() ||
+          Option(m.listFiles()).exists(_.exists(
+            _.getName.endsWith(".metadata.json")))
+        if (!hasMeta) Nil
+        else graft.sources.IcebergManifestSource
+          .partitionSpec(org.apache.spark.sql.SparkSession.active, dir)
+          .flatMap { case (pfName, transform, srcId) =>
+            if (srcId >= 1 && srcId <= schema.length)
+              Some((pfName, transform, schema.fields(srcId - 1).name))
+            else None
+          }
+      }
+    named.map { case (pfName, transform, srcCol) =>
+      val i = schema.fieldNames.indexOf(srcCol)
+      require(i >= 0,
+        s"graft-iceberg write: partition source $srcCol not in write schema")
+      (pfName, transform, i)
+    }
+  }
+
+  /** (pfName, transform, 1-based source field id) for creating table
+    * metadata on the first write. */
+  private def specForCreate: Seq[(String, String, Int)] =
+    partSpec.map { case (pf, tr, i) => (pf, tr, i + 1) }
 
   /** `INSERT OVERWRITE` / `df.write.mode("overwrite")` — full-table
     * replacement only (the unpartitioned static-overwrite shape): the
@@ -44,34 +82,42 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     require(canOverwrite(filters),
       s"graft-iceberg: only full-table overwrite is supported, got " +
         filters.mkString(", "))
-    new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true)
+    new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
+      declaredPartSpec)
   }
 
   override def truncate(): WriteBuilder =
-    new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true)
+    new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
+      declaredPartSpec)
 
   private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =
       if (overwriteAll)
-        new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats)
-      else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats)
+        new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
+          partSpec, specForCreate)
+      else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
+        partSpec, specForCreate)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats)
+      new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
+        partSpec, specForCreate)
   }
 
   /** `write.sort-order` asks the PLANNER for a range distribution plus a
     * per-partition sort on those columns (Iceberg's range write-
     * distribution mode): tasks then write globally range-clustered files
     * whose recorded bounds are DISJOINT — exactly what manifest-bound
-    * file skipping wants. Without the property the write is
+    * file skipping wants. A PARTITIONED table without a sort order asks
+    * for a hash distribution CLUSTERED on the partition sources
+    * (Iceberg's hash write-distribution mode): each partition value
+    * lands in one task, so the write emits one file per partition value
+    * instead of tasks × values. Without either the write is
     * distribution-free, as before. (Batch path; a streaming sink with a
     * sort order fails Spark's own global-sort check — set it on batch
     * tables.) */
-  override def build(): Write =
-    if (sortCols.isEmpty) new GraftWrite {}
-    else new GraftWrite with RequiresDistributionAndOrdering {
-      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+  override def build(): Write = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (sortCols.nonEmpty) new GraftWrite with RequiresDistributionAndOrdering {
       private val order = sortCols.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
       override def requiredDistribution()
@@ -80,49 +126,77 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] = order
     }
+    else if (partSpec.nonEmpty) new GraftWrite with RequiresDistributionAndOrdering {
+      private val srcCols = partSpec.map(p => info.schema().fieldNames(p._3))
+        .distinct
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          srcCols.map(c => Expressions.column(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+    }
+    else new GraftWrite {}
+  }
 }
 
 /** Full-table overwrite: task-parallel unique-file writes, then one
   * snapshot that drops every pre-commit data file and adds the new set.
   * A table that was never written truncates to a plain first append. */
+private[v2] object GraftIcebergWrite {
+  /** Task commit messages → manifest entries (partition values and
+    * bounds carried through). */
+  private[v2] def entriesOf(messages: Array[WriterCommitMessage])
+      : Seq[graft.sources.IcebergLayoutWriter.ManifestEntrySpec] =
+    messages.toSeq.collect { case m: GraftCommitMessage => m.files }
+      .flatten.filter(_.rows > 0)
+      .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+        content = 0, filePath = f.path, recordCount = f.rows,
+        sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
+        partition = f.partition))
+
+  private[v2] def deleteFiles(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: GraftCommitMessage => m.files.foreach(f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(f.path)))
+      case _ => ()
+    }
+}
+
 private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
     queryId: String,
-    stats: Seq[GraftIcebergSource.StatField] = Nil) extends BatchWrite {
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    partCols: Seq[(String, String, Int)] = Nil,
+    specForCreate: Seq[(String, String, Int)] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, s"ow-$queryId", stats)
+    new GraftWriterFactory(dir, schema, s"ow-$queryId", stats, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val added = messages.collect {
-      case m: GraftCommitMessage if m.rows > 0 =>
-        graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-          content = 0, filePath = m.path, recordCount = m.rows,
-          sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
-    }
+    val added = GraftIcebergWrite.entriesOf(messages)
     val m = new java.io.File(dir, "metadata")
     val hasMeta = new java.io.File(m, "version-hint.text").exists() ||
       Option(m.listFiles()).exists(_.exists(_.getName.endsWith(".metadata.json")))
     if (!hasMeta) {
       // overwrite of a never-written table == its first append
       if (added.nonEmpty)
-        graft.sources.LayoutMaintenance.commitAppend(spark, dir, added.toSeq)
+        graft.sources.LayoutMaintenance.commitAppend(spark, dir, added,
+          partitionSpec = specForCreate)
     } else {
       val current = graft.sources.IcebergManifestSource
         .statsFromTableDir(spark, dir, "t", Nil)
         .select("file_path").collect().map(_.getString(0)).toSeq
       graft.sources.LayoutMaintenance.commitReplaceFiles(
-        spark, dir, current, added.toSeq, dropDeletes = true)
+        spark, dir, current, added, dropDeletes = true)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: GraftCommitMessage =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
-      case _ => ()
-    }
+    GraftIcebergWrite.deleteFiles(messages)
 }
 
 /** `writeStream.format("graft-iceberg")` without foreachBatch: each
@@ -138,12 +212,14 @@ private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
   * append rate: task-parallel data files + one metadata swap. */
 private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
     queryId: String,
-    stats: Seq[GraftIcebergSource.StatField] = Nil)
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    partCols: Seq[(String, String, Int)] = Nil,
+    specForCreate: Seq[(String, String, Int)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(dir, schema, queryId, stats)
+    new GraftStreamingWriterFactory(dir, schema, queryId, stats, partCols)
 
   private def ledgerFile =
     new java.io.File(new java.io.File(dir, "metadata"), "streaming-epochs.json")
@@ -177,15 +253,11 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
         // files instead of double-committing them
         abort(epochId, messages)
       } else {
-        val entries = messages.collect {
-          case m: GraftCommitMessage if m.rows > 0 =>
-            graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-              content = 0, filePath = m.path, recordCount = m.rows,
-              sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
-        }
+        val entries = GraftIcebergWrite.entriesOf(messages)
         if (entries.nonEmpty)
           graft.sources.LayoutMaintenance.commitAppend(
-            org.apache.spark.sql.SparkSession.active, dir, entries.toSeq)
+            org.apache.spark.sql.SparkSession.active, dir, entries,
+            partitionSpec = specForCreate)
         // empty epochs advance the ledger too: their replay is also a no-op
         recordCommitted(epochId)
       }
@@ -193,68 +265,77 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: GraftCommitMessage =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
-      case _ => ()
-    }
+    GraftIcebergWrite.deleteFiles(messages)
 }
 
 private[v2] class GraftStreamingWriterFactory(dir: String, schema: StructType,
     queryId: String,
-    stats: Seq[GraftIcebergSource.StatField] = Nil)
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    partCols: Seq[(String, String, Int)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir, schema, s"$queryId-e$epochId", partitionId, taskId,
-      stats)
+      stats, partCols)
 }
 
-private[v2] case class GraftCommitMessage(path: String, rows: Long,
+/** One written data file's commit facts: path, rows, bytes, Appendix-D
+  * bounds per stat field, and the file's partition values (empty for
+  * unpartitioned writes). */
+private[v2] case class GraftFileInfo(path: String, rows: Long,
     bytes: Long, lower: Map[Int, Array[Byte]] = Map.empty,
-    upper: Map[Int, Array[Byte]] = Map.empty) extends WriterCommitMessage
+    upper: Map[Int, Array[Byte]] = Map.empty,
+    partition: Seq[(String, Any)] = Nil)
+
+private[v2] case class GraftCommitMessage(files: Seq[GraftFileInfo])
+    extends WriterCommitMessage
 
 private[v2] class GraftBatchWrite(dir: String, schema: StructType,
     queryId: String,
-    stats: Seq[GraftIcebergSource.StatField] = Nil) extends BatchWrite {
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    partCols: Seq[(String, String, Int)] = Nil,
+    specForCreate: Seq[(String, String, Int)] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, queryId, stats)
+    new GraftWriterFactory(dir, schema, queryId, stats, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect {
-      case m: GraftCommitMessage if m.rows > 0 =>
-        graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-          content = 0, filePath = m.path, recordCount = m.rows,
-          sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
-    }
+    val entries = GraftIcebergWrite.entriesOf(messages)
     // empty-task files were already deleted task-side; an all-empty
     // write still commits an (empty) snapshot? No: real engines skip it
     if (entries.nonEmpty)
       graft.sources.LayoutMaintenance.commitAppend(
-        org.apache.spark.sql.SparkSession.active, dir, entries.toSeq)
+        org.apache.spark.sql.SparkSession.active, dir, entries,
+        partitionSpec = specForCreate)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: GraftCommitMessage =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
-      case _ => ()
-    }
+    GraftIcebergWrite.deleteFiles(messages)
 }
 
 private[v2] class GraftWriterFactory(dir: String, schema: StructType,
     queryId: String,
-    stats: Seq[GraftIcebergSource.StatField] = Nil) extends DataWriterFactory {
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    partCols: Seq[(String, String, Int)] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, schema, queryId, partitionId, taskId, stats)
+    new GraftDataWriter(dir, schema, queryId, partitionId, taskId, stats,
+      partCols)
 }
 
+/** Task-side writer. Unpartitioned: one parquet file. Partitioned
+  * (`partCols` = (partitionFieldName, transform, schemaIndex) per spec
+  * field): one OPEN SINK PER PARTITION VALUE GROUP encountered — each
+  * written file is homogeneous in its partition tuple, which is what
+  * lets the manifest record exact partition values for pruning and
+  * storage-partitioned joins. The planner already clusters rows by the
+  * partition sources (RequiresDistributionAndOrdering), so a task sees
+  * few distinct values; the map is a safety net, not the design. */
 private[v2] class GraftDataWriter(dir: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
-    stats: Seq[GraftIcebergSource.StatField] = Nil)
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    partCols: Seq[(String, String, Int)] = Nil)
     extends DataWriter[InternalRow] {
 
   // Per-file column statistics for the declared stat fields (the same
@@ -266,14 +347,6 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       case -1 => None
       case i => Some((i, f))
     }).toArray
-  private val statMin = new Array[Any](statIdx.length)
-  private val statMax = new Array[Any](statIdx.length)
-
-  private val file = {
-    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
-    new java.io.File(dataDir,
-      s"append-$queryId-$partitionId-$taskId.parquet")
-  }
 
   private val msgType = {
     val fields = schema.fields.map { f =>
@@ -292,19 +365,75 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     MessageTypeParser.parseMessageType(s"message row {\n$fields\n}")
   }
 
-  private val writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
-    val conf = new Configuration()
-    GroupWriteSupport.setSchema(msgType, conf)
-    ExampleParquetWriter.builder(
-        new org.apache.hadoop.fs.Path(file.getAbsolutePath))
-      .withConf(conf)
-      .build()
+  /** One open output file plus its running stats. */
+  private class Sink(val file: java.io.File,
+      val partition: Seq[(String, Any)]) {
+    val writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
+      val conf = new Configuration()
+      GroupWriteSupport.setSchema(msgType, conf)
+      ExampleParquetWriter.builder(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath))
+        .withConf(conf)
+        .build()
+    }
+    val statMin = new Array[Any](statIdx.length)
+    val statMax = new Array[Any](statIdx.length)
+    var rows = 0L
   }
 
+  private val dataDir = { val d = new java.io.File(dir, "data"); d.mkdirs(); d }
   private val factory = new SimpleGroupFactory(msgType)
-  private var rows = 0L
+  private val sinks =
+    new scala.collection.mutable.LinkedHashMap[Seq[Any], Sink]()
+
+  private def newSink(key: Seq[Any]): Sink = {
+    val suffix = if (partCols.isEmpty) "" else s"-p${sinks.size}"
+    new Sink(new java.io.File(dataDir,
+        s"append-$queryId-$partitionId-$taskId$suffix.parquet"),
+      partCols.map(_._1).zip(key))
+  }
+
+  /** transform(source value) → the partition ordinal this row lands in.
+    * Null sources refuse the write (the dialect records concrete
+    * partition values; real Iceberg's null-partition handling is out of
+    * scope and silently mis-bucketing would corrupt pruning). */
+  private def partitionKeyOf(record: InternalRow): Seq[Any] =
+    partCols.map { case (pfName, transform, i) =>
+      require(!record.isNullAt(i),
+        s"graft-iceberg write: null partition source for $pfName")
+      import graft.sources.PartitionTransforms._
+      def lng: Long = schema.fields(i).dataType match {
+        case LongType => record.getLong(i)
+        case IntegerType => record.getInt(i).toLong
+        case other => sys.error(
+          s"graft-iceberg write: partition transform $transform needs an " +
+            s"integral source, got $other")
+      }
+      transform match {
+        case "identity" => schema.fields(i).dataType match {
+          case StringType => record.getUTF8String(i).toString
+          case _ => lng
+        }
+        case "day" => dayFromMicros(lng).toLong
+        case "hour" => hourFromMicros(lng).toLong
+        case "month" => monthFromMicros(lng).toLong
+        case "year" => yearFromMicros(lng).toLong
+        case t if t.startsWith("bucket[") =>
+          val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+          schema.fields(i).dataType match {
+            case StringType => bucketString(record.getUTF8String(i).toString, n).toLong
+            case _ => bucketLong(lng, n).toLong
+          }
+        case t if t.startsWith("truncate[") =>
+          truncateLong(lng, t.stripPrefix("truncate[").stripSuffix("]").toLong)
+        case other => sys.error(
+          s"graft-iceberg write: unsupported partition transform $other")
+      }
+    }
 
   override def write(record: InternalRow): Unit = {
+    val key = partitionKeyOf(record)
+    val sink = sinks.getOrElseUpdate(key, newSink(key))
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -322,7 +451,7 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       }
       i += 1
     }
-    writer.write(g)
+    sink.writer.write(g)
     var j = 0
     while (j < statIdx.length) {
       val (i, _) = statIdx(j)
@@ -342,41 +471,49 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
             case (x: String, y: String) => x < y
             case _ => false
           }
-          if (statMin(j) == null || lt(v, statMin(j))) statMin(j) = v
-          if (statMax(j) == null || lt(statMax(j), v)) statMax(j) = v
+          if (sink.statMin(j) == null || lt(v, sink.statMin(j)))
+            sink.statMin(j) = v
+          if (sink.statMax(j) == null || lt(sink.statMax(j), v))
+            sink.statMax(j) = v
         }
       }
       j += 1
     }
-    rows += 1
+    sink.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    if (rows == 0) { // nothing to add: don't leave an empty file behind
-      org.apache.commons.io.FileUtils.deleteQuietly(file)
-      GraftCommitMessage(file.getAbsolutePath, 0L, 0L)
-    } else {
-      // bounds per declared stat field, Iceberg Appendix-D encodings —
-      // all-null columns carry no bound (the reader keeps such files)
-      import graft.sources.IcebergLayoutWriter.{boundLong, boundDouble, boundString}
-      def enc(v: Any): Array[Byte] = v match {
-        case x: Long => boundLong(x)
-        case x: Double => boundDouble(x)
-        case x: String => boundString(x)
-      }
-      val lower = statIdx.indices.flatMap { j =>
-        Option(statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
-      val upper = statIdx.indices.flatMap { j =>
-        Option(statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
-      GraftCommitMessage(file.getAbsolutePath, rows, file.length(), lower, upper)
+    // a zero-row task never opened a sink: commits nothing
+    import graft.sources.IcebergLayoutWriter.{boundLong, boundDouble, boundString}
+    def enc(v: Any): Array[Byte] = v match {
+      case x: Long => boundLong(x)
+      case x: Double => boundDouble(x)
+      case x: String => boundString(x)
     }
+    val files = sinks.values.toSeq.flatMap { sink =>
+      sink.writer.close()
+      if (sink.rows == 0) { // nothing to add: no empty file left behind
+        org.apache.commons.io.FileUtils.deleteQuietly(sink.file)
+        None
+      } else {
+        // bounds per declared stat field, Iceberg Appendix-D encodings —
+        // all-null columns carry no bound (the reader keeps such files)
+        val lower = statIdx.indices.flatMap { j =>
+          Option(sink.statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
+        val upper = statIdx.indices.flatMap { j =>
+          Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
+        Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
+          sink.file.length(), lower, upper, sink.partition))
+      }
+    }
+    GraftCommitMessage(files)
   }
 
-  override def abort(): Unit = {
-    writer.close()
-    org.apache.commons.io.FileUtils.deleteQuietly(file)
-  }
+  override def abort(): Unit =
+    sinks.values.foreach { sink =>
+      sink.writer.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(sink.file)
+    }
 
   override def close(): Unit = ()
 }

@@ -129,24 +129,15 @@ private[v2] class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
     new GraftWriterFactory(dir, schema, s"cow-$queryId")
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.collect {
-      case m: GraftCommitMessage if m.rows > 0 =>
-        graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-          content = 0, filePath = m.path, recordCount = m.rows,
-          sizeBytes = m.bytes, lower = m.lower, upper = m.upper)
-    }
+    val added = GraftIcebergWrite.entriesOf(messages)
     // nothing matched and nothing to add: no empty snapshot (an UPDATE
     // whose WHERE hits zero groups is a no-op, like Iceberg's)
     if (op.scannedFiles.nonEmpty || added.nonEmpty)
       graft.sources.LayoutMaintenance.commitReplaceFiles(
         org.apache.spark.sql.SparkSession.active, dir,
-        op.scannedFiles, added.toSeq)
+        op.scannedFiles, added)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: GraftCommitMessage =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(m.path))
-      case _ => ()
-    }
+    GraftIcebergWrite.deleteFiles(messages)
 }

@@ -367,4 +367,114 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k FROM cattest.st.dst ORDER BY k").collect()
       .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
   }
+
+  test("PARTITIONED BY (identity): writes cluster per value, manifests carry values, reads prune") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.part")
+    spark.sql("CREATE TABLE cattest.part.ti (mon BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` PARTITIONED BY (mon) " +
+      "TBLPROPERTIES ('pushdown.fields'='mon:1:long')")
+    spark.sql("INSERT INTO cattest.part.ti " +
+      "SELECT id % 4 AS mon, id AS v FROM range(0, 1000)")
+    // one snapshot; every file is homogeneous in mon with the value in
+    // its manifest entry; the clustered write gives one file per value
+    val dir = new java.io.File("target/tmp-catalog-wh/part/ti")
+    val entries = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir.getPath, "t", Nil)
+      .select("partitionKey").collect().map(_.getString(0)).toSeq
+    assert(entries.size == 4, s"expected one file per mon value: $entries")
+    assert(entries.sorted ==
+      (0 until 4).map(m => s"""{"mon":$m}""").sorted, entries)
+    // identifier read prunes on the partition value, no column stats
+    val q = spark.sql("SELECT v FROM cattest.part.ti WHERE mon = 2")
+    assert(q.rdd.getNumPartitions == 1,
+      s"partition pruning broke: ${q.rdd.getNumPartitions} of 4 planned")
+    assert(q.count() == 250L)
+    assert(spark.sql("SELECT sum(v) FROM cattest.part.ti").head.getLong(0) ==
+      (0L until 1000L).sum)
+  }
+
+  test("PARTITIONED BY (bucket(4, k)): transform computed at write, equality prunes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.part")
+    spark.sql("CREATE TABLE cattest.part.tb (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('pushdown.fields'='k:1:long')")
+    spark.sql("INSERT INTO cattest.part.tb " +
+      "SELECT id AS k, id * 10 AS v FROM range(0, 400)")
+    val dir = new java.io.File("target/tmp-catalog-wh/part/tb")
+    val nFiles = spark.read.format("graft-iceberg").load(dir.getPath)
+      .rdd.getNumPartitions
+    assert(nFiles == 4, s"expected one file per bucket: $nFiles")
+    // equality on the SOURCE column prunes to the one bucket file
+    val q = spark.sql("SELECT v FROM cattest.part.tb WHERE k = 137")
+    assert(q.rdd.getNumPartitions == 1,
+      s"bucket pruning broke: ${q.rdd.getNumPartitions} of $nFiles planned")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1370L))
+  }
+
+  test("GROUP BY partition column pushes the whole aggregate to manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.part")
+    spark.sql("CREATE TABLE cattest.part.tg (mon BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` PARTITIONED BY (mon) " +
+      "TBLPROPERTIES ('pushdown.fields'='mon:1:long,v:2:long')")
+    spark.sql("INSERT INTO cattest.part.tg " +
+      "SELECT id % 3 AS mon, id AS v FROM range(0, 300)")
+    // truth from a plain scan BEFORE tampering
+    val want = spark.sql("SELECT mon, v FROM cattest.part.tg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).map { case (m, rs) =>
+        (m, rs.size.toLong, rs.map(_._2).min, rs.map(_._2).max) }
+      .toSeq.sorted
+    // destroy the data files: per-group counts/extrema must still answer
+    new java.io.File("target/tmp-catalog-wh/part/tg/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        w.write("junk".getBytes); w.close()
+      }
+    val q = spark.sql("""SELECT mon, count(*) AS n, min(v) AS lo,
+      max(v) AS hi FROM cattest.part.tg GROUP BY mon""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed"), s"group-by aggregate not pushed:\n$plan")
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == want, s"pushed group-by disagrees: $got vs $want")
+    // a non-partition group key must NOT push (and must still answer
+    // right on an intact table — use the sibling ti table)
+    val q2 = spark.sql(
+      "SELECT v, count(*) AS n FROM cattest.part.ti GROUP BY v LIMIT 1")
+    assert(!q2.queryExecution.executedPlan.toString.contains("aggPushed"))
+  }
+
+  test("storage-partitioned join through pure SQL DDL tables: no shuffle below the join") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.spj")
+    Seq("fa" -> 7L, "fb" -> 3L).foreach { case (t, mult) =>
+      spark.sql(s"CREATE TABLE cattest.spj.$t (grp BIGINT, v BIGINT) " +
+        "USING `graft-iceberg` PARTITIONED BY (grp) " +
+        "TBLPROPERTIES ('pushdown.fields'='grp:1:long')")
+      spark.sql(s"INSERT INTO cattest.spj.$t " +
+        s"SELECT id % 5 AS grp, id * $mult AS v FROM range(0, 100)")
+    }
+    val (bucketing, bcast) = ("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prevB = spark.conf.getOption(bcast)
+    spark.conf.set(bucketing, "true"); spark.conf.set(bcast, "-1")
+    try {
+      val j = spark.sql("""SELECT a.grp, count(*) AS n
+        FROM cattest.spj.fa a JOIN cattest.spj.fb b ON a.grp = b.grp
+        GROUP BY a.grp""")
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == (0L until 5L).map(g => (g, 400L)).toSeq, got.toString)
+      val below = graft.operators.PlanProbe.shufflesBelowJoins(
+        j.queryExecution.executedPlan)
+      assert(below.isEmpty,
+        s"SQL-DDL storage-partitioned join shuffled:\n" +
+          j.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set(bucketing, "false")
+      prevB match {
+        case Some(v) => spark.conf.set(bcast, v)
+        case None => spark.conf.unset(bcast)
+      }
+    }
+  }
 }
