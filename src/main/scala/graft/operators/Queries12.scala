@@ -1291,6 +1291,67 @@ object Queries12 {
         |FROM $cat.sales.bymon GROUP BY mon ORDER BY mon""".stripMargin)
     },
 
+    // ---- MERGE-ON-READ through the CONNECTOR, keys from metadata:
+    // q152's mixed-tombstone fixture (position deletes on every 7th row
+    // of file A, equality deletes on a partkey slice, stacked sequence
+    // numbers) — but the eq-delete manifest entry records spec
+    // `equality_ids`, and the read is a plain
+    // `spark.read.format("graft-iceberg")` with NO out-of-band key
+    // list: the scan resolves the keys from metadata, applies position
+    // tombstones by row ordinal and equality tombstones by key tuple
+    // task-side, and the result hashes against the same DuckDB
+    // reconstruction q152 uses. The in-query require pins connector ==
+    // MorRead. At 100 TB each task pays its own file's tombstone I/O —
+    // no global delete join, no driver state beyond planning.
+    "q217_connector_mor_read" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, MorRead}
+      val base = t(dir, "lineitem").filter(col("l_orderkey") % 100 < 4)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty"),
+          (col("l_orderkey") % 2).as("fid"))
+      val tbl = TmpFixture.dir("q217", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val fa = new java.io.File(dataDir, "seq1.parquet")
+      val fb = new java.io.File(dataDir, "seq2.parquet")
+      val pd = new java.io.File(dataDir, "posdel.parquet")
+      val ed = new java.io.File(dataDir, "eqdel.parquet")
+      def commit(fid: Int, dest: java.io.File): Long =
+        IcebergLayoutWriter.writeSingleParquet(
+          base.filter(col("fid") === fid).drop("fid")
+            .sort(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")), dest)
+      val nA = commit(0, fa); val nB = commit(1, fb)
+      import s.implicits._
+      IcebergLayoutWriter.writeSingleParquet(
+        (0L until nA by 7).map(p => (fa.getAbsolutePath, p)).toDF("file_path", "pos"), pd)
+      IcebergLayoutWriter.writeSingleParquet(
+        base.filter(col("l_partkey") % 131 === 0).select(col("l_partkey"))
+          .distinct().sort(col("l_partkey")), ed)
+      IcebergLayoutWriter.writeTable(tbl, Seq(
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = fa.getAbsolutePath, recordCount = nA, sizeBytes = fa.length(),
+          sequenceNumber = 1L),
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = fb.getAbsolutePath, recordCount = nB, sizeBytes = fb.length(),
+          sequenceNumber = 2L),
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 1,
+          filePath = pd.getAbsolutePath, sizeBytes = pd.length(), sequenceNumber = 2L),
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
+          filePath = ed.getAbsolutePath, sizeBytes = ed.length(), sequenceNumber = 2L,
+          equalityIds = Seq(3)))) // l_partkey = 3rd data column
+      val viaConnector = s.read.format("graft-iceberg").load(tbl.getPath)
+      val viaMor = MorRead.readTable(s, tbl.getPath) // also metadata keys
+      require(viaConnector.exceptAll(viaMor).isEmpty &&
+        viaMor.exceptAll(viaConnector).isEmpty,
+        "connector MOR read must equal MorRead")
+      viaConnector
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1761,6 +1822,26 @@ object Queries12 {
         |  CAST(sum(b.qty) AS BIGINT) AS sum_qty
         |FROM a JOIN b ON a.grp = b.grp AND a.okey = b.okey
         |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
+
+    "q217_connector_mor_read" ->
+      """WITH sub AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+        |    l_orderkey % 2 AS fid
+        |  FROM lineitem WHERE l_orderkey % 100 < 4),
+        |posd AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY fid
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS pos,
+        |    CASE WHEN fid = 0 THEN 1 ELSE 2 END AS seq
+        |  FROM sub),
+        |alive AS (
+        |  SELECT * FROM posd d
+        |  WHERE NOT (d.fid = 0 AND d.pos % 7 = 0)
+        |    AND NOT (d.l_partkey % 131 = 0 AND d.seq < 2))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM alive GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q216_sql_partitioned_table" ->
       """WITH src AS (

@@ -35,7 +35,8 @@ object IcebergLayoutWriter {
       sizeBytes: Long = 0L, sequenceNumber: java.lang.Long = 1L,
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
-      specId: Int = 0, manifestGroup: Int = 0)
+      specId: Int = 0, manifestGroup: Int = 0,
+      equalityIds: Seq[Int] = Nil)
 
   // ---- Iceberg single-value serialization (spec Appendix D) ----
   def boundInt(v: Int): Array[Byte] =
@@ -67,6 +68,10 @@ object IcebergLayoutWriter {
       .requiredLong("record_count").requiredLong("file_size_in_bytes")
       .name("lower_bounds").`type`().nullable().array().items(kvSchema).noDefault()
       .name("upper_bounds").`type`().nullable().array().items(kvSchema).noDefault()
+      // spec field 135: the field ids an equality-delete file matches on
+      // — what lets a reader apply eq-tombstones with NO out-of-band keys
+      .name("equality_ids").`type`().nullable().array().items().intType()
+      .noDefault()
       .endRecord()
 
   private def entrySchema(pSchema: Schema): Schema =
@@ -150,6 +155,13 @@ object IcebergLayoutWriter {
       df.put("file_size_in_bytes", e.sizeBytes)
       df.put("lower_bounds", kvList(kv, e.lower))
       df.put("upper_bounds", kvList(kv, e.upper))
+      df.put("equality_ids",
+        if (e.equalityIds.isEmpty) null
+        else {
+          val l = new java.util.ArrayList[Integer](e.equalityIds.size)
+          e.equalityIds.foreach(i => l.add(Integer.valueOf(i)))
+          l
+        })
       val r = new GenericData.Record(eSchema)
       r.put("status", e.status)
       r.put("sequence_number", e.sequenceNumber)

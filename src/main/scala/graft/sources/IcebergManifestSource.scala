@@ -520,7 +520,7 @@ object IcebergManifestSource {
           fieldSpec.flatMap { case (id, _, dt) =>
             Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
               s.upper.get(id).map(decodeBound(_, dt)).orNull)
-          })
+          } :+ s.equalityIds)
       }
     }
     spark.createDataFrame(rows, statsSchema(fields))
@@ -534,12 +534,13 @@ object IcebergManifestSource {
         StructField("sequence_number", LongType)) ++
         fields.flatMap { case (_, nm, dt) =>
           Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
-        })
+        } :+ StructField("equality_ids", ArrayType(IntegerType)))
 
   private[sources] case class ManifestStats(filePath: String, content: Int,
       partitionKey: String, sizeBytes: Long, recordCount: Long,
       sequenceNumber: Long,
-      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      equalityIds: Seq[Int] = Nil)
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
@@ -584,7 +585,19 @@ object IcebergManifestSource {
                   "entry (status != 1) has nothing to inherit")
             },
         lower = boundsMap(df, "lower_bounds"),
-        upper = boundsMap(df, "upper_bounds"))
+        upper = boundsMap(df, "upper_bounds"),
+        equalityIds =
+          if (df.getSchema.getField("equality_ids") == null) Nil
+          else df.get("equality_ids") match {
+            case null => Nil
+            case l: java.util.List[_] =>
+              scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+                .toSeq.map {
+                  case i: java.lang.Integer => i.intValue
+                  case other => other.toString.toInt
+                }
+            case _ => Nil
+          })
     }
   }
 

@@ -600,7 +600,8 @@ object LayoutMaintenance {
               partition = partitionPairsOf(s.partitionKey),
               recordCount = s.recordCount, sizeBytes = s.sizeBytes,
               sequenceNumber = s.sequenceNumber,
-              lower = s.lower, upper = s.upper)
+              lower = s.lower, upper = s.upper,
+              equalityIds = s.equalityIds)
           }
         out.toSeq
     }
@@ -651,6 +652,28 @@ object LayoutMaintenance {
     * UPDATE SET moves; the table's existing files are carried by
     * identity — at 100 TB an upsert costs O(updates), not O(table).
     * Returns (newSnapshotId, upsertedRowCount). */
+  /** 1-based field ids of `keyCols` in the table's data schema,
+    * resolved from a live data file's parquet footer (the dialect's
+    * positional field-id convention). Nil when the table has no data
+    * file to resolve against. Written into eq-delete manifest entries
+    * as the spec's `equality_ids`, so readers apply the tombstones with
+    * no out-of-band key list. */
+  private def keyFieldIds(
+      carried: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      extraDataFile: Option[java.io.File],
+      keyCols: Seq[String]): Seq[Int] = {
+    val dataPath = carried.find(_.content == 0).map(_.filePath)
+      .orElse(extraDataFile.map(_.getAbsolutePath))
+    dataPath.toSeq.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+      keyCols.map(k => schema.getFieldIndex(k) + 1)
+    }
+  }
+
   def commitUpsert(spark: SparkSession, tableDir: String,
       updates: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String]): (Long, Long) = {
@@ -675,7 +698,8 @@ object LayoutMaintenance {
         sizeBytes = up.length(), sequenceNumber = newId),
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
-        sizeBytes = ed.length(), sequenceNumber = newId))
+        sizeBytes = ed.length(), sequenceNumber = newId,
+        equalityIds = keyFieldIds(carried, Some(up), keyCols)))
     val movedRefs = refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
@@ -756,7 +780,8 @@ object LayoutMaintenance {
         sizeBytes = up.length(), sequenceNumber = newId),
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
-        sizeBytes = ed.length(), sequenceNumber = newId))
+        sizeBytes = ed.length(), sequenceNumber = newId,
+        equalityIds = keyFieldIds(carried, Some(up), keyCols)))
     val movedRefs = refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
@@ -786,7 +811,8 @@ object LayoutMaintenance {
         .sort(keyCols.map(col): _*), ed)
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 2, filePath = ed.getAbsolutePath, recordCount = nk,
-      sizeBytes = ed.length(), sequenceNumber = newId))
+      sizeBytes = ed.length(), sequenceNumber = newId,
+      equalityIds = keyFieldIds(carried, None, keyCols)))
     val movedRefs = refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
@@ -974,21 +1000,28 @@ object LayoutMaintenance {
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
-    // Equality tombstones can only be applied when the caller names the
-    // equality keys (they are out-of-band here, unlike real Iceberg where
-    // equality field ids live in the delete-file metadata). A rewrite
-    // with eqKeys=Nil would skip eq-tombstone application in MorRead yet
-    // drop the delete files from the commit — silently resurrecting
-    // deleted rows as the new table truth. Fail fast instead.
-    require(eqKeys.nonEmpty || !carried.exists(_.content == 2),
+    // Equality tombstones need the equality keys: the caller's, or —
+    // since eq-delete commits record spec `equality_ids` in their
+    // manifest entries — resolved from METADATA (the real-Iceberg
+    // contract). Only when neither names them (a legacy layout written
+    // before ids existed) does the rewrite fail fast: eqKeys=Nil would
+    // skip eq-tombstone application in MorRead yet drop the delete
+    // files from the commit — silently resurrecting deleted rows.
+    val effKeys =
+      if (eqKeys.nonEmpty) eqKeys
+      else if (carried.exists(_.content == 2))
+        MorRead.metadataEqKeys(spark, tableDir)
+      else Nil
+    require(effKeys.nonEmpty || !carried.exists(_.content == 2),
       s"rewriteDataFiles($tableDir): current snapshot carries equality-" +
-        "delete files but no eqKeys were given; the rewrite would drop " +
-        "the tombstones without applying them. Pass the equality keys.")
+        "delete files with no equality_ids in their metadata and no " +
+        "eqKeys given; the rewrite would drop the tombstones without " +
+        "applying them. Pass the equality keys.")
     val filesBefore = carried.count(_.content == 0)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    val state = MorRead.readTable(spark, tableDir, eqKeys)
-    val order = if (sortCols.nonEmpty) sortCols else eqKeys
+    val state = MorRead.readTable(spark, tableDir, effKeys)
+    val order = if (sortCols.nonEmpty) sortCols else effKeys
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val rw = new java.io.File(dataDir, s"rewrite-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(

@@ -116,6 +116,13 @@ object MorRead {
     if (dataFiles.isEmpty) return spark.emptyDataFrame
     val posFiles = entries.filter(_._2 == 1)
     val eqFiles = entries.filter(_._2 == 2)
+    // eq keys from METADATA when the caller names none (spec
+    // `equality_ids` resolved against the data schema); legacy layouts
+    // without ids keep the out-of-band contract: empty keys skip eq
+    // application, as before
+    val resolvedEqKeys: Seq[String] =
+      if (eqKeys.nonEmpty || eqFiles.isEmpty) eqKeys
+      else metadataEqKeys(spark, tableDir)
 
     def withSeq(paths: Array[(String, Int, Long)], seqName: String): DataFrame = {
       val seqDf = paths.map { case (p, _, s) => (p, s) }.toSeq.toDF("__fp", seqName)
@@ -132,7 +139,40 @@ object MorRead {
       if (posFiles.isEmpty) data
       else applyPosDeletes(data, withSeq(posFiles, "seq")
         .select(normCol(col("file_path")).as("file_path"), col("pos"), col("seq")))
-    if (eqFiles.isEmpty || eqKeys.isEmpty) afterPos
-    else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), eqKeys)
+    if (eqFiles.isEmpty || resolvedEqKeys.isEmpty) afterPos
+    else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), resolvedEqKeys)
+  }
+
+  /** The equality-delete KEY COLUMN NAMES a table's metadata declares:
+    * every live eq-delete entry's spec `equality_ids` (all entries must
+    * agree — per-file key sets would need per-file application, refused
+    * as Nil), resolved positionally against a live data file's footer
+    * schema (the dialect's field-id convention: field id N = Nth
+    * column). Nil when the table carries no eq deletes, no ids (legacy
+    * out-of-band layouts), or disagreeing id sets. */
+  def metadataEqKeys(spark: SparkSession, tableDir: String): Seq[String] = {
+    val raw = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil)
+      .select(col("file_path"), col("content"), col("equality_ids"))
+      .collect()
+    val idSets = raw.filter(_.getInt(1) == 2)
+      .map(r => Option(r.getAs[scala.collection.Seq[Int]](2))
+        .map(_.toSeq).getOrElse(Seq.empty))
+      .filter(_.nonEmpty).map(_.toSeq).distinct
+    val dataPath = raw.find(_.getInt(1) == 0).map(_.getString(0))
+    (idSets, dataPath) match {
+      case (Array(ids), Some(p)) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.replaceFirst("^file:/+", "/")),
+          spark.sparkContext.hadoopConfiguration)
+        val rr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val fs = try rr.getFooter.getFileMetaData.getSchema finally rr.close()
+        ids.flatMap { id =>
+          if (id >= 1 && id <= fs.getFieldCount)
+            Some(fs.getFields.get(id - 1).getName)
+          else None
+        }
+      case _ => Nil
+    }
   }
 }

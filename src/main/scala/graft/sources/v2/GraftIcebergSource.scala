@@ -71,12 +71,20 @@ object GraftIcebergSource {
   private[v2] case class StatField(name: String, fieldId: Int, dt: DataType)
 
   /** One data file's scan-planning facts: path, per-stat-field
-    * lower/upper bounds, partition-key values, and the manifest's exact
+    * lower/upper bounds, partition-key values, the manifest's exact
     * `record_count` (Iceberg spec: the number of rows in the file —
-    * exact, not an estimate). */
+    * exact, not an estimate), and the entry's data sequence number
+    * (what decides which delete files apply to it). */
   private[v2] case class FileStat(path: String,
       bounds: Map[String, (Any, Any)], pvals: Map[String, Any],
-      records: Long)
+      records: Long, seq: Long = 0L)
+
+  /** One delete file's planning facts: content 1 = position deletes
+    * (apply to data files with data.seq <= delete.seq), content 2 =
+    * equality deletes (strict: data.seq < delete.seq) matching on the
+    * spec `equality_ids` columns. */
+  private[v2] case class DeleteStat(path: String, content: Int, seq: Long,
+      equalityIds: Seq[Int])
 
   private[v2] def tableOf(options: CaseInsensitiveStringMap,
       userSchema: Option[StructType] = None): GraftTable = {
@@ -244,14 +252,20 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
   private[v2] lazy val dataFiles: Seq[GraftIcebergSource.FileStat] =
     scanState._1
 
+  /** The snapshot's live DELETE files (position + equality) — applied
+    * task-side during the read, so the connector's batch scan is a full
+    * merge-on-read reader. */
+  private[v2] lazy val deleteFiles: Seq[GraftIcebergSource.DeleteStat] =
+    scanState._2
+
   /** Whether the bound snapshot carries any delete file (content != 0).
     * Aggregate pushdown must refuse such tables: manifest record counts
     * overcount rows that tombstones remove. */
-  private[v2] lazy val hasDeletes: Boolean = scanState._2
+  private[v2] lazy val hasDeletes: Boolean = deleteFiles.nonEmpty
 
   private lazy val scanState
-      : (Seq[GraftIcebergSource.FileStat], Boolean) =
-    if (!hasMetadata) (Seq.empty, false) // created but never written
+      : (Seq[GraftIcebergSource.FileStat], Seq[GraftIcebergSource.DeleteStat]) =
+    if (!hasMetadata) (Seq.empty, Seq.empty) // created but never written
     else {
     val spark = SparkSession.active
     val fields = statFields.map(f => (f.fieldId, f.name, f.dt))
@@ -271,9 +285,15 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
         }.toMap
         GraftIcebergSource.FileStat(r.getAs[String]("file_path"), bounds,
           GraftIcebergSource.parsePartitionKey(r.getAs[String]("partitionKey")),
-          r.getAs[Long]("record_count"))
+          r.getAs[Long]("record_count"), r.getAs[Long]("sequence_number"))
       }
-    (files, rows.exists(_.getAs[Int]("content") != 0))
+    val deletes = rows.toSeq
+      .filter(_.getAs[Int]("content") != 0)
+      .map(r => GraftIcebergSource.DeleteStat(r.getAs[String]("file_path"),
+        r.getAs[Int]("content"), r.getAs[Long]("sequence_number"),
+        Option(r.getAs[scala.collection.Seq[Int]]("equality_ids"))
+          .map(_.toSeq).getOrElse(Seq.empty)))
+    (files, deletes)
   }
 
   /** (partitionFieldName, transform, sourceColumnName) for each declared
@@ -292,6 +312,35 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     }
 
   private[v2] def statFieldNames: Seq[String] = statFields.map(_.name)
+
+  /** The delete files applying to one data file, per the spec's
+    * sequence-number rules: position deletes at delete.seq >= data.seq
+    * (the reader matches `file_path` row-side), equality deletes
+    * STRICTLY above the data file's sequence, key names resolved from
+    * their `equality_ids` against the table schema (positional field-id
+    * convention). An eq-delete without resolvable ids fails the scan
+    * loudly — reading THROUGH tombstones would silently resurrect rows. */
+  private[v2] def morPartitionFor(f: GraftIcebergSource.FileStat)
+      : GraftFilePartition = {
+    val pos = deleteFiles
+      .filter(d => d.content == 1 && d.seq >= f.seq).map(_.path)
+    val eqs = deleteFiles
+      .filter(d => d.content == 2 && d.seq > f.seq)
+      .map { d =>
+        val names = d.equalityIds.flatMap { id =>
+          if (id >= 1 && id <= schema.length)
+            Some(schema.fields(id - 1).name)
+          else None
+        }
+        require(names.nonEmpty && names.length == d.equalityIds.length,
+          s"graft-iceberg($dir): equality-delete file ${d.path} carries " +
+            s"no resolvable equality_ids (${d.equalityIds.mkString(",")}); " +
+            "the scan cannot apply its tombstones. Rewrite the table " +
+            "(rewrite_data_files) or read through MorRead with explicit keys.")
+        (d.path, names)
+      }
+    GraftFilePartition(f.path, pos, eqs)
+  }
 
   /** (partitionFieldName, sourceColumnName, sourceType) when — and only
     * when — the table's CURRENT partition spec is entirely identity
@@ -794,28 +843,39 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     else new UnknownPartitioning(survivors.size)
   }
 
+  private def partitionFor(f: GraftIcebergSource.FileStat)
+      : GraftFilePartition = table.morPartitionFor(f)
+
   override def planInputPartitions(): Array[InputPartition] =
     if (spjActive)
       groupedSurvivors.map { case (key, files) =>
-        GraftGroupPartition(files.map(_.path),
+        GraftGroupPartition(files.map(partitionFor),
           key.zip(table.identityPartitionCols).map {
             case (v, (_, _, dt)) => GraftGroupPartition.internalValue(v, dt)
           }): InputPartition
       }.toArray
     else
-      survivors.map(f => GraftFilePartition(f.path): InputPartition).toArray
+      survivors.map(f => partitionFor(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
 }
 
-private[v2] case class GraftFilePartition(path: String) extends InputPartition
+/** One data file plus the delete files that apply to it: position
+  * tombstone file paths (reader filters to this file's `file_path` and
+  * skips those row ordinals) and equality tombstone files with their
+  * resolved key column names (reader skips rows whose key tuple
+  * appears). Both empty on tombstone-free tables — the common case
+  * costs nothing. */
+private[v2] case class GraftFilePartition(path: String,
+    posDeletes: Seq[String] = Nil,
+    eqDeletes: Seq[(String, Seq[String])] = Nil) extends InputPartition
 
 /** One partition-value group of files (the SPJ unit): `partitionKey`
   * is the identity partition values as an InternalRow — Spark's
   * KeyGrouped machinery matches these rows across join sides to pair
   * co-partitioned splits without a shuffle. */
-private[v2] case class GraftGroupPartition(paths: Seq[String],
+private[v2] case class GraftGroupPartition(parts: Seq[GraftFilePartition],
     keyValues: Seq[Any]) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -836,16 +896,16 @@ private[v2] class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case GraftFilePartition(path) => new GraftPartitionReader(path, required)
+      case f: GraftFilePartition => new GraftPartitionReader(f, required)
       case g: GraftGroupPartition => new PartitionReader[InternalRow] {
         // chain the group's files through one reader sequence
-        private val paths = g.paths.iterator
+        private val parts = g.parts.iterator
         private var cur: GraftPartitionReader = _
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
-              if (!paths.hasNext) return false
-              cur = new GraftPartitionReader(paths.next(), required)
+              if (!parts.hasNext) return false
+              cur = new GraftPartitionReader(parts.next(), required)
             }
             if (cur.next()) return true
             cur.close(); cur = null
@@ -858,11 +918,84 @@ private[v2] class GraftReaderFactory(required: StructType)
     }
 }
 
+private[v2] object GraftPartitionReader {
+  private def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** One parquet field of one Group as a plain JVM value (null when the
+    * field is absent or unset) — the comparable form both sides of an
+    * equality-delete match reduce to. */
+  private def prim(g: Group, name: String): Any = {
+    if (!g.getType.asGroupType().containsField(name)) return null
+    if (g.getFieldRepetitionCount(name) == 0) return null
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    g.getType.asGroupType().getType(name).asPrimitiveType()
+      .getPrimitiveTypeName match {
+      case INT64 => g.getLong(name, 0)
+      case INT32 => g.getInteger(name, 0)
+      case DOUBLE => g.getDouble(name, 0)
+      case FLOAT => g.getFloat(name, 0)
+      case BOOLEAN => g.getBoolean(name, 0)
+      case _ => g.getString(name, 0)
+    }
+  }
+
+  /** Stream a delete file's rows projected to `cols` (present ones). */
+  private def readRows(path: String, cols: Seq[String])
+      : Iterator[Group] = {
+    val conf = new Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fileSchema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    val fields = cols.filter(fileSchema.containsField)
+      .map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c)))
+    if (fields.nonEmpty)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        new org.apache.parquet.schema.MessageType("projection",
+          fields: _*).toString)
+    val reader = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
+    new Iterator[Group] {
+      private var nextG: Group = reader.read()
+      override def hasNext: Boolean = {
+        if (nextG == null) reader.close()
+        nextG != null
+      }
+      override def next(): Group = {
+        val g = nextG; nextG = reader.read(); g
+      }
+    }
+  }
+
+  /** The row ordinals of `dataPath` deleted by the position-tombstone
+    * files (spec: pos-delete rows are (file_path, pos)). */
+  def positionsFor(dataPath: String, posDeletes: Seq[String]): Set[Long] = {
+    val target = norm(dataPath)
+    posDeletes.iterator.flatMap(p =>
+      readRows(p, Seq("file_path", "pos"))
+        .filter(g => norm(String.valueOf(prim(g, "file_path"))) == target)
+        .map(g => prim(g, "pos").asInstanceOf[Long])).toSet
+  }
+
+  /** Each equality-delete file's key tuples, paired with its key
+    * column names. */
+  def eqTuplesFor(eqDeletes: Seq[(String, Seq[String])])
+      : Seq[(Seq[String], Set[Seq[Any]])] =
+    eqDeletes.map { case (p, keys) =>
+      (keys, readRows(p, keys).map(g => keys.map(k => prim(g, k))).toSet)
+    }
+}
+
 /** Reads one parquet file through parquet-hadoop's Group API with the
   * projection pushed to the parquet reader (unselected columns' pages
-  * are never decoded). */
-private[v2] class GraftPartitionReader(path: String, required: StructType)
+  * are never decoded). Applies the partition's delete files inline:
+  * position tombstones by row ordinal, equality tombstones by key
+  * tuple — so the connector's batch read is a full merge-on-read
+  * reader. Tombstone-free partitions (the common case) skip all of it. */
+private[v2] class GraftPartitionReader(part: GraftFilePartition,
+    required: StructType)
     extends PartitionReader[InternalRow] {
+  private val path = part.path
 
   // Synthesized columns never projected against the parquet footer:
   // `_file` (the reader materializes the path) and columns ABSENT from
@@ -872,9 +1005,17 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
     required.fields.map(_.name == GraftTable.FileMetadataColumn)
   private val isAbsent: Array[Boolean] = new Array[Boolean](required.length)
 
+  // eq-delete key columns must be readable even when the projection
+  // doesn't select them — appended to the parquet projection, excluded
+  // from the output row
+  private val extraKeyCols: Seq[String] =
+    part.eqDeletes.flatMap(_._2).distinct
+      .filterNot(required.fieldNames.contains)
+
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
-    val hasData = required.fields.zip(isMeta).exists(!_._2)
+    val hasData = required.fields.zip(isMeta).exists(!_._2) ||
+      extraKeyCols.nonEmpty
     if (hasData) {
       // project with the FILE's own field declarations: repetition
       // (required vs optional) and logical annotations must match the
@@ -891,7 +1032,8 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
           isAbsent(i) = true; None
         } else Some(
           fileSchema.getFields.get(fileSchema.getFieldIndex(f.name)))
-      }
+      } ++ extraKeyCols.filter(fileSchema.containsField)
+        .map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c)))
       if (fields.nonEmpty)
         conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
           new org.apache.parquet.schema.MessageType("projection",
@@ -901,10 +1043,29 @@ private[v2] class GraftPartitionReader(path: String, required: StructType)
       new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
   }
 
+  private lazy val deadPositions: Set[Long] =
+    GraftPartitionReader.positionsFor(path, part.posDeletes)
+  private lazy val eqSets: Seq[(Seq[String], Set[Seq[Any]])] =
+    GraftPartitionReader.eqTuplesFor(part.eqDeletes)
+
   private var current: Group = _
+  private var rowIdx: Long = -1L
+
+  private def deleted(g: Group): Boolean = {
+    if (part.posDeletes.nonEmpty && deadPositions.contains(rowIdx)) return true
+    if (part.eqDeletes.isEmpty) return false
+    eqSets.exists { case (keys, tuples) =>
+      tuples.contains(keys.map(k => GraftPartitionReader.prim(g, k)))
+    }
+  }
 
   override def next(): Boolean = {
     current = reader.read()
+    rowIdx += 1
+    while (current != null && deleted(current)) {
+      current = reader.read()
+      rowIdx += 1
+    }
     current != null
   }
 

@@ -78,7 +78,8 @@ private[v2] class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
 
   /** Candidate groups: every data file of the current snapshot, until
     * runtime group filtering narrows them to files with matching rows. */
-  @volatile private var candidates: Seq[String] = table.dataFiles.map(_.path)
+  @volatile private var candidates: Seq[GraftIcebergSource.FileStat] =
+    table.dataFiles
 
   override def readSchema(): StructType = required
 
@@ -98,13 +99,16 @@ private[v2] class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
     filters.foreach {
       case In(attr, values) if attr == GraftTable.FileMetadataColumn =>
         val keep = values.collect { case s: String => s }.toSet
-        candidates = candidates.filter(keep)
+        candidates = candidates.filter(f => keep(f.path))
       case _ => ()
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    op.scannedFiles = candidates
-    candidates.map(p => GraftFilePartition(p): InputPartition).toArray
+    op.scannedFiles = candidates.map(_.path)
+    // MOR-aware: the COW read applies live tombstones, so rewriting a
+    // merge-on-read table never resurrects deleted rows into the
+    // replacement files
+    candidates.map(f => table.morPartitionFor(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -236,7 +236,7 @@ class GraftSourceV2Spec extends AnyFunSuite {
       s"expected the tombstone fail-fast, got: ${ex.getMessage}")
   }
 
-  test("rewriteDataFiles refuses to drop live equality tombstones without keys") {
+  test("rewriteDataFiles resolves equality keys from metadata; legacy id-less layouts refuse") {
     import spark.implicits._
     val t = new java.io.File("target/tmp-dsv2-rewrite-guard")
     org.apache.commons.io.FileUtils.deleteQuietly(t)
@@ -244,18 +244,64 @@ class GraftSourceV2Spec extends AnyFunSuite {
       .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
     graft.sources.LayoutMaintenance.commitUpsert(spark, t.getPath,
       Seq((2L, "b2")).toDF("k", "v"), keyCols = Seq("k"))
-    // eqKeys=Nil would skip eq-tombstone application yet drop the delete
-    // files — resurrecting row (2,"b"); must fail fast instead
-    val ex = intercept[IllegalArgumentException] {
-      graft.sources.LayoutMaintenance.rewriteDataFiles(spark, t.getPath, Nil)
-    }
-    assert(ex.getMessage.contains("equality"))
-    // with the keys it rewrites to the correct MOR state
-    graft.sources.LayoutMaintenance.rewriteDataFiles(
-      spark, t.getPath, eqKeys = Seq("k"))
+    // the upsert recorded spec `equality_ids` in its manifest entry, so
+    // a key-less rewrite resolves the keys from METADATA and is correct
+    graft.sources.LayoutMaintenance.rewriteDataFiles(spark, t.getPath, Nil)
     val got = spark.read.format("graft-iceberg").load(t.getPath)
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(got == Seq((1L, "a"), (2L, "b2")))
+    // a LEGACY layout whose eq-delete entry carries no ids must still
+    // fail fast: dropping unapplied tombstones would resurrect rows
+    val t2 = new java.io.File("target/tmp-dsv2-rewrite-legacy")
+    org.apache.commons.io.FileUtils.deleteQuietly(t2)
+    val dataDir = new java.io.File(t2, "data"); dataDir.mkdirs()
+    val df = new java.io.File(dataDir, "d.parquet")
+    val ef = new java.io.File(dataDir, "e.parquet")
+    val nd = IcebergLayoutWriter.writeSingleParquet(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), df)
+    val ne = IcebergLayoutWriter.writeSingleParquet(
+      Seq(Tuple1(2L)).toDF("k"), ef)
+    IcebergLayoutWriter.writeTable(t2, Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = df.getAbsolutePath,
+        recordCount = nd, sizeBytes = df.length(), sequenceNumber = 1L),
+      ManifestEntrySpec(status = 1, content = 2, filePath = ef.getAbsolutePath,
+        recordCount = ne, sizeBytes = ef.length(), sequenceNumber = 2L)))
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.LayoutMaintenance.rewriteDataFiles(spark, t2.getPath, Nil)
+    }
+    assert(ex.getMessage.contains("equality"))
+  }
+
+  test("connector batch read is merge-on-read: position + equality tombstones applied") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-morread")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    (0L until 100L).map(k => (k, k * 10)).toDF("k", "v")
+      .write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v LONG").mode("append").save(t.getPath)
+    // eq-tombstones via upsert (keys recorded as equality_ids)...
+    graft.sources.LayoutMaintenance.commitUpsert(spark, t.getPath,
+      Seq((7L, 777L), (8L, 888L)).toDF("k", "v"), keyCols = Seq("k"))
+    // ...plus position tombstones via predicate DELETE
+    graft.sources.LayoutMaintenance.commitDeleteWhere(
+      spark, t.getPath, col("v") >= 900L)
+    val viaConnector = spark.read.format("graft-iceberg").load(t.getPath)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val viaMor = graft.sources.MorRead.readTable(spark, t.getPath)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(viaConnector == viaMor,
+      s"connector MOR read diverged: ${viaConnector.take(5)} vs ${viaMor.take(5)}")
+    // spot semantics: k=7,8 carry upserted values; v>=900 rows are gone
+    val m = viaConnector.toMap
+    assert(m(7L) == 777L && m(8L) == 888L)
+    assert(viaConnector.forall { case (k, v) => v < 900L || k == 8L })
+    assert(!m.contains(95L))
+    // the projection path still works when key columns aren't selected
+    val onlyV = spark.read.format("graft-iceberg").load(t.getPath)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(onlyV == viaMor.map(_._2).sorted)
   }
 
   test("file pruning compares long bounds exactly above 2^53") {
