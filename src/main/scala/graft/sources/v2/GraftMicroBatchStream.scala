@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.StructType
   * same per-file parquet readers the batch scan uses. Restart safety is
   * the standard source contract: offsets serialize into the checkpoint,
   * `planInputPartitions(start, end)` is deterministic for a given
-  * range. Append-only streams are the contract (Iceberg's own
-  * incremental read restriction); a rewrite/compaction commit would
-  * surface its output files as "added" — run maintenance on a paused
-  * stream or filter by sequence downstream.
+  * range. The INITIAL load is a full merge-on-read catch-up (the start
+  * snapshot's tombstones apply exactly as in the batch scan);
+  * INCREMENTAL batches are append-only, Iceberg's own incremental-read
+  * restriction — a rewrite/compaction commit would surface its output
+  * files as "added", so run maintenance on a paused stream or filter by
+  * sequence downstream.
   *
   * At 100 TB: discovering a new commit costs one metadata-document read
   * + one manifest-list diff; the stream's steady-state work is the
@@ -58,28 +60,27 @@ private[v2] class GraftMicroBatchStream(dir: String,
     val from = start.asInstanceOf[GraftSnapOffset].snapshotId
     val to = end.asInstanceOf[GraftSnapOffset].snapshotId
     if (to == 0L || to == from) return Array.empty
+    if (from == 0L) {
+      // Full-snapshot initial load: a MERGE-ON-READ catch-up. The start
+      // snapshot's live tombstones apply exactly as in the batch scan
+      // (position deletes by row ordinal, equality deletes by key tuple
+      // resolved from `equality_ids`), so tailing a table from scratch
+      // never emits logically-deleted rows. Only eq-deletes WITHOUT
+      // metadata ids fail fast (morPartitionFor's guard) — silently
+      // resurrecting rows is the one unacceptable outcome. Incremental
+      // batches below stay append-only (Iceberg's own restriction).
+      // no bootstrap schema: eq ids must resolve against the FULL file
+      // schema, not the stream's (possibly projected) read schema
+      val table = new GraftTable(dir, Some(to), Nil)
+      return table.dataFiles.sortBy(_.path)
+        .map(f => table.morPartitionFor(f): InputPartition).toArray
+    }
     val paths: Seq[String] =
-      if (from == 0L) {
-        // Full-snapshot initial load: the stream's append-only contract
-        // cannot apply tombstones, so a start snapshot carrying live
-        // position/equality deletes would silently emit logically-deleted
-        // rows. Fail fast — rewrite the table to a tombstone-free
-        // snapshot (graft.Cli rewrite) before tailing it from scratch.
-        val entries = graft.sources.IcebergManifestSource
-          .statsFromTableDir(spark, dir, "t", Nil, Some(to))
-          .select("file_path", "content").collect()
-        require(!entries.exists(_.getInt(1) != 0),
-          s"graft-iceberg streaming: initial snapshot $to of $dir carries " +
-            "delete files; the append-only stream cannot apply tombstones. " +
-            "Rewrite to a tombstone-free snapshot before streaming.")
-        entries.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
-      }
-      else
-        graft.sources.IcebergManifestSource
-          .changesBetween(spark, dir, "t", from, to)
-          .filter(org.apache.spark.sql.functions.col("change") === "added" &&
-            org.apache.spark.sql.functions.col("content") === 0)
-          .select("file_path").collect().map(_.getString(0)).toSeq
+      graft.sources.IcebergManifestSource
+        .changesBetween(spark, dir, "t", from, to)
+        .filter(org.apache.spark.sql.functions.col("change") === "added" &&
+          org.apache.spark.sql.functions.col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSeq
     paths.sorted.map(p => GraftFilePartition(p): InputPartition).toArray
   }
 

@@ -214,7 +214,7 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(drain() == Seq((2L, "b")))
   }
 
-  test("initial streaming load fails fast when the snapshot carries delete files") {
+  test("initial streaming load of a MOR snapshot applies tombstones (merge-on-read catch-up)") {
     import spark.implicits._
     val t = new java.io.File("target/tmp-dsv2-stream-mor")
     val ckpt = new java.io.File("target/tmp-dsv2-stream-mor-ckpt")
@@ -224,16 +224,19 @@ class GraftSourceV2Spec extends AnyFunSuite {
       .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
     graft.sources.LayoutMaintenance.commitUpsert(spark, t.getPath,
       Seq((2L, "b2")).toDF("k", "v"), keyCols = Seq("k"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val q = spark.readStream.format("graft-iceberg").load(t.getPath)
       .writeStream.option("checkpointLocation", ckpt.getPath)
-      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+        }; ()
+      }
       .start()
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      try q.processAllAvailable() finally q.stop()
-    }
-    assert(ex.getMessage.contains("delete files") ||
-      Option(ex.getCause).exists(_.getMessage.contains("delete files")),
-      s"expected the tombstone fail-fast, got: ${ex.getMessage}")
+    try q.processAllAvailable() finally q.stop()
+    // the catch-up equals the MOR state: (2,"b") tombstoned, (2,"b2") live
+    assert(got.sorted.toSeq == Seq((1L, "a"), (2L, "b2")),
+      s"initial MOR catch-up wrong: ${got.sorted}")
   }
 
   test("rewriteDataFiles resolves equality keys from metadata; legacy id-less layouts refuse") {
