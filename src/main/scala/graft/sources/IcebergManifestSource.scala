@@ -461,14 +461,25 @@ object IcebergManifestSource {
     * inheritance input for v2 null ADDED-entry sequence numbers. A v1
     * list (or a pre-v2 fixture) has no sequence_number field → 0. */
   def manifestPathSeqs(conf: Configuration,
-      manifestListPath: String): Seq[(String, Long)] = {
+      manifestListPath: String): Seq[(String, Long)] =
+    manifestPathSeqContents(conf, manifestListPath).map(t => (t._1, t._2))
+
+  /** [[manifestPathSeqs]] plus each manifest's CONTENT flag (0 = data,
+    * 1 = deletes — the spec's `manifest_file.content`); a v1 list
+    * without the field reads as all-data. */
+  def manifestPathSeqContents(conf: Configuration,
+      manifestListPath: String): Seq[(String, Long, Int)] = {
     val listDir = new java.io.File(manifestListPath).getParentFile
     readAvroIterator(conf, manifestListPath) { rec =>
       val seq =
         if (rec.getSchema.getField("sequence_number") == null) 0L
         else Option(rec.get("sequence_number")).fold(0L)(_.asInstanceOf[Long])
+      val content =
+        if (rec.getSchema.getField("content") == null) 0
+        else Option(rec.get("content")).fold(0)(_.asInstanceOf[Int])
       Iterator.single(
-        (Relocate.meta(listDir, rec.get("manifest_path").toString), seq))
+        (Relocate.meta(listDir, rec.get("manifest_path").toString), seq,
+          content))
     }.toSeq
   }
 

@@ -263,20 +263,34 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * overcount rows that tombstones remove. */
   private[v2] lazy val hasDeletes: Boolean = deleteFiles.nonEmpty
 
+  /** Above this many file entries the scan abandons driver-side
+    * per-file planning for MANIFEST-GRANULAR distributed planning (one
+    * input partition per manifest; see [[GraftScan.planInputPartitions]]).
+    * Conf-overridable so the fallback is testable at toy scale. */
+  private def planningCap: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.maxDriverFileEntries",
+        graft.sources.LayoutMaintenance.MaxDriverFileEntries.toString).toInt
+
+  /** True when the table's file count exceeds [[planningCap]] — per-file
+    * driver planning (and everything built on it: SPJ grouping,
+    * aggregate pushdown, per-file pruning) is abandoned for the
+    * manifest-granular path. */
+  private[v2] lazy val oversizedPlanning: Boolean = scanState._3
+
   private lazy val scanState
-      : (Seq[GraftIcebergSource.FileStat], Seq[GraftIcebergSource.DeleteStat]) =
-    if (!hasMetadata) (Seq.empty, Seq.empty) // created but never written
+      : (Seq[GraftIcebergSource.FileStat], Seq[GraftIcebergSource.DeleteStat],
+        Boolean) =
+    if (!hasMetadata) (Seq.empty, Seq.empty, false) // created, never written
     else {
     val spark = SparkSession.active
     val fields = statFields.map(f => (f.fieldId, f.name, f.dt))
-    val cap = graft.sources.LayoutMaintenance.MaxDriverFileEntries
+    val cap = planningCap
     val rows = IcebergManifestSource
       .statsFromTableDir(spark, dir, "t", fields, snapshot)
       .limit(cap + 1).collect()
-    require(rows.length <= cap,
-      s"graft-iceberg($dir): more than $cap file entries exceed the " +
-        "driver-side scan-planning ceiling; a table this large needs " +
-        "distributed planning.")
+    if (rows.length > cap) (Seq.empty, Seq.empty, true)
+    else {
     val files = rows.toSeq
       .filter(_.getAs[Int]("content") == 0)
       .map { r =>
@@ -293,7 +307,25 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
         r.getAs[Int]("content"), r.getAs[Long]("sequence_number"),
         Option(r.getAs[scala.collection.Seq[Int]]("equality_ids"))
           .map(_.toSeq).getOrElse(Seq.empty)))
-    (files, deletes)
+    (files, deletes, false)
+    }
+  }
+
+  /** First data file of the bound snapshot WITHOUT materializing every
+    * entry (oversized tables infer their schema from it): walk manifests
+    * until one data entry appears. */
+  private[v2] def anyDataFile: Option[String] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergManifestSource.resolveManifestList(spark, dir, snapshot)
+      .toSeq
+      .flatMap(l => IcebergManifestSource.manifestPathSeqs(conf, l))
+      .iterator
+      .flatMap { case (p, inherit) =>
+        IcebergManifestSource.readManifestStats(p, conf, inherit)
+          .filter(_.content == 0).map(_.filePath).take(1)
+      }
+      .nextOption()
   }
 
   /** (partitionFieldName, transform, sourceColumnName) for each declared
@@ -312,6 +344,11 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     }
 
   private[v2] def statFieldNames: Seq[String] = statFields.map(_.name)
+
+  private[v2] def boundSnapshot: Option[Long] = snapshot
+
+  private[v2] def statFieldSpecs: Seq[(Int, String, DataType)] =
+    statFields.map(f => (f.fieldId, f.name, f.dt))
 
   /** The delete files applying to one data file, per the spec's
     * sequence-number rules: position deletes at delete.seq >= data.seq
@@ -381,7 +418,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     // descriptor-less external layouts.
     bootstrapSchema.filter(_.nonEmpty).getOrElse {
       if (hasMetadata)
-        dataFiles.headOption.map(f => GraftIcebergSource.inferFrom(f.path))
+        dataFiles.headOption.map(_.path)
+          .orElse(if (oversizedPlanning) anyDataFile else None)
+          .map(GraftIcebergSource.inferFrom)
           .getOrElse(new StructType())
       else new StructType()
     }
@@ -505,7 +544,7 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty) return None
-    if (table.hasDeletes) return None
+    if (table.hasDeletes || table.oversizedPlanning) return None
     def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case fr: NamedReference if fr.fieldNames.length == 1 =>
@@ -669,6 +708,109 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     s"GraftIcebergScan pushed=[${pushed.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
+  private def overlaps(bounds: Map[String, (Any, Any)]): Boolean =
+    GraftPrune.overlaps((pushed ++ runtime).toSeq, bounds)
+
+  private def partitionKeeps(pvals: Map[String, Any]): Boolean =
+    GraftPrune.partitionKeeps((pushed ++ runtime).toSeq,
+      table.partitionFields, pvals)
+
+  /** Storage-partitioned join readiness: when the table is identity-
+    * partitioned, every file carries its partition values, and the user
+    * opted in via `spark.sql.sources.v2.bucketing.enabled`, the scan
+    * groups files by partition value and reports
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * — Spark then plans an equi-join of two tables co-partitioned on
+    * the same keys with NO shuffle on either side (each partition-value
+    * group joins its counterpart directly). At 100 TB this deletes the
+    * single largest cost of a fact-fact join: neither table moves.
+    * Conservative fallback everywhere: any file missing a value, a
+    * non-identity spec, or the conf off → one partition per file and
+    * unknown partitioning, exactly as before. */
+  private def spjActive: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      table.identityPartitionCols.nonEmpty && table.dataFiles.nonEmpty &&
+      table.dataFiles.forall(f =>
+        table.identityPartitionCols.forall(c => f.pvals.contains(c._1)))
+
+  private def survivors: Seq[GraftIcebergSource.FileStat] =
+    table.dataFiles.filter(f => overlaps(f.bounds) && partitionKeeps(f.pvals))
+
+  private def groupedSurvivors
+      : Seq[(Seq[Any], Seq[GraftIcebergSource.FileStat])] =
+    survivors.groupBy(f =>
+        table.identityPartitionCols.map(c => f.pvals(c._1)))
+      .toSeq.sortBy(_._1.mkString(" "))
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (spjActive)
+      new KeyGroupedPartitioning(
+        table.identityPartitionCols.map(c => Expressions.identity(c._2))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression],
+        groupedSurvivors.size)
+    else new UnknownPartitioning(survivors.size)
+  }
+
+  private def partitionFor(f: GraftIcebergSource.FileStat)
+      : GraftFilePartition = table.morPartitionFor(f)
+
+  /** MANIFEST-GRANULAR distributed planning — the shape past the
+    * driver ceiling (set `spark.graft.maxDriverFileEntries` to tune):
+    * the driver materializes only the MANIFEST LIST (one row per
+    * manifest — a 100M-file table has ~thousands), plans one input
+    * partition per manifest, and each TASK expands its manifest's
+    * entries, prunes them against the pushed + runtime filters with the
+    * same [[GraftPrune]] math the driver uses, and chains the surviving
+    * files' readers. File skipping still happens — it just happens
+    * where the file list lives. Delete-carrying snapshots refuse (a
+    * delete in manifest A applies to data in manifest B; cross-manifest
+    * tombstone routing needs the per-file plan): rewrite to a
+    * tombstone-free snapshot first. */
+  private def manifestModePartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val list = graft.sources.IcebergManifestSource
+      .resolveManifestList(spark, table.dir, table.boundSnapshot)
+      .getOrElse(return Array.empty)
+    val manifests = graft.sources.IcebergManifestSource
+      .manifestPathSeqContents(conf, list)
+    require(!manifests.exists(_._3 != 0),
+      s"graft-iceberg(${table.dir}): manifest-granular planning (file " +
+        "count above spark.graft.maxDriverFileEntries) supports append-" +
+        "only snapshots; this one carries delete manifests. Rewrite to a " +
+        "tombstone-free snapshot first.")
+    val fields = table.statFieldSpecs
+    val filters = (pushed ++ runtime).toSeq
+    val pf = table.partitionFields
+    manifests.map { case (p, seq, _) =>
+      GraftManifestPartition(p, seq, fields, filters, pf): InputPartition
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (table.oversizedPlanning) manifestModePartitions()
+    else if (spjActive)
+      groupedSurvivors.map { case (key, files) =>
+        GraftGroupPartition(files.map(partitionFor),
+          key.zip(table.identityPartitionCols).map {
+            case (v, (_, _, dt)) => GraftGroupPartition.internalValue(v, dt)
+          }): InputPartition
+      }.toArray
+    else
+      survivors.map(f => partitionFor(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+private[v2] object GraftPrune {
+  // Serializable, task-safe file pruning: manifest-bound overlap
+  // checks and partition-transform projection. Shared by driver-side
+  // scan planning and the MANIFEST-GRANULAR distributed planning path
+  // (one task per manifest expands and prunes its own file entries).
   /** File survives unless a pushed filter's range excludes its bounds.
     * Null bounds (no stats for the column) keep the file — pruning is
     * only ever an optimization, never a correctness lever. Integral
@@ -676,8 +818,9 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     * a rounded-down hi could wrongly prune a file that contains
     * qualifying rows); Double is the fallback only when either side is
     * genuinely floating. */
-  private def overlaps(bounds: Map[String, (Any, Any)]): Boolean =
-    (pushed ++ runtime).forall { f =>
+  def overlaps(filters: Seq[Filter],
+      bounds: Map[String, (Any, Any)]): Boolean =
+    filters.forall { f =>
       def bnds(col: String): Option[(Any, Any)] = bounds.get(col).filter {
         case (lo, hi) => lo != null && hi != null
       }
@@ -727,9 +870,11 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     * a missing partition value (older spec), an unprojectable shape, or
     * a type mismatch keeps the file — pruning is never a correctness
     * lever. */
-  private def partitionKeeps(pvals: Map[String, Any]): Boolean =
-    (pushed ++ runtime).forall { f =>
-      table.partitionFields.forall { case (pfName, transform, srcCol) =>
+  def partitionKeeps(filters: Seq[Filter],
+      partitionFields: Seq[(String, String, String)],
+      pvals: Map[String, Any]): Boolean =
+    filters.forall { f =>
+      partitionFields.forall { case (pfName, transform, srcCol) =>
         keepByTransform(f, pfName, transform, srcCol, pvals)
       }
     }
@@ -804,61 +949,6 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     }
   }
 
-  /** Storage-partitioned join readiness: when the table is identity-
-    * partitioned, every file carries its partition values, and the user
-    * opted in via `spark.sql.sources.v2.bucketing.enabled`, the scan
-    * groups files by partition value and reports
-    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
-    * — Spark then plans an equi-join of two tables co-partitioned on
-    * the same keys with NO shuffle on either side (each partition-value
-    * group joins its counterpart directly). At 100 TB this deletes the
-    * single largest cost of a fact-fact join: neither table moves.
-    * Conservative fallback everywhere: any file missing a value, a
-    * non-identity spec, or the conf off → one partition per file and
-    * unknown partitioning, exactly as before. */
-  private def spjActive: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
-      table.identityPartitionCols.nonEmpty && table.dataFiles.nonEmpty &&
-      table.dataFiles.forall(f =>
-        table.identityPartitionCols.forall(c => f.pvals.contains(c._1)))
-
-  private def survivors: Seq[GraftIcebergSource.FileStat] =
-    table.dataFiles.filter(f => overlaps(f.bounds) && partitionKeeps(f.pvals))
-
-  private def groupedSurvivors
-      : Seq[(Seq[Any], Seq[GraftIcebergSource.FileStat])] =
-    survivors.groupBy(f =>
-        table.identityPartitionCols.map(c => f.pvals(c._1)))
-      .toSeq.sortBy(_._1.mkString(" "))
-
-  override def outputPartitioning()
-      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    import org.apache.spark.sql.connector.read.partitioning._
-    import org.apache.spark.sql.connector.expressions.Expressions
-    if (spjActive)
-      new KeyGroupedPartitioning(
-        table.identityPartitionCols.map(c => Expressions.identity(c._2))
-          .toArray[org.apache.spark.sql.connector.expressions.Expression],
-        groupedSurvivors.size)
-    else new UnknownPartitioning(survivors.size)
-  }
-
-  private def partitionFor(f: GraftIcebergSource.FileStat)
-      : GraftFilePartition = table.morPartitionFor(f)
-
-  override def planInputPartitions(): Array[InputPartition] =
-    if (spjActive)
-      groupedSurvivors.map { case (key, files) =>
-        GraftGroupPartition(files.map(partitionFor),
-          key.zip(table.identityPartitionCols).map {
-            case (v, (_, _, dt)) => GraftGroupPartition.internalValue(v, dt)
-          }): InputPartition
-      }.toArray
-    else
-      survivors.map(f => partitionFor(f): InputPartition).toArray
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
 }
 
 /** One data file plus the delete files that apply to it: position
@@ -892,11 +982,58 @@ private[v2] object GraftGroupPartition {
   }
 }
 
+/** One MANIFEST as an input partition (the oversized-table planning
+  * unit): the task expands the manifest's live data entries, prunes
+  * them with the same bound/transform math the driver uses, and reads
+  * the survivors. Carries everything pruning needs — stat field specs,
+  * the pushed + runtime filters, the partition transform fields. */
+private[v2] case class GraftManifestPartition(manifestPath: String,
+    inheritSeq: Long, statFields: Seq[(Int, String, DataType)],
+    filters: Seq[Filter],
+    partitionFields: Seq[(String, String, String)]) extends InputPartition
+
 private[v2] class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case f: GraftFilePartition => new GraftPartitionReader(f, required)
+      case m: GraftManifestPartition => new PartitionReader[InternalRow] {
+        // task-side manifest expansion + pruning, then chained readers
+        private val conf = new Configuration()
+        private val files: Iterator[String] =
+          graft.sources.IcebergManifestSource
+            .readManifestStats(m.manifestPath, conf, m.inheritSeq)
+            .filter(_.content == 0)
+            .filter { s =>
+              val bounds = m.statFields.map { case (id, name, dt) =>
+                name -> ((s.lower.get(id)
+                    .map(graft.sources.IcebergManifestSource.decodeBound(_, dt))
+                    .orNull,
+                  s.upper.get(id)
+                    .map(graft.sources.IcebergManifestSource.decodeBound(_, dt))
+                    .orNull))
+              }.toMap
+              GraftPrune.overlaps(m.filters, bounds) &&
+                GraftPrune.partitionKeeps(m.filters, m.partitionFields,
+                  GraftIcebergSource.parsePartitionKey(s.partitionKey))
+            }
+            .map(_.filePath)
+        private var cur: GraftPartitionReader = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!files.hasNext) return false
+              cur = new GraftPartitionReader(
+                GraftFilePartition(files.next()), required)
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
       case g: GraftGroupPartition => new PartitionReader[InternalRow] {
         // chain the group's files through one reader sequence
         private val parts = g.parts.iterator

@@ -76,6 +76,10 @@ private[v2] class GraftCowScanBuilder(op: GraftRowLevelOperation,
 private[v2] class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
     required: StructType) extends Scan with Batch with SupportsRuntimeFiltering {
 
+  require(!table.oversizedPlanning,
+    "graft-iceberg: row-level SQL needs per-file planning; this table's " +
+      "file count exceeds spark.graft.maxDriverFileEntries")
+
   /** Candidate groups: every data file of the current snapshot, until
     * runtime group filtering narrows them to files with matching rows. */
   @volatile private var candidates: Seq[GraftIcebergSource.FileStat] =

@@ -614,6 +614,30 @@ class GraftSourceV2Spec extends AnyFunSuite {
         s"$expected of $total rows\n" + joined.queryExecution.executedPlan)
   }
 
+  test("manifest-granular distributed planning past the driver file ceiling") {
+    val capKey = "spark.graft.maxDriverFileEntries"
+    spark.conf.set(capKey, "3") // 8-file fixture > 3: oversized
+    try {
+      val all = dsv2.select("okey", "price", "flag")
+      // manifests, not files, are the planning unit now (the writeTable
+      // fixture groups all 8 entries into ONE manifest)
+      val nParts = all.rdd.getNumPartitions
+      assert(nParts >= 1 && nParts < 8,
+        s"expected manifest-granular partitions, got $nParts")
+      assert(all.collect().map(key).sorted.toSeq ==
+        ground.select("okey", "price", "flag").collect().map(key).sorted.toSeq)
+      // pruning still happens — task-side now: result stays exact
+      val f = dsv2.filter(col("price") >= 60000L).select("okey", "price", "flag")
+      assert(f.collect().map(key).sorted.toSeq ==
+        ground.filter(col("price") >= 60000L)
+          .select("okey", "price", "flag").collect().map(key).sorted.toSeq)
+      // aggregate pushdown must refuse (no per-file plan to fold)
+      val agg = dsv2.agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString.contains("aggPushed"))
+      assert(agg.head.getLong(0) == ground.count())
+    } finally spark.conf.unset(capKey)
+  }
+
   test("storage-partitioned join: co-partitioned identity tables join with NO shuffle") {
     import spark.implicits._
     // two tables, both identity-partitioned on `region`, one file per
