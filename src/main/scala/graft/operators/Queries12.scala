@@ -1352,6 +1352,84 @@ object Queries12 {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- CDC STREAMING READ: `readStream.option("read-changes")` on
+    // the connector emits change rows — inserts from added data files,
+    // key-only deletes from equality tombstones, full-row deletes read
+    // back from position tombstones — each stamped with its commit's
+    // snapshot id. The query tails a table through an upsert commit and
+    // a predicate-delete commit, FOLDS the captured change rows over
+    // the stream-start state commit by commit, and requires the fold to
+    // land exactly on the table's direct merge-on-read state — the
+    // consumer-side proof that the changelog is complete and ordered.
+    // The folded profile hashes against DuckDB replaying the same
+    // mutations. At 100 TB each trigger's bill is the change set: one
+    // metadata diff per commit, one task per changed file.
+    "q218_cdc_stream_fold" -> { (s, dir) => implicit val sp = s
+      import graft.sources.LayoutMaintenance
+      val tbl = TmpFixture.dir("q218", dir)
+      val ckpt = TmpFixture.dir("q218ckpt", dir)
+      Seq(tbl, ckpt).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val base = t(dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("okey"),
+          floor(col("o_totalprice")).cast("long").as("price"),
+          month(col("o_orderdate")).cast("long").as("mon"))
+      base.coalesce(4).write.format("graft-iceberg")
+        .option("write.schema", "okey LONG, price LONG, mon LONG")
+        .mode("append").save(tbl.getPath)
+      val startState = s.read.format("graft-iceberg").load(tbl.getPath)
+        .localCheckpoint() // pin the stream-start state before mutating
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+        (java.lang.Long, java.lang.Long, java.lang.Long, String, Long)]()
+      val q = s.readStream.format("graft-iceberg")
+        .option("read-changes", "true").load(tbl.getPath)
+        .writeStream.option("checkpointLocation", ckpt.getPath)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            rows.add((if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+              if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+              if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+              r.getString(3), r.getLong(4)))
+          }; ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // commit 2: upsert — every okey % 9 == 0 gets price + 1000
+        LayoutMaintenance.commitUpsert(s, tbl.getPath,
+          base.filter(col("okey") % 9 === 0)
+            .select(col("okey"), (col("price") + 1000L).as("price"), col("mon")),
+          keyCols = Seq("okey"))
+        q.processAllAvailable()
+        // commit 3: predicate delete
+        LayoutMaintenance.commitDeleteWhere(s, tbl.getPath,
+          col("price") >= 400000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val changes = rows.asScala.toSeq
+      require(changes.nonEmpty, "CDC stream captured nothing")
+      // fold commit by commit: deletes remove by key, inserts add
+      val bySid = changes.groupBy(_._5).toSeq.sortBy(_._1)
+      import s.implicits._
+      var state = startState.select("okey", "price", "mon")
+        .as[(Long, Long, Long)].collect().toSeq
+      bySid.foreach { case (_, cs) =>
+        val delKeys = cs.filter(_._4 == "delete").map(_._1.longValue).toSet
+        val ins = cs.filter(_._4 == "insert")
+          .map(c => (c._1.longValue, c._2.longValue, c._3.longValue))
+        state = state.filterNot(r => delKeys(r._1)) ++ ins
+      }
+      val direct = s.read.format("graft-iceberg").load(tbl.getPath)
+        .select("okey", "price", "mon").as[(Long, Long, Long)].collect().toSeq
+      require(state.sorted == direct.sorted,
+        s"CDC fold diverged from table state: ${state.size} vs ${direct.size}")
+      state.toDF("okey", "price", "mon")
+        .groupBy(col("mon"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("sum_price"),
+          min(col("okey")).as("min_okey"))
+        .orderBy(col("mon"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1822,6 +1900,23 @@ object Queries12 {
         |  CAST(sum(b.qty) AS BIGINT) AS sum_qty
         |FROM a JOIN b ON a.grp = b.grp AND a.okey = b.okey
         |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
+
+    "q218_cdc_stream_fold" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |upserted AS (
+        |  SELECT okey,
+        |         CASE WHEN okey % 9 = 0 THEN price + 1000 ELSE price END AS price,
+        |         mon
+        |  FROM base),
+        |final AS (SELECT * FROM upserted WHERE price < 400000)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM final GROUP BY mon ORDER BY mon""".stripMargin,
 
     "q217_connector_mor_read" ->
       """WITH sub AS (

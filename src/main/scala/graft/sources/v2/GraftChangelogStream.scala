@@ -1,0 +1,245 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CDC (change-data-capture) STREAMING reads:
+  * `spark.readStream.format("graft-iceberg").option("read-changes",
+  * "true").load(tableDir)` emits CHANGE ROWS instead of table state —
+  * every output row is the table schema plus `_change_type`
+  * ("insert" | "delete") and `_commit_snapshot_id` (which commit
+  * produced it). Per commit in the offset range:
+  *
+  *   - an added DATA file → its rows as inserts;
+  *   - an added EQUALITY-delete file → its key tuples as deletes (key
+  *     columns populated from the file, every other column null — the
+  *     keys are resolved from the entry's spec `equality_ids`);
+  *   - an added POSITION-delete file → the DELETED ROWS THEMSELVES,
+  *     read back from the target data files at the tombstoned
+  *     ordinals, as full-width deletes.
+  *
+  * The stream STARTS AT THE CURRENT HEAD (only commits after stream
+  * start produce batches — Iceberg's stream-from-latest idiom); replay
+  * a history through [[graft.sources.IcebergManifestSource.changesBetween]]
+  * batch-side if the past matters. Commits that REMOVE data files
+  * (rewrites, overwrites) refuse loudly: compaction is a physical
+  * no-op a CDC consumer must not see, and distinguishing it from a
+  * semantic overwrite needs commit-operation metadata this dialect
+  * doesn't record — pause CDC across maintenance, as Iceberg's own
+  * changelog reads require.
+  *
+  * At 100 TB the per-trigger bill is the CHANGE SET: planning is one
+  * metadata diff per commit; each task reads one changed file (plus,
+  * for position deletes, the tombstoned slices of its targets). */
+private[v2] class GraftChangelogStream(dir: String, baseSchema: StructType)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  private def currentSnapshot: Long =
+    graft.sources.LayoutMaintenance.currentSnapshot(spark, dir)
+      .getOrElse(0L)
+
+  /** Stream-from-latest: the initial offset is the CURRENT head, so the
+    * first batch is the first commit made after the stream started. */
+  override def initialOffset(): Offset = GraftSnapOffset(currentSnapshot)
+
+  override def latestOffset(): Offset = GraftSnapOffset(currentSnapshot)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftSnapOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftSnapOffset].snapshotId
+    val to = end.asInstanceOf[GraftSnapOffset].snapshotId
+    if (to == from) return Array.empty
+    val ids = graft.sources.LayoutMaintenance.snapshotIds(spark, dir)
+      .filter(id => id > from && id <= to).sorted
+    val steps = (from +: ids).zip(ids) // (prev, sid) commit steps
+    steps.flatMap { case (prev, sid) =>
+      partitionsForCommit(prev, sid)
+    }.toArray
+  }
+
+  /** The change partitions of ONE commit: diff the file sets of `prev`
+    * and `sid` (metadata-sized), route each added file by content. */
+  private def partitionsForCommit(prev: Long,
+      sid: Long): Seq[InputPartition] = {
+    import org.apache.spark.sql.functions.col
+    def entries(id: Long): Map[String, (Int, Seq[Int])] =
+      if (id == 0L) Map.empty
+      else graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, dir, "t", Nil, Some(id))
+        .select(col("file_path"), col("content"), col("equality_ids"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getInt(1),
+          Option(r.getAs[scala.collection.Seq[Int]](2))
+            .map(_.toSeq).getOrElse(Seq.empty))))
+        .toMap
+    val before = entries(prev)
+    val after = entries(sid)
+    val removedData = (before.keySet -- after.keySet)
+      .filter(p => before(p)._1 == 0)
+    require(removedData.isEmpty,
+      s"graft-iceberg read-changes($dir): commit $sid removes data files " +
+        s"(${removedData.take(3).mkString(", ")}…) — a rewrite/overwrite " +
+        "is not expressible as CDC rows here. Pause the changelog stream " +
+        "across maintenance commits.")
+    (after.keySet -- before.keySet).toSeq.sorted.map { p =>
+      after(p) match {
+        case (0, _) => ChangeInsertPartition(p, sid): InputPartition
+        case (2, ids) =>
+          val keys = ids.flatMap { id =>
+            if (id >= 1 && id <= baseSchema.length)
+              Some(baseSchema.fields(id - 1).name)
+            else None
+          }
+          require(keys.nonEmpty && keys.length == ids.length,
+            s"graft-iceberg read-changes($dir): equality-delete file $p " +
+              "carries no resolvable equality_ids; its deletes cannot be " +
+              "emitted as change rows.")
+          ChangeEqDeletePartition(p, keys, sid): InputPartition
+        case (1, _) => ChangePosDeletePartition(p, sid): InputPartition
+        case (c, _) => sys.error(s"unknown content $c for $p")
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangelogReaderFactory(baseSchema)
+}
+
+private[v2] object GraftChangelogStream {
+  val ChangeTypeColumn = "_change_type"
+  val CommitSnapshotColumn = "_commit_snapshot_id"
+}
+
+private[v2] case class ChangeInsertPartition(path: String, snapshotId: Long)
+    extends InputPartition
+private[v2] case class ChangeEqDeletePartition(path: String,
+    keyCols: Seq[String], snapshotId: Long) extends InputPartition
+private[v2] case class ChangePosDeletePartition(path: String,
+    snapshotId: Long) extends InputPartition
+
+/** Emits (table columns…, _change_type, _commit_snapshot_id) rows. */
+private[v2] class GraftChangelogReaderFactory(baseSchema: StructType)
+    extends PartitionReaderFactory {
+
+  private val width = baseSchema.length + 2
+
+  private def internalize(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  private def stamped(values: Array[Any], change: String,
+      sid: Long): InternalRow = {
+    val out = new Array[Any](width)
+    System.arraycopy(values, 0, out, 0, baseSchema.length)
+    out(width - 2) = UTF8String.fromString(change)
+    out(width - 1) = sid
+    new GenericInternalRow(out)
+  }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+
+    case ChangeInsertPartition(path, sid) =>
+      new PartitionReader[InternalRow] {
+        private val inner = new GraftPartitionReader(
+          GraftFilePartition(path), baseSchema)
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = {
+          val r = inner.get()
+          val vals = new Array[Any](baseSchema.length)
+          var i = 0
+          while (i < baseSchema.length) {
+            vals(i) = r.get(i, baseSchema.fields(i).dataType); i += 1
+          }
+          stamped(vals, "insert", sid)
+        }
+        override def close(): Unit = inner.close()
+      }
+
+    case ChangeEqDeletePartition(path, keys, sid) =>
+      new PartitionReader[InternalRow] {
+        private val rows = GraftPartitionReader.readRows(path, keys)
+        private var cur: org.apache.parquet.example.data.Group = _
+        override def next(): Boolean = {
+          if (!rows.hasNext) return false
+          cur = rows.next(); true
+        }
+        override def get(): InternalRow = {
+          val vals = new Array[Any](baseSchema.length)
+          var i = 0
+          while (i < baseSchema.length) {
+            val name = baseSchema.fields(i).name
+            vals(i) =
+              if (keys.contains(name))
+                internalize(GraftPartitionReader.prim(cur, name))
+              else null
+            i += 1
+          }
+          stamped(vals, "delete", sid)
+        }
+        override def close(): Unit = ()
+      }
+
+    case ChangePosDeletePartition(path, sid) =>
+      new PartitionReader[InternalRow] {
+        // (target file → tombstoned ordinals), then walk each target
+        // emitting exactly those rows
+        private val byTarget: Seq[(String, Set[Long])] =
+          GraftPartitionReader.readRows(path, Seq("file_path", "pos"))
+            .map(g => (String.valueOf(GraftPartitionReader.prim(g, "file_path"))
+                .replaceFirst("^file:/+", "/"),
+              GraftPartitionReader.prim(g, "pos").asInstanceOf[Long]))
+            .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+            .toSeq.sortBy(_._1)
+        private val targets = byTarget.iterator
+        private var reader: GraftPartitionReader = _
+        private var positions: Set[Long] = Set.empty
+        private var idx: Long = -1L
+        private var row: InternalRow = _
+
+        override def next(): Boolean = {
+          while (true) {
+            if (reader == null) {
+              if (!targets.hasNext) return false
+              val (t, ps) = targets.next()
+              reader = new GraftPartitionReader(
+                GraftFilePartition(t), baseSchema)
+              positions = ps; idx = -1L
+            }
+            while (reader.next()) {
+              idx += 1
+              if (positions.contains(idx)) {
+                val r = reader.get()
+                val vals = new Array[Any](baseSchema.length)
+                var i = 0
+                while (i < baseSchema.length) {
+                  vals(i) = r.get(i, baseSchema.fields(i).dataType); i += 1
+                }
+                row = stamped(vals, "delete", sid)
+                return true
+              }
+            }
+            reader.close(); reader = null
+          }
+          false
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = if (reader != null) reader.close()
+      }
+  }
+}

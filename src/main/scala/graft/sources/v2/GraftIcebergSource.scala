@@ -110,7 +110,9 @@ object GraftIcebergSource {
       .map(StructType.fromDDL)
     val sortCols = Option(options.get("write.sort-order")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    new GraftTable(dir, snapshot, fields, bootstrap, userSchema, sortCols)
+    val readChanges = Option(options.get("read-changes")).exists(_.toBoolean)
+    new GraftTable(dir, snapshot, fields, bootstrap, userSchema, sortCols,
+      readChanges = readChanges)
   }
 
   /** V1 `Filter` → `Column`, total over the algebra Spark can hand a
@@ -194,7 +196,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     bootstrapSchema: Option[StructType] = None,
     userSchema: Option[StructType] = None,
     sortCols: Seq[String] = Nil,
-    declaredPartSpec: Seq[(String, String, String)] = Nil)
+    declaredPartSpec: Seq[(String, String, String)] = Nil,
+    private[v2] val readChanges: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -409,7 +412,19 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * caller's declared projection, e.g. a prefix of the file schema);
     * otherwise infer from the first data file, then the `write.schema`
     * bootstrap for a fresh table. */
-  override lazy val schema: StructType = userSchema.getOrElse {
+  /** The table's DATA schema, CDC columns excluded. (Spark round-trips
+    * `inferSchema`'s answer back through `getTable` as the user schema,
+    * so a read-changes table must strip its own CDC columns before
+    * re-appending them — else every pass widens the schema.) */
+  private[v2] lazy val baseSchema: StructType = {
+    val raw = rawBaseSchema
+    if (!readChanges) raw
+    else StructType(raw.fields.filterNot(f =>
+      f.name == GraftChangelogStream.ChangeTypeColumn ||
+        f.name == GraftChangelogStream.CommitSnapshotColumn))
+  }
+
+  private lazy val rawBaseSchema: StructType = userSchema.getOrElse {
     // The DECLARED schema (catalog descriptor / write.schema bootstrap)
     // wins over first-file inference: after ALTER TABLE ADD COLUMN the
     // descriptor is wider than pre-evolution files, whose reads
@@ -425,6 +440,14 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       else new StructType()
     }
   }
+
+  override lazy val schema: StructType =
+    if (!readChanges) baseSchema
+    else StructType(baseSchema.fields ++ Seq(
+      StructField(GraftChangelogStream.ChangeTypeColumn, StringType,
+        nullable = false),
+      StructField(GraftChangelogStream.CommitSnapshotColumn, LongType,
+        nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -698,11 +721,18 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
 
   override def readSchema(): StructType = required
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!table.readChanges,
+      "graft-iceberg: read-changes is a STREAMING read option " +
+        "(spark.readStream); batch reads see table state, not changes")
+    this
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table.dir, required)
+    if (table.readChanges)
+      new GraftChangelogStream(table.dir, table.baseSchema)
+    else new GraftMicroBatchStream(table.dir, required)
 
   override def description(): String =
     s"GraftIcebergScan pushed=[${pushed.mkString(", ")}] " +
@@ -1061,7 +1091,7 @@ private[v2] object GraftPartitionReader {
   /** One parquet field of one Group as a plain JVM value (null when the
     * field is absent or unset) — the comparable form both sides of an
     * equality-delete match reduce to. */
-  private def prim(g: Group, name: String): Any = {
+  private[v2] def prim(g: Group, name: String): Any = {
     if (!g.getType.asGroupType().containsField(name)) return null
     if (g.getFieldRepetitionCount(name) == 0) return null
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -1077,7 +1107,7 @@ private[v2] object GraftPartitionReader {
   }
 
   /** Stream a delete file's rows projected to `cols` (present ones). */
-  private def readRows(path: String, cols: Seq[String])
+  private[v2] def readRows(path: String, cols: Seq[String])
       : Iterator[Group] = {
     val conf = new Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
