@@ -1430,6 +1430,48 @@ object Queries12 {
         .orderBy(col("mon"))
     },
 
+    // ---- CHANGELOG AS A SQL RELATION: `cat.db.t.changes` — the whole
+    // commit history replayed as change rows, queryable with plain SQL
+    // (Iceberg's changelog-table idiom). Two INSERT commits, a MERGE
+    // upsert (insert + key-only eq-delete rows), and a predicate DELETE
+    // (full-row deletes read back from position tombstones) each
+    // surface under their own `_commit_snapshot_id`; the query audits
+    // the history per (commit, change type) and the oracle reconstructs
+    // every group from the raw data. At 100 TB the relation plans one
+    // metadata diff per commit and reads only changed files.
+    "q219_sql_changelog" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q219wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cdc")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cdc.ord")
+      s.sql(s"CREATE TABLE $cat.cdc.ord (okey BIGINT, price BIGINT, mon BIGINT) " +
+        "USING `graft-iceberg`")
+      t(dir, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("okey"),
+          floor(col("o_totalprice")).cast("long").as("price"),
+          month(col("o_orderdate")).cast("long").as("mon"))
+        .createOrReplaceTempView("q219_src")
+      s.sql(s"INSERT INTO $cat.cdc.ord SELECT * FROM q219_src WHERE price < 200000")
+      s.sql(s"INSERT INTO $cat.cdc.ord SELECT * FROM q219_src WHERE price >= 200000")
+      val tblDir = new java.io.File(new java.io.File(wh, "cdc"), "ord")
+      graft.sources.LayoutMaintenance.commitUpsert(s, tblDir.getPath,
+        s.table("q219_src").filter(col("okey") % 25 === 0)
+          .select(col("okey"), (col("price") + 7L).as("price"), col("mon")),
+        keyCols = Seq("okey"))
+      graft.sources.LayoutMaintenance.commitDeleteWhere(s, tblDir.getPath,
+        col("mon") === 1L)
+      s.sql(s"""SELECT _commit_snapshot_id AS sid, _change_type AS op,
+        |  count(*) AS n_rows,
+        |  sum(coalesce(price, 0)) AS sum_price, sum(okey) AS sum_okey
+        |FROM $cat.cdc.ord.changes
+        |GROUP BY _commit_snapshot_id, _change_type
+        |ORDER BY sid, op""".stripMargin)
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1900,6 +1942,39 @@ object Queries12 {
         |  CAST(sum(b.qty) AS BIGINT) AS sum_qty
         |FROM a JOIN b ON a.grp = b.grp AND a.okey = b.okey
         |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
+
+    "q219_sql_changelog" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |upserted AS (
+        |  SELECT okey, price + 7 AS price, mon FROM src WHERE okey % 25 = 0),
+        |post AS (
+        |  SELECT okey,
+        |         CASE WHEN okey % 25 = 0 THEN price + 7 ELSE price END AS price,
+        |         mon
+        |  FROM src),
+        |groups AS (
+        |  SELECT 1 AS sid, 'insert' AS op, count(*) AS n_rows,
+        |    sum(price) AS sum_price, sum(okey) AS sum_okey
+        |  FROM src WHERE price < 200000
+        |  UNION ALL
+        |  SELECT 2, 'insert', count(*), sum(price), sum(okey)
+        |  FROM src WHERE price >= 200000
+        |  UNION ALL
+        |  SELECT 3, 'insert', count(*), sum(price), sum(okey) FROM upserted
+        |  UNION ALL
+        |  SELECT 3, 'delete', count(*), 0, sum(okey) FROM upserted
+        |  UNION ALL
+        |  SELECT 4, 'delete', count(*), sum(price), sum(okey)
+        |  FROM post WHERE mon = 1)
+        |SELECT CAST(sid AS BIGINT) AS sid, op,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_price AS BIGINT) AS sum_price,
+        |  CAST(sum_okey AS BIGINT) AS sum_okey
+        |FROM groups ORDER BY sid, op""".stripMargin,
 
     "q218_cdc_stream_fold" ->
       """WITH base AS (

@@ -401,9 +401,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 private[v2] object GraftMetaTable {
   /** Metadata-table kinds addressable as `cat.db.t.<kind>` (Iceberg's
-    * own metadata-table names). */
+    * own metadata-table names). `changes` is the CHANGELOG relation:
+    * batch = the whole history as change rows, streaming
+    * (`readStream.table("cat.db.t.changes")`) = the CDC tail. */
   val Kinds: Set[String] =
-    Set("snapshots", "files", "partitions", "refs", "history")
+    Set("snapshots", "files", "partitions", "refs", "history", "changes")
 }
 
 /** A table's metadata relation served as a read-only DSv2 table — the
@@ -417,6 +419,8 @@ private[v2] class GraftMetaTable(dir: String, kind: String)
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.read._
 
+  private def isChanges = kind == "changes"
+
   private def df = {
     val spark = org.apache.spark.sql.SparkSession.active
     kind match {
@@ -428,21 +432,32 @@ private[v2] class GraftMetaTable(dir: String, kind: String)
     }
   }
 
+  /** The parent table's data schema (the changelog relation's base). */
+  private lazy val parentSchema: StructType =
+    new GraftTable(dir, None, Nil).schema
+
   override def name(): String = s"graft_meta(`$dir`#$kind)"
 
-  override lazy val schema: StructType = df.schema
+  override lazy val schema: StructType =
+    if (isChanges) GraftChangelogStream.cdcSchema(parentSchema)
+    else df.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.Collections.singleton(TableCapability.BATCH_READ)
+    if (isChanges)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    else util.Collections.singleton(TableCapability.BATCH_READ)
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new LocalScan {
-        override def readSchema(): StructType = schema
-        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-          df.queryExecution.executedPlan.executeCollect()
-        override def description(): String = name()
-      }
+      override def build(): Scan =
+        if (isChanges) new GraftChangelogBatchScan(dir, parentSchema)
+        else new LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+          override def description(): String = name()
+        }
     }
 }

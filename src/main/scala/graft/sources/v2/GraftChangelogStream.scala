@@ -122,6 +122,45 @@ private[v2] class GraftChangelogStream(dir: String, baseSchema: StructType)
 private[v2] object GraftChangelogStream {
   val ChangeTypeColumn = "_change_type"
   val CommitSnapshotColumn = "_commit_snapshot_id"
+
+  def cdcSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      StructField(ChangeTypeColumn, StringType, nullable = false),
+      StructField(CommitSnapshotColumn, LongType, nullable = false)))
+}
+
+/** The WHOLE history as change rows, batch-shaped — what
+  * `SELECT * FROM cat.db.t.changes` serves: every commit from the first
+  * snapshot to the head contributes its change partitions (the same
+  * routing as the stream). One relation, ordered by
+  * `_commit_snapshot_id` if the consumer sorts; planning is one
+  * metadata diff per commit. */
+private[v2] class GraftChangelogBatchScan(dir: String,
+    baseSchema: StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.Batch
+
+  override def readSchema(): StructType =
+    GraftChangelogStream.cdcSchema(baseSchema)
+
+  override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = new GraftChangelogStream(dir, baseSchema)
+
+  override def description(): String =
+    s"GraftChangelogScan(`$dir`) full-history change rows"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stream = new GraftChangelogStream(dir, baseSchema)
+    val head = graft.sources.LayoutMaintenance
+      .currentSnapshot(SparkSession.active, dir).getOrElse(0L)
+    stream.planInputPartitions(GraftSnapOffset(0L), GraftSnapOffset(head))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangelogReaderFactory(baseSchema)
 }
 
 private[v2] case class ChangeInsertPartition(path: String, snapshotId: Long)

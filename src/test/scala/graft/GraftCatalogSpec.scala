@@ -368,6 +368,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
   }
 
+  test("changelog metadata table: SELECT * FROM cat.db.t.changes replays the history") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.cdc")
+    spark.sql("CREATE TABLE cattest.cdc.t (k BIGINT, v BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.cdc.t VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO cattest.cdc.t VALUES (3, 30)")
+    val dir = new java.io.File("target/tmp-catalog-wh/cdc/t")
+    import spark.implicits._
+    graft.sources.LayoutMaintenance.commitUpsert(spark, dir.getPath,
+      Seq((2L, 22L)).toDF("k", "v"), keyCols = Seq("k"))
+    val got = spark.sql(
+      "SELECT k, v, _change_type, _commit_snapshot_id FROM cattest.cdc.t.changes")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == Seq(
+      (1L, 10L, "insert", 1L), (2L, -1L, "delete", 3L),
+      (2L, 20L, "insert", 1L), (2L, 22L, "insert", 3L),
+      (3L, 30L, "insert", 2L)), s"changelog relation wrong: $got")
+    // SQL over the changelog: net row count per commit
+    val net = spark.sql("""SELECT _commit_snapshot_id AS sid,
+        sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS delta
+      FROM cattest.cdc.t.changes GROUP BY _commit_snapshot_id ORDER BY sid""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(net == Seq((1L, 2L), (2L, 1L), (3L, 0L)), net.toString)
+  }
+
   test("PARTITIONED BY (identity): writes cluster per value, manifests carry values, reads prune") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.part")
     spark.sql("CREATE TABLE cattest.part.ti (mon BIGINT, v BIGINT) " +
