@@ -77,7 +77,7 @@ object GraftIcebergSource {
     * (what decides which delete files apply to it). */
   private[v2] case class FileStat(path: String,
       bounds: Map[String, (Any, Any)], pvals: Map[String, Any],
-      records: Long, seq: Long = 0L)
+      records: Long, seq: Long = 0L, bytes: Long = 0L)
 
   /** One delete file's planning facts: content 1 = position deletes
     * (apply to data files with data.seq <= delete.seq), content 2 =
@@ -302,7 +302,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
         }.toMap
         GraftIcebergSource.FileStat(r.getAs[String]("file_path"), bounds,
           GraftIcebergSource.parsePartitionKey(r.getAs[String]("partitionKey")),
-          r.getAs[Long]("record_count"), r.getAs[Long]("sequence_number"))
+          r.getAs[Long]("record_count"), r.getAs[Long]("sequence_number"),
+          r.getAs[Long]("sizeBytes"))
       }
     val deletes = rows.toSeq
       .filter(_.getAs[Int]("content") != 0)
@@ -347,6 +348,34 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     }
 
   private[v2] def statFieldNames: Seq[String] = statFields.map(_.name)
+
+  /** Per-column NDV from the table's REGISTERED statistics files (the
+    * Puffin containers [[graft.sources.LayoutMaintenance.attachStatistics]]
+    * points the metadata at): every `graft-kmv-sketch-v1` blob yields a
+    * (schema position → distinct count) — plan-time KBs of I/O. What the
+    * q180/q181 write-side stats loop exists FOR: Spark's CBO reads these
+    * through [[GraftScan.estimateStatistics]]'s columnStats. */
+  private[v2] lazy val registeredNdv: Map[Int, Long] =
+    if (!hasMetadata) Map.empty
+    else try {
+      val spark = SparkSession.active
+      graft.sources.IcebergManifestSource.statisticsFiles(spark, dir)
+        .flatMap { case (_, path) =>
+          val f = new java.io.File(path)
+          if (!f.exists()) Nil
+          else graft.sources.PuffinIO.read(f)
+            .filter(b => b.blobType == "graft-kmv-sketch-v1" &&
+              b.fields.length == 1)
+            .map { b =>
+              val mins = graft.sources.PuffinIO.sketchLongs(b.data)
+              val k = b.properties.get("k").map(_.toInt).getOrElse(mins.size)
+              val ndv =
+                if (mins.size < k) mins.size.toLong
+                else (k - 1).toLong * 268435456L / mins(k - 1)
+              b.fields.head -> ndv
+            }
+        }.toMap
+    } catch { case _: Exception => Map.empty } // stats are advisory
 
   private[v2] def boundSnapshot: Option[Long] = snapshot
 
@@ -698,7 +727,46 @@ private[v2] case class GraftAggPartition(rows: Seq[Seq[Any]])
 
 private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportStatistics {
+
+  /** Manifest-derived, PRUNING-AWARE statistics: size and row count
+    * summed over the files that survive the pushed filters — what lets
+    * Catalyst pick a broadcast join for a small (or small-after-
+    * pruning) table with no hints. Oversized tables report unknown
+    * (the per-file plan doesn't exist); Spark falls back to defaults. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val known = !table.oversizedPlanning
+      private lazy val surv = survivors
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(surv.map(_.bytes).sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(surv.map(_.records).sum)
+        else java.util.OptionalLong.empty()
+      // column NDVs from registered Puffin sketches (schema-positional
+      // field ids) — the CBO consumption path of the q180 stats loop
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (known) table.registeredNdv.foreach { case (fieldId, ndv) =>
+          if (fieldId >= 1 && fieldId <= fullSchema.length)
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(fullSchema.fields(fieldId - 1).name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(ndv)
+              })
+        }
+        out
+      }
+    }
 
   /** Runtime (dynamic) filters delivered after planning — Spark's DPP:
     * a broadcast-join build side finishes, its join-key values arrive

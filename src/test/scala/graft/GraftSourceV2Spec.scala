@@ -614,6 +614,56 @@ class GraftSourceV2Spec extends AnyFunSuite {
         s"$expected of $total rows\n" + joined.queryExecution.executedPlan)
   }
 
+  test("manifest statistics feed the planner: small table broadcasts with no hint") {
+    // without SupportsReportStatistics a DSv2 table defaults to
+    // defaultSizeInBytes (effectively infinite) and this join would
+    // sort-merge; manifest-derived size (~100 KB) makes Catalyst pick
+    // a broadcast join unprompted
+    val big = spark.range(0, 2000000).withColumnRenamed("id", "price")
+    val j = big.join(dsv2.select("price", "flag"), "price")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"manifest stats did not drive a broadcast join:\n$plan")
+  }
+
+  test("registered Puffin NDV sketches surface as planner column statistics") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-colstats")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    (0L until 1000L).map(i => (i % 7, i)).toDF("k", "v")
+      .coalesce(1).write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v LONG").mode("append").save(t.getPath)
+    // KMV sketch over k (7 distinct values < 64 mins: exact NDV)
+    val k64 = 64
+    val minK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MinKDistinct.MinK(k64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val mins = spark.read.format("graft-iceberg").load(t.getPath)
+      .agg(minK(graft.operators.TextOps.portableHash28(
+        concat(lit("jk:"), col("k").cast("string"))))).as[Seq[Long]].head()
+    val pf = new java.io.File(new java.io.File(t, "metadata"), "stats.puffin")
+    graft.sources.PuffinIO.write(pf, Seq(graft.sources.PuffinIO.Blob(
+      "graft-kmv-sketch-v1", Seq(1), 1L, 1L,
+      Map("k" -> k64.toString), graft.sources.PuffinIO.sketchBytes(mins))))
+    graft.sources.LayoutMaintenance.attachStatistics(spark, t.getPath, 1L, pf,
+      Seq(("graft-kmv-sketch-v1", Seq(1), Map.empty[String, String])))
+    // the scan's reported stats carry the NDV: visible through the
+    // optimized plan's attribute statistics under CBO
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("graft-iceberg").load(t.getPath)
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong == 1000L),
+        s"row count not reported: ${stats.rowCount}")
+      val ndv = stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "k" => s.distinctCount
+      }.flatten
+      assert(ndv.exists(_.toLong == 7L),
+        s"column NDV not reported: ${stats.attributeStats}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("CDC streaming read: commits surface as insert/delete change rows") {
     import spark.implicits._
     val t = new java.io.File("target/tmp-dsv2-cdc")
