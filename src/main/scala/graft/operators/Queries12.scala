@@ -1472,6 +1472,39 @@ object Queries12 {
         |ORDER BY sid, op""".stripMargin)
     },
 
+    // ---- EPOCH-DETERMINISTIC TRAINING ORDER + batch assembly: the
+    // "what order do examples hit the trainer" operator. Each epoch's
+    // global shuffle is a PURE VALUE FUNCTION — order key = portable
+    // hash of (epoch, doc_id) — so any worker on any partitioning
+    // derives the identical order with zero coordination and zero
+    // stored shuffle files; running token offsets come from the
+    // bucketed rangeCumsum (no single-task global window), and a doc's
+    // batch is its starting offset div the token budget (offset-based
+    // sharding: batch boundaries are knowable without materializing
+    // batches). Two epochs computed in ONE frame prove the reshuffle:
+    // same docs, different deterministic orders. At 100 TB this is the
+    // data-loader's manifest: each trainer rank filters its own batch
+    // range off the same pure arithmetic.
+    "q220_epoch_training_order" -> { (s, dir) => implicit val sp = s
+      val budget = 4096L
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      val epochDf = { import s.implicits._; Seq(0L, 1L).toDF("epoch") }
+      val epochs = docs.crossJoin(broadcast(epochDf))
+        .withColumn("okey", TextOps.portableHash28(
+          concat(lit("ep"), col("epoch"), lit(":"), col("doc_id"))))
+      val ordered = StatOps.rangeCumsum(epochs, Seq("epoch"),
+        Seq("okey", "doc_id"), Seq("cum" -> col("tok")),
+        StatOps.octaveBucket16(col("okey")))
+        .withColumn("batch", ((col("cum") - col("tok")) / budget).cast("long"))
+      ordered.groupBy(col("epoch"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          min(col("okey")).as("first_key"))
+        .filter(col("batch") < 6)
+        .orderBy(col("epoch"), col("batch"))
+    },
+
     // ---- CAPSTONE: the training-corpus release AS a lakehouse table —
     // the q57/q80 curation discipline executed through the v2 write
     // path instead of a one-shot DataFrame. Raw docs (with their q187
@@ -1942,6 +1975,30 @@ object Queries12 {
         |  CAST(sum(b.qty) AS BIGINT) AS sum_qty
         |FROM a JOIN b ON a.grp = b.grp AND a.okey = b.okey
         |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
+
+    "q220_epoch_training_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT d.*, CAST(ep.epoch AS BIGINT) AS epoch
+        |  FROM d, (VALUES (0), (1)) AS ep(epoch)),
+        |k AS (
+        |  SELECT doc_id, tok, epoch,
+        |    CAST('0x' || substring(md5('ep' || CAST(epoch AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS okey
+        |  FROM e),
+        |c AS (
+        |  SELECT *, sum(tok) OVER (PARTITION BY epoch ORDER BY okey, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM k),
+        |b AS (SELECT *, (cum - tok) // 4096 AS batch FROM c)
+        |SELECT epoch, CAST(batch AS BIGINT) AS batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(min(okey) AS BIGINT) AS first_key
+        |FROM b WHERE batch < 6
+        |GROUP BY epoch, batch ORDER BY epoch, batch""".stripMargin,
 
     "q219_sql_changelog" ->
       """WITH src AS (
