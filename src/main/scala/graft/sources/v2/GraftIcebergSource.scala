@@ -747,22 +747,55 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
         if (known) java.util.OptionalLong.of(surv.map(_.records).sum)
         else java.util.OptionalLong.empty()
       // column NDVs from registered Puffin sketches (schema-positional
-      // field ids) — the CBO consumption path of the q180 stats loop
+      // field ids) plus min/max folded from the surviving files'
+      // manifest bounds — the CBO consumption path of the q180/q210
+      // stats loops
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        if (known) table.registeredNdv.foreach { case (fieldId, ndv) =>
-          if (fieldId >= 1 && fieldId <= fullSchema.length)
-            out.put(
-              org.apache.spark.sql.connector.expressions.Expressions
-                .column(fullSchema.fields(fieldId - 1).name),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def distinctCount(): java.util.OptionalLong =
-                  java.util.OptionalLong.of(ndv)
-              })
+        if (!known) return out
+        def cmp(a: Any, b: Any): Int = (a, b) match {
+          case (x: java.lang.Long, y: java.lang.Long) =>
+            java.lang.Long.compare(x, y)
+          case (x: Number, y: Number) =>
+            java.lang.Double.compare(x.doubleValue, y.doubleValue)
+          case _ => 0
+        }
+        def fold(name: String, lo: Boolean): Option[Any] = {
+          val sides = surv.map(_.bounds.get(name)
+            .map(b => if (lo) b._1 else b._2).orNull)
+          if (sides.isEmpty || sides.exists(_ == null)) None
+          else Some(sides.reduce((a, b) => if ((cmp(a, b) <= 0) == lo) a else b))
+        }
+        val ndvByName = table.registeredNdv.flatMap { case (id, ndv) =>
+          if (id >= 1 && id <= fullSchema.length)
+            Some(fullSchema.fields(id - 1).name -> ndv)
+          else None
+        }
+        val names = (ndvByName.keySet ++
+          table.statFieldNames.filter(n => fold(n, lo = true).isDefined)).toSeq
+        names.foreach { name =>
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndvByName.get(name)
+                  .map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                fold(name, lo = true) match {
+                  case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+                  case None => java.util.Optional.empty()
+                }
+              override def max(): java.util.Optional[Object] =
+                fold(name, lo = false) match {
+                  case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+                  case None => java.util.Optional.empty()
+                }
+            })
         }
         out
       }
