@@ -1,0 +1,484 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch 2: the training-data curation operators that were still
+  * missing from the family —
+  *
+  *  - span-level exact-substring dedup (the Lee et al. 2021
+  *    "Deduplicating Training Data Makes Language Models Better" shape:
+  *    duplicated SPANS, not duplicated documents, q221),
+  *  - Gopher-style repetition quality gates (Rae et al. 2021 §A1.1:
+  *    duplicate-word and top-bigram fractions, q222),
+  *  - hybrid lexical+dense retrieval fused with reciprocal-rank fusion
+  *    (Cormack et al. 2009, q223),
+  *  - perceptual-hash image dedup where the dHash runs over pixels that
+  *    made a REAL round trip through the PNG codec (q224),
+  *  - corpus audio statistics over samples that made a REAL round trip
+  *    through the PCM-16 WAV codec (q225),
+  *  - DSIR-flavored importance resampling (Xie et al. 2023, with a
+  *    rational ratio surrogate in place of the log-likelihood difference
+  *    so the score is cross-engine exact, q226).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, integer arithmetic everywhere an unordered sum exists, one
+  * final correctly-rounded double op (/, sqrt) for any ratio, full ORDER
+  * BY tie-breaks. The two codec queries (q224/q225) are the strongest
+  * gate the multimodal layer has: the Spark side derives its numbers
+  * from DECODED bytes (synthesize → encode → decode → measure), the
+  * DuckDB side from the synthesis formula alone — any codec defect
+  * breaks the hash match.
+  */
+object Queries13 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  // ---- q221 fixture: every 50th doc gets a "plagiarized" twin that
+  // copies its first 150 chars and appends a unique tail. The twin is
+  // NOT an exact duplicate (whole-doc dedup misses it); span dedup must
+  // find the copied leading windows. Shared by query and oracle shape.
+  private val SpanW = 50
+  private val SpanS = 25
+
+  private def spanCorpus(dir: String)(implicit s: SparkSession): DataFrame = {
+    val base = t(dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+    val plag = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+        concat(substring(col("text"), 1, 150), lit(" unique tail "),
+          col("doc_id").cast("string")).as("text"))
+    base.unionAll(plag)
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- span-level exact-substring dedup (Lee et al. 2021): fixed
+    // 50-char windows at stride 25 are the distributed stand-in for the
+    // suffix-array scan — every duplicated region >= W+S chars is
+    // guaranteed to contain at least one aligned window, so cross-doc
+    // copied REGIONS are caught even when neither document is a
+    // whole-doc duplicate (the fixture's plagiarized twins share only
+    // their first 150 chars). One shuffle on the span text (at 100 TB
+    // you'd key on a 128-bit span hash to shrink exchange width — same
+    // plan shape); the first occurrence in (doc_id, pos) order keeps
+    // the span, every later occurrence is duplicated text. Aggregated
+    // per source: how much of each slice of the corpus is copy.
+    "q221_span_dedup" -> { (s, dir) => implicit val sp = s
+      val corpus = spanCorpus(dir)
+        .withColumn("n", length(col("text")))
+        .filter(col("n") >= SpanW)
+      val spans = corpus.select(col("doc_id"), col("source"),
+          explode(expr(
+            s"transform(sequence(1, cast((n - $SpanW) div $SpanS as int) + 1), " +
+              s"i -> struct((i - 1) * $SpanS + 1 AS pos, " +
+              s"substring(text, (i - 1) * $SpanS + 1, $SpanW) AS span))")).as("sp"))
+        .select(col("doc_id"), col("source"),
+          col("sp.pos").as("pos"), col("sp.span").as("span"))
+      val w = Window.partitionBy(col("span"))
+        .orderBy(col("doc_id"), col("pos"))
+      spans.withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+          countDistinct(when(col("rn") > 1, col("doc_id"))).as("n_dup_docs"))
+        .orderBy(col("source"))
+    },
+
+    // ---- Gopher-style repetition quality gate (Rae et al. 2021 §A1.1,
+    // adapted to newline-free docs): per doc the duplicate-word fraction
+    // (1 - distinct/total) and the top-bigram fraction, both as exact
+    // basis points (integer div — no cross-engine float). distinct-word
+    // count is ROW-LOCAL (array_distinct — no shuffle); the top bigram
+    // needs one (doc, bigram) count + per-doc max, the only shuffle, and
+    // it is map-side combined. A doc fails the gate when either fraction
+    // breaches its threshold — the Gopher numbers are 20%+ for top
+    // 2-grams; this low-entropy synthetic corpus sits far above real
+    // text, so thresholds are calibrated to split it meaningfully.
+    "q222_repetition_filter" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .withColumn("nw", size(col("toks")).cast("long"))
+        .filter(col("nw") >= 2)
+        .withColumn("ndw", size(array_distinct(col("toks"))).cast("long"))
+      val bigrams = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, cast(nw as int) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("topbg"))
+      docs.join(bigrams, "doc_id")
+        .withColumn("dupw_bp", expr("(10000 * (nw - ndw)) div nw"))
+        .withColumn("topbg_bp", expr("(10000 * topbg) div (nw - 1)"))
+        .withColumn("flagged",
+          col("dupw_bp") > 8500L || col("topbg_bp") > 700L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          max(col("dupw_bp")).as("max_dupw_bp"),
+          max(col("topbg_bp")).as("max_topbg_bp"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- hybrid retrieval with reciprocal-rank fusion (RRF, k=60):
+    // a lexical ranker (summed term frequency over the query doc's
+    // DISTINCT terms — integer, so the rank is cross-engine exact) and
+    // a dense ranker (full-precision cosine over the embedding vectors;
+    // float32→double casts are exact and the dot is a left-to-right
+    // fold, the q29 discipline) are fused per query doc:
+    // rrf = 1/(60+r_lex) + 1/(60+r_dense), a fixed two-term double sum.
+    // Ranks are row_numbers with doc_id tie-breaks. At 100 TB each
+    // ranker would top-k prune before the fusion join (rank windows per
+    // query over candidates, not the corpus); the fusion itself stays
+    // rank-sized. Missing from a ranker's candidate list contributes 0.
+    "q223_rrf_hybrid" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val queries = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          array_distinct(col("toks")).as("qterms"))
+      // lexical: explode corpus terms, count tf per (doc, term), join
+      // the query term sets (broadcast — queries are few)
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val lex = tf.join(broadcast(queries.select(col("qid"),
+            explode(col("qterms")).as("term"))), "term")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("tf")).as("score_lex"))
+        .withColumn("r_lex", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score_lex").desc, col("doc_id"))).cast("long"))
+      // dense: exact double cosine, q29 discipline
+      val e = t(dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.DoubleArrayDot.doubleDot(col("v"), col("v"))))
+      val qe = e.join(broadcast(queries.select(col("qid"))),
+          col("vec_id") === col("qid"))
+        .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val dense = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          graft.functions.DoubleArrayDot.doubleDot(col("v"), col("qv"))
+            / (col("nrm") * col("qn")))
+        .select(col("qid"), col("vec_id").as("doc_id"), col("cos"))
+        .withColumn("r_dense", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      lex.select(col("qid"), col("doc_id"), col("r_lex"))
+        .join(dense.select(col("qid"), col("doc_id"), col("r_dense")),
+          Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          col("r_lex"), col("r_dense"), round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // ---- perceptual-hash image dedup THROUGH the real PNG codec: each
+    // selected doc synthesizes a deterministic 9x8 grayscale-in-RGB
+    // image, encodes it to a REAL PNG (zlib + filters + CRCs), decodes
+    // it back, and computes a 63-bit dHash plus a pixel checksum from
+    // the DECODED bytes. Docs in the same doc_id/7 family share the
+    // base pattern with a per-doc +c brightness offset — a brightness
+    // shift flips no adjacent-pixel comparison, so dHash groups them
+    // (the point of a perceptual hash; exact byte dedup would not).
+    // The oracle recomputes both numbers from the synthesis formula —
+    // the query matches ONLY if the PNG round trip is pixel-exact.
+    // Per-row projection (no shuffle until the dhash groupBy); at
+    // 100 TB the decode batches partition-wise like all multimodal ops.
+    "q224_dhash_image_dedup" -> { (s, dir) => implicit val sp = s
+      val dh = udf { (docId: Long) =>
+        val base = docId / 7; val c = (docId % 7).toInt
+        val w = 9; val h = 8
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (((base * 1009L + x * 97L + y * 31L) % 239L) + c).toInt
+            val i = (y * w + x) * 3
+            rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        import graft.multimodal.RealCodec
+        val png = RealCodec.encodePng(RealCodec.Image(w, h, rgb))
+        val img = RealCodec.decodePng(png)
+        require(img.width == w && img.height == h, "png roundtrip shape")
+        def g(x: Int, yy: Int): Int = img.rgb((yy * w + x) * 3) & 0xFF
+        var dhash = 0L; var b = 0
+        while (b < 63) {
+          if (g(b % 8 + 1, b / 8) > g(b % 8, b / 8)) dhash |= 1L << b
+          b += 1
+        }
+        var ps = 0L; var i = 0
+        while (i < w * h) { ps += (img.rgb(i * 3) & 0xFF); i += 1 }
+        (dhash, ps)
+      }
+      t(dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), dh(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("r._1").as("dhash"), col("r._2").as("pixsum"))
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("rep_doc"),
+          sum(col("pixsum")).as("total_pixsum"))
+        .orderBy(col("rep_doc"))
+    },
+
+    // ---- corpus audio statistics THROUGH the real WAV codec: each
+    // selected doc synthesizes a deterministic PCM-16 waveform (length
+    // keyed to n_chars), encodes a REAL RIFF/WAVE file, decodes it
+    // back, and measures energy / peak / zero crossings from the
+    // DECODED samples — all integer, so sums are partitioning-proof.
+    // The oracle recomputes from the sample formula: a single flipped
+    // bit anywhere in the 44-byte header walk or the sample
+    // (de)serialization breaks the match. Per-row projection + one
+    // map-side-combined groupBy.
+    "q225_audio_stats" -> { (s, dir) => implicit val sp = s
+      val au = udf { (docId: Long, nChars: Long) =>
+        val n = (64 + nChars % 128).toInt
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) =
+            (((docId + 1) * (i + 1) * 2654435761L) % 65536L - 32768L).toShort
+          i += 1
+        }
+        import graft.multimodal.RealCodec
+        val wav = RealCodec.encodeWav(RealCodec.Wav(1, 16000, samples))
+        val dec = RealCodec.decodeWav(wav)
+        require(dec.samples.length == n && dec.sampleRate == 16000, "wav roundtrip")
+        var sumAbs = 0L; var maxAbs = 0L; var zc = 0L
+        i = 0
+        while (i < n) {
+          val v = dec.samples(i).toLong
+          val a = math.abs(v)
+          sumAbs += a; if (a > maxAbs) maxAbs = a
+          if (i > 0 && ((v >= 0) != (dec.samples(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        (n.toLong, sumAbs, maxAbs, zc)
+      }
+      t(dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("source"), au(col("doc_id"), col("n_chars")).as("r"))
+        .groupBy(col("source"))
+        .agg(sum(col("r._1")).as("total_samples"),
+          sum(col("r._2")).as("total_abs"),
+          max(col("r._3")).as("max_amp"),
+          sum(col("r._4")).as("total_zc"))
+        .orderBy(col("source"))
+    },
+
+    // ---- DSIR-flavored importance resampling (Xie et al. 2023): score
+    // every doc by how target-like its hashed unigram profile is, keep
+    // the top 100. Features are 256 hashed buckets (portable md5-prefix
+    // hash); the target model is lang='en'. The published method scores
+    // log p_target(x) - log p_raw(x); here the surrogate is the exact
+    // rational Σ(c_t[b(w)]+1) / Σ(c_r[b(w)]+1) — same ordering intent,
+    // but both sums are int64 so the one double division (correctly
+    // rounded, identical operands) makes the ranking cross-engine
+    // exact. Bucket tables are 256 rows → broadcast; scoring is
+    // map-side; the global top-100 is orderBy+limit, which Spark plans
+    // as TakeOrderedAndProject — per-partition top-k then a k-sized
+    // merge, bounded state at any corpus size (a global row_number
+    // window here would be the single-task anti-pattern PlanScan
+    // rejects).
+    "q226_dsir_select" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+      val words = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", TextOps.portableHash28(col("w")) % 256)
+      val ct = words.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+      val cr = words.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+      val scored = words
+        .join(broadcast(ct), Seq("b"), "left")
+        .join(broadcast(cr), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(sum(coalesce(col("c_t"), lit(0L)) + 1L).as("num"),
+          sum(coalesce(col("c_r"), lit(0L)) + 1L).as("den"))
+        .withColumn("ratio", col("num").cast("double") / col("den").cast("double"))
+      scored
+        .orderBy(col("ratio").desc, col("doc_id")).limit(100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"),
+          round(min(col("ratio")), 6).as("min_sel_ratio"))
+        .orderBy(col("lang"))
+    })
+
+  def oracles: Map[String, String] = Map(
+
+    "q221_span_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+         |plag AS (
+         |  SELECT doc_id + 100000 AS doc_id, source,
+         |    substring(text, 1, 150) || ' unique tail ' ||
+         |      CAST(doc_id AS VARCHAR) AS text
+         |  FROM base WHERE doc_id % 50 = 0),
+         |corpus AS (
+         |  SELECT doc_id, source, text, length(text) AS n FROM base
+         |  UNION ALL
+         |  SELECT doc_id, source, text, length(text) AS n FROM plag),
+         |c AS (SELECT * FROM corpus WHERE n >= $SpanW),
+         |sp AS (
+         |  SELECT doc_id, source, (i - 1) * $SpanS + 1 AS pos,
+         |    substring(text, (i - 1) * $SpanS + 1, $SpanW) AS span
+         |  FROM c, unnest(generate_series(1, ((n - $SpanW) // $SpanS) + 1)) AS u(i)),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |  FROM sp)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  CAST(count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT)
+         |    AS n_dup_docs
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q222_repetition_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndw
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topbg FROM bc GROUP BY 1),
+        |m AS (
+        |  SELECT d.doc_id, lang,
+        |    (10000 * (nw - ndw)) // nw AS dupw_bp,
+        |    (10000 * topbg) // (nw - 1) AS topbg_bp
+        |  FROM d JOIN tb ON d.doc_id = tb.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dupw_bp > 8500 OR topbg_bp > 700
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(max(dupw_bp) AS BIGINT) AS max_dupw_bp,
+        |  CAST(max(topbg_bp) AS BIGINT) AS max_topbg_bp
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q223_rrf_hybrid" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (SELECT doc_id AS qid, list_distinct(toks) AS qterms
+        |      FROM d WHERE doc_id % 100 = 0),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+        |qt AS (SELECT qid, unnest(qterms) AS term FROM q),
+        |lex AS (
+        |  SELECT qid, doc_id, sum(tf) AS score_lex
+        |  FROM tf JOIN qt USING (term) WHERE doc_id <> qid GROUP BY 1, 2),
+        |lexr AS (
+        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY score_lex DESC, doc_id) AS BIGINT) AS r_lex
+        |  FROM lex),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |qe AS (SELECT q.qid, n.v AS qv, n.nrm AS qn
+        |       FROM q JOIN n ON n.vec_id = q.qid),
+        |cosv AS (
+        |  SELECT qe.qid, n.vec_id AS doc_id,
+        |    list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * qe.qv[i])) / (n.nrm * qe.qn) AS cos
+        |  FROM n CROSS JOIN qe WHERE n.vec_id <> qe.qid),
+        |denser AS (
+        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense
+        |  FROM cosv),
+        |fused AS (
+        |  SELECT coalesce(lexr.qid, denser.qid) AS qid,
+        |    coalesce(lexr.doc_id, denser.doc_id) AS doc_id,
+        |    lexr.r_lex, denser.r_dense,
+        |    coalesce(1.0 / (60.0 + lexr.r_lex), 0.0)
+        |      + coalesce(1.0 / (60.0 + denser.r_dense), 0.0) AS rrf
+        |  FROM lexr FULL OUTER JOIN denser
+        |    ON lexr.qid = denser.qid AND lexr.doc_id = denser.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, r_lex, r_dense, rrf,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused)
+        |SELECT qid, rank, doc_id, r_lex, r_dense, round(rrf, 6) AS rrf
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q224_dhash_image_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 62), b ->
+        |      CASE WHEN ((doc_id // 7 * 1009 + ((b % 8) + 1) * 97 + (b // 8) * 31) % 239)
+        |              > ((doc_id // 7 * 1009 + (b % 8) * 97 + (b // 8) * 31) % 239)
+        |           THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS dhash,
+        |    CAST(list_sum(list_transform(generate_series(0, 71), cc ->
+        |      ((doc_id // 7 * 1009 + (cc % 9) * 97 + (cc // 9) * 31) % 239)
+        |        + doc_id % 7)) AS BIGINT) AS pixsum
+        |  FROM ids)
+        |SELECT dhash, CAST(count(*) AS BIGINT) AS n_imgs,
+        |  CAST(min(doc_id) AS BIGINT) AS rep_doc,
+        |  CAST(sum(pixsum) AS BIGINT) AS total_pixsum
+        |FROM px GROUP BY dhash ORDER BY rep_doc""".stripMargin,
+
+    "q225_audio_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, 64 + n_chars % 128 AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (
+        |  SELECT doc_id, source, n,
+        |    list_transform(generate_series(1, n),
+        |      i -> ((doc_id + 1) * i * 2654435761) % 65536 - 32768) AS l
+        |  FROM d),
+        |m AS (
+        |  SELECT source, n,
+        |    CAST(list_sum(list_transform(l, v -> abs(v))) AS BIGINT) AS sumabs,
+        |    CAST(list_max(list_transform(l, v -> abs(v))) AS BIGINT) AS maxabs,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(2, n),
+        |      i -> CASE WHEN (l[i] >= 0) != (l[i - 1] >= 0)
+        |           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zc
+        |  FROM s)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS total_samples,
+        |  CAST(sum(sumabs) AS BIGINT) AS total_abs,
+        |  CAST(max(maxabs) AS BIGINT) AS max_amp,
+        |  CAST(sum(zc) AS BIGINT) AS total_zc
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q226_dsir_select" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |wb AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST('0x' || substring(md5(w), 1, 7) AS BIGINT) % 256 AS b
+        |  FROM w),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM wb
+        |       WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM wb GROUP BY b),
+        |scored AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(sum(coalesce(c_t, 0) + 1) AS BIGINT) AS num,
+        |    CAST(sum(coalesce(c_r, 0) + 1) AS BIGINT) AS den
+        |  FROM wb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+        |  GROUP BY 1, 2, 3),
+        |sel AS (
+        |  SELECT lang, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ratio
+        |  FROM scored
+        |  ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC, doc_id
+        |  LIMIT 100)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
+        |  round(min(ratio), 6) AS min_sel_ratio
+        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin)
+}

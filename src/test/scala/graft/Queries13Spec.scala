@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Queries13
+
+/** Behavioral tests for the round-9 batch-2 curation operators —
+  * algorithm invariants on top of the oracle gate's value parity: the
+  * span dedup must actually catch the plagiarized fixture twins, RRF
+  * must be the exact two-term fusion of the component ranks, the
+  * perceptual hash must be brightness-invariant (the property that makes
+  * it perceptual), the audio stats must equal a codec-free recomputation
+  * (so the WAV round trip is pixel... sample-exact), and DSIR selection
+  * must enrich the target domain above its base rate. */
+class Queries13Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("span dedup: every plagiarized twin is caught via its copied prefix") {
+    import spark.implicits._
+    val out = Queries13.all("q221_span_dedup")(spark, dir)
+      .select("source", "n_dup_spans", "n_dup_docs")
+      .as[(String, Long, Long)].collect().map { case (s, a, b) => (s, (a, b)) }.toMap
+    // fixture: doc_id % 50 == 0 docs get a twin copying chars 1..150.
+    // Each twin with a copied region >= SpanW chars shares its aligned
+    // prefix windows with the original, so its source must report dup
+    // spans and at least one dup doc.
+    val plagSources = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) >= 50)
+      .select("source").as[String].collect().toSet
+    assert(plagSources.nonEmpty)
+    plagSources.foreach { src =>
+      val (dupSpans, dupDocs) = out(src)
+      assert(dupSpans >= 1L, s"source $src: twin's copied prefix not found")
+      assert(dupDocs >= 1L, s"source $src: no doc marked duplicated")
+    }
+  }
+
+  test("RRF: fused score is exactly 1/(60+r_lex) + 1/(60+r_dense)") {
+    import spark.implicits._
+    val rows = Queries13.all("q223_rrf_hybrid")(spark, dir)
+      .select("qid", "rank", "r_lex", "r_dense", "rrf")
+      .as[(Long, Long, Option[Long], Option[Long], Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rl, rd, rrf) =>
+      val expect = rl.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6)
+      assert(rl.nonEmpty || rd.nonEmpty, "a fused row must come from some ranker")
+    }
+    // within a query, rrf is non-increasing down the rank order
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._5)
+      byRank.zip(byRank.tail).foreach { case (hi, lo) => assert(hi >= lo - 1e-9) }
+    }
+  }
+
+  test("perceptual dhash: brightness-shifted family members collide") {
+    import spark.implicits._
+    val out = Queries13.all("q224_dhash_image_dedup")(spark, dir)
+      .select("dhash", "n_imgs", "rep_doc")
+      .as[(Long, Long, Long)].collect()
+    val nImages = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(out.map(_._2).sum == nImages, "every image lands in exactly one cluster")
+    // docs 0 and 5 are the same doc_id/7 family (base 0) with different
+    // +c brightness; a perceptual hash MUST group them
+    val cluster0 = out.find(_._3 == 0L).get
+    assert(cluster0._2 >= 2L, "brightness-shifted near-duplicates must share a dhash")
+  }
+
+  test("audio stats equal a codec-free recomputation (WAV roundtrip exact)") {
+    import spark.implicits._
+    val got = Queries13.all("q225_audio_stats")(spark, dir)
+      .select("source", "total_samples", "total_abs", "max_amp", "total_zc")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // recompute from the synthesis formula, never touching the codec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select("source", "doc_id", "n_chars").as[(String, Long, Long)].collect()
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      var (tn, ta, ma, tz) = (0L, 0L, 0L, 0L)
+      ds.foreach { case (_, docId, nChars) =>
+        val n = (64 + nChars % 128).toInt
+        val s = (1 to n).map(i =>
+          (((docId + 1) * i * 2654435761L) % 65536L - 32768L).toShort)
+        tn += n
+        ta += s.map(v => math.abs(v.toLong)).sum
+        ma = math.max(ma, s.map(v => math.abs(v.toLong)).max)
+        tz += s.zip(s.tail).count { case (a, b) => (b >= 0) != (a >= 0) }
+      }
+      (src, tn, ta, ma, tz)
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("DSIR selection enriches the target domain above its base rate") {
+    import spark.implicits._
+    val sel = Queries13.all("q226_dsir_select")(spark, dir)
+      .select("lang", "n_selected").as[(String, Long)].collect().toMap
+    val total = sel.values.sum
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val baseRate = base("en").toDouble / base.values.sum
+    val selRate = sel.getOrElse("en", 0L).toDouble / total
+    assert(total == 100L)
+    assert(selRate > baseRate,
+      s"importance resampling must shift toward the target: $selRate vs $baseRate")
+  }
+
+  test("repetition gate: flagged count consistent and thresholds live") {
+    import spark.implicits._
+    val rows = Queries13.all("q222_repetition_filter")(spark, dir)
+      .select("lang", "n_docs", "n_flagged", "max_dupw_bp", "max_topbg_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, f, maxDup, maxTop) =>
+      assert(f <= n)
+      assert(maxDup <= 10000L && maxTop <= 10000L)
+      // if anything is flagged, some max must exceed its threshold
+      if (f > 0) assert(maxDup > 8500L || maxTop > 700L)
+    }
+    assert(rows.map(_._3).sum > 0, "the gate must flag something on this corpus")
+  }
+}
