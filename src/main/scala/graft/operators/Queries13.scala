@@ -309,6 +309,61 @@ object Queries13 {
         .agg(count(lit(1)).as("n_selected"),
           round(min(col("ratio")), 6).as("min_sel_ratio"))
         .orderBy(col("lang"))
+    },
+
+    // ---- mixed-format lakehouse table: Iceberg data files may be
+    // PARQUET, ORC, or AVRO per manifest entry (`file_format`); this
+    // table carries one parquet commit, one ORC commit (real
+    // `.orc` files, format recorded in the manifest and dispatched by
+    // the reader), and one equality-delete commit whose key tombstones
+    // apply to BOTH formats (eq deletes are key-matched, so they need
+    // no row ordinals — position deletes, which do, are refused against
+    // ORC files by a metadata-sized guard). The read back resolves the
+    // delete keys from the manifests' spec `equality_ids`. The oracle
+    // recomputes from the raw parquet sources — the match proves the
+    // ORC write/read round trip and the cross-format MOR application.
+    "q227_orc_mixed_format" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val li = t(dir, "lineitem").select(col("l_orderkey").as("k"),
+        col("l_partkey").as("pk"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val tbl = TmpFixture.dir("q227", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val pf = new java.io.File(dataDir, "slice-a.parquet")
+      val nP = IcebergLayoutWriter.writeSingleParquet(
+        li.filter(col("k") % 4 === 1).sort(col("k"), col("pk"), col("qty")), pf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
+        status = 1, content = 0, filePath = pf.getAbsolutePath,
+        recordCount = nP, sizeBytes = pf.length(), sequenceNumber = 1L)))
+      val of = new java.io.File(dataDir, "slice-b.orc")
+      val nO = IcebergLayoutWriter.writeSingleOrc(
+        li.filter(col("k") % 4 === 2).sort(col("k"), col("pk"), col("qty")), of)
+      require(nO > 0, "ORC slice must be non-empty")
+      LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
+        status = 1, content = 0, filePath = of.getAbsolutePath,
+        recordCount = nO, sizeBytes = of.length(), fileFormat = "ORC")))
+      // the manifest must RECORD the format — the reader dispatches on it
+      val formats = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .filter(col("content") === 0)
+        .select(col("file_format")).distinct().collect().map(_.getString(0)).toSet
+      require(formats == Set("PARQUET", "ORC"),
+        s"mixed-format manifest broke: $formats")
+      // key tombstones spanning both formats (one change row per key, all D)
+      val dels = li.filter((col("k") % 4 === 1 || col("k") % 4 === 2)
+          && col("k") % 7 === 3)
+        .groupBy(col("k")).agg(min(col("pk")).as("pk"), min(col("qty")).as("qty"))
+        .withColumn("op", lit("D"))
+      val (snap, _, nDel) = LayoutMaintenance.commitMerge(
+        s, tbl.getPath, dels, Seq("k"), "op")
+      require(snap == 3L && nDel > 0, s"delete commit broke: $snap del=$nDel")
+      // eq keys resolved from the manifests' spec equality_ids
+      MorRead.readTable(s, tbl.getPath)
+        .groupBy((col("pk") % 10).as("band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("band"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -480,5 +535,15 @@ object Queries13 {
         |  LIMIT 100)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
         |  round(min(ratio), 6) AS min_sel_ratio
-        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q227_orc_mixed_format" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS k, l_partkey AS pk,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 4 IN (1, 2)),
+        |live AS (SELECT * FROM src WHERE k % 7 <> 3)
+        |SELECT pk % 10 AS band, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)
 }

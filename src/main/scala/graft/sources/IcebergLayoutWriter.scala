@@ -36,7 +36,8 @@ object IcebergLayoutWriter {
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
       specId: Int = 0, manifestGroup: Int = 0,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      fileFormat: String = "PARQUET")
 
   // ---- Iceberg single-value serialization (spec Appendix D) ----
   def boundInt(v: Int): Array[Byte] =
@@ -131,6 +132,27 @@ object IcebergLayoutWriter {
     try r.getRecordCount finally r.close()
   }
 
+  /** [[writeSingleParquet]]'s ORC twin — one deterministic ORC data file
+    * at `dest`, row count straight from the ORC tail (no Spark job).
+    * Iceberg data files may be PARQUET, ORC, or AVRO per entry
+    * (`file_format`); this is the second format the layout supports. */
+  def writeSingleOrc(df: org.apache.spark.sql.DataFrame,
+      dest: java.io.File): Long = {
+    val tmp = new java.io.File(dest.getParentFile, dest.getName + ".tmp")
+    df.coalesce(1).write.mode("overwrite").orc(tmp.getPath)
+    val part = tmp.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".orc"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    val r = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(dest.getAbsolutePath),
+      org.apache.orc.OrcFile.readerOptions(
+        df.sparkSession.sparkContext.hadoopConfiguration))
+    try r.getNumberOfRows finally r.close()
+  }
+
   private def writeAvro(file: java.io.File, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -149,7 +171,7 @@ object IcebergLayoutWriter {
       val df = new GenericData.Record(dfSchema)
       df.put("content", e.content)
       df.put("file_path", e.filePath)
-      df.put("file_format", "PARQUET")
+      df.put("file_format", e.fileFormat)
       df.put("partition", p)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.sizeBytes)

@@ -531,7 +531,7 @@ object IcebergManifestSource {
           fieldSpec.flatMap { case (id, _, dt) =>
             Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
               s.upper.get(id).map(decodeBound(_, dt)).orNull)
-          } :+ s.equalityIds)
+          } ++ Seq(s.equalityIds, s.fileFormat))
       }
     }
     spark.createDataFrame(rows, statsSchema(fields))
@@ -545,13 +545,15 @@ object IcebergManifestSource {
         StructField("sequence_number", LongType)) ++
         fields.flatMap { case (_, nm, dt) =>
           Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
-        } :+ StructField("equality_ids", ArrayType(IntegerType)))
+        } ++ Seq(StructField("equality_ids", ArrayType(IntegerType)),
+          StructField("file_format", StringType)))
 
   private[sources] case class ManifestStats(filePath: String, content: Int,
       partitionKey: String, sizeBytes: Long, recordCount: Long,
       sequenceNumber: Long,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      fileFormat: String = "PARQUET")
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
@@ -608,7 +610,11 @@ object IcebergManifestSource {
                   case other => other.toString.toInt
                 }
             case _ => Nil
-          })
+          },
+        fileFormat =
+          if (df.getSchema.getField("file_format") == null) "PARQUET"
+          else Option(df.get("file_format")).map(_.toString)
+            .getOrElse("PARQUET"))
     }
   }
 

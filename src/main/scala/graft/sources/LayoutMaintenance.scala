@@ -601,7 +601,8 @@ object LayoutMaintenance {
               recordCount = s.recordCount, sizeBytes = s.sizeBytes,
               sequenceNumber = s.sequenceNumber,
               lower = s.lower, upper = s.upper,
-              equalityIds = s.equalityIds)
+              equalityIds = s.equalityIds,
+              fileFormat = s.fileFormat)
           }
         out.toSeq
     }

@@ -109,13 +109,15 @@ object MorRead {
       regexp_replace(c, "^file:/+", "/")
     val entries = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", Nil)
-      .select(col("file_path"), col("content"), col("sequence_number"))
+      .select(col("file_path"), col("content"), col("sequence_number"),
+        col("file_format"))
       .collect() // metadata-sized: one row per FILE
-      .map(r => (norm(r.getString(0)), r.getInt(1), r.getLong(2)))
+      .map(r => (norm(r.getString(0)), r.getInt(1), r.getLong(2), r.getString(3)))
     val dataFiles = entries.filter(_._2 == 0)
     if (dataFiles.isEmpty) return spark.emptyDataFrame
     val posFiles = entries.filter(_._2 == 1)
     val eqFiles = entries.filter(_._2 == 2)
+    val orcPaths = dataFiles.filter(_._4 == "ORC").map(_._1).toSet
     // eq keys from METADATA when the caller names none (spec
     // `equality_ids` resolved against the data schema); legacy layouts
     // without ids keep the out-of-band contract: empty keys skip eq
@@ -124,21 +126,59 @@ object MorRead {
       if (eqKeys.nonEmpty || eqFiles.isEmpty) eqKeys
       else metadataEqKeys(spark, tableDir)
 
-    def withSeq(paths: Array[(String, Int, Long)], seqName: String): DataFrame = {
-      val seqDf = paths.map { case (p, _, s) => (p, s) }.toSeq.toDF("__fp", seqName)
-      spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
-        .withColumn("__own", normCol(col("_metadata.file_path")))
+    def withSeq(paths: Array[(String, Int, Long, String)], seqName: String,
+        orc: Boolean = false): DataFrame = {
+      val seqDf = paths.map { case (p, _, s, _) => (p, s) }.toSeq.toDF("__fp", seqName)
+      val raw =
+        if (orc) spark.read.orc(paths.map(_._1).toIndexedSeq: _*)
+        else spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
+      raw.withColumn("__own", normCol(col("_metadata.file_path")))
         .join(broadcast(seqDf), col("__own") === col("__fp"))
         .drop("__own", "__fp")
     }
 
-    val data = withSeq(dataFiles, "data_seq")
-      .withColumn("file_path", normCol(col("_metadata.file_path")))
-      .withColumn("pos", col("_metadata.row_index"))
+    // Mixed-format data: parquet files carry their row ordinal
+    // (`_metadata.row_index` — the spec's `pos`); ORC files have no
+    // row-index metadata column in this Spark, so their rows read with a
+    // NULL pos. That is sound ONLY while no position tombstone targets an
+    // ORC file (a null pos never equi-matches a tombstone), which the
+    // guard below enforces from the tombstones' own contents — equality
+    // deletes are key-matched and apply to both formats unchanged.
+    val (orcData, parqData) = dataFiles.partition(e => orcPaths.contains(e._1))
+    val parq =
+      if (parqData.isEmpty) None
+      else Some(withSeq(parqData, "data_seq")
+        .withColumn("file_path", normCol(col("_metadata.file_path")))
+        .withColumn("pos", col("_metadata.row_index")))
+    val orc =
+      if (orcData.isEmpty) None
+      else Some(withSeq(orcData, "data_seq", orc = true)
+        .withColumn("file_path", normCol(col("_metadata.file_path")))
+        .withColumn("pos", lit(null).cast("long")))
+    val data = (parq, orc) match {
+      case (Some(p), Some(o)) => p.unionByName(o)
+      case (Some(p), None) => p
+      case (None, Some(o)) => o
+      case (None, None) => return spark.emptyDataFrame
+    }
     val afterPos =
       if (posFiles.isEmpty) data
-      else applyPosDeletes(data, withSeq(posFiles, "seq")
-        .select(normCol(col("file_path")).as("file_path"), col("pos"), col("seq")))
+      else {
+        val tomb = withSeq(posFiles, "seq")
+          .select(normCol(col("file_path")).as("file_path"), col("pos"), col("seq"))
+        if (orcData.nonEmpty) {
+          // file-count-sized distinct, not row-sized
+          val targeted = tomb.select(col("file_path")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val hit = targeted.intersect(orcPaths)
+          require(hit.isEmpty,
+            s"readTable($tableDir): position tombstones target ORC data " +
+              s"files ${hit.take(3).mkString(", ")} — ORC rows carry no " +
+              "row ordinal, so position deletes cannot apply; rewrite the " +
+              "file to parquet or use equality deletes")
+        }
+        applyPosDeletes(data, tomb)
+      }
     if (eqFiles.isEmpty || resolvedEqKeys.isEmpty) afterPos
     else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), resolvedEqKeys)
   }

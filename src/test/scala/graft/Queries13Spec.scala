@@ -109,6 +109,49 @@ class Queries13Spec extends AnyFunSuite {
       s"importance resampling must shift toward the target: $selRate vs $baseRate")
   }
 
+  test("MOR refuses position tombstones that target ORC data files") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IcebergLayoutWriter, MorRead}
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val s = spark
+    import s.implicits._
+    val tbl = new java.io.File(sys.props("java.io.tmpdir"), "graft-orcguard")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    val of = new java.io.File(dataDir, "d.orc")
+    val n = IcebergLayoutWriter.writeSingleOrc(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), of)
+    assert(n == 2L)
+    val pd = new java.io.File(dataDir, "pd.parquet")
+    IcebergLayoutWriter.writeSingleParquet(
+      Seq((of.getAbsolutePath, 0L)).toDF("file_path", "pos"), pd)
+    IcebergLayoutWriter.writeTable(tbl, Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = of.getAbsolutePath,
+        recordCount = n, sizeBytes = of.length(), sequenceNumber = 1L,
+        fileFormat = "ORC"),
+      ManifestEntrySpec(status = 1, content = 1, filePath = pd.getAbsolutePath,
+        recordCount = 1L, sizeBytes = pd.length(), sequenceNumber = 1L)))
+    val e = intercept[IllegalArgumentException] {
+      MorRead.readTable(spark, tbl.getPath).collect()
+    }
+    assert(e.getMessage.contains("ORC"))
+    // without the tombstone the ORC file reads fine through the manifest
+    val tbl2 = new java.io.File(sys.props("java.io.tmpdir"), "graft-orcok")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl2)
+    new java.io.File(tbl2, "data").mkdirs()
+    val of2 = new java.io.File(new java.io.File(tbl2, "data"), "d.orc")
+    IcebergLayoutWriter.writeSingleOrc(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), of2)
+    IcebergLayoutWriter.writeTable(tbl2, Seq(
+      ManifestEntrySpec(status = 1, content = 0, filePath = of2.getAbsolutePath,
+        recordCount = 2L, sizeBytes = of2.length(), sequenceNumber = 1L,
+        fileFormat = "ORC")))
+    val rows = MorRead.readTable(spark, tbl2.getPath)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b")))
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl2)
+  }
+
   test("repetition gate: flagged count consistent and thresholds live") {
     import spark.implicits._
     val rows = Queries13.all("q222_repetition_filter")(spark, dir)
