@@ -111,8 +111,9 @@ object GraftIcebergSource {
     val sortCols = Option(options.get("write.sort-order")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val readChanges = Option(options.get("read-changes")).exists(_.toBoolean)
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     new GraftTable(dir, snapshot, fields, bootstrap, userSchema, sortCols,
-      readChanges = readChanges)
+      readChanges = readChanges, maxFilesPerTrigger = maxFiles)
   }
 
   /** V1 `Filter` → `Column`, total over the algebra Spark can hand a
@@ -197,7 +198,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     userSchema: Option[StructType] = None,
     sortCols: Seq[String] = Nil,
     declaredPartSpec: Seq[(String, String, String)] = Nil,
-    private[v2] val readChanges: Boolean = false)
+    private[v2] val readChanges: Boolean = false,
+    private[v2] val maxFilesPerTrigger: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -833,7 +835,8 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (table.readChanges)
       new GraftChangelogStream(table.dir, table.baseSchema)
-    else new GraftMicroBatchStream(table.dir, required)
+    else new GraftMicroBatchStream(table.dir, required,
+      table.maxFilesPerTrigger)
 
   override def description(): String =
     s"GraftIcebergScan pushed=[${pushed.mkString(", ")}] " +

@@ -2,7 +2,8 @@ package graft.sources.v2
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
+  ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Incremental STREAMING reads from the layout:
@@ -27,9 +28,74 @@ import org.apache.spark.sql.types.StructType
   * append rate, never the table size.
   */
 private[v2] class GraftMicroBatchStream(dir: String,
-    required: StructType) extends MicroBatchStream {
+    required: StructType, maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  /** `Trigger.AvailableNow` pin: the head observed when the trigger
+    * started. Batches drain up to here and the query stops — commits
+    * that land mid-drain wait for the next run (the contract the
+    * trigger promises). */
+  @volatile private var availableNowHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(currentSnapshot)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = GraftSnapOffset(currentSnapshot)
+
+  /** Rate-limited offset advance (`maxFilesPerTrigger`): the batch end
+    * is the FURTHEST snapshot whose cumulative added-data-file count
+    * stays within the budget — always at least one snapshot, so a
+    * single oversized commit still drains (Spark's own file-source
+    * semantics). Offsets are snapshot ids, so admission is
+    * commit-granular: one manifest-stats pass attributes files to
+    * commits by their data sequence number (this layout stamps
+    * sequence == committing snapshot id), metadata-sized work. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = availableNowHead.getOrElse(currentSnapshot)
+    val from = start.asInstanceOf[GraftSnapOffset].snapshotId
+    if (head <= from) return GraftSnapOffset(from)
+    val budget = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        composite.getReadLimits.collectFirst { case mf: ReadMaxFiles => mf.maxFiles() }
+      case _ => None
+    }
+    budget match {
+      case None => GraftSnapOffset(head)
+      case Some(maxFiles) =>
+        // (seq → added data files) from ONE distributed manifest pass at
+        // the head snapshot; candidate ends are the history ids in range
+        val seqCounts = graft.sources.IcebergManifestSource
+          .statsFromTableDir(spark, dir, "t", Nil, Some(head))
+          .filter(org.apache.spark.sql.functions.col("content") === 0 &&
+            org.apache.spark.sql.functions.col("sequence_number") > from)
+          .groupBy("sequence_number").count()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val candidates = graft.sources.LayoutMaintenance
+          .snapshotIds(spark, dir)
+          .filter(id => id > from && id <= head).sorted
+        var end = from
+        var used = 0L
+        var stopped = false
+        candidates.foreach { id =>
+          if (!stopped) {
+            val add = seqCounts.filter(c => c._1 > end && c._1 <= id).map(_._2).sum
+            // the FIRST candidate is always taken (an oversized single
+            // commit must still drain); later ones only while in budget
+            if (end == from || used + add <= maxFiles) { end = id; used += add }
+            else stopped = true
+          }
+        }
+        // no history ids in range (expired/rolled-back interval): fall
+        // back to draining to the head in one batch
+        GraftSnapOffset(if (end == from) head else end)
+    }
+  }
 
   /** The PUBLISHED head (`current-snapshot-id`), falling back to
     * history-last only for legacy metadata without the pointer. A

@@ -171,6 +171,61 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(drain().isEmpty)
   }
 
+  test("maxFilesPerTrigger rate-limits the drain to one commit per micro-batch") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-ratelimit")
+    val ckpt = new java.io.File("target/tmp-dsv2-ratelimit-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    Seq((2L, "b")).toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(t.getPath)
+    Seq((3L, "c")).toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(t.getPath)
+    // three single-file commits accumulated; a 1-file budget must split
+    // the drain into three NON-EMPTY micro-batches (admission control
+    // walks one snapshot per trigger), not one catch-all batch
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "1").load(t.getPath)
+      .writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = batch.select("k").collect().map(_.getLong(0)).toSeq.sorted
+        if (ks.nonEmpty) batches.add(ks)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.asScala.toSeq == Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("Trigger.AvailableNow drains to the prepared head and terminates") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-availnow")
+    val ckpt = new java.io.File("target/tmp-dsv2-availnow-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append").save(t.getPath)
+    Seq((2L, "b")).toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(t.getPath)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "1").load(t.getPath)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("k").collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .start()
+    // AvailableNow stops ITSELF once the prepared head is drained
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(got.asScala.toSeq.sorted == Seq(1L, 2L))
+  }
+
   test("empty result when the predicate excludes every file") {
     val none = dsv2.filter(col("price") > 10000000L)
     assert(none.rdd.getNumPartitions == 0)
