@@ -37,7 +37,8 @@ object IcebergLayoutWriter {
       upper: Map[Int, Array[Byte]] = Map.empty,
       specId: Int = 0, manifestGroup: Int = 0,
       equalityIds: Seq[Int] = Nil,
-      fileFormat: String = "PARQUET")
+      fileFormat: String = "PARQUET",
+      sortOrderId: Integer = null)
 
   // ---- Iceberg single-value serialization (spec Appendix D) ----
   def boundInt(v: Int): Array[Byte] =
@@ -73,6 +74,10 @@ object IcebergLayoutWriter {
       // — what lets a reader apply eq-tombstones with NO out-of-band keys
       .name("equality_ids").`type`().nullable().array().items().intType()
       .noDefault()
+      // spec field 140: the sort order the file was written under (null =
+      // unsorted) — what lets a reader REPORT per-file ordering to the
+      // planner and skip sorts downstream
+      .name("sort_order_id").`type`().nullable().intType().noDefault()
       .endRecord()
 
   private def entrySchema(pSchema: Schema): Schema =
@@ -184,6 +189,7 @@ object IcebergLayoutWriter {
           e.equalityIds.foreach(i => l.add(Integer.valueOf(i)))
           l
         })
+      df.put("sort_order_id", e.sortOrderId)
       val r = new GenericData.Record(eSchema)
       r.put("status", e.status)
       r.put("sequence_number", e.sequenceNumber)
@@ -285,9 +291,10 @@ object IcebergLayoutWriter {
     * must survive the rewrite). */
   def writeTable(tableDir: java.io.File, entries: Seq[ManifestEntrySpec],
       snapshotId: Long = 1L,
-      partitionSpec: Seq[(String, String, Int)] = Nil): Unit =
+      partitionSpec: Seq[(String, String, Int)] = Nil,
+      sortOrder: Seq[(Int, String, String, String)] = Nil): Unit =
     writeTableSnapshots(tableDir, Seq(snapshotId -> entries),
-      partitionSpec = partitionSpec)
+      partitionSpec = partitionSpec, sortOrder = sortOrder)
 
   /** Multi-snapshot layout (the time-travel surface): every snapshot's
     * manifest list + manifests are written, the metadata JSON lists them

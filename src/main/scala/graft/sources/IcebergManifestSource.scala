@@ -531,7 +531,8 @@ object IcebergManifestSource {
           fieldSpec.flatMap { case (id, _, dt) =>
             Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
               s.upper.get(id).map(decodeBound(_, dt)).orNull)
-          } ++ Seq(s.equalityIds, s.fileFormat))
+          } ++ Seq(s.equalityIds, s.fileFormat,
+            s.sortOrderId.map(Int.box).orNull))
       }
     }
     spark.createDataFrame(rows, statsSchema(fields))
@@ -546,14 +547,16 @@ object IcebergManifestSource {
         fields.flatMap { case (_, nm, dt) =>
           Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
         } ++ Seq(StructField("equality_ids", ArrayType(IntegerType)),
-          StructField("file_format", StringType)))
+          StructField("file_format", StringType),
+          StructField("sort_order_id", IntegerType)))
 
   private[sources] case class ManifestStats(filePath: String, content: Int,
       partitionKey: String, sizeBytes: Long, recordCount: Long,
       sequenceNumber: Long,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       equalityIds: Seq[Int] = Nil,
-      fileFormat: String = "PARQUET")
+      fileFormat: String = "PARQUET",
+      sortOrderId: Option[Int] = None)
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
@@ -614,7 +617,13 @@ object IcebergManifestSource {
         fileFormat =
           if (df.getSchema.getField("file_format") == null) "PARQUET"
           else Option(df.get("file_format")).map(_.toString)
-            .getOrElse("PARQUET"))
+            .getOrElse("PARQUET"),
+        sortOrderId =
+          if (df.getSchema.getField("sort_order_id") == null) None
+          else Option(df.get("sort_order_id")).map {
+            case i: java.lang.Integer => i.intValue
+            case other => other.toString.toInt
+          })
     }
   }
 

@@ -602,7 +602,8 @@ object LayoutMaintenance {
               sequenceNumber = s.sequenceNumber,
               lower = s.lower, upper = s.upper,
               equalityIds = s.equalityIds,
-              fileFormat = s.fileFormat)
+              fileFormat = s.fileFormat,
+              sortOrderId = s.sortOrderId.map(Int.box).orNull)
           }
         out.toSeq
     }
@@ -717,7 +718,8 @@ object LayoutMaintenance {
     * stamped here. Returns the new snapshot id. */
   def commitAppend(spark: SparkSession, tableDir: String,
       added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
-      partitionSpec: Seq[(String, String, Int)] = Nil): Long =
+      partitionSpec: Seq[(String, String, Int)] = Nil,
+      sortOrder: Seq[(Int, String, String, String)] = Nil): Long =
       commitLock(tableDir).synchronized {
     val hasMeta = new java.io.File(metaDir(tableDir), "version-hint.text").exists() ||
       Option(metaDir(tableDir).listFiles()).exists(_.exists(
@@ -725,10 +727,12 @@ object LayoutMaintenance {
     if (!hasMeta) {
       // first write creates the table; a declared partition spec (from
       // the catalog descriptor or the write path) is born with it and
-      // carried verbatim by every later metadata version
+      // carried verbatim by every later metadata version — likewise the
+      // declared sort order ("sort-orders" + default-sort-order-id)
       IcebergLayoutWriter.writeTable(new java.io.File(tableDir),
         added.map(_.copy(sequenceNumber = 1L)),
-        partitionSpec = partitionSpec)
+        partitionSpec = partitionSpec,
+        sortOrder = sortOrder)
       1L
     } else {
       val all = snapshots(spark, tableDir)

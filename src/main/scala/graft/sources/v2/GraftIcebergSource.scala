@@ -77,7 +77,8 @@ object GraftIcebergSource {
     * (what decides which delete files apply to it). */
   private[v2] case class FileStat(path: String,
       bounds: Map[String, (Any, Any)], pvals: Map[String, Any],
-      records: Long, seq: Long = 0L, bytes: Long = 0L)
+      records: Long, seq: Long = 0L, bytes: Long = 0L,
+      sortOrderId: Option[Int] = None)
 
   /** One delete file's planning facts: content 1 = position deletes
     * (apply to data files with data.seq <= delete.seq), content 2 =
@@ -305,7 +306,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
         GraftIcebergSource.FileStat(r.getAs[String]("file_path"), bounds,
           GraftIcebergSource.parsePartitionKey(r.getAs[String]("partitionKey")),
           r.getAs[Long]("record_count"), r.getAs[Long]("sequence_number"),
-          r.getAs[Long]("sizeBytes"))
+          r.getAs[Long]("sizeBytes"),
+          Option(r.getAs[java.lang.Integer]("sort_order_id")).map(_.intValue))
       }
     val deletes = rows.toSeq
       .filter(_.getAs[Int]("content") != 0)
@@ -350,6 +352,24 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     }
 
   private[v2] def statFieldNames: Seq[String] = statFields.map(_.name)
+
+  /** The table's DECLARED sort columns, for reporting scan ordering:
+    * the `write.sort-order` option / catalog property when given, else
+    * the metadata's default sort order (`sort-orders` +
+    * `default-sort-order-id`, source ids resolved positionally). Only
+    * all-identity all-asc orders qualify — anything else reads as
+    * unsorted (never claim an ordering the files might not have). */
+  private[v2] lazy val declaredSortCols: Seq[String] =
+    if (sortCols.nonEmpty) sortCols
+    else if (!hasMetadata) Nil
+    else {
+      val rows = IcebergManifestSource.sortOrder(SparkSession.active, dir)
+      val names = baseSchema.fieldNames
+      if (rows.nonEmpty && rows.forall { case (sid, tr, d, _) =>
+          tr == "identity" && d == "asc" && sid >= 1 && sid <= names.length })
+        rows.map { case (sid, _, _, _) => names(sid - 1) }
+      else Nil
+    }
 
   /** Per-column NDV from the table's REGISTERED statistics files (the
     * Puffin containers [[graft.sources.LayoutMaintenance.attachStatistics]]
@@ -730,7 +750,42 @@ private[v2] case class GraftAggPartition(rows: Seq[Seq[Any]])
 private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering
     with SupportsReportStatistics {
+
+  /** Per-partition ordering the scan can HONESTLY claim, which lets the
+    * planner drop SortExec nodes (e.g. a storage-partitioned sort-merge
+    * join over two sorted tables runs with neither shuffle NOR sort).
+    * Claimed iff (a) the table declares an identity-asc sort order,
+    * (b) EVERY live data file was written under it (its manifest entry
+    * carries the matching `sort_order_id` — a file appended unsorted
+    * voids the claim), (c) no live delete files (the MOR anti-joins
+    * would not preserve order), (d) the sort columns survive the
+    * projection, and (e) each input partition holds at most ONE file
+    * (two concatenated sorted files are not sorted). Under SPJ grouping
+    * the partition-value columns prefix the claimed order — constant
+    * within a group, so any within-file order extends to them. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val sortCols = table.declaredSortCols
+    val ok = sortCols.nonEmpty && !table.oversizedPlanning &&
+      table.deleteFiles.isEmpty && table.dataFiles.nonEmpty &&
+      table.dataFiles.forall(_.sortOrderId.contains(1)) &&
+      sortCols.forall(required.fieldNames.contains) &&
+      (!spjActive || groupedSurvivors.forall(_._2.size <= 1))
+    if (!ok) Array.empty
+    else {
+      val cols =
+        if (spjActive)
+          (table.identityPartitionCols.map(_._2) ++ sortCols).distinct
+        else sortCols
+      if (spjActive && !cols.forall(required.fieldNames.contains)) Array.empty
+      else cols.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+        : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+    }
+  }
 
   /** Manifest-derived, PRUNING-AWARE statistics: size and row count
     * summed over the files that survive the pushed filters — what lets

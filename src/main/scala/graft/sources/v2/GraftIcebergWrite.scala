@@ -96,7 +96,7 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
         new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
           partSpec, specForCreate)
       else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate)
+        partSpec, specForCreate, sortCols)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
@@ -148,14 +148,26 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
 private[v2] object GraftIcebergWrite {
   /** Task commit messages → manifest entries (partition values and
     * bounds carried through). */
-  private[v2] def entriesOf(messages: Array[WriterCommitMessage])
+  private[v2] def entriesOf(messages: Array[WriterCommitMessage],
+      sortOrderId: Integer = null)
       : Seq[graft.sources.IcebergLayoutWriter.ManifestEntrySpec] =
     messages.toSeq.collect { case m: GraftCommitMessage => m.files }
       .flatten.filter(_.rows > 0)
       .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
         content = 0, filePath = f.path, recordCount = f.rows,
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
-        partition = f.partition))
+        partition = f.partition, sortOrderId = sortOrderId))
+
+  /** The metadata `sort-orders` rows a `write.sort-order` declaration
+    * registers on table creation: identity asc nulls-first per column,
+    * source ids positional (the layout dialect). */
+  private[v2] def sortOrderRows(sortCols: Seq[String],
+      schema: StructType): Seq[(Int, String, String, String)] =
+    sortCols.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"graft-iceberg: sort column $c not in write schema")
+      (i + 1, "identity", "asc", "nulls-first")
+    }
 
   private[v2] def deleteFiles(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -294,20 +306,26 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
     queryId: String,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
-    specForCreate: Seq[(String, String, Int)] = Nil) extends BatchWrite {
+    specForCreate: Seq[(String, String, Int)] = Nil,
+    sortCols: Seq[String] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(dir, schema, queryId, stats, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = GraftIcebergWrite.entriesOf(messages)
+    // a write under write.sort-order arrives globally range-sorted
+    // (RequiresDistributionAndOrdering), so every task file is sorted:
+    // stamp sort_order_id so readers can report per-file ordering
+    val entries = GraftIcebergWrite.entriesOf(messages,
+      sortOrderId = if (sortCols.nonEmpty) Int.box(1) else null)
     // empty-task files were already deleted task-side; an all-empty
     // write still commits an (empty) snapshot? No: real engines skip it
     if (entries.nonEmpty)
       graft.sources.LayoutMaintenance.commitAppend(
         org.apache.spark.sql.SparkSession.active, dir, entries,
-        partitionSpec = specForCreate)
+        partitionSpec = specForCreate,
+        sortOrder = GraftIcebergWrite.sortOrderRows(sortCols, schema))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

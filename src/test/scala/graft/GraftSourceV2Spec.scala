@@ -793,6 +793,107 @@ class GraftSourceV2Spec extends AnyFunSuite {
     } finally spark.conf.unset(capKey)
   }
 
+  test("sorted write records sort_order_id per file and registers the metadata sort order") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-sorted")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING")
+      .option("write.sort-order", "k")
+      .mode("append").save(t.getPath)
+    // every data file stamped with the order it was written under
+    val ids = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, t.getPath, "t", Nil)
+      .select("sort_order_id").collect().map(r =>
+        Option(r.getAs[java.lang.Integer](0)).map(_.intValue))
+    assert(ids.nonEmpty && ids.forall(_.contains(1)))
+    // and the metadata declares the default sort order (identity asc on k)
+    assert(graft.sources.IcebergManifestSource.sortOrder(spark, t.getPath)
+      == Seq((1, "identity", "asc", "nulls-first")))
+    // an UNSORTED append to the same table voids the per-file claim
+    Seq((9L, "z")).toDF("k", "v").write.format("graft-iceberg")
+      .mode("append").save(t.getPath)
+    val ids2 = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, t.getPath, "t", Nil)
+      .select("sort_order_id").collect().map(r =>
+        Option(r.getAs[java.lang.Integer](0)).map(_.intValue))
+    assert(ids2.exists(_.isEmpty), "unsorted append must carry no sort_order_id")
+  }
+
+  test("storage-partitioned SORT-MERGE join over sorted tables: no shuffle AND no sort") {
+    import spark.implicits._
+    // identity-partitioned on region, one file per region, each file
+    // SORTED by v and stamped sort_order_id=1; metadata declares the
+    // identity-asc order on v — the scan reports (region, v) per-
+    // partition ordering, so the SMJ needs neither exchange nor sort
+    def mk(tag: String, rows: Seq[(Long, Long)]): java.io.File = {
+      val t = new java.io.File(s"target/tmp-dsv2-spjsort-$tag")
+      org.apache.commons.io.FileUtils.deleteQuietly(t)
+      val dataDir = new java.io.File(t, "data"); dataDir.mkdirs()
+      val entries = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, rs) =>
+        val f = new java.io.File(dataDir, s"r$r.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          rs.sortBy(_._2).toDF("region", "v"), f)
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = f.getAbsolutePath, recordCount = n,
+          sizeBytes = f.length(), sequenceNumber = 1L,
+          partition = Seq("region" -> r), sortOrderId = 1)
+      }
+      IcebergLayoutWriter.writeTable(t, entries,
+        partitionSpec = Seq(("region", "identity", 1)),
+        sortOrder = Seq((2, "identity", "asc", "nulls-first")))
+      t
+    }
+    val rowsA = (0L until 4L).flatMap(r => (0L until 10L).map(i => (r, i)))
+    val rowsB = (0L until 4L).flatMap(r => (0L until 10L).map(i => (r, i)))
+    val (tA, tB) = (mk("a", rowsA), mk("b", rowsB))
+    def rd(t: java.io.File) = spark.read.format("graft-iceberg")
+      .option("pushdown.fields", "region:1:long").load(t.getPath)
+    val (bucketing, bcast) = ("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prevB = spark.conf.getOption(bcast)
+    spark.conf.set(bucketing, "true")
+    spark.conf.set(bcast, "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try {
+      val b = rd(tB).withColumnRenamed("region", "region2")
+        .withColumnRenamed("v", "v2")
+      val j = rd(tA).join(b, col("region") === col("region2"))
+      val got = j.count()
+      assert(got == 4L * 10L * 10L, s"per-region cross size wrong: $got")
+      val plan = j.queryExecution.executedPlan
+      assert(graft.operators.PlanProbe.shuffles(plan).isEmpty,
+        s"SPJ must not shuffle:\n$plan")
+      // AQE-aware collects (the SMJ lives inside the adaptive wrapper)
+      def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+          pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+        p.collectWithSubqueries(
+          pf.andThen(Seq(_)) orElse {
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              collectAll(q.plan)(pf)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              collectAll(a.executedPlan)(pf)
+          }).flatten
+      // the claim is only meaningful if the join IS a sort-merge join —
+      // a fallback join shape would make the no-sort assertion vacuous
+      val smjs = collectAll(plan) {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+      val sorts = collectAll(plan) {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty,
+        s"scan-reported ordering must eliminate SMJ sorts:\n$plan")
+    } finally {
+      spark.conf.set(bucketing, "false")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+      prevB match {
+        case Some(v) => spark.conf.set(bcast, v)
+        case None => spark.conf.unset(bcast)
+      }
+    }
+  }
+
   test("storage-partitioned join: co-partitioned identity tables join with NO shuffle") {
     import spark.implicits._
     // two tables, both identity-partitioned on `region`, one file per
