@@ -364,6 +364,131 @@ object Queries13 {
         .groupBy((col("pk") % 10).as("band"))
         .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
         .orderBy(col("band"))
+    },
+
+    // ---- normalization uplift audit: how many MORE duplicate docs
+    // does exact dedup find after canonicalization (lowercase, strip
+    // non-alphanumerics, collapse whitespace)? The fixture plants
+    // case/punctuation-mangled twins that raw hashing misses; uplift =
+    // norm_dup_docs - raw_dup_docs per source. The production question
+    // this answers: is your dedup key normalization pulling its weight.
+    // Map-only normalization + two hash-keyed groupBys — the q14 shape
+    // twice; at 100 TB each dedup pass is one shuffle on a digest.
+    "q228_normalization_uplift" -> { (s, dir) => implicit val sp = s
+      val base = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      // every 40th doc gets a shouting twin: uppercased + punctuation
+      val noisy = base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("source"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+      val corpus = base.unionAll(noisy)
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      def dupDocs(keyCol: String) = corpus
+        .withColumn("k", col(keyCol))
+        .withColumn("grp_n", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+        .filter(col("grp_n") > 1)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n"))
+      corpus.select(col("source")).distinct()
+        .join(dupDocs("text").withColumnRenamed("n", "raw_dup_docs"),
+          Seq("source"), "left")
+        .join(dupDocs("norm").withColumnRenamed("n", "norm_dup_docs"),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("raw_dup_docs", "norm_dup_docs"))
+        .withColumn("uplift", col("norm_dup_docs") - col("raw_dup_docs"))
+        .orderBy(col("source"))
+    },
+
+    // ---- Population Stability Index (PSI) of the doc-length
+    // distribution, per source vs the whole corpus — the standard
+    // "has this slice drifted" gate between corpus releases. Buckets
+    // are integer length/64; both distributions Laplace-smoothed; each
+    // bucket's (p-q)·ln(p/q) term quantizes to micro-units BEFORE the
+    // per-source sum (the q182 integer-micro-nats discipline: an
+    // unordered float sum would be partitioning-dependent in the last
+    // ulp). Bucket tables are vocabulary-collapsed (≤ ~10 rows each);
+    // everything shuffles at bucket grain, never row grain.
+    "q229_psi_drift" -> { (s, dir) => implicit val sp = s
+      val d = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), expr("n_chars div 64").as("bkt"))
+      val buckets = d.select(col("bkt")).distinct()
+      val srcTot = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val corpTot = d.agg(count(lit(1)).as("nc"))
+      val sb = d.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("cs"))
+      val cb = d.groupBy(col("bkt")).agg(count(lit(1)).as("cc"))
+      val nb = buckets.agg(count(lit(1)).as("b"))
+      // dense (source × bucket) grid so zero-count buckets still smooth
+      srcTot.crossJoin(broadcast(buckets))
+        .join(sb, Seq("source", "bkt"), "left")
+        .join(broadcast(cb), Seq("bkt"), "left")
+        .crossJoin(broadcast(corpTot)).crossJoin(broadcast(nb))
+        .withColumn("p", (coalesce(col("cs"), lit(0L)) + 1L).cast("double")
+          / (col("ns") + col("b")))
+        .withColumn("q", (coalesce(col("cc"), lit(0L)) + 1L).cast("double")
+          / (col("nc") + col("b")))
+        .withColumn("term_micro",
+          floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e6).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("term_micro")).as("psi_micro"),
+          count(lit(1)).cast("long").as("n_buckets"))
+        .orderBy(col("source"))
+    },
+
+    // ---- RAG chunking: fixed 200-char windows at stride 150 (50-char
+    // overlap), the retrieval-corpus preparation step. Pure per-row
+    // expansion (transform+explode — no shuffle, no UDF); every chunk
+    // carries its offset, length, and a whitespace token estimate, so a
+    // downstream embedder can budget batches. Output restricted to a
+    // deterministic doc sample to stay row-bounded; the full-corpus
+    // version is the same projection.
+    "q230_rag_chunks" -> { (s, dir) => implicit val sp = s
+      val W = 200; val S = 150
+      t(dir, "documents").filter(col("text").isNotNull && col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(1, cast((n - 1) div $S as int) + 1), " +
+              s"i -> struct((i - 1) * $S + 1 AS pos, " +
+              s"substring(text, (i - 1) * $S + 1, $W) AS chunk))")).as("c"))
+        .select(col("doc_id"), col("c.pos").cast("long").as("pos"),
+          length(col("c.chunk")).cast("long").as("chunk_len"),
+          (length(col("c.chunk"))
+            - length(regexp_replace(col("c.chunk"), " ", "")) + 1L)
+            .cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // ---- int8 scalar-quantization audit: symmetric per-vector int8
+    // (scale = max|v|, q = floor(127·v/scale + 0.5)) with exact
+    // reconstruction-error accounting — the embedding-compression
+    // decision (4x memory cut vs recall risk) made measurable. All
+    // folds are left-to-right array ops on exact float→double casts
+    // (the q29 discipline), and per-vector errors quantize to integer
+    // nano/micro units BEFORE the group sum, so the audit is
+    // bit-identical at any partitioning. Map-only until a label-grain
+    // aggregate.
+    "q231_int8_quant_audit" -> { (s, dir) => implicit val sp = s
+      t(dir, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("label"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
+        .withColumn("scale",
+          expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .filter(col("scale") > 0)
+        .withColumn("dq", expr(
+          "transform(v, x -> FLOOR(127 * x / scale + 0.5) * scale / 127)"))
+        .withColumn("sse", expr(
+          "aggregate(zip_with(v, dq, (a, b) -> (a - b) * (a - b)), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+        .withColumn("maxe", expr(
+          "aggregate(zip_with(v, dq, (a, b) -> abs(a - b)), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("sse") * 1e9).cast("long")).as("total_sse_nano"),
+          max(floor(col("maxe") * 1e6).cast("long")).as("max_err_micro"))
+        .orderBy(col("label"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -545,5 +670,105 @@ object Queries13 {
         |live AS (SELECT * FROM src WHERE k % 7 <> 3)
         |SELECT pk % 10 AS band, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
-        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q228_normalization_uplift" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        |corpus AS (
+        |  SELECT doc_id, source, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 300000, source, upper(text) || ' !!'
+        |  FROM base WHERE doc_id % 40 = 0),
+        |c AS (
+        |  SELECT doc_id, source, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM corpus),
+        |rawd AS (
+        |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS raw_dup_docs
+        |  FROM (SELECT source, doc_id,
+        |          count(*) OVER (PARTITION BY text) AS grp_n FROM c)
+        |  WHERE grp_n > 1 GROUP BY source),
+        |normd AS (
+        |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS norm_dup_docs
+        |  FROM (SELECT source, doc_id,
+        |          count(*) OVER (PARTITION BY norm) AS grp_n FROM c)
+        |  WHERE grp_n > 1 GROUP BY source),
+        |srcs AS (SELECT DISTINCT source FROM c)
+        |SELECT srcs.source,
+        |  coalesce(raw_dup_docs, 0) AS raw_dup_docs,
+        |  coalesce(norm_dup_docs, 0) AS norm_dup_docs,
+        |  coalesce(norm_dup_docs, 0) - coalesce(raw_dup_docs, 0) AS uplift
+        |FROM srcs LEFT JOIN rawd ON srcs.source = rawd.source
+        |LEFT JOIN normd ON srcs.source = normd.source
+        |ORDER BY srcs.source""".stripMargin,
+
+    "q229_psi_drift" ->
+      """WITH d AS (
+        |  SELECT source, n_chars // 64 AS bkt
+        |  FROM documents WHERE text IS NOT NULL),
+        |buckets AS (SELECT DISTINCT bkt FROM d),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM buckets),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY 1),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM d),
+        |sb AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS cs
+        |       FROM d GROUP BY 1, 2),
+        |cb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cc FROM d GROUP BY 1),
+        |grid AS (
+        |  SELECT st.source, buckets.bkt, st.ns, nb.b, ct.nc,
+        |    coalesce(sb.cs, 0) AS cs, coalesce(cb.cc, 0) AS cc
+        |  FROM st CROSS JOIN buckets
+        |  LEFT JOIN sb ON sb.source = st.source AND sb.bkt = buckets.bkt
+        |  LEFT JOIN cb ON cb.bkt = buckets.bkt
+        |  CROSS JOIN ct CROSS JOIN nb),
+        |terms AS (
+        |  SELECT source,
+        |    CAST(FLOOR((CAST(cs + 1 AS DOUBLE) / (ns + b)
+        |      - CAST(cc + 1 AS DOUBLE) / (nc + b))
+        |      * ln((CAST(cs + 1 AS DOUBLE) / (ns + b))
+        |          / (CAST(cc + 1 AS DOUBLE) / (nc + b))) * 1e6) AS BIGINT)
+        |      AS term_micro
+        |  FROM grid)
+        |SELECT source, CAST(sum(term_micro) AS BIGINT) AS psi_micro,
+        |  CAST(count(*) AS BIGINT) AS n_buckets
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    "q230_rag_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 97 = 0),
+        |ch AS (
+        |  SELECT doc_id, (i - 1) * 150 + 1 AS pos,
+        |    substring(text, (i - 1) * 150 + 1, 200) AS chunk
+        |  FROM d, unnest(generate_series(1, ((n - 1) // 150) + 1)) AS u(i))
+        |SELECT doc_id, pos, CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  CAST(length(chunk) - length(replace(chunk, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        |FROM ch ORDER BY doc_id, pos""".stripMargin,
+
+    "q231_int8_quant_audit" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |sc AS (
+        |  SELECT label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT label, v, scale,
+        |    list_transform(v, x -> FLOOR(127 * x / scale + 0.5) * scale / 127)
+        |      AS dq
+        |  FROM sc WHERE scale > 0),
+        |m AS (
+        |  SELECT label,
+        |    list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> (v[i] - dq[i]) * (v[i] - dq[i]))) AS sse,
+        |    list_max(list_transform(generate_series(1, len(v)),
+        |      i -> abs(v[i] - dq[i]))) AS maxe
+        |  FROM q)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CAST(FLOOR(sse * 1e9) AS BIGINT)) AS BIGINT) AS total_sse_nano,
+        |  CAST(max(CAST(FLOOR(maxe * 1e6) AS BIGINT)) AS BIGINT) AS max_err_micro
+        |FROM m GROUP BY label ORDER BY label""".stripMargin)
 }

@@ -152,6 +152,73 @@ class Queries13Spec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(tbl2)
   }
 
+  test("normalization uplift: mangled twins found only by the normalized key") {
+    import spark.implicits._
+    val rows = Queries13.all("q228_normalization_uplift")(spark, dir)
+      .select("source", "raw_dup_docs", "norm_dup_docs", "uplift")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, raw, norm, uplift) =>
+      assert(norm >= raw, "normalization can only find MORE duplicates")
+      assert(uplift == norm - raw)
+    }
+    assert(rows.map(_._4).sum > 0, "the planted shouting twins must be caught")
+  }
+
+  test("PSI is non-negative (every (p-q)ln(p/q) term is)") {
+    import spark.implicits._
+    val rows = Queries13.all("q229_psi_drift")(spark, dir)
+      .select("source", "psi_micro").as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    // each exact term is >= 0; floor() can only reach -1 on a term that
+    // is exactly 0 minus an ulp, so allow the tiny quantization slack
+    rows.foreach { case (src, psi) =>
+      assert(psi >= -rows.length, s"PSI must be ~non-negative, $src: $psi")
+    }
+  }
+
+  test("RAG chunks tile each doc: stride 150, full coverage, exact tail") {
+    import spark.implicits._
+    val chunks = Queries13.all("q230_rag_chunks")(spark, dir)
+      .select("doc_id", "pos", "chunk_len")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 97 === 0 && col("text").isNotNull)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.nonEmpty && chunks.keySet == lens.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 == 1L, "first chunk starts at 1")
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._2 - a._2 == 150L, "stride is 150") }
+      val last = sorted.last
+      assert(last._2 + last._3 - 1 == lens(doc), "last chunk ends at doc end")
+      sorted.foreach { case (_, pos, l) =>
+        assert(l == math.min(200L, lens(doc) - pos + 1),
+          "every chunk is full-width or clipped by the doc end") }
+    }
+  }
+
+  test("int8 quantization error is within the symmetric-scale bound") {
+    import spark.implicits._
+    val rows = Queries13.all("q231_int8_quant_audit")(spark, dir)
+      .select("label", "n_vecs", "total_sse_nano", "max_err_micro")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // |v - dq| <= scale/254 per element; bound with the global max scale
+    val maxScale = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(expr(
+        "aggregate(transform(embedding, v -> abs(CAST(v AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))").as("s"))
+      .agg(max(col("s"))).as[Double].head()
+    val boundMicro = math.ceil(maxScale / 254.0 * 1e6).toLong + 1
+    rows.foreach { case (_, n, sse, maxe) =>
+      assert(n > 0 && sse >= 0)
+      assert(maxe <= boundMicro, s"err $maxe exceeds bound $boundMicro")
+    }
+  }
+
   test("repetition gate: flagged count consistent and thresholds live") {
     import spark.implicits._
     val rows = Queries13.all("q222_repetition_filter")(spark, dir)
