@@ -70,7 +70,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli catsql <warehouseDir> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli rwposdeletes <tableDir> | graft.Cli cherrypick <tableDir> <snapshotId> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli catsql <warehouseDir> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -87,6 +87,26 @@ object Cli {
         if (before == after)
           println(s"already packed at $cap B: $before data files (snapshot $snap unchanged)")
         else println(s"committed snapshot $snap: $before data files -> $after")
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "rwposdeletes" || cmd == "cherrypick") {
+      // delete-file compaction / WAP publish onto a moved head
+      val spark = session()
+      try {
+        if (cmd == "rwposdeletes") {
+          val (snap, before, after, pairs) = graft.sources.LayoutMaintenance
+            .rewritePositionDeletes(spark, root)
+          if (before == 0) println("no position-delete files: nothing to do")
+          else println(s"committed snapshot $snap: $before position-delete " +
+            s"files -> $after ($pairs live pairs kept)")
+        } else {
+          if (args.length < 3) { System.err.println(usage); sys.exit(2) }
+          val snap = graft.sources.LayoutMaintenance
+            .cherryPick(spark, root, args(2).toLong)
+          println(s"cherry-picked snapshot ${args(2)} onto head: new snapshot $snap")
+        }
       } finally spark.stop()
       return
     }

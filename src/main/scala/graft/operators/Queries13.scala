@@ -489,6 +489,95 @@ object Queries13 {
           sum(floor(col("sse") * 1e9).cast("long")).as("total_sse_nano"),
           max(floor(col("maxe") * 1e6).cast("long")).as("max_err_micro"))
         .orderBy(col("label"))
+    },
+
+    // ---- rewrite_position_deletes (delete-file compaction): three
+    // predicate DELETE commits accrete three position-tombstone files;
+    // the rewrite folds them into ONE and the table state is pinned
+    // bit-identical across it IN-QUERY (portable row checksum before ==
+    // after), then the post-rewrite state is oracle-checked against a
+    // direct recomputation. The 100 TB point: a steady DELETE stream
+    // otherwise makes every MOR read open O(delete-commits) tombstone
+    // files; this fold keeps it O(1).
+    "q232_rewrite_pos_deletes" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val base = t(dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = TmpFixture.dir("q232", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val bf = new java.io.File(dataDir, "base.parquet")
+      val nB = IcebergLayoutWriter.writeSingleParquet(
+        base.sort(col("k")), bf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(status = 1,
+        content = 0, filePath = bf.getAbsolutePath, recordCount = nB,
+        sizeBytes = bf.length(), sequenceNumber = 1L)))
+      Seq(11L, 13L, 17L).foreach { m =>
+        LayoutMaintenance.commitDeleteWhere(s, tbl.getPath, col("k") % m === 0)
+      }
+      def checksum(): Long = MorRead.readTable(s, tbl.getPath)
+        .agg(sum(TextOps.portableHash28(concat_ws("|",
+          col("k"), col("prio"), col("cents")))).as("c"))
+        .head().getLong(0)
+      val before = checksum()
+      val (_, nOld, nNew, nPairs) =
+        LayoutMaintenance.rewritePositionDeletes(s, tbl.getPath)
+      require(nOld == 3 && nNew == 1 && nPairs > 0,
+        s"compaction shape broke: $nOld -> $nNew ($nPairs pairs)")
+      require(checksum() == before,
+        "rewrite_position_deletes must not change table state")
+      MorRead.readTable(s, tbl.getPath)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("prio"))
+    },
+
+    // ---- cherry-pick: the write-audit-publish ending fastForward can't
+    // handle — the head ADVANCED while the staged snapshot sat in audit.
+    // Stage rows A on a branch (head stays put), land rows B on the head,
+    // then cherry-pick the staged snapshot: its additions (the entries
+    // stamped with its own sequence number) re-commit on TODAY's head,
+    // so the final state is base+B+A and the staged snapshot remains in
+    // history for audit. Three metadata-sized commits, zero data
+    // movement — the oracle recomputes the union.
+    "q233_cherry_pick" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val cust = t(dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nat"),
+        floor(col("c_acctbal")).cast("long").as("bal"))
+      val tbl = TmpFixture.dir("q233", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      def writeSlice(name: String, mod: Int): (java.io.File, Long) = {
+        val f = new java.io.File(dataDir, s"$name.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          cust.filter(col("ck") % 4 === mod).sort(col("ck")), f)
+        (f, n)
+      }
+      val (f0, n0) = writeSlice("base", 0)
+      IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(status = 1,
+        content = 0, filePath = f0.getAbsolutePath, recordCount = n0,
+        sizeBytes = f0.length(), sequenceNumber = 1L)))
+      val (fa, na) = writeSlice("staged-a", 1)
+      val staged = LayoutMaintenance.stageAppend(s, tbl.getPath,
+        Seq(ManifestEntrySpec(status = 1, content = 0,
+          filePath = fa.getAbsolutePath, recordCount = na,
+          sizeBytes = fa.length())), branch = "audit")
+      // the head ADVANCES while the stage is in audit
+      val (fb, nb) = writeSlice("later-b", 2)
+      LayoutMaintenance.commitAppend(s, tbl.getPath,
+        Seq(ManifestEntrySpec(status = 1, content = 0,
+          filePath = fb.getAbsolutePath, recordCount = nb,
+          sizeBytes = fb.length())))
+      val head = LayoutMaintenance.cherryPick(s, tbl.getPath, staged)
+      require(head == 4L, s"cherry-pick head should be 4, got $head")
+      MorRead.readTable(s, tbl.getPath)
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("bal")).as("sum_bal"))
+        .orderBy(col("nat"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -770,5 +859,28 @@ object Queries13 {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(CAST(FLOOR(sse * 1e9) AS BIGINT)) AS BIGINT) AS total_sse_nano,
         |  CAST(max(CAST(FLOOR(maxe * 1e6) AS BIGINT)) AS BIGINT) AS max_err_micro
-        |FROM m GROUP BY label ORDER BY label""".stripMargin)
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    "q232_rewrite_pos_deletes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |live AS (
+        |  SELECT * FROM base
+        |  WHERE k % 11 <> 0 AND k % 13 <> 0 AND k % 17 <> 0)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM live GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q233_cherry_pick" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS ck, c_nationkey AS nat,
+        |    CAST(FLOOR(c_acctbal) AS BIGINT) AS bal
+        |  FROM customer),
+        |state AS (
+        |  SELECT * FROM cust WHERE ck % 4 IN (0, 1, 2))
+        |SELECT nat, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM state GROUP BY nat ORDER BY nat""".stripMargin)
 }

@@ -1042,6 +1042,104 @@ object LayoutMaintenance {
     (newId, n, filesBefore, added.size)
   }
 
+  /** `rewrite_position_deletes` — Iceberg's delete-file compaction: the
+    * snapshot's position-tombstone files consolidate into ONE, and
+    * tombstones that no longer target a live data file (dangling after
+    * a data rewrite) are dropped. Table state is UNCHANGED: each kept
+    * (file_path, pos) pair targeted a data file with data_seq <= its
+    * old tombstone's seq, so re-stamping at the new (higher) sequence
+    * applies to exactly the same rows — paths are never reused in this
+    * layout, so a higher seq cannot capture a newer file under an old
+    * path. Why it matters at 100 TB: a steady DELETE stream accretes
+    * one tombstone file per commit, and every MOR read pays a per-file
+    * open for each — this fold is how the read bill stays O(1) delete
+    * files instead of O(delete commits). Returns (newSnapshotId,
+    * posFilesBefore, posFilesAfter, pairsKept). */
+  def rewritePositionDeletes(spark: SparkSession, tableDir: String)
+      : (Long, Int, Int, Long) = commitLock(tableDir).synchronized {
+    import spark.implicits._
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val posFiles = carried.filter(_.content == 1)
+    if (posFiles.isEmpty) return (curId, 0, 0, 0L)
+    val dataSeq: Map[String, Long] = carried.filter(_.content == 0)
+      .map(e => norm(e.filePath) -> e.sequenceNumber.longValue).toMap
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    // tombstone rows with their owning file's sequence number attached
+    val seqDf = posFiles.map(e => (norm(e.filePath),
+      e.sequenceNumber.longValue)).toDF("__fp", "seq")
+    val tomb = spark.read.parquet(posFiles.map(_.filePath).toIndexedSeq: _*)
+      .withColumn("__own", regexp_replace(
+        col("_metadata.file_path"), "^file:/+", "/"))
+      .join(broadcast(seqDf), col("__own") === col("__fp"))
+      .select(regexp_replace(col("file_path"), "^file:/+", "/")
+        .as("file_path"), col("pos"), col("seq"))
+    val liveSeq = dataSeq.toSeq.toDF("file_path", "data_seq")
+    val kept = tomb.join(broadcast(liveSeq), Seq("file_path"))
+      .filter(col("data_seq") <= col("seq")) // the pair actually applies
+      .select(col("file_path"), col("pos")).distinct()
+      .sort(col("file_path"), col("pos"))
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val pd = new java.io.File(dataDir, s"posdel-rw-$newId.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(kept, pd)
+    val entries = carried.filterNot(_.content == 1) ++
+      (if (n == 0) Nil // every tombstone was dangling: none to carry
+       else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+         content = 1, filePath = pd.getAbsolutePath, recordCount = n,
+         sizeBytes = pd.length(), sequenceNumber = newId)))
+    if (n == 0) org.apache.commons.io.FileUtils.deleteQuietly(pd)
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, entries, newId, newId, movedRefs)
+    (newId, posFiles.size, if (n == 0) 0 else 1, n)
+  }
+
+  /** Cherry-pick an append snapshot onto the CURRENT head — Iceberg's
+    * `cherrypick_snapshot`, the publish path for a WAP stage whose base
+    * has since advanced ([[fastForward]] only publishes when the head
+    * never moved). The picked snapshot's own additions — its entries
+    * stamped with its sequence number, the layout's commit discipline —
+    * re-commit on top of today's head as a NEW snapshot; the staged
+    * snapshot itself stays in history for audit. Only pure appends
+    * qualify (a picked delete file could target rows the head already
+    * rewrote), and a path collision with the head refuses — both are
+    * Iceberg's own restrictions. Returns the new head snapshot id. */
+  def cherryPick(spark: SparkSession, tableDir: String,
+      snapshotId: Long): Long = commitLock(tableDir).synchronized {
+    val all = snapshots(spark, tableDir)
+    require(all.exists(_.id == snapshotId),
+      s"cherryPick($tableDir): snapshot $snapshotId not in history")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val picked = carriedEntries(spark, tableDir, snapshotId)
+      .filter(_.sequenceNumber.longValue == snapshotId)
+    require(picked.nonEmpty,
+      s"cherryPick($tableDir): snapshot $snapshotId added no files")
+    require(picked.forall(_.content == 0),
+      s"cherryPick($tableDir): snapshot $snapshotId carries delete " +
+        "files; only append snapshots can be cherry-picked")
+    val carried = carriedEntries(spark, tableDir, curId)
+    val clash = picked.map(_.filePath).toSet
+      .intersect(carried.map(_.filePath).toSet)
+    require(clash.isEmpty,
+      s"cherryPick($tableDir): head already contains ${clash.take(3)}")
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val stamped = picked.map(_.copy(sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
+      movedRefs)
+    newId
+  }
+
   /** Stage an append WITHOUT moving the table head — the write half of
     * write-audit-publish (Iceberg's WAP / branch commits): the new
     * snapshot lands in history and `branch` points at it, but
