@@ -578,6 +578,36 @@ object Queries13 {
         .groupBy(col("nat"))
         .agg(count(lit(1)).as("n_customers"), sum(col("bal")).as("sum_bal"))
         .orderBy(col("nat"))
+    },
+
+    // ---- temperature-balanced multilingual resampling (the mT5/XLM-R
+    // recipe): sample languages with probability ∝ share^(1/T); at T=2
+    // the power is an exact sqrt, so the whole computation stays
+    // cross-engine bit-identical. Per-doc keep decision: portable-hash
+    // uniform u < (N/Σ√c)·√c_l/c_l · 2^28 — head langs downsample, tail
+    // langs keep more of their mass. The Σ√c fold runs over the
+    // lang-sorted count list (collect → sort → left fold), so a 5-term
+    // double sum can't vary with grouping order. Broadcast lang table;
+    // the decision is map-side; output is lang-grain.
+    "q234_temperature_sampling" -> { (s, dir) => implicit val sp = s
+      val d = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"))
+      val cnts = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val ssum = cnts.agg(expr(
+        "aggregate(sort_array(collect_list(struct(lang, c))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + sqrt(CAST(x.c AS DOUBLE)))")
+        .as("ssum"))
+      d.join(broadcast(cnts), Seq("lang"))
+        .crossJoin(broadcast(ssum))
+        .withColumn("u", TextOps.portableHash28(
+          concat(lit("temp:"), col("doc_id").cast("string"))).cast("double"))
+        .withColumn("keep", col("u") <
+          lit(300.0) / col("ssum") / sqrt(col("c").cast("double"))
+            * lit(268435456.0))
+        .groupBy(col("lang"))
+        .agg(max(col("c")).as("n_orig"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -882,5 +912,24 @@ object Queries13 {
         |  SELECT * FROM cust WHERE ck % 4 IN (0, 1, 2))
         |SELECT nat, CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(bal) AS BIGINT) AS sum_bal
-        |FROM state GROUP BY nat ORDER BY nat""".stripMargin)
+        |FROM state GROUP BY nat ORDER BY nat""".stripMargin,
+
+    "q234_temperature_sampling" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |k AS (
+        |  SELECT list_sum(list(sqrt(CAST(c AS DOUBLE)) ORDER BY lang))
+        |    AS ssum
+        |  FROM c),
+        |dec AS (
+        |  SELECT d.lang, c.c,
+        |    CAST(CAST('0x' || substring(md5('temp:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS DOUBLE)
+        |      < 300.0 / k.ssum / sqrt(CAST(c.c AS DOUBLE)) * 268435456.0
+        |      AS keep
+        |  FROM d JOIN c ON d.lang = c.lang CROSS JOIN k)
+        |SELECT lang, CAST(max(c) AS BIGINT) AS n_orig,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM dec GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -219,6 +219,21 @@ class Queries13Spec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling flattens the language distribution toward sqrt shares") {
+    import spark.implicits._
+    val rows = Queries13.all("q234_temperature_sampling")(spark, dir)
+      .select("lang", "n_orig", "n_kept").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, o, k) => assert(k <= o, "sampling never adds docs") }
+    val totO = rows.map(_._2).sum.toDouble
+    val totK = rows.map(_._3).sum.toDouble
+    val head = rows.maxBy(_._2)
+    val tail = rows.minBy(_._2)
+    // the head language's share must SHRINK, the tail language's GROW
+    assert(head._3 / totK < head._2 / totO, "head lang share must shrink")
+    assert(tail._3 / totK > tail._2 / totO, "tail lang share must grow")
+  }
+
   test("repetition gate: flagged count consistent and thresholds live") {
     import spark.implicits._
     val rows = Queries13.all("q222_repetition_filter")(spark, dir)
