@@ -242,11 +242,34 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (!hasMetadata) return // created but never written: nothing to delete
+    val spark = SparkSession.active
+    // METADATA-ONLY fast path — the "drop a day" shape: when every file
+    // is either provably all-matching (partition-transform projection,
+    // [[GraftPrune.fullyCovers]]) or provably none-matching (the
+    // pruning duals), the DELETE is one snapshot swap removing the
+    // covered files — zero data I/O, zero tombstones, zero rewrites.
+    // Any partially-covered file, live tombstones, or an oversized
+    // per-file plan falls back to the copy-on-write rewrite. At 100 TB
+    // this is the difference between dropping a retention window in
+    // milliseconds and rewriting it.
+    if (!oversizedPlanning && deleteFiles.isEmpty && dataFiles.nonEmpty) {
+      val fs = filters.toSeq
+      val (full, rest) = dataFiles.partition(f =>
+        GraftPrune.fullyCovers(fs, partitionFields, f.pvals))
+      val restUntouched = rest.forall(f =>
+        !GraftPrune.overlaps(fs, f.bounds) ||
+          !GraftPrune.partitionKeeps(fs, partitionFields, f.pvals))
+      if (restUntouched) {
+        if (full.nonEmpty)
+          graft.sources.LayoutMaintenance.commitReplaceFiles(
+            spark, dir, full.map(_.path), Nil)
+        return // full.isEmpty: predicate matches no rows — no commit
+      }
+    }
     val pred = filters.toSeq.flatMap(GraftIcebergSource.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    graft.sources.LayoutMaintenance.commitDeleteWhereCow(
-      SparkSession.active, dir, pred)
+    graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, dir, pred)
   }
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —
@@ -1048,6 +1071,82 @@ private[v2] object GraftPrune {
         case _ => None
       }).getOrElse(true)
     }
+
+  /** The DUAL of pruning: does the predicate provably hold for EVERY
+    * row of a file, proven from partition values alone? Powers
+    * metadata-only DELETE (drop whole files from the snapshot — the
+    * "delete a day costs one metadata swap" path). Soundness rests on
+    * partition semantics, not column bounds: a file in partition p
+    * contains ONLY rows whose transform image is p (a null source value
+    * lands in the null partition, which reads as not-covered), so
+    *  - identity: the predicate evaluates directly on p;
+    *  - floor-monotone transforms (day/hour/month/year/truncate):
+    *    ord(row) < ord(X) ⟹ row < X and ord(row) > ord(X) ⟹ row > X,
+    *    so strict ordinal comparison proves coverage (never equality);
+    *  - anything else (bucket, unprojectable shapes, non-integral
+    *    values) is NOT covered — this is a correctness lever, so every
+    *    unknown answers false. */
+  def fullyCovers(filters: Seq[Filter],
+      partitionFields: Seq[(String, String, String)],
+      pvals: Map[String, Any]): Boolean =
+    filters.nonEmpty && partitionFields.nonEmpty &&
+      filters.forall(f => coversAll(f, partitionFields, pvals))
+
+  private def coversAll(f: Filter,
+      partitionFields: Seq[(String, String, String)],
+      pvals: Map[String, Any]): Boolean = f match {
+    case And(l, r) => coversAll(l, partitionFields, pvals) &&
+      coversAll(r, partitionFields, pvals)
+    case Or(l, r) => coversAll(l, partitionFields, pvals) ||
+      coversAll(r, partitionFields, pvals)
+    case _ => partitionFields.exists { case (pfName, transform, srcCol) =>
+      coversByField(f, pfName, transform, srcCol, pvals)
+    }
+  }
+
+  private def coversByField(f: Filter, pfName: String, transform: String,
+      srcCol: String, pvals: Map[String, Any]): Boolean = {
+    import graft.sources.PartitionTransforms._
+    def longVal(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
+      case _ => None
+    }
+    val pv: Option[Long] = pvals.get(pfName).flatMap(longVal)
+    val identity = transform == "identity"
+    def ord(v: Any): Option[Long] = transform match {
+      case "identity" => longVal(v)
+      case "day" => longVal(v).map(us => dayFromMicros(us).toLong)
+      case "hour" => longVal(v).map(us => hourFromMicros(us).toLong)
+      case "month" => longVal(v).map(us => monthFromMicros(us).toLong)
+      case "year" => longVal(v).map(us => yearFromMicros(us).toLong)
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toLong
+        longVal(v).map(truncateLong(_, w))
+      case _ => None
+    }
+    (f, pv) match {
+      case (_, None) => false
+      case (EqualTo(c, v), Some(p)) if c == srcCol && identity =>
+        longVal(v).contains(p)
+      case (In(c, vs), Some(p)) if c == srcCol && identity =>
+        vs.exists(longVal(_).contains(p))
+      case (LessThan(c, v), Some(p)) if c == srcCol =>
+        if (identity) ord(v).exists(p < _) else ord(v).exists(p < _)
+      case (LessThanOrEqual(c, v), Some(p)) if c == srcCol =>
+        if (identity) ord(v).exists(p <= _) else ord(v).exists(p < _)
+      case (GreaterThan(c, v), Some(p)) if c == srcCol =>
+        ord(v).exists(p > _)
+      case (GreaterThanOrEqual(c, v), Some(p)) if c == srcCol =>
+        if (identity) ord(v).exists(p >= _) else ord(v).exists(p > _)
+      // a non-null partition value implies every row's source is
+      // non-null (nulls land in the null partition)
+      case (IsNotNull(c), Some(_)) if c == srcCol => true
+      case _ => false
+    }
+  }
 
   /** Iceberg "Partition transform projection": a pushed predicate on a
     * transform's SOURCE column projects to an INCLUSIVE predicate on the

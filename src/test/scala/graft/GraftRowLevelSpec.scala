@@ -106,6 +106,39 @@ class GraftRowLevelSpec extends AnyFunSuite {
       "pushable DELETE must not route through the row-level rewrite")
   }
 
+  test("partition-aligned DELETE is METADATA-ONLY: files drop, nothing is written") {
+    spark.sql("DROP TABLE IF EXISTS rlo.db.pdrop")
+    spark.sql("CREATE TABLE rlo.db.pdrop (mon BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` PARTITIONED BY (mon) " +
+      "TBLPROPERTIES ('pushdown.fields'='mon:1:long')")
+    spark.sql("INSERT INTO rlo.db.pdrop " +
+      "SELECT id % 4 AS mon, id AS v FROM range(0, 400)")
+    val dir = "target/tmp-rowlevel-wh/db/pdrop"
+    val before = dataFilesOf(dir)
+    assert(before.size == 4, s"one file per mon expected: $before")
+    // the retention shape: every row of the mon<2 files matches, every
+    // other file provably matches nothing -> one snapshot swap, ZERO
+    // data I/O (no cowdel-*, no cow-*, no new files of any kind)
+    spark.sql("DELETE FROM rlo.db.pdrop WHERE mon < 2")
+    val after = dataFilesOf(dir)
+    assert(after.subsetOf(before), s"metadata-only delete wrote files: " +
+      s"${after -- before}")
+    assert(after.size == 2)
+    assert(spark.sql("SELECT count(*), min(mon) FROM rlo.db.pdrop")
+      .head match { case r => r.getLong(0) == 200L && r.getLong(1) == 2L })
+    // a NON-aligned predicate on the same table must fall back to the
+    // copy-on-write rewrite and stay exact
+    spark.sql("DELETE FROM rlo.db.pdrop WHERE v < 250")
+    assert(spark.sql("SELECT count(*) FROM rlo.db.pdrop").head.getLong(0)
+      == (250L until 400L).count(v => v % 4 >= 2))
+    // and a predicate matching nothing commits nothing
+    val snaps = graft.sources.LayoutMaintenance
+      .snapshotIds(spark, dir).size
+    spark.sql("DELETE FROM rlo.db.pdrop WHERE mon > 100")
+    assert(graft.sources.LayoutMaintenance.snapshotIds(spark, dir).size
+      == snaps, "a no-match DELETE must not commit a snapshot")
+  }
+
   test("_file metadata column is selectable and names real files") {
     val dir = freshTable("meta")
     val files = spark.sql("SELECT DISTINCT _file FROM rlo.db.meta")
