@@ -608,6 +608,52 @@ object Queries13 {
         .agg(max(col("c")).as("n_orig"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy(col("lang"))
+    },
+
+    // ---- retention drop as a METADATA-ONLY operation: a month-
+    // partitioned table built by pure SQL, then `DELETE FROM … WHERE
+    // mon <= 3` — the partition-transform full-coverage proof
+    // ([[graft.sources.v2]] GraftPrune.fullyCovers) turns the statement
+    // into one snapshot swap that REMOVES the covered files. The
+    // in-query requires pin the mechanism: the post-delete file set is
+    // a strict subset of the pre-delete set (nothing was written — no
+    // COW rewrite, no tombstones), sized exactly by the surviving
+    // months. At 100 TB this is dropping a retention window in one
+    // metadata swap instead of rewriting it. The oracle recomputes the
+    // surviving aggregate from raw orders.
+    "q235_retention_drop" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q235wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ret")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ret.events")
+      s.sql(s"CREATE TABLE $cat.ret.events " +
+        "(mon BIGINT, okey BIGINT, price BIGINT) USING `graft-iceberg` " +
+        "PARTITIONED BY (mon) " +
+        "TBLPROPERTIES ('pushdown.fields'='mon:1:long')")
+      t(dir, "orders")
+        .select(month(col("o_orderdate")).cast("long").as("mon"),
+          col("o_orderkey").as("okey"),
+          floor(col("o_totalprice")).cast("long").as("price"))
+        .createOrReplaceTempView("q235_src")
+      s.sql(s"INSERT INTO $cat.ret.events SELECT * FROM q235_src")
+      val tblDir = new java.io.File(new java.io.File(wh, "ret"), "events")
+      def files(): Set[String] = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tblDir.getPath, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      val before = files()
+      require(before.size == 12, s"one file per month expected: $before")
+      s.sql(s"DELETE FROM $cat.ret.events WHERE mon <= 3")
+      val after = files()
+      require(after.subsetOf(before) && after.size == 9, // months 4..12
+        s"metadata-only retention drop broke: ${after.size} files, " +
+          s"new=${(after -- before).take(2)}")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price
+        |FROM $cat.ret.events GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -931,5 +977,16 @@ object Queries13 {
         |  FROM d JOIN c ON d.lang = c.lang CROSS JOIN k)
         |SELECT lang, CAST(max(c) AS BIGINT) AS n_orig,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM dec GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM dec GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q235_retention_drop" ->
+      """WITH src AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+        |  FROM orders),
+        |live AS (SELECT * FROM src WHERE mon > 3)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
 }
