@@ -238,7 +238,9 @@ object Queries12 {
       // hash-gated relation below is $partitions)
       val snaps = MetadataTables.snapshots(s, tbl.getPath)
         .orderBy(col("ordinal")).collect()
-      require(snaps.length == 2 && snaps(1).getBoolean(3) && !snaps(0).getBoolean(3),
+      require(snaps.length == 2 &&
+        snaps(1).getAs[Boolean]("is_current") &&
+        !snaps(0).getAs[Boolean]("is_current"),
         "snapshots table: wrong history or current flag")
       val refRows = MetadataTables.refs(s, tbl.getPath).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)

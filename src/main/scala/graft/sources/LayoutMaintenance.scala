@@ -75,7 +75,8 @@ object LayoutMaintenance {
     snapshotTimestamps(spark, tableDir)
       .collect { case (id, Some(t)) if t <= tsMs => id }.lastOption
 
-  private case class Snap(id: Long, listPath: String)
+  private case class Snap(id: Long, listPath: String,
+      summary: Option[Seq[(String, String)]] = None)
 
   /** Snapshots in METADATA ARRAY ORDER — the commit history order, NOT
     * sorted by id (ids may be random longs on real tables). */
@@ -86,9 +87,16 @@ object LayoutMaintenance {
       val out = scala.collection.mutable.ArrayBuffer.empty[Snap]
       arr.forEach { n =>
         val sid = n.get("snapshot-id"); val list = n.get("manifest-list")
-        if (sid != null && sid.canConvertToLong && list != null && list.isTextual)
+        if (sid != null && sid.canConvertToLong && list != null && list.isTextual) {
+          val summary = Option(n.get("summary")).filter(_.isObject).map { sn =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            sn.fields().forEachRemaining(e => buf += (e.getKey -> e.getValue.asText()))
+            buf.toSeq
+          }
           out += Snap(sid.asLong(), IcebergManifestSource.Relocate.meta(
-            metaDir(tableDir), list.asText())) // survives a table-dir move
+            metaDir(tableDir), list.asText()), // survives a table-dir move
+            summary)
+        }
       }
       out.toSeq
     }
@@ -160,6 +168,15 @@ object LayoutMaintenance {
         mapper.createObjectNode().put("snapshot-id", s.id)
           .put("timestamp-ms", System.currentTimeMillis()))
       node.put("manifest-list", s.listPath)
+      // operation + change counts for a NEW snapshot; existing nodes
+      // keep whatever summary their writer recorded (pass-through rule)
+      s.summary.foreach { kv =>
+        if (node.get("summary") == null) {
+          val sn = mapper.createObjectNode()
+          kv.foreach { case (k, v) => sn.put(k, v) }
+          node.set[ObjectNode]("summary", sn)
+        }
+      }
       snapArr.add(node)
     }
     root.set[ArrayNode]("snapshots", snapArr)
@@ -527,6 +544,16 @@ object LayoutMaintenance {
       tableDir: String): Seq[(Long, String)] =
     snapshots(spark, tableDir).map(s => (s.id, s.listPath))
 
+  /** (snapshotId, operation, summary key-values) per snapshot in history
+    * order — the spec "Snapshots" summary each commit records (empty for
+    * snapshots written before summaries existed, or by other writers). */
+  def snapshotSummaries(spark: SparkSession,
+      tableDir: String): Seq[(Long, String, Map[String, String])] =
+    snapshots(spark, tableDir).map { s =>
+      val kv = s.summary.getOrElse(Nil).toMap
+      (s.id, kv.getOrElse("operation", ""), kv)
+    }
+
   /** The current snapshot id, if the table points at one. */
   private[sources] def currentSnapshot(spark: SparkSession,
       tableDir: String): Option[Long] =
@@ -617,8 +644,26 @@ object LayoutMaintenance {
   private def appendSnapshot(spark: SparkSession, tableDir: String,
       entries: Seq[IcebergLayoutWriter.ManifestEntrySpec], newId: Long,
       currentAfter: Long,
-      refsAfter: Seq[(String, Long, String)]): Long = {
+      refsAfter: Seq[(String, Long, String)],
+      operation: String = "append"): Long = {
     val m = metaDir(tableDir)
+    // spec "Snapshots": every snapshot records a summary with its
+    // operation plus change counts — what `snapshots` metadata-table
+    // consumers and commit auditors read without touching manifests.
+    // Added = the entries stamped with THIS commit's sequence number
+    // (the layout's commit discipline); totals are over live entries.
+    val addedHere = entries.filter(_.sequenceNumber.longValue == newId)
+    val dataHere = addedHere.filter(_.content == 0)
+    val summary: Seq[(String, String)] = Seq(
+      "operation" -> operation,
+      "added-data-files" -> dataHere.size.toString,
+      "added-records" -> dataHere.map(_.recordCount).sum.toString,
+      "added-delete-files" ->
+        addedHere.count(_.content != 0).toString,
+      "total-data-files" -> entries.count(_.content == 0).toString,
+      "total-records" ->
+        entries.filter(_.content == 0).map(_.recordCount).sum.toString,
+      "total-delete-files" -> entries.count(_.content != 0).toString)
     // a manifest is homogeneous in partition SHAPE (the writer derives
     // the Avro partition record from its first entry) — a commit whose
     // new unpartitioned file lands next to carried partitioned entries
@@ -635,7 +680,8 @@ object LayoutMaintenance {
     val newList = new java.io.File(m, s"snap-$newId-manifest-list.avro")
     IcebergLayoutWriter.writeManifestList(newList, manifests, newId)
     writeMetadataVersion(spark, tableDir,
-      snapshots(spark, tableDir) :+ Snap(newId, newList.getAbsolutePath),
+      snapshots(spark, tableDir) :+
+        Snap(newId, newList.getAbsolutePath, Some(summary)),
       currentAfter, refsAfter)
     newId
   }
@@ -706,7 +752,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "overwrite")
     (newId, n)
   }
 
@@ -791,7 +837,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "overwrite")
     (newId, n, nk - n)
   }
 
@@ -822,7 +868,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "delete")
     (newId, nk)
   }
 
@@ -864,7 +910,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "delete")
     (newId, n)
   }
 
@@ -924,7 +970,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, kept ++ added, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, kept ++ added, newId, newId, movedRefs, operation = "delete")
     (newId, deleted)
   }
 
@@ -981,7 +1027,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, kept ++ stamped, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, kept ++ stamped, newId, newId, movedRefs, operation = "replace")
     newId
   }
 
@@ -1038,7 +1084,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, added, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, added, newId, newId, movedRefs, operation = "replace")
     (newId, n, filesBefore, added.size)
   }
 
@@ -1096,7 +1142,7 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, entries, newId, newId, movedRefs)
+    appendSnapshot(spark, tableDir, entries, newId, newId, movedRefs, operation = "replace")
     (newId, posFiles.size, if (n == 0) 0 else 1, n)
   }
 

@@ -52,14 +52,26 @@ object MetadataTables {
         sum(when(col("content") === 2, 1L).otherwise(0L))
           .as("equality_delete_file_count"))
 
-  /** The `$snapshots` table: (ordinal, snapshot_id, manifest_list,
-    * is_current) in commit-history order. */
+  /** The `$snapshots` table: (ordinal, snapshot_id, operation,
+    * added_data_files, added_records, manifest_list, is_current) in
+    * commit-history order. Operation + counts come from the spec
+    * "Snapshots" summary each commit records; snapshots without one
+    * (older layouts, other writers) read as empty/null. */
   def snapshots(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val cur = LayoutMaintenance.currentSnapshot(spark, tableDir)
+    val sums = LayoutMaintenance.snapshotSummaries(spark, tableDir)
+      .map(s => s._1 -> ((s._2, s._3))).toMap
+    def cnt(id: Long, k: String): Option[Long] =
+      sums.get(id).flatMap(_._2.get(k)).flatMap(_.toLongOption)
     LayoutMaintenance.snapshotList(spark, tableDir).zipWithIndex
-      .map { case ((id, list), i) => (i, id, list, cur.contains(id)) }
-      .toDF("ordinal", "snapshot_id", "manifest_list", "is_current")
+      .map { case ((id, list), i) =>
+        (i, id, sums.get(id).map(_._1).getOrElse(""),
+          cnt(id, "added-data-files"), cnt(id, "added-records"),
+          list, cur.contains(id))
+      }
+      .toDF("ordinal", "snapshot_id", "operation", "added_data_files",
+        "added_records", "manifest_list", "is_current")
   }
 
   /** The `$refs` table: (name, snapshot_id, type). */

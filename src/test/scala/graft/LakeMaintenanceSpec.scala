@@ -13,6 +13,54 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
   }
 
+  test("snapshot summaries record operation + change counts per commit kind") {
+    import spark.implicits._
+    import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MetadataTables}
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val t = new java.io.File("target/tmp-snap-summary")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    val dataDir = new java.io.File(t, "data"); dataDir.mkdirs()
+    def slice(name: String, lo: Long, hi: Long): (java.io.File, Long) = {
+      val f = new java.io.File(dataDir, s"$name.parquet")
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        (lo until hi).toDF("k").selectExpr("k", "k * 2 AS v"), f)
+      (f, n)
+    }
+    val (f0, n0) = slice("a", 0, 10)
+    IcebergLayoutWriter.writeTable(t, Seq(ManifestEntrySpec(status = 1,
+      content = 0, filePath = f0.getAbsolutePath, recordCount = n0,
+      sizeBytes = f0.length(), sequenceNumber = 1L)))
+    val (f1, n1) = slice("b", 10, 15)
+    LayoutMaintenance.commitAppend(spark, t.getPath, Seq(ManifestEntrySpec(
+      status = 1, content = 0, filePath = f1.getAbsolutePath,
+      recordCount = n1, sizeBytes = f1.length())))       // append
+    LayoutMaintenance.commitDeleteWhere(spark, t.getPath,
+      org.apache.spark.sql.functions.col("k") === 3L)    // delete
+    val sums = LayoutMaintenance.snapshotSummaries(spark, t.getPath)
+    // snapshot 1 predates summaries (writeTable fixture): empty op
+    assert(sums.map(_._2) == Seq("", "append", "delete"), sums.toString)
+    val append = sums(1)._3
+    assert(append("added-data-files") == "1")
+    assert(append("added-records") == n1.toString)
+    assert(append("total-data-files") == "2")
+    assert(append("total-records") == (n0 + n1).toString)
+    val del = sums(2)._3
+    assert(del("added-delete-files") == "1")
+    assert(del("added-data-files") == "0")
+    // surfaced through the $snapshots metadata table
+    val rows = MetadataTables.snapshots(spark, t.getPath)
+      .select("snapshot_id", "operation", "added_records")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(rows.toSeq == Seq((1L, "", None),
+      (2L, "append", Some(n1)), (3L, "delete", Some(0L))))
+    // maintenance that rewrites metadata PRESERVES existing summaries
+    LayoutMaintenance.rewritePositionDeletes(spark, t.getPath)
+    val after = LayoutMaintenance.snapshotSummaries(spark, t.getPath)
+    assert(after.map(_._2) == Seq("", "append", "delete", "replace"))
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+  }
+
   test("orphan detection finds exactly the unreferenced files, at any nesting") {
     import spark.implicits._
     val root = TestTmp.dir("graft_orphans")
