@@ -654,6 +654,37 @@ object Queries13 {
           s"new=${(after -- before).take(2)}")
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price
         |FROM $cat.ret.events GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- Zipf-law audit: the rank-frequency slope of each language's
+    // vocabulary (natural text sits near -1; a synthetic or templated
+    // corpus shows up immediately). Least-squares fit of ln(freq) on
+    // ln(rank) over the top 20 terms, with every log floored to integer
+    // micro-nats BEFORE the sums (the q182 discipline) so all five
+    // regression sums are exact int64 and the slope is ONE division of
+    // exact integers. The rank window runs over the vocabulary-collapsed
+    // (lang, word) counts — thousands of rows at any corpus size.
+    "q236_zipf_slope" -> { (s, dir) => implicit val sp = s
+      val tf = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val ranked = tf.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("c").desc, col("w"))).cast("long"))
+        .filter(col("rk") <= 20)
+        .withColumn("x", floor(log(col("rk").cast("double")) * 1e6).cast("long"))
+        .withColumn("y", floor(log(col("c").cast("double")) * 1e6).cast("long"))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"), col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("slope"))
+        .orderBy(col("lang"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -988,5 +1019,31 @@ object Queries13 {
         |live AS (SELECT * FROM src WHERE mon > 3)
         |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price
-        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q236_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, c, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY c DESC, w) AS BIGINT) AS rk
+        |  FROM tf),
+        |q AS (
+        |  SELECT lang,
+        |    CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM rk WHERE rk <= 20),
+        |sums AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM q GROUP BY lang)
+        |SELECT lang, n_terms,
+        |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope
+        |FROM sums ORDER BY lang""".stripMargin)
 }
