@@ -685,6 +685,62 @@ object Queries13 {
             / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
             .cast("double"), 6).as("slope"))
         .orderBy(col("lang"))
+    },
+
+    // ---- perceptual NEAR-duplicate image pairs: dHashes computed
+    // through the REAL PNG codec (the q224 pipeline, plus a per-doc
+    // single-pixel defect so family members differ by a few bits
+    // instead of colliding exactly), then banded LSH over the 63-bit
+    // hash — 7 bands of 9 bits, so any pair within hamming distance 6
+    // shares at least one clean band (pigeonhole: 6 errors cannot touch
+    // 7 bands) and recall at the threshold is EXACT, not probabilistic.
+    // Candidates equi-join on (band, key); the verify is one bit_count
+    // of an xor. The oracle recomputes hashes from the synthesis
+    // formula — codec round trip and banding algebra both hash-gated.
+    "q237_image_neardup" -> { (s, dir) => implicit val sp = s
+      val dh = udf { (docId: Long) =>
+        val base = docId / 7
+        val w = 9; val h = 8
+        val (px, py) = ((docId % 9).toInt, (docId % 8).toInt)
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bump = if (x == px && y == py) 12L else 0L
+            val v = (((base * 2003L + x * 89L + y * 41L) % 211L) + bump).toInt
+            val i = (y * w + x) * 3
+            rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        import graft.multimodal.RealCodec
+        val img = RealCodec.decodePng(RealCodec.encodePng(RealCodec.Image(w, h, rgb)))
+        def g(x: Int, yy: Int): Int = img.rgb((yy * w + x) * 3) & 0xFF
+        var dhash = 0L; var b = 0
+        while (b < 63) {
+          if (g(b % 8 + 1, b / 8) > g(b % 8, b / 8)) dhash |= 1L << b
+          b += 1
+        }
+        dhash
+      }
+      val imgs = t(dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), dh(col("doc_id")).as("dhash"))
+      val bands = imgs.select(col("doc_id"), col("dhash"),
+        explode(expr("transform(sequence(0, 6), " +
+          "i -> struct(i AS band, shiftright(dhash, i * 9) & 511 AS bkey))"))
+          .as("b"))
+        .select(col("doc_id"), col("dhash"),
+          col("b.band").as("band"), col("b.bkey").as("bkey"))
+      bands.as("a").join(bands.as("bb"),
+          col("a.band") === col("bb.band") && col("a.bkey") === col("bb.bkey")
+            && col("a.doc_id") < col("bb.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("bb.doc_id").as("id_b"),
+          expr("bit_count(a.dhash ^ bb.dhash)").cast("long").as("ham"))
+        .distinct()
+        .filter(col("ham") <= 6)
+        .orderBy(col("id_a"), col("id_b"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1045,5 +1101,32 @@ object Queries13 {
         |SELECT lang, n_terms,
         |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
         |    / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope
-        |FROM sums ORDER BY lang""".stripMargin)
+        |FROM sums ORDER BY lang""".stripMargin,
+
+    "q237_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        |hx AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 62), b ->
+        |      CASE WHEN
+        |        ((doc_id // 7 * 2003 + ((b % 8) + 1) * 89 + (b // 8) * 41) % 211
+        |          + CASE WHEN (b % 8) + 1 = doc_id % 9 AND b // 8 = doc_id % 8
+        |                 THEN 12 ELSE 0 END)
+        |        >
+        |        ((doc_id // 7 * 2003 + (b % 8) * 89 + (b // 8) * 41) % 211
+        |          + CASE WHEN b % 8 = doc_id % 9 AND b // 8 = doc_id % 8
+        |                 THEN 12 ELSE 0 END)
+        |      THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS dhash
+        |  FROM ids),
+        |bands AS (
+        |  SELECT doc_id, dhash, i AS band, (dhash >> (i * 9)) & 511 AS bkey
+        |  FROM hx, unnest(generate_series(0, 6)) AS u(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS ham
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ham FROM cand WHERE ham <= 6
+        |ORDER BY id_a, id_b""".stripMargin)
 }

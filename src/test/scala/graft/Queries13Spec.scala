@@ -234,6 +234,39 @@ class Queries13Spec extends AnyFunSuite {
     assert(tail._3 / totK > tail._2 / totO, "tail lang share must grow")
   }
 
+  test("image near-dup banding has EXACT recall at hamming <= 6 (pigeonhole)") {
+    import spark.implicits._
+    val got = graft.operators.Queries13.all("q237_image_neardup")(spark, dir)
+      .select("id_a", "id_b", "ham").as[(Long, Long, Long)].collect().toSet
+    // brute force: every pair of dhashes within the threshold, computed
+    // through the same real-codec path (doc ids only — no banding)
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect()
+    def dhashOf(docId: Long): Long = {
+      val base = docId / 7; val w = 9; val h = 8
+      val (px, py) = ((docId % 9).toInt, (docId % 8).toInt)
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bump = if (x == px && y == py) 12L else 0L
+        val v = (((base * 2003L + x * 89L + y * 41L) % 211L) + bump).toInt
+        val i = (y * w + x) * 3
+        rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+      }
+      import graft.multimodal.RealCodec
+      val img = RealCodec.decodePng(RealCodec.encodePng(RealCodec.Image(w, h, rgb)))
+      def g(x: Int, yy: Int): Int = img.rgb((yy * w + x) * 3) & 0xFF
+      (0 until 63).foldLeft(0L) { (acc, b) =>
+        if (g(b % 8 + 1, b / 8) > g(b % 8, b / 8)) acc | (1L << b) else acc }
+    }
+    val hs = ids.map(id => id -> dhashOf(id))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 6
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == brute, "7x9-bit banding must find EVERY pair within ham 6")
+    assert(got.nonEmpty && got.exists(_._3 > 0), "need true near (not exact) dups")
+  }
+
   test("repetition gate: flagged count consistent and thresholds live") {
     import spark.implicits._
     val rows = Queries13.all("q222_repetition_filter")(spark, dir)
