@@ -741,6 +741,59 @@ object Queries13 {
         .distinct()
         .filter(col("ham") <= 6)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- audio fingerprint matching: the landmark idea behind audio
+    // search engines reduced to its deterministic core — a 63-bit
+    // energy-DELTA fingerprint (bit f = "frame f+1 is louder than frame
+    // f", 64 frames × 16 PCM samples) computed from samples that made a
+    // REAL RIFF/WAVE encode→decode round trip. Same-family docs share a
+    // base waveform with a one-frame spike (≤2 flipped deltas), so
+    // matching is a near-dup join: the q237 7×9-bit banding, recall
+    // EXACT at hamming ≤ 6 by pigeonhole. Oracle recomputes fingerprints
+    // from the synthesis formula — WAV codec + fingerprint algebra + LSH
+    // all hash-gated. Per-row decode, equi-join candidates.
+    "q238_audio_fingerprint" -> { (s, dir) => implicit val sp = s
+      val fp = udf { (docId: Long) =>
+        val n = 1024
+        val samples = new Array[Short](n)
+        var i = 1
+        while (i <= n) {
+          val spike = if ((i - 1) / 16 == (docId % 64).toInt) 500L else 0L
+          samples(i - 1) =
+            (((docId / 5 + 1) * i * 48271L) % 8192L - 4096L + spike).toShort
+          i += 1
+        }
+        import graft.multimodal.RealCodec
+        val dec = RealCodec.decodeWav(
+          RealCodec.encodeWav(RealCodec.Wav(1, 16000, samples)))
+        val e = new Array[Long](64)
+        var f = 0
+        while (f < 64) {
+          var j = 0; var acc = 0L
+          while (j < 16) { acc += math.abs(dec.samples(f * 16 + j).toLong); j += 1 }
+          e(f) = acc; f += 1
+        }
+        var fpv = 0L; var b = 0
+        while (b < 63) { if (e(b + 1) > e(b)) fpv |= 1L << b; b += 1 }
+        fpv
+      }
+      val fps = t(dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), fp(col("doc_id")).as("fp"))
+      val bands = fps.select(col("doc_id"), col("fp"),
+        explode(expr("transform(sequence(0, 6), " +
+          "i -> struct(i AS band, shiftright(fp, i * 9) & 511 AS bkey))"))
+          .as("b"))
+        .select(col("doc_id"), col("fp"),
+          col("b.band").as("band"), col("b.bkey").as("bkey"))
+      bands.as("a").join(bands.as("bb"),
+          col("a.band") === col("bb.band") && col("a.bkey") === col("bb.bkey")
+            && col("a.doc_id") < col("bb.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("bb.doc_id").as("id_b"),
+          expr("bit_count(a.fp ^ bb.fp)").cast("long").as("ham"))
+        .distinct()
+        .filter(col("ham") <= 6)
+        .orderBy(col("id_a"), col("id_b"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1125,6 +1178,36 @@ object Queries13 {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS ham
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ham FROM cand WHERE ham <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q238_audio_fingerprint" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |s AS (
+        |  SELECT doc_id, list_transform(generate_series(1, 1024),
+        |    i -> ((doc_id // 5 + 1) * i * 48271) % 8192 - 4096
+        |      + CASE WHEN (i - 1) // 16 = doc_id % 64 THEN 500 ELSE 0 END) AS l
+        |  FROM ids),
+        |e AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 63),
+        |    f -> list_sum(list_transform(generate_series(1, 16),
+        |      i -> abs(l[f * 16 + i])))) AS en
+        |  FROM s),
+        |hx AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 62), b ->
+        |      CASE WHEN en[b + 2] > en[b + 1]
+        |           THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM e),
+        |bands AS (
+        |  SELECT doc_id, fp, i AS band, (fp >> (i * 9)) & 511 AS bkey
+        |  FROM hx, unnest(generate_series(0, 6)) AS u(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS ham
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ham FROM cand WHERE ham <= 6
