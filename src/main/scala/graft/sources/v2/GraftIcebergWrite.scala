@@ -90,17 +90,23 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
       declaredPartSpec)
 
+  /** Iceberg's `write.target-file-size-bytes`, as a write option: tasks
+    * ROLL their open data file when its buffered size crosses the
+    * target, so file sizes track the target regardless of task skew. */
+  private def targetBytes: Option[Long] =
+    Option(info.options().get("write.target-file-size-bytes")).map(_.toLong)
+
   private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =
       if (overwriteAll)
         new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
-          partSpec, specForCreate)
+          partSpec, specForCreate, targetBytes)
       else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate, sortCols)
+        partSpec, specForCreate, sortCols, targetBytes)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate)
+        partSpec, specForCreate, targetBytes)
   }
 
   /** `write.sort-order` asks the PLANNER for a range distribution plus a
@@ -181,11 +187,13 @@ private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
     queryId: String,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
-    specForCreate: Seq[(String, String, Int)] = Nil) extends BatchWrite {
+    specForCreate: Seq[(String, String, Int)] = Nil,
+    targetBytes: Option[Long] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, s"ow-$queryId", stats, partCols)
+    new GraftWriterFactory(dir, schema, s"ow-$queryId", stats, partCols,
+      targetBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -226,12 +234,14 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
     queryId: String,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
-    specForCreate: Seq[(String, String, Int)] = Nil)
+    specForCreate: Seq[(String, String, Int)] = Nil,
+    targetBytes: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(dir, schema, queryId, stats, partCols)
+    new GraftStreamingWriterFactory(dir, schema, queryId, stats, partCols,
+      targetBytes)
 
   private def ledgerFile =
     new java.io.File(new java.io.File(dir, "metadata"), "streaming-epochs.json")
@@ -283,12 +293,13 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
 private[v2] class GraftStreamingWriterFactory(dir: String, schema: StructType,
     queryId: String,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
-    partCols: Seq[(String, String, Int)] = Nil)
+    partCols: Seq[(String, String, Int)] = Nil,
+    targetBytes: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir, schema, s"$queryId-e$epochId", partitionId, taskId,
-      stats, partCols)
+      stats, partCols, targetBytes)
 }
 
 /** One written data file's commit facts: path, rows, bytes, Appendix-D
@@ -307,11 +318,12 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
     specForCreate: Seq[(String, String, Int)] = Nil,
-    sortCols: Seq[String] = Nil) extends BatchWrite {
+    sortCols: Seq[String] = Nil,
+    targetBytes: Option[Long] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, queryId, stats, partCols)
+    new GraftWriterFactory(dir, schema, queryId, stats, partCols, targetBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // a write under write.sort-order arrives globally range-sorted
@@ -335,11 +347,12 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
 private[v2] class GraftWriterFactory(dir: String, schema: StructType,
     queryId: String,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
-    partCols: Seq[(String, String, Int)] = Nil) extends DataWriterFactory {
+    partCols: Seq[(String, String, Int)] = Nil,
+    targetBytes: Option[Long] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir, schema, queryId, partitionId, taskId, stats,
-      partCols)
+      partCols, targetBytes)
 }
 
 /** Task-side writer. Unpartitioned: one parquet file. Partitioned
@@ -353,7 +366,8 @@ private[v2] class GraftWriterFactory(dir: String, schema: StructType,
 private[v2] class GraftDataWriter(dir: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
-    partCols: Seq[(String, String, Int)] = Nil)
+    partCols: Seq[(String, String, Int)] = Nil,
+    targetBytes: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
   // Per-file column statistics for the declared stat fields (the same
@@ -403,12 +417,40 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
   private val factory = new SimpleGroupFactory(msgType)
   private val sinks =
     new scala.collection.mutable.LinkedHashMap[Seq[Any], Sink]()
+  // files already rolled and closed by the target-size check; commit
+  // emits them alongside the still-open sinks
+  private val rolled = scala.collection.mutable.ArrayBuffer.empty[GraftFileInfo]
+  private var rollSeq = 0
 
-  private def newSink(key: Seq[Any]): Sink = {
-    val suffix = if (partCols.isEmpty) "" else s"-p${sinks.size}"
+  private def newSink(key: Seq[Any], roll: Int = 0): Sink = {
+    val suffix = (if (partCols.isEmpty) "" else s"-p${sinks.size}") +
+      (if (roll == 0) "" else s"-r$roll")
     new Sink(new java.io.File(dataDir,
         s"append-$queryId-$partitionId-$taskId$suffix.parquet"),
       partCols.map(_._1).zip(key))
+  }
+
+  /** Close a sink and turn it into its commit-message file record (None
+    * for a zero-row sink, whose file is removed). */
+  private def finalizeSink(sink: Sink): Option[GraftFileInfo] = {
+    import graft.sources.IcebergLayoutWriter.{boundLong, boundDouble, boundString}
+    def enc(v: Any): Array[Byte] = v match {
+      case x: Long => boundLong(x)
+      case x: Double => boundDouble(x)
+      case x: String => boundString(x)
+    }
+    sink.writer.close()
+    if (sink.rows == 0) {
+      org.apache.commons.io.FileUtils.deleteQuietly(sink.file)
+      None
+    } else {
+      val lower = statIdx.indices.flatMap { j =>
+        Option(sink.statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
+      val upper = statIdx.indices.flatMap { j =>
+        Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
+      Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
+        sink.file.length(), lower, upper, sink.partition))
+    }
   }
 
   /** transform(source value) → the partition ordinal this row lands in.
@@ -498,40 +540,36 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       j += 1
     }
     sink.rows += 1
-  }
-
-  override def commit(): WriterCommitMessage = {
-    // a zero-row task never opened a sink: commits nothing
-    import graft.sources.IcebergLayoutWriter.{boundLong, boundDouble, boundString}
-    def enc(v: Any): Array[Byte] = v match {
-      case x: Long => boundLong(x)
-      case x: Double => boundDouble(x)
-      case x: String => boundString(x)
-    }
-    val files = sinks.values.toSeq.flatMap { sink =>
-      sink.writer.close()
-      if (sink.rows == 0) { // nothing to add: no empty file left behind
-        org.apache.commons.io.FileUtils.deleteQuietly(sink.file)
-        None
-      } else {
-        // bounds per declared stat field, Iceberg Appendix-D encodings —
-        // all-null columns carry no bound (the reader keeps such files)
-        val lower = statIdx.indices.flatMap { j =>
-          Option(sink.statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
-        val upper = statIdx.indices.flatMap { j =>
-          Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
-        Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
-          sink.file.length(), lower, upper, sink.partition))
+    // Iceberg's write.target-file-size-bytes, task-side: when the open
+    // file's buffered size crosses the target, ROLL — close it into the
+    // commit set and open a fresh file for the same partition key. The
+    // check uses the parquet writer's own running estimate, so file
+    // sizes land near the target without any extra pass or shuffle —
+    // how a 100 TB ingest avoids both the 10k-tiny-files and the
+    // one-10GB-file failure modes regardless of task skew.
+    targetBytes.foreach { t =>
+      if (sink.writer.getDataSize >= t) {
+        rolled ++= finalizeSink(sink)
+        rollSeq += 1
+        sinks.put(key, newSink(key, rollSeq))
       }
     }
-    GraftCommitMessage(files)
   }
 
-  override def abort(): Unit =
+  override def commit(): WriterCommitMessage =
+    // a zero-row task never opened a sink: commits nothing; bounds per
+    // declared stat field, Iceberg Appendix-D encodings — all-null
+    // columns carry no bound (the reader keeps such files)
+    GraftCommitMessage(rolled.toSeq ++ sinks.values.toSeq.flatMap(finalizeSink))
+
+  override def abort(): Unit = {
     sinks.values.foreach { sink =>
       sink.writer.close()
       org.apache.commons.io.FileUtils.deleteQuietly(sink.file)
     }
+    rolled.foreach(f =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(f.path)))
+  }
 
   override def close(): Unit = ()
 }

@@ -226,6 +226,34 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(got.asScala.toSeq.sorted == Seq(1L, 2L))
   }
 
+  test("write.target-file-size-bytes rolls task files near the target") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-roll")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    // one input partition would normally mean ONE data file; a 64 KB
+    // target must roll it into several, each near the target
+    spark.range(0, 300000).select(col("id").as("k"),
+        (col("id") * 7).as("v")).coalesce(1)
+      .write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v LONG")
+      .option("write.target-file-size-bytes", "65536")
+      .mode("append").save(t.getPath)
+    val files = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, t.getPath, "t", Nil)
+      .filter(col("content") === 0)
+      .select("file_path", "sizeBytes", "record_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(files.length > 2,
+      s"expected the single task to roll into several files: ${files.length}")
+    // rolled files stay within sane bounds of the target (parquet
+    // buffering makes the check coarse, not exact)
+    files.dropRight(1).foreach { case (p, sz, _) =>
+      assert(sz < 4L * 65536, s"file $p blew past the target: $sz B") }
+    assert(files.map(_._3).sum == 300000L, "no rows lost across rolls")
+    // and the table reads back whole
+    assert(spark.read.format("graft-iceberg").load(t.getPath).count() == 300000L)
+  }
+
   test("empty result when the predicate excludes every file") {
     val none = dsv2.filter(col("price") > 10000000L)
     assert(none.rdd.getNumPartitions == 0)
