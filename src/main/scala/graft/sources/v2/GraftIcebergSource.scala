@@ -570,11 +570,28 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
     statFields: Seq[GraftIcebergSource.StatField])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
+  private var sample: Option[(Double, Double, Long)] = None
+
+  /** `TABLESAMPLE (x PERCENT) REPEATABLE (seed)` pushed into the scan:
+    * each reader keeps a row iff a pure hash of (seed, file path, row
+    * ordinal) maps into [lo, hi) — deterministic across runs, retries,
+    * and partitionings (the ordinal is the row's position in ITS file,
+    * so a row's fate never depends on scheduling), and independent of
+    * tombstones (a delete near a sampled row cannot flip it). Sampling
+    * WITH replacement has no per-row formulation here and is refused —
+    * Spark then runs its own Sample operator above the scan. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement) return false
+    sample = Some((lowerBound, upperBound, seed))
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val statCols = statFields.map(_.name).toSet
@@ -641,6 +658,7 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty) return None
+    if (sample.isDefined) return None // sampled counts must scan
     if (table.hasDeletes || table.oversizedPlanning) return None
     def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -718,7 +736,7 @@ private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new GraftAggScan(schema, rows)
-    case None => new GraftScan(table, fullSchema, required, pushed)
+    case None => new GraftScan(table, fullSchema, required, pushed, sample)
   }
 }
 
@@ -771,7 +789,8 @@ private[v2] case class GraftAggPartition(rows: Seq[Seq[Any]])
     extends InputPartition
 
 private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    required: StructType, pushed: Array[Filter],
+    sample: Option[(Double, Double, Long)] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering
     with SupportsReportStatistics {
@@ -1015,7 +1034,7 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
       survivors.map(f => partitionFor(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, sample)
 }
 
 private[v2] object GraftPrune {
@@ -1280,11 +1299,12 @@ private[v2] case class GraftManifestPartition(manifestPath: String,
     filters: Seq[Filter],
     partitionFields: Seq[(String, String, String)]) extends InputPartition
 
-private[v2] class GraftReaderFactory(required: StructType)
+private[v2] class GraftReaderFactory(required: StructType,
+    sample: Option[(Double, Double, Long)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case f: GraftFilePartition => new GraftPartitionReader(f, required)
+      case f: GraftFilePartition => new GraftPartitionReader(f, required, sample)
       case m: GraftManifestPartition => new PartitionReader[InternalRow] {
         // task-side manifest expansion + pruning, then chained readers
         private val conf = new Configuration()
@@ -1312,7 +1332,7 @@ private[v2] class GraftReaderFactory(required: StructType)
             if (cur == null) {
               if (!files.hasNext) return false
               cur = new GraftPartitionReader(
-                GraftFilePartition(files.next()), required)
+                GraftFilePartition(files.next()), required, sample)
             }
             if (cur.next()) return true
             cur.close(); cur = null
@@ -1330,7 +1350,7 @@ private[v2] class GraftReaderFactory(required: StructType)
           while (true) {
             if (cur == null) {
               if (!parts.hasNext) return false
-              cur = new GraftPartitionReader(parts.next(), required)
+              cur = new GraftPartitionReader(parts.next(), required, sample)
             }
             if (cur.next()) return true
             cur.close(); cur = null
@@ -1418,7 +1438,8 @@ private[v2] object GraftPartitionReader {
   * tuple — so the connector's batch read is a full merge-on-read
   * reader. Tombstone-free partitions (the common case) skip all of it. */
 private[v2] class GraftPartitionReader(part: GraftFilePartition,
-    required: StructType)
+    required: StructType,
+    sample: Option[(Double, Double, Long)] = None)
     extends PartitionReader[InternalRow] {
   private val path = part.path
 
@@ -1484,10 +1505,25 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     }
   }
 
+  /** Pushed-TABLESAMPLE keep decision: pure hash of (seed, file path,
+    * row ordinal) -> uniform in [0, 1) -> compare against the pushed
+    * bounds. Ordinal-keyed, so it commutes with tombstone application
+    * and never depends on scheduling. */
+  private def sampleKeep(): Boolean = sample match {
+    case None => true
+    case Some((lo, hi, seed)) =>
+      var x = scala.util.hashing.MurmurHash3
+        .stringHash(path, seed.toInt).toLong * 0x9E3779B97F4A7C15L +
+        rowIdx * 0xC2B2AE3D27D4EB4FL + seed
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+      val u = (x >>> 11).toDouble / (1L << 53).toDouble
+      lo <= u && u < hi
+  }
+
   override def next(): Boolean = {
     current = reader.read()
     rowIdx += 1
-    while (current != null && deleted(current)) {
+    while (current != null && (deleted(current) || !sampleKeep())) {
       current = reader.read()
       rowIdx += 1
     }

@@ -254,6 +254,39 @@ class GraftSourceV2Spec extends AnyFunSuite {
     assert(spark.read.format("graft-iceberg").load(t.getPath).count() == 300000L)
   }
 
+  test("TABLESAMPLE pushes into the scan: deterministic, no Sample operator") {
+    val df = dsv2 // the shared 8-file fixture table
+    val total = df.count()
+    val s1 = df.sample(withReplacement = false, 0.3, seed = 42)
+    val rows1 = s1.select("okey").collect().map(_.getLong(0)).toSet
+    // pushed: the Sample operator is GONE from the executed plan —
+    // the scan's readers did the work
+    val sampleOps = s1.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.SampleExec => s }
+    assert(sampleOps.isEmpty, "sample must push into the graft scan")
+    // deterministic: same seed, same rows — across a fresh plan
+    val rows2 = dsv2.sample(withReplacement = false, 0.3, seed = 42)
+      .select("okey").collect().map(_.getLong(0)).toSet
+    assert(rows1 == rows2, "pushed sampling must be repeatable")
+    // fraction lands in a sane band
+    assert(rows1.size > (total * 0.1).toInt && rows1.size < (total * 0.55).toInt,
+      s"sample fraction off: ${rows1.size} of $total")
+    // a filter ABOVE the pushed sample sees exactly the sampled rows
+    // (sampling keys on row ordinals, so predicates cannot change which
+    // rows are kept — they only filter the kept set)
+    val sampledThenFiltered = dsv2.sample(withReplacement = false, 0.3, seed = 42)
+      .filter(col("price") < 100000L)
+      .select("okey").collect().map(_.getLong(0)).toSet
+    assert(sampledThenFiltered.subsetOf(rows1),
+      "filtering a pushed sample must yield a subset of the sample")
+    // with-replacement has no per-row pushdown: Spark keeps its own
+    // Sample operator and results stay correct
+    val wr = dsv2.sample(withReplacement = true, 0.3, seed = 42)
+    val wrOps = wr.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.SampleExec => s }
+    assert(wrOps.nonEmpty, "with-replacement must NOT push")
+  }
+
   test("empty result when the predicate excludes every file") {
     val none = dsv2.filter(col("price") > 10000000L)
     assert(none.rdd.getNumPartitions == 0)
