@@ -794,6 +794,48 @@ object Queries13 {
         .distinct()
         .filter(col("ham") <= 6)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- commit audit from SNAPSHOT SUMMARIES alone: a four-operation
+    // history (append → append → MERGE upsert → predicate DELETE →
+    // rewrite), then the `$snapshots` metadata table's operation and
+    // change-count columns — zero manifest I/O, the spec "Snapshots"
+    // summary each commit recorded — hash-checked against a DuckDB
+    // reconstruction of every count from the raw source. This is the
+    // ops dashboard query ("what happened to this table, when, how
+    // big") priced at one metadata-document read.
+    "q239_commit_operations" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MetadataTables}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val base = t(dir, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice")).cast("long").as("price"))
+      val tbl = TmpFixture.dir("q239", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      def slice(name: String, f: org.apache.spark.sql.Column) = {
+        val fl = new java.io.File(dataDir, s"$name.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          base.filter(f).sort(col("k")), fl)
+        Seq(ManifestEntrySpec(status = 1, content = 0,
+          filePath = fl.getAbsolutePath, recordCount = n,
+          sizeBytes = fl.length()))
+      }
+      LayoutMaintenance.commitAppend(s, tbl.getPath,
+        slice("a", col("k") % 3 === 0))                       // 1: creates
+      LayoutMaintenance.commitAppend(s, tbl.getPath,
+        slice("b", col("k") % 3 === 1))                       // 2: append
+      LayoutMaintenance.commitUpsert(s, tbl.getPath,
+        base.filter(col("k") % 30 === 0)
+          .select(col("k"), (col("price") + 7L).as("price")),
+        Seq("k"))                                             // 3: overwrite
+      LayoutMaintenance.commitDeleteWhere(s, tbl.getPath,
+        col("k") % 7 === 0)                                   // 4: delete
+      LayoutMaintenance.rewriteDataFiles(s, tbl.getPath, Seq("k")) // 5: replace
+      MetadataTables.snapshots(s, tbl.getPath)
+        .filter(col("ordinal") >= 1) // snapshot 1 predates summaries only
+        .select(col("ordinal").cast("long").as("ordinal"), col("operation"),
+          col("added_data_files"), col("added_records"))
+        .orderBy(col("ordinal"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1211,5 +1253,22 @@ object Queries13 {
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ham FROM cand WHERE ham <= 6
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q239_commit_operations" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k FROM orders),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS c FROM base WHERE k % 3 = 1),
+        |up AS (SELECT CAST(count(*) AS BIGINT) AS c FROM base WHERE k % 30 = 0),
+        |live AS (SELECT CAST(count(*) AS BIGINT) AS c FROM base
+        |         WHERE k % 3 IN (0, 1) AND k % 7 <> 0)
+        |SELECT CAST(v.o AS BIGINT) AS ordinal, v.op AS operation,
+        |  CAST(v.f AS BIGINT) AS added_data_files,
+        |  CAST(v.r AS BIGINT) AS added_records
+        |FROM (VALUES
+        |  (1, 'append', 1, (SELECT c FROM b)),
+        |  (2, 'overwrite', 1, (SELECT c FROM up)),
+        |  (3, 'delete', 0, 0),
+        |  (4, 'replace', 1, (SELECT c FROM live))) v(o, op, f, r)
+        |ORDER BY ordinal""".stripMargin)
 }
