@@ -836,6 +836,57 @@ object Queries13 {
         .select(col("ordinal").cast("long").as("ordinal"), col("operation"),
           col("added_data_files"), col("added_records"))
         .orderBy(col("ordinal"))
+    },
+
+    // ---- round-9 curation capstone: corpus curation through BOTH
+    // SQL DELETE execution paths on one lang-partitioned catalog table.
+    // Ingest clusters one file per language (hash write distribution)
+    // with a per-doc duplicate-word score; `DELETE WHERE lang = 'zh'`
+    // is provably partition-aligned → METADATA-ONLY (file set strictly
+    // shrinks, pinned in-query); `DELETE WHERE dupw_bp > 8500` is NOT
+    // aligned → the copy-on-write rewrite, touching only files that
+    // contain matches. The final per-language rollup is hash-checked
+    // against a recomputation from raw documents. At 100 TB: dropping a
+    // language costs one metadata swap; the quality gate costs
+    // O(affected files) — and both leave a clean tombstone-free table.
+    "q240_curation_capstone" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q240wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cur")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cur.docs")
+      s.sql(s"CREATE TABLE $cat.cur.docs " +
+        "(lang STRING, doc_id BIGINT, n_chars BIGINT, dupw_bp BIGINT) " +
+        "USING `graft-iceberg` PARTITIONED BY (lang)")
+      t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("nw", size(col("toks")).cast("long"))
+        .filter(col("nw") >= 1)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          expr("(10000 * (nw - size(array_distinct(toks)))) div nw")
+            .as("dupw_bp"))
+        .createOrReplaceTempView("q240_src")
+      s.sql(s"INSERT INTO $cat.cur.docs SELECT * FROM q240_src")
+      val tblDir = new java.io.File(new java.io.File(wh, "cur"), "docs")
+      def files(): Set[String] = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tblDir.getPath, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      val before = files()
+      // gate 1: drop a whole language — partition-aligned, metadata-only
+      s.sql(s"DELETE FROM $cat.cur.docs WHERE lang = 'zh'")
+      val afterDrop = files()
+      require(afterDrop.subsetOf(before) && afterDrop.size < before.size,
+        s"lang drop must be metadata-only: ${afterDrop.size}/${before.size}")
+      // gate 2: quality filter — not partition-aligned, copy-on-write
+      s.sql(s"DELETE FROM $cat.cur.docs WHERE dupw_bp > 8500")
+      s.sql(s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  max(dupw_bp) AS max_dupw_bp
+        |FROM $cat.cur.docs GROUP BY lang ORDER BY lang""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -1270,5 +1321,20 @@ object Queries13 {
         |  (2, 'overwrite', 1, (SELECT c FROM up)),
         |  (3, 'delete', 0, 0),
         |  (4, 'replace', 1, (SELECT c FROM live))) v(o, op, f, r)
-        |ORDER BY ordinal""".stripMargin)
+        |ORDER BY ordinal""".stripMargin,
+
+    "q240_curation_capstone" ->
+      """WITH src AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (10000 * (CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      - CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)))
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS dupw_bp
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+        |live AS (
+        |  SELECT * FROM src WHERE lang <> 'zh' AND dupw_bp <= 8500)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(dupw_bp) AS BIGINT) AS max_dupw_bp
+        |FROM live GROUP BY lang ORDER BY lang""".stripMargin)
 }
