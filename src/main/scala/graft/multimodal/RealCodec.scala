@@ -436,4 +436,93 @@ object RealCodec {
     Array(sumAbs / n / 32768f, maxAbs / 32768f, crossings / n,
       w.channels / 8f, w.sampleRate / 96000f, 0f, 0f, 0f)
   }
+
+  // ---- animated GIF (via the JDK's bundled ImageIO reader/writer) ----
+
+  /** "GIF87a"/"GIF89a" container sniff. */
+  def isGif(b: Array[Byte]): Boolean =
+    b.length > 5 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** A decoded grayscale animation: per-frame w*h gray bytes, row-major.
+    * The VIDEO-shaped modality with a real in-sandbox codec: GIF is
+    * lossless for <=256 distinct levels, so an 8-bit gray animation
+    * makes a byte-exact round trip (spec-pinned) — frame extraction,
+    * scene-cut detection, and per-frame features all run over REAL
+    * decoded frames. */
+  case class GrayAnimation(width: Int, height: Int, frames: Seq[Array[Byte]])
+
+  /** Encode a multi-frame grayscale animation as a REAL animated GIF
+    * through `javax.imageio` (prepare/writeToSequence/end).
+    *
+    * Height floor: this JDK's GIF writer mis-encodes every row after
+    * the first for images with height <= 4 (probed empirically — row 0
+    * exact, rows 1.. garbled, at ANY width; heights >= 5 round-trip
+    * byte-exactly). Refuse those instead of silently writing a lossy
+    * file. */
+  def encodeGifGray(anim: GrayAnimation): Array[Byte] = {
+    import javax.imageio.ImageIO
+    require(anim.height >= 5,
+      s"encodeGifGray: height ${anim.height} <= 4 triggers a JDK GIF " +
+        "writer defect (rows after the first garble); use height >= 5")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    anim.frames.foreach { f =>
+      require(f.length == anim.width * anim.height, "frame size mismatch")
+      val img = new java.awt.image.BufferedImage(anim.width, anim.height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < anim.height) {
+        var x = 0
+        while (x < anim.width) {
+          img.getRaster.setSample(x, y, 0, f(y * anim.width + x) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a GIF to grayscale (the blue channel of the
+    * palette-expanded pixel — exact for gray-palette GIFs, a luminance
+    * proxy otherwise). */
+  def decodeGifGray(bytes: Array[Byte]): GrayAnimation = {
+    import javax.imageio.ImageIO
+    require(isGif(bytes), "not a GIF container")
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no GIF reader in this JDK")
+    val reader = readers.next()
+    reader.setInput(iis)
+    try {
+      val n = reader.getNumImages(true)
+      require(n > 0, "GIF with no frames")
+      val first = reader.read(0)
+      val (w, h) = (first.getWidth, first.getHeight)
+      val frames = (0 until n).map { i =>
+        val img = if (i == 0) first else reader.read(i)
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = (img.getRGB(x, y) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      GrayAnimation(w, h, frames)
+    } finally { reader.dispose(); iis.close() }
+  }
 }

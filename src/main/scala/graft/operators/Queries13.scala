@@ -887,6 +887,54 @@ object Queries13 {
       s.sql(s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
         |  max(dupw_bp) AS max_dupw_bp
         |FROM $cat.cur.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
+    // ---- VIDEO scene-cut detection over REAL decoded frames: each
+    // selected doc synthesizes a 12-frame grayscale animation with one
+    // hard scene change (pattern A with per-frame motion, then pattern
+    // B), encodes it as a REAL animated GIF (javax.imageio sequence
+    // writer — GIF is lossless at <=256 gray levels), decodes every
+    // frame back, and detects the cut as the argmax of frame-to-frame
+    // absolute pixel delta — the shot-boundary primitive of video
+    // curation. All integer; the oracle recomputes from the synthesis
+    // formulas, so frame extraction through the container is
+    // hash-gated. Per-row decode, one map-side-combined rollup.
+    "q241_scene_cuts" -> { (s, dir) => implicit val sp = s
+      val sc = udf { (docId: Long) =>
+        val w = 9; val h = 8; val nF = 12
+        val cut = (3 + docId % 7).toInt // scene B starts here
+        def px(f: Int, x: Int, y: Int): Int =
+          if (f < cut) ((docId / 7 * 53 + x * 29 + y * 13 + 3L * f) % 251L).toInt
+          else ((docId / 7 * 71 + x * 41 + y * 23 + 3L * f + 128L) % 251L).toInt
+        val frames = (0 until nF).map { f =>
+          val a = new Array[Byte](w * h)
+          var i = 0
+          while (i < w * h) { a(i) = px(f, i % w, i / w).toByte; i += 1 }
+          a
+        }
+        import graft.multimodal.RealCodec
+        val dec = RealCodec.decodeGifGray(
+          RealCodec.encodeGifGray(RealCodec.GrayAnimation(w, h, frames)))
+        require(dec.frames.length == nF && dec.width == w, "gif roundtrip")
+        def g(f: Int, i: Int): Int = dec.frames(f)(i) & 0xFF
+        val deltas = (0 until nF - 1).map { f =>
+          var acc = 0L; var i = 0
+          while (i < w * h) { acc += math.abs(g(f + 1, i) - g(f, i)); i += 1 }
+          acc
+        }
+        val maxD = deltas.max
+        val cutAt = deltas.indexOf(maxD).toLong + 1 // first frame of scene B
+        var tot = 0L
+        for (f <- 0 until nF; i <- 0 until w * h) tot += g(f, i)
+        (nF.toLong, cutAt, maxD, tot)
+      }
+      t(dir, "documents").filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), sc(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_frames"),
+          col("r._2").as("cut_at"), col("r._3").as("max_delta"),
+          col("r._4").as("total_intensity"))
+        .withColumn("cut_correct", col("cut_at") === (lit(3L) + col("doc_id") % 7))
+        .orderBy(col("doc_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1336,5 +1384,33 @@ object Queries13 {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(max(dupw_bp) AS BIGINT) AS max_dupw_bp
-        |FROM live GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM live GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q241_scene_cuts" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 3 + doc_id % 7 AS cut FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |fr AS (
+        |  SELECT doc_id, cut, list_transform(generate_series(0, 11), f ->
+        |    list_transform(generate_series(0, 71), p ->
+        |      CASE WHEN f < cut
+        |        THEN (doc_id // 7 * 53 + (p % 9) * 29 + (p // 9) * 13
+        |              + 3 * f) % 251
+        |        ELSE (doc_id // 7 * 71 + (p % 9) * 41 + (p // 9) * 23
+        |              + 3 * f + 128) % 251
+        |      END)) AS v
+        |  FROM ids),
+        |d AS (
+        |  SELECT doc_id, v, list_transform(generate_series(1, 11), f ->
+        |      list_sum(list_transform(generate_series(1, 72),
+        |        p -> abs(v[f + 1][p] - v[f][p])))) AS deltas
+        |  FROM fr)
+        |SELECT doc_id, CAST(12 AS BIGINT) AS n_frames,
+        |  CAST(list_position(deltas, list_max(deltas)) AS BIGINT) AS cut_at,
+        |  CAST(list_max(deltas) AS BIGINT) AS max_delta,
+        |  CAST(list_sum(list_transform(v, fx -> list_sum(fx))) AS BIGINT)
+        |    AS total_intensity,
+        |  CAST(list_position(deltas, list_max(deltas)) AS BIGINT)
+        |    = 3 + doc_id % 7 AS cut_correct
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

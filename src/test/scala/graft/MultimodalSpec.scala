@@ -195,6 +195,42 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("animated GIF: multi-frame gray roundtrip is byte-exact; corrupt payloads refuse") {
+    import graft.multimodal.RealCodec
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 5) {
+      // height floor 5: the JDK GIF writer garbles rows after the first
+      // below it (probed; encodeGifGray refuses those)
+      val (w, h, n) = (3 + rnd.nextInt(20), 5 + rnd.nextInt(12), 1 + rnd.nextInt(8))
+      val frames = (0 until n).map { _ =>
+        val a = new Array[Byte](w * h); rnd.nextBytes(a); a
+      }
+      val gif = RealCodec.encodeGifGray(RealCodec.GrayAnimation(w, h, frames))
+      assert(RealCodec.isGif(gif), s"trial $trial: bad magic")
+      val dec = RealCodec.decodeGifGray(gif)
+      assert(dec.width == w && dec.height == h && dec.frames.length == n)
+      frames.zip(dec.frames).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(java.util.Arrays.equals(e, g),
+          s"trial $trial frame $i: lossy roundtrip") }
+      // truncated/garbled payloads throw cleanly instead of hanging
+      intercept[Exception] {
+        RealCodec.decodeGifGray(gif.take(10))
+      }
+      val garbled = gif.clone(); garbled(gif.length / 2) =
+        (garbled(gif.length / 2) ^ 0x5A).toByte
+      try { RealCodec.decodeGifGray(garbled); () }
+      catch { case _: Exception => () } // either refuse or decode; never hang
+    }
+    intercept[IllegalArgumentException] {
+      RealCodec.decodeGifGray(Array[Byte](1, 2, 3))
+    }
+    // the documented JDK-writer-defect envelope is enforced
+    intercept[IllegalArgumentException] {
+      RealCodec.encodeGifGray(RealCodec.GrayAnimation(9, 4,
+        Seq(new Array[Byte](36))))
+    }
+  }
+
   test("PNG: encoder round-trips byte-exactly; RGBA drops alpha") {
     val rnd = new scala.util.Random(7)
     val rgb = Array.fill[Byte](5 * 3 * 3)(rnd.nextInt(256).toByte)
