@@ -81,6 +81,20 @@ object Multimodal {
           val w = RealCodec.decodeWav(m.content)
           Some(MediaFeatures(m.media_id, m.kind, w.channels, 0,
             w.samples.length / math.max(w.channels, 1), RealCodec.audioFeatures(w)))
+        } else if (RealCodec.isGif(m.content)) {
+          // animated GIF = the real video-shaped path: real frame count,
+          // features from the FIRST decoded frame (gray replicated to RGB)
+          val anim = RealCodec.decodeGifGray(m.content)
+          val rgb = new Array[Byte](anim.width * anim.height * 3)
+          var i = 0
+          while (i < anim.width * anim.height) {
+            val v = anim.frames.head(i)
+            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+            i += 1
+          }
+          Some(MediaFeatures(m.media_id, m.kind, anim.width, anim.height,
+            anim.frames.length,
+            RealCodec.imageFeatures(RealCodec.Image(anim.width, anim.height, rgb))))
         } else None
       } catch { case _: IllegalArgumentException => None }
     real.getOrElse {

@@ -229,6 +229,16 @@ class MultimodalSpec extends AnyFunSuite {
       RealCodec.encodeGifGray(RealCodec.GrayAnimation(9, 4,
         Seq(new Array[Byte](36))))
     }
+    // content-sniffed dispatch: a GIF payload yields REAL dims + frame
+    // count through the generic feature extractor
+    import spark.implicits._
+    val g = RealCodec.encodeGifGray(RealCodec.GrayAnimation(7, 6,
+      (0 until 3).map(f => Array.tabulate[Byte](42)(i => ((f * 40 + i) % 251).toByte))))
+    val out = Multimodal.extractFeatures(
+      spark.createDataset(Seq(MediaFile(99L, "video", g)))).collect()
+    assert(out.length == 1)
+    assert(out(0).width == 7 && out(0).height == 6 && out(0).n_frames == 3,
+      s"GIF dispatch broke: ${out(0).width}x${out(0).height}x${out(0).n_frames}")
   }
 
   test("PNG: encoder round-trips byte-exactly; RGBA drops alpha") {
