@@ -935,6 +935,60 @@ object Queries13 {
           col("r._4").as("total_intensity"))
         .withColumn("cut_correct", col("cut_at") === (lit(3L) + col("doc_id") % 7))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- the WHOLE multimodal dispatch, oracle-gated: every selected
+    // doc synthesizes a REAL payload in its modality — PNG image, PCM
+    // WAV clip, or animated GIF — and the generic content-sniffed
+    // feature extractor ([[graft.multimodal.Multimodal.extractFeatures]],
+    // the partition-wise batched decode) must recover each one's true
+    // dimensions and frame count through the actual codecs. The rollup
+    // per kind (media counts, summed dims/frames — audio frames = its
+    // doc-keyed sample count) hashes against a DuckDB recomputation, so
+    // a regression in ANY codec or in the sniffer ordering breaks the
+    // match. Per-row encode+decode; one map-side-combined rollup.
+    "q242_media_dispatch_audit" -> { (s, dir) => implicit val sp = s
+      import graft.multimodal.{Multimodal, RealCodec}
+      val mk = udf { (docId: Long, nChars: Long) =>
+        (docId % 3) match {
+          case 0 => // PNG image, 9x8 (the q224 pixel shape)
+            val rgb = Array.tabulate[Byte](9 * 8 * 3) { i =>
+              (((docId / 7 * 1009L + (i / 3 % 9) * 97L + (i / 3 / 9) * 31L)
+                % 239L) + docId % 7).toByte }
+            RealCodec.encodePng(RealCodec.Image(9, 8, rgb))
+          case 1 => // PCM-16 WAV, doc-keyed length (the q225 waveform)
+            val n = (64 + nChars % 128).toInt
+            val samples = Array.tabulate[Short](n)(i =>
+              (((docId + 1) * (i + 1) * 2654435761L) % 65536L - 32768L).toShort)
+            RealCodec.encodeWav(RealCodec.Wav(1, 16000, samples))
+          case _ => // animated GIF, 12 frames of 9x8 (the q241 scenes)
+            val cut = (3 + docId % 7).toInt
+            val frames = (0 until 12).map { f =>
+              Array.tabulate[Byte](72) { i =>
+                val (x, y) = (i % 9, i / 9)
+                (if (f < cut)
+                  (docId / 7 * 53 + x * 29 + y * 13 + 3L * f) % 251L
+                else
+                  (docId / 7 * 71 + x * 41 + y * 23 + 3L * f + 128L) % 251L
+                ).toByte }
+            }
+            RealCodec.encodeGifGray(RealCodec.GrayAnimation(9, 8, frames))
+        }
+      }
+      import s.implicits._
+      val media = t(dir, "documents").filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          mk(col("doc_id"), col("n_chars")).as("content"))
+        .as[Multimodal.MediaFile]
+      Multimodal.extractFeatures(media).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"),
+          sum(col("n_frames").cast("long")).as("sum_frames"))
+        .orderBy(col("kind"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1412,5 +1466,24 @@ object Queries13 {
         |    AS total_intensity,
         |  CAST(list_position(deltas, list_max(deltas)) AS BIGINT)
         |    = 3 + doc_id % 7 AS cut_correct
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q242_media_dispatch_audit" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |dims AS (
+        |  SELECT kind,
+        |    CASE kind WHEN 'image' THEN 9 WHEN 'audio' THEN 1 ELSE 9 END AS w,
+        |    CASE kind WHEN 'image' THEN 8 WHEN 'audio' THEN 0 ELSE 8 END AS h,
+        |    CASE kind WHEN 'image' THEN 1
+        |         WHEN 'audio' THEN 64 + n_chars % 128 ELSE 12 END AS fr
+        |  FROM ids)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+        |  CAST(sum(fr) AS BIGINT) AS sum_frames
+        |FROM dims GROUP BY kind ORDER BY kind""".stripMargin)
 }
