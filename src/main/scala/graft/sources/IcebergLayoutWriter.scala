@@ -400,7 +400,6 @@ object IcebergLayoutWriter {
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
       json.getBytes("UTF-8"))
-    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes("UTF-8"))
+    LayoutMaintenance.writeHintAtomic(metaDir, 1L)
   }
 }

@@ -416,11 +416,18 @@ object IcebergManifestSource {
     if (fs.exists(hint)) {
       val in = fs.open(hint)
       val h = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      val numeric = if (h.nonEmpty && h.forall(_.isDigit))
-        Some(new Path(meta, s"v$h.metadata.json")) else None
-      numeric.filter(fs.exists)
-        .orElse(Some(new Path(meta, h)).filter(fs.exists)) // hint = filename
-        .getOrElse(byListing)
+      // an EMPTY hint is a hint mid-rewrite (a concurrent committer, or
+      // a legacy non-atomic writer) — fall back to listing rather than
+      // building a Path from "" (a live streaming poll raced exactly
+      // this window before hint writes went atomic)
+      if (h.isEmpty) byListing
+      else {
+        val numeric = if (h.forall(_.isDigit))
+          Some(new Path(meta, s"v$h.metadata.json")) else None
+        numeric.filter(fs.exists)
+          .orElse(Some(new Path(meta, h)).filter(fs.exists)) // hint = filename
+          .getOrElse(byListing)
+      }
     } else byListing
   }
 

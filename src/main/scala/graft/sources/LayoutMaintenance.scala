@@ -136,6 +136,20 @@ object LayoutMaintenance {
     * written by a real engine stays readable by that engine after
     * maintenance here. Writes v<next>.metadata.json + version-hint.text
     * and returns the new version number. */
+  /** Atomically swap version-hint.text: write a temp sibling, then
+    * ATOMIC_MOVE over the hint — a concurrent reader sees the old hint
+    * or the new one, never a truncated/empty file (a live streaming
+    * poll races commits on exactly this window). */
+  private[sources] def writeHintAtomic(metaDir: java.io.File,
+      version: Long): Unit = {
+    val tmp = new java.io.File(metaDir, s".version-hint.$version.tmp")
+    java.nio.file.Files.write(tmp.toPath, version.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def writeMetadataVersion(spark: SparkSession, tableDir: String,
       keep: Seq[Snap], currentId: Long,
       keepRefs: Seq[(String, Long, String)]): Long = {
@@ -206,8 +220,7 @@ object LayoutMaintenance {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
-    java.nio.file.Files.write(new java.io.File(m, "version-hint.text").toPath,
-      (curV + 1).toString.getBytes("UTF-8"))
+    writeHintAtomic(m, curV + 1)
     curV + 1
   }
 
@@ -1289,8 +1302,7 @@ object LayoutMaintenance {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
-    java.nio.file.Files.write(new java.io.File(m, "version-hint.text").toPath,
-      (curV + 1).toString.getBytes("UTF-8"))
+    writeHintAtomic(m, curV + 1)
     curV + 1
   }
 }
