@@ -52,7 +52,16 @@ class DeterminismSpec extends AnyFunSuite {
     "q190_robust_scaling", "q191_zorder_skipping", "q192_rewrite_data_files",
     "q193_delete_where", "q194_commit_audit", "q195_cdc_merge_commit",
     "q196_intersect", "q198_puffin_bloom_filter", "q199_file_sampling",
-    "q200_corpus_release_table", "q201_dsv2_scan", "q202_dsv2_write_roundtrip")
+    "q200_corpus_release_table", "q201_dsv2_scan", "q202_dsv2_write_roundtrip",
+    // round 9 batch 2: the span-key window (first-occurrence order), the
+    // two-ranker RRF fusion (fixed two-term double sum), the DSIR
+    // rational + TakeOrdered top-k, PSI's pre-floored micro terms, the
+    // int8 quantization folds, the pos-delete fold's state equality, the
+    // Σ√count fold (sorted-list, grouping-order-proof), the zipf
+    // regression sums, and the exact-recall banding joins
+    "q221_span_dedup", "q223_rrf_hybrid", "q226_dsir_select",
+    "q229_psi_drift", "q231_int8_quant_audit", "q232_rewrite_pos_deletes",
+    "q234_temperature_sampling", "q236_zipf_slope", "q237_image_neardup")
 
   private def run(q: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
