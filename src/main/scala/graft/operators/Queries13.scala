@@ -989,6 +989,97 @@ object Queries13 {
           sum(col("height").cast("long")).as("sum_h"),
           sum(col("n_frames").cast("long")).as("sum_frames"))
         .orderBy(col("kind"))
+    },
+
+    // ---- INCREMENTAL drift monitoring between table snapshots: the
+    // release-over-release PSI gate (q229's metric) where the second
+    // histogram is maintained from the CHANGELOG — hist₂ = hist₁ +
+    // added − removed, one metadata diff + changed-file reads, never a
+    // rescan — and pinned in-query equal to the direct recomputation.
+    // Commit 1 ingests an en-skewed slice, commit 2 appends the rest
+    // and deletes the shortest docs (a COW group replace, so the
+    // changelog carries both file adds and removals). The PSI of the
+    // length distribution across the two snapshots quantizes per-bucket
+    // to micro-units before summing (the q229 discipline). At 100 TB
+    // this is how a drift dashboard stays current per commit: the bill
+    // is the change set, the metric is exact.
+    "q243_incremental_psi" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, LayoutMaintenance}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val docs = t(dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"))
+      val tbl = TmpFixture.dir("q243", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      def slice(name: String, f: org.apache.spark.sql.Column) = {
+        val fl = new java.io.File(dataDir, s"$name.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          docs.filter(f).sort(col("doc_id")), fl)
+        Seq(ManifestEntrySpec(status = 1, content = 0,
+          filePath = fl.getAbsolutePath, recordCount = n,
+          sizeBytes = fl.length()))
+      }
+      LayoutMaintenance.commitAppend(s, tbl.getPath,
+        slice("base", col("lang") === "en"))              // snapshot 1
+      LayoutMaintenance.commitAppend(s, tbl.getPath,
+        slice("rest", col("lang") =!= "en"))              // snapshot 2
+      LayoutMaintenance.commitDeleteWhereCow(s, tbl.getPath,
+        col("bkt") === 0L)                                // snapshot 3 (COW)
+      val head = LayoutMaintenance.snapshotIds(s, tbl.getPath).max
+      def histOf(df: DataFrame) = df.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("c"))
+      // hist at snapshot 1: direct (it IS the baseline; snap 1 is
+      // append-only, so its data files are its state)
+      val snap1Files = IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil, Some(1L))
+        .filter(col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSeq
+      val h1 = histOf(s.read.parquet(snap1Files: _*).select(col("bkt")))
+      // hist at head: INCREMENTALLY from the changelog fold over h1
+      val ch = IcebergManifestSource.changesBetween(s, tbl.getPath, "t", 1L, head)
+        .filter(col("content") === 0)
+        .select(col("file_path"), col("change")).collect()
+      def filesDf(paths: Seq[String]) =
+        if (paths.isEmpty) docs.limit(0).select(col("bkt"))
+        else s.read.parquet(paths: _*).select(col("bkt"))
+      val added = histOf(filesDf(ch.filter(_.getString(1) == "added").map(_.getString(0)).toSeq))
+        .withColumnRenamed("c", "ca")
+      val removed = histOf(filesDf(ch.filter(_.getString(1) == "removed").map(_.getString(0)).toSeq))
+        .withColumnRenamed("c", "cr")
+      val h2inc = h1.withColumnRenamed("c", "c1")
+        .join(added, Seq("bkt"), "full_outer")
+        .join(removed, Seq("bkt"), "full_outer")
+        .select(col("bkt"),
+          (coalesce(col("c1"), lit(0L)) + coalesce(col("ca"), lit(0L))
+            - coalesce(col("cr"), lit(0L))).as("c"))
+        .filter(col("c") > 0)
+      // pin: incremental == direct head histogram
+      val h2dir = histOf(graft.sources.MorRead.readTable(s, tbl.getPath))
+      val mism = h2inc.join(h2dir.withColumnRenamed("c", "cd"),
+          Seq("bkt"), "full_outer")
+        .filter(not(coalesce(col("c"), lit(-1L)) <=> coalesce(col("cd"), lit(-1L))))
+        .count()
+      require(mism == 0, s"incremental histogram diverged on $mism buckets")
+      // PSI(snap1 -> head), q229 discipline: dense bucket grid, Laplace
+      // smoothing, per-bucket micro-terms floored BEFORE the sum
+      val buckets = h1.select(col("bkt"))
+        .unionAll(h2inc.select(col("bkt"))).distinct()
+      val n1 = h1.agg(sum(col("c")).as("n1"))
+      val n2 = h2inc.agg(sum(col("c")).as("n2"))
+      val nb = buckets.agg(count(lit(1)).as("b"))
+      buckets
+        .join(h1.withColumnRenamed("c", "c1"), Seq("bkt"), "left")
+        .join(h2inc.withColumnRenamed("c", "c2"), Seq("bkt"), "left")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2)).crossJoin(broadcast(nb))
+        .withColumn("p", (coalesce(col("c2"), lit(0L)) + 1L).cast("double")
+          / (col("n2") + col("b")))
+        .withColumn("q", (coalesce(col("c1"), lit(0L)) + 1L).cast("double")
+          / (col("n1") + col("b")))
+        .withColumn("term_micro",
+          floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e6).cast("long"))
+        .agg(sum(col("term_micro")).as("psi_micro"),
+          count(lit(1)).cast("long").as("n_buckets"),
+          max(col("n1")).as("rows_before"), max(col("n2")).as("rows_after"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1485,5 +1576,32 @@ object Queries13 {
         |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
         |  CAST(sum(fr) AS BIGINT) AS sum_frames
-        |FROM dims GROUP BY kind ORDER BY kind""".stripMargin)
+        |FROM dims GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q243_incremental_psi" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars // 64 AS bkt FROM documents
+        |  WHERE text IS NOT NULL),
+        |h1 AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c1 FROM d
+        |       WHERE lang = 'en' GROUP BY 1),
+        |h2 AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c2 FROM d
+        |       WHERE bkt <> 0 GROUP BY 1),
+        |buckets AS (SELECT bkt FROM h1 UNION SELECT bkt FROM h2),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM buckets),
+        |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM h1),
+        |n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM h2),
+        |terms AS (
+        |  SELECT CAST(FLOOR(
+        |    (CAST(coalesce(c2, 0) + 1 AS DOUBLE) / (n2.n2 + nb.b)
+        |      - CAST(coalesce(c1, 0) + 1 AS DOUBLE) / (n1.n1 + nb.b))
+        |    * ln((CAST(coalesce(c2, 0) + 1 AS DOUBLE) / (n2.n2 + nb.b))
+        |        / (CAST(coalesce(c1, 0) + 1 AS DOUBLE) / (n1.n1 + nb.b)))
+        |    * 1e6) AS BIGINT) AS term_micro
+        |  FROM buckets LEFT JOIN h1 USING (bkt) LEFT JOIN h2 USING (bkt)
+        |  CROSS JOIN nb CROSS JOIN n1 CROSS JOIN n2)
+        |SELECT CAST(sum(term_micro) AS BIGINT) AS psi_micro,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  (SELECT n1 FROM n1) AS rows_before,
+        |  (SELECT n2 FROM n2) AS rows_after
+        |FROM terms""".stripMargin)
 }
