@@ -230,7 +230,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val (bootstrap, props, partSpec) = readDescriptor(dir)
-    var schema = bootstrap.getOrElse(new StructType())
+    // Descriptor-less external layouts evolve from their ACTUAL current
+    // schema (file inference), not from empty — else the first ADD
+    // COLUMN would write a one-column descriptor that, being non-empty,
+    // outranks inference and severs every pre-existing column.
+    var schema = bootstrap.getOrElse(
+      new GraftTable(dir.getAbsolutePath, None, Nil).schema)
     val newProps = changes.foldLeft(props) {
       case (p, c: TableChange.SetProperty) => p + (c.property() -> c.value())
       case (p, c: TableChange.RemoveProperty) => p - c.property()

@@ -95,6 +95,23 @@ private[v2] class GraftChangelogStream(dir: String, baseSchema: StructType)
         s"(${removedData.take(3).mkString(", ")}…) — a rewrite/overwrite " +
         "is not expressible as CDC rows here. Pause the changelog stream " +
         "across maintenance commits.")
+    // DELETE-FILE maintenance (rewrite_position_deletes consolidating
+    // tombstones): the commit's logical content is unchanged, and its
+    // ADDED delete files restate tombstones earlier commits already
+    // emitted — re-reading them would duplicate every delete event. A
+    // pure delete-file swap is a CDC no-op; one that also adds data
+    // files is ambiguous and refuses like the data-removal case above.
+    val removedDeletes = (before.keySet -- after.keySet)
+      .filter(p => before(p)._1 != 0)
+    if (removedDeletes.nonEmpty) {
+      val addedData = (after.keySet -- before.keySet)
+        .filter(p => after(p)._1 == 0)
+      require(addedData.isEmpty,
+        s"graft-iceberg read-changes($dir): commit $sid swaps delete " +
+          "files while adding data files — not expressible as CDC rows. " +
+          "Pause the changelog stream across maintenance commits.")
+      return Seq.empty
+    }
     (after.keySet -- before.keySet).toSeq.sorted.map { p =>
       after(p) match {
         case (0, _) => ChangeInsertPartition(p, sid): InputPartition

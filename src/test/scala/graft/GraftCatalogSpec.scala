@@ -197,6 +197,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(w) FROM cattest.evo.t").head.getLong(0) == 30L)
   }
 
+  test("ALTER TABLE ADD COLUMNS on a descriptor-less external layout keeps the inferred columns") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.evo")
+    // an externally-written layout: real metadata, NO graft-table.json —
+    // the catalog surfaces it by layout detection alone
+    val dir = new java.io.File("target/tmp-catalog-wh/evo/ext")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v STRING").mode("append")
+      .save(dir.getPath)
+    assert(!new java.io.File(dir, "graft-table.json").exists())
+    // evolution must seed from the table's ACTUAL schema, not empty:
+    // a one-column descriptor would outrank inference and sever k, v
+    spark.sql("ALTER TABLE cattest.evo.ext ADD COLUMNS (w BIGINT)")
+    assert(spark.sql("SELECT * FROM cattest.evo.ext").columns.toSeq ==
+      Seq("k", "v", "w"))
+    val got = spark.sql("SELECT k, v, w FROM cattest.evo.ext ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+    assert(got == Seq((1L, "a", true), (2L, "b", true)))
+  }
+
   test("ALTER TABLE DROP COLUMN narrows the declared schema; RENAME COLUMN is refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.evo")
     spark.sql("DROP TABLE IF EXISTS cattest.evo.d")

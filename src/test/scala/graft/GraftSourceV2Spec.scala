@@ -827,6 +827,17 @@ class GraftSourceV2Spec extends AnyFunSuite {
         (Some(9L), Some(90L), "delete", 3L),
         (Some(3L), Some(333L), "delete", 3L),
         (Some(11L), Some(111L), "delete", 3L)), s"delete CDC wrong: $batch3")
+      // commit 4: rewrite_position_deletes consolidates the tombstones —
+      // a physical no-op whose added delete file RESTATES commit 3's
+      // deletes; the stream must advance past it emitting nothing
+      got.clear()
+      val (rwId, removedPos, _, _) = graft.sources.LayoutMaintenance
+        .rewritePositionDeletes(spark, t.getPath)
+      assert(removedPos > 0, "fixture should have carried pos-deletes")
+      q.processAllAvailable()
+      assert(got.isEmpty,
+        s"delete-file maintenance (commit $rwId) must be a CDC no-op, " +
+          s"not a re-emission: ${got.toSeq}")
     } finally q.stop()
   }
 
