@@ -971,7 +971,7 @@ private[v2] class GraftScan(table: GraftTable, fullSchema: StructType,
       : Seq[(Seq[Any], Seq[GraftIcebergSource.FileStat])] =
     survivors.groupBy(f =>
         table.identityPartitionCols.map(c => f.pvals(c._1)))
-      .toSeq.sortBy(_._1.mkString(" "))
+      .toSeq.sortBy(_._1.mkString("\u0000"))
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
