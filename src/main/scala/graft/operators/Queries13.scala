@@ -1080,6 +1080,68 @@ object Queries13 {
         .agg(sum(col("term_micro")).as("psi_micro"),
           count(lit(1)).cast("long").as("n_buckets"),
           max(col("n1")).as("rows_before"), max(col("n2")).as("rows_after"))
+    },
+
+    // ---- the SQL maintenance-procedure surface end-to-end (Spark 4
+    // ProcedureCatalog — Iceberg's `CALL cat.system.<proc>` names over
+    // the executed LayoutMaintenance commits): a table lives through
+    // two INSERTs, a row-level DELETE, `rewrite_data_files` (tombstones
+    // dropped — pinned), a third INSERT, `rollback_to_snapshot` to the
+    // rewrite (procedure RESULT feeds the next call), `expire_snapshots`
+    // down to one reachable snapshot, and `remove_orphan_files` deleting
+    // a planted fake task attempt (exactly one, pinned) — then the final
+    // state hashes against DuckDB recomputing the surviving rows from
+    // the base table. Every step is a SQL statement; every commit is
+    // change-set-sized; the procedures' data movement uses the same
+    // distributed write paths as INSERT.
+    "q244_sql_maintenance" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q244wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mx")
+      s.sql(s"DROP TABLE IF EXISTS $cat.mx.t")
+      s.sql(s"CREATE TABLE $cat.mx.t (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) USING `graft-iceberg`")
+      t(dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("q244_src")
+      s.sql(s"INSERT INTO $cat.mx.t SELECT * FROM q244_src WHERE o_orderkey % 4 = 0")
+      s.sql(s"INSERT INTO $cat.mx.t SELECT * FROM q244_src WHERE o_orderkey % 4 = 1")
+      s.sql(s"DELETE FROM $cat.mx.t WHERE o_orderkey % 10 = 3")
+      val rw = s.sql(s"CALL $cat.system.rewrite_data_files('mx.t')").head
+      val rewriteSnap = rw.getLong(0)
+      val tbl = new java.io.File(new java.io.File(wh, "mx"), "t")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .filter(col("content") =!= 0).count() == 0,
+        "rewrite_data_files must leave the head tombstone-free")
+      s.sql(s"INSERT INTO $cat.mx.t SELECT * FROM q244_src WHERE o_orderkey % 4 = 2")
+      // the rewrite's RESULT (its snapshot id) drives the rollback
+      s.sql(s"CALL $cat.system.rollback_to_snapshot('mx.t', $rewriteSnap)")
+      // orphan removal while every snapshot is still in history: files of
+      // rolled-back-but-retained commits are REFERENCED, so the only
+      // orphan is the planted fake task attempt
+      val planted = new java.io.File(new java.io.File(tbl, "data"),
+        "leaked-attempt-00000.parquet")
+      java.nio.file.Files.write(planted.toPath, Array[Byte](0x50, 0x41, 0x52))
+      val removed = s.sql(
+        s"CALL $cat.system.remove_orphan_files('mx.t', dry_run => false)")
+        .collect()
+      require(removed.length == 1 && !planted.exists(),
+        s"orphan removal with full history must delete exactly the " +
+          s"planted file, got " + removed.map(_.getString(0)).mkString(", "))
+      s.sql(s"CALL $cat.system.expire_snapshots('mx.t', retain_last => 1)")
+      val heads = s.sql(s"CALL $cat.system.ancestors_of('mx.t')").collect()
+      require(heads.count(_.getBoolean(2)) == 1 &&
+        heads.filter(_.getBoolean(2)).head.getLong(0) == rewriteSnap,
+        s"expire must keep the rolled-back-to head $rewriteSnap")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  sum(o_orderkey) AS sum_keys
+        |FROM $cat.mx.t GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -1603,5 +1665,17 @@ object Queries13 {
         |  CAST(count(*) AS BIGINT) AS n_buckets,
         |  (SELECT n1 FROM n1) AS rows_before,
         |  (SELECT n2 FROM n2) AS rows_after
-        |FROM terms""".stripMargin)
+        |FROM terms""".stripMargin,
+
+    // q244: survivors = the two inserted quarters minus the row-level
+    // DELETE; the third insert is rolled back, expire + orphan removal
+    // are metadata-only — so the final table state recomputes from the
+    // base relation alone
+    "q244_sql_maintenance" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 10 <> 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

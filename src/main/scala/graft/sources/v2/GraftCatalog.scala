@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * I/O flows through the same [[GraftTable]] scan/write paths the
   * path-addressed `format("graft-iceberg")` API uses.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.io.File = _
@@ -306,6 +307,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(from.renameTo(dest),
       s"graft catalog: rename $old -> $to failed on disk")
   }
+
+  // ---- ProcedureCatalog ----
+
+  /** Maintenance procedures live in the reserved `system` namespace,
+    * Iceberg's own convention: `CALL <cat>.system.<proc>(table => 'db.t',
+    * ...)`. The `table` argument is a catalog-relative dotted identifier
+    * resolved against this catalog's warehouse (same mapping as
+    * loadTable); procedures delegate to the executed
+    * [[graft.sources.LayoutMaintenance]] commits. */
+  private lazy val procedures
+      : Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    GraftProcedures.all { tableName =>
+      val parts = tableName.split('.').toSeq.filter(_.nonEmpty)
+      require(parts.nonEmpty,
+        s"graft catalog: empty table identifier in procedure call")
+      val ident = Identifier.of(parts.init.toArray, parts.last)
+      val dir = tableDir(ident)
+      if (!isTable(dir)) throw new NoSuchTableException(ident)
+      dir.getAbsolutePath
+    }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft catalog: procedures live in the 'system' namespace " +
+        s"(CALL $catalogName.system.<name>(...)), got $ident")
+    procedures.getOrElse(ident.name, sys.error(
+      s"graft catalog: no procedure '${ident.name}' " +
+        s"(have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else procedures.keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- SupportsNamespaces ----
 
