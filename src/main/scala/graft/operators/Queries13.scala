@@ -1142,6 +1142,68 @@ object Queries13 {
         |  sum(o_orderkey) AS sum_keys
         |FROM $cat.mx.t GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // ---- lake onboarding: `add_files` imports the EXISTING lineitem
+    // parquet into a catalog table as one metadata-only commit — zero
+    // data movement, row counts and declared-column bounds from a
+    // distributed footer pass (pinned: bounds recorded, data dir empty)
+    // — then `compute_table_stats` sketches NDVs over the imported state
+    // in one pass and registers a Puffin statistics file (pinned:
+    // registered at the head). This is THE 100 TB adoption path: a
+    // petabyte lake becomes a governed table without rewriting a byte.
+    // The final aggregate runs over the imported table through pure SQL
+    // and hashes against DuckDB on the raw parquet — equality IS the
+    // zero-copy proof.
+    "q245_add_files_onboarding" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q245wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ob")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ob.li")
+      s.sql(s"CREATE TABLE $cat.ob.li (l_orderkey BIGINT, l_partkey BIGINT, " +
+        "l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+        "l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, " +
+        "l_returnflag STRING, l_linestatus STRING) USING `graft-iceberg` " +
+        "TBLPROPERTIES ('pushdown.fields'='l_orderkey:1:long')")
+      val src = new java.io.File(dir, "lineitem.parquet").getAbsolutePath
+      val add = s.sql(s"CALL $cat.system.add_files('ob.li', '$src')").head
+      val expect = t(dir, "lineitem").count()
+      require(add.getLong(1) == expect,
+        s"add_files row count ${add.getLong(1)} != source $expect")
+      val tbl = new java.io.File(new java.io.File(wh, "ob"), "li")
+      val dataDir = new java.io.File(tbl, "data")
+      require(!dataDir.exists() ||
+        Option(dataDir.listFiles()).forall(_.isEmpty),
+        "add_files must not copy data into the table dir")
+      // footer-derived bounds present on every imported entry
+      val bounds = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t",
+          Seq((1, "l_orderkey", org.apache.spark.sql.types.LongType)))
+        .select("lo_l_orderkey", "hi_l_orderkey").collect()
+      require(bounds.nonEmpty && bounds.forall(r =>
+        !r.isNullAt(0) && !r.isNullAt(1)),
+        "imported files must carry footer-derived l_orderkey bounds")
+      // stats close the loop: NDV sketches registered at the head
+      val st = s.sql(s"CALL $cat.system.compute_table_stats('ob.li', " +
+        "columns => 'l_returnflag,l_linestatus')").collect()
+      require(st.length == 2, s"expected 2 stats rows, got ${st.length}")
+      require(graft.sources.IcebergManifestSource
+        .statisticsFiles(s, tbl.getPath).size == 1,
+        "statistics file must be registered in table metadata")
+      val ndv = st.map(r => r.getString(1) -> r.getLong(3)).toMap
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+        |  sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  ${ndv("l_returnflag")}L AS ndv_returnflag,
+        |  ${ndv("l_linestatus")}L AS ndv_linestatus
+        |FROM $cat.ob.li
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -1677,5 +1739,22 @@ object Queries13 {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders
         |WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 10 <> 3
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q245: the import is zero-copy, so the onboarded table IS the raw
+    // parquet; the NDV scalars are exact (domains far below the sketch
+    // size) and recompute as count(DISTINCT ...) scalar subqueries
+    "q245_add_files_onboarding" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  (SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) FROM lineitem)
+        |    AS ndv_returnflag,
+        |  (SELECT CAST(count(DISTINCT l_linestatus) AS BIGINT) FROM lineitem)
+        |    AS ndv_linestatus
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.{IcebergManifestSource, LayoutMaintenance, MetadataTables, OrphanFiles}
+import graft.sources.{IcebergLayoutWriter, IcebergManifestSource, LayoutMaintenance, MetadataTables, OrphanFiles}
 
 /** SQL maintenance procedures — Spark 4's `ProcedureCatalog` surface over
   * the executed [[graft.sources.LayoutMaintenance]] operations, mirroring
@@ -254,6 +254,214 @@ object GraftProcedures {
         LayoutMaintenance.snapshotTimestamps(spark, dir)
           .map { case (id, ts) =>
             Seq(id, ts.map(Long.box).orNull, cur.contains(id)) }
+      }
+    },
+
+    new Proc("compute_table_stats",
+      Array(p("table", StringType), pd("columns", StringType, "''"),
+        pd("k", IntegerType, "64")),
+      StructType(Seq(
+        StructField("statistics_path", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("field_id", IntegerType, nullable = false),
+        StructField("ndv", LongType, nullable = false))),
+      "Compute per-column NDV sketches over the current MOR state in ONE " +
+        "distributed pass, persist them as a Puffin statistics file, and " +
+        "register it in table metadata (Iceberg's compute_table_stats)") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        import org.apache.spark.sql.functions._
+        val dir = resolve(in.getUTF8String(0).toString)
+        val asked = in.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val k = in.getInt(2)
+        require(k > 0, s"compute_table_stats: k must be positive, got $k")
+        val snap = LayoutMaintenance.currentSnapshot(spark, dir)
+          .getOrElse(sys.error(
+            s"compute_table_stats($dir): table has no snapshots yet"))
+        val df = graft.sources.MorRead.readTable(spark, dir)
+        if (df.schema.isEmpty) return Nil // empty table: nothing to sketch
+        import org.apache.spark.sql.types._
+        val primitive = df.schema.fields.filter(_.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | DoubleType |
+               FloatType | BooleanType | StringType | DateType |
+               TimestampType | _: DecimalType => true
+          case _ => false
+        }).map(_.name).toSeq
+        val cols = if (asked.isEmpty) primitive else asked
+        cols.foreach(c => require(df.schema.fieldNames.contains(c),
+          s"compute_table_stats($dir): no column '$c' " +
+            s"(have: ${df.schema.fieldNames.mkString(", ")})"))
+        // field ids are positional against the data schema, the same
+        // convention MorRead.metadataEqKeys resolves equality_ids by
+        val fieldId = df.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> (i + 1) }.toMap
+        val minK = udaf(new graft.functions.MinKDistinct.MinK(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        // ONE aggregation job regardless of column count: each column
+        // contributes a KMV sketch of a salted 28-bit hash; NULLs map to
+        // the Long.MaxValue sentinel (above every 2^28 hash, so it never
+        // displaces a real minimum) and are stripped after collection
+        val aggs = cols.map { c =>
+          minK(coalesce(graft.operators.TextOps.portableHash28(
+            concat(lit(s"ndv:$c:"), col(c).cast("string"))),
+            lit(Long.MaxValue))).as(s"__sk_$c") }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        def est(mins: Seq[Long]): Long =
+          if (mins.size < k) mins.size.toLong
+          else (k - 1).toLong * 268435456L / mins(k - 1)
+        val sketches = cols.zipWithIndex.map { case (c, i) =>
+          c -> row.getSeq[Long](i).filter(_ != Long.MaxValue) }
+        val pf = new java.io.File(new java.io.File(dir, "metadata"),
+          s"stats-$snap.puffin")
+        org.apache.commons.io.FileUtils.deleteQuietly(pf) // recompute wins
+        graft.sources.PuffinIO.write(pf, sketches.map { case (c, mins) =>
+          graft.sources.PuffinIO.Blob("graft-kmv-sketch-v1",
+            Seq(fieldId(c)), snap, snap,
+            Map("k" -> k.toString, "column" -> c,
+              "ndv" -> est(mins).toString),
+            graft.sources.PuffinIO.sketchBytes(mins)) })
+        LayoutMaintenance.attachStatistics(spark, dir, snap, pf,
+          sketches.map { case (c, mins) =>
+            ("graft-kmv-sketch-v1", Seq(fieldId(c)),
+              Map("column" -> c, "ndv" -> est(mins).toString)) })
+        sketches.map { case (c, mins) =>
+          Seq[Any](pf.getAbsolutePath, c, Int.box(fieldId(c)),
+            Long.box(est(mins))) }
+      }
+    },
+
+    new Proc("add_files",
+      Array(p("table", StringType), p("source", StringType),
+        pd("check_duplicate_files", BooleanType, "true")),
+      StructType(Seq(
+        StructField("added_files_count", IntegerType, nullable = false),
+        StructField("added_rows_count", LongType, nullable = false),
+        StructField("new_snapshot_id", LongType, nullable = false))),
+      "Import existing parquet files into the table as ONE metadata-only " +
+        "append commit — zero data movement (Iceberg's add_files): row " +
+        "counts and declared-column bounds come from a distributed parquet-" +
+        "footer pass, so imported files participate in file skipping") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val source = in.getUTF8String(1).toString
+        val checkDup = in.getBoolean(2)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val srcPath = new org.apache.hadoop.fs.Path(source)
+        val fs = srcPath.getFileSystem(conf)
+        // files to import: a glob, a single file, or a directory walked
+        // recursively — all through the Hadoop FS API (object-store-ready)
+        val statuses = Option(fs.globStatus(srcPath)).toSeq.flatten.flatMap {
+          st =>
+            if (!st.isDirectory) Seq(st)
+            else {
+              val it = fs.listFiles(st.getPath, true)
+              val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+              while (it.hasNext) out += it.next()
+              out.result()
+            }
+        }.filter(st => st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        require(statuses.nonEmpty,
+          s"add_files($dir): no parquet files match '$source'")
+        val files = statuses.map(st =>
+          (st.getPath.toUri.getPath, st.getLen)).sortBy(_._1)
+        val hasMeta = {
+          val m = new java.io.File(dir, "metadata")
+          new java.io.File(m, "version-hint.text").exists() ||
+            Option(m.listFiles()).exists(_.exists(
+              _.getName.endsWith(".metadata.json")))
+        }
+        if (checkDup && hasMeta) {
+          val existing = IcebergManifestSource
+            .statsFromTableDir(spark, dir, "t", Nil)
+            .select("file_path").collect()
+            .map(_.getString(0).replaceFirst("^file:/+", "/")).toSet
+          val dup = files.map(_._1).filter(existing.contains)
+          require(dup.isEmpty,
+            s"add_files($dir): already referenced by the current " +
+              s"snapshot: ${dup.take(3).mkString(", ")} " +
+              "(pass check_duplicate_files => false to force)")
+        }
+        // the catalog descriptor's pushdown.fields names the stat columns
+        // (name:fieldId:type): bound extraction keys off the DECLARED ids
+        // so imported files skip exactly like connector-written ones
+        val statFields: Seq[(String, Int, String)] = {
+          val desc = new java.io.File(dir, "graft-table.json")
+          if (!desc.exists()) Nil
+          else {
+            val root = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(desc)
+            Option(root.get("properties"))
+              .flatMap(p => Option(p.get("pushdown.fields")))
+              .map(_.asText()).toSeq
+              .flatMap(_.split(',')).filter(_.nonEmpty).map(_.split(':'))
+              .collect { case Array(n, id, t) => (n, id.toInt, t) }
+          }
+        }
+        // distributed footer pass: one task per file reads row counts and
+        // min/max for the declared stat columns — never the data pages
+        val metas = spark.sparkContext
+          .parallelize(files, math.max(1, math.min(files.size, 32)))
+          .map { case (path, _) =>
+            val c = new org.apache.hadoop.conf.Configuration()
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(path), c))
+            try {
+              var rows = 0L
+              val mins = scala.collection.mutable.Map.empty[String, Any]
+              val maxs = scala.collection.mutable.Map.empty[String, Any]
+              val wanted = statFields.map(_._1).toSet
+              r.getFooter.getBlocks.forEach { b =>
+                rows += b.getRowCount
+                b.getColumns.forEach { cc =>
+                  val name = cc.getPath.toDotString
+                  val st = cc.getStatistics
+                  if (wanted(name) && st != null && !st.isEmpty &&
+                      st.hasNonNullValue) {
+                    def toV(x: Any): Any = x match {
+                      case i: java.lang.Integer => i.longValue
+                      case l: java.lang.Long => l.longValue
+                      case d: java.lang.Double => d.doubleValue
+                      case f: java.lang.Float => f.doubleValue
+                      case b2: org.apache.parquet.io.api.Binary =>
+                        b2.toStringUsingUTF8
+                      case other => other
+                    }
+                    def lt(a: Any, b2: Any): Boolean = (a, b2) match {
+                      case (x: Long, y: Long) => x < y
+                      case (x: Double, y: Double) => x < y
+                      case (x: String, y: String) => x < y
+                      case _ => false
+                    }
+                    val (lo, hi) = (toV(st.genericGetMin), toV(st.genericGetMax))
+                    mins(name) = mins.get(name).filter(lt(_, lo)).getOrElse(lo)
+                    maxs(name) = maxs.get(name).filter(m => lt(hi, m)).getOrElse(hi)
+                  }
+                }
+              }
+              (path, rows, mins.toMap, maxs.toMap)
+            } finally r.close()
+          }.collect() // one small row per FILE: metadata-sized
+        def enc(v: Any): Array[Byte] = v match {
+          case x: Long => IcebergLayoutWriter.boundLong(x)
+          case x: Double => IcebergLayoutWriter.boundDouble(x)
+          case x: String => IcebergLayoutWriter.boundString(x)
+          case other => sys.error(s"add_files: unencodable bound $other")
+        }
+        val sizeOf = files.toMap
+        val entries = metas.toSeq.sortBy(_._1).map { case (path, rows, mins, maxs) =>
+          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+            filePath = path, recordCount = rows, sizeBytes = sizeOf(path),
+            lower = statFields.flatMap { case (n, id, _) =>
+              mins.get(n).map(v => id -> enc(v)) }.toMap,
+            upper = statFields.flatMap { case (n, id, _) =>
+              maxs.get(n).map(v => id -> enc(v)) }.toMap)
+        }
+        val snap = LayoutMaintenance.commitAppend(spark, dir, entries)
+        Seq(Seq[Any](Int.box(entries.size),
+          Long.box(entries.map(_.recordCount).sum), Long.box(snap)))
       }
     }
 

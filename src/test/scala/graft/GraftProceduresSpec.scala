@@ -184,6 +184,101 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM proctest.db.orf").head.getLong(0) == 20L)
   }
 
+  test("compute_table_stats: one pass, Puffin persisted, metadata-registered") {
+    spark.sql("CREATE TABLE proctest.db.cts (k BIGINT, grp STRING, v DOUBLE) " +
+      "USING `graft-iceberg`")
+    // 40 distinct k, 4 distinct grp (one row's grp is NULL: NDV counts
+    // non-null values only, countDistinct semantics)
+    spark.sql("INSERT INTO proctest.db.cts SELECT id, " +
+      "CASE WHEN id = 0 THEN NULL ELSE concat('g', id % 4) END, " +
+      "id * 1.5 FROM range(40)")
+    val r = spark.sql(
+      "CALL proctest.system.compute_table_stats('db.cts', columns => 'k,grp')")
+      .collect().sortBy(_.getString(1))
+    assert(r.map(_.getString(1)).toSeq == Seq("grp", "k"))
+    // domains are far below k=64, so the sketch IS the distinct set: exact
+    assert(r.find(_.getString(1) == "k").get.getLong(3) == 40L)
+    // ids 1..39 cover all residues mod 4 -> g0..g3; id=0's NULL is excluded
+    assert(r.find(_.getString(1) == "grp").get.getLong(3) == 4L)
+    // field ids are positional: k=1, grp=2
+    assert(r.find(_.getString(1) == "k").get.getInt(2) == 1)
+    assert(r.find(_.getString(1) == "grp").get.getInt(2) == 2)
+    // registered against the current snapshot, container readable
+    val reg = graft.sources.IcebergManifestSource
+      .statisticsFiles(spark, dirOf("cts"))
+    val head = spark.sql("CALL proctest.system.ancestors_of('db.cts')")
+      .collect().filter(_.getBoolean(2)).head.getLong(0)
+    assert(reg.size == 1 && reg.head._1 == head)
+    val blobs = graft.sources.PuffinIO.read(new java.io.File(reg.head._2))
+    assert(blobs.map(_.properties("column")).sorted == Seq("grp", "k"))
+    assert(blobs.forall(_.blobType == "graft-kmv-sketch-v1"))
+    // default columns = every primitive column; recompute replaces the entry
+    val all = spark.sql("CALL proctest.system.compute_table_stats('db.cts')")
+      .collect()
+    assert(all.map(_.getString(1)).sorted.toSeq == Seq("grp", "k", "v"))
+    assert(graft.sources.IcebergManifestSource
+      .statisticsFiles(spark, dirOf("cts")).size == 1)
+  }
+
+  test("add_files imports parquet in place: one metadata commit, bounds recorded") {
+    import spark.implicits._
+    // an EXTERNAL multi-file parquet source (not under any table dir)
+    val src = new java.io.File("target/tmp-proc-addfiles-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(src)
+    // range-clustered so each file covers a DISJOINT price range — the
+    // shape where footer bounds can actually skip files
+    (0L until 400L).map(i => (i, i * 10)).toDF("k", "price")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("price"))
+      .write.parquet(src.getAbsolutePath)
+    spark.sql("CREATE TABLE proctest.db.af (k BIGINT, price BIGINT) " +
+      "USING `graft-iceberg` " +
+      "TBLPROPERTIES ('pushdown.fields'='price:2:long')")
+    val r = spark.sql("CALL proctest.system.add_files('db.af', " +
+      s"'${src.getAbsolutePath}')").collect().head
+    assert(r.getInt(0) == 4 && r.getLong(1) == 400L)
+    // zero copy: the table's data dir holds NOTHING, rows come from src
+    assert(!new java.io.File(dirOf("af"), "data").exists() ||
+      new java.io.File(dirOf("af"), "data").listFiles().isEmpty)
+    assert(spark.sql("SELECT count(*), sum(price) FROM proctest.db.af")
+      .head.toSeq == Seq(400L, (0L until 400L).map(_ * 10).sum))
+    // footer-derived bounds drive file skipping on the imported files
+    val stats = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dirOf("af"), "t",
+        Seq((2, "price", org.apache.spark.sql.types.LongType)))
+      .select("lo_price", "hi_price").collect()
+    assert(stats.length == 4 && stats.forall(s => !s.isNullAt(0) && !s.isNullAt(1)))
+    val pruned = spark.sql(
+      "SELECT * FROM proctest.db.af WHERE price < 200").rdd.getNumPartitions
+    assert(pruned < 4, s"expected bound-driven skipping, got $pruned of 4")
+    // duplicate import refused; explicit opt-out forces a double-count
+    val e = intercept[Exception] {
+      spark.sql("CALL proctest.system.add_files('db.af', " +
+        s"'${src.getAbsolutePath}')").collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => String.valueOf(t.getMessage).contains("already referenced")))
+    spark.sql("CALL proctest.system.add_files('db.af', " +
+      s"'${src.getAbsolutePath}', check_duplicate_files => false)").collect()
+    assert(spark.sql("SELECT count(*) FROM proctest.db.af")
+      .head.getLong(0) == 800L)
+  }
+
+  test("add_files then compute_table_stats: onboarding closes into planning stats") {
+    import spark.implicits._
+    val src = new java.io.File("target/tmp-proc-addfiles-src2")
+    org.apache.commons.io.FileUtils.deleteQuietly(src)
+    (0L until 300L).map(i => (i, s"u${i % 7}")).toDF("k", "u")
+      .repartition(3).write.parquet(src.getAbsolutePath)
+    spark.sql("CREATE TABLE proctest.db.af2 (k BIGINT, u STRING) " +
+      "USING `graft-iceberg`")
+    spark.sql("CALL proctest.system.add_files('db.af2', " +
+      s"'${src.getAbsolutePath}')").collect()
+    val st = spark.sql(
+      "CALL proctest.system.compute_table_stats('db.af2', columns => 'u')")
+      .collect().head
+    assert(st.getString(1) == "u" && st.getLong(3) == 7L)
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
