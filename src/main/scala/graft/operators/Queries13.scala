@@ -1204,6 +1204,52 @@ object Queries13 {
         |FROM $cat.ob.li
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // ---- zero-copy experimentation sandbox via `CALL snapshot`: a
+    // production table (insert + row-level DELETE, so live tombstones)
+    // is CLONED without moving a byte (pinned: clone data dir empty);
+    // the sandbox then applies a candidate quality gate while production
+    // takes a new ingest — histories diverge from one shared-file root.
+    // Output is both tables' per-priority profiles; DuckDB recomputes
+    // each side from the base relation and the predicate algebra, so the
+    // clone's MOR replay (preserved sequence numbers) is hash-gated.
+    "q246_snapshot_sandbox" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q246wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sb")
+      s.sql(s"DROP TABLE IF EXISTS $cat.sb.prod")
+      s.sql(s"DROP TABLE IF EXISTS $cat.sb.sandbox")
+      s.sql(s"CREATE TABLE $cat.sb.prod (o_orderkey BIGINT, " +
+        "o_orderpriority STRING, o_totalprice DOUBLE) USING `graft-iceberg`")
+      t(dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("q246_src")
+      s.sql(s"INSERT INTO $cat.sb.prod SELECT * FROM q246_src WHERE o_orderkey % 3 = 0")
+      s.sql(s"DELETE FROM $cat.sb.prod WHERE o_orderkey % 100 < 10")
+      val r = s.sql(s"CALL $cat.system.snapshot('sb.prod', 'sb.sandbox')").head
+      require(r.getInt(2) > 0, "clone must carry the source's files")
+      val cloneData = new java.io.File(
+        new java.io.File(new java.io.File(wh, "sb"), "sandbox"), "data")
+      require(!cloneData.exists() ||
+        Option(cloneData.listFiles()).forall(_.isEmpty),
+        "snapshot must not copy data into the clone")
+      // sandbox: candidate gate; production: new ingest — divergent
+      s.sql(s"DELETE FROM $cat.sb.sandbox WHERE o_totalprice < 150000.0")
+      s.sql(s"INSERT INTO $cat.sb.prod SELECT * FROM q246_src WHERE o_orderkey % 3 = 1")
+      s.sql(s"""SELECT * FROM (
+        |  SELECT 'prod' AS side, o_orderpriority,
+        |    count(*) AS n, sum(o_orderkey) AS sum_keys
+        |  FROM $cat.sb.prod GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'sandbox' AS side, o_orderpriority,
+        |    count(*) AS n, sum(o_orderkey) AS sum_keys
+        |  FROM $cat.sb.sandbox GROUP BY o_orderpriority
+        |) ORDER BY side, o_orderpriority""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -1756,5 +1802,27 @@ object Queries13 {
         |    AS ndv_linestatus
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q246: prod = (%3=0 minus %100<10) plus (%3=1); sandbox = the clone
+    // point (%3=0 minus %100<10) minus the price gate — pure predicate
+    // algebra over the base relation, no clone state needed
+    "q246_snapshot_sandbox" ->
+      """SELECT * FROM (
+        |  SELECT 'prod' AS side, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 = 0 AND o_orderkey % 100 >= 10)
+        |     OR o_orderkey % 3 = 1
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'sandbox' AS side, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 100 >= 10
+        |    AND o_totalprice >= 150000.0
+        |  GROUP BY o_orderpriority
+        |) ORDER BY side, o_orderpriority""".stripMargin)
 }

@@ -810,6 +810,57 @@ object LayoutMaintenance {
     }
   }
 
+  /** Zero-copy table CLONE (Iceberg's `snapshot` procedure): the target
+    * is born with ONE snapshot referencing the SOURCE's current live
+    * files in place — no data movement, cost = one driver-side manifest
+    * walk. Per-entry sequence numbers are PRESERVED, so merge-on-read
+    * tombstone visibility (equality strict-<, position <=) replays
+    * identically in the clone; the clone's snapshot id is the source's
+    * current id, which bounds every carried sequence, so later clone
+    * commits allocate above all of them. Source and clone share data
+    * files but nothing else — commits diverge freely from here.
+    * Multi-spec sources are refused (carried entries do not record
+    * their spec id, so a single-spec clone could misinterpret old
+    * partition values); differing partition SHAPES under the one spec
+    * split into per-shape manifests. CAVEAT (same as real Iceberg
+    * snapshot tables): remove_orphan_files on the SOURCE cannot see the
+    * clone's references — never point GC at a snapshotted source's
+    * files. Returns (cloneSnapshotId, carriedFileCount). */
+  def snapshotTable(spark: SparkSession, srcDir: String,
+      dstDir: String): (Long, Int) = commitLock(dstDir).synchronized {
+    val dstMeta = new java.io.File(metaDir(dstDir), "version-hint.text")
+    require(!dstMeta.exists() &&
+      !Option(metaDir(dstDir).listFiles()).exists(_.exists(
+        _.getName.endsWith(".metadata.json"))),
+      s"snapshotTable: target $dstDir already has table metadata")
+    val cur = currentSnapshot(spark, srcDir).getOrElse(sys.error(
+      s"snapshotTable($srcDir): source has no snapshots"))
+    val (_, allSpecs) = IcebergManifestSource.partitionSpecs(spark, srcDir)
+    require(allSpecs.size <= 1,
+      s"snapshotTable($srcDir): source has ${allSpecs.size} partition " +
+        "specs; cloning a spec-evolved table needs per-entry spec ids — " +
+        "rewrite_data_files it first")
+    val raw = carriedEntries(spark, srcDir, cur)
+    // manifests store paths the SOURCE resolves; make them absolute so
+    // the clone (a different root) still points at the same bytes
+    val entries = raw.map { e =>
+      val abs =
+        if (e.filePath.startsWith("/") || e.filePath.contains(":/")) e.filePath
+        else new java.io.File(srcDir, e.filePath).getAbsolutePath
+      e.copy(filePath = abs)
+    }
+    // one manifest per partition SHAPE (manifestRecords derives its Avro
+    // schema from the first entry, so shapes must not mix in a manifest)
+    val shapes = entries.map(_.partition.map(_._1)).distinct.zipWithIndex.toMap
+    val shaped = entries.map(e =>
+      e.copy(manifestGroup = shapes(e.partition.map(_._1))))
+    IcebergLayoutWriter.writeTable(new java.io.File(dstDir), shaped,
+      snapshotId = cur,
+      partitionSpec = allSpecs.headOption.map(_._2).getOrElse(Nil),
+      sortOrder = IcebergManifestSource.sortOrder(spark, srcDir))
+    (cur, shaped.size)
+  }
+
   /** CDC MERGE commit — one commit applying a mixed change set (the
     * batch twin of a streaming CDC sink): every change key gets an
     * equality tombstone (killing its prior version, strict-<), and only

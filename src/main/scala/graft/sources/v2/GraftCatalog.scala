@@ -318,15 +318,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[graft.sources.LayoutMaintenance]] commits. */
   private lazy val procedures
       : Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
-    GraftProcedures.all { tableName =>
-      val parts = tableName.split('.').toSeq.filter(_.nonEmpty)
-      require(parts.nonEmpty,
-        s"graft catalog: empty table identifier in procedure call")
-      val ident = Identifier.of(parts.init.toArray, parts.last)
-      val dir = tableDir(ident)
-      if (!isTable(dir)) throw new NoSuchTableException(ident)
-      dir.getAbsolutePath
-    }
+    GraftProcedures.all(
+      resolve = { tableName =>
+        val parts = tableName.split('.').toSeq.filter(_.nonEmpty)
+        require(parts.nonEmpty,
+          s"graft catalog: empty table identifier in procedure call")
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        val dir = tableDir(ident)
+        if (!isTable(dir)) throw new NoSuchTableException(ident)
+        dir.getAbsolutePath
+      },
+      resolveNew = { tableName =>
+        val parts = tableName.split('.').toSeq.filter(_.nonEmpty)
+        require(parts.nonEmpty,
+          s"graft catalog: empty table identifier in procedure call")
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        require(isNamespace(nsDir(ident.namespace)),
+          s"graft catalog: namespace ${ident.namespace.mkString(".")} " +
+            "does not exist")
+        val dir = tableDir(ident)
+        if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+        dir.mkdirs()
+        dir.getAbsolutePath
+      })
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {

@@ -74,9 +74,12 @@ object GraftProcedures {
   private def pd(name: String, t: DataType, default: String): ProcedureParameter =
     ProcedureParameter.in(name, t).defaultValue(default).build()
 
-  /** All procedures, keyed by name. `resolve` maps the `table` argument
-    * (a catalog-relative `db.t` identifier string) to the layout dir. */
-  def all(resolve: String => String): Map[String, UnboundProcedure] = Seq(
+  /** All procedures, keyed by name. `resolve` maps a `table` argument
+    * (a catalog-relative `db.t` identifier string) to the layout dir of
+    * an EXISTING table; `resolveNew` maps an identifier to the dir a NEW
+    * table would live in (namespace must exist, table must not). */
+  def all(resolve: String => String,
+      resolveNew: String => String): Map[String, UnboundProcedure] = Seq(
 
     new Proc("rollback_to_snapshot",
       Array(p("table", StringType), p("snapshot_id", LongType)),
@@ -462,6 +465,36 @@ object GraftProcedures {
         val snap = LayoutMaintenance.commitAppend(spark, dir, entries)
         Seq(Seq[Any](Int.box(entries.size),
           Long.box(entries.map(_.recordCount).sum), Long.box(snap)))
+      }
+    },
+
+    new Proc("snapshot",
+      Array(p("source_table", StringType), p("target_table", StringType)),
+      StructType(Seq(
+        StructField("target_table", StringType, nullable = false),
+        StructField("current_snapshot_id", LongType, nullable = false),
+        StructField("imported_files_count", IntegerType, nullable = false))),
+      "Zero-copy CLONE: create target_table referencing source_table's " +
+        "current live files in place (Iceberg's snapshot procedure) — " +
+        "one metadata commit, no data movement, histories diverge freely " +
+        "from there; never run remove_orphan_files against a snapshotted " +
+        "source") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val srcName = in.getUTF8String(0).toString
+        val dstName = in.getUTF8String(1).toString
+        val srcDir = resolve(srcName)
+        val dstDir = resolveNew(dstName)
+        val (snap, files) =
+          LayoutMaintenance.snapshotTable(spark, srcDir, dstDir)
+        // the catalog descriptor (declared schema, pushdown.fields,
+        // partition spec for writes) rides along so the clone serves
+        // through the catalog exactly like its source
+        val srcDesc = new java.io.File(srcDir, "graft-table.json")
+        if (srcDesc.exists())
+          java.nio.file.Files.copy(srcDesc.toPath,
+            new java.io.File(dstDir, "graft-table.json").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Seq(Seq[Any](dstName, Long.box(snap), Int.box(files)))
       }
     }
 

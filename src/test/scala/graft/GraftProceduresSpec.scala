@@ -279,6 +279,49 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(st.getString(1) == "u" && st.getLong(3) == 7L)
   }
 
+  test("snapshot: zero-copy clone preserves MOR state; histories diverge") {
+    spark.sql("CREATE TABLE proctest.db.sn (k BIGINT, v STRING) " +
+      "USING `graft-iceberg`")
+    spark.sql("INSERT INTO proctest.db.sn SELECT id, concat('v', id) FROM range(100)")
+    spark.sql("INSERT INTO proctest.db.sn SELECT id, concat('v', id) FROM range(100, 200)")
+    // live tombstones in the source: the clone must replay them exactly
+    spark.sql("DELETE FROM proctest.db.sn WHERE k % 10 = 7")
+    val src = spark.sql("SELECT * FROM proctest.db.sn ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(src.size == 180)
+    val r = spark.sql(
+      "CALL proctest.system.snapshot('db.sn', 'db.sn_clone')").collect().head
+    assert(r.getString(0) == "db.sn_clone" && r.getInt(2) > 0)
+    // clone reads bit-identical to the source, through the catalog
+    val cloned = spark.sql("SELECT * FROM proctest.db.sn_clone ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(cloned == src)
+    // ZERO copy: the clone's data dir holds nothing
+    val cloneData = new java.io.File(dirOf("sn_clone"), "data")
+    assert(!cloneData.exists() ||
+      Option(cloneData.listFiles()).forall(_.isEmpty))
+    // histories diverge: a write to the clone leaves the source alone...
+    spark.sql("INSERT INTO proctest.db.sn_clone VALUES (999, 'clone-only')")
+    assert(spark.sql("SELECT count(*) FROM proctest.db.sn_clone")
+      .head.getLong(0) == 181L)
+    assert(spark.sql("SELECT count(*) FROM proctest.db.sn")
+      .head.getLong(0) == 180L)
+    // ...and a delete in the source leaves the clone alone
+    spark.sql("DELETE FROM proctest.db.sn WHERE k < 50")
+    assert(spark.sql("SELECT count(*) FROM proctest.db.sn")
+      .head.getLong(0) == 135L)
+    assert(spark.sql("SELECT count(*) FROM proctest.db.sn_clone")
+      .head.getLong(0) == 181L)
+    // cloning onto an existing table is refused
+    val e = intercept[Exception] {
+      spark.sql("CALL proctest.system.snapshot('db.sn', 'db.sn_clone')")
+        .collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => String.valueOf(t.getMessage).toLowerCase
+        .contains("already")))
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
