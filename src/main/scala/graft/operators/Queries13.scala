@@ -1250,6 +1250,67 @@ object Queries13 {
         |    count(*) AS n, sum(o_orderkey) AS sum_keys
         |  FROM $cat.sb.sandbox GROUP BY o_orderpriority
         |) ORDER BY side, o_orderpriority""".stripMargin)
+    },
+
+    // ---- partition-spec evolution through the LIVE commit path: a table
+    // ingests an era unpartitioned, `CALL add_partition_field(bucket(4))`
+    // makes an evolved spec the default (metadata-only — pinned: both
+    // specs recorded, default = 1), a second era ingests bucketed, and a
+    // row-level DELETE spans both eras (carry preserves per-era spec
+    // attribution — pinned via manifest-list spec ids). An equality probe
+    // plans fewer files than the table holds (bucket pruning on the new
+    // era + bound pruning on the old — pinned), and the cross-era
+    // aggregate hash-matches DuckDB recomputing from the base relation.
+    "q247_partition_evolution" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q247wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ev")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ev.t")
+      s.sql(s"CREATE TABLE $cat.ev.t (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) USING `graft-iceberg` " +
+        "TBLPROPERTIES ('pushdown.fields'='o_orderkey:1:long')")
+      t(dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("q247_src")
+      s.sql(s"INSERT INTO $cat.ev.t SELECT * FROM q247_src WHERE o_orderkey % 2 = 0")
+      val r = s.sql(s"CALL $cat.system.add_partition_field('ev.t', " +
+        "'bucket(4, o_orderkey)')").head
+      require(r.getInt(0) == 1 && r.getString(1) == "o_orderkey_bucket",
+        s"evolution result: $r")
+      s.sql(s"INSERT INTO $cat.ev.t SELECT * FROM q247_src WHERE o_orderkey % 2 = 1")
+      val tbl = new java.io.File(new java.io.File(wh, "ev"), "t")
+      val (defId, specs) = graft.sources.IcebergManifestSource
+        .partitionSpecs(s, tbl.getPath)
+      require(defId == 1 && specs.map(_._1).sorted == Seq(0, 1),
+        s"expected specs 0,1 with default 1: got $defId / ${specs.map(_._1)}")
+      // row-level DELETE across both eras: the carry must keep per-era
+      // spec attribution on the manifest-list rows
+      s.sql(s"DELETE FROM $cat.ev.t WHERE o_orderkey % 10 = 9")
+      val head = graft.sources.LayoutMaintenance
+        .snapshotIds(s, tbl.getPath).max
+      val sids = graft.sources.IcebergManifestSource.manifestSpecIds(
+        s.sparkContext.hadoopConfiguration,
+        new java.io.File(new java.io.File(tbl, "metadata"),
+          s"snap-$head-manifest-list.avro").getAbsolutePath).map(_._2)
+      require(sids.contains(0) && sids.contains(1),
+        s"carry lost per-era spec attribution: $sids")
+      // pruning across the evolved history: an equality probe plans
+      // fewer files than the table holds
+      val total = s.read.format("graft-iceberg").load(tbl.getPath)
+        .rdd.getNumPartitions
+      val planned = s.sql(s"SELECT * FROM $cat.ev.t WHERE o_orderkey = 1")
+        .rdd.getNumPartitions
+      require(planned < total,
+        s"expected evolved-spec pruning: $planned of $total planned")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n,
+        |  sum(o_orderkey) AS sum_keys,
+        |  count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_era1,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_era2
+        |FROM $cat.ev.t GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -1824,5 +1885,19 @@ object Queries13 {
         |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 100 >= 10
         |    AND o_totalprice >= 150000.0
         |  GROUP BY o_orderpriority
-        |) ORDER BY side, o_orderpriority""".stripMargin)
+        |) ORDER BY side, o_orderpriority""".stripMargin,
+
+    // q247: both eras minus the cross-era delete, straight predicate
+    // algebra — spec evolution is metadata-only, so the readable rows
+    // recompute from the base relation alone
+    "q247_partition_evolution" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_era1,
+        |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_era2
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 9
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

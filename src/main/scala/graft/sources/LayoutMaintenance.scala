@@ -625,11 +625,22 @@ object LayoutMaintenance {
       case Some(list) =>
         val out = scala.collection.mutable.ArrayBuffer
           .empty[IcebergLayoutWriter.ManifestEntrySpec]
+        // each manifest's spec id rides on the manifest-list row; carry
+        // it onto every entry so a commit after partition-spec evolution
+        // re-files old entries under their ORIGINAL spec (interpreting
+        // an old file's partition values needs its own spec, not the
+        // current default — spec "Partition Evolution")
+        val listDir = new java.io.File(list).getParentFile
+        val specOf = IcebergManifestSource.manifestSpecIds(conf, list)
+          .map { case (p, sid) =>
+            IcebergManifestSource.Relocate.meta(listDir, p) -> sid }.toMap
         IcebergManifestSource.manifestPathSeqs(conf, list)
           .iterator
           .flatMap { case (p, inherit) =>
-            IcebergManifestSource.readManifestStats(p, conf, inherit) }
-          .foreach { s =>
+            IcebergManifestSource.readManifestStats(p, conf, inherit)
+              .map(s => (p, s)) }
+          .foreach { case (mp, s) =>
+            val entrySpecId = specOf.getOrElse(mp, 0)
             require(out.size < MaxDriverFileEntries,
               s"carriedEntries($tableDir@$snapshotId): more than " +
                 s"$MaxDriverFileEntries file entries exceed the driver-side " +
@@ -643,7 +654,8 @@ object LayoutMaintenance {
               lower = s.lower, upper = s.upper,
               equalityIds = s.equalityIds,
               fileFormat = s.fileFormat,
-              sortOrderId = s.sortOrderId.map(Int.box).orNull)
+              sortOrderId = s.sortOrderId.map(Int.box).orNull,
+              specId = entrySpecId)
           }
         out.toSeq
     }
@@ -677,21 +689,35 @@ object LayoutMaintenance {
       "total-records" ->
         entries.filter(_.content == 0).map(_.recordCount).sum.toString,
       "total-delete-files" -> entries.count(_.content != 0).toString)
+    // entries ADDED by this commit (seq == newId) that did not declare a
+    // spec id inherit the table's current DEFAULT spec — after partition
+    // evolution, new files must be attributed to the evolved spec while
+    // carried entries keep the id their manifest-list row recorded
+    val defaultSpecId = IcebergManifestSource.partitionSpecs(
+      spark, tableDir)._1
+    val stamped =
+      if (defaultSpecId == 0) entries
+      else entries.map(e =>
+        if (e.sequenceNumber.longValue == newId && e.specId == 0)
+          e.copy(specId = defaultSpecId)
+        else e)
     // a manifest is homogeneous in partition SHAPE (the writer derives
-    // the Avro partition record from its first entry) — a commit whose
-    // new unpartitioned file lands next to carried partitioned entries
-    // must split manifests by shape, like an engine writing under a
-    // different spec-id
-    val groups = entries
-      .groupBy(e => (if (e.content == 0) 0 else 1, e.partition.map(_._1)))
-      .toSeq.sortBy { case ((c, names), _) => (c, names.mkString(",")) }
-    val manifests = groups.zipWithIndex.map { case (((c, _), es), i) =>
-      val f = new java.io.File(m, s"manifest-$newId-$c-g$i.avro")
+    // the Avro partition record from its first entry) AND in spec id
+    // (the manifest-list row carries ONE partition_spec_id) — a commit
+    // whose new unpartitioned file lands next to carried partitioned
+    // entries, or whose entries span an evolved spec history, must
+    // split manifests accordingly
+    val groups = stamped
+      .groupBy(e =>
+        (if (e.content == 0) 0 else 1, e.specId, e.partition.map(_._1)))
+      .toSeq.sortBy { case ((c, sid, names), _) => (c, sid, names.mkString(",")) }
+    val manifests = groups.zipWithIndex.map { case (((c, sid, _), es), i) =>
+      val f = new java.io.File(m, s"manifest-$newId-$c-s$sid-g$i.avro")
       IcebergLayoutWriter.writeManifest(f, es)
-      (f, c)
+      (f, c, sid)
     }
     val newList = new java.io.File(m, s"snap-$newId-manifest-list.avro")
-    IcebergLayoutWriter.writeManifestList(newList, manifests, newId)
+    IcebergLayoutWriter.writeManifestListSpecs(newList, manifests, newId)
     writeMetadataVersion(spark, tableDir,
       snapshots(spark, tableDir) :+
         Snap(newId, newList.getAbsolutePath, Some(summary)),
@@ -835,11 +861,13 @@ object LayoutMaintenance {
       s"snapshotTable: target $dstDir already has table metadata")
     val cur = currentSnapshot(spark, srcDir).getOrElse(sys.error(
       s"snapshotTable($srcDir): source has no snapshots"))
-    val (_, allSpecs) = IcebergManifestSource.partitionSpecs(spark, srcDir)
-    require(allSpecs.size <= 1,
-      s"snapshotTable($srcDir): source has ${allSpecs.size} partition " +
-        "specs; cloning a spec-evolved table needs per-entry spec ids — " +
-        "rewrite_data_files it first")
+    val (defId, allSpecs) = IcebergManifestSource.partitionSpecs(spark, srcDir)
+    val maxSpecId = allSpecs.map(_._1).maxOption.getOrElse(-1)
+    require(maxSpecId < 0 ||
+      (allSpecs.map(_._1).sorted == (0 to maxSpecId) && defId == maxSpecId),
+      s"snapshotTable($srcDir): spec-evolved source has non-contiguous " +
+        s"spec ids or a non-latest default (ids ${allSpecs.map(_._1)}, " +
+        s"default $defId) — rewrite_data_files it first")
     val raw = carriedEntries(spark, srcDir, cur)
     // manifests store paths the SOURCE resolves; make them absolute so
     // the clone (a different root) still points at the same bytes
@@ -850,13 +878,18 @@ object LayoutMaintenance {
       e.copy(filePath = abs)
     }
     // one manifest per partition SHAPE (manifestRecords derives its Avro
-    // schema from the first entry, so shapes must not mix in a manifest)
+    // schema from the first entry, so shapes must not mix in a manifest);
+    // per-entry spec ids carried by carriedEntries split further inside
+    // writeTableSnapshots' (content, specId, group) manifests
     val shapes = entries.map(_.partition.map(_._1)).distinct.zipWithIndex.toMap
     val shaped = entries.map(e =>
       e.copy(manifestGroup = shapes(e.partition.map(_._1))))
-    IcebergLayoutWriter.writeTable(new java.io.File(dstDir), shaped,
-      snapshotId = cur,
-      partitionSpec = allSpecs.headOption.map(_._2).getOrElse(Nil),
+    IcebergLayoutWriter.writeTableSnapshots(new java.io.File(dstDir),
+      Seq(cur -> shaped),
+      partitionSpecs =
+        if (maxSpecId < 0) Nil
+        else (0 to maxSpecId).map(id =>
+          allSpecs.find(_._1 == id).map(_._2).getOrElse(Nil)),
       sortOrder = IcebergManifestSource.sortOrder(spark, srcDir))
     (cur, shaped.size)
   }
@@ -992,6 +1025,11 @@ object LayoutMaintenance {
     * files) — the same bill Iceberg's own COW delete pays — and a
     * predicate that matches nothing commits nothing. Returns
     * (snapshotId after, rowsDeleted). */
+  // NOTE: the consolidated replacement file records no column bounds or
+  // partition values (survivors of MANY files fold into one); on tables
+  // that lean on file skipping, a rewrite_data_files with a sort order
+  // restores it. The row-level SQL path (GraftCowBatchWrite) does NOT
+  // share this limit — it rewrites per group with bounds + partitions.
   def commitDeleteWhereCow(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil): (Long, Long) =
@@ -1304,6 +1342,77 @@ object LayoutMaintenance {
     writeMetadataVersion(spark, tableDir, snapshots(spark, tableDir),
       target, refsAfter)
     target
+  }
+
+  /** PARTITION SPEC EVOLUTION (spec "Partition Evolution"): append
+    * `fields` — the COMPLETE field list of the evolved spec, as
+    * (field-name, transform, source-id) — as a new spec with id
+    * max+1 and make it the table default. Metadata-only: no file is
+    * touched; existing manifests keep the spec ids their manifest-list
+    * rows record, [[carriedEntries]] carries them per entry, and
+    * [[appendSnapshot]] files future adds under the new default while
+    * re-filing old entries under their original specs — so readers
+    * interpret every file's partition values with the spec it was
+    * written under. Field-ids continue above the highest already
+    * assigned (evolution never reuses one, spec rule). Returns the new
+    * spec id. */
+  def evolvePartitionSpec(spark: SparkSession, tableDir: String,
+      fields: Seq[(String, String, Int)]): Int =
+      commitLock(tableDir).synchronized {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    // an EMPTY field list is legal: dropping the last partition field
+    // evolves to the unpartitioned spec (still a fresh spec id)
+    val m = metaDir(tableDir)
+    val cur = currentMetadataFile(spark, tableDir)
+    val curV = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(cur.getName)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(cur).asInstanceOf[ObjectNode]
+    val arr = mapper.createArrayNode()
+    var maxSpec = -1
+    var maxField = 999
+    val orig = root.get("partition-specs")
+    if (orig != null && orig.isArray) orig.forEach { n =>
+      arr.add(n)
+      maxSpec = math.max(maxSpec,
+        Option(n.get("spec-id")).map(_.asInt()).getOrElse(0))
+      val fs = n.get("fields")
+      if (fs != null && fs.isArray) fs.forEach { f =>
+        maxField = math.max(maxField,
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(999)) }
+    }
+    if (maxSpec < 0) {
+      // no specs recorded yet: materialize spec 0 (the unpartitioned
+      // original) so old manifests' implicit spec-id 0 stays resolvable
+      val s0 = mapper.createObjectNode()
+      s0.put("spec-id", 0)
+      s0.set[ArrayNode]("fields", mapper.createArrayNode())
+      arr.add(s0)
+      maxSpec = 0
+    }
+    val newId = maxSpec + 1
+    val entry = mapper.createObjectNode()
+    entry.put("spec-id", newId)
+    val fArr = mapper.createArrayNode()
+    fields.foreach { case (name, transform, srcId) =>
+      maxField += 1
+      val f = mapper.createObjectNode()
+      f.put("name", name); f.put("transform", transform)
+      f.put("source-id", srcId); f.put("field-id", maxField)
+      fArr.add(f)
+    }
+    entry.set[ArrayNode]("fields", fArr)
+    arr.add(entry)
+    root.set[ArrayNode]("partition-specs", arr)
+    root.put("default-spec-id", newId)
+    java.nio.file.Files.write(
+      new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    writeHintAtomic(m, curV + 1)
+    newId
   }
 
   /** Register a statistics file (e.g. a [[PuffinIO]] container) for a

@@ -376,6 +376,14 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
 
   private[v2] def statFieldNames: Seq[String] = statFields.map(_.name)
 
+  /** The declared stat fields / partition spec, for write paths outside
+    * [[newWriteBuilder]] (the row-level COW rewrite) — a rewrite that
+    * dropped recorded bounds or partition values would silently erase
+    * the table's skipping ability. */
+  private[v2] def writeStatFields: Seq[GraftIcebergSource.StatField] = statFields
+  private[v2] def writeDeclaredPartSpec: Seq[(String, String, String)] =
+    declaredPartSpec
+
   /** The table's DECLARED sort columns, for reporting scan ordering:
     * the `write.sort-order` option / catalog property when given, else
     * the metadata's default sort order (`sort-orders` +

@@ -468,6 +468,151 @@ object GraftProcedures {
       }
     },
 
+    new Proc("add_partition_field",
+      Array(p("table", StringType), p("field", StringType)),
+      StructType(Seq(
+        StructField("spec_id", IntegerType, nullable = false),
+        StructField("partition_field", StringType, nullable = false),
+        StructField("transform", StringType, nullable = false))),
+      "PARTITION SPEC EVOLUTION (Iceberg's ALTER TABLE ... ADD PARTITION " +
+        "FIELD): extend the table's partition spec with `field` — a " +
+        "column name, bucket(N, col), truncate(W, col), or " +
+        "days/hours/months/years(col) — as a new default spec. Metadata-" +
+        "only: existing files stay under their original spec (readers " +
+        "interpret each file's partition values with the spec it was " +
+        "written under); future writes cluster and prune on the new one") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        import com.fasterxml.jackson.databind.ObjectMapper
+        import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+        val dir = resolve(in.getUTF8String(0).toString)
+        val fieldStr = in.getUTF8String(1).toString.trim
+        // same transform dialect (and derived field names) as CREATE
+        // TABLE ... PARTITIONED BY in GraftCatalog.toSpecEntry
+        val argRx = """^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
+        val timeRx = """^(days?|hours?|months?|years?)\s*\(\s*(\w+)\s*\)$""".r
+        val identRx = """^(\w+)$""".r
+        val (pfName, transform, src) = fieldStr match {
+          case argRx("bucket", n, c) => (s"${c}_bucket", s"bucket[$n]", c)
+          case argRx("truncate", w, c) => (s"${c}_trunc", s"truncate[$w]", c)
+          case timeRx(t, c) =>
+            val base = t.stripSuffix("s")
+            (s"${c}_$base", base, c)
+          case identRx(c) => (c, "identity", c)
+          case other => sys.error(
+            s"add_partition_field: cannot parse transform '$other' " +
+              "(use col, bucket(N, col), truncate(W, col), or " +
+              "days/hours/months/years(col))")
+        }
+        val desc = new java.io.File(dir, "graft-table.json")
+        require(desc.exists(),
+          s"add_partition_field($dir): needs a catalog-created table — " +
+            "the write path takes its partition spec from the catalog " +
+            "descriptor, which this table does not have")
+        val mapper = new ObjectMapper()
+        val root = mapper.readTree(desc).asInstanceOf[ObjectNode]
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          Option(root.get("schema-ddl")).map(_.asText()).filter(_.nonEmpty)
+            .getOrElse(sys.error(
+              s"add_partition_field($dir): descriptor has no schema")))
+        require(schema.fieldNames.contains(src),
+          s"add_partition_field($dir): partition source '$src' is not a " +
+            s"table column (have: ${schema.fieldNames.mkString(", ")})")
+        val cur = Option(root.get("partition-spec")).filter(_.isArray).toSeq
+          .flatMap { arr =>
+            val out = Seq.newBuilder[(String, String, String)]
+            arr.forEach(n => out += ((n.get("name").asText(),
+              n.get("transform").asText(), n.get("source").asText())))
+            out.result()
+          }
+        require(!cur.exists(_._1 == pfName),
+          s"add_partition_field($dir): '$pfName' is already a partition field")
+        val evolved = cur :+ ((pfName, transform, src))
+        // metadata spec evolution only once the table HAS metadata; a
+        // descriptor-only table is simply born with the wider spec
+        val hasMeta = {
+          val m = new java.io.File(dir, "metadata")
+          new java.io.File(m, "version-hint.text").exists() ||
+            Option(m.listFiles()).exists(_.exists(
+              _.getName.endsWith(".metadata.json")))
+        }
+        val specId =
+          if (!hasMeta) 0
+          else LayoutMaintenance.evolvePartitionSpec(spark, dir,
+            evolved.map { case (n, t, s2) =>
+              (n, t, schema.fieldNames.indexOf(s2) + 1) })
+        val arr = mapper.createArrayNode()
+        evolved.foreach { case (n, t, s2) =>
+          val o = mapper.createObjectNode()
+          o.put("name", n); o.put("transform", t); o.put("source", s2)
+          arr.add(o)
+        }
+        root.set[ArrayNode]("partition-spec", arr)
+        java.nio.file.Files.write(desc.toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+        Seq(Seq[Any](Int.box(specId), pfName, transform))
+      }
+    },
+
+    new Proc("drop_partition_field",
+      Array(p("table", StringType), p("field", StringType)),
+      StructType(Seq(
+        StructField("spec_id", IntegerType, nullable = false),
+        StructField("dropped_field", StringType, nullable = false))),
+      "PARTITION SPEC EVOLUTION, narrowing: remove a partition field by " +
+        "its field name (e.g. 'k_bucket') as a new default spec. " +
+        "Metadata-only; existing files keep their spec; future writes " +
+        "stop clustering on the dropped field") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        import com.fasterxml.jackson.databind.ObjectMapper
+        import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+        val dir = resolve(in.getUTF8String(0).toString)
+        val pfName = in.getUTF8String(1).toString.trim
+        val desc = new java.io.File(dir, "graft-table.json")
+        require(desc.exists(),
+          s"drop_partition_field($dir): needs a catalog-created table")
+        val mapper = new ObjectMapper()
+        val root = mapper.readTree(desc).asInstanceOf[ObjectNode]
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          Option(root.get("schema-ddl")).map(_.asText()).filter(_.nonEmpty)
+            .getOrElse(sys.error(
+              s"drop_partition_field($dir): descriptor has no schema")))
+        val cur = Option(root.get("partition-spec")).filter(_.isArray).toSeq
+          .flatMap { arr =>
+            val out = Seq.newBuilder[(String, String, String)]
+            arr.forEach(n => out += ((n.get("name").asText(),
+              n.get("transform").asText(), n.get("source").asText())))
+            out.result()
+          }
+        require(cur.exists(_._1 == pfName),
+          s"drop_partition_field($dir): no partition field '$pfName' " +
+            s"(have: ${cur.map(_._1).mkString(", ")})")
+        val evolved = cur.filterNot(_._1 == pfName)
+        val hasMeta = {
+          val m = new java.io.File(dir, "metadata")
+          new java.io.File(m, "version-hint.text").exists() ||
+            Option(m.listFiles()).exists(_.exists(
+              _.getName.endsWith(".metadata.json")))
+        }
+        val specId =
+          if (!hasMeta) 0
+          // dropping the LAST field evolves to the empty (unpartitioned)
+          // spec — still a fresh spec id, per the Iceberg spec
+          else LayoutMaintenance.evolvePartitionSpec(spark, dir,
+            evolved.map { case (n, t, s2) =>
+              (n, t, schema.fieldNames.indexOf(s2) + 1) })
+        val arr = mapper.createArrayNode()
+        evolved.foreach { case (n, t, s2) =>
+          val o = mapper.createObjectNode()
+          o.put("name", n); o.put("transform", t); o.put("source", s2)
+          arr.add(o)
+        }
+        root.set[ArrayNode]("partition-spec", arr)
+        java.nio.file.Files.write(desc.toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+        Seq(Seq[Any](Int.box(specId), pfName))
+      }
+    },
+
     new Proc("snapshot",
       Array(p("source_table", StringType), p("target_table", StringType)),
       StructType(Seq(

@@ -54,7 +54,7 @@ private[v2] class GraftRowLevelOperation(table: GraftTable,
     new GraftCowScanBuilder(this, table)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCowWriteBuilder(this, table.dir, info)
+    new GraftCowWriteBuilder(this, table, info)
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column(GraftTable.FileMetadataColumn))
@@ -120,21 +120,48 @@ private[v2] class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
 }
 
 private[v2] class GraftCowWriteBuilder(op: GraftRowLevelOperation,
-    dir: String, info: LogicalWriteInfo) extends WriteBuilder {
+    table: GraftTable, info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftCowBatchWrite(op, dir, info.schema(), info.queryId())
+      new GraftCowBatchWrite(op, table, info.schema(), info.queryId())
   }
 }
 
 /** Same task-parallel unique-file write as the append path; the commit
   * is the group swap: scanned files out, written files in, atomically. */
-private[v2] class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
-    schema: StructType, queryId: String) extends BatchWrite {
+private[v2] class GraftCowBatchWrite(op: GraftRowLevelOperation,
+    table: GraftTable, schema: StructType, queryId: String)
+    extends BatchWrite {
+
+  private val dir = table.dir
+
+  /** The rewrite observes the SAME partition spec and stat fields as an
+    * INSERT (catalog descriptor first, metadata spec positionally
+    * otherwise): replacement files keep their partition values and
+    * recorded column bounds, so a row-level UPDATE/DELETE never erases
+    * the table's pruning ability. A spec source absent from the write
+    * schema simply drops out (a rewrite must stay an optimization-
+    * preserving operation, never a new failure mode). */
+  private val partCols: Seq[(String, String, Int)] = {
+    val named =
+      if (table.writeDeclaredPartSpec.nonEmpty) table.writeDeclaredPartSpec
+      else graft.sources.IcebergManifestSource
+        .partitionSpec(org.apache.spark.sql.SparkSession.active, dir)
+        .flatMap { case (pf, tr, srcId) =>
+          if (srcId >= 1 && srcId <= schema.length)
+            Some((pf, tr, schema.fields(srcId - 1).name))
+          else None
+        }
+    named.flatMap { case (pf, tr, src) =>
+      val i = schema.fieldNames.indexOf(src)
+      if (i >= 0) Some((pf, tr, i)) else None
+    }
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, s"cow-$queryId")
+    new GraftWriterFactory(dir, schema, s"cow-$queryId",
+      table.writeStatFields, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = GraftIcebergWrite.entriesOf(messages)

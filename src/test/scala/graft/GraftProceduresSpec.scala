@@ -322,6 +322,85 @@ class GraftProceduresSpec extends AnyFunSuite {
         .contains("already")))
   }
 
+  test("add_partition_field: evolution keeps old files readable, new writes prune") {
+    spark.sql("CREATE TABLE proctest.db.pe (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES ('pushdown.fields'='k:1:long')")
+    spark.sql("INSERT INTO proctest.db.pe SELECT id, id * 2 FROM range(100)")
+    val preFiles = spark.read.format("graft-iceberg")
+      .load(dirOf("pe")).rdd.getNumPartitions
+    val r = spark.sql(
+      "CALL proctest.system.add_partition_field('db.pe', 'bucket(4, k)')")
+      .collect().head
+    assert(r.getInt(0) == 1 && r.getString(1) == "k_bucket" &&
+      r.getString(2) == "bucket[4]")
+    // metadata now records BOTH specs with the evolved one as default
+    val (defId, specs) = graft.sources.IcebergManifestSource
+      .partitionSpecs(spark, dirOf("pe"))
+    assert(defId == 1 && specs.map(_._1).sorted == Seq(0, 1))
+    assert(specs.find(_._1 == 1).get._2 ==
+      Seq(("k_bucket", "bucket[4]", 1)))
+    // a post-evolution INSERT clusters one file per bucket value
+    spark.sql("INSERT INTO proctest.db.pe SELECT id, id * 2 FROM range(100, 500)")
+    val total = spark.read.format("graft-iceberg")
+      .load(dirOf("pe")).rdd.getNumPartitions
+    assert(total == preFiles + 4,
+      s"expected $preFiles old + 4 bucketed files, got $total")
+    // every row of both eras reads back
+    assert(spark.sql("SELECT count(*), sum(v) FROM proctest.db.pe")
+      .head.toSeq == Seq(500L, (0L until 500L).map(_ * 2).sum))
+    // equality on the source column: bucket-transform pruning keeps ONE
+    // new-spec file, and the old files' recorded k bounds (max 99)
+    // exclude them too -> exactly one file planned
+    val q = spark.sql("SELECT v FROM proctest.db.pe WHERE k = 137")
+    assert(q.rdd.getNumPartitions == 1,
+      s"expected 1 planned file, got ${q.rdd.getNumPartitions} of $total")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(274L))
+    // manifest-list rows attribute each era to its own spec id
+    val conf = spark.sparkContext.hadoopConfiguration
+    def headList(): String = {
+      val head = spark.sql("CALL proctest.system.ancestors_of('db.pe')")
+        .collect().filter(_.getBoolean(2)).head.getLong(0)
+      new java.io.File(new java.io.File(dirOf("pe"), "metadata"),
+        s"snap-$head-manifest-list.avro").getAbsolutePath
+    }
+    val sids = graft.sources.IcebergManifestSource
+      .manifestSpecIds(conf, headList()).map(_._2).sorted
+    assert(sids.contains(0) && sids.contains(1), s"spec ids on manifests: $sids")
+    // a carry commit (DELETE) preserves the per-era attribution
+    spark.sql("DELETE FROM proctest.db.pe WHERE k = 137")
+    val sids2 = graft.sources.IcebergManifestSource
+      .manifestSpecIds(conf, headList()).map(_._2)
+    assert(sids2.contains(0) && sids2.contains(1),
+      s"carry lost spec attribution: $sids2")
+    assert(spark.sql("SELECT count(*) FROM proctest.db.pe")
+      .head.getLong(0) == 499L)
+    // duplicate field name refused
+    val e = intercept[Exception] {
+      spark.sql("CALL proctest.system.add_partition_field('db.pe', 'bucket(8, k)')")
+        .collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => String.valueOf(t.getMessage).contains("already")))
+    // the evolved table still snapshots (multi-spec clone)
+    spark.sql("CALL proctest.system.snapshot('db.pe', 'db.pe_clone')").collect()
+    assert(spark.sql("SELECT count(*) FROM proctest.db.pe_clone")
+      .head.getLong(0) == 499L)
+    // narrowing: dropping the last field evolves to the UNPARTITIONED
+    // spec (fresh id); writes and reads keep working
+    val d = spark.sql(
+      "CALL proctest.system.drop_partition_field('db.pe', 'k_bucket')")
+      .collect().head
+    assert(d.getInt(0) == 2 && d.getString(1) == "k_bucket")
+    val (defId3, specs3) = graft.sources.IcebergManifestSource
+      .partitionSpecs(spark, dirOf("pe"))
+    assert(defId3 == 2 && specs3.find(_._1 == 2).get._2.isEmpty)
+    spark.sql("INSERT INTO proctest.db.pe VALUES (1000, 2000)")
+    assert(spark.sql("SELECT count(*) FROM proctest.db.pe")
+      .head.getLong(0) == 500L)
+    assert(spark.sql("SELECT v FROM proctest.db.pe WHERE k = 1000")
+      .head.getLong(0) == 2000L)
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
