@@ -1311,6 +1311,87 @@ object Queries13 {
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_era2
         |FROM $cat.ev.t GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // ---- exact ROC-AUC (Mann-Whitney U with the standard tie
+    // correction) for a quality-classifier evaluation, per source and
+    // overall: score = token count (space count), label = long-document
+    // membership (n_chars >= 300). The classic formulation sorts all scored rows — a
+    // global sort that dies at corpus scale. Here the relation collapses
+    // to the (scope, score)-histogram FIRST (shuffles see only distinct
+    // scores), the negative-count prefix sums come from the bucketed
+    // rangeCumsum (never one task), and the AUC numerator stays an exact
+    // integer — 2·U = Σ_v [2·n1(v)·N0(<v) + n1(v)·n0(v)] — until the ONE
+    // final division. Identical at any partitioning.
+    "q248_roc_auc" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents")
+      val scored = docs.select(
+        col("source"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))))
+          .cast("long").as("score"),
+        when(col("n_chars") >= 300L, 1L).otherwise(0L).as("label"))
+      def auc(df: DataFrame, group: Seq[String]): DataFrame = {
+        val hist = df.groupBy((group.map(col) :+ col("score")): _*)
+          .agg(sum(col("label")).as("n1"),
+            sum(lit(1L) - col("label")).as("n0"))
+        val cum = StatOps.rangeCumsum(hist, group, Seq("score"),
+          Seq(("cum_n0", col("n0"))), StatOps.octaveBucket16(col("score")))
+        // exclusive prefix (negatives STRICTLY below this score) + ties
+        cum.withColumn("n0_below", col("cum_n0") - col("n0"))
+          .groupBy(group.map(col): _*)
+          .agg(sum(col("n1")).as("n_pos"),
+            sum(col("n0")).as("n_neg"),
+            sum(col("n1") * col("n0_below") * 2 + col("n1") * col("n0"))
+              .as("u2"))
+          .withColumn("auc",
+            round(col("u2").cast("double")
+              / (col("n_pos") * col("n_neg") * 2).cast("double"), 6))
+      }
+      val overall = auc(scored, Nil).withColumn("scope", lit("__all__"))
+        .select("scope", "n_pos", "n_neg", "u2", "auc")
+      val perSource = auc(scored, Seq("source"))
+        .withColumnRenamed("source", "scope")
+        .select("scope", "n_pos", "n_neg", "u2", "auc")
+      overall.unionByName(perSource).orderBy(col("scope"))
+    },
+
+    // ---- exact F1-optimal threshold for a quality filter: sweep EVERY
+    // candidate threshold (= every distinct score) and report the one
+    // maximizing F1, with its confusion counts. Same discipline as q248:
+    // collapse to the score histogram first, cumulative positives/
+    // negatives below each score from the bucketed rangeCumsum, then
+    // TP/FP/FN at "keep score >= v" are pure integer arithmetic per
+    // DISTINCT score and the argmax is a tiny aggregation — the curve
+    // never materializes row-level, the sweep costs one histogram pass.
+    // F1 ranks as a double computed from exact integers (identical in
+    // both engines); ties break toward the LOWEST threshold.
+    "q249_f1_threshold" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents")
+      val scored = docs.select(
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))))
+          .cast("long").as("score"),
+        when(col("n_chars") >= 300L, 1L).otherwise(0L).as("label"))
+      val hist = scored.groupBy(col("score"))
+        .agg(sum(col("label")).as("n1"), sum(lit(1L) - col("label")).as("n0"))
+      val cum = StatOps.rangeCumsum(hist, Nil, Seq("score"),
+        Seq(("c1", col("n1")), ("c0", col("n0"))),
+        StatOps.octaveBucket16(col("score")))
+      val conf = cum.select(
+        col("score").as("threshold"),
+        // keep score >= threshold: positives/negatives at or above
+        (col("c1_total") - (col("c1") - col("n1"))).as("tp"),
+        (col("c0_total") - (col("c0") - col("n0"))).as("fp"),
+        (col("c1") - col("n1")).as("fn"))
+        .withColumn("f1",
+          when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(0.0))
+            .otherwise((col("tp") * 2).cast("double")
+              / (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
+      conf.agg(max_by(
+          struct(col("threshold"), col("tp"), col("fp"), col("fn"), col("f1")),
+          struct(col("f1"), -col("threshold"))).as("best"))
+        .select(col("best.threshold").as("threshold"),
+          col("best.tp").as("tp"), col("best.fp").as("fp"),
+          col("best.fn").as("fn"), round(col("best.f1"), 6).as("f1"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1899,5 +1980,88 @@ object Queries13 {
         |    AS n_era2
         |FROM orders
         |WHERE o_orderkey % 10 <> 9
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q248: the same histogram-collapsed Mann-Whitney, windows over the
+    // (scope, score) histogram — integer-exact numerator, one division
+    "q248_roc_auc" ->
+      """WITH scored AS (
+        |  SELECT source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |hist_all AS (
+        |  SELECT score, CAST(sum(label) AS BIGINT) AS n1,
+        |    CAST(sum(1 - label) AS BIGINT) AS n0
+        |  FROM scored GROUP BY score),
+        |cum_all AS (
+        |  SELECT *, COALESCE(sum(n0) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS n0_below
+        |  FROM hist_all),
+        |hist_src AS (
+        |  SELECT source, score, CAST(sum(label) AS BIGINT) AS n1,
+        |    CAST(sum(1 - label) AS BIGINT) AS n0
+        |  FROM scored GROUP BY source, score),
+        |cum_src AS (
+        |  SELECT *, COALESCE(sum(n0) OVER (PARTITION BY source
+        |    ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS n0_below
+        |  FROM hist_src)
+        |SELECT * FROM (
+        |  SELECT '__all__' AS scope,
+        |    CAST(sum(n1) AS BIGINT) AS n_pos,
+        |    CAST(sum(n0) AS BIGINT) AS n_neg,
+        |    CAST(sum(n1 * n0_below * 2 + n1 * n0) AS BIGINT) AS u2,
+        |    round(CAST(sum(n1 * n0_below * 2 + n1 * n0) AS DOUBLE)
+        |      / CAST(sum(n1) * sum(n0) * 2 AS DOUBLE), 6) AS auc
+        |  FROM cum_all
+        |  UNION ALL
+        |  SELECT source AS scope,
+        |    CAST(sum(n1) AS BIGINT), CAST(sum(n0) AS BIGINT),
+        |    CAST(sum(n1 * n0_below * 2 + n1 * n0) AS BIGINT),
+        |    round(CAST(sum(n1 * n0_below * 2 + n1 * n0) AS DOUBLE)
+        |      / CAST(sum(n1) * sum(n0) * 2 AS DOUBLE), 6)
+        |  FROM cum_src GROUP BY source
+        |) ORDER BY scope""".stripMargin,
+
+    // q249: the same sweep via windowed cumulative counts over the score
+    // histogram; argmax by (f1 DESC, threshold ASC)
+    "q249_f1_threshold" ->
+      """WITH scored AS (
+        |  SELECT
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |hist AS (
+        |  SELECT score, CAST(sum(label) AS BIGINT) AS n1,
+        |    CAST(sum(1 - label) AS BIGINT) AS n0
+        |  FROM scored GROUP BY score),
+        |cum AS (
+        |  SELECT score,
+        |    COALESCE(sum(n1) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n1_below,
+        |    COALESCE(sum(n0) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n0_below,
+        |    (SELECT sum(n1) FROM hist) AS t1,
+        |    (SELECT sum(n0) FROM hist) AS t0
+        |  FROM hist),
+        |conf AS (
+        |  SELECT score AS threshold,
+        |    t1 - n1_below AS tp, t0 - n0_below AS fp, n1_below AS fn,
+        |    CASE WHEN (t1 - n1_below) * 2 + (t0 - n0_below) + n1_below = 0
+        |      THEN 0.0
+        |      ELSE CAST((t1 - n1_below) * 2 AS DOUBLE)
+        |        / CAST((t1 - n1_below) * 2 + (t0 - n0_below) + n1_below
+        |            AS DOUBLE) END AS f1
+        |  FROM cum)
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, round(f1, 6) AS f1
+        |FROM conf ORDER BY f1 DESC, threshold ASC LIMIT 1""".stripMargin)
 }
