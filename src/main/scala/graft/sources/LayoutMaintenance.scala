@@ -1311,6 +1311,31 @@ object LayoutMaintenance {
     newId
   }
 
+  /** Create or move a named ref (Iceberg's create_tag / create_branch /
+    * replace_tag): point `name` at a snapshot in history — the current
+    * head when none is given. Metadata-only; `main` is refused (it is
+    * the published head, moved by commits / rollback / fastForward, not
+    * by ref DDL). Returns the snapshot the ref points at. */
+  def setRef(spark: SparkSession, tableDir: String, name: String,
+      kind: String, snapshotId: Option[Long] = None): Long =
+      commitLock(tableDir).synchronized {
+    require(kind == "tag" || kind == "branch",
+      s"setRef: kind must be 'tag' or 'branch', got '$kind'")
+    require(name != "main",
+      "refusing to redefine 'main' (commits and rollback own it)")
+    val snaps = snapshots(spark, tableDir)
+    require(snaps.nonEmpty, s"setRef($tableDir): table has no snapshots")
+    val cur = currentSnapshotId(spark, tableDir).getOrElse(snaps.last.id)
+    val target = snapshotId.getOrElse(cur)
+    require(snaps.exists(_.id == target),
+      s"setRef($tableDir): no snapshot $target in history " +
+        s"(have: ${snaps.map(_.id).mkString(", ")})")
+    val rs = refs(spark, tableDir)
+    writeMetadataVersion(spark, tableDir, snaps, cur,
+      (rs.filterNot(_._1 == name) :+ ((name, target, kind))).sortBy(_._1))
+    target
+  }
+
   /** Drop a named ref (the DROP BRANCH/TAG of a failed audit): the
     * snapshot it pointed at stays in history — expireSnapshots reclaims
     * it later — only the NAME goes. `main` is refused, like Iceberg's

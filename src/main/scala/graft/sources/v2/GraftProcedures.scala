@@ -553,6 +553,59 @@ object GraftProcedures {
       }
     },
 
+    new Proc("create_tag",
+      Array(p("table", StringType), p("tag", StringType),
+        pd("snapshot_id", LongType, "-1")),
+      StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false))),
+      "Create (or move) a named TAG at a snapshot — the current head " +
+        "when snapshot_id is omitted. Tags pin time-travel points " +
+        "(VERSION AS OF '<tag>') and hold their snapshot against " +
+        "nothing; expire still honors history rules") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val name = in.getUTF8String(1).toString
+        val sid = in.getLong(2)
+        val at = LayoutMaintenance.setRef(spark, dir, name, "tag",
+          if (sid < 0) None else Some(sid))
+        Seq(Seq[Any](name, Long.box(at)))
+      }
+    },
+
+    new Proc("create_branch",
+      Array(p("table", StringType), p("branch", StringType),
+        pd("snapshot_id", LongType, "-1")),
+      StructType(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false))),
+      "Create (or move) a named BRANCH at a snapshot — the current head " +
+        "when snapshot_id is omitted. Branches are the WAP staging " +
+        "surface: stageAppend writes onto them, fast_forward publishes") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val name = in.getUTF8String(1).toString
+        val sid = in.getLong(2)
+        val at = LayoutMaintenance.setRef(spark, dir, name, "branch",
+          if (sid < 0) None else Some(sid))
+        Seq(Seq[Any](name, Long.box(at)))
+      }
+    },
+
+    new Proc("drop_ref",
+      Array(p("table", StringType), p("name", StringType)),
+      StructType(Seq(
+        StructField("dropped", StringType, nullable = false))),
+      "Drop a named branch or tag ('main' refused); the snapshot it " +
+        "pointed at stays in history until expire reclaims it") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val name = in.getUTF8String(1).toString
+        LayoutMaintenance.dropRef(spark, dir, name)
+        Seq(Seq[Any](name))
+      }
+    },
+
     new Proc("drop_partition_field",
       Array(p("table", StringType), p("field", StringType)),
       StructType(Seq(

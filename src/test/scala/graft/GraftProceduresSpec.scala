@@ -401,6 +401,45 @@ class GraftProceduresSpec extends AnyFunSuite {
       .head.getLong(0) == 2000L)
   }
 
+  test("create_tag / create_branch / drop_ref: ref DDL by SQL") {
+    spark.sql("CREATE TABLE proctest.db.rf (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO proctest.db.rf VALUES (1), (2)")
+    spark.sql("INSERT INTO proctest.db.rf VALUES (3)")
+    // tag the HISTORIC snapshot; branch defaults to the current head
+    val tg = spark.sql(
+      "CALL proctest.system.create_tag('db.rf', 'v1', snapshot_id => 1)")
+      .collect().head
+    assert(tg.getString(0) == "v1" && tg.getLong(1) == 1L)
+    val br = spark.sql(
+      "CALL proctest.system.create_branch('db.rf', 'dev')").collect().head
+    assert(br.getLong(1) == 2L)
+    // tags resolve in SQL time travel; the head is untouched
+    assert(spark.sql(
+      "SELECT count(*) FROM proctest.db.rf VERSION AS OF 'v1'")
+      .head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM proctest.db.rf")
+      .head.getLong(0) == 3L)
+    // refs surface through the metadata table
+    val refRows = spark.sql("SELECT name, type FROM proctest.db.rf.refs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(refRows.get("v1").contains("tag") &&
+      refRows.get("dev").contains("branch"))
+    // drop works; main is refused; bad snapshot refused
+    spark.sql("CALL proctest.system.drop_ref('db.rf', 'dev')").collect()
+    assert(!spark.sql("SELECT name FROM proctest.db.rf.refs")
+      .collect().map(_.getString(0)).contains("dev"))
+    def refuses(stmt: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(stmt).collect() }
+      assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .exists(t => String.valueOf(t.getMessage).contains(needle)),
+        s"expected '$needle' from $stmt")
+    }
+    refuses("CALL proctest.system.create_tag('db.rf', 'main')", "main")
+    refuses("CALL proctest.system.drop_ref('db.rf', 'main')", "main")
+    refuses("CALL proctest.system.create_tag('db.rf', 'x', snapshot_id => 99)",
+      "no snapshot")
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
