@@ -250,17 +250,28 @@ object LayoutMaintenance {
     * snapshot also referenced it. The existing current-snapshot-id is
     * preserved (the CURRENT snapshot is never expired, whatever its
     * history position — a rolled-back table keeps both its pointer and
-    * the snapshot it names, like Iceberg's expire_snapshots); refs to
-    * surviving snapshots are carried through, refs to expired ones are
-    * dropped WITH the history they named. */
+    * the snapshot it names, like Iceberg's expire_snapshots). Snapshots
+    * REFERENCED BY A NAMED REF are protected too — a tag pins its
+    * snapshot against expiry until the ref is dropped (Iceberg's
+    * branch/tag retention contract; dropRef is the release valve).
+    * `olderThanMs` (when >= 0) additionally spares any snapshot whose
+    * `timestamp-ms` is at or after the cutoff — the production shape is
+    * expire_snapshots(older_than => now - 7d, retain_last => 1), which
+    * can never reclaim in-flight readers' recent history. */
   def expireSnapshots(spark: SparkSession, tableDir: String,
-      keepLast: Int): (Seq[Long], Int) = {
+      keepLast: Int, olderThanMs: Long = -1L): (Seq[Long], Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots(spark, tableDir)
     val curId = currentSnapshotId(spark, tableDir)
+    val refTargets = refs(spark, tableDir).map(_._2).toSet
+    val tsOf = snapshotTimestamps(spark, tableDir).toMap
     val tail = all.takeRight(keepLast).map(_.id).toSet
-    val keep = all.filter(s => tail.contains(s.id) || curId.contains(s.id))
-    val expire = all.filterNot(s => tail.contains(s.id) || curId.contains(s.id))
+    def protectedSnap(id: Long): Boolean =
+      tail.contains(id) || curId.contains(id) || refTargets.contains(id) ||
+        (olderThanMs >= 0L &&
+          tsOf.get(id).flatten.forall(_ >= olderThanMs))
+    val keep = all.filter(s => protectedSnap(s.id))
+    val expire = all.filterNot(s => protectedSnap(s.id))
     if (expire.isEmpty) return (keep.map(_.id), 0)
     val reachable = keep.flatMap(manifestsOf(spark, _)).toSet
     val doomedManifests = expire.flatMap(manifestsOf(spark, _)).toSet -- reachable

@@ -111,16 +111,21 @@ object GraftProcedures {
     },
 
     new Proc("expire_snapshots",
-      Array(p("table", StringType), pd("retain_last", IntegerType, "1")),
+      Array(p("table", StringType), pd("retain_last", IntegerType, "1"),
+        pd("older_than_ms", LongType, "-1")),
       StructType(Seq(
         StructField("kept_snapshots_count", IntegerType, nullable = false),
         StructField("deleted_metadata_files_count", IntegerType, nullable = false))),
-      "Expire history older than the newest retain_last snapshots " +
-        "(the current snapshot is never expired)") {
+      "Expire history older than the newest retain_last snapshots. The " +
+        "current snapshot, every ref target (tags PIN their snapshot " +
+        "until drop_ref), and — when older_than_ms is given — every " +
+        "snapshot committed at or after that epoch cutoff are never " +
+        "expired; production runs pass older_than_ms = now - retention " +
+        "so racing readers' recent history survives") {
       def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
         val dir = resolve(in.getUTF8String(0).toString)
-        val (kept, deleted) =
-          LayoutMaintenance.expireSnapshots(spark, dir, in.getInt(1))
+        val (kept, deleted) = LayoutMaintenance.expireSnapshots(spark, dir,
+          in.getInt(1), in.getLong(2))
         Seq(Seq(kept.size, deleted))
       }
     },
@@ -212,17 +217,22 @@ object GraftProcedures {
     },
 
     new Proc("remove_orphan_files",
-      Array(p("table", StringType), pd("dry_run", BooleanType, "true")),
+      Array(p("table", StringType), pd("dry_run", BooleanType, "true"),
+        pd("min_age_ms", LongType, "0")),
       StructType(Seq(
         StructField("orphan_file_location", StringType, nullable = false),
         StructField("deleted", BooleanType, nullable = false))),
       "List (dry_run, the default) or delete files under the table's data " +
-        "dir referenced by NO snapshot in history") {
+        "dir referenced by NO snapshot in history. min_age_ms spares " +
+        "files modified within that window — an IN-FLIGHT writer's " +
+        "uncommitted task files look exactly like orphans, so production " +
+        "runs pass a retention age (Iceberg defaults to 3 days)") {
       def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
         import org.apache.spark.sql.functions.col
         import spark.implicits._
         val dir = resolve(in.getUTF8String(0).toString)
         val dryRun = in.getBoolean(1)
+        val minAgeMs = in.getLong(2)
         val dataDir = new java.io.File(dir, "data")
         if (!dataDir.isDirectory) return Nil
         // every snapshot's entries stay referenced — orphan removal must
@@ -236,9 +246,12 @@ object GraftProcedures {
           .reduceOption(_ union _)
           .getOrElse(spark.emptyDataset[String])
           .distinct()
+        val cutoff = System.currentTimeMillis() - minAgeMs
         val orphans = OrphanFiles
           .find(spark, dataDir.getAbsolutePath, referenced)
           .collect().sorted.toSeq
+          .filter(p => minAgeMs <= 0L ||
+            new java.io.File(p).lastModified() <= cutoff)
         if (!dryRun) orphans.foreach(p => new java.io.File(p).delete())
         orphans.map(p => Seq(p, !dryRun))
       }

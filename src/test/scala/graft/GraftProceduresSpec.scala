@@ -440,6 +440,44 @@ class GraftProceduresSpec extends AnyFunSuite {
       "no snapshot")
   }
 
+  test("retention guards: tags pin snapshots; age windows spare recent work") {
+    spark.sql("CREATE TABLE proctest.db.rg (k BIGINT) USING `graft-iceberg`")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO proctest.db.rg VALUES ($i)"))
+    spark.sql("CALL proctest.system.create_tag('db.rg', 'pin', snapshot_id => 1)")
+    // older_than_ms at epoch 0: every snapshot is newer -> nothing expires
+    spark.sql("CALL proctest.system.expire_snapshots('db.rg', " +
+      "retain_last => 1, older_than_ms => 0)")
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, dirOf("rg")).size == 3)
+    // the TAG pins snapshot 1 through an unbounded expire
+    spark.sql("CALL proctest.system.expire_snapshots('db.rg', retain_last => 1)")
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, dirOf("rg")) == Seq(1L, 3L))
+    assert(spark.sql(
+      "SELECT count(*) FROM proctest.db.rg VERSION AS OF 'pin'")
+      .head.getLong(0) == 1L)
+    // releasing the tag releases the snapshot
+    spark.sql("CALL proctest.system.drop_ref('db.rg', 'pin')")
+    spark.sql("CALL proctest.system.expire_snapshots('db.rg', retain_last => 1)")
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, dirOf("rg")) == Seq(3L))
+    // orphan min_age: a just-planted fake task file is spared by an age
+    // window (in-flight writers look exactly like orphans) ...
+    val orphan = new java.io.File(new java.io.File(dirOf("rg"), "data"),
+      "inflight-task.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](9))
+    val spared = spark.sql("CALL proctest.system.remove_orphan_files(" +
+      "'db.rg', dry_run => false, min_age_ms => 3600000)").collect()
+    assert(spared.isEmpty && orphan.exists())
+    // ... and reclaimed once old enough (simulated by mtime rewind)
+    orphan.setLastModified(System.currentTimeMillis() - 7200000L)
+    val gone = spark.sql("CALL proctest.system.remove_orphan_files(" +
+      "'db.rg', dry_run => false, min_age_ms => 3600000)").collect()
+    assert(gone.length == 1 && !orphan.exists())
+    assert(spark.sql("SELECT count(*) FROM proctest.db.rg")
+      .head.getLong(0) == 3L)
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)

@@ -131,14 +131,19 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
     // rollback is reversible: snapshot 3 still reads
     assert(files(tbl, Some(3L)).nonEmpty)
 
-    // expire keepLast=1 keeps the HISTORY tail (3) AND the current (1);
-    // only 2 goes — the current snapshot is never expired
+    // expire keepLast=1 keeps the HISTORY tail (3), the current (1), AND
+    // the tagged snapshot (2) — refs PIN their snapshots against expiry
+    // (Iceberg's branch/tag retention contract)
     val (kept, _) = LayoutMaintenance.expireSnapshots(spark, tbl.getPath, keepLast = 1)
-    assert(kept == Seq(1L, 3L), s"got $kept")
+    assert(kept == Seq(1L, 2L, 3L), s"got $kept")
     assert(files(tbl, None) == snap1, "rolled-back pointer must survive expiration")
     assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "main").contains(1L))
-    // the tag pointed at expired snapshot 2 and is dropped with it
-    assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "audit").isEmpty)
+    assert(IcebergManifestSource.refSnapshotId(spark, tbl.getPath, "audit").contains(2L))
+    // dropping the tag releases its snapshot to the next expire
+    LayoutMaintenance.dropRef(spark, tbl.getPath, "audit")
+    val (kept2, _) = LayoutMaintenance.expireSnapshots(spark, tbl.getPath, keepLast = 1)
+    assert(kept2 == Seq(1L, 3L), s"got $kept2")
+    assert(files(tbl, None) == snap1)
   }
 
   test("maintenance preserves metadata fields it does not model (real-writer tables)") {
