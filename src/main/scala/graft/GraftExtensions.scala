@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.GraftFunctions.arity("simhash_sig", 1)(exprs =>
         graft.functions.SimHashSig(exprs.head, 16))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalizeExpr].getName, "nfc_normalize"),
+      graft.functions.GraftFunctions.arity("nfc_normalize", 1)(exprs =>
+        graft.functions.NfcNormalizeExpr(exprs.head))))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.WinnowFingerprints].getName, "winnow_fingerprints"),

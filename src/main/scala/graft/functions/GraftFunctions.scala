@@ -45,6 +45,7 @@ object GraftFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
     PolyHash64.register(spark)
+    NfcNormalize.register(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "long_dot", arity("long_dot", 2)(exprs => LongArrayDot(exprs(0), exprs(1))), "scala_udf")

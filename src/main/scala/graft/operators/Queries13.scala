@@ -1392,6 +1392,69 @@ object Queries13 {
         .select(col("best.threshold").as("threshold"),
           col("best.tp").as("tp"), col("best.fp").as("fp"),
           col("best.fn").as("fn"), round(col("best.f1"), 6).as("f1"))
+    },
+
+    // ---- inter-annotator agreement (Cohen's kappa) between two
+    // labelers — here two deterministic quality heuristics (length gate
+    // vs token-count gate) over the corpus; in production, two model
+    // raters or a rater vs gold. The whole computation is ONE
+    // partially-aggregable pass (four conditional counts), then kappa =
+    // (n·agree − Σ marginal products) / (n² − Σ marginal products) in
+    // exact integers with one final division — no per-row state, no
+    // shuffle beyond the 4-cell confusion matrix.
+    "q250_cohens_kappa" -> { (s, dir) => implicit val sp = s
+      val docs = t(dir, "documents")
+      val rated = docs.select(
+        when(col("n_chars") >= 300L, 1L).otherwise(0L).as("a"),
+        when((length(col("text"))
+            - length(replace(col("text"), lit(" "), lit("")))) >= 54L, 1L)
+          .otherwise(0L).as("b"))
+      rated.agg(
+          sum(col("a") * col("b")).as("both_pos"),
+          sum(col("a") * (lit(1L) - col("b"))).as("a_only"),
+          sum((lit(1L) - col("a")) * col("b")).as("b_only"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("both_neg"))
+        .withColumn("n",
+          col("both_pos") + col("a_only") + col("b_only") + col("both_neg"))
+        .withColumn("pe_num",
+          (col("both_pos") + col("a_only")) * (col("both_pos") + col("b_only"))
+            + (col("b_only") + col("both_neg")) * (col("a_only") + col("both_neg")))
+        .withColumn("kappa", round(
+          (col("n") * (col("both_pos") + col("both_neg")) - col("pe_num"))
+            .cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double"), 6))
+        .select("both_pos", "a_only", "b_only", "both_neg", "kappa")
+    },
+
+    // ---- Unicode-normalized dedup via the native `nfc_normalize`
+    // kernel (graft.functions.NfcNormalize — codegen'd, ASCII fast
+    // path): the SAME visible document arrives precomposed (U+00E9 'é')
+    // from one source and decomposed ('e' + U+0301) from another, and
+    // every byte-keyed dedup treats them as distinct unless the text is
+    // canonicalized first. Each doc here yields BOTH forms; raw distinct
+    // counts see 2 per doc, NFC-normalized distinct counts collapse them
+    // to 1 — per language, the collapse ratio is pinned by the oracle
+    // (DuckDB's own nfc_normalize recomputes it).
+    "q251_nfc_dedup" -> { (s, dir) => implicit val sp = s
+      graft.functions.NfcNormalize.register(s)
+      val docs = t(dir, "documents")
+      // precomposed vs decomposed spellings of the same visible suffix
+      val pre = " caf\u00e9 d\u00e9j\u00e0"
+      val dec = " cafe\u0301 de\u0301ja\u0300"
+      val variants = docs.select(col("lang"),
+          array(
+            concat(col("text"), lit(pre)),
+            concat(col("text"), lit(dec)))
+            .as("forms"))
+        .select(col("lang"), explode(col("forms")).as("variant"))
+      variants
+        .select(col("lang"), col("variant"),
+          expr("nfc_normalize(variant)").as("canon"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("variant")).as("distinct_raw"),
+          countDistinct(col("canon")).as("distinct_nfc"))
+        .orderBy(col("lang"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -2063,5 +2126,46 @@ object Queries13 {
         |SELECT CAST(threshold AS BIGINT) AS threshold,
         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
         |  CAST(fn AS BIGINT) AS fn, round(f1, 6) AS f1
-        |FROM conf ORDER BY f1 DESC, threshold ASC LIMIT 1""".stripMargin)
+        |FROM conf ORDER BY f1 DESC, threshold ASC LIMIT 1""".stripMargin,
+
+    // q250: the same exact-integer kappa from the 4-cell confusion matrix
+    "q250_cohens_kappa" ->
+      """WITH rated AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 54
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |cm AS (
+        |  SELECT CAST(sum(a * b) AS BIGINT) AS both_pos,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS a_only,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS b_only,
+        |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS both_neg
+        |  FROM rated)
+        |SELECT both_pos, a_only, b_only, both_neg,
+        |  round(CAST((both_pos + a_only + b_only + both_neg)
+        |      * (both_pos + both_neg)
+        |      - ((both_pos + a_only) * (both_pos + b_only)
+        |        + (b_only + both_neg) * (a_only + both_neg)) AS DOUBLE)
+        |    / CAST((both_pos + a_only + b_only + both_neg)
+        |      * (both_pos + a_only + b_only + both_neg)
+        |      - ((both_pos + a_only) * (both_pos + b_only)
+        |        + (b_only + both_neg) * (a_only + both_neg)) AS DOUBLE), 6)
+        |    AS kappa
+        |FROM cm""".stripMargin,
+
+    // q251: DuckDB's own nfc_normalize over the same two code-point
+    // spellings (chr(233)=U+00E9 precomposed, chr(769)/chr(768) the
+    // combining acute/grave)
+    "q251_nfc_dedup" ->
+      """WITH v AS (
+        |  SELECT lang, text || ' caf' || chr(233) || ' d' || chr(233)
+        |    || 'j' || chr(224) AS variant FROM documents
+        |  UNION ALL
+        |  SELECT lang, text || ' cafe' || chr(769) || ' de' || chr(769)
+        |    || 'ja' || chr(768) FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_variants,
+        |  CAST(count(DISTINCT variant) AS BIGINT) AS distinct_raw,
+        |  CAST(count(DISTINCT nfc_normalize(variant)) AS BIGINT)
+        |    AS distinct_nfc
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin)
 }

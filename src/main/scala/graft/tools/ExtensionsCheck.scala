@@ -22,12 +22,14 @@ object ExtensionsCheck {
         |       simhash_sig(split('a b', ' ')),
         |       size(winnow_fingerprints(split('a b c d e f', ' '))),
         |       long_dot(array(2L, 3L), array(4L, 5L)),
-        |       double_dot(array(1.0d), array(2.5d))""".stripMargin).collect()(0)
+        |       double_dot(array(1.0d), array(2.5d)),
+        |       nfc_normalize('cafe\u0301') = 'caf\u00e9'""".stripMargin).collect()(0)
     println(s"injected family: mh=${fam.getInt(0)} wf=${fam.getInt(2)} " +
       s"long_dot=${fam.getLong(3)} double_dot=${fam.getDouble(4)}")
     spark.stop()
     if (v != expected || fam.getInt(0) != 8 || fam.getInt(2) != 1 ||
-        fam.getLong(3) != 23L || fam.getDouble(4) != 2.5) sys.exit(1)
+        fam.getLong(3) != 23L || fam.getDouble(4) != 2.5 ||
+        !fam.getBoolean(5)) sys.exit(1)
     println("extensions check OK")
   }
 }

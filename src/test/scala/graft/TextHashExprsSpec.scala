@@ -115,4 +115,27 @@ class TextHashExprsSpec extends AnyFunSuite {
     assert(got(1L).isEmpty)
     assert(got(2L).size == 1)
   }
+  test("NfcNormalize: decomposed folds to precomposed; ASCII fast path; null-safe") {
+    import spark.implicits._
+    graft.functions.NfcNormalize.register(spark)
+    val df = Seq(
+      (Option("cafe\u0301 ja\u0300"), Option("caf\u00e9 j\u00e0")),
+      (Option("plain ascii stays itself"), Option("plain ascii stays itself")),
+      (Option.empty[String], Option.empty[String]))
+      .toDF("a", "b")
+    val out = df.selectExpr(
+      "nfc_normalize(a) AS na", "nfc_normalize(b) AS nb").collect()
+    assert(out(0).getString(0) == "caf\u00e9 j\u00e0" &&
+      out(0).getString(0) == out(0).getString(1))
+    assert(out(1).getString(0) == "plain ascii stays itself")
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
+    // interpreted eval agrees with the codegen'd path above
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.NfcNormalize
+      .normalize(UTF8String.fromString("cafe\u0301")).toString == "caf\u00e9")
+    // fast path returns the SAME object for pure ASCII (no copy)
+    val ascii = UTF8String.fromString("abc def")
+    assert(graft.functions.NfcNormalize.normalize(ascii) eq ascii)
+  }
+
 }
