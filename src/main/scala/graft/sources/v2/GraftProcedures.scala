@@ -74,6 +74,129 @@ object GraftProcedures {
   private def pd(name: String, t: DataType, default: String): ProcedureParameter =
     ProcedureParameter.in(name, t).defaultValue(default).build()
 
+  /** The add_files engine, shared by the `add_files` and `migrate`
+    * procedures: import existing parquet files into `dir` as one
+    * metadata-only append commit. Returns (files, rows, snapshotId). */
+  private def addFilesInto(spark: SparkSession, dir: String,
+      source: String, checkDup: Boolean): (Int, Long, Long) = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val srcPath = new org.apache.hadoop.fs.Path(source)
+        val fs = srcPath.getFileSystem(conf)
+        // files to import: a glob, a single file, or a directory walked
+        // recursively — all through the Hadoop FS API (object-store-ready)
+        val statuses = Option(fs.globStatus(srcPath)).toSeq.flatten.flatMap {
+          st =>
+            if (!st.isDirectory) Seq(st)
+            else {
+              val it = fs.listFiles(st.getPath, true)
+              val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+              while (it.hasNext) out += it.next()
+              out.result()
+            }
+        }.filter(st => st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        require(statuses.nonEmpty,
+          s"add_files($dir): no parquet files match '$source'")
+        val files = statuses.map(st =>
+          (st.getPath.toUri.getPath, st.getLen)).sortBy(_._1)
+        val hasMeta = {
+          val m = new java.io.File(dir, "metadata")
+          new java.io.File(m, "version-hint.text").exists() ||
+            Option(m.listFiles()).exists(_.exists(
+              _.getName.endsWith(".metadata.json")))
+        }
+        if (checkDup && hasMeta) {
+          val existing = IcebergManifestSource
+            .statsFromTableDir(spark, dir, "t", Nil)
+            .select("file_path").collect()
+            .map(_.getString(0).replaceFirst("^file:/+", "/")).toSet
+          val dup = files.map(_._1).filter(existing.contains)
+          require(dup.isEmpty,
+            s"add_files($dir): already referenced by the current " +
+              s"snapshot: ${dup.take(3).mkString(", ")} " +
+              "(pass check_duplicate_files => false to force)")
+        }
+        // the catalog descriptor's pushdown.fields names the stat columns
+        // (name:fieldId:type): bound extraction keys off the DECLARED ids
+        // so imported files skip exactly like connector-written ones
+        val statFields: Seq[(String, Int, String)] = {
+          val desc = new java.io.File(dir, "graft-table.json")
+          if (!desc.exists()) Nil
+          else {
+            val root = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(desc)
+            Option(root.get("properties"))
+              .flatMap(p => Option(p.get("pushdown.fields")))
+              .map(_.asText()).toSeq
+              .flatMap(_.split(',')).filter(_.nonEmpty).map(_.split(':'))
+              .collect { case Array(n, id, t) => (n, id.toInt, t) }
+          }
+        }
+        // distributed footer pass: one task per file reads row counts and
+        // min/max for the declared stat columns — never the data pages
+        val metas = spark.sparkContext
+          .parallelize(files, math.max(1, math.min(files.size, 32)))
+          .map { case (path, _) =>
+            val c = new org.apache.hadoop.conf.Configuration()
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(path), c))
+            try {
+              var rows = 0L
+              val mins = scala.collection.mutable.Map.empty[String, Any]
+              val maxs = scala.collection.mutable.Map.empty[String, Any]
+              val wanted = statFields.map(_._1).toSet
+              r.getFooter.getBlocks.forEach { b =>
+                rows += b.getRowCount
+                b.getColumns.forEach { cc =>
+                  val name = cc.getPath.toDotString
+                  val st = cc.getStatistics
+                  if (wanted(name) && st != null && !st.isEmpty &&
+                      st.hasNonNullValue) {
+                    def toV(x: Any): Any = x match {
+                      case i: java.lang.Integer => i.longValue
+                      case l: java.lang.Long => l.longValue
+                      case d: java.lang.Double => d.doubleValue
+                      case f: java.lang.Float => f.doubleValue
+                      case b2: org.apache.parquet.io.api.Binary =>
+                        b2.toStringUsingUTF8
+                      case other => other
+                    }
+                    def lt(a: Any, b2: Any): Boolean = (a, b2) match {
+                      case (x: Long, y: Long) => x < y
+                      case (x: Double, y: Double) => x < y
+                      case (x: String, y: String) => x < y
+                      case _ => false
+                    }
+                    val (lo, hi) = (toV(st.genericGetMin), toV(st.genericGetMax))
+                    mins(name) = mins.get(name).filter(lt(_, lo)).getOrElse(lo)
+                    maxs(name) = maxs.get(name).filter(m => lt(hi, m)).getOrElse(hi)
+                  }
+                }
+              }
+              (path, rows, mins.toMap, maxs.toMap)
+            } finally r.close()
+          }.collect() // one small row per FILE: metadata-sized
+        def enc(v: Any): Array[Byte] = v match {
+          case x: Long => IcebergLayoutWriter.boundLong(x)
+          case x: Double => IcebergLayoutWriter.boundDouble(x)
+          case x: String => IcebergLayoutWriter.boundString(x)
+          case other => sys.error(s"add_files: unencodable bound $other")
+        }
+        val sizeOf = files.toMap
+        val entries = metas.toSeq.sortBy(_._1).map { case (path, rows, mins, maxs) =>
+          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+            filePath = path, recordCount = rows, sizeBytes = sizeOf(path),
+            lower = statFields.flatMap { case (n, id, _) =>
+              mins.get(n).map(v => id -> enc(v)) }.toMap,
+            upper = statFields.flatMap { case (n, id, _) =>
+              maxs.get(n).map(v => id -> enc(v)) }.toMap)
+        }
+        val snap = LayoutMaintenance.commitAppend(spark, dir, entries)
+        (entries.size, entries.map(_.recordCount).sum, snap)
+  }
+
   /** All procedures, keyed by name. `resolve` maps a `table` argument
     * (a catalog-relative `db.t` identifier string) to the layout dir of
     * an EXISTING table; `resolveNew` maps an identifier to the dir a NEW
@@ -358,126 +481,10 @@ object GraftProcedures {
         "counts and declared-column bounds come from a distributed parquet-" +
         "footer pass, so imported files participate in file skipping") {
       def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
-        val dir = resolve(in.getUTF8String(0).toString)
-        val source = in.getUTF8String(1).toString
-        val checkDup = in.getBoolean(2)
-        val conf = spark.sparkContext.hadoopConfiguration
-        val srcPath = new org.apache.hadoop.fs.Path(source)
-        val fs = srcPath.getFileSystem(conf)
-        // files to import: a glob, a single file, or a directory walked
-        // recursively — all through the Hadoop FS API (object-store-ready)
-        val statuses = Option(fs.globStatus(srcPath)).toSeq.flatten.flatMap {
-          st =>
-            if (!st.isDirectory) Seq(st)
-            else {
-              val it = fs.listFiles(st.getPath, true)
-              val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-              while (it.hasNext) out += it.next()
-              out.result()
-            }
-        }.filter(st => st.getPath.getName.endsWith(".parquet") &&
-          !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        require(statuses.nonEmpty,
-          s"add_files($dir): no parquet files match '$source'")
-        val files = statuses.map(st =>
-          (st.getPath.toUri.getPath, st.getLen)).sortBy(_._1)
-        val hasMeta = {
-          val m = new java.io.File(dir, "metadata")
-          new java.io.File(m, "version-hint.text").exists() ||
-            Option(m.listFiles()).exists(_.exists(
-              _.getName.endsWith(".metadata.json")))
-        }
-        if (checkDup && hasMeta) {
-          val existing = IcebergManifestSource
-            .statsFromTableDir(spark, dir, "t", Nil)
-            .select("file_path").collect()
-            .map(_.getString(0).replaceFirst("^file:/+", "/")).toSet
-          val dup = files.map(_._1).filter(existing.contains)
-          require(dup.isEmpty,
-            s"add_files($dir): already referenced by the current " +
-              s"snapshot: ${dup.take(3).mkString(", ")} " +
-              "(pass check_duplicate_files => false to force)")
-        }
-        // the catalog descriptor's pushdown.fields names the stat columns
-        // (name:fieldId:type): bound extraction keys off the DECLARED ids
-        // so imported files skip exactly like connector-written ones
-        val statFields: Seq[(String, Int, String)] = {
-          val desc = new java.io.File(dir, "graft-table.json")
-          if (!desc.exists()) Nil
-          else {
-            val root = new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(desc)
-            Option(root.get("properties"))
-              .flatMap(p => Option(p.get("pushdown.fields")))
-              .map(_.asText()).toSeq
-              .flatMap(_.split(',')).filter(_.nonEmpty).map(_.split(':'))
-              .collect { case Array(n, id, t) => (n, id.toInt, t) }
-          }
-        }
-        // distributed footer pass: one task per file reads row counts and
-        // min/max for the declared stat columns — never the data pages
-        val metas = spark.sparkContext
-          .parallelize(files, math.max(1, math.min(files.size, 32)))
-          .map { case (path, _) =>
-            val c = new org.apache.hadoop.conf.Configuration()
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new org.apache.hadoop.fs.Path(path), c))
-            try {
-              var rows = 0L
-              val mins = scala.collection.mutable.Map.empty[String, Any]
-              val maxs = scala.collection.mutable.Map.empty[String, Any]
-              val wanted = statFields.map(_._1).toSet
-              r.getFooter.getBlocks.forEach { b =>
-                rows += b.getRowCount
-                b.getColumns.forEach { cc =>
-                  val name = cc.getPath.toDotString
-                  val st = cc.getStatistics
-                  if (wanted(name) && st != null && !st.isEmpty &&
-                      st.hasNonNullValue) {
-                    def toV(x: Any): Any = x match {
-                      case i: java.lang.Integer => i.longValue
-                      case l: java.lang.Long => l.longValue
-                      case d: java.lang.Double => d.doubleValue
-                      case f: java.lang.Float => f.doubleValue
-                      case b2: org.apache.parquet.io.api.Binary =>
-                        b2.toStringUsingUTF8
-                      case other => other
-                    }
-                    def lt(a: Any, b2: Any): Boolean = (a, b2) match {
-                      case (x: Long, y: Long) => x < y
-                      case (x: Double, y: Double) => x < y
-                      case (x: String, y: String) => x < y
-                      case _ => false
-                    }
-                    val (lo, hi) = (toV(st.genericGetMin), toV(st.genericGetMax))
-                    mins(name) = mins.get(name).filter(lt(_, lo)).getOrElse(lo)
-                    maxs(name) = maxs.get(name).filter(m => lt(hi, m)).getOrElse(hi)
-                  }
-                }
-              }
-              (path, rows, mins.toMap, maxs.toMap)
-            } finally r.close()
-          }.collect() // one small row per FILE: metadata-sized
-        def enc(v: Any): Array[Byte] = v match {
-          case x: Long => IcebergLayoutWriter.boundLong(x)
-          case x: Double => IcebergLayoutWriter.boundDouble(x)
-          case x: String => IcebergLayoutWriter.boundString(x)
-          case other => sys.error(s"add_files: unencodable bound $other")
-        }
-        val sizeOf = files.toMap
-        val entries = metas.toSeq.sortBy(_._1).map { case (path, rows, mins, maxs) =>
-          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
-            filePath = path, recordCount = rows, sizeBytes = sizeOf(path),
-            lower = statFields.flatMap { case (n, id, _) =>
-              mins.get(n).map(v => id -> enc(v)) }.toMap,
-            upper = statFields.flatMap { case (n, id, _) =>
-              maxs.get(n).map(v => id -> enc(v)) }.toMap)
-        }
-        val snap = LayoutMaintenance.commitAppend(spark, dir, entries)
-        Seq(Seq[Any](Int.box(entries.size),
-          Long.box(entries.map(_.recordCount).sum), Long.box(snap)))
+        val (files, rows, snap) = addFilesInto(spark,
+          resolve(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, in.getBoolean(2))
+        Seq(Seq[Any](Int.box(files), Long.box(rows), Long.box(snap)))
       }
     },
 
@@ -563,6 +570,58 @@ object GraftProcedures {
         java.nio.file.Files.write(desc.toPath,
           mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
         Seq(Seq[Any](Int.box(specId), pfName, transform))
+      }
+    },
+
+    new Proc("rollback_to_timestamp",
+      Array(p("table", StringType), p("timestamp_ms", LongType)),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType, nullable = false))),
+      "Move the table head to the LAST snapshot committed at or before " +
+        "the given epoch instant (Iceberg's rollback_to_timestamp) — " +
+        "the procedure twin of TIMESTAMP AS OF, made permanent") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val cutoff = in.getLong(1)
+        val at = LayoutMaintenance.snapshotTimestamps(spark, dir)
+          .filter { case (_, ts) => ts.forall(_ <= cutoff) }
+          .lastOption.map(_._1)
+          .getOrElse(sys.error(
+            s"rollback_to_timestamp($dir): no snapshot at or before " +
+              s"$cutoff"))
+        val prev = LayoutMaintenance.rollback(spark, dir, at)
+        Seq(Seq(prev.map(Long.box).orNull, at))
+      }
+    },
+
+    new Proc("migrate",
+      Array(p("source", StringType), p("target_table", StringType)),
+      StructType(Seq(
+        StructField("target_table", StringType, nullable = false),
+        StructField("migrated_files_count", IntegerType, nullable = false),
+        StructField("migrated_rows_count", LongType, nullable = false))),
+      "Convert an existing parquet directory into a governed catalog " +
+        "table IN PLACE (Iceberg's migrate, expressed as create + " +
+        "add_files): schema inferred from the files, one metadata-only " +
+        "commit referencing them where they lie — zero data movement") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val source = in.getUTF8String(0).toString
+        val dstName = in.getUTF8String(1).toString
+        val dstDir = resolveNew(dstName)
+        // descriptor from the source's own schema, so the catalog serves
+        // the migrated table with declared (not inferred) columns
+        val schema = spark.read.parquet(source).schema
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.createObjectNode()
+        root.put("schema-ddl", schema.toDDL)
+        root.putObject("properties")
+        java.nio.file.Files.write(
+          new java.io.File(dstDir, "graft-table.json").toPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+        val (files, rows, _) = addFilesInto(spark, dstDir, source,
+          checkDup = true)
+        Seq(Seq[Any](dstName, Int.box(files), Long.box(rows)))
       }
     },
 

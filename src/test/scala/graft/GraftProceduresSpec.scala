@@ -478,6 +478,49 @@ class GraftProceduresSpec extends AnyFunSuite {
       .head.getLong(0) == 3L)
   }
 
+  test("rollback_to_timestamp: head moves to the last snapshot at-or-before") {
+    spark.sql("CREATE TABLE proctest.db.rt (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO proctest.db.rt VALUES (1)")
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO proctest.db.rt VALUES (2)")
+    spark.sql("INSERT INTO proctest.db.rt VALUES (3)")
+    assert(spark.sql("SELECT count(*) FROM proctest.db.rt").head.getLong(0) == 3L)
+    val r = spark.sql(
+      s"CALL proctest.system.rollback_to_timestamp('db.rt', $t1)")
+      .collect().head
+    assert(r.getLong(1) == 1L)
+    assert(spark.sql("SELECT count(*) FROM proctest.db.rt").head.getLong(0) == 1L)
+    // an instant before ANY commit refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL proctest.system.rollback_to_timestamp('db.rt', 1)")
+        .collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .exists(t => String.valueOf(t.getMessage).contains("no snapshot")))
+  }
+
+  test("migrate: a bare parquet directory becomes a catalog table in place") {
+    import spark.implicits._
+    val src = new java.io.File("target/tmp-proc-migrate-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(src)
+    (0L until 250L).map(i => (i, s"m$i")).toDF("k", "v")
+      .repartition(3).write.parquet(src.getAbsolutePath)
+    val r = spark.sql(s"CALL proctest.system.migrate(" +
+      s"'${src.getAbsolutePath}', 'db.mig')").collect().head
+    assert(r.getString(0) == "db.mig" && r.getInt(1) == 3 && r.getLong(2) == 250L)
+    // declared schema came from the source; rows serve through SQL
+    assert(spark.sql("SELECT count(*), sum(k) FROM proctest.db.mig")
+      .head.toSeq == Seq(250L, (0L until 250L).sum))
+    // zero copy: the table dir holds metadata only
+    val dataDir = new java.io.File(dirOf("mig"), "data")
+    assert(!dataDir.exists() || Option(dataDir.listFiles()).forall(_.isEmpty))
+    // and it is a normal table from here on: DML works
+    spark.sql("DELETE FROM proctest.db.mig WHERE k < 50")
+    assert(spark.sql("SELECT count(*) FROM proctest.db.mig")
+      .head.getLong(0) == 200L)
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
