@@ -67,7 +67,11 @@ object Bench {
         }
         if (got == n.toLong) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val reps = Seq(fanoutRep(), fanoutRep()).filter(_ >= 0).sorted
+      // three reps for these sub-second probes: with two, one JIT/GC
+      // hiccup on a 0.3s measurement trips the >2x spread flag on pure
+      // noise; the two FASTEST of three keep the same min-time contract
+      val reps = Seq(fanoutRep(), fanoutRep(), fanoutRep())
+        .filter(_ >= 0).sorted
       if (reps.size >= 2) (s"fanout$n", reps(0), reps(1))
       else if (reps.nonEmpty) (s"fanout$n", reps.head, reps.head)
       else (s"fanout$n", -1.0, -1.0)
