@@ -98,6 +98,20 @@ object GraftProcedures {
           !st.getPath.getName.startsWith("."))
         require(statuses.nonEmpty,
           s"add_files($dir): no parquet files match '$source'")
+        // hive-partitioned layouts keep partition VALUES in directory
+        // names, not in the files — importing such files verbatim would
+        // silently drop those columns (readers null-fill). Refuse loudly;
+        // rewrite through a real INSERT to materialize the columns.
+        val hivePartitioned = statuses
+          .map(_.getPath.getParent.toUri.getPath)
+          .filter(_ != null)
+          .filter(p => p.split('/').exists(seg =>
+            seg.contains('=') && !seg.startsWith("=")))
+        require(hivePartitioned.isEmpty,
+          s"add_files($dir): source contains hive-partitioned paths " +
+            s"(e.g. ${hivePartitioned.head}) whose partition values live " +
+            "in directory names, not in the files — a verbatim import " +
+            "would silently null those columns. INSERT the data instead.")
         val files = statuses.map(st =>
           (st.getPath.toUri.getPath, st.getLen)).sortBy(_._1)
         val hasMeta = {
@@ -120,18 +134,47 @@ object GraftProcedures {
         // the catalog descriptor's pushdown.fields names the stat columns
         // (name:fieldId:type): bound extraction keys off the DECLARED ids
         // so imported files skip exactly like connector-written ones
-        val statFields: Seq[(String, Int, String)] = {
+        val (statFields: Seq[(String, Int, String)],
+             declaredCols: Seq[String]) = {
           val desc = new java.io.File(dir, "graft-table.json")
-          if (!desc.exists()) Nil
+          if (!desc.exists()) (Nil, Nil)
           else {
             val root = new com.fasterxml.jackson.databind.ObjectMapper()
               .readTree(desc)
-            Option(root.get("properties"))
+            val sf = Option(root.get("properties"))
               .flatMap(p => Option(p.get("pushdown.fields")))
               .map(_.asText()).toSeq
               .flatMap(_.split(',')).filter(_.nonEmpty).map(_.split(':'))
               .collect { case Array(n, id, t) => (n, id.toInt, t) }
+            val cols = Option(root.get("schema-ddl")).map(_.asText())
+              .filter(_.nonEmpty)
+              .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+                .fieldNames.toSeq)
+              .getOrElse(Nil)
+            (sf, cols)
           }
+        }
+        // schema sanity: an import whose files share NO column with the
+        // declared schema would read as an all-null relation — refuse
+        if (declaredCols.nonEmpty) {
+          val firstFooter = {
+            val c = new org.apache.hadoop.conf.Configuration()
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(files.head._1), c))
+            try r.getFooter.getFileMetaData.getSchema.getFields
+            finally r.close()
+          }
+          val fileCols = {
+            val out = Seq.newBuilder[String]
+            firstFooter.forEach(f => out += f.getName)
+            out.result().toSet
+          }
+          require(declaredCols.exists(fileCols.contains),
+            s"add_files($dir): the source files share no column with the " +
+              s"declared schema (${declaredCols.mkString(", ")} vs file " +
+              s"columns ${fileCols.mkString(", ")}) — importing them " +
+              "would read as all-null rows")
         }
         // distributed footer pass: one task per file reads row counts and
         // min/max for the declared stat columns — never the data pages

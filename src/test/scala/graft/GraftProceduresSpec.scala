@@ -521,6 +521,36 @@ class GraftProceduresSpec extends AnyFunSuite {
       .head.getLong(0) == 200L)
   }
 
+  test("add_files refuses hive-partitioned sources and disjoint schemas") {
+    import spark.implicits._
+    def refuses(stmt: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(stmt).collect() }
+      assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .exists(t => String.valueOf(t.getMessage).contains(needle)),
+        s"expected '$needle' from $stmt")
+    }
+    // hive-partitioned source: partition values live in the dir names —
+    // a verbatim import would silently null the day column
+    val hive = new java.io.File("target/tmp-proc-hive-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(hive)
+    (0L until 60L).map(i => (i, i % 3)).toDF("k", "day")
+      .write.partitionBy("day").parquet(hive.getAbsolutePath)
+    spark.sql("CREATE TABLE proctest.db.hv (k BIGINT, day BIGINT) " +
+      "USING `graft-iceberg`")
+    refuses(s"CALL proctest.system.add_files('db.hv', " +
+      s"'${hive.getAbsolutePath}')", "hive-partitioned")
+    // schema-disjoint source: importing would read as all-null rows
+    val alien = new java.io.File("target/tmp-proc-alien-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(alien)
+    (0L until 10L).map(i => (i, s"x$i")).toDF("zz_a", "zz_b")
+      .coalesce(1).write.parquet(alien.getAbsolutePath)
+    refuses(s"CALL proctest.system.add_files('db.hv', " +
+      s"'${alien.getAbsolutePath}')", "no column")
+    // the table is untouched by both refusals
+    assert(spark.sql("SELECT count(*) FROM proctest.db.hv")
+      .head.getLong(0) == 0L)
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
