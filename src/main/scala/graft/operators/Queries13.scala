@@ -1455,6 +1455,68 @@ object Queries13 {
           countDistinct(col("variant")).as("distinct_raw"),
           countDistinct(col("canon")).as("distinct_nfc"))
         .orderBy(col("lang"))
+    },
+
+    // ---- margin-based bitext mining (Artetxe & Schwenk, the
+    // LASER/CCMatrix parallel-corpus miner): two embedding spaces (the
+    // even/odd vec_id halves standing in for two languages), score every
+    // cross pair by cosine NORMALIZED by both endpoints' k=4 neighborhood
+    // averages — margin = cos(x,y) / ((Σ NN4(x) + Σ NN4(y)) / 8) — and
+    // mine MUTUAL best matches. Raw cosine mines hubs (vectors close to
+    // everything); the margin divides that hubness out, which is why
+    // production bitext pipelines use it. Determinism: neighborhood sums
+    // assemble from the 4 RANKED neighbor cosines in fixed left-to-right
+    // order (never a float aggregate whose order the engine picks), so
+    // every margin is bit-identical at any partitioning and in DuckDB.
+    // Scale shape: the cross join is a broadcast nested-loop on the
+    // smaller half (at 100 TB the candidate cross comes from the q28
+    // sign-LSH buckets instead — same downstream margin math); windows
+    // partition per vector, never global.
+    "q252_bitext_mining" -> { (s, dir) => implicit val sp = s
+      val e = t(dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(
+          graft.functions.DoubleArrayDot.doubleDot(col("v"), col("v"))))
+      val src = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("sn"))
+      val tgt = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("v").as("tv"), col("nrm").as("tn"))
+      val pairs = src.join(broadcast(tgt), col("src_id") =!= col("tgt_id"))
+        .withColumn("cos",
+          graft.functions.DoubleArrayDot.doubleDot(col("sv"), col("tv"))
+            / (col("sn") * col("tn")))
+        .select("src_id", "tgt_id", "cos")
+        .localCheckpoint() // the cross is reused 3x (sums x2 + margin)
+      def nn4Sum(key: String): DataFrame = {
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("cos").desc,
+            col(if (key == "src_id") "tgt_id" else "src_id"))
+        pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+          .groupBy(col(key))
+          .agg((max(when(col("rk") === 1, col("cos")))
+            + max(when(col("rk") === 2, col("cos")))
+            + max(when(col("rk") === 3, col("cos")))
+            + max(when(col("rk") === 4, col("cos")))).as(s"nn_$key"))
+      }
+      val withMargin = pairs
+        .join(broadcast(nn4Sum("src_id")), "src_id")
+        .join(broadcast(nn4Sum("tgt_id")), "tgt_id")
+        .withColumn("margin",
+          col("cos") / ((col("nn_src_id") + col("nn_tgt_id")) / lit(8.0)))
+      val bestForSrc = withMargin.groupBy(col("src_id"))
+        .agg(max_by(col("tgt_id"), struct(col("margin"), -col("tgt_id")))
+          .as("best_tgt"),
+          max(struct(col("margin"), -col("tgt_id"))).getField("margin")
+            .as("m_src"))
+      val bestForTgt = withMargin.groupBy(col("tgt_id"))
+        .agg(max_by(col("src_id"), struct(col("margin"), -col("src_id")))
+          .as("best_src"))
+      // mutual best = mined pair
+      bestForSrc.join(bestForTgt,
+          col("best_tgt") === col("tgt_id") && col("best_src") === col("src_id"))
+        .select(col("src_id"), col("tgt_id"),
+          round(col("m_src"), 4).as("margin"))
+        .orderBy(col("src_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -2167,5 +2229,51 @@ object Queries13 {
         |  CAST(count(DISTINCT variant) AS BIGINT) AS distinct_raw,
         |  CAST(count(DISTINCT nfc_normalize(variant)) AS BIGINT)
         |    AS distinct_nfc
-        |FROM v GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q252: same margin math, neighborhood sums assembled in the same
+    // fixed rank order (list_sum folds left-to-right like DoubleArrayDot
+    // — the q29 determinism precedent)
+    "q252_bitext_mining" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_apply(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm
+        |  FROM e),
+        |src AS (SELECT vec_id AS src_id, v AS sv, nrm AS sn FROM n WHERE vec_id % 2 = 0),
+        |tgt AS (SELECT vec_id AS tgt_id, v AS tv, nrm AS tn FROM n WHERE vec_id % 2 = 1),
+        |pairs AS (
+        |  SELECT src_id, tgt_id,
+        |    list_sum(list_apply(range(1, len(sv) + 1), i -> sv[i] * tv[i]))
+        |      / (sn * tn) AS cos
+        |  FROM src, tgt),
+        |rs AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |         ORDER BY cos DESC, tgt_id) AS rk FROM pairs),
+        |sx AS (SELECT src_id,
+        |    max(CASE WHEN rk = 1 THEN cos END) + max(CASE WHEN rk = 2 THEN cos END)
+        |    + max(CASE WHEN rk = 3 THEN cos END) + max(CASE WHEN rk = 4 THEN cos END)
+        |      AS nn_src
+        |  FROM rs WHERE rk <= 4 GROUP BY src_id),
+        |rt AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+        |         ORDER BY cos DESC, src_id) AS rk FROM pairs),
+        |sy AS (SELECT tgt_id,
+        |    max(CASE WHEN rk = 1 THEN cos END) + max(CASE WHEN rk = 2 THEN cos END)
+        |    + max(CASE WHEN rk = 3 THEN cos END) + max(CASE WHEN rk = 4 THEN cos END)
+        |      AS nn_tgt
+        |  FROM rt WHERE rk <= 4 GROUP BY tgt_id),
+        |m AS (
+        |  SELECT p.src_id, p.tgt_id,
+        |    p.cos / ((sx.nn_src + sy.nn_tgt) / 8.0) AS margin
+        |  FROM pairs p JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+        |bs AS (SELECT src_id, tgt_id AS best_tgt, margin AS m_src FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY src_id
+        |      ORDER BY margin DESC, tgt_id) AS r FROM m) WHERE r = 1),
+        |bt AS (SELECT tgt_id, src_id AS best_src FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY margin DESC, src_id) AS r FROM m) WHERE r = 1)
+        |SELECT bs.src_id, bs.best_tgt AS tgt_id, round(bs.m_src, 4) AS margin
+        |FROM bs JOIN bt ON bs.best_tgt = bt.tgt_id AND bt.best_src = bs.src_id
+        |ORDER BY src_id""".stripMargin)
 }
