@@ -1517,6 +1517,54 @@ object Queries13 {
         .select(col("src_id"), col("tgt_id"),
           round(col("m_src"), 4).as("margin"))
         .orderBy(col("src_id"))
+    },
+
+    // ---- DELETION VECTORS end-to-end (Iceberg v3's position-delete
+    // shape): two DELETEs commit as Puffin DV containers — one blob per
+    // affected data file, fileFormat=PUFFIN manifest entries (pinned) —
+    // instead of parquet tombstone rows; the MOR read applies them with
+    // identical (file, pos, seq) visibility, the connector's per-task
+    // read decodes only each file's OWN blob, and a final
+    // rewrite_position_deletes folds both vectors into one consolidated
+    // tombstone (pinned: 2 -> 1, format back to PARQUET). The survivors'
+    // aggregate hash-matches DuckDB recomputing from predicate algebra —
+    // so the v3 container path is gated by the same oracle as the v2 one.
+    "q253_deletion_vectors" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergManifestSource, LayoutMaintenance, MorRead}
+      val tbl = TmpFixture.dir("q253", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      t(dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+        .filter(col("k") % 2 === 0)
+        .write.format("graft-iceberg").mode("append").save(tbl.getPath)
+      t(dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+        .filter(col("k") % 2 === 1)
+        .write.format("graft-iceberg").mode("append").save(tbl.getPath)
+      LayoutMaintenance.commitDeleteWhereDv(s, tbl.getPath,
+        col("k") % 10 === 3)
+      LayoutMaintenance.commitDeleteWhereDv(s, tbl.getPath,
+        col("k") % 100 === 42)
+      val dvs = IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .filter(col("content") === 1)
+        .select("file_format").collect().map(_.getString(0))
+      require(dvs.length == 2 && dvs.forall(_ == "PUFFIN"),
+        s"expected two PUFFIN deletion vectors, got ${dvs.mkString(",")}")
+      // connector MOR read == MorRead, both applying the vectors
+      val viaConnector = s.read.format("graft-iceberg").load(tbl.getPath)
+      val viaMor = MorRead.readTable(s, tbl.getPath)
+      require(viaConnector.count() == viaMor.count(),
+        "connector and MorRead must agree under deletion vectors")
+      // fold both vectors into one consolidated parquet tombstone
+      val (_, nBefore, nAfter, _) =
+        LayoutMaintenance.rewritePositionDeletes(s, tbl.getPath)
+      require(nBefore == 2 && nAfter == 1,
+        s"fold must consolidate 2 vectors into 1 file, got $nBefore->$nAfter")
+      s.read.format("graft-iceberg").load(tbl.getPath)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_keys"))
+        .orderBy(col("prio"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -2275,5 +2323,14 @@ object Queries13 {
         |      ORDER BY margin DESC, src_id) AS r FROM m) WHERE r = 1)
         |SELECT bs.src_id, bs.best_tgt AS tgt_id, round(bs.m_src, 4) AS margin
         |FROM bs JOIN bt ON bs.best_tgt = bt.tgt_id AND bt.best_src = bs.src_id
-        |ORDER BY src_id""".stripMargin)
+        |ORDER BY src_id""".stripMargin,
+
+    // q253: survivors = all orders minus the two DV predicates — the
+    // container format is invisible to the logical result
+    "q253_deletion_vectors" ->
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 42
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

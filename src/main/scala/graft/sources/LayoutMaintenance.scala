@@ -1022,6 +1022,49 @@ object LayoutMaintenance {
     (newId, n)
   }
 
+  /** Predicate DELETE committing a DELETION VECTOR (Iceberg v3 shape)
+    * instead of a parquet tombstone file: matched (file, pos) pairs fold
+    * into ONE Puffin container with one blob per affected data file
+    * ([[DeletionVectors]]), committed as a content=1 entry with
+    * fileFormat=PUFFIN. Matched pairs are reject-sized by assumption
+    * (the same contract as [[commitDeleteWhere]]'s single tombstone
+    * file); the grouping is a driver fold over them. Readers apply DVs
+    * exactly like position tombstones — same (file, pos, seq)
+    * visibility — so the two delete commits are interchangeable.
+    * Returns (newSnapshotId, deletedRowCount). */
+  def commitDeleteWhereDv(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      eqKeys: Seq[String] = Nil): (Long, Long) =
+      commitLock(tableDir).synchronized {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val hits = MorRead.readTableLineage(spark, tableDir, eqKeys)
+      .filter(predicate)
+      .select(col("file_path"), col("pos"))
+      .collect() // reject-sized, same contract as commitDeleteWhere
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return (curId, 0L)
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val dv = new java.io.File(dataDir, s"dv-$newId.puffin")
+    DeletionVectors.write(dv, newId,
+      hits.groupBy(_._1).toSeq.map { case (f, ps) => (f, ps.map(_._2).toSeq) })
+    val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+      content = 1, filePath = dv.getAbsolutePath, recordCount = hits.length,
+      sizeBytes = dv.length(), sequenceNumber = newId,
+      fileFormat = "PUFFIN"))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+      movedRefs, operation = "delete")
+    (newId, hits.length.toLong)
+  }
+
   /** Predicate DELETE, COPY-ON-WRITE mode (Iceberg's
     * `write.delete.mode=copy-on-write`; the SQL `DELETE FROM` behind
     * [[graft.sources.v2.GraftTable]]'s SupportsDelete): files containing
@@ -1228,15 +1271,37 @@ object LayoutMaintenance {
       .map(e => norm(e.filePath) -> e.sequenceNumber.longValue).toMap
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    // tombstone rows with their owning file's sequence number attached
-    val seqDf = posFiles.map(e => (norm(e.filePath),
-      e.sequenceNumber.longValue)).toDF("__fp", "seq")
-    val tomb = spark.read.parquet(posFiles.map(_.filePath).toIndexedSeq: _*)
-      .withColumn("__own", regexp_replace(
-        col("_metadata.file_path"), "^file:/+", "/"))
-      .join(broadcast(seqDf), col("__own") === col("__fp"))
-      .select(regexp_replace(col("file_path"), "^file:/+", "/")
-        .as("file_path"), col("pos"), col("seq"))
+    // tombstone rows with their owning file's sequence number attached;
+    // deletion-vector entries (fileFormat=PUFFIN) decode driver-side and
+    // fold into the SAME consolidated parquet output — a rewrite is how
+    // a DV-carrying table converts back to the v2 tombstone shape
+    val (dvPos, parqPos) = posFiles.partition(_.fileFormat == "PUFFIN")
+    val dvTombRows = dvPos.flatMap { e =>
+      DeletionVectors.read(new java.io.File(e.filePath)).flatMap {
+        case (target, poss) =>
+          poss.map(p => (norm(target), p, e.sequenceNumber.longValue)) }
+    }
+    val parqTomb =
+      if (parqPos.isEmpty) None
+      else {
+        val seqDf = parqPos.map(e => (norm(e.filePath),
+          e.sequenceNumber.longValue)).toDF("__fp", "seq")
+        Some(spark.read.parquet(parqPos.map(_.filePath).toIndexedSeq: _*)
+          .withColumn("__own", regexp_replace(
+            col("_metadata.file_path"), "^file:/+", "/"))
+          .join(broadcast(seqDf), col("__own") === col("__fp"))
+          .select(regexp_replace(col("file_path"), "^file:/+", "/")
+            .as("file_path"), col("pos"), col("seq")))
+      }
+    val dvTomb =
+      if (dvTombRows.isEmpty) None
+      else Some(dvTombRows.toDF("file_path", "pos", "seq"))
+    val tomb = (parqTomb, dvTomb) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return (curId, 0, 0, 0L)
+    }
     val liveSeq = dataSeq.toSeq.toDF("file_path", "data_seq")
     val kept = tomb.join(broadcast(liveSeq), Seq("file_path"))
       .filter(col("data_seq") <= col("seq")) // the pair actually applies

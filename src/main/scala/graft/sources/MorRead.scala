@@ -161,11 +161,33 @@ object MorRead {
       case (None, Some(o)) => o
       case (None, None) => return spark.emptyDataFrame
     }
+    // DELETION VECTORS (fileFormat=PUFFIN content=1 entries) decode
+    // driver-side into the same (file_path, pos, seq) tombstone relation
+    // as parquet pos-delete files — one blob per target, reject-sized by
+    // the delete-commit contract — and apply identically downstream
+    val (dvFiles, parqPosFiles) = posFiles.partition(_._4 == "PUFFIN")
+    val dvTomb: Option[DataFrame] =
+      if (dvFiles.isEmpty) None
+      else Some(spark.createDataFrame(dvFiles.toSeq.flatMap {
+        case (p, _, seq, _) =>
+          DeletionVectors.read(new java.io.File(p)).flatMap {
+            case (target, poss) => poss.map(pos => (norm(target), pos, seq))
+          }
+      }).toDF("file_path", "pos", "seq"))
     val afterPos =
-      if (posFiles.isEmpty) data
+      if (parqPosFiles.isEmpty && dvTomb.isEmpty) data
       else {
-        val tomb = withSeq(posFiles, "seq")
-          .select(normCol(col("file_path")).as("file_path"), col("pos"), col("seq"))
+        val parqTomb: Option[DataFrame] =
+          if (parqPosFiles.isEmpty) None
+          else Some(withSeq(parqPosFiles, "seq")
+            .select(normCol(col("file_path")).as("file_path"),
+              col("pos"), col("seq")))
+        val tomb = (parqTomb, dvTomb) match {
+          case (Some(a), Some(b)) => a.unionByName(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case (None, None) => sys.error("unreachable: both empty")
+        }
         if (orcData.nonEmpty) {
           // file-count-sized distinct, not row-sized
           val targeted = tomb.select(col("file_path")).distinct()

@@ -254,14 +254,21 @@ private[v2] class GraftChangelogReaderFactory(baseSchema: StructType)
     case ChangePosDeletePartition(path, sid) =>
       new PartitionReader[InternalRow] {
         // (target file → tombstoned ordinals), then walk each target
-        // emitting exactly those rows
+        // emitting exactly those rows; a deletion-vector commit (Puffin,
+        // Iceberg-v3 shape) decodes to the same map, one blob per target
         private val byTarget: Seq[(String, Set[Long])] =
-          GraftPartitionReader.readRows(path, Seq("file_path", "pos"))
-            .map(g => (String.valueOf(GraftPartitionReader.prim(g, "file_path"))
-                .replaceFirst("^file:/+", "/"),
-              GraftPartitionReader.prim(g, "pos").asInstanceOf[Long]))
-            .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-            .toSeq.sortBy(_._1)
+          (if (graft.sources.DeletionVectors.isDvPath(path))
+            graft.sources.DeletionVectors.read(new java.io.File(path))
+              .map { case (t, ps) =>
+                (t.replaceFirst("^file:/+", "/"), ps.toSet) }
+          else
+            GraftPartitionReader.readRows(path, Seq("file_path", "pos"))
+              .map(g => (String.valueOf(
+                  GraftPartitionReader.prim(g, "file_path"))
+                  .replaceFirst("^file:/+", "/"),
+                GraftPartitionReader.prim(g, "pos").asInstanceOf[Long]))
+              .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+              .toSeq).sortBy(_._1)
         private val targets = byTarget.iterator
         private var reader: GraftPartitionReader = _
         private var positions: Set[Long] = Set.empty

@@ -1424,10 +1424,17 @@ private[v2] object GraftPartitionReader {
     * files (spec: pos-delete rows are (file_path, pos)). */
   def positionsFor(dataPath: String, posDeletes: Seq[String]): Set[Long] = {
     val target = norm(dataPath)
-    posDeletes.iterator.flatMap(p =>
-      readRows(p, Seq("file_path", "pos"))
+    posDeletes.iterator.flatMap { p =>
+      // deletion vectors (Iceberg-v3 shape): one Puffin blob per target —
+      // only the blob for THIS file is materialized, the point of DVs
+      if (graft.sources.DeletionVectors.isDvPath(p))
+        graft.sources.DeletionVectors.read(new java.io.File(p))
+          .filter { case (t, _) => norm(t) == target }
+          .flatMap(_._2).iterator
+      else readRows(p, Seq("file_path", "pos"))
         .filter(g => norm(String.valueOf(prim(g, "file_path"))) == target)
-        .map(g => prim(g, "pos").asInstanceOf[Long])).toSet
+        .map(g => prim(g, "pos").asInstanceOf[Long])
+    }.toSet
   }
 
   /** Each equality-delete file's key tuples, paired with its key
