@@ -70,7 +70,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli rwposdeletes <tableDir> | graft.Cli cherrypick <tableDir> <snapshotId> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli catsql <warehouseDir> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere|deletewheredv <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli rwposdeletes <tableDir> | graft.Cli cherrypick <tableDir> <snapshotId> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli catsql <warehouseDir> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -134,7 +134,7 @@ object Cli {
       return
     }
 
-    if (cmd == "rewrite" || cmd == "deletewhere") {
+    if (cmd == "rewrite" || cmd == "deletewhere" || cmd == "deletewheredv") {
       // executed data-path maintenance: rewrite_data_files (MOR state
       // rewritten fresh, tombstones dropped) and predicate DELETE via
       // position tombstones
@@ -155,9 +155,15 @@ object Cli {
                 args.drop(3))
             else (Nil, args.drop(2))
           if (predParts.isEmpty) { System.err.println(usage); sys.exit(2) }
-          val (snap, n) = graft.sources.LayoutMaintenance
-            .commitDeleteWhere(spark, root, expr(predParts.mkString(" ")), eqKeys)
-          println(s"committed snapshot $snap: $n rows deleted via position tombstones")
+          val (snap, n) =
+            if (cmd == "deletewheredv")
+              graft.sources.LayoutMaintenance.commitDeleteWhereDv(
+                spark, root, expr(predParts.mkString(" ")), eqKeys)
+            else graft.sources.LayoutMaintenance.commitDeleteWhere(
+              spark, root, expr(predParts.mkString(" ")), eqKeys)
+          val how = if (cmd == "deletewheredv") "a Puffin deletion vector"
+            else "position tombstones"
+          println(s"committed snapshot $snap: $n rows deleted via $how")
         }
       } finally spark.stop()
       return
