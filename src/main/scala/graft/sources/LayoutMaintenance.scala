@@ -1042,11 +1042,20 @@ object LayoutMaintenance {
     val carried = carriedEntries(spark, tableDir, curId)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    val hits = MorRead.readTableLineage(spark, tableDir, eqKeys)
+    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys)
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect() // reject-sized, same contract as commitDeleteWhere
-      .map(r => (r.getString(0), r.getLong(1)))
+    // ORC rows carry no row ordinal (null pos) — a deletion vector for
+    // them is unexpressible; fail here, at the write, not at some later
+    // read (mirrors MorRead's read-side ORC tombstone guard)
+    val ordinalless = hitRows.filter(_.isNullAt(1)).map(_.getString(0))
+    require(ordinalless.isEmpty,
+      s"commitDeleteWhereDv($tableDir): matched rows in " +
+        s"${ordinalless.distinct.take(3).mkString(", ")} have no row " +
+        "ordinal (ORC data files) — position-style deletes cannot apply; " +
+        "use equality deletes or rewrite the files to parquet")
+    val hits = hitRows.map(r => (r.getString(0), r.getLong(1)))
     if (hits.isEmpty) return (curId, 0L)
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val dv = new java.io.File(dataDir, s"dv-$newId.puffin")
