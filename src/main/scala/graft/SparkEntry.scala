@@ -16,7 +16,8 @@ object SparkEntry {
       graft.operators.Queries6.all ++ graft.operators.Queries7.all ++
       graft.operators.Queries8.all ++ graft.operators.Queries9.all ++
       graft.operators.Queries10.all ++ graft.operators.Queries11.all ++
-      graft.operators.Queries12.all ++ graft.operators.Queries13.all
+      graft.operators.Queries12.all ++ graft.operators.Queries13.all ++
+      graft.operators.Queries14.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.operators.Queries6.oracles ++ graft.operators.Queries7.oracles ++
       graft.operators.Queries8.oracles ++ graft.operators.Queries9.oracles ++
       graft.operators.Queries10.oracles ++ graft.operators.Queries11.oracles ++
-      graft.operators.Queries12.oracles ++ graft.operators.Queries13.oracles
+      graft.operators.Queries12.oracles ++ graft.operators.Queries13.oracles ++
+      graft.operators.Queries14.oracles
 }

@@ -35,7 +35,7 @@ object IcebergLayoutWriter {
       sizeBytes: Long = 0L, sequenceNumber: java.lang.Long = 1L,
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
-      specId: Int = 0, manifestGroup: Int = 0,
+      specId: Int = -1, manifestGroup: Int = 0,
       equalityIds: Seq[Int] = Nil,
       fileFormat: String = "PARQUET",
       sortOrderId: Integer = null)
@@ -337,8 +337,13 @@ object IcebergLayoutWriter {
       // manifestGroup further splits data manifests the way real append
       // streams do (one manifest per commit), giving the manifest-list
       // partition summaries something to prune
+      // specId < 0 is the UNSET sentinel (distinct from a genuine spec
+      // 0, so spec-aware carries are never mis-stamped); at WRITE time
+      // unset means the table's one-and-only spec 0
       val groups = entries
-        .groupBy(e => (if (e.content == 0) 0 else 1, e.specId, e.manifestGroup))
+        .groupBy(e =>
+          (if (e.content == 0) 0 else 1, math.max(e.specId, 0),
+            e.manifestGroup))
         .toSeq.sortBy(_._1)
       val manifestFiles = groups.map { case ((mContent, specId, grp), group) =>
         val f = new java.io.File(metaDir,

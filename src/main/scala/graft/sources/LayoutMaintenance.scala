@@ -26,9 +26,64 @@ import org.apache.spark.sql.functions._
   * bit-exactly (pre/post FileEntry relations match per surviving
   * snapshot).
   */
+/** A commit lost its optimistic-concurrency race: the metadata version it
+  * was computed against is no longer current (another writer — possibly in
+  * a DIFFERENT process — committed first). Append-shaped commits catch
+  * this and retry against the new base; replace-shaped commits let it
+  * propagate, because their write decisions (which files to drop) were
+  * made against state that no longer exists. Mirrors Iceberg's
+  * CommitFailedException contract. */
+final class CommitConflictException(msg: String,
+    cause: Throwable = null) extends RuntimeException(msg, cause)
+
 object LayoutMaintenance {
 
   private def metaDir(tableDir: String) = new java.io.File(tableDir, "metadata")
+
+  /** The metadata document a commit is based on, pinned by FILE (not by
+    * "whatever is current when we get around to writing"): every read the
+    * commit makes should derive from this file, and the commit's version
+    * swap is a compare-and-swap against `version` — see
+    * [[writeMetadataVersion]]. */
+  final case class MetaBase(file: java.io.File, version: Long)
+
+  /** Pin the current metadata version as a commit base. Captured FIRST in
+    * every commit path, before any state reads — a concurrent commit
+    * landing after the capture makes the final swap fail (conflict)
+    * instead of silently building on mixed state. */
+  def metaBase(spark: SparkSession, tableDir: String): MetaBase = {
+    val f = currentMetadataFile(spark, tableDir)
+    val v = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(f.getName)
+      .map(_.group(1).toLong).getOrElse(0L)
+    MetaBase(f, v)
+  }
+
+  /** Optimistic-commit retry loop for APPEND-shaped commits (new files on
+    * top of whatever is current — recomputing against a newer base is
+    * always valid): run `body`, and on [[CommitConflictException]] re-run
+    * it from scratch (it re-captures [[metaBase]] and re-reads state) up
+    * to `maxAttempts` times. Replace-shaped commits must NOT use this —
+    * their removed-file decisions die with the old base. Iceberg's own
+    * commit protocol: CAS, and retry only what composes. */
+  def withCommitRetry[T](tableDir: String, maxAttempts: Int = 5)(
+      body: => T): T = {
+    var attempt = 0
+    var last: CommitConflictException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          last = e
+          // brief deterministic backoff: losers of a same-ms race should
+          // not immediately collide again on the next version
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new CommitConflictException(
+      s"commit on $tableDir lost $maxAttempts consecutive version races",
+      last)
+  }
 
   /** The SAME resolver the reader uses ([[IcebergManifestSource]]) —
     * maintenance and reads can never disagree about which metadata file
@@ -80,8 +135,19 @@ object LayoutMaintenance {
 
   /** Snapshots in METADATA ARRAY ORDER — the commit history order, NOT
     * sorted by id (ids may be random longs on real tables). */
-  private def snapshots(spark: SparkSession, tableDir: String): Seq[Snap] = {
-    val arr = readMetadata(spark, tableDir).get("snapshots")
+  private def snapshots(spark: SparkSession, tableDir: String): Seq[Snap] =
+    snapshotsOf(readMetadata(spark, tableDir), tableDir)
+
+  /** Same, parsed from a PINNED metadata document (a commit's
+    * [[MetaBase]]) — the read a commit must use for its keep-list, so the
+    * written history derives from the exact base the CAS will verify. */
+  private def snapshotsFromBase(base: MetaBase, tableDir: String): Seq[Snap] =
+    snapshotsOf(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(base.file), tableDir)
+
+  private def snapshotsOf(meta: com.fasterxml.jackson.databind.JsonNode,
+      tableDir: String): Seq[Snap] = {
+    val arr = meta.get("snapshots")
     if (arr == null || !arr.isArray) Nil
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[Snap]
@@ -152,13 +218,19 @@ object LayoutMaintenance {
 
   private def writeMetadataVersion(spark: SparkSession, tableDir: String,
       keep: Seq[Snap], currentId: Long,
-      keepRefs: Seq[(String, Long, String)]): Long = {
+      keepRefs: Seq[(String, Long, String)],
+      base: MetaBase): Long = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val m = metaDir(tableDir)
-    val cur = currentMetadataFile(spark, tableDir)
-    val curV = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(cur.getName)
-      .map(_.group(1).toLong).getOrElse(0L)
+    // the document is built from the commit's PINNED base file — never
+    // from "whatever is current now". Re-resolving here was round 9's
+    // cross-process hole: a loser that raced would graft its STALE
+    // snapshots array onto the WINNER's fresher document and the CAS
+    // below would pass (the winner's version is no longer the target),
+    // silently vanishing the winner's commit.
+    val cur = base.file
+    val curV = base.version
     val mapper = new ObjectMapper()
     val root = mapper.readTree(cur) match {
       case o: ObjectNode => o
@@ -210,16 +282,24 @@ object LayoutMaintenance {
       root.set[ObjectNode]("refs", refObj)
     }
     // CREATE_NEW is the commit's compare-and-swap (Iceberg Hadoop-tables
-    // semantics: the rename to v(N+1) fails if the target exists): a
-    // concurrent writer that committed v(curV+1) since we read `cur`
-    // makes this throw FileAlreadyExistsException instead of silently
-    // dropping that commit's files. Same-JVM writers serialize through
-    // [[commitLock]]; cross-JVM racers get the explicit failure.
-    java.nio.file.Files.write(
+    // semantics: the rename to v(N+1) fails if the target exists). The
+    // document above derives ENTIRELY from v(curV); atomically creating
+    // v(curV+1) therefore succeeds iff no other writer — same JVM or a
+    // different PROCESS — committed since the base was pinned. A loser
+    // gets CommitConflictException: append-shaped callers retry via
+    // [[withCommitRetry]], replace-shaped callers fail loudly.
+    try java.nio.file.Files.write(
       new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"metadata version conflict on $tableDir: base v$curV is no " +
+            s"longer current (v${curV + 1} already exists — a concurrent " +
+            "writer committed first)", e)
+    }
     writeHintAtomic(m, curV + 1)
     curV + 1
   }
@@ -236,6 +316,27 @@ object LayoutMaintenance {
   private[sources] def commitLock(tableDir: String): Object =
     commitLocks.computeIfAbsent(
       new java.io.File(tableDir).getAbsolutePath, _ => new Object)
+
+  /** Collision-safe target for a commit-written file: the deterministic
+    * name when free (the overwhelmingly common case — names are keyed by
+    * a fresh snapshot id), else the first free `-rK` sibling. Why: a
+    * commit attempt writes its manifests / data files BEFORE its version
+    * CAS, and two processes racing the same base compute the SAME new
+    * snapshot id — without this, the loser's doomed attempt would
+    * overwrite the WINNER's already-committed files and the CAS failure
+    * would not undo that. (Real Iceberg gets this property from UUIDs in
+    * file names; deterministic-name-else-suffix keeps this layout's
+    * names stable for tooling.) */
+  private def freshFile(dir: java.io.File, name: String): java.io.File = {
+    val f = new java.io.File(dir, name)
+    if (!f.exists()) f
+    else {
+      val dot = name.lastIndexOf('.')
+      val (stem, ext) = name.splitAt(if (dot < 0) name.length else dot)
+      Iterator.from(1).map(k => new java.io.File(dir, s"$stem-r$k$ext"))
+        .find(!_.exists()).get
+    }
+  }
 
   /** Manifest paths referenced by a snapshot's manifest list. */
   private def manifestsOf(spark: SparkSession, s: Snap): Seq[String] =
@@ -259,8 +360,10 @@ object LayoutMaintenance {
     * expire_snapshots(older_than => now - 7d, retain_last => 1), which
     * can never reclaim in-flight readers' recent history. */
   def expireSnapshots(spark: SparkSession, tableDir: String,
-      keepLast: Int, olderThanMs: Long = -1L): (Seq[Long], Int) = {
+      keepLast: Int, olderThanMs: Long = -1L): (Seq[Long], Int) =
+      commitLock(tableDir).synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     val curId = currentSnapshotId(spark, tableDir)
     val refTargets = refs(spark, tableDir).map(_._2).toSet
@@ -278,7 +381,8 @@ object LayoutMaintenance {
     val keepIds = keep.map(_.id).toSet
     val currentId = curId.filter(keepIds.contains).getOrElse(keep.last.id)
     val keepRefs = refs(spark, tableDir).filter(r => keepIds.contains(r._2))
-    val newV = writeMetadataVersion(spark, tableDir, keep, currentId, keepRefs)
+    val newV = writeMetadataVersion(spark, tableDir, keep, currentId,
+      keepRefs, base)
     // superseded metadata versions still REFERENCE the lists/manifests
     // deleted below — a reader resolving one (stale version-hint, racing
     // listing) would hit FileNotFoundException instead of a clean miss,
@@ -310,7 +414,9 @@ object LayoutMaintenance {
     * versions go with the files they reference. Returns
     * (kept ids, deleted file count). */
   def expireUnreferenced(spark: SparkSession,
-      tableDir: String): (Seq[Long], Int) = {
+      tableDir: String): (Seq[Long], Int) =
+      commitLock(tableDir).synchronized {
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     val curId = currentSnapshotId(spark, tableDir)
     val named = refs(spark, tableDir).map(_._2).toSet
@@ -322,7 +428,7 @@ object LayoutMaintenance {
     val doomedManifests = expire.flatMap(manifestsOf(spark, _)).toSet -- reachable
     val currentId = curId.getOrElse(keep.last.id)
     val newV = writeMetadataVersion(spark, tableDir, keep, currentId,
-      refs(spark, tableDir))
+      refs(spark, tableDir), base)
     val mdPattern = "^v(\\d+)\\.metadata\\.json$".r
     val doomedMeta = Option(metaDir(tableDir).listFiles()).getOrElse(Array.empty)
       .filter(f => mdPattern.findFirstMatchIn(f.getName)
@@ -345,17 +451,20 @@ object LayoutMaintenance {
     * where main IS the current lineage. Returns the previous current
     * snapshot id. */
   def rollback(spark: SparkSession, tableDir: String,
-      snapshotId: Long): Option[Long] = {
-    val all = snapshots(spark, tableDir)
-    require(all.exists(_.id == snapshotId),
-      s"snapshot $snapshotId not in ${tableDir}'s history (${all.map(_.id)})")
-    val prev = currentSnapshotId(spark, tableDir)
-    val movedRefs = refs(spark, tableDir).map {
-      case ("main", _, kind) => ("main", snapshotId, kind)
-      case r => r
+      snapshotId: Long): Option[Long] = commitLock(tableDir).synchronized {
+    withCommitRetry(tableDir) {
+      val base = metaBase(spark, tableDir)
+      val all = snapshots(spark, tableDir)
+      require(all.exists(_.id == snapshotId),
+        s"snapshot $snapshotId not in ${tableDir}'s history (${all.map(_.id)})")
+      val prev = currentSnapshotId(spark, tableDir)
+      val movedRefs = refs(spark, tableDir).map {
+        case ("main", _, kind) => ("main", snapshotId, kind)
+        case r => r
+      }
+      writeMetadataVersion(spark, tableDir, all, snapshotId, movedRefs, base)
+      prev
     }
-    writeMetadataVersion(spark, tableDir, all, snapshotId, movedRefs)
-    prev
   }
 
   /** Consolidate the CURRENT snapshot's manifests into one manifest per
@@ -368,10 +477,12 @@ object LayoutMaintenance {
     * reader sees the SAME relation from fewer files. All source
     * manifests must share one entry schema (single-writer tables do).
     * Returns (manifests before, after). */
-  def rewriteManifests(spark: SparkSession, tableDir: String): (Int, Int) = {
+  def rewriteManifests(spark: SparkSession, tableDir: String): (Int, Int) =
+      commitLock(tableDir).synchronized {
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
     import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
     import org.apache.avro.mapred.FsInput
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     // the snapshot the CURRENT pointer names, not the array tail — a
@@ -420,7 +531,8 @@ object LayoutMaintenance {
     val stillReferenced = others.flatMap(manifestsOf(spark, _)).toSet
     val rewritten = all.map(s =>
       if (s.id == cur.id) Snap(cur.id, newList.getAbsolutePath) else s)
-    writeMetadataVersion(spark, tableDir, rewritten, curId, refs(spark, tableDir))
+    writeMetadataVersion(spark, tableDir, rewritten, curId,
+      refs(spark, tableDir), base)
     new java.io.File(cur.listPath).delete()
     (before.toSet -- stillReferenced).foreach(p => new java.io.File(p).delete())
     val after = manifestsOf(spark, Snap(cur.id, newList.getAbsolutePath))
@@ -446,9 +558,11 @@ object LayoutMaintenance {
     * partition records). Returns (newSnapshotId, dataFilesBefore,
     * dataFilesAfter). */
   def commitCompaction(spark: SparkSession, tableDir: String,
-      maxGroupBytes: Long): (Long, Int, Int) = {
+      maxGroupBytes: Long): (Long, Int, Int) =
+      commitLock(tableDir).synchronized {
     import com.fasterxml.jackson.databind.ObjectMapper
     import IcebergLayoutWriter.ManifestEntrySpec
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -557,7 +671,8 @@ object LayoutMaintenance {
     val newList = new java.io.File(m, s"snap-$newId-manifest-list.avro")
     IcebergLayoutWriter.writeManifestList(newList, manifests, newId)
     writeMetadataVersion(spark, tableDir,
-      all :+ Snap(newId, newList.getAbsolutePath), newId, refs(spark, tableDir))
+      all :+ Snap(newId, newList.getAbsolutePath), newId,
+      refs(spark, tableDir), base)
     (newId, data.size, dataEntries.size)
   }
 
@@ -681,6 +796,7 @@ object LayoutMaintenance {
       entries: Seq[IcebergLayoutWriter.ManifestEntrySpec], newId: Long,
       currentAfter: Long,
       refsAfter: Seq[(String, Long, String)],
+      base: MetaBase,
       operation: String = "append"): Long = {
     val m = metaDir(tableDir)
     // spec "Snapshots": every snapshot records a summary with its
@@ -700,18 +816,19 @@ object LayoutMaintenance {
       "total-records" ->
         entries.filter(_.content == 0).map(_.recordCount).sum.toString,
       "total-delete-files" -> entries.count(_.content != 0).toString)
-    // entries ADDED by this commit (seq == newId) that did not declare a
-    // spec id inherit the table's current DEFAULT spec — after partition
-    // evolution, new files must be attributed to the evolved spec while
-    // carried entries keep the id their manifest-list row recorded
+    // entries ADDED by this commit that did not declare a spec id
+    // (specId < 0, the UNSET sentinel — distinct from a genuine spec 0,
+    // so a cherry-picked or carried entry written under spec 0 is never
+    // re-filed under an evolved default) inherit the table's current
+    // DEFAULT spec; carried entries keep the id their manifest-list row
+    // recorded
     val defaultSpecId = IcebergManifestSource.partitionSpecs(
       spark, tableDir)._1
-    val stamped =
-      if (defaultSpecId == 0) entries
-      else entries.map(e =>
-        if (e.sequenceNumber.longValue == newId && e.specId == 0)
-          e.copy(specId = defaultSpecId)
-        else e)
+    val stamped = entries.map(e =>
+      if (e.specId < 0)
+        e.copy(specId =
+          if (e.sequenceNumber.longValue == newId) defaultSpecId else 0)
+      else e)
     // a manifest is homogeneous in partition SHAPE (the writer derives
     // the Avro partition record from its first entry) AND in spec id
     // (the manifest-list row carries ONE partition_spec_id) — a commit
@@ -723,16 +840,16 @@ object LayoutMaintenance {
         (if (e.content == 0) 0 else 1, e.specId, e.partition.map(_._1)))
       .toSeq.sortBy { case ((c, sid, names), _) => (c, sid, names.mkString(",")) }
     val manifests = groups.zipWithIndex.map { case (((c, sid, _), es), i) =>
-      val f = new java.io.File(m, s"manifest-$newId-$c-s$sid-g$i.avro")
+      val f = freshFile(m, s"manifest-$newId-$c-s$sid-g$i.avro")
       IcebergLayoutWriter.writeManifest(f, es)
       (f, c, sid)
     }
-    val newList = new java.io.File(m, s"snap-$newId-manifest-list.avro")
+    val newList = freshFile(m, s"snap-$newId-manifest-list.avro")
     IcebergLayoutWriter.writeManifestListSpecs(newList, manifests, newId)
     writeMetadataVersion(spark, tableDir,
-      snapshots(spark, tableDir) :+
+      snapshotsFromBase(base, tableDir) :+
         Snap(newId, newList.getAbsolutePath, Some(summary)),
-      currentAfter, refsAfter)
+      currentAfter, refsAfter, base)
     newId
   }
 
@@ -774,8 +891,10 @@ object LayoutMaintenance {
 
   def commitUpsert(spark: SparkSession, tableDir: String,
       updates: org.apache.spark.sql.DataFrame,
-      keyCols: Seq[String]): (Long, Long) = {
+      keyCols: Seq[String]): (Long, Long) =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     require(keyCols.nonEmpty, "commitUpsert needs at least one key column")
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -783,8 +902,8 @@ object LayoutMaintenance {
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val up = new java.io.File(dataDir, s"upsert-$newId.parquet")
-    val ed = new java.io.File(dataDir, s"eqdel-$newId.parquet")
+    val up = freshFile(dataDir, s"upsert-$newId.parquet")
+    val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(
       updates.sort(keyCols.map(col): _*), up)
     val nk = IcebergLayoutWriter.writeSingleParquet(
@@ -802,9 +921,10 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "overwrite")
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+      movedRefs, base, operation = "overwrite")
     (newId, n)
-  }
+  } }
 
   /** APPEND commit: add already-written data files as a new snapshot on
     * top of the current one (the connector write path's commit step —
@@ -815,8 +935,9 @@ object LayoutMaintenance {
   def commitAppend(spark: SparkSession, tableDir: String,
       added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
       partitionSpec: Seq[(String, String, Int)] = Nil,
-      sortOrder: Seq[(Int, String, String, String)] = Nil): Long =
-      commitLock(tableDir).synchronized {
+      sortOrder: Seq[(Int, String, String, String)] = Nil,
+      afterPlan: () => Unit = () => ()): Long =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     val hasMeta = new java.io.File(metaDir(tableDir), "version-hint.text").exists() ||
       Option(metaDir(tableDir).listFiles()).exists(_.exists(
         _.getName.endsWith(".metadata.json")))
@@ -831,21 +952,28 @@ object LayoutMaintenance {
         sortOrder = sortOrder)
       1L
     } else {
+      val base = metaBase(spark, tableDir)
       val all = snapshots(spark, tableDir)
       require(all.nonEmpty, s"metadata exists but no snapshots under $tableDir")
       val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
       val carried = carriedEntries(spark, tableDir, curId)
       val newId = (all.map(_.id) ++
         carried.map(_.sequenceNumber.longValue)).max + 1
+      // OCC test seam: fires between this commit's state reads and its
+      // version swap — a hook that itself commits forces the exact
+      // cross-process interleaving the CAS+retry protocol exists for
+      // (same-thread reentry through the JVM lock keeps it deterministic)
+      afterPlan()
       val stamped = added.map(_.copy(sequenceNumber = newId))
       val movedRefs = refs(spark, tableDir).map {
         case (name, id, "branch") if id == curId => (name, newId, "branch")
         case other => other
       }
-      appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId, movedRefs)
+      appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
+        movedRefs, base)
       newId
     }
-  }
+  } }
 
   /** Zero-copy table CLONE (Iceberg's `snapshot` procedure): the target
     * is born with ONE snapshot referencing the SOURCE's current live
@@ -916,8 +1044,10 @@ object LayoutMaintenance {
     * Returns (newSnapshotId, nUpserts, nDeletes = keys − upserts). */
   def commitMerge(spark: SparkSession, tableDir: String,
       changes: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
-      opCol: String): (Long, Long, Long) = {
+      opCol: String): (Long, Long, Long) =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     require(keyCols.nonEmpty, "commitMerge needs at least one key column")
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -925,8 +1055,8 @@ object LayoutMaintenance {
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val up = new java.io.File(dataDir, s"merge-$newId.parquet")
-    val ed = new java.io.File(dataDir, s"eqdel-$newId.parquet")
+    val up = freshFile(dataDir, s"merge-$newId.parquet")
+    val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(
       changes.filter(col(opCol) =!= "D").drop(opCol)
         .sort(keyCols.map(col): _*), up)
@@ -945,9 +1075,10 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "overwrite")
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+      movedRefs, base, operation = "overwrite")
     (newId, n, nk - n)
-  }
+  } }
 
   /** DELETE commit: an equality-delete file on `keyCols` with NO
     * replacement rows — together with [[commitUpsert]] this closes CRUD
@@ -955,8 +1086,10 @@ object LayoutMaintenance {
     * above every live file). Returns (newSnapshotId, nDeleteKeys). */
   def commitDelete(spark: SparkSession, tableDir: String,
       deleteKeys: org.apache.spark.sql.DataFrame,
-      keyCols: Seq[String]): (Long, Long) = {
+      keyCols: Seq[String]): (Long, Long) =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     require(keyCols.nonEmpty, "commitDelete needs at least one key column")
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -964,7 +1097,7 @@ object LayoutMaintenance {
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val ed = new java.io.File(dataDir, s"eqdel-$newId.parquet")
+    val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
     val nk = IcebergLayoutWriter.writeSingleParquet(
       deleteKeys.select(keyCols.map(col): _*).distinct()
         .sort(keyCols.map(col): _*), ed)
@@ -976,9 +1109,10 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "delete")
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+      movedRefs, base, operation = "delete")
     (newId, nk)
-  }
+  } }
 
   /** Predicate DELETE via POSITION tombstones — the other half of the
     * row-level delete write path ([[commitDelete]] writes equality
@@ -995,21 +1129,46 @@ object LayoutMaintenance {
     * already equality-deleted can be re-matched (wasted tombstones) and
     * the deleted-row count over-reports. Pass the equality keys whenever
     * content==2 files are live. Returns (newSnapshotId, rowsDeleted). */
+  /** Position-style deletes require a row ordinal; ORC rows in this
+    * layout carry none ([[MorRead]] surfaces them with pos = NULL). A
+    * tombstone/DV write that let NULL positions through would COMMIT —
+    * and every later MOR read would then fail its ORC-tombstone guard,
+    * leaving the table unreadable until a rewrite. Shared by the
+    * parquet-tombstone and deletion-vector delete paths: refuse at the
+    * WRITE. */
+  private def requireOrdinals(hitRows: Array[org.apache.spark.sql.Row],
+      op: String, tableDir: String): Unit = {
+    val ordinalless = hitRows.filter(_.isNullAt(1)).map(_.getString(0))
+    require(ordinalless.isEmpty,
+      s"$op($tableDir): matched rows in " +
+        s"${ordinalless.distinct.take(3).mkString(", ")} have no row " +
+        "ordinal (ORC data files) — position-style deletes cannot apply; " +
+        "use equality deletes or rewrite the files to parquet")
+  }
+
   def commitDeleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
-      eqKeys: Seq[String] = Nil): (Long, Long) = {
+      eqKeys: Seq[String] = Nil): (Long, Long) =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    import spark.implicits._
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    val hits = MorRead.readTableLineage(spark, tableDir, eqKeys)
+    // reject-sized by contract (same as the DV twin): collect once so the
+    // ordinal-less guard fires BEFORE any tombstone byte is written
+    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys)
       .filter(predicate)
       .select(col("file_path"), col("pos"))
-      .sort(col("file_path"), col("pos"))
+      .collect()
+    requireOrdinals(hitRows, "commitDeleteWhere", tableDir)
+    val hits = hitRows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(identity).toSeq.toDF("file_path", "pos")
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val pd = new java.io.File(dataDir, s"posdel-$newId.parquet")
+    val pd = freshFile(dataDir, s"posdel-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(hits, pd)
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 1, filePath = pd.getAbsolutePath, recordCount = n,
@@ -1018,9 +1177,10 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId, movedRefs, operation = "delete")
+    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+      movedRefs, base, operation = "delete")
     (newId, n)
-  }
+  } }
 
   /** Predicate DELETE committing a DELETION VECTOR (Iceberg v3 shape)
     * instead of a parquet tombstone file: matched (file, pos) pairs fold
@@ -1035,7 +1195,8 @@ object LayoutMaintenance {
   def commitDeleteWhereDv(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil): (Long, Long) =
-      commitLock(tableDir).synchronized {
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -1046,19 +1207,11 @@ object LayoutMaintenance {
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect() // reject-sized, same contract as commitDeleteWhere
-    // ORC rows carry no row ordinal (null pos) — a deletion vector for
-    // them is unexpressible; fail here, at the write, not at some later
-    // read (mirrors MorRead's read-side ORC tombstone guard)
-    val ordinalless = hitRows.filter(_.isNullAt(1)).map(_.getString(0))
-    require(ordinalless.isEmpty,
-      s"commitDeleteWhereDv($tableDir): matched rows in " +
-        s"${ordinalless.distinct.take(3).mkString(", ")} have no row " +
-        "ordinal (ORC data files) — position-style deletes cannot apply; " +
-        "use equality deletes or rewrite the files to parquet")
+    requireOrdinals(hitRows, "commitDeleteWhereDv", tableDir)
     val hits = hitRows.map(r => (r.getString(0), r.getLong(1)))
     if (hits.isEmpty) return (curId, 0L)
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val dv = new java.io.File(dataDir, s"dv-$newId.puffin")
+    val dv = freshFile(dataDir, s"dv-$newId.puffin")
     DeletionVectors.write(dv, newId,
       hits.groupBy(_._1).toSeq.map { case (f, ps) => (f, ps.map(_._2).toSeq) })
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
@@ -1070,9 +1223,9 @@ object LayoutMaintenance {
       case other => other
     }
     appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
-      movedRefs, operation = "delete")
+      movedRefs, base, operation = "delete")
     (newId, hits.length.toLong)
-  }
+  } }
 
   /** Predicate DELETE, COPY-ON-WRITE mode (Iceberg's
     * `write.delete.mode=copy-on-write`; the SQL `DELETE FROM` behind
@@ -1097,6 +1250,10 @@ object LayoutMaintenance {
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil): (Long, Long) =
       commitLock(tableDir).synchronized {
+    // replace-shaped: which files get rewritten is decided against THIS
+    // base — a version conflict fails loudly (no retry), Iceberg's own
+    // COW-conflict behavior
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -1120,7 +1277,7 @@ object LayoutMaintenance {
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val rw = new java.io.File(dataDir, s"cowdel-$newId.parquet")
+    val rw = freshFile(dataDir, s"cowdel-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(survivors, rw)
     val kept = carried.filter(e =>
       e.content == 0 && !affected(e.filePath) &&
@@ -1135,7 +1292,8 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, kept ++ added, newId, newId, movedRefs, operation = "delete")
+    appendSnapshot(spark, tableDir, kept ++ added, newId, newId,
+      movedRefs, base, operation = "delete")
     (newId, deleted)
   }
 
@@ -1158,6 +1316,7 @@ object LayoutMaintenance {
       added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
       dropDeletes: Boolean = false): Long =
       commitLock(tableDir).synchronized {
+    val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -1192,7 +1351,8 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, kept ++ stamped, newId, newId, movedRefs, operation = "replace")
+    appendSnapshot(spark, tableDir, kept ++ stamped, newId, newId,
+      movedRefs, base, operation = "replace")
     newId
   }
 
@@ -1211,7 +1371,8 @@ object LayoutMaintenance {
     * (newSnapshotId, rowsRewritten, filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String], sortCols: Seq[String] = Nil)
-      : (Long, Long, Int, Int) = {
+      : (Long, Long, Int, Int) = commitLock(tableDir).synchronized {
+    val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -1239,7 +1400,7 @@ object LayoutMaintenance {
     val state = MorRead.readTable(spark, tableDir, effKeys)
     val order = if (sortCols.nonEmpty) sortCols else effKeys
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val rw = new java.io.File(dataDir, s"rewrite-$newId.parquet")
+    val rw = freshFile(dataDir, s"rewrite-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(
       if (order.nonEmpty) state.sort(order.map(col): _*) else state, rw)
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
@@ -1249,7 +1410,8 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, added, newId, newId, movedRefs, operation = "replace")
+    appendSnapshot(spark, tableDir, added, newId, newId, movedRefs, base,
+      operation = "replace")
     (newId, n, filesBefore, added.size)
   }
 
@@ -1269,6 +1431,7 @@ object LayoutMaintenance {
   def rewritePositionDeletes(spark: SparkSession, tableDir: String)
       : (Long, Int, Int, Long) = commitLock(tableDir).synchronized {
     import spark.implicits._
+    val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -1317,7 +1480,7 @@ object LayoutMaintenance {
       .select(col("file_path"), col("pos")).distinct()
       .sort(col("file_path"), col("pos"))
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val pd = new java.io.File(dataDir, s"posdel-rw-$newId.parquet")
+    val pd = freshFile(dataDir, s"posdel-rw-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(kept, pd)
     val entries = carried.filterNot(_.content == 1) ++
       (if (n == 0) Nil // every tombstone was dangling: none to carry
@@ -1329,7 +1492,8 @@ object LayoutMaintenance {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, entries, newId, newId, movedRefs, operation = "replace")
+    appendSnapshot(spark, tableDir, entries, newId, newId, movedRefs, base,
+      operation = "replace")
     (newId, posFiles.size, if (n == 0) 0 else 1, n)
   }
 
@@ -1345,6 +1509,8 @@ object LayoutMaintenance {
     * Iceberg's own restrictions. Returns the new head snapshot id. */
   def cherryPick(spark: SparkSession, tableDir: String,
       snapshotId: Long): Long = commitLock(tableDir).synchronized {
+      withCommitRetry(tableDir) {
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.exists(_.id == snapshotId),
       s"cherryPick($tableDir): snapshot $snapshotId not in history")
@@ -1369,9 +1535,9 @@ object LayoutMaintenance {
       case other => other
     }
     appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
-      movedRefs)
+      movedRefs, base)
     newId
-  }
+  } }
 
   /** Stage an append WITHOUT moving the table head — the write half of
     * write-audit-publish (Iceberg's WAP / branch commits): the new
@@ -1381,7 +1547,9 @@ object LayoutMaintenance {
     * staged snapshot id. */
   def stageAppend(spark: SparkSession, tableDir: String,
       added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
-      branch: String): Long = {
+      branch: String): Long =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
@@ -1392,9 +1560,9 @@ object LayoutMaintenance {
     val refsAfter = refs(spark, tableDir).filterNot(_._1 == branch) :+
       ((branch, newId, "branch"))
     appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
-      refsAfter.sortBy(_._1))
+      refsAfter.sortBy(_._1), base)
     newId
-  }
+  } }
 
   /** Create or move a named ref (Iceberg's create_tag / create_branch /
     * replace_tag): point `name` at a snapshot in history — the current
@@ -1403,11 +1571,12 @@ object LayoutMaintenance {
     * by ref DDL). Returns the snapshot the ref points at. */
   def setRef(spark: SparkSession, tableDir: String, name: String,
       kind: String, snapshotId: Option[Long] = None): Long =
-      commitLock(tableDir).synchronized {
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     require(kind == "tag" || kind == "branch",
       s"setRef: kind must be 'tag' or 'branch', got '$kind'")
     require(name != "main",
       "refusing to redefine 'main' (commits and rollback own it)")
+    val base = metaBase(spark, tableDir)
     val snaps = snapshots(spark, tableDir)
     require(snaps.nonEmpty, s"setRef($tableDir): table has no snapshots")
     val cur = currentSnapshotId(spark, tableDir).getOrElse(snaps.last.id)
@@ -1417,24 +1586,27 @@ object LayoutMaintenance {
         s"(have: ${snaps.map(_.id).mkString(", ")})")
     val rs = refs(spark, tableDir)
     writeMetadataVersion(spark, tableDir, snaps, cur,
-      (rs.filterNot(_._1 == name) :+ ((name, target, kind))).sortBy(_._1))
+      (rs.filterNot(_._1 == name) :+ ((name, target, kind))).sortBy(_._1),
+      base)
     target
-  }
+  } }
 
   /** Drop a named ref (the DROP BRANCH/TAG of a failed audit): the
     * snapshot it pointed at stays in history — expireSnapshots reclaims
     * it later — only the NAME goes. `main` is refused, like Iceberg's
     * drop_branch; the current-snapshot-id pointer is independent of
     * refs and never moves here. */
-  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit = {
+  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     require(name != "main", "refusing to drop 'main' (roll back instead)")
+    val base = metaBase(spark, tableDir)
     val rs = refs(spark, tableDir)
     require(rs.exists(_._1 == name), s"no ref named '$name' in $tableDir")
     writeMetadataVersion(spark, tableDir, snapshots(spark, tableDir),
       currentSnapshotId(spark, tableDir)
         .getOrElse(snapshots(spark, tableDir).last.id),
-      rs.filterNot(_._1 == name))
-  }
+      rs.filterNot(_._1 == name), base)
+  } }
 
   /** Publish a staged branch: fast-forward `to` (default the table head
     * + `main`) onto `from`'s snapshot — metadata-only, nothing moves on
@@ -1443,16 +1615,18 @@ object LayoutMaintenance {
     * ([[IcebergManifestSource.refSnapshotId]]) without ever exposing it
     * to table readers. Returns the published snapshot id. */
   def fastForward(spark: SparkSession, tableDir: String,
-      from: String, to: String = "main"): Long = {
+      from: String, to: String = "main"): Long =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    val base = metaBase(spark, tableDir)
     val rs = refs(spark, tableDir)
     val target = rs.collectFirst { case (`from`, id, _) => id }
       .getOrElse(sys.error(s"no ref named '$from' in $tableDir"))
     val refsAfter = (rs.filterNot(_._1 == to) :+ ((to, target, "branch")))
       .sortBy(_._1)
     writeMetadataVersion(spark, tableDir, snapshots(spark, tableDir),
-      target, refsAfter)
+      target, refsAfter, base)
     target
-  }
+  } }
 
   /** PARTITION SPEC EVOLUTION (spec "Partition Evolution"): append
     * `fields` — the COMPLETE field list of the evolved spec, as
@@ -1468,7 +1642,7 @@ object LayoutMaintenance {
     * spec id. */
   def evolvePartitionSpec(spark: SparkSession, tableDir: String,
       fields: Seq[(String, String, Int)]): Int =
-      commitLock(tableDir).synchronized {
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     // an EMPTY field list is legal: dropping the last partition field
@@ -1516,14 +1690,19 @@ object LayoutMaintenance {
     arr.add(entry)
     root.set[ArrayNode]("partition-specs", arr)
     root.put("default-spec-id", newId)
-    java.nio.file.Files.write(
+    try java.nio.file.Files.write(
       new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"evolvePartitionSpec($tableDir): version conflict at v$curV", e)
+    }
     writeHintAtomic(m, curV + 1)
     newId
-  }
+  } }
 
   /** Register a statistics file (e.g. a [[PuffinIO]] container) for a
     * snapshot in the metadata `statistics` array (spec "Table
@@ -1533,7 +1712,8 @@ object LayoutMaintenance {
     * metadata version. */
   def attachStatistics(spark: SparkSession, tableDir: String,
       snapshotId: Long, statsFile: java.io.File,
-      blobMeta: Seq[(String, Seq[Int], Map[String, String])]): Long = {
+      blobMeta: Seq[(String, Seq[Int], Map[String, String])]): Long =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val m = metaDir(tableDir)
@@ -1567,12 +1747,17 @@ object LayoutMaintenance {
     entry.set[ArrayNode]("blob-metadata", blobs)
     arr.add(entry)
     root.set[ArrayNode]("statistics", arr)
-    java.nio.file.Files.write(
+    try java.nio.file.Files.write(
       new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"attachStatistics($tableDir): version conflict at v$curV", e)
+    }
     writeHintAtomic(m, curV + 1)
     curV + 1
-  }
+  } }
 }

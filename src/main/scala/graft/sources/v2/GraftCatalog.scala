@@ -342,14 +342,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         dir.getAbsolutePath
       })
 
+  /** Unknown procedure / wrong namespace surface as ROUTINE_NOT_FOUND
+    * AnalysisExceptions (Spark 4 has no dedicated no-such-procedure
+    * type) — the analyzer reports an unresolved-routine error instead of
+    * an opaque IllegalArgument/RuntimeException, and a multi-catalog
+    * resolution fallback can treat it as a clean miss. */
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
-    require(ident.namespace.sameElements(Array("system")),
-      s"graft catalog: procedures live in the 'system' namespace " +
-        s"(CALL $catalogName.system.<name>(...)), got $ident")
-    procedures.getOrElse(ident.name, sys.error(
-      s"graft catalog: no procedure '${ident.name}' " +
-        s"(have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+    def notFound(): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (s"`$catalogName`." + (ident.namespace :+ ident.name)
+            .map(p => s"`$p`").mkString("."))))
+    if (!ident.namespace.sameElements(Array("system"))) notFound()
+    procedures.getOrElse(ident.name, notFound())
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

@@ -112,8 +112,15 @@ object GraftProcedures {
             s"(e.g. ${hivePartitioned.head}) whose partition values live " +
             "in directory names, not in the files — a verbatim import " +
             "would silently null those columns. INSERT the data instead.")
-        val files = statuses.map(st =>
-          (st.getPath.toUri.getPath, st.getLen)).sortBy(_._1)
+        // keep the FULL path string — stripping to toUri.getPath would
+        // drop a remote scheme+authority (s3://bucket/key → /key, which
+        // resolves nowhere); only the local file: scheme is normalized
+        // to a bare path, matching the rest of the layout's path dialect
+        val files = statuses.map { st =>
+          val p = st.getPath.toString
+          (if (p.startsWith("file:")) p.replaceFirst("^file:/+", "/") else p,
+            st.getLen)
+        }.sortBy(_._1)
         val hasMeta = {
           val m = new java.io.File(dir, "metadata")
           new java.io.File(m, "version-hint.text").exists() ||
