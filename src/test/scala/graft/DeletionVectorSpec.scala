@@ -23,6 +23,80 @@ class DeletionVectorSpec extends AnyFunSuite {
     dir.getPath
   }
 
+  // ---- deletion-vector-v1 byte-level pins: the blob must be the
+  // Iceberg v3 Puffin layout EXACTLY (len BE | D1 D3 39 64 | portable
+  // 64-bit roaring | CRC-32 BE), with the vector matching hand-built
+  // portable streams for each 32-bit container kind — so a conforming
+  // external v3 reader could consume these blobs.
+
+  private def vectorOf(blob: Array[Byte]): Array[Byte] =
+    blob.slice(8, blob.length - 4) // strip len+magic framing and CRC
+
+  test("v3 blob framing: length, magic, CRC, round trip") {
+    val poss = Seq(4L, 7L, 9L)
+    val blob = graft.sources.DeletionVectors.blobBytes(poss)
+    val bb = java.nio.ByteBuffer.wrap(blob) // big-endian by default
+    assert(bb.getInt == blob.length - 8, "combined length = magic + vector")
+    val magic = Array.fill(4)(bb.get())
+    assert(magic.map(_ & 0xFF).toSeq == Seq(0xD1, 0xD3, 0x39, 0x64))
+    assert(graft.sources.DeletionVectors.blobPositions(blob) == poss)
+    // a flipped byte must fail the CRC, not decode silently
+    val torn = blob.clone(); torn(10) = (torn(10) ^ 0x1).toByte
+    intercept[IllegalArgumentException] {
+      graft.sources.DeletionVectors.blobPositions(torn)
+    }
+  }
+
+  test("array container matches the hand-built portable stream") {
+    // {1,2,3}: one 32-bit bucket (key 0) holding one ARRAY container —
+    // hand-built: u64 LE bucket count, u32 LE high key, then the 32-bit
+    // standard serialization (cookie 12346 LE, 1 container, key 0,
+    // cardinality-1 = 2, offset 16, sorted u16 values)
+    val expected =
+      Array[Int](1,0,0,0,0,0,0,0, 0,0,0,0,             // 64-bit wrapper
+        0x3A,0x30,0,0, 1,0,0,0, 0,0, 2,0, 16,0,0,0,    // 32-bit header
+        1,0, 2,0, 3,0).map(_.toByte)                   // array data
+    val got = vectorOf(
+      graft.sources.DeletionVectors.blobBytes(Seq(1L, 2L, 3L)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("run container matches the hand-built portable stream") {
+    // 0..9999 consecutive: runOptimize folds it into ONE run container —
+    // cookie 12347 LE (run flag byte 0x01), key 0, cardinality-1 9999,
+    // no offset header (<4 containers), run count 1, (start 0, len-1)
+    val expected =
+      Array[Int](1,0,0,0,0,0,0,0, 0,0,0,0,
+        0x3B,0x30,0,0, 0x01, 0,0, 0x0F,0x27,
+        1,0, 0,0, 0x0F,0x27).map(_.toByte)
+    val got = vectorOf(
+      graft.sources.DeletionVectors.blobBytes(0L until 10000L))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("bitmap container and multi-bucket keys round-trip portably") {
+    // 5000 scattered (even) ordinals: too many for an array, no runs —
+    // a BITMAP container: cookie 12346, then an 8 KiB bitset whose low
+    // 1250 bytes are 0x55 (every even bit)
+    val evens = (0L until 10000L by 2L)
+    val blob = graft.sources.DeletionVectors.blobBytes(evens)
+    val vec = vectorOf(blob)
+    val header = Array[Int](1,0,0,0,0,0,0,0, 0,0,0,0,
+      0x3A,0x30,0,0, 1,0,0,0, 0,0, 0x87,0x13, 16,0,0,0).map(_.toByte)
+    assert(vec.take(header.length).toSeq == header.toSeq)
+    assert(vec.length == header.length + 8192, "8 KiB bitset payload")
+    assert(vec.slice(header.length, header.length + 1250)
+      .forall(_ == 0x55.toByte))
+    assert(vec.drop(header.length + 1250).forall(_ == 0))
+    assert(graft.sources.DeletionVectors.blobPositions(blob) == evens)
+    // ordinals above 2^32 land in their own bucket, ascending key order
+    val wide = Seq(3L, (5L << 32) + 7L)
+    val wblob = graft.sources.DeletionVectors.blobBytes(wide)
+    assert(vectorOf(wblob).take(8).toSeq ==
+      Array[Int](2,0,0,0,0,0,0,0).map(_.toByte).toSeq, "two buckets")
+    assert(graft.sources.DeletionVectors.blobPositions(wblob) == wide)
+  }
+
   test("DV delete commit == parquet-tombstone delete commit, bit for bit") {
     val a = freshTable("twin-a", 100)
     val b = freshTable("twin-b", 100)
