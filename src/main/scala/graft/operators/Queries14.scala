@@ -79,6 +79,62 @@ object Queries14 {
         .groupBy(col("prio"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_keys"))
         .orderBy(col("prio"))
+    },
+
+    // ---- RENAME COLUMN end to end (Iceberg "Schema Evolution": renames
+    // are metadata-only — the field id survives, no file is rewritten):
+    // 1995 orders land under `price`, the column is renamed to `total`,
+    // 1996 lands under the new name, and a DELETE through the renamed
+    // name prunes both generations via the alias-aware MOR read. Pinned
+    // in-query: pre-rename files carried VERBATIM across the ALTER, and
+    // the old file's parquet footer still physically says `price` (the
+    // rename lives in the descriptor + field ids, not the data). The
+    // final rollup spans both name generations + the delete — computed
+    // by DuckDB from predicate algebra alone, so any generation lost or
+    // double-read breaks the hash.
+    "q254_sql_rename_column" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q254wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rn")
+      s.sql(s"DROP TABLE IF EXISTS $cat.rn.ord")
+      s.sql(s"CREATE TABLE $cat.rn.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg`")
+      t(dir, "orders").createOrReplaceTempView("q254_src")
+      s.sql(s"""INSERT INTO $cat.rn.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q254_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val tdir = s"${wh.getPath}/rn/ord"
+      def files(): Set[String] = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      val before = files()
+      s.sql(s"ALTER TABLE $cat.rn.ord RENAME COLUMN price TO total")
+      require(before.subsetOf(files()),
+        "RENAME COLUMN must not rewrite pre-rename files")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          before.head.replaceFirst("^file:/+", "/")),
+        s.sparkContext.hadoopConfiguration)
+      val rr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val pfs = try rr.getFooter.getFileMetaData.getSchema finally rr.close()
+      require(pfs.containsField("price") && !pfs.containsField("total"),
+        "pre-rename file must physically keep the OLD column name")
+      s.sql(s"""INSERT INTO $cat.rn.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q254_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      // DML through the renamed name: the COW delete's MOR read folds
+      // the name generations, so the tombstone truth spans both
+      s.sql(s"DELETE FROM $cat.rn.ord WHERE total >= 400000")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(total) AS sum_total,
+                |  min(okey) AS min_okey
+                |FROM $cat.rn.ord GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -86,5 +142,18 @@ object Queries14 {
     "q257_commit_occ" ->
       """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q254_sql_rename_column" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS total,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(total) AS BIGINT) AS sum_total,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src WHERE total < 400000
+        |GROUP BY mon ORDER BY mon""".stripMargin)
 }

@@ -1148,7 +1148,8 @@ object LayoutMaintenance {
 
   def commitDeleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
-      eqKeys: Seq[String] = Nil): (Long, Long) =
+      eqKeys: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty): (Long, Long) =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     import spark.implicits._
     val base = metaBase(spark, tableDir)
@@ -1160,7 +1161,7 @@ object LayoutMaintenance {
       carried.map(_.sequenceNumber.longValue)).max + 1
     // reject-sized by contract (same as the DV twin): collect once so the
     // ordinal-less guard fires BEFORE any tombstone byte is written
-    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys)
+    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys, renames)
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect()
@@ -1194,7 +1195,8 @@ object LayoutMaintenance {
     * Returns (newSnapshotId, deletedRowCount). */
   def commitDeleteWhereDv(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
-      eqKeys: Seq[String] = Nil): (Long, Long) =
+      eqKeys: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty): (Long, Long) =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
@@ -1203,7 +1205,7 @@ object LayoutMaintenance {
     val carried = carriedEntries(spark, tableDir, curId)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys)
+    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys, renames)
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect() // reject-sized, same contract as commitDeleteWhere
@@ -1248,7 +1250,8 @@ object LayoutMaintenance {
   // share this limit — it rewrites per group with bounds + partitions.
   def commitDeleteWhereCow(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
-      eqKeys: Seq[String] = Nil): (Long, Long) =
+      eqKeys: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty): (Long, Long) =
       commitLock(tableDir).synchronized {
     // replace-shaped: which files get rewritten is decided against THIS
     // base — a version conflict fails loudly (no retry), Iceberg's own
@@ -1259,7 +1262,7 @@ object LayoutMaintenance {
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
     val hasTombstones = carried.exists(_.content != 0)
-    val lineage = MorRead.readTableLineage(spark, tableDir, eqKeys)
+    val lineage = MorRead.readTableLineage(spark, tableDir, eqKeys, renames)
     if (lineage.isEmpty) return (curId, 0L)
     // DELETE removes rows where the predicate is TRUE; null keeps
     val keep = not(coalesce(predicate, lit(false)))
@@ -1370,7 +1373,8 @@ object LayoutMaintenance {
     * metadata arithmetic is unchanged. Returns
     * (newSnapshotId, rowsRewritten, filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
-      eqKeys: Seq[String], sortCols: Seq[String] = Nil)
+      eqKeys: Seq[String], sortCols: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty)
       : (Long, Long, Int, Int) = commitLock(tableDir).synchronized {
     val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
@@ -1397,7 +1401,7 @@ object LayoutMaintenance {
     val filesBefore = carried.count(_.content == 0)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    val state = MorRead.readTable(spark, tableDir, effKeys)
+    val state = MorRead.readTable(spark, tableDir, effKeys, renames)
     val order = if (sortCols.nonEmpty) sortCols else effKeys
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val rw = freshFile(dataDir, s"rewrite-$newId.parquet")

@@ -93,18 +93,38 @@ object MorRead {
     * the fact scan itself never shuffles.
     */
   def readTable(spark: SparkSession, tableDir: String,
-      eqKeys: Seq[String] = Nil): DataFrame =
-    readTableLineage(spark, tableDir, eqKeys)
+      eqKeys: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty): DataFrame =
+    readTableLineage(spark, tableDir, eqKeys, renames)
       .drop("file_path", "pos", "data_seq")
 
   /** [[readTable]] keeping the row lineage columns (`file_path`, `pos`,
     * `data_seq`) — the input a position-delete WRITER needs: a predicate
     * over this relation yields exactly the (file, pos) tombstones that
     * delete those rows ([[LayoutMaintenance.commitDeleteWhere]]). */
+  /** @param renames (current column name -> its FORMER names, most
+    *   recent first) for tables that went through ALTER TABLE RENAME
+    *   COLUMN: data files written before the rename carry the old
+    *   physical name, so the scan reads with schema merging and folds
+    *   each name generation into the current column (a file holds
+    *   exactly one generation, so the fold is a coalesce). Empty map =
+    *   the untouched fast path. */
   def readTableLineage(spark: SparkSession, tableDir: String,
-      eqKeys: Seq[String] = Nil): DataFrame = {
+      eqKeys: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty): DataFrame = {
     import spark.implicits._
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    def foldAliases(df: DataFrame): DataFrame =
+      renames.foldLeft(df) { case (d, (cur, olds)) =>
+        val have = d.columns.toSet
+        val gens = (cur +: olds).filter(have)
+        val away = olds.filter(have)
+        if (gens.isEmpty || (gens == Seq(cur))) d
+        else d.withColumn(cur,
+            if (gens.size == 1) col(gens.head)
+            else coalesce(gens.map(col): _*))
+          .drop(away.filterNot(_ == cur): _*)
+      }
     val normCol = (c: org.apache.spark.sql.Column) =>
       regexp_replace(c, "^file:/+", "/")
     val entries = IcebergManifestSource
@@ -131,8 +151,14 @@ object MorRead {
       val seqDf = paths.map { case (p, _, s, _) => (p, s) }.toSeq.toDF("__fp", seqName)
       val raw =
         if (orc) spark.read.orc(paths.map(_._1).toIndexedSeq: _*)
-        else spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
-      raw.withColumn("__own", normCol(col("_metadata.file_path")))
+        else if (renames.isEmpty)
+          spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
+        // renamed tables: merge the name generations into one schema,
+        // then fold each generation into its current column below
+        else spark.read.option("mergeSchema", "true")
+          .parquet(paths.map(_._1).toIndexedSeq: _*)
+      foldAliases(raw)
+        .withColumn("__own", normCol(col("_metadata.file_path")))
         .join(broadcast(seqDf), col("__own") === col("__fp"))
         .drop("__own", "__fp")
     }

@@ -153,7 +153,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       snapshot: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrap, props, partSpec) = readDescriptor(dir)
+    val (bootstrapRaw, props, partSpec, columnIds) = readDescriptor(dir)
+    // field ids + rename aliases ride the schema's field METADATA into
+    // every consumer: the scan (per-file name/id/alias resolution), the
+    // writer (ids embedded into new parquet files), and the row-level
+    // paths (alias-aware MOR reads)
+    val bootstrap = bootstrapRaw.map(GraftCatalog.annotate(_, columnIds))
     val statFields = props.get("pushdown.fields").toSeq
       .flatMap(_.split(',')).filter(_.nonEmpty).map { s =>
         s.split(':') match {
@@ -223,36 +228,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties.asScala.toMap.filter { case (k, _) =>
         !Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER)(k)
       },
-      partitions.map(t => toSpecEntry(t, schema)).toSeq)
+      partitions.map(t => toSpecEntry(t, schema)).toSeq,
+      // field ids are born with the table: 1-based schema position (the
+      // layout's positional convention), fixed for the column's lifetime
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        GraftCatalog.ColumnId(f.name, i + 1) }.toSeq)
     loadTable(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrap, props, partSpec) = readDescriptor(dir)
+    val (bootstrap, props, partSpecRead, idsRead) = readDescriptor(dir)
     // Descriptor-less external layouts evolve from their ACTUAL current
     // schema (file inference), not from empty — else the first ADD
     // COLUMN would write a one-column descriptor that, being non-empty,
     // outranks inference and severs every pre-existing column.
     var schema = bootstrap.getOrElse(
       new GraftTable(dir.getAbsolutePath, None, Nil).schema)
+    // tables predating column-ids bootstrap them positionally from the
+    // CURRENT schema on first ALTER — the dialect's id convention
+    var ids: Seq[GraftCatalog.ColumnId] =
+      if (idsRead.nonEmpty) idsRead
+      else schema.fields.zipWithIndex.map { case (f, i) =>
+        GraftCatalog.ColumnId(f.name, i + 1) }.toSeq
+    var partSpec = partSpecRead
     val newProps = changes.foldLeft(props) {
       case (p, c: TableChange.SetProperty) => p + (c.property() -> c.value())
       case (p, c: TableChange.RemoveProperty) => p - c.property()
       // Schema evolution, Iceberg-style: ADD appends a nullable column
-      // (old files lack it and the reader null-fills — spec "Schema
-      // Evolution"); DROP narrows the declared schema (old files keep
-      // the physical column, reads just stop projecting it). RENAME is
-      // refused: without field-id name mapping on this read path a
-      // rename would silently sever old files' data from the column.
+      // with a FRESH field id (never reused — spec "Schema Evolution");
+      // DROP narrows the declared schema (old files keep the physical
+      // column, reads just stop projecting it); RENAME is metadata-only:
+      // the field id survives, the old name becomes an alias, and reads
+      // resolve old files by embedded id or recorded alias — no file is
+      // ever rewritten.
       case (p, c: TableChange.AddColumn) =>
         require(c.fieldNames().length == 1,
           "graft catalog: ADD COLUMN supports top-level columns only")
-        require(!schema.fieldNames.contains(c.fieldNames()(0)),
-          s"graft catalog: column ${c.fieldNames()(0)} already exists")
+        val name = c.fieldNames()(0)
+        require(!schema.fieldNames.contains(name),
+          s"graft catalog: column $name already exists")
+        // a FORMER name of a renamed column still binds old files' data
+        // to that column; a new column wearing it would capture their
+        // rows by name — refuse (Iceberg re-adds under a new id; this
+        // dialect's alias reads cannot distinguish the generations)
+        val shadowed = ids.filter(_.aliases.contains(name)).map(_.name)
+        require(shadowed.isEmpty,
+          s"graft catalog: '$name' is a former name of column " +
+            s"${shadowed.mkString(", ")}; re-adding it would capture " +
+            "pre-rename files' data. rewrite_data_files first.")
         schema = schema.add(org.apache.spark.sql.types.StructField(
-          c.fieldNames()(0), c.dataType(), nullable = true))
+          name, c.dataType(), nullable = true))
+        ids = ids :+ GraftCatalog.ColumnId(name,
+          ids.map(_.id).maxOption.getOrElse(0) + 1)
         p
       case (p, c: TableChange.DeleteColumn) =>
         require(c.fieldNames().length == 1,
@@ -261,12 +290,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: no column ${c.fieldNames()(0)} to drop")
         schema = StructType(schema.fields.filterNot(
           _.name == c.fieldNames()(0)))
+        ids = ids.filterNot(_.name == c.fieldNames()(0))
+        p
+      case (p, c: TableChange.RenameColumn) =>
+        require(c.fieldNames().length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns only")
+        val from = c.fieldNames()(0); val to = c.newName()
+        require(schema.fieldNames.contains(from),
+          s"graft catalog: no column $from to rename")
+        require(!schema.fieldNames.contains(to),
+          s"graft catalog: column $to already exists")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        ids = ids.map(cid =>
+          if (cid.name == from)
+            cid.copy(name = to, aliases = from +: cid.aliases)
+          else cid)
+        // a partition spec sourcing the renamed column follows it
+        partSpec = partSpec.map { case (pf, tr, src) =>
+          (pf, tr, if (src == from) to else src) }
         p
       case (_, other) => sys.error(
         s"graft catalog: unsupported ALTER TABLE change $other " +
-          "(SET/UNSET TBLPROPERTIES, ADD COLUMN, DROP COLUMN)")
+          "(SET/UNSET TBLPROPERTIES, ADD/DROP/RENAME COLUMN)")
     }
-    writeDescriptor(dir, schema, newProps, partSpec)
+    writeDescriptor(dir, schema, newProps, partSpec, ids)
     loadTable(ident)
   }
 
@@ -421,7 +469,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def writeDescriptor(dir: java.io.File, schema: StructType,
       props: Map[String, String],
-      partSpec: Seq[(String, String, String)] = Nil): Unit = {
+      partSpec: Seq[(String, String, String)] = Nil,
+      columnIds: Seq[GraftCatalog.ColumnId] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema-ddl", schema.toDDL)
@@ -435,15 +484,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         n.put("source", src)
       }
     }
+    if (columnIds.nonEmpty) {
+      val arr = root.putArray("column-ids")
+      columnIds.foreach { c =>
+        val n = arr.addObject()
+        n.put("name", c.name); n.put("id", c.id)
+        if (c.aliases.nonEmpty) {
+          val as = n.putArray("aliases"); c.aliases.foreach(as.add)
+        }
+      }
+    }
     java.nio.file.Files.write(descriptor(dir).toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
   }
 
   private def readDescriptor(dir: java.io.File)
       : (Option[StructType], Map[String, String],
-        Seq[(String, String, String)]) = {
+        Seq[(String, String, String)], Seq[GraftCatalog.ColumnId]) = {
     val f = descriptor(dir)
-    if (!f.exists()) return (None, Map.empty, Nil)
+    if (!f.exists()) return (None, Map.empty, Nil, Nil)
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     val ddl = Option(root.get("schema-ddl")).map(_.asText()).filter(_.nonEmpty)
     val props = Option(root.get("properties")).map { node =>
@@ -457,8 +516,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         n.get("transform").asText(), n.get("source").asText())))
       out.result()
     }
-    (ddl.map(StructType.fromDDL), props, spec)
+    val ids = Option(root.get("column-ids")).toSeq.flatMap { arr =>
+      val out = Seq.newBuilder[GraftCatalog.ColumnId]
+      arr.forEach { n =>
+        val aliases = Option(n.get("aliases")).toSeq.flatMap { as =>
+          val b = Seq.newBuilder[String]; as.forEach(a => b += a.asText())
+          b.result()
+        }
+        out += GraftCatalog.ColumnId(n.get("name").asText(),
+          n.get("id").asInt(), aliases)
+      }
+      out.result()
+    }
+    (ddl.map(StructType.fromDDL), props, spec, ids)
   }
+}
+
+object GraftCatalog {
+  /** One column's stable identity in the descriptor: `id` is the
+    * Iceberg-style field id (assigned at CREATE / ADD, NEVER reused or
+    * renumbered — the layout's positional convention at birth), and
+    * `aliases` are the column's FORMER names, most recent first. A
+    * RENAME is a metadata-only descriptor update: the id is kept, the
+    * old name becomes an alias, and no data file is touched — readers
+    * resolve old files by embedded parquet field id, or by alias for
+    * files written before ids were embedded. */
+  final case class ColumnId(name: String, id: Int,
+      aliases: Seq[String] = Nil)
+
+  /** StructField metadata keys carrying the identity into the scan:
+    * `parquet.field.id` is Spark's own field-id key (the writer embeds
+    * it into new parquet files; q186 shows Spark-native readers resolve
+    * by it), `graft.aliases` the comma-joined former names. */
+  val FieldIdKey = "parquet.field.id"
+  val AliasesKey = "graft.aliases"
+
+  /** Annotate `schema` with id + alias metadata from the descriptor. */
+  private[v2] def annotate(schema: StructType,
+      ids: Seq[ColumnId]): StructType =
+    if (ids.isEmpty) schema
+    else {
+      val byName = ids.map(c => c.name -> c).toMap
+      StructType(schema.fields.map { f =>
+        byName.get(f.name).fold(f) { c =>
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, c.id.toLong)
+          if (c.aliases.nonEmpty) b.putString(AliasesKey, c.aliases.mkString(","))
+          f.copy(metadata = b.build())
+        }
+      })
+    }
+
+  /** (current name -> former names) recorded in a schema's metadata. */
+  private[v2] def aliasesOf(schema: StructType): Map[String, Seq[String]] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(AliasesKey))
+        Some(f.name -> f.metadata.getString(AliasesKey).split(',').toSeq
+          .filter(_.nonEmpty))
+      else None
+    }.toMap
+
+  /** (name -> field id) recorded in a schema's metadata. */
+  private[v2] def fieldIdsOf(schema: StructType): Map[String, Int] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(FieldIdKey))
+        Some(f.name -> f.metadata.getLong(FieldIdKey).toInt)
+      else None
+    }.toMap
 }
 
 private[v2] object GraftMetaTable {

@@ -269,7 +269,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     val pred = filters.toSeq.flatMap(GraftIcebergSource.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, dir, pred)
+    graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, dir, pred,
+      renames = GraftCatalog.aliasesOf(schema))
   }
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —
@@ -571,7 +572,11 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(dir, info, statFields, sortCols,
-      declaredPartSpec = declaredPartSpec)
+      declaredPartSpec = declaredPartSpec,
+      // the TABLE schema's field ids (the write schema loses attribute
+      // metadata through the INSERT plan) — the writer embeds them into
+      // every new parquet file so renamed columns resolve by id forever
+      fieldIds = GraftCatalog.fieldIdsOf(schema))
 }
 
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
@@ -1465,6 +1470,44 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   private val isMeta: Array[Boolean] =
     required.fields.map(_.name == GraftTable.FileMetadataColumn)
   private val isAbsent: Array[Boolean] = new Array[Boolean](required.length)
+  // the column's PHYSICAL name in THIS file — differs from the table
+  // name for files written before an ALTER TABLE RENAME COLUMN
+  private val physName: Array[String] = required.fields.map(_.name)
+
+  /** Per-file column resolution, Iceberg's rule re-expressed for this
+    * layout: match by NAME (the fast path — untouched columns and files
+    * written after the rename); else by the footer's EMBEDDED parquet
+    * field id against the table's field id (files this connector wrote
+    * carry ids — see GraftDataWriter); else by a recorded former name
+    * (files written before ids were embedded), most recent first. A
+    * miss on all three = a pre-evolution file for an added column:
+    * null-fill. */
+  private def resolveField(
+      fileSchema: org.apache.parquet.schema.MessageType,
+      f: org.apache.spark.sql.types.StructField)
+      : Option[org.apache.parquet.schema.Type] = {
+    if (fileSchema.containsField(f.name))
+      return Some(fileSchema.getFields.get(fileSchema.getFieldIndex(f.name)))
+    import scala.jdk.CollectionConverters._
+    val byId =
+      if (!f.metadata.contains(graft.sources.v2.GraftCatalog.FieldIdKey)) None
+      else {
+        val id = f.metadata
+          .getLong(graft.sources.v2.GraftCatalog.FieldIdKey).toInt
+        fileSchema.getFields.asScala.find(t =>
+          t.getId != null && t.getId.intValue == id)
+      }
+    byId.orElse {
+      val aliases =
+        if (!f.metadata.contains(graft.sources.v2.GraftCatalog.AliasesKey)) Nil
+        else f.metadata.getString(graft.sources.v2.GraftCatalog.AliasesKey)
+          .split(',').toSeq.filter(_.nonEmpty)
+      aliases.collectFirst {
+        case a if fileSchema.containsField(a) =>
+          fileSchema.getFields.get(fileSchema.getFieldIndex(a))
+      }
+    }
+  }
 
   // eq-delete key columns must be readable even when the projection
   // doesn't select them — appended to the parquet projection, excluded
@@ -1489,10 +1532,10 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       val fileSchema = try r.getFooter.getFileMetaData.getSchema finally r.close()
       val fields = required.fields.zipWithIndex.flatMap { case (f, i) =>
         if (isMeta(i)) None
-        else if (!fileSchema.containsField(f.name)) {
-          isAbsent(i) = true; None
-        } else Some(
-          fileSchema.getFields.get(fileSchema.getFieldIndex(f.name)))
+        else resolveField(fileSchema, f) match {
+          case Some(t) => physName(i) = t.getName; Some(t)
+          case None => isAbsent(i) = true; None
+        }
       } ++ extraKeyCols.filter(fileSchema.containsField)
         .map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c)))
       if (fields.nonEmpty)
@@ -1550,16 +1593,17 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
+      val nm = physName(i)
       if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isAbsent(i)) row.update(i, null)
-      else if (current.getFieldRepetitionCount(f.name) == 0) row.update(i, null)
+      else if (current.getFieldRepetitionCount(nm) == 0) row.update(i, null)
       else f.dataType match {
-        case LongType => row.setLong(i, current.getLong(f.name, 0))
-        case IntegerType => row.setInt(i, current.getInteger(f.name, 0))
-        case DoubleType => row.setDouble(i, current.getDouble(f.name, 0))
-        case FloatType => row.setFloat(i, current.getFloat(f.name, 0))
-        case BooleanType => row.setBoolean(i, current.getBoolean(f.name, 0))
-        case StringType => row.update(i, UTF8String.fromString(current.getString(f.name, 0)))
+        case LongType => row.setLong(i, current.getLong(nm, 0))
+        case IntegerType => row.setInt(i, current.getInteger(nm, 0))
+        case DoubleType => row.setDouble(i, current.getDouble(nm, 0))
+        case FloatType => row.setFloat(i, current.getFloat(nm, 0))
+        case BooleanType => row.setBoolean(i, current.getBoolean(nm, 0))
+        case StringType => row.update(i, UTF8String.fromString(current.getString(nm, 0)))
         case other => sys.error(s"graft-iceberg: unsupported type $other")
       }
       i += 1

@@ -26,7 +26,8 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     sortCols: Seq[String] = Nil,
     overwriteAll: Boolean = false,
-    declaredPartSpec: Seq[(String, String, String)] = Nil)
+    declaredPartSpec: Seq[(String, String, String)] = Nil,
+    fieldIds: Map[String, Int] = Map.empty)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -83,12 +84,12 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       s"graft-iceberg: only full-table overwrite is supported, got " +
         filters.mkString(", "))
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec)
+      declaredPartSpec, fieldIds)
   }
 
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec)
+      declaredPartSpec, fieldIds)
 
   /** Iceberg's `write.target-file-size-bytes`, as a write option: tasks
     * ROLL their open data file when its buffered size crosses the
@@ -100,13 +101,13 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     override def toBatch: BatchWrite =
       if (overwriteAll)
         new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
-          partSpec, specForCreate, targetBytes)
+          partSpec, specForCreate, targetBytes, fieldIds)
       else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate, sortCols, targetBytes)
+        partSpec, specForCreate, sortCols, targetBytes, fieldIds)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate, targetBytes)
+        partSpec, specForCreate, targetBytes, fieldIds)
   }
 
   /** `write.sort-order` asks the PLANNER for a range distribution plus a
@@ -188,12 +189,13 @@ private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
     specForCreate: Seq[(String, String, Int)] = Nil,
-    targetBytes: Option[Long] = None) extends BatchWrite {
+    targetBytes: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(dir, schema, s"ow-$queryId", stats, partCols,
-      targetBytes)
+      targetBytes, fieldIds)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -235,13 +237,14 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
     specForCreate: Seq[(String, String, Int)] = Nil,
-    targetBytes: Option[Long] = None)
+    targetBytes: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(dir, schema, queryId, stats, partCols,
-      targetBytes)
+      targetBytes, fieldIds)
 
   private def ledgerFile =
     new java.io.File(new java.io.File(dir, "metadata"), "streaming-epochs.json")
@@ -294,12 +297,13 @@ private[v2] class GraftStreamingWriterFactory(dir: String, schema: StructType,
     queryId: String,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
-    targetBytes: Option[Long] = None)
+    targetBytes: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir, schema, s"$queryId-e$epochId", partitionId, taskId,
-      stats, partCols, targetBytes)
+      stats, partCols, targetBytes, fieldIds)
 }
 
 /** One written data file's commit facts: path, rows, bytes, Appendix-D
@@ -319,11 +323,13 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
     partCols: Seq[(String, String, Int)] = Nil,
     specForCreate: Seq[(String, String, Int)] = Nil,
     sortCols: Seq[String] = Nil,
-    targetBytes: Option[Long] = None) extends BatchWrite {
+    targetBytes: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, queryId, stats, partCols, targetBytes)
+    new GraftWriterFactory(dir, schema, queryId, stats, partCols, targetBytes,
+      fieldIds)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // a write under write.sort-order arrives globally range-sorted
@@ -348,11 +354,12 @@ private[v2] class GraftWriterFactory(dir: String, schema: StructType,
     queryId: String,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
-    targetBytes: Option[Long] = None) extends DataWriterFactory {
+    targetBytes: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir, schema, queryId, partitionId, taskId, stats,
-      partCols, targetBytes)
+      partCols, targetBytes, fieldIds)
 }
 
 /** Task-side writer. Unpartitioned: one parquet file. Partitioned
@@ -367,7 +374,8 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
-    targetBytes: Option[Long] = None)
+    targetBytes: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty)
     extends DataWriter[InternalRow] {
 
   // Per-file column statistics for the declared stat fields (the same
@@ -381,20 +389,26 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     }).toArray
 
   private val msgType = {
-    val fields = schema.fields.map { f =>
-      val t = f.dataType match {
-        case LongType => "optional int64"
-        case IntegerType => "optional int32"
-        case DoubleType => "optional double"
-        case FloatType => "optional float"
-        case BooleanType => "optional boolean"
-        case StringType => "optional binary"
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val pb = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
         case other => sys.error(s"graft-iceberg write: unsupported type $other")
       }
-      s"  $t ${f.name}" +
-        (if (f.dataType == StringType) " (UTF8);" else ";")
-    }.mkString("\n")
-    MessageTypeParser.parseMessageType(s"message row {\n$fields\n}")
+      // the column's stable field id (descriptor `column-ids`), embedded
+      // into the file so a post-RENAME reader resolves this column by ID
+      // no matter what it was called when the file was written
+      b.addField(fieldIds.get(f.name).fold(pb)(pb.id).named(f.name))
+    }
+    b.named("row")
   }
 
   /** One open output file plus its running stats. */

@@ -219,7 +219,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", true), (2L, "b", true)))
   }
 
-  test("ALTER TABLE DROP COLUMN narrows the declared schema; RENAME COLUMN is refused") {
+  test("ALTER TABLE DROP COLUMN narrows the declared schema; RENAME still works after") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.evo")
     spark.sql("DROP TABLE IF EXISTS cattest.evo.d")
     spark.sql("CREATE TABLE cattest.evo.d (k BIGINT, junk STRING) USING `graft-iceberg`")
@@ -227,9 +227,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE cattest.evo.d DROP COLUMN junk")
     assert(spark.sql("SELECT * FROM cattest.evo.d").columns.toSeq == Seq("k"))
     assert(spark.sql("SELECT k FROM cattest.evo.d").head.getLong(0) == 1L)
-    intercept[Exception] {
-      spark.sql("ALTER TABLE cattest.evo.d RENAME COLUMN k TO kk")
-    }
+    // rename after a drop: the surviving column keeps its field id, the
+    // pre-rename file resolves through it
+    spark.sql("ALTER TABLE cattest.evo.d RENAME COLUMN k TO kk")
+    assert(spark.sql("SELECT kk FROM cattest.evo.d").head.getLong(0) == 1L)
   }
 
   test("INSERT OVERWRITE replaces the table contents in one snapshot") {
@@ -524,5 +525,60 @@ class GraftCatalogSpec extends AnyFunSuite {
         case None => spark.conf.unset(bcast)
       }
     }
+  }
+
+  test("RENAME COLUMN: metadata-only, old files resolve by id/alias, DML follows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.rn")
+    spark.sql("CREATE TABLE cattest.rn.t (okey BIGINT, price BIGINT, " +
+      "mon BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.rn.t " +
+      "SELECT id, id * 10, id % 12 FROM range(100)")
+    val dir = new java.io.File("target/tmp-catalog-wh/rn/t")
+    def files(): Set[String] = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir.getPath, "t", Nil)
+      .filter(col("content") === 0)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val before = files()
+    spark.sql("ALTER TABLE cattest.rn.t RENAME COLUMN price TO total")
+    // metadata-only: every pre-rename file carried VERBATIM
+    assert(before.subsetOf(files()), "rename must not rewrite files")
+    // the pre-rename file physically still says 'price' — the rename is
+    // in the descriptor, not the data
+    val oldFile = before.head.replaceFirst("^file:/+", "/")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(oldFile),
+      spark.sparkContext.hadoopConfiguration)
+    val rr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fs = try rr.getFooter.getFileMetaData.getSchema finally rr.close()
+    assert(fs.containsField("price") && !fs.containsField("total"))
+    // new-name reads cover BOTH generations
+    spark.sql("INSERT INTO cattest.rn.t " +
+      "SELECT id, id * 10, id % 12 FROM range(100, 150)")
+    assert(spark.sql("SELECT count(*), sum(total) FROM cattest.rn.t")
+      .head.let(r => (r.getLong(0), r.getLong(1))) ==
+      (150L, (0L until 150L).map(_ * 10).sum))
+    // filters on the renamed column reach pre-rename files too
+    assert(spark.sql(
+      "SELECT count(*) FROM cattest.rn.t WHERE total >= 500 AND total < 1010")
+      .head.getLong(0) == 51L)
+    // DML through the renamed name: DELETE takes the MOR path with the
+    // alias fold; the post-delete state is consistent across generations
+    spark.sql("DELETE FROM cattest.rn.t WHERE total >= 1400")
+    assert(spark.sql("SELECT count(*), max(total) FROM cattest.rn.t")
+      .head.let(r => (r.getLong(0), r.getLong(1))) == (140L, 1390L))
+    // re-adding the FORMER name is refused: old files' physical 'price'
+    // data belongs to 'total', a new 'price' column would capture it
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.rn.t ADD COLUMNS (price BIGINT)")
+    }
+    assert(e.getMessage.contains("former name"))
+    // second rename stacks: total -> amount, both aliases recorded
+    spark.sql("ALTER TABLE cattest.rn.t RENAME COLUMN total TO amount")
+    assert(spark.sql("SELECT sum(amount) FROM cattest.rn.t")
+      .head.getLong(0) == (0L until 140L).map(_ * 10).sum)
+  }
+
+  private implicit class LetOps[A](private val a: A) {
+    def let[B](f: A => B): B = f(a)
   }
 }
