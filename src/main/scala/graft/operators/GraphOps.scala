@@ -74,7 +74,8 @@ object GraphOps {
     *              per node on collect, ~100 MB heap at the default 1M
     * @return (pk, lbl) after `rounds` synchronized rounds */
   def labelPropagation(pairs: DataFrame, seed: DataFrame, rounds: Int = 2,
-      localNodeThreshold: Long = 1000000L, checkpointBlocks: Int = 8): DataFrame = {
+      localNodeThreshold: Long = 1000000L, checkpointBlocks: Int = 8,
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): DataFrame = {
     implicit val sp: SparkSession = pairs.sparkSession
     import sp.implicits._
 
@@ -114,6 +115,22 @@ object GraphOps {
       .limit(math.min(localNodeThreshold, Int.MaxValue - 1L).toInt + 1)
       .as[(Long, Long)].collect()
     if (snap.length <= localNodeThreshold) {
+      // Nodes fit the driver. If the EDGE set fits too (second probe,
+      // same LIMIT-bounded single-collect discipline), run every round
+      // in primitive arrays with ZERO per-round Spark jobs — the
+      // per-round broadcast + two-scan join + collect of the streaming
+      // driver arm was the only machinery left whose wall time moved
+      // with the host (GC debt, broadcast latency, cache-block
+      // placement made q166's reps spread 3x), and at <= threshold
+      // edges (~16 B/edge primitive) the whole graph is smaller than
+      // one shuffle's overhead. Votes are the SAME exact integer
+      // arithmetic, so all three arms are bit-identical
+      // (GraphOpsSpec pins it).
+      val edges = pairs.select(col("ok"), col("pk"))
+        .limit(math.min(localEdgeThreshold, Int.MaxValue - 1L).toInt + 1)
+        .as[(Long, Long)].collect()
+      if (edges.length <= localEdgeThreshold)
+        return localRounds(edges, snap, rounds)(sp)
       val degM = degree.as[(Long, Long)].collect().toMap
       var lbl = snap
       for (_ <- 1 to rounds)
@@ -130,5 +147,86 @@ object GraphOps {
           .coalesce(checkpointBlocks).localCheckpoint()
       labels
     }
+  }
+
+  /** Driver-local cutoff for the all-in-arrays arm: edges as two
+    * primitive long arrays cost ~16 B each (~80 MB at the default 5M),
+    * plus one transient boxed pass at collect — well inside a planning
+    * driver's budget, and far below where the distributed arm's fixed
+    * per-round costs would be worth paying. */
+  val DefaultLocalEdgeThreshold: Long = 5000000L
+
+  /** All `rounds` of the subtract-self majority vote over a
+    * driver-resident edge list — the exact arithmetic of [[vote]]
+    * (votes·8 + (7−label) argmax code, zero-vote isolates keep their
+    * label, only labeled nodes are voted on or emitted), on dense int
+    * indexes. No Spark job runs between entry and the final toDF. */
+  private def localRounds(edges: Array[(Long, Long)],
+      snap: Array[(Long, Long)], rounds: Int)(
+      implicit sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    // dense-index baskets and nodes (insertion order — determinism only
+    // needs consistency within this invocation)
+    val basketIdx = new java.util.HashMap[Long, Int]()
+    val nodeIdx = new java.util.HashMap[Long, Int]()
+    val eb = new Array[Int](edges.length)
+    val en = new Array[Int](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      val (ok, pk) = edges(i)
+      eb(i) = basketIdx.computeIfAbsent(ok, _ => basketIdx.size)
+      en(i) = nodeIdx.computeIfAbsent(pk, _ => nodeIdx.size)
+      i += 1
+    }
+    val nB = basketIdx.size; val nN = nodeIdx.size
+    // deg(p) = #baskets containing p (pairs are distinct rows)
+    val deg = new Array[Long](nN)
+    i = 0; while (i < edges.length) { deg(en(i)) += 1L; i += 1 }
+    // labels: -1 = never seeded (contributes nothing, never emitted —
+    // the streaming arm's inner joins drop exactly these)
+    val labels = Array.fill(nN)(-1)
+    snap.foreach { case (pk, l) =>
+      if (nodeIdx.containsKey(pk)) labels(nodeIdx.get(pk)) = l.toInt
+    }
+    val hist = new Array[Long](nB * 8)
+    val votes = new Array[Long](nN * 8)
+    for (_ <- 1 to rounds) {
+      java.util.Arrays.fill(hist, 0L)
+      java.util.Arrays.fill(votes, 0L)
+      i = 0
+      while (i < edges.length) { // per-basket label histogram
+        val l = labels(en(i))
+        if (l >= 0) hist(eb(i) * 8 + l) += 1L
+        i += 1
+      }
+      i = 0
+      while (i < edges.length) { // node votes = Σ its baskets' hists
+        val n = en(i); val b = eb(i)
+        var l = 0
+        while (l < 8) { votes(n * 8 + l) += hist(b * 8 + l); l += 1 }
+        i += 1
+      }
+      var n = 0
+      while (n < nN) {
+        val own = labels(n)
+        if (own >= 0) { // argmax by votes*8 + (7-l); subtract self-votes
+          var best = -1L
+          var l = 0
+          while (l < 8) {
+            val v = votes(n * 8 + l) - (if (l == own) deg(n) else 0L)
+            if (v > 0L) {
+              val code = v * 8L + (7L - l)
+              if (code > best) best = code
+            }
+            l += 1
+          }
+          if (best >= 0L) labels(n) = (7L - best % 8L).toInt
+        }
+        n += 1
+      }
+    }
+    val out = Array.newBuilder[(Long, Long)]
+    nodeIdx.forEach((pk, n) => if (labels(n) >= 0) out += ((pk, labels(n).toLong)))
+    out.result().toSeq.toDF("pk", "lbl")
   }
 }

@@ -55,16 +55,22 @@ class GraphOpsSpec extends AnyFunSuite {
     val pairs = copurchase()
     try {
       val seed = seedOf(pairs)
-      // threshold above any node count -> driver arm; 0 -> distributed
-      val driver = GraphOps.labelPropagation(pairs, seed, rounds = 2,
+      // all three arms: edges-on-driver arrays (node + edge thresholds
+      // permissive), per-round streaming driver arm (edge threshold 0),
+      // and fully distributed (node threshold 0)
+      val local = GraphOps.labelPropagation(pairs, seed, rounds = 2,
           localNodeThreshold = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val driver = GraphOps.labelPropagation(pairs, seed, rounds = 2,
+          localNodeThreshold = Long.MaxValue, localEdgeThreshold = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       val dist = GraphOps.labelPropagation(pairs, seed, rounds = 2,
           localNodeThreshold = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      assert(driver.nonEmpty)
-      assert(driver.size == seed.count(), "one label per node")
-      assert(dist == driver, "distributed labels diverge from driver arm")
+      assert(local.nonEmpty)
+      assert(local.size == seed.count(), "one label per node")
+      assert(driver == local, "streaming driver arm diverges from array arm")
+      assert(dist == local, "distributed labels diverge from array arm")
     } finally pairs.unpersist(blocking = false)
   }
 
