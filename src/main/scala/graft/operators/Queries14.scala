@@ -135,6 +135,64 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(total) AS sum_total,
                 |  min(okey) AS min_okey
                 |FROM $cat.rn.ord GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- SQL BRANCH WRITES (write-audit-publish without leaving SQL):
+    // `ALTER TABLE … SET TBLPROPERTIES('write.branch'='audit')` routes
+    // INSERTs onto a staged branch ref — the snapshot lands in history,
+    // the branch moves, and the TABLE HEAD stays put (pinned in-query:
+    // head readers see only 1995 while the staged 1996 rows are
+    // addressable solely via `VERSION AS OF 'audit'`). Two staged
+    // INSERTs stack on the branch (the second carries the first —
+    // Iceberg's branch-commit semantics). `CALL fast_forward` publishes;
+    // the final profile spans the published whole, recomputed by DuckDB
+    // from the source table — staged rows lost in the stack or leaked
+    // into the head break the hash.
+    "q256_sql_branch_write" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q256wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wap")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wap.ord")
+      s.sql(s"CREATE TABLE $cat.wap.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg`")
+      t(dir, "orders").createOrReplaceTempView("q256_src")
+      s.sql(s"""INSERT INTO $cat.wap.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q256_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val n95 = s.sql(s"SELECT count(*) FROM $cat.wap.ord").head.getLong(0)
+      s.sql(s"ALTER TABLE $cat.wap.ord " +
+        "SET TBLPROPERTIES ('write.branch' = 'audit')")
+      // two staged INSERTs: the second must STACK on the first
+      s.sql(s"""INSERT INTO $cat.wap.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q256_src WHERE year(o_orderdate) = 1996
+               |  AND o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.wap.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q256_src WHERE year(o_orderdate) = 1996
+               |  AND o_orderkey % 2 = 1""".stripMargin)
+      val headN = s.sql(s"SELECT count(*) FROM $cat.wap.ord").head.getLong(0)
+      require(headN == n95,
+        s"staged INSERTs leaked into the head: $headN != $n95")
+      val n96 = t(dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996).count()
+      val stagedN = s.sql(
+        s"SELECT count(*) FROM $cat.wap.ord VERSION AS OF 'audit'")
+        .head.getLong(0)
+      require(stagedN == n95 + n96,
+        s"branch must hold base + BOTH staged inserts: $stagedN != ${n95 + n96}")
+      s.sql(s"CALL $cat.system.fast_forward('wap.ord', 'main', 'audit')")
+      s.sql(s"ALTER TABLE $cat.wap.ord UNSET TBLPROPERTIES ('write.branch')")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.wap.ord GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -155,5 +213,17 @@ object Queries14 {
         |  CAST(sum(total) AS BIGINT) AS sum_total,
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src WHERE total < 400000
-        |GROUP BY mon ORDER BY mon""".stripMargin)
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q256_sql_branch_write" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
 }

@@ -1557,7 +1557,14 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
+    // staged commits STACK: when the branch already exists, the append
+    // carries from the BRANCH head (Iceberg's branch-commit semantics —
+    // a second staged write must not silently drop the first), else
+    // from the table head it forks from
+    val stageBase = refs(spark, tableDir)
+      .collectFirst { case (`branch`, id, "branch") => id }
+      .getOrElse(curId)
+    val carried = carriedEntries(spark, tableDir, stageBase)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     val stamped = added.map(e => e.copy(sequenceNumber = newId))

@@ -176,7 +176,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     new GraftTable(dir.getAbsolutePath, snapshot, statFields,
       bootstrapSchema = bootstrap, sortCols = sortCols,
-      declaredPartSpec = partSpec)
+      declaredPartSpec = partSpec,
+      writeBranch = props.get("write.branch"))
   }
 
   /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each

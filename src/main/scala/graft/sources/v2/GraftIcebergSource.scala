@@ -200,7 +200,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     sortCols: Seq[String] = Nil,
     declaredPartSpec: Seq[(String, String, String)] = Nil,
     private[v2] val readChanges: Boolean = false,
-    private[v2] val maxFilesPerTrigger: Option[Int] = None)
+    private[v2] val maxFilesPerTrigger: Option[Int] = None,
+    writeBranch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -576,7 +577,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       // the TABLE schema's field ids (the write schema loses attribute
       // metadata through the INSERT plan) — the writer embeds them into
       // every new parquet file so renamed columns resolve by id forever
-      fieldIds = GraftCatalog.fieldIdsOf(schema))
+      fieldIds = GraftCatalog.fieldIdsOf(schema),
+      tableBranch = writeBranch)
 }
 
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,

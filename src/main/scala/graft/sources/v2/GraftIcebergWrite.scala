@@ -27,7 +27,8 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     sortCols: Seq[String] = Nil,
     overwriteAll: Boolean = false,
     declaredPartSpec: Seq[(String, String, String)] = Nil,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    tableBranch: Option[String] = None)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -84,12 +85,12 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       s"graft-iceberg: only full-table overwrite is supported, got " +
         filters.mkString(", "))
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec, fieldIds)
+      declaredPartSpec, fieldIds, tableBranch)
   }
 
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec, fieldIds)
+      declaredPartSpec, fieldIds, tableBranch)
 
   /** Iceberg's `write.target-file-size-bytes`, as a write option: tasks
     * ROLL their open data file when its buffered size crosses the
@@ -97,17 +98,37 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
   private def targetBytes: Option[Long] =
     Option(info.options().get("write.target-file-size-bytes")).map(_.toLong)
 
+  /** Branch-targeted writes (write-audit-publish from pure SQL): the
+    * `write.branch` WRITE OPTION wins over the table's `write.branch`
+    * property (`ALTER TABLE … SET TBLPROPERTIES('write.branch'='b')`).
+    * When set, an INSERT stages onto that branch ref and the table head
+    * stays put until `CALL fast_forward` publishes; reads of the staged
+    * state go through `VERSION AS OF '<branch>'`. Append-only: an
+    * overwrite or streaming write to a branch is refused (their commit
+    * shapes move the head by construction). */
+  private def branch: Option[String] =
+    Option(info.options().get("write.branch")).filter(_.nonEmpty)
+      .orElse(tableBranch.filter(_.nonEmpty))
+
   private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =
-      if (overwriteAll)
+      if (overwriteAll) {
+        require(branch.isEmpty,
+          "graft-iceberg: INSERT OVERWRITE cannot target a write.branch " +
+            "(overwrite commits move the table head); publish or unset " +
+            "the branch first")
         new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
           partSpec, specForCreate, targetBytes, fieldIds)
-      else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate, sortCols, targetBytes, fieldIds)
+      } else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
+        partSpec, specForCreate, sortCols, targetBytes, fieldIds, branch)
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(branch.isEmpty,
+        "graft-iceberg: streaming writes cannot target a write.branch " +
+          "(the exactly-once epoch ledger commits to the table head)")
       new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
         partSpec, specForCreate, targetBytes, fieldIds)
+    }
   }
 
   /** `write.sort-order` asks the PLANNER for a range distribution plus a
@@ -324,7 +345,8 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
     specForCreate: Seq[(String, String, Int)] = Nil,
     sortCols: Seq[String] = Nil,
     targetBytes: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty) extends BatchWrite {
+    fieldIds: Map[String, Int] = Map.empty,
+    branch: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -339,11 +361,21 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
       sortOrderId = if (sortCols.nonEmpty) Int.box(1) else null)
     // empty-task files were already deleted task-side; an all-empty
     // write still commits an (empty) snapshot? No: real engines skip it
-    if (entries.nonEmpty)
-      graft.sources.LayoutMaintenance.commitAppend(
-        org.apache.spark.sql.SparkSession.active, dir, entries,
-        partitionSpec = specForCreate,
-        sortOrder = GraftIcebergWrite.sortOrderRows(sortCols, schema))
+    if (entries.nonEmpty) branch match {
+      // branch-targeted append (write-audit-publish from pure SQL):
+      // the snapshot lands in history and the BRANCH ref moves; the
+      // table head (and `main`) stay put until CALL fast_forward
+      // publishes. Staging onto a table with no snapshots is refused
+      // by stageAppend (there is no head to isolate).
+      case Some(b) =>
+        graft.sources.LayoutMaintenance.stageAppend(
+          org.apache.spark.sql.SparkSession.active, dir, entries, b)
+      case None =>
+        graft.sources.LayoutMaintenance.commitAppend(
+          org.apache.spark.sql.SparkSession.active, dir, entries,
+          partitionSpec = specForCreate,
+          sortOrder = GraftIcebergWrite.sortOrderRows(sortCols, schema))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -581,4 +581,38 @@ class GraftCatalogSpec extends AnyFunSuite {
   private implicit class LetOps[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
+
+  test("write.branch: INSERT stages onto a branch, head isolated until fast_forward") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.wapsql")
+    spark.sql("DROP TABLE IF EXISTS cattest.wapsql.t")
+    spark.sql("CREATE TABLE cattest.wapsql.t (k BIGINT, v STRING) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.wapsql.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE cattest.wapsql.t " +
+      "SET TBLPROPERTIES ('write.branch' = 'audit')")
+    spark.sql("INSERT INTO cattest.wapsql.t VALUES (3, 'c'), (4, 'd')")
+    // head isolation: readers of the TABLE see only the published state
+    assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t").head.getLong(0) == 2L)
+    // the staged state is addressable through the branch ref
+    assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 4L)
+    // overwrite to a branch is refused (it would move the head)
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE cattest.wapsql.t VALUES (9, 'z')")
+    }
+    assert(e.getMessage.contains("write.branch") ||
+      Option(e.getCause).exists(_.getMessage.contains("write.branch")))
+    // a second staged INSERT stacks on the branch, head still isolated
+    spark.sql("INSERT INTO cattest.wapsql.t VALUES (5, 'e')")
+    assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 5L)
+    // publish: fast-forward main onto the branch, then unset the target
+    spark.sql("CALL cattest.system.fast_forward('wapsql.t', 'main', 'audit')")
+    spark.sql("ALTER TABLE cattest.wapsql.t UNSET TBLPROPERTIES ('write.branch')")
+    assert(spark.sql("SELECT k FROM cattest.wapsql.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // post-publish INSERTs commit to the head again
+    spark.sql("INSERT INTO cattest.wapsql.t VALUES (6, 'f')")
+    assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t").head.getLong(0) == 6L)
+  }
 }
