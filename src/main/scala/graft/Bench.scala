@@ -108,15 +108,33 @@ object Bench {
         s""""queries_sec":$detail,"rep_spread_sec":$spread,""" +
         s""""spread_flagged":$flaggedJson}""" + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    val qs = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" +
-        (if (v < 0) "-1" else math.round(v * 1000).toString)
-    }.mkString("{", ",", "}")
+    // The name-keyed per-query map outgrew the driver's ~2 KB tail window
+    // at ~250 queries (round 9's file carried a truncated tail with
+    // parsed:null). The stdout line now carries the COMPLETE per-query
+    // coverage as a dense array: q_ms[i] is q(i+1)'s fastest rep in
+    // integer milliseconds, -1 = failed, -2 = no query with that number;
+    // fanout probes ride separately. ~4.5 chars/query keeps 300+ queries
+    // inside the window as one parseable JSON object. Names, full
+    // precision, and rep spreads stay in BENCH_DETAIL.json.
+    val byNum = results.collect { case (k, v, _) if k.startsWith("q") =>
+      k.drop(1).takeWhile(_.isDigit).toInt -> v }.toMap
+    val maxQ = byNum.keys.max
+    val qArr = (1 to maxQ).map(i => byNum.get(i) match {
+      case None => "-2"
+      case Some(v) if v < 0 => "-1"
+      case Some(v) => math.round(v * 1000).toString
+    }).mkString("[", ",", "]")
+    val fanout = results.filter(_._1.startsWith("fanout"))
+      .map { case (_, v, _) =>
+        if (v < 0) "-1" else math.round(v * 1000).toString }
+      .mkString("[", ",", "]")
     // stop BEFORE printing: any shutdown logging after the JSON line could
     // push it out of the tail buffer — the JSON line must be the process's
     // last output, and a shutdown failure must not lose computed results.
     try spark.stop() catch { case e: Throwable => System.err.println(s"[bench] stop failed: $e") }
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""qunit":"ms","q_index":"q_ms[i] = q(i+1); -1 failed, -2 absent",""" +
+      s""""q_ms":$qArr,"fanout_ms":$fanout,"detail":"BENCH_DETAIL.json"}""")
     System.out.flush()
   }
 }

@@ -193,6 +193,48 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.wap.ord GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- NESTED SCHEMAS through the connector: a STRUCT column (typed
+    // document metadata riding next to the payload — the multimodal-
+    // corpus shape) written through SQL, read back with NESTED-LEAF
+    // pruning (pinned in-query: a query touching only meta.src hands
+    // the scan a struct pruned to that one leaf, so the other leaves'
+    // parquet pages are never decoded), and aggregated on nested
+    // fields. The oracle recomputes the rollup from the FLAT source
+    // columns — struct assembly, group encode/decode, or pruning bugs
+    // all break the hash.
+    "q255_nested_struct" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q255wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ns.docs")
+      s.sql(s"CREATE TABLE $cat.ns.docs (doc_id BIGINT, " +
+        "meta STRUCT<src: STRING, nwords: BIGINT>) USING `graft-iceberg`")
+      t(dir, "documents").createOrReplaceTempView("q255_src")
+      s.sql(s"""INSERT INTO $cat.ns.docs
+               |SELECT doc_id, named_struct('src', source,
+               |  'nwords', CAST(size(split(text, ' ')) AS BIGINT))
+               |FROM q255_src WHERE text IS NOT NULL""".stripMargin)
+      // nested pruning pin: only meta.src requested -> the scan's
+      // required struct holds exactly that leaf
+      val probe = s.sql(s"SELECT meta.src FROM $cat.ns.docs")
+      val pruned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.readSchema()("meta").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      }
+      require(pruned.nonEmpty && pruned.head == Seq("src"),
+        s"nested pruning must reach the scan, got $pruned")
+      s.sql(s"""SELECT meta.src AS source, count(*) AS n_docs,
+                |  sum(meta.nwords) AS sum_words, min(doc_id) AS min_doc
+                |FROM $cat.ns.docs
+                |WHERE meta.nwords >= 5
+                |GROUP BY meta.src ORDER BY source""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -225,5 +267,16 @@ object Queries14 {
         |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q255_nested_struct" ->
+      """WITH src AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nwords
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nwords) AS BIGINT) AS sum_words,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM src WHERE nwords >= 5
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

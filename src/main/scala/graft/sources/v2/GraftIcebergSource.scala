@@ -42,10 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the connector reports them as pushed-but-residual, Iceberg's own
   *     contract).
   *
-  * Deliberately out of scope: delete-file application (compose
-  * [[graft.sources.MorRead]] on top for MOR tables) and nested schemas.
-  * At 100 TB the shape is right: planning cost is manifest-sized,
-  * skipped files cost zero I/O, and each file is an independent task.
+  * Schemas are primitives plus ONE level of struct nesting (typed
+  * metadata riding next to opaque payloads — the multimodal-corpus
+  * shape); nested projections prune to the parquet page level
+  * ([[GraftPartitionReader.pruneToRequired]]). Deeper nesting and
+  * array/map columns are out of scope. At 100 TB the shape is right:
+  * planning cost is manifest-sized, skipped files cost zero I/O, and
+  * each file is an independent task.
   */
 class GraftIcebergSource extends TableProvider with DataSourceRegister {
 
@@ -164,17 +167,17 @@ object GraftIcebergSource {
     out.result()
   }
 
-  /** Flat parquet schema of the first data file → StructType. */
+  /** Parquet schema of the first data file → StructType. Primitives
+    * plus ONE level of group nesting (struct-of-primitives — the typed
+    * multimodal-metadata shape the writer emits). */
   private[v2] def inferFrom(path: String): StructType = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), new Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
-    StructType(msg.getFields.asScala.toSeq.map { f =>
-      require(f.isPrimitive, s"graft-iceberg reads flat schemas; $f is nested")
-      val p = f.asPrimitiveType()
+    def primDt(p: org.apache.parquet.schema.PrimitiveType): DataType = {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      val dt = p.getPrimitiveTypeName match {
+      p.getPrimitiveTypeName match {
         case INT64 => LongType
         case INT32 => IntegerType
         case DOUBLE => DoubleType
@@ -183,7 +186,18 @@ object GraftIcebergSource {
         case BINARY => StringType
         case other => sys.error(s"graft-iceberg: unsupported parquet type $other")
       }
-      StructField(f.getName, dt, nullable = true)
+    }
+    StructType(msg.getFields.asScala.toSeq.map { f =>
+      if (f.isPrimitive)
+        StructField(f.getName, primDt(f.asPrimitiveType()), nullable = true)
+      else {
+        val g = f.asGroupType()
+        StructField(f.getName, StructType(g.getFields.asScala.toSeq.map { nf =>
+          require(nf.isPrimitive,
+            s"graft-iceberg reads one nesting level; ${f.getName}.$nf is deeper")
+          StructField(nf.getName, primDt(nf.asPrimitiveType()), nullable = true)
+        }), nullable = true)
+      }
     })
   }
 }
@@ -1451,6 +1465,28 @@ private[v2] object GraftPartitionReader {
     eqDeletes.map { case (p, keys) =>
       (keys, readRows(p, keys).map(g => keys.map(k => prim(g, k))).toSet)
     }
+
+  /** Narrow a resolved FILE field to the leaves the query requires: for
+    * a struct column, Spark's nested-schema pruning hands `required` a
+    * struct of only the SELECTED leaves — projecting the matching pruned
+    * group means unselected leaves' pages are never decoded (pinned in
+    * GraftSourceV2Spec). Primitives pass through untouched. */
+  private[v2] def pruneToRequired(
+      fileField: org.apache.parquet.schema.Type,
+      f: org.apache.spark.sql.types.StructField)
+      : org.apache.parquet.schema.Type =
+    f.dataType match {
+      case st: org.apache.spark.sql.types.StructType
+          if !fileField.isPrimitive =>
+        import scala.jdk.CollectionConverters._
+        val fg = fileField.asGroupType()
+        val kept = st.fields.toSeq.flatMap(nf =>
+          if (fg.containsField(nf.name)) Some(fg.getType(nf.name)) else None)
+        if (kept.isEmpty) fileField
+        else new org.apache.parquet.schema.GroupType(
+          fileField.getRepetition, fileField.getName, kept.asJava)
+      case _ => fileField
+    }
 }
 
 /** Reads one parquet file through parquet-hadoop's Group API with the
@@ -1535,7 +1571,9 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       val fields = required.fields.zipWithIndex.flatMap { case (f, i) =>
         if (isMeta(i)) None
         else resolveField(fileSchema, f) match {
-          case Some(t) => physName(i) = t.getName; Some(t)
+          case Some(t) =>
+            physName(i) = t.getName
+            Some(GraftPartitionReader.pruneToRequired(t, f))
           case None => isAbsent(i) = true; None
         }
       } ++ extraKeyCols.filter(fileSchema.containsField)
@@ -1606,6 +1644,32 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case FloatType => row.setFloat(i, current.getFloat(nm, 0))
         case BooleanType => row.setBoolean(i, current.getBoolean(nm, 0))
         case StringType => row.update(i, UTF8String.fromString(current.getString(nm, 0)))
+        case st: StructType =>
+          // one nesting level: leaves by name within the file's group;
+          // leaves pruned out of the projection (or absent from an old
+          // file) null-fill, same as top-level schema evolution
+          val ng = current.getGroup(nm, 0)
+          val ngt = ng.getType.asGroupType()
+          val out = new GenericInternalRow(st.length)
+          var k = 0
+          while (k < st.length) {
+            val nf = st.fields(k)
+            if (!ngt.containsField(nf.name) ||
+                ng.getFieldRepetitionCount(nf.name) == 0) out.update(k, null)
+            else nf.dataType match {
+              case LongType => out.setLong(k, ng.getLong(nf.name, 0))
+              case IntegerType => out.setInt(k, ng.getInteger(nf.name, 0))
+              case DoubleType => out.setDouble(k, ng.getDouble(nf.name, 0))
+              case FloatType => out.setFloat(k, ng.getFloat(nf.name, 0))
+              case BooleanType => out.setBoolean(k, ng.getBoolean(nf.name, 0))
+              case StringType =>
+                out.update(k, UTF8String.fromString(ng.getString(nf.name, 0)))
+              case other =>
+                sys.error(s"graft-iceberg: unsupported nested type $other")
+            }
+            k += 1
+          }
+          row.update(i, out)
         case other => sys.error(s"graft-iceberg: unsupported type $other")
       }
       i += 1

@@ -423,9 +423,9 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
   private val msgType = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val pb = f.dataType match {
+    def primOf(dt: DataType, name: String,
+        id: Option[Int]): org.apache.parquet.schema.Type = {
+      val pb = dt match {
         case LongType => Types.optional(INT64)
         case IntegerType => Types.optional(INT32)
         case DoubleType => Types.optional(DOUBLE)
@@ -435,10 +435,31 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
         case other => sys.error(s"graft-iceberg write: unsupported type $other")
       }
-      // the column's stable field id (descriptor `column-ids`), embedded
-      // into the file so a post-RENAME reader resolves this column by ID
-      // no matter what it was called when the file was written
-      b.addField(fieldIds.get(f.name).fold(pb)(pb.id).named(f.name))
+      id.fold(pb)(pb.id).named(name)
+    }
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        // ONE level of nesting: a struct of primitives becomes an
+        // optional parquet group (typed metadata riding next to opaque
+        // payloads — the multimodal-corpus shape). Leaves resolve by
+        // name within their group; the STRUCT's stable field id is
+        // embedded on the group node.
+        case st: StructType =>
+          val gb = Types.optionalGroup()
+          st.fields.foreach { nf =>
+            require(!nf.dataType.isInstanceOf[StructType],
+              s"graft-iceberg write: struct nesting is one level " +
+                s"(${f.name}.${nf.name} is a struct)")
+            gb.addField(primOf(nf.dataType, nf.name, None))
+          }
+          b.addField(fieldIds.get(f.name).fold(gb)(gb.id).named(f.name))
+        case dt =>
+          // the column's stable field id (descriptor `column-ids`),
+          // embedded into the file so a post-RENAME reader resolves
+          // this column by ID no matter what it was called at write
+          b.addField(primOf(dt, f.name, fieldIds.get(f.name)))
+      }
     }
     b.named("row")
   }
@@ -552,6 +573,27 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
           case FloatType => g.add(f.name, record.getFloat(i))
           case BooleanType => g.add(f.name, record.getBoolean(i))
           case StringType => g.add(f.name, record.getUTF8String(i).toString)
+          case st: StructType =>
+            val sr = record.getStruct(i, st.length)
+            val ng = g.addGroup(f.name)
+            var k = 0
+            while (k < st.length) {
+              if (!sr.isNullAt(k)) {
+                val nf = st.fields(k)
+                nf.dataType match {
+                  case LongType => ng.add(nf.name, sr.getLong(k))
+                  case IntegerType => ng.add(nf.name, sr.getInt(k))
+                  case DoubleType => ng.add(nf.name, sr.getDouble(k))
+                  case FloatType => ng.add(nf.name, sr.getFloat(k))
+                  case BooleanType => ng.add(nf.name, sr.getBoolean(k))
+                  case StringType =>
+                    ng.add(nf.name, sr.getUTF8String(k).toString)
+                  case other => sys.error(
+                    s"graft-iceberg write: unsupported nested type $other")
+                }
+              }
+              k += 1
+            }
           case other => sys.error(s"graft-iceberg write: unsupported type $other")
         }
       }
