@@ -165,6 +165,70 @@ object IcebergLayoutWriter {
     try records.foreach(w.append) finally w.close()
   }
 
+  /** FAST-APPEND manifest list: copy every row of `srcList` VERBATIM
+    * (the previous snapshot's manifests are REUSED, never rewritten —
+    * Iceberg's own append shape) and add one row per new manifest. The
+    * output is written in the SOURCE list's own schema so foreign extra
+    * fields survive; the rows this writer adds set the fields this
+    * dialect uses. Returns the max sequence_number seen across the
+    * copied rows (the commit's id-allocation floor). */
+  /** Max sequence_number across a manifest list's rows — the commit's
+    * id-allocation floor, one KB-file scan. */
+  def maxManifestListSeq(srcList: java.io.File): Long = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    val reader = new DataFileReader[GenericRecord](srcList,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      var maxSeq = 0L
+      while (reader.hasNext) reader.next().get("sequence_number") match {
+        case l: java.lang.Long => maxSeq = math.max(maxSeq, l)
+        case _ => ()
+      }
+      maxSeq
+    } finally reader.close()
+  }
+
+  def appendManifestList(dest: java.io.File, srcList: java.io.File,
+      newManifests: Seq[(java.io.File, Int, Int)], snapshotId: Long): Long = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    val reader = new DataFileReader[GenericRecord](srcList,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val schema = reader.getSchema
+      Seq("manifest_path", "manifest_length", "partition_spec_id",
+        "content", "sequence_number", "added_snapshot_id").foreach(f =>
+        require(schema.getField(f) != null,
+          s"appendManifestList: $srcList lacks list field '$f'"))
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dest)
+      var maxSeq = 0L
+      try {
+        while (reader.hasNext) {
+          val r = reader.next()
+          r.get("sequence_number") match {
+            case l: java.lang.Long => maxSeq = math.max(maxSeq, l)
+            case _ => ()
+          }
+          w.append(r)
+        }
+        newManifests.foreach { case (f, mContent, specId) =>
+          val r = new GenericData.Record(schema)
+          r.put("manifest_path", f.getAbsolutePath)
+          r.put("manifest_length", f.length())
+          r.put("partition_spec_id", specId)
+          r.put("content", mContent)
+          r.put("sequence_number", snapshotId)
+          r.put("added_snapshot_id", snapshotId)
+          w.append(r)
+        }
+      } finally w.close()
+      maxSeq
+    } finally reader.close()
+  }
+
   private def manifestRecords(entries: Seq[ManifestEntrySpec]): (Schema, Seq[GenericRecord]) = {
     val pSchema = partitionSchema(entries.headOption.map(_.partition).getOrElse(Nil))
     val eSchema = entrySchema(pSchema)

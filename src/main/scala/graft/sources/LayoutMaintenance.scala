@@ -743,11 +743,26 @@ object LayoutMaintenance {
     * bounded by [[MaxDriverFileEntries]] (see its note for the
     * 100M-file path). */
   private def carriedEntries(spark: SparkSession, tableDir: String,
-      snapshotId: Long): Seq[IcebergLayoutWriter.ManifestEntrySpec] = {
+      snapshotId: Long): Seq[IcebergLayoutWriter.ManifestEntrySpec] =
+    carriedEntriesOpt(spark, tableDir, snapshotId, MaxDriverFileEntries)
+      .getOrElse(sys.error(
+        s"carriedEntries($tableDir@$snapshotId): more than " +
+          s"$MaxDriverFileEntries file entries exceed the driver-side " +
+          "planning ceiling; commits on tables this large need the " +
+          "manifest-reuse append path (commitAppend has it) or a " +
+          "distributed rewrite."))
+
+  /** [[carriedEntries]] with an explicit ceiling: None once the walk
+    * passes `cap` entries — the caller's signal to switch to the
+    * manifest-REUSE commit path instead of materializing per-file state
+    * on the driver. */
+  private def carriedEntriesOpt(spark: SparkSession, tableDir: String,
+      snapshotId: Long, cap: Int)
+      : Option[Seq[IcebergLayoutWriter.ManifestEntrySpec]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     IcebergManifestSource
       .resolveManifestList(spark, tableDir, Some(snapshotId)) match {
-      case None => Nil
+      case None => Some(Nil)
       case Some(list) =>
         val out = scala.collection.mutable.ArrayBuffer
           .empty[IcebergLayoutWriter.ManifestEntrySpec]
@@ -760,30 +775,26 @@ object LayoutMaintenance {
         val specOf = IcebergManifestSource.manifestSpecIds(conf, list)
           .map { case (p, sid) =>
             IcebergManifestSource.Relocate.meta(listDir, p) -> sid }.toMap
-        IcebergManifestSource.manifestPathSeqs(conf, list)
+        val it = IcebergManifestSource.manifestPathSeqs(conf, list)
           .iterator
           .flatMap { case (p, inherit) =>
             IcebergManifestSource.readManifestStats(p, conf, inherit)
               .map(s => (p, s)) }
-          .foreach { case (mp, s) =>
-            val entrySpecId = specOf.getOrElse(mp, 0)
-            require(out.size < MaxDriverFileEntries,
-              s"carriedEntries($tableDir@$snapshotId): more than " +
-                s"$MaxDriverFileEntries file entries exceed the driver-side " +
-                "planning ceiling; commits on tables this large need " +
-                "distributed manifest carry.")
-            out += IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-              content = s.content, filePath = s.filePath,
-              partition = partitionPairsOf(s.partitionKey),
-              recordCount = s.recordCount, sizeBytes = s.sizeBytes,
-              sequenceNumber = s.sequenceNumber,
-              lower = s.lower, upper = s.upper,
-              equalityIds = s.equalityIds,
-              fileFormat = s.fileFormat,
-              sortOrderId = s.sortOrderId.map(Int.box).orNull,
-              specId = entrySpecId)
-          }
-        out.toSeq
+        while (it.hasNext) {
+          val (mp, s) = it.next()
+          if (out.size >= cap) return None
+          out += IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+            content = s.content, filePath = s.filePath,
+            partition = partitionPairsOf(s.partitionKey),
+            recordCount = s.recordCount, sizeBytes = s.sizeBytes,
+            sequenceNumber = s.sequenceNumber,
+            lower = s.lower, upper = s.upper,
+            equalityIds = s.equalityIds,
+            fileFormat = s.fileFormat,
+            sortOrderId = s.sortOrderId.map(Int.box).orNull,
+            specId = specOf.getOrElse(mp, 0))
+        }
+        Some(out.toSeq)
     }
   }
 
@@ -956,24 +967,101 @@ object LayoutMaintenance {
       val all = snapshots(spark, tableDir)
       require(all.nonEmpty, s"metadata exists but no snapshots under $tableDir")
       val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-      val carried = carriedEntries(spark, tableDir, curId)
-      val newId = (all.map(_.id) ++
-        carried.map(_.sequenceNumber.longValue)).max + 1
-      // OCC test seam: fires between this commit's state reads and its
-      // version swap — a hook that itself commits forces the exact
-      // cross-process interleaving the CAS+retry protocol exists for
-      // (same-thread reentry through the JVM lock keeps it deterministic)
-      afterPlan()
-      val stamped = added.map(_.copy(sequenceNumber = newId))
-      val movedRefs = refs(spark, tableDir).map {
-        case (name, id, "branch") if id == curId => (name, newId, "branch")
-        case other => other
+      // past the driver ceiling (spark.graft.maxDriverFileEntries, same
+      // knob the scan planner honors) the commit switches to MANIFEST
+      // REUSE — per-file entries are never materialized at all
+      val cap = spark.sessionState.conf.getConfString(
+        "spark.graft.maxDriverFileEntries",
+        MaxDriverFileEntries.toString).toInt
+      carriedEntriesOpt(spark, tableDir, curId, cap) match {
+        case Some(carried) =>
+          val newId = (all.map(_.id) ++
+            carried.map(_.sequenceNumber.longValue)).max + 1
+          // OCC test seam: fires between this commit's state reads and
+          // its version swap — a hook that itself commits forces the
+          // exact cross-process interleaving the CAS+retry protocol
+          // exists for (same-thread reentry through the JVM lock keeps
+          // it deterministic)
+          afterPlan()
+          val stamped = added.map(_.copy(sequenceNumber = newId))
+          val movedRefs = refs(spark, tableDir).map {
+            case (name, id, "branch") if id == curId => (name, newId, "branch")
+            case other => other
+          }
+          appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
+            movedRefs, base)
+          newId
+        case None =>
+          afterPlan()
+          commitAppendReuse(spark, tableDir, added, all, curId, base)
       }
-      appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
-        movedRefs, base)
-      newId
     }
   } }
+
+  /** FAST APPEND past the driver-entry ceiling — Iceberg's own append
+    * shape: the previous snapshot's manifest FILES are referenced
+    * verbatim in the new manifest list (zero per-entry work, zero entry
+    * materialization), the added files land in fresh manifests, and the
+    * driver handles only the KB-sized manifest list. Sequence-number
+    * safety: carried entries keep their explicit seqs inside their
+    * untouched manifests; the new id exceeds every history id AND every
+    * list-row sequence number. At 100 TB this is what makes a streaming
+    * ingest's commit cost O(added + manifest count), not O(files).
+    * CommitScaleSpec pins entry-set equivalence against the driver-walk
+    * path at a toy cap. */
+  private def commitAppendReuse(spark: SparkSession, tableDir: String,
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      all: Seq[Snap], curId: Long, base: MetaBase): Long = {
+    val oldList = IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(curId))
+      .getOrElse(sys.error(
+        s"commitAppend($tableDir): snapshot $curId has no manifest list"))
+    val listFile = new java.io.File(oldList)
+    val newId = (all.map(_.id) :+
+      IcebergLayoutWriter.maxManifestListSeq(listFile)).max + 1
+    val defaultSpecId = IcebergManifestSource.partitionSpecs(
+      spark, tableDir)._1
+    val stamped = added.map(e => e.copy(sequenceNumber = newId,
+      specId = if (e.specId < 0) defaultSpecId else e.specId))
+    val m = metaDir(tableDir)
+    val groups = stamped
+      .groupBy(e =>
+        (if (e.content == 0) 0 else 1, e.specId, e.partition.map(_._1)))
+      .toSeq.sortBy { case ((c, sid, names), _) => (c, sid, names.mkString(",")) }
+    val manifests = groups.zipWithIndex.map { case (((c, sid, _), es), i) =>
+      val f = freshFile(m, s"manifest-$newId-$c-s$sid-g$i.avro")
+      IcebergLayoutWriter.writeManifest(f, es)
+      (f, c, sid)
+    }
+    val newList = freshFile(m, s"snap-$newId-manifest-list.avro")
+    IcebergLayoutWriter.appendManifestList(newList, listFile, manifests, newId)
+    // summary: added counts are exact; running totals extend the
+    // previous snapshot's summary when it carries them (this layout's
+    // own commits do), else they are omitted rather than guessed
+    val dataAdded = stamped.filter(_.content == 0)
+    val prevTotals = snapshotSummaries(spark, tableDir)
+      .find(_._1 == curId).map(_._3).getOrElse(Map.empty)
+    def tot(key: String, delta: Long): Seq[(String, String)] =
+      prevTotals.get(key).flatMap(v => v.toLongOption)
+        .map(p => Seq(key -> (p + delta).toString)).getOrElse(Nil)
+    val summary: Seq[(String, String)] = Seq(
+      "operation" -> "append",
+      "added-data-files" -> dataAdded.size.toString,
+      "added-records" -> dataAdded.map(_.recordCount).sum.toString,
+      "added-delete-files" -> stamped.count(_.content != 0).toString) ++
+      tot("total-data-files", dataAdded.size) ++
+      tot("total-records", dataAdded.map(_.recordCount).sum) ++
+      tot("total-delete-files", stamped.count(_.content != 0))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    writeMetadataVersion(spark, tableDir,
+      snapshotsFromBase(base, tableDir) :+
+        Snap(newId, newList.getAbsolutePath, Some(summary)),
+      newId, movedRefs, base)
+    newId
+  }
 
   /** Zero-copy table CLONE (Iceberg's `snapshot` procedure): the target
     * is born with ONE snapshot referencing the SOURCE's current live
