@@ -235,6 +235,63 @@ object Queries14 {
                 |FROM $cat.ns.docs
                 |WHERE meta.nwords >= 5
                 |GROUP BY meta.src ORDER BY source""".stripMargin)
+    },
+
+    // ---- ALTER COLUMN TYPE widening (Iceberg's safe promotions:
+    // int->long, float->double — metadata-only, old files keep their
+    // narrow physical types and readers widen per value): 1995 lands as
+    // INT keys, the column widens to BIGINT, 1996 lands wide, and a
+    // DELETE through the widened type spans both physical widths via
+    // the declared-schema MOR read. Pinned in-query: pre-ALTER files
+    // carried verbatim, and the old file's parquet footer still says
+    // int32. The rollup is recomputed by DuckDB from predicate algebra
+    // — a value lost or mis-widened in either generation breaks the
+    // hash.
+    "q258_sql_type_widening" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q258wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wd")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wd.ord")
+      s.sql(s"CREATE TABLE $cat.wd.ord " +
+        "(okey INT, price INT, mon BIGINT) USING `graft-iceberg`")
+      t(dir, "orders").createOrReplaceTempView("q258_src")
+      s.sql(s"""INSERT INTO $cat.wd.ord
+               |SELECT CAST(o_orderkey AS INT),
+               |       CAST(FLOOR(o_totalprice) AS INT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q258_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val tdir = s"${wh.getPath}/wd/ord"
+      def files(): Set[String] = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      val before = files()
+      s.sql(s"ALTER TABLE $cat.wd.ord ALTER COLUMN okey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.wd.ord ALTER COLUMN price TYPE BIGINT")
+      require(before.subsetOf(files()),
+        "ALTER COLUMN TYPE must not rewrite pre-evolution files")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          before.head.replaceFirst("^file:/+", "/")),
+        s.sparkContext.hadoopConfiguration)
+      val rr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val pfs = try rr.getFooter.getFileMetaData.getSchema finally rr.close()
+      require(pfs.getFields.get(pfs.getFieldIndex("okey"))
+        .asPrimitiveType().getPrimitiveTypeName.toString == "INT32",
+        "pre-ALTER file must physically keep the NARROW type")
+      s.sql(s"""INSERT INTO $cat.wd.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q258_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      // DML through the widened type: both physical widths in one MOR
+      s.sql(s"DELETE FROM $cat.wd.ord WHERE price >= 400000")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.wd.ord GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -278,5 +335,18 @@ object Queries14 {
         |  CAST(sum(nwords) AS BIGINT) AS sum_words,
         |  CAST(min(doc_id) AS BIGINT) AS min_doc
         |FROM src WHERE nwords >= 5
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q258_sql_type_widening" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src WHERE price < 400000
+        |GROUP BY mon ORDER BY mon""".stripMargin)
 }

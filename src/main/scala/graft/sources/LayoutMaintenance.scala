@@ -1237,7 +1237,8 @@ object LayoutMaintenance {
   def commitDeleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil,
-      renames: Map[String, Seq[String]] = Map.empty): (Long, Long) =
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     import spark.implicits._
     val base = metaBase(spark, tableDir)
@@ -1249,7 +1250,8 @@ object LayoutMaintenance {
       carried.map(_.sequenceNumber.longValue)).max + 1
     // reject-sized by contract (same as the DV twin): collect once so the
     // ordinal-less guard fires BEFORE any tombstone byte is written
-    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys, renames)
+    val hitRows = MorRead
+      .readTableLineage(spark, tableDir, eqKeys, renames, dataSchema)
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect()
@@ -1284,7 +1286,8 @@ object LayoutMaintenance {
   def commitDeleteWhereDv(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil,
-      renames: Map[String, Seq[String]] = Map.empty): (Long, Long) =
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
@@ -1293,7 +1296,8 @@ object LayoutMaintenance {
     val carried = carriedEntries(spark, tableDir, curId)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    val hitRows = MorRead.readTableLineage(spark, tableDir, eqKeys, renames)
+    val hitRows = MorRead
+      .readTableLineage(spark, tableDir, eqKeys, renames, dataSchema)
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect() // reject-sized, same contract as commitDeleteWhere
@@ -1339,7 +1343,8 @@ object LayoutMaintenance {
   def commitDeleteWhereCow(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil,
-      renames: Map[String, Seq[String]] = Map.empty): (Long, Long) =
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) =
       commitLock(tableDir).synchronized {
     // replace-shaped: which files get rewritten is decided against THIS
     // base — a version conflict fails loudly (no retry), Iceberg's own
@@ -1350,7 +1355,8 @@ object LayoutMaintenance {
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
     val hasTombstones = carried.exists(_.content != 0)
-    val lineage = MorRead.readTableLineage(spark, tableDir, eqKeys, renames)
+    val lineage = MorRead.readTableLineage(spark, tableDir, eqKeys,
+      renames, dataSchema)
     if (lineage.isEmpty) return (curId, 0L)
     // DELETE removes rows where the predicate is TRUE; null keeps
     val keep = not(coalesce(predicate, lit(false)))
@@ -1462,7 +1468,8 @@ object LayoutMaintenance {
     * (newSnapshotId, rowsRewritten, filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String], sortCols: Seq[String] = Nil,
-      renames: Map[String, Seq[String]] = Map.empty)
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : (Long, Long, Int, Int) = commitLock(tableDir).synchronized {
     val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
@@ -1489,7 +1496,8 @@ object LayoutMaintenance {
     val filesBefore = carried.count(_.content == 0)
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
-    val state = MorRead.readTable(spark, tableDir, effKeys, renames)
+    val state = MorRead.readTable(spark, tableDir, effKeys, renames,
+      dataSchema)
     val order = if (sortCols.nonEmpty) sortCols else effKeys
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val rw = freshFile(dataDir, s"rewrite-$newId.parquet")

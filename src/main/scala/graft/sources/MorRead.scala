@@ -94,8 +94,10 @@ object MorRead {
     */
   def readTable(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String] = Nil,
-      renames: Map[String, Seq[String]] = Map.empty): DataFrame =
-    readTableLineage(spark, tableDir, eqKeys, renames)
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    readTableLineage(spark, tableDir, eqKeys, renames, dataSchema)
       .drop("file_path", "pos", "data_seq")
 
   /** [[readTable]] keeping the row lineage columns (`file_path`, `pos`,
@@ -109,11 +111,34 @@ object MorRead {
     *   each name generation into the current column (a file holds
     *   exactly one generation, so the fold is a coalesce). Empty map =
     *   the untouched fast path. */
+  /** @param dataSchema the table's DECLARED data schema (no lineage /
+    *   metadata columns) when known — catalog tables pass it. With a
+    *   declared schema the parquet read binds by name against it and
+    *   Spark's reader WIDENS narrow physical types per value (the
+    *   int->long / float->double ALTER COLUMN promotions), and rename
+    *   aliases read as extra typed columns instead of a schema-merge
+    *   pass. Without it, inference (+ mergeSchema when renames exist)
+    *   as before. */
   def readTableLineage(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String] = Nil,
-      renames: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import spark.implicits._
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    // declared-schema read: current columns at their DECLARED (possibly
+    // widened) types, plus one column per recorded FORMER name typed
+    // like its current column — a file binds whichever generation it
+    // physically has, the others null-fill, and foldAliases collapses
+    val readSchema: Option[org.apache.spark.sql.types.StructType] =
+      dataSchema.map { s =>
+        val aliasCols = renames.toSeq.flatMap { case (cur, olds) =>
+          s.fields.find(_.name == cur).toSeq.flatMap(f =>
+            olds.filterNot(s.fieldNames.contains)
+              .map(a => f.copy(name = a)))
+        }
+        org.apache.spark.sql.types.StructType(s.fields ++ aliasCols)
+      }
     def foldAliases(df: DataFrame): DataFrame =
       renames.foldLeft(df) { case (d, (cur, olds)) =>
         val have = d.columns.toSet
@@ -147,16 +172,20 @@ object MorRead {
       else metadataEqKeys(spark, tableDir)
 
     def withSeq(paths: Array[(String, Int, Long, String)], seqName: String,
-        orc: Boolean = false): DataFrame = {
+        orc: Boolean = false, declared: Boolean = false): DataFrame = {
       val seqDf = paths.map { case (p, _, s, _) => (p, s) }.toSeq.toDF("__fp", seqName)
       val raw =
         if (orc) spark.read.orc(paths.map(_._1).toIndexedSeq: _*)
-        else if (renames.isEmpty)
-          spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
-        // renamed tables: merge the name generations into one schema,
-        // then fold each generation into its current column below
-        else spark.read.option("mergeSchema", "true")
-          .parquet(paths.map(_._1).toIndexedSeq: _*)
+        else readSchema match {
+          case Some(s) if declared => spark.read.schema(s)
+            .parquet(paths.map(_._1).toIndexedSeq: _*)
+          case _ if renames.isEmpty =>
+            spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
+          // renamed tables without a declared schema: merge the name
+          // generations into one schema, then fold below
+          case _ => spark.read.option("mergeSchema", "true")
+            .parquet(paths.map(_._1).toIndexedSeq: _*)
+        }
       foldAliases(raw)
         .withColumn("__own", normCol(col("_metadata.file_path")))
         .join(broadcast(seqDf), col("__own") === col("__fp"))
@@ -173,7 +202,7 @@ object MorRead {
     val (orcData, parqData) = dataFiles.partition(e => orcPaths.contains(e._1))
     val parq =
       if (parqData.isEmpty) None
-      else Some(withSeq(parqData, "data_seq")
+      else Some(withSeq(parqData, "data_seq", declared = true)
         .withColumn("file_path", normCol(col("_metadata.file_path")))
         .withColumn("pos", col("_metadata.row_index")))
     val orc =

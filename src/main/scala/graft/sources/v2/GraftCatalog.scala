@@ -293,6 +293,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           _.name == c.fieldNames()(0)))
         ids = ids.filterNot(_.name == c.fieldNames()(0))
         p
+      case (p, c: TableChange.UpdateColumnType) =>
+        require(c.fieldNames().length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level columns only")
+        val name = c.fieldNames()(0)
+        val cur = schema.fields.find(_.name == name).getOrElse(sys.error(
+          s"graft catalog: no column $name to alter"))
+        // Iceberg's safe type promotions ONLY (spec "Schema Evolution"):
+        // int -> long, float -> double. Old files keep their narrow
+        // physical type; readers widen per value — never a rewrite.
+        val ok = (cur.dataType, c.newDataType()) match {
+          case (org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.FloatType,
+            org.apache.spark.sql.types.DoubleType) => true
+          case (a, b) => a == b
+        }
+        require(ok,
+          s"graft catalog: cannot alter $name from ${cur.dataType.sql} to " +
+            s"${c.newDataType().sql} — only widening promotions " +
+            "(INT->BIGINT, FLOAT->DOUBLE) are metadata-only safe")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = c.newDataType()) else f))
+        p
       case (p, c: TableChange.RenameColumn) =>
         require(c.fieldNames().length == 1,
           "graft catalog: RENAME COLUMN supports top-level columns only")

@@ -285,7 +285,10 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, dir, pred,
-      renames = GraftCatalog.aliasesOf(schema))
+      renames = GraftCatalog.aliasesOf(schema),
+      // declared schema: binds old files' narrow/renamed physical
+      // columns to the current types (widening + alias folding)
+      dataSchema = Some(schema))
   }
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —
@@ -1511,6 +1514,11 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   // the column's PHYSICAL name in THIS file — differs from the table
   // name for files written before an ALTER TABLE RENAME COLUMN
   private val physName: Array[String] = required.fields.map(_.name)
+  // the column's PHYSICAL primitive type in THIS file — narrower than
+  // the table type for files written before an ALTER COLUMN TYPE
+  // widening (int->bigint, float->double); get() widens per value
+  private val physPrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] =
+    new Array(required.length)
 
   /** Per-file column resolution, Iceberg's rule re-expressed for this
     * layout: match by NAME (the fast path — untouched columns and files
@@ -1573,6 +1581,8 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         else resolveField(fileSchema, f) match {
           case Some(t) =>
             physName(i) = t.getName
+            if (t.isPrimitive)
+              physPrim(i) = t.asPrimitiveType().getPrimitiveTypeName
             Some(GraftPartitionReader.pruneToRequired(t, f))
           case None => isAbsent(i) = true; None
         }
@@ -1638,9 +1648,19 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       else if (isAbsent(i)) row.update(i, null)
       else if (current.getFieldRepetitionCount(nm) == 0) row.update(i, null)
       else f.dataType match {
-        case LongType => row.setLong(i, current.getLong(nm, 0))
+        case LongType =>
+          // per-value widening for pre-ALTER files whose physical type
+          // is still the narrow one (Iceberg's int->long promotion)
+          if (physPrim(i) ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+            row.setLong(i, current.getInteger(nm, 0).toLong)
+          else row.setLong(i, current.getLong(nm, 0))
         case IntegerType => row.setInt(i, current.getInteger(nm, 0))
-        case DoubleType => row.setDouble(i, current.getDouble(nm, 0))
+        case DoubleType =>
+          if (physPrim(i) ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)
+            row.setDouble(i, current.getFloat(nm, 0).toDouble)
+          else row.setDouble(i, current.getDouble(nm, 0))
         case FloatType => row.setFloat(i, current.getFloat(nm, 0))
         case BooleanType => row.setBoolean(i, current.getBoolean(nm, 0))
         case StringType => row.update(i, UTF8String.fromString(current.getString(nm, 0)))

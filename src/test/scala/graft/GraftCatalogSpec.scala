@@ -582,6 +582,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     def let[B](f: A => B): B = f(a)
   }
 
+  test("ALTER COLUMN TYPE widening: old narrow files read at the new type") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.wide")
+    spark.sql("DROP TABLE IF EXISTS cattest.wide.t")
+    spark.sql("CREATE TABLE cattest.wide.t (k INT, v FLOAT, s STRING) " +
+      "USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.wide.t VALUES " +
+      "(1, CAST(1.5 AS FLOAT), 'a'), (2, CAST(2.5 AS FLOAT), 'b')")
+    val dir = new java.io.File("target/tmp-catalog-wh/wide/t")
+    val before = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir.getPath, "t", Nil)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    spark.sql("ALTER TABLE cattest.wide.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE cattest.wide.t ALTER COLUMN v TYPE DOUBLE")
+    // widening is metadata-only: pre-ALTER files carried verbatim
+    assert(before.subsetOf(graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir.getPath, "t", Nil)
+      .select("file_path").collect().map(_.getString(0)).toSet))
+    // post-ALTER inserts land wide; reads span both physical widths
+    spark.sql("INSERT INTO cattest.wide.t VALUES " +
+      "(3000000000, CAST(3.5 AS DOUBLE), 'c')") // > Int.MaxValue
+    val got = spark.sql(
+      "SELECT k, v, s FROM cattest.wide.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 1.5, "a"), (2L, 2.5, "b"),
+      (3000000000L, 3.5, "c")))
+    // DML through the widened type takes the MOR path with the declared
+    // schema (old int32 file widened per value)
+    spark.sql("DELETE FROM cattest.wide.t WHERE k >= 2 AND k < 3")
+    assert(spark.sql("SELECT sum(k) FROM cattest.wide.t").head.getLong(0) ==
+      3000000001L)
+    // narrowing is refused (Spark's analyzer or the catalog guard —
+    // either way the statement fails and the schema stands)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.wide.t ALTER COLUMN k TYPE INT")
+    }
+    assert(spark.sql("SELECT k FROM cattest.wide.t WHERE k > 5").head
+      .getLong(0) == 3000000000L, "schema must stay BIGINT after refusal")
+  }
+
   test("write.branch: INSERT stages onto a branch, head isolated until fast_forward") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.wapsql")
     spark.sql("DROP TABLE IF EXISTS cattest.wapsql.t")
