@@ -284,11 +284,17 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     val pred = filters.toSeq.flatMap(GraftIcebergSource.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // declared schema: binds old files' narrow/renamed physical columns
+    // to the current types (widening + alias folding). Field-id METADATA
+    // is stripped: with spark.sql.parquet.fieldId.read enabled a
+    // metadata-carrying requested schema would demand embedded ids from
+    // every file, and add_files-imported foreign files have none — the
+    // MOR bind here is by name, ids are the CONNECTOR reader's concern.
+    val plain = org.apache.spark.sql.types.StructType(schema.fields.map(
+      _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, dir, pred,
       renames = GraftCatalog.aliasesOf(schema),
-      // declared schema: binds old files' narrow/renamed physical
-      // columns to the current types (widening + alias folding)
-      dataSchema = Some(schema))
+      dataSchema = Some(plain))
   }
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —

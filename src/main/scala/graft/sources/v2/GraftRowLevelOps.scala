@@ -161,7 +161,11 @@ private[v2] class GraftCowBatchWrite(op: GraftRowLevelOperation,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(dir, schema, s"cow-$queryId",
-      table.writeStatFields, partCols)
+      table.writeStatFields, partCols,
+      // replacement files keep the table's stable field ids embedded,
+      // same as an INSERT — a rewrite must not erase rename-by-id
+      // resolution for the rows it carries forward
+      fieldIds = GraftCatalog.fieldIdsOf(table.schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = GraftIcebergWrite.entriesOf(messages)
