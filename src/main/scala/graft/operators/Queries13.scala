@@ -317,8 +317,8 @@ object Queries13 {
     // `.orc` files, format recorded in the manifest and dispatched by
     // the reader), and one equality-delete commit whose key tombstones
     // apply to BOTH formats (eq deletes are key-matched, so they need
-    // no row ordinals — position deletes, which do, are refused against
-    // ORC files by a metadata-sized guard). The read back resolves the
+    // no row ordinals — position deletes, which do, route targeted ORC
+    // files through the ordinal-carrying scan: q259). The read back resolves the
     // delete keys from the manifests' spec `equality_ids`. The oracle
     // recomputes from the raw parquet sources — the match proves the
     // ORC write/read round trip and the cross-format MOR application.

@@ -292,6 +292,66 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.wd.ord GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- ORC POSITION DELETES (the last row-level gap on mixed-format
+    // tables): Spark's ORC reader exposes no row-index metadata column,
+    // so ORC ordinals come from the ORC reader's OWN row accounting
+    // ([[graft.sources.OrcPosRead]], stripe-parallel — Iceberg's own ORC
+    // readers derive `pos` the same way). One parquet slice + one ORC
+    // slice; a predicate DELETE writes position tombstones spanning BOTH
+    // formats, a second DELETE commits a deletion vector — and only the
+    // ORC files the predicate matches pay the ordinal-carrying scan
+    // (pinned in-query: the tombstone file really targets the .orc
+    // file, so the query can't silently degrade to parquet-only). The
+    // read-back applies both tombstone kinds across both formats; the
+    // oracle recomputes survivors from predicate algebra alone.
+    "q259_orc_position_delete" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val li = t(dir, "lineitem").select(col("l_orderkey").as("k"),
+        col("l_partkey").as("pk"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val tbl = TmpFixture.dir("q259", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      val pf = new java.io.File(dataDir, "slice-a.parquet")
+      val nP = IcebergLayoutWriter.writeSingleParquet(
+        li.filter(col("k") % 4 === 1).sort(col("k"), col("pk"), col("qty")), pf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
+        status = 1, content = 0, filePath = pf.getAbsolutePath,
+        recordCount = nP, sizeBytes = pf.length(), sequenceNumber = 1L)))
+      val of = new java.io.File(dataDir, "slice-b.orc")
+      val nO = IcebergLayoutWriter.writeSingleOrc(
+        li.filter(col("k") % 4 === 2).sort(col("k"), col("pk"), col("qty")), of)
+      require(nO > 0, "ORC slice must be non-empty")
+      LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
+        status = 1, content = 0, filePath = of.getAbsolutePath,
+        recordCount = nO, sizeBytes = of.length(), fileFormat = "ORC")))
+      // position-tombstone DELETE hitting rows in BOTH formats
+      val (_, nDel1) = LayoutMaintenance.commitDeleteWhere(
+        s, tbl.getPath, col("qty") < 10)
+      require(nDel1 > 0, "predicate must match rows")
+      // the tombstone file must really target the ORC file — otherwise
+      // this query proves nothing about ORC ordinals
+      val tombTargets = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .filter(col("content") === 1)
+        .select(col("file_path")).collect().map(_.getString(0))
+        .flatMap(p => s.read.parquet(p.replaceFirst("^file:/+", "/"))
+          .select(col("file_path")).distinct().collect().map(_.getString(0)))
+        .toSet
+      require(tombTargets.exists(_.endsWith(".orc")),
+        s"tombstones must target the ORC file, got $tombTargets")
+      // second DELETE as a DELETION VECTOR (v3 shape), same MOR read path
+      val (_, nDel2) = LayoutMaintenance.commitDeleteWhereDv(
+        s, tbl.getPath, col("pk") % 9 === 0)
+      require(nDel2 > 0, "DV predicate must match rows")
+      MorRead.readTable(s, tbl.getPath)
+        .groupBy((col("qty") % 7).as("band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("pk")).as("sum_pk"),
+          min(col("k")).as("min_k"))
+        .orderBy(col("band"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -348,5 +408,15 @@ object Queries14 {
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src WHERE price < 400000
-        |GROUP BY mon ORDER BY mon""".stripMargin)
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q259_orc_position_delete" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS k, l_partkey AS pk,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 4 IN (1, 2)),
+        |live AS (SELECT * FROM src WHERE NOT (qty < 10) AND NOT (pk % 9 = 0))
+        |SELECT qty % 7 AS band, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk, CAST(min(k) AS BIGINT) AS min_k
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)
 }

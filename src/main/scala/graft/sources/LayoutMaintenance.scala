@@ -1217,11 +1217,12 @@ object LayoutMaintenance {
     * already equality-deleted can be re-matched (wasted tombstones) and
     * the deleted-row count over-reports. Pass the equality keys whenever
     * content==2 files are live. Returns (newSnapshotId, rowsDeleted). */
-  /** Position-style deletes require a row ordinal; ORC rows in this
-    * layout carry none ([[MorRead]] surfaces them with pos = NULL). A
-    * tombstone/DV write that let NULL positions through would COMMIT —
-    * and every later MOR read would then fail its ORC-tombstone guard,
-    * leaving the table unreadable until a rewrite. Shared by the
+  /** Position-style deletes require a row ordinal. ORC files whose rows
+    * match the predicate read with real ordinals via
+    * [[MorRead.orcFilesMatching]] + [[OrcPosRead]], so this guard is
+    * normally unreachable — it stays as the BACKSTOP: a tombstone/DV
+    * write that let a NULL position through would COMMIT, and later MOR
+    * reads would silently keep the row the user deleted. Shared by the
     * parquet-tombstone and deletion-vector delete paths: refuse at the
     * WRITE. */
   private def requireOrdinals(hitRows: Array[org.apache.spark.sql.Row],
@@ -1249,9 +1250,13 @@ object LayoutMaintenance {
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     // reject-sized by contract (same as the DV twin): collect once so the
-    // ordinal-less guard fires BEFORE any tombstone byte is written
+    // ordinal-less backstop fires BEFORE any tombstone byte is written.
+    // ORC files with predicate matches are prefiltered so exactly they
+    // read with real row ordinals ([[OrcPosRead]]) — position deletes
+    // apply to both data formats.
     val hitRows = MorRead
-      .readTableLineage(spark, tableDir, eqKeys, renames, dataSchema)
+      .readTableLineage(spark, tableDir, eqKeys, renames, dataSchema,
+        orcPosPaths = MorRead.orcFilesMatching(spark, tableDir, predicate))
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect()
@@ -1297,7 +1302,8 @@ object LayoutMaintenance {
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     val hitRows = MorRead
-      .readTableLineage(spark, tableDir, eqKeys, renames, dataSchema)
+      .readTableLineage(spark, tableDir, eqKeys, renames, dataSchema,
+        orcPosPaths = MorRead.orcFilesMatching(spark, tableDir, predicate))
       .filter(predicate)
       .select(col("file_path"), col("pos"))
       .collect() // reject-sized, same contract as commitDeleteWhere

@@ -119,10 +119,19 @@ object MorRead {
     *   aliases read as extra typed columns instead of a schema-merge
     *   pass. Without it, inference (+ mergeSchema when renames exist)
     *   as before. */
+  /** @param orcPosPaths normalized paths of ORC data files that must
+    *   read WITH row ordinals via [[OrcPosRead]] (a slower scan with no
+    *   pushdown) — position-delete WRITERS pass the files whose rows
+    *   match their predicate. ORC files that live position tombstones /
+    *   deletion vectors target are added automatically: their rows need
+    *   real positions for the tombstones to apply. Every other ORC file
+    *   keeps Spark's native scan with pos = NULL (a null pos never
+    *   equi-matches a tombstone, so the fast path stays sound). */
   def readTableLineage(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String] = Nil,
       renames: Map[String, Seq[String]] = Map.empty,
-      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      orcPosPaths: Set[String] = Set.empty)
       : DataFrame = {
     import spark.implicits._
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
@@ -192,34 +201,12 @@ object MorRead {
         .drop("__own", "__fp")
     }
 
-    // Mixed-format data: parquet files carry their row ordinal
-    // (`_metadata.row_index` — the spec's `pos`); ORC files have no
-    // row-index metadata column in this Spark, so their rows read with a
-    // NULL pos. That is sound ONLY while no position tombstone targets an
-    // ORC file (a null pos never equi-matches a tombstone), which the
-    // guard below enforces from the tombstones' own contents — equality
-    // deletes are key-matched and apply to both formats unchanged.
-    val (orcData, parqData) = dataFiles.partition(e => orcPaths.contains(e._1))
-    val parq =
-      if (parqData.isEmpty) None
-      else Some(withSeq(parqData, "data_seq", declared = true)
-        .withColumn("file_path", normCol(col("_metadata.file_path")))
-        .withColumn("pos", col("_metadata.row_index")))
-    val orc =
-      if (orcData.isEmpty) None
-      else Some(withSeq(orcData, "data_seq", orc = true)
-        .withColumn("file_path", normCol(col("_metadata.file_path")))
-        .withColumn("pos", lit(null).cast("long")))
-    val data = (parq, orc) match {
-      case (Some(p), Some(o)) => p.unionByName(o)
-      case (Some(p), None) => p
-      case (None, Some(o)) => o
-      case (None, None) => return spark.emptyDataFrame
-    }
     // DELETION VECTORS (fileFormat=PUFFIN content=1 entries) decode
     // driver-side into the same (file_path, pos, seq) tombstone relation
     // as parquet pos-delete files — one blob per target, reject-sized by
-    // the delete-commit contract — and apply identically downstream
+    // the delete-commit contract — and apply identically downstream.
+    // Tombstones resolve BEFORE the data arms: the set of ORC files they
+    // target decides which ORC files must read with real row ordinals.
     val (dvFiles, parqPosFiles) = posFiles.partition(_._4 == "PUFFIN")
     val dvTomb: Option[DataFrame] =
       if (dvFiles.isEmpty) None
@@ -229,35 +216,98 @@ object MorRead {
             case (target, poss) => poss.map(pos => (norm(target), pos, seq))
           }
       }).toDF("file_path", "pos", "seq"))
-    val afterPos =
-      if (parqPosFiles.isEmpty && dvTomb.isEmpty) data
-      else {
-        val parqTomb: Option[DataFrame] =
-          if (parqPosFiles.isEmpty) None
-          else Some(withSeq(parqPosFiles, "seq")
-            .select(normCol(col("file_path")).as("file_path"),
-              col("pos"), col("seq")))
-        val tomb = (parqTomb, dvTomb) match {
-          case (Some(a), Some(b)) => a.unionByName(b)
-          case (Some(a), None) => a
-          case (None, Some(b)) => b
-          case (None, None) => sys.error("unreachable: both empty")
-        }
-        if (orcData.nonEmpty) {
+    val parqTomb: Option[DataFrame] =
+      if (parqPosFiles.isEmpty) None
+      else Some(withSeq(parqPosFiles, "seq")
+        .select(normCol(col("file_path")).as("file_path"),
+          col("pos"), col("seq")))
+    val tomb: Option[DataFrame] = (parqTomb, dvTomb) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+
+    // Mixed-format data: parquet files carry their row ordinal natively
+    // (`_metadata.row_index` — the spec's `pos`); Spark's ORC reader has
+    // no row-index metadata column, so ORC files split two ways:
+    //   - files a tombstone targets, or the caller names in
+    //     `orcPosPaths` (a delete writer's predicate matches), read via
+    //     [[OrcPosRead]] — the ORC reader's own row accounting supplies
+    //     the ordinal, stripe-parallel;
+    //   - every other ORC file keeps the native codegen'd scan with a
+    //     NULL pos (never equi-matches a tombstone — sound and fast).
+    val (orcData, parqData) = dataFiles.partition(e => orcPaths.contains(e._1))
+    val targetedOrc: Set[String] =
+      if (orcData.isEmpty) Set.empty
+      else tomb match {
+        case None => Set.empty
+        case Some(tdf) =>
           // file-count-sized distinct, not row-sized
-          val targeted = tomb.select(col("file_path")).distinct()
-            .collect().map(_.getString(0)).toSet
-          val hit = targeted.intersect(orcPaths)
-          require(hit.isEmpty,
-            s"readTable($tableDir): position tombstones target ORC data " +
-              s"files ${hit.take(3).mkString(", ")} — ORC rows carry no " +
-              "row ordinal, so position deletes cannot apply; rewrite the " +
-              "file to parquet or use equality deletes")
-        }
-        applyPosDeletes(data, tomb)
+          tdf.select(col("file_path")).distinct()
+            .collect().map(_.getString(0)).toSet.intersect(orcPaths)
       }
+    val needPos = (orcPosPaths.map(norm) ++ targetedOrc).intersect(orcPaths)
+    val (orcPosData, orcFastData) = orcData.partition(e => needPos(e._1))
+    val parq =
+      if (parqData.isEmpty) None
+      else Some(withSeq(parqData, "data_seq", declared = true)
+        .withColumn("file_path", normCol(col("_metadata.file_path")))
+        .withColumn("pos", col("_metadata.row_index")))
+    val orcFast =
+      if (orcFastData.isEmpty) None
+      else Some(withSeq(orcFastData, "data_seq", orc = true)
+        .withColumn("file_path", normCol(col("_metadata.file_path")))
+        .withColumn("pos", lit(null).cast("long")))
+    val orcPos =
+      if (orcPosData.isEmpty) None
+      else {
+        val seqDf = orcPosData.map { case (p, _, sq, _) => (p, sq) }
+          .toSeq.toDF("__fp", "data_seq")
+        Some(foldAliases(OrcPosRead.readWithPos(spark, orcPosData.map(_._1).toSeq))
+          .join(broadcast(seqDf), col("file_path") === col("__fp"))
+          .drop("__fp"))
+      }
+    val data = Seq(parq, orcFast, orcPos).flatten
+      .reduceOption(_ unionByName _)
+      .getOrElse(return spark.emptyDataFrame)
+    val afterPos = tomb match {
+      case None => data
+      case Some(t) => applyPosDeletes(data, t)
+    }
     if (eqFiles.isEmpty || resolvedEqKeys.isEmpty) afterPos
     else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), resolvedEqKeys)
+  }
+
+  /** ORC data files in the current snapshot whose rows MATCH
+    * `predicate` — the file set a position-delete writer passes as
+    * [[readTableLineage]]'s `orcPosPaths` so exactly those files (and no
+    * others) pay the ordinal-carrying scan. Evaluating the predicate
+    * over the raw (un-tombstoned) ORC rows is a SUPERSET of matches in
+    * the MOR state — tombstones only remove rows — so the set can
+    * over-select a file but never miss one. Spark's native ORC scan
+    * runs it, so filter pushdown applies and the cost is a filtered
+    * pass over the ORC slice only. A predicate that doesn't resolve
+    * against the physical ORC schema (renamed/widened columns the fold
+    * normally bridges) falls back to ALL ORC files — correct, just not
+    * minimal. */
+  def orcFilesMatching(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Set[String] = {
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val orcPaths = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil)
+      .select(col("file_path"), col("content"), col("file_format"))
+      .collect() // metadata-sized: one row per FILE
+      .filter(r => r.getInt(1) == 0 && r.getString(2) == "ORC")
+      .map(r => norm(r.getString(0)))
+    if (orcPaths.isEmpty) Set.empty
+    else try {
+      spark.read.orc(orcPaths.toIndexedSeq: _*)
+        .filter(predicate)
+        .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+          .as("fp"))
+        .distinct().collect().map(_.getString(0)).toSet
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => orcPaths.toSet
+    }
   }
 
   /** The equality-delete KEY COLUMN NAMES a table's metadata declares:

@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.ql.exec.vector._
+import org.apache.orc.{OrcFile, TypeDescription}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Distributed ORC scan that surfaces each row's ORDINAL within its file
+  * — the Iceberg spec's `pos` for position deletes (spec "Row-level
+  * deletes": positions count rows in the data file, in file order).
+  *
+  * Spark's own ORC reader exposes no `_metadata.row_index` (only the
+  * parquet format overrides `metadataSchemaFields` with a row-index
+  * field in this Spark), so MOR reads over ORC data files could not
+  * apply position tombstones. Iceberg's ORC readers solve this with the
+  * ORC reader's OWN row accounting — `RecordReader.getRowNumber()`
+  * returns the absolute ordinal of the next row, exact even when a read
+  * starts mid-file — and this scan does the same, Spark-first:
+  *
+  *   - the DRIVER reads only file tails (metadata-sized): one task per
+  *     STRIPE, carrying (path, stripeOffset, stripeLength), so a 100 TB
+  *     table's ORC files parallelize at the same granularity Spark's
+  *     split planning would give them, with no row-count prefix sums to
+  *     coordinate — the ordinal comes from the reader, not the task;
+  *   - each TASK opens its file, restricts the read to its stripe's
+  *     byte range (`Reader.Options.range` reads exactly the stripes
+  *     whose first byte falls inside), and streams vectorized batches,
+  *     stamping `pos = getRowNumber() + i` per row.
+  *
+  * Used by [[MorRead]] only for ORC files that position tombstones /
+  * deletion vectors actually target, and by the position-delete writers
+  * for ORC files whose rows match the predicate — untargeted files keep
+  * Spark's native (codegen'd, pushdown-capable) ORC scan with a null
+  * pos. This reader carries no filter pushdown, so callers prefilter
+  * the FILE SET, never route a whole table through it.
+  */
+object OrcPosRead {
+
+  /** Spark type for an ORC scalar category. Nested categories are
+    * refused: ORC data files in this layout are written from flat
+    * relations ([[IcebergLayoutWriter.writeSingleOrc]]); a nested ORC
+    * file reaching the POSITION path would need field-id projection
+    * this dialect only implements for parquet. */
+  private[sources] def sparkType(td: TypeDescription): DataType = {
+    import TypeDescription.Category._
+    td.getCategory match {
+      case BOOLEAN => BooleanType
+      case BYTE => ByteType
+      case SHORT => ShortType
+      case INT => IntegerType
+      case LONG => LongType
+      case FLOAT => FloatType
+      case DOUBLE => DoubleType
+      case STRING | VARCHAR | CHAR => StringType
+      case BINARY => BinaryType
+      case DATE => DateType
+      case TIMESTAMP | TIMESTAMP_INSTANT => TimestampType
+      case DECIMAL => DecimalType(td.getPrecision, td.getScale)
+      case other => sys.error(
+        s"OrcPosRead: unsupported ORC column category $other — " +
+          "position-delete reads support flat scalar ORC schemas")
+    }
+  }
+
+  /** One row value out of a column vector, Spark external-Row typed.
+    * Handles the vector contract: `isRepeating` collapses the whole
+    * batch to index 0, nulls are flagged only when `noNulls` is unset. */
+  private def valueAt(vec: ColumnVector, row: Int, td: TypeDescription): Any = {
+    val i = if (vec.isRepeating) 0 else row
+    if (!vec.noNulls && vec.isNull(i)) null
+    else {
+      import TypeDescription.Category._
+      (td.getCategory, vec) match {
+        case (BOOLEAN, v: LongColumnVector) => v.vector(i) != 0L
+        case (BYTE, v: LongColumnVector) => v.vector(i).toByte
+        case (SHORT, v: LongColumnVector) => v.vector(i).toShort
+        case (INT, v: LongColumnVector) => v.vector(i).toInt
+        case (LONG, v: LongColumnVector) => v.vector(i)
+        case (DATE, v: LongColumnVector) =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.vector(i)))
+        case (FLOAT, v: DoubleColumnVector) => v.vector(i).toFloat
+        case (DOUBLE, v: DoubleColumnVector) => v.vector(i)
+        case (STRING | VARCHAR | CHAR, v: BytesColumnVector) =>
+          new String(v.vector(i), v.start(i), v.length(i),
+            java.nio.charset.StandardCharsets.UTF_8)
+        case (BINARY, v: BytesColumnVector) =>
+          java.util.Arrays.copyOfRange(v.vector(i), v.start(i),
+            v.start(i) + v.length(i))
+        case (TIMESTAMP | TIMESTAMP_INSTANT, v: TimestampColumnVector) =>
+          val ts = new java.sql.Timestamp(v.time(i)); ts.setNanos(v.nanos(i)); ts
+        case (DECIMAL, v: DecimalColumnVector) =>
+          v.vector(i).getHiveDecimal.bigDecimalValue()
+        case (cat, v) => sys.error(
+          s"OrcPosRead: vector ${v.getClass.getSimpleName} for category $cat")
+      }
+    }
+  }
+
+  /** Read `paths` (absolute, scheme-normalized) with columns
+    * `<file's data columns> + file_path(string) + pos(long)`. All files
+    * must share one flat scalar schema (they come from one table's
+    * manifest entries). Empty input → empty frame with no schema to
+    * infer, so callers guard. */
+  def readWithPos(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "OrcPosRead.readWithPos: empty file list")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // driver: file tails only — schema agreement + stripe ranges
+    val perFile: Seq[(String, Seq[(Long, Long)], String)] = paths.map { p =>
+      val r = OrcFile.createReader(new Path(p),
+        OrcFile.readerOptions(conf.value))
+      try {
+        import scala.jdk.CollectionConverters._
+        val stripes = r.getStripes.asScala.toSeq
+          .map(s => (s.getOffset, s.getLength))
+        (p, stripes, r.getSchema.toString)
+      } finally r.close()
+    }
+    val schemaStr = perFile.head._3
+    val disagree = perFile.filter(_._3 != schemaStr).map(_._1)
+    require(disagree.isEmpty,
+      s"OrcPosRead: files disagree on schema: ${disagree.take(3).mkString(", ")}")
+    val td = TypeDescription.fromString(schemaStr)
+    import scala.jdk.CollectionConverters._
+    val fieldTds = td.getChildren.asScala.toSeq
+    val names = td.getFieldNames.asScala.toSeq
+    val sparkSchema = StructType(
+      names.zip(fieldTds).map { case (n, t) =>
+        StructField(n, sparkType(t), nullable = true) } ++
+        Seq(StructField("file_path", StringType, nullable = false),
+          StructField("pos", LongType, nullable = false)))
+    val tasks: Seq[(String, Long, Long)] = perFile.flatMap {
+      case (p, stripes, _) => stripes.map { case (off, len) => (p, off, len) }
+    }
+    val n = math.max(1, math.min(tasks.size,
+      spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(tasks, n).flatMap {
+      case (path, off, len) =>
+        val reader = OrcFile.createReader(new Path(path),
+          OrcFile.readerOptions(conf.value))
+        val fileTd = reader.getSchema
+        val cols = fileTd.getChildren.asScala.toSeq
+        val rr = reader.rows(reader.options.range(off, len))
+        val batch = fileTd.createRowBatch()
+        new Iterator[Row] {
+          private var base = 0L
+          private var i = 0
+          private var nRows = 0
+          private var open = true
+          private def fill(): Unit = {
+            base = rr.getRowNumber // absolute ordinal of the batch head
+            if (rr.nextBatch(batch)) { nRows = batch.size; i = 0 }
+            else { nRows = 0; rr.close(); reader.close(); open = false }
+          }
+          fill()
+          override def hasNext: Boolean = open && i < nRows
+          override def next(): Row = {
+            val vals = new Array[Any](cols.size + 2)
+            var c = 0
+            while (c < cols.size) {
+              vals(c) = valueAt(batch.cols(c), i, cols(c)); c += 1
+            }
+            vals(cols.size) = path
+            vals(cols.size + 1) = base + i
+            i += 1
+            if (i >= nRows) fill()
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }
+    }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+}

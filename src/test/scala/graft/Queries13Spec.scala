@@ -109,7 +109,7 @@ class Queries13Spec extends AnyFunSuite {
       s"importance resampling must shift toward the target: $selRate vs $baseRate")
   }
 
-  test("MOR refuses position tombstones that target ORC data files") {
+  test("MOR applies position tombstones that target ORC data files") {
     import org.apache.spark.sql.functions._
     import graft.sources.{IcebergLayoutWriter, MorRead}
     import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
@@ -131,11 +131,13 @@ class Queries13Spec extends AnyFunSuite {
         fileFormat = "ORC"),
       ManifestEntrySpec(status = 1, content = 1, filePath = pd.getAbsolutePath,
         recordCount = 1L, sizeBytes = pd.length(), sequenceNumber = 1L)))
-    val e = intercept[IllegalArgumentException] {
-      MorRead.readTable(spark, tbl.getPath).collect()
-    }
-    assert(e.getMessage.contains("ORC"))
-    // without the tombstone the ORC file reads fine through the manifest
+    // the tombstone targets (d.orc, pos=0): the ORC file routes through
+    // the ordinal-carrying scan and row 0 dies — rows 1+ survive
+    val surv = MorRead.readTable(spark, tbl.getPath)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(surv == Set((2L, "b")),
+      s"pos-0 row must be tombstoned, got $surv")
+    // without a tombstone the ORC file keeps the fast null-pos scan
     val tbl2 = new java.io.File(sys.props("java.io.tmpdir"), "graft-orcok")
     org.apache.commons.io.FileUtils.deleteQuietly(tbl2)
     new java.io.File(tbl2, "data").mkdirs()
