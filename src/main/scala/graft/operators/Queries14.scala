@@ -352,6 +352,81 @@ object Queries14 {
         .agg(count(lit(1)).as("n_rows"), sum(col("pk")).as("sum_pk"),
           min(col("k")).as("min_k"))
         .orderBy(col("band"))
+    },
+
+    // ---- THREE-FORMAT TABLE (the full `file_format` domain the Iceberg
+    // spec admits per manifest entry: PARQUET, ORC, AVRO): one slice per
+    // format — avro has no Spark DataSource in this distribution, so its
+    // scan is the hand-rolled sequential container reader
+    // ([[graft.sources.AvroDataRead]], real ordinal per row for free) —
+    // then BOTH tombstone kinds span all three formats in one MOR read:
+    // a position DELETE (predicate matches rows in each slice, pinned
+    // in-query) and an equality MERGE delete (key-matched, no ordinals).
+    // The oracle recomputes survivors from predicate algebra alone, so a
+    // slice lost, double-read, or mis-tombstoned in ANY format breaks
+    // the hash.
+    "q260_avro_three_format" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, LayoutMaintenance, MorRead}
+      import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+      val li = t(dir, "lineitem").select(col("l_orderkey").as("k"),
+        col("l_partkey").as("pk"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val tbl = TmpFixture.dir("q260", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      def slice(mod: Int) = li.filter(col("k") % 3 === mod)
+        .sort(col("k"), col("pk"), col("qty"))
+      val pf = new java.io.File(dataDir, "slice-p.parquet")
+      val nP = IcebergLayoutWriter.writeSingleParquet(slice(0), pf)
+      IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
+        status = 1, content = 0, filePath = pf.getAbsolutePath,
+        recordCount = nP, sizeBytes = pf.length(), sequenceNumber = 1L)))
+      val of = new java.io.File(dataDir, "slice-o.orc")
+      val nO = IcebergLayoutWriter.writeSingleOrc(slice(1), of)
+      LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
+        status = 1, content = 0, filePath = of.getAbsolutePath,
+        recordCount = nO, sizeBytes = of.length(), fileFormat = "ORC")))
+      val af = new java.io.File(dataDir, "slice-a.avro")
+      val nA = IcebergLayoutWriter.writeSingleAvro(slice(2), af)
+      require(nA > 0, "AVRO slice must be non-empty")
+      LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
+        status = 1, content = 0, filePath = af.getAbsolutePath,
+        recordCount = nA, sizeBytes = af.length(), fileFormat = "AVRO")))
+      val formats = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .filter(col("content") === 0)
+        .select(col("file_format")).distinct().collect()
+        .map(_.getString(0)).toSet
+      require(formats == Set("PARQUET", "ORC", "AVRO"),
+        s"three-format manifest broke: $formats")
+      // position tombstones spanning ALL THREE formats
+      val (_, nDel1) = LayoutMaintenance.commitDeleteWhere(
+        s, tbl.getPath, col("qty") >= 45)
+      require(nDel1 > 0, "position predicate must match rows")
+      val tombTargets = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil)
+        .filter(col("content") === 1)
+        .select(col("file_path")).collect().map(_.getString(0))
+        .flatMap(p => s.read.parquet(p.replaceFirst("^file:/+", "/"))
+          .select(col("file_path")).distinct().collect().map(_.getString(0)))
+        .toSet
+      require(Seq(".parquet", ".orc", ".avro").forall(ext =>
+        tombTargets.exists(_.endsWith(ext))),
+        s"tombstones must span all three formats, got $tombTargets")
+      // equality MERGE delete on top (key-matched, both tombstone kinds
+      // live in the final snapshot)
+      val dels = li.filter(col("k") % 11 === 5)
+        .groupBy(col("k")).agg(min(col("pk")).as("pk"),
+          min(col("qty")).as("qty"))
+        .withColumn("op", lit("D"))
+      val (_, _, nDel2) = LayoutMaintenance.commitMerge(
+        s, tbl.getPath, dels, Seq("k"), "op")
+      require(nDel2 > 0, "equality predicate must match rows")
+      MorRead.readTable(s, tbl.getPath)
+        .groupBy((col("pk") % 8).as("band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+          min(col("k")).as("min_k"))
+        .orderBy(col("band"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -418,5 +493,16 @@ object Queries14 {
         |live AS (SELECT * FROM src WHERE NOT (qty < 10) AND NOT (pk % 9 = 0))
         |SELECT qty % 7 AS band, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(pk) AS BIGINT) AS sum_pk, CAST(min(k) AS BIGINT) AS min_k
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q260_avro_three_format" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS k, l_partkey AS pk,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |live AS (SELECT * FROM src
+        |  WHERE NOT (qty >= 45) AND NOT (k % 11 = 5))
+        |SELECT pk % 8 AS band, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty, CAST(min(k) AS BIGINT) AS min_k
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)
 }

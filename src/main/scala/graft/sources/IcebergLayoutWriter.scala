@@ -158,6 +158,76 @@ object IcebergLayoutWriter {
     try r.getNumberOfRows finally r.close()
   }
 
+  /** The third-format twin of [[writeSingleParquet]]/[[writeSingleOrc]]:
+    * one deterministic AVRO container at `dest` (Iceberg data files may
+    * be PARQUET, ORC, or AVRO per entry). Row order is preserved — an
+    * avro container is strictly sequential, so the write order IS the
+    * row ordinal [[AvroDataRead]] reports. Fixture-shaped like its
+    * twins (they coalesce(1) too): rows stream through the driver via
+    * `toLocalIterator`, constant memory, one container out. Returns the
+    * row count. */
+  def writeSingleAvro(df: org.apache.spark.sql.DataFrame,
+      dest: java.io.File): Long = {
+    import org.apache.spark.sql.types._
+    def avroType(dt: DataType): Schema = dt match {
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case other => sys.error(
+        s"writeSingleAvro: unsupported column type $other")
+    }
+    val fields = df.schema.fields.map { f =>
+      new Schema.Field(f.name, Schema.createUnion(
+        Schema.create(Schema.Type.NULL), avroType(f.dataType)),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    val schema = Schema.createRecord("row", null, "graft.data", false,
+      java.util.Arrays.asList(fields: _*))
+    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dest)
+    var n = 0L
+    try {
+      val sparkFields = df.schema.fields
+      df.toLocalIterator().forEachRemaining { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < sparkFields.length) {
+          val v =
+            if (row.isNullAt(i)) null
+            else sparkFields(i).dataType match {
+              case StringType => row.getString(i)
+              case BinaryType =>
+                ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+              case DateType =>
+                Int.box(row.getDate(i).toLocalDate.toEpochDay.toInt)
+              case TimestampType =>
+                val ts = row.getTimestamp(i)
+                Long.box(Math.multiplyExact(ts.getTime / 1000L, 1000000L) +
+                  ts.getNanos / 1000L)
+              case _ => row.get(i).asInstanceOf[AnyRef]
+            }
+          rec.put(i, v)
+          i += 1
+        }
+        w.append(rec)
+        n += 1
+      }
+    } finally w.close()
+    n
+  }
+
   private def writeAvro(file: java.io.File, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))

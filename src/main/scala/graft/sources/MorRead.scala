@@ -172,6 +172,7 @@ object MorRead {
     val posFiles = entries.filter(_._2 == 1)
     val eqFiles = entries.filter(_._2 == 2)
     val orcPaths = dataFiles.filter(_._4 == "ORC").map(_._1).toSet
+    val avroPaths = dataFiles.filter(_._4 == "AVRO").map(_._1).toSet
     // eq keys from METADATA when the caller names none (spec
     // `equality_ids` resolved against the data schema); legacy layouts
     // without ids keep the out-of-band contract: empty keys skip eq
@@ -235,7 +236,11 @@ object MorRead {
     //     the ordinal, stripe-parallel;
     //   - every other ORC file keeps the native codegen'd scan with a
     //     NULL pos (never equi-matches a tombstone — sound and fast).
-    val (orcData, parqData) = dataFiles.partition(e => orcPaths.contains(e._1))
+    val (orcData, nonOrc) = dataFiles.partition(e => orcPaths.contains(e._1))
+    // AVRO data files (the spec's third format) always read through
+    // [[AvroDataRead]] — strictly sequential container, so every row
+    // carries a REAL ordinal for free and tombstones need no routing
+    val (avroData, parqData) = nonOrc.partition(e => avroPaths.contains(e._1))
     val targetedOrc: Set[String] =
       if (orcData.isEmpty) Set.empty
       else tomb match {
@@ -257,16 +262,19 @@ object MorRead {
       else Some(withSeq(orcFastData, "data_seq", orc = true)
         .withColumn("file_path", normCol(col("_metadata.file_path")))
         .withColumn("pos", lit(null).cast("long")))
-    val orcPos =
-      if (orcPosData.isEmpty) None
+    def posArm(files: Array[(String, Int, Long, String)],
+        read: Seq[String] => DataFrame): Option[DataFrame] =
+      if (files.isEmpty) None
       else {
-        val seqDf = orcPosData.map { case (p, _, sq, _) => (p, sq) }
+        val seqDf = files.map { case (p, _, sq, _) => (p, sq) }
           .toSeq.toDF("__fp", "data_seq")
-        Some(foldAliases(OrcPosRead.readWithPos(spark, orcPosData.map(_._1).toSeq))
+        Some(foldAliases(read(files.map(_._1).toSeq))
           .join(broadcast(seqDf), col("file_path") === col("__fp"))
           .drop("__fp"))
       }
-    val data = Seq(parq, orcFast, orcPos).flatten
+    val orcPos = posArm(orcPosData, OrcPosRead.readWithPos(spark, _))
+    val avro = posArm(avroData, AvroDataRead.readWithPos(spark, _))
+    val data = Seq(parq, orcFast, orcPos, avro).flatten
       .reduceOption(_ unionByName _)
       .getOrElse(return spark.emptyDataFrame)
     val afterPos = tomb match {
@@ -320,24 +328,55 @@ object MorRead {
   def metadataEqKeys(spark: SparkSession, tableDir: String): Seq[String] = {
     val raw = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", Nil)
-      .select(col("file_path"), col("content"), col("equality_ids"))
+      .select(col("file_path"), col("content"), col("equality_ids"),
+        col("file_format"))
       .collect()
     val idSets = raw.filter(_.getInt(1) == 2)
       .map(r => Option(r.getAs[scala.collection.Seq[Int]](2))
         .map(_.toSeq).getOrElse(Seq.empty))
       .filter(_.nonEmpty).map(_.toSeq).distinct
-    val dataPath = raw.find(_.getInt(1) == 0).map(_.getString(0))
-    (idSets, dataPath) match {
-      case (Array(ids), Some(p)) =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.replaceFirst("^file:/+", "/")),
-          spark.sparkContext.hadoopConfiguration)
-        val rr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val fs = try rr.getFooter.getFileMetaData.getSchema finally rr.close()
+    // field names resolve positionally against a live data file's own
+    // schema (the dialect's id convention: field id N = Nth column) —
+    // any format serves, each read at footer/header grain
+    val dataFile = raw.filter(_.getInt(1) == 0)
+      .map(r => (r.getString(0).replaceFirst("^file:/+", "/"),
+        r.getString(3)))
+      .sortBy { case (_, fmt) => if (fmt == "PARQUET") 0 else 1 }
+      .headOption
+    (idSets, dataFile) match {
+      case (Array(ids), Some((p, fmt))) =>
+        val names: Seq[String] = fmt match {
+          case "PARQUET" =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p),
+              spark.sparkContext.hadoopConfiguration)
+            val rr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val fs = try rr.getFooter.getFileMetaData.getSchema
+              finally rr.close()
+            (0 until fs.getFieldCount).map(fs.getFields.get(_).getName)
+          case "ORC" =>
+            val r = org.apache.orc.OrcFile.createReader(
+              new org.apache.hadoop.fs.Path(p),
+              org.apache.orc.OrcFile.readerOptions(
+                spark.sparkContext.hadoopConfiguration))
+            try {
+              import scala.jdk.CollectionConverters._
+              r.getSchema.getFieldNames.asScala.toSeq
+            } finally r.close()
+          case "AVRO" =>
+            val r = new org.apache.avro.file.DataFileReader(
+              new java.io.File(p),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            try {
+              import scala.jdk.CollectionConverters._
+              r.getSchema.getFields.asScala.toSeq.map(_.name)
+            } finally r.close()
+          case other => sys.error(
+            s"metadataEqKeys($tableDir): unknown data file format $other")
+        }
         ids.flatMap { id =>
-          if (id >= 1 && id <= fs.getFieldCount)
-            Some(fs.getFields.get(id - 1).getName)
-          else None
+          if (id >= 1 && id <= names.length) Some(names(id - 1)) else None
         }
       case _ => Nil
     }
