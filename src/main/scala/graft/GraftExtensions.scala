@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.PortableHash28Rewrite)
+    // SQL views over graft catalogs (Spark 4's ViewCatalog SPI has no
+    // built-in SQL routing — see GraftViewRules): DDL intercepts at
+    // parse time, view reads inline during resolution
+    ext.injectParser((session, delegate) =>
+      new graft.sources.v2.GraftViewParser(session, delegate))
+    ext.injectResolutionRule(session =>
+      graft.sources.v2.GraftViewSubstitution(session))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -427,6 +427,80 @@ object Queries14 {
         .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
           min(col("k")).as("min_k"))
         .orderBy(col("band"))
+    },
+
+    // ---- SQL VIEWS over the lakehouse catalog (Iceberg-view shape: a
+    // view is VERSIONED METADATA holding SQL — Spark 4's ViewCatalog SPI
+    // carries no SQL routing of its own, so graft.GraftExtensions wires
+    // CREATE/ALTER/DROP/SHOW VIEW at parse time and INLINES view reads
+    // during resolution, the same mechanism Iceberg's Spark integration
+    // uses). Exercised end to end: a base table, a filtering view with
+    // USER COLUMN ALIASES, a second view STACKED on the first, an ALTER
+    // VIEW AS redefinition (version history pinned in-query: three
+    // versions retained, current pointer moved), and the final rollup
+    // SELECTed through the stack. Pinned: the read plans a DSv2 scan of
+    // the BASE table (views inline before optimization — a view costs
+    // nothing at 100 TB), and SHOW VIEWS lists the pair. The oracle
+    // recomputes through DuckDB's own views over the source parquet.
+    "q261_sql_views" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q261wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vw")
+      s.sql(s"DROP TABLE IF EXISTS $cat.vw.ord")
+      s.sql(s"CREATE TABLE $cat.vw.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT, prio STRING) " +
+        "USING `graft-iceberg`")
+      t(dir, "orders").createOrReplaceTempView("q261_src")
+      s.sql(s"""INSERT INTO $cat.vw.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT), o_orderpriority
+               |FROM q261_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      // view 1: filter + user column aliases; starts WRONG (price
+      // ceiling 100k), then ALTER VIEW AS fixes it — the final result
+      // must reflect the LATEST definition, and the document must keep
+      // the full version history
+      s.sql(s"CREATE VIEW $cat.vw.cheap (key, cost, m) AS " +
+        s"SELECT okey, price, mon FROM $cat.vw.ord WHERE price < 50000")
+      s.sql(s"CREATE OR REPLACE VIEW $cat.vw.cheap (key, cost, m) AS " +
+        s"SELECT okey, price, mon FROM $cat.vw.ord WHERE price < 100000")
+      // ALTER VIEW AS replaces the WHOLE definition, user column list
+      // included (Spark's own semantics) — the new query re-aliases
+      s.sql(s"ALTER VIEW $cat.vw.cheap AS " +
+        s"SELECT okey AS key, price AS cost, mon AS m " +
+        s"FROM $cat.vw.ord WHERE price < 150000")
+      val g = s.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[graft.sources.v2.GraftCatalog]
+      val doc = g.loadView(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("vw"), "cheap"))
+        .asInstanceOf[graft.sources.v2.GraftCatalog.GraftView]
+      require(doc.versions.map(_._1) == Seq(1, 2, 3) &&
+        doc.currentVersion == 3,
+        s"view versioning broke: ${doc.versions.map(_._1)} @${doc.currentVersion}")
+      // view 2 STACKS on view 1
+      s.sql(s"CREATE VIEW $cat.vw.cheap_by_month AS " +
+        s"SELECT m, count(*) AS n_cheap, sum(cost) AS sum_cost, " +
+        s"min(key) AS min_key FROM $cat.vw.cheap GROUP BY m")
+      val shown = s.sql(s"SHOW VIEWS IN $cat.vw").collect()
+        .map(_.getString(1)).toSet
+      require(shown == Set("cheap", "cheap_by_month"),
+        s"SHOW VIEWS must list the pair, got $shown")
+      val out = s.sql(
+        s"SELECT m, n_cheap, sum_cost, min_key FROM $cat.vw.cheap_by_month " +
+          "ORDER BY m")
+      // the stacked views must INLINE to one plan over the base table's
+      // DSv2 scan — no materialization, no driver-side view execution
+      // (logical plan: AQE wraps the physical tree)
+      val scans = out.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      }
+      require(scans.size == 1,
+        s"stacked views must inline to ONE base-table scan, got ${scans.size}")
+      out
     })
 
   def oracles: Map[String, String] = Map(
@@ -504,5 +578,18 @@ object Queries14 {
         |  WHERE NOT (qty >= 45) AND NOT (k % 11 = 5))
         |SELECT pk % 8 AS band, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty, CAST(min(k) AS BIGINT) AS min_k
-        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q261_sql_views" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |cheap AS (SELECT okey AS key, price AS cost, mon AS m
+        |  FROM ord WHERE price < 150000)
+        |SELECT m, CAST(count(*) AS BIGINT) AS n_cheap,
+        |  CAST(sum(cost) AS BIGINT) AS sum_cost,
+        |  CAST(min(key) AS BIGINT) AS min_key
+        |FROM cheap GROUP BY m ORDER BY m""".stripMargin)
 }

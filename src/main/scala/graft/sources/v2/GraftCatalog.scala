@@ -43,7 +43,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path-addressed `format("graft-iceberg")` API uses.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.io.File = _
@@ -436,6 +436,123 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else procedures.keys.toSeq.sorted
       .map(n => Identifier.of(Array("system"), n)).toArray
 
+  // ---- ViewCatalog ----
+  //
+  // SQL views over the warehouse, Iceberg-view shaped (public view spec:
+  // a view is VERSIONED METADATA holding SQL representations — no data):
+  // one `<name>.view.json` per view next to the table dirs, carrying the
+  // full VERSION HISTORY ({version-id, timestamp-ms, sql}, the current id),
+  // the schema recorded at definition time, column aliases/comments, and
+  // properties. Spark 4's ViewCatalog SPI has no built-in SQL wiring —
+  // [[GraftViewRules]] (injected via [[graft.GraftExtensions]]) routes
+  // CREATE/DROP/SHOW/ALTER VIEW and substitutes view reads with the
+  // parsed stored SQL, so the optimizer sees straight through a view to
+  // the underlying table scans (pushdown, pruning, SPJ all apply).
+  // Nothing here is data-sized: every operation is one small JSON.
+
+  private def viewFile(ident: Identifier): java.io.File =
+    new java.io.File(nsDir(ident.namespace), ident.name + ".view.json")
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewFile(ident).exists()
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val d = nsDir(ns)
+    if (!isNamespace(d)) throw new NoSuchNamespaceException(
+      catalogName +: ns.toSeq)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".view.json"))
+      .map(_.getName.stripSuffix(".view.json")).sorted
+      .map(n => Identifier.of(ns, n))
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!f.exists()) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchViewException(ident)
+    GraftCatalog.readViewDoc(f, ident)
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog
+      .ViewInfo): View = {
+    val ident = info.ident
+    if (!isNamespace(nsDir(ident.namespace)))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    require(!isTable(tableDir(ident)),
+      s"graft catalog: a TABLE named $ident already exists")
+    GraftCatalog.writeViewDoc(viewFile(ident), info,
+      versions = Seq((1, System.currentTimeMillis(), info.sql)),
+      currentVersion = 1)
+    loadView(ident)
+  }
+
+  /** CREATE OR REPLACE / ALTER VIEW AS: the new SQL lands as a FRESH
+    * version appended to the history with the current-version pointer
+    * moved — the Iceberg-view versioning shape (old definitions stay
+    * auditable in the document). */
+  override def replaceView(info: org.apache.spark.sql.connector.catalog
+      .ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    val f = viewFile(ident)
+    if (!f.exists()) {
+      if (!orCreate) throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+      return createView(info)
+    }
+    val prior = GraftCatalog.readViewVersions(f)
+    val nextId = prior.map(_._1).max + 1
+    GraftCatalog.writeViewDoc(f, info,
+      versions = prior :+ ((nextId, System.currentTimeMillis(), info.sql)),
+      currentVersion = nextId)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val f = viewFile(ident)
+    if (!f.exists()) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchViewException(ident)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(f)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val props = scala.collection.mutable.LinkedHashMap[String, String]()
+    Option(root.get("properties")).foreach(_.fields().forEachRemaining(e =>
+      props += (e.getKey -> e.getValue.asText())))
+    changes.foreach {
+      case s: ViewChange.SetProperty => props += (s.property() -> s.value())
+      case r: ViewChange.RemoveProperty => props -= r.property()
+      case other => sys.error(s"graft catalog: unsupported view change $other")
+    }
+    val p = root.putObject("properties")
+    props.foreach { case (k, v) => p.put(k, v) }
+    java.nio.file.Files.write(f.toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val f = viewFile(ident)
+    f.exists() && f.delete()
+  }
+
+  override def renameView(old: Identifier, to: Identifier): Unit = {
+    val from = viewFile(old)
+    if (!from.exists()) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchViewException(old)
+    val toStripped =
+      if (to.namespace.headOption.contains(catalogName))
+        Identifier.of(to.namespace.drop(1), to.name)
+      else to
+    val dest = viewFile(toStripped)
+    if (dest.exists()) throw new org.apache.spark.sql.catalyst.analysis
+      .ViewAlreadyExistsException(toStripped)
+    require(from.renameTo(dest),
+      s"graft catalog: rename view $old -> $toStripped failed on disk")
+  }
+
   // ---- SupportsNamespaces ----
 
   override def listNamespaces(): Array[Array[String]] =
@@ -607,6 +724,98 @@ object GraftCatalog {
         Some(f.name -> f.metadata.getLong(FieldIdKey).toInt)
       else None
     }.toMap
+
+  // ---- view document I/O ----
+
+  /** A loaded view: the SPI's [[View]] plus this dialect's version
+    * history ((version-id, timestamp-ms, sql), Iceberg-view shaped). */
+  final case class GraftView(ident: Identifier, sql: String,
+      viewCatalog: String, viewNamespace: Array[String],
+      viewSchema: StructType, qCols: Array[String],
+      aliases: Array[String], comments: Array[String],
+      props: Map[String, String],
+      versions: Seq[(Int, Long, String)], currentVersion: Int)
+      extends org.apache.spark.sql.connector.catalog.View {
+    override def name(): String = ident.toString
+    override def query(): String = sql
+    override def currentCatalog(): String = viewCatalog
+    override def currentNamespace(): Array[String] = viewNamespace
+    override def schema(): StructType = viewSchema
+    override def queryColumnNames(): Array[String] = qCols
+    override def columnAliases(): Array[String] = aliases
+    override def columnComments(): Array[String] = comments
+    override def properties(): java.util.Map[String, String] = {
+      val m = new java.util.LinkedHashMap[String, String]()
+      props.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+  }
+
+  private[v2] def writeViewDoc(f: java.io.File,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      versions: Seq[(Int, Long, String)], currentVersion: Int): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("current-version-id", currentVersion)
+    val vs = root.putArray("versions")
+    versions.foreach { case (id, ts, sql) =>
+      val n = vs.addObject()
+      n.put("version-id", id); n.put("timestamp-ms", ts); n.put("sql", sql)
+    }
+    root.put("schema-ddl", info.schema.toDDL)
+    root.put("current-catalog", info.currentCatalog)
+    val ns = root.putArray("current-namespace")
+    info.currentNamespace.foreach(ns.add)
+    val qc = root.putArray("query-column-names")
+    info.queryColumnNames.foreach(qc.add)
+    val al = root.putArray("column-aliases")
+    info.columnAliases.foreach(al.add)
+    val cm = root.putArray("column-comments")
+    Option(info.columnComments).getOrElse(Array.empty[String])
+      .foreach(c => cm.add(Option(c).getOrElse("")))
+    val p = root.putObject("properties")
+    import scala.jdk.CollectionConverters._
+    info.properties.asScala.toSeq.sortBy(_._1)
+      .foreach { case (k, v) => p.put(k, v) }
+    java.nio.file.Files.write(f.toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+  }
+
+  private[v2] def readViewVersions(f: java.io.File): Seq[(Int, Long, String)] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val out = Seq.newBuilder[(Int, Long, String)]
+    Option(root.get("versions")).foreach(_.forEach(n =>
+      out += ((n.get("version-id").asInt(), n.get("timestamp-ms").asLong(),
+        n.get("sql").asText()))))
+    out.result()
+  }
+
+  private[v2] def readViewDoc(f: java.io.File, ident: Identifier): GraftView = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    def strArray(key: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      Option(root.get(key)).foreach(_.forEach(n => b += n.asText()))
+      b.result()
+    }
+    val versions = readViewVersions(f)
+    val cur = Option(root.get("current-version-id")).map(_.asInt())
+      .getOrElse(versions.map(_._1).max)
+    val sql = versions.find(_._1 == cur).map(_._3).getOrElse(sys.error(
+      s"graft catalog: view document $f names current version $cur " +
+        "but carries no such version"))
+    val props = Option(root.get("properties")).map { node =>
+      val out = Map.newBuilder[String, String]
+      node.fields().forEachRemaining(e =>
+        out += (e.getKey -> e.getValue.asText()))
+      out.result()
+    }.getOrElse(Map.empty[String, String])
+    GraftView(ident, sql,
+      Option(root.get("current-catalog")).map(_.asText()).getOrElse(""),
+      strArray("current-namespace"),
+      StructType.fromDDL(root.get("schema-ddl").asText()),
+      strArray("query-column-names"), strArray("column-aliases"),
+      strArray("column-comments"), props, versions, cur)
+  }
 }
 
 private[v2] object GraftMetaTable {
