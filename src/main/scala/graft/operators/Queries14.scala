@@ -501,6 +501,62 @@ object Queries14 {
       require(scans.size == 1,
         s"stacked views must inline to ONE base-table scan, got ${scans.size}")
       out
+    },
+
+    // ---- MERGE-ON-READ SQL DELETE (Iceberg's `write.delete.mode`
+    // table property): with mode=merge-on-read a `DELETE FROM` commits
+    // TOMBSTONES — O(matched rows) written, ZERO data files rewritten —
+    // where the copy-on-write default rewrites every affected file.
+    // First DELETE lands as a parquet position-delete file; the property
+    // flips to `write.delete.format = dv` and the second DELETE commits
+    // an Iceberg-v3 DELETION VECTOR. Pinned in-query: both data files
+    // carried VERBATIM across both deletes (the O(matched) bill), one
+    // content=1 parquet tombstone + one PUFFIN entry live, and the
+    // connector's per-task MOR scan serves the post-delete truth to
+    // plain SQL. Oracle recomputes survivors from predicate algebra.
+    "q262_mor_sql_delete" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q262wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mr")
+      s.sql(s"DROP TABLE IF EXISTS $cat.mr.ord")
+      s.sql(s"CREATE TABLE $cat.mr.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg` " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+      t(dir, "orders").createOrReplaceTempView("q262_src")
+      s.sql(s"""INSERT INTO $cat.mr.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q262_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.mr.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q262_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      val tdir = s"${wh.getPath}/mr/ord"
+      def entries() = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .select(col("file_path"), col("content"), col("file_format"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      val dataBefore = entries().filter(_._2 == 0).map(_._1).toSet
+      require(dataBefore.size == 2, s"two INSERT files, got $dataBefore")
+      // MOR delete #1: parquet position tombstones, no rewrite
+      s.sql(s"DELETE FROM $cat.mr.ord WHERE price >= 400000")
+      // flip the tombstone dialect to deletion vectors for delete #2
+      s.sql(s"ALTER TABLE $cat.mr.ord " +
+        "SET TBLPROPERTIES ('write.delete.format' = 'dv')")
+      s.sql(s"DELETE FROM $cat.mr.ord WHERE mon = 7")
+      val after = entries()
+      require(after.filter(_._2 == 0).map(_._1).toSet == dataBefore,
+        "merge-on-read DELETEs must carry every data file VERBATIM")
+      val tombFmts = after.filter(_._2 == 1).map(_._3).sorted.toSeq
+      require(tombFmts == Seq("PARQUET", "PUFFIN"),
+        s"one parquet tombstone + one deletion vector expected, got $tombFmts")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.mr.ord GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -591,5 +647,19 @@ object Queries14 {
         |SELECT m, CAST(count(*) AS BIGINT) AS n_cheap,
         |  CAST(sum(cost) AS BIGINT) AS sum_cost,
         |  CAST(min(key) AS BIGINT) AS min_key
-        |FROM cheap GROUP BY m ORDER BY m""".stripMargin)
+        |FROM cheap GROUP BY m ORDER BY m""".stripMargin,
+
+    "q262_mor_sql_delete" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+        |live AS (SELECT * FROM src
+        |  WHERE NOT (price >= 400000) AND NOT (mon = 7))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
 }

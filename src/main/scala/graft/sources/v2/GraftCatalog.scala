@@ -177,7 +177,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(dir.getAbsolutePath, snapshot, statFields,
       bootstrapSchema = bootstrap, sortCols = sortCols,
       declaredPartSpec = partSpec,
-      writeBranch = props.get("write.branch"))
+      writeBranch = props.get("write.branch"),
+      deleteMode = props.get("write.delete.mode"),
+      deleteFormat = props.get("write.delete.format"))
   }
 
   /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each

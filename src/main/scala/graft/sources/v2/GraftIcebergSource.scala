@@ -215,7 +215,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     declaredPartSpec: Seq[(String, String, String)] = Nil,
     private[v2] val readChanges: Boolean = false,
     private[v2] val maxFilesPerTrigger: Option[Int] = None,
-    writeBranch: Option[String] = None)
+    writeBranch: Option[String] = None,
+    deleteMode: Option[String] = None,
+    deleteFormat: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -292,9 +294,31 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     // MOR bind here is by name, ids are the CONNECTOR reader's concern.
     val plain = org.apache.spark.sql.types.StructType(schema.fields.map(
       _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, dir, pred,
-      renames = GraftCatalog.aliasesOf(schema),
-      dataSchema = Some(plain))
+    // Iceberg's `write.delete.mode`: merge-on-read commits TOMBSTONES
+    // (O(matched rows) written, zero files rewritten — the cheap shape
+    // for wide tables with sparse deletes; this connector's scan applies
+    // tombstones per task, so SQL reads stay exact), copy-on-write (the
+    // default) rewrites affected files so the snapshot stays
+    // tombstone-free. `write.delete.format = dv` selects an Iceberg-v3
+    // deletion vector over a parquet position-delete file.
+    deleteMode.map(_.toLowerCase).getOrElse("copy-on-write") match {
+      case "merge-on-read" =>
+        if (deleteFormat.map(_.toLowerCase).contains("dv"))
+          graft.sources.LayoutMaintenance.commitDeleteWhereDv(spark, dir,
+            pred, renames = GraftCatalog.aliasesOf(schema),
+            dataSchema = Some(plain))
+        else
+          graft.sources.LayoutMaintenance.commitDeleteWhere(spark, dir,
+            pred, renames = GraftCatalog.aliasesOf(schema),
+            dataSchema = Some(plain))
+      case "copy-on-write" =>
+        graft.sources.LayoutMaintenance.commitDeleteWhereCow(spark, dir, pred,
+          renames = GraftCatalog.aliasesOf(schema),
+          dataSchema = Some(plain))
+      case other => sys.error(
+        s"graft-iceberg($dir): unsupported write.delete.mode '$other' " +
+          "(copy-on-write | merge-on-read)")
+    }
   }
 
   /** (path, lo/hi per stat field) for every data file in the snapshot —

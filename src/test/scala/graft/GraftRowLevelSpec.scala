@@ -165,6 +165,41 @@ class GraftRowLevelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent commit conflict"))
   }
 
+  test("write.delete.mode=merge-on-read: DELETE commits tombstones, carries files, matches COW truth") {
+    val morDir = freshTable("mordel")
+    spark.sql("ALTER TABLE rlo.db.mordel " +
+      "SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    val cowDir = freshTable("cowdel")
+    val before = dataFilesOf(morDir)
+    spark.sql("DELETE FROM rlo.db.mordel WHERE amt >= 30")
+    spark.sql("DELETE FROM rlo.db.cowdel WHERE amt >= 30")
+    // MOR: every data file carried verbatim + a content=1 tombstone
+    assert(dataFilesOf(morDir) == before,
+      "merge-on-read DELETE must not rewrite data files")
+    val tombs = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, morDir, "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 1)
+      .count()
+    assert(tombs == 1L, s"one tombstone file expected, got $tombs")
+    // both modes read the same truth through plain SQL
+    val mor = spark.sql("SELECT k, v, amt FROM rlo.db.mordel ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    val cow = spark.sql("SELECT k, v, amt FROM rlo.db.cowdel ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(mor == cow && mor.map(_.head) == Seq(1L, 2L))
+    // dv dialect: second delete commits a PUFFIN entry
+    spark.sql("ALTER TABLE rlo.db.mordel " +
+      "SET TBLPROPERTIES ('write.delete.format' = 'dv')")
+    spark.sql("DELETE FROM rlo.db.mordel WHERE k = 1")
+    val fmts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, morDir, "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 1)
+      .select("file_format").collect().map(_.getString(0)).sorted.toSeq
+    assert(fmts == Seq("PARQUET", "PUFFIN"), s"got $fmts")
+    assert(spark.sql("SELECT k FROM rlo.db.mordel").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("UPDATE on an empty match set leaves the table unchanged") {
     val dir = freshTable("noop")
     val before = dataFilesOf(dir)
