@@ -557,6 +557,63 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.mr.ord GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- COLUMN DEFAULT VALUES (Iceberg v3 "Default values"): ADD
+    // COLUMN … DEFAULT is METADATA-ONLY — rows in files that predate
+    // the column read the INITIAL default (per-file fill in the
+    // connector reader; pinned in-query: pre-ALTER files carried
+    // verbatim, their rows never NULL), INSERTs that omit the column
+    // fill the CURRENT default (Spark's analyzer via the catalog's
+    // SUPPORT_COLUMN_DEFAULT_VALUE capability), and SET DEFAULT moves
+    // only the current default — 1995 rows keep meaning 'standard'
+    // forever while post-SET inserts land 'express'. A DELETE whose
+    // predicate READS the defaulted column proves the row-level path
+    // serves defaults too. Oracle recomputes the tier assignment from
+    // year arithmetic alone.
+    "q263_column_defaults" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q263wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dv")
+      s.sql(s"DROP TABLE IF EXISTS $cat.dv.ord")
+      s.sql(s"CREATE TABLE $cat.dv.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg`")
+      t(dir, "orders").createOrReplaceTempView("q263_src")
+      s.sql(s"""INSERT INTO $cat.dv.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q263_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val tdir = s"${wh.getPath}/dv/ord"
+      def files(): Set[String] = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSet
+      val before = files()
+      s.sql(s"ALTER TABLE $cat.dv.ord ADD COLUMN tier STRING DEFAULT 'standard'")
+      require(files() == before,
+        "ADD COLUMN DEFAULT must not rewrite pre-evolution files")
+      // 1996 lands while the current default is still 'standard' — the
+      // INSERT omits the column, the analyzer fills it
+      s.sql(s"""INSERT INTO $cat.dv.ord (okey, price, mon)
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q263_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.dv.ord ALTER COLUMN tier SET DEFAULT 'express'")
+      s.sql(s"""INSERT INTO $cat.dv.ord (okey, price, mon)
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q263_src WHERE year(o_orderdate) = 1997""".stripMargin)
+      // the predicate READS the defaulted column over all three
+      // generations: initial-default rows (per-file fill), analyzer-
+      // filled rows, and post-SET rows
+      s.sql(s"DELETE FROM $cat.dv.ord WHERE tier = 'standard' AND mon = 2")
+      s.sql(s"""SELECT tier, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.dv.ord GROUP BY tier ORDER BY tier""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -661,5 +718,23 @@ object Queries14 {
         |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q263_column_defaults" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         year(CAST(o_orderdate AS DATE)) AS yr
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)),
+        |tiered AS (
+        |  SELECT okey, price, mon,
+        |    CASE WHEN yr IN (1995, 1996) THEN 'standard' ELSE 'express' END AS tier
+        |  FROM src),
+        |live AS (SELECT * FROM tiered
+        |  WHERE NOT (tier = 'standard' AND mon = 2))
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM live GROUP BY tier ORDER BY tier""".stripMargin)
 }

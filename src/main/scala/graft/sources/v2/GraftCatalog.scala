@@ -59,6 +59,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** DEFAULT clauses accepted in DDL (Iceberg v3 "Default values"):
+    * Spark fills the CURRENT default into INSERTs that omit the column;
+    * the INITIAL default (fixed at ADD COLUMN, never changed) is what
+    * pre-evolution files' rows read as — applied per file by the
+    * connector reader, metadata-only like every other evolution here. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ---- path mapping ----
 
   private def nsDir(ns: Array[String]): java.io.File =
@@ -233,9 +241,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       },
       partitions.map(t => toSpecEntry(t, schema)).toSeq,
       // field ids are born with the table: 1-based schema position (the
-      // layout's positional convention), fixed for the column's lifetime
+      // layout's positional convention), fixed for the column's lifetime;
+      // DEFAULT clauses arrive as Spark's CURRENT_DEFAULT/EXISTS_DEFAULT
+      // field-metadata keys on this (schema-shaped) createTable path
       schema.fields.zipWithIndex.map { case (f, i) =>
-        GraftCatalog.ColumnId(f.name, i + 1) }.toSeq)
+        GraftCatalog.ColumnId(f.name, i + 1,
+          currentDefault = GraftCatalog.metaStr(f, "CURRENT_DEFAULT"),
+          initialDefault = GraftCatalog.metaStr(f, "EXISTS_DEFAULT")) }.toSeq)
     loadTable(ident)
   }
 
@@ -283,8 +295,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "pre-rename files' data. rewrite_data_files first.")
         schema = schema.add(org.apache.spark.sql.types.StructField(
           name, c.dataType(), nullable = true))
+        // DEFAULT on ADD COLUMN (Iceberg v3): the INITIAL default is
+        // fixed here forever — rows in files that predate the column
+        // read it back (per-file fill, zero rewrites); the CURRENT
+        // default seeds from it and may move later via SET DEFAULT
+        val dflt = Option(c.defaultValue()).map(_.getSql)
         ids = ids :+ GraftCatalog.ColumnId(name,
-          ids.map(_.id).maxOption.getOrElse(0) + 1)
+          ids.map(_.id).maxOption.getOrElse(0) + 1,
+          currentDefault = dflt, initialDefault = dflt)
         p
       case (p, c: TableChange.DeleteColumn) =>
         require(c.fieldNames().length == 1,
@@ -335,6 +353,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // a partition spec sourcing the renamed column follows it
         partSpec = partSpec.map { case (pf, tr, src) =>
           (pf, tr, if (src == from) to else src) }
+        p
+      case (p, c: TableChange.UpdateColumnDefaultValue) =>
+        require(c.fieldNames().length == 1,
+          "graft catalog: SET DEFAULT supports top-level columns only")
+        val name = c.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"graft catalog: no column $name to alter")
+        // WRITE default only — the initial default is immutable (it
+        // defines what already-written files mean; moving it would
+        // rewrite history without rewriting a byte)
+        val nd = Option(c.newCurrentDefault()).map(_.getSql)
+        ids = ids.map(cid =>
+          if (cid.name == name) cid.copy(currentDefault = nd) else cid)
         p
       case (_, other) => sys.error(
         s"graft catalog: unsupported ALTER TABLE change $other " +
@@ -616,7 +647,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       columnIds: Seq[GraftCatalog.ColumnId] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
-    root.put("schema-ddl", schema.toDDL)
+    // schema-ddl stores names+types only: toDDL would render a DEFAULT
+    // clause from CURRENT_DEFAULT metadata that fromDDL cannot parse
+    // back — defaults persist in column-ids and re-annotate on load
+    val plain = StructType(schema.fields.map { f =>
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      b.remove("CURRENT_DEFAULT"); b.remove("EXISTS_DEFAULT")
+      f.copy(metadata = b.build())
+    })
+    root.put("schema-ddl", plain.toDDL)
     val p = root.putObject("properties")
     props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
     if (partSpec.nonEmpty) {
@@ -635,6 +675,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (c.aliases.nonEmpty) {
           val as = n.putArray("aliases"); c.aliases.foreach(as.add)
         }
+        c.currentDefault.foreach(n.put("current-default", _))
+        c.initialDefault.foreach(n.put("initial-default", _))
       }
     }
     java.nio.file.Files.write(descriptor(dir).toPath,
@@ -667,7 +709,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           b.result()
         }
         out += GraftCatalog.ColumnId(n.get("name").asText(),
-          n.get("id").asInt(), aliases)
+          n.get("id").asInt(), aliases,
+          currentDefault = Option(n.get("current-default")).map(_.asText()),
+          initialDefault = Option(n.get("initial-default")).map(_.asText()))
       }
       out.result()
     }
@@ -685,7 +729,9 @@ object GraftCatalog {
     * resolve old files by embedded parquet field id, or by alias for
     * files written before ids were embedded. */
   final case class ColumnId(name: String, id: Int,
-      aliases: Seq[String] = Nil)
+      aliases: Seq[String] = Nil,
+      currentDefault: Option[String] = None,
+      initialDefault: Option[String] = None)
 
   /** StructField metadata keys carrying the identity into the scan:
     * `parquet.field.id` is Spark's own field-id key (the writer embeds
@@ -705,10 +751,19 @@ object GraftCatalog {
           val b = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata).putLong(FieldIdKey, c.id.toLong)
           if (c.aliases.nonEmpty) b.putString(AliasesKey, c.aliases.mkString(","))
+          // Spark's own default-value keys: CURRENT_DEFAULT feeds the
+          // analyzer's INSERT fill, EXISTS_DEFAULT is what the per-file
+          // reader serves for files that predate the column
+          c.currentDefault.foreach(b.putString("CURRENT_DEFAULT", _))
+          c.initialDefault.foreach(b.putString("EXISTS_DEFAULT", _))
           f.copy(metadata = b.build())
         }
       })
     }
+
+  private[v2] def metaStr(f: org.apache.spark.sql.types.StructField,
+      key: String): Option[String] =
+    if (f.metadata.contains(key)) Some(f.metadata.getString(key)) else None
 
   /** (current name -> former names) recorded in a schema's metadata. */
   private[v2] def aliasesOf(schema: StructType): Map[String, Seq[String]] =

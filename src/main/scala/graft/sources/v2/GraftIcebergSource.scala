@@ -255,7 +255,14 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * accept) reject in canDeleteWhere and surface as an analysis error
     * rather than a wrong answer. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GraftIcebergSource.filterToColumn(f).isDefined)
+    // initial column defaults are applied PER FILE by the connector
+    // reader; this metadata path reads through MorRead, which binds one
+    // declared schema across all files and would surface pre-evolution
+    // rows with NULL where the default belongs — route such tables to
+    // the row-level rewrite (group COW over the default-aware per-file
+    // scan) instead. Correctness over the cheaper commit shape.
+    schema.fields.forall(f => !f.metadata.contains("EXISTS_DEFAULT")) &&
+      filters.forall(f => GraftIcebergSource.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (!hasMetadata) return // created but never written: nothing to delete
@@ -1541,6 +1548,19 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   private val isMeta: Array[Boolean] =
     required.fields.map(_.name == GraftTable.FileMetadataColumn)
   private val isAbsent: Array[Boolean] = new Array[Boolean](required.length)
+  // what an ABSENT column reads as: the column's INITIAL default when
+  // one was declared at ADD COLUMN (Iceberg v3 "Default values" —
+  // `EXISTS_DEFAULT` rides the field metadata from the descriptor),
+  // else null. Evaluated once per reader: defaults are literal SQL.
+  private lazy val absentValue: Array[Any] = required.fields.map { f =>
+    if (!f.metadata.contains("EXISTS_DEFAULT")) null
+    else {
+      val expr = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(f.metadata.getString("EXISTS_DEFAULT"))
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        expr, f.dataType, Some("UTC")).eval(null)
+    }
+  }
   // the column's PHYSICAL name in THIS file — differs from the table
   // name for files written before an ALTER TABLE RENAME COLUMN
   private val physName: Array[String] = required.fields.map(_.name)
@@ -1675,7 +1695,7 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       val f = required.fields(i)
       val nm = physName(i)
       if (isMeta(i)) row.update(i, UTF8String.fromString(path))
-      else if (isAbsent(i)) row.update(i, null)
+      else if (isAbsent(i)) row.update(i, absentValue(i))
       else if (current.getFieldRepetitionCount(nm) == 0) row.update(i, null)
       else f.dataType match {
         case LongType =>
