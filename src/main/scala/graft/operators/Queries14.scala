@@ -614,6 +614,78 @@ object Queries14 {
       s.sql(s"""SELECT tier, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.dv.ord GROUP BY tier ORDER BY tier""".stripMargin)
+    },
+
+    // ---- MERGE-ON-READ UPDATE + MERGE (Iceberg's write.update.mode /
+    // write.merge.mode = merge-on-read, planned through Spark's
+    // SupportsDelta SPI): row identity is the (_file, _pos) metadata
+    // pair, updates split into DELETE + INSERT, each task writes its
+    // inserts through the ordinary partition-aware writer and its
+    // deletes as ONE sorted position-delete parquet, and the commit
+    // registers both in ONE snapshot. Pinned in-query: every
+    // pre-existing data file carried VERBATIM across an UPDATE and a
+    // MERGE (zero rewrites — the O(matched) MOR bill vs COW's
+    // O(affected files)), live tombstones present at the end. The final
+    // rollup reads through the connector's per-task MOR scan; DuckDB
+    // recomputes it from update algebra alone.
+    "q264_mor_update_merge" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q264wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.md")
+      s.sql(s"DROP TABLE IF EXISTS $cat.md.ord")
+      s.sql(s"CREATE TABLE $cat.md.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg` " +
+        "TBLPROPERTIES ('write.update.mode' = 'merge-on-read', " +
+        "'write.merge.mode' = 'merge-on-read')")
+      t(dir, "orders").createOrReplaceTempView("q264_src")
+      s.sql(s"""INSERT INTO $cat.md.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q264_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val tdir = s"${wh.getPath}/md/ord"
+      def entries() = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .select(col("file_path"), col("content"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      val dataBefore = entries().filter(_._2 == 0).map(_._1).toSet
+      // MOR UPDATE: rows move price bands without touching their files
+      s.sql(s"UPDATE $cat.md.ord SET price = price + 1000 WHERE mon <= 3")
+      val afterUpd = entries()
+      require(dataBefore.subsetOf(
+        afterUpd.filter(_._2 == 0).map(_._1).toSet),
+        "MOR UPDATE must carry every pre-existing data file verbatim")
+      require(afterUpd.exists(_._2 == 1),
+        "MOR UPDATE must commit position tombstones")
+      // MOR MERGE upsert source: June-1995 repricings (MATCHED rows —
+      // TPC-H orderkeys are unique, so matches must come from the same
+      // year) unioned with the whole of 1996 (NOT MATCHED inserts)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q264_delta AS
+               |SELECT o_orderkey AS okey,
+               |       CAST(FLOOR(o_totalprice) AS BIGINT) * 2 AS price,
+               |       CAST(month(o_orderdate) AS BIGINT) AS mon
+               |FROM q264_src WHERE year(o_orderdate) = 1995 AND
+               |  month(o_orderdate) = 6
+               |UNION ALL
+               |SELECT o_orderkey AS okey,
+               |       CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+               |       CAST(month(o_orderdate) AS BIGINT) AS mon
+               |FROM q264_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      val updFiles = afterUpd.filter(_._2 == 0).map(_._1).toSet
+      s.sql(s"""MERGE INTO $cat.md.ord t USING q264_delta s
+               |ON t.okey = s.okey
+               |WHEN MATCHED THEN UPDATE SET t.price = s.price
+               |WHEN NOT MATCHED THEN INSERT (okey, price, mon)
+               |  VALUES (s.okey, s.price, s.mon)""".stripMargin)
+      require(updFiles.subsetOf(
+        entries().filter(_._2 == 0).map(_._1).toSet),
+        "MOR MERGE must carry every pre-existing data file verbatim")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.md.ord GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -736,5 +808,28 @@ object Queries14 {
         |SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM live GROUP BY tier ORDER BY tier""".stripMargin)
+        |FROM live GROUP BY tier ORDER BY tier""".stripMargin,
+
+    "q264_mor_update_merge" ->
+      """WITH y95 AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price0,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |final95 AS (
+        |  SELECT okey,
+        |    CASE WHEN mon = 6 THEN price0 * 2
+        |         WHEN mon <= 3 THEN price0 + 1000
+        |         ELSE price0 END AS price, mon
+        |  FROM y95),
+        |y96 AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996),
+        |live AS (SELECT * FROM final95 UNION ALL SELECT * FROM y96)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
 }

@@ -1235,6 +1235,36 @@ object LayoutMaintenance {
         "use equality deletes or rewrite the files to parquet")
   }
 
+  /** One MERGE-ON-READ delta commit: task-written data files (content=0)
+    * and position-delete files (content=1) land together in ONE snapshot
+    * at a fresh sequence number, previous entries carried verbatim —
+    * the commit behind [[graft.sources.v2.GraftDeltaBatchWrite]] (SQL
+    * UPDATE/MERGE/DELETE under write.<command>.mode = merge-on-read).
+    * Position visibility (data_seq <= delete_seq) lets the tombstones
+    * hit the pre-existing files they address; the new data files share
+    * the sequence but no tombstone references their paths. Append-shaped
+    * (nothing removed), so a lost CAS race retries. Returns the new
+    * snapshot id. */
+  def commitDeltaFiles(spark: SparkSession, tableDir: String,
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    val base = metaBase(spark, tableDir)
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val stamped = added.map(_.copy(sequenceNumber = newId))
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
+      movedRefs, base, operation = "overwrite")
+    newId
+  } }
+
   def commitDeleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil,

@@ -187,7 +187,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       declaredPartSpec = partSpec,
       writeBranch = props.get("write.branch"),
       deleteMode = props.get("write.delete.mode"),
-      deleteFormat = props.get("write.delete.format"))
+      deleteFormat = props.get("write.delete.format"),
+      updateMode = props.get("write.update.mode"),
+      mergeMode = props.get("write.merge.mode"))
   }
 
   /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each

@@ -1,0 +1,203 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MERGE-ON-READ row-level SQL — Iceberg's `write.update.mode` /
+  * `write.merge.mode` / `write.delete.mode` = `merge-on-read`, planned
+  * through Spark's delta-write SPI ([[SupportsDelta]]):
+  *
+  *  1. Catalyst rewrites UPDATE/MERGE/DELETE into `WriteDelta` over this
+  *     operation's scan — the table's ORDINARY batch scan (pushdown,
+  *     pruning, and existing-tombstone application all apply; no group
+  *     atomicity needed because nothing is rewritten), reading each
+  *     row's identity through the `_file`/`_pos` metadata columns.
+  *  2. Updates arrive split as DELETE + INSERT
+  *     (`representUpdateAsDeleteAndInsert`): each task buffers the
+  *     deleted (file, pos) pairs and streams inserted rows through the
+  *     SAME partition-aware writer an INSERT uses.
+  *  3. At task commit the buffered pairs become ONE position-delete
+  *     parquet per task (sorted by file then position, the spec's
+  *     required order); the driver commit registers data files
+  *     (content=0) and tombstones (content=1) in ONE snapshot at a
+  *     fresh sequence number.
+  *
+  * The 100 TB bill is Iceberg's own MOR bill: O(matched + inserted
+  * rows) written, ZERO files rewritten — against COW's O(affected
+  * files). Readers pay the anti join until `rewrite_data_files` folds
+  * the tombstones away.
+  */
+private[v2] class GraftDeltaOperation(table: GraftTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** The table's normal scan: filters push, files skip, existing
+    * tombstones apply per task — a delta write has no group atomicity
+    * to preserve, so nothing about the scan is special-cased. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new GraftDeltaWriteBuilder(table, info)
+
+  /** Row identity = (file, ordinal) — exactly what a position tombstone
+    * addresses (Iceberg's own delta rowId). */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftTable.FileMetadataColumn),
+      Expressions.column(GraftTable.PosMetadataColumn))
+
+  /** UPDATE = DELETE + INSERT: one tombstone kills the old ordinal, the
+    * new row lands in an ordinary data file. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def description(): String = s"GraftDelta($cmd)"
+}
+
+private[v2] class GraftDeltaWriteBuilder(table: GraftTable,
+    info: LogicalWriteInfo) extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new DeltaWrite {
+    override def toBatch: DeltaBatchWrite =
+      new GraftDeltaBatchWrite(table, info.schema(), info.queryId())
+  }
+}
+
+/** Both halves of a task's delta: data files written for inserts,
+  * position-delete files for deletes. */
+private[v2] case class GraftDeltaCommitMessage(data: Seq[GraftFileInfo],
+    deletes: Seq[GraftFileInfo]) extends WriterCommitMessage
+
+private[v2] class GraftDeltaBatchWrite(table: GraftTable,
+    schema: StructType, queryId: String) extends DeltaBatchWrite {
+
+  private val dir = table.dir
+
+  /** Same spec/stat observance as an INSERT: inserted rows cluster per
+    * partition value and record bounds, so MOR DML never erases the
+    * table's pruning ability. */
+  private val partCols: Seq[(String, String, Int)] = {
+    val named =
+      if (table.writeDeclaredPartSpec.nonEmpty) table.writeDeclaredPartSpec
+      else graft.sources.IcebergManifestSource
+        .partitionSpec(org.apache.spark.sql.SparkSession.active, dir)
+        .flatMap { case (pf, tr, srcId) =>
+          if (srcId >= 1 && srcId <= schema.length)
+            Some((pf, tr, schema.fields(srcId - 1).name))
+          else None
+        }
+    named.flatMap { case (pf, tr, src) =>
+      val i = schema.fieldNames.indexOf(src)
+      if (i >= 0) Some((pf, tr, i)) else None
+    }
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(dir, schema, queryId,
+      table.writeStatFields, partCols,
+      GraftCatalog.fieldIdsOf(table.schema))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.collect { case m: GraftDeltaCommitMessage => m }
+    val dataEntries = msgs.flatMap(_.data).filter(_.rows > 0)
+      .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(
+        status = 1, content = 0, filePath = f.path, recordCount = f.rows,
+        sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
+        partition = f.partition))
+    val delEntries = msgs.flatMap(_.deletes).filter(_.rows > 0)
+      .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(
+        status = 1, content = 1, filePath = f.path, recordCount = f.rows,
+        sizeBytes = f.bytes))
+    // a MERGE whose predicates hit nothing commits nothing
+    if (dataEntries.nonEmpty || delEntries.nonEmpty)
+      graft.sources.LayoutMaintenance.commitDeltaFiles(
+        org.apache.spark.sql.SparkSession.active, dir,
+        dataEntries ++ delEntries)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: GraftDeltaCommitMessage => (m.data ++ m.deletes).foreach(f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(f.path)))
+      case _ => ()
+    }
+}
+
+private[v2] class GraftDeltaWriterFactory(dir: String, schema: StructType,
+    queryId: String, stats: Seq[GraftIcebergSource.StatField],
+    partCols: Seq[(String, String, Int)],
+    fieldIds: Map[String, Int]) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dir, schema, queryId, partitionId, taskId, stats,
+      partCols, fieldIds)
+}
+
+/** Task-side: inserts delegate to the ordinary partition-aware data
+  * writer; deletes buffer (file, pos) — matched-rows-sized by the MOR
+  * contract — and flush as one sorted position-delete parquet. */
+private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
+    queryId: String, partitionId: Int, taskId: Long,
+    stats: Seq[GraftIcebergSource.StatField],
+    partCols: Seq[(String, String, Int)],
+    fieldIds: Map[String, Int]) extends DeltaWriter[InternalRow] {
+
+  private val inserts = new GraftDataWriter(dir, schema,
+    s"delta-$queryId", partitionId, taskId, stats, partCols, None, fieldIds)
+  private val dels =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    dels += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    sys.error("graft-iceberg delta: updates arrive as delete+insert " +
+      "(representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def write(row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    val dataFiles = inserts.commit() match {
+      case m: GraftCommitMessage => m.files
+      case other => sys.error(s"unexpected insert commit message $other")
+    }
+    val delFiles =
+      if (dels.isEmpty) Nil
+      else {
+        val w = new GraftDataWriter(dir,
+          StructType(Seq(StructField("file_path", StringType, false),
+            StructField("pos", LongType, false))),
+          s"deltadel-$queryId", partitionId, taskId)
+        // the spec's required tombstone order: by file, then position
+        dels.sortInPlace()
+        dels.foreach { case (f, p) =>
+          val r = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(2)
+          r.update(0, UTF8String.fromString(f))
+          r.setLong(1, p)
+          w.write(r)
+        }
+        w.commit() match {
+          case m: GraftCommitMessage => m.files
+          case other => sys.error(s"unexpected delete commit message $other")
+        }
+      }
+    GraftDeltaCommitMessage(dataFiles, delFiles)
+  }
+
+  override def abort(): Unit = inserts.abort()
+
+  override def close(): Unit = ()
+}

@@ -205,6 +205,10 @@ object GraftIcebergSource {
 private[v2] object GraftTable {
   /** Name of the file-provenance metadata column (Iceberg's `_file`). */
   val FileMetadataColumn = "_file"
+  /** Row ordinal within its file (Iceberg's `_pos`) — with `_file` it
+    * is a row's IDENTITY: exactly what a position tombstone addresses,
+    * and the delta rowId merge-on-read DML deletes through. */
+  val PosMetadataColumn = "_pos"
 }
 
 private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
@@ -217,7 +221,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     private[v2] val maxFilesPerTrigger: Option[Int] = None,
     writeBranch: Option[String] = None,
     deleteMode: Option[String] = None,
-    deleteFormat: Option[String] = None)
+    deleteFormat: Option[String] = None,
+    updateMode: Option[String] = None,
+    mergeMode: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -235,6 +241,19 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelOperationBuilder(this, info)
 
+  /** The configured write mode for a row-level command — Iceberg's
+    * write.delete/update/merge.mode trio; copy-on-write when unset. */
+  private[v2] def rowLevelMode(
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+      : String = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+    (cmd match {
+      case DELETE => deleteMode
+      case UPDATE => updateMode
+      case MERGE => mergeMode
+    }).map(_.toLowerCase).getOrElse("copy-on-write")
+  }
+
   /** `_file` — which data file a row came from (Iceberg exposes the
     * same): selectable by users and the group handle for runtime group
     * filtering in row-level operations. */
@@ -243,6 +262,10 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = GraftTable.FileMetadataColumn
       override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.PosMetadataColumn
+      override def dataType(): DataType = LongType
       override def isNullable: Boolean = false
     })
 
@@ -1546,7 +1569,10 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   // this file's schema (pre-evolution files after ALTER TABLE ADD
   // COLUMN — null-filled, Iceberg's schema-evolution read semantics).
   private val isMeta: Array[Boolean] =
-    required.fields.map(_.name == GraftTable.FileMetadataColumn)
+    required.fields.map(f => f.name == GraftTable.FileMetadataColumn ||
+      f.name == GraftTable.PosMetadataColumn)
+  private val isPos: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.PosMetadataColumn)
   private val isAbsent: Array[Boolean] = new Array[Boolean](required.length)
   // what an ABSENT column reads as: the column's INITIAL default when
   // one was declared at ADD COLUMN (Iceberg v3 "Default values" —
@@ -1694,7 +1720,8 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     while (i < required.length) {
       val f = required.fields(i)
       val nm = physName(i)
-      if (isMeta(i)) row.update(i, UTF8String.fromString(path))
+      if (isPos(i)) row.setLong(i, rowIdx) // physical ordinal in file
+      else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isAbsent(i)) row.update(i, absentValue(i))
       else if (current.getFieldRepetitionCount(nm) == 0) row.update(i, null)
       else f.dataType match {

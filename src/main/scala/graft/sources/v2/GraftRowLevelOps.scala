@@ -36,7 +36,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[v2] class GraftRowLevelOperationBuilder(table: GraftTable,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(table, info.command)
+    // Iceberg's write.<command>.mode: merge-on-read plans a DELTA write
+    // (position tombstones + data files, zero rewrites — GraftDeltaOps);
+    // copy-on-write (the default) plans the group rewrite below
+    if (table.rowLevelMode(info.command) == "merge-on-read")
+      new GraftDeltaOperation(table, info.command)
+    else new GraftRowLevelOperation(table, info.command)
 }
 
 private[v2] class GraftRowLevelOperation(table: GraftTable,
