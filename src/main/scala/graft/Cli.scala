@@ -198,9 +198,16 @@ object Cli {
           case "refs" => MetadataTables.refs(spark, root).orderBy(col("name"))
           case "history" => MetadataTables.history(spark, root)
             .orderBy(col("ordinal"))
+          case "manifests" => MetadataTables.manifests(spark, root)
+            .orderBy(col("path"))
+          case "position_deletes" => MetadataTables.positionDeletes(spark, root)
+            .orderBy(col("file_path"), col("pos"))
+          case "all_files" => MetadataTables.allFiles(spark, root)
+            .orderBy(col("content"), col("file_path"))
           case other =>
             System.err.println(
-              s"error: unknown metadata table '$other' (partitions|files|snapshots|refs|history)")
+              s"error: unknown metadata table '$other' (partitions|files|" +
+                "snapshots|refs|history|manifests|position_deletes|all_files)")
             sys.exit(2)
         }
         df.show(100, truncate = false)

@@ -686,6 +686,68 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.md.ord GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- TOMBSTONE AUDIT metadata tables (`$position_deletes`,
+    // `$manifests`, `$all_files` — Iceberg's inspection surface): a
+    // MOR-mode table takes one parquet-tombstone DELETE and one
+    // deletion-vector DELETE; `cat.db.t.position_deletes` then serves
+    // the tombstones' CONTENTS as rows (file_path, pos, delete file +
+    // dialect), so the audit rollup — how many rows each tombstone
+    // dialect killed — is pure SQL over metadata. Pinned in-query:
+    // `manifests` lists real list rows with the head snapshot among
+    // added_snapshot_ids, `all_files` ⊇ the current snapshot's files
+    // (history reachability), and the position_deletes total equals the
+    // DELETEs' reported sum. DuckDB recomputes the per-dialect counts
+    // from predicate algebra alone.
+    "q265_tombstone_audit" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q265wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ta")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ta.li")
+      s.sql(s"CREATE TABLE $cat.ta.li " +
+        "(k BIGINT, pk BIGINT, qty BIGINT) USING `graft-iceberg` " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+      t(dir, "lineitem").createOrReplaceTempView("q265_src")
+      s.sql(s"""INSERT INTO $cat.ta.li
+               |SELECT l_orderkey, l_partkey,
+               |       CAST(FLOOR(l_quantity) AS BIGINT)
+               |FROM q265_src WHERE l_orderkey % 5 = 0""".stripMargin)
+      // delete #1: parquet position tombstones
+      s.sql(s"DELETE FROM $cat.ta.li WHERE qty < 5")
+      // delete #2: deletion vector
+      s.sql(s"ALTER TABLE $cat.ta.li " +
+        "SET TBLPROPERTIES ('write.delete.format' = 'dv')")
+      // a PUSHABLE predicate (range algebra): the metadata delete path
+      // serves it and the dv format flag selects a deletion vector —
+      // a non-translatable predicate would take the row-level delta
+      // path, whose tombstones are parquet
+      s.sql(s"DELETE FROM $cat.ta.li WHERE qty >= 5 AND pk < 1000")
+      // manifests table: real list rows, head snapshot present
+      val mans = s.sql(s"SELECT partition_spec_id, added_snapshot_id " +
+        s"FROM $cat.ta.li.manifests").collect()
+      require(mans.nonEmpty && mans.forall(_.getInt(0) >= 0),
+        "manifests metadata table must list real manifest rows")
+      val headId = s.sql(
+        s"SELECT max(snapshot_id) FROM $cat.ta.li.snapshots").head.getLong(0)
+      require(mans.exists(_.getLong(1) == headId),
+        "the head commit's manifest must carry its snapshot id")
+      // all_files reachability: every current file appears
+      val curFiles = s.sql(s"SELECT file_path FROM $cat.ta.li.files")
+        .collect().map(_.getString(0)).toSet
+      val allF = s.sql(s"SELECT file_path FROM $cat.ta.li.all_files")
+        .collect().map(_.getString(0)).toSet
+      require(curFiles.subsetOf(allF),
+        "all_files must cover the current snapshot")
+      // the audit rollup: rows killed per tombstone dialect
+      s.sql(s"""SELECT delete_file_format, count(*) AS n_deleted_rows
+                |FROM $cat.ta.li.position_deletes
+                |GROUP BY delete_file_format
+                |ORDER BY delete_file_format""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -831,5 +893,20 @@ object Queries14 {
         |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q265_tombstone_audit" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS k, l_partkey AS pk,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 5 = 0),
+        |kinds AS (
+        |  SELECT 'PARQUET' AS delete_file_format,
+        |    CAST(count(*) AS BIGINT) AS n_deleted_rows
+        |  FROM src WHERE qty < 5
+        |  UNION ALL
+        |  SELECT 'PUFFIN', CAST(count(*) AS BIGINT)
+        |  FROM src WHERE qty >= 5 AND pk < 1000)
+        |SELECT delete_file_format, n_deleted_rows FROM kinds
+        |ORDER BY delete_file_format""".stripMargin)
 }

@@ -471,6 +471,27 @@ object IcebergManifestSource {
       manifestListPath: String): Seq[(String, Long)] =
     manifestPathSeqContents(conf, manifestListPath).map(t => (t._1, t._2))
 
+  /** Full manifest-list rows for the `$manifests` metadata table:
+    * (path, length, partition_spec_id, content, sequence_number,
+    * added_snapshot_id) — missing fields (v1 lists, foreign writers)
+    * read as 0. */
+  def manifestListRows(conf: Configuration, manifestListPath: String)
+      : Seq[(String, Long, Int, Int, Long, Long)] = {
+    val listDir = new java.io.File(manifestListPath).getParentFile
+    readAvroIterator(conf, manifestListPath) { rec =>
+      def lng(f: String): Long =
+        if (rec.getSchema.getField(f) == null) 0L
+        else Option(rec.get(f)).fold(0L)(_.asInstanceOf[Long])
+      def int(f: String): Int =
+        if (rec.getSchema.getField(f) == null) 0
+        else Option(rec.get(f)).fold(0)(_.asInstanceOf[Int])
+      Iterator.single((
+        Relocate.meta(listDir, rec.get("manifest_path").toString),
+        lng("manifest_length"), int("partition_spec_id"), int("content"),
+        lng("sequence_number"), lng("added_snapshot_id")))
+    }.toSeq
+  }
+
   /** [[manifestPathSeqs]] plus each manifest's CONTENT flag (0 = data,
     * 1 = deletes — the spec's `manifest_file.content`); a v1 list
     * without the field reads as all-data. */

@@ -74,6 +74,79 @@ object MetadataTables {
         "added_records", "manifest_list", "is_current")
   }
 
+  /** The `$manifests` table: one row per manifest file of the (pinned
+    * or current) snapshot's manifest list — (path, length,
+    * partition_spec_id, content, sequence_number, added_snapshot_id).
+    * Manifest-list-sized: a head read, no manifest I/O at all. */
+  def manifests(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergManifestSource.resolveManifestList(spark, tableDir, snapshotId) match {
+      case None => Seq.empty[(String, Long, Int, Int, Long, Long)]
+        .toDF("path", "length", "partition_spec_id", "content",
+          "sequence_number", "added_snapshot_id")
+      case Some(listPath) =>
+        IcebergManifestSource.manifestListRows(conf, listPath)
+          .toDF("path", "length", "partition_spec_id", "content",
+            "sequence_number", "added_snapshot_id")
+    }
+  }
+
+  /** The `$position_deletes` table: the CONTENTS of every live position
+    * tombstone as rows — (file_path, pos, delete_file_path,
+    * delete_file_format). Parquet tombstone files read DISTRIBUTED
+    * (an ordinary scan); deletion-vector blobs decode driver-side
+    * (reject-sized by the delete-commit contract, same as every DV
+    * consumer). The audit face of the MOR read path: what exactly is
+    * tombstoned, and by which file. */
+  def positionDeletes(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val posFiles = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil, snapshotId)
+      .filter(col("content") === 1)
+      .select(col("file_path"), col("file_format"))
+      .collect() // metadata-sized: one row per tombstone FILE
+      .map(r => (norm(r.getString(0)), r.getString(1)))
+    val (dv, parq) = posFiles.partition(_._2 == "PUFFIN")
+    val parqDf =
+      if (parq.isEmpty) None
+      else Some(spark.read.parquet(parq.map(_._1).toIndexedSeq: _*)
+        .select(col("file_path"), col("pos"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("delete_file_path"),
+          lit("PARQUET").as("delete_file_format")))
+    val dvDf =
+      if (dv.isEmpty) None
+      else Some(dv.toSeq.flatMap { case (p, _) =>
+        DeletionVectors.read(new java.io.File(p)).flatMap {
+          case (target, poss) => poss.map(pos =>
+            (norm(target), pos, p, "PUFFIN"))
+        }
+      }.toDF("file_path", "pos", "delete_file_path", "delete_file_format"))
+    (parqDf, dvDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => Seq.empty[(String, Long, String, String)]
+        .toDF("file_path", "pos", "delete_file_path", "delete_file_format")
+    }
+  }
+
+  /** The `$all_files` table: every file referenced by ANY snapshot in
+    * history (Iceberg's `all_files` / `all_data_files` surface, both
+    * contents in one relation) — the reachability set snapshot expiry
+    * and orphan cleanup reason over. Distinct union of the per-snapshot
+    * distributed manifest scans. */
+  def allFiles(spark: SparkSession, tableDir: String): DataFrame =
+    LayoutMaintenance.snapshotIds(spark, tableDir)
+      .map(id => files(spark, tableDir, Some(id)))
+      .reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("file_path"))
+      .getOrElse(files(spark, tableDir).limit(0))
+
   /** The `$refs` table: (name, snapshot_id, type). */
   def refs(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._

@@ -883,7 +883,8 @@ private[v2] object GraftMetaTable {
     * batch = the whole history as change rows, streaming
     * (`readStream.table("cat.db.t.changes")`) = the CDC tail. */
   val Kinds: Set[String] =
-    Set("snapshots", "files", "partitions", "refs", "history", "changes")
+    Set("snapshots", "files", "partitions", "refs", "history", "changes",
+      "manifests", "position_deletes", "all_files")
 }
 
 /** A table's metadata relation served as a read-only DSv2 table — the
@@ -907,6 +908,10 @@ private[v2] class GraftMetaTable(dir: String, kind: String)
       case "partitions" => graft.sources.MetadataTables.partitions(spark, dir)
       case "refs" => graft.sources.MetadataTables.refs(spark, dir)
       case "history" => graft.sources.MetadataTables.history(spark, dir)
+      case "manifests" => graft.sources.MetadataTables.manifests(spark, dir)
+      case "position_deletes" =>
+        graft.sources.MetadataTables.positionDeletes(spark, dir)
+      case "all_files" => graft.sources.MetadataTables.allFiles(spark, dir)
     }
   }
 
