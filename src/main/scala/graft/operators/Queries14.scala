@@ -748,6 +748,73 @@ object Queries14 {
                 |FROM $cat.ta.li.position_deletes
                 |GROUP BY delete_file_format
                 |ORDER BY delete_file_format""".stripMargin)
+    },
+
+    // ---- AUDIT-ID WAP (Iceberg's `spark.wap.id` flavor, the branchless
+    // twin of q256's write.branch staging): with `write.wap.enabled` on
+    // the table and an audit id in the SESSION, an INSERT stages — the
+    // snapshot lands in history with `wap.id` in its summary and NO ref
+    // moves (head isolation pinned in-query: readers see only 1995, the
+    // staged snapshot is addressable via VERSION AS OF its id). `CALL
+    // publish_changes(table, wap_id)` resolves the id from snapshot
+    // summaries and cherry-picks the additions onto the head. The final
+    // profile spans the published whole; a duplicate wap.id stage is
+    // pinned REFUSED. DuckDB recomputes from the source table.
+    "q266_wap_id_publish" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q266wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wi")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wi.ord")
+      s.sql(s"CREATE TABLE $cat.wi.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg` " +
+        "TBLPROPERTIES ('write.wap.enabled' = 'true')")
+      t(dir, "orders").createOrReplaceTempView("q266_src")
+      s.sql(s"""INSERT INTO $cat.wi.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q266_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val n95 = s.sql(s"SELECT count(*) FROM $cat.wi.ord").head.getLong(0)
+      s.conf.set("spark.wap.id", "audit-1996")
+      val stagedId =
+        try {
+          s.sql(s"""INSERT INTO $cat.wi.ord
+                   |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+                   |       CAST(month(o_orderdate) AS BIGINT)
+                   |FROM q266_src WHERE year(o_orderdate) = 1996""".stripMargin)
+          // head isolation: the staged rows are invisible to readers
+          require(s.sql(s"SELECT count(*) FROM $cat.wi.ord")
+            .head.getLong(0) == n95,
+            "wap.id staging leaked into the head")
+          // a second stage under the SAME id must refuse (publish
+          // resolution would be ambiguous)
+          val dup = try {
+            s.sql(s"""INSERT INTO $cat.wi.ord
+                     |SELECT 1L, 1L, 1L""".stripMargin); false
+          } catch { case e: Exception =>
+            e.getMessage != null || e.getCause != null }
+          require(dup, "duplicate wap.id stage must refuse")
+          val sid = s.sql(s"SELECT max(snapshot_id) FROM $cat.wi.ord.snapshots")
+            .head.getLong(0)
+          // the staged snapshot is addressable via time travel
+          val n96 = t(dir, "orders")
+            .filter(year(col("o_orderdate")) === 1996).count()
+          require(s.sql(
+            s"SELECT count(*) FROM $cat.wi.ord VERSION AS OF $sid")
+            .head.getLong(0) == n95 + n96,
+            "staged snapshot must hold base + staged rows")
+          sid
+        } finally s.conf.unset("spark.wap.id")
+      val pub = s.sql(s"CALL $cat.system.publish_changes(" +
+        "table => 'wi.ord', wap_id => 'audit-1996')").head
+      require(pub.getLong(0) == stagedId,
+        s"publish must resolve the staged snapshot, got $pub")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.wi.ord GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -908,5 +975,17 @@ object Queries14 {
         |  SELECT 'PUFFIN', CAST(count(*) AS BIGINT)
         |  FROM src WHERE qty >= 5 AND pk < 1000)
         |SELECT delete_file_format, n_deleted_rows FROM kinds
-        |ORDER BY delete_file_format""".stripMargin)
+        |ORDER BY delete_file_format""".stripMargin,
+
+    "q266_wap_id_publish" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
 }

@@ -808,7 +808,8 @@ object LayoutMaintenance {
       currentAfter: Long,
       refsAfter: Seq[(String, Long, String)],
       base: MetaBase,
-      operation: String = "append"): Long = {
+      operation: String = "append",
+      extraSummary: Seq[(String, String)] = Nil): Long = {
     val m = metaDir(tableDir)
     // spec "Snapshots": every snapshot records a summary with its
     // operation plus change counts — what `snapshots` metadata-table
@@ -826,7 +827,8 @@ object LayoutMaintenance {
       "total-data-files" -> entries.count(_.content == 0).toString,
       "total-records" ->
         entries.filter(_.content == 0).map(_.recordCount).sum.toString,
-      "total-delete-files" -> entries.count(_.content != 0).toString)
+      "total-delete-files" -> entries.count(_.content != 0).toString) ++
+      extraSummary
     // entries ADDED by this commit that did not declare a spec id
     // (specId < 0, the UNSET sentinel — distinct from a genuine spec 0,
     // so a cherry-picked or carried entry written under spec 0 is never
@@ -1706,6 +1708,50 @@ object LayoutMaintenance {
       refsAfter.sortBy(_._1), base)
     newId
   } }
+
+  /** WAP staging by AUDIT ID (Iceberg's `spark.wap.id` flavor — the
+    * branchless twin of [[stageAppend]]): the snapshot lands in history
+    * with `wap.id` recorded in its summary and NO ref moves — the head
+    * stays put until [[publishChanges]] cherry-picks it. One snapshot
+    * per wap id (Iceberg's publish-by-id resolution requires it). */
+  def stageAppendWap(spark: SparkSession, tableDir: String,
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      wapId: String): Long =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    val base = metaBase(spark, tableDir)
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir (stage the " +
+      "first commit normally; there is no head to isolate)")
+    val dup = snapshotSummaries(spark, tableDir)
+      .collectFirst { case (id, _, kv) if kv.get("wap.id")
+        .contains(wapId) => id }
+    require(dup.isEmpty,
+      s"stageAppendWap($tableDir): wap.id '$wapId' already staged as " +
+        s"snapshot ${dup.get}; publish or expire it first")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val carried = carriedEntries(spark, tableDir, curId)
+    val newId = (all.map(_.id) ++
+      carried.map(_.sequenceNumber.longValue)).max + 1
+    val stamped = added.map(e => e.copy(sequenceNumber = newId))
+    appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
+      refs(spark, tableDir), base,
+      extraSummary = Seq("wap.id" -> wapId))
+    newId
+  } }
+
+  /** Iceberg's `publish_changes`: resolve the staged snapshot whose
+    * summary carries `wap.id = <id>` and cherry-pick its additions onto
+    * the current head. Returns (stagedSnapshotId, newHeadId). */
+  def publishChanges(spark: SparkSession, tableDir: String,
+      wapId: String): (Long, Long) = {
+    val staged = snapshotSummaries(spark, tableDir)
+      .collectFirst { case (id, _, kv) if kv.get("wap.id")
+        .contains(wapId) => id }
+      .getOrElse(sys.error(
+        s"publishChanges($tableDir): no staged snapshot carries " +
+          s"wap.id '$wapId'"))
+    (staged, cherryPick(spark, tableDir, staged))
+  }
 
   /** Create or move a named ref (Iceberg's create_tag / create_branch /
     * replace_tag): point `name` at a snapshot in history — the current

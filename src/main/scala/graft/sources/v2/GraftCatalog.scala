@@ -189,7 +189,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       deleteMode = props.get("write.delete.mode"),
       deleteFormat = props.get("write.delete.format"),
       updateMode = props.get("write.update.mode"),
-      mergeMode = props.get("write.merge.mode"))
+      mergeMode = props.get("write.merge.mode"),
+      wapEnabled = props.get("write.wap.enabled").contains("true"))
   }
 
   /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each

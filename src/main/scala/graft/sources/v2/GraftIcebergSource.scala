@@ -223,7 +223,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     deleteMode: Option[String] = None,
     deleteFormat: Option[String] = None,
     updateMode: Option[String] = None,
-    mergeMode: Option[String] = None)
+    mergeMode: Option[String] = None,
+    wapEnabled: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -655,7 +656,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       // metadata through the INSERT plan) — the writer embeds them into
       // every new parquet file so renamed columns resolve by id forever
       fieldIds = GraftCatalog.fieldIdsOf(schema),
-      tableBranch = writeBranch)
+      tableBranch = writeBranch, wapEnabled = wapEnabled)
 }
 
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,

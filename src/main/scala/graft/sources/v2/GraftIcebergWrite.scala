@@ -28,7 +28,8 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     overwriteAll: Boolean = false,
     declaredPartSpec: Seq[(String, String, String)] = Nil,
     fieldIds: Map[String, Int] = Map.empty,
-    tableBranch: Option[String] = None)
+    tableBranch: Option[String] = None,
+    wapEnabled: Boolean = false)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -110,6 +111,18 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     Option(info.options().get("write.branch")).filter(_.nonEmpty)
       .orElse(tableBranch.filter(_.nonEmpty))
 
+  /** Iceberg's `spark.wap.id` staging: when the table opted in
+    * (`write.wap.enabled` property or write option) and the SESSION
+    * carries an audit id, appends stage in history with the id in their
+    * summary and the head stays put until `CALL publish_changes`. */
+  private def wapId: Option[String] = {
+    val enabled = wapEnabled ||
+      Option(info.options().get("write.wap.enabled")).contains("true")
+    if (!enabled) None
+    else org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.wap.id").filter(_.nonEmpty)
+  }
+
   private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =
       if (overwriteAll) {
@@ -119,8 +132,14 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
             "the branch first")
         new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
           partSpec, specForCreate, targetBytes, fieldIds)
-      } else new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate, sortCols, targetBytes, fieldIds, branch)
+      } else {
+        require(branch.isEmpty || wapId.isEmpty,
+          "graft-iceberg: write.branch and spark.wap.id are both set — " +
+            "pick ONE staging mechanism")
+        new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
+          partSpec, specForCreate, sortCols, targetBytes, fieldIds, branch,
+          wapId)
+      }
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(branch.isEmpty,
@@ -346,7 +365,8 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
     sortCols: Seq[String] = Nil,
     targetBytes: Option[Long] = None,
     fieldIds: Map[String, Int] = Map.empty,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    wapId: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -361,7 +381,13 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
       sortOrderId = if (sortCols.nonEmpty) Int.box(1) else null)
     // empty-task files were already deleted task-side; an all-empty
     // write still commits an (empty) snapshot? No: real engines skip it
-    if (entries.nonEmpty) branch match {
+    if (entries.nonEmpty) wapId match {
+      case Some(id) =>
+        // audit-id staging: snapshot in history, summary-tagged, NO ref
+        // moves; CALL publish_changes(wap_id) cherry-picks it later
+        graft.sources.LayoutMaintenance.stageAppendWap(
+          org.apache.spark.sql.SparkSession.active, dir, entries, id)
+      case None => branch match {
       // branch-targeted append (write-audit-publish from pure SQL):
       // the snapshot lands in history and the BRANCH ref moves; the
       // table head (and `main`) stay put until CALL fast_forward
@@ -375,7 +401,7 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
           org.apache.spark.sql.SparkSession.active, dir, entries,
           partitionSpec = specForCreate,
           sortOrder = GraftIcebergWrite.sortOrderRows(sortCols, schema))
-    }
+    } }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

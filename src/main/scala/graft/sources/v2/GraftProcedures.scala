@@ -372,6 +372,23 @@ object GraftProcedures {
       }
     },
 
+    new Proc("publish_changes",
+      Array(p("table", StringType), p("wap_id", StringType)),
+      StructType(Seq(
+        StructField("source_snapshot_id", LongType, nullable = false),
+        StructField("current_snapshot_id", LongType, nullable = false))),
+      "Publish the snapshot staged under spark.wap.id = <wap_id> " +
+        "(summary-tagged, head untouched) by cherry-picking its " +
+        "additions onto the current head — Iceberg's audit-id WAP " +
+        "publish") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val (staged, newHead) = LayoutMaintenance.publishChanges(
+          spark, dir, in.getUTF8String(1).toString)
+        Seq(Seq(staged, newHead))
+      }
+    },
+
     new Proc("fast_forward",
       Array(p("table", StringType), p("branch", StringType), p("to", StringType)),
       StructType(Seq(
