@@ -104,7 +104,8 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
       info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftDeltaWriterFactory(dir, schema, queryId,
       table.writeStatFields, partCols,
-      GraftCatalog.fieldIdsOf(table.schema))
+      GraftCatalog.fieldIdsOf(table.schema),
+      dv = table.dvTombstones)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: GraftDeltaCommitMessage => m }
@@ -116,7 +117,10 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
     val delEntries = msgs.flatMap(_.deletes).filter(_.rows > 0)
       .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(
         status = 1, content = 1, filePath = f.path, recordCount = f.rows,
-        sizeBytes = f.bytes))
+        sizeBytes = f.bytes,
+        fileFormat =
+          if (graft.sources.DeletionVectors.isDvPath(f.path)) "PUFFIN"
+          else "PARQUET"))
     // a MERGE whose predicates hit nothing commits nothing
     if (dataEntries.nonEmpty || delEntries.nonEmpty)
       graft.sources.LayoutMaintenance.commitDeltaFiles(
@@ -135,11 +139,11 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
 private[v2] class GraftDeltaWriterFactory(dir: String, schema: StructType,
     queryId: String, stats: Seq[GraftIcebergSource.StatField],
     partCols: Seq[(String, String, Int)],
-    fieldIds: Map[String, Int]) extends DeltaWriterFactory {
+    fieldIds: Map[String, Int], dv: Boolean) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, queryId, partitionId, taskId, stats,
-      partCols, fieldIds)
+      partCols, fieldIds, dv)
 }
 
 /** Task-side: inserts delegate to the ordinary partition-aware data
@@ -149,7 +153,8 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
     stats: Seq[GraftIcebergSource.StatField],
     partCols: Seq[(String, String, Int)],
-    fieldIds: Map[String, Int]) extends DeltaWriter[InternalRow] {
+    fieldIds: Map[String, Int], dv: Boolean)
+    extends DeltaWriter[InternalRow] {
 
   private val inserts = new GraftDataWriter(dir, schema,
     s"delta-$queryId", partitionId, taskId, stats, partCols, None, fieldIds)
@@ -175,7 +180,20 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     }
     val delFiles =
       if (dels.isEmpty) Nil
-      else {
+      else if (dv) {
+        // Iceberg-v3 dialect (write.delete.format=dv): ONE puffin per
+        // task, one deletion-vector blob per target file. The blob's
+        // snapshot-id property is 0 at task time — visibility comes
+        // from the manifest entry's sequence number, which the commit
+        // stamps, same as parquet tombstones.
+        val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+        val f = new java.io.File(dataDir,
+          s"dv-delta-$queryId-$partitionId-$taskId.puffin")
+        graft.sources.DeletionVectors.write(f, 0L,
+          dels.groupBy(_._1).toSeq
+            .map { case (t, ps) => (t, ps.map(_._2).toSeq) })
+        Seq(GraftFileInfo(f.getAbsolutePath, dels.size.toLong, f.length()))
+      } else {
         val w = new GraftDataWriter(dir,
           StructType(Seq(StructField("file_path", StringType, false),
             StructField("pos", LongType, false))),

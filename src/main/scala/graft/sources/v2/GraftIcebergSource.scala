@@ -242,6 +242,11 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelOperationBuilder(this, info)
 
+  /** write.delete.format=dv: row-level tombstones land as Iceberg-v3
+    * deletion vectors instead of parquet position-delete files. */
+  private[v2] def dvTombstones: Boolean =
+    deleteFormat.map(_.toLowerCase).contains("dv")
+
   /** The configured write mode for a row-level command — Iceberg's
     * write.delete/update/merge.mode trio; copy-on-write when unset. */
   private[v2] def rowLevelMode(

@@ -121,6 +121,21 @@ class GraftMorDmlSpec extends AnyFunSuite {
     assert(after == Seq((2L, 1L), (4L, 1L)), s"got $after")
   }
 
+  test("write.delete.format=dv: MOR UPDATE tombstones land as deletion vectors") {
+    val dir = fresh("dvdml", mor = true)
+    spark.sql("ALTER TABLE mdml.db.dvdml " +
+      "SET TBLPROPERTIES ('write.delete.format' = 'dv')")
+    spark.sql("UPDATE mdml.db.dvdml SET amt = amt * 10 WHERE k IN (2, 3)")
+    val fmts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir, "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 1)
+      .select("file_format").collect().map(_.getString(0)).distinct.toSeq
+    assert(fmts == Seq("PUFFIN"), s"DV dialect expected, got $fmts")
+    val out = spark.sql("SELECT k, amt FROM mdml.db.dvdml ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L), (2L, 200L), (3L, 300L), (4L, 40L)))
+  }
+
   test("rewrite_data_files folds MOR DML tombstones away, state preserved") {
     fresh("fold", mor = true)
     spark.sql("UPDATE mdml.db.fold SET amt = 0 WHERE k = 2")
