@@ -815,6 +815,65 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.wi.ord GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- DYNAMIC PARTITION OVERWRITE (Iceberg's dynamic overwrite /
+    // Spark's `partitionOverwriteMode=dynamic`, `SupportsDynamicOverwrite`):
+    // INSERT OVERWRITE replaces exactly the partitions the incoming
+    // rows LAND IN — 1995 fills all twelve months, then a 1996 slice
+    // covering only March and April overwrites those two partitions in
+    // ONE snapshot while the other ten months' files are pinned carried
+    // VERBATIM (the O(touched-partitions) bill; static overwrite would
+    // have replaced the table). The old March/April files are pinned
+    // GONE. DuckDB stitches the expected months from year arithmetic.
+    "q267_dynamic_overwrite" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q267wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.dp.ord")
+      s.sql(s"CREATE TABLE $cat.dp.ord " +
+        "(okey BIGINT, price BIGINT, mon BIGINT) USING `graft-iceberg` " +
+        "PARTITIONED BY (mon)")
+      t(dir, "orders").createOrReplaceTempView("q267_src")
+      s.sql(s"""INSERT INTO $cat.dp.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q267_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val tdir = s"${wh.getPath}/dp/ord"
+      def filesByPart(): Map[String, Set[String]] = graft.sources
+        .IcebergManifestSource.statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select(col("file_path"), col("partitionKey")).collect()
+        .groupBy(_.getString(1)).map { case (k, rs) =>
+          k -> rs.map(_.getString(0)).toSet }
+      val before = filesByPart()
+      require(before.size == 12, s"12 month partitions, got ${before.size}")
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"""INSERT OVERWRITE $cat.dp.ord
+               |SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT),
+               |       CAST(month(o_orderdate) AS BIGINT)
+               |FROM q267_src WHERE year(o_orderdate) = 1996
+               |  AND month(o_orderdate) IN (3, 4)""".stripMargin)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      val after = filesByPart()
+      // every partition is either carried VERBATIM or fully replaced
+      // (no old file may survive next to new ones)
+      before.foreach { case (part, files) =>
+        if (after.get(part) == Some(files)) ()
+        else require(!after.get(part).exists(_.intersect(files).nonEmpty),
+          s"partition $part must be fully replaced or fully carried")
+      }
+      val carried = before.count { case (p, f) => after.get(p) == Some(f) }
+      require(carried == 10,
+        s"exactly ten untouched month partitions must carry, got $carried")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.dp.ord GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -987,5 +1046,21 @@ object Queries14 {
         |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q267_dynamic_overwrite" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         year(CAST(o_orderdate AS DATE)) AS yr
+        |  FROM orders),
+        |live AS (
+        |  SELECT okey, price, mon FROM src
+        |  WHERE (yr = 1995 AND mon NOT IN (3, 4))
+        |     OR (yr = 1996 AND mon IN (3, 4)))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
 }

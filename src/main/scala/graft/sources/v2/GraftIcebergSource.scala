@@ -566,7 +566,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       } else Nil
     }
 
-  private def hasMetadata: Boolean = {
+  private[v2] def hasMetadata: Boolean = {
     val m = new java.io.File(dir, "metadata")
     new java.io.File(m, "version-hint.text").exists() ||
       Option(m.listFiles()).exists(_.exists(
@@ -619,7 +619,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** The table's declared partition transforms (catalog descriptor
     * first, layout metadata otherwise) as Spark `Transform`s — what

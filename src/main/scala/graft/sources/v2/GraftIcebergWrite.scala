@@ -29,9 +29,11 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     declaredPartSpec: Seq[(String, String, String)] = Nil,
     fieldIds: Map[String, Int] = Map.empty,
     tableBranch: Option[String] = None,
-    wapEnabled: Boolean = false)
+    wapEnabled: Boolean = false,
+    overwriteDynamic: Boolean = false)
     extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   /** The partition spec this write observes: the catalog's declared
     * spec (pfName, transform, srcCol), or — for a path-addressed write
@@ -93,6 +95,16 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
       declaredPartSpec, fieldIds, tableBranch)
 
+  /** Iceberg's DYNAMIC overwrite (`partitionOverwriteMode=dynamic`,
+    * `df.writeTo(t).overwritePartitions()`): replace exactly the
+    * partitions the incoming rows land in — untouched partitions are
+    * carried verbatim; on an unpartitioned table it degrades to the
+    * full-table replacement, Iceberg's own convention. */
+  override def overwriteDynamicPartitions(): WriteBuilder =
+    new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = false,
+      declaredPartSpec, fieldIds, tableBranch, wapEnabled,
+      overwriteDynamic = true)
+
   /** Iceberg's `write.target-file-size-bytes`, as a write option: tasks
     * ROLL their open data file when its buffered size crosses the
     * target, so file sizes track the target regardless of task skew. */
@@ -125,7 +137,14 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
 
   private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =
-      if (overwriteAll) {
+      if (overwriteDynamic) {
+        require(branch.isEmpty && wapId.isEmpty,
+          "graft-iceberg: dynamic partition overwrite cannot stage onto " +
+            "a branch or wap.id (its commit replaces head partitions)")
+        new GraftDynamicOverwriteBatchWrite(dir, info.schema(),
+          info.queryId(), stats, partSpec, specForCreate, targetBytes,
+          fieldIds)
+      } else if (overwriteAll) {
         require(branch.isEmpty,
           "graft-iceberg: INSERT OVERWRITE cannot target a write.branch " +
             "(overwrite commits move the table head); publish or unset " +
@@ -222,6 +241,55 @@ private[v2] object GraftIcebergWrite {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(f.path)))
       case _ => ()
     }
+}
+
+/** DYNAMIC partition overwrite: the task-parallel write decides the
+  * touched partition set; the commit swaps exactly the pre-existing
+  * data files of those partitions for the written files in ONE
+  * snapshot. Untouched partitions never move — the O(touched) bill.
+  * Partition tuples match on their canonical string forms (the same
+  * values the manifests record). */
+private[v2] class GraftDynamicOverwriteBatchWrite(dir: String,
+    schema: StructType, queryId: String,
+    stats: Seq[GraftIcebergSource.StatField] = Nil,
+    partCols: Seq[(String, String, Int)] = Nil,
+    specForCreate: Seq[(String, String, Int)] = Nil,
+    targetBytes: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(dir, schema, queryId, stats, partCols, targetBytes,
+      fieldIds)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = GraftIcebergWrite.entriesOf(messages)
+    // Spark's dynamic-overwrite semantics: an empty source overwrites
+    // NOTHING (no partitions are touched)
+    if (added.isEmpty) return
+    def canon(p: Iterable[(String, Any)]): Map[String, String] =
+      p.map { case (n, v) => n -> String.valueOf(v) }.toMap
+    val touched = added.map(e => canon(e.partition)).toSet
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = new GraftTable(dir, None, Nil)
+    if (!table.hasMetadata) {
+      // first write on a created-but-empty table: a plain append that
+      // also births the partition spec, same as an INSERT
+      graft.sources.LayoutMaintenance.commitAppend(spark, dir, added,
+        partitionSpec = specForCreate)
+      return
+    }
+    require(!table.oversizedPlanning,
+      "graft-iceberg: dynamic overwrite needs per-file planning; " +
+        "this table's file count exceeds spark.graft.maxDriverFileEntries")
+    val replaced = table.dataFiles.filter(f => touched(canon(f.pvals)))
+      .map(_.path)
+    graft.sources.LayoutMaintenance.commitReplaceFiles(
+      spark, dir, replaced, added)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftIcebergWrite.deleteFiles(messages)
 }
 
 private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
