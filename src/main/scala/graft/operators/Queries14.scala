@@ -874,6 +874,48 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.dp.ord GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- ATOMIC CTAS + RTAS (StagingTableCatalog): CREATE TABLE AS
+    // SELECT writes into a STAGED table — nothing is visible until one
+    // commit — and REPLACE TABLE AS SELECT swaps the whole content in
+    // ONE group-replace snapshot while the table's SNAPSHOT HISTORY
+    // survives (Iceberg's RTAS shape; pinned in-query: the pre-replace
+    // state still reads via VERSION AS OF and equals the 1995 rollup).
+    // 1995 lands via CTAS, the table is REPLACED with the 1996 profile,
+    // and the final read is the post-replace truth — recomputed by
+    // DuckDB from year arithmetic.
+    "q268_atomic_rtas" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q268wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rt")
+      s.sql(s"DROP TABLE IF EXISTS $cat.rt.prof")
+      t(dir, "orders").createOrReplaceTempView("q268_src")
+      s.sql(s"""CREATE TABLE $cat.rt.prof USING `graft-iceberg` AS
+               |SELECT o_orderkey AS okey,
+               |       CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+               |       CAST(month(o_orderdate) AS BIGINT) AS mon
+               |FROM q268_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val snap95 = s.sql(
+        s"SELECT max(snapshot_id) FROM $cat.rt.prof.snapshots").head.getLong(0)
+      val n95 = s.sql(s"SELECT count(*) FROM $cat.rt.prof").head.getLong(0)
+      s.sql(s"""REPLACE TABLE $cat.rt.prof USING `graft-iceberg` AS
+               |SELECT o_orderkey AS okey,
+               |       CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+               |       CAST(month(o_orderdate) AS BIGINT) AS mon
+               |FROM q268_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      // history preserved: the pre-replace snapshot still time-travels
+      require(s.sql(
+        s"SELECT count(*) FROM $cat.rt.prof VERSION AS OF $snap95")
+        .head.getLong(0) == n95,
+        "RTAS must keep pre-replace history time-travelable")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+                |  min(okey) AS min_okey
+                |FROM $cat.rt.prof GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -1062,5 +1104,16 @@ object Queries14 {
         |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM live GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM live GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q268_atomic_rtas" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
 }

@@ -43,7 +43,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path-addressed `format("graft-iceberg")` API uses.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog {
+    with ProcedureCatalog with ViewCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.io.File = _
@@ -472,6 +472,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else procedures.keys.toSeq.sorted
       .map(n => Identifier.of(Array("system"), n)).toArray
 
+  // ---- StagingTableCatalog: atomic CTAS / RTAS ----
+  //
+  // Spark routes CREATE TABLE AS SELECT and (CREATE OR) REPLACE TABLE
+  // AS SELECT through here when the catalog stages: the query writes
+  // into the staged table FIRST, and only commitStagedChanges makes
+  // anything visible — a failed query leaves no half-created table and
+  // no half-replaced one. REPLACE is Iceberg's: the table's SNAPSHOT
+  // HISTORY survives — the commit is one group-replace snapshot (every
+  // pre-replace file out, the staged files in, tombstones dropped), so
+  // `VERSION AS OF` still reaches pre-replace states.
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stage(ident, info, replaceAllowed = false, createAllowed = true)
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stage(ident, info, replaceAllowed = true, createAllowed = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stage(ident, info, replaceAllowed = true, createAllowed = true)
+
+  private def stage(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      replaceAllowed: Boolean, createAllowed: Boolean): StagedTable = {
+    val dir = tableDir(ident)
+    val exists = isTable(dir)
+    if (exists && !replaceAllowed) throw new TableAlreadyExistsException(ident)
+    if (!exists && !createAllowed) throw new NoSuchTableException(ident)
+    if (!isNamespace(nsDir(ident.namespace)))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
+    val schema = info.schema()
+    val partSpec = info.partitions().map(t => toSpecEntry(t, schema)).toSeq
+    val props = info.properties().asScala.toMap.filter { case (k, _) =>
+      !Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER)(k) }
+    val ids = schema.fields.zipWithIndex.map { case (f, i) =>
+      GraftCatalog.ColumnId(f.name, i + 1,
+        currentDefault = GraftCatalog.metaStr(f, "CURRENT_DEFAULT"),
+        initialDefault = GraftCatalog.metaStr(f, "EXISTS_DEFAULT")) }.toSeq
+    new GraftStagedTable(ident, dir, schema, partSpec, props, ids,
+      existedBefore = exists, writeDesc =
+        () => writeDescriptor(dir, schema, props, partSpec, ids))
+  }
+
   // ---- ViewCatalog ----
   //
   // SQL views over the warehouse, Iceberg-view shaped (public view spec:
@@ -644,7 +689,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- descriptor I/O (one small JSON per table — catalog-entry sized) ----
 
 
-  private def writeDescriptor(dir: java.io.File, schema: StructType,
+  private[v2] def writeDescriptor(dir: java.io.File, schema: StructType,
       props: Map[String, String],
       partSpec: Seq[(String, String, String)] = Nil,
       columnIds: Seq[GraftCatalog.ColumnId] = Nil): Unit = {
