@@ -155,4 +155,28 @@ class OrcPosReadSpec extends AnyFunSuite {
     val back = MorRead.readTable(spark, tbl.getPath).count()
     assert(back == 39)
   }
+
+  test("seeded randomized round trip: values, nulls, and ordinals exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextLong()),
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt()),
+        if (rnd.nextInt(10) == 0) None
+        else Some(rnd.nextString(rnd.nextInt(12))),
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble()),
+        rnd.nextBoolean())
+    }
+    val df = rows.toDF("ord", "l", "i", "s", "d", "b")
+    val dest = new java.io.File("target/tmp-orcpos/fuzz.orc")
+    assert(IcebergLayoutWriter.writeSingleOrc(df.orderBy("ord"), dest) == 2000L)
+    val back = OrcPosRead.readWithPos(spark, Seq(dest.getAbsolutePath))
+      .orderBy("pos")
+      .select("ord", "l", "i", "s", "d", "b").collect()
+      .map(_.toSeq).toSeq
+    val exp = df.orderBy("ord").select("ord", "l", "i", "s", "d", "b")
+      .collect().map(_.toSeq).toSeq
+    assert(back == exp)
+  }
 }
