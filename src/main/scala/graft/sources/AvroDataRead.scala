@@ -114,13 +114,13 @@ object AvroDataRead {
       val reader = new DataFileReader[GenericRecord](
         new java.io.File(path), new GenericDatumReader[GenericRecord]())
       val fs = reader.getSchema.getFields.asScala.toSeq
+      // close with the TASK: a LIMIT-terminated or failed task abandons
+      // the iterator mid-stream and exhaustion-close alone would leak
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.close()))
       new Iterator[Row] {
         private var i = 0L
-        override def hasNext: Boolean = {
-          val h = reader.hasNext
-          if (!h) reader.close()
-          h
-        }
+        override def hasNext: Boolean = reader.hasNext
         override def next(): Row = {
           val rec = reader.next()
           val vals = new Array[Any](fs.size + 2)

@@ -143,6 +143,10 @@ object OrcPosRead {
         val cols = fileTd.getChildren.asScala.toSeq
         val rr = reader.rows(reader.options.range(off, len))
         val batch = fileTd.createRowBatch()
+        // a LIMIT-terminated or failed task abandons the iterator
+        // mid-stream: close with the task, not just at exhaustion
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => { rr.close(); reader.close() }))
         new Iterator[Row] {
           private var base = 0L
           private var i = 0
@@ -151,7 +155,7 @@ object OrcPosRead {
           private def fill(): Unit = {
             base = rr.getRowNumber // absolute ordinal of the batch head
             if (rr.nextBatch(batch)) { nRows = batch.size; i = 0 }
-            else { nRows = 0; rr.close(); reader.close(); open = false }
+            else { nRows = 0; open = false } // task listener closes
           }
           fill()
           override def hasNext: Boolean = open && i < nRows

@@ -235,6 +235,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    // a VIEW of this name would shadow the table (view substitution
+    // resolves first) — refuse instead of creating an unreachable table
+    require(!viewExists(ident),
+      s"graft catalog: a VIEW named $ident already exists")
     if (!isNamespace(nsDir(ident.namespace)))
       throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
     dir.mkdirs()
@@ -502,6 +506,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val exists = isTable(dir)
     if (exists && !replaceAllowed) throw new TableAlreadyExistsException(ident)
     if (!exists && !createAllowed) throw new NoSuchTableException(ident)
+    require(!viewExists(ident),
+      s"graft catalog: a VIEW named $ident already exists")
     if (!isNamespace(nsDir(ident.namespace)))
       throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
     val schema = info.schema()

@@ -164,6 +164,9 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       require(branch.isEmpty,
         "graft-iceberg: streaming writes cannot target a write.branch " +
           "(the exactly-once epoch ledger commits to the table head)")
+      require(wapId.isEmpty,
+        "graft-iceberg: streaming writes cannot stage under spark.wap.id " +
+          "(epoch commits move the table head; unset the audit id)")
       new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
         partSpec, specForCreate, targetBytes, fieldIds)
     }

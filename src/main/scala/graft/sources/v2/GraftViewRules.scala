@@ -45,19 +45,21 @@ object GraftViewRules {
       parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
     val cm = session.sessionState.catalogManager
     if (parts.size >= 2) {
-      val byName =
-        try cm.catalog(parts.head) match {
-          case g: GraftCatalog =>
-            return Some((g, Identifier.of(
-              parts.tail.init.toArray, parts.last)))
-          case _ => None
-        } catch { case _: Exception => None }
-      byName.getOrElse {
-        cm.currentCatalog match {
-          case g: GraftCatalog =>
-            Some((g, Identifier.of(parts.init.toArray, parts.last)))
-          case _ => None
-        }
+      // an EXPLICIT leading catalog name ends resolution at that
+      // catalog — `spark_catalog.db.t` must never fall back to being
+      // read as a current-graft-catalog-relative name
+      val headIsCatalog =
+        try { cm.catalog(parts.head); true }
+        catch { case _: Exception => false }
+      if (headIsCatalog) cm.catalog(parts.head) match {
+        case g: GraftCatalog =>
+          Some((g, Identifier.of(parts.tail.init.toArray, parts.last)))
+        case _ => None
+      }
+      else cm.currentCatalog match {
+        case g: GraftCatalog =>
+          Some((g, Identifier.of(parts.init.toArray, parts.last)))
+        case _ => None
       }
     } else if (parts.size == 1) cm.currentCatalog match {
       case g: GraftCatalog =>
@@ -71,11 +73,14 @@ object GraftViewRules {
       parts: Seq[String]): Option[(GraftCatalog, Array[String])] = {
     val cm = session.sessionState.catalogManager
     if (parts.nonEmpty) {
-      try cm.catalog(parts.head) match {
-        case g: GraftCatalog => return Some((g, parts.tail.toArray))
-        case _ => return None
-      } catch { case _: Exception => }
-      cm.currentCatalog match {
+      val headIsCatalog =
+        try { cm.catalog(parts.head); true }
+        catch { case _: Exception => false }
+      if (headIsCatalog) cm.catalog(parts.head) match {
+        case g: GraftCatalog => Some((g, parts.tail.toArray))
+        case _ => None // explicit non-graft catalog: not ours
+      }
+      else cm.currentCatalog match {
         case g: GraftCatalog => Some((g, parts.toArray))
         case _ => None
       }

@@ -135,6 +135,22 @@ class GraftViewsSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE refuses a name an existing view holds (no shadowing)") {
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.vt.clash AS SELECT 5 AS n")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.vt.clash (n BIGINT) USING `graft-iceberg`")
+    }
+    assert(e.getMessage.contains("VIEW"), s"got: ${e.getMessage}")
+    // and an explicit session-catalog reference never resolves as a
+    // graft view even while the graft catalog is current
+    spark.sql(s"USE $cat")
+    try {
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW sc_probe AS SELECT 1 AS a")
+      assert(spark.sql("SELECT a FROM sc_probe").head.getInt(0) == 1)
+    } finally spark.sql("USE spark_catalog")
+    spark.sql(s"DROP VIEW $cat.vt.clash")
+  }
+
   test("session-catalog views and temp views are untouched by the routing") {
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tmp_v AS SELECT 42 AS n")
     assert(spark.sql("SELECT n FROM graft_tmp_v").head.getInt(0) == 42)
