@@ -122,18 +122,26 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
   private def branch: Option[String] =
     Option(info.options().get("write.branch")).filter(_.nonEmpty)
       .orElse(tableBranch.filter(_.nonEmpty))
+      // Iceberg's session-scoped staging target: on a wap-enabled
+      // table, `spark.wap.branch` routes appends onto that branch ref
+      // exactly like the write option / table property
+      .orElse {
+        if (!wapStagingEnabled) None
+        else org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.wap.branch").filter(_.nonEmpty)
+      }
+
+  private def wapStagingEnabled: Boolean = wapEnabled ||
+    Option(info.options().get("write.wap.enabled")).contains("true")
 
   /** Iceberg's `spark.wap.id` staging: when the table opted in
     * (`write.wap.enabled` property or write option) and the SESSION
     * carries an audit id, appends stage in history with the id in their
     * summary and the head stays put until `CALL publish_changes`. */
-  private def wapId: Option[String] = {
-    val enabled = wapEnabled ||
-      Option(info.options().get("write.wap.enabled")).contains("true")
-    if (!enabled) None
+  private def wapId: Option[String] =
+    if (!wapStagingEnabled) None
     else org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.wap.id").filter(_.nonEmpty)
-  }
 
   private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =

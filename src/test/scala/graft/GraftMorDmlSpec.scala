@@ -136,6 +136,22 @@ class GraftMorDmlSpec extends AnyFunSuite {
     assert(out == Seq((1L, 10L), (2L, 200L), (3L, 300L), (4L, 40L)))
   }
 
+  test("spark.wap.branch routes INSERTs onto the branch (session-scoped WAP)") {
+    val dir = fresh("wapbr", mor = false)
+    spark.sql("ALTER TABLE mdml.db.wapbr " +
+      "SET TBLPROPERTIES ('write.wap.enabled' = 'true')")
+    val headN = spark.sql("SELECT count(*) FROM mdml.db.wapbr").head.getLong(0)
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("INSERT INTO mdml.db.wapbr VALUES (9, 'z', 90)")
+    finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql("SELECT count(*) FROM mdml.db.wapbr").head.getLong(0)
+      == headN, "wap.branch write leaked into the head")
+    assert(spark.sql(
+      "SELECT count(*) FROM mdml.db.wapbr VERSION AS OF 'audit'")
+      .head.getLong(0) == headN + 1)
+    val _ = dir
+  }
+
   test("rewrite_data_files folds MOR DML tombstones away, state preserved") {
     fresh("fold", mor = true)
     spark.sql("UPDATE mdml.db.fold SET amt = 0 WHERE k = 2")
