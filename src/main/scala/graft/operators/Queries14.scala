@@ -916,6 +916,60 @@ object Queries14 {
       s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
                 |  min(okey) AS min_okey
                 |FROM $cat.rt.prof GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- EMBEDDING DECONTAMINATION (semantic benchmark-overlap gate —
+    // the embedding-space counterpart of the n-gram decontamination
+    // family q60/q67/q75): benchmark vectors are TINY, so they fold
+    // into the plan as PRE-NORMALIZED LITERALS and the corpus sweep is
+    // ONE zero-shuffle, zero-join projection — each row's max cosine
+    // against every benchmark vector via a higher-order aggregate. The
+    // fixture plants leaks (every 4th benchmark vector re-enters the
+    // corpus SCALED — cosine is scale-invariant, so an n-gram gate
+    // would never catch it, the point of the semantic method); pinned
+    // in-query: every planted leak is flagged. Cosines are IEEE-exact
+    // both engines (q29's determinism argument), so the status rollup
+    // hash-gates against DuckDB's list-arithmetic recomputation.
+    "q269_embedding_decontamination" -> { (s, dir) => implicit val sp = s
+      val e = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
+      // benchmark = first 20 vectors, pre-normalized DRIVER-side (20x64
+      // doubles — metadata-sized by construction)
+      val benchRows = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")).collect()
+        .map { r =>
+          val b = r.getSeq[Double](1).toArray
+          val nrm = math.sqrt(b.foldLeft(0.0)((a, x) => a + x * x))
+          b.map(_ / nrm)
+        }
+      require(benchRows.length == 20, "benchmark fixture must hold 20")
+      val benchLit = array(benchRows.map(b =>
+        array(b.map(lit(_)): _*)): _*)
+      // corpus: the rest, plus planted SCALED leaks of every 4th
+      // benchmark vector under fresh ids
+      val planted = e.filter(col("vec_id") < 20 && col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 900000L).as("vec_id"),
+          expr("transform(v, x -> x * 2.0D)").as("v"))
+      val corpus = e.filter(col("vec_id") >= 20).unionByName(planted)
+      val scored = corpus
+        .withColumn("nrm", sqrt(graft.functions.DoubleArrayDot
+          .doubleDot(col("v"), col("v"))))
+        .withColumn("maxcos", round(aggregate(benchLit, lit(-1.0d),
+          (acc, b) => greatest(acc, graft.functions.DoubleArrayDot
+            .doubleDot(col("v"), b) / col("nrm"))), 4))
+        .withColumn("status",
+          when(col("maxcos") >= 0.999, lit("contaminated"))
+            .otherwise(lit("clean")))
+      // non-vacuous: every planted leak must be caught
+      val caught = scored.filter(col("vec_id") >= 900000L)
+        .agg(count(lit(1)), sum(when(col("status") === "contaminated", 1L)
+          .otherwise(0L))).head
+      require(caught.getLong(0) > 0 && caught.getLong(0) == caught.getLong(1),
+        s"all planted leaks must flag contaminated, got $caught")
+      scored.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("status"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1115,5 +1169,41 @@ object Queries14 {
         |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q269_embedding_decontamination" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bench AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_apply(range(1, len(v) + 1),
+        |      i -> v[i] * v[i]))) AS bnrm
+        |  FROM e WHERE vec_id < 20),
+        |bhat AS (
+        |  SELECT vec_id, list_apply(range(1, len(v) + 1),
+        |    i -> v[i] / bnrm) AS b
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id >= 20
+        |  UNION ALL
+        |  SELECT vec_id + 900000, list_transform(v, x -> x * 2.0)
+        |  FROM e WHERE vec_id < 20 AND vec_id % 4 = 0),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    round(max(
+        |      list_sum(list_apply(range(1, len(c.v) + 1),
+        |        i -> c.v[i] * b.b[i]))
+        |      / sqrt(list_sum(list_apply(range(1, len(c.v) + 1),
+        |        i -> c.v[i] * c.v[i])))), 4) AS maxcos
+        |  FROM corpus c CROSS JOIN bhat b GROUP BY c.vec_id),
+        |flagged AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxcos >= 0.999 THEN 'contaminated'
+        |         ELSE 'clean' END AS status
+        |  FROM scored)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
+        |  CAST(max(vec_id) AS BIGINT) AS max_vec
+        |FROM flagged GROUP BY status ORDER BY status""".stripMargin)
 }
