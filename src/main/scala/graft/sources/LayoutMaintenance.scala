@@ -34,7 +34,13 @@ import org.apache.spark.sql.functions._
   * made against state that no longer exists. Mirrors Iceberg's
   * CommitFailedException contract. */
 final class CommitConflictException(msg: String,
-    cause: Throwable = null) extends RuntimeException(msg, cause)
+    cause: Throwable = null,
+    /** false = retrying cannot help (the conflict invalidates the
+      * commit's own inputs, not just its base version — e.g. a data file
+      * its tombstones reference was removed); the retry loop rethrows
+      * immediately and the STATEMENT fails, Iceberg's
+      * validateDataFilesExist behavior. */
+    val retryable: Boolean = true) extends RuntimeException(msg, cause)
 
 object LayoutMaintenance {
 
@@ -73,7 +79,7 @@ object LayoutMaintenance {
       attempt += 1
       try return body
       catch {
-        case e: CommitConflictException =>
+        case e: CommitConflictException if e.retryable =>
           last = e
           // brief deterministic backoff: losers of a same-ms race should
           // not immediately collide again on the next version
@@ -328,14 +334,24 @@ object LayoutMaintenance {
     * file names; deterministic-name-else-suffix keeps this layout's
     * names stable for tooling.) */
   private def freshFile(dir: java.io.File, name: String): java.io.File = {
-    val f = new java.io.File(dir, name)
-    if (!f.exists()) f
-    else {
-      val dot = name.lastIndexOf('.')
-      val (stem, ext) = name.splitAt(if (dot < 0) name.length else dot)
-      Iterator.from(1).map(k => new java.io.File(dir, s"$stem-r$k$ext"))
-        .find(!_.exists()).get
-    }
+    // createNewFile is the CLAIM, not just a probe — exists()-then-use
+    // would let two processes racing the same base both observe the name
+    // free and the CAS loser overwrite the winner's committed file in
+    // the window between check and write. The atomic create closes it:
+    // exactly one process wins each name; losers advance to -rK. The
+    // claimed empty file is the claimant's to overwrite (every commit
+    // writer replaces its target).
+    dir.mkdirs() // a missing parent would make every create throw
+    val dot = name.lastIndexOf('.')
+    val (stem, ext) = name.splitAt(if (dot < 0) name.length else dot)
+    (Iterator(new java.io.File(dir, name)) ++
+      Iterator.from(1).map(k => new java.io.File(dir, s"$stem-r$k$ext")))
+      .find(f => f.exists() match {
+        case true => false
+        case false => try f.createNewFile() catch {
+          case _: java.io.IOException => false
+        }
+      }).get
   }
 
   /** Manifest paths referenced by a snapshot's manifest list. */
@@ -1248,24 +1264,104 @@ object LayoutMaintenance {
     * (nothing removed), so a lost CAS race retries. Returns the new
     * snapshot id. */
   def commitDeltaFiles(spark: SparkSession, tableDir: String,
-      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      referencedDataFiles: Seq[String] = Nil): Long =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
+    // Iceberg's validateDataFilesExist: the (file, pos) tombstones were
+    // computed by a scan of an EARLIER snapshot; if a concurrent
+    // rewrite/compaction/COW commit removed any referenced data file,
+    // landing them would silently drop the DELETE half of the
+    // UPDATE/MERGE (dangling tombstones) while the inserts still land —
+    // duplicated rows. Not retryable: a newer base can only confirm the
+    // files are gone; the STATEMENT must re-run its scan.
+    if (referencedDataFiles.nonEmpty) {
+      def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+      val live = carried.filter(_.content == 0)
+        .map(e => norm(e.filePath)).toSet
+      val gone = referencedDataFiles.map(norm).distinct.filterNot(live)
+      if (gone.nonEmpty) throw new CommitConflictException(
+        s"commitDeltaFiles($tableDir): data files referenced by this " +
+          s"delta's position deletes are no longer live in snapshot " +
+          s"$curId (a concurrent commit replaced them): " +
+          s"${gone.take(3).mkString(", ")} — re-run the statement",
+        retryable = false)
+    }
     val newId = (all.map(_.id) ++
       carried.map(_.sequenceNumber.longValue)).max + 1
     val stamped = added.map(_.copy(sequenceNumber = newId))
+    // v3 invariant: AT MOST ONE deletion vector per data file. Task DVs
+    // and previously-committed DVs sharing a target fold into one fresh
+    // puffin; superseded carried entries leave the snapshot (their files
+    // stay — history references them).
+    val (carriedKept, mergedDv) =
+      mergeDeletionVectors(tableDir, carried,
+        stamped.filter(e => e.content == 1 && e.fileFormat == "PUFFIN"),
+        newId)
+    val stampedKept =
+      stamped.filterNot(e => e.content == 1 && e.fileFormat == "PUFFIN")
     val movedRefs = refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
+    appendSnapshot(spark, tableDir,
+      carriedKept ++ stampedKept ++ mergedDv, newId, newId,
       movedRefs, base, operation = "overwrite")
     newId
   } }
+
+  /** Fold task-written / freshly-computed DV entries (`addedDv`, all
+    * content=1 fileFormat=PUFFIN, files not yet committed) together with
+    * any live carried DVs sharing a target file into ONE puffin holding
+    * one blob per target — the v3 spec's at-most-one-DV-per-data-file
+    * invariant, which a conforming external reader depends on (it loads
+    * ONE vector per file; a second would silently drop deletes). Carried
+    * puffins that share no target are kept verbatim; a superseded
+    * puffin's non-overlapping blobs are carried into the merged file so
+    * no delete is lost. Re-stamping carried positions at the new (higher)
+    * sequence targets the same rows — paths are never reused in this
+    * layout, the same argument as [[rewritePositionDeletes]]. Returns
+    * (carried entries kept, merged DV entries to add). */
+  private def mergeDeletionVectors(tableDir: String,
+      carried: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      addedDv: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      newId: Long)
+      : (Seq[IcebergLayoutWriter.ManifestEntrySpec],
+         Seq[IcebergLayoutWriter.ManifestEntrySpec]) = {
+    if (addedDv.isEmpty) return (carried, Nil)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    // commit-sized by the MOR contract: DV payloads are matched-row
+    // ordinals, read driver-side exactly like the manifest walk
+    val addedBlobs = addedDv.flatMap(e =>
+      DeletionVectors.read(new java.io.File(e.filePath)))
+    val newTargets = addedBlobs.map(b => norm(b._1)).toSet
+    val carriedDv = carried.filter(e =>
+      e.content == 1 && e.fileFormat == "PUFFIN")
+    val carriedRead = carriedDv.map(e =>
+      e -> DeletionVectors.read(new java.io.File(e.filePath)))
+    val (superseded, untouched) = carriedRead.partition {
+      case (_, blobs) => blobs.exists(b => newTargets(norm(b._1))) }
+    val allBlobs = addedBlobs ++ superseded.flatMap(_._2)
+    val perTarget = allBlobs.groupBy(b => norm(b._1))
+      .toSeq.sortBy(_._1)
+      .map { case (_, bs) => (bs.head._1, bs.flatMap(_._2).distinct) }
+    val dataDir = new java.io.File(tableDir, "data")
+    val dv = freshFile(dataDir, s"dv-$newId.puffin")
+    DeletionVectors.write(dv, newId, perTarget)
+    // the task puffins were never committed — theirs to remove
+    addedDv.foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(e.filePath)))
+    val merged = IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+      content = 1, filePath = dv.getAbsolutePath,
+      recordCount = perTarget.map(_._2.size.toLong).sum,
+      sizeBytes = dv.length(), sequenceNumber = newId,
+      fileFormat = "PUFFIN")
+    (carried.filterNot(superseded.map(_._1).toSet), Seq(merged))
+  }
 
   def commitDeleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
@@ -1343,18 +1439,24 @@ object LayoutMaintenance {
     val hits = hitRows.map(r => (r.getString(0), r.getLong(1)))
     if (hits.isEmpty) return (curId, 0L)
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val dv = freshFile(dataDir, s"dv-$newId.puffin")
-    DeletionVectors.write(dv, newId,
+    // staging name: mergeDeletionVectors folds this commit's vector
+    // together with any live DV sharing a target (v3's one-DV-per-file
+    // invariant — successive DELETEs must supersede, not accumulate)
+    // and owns the final dv-<id>.puffin name
+    val dvStage = freshFile(dataDir, s"dv-stage-$newId.puffin")
+    DeletionVectors.write(dvStage, newId,
       hits.groupBy(_._1).toSeq.map { case (f, ps) => (f, ps.map(_._2).toSeq) })
-    val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-      content = 1, filePath = dv.getAbsolutePath, recordCount = hits.length,
-      sizeBytes = dv.length(), sequenceNumber = newId,
-      fileFormat = "PUFFIN"))
+    val staged = IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+      content = 1, filePath = dvStage.getAbsolutePath,
+      recordCount = hits.length, sizeBytes = dvStage.length(),
+      sequenceNumber = newId, fileFormat = "PUFFIN")
+    val (carriedKept, added) =
+      mergeDeletionVectors(tableDir, carried, Seq(staged), newId)
     val movedRefs = refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+    appendSnapshot(spark, tableDir, carriedKept ++ added, newId, newId,
       movedRefs, base, operation = "delete")
     (newId, hits.length.toLong)
   } }
@@ -1451,11 +1553,36 @@ object LayoutMaintenance {
       added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
       dropDeletes: Boolean = false): Long =
       commitLock(tableDir).synchronized {
+    replaceFilesLocked(spark, tableDir, Some(removedPaths), added,
+      dropDeletes)
+  }
+
+  /** Replace EVERY current data file with `added` — RTAS's commit shape.
+    * The replace set is derived from the SAME pinned base the commit's
+    * CAS verifies, inside the lock: a caller-side "list current files,
+    * then replace them" (the old GraftStagedTable shape) left a window
+    * where a concurrent insert's files were read into neither the
+    * replace set nor the conflict check, silently surviving the REPLACE.
+    * Tombstones drop with the files they reference (full overwrite). */
+  def commitReplaceAll(spark: SparkSession, tableDir: String,
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      commitLock(tableDir).synchronized {
+    replaceFilesLocked(spark, tableDir, None, added, dropDeletes = true)
+  }
+
+  private def replaceFilesLocked(spark: SparkSession, tableDir: String,
+      removedPathsOpt: Option[Seq[String]],
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      dropDeletes: Boolean): Long = {
     val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     val carried = carriedEntries(spark, tableDir, curId)
+    // None = replace ALL current data files, computed from this pinned
+    // base — never from a caller-side read that predates the lock
+    val removedPaths = removedPathsOpt.getOrElse(
+      carried.filter(_.content == 0).map(_.filePath))
     // dropDeletes is the FULL-overwrite mode (every data file replaced,
     // so tombstones reference nothing live and drop with them); partial
     // group replacement must refuse tombstoned tables instead

@@ -161,7 +161,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       snapshot: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrapRaw, props, partSpec, columnIds) = readDescriptor(dir)
+    val (bootstrapRaw, props, partSpec, columnIds, _) = readDescriptor(dir)
     // field ids + rename aliases ride the schema's field METADATA into
     // every consumer: the scan (per-file name/id/alias resolution), the
     // writer (ids embedded into new parquet files), and the row-level
@@ -261,7 +261,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrap, props, partSpecRead, idsRead) = readDescriptor(dir)
+    val (bootstrap, props, partSpecRead, idsRead, lastIdRead) =
+      readDescriptor(dir)
     // Descriptor-less external layouts evolve from their ACTUAL current
     // schema (file inference), not from empty — else the first ADD
     // COLUMN would write a one-column descriptor that, being non-empty,
@@ -274,6 +275,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (idsRead.nonEmpty) idsRead
       else schema.fields.zipWithIndex.map { case (f, i) =>
         GraftCatalog.ColumnId(f.name, i + 1) }.toSeq
+    // monotonic field-id allocator (Iceberg's last-column-id): never
+    // hands out a retired id, even after DROP of the highest column
+    var lastId = math.max(lastIdRead, ids.map(_.id).maxOption.getOrElse(0))
     var partSpec = partSpecRead
     val newProps = changes.foldLeft(props) {
       case (p, c: TableChange.SetProperty) => p + (c.property() -> c.value())
@@ -307,8 +311,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // read it back (per-file fill, zero rewrites); the CURRENT
         // default seeds from it and may move later via SET DEFAULT
         val dflt = Option(c.defaultValue()).map(_.getSql)
-        ids = ids :+ GraftCatalog.ColumnId(name,
-          ids.map(_.id).maxOption.getOrElse(0) + 1,
+        lastId += 1
+        ids = ids :+ GraftCatalog.ColumnId(name, lastId,
           currentDefault = dflt, initialDefault = dflt)
         p
       case (p, c: TableChange.DeleteColumn) =>
@@ -378,7 +382,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: unsupported ALTER TABLE change $other " +
           "(SET/UNSET TBLPROPERTIES, ADD/DROP/RENAME COLUMN)")
     }
-    writeDescriptor(dir, schema, newProps, partSpec, ids)
+    writeDescriptor(dir, schema, newProps, partSpec, ids, lastId)
     loadTable(ident)
   }
 
@@ -514,13 +518,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partSpec = info.partitions().map(t => toSpecEntry(t, schema)).toSeq
     val props = info.properties().asScala.toMap.filter { case (k, _) =>
       !Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER)(k) }
+    // RTAS re-creation continues the prior generation's field-id
+    // counter: the replaced files stay reachable via time travel, and a
+    // reused id would let a pre-replace file's column read back as an
+    // unrelated post-replace column through the per-file id fallback.
+    // Fresh ids (priorLast+1..) can never collide with any embedded id.
+    val priorLast = if (exists) readDescriptor(dir)._5 else 0
     val ids = schema.fields.zipWithIndex.map { case (f, i) =>
-      GraftCatalog.ColumnId(f.name, i + 1,
+      GraftCatalog.ColumnId(f.name, priorLast + i + 1,
         currentDefault = GraftCatalog.metaStr(f, "CURRENT_DEFAULT"),
         initialDefault = GraftCatalog.metaStr(f, "EXISTS_DEFAULT")) }.toSeq
     new GraftStagedTable(ident, dir, schema, partSpec, props, ids,
       existedBefore = exists, writeDesc =
-        () => writeDescriptor(dir, schema, props, partSpec, ids))
+        () => writeDescriptor(dir, schema, props, partSpec, ids,
+          lastColumnId = priorLast + schema.fields.length))
   }
 
   // ---- ViewCatalog ----
@@ -698,7 +709,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[v2] def writeDescriptor(dir: java.io.File, schema: StructType,
       props: Map[String, String],
       partSpec: Seq[(String, String, String)] = Nil,
-      columnIds: Seq[GraftCatalog.ColumnId] = Nil): Unit = {
+      columnIds: Seq[GraftCatalog.ColumnId] = Nil,
+      lastColumnId: Int = 0): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     // schema-ddl stores names+types only: toDDL would render a DEFAULT
@@ -721,6 +733,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         n.put("source", src)
       }
     }
+    // Iceberg's last-column-id: a MONOTONIC high-water mark for field-id
+    // allocation. max(live ids) is NOT a substitute — DROP of the
+    // highest-id column would let the next ADD reuse the dead id, and
+    // per-file id resolution would then read the dropped column's bytes
+    // back as the new column. The counter only ever moves up, and it
+    // survives RTAS re-creation (the replace passes the prior value in).
+    val hwm = math.max(lastColumnId,
+      columnIds.map(_.id).maxOption.getOrElse(0))
+    if (hwm > 0) root.put("last-column-id", hwm)
     if (columnIds.nonEmpty) {
       val arr = root.putArray("column-ids")
       columnIds.foreach { c =>
@@ -739,9 +760,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def readDescriptor(dir: java.io.File)
       : (Option[StructType], Map[String, String],
-        Seq[(String, String, String)], Seq[GraftCatalog.ColumnId]) = {
+        Seq[(String, String, String)], Seq[GraftCatalog.ColumnId], Int) = {
     val f = descriptor(dir)
-    if (!f.exists()) return (None, Map.empty, Nil, Nil)
+    if (!f.exists()) return (None, Map.empty, Nil, Nil, 0)
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     val ddl = Option(root.get("schema-ddl")).map(_.asText()).filter(_.nonEmpty)
     val props = Option(root.get("properties")).map { node =>
@@ -769,7 +790,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       out.result()
     }
-    (ddl.map(StructType.fromDDL), props, spec, ids)
+    // descriptors predating the counter bootstrap it from max(live ids)
+    // — correct for them, since no column had ever been dropped when
+    // the counter was introduced alongside DROP's id retirement
+    val lastId = Option(root.get("last-column-id")).map(_.asInt())
+      .getOrElse(ids.map(_.id).maxOption.getOrElse(0))
+    (ddl.map(StructType.fromDDL), props, spec, ids, lastId)
   }
 }
 

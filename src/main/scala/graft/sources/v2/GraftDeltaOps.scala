@@ -72,9 +72,13 @@ private[v2] class GraftDeltaWriteBuilder(table: GraftTable,
 }
 
 /** Both halves of a task's delta: data files written for inserts,
-  * position-delete files for deletes. */
+  * position-delete files for deletes. `referenced` names the data files
+  * the task's tombstones target — the commit validates they are still
+  * live (Iceberg's validateDataFilesExist; a concurrent rewrite would
+  * otherwise dangle the DELETE half while the inserts land). */
 private[v2] case class GraftDeltaCommitMessage(data: Seq[GraftFileInfo],
-    deletes: Seq[GraftFileInfo]) extends WriterCommitMessage
+    deletes: Seq[GraftFileInfo],
+    referenced: Seq[String] = Nil) extends WriterCommitMessage
 
 private[v2] class GraftDeltaBatchWrite(table: GraftTable,
     schema: StructType, queryId: String) extends DeltaBatchWrite {
@@ -125,7 +129,8 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
     if (dataEntries.nonEmpty || delEntries.nonEmpty)
       graft.sources.LayoutMaintenance.commitDeltaFiles(
         org.apache.spark.sql.SparkSession.active, dir,
-        dataEntries ++ delEntries)
+        dataEntries ++ delEntries,
+        referencedDataFiles = msgs.flatMap(_.referenced).distinct)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -212,7 +217,8 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
           case other => sys.error(s"unexpected delete commit message $other")
         }
       }
-    GraftDeltaCommitMessage(dataFiles, delFiles)
+    GraftDeltaCommitMessage(dataFiles, delFiles,
+      referenced = dels.map(_._1).distinct.toSeq)
   }
 
   override def abort(): Unit = inserts.abort()

@@ -81,13 +81,13 @@ private[v2] class GraftStagedTable(ident: Identifier, dir: java.io.File,
           _.getName.endsWith(".metadata.json")))
     }
     if (existedBefore && hasMeta) {
-      // RTAS: one group-replace snapshot — history preserved
-      val current = graft.sources.IcebergManifestSource
-        .statsFromTableDir(spark, dir.getAbsolutePath, "t", Nil)
-        .filter(org.apache.spark.sql.functions.col("content") === 0)
-        .select("file_path").collect().map(_.getString(0)).toSeq
-      graft.sources.LayoutMaintenance.commitReplaceFiles(
-        spark, dir.getAbsolutePath, current, staged, dropDeletes = true)
+      // RTAS: one group-replace snapshot — history preserved. The
+      // replace set (every current data file) is computed INSIDE the
+      // commit lock against the commit's own pinned base; a caller-side
+      // listing here could miss a commit landing in between, retaining
+      // its rows through the REPLACE.
+      graft.sources.LayoutMaintenance.commitReplaceAll(
+        spark, dir.getAbsolutePath, staged)
     } else if (staged.nonEmpty)
       graft.sources.LayoutMaintenance.commitAppend(
         spark, dir.getAbsolutePath, staged, partitionSpec = specForCreate)

@@ -144,4 +144,49 @@ class CommitOccSpec extends AnyFunSuite {
       s"cherry-picked spec-0 entries must keep spec 0, got $sids")
     assert(liveFiles(tbl) == Set("base.parquet", "staged.parquet"))
   }
+
+  test("delta commit validates tombstone targets still live (validateDataFilesExist)") {
+    import spark.implicits._
+    val tbl = freshTable("deltaval", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val basePath = new java.io.File(new java.io.File(tbl, "data"),
+      "base.parquet").getAbsolutePath
+    def posdel(name: String): ManifestEntrySpec = {
+      val f = new java.io.File(new java.io.File(tbl, "data"), name)
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        Seq((basePath, 0L)).toDF("file_path", "pos"), f)
+      ManifestEntrySpec(status = 1, content = 1,
+        filePath = f.getAbsolutePath, recordCount = n, sizeBytes = f.length())
+    }
+    // live target: the delta lands
+    LayoutMaintenance.commitDeltaFiles(spark, tbl.getPath,
+      Seq(posdel("pd1.parquet")), referencedDataFiles = Seq(basePath))
+    assert(MorRead.readTable(spark, tbl.getPath, Nil).count() == 1L)
+    // a concurrent-shaped rewrite replaces base.parquet; a delta whose
+    // scan predates it must FAIL the statement (its DELETE half would
+    // dangle while its inserts land — silent duplicates), and fail
+    // IMMEDIATELY: retrying against newer bases cannot resurrect the file
+    LayoutMaintenance.rewriteDataFiles(spark, tbl.getPath, Nil)
+    val t0 = System.nanoTime()
+    val e = intercept[CommitConflictException] {
+      LayoutMaintenance.commitDeltaFiles(spark, tbl.getPath,
+        Seq(posdel("pd2.parquet")), referencedDataFiles = Seq(basePath))
+    }
+    assert(e.getMessage.contains("no longer live"), e.getMessage)
+    assert(!e.retryable)
+    assert(!e.getMessage.contains("races"), "must not burn the retry loop")
+    val _ = t0
+  }
+
+  test("commitReplaceAll derives the replace set from the commit's own pinned base") {
+    val tbl = freshTable("replall", Seq((1L, "a", 10L)))
+    // a commit the caller never observed (the RTAS race window)
+    LayoutMaintenance.commitAppend(spark, tbl.getPath,
+      Seq(dataFile(tbl, "late.parquet", Seq((2L, "b", 20L)))))
+    LayoutMaintenance.commitReplaceAll(spark, tbl.getPath,
+      Seq(dataFile(tbl, "repl.parquet", Seq((9L, "z", 90L)))))
+    // EVERY pre-replace file is out — including the unobserved one
+    assert(liveFiles(tbl) == Set("repl.parquet"))
+    // history preserved: the replace is a snapshot, not a reset
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath).size == 3)
+  }
 }

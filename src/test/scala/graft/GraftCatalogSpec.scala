@@ -654,4 +654,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO cattest.wapsql.t VALUES (6, 'f')")
     assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t").head.getLong(0) == 6L)
   }
+
+  test("DROP of the highest-id column then ADD never reuses the dead field id") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ids")
+    spark.sql("CREATE TABLE cattest.ids.t (a BIGINT, b BIGINT) " +
+      "USING `graft-iceberg`") // ids 1, 2
+    spark.sql("INSERT INTO cattest.ids.t VALUES (1, 100)")
+    spark.sql("ALTER TABLE cattest.ids.t DROP COLUMN b") // retires id 2
+    spark.sql("ALTER TABLE cattest.ids.t ADD COLUMN c BIGINT")
+    // behavioral truth: the old file embeds b under id 2 — if c had
+    // reused id 2, the per-file id fallback would read b's 100 back as
+    // c; the spec's never-reuse rule means c null-fills instead
+    val row = spark.sql("SELECT a, c FROM cattest.ids.t").head
+    assert(row.getLong(0) == 1L)
+    assert(row.isNullAt(1),
+      s"dropped column's data captured by the re-added column: $row")
+    // the descriptor carries the monotonic allocator: c got id 3
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File("target/tmp-catalog-wh/ids/t/graft-table.json").toPath))
+    assert(doc.contains("\"last-column-id\" : 3") ||
+      doc.contains("\"last-column-id\":3"), doc)
+    assert(doc.contains("\"name\" : \"c\""), doc)
+    assert(!doc.contains("\"id\" : 2"), s"dead id 2 reused:\n$doc")
+  }
+
+  test("RTAS continues the field-id counter across re-creation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.rtid")
+    spark.sql("CREATE TABLE cattest.rtid.t (a BIGINT, b STRING) " +
+      "USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.rtid.t VALUES (1, 'x')")
+    spark.sql("REPLACE TABLE cattest.rtid.t USING `graft-iceberg` " +
+      "AS SELECT 5L AS p, 6L AS q")
+    assert(spark.sql("SELECT p, q FROM cattest.rtid.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 6L)))
+    // pre-replace files (ids 1,2) stay time-travel reachable; the new
+    // generation's columns must not wear those ids — counter continues
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File("target/tmp-catalog-wh/rtid/t/graft-table.json").toPath))
+    assert(doc.contains("\"last-column-id\" : 4") ||
+      doc.contains("\"last-column-id\":4"), doc)
+    assert(doc.contains("\"id\" : 3") && doc.contains("\"id\" : 4"), doc)
+  }
 }

@@ -152,6 +152,32 @@ class GraftMorDmlSpec extends AnyFunSuite {
     val _ = dir
   }
 
+  test("successive DV deletes fold to AT MOST ONE deletion vector per data file (v3 invariant)") {
+    val dir = fresh("dvfold", mor = true)
+    spark.sql("ALTER TABLE mdml.db.dvfold " +
+      "SET TBLPROPERTIES ('write.delete.format' = 'dv')")
+    // three commits, each tombstoning rows of the SAME first file (k=1,2)
+    // and one also hitting the second (k=3) — without merge-at-commit
+    // three puffins accumulate and a conforming one-DV-per-file reader
+    // would drop deletes
+    spark.sql("DELETE FROM mdml.db.dvfold WHERE k = 1")
+    spark.sql("UPDATE mdml.db.dvfold SET amt = -1 WHERE k = 3")
+    spark.sql("DELETE FROM mdml.db.dvfold WHERE k = 2")
+    val dvEntries = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir, "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 1)
+      .select("file_path").collect().map(_.getString(0)).toSeq
+    val perTarget = dvEntries
+      .flatMap(p => graft.sources.DeletionVectors.read(new java.io.File(p)))
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perTarget.values.forall(_ == 1),
+      s"a data file is referenced by more than one live DV: $perTarget")
+    // and the state is exactly right: 1,2 gone; 3 updated; 4 intact
+    val out = spark.sql("SELECT k, amt FROM mdml.db.dvfold ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((3L, -1L), (4L, 40L)), s"got $out")
+  }
+
   test("rewrite_data_files folds MOR DML tombstones away, state preserved") {
     fresh("fold", mor = true)
     spark.sql("UPDATE mdml.db.fold SET amt = 0 WHERE k = 2")
