@@ -299,6 +299,60 @@ object IcebergLayoutWriter {
     } finally reader.close()
   }
 
+  /** [[appendManifestList]] generalized for carry commits that must also
+    * RETIRE manifests: rows of `srcList` whose (relocated) path is in
+    * `dropPaths` are skipped, every other row is copied VERBATIM, and one
+    * row per new manifest is appended. This is the list shape behind the
+    * past-the-ceiling replace/delta paths — untouched manifests are
+    * referenced by reference, only touched ones get fresh files, and the
+    * driver handles a KB-sized list either way. Returns the max
+    * sequence_number across the COPIED rows. */
+  def filterManifestList(dest: java.io.File, srcList: java.io.File,
+      dropPaths: Set[String],
+      newManifests: Seq[(java.io.File, Int, Int)], snapshotId: Long): Long = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    val listDir = srcList.getParentFile
+    val reader = new DataFileReader[GenericRecord](srcList,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val schema = reader.getSchema
+      Seq("manifest_path", "manifest_length", "partition_spec_id",
+        "content", "sequence_number", "added_snapshot_id").foreach(f =>
+        require(schema.getField(f) != null,
+          s"filterManifestList: $srcList lacks list field '$f'"))
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dest)
+      var maxSeq = 0L
+      try {
+        while (reader.hasNext) {
+          val r = reader.next()
+          val p = graft.sources.IcebergManifestSource.Relocate
+            .meta(listDir, r.get("manifest_path").toString)
+          if (!dropPaths(p)) {
+            r.get("sequence_number") match {
+              case l: java.lang.Long => maxSeq = math.max(maxSeq, l)
+              case _ => ()
+            }
+            w.append(r)
+          }
+        }
+        newManifests.foreach { case (f, mContent, specId) =>
+          val r = new GenericData.Record(schema)
+          r.put("manifest_path", f.getAbsolutePath)
+          r.put("manifest_length", f.length())
+          r.put("partition_spec_id", specId)
+          r.put("content", mContent)
+          r.put("sequence_number", snapshotId)
+          r.put("added_snapshot_id", snapshotId)
+          w.append(r)
+        }
+      } finally w.close()
+      maxSeq
+    } finally reader.close()
+  }
+
   private def manifestRecords(entries: Seq[ManifestEntrySpec]): (Schema, Seq[GenericRecord]) = {
     val pSchema = partitionSchema(entries.headOption.map(_.partition).getOrElse(Nil))
     val eSchema = entrySchema(pSchema)

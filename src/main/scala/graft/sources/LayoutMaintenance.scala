@@ -764,9 +764,13 @@ object LayoutMaintenance {
       .getOrElse(sys.error(
         s"carriedEntries($tableDir@$snapshotId): more than " +
           s"$MaxDriverFileEntries file entries exceed the driver-side " +
-          "planning ceiling; commits on tables this large need the " +
-          "manifest-reuse append path (commitAppend has it) or a " +
-          "distributed rewrite."))
+          "planning ceiling. Every DML commit shape (append, upsert, " +
+          "MERGE, DELETE, MOR delta, group replace, rewrite_data_files) " +
+          "has a past-the-ceiling manifest-reuse/distributed path — " +
+          "only genuinely driver-shaped maintenance (clone, manifest " +
+          "compaction, cherry-pick, position-delete folds) reaches " +
+          "this; run rewrite_manifests/expire first or raise " +
+          "spark.graft.maxDriverFileEntries."))
 
   /** [[carriedEntries]] with an explicit ceiling: None once the walk
     * passes `cap` entries — the caller's signal to switch to the
@@ -799,20 +803,88 @@ object LayoutMaintenance {
         while (it.hasNext) {
           val (mp, s) = it.next()
           if (out.size >= cap) return None
-          out += IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-            content = s.content, filePath = s.filePath,
-            partition = partitionPairsOf(s.partitionKey),
-            recordCount = s.recordCount, sizeBytes = s.sizeBytes,
-            sequenceNumber = s.sequenceNumber,
-            lower = s.lower, upper = s.upper,
-            equalityIds = s.equalityIds,
-            fileFormat = s.fileFormat,
-            sortOrderId = s.sortOrderId.map(Int.box).orNull,
-            specId = specOf.getOrElse(mp, 0))
+          out += specFromStats(s, specOf.getOrElse(mp, 0))
         }
         Some(out.toSeq)
     }
   }
+
+  /** One manifest entry's identity-carry spec — the shared mapping every
+    * carry path (driver walk, delete-side walk, distributed rewrite
+    * tasks) uses, so no path can disagree about what survives a commit. */
+  private def specFromStats(s: IcebergManifestSource.ManifestStats,
+      specId: Int): IcebergLayoutWriter.ManifestEntrySpec =
+    IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+      content = s.content, filePath = s.filePath,
+      partition = partitionPairsOf(s.partitionKey),
+      recordCount = s.recordCount, sizeBytes = s.sizeBytes,
+      sequenceNumber = s.sequenceNumber,
+      lower = s.lower, upper = s.upper,
+      equalityIds = s.equalityIds,
+      fileFormat = s.fileFormat,
+      sortOrderId = s.sortOrderId.map(Int.box).orNull,
+      specId = specId)
+
+  /** Carried entries of the snapshot's DELETE manifests only (manifest
+    * list `content == 1`) — the SMALL side of any real table: delete
+    * files are commit-count shaped, not data-file shaped, so walking
+    * them driver-side stays metadata-sized even when the data side is
+    * past the planning ceiling. The past-the-ceiling delta/delete
+    * commits use this to keep tombstone semantics (DV supersede,
+    * eq-delete carry) while never materializing a data-file entry. */
+  private def deleteCarriedEntries(spark: SparkSession, tableDir: String,
+      snapshotId: Long): Seq[IcebergLayoutWriter.ManifestEntrySpec] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(snapshotId)) match {
+      case None => Nil
+      case Some(list) =>
+        val listDir = new java.io.File(list).getParentFile
+        val specOf = IcebergManifestSource.manifestSpecIds(conf, list)
+          .map { case (p, sid) =>
+            IcebergManifestSource.Relocate.meta(listDir, p) -> sid }.toMap
+        IcebergManifestSource.manifestPathSeqContents(conf, list)
+          .filter(_._3 == 1)
+          .flatMap { case (p, inherit, _) =>
+            IcebergManifestSource.readManifestStats(p, conf, inherit)
+              .map(s => specFromStats(s, specOf.getOrElse(p, 0))).toSeq }
+    }
+  }
+
+  /** Paths of the snapshot's DELETE manifests (list rows, KB-sized). */
+  private def deleteManifestPaths(spark: SparkSession, tableDir: String,
+      snapshotId: Long): Set[String] =
+    IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(snapshotId)).toSeq
+      .flatMap(list => IcebergManifestSource.manifestPathSeqContents(
+        spark.sparkContext.hadoopConfiguration, list)
+        .filter(_._3 == 1).map(_._1)).toSet
+
+  /** ONE live data-file path, resolved by streaming the head of the
+    * first data manifest — the past-the-ceiling substitute for "any
+    * carried data file" lookups (equality-id resolution), O(1) instead
+    * of O(files). */
+  private def firstDataFilePath(spark: SparkSession, tableDir: String,
+      snapshotId: Long): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(snapshotId))
+      .toSeq.flatMap { list =>
+        IcebergManifestSource.manifestPathSeqContents(conf, list)
+          .filter(_._3 == 0).iterator
+          .flatMap { case (p, inherit, _) =>
+            IcebergManifestSource.readManifestStats(p, conf, inherit)
+              .find(_.content == 0).map(_.filePath) }
+          .take(1).toSeq
+      }.headOption
+  }
+
+  /** The effective driver-entry ceiling: the session knob (the same one
+    * the scan planner honors) falling back to [[MaxDriverFileEntries]]. */
+  private def driverEntryCap(spark: SparkSession): Int =
+    spark.sessionState.conf.getConfString(
+      "spark.graft.maxDriverFileEntries",
+      MaxDriverFileEntries.toString).toInt
 
   /** Append a snapshot holding `carried ++ added` on top of the current
     * history. `currentAfter` is the snapshot the table POINTS AT after
@@ -927,9 +999,15 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    // past the driver ceiling the carry is MANIFEST REUSE — an upsert
+    // adds files and removes none, so untouched manifests ride verbatim
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val up = freshFile(dataDir, s"upsert-$newId.parquet")
     val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
@@ -945,13 +1023,22 @@ object LayoutMaintenance {
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
-        equalityIds = keyFieldIds(carried, Some(up), keyCols)))
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+        equalityIds =
+          keyFieldIds(carriedOpt.getOrElse(Nil), Some(up), keyCols)))
+    carriedOpt match {
+      case Some(carried) =>
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+          movedRefs, base, operation = "overwrite")
+      case None =>
+        commitCarryReuse(spark, tableDir, added, Nil, Set.empty,
+          all, curId, base, newId, operation = "overwrite",
+          totalDeltaDataFiles = 1L, totalDeltaRecords = n,
+          totalDeltaDeleteFiles = 1L)
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
-      movedRefs, base, operation = "overwrite")
     (newId, n)
   } }
 
@@ -1081,6 +1168,110 @@ object LayoutMaintenance {
     newId
   }
 
+  /** The past-the-ceiling commit shape shared by every CARRY commit that
+    * is not a plain append (MERGE/upsert/DELETE/MOR delta): untouched
+    * manifests are referenced VERBATIM in the new manifest list
+    * ([[IcebergLayoutWriter.filterManifestList]] — the driver touches
+    * only the KB-sized list), `dropManifests` rows are retired,
+    * `refiledCarry` entries (the retired manifests' survivors, original
+    * sequence numbers preserved) land in fresh manifests next to
+    * `stampedAdded` (this commit's new files, sequence = `newId`).
+    * Totals extend the previous snapshot's summary by the caller's
+    * deltas when it carries them, else they are omitted rather than
+    * guessed. At 100 TB this is what keeps MERGE/DELETE commit cost
+    * O(changed + delete-side), never O(data files). */
+  private def commitCarryReuse(spark: SparkSession, tableDir: String,
+      stampedAdded: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      refiledCarry: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      dropManifests: Set[String],
+      all: Seq[Snap], curId: Long, base: MetaBase, newId: Long,
+      operation: String,
+      totalDeltaDataFiles: Long, totalDeltaRecords: Long,
+      totalDeltaDeleteFiles: Long): Long = {
+    val defaultSpecId = IcebergManifestSource.partitionSpecs(
+      spark, tableDir)._1
+    val entries = stampedAdded.map(e =>
+      e.copy(specId = if (e.specId < 0) defaultSpecId else e.specId)) ++
+      refiledCarry
+    val m = metaDir(tableDir)
+    val groups = entries
+      .groupBy(e =>
+        (if (e.content == 0) 0 else 1, e.specId, e.partition.map(_._1)))
+      .toSeq.sortBy { case ((c, sid, names), _) => (c, sid, names.mkString(",")) }
+    val manifests = groups.zipWithIndex.map { case (((c, sid, _), es), i) =>
+      val f = freshFile(m, s"manifest-$newId-$c-s$sid-g$i.avro")
+      IcebergLayoutWriter.writeManifest(f, es)
+      (f, c, sid)
+    }
+    val dataAdded = stampedAdded.filter(_.content == 0)
+    finishReuseCommit(spark, tableDir, dropManifests, manifests,
+      all, curId, base, newId, operation,
+      addedDataFiles = dataAdded.size,
+      addedRecords = dataAdded.map(_.recordCount).sum,
+      addedDeleteFiles = stampedAdded.count(_.content != 0),
+      totalDeltaDataFiles, totalDeltaRecords, totalDeltaDeleteFiles)
+  }
+
+  /** Shared tail of every past-the-ceiling commit: filter-copy the
+    * previous manifest list (reused rows verbatim, `dropManifests`
+    * retired, `newManifests` appended), extend the previous summary's
+    * totals by the deltas when it carries them, move branch refs, CAS
+    * the metadata version. */
+  private def finishReuseCommit(spark: SparkSession, tableDir: String,
+      dropManifests: Set[String],
+      newManifests: Seq[(java.io.File, Int, Int)],
+      all: Seq[Snap], curId: Long, base: MetaBase, newId: Long,
+      operation: String,
+      addedDataFiles: Long, addedRecords: Long, addedDeleteFiles: Long,
+      totalDeltaDataFiles: Long, totalDeltaRecords: Long,
+      totalDeltaDeleteFiles: Long): Long = {
+    val oldList = IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(curId))
+      .getOrElse(sys.error(
+        s"finishReuseCommit($tableDir): snapshot $curId has no manifest list"))
+    val listFile = new java.io.File(oldList)
+    val m = metaDir(tableDir)
+    val newList = freshFile(m, s"snap-$newId-manifest-list.avro")
+    IcebergLayoutWriter.filterManifestList(newList, listFile, dropManifests,
+      newManifests, newId)
+    val prevTotals = snapshotSummaries(spark, tableDir)
+      .find(_._1 == curId).map(_._3).getOrElse(Map.empty)
+    def tot(key: String, delta: Long): Seq[(String, String)] =
+      prevTotals.get(key).flatMap(v => v.toLongOption)
+        .map(p => Seq(key -> (p + delta).toString)).getOrElse(Nil)
+    val summary: Seq[(String, String)] = Seq(
+      "operation" -> operation,
+      "added-data-files" -> addedDataFiles.toString,
+      "added-records" -> addedRecords.toString,
+      "added-delete-files" -> addedDeleteFiles.toString) ++
+      tot("total-data-files", totalDeltaDataFiles) ++
+      tot("total-records", totalDeltaRecords) ++
+      tot("total-delete-files", totalDeltaDeleteFiles)
+    val movedRefs = refs(spark, tableDir).map {
+      case (name, id, "branch") if id == curId => (name, newId, "branch")
+      case other => other
+    }
+    writeMetadataVersion(spark, tableDir,
+      snapshotsFromBase(base, tableDir) :+
+        Snap(newId, newList.getAbsolutePath, Some(summary)),
+      newId, movedRefs, base)
+    newId
+  }
+
+  /** Allocation floor for a past-the-ceiling commit: above every history
+    * id and every manifest-list row sequence number — without walking a
+    * single entry. */
+  private def reuseNewId(spark: SparkSession, tableDir: String,
+      all: Seq[Snap], curId: Long): Long = {
+    val oldList = IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(curId))
+      .getOrElse(sys.error(
+        s"reuseNewId($tableDir): snapshot $curId has no manifest list"))
+    (all.map(_.id) :+
+      IcebergLayoutWriter.maxManifestListSeq(new java.io.File(oldList)))
+      .max + 1
+  }
+
   /** Zero-copy table CLONE (Iceberg's `snapshot` procedure): the target
     * is born with ONE snapshot referencing the SOURCE's current live
     * files in place — no data movement, cost = one driver-side manifest
@@ -1157,9 +1348,16 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    // append-with-tombstones shape: nothing removed, so past the driver
+    // ceiling the carry is MANIFEST REUSE — at 100 TB a CDC merge's
+    // commit cost stays O(change set + manifest list)
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val up = freshFile(dataDir, s"merge-$newId.parquet")
     val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
@@ -1176,13 +1374,22 @@ object LayoutMaintenance {
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
-        equalityIds = keyFieldIds(carried, Some(up), keyCols)))
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+        equalityIds =
+          keyFieldIds(carriedOpt.getOrElse(Nil), Some(up), keyCols)))
+    carriedOpt match {
+      case Some(carried) =>
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+          movedRefs, base, operation = "overwrite")
+      case None =>
+        commitCarryReuse(spark, tableDir, added, Nil, Set.empty,
+          all, curId, base, newId, operation = "overwrite",
+          totalDeltaDataFiles = 1L, totalDeltaRecords = n,
+          totalDeltaDeleteFiles = 1L)
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
-      movedRefs, base, operation = "overwrite")
     (newId, n, nk - n)
   } }
 
@@ -1199,24 +1406,42 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
     val nk = IcebergLayoutWriter.writeSingleParquet(
       deleteKeys.select(keyCols.map(col): _*).distinct()
         .sort(keyCols.map(col): _*), ed)
+    // equality-id resolution needs ONE live data file; past the ceiling
+    // that's a head-of-first-manifest stream, never an entry walk
+    val idProbe = carriedOpt.getOrElse(
+      firstDataFilePath(spark, tableDir, curId).toSeq.map(p =>
+        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = p, recordCount = 0L, sizeBytes = 0L)))
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 2, filePath = ed.getAbsolutePath, recordCount = nk,
       sizeBytes = ed.length(), sequenceNumber = newId,
-      equalityIds = keyFieldIds(carried, None, keyCols)))
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+      equalityIds = keyFieldIds(idProbe, None, keyCols)))
+    carriedOpt match {
+      case Some(carried) =>
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+          movedRefs, base, operation = "delete")
+      case None =>
+        commitCarryReuse(spark, tableDir, added, Nil, Set.empty,
+          all, curId, base, newId, operation = "delete",
+          totalDeltaDataFiles = 0L, totalDeltaRecords = 0L,
+          totalDeltaDeleteFiles = 1L)
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
-      movedRefs, base, operation = "delete")
     (newId, nk)
   } }
 
@@ -1271,19 +1496,35 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
     // Iceberg's validateDataFilesExist: the (file, pos) tombstones were
     // computed by a scan of an EARLIER snapshot; if a concurrent
     // rewrite/compaction/COW commit removed any referenced data file,
     // landing them would silently drop the DELETE half of the
     // UPDATE/MERGE (dangling tombstones) while the inserts still land —
     // duplicated rows. Not retryable: a newer base can only confirm the
-    // files are gone; the STATEMENT must re-run its scan.
+    // files are gone; the STATEMENT must re-run its scan. Past the
+    // ceiling the liveness check runs DISTRIBUTED (one small job over
+    // manifests, the referenced list is commit-sized).
     if (referencedDataFiles.nonEmpty) {
-      def norm(p: String): String = p.replaceFirst("^file:/+", "/")
-      val live = carried.filter(_.content == 0)
-        .map(e => norm(e.filePath)).toSet
-      val gone = referencedDataFiles.map(norm).distinct.filterNot(live)
+      val wanted = referencedDataFiles.map(norm).distinct
+      val gone: Seq[String] = carriedOpt match {
+        case Some(carried) =>
+          val live = carried.filter(_.content == 0)
+            .map(e => norm(e.filePath)).toSet
+          wanted.filterNot(live)
+        case None =>
+          val liveHits = IcebergManifestSource
+            .statsFromTableDir(spark, tableDir, "t", Nil)
+            .filter(col("content") === 0)
+            .select(regexp_replace(col("file_path"), "^file:/+", "/")
+              .as("fp"))
+            .filter(col("fp").isin(wanted: _*))
+            .distinct().collect().map(_.getString(0)).toSet
+          wanted.filterNot(liveHits)
+      }
       if (gone.nonEmpty) throw new CommitConflictException(
         s"commitDeltaFiles($tableDir): data files referenced by this " +
           s"delta's position deletes are no longer live in snapshot " +
@@ -1291,26 +1532,57 @@ object LayoutMaintenance {
           s"${gone.take(3).mkString(", ")} — re-run the statement",
         retryable = false)
     }
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val stamped = added.map(_.copy(sequenceNumber = newId))
-    // v3 invariant: AT MOST ONE deletion vector per data file. Task DVs
-    // and previously-committed DVs sharing a target fold into one fresh
-    // puffin; superseded carried entries leave the snapshot (their files
-    // stay — history references them).
-    val (carriedKept, mergedDv) =
-      mergeDeletionVectors(tableDir, carried,
-        stamped.filter(e => e.content == 1 && e.fileFormat == "PUFFIN"),
-        newId)
+    val stampedDv =
+      stamped.filter(e => e.content == 1 && e.fileFormat == "PUFFIN")
     val stampedKept =
       stamped.filterNot(e => e.content == 1 && e.fileFormat == "PUFFIN")
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+    carriedOpt match {
+      case Some(carried) =>
+        // v3 invariant: AT MOST ONE deletion vector per data file. Task
+        // DVs and previously-committed DVs sharing a target fold into
+        // one fresh puffin; superseded carried entries leave the
+        // snapshot (their files stay — history references them).
+        val (carriedKept, mergedDv) =
+          mergeDeletionVectors(tableDir, carried, stampedDv, newId)
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir,
+          carriedKept ++ stampedKept ++ mergedDv, newId, newId,
+          movedRefs, base, operation = "overwrite")
+      case None =>
+        // past the ceiling: DATA manifests ride verbatim; when this
+        // delta carries DVs, the DELETE side (commit-count shaped, the
+        // small side) re-files through the same DV-supersede fold, so
+        // tombstone semantics are identical to the driver walk at
+        // O(delete-side) cost — a DV-less delta reuses EVERY manifest
+        val (delKept, mergedDv, dropped, delDelta) =
+          if (stampedDv.isEmpty)
+            (Nil, Nil, Set.empty[String], 0L)
+          else {
+            val delCarried = deleteCarriedEntries(spark, tableDir, curId)
+            val (kept, merged) =
+              mergeDeletionVectors(tableDir, delCarried, stampedDv, newId)
+            (kept, merged, deleteManifestPaths(spark, tableDir, curId),
+              (kept.size + merged.size - delCarried.size).toLong)
+          }
+        commitCarryReuse(spark, tableDir, stampedKept ++ mergedDv,
+          refiledCarry = delKept,
+          dropManifests = dropped,
+          all, curId, base, newId, operation = "overwrite",
+          totalDeltaDataFiles = stampedKept.count(_.content == 0),
+          totalDeltaRecords =
+            stampedKept.filter(_.content == 0).map(_.recordCount).sum,
+          totalDeltaDeleteFiles =
+            stampedKept.count(_.content != 0) + delDelta)
     }
-    appendSnapshot(spark, tableDir,
-      carriedKept ++ stampedKept ++ mergedDv, newId, newId,
-      movedRefs, base, operation = "overwrite")
     newId
   } }
 
@@ -1374,9 +1646,13 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     // reject-sized by contract (same as the DV twin): collect once so the
     // ordinal-less backstop fires BEFORE any tombstone byte is written.
     // ORC files with predicate matches are prefiltered so exactly they
@@ -1397,12 +1673,20 @@ object LayoutMaintenance {
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 1, filePath = pd.getAbsolutePath, recordCount = n,
       sizeBytes = pd.length(), sequenceNumber = newId))
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+    carriedOpt match {
+      case Some(carried) =>
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
+          movedRefs, base, operation = "delete")
+      case None => // tombstone-append shape: every manifest rides verbatim
+        commitCarryReuse(spark, tableDir, added, Nil, Set.empty,
+          all, curId, base, newId, operation = "delete",
+          totalDeltaDataFiles = 0L, totalDeltaRecords = 0L,
+          totalDeltaDeleteFiles = 1L)
     }
-    appendSnapshot(spark, tableDir, carried ++ added, newId, newId,
-      movedRefs, base, operation = "delete")
     (newId, n)
   } }
 
@@ -1426,9 +1710,13 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val hitRows = MorRead
       .readTableLineage(spark, tableDir, eqKeys, renames, dataSchema,
         orcPosPaths = MorRead.orcFilesMatching(spark, tableDir, predicate))
@@ -1450,14 +1738,29 @@ object LayoutMaintenance {
       content = 1, filePath = dvStage.getAbsolutePath,
       recordCount = hits.length, sizeBytes = dvStage.length(),
       sequenceNumber = newId, fileFormat = "PUFFIN")
-    val (carriedKept, added) =
-      mergeDeletionVectors(tableDir, carried, Seq(staged), newId)
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+    carriedOpt match {
+      case Some(carried) =>
+        val (carriedKept, added) =
+          mergeDeletionVectors(tableDir, carried, Seq(staged), newId)
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, carriedKept ++ added, newId, newId,
+          movedRefs, base, operation = "delete")
+      case None =>
+        // DATA manifests ride verbatim; the delete side re-files through
+        // the DV-supersede fold (small side, same as commitDeltaFiles)
+        val delCarried = deleteCarriedEntries(spark, tableDir, curId)
+        val (delKept, merged) =
+          mergeDeletionVectors(tableDir, delCarried, Seq(staged), newId)
+        commitCarryReuse(spark, tableDir, merged, refiledCarry = delKept,
+          dropManifests = deleteManifestPaths(spark, tableDir, curId),
+          all, curId, base, newId, operation = "delete",
+          totalDeltaDataFiles = 0L, totalDeltaRecords = 0L,
+          totalDeltaDeleteFiles =
+            (merged.size + delKept.size - delCarried.size).toLong)
     }
-    appendSnapshot(spark, tableDir, carriedKept ++ added, newId, newId,
-      movedRefs, base, operation = "delete")
     (newId, hits.length.toLong)
   } }
 
@@ -1493,44 +1796,79 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
-    val hasTombstones = carried.exists(_.content != 0)
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val hasTombstones = carriedOpt match {
+      case Some(c) => c.exists(_.content != 0)
+      case None => deleteManifestPaths(spark, tableDir, curId).nonEmpty
+    }
     val lineage = MorRead.readTableLineage(spark, tableDir, eqKeys,
       renames, dataSchema)
     if (lineage.isEmpty) return (curId, 0L)
     // DELETE removes rows where the predicate is TRUE; null keeps
     val keep = not(coalesce(predicate, lit(false)))
-    val affected: Set[String] =
-      if (hasTombstones) carried.filter(_.content == 0).map(_.filePath).toSet
-      else lineage.filter(predicate).select("file_path")
-        .distinct().collect().map(_.getString(0)).toSet
-    if (affected.isEmpty) return (curId, 0L) // nothing matched: no commit
-    val norm = affected.map(_.replaceFirst("^file:/+", "/"))
-    val inScope = lineage.filter(col("file_path").isin(norm.toSeq: _*))
+    // tombstoned tables rewrite the WHOLE state (tombstone contents
+    // reference files by path, partial carry cannot prove safety) —
+    // modeled as affected = None so no all-files set ever materializes
+    val affectedOpt: Option[Set[String]] =
+      if (hasTombstones) None
+      else Some(lineage.filter(predicate).select("file_path")
+        .distinct().collect().map(_.getString(0)).toSet)
+    if (affectedOpt.exists(_.isEmpty)) return (curId, 0L) // nothing matched
+    val normAffected = affectedOpt.map(_.map(
+      _.replaceFirst("^file:/+", "/")))
+    val inScope = normAffected
+      .fold(lineage)(a => lineage.filter(col("file_path")
+        .isin(a.toSeq: _*)))
       .localCheckpoint() // two actions (count + write) over one read
     val deleted = inScope.filter(predicate).count()
     if (deleted == 0L) return (curId, 0L)
     val survivors = inScope.filter(keep).drop("file_path", "pos", "data_seq")
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val rw = freshFile(dataDir, s"cowdel-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(survivors, rw)
-    val kept = carried.filter(e =>
-      e.content == 0 && !affected(e.filePath) &&
-        !norm(e.filePath.replaceFirst("^file:/+", "/")))
     val added =
       if (n == 0L) { // every in-scope row died: no empty file in the commit
         org.apache.commons.io.FileUtils.deleteQuietly(rw); Nil
       } else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
         content = 0, filePath = rw.getAbsolutePath, recordCount = n,
         sizeBytes = rw.length(), sequenceNumber = newId))
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+    (carriedOpt, affectedOpt) match {
+      case (Some(carried), _) =>
+        val kept = affectedOpt match {
+          case None => Nil // whole-state rewrite
+          case Some(affected) =>
+            val norm = normAffected.get
+            carried.filter(e =>
+              e.content == 0 && !affected(e.filePath) &&
+                !norm(e.filePath.replaceFirst("^file:/+", "/")))
+        }
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, kept ++ added, newId, newId,
+          movedRefs, base, operation = "delete")
+      case (None, None) =>
+        // past the ceiling, whole-state rewrite: nothing carried
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, added, newId, newId,
+          movedRefs, base, operation = "delete")
+      case (None, Some(affected)) =>
+        // past the ceiling, targeted COW: distributed manifest carry —
+        // untouched manifests ride verbatim, touched ones rewrite in
+        // tasks (same machinery as the group-replace commit)
+        replaceReuse(spark, tableDir, Some(affected.toSeq), added,
+          dropDeletes = false, all, curId, base, operation = "delete")
     }
-    appendSnapshot(spark, tableDir, kept ++ added, newId, newId,
-      movedRefs, base, operation = "delete")
     (newId, deleted)
   }
 
@@ -1578,7 +1916,15 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
+    // past the driver ceiling the carry is DISTRIBUTED: untouched
+    // manifests ride verbatim, touched ones are rewritten in tasks
+    val carried = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark)) match {
+      case Some(c) => c
+      case None =>
+        return replaceReuse(spark, tableDir, removedPathsOpt, added,
+          dropDeletes, all, curId, base)
+    }
     // None = replace ALL current data files, computed from this pinned
     // base — never from a caller-side read that predates the lock
     val removedPaths = removedPathsOpt.getOrElse(
@@ -1618,6 +1964,139 @@ object LayoutMaintenance {
     newId
   }
 
+  /** Replace-shaped commit PAST the driver-entry ceiling — the
+    * distributed manifest carry real Iceberg gets from its
+    * manifest-rewrite machinery: one task per DATA manifest classifies
+    * it against the (broadcast, change-set-sized) removed set; untouched
+    * manifests are referenced VERBATIM in the new list, touched ones are
+    * rewritten in the task minus their removed entries (original
+    * sequence numbers, bounds, spec ids preserved via the shared
+    * [[specFromStats]] mapping). The driver handles manifest-count rows
+    * and the KB-sized list — never a per-file entry. OCC contract
+    * unchanged: every removed path must be found live in this base or
+    * the statement fails. At 100 TB this is what makes COW UPDATE/MERGE
+    * and RTAS commit cost O(touched manifests), not O(files). */
+  private def replaceReuse(spark: SparkSession, tableDir: String,
+      removedPathsOpt: Option[Seq[String]],
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      dropDeletes: Boolean,
+      all: Seq[Snap], curId: Long, base: MetaBase,
+      operation: String = "replace"): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val list = IcebergManifestSource
+      .resolveManifestList(spark, tableDir, Some(curId))
+      .getOrElse(sys.error(
+        s"replaceReuse($tableDir): snapshot $curId has no manifest list"))
+    val newId = reuseNewId(spark, tableDir, all, curId)
+    val rows = IcebergManifestSource.manifestPathSeqContents(conf, list)
+    val hasDeleteManifests = rows.exists(_._3 == 1)
+    require(dropDeletes || !hasDeleteManifests,
+      s"commitReplaceFiles($tableDir): current snapshot carries delete " +
+        "files; a group-replace commit cannot preserve their visibility. " +
+        "Run rewrite_data_files first.")
+    val stamped = added.map(_.copy(sequenceNumber = newId))
+    removedPathsOpt match {
+      case None =>
+        // replace-ALL (RTAS / full rewrite): nothing is carried at all —
+        // the new snapshot is exactly the added set, a fresh list
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, stamped, newId, newId,
+          movedRefs, base, operation = operation)
+      case Some(removedPaths) =>
+        def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+        val removedNorm = removedPaths.map(norm).toSet
+        val listDir = new java.io.File(list).getParentFile
+        val specOf = IcebergManifestSource.manifestSpecIds(conf, list)
+          .map { case (p, sid) =>
+            IcebergManifestSource.Relocate.meta(listDir, p) -> sid }.toMap
+        val dataRows = rows.filter(_._3 == 0)
+          .map { case (p, inherit, _) => (p, inherit, specOf.getOrElse(p, 0)) }
+        val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val metaDirPath = metaDir(tableDir).getAbsolutePath
+        val removedB = spark.sparkContext.broadcast(removedNorm)
+        val par = math.max(1, math.min(dataRows.size,
+          spark.sparkContext.defaultParallelism))
+        // (srcPath, reusedVerbatim, rewrittenPathOrNull, specId,
+        //  foundRemovedPaths, removedRecords)
+        val results = spark.sparkContext
+          .parallelize(dataRows.zipWithIndex, par)
+          .map { case ((p, inherit, specId), idx) =>
+            val entries = IcebergManifestSource
+              .readManifestStats(p, sconf.value, inherit)
+              .map(s => specFromStats(s, specId)).toSeq
+            val rm = removedB.value
+            val (hit, survivors) = entries.partition(e =>
+              rm(e.filePath.replaceFirst("^file:/+", "/")))
+            if (hit.isEmpty) (p, true, null: String, specId,
+              Seq.empty[String], 0L)
+            else {
+              val out =
+                if (survivors.isEmpty) null
+                else {
+                  val f = new java.io.File(metaDirPath,
+                    s"manifest-$newId-rw-$idx.avro")
+                  IcebergLayoutWriter.writeManifest(f, survivors)
+                  f.getAbsolutePath
+                }
+              (p, false, out, specId,
+                hit.map(e => e.filePath.replaceFirst("^file:/+", "/")),
+                hit.map(_.recordCount).sum)
+            }
+          }.collect().toSeq
+        removedB.destroy()
+        // OCC validation, same contract as the driver-walk arm
+        val found = results.flatMap(_._5).toSet
+        val gone = removedNorm.filterNot(found)
+        require(gone.isEmpty,
+          s"commitReplaceFiles($tableDir): concurrent commit conflict — " +
+            s"scanned files no longer in snapshot $curId: " +
+            s"${gone.take(3).mkString(", ")}")
+        val dropPaths = results.filterNot(_._2).map(_._1).toSet ++
+          (if (dropDeletes) rows.filter(_._3 == 1).map(_._1).toSet
+           else Set.empty[String])
+        // delete entries retired wholesale (small side — only read when
+        // the summary needs their count)
+        val droppedDeleteEntries =
+          if (dropDeletes && hasDeleteManifests)
+            deleteCarriedEntries(spark, tableDir, curId).size.toLong
+          else 0L
+        val rewrittenRows = results
+          .collect { case (_, false, np, sid, _, _) if np != null =>
+            (new java.io.File(np), 0, sid) }
+        val m = metaDir(tableDir)
+        val addGroups = stamped
+          .groupBy(e =>
+            (if (e.content == 0) 0 else 1, e.specId, e.partition.map(_._1)))
+          .toSeq.sortBy { case ((c, sid, names), _) =>
+            (c, sid, names.mkString(",")) }
+        val defaultSpecId = IcebergManifestSource.partitionSpecs(
+          spark, tableDir)._1
+        val addManifests = addGroups.zipWithIndex.map {
+          case (((c, sid, _), es), i) =>
+            val effSid = if (sid < 0) defaultSpecId else sid
+            val f = freshFile(m, s"manifest-$newId-$c-s$effSid-g$i.avro")
+            IcebergLayoutWriter.writeManifest(f,
+              es.map(e => e.copy(specId = effSid)))
+            (f, c, effSid)
+        }
+        val dataAdded = stamped.filter(_.content == 0)
+        finishReuseCommit(spark, tableDir, dropPaths,
+          rewrittenRows ++ addManifests,
+          all, curId, base, newId, operation = operation,
+          addedDataFiles = dataAdded.size,
+          addedRecords = dataAdded.map(_.recordCount).sum,
+          addedDeleteFiles = stamped.count(_.content != 0),
+          totalDeltaDataFiles = dataAdded.size - removedNorm.size,
+          totalDeltaRecords =
+            dataAdded.map(_.recordCount).sum - results.map(_._6).sum,
+          totalDeltaDeleteFiles =
+            stamped.count(_.content != 0) - droppedDeleteEntries)
+    }
+  }
+
   /** EXECUTED rewrite_data_files — the data-moving compaction that
     * [[commitCompaction]]'s metadata-only commit deliberately is not:
     * read the current snapshot MERGE-ON-READ (every position/equality
@@ -1640,7 +2119,18 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
+    // the commit replaces EVERYTHING, so per-file carry is never needed;
+    // past the driver ceiling the three remaining uses substitute:
+    // eq-tombstone detection walks the DELETE side only (the small
+    // side), the before-count is a distributed manifest scan, and the
+    // id floor comes from the manifest list
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val hasEqDeletes = carriedOpt match {
+      case Some(c) => c.exists(_.content == 2)
+      case None =>
+        deleteCarriedEntries(spark, tableDir, curId).exists(_.content == 2)
+    }
     // Equality tombstones need the equality keys: the caller's, or —
     // since eq-delete commits record spec `equality_ids` in their
     // manifest entries — resolved from METADATA (the real-Iceberg
@@ -1650,17 +2140,24 @@ object LayoutMaintenance {
     // files from the commit — silently resurrecting deleted rows.
     val effKeys =
       if (eqKeys.nonEmpty) eqKeys
-      else if (carried.exists(_.content == 2))
-        MorRead.metadataEqKeys(spark, tableDir)
+      else if (hasEqDeletes) MorRead.metadataEqKeys(spark, tableDir)
       else Nil
-    require(effKeys.nonEmpty || !carried.exists(_.content == 2),
+    require(effKeys.nonEmpty || !hasEqDeletes,
       s"rewriteDataFiles($tableDir): current snapshot carries equality-" +
         "delete files with no equality_ids in their metadata and no " +
         "eqKeys given; the rewrite would drop the tombstones without " +
         "applying them. Pass the equality keys.")
-    val filesBefore = carried.count(_.content == 0)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val filesBefore = carriedOpt match {
+      case Some(c) => c.count(_.content == 0)
+      case None => IcebergManifestSource
+        .statsFromTableDir(spark, tableDir, "t", Nil)
+        .filter(col("content") === 0).count().toInt
+    }
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val state = MorRead.readTable(spark, tableDir, effKeys, renames,
       dataSchema)
     val order = if (sortCols.nonEmpty) sortCols else effKeys

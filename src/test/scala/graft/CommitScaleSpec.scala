@@ -124,4 +124,225 @@ class CommitScaleSpec extends AnyFunSuite {
     assert(nDel == 10L)
     assert(MorRead.readTable(spark, tbl.getPath).count() == 340L)
   }
+
+  private val capKey = "spark.graft.maxDriverFileEntries"
+
+  private def atToyCap[T](body: => T): T = {
+    spark.conf.set(capKey, "2")
+    try body finally spark.conf.unset(capKey)
+  }
+
+  /** Entry relation tolerant of bound-less entries (merge/delete files). */
+  private def fullRelation(tbl: java.io.File)
+      : Seq[(String, Int, Long, Long, Option[Long], Option[Long])] =
+    IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Seq((1, "k", LongType)))
+      .select(col("file_path"), col("content"), col("record_count"),
+        col("sequence_number"), col("lo_k"), col("hi_k"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .sortBy(_._1).toSeq
+
+  private def stateOf(tbl: java.io.File, eqKeys: Seq[String] = Nil): Set[(Long, Long)] =
+    MorRead.readTable(spark, tbl.getPath, eqKeys)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MERGE past the cap: manifest reuse, entries + state match the driver walk") {
+    import spark.implicits._
+    val capped = build("mcap", 3)
+    val walked = build("mwalk", 3)
+    val oldManifests = IcebergManifestSource.manifestPathSeqs(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(new java.io.File(capped, "metadata"),
+        s"snap-3-manifest-list.avro").getAbsolutePath).map(_._1).toSet
+    def mergeOne(tbl: java.io.File): Unit =
+      LayoutMaintenance.commitMerge(spark, tbl.getPath,
+        Seq((5L, 99L, "U"), (150L, 0L, "D")).toDF("k", "b", "op"),
+        Seq("k"), "op")
+    atToyCap { mergeOne(capped) }
+    mergeOne(walked)
+    assert(fullRelation(capped) == fullRelation(walked))
+    assert(stateOf(capped, Seq("k")) == stateOf(walked, Seq("k")))
+    assert(stateOf(capped, Seq("k")).exists(_ == (5L, 99L)))
+    assert(!stateOf(capped, Seq("k")).exists(_._1 == 150L))
+    // reuse pinned: every pre-merge manifest referenced verbatim
+    val headAfter = LayoutMaintenance.snapshotIds(spark, capped.getPath).last
+    val newManifests = IcebergManifestSource.manifestPathSeqs(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(new java.io.File(capped, "metadata"),
+        s"snap-$headAfter-manifest-list.avro").getAbsolutePath)
+      .map(_._1).toSet
+    assert(oldManifests.subsetOf(newManifests),
+      "past-the-cap MERGE must reference previous manifests verbatim")
+  }
+
+  test("rewrite_data_files past the cap: no entry walk, tombstones folded, state preserved") {
+    val capped = build("rwcap", 3)
+    val walked = build("rwwalk", 3)
+    def delAndRewrite(tbl: java.io.File, cap: Boolean): Unit = {
+      val (_, nd) = LayoutMaintenance.commitDeleteWhere(spark, tbl.getPath,
+        col("k") % 100L === 7L)
+      assert(nd == 3L)
+      if (cap) atToyCap {
+        LayoutMaintenance.rewriteDataFiles(spark, tbl.getPath, Nil)
+      } else LayoutMaintenance.rewriteDataFiles(spark, tbl.getPath, Nil)
+    }
+    delAndRewrite(capped, cap = true)
+    delAndRewrite(walked, cap = false)
+    assert(fullRelation(capped) == fullRelation(walked))
+    assert(stateOf(capped) == stateOf(walked))
+    assert(stateOf(capped).size == 297)
+    assert(fullRelation(capped).count(_._2 != 0) == 0,
+      "rewrite must fold tombstones away on the past-the-cap path too")
+  }
+
+  /** [[build]], but appends 2+ land through the REUSE path so each
+    * commit's manifest stays a separate file — the shape a streaming
+    * ingest leaves, and the one where verbatim manifest reuse is
+    * observable. */
+  private def buildMulti(tag: String, appends: Int): java.io.File = {
+    import spark.implicits._
+    val tbl = new java.io.File(s"target/tmp-scale-$tag")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    (0 until appends).foreach { i =>
+      val f = new java.io.File(dataDir, s"f$i.parquet")
+      val lo = i * 100L; val hi = lo + 99L
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        (lo to hi).map(k => (k, k % 7)).toDF("k", "b").sort(col("k")), f)
+      val entry = ManifestEntrySpec(status = 1, content = 0,
+        filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length(),
+        lower = Map(1 -> IcebergLayoutWriter.boundLong(lo)),
+        upper = Map(1 -> IcebergLayoutWriter.boundLong(hi)))
+      if (i == 0)
+        LayoutMaintenance.commitAppend(spark, tbl.getPath, Seq(entry))
+      else {
+        // cap 0: EVERY append reuses, so each commit's manifest stays
+        // its own file (cap 2 only trips at 3+ carried entries)
+        spark.conf.set(capKey, "0")
+        try LayoutMaintenance.commitAppend(spark, tbl.getPath, Seq(entry))
+        finally spark.conf.unset(capKey)
+      }
+    }
+    tbl
+  }
+
+  test("targeted COW delete past the cap: untouched manifests ride verbatim, touched rewrite in tasks") {
+    val capped = buildMulti("cowcap", 3)
+    val walked = buildMulti("cowwalk", 3)
+    def cowOne(tbl: java.io.File): Long =
+      LayoutMaintenance.commitDeleteWhereCow(spark, tbl.getPath,
+        col("k").between(100L, 105L))._2
+    val before = IcebergManifestSource.manifestPathSeqs(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(new java.io.File(capped, "metadata"),
+        s"snap-3-manifest-list.avro").getAbsolutePath).map(_._1)
+    assert(atToyCap { cowOne(capped) } == 6L)
+    assert(cowOne(walked) == 6L)
+    assert(fullRelation(capped) == fullRelation(walked))
+    assert(stateOf(capped) == stateOf(walked))
+    assert(stateOf(capped).size == 294)
+    // exactly the manifests NOT holding f1.parquet are referenced verbatim
+    val headAfter = LayoutMaintenance.snapshotIds(spark, capped.getPath).last
+    val after = IcebergManifestSource.manifestPathSeqs(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(new java.io.File(capped, "metadata"),
+        s"snap-$headAfter-manifest-list.avro").getAbsolutePath).map(_._1)
+    val untouched = before.filter(p => IcebergManifestSource
+      .statsFromManifests(spark, Seq(p), "t", Nil)
+      .select("file_path").collect().map(_.getString(0))
+      .forall(!_.endsWith("f1.parquet")))
+    assert(untouched.nonEmpty && untouched.forall(after.contains),
+      "untouched manifests must be referenced verbatim")
+    assert(!before.filterNot(untouched.contains).exists(after.contains),
+      "the touched manifest must be retired from the list")
+  }
+
+  test("MOR delta commit past the cap: posdel lands via reuse; dead reference still conflicts") {
+    import spark.implicits._
+    val capped = build("dcap", 3)
+    val walked = build("dwalk", 3)
+    def posdel(tbl: java.io.File, name: String, target: String,
+        pos: Long): ManifestEntrySpec = {
+      val f = new java.io.File(new java.io.File(tbl, "data"), name)
+      val t = new java.io.File(new java.io.File(tbl, "data"), target)
+        .getAbsolutePath
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        Seq((t, pos)).toDF("file_path", "pos"), f)
+      ManifestEntrySpec(status = 1, content = 1,
+        filePath = f.getAbsolutePath, recordCount = n, sizeBytes = f.length())
+    }
+    def target(tbl: java.io.File): String = new java.io.File(
+      new java.io.File(tbl, "data"), "f0.parquet").getAbsolutePath
+    atToyCap {
+      LayoutMaintenance.commitDeltaFiles(spark, capped.getPath,
+        Seq(posdel(capped, "pd.parquet", "f0.parquet", 0L)),
+        referencedDataFiles = Seq(target(capped)))
+    }
+    LayoutMaintenance.commitDeltaFiles(spark, walked.getPath,
+      Seq(posdel(walked, "pd.parquet", "f0.parquet", 0L)),
+      referencedDataFiles = Seq(target(walked)))
+    assert(fullRelation(capped) == fullRelation(walked))
+    assert(stateOf(capped) == stateOf(walked))
+    assert(stateOf(capped).size == 299)
+    // the DISTRIBUTED liveness check fires on a dead reference too
+    val e = intercept[graft.sources.CommitConflictException] {
+      atToyCap {
+        LayoutMaintenance.commitDeltaFiles(spark, capped.getPath,
+          Seq(posdel(capped, "pd2.parquet", "f0.parquet", 1L)),
+          referencedDataFiles =
+            Seq(target(capped).replace("f0.parquet", "gone.parquet")))
+      }
+    }
+    assert(e.getMessage.contains("no longer live"))
+  }
+
+  test("DV supersede holds past the cap: two DV deletes leave one live vector per file") {
+    val tbl = build("dvcap", 3)
+    atToyCap {
+      LayoutMaintenance.commitDeleteWhereDv(spark, tbl.getPath, col("k") === 3L)
+      LayoutMaintenance.commitDeleteWhereDv(spark, tbl.getPath, col("k") === 5L)
+    }
+    val dvs = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .filter(col("content") === 1).select("file_path", "file_format")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(dvs.forall(_._2 == "PUFFIN"))
+    val perTarget = dvs.flatMap(p =>
+      graft.sources.DeletionVectors.read(new java.io.File(p._1)))
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+    assert(perTarget.values.map(_.size).sum == 2)
+    assert(perTarget.forall(_._2.subsetOf(Set(3L, 5L))))
+    assert(dvs.size == 1, s"one superseding DV expected, got $dvs")
+    assert(MorRead.readTable(spark, tbl.getPath).count() == 298L)
+  }
+
+  test("replace-all past the cap carries nothing: RTAS shape at scale") {
+    val tbl = build("racap", 3)
+    val f = dataFile(tbl, "fresh.parquet", 3)
+    atToyCap {
+      LayoutMaintenance.commitReplaceAll(spark, tbl.getPath, Seq(f))
+    }
+    val rel = fullRelation(tbl)
+    assert(rel.map(_._1) == Seq("fresh.parquet"))
+    assert(MorRead.readTable(spark, tbl.getPath).count() == 100L)
+    // history preserved
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath).size == 4)
+  }
+
+  private def dataFile(tbl: java.io.File, name: String,
+      i: Int): ManifestEntrySpec = {
+    import spark.implicits._
+    val f = new java.io.File(new java.io.File(tbl, "data"), name)
+    val lo = i * 100L; val hi = lo + 99L
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      (lo to hi).map(k => (k, k % 7)).toDF("k", "b").sort(col("k")), f)
+    ManifestEntrySpec(status = 1, content = 0,
+      filePath = f.getAbsolutePath, recordCount = n, sizeBytes = f.length(),
+      lower = Map(1 -> IcebergLayoutWriter.boundLong(lo)),
+      upper = Map(1 -> IcebergLayoutWriter.boundLong(hi)))
+  }
 }
