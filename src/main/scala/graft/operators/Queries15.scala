@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 batch: closing the write-side format surface and the SQL
+  * dialect gaps the round-10 verdict ranked —
+  *
+  *  - `write.format.default` (q270): Iceberg's data-file-format table
+  *    property honored by the connector's SQL writes, so a pure-SQL user
+  *    can accrete ORC/AVRO tables (reference: the spec's three-valued
+  *    `file_format` manifest field iceberg-diag reads per entry —
+  *    `iceberg_diag/manager.py`'s data-file walk — which q227/q259/q260
+  *    already read and this round finally WRITES from SQL).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, integer aggregates, full ORDER BY tie-breaks.
+  */
+object Queries15 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- WRITE FORMAT DEFAULT: a table accretes PARQUET + ORC + AVRO
+    // data files purely via SQL (CREATE with default=orc, INSERT; ALTER
+    // to avro, INSERT; ALTER to parquet, INSERT), then a MOR DELETE
+    // lands parquet position tombstones over the MIXED set — the ORC
+    // rows die via OrcPosRead ordinals, the AVRO rows via the
+    // container's sequential positions, the parquet rows via
+    // row_index, and one connector scan reads the post-delete truth.
+    // Pinned in-query: the manifest file_format set is exactly the
+    // three spec values. The final rollup recomputes in DuckDB from
+    // year/month arithmetic over the source table alone — a lost or
+    // double-read format breaks the hash, not just a spec assertion.
+    "q270_write_format_default" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q270wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.fmt")
+      s.sql(s"DROP TABLE IF EXISTS $cat.fmt.prof")
+      t(dir, "orders").createOrReplaceTempView("q270_src")
+      s.sql(s"""CREATE TABLE $cat.fmt.prof (
+               |  okey BIGINT, price BIGINT, mon BIGINT, yr BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'orc',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertYear(y: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.fmt.prof
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |       CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+                 |       CAST(month(o_orderdate) AS BIGINT) AS mon,
+                 |       CAST(year(o_orderdate) AS BIGINT) AS yr
+                 |FROM q270_src WHERE year(o_orderdate) = $y""".stripMargin)
+      insertYear(1995) // ORC
+      s.sql(s"ALTER TABLE $cat.fmt.prof " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertYear(1996) // AVRO
+      s.sql(s"ALTER TABLE $cat.fmt.prof " +
+        "SET TBLPROPERTIES ('write.format.default' = 'parquet')")
+      insertYear(1997) // PARQUET
+      // pin: all three spec file_format values live in one snapshot
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getAbsolutePath}/fmt/prof", "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"expected all three spec file formats, got $fmts")
+      // MOR DELETE across the mix: parquet tombstones address rows in
+      // all three formats by (file, ordinal)
+      s.sql(s"DELETE FROM $cat.fmt.prof WHERE price >= 300000")
+      val tombs = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getAbsolutePath}/fmt/prof", "t", Nil)
+        .filter(col("content") === 1).count()
+      require(tombs > 0, "the MOR DELETE must land position tombstones")
+      s.sql(s"""SELECT yr, mon, count(*) AS n_orders,
+                |  sum(price) AS sum_price, min(okey) AS min_okey
+                |FROM $cat.fmt.prof
+                |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
+    })
+
+  def oracles: Map[String, String] = Map(
+
+    "q270_write_format_default" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997))
+        |SELECT yr, mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src WHERE price < 300000
+        |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
+}

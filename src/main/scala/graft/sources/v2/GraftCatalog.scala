@@ -190,7 +190,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       deleteFormat = props.get("write.delete.format"),
       updateMode = props.get("write.update.mode"),
       mergeMode = props.get("write.merge.mode"),
-      wapEnabled = props.get("write.wap.enabled").contains("true"))
+      wapEnabled = props.get("write.wap.enabled").contains("true"),
+      writeFormatDefault = props.get("write.format.default"))
   }
 
   /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each

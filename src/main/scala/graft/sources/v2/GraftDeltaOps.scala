@@ -109,7 +109,8 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
     new GraftDeltaWriterFactory(dir, schema, queryId,
       table.writeStatFields, partCols,
       GraftCatalog.fieldIdsOf(table.schema),
-      dv = table.dvTombstones)
+      dv = table.dvTombstones,
+      format = table.writeFormat)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: GraftDeltaCommitMessage => m }
@@ -117,7 +118,8 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
       .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(
         status = 1, content = 0, filePath = f.path, recordCount = f.rows,
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
-        partition = f.partition))
+        partition = f.partition,
+        fileFormat = GraftFormatWriters.formatOf(f.path)))
     val delEntries = msgs.flatMap(_.deletes).filter(_.rows > 0)
       .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(
         status = 1, content = 1, filePath = f.path, recordCount = f.rows,
@@ -144,11 +146,12 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
 private[v2] class GraftDeltaWriterFactory(dir: String, schema: StructType,
     queryId: String, stats: Seq[GraftIcebergSource.StatField],
     partCols: Seq[(String, String, Int)],
-    fieldIds: Map[String, Int], dv: Boolean) extends DeltaWriterFactory {
+    fieldIds: Map[String, Int], dv: Boolean,
+    format: String = "parquet") extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, queryId, partitionId, taskId, stats,
-      partCols, fieldIds, dv)
+      partCols, fieldIds, dv, format)
 }
 
 /** Task-side: inserts delegate to the ordinary partition-aware data
@@ -158,11 +161,16 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
     stats: Seq[GraftIcebergSource.StatField],
     partCols: Seq[(String, String, Int)],
-    fieldIds: Map[String, Int], dv: Boolean)
+    fieldIds: Map[String, Int], dv: Boolean,
+    format: String = "parquet")
     extends DeltaWriter[InternalRow] {
 
+  // inserted rows honor write.format.default; the position-delete
+  // files stay parquet (the tombstone dialect is write.delete.format's
+  // concern, not the data format's)
   private val inserts = new GraftDataWriter(dir, schema,
-    s"delta-$queryId", partitionId, taskId, stats, partCols, None, fieldIds)
+    s"delta-$queryId", partitionId, taskId, stats, partCols, None, fieldIds,
+    format)
   private val dels =
     scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 

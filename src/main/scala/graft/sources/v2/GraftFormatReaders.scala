@@ -1,0 +1,273 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.orc.OrcFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Connector-side readers for ORC and AVRO data files — the two other
+  * spec `file_format`s a manifest entry may declare. The parquet reader
+  * ([[GraftPartitionReader]]) stays the primary path (footer-projected,
+  * field-id resolution, nested pruning); these readers make the SAME
+  * table surface — merge-on-read tombstones, `_file`/`_pos` metadata
+  * columns, schema-evolution null-fill with declared defaults, rename
+  * aliases, widening promotions, pushed TABLESAMPLE — hold for data
+  * files a `write.format.default=orc|avro` table accreted through pure
+  * SQL. Flat scalar schemas by dialect (the writers refuse structs).
+  *
+  * Row sources stream: ORC by vectorized batches (the position is the
+  * reader's own `getRowNumber` accounting, same as [[graft.sources
+  * .OrcPosRead]]); AVRO sequentially (the container's iteration index
+  * IS the ordinal, same as [[graft.sources.AvroDataRead]]).
+  */
+private[v2] trait GraftNamedRows {
+  /** The FILE's column names, fixed for the stream's lifetime. */
+  def names: Seq[String]
+  /** JVM-typed values per row (Long/Int/Double/Float/Boolean/String or
+    * null), index-aligned with [[names]]. */
+  def iterator: Iterator[Array[Any]]
+  def close(): Unit
+}
+
+private[v2] object GraftFormatReaders {
+
+  def open(path: String, fileFormat: String): GraftNamedRows =
+    fileFormat match {
+      case "ORC" => new OrcNamedRows(path)
+      case "AVRO" => new AvroNamedRows(path)
+      case other => sys.error(
+        s"graft-iceberg: no row reader for file_format $other at $path")
+    }
+}
+
+private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
+  import org.apache.hadoop.hive.ql.exec.vector._
+  import org.apache.orc.TypeDescription
+
+  private val reader = OrcFile.createReader(new Path(path),
+    OrcFile.readerOptions(new Configuration()))
+  private val td = reader.getSchema
+  import scala.jdk.CollectionConverters._
+  private val cols = td.getChildren.asScala.toSeq
+  override val names: Seq[String] = td.getFieldNames.asScala.toSeq
+  private val rr = reader.rows()
+  private val batch = td.createRowBatch()
+
+  private def valueAt(vec: ColumnVector, row: Int,
+      c: TypeDescription): Any = {
+    val i = if (vec.isRepeating) 0 else row
+    if (!vec.noNulls && vec.isNull(i)) null
+    else {
+      import TypeDescription.Category._
+      (c.getCategory, vec) match {
+        case (BOOLEAN, v: LongColumnVector) => v.vector(i) != 0L
+        case (INT, v: LongColumnVector) => v.vector(i).toInt
+        case (LONG, v: LongColumnVector) => v.vector(i)
+        case (FLOAT, v: DoubleColumnVector) => v.vector(i).toFloat
+        case (DOUBLE, v: DoubleColumnVector) => v.vector(i)
+        case (STRING | VARCHAR | CHAR, v: BytesColumnVector) =>
+          new String(v.vector(i), v.start(i), v.length(i),
+            java.nio.charset.StandardCharsets.UTF_8)
+        case (cat, v) => sys.error(
+          s"graft-iceberg ORC read: vector ${v.getClass.getSimpleName} " +
+            s"for category $cat — flat scalar schemas only")
+      }
+    }
+  }
+
+  override val iterator: Iterator[Array[Any]] = new Iterator[Array[Any]] {
+    private var i = 0
+    private var nRows = 0
+    private var open = true
+    private def fill(): Unit =
+      if (rr.nextBatch(batch)) { nRows = batch.size; i = 0 }
+      else { nRows = 0; open = false }
+    fill()
+    override def hasNext: Boolean = open && i < nRows
+    override def next(): Array[Any] = {
+      val out = new Array[Any](cols.size)
+      var c = 0
+      while (c < cols.size) {
+        out(c) = valueAt(batch.cols(c), i, cols(c)); c += 1
+      }
+      i += 1
+      if (i >= nRows) fill()
+      out
+    }
+  }
+
+  override def close(): Unit = { rr.close(); reader.close() }
+}
+
+private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
+  import org.apache.avro.Schema
+  import org.apache.avro.file.DataFileReader
+  import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+
+  private val reader = new DataFileReader[GenericRecord](
+    new java.io.File(path), new GenericDatumReader[GenericRecord]())
+  import scala.jdk.CollectionConverters._
+  private val fields = reader.getSchema.getFields.asScala.toSeq
+  override val names: Seq[String] = fields.map(_.name)
+
+  private def convert(v: Any, s: Schema): Any = {
+    import Schema.Type._
+    if (v == null) null
+    else s.getType match {
+      case UNION =>
+        val nn = (0 until s.getTypes.size).map(s.getTypes.get)
+          .filterNot(_.getType == NULL).head
+        convert(v, nn)
+      case STRING => v.toString // Utf8 -> String
+      case _ => v
+    }
+  }
+
+  override val iterator: Iterator[Array[Any]] = new Iterator[Array[Any]] {
+    override def hasNext: Boolean = reader.hasNext
+    override def next(): Array[Any] = {
+      val rec = reader.next()
+      val out = new Array[Any](fields.size)
+      var c = 0
+      while (c < fields.size) {
+        out(c) = convert(rec.get(c), fields(c).schema()); c += 1
+      }
+      out
+    }
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+/** [[PartitionReader]] over a [[GraftNamedRows]] stream: the non-parquet
+  * twin of [[GraftPartitionReader]], same read semantics per row. */
+private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
+    required: StructType,
+    sample: Option[(Double, Double, Long)] = None)
+    extends PartitionReader[InternalRow] {
+
+  private val path = part.path
+  private val rows = GraftFormatReaders.open(path, part.fileFormat)
+  private val nameIdx: Map[String, Int] = rows.names.zipWithIndex.toMap
+
+  private val isMeta: Array[Boolean] =
+    required.fields.map(f => f.name == GraftTable.FileMetadataColumn ||
+      f.name == GraftTable.PosMetadataColumn)
+  private val isPos: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.PosMetadataColumn)
+  // the column's index in THIS file: by name, else by recorded former
+  // name (rename alias — these formats carry no embedded parquet ids);
+  // -1 = pre-evolution file for an added column: default/null-fill
+  private val colIdx: Array[Int] = required.fields.map { f =>
+    nameIdx.get(f.name).orElse {
+      val aliases =
+        if (!f.metadata.contains(GraftCatalog.AliasesKey)) Nil
+        else f.metadata.getString(GraftCatalog.AliasesKey)
+          .split(',').toSeq.filter(_.nonEmpty)
+      aliases.collectFirst {
+        case a if nameIdx.contains(a) => nameIdx(a)
+      }
+    }.getOrElse(-1)
+  }
+  private lazy val absentValue: Array[Any] = required.fields.map { f =>
+    if (!f.metadata.contains("EXISTS_DEFAULT")) null
+    else {
+      val expr = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(f.metadata.getString("EXISTS_DEFAULT"))
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        expr, f.dataType, Some("UTC")).eval(null)
+    }
+  }
+  // eq-delete key columns readable even when unprojected
+  private val eqKeyIdx: Map[String, Int] =
+    part.eqDeletes.flatMap(_._2).distinct
+      .flatMap(k => nameIdx.get(k).map(k -> _)).toMap
+
+  private lazy val deadPositions: Set[Long] =
+    GraftPartitionReader.positionsFor(path, part.posDeletes)
+  private lazy val eqSets: Seq[(Seq[String], Set[Seq[Any]])] =
+    GraftPartitionReader.eqTuplesFor(part.eqDeletes)
+
+  private val it = rows.iterator
+  private var current: Array[Any] = _
+  private var rowIdx: Long = -1L
+
+  private def keyValue(vals: Array[Any], k: String): Any =
+    eqKeyIdx.get(k).map(vals(_)).orNull
+
+  private def deleted(vals: Array[Any]): Boolean = {
+    if (part.posDeletes.nonEmpty && deadPositions.contains(rowIdx)) return true
+    if (part.eqDeletes.isEmpty) return false
+    eqSets.exists { case (keys, tuples) =>
+      tuples.contains(keys.map(k => keyValue(vals, k)))
+    }
+  }
+
+  // same ordinal-keyed keep hash as the parquet reader — a TABLESAMPLE
+  // must not depend on the table's physical format
+  private def sampleKeep(): Boolean = sample match {
+    case None => true
+    case Some((lo, hi, seed)) =>
+      var x = scala.util.hashing.MurmurHash3
+        .stringHash(path, seed.toInt).toLong * 0x9E3779B97F4A7C15L +
+        rowIdx * 0xC2B2AE3D27D4EB4FL + seed
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+      val u = (x >>> 11).toDouble / (1L << 53).toDouble
+      lo <= u && u < hi
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      current = it.next()
+      rowIdx += 1
+      if (!deleted(current) && sampleKeep()) return true
+    }
+    current = null
+    false
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      if (isPos(i)) row.setLong(i, rowIdx)
+      else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
+      else if (colIdx(i) < 0) row.update(i, absentValue(i))
+      else {
+        val v = current(colIdx(i))
+        if (v == null) row.update(i, null)
+        else f.dataType match {
+          // per-value widening for pre-ALTER files (int->long,
+          // float->double), same as the parquet reader
+          case LongType => v match {
+            case x: Long => row.setLong(i, x)
+            case x: Int => row.setLong(i, x.toLong)
+            case other => sys.error(s"graft-iceberg: $other as LONG")
+          }
+          case IntegerType => row.setInt(i, v.asInstanceOf[Int])
+          case DoubleType => v match {
+            case x: Double => row.setDouble(i, x)
+            case x: Float => row.setDouble(i, x.toDouble)
+            case other => sys.error(s"graft-iceberg: $other as DOUBLE")
+          }
+          case FloatType => row.setFloat(i, v.asInstanceOf[Float])
+          case BooleanType => row.setBoolean(i, v.asInstanceOf[Boolean])
+          case StringType =>
+            row.update(i, UTF8String.fromString(v.asInstanceOf[String]))
+          case other => sys.error(
+            s"graft-iceberg: unsupported type $other for file_format " +
+              part.fileFormat)
+        }
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = rows.close()
+}

@@ -1,0 +1,340 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.ql.exec.vector._
+import org.apache.orc.{OrcFile, TypeDescription}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Task-side data-file writers, one per spec `file_format` (PARQUET,
+  * ORC, AVRO — the three formats a manifest entry may declare;
+  * reference: iceberg-diag reads all three through its manifest walk,
+  * manager.py's file_format field). The connector's partition-aware
+  * writer ([[GraftDataWriter]]) opens one of these per partition-value
+  * sink; which one is the table's `write.format.default` property —
+  * Iceberg's own knob — so a pure-SQL user can accrete ORC/AVRO tables
+  * the engine's readers (q227/q259/q260 paths) already understand.
+  *
+  * Dialect bounds: ORC and AVRO task files carry FLAT scalar schemas
+  * (long/int/double/float/boolean/string). Structs (the multimodal
+  * shape) stay on parquet, where nested projection pruning exists —
+  * a struct write under a non-parquet default fails loudly at writer
+  * construction, never mid-file.
+  */
+private[v2] trait GraftPhysicalWriter {
+  def write(record: InternalRow): Unit
+  def close(): Unit
+  /** Running buffered-size estimate for write.target-file-size-bytes
+    * rolling. Parquet reports its own buffer; ORC/AVRO estimate from
+    * written value widths — rolling is a size heuristic, not an exact
+    * accounting. */
+  def dataSize: Long
+}
+
+private[v2] object GraftFormatWriters {
+
+  /** Manifest `file_format` for a written data file — by extension, the
+    * same convention [[graft.sources.DeletionVectors.isDvPath]] uses for
+    * puffin. */
+  def formatOf(path: String): String =
+    if (path.endsWith(".orc")) "ORC"
+    else if (path.endsWith(".avro")) "AVRO"
+    else "PARQUET"
+
+  /** File extension for a normalized `write.format.default` value. */
+  def extensionOf(format: String): String = format match {
+    case "orc" => "orc"
+    case "avro" => "avro"
+    case _ => "parquet"
+  }
+
+  /** Normalize + validate the property value ("parquet" when unset). */
+  def normalize(format: Option[String]): String =
+    format.map(_.toLowerCase).getOrElse("parquet") match {
+      case f @ ("parquet" | "orc" | "avro") => f
+      case other => sys.error(
+        s"graft-iceberg: unsupported write.format.default '$other' " +
+          "(parquet | orc | avro)")
+    }
+
+  def create(format: String, file: java.io.File, schema: StructType,
+      fieldIds: Map[String, Int]): GraftPhysicalWriter = format match {
+    case "orc" => new OrcTaskWriter(file, schema)
+    case "avro" => new AvroTaskWriter(file, schema, fieldIds)
+    case _ => new ParquetTaskWriter(file, schema, fieldIds)
+  }
+
+  private[v2] def requireFlat(schema: StructType, format: String): Unit =
+    schema.fields.foreach(f => require(!f.dataType.isInstanceOf[StructType],
+      s"graft-iceberg: struct column ${f.name} cannot be written as " +
+        s"$format — nested columns need parquet (set " +
+        "write.format.default=parquet or drop the struct)"))
+}
+
+/** The parquet arm — the connector's original writer, verbatim: flat
+  * primitives plus ONE level of struct nesting, stable field ids
+  * embedded so post-RENAME readers resolve by id. */
+private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
+    fieldIds: Map[String, Int]) extends GraftPhysicalWriter {
+
+  private val msgType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def primOf(dt: DataType, name: String,
+        id: Option[Int]): org.apache.parquet.schema.Type = {
+      val pb = dt match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case other => sys.error(s"graft-iceberg write: unsupported type $other")
+      }
+      id.fold(pb)(pb.id).named(name)
+    }
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        // ONE level of nesting: a struct of primitives becomes an
+        // optional parquet group (typed metadata riding next to opaque
+        // payloads — the multimodal-corpus shape). Leaves resolve by
+        // name within their group; the STRUCT's stable field id is
+        // embedded on the group node.
+        case st: StructType =>
+          val gb = Types.optionalGroup()
+          st.fields.foreach { nf =>
+            require(!nf.dataType.isInstanceOf[StructType],
+              s"graft-iceberg write: struct nesting is one level " +
+                s"(${f.name}.${nf.name} is a struct)")
+            gb.addField(primOf(nf.dataType, nf.name, None))
+          }
+          b.addField(fieldIds.get(f.name).fold(gb)(gb.id).named(f.name))
+        case dt =>
+          // the column's stable field id (descriptor `column-ids`),
+          // embedded into the file so a post-RENAME reader resolves
+          // this column by ID no matter what it was called at write
+          b.addField(primOf(dt, f.name, fieldIds.get(f.name)))
+      }
+    }
+    b.named("row")
+  }
+
+  private val factory = new SimpleGroupFactory(msgType)
+
+  private val writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(msgType, conf)
+    ExampleParquetWriter.builder(new Path(file.getAbsolutePath))
+      .withConf(conf)
+      .build()
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!record.isNullAt(i)) {
+        val f = schema.fields(i)
+        f.dataType match {
+          case LongType => g.add(f.name, record.getLong(i))
+          case IntegerType => g.add(f.name, record.getInt(i))
+          case DoubleType => g.add(f.name, record.getDouble(i))
+          case FloatType => g.add(f.name, record.getFloat(i))
+          case BooleanType => g.add(f.name, record.getBoolean(i))
+          case StringType => g.add(f.name, record.getUTF8String(i).toString)
+          case st: StructType =>
+            val sr = record.getStruct(i, st.length)
+            val ng = g.addGroup(f.name)
+            var k = 0
+            while (k < st.length) {
+              if (!sr.isNullAt(k)) {
+                val nf = st.fields(k)
+                nf.dataType match {
+                  case LongType => ng.add(nf.name, sr.getLong(k))
+                  case IntegerType => ng.add(nf.name, sr.getInt(k))
+                  case DoubleType => ng.add(nf.name, sr.getDouble(k))
+                  case FloatType => ng.add(nf.name, sr.getFloat(k))
+                  case BooleanType => ng.add(nf.name, sr.getBoolean(k))
+                  case StringType =>
+                    ng.add(nf.name, sr.getUTF8String(k).toString)
+                  case other => sys.error(
+                    s"graft-iceberg write: unsupported nested type $other")
+                }
+              }
+              k += 1
+            }
+          case other => sys.error(s"graft-iceberg write: unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def close(): Unit = writer.close()
+
+  override def dataSize: Long = writer.getDataSize
+}
+
+/** ORC arm: orc-core `Writer` fed vectorized batches — flat scalar
+  * schemas only. Rows read back with REAL ordinals via [[graft.sources
+  * .OrcPosRead]] (stripe-granular, `RecordReader.getRowNumber`), so MOR
+  * position deletes apply to SQL-written ORC exactly like parquet. */
+private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
+    extends GraftPhysicalWriter {
+  GraftFormatWriters.requireFlat(schema, "ORC")
+
+  private val td = {
+    val t = TypeDescription.createStruct()
+    schema.fields.foreach { f =>
+      val c = f.dataType match {
+        case LongType => TypeDescription.createLong()
+        case IntegerType => TypeDescription.createInt()
+        case DoubleType => TypeDescription.createDouble()
+        case FloatType => TypeDescription.createFloat()
+        case BooleanType => TypeDescription.createBoolean()
+        case StringType => TypeDescription.createString()
+        case other =>
+          sys.error(s"graft-iceberg write: unsupported ORC type $other")
+      }
+      t.addField(f.name, c)
+    }
+    t
+  }
+
+  private val writer = OrcFile.createWriter(new Path(file.getAbsolutePath),
+    OrcFile.writerOptions(new Configuration()).setSchema(td).overwrite(true))
+  private val batch: VectorizedRowBatch = td.createRowBatch()
+  private var approxBytes = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val r = batch.size
+    var i = 0
+    while (i < schema.length) {
+      val vec = batch.cols(i)
+      if (record.isNullAt(i)) {
+        vec.noNulls = false
+        vec.isNull(r) = true
+      } else schema.fields(i).dataType match {
+        case LongType =>
+          vec.asInstanceOf[LongColumnVector].vector(r) = record.getLong(i)
+          approxBytes += 8
+        case IntegerType =>
+          vec.asInstanceOf[LongColumnVector].vector(r) = record.getInt(i).toLong
+          approxBytes += 4
+        case DoubleType =>
+          vec.asInstanceOf[DoubleColumnVector].vector(r) = record.getDouble(i)
+          approxBytes += 8
+        case FloatType =>
+          vec.asInstanceOf[DoubleColumnVector].vector(r) =
+            record.getFloat(i).toDouble
+          approxBytes += 4
+        case BooleanType =>
+          vec.asInstanceOf[LongColumnVector].vector(r) =
+            if (record.getBoolean(i)) 1L else 0L
+          approxBytes += 1
+        case StringType =>
+          val b = record.getUTF8String(i).getBytes
+          vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
+          approxBytes += b.length + 4
+        case other =>
+          sys.error(s"graft-iceberg write: unsupported ORC type $other")
+      }
+      i += 1
+    }
+    batch.size += 1
+    if (batch.size == batch.getMaxSize) {
+      writer.addRowBatch(batch)
+      batch.reset()
+    }
+  }
+
+  override def close(): Unit = {
+    if (batch.size > 0) { writer.addRowBatch(batch); batch.reset() }
+    writer.close()
+  }
+
+  override def dataSize: Long = approxBytes
+}
+
+/** AVRO arm: avro-core `DataFileWriter` of GenericRecords — flat scalar
+  * schemas, `["null", T]` unions, the column's stable field id carried
+  * as the Iceberg avro `field-id` property. Rows read back with real
+  * ordinals via [[graft.sources.AvroDataRead]] (sequential container —
+  * iteration index IS the position). */
+private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
+    fieldIds: Map[String, Int]) extends GraftPhysicalWriter {
+  GraftFormatWriters.requireFlat(schema, "AVRO")
+
+  import org.apache.avro.{Schema => ASchema}
+  import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+  private val avroSchema: ASchema = {
+    def prim(dt: DataType): ASchema = dt match {
+      case LongType => ASchema.create(ASchema.Type.LONG)
+      case IntegerType => ASchema.create(ASchema.Type.INT)
+      case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+      case FloatType => ASchema.create(ASchema.Type.FLOAT)
+      case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+      case StringType => ASchema.create(ASchema.Type.STRING)
+      case other =>
+        sys.error(s"graft-iceberg write: unsupported AVRO type $other")
+    }
+    val fields = schema.fields.map { f =>
+      val fld = new ASchema.Field(f.name,
+        ASchema.createUnion(ASchema.create(ASchema.Type.NULL), prim(f.dataType)),
+        null, ASchema.Field.NULL_DEFAULT_VALUE)
+      // Iceberg's avro field-id convention ("Avro" appendix): the stable
+      // column id rides the field as a `field-id` property
+      fieldIds.get(f.name).foreach(id => fld.addProp("field-id", id))
+      fld
+    }
+    ASchema.createRecord("row", null, "graft.data", false,
+      java.util.Arrays.asList(fields: _*))
+  }
+
+  private val writer = {
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    org.apache.commons.io.FileUtils.deleteQuietly(file)
+    w.create(avroSchema, file)
+    w
+  }
+  private var approxBytes = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < schema.length) {
+      if (!record.isNullAt(i)) {
+        val f = schema.fields(i)
+        val v: AnyRef = f.dataType match {
+          case LongType => approxBytes += 8; Long.box(record.getLong(i))
+          case IntegerType => approxBytes += 4; Int.box(record.getInt(i))
+          case DoubleType => approxBytes += 8; Double.box(record.getDouble(i))
+          case FloatType => approxBytes += 4; Float.box(record.getFloat(i))
+          case BooleanType =>
+            approxBytes += 1; Boolean.box(record.getBoolean(i))
+          case StringType =>
+            val s = record.getUTF8String(i).toString
+            approxBytes += s.length + 4; s
+          case other =>
+            sys.error(s"graft-iceberg write: unsupported AVRO type $other")
+        }
+        rec.put(i, v)
+      }
+      i += 1
+    }
+    writer.append(rec)
+  }
+
+  override def close(): Unit = writer.close()
+
+  override def dataSize: Long = approxBytes
+}

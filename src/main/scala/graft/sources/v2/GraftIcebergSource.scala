@@ -81,7 +81,8 @@ object GraftIcebergSource {
   private[v2] case class FileStat(path: String,
       bounds: Map[String, (Any, Any)], pvals: Map[String, Any],
       records: Long, seq: Long = 0L, bytes: Long = 0L,
-      sortOrderId: Option[Int] = None)
+      sortOrderId: Option[Int] = None,
+      fileFormat: String = "PARQUET")
 
   /** One delete file's planning facts: content 1 = position deletes
     * (apply to data files with data.seq <= delete.seq), content 2 =
@@ -117,7 +118,8 @@ object GraftIcebergSource {
     val readChanges = Option(options.get("read-changes")).exists(_.toBoolean)
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     new GraftTable(dir, snapshot, fields, bootstrap, userSchema, sortCols,
-      readChanges = readChanges, maxFilesPerTrigger = maxFiles)
+      readChanges = readChanges, maxFilesPerTrigger = maxFiles,
+      writeFormatDefault = Option(options.get("write.format.default")))
   }
 
   /** V1 `Filter` → `Column`, total over the algebra Spark can hand a
@@ -171,6 +173,33 @@ object GraftIcebergSource {
     * plus ONE level of group nesting (struct-of-primitives — the typed
     * multimodal-metadata shape the writer emits). */
   private[v2] def inferFrom(path: String): StructType = {
+    // descriptor-less tables whose first file is ORC/AVRO infer through
+    // that format's own header — same flat-scalar surface
+    if (path.endsWith(".orc")) {
+      val r = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(path),
+        org.apache.orc.OrcFile.readerOptions(new Configuration()))
+      try {
+        import scala.jdk.CollectionConverters._
+        val td = r.getSchema
+        return StructType(td.getFieldNames.asScala.toSeq
+          .zip(td.getChildren.asScala.toSeq).map { case (n, t) =>
+            StructField(n, graft.sources.OrcPosRead.sparkType(t),
+              nullable = true) })
+      } finally r.close()
+    }
+    if (path.endsWith(".avro")) {
+      val r = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](new java.io.File(path),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        import scala.jdk.CollectionConverters._
+        return StructType(r.getSchema.getFields.asScala.toSeq.map(f =>
+          StructField(f.name, graft.sources.AvroDataRead.sparkType(f.schema()),
+            nullable = true)))
+      } finally r.close()
+    }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), new Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -224,7 +253,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     deleteFormat: Option[String] = None,
     updateMode: Option[String] = None,
     mergeMode: Option[String] = None,
-    wapEnabled: Boolean = false)
+    wapEnabled: Boolean = false,
+    writeFormatDefault: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -415,7 +445,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
           GraftIcebergSource.parsePartitionKey(r.getAs[String]("partitionKey")),
           r.getAs[Long]("record_count"), r.getAs[Long]("sequence_number"),
           r.getAs[Long]("sizeBytes"),
-          Option(r.getAs[java.lang.Integer]("sort_order_id")).map(_.intValue))
+          Option(r.getAs[java.lang.Integer]("sort_order_id")).map(_.intValue),
+          Option(r.getAs[String]("file_format")).getOrElse("PARQUET"))
       }
     val deletes = rows.toSeq
       .filter(_.getAs[Int]("content") != 0)
@@ -546,7 +577,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
             "(rewrite_data_files) or read through MorRead with explicit keys.")
         (d.path, names)
       }
-    GraftFilePartition(f.path, pos, eqs)
+    GraftFilePartition(f.path, pos, eqs, f.fileFormat)
   }
 
   /** (partitionFieldName, sourceColumnName, sourceType) when — and only
@@ -662,7 +693,13 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       // metadata through the INSERT plan) — the writer embeds them into
       // every new parquet file so renamed columns resolve by id forever
       fieldIds = GraftCatalog.fieldIdsOf(schema),
-      tableBranch = writeBranch, wapEnabled = wapEnabled)
+      tableBranch = writeBranch, wapEnabled = wapEnabled,
+      writeFormat = GraftFormatWriters.normalize(writeFormatDefault))
+
+  /** The table's `write.format.default` (normalized), for write paths
+    * outside [[newWriteBuilder]] — MOR delta inserts, CTAS staging. */
+  private[v2] def writeFormat: String =
+    GraftFormatWriters.normalize(writeFormatDefault)
 }
 
 private[v2] class GraftScanBuilder(table: GraftTable, fullSchema: StructType,
@@ -1365,7 +1402,8 @@ private[v2] object GraftPrune {
   * costs nothing. */
 private[v2] case class GraftFilePartition(path: String,
     posDeletes: Seq[String] = Nil,
-    eqDeletes: Seq[(String, Seq[String])] = Nil) extends InputPartition
+    eqDeletes: Seq[(String, Seq[String])] = Nil,
+    fileFormat: String = "PARQUET") extends InputPartition
 
 /** One partition-value group of files (the SPJ unit): `partitionKey`
   * is the identity partition values as an InternalRow — Spark's
@@ -1401,13 +1439,21 @@ private[v2] case class GraftManifestPartition(manifestPath: String,
 private[v2] class GraftReaderFactory(required: StructType,
     sample: Option[(Double, Double, Long)] = None)
     extends PartitionReaderFactory {
+  /** Per-file reader by the entry's declared `file_format`: parquet
+    * keeps the footer-projected Group reader; ORC/AVRO route through
+    * the row readers with identical MOR/metadata-column semantics. */
+  private def fileReader(f: GraftFilePartition): PartitionReader[InternalRow] =
+    if (f.fileFormat == "PARQUET")
+      new GraftPartitionReader(f, required, sample)
+    else new GraftRowPartitionReader(f, required, sample)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case f: GraftFilePartition => new GraftPartitionReader(f, required, sample)
+      case f: GraftFilePartition => fileReader(f)
       case m: GraftManifestPartition => new PartitionReader[InternalRow] {
         // task-side manifest expansion + pruning, then chained readers
         private val conf = new Configuration()
-        private val files: Iterator[String] =
+        private val files: Iterator[(String, String)] =
           graft.sources.IcebergManifestSource
             .readManifestStats(m.manifestPath, conf, m.inheritSeq)
             .filter(_.content == 0)
@@ -1424,14 +1470,14 @@ private[v2] class GraftReaderFactory(required: StructType,
                 GraftPrune.partitionKeeps(m.filters, m.partitionFields,
                   GraftIcebergSource.parsePartitionKey(s.partitionKey))
             }
-            .map(_.filePath)
-        private var cur: GraftPartitionReader = _
+            .map(s => (s.filePath, s.fileFormat))
+        private var cur: PartitionReader[InternalRow] = _
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
               if (!files.hasNext) return false
-              cur = new GraftPartitionReader(
-                GraftFilePartition(files.next()), required, sample)
+              val (p, fmt) = files.next()
+              cur = fileReader(GraftFilePartition(p, fileFormat = fmt))
             }
             if (cur.next()) return true
             cur.close(); cur = null
@@ -1444,12 +1490,12 @@ private[v2] class GraftReaderFactory(required: StructType,
       case g: GraftGroupPartition => new PartitionReader[InternalRow] {
         // chain the group's files through one reader sequence
         private val parts = g.parts.iterator
-        private var cur: GraftPartitionReader = _
+        private var cur: PartitionReader[InternalRow] = _
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
               if (!parts.hasNext) return false
-              cur = new GraftPartitionReader(parts.next(), required, sample)
+              cur = fileReader(parts.next())
             }
             if (cur.next()) return true
             cur.close(); cur = null

@@ -1,10 +1,5 @@
 package graft.sources.v2
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.ParquetWriter
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
-import org.apache.parquet.schema.MessageTypeParser
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
@@ -30,7 +25,8 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     fieldIds: Map[String, Int] = Map.empty,
     tableBranch: Option[String] = None,
     wapEnabled: Boolean = false,
-    overwriteDynamic: Boolean = false)
+    overwriteDynamic: Boolean = false,
+    writeFormat: String = "parquet")
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -88,12 +84,12 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       s"graft-iceberg: only full-table overwrite is supported, got " +
         filters.mkString(", "))
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec, fieldIds, tableBranch)
+      declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat)
   }
 
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec, fieldIds, tableBranch)
+      declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat)
 
   /** Iceberg's DYNAMIC overwrite (`partitionOverwriteMode=dynamic`,
     * `df.writeTo(t).overwritePartitions()`): replace exactly the
@@ -103,7 +99,7 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
   override def overwriteDynamicPartitions(): WriteBuilder =
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = false,
       declaredPartSpec, fieldIds, tableBranch, wapEnabled,
-      overwriteDynamic = true)
+      overwriteDynamic = true, writeFormat = writeFormat)
 
   /** Iceberg's `write.target-file-size-bytes`, as a write option: tasks
     * ROLL their open data file when its buffered size crosses the
@@ -151,21 +147,21 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
             "a branch or wap.id (its commit replaces head partitions)")
         new GraftDynamicOverwriteBatchWrite(dir, info.schema(),
           info.queryId(), stats, partSpec, specForCreate, targetBytes,
-          fieldIds)
+          fieldIds, writeFormat)
       } else if (overwriteAll) {
         require(branch.isEmpty,
           "graft-iceberg: INSERT OVERWRITE cannot target a write.branch " +
             "(overwrite commits move the table head); publish or unset " +
             "the branch first")
         new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
-          partSpec, specForCreate, targetBytes, fieldIds)
+          partSpec, specForCreate, targetBytes, fieldIds, writeFormat)
       } else {
         require(branch.isEmpty || wapId.isEmpty,
           "graft-iceberg: write.branch and spark.wap.id are both set — " +
             "pick ONE staging mechanism")
         new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
           partSpec, specForCreate, sortCols, targetBytes, fieldIds, branch,
-          wapId)
+          wapId, writeFormat)
       }
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -176,7 +172,7 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
         "graft-iceberg: streaming writes cannot stage under spark.wap.id " +
           "(epoch commits move the table head; unset the audit id)")
       new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
-        partSpec, specForCreate, targetBytes, fieldIds)
+        partSpec, specForCreate, targetBytes, fieldIds, writeFormat)
     }
   }
 
@@ -233,7 +229,8 @@ private[v2] object GraftIcebergWrite {
       .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(status = 1,
         content = 0, filePath = f.path, recordCount = f.rows,
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
-        partition = f.partition, sortOrderId = sortOrderId))
+        partition = f.partition, sortOrderId = sortOrderId,
+        fileFormat = GraftFormatWriters.formatOf(f.path)))
 
   /** The metadata `sort-orders` rows a `write.sort-order` declaration
     * registers on table creation: identity asc nulls-first per column,
@@ -266,12 +263,13 @@ private[v2] class GraftDynamicOverwriteBatchWrite(dir: String,
     partCols: Seq[(String, String, Int)] = Nil,
     specForCreate: Seq[(String, String, Int)] = Nil,
     targetBytes: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty) extends BatchWrite {
+    fieldIds: Map[String, Int] = Map.empty,
+    format: String = "parquet") extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(dir, schema, queryId, stats, partCols, targetBytes,
-      fieldIds)
+      fieldIds, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = GraftIcebergWrite.entriesOf(messages)
@@ -309,12 +307,13 @@ private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
     partCols: Seq[(String, String, Int)] = Nil,
     specForCreate: Seq[(String, String, Int)] = Nil,
     targetBytes: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty) extends BatchWrite {
+    fieldIds: Map[String, Int] = Map.empty,
+    format: String = "parquet") extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(dir, schema, s"ow-$queryId", stats, partCols,
-      targetBytes, fieldIds)
+      targetBytes, fieldIds, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -357,13 +356,14 @@ private[v2] class GraftStreamingWrite(dir: String, schema: StructType,
     partCols: Seq[(String, String, Int)] = Nil,
     specForCreate: Seq[(String, String, Int)] = Nil,
     targetBytes: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    format: String = "parquet")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(dir, schema, queryId, stats, partCols,
-      targetBytes, fieldIds)
+      targetBytes, fieldIds, format)
 
   private def ledgerFile =
     new java.io.File(new java.io.File(dir, "metadata"), "streaming-epochs.json")
@@ -417,12 +417,13 @@ private[v2] class GraftStreamingWriterFactory(dir: String, schema: StructType,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
     targetBytes: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    format: String = "parquet")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir, schema, s"$queryId-e$epochId", partitionId, taskId,
-      stats, partCols, targetBytes, fieldIds)
+      stats, partCols, targetBytes, fieldIds, format)
 }
 
 /** One written data file's commit facts: path, rows, bytes, Appendix-D
@@ -445,12 +446,13 @@ private[v2] class GraftBatchWrite(dir: String, schema: StructType,
     targetBytes: Option[Long] = None,
     fieldIds: Map[String, Int] = Map.empty,
     branch: Option[String] = None,
-    wapId: Option[String] = None) extends BatchWrite {
+    wapId: Option[String] = None,
+    format: String = "parquet") extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(dir, schema, queryId, stats, partCols, targetBytes,
-      fieldIds)
+      fieldIds, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // a write under write.sort-order arrives globally range-sorted
@@ -492,11 +494,12 @@ private[v2] class GraftWriterFactory(dir: String, schema: StructType,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
     targetBytes: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty) extends DataWriterFactory {
+    fieldIds: Map[String, Int] = Map.empty,
+    format: String = "parquet") extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(dir, schema, queryId, partitionId, taskId, stats,
-      partCols, targetBytes, fieldIds)
+      partCols, targetBytes, fieldIds, format)
 }
 
 /** Task-side writer. Unpartitioned: one parquet file. Partitioned
@@ -512,7 +515,8 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     stats: Seq[GraftIcebergSource.StatField] = Nil,
     partCols: Seq[(String, String, Int)] = Nil,
     targetBytes: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    format: String = "parquet")
     extends DataWriter[InternalRow] {
 
   // Per-file column statistics for the declared stat fields (the same
@@ -525,68 +529,20 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       case i => Some((i, f))
     }).toArray
 
-  private val msgType = {
-    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    def primOf(dt: DataType, name: String,
-        id: Option[Int]): org.apache.parquet.schema.Type = {
-      val pb = dt match {
-        case LongType => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType => Types.optional(DOUBLE)
-        case FloatType => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType =>
-          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-        case other => sys.error(s"graft-iceberg write: unsupported type $other")
-      }
-      id.fold(pb)(pb.id).named(name)
-    }
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      f.dataType match {
-        // ONE level of nesting: a struct of primitives becomes an
-        // optional parquet group (typed metadata riding next to opaque
-        // payloads — the multimodal-corpus shape). Leaves resolve by
-        // name within their group; the STRUCT's stable field id is
-        // embedded on the group node.
-        case st: StructType =>
-          val gb = Types.optionalGroup()
-          st.fields.foreach { nf =>
-            require(!nf.dataType.isInstanceOf[StructType],
-              s"graft-iceberg write: struct nesting is one level " +
-                s"(${f.name}.${nf.name} is a struct)")
-            gb.addField(primOf(nf.dataType, nf.name, None))
-          }
-          b.addField(fieldIds.get(f.name).fold(gb)(gb.id).named(f.name))
-        case dt =>
-          // the column's stable field id (descriptor `column-ids`),
-          // embedded into the file so a post-RENAME reader resolves
-          // this column by ID no matter what it was called at write
-          b.addField(primOf(dt, f.name, fieldIds.get(f.name)))
-      }
-    }
-    b.named("row")
-  }
-
-  /** One open output file plus its running stats. */
+  /** One open output file plus its running stats. The physical encoder
+    * is the table's `write.format.default` — parquet, ORC, or AVRO
+    * ([[GraftFormatWriters]]); everything around it (partition fan-out,
+    * bounds, rolling, the two-phase commit) is format-independent. */
   private class Sink(val file: java.io.File,
       val partition: Seq[(String, Any)]) {
-    val writer: ParquetWriter[org.apache.parquet.example.data.Group] = {
-      val conf = new Configuration()
-      GroupWriteSupport.setSchema(msgType, conf)
-      ExampleParquetWriter.builder(
-          new org.apache.hadoop.fs.Path(file.getAbsolutePath))
-        .withConf(conf)
-        .build()
-    }
+    val writer: GraftPhysicalWriter =
+      GraftFormatWriters.create(format, file, schema, fieldIds)
     val statMin = new Array[Any](statIdx.length)
     val statMax = new Array[Any](statIdx.length)
     var rows = 0L
   }
 
   private val dataDir = { val d = new java.io.File(dir, "data"); d.mkdirs(); d }
-  private val factory = new SimpleGroupFactory(msgType)
   private val sinks =
     new scala.collection.mutable.LinkedHashMap[Seq[Any], Sink]()
   // files already rolled and closed by the target-size check; commit
@@ -597,8 +553,9 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
   private def newSink(key: Seq[Any], roll: Int = 0): Sink = {
     val suffix = (if (partCols.isEmpty) "" else s"-p${sinks.size}") +
       (if (roll == 0) "" else s"-r$roll")
+    val ext = GraftFormatWriters.extensionOf(format)
     new Sink(new java.io.File(dataDir,
-        s"append-$queryId-$partitionId-$taskId$suffix.parquet"),
+        s"append-$queryId-$partitionId-$taskId$suffix.$ext"),
       partCols.map(_._1).zip(key))
   }
 
@@ -666,45 +623,7 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
   override def write(record: InternalRow): Unit = {
     val key = partitionKeyOf(record)
     val sink = sinks.getOrElseUpdate(key, newSink(key))
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!record.isNullAt(i)) {
-        val f = schema.fields(i)
-        f.dataType match {
-          case LongType => g.add(f.name, record.getLong(i))
-          case IntegerType => g.add(f.name, record.getInt(i))
-          case DoubleType => g.add(f.name, record.getDouble(i))
-          case FloatType => g.add(f.name, record.getFloat(i))
-          case BooleanType => g.add(f.name, record.getBoolean(i))
-          case StringType => g.add(f.name, record.getUTF8String(i).toString)
-          case st: StructType =>
-            val sr = record.getStruct(i, st.length)
-            val ng = g.addGroup(f.name)
-            var k = 0
-            while (k < st.length) {
-              if (!sr.isNullAt(k)) {
-                val nf = st.fields(k)
-                nf.dataType match {
-                  case LongType => ng.add(nf.name, sr.getLong(k))
-                  case IntegerType => ng.add(nf.name, sr.getInt(k))
-                  case DoubleType => ng.add(nf.name, sr.getDouble(k))
-                  case FloatType => ng.add(nf.name, sr.getFloat(k))
-                  case BooleanType => ng.add(nf.name, sr.getBoolean(k))
-                  case StringType =>
-                    ng.add(nf.name, sr.getUTF8String(k).toString)
-                  case other => sys.error(
-                    s"graft-iceberg write: unsupported nested type $other")
-                }
-              }
-              k += 1
-            }
-          case other => sys.error(s"graft-iceberg write: unsupported type $other")
-        }
-      }
-      i += 1
-    }
-    sink.writer.write(g)
+    sink.writer.write(record)
     var j = 0
     while (j < statIdx.length) {
       val (i, _) = statIdx(j)
@@ -741,7 +660,7 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     // how a 100 TB ingest avoids both the 10k-tiny-files and the
     // one-10GB-file failure modes regardless of task skew.
     targetBytes.foreach { t =>
-      if (sink.writer.getDataSize >= t) {
+      if (sink.writer.dataSize >= t) {
         rolled ++= finalizeSink(sink)
         rollSeq += 1
         sinks.put(key, newSink(key, rollSeq))

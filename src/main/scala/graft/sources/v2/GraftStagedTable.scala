@@ -56,7 +56,9 @@ private[v2] class GraftStagedTable(ident: Identifier, dir: java.io.File,
             new java.io.File(dir, "data").mkdirs()
             new GraftWriterFactory(dir.getAbsolutePath, writeSchema,
               s"ctas-${info.queryId()}", Nil, partCols,
-              fieldIds = ids.map(c => c.name -> c.id).toMap)
+              fieldIds = ids.map(c => c.name -> c.id).toMap,
+              format = GraftFormatWriters.normalize(
+                props.get("write.format.default")))
           }
           // metadata untouched here: visibility belongs to
           // commitStagedChanges, the whole point of staging
