@@ -82,6 +82,60 @@ object Queries15 {
                 |  sum(price) AS sum_price, min(okey) AS min_okey
                 |FROM $cat.fmt.prof
                 |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
+    },
+
+    // ---- NESTED SCHEMA EVOLUTION: RENAME and ADD on STRUCT LEAVES,
+    // metadata-only. A struct table takes 1995 rows, the leaf
+    // dims.price is RENAMED to amount (the 1995 file is never touched —
+    // its leaf resolves through the recorded alias), 1996 rows land
+    // AFTER the rename (their file embeds the leaf's never-reused field
+    // id under the new name), and a leaf ADD null-fills both
+    // generations. Pinned in-query: the pre-rename data file is carried
+    // VERBATIM into the final snapshot. The rollup reads the renamed
+    // leaf across both file generations — DuckDB recomputes it from
+    // year/month arithmetic alone, so a leaf that resolves to the wrong
+    // column (the id-reuse failure) or null-fills a pre-rename file
+    // breaks the hash.
+    "q271_nested_evolution" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q271wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ne")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ne.prof")
+      t(dir, "orders").createOrReplaceTempView("q271_src")
+      s.sql(s"""CREATE TABLE $cat.ne.prof (
+               |  okey BIGINT, dims STRUCT<price: BIGINT, mon: BIGINT>)
+               |USING `graft-iceberg`""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.ne.prof
+               |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+               |  named_struct(
+               |    'price', CAST(FLOOR(o_totalprice) AS BIGINT),
+               |    'mon', CAST(month(o_orderdate) AS BIGINT)) AS dims
+               |FROM q271_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val filesBefore = s.sql(s"SELECT DISTINCT _file FROM $cat.ne.prof")
+        .collect().map(_.getString(0)).toSet
+      s.sql(s"ALTER TABLE $cat.ne.prof RENAME COLUMN dims.price TO amount")
+      s.sql(s"""INSERT INTO $cat.ne.prof
+               |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+               |  named_struct(
+               |    'amount', CAST(FLOOR(o_totalprice) AS BIGINT),
+               |    'mon', CAST(month(o_orderdate) AS BIGINT)) AS dims
+               |FROM q271_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.ne.prof ADD COLUMNS (dims.flag BIGINT)")
+      // metadata-only pinned: the pre-rename file rides verbatim
+      val filesAfter = s.sql(s"SELECT DISTINCT _file FROM $cat.ne.prof")
+        .collect().map(_.getString(0)).toSet
+      require(filesBefore.subsetOf(filesAfter),
+        "nested evolution must carry the pre-rename file verbatim")
+      s.sql(s"""SELECT dims.mon AS mon, count(*) AS n_orders,
+               |  sum(dims.amount) AS sum_amount,
+               |  sum(coalesce(dims.flag, 0L)) AS sum_flag,
+               |  min(okey) AS min_okey
+               |FROM $cat.ne.prof
+               |GROUP BY dims.mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -98,5 +152,18 @@ object Queries15 {
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src WHERE price < 300000
-        |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
+        |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin,
+
+    "q271_nested_evolution" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS amount,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(amount) AS BIGINT) AS sum_amount,
+        |  CAST(0 AS BIGINT) AS sum_flag,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
 }

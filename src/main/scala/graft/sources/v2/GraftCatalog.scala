@@ -277,9 +277,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else schema.fields.zipWithIndex.map { case (f, i) =>
         GraftCatalog.ColumnId(f.name, i + 1) }.toSeq
     // monotonic field-id allocator (Iceberg's last-column-id): never
-    // hands out a retired id, even after DROP of the highest column
-    var lastId = math.max(lastIdRead, ids.map(_.id).maxOption.getOrElse(0))
+    // hands out a retired id, even after DROP of the highest column;
+    // nested leaf ids draw from the same space
+    var lastId = math.max(lastIdRead,
+      (ids.map(_.id) ++ ids.flatMap(_.fields).map(_.id))
+        .maxOption.getOrElse(0))
     var partSpec = partSpecRead
+    // ---- nested (one level) evolution helpers: the dialect's struct
+    // depth is one, so a two-part field name addresses a struct leaf
+    def structOf(parent: String): StructType =
+      schema.fields.find(_.name == parent) match {
+        case Some(f) => f.dataType match {
+          case st: StructType => st
+          case other => sys.error(
+            s"graft catalog: $parent is ${other.sql}, not a struct — " +
+              "nested ALTER addresses struct leaves")
+        }
+        case None => sys.error(s"graft catalog: no column $parent")
+      }
+    def updateStruct(parent: String)(fn: StructType => StructType): Unit =
+      schema = StructType(schema.fields.map(f =>
+        if (f.name == parent)
+          f.copy(dataType = fn(f.dataType.asInstanceOf[StructType]))
+        else f))
+    // first nested evolution on a struct BOOTSTRAPS its leaf identities:
+    // existing leaves get fresh never-used ids in field order (old files
+    // carry no embedded leaf ids — they resolve by name/alias; files
+    // written from here on embed the ids)
+    def withKids(parent: String)(
+        fn: Seq[GraftCatalog.ColumnId] => Seq[GraftCatalog.ColumnId]): Unit =
+      ids = ids.map { cid =>
+        if (cid.name != parent) cid
+        else {
+          val kids0 =
+            if (cid.fields.nonEmpty) cid.fields
+            else structOf(parent).fields.toSeq.map { nf =>
+              lastId += 1; GraftCatalog.ColumnId(nf.name, lastId) }
+          cid.copy(fields = fn(kids0))
+        }
+      }
     val newProps = changes.foldLeft(props) {
       case (p, c: TableChange.SetProperty) => p + (c.property() -> c.value())
       case (p, c: TableChange.RemoveProperty) => p - c.property()
@@ -290,9 +326,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // the field id survives, the old name becomes an alias, and reads
       // resolve old files by embedded id or recorded alias — no file is
       // ever rewritten.
+      case (p, c: TableChange.AddColumn) if c.fieldNames().length == 2 =>
+        // ADD a struct leaf: metadata-only — old files null-fill the
+        // new leaf through the per-file nested projection
+        val Array(parent, leaf) = c.fieldNames()
+        val st = structOf(parent)
+        require(!st.fieldNames.contains(leaf),
+          s"graft catalog: $parent.$leaf already exists")
+        require(!c.dataType().isInstanceOf[StructType],
+          "graft catalog: struct nesting is one level")
+        require(c.defaultValue() == null,
+          "graft catalog: DEFAULT on nested fields is not supported")
+        withKids(parent) { kids =>
+          val shadowed = kids.filter(_.aliases.contains(leaf)).map(_.name)
+          require(shadowed.isEmpty,
+            s"graft catalog: '$leaf' is a former name of " +
+              s"$parent.${shadowed.mkString(", ")}; re-adding it would " +
+              "capture pre-rename files' data. rewrite_data_files first.")
+          lastId += 1
+          kids :+ GraftCatalog.ColumnId(leaf, lastId)
+        }
+        updateStruct(parent)(s => StructType(s.fields :+
+          org.apache.spark.sql.types.StructField(leaf, c.dataType(),
+            nullable = true)))
+        p
       case (p, c: TableChange.AddColumn) =>
         require(c.fieldNames().length == 1,
-          "graft catalog: ADD COLUMN supports top-level columns only")
+          "graft catalog: ADD COLUMN supports one nesting level " +
+            "(column or struct.leaf)")
         val name = c.fieldNames()(0)
         require(!schema.fieldNames.contains(name),
           s"graft catalog: column $name already exists")
@@ -316,9 +377,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ids = ids :+ GraftCatalog.ColumnId(name, lastId,
           currentDefault = dflt, initialDefault = dflt)
         p
+      case (p, c: TableChange.DeleteColumn) if c.fieldNames().length == 2 =>
+        // DROP a struct leaf: the declared schema narrows; old files
+        // keep the physical leaf, reads just stop projecting it
+        val Array(parent, leaf) = c.fieldNames()
+        require(structOf(parent).fieldNames.contains(leaf),
+          s"graft catalog: no field $parent.$leaf to drop")
+        withKids(parent)(_.filterNot(_.name == leaf))
+        updateStruct(parent)(s =>
+          StructType(s.fields.filterNot(_.name == leaf)))
+        p
       case (p, c: TableChange.DeleteColumn) =>
         require(c.fieldNames().length == 1,
-          "graft catalog: DROP COLUMN supports top-level columns only")
+          "graft catalog: DROP COLUMN supports one nesting level " +
+            "(column or struct.leaf)")
         require(schema.fieldNames.contains(c.fieldNames()(0)),
           s"graft catalog: no column ${c.fieldNames()(0)} to drop")
         schema = StructType(schema.fields.filterNot(
@@ -348,9 +420,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         schema = StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = c.newDataType()) else f))
         p
+      case (p, c: TableChange.RenameColumn) if c.fieldNames().length == 2 =>
+        // RENAME a struct leaf: the leaf id survives, the old name
+        // becomes an alias — reads resolve old files' leaves by embedded
+        // id or recorded alias, no file is rewritten
+        val Array(parent, from) = c.fieldNames(); val to = c.newName()
+        val st = structOf(parent)
+        require(st.fieldNames.contains(from),
+          s"graft catalog: no field $parent.$from to rename")
+        require(!st.fieldNames.contains(to),
+          s"graft catalog: field $parent.$to already exists")
+        withKids(parent)(_.map(k =>
+          if (k.name == from) k.copy(name = to, aliases = from +: k.aliases)
+          else k))
+        updateStruct(parent)(s => StructType(s.fields.map(nf =>
+          if (nf.name == from) nf.copy(name = to) else nf)))
+        p
       case (p, c: TableChange.RenameColumn) =>
         require(c.fieldNames().length == 1,
-          "graft catalog: RENAME COLUMN supports top-level columns only")
+          "graft catalog: RENAME COLUMN supports one nesting level " +
+            "(column or struct.leaf)")
         val from = c.fieldNames()(0); val to = c.newName()
         require(schema.fieldNames.contains(from),
           s"graft catalog: no column $from to rename")
@@ -735,25 +824,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     // Iceberg's last-column-id: a MONOTONIC high-water mark for field-id
-    // allocation. max(live ids) is NOT a substitute — DROP of the
-    // highest-id column would let the next ADD reuse the dead id, and
-    // per-file id resolution would then read the dropped column's bytes
-    // back as the new column. The counter only ever moves up, and it
-    // survives RTAS re-creation (the replace passes the prior value in).
+    // allocation (nested leaf ids share the space). max(live ids) is NOT
+    // a substitute — DROP of the highest-id column would let the next
+    // ADD reuse the dead id, and per-file id resolution would then read
+    // the dropped column's bytes back as the new column. The counter
+    // only ever moves up, and it survives RTAS re-creation (the replace
+    // passes the prior value in).
     val hwm = math.max(lastColumnId,
-      columnIds.map(_.id).maxOption.getOrElse(0))
+      (columnIds.map(_.id) ++ columnIds.flatMap(_.fields).map(_.id))
+        .maxOption.getOrElse(0))
     if (hwm > 0) root.put("last-column-id", hwm)
     if (columnIds.nonEmpty) {
       val arr = root.putArray("column-ids")
-      columnIds.foreach { c =>
-        val n = arr.addObject()
+      def emit(c: GraftCatalog.ColumnId,
+          n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
         n.put("name", c.name); n.put("id", c.id)
         if (c.aliases.nonEmpty) {
           val as = n.putArray("aliases"); c.aliases.foreach(as.add)
         }
         c.currentDefault.foreach(n.put("current-default", _))
         c.initialDefault.foreach(n.put("initial-default", _))
+        if (c.fields.nonEmpty) {
+          val kids = n.putArray("fields")
+          c.fields.foreach(k => emit(k, kids.addObject()))
+        }
       }
+      columnIds.foreach(c => emit(c, arr.addObject()))
     }
     java.nio.file.Files.write(descriptor(dir).toPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
@@ -778,24 +874,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       out.result()
     }
     val ids = Option(root.get("column-ids")).toSeq.flatMap { arr =>
-      val out = Seq.newBuilder[GraftCatalog.ColumnId]
-      arr.forEach { n =>
+      def decode(n: com.fasterxml.jackson.databind.JsonNode)
+          : GraftCatalog.ColumnId = {
         val aliases = Option(n.get("aliases")).toSeq.flatMap { as =>
           val b = Seq.newBuilder[String]; as.forEach(a => b += a.asText())
           b.result()
         }
-        out += GraftCatalog.ColumnId(n.get("name").asText(),
+        val kids = Option(n.get("fields")).toSeq.flatMap { fs =>
+          val b = Seq.newBuilder[GraftCatalog.ColumnId]
+          fs.forEach(k => b += decode(k))
+          b.result()
+        }
+        GraftCatalog.ColumnId(n.get("name").asText(),
           n.get("id").asInt(), aliases,
           currentDefault = Option(n.get("current-default")).map(_.asText()),
-          initialDefault = Option(n.get("initial-default")).map(_.asText()))
+          initialDefault = Option(n.get("initial-default")).map(_.asText()),
+          fields = kids)
       }
+      val out = Seq.newBuilder[GraftCatalog.ColumnId]
+      arr.forEach(n => out += decode(n))
       out.result()
     }
     // descriptors predating the counter bootstrap it from max(live ids)
     // — correct for them, since no column had ever been dropped when
     // the counter was introduced alongside DROP's id retirement
     val lastId = Option(root.get("last-column-id")).map(_.asInt())
-      .getOrElse(ids.map(_.id).maxOption.getOrElse(0))
+      .getOrElse((ids.map(_.id) ++ ids.flatMap(_.fields).map(_.id))
+        .maxOption.getOrElse(0))
     (ddl.map(StructType.fromDDL), props, spec, ids, lastId)
   }
 }
@@ -812,7 +917,14 @@ object GraftCatalog {
   final case class ColumnId(name: String, id: Int,
       aliases: Seq[String] = Nil,
       currentDefault: Option[String] = None,
-      initialDefault: Option[String] = None)
+      initialDefault: Option[String] = None,
+      /** Child identities for a STRUCT column's leaves (one nesting
+        * level, the dialect's depth): same never-reused id space as the
+        * top level — the monotonic last-column-id allocator hands out
+        * every id. Empty for scalar columns AND for struct columns that
+        * predate nested evolution (their leaves resolve by name, the
+        * original convention); the first nested ALTER bootstraps them. */
+      fields: Seq[ColumnId] = Nil)
 
   /** StructField metadata keys carrying the identity into the scan:
     * `parquet.field.id` is Spark's own field-id key (the writer embeds
@@ -821,24 +933,36 @@ object GraftCatalog {
   val FieldIdKey = "parquet.field.id"
   val AliasesKey = "graft.aliases"
 
-  /** Annotate `schema` with id + alias metadata from the descriptor. */
+  /** Annotate `schema` with id + alias metadata from the descriptor —
+    * descending one level into struct columns whose descriptor entry
+    * records child identities, so renamed/added NESTED fields resolve
+    * per file exactly like top-level ones. */
   private[v2] def annotate(schema: StructType,
       ids: Seq[ColumnId]): StructType =
     if (ids.isEmpty) schema
     else {
       val byName = ids.map(c => c.name -> c).toMap
-      StructType(schema.fields.map { f =>
-        byName.get(f.name).fold(f) { c =>
-          val b = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putLong(FieldIdKey, c.id.toLong)
-          if (c.aliases.nonEmpty) b.putString(AliasesKey, c.aliases.mkString(","))
-          // Spark's own default-value keys: CURRENT_DEFAULT feeds the
-          // analyzer's INSERT fill, EXISTS_DEFAULT is what the per-file
-          // reader serves for files that predate the column
-          c.currentDefault.foreach(b.putString("CURRENT_DEFAULT", _))
-          c.initialDefault.foreach(b.putString("EXISTS_DEFAULT", _))
-          f.copy(metadata = b.build())
+      def decorate(f: org.apache.spark.sql.types.StructField,
+          c: ColumnId): org.apache.spark.sql.types.StructField = {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, c.id.toLong)
+        if (c.aliases.nonEmpty) b.putString(AliasesKey, c.aliases.mkString(","))
+        // Spark's own default-value keys: CURRENT_DEFAULT feeds the
+        // analyzer's INSERT fill, EXISTS_DEFAULT is what the per-file
+        // reader serves for files that predate the column
+        c.currentDefault.foreach(b.putString("CURRENT_DEFAULT", _))
+        c.initialDefault.foreach(b.putString("EXISTS_DEFAULT", _))
+        val dt = (f.dataType, c.fields) match {
+          case (st: StructType, kids) if kids.nonEmpty =>
+            val kByName = kids.map(k => k.name -> k).toMap
+            StructType(st.fields.map(nf =>
+              kByName.get(nf.name).fold(nf)(k => decorate(nf, k))))
+          case (dt, _) => dt
         }
+        f.copy(dataType = dt, metadata = b.build())
+      }
+      StructType(schema.fields.map { f =>
+        byName.get(f.name).fold(f)(c => decorate(f, c))
       })
     }
 
@@ -855,12 +979,23 @@ object GraftCatalog {
       else None
     }.toMap
 
-  /** (name -> field id) recorded in a schema's metadata. */
+  /** (name -> field id) recorded in a schema's metadata; struct leaves
+    * appear under dotted keys (`parent.leaf`) — the writer's key shape. */
   private[v2] def fieldIdsOf(schema: StructType): Map[String, Int] =
     schema.fields.flatMap { f =>
-      if (f.metadata.contains(FieldIdKey))
-        Some(f.name -> f.metadata.getLong(FieldIdKey).toInt)
-      else None
+      val top =
+        if (f.metadata.contains(FieldIdKey))
+          Seq(f.name -> f.metadata.getLong(FieldIdKey).toInt)
+        else Nil
+      val nested = f.dataType match {
+        case st: StructType => st.fields.toSeq.flatMap(nf =>
+          if (nf.metadata.contains(FieldIdKey))
+            Some(s"${f.name}.${nf.name}" ->
+              nf.metadata.getLong(FieldIdKey).toInt)
+          else None)
+        case _ => Nil
+      }
+      top ++ nested
     }.toMap
 
   // ---- view document I/O ----

@@ -112,7 +112,10 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
             require(!nf.dataType.isInstanceOf[StructType],
               s"graft-iceberg write: struct nesting is one level " +
                 s"(${f.name}.${nf.name} is a struct)")
-            gb.addField(primOf(nf.dataType, nf.name, None))
+            // leaf ids ride dotted keys (bootstrapped at the struct's
+            // first nested ALTER) — renamed leaves then resolve by id
+            gb.addField(primOf(nf.dataType, nf.name,
+              fieldIds.get(s"${f.name}.${nf.name}")))
           }
           b.addField(fieldIds.get(f.name).fold(gb)(gb.id).named(f.name))
         case dt =>

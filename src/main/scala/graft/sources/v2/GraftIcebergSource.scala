@@ -1582,26 +1582,62 @@ private[v2] object GraftPartitionReader {
       (keys, readRows(p, keys).map(g => keys.map(k => prim(g, k))).toSet)
     }
 
+  /** One struct LEAF's per-file resolution — the nested twin of the
+    * reader's top-level rule: by NAME (the fast path), else by the
+    * leaf's EMBEDDED parquet field id against the table's leaf id
+    * (files written after nested ids were bootstrapped carry them),
+    * else by a recorded former name. A miss = a pre-evolution file for
+    * an added leaf: null-fill. */
+  private[v2] def resolveLeaf(fg: org.apache.parquet.schema.GroupType,
+      nf: org.apache.spark.sql.types.StructField)
+      : Option[org.apache.parquet.schema.Type] = {
+    if (fg.containsField(nf.name)) return Some(fg.getType(nf.name))
+    import scala.jdk.CollectionConverters._
+    val byId =
+      if (!nf.metadata.contains(graft.sources.v2.GraftCatalog.FieldIdKey)) None
+      else {
+        val id = nf.metadata
+          .getLong(graft.sources.v2.GraftCatalog.FieldIdKey).toInt
+        fg.getFields.asScala.find(t =>
+          t.getId != null && t.getId.intValue == id)
+      }
+    byId.orElse {
+      val aliases =
+        if (!nf.metadata.contains(graft.sources.v2.GraftCatalog.AliasesKey)) Nil
+        else nf.metadata.getString(graft.sources.v2.GraftCatalog.AliasesKey)
+          .split(',').toSeq.filter(_.nonEmpty)
+      aliases.collectFirst {
+        case a if fg.containsField(a) => fg.getType(a)
+      }
+    }
+  }
+
   /** Narrow a resolved FILE field to the leaves the query requires: for
     * a struct column, Spark's nested-schema pruning hands `required` a
     * struct of only the SELECTED leaves — projecting the matching pruned
     * group means unselected leaves' pages are never decoded (pinned in
-    * GraftSourceV2Spec). Primitives pass through untouched. */
+    * GraftSourceV2Spec). Leaves resolve per file ([[resolveLeaf]] —
+    * renamed leaves project under their PHYSICAL name); the second
+    * return is the table-leaf-name → physical-name map the row decoder
+    * reads through. Primitives pass through untouched. */
   private[v2] def pruneToRequired(
       fileField: org.apache.parquet.schema.Type,
       f: org.apache.spark.sql.types.StructField)
-      : org.apache.parquet.schema.Type =
+      : (org.apache.parquet.schema.Type, Map[String, String]) =
     f.dataType match {
       case st: org.apache.spark.sql.types.StructType
           if !fileField.isPrimitive =>
         import scala.jdk.CollectionConverters._
         val fg = fileField.asGroupType()
-        val kept = st.fields.toSeq.flatMap(nf =>
-          if (fg.containsField(nf.name)) Some(fg.getType(nf.name)) else None)
-        if (kept.isEmpty) fileField
-        else new org.apache.parquet.schema.GroupType(
-          fileField.getRepetition, fileField.getName, kept.asJava)
-      case _ => fileField
+        val resolved = st.fields.toSeq.flatMap(nf =>
+          resolveLeaf(fg, nf).map(t => nf.name -> t))
+        val kept = resolved.map(_._2)
+        val pruned =
+          if (kept.isEmpty) fileField
+          else new org.apache.parquet.schema.GroupType(
+            fileField.getRepetition, fileField.getName, kept.asJava)
+        (pruned, resolved.map { case (n, t) => n -> t.getName }.toMap)
+      case _ => (fileField, Map.empty)
     }
 }
 
@@ -1648,6 +1684,11 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   // widening (int->bigint, float->double); get() widens per value
   private val physPrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] =
     new Array(required.length)
+  // a struct column's table-leaf-name -> PHYSICAL leaf name in THIS
+  // file (renamed leaves read under their old name in old files);
+  // a leaf absent from the map null-fills — nested schema evolution
+  private val physLeaf: Array[Map[String, String]] =
+    Array.fill(required.length)(Map.empty)
 
   /** Per-file column resolution, Iceberg's rule re-expressed for this
     * layout: match by NAME (the fast path — untouched columns and files
@@ -1712,7 +1753,9 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
             physName(i) = t.getName
             if (t.isPrimitive)
               physPrim(i) = t.asPrimitiveType().getPrimitiveTypeName
-            Some(GraftPartitionReader.pruneToRequired(t, f))
+            val (pruned, leaves) = GraftPartitionReader.pruneToRequired(t, f)
+            physLeaf(i) = leaves
+            Some(pruned)
           case None => isAbsent(i) = true; None
         }
       } ++ extraKeyCols.filter(fileSchema.containsField)
@@ -1795,25 +1838,29 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case BooleanType => row.setBoolean(i, current.getBoolean(nm, 0))
         case StringType => row.update(i, UTF8String.fromString(current.getString(nm, 0)))
         case st: StructType =>
-          // one nesting level: leaves by name within the file's group;
-          // leaves pruned out of the projection (or absent from an old
-          // file) null-fill, same as top-level schema evolution
+          // one nesting level: leaves read through their PER-FILE
+          // physical name (resolveLeaf: name / embedded id / rename
+          // alias); leaves pruned out of the projection, renamed away,
+          // or absent from an old file null-fill — the same
+          // schema-evolution semantics as the top level
           val ng = current.getGroup(nm, 0)
           val ngt = ng.getType.asGroupType()
+          val leaves = physLeaf(i)
           val out = new GenericInternalRow(st.length)
           var k = 0
           while (k < st.length) {
             val nf = st.fields(k)
-            if (!ngt.containsField(nf.name) ||
-                ng.getFieldRepetitionCount(nf.name) == 0) out.update(k, null)
+            val pn = leaves.getOrElse(nf.name, nf.name)
+            if (!ngt.containsField(pn) ||
+                ng.getFieldRepetitionCount(pn) == 0) out.update(k, null)
             else nf.dataType match {
-              case LongType => out.setLong(k, ng.getLong(nf.name, 0))
-              case IntegerType => out.setInt(k, ng.getInteger(nf.name, 0))
-              case DoubleType => out.setDouble(k, ng.getDouble(nf.name, 0))
-              case FloatType => out.setFloat(k, ng.getFloat(nf.name, 0))
-              case BooleanType => out.setBoolean(k, ng.getBoolean(nf.name, 0))
+              case LongType => out.setLong(k, ng.getLong(pn, 0))
+              case IntegerType => out.setInt(k, ng.getInteger(pn, 0))
+              case DoubleType => out.setDouble(k, ng.getDouble(pn, 0))
+              case FloatType => out.setFloat(k, ng.getFloat(pn, 0))
+              case BooleanType => out.setBoolean(k, ng.getBoolean(pn, 0))
               case StringType =>
-                out.update(k, UTF8String.fromString(ng.getString(nf.name, 0)))
+                out.update(k, UTF8String.fromString(ng.getString(pn, 0)))
               case other =>
                 sys.error(s"graft-iceberg: unsupported nested type $other")
             }

@@ -678,6 +678,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!doc.contains("\"id\" : 2"), s"dead id 2 reused:\n$doc")
   }
 
+  test("nested schema evolution: RENAME/ADD/DROP on struct leaves, metadata-only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.nest")
+    spark.sql("CREATE TABLE cattest.nest.t " +
+      "(k BIGINT, m STRUCT<w: BIGINT, h: BIGINT>) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.nest.t VALUES (1, named_struct('w', 2L, 'h', 3L))")
+    val filesBefore = spark.sql("SELECT _file FROM cattest.nest.t")
+      .collect().map(_.getString(0)).toSet
+    // RENAME a leaf: metadata-only, old file reads through the alias
+    spark.sql("ALTER TABLE cattest.nest.t RENAME COLUMN m.w TO width")
+    val r1 = spark.sql("SELECT k, m.width, m.h FROM cattest.nest.t").head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((1L, 2L, 3L)))
+    // a post-rename file embeds the leaf's id under the NEW name
+    spark.sql("INSERT INTO cattest.nest.t VALUES (2, named_struct('width', 20L, 'h', 30L))")
+    // ADD a leaf: old files null-fill
+    spark.sql("ALTER TABLE cattest.nest.t ADD COLUMNS (m.depth BIGINT)")
+    val rows = spark.sql(
+      "SELECT k, m.width, m.depth FROM cattest.nest.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      == Seq((1L, 2L, -1L), (2L, 20L, -1L)))
+    // a SECOND rename: the first file resolves through the alias chain,
+    // the second by its EMBEDDED leaf id
+    spark.sql("ALTER TABLE cattest.nest.t RENAME COLUMN m.width TO breadth")
+    assert(spark.sql("SELECT sum(m.breadth) FROM cattest.nest.t")
+      .head.getLong(0) == 22L)
+    // DROP a leaf narrows the declared schema; files are never touched
+    spark.sql("ALTER TABLE cattest.nest.t DROP COLUMN m.h")
+    assert(!spark.sql("SELECT m FROM cattest.nest.t").schema
+      .fields(0).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("h"))
+    // metadata-only throughout: the original data file was never rewritten
+    val filesAfter = spark.sql("SELECT _file FROM cattest.nest.t")
+      .collect().map(_.getString(0)).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "nested evolution must carry old files verbatim")
+    // the leaf ids draw from the SAME monotonic allocator
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File("target/tmp-catalog-wh/nest/t/graft-table.json").toPath))
+    assert(doc.contains("\"fields\""), doc)
+    assert(doc.contains("\"breadth\""), doc)
+    assert(doc.contains("\"aliases\""), doc)
+  }
+
   test("RTAS continues the field-id counter across re-creation") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.rtid")
     spark.sql("CREATE TABLE cattest.rtid.t (a BIGINT, b STRING) " +
