@@ -83,10 +83,84 @@ object AvroDataRead {
     }
   }
 
+  /** One container's block layout — (syncPointOffset, rowsInBlock) per
+    * block — read from the BLOCK HEADERS ALONE: each block is
+    * `[zigzag-varint rowCount][zigzag-varint byteSize][payload][16-byte
+    * sync]` (Avro spec "Object Container Files"), so the driver reads
+    * two varints per block and SKIPS the payload — bytes proportional
+    * to block count, the avro twin of ORC's stripe-directory tail read.
+    * The offsets are valid `DataFileReader.seek` targets (positions
+    * just past a sync marker, where a block starts). */
+  def blockLayout(path: String): Seq[(Long, Long)] = {
+    val headerEnd = {
+      val r = new DataFileReader[GenericRecord](new java.io.File(path),
+        new GenericDatumReader[GenericRecord]())
+      try r.previousSync() finally r.close()
+    }
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      var skipped = 0L
+      while (skipped < headerEnd) {
+        val s = in.skip(headerEnd - skipped)
+        require(s > 0, s"AvroDataRead: cannot skip container header of $path")
+        skipped += s
+      }
+      // zigzag varint (Avro's long encoding) — two per block header
+      def readVarLong(): Long = {
+        var b = in.read()
+        if (b < 0) return -1L // EOF: no more blocks
+        var n: Long = (b & 0x7f).toLong; var shift = 7
+        while ((b & 0x80) != 0) {
+          b = in.read()
+          require(b >= 0, s"AvroDataRead: truncated block header in $path")
+          n |= (b & 0x7f).toLong << shift; shift += 7
+        }
+        (n >>> 1) ^ -(n & 1L) // zigzag decode
+      }
+      val out = Seq.newBuilder[(Long, Long)]
+      var offset = headerEnd
+      var rows = readVarLong()
+      while (rows >= 0) {
+        val bytes = readVarLong()
+        require(bytes >= 0, s"AvroDataRead: truncated block in $path")
+        out += ((offset, rows))
+        var toSkip = bytes + 16 // payload + sync marker
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          require(s > 0, s"AvroDataRead: truncated block payload in $path")
+          toSkip -= s
+        }
+        offset += varLen(rows) + varLen(bytes) + bytes + 16
+        rows = readVarLong()
+      }
+      out.result()
+    } finally in.close()
+  }
+
+  /** Encoded byte length of a zigzag varint — block offsets advance by
+    * header + payload + sync. */
+  private def varLen(v: Long): Long = {
+    var n = (v << 1) ^ (v >> 63); var len = 1L
+    while ((n & ~0x7fL) != 0) { n >>>= 7; len += 1 }
+    len
+  }
+
   /** Read `paths` (absolute, scheme-normalized local/Hadoop paths) with
     * columns `<data columns> + file_path(string) + pos(long)`. All
-    * files must share one record schema (one table's manifest entries). */
-  def readWithPos(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    * files must share one record schema (one table's manifest entries).
+    *
+    * Parallelism: BLOCK-GRANULAR — the driver reads each container's
+    * block directory ([[blockLayout]], bytes-per-block I/O), prefix-sums
+    * row counts into absolute starting ordinals, and packs consecutive
+    * blocks into ~`targetBlocksPerTask` tasks. Each task
+    * `DataFileReader.sync`-seeks to its first block and reads exactly
+    * its row budget, stamping `pos = taskBase + i` — ordinals identical
+    * to a sequential read by construction (pinned by AvroDataReadSpec's
+    * multi-block round-trip). A single huge avro file now parallelizes
+    * like ORC stripes instead of serializing on one task. */
+  def readWithPos(spark: SparkSession, paths: Seq[String],
+      targetBlocksPerTask: Int = 16): DataFrame = {
     require(paths.nonEmpty, "AvroDataRead.readWithPos: empty file list")
     // driver: container headers only — schema agreement
     val schemas = paths.map { p =>
@@ -108,32 +182,49 @@ object AvroDataRead {
         nullable = true)) ++
         Seq(StructField("file_path", StringType, nullable = false),
           StructField("pos", LongType, nullable = false)))
-    val n = math.max(1, math.min(paths.size,
-      spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(paths, n).flatMap { path =>
-      val reader = new DataFileReader[GenericRecord](
-        new java.io.File(path), new GenericDatumReader[GenericRecord]())
-      val fs = reader.getSchema.getFields.asScala.toSeq
-      // close with the TASK: a LIMIT-terminated or failed task abandons
-      // the iterator mid-stream and exhaustion-close alone would leak
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => reader.close()))
-      new Iterator[Row] {
-        private var i = 0L
-        override def hasNext: Boolean = reader.hasNext
-        override def next(): Row = {
-          val rec = reader.next()
-          val vals = new Array[Any](fs.size + 2)
-          var c = 0
-          while (c < fs.size) {
-            vals(c) = convert(rec.get(c), fs(c).schema()); c += 1
-          }
-          vals(fs.size) = path
-          vals(fs.size + 1) = i
-          i += 1
-          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    // (path, seekOffset, baseOrdinal, rowBudget) — consecutive blocks
+    // packed per task, absolute ordinals from the prefix sums
+    val tasks: Seq[(String, Long, Long, Long)] = paths.flatMap { p =>
+      val blocks = blockLayout(p)
+      if (blocks.isEmpty) Nil
+      else {
+        val grouped = blocks.grouped(math.max(1, targetBlocksPerTask)).toSeq
+        var base = 0L
+        grouped.map { g =>
+          val t = (p, g.head._1, base, g.map(_._2).sum)
+          base += g.map(_._2).sum
+          t
         }
       }
+    }
+    val n = math.max(1, math.min(tasks.size,
+      spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(tasks, n).flatMap {
+      case (path, offset, base, budget) =>
+        val reader = new DataFileReader[GenericRecord](
+          new java.io.File(path), new GenericDatumReader[GenericRecord]())
+        reader.seek(offset)
+        val fs = reader.getSchema.getFields.asScala.toSeq
+        // close with the TASK: a LIMIT-terminated or failed task abandons
+        // the iterator mid-stream and exhaustion-close alone would leak
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
+        new Iterator[Row] {
+          private var i = 0L
+          override def hasNext: Boolean = i < budget && reader.hasNext
+          override def next(): Row = {
+            val rec = reader.next()
+            val vals = new Array[Any](fs.size + 2)
+            var c = 0
+            while (c < fs.size) {
+              vals(c) = convert(rec.get(c), fs(c).schema()); c += 1
+            }
+            vals(fs.size) = path
+            vals(fs.size + 1) = base + i
+            i += 1
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }
     }
     spark.createDataFrame(rows, sparkSchema)
   }

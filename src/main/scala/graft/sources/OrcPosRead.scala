@@ -106,8 +106,12 @@ object OrcPosRead {
     require(paths.nonEmpty, "OrcPosRead.readWithPos: empty file list")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // driver: file tails only — schema agreement + stripe ranges
-    val perFile: Seq[(String, Seq[(Long, Long)], String)] = paths.map { p =>
+    // file tails only — schema agreement + stripe ranges. Past a handful
+    // of files the tail reads go out as ONE small Spark job (each task
+    // reads KB-sized footers): at thousands of ORC files a serial driver
+    // loop is a planning-latency tail, the exact shape manifest planning
+    // already distributes.
+    def tailOf(p: String): (String, Seq[(Long, Long)], String) = {
       val r = OrcFile.createReader(new Path(p),
         OrcFile.readerOptions(conf.value))
       try {
@@ -117,6 +121,15 @@ object OrcPosRead {
         (p, stripes, r.getSchema.toString)
       } finally r.close()
     }
+    val perFile: Seq[(String, Seq[(Long, Long)], String)] =
+      if (paths.size <= 8) paths.map(tailOf)
+      else {
+        val n = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism))
+        val byPath = spark.sparkContext.parallelize(paths, n)
+          .map(p => tailOf(p)).collect().map(t => t._1 -> t).toMap
+        paths.map(byPath) // preserve caller order
+      }
     val schemaStr = perFile.head._3
     val disagree = perFile.filter(_._3 != schemaStr).map(_._1)
     require(disagree.isEmpty,

@@ -55,6 +55,27 @@ class AvroDataReadSpec extends AnyFunSuite {
       s"ordinal drift: ${back.filterNot { case (p, k) => p == k }.take(3).toSeq}")
   }
 
+  test("block directory: header-only scan agrees with the container; one task per block keeps ordinals") {
+    import spark.implicits._
+    val rows = (0L until 20000L).map(i => (i, s"v$i"))
+    val dest = new java.io.File("target/tmp-avrodata/blockdir.avro")
+    dest.getParentFile.mkdirs()
+    IcebergLayoutWriter.writeSingleAvro(rows.toDF("k", "v").orderBy("k"), dest)
+    val blocks = AvroDataRead.blockLayout(dest.getAbsolutePath)
+    assert(blocks.length > 1, "fixture must span multiple avro blocks")
+    assert(blocks.map(_._2).sum == 20000L,
+      s"block row counts must sum to the container total, got $blocks")
+    assert(blocks.map(_._1) == blocks.map(_._1).sorted)
+    // the degenerate split — ONE TASK PER BLOCK — must still stamp the
+    // exact sequential ordinals (the sync-seek + prefix-sum contract)
+    val back = AvroDataRead.readWithPos(spark, Seq(dest.getAbsolutePath),
+      targetBlocksPerTask = 1)
+      .select("pos", "k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.length == 20000)
+    assert(back.forall { case (pos, k) => pos == k },
+      s"ordinal drift: ${back.filterNot { case (p, k) => p == k }.take(3).toSeq}")
+  }
+
   test("three-format MOR: pos + eq tombstones span PARQUET, ORC, AVRO") {
     import spark.implicits._
     val tbl = new java.io.File("target/tmp-avrodata/tri")

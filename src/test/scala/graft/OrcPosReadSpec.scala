@@ -61,6 +61,29 @@ class OrcPosReadSpec extends AnyFunSuite {
       s"ordinal drift: ${out.filterNot { case (p, i, _) => p == i }.take(3).toSeq}")
   }
 
+  test("many-file planning (distributed tail reads) keeps per-file ordinals exact") {
+    // past the 8-file threshold the stripe-directory reads go out as a
+    // Spark job; the per-file ordinals and values must be unchanged
+    val files = (0 until 10).map { i =>
+      val f = new java.io.File(s"target/tmp-orcpos/many$i.orc")
+      f.getParentFile.mkdirs()
+      org.apache.commons.io.FileUtils.deleteQuietly(f)
+      writeMultiStripe(f, rows = 250 + i, stripeRows = 100)
+      f.getAbsolutePath
+    }
+    val out = OrcPosRead.readWithPos(spark, files)
+      .select(col("file_path"), col("pos"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == files.indices.map(250 + _).sum)
+    assert(out.forall { case (_, pos, id) => pos == id },
+      s"ordinal drift: ${out.filterNot { case (_, p, i) => p == i }.take(3).toSeq}")
+    // every file contributed its own full ordinal range
+    val perFile = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    files.zipWithIndex.foreach { case (f, i) =>
+      assert(perFile(f) == (0L until (250L + i)).toSeq, s"file $f")
+    }
+  }
+
   test("scalar types round-trip through the vector extraction") {
     import spark.implicits._
     val df = Seq(
