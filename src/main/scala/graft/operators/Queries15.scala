@@ -136,6 +136,64 @@ object Queries15 {
                |  min(okey) AS min_okey
                |FROM $cat.ne.prof
                |GROUP BY dims.mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- EQUALITY-DELETE DIALECT FOR SQL MERGE
+    // (write.delete.granularity=equality + identifier.columns — the
+    // Flink-style streaming-upsert tombstone shape): the MOR delta's
+    // DELETE half lands as EQUALITY tombstones keyed by the declared
+    // identifier fields, never (file, pos) — a delete needs only the
+    // row's KEY. Pinned in-query: $position_deletes stays EMPTY and the
+    // eq tombstones carry resolvable equality_ids; a MERGE (matched
+    // update + not-matched insert) and a non-pushable DELETE both run
+    // under the dialect, and the MOR read-back recomputes in DuckDB
+    // from the source table alone.
+    "q272_eq_delete_merge" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q272wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.eq")
+      s.sql(s"DROP TABLE IF EXISTS $cat.eq.agg")
+      t(dir, "orders").createOrReplaceTempView("q272_src")
+      s.sql(s"""CREATE TABLE $cat.eq.agg (
+               |  mon BIGINT NOT NULL, prio STRING NOT NULL,
+               |  total BIGINT, n BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.merge.mode' = 'merge-on-read',
+               |  'write.delete.mode' = 'merge-on-read',
+               |  'write.delete.granularity' = 'equality',
+               |  'identifier.columns' = 'mon,prio')""".stripMargin)
+      def rollup(y: Int): String =
+        s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+           |       o_orderpriority AS prio,
+           |       CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS total,
+           |       count(*) AS n
+           |FROM q272_src WHERE year(o_orderdate) = $y
+           |GROUP BY 1, 2""".stripMargin
+      s.sql(s"INSERT INTO $cat.eq.agg ${rollup(1995)}")
+      s.sql(s"""MERGE INTO $cat.eq.agg tgt
+               |USING (${rollup(1996)}) src
+               |ON tgt.mon = src.mon AND tgt.prio = src.prio
+               |WHEN MATCHED THEN UPDATE SET
+               |  total = tgt.total + src.total, n = tgt.n + src.n
+               |WHEN NOT MATCHED THEN INSERT (mon, prio, total, n)
+               |  VALUES (src.mon, src.prio, src.total, src.n)""".stripMargin)
+      // a % predicate is NOT in the pushable filter algebra — the DELETE
+      // takes the row-level delta path, under the same eq dialect
+      s.sql(s"DELETE FROM $cat.eq.agg WHERE n % 7 = 0")
+      // dialect pinned: zero position deletes; eq tombstones with ids
+      require(s.sql(s"SELECT count(*) FROM $cat.eq.agg.position_deletes")
+        .head.getLong(0) == 0L,
+        "equality granularity must write NO position deletes")
+      val eqCount = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getAbsolutePath}/eq/agg", "t", Nil)
+        .filter(col("content") === 2).count()
+      require(eqCount > 0, "expected live equality tombstones")
+      s.sql(s"""SELECT mon, prio, total, n FROM $cat.eq.agg
+               |ORDER BY mon, prio""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -165,5 +223,18 @@ object Queries15 {
         |  CAST(sum(amount) AS BIGINT) AS sum_amount,
         |  CAST(0 AS BIGINT) AS sum_flag,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM src GROUP BY mon ORDER BY mon""".stripMargin)
+        |FROM src GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q272_eq_delete_merge" ->
+      """WITH roll AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         o_orderpriority AS prio,
+        |         CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        |  GROUP BY 1, 2)
+        |SELECT mon, prio, total, n FROM roll
+        |WHERE n % 7 <> 0
+        |ORDER BY mon, prio""".stripMargin)
 }

@@ -191,7 +191,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       updateMode = props.get("write.update.mode"),
       mergeMode = props.get("write.merge.mode"),
       wapEnabled = props.get("write.wap.enabled").contains("true"),
-      writeFormatDefault = props.get("write.format.default"))
+      writeFormatDefault = props.get("write.format.default"),
+      deleteGranularity = props.get("write.delete.granularity"),
+      identifierCols = props.get("identifier.columns").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 
   /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each

@@ -47,11 +47,17 @@ private[v2] class GraftDeltaOperation(table: GraftTable,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new GraftDeltaWriteBuilder(table, info)
 
-  /** Row identity = (file, ordinal) — exactly what a position tombstone
-    * addresses (Iceberg's own delta rowId). */
-  override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(GraftTable.FileMetadataColumn),
+  /** Row identity: (file, ordinal) — what a position tombstone
+    * addresses (Iceberg's own delta rowId) — or, under
+    * `write.delete.granularity=equality`, the table's declared
+    * `identifier.columns`: deletes then need only the row's KEY, the
+    * Flink-style streaming-upsert dialect. */
+  override def rowId(): Array[NamedReference] = {
+    val eq = table.eqDeltaKeys
+    if (eq.nonEmpty) eq.map(Expressions.column).toArray
+    else Array(Expressions.column(GraftTable.FileMetadataColumn),
       Expressions.column(GraftTable.PosMetadataColumn))
+  }
 
   /** UPDATE = DELETE + INSERT: one tombstone kills the old ordinal, the
     * new row lands in an ordinary data file. */
@@ -72,13 +78,16 @@ private[v2] class GraftDeltaWriteBuilder(table: GraftTable,
 }
 
 /** Both halves of a task's delta: data files written for inserts,
-  * position-delete files for deletes. `referenced` names the data files
-  * the task's tombstones target — the commit validates they are still
-  * live (Iceberg's validateDataFilesExist; a concurrent rewrite would
-  * otherwise dangle the DELETE half while the inserts land). */
+  * delete files for deletes. `referenced` names the data files the
+  * task's POSITION tombstones target — the commit validates they are
+  * still live (Iceberg's validateDataFilesExist; a concurrent rewrite
+  * would otherwise dangle the DELETE half while the inserts land).
+  * `eqIds` nonEmpty marks the delete files as EQUALITY tombstones
+  * (content=2) keyed by those field ids. */
 private[v2] case class GraftDeltaCommitMessage(data: Seq[GraftFileInfo],
     deletes: Seq[GraftFileInfo],
-    referenced: Seq[String] = Nil) extends WriterCommitMessage
+    referenced: Seq[String] = Nil,
+    eqIds: Seq[Int] = Nil) extends WriterCommitMessage
 
 private[v2] class GraftDeltaBatchWrite(table: GraftTable,
     schema: StructType, queryId: String) extends DeltaBatchWrite {
@@ -110,7 +119,16 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
       table.writeStatFields, partCols,
       GraftCatalog.fieldIdsOf(table.schema),
       dv = table.dvTombstones,
-      format = table.writeFormat)
+      format = table.writeFormat,
+      // identifier fields resolved against the TABLE schema (the write
+      // schema of a delete-only delta carries no data columns); the ids
+      // are the dialect's positional field ids, what readers resolve
+      eqFields = table.eqDeltaKeys.map(k =>
+        table.schema.fields.find(_.name == k).getOrElse(sys.error(
+          s"graft-iceberg delta: identifier column $k not in table schema"))
+          .copy(metadata = org.apache.spark.sql.types.Metadata.empty)),
+      eqIds = table.eqDeltaKeys.map(k =>
+        table.schema.fieldNames.indexOf(k) + 1))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: GraftDeltaCommitMessage => m }
@@ -120,13 +138,19 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
         partition = f.partition,
         fileFormat = GraftFormatWriters.formatOf(f.path)))
-    val delEntries = msgs.flatMap(_.deletes).filter(_.rows > 0)
-      .map(f => graft.sources.IcebergLayoutWriter.ManifestEntrySpec(
-        status = 1, content = 1, filePath = f.path, recordCount = f.rows,
-        sizeBytes = f.bytes,
-        fileFormat =
-          if (graft.sources.DeletionVectors.isDvPath(f.path)) "PUFFIN"
-          else "PARQUET"))
+    val delEntries = msgs.flatMap(m => m.deletes.map(f => (f, m.eqIds)))
+      .filter(_._1.rows > 0)
+      .map { case (f, eqIds) =>
+        graft.sources.IcebergLayoutWriter.ManifestEntrySpec(
+          status = 1,
+          content = if (eqIds.nonEmpty) 2 else 1,
+          filePath = f.path, recordCount = f.rows,
+          sizeBytes = f.bytes,
+          equalityIds = eqIds,
+          fileFormat =
+            if (graft.sources.DeletionVectors.isDvPath(f.path)) "PUFFIN"
+            else "PARQUET")
+      }
     // a MERGE whose predicates hit nothing commits nothing
     if (dataEntries.nonEmpty || delEntries.nonEmpty)
       graft.sources.LayoutMaintenance.commitDeltaFiles(
@@ -147,11 +171,13 @@ private[v2] class GraftDeltaWriterFactory(dir: String, schema: StructType,
     queryId: String, stats: Seq[GraftIcebergSource.StatField],
     partCols: Seq[(String, String, Int)],
     fieldIds: Map[String, Int], dv: Boolean,
-    format: String = "parquet") extends DeltaWriterFactory {
+    format: String = "parquet",
+    eqFields: Seq[StructField] = Nil,
+    eqIds: Seq[Int] = Nil) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, queryId, partitionId, taskId, stats,
-      partCols, fieldIds, dv, format)
+      partCols, fieldIds, dv, format, eqFields, eqIds)
 }
 
 /** Task-side: inserts delegate to the ordinary partition-aware data
@@ -162,7 +188,9 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     stats: Seq[GraftIcebergSource.StatField],
     partCols: Seq[(String, String, Int)],
     fieldIds: Map[String, Int], dv: Boolean,
-    format: String = "parquet")
+    format: String = "parquet",
+    eqFields: Seq[StructField] = Nil,
+    eqIds: Seq[Int] = Nil)
     extends DeltaWriter[InternalRow] {
 
   // inserted rows honor write.format.default; the position-delete
@@ -174,8 +202,27 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
   private val dels =
     scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
+  // equality dialect: the rowId projection IS the key tuple — buffer
+  // JVM values (the incoming InternalRow is reused between calls)
+  private val eqDels =
+    scala.collection.mutable.LinkedHashSet.empty[Seq[Any]]
+
   override def delete(meta: InternalRow, id: InternalRow): Unit =
-    dels += ((id.getUTF8String(0).toString, id.getLong(1)))
+    if (eqFields.nonEmpty)
+      eqDels += eqFields.zipWithIndex.map { case (f, i) =>
+        if (id.isNullAt(i)) null
+        else f.dataType match {
+          case LongType => id.getLong(i)
+          case org.apache.spark.sql.types.IntegerType => id.getInt(i)
+          case org.apache.spark.sql.types.DoubleType => id.getDouble(i)
+          case org.apache.spark.sql.types.FloatType => id.getFloat(i)
+          case org.apache.spark.sql.types.BooleanType => id.getBoolean(i)
+          case StringType => id.getUTF8String(i).toString
+          case other => sys.error(
+            s"graft-iceberg delta: unsupported identifier type $other")
+        }
+      }
+    else dels += ((id.getUTF8String(0).toString, id.getLong(1)))
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit =
@@ -190,6 +237,33 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     val dataFiles = inserts.commit() match {
       case m: GraftCommitMessage => m.files
       case other => sys.error(s"unexpected insert commit message $other")
+    }
+    if (eqFields.nonEmpty) {
+      // EQUALITY tombstones: one parquet of distinct key tuples per
+      // task (sorted — determinism, not a spec requirement for eq
+      // files), equality_ids = the keys' positional field ids
+      val delFiles =
+        if (eqDels.isEmpty) Nil
+        else {
+          val w = new GraftDataWriter(dir, StructType(eqFields),
+            s"deltaeq-$queryId", partitionId, taskId)
+          eqDels.toSeq.sortBy(_.mkString(" ")).foreach { tuple =>
+            val r = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(tuple.length)
+            tuple.zipWithIndex.foreach { case (v, i) =>
+              r.update(i, v match {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              })
+            }
+            w.write(r)
+          }
+          w.commit() match {
+            case m: GraftCommitMessage => m.files
+            case other => sys.error(s"unexpected eq commit message $other")
+          }
+        }
+      return GraftDeltaCommitMessage(dataFiles, delFiles, eqIds = eqIds)
     }
     val delFiles =
       if (dels.isEmpty) Nil

@@ -119,7 +119,10 @@ object GraftIcebergSource {
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     new GraftTable(dir, snapshot, fields, bootstrap, userSchema, sortCols,
       readChanges = readChanges, maxFilesPerTrigger = maxFiles,
-      writeFormatDefault = Option(options.get("write.format.default")))
+      writeFormatDefault = Option(options.get("write.format.default")),
+      deleteGranularity = Option(options.get("write.delete.granularity")),
+      identifierCols = Option(options.get("identifier.columns")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 
   /** V1 `Filter` → `Column`, total over the algebra Spark can hand a
@@ -254,7 +257,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     updateMode: Option[String] = None,
     mergeMode: Option[String] = None,
     wapEnabled: Boolean = false,
-    writeFormatDefault: Option[String] = None)
+    writeFormatDefault: Option[String] = None,
+    deleteGranularity: Option[String] = None,
+    identifierCols: Seq[String] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -276,6 +281,33 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     * deletion vectors instead of parquet position-delete files. */
   private[v2] def dvTombstones: Boolean =
     deleteFormat.map(_.toLowerCase).contains("dv")
+
+  /** `write.delete.granularity=equality`: the MOR delta path expresses
+    * row deletion as EQUALITY tombstones on the table's declared
+    * `identifier.columns` (the dialect's identifier-field-ids) instead
+    * of (file, pos) — the Flink-style streaming-upsert dialect, where a
+    * delete never needs to know which file holds the row. Returns the
+    * identifier columns when the dialect is on, else Nil. */
+  private[v2] def eqDeltaKeys: Seq[String] =
+    if (!deleteGranularity.map(_.toLowerCase).contains("equality")) Nil
+    else {
+      require(identifierCols.nonEmpty,
+        s"graft-iceberg($dir): write.delete.granularity=equality needs " +
+          "'identifier.columns' (comma-separated row-identity columns)")
+      require(!dvTombstones,
+        s"graft-iceberg($dir): equality granularity and " +
+          "write.delete.format=dv are mutually exclusive tombstone dialects")
+      // identifier fields are REQUIRED fields (Iceberg's identifier-
+      // field-ids rule; Spark's delta plan enforces non-null rowIds)
+      identifierCols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(sys.error(
+          s"graft-iceberg($dir): identifier column $c is not a table column"))
+        require(!f.nullable,
+          s"graft-iceberg($dir): identifier column $c must be declared " +
+            "NOT NULL (identifier fields are required fields)")
+      }
+      identifierCols
+    }
 
   /** The configured write mode for a row-level command — Iceberg's
     * write.delete/update/merge.mode trio; copy-on-write when unset. */

@@ -178,6 +178,57 @@ class GraftMorDmlSpec extends AnyFunSuite {
     assert(out == Seq((3L, -1L), (4L, 40L)), s"got $out")
   }
 
+  test("write.delete.granularity=equality: MERGE/DELETE land eq-tombstones, zero position deletes") {
+    spark.sql("DROP TABLE IF EXISTS mdml.db.eqg")
+    spark.sql("CREATE TABLE mdml.db.eqg " +
+      "(k BIGINT NOT NULL, v STRING, amt BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.update.mode' = 'merge-on-read', " +
+      "'write.merge.mode' = 'merge-on-read', " +
+      "'write.delete.mode' = 'merge-on-read', " +
+      "'write.delete.granularity' = 'equality', " +
+      "'identifier.columns' = 'k')")
+    spark.sql("INSERT INTO mdml.db.eqg SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1L,'a',10L),(2L,'b',20L),(3L,'c',30L) AS t(k, v, amt)")
+    spark.sql("""MERGE INTO mdml.db.eqg t
+      |USING (SELECT * FROM VALUES (2L, 222L), (4L, 444L) AS s(k, namt)) s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET amt = s.namt
+      |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, 'new', s.namt)
+      |""".stripMargin)
+    val dir = "target/tmp-mordml-wh/db/eqg"
+    val byContent = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir, "t", Nil)
+      .select("content").collect().map(_.getInt(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(byContent.getOrElse(1, 0) == 0,
+      s"equality granularity must write NO position deletes: $byContent")
+    assert(byContent.getOrElse(2, 0) > 0,
+      s"expected equality tombstones: $byContent")
+    // the eq tombstone carries resolvable equality_ids (k = field 1)
+    val eqIds = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, dir, "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 2)
+      .select("equality_ids").collect()
+      .map(_.getAs[scala.collection.Seq[Int]](0).toSeq).distinct.toSeq
+    assert(eqIds == Seq(Seq(1)), eqIds.toString)
+    // read-back truth through the connector scan
+    val out = spark.sql("SELECT k, amt FROM mdml.db.eqg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L), (2L, 222L), (3L, 30L), (4L, 444L)), out)
+    // non-pushable DELETE routes through the delta path: eq again
+    spark.sql("DELETE FROM mdml.db.eqg WHERE k % 3 = 0")
+    val out2 = spark.sql("SELECT k FROM mdml.db.eqg ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out2 == Seq(1L, 2L, 4L), out2)
+    // $position_deletes stays EMPTY; rewrite folds the eq tombstones
+    assert(spark.sql("SELECT count(*) FROM mdml.db.eqg.position_deletes")
+      .head.getLong(0) == 0L)
+    spark.sql("CALL mdml.system.rewrite_data_files(table => 'db.eqg')")
+    assert(spark.sql("SELECT k FROM mdml.db.eqg ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("rewrite_data_files folds MOR DML tombstones away, state preserved") {
     fresh("fold", mor = true)
     spark.sql("UPDATE mdml.db.fold SET amt = 0 WHERE k = 2")
