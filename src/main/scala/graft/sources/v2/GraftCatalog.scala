@@ -763,12 +763,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || isNamespace(nsDir(namespace))
 
+  /** Namespace properties live in one small JSON doc inside the
+    * namespace dir (`.namespace.json` — dot-prefixed so the table/child
+    * listing never mistakes it for content). */
+  private def nsPropsFile(namespace: Array[String]): java.io.File =
+    new java.io.File(nsDir(namespace), ".namespace.json")
+
+  private def readNsProps(namespace: Array[String]): Map[String, String] = {
+    val f = nsPropsFile(namespace)
+    if (!f.exists()) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val out = Map.newBuilder[String, String]
+    root.fields().forEachRemaining(e => out += (e.getKey -> e.getValue.asText()))
+    out.result()
+  }
+
+  private def writeNsProps(namespace: Array[String],
+      props: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    java.nio.file.Files.write(nsPropsFile(namespace).toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+  }
+
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
       catalogName +: namespace.toSeq)
-    util.Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
+    val out = new util.LinkedHashMap[String, String]()
+    readNsProps(namespace).foreach { case (k, v) => out.put(k, v) }
+    out.put(SupportsNamespaces.PROP_LOCATION,
       nsDir(namespace).getAbsolutePath)
+    out
   }
 
   override def createNamespace(namespace: Array[String],
@@ -777,18 +804,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isNamespace(d)) throw new NamespaceAlreadyExistsException(
       (catalogName +: namespace.toSeq).toArray)
     require(d.mkdirs(), s"graft catalog: cannot create namespace dir $d")
+    val props = metadata.asScala.toMap
+      .filter { case (k, _) => k != SupportsNamespaces.PROP_LOCATION &&
+        k != SupportsNamespaces.PROP_OWNER }
+    if (props.nonEmpty) writeNsProps(namespace, props)
   }
 
+  /** ALTER NAMESPACE … SET/UNSET PROPERTIES — reserved keys (location,
+    * owner) refuse: a namespace IS its directory in this catalog. */
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    sys.error("graft catalog: ALTER NAMESPACE is not supported")
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    val updated = changes.foldLeft(readNsProps(namespace)) {
+      case (p, s: NamespaceChange.SetProperty) =>
+        require(s.property() != SupportsNamespaces.PROP_LOCATION,
+          "graft catalog: a namespace's location is its directory and " +
+            "cannot be altered")
+        p + (s.property() -> s.value())
+      case (p, r: NamespaceChange.RemoveProperty) => p - r.property()
+      case (_, other) => sys.error(
+        s"graft catalog: unsupported namespace change $other")
+    }
+    writeNsProps(namespace, updated)
+  }
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val d = nsDir(namespace)
     if (!isNamespace(d)) false
     else {
-      val nonEmpty = Option(d.listFiles()).exists(_.nonEmpty)
+      // the namespace's own property doc is metadata, not content
+      val nonEmpty = Option(d.listFiles()).exists(
+        _.exists(_.getName != ".namespace.json"))
       if (nonEmpty && !cascade)
         throw new org.apache.spark.sql.catalyst.analysis
           .NonEmptyNamespaceException((catalogName +: namespace.toSeq).toArray)

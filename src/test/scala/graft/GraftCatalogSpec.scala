@@ -655,6 +655,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t").head.getLong(0) == 6L)
   }
 
+  test("ALTER NAMESPACE SET/UNSET PROPERTIES round-trips; empty namespace still drops") {
+    spark.sql("CREATE NAMESPACE cattest.nsp WITH DBPROPERTIES ('born' = 'yes')")
+    spark.sql("ALTER NAMESPACE cattest.nsp SET DBPROPERTIES " +
+      "('team' = 'data', 'tier' = 'gold')")
+    def props(): Map[String, String] =
+      spark.sql("DESCRIBE NAMESPACE EXTENDED cattest.nsp").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    val p1 = props()
+    assert(p1.get("Properties").exists(v =>
+      v.contains("born") && v.contains("team") && v.contains("gold")), p1)
+    spark.sql("ALTER NAMESPACE cattest.nsp UNSET DBPROPERTIES ('team')")
+    val p2 = props()
+    assert(p2.get("Properties").exists(v =>
+      !v.contains("team") && v.contains("tier")), p2)
+    // location is the directory — refusing to move it is the contract
+    val e = intercept[Exception] {
+      spark.sql("ALTER NAMESPACE cattest.nsp SET LOCATION '/tmp/elsewhere'")
+    }
+    assert(e.getMessage.contains("location") ||
+      Option(e.getCause).exists(_.getMessage.contains("location")))
+    // the property doc is METADATA: an otherwise-empty namespace drops
+    // without CASCADE
+    spark.sql("DROP NAMESPACE cattest.nsp")
+    assert(spark.sql("SHOW NAMESPACES IN cattest").collect()
+      .map(_.getString(0)).forall(_ != "nsp"))
+  }
+
   test("DROP of the highest-id column then ADD never reuses the dead field id") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ids")
     spark.sql("CREATE TABLE cattest.ids.t (a BIGINT, b BIGINT) " +
