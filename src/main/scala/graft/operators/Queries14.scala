@@ -943,20 +943,18 @@ object Queries14 {
           b.map(_ / nrm)
         }
       require(benchRows.length == 20, "benchmark fixture must hold 20")
-      val benchLit = array(benchRows.map(b =>
-        array(b.map(lit(_)): _*)): _*)
       // corpus: the rest, plus planted SCALED leaks of every 4th
       // benchmark vector under fresh ids
       val planted = e.filter(col("vec_id") < 20 && col("vec_id") % 4 === 0)
         .select((col("vec_id") + 900000L).as("vec_id"),
           expr("transform(v, x -> x * 2.0D)").as("v"))
       val corpus = e.filter(col("vec_id") >= 20).unionByName(planted)
-      val scored = corpus
-        .withColumn("nrm", sqrt(graft.functions.DoubleArrayDot
-          .doubleDot(col("v"), col("v"))))
-        .withColumn("maxcos", round(aggregate(benchLit, lit(-1.0d),
-          (acc, b) => greatest(acc, graft.functions.DoubleArrayDot
-            .doubleDot(col("v"), b) / col("nrm"))), 4))
+      // shared scorer (EmbeddingDecon): 20 vectors is far under the
+      // literal-arm ceiling, so this stays the zero-shuffle projection —
+      // past MaxLiteralBenchmark the same call rides a broadcast join
+      // (arm equality pinned by EmbeddingDeconSpec)
+      val scored = EmbeddingDecon
+        .maxCosine(corpus, "vec_id", "v", benchRows.toSeq)
         .withColumn("status",
           when(col("maxcos") >= 0.999, lit("contaminated"))
             .otherwise(lit("clean")))
