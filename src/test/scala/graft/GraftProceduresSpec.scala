@@ -551,6 +551,76 @@ class GraftProceduresSpec extends AnyFunSuite {
       .head.getLong(0) == 0L)
   }
 
+  test("racing CALL expire_snapshots vs rewrite_data_files: both land, state exact") {
+    spark.sql("CREATE TABLE proctest.db.race (k BIGINT) USING `graft-iceberg`")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO proctest.db.race VALUES ($i), (${i + 100})"))
+    spark.sql("DELETE FROM proctest.db.race WHERE k = 101")
+    // two maintenance procedures CONCURRENTLY: expire (metadata-only
+    // replace of history) vs rewrite_data_files (replace-shaped data
+    // commit). Procedure-initiated commits run the SAME lock + CAS
+    // protocol as every other commit, so the pair linearizes — both
+    // succeed or the loser fails loudly; what must NEVER happen is a
+    // silent overwrite (lost snapshot / resurrected row).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fExpire = Future(scala.util.Try(spark.sql(
+      "CALL proctest.system.expire_snapshots('db.race', retain_last => 2)")
+      .collect()))
+    val fRewrite = Future(scala.util.Try(spark.sql(
+      "CALL proctest.system.rewrite_data_files('db.race')").collect()))
+    val (rE, rR) = (Await.result(fExpire, 120.seconds),
+      Await.result(fRewrite, 120.seconds))
+    // a loser may surface a loud conflict; silent corruption may not
+    def okOrConflict(r: scala.util.Try[_]): Boolean = r match {
+      case scala.util.Success(_) => true
+      case scala.util.Failure(t) =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .exists(c => String.valueOf(c.getMessage).toLowerCase
+            .contains("conflict") ||
+            String.valueOf(c.getMessage).contains("races"))
+    }
+    assert(okOrConflict(rE), s"expire failed non-conflict: $rE")
+    assert(okOrConflict(rR), s"rewrite failed non-conflict: $rR")
+    // state is EXACT regardless of interleaving
+    assert(spark.sql("SELECT k FROM proctest.db.race ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 102L, 103L, 104L))
+    // the metadata version chain stayed linear: current resolves, and
+    // snapshot history is readable end to end
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, dirOf("race")).nonEmpty)
+  }
+
+  test("procedure commits inherit the CAS: a planted cross-process winner fails a CALL loudly") {
+    spark.sql("CREATE TABLE proctest.db.occ (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO proctest.db.occ VALUES (1), (2)")
+    spark.sql("DELETE FROM proctest.db.occ WHERE k = 2")
+    // simulate a cross-process winner this JVM has not observed: the
+    // next metadata version exists on disk while our hint still names
+    // the previous one — the exact window between a racing writer's
+    // CREATE_NEW and our next read
+    val meta = new java.io.File(dirOf("occ"), "metadata")
+    val cur = new java.io.File(meta, "version-hint.text")
+    val v = new String(java.nio.file.Files.readAllBytes(cur.toPath)).trim
+      .replaceAll("[^0-9]", "").toInt
+    java.nio.file.Files.copy(
+      new java.io.File(meta, s"v$v.metadata.json").toPath,
+      new java.io.File(meta, s"v${v + 1}.metadata.json").toPath)
+    // replace-shaped procedure: fails LOUDLY (its removed-file decisions
+    // died with the old base), table untouched
+    val e = intercept[Exception] {
+      spark.sql("CALL proctest.system.rewrite_data_files('db.occ')").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(c => String.valueOf(c.getMessage))
+      .mkString(" | ")
+    assert(chain.contains("conflict") || chain.contains("races"), chain)
+    assert(spark.sql("SELECT k FROM proctest.db.occ").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
