@@ -1187,7 +1187,10 @@ object LayoutMaintenance {
       all: Seq[Snap], curId: Long, base: MetaBase, newId: Long,
       operation: String,
       totalDeltaDataFiles: Long, totalDeltaRecords: Long,
-      totalDeltaDeleteFiles: Long): Long = {
+      totalDeltaDeleteFiles: Long,
+      currentAfter: Long = -1L,
+      refsAfterOpt: Option[Seq[(String, Long, String)]] = None,
+      extraSummary: Seq[(String, String)] = Nil): Long = {
     val defaultSpecId = IcebergManifestSource.partitionSpecs(
       spark, tableDir)._1
     val entries = stampedAdded.map(e =>
@@ -1209,7 +1212,8 @@ object LayoutMaintenance {
       addedDataFiles = dataAdded.size,
       addedRecords = dataAdded.map(_.recordCount).sum,
       addedDeleteFiles = stampedAdded.count(_.content != 0),
-      totalDeltaDataFiles, totalDeltaRecords, totalDeltaDeleteFiles)
+      totalDeltaDataFiles, totalDeltaRecords, totalDeltaDeleteFiles,
+      currentAfter, refsAfterOpt, extraSummary)
   }
 
   /** Shared tail of every past-the-ceiling commit: filter-copy the
@@ -1224,7 +1228,10 @@ object LayoutMaintenance {
       operation: String,
       addedDataFiles: Long, addedRecords: Long, addedDeleteFiles: Long,
       totalDeltaDataFiles: Long, totalDeltaRecords: Long,
-      totalDeltaDeleteFiles: Long): Long = {
+      totalDeltaDeleteFiles: Long,
+      currentAfter: Long = -1L,
+      refsAfterOpt: Option[Seq[(String, Long, String)]] = None,
+      extraSummary: Seq[(String, String)] = Nil): Long = {
     val oldList = IcebergManifestSource
       .resolveManifestList(spark, tableDir, Some(curId))
       .getOrElse(sys.error(
@@ -1246,15 +1253,16 @@ object LayoutMaintenance {
       "added-delete-files" -> addedDeleteFiles.toString) ++
       tot("total-data-files", totalDeltaDataFiles) ++
       tot("total-records", totalDeltaRecords) ++
-      tot("total-delete-files", totalDeltaDeleteFiles)
-    val movedRefs = refs(spark, tableDir).map {
+      tot("total-delete-files", totalDeltaDeleteFiles) ++
+      extraSummary
+    val refsAfter = refsAfterOpt.getOrElse(refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
-    }
+    })
     writeMetadataVersion(spark, tableDir,
       snapshotsFromBase(base, tableDir) :+
         Snap(newId, newList.getAbsolutePath, Some(summary)),
-      newId, movedRefs, base)
+      if (currentAfter < 0) newId else currentAfter, refsAfter, base)
     newId
   }
 
@@ -2197,14 +2205,22 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
+    // past the driver ceiling: the DELETE side (the thing being
+    // rewritten — commit-count shaped) walks driver-side as always, the
+    // data side stays distributed (liveness below) and its manifests
+    // ride verbatim into the commit
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val delSide = carriedOpt.map(_.filter(_.content != 0))
+      .getOrElse(deleteCarriedEntries(spark, tableDir, curId))
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
-    val posFiles = carried.filter(_.content == 1)
+    val posFiles = delSide.filter(_.content == 1)
     if (posFiles.isEmpty) return (curId, 0, 0, 0L)
-    val dataSeq: Map[String, Long] = carried.filter(_.content == 0)
-      .map(e => norm(e.filePath) -> e.sequenceNumber.longValue).toMap
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     // tombstone rows with their owning file's sequence number attached;
     // deletion-vector entries (fileFormat=PUFFIN) decode driver-side and
     // fold into the SAME consolidated parquet output — a rewrite is how
@@ -2236,26 +2252,52 @@ object LayoutMaintenance {
       case (None, Some(b)) => b
       case (None, None) => return (curId, 0, 0, 0L)
     }
-    val liveSeq = dataSeq.toSeq.toDF("file_path", "data_seq")
-    val kept = tomb.join(broadcast(liveSeq), Seq("file_path"))
+    // data-file liveness (the dangling-pair filter): driver map under
+    // the ceiling, the DISTRIBUTED manifest scan past it — the tombstone
+    // side is the small one either way
+    val liveSeq = carriedOpt match {
+      case Some(carried) => broadcast(carried.filter(_.content == 0)
+        .map(e => (norm(e.filePath), e.sequenceNumber.longValue))
+        .toDF("file_path", "data_seq"))
+      case None => IcebergManifestSource
+        .statsFromTableDir(spark, tableDir, "t", Nil)
+        .filter(col("content") === 0)
+        .select(regexp_replace(col("file_path"), "^file:/+", "/")
+          .as("file_path"), col("sequence_number").as("data_seq"))
+    }
+    val kept = tomb.join(liveSeq, Seq("file_path"))
       .filter(col("data_seq") <= col("seq")) // the pair actually applies
       .select(col("file_path"), col("pos")).distinct()
       .sort(col("file_path"), col("pos"))
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val pd = freshFile(dataDir, s"posdel-rw-$newId.parquet")
     val n = IcebergLayoutWriter.writeSingleParquet(kept, pd)
-    val entries = carried.filterNot(_.content == 1) ++
-      (if (n == 0) Nil // every tombstone was dangling: none to carry
-       else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-         content = 1, filePath = pd.getAbsolutePath, recordCount = n,
-         sizeBytes = pd.length(), sequenceNumber = newId)))
+    val newEntry =
+      if (n == 0) Nil // every tombstone was dangling: none to carry
+      else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+        content = 1, filePath = pd.getAbsolutePath, recordCount = n,
+        sizeBytes = pd.length(), sequenceNumber = newId))
     if (n == 0) org.apache.commons.io.FileUtils.deleteQuietly(pd)
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+    carriedOpt match {
+      case Some(carried) =>
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir,
+          carried.filterNot(_.content == 1) ++ newEntry, newId, newId,
+          movedRefs, base, operation = "replace")
+      case None =>
+        // data manifests ride verbatim; the delete side re-files:
+        // eq-tombstones carried, position files consolidated to one
+        commitCarryReuse(spark, tableDir, newEntry,
+          refiledCarry = delSide.filter(_.content == 2),
+          dropManifests = deleteManifestPaths(spark, tableDir, curId),
+          all, curId, base, newId, operation = "replace",
+          totalDeltaDataFiles = 0L, totalDeltaRecords = 0L,
+          totalDeltaDeleteFiles = newEntry.size.toLong +
+            delSide.count(_.content == 2) - delSide.size)
     }
-    appendSnapshot(spark, tableDir, entries, newId, newId, movedRefs, base,
-      operation = "replace")
     (newId, posFiles.size, if (n == 0) 0 else 1, n)
   }
 
@@ -2322,14 +2364,32 @@ object LayoutMaintenance {
     val stageBase = refs(spark, tableDir)
       .collectFirst { case (`branch`, id, "branch") => id }
       .getOrElse(curId)
-    val carried = carriedEntries(spark, tableDir, stageBase)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    // append-shaped: past the driver ceiling the BRANCH HEAD's manifests
+    // ride verbatim — WAP staging on a 100 TB table costs O(added)
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, stageBase,
+      driverEntryCap(spark))
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, stageBase)
+    }
     val stamped = added.map(e => e.copy(sequenceNumber = newId))
     val refsAfter = refs(spark, tableDir).filterNot(_._1 == branch) :+
       ((branch, newId, "branch"))
-    appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
-      refsAfter.sortBy(_._1), base)
+    carriedOpt match {
+      case Some(carried) =>
+        appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
+          refsAfter.sortBy(_._1), base)
+      case None =>
+        commitCarryReuse(spark, tableDir, stamped, Nil, Set.empty,
+          all, stageBase, base, newId, operation = "append",
+          totalDeltaDataFiles = stamped.count(_.content == 0),
+          totalDeltaRecords =
+            stamped.filter(_.content == 0).map(_.recordCount).sum,
+          totalDeltaDeleteFiles = stamped.count(_.content != 0),
+          currentAfter = curId,
+          refsAfterOpt = Some(refsAfter.sortBy(_._1)))
+    }
     newId
   } }
 
@@ -2353,13 +2413,30 @@ object LayoutMaintenance {
       s"stageAppendWap($tableDir): wap.id '$wapId' already staged as " +
         s"snapshot ${dup.get}; publish or expire it first")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val carried = carriedEntries(spark, tableDir, curId)
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
     val stamped = added.map(e => e.copy(sequenceNumber = newId))
-    appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
-      refs(spark, tableDir), base,
-      extraSummary = Seq("wap.id" -> wapId))
+    carriedOpt match {
+      case Some(carried) =>
+        appendSnapshot(spark, tableDir, carried ++ stamped, newId, curId,
+          refs(spark, tableDir), base,
+          extraSummary = Seq("wap.id" -> wapId))
+      case None => // append-shaped: manifests ride verbatim past the cap
+        commitCarryReuse(spark, tableDir, stamped, Nil, Set.empty,
+          all, curId, base, newId, operation = "append",
+          totalDeltaDataFiles = stamped.count(_.content == 0),
+          totalDeltaRecords =
+            stamped.filter(_.content == 0).map(_.recordCount).sum,
+          totalDeltaDeleteFiles = stamped.count(_.content != 0),
+          currentAfter = curId,
+          refsAfterOpt = Some(refs(spark, tableDir)),
+          extraSummary = Seq("wap.id" -> wapId))
+    }
     newId
   } }
 

@@ -320,6 +320,71 @@ class CommitScaleSpec extends AnyFunSuite {
     assert(MorRead.readTable(spark, tbl.getPath).count() == 298L)
   }
 
+  test("WAP staging past the cap: branch + wap.id appends reuse manifests, head isolated") {
+    val tbl = buildMulti("wapcap", 3)
+    // branch staging
+    atToyCap {
+      LayoutMaintenance.stageAppend(spark, tbl.getPath,
+        Seq(dataFile(tbl, "staged.parquet", 3)), branch = "audit")
+    }
+    // head untouched, branch sees the staged file
+    assert(MorRead.readTable(spark, tbl.getPath).count() == 300L)
+    val branchId = IcebergManifestSource
+      .refSnapshotId(spark, tbl.getPath, "audit").get
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath).last == branchId)
+    assert(fullRelation(tbl).map(_._1).toSet == // head relation unchanged
+      Set("f0.parquet", "f1.parquet", "f2.parquet"))
+    // wap.id staging past the cap on a second table
+    val tbl2 = buildMulti("wapidcap", 3)
+    spark.conf.set("spark.wap.id", "ignored") // not read by the API path
+    try atToyCap {
+      LayoutMaintenance.stageAppendWap(spark, tbl2.getPath,
+        Seq(dataFile(tbl2, "staged2.parquet", 4)), wapId = "aud-1")
+    } finally spark.conf.unset("spark.wap.id")
+    assert(MorRead.readTable(spark, tbl2.getPath).count() == 300L)
+    val staged = LayoutMaintenance.snapshotSummaries(spark, tbl2.getPath)
+      .collectFirst { case (id, _, kv) if kv.get("wap.id").contains("aud-1")
+        => id }
+    assert(staged.nonEmpty, "wap.id summary tag must survive the reuse path")
+    // publish via cherry-pick; the staged rows land on the head
+    LayoutMaintenance.publishChanges(spark, tbl2.getPath, "aud-1")
+    assert(MorRead.readTable(spark, tbl2.getPath).count() == 400L)
+  }
+
+  test("rewrite_position_deletes past the cap: data manifests ride verbatim, one posdel survives") {
+    val capped = buildMulti("rpdcap", 3)
+    val walked = buildMulti("rpdwalk", 3)
+    def prep(tbl: java.io.File): Unit = {
+      LayoutMaintenance.commitDeleteWhere(spark, tbl.getPath, col("k") === 5L)
+      LayoutMaintenance.commitDeleteWhere(spark, tbl.getPath, col("k") === 105L)
+    }
+    prep(capped); prep(walked)
+    val headBefore = LayoutMaintenance.snapshotIds(spark, capped.getPath).last
+    val dataManifestsBefore = IcebergManifestSource.manifestPathSeqContents(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(new java.io.File(capped, "metadata"),
+        s"snap-$headBefore-manifest-list.avro").getAbsolutePath)
+      .filter(_._3 == 0).map(_._1)
+    assert(dataManifestsBefore.nonEmpty)
+    val (_, before, after, pairs) = atToyCap {
+      LayoutMaintenance.rewritePositionDeletes(spark, capped.getPath)
+    }
+    val (_, b2, a2, p2) = LayoutMaintenance
+      .rewritePositionDeletes(spark, walked.getPath)
+    assert((before, after, pairs) == (b2, a2, p2))
+    assert(before == 2 && after == 1 && pairs == 2L)
+    assert(stateOf(capped) == stateOf(walked))
+    assert(stateOf(capped).size == 298)
+    // data manifests referenced VERBATIM on the capped path
+    val headAfter = LayoutMaintenance.snapshotIds(spark, capped.getPath).last
+    val lists = IcebergManifestSource.manifestPathSeqs(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(new java.io.File(capped, "metadata"),
+        s"snap-$headAfter-manifest-list.avro").getAbsolutePath).map(_._1)
+    assert(dataManifestsBefore.forall(lists.contains),
+      s"data manifests must ride verbatim: $dataManifestsBefore vs $lists")
+  }
+
   test("replace-all past the cap carries nothing: RTAS shape at scale") {
     val tbl = build("racap", 3)
     val f = dataFile(tbl, "fresh.parquet", 3)
