@@ -353,6 +353,84 @@ object IcebergLayoutWriter {
     } finally reader.close()
   }
 
+  /** Copy a manifest list VERBATIM except that every `manifest_path` is
+    * made ABSOLUTE (resolved against the source list's own directory) —
+    * the list shape a zero-copy BY-REFERENCE clone writes: the clone's
+    * snapshot points at the SOURCE's manifest files in place, so
+    * relative data paths inside those manifests keep resolving against
+    * the source root. Rows (sequence numbers, lengths, summaries)
+    * survive untouched — seq-number inheritance replays identically. */
+  def copyManifestListAbsolute(dest: java.io.File,
+      srcList: java.io.File): Unit = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    val listDir = srcList.getParentFile
+    val reader = new DataFileReader[GenericRecord](srcList,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val schema = reader.getSchema
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dest)
+      try while (reader.hasNext) {
+        val r = reader.next()
+        r.put("manifest_path", graft.sources.IcebergManifestSource.Relocate
+          .meta(listDir, r.get("manifest_path").toString))
+        w.append(r)
+      } finally w.close()
+    } finally reader.close()
+  }
+
+  /** One-snapshot table layout whose manifest list is a VERBATIM COPY of
+    * `srcList` (paths absolutized) — the by-reference clone's metadata:
+    * no manifest is read or written, cost = one KB-sized list copy. */
+  def writeTableFromList(tableDir: java.io.File, snapshotId: Long,
+      srcList: java.io.File,
+      partitionSpecs: Seq[Seq[(String, String, Int)]] = Nil,
+      sortOrder: Seq[(Int, String, String, String)] = Nil): Unit = {
+    val metaDir = new java.io.File(tableDir, "metadata")
+    org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
+    require(metaDir.mkdirs(), s"cannot create $metaDir")
+    val list = new java.io.File(metaDir, s"snap-$snapshotId-manifest-list.avro")
+    copyManifestListAbsolute(list, srcList)
+    val specJson =
+      if (partitionSpecs.isEmpty) ""
+      else {
+        var fieldId = 999
+        val specObjs = partitionSpecs.zipWithIndex.map { case (fields, specId) =>
+          val fs = fields.map { case (name, transform, srcId) =>
+            fieldId += 1
+            s"""      {"name": "$name", "transform": "$transform", """ +
+              s""""source-id": $srcId, "field-id": $fieldId}"""
+          }.mkString(",\n")
+          s"""    {"spec-id": $specId, "fields": [\n$fs\n    ]}"""
+        }.mkString(",\n")
+        s""",\n  "default-spec-id": ${partitionSpecs.size - 1},\n  "partition-specs": [\n$specObjs\n  ]"""
+      }
+    val sortJson =
+      if (sortOrder.isEmpty) ""
+      else {
+        val fs = sortOrder.map { case (srcId, transform, dir, nullOrder) =>
+          s"""      {"transform": "$transform", "source-id": $srcId, """ +
+            s""""direction": "$dir", "null-order": "$nullOrder"}"""
+        }.mkString(",\n")
+        s""",\n  "default-sort-order-id": 1,\n  "sort-orders": [\n""" +
+          s"""    {"order-id": 1, "fields": [\n$fs\n    ]}\n  ]"""
+      }
+    val json =
+      s"""{
+         |  "format-version": 2,
+         |  "current-snapshot-id": $snapshotId,
+         |  "snapshots": [
+         |    {"snapshot-id": $snapshotId, "timestamp-ms": ${System.currentTimeMillis()}, "manifest-list": "${list.getAbsolutePath}"}
+         |  ]$specJson$sortJson
+         |}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      json.getBytes("UTF-8"))
+    LayoutMaintenance.writeHintAtomic(metaDir, 1L)
+  }
+
   private def manifestRecords(entries: Seq[ManifestEntrySpec]): (Schema, Seq[GenericRecord]) = {
     val pSchema = partitionSchema(entries.headOption.map(_.partition).getOrElse(Nil))
     val eSchema = entrySchema(pSchema)

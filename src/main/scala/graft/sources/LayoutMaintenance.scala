@@ -412,12 +412,25 @@ object LayoutMaintenance {
       .filter(f => mdPattern.findFirstMatchIn(f.getName)
         .exists(_.group(1).toLong != newV))
       .map(_.getPath)
-    val doomed = expire.map(_.listPath) ++ doomedManifests ++ doomedMeta
+    // only files THIS table owns are ever deleted: a zero-copy clone's
+    // snapshot may reference the SOURCE's manifests by absolute path,
+    // and expiring clone history must never reach into the source
+    val doomed = (expire.map(_.listPath) ++ doomedManifests ++ doomedMeta)
+      .filter(ownedByTable(tableDir, _))
     var deleted = 0
     doomed.foreach { p =>
       if (new java.io.File(p).delete()) deleted += 1
     }
     (keep.map(_.id), deleted)
+  }
+
+  /** True when `p` sits inside `tableDir` — the ownership test expiry
+    * uses before deleting a referenced file (by-reference clones point
+    * at files the table does NOT own). */
+  private def ownedByTable(tableDir: String, p: String): Boolean = {
+    val root = new java.io.File(tableDir).getAbsolutePath + java.io.File.separator
+    new java.io.File(p.replaceFirst("^file:/+", "/")).getAbsolutePath
+      .startsWith(root)
   }
 
   /** Reachability GC — the expire flavor a FAILED write-audit-publish
@@ -450,7 +463,8 @@ object LayoutMaintenance {
       .filter(f => mdPattern.findFirstMatchIn(f.getName)
         .exists(_.group(1).toLong != newV))
       .map(_.getPath)
-    val doomed = expire.map(_.listPath) ++ doomedManifests ++ doomedMeta
+    val doomed = (expire.map(_.listPath) ++ doomedManifests ++ doomedMeta)
+      .filter(ownedByTable(tableDir, _)) // never reach into a clone source
     var deleted = 0
     doomed.foreach { p =>
       if (new java.io.File(p).delete()) deleted += 1
@@ -1312,30 +1326,56 @@ object LayoutMaintenance {
       s"snapshotTable($srcDir): spec-evolved source has non-contiguous " +
         s"spec ids or a non-latest default (ids ${allSpecs.map(_._1)}, " +
         s"default $defId) — rewrite_data_files it first")
-    val raw = carriedEntries(spark, srcDir, cur)
-    // manifests store paths the SOURCE resolves; make them absolute so
-    // the clone (a different root) still points at the same bytes
-    val entries = raw.map { e =>
-      val abs =
-        if (e.filePath.startsWith("/") || e.filePath.contains(":/")) e.filePath
-        else new java.io.File(srcDir, e.filePath).getAbsolutePath
-      e.copy(filePath = abs)
+    val specsForClone =
+      if (maxSpecId < 0) Nil
+      else (0 to maxSpecId).map(id =>
+        allSpecs.find(_._1 == id).map(_._2).getOrElse(Nil))
+    carriedEntriesOpt(spark, srcDir, cur, driverEntryCap(spark)) match {
+      case Some(raw) =>
+        // manifests store paths the SOURCE resolves; make them absolute
+        // so the clone (a different root) still points at the same bytes
+        val entries = raw.map { e =>
+          val abs =
+            if (e.filePath.startsWith("/") || e.filePath.contains(":/"))
+              e.filePath
+            else new java.io.File(srcDir, e.filePath).getAbsolutePath
+          e.copy(filePath = abs)
+        }
+        // one manifest per partition SHAPE (manifestRecords derives its
+        // Avro schema from the first entry, so shapes must not mix in a
+        // manifest); per-entry spec ids carried by carriedEntries split
+        // further inside writeTableSnapshots' (content, specId, group)
+        // manifests
+        val shapes = entries.map(_.partition.map(_._1))
+          .distinct.zipWithIndex.toMap
+        val shaped = entries.map(e =>
+          e.copy(manifestGroup = shapes(e.partition.map(_._1))))
+        IcebergLayoutWriter.writeTableSnapshots(new java.io.File(dstDir),
+          Seq(cur -> shaped),
+          partitionSpecs = specsForClone,
+          sortOrder = IcebergManifestSource.sortOrder(spark, srcDir))
+        (cur, shaped.size)
+      case None =>
+        // past the driver ceiling: BY-REFERENCE clone — the clone's one
+        // snapshot is a verbatim (path-absolutized) COPY of the source's
+        // manifest list, so no entry is ever materialized and the clone
+        // costs one KB-sized list copy. The source's manifests resolve
+        // their relative data paths against the SOURCE root (manifest
+        // location drives resolution), so the bytes are shared exactly
+        // like the driver-walk clone; expiry on the clone never deletes
+        // files it does not own (ownedByTable guards both expire paths).
+        val list = IcebergManifestSource
+          .resolveManifestList(spark, srcDir, Some(cur))
+          .getOrElse(sys.error(
+            s"snapshotTable($srcDir): snapshot $cur has no manifest list"))
+        IcebergLayoutWriter.writeTableFromList(new java.io.File(dstDir),
+          cur, new java.io.File(list),
+          partitionSpecs = specsForClone,
+          sortOrder = IcebergManifestSource.sortOrder(spark, srcDir))
+        val files = IcebergManifestSource
+          .statsFromTableDir(spark, dstDir, "t", Nil).count().toInt
+        (cur, files)
     }
-    // one manifest per partition SHAPE (manifestRecords derives its Avro
-    // schema from the first entry, so shapes must not mix in a manifest);
-    // per-entry spec ids carried by carriedEntries split further inside
-    // writeTableSnapshots' (content, specId, group) manifests
-    val shapes = entries.map(_.partition.map(_._1)).distinct.zipWithIndex.toMap
-    val shaped = entries.map(e =>
-      e.copy(manifestGroup = shapes(e.partition.map(_._1))))
-    IcebergLayoutWriter.writeTableSnapshots(new java.io.File(dstDir),
-      Seq(cur -> shaped),
-      partitionSpecs =
-        if (maxSpecId < 0) Nil
-        else (0 to maxSpecId).map(id =>
-          allSpecs.find(_._1 == id).map(_._2).getOrElse(Nil)),
-      sortOrder = IcebergManifestSource.sortOrder(spark, srcDir))
-    (cur, shaped.size)
   }
 
   /** CDC MERGE commit — one commit applying a mixed change set (the

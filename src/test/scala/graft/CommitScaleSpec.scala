@@ -385,6 +385,35 @@ class CommitScaleSpec extends AnyFunSuite {
       s"data manifests must ride verbatim: $dataManifestsBefore vs $lists")
   }
 
+  test("clone past the cap is BY REFERENCE: list copy, shared bytes, expiry never reaches the source") {
+    val src = buildMulti("clsrc", 3)
+    val dst = new java.io.File("target/tmp-scale-cldst")
+    org.apache.commons.io.FileUtils.deleteQuietly(dst)
+    val (cloneId, nFiles) = atToyCap {
+      LayoutMaintenance.snapshotTable(spark, src.getPath, dst.getPath)
+    }
+    assert(nFiles == 3)
+    assert(stateOf(dst) == stateOf(src))
+    assert(fullRelation(dst) == fullRelation(src)) // seqs/bounds verbatim
+    // the clone's list references the SOURCE's manifest files in place
+    val cloneManifests = IcebergManifestSource.manifestPathSeqs(
+      spark.sparkContext.hadoopConfiguration,
+      new java.io.File(new java.io.File(dst, "metadata"),
+        s"snap-$cloneId-manifest-list.avro").getAbsolutePath).map(_._1)
+    assert(cloneManifests.nonEmpty &&
+      cloneManifests.forall(_.contains("tmp-scale-clsrc")),
+      s"by-reference clone must point at the source's manifests: $cloneManifests")
+    // clone diverges with its own commit, then expires its history —
+    // the source's referenced manifests MUST survive (ownership guard)
+    LayoutMaintenance.commitAppend(spark, dst.getPath,
+      Seq(dataFile(dst, "mine.parquet", 9)))
+    LayoutMaintenance.expireSnapshots(spark, dst.getPath, keepLast = 1)
+    assert(cloneManifests.forall(p => new java.io.File(p).exists()),
+      "expiring clone history must never delete the source's files")
+    assert(stateOf(src).size == 300) // source untouched end to end
+    assert(MorRead.readTable(spark, dst.getPath).count() == 400L)
+  }
+
   test("replace-all past the cap carries nothing: RTAS shape at scale") {
     val tbl = build("racap", 3)
     val f = dataFile(tbl, "fresh.parquet", 3)
