@@ -2359,27 +2359,71 @@ object LayoutMaintenance {
     require(all.exists(_.id == snapshotId),
       s"cherryPick($tableDir): snapshot $snapshotId not in history")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val picked = carriedEntries(spark, tableDir, snapshotId)
-      .filter(_.sequenceNumber.longValue == snapshotId)
+    val cap = driverEntryCap(spark)
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId, cap)
+    // the PICKED additions are one commit's worth of entries — past the
+    // ceiling, walk only the staged snapshot's OWN manifests (its list
+    // rows carry its sequence number on reuse-shaped commits) instead of
+    // every entry it carries
+    val picked = carriedOpt match {
+      case Some(_) => carriedEntries(spark, tableDir, snapshotId)
+        .filter(_.sequenceNumber.longValue == snapshotId)
+      case None =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val list = IcebergManifestSource
+          .resolveManifestList(spark, tableDir, Some(snapshotId))
+          .getOrElse(sys.error(
+            s"cherryPick($tableDir): snapshot $snapshotId has no list"))
+        val listDir = new java.io.File(list).getParentFile
+        val specOf = IcebergManifestSource.manifestSpecIds(conf, list)
+          .map { case (p, sid) =>
+            IcebergManifestSource.Relocate.meta(listDir, p) -> sid }.toMap
+        IcebergManifestSource.manifestPathSeqContents(conf, list)
+          .filter(_._2 == snapshotId) // the commit's OWN manifests
+          .flatMap { case (p, inherit, _) =>
+            IcebergManifestSource.readManifestStats(p, conf, inherit)
+              .filter(_.sequenceNumber == snapshotId)
+              .map(s => specFromStats(s, specOf.getOrElse(p, 0))).toSeq }
+    }
     require(picked.nonEmpty,
       s"cherryPick($tableDir): snapshot $snapshotId added no files")
     require(picked.forall(_.content == 0),
       s"cherryPick($tableDir): snapshot $snapshotId carries delete " +
         "files; only append snapshots can be cherry-picked")
-    val carried = carriedEntries(spark, tableDir, curId)
-    val clash = picked.map(_.filePath).toSet
-      .intersect(carried.map(_.filePath).toSet)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val clash = carriedOpt match {
+      case Some(carried) => picked.map(_.filePath).toSet
+        .intersect(carried.map(_.filePath).toSet)
+      case None =>
+        val wanted = picked.map(e => norm(e.filePath))
+        IcebergManifestSource.statsFromTableDir(spark, tableDir, "t", Nil)
+          .select(regexp_replace(col("file_path"), "^file:/+", "/").as("fp"))
+          .filter(col("fp").isin(wanted: _*))
+          .distinct().collect().map(_.getString(0)).toSet
+    }
     require(clash.isEmpty,
       s"cherryPick($tableDir): head already contains ${clash.take(3)}")
-    val newId = (all.map(_.id) ++
-      carried.map(_.sequenceNumber.longValue)).max + 1
-    val stamped = picked.map(_.copy(sequenceNumber = newId))
-    val movedRefs = refs(spark, tableDir).map {
-      case (name, id, "branch") if id == curId => (name, newId, "branch")
-      case other => other
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
     }
-    appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
-      movedRefs, base)
+    val stamped = picked.map(_.copy(sequenceNumber = newId))
+    carriedOpt match {
+      case Some(carried) =>
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir, carried ++ stamped, newId, newId,
+          movedRefs, base)
+      case None => // publish is append-shaped: head manifests ride verbatim
+        commitCarryReuse(spark, tableDir, stamped, Nil, Set.empty,
+          all, curId, base, newId, operation = "append",
+          totalDeltaDataFiles = stamped.size,
+          totalDeltaRecords = stamped.map(_.recordCount).sum,
+          totalDeltaDeleteFiles = 0L)
+    }
     newId
   } }
 

@@ -346,9 +346,11 @@ class CommitScaleSpec extends AnyFunSuite {
       .collectFirst { case (id, _, kv) if kv.get("wap.id").contains("aud-1")
         => id }
     assert(staged.nonEmpty, "wap.id summary tag must survive the reuse path")
-    // publish via cherry-pick; the staged rows land on the head
-    LayoutMaintenance.publishChanges(spark, tbl2.getPath, "aud-1")
+    // publish via cherry-pick AT THE CAP TOO: the staged rows land on
+    // the head through the reuse-shaped publish
+    atToyCap { LayoutMaintenance.publishChanges(spark, tbl2.getPath, "aud-1") }
     assert(MorRead.readTable(spark, tbl2.getPath).count() == 400L)
+    assert(stateOf(tbl2).size == 400)
   }
 
   test("rewrite_position_deletes past the cap: data manifests ride verbatim, one posdel survives") {
