@@ -31,6 +31,24 @@ class DynOverwriteSpec extends AnyFunSuite {
     assert(out == Seq((1L, 10L), (9L, 20L), (3L, 30L)), s"got $out")
   }
 
+  test("dynamic overwrite past the planning ceiling: distributed touched-file listing") {
+    spark.sql("DROP TABLE IF EXISTS dyno.db.big")
+    spark.sql("CREATE TABLE dyno.db.big (k BIGINT, part BIGINT) " +
+      "USING `graft-iceberg` PARTITIONED BY (part)")
+    spark.sql("INSERT INTO dyno.db.big VALUES (1, 10), (2, 20), (3, 30)")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.graft.maxDriverFileEntries", "2") // toy cap
+    try spark.sql("INSERT OVERWRITE dyno.db.big VALUES (9, 20), (8, 30)")
+    finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.conf.unset("spark.graft.maxDriverFileEntries")
+    }
+    val out = spark.sql("SELECT k, part FROM dyno.db.big ORDER BY part, k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L), (9L, 20L), (8L, 30L)), s"got $out")
+  }
+
   test("writeTo(...).overwritePartitions() takes the same path") {
     spark.sql("DROP TABLE IF EXISTS dyno.db.w")
     spark.sql("CREATE TABLE dyno.db.w (k BIGINT, part BIGINT) " +
