@@ -194,6 +194,78 @@ object Queries15 {
       require(eqCount > 0, "expected live equality tombstones")
       s.sql(s"""SELECT mon, prio, total, n FROM $cat.eq.agg
                |ORDER BY mon, prio""".stripMargin)
+    },
+
+    // ---- EXECUTED BIN-PACK COMPACTION (rewrite_small_files): the
+    // reference's whole diagnosis — ascending-size files folded into
+    // 750 MiB-overshoot groups (`table_metrics.py:178-197`, simulated by
+    // the 9-metric report's after-compaction numbers) — EXECUTED as a
+    // selective maintenance commit: 12 small month-files fold under the
+    // same packer, the one large year-file is CARRIED VERBATIM (pinned
+    // in-query by path), and one group-replace snapshot commits the
+    // swap. The post-compaction read recomputes in DuckDB from the
+    // source table alone, so a fold that loses or duplicates a row
+    // breaks the hash; the in-query pins break if the packer touches
+    // the big file or leaves a small one behind.
+    "q273_binpack_compaction" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q273wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.bp.prof")
+      t(dir, "orders").createOrReplaceTempView("q273_src")
+      s.sql(s"""CREATE TABLE $cat.bp.prof (
+               |  okey BIGINT, price BIGINT, mon BIGINT, yr BIGINT)
+               |USING `graft-iceberg`""".stripMargin)
+      // 12 small files: one INSERT per 1995 month (a streaming ingest's
+      // small-file accretion, the reference's diagnosis target)
+      (1 to 12).foreach { m =>
+        s.sql(s"""INSERT INTO $cat.bp.prof
+                 |SELECT /*+ COALESCE(1) */ o_orderkey,
+                 |  CAST(FLOOR(o_totalprice) AS BIGINT),
+                 |  CAST(month(o_orderdate) AS BIGINT),
+                 |  CAST(year(o_orderdate) AS BIGINT)
+                 |FROM q273_src WHERE year(o_orderdate) = 1995
+                 |  AND month(o_orderdate) = $m""".stripMargin)
+      }
+      // one large file: the whole of 1996 in a single INSERT
+      s.sql(s"""INSERT INTO $cat.bp.prof
+               |SELECT /*+ COALESCE(1) */ o_orderkey,
+               |  CAST(FLOOR(o_totalprice) AS BIGINT),
+               |  CAST(month(o_orderdate) AS BIGINT),
+               |  CAST(year(o_orderdate) AS BIGINT)
+               |FROM q273_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      val tdir = s"${wh.getAbsolutePath}/bp/prof"
+      def files(): Seq[(String, Long)] = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_path", "sizeBytes").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val pre = files()
+      require(pre.size == 13, s"fixture: expected 13 files, got ${pre.size}")
+      val bigPath = pre.maxBy(_._2)._1
+      // threshold = the big file's size (strict <): scale-factor-proof —
+      // every month file is a strict subset of a year's
+      val r = s.sql(s"CALL $cat.system.rewrite_small_files('bp.prof', " +
+        s"target_group_bytes => ${pre.maxBy(_._2)._2}, " +
+        s"small_file_bytes => ${pre.maxBy(_._2)._2})").head
+      require(r.getInt(1) == 12,
+        s"all 12 month files must compact, got ${r.getInt(1)}")
+      val post = files()
+      require(post.map(_._1).contains(bigPath),
+        "the large file must be carried verbatim")
+      require(post.size == 1 + r.getInt(2),
+        s"post files = big + groups, got $post")
+      require(!post.map(_._1).filterNot(_ == bigPath)
+        .exists(pre.map(_._1).contains),
+        "every small file must be replaced by its group file")
+      s.sql(s"""SELECT yr, mon, count(*) AS n_orders,
+               |  sum(price) AS sum_price, min(okey) AS min_okey
+               |FROM $cat.bp.prof
+               |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -236,5 +308,18 @@ object Queries15 {
         |  GROUP BY 1, 2)
         |SELECT mon, prio, total, n FROM roll
         |WHERE n % 7 <> 0
-        |ORDER BY mon, prio""".stripMargin)
+        |ORDER BY mon, prio""".stripMargin,
+
+    "q273_binpack_compaction" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT yr, mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
 }

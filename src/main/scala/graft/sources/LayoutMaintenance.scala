@@ -2225,6 +2225,83 @@ object LayoutMaintenance {
     (newId, n, filesBefore, added.size)
   }
 
+  /** Greedy overshoot grouping — the EXECUTABLE form of the reference's
+    * bin-packer ([[graft.functions.Pure.packStats]] simulates exactly
+    * this loop; reference `table_metrics.py:178-197`): ascending-size
+    * files fold into a group until its size EXCEEDS `maxGroupBytes`,
+    * then the group closes BEFORE the next append (overshoot semantics
+    * — a group may exceed the cap by one file, never undershoot-split).
+    * Shared here so the simulation (metrics A10) and the executed
+    * compaction can never disagree about the group count. */
+  private[sources] def packGroups(sortedBySize: Seq[(String, Long)],
+      maxGroupBytes: Long): Seq[Seq[(String, Long)]] = {
+    val groups = Seq.newBuilder[Seq[(String, Long)]]
+    var cur = Seq.newBuilder[(String, Long)]
+    var curSize = 0L
+    var nonEmpty = false
+    sortedBySize.foreach { case (p, s) =>
+      if (curSize > maxGroupBytes) {
+        groups += cur.result(); cur = Seq.newBuilder
+        curSize = 0L; nonEmpty = false
+      }
+      cur += ((p, s)); curSize += s; nonEmpty = true
+    }
+    if (nonEmpty) groups += cur.result()
+    groups.result()
+  }
+
+  /** SELECTIVE small-file compaction — the executed form of the
+    * reference's bin-pack diagnosis (the 9-metric report simulates
+    * exactly this fold; this commits it): data files SMALLER than
+    * `smallFileBytes` group under the overshoot packer ([[packGroups]] —
+    * same semantics as the simulation's `Pure.packStats`, golden-pinned
+    * 900→9) and each multi-file group rewrites as ONE file; files at or
+    * above the threshold are CARRIED VERBATIM — zero data movement for
+    * them, which is the whole point against [[rewriteDataFiles]]' full
+    * rewrite. One group-replace snapshot commits the swap (the
+    * distributed manifest-rewrite arm handles tables past the planning
+    * ceiling), so at 100 TB the bill is O(small files), not O(table).
+    * Tombstoned tables are refused by the group-replace commit (a
+    * carried tombstone could reference a rewritten file); fold
+    * tombstones first with [[rewriteDataFiles]] /
+    * [[rewritePositionDeletes]]. Consolidated files record no bounds
+    * (survivors of many files fold into one) — a sorted full rewrite
+    * restores skipping, same caveat as the COW delete's note. Returns
+    * (snapshotId after, filesCompacted, groupsWritten) — a no-op (fewer
+    * than 2 small files, or no multi-file group) returns the current
+    * snapshot with zero counts and commits nothing. */
+  def rewriteSmallFiles(spark: SparkSession, tableDir: String,
+      maxGroupBytes: Long = graft.model.EngineConfig.default.maxGroupBytes,
+      smallFileBytes: Long =
+        graft.model.EngineConfig.default.maxGroupBytes / 2)
+      : (Long, Int, Int) = commitLock(tableDir).synchronized {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    // candidate listing is DISTRIBUTED; only small files' (path, size)
+    // land on the driver — the operation's own size
+    val small = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil)
+      .filter(col("content") === 0 && col("sizeBytes") < smallFileBytes)
+      .select("file_path", "sizeBytes")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._2).toSeq
+    val groups = packGroups(small, maxGroupBytes).filter(_.length >= 2)
+    if (groups.isEmpty) return (curId, 0, 0)
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val added = groups.zipWithIndex.map { case (g, i) =>
+      val f = freshFile(dataDir, s"binpack-$curId-g$i.parquet")
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        spark.read.parquet(g.map(_._1): _*), f)
+      IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+        filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length())
+    }
+    val removed = groups.flatten.map(_._1)
+    val snap = commitReplaceFiles(spark, tableDir, removed, added)
+    (snap, removed.size, groups.size)
+  }
+
   /** `rewrite_position_deletes` — Iceberg's delete-file compaction: the
     * snapshot's position-tombstone files consolidate into ONE, and
     * tombstones that no longer target a live data file (dangling after

