@@ -2161,7 +2161,8 @@ object LayoutMaintenance {
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String], sortCols: Seq[String] = Nil,
       renames: Map[String, Seq[String]] = Map.empty,
-      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      targetFileSizeBytes: Option[Long] = None)
       : (Long, Long, Int, Int) = commitLock(tableDir).synchronized {
     val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
@@ -2210,12 +2211,64 @@ object LayoutMaintenance {
       dataSchema)
     val order = if (sortCols.nonEmpty) sortCols else effKeys
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val rw = freshFile(dataDir, s"rewrite-$newId.parquet")
-    val n = IcebergLayoutWriter.writeSingleParquet(
-      if (order.nonEmpty) state.sort(order.map(col): _*) else state, rw)
-    val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-      content = 0, filePath = rw.getAbsolutePath, recordCount = n,
-      sizeBytes = rw.length(), sequenceNumber = newId))
+    val added = targetFileSizeBytes match {
+      case None =>
+        // single consolidated file — deterministic row positions, the
+        // fixture grain every position-sensitive test leans on
+        val rw = freshFile(dataDir, s"rewrite-$newId.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          if (order.nonEmpty) state.sort(order.map(col): _*) else state, rw)
+        Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+          content = 0, filePath = rw.getAbsolutePath, recordCount = n,
+          sizeBytes = rw.length(), sequenceNumber = newId))
+      case Some(target) =>
+        // DISTRIBUTED output sized to write.target-file-size-bytes: the
+        // file count derives from the pre-rewrite data volume (manifest
+        // sizes — an upper bound, tombstoned rows shrink it), the write
+        // is task-parallel, and a sort order becomes a RANGE
+        // distribution + within-partition sort so output files carry
+        // DISJOINT ranges — exactly what manifest-bound skipping wants.
+        // This is the 100 TB arm: one file per ~target, never one
+        // driver-fed file for the whole table.
+        require(target > 0, "rewriteDataFiles: target size must be > 0")
+        val totalBytes = carriedOpt match {
+          case Some(c) => c.filter(_.content == 0).map(_.sizeBytes).sum
+          case None => IcebergManifestSource
+            .statsFromTableDir(spark, tableDir, "t", Nil)
+            .filter(col("content") === 0)
+            .agg(sum(col("sizeBytes"))).head.getLong(0)
+        }
+        val nFiles = math.max(1L,
+          (totalBytes + target - 1) / target).toInt
+        val shaped =
+          if (order.nonEmpty)
+            state.repartitionByRange(nFiles, order.map(col): _*)
+              .sortWithinPartitions(order.map(col): _*)
+          else state.repartition(nFiles)
+        val tmp = new java.io.File(dataDir, s"rewrite-$newId-tmp")
+        shaped.write.mode("overwrite").parquet(tmp.getPath)
+        val parts = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).sortBy(_.getName)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val out = parts.zipWithIndex.map { case (part, i) =>
+          val dest = freshFile(dataDir, s"rewrite-$newId-p$i.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(dest.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          import scala.jdk.CollectionConverters._
+          val rows = try r.getFooter.getBlocks.asScala
+            .map(_.getRowCount).sum finally r.close()
+          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+            filePath = dest.getAbsolutePath, recordCount = rows,
+            sizeBytes = dest.length(), sequenceNumber = newId)
+        }.toSeq
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        out.filter(_.recordCount > 0)
+    }
+    val n = added.map(_.recordCount).sum
     val movedRefs = refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other

@@ -304,21 +304,25 @@ object GraftProcedures {
     },
 
     new Proc("rewrite_data_files",
-      Array(p("table", StringType), pd("sort_by", StringType, "''")),
+      Array(p("table", StringType), pd("sort_by", StringType, "''"),
+        pd("target_file_size_bytes", LongType, "0")),
       StructType(Seq(
         StructField("new_snapshot_id", LongType, nullable = false),
         StructField("rewritten_rows", LongType, nullable = false),
         StructField("files_before", IntegerType, nullable = false),
         StructField("files_after", IntegerType, nullable = false))),
       "Rewrite the MOR state fresh: tombstones applied and dropped, data " +
-        "re-laid-out (optionally sorted by the comma-separated sort_by cols); " +
-        "equality keys resolve from manifest equality_ids") {
+        "re-laid-out (optionally sorted by the comma-separated sort_by cols; " +
+        "target_file_size_bytes > 0 writes task-parallel files of ~that " +
+        "size — range-distributed when sorted); equality keys resolve " +
+        "from manifest equality_ids") {
       def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
         val dir = resolve(in.getUTF8String(0).toString)
         val sortCols = in.getUTF8String(1).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val (snap, rows, before, after) =
-          LayoutMaintenance.rewriteDataFiles(spark, dir, Nil, sortCols)
+          LayoutMaintenance.rewriteDataFiles(spark, dir, Nil, sortCols,
+            targetFileSizeBytes = Some(in.getLong(2)).filter(_ > 0))
         // Seq[Any] with explicit boxing — a plain Seq(long, int, …) would
         // numeric-widen the ints to Long and break the declared Int schema
         Seq(Seq[Any](Long.box(snap), Long.box(rows),

@@ -416,6 +416,36 @@ class CommitScaleSpec extends AnyFunSuite {
     assert(MorRead.readTable(spark, dst.getPath).count() == 400L)
   }
 
+  test("rewrite_data_files with a target size: task-parallel multi-file output, state exact") {
+    val tbl = build("rwtgt", 3)
+    LayoutMaintenance.commitDeleteWhere(spark, tbl.getPath, col("k") === 7L)
+    val pre = stateOf(tbl)
+    assert(pre.size == 299)
+    // target ≈ a third of the data: the rewrite must emit SEVERAL files
+    val totalBytes = fullRelation(tbl).filter(_._2 == 0)
+      .map(r => new java.io.File(new java.io.File(tbl, "data"), r._1).length())
+      .sum
+    val (_, rows, before, after) = LayoutMaintenance.rewriteDataFiles(
+      spark, tbl.getPath, Nil, sortCols = Seq("k"),
+      targetFileSizeBytes = Some(totalBytes / 3))
+    assert(rows == 299L && before == 3)
+    assert(after > 1, s"expected a multi-file rewrite, got $after")
+    assert(stateOf(tbl) == pre)
+    assert(fullRelation(tbl).count(_._2 != 0) == 0, "tombstones folded")
+    // range-distributed + sorted: the output files' k ranges are DISJOINT
+    val ranges = fullRelation(tbl).map { r =>
+      val f = new java.io.File(new java.io.File(tbl, "data"), r._1)
+      val ks = spark.read.parquet(f.getAbsolutePath).select("k")
+        .collect().map(_.getLong(0))
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"output ranges must be disjoint: $ranges")
+      case _ => ()
+    }
+  }
+
   test("rewriteSmallFiles: overshoot groups fold, large files ride verbatim (executed bin-pack)") {
     import spark.implicits._
     val tbl = new java.io.File("target/tmp-scale-binpack")
