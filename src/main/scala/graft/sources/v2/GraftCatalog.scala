@@ -194,7 +194,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       writeFormatDefault = props.get("write.format.default"),
       deleteGranularity = props.get("write.delete.granularity"),
       identifierCols = props.get("identifier.columns").toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      tableProps = props)
   }
 
   /** `PARTITIONED BY (col | bucket(n, col) | days(col) | …)` — each

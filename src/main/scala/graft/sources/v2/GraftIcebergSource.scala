@@ -259,7 +259,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     wapEnabled: Boolean = false,
     writeFormatDefault: Option[String] = None,
     deleteGranularity: Option[String] = None,
-    identifierCols: Seq[String] = Nil)
+    identifierCols: Seq[String] = Nil,
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -637,6 +638,14 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
   }
 
   override def name(): String = s"graft_iceberg(`$dir`)"
+
+  /** The table's declared properties (catalog descriptor) — what SHOW
+    * TBLPROPERTIES and DESCRIBE EXTENDED render. */
+  override def properties(): util.Map[String, String] = {
+    val out = new util.LinkedHashMap[String, String]()
+    tableProps.toSeq.sortBy(_._1).foreach { case (k, v) => out.put(k, v) }
+    out
+  }
 
   /** An explicit `.schema(...)` on read wins (the V2 contract — the
     * caller's declared projection, e.g. a prefix of the file schema);

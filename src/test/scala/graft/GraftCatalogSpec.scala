@@ -655,6 +655,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t").head.getLong(0) == 6L)
   }
 
+  test("TRUNCATE TABLE and SHOW TBLPROPERTIES complete the DDL surface") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ddl")
+    spark.sql("CREATE TABLE cattest.ddl.t (k BIGINT) USING `graft-iceberg` " +
+      "TBLPROPERTIES ('owner.team' = 'data')")
+    spark.sql("INSERT INTO cattest.ddl.t VALUES (1), (2), (3)")
+    val props = spark.sql("SHOW TBLPROPERTIES cattest.ddl.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("owner.team").contains("data"), props.toString)
+    // TRUNCATE routes through deleteWhere(ALWAYS_TRUE): one replace
+    // commit, history preserved
+    val snaps = graft.sources.LayoutMaintenance
+      .snapshotIds(spark, "target/tmp-catalog-wh/ddl/t")
+    spark.sql("TRUNCATE TABLE cattest.ddl.t")
+    assert(spark.sql("SELECT count(*) FROM cattest.ddl.t").head.getLong(0) == 0L)
+    assert(graft.sources.LayoutMaintenance
+      .snapshotIds(spark, "target/tmp-catalog-wh/ddl/t").size > snaps.size)
+    // the table stays writable after the truncate
+    spark.sql("INSERT INTO cattest.ddl.t VALUES (9)")
+    assert(spark.sql("SELECT k FROM cattest.ddl.t").head.getLong(0) == 9L)
+  }
+
   test("ALTER NAMESPACE SET/UNSET PROPERTIES round-trips; empty namespace still drops") {
     spark.sql("CREATE NAMESPACE cattest.nsp WITH DBPROPERTIES ('born' = 'yes')")
     spark.sql("ALTER NAMESPACE cattest.nsp SET DBPROPERTIES " +
