@@ -62,11 +62,18 @@ object EmbeddingDecon {
         val spark = corpus.sparkSession
         import spark.implicits._
         val benchDf = bench.map(_.toSeq).toDF("b")
+        // group on a synthetic per-row key, not idCol: the literal arm
+        // emits one row per CORPUS ROW, and the arms must agree even
+        // when ids repeat (or are null) — the dispatch is a size
+        // heuristic, never a semantics change
         corpus.select(col(idCol), col(vecCol), nrm.as("__nrm"))
+          .withColumn("__rid", monotonically_increasing_id())
           .crossJoin(broadcast(benchDf))
-          .groupBy(col(idCol))
-          .agg(round(max(dot(col(vecCol), col("b")) / col("__nrm")), 4)
-            .as("maxcos"))
+          .groupBy(col("__rid"))
+          .agg(first(col(idCol)).as(idCol),
+            round(max(dot(col(vecCol), col("b")) / col("__nrm")), 4)
+              .as("maxcos"))
+          .select(col(idCol), col("maxcos"))
       case other => sys.error(s"EmbeddingDecon: unknown arm '$other'")
     }
   }

@@ -182,20 +182,32 @@ object AvroDataRead {
         nullable = true)) ++
         Seq(StructField("file_path", StringType, nullable = false),
           StructField("pos", LongType, nullable = false)))
+    // block directories: a serial driver loop up to a handful of files,
+    // ONE small Spark job past it (each task reads varint headers only) —
+    // the same planning-tail distribution OrcPosRead's stripe reads use
+    val layouts: Seq[(String, Seq[(Long, Long)])] =
+      if (paths.size <= 8) paths.map(p => (p, blockLayout(p)))
+      else {
+        val n = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism))
+        val byPath = spark.sparkContext.parallelize(paths, n)
+          .map(p => (p, blockLayout(p))).collect().toMap
+        paths.map(p => (p, byPath(p)))
+      }
     // (path, seekOffset, baseOrdinal, rowBudget) — consecutive blocks
     // packed per task, absolute ordinals from the prefix sums
-    val tasks: Seq[(String, Long, Long, Long)] = paths.flatMap { p =>
-      val blocks = blockLayout(p)
-      if (blocks.isEmpty) Nil
-      else {
-        val grouped = blocks.grouped(math.max(1, targetBlocksPerTask)).toSeq
-        var base = 0L
-        grouped.map { g =>
-          val t = (p, g.head._1, base, g.map(_._2).sum)
-          base += g.map(_._2).sum
-          t
+    val tasks: Seq[(String, Long, Long, Long)] = layouts.flatMap {
+      case (p, blocks) =>
+        if (blocks.isEmpty) Nil
+        else {
+          val grouped = blocks.grouped(math.max(1, targetBlocksPerTask)).toSeq
+          var base = 0L
+          grouped.map { g =>
+            val t = (p, g.head._1, base, g.map(_._2).sum)
+            base += g.map(_._2).sum
+            t
+          }
         }
-      }
     }
     val n = math.max(1, math.min(tasks.size,
       spark.sparkContext.defaultParallelism))

@@ -995,12 +995,41 @@ object LayoutMaintenance {
     val dataPath = carried.find(_.content == 0).map(_.filePath)
       .orElse(extraDataFile.map(_.getAbsolutePath))
     dataPath.toSeq.flatMap { p =>
+      val names = dataFileFieldNames(p)
+      keyCols.map { k =>
+        val i = names.indexOf(k)
+        require(i >= 0,
+          s"keyFieldIds: column $k not in data file $p (${names.mkString(",")})")
+        i + 1
+      }
+    }
+  }
+
+  /** Top-level column names of one data file, resolved from ITS OWN
+    * header — any of the three spec formats (`write.format.default`
+    * writes all of them from SQL, so a resolution probe cannot assume
+    * parquet). */
+  private def dataFileFieldNames(p: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (p.endsWith(".orc")) {
+      val r = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(p),
+        org.apache.orc.OrcFile.readerOptions(
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getSchema.getFieldNames.asScala.toSeq finally r.close()
+    } else if (p.endsWith(".avro")) {
+      val r = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](new java.io.File(p),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.getSchema.getFields.asScala.toSeq.map(_.name) finally r.close()
+    } else {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p),
         new org.apache.hadoop.conf.Configuration())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
-      keyCols.map(k => schema.getFieldIndex(k) + 1)
+      schema.getFields.asScala.toSeq.map(_.getName)
     }
   }
 
@@ -1605,6 +1634,7 @@ object LayoutMaintenance {
         appendSnapshot(spark, tableDir,
           carriedKept ++ stampedKept ++ mergedDv, newId, newId,
           movedRefs, base, operation = "overwrite")
+        deleteSupersededTaskFiles(stampedDv, mergedDv)
       case None =>
         // past the ceiling: DATA manifests ride verbatim; when this
         // delta carries DVs, the DELETE side (commit-count shaped, the
@@ -1630,6 +1660,7 @@ object LayoutMaintenance {
             stampedKept.filter(_.content == 0).map(_.recordCount).sum,
           totalDeltaDeleteFiles =
             stampedKept.count(_.content != 0) + delDelta)
+        deleteSupersededTaskFiles(stampedDv, mergedDv)
     }
     newId
   } }
@@ -1672,15 +1703,28 @@ object LayoutMaintenance {
     val dataDir = new java.io.File(tableDir, "data")
     val dv = freshFile(dataDir, s"dv-$newId.puffin")
     DeletionVectors.write(dv, newId, perTarget)
-    // the task puffins were never committed — theirs to remove
-    addedDv.foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(e.filePath)))
+    // the task puffins were never committed, but they are the RETRY's
+    // input too: a commit body re-run after a lost CAS race re-reads
+    // them — deletion belongs to the caller AFTER its commit succeeds
+    // ([[deleteSupersededTaskFiles]]), never inside the merge
     val merged = IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 1, filePath = dv.getAbsolutePath,
       recordCount = perTarget.map(_._2.size.toLong).sum,
       sizeBytes = dv.length(), sequenceNumber = newId,
       fileFormat = "PUFFIN")
     (carried.filterNot(superseded.map(_._1).toSet), Seq(merged))
+  }
+
+  /** Remove the task-written DV puffins a successful commit superseded —
+    * called AFTER the metadata CAS landed (a retryable conflict re-runs
+    * the commit body, which must still find its inputs on disk). */
+  private def deleteSupersededTaskFiles(
+      addedDv: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      merged: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Unit = {
+    val kept = merged.map(_.filePath).toSet
+    addedDv.filterNot(e => kept(e.filePath)).foreach(e =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(e.filePath)))
   }
 
   def commitDeleteWhere(spark: SparkSession, tableDir: String,
@@ -1796,6 +1840,7 @@ object LayoutMaintenance {
         }
         appendSnapshot(spark, tableDir, carriedKept ++ added, newId, newId,
           movedRefs, base, operation = "delete")
+        deleteSupersededTaskFiles(Seq(staged), added)
       case None =>
         // DATA manifests ride verbatim; the delete side re-files through
         // the DV-supersede fold (small side, same as commitDeltaFiles)
@@ -1808,6 +1853,7 @@ object LayoutMaintenance {
           totalDeltaDataFiles = 0L, totalDeltaRecords = 0L,
           totalDeltaDeleteFiles =
             (merged.size + delKept.size - delCarried.size).toLong)
+        deleteSupersededTaskFiles(Seq(staged), merged)
     }
     (newId, hits.length.toLong)
   } }
@@ -1956,10 +2002,32 @@ object LayoutMaintenance {
     replaceFilesLocked(spark, tableDir, None, added, dropDeletes = true)
   }
 
+  /** Canonical string form of an entry's partition values — the match
+    * key partition-scoped replaces compare on (same canon the dynamic
+    * overwrite's touched set uses). */
+  private[sources] def canonPartition(
+      p: Iterable[(String, Any)]): Map[String, String] =
+    p.map { case (n, v) => n -> String.valueOf(v) }.toMap
+
+  /** Replace every data file whose partition values are in `touched` —
+    * dynamic partition overwrite's commit. The removed set derives from
+    * the commit's OWN pinned base inside the lock (never a caller-side
+    * listing, which would let a concurrent insert's file survive the
+    * partition swap), and the CAS fails the statement loudly when a
+    * commit lands in between. */
+  def commitReplacePartitions(spark: SparkSession, tableDir: String,
+      touched: Set[Map[String, String]],
+      added: Seq[IcebergLayoutWriter.ManifestEntrySpec]): Long =
+      commitLock(tableDir).synchronized {
+    replaceFilesLocked(spark, tableDir, None, added, dropDeletes = false,
+      partitionFilter = Some(touched))
+  }
+
   private def replaceFilesLocked(spark: SparkSession, tableDir: String,
       removedPathsOpt: Option[Seq[String]],
       added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
-      dropDeletes: Boolean): Long = {
+      dropDeletes: Boolean,
+      partitionFilter: Option[Set[Map[String, String]]] = None): Long = {
     val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
@@ -1971,12 +2039,18 @@ object LayoutMaintenance {
       case Some(c) => c
       case None =>
         return replaceReuse(spark, tableDir, removedPathsOpt, added,
-          dropDeletes, all, curId, base)
+          dropDeletes, all, curId, base,
+          partitionFilter = partitionFilter)
     }
-    // None = replace ALL current data files, computed from this pinned
-    // base — never from a caller-side read that predates the lock
-    val removedPaths = removedPathsOpt.getOrElse(
-      carried.filter(_.content == 0).map(_.filePath))
+    // the removed set, from THIS pinned base: an explicit path list, a
+    // partition predicate, or None = replace ALL current data files —
+    // never a caller-side read that predates the lock
+    val removedPaths = partitionFilter match {
+      case Some(t) => carried.filter(e =>
+        e.content == 0 && t(canonPartition(e.partition))).map(_.filePath)
+      case None => removedPathsOpt.getOrElse(
+        carried.filter(_.content == 0).map(_.filePath))
+    }
     // dropDeletes is the FULL-overwrite mode (every data file replaced,
     // so tombstones reference nothing live and drop with them); partial
     // group replacement must refuse tombstoned tables instead
@@ -2029,7 +2103,8 @@ object LayoutMaintenance {
       added: Seq[IcebergLayoutWriter.ManifestEntrySpec],
       dropDeletes: Boolean,
       all: Seq[Snap], curId: Long, base: MetaBase,
-      operation: String = "replace"): Long = {
+      operation: String = "replace",
+      partitionFilter: Option[Set[Map[String, String]]] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val list = IcebergManifestSource
       .resolveManifestList(spark, tableDir, Some(curId))
@@ -2043,8 +2118,8 @@ object LayoutMaintenance {
         "files; a group-replace commit cannot preserve their visibility. " +
         "Run rewrite_data_files first.")
     val stamped = added.map(_.copy(sequenceNumber = newId))
-    removedPathsOpt match {
-      case None =>
+    (removedPathsOpt, partitionFilter) match {
+      case (None, None) =>
         // replace-ALL (RTAS / full rewrite): nothing is carried at all —
         // the new snapshot is exactly the added set, a fresh list
         val movedRefs = refs(spark, tableDir).map {
@@ -2053,9 +2128,9 @@ object LayoutMaintenance {
         }
         appendSnapshot(spark, tableDir, stamped, newId, newId,
           movedRefs, base, operation = operation)
-      case Some(removedPaths) =>
+      case (removedOpt, partOpt) =>
         def norm(p: String): String = p.replaceFirst("^file:/+", "/")
-        val removedNorm = removedPaths.map(norm).toSet
+        val removedNorm = removedOpt.getOrElse(Nil).map(norm).toSet
         val listDir = new java.io.File(list).getParentFile
         val specOf = IcebergManifestSource.manifestSpecIds(conf, list)
           .map { case (p, sid) =>
@@ -2065,6 +2140,7 @@ object LayoutMaintenance {
         val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
         val metaDirPath = metaDir(tableDir).getAbsolutePath
         val removedB = spark.sparkContext.broadcast(removedNorm)
+        val partB = spark.sparkContext.broadcast(partOpt)
         val par = math.max(1, math.min(dataRows.size,
           spark.sparkContext.defaultParallelism))
         // (srcPath, reusedVerbatim, rewrittenPathOrNull, specId,
@@ -2076,8 +2152,12 @@ object LayoutMaintenance {
               .readManifestStats(p, sconf.value, inherit)
               .map(s => specFromStats(s, specId)).toSeq
             val rm = removedB.value
+            val pf = partB.value
             val (hit, survivors) = entries.partition(e =>
-              rm(e.filePath.replaceFirst("^file:/+", "/")))
+              pf match {
+                case Some(t) => t(canonPartition(e.partition))
+                case None => rm(e.filePath.replaceFirst("^file:/+", "/"))
+              })
             if (hit.isEmpty) (p, true, null: String, specId,
               Seq.empty[String], 0L)
             else {
@@ -2094,14 +2174,19 @@ object LayoutMaintenance {
                 hit.map(_.recordCount).sum)
             }
           }.collect().toSeq
-        removedB.destroy()
-        // OCC validation, same contract as the driver-walk arm
-        val found = results.flatMap(_._5).toSet
-        val gone = removedNorm.filterNot(found)
-        require(gone.isEmpty,
-          s"commitReplaceFiles($tableDir): concurrent commit conflict — " +
-            s"scanned files no longer in snapshot $curId: " +
-            s"${gone.take(3).mkString(", ")}")
+        removedB.destroy(); partB.destroy()
+        // OCC validation, same contract as the driver-walk arm (a
+        // PARTITION-predicate replace has no expected path set — its
+        // removal derives from this base by construction, and the CAS
+        // catches racers)
+        if (partOpt.isEmpty) {
+          val found = results.flatMap(_._5).toSet
+          val gone = removedNorm.filterNot(found)
+          require(gone.isEmpty,
+            s"commitReplaceFiles($tableDir): concurrent commit conflict — " +
+              s"scanned files no longer in snapshot $curId: " +
+              s"${gone.take(3).mkString(", ")}")
+        }
         val dropPaths = results.filterNot(_._2).map(_._1).toSet ++
           (if (dropDeletes) rows.filter(_._3 == 1).map(_._1).toSet
            else Set.empty[String])
@@ -2137,7 +2222,8 @@ object LayoutMaintenance {
           addedDataFiles = dataAdded.size,
           addedRecords = dataAdded.map(_.recordCount).sum,
           addedDeleteFiles = stamped.count(_.content != 0),
-          totalDeltaDataFiles = dataAdded.size - removedNorm.size,
+          totalDeltaDataFiles =
+            dataAdded.size - results.flatMap(_._5).size,
           totalDeltaRecords =
             dataAdded.map(_.recordCount).sum - results.map(_._6).sum,
           totalDeltaDeleteFiles =
@@ -2251,22 +2337,28 @@ object LayoutMaintenance {
           .filter(f => f.getName.startsWith("part-") &&
             f.getName.endsWith(".parquet")).sortBy(_.getName)
         val conf = spark.sparkContext.hadoopConfiguration
-        val out = parts.zipWithIndex.map { case (part, i) =>
-          val dest = freshFile(dataDir, s"rewrite-$newId-p$i.parquet")
-          java.nio.file.Files.move(part.toPath, dest.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val out = parts.zipWithIndex.flatMap { case (part, i) =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(dest.getAbsolutePath), conf)
+            new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           import scala.jdk.CollectionConverters._
           val rows = try r.getFooter.getBlocks.asScala
             .map(_.getRowCount).sum finally r.close()
-          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
-            filePath = dest.getAbsolutePath, recordCount = rows,
-            sizeBytes = dest.length(), sequenceNumber = newId)
+          // empty partitions (heavy tombstoning) never leave tmp: moving
+          // them first would orphan unreferenced files in data/
+          if (rows == 0) None
+          else {
+            val dest = freshFile(dataDir, s"rewrite-$newId-p$i.parquet")
+            java.nio.file.Files.move(part.toPath, dest.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            Some(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+              content = 0, filePath = dest.getAbsolutePath,
+              recordCount = rows, sizeBytes = dest.length(),
+              sequenceNumber = newId))
+          }
         }.toSeq
         org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-        out.filter(_.recordCount > 0)
+        out
     }
     val n = added.map(_.recordCount).sum
     val movedRefs = refs(spark, tableDir).map {
@@ -2331,26 +2423,40 @@ object LayoutMaintenance {
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    // candidate listing is DISTRIBUTED; only small files' (path, size)
-    // land on the driver — the operation's own size
+    // candidate listing is DISTRIBUTED; only small files' (path, size,
+    // format) land on the driver — the operation's own size
     val small = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", Nil)
       .filter(col("content") === 0 && col("sizeBytes") < smallFileBytes)
-      .select("file_path", "sizeBytes")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._2).toSeq
-    val groups = packGroups(small, maxGroupBytes).filter(_.length >= 2)
+      .select("file_path", "sizeBytes", "file_format")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    // groups never mix physical formats (one read per group); the
+    // consolidated output is parquet — compaction doubles as
+    // normalization toward the primary columnar format, the same way a
+    // full rewrite does
+    val groups = small.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+      case (fmt, files) =>
+        packGroups(files.sortBy(_._2).map(f => (f._1, f._2)), maxGroupBytes)
+          .filter(_.length >= 2).map(g => (fmt, g))
+    }
     if (groups.isEmpty) return (curId, 0, 0)
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val added = groups.zipWithIndex.map { case (g, i) =>
+    val added = groups.zipWithIndex.map { case ((fmt, g), i) =>
+      val paths = g.map(_._1)
+      val df = fmt match {
+        case "ORC" => spark.read.orc(paths: _*)
+        case "AVRO" =>
+          AvroDataRead.readWithPos(spark, paths).drop("file_path", "pos")
+        case _ => spark.read.parquet(paths: _*)
+      }
       val f = freshFile(dataDir, s"binpack-$curId-g$i.parquet")
-      val n = IcebergLayoutWriter.writeSingleParquet(
-        spark.read.parquet(g.map(_._1): _*), f)
+      val n = IcebergLayoutWriter.writeSingleParquet(df, f)
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = f.getAbsolutePath, recordCount = n,
         sizeBytes = f.length())
     }
-    val removed = groups.flatten.map(_._1)
+    val removed = groups.flatMap(_._2.map(_._1))
     val snap = commitReplaceFiles(spark, tableDir, removed, added)
     (snap, removed.size, groups.size)
   }

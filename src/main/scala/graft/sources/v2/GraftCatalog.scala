@@ -161,7 +161,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       snapshot: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrapRaw, props, partSpec, columnIds, _) = readDescriptor(dir)
+    val (bootstrapRaw, props, partSpec, columnIds, _, _) = readDescriptor(dir)
     // field ids + rename aliases ride the schema's field METADATA into
     // every consumer: the scan (per-file name/id/alias resolution), the
     // writer (ids embedded into new parquet files), and the row-level
@@ -266,8 +266,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (bootstrap, props, partSpecRead, idsRead, lastIdRead) =
-      readDescriptor(dir)
+    val (bootstrap, props, partSpecRead, idsRead, lastIdRead,
+      retiredRead) = readDescriptor(dir)
     // Descriptor-less external layouts evolve from their ACTUAL current
     // schema (file inference), not from empty — else the first ADD
     // COLUMN would write a one-column descriptor that, being non-empty,
@@ -286,6 +286,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var lastId = math.max(lastIdRead,
       (ids.map(_.id) ++ ids.flatMap(_.fields).map(_.id))
         .maxOption.getOrElse(0))
+    var retired = retiredRead
     var partSpec = partSpecRead
     // ---- nested (one level) evolution helpers: the dialect's struct
     // depth is one, so a two-part field name addresses a struct leaf
@@ -341,6 +342,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: struct nesting is one level")
         require(c.defaultValue() == null,
           "graft catalog: DEFAULT on nested fields is not supported")
+        require(!retired.contains(s"$parent.$leaf"),
+          s"graft catalog: '$parent.$leaf' was dropped; re-adding it " +
+            "would read the dropped leaf's data back. " +
+            "rewrite_data_files first.")
         withKids(parent) { kids =>
           val shadowed = kids.filter(_.aliases.contains(leaf)).map(_.name)
           require(shadowed.isEmpty,
@@ -370,6 +375,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: '$name' is a former name of column " +
             s"${shadowed.mkString(", ")}; re-adding it would capture " +
             "pre-rename files' data. rewrite_data_files first.")
+        // a DROPPED name binds old files' data the same way (per-file
+        // resolution is name-first; the never-reused id only protects
+        // the embedded-id path) — refuse re-adding it too
+        require(!retired.contains(name),
+          s"graft catalog: '$name' was dropped; re-adding it would read " +
+            "the dropped column's data back. rewrite_data_files first.")
         schema = schema.add(org.apache.spark.sql.types.StructField(
           name, c.dataType(), nullable = true))
         // DEFAULT on ADD COLUMN (Iceberg v3): the INITIAL default is
@@ -387,6 +398,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val Array(parent, leaf) = c.fieldNames()
         require(structOf(parent).fieldNames.contains(leaf),
           s"graft catalog: no field $parent.$leaf to drop")
+        ids.find(_.name == parent).foreach(cid =>
+          cid.fields.find(_.name == leaf).foreach(k =>
+            retired = (retired :+ s"$parent.$leaf") ++
+              k.aliases.map(a => s"$parent.$a")))
+        retired = (retired :+ s"$parent.$leaf").distinct
         withKids(parent)(_.filterNot(_.name == leaf))
         updateStruct(parent)(s =>
           StructType(s.fields.filterNot(_.name == leaf)))
@@ -399,6 +415,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: no column ${c.fieldNames()(0)} to drop")
         schema = StructType(schema.fields.filterNot(
           _.name == c.fieldNames()(0)))
+        // retire the name AND its aliases: any of them still binds old
+        // files' data by name
+        ids.find(_.name == c.fieldNames()(0)).foreach(cid =>
+          retired = (retired :+ cid.name) ++ cid.aliases)
         ids = ids.filterNot(_.name == c.fieldNames()(0))
         p
       case (p, c: TableChange.UpdateColumnType) =>
@@ -434,6 +454,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: no field $parent.$from to rename")
         require(!st.fieldNames.contains(to),
           s"graft catalog: field $parent.$to already exists")
+        require(!retired.contains(s"$parent.$to"),
+          s"graft catalog: '$parent.$to' was dropped; renaming onto it " +
+            "would read the dropped leaf's data back")
         withKids(parent)(_.map(k =>
           if (k.name == from) k.copy(name = to, aliases = from +: k.aliases)
           else k))
@@ -449,6 +472,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: no column $from to rename")
         require(!schema.fieldNames.contains(to),
           s"graft catalog: column $to already exists")
+        require(!retired.contains(to),
+          s"graft catalog: '$to' was dropped; renaming onto it would " +
+            "read the dropped column's data back")
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
         ids = ids.map(cid =>
@@ -476,7 +502,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: unsupported ALTER TABLE change $other " +
           "(SET/UNSET TBLPROPERTIES, ADD/DROP/RENAME COLUMN)")
     }
-    writeDescriptor(dir, schema, newProps, partSpec, ids, lastId)
+    writeDescriptor(dir, schema, newProps, partSpec, ids, lastId,
+      retired.distinct)
     loadTable(ident)
   }
 
@@ -852,7 +879,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props: Map[String, String],
       partSpec: Seq[(String, String, String)] = Nil,
       columnIds: Seq[GraftCatalog.ColumnId] = Nil,
-      lastColumnId: Int = 0): Unit = {
+      lastColumnId: Int = 0,
+      retired: Seq[String] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     // schema-ddl stores names+types only: toDDL would render a DEFAULT
@@ -886,6 +914,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (columnIds.map(_.id) ++ columnIds.flatMap(_.fields).map(_.id))
         .maxOption.getOrElse(0))
     if (hwm > 0) root.put("last-column-id", hwm)
+    // names (column or parent.leaf) retired by DROP: per-file resolution
+    // is NAME-FIRST, so a re-added column wearing a retired name would
+    // read the dropped column's bytes back — ADD/RENAME refuse them
+    if (retired.nonEmpty) {
+      val arr = root.putArray("retired-columns")
+      retired.foreach(arr.add)
+    }
     if (columnIds.nonEmpty) {
       val arr = root.putArray("column-ids")
       def emit(c: GraftCatalog.ColumnId,
@@ -909,9 +944,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def readDescriptor(dir: java.io.File)
       : (Option[StructType], Map[String, String],
-        Seq[(String, String, String)], Seq[GraftCatalog.ColumnId], Int) = {
+        Seq[(String, String, String)], Seq[GraftCatalog.ColumnId], Int,
+        Seq[String]) = {
     val f = descriptor(dir)
-    if (!f.exists()) return (None, Map.empty, Nil, Nil, 0)
+    if (!f.exists()) return (None, Map.empty, Nil, Nil, 0, Nil)
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     val ddl = Option(root.get("schema-ddl")).map(_.asText()).filter(_.nonEmpty)
     val props = Option(root.get("properties")).map { node =>
@@ -953,7 +989,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val lastId = Option(root.get("last-column-id")).map(_.asInt())
       .getOrElse((ids.map(_.id) ++ ids.flatMap(_.fields).map(_.id))
         .maxOption.getOrElse(0))
-    (ddl.map(StructType.fromDDL), props, spec, ids, lastId)
+    val retired = Option(root.get("retired-columns")).toSeq.flatMap { arr =>
+      val b = Seq.newBuilder[String]; arr.forEach(n => b += n.asText())
+      b.result()
+    }
+    (ddl.map(StructType.fromDDL), props, spec, ids, lastId, retired)
   }
 }
 

@@ -182,10 +182,14 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
         expr, f.dataType, Some("UTC")).eval(null)
     }
   }
-  // eq-delete key columns readable even when unprojected
+  // eq-delete key columns readable even when unprojected — resolved by
+  // table name, else a recorded former name (pre-rename files)
   private val eqKeyIdx: Map[String, Int] =
     part.eqDeletes.flatMap(_._2).distinct
-      .flatMap(k => nameIdx.get(k).map(k -> _)).toMap
+      .flatMap(k => nameIdx.get(k)
+        .orElse(part.keyAliases.getOrElse(k, Nil)
+          .collectFirst { case a if nameIdx.contains(a) => nameIdx(a) })
+        .map(k -> _)).toMap
 
   private lazy val deadPositions: Set[Long] =
     GraftPartitionReader.positionsFor(path, part.posDeletes)

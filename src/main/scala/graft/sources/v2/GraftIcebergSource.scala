@@ -610,7 +610,10 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
             "(rewrite_data_files) or read through MorRead with explicit keys.")
         (d.path, names)
       }
-    GraftFilePartition(f.path, pos, eqs, f.fileFormat)
+    val keyNames = eqs.flatMap(_._2).distinct
+    GraftFilePartition(f.path, pos, eqs, f.fileFormat,
+      keyAliases = GraftCatalog.aliasesOf(schema)
+        .filter { case (k, _) => keyNames.contains(k) })
   }
 
   /** (partitionFieldName, sourceColumnName, sourceType) when — and only
@@ -1444,7 +1447,11 @@ private[v2] object GraftPrune {
 private[v2] case class GraftFilePartition(path: String,
     posDeletes: Seq[String] = Nil,
     eqDeletes: Seq[(String, Seq[String])] = Nil,
-    fileFormat: String = "PARQUET") extends InputPartition
+    fileFormat: String = "PARQUET",
+    /** Rename aliases of the eq-delete KEY columns (table name →
+      * former names): key columns must resolve in PRE-RENAME files even
+      * when the projection does not select them. */
+    keyAliases: Map[String, Seq[String]] = Map.empty) extends InputPartition
 
 /** One partition-value group of files (the SPJ unit): `partitionKey`
   * is the identity partition values as an InternalRow — Spark's
@@ -1772,6 +1779,10 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   private val extraKeyCols: Seq[String] =
     part.eqDeletes.flatMap(_._2).distinct
       .filterNot(required.fieldNames.contains)
+  // the key's PHYSICAL name in THIS file (pre-rename files carry the
+  // old one): table name, else a recorded former name
+  private val eqKeyPhys =
+    scala.collection.mutable.HashMap.empty[String, String]
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
@@ -1799,8 +1810,25 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
             Some(pruned)
           case None => isAbsent(i) = true; None
         }
-      } ++ extraKeyCols.filter(fileSchema.containsField)
-        .map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c)))
+      } ++ extraKeyCols.flatMap { c =>
+        // resolve the key by table name, else its rename aliases — a
+        // tombstone that stopped matching pre-rename files would
+        // silently resurrect deleted rows
+        val phys =
+          if (fileSchema.containsField(c)) Some(c)
+          else part.keyAliases.getOrElse(c, Nil)
+            .find(fileSchema.containsField)
+        phys.map { p =>
+          eqKeyPhys(c) = p
+          fileSchema.getFields.get(fileSchema.getFieldIndex(p))
+        }
+      }
+      // projected keys read under their already-resolved physical name
+      required.fields.zipWithIndex.foreach { case (f, i) =>
+        if (part.eqDeletes.exists(_._2.contains(f.name)) && !isMeta(i) &&
+            !isAbsent(i))
+          eqKeyPhys(f.name) = physName(i)
+      }
       if (fields.nonEmpty)
         conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
           new org.apache.parquet.schema.MessageType("projection",
@@ -1822,7 +1850,8 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     if (part.posDeletes.nonEmpty && deadPositions.contains(rowIdx)) return true
     if (part.eqDeletes.isEmpty) return false
     eqSets.exists { case (keys, tuples) =>
-      tuples.contains(keys.map(k => GraftPartitionReader.prim(g, k)))
+      tuples.contains(keys.map(k =>
+        GraftPartitionReader.prim(g, eqKeyPhys.getOrElse(k, k))))
     }
   }
 

@@ -288,29 +288,15 @@ private[v2] class GraftDynamicOverwriteBatchWrite(dir: String,
         partitionSpec = specForCreate)
       return
     }
-    // the replaced set is O(touched partitions' files) — the operation's
-    // own size. Under the planning ceiling it comes from the driver's
-    // per-file stats; past it, a DISTRIBUTED manifest scan filters on
-    // the (broadcast, small) touched-partition set, and the commit's
-    // own distributed manifest-rewrite arm handles the swap.
-    val replaced: Seq[String] =
-      if (!table.oversizedPlanning)
-        table.dataFiles.filter(f => touched(canon(f.pvals))).map(_.path)
-      else {
-        import spark.implicits._
-        val touchedB = spark.sparkContext.broadcast(touched)
-        val out = graft.sources.IcebergManifestSource
-          .statsFromTableDir(spark, dir, "t", Nil)
-          .filter(org.apache.spark.sql.functions.col("content") === 0)
-          .select("file_path", "partitionKey").as[(String, String)]
-          .filter(r => touchedB.value(
-            canon(GraftIcebergSource.parsePartitionKey(r._2))))
-          .map(_._1).collect().toSeq
-        touchedB.destroy()
-        out
-      }
-    graft.sources.LayoutMaintenance.commitReplaceFiles(
-      spark, dir, replaced, added)
+    // partition-predicate replace: the removed set derives from the
+    // COMMIT's own pinned base inside the table lock — a caller-side
+    // listing here would let a concurrent insert's file silently survive
+    // the partition swap (the lost-insert window RTAS closed the same
+    // way). Both planning regimes route through it; past the ceiling the
+    // commit's distributed manifest-rewrite arm matches partitions in
+    // tasks.
+    graft.sources.LayoutMaintenance.commitReplacePartitions(
+      spark, dir, touched, added)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -50,6 +50,20 @@ class EmbeddingDeconSpec extends AnyFunSuite {
       s"arms disagree: ${lit.zip(bc).filter(p => p._1 != p._2).take(3)}")
   }
 
+  test("duplicate corpus ids: both arms emit one row PER CORPUS ROW") {
+    import spark.implicits._
+    val b = bench(4, 8)
+    val v1 = Seq.fill(8)(0.5); val v2 = Seq.fill(8)(-0.25)
+    val c = Seq((7L, v1), (7L, v2), (9L, v1)).toDF("vec_id", "v")
+    Seq("literal", "broadcast").foreach { arm =>
+      val rows = EmbeddingDecon
+        .maxCosine(c, "vec_id", "v", b, forceArm = Some(arm))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows.length == 3, s"$arm collapsed duplicate ids: $rows")
+      assert(rows.count(_._1 == 7L) == 2, s"$arm: $rows")
+    }
+  }
+
   test("broadcast arm handles a benchmark past the literal ceiling") {
     val c = corpus(50, 8)
     val big = bench(EmbeddingDecon.MaxLiteralBenchmark + 10, 8)

@@ -769,6 +769,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(doc.contains("\"aliases\""), doc)
   }
 
+  test("re-adding a DROPPED name is refused: name-first resolution would resurrect its data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ret")
+    spark.sql("CREATE TABLE cattest.ret.t " +
+      "(a BIGINT, b BIGINT, m STRUCT<w: BIGINT, h: BIGINT>) " +
+      "USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.ret.t VALUES (1, 100, named_struct('w', 2L, 'h', 3L))")
+    spark.sql("ALTER TABLE cattest.ret.t DROP COLUMN b")
+    spark.sql("ALTER TABLE cattest.ret.t DROP COLUMN m.w")
+    def refused(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("dropped")), msgs(e).toString)
+    }
+    // ADD of the dropped top-level / nested name: refused — old files
+    // still carry the physical column and per-file resolution is
+    // name-first, so the new column would read the dead data back
+    refused("ALTER TABLE cattest.ret.t ADD COLUMN b BIGINT")
+    refused("ALTER TABLE cattest.ret.t ADD COLUMNS (m.w BIGINT)")
+    // RENAME onto a dropped name: same capture, same refusal
+    refused("ALTER TABLE cattest.ret.t RENAME COLUMN a TO b")
+    refused("ALTER TABLE cattest.ret.t RENAME COLUMN m.h TO w")
+    // a FRESH name still works, and reads null-fill
+    spark.sql("ALTER TABLE cattest.ret.t ADD COLUMN b2 BIGINT")
+    val r = spark.sql("SELECT a, b2 FROM cattest.ret.t").head
+    assert(r.getLong(0) == 1L && r.isNullAt(1))
+  }
+
   test("RTAS continues the field-id counter across re-creation") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.rtid")
     spark.sql("CREATE TABLE cattest.rtid.t (a BIGINT, b STRING) " +

@@ -229,6 +229,30 @@ class GraftMorDmlSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("eq tombstones keep applying through a key RENAME: pre-rename files alias-resolve") {
+    spark.sql("DROP TABLE IF EXISTS mdml.db.eqr")
+    spark.sql("CREATE TABLE mdml.db.eqr " +
+      "(k BIGINT NOT NULL, v STRING) USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.delete.mode' = 'merge-on-read', " +
+      "'write.delete.granularity' = 'equality', " +
+      "'identifier.columns' = 'k')")
+    // file 1 carries the PRE-RENAME column name
+    spark.sql("INSERT INTO mdml.db.eqr SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1L,'a'),(2L,'b'),(3L,'c') AS t(k, v)")
+    spark.sql("ALTER TABLE mdml.db.eqr RENAME COLUMN k TO key")
+    spark.sql("ALTER TABLE mdml.db.eqr SET TBLPROPERTIES (" +
+      "'identifier.columns' = 'key')")
+    // post-rename file too — both generations must die by key
+    spark.sql("INSERT INTO mdml.db.eqr SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (4L,'d'),(5L,'e') AS t(key, v)")
+    // non-pushable predicate -> eq tombstones keyed by the CURRENT name
+    spark.sql("DELETE FROM mdml.db.eqr WHERE key % 2 = 0")
+    val out = spark.sql("SELECT key FROM mdml.db.eqr ORDER BY key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L, 5L),
+      s"pre-rename file's rows must still match the eq tombstones: $out")
+  }
+
   test("rewrite_data_files folds MOR DML tombstones away, state preserved") {
     fresh("fold", mor = true)
     spark.sql("UPDATE mdml.db.fold SET amt = 0 WHERE k = 2")
