@@ -266,6 +266,93 @@ object Queries15 {
                |  sum(price) AS sum_price, min(okey) AS min_okey
                |FROM $cat.bp.prof
                |GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
+    },
+
+    // ---- INCREMENTAL EMBEDDING DECONTAMINATION: the production shape
+    // of the q269 semantic gate — each ingest batch is scored against
+    // the benchmark ON ARRIVAL, reading ONLY the files the new snapshot
+    // added (the q211 changelog discipline), never rescanning the
+    // already-verdicted corpus. Batch 2 plants SCALED leaks (cosine is
+    // scale-invariant, the reason the gate is semantic); pinned
+    // in-query: the incremental pass read exactly the added file set
+    // and exactly the batch-2 row count, and every planted leak
+    // flagged. The rollup recomputes in DuckDB over the whole corpus,
+    // so a verdict lost (or double-counted) by the state union breaks
+    // the hash.
+    "q274_incremental_decon" -> { (s, dir) => implicit val sp = s
+      import graft.sources.{IcebergLayoutWriter, IcebergManifestSource,
+        LayoutMaintenance}
+      val e = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("v"))
+      val benchRows = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")).collect()
+        .map { r =>
+          val b = r.getSeq[Double](1).toArray
+          val nrm = math.sqrt(b.foldLeft(0.0)((a, x) => a + x * x))
+          b.map(_ / nrm)
+        }
+      require(benchRows.length == 20, "benchmark fixture must hold 20")
+      val planted = e.filter(col("vec_id") < 20 && col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 900000L).as("vec_id"),
+          expr("transform(v, x -> x * 2.0D)").as("v"))
+      val batch1 = e.filter(col("vec_id") >= 20 && col("vec_id") < 520)
+      val batch2 = e.filter(col("vec_id") >= 520).unionByName(planted)
+      // a real lake table, accreted in two commits (arrays ride the
+      // native parquet writer; the layout commit is the same one the
+      // connector uses)
+      val tbl = TmpFixture.dir("q274", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+      val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+      def commitBatch(df: org.apache.spark.sql.DataFrame,
+          name: String): Unit = {
+        val f = new java.io.File(dataDir, name)
+        val n = IcebergLayoutWriter.writeSingleParquet(
+          df.sort(col("vec_id")), f)
+        LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(
+          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+            filePath = f.getAbsolutePath, recordCount = n,
+            sizeBytes = f.length())))
+      }
+      commitBatch(batch1, "b1.parquet")
+      commitBatch(batch2, "b2.parquet")
+      def score(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        EmbeddingDecon.maxCosine(df, "vec_id", "v", benchRows.toSeq)
+          .withColumn("status",
+            when(col("maxcos") >= 0.999, lit("contaminated"))
+              .otherwise(lit("clean")))
+          .select("vec_id", "status")
+      def filesOf(snap: Long): Seq[String] = IcebergManifestSource
+        .statsFromTableDir(s, tbl.getPath, "t", Nil, Some(snap))
+        .filter(col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSeq
+      // persisted verdicts: snapshot 1's files, scored once
+      val state = score(s.read.parquet(filesOf(1L): _*))
+        .withColumn("src", lit("base")).localCheckpoint()
+      // INCREMENTAL pass: only what snapshot 2 ADDED
+      val addedPaths = IcebergManifestSource
+        .changesBetween(s, tbl.getPath, "t", 1L, 2L)
+        .filter(col("change") === "added" && col("content") === 0)
+        .select("file_path").collect().map(_.getString(0)).toSeq
+      require(addedPaths.map(p => new java.io.File(p).getName)
+        == Seq("b2.parquet"),
+        s"the incremental pass must read exactly the added file: $addedPaths")
+      val incrIn = s.read.parquet(addedPaths: _*)
+      require(incrIn.count() == batch2.count(),
+        "incremental input must be exactly the new batch")
+      val incr = score(incrIn).withColumn("src", lit("incr"))
+      val acc = state.unionByName(incr).localCheckpoint()
+      // every planted leak flagged; verdicts cover the corpus exactly once
+      val caught = acc.filter(col("vec_id") >= 900000L)
+      require(caught.count() > 0 &&
+        caught.filter(col("status") =!= "contaminated").count() == 0,
+        "all planted leaks must flag contaminated")
+      require(acc.count() == batch1.count() + batch2.count(),
+        "state union must cover the corpus exactly once")
+      acc.groupBy(col("src"), col("status"))
+        .agg(count(lit(1)).as("n_docs"), min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("src"), col("status"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -321,5 +408,44 @@ object Queries15 {
         |SELECT yr, mon, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM src GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)
+        |FROM src GROUP BY yr, mon ORDER BY yr, mon""".stripMargin,
+
+    "q274_incremental_decon" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bench AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_apply(range(1, len(v) + 1),
+        |      i -> v[i] * v[i]))) AS bnrm
+        |  FROM e WHERE vec_id < 20),
+        |bhat AS (
+        |  SELECT vec_id, list_apply(range(1, len(v) + 1),
+        |    i -> v[i] / bnrm) AS b
+        |  FROM bench),
+        |corpus AS (
+        |  SELECT vec_id, v, 'base' AS src FROM e
+        |  WHERE vec_id >= 20 AND vec_id < 520
+        |  UNION ALL
+        |  SELECT vec_id, v, 'incr' FROM e WHERE vec_id >= 520
+        |  UNION ALL
+        |  SELECT vec_id + 900000, list_transform(v, x -> x * 2.0), 'incr'
+        |  FROM e WHERE vec_id < 20 AND vec_id % 4 = 0),
+        |scored AS (
+        |  SELECT c.vec_id, c.src,
+        |    round(max(
+        |      list_sum(list_apply(range(1, len(c.v) + 1),
+        |        i -> c.v[i] * b.b[i]))
+        |      / sqrt(list_sum(list_apply(range(1, len(c.v) + 1),
+        |        i -> c.v[i] * c.v[i])))), 4) AS maxcos
+        |  FROM corpus c CROSS JOIN bhat b GROUP BY c.vec_id, c.src),
+        |flagged AS (
+        |  SELECT vec_id, src,
+        |    CASE WHEN maxcos >= 0.999 THEN 'contaminated'
+        |         ELSE 'clean' END AS status
+        |  FROM scored)
+        |SELECT src, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
+        |  CAST(max(vec_id) AS BIGINT) AS max_vec
+        |FROM flagged GROUP BY src, status ORDER BY src, status""".stripMargin)
 }
