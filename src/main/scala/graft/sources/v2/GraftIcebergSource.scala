@@ -1559,6 +1559,26 @@ private[v2] class GraftReaderFactory(required: StructType,
 private[v2] object GraftPartitionReader {
   private def norm(p: String): String = p.replaceFirst("^file:/+", "/")
 
+  /** EXECUTOR-SIDE tombstone cache: a MOR scan opens each delete file
+    * once per DATA-FILE task, so a snapshot with F data files and D
+    * delete files pays F x D tombstone reads — at real file counts the
+    * delete side dominates the scan. Delete-file CONTENTS are immutable
+    * once committed (paths are never reused — the commit writers claim
+    * fresh names), so caching decoded tombstones per (path, length,
+    * mtime) is safe even across test fixtures that rebuild the same
+    * path; the crude full-clear past the cap keeps the cache an
+    * optimization, never a memory liability. */
+  private val tombCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), AnyRef]()
+  private val TombCacheMax = 512
+
+  private def cached[T <: AnyRef](path: String, tag: String)(load: => T): T = {
+    val f = new java.io.File(norm(path))
+    val key = (norm(path), f.length(), f.lastModified(), tag)
+    if (tombCache.size > TombCacheMax) tombCache.clear()
+    tombCache.computeIfAbsent(key, _ => load).asInstanceOf[T]
+  }
+
   /** One parquet field of one Group as a plain JVM value (null when the
     * field is absent or unset) — the comparable form both sides of an
     * equality-delete match reduce to. */
@@ -1605,29 +1625,37 @@ private[v2] object GraftPartitionReader {
     }
   }
 
+  /** One position-delete file decoded ONCE per executor: target data
+    * file → its deleted ordinals (both tombstone dialects). */
+  private def posMapOf(p: String): Map[String, Array[Long]] =
+    cached(p, "pos") {
+      if (graft.sources.DeletionVectors.isDvPath(p))
+        graft.sources.DeletionVectors.read(new java.io.File(p))
+          .map { case (t, ps) => norm(t) -> ps.toArray }.toMap
+      else readRows(p, Seq("file_path", "pos"))
+        .map(g => (norm(String.valueOf(prim(g, "file_path"))),
+          prim(g, "pos").asInstanceOf[Long]))
+        .toSeq.groupBy(_._1).map { case (t, ps) =>
+          t -> ps.map(_._2).toArray }
+    }
+
   /** The row ordinals of `dataPath` deleted by the position-tombstone
     * files (spec: pos-delete rows are (file_path, pos)). */
   def positionsFor(dataPath: String, posDeletes: Seq[String]): Set[Long] = {
     val target = norm(dataPath)
-    posDeletes.iterator.flatMap { p =>
-      // deletion vectors (Iceberg-v3 shape): one Puffin blob per target —
-      // only the blob for THIS file is materialized, the point of DVs
-      if (graft.sources.DeletionVectors.isDvPath(p))
-        graft.sources.DeletionVectors.read(new java.io.File(p))
-          .filter { case (t, _) => norm(t) == target }
-          .flatMap(_._2).iterator
-      else readRows(p, Seq("file_path", "pos"))
-        .filter(g => norm(String.valueOf(prim(g, "file_path"))) == target)
-        .map(g => prim(g, "pos").asInstanceOf[Long])
-    }.toSet
+    posDeletes.iterator
+      .flatMap(p => posMapOf(p).getOrElse(target, Array.empty[Long]))
+      .toSet
   }
 
   /** Each equality-delete file's key tuples, paired with its key
-    * column names. */
+    * column names — decoded once per executor. */
   def eqTuplesFor(eqDeletes: Seq[(String, Seq[String])])
       : Seq[(Seq[String], Set[Seq[Any]])] =
     eqDeletes.map { case (p, keys) =>
-      (keys, readRows(p, keys).map(g => keys.map(k => prim(g, k))).toSet)
+      (keys, cached(p, "eq:" + keys.mkString(",")) {
+        readRows(p, keys).map(g => keys.map(k => prim(g, k))).toSet
+      })
     }
 
   /** One struct LEAF's per-file resolution — the nested twin of the
