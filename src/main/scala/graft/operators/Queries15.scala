@@ -353,6 +353,55 @@ object Queries15 {
         .agg(count(lit(1)).as("n_docs"), min(col("vec_id")).as("min_vec"),
           max(col("vec_id")).as("max_vec"))
         .orderBy(col("src"), col("status"))
+    },
+
+    // ---- VECTOR LAKE TABLE (first-class ARRAY columns through the
+    // connector): an embedding table is CREATED, LOADED, and MOR-DELETED
+    // purely via SQL — the vector column rides the connector's own
+    // write path (standard 3-level parquet LIST) and reads back through
+    // its scan with position tombstones applied. Vectors are
+    // integer-quantized (the q212 discipline) so every aggregate is
+    // exact in both engines. Pinned in-query: the DELETE landed
+    // tombstones (zero rewrites — the original vector files are carried
+    // verbatim). DuckDB recomputes the rollup from the source fixture
+    // with the same quantization and delete predicate.
+    "q275_vector_lake_table" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q275wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vl")
+      s.sql(s"DROP TABLE IF EXISTS $cat.vl.emb")
+      t(dir, "embeddings").createOrReplaceTempView("q275_src")
+      s.sql(s"""CREATE TABLE $cat.vl.emb (vec_id BIGINT, e ARRAY<BIGINT>)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.vl.emb
+               |SELECT vec_id, transform(embedding,
+               |  v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS e
+               |FROM q275_src""".stripMargin)
+      val filesBefore = s.sql(s"SELECT DISTINCT _file FROM $cat.vl.emb")
+        .collect().map(_.getString(0)).toSet
+      s.sql(s"DELETE FROM $cat.vl.emb WHERE vec_id % 5 = 0")
+      // MOR pinned: the vector files were carried verbatim, the delete
+      // is tombstones — no vector byte moved
+      val filesAfter = s.sql(s"SELECT DISTINCT _file FROM $cat.vl.emb")
+        .collect().map(_.getString(0)).toSet
+      require(filesBefore == filesAfter,
+        "MOR delete must carry the vector files verbatim")
+      val tombs = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getAbsolutePath}/vl/emb", "t", Nil)
+        .filter(col("content") === 1).count()
+      require(tombs > 0, "the DELETE must land position tombstones")
+      s.sql(s"""SELECT CAST(vec_id % 4 AS BIGINT) AS bucket,
+               |  count(*) AS n_vecs,
+               |  sum(aggregate(e, 0L, (a, x) -> a + x)) AS sum_elems,
+               |  sum(aggregate(e, 0L, (a, x) -> a + x * x)) AS sum_sq,
+               |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+               |FROM $cat.vl.emb
+               |GROUP BY 1 ORDER BY 1""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -447,5 +496,19 @@ object Queries15 {
         |SELECT src, status, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(vec_id) AS BIGINT) AS min_vec,
         |  CAST(max(vec_id) AS BIGINT) AS max_vec
-        |FROM flagged GROUP BY src, status ORDER BY src, status""".stripMargin)
+        |FROM flagged GROUP BY src, status ORDER BY src, status""".stripMargin,
+
+    "q275_vector_lake_table" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS e
+        |  FROM embeddings WHERE vec_id % 5 <> 0)
+        |SELECT CAST(vec_id % 4 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(list_sum(e)) AS BIGINT) AS sum_elems,
+        |  CAST(sum(list_sum(list_transform(e, x -> x * x))) AS BIGINT)
+        |    AS sum_sq,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
+        |  CAST(max(vec_id) AS BIGINT) AS max_vec
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -118,6 +118,16 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
               fieldIds.get(s"${f.name}.${nf.name}")))
           }
           b.addField(fieldIds.get(f.name).fold(gb)(gb.id).named(f.name))
+        // arrays of primitives — the VECTOR column shape (embeddings as
+        // first-class lake data): the spec's standard 3-level LIST
+        case at: org.apache.spark.sql.types.ArrayType =>
+          require(!at.elementType.isInstanceOf[StructType] &&
+            !at.elementType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+            s"graft-iceberg write: array elements must be primitive " +
+              s"(${f.name} holds ${at.elementType.sql})")
+          val lb = Types.optionalList()
+            .element(primOf(at.elementType, "element", None))
+          b.addField(fieldIds.get(f.name).fold(lb)(lb.id).named(f.name))
         case dt =>
           // the column's stable field id (descriptor `column-ids`),
           // embedded into the file so a post-RENAME reader resolves
@@ -169,6 +179,27 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
                   case other => sys.error(
                     s"graft-iceberg write: unsupported nested type $other")
                 }
+              }
+              k += 1
+            }
+          case at: org.apache.spark.sql.types.ArrayType =>
+            // standard 3-level LIST: one repeated `list` group per
+            // element, null elements as element-less groups
+            val arr = record.getArray(i)
+            val lg = g.addGroup(f.name)
+            var k = 0
+            while (k < arr.numElements()) {
+              val eg = lg.addGroup("list")
+              if (!arr.isNullAt(k)) at.elementType match {
+                case LongType => eg.add("element", arr.getLong(k))
+                case IntegerType => eg.add("element", arr.getInt(k))
+                case DoubleType => eg.add("element", arr.getDouble(k))
+                case FloatType => eg.add("element", arr.getFloat(k))
+                case BooleanType => eg.add("element", arr.getBoolean(k))
+                case StringType =>
+                  eg.add("element", arr.getUTF8String(k).toString)
+                case other => sys.error(
+                  s"graft-iceberg write: unsupported element type $other")
               }
               k += 1
             }

@@ -224,11 +224,23 @@ object GraftIcebergSource {
         StructField(f.getName, primDt(f.asPrimitiveType()), nullable = true)
       else {
         val g = f.asGroupType()
-        StructField(f.getName, StructType(g.getFields.asScala.toSeq.map { nf =>
-          require(nf.isPrimitive,
-            s"graft-iceberg reads one nesting level; ${f.getName}.$nf is deeper")
-          StructField(nf.getName, primDt(nf.asPrimitiveType()), nullable = true)
-        }), nullable = true)
+        val isList = Option(g.getLogicalTypeAnnotation).exists(
+          _ == org.apache.parquet.schema.LogicalTypeAnnotation.listType())
+        if (isList) {
+          // 3-level LIST -> ArrayType of the element primitive
+          val elem = g.getType(0).asGroupType().getType(0)
+          require(elem.isPrimitive,
+            s"graft-iceberg reads primitive list elements; ${f.getName}")
+          StructField(f.getName, ArrayType(primDt(elem.asPrimitiveType())),
+            nullable = true)
+        } else
+          StructField(f.getName,
+            StructType(g.getFields.asScala.toSeq.map { nf =>
+              require(nf.isPrimitive,
+                s"graft-iceberg reads one nesting level; ${f.getName}.$nf is deeper")
+              StructField(nf.getName, primDt(nf.asPrimitiveType()),
+                nullable = true)
+            }), nullable = true)
       }
     })
   }
@@ -1965,6 +1977,32 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
             k += 1
           }
           row.update(i, out)
+        case at: ArrayType =>
+          // standard 3-level LIST (the vector-column shape): repeated
+          // `list` groups, each with an optional `element`
+          val lg = current.getGroup(nm, 0)
+          val n = lg.getFieldRepetitionCount("list")
+          val out = new Array[Any](n)
+          var k = 0
+          while (k < n) {
+            val eg = lg.getGroup("list", k)
+            out(k) =
+              if (eg.getFieldRepetitionCount("element") == 0) null
+              else at.elementType match {
+                case LongType => eg.getLong("element", 0)
+                case IntegerType => eg.getInteger("element", 0)
+                case DoubleType => eg.getDouble("element", 0)
+                case FloatType => eg.getFloat("element", 0)
+                case BooleanType => eg.getBoolean("element", 0)
+                case StringType =>
+                  UTF8String.fromString(eg.getString("element", 0))
+                case other =>
+                  sys.error(s"graft-iceberg: unsupported element type $other")
+              }
+            k += 1
+          }
+          row.update(i,
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
         case other => sys.error(s"graft-iceberg: unsupported type $other")
       }
       i += 1
