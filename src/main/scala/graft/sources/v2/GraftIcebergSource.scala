@@ -750,7 +750,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       // every new parquet file so renamed columns resolve by id forever
       fieldIds = GraftCatalog.fieldIdsOf(schema),
       tableBranch = writeBranch, wapEnabled = wapEnabled,
-      writeFormat = GraftFormatWriters.normalize(writeFormatDefault))
+      writeFormat = GraftFormatWriters.normalize(writeFormatDefault),
+      tableTargetBytes =
+        tableProps.get("write.target-file-size-bytes").map(_.toLong))
 
   /** The table's `write.format.default` (normalized), for write paths
     * outside [[newWriteBuilder]] — MOR delta inserts, CTAS staging. */

@@ -26,7 +26,8 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     tableBranch: Option[String] = None,
     wapEnabled: Boolean = false,
     overwriteDynamic: Boolean = false,
-    writeFormat: String = "parquet")
+    writeFormat: String = "parquet",
+    tableTargetBytes: Option[Long] = None)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -84,12 +85,14 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       s"graft-iceberg: only full-table overwrite is supported, got " +
         filters.mkString(", "))
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat)
+      declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat,
+      tableTargetBytes = tableTargetBytes)
   }
 
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
-      declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat)
+      declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat,
+      tableTargetBytes = tableTargetBytes)
 
   /** Iceberg's DYNAMIC overwrite (`partitionOverwriteMode=dynamic`,
     * `df.writeTo(t).overwritePartitions()`): replace exactly the
@@ -99,13 +102,16 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
   override def overwriteDynamicPartitions(): WriteBuilder =
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = false,
       declaredPartSpec, fieldIds, tableBranch, wapEnabled,
-      overwriteDynamic = true, writeFormat = writeFormat)
+      overwriteDynamic = true, writeFormat = writeFormat,
+      tableTargetBytes = tableTargetBytes)
 
-  /** Iceberg's `write.target-file-size-bytes`, as a write option: tasks
+  /** Iceberg's `write.target-file-size-bytes` — the write OPTION wins
+    * over the TABLE property (`ALTER TABLE … SET TBLPROPERTIES`): tasks
     * ROLL their open data file when its buffered size crosses the
     * target, so file sizes track the target regardless of task skew. */
   private def targetBytes: Option[Long] =
     Option(info.options().get("write.target-file-size-bytes")).map(_.toLong)
+      .orElse(tableTargetBytes)
 
   /** Branch-targeted writes (write-audit-publish from pure SQL): the
     * `write.branch` WRITE OPTION wins over the table's `write.branch`

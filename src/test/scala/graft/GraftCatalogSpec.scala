@@ -655,6 +655,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cattest.wapsql.t").head.getLong(0) == 6L)
   }
 
+  test("write.target-file-size-bytes as a TABLE property rolls INSERT files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.tgt")
+    spark.sql("CREATE TABLE cattest.tgt.t (k BIGINT, v STRING) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.target-file-size-bytes' = '2000')")
+    import spark.implicits._
+    (0L until 5000L).map(k => (k, s"value-$k")).toDF("k", "v")
+      .coalesce(1).createOrReplaceTempView("tgt_src")
+    spark.sql("INSERT INTO cattest.tgt.t SELECT /*+ COALESCE(1) */ * FROM tgt_src")
+    // one writing task, tiny target: the property alone must roll files
+    val files = spark.sql("SELECT DISTINCT _file FROM cattest.tgt.t").count()
+    assert(files > 1, s"the table-property target must roll files, got $files")
+    assert(spark.sql("SELECT count(*) FROM cattest.tgt.t").head.getLong(0)
+      == 5000L)
+  }
+
   test("TRUNCATE TABLE and SHOW TBLPROPERTIES complete the DDL surface") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.ddl")
     spark.sql("CREATE TABLE cattest.ddl.t (k BIGINT) USING `graft-iceberg` " +
