@@ -77,6 +77,17 @@ class EmbeddingDeconSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan.take(400))
   }
 
+  test("the literal arm is a ZERO-SHUFFLE projection (the 100 TB sweep contract)") {
+    val c = corpus(100, 8)
+    val out = EmbeddingDecon.maxCosine(c, "vec_id", "v", bench(10, 8),
+      forceArm = Some("literal"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"literal arm must not shuffle:\n${plan.take(600)}")
+    assert(!plan.contains("Join"),
+      s"literal arm must not join:\n${plan.take(600)}")
+  }
+
   test("planted exact duplicates score maxcos = 1 under both arms") {
     import spark.implicits._
     val b = bench(3, 8)
