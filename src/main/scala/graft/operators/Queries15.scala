@@ -402,6 +402,62 @@ object Queries15 {
                |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
                |FROM $cat.vl.emb
                |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // ---- PARTITION-PRUNED ANN: the INDEX IS THE TABLE LAYOUT. q212
+    // persisted (vec_id, cell) and joined back to the source for the
+    // vectors (arrays were not lake-writable then); with vector columns
+    // first-class, the quantized vectors now live IN a table
+    // PARTITIONED BY the sign-LSH cell — a probe is one partition's
+    // scan, vectors read in place, no join back to any side table. At
+    // 100 TB this is the ANN shape that needs no index structure at
+    // all: the lake's own partition pruning is the coarse quantizer.
+    // Pinned in-query: the probe-cell scan plans strictly fewer files
+    // than the table holds. Semantics identical to q212, so DuckDB
+    // recomputes the same top-3 from the raw embeddings.
+    "q276_partitioned_ann" -> { (s, dir) => implicit val sp = s
+      val cellExpr = AnnOps
+        .signatureColumns("qe", bands = 1, planesPerBand = 4, dims = 64).head
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), AnnOps.quantize(col("embedding")).as("qe"))
+        .withColumn("cell", cellExpr.cast("long"))
+        .localCheckpoint()
+      val wh = TmpFixture.dir("q276wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ann")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ann.vx")
+      s.sql(s"""CREATE TABLE $cat.ann.vx
+               |  (vec_id BIGINT, cell BIGINT, qe ARRAY<BIGINT>)
+               |USING `graft-iceberg` PARTITIONED BY (cell)
+               |TBLPROPERTIES ('pushdown.fields' = 'cell:2:long')""".stripMargin)
+      e.select(col("vec_id"), col("cell"), col("qe"))
+        .createOrReplaceTempView("q276_src")
+      s.sql(s"INSERT INTO $cat.ann.vx SELECT vec_id, cell, qe FROM q276_src")
+      // partition pruning pinned: one probe cell's scan plans fewer
+      // files than the table holds (the lake layout IS the quantizer)
+      val vx = s.table(s"$cat.ann.vx")
+      val nAll = vx.rdd.getNumPartitions
+      val c0 = e.filter(col("vec_id") === 0L).select("cell").head.getLong(0)
+      val planned = vx.filter(col("cell") === c0).rdd.getNumPartitions
+      require(planned < nAll,
+        s"probe must prune partitions: $planned planned vs $nAll")
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qe").as("qa"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      vx.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("dot", AnnOps.dotQ(col("qa"), col("qe")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -510,5 +566,37 @@ object Queries15 {
         |    AS sum_sq,
         |  CAST(min(vec_id) AS BIGINT) AS min_vec,
         |  CAST(max(vec_id) AS BIGINT) AS max_vec
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q276_partitioned_ann" -> {
+      val planeValues = graft.operators.AnnOps.planeWeights(4, 64)
+        .map { case (p, d, w) => s"($p,$d,$w)" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |planes(p, d, w) AS (VALUES $planeValues),
+         |dims AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS d, qe[i] AS x
+         |  FROM (SELECT vec_id, qe, unnest(range(1, len(qe) + 1)) AS i FROM q)),
+         |proj AS (
+         |  SELECT vec_id, p, sum(x * w) AS s
+         |  FROM dims JOIN planes USING (d) GROUP BY vec_id, p),
+         |cells AS (
+         |  SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS cell
+         |  FROM proj GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_apply(range(1, len(qa.qe) + 1),
+         |      i -> qa.qe[i] * qb.qe[i])) AS BIGINT) AS dot
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  JOIN q qa ON qa.vec_id = a.vec_id
+         |  JOIN q qb ON qb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 20),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
 }
