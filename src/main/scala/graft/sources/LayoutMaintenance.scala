@@ -2424,25 +2424,29 @@ object LayoutMaintenance {
     require(all.nonEmpty, s"no snapshots under $tableDir")
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     // candidate listing is DISTRIBUTED; only small files' (path, size,
-    // format) land on the driver — the operation's own size
+    // format, partition) land on the driver — the operation's own size
     val small = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", Nil)
       .filter(col("content") === 0 && col("sizeBytes") < smallFileBytes)
-      .select("file_path", "sizeBytes", "file_format")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .select("file_path", "sizeBytes", "file_format", "partitionKey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
       .toSeq
-    // groups never mix physical formats (one read per group); the
+    // groups never mix physical formats (one read per group) and never
+    // span PARTITIONS — a consolidated file keeps its group's partition
+    // values, so partition pruning, SPJ, and partition-predicate
+    // replaces (dynamic overwrite) keep seeing compacted files. The
     // consolidated output is parquet — compaction doubles as
     // normalization toward the primary columnar format, the same way a
-    // full rewrite does
-    val groups = small.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
-      case (fmt, files) =>
+    // full rewrite does.
+    val groups = small.groupBy(f => (f._3, f._4)).toSeq.sortBy(_._1)
+      .flatMap { case ((fmt, pk), files) =>
         packGroups(files.sortBy(_._2).map(f => (f._1, f._2)), maxGroupBytes)
-          .filter(_.length >= 2).map(g => (fmt, g))
-    }
+          .filter(_.length >= 2).map(g => (fmt, pk, g))
+      }
     if (groups.isEmpty) return (curId, 0, 0)
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val added = groups.zipWithIndex.map { case ((fmt, g), i) =>
+    val added = groups.zipWithIndex.map { case ((fmt, pk, g), i) =>
       val paths = g.map(_._1)
       val df = fmt match {
         case "ORC" => spark.read.orc(paths: _*)
@@ -2454,9 +2458,9 @@ object LayoutMaintenance {
       val n = IcebergLayoutWriter.writeSingleParquet(df, f)
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = f.getAbsolutePath, recordCount = n,
-        sizeBytes = f.length())
+        sizeBytes = f.length(), partition = partitionPairsOf(pk))
     }
-    val removed = groups.flatMap(_._2.map(_._1))
+    val removed = groups.flatMap(_._3.map(_._1))
     val snap = commitReplaceFiles(spark, tableDir, removed, added)
     (snap, removed.size, groups.size)
   }

@@ -511,6 +511,39 @@ class CommitScaleSpec extends AnyFunSuite {
     val _ = (snap2, g2)
   }
 
+  test("rewriteSmallFiles on a PARTITIONED table: groups never span partitions, values kept") {
+    import spark.implicits._
+    val tbl = new java.io.File("target/tmp-scale-binpart")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    // two partitions, three small files each
+    (0 until 6).foreach { i =>
+      val part = (i % 2).toLong
+      val f = new java.io.File(dataDir, s"p$i.parquet")
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        (0 until 10).map(j => (i * 10L + j, part)).toDF("k", "pt"), f)
+      LayoutMaintenance.commitAppend(spark, tbl.getPath, Seq(
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = f.getAbsolutePath, recordCount = n,
+          sizeBytes = f.length(), partition = Seq(("pt", part)))),
+        partitionSpec = Seq(("pt", "identity", 2)))
+    }
+    val pre = MorRead.readTable(spark, tbl.getPath).collect().map(_.toSeq).toSet
+    val (_, compacted, groups) = LayoutMaintenance.rewriteSmallFiles(
+      spark, tbl.getPath, maxGroupBytes = Long.MaxValue / 4,
+      smallFileBytes = Long.MaxValue / 4)
+    assert(compacted == 6)
+    assert(groups == 2, s"one group per partition expected, got $groups")
+    // every consolidated file kept its partition values
+    val parts = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .filter(col("content") === 0)
+      .select("partitionKey").collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("""{"pt":0}""", """{"pt":1}"""), parts.toString)
+    assert(MorRead.readTable(spark, tbl.getPath)
+      .collect().map(_.toSeq).toSet == pre)
+  }
+
   test("replace-all past the cap carries nothing: RTAS shape at scale") {
     val tbl = build("racap", 3)
     val f = dataFile(tbl, "fresh.parquet", 3)
