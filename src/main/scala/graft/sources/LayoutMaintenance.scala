@@ -2046,8 +2046,20 @@ object LayoutMaintenance {
     // partition predicate, or None = replace ALL current data files —
     // never a caller-side read that predates the lock
     val removedPaths = partitionFilter match {
-      case Some(t) => carried.filter(e =>
-        e.content == 0 && t(canonPartition(e.partition))).map(_.filePath)
+      case Some(t) =>
+        // a data file WITHOUT recorded partition values can never match
+        // the predicate, yet may hold touched partitions' rows — silently
+        // retaining them would corrupt the overwrite, silently dropping
+        // the file would lose its OTHER partitions' rows. Refuse loudly.
+        val blind = carried.filter(e =>
+          e.content == 0 && e.partition.isEmpty)
+        require(blind.isEmpty,
+          s"commitReplacePartitions($tableDir): data files without " +
+            s"recorded partition values (${blind.take(3).map(_.filePath)
+              .mkString(", ")}) cannot be partition-matched; rewrite " +
+            "them with a partition-preserving compaction first")
+        carried.filter(e =>
+          e.content == 0 && t(canonPartition(e.partition))).map(_.filePath)
       case None => removedPathsOpt.getOrElse(
         carried.filter(_.content == 0).map(_.filePath))
     }
@@ -2153,6 +2165,14 @@ object LayoutMaintenance {
               .map(s => specFromStats(s, specId)).toSeq
             val rm = removedB.value
             val pf = partB.value
+            // partition mode: a pval-less data file is un-matchable —
+            // surface it so the driver refuses (same contract as the
+            // under-ceiling arm)
+            if (pf.isDefined && entries.exists(_.partition.isEmpty))
+              sys.error(
+                s"commitReplacePartitions: manifest $p holds data files " +
+                  "without recorded partition values; rewrite them with " +
+                  "a partition-preserving compaction first")
             val (hit, survivors) = entries.partition(e =>
               pf match {
                 case Some(t) => t(canonPartition(e.partition))
