@@ -3,15 +3,33 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-11 batch: closing the write-side format surface and the SQL
-  * dialect gaps the round-10 verdict ranked —
+/** Round-11 batch: the write-side format surface, nested evolution,
+  * the streaming-upsert tombstone dialect, executed compaction, and
+  * vector lake tables —
   *
   *  - `write.format.default` (q270): Iceberg's data-file-format table
   *    property honored by the connector's SQL writes, so a pure-SQL user
   *    can accrete ORC/AVRO tables (reference: the spec's three-valued
   *    `file_format` manifest field iceberg-diag reads per entry —
   *    `iceberg_diag/manager.py`'s data-file walk — which q227/q259/q260
-  *    already read and this round finally WRITES from SQL).
+  *    already read and this round finally WRITES from SQL);
+  *  - nested schema evolution (q271): RENAME/ADD on struct leaves,
+  *    metadata-only, per-file leaf resolution by name/id/alias;
+  *  - equality-delete dialect (q272): write.delete.granularity=equality
+  *    + identifier.columns — MERGE/DELETE tombstone by KEY, the
+  *    Flink-style streaming-upsert shape;
+  *  - executed bin-pack compaction (q273): rewrite_small_files folds
+  *    small files under EXACTLY the packer the reference's 9-metric
+  *    report simulates (`table_metrics.py:178-197`), large files carried
+  *    verbatim;
+  *  - incremental embedding decontamination (q274): each ingest batch
+  *    scored by reading ONLY its snapshot's added files — O(batch), not
+  *    O(corpus);
+  *  - vector lake tables (q275): ARRAY columns through the connector,
+  *    created/loaded/MOR-deleted purely via SQL;
+  *  - partition-pruned ANN (q276): the sign-LSH cell as the TABLE's
+  *    partition layout — a probe is one partition's scan, the lake's
+  *    pruning is the coarse quantizer.
   *
   * Oracle-parity conventions as in [[Queries]]: identical aliases both
   * sides, integer aggregates, full ORDER BY tie-breaks.
