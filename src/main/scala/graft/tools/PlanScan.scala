@@ -57,6 +57,9 @@ object PlanScan {
       .appName("graft-planscan")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // the view queries (q261) need the parse-time DDL routing every
+      // other session builder carries
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
