@@ -17,7 +17,8 @@ object SparkEntry {
       graft.operators.Queries8.all ++ graft.operators.Queries9.all ++
       graft.operators.Queries10.all ++ graft.operators.Queries11.all ++
       graft.operators.Queries12.all ++ graft.operators.Queries13.all ++
-      graft.operators.Queries14.all ++ graft.operators.Queries15.all
+      graft.operators.Queries14.all ++ graft.operators.Queries15.all ++
+      graft.operators.Queries16.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.operators.Queries8.oracles ++ graft.operators.Queries9.oracles ++
       graft.operators.Queries10.oracles ++ graft.operators.Queries11.oracles ++
       graft.operators.Queries12.oracles ++ graft.operators.Queries13.oracles ++
-      graft.operators.Queries14.oracles ++ graft.operators.Queries15.oracles
+      graft.operators.Queries14.oracles ++ graft.operators.Queries15.oracles ++
+      graft.operators.Queries16.oracles
 }

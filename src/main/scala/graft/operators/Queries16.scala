@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch: maintenance that RESPECTS the table's declared
+  * physical format, and tombstone-shape maintenance —
+  *
+  *  - format-preserving maintenance (q277): every data-moving
+  *    maintenance commit (bin-pack groups, full rewrites, COW/upsert
+  *    outputs) emits the table's `write.format.default` instead of
+  *    silently normalizing an ORC/AVRO-default table to parquet on its
+  *    first compaction (reference: the spec's per-entry `file_format`
+  *    manifest field iceberg-diag walks — `iceberg_diag/manager.py` —
+  *    which q270 honors on INSERT and this round honors on REWRITE).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, integer aggregates, full ORDER BY tie-breaks.
+  */
+object Queries16 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- FORMAT-PRESERVING MAINTENANCE: an ORC-default MOR table
+    // accretes 6 small ORC files via SQL; rewrite_small_files folds
+    // them and the GROUP FILE IS ORC (pre-round-12 it silently flipped
+    // to parquet); a MOR DELETE lands parquet tombstones OVER the ORC
+    // group; rewrite_data_files folds the tombstones and the rewritten
+    // table is STILL one ORC file. Pinned in-query at each step: the
+    // live file_format set stays exactly {ORC} through both rewrites,
+    // and the final snapshot holds one data file and zero tombstones.
+    // The rollup recomputes in DuckDB from month arithmetic + the
+    // delete predicate over the source table alone — a row lost or
+    // doubled by either rewrite breaks the hash, not just the pins.
+    "q277_format_preserving_compaction" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q277wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.fp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.fp.prof")
+      t(dir, "orders").createOrReplaceTempView("q277_src")
+      s.sql(s"""CREATE TABLE $cat.fp.prof (
+               |  okey BIGINT, price BIGINT, mon BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'orc',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      (1 to 6).foreach { m =>
+        s.sql(s"""INSERT INTO $cat.fp.prof
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+                 |  CAST(month(o_orderdate) AS BIGINT) AS mon
+                 |FROM q277_src WHERE year(o_orderdate) = 1995
+                 |  AND month(o_orderdate) = $m""".stripMargin)
+      }
+      val tdir = s"${wh.getAbsolutePath}/fp/prof"
+      def live(content: Int): Seq[(String, String)] =
+        graft.sources.IcebergManifestSource
+          .statsFromTableDir(s, tdir, "t", Nil)
+          .filter(col("content") === content)
+          .select("file_path", "file_format").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      require(live(0).size == 6 && live(0).forall(_._2 == "ORC"),
+        s"fixture: 6 ORC inserts expected, got ${live(0)}")
+      // bin-pack: the group file must stay ORC (the round's point)
+      val r1 = s.sql(
+        s"CALL $cat.system.rewrite_small_files('fp.prof')").head
+      require(r1.getInt(1) == 6 && r1.getInt(2) == 1,
+        s"all 6 small files must fold into one group, got $r1")
+      val afterPack = live(0)
+      require(afterPack.size == 1 && afterPack.head._2 == "ORC" &&
+        afterPack.head._1.endsWith(".orc"),
+        s"bin-pack output must preserve ORC: $afterPack")
+      // MOR delete over the ORC group: parquet tombstones, data carried
+      s.sql(s"DELETE FROM $cat.fp.prof WHERE price >= 300000")
+      require(live(0) == afterPack,
+        "MOR delete must carry the ORC group verbatim")
+      require(live(1).nonEmpty, "the DELETE must land position tombstones")
+      // full rewrite folds the tombstones — STILL ORC
+      val r2 = s.sql(s"CALL $cat.system.rewrite_data_files('fp.prof', " +
+        "sort_by => 'okey')").head
+      require(r2.getInt(3) == 1, s"expected one rewritten file, got $r2")
+      val afterRw = live(0)
+      require(afterRw.size == 1 && afterRw.head._2 == "ORC" &&
+        afterRw.head._1.endsWith(".orc"),
+        s"rewrite output must preserve ORC: $afterRw")
+      require(live(1).isEmpty && live(2).isEmpty,
+        "the rewrite must fold every tombstone")
+      s.sql(s"""SELECT mon, count(*) AS n_orders,
+               |  sum(price) AS sum_price, min(okey) AS min_okey
+               |FROM $cat.fp.prof
+               |GROUP BY mon ORDER BY mon""".stripMargin)
+    })
+
+  def oracles: Map[String, String] = Map(
+
+    "q277_format_preserving_compaction" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |    AND month(CAST(o_orderdate AS DATE)) <= 6)
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src WHERE price < 300000
+        |GROUP BY mon ORDER BY mon""".stripMargin)
+}

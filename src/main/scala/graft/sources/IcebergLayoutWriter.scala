@@ -167,7 +167,18 @@ object IcebergLayoutWriter {
     * `toLocalIterator`, constant memory, one container out. Returns the
     * row count. */
   def writeSingleAvro(df: org.apache.spark.sql.DataFrame,
-      dest: java.io.File): Long = {
+      dest: java.io.File): Long =
+    writeRowsAvro(dest, df.schema, df.toLocalIterator())
+
+  /** Stream external `Row`s into ONE avro container at `dest` —
+    * the task-side body shared by [[writeSingleAvro]] (driver-fed,
+    * fixture grain) and [[writeAvroParts]] (one call per task, the
+    * distributed-rewrite grain). Row order is preserved: an avro
+    * container is strictly sequential, so write order IS the ordinal
+    * [[AvroDataRead]] reports. Returns the row count. */
+  private[sources] def writeRowsAvro(dest: java.io.File,
+      sparkSchema: org.apache.spark.sql.types.StructType,
+      rows: java.util.Iterator[org.apache.spark.sql.Row]): Long = {
     import org.apache.spark.sql.types._
     def avroType(dt: DataType): Schema = dt match {
       case LongType => Schema.create(Schema.Type.LONG)
@@ -186,7 +197,7 @@ object IcebergLayoutWriter {
       case other => sys.error(
         s"writeSingleAvro: unsupported column type $other")
     }
-    val fields = df.schema.fields.map { f =>
+    val fields = sparkSchema.fields.map { f =>
       new Schema.Field(f.name, Schema.createUnion(
         Schema.create(Schema.Type.NULL), avroType(f.dataType)),
         null, Schema.Field.NULL_DEFAULT_VALUE)
@@ -199,8 +210,8 @@ object IcebergLayoutWriter {
     w.create(schema, dest)
     var n = 0L
     try {
-      val sparkFields = df.schema.fields
-      df.toLocalIterator().forEachRemaining { row =>
+      val sparkFields = sparkSchema.fields
+      rows.forEachRemaining { row =>
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < sparkFields.length) {
@@ -226,6 +237,47 @@ object IcebergLayoutWriter {
       }
     } finally w.close()
     n
+  }
+
+  /** Format-dispatched single-file data writer: ONE data file at `dest`
+    * in the table's normalized `write.format.default` — the writer the
+    * maintenance commits (upsert/merge/COW/rewrites) route through so a
+    * rewrite of an ORC- or AVRO-default table emits that format instead
+    * of silently normalizing to parquet. `dest`'s extension must match
+    * (the maintenance caller derives both from the same property).
+    * Returns the row count. */
+  def writeSingleData(df: org.apache.spark.sql.DataFrame,
+      dest: java.io.File, format: String): Long = format match {
+    case "orc" => writeSingleOrc(df, dest)
+    case "avro" => writeSingleAvro(df, dest)
+    case _ => writeSingleParquet(df, dest)
+  }
+
+  /** Distributed AVRO part writer — the AVRO arm of the task-parallel
+    * rewrite (`rewrite_data_files` with a target size): each input
+    * partition writes ONE avro container under `destDir` from its own
+    * task (there is no spark-avro datasource on the unmanaged
+    * classpath, so the fan-out is explicit), preserving within-file row
+    * order. Returns (absolute path, rowCount) per non-empty part,
+    * name-sorted — the same contract the parquet part walk yields. */
+  def writeAvroParts(df: org.apache.spark.sql.DataFrame,
+      destDir: java.io.File): Seq[(String, Long)] = {
+    destDir.mkdirs()
+    val dir = destDir.getAbsolutePath
+    // schema rides the closure as DDL text (StructType is serializable,
+    // but the DDL round-trip pins the exact external-type contract
+    // writeRowsAvro expects)
+    val ddl = df.schema.toDDL
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val f = new java.io.File(dir, f"part-$i%05d.avro")
+        import scala.jdk.CollectionConverters._
+        val n = writeRowsAvro(f, schema, rows.asJava)
+        Iterator.single((f.getAbsolutePath, n))
+      }
+    }.collect().toSeq.sortBy(_._1)
   }
 
   private def writeAvro(file: java.io.File, schema: Schema,

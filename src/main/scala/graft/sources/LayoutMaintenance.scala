@@ -108,6 +108,37 @@ object LayoutMaintenance {
     new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(currentMetadataFile(spark, tableDir))
 
+  /** The table's normalized `write.format.default` ("parquet" when the
+    * property is unset), read from the current metadata document — the
+    * SAME property the connector's SQL writes honor, so maintenance
+    * rewrites (upsert/merge/COW/rewrite_data_files/rewrite_small_files)
+    * emit the format the table declares instead of silently flipping an
+    * ORC- or AVRO-default table to parquet on every compaction. DELETE
+    * files (position/equality tombstones) stay parquet — Iceberg keys
+    * those off `write.delete.format.default`, which this layout does
+    * not surface. */
+  private def tableWriteFormat(spark: SparkSession,
+      tableDir: String): String = {
+    // the catalog descriptor is where SQL DDL lands table properties
+    // (CREATE/ALTER ... TBLPROPERTIES); it wins over the Iceberg
+    // metadata document's `properties`, which covers external layouts
+    // and programmatic tables
+    val fromDescriptor = {
+      val d = new java.io.File(tableDir, "graft-table.json")
+      if (!d.exists()) None
+      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(d).get("properties"))
+        .flatMap(n => Option(n.get("write.format.default")))
+        .map(_.asText())
+    }
+    val fromMetadata = Option(
+      readMetadata(spark, tableDir).get("properties"))
+      .flatMap(n => Option(n.get("write.format.default")))
+      .map(_.asText())
+    graft.sources.v2.GraftFormatWriters.normalize(
+      fromDescriptor.orElse(fromMetadata))
+  }
+
   /** Snapshot ids listed in the current metadata JSON, history order. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
     snapshots(spark, tableDir).map(_.id)
@@ -1052,17 +1083,23 @@ object LayoutMaintenance {
       case None => reuseNewId(spark, tableDir, all, curId)
     }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val up = freshFile(dataDir, s"upsert-$newId.parquet")
+    // data lands in the table's declared write.format.default; the
+    // eq-tombstone file stays parquet (delete-file format, see
+    // tableWriteFormat's note)
+    val fmt = tableWriteFormat(spark, tableDir)
+    val up = freshFile(dataDir,
+      s"upsert-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(fmt)}")
     val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
-    val n = IcebergLayoutWriter.writeSingleParquet(
-      updates.sort(keyCols.map(col): _*), up)
+    val n = IcebergLayoutWriter.writeSingleData(
+      updates.sort(keyCols.map(col): _*), up, fmt)
     val nk = IcebergLayoutWriter.writeSingleParquet(
       updates.select(keyCols.map(col): _*).distinct()
         .sort(keyCols.map(col): _*), ed)
     val added = Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = up.getAbsolutePath, recordCount = n,
-        sizeBytes = up.length(), sequenceNumber = newId),
+        sizeBytes = up.length(), sequenceNumber = newId,
+        fileFormat = fmt.toUpperCase),
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
@@ -1436,18 +1473,22 @@ object LayoutMaintenance {
       case None => reuseNewId(spark, tableDir, all, curId)
     }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val up = freshFile(dataDir, s"merge-$newId.parquet")
+    // data honors write.format.default; tombstones stay parquet
+    val fmt = tableWriteFormat(spark, tableDir)
+    val up = freshFile(dataDir,
+      s"merge-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(fmt)}")
     val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
-    val n = IcebergLayoutWriter.writeSingleParquet(
+    val n = IcebergLayoutWriter.writeSingleData(
       changes.filter(col(opCol) =!= "D").drop(opCol)
-        .sort(keyCols.map(col): _*), up)
+        .sort(keyCols.map(col): _*), up, fmt)
     val nk = IcebergLayoutWriter.writeSingleParquet(
       changes.select(keyCols.map(col): _*).distinct()
         .sort(keyCols.map(col): _*), ed)
     val added = Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = up.getAbsolutePath, recordCount = n,
-        sizeBytes = up.length(), sequenceNumber = newId),
+        sizeBytes = up.length(), sequenceNumber = newId,
+        fileFormat = fmt.toUpperCase),
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
@@ -1924,14 +1965,19 @@ object LayoutMaintenance {
       case None => reuseNewId(spark, tableDir, all, curId)
     }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val rw = freshFile(dataDir, s"cowdel-$newId.parquet")
-    val n = IcebergLayoutWriter.writeSingleParquet(survivors, rw)
+    // the survivors file honors write.format.default — a COW delete on
+    // an ORC/AVRO-default table must not flip it to parquet
+    val fmt = tableWriteFormat(spark, tableDir)
+    val rw = freshFile(dataDir,
+      s"cowdel-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(fmt)}")
+    val n = IcebergLayoutWriter.writeSingleData(survivors, rw, fmt)
     val added =
       if (n == 0L) { // every in-scope row died: no empty file in the commit
         org.apache.commons.io.FileUtils.deleteQuietly(rw); Nil
       } else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
         content = 0, filePath = rw.getAbsolutePath, recordCount = n,
-        sizeBytes = rw.length(), sequenceNumber = newId))
+        sizeBytes = rw.length(), sequenceNumber = newId,
+        fileFormat = fmt.toUpperCase))
     (carriedOpt, affectedOpt) match {
       case (Some(carried), _) =>
         val kept = affectedOpt match {
@@ -2317,16 +2363,23 @@ object LayoutMaintenance {
       dataSchema)
     val order = if (sortCols.nonEmpty) sortCols else effKeys
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    // rewritten data lands in the table's declared write.format.default
+    // (both arms) — a full rewrite is the LAST place a format flip may
+    // hide, since it touches every byte of the table
+    val fmt = tableWriteFormat(spark, tableDir)
+    val ext = graft.sources.v2.GraftFormatWriters.extensionOf(fmt)
     val added = targetFileSizeBytes match {
       case None =>
         // single consolidated file — deterministic row positions, the
         // fixture grain every position-sensitive test leans on
-        val rw = freshFile(dataDir, s"rewrite-$newId.parquet")
-        val n = IcebergLayoutWriter.writeSingleParquet(
-          if (order.nonEmpty) state.sort(order.map(col): _*) else state, rw)
+        val rw = freshFile(dataDir, s"rewrite-$newId.$ext")
+        val n = IcebergLayoutWriter.writeSingleData(
+          if (order.nonEmpty) state.sort(order.map(col): _*) else state,
+          rw, fmt)
         Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
           content = 0, filePath = rw.getAbsolutePath, recordCount = n,
-          sizeBytes = rw.length(), sequenceNumber = newId))
+          sizeBytes = rw.length(), sequenceNumber = newId,
+          fileFormat = fmt.toUpperCase))
       case Some(target) =>
         // DISTRIBUTED output sized to write.target-file-size-bytes: the
         // file count derives from the pre-rewrite data volume (manifest
@@ -2352,31 +2405,54 @@ object LayoutMaintenance {
               .sortWithinPartitions(order.map(col): _*)
           else state.repartition(nFiles)
         val tmp = new java.io.File(dataDir, s"rewrite-$newId-tmp")
-        shaped.write.mode("overwrite").parquet(tmp.getPath)
-        val parts = Option(tmp.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).sortBy(_.getName)
-        val conf = spark.sparkContext.hadoopConfiguration
-        val out = parts.zipWithIndex.flatMap { case (part, i) =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          import scala.jdk.CollectionConverters._
-          val rows = try r.getFooter.getBlocks.asScala
-            .map(_.getRowCount).sum finally r.close()
+        // task-parallel part write in the table format: parquet and ORC
+        // through Spark's native writers (row counts from their own
+        // footers/tails), AVRO through the explicit per-task container
+        // fan-out (no spark-avro datasource on the classpath)
+        val partRows: Seq[(java.io.File, Long)] = fmt match {
+          case "avro" =>
+            IcebergLayoutWriter.writeAvroParts(shaped, tmp)
+              .map { case (p, n) => (new java.io.File(p), n) }
+          case _ =>
+            if (fmt == "orc") shaped.write.mode("overwrite").orc(tmp.getPath)
+            else shaped.write.mode("overwrite").parquet(tmp.getPath)
+            val conf = spark.sparkContext.hadoopConfiguration
+            Option(tmp.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(s".$ext")).sortBy(_.getName)
+              .map { part =>
+                val rows =
+                  if (fmt == "orc") {
+                    val r = org.apache.orc.OrcFile.createReader(
+                      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+                      org.apache.orc.OrcFile.readerOptions(conf))
+                    try r.getNumberOfRows finally r.close()
+                  } else {
+                    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                      .fromPath(new org.apache.hadoop.fs.Path(
+                        part.getAbsolutePath), conf)
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                    import scala.jdk.CollectionConverters._
+                    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+                    finally r.close()
+                  }
+                (part, rows)
+              }.toSeq
+        }
+        val out = partRows.zipWithIndex.flatMap { case ((part, rows), i) =>
           // empty partitions (heavy tombstoning) never leave tmp: moving
           // them first would orphan unreferenced files in data/
           if (rows == 0) None
           else {
-            val dest = freshFile(dataDir, s"rewrite-$newId-p$i.parquet")
+            val dest = freshFile(dataDir, s"rewrite-$newId-p$i.$ext")
             java.nio.file.Files.move(part.toPath, dest.toPath,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             Some(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
               content = 0, filePath = dest.getAbsolutePath,
               recordCount = rows, sizeBytes = dest.length(),
-              sequenceNumber = newId))
+              sequenceNumber = newId, fileFormat = fmt.toUpperCase))
           }
-        }.toSeq
+        }
         org.apache.commons.io.FileUtils.deleteQuietly(tmp)
         out
     }
@@ -2456,9 +2532,9 @@ object LayoutMaintenance {
     // span PARTITIONS — a consolidated file keeps its group's partition
     // values, so partition pruning, SPJ, and partition-predicate
     // replaces (dynamic overwrite) keep seeing compacted files. The
-    // consolidated output is parquet — compaction doubles as
-    // normalization toward the primary columnar format, the same way a
-    // full rewrite does.
+    // consolidated output honors write.format.default (compaction
+    // doubles as normalization toward the table's DECLARED format, not
+    // unconditionally toward parquet).
     val groups = small.groupBy(f => (f._3, f._4)).toSeq.sortBy(_._1)
       .flatMap { case ((fmt, pk), files) =>
         packGroups(files.sortBy(_._2).map(f => (f._1, f._2)), maxGroupBytes)
@@ -2466,6 +2542,8 @@ object LayoutMaintenance {
       }
     if (groups.isEmpty) return (curId, 0, 0)
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val outFmt = tableWriteFormat(spark, tableDir)
+    val outExt = graft.sources.v2.GraftFormatWriters.extensionOf(outFmt)
     val added = groups.zipWithIndex.map { case ((fmt, pk, g), i) =>
       val paths = g.map(_._1)
       val df = fmt match {
@@ -2474,11 +2552,12 @@ object LayoutMaintenance {
           AvroDataRead.readWithPos(spark, paths).drop("file_path", "pos")
         case _ => spark.read.parquet(paths: _*)
       }
-      val f = freshFile(dataDir, s"binpack-$curId-g$i.parquet")
-      val n = IcebergLayoutWriter.writeSingleParquet(df, f)
+      val f = freshFile(dataDir, s"binpack-$curId-g$i.$outExt")
+      val n = IcebergLayoutWriter.writeSingleData(df, f, outFmt)
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = f.getAbsolutePath, recordCount = n,
-        sizeBytes = f.length(), partition = partitionPairsOf(pk))
+        sizeBytes = f.length(), partition = partitionPairsOf(pk),
+        fileFormat = outFmt.toUpperCase)
     }
     val removed = groups.flatMap(_._3.map(_._1))
     val snap = commitReplaceFiles(spark, tableDir, removed, added)

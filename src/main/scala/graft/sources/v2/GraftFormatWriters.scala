@@ -35,7 +35,7 @@ private[v2] trait GraftPhysicalWriter {
   def dataSize: Long
 }
 
-private[v2] object GraftFormatWriters {
+private[graft] object GraftFormatWriters {
 
   /** Manifest `file_format` for a written data file — by extension, the
     * same convention [[graft.sources.DeletionVectors.isDvPath]] uses for
@@ -61,7 +61,8 @@ private[v2] object GraftFormatWriters {
           "(parquet | orc | avro)")
     }
 
-  def create(format: String, file: java.io.File, schema: StructType,
+  private[v2] def create(format: String, file: java.io.File,
+      schema: StructType,
       fieldIds: Map[String, Int]): GraftPhysicalWriter = format match {
     case "orc" => new OrcTaskWriter(file, schema)
     case "avro" => new AvroTaskWriter(file, schema, fieldIds)
