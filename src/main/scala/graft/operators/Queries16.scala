@@ -95,6 +95,83 @@ object Queries16 {
                |  sum(price) AS sum_price, min(okey) AS min_okey
                |FROM $cat.fp.prof
                |GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- EQ→POS TOMBSTONE CONVERSION (convert_equality_deletes): the
+    // q272 streaming-upsert dialect accretes one EQUALITY-delete file
+    // per MERGE/DELETE, and every MOR read replays each as a key
+    // anti-join; the ecosystem's steady-state cleanup converts them to
+    // position tombstones against the CURRENT file set — a small-side
+    // join, NO data rewrite (rewriteDataFiles, the only prior way to
+    // clear them, rewrites the whole table). Pinned in-query: before
+    // conversion $position_deletes is EMPTY and eq files have accreted;
+    // after, the data files are carried VERBATIM (path+seq), eq entries
+    // are gone, and $position_deletes holds exactly the converted
+    // pairs. The read-back recomputes in DuckDB from the source alone,
+    // so a pair lost (row resurrect) or over-matched (row vanish)
+    // breaks the hash.
+    "q278_convert_eq_deletes" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q278wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ec")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ec.agg")
+      t(dir, "orders").createOrReplaceTempView("q278_src")
+      s.sql(s"""CREATE TABLE $cat.ec.agg (
+               |  mon BIGINT NOT NULL, prio STRING NOT NULL,
+               |  total BIGINT, n BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.merge.mode' = 'merge-on-read',
+               |  'write.delete.mode' = 'merge-on-read',
+               |  'write.delete.granularity' = 'equality',
+               |  'identifier.columns' = 'mon,prio')""".stripMargin)
+      def rollup(y: Int): String =
+        s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+           |       o_orderpriority AS prio,
+           |       CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS total,
+           |       count(*) AS n
+           |FROM q278_src WHERE year(o_orderdate) = $y
+           |GROUP BY 1, 2""".stripMargin
+      s.sql(s"INSERT INTO $cat.ec.agg ${rollup(1995)}")
+      def mergeYear(y: Int): Unit =
+        s.sql(s"""MERGE INTO $cat.ec.agg tgt
+                 |USING (${rollup(y)}) src
+                 |ON tgt.mon = src.mon AND tgt.prio = src.prio
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  total = tgt.total + src.total, n = tgt.n + src.n
+                 |WHEN NOT MATCHED THEN INSERT (mon, prio, total, n)
+                 |  VALUES (src.mon, src.prio, src.total, src.n)""".stripMargin)
+      mergeYear(1996) // streaming-style upserts: one eq file per batch
+      mergeYear(1997)
+      s.sql(s"DELETE FROM $cat.ec.agg WHERE n % 7 = 0") // eq dialect too
+      val tdir = s"${wh.getAbsolutePath}/ec/agg"
+      def byContent(c: Int): Seq[(String, Long)] =
+        graft.sources.IcebergManifestSource
+          .statsFromTableDir(s, tdir, "t", Nil)
+          .filter(col("content") === c)
+          .select("file_path", "sequence_number").collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      require(byContent(2).size >= 3,
+        s"fixture: eq tombstones must accrete, got ${byContent(2)}")
+      require(s.sql(s"SELECT count(*) FROM $cat.ec.agg.position_deletes")
+        .head.getLong(0) == 0L,
+        "the eq dialect must start with NO position deletes")
+      val dataBefore = byContent(0)
+      val r = s.sql(
+        s"CALL $cat.system.convert_equality_deletes('ec.agg')").head
+      require(r.getInt(1) >= 3 && r.getLong(2) > 0L,
+        s"conversion must fold the eq files into live pairs, got $r")
+      require(byContent(2).isEmpty, "eq entries must be gone")
+      require(byContent(0) == dataBefore,
+        "conversion must carry the data files verbatim (path + seq)")
+      require(s.sql(s"SELECT count(*) FROM $cat.ec.agg.position_deletes")
+        .head.getLong(0) == r.getLong(2),
+        "$position_deletes must hold exactly the converted pairs")
+      s.sql(s"""SELECT mon, prio, total, n FROM $cat.ec.agg
+               |ORDER BY mon, prio""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -111,5 +188,18 @@ object Queries16 {
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src WHERE price < 300000
-        |GROUP BY mon ORDER BY mon""".stripMargin)
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q278_convert_eq_deletes" ->
+      """WITH roll AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         o_orderpriority AS prio,
+        |         CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        |  GROUP BY 1, 2)
+        |SELECT mon, prio, total, n FROM roll
+        |WHERE n % 7 <> 0
+        |ORDER BY mon, prio""".stripMargin)
 }

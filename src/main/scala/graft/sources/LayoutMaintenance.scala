@@ -2680,6 +2680,137 @@ object LayoutMaintenance {
     (newId, posFiles.size, if (n == 0) 0 else 1, n)
   }
 
+  /** `convert_equality_deletes` — eq→pos tombstone maintenance: resolve
+    * every live EQUALITY tombstone against the current data files into
+    * one consolidated POSITION-delete file, and drop the eq entries.
+    * The streaming-upsert dialect (write.delete.granularity=equality)
+    * accretes an eq-delete file per MERGE, and every MOR read replays
+    * each one as a key anti-join; until now the only way to clear them
+    * was `rewriteDataFiles` — a FULL data rewrite. This is the
+    * Iceberg-ecosystem compactor's small-side job instead: data files
+    * are never rewritten (carried verbatim — manifest reuse past the
+    * driver ceiling), only the tombstone representation changes.
+    *
+    * Equivalence: a key row of an eq file at sequence S kills rows in
+    * data files with data_seq < S (strict — MorRead.applyEqDeletes'
+    * join). The converter materializes exactly those (file, pos) pairs
+    * from the pos-applied, eq-UNAPPLIED lineage (a row an existing pos
+    * tombstone already kills needs no new pair) and stamps them at the
+    * new snapshot's sequence, which every current data file is <= of —
+    * so the suppressed row set is bit-identical before and after. Data
+    * files appended LATER get higher sequences, which neither the old
+    * eq tombstones (data_seq < S fails) nor the new pos pairs (path
+    * never matches a new file) touch. ORC data files read through
+    * [[OrcPosRead]] for real ordinals; AVRO/parquet carry them natively.
+    * Keys resolve from the manifests' spec `equality_ids` — the same
+    * metadata contract the reader uses. Returns (newSnapshotId,
+    * eqFilesBefore, posPairsWritten); a table with no live eq
+    * tombstones returns the current snapshot and commits nothing. */
+  def convertEqualityDeletes(spark: SparkSession, tableDir: String,
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Long, Int, Long) = commitLock(tableDir).synchronized {
+    import spark.implicits._
+    val base = metaBase(spark, tableDir) // replace-shaped: conflict = loud
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty, s"no snapshots under $tableDir")
+    val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    // the delete side is commit-count-sized and walks driver-side either
+    // way; past the ceiling the data side stays distributed and its
+    // manifests ride verbatim into the commit
+    val carriedOpt = carriedEntriesOpt(spark, tableDir, curId,
+      driverEntryCap(spark))
+    val delSide = carriedOpt.map(_.filter(_.content != 0))
+      .getOrElse(deleteCarriedEntries(spark, tableDir, curId))
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val eqFiles = delSide.filter(_.content == 2)
+    if (eqFiles.isEmpty) return (curId, 0, 0L)
+    require(eqFiles.forall(_.fileFormat == "PARQUET"),
+      s"convertEqualityDeletes($tableDir): non-parquet equality-delete " +
+        s"files: ${eqFiles.filterNot(_.fileFormat == "PARQUET").map(_.filePath)}")
+    val eqKeys = MorRead.metadataEqKeys(spark, tableDir)
+    require(eqKeys.nonEmpty,
+      s"convertEqualityDeletes($tableDir): live equality-delete files " +
+        "carry no (or disagreeing) equality_ids; converting without the " +
+        "keys would drop the tombstones unapplied. Rewrite the table " +
+        "instead (rewriteDataFiles with explicit eqKeys).")
+    val newId = carriedOpt match {
+      case Some(c) =>
+        (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
+      case None => reuseNewId(spark, tableDir, all, curId)
+    }
+    // every ORC data file needs real ordinals: an eq key may match rows
+    // anywhere, and a NULL-pos row cannot become a (file, pos) pair
+    val orcPaths: Set[String] = carriedOpt match {
+      case Some(c) => c.filter(e => e.content == 0 && e.fileFormat == "ORC")
+        .map(e => norm(e.filePath)).toSet
+      case None => IcebergManifestSource
+        .statsFromTableDir(spark, tableDir, "t", Nil)
+        .filter(col("content") === 0 && col("file_format") === "ORC")
+        .select("file_path").collect().map(r => norm(r.getString(0))).toSet
+    }
+    val hasData = carriedOpt match {
+      case Some(c) => c.exists(_.content == 0)
+      case None => IcebergManifestSource
+        .statsFromTableDir(spark, tableDir, "t", Nil)
+        .filter(col("content") === 0).limit(1).count() > 0
+    }
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    val pd = freshFile(dataDir, s"posdel-conv-$newId.parquet")
+    // a data-less table converts to ZERO pairs (every eq tombstone is
+    // dangling) and the commit below still drops the eq entries
+    val n = if (!hasData) 0L else {
+      val lineage = MorRead.readTableLineage(spark, tableDir, Nil, renames,
+        dataSchema, orcPosPaths = orcPaths, applyEq = false)
+      // eq tombstone rows with their owning file's sequence attached
+      val eqSeqDf = eqFiles.map(e => (norm(e.filePath),
+        e.sequenceNumber.longValue)).toDF("__fp", "ed_seq")
+      val eqRows = spark.read
+        .parquet(eqFiles.map(_.filePath).toIndexedSeq: _*)
+        .withColumn("__own", regexp_replace(
+          col("_metadata.file_path"), "^file:/+", "/"))
+        .join(broadcast(eqSeqDf), col("__own") === col("__fp"))
+        .select(eqKeys.map(k => col(k).as(s"ed_$k")) :+ col("ed_seq"): _*)
+      // the EXACT suppression predicate the reader applies: null-safe
+      // key equality + strict data_seq < ed_seq; the join is data⋈keys
+      // with no forced broadcast — the eq side's size is known to the
+      // planner
+      val cond = eqKeys.map(k => col(k) <=> col(s"ed_$k")).reduce(_ && _) &&
+        col("data_seq") < col("ed_seq")
+      val pairs = lineage.join(eqRows, cond, "inner")
+        .select(col("file_path"), col("pos")).distinct()
+        .sort(col("file_path"), col("pos"))
+      IcebergLayoutWriter.writeSingleParquet(pairs, pd)
+    }
+    val newEntry =
+      if (n == 0) { // every eq tombstone was dangling: none to convert
+        org.apache.commons.io.FileUtils.deleteQuietly(pd); Nil
+      } else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+        content = 1, filePath = pd.getAbsolutePath, recordCount = n,
+        sizeBytes = pd.length(), sequenceNumber = newId))
+    carriedOpt match {
+      case Some(carried) =>
+        val movedRefs = refs(spark, tableDir).map {
+          case (name, id, "branch") if id == curId => (name, newId, "branch")
+          case other => other
+        }
+        appendSnapshot(spark, tableDir,
+          carried.filterNot(_.content == 2) ++ newEntry, newId, newId,
+          movedRefs, base, operation = "replace")
+      case None =>
+        // data manifests ride verbatim; the delete side re-files with
+        // the eq entries gone and existing pos/DV entries carried
+        commitCarryReuse(spark, tableDir, newEntry,
+          refiledCarry = delSide.filter(_.content == 1),
+          dropManifests = deleteManifestPaths(spark, tableDir, curId),
+          all, curId, base, newId, operation = "replace",
+          totalDeltaDataFiles = 0L, totalDeltaRecords = 0L,
+          totalDeltaDeleteFiles = newEntry.size.toLong +
+            delSide.count(_.content == 1) - delSide.size)
+    }
+    (newId, eqFiles.size, n)
+  }
+
   /** Cherry-pick an append snapshot onto the CURRENT head — Iceberg's
     * `cherrypick_snapshot`, the publish path for a WAP stage whose base
     * has since advanced ([[fastForward]] only publishes when the head

@@ -127,11 +127,18 @@ object MorRead {
     *   real positions for the tombstones to apply. Every other ORC file
     *   keeps Spark's native scan with pos = NULL (a null pos never
     *   equi-matches a tombstone, so the fast path stays sound). */
+  /** @param applyEq false skips EQUALITY-tombstone application (position
+    *   tombstones still apply) — the input the eq→pos CONVERTER needs:
+    *   the rows an eq tombstone currently suppresses, with their
+    *   lineage, so it can re-express exactly that suppression as
+    *   (file, pos) pairs ([[LayoutMaintenance.convertEqualityDeletes]]).
+    *   Readers never pass this. */
   def readTableLineage(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String] = Nil,
       renames: Map[String, Seq[String]] = Map.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      orcPosPaths: Set[String] = Set.empty)
+      orcPosPaths: Set[String] = Set.empty,
+      applyEq: Boolean = true)
       : DataFrame = {
     import spark.implicits._
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
@@ -178,7 +185,7 @@ object MorRead {
     // without ids keep the out-of-band contract: empty keys skip eq
     // application, as before
     val resolvedEqKeys: Seq[String] =
-      if (eqKeys.nonEmpty || eqFiles.isEmpty) eqKeys
+      if (!applyEq || eqKeys.nonEmpty || eqFiles.isEmpty) eqKeys
       else metadataEqKeys(spark, tableDir)
 
     def withSeq(paths: Array[(String, Int, Long, String)], seqName: String,
@@ -281,7 +288,7 @@ object MorRead {
       case None => data
       case Some(t) => applyPosDeletes(data, t)
     }
-    if (eqFiles.isEmpty || resolvedEqKeys.isEmpty) afterPos
+    if (!applyEq || eqFiles.isEmpty || resolvedEqKeys.isEmpty) afterPos
     else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), resolvedEqKeys)
   }
 

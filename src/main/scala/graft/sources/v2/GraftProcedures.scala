@@ -369,6 +369,24 @@ object GraftProcedures {
       }
     },
 
+    new Proc("convert_equality_deletes",
+      Array(p("table", StringType)),
+      StructType(Seq(
+        StructField("new_snapshot_id", LongType, nullable = false),
+        StructField("eq_files_before", IntegerType, nullable = false),
+        StructField("pos_pairs_written", LongType, nullable = false))),
+      "Resolve live equality tombstones against the current data files " +
+        "into one consolidated position-delete file and drop the eq " +
+        "entries — the streaming-upsert dialect's steady-state cleanup, " +
+        "with NO data rewrite; keys resolve from manifest equality_ids") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val (snap, before, pairs) =
+          LayoutMaintenance.convertEqualityDeletes(spark, dir)
+        Seq(Seq[Any](Long.box(snap), Int.box(before), Long.box(pairs)))
+      }
+    },
+
     new Proc("rewrite_manifests",
       Array(p("table", StringType)),
       StructType(Seq(
