@@ -172,6 +172,75 @@ object Queries16 {
         "$position_deletes must hold exactly the converted pairs")
       s.sql(s"""SELECT mon, prio, total, n FROM $cat.ec.agg
                |ORDER BY mon, prio""".stripMargin)
+    },
+
+    // ---- NESTED STRUCT COLUMNS IN ORC (q271's evolution shape under
+    // write.format.default=orc): struct columns were parquet-only until
+    // this round — the ORC/AVRO writers refused them. Now a STRUCT
+    // table accretes ORC files via SQL, a leaf RENAME is metadata-only
+    // (the pre-rename ORC file resolves through the recorded alias — a
+    // nested generation fold with no parquet ids to lean on), a
+    // post-rename generation lands under the new leaf name, and a MOR
+    // DELETE tombstones rows across both ORC generations. Pinned
+    // in-query: every data file is ORC, and the delete moved no data
+    // (files carried verbatim). The rollup reads the renamed leaf
+    // across both generations — DuckDB recomputes from month/price
+    // arithmetic alone, so a leaf resolving to the wrong generation or
+    // a null-filled pre-rename file breaks the hash.
+    "q279_nested_struct_orc" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q279wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ns.prof")
+      t(dir, "orders").createOrReplaceTempView("q279_src")
+      s.sql(s"""CREATE TABLE $cat.ns.prof (
+               |  okey BIGINT, dims STRUCT<price: BIGINT, mon: BIGINT>)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'orc',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.ns.prof
+               |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+               |  named_struct(
+               |    'price', CAST(FLOOR(o_totalprice) AS BIGINT),
+               |    'mon', CAST(month(o_orderdate) AS BIGINT)) AS dims
+               |FROM q279_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val tdir = s"${wh.getAbsolutePath}/ns/prof"
+      def live(content: Int): Seq[(String, String)] =
+        graft.sources.IcebergManifestSource
+          .statsFromTableDir(s, tdir, "t", Nil)
+          .filter(col("content") === content)
+          .select("file_path", "file_format").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      val dataBefore = live(0)
+      require(dataBefore.size == 1 && dataBefore.forall(_._2 == "ORC"),
+        s"the struct generation must be ORC: $dataBefore")
+      // MOR delete over the nested ORC file — by a STRUCT LEAF predicate
+      s.sql(s"DELETE FROM $cat.ns.prof WHERE dims.price >= 300000")
+      require(live(0) == dataBefore,
+        "the MOR delete must carry the nested ORC file verbatim")
+      require(live(1).nonEmpty, "the DELETE must land position tombstones")
+      // leaf RENAME is metadata-only; the second generation lands ORC
+      // under the new leaf name, and the final read folds BOTH
+      // generations (alias-resolved) with the tombstones still applied
+      s.sql(s"ALTER TABLE $cat.ns.prof RENAME COLUMN dims.price TO amount")
+      s.sql(s"""INSERT INTO $cat.ns.prof
+               |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+               |  named_struct(
+               |    'amount', CAST(FLOOR(o_totalprice) AS BIGINT),
+               |    'mon', CAST(month(o_orderdate) AS BIGINT)) AS dims
+               |FROM q279_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      require(live(0).size == 2 && live(0).forall(_._2 == "ORC"),
+        s"both struct generations must be ORC: ${live(0)}")
+      require(dataBefore.toSet.subsetOf(live(0).toSet),
+        "the pre-rename ORC file must be carried verbatim")
+      s.sql(s"""SELECT dims.mon AS mon, count(*) AS n_orders,
+               |  sum(dims.amount) AS sum_amount, min(okey) AS min_okey
+               |FROM $cat.ns.prof
+               |GROUP BY dims.mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -201,5 +270,19 @@ object Queries16 {
         |  GROUP BY 1, 2)
         |SELECT mon, prio, total, n FROM roll
         |WHERE n % 7 <> 0
-        |ORDER BY mon, prio""".stripMargin)
+        |ORDER BY mon, prio""".stripMargin,
+
+    "q279_nested_struct_orc" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |         CAST(FLOOR(o_totalprice) AS BIGINT) AS amount,
+        |         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |         year(CAST(o_orderdate AS DATE)) AS yr
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(amount) AS BIGINT) AS sum_amount,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src WHERE yr = 1996 OR amount < 300000
+        |GROUP BY mon ORDER BY mon""".stripMargin)
 }

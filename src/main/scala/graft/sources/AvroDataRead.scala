@@ -17,13 +17,13 @@ import org.apache.spark.sql.types._
   * every avro row carries a REAL position (position tombstones apply
   * with no special routing, unlike ORC's two-arm split in [[MorRead]]).
   *
-  * Parallelism note: tasks are file-granular where the parquet/ORC
-  * scans split inside files. Avro data files in this layout are
-  * append-commit sized (one file per [[IcebergLayoutWriter
-  * .writeSingleAvro]] call); a block-granular split via the container's
-  * sync markers is the upgrade path if single huge avro files ever
-  * appear — `DataFileReader.sync(pos)` seeks exactly like the Hadoop
-  * input format would.
+  * Parallelism: BLOCK-GRANULAR, like ORC stripes — the driver reads
+  * each container's block directory from the block HEADERS alone
+  * ([[blockLayout]]: two varints per block, payloads skipped),
+  * prefix-sums row counts into absolute ordinals, and fans consecutive
+  * blocks out as sync-seek tasks, so a single huge avro file
+  * parallelizes instead of serializing on one task. Past a handful of
+  * files the directory reads themselves go out as one small Spark job.
   */
 object AvroDataRead {
 
@@ -49,11 +49,26 @@ object AvroDataRead {
       case BOOLEAN => BooleanType
       case STRING => StringType
       case BYTES => BinaryType
+      case RECORD =>
+        // one-level record-in-record: the nested shape the connector's
+        // AVRO writer emits; deeper nesting never occurs in this layout
+        import scala.jdk.CollectionConverters._
+        StructType(s.getFields.asScala.toSeq.map { f =>
+          require(unwrap(f.schema()).getType != RECORD,
+            s"AvroDataRead: record nesting is one level (${f.name})")
+          StructField(f.name, sparkType(f.schema()), nullable = true)
+        })
       case other => sys.error(
         s"AvroDataRead: unsupported avro type $other — data files in " +
-          "this layout carry flat scalar schemas")
+          "this layout carry scalar and one-level-record schemas")
     }
   }
+
+  /** A `["null", T]` union's T; any other schema unchanged. */
+  private def unwrap(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else (0 until s.getTypes.size).map(s.getTypes.get)
+      .filterNot(_.getType == Schema.Type.NULL).head
 
   private def logical(s: Schema): String =
     Option(s.getLogicalType).map(_.getName).getOrElse("")
@@ -79,6 +94,11 @@ object AvroDataRead {
       case BYTES =>
         val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
         val out = new Array[Byte](bb.remaining()); bb.get(out); out
+      case RECORD =>
+        import scala.jdk.CollectionConverters._
+        val rec = v.asInstanceOf[GenericRecord]
+        val fs = s.getFields.asScala.toSeq
+        Row.fromSeq(fs.indices.map(c => convert(rec.get(c), fs(c).schema())))
       case _ => v
     }
   }
@@ -168,10 +188,16 @@ object AvroDataRead {
         new GenericDatumReader[GenericRecord]())
       try (p, r.getSchema.toString) finally r.close()
     }
+    // schema GENERATIONS (pre/post rename or ADD COLUMN files): one
+    // read per generation, merged by name with missing columns
+    // null-filled — the caller's alias fold collapses renamed
+    // generations downstream
+    val byGen = schemas.groupBy(_._2).toSeq.sortBy(_._1)
+    if (byGen.size > 1)
+      return byGen.map { case (_, files) =>
+        readWithPos(spark, files.map(_._1), targetBlocksPerTask)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     val schemaStr = schemas.head._2
-    val disagree = schemas.filter(_._2 != schemaStr).map(_._1)
-    require(disagree.isEmpty,
-      s"AvroDataRead: files disagree on schema: ${disagree.take(3).mkString(", ")}")
     val avro = new Schema.Parser().parse(schemaStr)
     require(avro.getType == Schema.Type.RECORD,
       s"AvroDataRead: data files must hold records, got ${avro.getType}")

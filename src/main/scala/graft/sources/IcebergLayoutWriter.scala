@@ -197,11 +197,18 @@ object IcebergLayoutWriter {
       case other => sys.error(
         s"writeSingleAvro: unsupported column type $other")
     }
-    val fields = sparkSchema.fields.map { f =>
-      new Schema.Field(f.name, Schema.createUnion(
-        Schema.create(Schema.Type.NULL), avroType(f.dataType)),
-        null, Schema.Field.NULL_DEFAULT_VALUE)
-    }
+    def fieldOf(name: String, dt: DataType): Schema.Field =
+      new Schema.Field(name, Schema.createUnion(
+        Schema.create(Schema.Type.NULL), dt match {
+          // one-level record-in-record (maintenance rewrites of struct
+          // tables under write.format.default=avro)
+          case st: StructType =>
+            Schema.createRecord(s"${name}_r", null, "graft.data", false,
+              java.util.Arrays.asList(st.fields.map(nf =>
+                fieldOf(nf.name, nf.dataType)): _*))
+          case other => avroType(other)
+        }), null, Schema.Field.NULL_DEFAULT_VALUE)
+    val fields = sparkSchema.fields.map(f => fieldOf(f.name, f.dataType))
     val schema = Schema.createRecord("row", null, "graft.data", false,
       java.util.Arrays.asList(fields: _*))
     org.apache.commons.io.FileUtils.deleteQuietly(dest)
@@ -211,25 +218,43 @@ object IcebergLayoutWriter {
     var n = 0L
     try {
       val sparkFields = sparkSchema.fields
+      def branchOf(f: Schema.Field): Schema = {
+        val ts = f.schema().getTypes
+        (0 until ts.size).map(ts.get)
+          .filterNot(_.getType == Schema.Type.NULL).head
+      }
+      def valueOf(dt: DataType, row: org.apache.spark.sql.Row, i: Int,
+          nested: => Schema): AnyRef =
+        if (row.isNullAt(i)) null
+        else dt match {
+          case StringType => row.getString(i)
+          case BinaryType =>
+            ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+          case DateType =>
+            Int.box(row.getDate(i).toLocalDate.toEpochDay.toInt)
+          case TimestampType =>
+            val ts = row.getTimestamp(i)
+            Long.box(Math.multiplyExact(ts.getTime / 1000L, 1000000L) +
+              ts.getNanos / 1000L)
+          case st: StructType =>
+            val ns = nested
+            val sr = row.getStruct(i)
+            val out = new GenericData.Record(ns)
+            var k = 0
+            while (k < st.length) {
+              out.put(k, valueOf(st.fields(k).dataType, sr, k,
+                branchOf(ns.getFields.get(k))))
+              k += 1
+            }
+            out
+          case _ => row.get(i).asInstanceOf[AnyRef]
+        }
       rows.forEachRemaining { row =>
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < sparkFields.length) {
-          val v =
-            if (row.isNullAt(i)) null
-            else sparkFields(i).dataType match {
-              case StringType => row.getString(i)
-              case BinaryType =>
-                ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-              case DateType =>
-                Int.box(row.getDate(i).toLocalDate.toEpochDay.toInt)
-              case TimestampType =>
-                val ts = row.getTimestamp(i)
-                Long.box(Math.multiplyExact(ts.getTime / 1000L, 1000000L) +
-                  ts.getNanos / 1000L)
-              case _ => row.get(i).asInstanceOf[AnyRef]
-            }
-          rec.put(i, v)
+          rec.put(i, valueOf(sparkFields(i).dataType, row, i,
+            branchOf(schema.getFields.get(i))))
           i += 1
         }
         w.append(rec)

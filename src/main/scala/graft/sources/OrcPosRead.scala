@@ -37,11 +37,10 @@ import org.apache.spark.sql.types._
   */
 object OrcPosRead {
 
-  /** Spark type for an ORC scalar category. Nested categories are
-    * refused: ORC data files in this layout are written from flat
-    * relations ([[IcebergLayoutWriter.writeSingleOrc]]); a nested ORC
-    * file reaching the POSITION path would need field-id projection
-    * this dialect only implements for parquet. */
+  /** Spark type for an ORC column category: scalars plus STRUCTs of
+    * scalars (the nested shape the connector's ORC writer emits —
+    * typed metadata riding next to payloads). Deeper nesting is
+    * refused: this dialect's writers never produce it. */
   private[sources] def sparkType(td: TypeDescription): DataType = {
     import TypeDescription.Category._
     td.getCategory match {
@@ -57,9 +56,17 @@ object OrcPosRead {
       case DATE => DateType
       case TIMESTAMP | TIMESTAMP_INSTANT => TimestampType
       case DECIMAL => DecimalType(td.getPrecision, td.getScale)
+      case STRUCT =>
+        import scala.jdk.CollectionConverters._
+        StructType(td.getFieldNames.asScala.toSeq
+          .zip(td.getChildren.asScala.toSeq).map { case (n, t) =>
+            require(t.getCategory != STRUCT,
+              s"OrcPosRead: struct nesting is one level ($n is a struct)")
+            StructField(n, sparkType(t), nullable = true)
+          })
       case other => sys.error(
         s"OrcPosRead: unsupported ORC column category $other — " +
-          "position-delete reads support flat scalar ORC schemas")
+          "this layout writes scalar and one-level-struct ORC schemas")
     }
   }
 
@@ -91,6 +98,12 @@ object OrcPosRead {
           val ts = new java.sql.Timestamp(v.time(i)); ts.setNanos(v.nanos(i)); ts
         case (DECIMAL, v: DecimalColumnVector) =>
           v.vector(i).getHiveDecimal.bigDecimalValue()
+        case (STRUCT, v: StructColumnVector) =>
+          // one-level struct: leaves convert recursively into an
+          // external Row (field vectors are full-size, same row index)
+          import scala.jdk.CollectionConverters._
+          val kids = td.getChildren.asScala.toSeq
+          Row.fromSeq(kids.indices.map(c => valueAt(v.fields(c), i, kids(c))))
         case (cat, v) => sys.error(
           s"OrcPosRead: vector ${v.getClass.getSimpleName} for category $cat")
       }
@@ -130,10 +143,16 @@ object OrcPosRead {
           .map(p => tailOf(p)).collect().map(t => t._1 -> t).toMap
         paths.map(byPath) // preserve caller order
       }
+    // schema GENERATIONS (files written before/after a rename or ADD
+    // COLUMN differ): one read per generation, merged by name with
+    // missing columns null-filled — the caller's alias fold collapses
+    // renamed generations into the current column downstream
+    val byGen = perFile.groupBy(_._3).toSeq.sortBy(_._1)
+    if (byGen.size > 1)
+      return byGen.map { case (_, files) =>
+        readWithPos(spark, files.map(_._1))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     val schemaStr = perFile.head._3
-    val disagree = perFile.filter(_._3 != schemaStr).map(_._1)
-    require(disagree.isEmpty,
-      s"OrcPosRead: files disagree on schema: ${disagree.take(3).mkString(", ")}")
     val td = TypeDescription.fromString(schemaStr)
     import scala.jdk.CollectionConverters._
     val fieldTds = td.getChildren.asScala.toSeq

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns, schema-evolution null-fill with declared defaults, rename
   * aliases, widening promotions, pushed TABLESAMPLE — hold for data
   * files a `write.format.default=orc|avro` table accreted through pure
-  * SQL. Flat scalar schemas by dialect (the writers refuse structs).
+  * SQL. Scalar schemas plus ONE level of struct nesting by dialect
+  * (struct leaves resolve by name, then by recorded rename alias).
   *
   * Row sources stream: ORC by vectorized batches (the position is the
   * reader's own `getRowNumber` accounting, same as [[graft.sources
@@ -28,8 +29,13 @@ private[v2] trait GraftNamedRows {
   /** The FILE's column names, fixed for the stream's lifetime. */
   def names: Seq[String]
   /** JVM-typed values per row (Long/Int/Double/Float/Boolean/String or
-    * null), index-aligned with [[names]]. */
+    * null; a one-level STRUCT column yields an `Array[Any]` of its leaf
+    * values in file leaf order), index-aligned with [[names]]. */
   def iterator: Iterator[Array[Any]]
+  /** File leaf names per STRUCT column index — how the consuming reader
+    * resolves TABLE leaves against this file's leaf order. Empty for
+    * scalar columns. */
+  def structLeaves: Map[Int, Seq[String]] = Map.empty
   def close(): Unit
 }
 
@@ -72,12 +78,25 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
         case (STRING | VARCHAR | CHAR, v: BytesColumnVector) =>
           new String(v.vector(i), v.start(i), v.length(i),
             java.nio.charset.StandardCharsets.UTF_8)
+        case (STRUCT, v: StructColumnVector) =>
+          // one-level struct: leaves convert recursively into an
+          // Array[Any] in FILE leaf order ([[structLeaves]] names them)
+          import scala.jdk.CollectionConverters._
+          val kids = c.getChildren.asScala.toSeq
+          Array.tabulate[Any](kids.size)(k =>
+            valueAt(v.fields(k), i, kids(k)))
         case (cat, v) => sys.error(
           s"graft-iceberg ORC read: vector ${v.getClass.getSimpleName} " +
-            s"for category $cat — flat scalar schemas only")
+            s"for category $cat — scalar and one-level-struct schemas only")
       }
     }
   }
+
+  override val structLeaves: Map[Int, Seq[String]] =
+    cols.zipWithIndex.collect {
+      case (c, i) if c.getCategory == TypeDescription.Category.STRUCT =>
+        i -> c.getFieldNames.asScala.toSeq
+    }.toMap
 
   override val iterator: Iterator[Array[Any]] = new Iterator[Array[Any]] {
     private var i = 0
@@ -123,9 +142,26 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
           .filterNot(_.getType == NULL).head
         convert(v, nn)
       case STRING => v.toString // Utf8 -> String
+      case RECORD =>
+        // one-level record: leaf values in FILE leaf order
+        val rec = v.asInstanceOf[GenericRecord]
+        val fs = s.getFields
+        Array.tabulate[Any](fs.size)(k =>
+          convert(rec.get(k), fs.get(k).schema()))
       case _ => v
     }
   }
+
+  private def unwrap(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else (0 until s.getTypes.size).map(s.getTypes.get)
+      .filterNot(_.getType == Schema.Type.NULL).head
+
+  override val structLeaves: Map[Int, Seq[String]] =
+    fields.zipWithIndex.collect {
+      case (f, i) if unwrap(f.schema()).getType == Schema.Type.RECORD =>
+        i -> unwrap(f.schema()).getFields.asScala.toSeq.map(_.name)
+    }.toMap
 
   override val iterator: Iterator[Array[Any]] = new Iterator[Array[Any]] {
     override def hasNext: Boolean = reader.hasNext
@@ -190,6 +226,29 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
         .orElse(part.keyAliases.getOrElse(k, Nil)
           .collectFirst { case a if nameIdx.contains(a) => nameIdx(a) })
         .map(k -> _)).toMap
+
+  // table struct leaf → file leaf index, resolved by name then by
+  // recorded former name (rename alias); -1 = leaf added after this
+  // file was written: null-fill
+  private lazy val leafIdx: Array[Array[Int]] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case st: StructType if colIdx(i) >= 0 =>
+          val fileLeaves = rows.structLeaves.getOrElse(colIdx(i), Nil)
+            .zipWithIndex.toMap
+          st.fields.map { nf =>
+            fileLeaves.get(nf.name).orElse {
+              val aliases =
+                if (!nf.metadata.contains(GraftCatalog.AliasesKey)) Nil
+                else nf.metadata.getString(GraftCatalog.AliasesKey)
+                  .split(',').toSeq.filter(_.nonEmpty)
+              aliases.collectFirst {
+                case a if fileLeaves.contains(a) => fileLeaves(a) }
+            }.getOrElse(-1)
+          }
+        case _ => Array.empty[Int]
+      }
+    }
 
   private lazy val deadPositions: Set[Long] =
     GraftPartitionReader.positionsFor(path, part.posDeletes)
@@ -263,6 +322,34 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
           case BooleanType => row.setBoolean(i, v.asInstanceOf[Boolean])
           case StringType =>
             row.update(i, UTF8String.fromString(v.asInstanceOf[String]))
+          case st: StructType =>
+            // one-level struct: file leaf values re-ordered into the
+            // TABLE's leaf layout (name/alias-resolved, absent = null)
+            val leaves = v.asInstanceOf[Array[Any]]
+            val li = leafIdx(i)
+            val out = new GenericInternalRow(st.length)
+            var k = 0
+            while (k < st.length) {
+              val lv = if (li(k) < 0) null else leaves(li(k))
+              if (lv == null) out.update(k, null)
+              else st.fields(k).dataType match {
+                case StringType =>
+                  out.update(k, UTF8String.fromString(lv.asInstanceOf[String]))
+                case LongType => lv match {
+                  case x: Long => out.setLong(k, x)
+                  case x: Int => out.setLong(k, x.toLong)
+                  case other => sys.error(s"graft-iceberg: $other as LONG")
+                }
+                case DoubleType => lv match {
+                  case x: Double => out.setDouble(k, x)
+                  case x: Float => out.setDouble(k, x.toDouble)
+                  case other => sys.error(s"graft-iceberg: $other as DOUBLE")
+                }
+                case _ => out.update(k, lv)
+              }
+              k += 1
+            }
+            row.update(i, out)
           case other => sys.error(
             s"graft-iceberg: unsupported type $other for file_format " +
               part.fileFormat)

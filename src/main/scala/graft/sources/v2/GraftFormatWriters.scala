@@ -19,11 +19,12 @@ import org.apache.spark.sql.types._
   * Iceberg's own knob — so a pure-SQL user can accrete ORC/AVRO tables
   * the engine's readers (q227/q259/q260 paths) already understand.
   *
-  * Dialect bounds: ORC and AVRO task files carry FLAT scalar schemas
-  * (long/int/double/float/boolean/string). Structs (the multimodal
-  * shape) stay on parquet, where nested projection pruning exists —
-  * a struct write under a non-parquet default fails loudly at writer
-  * construction, never mid-file.
+  * Dialect bounds: ORC and AVRO task files carry scalar schemas
+  * (long/int/double/float/boolean/string) plus ONE level of struct
+  * nesting (the multimodal typed-metadata shape) — same as the parquet
+  * arm. Arrays (vector columns) stay on parquet, where the 3-level
+  * LIST encoding exists; an array write under a non-parquet default
+  * fails loudly at writer construction, never mid-file.
   */
 private[v2] trait GraftPhysicalWriter {
   def write(record: InternalRow): Unit
@@ -69,11 +70,24 @@ private[graft] object GraftFormatWriters {
     case _ => new ParquetTaskWriter(file, schema, fieldIds)
   }
 
-  private[v2] def requireFlat(schema: StructType, format: String): Unit =
-    schema.fields.foreach(f => require(!f.dataType.isInstanceOf[StructType],
-      s"graft-iceberg: struct column ${f.name} cannot be written as " +
-        s"$format — nested columns need parquet (set " +
-        "write.format.default=parquet or drop the struct)"))
+  /** ORC/AVRO dialect bound: scalars plus ONE level of struct nesting
+    * (same as the parquet arm). Arrays and deeper nesting refuse at
+    * writer construction, never mid-file. */
+  private[v2] def requireWritable(schema: StructType, format: String): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case st: StructType => st.fields.foreach(nf => require(
+          !nf.dataType.isInstanceOf[StructType] &&
+            !nf.dataType.isInstanceOf[ArrayType],
+          s"graft-iceberg: struct nesting is one level of scalars — " +
+            s"${f.name}.${nf.name} cannot be written as $format"))
+        case _: ArrayType => sys.error(
+          s"graft-iceberg: array column ${f.name} cannot be written as " +
+            s"$format — vector columns need parquet (set " +
+            "write.format.default=parquet)")
+        case _ => ()
+      }
+    }
 }
 
 /** The parquet arm — the connector's original writer, verbatim: flat
@@ -217,26 +231,36 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
   override def dataSize: Long = writer.getDataSize
 }
 
-/** ORC arm: orc-core `Writer` fed vectorized batches — flat scalar
-  * schemas only. Rows read back with REAL ordinals via [[graft.sources
-  * .OrcPosRead]] (stripe-granular, `RecordReader.getRowNumber`), so MOR
-  * position deletes apply to SQL-written ORC exactly like parquet. */
+/** ORC arm: orc-core `Writer` fed vectorized batches — scalar schemas
+  * plus ONE level of struct nesting (TypeDescription structs, the
+  * multimodal typed-metadata shape). Rows read back with REAL ordinals
+  * via [[graft.sources.OrcPosRead]] (stripe-granular,
+  * `RecordReader.getRowNumber`), so MOR position deletes apply to
+  * SQL-written ORC exactly like parquet. */
 private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     extends GraftPhysicalWriter {
-  GraftFormatWriters.requireFlat(schema, "ORC")
+  GraftFormatWriters.requireWritable(schema, "ORC")
+
+  private def scalarTd(dt: DataType): TypeDescription = dt match {
+    case LongType => TypeDescription.createLong()
+    case IntegerType => TypeDescription.createInt()
+    case DoubleType => TypeDescription.createDouble()
+    case FloatType => TypeDescription.createFloat()
+    case BooleanType => TypeDescription.createBoolean()
+    case StringType => TypeDescription.createString()
+    case other =>
+      sys.error(s"graft-iceberg write: unsupported ORC type $other")
+  }
 
   private val td = {
     val t = TypeDescription.createStruct()
     schema.fields.foreach { f =>
       val c = f.dataType match {
-        case LongType => TypeDescription.createLong()
-        case IntegerType => TypeDescription.createInt()
-        case DoubleType => TypeDescription.createDouble()
-        case FloatType => TypeDescription.createFloat()
-        case BooleanType => TypeDescription.createBoolean()
-        case StringType => TypeDescription.createString()
-        case other =>
-          sys.error(s"graft-iceberg write: unsupported ORC type $other")
+        case st: StructType =>
+          val n = TypeDescription.createStruct()
+          st.fields.foreach(nf => n.addField(nf.name, scalarTd(nf.dataType)))
+          n
+        case dt => scalarTd(dt)
       }
       t.addField(f.name, c)
     }
@@ -248,6 +272,34 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
   private val batch: VectorizedRowBatch = td.createRowBatch()
   private var approxBytes = 0L
 
+  private def setScalar(vec: ColumnVector, r: Int, dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case LongType =>
+      vec.asInstanceOf[LongColumnVector].vector(r) = row.getLong(i)
+      approxBytes += 8
+    case IntegerType =>
+      vec.asInstanceOf[LongColumnVector].vector(r) = row.getInt(i).toLong
+      approxBytes += 4
+    case DoubleType =>
+      vec.asInstanceOf[DoubleColumnVector].vector(r) = row.getDouble(i)
+      approxBytes += 8
+    case FloatType =>
+      vec.asInstanceOf[DoubleColumnVector].vector(r) =
+        row.getFloat(i).toDouble
+      approxBytes += 4
+    case BooleanType =>
+      vec.asInstanceOf[LongColumnVector].vector(r) =
+        if (row.getBoolean(i)) 1L else 0L
+      approxBytes += 1
+    case StringType =>
+      val b = row.getUTF8String(i).getBytes
+      vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
+      approxBytes += b.length + 4
+    case other =>
+      sys.error(s"graft-iceberg write: unsupported ORC type $other")
+  }
+
   override def write(record: InternalRow): Unit = {
     val r = batch.size
     var i = 0
@@ -257,29 +309,18 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
         vec.noNulls = false
         vec.isNull(r) = true
       } else schema.fields(i).dataType match {
-        case LongType =>
-          vec.asInstanceOf[LongColumnVector].vector(r) = record.getLong(i)
-          approxBytes += 8
-        case IntegerType =>
-          vec.asInstanceOf[LongColumnVector].vector(r) = record.getInt(i).toLong
-          approxBytes += 4
-        case DoubleType =>
-          vec.asInstanceOf[DoubleColumnVector].vector(r) = record.getDouble(i)
-          approxBytes += 8
-        case FloatType =>
-          vec.asInstanceOf[DoubleColumnVector].vector(r) =
-            record.getFloat(i).toDouble
-          approxBytes += 4
-        case BooleanType =>
-          vec.asInstanceOf[LongColumnVector].vector(r) =
-            if (record.getBoolean(i)) 1L else 0L
-          approxBytes += 1
-        case StringType =>
-          val b = record.getUTF8String(i).getBytes
-          vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
-          approxBytes += b.length + 4
-        case other =>
-          sys.error(s"graft-iceberg write: unsupported ORC type $other")
+        case st: StructType =>
+          val sv = vec.asInstanceOf[StructColumnVector]
+          val sr = record.getStruct(i, st.length)
+          var k = 0
+          while (k < st.length) {
+            if (sr.isNullAt(k)) {
+              sv.fields(k).noNulls = false
+              sv.fields(k).isNull(r) = true
+            } else setScalar(sv.fields(k), r, st.fields(k).dataType, sr, k)
+            k += 1
+          }
+        case dt => setScalar(vec, r, dt, record, i)
       }
       i += 1
     }
@@ -298,14 +339,15 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
   override def dataSize: Long = approxBytes
 }
 
-/** AVRO arm: avro-core `DataFileWriter` of GenericRecords — flat scalar
-  * schemas, `["null", T]` unions, the column's stable field id carried
-  * as the Iceberg avro `field-id` property. Rows read back with real
-  * ordinals via [[graft.sources.AvroDataRead]] (sequential container —
-  * iteration index IS the position). */
+/** AVRO arm: avro-core `DataFileWriter` of GenericRecords — scalar
+  * schemas plus ONE level of record-in-record nesting, `["null", T]`
+  * unions, the column's stable field id carried as the Iceberg avro
+  * `field-id` property (nested leaves via their dotted-key ids). Rows
+  * read back with real ordinals via [[graft.sources.AvroDataRead]]
+  * (sequential container — iteration index IS the position). */
 private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     fieldIds: Map[String, Int]) extends GraftPhysicalWriter {
-  GraftFormatWriters.requireFlat(schema, "AVRO")
+  GraftFormatWriters.requireWritable(schema, "AVRO")
 
   import org.apache.avro.{Schema => ASchema}
   import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -321,14 +363,27 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       case other =>
         sys.error(s"graft-iceberg write: unsupported AVRO type $other")
     }
-    val fields = schema.fields.map { f =>
-      val fld = new ASchema.Field(f.name,
-        ASchema.createUnion(ASchema.create(ASchema.Type.NULL), prim(f.dataType)),
+    def fieldOf(name: String, dt: ASchema, id: Option[Int]): ASchema.Field = {
+      val fld = new ASchema.Field(name,
+        ASchema.createUnion(ASchema.create(ASchema.Type.NULL), dt),
         null, ASchema.Field.NULL_DEFAULT_VALUE)
       // Iceberg's avro field-id convention ("Avro" appendix): the stable
       // column id rides the field as a `field-id` property
-      fieldIds.get(f.name).foreach(id => fld.addProp("field-id", id))
+      id.foreach(fld.addProp("field-id", _))
       fld
+    }
+    val fields = schema.fields.map { f =>
+      f.dataType match {
+        case st: StructType =>
+          // record-in-record: leaf ids ride dotted keys, same bootstrap
+          // as the parquet arm's nested groups
+          val kids = st.fields.map(nf => fieldOf(nf.name, prim(nf.dataType),
+            fieldIds.get(s"${f.name}.${nf.name}")))
+          val rec = ASchema.createRecord(s"${f.name}_r", null,
+            "graft.data", false, java.util.Arrays.asList(kids: _*))
+          fieldOf(f.name, rec, fieldIds.get(f.name))
+        case dt => fieldOf(f.name, prim(dt), fieldIds.get(f.name))
+      }
     }
     ASchema.createRecord("row", null, "graft.data", false,
       java.util.Arrays.asList(fields: _*))
@@ -343,24 +398,46 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
   }
   private var approxBytes = 0L
 
+  private def box(dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): AnyRef = dt match {
+    case LongType => approxBytes += 8; Long.box(row.getLong(i))
+    case IntegerType => approxBytes += 4; Int.box(row.getInt(i))
+    case DoubleType => approxBytes += 8; Double.box(row.getDouble(i))
+    case FloatType => approxBytes += 4; Float.box(row.getFloat(i))
+    case BooleanType => approxBytes += 1; Boolean.box(row.getBoolean(i))
+    case StringType =>
+      val s = row.getUTF8String(i).toString
+      approxBytes += s.length + 4; s
+    case other =>
+      sys.error(s"graft-iceberg write: unsupported AVRO type $other")
+  }
+
+  /** A field's non-null branch (fields are `["null", T]` unions). */
+  private def branchOf(f: ASchema.Field): ASchema = {
+    val ts = f.schema().getTypes
+    (0 until ts.size).map(ts.get)
+      .filterNot(_.getType == ASchema.Type.NULL).head
+  }
+
   override def write(record: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < schema.length) {
       if (!record.isNullAt(i)) {
-        val f = schema.fields(i)
-        val v: AnyRef = f.dataType match {
-          case LongType => approxBytes += 8; Long.box(record.getLong(i))
-          case IntegerType => approxBytes += 4; Int.box(record.getInt(i))
-          case DoubleType => approxBytes += 8; Double.box(record.getDouble(i))
-          case FloatType => approxBytes += 4; Float.box(record.getFloat(i))
-          case BooleanType =>
-            approxBytes += 1; Boolean.box(record.getBoolean(i))
-          case StringType =>
-            val s = record.getUTF8String(i).toString
-            approxBytes += s.length + 4; s
-          case other =>
-            sys.error(s"graft-iceberg write: unsupported AVRO type $other")
+        val v: AnyRef = schema.fields(i).dataType match {
+          case st: StructType =>
+            val nestedSchema = branchOf(avroSchema.getFields.get(i))
+            val sr = record.getStruct(i, st.length)
+            val nested = new GenericData.Record(nestedSchema)
+            var k = 0
+            while (k < st.length) {
+              if (!sr.isNullAt(k))
+                nested.put(k, box(st.fields(k).dataType, sr, k))
+              k += 1
+            }
+            nested
+          case dt => box(dt, record, i)
         }
         rec.put(i, v)
       }

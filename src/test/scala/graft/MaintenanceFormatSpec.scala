@@ -167,6 +167,45 @@ class MaintenanceFormatSpec extends AnyFunSuite {
     assert(stateOf(tbl) == pre, "compaction must preserve state exactly")
   }
 
+  test("struct tables rewrite under ORC and AVRO defaults, state preserved") {
+    import spark.implicits._
+    val tbl = new java.io.File("target/tmp-mfmt-struct")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    val df = (0L until 50L).map(k => (k, (k * 10L, s"v$k")))
+      .toDF("k", "m")
+    val f = new java.io.File(dataDir, "f0.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(df.sort(col("k")), f)
+    LayoutMaintenance.commitAppend(spark, tbl.getPath, Seq(
+      ManifestEntrySpec(status = 1, content = 0,
+        filePath = f.getAbsolutePath, recordCount = n,
+        sizeBytes = f.length())))
+    def structState(): Set[(Long, Long, String)] =
+      MorRead.readTable(spark, tbl.getPath)
+        .selectExpr("k", "m._1", "m._2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val pre = structState()
+    // ORC rewrite of a struct table (Spark's ORC writer handles nesting)
+    setFormat(tbl, "orc")
+    LayoutMaintenance.rewriteDataFiles(spark, tbl.getPath, Nil,
+      sortCols = Seq("k"))
+    assert(dataEntries(tbl).forall(e => e._1.endsWith(".orc") &&
+      e._2 == "ORC"))
+    assert(structState() == pre, "ORC rewrite must preserve struct rows")
+    // COW delete: survivors rewrite as nested ORC
+    LayoutMaintenance.commitDeleteWhereCow(spark, tbl.getPath,
+      col("k") >= 40L)
+    assert(structState() == pre.filter(_._1 < 40L))
+    // AVRO rewrite of the struct table (record-in-record container)
+    setFormat(tbl, "avro")
+    LayoutMaintenance.rewriteDataFiles(spark, tbl.getPath, Nil,
+      sortCols = Seq("k"))
+    assert(dataEntries(tbl).forall(e => e._1.endsWith(".avro") &&
+      e._2 == "AVRO"))
+    assert(structState() == pre.filter(_._1 < 40L),
+      "AVRO rewrite must preserve struct rows")
+  }
+
   test("an unset property keeps every maintenance output parquet (compat)") {
     import spark.implicits._
     val tbl = new java.io.File("target/tmp-mfmt-default")

@@ -202,4 +202,41 @@ class OrcPosReadSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(back == exp)
   }
+
+  test("schema generations (rename/ADD COLUMN files) merge by name, null-filled") {
+    import spark.implicits._
+    val d = new java.io.File("target/tmp-orcpos-gen"); d.mkdirs()
+    val f1 = new java.io.File(d, "gen1.orc")
+    val f2 = new java.io.File(d, "gen2.orc")
+    assert(IcebergLayoutWriter.writeSingleOrc(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), f1) == 2L)
+    assert(IcebergLayoutWriter.writeSingleOrc(
+      Seq((3L, "c", 30L)).toDF("k", "label", "extra"), f2) == 1L)
+    val back = OrcPosRead.readWithPos(spark,
+      Seq(f1.getAbsolutePath, f2.getAbsolutePath))
+    assert(back.columns.toSet ==
+      Set("k", "v", "label", "extra", "file_path", "pos"))
+    val rows = back.orderBy("k").select("k", "v", "label", "extra", "pos")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (1L, Some("a"), None, None, 0L),
+      (2L, Some("b"), None, None, 1L),
+      (3L, None, Some("c"), Some(30L), 0L)),
+      s"generation merge must null-fill per file: $rows")
+  }
+
+  test("struct columns read back with real ordinals (one-level nesting)") {
+    import spark.implicits._
+    val d = new java.io.File("target/tmp-orcpos-struct"); d.mkdirs()
+    val f = new java.io.File(d, "s.orc")
+    val df = (0L until 20L).map(k => (k, (k * 2L, s"m$k"))).toDF("k", "m")
+    assert(IcebergLayoutWriter.writeSingleOrc(df.orderBy("k"), f) == 20L)
+    val back = OrcPosRead.readWithPos(spark, Seq(f.getAbsolutePath))
+      .selectExpr("k", "m._1 AS a", "m._2 AS b", "pos")
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(back.toSeq == (0L until 20L).map(k => (k, k * 2L, s"m$k", k)))
+  }
 }

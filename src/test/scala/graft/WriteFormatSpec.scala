@@ -110,16 +110,61 @@ class WriteFormatSpec extends AnyFunSuite {
     assert(r.isNullAt(2)) // pre-evolution file null-fills
   }
 
-  test("struct columns refuse non-parquet defaults loudly") {
-    spark.sql("CREATE TABLE wfmt.db.badstruct " +
-      "(k BIGINT, m STRUCT<w: INT, h: INT>) USING `graft-iceberg` " +
+  test("struct columns write to ORC: round-trip, MOR DELETE, leaf rename") {
+    spark.sql("CREATE TABLE wfmt.db.sorc " +
+      "(k BIGINT, m STRUCT<w: BIGINT, label: STRING>) USING `graft-iceberg` " +
+      "TBLPROPERTIES ('write.format.default' = 'orc', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO wfmt.db.sorc SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1L, named_struct('w', 10L, 'label', 'a'))," +
+      "(2L, named_struct('w', 20L, 'label', 'b'))," +
+      "(3L, named_struct('w', 30L, 'label', 'c')) AS t(k, m)")
+    val fmts = formats("target/tmp-wfmt-wh/db/sorc")
+    assert(fmts.nonEmpty && fmts.values.forall(_ == "ORC"), fmts.toString)
+    assert(spark.sql("SELECT m.w FROM wfmt.db.sorc ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+    // MOR DELETE: parquet tombstone over the nested ORC file
+    spark.sql("DELETE FROM wfmt.db.sorc WHERE k = 2")
+    assert(spark.sql("SELECT k, m.label FROM wfmt.db.sorc ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (3L, "c")))
+    // leaf RENAME: the pre-rename ORC file resolves through the alias
+    spark.sql("ALTER TABLE wfmt.db.sorc RENAME COLUMN m.w TO width")
+    assert(spark.sql("SELECT sum(m.width) FROM wfmt.db.sorc")
+      .head.getLong(0) == 40L)
+  }
+
+  test("struct columns write to AVRO and read back with MOR") {
+    spark.sql("CREATE TABLE wfmt.db.savt " +
+      "(k BIGINT, m STRUCT<w: BIGINT, label: STRING>) USING `graft-iceberg` " +
+      "TBLPROPERTIES ('write.format.default' = 'avro', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO wfmt.db.savt SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1L, named_struct('w', 10L, 'label', 'a'))," +
+      "(2L, named_struct('w', 20L, 'label', 'b'))," +
+      "(3L, CAST(null AS STRUCT<w: BIGINT, label: STRING>)) AS t(k, m)")
+    val fmts = formats("target/tmp-wfmt-wh/db/savt")
+    assert(fmts.nonEmpty && fmts.values.forall(_ == "AVRO"), fmts.toString)
+    val rows = spark.sql(
+      "SELECT k, m.w, m.label FROM wfmt.db.savt ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) "-" else r.getString(2))).toSeq
+      == Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, -1L, "-")))
+    spark.sql("DELETE FROM wfmt.db.savt WHERE k = 1")
+    assert(spark.sql("SELECT sum(m.w) FROM wfmt.db.savt")
+      .head.getLong(0) == 20L)
+  }
+
+  test("array columns refuse non-parquet defaults loudly") {
+    spark.sql("CREATE TABLE wfmt.db.badarr " +
+      "(k BIGINT, e ARRAY<BIGINT>) USING `graft-iceberg` " +
       "TBLPROPERTIES ('write.format.default' = 'orc')")
     val e = intercept[Exception] {
-      spark.sql("INSERT INTO wfmt.db.badstruct " +
-        "VALUES (1, named_struct('w', 2, 'h', 3))")
+      spark.sql("INSERT INTO wfmt.db.badarr VALUES (1, array(2L, 3L))")
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("struct column")), msgs(e).toString)
+    assert(msgs(e).exists(_.contains("array column")), msgs(e).toString)
   }
 }
