@@ -256,7 +256,8 @@ object LayoutMaintenance {
   private def writeMetadataVersion(spark: SparkSession, tableDir: String,
       keep: Seq[Snap], currentId: Long,
       keepRefs: Seq[(String, Long, String)],
-      base: MetaBase): Long = {
+      base: MetaBase,
+      refRetention: Map[String, Seq[(String, Long)]] = Map.empty): Long = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val m = metaDir(tableDir)
@@ -314,6 +315,11 @@ object LayoutMaintenance {
           .collect { case o: ObjectNode => o }
           .getOrElse(mapper.createObjectNode().put("type", kind))
         node.put("snapshot-id", id)
+        // retention fields declared by THIS commit (spec "Refs":
+        // max-ref-age-ms, min-snapshots-to-keep, max-snapshot-age-ms);
+        // refs not named here keep whatever their writer recorded
+        refRetention.getOrElse(name, Nil).foreach {
+          case (k, v) => node.put(k, v) }
         refObj.set[ObjectNode](name, node)
       }
       root.set[ObjectNode]("refs", refObj)
@@ -3013,13 +3019,24 @@ object LayoutMaintenance {
     * head when none is given. Metadata-only; `main` is refused (it is
     * the published head, moved by commits / rollback / fastForward, not
     * by ref DDL). Returns the snapshot the ref points at. */
+  /** @param maxRefAgeMs spec `max-ref-age-ms` — how long the REF itself
+    *   lives (branches and tags)
+    * @param minSnapshotsToKeep / @param maxSnapshotAgeMs branch-only
+    *   snapshot-retention knobs (spec `min-snapshots-to-keep`,
+    *   `max-snapshot-age-ms`); refused on tags, as in Iceberg's DDL. */
   def setRef(spark: SparkSession, tableDir: String, name: String,
-      kind: String, snapshotId: Option[Long] = None): Long =
+      kind: String, snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): Long =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     require(kind == "tag" || kind == "branch",
       s"setRef: kind must be 'tag' or 'branch', got '$kind'")
     require(name != "main",
       "refusing to redefine 'main' (commits and rollback own it)")
+    require(kind == "branch" ||
+      (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+      "setRef: snapshot-retention fields apply to BRANCHES only")
     val base = metaBase(spark, tableDir)
     val snaps = snapshots(spark, tableDir)
     require(snaps.nonEmpty, s"setRef($tableDir): table has no snapshots")
@@ -3029,11 +3046,23 @@ object LayoutMaintenance {
       s"setRef($tableDir): no snapshot $target in history " +
         s"(have: ${snaps.map(_.id).mkString(", ")})")
     val rs = refs(spark, tableDir)
+    val retention: Seq[(String, Long)] =
+      maxRefAgeMs.map("max-ref-age-ms" -> _).toSeq ++
+        minSnapshotsToKeep.map(v => "min-snapshots-to-keep" -> v.toLong) ++
+        maxSnapshotAgeMs.map("max-snapshot-age-ms" -> _)
     writeMetadataVersion(spark, tableDir, snaps, cur,
       (rs.filterNot(_._1 == name) :+ ((name, target, kind))).sortBy(_._1),
-      base)
+      base,
+      refRetention =
+        if (retention.isEmpty) Map.empty else Map(name -> retention))
     target
   } }
+
+  /** The KIND ("branch" | "tag") of a named ref, None when absent — the
+    * existence probe the ref DDL commands branch on. */
+  def refKind(spark: SparkSession, tableDir: String,
+      name: String): Option[String] =
+    refs(spark, tableDir).collectFirst { case (n, _, k) if n == name => k }
 
   /** Drop a named ref (the DROP BRANCH/TAG of a failed audit): the
     * snapshot it pointed at stays in history — expireSnapshots reclaims

@@ -78,6 +78,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def descriptor(dir: java.io.File): java.io.File =
     new java.io.File(dir, "graft-table.json")
 
+  /** Absolute dir of an EXISTING table — the resolution the ref-DDL
+    * commands share with the procedures' `resolve`. */
+  private[v2] def existingTableDir(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir.getAbsolutePath
+  }
+
   /** A dir is a table iff it has the catalog descriptor OR real layout
     * metadata (so externally-written layouts surface too). */
   private def isTable(dir: java.io.File): Boolean =

@@ -830,4 +830,69 @@ class GraftCatalogSpec extends AnyFunSuite {
       doc.contains("\"last-column-id\":4"), doc)
     assert(doc.contains("\"id\" : 3") && doc.contains("\"id\" : 4"), doc)
   }
+
+  test("ALTER TABLE CREATE BRANCH/TAG: SQL ref DDL, VERSION AS OF reads, retention in metadata") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cattest.refs")
+    spark.sql("CREATE TABLE cattest.refs.t (k BIGINT) USING `graft-iceberg`")
+    spark.sql("INSERT INTO cattest.refs.t VALUES (1), (2)")
+    spark.sql("INSERT INTO cattest.refs.t VALUES (3)")
+    // branch at an older snapshot, with full retention clauses
+    spark.sql("ALTER TABLE cattest.refs.t CREATE BRANCH audit " +
+      "AS OF VERSION 1 RETAIN 7 DAYS WITH SNAPSHOT RETENTION 2 SNAPSHOTS 3 DAYS")
+    // tag at the head, ref-age retention only
+    spark.sql("ALTER TABLE cattest.refs.t CREATE TAG rel_1 RETAIN 30 DAYS")
+    // refs resolve as time-travel points (same as procedure-born refs)
+    assert(spark.sql(
+      "SELECT count(*) FROM cattest.refs.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM cattest.refs.t VERSION AS OF 'rel_1'")
+      .head.getLong(0) == 3L)
+    // retention fields land in the metadata document (spec "Refs")
+    val meta = new java.io.File("target/tmp-catalog-wh/refs/t/metadata")
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(meta, "version-hint.text").toPath), "UTF-8").trim
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new java.io.File(meta, s"v$hint.metadata.json"))
+    val audit = root.get("refs").get("audit")
+    assert(audit.get("type").asText() == "branch")
+    assert(audit.get("max-ref-age-ms").asLong() == 7L * 24 * 3600 * 1000)
+    assert(audit.get("min-snapshots-to-keep").asInt() == 2)
+    assert(audit.get("max-snapshot-age-ms").asLong() == 3L * 24 * 3600 * 1000)
+    val rel = root.get("refs").get("rel_1")
+    assert(rel.get("type").asText() == "tag")
+    assert(rel.get("max-ref-age-ms").asLong() == 30L * 24 * 3600 * 1000)
+    // CREATE over an existing ref refuses; IF NOT EXISTS / REPLACE pass
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.refs.t CREATE BRANCH audit") }
+    spark.sql(
+      "ALTER TABLE cattest.refs.t CREATE BRANCH IF NOT EXISTS audit")
+    spark.sql(
+      "ALTER TABLE cattest.refs.t REPLACE BRANCH audit AS OF VERSION 2")
+    assert(spark.sql(
+      "SELECT count(*) FROM cattest.refs.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 3L)
+    // kind confusion refuses: 'audit' is a branch, not a tag
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.refs.t DROP TAG audit") }
+    // REPLACE of a missing ref refuses (CREATE is the birth path)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.refs.t REPLACE TAG nope") }
+    // DDL and procedures converge: drop via SQL, recreate via CALL,
+    // drop via procedure — one refs surface
+    spark.sql("ALTER TABLE cattest.refs.t DROP BRANCH audit")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.refs.t DROP BRANCH audit") }
+    spark.sql("ALTER TABLE cattest.refs.t DROP BRANCH IF EXISTS audit")
+    spark.sql("CALL cattest.system.create_branch('refs.t', 'audit', 1)")
+    assert(spark.sql(
+      "SELECT count(*) FROM cattest.refs.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 2L)
+    spark.sql("CALL cattest.system.drop_ref('refs.t', 'rel_1')")
+    assert(root.get("refs").get("rel_1") != null) // old doc, by value
+    // snapshot-retention clauses refuse on tags
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cattest.refs.t CREATE TAG bad " +
+        "WITH SNAPSHOT RETENTION 2 SNAPSHOTS") }
+  }
 }
