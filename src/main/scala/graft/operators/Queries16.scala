@@ -241,6 +241,73 @@ object Queries16 {
                |  sum(dims.amount) AS sum_amount, min(okey) AS min_okey
                |FROM $cat.ns.prof
                |GROUP BY dims.mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- PARTITION STATISTICS FILES (spec "Partition statistics"):
+    // the per-partition rollup every $partitions read and per-partition
+    // diagnosis recomputes from manifests, persisted ONCE as a KB-sized
+    // file and registered in metadata — at 100 TB the 9-metric report
+    // over thousands of tables reads these files, not manifests.
+    // Pinned in-query: the fresh stats file is the rollup's ONLY input
+    // (planning reads KBs), stats == manifests EXACTLY, a later INSERT
+    // makes the stats stale and the read falls back (reflecting the new
+    // commit — never a stale answer), and a recompute re-arms the fast
+    // path. The final rollup reads month-partition record counts from
+    // $partitions; DuckDB recomputes them from the source table, so a
+    // partition lost or double-counted in either arm breaks the hash.
+    "q280_partition_stats" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q280wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ps")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ps.prof")
+      t(dir, "orders").createOrReplaceTempView("q280_src")
+      s.sql(s"""CREATE TABLE $cat.ps.prof (okey BIGINT, mon BIGINT)
+               |USING `graft-iceberg` PARTITIONED BY (mon)""".stripMargin)
+      def insertYear(y: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.ps.prof
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |       CAST(month(o_orderdate) AS BIGINT) AS mon
+                 |FROM q280_src WHERE year(o_orderdate) = $y""".stripMargin)
+      insertYear(1995)
+      val tdir = s"${wh.getAbsolutePath}/ps/prof"
+      def norm(p: String) = p.replaceFirst("^file:/+", "/")
+      val fromManifests = graft.sources.MetadataTables
+        .partitionsFromManifests(s, tdir).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      val r = s.sql(
+        s"CALL $cat.system.compute_partition_stats('ps.prof')").head
+      val statsPath = r.getString(0)
+      require(r.getLong(2) == 12L,
+        s"12 month partitions expected, got ${r.getLong(2)}")
+      // fresh: the stats file is the rollup's ONLY input, values exact
+      val served = graft.sources.MetadataTables.partitions(s, tdir)
+      require(served.inputFiles.map(norm).toSeq == Seq(statsPath),
+        s"fresh stats must serve alone: ${served.inputFiles.toSeq}")
+      require(served.collect().map(_.toSeq).sortBy(_.toString).toSeq
+        == fromManifests, "stats arm must equal the manifest arm exactly")
+      // staleness: one more commit, the stats must STOP serving
+      insertYear(1996)
+      require(graft.sources.LayoutMaintenance
+        .freshPartitionStats(s, tdir).isEmpty,
+        "advanced table must report stale stats")
+      val fallback = graft.sources.MetadataTables.partitions(s, tdir)
+      require(!fallback.inputFiles.map(norm).contains(statsPath),
+        "stale stats must never serve")
+      // recompute re-arms the KB-read fast path over BOTH years
+      s.sql(s"CALL $cat.system.compute_partition_stats('ps.prof')")
+      val served2 = graft.sources.MetadataTables.partitions(s, tdir)
+      require(served2.inputFiles.map(norm).toSeq.forall(p =>
+        p.contains("/metadata/") && p != statsPath),
+        "recomputed stats must serve from the new file")
+      s.sql(s"""SELECT CAST(get_json_object(partition, '$$.mon') AS BIGINT)
+               |    AS mon,
+               |  record_count AS n_orders, file_count AS n_files
+               |FROM $cat.ps.prof.partitions
+               |ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -284,5 +351,13 @@ object Queries16 {
         |  CAST(sum(amount) AS BIGINT) AS sum_amount,
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src WHERE yr = 1996 OR amount < 300000
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q280_partition_stats" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(2 AS BIGINT) AS n_files
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
         |GROUP BY mon ORDER BY mon""".stripMargin)
 }

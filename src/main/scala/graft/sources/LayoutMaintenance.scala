@@ -2621,7 +2621,9 @@ object LayoutMaintenance {
       else {
         val seqDf = parqPos.map(e => (norm(e.filePath),
           e.sequenceNumber.longValue)).toDF("__fp", "seq")
-        Some(spark.read.parquet(parqPos.map(_.filePath).toIndexedSeq: _*)
+        // fixed tombstone schema: no footer-inference job
+        Some(spark.read.schema("file_path STRING, pos BIGINT")
+          .parquet(parqPos.map(_.filePath).toIndexedSeq: _*)
           .withColumn("__own", regexp_replace(
             col("_metadata.file_path"), "^file:/+", "/"))
           .join(broadcast(seqDf), col("__own") === col("__fp"))
@@ -3176,6 +3178,92 @@ object LayoutMaintenance {
     writeHintAtomic(m, curV + 1)
     newId
   } }
+
+  /** Compute and persist the PARTITION STATISTICS file for the current
+    * snapshot (Iceberg spec "Partition statistics"): the per-partition
+    * rollup every `$partitions` read and per-partition diagnosis
+    * recomputes from a manifest scan, materialized ONCE as a KB-sized
+    * parquet file under `metadata/` and registered in the metadata
+    * document's `partition-statistics` array ({snapshot-id,
+    * statistics-path, file-size-in-bytes} — entries for other snapshots
+    * survive, a same-snapshot entry is replaced). At 100 TB the
+    * 9-metric report over thousands of tables wants this file, not a
+    * per-run manifest re-scan: [[MetadataTables.partitions]] serves
+    * from it while it is FRESH (registered for the exact current
+    * snapshot) and falls back to the manifest scan the moment a commit
+    * advances the table. Returns (statsPath, snapshotId, nPartitions). */
+  def computePartitionStats(spark: SparkSession,
+      tableDir: String): (String, Long, Long) =
+      commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    val all = snapshots(spark, tableDir)
+    require(all.nonEmpty,
+      s"computePartitionStats($tableDir): table has no snapshots")
+    val cur = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
+    val rollup = MetadataTables.partitionsFromManifests(spark, tableDir)
+      .withColumn("last_updated_snapshot_id", lit(cur))
+      .sort(col("partition"))
+    val m = metaDir(tableDir)
+    val f = freshFile(m, s"partition-stats-$cur.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(rollup, f)
+    // register under `partition-statistics`, same read-modify-write +
+    // version bump discipline as attachStatistics below
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val curFile = currentMetadataFile(spark, tableDir)
+    val curV = "^v(\\d+)\\.metadata\\.json$".r
+      .findFirstMatchIn(curFile.getName).map(_.group(1).toLong).getOrElse(0L)
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(curFile).asInstanceOf[ObjectNode]
+    val arr = mapper.createArrayNode()
+    val orig = root.get("partition-statistics")
+    if (orig != null && orig.isArray) orig.forEach { nd =>
+      val sid = nd.get("snapshot-id")
+      if (sid == null || !sid.canConvertToLong || sid.asLong() != cur)
+        arr.add(nd)
+    }
+    val entry = mapper.createObjectNode()
+    entry.put("snapshot-id", cur)
+    entry.put("statistics-path", f.getAbsolutePath)
+    entry.put("file-size-in-bytes", f.length())
+    arr.add(entry)
+    root.set[ArrayNode]("partition-statistics", arr)
+    try java.nio.file.Files.write(
+      new java.io.File(m, s"v${curV + 1}.metadata.json").toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"computePartitionStats($tableDir): version conflict at v$curV", e)
+    }
+    writeHintAtomic(m, curV + 1)
+    (f.getAbsolutePath, cur, n)
+  } }
+
+  /** The registered partition-statistics file for the CURRENT snapshot,
+    * None when absent or STALE (registered for an older snapshot — a
+    * commit has advanced the table since it was computed) or deleted.
+    * The staleness rule is what makes serving from it safe: a fresh
+    * entry describes exactly the live file set. */
+  def freshPartitionStats(spark: SparkSession,
+      tableDir: String): Option[String] = {
+    val root = readMetadata(spark, tableDir)
+    val cur = Option(root.get("current-snapshot-id"))
+      .filter(_.canConvertToLong).map(_.asLong())
+      .getOrElse(return None)
+    val arr = root.get("partition-statistics")
+    if (arr == null || !arr.isArray) return None
+    var out: Option[String] = None
+    arr.forEach { nd =>
+      val sid = nd.get("snapshot-id")
+      val p = nd.get("statistics-path")
+      if (sid != null && sid.canConvertToLong && sid.asLong() == cur &&
+          p != null && new java.io.File(p.asText()).exists())
+        out = Some(p.asText())
+    }
+    out
+  }
 
   /** Register a statistics file (e.g. a [[PuffinIO]] container) for a
     * snapshot in the metadata `statistics` array (spec "Table

@@ -36,8 +36,33 @@ object MetadataTables {
 
   /** Per-partition rollup of DATA files (the `$partitions` table):
     * (partition, file_count, record_count, total_size, position/equality
-    * delete file counts). One aggregation, manifest-sized input. */
+    * delete file counts). Served from the table's PARTITION STATISTICS
+    * file when one is registered for the exact current snapshot
+    * ([[LayoutMaintenance.computePartitionStats]] — a KB-sized parquet
+    * read instead of a manifest scan, the shape a thousands-of-tables
+    * report wants); a stale or absent stats file falls back to the
+    * manifest aggregation. Snapshot-pinned reads always take the
+    * manifest arm (stats describe the current snapshot only). */
   def partitions(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    (if (snapshotId.isEmpty)
+       LayoutMaintenance.freshPartitionStats(spark, tableDir)
+     else None) match {
+      case Some(statsPath) =>
+        spark.read.schema(
+          "partition STRING, file_count BIGINT, record_count BIGINT, " +
+            "total_size BIGINT, position_delete_file_count BIGINT, " +
+            "equality_delete_file_count BIGINT, " +
+            "last_updated_snapshot_id BIGINT")
+          .parquet(statsPath)
+          .drop("last_updated_snapshot_id")
+      case None => partitionsFromManifests(spark, tableDir, snapshotId)
+    }
+
+  /** The manifest-scan arm of [[partitions]] — also what
+    * [[LayoutMaintenance.computePartitionStats]] materializes, so the
+    * two arms can never disagree on semantics. */
+  def partitionsFromManifests(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame =
     files(spark, tableDir, snapshotId)
       .groupBy(col("partition"))

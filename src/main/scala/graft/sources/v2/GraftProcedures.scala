@@ -506,6 +506,25 @@ object GraftProcedures {
       }
     },
 
+    new Proc("compute_partition_stats",
+      Array(p("table", StringType)),
+      StructType(Seq(
+        StructField("statistics_path", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("partitions", LongType, nullable = false))),
+      "Materialize the per-partition rollup as the spec's partition-" +
+        "statistics file and register it in metadata; $partitions and " +
+        "per-partition reports serve from it while fresh (KB read, no " +
+        "manifest scan) and fall back the moment a commit advances the " +
+        "table") {
+      def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
+        val dir = resolve(in.getUTF8String(0).toString)
+        val (path, snap, n) =
+          LayoutMaintenance.computePartitionStats(spark, dir)
+        Seq(Seq[Any](path, Long.box(snap), Long.box(n)))
+      }
+    },
+
     new Proc("compute_table_stats",
       Array(p("table", StringType), pd("columns", StringType, "''"),
         pd("k", IntegerType, "64")),
