@@ -47,10 +47,18 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val two = Seq(rep(), rep())
-      val times = if (two.forall(_ >= 0) && two.max > two.min * 1.3) two :+ rep() else two
-      val good = times.filter(_ >= 0).sorted
+      var times = if (two.forall(_ >= 0) && two.max > two.min * 1.3) two :+ rep() else two
+      var good = times.filter(_ >= 0).sorted
       // spread = the two FASTEST reps (the slowest is usually the first
-      // rep paying codegen compile — that's startup, not instability)
+      // rep paying codegen compile — that's startup, not instability).
+      // SUB-SECOND queries whose fastest pair still disagrees >2x are
+      // JIT/GC-hostage, not unstable plans: buy up to 3 more cheap reps
+      // before letting the spread flag fire (q17's 0.26..0.88 shape).
+      while (good.size >= 2 && good(0) > 0.05 && good(0) < 1.5 &&
+          good(1) > good(0) * 2 && times.size < 6) {
+        times = times :+ rep()
+        good = times.filter(_ >= 0).sorted
+      }
       if (good.size >= 2) (name, good(0), good(1))
       else if (good.nonEmpty) (name, good.head, good.head)
       else (name, -1.0, -1.0)

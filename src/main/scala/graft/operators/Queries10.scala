@@ -389,20 +389,31 @@ object Queries10 {
         .withColumn("rh", TextOps.portableHash28(concat_ws("|",
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("qty"))))
-      val replica = base
-        .filter(pmod(col("rh"), lit(211L)) =!= 0L)
-        .withColumn("qty", when(pmod(col("rh"), lit(97L)) === 0L,
-          col("qty") + 1L).otherwise(col("qty")))
-        .drop("rh")
-        .withColumn("rh", TextOps.portableHash28(concat_ws("|",
+      // BOTH sides fold in ONE pass: each base row carries its replica
+      // twin inline (kept? + corrupted-qty hash), so the whole diff is
+      // one scan + one map-side-combined aggregate — no second lineitem
+      // scan and no fingerprint join. A month whose replica rows all
+      // dropped reads as NULL (n_b = 0 → null), exactly the full-outer
+      // join semantics this replaces.
+      val rows = base
+        .withColumn("keep_b",
+          (pmod(col("rh"), lit(211L)) =!= 0L).cast("long"))
+        .withColumn("rh_b", TextOps.portableHash28(concat_ws("|",
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("qty"))))
-      def fp(side: DataFrame) = side.groupBy(col("pt"))
-        .agg(pmod(sum(col("rh")), lit(1099511627776L)).as("fp"),
-          count(lit(1)).as("n"))
-      fp(base).select(col("pt"), col("fp").as("fp_a"), col("n").as("n_a"))
-        .join(fp(replica).select(col("pt"), col("fp").as("fp_b"), col("n").as("n_b")),
-          Seq("pt"), "full_outer")
+          col("l_suppkey"),
+          when(pmod(col("rh"), lit(97L)) === 0L, col("qty") + 1L)
+            .otherwise(col("qty")))))
+      rows.groupBy(col("pt"))
+        .agg(pmod(sum(col("rh")), lit(1099511627776L)).as("fp_a"),
+          count(lit(1)).as("n_a"),
+          pmod(sum(col("rh_b") * col("keep_b")), lit(1099511627776L))
+            .as("fp_b_raw"),
+          sum(col("keep_b")).as("n_b_raw"))
+        .select(col("pt"), col("fp_a"), col("n_a"),
+          when(col("n_b_raw") === 0L, lit(null).cast("long"))
+            .otherwise(col("fp_b_raw")).as("fp_b"),
+          when(col("n_b_raw") === 0L, lit(null).cast("long"))
+            .otherwise(col("n_b_raw")).as("n_b"))
         .filter(!(col("fp_a") <=> col("fp_b")) || !(col("n_a") <=> col("n_b")))
         .select(col("pt"), col("fp_a"), col("fp_b"), col("n_a"), col("n_b"),
           (coalesce(col("n_a"), lit(0L)) - coalesce(col("n_b"), lit(0L))).as("row_delta"))

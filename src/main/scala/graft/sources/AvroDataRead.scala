@@ -73,33 +73,44 @@ object AvroDataRead {
   private def logical(s: Schema): String =
     Option(s.getLogicalType).map(_.getName).getOrElse("")
 
-  /** Avro runtime value → Spark external Row value. */
-  private def convert(v: Any, s: Schema): Any = {
+  /** Type-specialized converter (avro runtime value → Spark external
+    * Row value), built ONCE per field per task — the per-VALUE work is
+    * one closure call, no per-value type dispatch. */
+  private def converterOf(s: Schema): Any => Any = {
     import Schema.Type._
-    if (v == null) null
-    else s.getType match {
-      case UNION =>
-        val branches = s.getTypes
-        val nonNull = (0 until branches.size).map(branches.get)
-          .filterNot(_.getType == NULL).head
-        convert(v, nonNull)
-      case INT if logical(s) == "date" =>
-        java.sql.Date.valueOf(
+    s.getType match {
+      case UNION => converterOf(unwrap(s))
+      case INT if logical(s) == "date" => v =>
+        if (v == null) null
+        else java.sql.Date.valueOf(
           java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-      case LONG if logical(s) == "timestamp-micros" =>
-        val us = v.asInstanceOf[Long]
-        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt); ts
-      case STRING => v.toString // Utf8 -> String
-      case BYTES =>
-        val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
-        val out = new Array[Byte](bb.remaining()); bb.get(out); out
+      case LONG if logical(s) == "timestamp-micros" => v =>
+        if (v == null) null
+        else {
+          val us = v.asInstanceOf[Long]
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt); ts
+        }
+      case STRING => v => if (v == null) null else v.toString // Utf8
+      case BYTES => v =>
+        if (v == null) null
+        else {
+          val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val out = new Array[Byte](bb.remaining()); bb.get(out); out
+        }
       case RECORD =>
         import scala.jdk.CollectionConverters._
-        val rec = v.asInstanceOf[GenericRecord]
-        val fs = s.getFields.asScala.toSeq
-        Row.fromSeq(fs.indices.map(c => convert(rec.get(c), fs(c).schema())))
-      case _ => v
+        val kids = s.getFields.asScala.toArray.map(f => converterOf(f.schema()))
+        v =>
+          if (v == null) null
+          else {
+            val rec = v.asInstanceOf[GenericRecord]
+            val vals = new Array[Any](kids.length)
+            var c = 0
+            while (c < kids.length) { vals(c) = kids(c)(rec.get(c)); c += 1 }
+            new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+          }
+      case _ => identity
     }
   }
 
@@ -242,7 +253,13 @@ object AvroDataRead {
         val reader = new DataFileReader[GenericRecord](
           new java.io.File(path), new GenericDatumReader[GenericRecord]())
         reader.seek(offset)
-        val fs = reader.getSchema.getFields.asScala.toSeq
+        // one specialized converter per field for the whole task, and
+        // ONE reused GenericRecord (DataFileReader.next(reuse)) — the
+        // decode allocates values, never a fresh record per row
+        val conv = reader.getSchema.getFields.asScala.toArray
+          .map(f => converterOf(f.schema()))
+        val nCols = conv.length
+        var reuse: GenericRecord = null
         // close with the TASK: a LIMIT-terminated or failed task abandons
         // the iterator mid-stream and exhaustion-close alone would leak
         Option(org.apache.spark.TaskContext.get()).foreach(
@@ -251,16 +268,14 @@ object AvroDataRead {
           private var i = 0L
           override def hasNext: Boolean = i < budget && reader.hasNext
           override def next(): Row = {
-            val rec = reader.next()
-            val vals = new Array[Any](fs.size + 2)
+            reuse = reader.next(reuse)
+            val vals = new Array[Any](nCols + 2)
             var c = 0
-            while (c < fs.size) {
-              vals(c) = convert(rec.get(c), fs(c).schema()); c += 1
-            }
-            vals(fs.size) = path
-            vals(fs.size + 1) = base + i
+            while (c < nCols) { vals(c) = conv(c)(reuse.get(c)); c += 1 }
+            vals(nCols) = path
+            vals(nCols + 1) = base + i
             i += 1
-            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+            new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
           }
         }
     }

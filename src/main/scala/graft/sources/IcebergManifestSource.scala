@@ -548,22 +548,40 @@ object IcebergManifestSource {
     * writers left ADDED sequence numbers null). */
   def statsFromManifestSeqs(spark: SparkSession, manifests: Seq[(String, Long)],
       table: String, fields: Seq[(Int, String, DataType)]): DataFrame = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val n = math.max(1, math.min(manifests.size, spark.sparkContext.defaultParallelism))
     val fieldSpec = fields // stable serializable copy for the closure
-    val rows = spark.sparkContext.parallelize(manifests, n).flatMap { case (p, inheritSeq) =>
-      readManifestStats(p, conf.value, inheritSeq).map { s =>
-        Row.fromSeq(Seq(table, s.filePath, s.content, s.partitionKey, s.sizeBytes,
-          s.recordCount, s.sequenceNumber) ++
-          fieldSpec.flatMap { case (id, _, dt) =>
-            Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
-              s.upper.get(id).map(decodeBound(_, dt)).orNull)
-          } ++ Seq(s.equalityIds, s.fileFormat,
-            s.sortOrderId.map(Int.box).orNull))
-      }
+    def rowOf(s: ManifestStats): Row =
+      Row.fromSeq(Seq(table, s.filePath, s.content, s.partitionKey, s.sizeBytes,
+        s.recordCount, s.sequenceNumber) ++
+        fieldSpec.flatMap { case (id, _, dt) =>
+          Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
+            s.upper.get(id).map(decodeBound(_, dt)).orNull)
+        } ++ Seq(s.equalityIds, s.fileFormat,
+          s.sortOrderId.map(Int.box).orNull))
+    // few manifests → DRIVER-side read into a LOCAL relation: planning
+    // reads (the .collect()s all over the MOR/commit paths) then cost
+    // ZERO Spark jobs, and a join against the result broadcasts
+    // trivially. Manifests are KB-sized, so the threshold is a manifest
+    // COUNT, the same ≤8 convention the ORC/AVRO planning tails use.
+    // Past it, one task per manifest — the 100k-manifest shape.
+    val driverCap =
+      try spark.conf.get("spark.graft.driverManifestStats", "8").toInt
+      catch { case _: NumberFormatException => 8 }
+    if (manifests.size <= driverCap) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val rows = manifests.flatMap { case (p, inheritSeq) =>
+        readManifestStats(p, hconf, inheritSeq).map(rowOf) }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, statsSchema(fields))
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val n = math.max(1,
+        math.min(manifests.size, spark.sparkContext.defaultParallelism))
+      val rows = spark.sparkContext.parallelize(manifests, n)
+        .flatMap { case (p, inheritSeq) =>
+          readManifestStats(p, conf.value, inheritSeq).map(rowOf) }
+      spark.createDataFrame(rows, statsSchema(fields))
     }
-    spark.createDataFrame(rows, statsSchema(fields))
   }
 
   private def statsSchema(fields: Seq[(Int, String, DataType)]): StructType =

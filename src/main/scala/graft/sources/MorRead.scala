@@ -226,9 +226,20 @@ object MorRead {
       }).toDF("file_path", "pos", "seq"))
     val parqTomb: Option[DataFrame] =
       if (parqPosFiles.isEmpty) None
-      else Some(withSeq(parqPosFiles, "seq")
-        .select(normCol(col("file_path")).as("file_path"),
-          col("pos"), col("seq")))
+      else {
+        // position-tombstone files have a FIXED schema (spec
+        // "Position-based delete files") — declaring it skips the
+        // footer-inference job a schemaless read pays
+        val seqDf = parqPosFiles.map { case (p, _, s, _) => (p, s) }
+          .toSeq.toDF("__fp", "seq")
+        Some(spark.read
+          .schema("file_path STRING, pos BIGINT")
+          .parquet(parqPosFiles.map(_._1).toIndexedSeq: _*)
+          .withColumn("__own", normCol(col("_metadata.file_path")))
+          .join(broadcast(seqDf), col("__own") === col("__fp"))
+          .select(normCol(col("file_path")).as("file_path"),
+            col("pos"), col("seq")))
+      }
     val tomb: Option[DataFrame] = (parqTomb, dvTomb) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)

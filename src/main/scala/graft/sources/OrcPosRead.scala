@@ -70,43 +70,61 @@ object OrcPosRead {
     }
   }
 
-  /** One row value out of a column vector, Spark external-Row typed.
-    * Handles the vector contract: `isRepeating` collapses the whole
-    * batch to index 0, nulls are flagged only when `noNulls` is unset. */
-  private def valueAt(vec: ColumnVector, row: Int, td: TypeDescription): Any = {
-    val i = if (vec.isRepeating) 0 else row
-    if (!vec.noNulls && vec.isNull(i)) null
-    else {
-      import TypeDescription.Category._
-      (td.getCategory, vec) match {
-        case (BOOLEAN, v: LongColumnVector) => v.vector(i) != 0L
-        case (BYTE, v: LongColumnVector) => v.vector(i).toByte
-        case (SHORT, v: LongColumnVector) => v.vector(i).toShort
-        case (INT, v: LongColumnVector) => v.vector(i).toInt
-        case (LONG, v: LongColumnVector) => v.vector(i)
-        case (DATE, v: LongColumnVector) =>
-          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.vector(i)))
-        case (FLOAT, v: DoubleColumnVector) => v.vector(i).toFloat
-        case (DOUBLE, v: DoubleColumnVector) => v.vector(i)
-        case (STRING | VARCHAR | CHAR, v: BytesColumnVector) =>
-          new String(v.vector(i), v.start(i), v.length(i),
-            java.nio.charset.StandardCharsets.UTF_8)
-        case (BINARY, v: BytesColumnVector) =>
-          java.util.Arrays.copyOfRange(v.vector(i), v.start(i),
-            v.start(i) + v.length(i))
-        case (TIMESTAMP | TIMESTAMP_INSTANT, v: TimestampColumnVector) =>
-          val ts = new java.sql.Timestamp(v.time(i)); ts.setNanos(v.nanos(i)); ts
-        case (DECIMAL, v: DecimalColumnVector) =>
-          v.vector(i).getHiveDecimal.bigDecimalValue()
-        case (STRUCT, v: StructColumnVector) =>
-          // one-level struct: leaves convert recursively into an
-          // external Row (field vectors are full-size, same row index)
-          import scala.jdk.CollectionConverters._
-          val kids = td.getChildren.asScala.toSeq
-          Row.fromSeq(kids.indices.map(c => valueAt(v.fields(c), i, kids(c))))
-        case (cat, v) => sys.error(
-          s"OrcPosRead: vector ${v.getClass.getSimpleName} for category $cat")
+  /** Type-specialized column extractor, built ONCE per column per task —
+    * the per-VALUE work is one closure call, no per-value category
+    * match or tuple allocation (the columnar-batch discipline at the
+    * value-conversion layer). Handles the vector contract: `isRepeating`
+    * collapses the whole batch to index 0, nulls are flagged only when
+    * `noNulls` is unset. */
+  private[sources] def extractorOf(
+      td: TypeDescription): (ColumnVector, Int) => Any = {
+    import TypeDescription.Category._
+    val core: (ColumnVector, Int) => Any = td.getCategory match {
+      case BOOLEAN => (v, i) => v.asInstanceOf[LongColumnVector].vector(i) != 0L
+      case BYTE => (v, i) => v.asInstanceOf[LongColumnVector].vector(i).toByte
+      case SHORT => (v, i) => v.asInstanceOf[LongColumnVector].vector(i).toShort
+      case INT => (v, i) => v.asInstanceOf[LongColumnVector].vector(i).toInt
+      case LONG => (v, i) => v.asInstanceOf[LongColumnVector].vector(i)
+      case DATE => (v, i) => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[LongColumnVector].vector(i)))
+      case FLOAT => (v, i) =>
+        v.asInstanceOf[DoubleColumnVector].vector(i).toFloat
+      case DOUBLE => (v, i) => v.asInstanceOf[DoubleColumnVector].vector(i)
+      case STRING | VARCHAR | CHAR => (v, i) => {
+        val b = v.asInstanceOf[BytesColumnVector]
+        new String(b.vector(i), b.start(i), b.length(i),
+          java.nio.charset.StandardCharsets.UTF_8)
       }
+      case BINARY => (v, i) => {
+        val b = v.asInstanceOf[BytesColumnVector]
+        java.util.Arrays.copyOfRange(b.vector(i), b.start(i),
+          b.start(i) + b.length(i))
+      }
+      case TIMESTAMP | TIMESTAMP_INSTANT => (v, i) => {
+        val t = v.asInstanceOf[TimestampColumnVector]
+        val ts = new java.sql.Timestamp(t.time(i)); ts.setNanos(t.nanos(i)); ts
+      }
+      case DECIMAL => (v, i) =>
+        v.asInstanceOf[DecimalColumnVector].vector(i)
+          .getHiveDecimal.bigDecimalValue()
+      case STRUCT =>
+        // one-level struct: leaf extractors built once, leaves convert
+        // into an external Row (field vectors are full-size, same index)
+        import scala.jdk.CollectionConverters._
+        val kids = td.getChildren.asScala.toArray.map(extractorOf)
+        (v, i) => {
+          val sv = v.asInstanceOf[StructColumnVector]
+          val vals = new Array[Any](kids.length)
+          var c = 0
+          while (c < kids.length) { vals(c) = kids(c)(sv.fields(c), i); c += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+        }
+      case cat => sys.error(s"OrcPosRead: unsupported category $cat")
+    }
+    (vec, row) => {
+      val i = if (vec.isRepeating) 0 else row
+      if (!vec.noNulls && vec.isNull(i)) null else core(vec, i)
     }
   }
 
@@ -172,7 +190,10 @@ object OrcPosRead {
         val reader = OrcFile.createReader(new Path(path),
           OrcFile.readerOptions(conf.value))
         val fileTd = reader.getSchema
-        val cols = fileTd.getChildren.asScala.toSeq
+        // one specialized extractor per column for the whole task —
+        // per-value cost is a closure call, not a category match
+        val extract = fileTd.getChildren.asScala.toArray.map(extractorOf)
+        val nCols = extract.length
         val rr = reader.rows(reader.options.range(off, len))
         val batch = fileTd.createRowBatch()
         // a LIMIT-terminated or failed task abandons the iterator
@@ -192,16 +213,16 @@ object OrcPosRead {
           fill()
           override def hasNext: Boolean = open && i < nRows
           override def next(): Row = {
-            val vals = new Array[Any](cols.size + 2)
+            val vals = new Array[Any](nCols + 2)
             var c = 0
-            while (c < cols.size) {
-              vals(c) = valueAt(batch.cols(c), i, cols(c)); c += 1
+            while (c < nCols) {
+              vals(c) = extract(c)(batch.cols(c), i); c += 1
             }
-            vals(cols.size) = path
-            vals(cols.size + 1) = base + i
+            vals(nCols) = path
+            vals(nCols + 1) = base + i
             i += 1
             if (i >= nRows) fill()
-            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+            new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
           }
         }
     }

@@ -63,34 +63,45 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
   private val rr = reader.rows()
   private val batch = td.createRowBatch()
 
-  private def valueAt(vec: ColumnVector, row: Int,
-      c: TypeDescription): Any = {
-    val i = if (vec.isRepeating) 0 else row
-    if (!vec.noNulls && vec.isNull(i)) null
-    else {
-      import TypeDescription.Category._
-      (c.getCategory, vec) match {
-        case (BOOLEAN, v: LongColumnVector) => v.vector(i) != 0L
-        case (INT, v: LongColumnVector) => v.vector(i).toInt
-        case (LONG, v: LongColumnVector) => v.vector(i)
-        case (FLOAT, v: DoubleColumnVector) => v.vector(i).toFloat
-        case (DOUBLE, v: DoubleColumnVector) => v.vector(i)
-        case (STRING | VARCHAR | CHAR, v: BytesColumnVector) =>
-          new String(v.vector(i), v.start(i), v.length(i),
-            java.nio.charset.StandardCharsets.UTF_8)
-        case (STRUCT, v: StructColumnVector) =>
-          // one-level struct: leaves convert recursively into an
-          // Array[Any] in FILE leaf order ([[structLeaves]] names them)
-          import scala.jdk.CollectionConverters._
-          val kids = c.getChildren.asScala.toSeq
-          Array.tabulate[Any](kids.size)(k =>
-            valueAt(v.fields(k), i, kids(k)))
-        case (cat, v) => sys.error(
-          s"graft-iceberg ORC read: vector ${v.getClass.getSimpleName} " +
-            s"for category $cat — scalar and one-level-struct schemas only")
+  /** Type-specialized extractor per column, built ONCE for the stream —
+    * per-value work is one closure call, no per-value category match. */
+  private def extractorOf(c: TypeDescription): (ColumnVector, Int) => Any = {
+    import TypeDescription.Category._
+    val core: (ColumnVector, Int) => Any = c.getCategory match {
+      case BOOLEAN => (v, i) => v.asInstanceOf[LongColumnVector].vector(i) != 0L
+      case INT => (v, i) => v.asInstanceOf[LongColumnVector].vector(i).toInt
+      case LONG => (v, i) => v.asInstanceOf[LongColumnVector].vector(i)
+      case FLOAT => (v, i) =>
+        v.asInstanceOf[DoubleColumnVector].vector(i).toFloat
+      case DOUBLE => (v, i) => v.asInstanceOf[DoubleColumnVector].vector(i)
+      case STRING | VARCHAR | CHAR => (v, i) => {
+        val b = v.asInstanceOf[BytesColumnVector]
+        new String(b.vector(i), b.start(i), b.length(i),
+          java.nio.charset.StandardCharsets.UTF_8)
       }
+      case STRUCT =>
+        // one-level struct: leaves convert into an Array[Any] in FILE
+        // leaf order ([[structLeaves]] names them)
+        import scala.jdk.CollectionConverters._
+        val kids = c.getChildren.asScala.toArray.map(extractorOf)
+        (v, i) => {
+          val sv = v.asInstanceOf[StructColumnVector]
+          val vals = new Array[Any](kids.length)
+          var k = 0
+          while (k < kids.length) { vals(k) = kids(k)(sv.fields(k), i); k += 1 }
+          vals
+        }
+      case cat => sys.error(
+        s"graft-iceberg ORC read: unsupported category $cat — " +
+          "scalar and one-level-struct schemas only")
+    }
+    (vec, row) => {
+      val i = if (vec.isRepeating) 0 else row
+      if (!vec.noNulls && vec.isNull(i)) null else core(vec, i)
     }
   }
+
+  private val extract = cols.toArray.map(extractorOf)
 
   override val structLeaves: Map[Int, Seq[String]] =
     cols.zipWithIndex.collect {
@@ -108,10 +119,10 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
     fill()
     override def hasNext: Boolean = open && i < nRows
     override def next(): Array[Any] = {
-      val out = new Array[Any](cols.size)
+      val out = new Array[Any](extract.length)
       var c = 0
-      while (c < cols.size) {
-        out(c) = valueAt(batch.cols(c), i, cols(c)); c += 1
+      while (c < extract.length) {
+        out(c) = extract(c)(batch.cols(c), i); c += 1
       }
       i += 1
       if (i >= nRows) fill()
@@ -133,22 +144,25 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
   private val fields = reader.getSchema.getFields.asScala.toSeq
   override val names: Seq[String] = fields.map(_.name)
 
-  private def convert(v: Any, s: Schema): Any = {
+  /** Type-specialized converter per field, built ONCE for the stream. */
+  private def converterOf(s: Schema): Any => Any = {
     import Schema.Type._
-    if (v == null) null
-    else s.getType match {
-      case UNION =>
-        val nn = (0 until s.getTypes.size).map(s.getTypes.get)
-          .filterNot(_.getType == NULL).head
-        convert(v, nn)
-      case STRING => v.toString // Utf8 -> String
+    s.getType match {
+      case UNION => converterOf(unwrap(s))
+      case STRING => v => if (v == null) null else v.toString // Utf8
       case RECORD =>
         // one-level record: leaf values in FILE leaf order
-        val rec = v.asInstanceOf[GenericRecord]
-        val fs = s.getFields
-        Array.tabulate[Any](fs.size)(k =>
-          convert(rec.get(k), fs.get(k).schema()))
-      case _ => v
+        val kids = s.getFields.asScala.toArray.map(f => converterOf(f.schema()))
+        v =>
+          if (v == null) null
+          else {
+            val rec = v.asInstanceOf[GenericRecord]
+            val vals = new Array[Any](kids.length)
+            var k = 0
+            while (k < kids.length) { vals(k) = kids(k)(rec.get(k)); k += 1 }
+            vals
+          }
+      case _ => identity
     }
   }
 
@@ -157,6 +171,8 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
     else (0 until s.getTypes.size).map(s.getTypes.get)
       .filterNot(_.getType == Schema.Type.NULL).head
 
+  private val conv = fields.toArray.map(f => converterOf(f.schema()))
+
   override val structLeaves: Map[Int, Seq[String]] =
     fields.zipWithIndex.collect {
       case (f, i) if unwrap(f.schema()).getType == Schema.Type.RECORD =>
@@ -164,14 +180,15 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
     }.toMap
 
   override val iterator: Iterator[Array[Any]] = new Iterator[Array[Any]] {
+    // ONE reused record: the decoder refills it per row; converters copy
+    // every value out before the next read
+    private var reuse: GenericRecord = null
     override def hasNext: Boolean = reader.hasNext
     override def next(): Array[Any] = {
-      val rec = reader.next()
-      val out = new Array[Any](fields.size)
+      reuse = reader.next(reuse)
+      val out = new Array[Any](conv.length)
       var c = 0
-      while (c < fields.size) {
-        out(c) = convert(rec.get(c), fields(c).schema()); c += 1
-      }
+      while (c < conv.length) { out(c) = conv(c)(reuse.get(c)); c += 1 }
       out
     }
   }
