@@ -168,7 +168,10 @@ object IcebergLayoutWriter {
     * row count. */
   def writeSingleAvro(df: org.apache.spark.sql.DataFrame,
       dest: java.io.File): Long =
-    writeRowsAvro(dest, df.schema, df.toLocalIterator())
+    // coalesce(1) first: toLocalIterator alone runs ONE SEQUENTIAL JOB
+    // PER PARTITION (32 round-trips after a shuffle); one partition =
+    // one job, order preserved (coalesce concatenates in order)
+    writeRowsAvro(dest, df.schema, df.coalesce(1).toLocalIterator())
 
   /** Stream external `Row`s into ONE avro container at `dest` —
     * the task-side body shared by [[writeSingleAvro]] (driver-fed,
