@@ -204,10 +204,21 @@ object Cli {
             .orderBy(col("file_path"), col("pos"))
           case "all_files" => MetadataTables.allFiles(spark, root)
             .orderBy(col("content"), col("file_path"))
+          case "data_files" => MetadataTables.dataFiles(spark, root)
+            .orderBy(col("file_path"))
+          case "delete_files" => MetadataTables.deleteFiles(spark, root)
+            .orderBy(col("file_path"))
+          case "all_manifests" => MetadataTables.allManifests(spark, root)
+            .orderBy(col("reference_snapshot_id"), col("path"))
+          case "metadata_log_entries" =>
+            MetadataTables.metadataLogEntries(spark, root)
+              .orderBy(col("version"))
           case other =>
             System.err.println(
               s"error: unknown metadata table '$other' (partitions|files|" +
-                "snapshots|refs|history|manifests|position_deletes|all_files)")
+                "snapshots|refs|history|manifests|position_deletes|" +
+                "all_files|data_files|delete_files|all_manifests|" +
+                "metadata_log_entries)")
             sys.exit(2)
         }
         df.show(100, truncate = false)

@@ -308,6 +308,70 @@ object Queries16 {
                |  record_count AS n_orders, file_count AS n_files
                |FROM $cat.ps.prof.partitions
                |ORDER BY mon""".stripMargin)
+    },
+
+    // ---- METADATA-TABLE PARITY (the remaining Iceberg inspection
+    // relations): $data_files / $delete_files (the file listing split
+    // by role), $all_manifests (manifest-side reachability across
+    // history), and $metadata_log_entries (the metadata VERSION log
+    // with each version's snapshot pointer). Pinned in-query: the
+    // data/delete splits partition $files exactly, every snapshot's
+    // manifests appear under its reference_snapshot_id, and the
+    // metadata log is strictly version-increasing with the LATEST entry
+    // pointing at the current snapshot. The rollup folds the $data_files
+    // record counts per insert-batch against DuckDB's recomputation
+    // from the source — a file lost by either split breaks the hash.
+    "q281_metadata_log" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q281wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ml")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ml.prof")
+      t(dir, "orders").createOrReplaceTempView("q281_src")
+      s.sql(s"""CREATE TABLE $cat.ml.prof (okey BIGINT, yr BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      (1995 to 1997).foreach { y =>
+        s.sql(s"""INSERT INTO $cat.ml.prof
+                 |SELECT /*+ COALESCE(1) */ o_orderkey,
+                 |  CAST(year(o_orderdate) AS BIGINT)
+                 |FROM q281_src WHERE year(o_orderdate) = $y""".stripMargin)
+      }
+      s.sql(s"DELETE FROM $cat.ml.prof WHERE okey % 10 = 3")
+      // the role split partitions $files exactly
+      val nFiles = s.sql(s"SELECT count(*) FROM $cat.ml.prof.files")
+        .head.getLong(0)
+      val nData = s.sql(s"SELECT count(*) FROM $cat.ml.prof.data_files")
+        .head.getLong(0)
+      val nDel = s.sql(s"SELECT count(*) FROM $cat.ml.prof.delete_files")
+        .head.getLong(0)
+      require(nData == 3L && nDel >= 1L && nData + nDel == nFiles,
+        s"role split must partition \\$$files: $nData + $nDel != $nFiles")
+      // every snapshot's manifests appear under its reference id
+      val refIds = s.sql(s"SELECT DISTINCT reference_snapshot_id " +
+        s"FROM $cat.ml.prof.all_manifests").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      require(refIds == Seq(1L, 2L, 3L, 4L),
+        s"all_manifests must cover history: $refIds")
+      // metadata log: strictly increasing versions, latest points at
+      // the current snapshot
+      val log = s.sql(s"SELECT version, latest_snapshot_id " +
+        s"FROM $cat.ml.prof.metadata_log_entries ORDER BY version")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+      val versions = log.map(_._1).toSeq
+      require(versions == versions.sorted &&
+        versions.distinct.length == versions.length,
+        s"metadata log must be strictly version-increasing: ${log.toSeq}")
+      require(log.last._2 == 4L,
+        s"latest metadata version must point at snapshot 4: ${log.last}")
+      s.sql(s"""SELECT yr, count(*) AS n_orders, min(okey) AS min_okey,
+               |  sum(okey % 100) AS sum_mod
+               |FROM $cat.ml.prof
+               |GROUP BY yr ORDER BY yr""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -359,5 +423,15 @@ object Queries16 {
         |  CAST(2 AS BIGINT) AS n_files
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
-        |GROUP BY mon ORDER BY mon""".stripMargin)
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q281_metadata_log" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_mod
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        |  AND o_orderkey % 10 <> 3
+        |GROUP BY yr ORDER BY yr""".stripMargin)
 }

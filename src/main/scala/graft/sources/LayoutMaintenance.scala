@@ -419,21 +419,56 @@ object LayoutMaintenance {
     val base = metaBase(spark, tableDir)
     val all = snapshots(spark, tableDir)
     val curId = currentSnapshotId(spark, tableDir)
-    val refTargets = refs(spark, tableDir).map(_._2).toSet
     val tsOf = snapshotTimestamps(spark, tableDir).toMap
+    val nowMs = System.currentTimeMillis()
+    val retention = refRetention(spark, tableDir)
+    // ref retention, Iceberg's expire semantics: a ref whose snapshot's
+    // commit time is older than its max-ref-age-ms is DROPPED here
+    // ('main' never expires); surviving BRANCHES protect their history
+    // per min-snapshots-to-keep / max-snapshot-age-ms — the knobs the
+    // ref DDL's RETAIN / WITH SNAPSHOT RETENTION clauses persist. Refs
+    // without fields keep Iceberg's defaults: live forever, head only.
+    val liveRefs = refs(spark, tableDir).filter { case (name, target, _) =>
+      name == "main" || {
+        val maxAge = retention.get(name).flatMap(_._1)
+        // an un-timestamped target (older layouts) is conservatively
+        // treated as never aging out
+        maxAge.forall(a => tsOf.get(target).flatten.forall(nowMs - _ <= a))
+      }
+    }
+    val refTargets = liveRefs.map(_._2).toSet
+    val ids = all.map(_.id)
+    val branchKeep: Set[Long] = liveRefs.flatMap {
+      case (name, target, "branch") =>
+        val (_, minKeep, maxSnapAge) =
+          retention.getOrElse(name, (None, None, None))
+        if (minKeep.isEmpty && maxSnapAge.isEmpty) Seq(target)
+        else {
+          // the branch's ancestry in this linear-history layout: every
+          // snapshot up to and including its target, history order
+          val upTo = ids.take(ids.indexOf(target) + 1)
+          val byMin = upTo.takeRight(math.max(1, minKeep.getOrElse(1)))
+          val byAge = maxSnapAge.map(a => upTo.filter(id =>
+            tsOf.get(id).flatten.exists(nowMs - _ <= a))).getOrElse(Nil)
+          byMin ++ byAge
+        }
+      case _ => Nil
+    }.toSet
     val tail = all.takeRight(keepLast).map(_.id).toSet
     def protectedSnap(id: Long): Boolean =
       tail.contains(id) || curId.contains(id) || refTargets.contains(id) ||
+        branchKeep.contains(id) ||
         (olderThanMs >= 0L &&
           tsOf.get(id).flatten.forall(_ >= olderThanMs))
     val keep = all.filter(s => protectedSnap(s.id))
     val expire = all.filterNot(s => protectedSnap(s.id))
-    if (expire.isEmpty) return (keep.map(_.id), 0)
+    val droppedRefs = refs(spark, tableDir).size - liveRefs.size
+    if (expire.isEmpty && droppedRefs == 0) return (keep.map(_.id), 0)
     val reachable = keep.flatMap(manifestsOf(spark, _)).toSet
     val doomedManifests = expire.flatMap(manifestsOf(spark, _)).toSet -- reachable
     val keepIds = keep.map(_.id).toSet
     val currentId = curId.filter(keepIds.contains).getOrElse(keep.last.id)
-    val keepRefs = refs(spark, tableDir).filter(r => keepIds.contains(r._2))
+    val keepRefs = liveRefs.filter(r => keepIds.contains(r._2))
     val newV = writeMetadataVersion(spark, tableDir, keep, currentId,
       keepRefs, base)
     // superseded metadata versions still REFERENCE the lists/manifests
@@ -3065,6 +3100,25 @@ object LayoutMaintenance {
   def refKind(spark: SparkSession, tableDir: String,
       name: String): Option[String] =
     refs(spark, tableDir).collectFirst { case (n, _, k) if n == name => k }
+
+  /** Per-ref retention fields from the metadata document (spec "Refs"):
+    * name → (max-ref-age-ms, min-snapshots-to-keep, max-snapshot-age-ms).
+    * Refs without the fields map to (None, None, None) — the defaults
+    * expire applies are Iceberg's (refs live forever, branches keep
+    * their head only). */
+  def refRetention(spark: SparkSession, tableDir: String)
+      : Map[String, (Option[Long], Option[Int], Option[Long])] = {
+    val node = readMetadata(spark, tableDir).get("refs")
+    if (node == null || !node.isObject) return Map.empty
+    val out = Map.newBuilder[String, (Option[Long], Option[Int], Option[Long])]
+    node.fields().forEachRemaining { e =>
+      def l(k: String): Option[Long] = Option(e.getValue.get(k))
+        .filter(_.canConvertToLong).map(_.asLong())
+      out += e.getKey -> ((l("max-ref-age-ms"),
+        l("min-snapshots-to-keep").map(_.toInt), l("max-snapshot-age-ms")))
+    }
+    out.result()
+  }
 
   /** Drop a named ref (the DROP BRANCH/TAG of a failed audit): the
     * snapshot it pointed at stays in history — expireSnapshots reclaims

@@ -172,6 +172,55 @@ object MetadataTables {
       .map(_.dropDuplicates("file_path"))
       .getOrElse(files(spark, tableDir).limit(0))
 
+  /** The `$data_files` / `$delete_files` tables: content-filtered views
+    * of [[files]] (Iceberg's split of the file listing by role). */
+  def dataFiles(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    files(spark, tableDir, snapshotId).filter(col("content") === 0)
+
+  def deleteFiles(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    files(spark, tableDir, snapshotId).filter(col("content") =!= 0)
+
+  /** The `$all_manifests` table: every manifest referenced by ANY
+    * snapshot in history — the manifest-side reachability twin of
+    * [[allFiles]]. Manifest-list-sized per snapshot, no manifest I/O. */
+  def allManifests(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    LayoutMaintenance.snapshotIds(spark, tableDir)
+      .map { id =>
+        manifests(spark, tableDir, Some(id))
+          .withColumn("reference_snapshot_id", lit(id))
+      }
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, Long, Int, Int, Long, Long, Long)]
+        .toDF("path", "length", "partition_spec_id", "content",
+          "sequence_number", "added_snapshot_id", "reference_snapshot_id"))
+  }
+
+  /** The `$metadata_log_entries` table: the table's metadata VERSION
+    * history — one row per `v*.metadata.json` on disk, with the
+    * latest-snapshot pointer each version records (Iceberg's
+    * metadata_log_entries surface). Driver-listed, KB-sized reads. */
+  def metadataLogEntries(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val mdir = new java.io.File(tableDir, "metadata")
+    val pat = "^v(\\d+)\\.metadata\\.json$".r
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Option(mdir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => pat.findFirstMatchIn(f.getName)
+        .map(m => (m.group(1).toLong, f)))
+      .sortBy(_._1)
+      .map { case (v, f) =>
+        val root = mapper.readTree(f)
+        val snap = Option(root.get("current-snapshot-id"))
+          .filter(_.canConvertToLong).map(_.asLong())
+        (v, f.getAbsolutePath, f.lastModified(),
+          snap.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+      }.toSeq
+      .toDF("version", "file", "timestamp_ms", "latest_snapshot_id")
+  }
+
   /** The `$refs` table: (name, snapshot_id, type). */
   def refs(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._

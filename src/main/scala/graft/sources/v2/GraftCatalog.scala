@@ -1198,7 +1198,8 @@ private[v2] object GraftMetaTable {
     * (`readStream.table("cat.db.t.changes")`) = the CDC tail. */
   val Kinds: Set[String] =
     Set("snapshots", "files", "partitions", "refs", "history", "changes",
-      "manifests", "position_deletes", "all_files")
+      "manifests", "position_deletes", "all_files", "data_files",
+      "delete_files", "all_manifests", "metadata_log_entries")
 }
 
 /** A table's metadata relation served as a read-only DSv2 table — the
@@ -1226,6 +1227,13 @@ private[v2] class GraftMetaTable(dir: String, kind: String)
       case "position_deletes" =>
         graft.sources.MetadataTables.positionDeletes(spark, dir)
       case "all_files" => graft.sources.MetadataTables.allFiles(spark, dir)
+      case "data_files" => graft.sources.MetadataTables.dataFiles(spark, dir)
+      case "delete_files" =>
+        graft.sources.MetadataTables.deleteFiles(spark, dir)
+      case "all_manifests" =>
+        graft.sources.MetadataTables.allManifests(spark, dir)
+      case "metadata_log_entries" =>
+        graft.sources.MetadataTables.metadataLogEntries(spark, dir)
     }
   }
 
