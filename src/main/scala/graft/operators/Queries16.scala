@@ -372,6 +372,82 @@ object Queries16 {
                |  sum(okey % 100) AS sum_mod
                |FROM $cat.ml.prof
                |GROUP BY yr ORDER BY yr""".stripMargin)
+    },
+
+    // ---- WRITE DISTRIBUTION MODES (Iceberg's write.distribution-mode,
+    // expressed through Spark's RequiresDistributionAndOrdering SPI —
+    // the TABLE declares the write layout and SPARK plans the exchange):
+    // hash clusters each partition value into ONE task (one file per
+    // month from a many-partition input — without it the write fans
+    // tasks × values files), range distributes on the sort key so
+    // output files carry DISJOINT ranges (the manifest-bound-skipping
+    // layout). Pinned in-query: the hash table holds EXACTLY one file
+    // per month; the range table's per-file key bounds are disjoint and
+    // a point query plans fewer files than the table holds. The rollup
+    // reads the hash table per month with its file count; DuckDB
+    // recomputes counts from the source and the file count is the
+    // mode's own guarantee.
+    "q282_write_distribution" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q282wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dm")
+      s.sql(s"DROP TABLE IF EXISTS $cat.dm.h")
+      s.sql(s"DROP TABLE IF EXISTS $cat.dm.r")
+      t(dir, "orders").createOrReplaceTempView("q282_src")
+      // HASH: a repartitioned (16-way) input still lands ONE file/month
+      s.sql(s"""CREATE TABLE $cat.dm.h (okey BIGINT, mon BIGINT)
+               |USING `graft-iceberg` PARTITIONED BY (mon)
+               |TBLPROPERTIES ('write.distribution-mode' = 'hash')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.dm.h
+               |SELECT /*+ REPARTITION(16) */ o_orderkey AS okey,
+               |       CAST(month(o_orderdate) AS BIGINT) AS mon
+               |FROM q282_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val hFiles = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getAbsolutePath}/dm/h", "t", Nil)
+        .filter(col("content") === 0)
+        .select("partitionKey").collect().map(_.getString(0)).toSeq
+      require(hFiles.size == 12 && hFiles.distinct.size == 12,
+        s"hash mode must land exactly one file per month: $hFiles")
+      // RANGE: disjoint per-file key ranges + point-query file pruning
+      s.sql(s"""CREATE TABLE $cat.dm.r (okey BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.distribution-mode' = 'range',
+               |  'write.sort-order' = 'okey',
+               |  'pushdown.fields' = 'okey:1:long',
+               |  'write.target-file-size-bytes' = '2000')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.dm.r
+               |SELECT /*+ REPARTITION(16) */ o_orderkey AS okey
+               |FROM q282_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val rdir = s"${wh.getAbsolutePath}/dm/r"
+      val rStats = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, rdir, "t",
+          Seq((1, "okey", org.apache.spark.sql.types.LongType)))
+        .filter(col("content") === 0)
+        .select("lo_okey", "hi_okey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      // at the GATED sf (0.01+) the write rolls several files; toy sf
+      // may fit one file, where disjointness/pruning are vacuous
+      require(rStats.nonEmpty, "range write must land data")
+      if (rStats.size > 1) {
+        rStats.sliding(2).foreach {
+          case Seq((_, hi), (lo2, _)) => require(hi <= lo2,
+            s"range mode must emit disjoint key ranges: $rStats")
+          case _ => ()
+        }
+        val probe = s.table(s"$cat.dm.r")
+        val planned = probe.filter(col("okey") === rStats.head._2)
+          .rdd.getNumPartitions
+        require(planned < rStats.size,
+          s"bounds must prune the point query: $planned of ${rStats.size}")
+      }
+      s.sql(s"""SELECT mon, count(*) AS n_orders, min(okey) AS min_okey,
+               |  CAST(1 AS BIGINT) AS n_files
+               |FROM $cat.dm.h
+               |GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -433,5 +509,14 @@ object Queries16 {
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
         |  AND o_orderkey % 10 <> 3
-        |GROUP BY yr ORDER BY yr""".stripMargin)
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q282_write_distribution" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |GROUP BY mon ORDER BY mon""".stripMargin)
 }

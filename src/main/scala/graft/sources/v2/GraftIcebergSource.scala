@@ -752,7 +752,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       tableBranch = writeBranch, wapEnabled = wapEnabled,
       writeFormat = GraftFormatWriters.normalize(writeFormatDefault),
       tableTargetBytes =
-        tableProps.get("write.target-file-size-bytes").map(_.toLong))
+        tableProps.get("write.target-file-size-bytes").map(_.toLong),
+      distributionMode = tableProps.get("write.distribution-mode"))
 
   /** The table's `write.format.default` (normalized), for write paths
     * outside [[newWriteBuilder]] — MOR delta inserts, CTAS staging. */

@@ -27,7 +27,8 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     wapEnabled: Boolean = false,
     overwriteDynamic: Boolean = false,
     writeFormat: String = "parquet",
-    tableTargetBytes: Option[Long] = None)
+    tableTargetBytes: Option[Long] = None,
+    distributionMode: Option[String] = None)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -195,29 +196,58 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     * sort order fails Spark's own global-sort check — set it on batch
     * tables.) */
   override def build(): Write = {
-    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    if (sortCols.nonEmpty) new GraftWrite with RequiresDistributionAndOrdering {
-      private val order = sortCols.map(c =>
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
-      override def requiredDistribution()
-          : org.apache.spark.sql.connector.distributions.Distribution =
-        org.apache.spark.sql.connector.distributions.Distributions.ordered(order)
-      override def requiredOrdering()
-          : Array[org.apache.spark.sql.connector.expressions.SortOrder] = order
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+    def sortsOf(cols: Seq[String]): Array[SortOrder] = cols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    def withDist(dist: Distribution, ordering: Array[SortOrder]): Write =
+      new GraftWrite with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution = dist
+        override def requiredOrdering(): Array[SortOrder] = ordering
+      }
+    val partSrc = partSpec.map(p => info.schema().fieldNames(p._3)).distinct
+    // Iceberg's write.distribution-mode, expressed through Spark's own
+    // RequiresDistributionAndOrdering SPI (Spark plans the exchange):
+    //   none  — no shuffle before the write; a declared sort order still
+    //           sorts WITHIN each task (local sort only);
+    //   hash  — cluster on the partition sources: each partition value
+    //           lands in one task → one file per value;
+    //   range — range-distribute on partition sources + sort order: the
+    //           output carries DISJOINT ranges, the manifest-bound-
+    //           skipping-friendly layout.
+    // Unset keeps the established defaults: sorted tables get a global
+    // ordered distribution, partitioned tables get hash clustering.
+    distributionMode.map(_.toLowerCase) match {
+      case Some("none") =>
+        if (sortCols.isEmpty) new GraftWrite {}
+        else withDist(Distributions.unspecified(), sortsOf(sortCols))
+      case Some("hash") =>
+        require(partSrc.nonEmpty,
+          "graft-iceberg: write.distribution-mode=hash needs a " +
+            "partitioned table")
+        withDist(Distributions.clustered(partSrc.map(c =>
+          Expressions.column(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray),
+          sortsOf(sortCols))
+      case Some("range") =>
+        val cols = (partSrc ++ sortCols.filterNot(partSrc.contains)).distinct
+        require(cols.nonEmpty,
+          "graft-iceberg: write.distribution-mode=range needs a " +
+            "partition spec or a write.sort-order")
+        withDist(Distributions.ordered(sortsOf(cols)), sortsOf(cols))
+      case Some(other) => sys.error(
+        s"graft-iceberg: unsupported write.distribution-mode '$other' " +
+          "(none | hash | range)")
+      case None =>
+        if (sortCols.nonEmpty)
+          withDist(Distributions.ordered(sortsOf(sortCols)), sortsOf(sortCols))
+        else if (partSrc.nonEmpty)
+          withDist(Distributions.clustered(partSrc.map(c =>
+            Expressions.column(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray),
+            Array.empty)
+        else new GraftWrite {}
     }
-    else if (partSpec.nonEmpty) new GraftWrite with RequiresDistributionAndOrdering {
-      private val srcCols = partSpec.map(p => info.schema().fieldNames(p._3))
-        .distinct
-      override def requiredDistribution()
-          : org.apache.spark.sql.connector.distributions.Distribution =
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          srcCols.map(c => Expressions.column(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray)
-      override def requiredOrdering()
-          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
-    }
-    else new GraftWrite {}
   }
 }
 
