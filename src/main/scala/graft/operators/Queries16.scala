@@ -448,6 +448,61 @@ object Queries16 {
                |  CAST(1 AS BIGINT) AS n_files
                |FROM $cat.dm.h
                |GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- TEMPORAL + BINARY LAKE TYPES (spec date/timestamptz/binary
+    // through the connector, all previously refused — every earlier
+    // lake query CAST dates to BIGINT months up front): an orders table
+    // keeps o_orderdate AS A DATE, is PARTITIONED BY month(odate) (the
+    // date-sourced Iceberg transform), takes a DATE-predicate MOR
+    // DELETE, and the rollup GROUPs BY a date function over the lake
+    // column. Pinned in-query: the manifests cluster by the transform
+    // value (one partition tuple per month) and the delete moved no
+    // data. DuckDB recomputes from the same date arithmetic — an
+    // epoch-day shifted by one anywhere in write/read breaks the hash.
+    "q283_date_lake_types" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q283wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dt")
+      s.sql(s"DROP TABLE IF EXISTS $cat.dt.ord")
+      t(dir, "orders").createOrReplaceTempView("q283_src")
+      s.sql(s"""CREATE TABLE $cat.dt.ord (
+               |  okey BIGINT, odate DATE, prio STRING)
+               |USING `graft-iceberg` PARTITIONED BY (month(odate))
+               |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.dt.ord
+               |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+               |  CAST(o_orderdate AS DATE) AS odate,
+               |  o_orderpriority AS prio
+               |FROM q283_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val tdir = s"${wh.getAbsolutePath}/dt/ord"
+      def dataFiles(): Seq[(String, String)] =
+        graft.sources.IcebergManifestSource
+          .statsFromTableDir(s, tdir, "t", Nil)
+          .filter(col("content") === 0)
+          .select("file_path", "partitionKey").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      val pre = dataFiles()
+      // month(date) transform: 12 partition tuples, months 300..311
+      // (months since epoch for 1995)
+      require(pre.map(_._2).distinct.sorted ==
+        (300 to 311).map(m => s"""{"odate_month":$m}"""),
+        s"month(d) must cluster 1995 into 12 tuples: ${pre.map(_._2)}")
+      // DATE-predicate MOR delete: tombstones, data carried verbatim
+      s.sql(s"DELETE FROM $cat.dt.ord WHERE odate < DATE'1995-02-01' " +
+        "AND okey % 3 = 0")
+      require(dataFiles() == pre,
+        "the MOR delete must carry the date-typed files verbatim")
+      s.sql(s"""SELECT CAST(month(odate) AS BIGINT) AS mon,
+               |  count(*) AS n_orders,
+               |  min(CAST(odate AS STRING)) AS first_day,
+               |  min(okey) AS min_okey
+               |FROM $cat.dt.ord
+               |GROUP BY month(odate) ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -518,5 +573,17 @@ object Queries16 {
         |  CAST(1 AS BIGINT) AS n_files
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
-        |GROUP BY mon ORDER BY mon""".stripMargin)
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q283_date_lake_types" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS odate
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+        |SELECT CAST(month(odate) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(odate) AS STRING) AS first_day,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM src
+        |WHERE NOT (odate < DATE '1995-02-01' AND okey % 3 = 0)
+        |GROUP BY month(odate) ORDER BY mon""".stripMargin)
 }

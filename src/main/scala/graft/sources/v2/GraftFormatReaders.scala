@@ -79,6 +79,18 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
         new String(b.vector(i), b.start(i), b.length(i),
           java.nio.charset.StandardCharsets.UTF_8)
       }
+      case DATE => (v, i) => // epoch days, kept as the internal Int
+        v.asInstanceOf[LongColumnVector].vector(i).toInt
+      case TIMESTAMP | TIMESTAMP_INSTANT => (v, i) => {
+        val t = v.asInstanceOf[TimestampColumnVector]
+        // micros UTC from (millis, nanos-of-second)
+        Math.floorDiv(t.time(i), 1000L) * 1000000L + t.nanos(i) / 1000L
+      }
+      case BINARY => (v, i) => {
+        val b = v.asInstanceOf[BytesColumnVector]
+        java.util.Arrays.copyOfRange(b.vector(i), b.start(i),
+          b.start(i) + b.length(i))
+      }
       case STRUCT =>
         // one-level struct: leaves convert into an Array[Any] in FILE
         // leaf order ([[structLeaves]] names them)
@@ -150,6 +162,15 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
     s.getType match {
       case UNION => converterOf(unwrap(s))
       case STRING => v => if (v == null) null else v.toString // Utf8
+      case BYTES => v =>
+        if (v == null) null
+        else {
+          val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val out = new Array[Byte](bb.remaining()); bb.get(out); out
+        }
+      // date (int/date) and timestamptz (long/timestamp-micros) arrive
+      // as raw Int days / Long micros — the internal representations the
+      // row assembler wants, so identity covers them below
       case RECORD =>
         // one-level record: leaf values in FILE leaf order
         val kids = s.getFields.asScala.toArray.map(f => converterOf(f.schema()))
@@ -339,6 +360,9 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
           case BooleanType => row.setBoolean(i, v.asInstanceOf[Boolean])
           case StringType =>
             row.update(i, UTF8String.fromString(v.asInstanceOf[String]))
+          case DateType => row.setInt(i, v.asInstanceOf[Int]) // epoch days
+          case TimestampType => row.setLong(i, v.asInstanceOf[Long]) // µs
+          case BinaryType => row.update(i, v.asInstanceOf[Array[Byte]])
           case st: StructType =>
             // one-level struct: file leaf values re-ordered into the
             // TABLE's leaf layout (name/alias-resolved, absent = null)

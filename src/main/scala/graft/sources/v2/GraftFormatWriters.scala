@@ -109,6 +109,15 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         case BooleanType => Types.optional(BOOLEAN)
         case StringType =>
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        // Iceberg `date`: INT32 epoch days; `timestamptz`: INT64 micros
+        // UTC-adjusted; `binary`: raw BINARY — the spec's parquet
+        // physical mappings (Appendix A)
+        case DateType =>
+          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case BinaryType => Types.optional(BINARY)
         case other => sys.error(s"graft-iceberg write: unsupported type $other")
       }
       id.fold(pb)(pb.id).named(name)
@@ -176,6 +185,11 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
           case FloatType => g.add(f.name, record.getFloat(i))
           case BooleanType => g.add(f.name, record.getBoolean(i))
           case StringType => g.add(f.name, record.getUTF8String(i).toString)
+          case DateType => g.add(f.name, record.getInt(i)) // epoch days
+          case TimestampType => g.add(f.name, record.getLong(i)) // micros
+          case BinaryType => g.add(f.name,
+            org.apache.parquet.io.api.Binary
+              .fromConstantByteArray(record.getBinary(i)))
           case st: StructType =>
             val sr = record.getStruct(i, st.length)
             val ng = g.addGroup(f.name)
@@ -191,6 +205,11 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
                   case BooleanType => ng.add(nf.name, sr.getBoolean(k))
                   case StringType =>
                     ng.add(nf.name, sr.getUTF8String(k).toString)
+                  case DateType => ng.add(nf.name, sr.getInt(k))
+                  case TimestampType => ng.add(nf.name, sr.getLong(k))
+                  case BinaryType => ng.add(nf.name,
+                    org.apache.parquet.io.api.Binary
+                      .fromConstantByteArray(sr.getBinary(k)))
                   case other => sys.error(
                     s"graft-iceberg write: unsupported nested type $other")
                 }
@@ -248,6 +267,9 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case FloatType => TypeDescription.createFloat()
     case BooleanType => TypeDescription.createBoolean()
     case StringType => TypeDescription.createString()
+    case DateType => TypeDescription.createDate()
+    case TimestampType => TypeDescription.createTimestampInstant()
+    case BinaryType => TypeDescription.createBinary()
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
@@ -294,6 +316,20 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
       approxBytes += 1
     case StringType =>
       val b = row.getUTF8String(i).getBytes
+      vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
+      approxBytes += b.length + 4
+    case DateType => // epoch days, ORC DATE's own representation
+      vec.asInstanceOf[LongColumnVector].vector(r) = row.getInt(i).toLong
+      approxBytes += 4
+    case TimestampType =>
+      val us = row.getLong(i) // micros UTC
+      val t = vec.asInstanceOf[TimestampColumnVector]
+      t.time(r) = Math.floorDiv(us, 1000000L) * 1000L +
+        Math.floorDiv(Math.floorMod(us, 1000000L), 1000L)
+      t.nanos(r) = (Math.floorMod(us, 1000000L) * 1000L).toInt
+      approxBytes += 8
+    case BinaryType =>
+      val b = row.getBinary(i)
       vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
       approxBytes += b.length + 4
     case other =>
@@ -360,6 +396,13 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       case FloatType => ASchema.create(ASchema.Type.FLOAT)
       case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
       case StringType => ASchema.create(ASchema.Type.STRING)
+      // the Iceberg avro mappings: date = int/date, timestamptz =
+      // long/timestamp-micros, binary = bytes
+      case DateType => org.apache.avro.LogicalTypes.date()
+        .addToSchema(ASchema.create(ASchema.Type.INT))
+      case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(ASchema.create(ASchema.Type.LONG))
+      case BinaryType => ASchema.create(ASchema.Type.BYTES)
       case other =>
         sys.error(s"graft-iceberg write: unsupported AVRO type $other")
     }
@@ -409,6 +452,11 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     case StringType =>
       val s = row.getUTF8String(i).toString
       approxBytes += s.length + 4; s
+    case DateType => approxBytes += 4; Int.box(row.getInt(i)) // epoch days
+    case TimestampType => approxBytes += 8; Long.box(row.getLong(i)) // µs
+    case BinaryType =>
+      val b = row.getBinary(i)
+      approxBytes += b.length + 4; java.nio.ByteBuffer.wrap(b)
     case other =>
       sys.error(s"graft-iceberg write: unsupported AVRO type $other")
   }

@@ -209,13 +209,23 @@ object GraftIcebergSource {
     val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
     def primDt(p: org.apache.parquet.schema.PrimitiveType): DataType = {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val logical = Option(p.getLogicalTypeAnnotation)
       p.getPrimitiveTypeName match {
+        case INT64
+          if logical.exists(_.isInstanceOf[
+            LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]) =>
+          TimestampType
         case INT64 => LongType
+        case INT32 if logical.contains(LogicalTypeAnnotation.dateType()) =>
+          DateType
         case INT32 => IntegerType
         case DOUBLE => DoubleType
         case FLOAT => FloatType
         case BOOLEAN => BooleanType
-        case BINARY => StringType
+        case BINARY if logical.contains(LogicalTypeAnnotation.stringType()) =>
+          StringType
+        case BINARY => BinaryType
         case other => sys.error(s"graft-iceberg: unsupported parquet type $other")
       }
     }
@@ -1950,6 +1960,10 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case FloatType => row.setFloat(i, current.getFloat(nm, 0))
         case BooleanType => row.setBoolean(i, current.getBoolean(nm, 0))
         case StringType => row.update(i, UTF8String.fromString(current.getString(nm, 0)))
+        case DateType => row.setInt(i, current.getInteger(nm, 0)) // days
+        case TimestampType => row.setLong(i, current.getLong(nm, 0)) // µs
+        case BinaryType =>
+          row.update(i, current.getBinary(nm, 0).getBytes)
         case st: StructType =>
           // one nesting level: leaves read through their PER-FILE
           // physical name (resolveLeaf: name / embedded id / rename
@@ -1974,6 +1988,10 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
               case BooleanType => out.setBoolean(k, ng.getBoolean(pn, 0))
               case StringType =>
                 out.update(k, UTF8String.fromString(ng.getString(pn, 0)))
+              case DateType => out.setInt(k, ng.getInteger(pn, 0))
+              case TimestampType => out.setLong(k, ng.getLong(pn, 0))
+              case BinaryType =>
+                out.update(k, ng.getBinary(pn, 0).getBytes)
               case other =>
                 sys.error(s"graft-iceberg: unsupported nested type $other")
             }

@@ -631,19 +631,33 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       def lng: Long = schema.fields(i).dataType match {
         case LongType => record.getLong(i)
         case IntegerType => record.getInt(i).toLong
+        case TimestampType => record.getLong(i) // micros UTC
+        case DateType => record.getInt(i).toLong // epoch days
         case other => sys.error(
           s"graft-iceberg write: partition transform $transform needs an " +
             s"integral source, got $other")
       }
+      // a DATE source carries epoch DAYS, not micros — the time
+      // transforms derive from the calendar date directly (Iceberg's
+      // date-typed transform results)
+      def localDate = java.time.LocalDate.ofEpochDay(record.getInt(i).toLong)
+      val isDate = schema.fields(i).dataType == DateType
       transform match {
         case "identity" => schema.fields(i).dataType match {
           case StringType => record.getUTF8String(i).toString
           case _ => lng
         }
-        case "day" => dayFromMicros(lng).toLong
-        case "hour" => hourFromMicros(lng).toLong
-        case "month" => monthFromMicros(lng).toLong
-        case "year" => yearFromMicros(lng).toLong
+        case "day" => if (isDate) lng else dayFromMicros(lng).toLong
+        case "hour" =>
+          require(!isDate, "graft-iceberg write: hour() of a DATE source")
+          hourFromMicros(lng).toLong
+        case "month" =>
+          if (isDate) ((localDate.getYear - 1970) * 12 +
+            localDate.getMonthValue - 1).toLong
+          else monthFromMicros(lng).toLong
+        case "year" =>
+          if (isDate) (localDate.getYear - 1970).toLong
+          else yearFromMicros(lng).toLong
         case t if t.startsWith("bucket[") =>
           val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
           schema.fields(i).dataType match {
