@@ -503,6 +503,71 @@ object Queries16 {
                |  min(okey) AS min_okey
                |FROM $cat.dt.ord
                |GROUP BY month(odate) ORDER BY mon""".stripMargin)
+    },
+
+    // ---- DECIMAL MONEY IN THE LAKE (spec decimal(P,S), long-backed
+    // P<=18): prices live as DECIMAL(12,2) lake columns — every earlier
+    // money query stored floor-cents BIGINTs because the connector
+    // refused decimals. Values are built from integer cents via exact
+    // string construction (identical in both engines; FLOOR(x*100) is
+    // the established cross-engine cents discipline), written in all
+    // THREE formats in one table (format flipped between inserts), a
+    // decimal-predicate MOR DELETE tombstones across the mix, and the
+    // rollup SUMS the decimal exactly — rendered AS STRING so the hash
+    // compares the money VALUE, not engine-specific result precisions.
+    "q284_decimal_money" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q284wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dc")
+      s.sql(s"DROP TABLE IF EXISTS $cat.dc.money")
+      t(dir, "orders").createOrReplaceTempView("q284_src")
+      s.sql(s"""CREATE TABLE $cat.dc.money (
+               |  okey BIGINT, mon BIGINT, price DECIMAL(12,2))
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'parquet',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertYear(y: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.dc.money
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+                 |  CAST(CONCAT(CAST(cents DIV 100 AS STRING), '.',
+                 |    LPAD(CAST(cents % 100 AS STRING), 2, '0'))
+                 |    AS DECIMAL(12,2)) AS price
+                 |FROM (SELECT *,
+                 |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                 |  FROM q284_src)
+                 |WHERE year(o_orderdate) = $y""".stripMargin)
+      insertYear(1995) // PARQUET decimals
+      s.sql(s"ALTER TABLE $cat.dc.money " +
+        "SET TBLPROPERTIES ('write.format.default' = 'orc')")
+      insertYear(1996) // ORC decimals
+      s.sql(s"ALTER TABLE $cat.dc.money " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertYear(1997) // AVRO decimals
+      val tdir = s"${wh.getAbsolutePath}/dc/money"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"decimals must ride all three formats: $fmts")
+      // decimal-predicate MOR delete across the mixed formats
+      s.sql(s"DELETE FROM $cat.dc.money " +
+        "WHERE price >= CAST(300000 AS DECIMAL(12,2))")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the decimal DELETE must land tombstones")
+      s.sql(s"""SELECT mon, count(*) AS n_orders,
+               |  CAST(sum(price) AS STRING) AS sum_price,
+               |  CAST(min(price) AS STRING) AS min_price
+               |FROM $cat.dc.money
+               |GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -585,5 +650,20 @@ object Queries16 {
         |  CAST(min(okey) AS BIGINT) AS min_okey
         |FROM src
         |WHERE NOT (odate < DATE '1995-02-01' AND okey % 3 = 0)
-        |GROUP BY month(odate) ORDER BY mon""".stripMargin)
+        |GROUP BY month(odate) ORDER BY mon""".stripMargin,
+
+    "q284_decimal_money" ->
+      """WITH src AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |    CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 100
+        |      || '.' ||
+        |      LPAD(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 100
+        |        AS VARCHAR), 2, '0') AS DECIMAL(12,2)) AS price
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS VARCHAR) AS sum_price,
+        |  CAST(min(price) AS VARCHAR) AS min_price
+        |FROM src WHERE price < CAST(300000 AS DECIMAL(12,2))
+        |GROUP BY mon ORDER BY mon""".stripMargin)
 }

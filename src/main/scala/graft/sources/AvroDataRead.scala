@@ -48,6 +48,10 @@ object AvroDataRead {
       case DOUBLE => DoubleType
       case BOOLEAN => BooleanType
       case STRING => StringType
+      case BYTES if logical(s) == "decimal" =>
+        val d = s.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        DecimalType(d.getPrecision, d.getScale)
       case BYTES => BinaryType
       case RECORD =>
         // one-level record-in-record: the nested shape the connector's
@@ -92,6 +96,16 @@ object AvroDataRead {
           ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt); ts
         }
       case STRING => v => if (v == null) null else v.toString // Utf8
+      case BYTES if logical(s) == "decimal" =>
+        val scale = s.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        v =>
+          if (v == null) null
+          else {
+            val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+            val out = new Array[Byte](bb.remaining()); bb.get(out)
+            new java.math.BigDecimal(new java.math.BigInteger(out), scale)
+          }
       case BYTES => v =>
         if (v == null) null
         else {

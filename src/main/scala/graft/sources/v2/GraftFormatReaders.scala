@@ -91,6 +91,9 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
         java.util.Arrays.copyOfRange(b.vector(i), b.start(i),
           b.start(i) + b.length(i))
       }
+      case DECIMAL => (v, i) =>
+        v.asInstanceOf[DecimalColumnVector].vector(i)
+          .getHiveDecimal.bigDecimalValue()
       case STRUCT =>
         // one-level struct: leaves convert into an Array[Any] in FILE
         // leaf order ([[structLeaves]] names them)
@@ -162,6 +165,18 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
     s.getType match {
       case UNION => converterOf(unwrap(s))
       case STRING => v => if (v == null) null else v.toString // Utf8
+      case BYTES
+        if Option(s.getLogicalType).exists(
+          _.isInstanceOf[org.apache.avro.LogicalTypes.Decimal]) =>
+        val scale = s.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        v =>
+          if (v == null) null
+          else {
+            val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+            val out = new Array[Byte](bb.remaining()); bb.get(out)
+            new java.math.BigDecimal(new java.math.BigInteger(out), scale)
+          }
       case BYTES => v =>
         if (v == null) null
         else {
@@ -363,6 +378,12 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
           case DateType => row.setInt(i, v.asInstanceOf[Int]) // epoch days
           case TimestampType => row.setLong(i, v.asInstanceOf[Long]) // µs
           case BinaryType => row.update(i, v.asInstanceOf[Array[Byte]])
+          case d: DecimalType =>
+            val dec = org.apache.spark.sql.types.Decimal(
+              v.asInstanceOf[java.math.BigDecimal])
+            require(dec.changePrecision(d.precision, d.scale),
+              s"graft-iceberg: decimal $v does not fit ${d.sql}")
+            row.update(i, dec)
           case st: StructType =>
             // one-level struct: file leaf values re-ordered into the
             // TABLE's leaf layout (name/alias-resolved, absent = null)

@@ -118,6 +118,13 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
           LogicalTypeAnnotation.timestampType(true,
             LogicalTypeAnnotation.TimeUnit.MICROS))
         case BinaryType => Types.optional(BINARY)
+        // decimal(P<=18, S): INT64 unscaled (Iceberg's parquet mapping
+        // for long-backed precision); wider decimals are refused loudly
+        case d: DecimalType =>
+          require(d.precision <= 18, "graft-iceberg write: decimal " +
+            s"precision ${d.precision} > 18 (long-backed decimals only)")
+          Types.optional(INT64).as(
+            LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other => sys.error(s"graft-iceberg write: unsupported type $other")
       }
       id.fold(pb)(pb.id).named(name)
@@ -190,6 +197,8 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
           case BinaryType => g.add(f.name,
             org.apache.parquet.io.api.Binary
               .fromConstantByteArray(record.getBinary(i)))
+          case d: DecimalType => g.add(f.name,
+            record.getDecimal(i, d.precision, d.scale).toUnscaledLong)
           case st: StructType =>
             val sr = record.getStruct(i, st.length)
             val ng = g.addGroup(f.name)
@@ -270,6 +279,11 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case DateType => TypeDescription.createDate()
     case TimestampType => TypeDescription.createTimestampInstant()
     case BinaryType => TypeDescription.createBinary()
+    case d: DecimalType =>
+      require(d.precision <= 18, "graft-iceberg write: decimal " +
+        s"precision ${d.precision} > 18 (long-backed decimals only)")
+      TypeDescription.createDecimal()
+        .withPrecision(d.precision).withScale(d.scale)
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
@@ -332,6 +346,12 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
       val b = row.getBinary(i)
       vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
       approxBytes += b.length + 4
+    case d: DecimalType =>
+      vec.asInstanceOf[DecimalColumnVector].set(r,
+        new org.apache.hadoop.hive.serde2.io.HiveDecimalWritable(
+          org.apache.hadoop.hive.common.`type`.HiveDecimal.create(
+            row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)))
+      approxBytes += 8
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
@@ -403,6 +423,11 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
         .addToSchema(ASchema.create(ASchema.Type.LONG))
       case BinaryType => ASchema.create(ASchema.Type.BYTES)
+      case d: DecimalType =>
+        require(d.precision <= 18, "graft-iceberg write: decimal " +
+          s"precision ${d.precision} > 18 (long-backed decimals only)")
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(ASchema.create(ASchema.Type.BYTES))
       case other =>
         sys.error(s"graft-iceberg write: unsupported AVRO type $other")
     }
@@ -457,6 +482,10 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     case BinaryType =>
       val b = row.getBinary(i)
       approxBytes += b.length + 4; java.nio.ByteBuffer.wrap(b)
+    case d: DecimalType => // unscaled two's-complement bytes (avro spec)
+      approxBytes += 8
+      java.nio.ByteBuffer.wrap(row.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.unscaledValue().toByteArray)
     case other =>
       sys.error(s"graft-iceberg write: unsupported AVRO type $other")
   }

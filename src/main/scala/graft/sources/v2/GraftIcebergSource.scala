@@ -216,6 +216,12 @@ object GraftIcebergSource {
           if logical.exists(_.isInstanceOf[
             LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]) =>
           TimestampType
+        case INT64
+          if logical.exists(_.isInstanceOf[
+            LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]) =>
+          val dl = logical.get.asInstanceOf[
+            LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          DecimalType(dl.getPrecision, dl.getScale)
         case INT64 => LongType
         case INT32 if logical.contains(LogicalTypeAnnotation.dateType()) =>
           DateType
@@ -1964,6 +1970,9 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case TimestampType => row.setLong(i, current.getLong(nm, 0)) // µs
         case BinaryType =>
           row.update(i, current.getBinary(nm, 0).getBytes)
+        case d: DecimalType => row.update(i,
+          org.apache.spark.sql.types.Decimal.createUnsafe(
+            current.getLong(nm, 0), d.precision, d.scale))
         case st: StructType =>
           // one nesting level: leaves read through their PER-FILE
           // physical name (resolveLeaf: name / embedded id / rename

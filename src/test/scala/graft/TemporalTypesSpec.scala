@@ -57,6 +57,42 @@ class TemporalTypesSpec extends AnyFunSuite {
     }
   }
 
+  for (fmt <- Seq("parquet", "orc", "avro")) {
+    test(s"decimal(12,2) money round-trips exactly in $fmt") {
+      val tbl = s"temporal.db.dec_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, price DECIMAL(12,2)) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt', " +
+        "'write.delete.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, CAST(19.99 AS DECIMAL(12,2)))," +
+        "(2L, CAST(-0.01 AS DECIMAL(12,2)))," +
+        "(3L, CAST(1234567890.55 AS DECIMAL(12,2)))," +
+        "(4L, CAST(NULL AS DECIMAL(12,2))) AS t(k, price)")
+      val back = spark.sql(
+        s"SELECT k, CAST(price AS STRING) FROM $tbl ORDER BY k").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-")))
+      assert(back.toSeq == Seq((1L, "19.99"), (2L, "-0.01"),
+        (3L, "1234567890.55"), (4L, "-")), back.mkString(", "))
+      // exact SUM over the lake column (money must never round)
+      assert(spark.sql(s"SELECT CAST(sum(price) AS STRING) FROM $tbl")
+        .head.getString(0) == "1234567910.53")
+      spark.sql(s"DELETE FROM $tbl WHERE price < CAST(0 AS DECIMAL(12,2))")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 3L)
+    }
+  }
+
+  test("decimal precision above 18 refuses loudly") {
+    spark.sql("CREATE TABLE temporal.db.bigdec (v DECIMAL(25,4)) " +
+      "USING `graft-iceberg`")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO temporal.db.bigdec " +
+        "VALUES (CAST(1.5 AS DECIMAL(25,4)))") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("precision")), msgs(e).toString)
+  }
+
   test("PARTITIONED BY (month(d)): date-sourced transform clusters and prunes") {
     spark.sql("CREATE TABLE temporal.db.pm (k BIGINT, d DATE) " +
       "USING `graft-iceberg` PARTITIONED BY (month(d))")
