@@ -84,6 +84,85 @@ object GraftRefDdl {
     }
 }
 
+/** Write-layout DDL — the other Iceberg-extensions `ALTER TABLE` family:
+  *
+  * {{{
+  *   ALTER TABLE t WRITE ORDERED BY c1, c2      -- sort + range dist
+  *   ALTER TABLE t WRITE LOCALLY ORDERED BY c1  -- sort, no shuffle
+  *   ALTER TABLE t WRITE DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY …]
+  *   ALTER TABLE t WRITE UNORDERED              -- clear both
+  * }}}
+  *
+  * Each form lands as the SAME table properties the write path already
+  * honors (`write.sort-order`, `write.distribution-mode`) — DDL and
+  * TBLPROPERTIES converge on one write-planning code path
+  * ([[GraftWriteBuilder.build]]'s RequiresDistributionAndOrdering).
+  * Descending / NULLS LAST orders are refused loudly (the layout's sort
+  * order dialect is ascending nulls-first). */
+object GraftWriteDdl {
+
+  private val Stmt =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`"]+)\s+WRITE\s+""" +
+      """(UNORDERED|(?:DISTRIBUTED\s+BY\s+PARTITION\s*)?""" +
+      """(?:LOCALLY\s+)?(?:ORDERED\s+BY\s+.*)?|DISTRIBUTED\s+BY\s+PARTITION)\s*;?\s*$""").r
+  private val OrderBy = """(?is)\bORDERED\s+BY\s+(.*)$""".r
+
+  def parse(session: SparkSession, sqlText: String): Option[LogicalPlan] =
+    Stmt.findFirstMatchIn(sqlText)
+      .filter(_.group(2).trim.nonEmpty)
+      .flatMap { m =>
+        val parts = m.group(1).split('.').toSeq
+          .map(_.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        GraftViewRules.graftTarget(session, parts).map { case (g, ident) =>
+          val clause = m.group(2).trim
+          val upper = clause.toUpperCase.replaceAll("\\s+", " ")
+          val distributed = upper.startsWith("DISTRIBUTED BY PARTITION")
+          val locally = upper.contains("LOCALLY ORDERED BY")
+          val unordered = upper == "UNORDERED"
+          val sortCols: Seq[String] = OrderBy.findFirstMatchIn(clause)
+            .map(_.group(1)).toSeq.flatMap(_.split(',')).map(_.trim)
+            .filter(_.nonEmpty)
+            .map { item =>
+              val toks = item.split("\\s+").toSeq
+              require(toks.tail.forall(t =>
+                Set("ASC", "NULLS", "FIRST").contains(t.toUpperCase)),
+                s"graft write DDL: only ASC NULLS FIRST orders are " +
+                  s"supported, got '$item'")
+              toks.head.stripPrefix("`").stripSuffix("`")
+            }
+          require(unordered || distributed || sortCols.nonEmpty,
+            s"graft write DDL: cannot parse WRITE clause '$clause'")
+          GraftWriteDdlCommand(g, ident,
+            sortCols = sortCols,
+            // ORDERED BY without LOCALLY implies a range distribution
+            // (Iceberg's own mapping); LOCALLY = no shuffle
+            distributionMode =
+              if (unordered) Some("none")
+              else if (distributed) Some("hash")
+              else if (locally) Some("none")
+              else if (sortCols.nonEmpty) Some("range")
+              else None,
+            clearSort = unordered)
+        }
+      }
+}
+
+case class GraftWriteDdlCommand(catalog: GraftCatalog, ident: Identifier,
+    sortCols: Seq[String], distributionMode: Option[String],
+    clearSort: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val changes = Seq.newBuilder[TableChange]
+    if (clearSort) changes += TableChange.removeProperty("write.sort-order")
+    else if (sortCols.nonEmpty) changes += TableChange.setProperty(
+      "write.sort-order", sortCols.mkString(","))
+    distributionMode.foreach(m => changes += TableChange.setProperty(
+      "write.distribution-mode", m))
+    catalog.alterTable(ident, changes.result(): _*)
+    Nil
+  }
+}
+
 case class GraftRefDdlCommand(catalog: GraftCatalog, ident: Identifier,
     op: String, kind: String, refName: String,
     ifNotExists: Boolean, ifExists: Boolean,

@@ -163,8 +163,10 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
     // ref DDL first: `ALTER TABLE … CREATE BRANCH` is extension grammar
     // the delegate would REJECT, so it cannot go through parse-then-
     // rewrite like the view DDL below
-    GraftRefDdl.parse(session, sqlText).getOrElse(
-      GraftViewRules.rewriteDdl(session, delegate.parsePlan(sqlText)))
+    GraftRefDdl.parse(session, sqlText)
+      .orElse(GraftWriteDdl.parse(session, sqlText))
+      .getOrElse(
+        GraftViewRules.rewriteDdl(session, delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

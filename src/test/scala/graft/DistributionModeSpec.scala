@@ -81,6 +81,34 @@ class DistributionModeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dist.db.r").head.getLong(0) == 4000L)
   }
 
+  test("ALTER TABLE ... WRITE DDL lands the properties the write path honors") {
+    spark.sql("CREATE TABLE dist.db.wd (k BIGINT, part BIGINT) " +
+      "USING `graft-iceberg` PARTITIONED BY (part)")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES dist.db.wd").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    spark.sql("ALTER TABLE dist.db.wd WRITE ORDERED BY k")
+    assert(props().get("write.sort-order").contains("k"))
+    assert(props().get("write.distribution-mode").contains("range"))
+    spark.sql("ALTER TABLE dist.db.wd WRITE LOCALLY ORDERED BY k")
+    assert(props().get("write.distribution-mode").contains("none"))
+    spark.sql("ALTER TABLE dist.db.wd WRITE DISTRIBUTED BY PARTITION")
+    assert(props().get("write.distribution-mode").contains("hash"))
+    // the DDL-set mode drives the actual write: one file per value
+    spark.range(0, 200, 1, 8).selectExpr("id AS k", "id % 4 AS part")
+      .createOrReplaceTempView("dist_src_wd")
+    spark.sql("INSERT INTO dist.db.wd SELECT k, part FROM dist_src_wd")
+    val perValue = dataFiles("wd").groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perValue.values.forall(_ == 1),
+      s"DDL-set hash mode must cluster: $perValue")
+    spark.sql("ALTER TABLE dist.db.wd WRITE UNORDERED")
+    assert(!props().contains("write.sort-order"))
+    assert(props().get("write.distribution-mode").contains("none"))
+    // descending orders are outside the dialect: refuse loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE dist.db.wd WRITE ORDERED BY k DESC") }
+  }
+
   test("unknown mode refuses loudly") {
     spark.sql("CREATE TABLE dist.db.bad (k BIGINT) " +
       "USING `graft-iceberg` " +
