@@ -2748,7 +2748,16 @@ object LayoutMaintenance {
     * Keys resolve from the manifests' spec `equality_ids` — the same
     * metadata contract the reader uses. Returns (newSnapshotId,
     * eqFilesBefore, posPairsWritten); a table with no live eq
-    * tombstones returns the current snapshot and commits nothing. */
+    * tombstones returns the current snapshot and commits nothing.
+    *
+    * Output grain: ONE consolidated position-delete file — the same
+    * contract as [[rewritePositionDeletes]] (the point of both is
+    * collapsing the per-commit tombstone accretion back to O(1) read
+    * opens). Pair volume is bounded by the rows the eq tombstones
+    * actually suppress; a table whose suppressed set outgrows a single
+    * file wants the full [[rewriteDataFiles]] instead — the suppressed
+    * rows are then a material fraction of the data and the rewrite
+    * amortizes. */
   def convertEqualityDeletes(spark: SparkSession, tableDir: String,
       renames: Map[String, Seq[String]] = Map.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
