@@ -1897,6 +1897,22 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
   }
 
+  // each projected column's POSITION in the projected group — the
+  // projection MessageType was built in required-field order over the
+  // present (non-meta, non-absent) columns, so ranks line up; name-keyed
+  // Group getters cost a linear field scan PER VALUE, positional ones
+  // don't. Only consulted for columns the projection contains.
+  private val projIdx: Array[Int] = {
+    val out = Array.fill(required.length)(-1)
+    var n = 0
+    var i = 0
+    while (i < required.length) {
+      if (!isMeta(i) && !isAbsent(i)) { out(i) = n; n += 1 }
+      i += 1
+    }
+    out
+  }
+
   private lazy val deadPositions: Set[Long] =
     GraftPartitionReader.positionsFor(path, part.posDeletes)
   private lazy val eqSets: Seq[(Seq[String], Set[Seq[Any]])] =
@@ -1944,42 +1960,42 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
-      val nm = physName(i)
+      val pi = projIdx(i) // positional access: no per-value name scans
       if (isPos(i)) row.setLong(i, rowIdx) // physical ordinal in file
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isAbsent(i)) row.update(i, absentValue(i))
-      else if (current.getFieldRepetitionCount(nm) == 0) row.update(i, null)
+      else if (current.getFieldRepetitionCount(pi) == 0) row.update(i, null)
       else f.dataType match {
         case LongType =>
           // per-value widening for pre-ALTER files whose physical type
           // is still the narrow one (Iceberg's int->long promotion)
           if (physPrim(i) ==
               org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
-            row.setLong(i, current.getInteger(nm, 0).toLong)
-          else row.setLong(i, current.getLong(nm, 0))
-        case IntegerType => row.setInt(i, current.getInteger(nm, 0))
+            row.setLong(i, current.getInteger(pi, 0).toLong)
+          else row.setLong(i, current.getLong(pi, 0))
+        case IntegerType => row.setInt(i, current.getInteger(pi, 0))
         case DoubleType =>
           if (physPrim(i) ==
               org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT)
-            row.setDouble(i, current.getFloat(nm, 0).toDouble)
-          else row.setDouble(i, current.getDouble(nm, 0))
-        case FloatType => row.setFloat(i, current.getFloat(nm, 0))
-        case BooleanType => row.setBoolean(i, current.getBoolean(nm, 0))
-        case StringType => row.update(i, UTF8String.fromString(current.getString(nm, 0)))
-        case DateType => row.setInt(i, current.getInteger(nm, 0)) // days
-        case TimestampType => row.setLong(i, current.getLong(nm, 0)) // µs
+            row.setDouble(i, current.getFloat(pi, 0).toDouble)
+          else row.setDouble(i, current.getDouble(pi, 0))
+        case FloatType => row.setFloat(i, current.getFloat(pi, 0))
+        case BooleanType => row.setBoolean(i, current.getBoolean(pi, 0))
+        case StringType => row.update(i, UTF8String.fromString(current.getString(pi, 0)))
+        case DateType => row.setInt(i, current.getInteger(pi, 0)) // days
+        case TimestampType => row.setLong(i, current.getLong(pi, 0)) // µs
         case BinaryType =>
-          row.update(i, current.getBinary(nm, 0).getBytes)
+          row.update(i, current.getBinary(pi, 0).getBytes)
         case d: DecimalType => row.update(i,
           org.apache.spark.sql.types.Decimal.createUnsafe(
-            current.getLong(nm, 0), d.precision, d.scale))
+            current.getLong(pi, 0), d.precision, d.scale))
         case st: StructType =>
           // one nesting level: leaves read through their PER-FILE
           // physical name (resolveLeaf: name / embedded id / rename
           // alias); leaves pruned out of the projection, renamed away,
           // or absent from an old file null-fill — the same
           // schema-evolution semantics as the top level
-          val ng = current.getGroup(nm, 0)
+          val ng = current.getGroup(pi, 0)
           val ngt = ng.getType.asGroupType()
           val leaves = physLeaf(i)
           val out = new GenericInternalRow(st.length)
@@ -2010,7 +2026,7 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case at: ArrayType =>
           // standard 3-level LIST (the vector-column shape): repeated
           // `list` groups, each with an optional `element`
-          val lg = current.getGroup(nm, 0)
+          val lg = current.getGroup(pi, 0)
           val n = lg.getFieldRepetitionCount("list")
           val out = new Array[Any](n)
           var k = 0
