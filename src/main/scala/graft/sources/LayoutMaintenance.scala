@@ -3257,12 +3257,110 @@ object LayoutMaintenance {
     * advances the table. Returns (statsPath, snapshotId, nPartitions). */
   def computePartitionStats(spark: SparkSession,
       tableDir: String): (String, Long, Long) =
+    computePartitionStatsMode(spark, tableDir, "auto") match {
+      case (p, s, n, _) => (p, s, n)
+    }
+
+  /** @param mode "full" recomputes from the current snapshot's manifest
+    *   scan; "auto" goes INCREMENTAL when a prior stats file exists for
+    *   an ancestor snapshot: manifest REUSE means unchanged manifests
+    *   are shared BY PATH across snapshots, so the stats delta is
+    *   exactly the entries of the manifests in the two lists' symmetric
+    *   difference — added manifests add, dropped manifests subtract,
+    *   and the update costs O(changed manifests), not O(table). The
+    *   spec pins incremental == full bit-for-bit. Returns
+    *   (statsPath, snapshotId, nPartitions, armUsed). */
+  def computePartitionStatsMode(spark: SparkSession,
+      tableDir: String, mode: String): (String, Long, Long, String) =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
+    require(mode == "auto" || mode == "full",
+      s"computePartitionStats: mode must be auto|full, got '$mode'")
     val all = snapshots(spark, tableDir)
     require(all.nonEmpty,
       s"computePartitionStats($tableDir): table has no snapshots")
     val cur = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
-    val rollup = MetadataTables.partitionsFromManifests(spark, tableDir)
+    val statsSchema = "partition STRING, file_count BIGINT, " +
+      "record_count BIGINT, total_size BIGINT, " +
+      "position_delete_file_count BIGINT, " +
+      "equality_delete_file_count BIGINT, last_updated_snapshot_id BIGINT"
+    // prior stats usable for the incremental arm: registered for an
+    // ANCESTOR snapshot that is still in history, file still on disk
+    val prior: Option[(Long, String)] =
+      if (mode != "auto") None
+      else {
+        val arr = readMetadata(spark, tableDir).get("partition-statistics")
+        if (arr == null || !arr.isArray) None
+        else {
+          val ids = all.map(_.id)
+          var best: Option[(Long, String)] = None
+          arr.forEach { nd =>
+            val sid = Option(nd.get("snapshot-id"))
+              .filter(_.canConvertToLong).map(_.asLong())
+            val p = Option(nd.get("statistics-path")).map(_.asText())
+            (sid, p) match {
+              case (Some(id), Some(path))
+                if id != cur && ids.contains(id) &&
+                  new java.io.File(path).exists() &&
+                  best.forall(b => ids.indexOf(id) > ids.indexOf(b._1)) =>
+                best = Some((id, path))
+              case _ => ()
+            }
+          }
+          best
+        }
+      }
+    def manifestsOfSnap(id: Long): Seq[(String, Long)] =
+      IcebergManifestSource.resolveManifestList(spark, tableDir, Some(id))
+        .map(p => IcebergManifestSource.manifestPathSeqs(
+          spark.sparkContext.hadoopConfiguration, p))
+        .getOrElse(Nil)
+    val (rollup0, arm) = prior match {
+      case Some((baseId, basePath)) =>
+        val before = manifestsOfSnap(baseId)
+        val after = manifestsOfSnap(cur)
+        val beforeSet = before.map(_._1).toSet
+        val afterSet = after.map(_._1).toSet
+        val added = after.filterNot(m => beforeSet.contains(m._1))
+        val removed = before.filterNot(m => afterSet.contains(m._1))
+        def signedRollup(ms: Seq[(String, Long)], sign: Long) =
+          MetadataTables.rollupOf(
+            IcebergManifestSource.statsFromManifestSeqs(spark, ms, "t", Nil)
+              .select(col("content"),
+                col("partitionKey").as("partition"),
+                col("record_count"),
+                col("sizeBytes").as("file_size_in_bytes")))
+            .select(col("partition"),
+              (col("file_count") * sign).as("file_count"),
+              (col("record_count") * sign).as("record_count"),
+              (col("total_size") * sign).as("total_size"),
+              (col("position_delete_file_count") * sign)
+                .as("position_delete_file_count"),
+              (col("equality_delete_file_count") * sign)
+                .as("equality_delete_file_count"))
+        val old = spark.read.schema(statsSchema).parquet(basePath)
+          .drop("last_updated_snapshot_id")
+        val parts = Seq(Some(old),
+          if (added.isEmpty) None else Some(signedRollup(added, 1L)),
+          if (removed.isEmpty) None else Some(signedRollup(removed, -1L)))
+          .flatten
+        val merged = parts.reduce(_ unionByName _)
+          .groupBy(col("partition"))
+          .agg(sum(col("file_count")).as("file_count"),
+            sum(col("record_count")).as("record_count"),
+            sum(col("total_size")).as("total_size"),
+            sum(col("position_delete_file_count"))
+              .as("position_delete_file_count"),
+            sum(col("equality_delete_file_count"))
+              .as("equality_delete_file_count"))
+          // a partition whose every file left the table drops, exactly
+          // as a full recompute would never emit it
+          .filter(col("file_count") + col("position_delete_file_count") +
+            col("equality_delete_file_count") > 0)
+        (merged, "incremental")
+      case None =>
+        (MetadataTables.partitionsFromManifests(spark, tableDir), "full")
+    }
+    val rollup = rollup0
       .withColumn("last_updated_snapshot_id", lit(cur))
       .sort(col("partition"))
     val m = metaDir(tableDir)
@@ -3301,7 +3399,7 @@ object LayoutMaintenance {
           s"computePartitionStats($tableDir): version conflict at v$curV", e)
     }
     writeHintAtomic(m, curV + 1)
-    (f.getAbsolutePath, cur, n)
+    (f.getAbsolutePath, cur, n, arm)
   } }
 
   /** The registered partition-statistics file for the CURRENT snapshot,

@@ -64,7 +64,14 @@ object MetadataTables {
     * two arms can never disagree on semantics. */
   def partitionsFromManifests(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame =
-    files(spark, tableDir, snapshotId)
+    rollupOf(files(spark, tableDir, snapshotId))
+
+  /** The per-partition aggregation itself, over any files-shaped
+    * relation (content, partition, record_count, file_size_in_bytes) —
+    * shared by the full arm and the incremental stats delta so the two
+    * can never disagree on semantics. */
+  private[sources] def rollupOf(files: DataFrame): DataFrame =
+    files
       .groupBy(col("partition"))
       .agg(
         sum(when(col("content") === 0, 1L).otherwise(0L)).as("file_count"),

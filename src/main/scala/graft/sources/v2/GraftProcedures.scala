@@ -507,21 +507,26 @@ object GraftProcedures {
     },
 
     new Proc("compute_partition_stats",
-      Array(p("table", StringType)),
+      Array(p("table", StringType), pd("mode", StringType, "'auto'")),
       StructType(Seq(
         StructField("statistics_path", StringType, nullable = false),
         StructField("snapshot_id", LongType, nullable = false),
-        StructField("partitions", LongType, nullable = false))),
+        StructField("partitions", LongType, nullable = false),
+        StructField("arm", StringType, nullable = false))),
       "Materialize the per-partition rollup as the spec's partition-" +
         "statistics file and register it in metadata; $partitions and " +
         "per-partition reports serve from it while fresh (KB read, no " +
         "manifest scan) and fall back the moment a commit advances the " +
-        "table") {
+        "table. mode=auto updates INCREMENTALLY from a prior stats " +
+        "file via the manifest-set diff (manifest reuse shares " +
+        "unchanged manifests by path) — O(changed manifests); " +
+        "mode=full forces the full manifest scan") {
       def run(spark: SparkSession, in: InternalRow): Seq[Seq[Any]] = {
         val dir = resolve(in.getUTF8String(0).toString)
-        val (path, snap, n) =
-          LayoutMaintenance.computePartitionStats(spark, dir)
-        Seq(Seq[Any](path, Long.box(snap), Long.box(n)))
+        val (path, snap, n, arm) = LayoutMaintenance
+          .computePartitionStatsMode(spark, dir,
+            in.getUTF8String(1).toString)
+        Seq(Seq[Any](path, Long.box(snap), Long.box(n), arm))
       }
     },
 

@@ -85,6 +85,55 @@ class PartitionStatsSpec extends AnyFunSuite {
       "pinned read must reflect the pinned snapshot via manifests")
   }
 
+  test("incremental update from the manifest diff equals the full recompute") {
+    spark.sql("CREATE TABLE pstats.db.inc (k BIGINT, part BIGINT) " +
+      "USING `graft-iceberg` PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    val dir = "target/tmp-pstats-wh/db/inc"
+    spark.sql("INSERT INTO pstats.db.inc SELECT id, id % 3 FROM range(0, 90)")
+    val r0 = spark.sql(
+      "CALL pstats.system.compute_partition_stats('db.inc')").head
+    assert(r0.getString(3) == "full", "first compute has no prior: full")
+    // appends + a tombstone commit + a rewrite (drops old manifests,
+    // adds new ones) — the worst composite shape for a delta
+    spark.sql("INSERT INTO pstats.db.inc SELECT id, 3 FROM range(0, 10)")
+    spark.sql("DELETE FROM pstats.db.inc WHERE k % 9 = 1")
+    LayoutMaintenance.rewriteSmallFiles(spark, dir,
+      maxGroupBytes = 1L << 30, smallFileBytes = 1L << 20)
+    val full = rollup(MetadataTables.partitionsFromManifests(spark, dir))
+    val r1 = spark.sql(
+      "CALL pstats.system.compute_partition_stats('db.inc')").head
+    assert(r1.getString(3) == "incremental",
+      s"a prior ancestor stats file must drive the delta arm: $r1")
+    val served = MetadataTables.partitions(spark, dir)
+    assert(served.inputFiles.toSeq
+      .map(_.replaceFirst("^file:/+", "/")) == Seq(r1.getString(0)))
+    assert(rollup(served) == full,
+      "incremental stats must equal the full recompute exactly")
+    // delete-file counts agree too (the signed delta spans all contents)
+    val posServed = served.select(sum("position_delete_file_count"))
+      .head.getLong(0)
+    val posFull = MetadataTables.partitionsFromManifests(spark, dir)
+      .select(sum("position_delete_file_count")).head.getLong(0)
+    assert(posServed == posFull)
+    // mode=full still available and identical
+    val r2 = spark.sql("CALL pstats.system.compute_partition_stats(" +
+      "'db.inc', mode => 'full')").head
+    assert(r2.getString(3) == "full")
+    assert(rollup(MetadataTables.partitions(spark, dir)) == full)
+    // a partition emptied by a later overwrite DROPS from the delta
+    spark.sql("INSERT OVERWRITE pstats.db.inc " +
+      "SELECT id, id % 2 FROM range(0, 40)")
+    val r3 = spark.sql(
+      "CALL pstats.system.compute_partition_stats('db.inc')").head
+    assert(r3.getString(3) == "incremental")
+    val after = rollup(MetadataTables.partitions(spark, dir))
+    assert(after == rollup(
+      MetadataTables.partitionsFromManifests(spark, dir)),
+      "post-overwrite incremental must equal full (emptied partitions drop)")
+    assert(after.size == 2, s"only the overwrite's partitions remain: $after")
+  }
+
   test("MOR delete advances the table: stats from before it never serve") {
     spark.sql("CREATE TABLE pstats.db.m (k BIGINT, part BIGINT) " +
       "USING `graft-iceberg` PARTITIONED BY (part) " +
