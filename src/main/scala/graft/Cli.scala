@@ -71,7 +71,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history|manifests|position_deletes|all_files|data_files|delete_files|all_manifests|metadata_log_entries) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere|deletewheredv <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli rwposdeletes <tableDir> | graft.Cli cherrypick <tableDir> <snapshotId> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli catsql <warehouseDir> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
+    val usage = "usage: graft.Cli (list|diag|stream|media|release) <dataRoot> [glob] | graft.Cli compact <dataRoot> [outRoot] | graft.Cli remote <responseJson|url> [tables...] | graft.Cli manifest <tableDir[@snapshotId|@ref]|manifestListAvro> [table] | graft.Cli changelog <tableDir> <fromSnap|ref> <toSnap|ref> | graft.Cli meta <tableDir> (partitions|files|snapshots|refs|history|manifests|position_deletes|all_files|data_files|delete_files|all_manifests|metadata_log_entries) | graft.Cli footprint <dataRoot> [glob] | graft.Cli rewrite <tableDir> [eqKeysCsv] | graft.Cli deletewhere|deletewheredv <tableDir> [--keys=a,b] <sqlPredicate...> | graft.Cli compactcommit <tableDir> [maxGroupBytes] | graft.Cli expire <tableDir> <keepLast> | graft.Cli rollback <tableDir> <snapshotId> | graft.Cli rwmanifests <tableDir> | graft.Cli rwposdeletes <tableDir> | graft.Cli converteqdeletes <tableDir> | graft.Cli pstats <tableDir> [auto|full] | graft.Cli cherrypick <tableDir> <snapshotId> | graft.Cli fanout <nTables> | graft.Cli sql <dataRoot> <statement> | graft.Cli catsql <warehouseDir> <statement> | graft.Cli query <dataRoot> <name|glob> [nRows]"
     if (args.length < 2) { System.err.println(usage); sys.exit(2) }
     val cmd = args(0)
     val root = args(1)
@@ -88,6 +88,27 @@ object Cli {
         if (before == after)
           println(s"already packed at $cap B: $before data files (snapshot $snap unchanged)")
         else println(s"committed snapshot $snap: $before data files -> $after")
+      } finally spark.stop()
+      return
+    }
+
+    if (cmd == "converteqdeletes" || cmd == "pstats") {
+      // eq→pos tombstone conversion / partition-statistics maintenance
+      val spark = session()
+      try {
+        if (cmd == "converteqdeletes") {
+          val (snap, before, pairs) = graft.sources.LayoutMaintenance
+            .convertEqualityDeletes(spark, root)
+          if (before == 0) println("no equality-delete files: nothing to do")
+          else println(s"committed snapshot $snap: $before equality-delete " +
+            s"files -> $pairs position pairs")
+        } else {
+          val mode = if (args.length > 2) args(2) else "auto"
+          val (path, snap, n, arm) = graft.sources.LayoutMaintenance
+            .computePartitionStatsMode(spark, root, mode)
+          println(s"partition stats for snapshot $snap: $n partitions " +
+            s"($arm) -> $path")
+        }
       } finally spark.stop()
       return
     }
