@@ -3402,16 +3402,18 @@ object LayoutMaintenance {
     (f.getAbsolutePath, cur, n, arm)
   } }
 
-  /** The registered partition-statistics file for the CURRENT snapshot,
-    * None when absent or STALE (registered for an older snapshot — a
-    * commit has advanced the table since it was computed) or deleted.
-    * The staleness rule is what makes serving from it safe: a fresh
-    * entry describes exactly the live file set. */
-  def freshPartitionStats(spark: SparkSession,
-      tableDir: String): Option[String] = {
+  /** The registered partition-statistics file for `snapshotId` (the
+    * CURRENT snapshot when None) — None when absent, STALE (registered
+    * for a different snapshot than the one being read), or deleted.
+    * The exact-snapshot rule is what makes serving from it safe: an
+    * entry describes exactly its snapshot's file set, so a pinned
+    * time-travel read may serve from a matching entry too. */
+  def freshPartitionStats(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): Option[String] = {
     val root = readMetadata(spark, tableDir)
-    val cur = Option(root.get("current-snapshot-id"))
-      .filter(_.canConvertToLong).map(_.asLong())
+    val target = snapshotId.orElse(
+      Option(root.get("current-snapshot-id"))
+        .filter(_.canConvertToLong).map(_.asLong()))
       .getOrElse(return None)
     val arr = root.get("partition-statistics")
     if (arr == null || !arr.isArray) return None
@@ -3419,7 +3421,7 @@ object LayoutMaintenance {
     arr.forEach { nd =>
       val sid = nd.get("snapshot-id")
       val p = nd.get("statistics-path")
-      if (sid != null && sid.canConvertToLong && sid.asLong() == cur &&
+      if (sid != null && sid.canConvertToLong && sid.asLong() == target &&
           p != null && new java.io.File(p.asText()).exists())
         out = Some(p.asText())
     }

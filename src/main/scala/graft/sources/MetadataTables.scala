@@ -41,13 +41,13 @@ object MetadataTables {
     * ([[LayoutMaintenance.computePartitionStats]] — a KB-sized parquet
     * read instead of a manifest scan, the shape a thousands-of-tables
     * report wants); a stale or absent stats file falls back to the
-    * manifest aggregation. Snapshot-pinned reads always take the
-    * manifest arm (stats describe the current snapshot only). */
+    * manifest aggregation. A snapshot-PINNED read serves from an entry
+    * registered for exactly that snapshot (an entry describes its own
+    * snapshot's file set, current or not), manifest arm otherwise. */
   def partitions(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame =
-    (if (snapshotId.isEmpty)
-       LayoutMaintenance.freshPartitionStats(spark, tableDir)
-     else None) match {
+    LayoutMaintenance.freshPartitionStats(spark, tableDir,
+      snapshotId) match {
       case Some(statsPath) =>
         spark.read.schema(
           "partition STRING, file_count BIGINT, record_count BIGINT, " +

@@ -78,11 +78,20 @@ class PartitionStatsSpec extends AnyFunSuite {
     assert(served2.inputFiles.toSeq
       .map(_.replaceFirst("^file:/+", "/")) == Seq(r2.getString(0)))
     assert(rollup(served2).map(_._3).sum == 100L)
-    // snapshot-PINNED reads never take the stats arm
+    // a snapshot-PINNED read serves from the entry registered for
+    // EXACTLY that snapshot (entries describe their own snapshot)…
     val snaps = LayoutMaintenance.snapshotIds(spark, dir)
     val pinned = MetadataTables.partitions(spark, dir, Some(snaps.head))
+    assert(pinned.inputFiles.toSeq
+      .map(_.replaceFirst("^file:/+", "/")) == Seq(statsPath),
+      "a pinned read must serve from its snapshot's registered stats")
     assert(rollup(pinned).map(_._3).sum == 90L,
-      "pinned read must reflect the pinned snapshot via manifests")
+      "pinned stats must reflect the pinned snapshot exactly")
+    // …each snapshot's pin resolves its OWN entry, never a neighbor's
+    val pinned2 = MetadataTables.partitions(spark, dir, Some(snaps(1)))
+    assert(pinned2.inputFiles.toSeq
+      .map(_.replaceFirst("^file:/+", "/")) == Seq(r2.getString(0)))
+    assert(rollup(pinned2).map(_._3).sum == 100L)
   }
 
   test("incremental update from the manifest diff equals the full recompute") {
