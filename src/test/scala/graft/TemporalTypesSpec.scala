@@ -93,6 +93,24 @@ class TemporalTypesSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("precision")), msgs(e).toString)
   }
 
+  test("PARTITIONED BY (day(ts)): timestamp-sourced transform clusters") {
+    spark.sql("CREATE TABLE temporal.db.pt (k BIGINT, ts TIMESTAMP) " +
+      "USING `graft-iceberg` PARTITIONED BY (day(ts))")
+    spark.sql("INSERT INTO temporal.db.pt SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1L, TIMESTAMP'1995-01-10 08:00:00'), " +
+      "(2L, TIMESTAMP'1995-01-10 23:59:59'), " +
+      "(3L, TIMESTAMP'1995-01-11 00:00:01') AS t(k, ts)")
+    val parts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, "target/tmp-temporal-wh/db/pt", "t", Nil)
+      .filter(col("content") === 0)
+      .select("partitionKey").collect().map(_.getString(0)).toSeq
+    // epoch days: 1995-01-10 = 9140, 1995-01-11 = 9141
+    assert(parts.sorted == Seq("{\"ts_day\":9140}", "{\"ts_day\":9141}"),
+      parts.toString)
+    assert(spark.sql("SELECT sum(k) FROM temporal.db.pt " +
+      "WHERE ts < TIMESTAMP'1995-01-11 00:00:00'").head.getLong(0) == 3L)
+  }
+
   test("PARTITIONED BY (month(d)): date-sourced transform clusters and prunes") {
     spark.sql("CREATE TABLE temporal.db.pm (k BIGINT, d DATE) " +
       "USING `graft-iceberg` PARTITIONED BY (month(d))")
