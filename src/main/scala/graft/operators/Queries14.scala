@@ -26,6 +26,22 @@ object Queries14 {
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     Rel.t(dir, name)
 
+  /** Distinct data-file paths the table's live position tombstones
+    * target — ONE batched read over all tombstone files (schema declared,
+    * so no footer-inference pass) instead of a driver loop launching a
+    * job per file. */
+  private def tombstoneTargets(s: SparkSession, tableDir: String): Set[String] = {
+    val paths = graft.sources.IcebergManifestSource
+      .statsFromTableDir(s, tableDir, "t", Nil)
+      .filter(col("content") === 1)
+      .select(col("file_path")).collect()
+      .map(_.getString(0).replaceFirst("^file:/+", "/")).toIndexedSeq
+    if (paths.isEmpty) Set.empty
+    else s.read.schema("file_path STRING, pos BIGINT").parquet(paths: _*)
+      .select(col("file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- COMMIT OCC: three-way state assembled by two RACING appends
@@ -316,14 +332,23 @@ object Queries14 {
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val pf = new java.io.File(dataDir, "slice-a.parquet")
-      val nP = IcebergLayoutWriter.writeSingleParquet(
-        li.filter(col("k") % 4 === 1).sort(col("k"), col("pk"), col("qty")), pf)
+      val of = new java.io.File(dataDir, "slice-b.orc")
+      // two independent slice-file jobs — overlap them; commits stay
+      // sequential below
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fP = Future(IcebergLayoutWriter.writeSingleParquet(
+        IcebergLayoutWriter.sortedSingle(li.filter(col("k") % 4 === 1),
+          col("k"), col("pk"), col("qty")), pf))
+      val fO = Future(IcebergLayoutWriter.writeSingleOrc(
+        IcebergLayoutWriter.sortedSingle(li.filter(col("k") % 4 === 2),
+          col("k"), col("pk"), col("qty")), of))
+      val nP = Await.result(fP, Duration.Inf)
+      val nO = Await.result(fO, Duration.Inf)
       IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = pf.getAbsolutePath,
         recordCount = nP, sizeBytes = pf.length(), sequenceNumber = 1L)))
-      val of = new java.io.File(dataDir, "slice-b.orc")
-      val nO = IcebergLayoutWriter.writeSingleOrc(
-        li.filter(col("k") % 4 === 2).sort(col("k"), col("pk"), col("qty")), of)
       require(nO > 0, "ORC slice must be non-empty")
       LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = of.getAbsolutePath,
@@ -334,13 +359,7 @@ object Queries14 {
       require(nDel1 > 0, "predicate must match rows")
       // the tombstone file must really target the ORC file — otherwise
       // this query proves nothing about ORC ordinals
-      val tombTargets = graft.sources.IcebergManifestSource
-        .statsFromTableDir(s, tbl.getPath, "t", Nil)
-        .filter(col("content") === 1)
-        .select(col("file_path")).collect().map(_.getString(0))
-        .flatMap(p => s.read.parquet(p.replaceFirst("^file:/+", "/"))
-          .select(col("file_path")).distinct().collect().map(_.getString(0)))
-        .toSet
+      val tombTargets = tombstoneTargets(s, tbl.getPath)
       require(tombTargets.exists(_.endsWith(".orc")),
         s"tombstones must target the ORC file, got $tombTargets")
       // second DELETE as a DELETION VECTOR (v3 shape), same MOR read path
@@ -374,21 +393,29 @@ object Queries14 {
       val tbl = TmpFixture.dir("q260", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
-      def slice(mod: Int) = li.filter(col("k") % 3 === mod)
-        .sort(col("k"), col("pk"), col("qty"))
+      def slice(mod: Int) = IcebergLayoutWriter.sortedSingle(
+        li.filter(col("k") % 3 === mod), col("k"), col("pk"), col("qty"))
       val pf = new java.io.File(dataDir, "slice-p.parquet")
-      val nP = IcebergLayoutWriter.writeSingleParquet(slice(0), pf)
+      val of = new java.io.File(dataDir, "slice-o.orc")
+      val af = new java.io.File(dataDir, "slice-a.avro")
+      // the three slice files are independent Spark jobs — overlap them;
+      // the snapshot COMMITS stay strictly sequential below
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fP = Future(IcebergLayoutWriter.writeSingleParquet(slice(0), pf))
+      val fO = Future(IcebergLayoutWriter.writeSingleOrc(slice(1), of))
+      val fA = Future(IcebergLayoutWriter.writeSingleAvro(slice(2), af))
+      val nP = Await.result(fP, Duration.Inf)
+      val nO = Await.result(fO, Duration.Inf)
+      val nA = Await.result(fA, Duration.Inf)
+      require(nA > 0, "AVRO slice must be non-empty")
       IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = pf.getAbsolutePath,
         recordCount = nP, sizeBytes = pf.length(), sequenceNumber = 1L)))
-      val of = new java.io.File(dataDir, "slice-o.orc")
-      val nO = IcebergLayoutWriter.writeSingleOrc(slice(1), of)
       LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = of.getAbsolutePath,
         recordCount = nO, sizeBytes = of.length(), fileFormat = "ORC")))
-      val af = new java.io.File(dataDir, "slice-a.avro")
-      val nA = IcebergLayoutWriter.writeSingleAvro(slice(2), af)
-      require(nA > 0, "AVRO slice must be non-empty")
       LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = af.getAbsolutePath,
         recordCount = nA, sizeBytes = af.length(), fileFormat = "AVRO")))
@@ -403,13 +430,7 @@ object Queries14 {
       val (_, nDel1) = LayoutMaintenance.commitDeleteWhere(
         s, tbl.getPath, col("qty") >= 45)
       require(nDel1 > 0, "position predicate must match rows")
-      val tombTargets = graft.sources.IcebergManifestSource
-        .statsFromTableDir(s, tbl.getPath, "t", Nil)
-        .filter(col("content") === 1)
-        .select(col("file_path")).collect().map(_.getString(0))
-        .flatMap(p => s.read.parquet(p.replaceFirst("^file:/+", "/"))
-          .select(col("file_path")).distinct().collect().map(_.getString(0)))
-        .toSet
+      val tombTargets = tombstoneTargets(s, tbl.getPath)
       require(Seq(".parquet", ".orc", ".avro").forall(ext =>
         tombTargets.exists(_.endsWith(ext))),
         s"tombstones must span all three formats, got $tombTargets")

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 
+import org.apache.hadoop.conf.Configuration
+
 import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -113,6 +115,18 @@ object IcebergLayoutWriter {
     out
   }
 
+  /** Deterministic total order for a SINGLE-FILE write at one pass over
+    * the input: the single-file writers collapse to one partition anyway,
+    * so shuffle-to-1 + in-partition sort yields the same file bytes as a
+    * global `sort` while skipping the range partitioner's separate
+    * SAMPLING SCAN of the input (RangePartitioner.sketch reads the whole
+    * frame once just to pick bounds — pure waste when there is exactly
+    * one output partition). Callers must pass a key set that totally
+    * orders distinct row VALUES (identical rows are interchangeable). */
+  def sortedSingle(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Write `df` as exactly ONE parquet file at `dest` (coalesce + rename
     * of the part file), preserving the frame's row order — the writer for
     * fixture DATA and DELETE files whose row positions must be knowable
@@ -135,6 +149,43 @@ object IcebergLayoutWriter {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** Driver-side position-tombstone writer: the (file_path, pos) pairs a
+    * predicate DELETE commits are ALREADY on the driver (reject-sized by
+    * the delete-commit contract — [[LayoutMaintenance.commitDeleteWhere]]
+    * collects them to run the ordinal backstop), so routing them back
+    * through a Spark job + single-partition shuffle just to emit one
+    * KB-sized parquet file pays whole-job overhead per delete commit.
+    * parquet-hadoop's Group API writes the spec's fixed tombstone schema
+    * ("Position-based delete files": required file_path + pos) directly.
+    * Rows land in the given order; returns the row count. */
+  def writePosDeleteParquet(dest: java.io.File,
+      pairs: Seq[(String, Long)],
+      conf: Configuration): Long = {
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    val schema = MessageTypeParser.parseMessageType(
+      "message pos_delete { required binary file_path (UTF8); required int64 pos; }")
+    val c = new Configuration(conf)
+    GroupWriteSupport.setSchema(schema, c)
+    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    val w = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dest.getAbsolutePath), c))
+      .withConf(c)
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try pairs.foreach { case (p, pos) =>
+      val g = new SimpleGroup(schema)
+      g.add("file_path", p)
+      g.add("pos", pos)
+      w.write(g)
+    } finally w.close()
+    pairs.size.toLong
   }
 
   /** [[writeSingleParquet]]'s ORC twin — one deterministic ORC data file

@@ -1840,10 +1840,13 @@ object LayoutMaintenance {
       .collect()
     requireOrdinals(hitRows, "commitDeleteWhere", tableDir)
     val hits = hitRows.map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(identity).toSeq.toDF("file_path", "pos")
+      .sortBy(identity).toSeq
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val pd = freshFile(dataDir, s"posdel-$newId.parquet")
-    val n = IcebergLayoutWriter.writeSingleParquet(hits, pd)
+    // pairs are already driver-local — write the tombstone directly, no
+    // Spark job for a KB-sized file
+    val n = IcebergLayoutWriter.writePosDeleteParquet(pd, hits,
+      spark.sparkContext.hadoopConfiguration)
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 1, filePath = pd.getAbsolutePath, recordCount = n,
       sizeBytes = pd.length(), sequenceNumber = newId))

@@ -188,9 +188,27 @@ object MorRead {
       if (!applyEq || eqKeys.nonEmpty || eqFiles.isEmpty) eqKeys
       else metadataEqKeys(spark, tableDir)
 
+    // (path → seq) is driver-known and file-count-sized. Below the cap it
+    // attaches as a LITERAL-MAP lookup — zero joins, zero broadcast
+    // exchanges, and (under AQE) several fewer stage re-optimizations per
+    // MOR read, which dominates wall time on multi-commit fixtures. Past
+    // the cap (the 100k-file shape) a literal map would bloat the plan,
+    // so the broadcast join stays.
+    val seqLiteralCap = 64
+    def attachSeq(df: DataFrame, paths: Array[(String, Int, Long, String)],
+        seqName: String, pathOf: org.apache.spark.sql.Column): DataFrame =
+      if (paths.length <= seqLiteralCap) {
+        val m = paths.map { case (p, _, s, _) => p -> s }.toMap
+        df.withColumn(seqName, element_at(typedLit(m), pathOf))
+      } else {
+        val seqDf = paths.map { case (p, _, s, _) => (p, s) }
+          .toSeq.toDF("__fp", seqName)
+        df.withColumn("__own", pathOf)
+          .join(broadcast(seqDf), col("__own") === col("__fp"))
+          .drop("__own", "__fp")
+      }
     def withSeq(paths: Array[(String, Int, Long, String)], seqName: String,
         orc: Boolean = false, declared: Boolean = false): DataFrame = {
-      val seqDf = paths.map { case (p, _, s, _) => (p, s) }.toSeq.toDF("__fp", seqName)
       val raw =
         if (orc) spark.read.orc(paths.map(_._1).toIndexedSeq: _*)
         else readSchema match {
@@ -203,10 +221,8 @@ object MorRead {
           case _ => spark.read.option("mergeSchema", "true")
             .parquet(paths.map(_._1).toIndexedSeq: _*)
         }
-      foldAliases(raw)
-        .withColumn("__own", normCol(col("_metadata.file_path")))
-        .join(broadcast(seqDf), col("__own") === col("__fp"))
-        .drop("__own", "__fp")
+      attachSeq(foldAliases(raw), paths, seqName,
+        normCol(col("_metadata.file_path")))
     }
 
     // DELETION VECTORS (fileFormat=PUFFIN content=1 entries) decode
@@ -216,27 +232,27 @@ object MorRead {
     // Tombstones resolve BEFORE the data arms: the set of ORC files they
     // target decides which ORC files must read with real row ordinals.
     val (dvFiles, parqPosFiles) = posFiles.partition(_._4 == "PUFFIN")
+    val dvPairs: Seq[(String, Long, Long)] = dvFiles.toSeq.flatMap {
+      case (p, _, seq, _) =>
+        DeletionVectors.read(new java.io.File(p)).flatMap {
+          case (target, poss) => poss.map(pos => (norm(target), pos, seq))
+        }
+    }
     val dvTomb: Option[DataFrame] =
       if (dvFiles.isEmpty) None
-      else Some(spark.createDataFrame(dvFiles.toSeq.flatMap {
-        case (p, _, seq, _) =>
-          DeletionVectors.read(new java.io.File(p)).flatMap {
-            case (target, poss) => poss.map(pos => (norm(target), pos, seq))
-          }
-      }).toDF("file_path", "pos", "seq"))
+      else Some(spark.createDataFrame(dvPairs)
+        .toDF("file_path", "pos", "seq"))
     val parqTomb: Option[DataFrame] =
       if (parqPosFiles.isEmpty) None
       else {
         // position-tombstone files have a FIXED schema (spec
         // "Position-based delete files") — declaring it skips the
         // footer-inference job a schemaless read pays
-        val seqDf = parqPosFiles.map { case (p, _, s, _) => (p, s) }
-          .toSeq.toDF("__fp", "seq")
-        Some(spark.read
-          .schema("file_path STRING, pos BIGINT")
-          .parquet(parqPosFiles.map(_._1).toIndexedSeq: _*)
-          .withColumn("__own", normCol(col("_metadata.file_path")))
-          .join(broadcast(seqDf), col("__own") === col("__fp"))
+        Some(attachSeq(
+          spark.read
+            .schema("file_path STRING, pos BIGINT")
+            .parquet(parqPosFiles.map(_._1).toIndexedSeq: _*),
+          parqPosFiles, "seq", normCol(col("_metadata.file_path")))
           .select(normCol(col("file_path")).as("file_path"),
             col("pos"), col("seq")))
       }
@@ -259,15 +275,17 @@ object MorRead {
     // [[AvroDataRead]] — strictly sequential container, so every row
     // carries a REAL ordinal for free and tombstones need no routing
     val (avroData, parqData) = nonOrc.partition(e => avroPaths.contains(e._1))
+    // DV targets are decoded on the driver already — only parquet
+    // tombstones need a (file-count-sized) distinct job, and only when
+    // ORC data files exist to route
     val targetedOrc: Set[String] =
       if (orcData.isEmpty) Set.empty
-      else tomb match {
-        case None => Set.empty
+      else (dvPairs.iterator.map(_._1).toSet ++ (parqTomb match {
+        case None => Set.empty[String]
         case Some(tdf) =>
-          // file-count-sized distinct, not row-sized
           tdf.select(col("file_path")).distinct()
-            .collect().map(_.getString(0)).toSet.intersect(orcPaths)
-      }
+            .collect().map(_.getString(0)).toSet
+      })).intersect(orcPaths)
     val needPos = (orcPosPaths.map(norm) ++ targetedOrc).intersect(orcPaths)
     val (orcPosData, orcFastData) = orcData.partition(e => needPos(e._1))
     val parq =
@@ -283,13 +301,8 @@ object MorRead {
     def posArm(files: Array[(String, Int, Long, String)],
         read: Seq[String] => DataFrame): Option[DataFrame] =
       if (files.isEmpty) None
-      else {
-        val seqDf = files.map { case (p, _, sq, _) => (p, sq) }
-          .toSeq.toDF("__fp", "data_seq")
-        Some(foldAliases(read(files.map(_._1).toSeq))
-          .join(broadcast(seqDf), col("file_path") === col("__fp"))
-          .drop("__fp"))
-      }
+      else Some(attachSeq(foldAliases(read(files.map(_._1).toSeq)),
+        files, "data_seq", col("file_path")))
     val orcPos = posArm(orcPosData, OrcPosRead.readWithPos(spark, _))
     val avro = posArm(avroData, AvroDataRead.readWithPos(spark, _))
     val data = Seq(parq, orcFast, orcPos, avro).flatten

@@ -247,7 +247,7 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
         else {
           val w = new GraftDataWriter(dir, StructType(eqFields),
             s"deltaeq-$queryId", partitionId, taskId)
-          eqDels.toSeq.sortBy(_.mkString(" ")).foreach { tuple =>
+          eqDels.toSeq.sortBy(_.mkString("\u0000")).foreach { tuple =>
             val r = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(tuple.length)
             tuple.zipWithIndex.foreach { case (v, i) =>

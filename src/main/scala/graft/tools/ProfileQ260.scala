@@ -18,11 +18,20 @@ object ProfileQ260 {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(5000000L).selectExpr("sum(id)").collect()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val verbose = sys.env.contains("PROF_JOBS")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          jobStart.put(j.jobId, (j.time, j.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (verbose) Option(jobStart.get(j.jobId)).foreach { case (t0, nt) =>
+            println(f"[job] ${j.jobId}%3d ${(j.time - t0) / 1e3}%.3f s  $nt%3d tasks")
+          }
       })
     def t[T](label: String)(body: => T): T = {
       val j0 = jobs.get(); val t0 = System.nanoTime()
@@ -41,22 +50,28 @@ object ProfileQ260 {
       val tbl = new java.io.File("target/tmp-prof260")
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
-      def slice(mod: Int) = li.filter(col("k") % 3 === mod)
-        .sort(col("k"), col("pk"), col("qty"))
+      def slice(mod: Int) = IcebergLayoutWriter.sortedSingle(
+        li.filter(col("k") % 3 === mod), col("k"), col("pk"), col("qty"))
       val pf = new java.io.File(dataDir, "slice-p.parquet")
-      val nP = t("writeParquet") {
-        IcebergLayoutWriter.writeSingleParquet(slice(0), pf) }
+      val of = new java.io.File(dataDir, "slice-o.orc")
+      val af = new java.io.File(dataDir, "slice-a.avro")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (nP, nO, nA) = t("write3 (parallel)") {
+        val fP = Future(IcebergLayoutWriter.writeSingleParquet(slice(0), pf))
+        val fO = Future(IcebergLayoutWriter.writeSingleOrc(slice(1), of))
+        val fA = Future(IcebergLayoutWriter.writeSingleAvro(slice(2), af))
+        (Await.result(fP, Duration.Inf), Await.result(fO, Duration.Inf),
+          Await.result(fA, Duration.Inf))
+      }
       IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = pf.getAbsolutePath,
         recordCount = nP, sizeBytes = pf.length(), sequenceNumber = 1L)))
-      val of = new java.io.File(dataDir, "slice-o.orc")
-      val nO = t("writeOrc") { IcebergLayoutWriter.writeSingleOrc(slice(1), of) }
       t("commitOrc") { LayoutMaintenance.commitAppend(spark, tbl.getPath,
         Seq(ManifestEntrySpec(status = 1, content = 0,
           filePath = of.getAbsolutePath, recordCount = nO,
           sizeBytes = of.length(), fileFormat = "ORC"))) }
-      val af = new java.io.File(dataDir, "slice-a.avro")
-      val nA = t("writeAvro") { IcebergLayoutWriter.writeSingleAvro(slice(2), af) }
       t("commitAvro") { LayoutMaintenance.commitAppend(spark, tbl.getPath,
         Seq(ManifestEntrySpec(status = 1, content = 0,
           filePath = af.getAbsolutePath, recordCount = nA,
