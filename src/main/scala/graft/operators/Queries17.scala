@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch: the spec's remaining TYPE surface and the metadata
+  * relations a debugging user reaches for —
+  *
+  *  - wide decimals (q285): DECIMAL(precision 19–38) lake columns in
+  *    all three data-file formats, encoded per the Iceberg spec's
+  *    fixed-length unscaled mapping (parquet FIXED_LEN_BYTE_ARRAY /
+  *    avro `fixed` of minimum width, ORC native HiveDecimal — spec
+  *    Appendix A; reference: the `file_format`-typed manifest entries
+  *    iceberg-diag walks in `iceberg_diag/manager.py` carry these
+  *    files like any other).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, exact string construction for money values (engine-identical
+  * by definition), full ORDER BY tie-breaks.
+  */
+object Queries17 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- WIDE DECIMALS (spec decimal(P,S), P>18 — fixed-length
+    // unscaled encoding): values are built 22+ digits wide (cents
+    // followed by 14 zeros, plus an exact 1e-10 fraction so the scale-10
+    // tail is live), far past any long-backed range, written in all
+    // THREE formats in one table (format flipped between inserts), a
+    // wide-decimal-predicate MOR DELETE tombstones across the mix, and
+    // the rollup SUMS the 38-digit decimal exactly — rendered AS STRING
+    // so the hash compares the value, not engine result precisions.
+    "q285_wide_decimal" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q285wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wd")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wd.money")
+      t(dir, "orders").createOrReplaceTempView("q285_src")
+      s.sql(s"""CREATE TABLE $cat.wd.money (
+               |  okey BIGINT, mon BIGINT, price DECIMAL(38,10))
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'parquet',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertYear(y: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.wd.money
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+                 |  CAST(CONCAT(CAST(cents AS STRING),
+                 |    '00000000000000.0000000001') AS DECIMAL(38,10)) AS price
+                 |FROM (SELECT *,
+                 |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                 |  FROM q285_src)
+                 |WHERE year(o_orderdate) = $y""".stripMargin)
+      insertYear(1995) // PARQUET: FIXED_LEN_BYTE_ARRAY(16) unscaled
+      s.sql(s"ALTER TABLE $cat.wd.money " +
+        "SET TBLPROPERTIES ('write.format.default' = 'orc')")
+      insertYear(1996) // ORC: native decimal(38,10)
+      s.sql(s"ALTER TABLE $cat.wd.money " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertYear(1997) // AVRO: `fixed` dec_38_10 of 16 bytes
+      val tdir = s"${wh.getAbsolutePath}/wd/money"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"wide decimals must ride all three formats: $fmts")
+      // wide-decimal-predicate MOR delete across the mixed formats
+      // (threshold = 300000.00 in q284's cents scale, 3 then 21 zeros)
+      val thr = "3" + "0" * 21
+      s.sql(s"DELETE FROM $cat.wd.money " +
+        s"WHERE price >= CAST('$thr' AS DECIMAL(38,10))")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the wide-decimal DELETE must land tombstones")
+      s.sql(s"""SELECT mon, count(*) AS n_orders,
+               |  CAST(sum(price) AS STRING) AS sum_price,
+               |  CAST(min(price) AS STRING) AS min_price,
+               |  CAST(max(price) AS STRING) AS max_price
+               |FROM $cat.wd.money
+               |GROUP BY mon ORDER BY mon""".stripMargin)
+    })
+
+  def oracles: Map[String, String] = Map(
+
+    "q285_wide_decimal" ->
+      """WITH src AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |    CAST(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        |      || '00000000000000.0000000001' AS DECIMAL(38,10)) AS price
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997))
+        |SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price) AS VARCHAR) AS sum_price,
+        |  CAST(min(price) AS VARCHAR) AS min_price,
+        |  CAST(max(price) AS VARCHAR) AS max_price
+        |FROM src
+        |WHERE price < CAST('3000000000000000000000' AS DECIMAL(38,10))
+        |GROUP BY mon ORDER BY mon""".stripMargin)
+}

@@ -48,7 +48,7 @@ object AvroDataRead {
       case DOUBLE => DoubleType
       case BOOLEAN => BooleanType
       case STRING => StringType
-      case BYTES if logical(s) == "decimal" =>
+      case BYTES | FIXED if logical(s) == "decimal" =>
         val d = s.getLogicalType
           .asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
         DecimalType(d.getPrecision, d.getScale)
@@ -112,6 +112,15 @@ object AvroDataRead {
           val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
           val out = new Array[Byte](bb.remaining()); bb.get(out); out
         }
+      // wide decimals: the spec's `fixed` of sign-extended unscaled bytes
+      case FIXED if logical(s) == "decimal" =>
+        val scale = s.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        v =>
+          if (v == null) null
+          else new java.math.BigDecimal(new java.math.BigInteger(
+            v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()),
+            scale)
       case RECORD =>
         import scala.jdk.CollectionConverters._
         val kids = s.getFields.asScala.toArray.map(f => converterOf(f.schema()))

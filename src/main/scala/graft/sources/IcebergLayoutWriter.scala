@@ -248,6 +248,16 @@ object IcebergLayoutWriter {
       case TimestampType =>
         org.apache.avro.LogicalTypes.timestampMicros()
           .addToSchema(Schema.create(Schema.Type.LONG))
+      // decimals: bytes-backed to precision 18, the spec's `fixed` of
+      // minimum width past it — same dialect as the connector's writer
+      case d: DecimalType if d.precision <= 18 =>
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+      case d: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.createFixed(
+            s"dec_${d.precision}_${d.scale}", null, "graft.data",
+            graft.sources.v2.GraftFormatWriters.decimalFixedBytes(d.precision)))
       case other => sys.error(
         s"writeSingleAvro: unsupported column type $other")
     }
@@ -290,6 +300,15 @@ object IcebergLayoutWriter {
             val ts = row.getTimestamp(i)
             Long.box(Math.multiplyExact(ts.getTime / 1000L, 1000000L) +
               ts.getNanos / 1000L)
+          case d: DecimalType =>
+            val bd = row.getDecimal(i).setScale(d.scale)
+            if (d.precision <= 18)
+              ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+            else new GenericData.Fixed(nested,
+              graft.sources.v2.GraftFormatWriters.signExtend(
+                bd.unscaledValue(),
+                graft.sources.v2.GraftFormatWriters
+                  .decimalFixedBytes(d.precision)))
           case st: StructType =>
             val ns = nested
             val sr = row.getStruct(i)

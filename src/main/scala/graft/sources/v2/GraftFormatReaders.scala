@@ -183,6 +183,17 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
           val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
           val out = new Array[Byte](bb.remaining()); bb.get(out); out
         }
+      // wide decimals: the spec's `fixed` of sign-extended unscaled bytes
+      case FIXED
+        if Option(s.getLogicalType).exists(
+          _.isInstanceOf[org.apache.avro.LogicalTypes.Decimal]) =>
+        val scale = s.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        v =>
+          if (v == null) null
+          else new java.math.BigDecimal(new java.math.BigInteger(
+            v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()),
+            scale)
       // date (int/date) and timestamptz (long/timestamp-micros) arrive
       // as raw Int days / Long micros — the internal representations the
       // row assembler wants, so identity covers them below
@@ -313,7 +324,12 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
   private var rowIdx: Long = -1L
 
   private def keyValue(vals: Array[Any], k: String): Any =
-    eqKeyIdx.get(k).map(vals(_)).orNull
+    eqKeyIdx.get(k).map(vals(_)).orNull match {
+      // decimals reduce to the scale-free comparable the parquet side's
+      // tuple decoding uses ([[GraftPartitionReader.normDecimal]])
+      case d: java.math.BigDecimal => GraftPartitionReader.normDecimal(d)
+      case v => v
+    }
 
   private def deleted(vals: Array[Any]): Boolean = {
     if (part.posDeletes.nonEmpty && deadPositions.contains(rowIdx)) return true
@@ -407,6 +423,12 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
                   case x: Float => out.setDouble(k, x.toDouble)
                   case other => sys.error(s"graft-iceberg: $other as DOUBLE")
                 }
+                case d: DecimalType =>
+                  val dec = org.apache.spark.sql.types.Decimal(
+                    lv.asInstanceOf[java.math.BigDecimal])
+                  require(dec.changePrecision(d.precision, d.scale),
+                    s"graft-iceberg: decimal $lv does not fit ${d.sql}")
+                  out.update(k, dec)
                 case _ => out.update(k, lv)
               }
               k += 1

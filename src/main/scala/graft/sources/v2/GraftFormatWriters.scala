@@ -38,6 +38,36 @@ private[v2] trait GraftPhysicalWriter {
 
 private[graft] object GraftFormatWriters {
 
+  /** Minimum byte width whose two's-complement range covers every
+    * unscaled value of a decimal with `precision` digits — the Iceberg
+    * spec's fixed-length encoding for wide decimals ("Stored as fixed
+    * using the minimum number of bytes for the given precision",
+    * Appendix A). precision 19 → 9 bytes, 38 → 16. */
+  private[graft] def decimalFixedBytes(precision: Int): Int = {
+    val max = BigInt(10).pow(precision) - 1
+    var n = 1
+    while ((BigInt(1) << (8 * n - 1)) - 1 < max) n += 1
+    n
+  }
+
+  /** `unscaled` sign-extended (two's complement) to exactly `len` bytes
+    * — the fixed-width value both parquet FIXED_LEN_BYTE_ARRAY and avro
+    * `fixed` decimals store. */
+  private[graft] def signExtend(unscaled: java.math.BigInteger,
+      len: Int): Array[Byte] = {
+    val raw = unscaled.toByteArray
+    require(raw.length <= len,
+      s"decimal unscaled value needs ${raw.length} bytes > fixed width $len")
+    if (raw.length == len) raw
+    else {
+      val out = new Array[Byte](len)
+      val pad: Byte = if (unscaled.signum() < 0) -1 else 0
+      java.util.Arrays.fill(out, 0, len - raw.length, pad)
+      System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+      out
+    }
+  }
+
   /** Manifest `file_format` for a written data file — by extension, the
     * same convention [[graft.sources.DeletionVectors.isDvPath]] uses for
     * puffin. */
@@ -119,12 +149,15 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
             LogicalTypeAnnotation.TimeUnit.MICROS))
         case BinaryType => Types.optional(BINARY)
         // decimal(P<=18, S): INT64 unscaled (Iceberg's parquet mapping
-        // for long-backed precision); wider decimals are refused loudly
-        case d: DecimalType =>
-          require(d.precision <= 18, "graft-iceberg write: decimal " +
-            s"precision ${d.precision} > 18 (long-backed decimals only)")
+        // for long-backed precision); decimal(P>18, S): FIXED_LEN_BYTE_
+        // ARRAY of the minimum width for P digits (spec Appendix A)
+        case d: DecimalType if d.precision <= 18 =>
           Types.optional(INT64).as(
             LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType =>
+          Types.optional(FIXED_LEN_BYTE_ARRAY)
+            .length(GraftFormatWriters.decimalFixedBytes(d.precision))
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other => sys.error(s"graft-iceberg write: unsupported type $other")
       }
       id.fold(pb)(pb.id).named(name)
@@ -197,8 +230,14 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
           case BinaryType => g.add(f.name,
             org.apache.parquet.io.api.Binary
               .fromConstantByteArray(record.getBinary(i)))
-          case d: DecimalType => g.add(f.name,
+          case d: DecimalType if d.precision <= 18 => g.add(f.name,
             record.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+          case d: DecimalType => g.add(f.name,
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(
+              GraftFormatWriters.signExtend(
+                record.getDecimal(i, d.precision, d.scale)
+                  .toJavaBigDecimal.unscaledValue(),
+                GraftFormatWriters.decimalFixedBytes(d.precision))))
           case st: StructType =>
             val sr = record.getStruct(i, st.length)
             val ng = g.addGroup(f.name)
@@ -279,9 +318,9 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case DateType => TypeDescription.createDate()
     case TimestampType => TypeDescription.createTimestampInstant()
     case BinaryType => TypeDescription.createBinary()
+    // ORC decimals are HiveDecimal-backed natively up to the spec's
+    // precision 38 ceiling — no wide/narrow split needed
     case d: DecimalType =>
-      require(d.precision <= 18, "graft-iceberg write: decimal " +
-        s"precision ${d.precision} > 18 (long-backed decimals only)")
       TypeDescription.createDecimal()
         .withPrecision(d.precision).withScale(d.scale)
     case other =>
@@ -423,11 +462,18 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
         .addToSchema(ASchema.create(ASchema.Type.LONG))
       case BinaryType => ASchema.create(ASchema.Type.BYTES)
-      case d: DecimalType =>
-        require(d.precision <= 18, "graft-iceberg write: decimal " +
-          s"precision ${d.precision} > 18 (long-backed decimals only)")
+      // decimal(P<=18): bytes-backed (this writer's original dialect);
+      // decimal(P>18): the spec's `fixed` of minimum width — the fixed
+      // type NAME carries precision+scale so equal decimal columns share
+      // one schema definition (avro named-type rule)
+      case d: DecimalType if d.precision <= 18 =>
         org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
           .addToSchema(ASchema.create(ASchema.Type.BYTES))
+      case d: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(ASchema.createFixed(
+            s"dec_${d.precision}_${d.scale}", null, "graft.data",
+            GraftFormatWriters.decimalFixedBytes(d.precision)))
       case other =>
         sys.error(s"graft-iceberg write: unsupported AVRO type $other")
     }
@@ -465,6 +511,10 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     w
   }
   private var approxBytes = 0L
+  // one `fixed` schema per distinct wide-decimal (precision, scale) —
+  // GenericData.Fixed needs the named type it was declared with
+  private val fixedSchemas =
+    scala.collection.mutable.Map.empty[(Int, Int), ASchema]
 
   private def box(dt: DataType,
       row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
@@ -482,10 +532,22 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     case BinaryType =>
       val b = row.getBinary(i)
       approxBytes += b.length + 4; java.nio.ByteBuffer.wrap(b)
-    case d: DecimalType => // unscaled two's-complement bytes (avro spec)
+    case d: DecimalType if d.precision <= 18 =>
+      // unscaled two's-complement bytes (avro spec)
       approxBytes += 8
       java.nio.ByteBuffer.wrap(row.getDecimal(i, d.precision, d.scale)
         .toJavaBigDecimal.unscaledValue().toByteArray)
+    case d: DecimalType => // wide: sign-extended into the spec's `fixed`
+      val len = GraftFormatWriters.decimalFixedBytes(d.precision)
+      approxBytes += len
+      new GenericData.Fixed(
+        fixedSchemas.getOrElseUpdate((d.precision, d.scale),
+          org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+            .addToSchema(org.apache.avro.Schema.createFixed(
+              s"dec_${d.precision}_${d.scale}", null, "graft.data", len))),
+        GraftFormatWriters.signExtend(
+          row.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.unscaledValue(), len))
     case other =>
       sys.error(s"graft-iceberg write: unsupported AVRO type $other")
   }

@@ -225,12 +225,27 @@ object GraftIcebergSource {
         case INT64 => LongType
         case INT32 if logical.contains(LogicalTypeAnnotation.dateType()) =>
           DateType
+        case INT32
+          if logical.exists(_.isInstanceOf[
+            LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]) =>
+          val dl = logical.get.asInstanceOf[
+            LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          DecimalType(dl.getPrecision, dl.getScale)
         case INT32 => IntegerType
         case DOUBLE => DoubleType
         case FLOAT => FloatType
         case BOOLEAN => BooleanType
         case BINARY if logical.contains(LogicalTypeAnnotation.stringType()) =>
           StringType
+        // wide decimals (precision 19-38): fixed-length unscaled bytes
+        // (spec Appendix A); Spark's own writer may also emit BINARY-
+        // backed decimals, decoded the same way
+        case FIXED_LEN_BYTE_ARRAY | BINARY
+          if logical.exists(_.isInstanceOf[
+            LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]) =>
+          val dl = logical.get.asInstanceOf[
+            LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          DecimalType(dl.getPrecision, dl.getScale)
         case BINARY => BinaryType
         case other => sys.error(s"graft-iceberg: unsupported parquet type $other")
       }
@@ -1617,15 +1632,38 @@ private[v2] object GraftPartitionReader {
     if (!g.getType.asGroupType().containsField(name)) return null
     if (g.getFieldRepetitionCount(name) == 0) return null
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    g.getType.asGroupType().getType(name).asPrimitiveType()
-      .getPrimitiveTypeName match {
-      case INT64 => g.getLong(name, 0)
-      case INT32 => g.getInteger(name, 0)
-      case DOUBLE => g.getDouble(name, 0)
-      case FLOAT => g.getFloat(name, 0)
-      case BOOLEAN => g.getBoolean(name, 0)
-      case _ => g.getString(name, 0)
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val pt = g.getType.asGroupType().getType(name).asPrimitiveType()
+    // decimal-annotated columns (any physical encoding: int32/int64
+    // unscaled, fixed/binary two's-complement) normalize to a
+    // trailing-zero-stripped BigDecimal — the representation-free
+    // comparable an eq-delete match needs across file formats (ORC's
+    // HiveDecimal strips trailing zeros; parquet encodings don't)
+    Option(pt.getLogicalTypeAnnotation) match {
+      case Some(dl: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        val unscaled = pt.getPrimitiveTypeName match {
+          case INT32 => java.math.BigInteger.valueOf(g.getInteger(name, 0).toLong)
+          case INT64 => java.math.BigInteger.valueOf(g.getLong(name, 0))
+          case _ => new java.math.BigInteger(g.getBinary(name, 0).getBytes)
+        }
+        normDecimal(new java.math.BigDecimal(unscaled, dl.getScale))
+      case _ => pt.getPrimitiveTypeName match {
+        case INT64 => g.getLong(name, 0)
+        case INT32 => g.getInteger(name, 0)
+        case DOUBLE => g.getDouble(name, 0)
+        case FLOAT => g.getFloat(name, 0)
+        case BOOLEAN => g.getBoolean(name, 0)
+        case _ => g.getString(name, 0)
+      }
     }
+  }
+
+  /** Scale-free decimal comparable: BigDecimal.equals is scale-sensitive
+    * (2.50 != 2.5), so every eq-delete key path reduces decimals through
+    * this before tuple matching. */
+  private[v2] def normDecimal(d: java.math.BigDecimal): java.math.BigDecimal = {
+    val s = d.stripTrailingZeros()
+    if (s.scale() < 0) s.setScale(0) else s
   }
 
   /** Stream a delete file's rows projected to `cols` (present ones). */
@@ -1986,9 +2024,28 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case TimestampType => row.setLong(i, current.getLong(pi, 0)) // µs
         case BinaryType =>
           row.update(i, current.getBinary(pi, 0).getBytes)
-        case d: DecimalType => row.update(i,
-          org.apache.spark.sql.types.Decimal.createUnsafe(
-            current.getLong(pi, 0), d.precision, d.scale))
+        case d: DecimalType =>
+          // physical dispatch: INT32/INT64 unscaled for narrow files,
+          // FIXED/BINARY two's-complement bytes for wide (or
+          // Spark-written) files — all normalize to the TABLE's
+          // declared precision/scale
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          physPrim(i) match {
+            case INT32 => row.update(i,
+              org.apache.spark.sql.types.Decimal.createUnsafe(
+                current.getInteger(pi, 0).toLong, d.precision, d.scale))
+            case INT64 => row.update(i,
+              org.apache.spark.sql.types.Decimal.createUnsafe(
+                current.getLong(pi, 0), d.precision, d.scale))
+            case _ =>
+              val bytes = current.getBinary(pi, 0).getBytes
+              val dec = org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(
+                  new java.math.BigInteger(bytes), d.scale))
+              require(dec.changePrecision(d.precision, d.scale),
+                s"graft-iceberg: decimal does not fit ${d.sql}")
+              row.update(i, dec)
+          }
         case st: StructType =>
           // one nesting level: leaves read through their PER-FILE
           // physical name (resolveLeaf: name / embedded id / rename

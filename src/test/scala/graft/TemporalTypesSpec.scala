@@ -82,15 +82,61 @@ class TemporalTypesSpec extends AnyFunSuite {
     }
   }
 
-  test("decimal precision above 18 refuses loudly") {
-    spark.sql("CREATE TABLE temporal.db.bigdec (v DECIMAL(25,4)) " +
-      "USING `graft-iceberg`")
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO temporal.db.bigdec " +
-        "VALUES (CAST(1.5 AS DECIMAL(25,4)))") }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("precision")), msgs(e).toString)
+  for (fmt <- Seq("parquet", "orc", "avro")) {
+    test(s"decimal(38,10) wide values round-trip exactly in $fmt") {
+      val tbl = s"temporal.db.wide_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DECIMAL(38,10)) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt', " +
+        "'write.delete.mode' = 'merge-on-read')")
+      // values past ANY long-backed range: 28 integer digits + 10
+      // fractional, negatives, and the exact max/min unscaled magnitudes
+      val big = "9999999999999999999999999999.9999999999"
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        s"(1L, CAST('$big' AS DECIMAL(38,10)))," +
+        s"(2L, CAST('-$big' AS DECIMAL(38,10)))," +
+        "(3L, CAST('1234567890123456789.0123456789' AS DECIMAL(38,10)))," +
+        "(4L, CAST('-0.0000000001' AS DECIMAL(38,10)))," +
+        "(5L, CAST(NULL AS DECIMAL(38,10))) AS t(k, v)")
+      val rows = spark.sql(
+        s"SELECT k, CAST(v AS STRING) FROM $tbl ORDER BY k").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-")))
+      assert(rows.toSeq == Seq(
+        (1L, big), (2L, s"-$big"),
+        (3L, "1234567890123456789.0123456789"),
+        (4L, "-0.0000000001"), (5L, "-")), rows.mkString(", "))
+      // wide-decimal predicate MOR delete applies across the format
+      spark.sql(s"DELETE FROM $tbl WHERE v < CAST(0 AS DECIMAL(38,10))")
+      assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+      val dir = s"target/tmp-temporal-wh/db/wide_$fmt"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, dir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").collect().map(_.getString(0)).toSet
+      assert(fmts == Set(fmt.toUpperCase), fmts.toString)
+    }
+  }
+
+  test("decimal fixed-width encoding: spec minimums per precision") {
+    import graft.sources.v2.GraftFormatWriters.decimalFixedBytes
+    // spec Appendix A reference points
+    assert(decimalFixedBytes(1) == 1)
+    assert(decimalFixedBytes(2) == 1)
+    assert(decimalFixedBytes(9) == 4)
+    assert(decimalFixedBytes(18) == 8)
+    assert(decimalFixedBytes(19) == 9)
+    assert(decimalFixedBytes(38) == 16)
+    import graft.sources.v2.GraftFormatWriters.signExtend
+    val neg = new java.math.BigInteger("-1")
+    assert(signExtend(neg, 4).toSeq == Seq[Byte](-1, -1, -1, -1))
+    val one = java.math.BigInteger.ONE
+    assert(signExtend(one, 4).toSeq == Seq[Byte](0, 0, 0, 1))
+    // round-trip: sign-extension never changes the value
+    for (s <- Seq("-12345678901234567890", "12345678901234567890", "0")) {
+      val bi = new java.math.BigInteger(s)
+      assert(new java.math.BigInteger(signExtend(bi, 16)) == bi)
+    }
   }
 
   test("PARTITIONED BY (day(ts)): timestamp-sourced transform clusters") {
