@@ -88,6 +88,67 @@ object Queries17 {
                |  CAST(max(price) AS STRING) AS max_price
                |FROM $cat.wd.money
                |GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- VECTOR COLUMNS IN ORC AND AVRO (q275 lifted off its
+    // parquet-only bound): the SAME embedding table accretes one ORC
+    // slice and one AVRO slice (format flipped between inserts — ORC
+    // ListColumnVector / avro array-of-union encodings, both read back
+    // through the connector's recursive composite readers), then a MOR
+    // DELETE tombstones across both formats — the ordinal-carrying
+    // ORC/AVRO scans must handle the nested shape. Pinned in-query:
+    // both formats live in the manifest, the delete moved no vector
+    // byte (files carried verbatim), tombstones landed. The oracle
+    // recomputes the element-exact rollup from the raw embeddings.
+    "q286_vector_orc_avro" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q286wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vo")
+      s.sql(s"DROP TABLE IF EXISTS $cat.vo.emb")
+      t(dir, "embeddings").createOrReplaceTempView("q286_src")
+      s.sql(s"""CREATE TABLE $cat.vo.emb (vec_id BIGINT, e ARRAY<BIGINT>)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'orc',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertHalf(mod: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.vo.emb
+                 |SELECT vec_id, transform(embedding,
+                 |  v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS e
+                 |FROM q286_src WHERE vec_id % 2 = $mod""".stripMargin)
+      insertHalf(0) // ORC lists
+      s.sql(s"ALTER TABLE $cat.vo.emb " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertHalf(1) // AVRO arrays
+      val tdir = s"${wh.getAbsolutePath}/vo/emb"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("ORC", "AVRO"),
+        s"vectors must ride ORC and AVRO: $fmts")
+      val filesBefore = s.sql(s"SELECT DISTINCT _file FROM $cat.vo.emb")
+        .collect().map(_.getString(0)).toSet
+      s.sql(s"DELETE FROM $cat.vo.emb WHERE vec_id % 5 = 0")
+      val filesAfter = s.sql(s"SELECT DISTINCT _file FROM $cat.vo.emb")
+        .collect().map(_.getString(0)).toSet
+      require(filesBefore == filesAfter,
+        "MOR delete must carry the vector files verbatim")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the DELETE must land position tombstones")
+      s.sql(s"""SELECT CAST(vec_id % 4 AS BIGINT) AS bucket,
+               |  count(*) AS n_vecs,
+               |  sum(aggregate(e, 0L, (a, x) -> a + x)) AS sum_elems,
+               |  sum(aggregate(e, 0L, (a, x) -> a + x * x)) AS sum_sq,
+               |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+               |FROM $cat.vo.emb
+               |GROUP BY 1 ORDER BY 1""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -105,5 +166,19 @@ object Queries17 {
         |  CAST(max(price) AS VARCHAR) AS max_price
         |FROM src
         |WHERE price < CAST('3000000000000000000000' AS DECIMAL(38,10))
-        |GROUP BY mon ORDER BY mon""".stripMargin)
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q286_vector_orc_avro" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS e
+        |  FROM embeddings WHERE vec_id % 5 <> 0)
+        |SELECT CAST(vec_id % 4 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(list_sum(e)) AS BIGINT) AS sum_elems,
+        |  CAST(sum(list_sum(list_transform(e, x -> x * x))) AS BIGINT)
+        |    AS sum_sq,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
+        |  CAST(max(vec_id) AS BIGINT) AS max_vec
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -54,17 +54,15 @@ object AvroDataRead {
         DecimalType(d.getPrecision, d.getScale)
       case BYTES => BinaryType
       case RECORD =>
-        // one-level record-in-record: the nested shape the connector's
-        // AVRO writer emits; deeper nesting never occurs in this layout
+        // record-in-record, any depth
         import scala.jdk.CollectionConverters._
         StructType(s.getFields.asScala.toSeq.map { f =>
-          require(unwrap(f.schema()).getType != RECORD,
-            s"AvroDataRead: record nesting is one level (${f.name})")
           StructField(f.name, sparkType(f.schema()), nullable = true)
         })
+      case ARRAY => ArrayType(sparkType(s.getElementType))
       case other => sys.error(
         s"AvroDataRead: unsupported avro type $other — data files in " +
-          "this layout carry scalar and one-level-record schemas")
+          "this layout carry scalar/record/array schemas")
     }
   }
 
@@ -132,6 +130,19 @@ object AvroDataRead {
             var c = 0
             while (c < kids.length) { vals(c) = kids(c)(rec.get(c)); c += 1 }
             new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+          }
+      case ARRAY =>
+        // array: elements into the external Seq encoding, recursive
+        val elem = converterOf(s.getElementType)
+        v =>
+          if (v == null) null
+          else {
+            val coll = v.asInstanceOf[java.util.Collection[_]]
+            val vals = new Array[Any](coll.size)
+            val it = coll.iterator()
+            var c = 0
+            while (it.hasNext) { vals(c) = elem(it.next()); c += 1 }
+            vals.toSeq
           }
       case _ => identity
     }

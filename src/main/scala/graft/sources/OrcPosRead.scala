@@ -60,13 +60,12 @@ object OrcPosRead {
         import scala.jdk.CollectionConverters._
         StructType(td.getFieldNames.asScala.toSeq
           .zip(td.getChildren.asScala.toSeq).map { case (n, t) =>
-            require(t.getCategory != STRUCT,
-              s"OrcPosRead: struct nesting is one level ($n is a struct)")
             StructField(n, sparkType(t), nullable = true)
           })
+      case LIST => ArrayType(sparkType(td.getChildren.get(0)))
       case other => sys.error(
         s"OrcPosRead: unsupported ORC column category $other — " +
-          "this layout writes scalar and one-level-struct ORC schemas")
+          "this layout writes scalar/struct/list ORC schemas")
     }
   }
 
@@ -109,8 +108,9 @@ object OrcPosRead {
         v.asInstanceOf[DecimalColumnVector].vector(i)
           .getHiveDecimal.bigDecimalValue()
       case STRUCT =>
-        // one-level struct: leaf extractors built once, leaves convert
-        // into an external Row (field vectors are full-size, same index)
+        // struct: leaf extractors built once, leaves convert into an
+        // external Row (field vectors are full-size, same index) —
+        // recursive, any depth
         import scala.jdk.CollectionConverters._
         val kids = td.getChildren.asScala.toArray.map(extractorOf)
         (v, i) => {
@@ -119,6 +119,19 @@ object OrcPosRead {
           var c = 0
           while (c < kids.length) { vals(c) = kids(c)(sv.fields(c), i); c += 1 }
           new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+        }
+      case LIST =>
+        // list: elements into an external Seq (the Row encoding of
+        // ArrayType), child vector indexed at (offset + k) — recursive
+        val elem = extractorOf(td.getChildren.get(0))
+        (v, i) => {
+          val lv = v.asInstanceOf[ListColumnVector]
+          val off = lv.offsets(i).toInt
+          val n = lv.lengths(i).toInt
+          val vals = new Array[Any](n)
+          var c = 0
+          while (c < n) { vals(c) = elem(lv.child, off + c); c += 1 }
+          vals.toSeq
         }
       case cat => sys.error(s"OrcPosRead: unsupported category $cat")
     }

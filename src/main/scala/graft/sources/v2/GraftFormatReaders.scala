@@ -29,17 +29,27 @@ private[v2] trait GraftNamedRows {
   /** The FILE's column names, fixed for the stream's lifetime. */
   def names: Seq[String]
   /** JVM-typed values per row (Long/Int/Double/Float/Boolean/String or
-    * null; a one-level STRUCT column yields an `Array[Any]` of its leaf
-    * values in file leaf order), index-aligned with [[names]]. */
+    * null; a STRUCT column yields an `Array[Any]` of its leaf values in
+    * file leaf order, an ARRAY column an `Array[Any]` of its elements —
+    * both recursively), index-aligned with [[names]]. */
   def iterator: Iterator[Array[Any]]
-  /** File leaf names per STRUCT column index — how the consuming reader
-    * resolves TABLE leaves against this file's leaf order. Empty for
-    * scalar columns. */
-  def structLeaves: Map[Int, Seq[String]] = Map.empty
+  /** Recursive file-type descriptor per column — how the consuming
+    * reader resolves TABLE leaves against this file's composite layout
+    * at every nesting level. */
+  def nodes: Seq[GraftFormatReaders.GNode]
   def close(): Unit
 }
 
 private[v2] object GraftFormatReaders {
+
+  /** File-side shape of one column, recursive: the name catalog the
+    * row assembler resolves table fields (and their rename aliases)
+    * against, level by level. */
+  sealed trait GNode
+  case object GLeaf extends GNode
+  final case class GStructNode(names: Seq[String], kids: Seq[GNode])
+    extends GNode
+  final case class GListNode(elem: GNode) extends GNode
 
   def open(path: String, fileFormat: String): GraftNamedRows =
     fileFormat match {
@@ -95,8 +105,8 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
         v.asInstanceOf[DecimalColumnVector].vector(i)
           .getHiveDecimal.bigDecimalValue()
       case STRUCT =>
-        // one-level struct: leaves convert into an Array[Any] in FILE
-        // leaf order ([[structLeaves]] names them)
+        // struct: leaves convert into an Array[Any] in FILE leaf order
+        // ([[nodes]] names them), recursively
         import scala.jdk.CollectionConverters._
         val kids = c.getChildren.asScala.toArray.map(extractorOf)
         (v, i) => {
@@ -106,9 +116,22 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
           while (k < kids.length) { vals(k) = kids(k)(sv.fields(k), i); k += 1 }
           vals
         }
+      case LIST =>
+        // list: elements convert into an Array[Any], recursively — the
+        // child vector indexes by (offset + k)
+        val elem = extractorOf(c.getChildren.get(0))
+        (v, i) => {
+          val lv = v.asInstanceOf[ListColumnVector]
+          val off = lv.offsets(i).toInt
+          val n = lv.lengths(i).toInt
+          val vals = new Array[Any](n)
+          var k = 0
+          while (k < n) { vals(k) = elem(lv.child, off + k); k += 1 }
+          vals
+        }
       case cat => sys.error(
         s"graft-iceberg ORC read: unsupported category $cat — " +
-          "scalar and one-level-struct schemas only")
+          "scalar/struct/list schemas only")
     }
     (vec, row) => {
       val i = if (vec.isRepeating) 0 else row
@@ -118,11 +141,17 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
 
   private val extract = cols.toArray.map(extractorOf)
 
-  override val structLeaves: Map[Int, Seq[String]] =
-    cols.zipWithIndex.collect {
-      case (c, i) if c.getCategory == TypeDescription.Category.STRUCT =>
-        i -> c.getFieldNames.asScala.toSeq
-    }.toMap
+  private def nodeOf(c: TypeDescription): GraftFormatReaders.GNode =
+    c.getCategory match {
+      case TypeDescription.Category.STRUCT =>
+        GraftFormatReaders.GStructNode(c.getFieldNames.asScala.toSeq,
+          c.getChildren.asScala.toSeq.map(nodeOf))
+      case TypeDescription.Category.LIST =>
+        GraftFormatReaders.GListNode(nodeOf(c.getChildren.get(0)))
+      case _ => GraftFormatReaders.GLeaf
+    }
+
+  override val nodes: Seq[GraftFormatReaders.GNode] = cols.map(nodeOf)
 
   override val iterator: Iterator[Array[Any]] = new Iterator[Array[Any]] {
     private var i = 0
@@ -198,7 +227,7 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
       // as raw Int days / Long micros — the internal representations the
       // row assembler wants, so identity covers them below
       case RECORD =>
-        // one-level record: leaf values in FILE leaf order
+        // record: leaf values in FILE leaf order, recursively
         val kids = s.getFields.asScala.toArray.map(f => converterOf(f.schema()))
         v =>
           if (v == null) null
@@ -207,6 +236,19 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
             val vals = new Array[Any](kids.length)
             var k = 0
             while (k < kids.length) { vals(k) = kids(k)(rec.get(k)); k += 1 }
+            vals
+          }
+      case ARRAY =>
+        // array: elements into an Array[Any], recursively
+        val elem = converterOf(s.getElementType)
+        v =>
+          if (v == null) null
+          else {
+            val coll = v.asInstanceOf[java.util.Collection[_]]
+            val vals = new Array[Any](coll.size)
+            val it = coll.iterator()
+            var k = 0
+            while (it.hasNext) { vals(k) = elem(it.next()); k += 1 }
             vals
           }
       case _ => identity
@@ -220,11 +262,21 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
 
   private val conv = fields.toArray.map(f => converterOf(f.schema()))
 
-  override val structLeaves: Map[Int, Seq[String]] =
-    fields.zipWithIndex.collect {
-      case (f, i) if unwrap(f.schema()).getType == Schema.Type.RECORD =>
-        i -> unwrap(f.schema()).getFields.asScala.toSeq.map(_.name)
-    }.toMap
+  private def nodeOf(s: Schema): GraftFormatReaders.GNode = {
+    val u = unwrap(s)
+    u.getType match {
+      case Schema.Type.RECORD =>
+        GraftFormatReaders.GStructNode(
+          u.getFields.asScala.toSeq.map(_.name),
+          u.getFields.asScala.toSeq.map(f => nodeOf(f.schema())))
+      case Schema.Type.ARRAY =>
+        GraftFormatReaders.GListNode(nodeOf(u.getElementType))
+      case _ => GraftFormatReaders.GLeaf
+    }
+  }
+
+  override val nodes: Seq[GraftFormatReaders.GNode] =
+    fields.map(f => nodeOf(f.schema()))
 
   override val iterator: Iterator[Array[Any]] = new Iterator[Array[Any]] {
     // ONE reused record: the decoder refills it per row; converters copy
@@ -291,27 +343,93 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
           .collectFirst { case a if nameIdx.contains(a) => nameIdx(a) })
         .map(k -> _)).toMap
 
-  // table struct leaf → file leaf index, resolved by name then by
-  // recorded former name (rename alias); -1 = leaf added after this
-  // file was written: null-fill
-  private lazy val leafIdx: Array[Array[Int]] =
-    required.fields.zipWithIndex.map { case (f, i) =>
-      f.dataType match {
-        case st: StructType if colIdx(i) >= 0 =>
-          val fileLeaves = rows.structLeaves.getOrElse(colIdx(i), Nil)
-            .zipWithIndex.toMap
-          st.fields.map { nf =>
-            fileLeaves.get(nf.name).orElse {
-              val aliases =
-                if (!nf.metadata.contains(GraftCatalog.AliasesKey)) Nil
-                else nf.metadata.getString(GraftCatalog.AliasesKey)
-                  .split(',').toSeq.filter(_.nonEmpty)
-              aliases.collectFirst {
-                case a if fileLeaves.contains(a) => fileLeaves(a) }
-            }.getOrElse(-1)
+  private def aliasesOf(f: StructField): Seq[String] =
+    if (!f.metadata.contains(GraftCatalog.AliasesKey)) Nil
+    else f.metadata.getString(GraftCatalog.AliasesKey)
+      .split(',').toSeq.filter(_.nonEmpty)
+
+  /** Recursive (file JVM value → Catalyst value) converter for one
+    * column, built ONCE per file from the TABLE field and the file's
+    * shape descriptor: struct leaves resolve by name then by recorded
+    * rename alias at EVERY level (absent = null-fill, the nested
+    * schema-evolution rule), arrays convert element-wise, scalars widen
+    * per value (int→long, float→double — pre-ALTER files). Never sees
+    * null (the caller short-circuits). */
+  private def convOf(f: StructField,
+      node: GraftFormatReaders.GNode): Any => Any = {
+    import GraftFormatReaders._
+    f.dataType match {
+      case st: StructType =>
+        val sn = node match {
+          case s: GStructNode => s
+          case other => sys.error(s"graft-iceberg: table column ${f.name} " +
+            s"is a struct but the file holds $other")
+        }
+        val idx = sn.names.zipWithIndex.toMap
+        val leafAt: Array[Int] = st.fields.map(nf =>
+          idx.get(nf.name).orElse(aliasesOf(nf)
+            .collectFirst { case a if idx.contains(a) => idx(a) })
+            .getOrElse(-1))
+        val kid: Array[Any => Any] = st.fields.zipWithIndex.map {
+          case (nf, k) =>
+            if (leafAt(k) < 0) null else convOf(nf, sn.kids(leafAt(k)))
+        }
+        v => {
+          val leaves = v.asInstanceOf[Array[Any]]
+          val out = new GenericInternalRow(st.length)
+          var k = 0
+          while (k < st.length) {
+            val lv = if (leafAt(k) < 0) null else leaves(leafAt(k))
+            out.update(k, if (lv == null) null else kid(k)(lv))
+            k += 1
           }
-        case _ => Array.empty[Int]
+          out
+        }
+      case at: ArrayType =>
+        val en = node match {
+          case GListNode(e) => e
+          case other => sys.error(s"graft-iceberg: table column ${f.name} " +
+            s"is an array but the file holds $other")
+        }
+        val ec = convOf(StructField("element", at.elementType), en)
+        v => {
+          val vals = v.asInstanceOf[Array[Any]]
+          val out = new Array[Any](vals.length)
+          var k = 0
+          while (k < vals.length) {
+            out(k) = if (vals(k) == null) null else ec(vals(k)); k += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        }
+      case LongType => {
+        case x: Long => x
+        case x: Int => x.toLong
+        case other => sys.error(s"graft-iceberg: $other as LONG")
       }
+      case DoubleType => {
+        case x: Double => x
+        case x: Float => x.toDouble
+        case other => sys.error(s"graft-iceberg: $other as DOUBLE")
+      }
+      case StringType => v => UTF8String.fromString(v.asInstanceOf[String])
+      case d: DecimalType => v => {
+        val dec = org.apache.spark.sql.types.Decimal(
+          v.asInstanceOf[java.math.BigDecimal])
+        require(dec.changePrecision(d.precision, d.scale),
+          s"graft-iceberg: decimal $v does not fit ${d.sql}")
+        dec
+      }
+      // Int / Float / Boolean / Binary / Date (epoch-day Int) /
+      // Timestamp (micros Long) arrive as the internal representation
+      case _ => identity
+    }
+  }
+
+  // per-column converters for the projected, file-present columns
+  private lazy val colConv: Array[Any => Any] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      if (isMeta(i) || colIdx(i) < 0) null
+      else convOf(f, rows.nodes(colIdx(i)))
     }
 
   private lazy val deadPositions: Set[Long] =
@@ -366,78 +484,12 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
-      val f = required.fields(i)
       if (isPos(i)) row.setLong(i, rowIdx)
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (colIdx(i) < 0) row.update(i, absentValue(i))
       else {
         val v = current(colIdx(i))
-        if (v == null) row.update(i, null)
-        else f.dataType match {
-          // per-value widening for pre-ALTER files (int->long,
-          // float->double), same as the parquet reader
-          case LongType => v match {
-            case x: Long => row.setLong(i, x)
-            case x: Int => row.setLong(i, x.toLong)
-            case other => sys.error(s"graft-iceberg: $other as LONG")
-          }
-          case IntegerType => row.setInt(i, v.asInstanceOf[Int])
-          case DoubleType => v match {
-            case x: Double => row.setDouble(i, x)
-            case x: Float => row.setDouble(i, x.toDouble)
-            case other => sys.error(s"graft-iceberg: $other as DOUBLE")
-          }
-          case FloatType => row.setFloat(i, v.asInstanceOf[Float])
-          case BooleanType => row.setBoolean(i, v.asInstanceOf[Boolean])
-          case StringType =>
-            row.update(i, UTF8String.fromString(v.asInstanceOf[String]))
-          case DateType => row.setInt(i, v.asInstanceOf[Int]) // epoch days
-          case TimestampType => row.setLong(i, v.asInstanceOf[Long]) // µs
-          case BinaryType => row.update(i, v.asInstanceOf[Array[Byte]])
-          case d: DecimalType =>
-            val dec = org.apache.spark.sql.types.Decimal(
-              v.asInstanceOf[java.math.BigDecimal])
-            require(dec.changePrecision(d.precision, d.scale),
-              s"graft-iceberg: decimal $v does not fit ${d.sql}")
-            row.update(i, dec)
-          case st: StructType =>
-            // one-level struct: file leaf values re-ordered into the
-            // TABLE's leaf layout (name/alias-resolved, absent = null)
-            val leaves = v.asInstanceOf[Array[Any]]
-            val li = leafIdx(i)
-            val out = new GenericInternalRow(st.length)
-            var k = 0
-            while (k < st.length) {
-              val lv = if (li(k) < 0) null else leaves(li(k))
-              if (lv == null) out.update(k, null)
-              else st.fields(k).dataType match {
-                case StringType =>
-                  out.update(k, UTF8String.fromString(lv.asInstanceOf[String]))
-                case LongType => lv match {
-                  case x: Long => out.setLong(k, x)
-                  case x: Int => out.setLong(k, x.toLong)
-                  case other => sys.error(s"graft-iceberg: $other as LONG")
-                }
-                case DoubleType => lv match {
-                  case x: Double => out.setDouble(k, x)
-                  case x: Float => out.setDouble(k, x.toDouble)
-                  case other => sys.error(s"graft-iceberg: $other as DOUBLE")
-                }
-                case d: DecimalType =>
-                  val dec = org.apache.spark.sql.types.Decimal(
-                    lv.asInstanceOf[java.math.BigDecimal])
-                  require(dec.changePrecision(d.precision, d.scale),
-                    s"graft-iceberg: decimal $lv does not fit ${d.sql}")
-                  out.update(k, dec)
-                case _ => out.update(k, lv)
-              }
-              k += 1
-            }
-            row.update(i, out)
-          case other => sys.error(
-            s"graft-iceberg: unsupported type $other for file_format " +
-              part.fileFormat)
-        }
+        row.update(i, if (v == null) null else colConv(i)(v))
       }
       i += 1
     }

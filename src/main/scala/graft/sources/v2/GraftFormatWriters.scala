@@ -100,24 +100,21 @@ private[graft] object GraftFormatWriters {
     case _ => new ParquetTaskWriter(file, schema, fieldIds)
   }
 
-  /** ORC/AVRO dialect bound: scalars plus ONE level of struct nesting
-    * (same as the parquet arm). Arrays and deeper nesting refuse at
-    * writer construction, never mid-file. */
-  private[v2] def requireWritable(schema: StructType, format: String): Unit =
-    schema.fields.foreach { f =>
-      f.dataType match {
-        case st: StructType => st.fields.foreach(nf => require(
-          !nf.dataType.isInstanceOf[StructType] &&
-            !nf.dataType.isInstanceOf[ArrayType],
-          s"graft-iceberg: struct nesting is one level of scalars — " +
-            s"${f.name}.${nf.name} cannot be written as $format"))
-        case _: ArrayType => sys.error(
-          s"graft-iceberg: array column ${f.name} cannot be written as " +
-            s"$format — vector columns need parquet (set " +
-            "write.format.default=parquet)")
-        case _ => ()
-      }
+  /** ORC/AVRO dialect bound: scalars, structs, and arrays compose to
+    * any depth; MAP columns refuse at writer construction, never
+    * mid-file. */
+  private[v2] def requireWritable(schema: StructType, format: String): Unit = {
+    def walk(path: String, dt: DataType): Unit = dt match {
+      case st: StructType =>
+        st.fields.foreach(nf => walk(s"$path.${nf.name}", nf.dataType))
+      case at: ArrayType => walk(s"$path.element", at.elementType)
+      case _: MapType => sys.error(
+        s"graft-iceberg: MAP column $path cannot be written as $format " +
+          "— map lake columns are not supported")
+      case _ => ()
     }
+    schema.fields.foreach(f => walk(f.name, f.dataType))
+  }
 }
 
 /** The parquet arm — the connector's original writer, verbatim: flat
@@ -162,43 +159,27 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
       }
       id.fold(pb)(pb.id).named(name)
     }
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      f.dataType match {
-        // ONE level of nesting: a struct of primitives becomes an
-        // optional parquet group (typed metadata riding next to opaque
-        // payloads — the multimodal-corpus shape). Leaves resolve by
-        // name within their group; the STRUCT's stable field id is
-        // embedded on the group node.
-        case st: StructType =>
-          val gb = Types.optionalGroup()
-          st.fields.foreach { nf =>
-            require(!nf.dataType.isInstanceOf[StructType],
-              s"graft-iceberg write: struct nesting is one level " +
-                s"(${f.name}.${nf.name} is a struct)")
-            // leaf ids ride dotted keys (bootstrapped at the struct's
-            // first nested ALTER) — renamed leaves then resolve by id
-            gb.addField(primOf(nf.dataType, nf.name,
-              fieldIds.get(s"${f.name}.${nf.name}")))
-          }
-          b.addField(fieldIds.get(f.name).fold(gb)(gb.id).named(f.name))
-        // arrays of primitives — the VECTOR column shape (embeddings as
-        // first-class lake data): the spec's standard 3-level LIST
-        case at: org.apache.spark.sql.types.ArrayType =>
-          require(!at.elementType.isInstanceOf[StructType] &&
-            !at.elementType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
-            s"graft-iceberg write: array elements must be primitive " +
-              s"(${f.name} holds ${at.elementType.sql})")
-          val lb = Types.optionalList()
-            .element(primOf(at.elementType, "element", None))
-          b.addField(fieldIds.get(f.name).fold(lb)(lb.id).named(f.name))
-        case dt =>
-          // the column's stable field id (descriptor `column-ids`),
-          // embedded into the file so a post-RENAME reader resolves
-          // this column by ID no matter what it was called at write
-          b.addField(primOf(dt, f.name, fieldIds.get(f.name)))
-      }
+    // recursive: a struct of ANYTHING becomes an optional parquet group
+    // (leaf ids ride dotted keys — renamed leaves then resolve by id),
+    // an array of ANYTHING the spec's standard 3-level LIST. The
+    // column's stable field id (descriptor `column-ids`) is embedded so
+    // a post-RENAME reader resolves by ID no matter the write-time name.
+    def typeOf(dt: DataType, name: String, path: String,
+        id: Option[Int]): org.apache.parquet.schema.Type = dt match {
+      case st: StructType =>
+        val gb = Types.optionalGroup()
+        st.fields.foreach(nf => gb.addField(typeOf(nf.dataType, nf.name,
+          s"$path.${nf.name}", fieldIds.get(s"$path.${nf.name}"))))
+        id.fold(gb)(gb.id).named(name)
+      case at: org.apache.spark.sql.types.ArrayType =>
+        val lb = Types.optionalList()
+          .element(typeOf(at.elementType, "element", s"$path.element", None))
+        id.fold(lb)(lb.id).named(name)
+      case dt => primOf(dt, name, id)
     }
+    val b = Types.buildMessage()
+    schema.fields.foreach(f =>
+      b.addField(typeOf(f.dataType, f.name, f.name, fieldIds.get(f.name))))
     b.named("row")
   }
 
@@ -212,82 +193,60 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
       .build()
   }
 
+  /** Append one non-null value as field `name` of group `g` —
+    * recursive: struct → nested group, array → the standard 3-level
+    * LIST (null elements as element-less `list` groups). */
+  private def addValue(g: org.apache.parquet.example.data.Group,
+      name: String, dt: DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case LongType => g.add(name, src.getLong(i))
+    case IntegerType => g.add(name, src.getInt(i))
+    case DoubleType => g.add(name, src.getDouble(i))
+    case FloatType => g.add(name, src.getFloat(i))
+    case BooleanType => g.add(name, src.getBoolean(i))
+    case StringType => g.add(name, src.getUTF8String(i).toString)
+    case DateType => g.add(name, src.getInt(i)) // epoch days
+    case TimestampType => g.add(name, src.getLong(i)) // micros
+    case BinaryType => g.add(name,
+      org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(src.getBinary(i)))
+    case d: DecimalType if d.precision <= 18 => g.add(name,
+      src.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+    case d: DecimalType => g.add(name,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        GraftFormatWriters.signExtend(
+          src.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.unscaledValue(),
+          GraftFormatWriters.decimalFixedBytes(d.precision))))
+    case st: StructType =>
+      val sr = src.getStruct(i, st.length)
+      val ng = g.addGroup(name)
+      var k = 0
+      while (k < st.length) {
+        if (!sr.isNullAt(k)) addValue(ng, st.fields(k).name,
+          st.fields(k).dataType, sr, k)
+        k += 1
+      }
+    case at: org.apache.spark.sql.types.ArrayType =>
+      val arr = src.getArray(i)
+      val lg = g.addGroup(name)
+      var k = 0
+      while (k < arr.numElements()) {
+        val eg = lg.addGroup("list")
+        if (!arr.isNullAt(k)) addValue(eg, "element", at.elementType, arr, k)
+        k += 1
+      }
+    case other => sys.error(s"graft-iceberg write: unsupported type $other")
+  }
+
   override def write(record: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!record.isNullAt(i)) {
-        val f = schema.fields(i)
-        f.dataType match {
-          case LongType => g.add(f.name, record.getLong(i))
-          case IntegerType => g.add(f.name, record.getInt(i))
-          case DoubleType => g.add(f.name, record.getDouble(i))
-          case FloatType => g.add(f.name, record.getFloat(i))
-          case BooleanType => g.add(f.name, record.getBoolean(i))
-          case StringType => g.add(f.name, record.getUTF8String(i).toString)
-          case DateType => g.add(f.name, record.getInt(i)) // epoch days
-          case TimestampType => g.add(f.name, record.getLong(i)) // micros
-          case BinaryType => g.add(f.name,
-            org.apache.parquet.io.api.Binary
-              .fromConstantByteArray(record.getBinary(i)))
-          case d: DecimalType if d.precision <= 18 => g.add(f.name,
-            record.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-          case d: DecimalType => g.add(f.name,
-            org.apache.parquet.io.api.Binary.fromConstantByteArray(
-              GraftFormatWriters.signExtend(
-                record.getDecimal(i, d.precision, d.scale)
-                  .toJavaBigDecimal.unscaledValue(),
-                GraftFormatWriters.decimalFixedBytes(d.precision))))
-          case st: StructType =>
-            val sr = record.getStruct(i, st.length)
-            val ng = g.addGroup(f.name)
-            var k = 0
-            while (k < st.length) {
-              if (!sr.isNullAt(k)) {
-                val nf = st.fields(k)
-                nf.dataType match {
-                  case LongType => ng.add(nf.name, sr.getLong(k))
-                  case IntegerType => ng.add(nf.name, sr.getInt(k))
-                  case DoubleType => ng.add(nf.name, sr.getDouble(k))
-                  case FloatType => ng.add(nf.name, sr.getFloat(k))
-                  case BooleanType => ng.add(nf.name, sr.getBoolean(k))
-                  case StringType =>
-                    ng.add(nf.name, sr.getUTF8String(k).toString)
-                  case DateType => ng.add(nf.name, sr.getInt(k))
-                  case TimestampType => ng.add(nf.name, sr.getLong(k))
-                  case BinaryType => ng.add(nf.name,
-                    org.apache.parquet.io.api.Binary
-                      .fromConstantByteArray(sr.getBinary(k)))
-                  case other => sys.error(
-                    s"graft-iceberg write: unsupported nested type $other")
-                }
-              }
-              k += 1
-            }
-          case at: org.apache.spark.sql.types.ArrayType =>
-            // standard 3-level LIST: one repeated `list` group per
-            // element, null elements as element-less groups
-            val arr = record.getArray(i)
-            val lg = g.addGroup(f.name)
-            var k = 0
-            while (k < arr.numElements()) {
-              val eg = lg.addGroup("list")
-              if (!arr.isNullAt(k)) at.elementType match {
-                case LongType => eg.add("element", arr.getLong(k))
-                case IntegerType => eg.add("element", arr.getInt(k))
-                case DoubleType => eg.add("element", arr.getDouble(k))
-                case FloatType => eg.add("element", arr.getFloat(k))
-                case BooleanType => eg.add("element", arr.getBoolean(k))
-                case StringType =>
-                  eg.add("element", arr.getUTF8String(k).toString)
-                case other => sys.error(
-                  s"graft-iceberg write: unsupported element type $other")
-              }
-              k += 1
-            }
-          case other => sys.error(s"graft-iceberg write: unsupported type $other")
-        }
-      }
+      if (!record.isNullAt(i))
+        addValue(g, schema.fields(i).name, schema.fields(i).dataType,
+          record, i)
       i += 1
     }
     writer.write(g)
@@ -308,7 +267,9 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     extends GraftPhysicalWriter {
   GraftFormatWriters.requireWritable(schema, "ORC")
 
-  private def scalarTd(dt: DataType): TypeDescription = dt match {
+  /** Fully recursive ORC type mapping: scalars, struct-of-anything,
+    * list-of-anything. */
+  private def tdOf(dt: DataType): TypeDescription = dt match {
     case LongType => TypeDescription.createLong()
     case IntegerType => TypeDescription.createInt()
     case DoubleType => TypeDescription.createDouble()
@@ -323,22 +284,18 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case d: DecimalType =>
       TypeDescription.createDecimal()
         .withPrecision(d.precision).withScale(d.scale)
+    case st: StructType =>
+      val n = TypeDescription.createStruct()
+      st.fields.foreach(nf => n.addField(nf.name, tdOf(nf.dataType)))
+      n
+    case at: ArrayType => TypeDescription.createList(tdOf(at.elementType))
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
 
   private val td = {
     val t = TypeDescription.createStruct()
-    schema.fields.foreach { f =>
-      val c = f.dataType match {
-        case st: StructType =>
-          val n = TypeDescription.createStruct()
-          st.fields.foreach(nf => n.addField(nf.name, scalarTd(nf.dataType)))
-          n
-        case dt => scalarTd(dt)
-      }
-      t.addField(f.name, c)
-    }
+    schema.fields.foreach(f => t.addField(f.name, tdOf(f.dataType)))
     t
   }
 
@@ -391,6 +348,37 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
           org.apache.hadoop.hive.common.`type`.HiveDecimal.create(
             row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)))
       approxBytes += 8
+    // recursive composites: struct fields set at the SAME vector index,
+    // list elements append into the child vector at childCount
+    case st: StructType =>
+      val sv = vec.asInstanceOf[StructColumnVector]
+      val sr = row.getStruct(i, st.length)
+      var k = 0
+      while (k < st.length) {
+        if (sr.isNullAt(k)) {
+          sv.fields(k).noNulls = false
+          sv.fields(k).isNull(r) = true
+        } else setScalar(sv.fields(k), r, st.fields(k).dataType, sr, k)
+        k += 1
+      }
+    case at: ArrayType =>
+      val lv = vec.asInstanceOf[ListColumnVector]
+      val arr = row.getArray(i)
+      val n = arr.numElements()
+      val base = lv.childCount
+      lv.offsets(r) = base.toLong
+      lv.lengths(r) = n.toLong
+      lv.childCount = base + n
+      lv.child.ensureSize(lv.childCount, true)
+      var k = 0
+      while (k < n) {
+        if (arr.isNullAt(k)) {
+          lv.child.noNulls = false
+          lv.child.isNull(base + k) = true
+        } else setScalar(lv.child, base + k, at.elementType, arr, k)
+        k += 1
+      }
+      approxBytes += 8
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
@@ -403,20 +391,7 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
       if (record.isNullAt(i)) {
         vec.noNulls = false
         vec.isNull(r) = true
-      } else schema.fields(i).dataType match {
-        case st: StructType =>
-          val sv = vec.asInstanceOf[StructColumnVector]
-          val sr = record.getStruct(i, st.length)
-          var k = 0
-          while (k < st.length) {
-            if (sr.isNullAt(k)) {
-              sv.fields(k).noNulls = false
-              sv.fields(k).isNull(r) = true
-            } else setScalar(sv.fields(k), r, st.fields(k).dataType, sr, k)
-            k += 1
-          }
-        case dt => setScalar(vec, r, dt, record, i)
-      }
+      } else setScalar(vec, r, schema.fields(i).dataType, record, i)
       i += 1
     }
     batch.size += 1
@@ -448,7 +423,7 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
   import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 
   private val avroSchema: ASchema = {
-    def prim(dt: DataType): ASchema = dt match {
+    def prim(dt: DataType, path: String): ASchema = dt match {
       case LongType => ASchema.create(ASchema.Type.LONG)
       case IntegerType => ASchema.create(ASchema.Type.INT)
       case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
@@ -474,6 +449,21 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
           .addToSchema(ASchema.createFixed(
             s"dec_${d.precision}_${d.scale}", null, "graft.data",
             GraftFormatWriters.decimalFixedBytes(d.precision)))
+      // recursive composites: record-in-record to any depth (leaf ids
+      // ride dotted keys, same bootstrap as the parquet arm's nested
+      // groups; record NAMES are path-derived so distinct nesting sites
+      // never collide under avro's named-type rule), array of nullable
+      // anything
+      case st: StructType =>
+        val kids = st.fields.map(nf => fieldOf(nf.name,
+          prim(nf.dataType, s"$path.${nf.name}"),
+          fieldIds.get(s"$path.${nf.name}")))
+        ASchema.createRecord(s"${path.replace('.', '_')}_r", null,
+          "graft.data", false, java.util.Arrays.asList(kids: _*))
+      case at: ArrayType =>
+        ASchema.createArray(ASchema.createUnion(
+          ASchema.create(ASchema.Type.NULL),
+          prim(at.elementType, s"$path.element")))
       case other =>
         sys.error(s"graft-iceberg write: unsupported AVRO type $other")
     }
@@ -486,19 +476,8 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       id.foreach(fld.addProp("field-id", _))
       fld
     }
-    val fields = schema.fields.map { f =>
-      f.dataType match {
-        case st: StructType =>
-          // record-in-record: leaf ids ride dotted keys, same bootstrap
-          // as the parquet arm's nested groups
-          val kids = st.fields.map(nf => fieldOf(nf.name, prim(nf.dataType),
-            fieldIds.get(s"${f.name}.${nf.name}")))
-          val rec = ASchema.createRecord(s"${f.name}_r", null,
-            "graft.data", false, java.util.Arrays.asList(kids: _*))
-          fieldOf(f.name, rec, fieldIds.get(f.name))
-        case dt => fieldOf(f.name, prim(dt), fieldIds.get(f.name))
-      }
-    }
+    val fields = schema.fields.map(f =>
+      fieldOf(f.name, prim(f.dataType, f.name), fieldIds.get(f.name)))
     ASchema.createRecord("row", null, "graft.data", false,
       java.util.Arrays.asList(fields: _*))
   }
@@ -511,12 +490,10 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     w
   }
   private var approxBytes = 0L
-  // one `fixed` schema per distinct wide-decimal (precision, scale) —
-  // GenericData.Fixed needs the named type it was declared with
-  private val fixedSchemas =
-    scala.collection.mutable.Map.empty[(Int, Int), ASchema]
 
-  private def box(dt: DataType,
+  /** `sch` is the value's NON-NULL avro schema (the union branch) —
+    * needed to construct named types (records, fixed) and arrays. */
+  private def box(dt: DataType, sch: ASchema,
       row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
       i: Int): AnyRef = dt match {
     case LongType => approxBytes += 8; Long.box(row.getLong(i))
@@ -540,17 +517,46 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     case d: DecimalType => // wide: sign-extended into the spec's `fixed`
       val len = GraftFormatWriters.decimalFixedBytes(d.precision)
       approxBytes += len
-      new GenericData.Fixed(
-        fixedSchemas.getOrElseUpdate((d.precision, d.scale),
-          org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
-            .addToSchema(org.apache.avro.Schema.createFixed(
-              s"dec_${d.precision}_${d.scale}", null, "graft.data", len))),
+      new GenericData.Fixed(sch,
         GraftFormatWriters.signExtend(
           row.getDecimal(i, d.precision, d.scale)
             .toJavaBigDecimal.unscaledValue(), len))
+    // recursive composites
+    case st: StructType =>
+      val sr = row.getStruct(i, st.length)
+      val rec = new GenericData.Record(sch)
+      var k = 0
+      while (k < st.length) {
+        if (!sr.isNullAt(k))
+          rec.put(k, box(st.fields(k).dataType,
+            branchOf(sch.getFields.get(k)), sr, k))
+        k += 1
+      }
+      rec
+    case at: ArrayType =>
+      val arr = row.getArray(i)
+      val n = arr.numElements()
+      val elemSch = nonNull(sch.getElementType)
+      val out = new GenericData.Array[AnyRef](n, sch)
+      var k = 0
+      while (k < n) {
+        out.add(if (arr.isNullAt(k)) null
+          else box(at.elementType, elemSch, arr, k))
+        k += 1
+      }
+      out
     case other =>
       sys.error(s"graft-iceberg write: unsupported AVRO type $other")
   }
+
+  /** A `["null", T]` union's T; any other schema unchanged. */
+  private def nonNull(s: ASchema): ASchema =
+    if (s.getType != ASchema.Type.UNION) s
+    else {
+      val ts = s.getTypes
+      (0 until ts.size).map(ts.get)
+        .filterNot(_.getType == ASchema.Type.NULL).head
+    }
 
   /** A field's non-null branch (fields are `["null", T]` unions). */
   private def branchOf(f: ASchema.Field): ASchema = {
@@ -559,27 +565,16 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       .filterNot(_.getType == ASchema.Type.NULL).head
   }
 
+  // per-column non-null branch schemas, resolved once
+  private val branches: Array[ASchema] =
+    schema.fields.indices.map(i => branchOf(avroSchema.getFields.get(i))).toArray
+
   override def write(record: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < schema.length) {
-      if (!record.isNullAt(i)) {
-        val v: AnyRef = schema.fields(i).dataType match {
-          case st: StructType =>
-            val nestedSchema = branchOf(avroSchema.getFields.get(i))
-            val sr = record.getStruct(i, st.length)
-            val nested = new GenericData.Record(nestedSchema)
-            var k = 0
-            while (k < st.length) {
-              if (!sr.isNullAt(k))
-                nested.put(k, box(st.fields(k).dataType, sr, k))
-              k += 1
-            }
-            nested
-          case dt => box(dt, record, i)
-        }
-        rec.put(i, v)
-      }
+      if (!record.isNullAt(i))
+        rec.put(i, box(schema.fields(i).dataType, branches(i), record, i))
       i += 1
     }
     writer.append(rec)

@@ -250,30 +250,20 @@ object GraftIcebergSource {
         case other => sys.error(s"graft-iceberg: unsupported parquet type $other")
       }
     }
-    StructType(msg.getFields.asScala.toSeq.map { f =>
-      if (f.isPrimitive)
-        StructField(f.getName, primDt(f.asPrimitiveType()), nullable = true)
+    // recursive: 3-level LIST groups -> ArrayType, plain groups ->
+    // StructType, to any depth
+    def dtOf(t: org.apache.parquet.schema.Type): DataType =
+      if (t.isPrimitive) primDt(t.asPrimitiveType())
       else {
-        val g = f.asGroupType()
+        val g = t.asGroupType()
         val isList = Option(g.getLogicalTypeAnnotation).exists(
           _ == org.apache.parquet.schema.LogicalTypeAnnotation.listType())
-        if (isList) {
-          // 3-level LIST -> ArrayType of the element primitive
-          val elem = g.getType(0).asGroupType().getType(0)
-          require(elem.isPrimitive,
-            s"graft-iceberg reads primitive list elements; ${f.getName}")
-          StructField(f.getName, ArrayType(primDt(elem.asPrimitiveType())),
-            nullable = true)
-        } else
-          StructField(f.getName,
-            StructType(g.getFields.asScala.toSeq.map { nf =>
-              require(nf.isPrimitive,
-                s"graft-iceberg reads one nesting level; ${f.getName}.$nf is deeper")
-              StructField(nf.getName, primDt(nf.asPrimitiveType()),
-                nullable = true)
-            }), nullable = true)
+        if (isList) ArrayType(dtOf(g.getType(0).asGroupType().getType(0)))
+        else StructType(g.getFields.asScala.toSeq.map(nf =>
+          StructField(nf.getName, dtOf(nf), nullable = true)))
       }
-    })
+    StructType(msg.getFields.asScala.toSeq.map(f =>
+      StructField(f.getName, dtOf(f), nullable = true)))
   }
 }
 
@@ -1993,6 +1983,78 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     current != null
   }
 
+  /** One non-null nested value read as field `pn` of `g` — recursive:
+    * structs resolve each table leaf by name / embedded field id /
+    * rename alias against the group's own type (absent = null-fill,
+    * the nested schema-evolution rule), arrays read the standard
+    * 3-level LIST, scalars dispatch on the group's physical type
+    * (int→long / float→double widening, all four decimal encodings). */
+  private def nestedValue(dt: DataType, g: Group, pn: String): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def phys = g.getType.asGroupType().getType(pn).asPrimitiveType()
+      .getPrimitiveTypeName
+    dt match {
+      case st: StructType =>
+        val ng = g.getGroup(pn, 0)
+        val ngt = ng.getType.asGroupType()
+        val out = new GenericInternalRow(st.length)
+        var k = 0
+        while (k < st.length) {
+          val nf = st.fields(k)
+          GraftPartitionReader.resolveLeaf(ngt, nf) match {
+            case Some(ft) if ng.getFieldRepetitionCount(ft.getName) != 0 =>
+              out.update(k, nestedValue(nf.dataType, ng, ft.getName))
+            case _ => out.update(k, null)
+          }
+          k += 1
+        }
+        out
+      case at: ArrayType => listValue(at, g.getGroup(pn, 0))
+      case LongType =>
+        if (phys == INT32) g.getInteger(pn, 0).toLong else g.getLong(pn, 0)
+      case IntegerType => g.getInteger(pn, 0)
+      case DoubleType =>
+        if (phys == FLOAT) g.getFloat(pn, 0).toDouble else g.getDouble(pn, 0)
+      case FloatType => g.getFloat(pn, 0)
+      case BooleanType => g.getBoolean(pn, 0)
+      case StringType => UTF8String.fromString(g.getString(pn, 0))
+      case DateType => g.getInteger(pn, 0) // epoch days
+      case TimestampType => g.getLong(pn, 0) // micros
+      case BinaryType => g.getBinary(pn, 0).getBytes
+      case d: DecimalType => phys match {
+        case INT32 => org.apache.spark.sql.types.Decimal.createUnsafe(
+          g.getInteger(pn, 0).toLong, d.precision, d.scale)
+        case INT64 => org.apache.spark.sql.types.Decimal.createUnsafe(
+          g.getLong(pn, 0), d.precision, d.scale)
+        case _ =>
+          val dec = org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(
+              g.getBinary(pn, 0).getBytes), d.scale))
+          require(dec.changePrecision(d.precision, d.scale),
+            s"graft-iceberg: decimal does not fit ${d.sql}")
+          dec
+      }
+      case other => sys.error(s"graft-iceberg: unsupported nested type $other")
+    }
+  }
+
+  /** A 3-level LIST group as GenericArrayData (null elements preserved
+    * as element-less `list` groups), elements recursive. */
+  private def listValue(at: ArrayType,
+      lg: Group): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = lg.getFieldRepetitionCount("list")
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val eg = lg.getGroup("list", k)
+      out(k) =
+        if (eg.getFieldRepetitionCount("element") == 0) null
+        else nestedValue(at.elementType, eg, "element")
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   override def get(): InternalRow = {
     val row = new GenericInternalRow(required.length)
     var i = 0
@@ -2047,11 +2109,12 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
               row.update(i, dec)
           }
         case st: StructType =>
-          // one nesting level: leaves read through their PER-FILE
-          // physical name (resolveLeaf: name / embedded id / rename
-          // alias); leaves pruned out of the projection, renamed away,
-          // or absent from an old file null-fill — the same
-          // schema-evolution semantics as the top level
+          // struct: LEVEL-1 leaves read through their PER-FILE physical
+          // name (resolveLeaf once per file: name / embedded id / rename
+          // alias — physLeaf); leaves pruned out of the projection,
+          // renamed away, or absent from an old file null-fill. Deeper
+          // levels recurse via nestedValue (name/id/alias resolved per
+          // group).
           val ng = current.getGroup(pi, 0)
           val ngt = ng.getType.asGroupType()
           val leaves = physLeaf(i)
@@ -2062,50 +2125,12 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
             val pn = leaves.getOrElse(nf.name, nf.name)
             if (!ngt.containsField(pn) ||
                 ng.getFieldRepetitionCount(pn) == 0) out.update(k, null)
-            else nf.dataType match {
-              case LongType => out.setLong(k, ng.getLong(pn, 0))
-              case IntegerType => out.setInt(k, ng.getInteger(pn, 0))
-              case DoubleType => out.setDouble(k, ng.getDouble(pn, 0))
-              case FloatType => out.setFloat(k, ng.getFloat(pn, 0))
-              case BooleanType => out.setBoolean(k, ng.getBoolean(pn, 0))
-              case StringType =>
-                out.update(k, UTF8String.fromString(ng.getString(pn, 0)))
-              case DateType => out.setInt(k, ng.getInteger(pn, 0))
-              case TimestampType => out.setLong(k, ng.getLong(pn, 0))
-              case BinaryType =>
-                out.update(k, ng.getBinary(pn, 0).getBytes)
-              case other =>
-                sys.error(s"graft-iceberg: unsupported nested type $other")
-            }
+            else out.update(k, nestedValue(nf.dataType, ng, pn))
             k += 1
           }
           row.update(i, out)
         case at: ArrayType =>
-          // standard 3-level LIST (the vector-column shape): repeated
-          // `list` groups, each with an optional `element`
-          val lg = current.getGroup(pi, 0)
-          val n = lg.getFieldRepetitionCount("list")
-          val out = new Array[Any](n)
-          var k = 0
-          while (k < n) {
-            val eg = lg.getGroup("list", k)
-            out(k) =
-              if (eg.getFieldRepetitionCount("element") == 0) null
-              else at.elementType match {
-                case LongType => eg.getLong("element", 0)
-                case IntegerType => eg.getInteger("element", 0)
-                case DoubleType => eg.getDouble("element", 0)
-                case FloatType => eg.getFloat("element", 0)
-                case BooleanType => eg.getBoolean("element", 0)
-                case StringType =>
-                  UTF8String.fromString(eg.getString("element", 0))
-                case other =>
-                  sys.error(s"graft-iceberg: unsupported element type $other")
-              }
-            k += 1
-          }
-          row.update(i,
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+          row.update(i, listValue(at, current.getGroup(pi, 0)))
         case other => sys.error(s"graft-iceberg: unsupported type $other")
       }
       i += 1

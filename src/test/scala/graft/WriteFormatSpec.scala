@@ -156,15 +156,17 @@ class WriteFormatSpec extends AnyFunSuite {
       .head.getLong(0) == 20L)
   }
 
-  test("array columns refuse non-parquet defaults loudly") {
-    spark.sql("CREATE TABLE wfmt.db.badarr " +
+  test("array columns ride non-parquet defaults (round 13: ORC lists)") {
+    spark.sql("CREATE TABLE wfmt.db.okarr " +
       "(k BIGINT, e ARRAY<BIGINT>) USING `graft-iceberg` " +
       "TBLPROPERTIES ('write.format.default' = 'orc')")
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO wfmt.db.badarr VALUES (1, array(2L, 3L))")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("array column")), msgs(e).toString)
+    spark.sql("INSERT INTO wfmt.db.okarr VALUES (1, array(2L, 3L))")
+    val r = spark.sql("SELECT k, e FROM wfmt.db.okarr").head
+    assert(r.getLong(0) == 1L && r.getSeq[Long](1) == Seq(2L, 3L))
+    val fmts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, "target/tmp-wfmt-wh/db/okarr", "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 0)
+      .select("file_format").collect().map(_.getString(0)).toSet
+    assert(fmts == Set("ORC"), fmts.toString)
   }
 }
