@@ -234,12 +234,23 @@ object Cli {
           case "metadata_log_entries" =>
             MetadataTables.metadataLogEntries(spark, root)
               .orderBy(col("version"))
+          case "entries" => MetadataTables.entries(spark, root)
+            .orderBy(col("status"), col("file_path"))
+          case "all_entries" => MetadataTables.allEntries(spark, root)
+            .orderBy(col("snapshot_id"), col("status"), col("file_path"))
+          case "all_data_files" => MetadataTables.allDataFiles(spark, root)
+            .orderBy(col("file_path"))
+          case "all_delete_files" => MetadataTables.allDeleteFiles(spark, root)
+            .orderBy(col("file_path"))
+          case "all_partitions" => MetadataTables.allPartitions(spark, root)
+            .orderBy(col("partition"))
           case other =>
             System.err.println(
               s"error: unknown metadata table '$other' (partitions|files|" +
                 "snapshots|refs|history|manifests|position_deletes|" +
                 "all_files|data_files|delete_files|all_manifests|" +
-                "metadata_log_entries)")
+                "metadata_log_entries|entries|all_entries|all_data_files|" +
+                "all_delete_files|all_partitions)")
             sys.exit(2)
         }
         df.show(100, truncate = false)

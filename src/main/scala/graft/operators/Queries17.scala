@@ -149,6 +149,100 @@ object Queries17 {
                |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
                |FROM $cat.vo.emb
                |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // ---- THE `entries` METADATA-TABLE FAMILY (Iceberg's standard
+    // debugging relations): an append→append→MOR-delete→rewrite history,
+    // then pinned in-query —
+    //   * `$entries` (current) names exactly the LIVE file set (the
+    //     compacted file + tombstone), while `$entries` of the
+    //     PRE-rewrite snapshot still names the small files;
+    //   * `$all_entries` covers every (snapshot, file) pairing history
+    //     reached, including files no current manifest names;
+    //   * `$all_data_files ∪ $all_delete_files == $all_files` exactly
+    //     (the role split partitions the reachability set);
+    //   * `$all_partitions` rolls up every partition history touched.
+    // The final rollup reads the post-rewrite table; DuckDB recomputes
+    // it from predicate algebra on the source.
+    "q287_entries_family" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q287wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.en")
+      s.sql(s"DROP TABLE IF EXISTS $cat.en.prof")
+      t(dir, "orders").createOrReplaceTempView("q287_src")
+      s.sql(s"""CREATE TABLE $cat.en.prof (okey BIGINT, yr BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      (1995 to 1996).foreach { y =>
+        s.sql(s"""INSERT INTO $cat.en.prof
+                 |SELECT /*+ COALESCE(1) */ o_orderkey,
+                 |  CAST(year(o_orderdate) AS BIGINT)
+                 |FROM q287_src WHERE year(o_orderdate) = $y""".stripMargin)
+      }
+      s.sql(s"DELETE FROM $cat.en.prof WHERE okey % 10 = 3")
+      val tdir = s"${wh.getAbsolutePath}/en/prof"
+      val preRewriteSnap = s.sql(
+        s"SELECT snapshot_id FROM $cat.en.prof.history " +
+          "WHERE is_current_ancestor ORDER BY ordinal DESC LIMIT 1")
+        .head.getLong(0)
+      val preFiles = s.sql(
+        s"SELECT DISTINCT file_path FROM $cat.en.prof.entries " +
+          "WHERE content = 0").collect().map(_.getString(0)).toSet
+      require(preFiles.size == 2, s"two small files expected: $preFiles")
+      s.sql(s"CALL $cat.system.rewrite_data_files('en.prof')")
+      // (1) current $entries names exactly the live set
+      val liveEntries = s.sql(
+        s"SELECT DISTINCT file_path, content FROM $cat.en.prof.entries")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val liveFiles = s.sql(
+        s"SELECT DISTINCT file_path, content FROM $cat.en.prof.files")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      require(liveEntries == liveFiles,
+        s"current entries must equal the live file set")
+      require(!liveEntries.exists(e => preFiles.contains(e._1)),
+        "the rewrite must have replaced both small files")
+      // (2) the PRE-rewrite snapshot's entries still name them
+      val oldEntries = graft.sources.MetadataTables
+        .entries(s, tdir, Some(preRewriteSnap))
+        .filter(col("content") === 0)
+        .select(col("file_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+      require(oldEntries == preFiles,
+        s"pinned-snapshot entries must name the pre-rewrite files")
+      // (3) statuses: every live entry carries a spec status
+      val statuses = s.sql(
+        s"SELECT DISTINCT status FROM $cat.en.prof.all_entries")
+        .collect().map(_.getInt(0)).toSet
+      require(statuses.subsetOf(Set(0, 1, 2)) && statuses.contains(1),
+        s"spec statuses expected: $statuses")
+      // (4) the role split partitions the reachability set exactly
+      val nAll = s.sql(s"SELECT count(*) FROM $cat.en.prof.all_files")
+        .head.getLong(0)
+      val nAllData = s.sql(
+        s"SELECT count(*) FROM $cat.en.prof.all_data_files").head.getLong(0)
+      val nAllDel = s.sql(
+        s"SELECT count(*) FROM $cat.en.prof.all_delete_files").head.getLong(0)
+      require(nAllData + nAllDel == nAll && nAllData >= 3 && nAllDel >= 1,
+        s"all_data_files + all_delete_files must partition all_files: " +
+          s"$nAllData + $nAllDel != $nAll")
+      // (5) all_entries reaches files the current snapshot no longer has
+      val allEntryFiles = s.sql(
+        s"SELECT DISTINCT file_path FROM $cat.en.prof.all_entries " +
+          "WHERE content = 0").collect().map(_.getString(0)).toSet
+      require(preFiles.subsetOf(allEntryFiles),
+        "all_entries must still reach the compacted-away files")
+      // (6) all_partitions rolls up the (unpartitioned) table
+      val nParts = s.sql(
+        s"SELECT count(*) FROM $cat.en.prof.all_partitions").head.getLong(0)
+      require(nParts == 1L, s"one partition bucket expected: $nParts")
+      s.sql(s"""SELECT yr, count(*) AS n_orders, min(okey) AS min_okey,
+               |  sum(okey % 100) AS sum_mod
+               |FROM $cat.en.prof
+               |GROUP BY yr ORDER BY yr""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -180,5 +274,15 @@ object Queries17 {
         |    AS sum_sq,
         |  CAST(min(vec_id) AS BIGINT) AS min_vec,
         |  CAST(max(vec_id) AS BIGINT) AS max_vec
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q287_entries_family" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_mod
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        |  AND o_orderkey % 10 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

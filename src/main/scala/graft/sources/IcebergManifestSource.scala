@@ -87,6 +87,84 @@ object IcebergManifestSource {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema(fields))
     }
 
+  private val entriesSchema = StructType(Seq(
+    StructField("status", IntegerType), StructField("snapshot_id", LongType),
+    StructField("sequence_number", LongType),
+    StructField("content", IntegerType), StructField("file_path", StringType),
+    StructField("file_format", StringType),
+    StructField("record_count", LongType),
+    StructField("file_size_in_bytes", LongType),
+    StructField("partition", StringType)))
+
+  /** ALL entries (any status — 0 existing / 1 added / 2 deleted) of one
+    * manifest, as `$entries` rows. Null entry snapshot_id inherits the
+    * manifest's own added_snapshot_id; a null ADDED sequence_number
+    * inherits the manifest's (spec "Sequence Number Inheritance"). The
+    * status stays visible — unlike every query-path scan, this is the
+    * DEBUGGING relation where deleted entries matter. */
+  private[sources] def readEntryRows(path: String, conf: Configuration,
+      inheritSeq: Long, inheritSnap: Long): Iterator[Row] = {
+    val tableDir =
+      new java.io.File(path).getParentFile.getParentFile.getAbsolutePath
+    readAvroIterator(conf, path) { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val status = e.get("status").asInstanceOf[Int]
+      val snap =
+        if (e.getSchema.getField("snapshot_id") == null) inheritSnap
+        else Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+          .getOrElse(inheritSnap)
+      val seq =
+        if (e.getSchema.getField("sequence_number") == null) 0L
+        else Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+          .getOrElse(inheritSeq)
+      Iterator.single(Row(status, snap, seq, fileContent(df),
+        Relocate.data(tableDir,
+          Option(df.get("file_path")).map(_.toString).getOrElse("")),
+        if (df.getSchema.getField("file_format") == null) "PARQUET"
+        else Option(df.get("file_format")).map(_.toString)
+          .getOrElse("PARQUET"),
+        if (df.getSchema.getField("record_count") == null) 0L
+        else Option(df.get("record_count")).fold(0L)(_.asInstanceOf[Long]),
+        df.get("file_size_in_bytes").asInstanceOf[Long],
+        partitionKeyOf(df)))
+    }
+  }
+
+  /** The `$entries` relation of one snapshot: every manifest entry with
+    * its status — the standard debugging table (which commit added or
+    * logically deleted which file). Driver-side under the same
+    * manifest-count cap as [[statsFromManifestSeqs]], one task per
+    * manifest past it. */
+  def entriesFromTableDir(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    resolveManifestList(spark, tableDir, snapshotId) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], entriesSchema)
+      case Some(p) =>
+        val manifests = manifestListRows(
+          spark.sparkContext.hadoopConfiguration, p)
+          .map(t => (t._1, t._5, t._6)) // (path, seq, added_snapshot_id)
+        val driverCap =
+          try spark.conf.get("spark.graft.driverManifestStats", "8").toInt
+          catch { case _: NumberFormatException => 8 }
+        if (manifests.size <= driverCap) {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val rows = manifests.flatMap { case (mp, seq, snap) =>
+            readEntryRows(mp, hconf, seq, snap) }
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(rows.asJava, entriesSchema)
+        } else {
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val n = math.max(1,
+            math.min(manifests.size, spark.sparkContext.defaultParallelism))
+          val rows = spark.sparkContext.parallelize(manifests, n)
+            .flatMap { case (mp, seq, snap) =>
+              readEntryRows(mp, conf.value, seq, snap) }
+          spark.createDataFrame(rows, entriesSchema)
+        }
+    }
+
   /** Incremental snapshot changelog: which files a snapshot range added
     * and removed, with their record-count/size deltas — straight from
     * manifest metadata, no data files touched (Iceberg's

@@ -179,6 +179,40 @@ object MetadataTables {
       .map(_.dropDuplicates("file_path"))
       .getOrElse(files(spark, tableDir).limit(0))
 
+  /** The `$entries` table: every manifest ENTRY of the current (or
+    * pinned) snapshot WITH its status — 0 existing / 1 added / 2
+    * deleted — plus the committing snapshot id. The standard debugging
+    * relation: which commit added or logically deleted which file.
+    * Distributed past the driver manifest cap like [[files]]. */
+  def entries(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    IcebergManifestSource.entriesFromTableDir(spark, tableDir, snapshotId)
+
+  /** The `$all_entries` table: [[entries]] unioned over EVERY snapshot
+    * in history, deduplicated (one manifest referenced by many
+    * snapshots contributes its entries once per distinct row). */
+  def allEntries(spark: SparkSession, tableDir: String): DataFrame =
+    LayoutMaintenance.snapshotIds(spark, tableDir)
+      .map(id => entries(spark, tableDir, Some(id)))
+      .reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(entries(spark, tableDir).limit(0))
+
+  /** The `$all_data_files` / `$all_delete_files` tables: the
+    * role-filtered views of [[allFiles]] — together they partition it
+    * exactly. */
+  def allDataFiles(spark: SparkSession, tableDir: String): DataFrame =
+    allFiles(spark, tableDir).filter(col("content") === 0)
+
+  def allDeleteFiles(spark: SparkSession, tableDir: String): DataFrame =
+    allFiles(spark, tableDir).filter(col("content") =!= 0)
+
+  /** The `$all_partitions` table: the per-partition rollup over every
+    * DATA file reachable from ANY snapshot — which partitions history
+    * has ever touched, sized by their reachable bytes. */
+  def allPartitions(spark: SparkSession, tableDir: String): DataFrame =
+    rollupOf(allFiles(spark, tableDir))
+
   /** The `$data_files` / `$delete_files` tables: content-filtered views
     * of [[files]] (Iceberg's split of the file listing by role). */
   def dataFiles(spark: SparkSession, tableDir: String,

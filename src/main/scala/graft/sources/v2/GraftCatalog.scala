@@ -1199,7 +1199,9 @@ private[v2] object GraftMetaTable {
   val Kinds: Set[String] =
     Set("snapshots", "files", "partitions", "refs", "history", "changes",
       "manifests", "position_deletes", "all_files", "data_files",
-      "delete_files", "all_manifests", "metadata_log_entries")
+      "delete_files", "all_manifests", "metadata_log_entries",
+      "entries", "all_entries", "all_data_files", "all_delete_files",
+      "all_partitions")
 }
 
 /** A table's metadata relation served as a read-only DSv2 table — the
@@ -1234,6 +1236,15 @@ private[v2] class GraftMetaTable(dir: String, kind: String)
         graft.sources.MetadataTables.allManifests(spark, dir)
       case "metadata_log_entries" =>
         graft.sources.MetadataTables.metadataLogEntries(spark, dir)
+      case "entries" => graft.sources.MetadataTables.entries(spark, dir)
+      case "all_entries" =>
+        graft.sources.MetadataTables.allEntries(spark, dir)
+      case "all_data_files" =>
+        graft.sources.MetadataTables.allDataFiles(spark, dir)
+      case "all_delete_files" =>
+        graft.sources.MetadataTables.allDeleteFiles(spark, dir)
+      case "all_partitions" =>
+        graft.sources.MetadataTables.allPartitions(spark, dir)
     }
   }
 
