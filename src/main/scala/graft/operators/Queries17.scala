@@ -243,6 +243,64 @@ object Queries17 {
                |  sum(okey % 100) AS sum_mod
                |FROM $cat.en.prof
                |GROUP BY yr ORDER BY yr""".stripMargin)
+    },
+
+    // ---- V3 ROW LINEAGE (spec "Row Lineage"): data files get
+    // `first_row_id` at commit from the table's `next-row-id` counter,
+    // the scan serves `_row_id` / `_last_updated_sequence_number`
+    // metadata columns, and a merge-on-read UPDATE MATERIALIZES the old
+    // row id into the new row version — ids are STABLE under update,
+    // only the touched rows' last-updated sequence moves. The insert is
+    // ONE file in okey order, so `_row_id` == rank(okey) - 1 and the
+    // ORACLE RECOMPUTES THE ACTUAL LINEAGE VALUES with a window
+    // function — the row-id assignment itself is hash-gated, not just
+    // counted. Pinned in-query: the full (okey → _row_id) map is
+    // IDENTICAL before and after the UPDATE.
+    "q288_row_lineage" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q288wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rl")
+      s.sql(s"DROP TABLE IF EXISTS $cat.rl.ord")
+      t(dir, "orders").createOrReplaceTempView("q288_src")
+      s.sql(s"""CREATE TABLE $cat.rl.ord (
+               |  okey BIGINT, prio STRING, price BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.update.mode' = 'merge-on-read',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.rl.ord
+               |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+               |  o_orderpriority AS prio,
+               |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+               |FROM q288_src WHERE year(o_orderdate) = 1995
+               |ORDER BY o_orderkey""".stripMargin)
+      val before = s.sql(s"SELECT okey, _row_id FROM $cat.rl.ord")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      require(before.values.toSeq.sorted ==
+        (0L until before.size.toLong).toSeq,
+        "row ids must be dense rank-of-okey (single ordered file)")
+      s.sql(s"UPDATE $cat.rl.ord SET price = price + 1 WHERE okey % 7 = 0")
+      val after = s.sql(s"SELECT okey, _row_id FROM $cat.rl.ord")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      require(after == before,
+        "the UPDATE must keep every row's _row_id stable")
+      val touched = s.sql(s"SELECT count(*) FROM $cat.rl.ord " +
+        "WHERE _last_updated_sequence_number > 1").head.getLong(0)
+      require(touched > 0 && s.sql(
+        s"SELECT count(*) FROM $cat.rl.ord " +
+          "WHERE _last_updated_sequence_number > 1 AND okey % 7 <> 0")
+        .head.getLong(0) == 0L,
+        "last-updated must move for EXACTLY the touched rows")
+      s.sql(s"""SELECT prio, count(*) AS n_orders, sum(price) AS sum_price,
+               |  count(DISTINCT _row_id) AS n_ids,
+               |  min(_row_id) AS min_rid, max(_row_id) AS max_rid,
+               |  sum(CASE WHEN _last_updated_sequence_number > 1
+               |      THEN 1 ELSE 0 END) AS n_touched
+               |FROM $cat.rl.ord
+               |GROUP BY prio ORDER BY prio""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -284,5 +342,21 @@ object Queries17 {
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
         |  AND o_orderkey % 10 <> 3
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q288_row_lineage" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS price0,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price0 + CASE WHEN okey % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS sum_price,
+        |  CAST(count(DISTINCT rid) AS BIGINT) AS n_ids,
+        |  CAST(min(rid) AS BIGINT) AS min_rid,
+        |  CAST(max(rid) AS BIGINT) AS max_rid,
+        |  CAST(sum(CASE WHEN okey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_touched
+        |FROM src GROUP BY prio ORDER BY prio""".stripMargin)
 }

@@ -40,7 +40,11 @@ object IcebergLayoutWriter {
       specId: Int = -1, manifestGroup: Int = 0,
       equalityIds: Seq[Int] = Nil,
       fileFormat: String = "PARQUET",
-      sortOrderId: Integer = null)
+      sortOrderId: Integer = null,
+      /** v3 row lineage (spec field 142): the row id of this data
+        * file's first row — null until the commit sink assigns it from
+        * the table's `next-row-id` counter. */
+      firstRowId: java.lang.Long = null)
 
   // ---- Iceberg single-value serialization (spec Appendix D) ----
   def boundInt(v: Int): Array[Byte] =
@@ -80,6 +84,10 @@ object IcebergLayoutWriter {
       // unsorted) — what lets a reader REPORT per-file ordering to the
       // planner and skip sorts downstream
       .name("sort_order_id").`type`().nullable().intType().noDefault()
+      // spec field 142 (v3 row lineage): the first row id assigned to
+      // this file's rows — _row_id of row at position p reads as
+      // first_row_id + p unless the file materializes the column
+      .name("first_row_id").`type`().nullable().longType().noDefault()
       .endRecord()
 
   private def entrySchema(pSchema: Schema): Schema =
@@ -606,6 +614,7 @@ object IcebergLayoutWriter {
           l
         })
       df.put("sort_order_id", e.sortOrderId)
+      df.put("first_row_id", e.firstRowId)
       val r = new GenericData.Record(eSchema)
       r.put("status", e.status)
       r.put("sequence_number", e.sequenceNumber)
@@ -747,7 +756,20 @@ object IcebergLayoutWriter {
     val metaDir = new java.io.File(tableDir, "metadata")
     org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
     require(metaDir.mkdirs(), s"cannot create $metaDir")
-    val lists = snapshots.map { case (snapshotId, entries) =>
+    // v3 row lineage: assign first_row_id to every unstamped data entry
+    // across the history, in snapshot order — the same counter the
+    // maintenance commits continue from (`next-row-id` below)
+    var rowIdCounter = 0L
+    val lineageSnapshots = snapshots.map { case (snapshotId, entries) =>
+      snapshotId -> entries.map { e =>
+        if (e.content == 0 && e.firstRowId == null) {
+          val s = e.copy(firstRowId = Long.box(rowIdCounter))
+          rowIdCounter += e.recordCount
+          s
+        } else e
+      }
+    }
+    val lists = lineageSnapshots.map { case (snapshotId, entries) =>
       // a manifest holds files of ONE content class written under ONE
       // spec (spec: manifests are homogeneous in partition shape);
       // manifestGroup further splits data manifests the way real append
@@ -815,6 +837,7 @@ object IcebergLayoutWriter {
       s"""{
          |  "format-version": 2,
          |  "current-snapshot-id": ${snapshots.last._1},
+         |  "next-row-id": $rowIdCounter,
          |  "snapshots": [
          |$snapJson
          |  ]$refsJson$specJson$sortJson

@@ -634,7 +634,8 @@ object IcebergManifestSource {
           Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
             s.upper.get(id).map(decodeBound(_, dt)).orNull)
         } ++ Seq(s.equalityIds, s.fileFormat,
-          s.sortOrderId.map(Int.box).orNull))
+          s.sortOrderId.map(Int.box).orNull,
+          s.firstRowId.map(Long.box).orNull))
     // few manifests → DRIVER-side read into a LOCAL relation: planning
     // reads (the .collect()s all over the MOR/commit paths) then cost
     // ZERO Spark jobs, and a join against the result broadcasts
@@ -672,7 +673,8 @@ object IcebergManifestSource {
           Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
         } ++ Seq(StructField("equality_ids", ArrayType(IntegerType)),
           StructField("file_format", StringType),
-          StructField("sort_order_id", IntegerType)))
+          StructField("sort_order_id", IntegerType),
+          StructField("first_row_id", LongType)))
 
   private[sources] case class ManifestStats(filePath: String, content: Int,
       partitionKey: String, sizeBytes: Long, recordCount: Long,
@@ -680,7 +682,8 @@ object IcebergManifestSource {
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       equalityIds: Seq[Int] = Nil,
       fileFormat: String = "PARQUET",
-      sortOrderId: Option[Int] = None)
+      sortOrderId: Option[Int] = None,
+      firstRowId: Option[Long] = None)
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
@@ -747,6 +750,12 @@ object IcebergManifestSource {
           else Option(df.get("sort_order_id")).map {
             case i: java.lang.Integer => i.intValue
             case other => other.toString.toInt
+          },
+        firstRowId =
+          if (df.getSchema.getField("first_row_id") == null) None
+          else Option(df.get("first_row_id")).map {
+            case l: java.lang.Long => l.longValue
+            case other => other.toString.toLong
           })
     }
   }

@@ -257,7 +257,13 @@ object LayoutMaintenance {
       keep: Seq[Snap], currentId: Long,
       keepRefs: Seq[(String, Long, String)],
       base: MetaBase,
-      refRetention: Map[String, Seq[(String, Long)]] = Map.empty): Long = {
+      refRetention: Map[String, Seq[(String, Long)]] = Map.empty,
+      /** v3 row lineage: `next-row-id` AFTER this commit (None = keep
+        * the base document's counter untouched). */
+      nextRowIdAfter: Option[Long] = None,
+      /** (snapshotId → first-row-id) to stamp on the NEW snapshot's
+        * node — the spec's per-snapshot assignment record. */
+      snapshotFirstRowId: Option[(Long, Long)] = None): Long = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val m = metaDir(tableDir)
@@ -292,6 +298,8 @@ object LayoutMaintenance {
         mapper.createObjectNode().put("snapshot-id", s.id)
           .put("timestamp-ms", System.currentTimeMillis()))
       node.put("manifest-list", s.listPath)
+      snapshotFirstRowId.foreach { case (sid, fri) =>
+        if (sid == s.id) node.put("first-row-id", fri) }
       // operation + change counts for a NEW snapshot; existing nodes
       // keep whatever summary their writer recorded (pass-through rule)
       s.summary.foreach { kv =>
@@ -304,6 +312,7 @@ object LayoutMaintenance {
       snapArr.add(node)
     }
     root.set[ArrayNode]("snapshots", snapArr)
+    nextRowIdAfter.foreach(v => root.put("next-row-id", v))
     // refs: original node per surviving name (extra fields like
     // min-snapshots-to-keep survive), target id patched when moved
     if (keepRefs.isEmpty) root.remove("refs")
@@ -909,7 +918,8 @@ object LayoutMaintenance {
       equalityIds = s.equalityIds,
       fileFormat = s.fileFormat,
       sortOrderId = s.sortOrderId.map(Int.box).orNull,
-      specId = specId)
+      specId = specId,
+      firstRowId = s.firstRowId.map(Long.box).orNull)
 
   /** Carried entries of the snapshot's DELETE manifests only (manifest
     * list `content == 1`) — the SMALL side of any real table: delete
@@ -977,13 +987,43 @@ object LayoutMaintenance {
     * the commit (the new id for a normal commit; the old id for a staged
     * write-audit-publish commit), `refsAfter` the full refs map to
     * persist. Returns the new snapshot id. */
+  /** The table's v3 `next-row-id` counter (0 when the metadata predates
+    * row lineage — existing files then read `_row_id` as null until a
+    * lineage-assigning commit touches them, the spec's upgrade rule). */
+  def nextRowId(spark: SparkSession, tableDir: String): Long =
+    Option(readMetadata(spark, tableDir).get("next-row-id"))
+      .filter(_.canConvertToLong).map(_.asLong()).getOrElse(0L)
+
+  /** v3 row lineage assignment: stamp `first_row_id` on this commit's
+    * NEW data entries (status-stamped with the commit's sequence
+    * number, not already stamped by a lineage-preserving writer) from
+    * the table's `next-row-id` counter, sequentially by record count.
+    * Returns (stamped entries, snapshot first-row-id, next-row-id
+    * after) — the Nones when the commit adds no data rows. */
+  private def assignRowIds(spark: SparkSession, tableDir: String,
+      entries: Seq[IcebergLayoutWriter.ManifestEntrySpec], newId: Long)
+      : (Seq[IcebergLayoutWriter.ManifestEntrySpec], Option[Long], Option[Long]) = {
+    val start = nextRowId(spark, tableDir)
+    var cur = start
+    val stamped = entries.map { e =>
+      if (e.content == 0 && e.firstRowId == null &&
+          e.sequenceNumber.longValue == newId) {
+        val s = e.copy(firstRowId = Long.box(cur)); cur += e.recordCount; s
+      } else e
+    }
+    if (cur == start) (entries, None, None)
+    else (stamped, Some(start), Some(cur))
+  }
+
   private def appendSnapshot(spark: SparkSession, tableDir: String,
-      entries: Seq[IcebergLayoutWriter.ManifestEntrySpec], newId: Long,
+      entriesIn: Seq[IcebergLayoutWriter.ManifestEntrySpec], newId: Long,
       currentAfter: Long,
       refsAfter: Seq[(String, Long, String)],
       base: MetaBase,
       operation: String = "append",
       extraSummary: Seq[(String, String)] = Nil): Long = {
+    val (entries, firstRowId, nextRowIdAfter) =
+      assignRowIds(spark, tableDir, entriesIn, newId)
     val m = metaDir(tableDir)
     // spec "Snapshots": every snapshot records a summary with its
     // operation plus change counts — what `snapshots` metadata-table
@@ -1036,7 +1076,9 @@ object LayoutMaintenance {
     writeMetadataVersion(spark, tableDir,
       snapshotsFromBase(base, tableDir) :+
         Snap(newId, newList.getAbsolutePath, Some(summary)),
-      currentAfter, refsAfter, base)
+      currentAfter, refsAfter, base,
+      nextRowIdAfter = nextRowIdAfter,
+      snapshotFirstRowId = firstRowId.map(newId -> _))
     newId
   }
 
@@ -1247,8 +1289,9 @@ object LayoutMaintenance {
       IcebergLayoutWriter.maxManifestListSeq(listFile)).max + 1
     val defaultSpecId = IcebergManifestSource.partitionSpecs(
       spark, tableDir)._1
-    val stamped = added.map(e => e.copy(sequenceNumber = newId,
-      specId = if (e.specId < 0) defaultSpecId else e.specId))
+    val (stamped, firstRowId, nextRowIdAfter) = assignRowIds(spark, tableDir,
+      added.map(e => e.copy(sequenceNumber = newId,
+        specId = if (e.specId < 0) defaultSpecId else e.specId)), newId)
     val m = metaDir(tableDir)
     val groups = stamped
       .groupBy(e =>
@@ -1285,7 +1328,9 @@ object LayoutMaintenance {
     writeMetadataVersion(spark, tableDir,
       snapshotsFromBase(base, tableDir) :+
         Snap(newId, newList.getAbsolutePath, Some(summary)),
-      newId, movedRefs, base)
+      newId, movedRefs, base,
+      nextRowIdAfter = nextRowIdAfter,
+      snapshotFirstRowId = firstRowId.map(newId -> _))
     newId
   }
 
@@ -1302,7 +1347,7 @@ object LayoutMaintenance {
     * guessed. At 100 TB this is what keeps MERGE/DELETE commit cost
     * O(changed + delete-side), never O(data files). */
   private def commitCarryReuse(spark: SparkSession, tableDir: String,
-      stampedAdded: Seq[IcebergLayoutWriter.ManifestEntrySpec],
+      stampedAddedIn: Seq[IcebergLayoutWriter.ManifestEntrySpec],
       refiledCarry: Seq[IcebergLayoutWriter.ManifestEntrySpec],
       dropManifests: Set[String],
       all: Seq[Snap], curId: Long, base: MetaBase, newId: Long,
@@ -1312,6 +1357,11 @@ object LayoutMaintenance {
       currentAfter: Long = -1L,
       refsAfterOpt: Option[Seq[(String, Long, String)]] = None,
       extraSummary: Seq[(String, String)] = Nil): Long = {
+    // row lineage rides the past-the-ceiling path too: only the ADDED
+    // entries are materialized here (carried manifests ride verbatim,
+    // their first_row_id already in the files)
+    val (stampedAdded, firstRowId, nextRowIdAfter) =
+      assignRowIds(spark, tableDir, stampedAddedIn, newId)
     val defaultSpecId = IcebergManifestSource.partitionSpecs(
       spark, tableDir)._1
     val entries = stampedAdded.map(e =>
@@ -1334,7 +1384,9 @@ object LayoutMaintenance {
       addedRecords = dataAdded.map(_.recordCount).sum,
       addedDeleteFiles = stampedAdded.count(_.content != 0),
       totalDeltaDataFiles, totalDeltaRecords, totalDeltaDeleteFiles,
-      currentAfter, refsAfterOpt, extraSummary)
+      currentAfter, refsAfterOpt, extraSummary,
+      nextRowIdAfter = nextRowIdAfter,
+      snapshotFirstRowId = firstRowId.map(newId -> _))
   }
 
   /** Shared tail of every past-the-ceiling commit: filter-copy the
@@ -1352,7 +1404,9 @@ object LayoutMaintenance {
       totalDeltaDeleteFiles: Long,
       currentAfter: Long = -1L,
       refsAfterOpt: Option[Seq[(String, Long, String)]] = None,
-      extraSummary: Seq[(String, String)] = Nil): Long = {
+      extraSummary: Seq[(String, String)] = Nil,
+      nextRowIdAfter: Option[Long] = None,
+      snapshotFirstRowId: Option[(Long, Long)] = None): Long = {
     val oldList = IcebergManifestSource
       .resolveManifestList(spark, tableDir, Some(curId))
       .getOrElse(sys.error(
@@ -1383,7 +1437,9 @@ object LayoutMaintenance {
     writeMetadataVersion(spark, tableDir,
       snapshotsFromBase(base, tableDir) :+
         Snap(newId, newList.getAbsolutePath, Some(summary)),
-      if (currentAfter < 0) newId else currentAfter, refsAfter, base)
+      if (currentAfter < 0) newId else currentAfter, refsAfter, base,
+      nextRowIdAfter = nextRowIdAfter,
+      snapshotFirstRowId = snapshotFirstRowId)
     newId
   }
 

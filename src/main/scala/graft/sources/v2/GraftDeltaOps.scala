@@ -59,12 +59,18 @@ private[v2] class GraftDeltaOperation(table: GraftTable,
       Expressions.column(GraftTable.PosMetadataColumn))
   }
 
-  /** UPDATE = DELETE + INSERT: one tombstone kills the old ordinal, the
-    * new row lands in an ordinary data file. */
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** UPDATE stays an UPDATE at the writer (not delete+insert): the
+    * writer sees the old row's metadata alongside the new row values,
+    * which is what lets it MATERIALIZE the old `_row_id` into the new
+    * row version — v3 row lineage's update rule (the row keeps its id;
+    * only `_last_updated_sequence_number` moves to the new commit). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
+  /** The old row's lineage id, projected into the writer's `meta` row
+    * so updates can carry it (null for pre-lineage files → the new row
+    * reads as a fresh row, the spec's permitted fallback). */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array.empty
+    Array(Expressions.column(GraftTable.RowIdMetadataColumn))
 
   override def description(): String = s"GraftDelta($cmd)"
 }
@@ -199,6 +205,17 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
   private val inserts = new GraftDataWriter(dir, schema,
     s"delta-$queryId", partitionId, taskId, stats, partCols, None, fieldIds,
     format)
+  // UPDATEd row versions land in SEPARATE files that MATERIALIZE the
+  // old row's `_row_id` (v3 lineage carry: the id is stable, only
+  // _last_updated_sequence_number moves — it reads as the new file's
+  // commit sequence). partCols indices stay valid: the lineage column
+  // appends at the end.
+  private lazy val updateInserts = new GraftDataWriter(dir,
+    StructType(schema.fields :+
+      StructField(GraftTable.RowIdMetadataColumn, LongType)),
+    s"deltaup-$queryId", partitionId, taskId, stats, partCols, None,
+    fieldIds, format)
+  private var updatesSeen = false
   private val dels =
     scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
@@ -225,19 +242,38 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     else dels += ((id.getUTF8String(0).toString, id.getLong(1)))
 
   override def update(meta: InternalRow, id: InternalRow,
-      row: InternalRow): Unit =
-    sys.error("graft-iceberg delta: updates arrive as delete+insert " +
-      "(representUpdateAsDeleteAndInsert)")
+      row: InternalRow): Unit = {
+    delete(meta, id) // the old row version dies like any delete
+    // the new version carries the OLD row's id (meta = the projected
+    // _row_id metadata attribute; null for pre-lineage files → the new
+    // row reads as fresh, the spec's fallback)
+    updatesSeen = true
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(schema.length + 1)
+    var i = 0
+    while (i < schema.length) {
+      out.update(i, if (row.isNullAt(i)) null
+        else row.get(i, schema.fields(i).dataType))
+      i += 1
+    }
+    out.update(schema.length,
+      if (meta.isNullAt(0)) null else Long.box(meta.getLong(0)))
+    updateInserts.write(out)
+  }
 
   override def insert(row: InternalRow): Unit = inserts.write(row)
 
   override def write(row: InternalRow): Unit = insert(row)
 
   override def commit(): WriterCommitMessage = {
-    val dataFiles = inserts.commit() match {
+    val dataFiles = (inserts.commit() match {
       case m: GraftCommitMessage => m.files
       case other => sys.error(s"unexpected insert commit message $other")
-    }
+    }) ++ (if (!updatesSeen) Nil
+    else updateInserts.commit() match {
+      case m: GraftCommitMessage => m.files
+      case other => sys.error(s"unexpected update commit message $other")
+    })
     if (eqFields.nonEmpty) {
       // EQUALITY tombstones: one parquet of distinct key tuples per
       // task (sorted — determinism, not a spec requirement for eq
@@ -303,7 +339,10 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
       referenced = dels.map(_._1).distinct.toSeq)
   }
 
-  override def abort(): Unit = inserts.abort()
+  override def abort(): Unit = {
+    inserts.abort()
+    if (updatesSeen) updateInserts.abort()
+  }
 
   override def close(): Unit = ()
 }

@@ -311,6 +311,13 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
       f.name == GraftTable.PosMetadataColumn)
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
+  // v3 row lineage: materialized non-null value wins, else synthesized
+  // (first_row_id + pos / the file's own sequence number) — same rule
+  // as the parquet reader
+  private val isRowId: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.RowIdMetadataColumn)
+  private val isLastUpd: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.LastUpdatedMetadataColumn)
   // the column's index in THIS file: by name, else by recorded former
   // name (rename alias — these formats carry no embedded parquet ids);
   // -1 = pre-evolution file for an added column: default/null-fill
@@ -486,6 +493,19 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
     while (i < required.length) {
       if (isPos(i)) row.setLong(i, rowIdx)
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
+      else if (isRowId(i)) {
+        val mat = if (colIdx(i) < 0) null else current(colIdx(i))
+        row.update(i,
+          if (mat != null) Long.box(mat.asInstanceOf[Long])
+          else if (part.firstRowId != null)
+            Long.box(part.firstRowId.longValue + rowIdx)
+          else null)
+      } else if (isLastUpd(i)) {
+        val mat = if (colIdx(i) < 0) null else current(colIdx(i))
+        row.update(i,
+          if (mat != null) Long.box(mat.asInstanceOf[Long])
+          else Long.box(part.dataSeq))
+      }
       else if (colIdx(i) < 0) row.update(i, absentValue(i))
       else {
         val v = current(colIdx(i))

@@ -82,7 +82,8 @@ object GraftIcebergSource {
       bounds: Map[String, (Any, Any)], pvals: Map[String, Any],
       records: Long, seq: Long = 0L, bytes: Long = 0L,
       sortOrderId: Option[Int] = None,
-      fileFormat: String = "PARQUET")
+      fileFormat: String = "PARQUET",
+      firstRowId: Option[Long] = None)
 
   /** One delete file's planning facts: content 1 = position deletes
     * (apply to data files with data.seq <= delete.seq), content 2 =
@@ -274,6 +275,14 @@ private[v2] object GraftTable {
     * is a row's IDENTITY: exactly what a position tombstone addresses,
     * and the delta rowId merge-on-read DML deletes through. */
   val PosMetadataColumn = "_pos"
+  /** v3 row lineage: the row's TABLE-lifetime id — materialized column
+    * when the file carries one (non-null value wins), else the file's
+    * `first_row_id` + position, else null (pre-lineage files). */
+  val RowIdMetadataColumn = "_row_id"
+  /** v3 row lineage: the sequence number of the commit that last
+    * created/updated the row — materialized column value when the file
+    * carries a non-null one, else the file's own sequence number. */
+  val LastUpdatedMetadataColumn = "_last_updated_sequence_number"
 }
 
 private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
@@ -369,6 +378,14 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       override def name(): String = GraftTable.PosMetadataColumn
       override def dataType(): DataType = LongType
       override def isNullable: Boolean = false
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.RowIdMetadataColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.LastUpdatedMetadataColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
     })
 
   /** SQL `DELETE FROM` (v1-filter form — Spark's SupportsDelete default
@@ -512,7 +529,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
           r.getAs[Long]("record_count"), r.getAs[Long]("sequence_number"),
           r.getAs[Long]("sizeBytes"),
           Option(r.getAs[java.lang.Integer]("sort_order_id")).map(_.intValue),
-          Option(r.getAs[String]("file_format")).getOrElse("PARQUET"))
+          Option(r.getAs[String]("file_format")).getOrElse("PARQUET"),
+          Option(r.getAs[java.lang.Long]("first_row_id")).map(_.longValue))
       }
     val deletes = rows.toSeq
       .filter(_.getAs[Int]("content") != 0)
@@ -646,7 +664,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     val keyNames = eqs.flatMap(_._2).distinct
     GraftFilePartition(f.path, pos, eqs, f.fileFormat,
       keyAliases = GraftCatalog.aliasesOf(schema)
-        .filter { case (k, _) => keyNames.contains(k) })
+        .filter { case (k, _) => keyNames.contains(k) },
+      dataSeq = f.seq,
+      firstRowId = f.firstRowId.map(Long.box).orNull)
   }
 
   /** (partitionFieldName, sourceColumnName, sourceType) when — and only
@@ -1487,7 +1507,13 @@ private[v2] case class GraftFilePartition(path: String,
     /** Rename aliases of the eq-delete KEY columns (table name →
       * former names): key columns must resolve in PRE-RENAME files even
       * when the projection does not select them. */
-    keyAliases: Map[String, Seq[String]] = Map.empty) extends InputPartition
+    keyAliases: Map[String, Seq[String]] = Map.empty,
+    /** v3 row lineage: the file's manifest sequence number (what
+      * `_last_updated_sequence_number` reads as when the file does not
+      * materialize the column) and its `first_row_id` (null = no
+      * lineage assigned: `_row_id` reads null unless materialized). */
+    dataSeq: Long = 0L,
+    firstRowId: java.lang.Long = null) extends InputPartition
 
 /** One partition-value group of files (the SPJ unit): `partitionKey`
   * is the identity partition values as an InternalRow — Spark's
@@ -1797,6 +1823,14 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       f.name == GraftTable.PosMetadataColumn)
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
+  // v3 row lineage columns: NOT isMeta — when the FILE materializes the
+  // physical column (lineage-preserving writers: MOR UPDATE deltas)
+  // the projection reads it, and per-row nulls fall back to the
+  // synthesized value (first_row_id + pos / the file's own seq)
+  private val isRowId: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.RowIdMetadataColumn)
+  private val isLastUpd: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.LastUpdatedMetadataColumn)
   private val isAbsent: Array[Boolean] = new Array[Boolean](required.length)
   // what an ABSENT column reads as: the column's INITIAL default when
   // one was declared at ADD COLUMN (Iceberg v3 "Default values" —
@@ -2063,6 +2097,21 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       val pi = projIdx(i) // positional access: no per-value name scans
       if (isPos(i)) row.setLong(i, rowIdx) // physical ordinal in file
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
+      else if (isRowId(i)) {
+        // materialized non-null value wins; null (or no materialized
+        // column) inherits first_row_id + position (spec v3)
+        val mat = !isAbsent(i) && current.getFieldRepetitionCount(pi) != 0
+        row.update(i,
+          if (mat) Long.box(current.getLong(pi, 0))
+          else if (part.firstRowId != null)
+            Long.box(part.firstRowId.longValue + rowIdx)
+          else null)
+      } else if (isLastUpd(i)) {
+        val mat = !isAbsent(i) && current.getFieldRepetitionCount(pi) != 0
+        row.update(i,
+          if (mat) Long.box(current.getLong(pi, 0))
+          else Long.box(part.dataSeq))
+      }
       else if (isAbsent(i)) row.update(i, absentValue(i))
       else if (current.getFieldRepetitionCount(pi) == 0) row.update(i, null)
       else f.dataType match {

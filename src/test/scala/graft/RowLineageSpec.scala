@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Iceberg v3 ROW LINEAGE (spec "Row Lineage"): every data file gets a
+  * `first_row_id` at commit (assigned from the table metadata's
+  * `next-row-id` counter), and the scan surfaces `_row_id` /
+  * `_last_updated_sequence_number` metadata columns — first_row_id +
+  * position / the file's own sequence number, unless the file
+  * MATERIALIZES the column (lineage-preserving writers: the MOR UPDATE
+  * delta), in which case non-null materialized values win. */
+class RowLineageSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSpec.spark
+    val wh = new java.io.File("target/tmp-lineage-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(wh)
+    s.conf.set("spark.sql.catalog.lin",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.lin.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS lin.db")
+    s
+  }
+
+  test("appends assign dense, unique row ids across commits") {
+    spark.sql("CREATE TABLE lin.db.base (k BIGINT, v STRING) " +
+      "USING `graft-iceberg`")
+    spark.sql("INSERT INTO lin.db.base SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (1L, 'a'), (2L, 'b'), (3L, 'c') AS t(k, v)")
+    spark.sql("INSERT INTO lin.db.base SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (4L, 'd'), (5L, 'e') AS t(k, v)")
+    val rows = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.base " +
+        "ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // first commit assigns 0..2 at seq 1; second 3..4 at seq 2
+    assert(rows.toSeq == Seq((1L, 0L, 1L), (2L, 1L, 1L), (3L, 2L, 1L),
+      (4L, 3L, 2L), (5L, 4L, 2L)), rows.mkString(", "))
+    // the manifest entries carry first_row_id; metadata carries the
+    // counter
+    val fri = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, "target/tmp-lineage-wh/db/base", "t", Nil)
+      .filter(col("content") === 0)
+      .select("first_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fri == Seq(0L, 3L), fri.toString)
+    assert(graft.sources.LayoutMaintenance.nextRowId(
+      spark, "target/tmp-lineage-wh/db/base") == 5L)
+  }
+
+  test("UPDATE keeps _row_id stable and moves only touched rows' seq") {
+    spark.sql("CREATE TABLE lin.db.upd (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.update.mode' = 'merge-on-read', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO lin.db.upd SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L) AS t(k, v)")
+    val before = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.upd")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.sql("UPDATE lin.db.upd SET v = v + 1 WHERE k IN (2, 4)")
+    val after = spark.sql(
+      "SELECT k, v, _row_id, _last_updated_sequence_number FROM lin.db.upd")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // values moved for exactly the touched rows
+    assert(after(2L)._1 == 21L && after(4L)._1 == 41L)
+    assert(after(1L)._1 == 10L && after(3L)._1 == 30L)
+    // _row_id STABLE for every row, touched or not
+    (1L to 4L).foreach(k =>
+      assert(after(k)._2 == before(k)._1, s"row id moved for k=$k"))
+    // _last_updated moved for EXACTLY the touched rows
+    assert(after(2L)._3 > before(2L)._2 && after(4L)._3 > before(4L)._2)
+    assert(after(1L)._3 == before(1L)._2 && after(3L)._3 == before(3L)._2)
+  }
+
+  test("MERGE matched-update carries row ids; inserts get fresh ones") {
+    spark.sql("CREATE TABLE lin.db.mrg (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.merge.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO lin.db.mrg SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (1L, 10L), (2L, 20L) AS t(k, v)")
+    val before = spark.sql("SELECT k, _row_id FROM lin.db.mrg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("""MERGE INTO lin.db.mrg t
+      |USING (SELECT * FROM VALUES (2L, 99L), (3L, 30L) AS s(k, v)) s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = spark.sql("SELECT k, v, _row_id FROM lin.db.mrg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 10L), (2L, 99L), (3L, 30L)), after.mkString(", "))
+    val ids = after.map(t => t._1 -> t._3).toMap
+    assert(ids(1L) == before(1L) && ids(2L) == before(2L),
+      "matched rows must keep their ids")
+    assert(ids(3L) >= 2L, s"the insert must get a FRESH id: ${ids(3L)}")
+    assert(ids.values.toSeq.distinct.length == 3, "ids must stay unique")
+  }
+
+  test("past-the-ceiling commits still assign and carry first_row_id") {
+    import graft.sources.{IcebergLayoutWriter, LayoutMaintenance,
+      IcebergManifestSource}
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    import spark.implicits._
+    val tbl = new java.io.File("target/tmp-lineage-scale")
+    org.apache.commons.io.FileUtils.deleteQuietly(tbl)
+    val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
+    def fileOf(i: Int): (java.io.File, Long) = {
+      val f = new java.io.File(dataDir, s"f$i.parquet")
+      val n = IcebergLayoutWriter.writeSingleParquet(
+        Seq.tabulate(3)(j => i * 10L + j).toDF("k").coalesce(1), f)
+      (f, n)
+    }
+    val (f0, n0) = fileOf(0)
+    IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
+      status = 1, content = 0, filePath = f0.getAbsolutePath,
+      recordCount = n0, sizeBytes = f0.length(), sequenceNumber = 1L)))
+    val prev = spark.conf.getOption("spark.graft.maxDriverFileEntries")
+    spark.conf.set("spark.graft.maxDriverFileEntries", "1")
+    try {
+      // both appends exceed the toy ceiling: manifest-reuse commits
+      (1 to 2).foreach { i =>
+        val (f, n) = fileOf(i)
+        LayoutMaintenance.commitAppend(spark, tbl.getPath, Seq(
+          ManifestEntrySpec(status = 1, content = 0,
+            filePath = f.getAbsolutePath, recordCount = n,
+            sizeBytes = f.length())))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.maxDriverFileEntries", v)
+      case None => spark.conf.unset("spark.graft.maxDriverFileEntries")
+    }
+    // ids are dense and unique across the reused-manifest history
+    val fri = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t", Nil)
+      .filter(col("content") === 0)
+      .select("first_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fri == Seq(0L, 3L, 6L), fri.toString)
+    assert(LayoutMaintenance.nextRowId(spark, tbl.getPath) == 9L)
+  }
+}
