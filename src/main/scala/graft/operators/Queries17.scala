@@ -301,6 +301,67 @@ object Queries17 {
                |      THEN 1 ELSE 0 END) AS n_touched
                |FROM $cat.rl.ord
                |GROUP BY prio ORDER BY prio""".stripMargin)
+    },
+
+    // ---- TIMESTAMP_NTZ LAKE COLUMNS (the spec's tz-naive `timestamp`
+    // type: parquet INT64 micros NOT UTC-adjusted, ORC zone-free
+    // TIMESTAMP, avro local-timestamp-micros): naive event times ride
+    // all THREE formats in one month(ntz)-PARTITIONED table (format
+    // flipped between inserts), an NTZ-predicate MOR DELETE tombstones
+    // across the mix, and the rollup renders min/max AS STRING — DuckDB
+    // TIMESTAMP is naive by construction, so the hash compares the
+    // wall-clock values with no zone arithmetic on either side.
+    "q289_ntz_lake" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q289wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.nz")
+      s.sql(s"DROP TABLE IF EXISTS $cat.nz.ev")
+      t(dir, "orders").createOrReplaceTempView("q289_src")
+      s.sql(s"""CREATE TABLE $cat.nz.ev (okey BIGINT, ts TIMESTAMP_NTZ)
+               |USING `graft-iceberg` PARTITIONED BY (month(ts))
+               |TBLPROPERTIES (
+               |  'write.format.default' = 'parquet',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insert(lo: Int, hi: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.nz.ev
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT),
+                 |    CAST(o_orderdate AS TIMESTAMP_NTZ)) AS ts
+                 |FROM q289_src WHERE year(o_orderdate) = 1995
+                 |  AND month(o_orderdate) BETWEEN $lo AND $hi""".stripMargin)
+      insert(1, 4) // PARQUET: INT64 micros, isAdjustedToUTC = false
+      s.sql(s"ALTER TABLE $cat.nz.ev " +
+        "SET TBLPROPERTIES ('write.format.default' = 'orc')")
+      insert(5, 8) // ORC: zone-free TIMESTAMP
+      s.sql(s"ALTER TABLE $cat.nz.ev " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insert(9, 12) // AVRO: local-timestamp-micros
+      val tdir = s"${wh.getAbsolutePath}/nz/ev"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"naive timestamps must ride all three formats: $fmts")
+      // NTZ-predicate MOR delete across the mixed formats
+      s.sql(s"DELETE FROM $cat.nz.ev " +
+        "WHERE ts < TIMESTAMP_NTZ'1995-02-01 00:00:00' AND okey % 3 = 0")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the NTZ DELETE must land tombstones")
+      s.sql(s"""SELECT CAST(month(ts) AS BIGINT) AS mon,
+               |  count(*) AS n_events,
+               |  CAST(min(ts) AS STRING) AS first_ts,
+               |  CAST(max(ts) AS STRING) AS last_ts,
+               |  min(okey) AS min_okey
+               |FROM $cat.nz.ev
+               |GROUP BY month(ts) ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -358,5 +419,22 @@ object Queries17 {
         |  CAST(max(rid) AS BIGINT) AS max_rid,
         |  CAST(sum(CASE WHEN okey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_touched
-        |FROM src GROUP BY prio ORDER BY prio""".stripMargin)
+        |FROM src GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q289_ntz_lake" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(o_orderdate AS TIMESTAMP) +
+        |      to_seconds(o_orderkey % 86400) AS ts
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |kept AS (
+        |  SELECT * FROM src
+        |  WHERE NOT (ts < TIMESTAMP '1995-02-01 00:00:00'
+        |    AND okey % 3 = 0))
+        |SELECT CAST(month(ts) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts) AS VARCHAR) AS first_ts,
+        |  CAST(max(ts) AS VARCHAR) AS last_ts,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM kept GROUP BY 1 ORDER BY mon""".stripMargin)
 }

@@ -43,6 +43,7 @@ object AvroDataRead {
       case INT if logical(s) == "date" => DateType
       case INT => IntegerType
       case LONG if logical(s) == "timestamp-micros" => TimestampType
+      case LONG if logical(s) == "local-timestamp-micros" => TimestampNTZType
       case LONG => LongType
       case FLOAT => FloatType
       case DOUBLE => DoubleType
@@ -92,6 +93,15 @@ object AvroDataRead {
           val us = v.asInstanceOf[Long]
           val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
           ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt); ts
+        }
+      case LONG if logical(s) == "local-timestamp-micros" => v =>
+        if (v == null) null
+        else { // external NTZ encoding: LocalDateTime
+          val us = v.asInstanceOf[Long]
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
         }
       case STRING => v => if (v == null) null else v.toString // Utf8
       case BYTES if logical(s) == "decimal" =>

@@ -102,7 +102,14 @@ object OrcPosRead {
       }
       case TIMESTAMP | TIMESTAMP_INSTANT => (v, i) => {
         val t = v.asInstanceOf[TimestampColumnVector]
-        val ts = new java.sql.Timestamp(t.time(i)); ts.setNanos(t.nanos(i)); ts
+        // undo the TreeReader's negative-value correction, strip the
+        // fraction millis, rebuild exactly (same math as the
+        // connector's ORC extractor — pre-epoch values round-trip)
+        val n = t.nanos(i)
+        var ms = t.time(i)
+        if (ms < 0 && n > 999999) ms += 1000L
+        val ts = new java.sql.Timestamp(((ms - n / 1000000) / 1000L) * 1000L)
+        ts.setNanos(n); ts
       }
       case DECIMAL => (v, i) =>
         v.asInstanceOf[DecimalColumnVector].vector(i)

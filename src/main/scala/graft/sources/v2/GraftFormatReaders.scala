@@ -93,8 +93,14 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
         v.asInstanceOf[LongColumnVector].vector(i).toInt
       case TIMESTAMP | TIMESTAMP_INSTANT => (v, i) => {
         val t = v.asInstanceOf[TimestampColumnVector]
-        // micros UTC from (millis, nanos-of-second)
-        Math.floorDiv(t.time(i), 1000L) * 1000000L + t.nanos(i) / 1000L
+        // ORC's TreeReader emits time = storedSeconds*1000 + fraction
+        // millis, MINUS 1000 when (negative, nanos > 999999) — undo
+        // that correction and strip the fraction to recover the exact
+        // floor second, then micros from (second, nanos)
+        val n = t.nanos(i)
+        var ms = t.time(i)
+        if (ms < 0 && n > 999999) ms += 1000L
+        ((ms - n / 1000000) / 1000L) * 1000000L + n / 1000L
       }
       case BINARY => (v, i) => {
         val b = v.asInstanceOf[BytesColumnVector]

@@ -19,12 +19,10 @@ import org.apache.spark.sql.types._
   * Iceberg's own knob — so a pure-SQL user can accrete ORC/AVRO tables
   * the engine's readers (q227/q259/q260 paths) already understand.
   *
-  * Dialect bounds: ORC and AVRO task files carry scalar schemas
-  * (long/int/double/float/boolean/string) plus ONE level of struct
-  * nesting (the multimodal typed-metadata shape) — same as the parquet
-  * arm. Arrays (vector columns) stay on parquet, where the 3-level
-  * LIST encoding exists; an array write under a non-parquet default
-  * fails loudly at writer construction, never mid-file.
+  * Dialect bounds: all three formats carry scalars plus structs and
+  * arrays composed to ANY depth (round 13 — ORC lists/structs, avro
+  * arrays/records, parquet groups/3-level LISTs, all recursive). MAP
+  * columns refuse loudly at writer construction, never mid-file.
   */
 private[v2] trait GraftPhysicalWriter {
   def write(record: InternalRow): Unit
@@ -117,9 +115,9 @@ private[graft] object GraftFormatWriters {
   }
 }
 
-/** The parquet arm — the connector's original writer, verbatim: flat
-  * primitives plus ONE level of struct nesting, stable field ids
-  * embedded so post-RENAME readers resolve by id. */
+/** The parquet arm — the connector's original writer: primitives plus
+  * recursive struct/array composition, stable field ids embedded so
+  * post-RENAME readers resolve by id. */
 private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
     fieldIds: Map[String, Int]) extends GraftPhysicalWriter {
 
@@ -143,6 +141,10 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
           Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
         case TimestampType => Types.optional(INT64).as(
           LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        // spec `timestamp` (tz-naive): INT64 micros NOT UTC-adjusted
+        case TimestampNTZType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(false,
             LogicalTypeAnnotation.TimeUnit.MICROS))
         case BinaryType => Types.optional(BINARY)
         // decimal(P<=18, S): INT64 unscaled (Iceberg's parquet mapping
@@ -208,6 +210,7 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
     case StringType => g.add(name, src.getUTF8String(i).toString)
     case DateType => g.add(name, src.getInt(i)) // epoch days
     case TimestampType => g.add(name, src.getLong(i)) // micros
+    case TimestampNTZType => g.add(name, src.getLong(i)) // naive micros
     case BinaryType => g.add(name,
       org.apache.parquet.io.api.Binary
         .fromConstantByteArray(src.getBinary(i)))
@@ -278,6 +281,8 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case StringType => TypeDescription.createString()
     case DateType => TypeDescription.createDate()
     case TimestampType => TypeDescription.createTimestampInstant()
+    // spec `timestamp` (tz-naive): ORC's zone-free TIMESTAMP
+    case TimestampNTZType => TypeDescription.createTimestamp()
     case BinaryType => TypeDescription.createBinary()
     // ORC decimals are HiveDecimal-backed natively up to the spec's
     // precision 38 ceiling — no wide/narrow split needed
@@ -331,11 +336,15 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case DateType => // epoch days, ORC DATE's own representation
       vec.asInstanceOf[LongColumnVector].vector(r) = row.getInt(i).toLong
       approxBytes += 4
-    case TimestampType =>
-      val us = row.getLong(i) // micros UTC
+    case TimestampType | TimestampNTZType =>
+      val us = row.getLong(i) // micros (UTC-adjusted or naive)
       val t = vec.asInstanceOf[TimestampColumnVector]
-      t.time(r) = Math.floorDiv(us, 1000000L) * 1000L +
-        Math.floorDiv(Math.floorMod(us, 1000000L), 1000L)
+      // ORC's TimestampTreeWriter derives the stored second as
+      // `time / 1000` with TRUNCATING division — `time` must be the
+      // FLOOR-second millis alone (no sub-second fraction), or every
+      // pre-epoch sub-second value shifts forward a second; nanos
+      // carries the full fraction-of-second
+      t.time(r) = Math.floorDiv(us, 1000000L) * 1000L
       t.nanos(r) = (Math.floorMod(us, 1000000L) * 1000L).toInt
       approxBytes += 8
     case BinaryType =>
@@ -436,6 +445,10 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
         .addToSchema(ASchema.create(ASchema.Type.INT))
       case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
         .addToSchema(ASchema.create(ASchema.Type.LONG))
+      // spec `timestamp` (tz-naive): avro local-timestamp-micros
+      case TimestampNTZType =>
+        org.apache.avro.LogicalTypes.localTimestampMicros()
+          .addToSchema(ASchema.create(ASchema.Type.LONG))
       case BinaryType => ASchema.create(ASchema.Type.BYTES)
       // decimal(P<=18): bytes-backed (this writer's original dialect);
       // decimal(P>18): the spec's `fixed` of minimum width — the fixed
@@ -506,6 +519,8 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       approxBytes += s.length + 4; s
     case DateType => approxBytes += 4; Int.box(row.getInt(i)) // epoch days
     case TimestampType => approxBytes += 8; Long.box(row.getLong(i)) // µs
+    case TimestampNTZType =>
+      approxBytes += 8; Long.box(row.getLong(i)) // naive µs
     case BinaryType =>
       val b = row.getBinary(i)
       approxBytes += b.length + 4; java.nio.ByteBuffer.wrap(b)

@@ -216,7 +216,11 @@ object GraftIcebergSource {
         case INT64
           if logical.exists(_.isInstanceOf[
             LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]) =>
-          TimestampType
+          // UTC-adjusted = the spec's timestamptz; naive = timestamp
+          if (logical.get.asInstanceOf[
+              LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+              .isAdjustedToUTC) TimestampType
+          else TimestampNTZType
         case INT64
           if logical.exists(_.isInstanceOf[
             LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]) =>
@@ -2054,6 +2058,7 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       case StringType => UTF8String.fromString(g.getString(pn, 0))
       case DateType => g.getInteger(pn, 0) // epoch days
       case TimestampType => g.getLong(pn, 0) // micros
+      case TimestampNTZType => g.getLong(pn, 0) // naive micros
       case BinaryType => g.getBinary(pn, 0).getBytes
       case d: DecimalType => phys match {
         case INT32 => org.apache.spark.sql.types.Decimal.createUnsafe(
@@ -2133,6 +2138,7 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case StringType => row.update(i, UTF8String.fromString(current.getString(pi, 0)))
         case DateType => row.setInt(i, current.getInteger(pi, 0)) // days
         case TimestampType => row.setLong(i, current.getLong(pi, 0)) // µs
+        case TimestampNTZType => row.setLong(i, current.getLong(pi, 0))
         case BinaryType =>
           row.update(i, current.getBinary(pi, 0).getBytes)
         case d: DecimalType =>

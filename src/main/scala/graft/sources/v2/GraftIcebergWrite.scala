@@ -632,6 +632,7 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
         case LongType => record.getLong(i)
         case IntegerType => record.getInt(i).toLong
         case TimestampType => record.getLong(i) // micros UTC
+        case TimestampNTZType => record.getLong(i) // micros, tz-naive
         case DateType => record.getInt(i).toLong // epoch days
         case other => sys.error(
           s"graft-iceberg write: partition transform $transform needs an " +

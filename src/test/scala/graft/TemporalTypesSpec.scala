@@ -118,6 +118,54 @@ class TemporalTypesSpec extends AnyFunSuite {
     }
   }
 
+  for (fmt <- Seq("parquet", "orc", "avro")) {
+    test(s"TIMESTAMP_NTZ round-trips exactly + MOR delete in $fmt") {
+      val tbl = s"temporal.db.ntz_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, ts TIMESTAMP_NTZ) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt', " +
+        "'write.delete.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, TIMESTAMP_NTZ'1995-03-15 10:30:00.123456'), " +
+        "(2L, TIMESTAMP_NTZ'1969-12-31 23:59:59.999999'), " +
+        "(3L, CAST(NULL AS TIMESTAMP_NTZ)) AS t(k, ts)")
+      val rows = spark.sql(
+        s"SELECT k, CAST(ts AS STRING) FROM $tbl ORDER BY k").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-")))
+      assert(rows.toSeq == Seq(
+        (1L, "1995-03-15 10:30:00.123456"),
+        (2L, "1969-12-31 23:59:59.999999"), (3L, "-")), rows.mkString(", "))
+      // NTZ-predicate MOR delete
+      spark.sql(s"DELETE FROM $tbl WHERE ts < TIMESTAMP_NTZ'1970-01-01 00:00:00'")
+      assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, s"target/tmp-temporal-wh/db/ntz_$fmt",
+          "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").collect().map(_.getString(0)).toSet
+      assert(fmts == Set(fmt.toUpperCase), fmts.toString)
+    }
+  }
+
+  test("PARTITIONED BY (month(ntz)): naive-timestamp transform clusters") {
+    spark.sql("CREATE TABLE temporal.db.pn (k BIGINT, ts TIMESTAMP_NTZ) " +
+      "USING `graft-iceberg` PARTITIONED BY (month(ts))")
+    spark.sql("INSERT INTO temporal.db.pn SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1L, TIMESTAMP_NTZ'1995-01-10 08:00:00'), " +
+      "(2L, TIMESTAMP_NTZ'1995-02-20 23:59:59'), " +
+      "(3L, TIMESTAMP_NTZ'1995-02-25 00:00:01') AS t(k, ts)")
+    val parts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, "target/tmp-temporal-wh/db/pn", "t", Nil)
+      .filter(col("content") === 0)
+      .select("partitionKey").collect().map(_.getString(0)).toSeq
+    // months since epoch: 1995-01 = 300, 1995-02 = 301
+    assert(parts.sorted == Seq("{\"ts_month\":300}", "{\"ts_month\":301}"),
+      parts.toString)
+    assert(spark.sql("SELECT sum(k) FROM temporal.db.pn " +
+      "WHERE ts < TIMESTAMP_NTZ'1995-02-01 00:00:00'").head.getLong(0) == 1L)
+  }
+
   test("decimal fixed-width encoding: spec minimums per precision") {
     import graft.sources.v2.GraftFormatWriters.decimalFixedBytes
     // spec Appendix A reference points
