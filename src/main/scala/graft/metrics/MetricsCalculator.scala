@@ -206,6 +206,51 @@ object MetricsCalculator {
       cfg: EngineConfig = EngineConfig.default): Dataset[TableMetricsWide] =
     tableMetrics(partitionStats(files, cfg), manifestCounts, cfg)
 
+  /** The SIZE-FAMILY metrics (SURVEY §2.4 A5–A9: avg data-file size,
+    * worst per-partition average, total table size, largest partition,
+    * total partitions) served from a table's FRESH partition-statistics
+    * file — ONE KB-sized parquet read, zero manifest I/O. The per-file
+    * arm (scan overheads + the bin-packing simulation) still needs file
+    * sizes, so the full 9-metric pipeline keeps its manifest scan; this
+    * is the short-circuit a thousands-of-tables SIZE report wants.
+    *
+    * Sound only when the snapshot carries NO delete files: the stats
+    * rollup records data bytes, while the reference's totals include
+    * tombstone bytes (`table_metrics.py:103-105` averages over ALL
+    * files) — delete-carrying tables return None and take the manifest
+    * arm. None likewise when no fresh stats file is registered.
+    * Output column names match [[tableMetrics]]'s exactly. */
+  def sizeMetricsFromStats(spark: SparkSession, tableDir: String,
+      table: String): Option[org.apache.spark.sql.DataFrame] =
+    graft.sources.LayoutMaintenance
+      .freshPartitionStats(spark, tableDir, None).flatMap { statsPath =>
+      val stats = spark.read.schema(
+        "partition STRING, file_count BIGINT, record_count BIGINT, " +
+          "total_size BIGINT, position_delete_file_count BIGINT, " +
+          "equality_delete_file_count BIGINT, " +
+          "last_updated_snapshot_id BIGINT")
+        .parquet(statsPath)
+      val agg = stats.agg(
+        sum(col("position_delete_file_count") +
+          col("equality_delete_file_count")).as("nDel"),
+        sum(col("total_size")).as("totalTableSize"),
+        sum(col("file_count")).as("dataCount"),
+        min(col("total_size").cast("double") /
+          col("file_count").cast("double")).as("worstAvgFileSize"),
+        max(col("total_size")).as("largestPartitionSize"),
+        count(lit(1)).as("totalPartitions")).head()
+      if (agg.getLong(0) != 0L) None // tombstones: sizes not in stats
+      else Some(spark.range(1).select(
+        lit(table).as("table"),
+        when(lit(agg.getLong(2)) === 0L, lit(0.0))
+          .otherwise(lit(agg.getLong(1).toDouble / agg.getLong(2)))
+          .as("avgFileSize"),
+        lit(agg.getDouble(3)).as("worstAvgFileSize"),
+        lit(agg.getLong(1)).as("totalTableSize"),
+        lit(agg.getLong(4)).as("largestPartitionSize"),
+        lit(agg.getLong(5)).as("totalPartitions")))
+    }
+
   /** Single-table convenience mirroring the reference's
     * `compute_metrics(files, manifest_files_count)`; returns the 9 metrics
     * in the reference's enum order. */

@@ -362,6 +362,73 @@ object Queries17 {
                |  min(okey) AS min_okey
                |FROM $cat.nz.ev
                |GROUP BY month(ts) ORDER BY mon""".stripMargin)
+    },
+
+    // ---- SIZE METRICS SERVED FROM PARTITION STATISTICS (the 9-metric
+    // pipeline's A5–A9 arm short-circuited): after compute_partition_
+    // stats, the size-family metrics come from the KB-sized stats file
+    // with ZERO manifest I/O — pinned in-query EQUAL to the full
+    // manifest-scan pipeline's values, field by field (the per-file arm
+    // — overheads + the packer — keeps its manifest scan by design: it
+    // needs file sizes). At thousands of tables this is the difference
+    // between a size report reading KBs and re-walking every manifest.
+    // The returned rollup reads the stats-served `$partitions` relation;
+    // DuckDB recomputes record counts per partition from the source.
+    "q290_metrics_from_stats" -> { (s, dir) => implicit val sp = s
+      import s.implicits._
+      val wh = TmpFixture.dir("q290wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ms")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ms.ord")
+      t(dir, "orders").createOrReplaceTempView("q290_src")
+      s.sql(s"""CREATE TABLE $cat.ms.ord (okey BIGINT, mon BIGINT,
+               |  price BIGINT)
+               |USING `graft-iceberg` PARTITIONED BY (mon)""".stripMargin)
+      (1 to 3).foreach { third =>
+        s.sql(s"""INSERT INTO $cat.ms.ord
+                 |SELECT /*+ COALESCE(1) */ o_orderkey,
+                 |  CAST(month(o_orderdate) AS BIGINT),
+                 |  CAST(FLOOR(o_totalprice) AS BIGINT)
+                 |FROM q290_src WHERE year(o_orderdate) = 1995
+                 |  AND o_orderkey % 3 = ${third - 1}""".stripMargin)
+      }
+      val tdir = s"${wh.getAbsolutePath}/ms/ord"
+      graft.sources.LayoutMaintenance.computePartitionStats(s, tdir)
+      // arm A: size metrics from the KB stats file alone
+      val fromStats = graft.metrics.MetricsCalculator
+        .sizeMetricsFromStats(s, tdir, "t")
+        .getOrElse(sys.error("fresh stats must serve the size arm"))
+        .collect().head
+      // arm B: the full manifest-scan pipeline
+      val files = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .select(col("table"), col("content"), col("partitionKey"),
+          col("sizeBytes"))
+        .as[graft.model.FileEntry]
+      val nManifests = graft.sources.MetadataTables
+        .manifests(s, tdir).count()
+      val full = graft.metrics.MetricsCalculator
+        .computeMetricsWide(files, Seq(("t", nManifests)).toDS())
+        .collect().head
+      require(fromStats.getDouble(1) == full.avgFileSize &&
+        fromStats.getDouble(2) == full.worstAvgFileSize &&
+        fromStats.getLong(3) == full.totalTableSize &&
+        fromStats.getLong(4) == full.largestPartitionSize &&
+        fromStats.getLong(5) == full.totalPartitions,
+        s"stats-served size metrics must equal the manifest pipeline: " +
+          s"$fromStats vs $full")
+      // the $partitions relation serves from the SAME fresh stats file
+      // (KB read); its record counts are the oracle-checked output
+      s.sql(s"""SELECT CAST(get_json_object(partition, '$$.mon') AS BIGINT)
+               |    AS mon,
+               |  sum(record_count) AS n_records,
+               |  sum(file_count) AS n_files
+               |FROM $cat.ms.ord.partitions
+               |GROUP BY 1 ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -436,5 +503,13 @@ object Queries17 {
         |  CAST(min(ts) AS VARCHAR) AS first_ts,
         |  CAST(max(ts) AS VARCHAR) AS last_ts,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM kept GROUP BY 1 ORDER BY mon""".stripMargin)
+        |FROM kept GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    "q290_metrics_from_stats" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(3 AS BIGINT) AS n_files
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |GROUP BY 1 ORDER BY mon""".stripMargin)
 }
