@@ -294,6 +294,25 @@ object Queries17 {
           "WHERE _last_updated_sequence_number > 1 AND okey % 7 <> 0")
         .head.getLong(0) == 0L,
         "last-updated must move for EXACTLY the touched rows")
+      // COMPACTION preserves lineage (spec v3: rewrites keep row ids):
+      // every data file is replaced, yet the full (okey → _row_id,
+      // _last_updated) state is IDENTICAL — the compacted file
+      // materializes both columns
+      val preRw = s.sql(s"SELECT okey, _row_id, " +
+        s"_last_updated_sequence_number FROM $cat.rl.ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val filesPre = s.sql(s"SELECT DISTINCT _file FROM $cat.rl.ord")
+        .collect().map(_.getString(0)).toSet
+      s.sql(s"CALL $cat.system.rewrite_data_files('rl.ord')")
+      val filesPost = s.sql(s"SELECT DISTINCT _file FROM $cat.rl.ord")
+        .collect().map(_.getString(0)).toSet
+      require(filesPre.intersect(filesPost).isEmpty,
+        "the rewrite must replace every data file")
+      val postRw = s.sql(s"SELECT okey, _row_id, " +
+        s"_last_updated_sequence_number FROM $cat.rl.ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      require(postRw == preRw,
+        "row lineage must survive compaction verbatim")
       s.sql(s"""SELECT prio, count(*) AS n_orders, sum(price) AS sum_price,
                |  count(DISTINCT _row_id) AS n_ids,
                |  min(_row_id) AS min_rid, max(_row_id) AS max_rid,

@@ -2459,14 +2459,24 @@ object LayoutMaintenance {
         (all.map(_.id) ++ c.map(_.sequenceNumber.longValue)).max + 1
       case None => reuseNewId(spark, tableDir, all, curId)
     }
-    val state = MorRead.readTable(spark, tableDir, effKeys, renames,
-      dataSchema)
-    val order = if (sortCols.nonEmpty) sortCols else effKeys
-    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     // rewritten data lands in the table's declared write.format.default
     // (both arms) — a full rewrite is the LAST place a format flip may
     // hide, since it touches every byte of the table
     val fmt = tableWriteFormat(spark, tableDir)
+    // v3 row lineage: a rewrite of a lineage-assigned PARQUET table
+    // MATERIALIZES _row_id / _last_updated_sequence_number into the
+    // compacted files (spec "Row Lineage": rewrites must preserve row
+    // ids — the id is stable, the untouched rows keep their original
+    // last-updated sequence even though the file's own sequence moves).
+    // ORC/AVRO-default tables skip materialization (ids reassign — the
+    // spec's permitted fallback for engines without the encoding).
+    val lineageOn = fmt == "parquet" && nextRowId(spark, tableDir) > 0
+    val state =
+      if (lineageOn) MorRead.readTableRowLineage(spark, tableDir, effKeys,
+        renames, dataSchema)
+      else MorRead.readTable(spark, tableDir, effKeys, renames, dataSchema)
+    val order = if (sortCols.nonEmpty) sortCols else effKeys
+    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val ext = graft.sources.v2.GraftFormatWriters.extensionOf(fmt)
     val added = targetFileSizeBytes match {
       case None =>

@@ -100,6 +100,49 @@ object MorRead {
     readTableLineage(spark, tableDir, eqKeys, renames, dataSchema)
       .drop("file_path", "pos", "data_seq")
 
+  /** [[readTable]] plus the RESOLVED v3 row-lineage values as trailing
+    * `_row_id` / `_last_updated_sequence_number` columns: a file's
+    * materialized non-null value wins, else `first_row_id + pos` / the
+    * file's own sequence number (null row ids for pre-lineage files) —
+    * exactly the values the connector's metadata columns serve. The
+    * input a lineage-PRESERVING rewrite writes back verbatim, so ids
+    * are stable across compaction (spec v3 "Row Lineage"). */
+  def readTableRowLineage(spark: SparkSession, tableDir: String,
+      eqKeys: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val lin = readTableLineage(spark, tableDir, eqKeys, renames, dataSchema,
+      withLineage = true)
+    // (path → first_row_id) is file-count-sized and driver-known
+    val friPairs = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil)
+      .filter(col("content") === 0)
+      .select(col("file_path"), col("first_row_id"))
+      .collect()
+      .flatMap(r => Option(r.getAs[java.lang.Long](1))
+        .map(v => norm(r.getString(0)) -> v.longValue))
+      .toMap
+    // same literal-map-below-a-cap / broadcast-join-past-it split as
+    // the sequence-number attach (a 100k-entry literal bloats the plan)
+    val withFri =
+      if (friPairs.isEmpty)
+        lin.withColumn("__fri", lit(null).cast("long"))
+      else if (friPairs.size <= 64)
+        lin.withColumn("__fri",
+          element_at(typedLit(friPairs), col("file_path")))
+      else {
+        import spark.implicits._
+        lin.join(broadcast(friPairs.toSeq.toDF("__fp", "__fri")),
+          col("file_path") === col("__fp"), "left").drop("__fp")
+      }
+    withFri
+      .withColumn(RowIdCol, coalesce(col(RowIdCol), col("__fri") + col("pos")))
+      .withColumn(LastUpdCol, coalesce(col(LastUpdCol), col("data_seq")))
+      .drop("__fri", "file_path", "pos", "data_seq")
+  }
+
   /** [[readTable]] keeping the row lineage columns (`file_path`, `pos`,
     * `data_seq`) — the input a position-delete WRITER needs: a predicate
     * over this relation yields exactly the (file, pos) tombstones that
@@ -133,12 +176,24 @@ object MorRead {
     *   lineage, so it can re-express exactly that suppression as
     *   (file, pos) pairs ([[LayoutMaintenance.convertEqualityDeletes]]).
     *   Readers never pass this. */
+  /** The v3 row-lineage metadata column names a lineage-PRESERVING
+    * rewrite materializes into its output files. */
+  private[sources] val RowIdCol = "_row_id"
+  private[sources] val LastUpdCol = "_last_updated_sequence_number"
+
+  /** @param withLineage true surfaces the MATERIALIZED `_row_id` /
+    *   `_last_updated_sequence_number` physical columns where files
+    *   carry them (null-filled elsewhere) — the input a
+    *   lineage-preserving rewrite needs. False (every normal read)
+    *   DROPS them from the data relation: they are file-internal
+    *   bookkeeping, not table columns. */
   def readTableLineage(spark: SparkSession, tableDir: String,
       eqKeys: Seq[String] = Nil,
       renames: Map[String, Seq[String]] = Map.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
       orcPosPaths: Set[String] = Set.empty,
-      applyEq: Boolean = true)
+      applyEq: Boolean = true,
+      withLineage: Boolean = false)
       : DataFrame = {
     import spark.implicits._
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
@@ -153,7 +208,15 @@ object MorRead {
             olds.filterNot(s.fieldNames.contains)
               .map(a => f.copy(name = a)))
         }
-        org.apache.spark.sql.types.StructType(s.fields ++ aliasCols)
+        // lineage-preserving rewrites also bind the materialized
+        // lineage columns by name — files without them null-fill
+        val lineageCols =
+          if (!withLineage) Nil
+          else Seq(RowIdCol, LastUpdCol).map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType))
+        org.apache.spark.sql.types.StructType(
+          s.fields ++ aliasCols ++ lineageCols)
       }
     def foldAliases(df: DataFrame): DataFrame =
       renames.foldLeft(df) { case (d, (cur, olds)) =>
@@ -207,6 +270,15 @@ object MorRead {
           .join(broadcast(seqDf), col("__own") === col("__fp"))
           .drop("__own", "__fp")
       }
+    // materialized lineage columns are FILE-INTERNAL: every normal read
+    // drops them (they are not table columns, and schema inference over
+    // mixed generations must not surface them nondeterministically); a
+    // lineage-preserving rewrite instead normalizes them to present
+    def lineageCols(df: DataFrame): DataFrame =
+      if (!withLineage) df.drop(RowIdCol, LastUpdCol)
+      else Seq(RowIdCol, LastUpdCol).foldLeft(df)((d, n) =>
+        if (d.columns.contains(n)) d
+        else d.withColumn(n, lit(null).cast("long")))
     def withSeq(paths: Array[(String, Int, Long, String)], seqName: String,
         orc: Boolean = false, declared: Boolean = false): DataFrame = {
       val raw =
@@ -214,14 +286,15 @@ object MorRead {
         else readSchema match {
           case Some(s) if declared => spark.read.schema(s)
             .parquet(paths.map(_._1).toIndexedSeq: _*)
-          case _ if renames.isEmpty =>
+          case _ if renames.isEmpty && !withLineage =>
             spark.read.parquet(paths.map(_._1).toIndexedSeq: _*)
-          // renamed tables without a declared schema: merge the name
-          // generations into one schema, then fold below
+          // renamed tables (or lineage-carrying rewrites) without a
+          // declared schema: merge the name generations into one schema
+          // so per-file materialized columns bind deterministically
           case _ => spark.read.option("mergeSchema", "true")
             .parquet(paths.map(_._1).toIndexedSeq: _*)
         }
-      attachSeq(foldAliases(raw), paths, seqName,
+      attachSeq(lineageCols(foldAliases(raw)), paths, seqName,
         normCol(col("_metadata.file_path")))
     }
 
@@ -301,7 +374,8 @@ object MorRead {
     def posArm(files: Array[(String, Int, Long, String)],
         read: Seq[String] => DataFrame): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(attachSeq(foldAliases(read(files.map(_._1).toSeq)),
+      else Some(attachSeq(
+        lineageCols(foldAliases(read(files.map(_._1).toSeq))),
         files, "data_seq", col("file_path")))
     val orcPos = posArm(orcPosData, OrcPosRead.readWithPos(spark, _))
     val avro = posArm(avroData, AvroDataRead.readWithPos(spark, _))

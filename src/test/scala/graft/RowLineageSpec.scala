@@ -98,6 +98,36 @@ class RowLineageSpec extends AnyFunSuite {
     assert(ids.values.toSeq.distinct.length == 3, "ids must stay unique")
   }
 
+  test("rewrite_data_files preserves row ids AND last-updated sequences") {
+    spark.sql("CREATE TABLE lin.db.rw (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.update.mode' = 'merge-on-read', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO lin.db.rw SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L) AS t(k, v)")
+    spark.sql("UPDATE lin.db.rw SET v = v + 5 WHERE k = 3")
+    def snap(): Map[Long, (Long, Long, Long)] = spark.sql(
+      "SELECT k, v, _row_id, _last_updated_sequence_number FROM lin.db.rw")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val before = snap()
+    assert(before(3L)._3 > before(1L)._3, "the UPDATE moved k=3's seq")
+    val filesBefore = spark.sql("SELECT DISTINCT _file FROM lin.db.rw")
+      .collect().map(_.getString(0)).toSet
+    spark.sql("CALL lin.system.rewrite_data_files('db.rw')")
+    val filesAfter = spark.sql("SELECT DISTINCT _file FROM lin.db.rw")
+      .collect().map(_.getString(0)).toSet
+    assert(filesBefore.intersect(filesAfter).isEmpty,
+      "the rewrite must replace every data file")
+    // the COMPACTED file materializes both lineage columns: ids stable,
+    // per-row last-updated sequences preserved (k=3 keeps the UPDATE's
+    // seq, the others keep the insert's) even though the new file's own
+    // sequence number is higher than both
+    assert(snap() == before,
+      s"lineage must survive the rewrite: ${snap()} vs $before")
+  }
+
   test("past-the-ceiling commits still assign and carry first_row_id") {
     import graft.sources.{IcebergLayoutWriter, LayoutMaintenance,
       IcebergManifestSource}
