@@ -448,6 +448,73 @@ object Queries17 {
                |  sum(file_count) AS n_files
                |FROM $cat.ms.ord.partitions
                |GROUP BY 1 ORDER BY mon""".stripMargin)
+    },
+
+    // ---- ROW-LEVEL CHANGELOG VIA ROW LINEAGE (the spec's primitive
+    // for incremental consumers — the file-level changelog family
+    // q211/q274 upgraded to ROW identity): two snapshot reads FULL
+    // OUTER JOINED ON `_row_id` classify every row as inserted /
+    // deleted / updated / unchanged exactly — an update is the SAME
+    // row id on both sides with a moved last-updated sequence, which
+    // no file-diff can see (the MOR delta moved the row to a new file).
+    // At 100 TB the join is over row ids (sorted-bucketable longs),
+    // never a value-equality heuristic. The oracle recomputes the
+    // classification from predicate algebra alone.
+    "q291_lineage_changelog" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q291wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cl")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cl.ord")
+      t(dir, "orders").createOrReplaceTempView("q291_src")
+      s.sql(s"""CREATE TABLE $cat.cl.ord (okey BIGINT, price BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.update.mode' = 'merge-on-read',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertYear(y: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.cl.ord
+                 |SELECT /*+ COALESCE(1) */ o_orderkey,
+                 |  CAST(FLOOR(o_totalprice) AS BIGINT)
+                 |FROM q291_src WHERE year(o_orderdate) = $y""".stripMargin)
+      insertYear(1995)
+      val s1 = s.sql(s"SELECT snapshot_id FROM $cat.cl.ord.history " +
+        "WHERE is_current_ancestor ORDER BY ordinal DESC LIMIT 1")
+        .head.getLong(0)
+      s.sql(s"UPDATE $cat.cl.ord SET price = price + 10 WHERE okey % 5 = 0")
+      insertYear(1996)
+      s.sql(s"DELETE FROM $cat.cl.ord WHERE okey % 11 = 3")
+      // row-identity diff: FULL OUTER ON _row_id between snapshot s1
+      // and the current head
+      s.sql(s"""SELECT okey, price, _row_id AS rid,
+               |  _last_updated_sequence_number AS seq
+               |FROM $cat.cl.ord VERSION AS OF $s1""".stripMargin)
+        .createOrReplaceTempView("q291_a")
+      s.sql(s"""SELECT okey, price, _row_id AS rid,
+               |  _last_updated_sequence_number AS seq
+               |FROM $cat.cl.ord""".stripMargin)
+        .createOrReplaceTempView("q291_b")
+      val changes = s.sql(s"""
+        |SELECT CASE
+        |    WHEN a.rid IS NULL THEN 'inserted'
+        |    WHEN b.rid IS NULL THEN 'deleted'
+        |    WHEN b.seq > a.seq THEN 'updated'
+        |    ELSE 'unchanged' END AS change,
+        |  coalesce(b.okey, a.okey) AS okey,
+        |  coalesce(b.price, a.price) AS price
+        |FROM q291_a a FULL OUTER JOIN q291_b b ON a.rid = b.rid""".stripMargin)
+      changes.createOrReplaceTempView("q291_changes")
+      // pinned: updated rows kept their key (row identity is REAL — the
+      // same _row_id carries the same okey on both sides)
+      require(s.sql("""SELECT count(*) FROM q291_a a JOIN q291_b b
+        |ON a.rid = b.rid WHERE a.okey <> b.okey""".stripMargin)
+        .head.getLong(0) == 0L,
+        "a row id must never change its key across commits")
+      s.sql("""SELECT change, count(*) AS n, sum(price) AS sum_price,
+        |  min(okey) AS min_okey, max(okey) AS max_okey
+        |FROM q291_changes GROUP BY change ORDER BY change""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -530,5 +597,29 @@ object Queries17 {
         |  CAST(3 AS BIGINT) AS n_files
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
-        |GROUP BY 1 ORDER BY mon""".stripMargin)
+        |GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    "q291_lineage_changelog" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS p,
+        |    year(CAST(o_orderdate AS DATE)) AS y
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+        |ch AS (
+        |  SELECT CASE
+        |      WHEN y = 1996 THEN 'inserted'
+        |      WHEN okey % 11 = 3 THEN 'deleted'
+        |      WHEN okey % 5 = 0 THEN 'updated'
+        |      ELSE 'unchanged' END AS change,
+        |    okey,
+        |    CASE WHEN y = 1995 AND okey % 11 <> 3 AND okey % 5 = 0
+        |      THEN p + 10 ELSE p END AS price
+        |  FROM src
+        |  WHERE NOT (y = 1996 AND okey % 11 = 3))
+        |SELECT change, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(okey) AS BIGINT) AS min_okey,
+        |  CAST(max(okey) AS BIGINT) AS max_okey
+        |FROM ch GROUP BY change ORDER BY change""".stripMargin)
 }
