@@ -515,6 +515,68 @@ object Queries17 {
       s.sql("""SELECT change, count(*) AS n, sum(price) AS sum_price,
         |  min(okey) AS min_okey, max(okey) AS max_okey
         |FROM q291_changes GROUP BY change ORDER BY change""".stripMargin)
+    },
+
+    // ---- write.delete.format.default (Iceberg's DELETE-FILE format
+    // knob, distinct from the data files' write.format.default): an
+    // ORC-data table accretes tombstone FILES in all three formats (the
+    // property flipped between MOR DELETEs), every read dispatches on
+    // the manifest entry's file_format, and rewrite_position_delete_
+    // files FOLDS the mixed dialects into one file with the table state
+    // unchanged. Pinned in-query: the tombstone format set is exactly
+    // {AVRO, ORC, PARQUET} before the fold and a single file after,
+    // with the same survivors both sides. DuckDB recomputes survivors
+    // from predicate algebra.
+    "q292_delete_file_formats" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q292wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.df")
+      s.sql(s"DROP TABLE IF EXISTS $cat.df.ord")
+      t(dir, "orders").createOrReplaceTempView("q292_src")
+      s.sql(s"""CREATE TABLE $cat.df.ord (okey BIGINT, mon BIGINT,
+               |  price BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'orc',
+               |  'write.delete.mode' = 'merge-on-read',
+               |  'write.delete.format.default' = 'avro')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.df.ord
+               |SELECT /*+ COALESCE(1) */ o_orderkey,
+               |  CAST(month(o_orderdate) AS BIGINT),
+               |  CAST(FLOOR(o_totalprice) AS BIGINT)
+               |FROM q292_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      s.sql(s"DELETE FROM $cat.df.ord WHERE okey % 10 = 1") // AVRO
+      s.sql(s"ALTER TABLE $cat.df.ord SET TBLPROPERTIES (" +
+        "'write.delete.format.default' = 'orc')")
+      s.sql(s"DELETE FROM $cat.df.ord WHERE okey % 10 = 2") // ORC
+      s.sql(s"ALTER TABLE $cat.df.ord SET TBLPROPERTIES (" +
+        "'write.delete.format.default' = 'parquet')")
+      s.sql(s"DELETE FROM $cat.df.ord WHERE okey % 10 = 3") // PARQUET
+      val tdir = s"${wh.getAbsolutePath}/df/ord"
+      def delFmts(): Set[String] = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1)
+        .select("file_format").collect().map(_.getString(0)).toSet
+      require(delFmts() == Set("AVRO", "ORC", "PARQUET"),
+        s"tombstones must span the three delete formats: ${delFmts()}")
+      val beforeFold = s.sql(
+        s"SELECT count(*), sum(price) FROM $cat.df.ord").head
+      val (_, nBefore, nAfter, _) = graft.sources.LayoutMaintenance
+        .rewritePositionDeletes(s, tdir)
+      require(nBefore == 3 && nAfter == 1,
+        s"the fold must consolidate 3 tombstone dialects into 1: " +
+          s"$nBefore -> $nAfter")
+      val afterFold = s.sql(
+        s"SELECT count(*), sum(price) FROM $cat.df.ord").head
+      require(beforeFold == afterFold,
+        s"the fold must not change table state: $beforeFold vs $afterFold")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+               |  min(okey) AS min_okey
+               |FROM $cat.df.ord
+               |GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -621,5 +683,15 @@ object Queries17 {
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(min(okey) AS BIGINT) AS min_okey,
         |  CAST(max(okey) AS BIGINT) AS max_okey
-        |FROM ch GROUP BY change ORDER BY change""".stripMargin)
+        |FROM ch GROUP BY change ORDER BY change""".stripMargin,
+
+    "q292_delete_file_formats" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS sum_price,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  AND o_orderkey % 10 NOT IN (1, 2, 3)
+        |GROUP BY 1 ORDER BY mon""".stripMargin)
 }

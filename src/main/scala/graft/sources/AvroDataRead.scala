@@ -158,6 +158,23 @@ object AvroDataRead {
     }
   }
 
+  /** (target file_path, pos) pairs of one AVRO position-tombstone file
+    * (`write.delete.format.default = avro`) — executor-side, sequential,
+    * the avro twin of the parquet tombstone read. */
+  def readPosDeletes(path: String): Seq[(String, Long)] = {
+    val r = new DataFileReader[GenericRecord](new java.io.File(path),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[(String, Long)]
+      while (r.hasNext) {
+        val rec = r.next()
+        out += ((String.valueOf(rec.get("file_path")),
+          rec.get("pos").asInstanceOf[Long]))
+      }
+      out.result()
+    } finally r.close()
+  }
+
   /** One container's block layout — (syncPointOffset, rowsInBlock) per
     * block — read from the BLOCK HEADERS ALONE: each block is
     * `[zigzag-varint rowCount][zigzag-varint byteSize][payload][16-byte

@@ -196,6 +196,53 @@ object IcebergLayoutWriter {
     pairs.size.toLong
   }
 
+  /** [[writePosDeleteParquet]]'s ORC twin — the spec's tombstone schema
+    * written driver-side as one ORC file (`write.delete.format.default
+    * = orc`). Rows land in the given order; returns the row count. */
+  def writePosDeleteOrc(dest: java.io.File,
+      pairs: Seq[(String, Long)],
+      conf: Configuration): Long = {
+    import org.apache.orc.{OrcFile, TypeDescription}
+    import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, LongColumnVector}
+    val td = TypeDescription.fromString("struct<file_path:string,pos:bigint>")
+    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    val w = OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(dest.getAbsolutePath),
+      OrcFile.writerOptions(conf).setSchema(td).overwrite(true))
+    val batch = td.createRowBatch()
+    try pairs.foreach { case (p, pos) =>
+      val r = batch.size
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      batch.cols(0).asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
+      batch.cols(1).asInstanceOf[LongColumnVector].vector(r) = pos
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    } finally {
+      if (batch.size > 0) w.addRowBatch(batch)
+      w.close()
+    }
+    pairs.size.toLong
+  }
+
+  /** [[writePosDeleteParquet]]'s AVRO twin — one avro container of
+    * (file_path, pos) records, driver-side (`write.delete.format.default
+    * = avro`). Returns the row count. */
+  def writePosDeleteAvro(dest: java.io.File,
+      pairs: Seq[(String, Long)]): Long = {
+    val schema = SchemaBuilder.record("pos_delete").fields()
+      .requiredString("file_path").requiredLong("pos").endRecord()
+    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dest)
+    try pairs.foreach { case (p, pos) =>
+      val r = new GenericData.Record(schema)
+      r.put("file_path", p); r.put("pos", pos)
+      w.append(r)
+    } finally w.close()
+    pairs.size.toLong
+  }
+
   /** [[writeSingleParquet]]'s ORC twin — one deterministic ORC data file
     * at `dest`, row count straight from the ORC tail (no Spark job).
     * Iceberg data files may be PARQUET, ORC, or AVRO per entry

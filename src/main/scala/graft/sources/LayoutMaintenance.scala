@@ -139,6 +139,28 @@ object LayoutMaintenance {
       fromDescriptor.orElse(fromMetadata))
   }
 
+  /** The table's `write.delete.format.default` (Iceberg's own knob for
+    * DELETE FILE format, distinct from the data files'
+    * write.format.default) — descriptor wins over metadata properties,
+    * parquet when unset; same resolution as [[tableWriteFormat]]. */
+  private[sources] def tableDeleteFormat(spark: SparkSession,
+      tableDir: String): String = {
+    val fromDescriptor = {
+      val d = new java.io.File(tableDir, "graft-table.json")
+      if (!d.exists()) None
+      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(d).get("properties"))
+        .flatMap(n => Option(n.get("write.delete.format.default")))
+        .map(_.asText())
+    }
+    val fromMetadata = Option(
+      readMetadata(spark, tableDir).get("properties"))
+      .flatMap(n => Option(n.get("write.delete.format.default")))
+      .map(_.asText())
+    graft.sources.v2.GraftFormatWriters.normalize(
+      fromDescriptor.orElse(fromMetadata))
+  }
+
   /** Snapshot ids listed in the current metadata JSON, history order. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
     snapshots(spark, tableDir).map(_.id)
@@ -1898,14 +1920,23 @@ object LayoutMaintenance {
     val hits = hitRows.map(r => (r.getString(0), r.getLong(1)))
       .sortBy(identity).toSeq
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val pd = freshFile(dataDir, s"posdel-$newId.parquet")
-    // pairs are already driver-local — write the tombstone directly, no
-    // Spark job for a KB-sized file
-    val n = IcebergLayoutWriter.writePosDeleteParquet(pd, hits,
-      spark.sparkContext.hadoopConfiguration)
+    // the tombstone FILE honors write.delete.format.default (Iceberg's
+    // delete-file format knob); pairs are already driver-local — write
+    // directly, no Spark job for a KB-sized file
+    val delFmt = tableDeleteFormat(spark, tableDir)
+    val pd = freshFile(dataDir, s"posdel-$newId." +
+      graft.sources.v2.GraftFormatWriters.extensionOf(delFmt))
+    val n = delFmt match {
+      case "orc" => IcebergLayoutWriter.writePosDeleteOrc(pd, hits,
+        spark.sparkContext.hadoopConfiguration)
+      case "avro" => IcebergLayoutWriter.writePosDeleteAvro(pd, hits)
+      case _ => IcebergLayoutWriter.writePosDeleteParquet(pd, hits,
+        spark.sparkContext.hadoopConfiguration)
+    }
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 1, filePath = pd.getAbsolutePath, recordCount = n,
-      sizeBytes = pd.length(), sequenceNumber = newId))
+      sizeBytes = pd.length(), sequenceNumber = newId,
+      fileFormat = delFmt.toUpperCase))
     carriedOpt match {
       case Some(carried) =>
         val movedRefs = refs(spark, tableDir).map {
@@ -2714,34 +2745,49 @@ object LayoutMaintenance {
     // deletion-vector entries (fileFormat=PUFFIN) decode driver-side and
     // fold into the SAME consolidated parquet output — a rewrite is how
     // a DV-carrying table converts back to the v2 tombstone shape
-    val (dvPos, parqPos) = posFiles.partition(_.fileFormat == "PUFFIN")
+    val (dvPos, fileTombEntries) = posFiles.partition(_.fileFormat == "PUFFIN")
     val dvTombRows = dvPos.flatMap { e =>
       DeletionVectors.read(new java.io.File(e.filePath)).flatMap {
         case (target, poss) =>
           poss.map(p => (norm(target), p, e.sequenceNumber.longValue)) }
     }
-    val parqTomb =
-      if (parqPos.isEmpty) None
+    // tombstone FILES may be any of the three spec formats
+    // (write.delete.format.default); the fold always consolidates to
+    // the table's CURRENT delete format below
+    def fileTombArm(fmt: String,
+        read: Seq[String] => org.apache.spark.sql.DataFrame)
+        : Option[org.apache.spark.sql.DataFrame] = {
+      val fs = fileTombEntries.filter(_.fileFormat == fmt)
+      if (fs.isEmpty) None
       else {
-        val seqDf = parqPos.map(e => (norm(e.filePath),
+        val seqDf = fs.map(e => (norm(e.filePath),
           e.sequenceNumber.longValue)).toDF("__fp", "seq")
-        // fixed tombstone schema: no footer-inference job
-        Some(spark.read.schema("file_path STRING, pos BIGINT")
-          .parquet(parqPos.map(_.filePath).toIndexedSeq: _*)
+        Some(read(fs.map(_.filePath).toIndexedSeq)
           .withColumn("__own", regexp_replace(
             col("_metadata.file_path"), "^file:/+", "/"))
           .join(broadcast(seqDf), col("__own") === col("__fp"))
           .select(regexp_replace(col("file_path"), "^file:/+", "/")
             .as("file_path"), col("pos"), col("seq")))
       }
+    }
+    // fixed tombstone schema: no footer-inference job
+    val parqTomb = fileTombArm("PARQUET", ps => spark.read
+      .schema("file_path STRING, pos BIGINT").parquet(ps: _*))
+    val orcTomb = fileTombArm("ORC", ps => spark.read
+      .schema("file_path STRING, pos BIGINT").orc(ps: _*))
+    val avroTombRows = fileTombEntries.filter(_.fileFormat == "AVRO")
+      .flatMap(e => AvroDataRead.readPosDeletes(e.filePath)
+        .map { case (t, p) => (norm(t), p, e.sequenceNumber.longValue) })
+    val avroTomb =
+      if (avroTombRows.isEmpty) None
+      else Some(avroTombRows.toDF("file_path", "pos", "seq"))
     val dvTomb =
       if (dvTombRows.isEmpty) None
       else Some(dvTombRows.toDF("file_path", "pos", "seq"))
-    val tomb = (parqTomb, dvTomb) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => return (curId, 0, 0, 0L)
+    val tomb = Seq(parqTomb, orcTomb, avroTomb, dvTomb).flatten
+      .reduceOption(_ unionByName _) match {
+      case Some(t) => t
+      case None => return (curId, 0, 0, 0L)
     }
     // data-file liveness (the dangling-pair filter): driver map under
     // the ceiling, the DISTRIBUTED manifest scan past it — the tombstone

@@ -142,14 +142,31 @@ object MetadataTables {
       .select(col("file_path"), col("file_format"))
       .collect() // metadata-sized: one row per tombstone FILE
       .map(r => (norm(r.getString(0)), r.getString(1)))
-    val (dv, parq) = posFiles.partition(_._2 == "PUFFIN")
-    val parqDf =
-      if (parq.isEmpty) None
-      else Some(spark.read.parquet(parq.map(_._1).toIndexedSeq: _*)
+    val (dv, fileTombs) = posFiles.partition(_._2 == "PUFFIN")
+    def arm(fmt: String,
+        read: Seq[String] => DataFrame): Option[DataFrame] = {
+      val paths = fileTombs.filter(_._2 == fmt).map(_._1).toIndexedSeq
+      if (paths.isEmpty) None
+      else Some(read(paths)
         .select(col("file_path"), col("pos"),
           regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
             .as("delete_file_path"),
-          lit("PARQUET").as("delete_file_format")))
+          lit(fmt).as("delete_file_format")))
+    }
+    val parqDf = arm("PARQUET", ps => spark.read
+      .schema("file_path STRING, pos BIGINT").parquet(ps: _*))
+    val orcDf = arm("ORC", ps => spark.read
+      .schema("file_path STRING, pos BIGINT").orc(ps: _*))
+    // no avro datasource on this classpath: driver-read (tombstones are
+    // reject-sized by the delete-commit contract)
+    val avroDf = {
+      val paths = fileTombs.filter(_._2 == "AVRO").map(_._1)
+      if (paths.isEmpty) None
+      else Some(paths.toSeq.flatMap(p =>
+        AvroDataRead.readPosDeletes(p).map { case (t, pos) =>
+          (t, pos, p, "AVRO") })
+        .toDF("file_path", "pos", "delete_file_path", "delete_file_format"))
+    }
     val dvDf =
       if (dv.isEmpty) None
       else Some(dv.toSeq.flatMap { case (p, _) =>
@@ -158,13 +175,10 @@ object MetadataTables {
             (norm(target), pos, p, "PUFFIN"))
         }
       }.toDF("file_path", "pos", "delete_file_path", "delete_file_format"))
-    (parqDf, dvDf) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => Seq.empty[(String, Long, String, String)]
-        .toDF("file_path", "pos", "delete_file_path", "delete_file_format")
-    }
+    Seq(parqDf, orcDf, avroDf, dvDf).flatten
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, Long, String, String)]
+        .toDF("file_path", "pos", "delete_file_path", "delete_file_format"))
   }
 
   /** The `$all_files` table: every file referenced by ANY snapshot in

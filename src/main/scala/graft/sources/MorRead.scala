@@ -304,7 +304,13 @@ object MorRead {
     // the delete-commit contract — and apply identically downstream.
     // Tombstones resolve BEFORE the data arms: the set of ORC files they
     // target decides which ORC files must read with real row ordinals.
-    val (dvFiles, parqPosFiles) = posFiles.partition(_._4 == "PUFFIN")
+    val (dvFiles, filePosFiles) = posFiles.partition(_._4 == "PUFFIN")
+    // position-tombstone FILES may be any of the three spec formats
+    // (write.delete.format.default) — each reads with the spec's fixed
+    // tombstone schema; puffin entries are deletion vectors
+    val parqPosFiles = filePosFiles.filter(_._4 == "PARQUET")
+    val orcPosTomb = filePosFiles.filter(_._4 == "ORC")
+    val avroPosTomb = filePosFiles.filter(_._4 == "AVRO")
     val dvPairs: Seq[(String, Long, Long)] = dvFiles.toSeq.flatMap {
       case (p, _, seq, _) =>
         DeletionVectors.read(new java.io.File(p)).flatMap {
@@ -315,24 +321,45 @@ object MorRead {
       if (dvFiles.isEmpty) None
       else Some(spark.createDataFrame(dvPairs)
         .toDF("file_path", "pos", "seq"))
-    val parqTomb: Option[DataFrame] =
-      if (parqPosFiles.isEmpty) None
-      else {
-        // position-tombstone files have a FIXED schema (spec
-        // "Position-based delete files") — declaring it skips the
-        // footer-inference job a schemaless read pays
-        Some(attachSeq(
-          spark.read
-            .schema("file_path STRING, pos BIGINT")
-            .parquet(parqPosFiles.map(_._1).toIndexedSeq: _*),
-          parqPosFiles, "seq", normCol(col("_metadata.file_path")))
-          .select(normCol(col("file_path")).as("file_path"),
-            col("pos"), col("seq")))
+    def fileTomb(files: Array[(String, Int, Long, String)],
+        read: Seq[String] => DataFrame): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(attachSeq(read(files.map(_._1).toIndexedSeq),
+        files, "seq", normCol(col("_metadata.file_path")))
+        .select(normCol(col("file_path")).as("file_path"),
+          col("pos"), col("seq")))
+    // declaring the fixed schema (spec "Position-based delete files")
+    // skips the footer-inference pass a schemaless read pays
+    val parqTomb = fileTomb(parqPosFiles, ps =>
+      spark.read.schema("file_path STRING, pos BIGINT").parquet(ps: _*))
+    val orcTomb = fileTomb(orcPosTomb, ps =>
+      spark.read.schema("file_path STRING, pos BIGINT").orc(ps: _*))
+    val avroTomb: Option[DataFrame] =
+      if (avroPosTomb.isEmpty) None
+      else { // no avro datasource: one task per tombstone container
+        val seqOf = avroPosTomb.map { case (p, _, sq, _) => p -> sq }.toMap
+        val n = math.max(1, math.min(avroPosTomb.length,
+          spark.sparkContext.defaultParallelism))
+        val rows = spark.sparkContext
+          .parallelize(avroPosTomb.map(_._1).toIndexedSeq, n)
+          .flatMap { p =>
+            val sq = seqOf(p)
+            AvroDataRead.readPosDeletes(p).map { case (t, pos) =>
+              org.apache.spark.sql.Row(
+                t.replaceFirst("^file:/+", "/"), pos, sq) }
+          }
+        Some(spark.createDataFrame(rows, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("file_path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("seq",
+              org.apache.spark.sql.types.LongType)))))
       }
-    val tomb: Option[DataFrame] = (parqTomb, dvTomb) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b))
-      case (a, b) => a.orElse(b)
-    }
+    val tomb: Option[DataFrame] =
+      Seq(parqTomb, orcTomb, avroTomb, dvTomb).flatten
+        .reduceOption(_ unionByName _)
 
     // Mixed-format data: parquet files carry their row ordinal natively
     // (`_metadata.row_index` — the spec's `pos`); Spark's ORC reader has
@@ -348,12 +375,14 @@ object MorRead {
     // [[AvroDataRead]] — strictly sequential container, so every row
     // carries a REAL ordinal for free and tombstones need no routing
     val (avroData, parqData) = nonOrc.partition(e => avroPaths.contains(e._1))
-    // DV targets are decoded on the driver already — only parquet
+    // DV targets are decoded on the driver already — only file-based
     // tombstones need a (file-count-sized) distinct job, and only when
     // ORC data files exist to route
+    val fileTombs: Option[DataFrame] =
+      Seq(parqTomb, orcTomb, avroTomb).flatten.reduceOption(_ unionByName _)
     val targetedOrc: Set[String] =
       if (orcData.isEmpty) Set.empty
-      else (dvPairs.iterator.map(_._1).toSet ++ (parqTomb match {
+      else (dvPairs.iterator.map(_._1).toSet ++ (fileTombs match {
         case None => Set.empty[String]
         case Some(tdf) =>
           tdf.select(col("file_path")).distinct()

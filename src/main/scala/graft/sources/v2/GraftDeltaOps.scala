@@ -134,7 +134,8 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
           s"graft-iceberg delta: identifier column $k not in table schema"))
           .copy(metadata = org.apache.spark.sql.types.Metadata.empty)),
       eqIds = table.eqDeltaKeys.map(k =>
-        table.schema.fieldNames.indexOf(k) + 1))
+        table.schema.fieldNames.indexOf(k) + 1),
+      delFormat = table.deleteFileFormat)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: GraftDeltaCommitMessage => m }
@@ -155,7 +156,7 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
           equalityIds = eqIds,
           fileFormat =
             if (graft.sources.DeletionVectors.isDvPath(f.path)) "PUFFIN"
-            else "PARQUET")
+            else GraftFormatWriters.formatOf(f.path))
       }
     // a MERGE whose predicates hit nothing commits nothing
     if (dataEntries.nonEmpty || delEntries.nonEmpty)
@@ -179,11 +180,12 @@ private[v2] class GraftDeltaWriterFactory(dir: String, schema: StructType,
     fieldIds: Map[String, Int], dv: Boolean,
     format: String = "parquet",
     eqFields: Seq[StructField] = Nil,
-    eqIds: Seq[Int] = Nil) extends DeltaWriterFactory {
+    eqIds: Seq[Int] = Nil,
+    delFormat: String = "parquet") extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, schema, queryId, partitionId, taskId, stats,
-      partCols, fieldIds, dv, format, eqFields, eqIds)
+      partCols, fieldIds, dv, format, eqFields, eqIds, delFormat)
 }
 
 /** Task-side: inserts delegate to the ordinary partition-aware data
@@ -196,7 +198,10 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     fieldIds: Map[String, Int], dv: Boolean,
     format: String = "parquet",
     eqFields: Seq[StructField] = Nil,
-    eqIds: Seq[Int] = Nil)
+    eqIds: Seq[Int] = Nil,
+    /** write.delete.format.default: the POSITION-tombstone file format
+      * (parquet | orc | avro; puffin rides the separate dv knob). */
+    delFormat: String = "parquet")
     extends DeltaWriter[InternalRow] {
 
   // inserted rows honor write.format.default; the position-delete
@@ -320,7 +325,8 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
         val w = new GraftDataWriter(dir,
           StructType(Seq(StructField("file_path", StringType, false),
             StructField("pos", LongType, false))),
-          s"deltadel-$queryId", partitionId, taskId)
+          s"deltadel-$queryId", partitionId, taskId,
+          format = delFormat)
         // the spec's required tombstone order: by file, then position
         dels.sortInPlace()
         dels.foreach { case (f, p) =>

@@ -329,6 +329,14 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
   private[v2] def dvTombstones: Boolean =
     deleteFormat.map(_.toLowerCase).contains("dv")
 
+  /** `write.delete.format.default`: the POSITION-tombstone FILE format
+    * (parquet | orc | avro — Iceberg's delete-file format knob,
+    * distinct from both the data files' write.format.default and the
+    * dv dialect above, which wins when set). */
+  private[v2] def deleteFileFormat: String =
+    GraftFormatWriters.normalize(
+      tableProps.get("write.delete.format.default"))
+
   /** `write.delete.granularity=equality`: the MOR delta path expresses
     * row deletion as EQUALITY tombstones on the table's declared
     * `identifier.columns` (the dialect's identifier-field-ids) instead
@@ -1721,6 +1729,23 @@ private[v2] object GraftPartitionReader {
       if (graft.sources.DeletionVectors.isDvPath(p))
         graft.sources.DeletionVectors.read(new java.io.File(p))
           .map { case (t, ps) => norm(t) -> ps.toArray }.toMap
+      else if (p.endsWith(".orc") || p.endsWith(".avro")) {
+        // write.delete.format.default=orc|avro tombstone files: read
+        // through the connector's own format readers
+        val rows = GraftFormatReaders.open(norm(p),
+          if (p.endsWith(".orc")) "ORC" else "AVRO")
+        try {
+          val fi = rows.names.indexOf("file_path")
+          val pi = rows.names.indexOf("pos")
+          require(fi >= 0 && pi >= 0,
+            s"graft-iceberg: tombstone file $p lacks (file_path, pos)")
+          rows.iterator
+            .map(a => (norm(String.valueOf(a(fi))),
+              a(pi).asInstanceOf[Long]))
+            .toSeq.groupBy(_._1).map { case (t, ps) =>
+              t -> ps.map(_._2).toArray }
+        } finally rows.close()
+      }
       else readRows(p, Seq("file_path", "pos"))
         .map(g => (norm(String.valueOf(prim(g, "file_path"))),
           prim(g, "pos").asInstanceOf[Long]))

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** `write.delete.format.default` — Iceberg's DELETE-FILE format knob
+  * (distinct from the data files' write.format.default and from the dv
+  * dialect): position-tombstone FILES land as parquet, ORC, or AVRO,
+  * and every reader (connector MOR scan, $position_deletes,
+  * rewrite_position_delete_files) dispatches on the manifest entry's
+  * file_format. */
+class DeleteFormatSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSpec.spark
+    val wh = new java.io.File("target/tmp-delfmt-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(wh)
+    s.conf.set("spark.sql.catalog.dfmt",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.dfmt.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS dfmt.db")
+    s
+  }
+
+  for (fmt <- Seq("orc", "avro")) {
+    test(s"MOR DELETE writes $fmt tombstones; the scan applies them") {
+      val tbl = s"dfmt.db.t_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        "'write.delete.mode' = 'merge-on-read', " +
+        s"'write.delete.format.default' = '$fmt')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L) AS t(k, v)")
+      spark.sql(s"DELETE FROM $tbl WHERE k IN (2, 4)")
+      // the tombstone FILE really is the declared format
+      val tdir = s"target/tmp-delfmt-wh/db/t_$fmt"
+      val delFmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, tdir, "t", Nil)
+        .filter(col("content") === 1)
+        .select("file_format").collect().map(_.getString(0)).toSet
+      assert(delFmts == Set(fmt.toUpperCase), delFmts.toString)
+      // the connector scan applies it
+      assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      // the fixture-layer MOR read applies it too
+      val viaMor = graft.sources.MorRead.readTable(spark, tdir)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaMor == Seq(1L, 3L), viaMor.toString)
+      // $position_deletes serves the pairs with the right format label
+      val pd = spark.sql(
+        s"SELECT pos, delete_file_format FROM $tbl.position_deletes " +
+          "ORDER BY pos").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(pd.toSeq == Seq((1L, fmt.toUpperCase), (3L, fmt.toUpperCase)),
+        pd.mkString(", "))
+    }
+  }
+
+  test("rewrite_position_delete_files folds mixed-format tombstones") {
+    val tbl = "dfmt.db.mix"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.delete.mode' = 'merge-on-read', " +
+      "'write.delete.format.default' = 'orc')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), " +
+      "(6L, 60L) AS t(k, v)")
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2") // ORC tombstone
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.delete.format.default' = 'avro')")
+    spark.sql(s"DELETE FROM $tbl WHERE k = 4") // AVRO tombstone
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.delete.format.default' = 'parquet')")
+    spark.sql(s"DELETE FROM $tbl WHERE k = 6") // parquet tombstone
+    val tdir = "target/tmp-delfmt-wh/db/mix"
+    val delFmts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, tdir, "t", Nil)
+      .filter(col("content") === 1)
+      .select("file_format").collect().map(_.getString(0)).toSet
+    assert(delFmts == Set("ORC", "AVRO", "PARQUET"), delFmts.toString)
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    // the fold reads all three dialects and consolidates
+    val (_, before, after, nPairs) = graft.sources.LayoutMaintenance
+      .rewritePositionDeletes(spark, tdir)
+    assert(before == 3 && after == 1 && nPairs == 3L,
+      s"fold: $before -> $after files, $nPairs pairs")
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+  }
+}
