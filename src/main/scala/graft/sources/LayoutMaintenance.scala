@@ -2068,8 +2068,17 @@ object LayoutMaintenance {
       case Some(c) => c.exists(_.content != 0)
       case None => deleteManifestPaths(spark, tableDir, curId).nonEmpty
     }
-    val lineage = MorRead.readTableLineage(spark, tableDir, eqKeys,
-      renames, dataSchema)
+    // the survivors file honors write.format.default; a lineage-assigned
+    // parquet table also MATERIALIZES row lineage into it (spec v3: a
+    // COW delete must keep the surviving rows' ids and last-updated
+    // sequences — only the dying rows disappear)
+    val cowFmt = tableWriteFormat(spark, tableDir)
+    val lineageOn = cowFmt == "parquet" && nextRowId(spark, tableDir) > 0
+    val lineage0 = MorRead.readTableLineage(spark, tableDir, eqKeys,
+      renames, dataSchema, withLineage = lineageOn)
+    val lineage =
+      if (lineageOn) MorRead.resolveRowLineage(spark, tableDir, lineage0)
+      else lineage0
     if (lineage.isEmpty) return (curId, 0L)
     // DELETE removes rows where the predicate is TRUE; null keeps
     val keep = not(coalesce(predicate, lit(false)))
@@ -2098,7 +2107,7 @@ object LayoutMaintenance {
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     // the survivors file honors write.format.default — a COW delete on
     // an ORC/AVRO-default table must not flip it to parquet
-    val fmt = tableWriteFormat(spark, tableDir)
+    val fmt = cowFmt
     val rw = freshFile(dataDir,
       s"cowdel-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(fmt)}")
     val n = IcebergLayoutWriter.writeSingleData(survivors, rw, fmt)

@@ -111,10 +111,21 @@ object MorRead {
       eqKeys: Seq[String] = Nil,
       renames: Map[String, Seq[String]] = Map.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
-      : DataFrame = {
+      : DataFrame =
+    resolveRowLineage(spark, tableDir,
+      readTableLineage(spark, tableDir, eqKeys, renames, dataSchema,
+        withLineage = true))
+      .drop("file_path", "pos", "data_seq")
+
+  /** Resolve the v3 lineage VALUES onto a [[readTableLineage]] relation
+    * read with `withLineage = true`: `_row_id` / `_last_updated_
+    * sequence_number` become the resolved values (materialized non-null
+    * wins, else first_row_id + pos / the file's sequence number). The
+    * lineage bookkeeping columns (`file_path`/`pos`/`data_seq`) stay —
+    * COW rewrites still need them to pick affected files. */
+  def resolveRowLineage(spark: SparkSession, tableDir: String,
+      lin: DataFrame): DataFrame = {
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
-    val lin = readTableLineage(spark, tableDir, eqKeys, renames, dataSchema,
-      withLineage = true)
     // (path → first_row_id) is file-count-sized and driver-known
     val friPairs = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", Nil)
@@ -140,7 +151,7 @@ object MorRead {
     withFri
       .withColumn(RowIdCol, coalesce(col(RowIdCol), col("__fri") + col("pos")))
       .withColumn(LastUpdCol, coalesce(col(LastUpdCol), col("data_seq")))
-      .drop("__fri", "file_path", "pos", "data_seq")
+      .drop("__fri")
   }
 
   /** [[readTable]] keeping the row lineage columns (`file_path`, `pos`,

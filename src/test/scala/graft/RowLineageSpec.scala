@@ -128,6 +128,32 @@ class RowLineageSpec extends AnyFunSuite {
       s"lineage must survive the rewrite: ${snap()} vs $before")
   }
 
+  test("COW DELETE keeps surviving rows' lineage verbatim") {
+    spark.sql("CREATE TABLE lin.db.cow (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg`") // copy-on-write delete (the default)
+    spark.sql("INSERT INTO lin.db.cow SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L) AS t(k, v)")
+    val before = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.cow")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val filesBefore = spark.sql("SELECT DISTINCT _file FROM lin.db.cow")
+      .collect().map(_.getString(0)).toSet
+    spark.sql("DELETE FROM lin.db.cow WHERE k IN (2, 4)")
+    val filesAfter = spark.sql("SELECT DISTINCT _file FROM lin.db.cow")
+      .collect().map(_.getString(0)).toSet
+    assert(filesBefore.intersect(filesAfter).isEmpty,
+      "COW must have rewritten the data file")
+    // no tombstones: the delete really was copy-on-write
+    assert(graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, "target/tmp-lineage-wh/db/cow", "t", Nil)
+      .filter(col("content") =!= 0).count() == 0L)
+    val after = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.cow")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before.filterNot(t => t._1 == 2L || t._1 == 4L),
+      s"survivors must keep ids and sequences: $after vs $before")
+  }
+
   test("past-the-ceiling commits still assign and carry first_row_id") {
     import graft.sources.{IcebergLayoutWriter, LayoutMaintenance,
       IcebergManifestSource}
