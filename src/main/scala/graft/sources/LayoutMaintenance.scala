@@ -2671,13 +2671,22 @@ object LayoutMaintenance {
     val curId = currentSnapshotId(spark, tableDir).getOrElse(all.last.id)
     // candidate listing is DISTRIBUTED; only small files' (path, size,
     // format, partition) land on the driver — the operation's own size
-    val small = IcebergManifestSource
+    val smallRows = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", Nil)
       .filter(col("content") === 0 && col("sizeBytes") < smallFileBytes)
-      .select("file_path", "sizeBytes", "file_format", "partitionKey")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
-        r.getString(3)))
-      .toSeq
+      .select("file_path", "sizeBytes", "file_format", "partitionKey",
+        "sequence_number", "first_row_id")
+      .collect()
+    val small = smallRows.map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getString(3))).toSeq
+    // v3 row lineage across the pack (parquet groups only): per-file
+    // sequence numbers and first_row_ids, driver-known, group-sized
+    def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
+    val seqOf: Map[String, Long] = smallRows
+      .map(r => normPath(r.getString(0)) -> r.getLong(4)).toMap
+    val friOf: Map[String, Long] = smallRows
+      .flatMap(r => Option(r.getAs[java.lang.Long](5))
+        .map(v => normPath(r.getString(0)) -> v.longValue)).toMap
     // groups never mix physical formats (one read per group) and never
     // span PARTITIONS — a consolidated file keeps its group's partition
     // values, so partition pruning, SPJ, and partition-predicate
@@ -2694,13 +2703,40 @@ object LayoutMaintenance {
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     val outFmt = tableWriteFormat(spark, tableDir)
     val outExt = graft.sources.v2.GraftFormatWriters.extensionOf(outFmt)
+    // a lineage-assigned parquet→parquet pack MATERIALIZES row lineage
+    // into the group file (spec v3: compaction preserves row ids) —
+    // same rule as rewrite_data_files; other format pairs reassign
+    val packLineage = outFmt == "parquet" && nextRowId(spark, tableDir) > 0
     val added = groups.zipWithIndex.map { case ((fmt, pk, g), i) =>
       val paths = g.map(_._1)
       val df = fmt match {
         case "ORC" => spark.read.orc(paths: _*)
         case "AVRO" =>
           AvroDataRead.readWithPos(spark, paths).drop("file_path", "pos")
-        case _ => spark.read.parquet(paths: _*)
+        case _ if !packLineage => spark.read.parquet(paths: _*)
+        case _ =>
+          // mergeSchema: an already-materialized small file (a prior
+          // COW/rewrite output) binds its lineage columns; plain files
+          // null-fill and derive from first_row_id + ordinal
+          val base = spark.read.option("mergeSchema", "true")
+            .parquet(paths: _*)
+          val own = regexp_replace(col("_metadata.file_path"),
+            "^file:/+", "/")
+          val matRid =
+            if (base.columns.contains("_row_id")) col("_row_id")
+            else lit(null).cast("long")
+          val matSeq =
+            if (base.columns.contains("_last_updated_sequence_number"))
+              col("_last_updated_sequence_number")
+            else lit(null).cast("long")
+          val fri =
+            if (friOf.isEmpty) lit(null).cast("long")
+            else element_at(typedLit(friOf), own)
+          base
+            .withColumn("_row_id",
+              coalesce(matRid, fri + col("_metadata.row_index")))
+            .withColumn("_last_updated_sequence_number",
+              coalesce(matSeq, element_at(typedLit(seqOf), own)))
       }
       val f = freshFile(dataDir, s"binpack-$curId-g$i.$outExt")
       val n = IcebergLayoutWriter.writeSingleData(df, f, outFmt)

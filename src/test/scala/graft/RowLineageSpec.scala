@@ -154,6 +154,30 @@ class RowLineageSpec extends AnyFunSuite {
       s"survivors must keep ids and sequences: $after vs $before")
   }
 
+  test("rewrite_small_files (bin-pack) preserves lineage across groups") {
+    spark.sql("CREATE TABLE lin.db.pack (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.delete.mode' = 'merge-on-read')")
+    // three tiny files — all bin-pack candidates
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO lin.db.pack SELECT /*+ COALESCE(1) */ * " +
+        s"FROM VALUES (${i * 2 + 1}L, ${i * 10}L), " +
+        s"(${i * 2 + 2}L, ${i * 10 + 1}L) AS t(k, v)")
+    }
+    val before = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.pack")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before.map(_._2) == (0L until 6L).toSet, before.toString)
+    val (_, nIn, nOut) = graft.sources.LayoutMaintenance
+      .rewriteSmallFiles(spark, "target/tmp-lineage-wh/db/pack")
+    assert(nIn == 3 && nOut == 1, s"pack: $nIn -> $nOut")
+    val after = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.pack")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before,
+      s"bin-pack must keep per-row lineage: $after vs $before")
+  }
+
   test("past-the-ceiling commits still assign and carry first_row_id") {
     import graft.sources.{IcebergLayoutWriter, LayoutMaintenance,
       IcebergManifestSource}
