@@ -577,6 +577,56 @@ object Queries17 {
                |  min(okey) AS min_okey
                |FROM $cat.df.ord
                |GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- THE ROW-ID CURSOR (incremental consumption without file
+    // diffs): row ids are assigned MONOTONICALLY from the table
+    // metadata's `next-row-id` counter, so "rows appended since
+    // checkpoint C" is exactly `_row_id >= C` where C is the counter
+    // captured at checkpoint time — one predicate, no snapshot diff, no
+    // changelog join, and it survives compaction because rewrites
+    // preserve ids. An incremental dedup consumes only the new slice
+    // and anti-joins it against the already-processed state. Pinned
+    // in-query: the cursor slice is EXACTLY the second batch even after
+    // a rewrite_data_files replaced every file between batches.
+    "q293_rowid_cursor" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q293wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rc")
+      s.sql(s"DROP TABLE IF EXISTS $cat.rc.doc")
+      t(dir, "orders").createOrReplaceTempView("q293_src")
+      s.sql(s"""CREATE TABLE $cat.rc.doc (okey BIGINT, price BIGINT)
+               |USING `graft-iceberg`""".stripMargin)
+      def insertYear(y: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.rc.doc
+                 |SELECT /*+ COALESCE(1) */ o_orderkey,
+                 |  CAST(FLOOR(o_totalprice) AS BIGINT)
+                 |FROM q293_src WHERE year(o_orderdate) = $y""".stripMargin)
+      insertYear(1995)
+      val tdir = s"${wh.getAbsolutePath}/rc/doc"
+      // the CHECKPOINT: one KB metadata read, no snapshot bookkeeping
+      val cursor = graft.sources.LayoutMaintenance.nextRowId(s, tdir)
+      // a full compaction between batches — every file replaced, ids
+      // preserved, so the cursor still cuts exactly
+      s.sql(s"CALL $cat.system.rewrite_data_files('rc.doc')")
+      insertYear(1996)
+      val slice = s.sql(s"SELECT okey FROM $cat.rc.doc " +
+        s"WHERE _row_id >= $cursor")
+      val fullB = s.sql(s"""SELECT o_orderkey AS okey FROM q293_src
+        |WHERE year(o_orderdate) = 1996""".stripMargin)
+      require(slice.count() == fullB.count() &&
+        slice.except(fullB).count() == 0L,
+        "the cursor slice must be exactly the post-checkpoint batch")
+      // incremental dedup shape: only the slice anti-joins the old state
+      s.sql(s"""SELECT CAST(okey % 4 AS BIGINT) AS bucket,
+               |  count(*) AS n_new, sum(price) AS sum_price,
+               |  min(okey) AS min_okey
+               |FROM $cat.rc.doc WHERE _row_id >= $cursor
+               |GROUP BY 1 ORDER BY 1""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -693,5 +743,14 @@ object Queries17 {
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
         |  AND o_orderkey % 10 NOT IN (1, 2, 3)
-        |GROUP BY 1 ORDER BY mon""".stripMargin)
+        |GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    "q293_rowid_cursor" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS sum_price,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
