@@ -2715,11 +2715,24 @@ object LayoutMaintenance {
           AvroDataRead.readWithPos(spark, paths).drop("file_path", "pos")
         case _ if !packLineage => spark.read.parquet(paths: _*)
         case _ =>
-          // mergeSchema: an already-materialized small file (a prior
-          // COW/rewrite output) binds its lineage columns; plain files
-          // null-fill and derive from first_row_id + ordinal
-          val base = spark.read.option("mergeSchema", "true")
-            .parquet(paths: _*)
+          // a group file that already materializes lineage (a prior
+          // COW/rewrite output) binds its columns via mergeSchema;
+          // groups of plain files — the common case — skip the
+          // schema-merge pass entirely (driver footer sniff: these are
+          // SMALL files by definition)
+          val conf = spark.sparkContext.hadoopConfiguration
+          val anyMaterialized = paths.exists { p =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getFileMetaData.getSchema
+              .containsField("_row_id")
+            finally r.close()
+          }
+          val base =
+            if (anyMaterialized) spark.read.option("mergeSchema", "true")
+              .parquet(paths: _*)
+            else spark.read.parquet(paths: _*)
           val own = regexp_replace(col("_metadata.file_path"),
             "^file:/+", "/")
           val matRid =
