@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object MorRead {
 
+  /** File count under which driver-known per-file maps (sequence
+    * numbers, first_row_ids) attach as plan literals instead of
+    * broadcast joins. */
+  private def literalCap(spark: SparkSession): Int =
+    try spark.conf.get("spark.graft.seqLiteralCap", "64").toInt
+    catch { case _: NumberFormatException => 64 }
+
   /** Broadcast only when the optimizer's size estimate fits the session's
     * autoBroadcastJoinThreshold (disabled threshold = never hint). */
   private def maybeBroadcast(df: DataFrame): DataFrame = {
@@ -140,7 +147,7 @@ object MorRead {
     val withFri =
       if (friPairs.isEmpty)
         lin.withColumn("__fri", lit(null).cast("long"))
-      else if (friPairs.size <= 64)
+      else if (friPairs.size <= literalCap(spark))
         lin.withColumn("__fri",
           element_at(typedLit(friPairs), col("file_path")))
       else {
@@ -267,8 +274,9 @@ object MorRead {
     // exchanges, and (under AQE) several fewer stage re-optimizations per
     // MOR read, which dominates wall time on multi-commit fixtures. Past
     // the cap (the 100k-file shape) a literal map would bloat the plan,
-    // so the broadcast join stays.
-    val seqLiteralCap = 64
+    // so the broadcast join stays. Conf-overridable so the join arm is
+    // testable at toy scale (arm parity pinned by MorReadSpec).
+    val seqLiteralCap = MorRead.literalCap(spark)
     def attachSeq(df: DataFrame, paths: Array[(String, Int, Long, String)],
         seqName: String, pathOf: org.apache.spark.sql.Column): DataFrame =
       if (paths.length <= seqLiteralCap) {

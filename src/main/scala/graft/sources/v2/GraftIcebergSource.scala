@@ -1575,7 +1575,7 @@ private[v2] class GraftReaderFactory(required: StructType,
       case m: GraftManifestPartition => new PartitionReader[InternalRow] {
         // task-side manifest expansion + pruning, then chained readers
         private val conf = new Configuration()
-        private val files: Iterator[(String, String)] =
+        private val files: Iterator[(String, String, Long, Option[Long])] =
           graft.sources.IcebergManifestSource
             .readManifestStats(m.manifestPath, conf, m.inheritSeq)
             .filter(_.content == 0)
@@ -1592,14 +1592,18 @@ private[v2] class GraftReaderFactory(required: StructType,
                 GraftPrune.partitionKeeps(m.filters, m.partitionFields,
                   GraftIcebergSource.parsePartitionKey(s.partitionKey))
             }
-            .map(s => (s.filePath, s.fileFormat))
+            .map(s => (s.filePath, s.fileFormat, s.sequenceNumber,
+              s.firstRowId))
         private var cur: PartitionReader[InternalRow] = _
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
               if (!files.hasNext) return false
-              val (p, fmt) = files.next()
-              cur = fileReader(GraftFilePartition(p, fileFormat = fmt))
+              val (p, fmt, sq, fri) = files.next()
+              // lineage rides the manifest-granular path too: the entry
+              // carries the file's sequence number and first_row_id
+              cur = fileReader(GraftFilePartition(p, fileFormat = fmt,
+                dataSeq = sq, firstRowId = fri.map(Long.box).orNull))
             }
             if (cur.next()) return true
             cur.close(); cur = null

@@ -178,6 +178,47 @@ class RowLineageSpec extends AnyFunSuite {
       s"bin-pack must keep per-row lineage: $after vs $before")
   }
 
+  test("lineage reads agree across the literal-map / broadcast-join arms " +
+    "and across the oversized manifest-granular planning path") {
+    spark.sql("CREATE TABLE lin.db.arms (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.update.mode' = 'merge-on-read')")
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO lin.db.arms SELECT /*+ COALESCE(1) */ * " +
+        s"FROM VALUES (${i * 2 + 1}L, 0L), (${i * 2 + 2}L, 0L) AS t(k, v)")
+    }
+    spark.sql("UPDATE lin.db.arms SET v = 9 WHERE k = 3")
+    def viaSql(): Set[(Long, Long, Long)] = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.arms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def viaMor(): Set[(Long, Long, Long)] = graft.sources.MorRead
+      .readTableRowLineage(spark, "target/tmp-lineage-wh/db/arms")
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val literal = viaMor()
+    assert(literal == viaSql(), "SQL and fixture reads must agree")
+    // force the broadcast-join arm
+    spark.conf.set("spark.graft.seqLiteralCap", "1")
+    try assert(viaMor() == literal, "join arm must equal the literal arm")
+    finally spark.conf.unset("spark.graft.seqLiteralCap")
+    // force the manifest-granular (oversized) planning path for the
+    // connector scan — it admits append-only snapshots, so pin it on a
+    // tombstone-free twin: derived lineage (first_row_id + pos, file
+    // seq) must survive per-manifest task expansion
+    spark.sql("CREATE TABLE lin.db.arms2 (k BIGINT) USING `graft-iceberg`")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO lin.db.arms2 VALUES (${i}L)"))
+    def twin(): Set[(Long, Long, Long)] = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM lin.db.arms2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = twin()
+    assert(expected == Set((0L, 0L, 1L), (1L, 1L, 2L), (2L, 2L, 3L)))
+    spark.conf.set("spark.graft.maxDriverFileEntries", "1")
+    try assert(twin() == expected,
+      "oversized planning must serve the same lineage")
+    finally spark.conf.unset("spark.graft.maxDriverFileEntries")
+  }
+
   test("past-the-ceiling commits still assign and carry first_row_id") {
     import graft.sources.{IcebergLayoutWriter, LayoutMaintenance,
       IcebergManifestSource}
