@@ -128,7 +128,7 @@ object Queries12 {
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val bf = new java.io.File(dataDir, "base.parquet")
       val nBase = IcebergLayoutWriter.writeSingleParquet(
-        base.sort(col("c_custkey")), bf)
+        IcebergLayoutWriter.sortedSingle(base, col("c_custkey")), bf)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = bf.getAbsolutePath, recordCount = nBase,
@@ -358,7 +358,8 @@ object Queries12 {
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val bf = new java.io.File(dataDir, "base.parquet")
-      val nBase = IcebergLayoutWriter.writeSingleParquet(base.sort(col("k")), bf)
+      val nBase = IcebergLayoutWriter.writeSingleParquet(
+        IcebergLayoutWriter.sortedSingle(base, col("k")), bf)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = bf.getAbsolutePath, recordCount = nBase,
@@ -405,8 +406,8 @@ object Queries12 {
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val entries = Seq(0, 1).map { f =>
         val df = new java.io.File(dataDir, s"f$f.parquet")
-        val n = IcebergLayoutWriter.writeSingleParquet(
-          base.filter(col("fid") === f).drop("fid").sort(col("k")), df)
+        val n = IcebergLayoutWriter.writeSingleParquet(IcebergLayoutWriter.sortedSingle(
+          base.filter(col("fid") === f).drop("fid"), col("k")), df)
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = df.getAbsolutePath, recordCount = n,
           sizeBytes = df.length(), sequenceNumber = 1L)
@@ -454,7 +455,7 @@ object Queries12 {
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val bf = new java.io.File(dataDir, "base.parquet")
       val nBase = IcebergLayoutWriter.writeSingleParquet(
-        base.sort(col("c_custkey")), bf)
+        IcebergLayoutWriter.sortedSingle(base, col("c_custkey")), bf)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = bf.getAbsolutePath, recordCount = nBase,
@@ -1320,17 +1321,17 @@ object Queries12 {
       val pd = new java.io.File(dataDir, "posdel.parquet")
       val ed = new java.io.File(dataDir, "eqdel.parquet")
       def commit(fid: Int, dest: java.io.File): Long =
-        IcebergLayoutWriter.writeSingleParquet(
-          base.filter(col("fid") === fid).drop("fid")
-            .sort(col("l_orderkey"), col("l_linenumber"),
-              col("l_partkey"), col("l_suppkey")), dest)
+        IcebergLayoutWriter.writeSingleParquet(IcebergLayoutWriter.sortedSingle(
+          base.filter(col("fid") === fid).drop("fid"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")), dest)
       val nA = commit(0, fa); val nB = commit(1, fb)
       import s.implicits._
       IcebergLayoutWriter.writeSingleParquet(
         (0L until nA by 7).map(p => (fa.getAbsolutePath, p)).toDF("file_path", "pos"), pd)
-      IcebergLayoutWriter.writeSingleParquet(
+      IcebergLayoutWriter.writeSingleParquet(IcebergLayoutWriter.sortedSingle(
         base.filter(col("l_partkey") % 131 === 0).select(col("l_partkey"))
-          .distinct().sort(col("l_partkey")), ed)
+          .distinct(), col("l_partkey")), ed)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = fa.getAbsolutePath, recordCount = nA, sizeBytes = fa.length(),
@@ -1535,7 +1536,7 @@ object Queries12 {
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val bf = new java.io.File(dataDir, "raw.parquet")
       val nRaw = IcebergLayoutWriter.writeSingleParquet(
-        docs.sort(col("doc_id")), bf)
+        IcebergLayoutWriter.sortedSingle(docs, col("doc_id")), bf)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = bf.getAbsolutePath, recordCount = nRaw,
@@ -1726,7 +1727,7 @@ object Queries12 {
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val bf = new java.io.File(dataDir, "base.parquet")
       val nBase = IcebergLayoutWriter.writeSingleParquet(
-        base.sort(col("c_custkey")), bf)
+        IcebergLayoutWriter.sortedSingle(base, col("c_custkey")), bf)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = bf.getAbsolutePath, recordCount = nBase,

@@ -333,13 +333,15 @@ object Queries13 {
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val pf = new java.io.File(dataDir, "slice-a.parquet")
       val nP = IcebergLayoutWriter.writeSingleParquet(
-        li.filter(col("k") % 4 === 1).sort(col("k"), col("pk"), col("qty")), pf)
+        IcebergLayoutWriter.sortedSingle(li.filter(col("k") % 4 === 1),
+          col("k"), col("pk"), col("qty")), pf)
       IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = pf.getAbsolutePath,
         recordCount = nP, sizeBytes = pf.length(), sequenceNumber = 1L)))
       val of = new java.io.File(dataDir, "slice-b.orc")
       val nO = IcebergLayoutWriter.writeSingleOrc(
-        li.filter(col("k") % 4 === 2).sort(col("k"), col("pk"), col("qty")), of)
+        IcebergLayoutWriter.sortedSingle(li.filter(col("k") % 4 === 2),
+          col("k"), col("pk"), col("qty")), of)
       require(nO > 0, "ORC slice must be non-empty")
       LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(ManifestEntrySpec(
         status = 1, content = 0, filePath = of.getAbsolutePath,
@@ -510,7 +512,7 @@ object Queries13 {
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
       val bf = new java.io.File(dataDir, "base.parquet")
       val nB = IcebergLayoutWriter.writeSingleParquet(
-        base.sort(col("k")), bf)
+        IcebergLayoutWriter.sortedSingle(base, col("k")), bf)
       IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(status = 1,
         content = 0, filePath = bf.getAbsolutePath, recordCount = nB,
         sizeBytes = bf.length(), sequenceNumber = 1L)))
@@ -554,7 +556,8 @@ object Queries13 {
       def writeSlice(name: String, mod: Int): (java.io.File, Long) = {
         val f = new java.io.File(dataDir, s"$name.parquet")
         val n = IcebergLayoutWriter.writeSingleParquet(
-          cust.filter(col("ck") % 4 === mod).sort(col("ck")), f)
+          IcebergLayoutWriter.sortedSingle(
+            cust.filter(col("ck") % 4 === mod), col("ck")), f)
         (f, n)
       }
       val (f0, n0) = writeSlice("base", 0)
@@ -815,7 +818,7 @@ object Queries13 {
       def slice(name: String, f: org.apache.spark.sql.Column) = {
         val fl = new java.io.File(dataDir, s"$name.parquet")
         val n = IcebergLayoutWriter.writeSingleParquet(
-          base.filter(f).sort(col("k")), fl)
+          IcebergLayoutWriter.sortedSingle(base.filter(f), col("k")), fl)
         Seq(ManifestEntrySpec(status = 1, content = 0,
           filePath = fl.getAbsolutePath, recordCount = n,
           sizeBytes = fl.length()))
@@ -1014,7 +1017,7 @@ object Queries13 {
       def slice(name: String, f: org.apache.spark.sql.Column) = {
         val fl = new java.io.File(dataDir, s"$name.parquet")
         val n = IcebergLayoutWriter.writeSingleParquet(
-          docs.filter(f).sort(col("doc_id")), fl)
+          IcebergLayoutWriter.sortedSingle(docs.filter(f), col("doc_id")), fl)
         Seq(ManifestEntrySpec(status = 1, content = 0,
           filePath = fl.getAbsolutePath, recordCount = n,
           sizeBytes = fl.length()))

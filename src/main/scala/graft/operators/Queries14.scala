@@ -64,7 +64,8 @@ object Queries14 {
       def fileFor(name: String, mod: Int): ManifestEntrySpec = {
         val f = new java.io.File(new java.io.File(tbl, "data"), name)
         val n = IcebergLayoutWriter.writeSingleParquet(
-          rows.filter(col("k") % 3 === mod).sort(col("k")), f)
+          IcebergLayoutWriter.sortedSingle(
+            rows.filter(col("k") % 3 === mod), col("k")), f)
         ManifestEntrySpec(status = 1, content = 0,
           filePath = f.getAbsolutePath, recordCount = n,
           sizeBytes = f.length())

@@ -325,7 +325,7 @@ object Queries15 {
           name: String): Unit = {
         val f = new java.io.File(dataDir, name)
         val n = IcebergLayoutWriter.writeSingleParquet(
-          df.sort(col("vec_id")), f)
+          IcebergLayoutWriter.sortedSingle(df, col("vec_id")), f)
         LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(
           IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
             filePath = f.getAbsolutePath, recordCount = n,

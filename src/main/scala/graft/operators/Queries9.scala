@@ -398,16 +398,18 @@ object Queries9 {
       val ed = new java.io.File(dataDir, "eqdel.parquet")
       def commit(fid: Int, dest: java.io.File): Long =
         IcebergLayoutWriter.writeSingleParquet(
-          base.filter(col("fid") === fid).drop("fid")
-            .sort(col("l_orderkey"), col("l_linenumber"),
-              col("l_partkey"), col("l_suppkey")), dest)
+          IcebergLayoutWriter.sortedSingle(
+            base.filter(col("fid") === fid).drop("fid"),
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")), dest)
       val nA = commit(0, fa); val nB = commit(1, fb)
       import s.implicits._
       IcebergLayoutWriter.writeSingleParquet(
         (0L until nA by 7).map(p => (fa.getAbsolutePath, p)).toDF("file_path", "pos"), pd)
       IcebergLayoutWriter.writeSingleParquet(
-        base.filter(col("l_partkey") % 131 === 0).select(col("l_partkey"))
-          .distinct().sort(col("l_partkey")), ed)
+        IcebergLayoutWriter.sortedSingle(
+          base.filter(col("l_partkey") % 131 === 0)
+            .select(col("l_partkey")).distinct(), col("l_partkey")), ed)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = fa.getAbsolutePath, recordCount = nA, sizeBytes = fa.length(),
