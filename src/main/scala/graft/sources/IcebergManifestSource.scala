@@ -81,8 +81,11 @@ object IcebergManifestSource {
       snapshotId: Option[Long] = None): DataFrame =
     resolveManifestList(spark, tableDir, snapshotId) match {
       case Some(p) =>
-        val paths = manifestPathSeqs(spark.sparkContext.hadoopConfiguration, p)
-        statsFromManifestSeqs(spark, paths, table, fields)
+        // manifest-list rows carry each manifest's sequence number AND
+        // its partition_spec_id — both ride onto every entry
+        val rows = manifestListRows(spark.sparkContext.hadoopConfiguration, p)
+          .map(t => (t._1, t._5, t._3))
+        statsFromManifestSpecSeqs(spark, rows, table, fields)
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema(fields))
     }
@@ -625,9 +628,18 @@ object IcebergManifestSource {
     * through here so MOR delete visibility is correct on layouts whose
     * writers left ADDED sequence numbers null). */
   def statsFromManifestSeqs(spark: SparkSession, manifests: Seq[(String, Long)],
+      table: String, fields: Seq[(Int, String, DataType)]): DataFrame =
+    statsFromManifestSpecSeqs(spark, manifests.map(t => (t._1, t._2, 0)),
+      table, fields)
+
+  /** [[statsFromManifestSeqs]] with each manifest's `partition_spec_id`
+    * from the manifest list — rides onto every entry as the relation's
+    * `spec_id` column (the `_spec_id` metadata column's source). */
+  def statsFromManifestSpecSeqs(spark: SparkSession,
+      manifests: Seq[(String, Long, Int)],
       table: String, fields: Seq[(Int, String, DataType)]): DataFrame = {
     val fieldSpec = fields // stable serializable copy for the closure
-    def rowOf(s: ManifestStats): Row =
+    def rowOf(specId: Int)(s: ManifestStats): Row =
       Row.fromSeq(Seq(table, s.filePath, s.content, s.partitionKey, s.sizeBytes,
         s.recordCount, s.sequenceNumber) ++
         fieldSpec.flatMap { case (id, _, dt) =>
@@ -635,7 +647,8 @@ object IcebergManifestSource {
             s.upper.get(id).map(decodeBound(_, dt)).orNull)
         } ++ Seq(s.equalityIds, s.fileFormat,
           s.sortOrderId.map(Int.box).orNull,
-          s.firstRowId.map(Long.box).orNull))
+          s.firstRowId.map(Long.box).orNull,
+          specId))
     // few manifests → DRIVER-side read into a LOCAL relation: planning
     // reads (the .collect()s all over the MOR/commit paths) then cost
     // ZERO Spark jobs, and a join against the result broadcasts
@@ -647,8 +660,8 @@ object IcebergManifestSource {
       catch { case _: NumberFormatException => 8 }
     if (manifests.size <= driverCap) {
       val hconf = spark.sparkContext.hadoopConfiguration
-      val rows = manifests.flatMap { case (p, inheritSeq) =>
-        readManifestStats(p, hconf, inheritSeq).map(rowOf) }
+      val rows = manifests.flatMap { case (p, inheritSeq, specId) =>
+        readManifestStats(p, hconf, inheritSeq).map(rowOf(specId)) }
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(rows.asJava, statsSchema(fields))
     } else {
@@ -657,8 +670,8 @@ object IcebergManifestSource {
       val n = math.max(1,
         math.min(manifests.size, spark.sparkContext.defaultParallelism))
       val rows = spark.sparkContext.parallelize(manifests, n)
-        .flatMap { case (p, inheritSeq) =>
-          readManifestStats(p, conf.value, inheritSeq).map(rowOf) }
+        .flatMap { case (p, inheritSeq, specId) =>
+          readManifestStats(p, conf.value, inheritSeq).map(rowOf(specId)) }
       spark.createDataFrame(rows, statsSchema(fields))
     }
   }
@@ -674,7 +687,8 @@ object IcebergManifestSource {
         } ++ Seq(StructField("equality_ids", ArrayType(IntegerType)),
           StructField("file_format", StringType),
           StructField("sort_order_id", IntegerType),
-          StructField("first_row_id", LongType)))
+          StructField("first_row_id", LongType),
+          StructField("spec_id", IntegerType)))
 
   private[sources] case class ManifestStats(filePath: String, content: Int,
       partitionKey: String, sizeBytes: Long, recordCount: Long,

@@ -314,9 +314,31 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
 
   private val isMeta: Array[Boolean] =
     required.fields.map(f => f.name == GraftTable.FileMetadataColumn ||
-      f.name == GraftTable.PosMetadataColumn)
+      f.name == GraftTable.PosMetadataColumn ||
+      f.name == GraftTable.SpecIdMetadataColumn ||
+      f.name == GraftTable.PartitionMetadataColumn)
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
+  private val isSpecId: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.SpecIdMetadataColumn)
+  private val isPartMeta: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.PartitionMetadataColumn)
+  private lazy val partitionMetaValue: Array[Any] =
+    required.fields.zipWithIndex.collectFirst {
+      case (f, i) if isPartMeta(i) =>
+        f.dataType.asInstanceOf[StructType].fields.map { pf =>
+          part.pvals.get(pf.name).map { v =>
+            (v, pf.dataType) match {
+              case (l: Long, LongType) => l
+              case (l: Long, DoubleType) => l.toDouble
+              case (d: Double, DoubleType) => d
+              case (str: String, StringType) =>
+                UTF8String.fromString(str): Any
+              case (other, _) => other
+            }
+          }.orNull
+        }: Array[Any]
+    }.getOrElse(Array.empty)
   // v3 row lineage: materialized non-null value wins, else synthesized
   // (first_row_id + pos / the file's own sequence number) — same rule
   // as the parquet reader
@@ -498,6 +520,9 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
     var i = 0
     while (i < required.length) {
       if (isPos(i)) row.setLong(i, rowIdx)
+      else if (isSpecId(i)) row.setInt(i, part.specId)
+      else if (isPartMeta(i)) row.update(i,
+        new GenericInternalRow(partitionMetaValue.clone()))
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isRowId(i)) {
         val mat = if (colIdx(i) < 0) null else current(colIdx(i))

@@ -83,7 +83,8 @@ object GraftIcebergSource {
       records: Long, seq: Long = 0L, bytes: Long = 0L,
       sortOrderId: Option[Int] = None,
       fileFormat: String = "PARQUET",
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      specId: Int = 0)
 
   /** One delete file's planning facts: content 1 = position deletes
     * (apply to data files with data.seq <= delete.seq), content 2 =
@@ -287,6 +288,13 @@ private[v2] object GraftTable {
     * created/updated the row — materialized column value when the file
     * carries a non-null one, else the file's own sequence number. */
   val LastUpdatedMetadataColumn = "_last_updated_sequence_number"
+  /** The partition spec id the row's file was written under. */
+  val SpecIdMetadataColumn = "_spec_id"
+  /** The row's file's partition values as a struct (fields = the
+    * table's partition field names; numeric transform results read as
+    * LONG, string identities as STRING — the canonical-JSON value
+    * domain the layout records). */
+  val PartitionMetadataColumn = "_partition"
 }
 
 private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
@@ -377,12 +385,46 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     }).map(_.toLowerCase).getOrElse("copy-on-write")
   }
 
+  /** The `_partition` metadata column's struct type, derived from the
+    * table's CURRENT partition spec: identity transforms read at their
+    * source column's value domain (string/double/long — the canonical-
+    * JSON domain the layout records), derived transforms (day/month/
+    * bucket/truncate) as LONG ordinals. None for unpartitioned tables
+    * (the column is then not declared at all). */
+  private[v2] lazy val partitionStructType: Option[StructType] =
+    if (!hasMetadata) None
+    else {
+      val spec = IcebergManifestSource.partitionSpec(SparkSession.active, dir)
+      if (spec.isEmpty) None
+      else Some(StructType(spec.map { case (pf, transform, srcId) =>
+        val dt: DataType =
+          if (transform == "identity" && srcId >= 1 && srcId <= schema.length)
+            schema.fields(srcId - 1).dataType match {
+              case StringType => StringType
+              case DoubleType | FloatType => DoubleType
+              case _ => LongType
+            }
+          else LongType
+        StructField(pf, dt, nullable = true)
+      }))
+    }
+
   /** `_file` — which data file a row came from (Iceberg exposes the
     * same): selectable by users and the group handle for runtime group
     * filtering in row-level operations. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    (partitionStructType.toArray.map(pst =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftTable.PartitionMetadataColumn
+        override def dataType(): DataType = pst
+        override def isNullable: Boolean = true
+      }: org.apache.spark.sql.connector.catalog.MetadataColumn)) ++
     Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.SpecIdMetadataColumn
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = GraftTable.FileMetadataColumn
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
@@ -542,7 +584,8 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
           r.getAs[Long]("sizeBytes"),
           Option(r.getAs[java.lang.Integer]("sort_order_id")).map(_.intValue),
           Option(r.getAs[String]("file_format")).getOrElse("PARQUET"),
-          Option(r.getAs[java.lang.Long]("first_row_id")).map(_.longValue))
+          Option(r.getAs[java.lang.Long]("first_row_id")).map(_.longValue),
+          r.getAs[Int]("spec_id"))
       }
     val deletes = rows.toSeq
       .filter(_.getAs[Int]("content") != 0)
@@ -678,7 +721,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       keyAliases = GraftCatalog.aliasesOf(schema)
         .filter { case (k, _) => keyNames.contains(k) },
       dataSeq = f.seq,
-      firstRowId = f.firstRowId.map(Long.box).orNull)
+      firstRowId = f.firstRowId.map(Long.box).orNull,
+      specId = f.specId,
+      pvals = f.pvals)
   }
 
   /** (partitionFieldName, sourceColumnName, sourceType) when — and only
@@ -1525,7 +1570,12 @@ private[v2] case class GraftFilePartition(path: String,
       * materialize the column) and its `first_row_id` (null = no
       * lineage assigned: `_row_id` reads null unless materialized). */
     dataSeq: Long = 0L,
-    firstRowId: java.lang.Long = null) extends InputPartition
+    firstRowId: java.lang.Long = null,
+    /** the partition SPEC the file's partition values were written
+      * under, and the values themselves (canonical-JSON-parsed) — the
+      * `_spec_id` / `_partition` metadata columns' sources. */
+    specId: Int = 0,
+    pvals: Map[String, Any] = Map.empty) extends InputPartition
 
 /** One partition-value group of files (the SPJ unit): `partitionKey`
   * is the identity partition values as an InternalRow — Spark's
@@ -1575,7 +1625,8 @@ private[v2] class GraftReaderFactory(required: StructType,
       case m: GraftManifestPartition => new PartitionReader[InternalRow] {
         // task-side manifest expansion + pruning, then chained readers
         private val conf = new Configuration()
-        private val files: Iterator[(String, String, Long, Option[Long])] =
+        private val files
+            : Iterator[(String, String, Long, Option[Long], String)] =
           graft.sources.IcebergManifestSource
             .readManifestStats(m.manifestPath, conf, m.inheritSeq)
             .filter(_.content == 0)
@@ -1593,17 +1644,19 @@ private[v2] class GraftReaderFactory(required: StructType,
                   GraftIcebergSource.parsePartitionKey(s.partitionKey))
             }
             .map(s => (s.filePath, s.fileFormat, s.sequenceNumber,
-              s.firstRowId))
+              s.firstRowId, s.partitionKey))
         private var cur: PartitionReader[InternalRow] = _
         override def next(): Boolean = {
           while (true) {
             if (cur == null) {
               if (!files.hasNext) return false
-              val (p, fmt, sq, fri) = files.next()
-              // lineage rides the manifest-granular path too: the entry
-              // carries the file's sequence number and first_row_id
+              val (p, fmt, sq, fri, pk) = files.next()
+              // lineage + partition metadata ride the manifest-granular
+              // path too: the entry carries the file's sequence number,
+              // first_row_id, and partition values
               cur = fileReader(GraftFilePartition(p, fileFormat = fmt,
-                dataSeq = sq, firstRowId = fri.map(Long.box).orNull))
+                dataSeq = sq, firstRowId = fri.map(Long.box).orNull,
+                pvals = GraftIcebergSource.parsePartitionKey(pk)))
             }
             if (cur.next()) return true
             cur.close(); cur = null
@@ -1853,9 +1906,33 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   // COLUMN — null-filled, Iceberg's schema-evolution read semantics).
   private val isMeta: Array[Boolean] =
     required.fields.map(f => f.name == GraftTable.FileMetadataColumn ||
-      f.name == GraftTable.PosMetadataColumn)
+      f.name == GraftTable.PosMetadataColumn ||
+      f.name == GraftTable.SpecIdMetadataColumn ||
+      f.name == GraftTable.PartitionMetadataColumn)
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
+  private val isSpecId: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.SpecIdMetadataColumn)
+  private val isPartMeta: Array[Boolean] =
+    required.fields.map(_.name == GraftTable.PartitionMetadataColumn)
+  // the `_partition` struct, built once per reader from the file's
+  // recorded partition values in the projected struct's field order
+  private lazy val partitionMetaValue: Array[Any] =
+    required.fields.zipWithIndex.collectFirst {
+      case (f, i) if isPartMeta(i) =>
+        f.dataType.asInstanceOf[StructType].fields.map { pf =>
+          part.pvals.get(pf.name).map { v =>
+            (v, pf.dataType) match {
+              case (l: Long, LongType) => l
+              case (l: Long, DoubleType) => l.toDouble
+              case (d: Double, DoubleType) => d
+              case (str: String, StringType) =>
+                UTF8String.fromString(str): Any
+              case (other, _) => other
+            }
+          }.orNull
+        }: Array[Any]
+    }.getOrElse(Array.empty)
   // v3 row lineage columns: NOT isMeta — when the FILE materializes the
   // physical column (lineage-preserving writers: MOR UPDATE deltas)
   // the projection reads it, and per-row nulls fall back to the
@@ -2130,6 +2207,9 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       val f = required.fields(i)
       val pi = projIdx(i) // positional access: no per-value name scans
       if (isPos(i)) row.setLong(i, rowIdx) // physical ordinal in file
+      else if (isSpecId(i)) row.setInt(i, part.specId)
+      else if (isPartMeta(i)) row.update(i,
+        new GenericInternalRow(partitionMetaValue.clone()))
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isRowId(i)) {
         // materialized non-null value wins; null (or no materialized

@@ -219,6 +219,30 @@ class RowLineageSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.maxDriverFileEntries")
   }
 
+  test("_spec_id and _partition metadata columns serve per-file facts") {
+    spark.sql("CREATE TABLE lin.db.pm (k BIGINT, mon BIGINT, tag STRING) " +
+      "USING `graft-iceberg` PARTITIONED BY (mon, tag)")
+    spark.sql("INSERT INTO lin.db.pm SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (1L, 3L, 'a'), (2L, 3L, 'a'), (3L, 5L, 'b') AS t(k, mon, tag)")
+    val rows = spark.sql(
+      "SELECT k, _spec_id, _partition.mon, _partition.tag FROM lin.db.pm " +
+        "ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq((1L, 0, 3L, "a"), (2L, 0, 3L, "a"),
+      (3L, 0, 5L, "b")), rows.mkString(", "))
+    // the struct prunes like any column: filter on a partition value
+    assert(spark.sql("SELECT sum(k) FROM lin.db.pm " +
+      "WHERE _partition.tag = 'a'").head.getLong(0) == 3L)
+    // an unpartitioned table declares no _partition column at all
+    val e = intercept[Exception] {
+      spark.sql("SELECT _partition FROM lin.db.base").collect()
+    }
+    assert(e.getMessage.contains("_partition"), e.getMessage)
+    // but _spec_id still serves (spec 0)
+    assert(spark.sql("SELECT DISTINCT _spec_id FROM lin.db.base")
+      .collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
   test("past-the-ceiling commits still assign and carry first_row_id") {
     import graft.sources.{IcebergLayoutWriter, LayoutMaintenance,
       IcebergManifestSource}
