@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.Queries10.all ++ graft.operators.Queries11.all ++
       graft.operators.Queries12.all ++ graft.operators.Queries13.all ++
       graft.operators.Queries14.all ++ graft.operators.Queries15.all ++
-      graft.operators.Queries16.all ++ graft.operators.Queries17.all
+      graft.operators.Queries16.all ++ graft.operators.Queries17.all ++
+      graft.operators.Queries18.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.operators.Queries10.oracles ++ graft.operators.Queries11.oracles ++
       graft.operators.Queries12.oracles ++ graft.operators.Queries13.oracles ++
       graft.operators.Queries14.oracles ++ graft.operators.Queries15.oracles ++
-      graft.operators.Queries16.oracles ++ graft.operators.Queries17.oracles
+      graft.operators.Queries16.oracles ++ graft.operators.Queries17.oracles ++
+      graft.operators.Queries18.oracles
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 batch: the lake type system's last gaps and the CDC
+  * surface —
+  *
+  *  - MAP lake columns (q294): `MAP<STRING,BIGINT>` data in all three
+  *    data-file formats (parquet MAP-annotated key_value groups, ORC
+  *    MapColumnVector, avro native map — Iceberg spec Appendix A /
+  *    the Avro appendix; SURVEY.md §1.2 maps the reference's dict
+  *    types to Spark `MapType`).
+  *
+  * Oracle-parity conventions as in [[Queries]]: identical aliases both
+  * sides, full ORDER BY tie-breaks.
+  */
+object Queries18 {
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    Rel.t(dir, name)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- MAP LAKE COLUMNS (the last composite type): a
+    // MAP<STRING,BIGINT> column accretes one slice per data-file
+    // format (write.format.default flipped between inserts), a MOR
+    // DELETE keyed off a MAP ACCESS (`m['okey_mod'] < 10`) tombstones
+    // across the mix — the residual predicate forces every format's
+    // map decode — and the rollup EXPLODES the map so each (key,
+    // value) pair's value is hash-gated. The oracle recomputes the
+    // exploded pairs as a UNION ALL over the source columns.
+    "q294_map_lake" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q294wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.mp.props")
+      t(dir, "orders").createOrReplaceTempView("q294_src")
+      s.sql(s"""CREATE TABLE $cat.mp.props (
+               |  okey BIGINT, m MAP<STRING, BIGINT>)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'parquet',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertYear(y: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.mp.props
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  map('cents', CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+                 |      'mon', CAST(month(o_orderdate) AS BIGINT),
+                 |      'okey_mod', o_orderkey % 100) AS m
+                 |FROM q294_src WHERE year(o_orderdate) = $y""".stripMargin)
+      insertYear(1995) // PARQUET MAP key_value groups
+      s.sql(s"ALTER TABLE $cat.mp.props " +
+        "SET TBLPROPERTIES ('write.format.default' = 'orc')")
+      insertYear(1996) // ORC MapColumnVector
+      s.sql(s"ALTER TABLE $cat.mp.props " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertYear(1997) // AVRO native map (string keys)
+      val tdir = s"${wh.getAbsolutePath}/mp/props"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"maps must ride all three formats: $fmts")
+      // MOR delete keyed off a map access — every format decodes the
+      // map to evaluate the residual predicate
+      s.sql(s"DELETE FROM $cat.mp.props WHERE m['okey_mod'] < 10")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the map-predicate DELETE must land tombstones")
+      s.sql(s"""SELECT mk AS mkey, count(*) AS n_vals,
+               |  sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
+               |FROM (SELECT explode(m) AS (mk, v) FROM $cat.mp.props)
+               |GROUP BY mk ORDER BY mkey""".stripMargin)
+    })
+
+  def oracles: Map[String, String] = Map(
+
+    "q294_map_lake" ->
+      """WITH src AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |    o_orderkey % 100 AS okey_mod
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        |    AND o_orderkey % 100 >= 10),
+        |kv AS (
+        |  SELECT 'cents' AS mkey, cents AS v FROM src
+        |  UNION ALL SELECT 'mon', mon FROM src
+        |  UNION ALL SELECT 'okey_mod', okey_mod FROM src)
+        |SELECT mkey, CAST(count(*) AS BIGINT) AS n_vals,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(min(v) AS BIGINT) AS min_v,
+        |  CAST(max(v) AS BIGINT) AS max_v
+        |FROM kv GROUP BY mkey ORDER BY mkey""".stripMargin)
+}

@@ -60,10 +60,14 @@ object AvroDataRead {
         StructType(s.getFields.asScala.toSeq.map { f =>
           StructField(f.name, sparkType(f.schema()), nullable = true)
         })
+      case ARRAY if isKvMap(s) =>
+        val kv = s.getElementType.getFields
+        MapType(sparkType(kv.get(0).schema()), sparkType(kv.get(1).schema()))
       case ARRAY => ArrayType(sparkType(s.getElementType))
+      case MAP => MapType(StringType, sparkType(s.getValueType))
       case other => sys.error(
         s"AvroDataRead: unsupported avro type $other — data files in " +
-          "this layout carry scalar/record/array schemas")
+          "this layout carry scalar/record/array/map schemas")
     }
   }
 
@@ -72,6 +76,14 @@ object AvroDataRead {
     if (s.getType != Schema.Type.UNION) s
     else (0 until s.getTypes.size).map(s.getTypes.get)
       .filterNot(_.getType == Schema.Type.NULL).head
+
+  /** The Iceberg Avro appendix's non-string-key MAP encoding: an array
+    * of key/value records carrying `logicalType: map`. */
+  private def isKvMap(s: Schema): Boolean =
+    s.getType == Schema.Type.ARRAY &&
+      "map" == s.getObjectProp("logicalType") &&
+      s.getElementType.getType == Schema.Type.RECORD &&
+      s.getElementType.getFields.size == 2
 
   private def logical(s: Schema): String =
     Option(s.getLogicalType).map(_.getName).getOrElse("")
@@ -141,6 +153,24 @@ object AvroDataRead {
             while (c < kids.length) { vals(c) = kids(c)(rec.get(c)); c += 1 }
             new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
           }
+      case ARRAY if isKvMap(s) =>
+        // non-string-key map: key/value records into the external
+        // scala Map encoding
+        val kvFields = s.getElementType.getFields
+        val kConv = converterOf(kvFields.get(0).schema())
+        val vConv = converterOf(kvFields.get(1).schema())
+        v =>
+          if (v == null) null
+          else {
+            val coll = v.asInstanceOf[java.util.Collection[_]]
+            val b = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+            val it = coll.iterator()
+            while (it.hasNext) {
+              val rec = it.next().asInstanceOf[GenericRecord]
+              b.put(kConv(rec.get(0)), vConv(rec.get(1)))
+            }
+            b.toMap
+          }
       case ARRAY =>
         // array: elements into the external Seq encoding, recursive
         val elem = converterOf(s.getElementType)
@@ -153,6 +183,21 @@ object AvroDataRead {
             var c = 0
             while (it.hasNext) { vals(c) = elem(it.next()); c += 1 }
             vals.toSeq
+          }
+      case MAP =>
+        // string-key map: avro Utf8 keys into the external scala Map
+        val vConv = converterOf(s.getValueType)
+        v =>
+          if (v == null) null
+          else {
+            val m = v.asInstanceOf[java.util.Map[_, _]]
+            val b = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              b.put(e.getKey.toString, vConv(e.getValue))
+            }
+            b.toMap
           }
       case _ => identity
     }

@@ -114,9 +114,8 @@ object LayoutMaintenance {
     * rewrites (upsert/merge/COW/rewrite_data_files/rewrite_small_files)
     * emit the format the table declares instead of silently flipping an
     * ORC- or AVRO-default table to parquet on every compaction. DELETE
-    * files (position/equality tombstones) stay parquet — Iceberg keys
-    * those off `write.delete.format.default`, which this layout does
-    * not surface. */
+    * files (position/equality tombstones) are keyed off the separate
+    * `write.delete.format.default` knob — see [[tableDeleteFormat]]. */
   private def tableWriteFormat(spark: SparkSession,
       tableDir: String): String = {
     // the catalog descriptor is where SQL DDL lands table properties

@@ -63,9 +63,11 @@ object OrcPosRead {
             StructField(n, sparkType(t), nullable = true)
           })
       case LIST => ArrayType(sparkType(td.getChildren.get(0)))
+      case MAP => MapType(sparkType(td.getChildren.get(0)),
+        sparkType(td.getChildren.get(1)))
       case other => sys.error(
         s"OrcPosRead: unsupported ORC column category $other — " +
-          "this layout writes scalar/struct/list ORC schemas")
+          "this layout writes scalar/struct/list/map ORC schemas")
     }
   }
 
@@ -139,6 +141,22 @@ object OrcPosRead {
           var c = 0
           while (c < n) { vals(c) = elem(lv.child, off + c); c += 1 }
           vals.toSeq
+        }
+      case MAP =>
+        // map: entries into an external scala Map (the Row encoding of
+        // MapType), keys/values child vectors at (offset + k)
+        val kEx = extractorOf(td.getChildren.get(0))
+        val vEx = extractorOf(td.getChildren.get(1))
+        (v, i) => {
+          val mv = v.asInstanceOf[MapColumnVector]
+          val off = mv.offsets(i).toInt
+          val n = mv.lengths(i).toInt
+          val b = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+          var c = 0
+          while (c < n) {
+            b.put(kEx(mv.keys, off + c), vEx(mv.values, off + c)); c += 1
+          }
+          b.toMap
         }
       case cat => sys.error(s"OrcPosRead: unsupported category $cat")
     }

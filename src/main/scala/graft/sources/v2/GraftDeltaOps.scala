@@ -205,8 +205,8 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
     extends DeltaWriter[InternalRow] {
 
   // inserted rows honor write.format.default; the position-delete
-  // files stay parquet (the tombstone dialect is write.delete.format's
-  // concern, not the data format's)
+  // files honor write.delete.format.default (delFormat above) — the
+  // two knobs are independent per the Iceberg property set
   private val inserts = new GraftDataWriter(dir, schema,
     s"delta-$queryId", partitionId, taskId, stats, partCols, None, fieldIds,
     format)

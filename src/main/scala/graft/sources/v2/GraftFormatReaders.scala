@@ -30,8 +30,9 @@ private[v2] trait GraftNamedRows {
   def names: Seq[String]
   /** JVM-typed values per row (Long/Int/Double/Float/Boolean/String or
     * null; a STRUCT column yields an `Array[Any]` of its leaf values in
-    * file leaf order, an ARRAY column an `Array[Any]` of its elements —
-    * both recursively), index-aligned with [[names]]. */
+    * file leaf order, an ARRAY column an `Array[Any]` of its elements,
+    * a MAP column a two-element `Array[Any](keys, values)` of parallel
+    * `Array[Any]`s — all recursively), index-aligned with [[names]]. */
   def iterator: Iterator[Array[Any]]
   /** Recursive file-type descriptor per column — how the consuming
     * reader resolves TABLE leaves against this file's composite layout
@@ -50,6 +51,7 @@ private[v2] object GraftFormatReaders {
   final case class GStructNode(names: Seq[String], kids: Seq[GNode])
     extends GNode
   final case class GListNode(elem: GNode) extends GNode
+  final case class GMapNode(key: GNode, value: GNode) extends GNode
 
   def open(path: String, fileFormat: String): GraftNamedRows =
     fileFormat match {
@@ -58,6 +60,15 @@ private[v2] object GraftFormatReaders {
       case other => sys.error(
         s"graft-iceberg: no row reader for file_format $other at $path")
     }
+
+  /** Is this avro ARRAY the Iceberg Avro appendix's non-string-key MAP
+    * encoding — an array of key/value records carrying
+    * `logicalType: map`? */
+  private[v2] def isAvroKvMap(s: org.apache.avro.Schema): Boolean =
+    s.getType == org.apache.avro.Schema.Type.ARRAY &&
+      "map" == s.getObjectProp("logicalType") &&
+      s.getElementType.getType == org.apache.avro.Schema.Type.RECORD &&
+      s.getElementType.getFields.size == 2
 }
 
 private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
@@ -135,9 +146,28 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
           while (k < n) { vals(k) = elem(lv.child, off + k); k += 1 }
           vals
         }
+      case MAP =>
+        // map: parallel keys/values arrays off the shared offsets run —
+        // the neutral Array(keys, values) shape, recursively
+        val kEx = extractorOf(c.getChildren.get(0))
+        val vEx = extractorOf(c.getChildren.get(1))
+        (v, i) => {
+          val mv = v.asInstanceOf[MapColumnVector]
+          val off = mv.offsets(i).toInt
+          val n = mv.lengths(i).toInt
+          val ks = new Array[Any](n)
+          val vs = new Array[Any](n)
+          var k = 0
+          while (k < n) {
+            ks(k) = kEx(mv.keys, off + k)
+            vs(k) = vEx(mv.values, off + k)
+            k += 1
+          }
+          Array[Any](ks, vs)
+        }
       case cat => sys.error(
         s"graft-iceberg ORC read: unsupported category $cat — " +
-          "scalar/struct/list schemas only")
+          "scalar/struct/list/map schemas only")
     }
     (vec, row) => {
       val i = if (vec.isRepeating) 0 else row
@@ -154,6 +184,9 @@ private[v2] class OrcNamedRows(path: String) extends GraftNamedRows {
           c.getChildren.asScala.toSeq.map(nodeOf))
       case TypeDescription.Category.LIST =>
         GraftFormatReaders.GListNode(nodeOf(c.getChildren.get(0)))
+      case TypeDescription.Category.MAP =>
+        GraftFormatReaders.GMapNode(nodeOf(c.getChildren.get(0)),
+          nodeOf(c.getChildren.get(1)))
       case _ => GraftFormatReaders.GLeaf
     }
 
@@ -244,6 +277,27 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
             while (k < kids.length) { vals(k) = kids(k)(rec.get(k)); k += 1 }
             vals
           }
+      case ARRAY if GraftFormatReaders.isAvroKvMap(s) =>
+        // non-string-key map: logicalType-"map" array of key_value
+        // records — decode into the neutral Array(keys, values) shape
+        val kvFields = s.getElementType.getFields
+        val kConv = converterOf(kvFields.get(0).schema())
+        val vConv = converterOf(kvFields.get(1).schema())
+        v =>
+          if (v == null) null
+          else {
+            val coll = v.asInstanceOf[java.util.Collection[_]]
+            val ks = new Array[Any](coll.size)
+            val vs = new Array[Any](coll.size)
+            val it = coll.iterator()
+            var k = 0
+            while (it.hasNext) {
+              val rec = it.next().asInstanceOf[GenericRecord]
+              ks(k) = kConv(rec.get(0)); vs(k) = vConv(rec.get(1))
+              k += 1
+            }
+            Array[Any](ks, vs)
+          }
       case ARRAY =>
         // array: elements into an Array[Any], recursively
         val elem = converterOf(s.getElementType)
@@ -256,6 +310,25 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
             var k = 0
             while (it.hasNext) { vals(k) = elem(it.next()); k += 1 }
             vals
+          }
+      case MAP =>
+        // string-key map: avro's native map (Utf8 keys) into the
+        // neutral Array(keys, values) shape
+        val vConv = converterOf(s.getValueType)
+        v =>
+          if (v == null) null
+          else {
+            val m = v.asInstanceOf[java.util.Map[_, _]]
+            val ks = new Array[Any](m.size)
+            val vs = new Array[Any](m.size)
+            val it = m.entrySet().iterator()
+            var k = 0
+            while (it.hasNext) {
+              val e = it.next()
+              ks(k) = e.getKey.toString; vs(k) = vConv(e.getValue)
+              k += 1
+            }
+            Array[Any](ks, vs)
           }
       case _ => identity
     }
@@ -275,8 +348,15 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
         GraftFormatReaders.GStructNode(
           u.getFields.asScala.toSeq.map(_.name),
           u.getFields.asScala.toSeq.map(f => nodeOf(f.schema())))
+      case Schema.Type.ARRAY if GraftFormatReaders.isAvroKvMap(u) =>
+        val kv = u.getElementType.getFields
+        GraftFormatReaders.GMapNode(nodeOf(kv.get(0).schema()),
+          nodeOf(kv.get(1).schema()))
       case Schema.Type.ARRAY =>
         GraftFormatReaders.GListNode(nodeOf(u.getElementType))
+      case Schema.Type.MAP =>
+        GraftFormatReaders.GMapNode(GraftFormatReaders.GLeaf,
+          nodeOf(u.getValueType))
       case _ => GraftFormatReaders.GLeaf
     }
   }
@@ -435,6 +515,30 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
             out(k) = if (vals(k) == null) null else ec(vals(k)); k += 1
           }
           new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        }
+      case mt: MapType =>
+        val mn = node match {
+          case m: GMapNode => m
+          case other => sys.error(s"graft-iceberg: table column ${f.name} " +
+            s"is a map but the file holds $other")
+        }
+        val kc = convOf(StructField("key", mt.keyType), mn.key)
+        val vc = convOf(StructField("value", mt.valueType), mn.value)
+        v => {
+          val pair = v.asInstanceOf[Array[Any]]
+          val ks = pair(0).asInstanceOf[Array[Any]]
+          val vs = pair(1).asInstanceOf[Array[Any]]
+          val ko = new Array[Any](ks.length)
+          val vo = new Array[Any](vs.length)
+          var k = 0
+          while (k < ks.length) {
+            ko(k) = kc(ks(k)) // map keys are never null
+            vo(k) = if (vs(k) == null) null else vc(vs(k))
+            k += 1
+          }
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(ko),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(vo))
         }
       case LongType => {
         case x: Long => x

@@ -19,10 +19,12 @@ import org.apache.spark.sql.types._
   * Iceberg's own knob — so a pure-SQL user can accrete ORC/AVRO tables
   * the engine's readers (q227/q259/q260 paths) already understand.
   *
-  * Dialect bounds: all three formats carry scalars plus structs and
-  * arrays composed to ANY depth (round 13 — ORC lists/structs, avro
-  * arrays/records, parquet groups/3-level LISTs, all recursive). MAP
-  * columns refuse loudly at writer construction, never mid-file.
+  * Dialect bounds: all three formats carry scalars plus structs,
+  * arrays, and maps composed to ANY depth (round 13 — ORC
+  * lists/structs, avro arrays/records, parquet groups/3-level LISTs;
+  * round 14 — parquet MAP key_value groups, ORC MapColumnVector, avro
+  * map-of-V for string keys / logicalType-"map" array-of-record for
+  * non-string keys, per Iceberg's Avro appendix).
   */
 private[v2] trait GraftPhysicalWriter {
   def write(record: InternalRow): Unit
@@ -98,17 +100,17 @@ private[graft] object GraftFormatWriters {
     case _ => new ParquetTaskWriter(file, schema, fieldIds)
   }
 
-  /** ORC/AVRO dialect bound: scalars, structs, and arrays compose to
-    * any depth; MAP columns refuse at writer construction, never
-    * mid-file. */
+  /** Dialect bound: scalars, structs, arrays, and maps compose to any
+    * depth in all three formats — nothing left to refuse; kept as the
+    * single place a future unsupported composite would refuse at
+    * writer construction, never mid-file. */
   private[v2] def requireWritable(schema: StructType, format: String): Unit = {
     def walk(path: String, dt: DataType): Unit = dt match {
       case st: StructType =>
         st.fields.foreach(nf => walk(s"$path.${nf.name}", nf.dataType))
       case at: ArrayType => walk(s"$path.element", at.elementType)
-      case _: MapType => sys.error(
-        s"graft-iceberg: MAP column $path cannot be written as $format " +
-          "— map lake columns are not supported")
+      case mt: MapType =>
+        walk(s"$path.key", mt.keyType); walk(s"$path.value", mt.valueType)
       case _ => ()
     }
     schema.fields.foreach(f => walk(f.name, f.dataType))
@@ -161,9 +163,27 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
       }
       id.fold(pb)(pb.id).named(name)
     }
+    // the same type rebuilt REQUIRED — map KEYS are required per the
+    // parquet MAP spec (a key_value entry always carries its key)
+    def requiredOf(t: org.apache.parquet.schema.Type)
+        : org.apache.parquet.schema.Type =
+      if (t.isPrimitive) {
+        val p = t.asPrimitiveType()
+        val b = Types.required(p.getPrimitiveTypeName)
+        if (p.getTypeLength > 0) b.length(p.getTypeLength)
+        Option(p.getLogicalTypeAnnotation).foreach(b.as)
+        b.named(p.getName)
+      } else {
+        val g = t.asGroupType()
+        val b = Types.requiredGroup()
+        Option(g.getLogicalTypeAnnotation).foreach(b.as)
+        g.getFields.forEach(f => b.addField(f))
+        b.named(g.getName)
+      }
     // recursive: a struct of ANYTHING becomes an optional parquet group
     // (leaf ids ride dotted keys — renamed leaves then resolve by id),
-    // an array of ANYTHING the spec's standard 3-level LIST. The
+    // an array of ANYTHING the spec's standard 3-level LIST, a map of
+    // ANYTHING the spec's MAP-annotated repeated key_value group. The
     // column's stable field id (descriptor `column-ids`) is embedded so
     // a post-RENAME reader resolves by ID no matter the write-time name.
     def typeOf(dt: DataType, name: String, path: String,
@@ -177,6 +197,15 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         val lb = Types.optionalList()
           .element(typeOf(at.elementType, "element", s"$path.element", None))
         id.fold(lb)(lb.id).named(name)
+      case mt: org.apache.spark.sql.types.MapType =>
+        val kv = Types.repeatedGroup()
+          .addField(requiredOf(
+            typeOf(mt.keyType, "key", s"$path.key", None)))
+          .addField(typeOf(mt.valueType, "value", s"$path.value", None))
+          .named("key_value")
+        val mb = Types.optionalGroup()
+          .as(LogicalTypeAnnotation.mapType()).addField(kv)
+        id.fold(mb)(mb.id).named(name)
       case dt => primOf(dt, name, id)
     }
     val b = Types.buildMessage()
@@ -240,6 +269,20 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         if (!arr.isNullAt(k)) addValue(eg, "element", at.elementType, arr, k)
         k += 1
       }
+    case mt: org.apache.spark.sql.types.MapType =>
+      // MAP-annotated group: one repeated key_value entry per pair —
+      // keys are never null (Spark MapData invariant), a null value is
+      // an entry with the optional value field unset
+      val map = src.getMap(i)
+      val keys = map.keyArray(); val vals = map.valueArray()
+      val mg = g.addGroup(name)
+      var k = 0
+      while (k < map.numElements()) {
+        val eg = mg.addGroup("key_value")
+        addValue(eg, "key", mt.keyType, keys, k)
+        if (!vals.isNullAt(k)) addValue(eg, "value", mt.valueType, vals, k)
+        k += 1
+      }
     case other => sys.error(s"graft-iceberg write: unsupported type $other")
   }
 
@@ -294,6 +337,8 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
       st.fields.foreach(nf => n.addField(nf.name, tdOf(nf.dataType)))
       n
     case at: ArrayType => TypeDescription.createList(tdOf(at.elementType))
+    case mt: MapType =>
+      TypeDescription.createMap(tdOf(mt.keyType), tdOf(mt.valueType))
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
@@ -388,6 +433,30 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
         k += 1
       }
       approxBytes += 8
+    case mt: MapType =>
+      // MapColumnVector: paired keys/values child vectors sharing one
+      // offsets/lengths run, list-shaped — keys never null, null
+      // values flag the values child
+      val mv = vec.asInstanceOf[MapColumnVector]
+      val map = row.getMap(i)
+      val keys = map.keyArray(); val vals = map.valueArray()
+      val n = map.numElements()
+      val base = mv.childCount
+      mv.offsets(r) = base.toLong
+      mv.lengths(r) = n.toLong
+      mv.childCount = base + n
+      mv.keys.ensureSize(mv.childCount, true)
+      mv.values.ensureSize(mv.childCount, true)
+      var k = 0
+      while (k < n) {
+        setScalar(mv.keys, base + k, mt.keyType, keys, k)
+        if (vals.isNullAt(k)) {
+          mv.values.noNulls = false
+          mv.values.isNull(base + k) = true
+        } else setScalar(mv.values, base + k, mt.valueType, vals, k)
+        k += 1
+      }
+      approxBytes += 8
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
@@ -477,6 +546,28 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
         ASchema.createArray(ASchema.createUnion(
           ASchema.create(ASchema.Type.NULL),
           prim(at.elementType, s"$path.element")))
+      // maps, the Iceberg Avro appendix's two encodings: string keys =
+      // native avro map of nullable V; non-string keys = array of
+      // required-key key_value records with the array carrying
+      // `logicalType: map` (avro maps admit only string keys)
+      case mt: MapType if mt.keyType == StringType =>
+        ASchema.createMap(ASchema.createUnion(
+          ASchema.create(ASchema.Type.NULL),
+          prim(mt.valueType, s"$path.value")))
+      case mt: MapType =>
+        val keyField = new ASchema.Field("key",
+          prim(mt.keyType, s"$path.key"), null,
+          null.asInstanceOf[Object])
+        val valField = new ASchema.Field("value",
+          ASchema.createUnion(ASchema.create(ASchema.Type.NULL),
+            prim(mt.valueType, s"$path.value")),
+          null, ASchema.Field.NULL_DEFAULT_VALUE)
+        val kv = ASchema.createRecord(s"${path.replace('.', '_')}_kv",
+          null, "graft.data", false,
+          java.util.Arrays.asList(keyField, valField))
+        val arr = ASchema.createArray(kv)
+        arr.addProp("logicalType", "map")
+        arr
       case other =>
         sys.error(s"graft-iceberg write: unsupported AVRO type $other")
     }
@@ -557,6 +648,40 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       while (k < n) {
         out.add(if (arr.isNullAt(k)) null
           else box(at.elementType, elemSch, arr, k))
+        k += 1
+      }
+      out
+    case mt: MapType if sch.getType == ASchema.Type.MAP =>
+      // string-key fast path: the native avro map
+      val map = row.getMap(i)
+      val keys = map.keyArray(); val vals = map.valueArray()
+      val valSch = nonNull(sch.getValueType)
+      val n = map.numElements()
+      val out = new java.util.HashMap[String, AnyRef](n * 2)
+      var k = 0
+      while (k < n) {
+        out.put(keys.getUTF8String(k).toString,
+          if (vals.isNullAt(k)) null else box(mt.valueType, valSch, vals, k))
+        k += 1
+      }
+      out
+    case mt: MapType =>
+      // non-string keys: the logicalType-"map" array of key_value
+      // records (key required, value nullable)
+      val map = row.getMap(i)
+      val keys = map.keyArray(); val vals = map.valueArray()
+      val kvSch = sch.getElementType
+      val keySch = nonNull(kvSch.getFields.get(0).schema())
+      val valSch = branchOf(kvSch.getFields.get(1))
+      val n = map.numElements()
+      val out = new GenericData.Array[AnyRef](n, sch)
+      var k = 0
+      while (k < n) {
+        val rec = new GenericData.Record(kvSch)
+        rec.put(0, box(mt.keyType, keySch, keys, k))
+        if (!vals.isNullAt(k))
+          rec.put(1, box(mt.valueType, valSch, vals, k))
+        out.add(rec)
         k += 1
       }
       out

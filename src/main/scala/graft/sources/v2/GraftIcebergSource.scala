@@ -256,15 +256,21 @@ object GraftIcebergSource {
         case other => sys.error(s"graft-iceberg: unsupported parquet type $other")
       }
     }
-    // recursive: 3-level LIST groups -> ArrayType, plain groups ->
-    // StructType, to any depth
+    // recursive: 3-level LIST groups -> ArrayType, MAP-annotated
+    // key_value groups -> MapType, plain groups -> StructType, any depth
     def dtOf(t: org.apache.parquet.schema.Type): DataType =
       if (t.isPrimitive) primDt(t.asPrimitiveType())
       else {
         val g = t.asGroupType()
         val isList = Option(g.getLogicalTypeAnnotation).exists(
           _ == org.apache.parquet.schema.LogicalTypeAnnotation.listType())
+        val isMap = Option(g.getLogicalTypeAnnotation).exists(
+          _ == org.apache.parquet.schema.LogicalTypeAnnotation.mapType())
         if (isList) ArrayType(dtOf(g.getType(0).asGroupType().getType(0)))
+        else if (isMap) {
+          val kv = g.getType(0).asGroupType()
+          MapType(dtOf(kv.getType(0)), dtOf(kv.getType(1)))
+        }
         else StructType(g.getFields.asScala.toSeq.map(nf =>
           StructField(nf.getName, dtOf(nf), nullable = true)))
       }
@@ -2154,6 +2160,7 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         }
         out
       case at: ArrayType => listValue(at, g.getGroup(pn, 0))
+      case mt: MapType => mapValue(mt, g.getGroup(pn, 0))
       case LongType =>
         if (phys == INT32) g.getInteger(pn, 0).toLong else g.getLong(pn, 0)
       case IntegerType => g.getInteger(pn, 0)
@@ -2198,6 +2205,27 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       k += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** A MAP-annotated group (repeated key_value entries, required key,
+    * optional value) as ArrayBasedMapData, key/value recursive. */
+  private def mapValue(mt: MapType,
+      mg: Group): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val n = mg.getFieldRepetitionCount("key_value")
+    val ks = new Array[Any](n)
+    val vs = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val eg = mg.getGroup("key_value", k)
+      ks(k) = nestedValue(mt.keyType, eg, "key")
+      vs(k) =
+        if (eg.getFieldRepetitionCount("value") == 0) null
+        else nestedValue(mt.valueType, eg, "value")
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
   }
 
   override def get(): InternalRow = {
@@ -2295,6 +2323,8 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
           row.update(i, out)
         case at: ArrayType =>
           row.update(i, listValue(at, current.getGroup(pi, 0)))
+        case mt: MapType =>
+          row.update(i, mapValue(mt, current.getGroup(pi, 0)))
         case other => sys.error(s"graft-iceberg: unsupported type $other")
       }
       i += 1

@@ -180,19 +180,78 @@ class VectorTableSpec extends AnyFunSuite {
     assert(s == 6.0, s.toString)
   }
 
-  test("MAP columns are refused loudly in every format") {
-    for (fmt <- Seq("orc", "avro")) {
-      spark.sql(s"DROP TABLE IF EXISTS vec.db.badmap_$fmt")
-      spark.sql(s"CREATE TABLE vec.db.badmap_$fmt " +
-        "(k BIGINT, m MAP<STRING, BIGINT>) USING `graft-iceberg` " +
-        s"TBLPROPERTIES ('write.format.default' = '$fmt')")
-      val ex = intercept[Exception] {
-        spark.sql(s"INSERT INTO vec.db.badmap_$fmt " +
-          "VALUES (1, map('a', 1L))")
-      }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(ex).exists(_.contains("MAP")), msgs(ex).toString)
+  // MAP lake columns (round 14 — the last composite type): string-key
+  // maps ride parquet MAP key_value groups / ORC MapColumnVector / the
+  // native avro map; null values and null maps survive; MOR DELETE by
+  // a map-key predicate tombstones without touching data bytes.
+  for (fmt <- Seq("parquet", "orc", "avro")) {
+    test(s"MAP<STRING,BIGINT> round-trips + MOR delete in $fmt") {
+      val tbl = s"vec.db.map_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, m MAP<STRING, BIGINT>) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt', " +
+        "'write.delete.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, map('a', 1L, 'b', 2L)), " +
+        "(2L, map('a', 10L, 'c', CAST(NULL AS BIGINT))), " +
+        "(3L, map()), " +
+        "(4L, CAST(NULL AS MAP<STRING, BIGINT>)) AS t(k, m)")
+      val rows = spark.sql(s"SELECT k, m FROM $tbl ORDER BY k").collect()
+      assert(rows.length == 4)
+      assert(rows(0).getMap[String, Any](1) == Map("a" -> 1L, "b" -> 2L))
+      assert(rows(1).getMap[String, Any](1) == Map("a" -> 10L, "c" -> null))
+      assert(rows(2).getMap[String, Any](1).isEmpty)
+      assert(rows(3).isNullAt(1))
+      // MOR delete keyed off a map access — the scan must decode the
+      // map to evaluate the residual predicate
+      spark.sql(s"DELETE FROM $tbl WHERE m['a'] = 1")
+      val kept = spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq
+      assert(kept == Seq(2L, 3L, 4L), kept.toString)
+      // map functions evaluate through the scan
+      val s2 = spark.sql(s"SELECT sum(coalesce(m['a'], 0L)) FROM $tbl")
+        .head.getLong(0)
+      assert(s2 == 10L, s2.toString)
+    }
+
+    test(s"MAP<BIGINT,STRING> (non-string keys) round-trips in $fmt") {
+      val tbl = s"vec.db.mapk_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, m MAP<BIGINT, STRING>) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, map(7L, 'x', 8L, 'y')), " +
+        "(2L, map(9L, CAST(NULL AS STRING))) AS t(k, m)")
+      val rows = spark.sql(s"SELECT k, m FROM $tbl ORDER BY k").collect()
+      assert(rows(0).getMap[Long, Any](1) == Map(7L -> "x", 8L -> "y"))
+      assert(rows(1).getMap[Long, Any](1) == Map(9L -> null))
+    }
+
+    test(s"composite maps (map-of-array, struct-with-map) in $fmt") {
+      val tbl = s"vec.db.mapc_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, " +
+        "m MAP<STRING, ARRAY<BIGINT>>, " +
+        "s STRUCT<tag: STRING, props: MAP<STRING, BIGINT>>) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, map('p', array(1L, 2L), 'q', array(3L)), " +
+        "  named_struct('tag', 't1', 'props', map('n', 5L))), " +
+        "(2L, map('r', CAST(NULL AS ARRAY<BIGINT>)), " +
+        "  named_struct('tag', CAST(NULL AS STRING), " +
+        "    'props', CAST(NULL AS MAP<STRING, BIGINT>))) AS t(k, m, s)")
+      val rows = spark.sql(s"SELECT k, m, s FROM $tbl ORDER BY k").collect()
+      val m1 = rows(0).getMap[String, Any](1)
+      assert(m1("p") == Seq(1L, 2L) && m1("q") == Seq(3L))
+      assert(rows(0).getStruct(2).getString(0) == "t1")
+      assert(rows(0).getStruct(2).getMap[String, Long](1) == Map("n" -> 5L))
+      assert(rows(1).getMap[String, Any](1) == Map("r" -> null))
+      assert(rows(1).getStruct(2).isNullAt(0) &&
+        rows(1).getStruct(2).isNullAt(1))
+      // exploded rollup through the scan
+      val sum = spark.sql(s"SELECT sum(v) FROM (SELECT explode(m) AS (mk, a) " +
+        s"FROM $tbl) LATERAL VIEW explode(a) AS v").head.getLong(0)
+      assert(sum == 6L, sum.toString)
     }
   }
 }
