@@ -78,6 +78,71 @@ object Queries18 {
                |  sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
                |FROM (SELECT explode(m) AS (mk, v) FROM $cat.mp.props)
                |GROUP BY mk ORDER BY mkey""".stripMargin)
+    },
+
+    // ---- EQUALITY-DELETE FILE FORMATS (q292's shape for the OTHER
+    // tombstone kind): Iceberg keys ALL delete files off
+    // `write.delete.format.default`; three eq-granularity DELETEs land
+    // one equality-tombstone file per dialect (ORC, AVRO, parquet),
+    // every arm of the MOR read applies them, and
+    // `convert_equality_deletes` folds the mixed dialects into ONE
+    // position-delete file with the visible row set bit-identical —
+    // the rollup runs post-conversion so the hash gates both the
+    // mixed-dialect read AND the fold.
+    "q295_eq_delete_formats" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q295wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ef")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ef.ord")
+      t(dir, "orders").createOrReplaceTempView("q295_src")
+      s.sql(s"""CREATE TABLE $cat.ef.ord (
+               |  okey BIGINT NOT NULL, mon BIGINT, price BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.delete.mode' = 'merge-on-read',
+               |  'write.delete.granularity' = 'equality',
+               |  'identifier.columns' = 'okey',
+               |  'write.delete.format.default' = 'orc')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.ef.ord
+               |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+               |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+               |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+               |FROM q295_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      // one eq-tombstone file per dialect (non-pushable predicates
+      // route through the eq-granularity delta path)
+      s.sql(s"DELETE FROM $cat.ef.ord WHERE okey % 10 = 1") // ORC
+      s.sql(s"ALTER TABLE $cat.ef.ord SET TBLPROPERTIES (" +
+        "'write.delete.format.default' = 'avro')")
+      s.sql(s"DELETE FROM $cat.ef.ord WHERE okey % 10 = 2") // AVRO
+      s.sql(s"ALTER TABLE $cat.ef.ord SET TBLPROPERTIES (" +
+        "'write.delete.format.default' = 'parquet')")
+      s.sql(s"DELETE FROM $cat.ef.ord WHERE okey % 10 = 3") // PARQUET
+      val tdir = s"${wh.getAbsolutePath}/ef/ord"
+      val eqFmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 2)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(eqFmts == Set("ORC", "AVRO", "PARQUET"),
+        s"eq tombstones must ride all three formats: $eqFmts")
+      // mixed-dialect fold: eq entries gone, ONE pos file, rows intact
+      val (_, nEq, nPairs) = graft.sources.LayoutMaintenance
+        .convertEqualityDeletes(s, tdir)
+      require(nEq == 3 && nPairs > 0,
+        s"conversion must fold 3 eq files: $nEq, $nPairs pairs")
+      val after = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .select("content").collect().map(_.getInt(0))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      require(after.getOrElse(2, 0) == 0 && after.getOrElse(1, 0) == 1,
+        s"post-conversion layout must be pos-only: $after")
+      s.sql(s"""SELECT mon, count(*) AS n_orders, sum(price) AS sum_price,
+               |  min(okey) AS min_okey, max(okey) AS max_okey
+               |FROM $cat.ef.ord
+               |GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -98,5 +163,16 @@ object Queries18 {
         |  CAST(sum(v) AS BIGINT) AS sum_v,
         |  CAST(min(v) AS BIGINT) AS min_v,
         |  CAST(max(v) AS BIGINT) AS max_v
-        |FROM kv GROUP BY mkey ORDER BY mkey""".stripMargin)
+        |FROM kv GROUP BY mkey ORDER BY mkey""".stripMargin,
+
+    "q295_eq_delete_formats" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS sum_price,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_okey
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  AND o_orderkey % 10 NOT IN (1, 2, 3)
+        |GROUP BY 1 ORDER BY mon""".stripMargin)
 }

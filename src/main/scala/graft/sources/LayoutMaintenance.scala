@@ -1188,17 +1188,19 @@ object LayoutMaintenance {
     }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     // data lands in the table's declared write.format.default; the
-    // eq-tombstone file stays parquet (delete-file format, see
-    // tableWriteFormat's note)
+    // eq-tombstone file honors write.delete.format.default (Iceberg
+    // keys ALL delete-file formats off that property)
     val fmt = tableWriteFormat(spark, tableDir)
+    val delFmt = tableDeleteFormat(spark, tableDir)
     val up = freshFile(dataDir,
       s"upsert-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(fmt)}")
-    val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
+    val ed = freshFile(dataDir,
+      s"eqdel-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(delFmt)}")
     val n = IcebergLayoutWriter.writeSingleData(
       updates.sort(keyCols.map(col): _*), up, fmt)
-    val nk = IcebergLayoutWriter.writeSingleParquet(
+    val nk = IcebergLayoutWriter.writeSingleData(
       updates.select(keyCols.map(col): _*).distinct()
-        .sort(keyCols.map(col): _*), ed)
+        .sort(keyCols.map(col): _*), ed, delFmt)
     val added = Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = up.getAbsolutePath, recordCount = n,
@@ -1207,6 +1209,7 @@ object LayoutMaintenance {
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
+        fileFormat = delFmt.toUpperCase,
         equalityIds =
           keyFieldIds(carriedOpt.getOrElse(Nil), Some(up), keyCols)))
     carriedOpt match {
@@ -1591,17 +1594,20 @@ object LayoutMaintenance {
       case None => reuseNewId(spark, tableDir, all, curId)
     }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    // data honors write.format.default; tombstones stay parquet
+    // data honors write.format.default; tombstones honor
+    // write.delete.format.default
     val fmt = tableWriteFormat(spark, tableDir)
+    val delFmt = tableDeleteFormat(spark, tableDir)
     val up = freshFile(dataDir,
       s"merge-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(fmt)}")
-    val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
+    val ed = freshFile(dataDir,
+      s"eqdel-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(delFmt)}")
     val n = IcebergLayoutWriter.writeSingleData(
       changes.filter(col(opCol) =!= "D").drop(opCol)
         .sort(keyCols.map(col): _*), up, fmt)
-    val nk = IcebergLayoutWriter.writeSingleParquet(
+    val nk = IcebergLayoutWriter.writeSingleData(
       changes.select(keyCols.map(col): _*).distinct()
-        .sort(keyCols.map(col): _*), ed)
+        .sort(keyCols.map(col): _*), ed, delFmt)
     val added = Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = up.getAbsolutePath, recordCount = n,
@@ -1610,6 +1616,7 @@ object LayoutMaintenance {
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
+        fileFormat = delFmt.toUpperCase,
         equalityIds =
           keyFieldIds(carriedOpt.getOrElse(Nil), Some(up), keyCols)))
     carriedOpt match {
@@ -1650,10 +1657,12 @@ object LayoutMaintenance {
       case None => reuseNewId(spark, tableDir, all, curId)
     }
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val ed = freshFile(dataDir, s"eqdel-$newId.parquet")
-    val nk = IcebergLayoutWriter.writeSingleParquet(
+    val delFmt = tableDeleteFormat(spark, tableDir)
+    val ed = freshFile(dataDir,
+      s"eqdel-$newId.${graft.sources.v2.GraftFormatWriters.extensionOf(delFmt)}")
+    val nk = IcebergLayoutWriter.writeSingleData(
       deleteKeys.select(keyCols.map(col): _*).distinct()
-        .sort(keyCols.map(col): _*), ed)
+        .sort(keyCols.map(col): _*), ed, delFmt)
     // equality-id resolution needs ONE live data file; past the ceiling
     // that's a head-of-first-manifest stream, never an entry walk
     val idProbe = carriedOpt.getOrElse(
@@ -1663,6 +1672,7 @@ object LayoutMaintenance {
     val added = Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
       content = 2, filePath = ed.getAbsolutePath, recordCount = nk,
       sizeBytes = ed.length(), sequenceNumber = newId,
+      fileFormat = delFmt.toUpperCase,
       equalityIds = keyFieldIds(idProbe, None, keyCols)))
     carriedOpt match {
       case Some(carried) =>
@@ -2949,9 +2959,6 @@ object LayoutMaintenance {
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
     val eqFiles = delSide.filter(_.content == 2)
     if (eqFiles.isEmpty) return (curId, 0, 0L)
-    require(eqFiles.forall(_.fileFormat == "PARQUET"),
-      s"convertEqualityDeletes($tableDir): non-parquet equality-delete " +
-        s"files: ${eqFiles.filterNot(_.fileFormat == "PARQUET").map(_.filePath)}")
     val eqKeys = MorRead.metadataEqKeys(spark, tableDir)
     require(eqKeys.nonEmpty,
       s"convertEqualityDeletes($tableDir): live equality-delete files " +
@@ -2986,15 +2993,36 @@ object LayoutMaintenance {
     val n = if (!hasData) 0L else {
       val lineage = MorRead.readTableLineage(spark, tableDir, Nil, renames,
         dataSchema, orcPosPaths = orcPaths, applyEq = false)
-      // eq tombstone rows with their owning file's sequence attached
+      // eq tombstone rows with their owning file's sequence attached —
+      // eq files may be any spec format (write.delete.format.default),
+      // so each dialect reads through its own scan and the arms union
       val eqSeqDf = eqFiles.map(e => (norm(e.filePath),
         e.sequenceNumber.longValue)).toDF("__fp", "ed_seq")
-      val eqRows = spark.read
-        .parquet(eqFiles.map(_.filePath).toIndexedSeq: _*)
-        .withColumn("__own", regexp_replace(
-          col("_metadata.file_path"), "^file:/+", "/"))
-        .join(broadcast(eqSeqDf), col("__own") === col("__fp"))
-        .select(eqKeys.map(k => col(k).as(s"ed_$k")) :+ col("ed_seq"): _*)
+      def seqJoin(df: org.apache.spark.sql.DataFrame,
+          pathCol: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.DataFrame =
+        df.withColumn("__own", regexp_replace(pathCol, "^file:/+", "/"))
+          .join(broadcast(eqSeqDf), col("__own") === col("__fp"))
+          .select(
+            eqKeys.map(k => col(k).as(s"ed_$k")) :+ col("ed_seq"): _*)
+      val parqEq = eqFiles.filter(_.fileFormat == "PARQUET")
+      val orcEq = eqFiles.filter(_.fileFormat == "ORC")
+      val avroEq = eqFiles.filterNot(e =>
+        e.fileFormat == "PARQUET" || e.fileFormat == "ORC")
+      val eqRows = Seq(
+        if (parqEq.isEmpty) None
+        else Some(seqJoin(
+          spark.read.parquet(parqEq.map(_.filePath).toIndexedSeq: _*),
+          col("_metadata.file_path"))),
+        if (orcEq.isEmpty) None
+        else Some(seqJoin(
+          spark.read.orc(orcEq.map(_.filePath).toIndexedSeq: _*),
+          col("_metadata.file_path"))),
+        if (avroEq.isEmpty) None
+        else Some(seqJoin(
+          AvroDataRead.readWithPos(spark,
+            avroEq.map(e => norm(e.filePath)).toIndexedSeq).drop("pos"),
+          col("file_path")))).flatten.reduce(_ unionByName _)
       // the EXACT suppression predicate the reader applies: null-safe
       // key equality + strict data_seq < ed_seq; the join is data⋈keys
       // with no forced broadcast — the eq side's size is known to the

@@ -435,7 +435,26 @@ object MorRead {
       case Some(t) => applyPosDeletes(data, t)
     }
     if (!applyEq || eqFiles.isEmpty || resolvedEqKeys.isEmpty) afterPos
-    else applyEqDeletes(afterPos, withSeq(eqFiles, "seq"), resolvedEqKeys)
+    else {
+      // equality-delete FILES may be any of the three spec formats
+      // (write.delete.format.default covers ALL delete files): parquet
+      // and ORC ride the native scans, AVRO the container reader
+      val parqEq = eqFiles.filter(_._4 == "PARQUET")
+      val orcEq = eqFiles.filter(_._4 == "ORC")
+      val avroEq = eqFiles.filterNot(e =>
+        e._4 == "PARQUET" || e._4 == "ORC")
+      val eqRows = Seq(
+        if (parqEq.isEmpty) None else Some(withSeq(parqEq, "seq")),
+        if (orcEq.isEmpty) None
+        else Some(withSeq(orcEq, "seq", orc = true)),
+        if (avroEq.isEmpty) None
+        else Some(attachSeq(
+          lineageCols(foldAliases(AvroDataRead.readWithPos(spark,
+            avroEq.map(_._1).toIndexedSeq).drop("pos"))),
+          avroEq, "seq", col("file_path")).drop("file_path")))
+        .flatten.reduce(_ unionByName _)
+      applyEqDeletes(afterPos, eqRows, resolvedEqKeys)
+    }
   }
 
   /** ORC data files in the current snapshot whose rows MATCH

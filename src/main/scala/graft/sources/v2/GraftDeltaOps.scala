@@ -280,14 +280,15 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
       case other => sys.error(s"unexpected update commit message $other")
     })
     if (eqFields.nonEmpty) {
-      // EQUALITY tombstones: one parquet of distinct key tuples per
-      // task (sorted — determinism, not a spec requirement for eq
-      // files), equality_ids = the keys' positional field ids
+      // EQUALITY tombstones: one file of distinct key tuples per task
+      // in the table's write.delete.format.default (sorted —
+      // determinism, not a spec requirement for eq files),
+      // equality_ids = the keys' positional field ids
       val delFiles =
         if (eqDels.isEmpty) Nil
         else {
           val w = new GraftDataWriter(dir, StructType(eqFields),
-            s"deltaeq-$queryId", partitionId, taskId)
+            s"deltaeq-$queryId", partitionId, taskId, format = delFormat)
           eqDels.toSeq.sortBy(_.mkString("\u0000")).foreach { tuple =>
             val r = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(tuple.length)

@@ -1826,12 +1826,32 @@ private[v2] object GraftPartitionReader {
   }
 
   /** Each equality-delete file's key tuples, paired with its key
-    * column names — decoded once per executor. */
+    * column names — decoded once per executor. Eq-delete FILES may be
+    * any of the three spec formats (write.delete.format.default):
+    * parquet through the projected Group read, ORC/AVRO through the
+    * connector's row readers; decimals reduce to the scale-free
+    * comparable either way. */
   def eqTuplesFor(eqDeletes: Seq[(String, Seq[String])])
       : Seq[(Seq[String], Set[Seq[Any]])] =
     eqDeletes.map { case (p, keys) =>
       (keys, cached(p, "eq:" + keys.mkString(",")) {
-        readRows(p, keys).map(g => keys.map(k => prim(g, k))).toSet
+        if (p.endsWith(".orc") || p.endsWith(".avro")) {
+          val rows = GraftFormatReaders.open(norm(p),
+            if (p.endsWith(".orc")) "ORC" else "AVRO")
+          try {
+            val idx = keys.map { k =>
+              val i = rows.names.indexOf(k)
+              require(i >= 0,
+                s"graft-iceberg: eq-delete file $p lacks key column $k")
+              i
+            }
+            rows.iterator.map(a => idx.map(a(_) match {
+              case d: java.math.BigDecimal => normDecimal(d)
+              case v => v
+            })).toSet
+          } finally rows.close()
+        }
+        else readRows(p, keys).map(g => keys.map(k => prim(g, k))).toSet
       })
     }
 

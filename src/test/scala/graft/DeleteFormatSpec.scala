@@ -55,6 +55,104 @@ class DeleteFormatSpec extends AnyFunSuite {
     }
   }
 
+  // EQUALITY deletes honor the same knob (Iceberg keys ALL delete
+  // files off write.delete.format.default): the eq-granularity delta
+  // path and the fixture-layer commitDelete/commitUpsert/commitMerge
+  // all write the declared dialect, every eq reader (connector scan,
+  // MorRead, convert_equality_deletes) dispatches off the manifest
+  // entry's file_format.
+  for (fmt <- Seq("orc", "avro")) {
+    test(s"equality deletes land as $fmt; scan + MorRead + convert apply them") {
+      val tbl = s"dfmt.db.eq_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT NOT NULL, v BIGINT) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        "'write.delete.mode' = 'merge-on-read', " +
+        "'write.merge.mode' = 'merge-on-read', " +
+        "'write.delete.granularity' = 'equality', " +
+        "'identifier.columns' = 'k', " +
+        s"'write.delete.format.default' = '$fmt')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L) AS t(k, v)")
+      // non-pushable predicate -> the eq-granularity delta path
+      spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+      val tdir = s"target/tmp-delfmt-wh/db/eq_$fmt"
+      val eqEntries = graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, tdir, "t", Nil)
+        .filter(col("content") === 2)
+        .select("file_format").collect().map(_.getString(0)).toSet
+      assert(eqEntries == Set(fmt.toUpperCase), eqEntries.toString)
+      // the connector scan applies the non-parquet eq tombstones
+      assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      // the fixture-layer MOR read does too (metadata-resolved keys)
+      val viaMor = graft.sources.MorRead.readTable(spark, tdir)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaMor == Seq(1L, 3L), viaMor.toString)
+      // eq->pos conversion reads the dialect and folds it
+      val (_, nEq, nPairs) = graft.sources.LayoutMaintenance
+        .convertEqualityDeletes(spark, tdir)
+      assert(nEq == 1 && nPairs == 2L, s"convert: $nEq files, $nPairs pairs")
+      assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    }
+  }
+
+  test("mixed-dialect equality tombstones fold in one conversion") {
+    val tbl = "dfmt.db.eqmix"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT NOT NULL, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.delete.mode' = 'merge-on-read', " +
+      "'write.delete.granularity' = 'equality', " +
+      "'identifier.columns' = 'k', " +
+      "'write.delete.format.default' = 'orc')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), " +
+      "(6L, 60L) AS t(k, v)")
+    spark.sql(s"DELETE FROM $tbl WHERE k % 6 = 2") // ORC eq tombstone
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.delete.format.default' = 'avro')")
+    spark.sql(s"DELETE FROM $tbl WHERE k % 6 = 4") // AVRO eq tombstone
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.delete.format.default' = 'parquet')")
+    spark.sql(s"DELETE FROM $tbl WHERE k % 6 = 0") // parquet eq tombstone
+    val tdir = "target/tmp-delfmt-wh/db/eqmix"
+    val eqFmts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, tdir, "t", Nil)
+      .filter(col("content") === 2)
+      .select("file_format").collect().map(_.getString(0)).toSet
+    assert(eqFmts == Set("ORC", "AVRO", "PARQUET"), eqFmts.toString)
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    val (_, nEq, nPairs) = graft.sources.LayoutMaintenance
+      .convertEqualityDeletes(spark, tdir)
+    assert(nEq == 3 && nPairs == 3L, s"convert: $nEq files, $nPairs pairs")
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("fixture-layer commitDelete/commitUpsert honor the eq dialect") {
+    import spark.implicits._
+    val tbl = "dfmt.db.eqfx"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.delete.format.default' = 'avro')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L) AS t(k, v)")
+    val tdir = "target/tmp-delfmt-wh/db/eqfx"
+    graft.sources.LayoutMaintenance.commitDelete(spark, tdir,
+      Seq(2L).toDF("k"), Seq("k"))
+    graft.sources.LayoutMaintenance.commitUpsert(spark, tdir,
+      Seq((3L, 333L), (4L, 444L)).toDF("k", "v"), Seq("k"))
+    val eqFmts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, tdir, "t", Nil)
+      .filter(col("content") === 2)
+      .select("file_format").collect().map(_.getString(0)).toSet
+    assert(eqFmts == Set("AVRO"), eqFmts.toString)
+    val out = graft.sources.MorRead.readTable(spark, tdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 10L), (3L, 333L), (4L, 444L)), out.toString)
+  }
+
   test("rewrite_position_delete_files folds mixed-format tombstones") {
     val tbl = "dfmt.db.mix"
     spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
