@@ -143,6 +143,77 @@ object Queries18 {
                |  min(okey) AS min_okey, max(okey) AS max_okey
                |FROM $cat.ef.ord
                |GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // ---- UUID + FIXED(L) LAKE TYPES (the spec's remaining
+    // primitives): a `graft.lake-type` uuid key (Spark STRING, stored
+    // as the spec's 16 fixed bytes — parquet FLBA(16)+UUID annotation,
+    // avro fixed(16) logicalType uuid, ORC canonical string) and a
+    // fixed[8] payload (Spark BINARY, exactly-8 fixed bytes) ride all
+    // THREE formats in one table; a UUID-PREDICATE MOR DELETE forces
+    // every format's fixed-byte decode; the rollup groups by the
+    // uuid's first hex digit and hash-gates ids + payload hex against
+    // DuckDB recomputing the same md5-derived uuids.
+    "q296_uuid_fixed" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q296wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.uu")
+      s.sql(s"DROP TABLE IF EXISTS $cat.uu.keys")
+      t(dir, "orders").createOrReplaceTempView("q296_src")
+      s.sql(s"""CREATE TABLE $cat.uu.keys (
+               |  id STRING, okey BIGINT, payload BINARY)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'parquet',
+               |  'write.delete.mode' = 'merge-on-read',
+               |  'graft.lake-type.id' = 'uuid',
+               |  'graft.lake-type.payload' = 'fixed[8]')""".stripMargin)
+      // md5-derived uuid-shaped key (both engines compute it
+      // identically); payload = the key as 8 big-endian bytes
+      def insertSlice(mod: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.uu.keys
+                 |SELECT /*+ COALESCE(1) */
+                 |  concat(substring(h, 1, 8), '-', substring(h, 9, 4),
+                 |    '-', substring(h, 13, 4), '-', substring(h, 17, 4),
+                 |    '-', substring(h, 21, 12)) AS id,
+                 |  okey,
+                 |  unhex(lpad(hex(okey), 16, '0')) AS payload
+                 |FROM (SELECT o_orderkey AS okey,
+                 |    md5(concat('graft-', CAST(o_orderkey AS STRING))) AS h
+                 |  FROM q296_src
+                 |  WHERE year(o_orderdate) = 1995
+                 |    AND o_orderkey % 3 = $mod)""".stripMargin)
+      insertSlice(0) // PARQUET: FLBA(16)+UUID / FLBA(8)
+      s.sql(s"ALTER TABLE $cat.uu.keys " +
+        "SET TBLPROPERTIES ('write.format.default' = 'orc')")
+      insertSlice(1) // ORC: canonical string / binary (dialect)
+      s.sql(s"ALTER TABLE $cat.uu.keys " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertSlice(2) // AVRO: fixed(16) logicalType uuid / fixed(8)
+      val tdir = s"${wh.getAbsolutePath}/uu/keys"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"uuid keys must ride all three formats: $fmts")
+      // UUID-predicate MOR delete: every format decodes the fixed
+      // bytes to evaluate the residual
+      s.sql(s"DELETE FROM $cat.uu.keys WHERE substring(id, 1, 1) < '4'")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the uuid-predicate DELETE must land tombstones")
+      s.sql(s"""SELECT substring(id, 1, 1) AS hx, count(*) AS n_keys,
+               |  min(id) AS min_id, max(id) AS max_id,
+               |  sum(okey) AS sum_okey,
+               |  min(lower(hex(payload))) AS min_payload
+               |FROM $cat.uu.keys
+               |GROUP BY 1 ORDER BY hx""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -174,5 +245,24 @@ object Queries18 {
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
         |  AND o_orderkey % 10 NOT IN (1, 2, 3)
-        |GROUP BY 1 ORDER BY mon""".stripMargin)
+        |GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    "q296_uuid_fixed" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |    md5('graft-' || CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |u AS (
+        |  SELECT okey,
+        |    substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+        |    substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+        |    substr(h, 21, 12) AS id
+        |  FROM src)
+        |SELECT substr(id, 1, 1) AS hx, CAST(count(*) AS BIGINT) AS n_keys,
+        |  min(id) AS min_id, max(id) AS max_id,
+        |  CAST(sum(okey) AS BIGINT) AS sum_okey,
+        |  min(lower(lpad(to_hex(okey), 16, '0'))) AS min_payload
+        |FROM u
+        |WHERE substr(id, 1, 1) >= '4'
+        |GROUP BY 1 ORDER BY hx""".stripMargin)
 }

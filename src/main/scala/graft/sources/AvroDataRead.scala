@@ -53,6 +53,10 @@ object AvroDataRead {
         val d = s.getLogicalType
           .asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
         DecimalType(d.getPrecision, d.getScale)
+      // uuid lake columns (fixed(16) + logicalType uuid) surface as
+      // STRING (the Spark-side type); plain fixed(L) as BINARY
+      case FIXED if "uuid" == s.getObjectProp("logicalType") => StringType
+      case FIXED => BinaryType
       case BYTES => BinaryType
       case RECORD =>
         // record-in-record, any depth
@@ -141,6 +145,18 @@ object AvroDataRead {
           else new java.math.BigDecimal(new java.math.BigInteger(
             v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()),
             scale)
+      // uuid fixed(16) → canonical string; plain fixed(L) → bytes
+      case FIXED =>
+        val isUuid = "uuid" == s.getObjectProp("logicalType")
+        v =>
+          if (v == null) null
+          else {
+            val b = v.asInstanceOf[org.apache.avro.generic.GenericFixed]
+              .bytes()
+            if (isUuid)
+              graft.sources.v2.GraftFormatWriters.uuidString(b)
+            else b
+          }
       case RECORD =>
         import scala.jdk.CollectionConverters._
         val kids = s.getFields.asScala.toArray.map(f => converterOf(f.schema()))

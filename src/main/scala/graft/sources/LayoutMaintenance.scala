@@ -160,6 +160,30 @@ object LayoutMaintenance {
       fromDescriptor.orElse(fromMetadata))
   }
 
+  /** The table's `graft.lake-type.<column>` declarations (uuid /
+    * fixed[N] columns) — descriptor properties win over the metadata
+    * document's, same resolution as [[tableWriteFormat]]. MorRead
+    * consults this so Spark-native parquet scans can read uuid columns
+    * (fixed 16-byte physical) as BINARY and decode post-scan. */
+  private[sources] def tableLakeTypes(spark: SparkSession,
+      tableDir: String): Map[String, String] = {
+    def propsOf(node: Option[com.fasterxml.jackson.databind.JsonNode])
+        : Map[String, String] = node.map { n =>
+      val out = Map.newBuilder[String, String]
+      n.fields().forEachRemaining(e => out += (e.getKey -> e.getValue.asText()))
+      out.result()
+    }.getOrElse(Map.empty)
+    val d = new java.io.File(tableDir, "graft-table.json")
+    val fromDescriptor =
+      if (!d.exists()) Map.empty[String, String]
+      else propsOf(Option(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(d).get("properties")))
+    val fromMetadata =
+      propsOf(Option(readMetadata(spark, tableDir).get("properties")))
+    graft.sources.v2.GraftFormatWriters.lakeTypesOf(
+      fromMetadata ++ fromDescriptor)
+  }
+
   /** Snapshot ids listed in the current metadata JSON, history order. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
     snapshots(spark, tableDir).map(_.id)

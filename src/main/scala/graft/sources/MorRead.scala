@@ -215,12 +215,37 @@ object MorRead {
       : DataFrame = {
     import spark.implicits._
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    // uuid lake columns (graft.lake-type.<col> = uuid): parquet stores
+    // the spec's 16 fixed bytes, which Spark's native scan can read
+    // only as BINARY — declare them binary and decode to the canonical
+    // string post-scan (ORC stores canonical strings, AVRO decodes in
+    // its reader, so both no-op here)
+    val lakeUuid: Set[String] =
+      LayoutMaintenance.tableLakeTypes(spark, tableDir)
+        .collect { case (c, "uuid") => c }.toSet
+    def uuidDecode(df: DataFrame): DataFrame =
+      lakeUuid.foldLeft(df) { (d, c) =>
+        if (!d.columns.contains(c) ||
+            d.schema(c).dataType != org.apache.spark.sql.types.BinaryType) d
+        else {
+          val h = lower(hex(col(c)))
+          d.withColumn(c, when(col(c).isNull, lit(null))
+            .otherwise(concat(substring(h, 1, 8), lit("-"),
+              substring(h, 9, 4), lit("-"), substring(h, 13, 4), lit("-"),
+              substring(h, 17, 4), lit("-"), substring(h, 21, 12))))
+        }
+      }
     // declared-schema read: current columns at their DECLARED (possibly
     // widened) types, plus one column per recorded FORMER name typed
     // like its current column — a file binds whichever generation it
     // physically has, the others null-fill, and foldAliases collapses
     val readSchema: Option[org.apache.spark.sql.types.StructType] =
-      dataSchema.map { s =>
+      dataSchema.map { s0 =>
+        val s = org.apache.spark.sql.types.StructType(s0.fields.map(f =>
+          if (lakeUuid(f.name) &&
+              f.dataType == org.apache.spark.sql.types.StringType)
+            f.copy(dataType = org.apache.spark.sql.types.BinaryType)
+          else f))
         val aliasCols = renames.toSeq.flatMap { case (cur, olds) =>
           s.fields.find(_.name == cur).toSeq.flatMap(f =>
             olds.filterNot(s.fieldNames.contains)
@@ -313,7 +338,7 @@ object MorRead {
           case _ => spark.read.option("mergeSchema", "true")
             .parquet(paths.map(_._1).toIndexedSeq: _*)
         }
-      attachSeq(lineageCols(foldAliases(raw)), paths, seqName,
+      attachSeq(lineageCols(foldAliases(uuidDecode(raw))), paths, seqName,
         normCol(col("_metadata.file_path")))
     }
 

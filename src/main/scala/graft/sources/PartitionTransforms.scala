@@ -79,6 +79,12 @@ object PartitionTransforms {
   def bucketLong(v: Long, n: Int): Int = (hashLong(v) & Int.MaxValue) % n
   def bucketString(s: String, n: Int): Int = (hashString(s) & Int.MaxValue) % n
 
+  /** Spec hash of a uuid: murmur3 of the 16-byte BIG-ENDIAN encoding
+    * (Appendix B — NOT the UTF-8 bytes of the string form). */
+  def bucketUuid(s: String, n: Int): Int =
+    (murmur3(graft.sources.v2.GraftFormatWriters.uuidBytes(s))
+      & Int.MaxValue) % n
+
   /** truncate[W] on integers: v - (v mod W) with a floor mod, so
     * negatives truncate DOWN (spec: truncate[10](-1) = -10). */
   def truncateLong(v: Long, w: Long): Long = v - java.lang.Math.floorMod(v, w)

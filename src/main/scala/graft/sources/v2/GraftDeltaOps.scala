@@ -79,7 +79,12 @@ private[v2] class GraftDeltaWriteBuilder(table: GraftTable,
     info: LogicalWriteInfo) extends DeltaWriteBuilder {
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite =
-      new GraftDeltaBatchWrite(table, info.schema(), info.queryId())
+      new GraftDeltaBatchWrite(table,
+        // re-annotate lake types (the write schema loses table column
+        // metadata through the DML plan)
+        GraftFormatWriters.annotateLakeTypes(info.schema(),
+          table.lakeTypes),
+        info.queryId())
   }
 }
 

@@ -262,6 +262,17 @@ private[v2] class AvroNamedRows(path: String) extends GraftNamedRows {
           else new java.math.BigDecimal(new java.math.BigInteger(
             v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()),
             scale)
+      // uuid lake columns (fixed(16) + `logicalType: uuid`) decode to
+      // the canonical string; plain fixed(L) to its bytes
+      case FIXED =>
+        val isUuid = "uuid" == s.getObjectProp("logicalType")
+        v =>
+          if (v == null) null
+          else {
+            val b = v.asInstanceOf[org.apache.avro.generic.GenericFixed]
+              .bytes()
+            if (isUuid) GraftFormatWriters.uuidString(b) else b
+          }
       // date (int/date) and timestamptz (long/timestamp-micros) arrive
       // as raw Int days / Long micros — the internal representations the
       // row assembler wants, so identity covers them below
@@ -550,7 +561,14 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
         case x: Float => x.toDouble
         case other => sys.error(s"graft-iceberg: $other as DOUBLE")
       }
-      case StringType => v => UTF8String.fromString(v.asInstanceOf[String])
+      case StringType => {
+        case s: String => UTF8String.fromString(s)
+        // uuid lake columns stored as 16 fixed bytes (a file written
+        // before the column's dialect normalized to string)
+        case b: Array[Byte] =>
+          UTF8String.fromString(GraftFormatWriters.uuidString(b))
+        case other => sys.error(s"graft-iceberg: $other as STRING")
+      }
       case d: DecimalType => v => {
         val dec = org.apache.spark.sql.types.Decimal(
           v.asInstanceOf[java.math.BigDecimal])

@@ -68,6 +68,90 @@ private[graft] object GraftFormatWriters {
     }
   }
 
+  /** StructField metadata key carrying a column's LAKE TYPE when it is
+    * narrower than the Spark type: `uuid` (Spark STRING, stored per the
+    * Iceberg spec as 16 fixed bytes) or `fixed[N]` (Spark BINARY,
+    * stored as exactly-N fixed bytes). Declared per column via the
+    * table property `graft.lake-type.<column>`; the write builders
+    * annotate the write schema so the task-side writers see it.
+    * Physical encodings: parquet FIXED_LEN_BYTE_ARRAY(16) with the UUID
+    * annotation / FIXED_LEN_BYTE_ARRAY(N); avro `fixed` of 16 carrying
+    * `logicalType: uuid` / `fixed` of N (Iceberg spec Appendix A + the
+    * Avro appendix). ORC stores uuid as STRING and fixed as BINARY —
+    * this layout's dialect, so Spark's native ORC scans (the MOR fast
+    * path) keep working; readers accept both encodings either way. */
+  val LakeTypeKey = "graft.lake-type"
+
+  /** Table-property prefix → (column → lake type). */
+  def lakeTypesOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("graft.lake-type.") =>
+      k.stripPrefix("graft.lake-type.") -> v.toLowerCase }
+
+  /** Byte width of a `fixed[N]` lake type. */
+  def fixedLenOf(lakeType: String): Int = {
+    val n = lakeType.stripPrefix("fixed[").stripSuffix("]").toInt
+    require(n > 0, s"graft-iceberg: bad lake type $lakeType")
+    n
+  }
+
+  /** The spec's 16-byte big-endian UUID encoding. */
+  def uuidBytes(s: String): Array[Byte] = {
+    val u = java.util.UUID.fromString(s)
+    java.nio.ByteBuffer.allocate(16)
+      .putLong(u.getMostSignificantBits)
+      .putLong(u.getLeastSignificantBits).array()
+  }
+
+  /** Canonical lower-case UUID string of the 16-byte encoding. */
+  def uuidString(b: Array[Byte]): String = {
+    require(b.length == 16, s"graft-iceberg: uuid needs 16 bytes, got ${b.length}")
+    val bb = java.nio.ByteBuffer.wrap(b)
+    new java.util.UUID(bb.getLong, bb.getLong).toString
+  }
+
+  /** Annotate `schema` with [[LakeTypeKey]] metadata from a
+    * (column → lake type) declaration, validating the Spark-side type
+    * (uuid rides STRING, fixed[N] rides BINARY). The write builders
+    * call this on the write schema (which loses table metadata through
+    * the INSERT plan). */
+  def annotateLakeTypes(schema: StructType,
+      lakeTypes: Map[String, String]): StructType =
+    if (lakeTypes.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      lakeTypes.get(f.name) match {
+        case Some(lt) =>
+          require((lt == "uuid" && f.dataType == StringType) ||
+            (lt.startsWith("fixed[") && lt.endsWith("]") &&
+              f.dataType == BinaryType),
+            s"graft-iceberg: lake type $lt cannot annotate column " +
+              s"${f.name}: ${f.dataType.sql} (uuid needs STRING, " +
+              "fixed[N] needs BINARY)")
+          if (lt.startsWith("fixed[")) fixedLenOf(lt) // validate N
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(LakeTypeKey, lt).build())
+        case None => f
+      }
+    })
+
+  /** Per-top-level-column lake types recorded in a schema's metadata
+    * (null = plain column), the writers' dispatch array. */
+  private[v2] def lakeTypeArr(schema: StructType): Array[String] =
+    schema.fields.map(f =>
+      if (f.metadata.contains(LakeTypeKey)) f.metadata.getString(LakeTypeKey)
+      else null)
+
+  /** Encode one non-null lake-typed value to its fixed bytes. */
+  private[v2] def lakeEncode(lakeType: String,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Array[Byte] =
+    if (lakeType == "uuid") uuidBytes(src.getUTF8String(i).toString)
+    else {
+      val b = src.getBinary(i)
+      require(b.length == fixedLenOf(lakeType),
+        s"graft-iceberg write: $lakeType value has ${b.length} bytes")
+      b
+    }
+
   /** Manifest `file_format` for a written data file — by extension, the
     * same convention [[graft.sources.DeletionVectors.isDvPath]] uses for
     * puffin. */
@@ -122,6 +206,11 @@ private[graft] object GraftFormatWriters {
   * post-RENAME readers resolve by id. */
 private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
     fieldIds: Map[String, Int]) extends GraftPhysicalWriter {
+
+  // lake-typed columns (uuid / fixed[N] — top-level, the declaration
+  // grain): the schema dispatch below emits FIXED_LEN_BYTE_ARRAY and
+  // write() encodes the value bytes directly
+  private val lakeType: Array[String] = GraftFormatWriters.lakeTypeArr(schema)
 
   private val msgType = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
@@ -208,9 +297,26 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         id.fold(mb)(mb.id).named(name)
       case dt => primOf(dt, name, id)
     }
+    // lake-typed column → the spec's fixed physical encoding: uuid =
+    // FIXED_LEN_BYTE_ARRAY(16) + UUID annotation, fixed[N] = plain
+    // FIXED_LEN_BYTE_ARRAY(N)
+    def lakeOf(lt: String, name: String,
+        id: Option[Int]): org.apache.parquet.schema.Type = {
+      val pb =
+        if (lt == "uuid")
+          Types.optional(FIXED_LEN_BYTE_ARRAY)
+            .length(16).as(LogicalTypeAnnotation.uuidType())
+        else Types.optional(FIXED_LEN_BYTE_ARRAY)
+          .length(GraftFormatWriters.fixedLenOf(lt))
+      id.fold(pb)(pb.id).named(name)
+    }
     val b = Types.buildMessage()
-    schema.fields.foreach(f =>
-      b.addField(typeOf(f.dataType, f.name, f.name, fieldIds.get(f.name))))
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      b.addField(
+        if (lakeType(i) != null) lakeOf(lakeType(i), f.name,
+          fieldIds.get(f.name))
+        else typeOf(f.dataType, f.name, f.name, fieldIds.get(f.name)))
+    }
     b.named("row")
   }
 
@@ -290,9 +396,14 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!record.isNullAt(i))
-        addValue(g, schema.fields(i).name, schema.fields(i).dataType,
+      if (!record.isNullAt(i)) {
+        if (lakeType(i) != null)
+          g.add(schema.fields(i).name,
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(
+              GraftFormatWriters.lakeEncode(lakeType(i), record, i)))
+        else addValue(g, schema.fields(i).name, schema.fields(i).dataType,
           record, i)
+      }
       i += 1
     }
     writer.write(g)
@@ -461,6 +572,12 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
 
+  // lake-typed columns in the ORC dialect: uuid normalizes to the
+  // CANONICAL lower-case string (so values agree byte-for-byte with the
+  // parquet/avro fixed round-trip), fixed[N] validates the length and
+  // stays binary
+  private val lakeType: Array[String] = GraftFormatWriters.lakeTypeArr(schema)
+
   override def write(record: InternalRow): Unit = {
     val r = batch.size
     var i = 0
@@ -469,6 +586,14 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
       if (record.isNullAt(i)) {
         vec.noNulls = false
         vec.isNull(r) = true
+      } else if (lakeType(i) != null) {
+        val b =
+          if (lakeType(i) == "uuid") GraftFormatWriters.uuidString(
+            GraftFormatWriters.uuidBytes(record.getUTF8String(i).toString))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          else GraftFormatWriters.lakeEncode(lakeType(i), record, i)
+        vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
+        approxBytes += b.length + 4
       } else setScalar(vec, r, schema.fields(i).dataType, record, i)
       i += 1
     }
@@ -580,8 +705,22 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       id.foreach(fld.addProp("field-id", _))
       fld
     }
-    val fields = schema.fields.map(f =>
-      fieldOf(f.name, prim(f.dataType, f.name), fieldIds.get(f.name)))
+    // lake-typed column → the Iceberg Avro appendix's encodings: uuid =
+    // fixed(16) carrying `logicalType: uuid`, fixed[N] = fixed(N); the
+    // fixed NAME is column-derived (avro named-type rule)
+    def lakeOf(lt: String, name: String): ASchema =
+      if (lt == "uuid") {
+        val f = ASchema.createFixed(s"${name}_uuid", null, "graft.data", 16)
+        f.addProp("logicalType", "uuid")
+        f
+      } else ASchema.createFixed(s"${name}_fixed", null, "graft.data",
+        GraftFormatWriters.fixedLenOf(lt))
+    val lakeArr = GraftFormatWriters.lakeTypeArr(schema)
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      fieldOf(f.name,
+        if (lakeArr(i) != null) lakeOf(lakeArr(i), f.name)
+        else prim(f.dataType, f.name), fieldIds.get(f.name))
+    }
     ASchema.createRecord("row", null, "graft.data", false,
       java.util.Arrays.asList(fields: _*))
   }
@@ -605,6 +744,19 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     case DoubleType => approxBytes += 8; Double.box(row.getDouble(i))
     case FloatType => approxBytes += 4; Float.box(row.getFloat(i))
     case BooleanType => approxBytes += 1; Boolean.box(row.getBoolean(i))
+    // lake-typed columns arrive as STRING/BINARY Spark values but the
+    // branch schema is `fixed` — encode to the exact byte width
+    case StringType if sch.getType == ASchema.Type.FIXED =>
+      approxBytes += 16
+      new GenericData.Fixed(sch, GraftFormatWriters.uuidBytes(
+        row.getUTF8String(i).toString))
+    case BinaryType if sch.getType == ASchema.Type.FIXED =>
+      val b = row.getBinary(i)
+      require(b.length == sch.getFixedSize,
+        s"graft-iceberg write: fixed[${sch.getFixedSize}] value has " +
+          s"${b.length} bytes")
+      approxBytes += b.length
+      new GenericData.Fixed(sch, b)
     case StringType =>
       val s = row.getUTF8String(i).toString
       approxBytes += s.length + 4; s

@@ -252,6 +252,12 @@ object GraftIcebergSource {
           val dl = logical.get.asInstanceOf[
             LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
           DecimalType(dl.getPrecision, dl.getScale)
+        // uuid lake columns surface as STRING (the Spark-side type);
+        // plain FIXED(L) as BINARY
+        case FIXED_LEN_BYTE_ARRAY
+          if logical.contains(LogicalTypeAnnotation.uuidType()) =>
+          StringType
+        case FIXED_LEN_BYTE_ARRAY => BinaryType
         case BINARY => BinaryType
         case other => sys.error(s"graft-iceberg: unsupported parquet type $other")
       }
@@ -350,6 +356,13 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
   private[v2] def deleteFileFormat: String =
     GraftFormatWriters.normalize(
       tableProps.get("write.delete.format.default"))
+
+  /** (column → lake type) from `graft.lake-type.<column>` table
+    * properties — uuid / fixed[N] columns whose physical lake encoding
+    * is narrower than their Spark type (see
+    * [[GraftFormatWriters.LakeTypeKey]]). */
+  private[v2] def lakeTypes: Map[String, String] =
+    GraftFormatWriters.lakeTypesOf(tableProps)
 
   /** `write.delete.granularity=equality`: the MOR delta path expresses
     * row deletion as EQUALITY tombstones on the table's declared
@@ -853,6 +866,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       // metadata through the INSERT plan) — the writer embeds them into
       // every new parquet file so renamed columns resolve by id forever
       fieldIds = GraftCatalog.fieldIdsOf(schema),
+      lakeTypes = lakeTypes,
       tableBranch = writeBranch, wapEnabled = wapEnabled,
       writeFormat = GraftFormatWriters.normalize(writeFormatDefault),
       tableTargetBytes =
@@ -1512,6 +1526,15 @@ private[v2] object GraftPrune {
       if (transform.startsWith("bucket["))
         Some(transform.stripPrefix("bucket[").stripSuffix("]").toInt)
       else None
+    // string-bucket pruning must stay SOUND for uuid lake columns: the
+    // write side buckets uuids by the spec's 16-byte hash, and pruning
+    // cannot see the lake type here — so a uuid-shaped literal keeps
+    // the file if EITHER image matches (conservative: never wrongly
+    // drops a file, keeps at most one extra bucket per probe value)
+    def bucketStringKeep(s: String, n: Int, pv: Long): Boolean =
+      bucketString(s, n).toLong == pv || (
+        try bucketUuid(s, n).toLong == pv
+        catch { case _: IllegalArgumentException => false })
     (f, pvLong) match {
       case (_, None) => true // no value for this field in this file: keep
       // In (runtime DPP shape): keep if ANY value's image under the
@@ -1521,7 +1544,7 @@ private[v2] object GraftPrune {
           bucketN match {
             case Some(n) => longVal(v).map(x => bucketLong(x, n).toLong == pv)
               .orElse(v match {
-                case s: String => Some(bucketString(s, n).toLong == pv)
+                case s: String => Some(bucketStringKeep(s, n, pv))
                 case _ => None
               }).getOrElse(true)
             case None => ordinal(v).forall(_ == pv)
@@ -1531,7 +1554,7 @@ private[v2] object GraftPrune {
         bucketN match {
           case Some(n) => longVal(v).map(x => bucketLong(x, n).toLong == pv)
             .orElse(v match {
-              case s: String => Some(bucketString(s, n).toLong == pv)
+              case s: String => Some(bucketStringKeep(s, n, pv))
               case _ => None
             }).getOrElse(true)
           case None => ordinal(v).forall(_ == pv)
@@ -1744,6 +1767,14 @@ private[v2] object GraftPartitionReader {
         case DOUBLE => g.getDouble(name, 0)
         case FLOAT => g.getFloat(name, 0)
         case BOOLEAN => g.getBoolean(name, 0)
+        // uuid lake columns compare as the canonical string; plain
+        // FIXED as a ByteBuffer (content-equal, unlike Array[Byte])
+        case FIXED_LEN_BYTE_ARRAY =>
+          val bytes = g.getBinary(name, 0).getBytes
+          if (pt.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.uuidType())
+            GraftFormatWriters.uuidString(bytes)
+          else java.nio.ByteBuffer.wrap(bytes)
         case _ => g.getString(name, 0)
       }
     }
@@ -2188,7 +2219,11 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         if (phys == FLOAT) g.getFloat(pn, 0).toDouble else g.getDouble(pn, 0)
       case FloatType => g.getFloat(pn, 0)
       case BooleanType => g.getBoolean(pn, 0)
-      case StringType => UTF8String.fromString(g.getString(pn, 0))
+      case StringType =>
+        if (phys == FIXED_LEN_BYTE_ARRAY) // uuid lake column
+          UTF8String.fromString(GraftFormatWriters.uuidString(
+            g.getBinary(pn, 0).getBytes))
+        else UTF8String.fromString(g.getString(pn, 0))
       case DateType => g.getInteger(pn, 0) // epoch days
       case TimestampType => g.getLong(pn, 0) // micros
       case TimestampNTZType => g.getLong(pn, 0) // naive micros
@@ -2292,7 +2327,16 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
           else row.setDouble(i, current.getDouble(pi, 0))
         case FloatType => row.setFloat(i, current.getFloat(pi, 0))
         case BooleanType => row.setBoolean(i, current.getBoolean(pi, 0))
-        case StringType => row.update(i, UTF8String.fromString(current.getString(pi, 0)))
+        case StringType =>
+          // uuid lake columns: FIXED_LEN_BYTE_ARRAY(16) decodes to the
+          // canonical string (spec uuid encoding)
+          if (physPrim(i) ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                .FIXED_LEN_BYTE_ARRAY)
+            row.update(i, UTF8String.fromString(
+              GraftFormatWriters.uuidString(
+                current.getBinary(pi, 0).getBytes)))
+          else row.update(i, UTF8String.fromString(current.getString(pi, 0)))
         case DateType => row.setInt(i, current.getInteger(pi, 0)) // days
         case TimestampType => row.setLong(i, current.getLong(pi, 0)) // µs
         case TimestampNTZType => row.setLong(i, current.getLong(pi, 0))

@@ -28,7 +28,8 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     overwriteDynamic: Boolean = false,
     writeFormat: String = "parquet",
     tableTargetBytes: Option[Long] = None,
-    distributionMode: Option[String] = None)
+    distributionMode: Option[String] = None,
+    lakeTypes: Map[String, String] = Map.empty)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -87,13 +88,13 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
         filters.mkString(", "))
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
       declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat,
-      tableTargetBytes = tableTargetBytes)
+      tableTargetBytes = tableTargetBytes, lakeTypes = lakeTypes)
   }
 
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = true,
       declaredPartSpec, fieldIds, tableBranch, writeFormat = writeFormat,
-      tableTargetBytes = tableTargetBytes)
+      tableTargetBytes = tableTargetBytes, lakeTypes = lakeTypes)
 
   /** Iceberg's DYNAMIC overwrite (`partitionOverwriteMode=dynamic`,
     * `df.writeTo(t).overwritePartitions()`): replace exactly the
@@ -104,7 +105,7 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     new GraftWriteBuilder(dir, info, stats, sortCols, overwriteAll = false,
       declaredPartSpec, fieldIds, tableBranch, wapEnabled,
       overwriteDynamic = true, writeFormat = writeFormat,
-      tableTargetBytes = tableTargetBytes)
+      tableTargetBytes = tableTargetBytes, lakeTypes = lakeTypes)
 
   /** Iceberg's `write.target-file-size-bytes` — the write OPTION wins
     * over the TABLE property (`ALTER TABLE … SET TBLPROPERTIES`): tasks
@@ -146,13 +147,18 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     else org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.wap.id").filter(_.nonEmpty)
 
+  /** The write schema with lake-type metadata re-annotated (the INSERT
+    * plan strips table column metadata). */
+  private def writeSchema: StructType =
+    GraftFormatWriters.annotateLakeTypes(info.schema(), lakeTypes)
+
   private trait GraftWrite extends Write {
     override def toBatch: BatchWrite =
       if (overwriteDynamic) {
         require(branch.isEmpty && wapId.isEmpty,
           "graft-iceberg: dynamic partition overwrite cannot stage onto " +
             "a branch or wap.id (its commit replaces head partitions)")
-        new GraftDynamicOverwriteBatchWrite(dir, info.schema(),
+        new GraftDynamicOverwriteBatchWrite(dir, writeSchema,
           info.queryId(), stats, partSpec, specForCreate, targetBytes,
           fieldIds, writeFormat)
       } else if (overwriteAll) {
@@ -160,13 +166,13 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
           "graft-iceberg: INSERT OVERWRITE cannot target a write.branch " +
             "(overwrite commits move the table head); publish or unset " +
             "the branch first")
-        new GraftOverwriteBatchWrite(dir, info.schema(), info.queryId(), stats,
+        new GraftOverwriteBatchWrite(dir, writeSchema, info.queryId(), stats,
           partSpec, specForCreate, targetBytes, fieldIds, writeFormat)
       } else {
         require(branch.isEmpty || wapId.isEmpty,
           "graft-iceberg: write.branch and spark.wap.id are both set — " +
             "pick ONE staging mechanism")
-        new GraftBatchWrite(dir, info.schema(), info.queryId(), stats,
+        new GraftBatchWrite(dir, writeSchema, info.queryId(), stats,
           partSpec, specForCreate, sortCols, targetBytes, fieldIds, branch,
           wapId, writeFormat)
       }
@@ -178,7 +184,7 @@ private[v2] class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       require(wapId.isEmpty,
         "graft-iceberg: streaming writes cannot stage under spark.wap.id " +
           "(epoch commits move the table head; unset the audit id)")
-      new GraftStreamingWrite(dir, info.schema(), info.queryId(), stats,
+      new GraftStreamingWrite(dir, writeSchema, info.queryId(), stats,
         partSpec, specForCreate, targetBytes, fieldIds, writeFormat)
     }
   }
@@ -662,7 +668,15 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
         case t if t.startsWith("bucket[") =>
           val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
           schema.fields(i).dataType match {
-            case StringType => bucketString(record.getUTF8String(i).toString, n).toLong
+            case StringType =>
+              // a uuid lake column buckets by the spec's 16-byte
+              // big-endian hash, not the string's UTF-8 bytes
+              val f = schema.fields(i)
+              if (f.metadata.contains(GraftFormatWriters.LakeTypeKey) &&
+                  f.metadata.getString(
+                    GraftFormatWriters.LakeTypeKey) == "uuid")
+                bucketUuid(record.getUTF8String(i).toString, n).toLong
+              else bucketString(record.getUTF8String(i).toString, n).toLong
             case _ => bucketLong(lng, n).toLong
           }
         case t if t.startsWith("truncate[") =>

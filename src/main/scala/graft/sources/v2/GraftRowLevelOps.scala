@@ -165,7 +165,9 @@ private[v2] class GraftCowBatchWrite(op: GraftRowLevelOperation,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(dir, schema, s"cow-$queryId",
+    new GraftWriterFactory(dir,
+      GraftFormatWriters.annotateLakeTypes(schema, table.lakeTypes),
+      s"cow-$queryId",
       table.writeStatFields, partCols,
       // replacement files keep the table's stable field ids embedded,
       // same as an INSERT — a rewrite must not erase rename-by-id

@@ -45,7 +45,8 @@ private[v2] class GraftStagedTable(ident: Identifier, dir: java.io.File,
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
-          private val writeSchema = info.schema()
+          private val writeSchema = GraftFormatWriters.annotateLakeTypes(
+            info.schema(), GraftFormatWriters.lakeTypesOf(props))
           private val partCols: Seq[(String, String, Int)] =
             partSpec.flatMap { case (pf, tr, src) =>
               val i = writeSchema.fieldNames.indexOf(src)
