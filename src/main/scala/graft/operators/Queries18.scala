@@ -214,6 +214,68 @@ object Queries18 {
                |  min(lower(hex(payload))) AS min_payload
                |FROM $cat.uu.keys
                |GROUP BY 1 ORDER BY hx""".stripMargin)
+    },
+
+    // ---- TRUE UPDATE ROWS IN THE CDC CHANGELOG (Iceberg v3's
+    // changelog semantics): a MOR UPDATE commit adds data files AND
+    // position tombstones in one snapshot; the `.changes` relation now
+    // PAIRS the deleted and inserted row versions on v3 row lineage
+    // (`_row_id` — materialized by the lineage-carrying update files,
+    // first_row_id+pos for the old rows) into
+    // `update_before`/`update_after` rows instead of bare
+    // delete+insert. In-query: the update commit emits ONLY pair rows
+    // and replaying the changelog reproduces the table state
+    // (fold equality); the rollup audits per change type and the
+    // oracle replays the mutation from the source.
+    "q297_cdc_update_pairs" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q297wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cu")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cu.ord")
+      t(dir, "orders").createOrReplaceTempView("q297_src")
+      s.sql(s"""CREATE TABLE $cat.cu.ord (okey BIGINT, price BIGINT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.update.mode' = 'merge-on-read',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.cu.ord
+               |SELECT /*+ COALESCE(1) */ o_orderkey,
+               |  CAST(FLOOR(o_totalprice) AS BIGINT)
+               |FROM q297_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      s.sql(s"UPDATE $cat.cu.ord SET price = price + 10 WHERE okey % 7 = 0")
+      // the update commit must emit ONLY paired rows
+      val updCommit = s.sql(
+        s"""SELECT _change_type, count(*) FROM $cat.cu.ord.changes
+           |WHERE _commit_snapshot_id =
+           |  (SELECT max(_commit_snapshot_id) FROM $cat.cu.ord.changes)
+           |GROUP BY 1""".stripMargin).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(updCommit.keySet == Set("update_before", "update_after") &&
+        updCommit("update_before") == updCommit("update_after"),
+        s"the UPDATE commit must pair every row: $updCommit")
+      // fold equality: replaying the changelog reproduces table state
+      val folded = s.sql(
+        s"""SELECT okey, max(CASE WHEN _change_type IN
+           |    ('insert', 'update_after') THEN price END) AS price
+           |FROM (SELECT okey, price, _change_type,
+           |    row_number() OVER (PARTITION BY okey
+           |      ORDER BY _commit_snapshot_id DESC,
+           |        CASE _change_type WHEN 'update_after' THEN 0
+           |          WHEN 'insert' THEN 0 ELSE 1 END) AS rn
+           |  FROM $cat.cu.ord.changes)
+           |WHERE rn = 1 GROUP BY okey""".stripMargin)
+      val direct = s.sql(s"SELECT okey, price FROM $cat.cu.ord")
+      require(folded.count() == direct.count() &&
+        folded.except(direct).count() == 0L,
+        "replaying the changelog must reproduce the table state")
+      s.sql(s"""SELECT _change_type AS op, count(*) AS n_rows,
+               |  sum(price) AS sum_price, sum(okey) AS sum_okey,
+               |  min(okey) AS min_okey
+               |FROM $cat.cu.ord.changes
+               |GROUP BY 1 ORDER BY op""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -264,5 +326,23 @@ object Queries18 {
         |  min(lower(lpad(to_hex(okey), 16, '0'))) AS min_payload
         |FROM u
         |WHERE substr(id, 1, 1) >= '4'
-        |GROUP BY 1 ORDER BY hx""".stripMargin)
+        |GROUP BY 1 ORDER BY hx""".stripMargin,
+
+    "q297_cdc_update_pairs" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |ch AS (
+        |  SELECT 'insert' AS op, okey, price FROM src
+        |  UNION ALL
+        |  SELECT 'update_before', okey, price FROM src WHERE okey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'update_after', okey, price + 10 FROM src
+        |  WHERE okey % 7 = 0)
+        |SELECT op, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(sum(okey) AS BIGINT) AS sum_okey,
+        |  CAST(min(okey) AS BIGINT) AS min_okey
+        |FROM ch GROUP BY op ORDER BY op""".stripMargin)
 }

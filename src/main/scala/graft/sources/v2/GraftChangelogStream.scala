@@ -72,19 +72,30 @@ private[v2] class GraftChangelogStream(dir: String, baseSchema: StructType)
   }
 
   /** The change partitions of ONE commit: diff the file sets of `prev`
-    * and `sid` (metadata-sized), route each added file by content. */
+    * and `sid` (metadata-sized), route each added file by content. A
+    * commit that adds BOTH data files and position tombstones (the MOR
+    * UPDATE shape) routes through ONE pairing partition instead, which
+    * joins old and new row versions on v3 row lineage and emits
+    * `update_before`/`update_after` pairs (Iceberg's changelog UPDATE
+    * rows); pre-lineage snapshots fall back to insert/delete inside
+    * the reader (null row ids never pair). */
   private def partitionsForCommit(prev: Long,
       sid: Long): Seq[InputPartition] = {
     import org.apache.spark.sql.functions.col
-    def entries(id: Long): Map[String, (Int, Seq[Int])] =
+    // (path → (content, equality_ids, sequence_number, first_row_id))
+    def entries(id: Long)
+        : Map[String, (Int, Seq[Int], Long, java.lang.Long)] =
       if (id == 0L) Map.empty
       else graft.sources.IcebergManifestSource
         .statsFromTableDir(spark, dir, "t", Nil, Some(id))
-        .select(col("file_path"), col("content"), col("equality_ids"))
+        .select(col("file_path"), col("content"), col("equality_ids"),
+          col("sequence_number"), col("first_row_id"))
         .collect()
         .map(r => r.getString(0) -> ((r.getInt(1),
           Option(r.getAs[scala.collection.Seq[Int]](2))
-            .map(_.toSeq).getOrElse(Seq.empty))))
+            .map(_.toSeq).getOrElse(Seq.empty),
+          r.getLong(3),
+          if (r.isNullAt(4)) null else Long.box(r.getLong(4)))))
         .toMap
     val before = entries(prev)
     val after = entries(sid)
@@ -112,22 +123,47 @@ private[v2] class GraftChangelogStream(dir: String, baseSchema: StructType)
           "Pause the changelog stream across maintenance commits.")
       return Seq.empty
     }
-    (after.keySet -- before.keySet).toSeq.sorted.map { p =>
-      after(p) match {
-        case (0, _) => ChangeInsertPartition(p, sid): InputPartition
-        case (2, ids) =>
-          val keys = ids.flatMap { id =>
-            if (id >= 1 && id <= baseSchema.length)
-              Some(baseSchema.fields(id - 1).name)
-            else None
-          }
-          require(keys.nonEmpty && keys.length == ids.length,
-            s"graft-iceberg read-changes($dir): equality-delete file $p " +
-              "carries no resolvable equality_ids; its deletes cannot be " +
-              "emitted as change rows.")
-          ChangeEqDeletePartition(p, keys, sid): InputPartition
-        case (1, _) => ChangePosDeletePartition(p, sid): InputPartition
-        case (c, _) => sys.error(s"unknown content $c for $p")
+    val added = (after.keySet -- before.keySet).toSeq.sorted
+    val addedData = added.filter(p => after(p)._1 == 0)
+    val addedPos = added.filter(p => after(p)._1 == 1)
+    val eqParts: Seq[InputPartition] =
+      added.filter(p => after(p)._1 == 2).map { p =>
+        val ids = after(p)._2
+        val keys = ids.flatMap { id =>
+          if (id >= 1 && id <= baseSchema.length)
+            Some(baseSchema.fields(id - 1).name)
+          else None
+        }
+        require(keys.nonEmpty && keys.length == ids.length,
+          s"graft-iceberg read-changes($dir): equality-delete file $p " +
+            "carries no resolvable equality_ids; its deletes cannot be " +
+            "emitted as change rows.")
+        ChangeEqDeletePartition(p, keys, sid): InputPartition
+      }
+    added.find(p => !Set(0, 1, 2)(after(p)._1)).foreach(p =>
+      sys.error(s"unknown content ${after(p)._1} for $p"))
+    if (addedData.nonEmpty && addedPos.nonEmpty) {
+      // MOR UPDATE shape: one pairing partition joins the deleted and
+      // inserted row versions on `_row_id`. Planning reads the commit's
+      // tombstone files (delete-set-sized) to learn the target data
+      // files, whose (first_row_id, seq) resolve the old rows' ids.
+      val targets = addedPos.flatMap(p =>
+        GraftPartitionReader.posMapOf(p).keySet).distinct.sorted
+      val norm = after.map { case (p, v) =>
+        p.replaceFirst("^file:/+", "/") -> v }
+      val targetMeta: Seq[(String, java.lang.Long, Long)] =
+        targets.flatMap { t =>
+          norm.get(t).map(v => (t, v._4, v._3))
+        }
+      val dataMeta: Seq[(String, java.lang.Long, Long)] =
+        addedData.map(p => (p, after(p)._4, after(p)._3))
+      eqParts :+ (ChangeUpdatePairPartition(dataMeta, addedPos,
+        targetMeta, sid): InputPartition)
+    } else eqParts ++ added.flatMap { p =>
+      after(p)._1 match {
+        case 0 => Some(ChangeInsertPartition(p, sid): InputPartition)
+        case 1 => Some(ChangePosDeletePartition(p, sid): InputPartition)
+        case _ => None // eq handled above
       }
     }
   }
@@ -185,6 +221,14 @@ private[v2] case class ChangeInsertPartition(path: String, snapshotId: Long)
 private[v2] case class ChangeEqDeletePartition(path: String,
     keyCols: Seq[String], snapshotId: Long) extends InputPartition
 private[v2] case class ChangePosDeletePartition(path: String,
+    snapshotId: Long) extends InputPartition
+/** One MOR-UPDATE-shaped commit's whole change set, paired on v3 row
+  * lineage: `dataFiles` / `targetMeta` carry (path, first_row_id,
+  * sequence_number) so the readers resolve each row's `_row_id`. */
+private[v2] case class ChangeUpdatePairPartition(
+    dataFiles: Seq[(String, java.lang.Long, Long)],
+    posDeleteFiles: Seq[String],
+    targetMeta: Seq[(String, java.lang.Long, Long)],
     snapshotId: Long) extends InputPartition
 
 /** Emits (table columns…, _change_type, _commit_snapshot_id) rows. */
@@ -248,6 +292,92 @@ private[v2] class GraftChangelogReaderFactory(baseSchema: StructType)
           }
           stamped(vals, "delete", sid)
         }
+        override def close(): Unit = ()
+      }
+
+    case ChangeUpdatePairPartition(dataFiles, posFiles, targetMeta, sid) =>
+      new PartitionReader[InternalRow] {
+        // Materialize the commit's change set ONCE (commit-sized — the
+        // same bound every CDC consumer already pays), resolving each
+        // row's `_row_id` through the file's (first_row_id, seq):
+        //   - deleted rows whose id an inserted row also carries pair
+        //     into update_before/update_after;
+        //   - everything else stays delete/insert (incl. every
+        //     pre-lineage row, whose null id never pairs).
+        private val withId = StructType(baseSchema.fields :+
+          StructField(GraftTable.RowIdMetadataColumn, LongType))
+
+        private def readerOf(path: String, fri: java.lang.Long,
+            seq: Long): PartitionReader[InternalRow] = {
+          val part = GraftFilePartition(path,
+            fileFormat = GraftFormatWriters.formatOf(path),
+            dataSeq = seq, firstRowId = fri)
+          if (part.fileFormat == "PARQUET")
+            new GraftPartitionReader(part, withId)
+          else new GraftRowPartitionReader(part, withId)
+        }
+
+        private def rowsOf(path: String, fri: java.lang.Long, seq: Long,
+            keep: Long => Boolean): Seq[(java.lang.Long, Array[Any])] = {
+          val r = readerOf(path, fri, seq)
+          try {
+            val out = Seq.newBuilder[(java.lang.Long, Array[Any])]
+            var idx = -1L
+            while (r.next()) {
+              idx += 1
+              if (keep(idx)) {
+                val row = r.get()
+                val vals = new Array[Any](baseSchema.length)
+                var i = 0
+                while (i < baseSchema.length) {
+                  vals(i) = row.get(i, baseSchema.fields(i).dataType); i += 1
+                }
+                out += ((if (row.isNullAt(baseSchema.length)) null
+                  else Long.box(row.getLong(baseSchema.length)), vals))
+              }
+            }
+            out.result()
+          } finally r.close()
+        }
+
+        private val emitted: Iterator[InternalRow] = {
+          // target file → tombstoned ordinals (all this commit's
+          // tombstone files folded; DV blobs decode the same way)
+          val deadByTarget: Map[String, Set[Long]] = posFiles
+            .flatMap(p => GraftPartitionReader.posMapOf(p).toSeq)
+            .groupBy(_._1).view
+            .mapValues(_.flatMap(_._2).toSet).toMap
+          val metaOf = targetMeta.map(t => t._1 -> ((t._2, t._3))).toMap
+          val oldRows: Seq[(java.lang.Long, Array[Any])] =
+            deadByTarget.toSeq.sortBy(_._1).flatMap { case (t, dead) =>
+              val (fri, seq) = metaOf.getOrElse(t, (null, 0L))
+              rowsOf(t, fri, seq, dead.contains)
+            }
+          val newRows: Seq[(java.lang.Long, Array[Any])] =
+            dataFiles.flatMap { case (p, fri, seq) =>
+              rowsOf(p, fri, seq, _ => true)
+            }
+          val updatedIds: Set[Long] = {
+            val delIds = oldRows.iterator.map(_._1).filter(_ != null)
+              .map(_.longValue).toSet
+            newRows.iterator.map(_._1).filter(_ != null)
+              .map(_.longValue).filter(delIds).toSet
+          }
+          def tag(id: java.lang.Long, paired: String, plain: String) =
+            if (id != null && updatedIds(id.longValue)) paired else plain
+          (oldRows.iterator.map { case (id, vals) =>
+            stamped(vals, tag(id, "update_before", "delete"), sid)
+          } ++ newRows.iterator.map { case (id, vals) =>
+            stamped(vals, tag(id, "update_after", "insert"), sid)
+          })
+        }
+
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          if (!emitted.hasNext) return false
+          row = emitted.next(); true
+        }
+        override def get(): InternalRow = row
         override def close(): Unit = ()
       }
 

@@ -1817,8 +1817,10 @@ private[v2] object GraftPartitionReader {
   }
 
   /** One position-delete file decoded ONCE per executor: target data
-    * file → its deleted ordinals (both tombstone dialects). */
-  private def posMapOf(p: String): Map[String, Array[Long]] =
+    * file → its deleted ordinals (both tombstone dialects). Also used
+    * at changelog PLANNING (driver) to learn an update-shaped commit's
+    * tombstone targets — bounded by the commit's delete set. */
+  private[v2] def posMapOf(p: String): Map[String, Array[Long]] =
     cached(p, "pos") {
       if (graft.sources.DeletionVectors.isDvPath(p))
         graft.sources.DeletionVectors.read(new java.io.File(p))

@@ -74,6 +74,93 @@ class RowLineageSpec extends AnyFunSuite {
     assert(after(1L)._3 == before(1L)._2 && after(3L)._3 == before(3L)._2)
   }
 
+  test("changelog pairs MOR UPDATE into update_before/update_after rows") {
+    spark.sql("CREATE TABLE lin.db.cdcu (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.update.mode' = 'merge-on-read', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO lin.db.cdcu SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L) AS t(k, v)")
+    spark.sql("UPDATE lin.db.cdcu SET v = v + 1 WHERE k IN (2, 4)")
+    val rows = spark.sql(
+      "SELECT k, v, _change_type, _commit_snapshot_id " +
+        "FROM lin.db.cdcu.changes ORDER BY _commit_snapshot_id, k, v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val inserts = rows.filter(_._4 == 1L)
+    assert(inserts.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 10L, "insert"), (2L, 20L, "insert"),
+        (3L, 30L, "insert"), (4L, 40L, "insert")), inserts.toString)
+    // the UPDATE commit: one update_before/update_after PAIR per
+    // touched row, no bare delete/insert rows
+    val upd = rows.filter(_._4 == 2L)
+    assert(upd == Seq(
+      (2L, 20L, "update_before", 2L), (2L, 21L, "update_after", 2L),
+      (4L, 40L, "update_before", 2L), (4L, 41L, "update_after", 2L)),
+      upd.toString)
+    // FOLD EQUALITY: replaying the changelog reproduces the table state
+    // (update_before acts as delete, update_after as insert)
+    val replayed = scala.collection.mutable.Map.empty[Long, Long]
+    rows.foreach {
+      case (k, v, "insert" | "update_after", _) => replayed(k) = v
+      case (k, _, "delete" | "update_before", _) =>
+        if (!rows.exists(r => r._1 == k && r._3 == "update_after"))
+          replayed.remove(k)
+      case _ => ()
+    }
+    val direct = spark.sql("SELECT k, v FROM lin.db.cdcu").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed.toMap == direct, s"fold diverged: $replayed vs $direct")
+  }
+
+  test("changelog UPDATE pairing falls back to insert/delete without lineage") {
+    // a layout whose data files carry NO first_row_id (hand-built via
+    // the fixture writer) must classify the same commit shape as
+    // delete+insert — null row ids never pair
+    import spark.implicits._
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val dir = new java.io.File("target/tmp-lineage-wh/db/nolineage")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    val base = new java.io.File(dataDir, "base.parquet")
+    val nBase = IcebergLayoutWriter.writeSingleParquet(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1), base)
+    IcebergLayoutWriter.writeTable(dir, Seq(ManifestEntrySpec(status = 1,
+      content = 0, filePath = base.getAbsolutePath, recordCount = nBase,
+      sizeBytes = base.length())))
+    // one commit adding a data file AND a position tombstone (the MOR
+    // UPDATE shape) — lineage-free
+    val add = new java.io.File(dataDir, "upd-extra.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      Seq((2L, 21L)).toDF("k", "v").coalesce(1), add)
+    val pd = new java.io.File(dataDir, "upd-posdel.parquet")
+    IcebergLayoutWriter.writeSingleParquet(
+      Seq((base.getAbsolutePath, 1L)).toDF("file_path", "pos").coalesce(1),
+      pd)
+    graft.sources.LayoutMaintenance.commitDeltaFiles(spark, dir.getPath,
+      Seq(
+        ManifestEntrySpec(status = 1, content = 0,
+          filePath = add.getAbsolutePath, recordCount = n,
+          sizeBytes = add.length()),
+        ManifestEntrySpec(status = 1, content = 1,
+          filePath = pd.getAbsolutePath, recordCount = 1L,
+          sizeBytes = pd.length())))
+    // the layout lives inside the lin catalog warehouse: the .changes
+    // relation resolves it like any path table
+    val commits = spark.sql(
+      "SELECT k, v, _change_type, _commit_snapshot_id " +
+        "FROM lin.db.nolineage.changes ORDER BY _commit_snapshot_id, k, v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val last = commits.filter(_._4 == commits.map(_._4).max)
+      .map(r => (r._1, r._2, r._3)).sorted
+    assert(last == Seq((2L, 20L, "delete"), (2L, 21L, "insert")),
+      s"pre-lineage commits must classify, not pair: $last")
+  }
+
   test("MERGE matched-update carries row ids; inserts get fresh ones") {
     spark.sql("CREATE TABLE lin.db.mrg (k BIGINT, v BIGINT) " +
       "USING `graft-iceberg` TBLPROPERTIES (" +
