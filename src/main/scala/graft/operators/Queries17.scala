@@ -176,7 +176,8 @@ object Queries17 {
       t(dir, "orders").createOrReplaceTempView("q287_src")
       s.sql(s"""CREATE TABLE $cat.en.prof (okey BIGINT, yr BIGINT)
                |USING `graft-iceberg` TBLPROPERTIES (
-               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+               |  'write.delete.mode' = 'merge-on-read',
+               |  'pushdown.fields' = 'okey:1:long')""".stripMargin)
       (1995 to 1996).foreach { y =>
         s.sql(s"""INSERT INTO $cat.en.prof
                  |SELECT /*+ COALESCE(1) */ o_orderkey,
@@ -193,6 +194,44 @@ object Queries17 {
         s"SELECT DISTINCT file_path FROM $cat.en.prof.entries " +
           "WHERE content = 0").collect().map(_.getString(0)).toSet
       require(preFiles.size == 2, s"two small files expected: $preFiles")
+      // (7) readable_metrics: every data file's per-column bounds
+      // rendered AT THE COLUMN TYPE equal the scan's actual min/max per
+      // file (round 14 — Iceberg's standard nested metrics struct on
+      // $files/$entries)
+      val rm = s.sql(
+        s"""SELECT file_path,
+           |  readable_metrics.okey.lower_bound AS lo,
+           |  readable_metrics.okey.upper_bound AS hi
+           |FROM $cat.en.prof.files
+           |WHERE content = 0
+           |  AND readable_metrics.okey.lower_bound IS NOT NULL
+           |""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      require(rm.nonEmpty, "readable_metrics must serve data-file bounds")
+      val actual = s.sql(
+        s"SELECT _file, min(okey), max(okey) FROM $cat.en.prof GROUP BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // tombstoned rows may tighten the live min/max past the recorded
+      // bound, but every recorded bound must CONTAIN the live range
+      val liveOf = actual.map(t => t._1 -> ((t._2, t._3))).toMap
+      rm.foreach { case (p, lo, hi) =>
+        liveOf.get(p).foreach { case (lmin, lmax) =>
+          require(lo <= lmin && hi >= lmax,
+            s"readable_metrics bound [$lo,$hi] must contain [$lmin,$lmax]")
+        }
+      }
+      // $entries serves the same struct
+      val rmE = s.sql(
+        s"""SELECT readable_metrics.okey.lower_bound,
+           |  readable_metrics.okey.upper_bound
+           |FROM $cat.en.prof.entries
+           |WHERE content = 0 AND status != 2
+           |  AND readable_metrics.okey.lower_bound IS NOT NULL
+           |""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(rmE == rm.map(t => (t._2, t._3)).toSet,
+        s"entries and files must agree on readable_metrics: $rmE")
       s.sql(s"CALL $cat.system.rewrite_data_files('en.prof')")
       // (1) current $entries names exactly the live set
       val liveEntries = s.sql(

@@ -90,14 +90,19 @@ object IcebergManifestSource {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema(fields))
     }
 
-  private val entriesSchema = StructType(Seq(
-    StructField("status", IntegerType), StructField("snapshot_id", LongType),
-    StructField("sequence_number", LongType),
-    StructField("content", IntegerType), StructField("file_path", StringType),
-    StructField("file_format", StringType),
-    StructField("record_count", LongType),
-    StructField("file_size_in_bytes", LongType),
-    StructField("partition", StringType)))
+  private def entriesSchema(
+      fields: Seq[(Int, String, DataType)] = Nil): StructType =
+    StructType(Seq(
+      StructField("status", IntegerType), StructField("snapshot_id", LongType),
+      StructField("sequence_number", LongType),
+      StructField("content", IntegerType), StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType),
+      StructField("partition", StringType)) ++
+      fields.flatMap { case (_, nm, dt) =>
+        Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
+      })
 
   /** ALL entries (any status — 0 existing / 1 added / 2 deleted) of one
     * manifest, as `$entries` rows. Null entry snapshot_id inherits the
@@ -106,7 +111,8 @@ object IcebergManifestSource {
     * status stays visible — unlike every query-path scan, this is the
     * DEBUGGING relation where deleted entries matter. */
   private[sources] def readEntryRows(path: String, conf: Configuration,
-      inheritSeq: Long, inheritSnap: Long): Iterator[Row] = {
+      inheritSeq: Long, inheritSnap: Long,
+      fields: Seq[(Int, String, DataType)] = Nil): Iterator[Row] = {
     val tableDir =
       new java.io.File(path).getParentFile.getParentFile.getAbsolutePath
     readAvroIterator(conf, path) { e =>
@@ -120,7 +126,17 @@ object IcebergManifestSource {
         if (e.getSchema.getField("sequence_number") == null) 0L
         else Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
           .getOrElse(inheritSeq)
-      Iterator.single(Row(status, snap, seq, fileContent(df),
+      val bounds: Seq[Any] =
+        if (fields.isEmpty) Nil
+        else {
+          val lo = boundsMap(df, "lower_bounds")
+          val hi = boundsMap(df, "upper_bounds")
+          fields.flatMap { case (id, _, dt) =>
+            Seq(lo.get(id).map(decodeBound(_, dt)).orNull,
+              hi.get(id).map(decodeBound(_, dt)).orNull)
+          }
+        }
+      Iterator.single(Row.fromSeq(Seq(status, snap, seq, fileContent(df),
         Relocate.data(tableDir,
           Option(df.get("file_path")).map(_.toString).getOrElse("")),
         if (df.getSchema.getField("file_format") == null) "PARQUET"
@@ -129,7 +145,7 @@ object IcebergManifestSource {
         if (df.getSchema.getField("record_count") == null) 0L
         else Option(df.get("record_count")).fold(0L)(_.asInstanceOf[Long]),
         df.get("file_size_in_bytes").asInstanceOf[Long],
-        partitionKeyOf(df)))
+        partitionKeyOf(df)) ++ bounds))
     }
   }
 
@@ -139,10 +155,11 @@ object IcebergManifestSource {
     * manifest-count cap as [[statsFromManifestSeqs]], one task per
     * manifest past it. */
   def entriesFromTableDir(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): DataFrame =
+      snapshotId: Option[Long] = None,
+      fields: Seq[(Int, String, DataType)] = Nil): DataFrame =
     resolveManifestList(spark, tableDir, snapshotId) match {
       case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], entriesSchema)
+        spark.sparkContext.emptyRDD[Row], entriesSchema(fields))
       case Some(p) =>
         val manifests = manifestListRows(
           spark.sparkContext.hadoopConfiguration, p)
@@ -153,18 +170,19 @@ object IcebergManifestSource {
         if (manifests.size <= driverCap) {
           val hconf = spark.sparkContext.hadoopConfiguration
           val rows = manifests.flatMap { case (mp, seq, snap) =>
-            readEntryRows(mp, hconf, seq, snap) }
+            readEntryRows(mp, hconf, seq, snap, fields) }
           import scala.jdk.CollectionConverters._
-          spark.createDataFrame(rows.asJava, entriesSchema)
+          spark.createDataFrame(rows.asJava, entriesSchema(fields))
         } else {
           val conf = new org.apache.spark.util.SerializableConfiguration(
             spark.sparkContext.hadoopConfiguration)
           val n = math.max(1,
             math.min(manifests.size, spark.sparkContext.defaultParallelism))
+          val fieldSpec = fields
           val rows = spark.sparkContext.parallelize(manifests, n)
             .flatMap { case (mp, seq, snap) =>
-              readEntryRows(mp, conf.value, seq, snap) }
-          spark.createDataFrame(rows, entriesSchema)
+              readEntryRows(mp, conf.value, seq, snap, fieldSpec) }
+          spark.createDataFrame(rows, entriesSchema(fields))
         }
     }
 

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Iceberg-style metadata tables over a written v2 layout — the
   * inspection surface real engines expose as `table$files`,
@@ -26,13 +27,51 @@ object MetadataTables {
   /** Per-file metadata rows: (content, file_path, partition JSON,
     * record_count, file_size_in_bytes, sequence_number). Distributed. */
   def files(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): DataFrame =
-    IcebergManifestSource.statsFromTableDir(spark, tableDir, "t", Nil, snapshotId)
-      .select(col("content"), col("file_path"),
-        col("partitionKey").as("partition"),
-        col("record_count"),
-        col("sizeBytes").as("file_size_in_bytes"),
-        col("sequence_number"))
+      snapshotId: Option[Long] = None,
+      dataSchema: Option[StructType] = None): DataFrame = {
+    val fields = dataSchema.map(metricFields).getOrElse(Nil)
+    val base = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", fields, snapshotId)
+    val cols = Seq(col("content"), col("file_path"),
+      col("partitionKey").as("partition"),
+      col("record_count"),
+      col("sizeBytes").as("file_size_in_bytes"),
+      col("sequence_number")) ++
+      (if (fields.isEmpty) Nil else Seq(readableMetrics(fields)))
+    base.select(cols: _*)
+  }
+
+  /** Iceberg's `readable_metrics` column: one nested struct per data
+    * column with its per-file bounds RENDERED AT THE COLUMN TYPE (the
+    * relation a debugging user SELECTs first). This layout's manifests
+    * record lower/upper bounds only, so the standard count fields
+    * (column_size, value_count, null_value_count, nan_value_count)
+    * serve as null — absent metrics render null in Iceberg too. */
+  private def readableMetrics(
+      fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)])
+      : org.apache.spark.sql.Column =
+    struct(fields.map { case (_, nm, _) =>
+      struct(
+        lit(null).cast("bigint").as("column_size"),
+        lit(null).cast("bigint").as("value_count"),
+        lit(null).cast("bigint").as("null_value_count"),
+        lit(null).cast("bigint").as("nan_value_count"),
+        col(s"lo_$nm").as("lower_bound"),
+        col(s"hi_$nm").as("upper_bound")).as(nm)
+    }: _*).as("readable_metrics")
+
+  /** The (positional field id, name, type) triples readable_metrics can
+    * serve: top-level columns whose bound encoding
+    * [[IcebergManifestSource.decodeBound]] understands. */
+  private def metricFields(schema: StructType)
+      : Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.zipWithIndex.collect {
+      case (f, i) if Set[DataType](IntegerType, LongType, FloatType,
+          DoubleType, StringType)(f.dataType) =>
+        (i + 1, f.name, f.dataType)
+    }
+  }
 
   /** Per-partition rollup of DATA files (the `$partitions` table):
     * (partition, file_count, record_count, total_size, position/equality
@@ -199,8 +238,17 @@ object MetadataTables {
     * relation: which commit added or logically deleted which file.
     * Distributed past the driver manifest cap like [[files]]. */
   def entries(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): DataFrame =
-    IcebergManifestSource.entriesFromTableDir(spark, tableDir, snapshotId)
+      snapshotId: Option[Long] = None,
+      dataSchema: Option[StructType] = None): DataFrame = {
+    val fields = dataSchema.map(metricFields).getOrElse(Nil)
+    val base = IcebergManifestSource
+      .entriesFromTableDir(spark, tableDir, snapshotId, fields)
+    if (fields.isEmpty) base
+    else base.select(
+      base.columns.filterNot(c =>
+        c.startsWith("lo_") || c.startsWith("hi_")).map(col).toSeq :+
+        readableMetrics(fields): _*)
+  }
 
   /** The `$all_entries` table: [[entries]] unioned over EVERY snapshot
     * in history, deduplicated (one manifest referenced by many
@@ -230,12 +278,16 @@ object MetadataTables {
   /** The `$data_files` / `$delete_files` tables: content-filtered views
     * of [[files]] (Iceberg's split of the file listing by role). */
   def dataFiles(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): DataFrame =
-    files(spark, tableDir, snapshotId).filter(col("content") === 0)
+      snapshotId: Option[Long] = None,
+      dataSchema: Option[StructType] = None): DataFrame =
+    files(spark, tableDir, snapshotId, dataSchema)
+      .filter(col("content") === 0)
 
   def deleteFiles(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): DataFrame =
-    files(spark, tableDir, snapshotId).filter(col("content") =!= 0)
+      snapshotId: Option[Long] = None,
+      dataSchema: Option[StructType] = None): DataFrame =
+    files(spark, tableDir, snapshotId, dataSchema)
+      .filter(col("content") =!= 0)
 
   /** The `$all_manifests` table: every manifest referenced by ANY
     * snapshot in history — the manifest-side reachability twin of

@@ -1221,7 +1221,8 @@ private[v2] class GraftMetaTable(dir: String, kind: String)
     val spark = org.apache.spark.sql.SparkSession.active
     kind match {
       case "snapshots" => graft.sources.MetadataTables.snapshots(spark, dir)
-      case "files" => graft.sources.MetadataTables.files(spark, dir)
+      case "files" => graft.sources.MetadataTables.files(spark, dir,
+        dataSchema = Some(parentSchema))
       case "partitions" => graft.sources.MetadataTables.partitions(spark, dir)
       case "refs" => graft.sources.MetadataTables.refs(spark, dir)
       case "history" => graft.sources.MetadataTables.history(spark, dir)
@@ -1229,14 +1230,17 @@ private[v2] class GraftMetaTable(dir: String, kind: String)
       case "position_deletes" =>
         graft.sources.MetadataTables.positionDeletes(spark, dir)
       case "all_files" => graft.sources.MetadataTables.allFiles(spark, dir)
-      case "data_files" => graft.sources.MetadataTables.dataFiles(spark, dir)
+      case "data_files" => graft.sources.MetadataTables.dataFiles(spark, dir,
+        dataSchema = Some(parentSchema))
       case "delete_files" =>
-        graft.sources.MetadataTables.deleteFiles(spark, dir)
+        graft.sources.MetadataTables.deleteFiles(spark, dir,
+          dataSchema = Some(parentSchema))
       case "all_manifests" =>
         graft.sources.MetadataTables.allManifests(spark, dir)
       case "metadata_log_entries" =>
         graft.sources.MetadataTables.metadataLogEntries(spark, dir)
-      case "entries" => graft.sources.MetadataTables.entries(spark, dir)
+      case "entries" => graft.sources.MetadataTables.entries(spark, dir,
+        dataSchema = Some(parentSchema))
       case "all_entries" =>
         graft.sources.MetadataTables.allEntries(spark, dir)
       case "all_data_files" =>
