@@ -276,6 +276,58 @@ object Queries18 {
                |  min(okey) AS min_okey
                |FROM $cat.cu.ord.changes
                |GROUP BY 1 ORDER BY op""".stripMargin)
+    },
+
+    // ---- ROW LINEAGE FOR ADOPTED TABLES: `migrate` converts an
+    // external parquet directory into a governed table IN PLACE (one
+    // metadata commit, zero data movement) and the import commit
+    // ASSIGNS `first_row_id` to the adopted files like any append —
+    // so the row-id cursor (q293's incremental-consumption primitive)
+    // works from the moment of adoption. In-query: adopted rows carry
+    // dense ids 0..n-1; the cursor cut after adoption slices exactly
+    // the post-adoption batch; the rollup reads the slice and the
+    // oracle recomputes it from the raw source.
+    "q298_migrate_lineage" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q298wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mg")
+      s.sql(s"DROP TABLE IF EXISTS $cat.mg.ord")
+      // the pre-existing external parquet data (the un-governed estate)
+      val ext = new java.io.File(wh, "external-ord")
+      t(dir, "orders").filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey").as("okey"),
+          floor(col("o_totalprice")).cast("long").as("price"))
+        .coalesce(2)
+        .write.mode("overwrite").parquet(ext.getAbsolutePath)
+      s.sql(s"CALL $cat.system.migrate('${ext.getAbsolutePath}', 'mg.ord')")
+      val tdir = s"${wh.getAbsolutePath}/mg/ord"
+      val nAdopted = s.sql(s"SELECT count(*) FROM $cat.mg.ord")
+        .head.getLong(0)
+      // adopted rows carry dense lineage from the import commit
+      val idSpan = s.sql(
+        s"""SELECT count(DISTINCT _row_id), min(_row_id), max(_row_id)
+           |FROM $cat.mg.ord""".stripMargin).head
+      require(idSpan.getLong(0) == nAdopted && idSpan.getLong(1) == 0L &&
+        idSpan.getLong(2) == nAdopted - 1,
+        s"adoption must assign dense row ids: $idSpan over $nAdopted")
+      require(graft.sources.LayoutMaintenance.nextRowId(s, tdir) == nAdopted,
+        "the counter must sit past the adopted rows")
+      // the CURSOR at adoption time; the post-adoption batch slices out
+      val cursor = graft.sources.LayoutMaintenance.nextRowId(s, tdir)
+      t(dir, "orders").createOrReplaceTempView("q298_src")
+      s.sql(s"""INSERT INTO $cat.mg.ord
+               |SELECT /*+ COALESCE(1) */ o_orderkey,
+               |  CAST(FLOOR(o_totalprice) AS BIGINT)
+               |FROM q298_src WHERE year(o_orderdate) = 1996""".stripMargin)
+      s.sql(s"""SELECT CAST(okey % 4 AS BIGINT) AS bucket,
+               |  count(*) AS n_new, sum(price) AS sum_price,
+               |  min(okey) AS min_okey
+               |FROM $cat.mg.ord WHERE _row_id >= $cursor
+               |GROUP BY 1 ORDER BY 1""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -344,5 +396,14 @@ object Queries18 {
         |  CAST(sum(price) AS BIGINT) AS sum_price,
         |  CAST(sum(okey) AS BIGINT) AS sum_okey,
         |  CAST(min(okey) AS BIGINT) AS min_okey
-        |FROM ch GROUP BY op ORDER BY op""".stripMargin)
+        |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+
+    "q298_migrate_lineage" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS sum_price,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

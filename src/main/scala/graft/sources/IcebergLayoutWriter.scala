@@ -764,9 +764,11 @@ object IcebergLayoutWriter {
   def writeTable(tableDir: java.io.File, entries: Seq[ManifestEntrySpec],
       snapshotId: Long = 1L,
       partitionSpec: Seq[(String, String, Int)] = Nil,
-      sortOrder: Seq[(Int, String, String, String)] = Nil): Unit =
+      sortOrder: Seq[(Int, String, String, String)] = Nil,
+      assignRowIds: Boolean = true): Unit =
     writeTableSnapshots(tableDir, Seq(snapshotId -> entries),
-      partitionSpec = partitionSpec, sortOrder = sortOrder)
+      partitionSpec = partitionSpec, sortOrder = sortOrder,
+      assignRowIds = assignRowIds)
 
   /** Multi-snapshot layout (the time-travel surface): every snapshot's
     * manifest list + manifests are written, the metadata JSON lists them
@@ -793,7 +795,13 @@ object IcebergLayoutWriter {
       refs: Map[String, (Long, String)] = Map.empty,
       partitionSpec: Seq[(String, String, Int)] = Nil,
       partitionSpecs: Seq[Seq[(String, String, Int)]] = Nil,
-      sortOrder: Seq[(Int, String, String, String)] = Nil): Unit = {
+      sortOrder: Seq[(Int, String, String, String)] = Nil,
+      /** false = simulate a PRE-LINEAGE (v2-era) layout: no
+        * first_row_id on entries, no next-row-id in the metadata —
+        * `_row_id` then reads null until a lineage-assigning commit
+        * touches the rows (the spec's upgrade rule, pinned by
+        * RowLineageSpec). */
+      assignRowIds: Boolean = true): Unit = {
     require(snapshots.nonEmpty, "at least one snapshot")
     // one spec (the common case) or a full evolution history: specs is
     // indexed by spec-id; entries choose theirs via ManifestEntrySpec.specId
@@ -807,15 +815,17 @@ object IcebergLayoutWriter {
     // across the history, in snapshot order — the same counter the
     // maintenance commits continue from (`next-row-id` below)
     var rowIdCounter = 0L
-    val lineageSnapshots = snapshots.map { case (snapshotId, entries) =>
-      snapshotId -> entries.map { e =>
-        if (e.content == 0 && e.firstRowId == null) {
-          val s = e.copy(firstRowId = Long.box(rowIdCounter))
-          rowIdCounter += e.recordCount
-          s
-        } else e
+    val lineageSnapshots =
+      if (!assignRowIds) snapshots
+      else snapshots.map { case (snapshotId, entries) =>
+        snapshotId -> entries.map { e =>
+          if (e.content == 0 && e.firstRowId == null) {
+            val s = e.copy(firstRowId = Long.box(rowIdCounter))
+            rowIdCounter += e.recordCount
+            s
+          } else e
+        }
       }
-    }
     val lists = lineageSnapshots.map { case (snapshotId, entries) =>
       // a manifest holds files of ONE content class written under ONE
       // spec (spec: manifests are homogeneous in partition shape);
@@ -880,12 +890,13 @@ object IcebergLayoutWriter {
         s""",\n  "default-sort-order-id": 1,\n  "sort-orders": [\n""" +
           s"""    {"order-id": 1, "fields": [\n$fs\n    ]}\n  ]"""
       }
+    val rowIdJson =
+      if (assignRowIds) s"""  "next-row-id": $rowIdCounter,\n""" else ""
     val json =
       s"""{
          |  "format-version": 2,
          |  "current-snapshot-id": ${snapshots.last._1},
-         |  "next-row-id": $rowIdCounter,
-         |  "snapshots": [
+         |$rowIdJson  "snapshots": [
          |$snapJson
          |  ]$refsJson$specJson$sortJson
          |}""".stripMargin

@@ -330,6 +330,73 @@ class RowLineageSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(0))
   }
 
+  test("add_files imports assign row ids at commit; cursor works from there") {
+    import spark.implicits._
+    // imported data files are NEW entries of the import commit, so the
+    // commit sink assigns their first_row_id like any append (spec v3:
+    // added data files get ids at commit) — the adopted table is
+    // cursor-ready immediately
+    val src = new java.io.File("target/tmp-lineage-adopt-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(src)
+    (0L until 50L).map(i => (i, i * 2)).toDF("k", "v").coalesce(2)
+      .write.parquet(src.getAbsolutePath)
+    spark.sql("CREATE TABLE lin.db.adopt (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg`")
+    spark.sql(s"CALL lin.system.add_files('db.adopt', " +
+      s"'${src.getAbsolutePath}')")
+    val ids = spark.sql("SELECT _row_id FROM lin.db.adopt").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 50L), s"dense ids expected at import: " +
+      s"${ids.take(5)}..${ids.takeRight(5)}")
+    val tdir = "target/tmp-lineage-wh/db/adopt"
+    assert(graft.sources.LayoutMaintenance.nextRowId(spark, tdir) == 50L)
+    val cursor = graft.sources.LayoutMaintenance.nextRowId(spark, tdir)
+    spark.sql("INSERT INTO lin.db.adopt SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (100L, 1L), (101L, 2L) AS t(k, v)")
+    val slice = spark.sql(
+      s"SELECT k FROM lin.db.adopt WHERE _row_id >= $cursor ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(slice == Seq(100L, 101L), slice.toString)
+  }
+
+  test("pre-lineage layouts gain row ids lazily on first rewrite") {
+    import spark.implicits._
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    // a hand-built v2-era layout: metadata has NO next-row-id, entries
+    // NO first_row_id — _row_id reads null (the spec's upgrade rule)
+    val dir = new java.io.File("target/tmp-lineage-wh/db/upgraded")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    val f = new java.io.File(dataDir, "old.parquet")
+    val n = IcebergLayoutWriter.writeSingleParquet(
+      (0L until 30L).map(i => (i, i * 3)).toDF("k", "v").coalesce(1), f)
+    IcebergLayoutWriter.writeTable(dir, Seq(ManifestEntrySpec(status = 1,
+      content = 0, filePath = f.getAbsolutePath, recordCount = n,
+      sizeBytes = f.length())), assignRowIds = false)
+    assert(spark.sql(
+      "SELECT count(*) FROM lin.db.upgraded WHERE _row_id IS NULL")
+      .head.getLong(0) == 30L, "pre-lineage rows must read null _row_id")
+    // the first rewrite ASSIGNS ids from the zero-started counter —
+    // the spec's lazy assignment for upgraded tables
+    spark.sql("CALL lin.system.rewrite_data_files('db.upgraded')")
+    val ids = spark.sql("SELECT _row_id FROM lin.db.upgraded").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 30L), s"dense ids expected after rewrite: " +
+      s"${ids.take(5)}..${ids.takeRight(5)}")
+    assert(graft.sources.LayoutMaintenance.nextRowId(spark,
+      dir.getPath) == 30L)
+    // cursor from the assignment point
+    val cursor = graft.sources.LayoutMaintenance.nextRowId(spark,
+      dir.getPath)
+    spark.sql("INSERT INTO lin.db.upgraded SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (200L, 1L) AS t(k, v)")
+    val slice = spark.sql(
+      s"SELECT k FROM lin.db.upgraded WHERE _row_id >= $cursor")
+      .collect().map(_.getLong(0)).toSeq
+    assert(slice == Seq(200L), slice.toString)
+  }
+
   test("past-the-ceiling commits still assign and carry first_row_id") {
     import graft.sources.{IcebergLayoutWriter, LayoutMaintenance,
       IcebergManifestSource}
