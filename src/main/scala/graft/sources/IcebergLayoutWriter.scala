@@ -41,6 +41,11 @@ object IcebergLayoutWriter {
       equalityIds: Seq[Int] = Nil,
       fileFormat: String = "PARQUET",
       sortOrderId: Integer = null,
+      /** spec fields 109/110: per-column value / null-value counts
+        * (field-id keyed; empty = not recorded — readable_metrics then
+        * serves null, Iceberg's own convention for absent metrics). */
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullValueCounts: Map[Int, Long] = Map.empty,
       /** v3 row lineage (spec field 142): the row id of this data
         * file's first row — null until the commit sink assigns it from
         * the table's `next-row-id` counter. */
@@ -68,12 +73,24 @@ object IcebergLayoutWriter {
   private def kvSchema: Schema = SchemaBuilder.record("k126_v127").fields()
     .requiredInt("key").requiredBytes("value").endRecord()
 
+  /** spec value_counts/null_value_counts entry shape: the same
+    * array<record<key,value>> "logical map" with LONG values. */
+  private def kvLongSchema: Schema = SchemaBuilder.record("k119_v120")
+    .fields().requiredInt("key").requiredLong("value").endRecord()
+
   private def dataFileSchema(pSchema: Schema): Schema =
     SchemaBuilder.record("data_file").fields()
       .requiredInt("content")
       .requiredString("file_path").requiredString("file_format")
       .name("partition").`type`(pSchema).noDefault()
       .requiredLong("record_count").requiredLong("file_size_in_bytes")
+      // spec fields 109/110: per-column value / null-value counts —
+      // both fields share the k119_v120 record name (structurally equal
+      // instances resolve to one definition, same as the bounds pair)
+      .name("value_counts").`type`().nullable().array()
+      .items(kvLongSchema).noDefault()
+      .name("null_value_counts").`type`().nullable().array()
+      .items(kvLongSchema).noDefault()
       .name("lower_bounds").`type`().nullable().array().items(kvSchema).noDefault()
       .name("upper_bounds").`type`().nullable().array().items(kvSchema).noDefault()
       // spec field 135: the field ids an equality-delete file matches on
@@ -122,6 +139,20 @@ object IcebergLayoutWriter {
     }
     out
   }
+
+  /** Count maps (value_counts/null_value_counts): null when unrecorded
+    * so readers distinguish "no metrics" from "zero". */
+  private def kvLongList(schema: Schema,
+      m: Map[Int, Long]): java.util.List[GenericRecord] =
+    if (m.isEmpty) null
+    else {
+      val out = new java.util.ArrayList[GenericRecord](m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(schema)
+        r.put("key", k); r.put("value", v); out.add(r)
+      }
+      out
+    }
 
   /** Deterministic total order for a SINGLE-FILE write at one pass over
     * the input: the single-file writers collapse to one partition anyway,
@@ -641,6 +672,7 @@ object IcebergLayoutWriter {
     val eSchema = entrySchema(pSchema)
     val dfSchema = eSchema.getField("data_file").schema()
     val kv = kvSchema
+    val kvl = kvLongSchema
     val recs = entries.map { e =>
       val p = new GenericData.Record(pSchema)
       e.partition.foreach { case (n, v) => p.put(n, v) }
@@ -651,6 +683,8 @@ object IcebergLayoutWriter {
       df.put("partition", p)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.sizeBytes)
+      df.put("value_counts", kvLongList(kvl, e.valueCounts))
+      df.put("null_value_counts", kvLongList(kvl, e.nullValueCounts))
       df.put("lower_bounds", kvList(kv, e.lower))
       df.put("upper_bounds", kvList(kv, e.upper))
       df.put("equality_ids",

@@ -101,7 +101,8 @@ object IcebergManifestSource {
       StructField("file_size_in_bytes", LongType),
       StructField("partition", StringType)) ++
       fields.flatMap { case (_, nm, dt) =>
-        Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
+        Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt),
+          StructField(s"vc_$nm", LongType), StructField(s"nc_$nm", LongType))
       })
 
   /** ALL entries (any status — 0 existing / 1 added / 2 deleted) of one
@@ -131,9 +132,13 @@ object IcebergManifestSource {
         else {
           val lo = boundsMap(df, "lower_bounds")
           val hi = boundsMap(df, "upper_bounds")
+          val vc = countsMap(df, "value_counts")
+          val nc = countsMap(df, "null_value_counts")
           fields.flatMap { case (id, _, dt) =>
             Seq(lo.get(id).map(decodeBound(_, dt)).orNull,
-              hi.get(id).map(decodeBound(_, dt)).orNull)
+              hi.get(id).map(decodeBound(_, dt)).orNull,
+              vc.get(id).map(Long.box).orNull,
+              nc.get(id).map(Long.box).orNull)
           }
         }
       Iterator.single(Row.fromSeq(Seq(status, snap, seq, fileContent(df),
@@ -662,7 +667,9 @@ object IcebergManifestSource {
         s.recordCount, s.sequenceNumber) ++
         fieldSpec.flatMap { case (id, _, dt) =>
           Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
-            s.upper.get(id).map(decodeBound(_, dt)).orNull)
+            s.upper.get(id).map(decodeBound(_, dt)).orNull,
+            s.valueCounts.get(id).map(Long.box).orNull,
+            s.nullValueCounts.get(id).map(Long.box).orNull)
         } ++ Seq(s.equalityIds, s.fileFormat,
           s.sortOrderId.map(Int.box).orNull,
           s.firstRowId.map(Long.box).orNull,
@@ -701,7 +708,9 @@ object IcebergManifestSource {
         StructField("sizeBytes", LongType), StructField("record_count", LongType),
         StructField("sequence_number", LongType)) ++
         fields.flatMap { case (_, nm, dt) =>
-          Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt))
+          Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt),
+            StructField(s"vc_$nm", LongType),
+            StructField(s"nc_$nm", LongType))
         } ++ Seq(StructField("equality_ids", ArrayType(IntegerType)),
           StructField("file_format", StringType),
           StructField("sort_order_id", IntegerType),
@@ -715,7 +724,10 @@ object IcebergManifestSource {
       equalityIds: Seq[Int] = Nil,
       fileFormat: String = "PARQUET",
       sortOrderId: Option[Int] = None,
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      /** spec fields 109/110 (empty = not recorded). */
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullValueCounts: Map[Int, Long] = Map.empty)
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
@@ -761,6 +773,8 @@ object IcebergManifestSource {
             },
         lower = boundsMap(df, "lower_bounds"),
         upper = boundsMap(df, "upper_bounds"),
+        valueCounts = countsMap(df, "value_counts"),
+        nullValueCounts = countsMap(df, "null_value_counts"),
         equalityIds =
           if (df.getSchema.getField("equality_ids") == null) Nil
           else df.get("equality_ids") match {
@@ -815,6 +829,31 @@ object IcebergManifestSource {
     * Avro map (string keys) or the spec's array<record<key,value>>
     * "logical map" (what Iceberg writers actually emit — Avro maps
     * cannot have int keys). Values arrive as ByteBuffer/Fixed/byte[]. */
+  /** Count maps (value_counts/null_value_counts) in either physical
+    * shape — native avro map or the array<record<key,value>> logical
+    * map (what Iceberg writers emit). */
+  private def countsMap(df: GenericRecord, field: String): Map[Int, Long] = {
+    if (df.getSchema.getField(field) == null) return Map.empty
+    df.get(field) match {
+      case null => Map.empty
+      case m: java.util.Map[_, _] =>
+        val b = Map.newBuilder[Int, Long]
+        m.forEach((k, v) =>
+          b += (k.toString.toInt -> v.toString.toLong))
+        b.result()
+      case l: java.util.List[_] =>
+        val b = Map.newBuilder[Int, Long]
+        l.forEach {
+          case r: GenericRecord =>
+            b += (r.get("key").asInstanceOf[Int] ->
+              r.get("value").asInstanceOf[Long])
+          case _ => ()
+        }
+        b.result()
+      case _ => Map.empty
+    }
+  }
+
   private def boundsMap(df: GenericRecord, field: String): Map[Int, Array[Byte]] = {
     if (df.getSchema.getField(field) == null) return Map.empty
     df.get(field) match {

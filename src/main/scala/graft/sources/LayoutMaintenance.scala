@@ -960,6 +960,7 @@ object LayoutMaintenance {
       recordCount = s.recordCount, sizeBytes = s.sizeBytes,
       sequenceNumber = s.sequenceNumber,
       lower = s.lower, upper = s.upper,
+      valueCounts = s.valueCounts, nullValueCounts = s.nullValueCounts,
       equalityIds = s.equalityIds,
       fileFormat = s.fileFormat,
       sortOrderId = s.sortOrderId.map(Int.box).orNull,

@@ -42,19 +42,20 @@ object MetadataTables {
   }
 
   /** Iceberg's `readable_metrics` column: one nested struct per data
-    * column with its per-file bounds RENDERED AT THE COLUMN TYPE (the
-    * relation a debugging user SELECTs first). This layout's manifests
-    * record lower/upper bounds only, so the standard count fields
-    * (column_size, value_count, null_value_count, nan_value_count)
-    * serve as null — absent metrics render null in Iceberg too. */
+    * column with its per-file bounds RENDERED AT THE COLUMN TYPE plus
+    * the recorded value/null counts (spec fields 109/110 — the
+    * connector's writers record them for every top-level column; files
+    * written without metrics serve null, Iceberg's own convention).
+    * column_size / nan_value_count stay null: this layout's manifests
+    * do not record them. */
   private def readableMetrics(
       fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)])
       : org.apache.spark.sql.Column =
     struct(fields.map { case (_, nm, _) =>
       struct(
         lit(null).cast("bigint").as("column_size"),
-        lit(null).cast("bigint").as("value_count"),
-        lit(null).cast("bigint").as("null_value_count"),
+        col(s"vc_$nm").as("value_count"),
+        col(s"nc_$nm").as("null_value_count"),
         lit(null).cast("bigint").as("nan_value_count"),
         col(s"lo_$nm").as("lower_bound"),
         col(s"hi_$nm").as("upper_bound")).as(nm)
@@ -246,7 +247,8 @@ object MetadataTables {
     if (fields.isEmpty) base
     else base.select(
       base.columns.filterNot(c =>
-        c.startsWith("lo_") || c.startsWith("hi_")).map(col).toSeq :+
+        c.startsWith("lo_") || c.startsWith("hi_") ||
+          c.startsWith("vc_") || c.startsWith("nc_")).map(col).toSeq :+
         readableMetrics(fields): _*)
   }
 

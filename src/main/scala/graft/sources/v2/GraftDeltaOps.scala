@@ -149,7 +149,8 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
         status = 1, content = 0, filePath = f.path, recordCount = f.rows,
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
         partition = f.partition,
-        fileFormat = GraftFormatWriters.formatOf(f.path)))
+        fileFormat = GraftFormatWriters.formatOf(f.path),
+        valueCounts = f.valueCounts, nullValueCounts = f.nullValueCounts))
     val delEntries = msgs.flatMap(m => m.deletes.map(f => (f, m.eqIds)))
       .filter(_._1.rows > 0)
       .map { case (f, eqIds) =>

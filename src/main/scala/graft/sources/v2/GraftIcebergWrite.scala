@@ -272,7 +272,8 @@ private[v2] object GraftIcebergWrite {
         content = 0, filePath = f.path, recordCount = f.rows,
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
         partition = f.partition, sortOrderId = sortOrderId,
-        fileFormat = GraftFormatWriters.formatOf(f.path)))
+        fileFormat = GraftFormatWriters.formatOf(f.path),
+        valueCounts = f.valueCounts, nullValueCounts = f.nullValueCounts))
 
   /** The metadata `sort-orders` rows a `write.sort-order` declaration
     * registers on table creation: identity asc nulls-first per column,
@@ -470,12 +471,16 @@ private[v2] class GraftStreamingWriterFactory(dir: String, schema: StructType,
 }
 
 /** One written data file's commit facts: path, rows, bytes, Appendix-D
-  * bounds per stat field, and the file's partition values (empty for
-  * unpartitioned writes). */
+  * bounds per stat field, per-column value/null counts (spec
+  * value_counts/null_value_counts — recorded for EVERY top-level
+  * column), and the file's partition values (empty for unpartitioned
+  * writes). */
 private[v2] case class GraftFileInfo(path: String, rows: Long,
     bytes: Long, lower: Map[Int, Array[Byte]] = Map.empty,
     upper: Map[Int, Array[Byte]] = Map.empty,
-    partition: Seq[(String, Any)] = Nil)
+    partition: Seq[(String, Any)] = Nil,
+    valueCounts: Map[Int, Long] = Map.empty,
+    nullValueCounts: Map[Int, Long] = Map.empty)
 
 private[v2] case class GraftCommitMessage(files: Seq[GraftFileInfo])
     extends WriterCommitMessage
@@ -582,6 +587,9 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       GraftFormatWriters.create(format, file, schema, fieldIds)
     val statMin = new Array[Any](statIdx.length)
     val statMax = new Array[Any](statIdx.length)
+    // spec value_counts/null_value_counts, EVERY top-level column —
+    // one isNullAt per column per row, positional field ids
+    val nullCount = new Array[Long](schema.length)
     var rows = 0L
   }
 
@@ -621,7 +629,11 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       val upper = statIdx.indices.flatMap { j =>
         Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
       Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
-        sink.file.length(), lower, upper, sink.partition))
+        sink.file.length(), lower, upper, sink.partition,
+        valueCounts =
+          schema.fields.indices.map(i => (i + 1) -> sink.rows).toMap,
+        nullValueCounts =
+          schema.fields.indices.map(i => (i + 1) -> sink.nullCount(i)).toMap))
     }
   }
 
@@ -716,6 +728,11 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
         }
       }
       j += 1
+    }
+    var c = 0
+    while (c < schema.length) {
+      if (record.isNullAt(c)) sink.nullCount(c) += 1
+      c += 1
     }
     sink.rows += 1
     // Iceberg's write.target-file-size-bytes, task-side: when the open

@@ -246,9 +246,12 @@ class IcebergManifestSpec extends AnyFunSuite {
         recordCount = 3L, sizeBytes = 60L)))
     val got = IcebergManifestSource.statsFromTableDir(spark, tblDir.getPath, "tbl",
         Seq((1, "x", DoubleType), (2, "y", LongType), (3, "s", StringType)))
-      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(5),
-        Option(r.get(7)), Option(r.get(8)), Option(r.get(9)), Option(r.get(10)),
-        Option(r.get(11)), Option(r.get(12))))
+      .collect().map { r =>
+        def at(n: String) = Option(r.get(r.fieldIndex(n)))
+        (r.getString(1), r.getInt(2), r.getLong(5),
+          at("lo_x"), at("hi_x"), at("lo_y"), at("hi_y"),
+          at("lo_s"), at("hi_s"))
+      }
       .sortBy(_._1).toSeq
     assert(got == Seq(
       ("a.parquet", 0, 42L, Some(-3.75), Some(9.5e12),
