@@ -209,10 +209,17 @@ object Cli {
       val spark = session()
       try {
         import graft.sources.MetadataTables
+        // the parent table's data schema (first-file inference /
+        // descriptor) feeds readable_metrics on files/entries — a
+        // data-less layout serves the relations without it
+        val dataSchema: Option[org.apache.spark.sql.types.StructType] =
+          try Some(spark.read.format("graft-iceberg").load(root).schema)
+          catch { case _: Throwable => None }
         val df = args(2) match {
           case "partitions" => MetadataTables.partitions(spark, root)
             .orderBy(col("partition"))
-          case "files" => MetadataTables.files(spark, root)
+          case "files" => MetadataTables.files(spark, root,
+              dataSchema = dataSchema)
             .orderBy(col("content"), col("file_path"))
           case "snapshots" => MetadataTables.snapshots(spark, root)
             .orderBy(col("ordinal"))
@@ -225,16 +232,19 @@ object Cli {
             .orderBy(col("file_path"), col("pos"))
           case "all_files" => MetadataTables.allFiles(spark, root)
             .orderBy(col("content"), col("file_path"))
-          case "data_files" => MetadataTables.dataFiles(spark, root)
+          case "data_files" => MetadataTables.dataFiles(spark, root,
+              dataSchema = dataSchema)
             .orderBy(col("file_path"))
-          case "delete_files" => MetadataTables.deleteFiles(spark, root)
+          case "delete_files" => MetadataTables.deleteFiles(spark, root,
+              dataSchema = dataSchema)
             .orderBy(col("file_path"))
           case "all_manifests" => MetadataTables.allManifests(spark, root)
             .orderBy(col("reference_snapshot_id"), col("path"))
           case "metadata_log_entries" =>
             MetadataTables.metadataLogEntries(spark, root)
               .orderBy(col("version"))
-          case "entries" => MetadataTables.entries(spark, root)
+          case "entries" => MetadataTables.entries(spark, root,
+              dataSchema = dataSchema)
             .orderBy(col("status"), col("file_path"))
           case "all_entries" => MetadataTables.allEntries(spark, root)
             .orderBy(col("snapshot_id"), col("status"), col("file_path"))
