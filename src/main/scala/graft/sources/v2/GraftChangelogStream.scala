@@ -297,80 +297,179 @@ private[v2] class GraftChangelogReaderFactory(baseSchema: StructType)
 
     case ChangeUpdatePairPartition(dataFiles, posFiles, targetMeta, sid) =>
       new PartitionReader[InternalRow] {
-        // Materialize the commit's change set ONCE (commit-sized — the
-        // same bound every CDC consumer already pays), resolving each
-        // row's `_row_id` through the file's (first_row_id, seq):
-        //   - deleted rows whose id an inserted row also carries pair
-        //     into update_before/update_after;
-        //   - everything else stays delete/insert (incl. every
-        //     pre-lineage row, whose null id never pairs).
+        // STREAMING pairing with O(tombstone-count) memory: a deleted
+        // row pairs only when an inserted row carries the SAME
+        // `_row_id`, and an insert can only carry an old id when its
+        // file MATERIALIZES the lineage column (the update-written
+        // delta files) — synthesized ids (first_row_id + pos) are
+        // freshly allocated at this commit and never match. So the
+        // pairable set = {deleted-row ids} ∩ {materialized insert ids},
+        // both bounded by the commit's tombstone/update cardinality —
+        // computed up front from the tombstones plus a lineage-COLUMN
+        // projection of the added files (their payload pages are never
+        // decoded), after which both sides STREAM, labeling per row.
         private val withId = StructType(baseSchema.fields :+
           StructField(GraftTable.RowIdMetadataColumn, LongType))
+        private val idOnly = StructType(Seq(
+          StructField(GraftTable.RowIdMetadataColumn, LongType)))
 
         private def readerOf(path: String, fri: java.lang.Long,
-            seq: Long): PartitionReader[InternalRow] = {
+            seq: Long, required: StructType): PartitionReader[InternalRow] = {
           val part = GraftFilePartition(path,
             fileFormat = GraftFormatWriters.formatOf(path),
             dataSeq = seq, firstRowId = fri)
           if (part.fileFormat == "PARQUET")
-            new GraftPartitionReader(part, withId)
-          else new GraftRowPartitionReader(part, withId)
+            new GraftPartitionReader(part, required)
+          else new GraftRowPartitionReader(part, required)
         }
 
-        private def rowsOf(path: String, fri: java.lang.Long, seq: Long,
-            keep: Long => Boolean): Seq[(java.lang.Long, Array[Any])] = {
-          val r = readerOf(path, fri, seq)
-          try {
-            val out = Seq.newBuilder[(java.lang.Long, Array[Any])]
-            var idx = -1L
-            while (r.next()) {
-              idx += 1
-              if (keep(idx)) {
-                val row = r.get()
-                val vals = new Array[Any](baseSchema.length)
-                var i = 0
-                while (i < baseSchema.length) {
-                  vals(i) = row.get(i, baseSchema.fields(i).dataType); i += 1
+        // target file → tombstoned ordinals (all this commit's
+        // tombstone files folded; DV blobs decode the same way)
+        private val deadByTarget: Seq[(String, Set[Long])] = posFiles
+          .flatMap(p => GraftPartitionReader.posMapOf(p).toSeq)
+          .groupBy(_._1).view
+          .mapValues(_.flatMap(_._2).toSet).toSeq.sortBy(_._1)
+        private val metaOf = targetMeta.map(t => t._1 -> ((t._2, t._3))).toMap
+
+        /** Resolved `_row_id` per kept ordinal (null id = null), via a
+          * lineage-column projection — payload columns never decoded,
+          * and the ids STREAM (the caller filters before collecting). */
+        private def idsOf(path: String, fri: java.lang.Long, seq: Long,
+            keep: Long => Boolean): Iterator[java.lang.Long] = {
+          val r = readerOf(path, fri, seq, idOnly)
+          var idx = -1L
+          new Iterator[java.lang.Long] {
+            private var nextId: java.lang.Long = _
+            private var open = true
+            private def advance(): Unit = {
+              while (open && r.next()) {
+                idx += 1
+                if (keep(idx)) {
+                  nextId = if (r.get().isNullAt(0)) null
+                    else Long.box(r.get().getLong(0))
+                  return
                 }
-                out += ((if (row.isNullAt(baseSchema.length)) null
-                  else Long.box(row.getLong(baseSchema.length)), vals))
+              }
+              if (open) { r.close(); open = false }
+              nextId = null
+            }
+            advance()
+            override def hasNext: Boolean = open
+            override def next(): java.lang.Long = {
+              val out = nextId; advance(); out
+            }
+          }
+        }
+
+        /** Does the FILE physically materialize the lineage column?
+          * Footer/header-grain probe, cached per path — files that
+          * don't have fully SYNTHESIZED ids (first_row_id + pos),
+          * computable from the manifest with no data read at all. */
+        private val lineageCol = GraftTable.RowIdMetadataColumn
+        private val matCache =
+          scala.collection.mutable.HashMap.empty[String, Boolean]
+        private def materializesLineage(path: String): Boolean =
+          matCache.getOrElseUpdate(path, {
+            import scala.jdk.CollectionConverters._
+            GraftFormatWriters.formatOf(path) match {
+              case "ORC" =>
+                val r = org.apache.orc.OrcFile.createReader(
+                  new org.apache.hadoop.fs.Path(path),
+                  org.apache.orc.OrcFile.readerOptions(
+                    new org.apache.hadoop.conf.Configuration()))
+                try r.getSchema.getFieldNames.asScala.contains(lineageCol)
+                finally r.close()
+              case "AVRO" =>
+                val r = new org.apache.avro.file.DataFileReader[
+                  org.apache.avro.generic.GenericRecord](
+                  new java.io.File(path),
+                  new org.apache.avro.generic.GenericDatumReader[
+                    org.apache.avro.generic.GenericRecord]())
+                try r.getSchema.getField(lineageCol) != null
+                finally r.close()
+              case _ =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(path),
+                    new org.apache.hadoop.conf.Configuration())
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getFooter.getFileMetaData.getSchema
+                  .containsField(lineageCol)
+                finally r.close()
+            }
+          })
+
+        private val updatedIds: Set[Long] = {
+          val delIds: Set[Long] = deadByTarget.iterator.flatMap {
+            case (t, dead) =>
+              val (fri, seq) = metaOf.getOrElse(t, (null, 0L))
+              if (materializesLineage(t))
+                idsOf(t, fri, seq, dead.contains)
+                  .filter(_ != null).map(_.longValue)
+              else if (fri != null) dead.iterator.map(fri.longValue + _)
+              else Iterator.empty
+          }.toSet
+          // only MATERIALIZING insert files can carry an old row's id —
+          // synthesized ids are freshly allocated at this commit
+          if (delIds.isEmpty) Set.empty
+          else dataFiles.iterator.filter(f => materializesLineage(f._1))
+            .flatMap { case (p, fri, seq) => idsOf(p, fri, seq, _ => true) }
+            .filter(_ != null).map(_.longValue).filter(delIds).toSet
+        }
+
+        private def tag(row: InternalRow, paired: String, plain: String) =
+          if (!row.isNullAt(baseSchema.length) &&
+              updatedIds(row.getLong(baseSchema.length))) paired else plain
+
+        private def project(row: InternalRow): Array[Any] = {
+          val vals = new Array[Any](baseSchema.length)
+          var i = 0
+          while (i < baseSchema.length) {
+            vals(i) = row.get(i, baseSchema.fields(i).dataType); i += 1
+          }
+          vals
+        }
+
+        // old rows stream target by target at the dead ordinals, then
+        // insert rows stream file by file — nothing row-shaped buffers
+        private val emitted: Iterator[InternalRow] =
+          deadByTarget.iterator.flatMap { case (t, dead) =>
+            val (fri, seq) = metaOf.getOrElse(t, (null, 0L))
+            val r = readerOf(t, fri, seq, withId)
+            var idx = -1L
+            new Iterator[InternalRow] {
+              private var nextRow: InternalRow = advance()
+              private def advance(): InternalRow = {
+                while (r.next()) {
+                  idx += 1
+                  if (dead.contains(idx)) {
+                    val row = r.get()
+                    return stamped(project(row),
+                      tag(row, "update_before", "delete"), sid)
+                  }
+                }
+                r.close(); null
+              }
+              override def hasNext: Boolean = nextRow != null
+              override def next(): InternalRow = {
+                val out = nextRow; nextRow = advance(); out
               }
             }
-            out.result()
-          } finally r.close()
-        }
-
-        private val emitted: Iterator[InternalRow] = {
-          // target file → tombstoned ordinals (all this commit's
-          // tombstone files folded; DV blobs decode the same way)
-          val deadByTarget: Map[String, Set[Long]] = posFiles
-            .flatMap(p => GraftPartitionReader.posMapOf(p).toSeq)
-            .groupBy(_._1).view
-            .mapValues(_.flatMap(_._2).toSet).toMap
-          val metaOf = targetMeta.map(t => t._1 -> ((t._2, t._3))).toMap
-          val oldRows: Seq[(java.lang.Long, Array[Any])] =
-            deadByTarget.toSeq.sortBy(_._1).flatMap { case (t, dead) =>
-              val (fri, seq) = metaOf.getOrElse(t, (null, 0L))
-              rowsOf(t, fri, seq, dead.contains)
+          } ++ dataFiles.iterator.flatMap { case (p, fri, seq) =>
+            val r = readerOf(p, fri, seq, withId)
+            new Iterator[InternalRow] {
+              private var nextRow: InternalRow = advance()
+              private def advance(): InternalRow =
+                if (r.next()) {
+                  val row = r.get()
+                  stamped(project(row), tag(row, "update_after", "insert"),
+                    sid)
+                } else { r.close(); null }
+              override def hasNext: Boolean = nextRow != null
+              override def next(): InternalRow = {
+                val out = nextRow; nextRow = advance(); out
+              }
             }
-          val newRows: Seq[(java.lang.Long, Array[Any])] =
-            dataFiles.flatMap { case (p, fri, seq) =>
-              rowsOf(p, fri, seq, _ => true)
-            }
-          val updatedIds: Set[Long] = {
-            val delIds = oldRows.iterator.map(_._1).filter(_ != null)
-              .map(_.longValue).toSet
-            newRows.iterator.map(_._1).filter(_ != null)
-              .map(_.longValue).filter(delIds).toSet
           }
-          def tag(id: java.lang.Long, paired: String, plain: String) =
-            if (id != null && updatedIds(id.longValue)) paired else plain
-          (oldRows.iterator.map { case (id, vals) =>
-            stamped(vals, tag(id, "update_before", "delete"), sid)
-          } ++ newRows.iterator.map { case (id, vals) =>
-            stamped(vals, tag(id, "update_after", "insert"), sid)
-          })
-        }
 
         private var row: InternalRow = _
         override def next(): Boolean = {

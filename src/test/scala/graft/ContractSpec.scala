@@ -22,7 +22,8 @@ class ContractSpec extends AnyFunSuite {
     val maps = Seq(Queries.all, TextQueries.all, Queries2.all, Queries3.all,
       Queries4.all, Queries5.all, Queries6.all, Queries7.all, Queries8.all,
       Queries9.all, Queries10.all, Queries11.all, Queries12.all, Queries13.all,
-      Queries14.all, Queries15.all, Queries16.all, Queries17.all)
+      Queries14.all, Queries15.all, Queries16.all, Queries17.all,
+      Queries18.all)
     val names = maps.flatMap(_.keys)
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"query registered twice (one shadows the other): $dupes")
