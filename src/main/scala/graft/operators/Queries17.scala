@@ -198,32 +198,26 @@ object Queries17 {
       // rendered AT THE COLUMN TYPE equal the scan's actual min/max per
       // file (round 14 — Iceberg's standard nested metrics struct on
       // $files/$entries)
-      val rm = s.sql(
+      val rmRows = s.sql(
         s"""SELECT file_path,
            |  readable_metrics.okey.lower_bound AS lo,
-           |  readable_metrics.okey.upper_bound AS hi
-           |FROM $cat.en.prof.files
-           |WHERE content = 0
-           |  AND readable_metrics.okey.lower_bound IS NOT NULL
-           |""".stripMargin)
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      require(rm.nonEmpty, "readable_metrics must serve data-file bounds")
-      // value/null counts (spec fields 109/110) are REAL: value_count
-      // equals the file's record_count, null_value_count is 0 (okey is
-      // never null in the source)
-      val counts = s.sql(
-        s"""SELECT record_count,
+           |  readable_metrics.okey.upper_bound AS hi,
+           |  record_count,
            |  readable_metrics.okey.value_count,
            |  readable_metrics.okey.null_value_count
            |FROM $cat.en.prof.files
            |WHERE content = 0
-           |  AND readable_metrics.okey.value_count IS NOT NULL
+           |  AND readable_metrics.okey.lower_bound IS NOT NULL
            |""".stripMargin).collect()
-      require(counts.nonEmpty &&
-        counts.forall(r => r.getLong(1) == r.getLong(0) &&
-          r.getLong(2) == 0L),
+      val rm = rmRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      require(rm.nonEmpty, "readable_metrics must serve data-file bounds")
+      // value/null counts (spec fields 109/110) are REAL: value_count
+      // equals the file's record_count, null_value_count is 0 (okey is
+      // never null in the source)
+      require(rmRows.forall(r => r.getLong(4) == r.getLong(3) &&
+          r.getLong(5) == 0L),
         s"value/null counts must match the files: " +
-          counts.map(_.toSeq).mkString("; "))
+          rmRows.map(_.toSeq).mkString("; "))
       val actual = s.sql(
         s"SELECT _file, min(okey), max(okey) FROM $cat.en.prof GROUP BY 1")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
