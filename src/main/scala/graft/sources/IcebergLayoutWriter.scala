@@ -41,11 +41,13 @@ object IcebergLayoutWriter {
       equalityIds: Seq[Int] = Nil,
       fileFormat: String = "PARQUET",
       sortOrderId: Integer = null,
-      /** spec fields 109/110: per-column value / null-value counts
-        * (field-id keyed; empty = not recorded — readable_metrics then
-        * serves null, Iceberg's own convention for absent metrics). */
+      /** spec fields 109/110/137: per-column value / null-value / NaN
+        * counts (field-id keyed; empty = not recorded —
+        * readable_metrics then serves null, Iceberg's own convention
+        * for absent metrics; NaN counts cover FLOAT/DOUBLE only). */
       valueCounts: Map[Int, Long] = Map.empty,
       nullValueCounts: Map[Int, Long] = Map.empty,
+      nanValueCounts: Map[Int, Long] = Map.empty,
       /** v3 row lineage (spec field 142): the row id of this data
         * file's first row — null until the commit sink assigns it from
         * the table's `next-row-id` counter. */
@@ -90,6 +92,8 @@ object IcebergLayoutWriter {
       .name("value_counts").`type`().nullable().array()
       .items(kvLongSchema).noDefault()
       .name("null_value_counts").`type`().nullable().array()
+      .items(kvLongSchema).noDefault()
+      .name("nan_value_counts").`type`().nullable().array()
       .items(kvLongSchema).noDefault()
       .name("lower_bounds").`type`().nullable().array().items(kvSchema).noDefault()
       .name("upper_bounds").`type`().nullable().array().items(kvSchema).noDefault()
@@ -685,6 +689,7 @@ object IcebergLayoutWriter {
       df.put("file_size_in_bytes", e.sizeBytes)
       df.put("value_counts", kvLongList(kvl, e.valueCounts))
       df.put("null_value_counts", kvLongList(kvl, e.nullValueCounts))
+      df.put("nan_value_counts", kvLongList(kvl, e.nanValueCounts))
       df.put("lower_bounds", kvList(kv, e.lower))
       df.put("upper_bounds", kvList(kv, e.upper))
       df.put("equality_ids",

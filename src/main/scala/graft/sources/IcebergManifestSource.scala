@@ -102,7 +102,8 @@ object IcebergManifestSource {
       StructField("partition", StringType)) ++
       fields.flatMap { case (_, nm, dt) =>
         Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt),
-          StructField(s"vc_$nm", LongType), StructField(s"nc_$nm", LongType))
+          StructField(s"vc_$nm", LongType), StructField(s"nc_$nm", LongType),
+          StructField(s"xc_$nm", LongType))
       })
 
   /** ALL entries (any status — 0 existing / 1 added / 2 deleted) of one
@@ -134,11 +135,13 @@ object IcebergManifestSource {
           val hi = boundsMap(df, "upper_bounds")
           val vc = countsMap(df, "value_counts")
           val nc = countsMap(df, "null_value_counts")
+          val xc = countsMap(df, "nan_value_counts")
           fields.flatMap { case (id, _, dt) =>
             Seq(lo.get(id).map(decodeBound(_, dt)).orNull,
               hi.get(id).map(decodeBound(_, dt)).orNull,
               vc.get(id).map(Long.box).orNull,
-              nc.get(id).map(Long.box).orNull)
+              nc.get(id).map(Long.box).orNull,
+              xc.get(id).map(Long.box).orNull)
           }
         }
       Iterator.single(Row.fromSeq(Seq(status, snap, seq, fileContent(df),
@@ -669,7 +672,8 @@ object IcebergManifestSource {
           Seq(s.lower.get(id).map(decodeBound(_, dt)).orNull,
             s.upper.get(id).map(decodeBound(_, dt)).orNull,
             s.valueCounts.get(id).map(Long.box).orNull,
-            s.nullValueCounts.get(id).map(Long.box).orNull)
+            s.nullValueCounts.get(id).map(Long.box).orNull,
+            s.nanValueCounts.get(id).map(Long.box).orNull)
         } ++ Seq(s.equalityIds, s.fileFormat,
           s.sortOrderId.map(Int.box).orNull,
           s.firstRowId.map(Long.box).orNull,
@@ -710,7 +714,8 @@ object IcebergManifestSource {
         fields.flatMap { case (_, nm, dt) =>
           Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt),
             StructField(s"vc_$nm", LongType),
-            StructField(s"nc_$nm", LongType))
+            StructField(s"nc_$nm", LongType),
+            StructField(s"xc_$nm", LongType))
         } ++ Seq(StructField("equality_ids", ArrayType(IntegerType)),
           StructField("file_format", StringType),
           StructField("sort_order_id", IntegerType),
@@ -725,9 +730,10 @@ object IcebergManifestSource {
       fileFormat: String = "PARQUET",
       sortOrderId: Option[Int] = None,
       firstRowId: Option[Long] = None,
-      /** spec fields 109/110 (empty = not recorded). */
+      /** spec fields 109/110/137 (empty = not recorded). */
       valueCounts: Map[Int, Long] = Map.empty,
-      nullValueCounts: Map[Int, Long] = Map.empty)
+      nullValueCounts: Map[Int, Long] = Map.empty,
+      nanValueCounts: Map[Int, Long] = Map.empty)
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
@@ -775,6 +781,7 @@ object IcebergManifestSource {
         upper = boundsMap(df, "upper_bounds"),
         valueCounts = countsMap(df, "value_counts"),
         nullValueCounts = countsMap(df, "null_value_counts"),
+        nanValueCounts = countsMap(df, "nan_value_counts"),
         equalityIds =
           if (df.getSchema.getField("equality_ids") == null) Nil
           else df.get("equality_ids") match {

@@ -56,7 +56,7 @@ object MetadataTables {
         lit(null).cast("bigint").as("column_size"),
         col(s"vc_$nm").as("value_count"),
         col(s"nc_$nm").as("null_value_count"),
-        lit(null).cast("bigint").as("nan_value_count"),
+        col(s"xc_$nm").as("nan_value_count"),
         col(s"lo_$nm").as("lower_bound"),
         col(s"hi_$nm").as("upper_bound")).as(nm)
     }: _*).as("readable_metrics")
@@ -248,7 +248,8 @@ object MetadataTables {
     else base.select(
       base.columns.filterNot(c =>
         c.startsWith("lo_") || c.startsWith("hi_") ||
-          c.startsWith("vc_") || c.startsWith("nc_")).map(col).toSeq :+
+          c.startsWith("vc_") || c.startsWith("nc_") ||
+          c.startsWith("xc_")).map(col).toSeq :+
         readableMetrics(fields): _*)
   }
 

@@ -273,7 +273,8 @@ private[v2] object GraftIcebergWrite {
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
         partition = f.partition, sortOrderId = sortOrderId,
         fileFormat = GraftFormatWriters.formatOf(f.path),
-        valueCounts = f.valueCounts, nullValueCounts = f.nullValueCounts))
+        valueCounts = f.valueCounts, nullValueCounts = f.nullValueCounts,
+        nanValueCounts = f.nanValueCounts))
 
   /** The metadata `sort-orders` rows a `write.sort-order` declaration
     * registers on table creation: identity asc nulls-first per column,
@@ -480,7 +481,8 @@ private[v2] case class GraftFileInfo(path: String, rows: Long,
     upper: Map[Int, Array[Byte]] = Map.empty,
     partition: Seq[(String, Any)] = Nil,
     valueCounts: Map[Int, Long] = Map.empty,
-    nullValueCounts: Map[Int, Long] = Map.empty)
+    nullValueCounts: Map[Int, Long] = Map.empty,
+    nanValueCounts: Map[Int, Long] = Map.empty)
 
 private[v2] case class GraftCommitMessage(files: Seq[GraftFileInfo])
     extends WriterCommitMessage
@@ -590,6 +592,9 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     // spec value_counts/null_value_counts, EVERY top-level column —
     // one isNullAt per column per row, positional field ids
     val nullCount = new Array[Long](schema.length)
+    // spec nan_value_counts (field 137): FLOAT/DOUBLE columns only —
+    // the spec restricts NaN counts to floating-point types
+    val nanCount = new Array[Long](schema.length)
     var rows = 0L
   }
 
@@ -633,7 +638,12 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
         valueCounts =
           schema.fields.indices.map(i => (i + 1) -> sink.rows).toMap,
         nullValueCounts =
-          schema.fields.indices.map(i => (i + 1) -> sink.nullCount(i)).toMap))
+          schema.fields.indices.map(i => (i + 1) -> sink.nullCount(i)).toMap,
+        nanValueCounts = schema.fields.indices.collect {
+          case i if schema.fields(i).dataType == DoubleType ||
+              schema.fields(i).dataType == FloatType =>
+            (i + 1) -> sink.nanCount(i)
+        }.toMap))
     }
   }
 
@@ -732,6 +742,15 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     var c = 0
     while (c < schema.length) {
       if (record.isNullAt(c)) sink.nullCount(c) += 1
+      else schema.fields(c).dataType match {
+        case DoubleType =>
+          if (java.lang.Double.isNaN(record.getDouble(c)))
+            sink.nanCount(c) += 1
+        case FloatType =>
+          if (java.lang.Float.isNaN(record.getFloat(c)))
+            sink.nanCount(c) += 1
+        case _ => ()
+      }
       c += 1
     }
     sink.rows += 1

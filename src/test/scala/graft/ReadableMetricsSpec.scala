@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `readable_metrics` on $files/$entries: Iceberg's standard nested
+  * per-column metrics struct, served from the manifests' recorded
+  * bounds (rendered at the column type) and the spec 109/110/137
+  * value / null / NaN counts the connector's writers record. */
+class ReadableMetricsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSpec.spark
+    val wh = new java.io.File("target/tmp-rmx-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(wh)
+    s.conf.set("spark.sql.catalog.rmx",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.rmx.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS rmx.db")
+    s
+  }
+
+  test("value/null/NaN counts and typed bounds per column") {
+    spark.sql("CREATE TABLE rmx.db.t (k BIGINT, s STRING, x DOUBLE) " +
+      "USING `graft-iceberg` " +
+      "TBLPROPERTIES ('pushdown.fields' = 'k:1:long')")
+    spark.sql("INSERT INTO rmx.db.t SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, 'a', 1.5D), " +
+      "(2L, CAST(NULL AS STRING), CAST('NaN' AS DOUBLE)), " +
+      "(3L, 'c', CAST(NULL AS DOUBLE)), " +
+      "(4L, 'd', 2.5D) AS t(k, s, x)")
+    val r = spark.sql(
+      """SELECT record_count,
+        |  readable_metrics.k.value_count,
+        |  readable_metrics.k.null_value_count,
+        |  readable_metrics.k.nan_value_count,
+        |  readable_metrics.s.null_value_count,
+        |  readable_metrics.x.null_value_count,
+        |  readable_metrics.x.nan_value_count,
+        |  readable_metrics.k.lower_bound,
+        |  readable_metrics.k.upper_bound
+        |FROM rmx.db.t.files WHERE content = 0""".stripMargin).head
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 0L, "k counts")
+    // NaN counts cover FLOAT/DOUBLE only: k (BIGINT) serves null
+    assert(r.isNullAt(3), "k nan_value_count must be null (not float)")
+    assert(r.getLong(4) == 1L, "s has one null")
+    assert(r.getLong(5) == 1L && r.getLong(6) == 1L, "x null + NaN")
+    // bounds render at the column type (k declared a stat field)
+    assert(r.getLong(7) == 1L && r.getLong(8) == 4L, "k bounds")
+    // counts SURVIVE an identity carry: a second commit re-files the
+    // first file's entry and the metrics still serve
+    spark.sql("INSERT INTO rmx.db.t SELECT /*+ COALESCE(1) */ * FROM " +
+      "VALUES (5L, 'e', 3.5D) AS t(k, s, x)")
+    val vc = spark.sql(
+      "SELECT readable_metrics.k.value_count FROM rmx.db.t.files " +
+        "WHERE content = 0 ORDER BY record_count DESC").collect()
+      .map(r2 => if (r2.isNullAt(0)) -1L else r2.getLong(0)).toSeq
+    assert(vc == Seq(4L, 1L), s"counts must survive the carry: $vc")
+    // $entries serves the same struct
+    val ec = spark.sql(
+      "SELECT readable_metrics.x.nan_value_count FROM rmx.db.t.entries " +
+        "WHERE content = 0 AND record_count = 4").head
+    assert(ec.getLong(0) == 1L)
+  }
+}
