@@ -48,6 +48,8 @@ object IcebergLayoutWriter {
       valueCounts: Map[Int, Long] = Map.empty,
       nullValueCounts: Map[Int, Long] = Map.empty,
       nanValueCounts: Map[Int, Long] = Map.empty,
+      /** spec field 108: per-column on-disk bytes (parquet only). */
+      columnSizes: Map[Int, Long] = Map.empty,
       /** v3 row lineage (spec field 142): the row id of this data
         * file's first row — null until the commit sink assigns it from
         * the table's `next-row-id` counter. */
@@ -94,6 +96,8 @@ object IcebergLayoutWriter {
       .name("null_value_counts").`type`().nullable().array()
       .items(kvLongSchema).noDefault()
       .name("nan_value_counts").`type`().nullable().array()
+      .items(kvLongSchema).noDefault()
+      .name("column_sizes").`type`().nullable().array()
       .items(kvLongSchema).noDefault()
       .name("lower_bounds").`type`().nullable().array().items(kvSchema).noDefault()
       .name("upper_bounds").`type`().nullable().array().items(kvSchema).noDefault()
@@ -690,6 +694,7 @@ object IcebergLayoutWriter {
       df.put("value_counts", kvLongList(kvl, e.valueCounts))
       df.put("null_value_counts", kvLongList(kvl, e.nullValueCounts))
       df.put("nan_value_counts", kvLongList(kvl, e.nanValueCounts))
+      df.put("column_sizes", kvLongList(kvl, e.columnSizes))
       df.put("lower_bounds", kvList(kv, e.lower))
       df.put("upper_bounds", kvList(kv, e.upper))
       df.put("equality_ids",

@@ -103,7 +103,7 @@ object IcebergManifestSource {
       fields.flatMap { case (_, nm, dt) =>
         Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt),
           StructField(s"vc_$nm", LongType), StructField(s"nc_$nm", LongType),
-          StructField(s"xc_$nm", LongType))
+          StructField(s"xc_$nm", LongType), StructField(s"sz_$nm", LongType))
       })
 
   /** ALL entries (any status — 0 existing / 1 added / 2 deleted) of one
@@ -136,12 +136,14 @@ object IcebergManifestSource {
           val vc = countsMap(df, "value_counts")
           val nc = countsMap(df, "null_value_counts")
           val xc = countsMap(df, "nan_value_counts")
+          val sz = countsMap(df, "column_sizes")
           fields.flatMap { case (id, _, dt) =>
             Seq(lo.get(id).map(decodeBound(_, dt)).orNull,
               hi.get(id).map(decodeBound(_, dt)).orNull,
               vc.get(id).map(Long.box).orNull,
               nc.get(id).map(Long.box).orNull,
-              xc.get(id).map(Long.box).orNull)
+              xc.get(id).map(Long.box).orNull,
+              sz.get(id).map(Long.box).orNull)
           }
         }
       Iterator.single(Row.fromSeq(Seq(status, snap, seq, fileContent(df),
@@ -673,7 +675,8 @@ object IcebergManifestSource {
             s.upper.get(id).map(decodeBound(_, dt)).orNull,
             s.valueCounts.get(id).map(Long.box).orNull,
             s.nullValueCounts.get(id).map(Long.box).orNull,
-            s.nanValueCounts.get(id).map(Long.box).orNull)
+            s.nanValueCounts.get(id).map(Long.box).orNull,
+            s.columnSizes.get(id).map(Long.box).orNull)
         } ++ Seq(s.equalityIds, s.fileFormat,
           s.sortOrderId.map(Int.box).orNull,
           s.firstRowId.map(Long.box).orNull,
@@ -715,7 +718,8 @@ object IcebergManifestSource {
           Seq(StructField(s"lo_$nm", dt), StructField(s"hi_$nm", dt),
             StructField(s"vc_$nm", LongType),
             StructField(s"nc_$nm", LongType),
-            StructField(s"xc_$nm", LongType))
+            StructField(s"xc_$nm", LongType),
+            StructField(s"sz_$nm", LongType))
         } ++ Seq(StructField("equality_ids", ArrayType(IntegerType)),
           StructField("file_format", StringType),
           StructField("sort_order_id", IntegerType),
@@ -730,10 +734,11 @@ object IcebergManifestSource {
       fileFormat: String = "PARQUET",
       sortOrderId: Option[Int] = None,
       firstRowId: Option[Long] = None,
-      /** spec fields 109/110/137 (empty = not recorded). */
+      /** spec fields 109/110/137/108 (empty = not recorded). */
       valueCounts: Map[Int, Long] = Map.empty,
       nullValueCounts: Map[Int, Long] = Map.empty,
-      nanValueCounts: Map[Int, Long] = Map.empty)
+      nanValueCounts: Map[Int, Long] = Map.empty,
+      columnSizes: Map[Int, Long] = Map.empty)
 
   /** Live entries of one manifest as (content, partitionJson, sizeBytes).
     * Runs inside tasks with the session conf shipped by the caller. */
@@ -782,6 +787,7 @@ object IcebergManifestSource {
         valueCounts = countsMap(df, "value_counts"),
         nullValueCounts = countsMap(df, "null_value_counts"),
         nanValueCounts = countsMap(df, "nan_value_counts"),
+        columnSizes = countsMap(df, "column_sizes"),
         equalityIds =
           if (df.getSchema.getField("equality_ids") == null) Nil
           else df.get("equality_ids") match {

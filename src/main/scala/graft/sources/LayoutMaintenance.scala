@@ -961,7 +961,7 @@ object LayoutMaintenance {
       sequenceNumber = s.sequenceNumber,
       lower = s.lower, upper = s.upper,
       valueCounts = s.valueCounts, nullValueCounts = s.nullValueCounts,
-      nanValueCounts = s.nanValueCounts,
+      nanValueCounts = s.nanValueCounts, columnSizes = s.columnSizes,
       equalityIds = s.equalityIds,
       fileFormat = s.fileFormat,
       sortOrderId = s.sortOrderId.map(Int.box).orNull,

@@ -43,17 +43,17 @@ object MetadataTables {
 
   /** Iceberg's `readable_metrics` column: one nested struct per data
     * column with its per-file bounds RENDERED AT THE COLUMN TYPE plus
-    * the recorded value/null counts (spec fields 109/110 — the
-    * connector's writers record them for every top-level column; files
-    * written without metrics serve null, Iceberg's own convention).
-    * column_size / nan_value_count stay null: this layout's manifests
-    * do not record them. */
+    * the recorded column_size / value / null / NaN counts (spec fields
+    * 108/109/110/137 — the connector's writers record them per
+    * top-level column; column_size is parquet-only footer bytes, NaN
+    * counts cover FLOAT/DOUBLE; files written without metrics serve
+    * null, Iceberg's own convention for absent metrics). */
   private def readableMetrics(
       fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)])
       : org.apache.spark.sql.Column =
     struct(fields.map { case (_, nm, _) =>
       struct(
-        lit(null).cast("bigint").as("column_size"),
+        col(s"sz_$nm").as("column_size"),
         col(s"vc_$nm").as("value_count"),
         col(s"nc_$nm").as("null_value_count"),
         col(s"xc_$nm").as("nan_value_count"),
@@ -249,7 +249,7 @@ object MetadataTables {
       base.columns.filterNot(c =>
         c.startsWith("lo_") || c.startsWith("hi_") ||
           c.startsWith("vc_") || c.startsWith("nc_") ||
-          c.startsWith("xc_")).map(col).toSeq :+
+          c.startsWith("xc_") || c.startsWith("sz_")).map(col).toSeq :+
         readableMetrics(fields): _*)
   }
 

@@ -274,7 +274,7 @@ private[v2] object GraftIcebergWrite {
         partition = f.partition, sortOrderId = sortOrderId,
         fileFormat = GraftFormatWriters.formatOf(f.path),
         valueCounts = f.valueCounts, nullValueCounts = f.nullValueCounts,
-        nanValueCounts = f.nanValueCounts))
+        nanValueCounts = f.nanValueCounts, columnSizes = f.columnSizes))
 
   /** The metadata `sort-orders` rows a `write.sort-order` declaration
     * registers on table creation: identity asc nulls-first per column,
@@ -482,7 +482,8 @@ private[v2] case class GraftFileInfo(path: String, rows: Long,
     partition: Seq[(String, Any)] = Nil,
     valueCounts: Map[Int, Long] = Map.empty,
     nullValueCounts: Map[Int, Long] = Map.empty,
-    nanValueCounts: Map[Int, Long] = Map.empty)
+    nanValueCounts: Map[Int, Long] = Map.empty,
+    columnSizes: Map[Int, Long] = Map.empty)
 
 private[v2] case class GraftCommitMessage(files: Seq[GraftFileInfo])
     extends WriterCommitMessage
@@ -617,6 +618,30 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
 
   /** Close a sink and turn it into its commit-message file record (None
     * for a zero-row sink, whose file is removed). */
+  /** spec column_sizes (field 108): per-top-level-column ON-DISK bytes,
+    * from the just-written parquet footer's column-chunk totals — one
+    * KB-grain footer read per committed file. ORC/AVRO record none
+    * (avro is row-major; readable_metrics serves null, the spec's
+    * absent-metrics convention). */
+  private def columnSizesOf(file: java.io.File): Map[Int, Long] =
+    if (format != "parquet") Map.empty
+    else {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val byTop = scala.collection.mutable.HashMap.empty[String, Long]
+        r.getFooter.getBlocks.forEach(b => b.getColumns.forEach { c =>
+          val top = c.getPath.toArray()(0)
+          byTop(top) = byTop.getOrElse(top, 0L) + c.getTotalSize
+        })
+        schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          byTop.get(f.name).map((i + 1) -> _)
+        }.toMap
+      } finally r.close()
+    }
+
   private def finalizeSink(sink: Sink): Option[GraftFileInfo] = {
     import graft.sources.IcebergLayoutWriter.{boundLong, boundDouble, boundString}
     def enc(v: Any): Array[Byte] = v match {
@@ -643,7 +668,8 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
           case i if schema.fields(i).dataType == DoubleType ||
               schema.fields(i).dataType == FloatType =>
             (i + 1) -> sink.nanCount(i)
-        }.toMap))
+        }.toMap,
+        columnSizes = columnSizesOf(sink.file)))
     }
   }
 

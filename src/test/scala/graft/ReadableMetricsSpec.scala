@@ -46,6 +46,18 @@ class ReadableMetricsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1L && r.getLong(6) == 1L, "x null + NaN")
     // bounds render at the column type (k declared a stat field)
     assert(r.getLong(7) == 1L && r.getLong(8) == 4L, "k bounds")
+    // column_size (spec 108): parquet footer column-chunk bytes —
+    // positive per column, summing to less than the whole file
+    val sizes = spark.sql(
+      """SELECT file_size_in_bytes,
+        |  readable_metrics.k.column_size,
+        |  readable_metrics.s.column_size,
+        |  readable_metrics.x.column_size
+        |FROM rmx.db.t.files WHERE content = 0""".stripMargin).head
+    val colSum = (1 to 3).map(sizes.getLong).sum
+    assert((1 to 3).forall(i => sizes.getLong(i) > 0L) &&
+      colSum < sizes.getLong(0),
+      s"column sizes must be positive and sum under the file: $sizes")
     // counts SURVIVE an identity carry: a second commit re-files the
     // first file's entry and the metrics still serve
     spark.sql("INSERT INTO rmx.db.t SELECT /*+ COALESCE(1) */ * FROM " +
