@@ -328,6 +328,69 @@ object Queries18 {
                |  min(okey) AS min_okey
                |FROM $cat.mg.ord WHERE _row_id >= $cursor
                |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // ---- VARIANT LAKE COLUMNS (Iceberg v3's self-describing
+    // semi-structured type, Spark 4's native VariantType): JSON
+    // documents parse into VARIANT, land UNSHREDDED as the spec's
+    // two-binary (metadata, value) pair in all THREE formats (parquet
+    // group / ORC struct / avro record), a MOR DELETE keyed off a
+    // VARIANT EXTRACTION tombstones across the mix, and the rollup
+    // extracts typed fields with variant_get — schema-on-read over
+    // lake data. The oracle recomputes from the raw columns.
+    "q299_variant_lake" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q299wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vj")
+      s.sql(s"DROP TABLE IF EXISTS $cat.vj.docs")
+      t(dir, "orders").createOrReplaceTempView("q299_src")
+      s.sql(s"""CREATE TABLE $cat.vj.docs (okey BIGINT, doc VARIANT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'parquet',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertSlice(mod: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.vj.docs
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  parse_json(concat('{"mon":', month(o_orderdate),
+                 |    ',"cents":', CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+                 |    ',"prio":"', o_orderpriority,
+                 |    '","meta":{"mod":', o_orderkey % 7, '}}')) AS doc
+                 |FROM q299_src
+                 |WHERE year(o_orderdate) = 1995
+                 |  AND o_orderkey % 3 = $mod""".stripMargin)
+      insertSlice(0) // PARQUET variant group
+      s.sql(s"ALTER TABLE $cat.vj.docs " +
+        "SET TBLPROPERTIES ('write.format.default' = 'orc')")
+      insertSlice(1) // ORC two-binary struct
+      s.sql(s"ALTER TABLE $cat.vj.docs " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertSlice(2) // AVRO two-binary record
+      val tdir = s"${wh.getAbsolutePath}/vj/docs"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"variants must ride all three formats: $fmts")
+      // MOR delete keyed off a nested VARIANT extraction
+      s.sql(s"DELETE FROM $cat.vj.docs " +
+        "WHERE variant_get(doc, '$.meta.mod', 'bigint') = 3")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the variant-predicate DELETE must land tombstones")
+      s.sql(s"""SELECT variant_get(doc, '$$.mon', 'bigint') AS mon,
+               |  count(*) AS n_docs,
+               |  sum(variant_get(doc, '$$.cents', 'bigint')) AS sum_cents,
+               |  min(variant_get(doc, '$$.prio', 'string')) AS min_prio,
+               |  min(okey) AS min_okey
+               |FROM $cat.vj.docs
+               |GROUP BY 1 ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -405,5 +468,17 @@ object Queries18 {
         |  CAST(min(o_orderkey) AS BIGINT) AS min_okey
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) = 1996
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q299_variant_lake" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderpriority) AS min_prio,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  AND o_orderkey % 7 <> 3
+        |GROUP BY 1 ORDER BY mon""".stripMargin)
 }

@@ -527,6 +527,23 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
           }
           new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
         }
+      case _: org.apache.spark.sql.types.VariantType =>
+        // the file holds the two-binary struct (metadata, value)
+        val sn = node match {
+          case s: GStructNode => s
+          case other => sys.error(s"graft-iceberg: table column ${f.name} " +
+            s"is a variant but the file holds $other")
+        }
+        val mi = sn.names.indexOf("metadata")
+        val vi = sn.names.indexOf("value")
+        require(mi >= 0 && vi >= 0,
+          s"graft-iceberg: variant column ${f.name} needs (metadata, value)")
+        v => {
+          val leaves = v.asInstanceOf[Array[Any]]
+          new org.apache.spark.unsafe.types.VariantVal(
+            leaves(vi).asInstanceOf[Array[Byte]],
+            leaves(mi).asInstanceOf[Array[Byte]])
+        }
       case mt: MapType =>
         val mn = node match {
           case m: GMapNode => m

@@ -295,6 +295,14 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         val mb = Types.optionalGroup()
           .as(LogicalTypeAnnotation.mapType()).addField(kv)
         id.fold(mb)(mb.id).named(name)
+      // Iceberg v3 VARIANT, unshredded parquet encoding: a group of the
+      // two required binaries (metadata, value) — the engine-portable
+      // self-describing semi-structured type
+      case _: org.apache.spark.sql.types.VariantType =>
+        val vb = Types.optionalGroup()
+          .addField(Types.required(BINARY).named("metadata"))
+          .addField(Types.required(BINARY).named("value"))
+        id.fold(vb)(vb.id).named(name)
       case dt => primOf(dt, name, id)
     }
     // lake-typed column → the spec's fixed physical encoding: uuid =
@@ -375,6 +383,13 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         if (!arr.isNullAt(k)) addValue(eg, "element", at.elementType, arr, k)
         k += 1
       }
+    case _: org.apache.spark.sql.types.VariantType =>
+      val vv = src.getVariant(i)
+      val vg = g.addGroup(name)
+      vg.add("metadata", org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(vv.getMetadata))
+      vg.add("value", org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(vv.getValue))
     case mt: org.apache.spark.sql.types.MapType =>
       // MAP-annotated group: one repeated key_value entry per pair —
       // keys are never null (Spark MapData invariant), a null value is
@@ -450,6 +465,11 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case at: ArrayType => TypeDescription.createList(tdOf(at.elementType))
     case mt: MapType =>
       TypeDescription.createMap(tdOf(mt.keyType), tdOf(mt.valueType))
+    // VARIANT in the ORC dialect: struct<metadata: binary, value:
+    // binary> — the same two-binary shape as the parquet encoding
+    case _: VariantType => TypeDescription.createStruct()
+      .addField("metadata", TypeDescription.createBinary())
+      .addField("value", TypeDescription.createBinary())
     case other =>
       sys.error(s"graft-iceberg write: unsupported ORC type $other")
   }
@@ -544,6 +564,13 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
         k += 1
       }
       approxBytes += 8
+    case _: VariantType =>
+      val sv = vec.asInstanceOf[StructColumnVector]
+      val vv = row.getVariant(i)
+      val m = vv.getMetadata; val v = vv.getValue
+      sv.fields(0).asInstanceOf[BytesColumnVector].setVal(r, m, 0, m.length)
+      sv.fields(1).asInstanceOf[BytesColumnVector].setVal(r, v, 0, v.length)
+      approxBytes += m.length + v.length + 8
     case mt: MapType =>
       // MapColumnVector: paired keys/values child vectors sharing one
       // offsets/lengths run, list-shaped — keys never null, null
@@ -679,6 +706,17 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
         ASchema.createMap(ASchema.createUnion(
           ASchema.create(ASchema.Type.NULL),
           prim(mt.valueType, s"$path.value")))
+      // VARIANT in the avro dialect: a record of the two required
+      // binaries, mirroring the parquet group
+      case _: VariantType =>
+        val mField = new ASchema.Field("metadata",
+          ASchema.create(ASchema.Type.BYTES), null,
+          null.asInstanceOf[Object])
+        val vField = new ASchema.Field("value",
+          ASchema.create(ASchema.Type.BYTES), null,
+          null.asInstanceOf[Object])
+        ASchema.createRecord(s"${path.replace('.', '_')}_variant", null,
+          "graft.data", false, java.util.Arrays.asList(mField, vField))
       case mt: MapType =>
         val keyField = new ASchema.Field("key",
           prim(mt.keyType, s"$path.key"), null,
@@ -803,6 +841,13 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
         k += 1
       }
       out
+    case _: VariantType =>
+      val vv = row.getVariant(i)
+      approxBytes += vv.getMetadata.length + vv.getValue.length + 8
+      val rec = new GenericData.Record(sch)
+      rec.put(0, java.nio.ByteBuffer.wrap(vv.getMetadata))
+      rec.put(1, java.nio.ByteBuffer.wrap(vv.getValue))
+      rec
     case mt: MapType if sch.getType == ASchema.Type.MAP =>
       // string-key fast path: the native avro map
       val map = row.getMap(i)

@@ -2214,6 +2214,7 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         out
       case at: ArrayType => listValue(at, g.getGroup(pn, 0))
       case mt: MapType => mapValue(mt, g.getGroup(pn, 0))
+      case _: VariantType => variantValue(g.getGroup(pn, 0))
       case LongType =>
         if (phys == INT32) g.getInteger(pn, 0).toLong else g.getLong(pn, 0)
       case IntegerType => g.getInteger(pn, 0)
@@ -2263,6 +2264,13 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** The v3 VARIANT group (required metadata + value binaries,
+    * unshredded encoding) as Spark's VariantVal. */
+  private def variantValue(vg: Group): org.apache.spark.unsafe.types.VariantVal =
+    new org.apache.spark.unsafe.types.VariantVal(
+      vg.getBinary("value", 0).getBytes,
+      vg.getBinary("metadata", 0).getBytes)
 
   /** A MAP-annotated group (repeated key_value entries, required key,
     * optional value) as ArrayBasedMapData, key/value recursive. */
@@ -2391,6 +2399,8 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
           row.update(i, listValue(at, current.getGroup(pi, 0)))
         case mt: MapType =>
           row.update(i, mapValue(mt, current.getGroup(pi, 0)))
+        case _: VariantType =>
+          row.update(i, variantValue(current.getGroup(pi, 0)))
         case other => sys.error(s"graft-iceberg: unsupported type $other")
       }
       i += 1
