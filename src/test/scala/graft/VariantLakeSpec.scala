@@ -62,6 +62,20 @@ class VariantLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite_data_files preserves variant values (maintenance path)") {
+    spark.sql("CREATE TABLE vr.db.rw (k BIGINT, v VARIANT) " +
+      "USING `graft-iceberg`")
+    spark.sql("INSERT INTO vr.db.rw SELECT /*+ COALESCE(1) */ id, " +
+      "parse_json(concat('{\"n\":', id, '}')) FROM range(5)")
+    spark.sql("INSERT INTO vr.db.rw SELECT /*+ COALESCE(1) */ id, " +
+      "parse_json(concat('{\"n\":', id, '}')) FROM range(5, 10)")
+    spark.sql("CALL vr.system.rewrite_data_files('db.rw')")
+    val got = spark.sql("SELECT k, variant_get(v, '$.n', 'bigint') " +
+      "FROM vr.db.rw ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 10L).map(i => (i, i)), got.toString)
+  }
+
   test("variant columns accrete across all three formats in one table") {
     val tbl = "vr.db.mixed"
     spark.sql(s"CREATE TABLE $tbl (k BIGINT, v VARIANT) " +
