@@ -391,6 +391,69 @@ object Queries18 {
                |  min(okey) AS min_okey
                |FROM $cat.vj.docs
                |GROUP BY 1 ORDER BY mon""".stripMargin)
+    },
+
+    // ---- TIME LAKE COLUMNS (the spec's `time` — microseconds from
+    // midnight; Spark 4's TimeType behind spark.sql.timeType.enabled):
+    // derived times land in all THREE formats (parquet INT64
+    // time-micros, the ORC long dialect, avro time-micros), a MOR
+    // DELETE keyed off a TIME comparison routes through the row-level
+    // path (the connector scan decodes TIME in every format), and the
+    // rollup groups by the hour rendered from the time string — both
+    // engines compute make_time identically on whole seconds.
+    "q300_time_lake" -> { (s, dir) => implicit val sp = s
+      s.conf.set("spark.sql.timeType.enabled", "true")
+      val wh = TmpFixture.dir("q300wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tm")
+      s.sql(s"DROP TABLE IF EXISTS $cat.tm.clk")
+      t(dir, "orders").createOrReplaceTempView("q300_src")
+      s.sql(s"""CREATE TABLE $cat.tm.clk (okey BIGINT, t TIME(6))
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.format.default' = 'parquet',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertSlice(mod: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.tm.clk
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  make_time(CAST(o_orderkey % 24 AS INT),
+                 |    CAST((o_orderkey div 7) % 60 AS INT),
+                 |    CAST(o_orderkey % 60 AS DECIMAL(8,6))) AS t
+                 |FROM q300_src
+                 |WHERE year(o_orderdate) = 1995
+                 |  AND o_orderkey % 3 = $mod""".stripMargin)
+      insertSlice(0) // PARQUET INT64 time-micros
+      s.sql(s"ALTER TABLE $cat.tm.clk " +
+        "SET TBLPROPERTIES ('write.format.default' = 'orc')")
+      insertSlice(1) // ORC long dialect (micros from midnight)
+      s.sql(s"ALTER TABLE $cat.tm.clk " +
+        "SET TBLPROPERTIES ('write.format.default' = 'avro')")
+      insertSlice(2) // AVRO time-micros
+      val tdir = s"${wh.getAbsolutePath}/tm/clk"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"times must ride all three formats: $fmts")
+      // TIME-predicate MOR delete: every format decodes micros
+      s.sql(s"DELETE FROM $cat.tm.clk WHERE t < TIME'06:00:00'")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1).count() > 0,
+        "the time-predicate DELETE must land tombstones")
+      s.sql(s"""SELECT CAST(substring(CAST(t AS STRING), 1, 2) AS BIGINT)
+               |    AS hh,
+               |  count(*) AS n_rows,
+               |  min(CAST(t AS STRING)) AS min_t,
+               |  max(CAST(t AS STRING)) AS max_t,
+               |  sum(okey) AS sum_okey
+               |FROM $cat.tm.clk
+               |GROUP BY 1 ORDER BY hh""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -480,5 +543,21 @@ object Queries18 {
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
         |  AND o_orderkey % 7 <> 3
-        |GROUP BY 1 ORDER BY mon""".stripMargin)
+        |GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    "q300_time_lake" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |    make_time(CAST(o_orderkey % 24 AS BIGINT),
+        |      CAST((o_orderkey // 7) % 60 AS BIGINT),
+        |      CAST(o_orderkey % 60 AS DOUBLE)) AS t
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+        |SELECT CAST(substr(CAST(t AS VARCHAR), 1, 2) AS BIGINT) AS hh,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(CAST(t AS VARCHAR)) AS min_t,
+        |  max(CAST(t AS VARCHAR)) AS max_t,
+        |  CAST(sum(okey) AS BIGINT) AS sum_okey
+        |FROM src
+        |WHERE t >= TIME '06:00:00'
+        |GROUP BY 1 ORDER BY hh""".stripMargin)
 }

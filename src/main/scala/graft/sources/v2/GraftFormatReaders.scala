@@ -573,6 +573,10 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
         case x: Int => x.toLong
         case other => sys.error(s"graft-iceberg: $other as LONG")
       }
+      // spec `time`: the files store MICROS from midnight (ORC long
+      // dialect / avro time-micros); Spark's internal value is NANOS
+      case _: org.apache.spark.sql.types.TimeType =>
+        v => v.asInstanceOf[Long] * 1000L
       case DoubleType => {
         case x: Double => x
         case x: Float => x.toDouble

@@ -237,6 +237,11 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         case TimestampNTZType => Types.optional(INT64).as(
           LogicalTypeAnnotation.timestampType(false,
             LogicalTypeAnnotation.TimeUnit.MICROS))
+        // spec `time`: INT64 microseconds from midnight (Spark's
+        // internal value is NANOS — the writer divides)
+        case _: TimeType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timeType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
         case BinaryType => Types.optional(BINARY)
         // decimal(P<=18, S): INT64 unscaled (Iceberg's parquet mapping
         // for long-backed precision); decimal(P>18, S): FIXED_LEN_BYTE_
@@ -354,6 +359,7 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
     case DateType => g.add(name, src.getInt(i)) // epoch days
     case TimestampType => g.add(name, src.getLong(i)) // micros
     case TimestampNTZType => g.add(name, src.getLong(i)) // naive micros
+    case _: TimeType => g.add(name, src.getLong(i) / 1000L) // nanos→µs
     case BinaryType => g.add(name,
       org.apache.parquet.io.api.Binary
         .fromConstantByteArray(src.getBinary(i)))
@@ -452,6 +458,9 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
     case TimestampType => TypeDescription.createTimestampInstant()
     // spec `timestamp` (tz-naive): ORC's zone-free TIMESTAMP
     case TimestampNTZType => TypeDescription.createTimestamp()
+    // spec `time` in the ORC dialect: LONG microseconds from midnight
+    // (ORC has no time category; Iceberg's ORC spec stores time as long)
+    case _: TimeType => TypeDescription.createLong()
     case BinaryType => TypeDescription.createBinary()
     // ORC decimals are HiveDecimal-backed natively up to the spec's
     // precision 38 ceiling — no wide/narrow split needed
@@ -509,6 +518,9 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
       val b = row.getUTF8String(i).getBytes
       vec.asInstanceOf[BytesColumnVector].setVal(r, b, 0, b.length)
       approxBytes += b.length + 4
+    case _: TimeType => // micros from midnight (nanos internal)
+      vec.asInstanceOf[LongColumnVector].vector(r) = row.getLong(i) / 1000L
+      approxBytes += 8
     case DateType => // epoch days, ORC DATE's own representation
       vec.asInstanceOf[LongColumnVector].vector(r) = row.getInt(i).toLong
       approxBytes += 4
@@ -670,6 +682,10 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
       case TimestampNTZType =>
         org.apache.avro.LogicalTypes.localTimestampMicros()
           .addToSchema(ASchema.create(ASchema.Type.LONG))
+      // spec `time`: avro time-micros
+      case _: TimeType =>
+        org.apache.avro.LogicalTypes.timeMicros()
+          .addToSchema(ASchema.create(ASchema.Type.LONG))
       case BinaryType => ASchema.create(ASchema.Type.BYTES)
       // decimal(P<=18): bytes-backed (this writer's original dialect);
       // decimal(P>18): the spec's `fixed` of minimum width — the fixed
@@ -802,6 +818,8 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
     case TimestampType => approxBytes += 8; Long.box(row.getLong(i)) // µs
     case TimestampNTZType =>
       approxBytes += 8; Long.box(row.getLong(i)) // naive µs
+    case _: TimeType =>
+      approxBytes += 8; Long.box(row.getLong(i) / 1000L) // nanos→µs
     case BinaryType =>
       val b = row.getBinary(i)
       approxBytes += b.length + 4; java.nio.ByteBuffer.wrap(b)

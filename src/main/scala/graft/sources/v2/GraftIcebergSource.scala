@@ -228,6 +228,10 @@ object GraftIcebergSource {
           val dl = logical.get.asInstanceOf[
             LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
           DecimalType(dl.getPrecision, dl.getScale)
+        case INT64
+          if logical.exists(_.isInstanceOf[
+            LogicalTypeAnnotation.TimeLogicalTypeAnnotation]) =>
+          org.apache.spark.sql.types.TimeType(6)
         case INT64 => LongType
         case INT32 if logical.contains(LogicalTypeAnnotation.dateType()) =>
           DateType
@@ -477,6 +481,12 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     // the row-level rewrite (group COW over the default-aware per-file
     // scan) instead. Correctness over the cheaper commit shape.
     schema.fields.forall(f => !f.metadata.contains("EXISTS_DEFAULT")) &&
+      // TIME columns: the ORC/AVRO dialects store micros-as-LONG, which
+      // MorRead's native arms surface as BIGINT — a TIME predicate then
+      // fails analysis. Route time-typed tables to the row-level
+      // rewrite (the connector scan decodes TIME in every format).
+      schema.fields.forall(f =>
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType]) &&
       filters.forall(f => GraftIcebergSource.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -2230,6 +2240,8 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       case DateType => g.getInteger(pn, 0) // epoch days
       case TimestampType => g.getLong(pn, 0) // micros
       case TimestampNTZType => g.getLong(pn, 0) // naive micros
+      case _: org.apache.spark.sql.types.TimeType =>
+        g.getLong(pn, 0) * 1000L // µs → nanos
       case BinaryType => g.getBinary(pn, 0).getBytes
       case d: DecimalType => phys match {
         case INT32 => org.apache.spark.sql.types.Decimal.createUnsafe(
@@ -2350,6 +2362,8 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         case DateType => row.setInt(i, current.getInteger(pi, 0)) // days
         case TimestampType => row.setLong(i, current.getLong(pi, 0)) // µs
         case TimestampNTZType => row.setLong(i, current.getLong(pi, 0))
+        case _: org.apache.spark.sql.types.TimeType => // µs → nanos
+          row.setLong(i, current.getLong(pi, 0) * 1000L)
         case BinaryType =>
           row.update(i, current.getBinary(pi, 0).getBytes)
         case d: DecimalType =>

@@ -148,6 +148,39 @@ class TemporalTypesSpec extends AnyFunSuite {
     }
   }
 
+  // spec `time` (microseconds from midnight — Spark 4's TimeType
+  // behind spark.sql.timeType.enabled): parquet INT64 time-micros,
+  // ORC long dialect, avro time-micros; the internal NANOS value
+  // converts at the format boundary both ways.
+  for (fmt <- Seq("parquet", "orc", "avro")) {
+    test(s"TIME round-trips + MOR delete in $fmt") {
+      spark.conf.set("spark.sql.timeType.enabled", "true")
+      val tbl = s"temporal.db.time_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, t TIME(6)) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt', " +
+        "'write.delete.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(1L, TIME'00:00:00'), " +
+        "(2L, TIME'09:30:15.123456'), " +
+        "(3L, TIME'12:00:00'), " +
+        "(4L, TIME'23:59:59.999999'), " +
+        "(5L, CAST(NULL AS TIME)) AS v(k, t)")
+      val got = spark.sql(
+        s"SELECT k, CAST(t AS STRING) FROM $tbl ORDER BY k").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSeq
+      assert(got == Seq((1L, "00:00:00"), (2L, "09:30:15.123456"),
+        (3L, "12:00:00"), (4L, "23:59:59.999999"), (5L, null)),
+        s"$fmt: $got")
+      // MOR delete by a TIME predicate — the residual decodes micros
+      spark.sql(s"DELETE FROM $tbl WHERE t < TIME'10:00:00'")
+      val kept = spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq
+      assert(kept == Seq(3L, 4L, 5L), kept.toString)
+    }
+  }
+
   test("PARTITIONED BY (month(ntz)): naive-timestamp transform clusters") {
     spark.sql("CREATE TABLE temporal.db.pn (k BIGINT, ts TIMESTAMP_NTZ) " +
       "USING `graft-iceberg` PARTITIONED BY (month(ts))")
