@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns, schema-evolution null-fill with declared defaults, rename
   * aliases, widening promotions, pushed TABLESAMPLE — hold for data
   * files a `write.format.default=orc|avro` table accreted through pure
-  * SQL. Scalar schemas plus ONE level of struct nesting by dialect
-  * (struct leaves resolve by name, then by recorded rename alias).
+  * SQL. The full type surface rides: scalars (incl. the time / uuid /
+  * fixed / variant dialects) plus struct/list/map composites to any
+  * depth; struct leaves resolve by name, then by recorded rename
+  * alias, at every nesting level.
   *
   * Row sources stream: ORC by vectorized batches (the position is the
   * reader's own `getRowNumber` accounting, same as [[graft.sources

@@ -435,10 +435,10 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
   override def dataSize: Long = writer.getDataSize
 }
 
-/** ORC arm: orc-core `Writer` fed vectorized batches — scalar schemas
-  * plus ONE level of struct nesting (TypeDescription structs, the
-  * multimodal typed-metadata shape). Rows read back with REAL ordinals
-  * via [[graft.sources.OrcPosRead]] (stripe-granular,
+/** ORC arm: orc-core `Writer` fed vectorized batches — the full type
+  * surface (scalars incl. time/uuid/fixed/variant dialects, plus
+  * struct/list/map composed to any depth). Rows read back with REAL
+  * ordinals via [[graft.sources.OrcPosRead]] (stripe-granular,
   * `RecordReader.getRowNumber`), so MOR position deletes apply to
   * SQL-written ORC exactly like parquet. */
 private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
@@ -651,8 +651,9 @@ private[v2] class OrcTaskWriter(file: java.io.File, schema: StructType)
   override def dataSize: Long = approxBytes
 }
 
-/** AVRO arm: avro-core `DataFileWriter` of GenericRecords — scalar
-  * schemas plus ONE level of record-in-record nesting, `["null", T]`
+/** AVRO arm: avro-core `DataFileWriter` of GenericRecords — the full
+  * type surface (scalars incl. time-micros / uuid-fixed / variant
+  * dialects; record/array/map composites to any depth), `["null", T]`
   * unions, the column's stable field id carried as the Iceberg avro
   * `field-id` property (nested leaves via their dotted-key ids). Rows
   * read back with real ordinals via [[graft.sources.AvroDataRead]]

@@ -42,11 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the connector reports them as pushed-but-residual, Iceberg's own
   *     contract).
   *
-  * Schemas are primitives plus ONE level of struct nesting (typed
-  * metadata riding next to opaque payloads — the multimodal-corpus
-  * shape); nested projections prune to the parquet page level
-  * ([[GraftPartitionReader.pruneToRequired]]). Deeper nesting and
-  * array/map columns are out of scope. At 100 TB the shape is right:
+  * Schemas carry the FULL Iceberg type surface: every primitive
+  * (boolean..binary, date/time/timestamp/ntz, decimal to precision 38,
+  * uuid, fixed[N], v3 variant) plus struct/list/map composites to any
+  * depth; nested struct projections prune to the parquet page level
+  * ([[GraftPartitionReader.pruneToRequired]]). At 100 TB the shape is right:
   * planning cost is manifest-sized, skipped files cost zero I/O, and
   * each file is an independent task.
   */
