@@ -211,10 +211,11 @@ object Cli {
         import graft.sources.MetadataTables
         // the parent table's data schema (first-file inference /
         // descriptor) feeds readable_metrics on files/entries — a
-        // data-less layout serves the relations without it
-        val dataSchema: Option[org.apache.spark.sql.types.StructType] =
+        // data-less layout serves the relations without it. Lazy: only
+        // the kinds that use it pay the connector load.
+        lazy val dataSchema: Option[org.apache.spark.sql.types.StructType] =
           try Some(spark.read.format("graft-iceberg").load(root).schema)
-          catch { case _: Throwable => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         val df = args(2) match {
           case "partitions" => MetadataTables.partitions(spark, root)
             .orderBy(col("partition"))

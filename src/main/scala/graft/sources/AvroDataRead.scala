@@ -81,13 +81,11 @@ object AvroDataRead {
     else (0 until s.getTypes.size).map(s.getTypes.get)
       .filterNot(_.getType == Schema.Type.NULL).head
 
-  /** The Iceberg Avro appendix's non-string-key MAP encoding: an array
-    * of key/value records carrying `logicalType: map`. */
+  /** The Iceberg Avro appendix's non-string-key MAP encoding — the
+    * shared detector, so this arm and the connector's row reader can
+    * never disagree on the same file. */
   private def isKvMap(s: Schema): Boolean =
-    s.getType == Schema.Type.ARRAY &&
-      "map" == s.getObjectProp("logicalType") &&
-      s.getElementType.getType == Schema.Type.RECORD &&
-      s.getElementType.getFields.size == 2
+    graft.sources.v2.GraftFormatReaders.isAvroKvMap(s)
 
   private def logical(s: Schema): String =
     Option(s.getLogicalType).map(_.getName).getOrElse("")

@@ -286,10 +286,25 @@ object IcebergLayoutWriter {
     * at `dest`, row count straight from the ORC tail (no Spark job).
     * Iceberg data files may be PARQUET, ORC, or AVRO per entry
     * (`file_format`); this is the second format the layout supports. */
+  /** TIME columns rewritten as the ORC dialect's micros-from-midnight
+    * LONG — Spark's native ORC writer rejects TimeType, and the
+    * connector's readers rebuild TIME from the long dialect on read
+    * (MorRead.timeDecode / the connector scan). */
+  def orcWritable(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType] =>
+        f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c,
+      org.apache.spark.sql.functions.expr(
+        s"CAST(hour(`$c`) AS BIGINT) * 3600000000 + " +
+          s"CAST(minute(`$c`) AS BIGINT) * 60000000 + " +
+          s"CAST(date_part('SECOND', `$c`) * 1000000 AS BIGINT)")))
+
   def writeSingleOrc(df: org.apache.spark.sql.DataFrame,
       dest: java.io.File): Long = {
     val tmp = new java.io.File(dest.getParentFile, dest.getName + ".tmp")
-    df.coalesce(1).write.mode("overwrite").orc(tmp.getPath)
+    orcWritable(df).coalesce(1).write.mode("overwrite").orc(tmp.getPath)
     val part = tmp.listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".orc"))
       .getOrElse(sys.error(s"no part file written under $tmp"))
@@ -341,6 +356,11 @@ object IcebergLayoutWriter {
           .addToSchema(Schema.create(Schema.Type.INT))
       case TimestampType =>
         org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      // spec `time`: avro time-micros (same dialect as the connector's
+      // writer — maintenance rewrites of TIME tables stay spec-encoded)
+      case _: TimeType =>
+        org.apache.avro.LogicalTypes.timeMicros()
           .addToSchema(Schema.create(Schema.Type.LONG))
       // decimals: bytes-backed to precision 18, the spec's `fixed` of
       // minimum width past it — same dialect as the connector's writer
@@ -394,6 +414,9 @@ object IcebergLayoutWriter {
             val ts = row.getTimestamp(i)
             Long.box(Math.multiplyExact(ts.getTime / 1000L, 1000000L) +
               ts.getNanos / 1000L)
+          case _: TimeType => // external LocalTime → micros of day
+            Long.box(
+              row.getAs[java.time.LocalTime](i).toNanoOfDay / 1000L)
           case d: DecimalType =>
             val bd = row.getDecimal(i).setScale(d.scale)
             if (d.precision <= 18)

@@ -1007,8 +1007,8 @@ object LayoutMaintenance {
     * first data manifest — the past-the-ceiling substitute for "any
     * carried data file" lookups (equality-id resolution), O(1) instead
     * of O(files). */
-  private def firstDataFilePath(spark: SparkSession, tableDir: String,
-      snapshotId: Long): Option[String] = {
+  private[sources] def firstDataFilePath(spark: SparkSession,
+      tableDir: String, snapshotId: Long): Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     IcebergManifestSource
       .resolveManifestList(spark, tableDir, Some(snapshotId))
@@ -2599,7 +2599,8 @@ object LayoutMaintenance {
             IcebergLayoutWriter.writeAvroParts(shaped, tmp)
               .map { case (p, n) => (new java.io.File(p), n) }
           case _ =>
-            if (fmt == "orc") shaped.write.mode("overwrite").orc(tmp.getPath)
+            if (fmt == "orc") IcebergLayoutWriter.orcWritable(shaped)
+              .write.mode("overwrite").orc(tmp.getPath)
             else shaped.write.mode("overwrite").parquet(tmp.getPath)
             val conf = spark.sparkContext.hadoopConfiguration
             Option(tmp.listFiles()).getOrElse(Array.empty)

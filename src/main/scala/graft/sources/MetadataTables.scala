@@ -29,7 +29,8 @@ object MetadataTables {
   def files(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None,
       dataSchema: Option[StructType] = None): DataFrame = {
-    val fields = dataSchema.map(metricFields).getOrElse(Nil)
+    val fields = dataSchema
+      .map(metricFields(_, declaredStatIds(tableDir))).getOrElse(Nil)
     val base = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", fields, snapshotId)
     val cols = Seq(col("content"), col("file_path"),
@@ -61,17 +62,44 @@ object MetadataTables {
         col(s"hi_$nm").as("upper_bound")).as(nm)
     }: _*).as("readable_metrics")
 
-  /** The (positional field id, name, type) triples readable_metrics can
-    * serve: top-level columns whose bound encoding
-    * [[IcebergManifestSource.decodeBound]] understands. */
-  private def metricFields(schema: StructType)
+  /** The (field id, name, type) triples readable_metrics can serve:
+    * top-level columns whose bound encoding
+    * [[IcebergManifestSource.decodeBound]] understands. Ids are the
+    * dialect's POSITIONAL convention, except that a column named in
+    * the table's `pushdown.fields` declaration uses ITS declared id
+    * (bounds are written under it); a column whose id would collide
+    * with another column's is dropped rather than risk serving the
+    * wrong column's bounds. */
+  private def metricFields(schema: StructType,
+      declared: Map[String, Int])
       : Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
-    schema.fields.toSeq.zipWithIndex.collect {
+    val eligible = schema.fields.toSeq.zipWithIndex.collect {
       case (f, i) if Set[DataType](IntegerType, LongType, FloatType,
           DoubleType, StringType)(f.dataType) =>
-        (i + 1, f.name, f.dataType)
+        (declared.getOrElse(f.name, i + 1), f.name, f.dataType)
     }
+    val dupIds = eligible.groupBy(_._1).collect {
+      case (id, fs) if fs.size > 1 => id }.toSet
+    eligible.filterNot(t => dupIds(t._1))
+  }
+
+  /** The table's declared `pushdown.fields` stat ids (name → id) from
+    * the catalog descriptor — the ids bound encodings are written
+    * under when they differ from the positional convention. */
+  private def declaredStatIds(tableDir: String): Map[String, Int] = {
+    val d = new java.io.File(tableDir, "graft-table.json")
+    if (!d.exists()) Map.empty
+    else try {
+      Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(d).get("properties"))
+        .flatMap(n => Option(n.get("pushdown.fields"))).map(_.asText())
+        .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+        .flatMap(_.split(':') match {
+          case Array(nm, id, _) => id.toIntOption.map(nm -> _)
+          case _ => None
+        }).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   /** Per-partition rollup of DATA files (the `$partitions` table):
@@ -241,7 +269,8 @@ object MetadataTables {
   def entries(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None,
       dataSchema: Option[StructType] = None): DataFrame = {
-    val fields = dataSchema.map(metricFields).getOrElse(Nil)
+    val fields = dataSchema
+      .map(metricFields(_, declaredStatIds(tableDir))).getOrElse(Nil)
     val base = IcebergManifestSource
       .entriesFromTableDir(spark, tableDir, snapshotId, fields)
     if (fields.isEmpty) base

@@ -217,9 +217,13 @@ object MorRead {
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
     // uuid lake columns (graft.lake-type.<col> = uuid): parquet stores
     // the spec's 16 fixed bytes, which Spark's native scan can read
-    // only as BINARY — declare them binary and decode to the canonical
-    // string post-scan (ORC stores canonical strings, AVRO decodes in
-    // its reader, so both no-op here)
+    // only as BINARY — declare them binary and decode post-scan. The
+    // decode is VALUE-dispatched: 16 bytes = the fixed encoding (hex
+    // into the canonical form); anything else = the UTF-8 bytes of the
+    // canonical string (files a maintenance rewrite wrote back as
+    // plain strings — readers accept both encodings, so a rewritten
+    // uuid table keeps reading right). ORC stores canonical strings,
+    // AVRO decodes in its reader, so both no-op here.
     val lakeUuid: Set[String] =
       LayoutMaintenance.tableLakeTypes(spark, tableDir)
         .collect { case (c, "uuid") => c }.toSet
@@ -230,17 +234,78 @@ object MorRead {
         else {
           val h = lower(hex(col(c)))
           d.withColumn(c, when(col(c).isNull, lit(null))
-            .otherwise(concat(substring(h, 1, 8), lit("-"),
-              substring(h, 9, 4), lit("-"), substring(h, 13, 4), lit("-"),
-              substring(h, 17, 4), lit("-"), substring(h, 21, 12))))
+            .when(length(col(c)) === 16,
+              concat(substring(h, 1, 8), lit("-"),
+                substring(h, 9, 4), lit("-"), substring(h, 13, 4), lit("-"),
+                substring(h, 17, 4), lit("-"), substring(h, 21, 12)))
+            .otherwise(col(c).cast("string")))
         }
+      }
+    // a schema-less read of a uuid- or time-typed table cannot fall
+    // back to per-arm native inference (Spark's parquet inference has
+    // no FLBA-UUID case; the ORC/AVRO dialects surface time as LONG) —
+    // adopt the DECLARED schema: the catalog descriptor's schema-ddl
+    // first (authoritative, format-independent), else the connector's
+    // own inference off one live data file. Plain tables keep the
+    // previous schema-less behavior.
+    def hasTimeType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.TimeType => true
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasTimeType(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasTimeType(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasTimeType(m.keyType) || hasTimeType(m.valueType)
+        case _ => false
+      }
+    def stripLineage(s: org.apache.spark.sql.types.StructType) =
+      org.apache.spark.sql.types.StructType(s.fields.filterNot(f =>
+        f.name == RowIdCol || f.name == LastUpdCol))
+    val descriptorSchema: Option[org.apache.spark.sql.types.StructType] = {
+      val d = new java.io.File(tableDir, "graft-table.json")
+      if (!d.exists()) None
+      else try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(d).get("schema-ddl")).map(_.asText()).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val effectiveDataSchema: Option[org.apache.spark.sql.types.StructType] =
+      dataSchema.orElse {
+        val declared = descriptorSchema
+          .filter(s => lakeUuid.nonEmpty ||
+            s.fields.exists(f => hasTimeType(f.dataType)))
+        declared.orElse {
+          if (lakeUuid.isEmpty) None
+          else LayoutMaintenance.currentSnapshot(spark, tableDir)
+            .flatMap(id =>
+              LayoutMaintenance.firstDataFilePath(spark, tableDir, id))
+            .map(p => stripLineage(
+              graft.sources.v2.GraftIcebergSource.inferFrom(norm(p))))
+        }
+      }
+    // TIME columns: the ORC/AVRO dialects store micros-from-midnight as
+    // LONG; rebuild the TIME value so every arm unions at the declared
+    // type (make_time is exact on whole micros)
+    val timeCols: Set[String] = effectiveDataSchema.toSeq.flatMap(_.fields)
+      .collect { case f
+        if f.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType] =>
+        f.name }.toSet
+    def timeDecode(df: DataFrame): DataFrame =
+      timeCols.foldLeft(df) { (d, c) =>
+        if (!d.columns.contains(c) ||
+            d.schema(c).dataType != org.apache.spark.sql.types.LongType) d
+        else d.withColumn(c, expr(
+          s"make_time(CAST(`$c` div 3600000000 AS INT), " +
+            s"CAST((`$c` div 60000000) % 60 AS INT), " +
+            s"CAST(`$c` % 60000000 AS DECIMAL(14,0)) / 1000000)"))
       }
     // declared-schema read: current columns at their DECLARED (possibly
     // widened) types, plus one column per recorded FORMER name typed
     // like its current column — a file binds whichever generation it
     // physically has, the others null-fill, and foldAliases collapses
     val readSchema: Option[org.apache.spark.sql.types.StructType] =
-      dataSchema.map { s0 =>
+      effectiveDataSchema.map { s0 =>
         val s = org.apache.spark.sql.types.StructType(s0.fields.map(f =>
           if (lakeUuid(f.name) &&
               f.dataType == org.apache.spark.sql.types.StringType)
@@ -338,8 +403,8 @@ object MorRead {
           case _ => spark.read.option("mergeSchema", "true")
             .parquet(paths.map(_._1).toIndexedSeq: _*)
         }
-      attachSeq(lineageCols(foldAliases(uuidDecode(raw))), paths, seqName,
-        normCol(col("_metadata.file_path")))
+      attachSeq(lineageCols(foldAliases(timeDecode(uuidDecode(raw)))),
+        paths, seqName, normCol(col("_metadata.file_path")))
     }
 
     // DELETION VECTORS (fileFormat=PUFFIN content=1 entries) decode
@@ -448,7 +513,7 @@ object MorRead {
         read: Seq[String] => DataFrame): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(attachSeq(
-        lineageCols(foldAliases(read(files.map(_._1).toSeq))),
+        lineageCols(foldAliases(timeDecode(read(files.map(_._1).toSeq)))),
         files, "data_seq", col("file_path")))
     val orcPos = posArm(orcPosData, OrcPosRead.readWithPos(spark, _))
     val avro = posArm(avroData, AvroDataRead.readWithPos(spark, _))

@@ -150,7 +150,8 @@ private[v2] class GraftDeltaBatchWrite(table: GraftTable,
         sizeBytes = f.bytes, lower = f.lower, upper = f.upper,
         partition = f.partition,
         fileFormat = GraftFormatWriters.formatOf(f.path),
-        valueCounts = f.valueCounts, nullValueCounts = f.nullValueCounts))
+        valueCounts = f.valueCounts, nullValueCounts = f.nullValueCounts,
+        nanValueCounts = f.nanValueCounts, columnSizes = f.columnSizes))
     val delEntries = msgs.flatMap(m => m.deletes.map(f => (f, m.eqIds)))
       .filter(_._1.rows > 0)
       .map { case (f, eqIds) =>

@@ -43,7 +43,7 @@ private[v2] trait GraftNamedRows {
   def close(): Unit
 }
 
-private[v2] object GraftFormatReaders {
+private[graft] object GraftFormatReaders {
 
   /** File-side shape of one column, recursive: the name catalog the
     * row assembler resolves table fields (and their rename aliases)
@@ -65,8 +65,9 @@ private[v2] object GraftFormatReaders {
 
   /** Is this avro ARRAY the Iceberg Avro appendix's non-string-key MAP
     * encoding — an array of key/value records carrying
-    * `logicalType: map`? */
-  private[v2] def isAvroKvMap(s: org.apache.avro.Schema): Boolean =
+    * `logicalType: map`? Shared by this reader and
+    * [[graft.sources.AvroDataRead]] so the two arms can never drift. */
+  private[graft] def isAvroKvMap(s: org.apache.avro.Schema): Boolean =
     s.getType == org.apache.avro.Schema.Type.ARRAY &&
       "map" == s.getObjectProp("logicalType") &&
       s.getElementType.getType == org.apache.avro.Schema.Type.RECORD &&

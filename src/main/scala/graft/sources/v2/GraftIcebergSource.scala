@@ -177,7 +177,7 @@ object GraftIcebergSource {
   /** Parquet schema of the first data file → StructType. Primitives
     * plus ONE level of group nesting (struct-of-primitives — the typed
     * multimodal-metadata shape the writer emits). */
-  private[v2] def inferFrom(path: String): StructType = {
+  private[graft] def inferFrom(path: String): StructType = {
     // descriptor-less tables whose first file is ORC/AVRO infer through
     // that format's own header — same flat-scalar surface
     if (path.endsWith(".orc")) {
@@ -481,12 +481,24 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     // the row-level rewrite (group COW over the default-aware per-file
     // scan) instead. Correctness over the cheaper commit shape.
     schema.fields.forall(f => !f.metadata.contains("EXISTS_DEFAULT")) &&
-      // TIME columns: the ORC/AVRO dialects store micros-as-LONG, which
-      // MorRead's native arms surface as BIGINT — a TIME predicate then
-      // fails analysis. Route time-typed tables to the row-level
-      // rewrite (the connector scan decodes TIME in every format).
-      schema.fields.forall(f =>
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType]) &&
+      // TIME columns (top-level or nested): the ORC/AVRO dialects store
+      // micros-as-LONG, which MorRead's native arms surface as BIGINT —
+      // route time-typed tables to the row-level rewrite (the connector
+      // scan decodes TIME in every format).
+      schema.fields.forall { f =>
+        def hasTime(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.TimeType => true
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.exists(nf => hasTime(nf.dataType))
+            case a: org.apache.spark.sql.types.ArrayType =>
+              hasTime(a.elementType)
+            case m: org.apache.spark.sql.types.MapType =>
+              hasTime(m.keyType) || hasTime(m.valueType)
+            case _ => false
+          }
+        !hasTime(f.dataType)
+      } &&
       filters.forall(f => GraftIcebergSource.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {

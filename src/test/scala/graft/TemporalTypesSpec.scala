@@ -181,6 +181,39 @@ class TemporalTypesSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-format TIME tables survive rewrite_data_files") {
+    // the parquet arm surfaces TIME while the ORC/AVRO dialects store
+    // micros-as-LONG — MorRead rebuilds TIME from the long arms so the
+    // union types agree and maintenance rewrites preserve values
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    val tbl = "temporal.db.timemix"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, t TIME(6)) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.format.default' = 'parquet')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, TIME'01:02:03'), (2L, TIME'04:05:06.500000') AS v(k, t)")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.format.default' = 'orc')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(3L, TIME'07:08:09') AS v(k, t)")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.format.default' = 'avro')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(4L, TIME'23:59:59.000001') AS v(k, t)")
+    spark.sql("CALL temporal.system.rewrite_data_files('db.timemix')")
+    val want = Seq((1L, "01:02:03"), (2L, "04:05:06.5"),
+      (3L, "07:08:09"), (4L, "23:59:59.000001"))
+    def state() = spark.sql(
+      s"SELECT k, CAST(t AS STRING) FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() == want, state().toString)
+    // a SECOND rewrite under an ORC default exercises that output arm
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.format.default' = 'orc')")
+    spark.sql("CALL temporal.system.rewrite_data_files('db.timemix')")
+    assert(state() == want, s"ORC rewrite arm: ${state()}")
+  }
+
   test("PARTITIONED BY (month(ntz)): naive-timestamp transform clusters") {
     spark.sql("CREATE TABLE temporal.db.pn (k BIGINT, ts TIMESTAMP_NTZ) " +
       "USING `graft-iceberg` PARTITIONED BY (month(ts))")

@@ -144,6 +144,38 @@ class UuidFixedSpec extends AnyFunSuite {
     assert(ids == Seq(u), s"all three formats must read back $u: $ids")
   }
 
+  test("uuid tables survive maintenance rewrites: values intact, deletes still match") {
+    // rewrite_data_files reads uuid columns schema-less (the connector
+    // infers the FLBA-uuid column — Spark's native inference has no
+    // case for it) and writes survivors back as plain canonical
+    // strings; readers accept BOTH encodings, so values stay intact
+    // and later deletes still match
+    val tbl = "uf.db.maint"
+    spark.sql(s"CREATE TABLE $tbl (id STRING, k BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'graft.lake-type.id' = 'uuid')")
+    val rows = (1L to 8L).map(k => s"('${uuidOf(k)}', $k)")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      rows.mkString(", ") + " AS t(id, k)")
+    // COW delete (default mode): survivors rewritten via MorRead
+    spark.sql(s"DELETE FROM $tbl WHERE id = '${uuidOf(2L)}'")
+    val after1 = spark.sql(s"SELECT k, id FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after1 == (1L to 8L).filterNot(_ == 2L).map(k => (k, uuidOf(k))),
+      s"COW delete must keep survivors' uuids intact: $after1")
+    // a SECOND delete over the rewritten (plain-string) files must
+    // still match by value
+    spark.sql(s"DELETE FROM $tbl WHERE id = '${uuidOf(5L)}'")
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 6L, 7L, 8L))
+    // and an explicit rewrite_data_files with NO declared schema works
+    spark.sql("CALL uf.system.rewrite_data_files('db.maint')")
+    val afterRw = spark.sql(s"SELECT k, id FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterRw == Seq(1L, 3L, 4L, 6L, 7L, 8L).map(k => (k, uuidOf(k))),
+      s"rewrite must preserve uuid values: $afterRw")
+  }
+
   test("a lake type on the wrong Spark type refuses at write") {
     val tbl = "uf.db.bad"
     spark.sql(s"CREATE TABLE $tbl (id BIGINT) USING `graft-iceberg` " +
