@@ -74,13 +74,39 @@ object IcebergLayoutWriter {
     b.endRecord()
   }
 
-  private def kvSchema: Schema = SchemaBuilder.record("k126_v127").fields()
-    .requiredInt("key").requiredBytes("value").endRecord()
+  /** One spec "logical map" entry record (array<record<key,value>>):
+    * the spec names each map's record after ITS key/value field ids
+    * (k117_v118 for column_sizes .. k138_v139 for nan_value_counts) and
+    * keys the entry fields with `field-id` properties — an external
+    * Iceberg reader resolving the manifest by its canonical schema
+    * binds each map by these, so sharing one record name across maps
+    * (structurally legal in avro) would misbind them. */
+  private def kvEntrySchema(keyId: Int, valueId: Int,
+      bytesValue: Boolean): Schema = {
+    val f = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
+      .requiredInt("key")
+    val s = (if (bytesValue) f.requiredBytes("value")
+             else f.requiredLong("value")).endRecord()
+    s.getField("key").addProp("field-id", keyId: Integer)
+    s.getField("value").addProp("field-id", valueId: Integer)
+    s
+  }
 
-  /** spec value_counts/null_value_counts entry shape: the same
-    * array<record<key,value>> "logical map" with LONG values. */
-  private def kvLongSchema: Schema = SchemaBuilder.record("k119_v120")
-    .fields().requiredInt("key").requiredLong("value").endRecord()
+  /** lower_bounds (125) entries: map<126: int, 127: binary>. */
+  private def kvSchema: Schema = kvEntrySchema(126, 127, bytesValue = true)
+  /** upper_bounds (128) entries: map<129: int, 130: binary>. */
+  private def kvUpperSchema: Schema = kvEntrySchema(129, 130, bytesValue = true)
+  /** column_sizes (108) entries: map<117: int, 118: long>. */
+  private def kvColSizeSchema: Schema =
+    kvEntrySchema(117, 118, bytesValue = false)
+  /** value_counts (109) entries: map<119: int, 120: long>. */
+  private def kvLongSchema: Schema = kvEntrySchema(119, 120, bytesValue = false)
+  /** null_value_counts (110) entries: map<121: int, 122: long>. */
+  private def kvNullCountSchema: Schema =
+    kvEntrySchema(121, 122, bytesValue = false)
+  /** nan_value_counts (137) entries: map<138: int, 139: long>. */
+  private def kvNanCountSchema: Schema =
+    kvEntrySchema(138, 139, bytesValue = false)
 
   private def dataFileSchema(pSchema: Schema): Schema =
     SchemaBuilder.record("data_file").fields()
@@ -88,19 +114,20 @@ object IcebergLayoutWriter {
       .requiredString("file_path").requiredString("file_format")
       .name("partition").`type`(pSchema).noDefault()
       .requiredLong("record_count").requiredLong("file_size_in_bytes")
-      // spec fields 109/110: per-column value / null-value counts —
-      // both fields share the k119_v120 record name (structurally equal
-      // instances resolve to one definition, same as the bounds pair)
+      // spec fields 109/110/137/108: per-column value / null-value /
+      // NaN counts and on-disk sizes — each map under ITS canonical
+      // record name ([[kvEntrySchema]])
       .name("value_counts").`type`().nullable().array()
       .items(kvLongSchema).noDefault()
       .name("null_value_counts").`type`().nullable().array()
-      .items(kvLongSchema).noDefault()
+      .items(kvNullCountSchema).noDefault()
       .name("nan_value_counts").`type`().nullable().array()
-      .items(kvLongSchema).noDefault()
+      .items(kvNanCountSchema).noDefault()
       .name("column_sizes").`type`().nullable().array()
-      .items(kvLongSchema).noDefault()
+      .items(kvColSizeSchema).noDefault()
       .name("lower_bounds").`type`().nullable().array().items(kvSchema).noDefault()
-      .name("upper_bounds").`type`().nullable().array().items(kvSchema).noDefault()
+      .name("upper_bounds").`type`().nullable().array().items(kvUpperSchema)
+      .noDefault()
       // spec field 135: the field ids an equality-delete file matches on
       // — what lets a reader apply eq-tombstones with NO out-of-band keys
       .name("equality_ids").`type`().nullable().array().items().intType()
@@ -291,15 +318,38 @@ object IcebergLayoutWriter {
     * connector's readers rebuild TIME from the long dialect on read
     * (MorRead.timeDecode / the connector scan). */
   def orcWritable(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType] =>
-        f.name
-    }.foldLeft(df)((d, c) => d.withColumn(c,
-      org.apache.spark.sql.functions.expr(
-        s"CAST(hour(`$c`) AS BIGINT) * 3600000000 + " +
-          s"CAST(minute(`$c`) AS BIGINT) * 60000000 + " +
-          s"CAST(date_part('SECOND', `$c`) * 1000000 AS BIGINT)")))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def hasTime(dt: DataType): Boolean = dt match {
+      case _: TimeType => true
+      case s: StructType => s.fields.exists(f => hasTime(f.dataType))
+      case a: ArrayType => hasTime(a.elementType)
+      case m: MapType => hasTime(m.keyType) || hasTime(m.valueType)
+      case _ => false
+    }
+    def micros(c: Column): Column =
+      hour(c).cast("bigint") * lit(3600000000L) +
+        minute(c).cast("bigint") * lit(60000000L) +
+        (date_part(lit("SECOND"), c) * lit(1000000)).cast("bigint")
+    // TIME rewrites to the long dialect at ANY nesting depth — Spark's
+    // native ORC writer (the maintenance/compaction path) has no TIME
+    // case, so a nested TIME must convert just like a top-level one
+    def rewrite(c: Column, dt: DataType): Column = dt match {
+      case _: TimeType => micros(c)
+      case s: StructType =>
+        when(c.isNull, lit(null)).otherwise(struct(s.fields.toSeq.map(f =>
+          rewrite(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case a: ArrayType => transform(c, e => rewrite(e, a.elementType))
+      case m: MapType => map_from_arrays(
+        transform(map_keys(c), k => rewrite(k, m.keyType)),
+        transform(map_values(c), v => rewrite(v, m.valueType)))
+      case _ => c
+    }
+    df.schema.fields.filter(f => hasTime(f.dataType)).foldLeft(df)((d, f) =>
+      d.withColumn(f.name, rewrite(d.col(s"`${f.name}`"), f.dataType)))
+  }
 
   def writeSingleOrc(df: org.apache.spark.sql.DataFrame,
       dest: java.io.File): Long = {
@@ -703,7 +753,11 @@ object IcebergLayoutWriter {
     val eSchema = entrySchema(pSchema)
     val dfSchema = eSchema.getField("data_file").schema()
     val kv = kvSchema
+    val kvU = kvUpperSchema
     val kvl = kvLongSchema
+    val kvNull = kvNullCountSchema
+    val kvNan = kvNanCountSchema
+    val kvSz = kvColSizeSchema
     val recs = entries.map { e =>
       val p = new GenericData.Record(pSchema)
       e.partition.foreach { case (n, v) => p.put(n, v) }
@@ -715,11 +769,11 @@ object IcebergLayoutWriter {
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.sizeBytes)
       df.put("value_counts", kvLongList(kvl, e.valueCounts))
-      df.put("null_value_counts", kvLongList(kvl, e.nullValueCounts))
-      df.put("nan_value_counts", kvLongList(kvl, e.nanValueCounts))
-      df.put("column_sizes", kvLongList(kvl, e.columnSizes))
+      df.put("null_value_counts", kvLongList(kvNull, e.nullValueCounts))
+      df.put("nan_value_counts", kvLongList(kvNan, e.nanValueCounts))
+      df.put("column_sizes", kvLongList(kvSz, e.columnSizes))
       df.put("lower_bounds", kvList(kv, e.lower))
-      df.put("upper_bounds", kvList(kv, e.upper))
+      df.put("upper_bounds", kvList(kvU, e.upper))
       df.put("equality_ids",
         if (e.equalityIds.isEmpty) null
         else {

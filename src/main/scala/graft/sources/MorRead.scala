@@ -538,9 +538,14 @@ object MorRead {
         if (orcEq.isEmpty) None
         else Some(withSeq(orcEq, "seq", orc = true)),
         if (avroEq.isEmpty) None
+        // timeDecode/uuidDecode: AVRO surfaces TIME keys as BIGINT
+        // micros (and uuid lake keys as binary) — decode to the
+        // declared types like the parquet/ORC withSeq arms, or the
+        // tombstones never equi-match the decoded data side
         else Some(attachSeq(
-          lineageCols(foldAliases(AvroDataRead.readWithPos(spark,
-            avroEq.map(_._1).toIndexedSeq).drop("pos"))),
+          lineageCols(foldAliases(timeDecode(uuidDecode(
+            AvroDataRead.readWithPos(spark,
+              avroEq.map(_._1).toIndexedSeq).drop("pos"))))),
           avroEq, "seq", col("file_path")).drop("file_path")))
         .flatten.reduce(_ unionByName _)
       applyEqDeletes(afterPos, eqRows, resolvedEqKeys)

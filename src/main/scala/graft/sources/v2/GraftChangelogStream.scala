@@ -239,6 +239,10 @@ private[v2] class GraftChangelogReaderFactory(baseSchema: StructType)
 
   private def internalize(v: Any): Any = v match {
     case s: String => UTF8String.fromString(s)
+    // prim's BINARY/FIXED comparable — InternalRow wants the raw bytes
+    case b: java.nio.ByteBuffer =>
+      val d = b.duplicate()
+      val out = new Array[Byte](d.remaining()); d.get(out); out
     case other => other
   }
 

@@ -247,6 +247,10 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
           case org.apache.spark.sql.types.FloatType => id.getFloat(i)
           case org.apache.spark.sql.types.BooleanType => id.getBoolean(i)
           case StringType => id.getUTF8String(i).toString
+          // buffered as ByteBuffer: content-equal (the LinkedHashSet
+          // dedups by value, Array[Byte] would dedup by reference)
+          case org.apache.spark.sql.types.BinaryType =>
+            java.nio.ByteBuffer.wrap(id.getBinary(i).clone())
           case other => sys.error(
             s"graft-iceberg delta: unsupported identifier type $other")
         }
@@ -296,12 +300,25 @@ private[v2] class GraftDeltaWriter(dir: String, schema: StructType,
         else {
           val w = new GraftDataWriter(dir, StructType(eqFields),
             s"deltaeq-$queryId", partitionId, taskId, format = delFormat)
-          eqDels.toSeq.sortBy(_.mkString("\u0000")).foreach { tuple =>
+          // content-stable sort key (ByteBuffer.toString is positional
+          // state, not content — render binary keys as hex)
+          def sortKey(t: Seq[Any]): String = t.map {
+            case b: java.nio.ByteBuffer =>
+              val d = b.duplicate()
+              val sb = new StringBuilder(d.remaining() * 2)
+              while (d.hasRemaining) sb.append(f"${d.get() & 0xff}%02x")
+              sb.toString
+            case v => String.valueOf(v)
+          }.mkString("\u0000")
+          eqDels.toSeq.sortBy(sortKey).foreach { tuple =>
             val r = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(tuple.length)
             tuple.zipWithIndex.foreach { case (v, i) =>
               r.update(i, v match {
                 case s: String => UTF8String.fromString(s)
+                case b: java.nio.ByteBuffer =>
+                  val d = b.duplicate()
+                  val out = new Array[Byte](d.remaining()); d.get(out); out
                 case other => other
               })
             }

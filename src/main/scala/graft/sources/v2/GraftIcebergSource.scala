@@ -1797,6 +1797,15 @@ private[v2] object GraftPartitionReader {
               LogicalTypeAnnotation.uuidType())
             GraftFormatWriters.uuidString(bytes)
           else java.nio.ByteBuffer.wrap(bytes)
+        // BINARY: string-annotated columns compare as String; raw
+        // binary as a ByteBuffer (content-equal, unlike Array[Byte]) —
+        // the same comparable the ORC/AVRO eq arms normalize to, so
+        // equality deletes on binary identifier columns match across
+        // formats instead of falling to reference equality
+        case BINARY
+            if !pt.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          java.nio.ByteBuffer.wrap(g.getBinary(name, 0).getBytes)
         case _ => g.getString(name, 0)
       }
     }
@@ -1902,6 +1911,10 @@ private[v2] object GraftPartitionReader {
             }
             rows.iterator.map(a => idx.map(a(_) match {
               case d: java.math.BigDecimal => normDecimal(d)
+              // ORC/AVRO binary + fixed(L) key values arrive as
+              // Array[Byte] — wrap for content equality, matching the
+              // parquet prim's ByteBuffer comparable on the data side
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
               case v => v
             })).toSet
           } finally rows.close()

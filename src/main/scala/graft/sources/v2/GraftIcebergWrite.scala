@@ -580,6 +580,16 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       case i => Some((i, f))
     }).toArray
 
+  // stat field id per column INDEX: a declared stat field's id when the
+  // column is declared (bounds encode under it), else the positional
+  // convention — counts and column_sizes must key under the SAME id the
+  // metadata-table reader resolves for the column, or declared-id
+  // columns would serve null counts despite having recorded them
+  private val statIdOf: Array[Int] = {
+    val declared = statIdx.map { case (i, f) => i -> f.fieldId }.toMap
+    schema.fields.indices.map(i => declared.getOrElse(i, i + 1)).toArray
+  }
+
   /** One open output file plus its running stats. The physical encoder
     * is the table's `write.format.default` — parquet, ORC, or AVRO
     * ([[GraftFormatWriters]]); everything around it (partition fan-out,
@@ -637,7 +647,7 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
           byTop(top) = byTop.getOrElse(top, 0L) + c.getTotalSize
         })
         schema.fields.zipWithIndex.flatMap { case (f, i) =>
-          byTop.get(f.name).map((i + 1) -> _)
+          byTop.get(f.name).map(statIdOf(i) -> _)
         }.toMap
       } finally r.close()
     }
@@ -661,13 +671,13 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
         sink.file.length(), lower, upper, sink.partition,
         valueCounts =
-          schema.fields.indices.map(i => (i + 1) -> sink.rows).toMap,
+          schema.fields.indices.map(i => statIdOf(i) -> sink.rows).toMap,
         nullValueCounts =
-          schema.fields.indices.map(i => (i + 1) -> sink.nullCount(i)).toMap,
+          schema.fields.indices.map(i => statIdOf(i) -> sink.nullCount(i)).toMap,
         nanValueCounts = schema.fields.indices.collect {
           case i if schema.fields(i).dataType == DoubleType ||
               schema.fields(i).dataType == FloatType =>
-            (i + 1) -> sink.nanCount(i)
+            statIdOf(i) -> sink.nanCount(i)
         }.toMap,
         columnSizes = columnSizesOf(sink.file)))
     }

@@ -97,6 +97,65 @@ class DeleteFormatSpec extends AnyFunSuite {
     }
   }
 
+  // BINARY identifier columns: eq-delete key values must compare by
+  // CONTENT across formats — ORC surfaces Array[Byte] (reference
+  // equality), AVRO ByteBuffer, parquet raw binary; all sides normalize
+  // to one content-comparable form or deleted rows silently resurface.
+  for (fmt <- Seq("parquet", "orc", "avro")) {
+    test(s"equality deletes on a BINARY identifier column apply from $fmt") {
+      val tbl = s"dfmt.db.eqbin_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BINARY NOT NULL, v BIGINT) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        "'write.delete.mode' = 'merge-on-read', " +
+        "'write.delete.granularity' = 'equality', " +
+        "'identifier.columns' = 'k', " +
+        s"'write.delete.format.default' = '$fmt')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+        "(X'01FE', 10L), (X'02FE', 20L), (X'03FE', 30L), " +
+        "(X'04FE', 40L) AS t(k, v)")
+      // non-pushable predicate -> eq tombstones carrying the BINARY key
+      spark.sql(s"DELETE FROM $tbl WHERE v % 20 = 0")
+      val tdir = s"target/tmp-delfmt-wh/db/eqbin_$fmt"
+      val eqFmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, tdir, "t", Nil)
+        .filter(col("content") === 2)
+        .select("file_format").collect().map(_.getString(0)).toSet
+      assert(eqFmts == Set(fmt.toUpperCase), eqFmts.toString)
+      // connector MOR scan applies the binary-keyed tombstones
+      val kept = spark.sql(s"SELECT v FROM $tbl ORDER BY v").collect()
+        .map(_.getLong(0)).toSeq
+      assert(kept == Seq(10L, 30L), s"$fmt: $kept")
+      // the fixture-layer MOR read agrees (Spark SQL binary equality)
+      val viaMor = graft.sources.MorRead.readTable(spark, tdir)
+        .select("v").collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaMor == Seq(10L, 30L), s"$fmt MorRead: $viaMor")
+    }
+  }
+
+  test("TIME-keyed equality tombstones in AVRO decode to TIME before matching") {
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    import spark.implicits._
+    val tbl = "dfmt.db.eqtime"
+    spark.sql(s"CREATE TABLE $tbl (t TIME(6), v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.delete.format.default' = 'avro')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(TIME'01:02:03', 1L), (TIME'09:30:15.123456', 2L), " +
+      "(TIME'23:59:59', 3L) AS x(t, v)")
+    val tdir = "target/tmp-delfmt-wh/db/eqtime"
+    // fixture-layer eq delete keyed on the TIME column — the tombstone
+    // lands as avro time-micros and must decode before equi-matching
+    graft.sources.LayoutMaintenance.commitDelete(spark, tdir,
+      spark.sql("SELECT TIME'09:30:15.123456' AS t"), Seq("t"))
+    val viaMor = graft.sources.MorRead.readTable(spark, tdir)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaMor == Seq(1L, 3L), s"MorRead: $viaMor")
+    // the connector scan agrees (both sides compare at raw micros)
+    val viaScan = spark.sql(s"SELECT v FROM $tbl ORDER BY v").collect()
+      .map(_.getLong(0)).toSeq
+    assert(viaScan == Seq(1L, 3L), s"scan: $viaScan")
+  }
+
   test("mixed-dialect equality tombstones fold in one conversion") {
     val tbl = "dfmt.db.eqmix"
     spark.sql(s"CREATE TABLE $tbl (k BIGINT NOT NULL, v BIGINT) " +

@@ -501,4 +501,45 @@ class IcebergManifestSpec extends AnyFunSuite {
     IcebergLayoutWriter.writeTableSnapshots(plain, Seq(1L -> Seq(entry)))
     assert(IcebergManifestSource.sortOrder(spark, plain.getPath).isEmpty)
   }
+
+  test("manifest logical maps carry the spec's per-field record names + ids") {
+    // the Iceberg manifest schema names each array<record<key,value>>
+    // map after ITS key/value field ids (column_sizes k117_v118 ..
+    // nan_value_counts k138_v139) and keys the entry fields with
+    // field-id properties — an external reader resolving the manifest
+    // by its canonical schema binds each map by these
+    import graft.sources.IcebergLayoutWriter
+    import graft.sources.IcebergLayoutWriter.ManifestEntrySpec
+    val tblDir = new java.io.File(dir, "tbl_mapnames")
+    val entry = ManifestEntrySpec(status = 1, content = 0,
+      filePath = "x.parquet", recordCount = 2L, sizeBytes = 10L,
+      valueCounts = Map(1 -> 2L), nullValueCounts = Map(1 -> 0L),
+      nanValueCounts = Map(1 -> 0L), columnSizes = Map(1 -> 5L),
+      lower = Map(1 -> Array[Byte](1)), upper = Map(1 -> Array[Byte](2)))
+    IcebergLayoutWriter.writeTableSnapshots(tblDir, Seq(1L -> Seq(entry)))
+    val mDir = new java.io.File(tblDir, "metadata")
+    val manifest = mDir.listFiles()
+      .filter(f => f.getName.endsWith(".avro") &&
+        !f.getName.contains("snap-")).head
+    val r = new org.apache.avro.file.DataFileReader(manifest,
+      new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+    val dfSchema = try r.getSchema.getField("data_file").schema()
+      finally r.close()
+    def itemName(field: String): (String, Any, Any) = {
+      import scala.jdk.CollectionConverters._
+      val t = dfSchema.getField(field).schema()
+      val arr = (if (t.getType == org.apache.avro.Schema.Type.UNION)
+        t.getTypes.asScala.find(
+          _.getType == org.apache.avro.Schema.Type.ARRAY).get
+      else t).getElementType
+      (arr.getName, arr.getField("key").getObjectProp("field-id"),
+        arr.getField("value").getObjectProp("field-id"))
+    }
+    assert(itemName("column_sizes") == ("k117_v118", 117, 118))
+    assert(itemName("value_counts") == ("k119_v120", 119, 120))
+    assert(itemName("null_value_counts") == ("k121_v122", 121, 122))
+    assert(itemName("nan_value_counts") == ("k138_v139", 138, 139))
+    assert(itemName("lower_bounds") == ("k126_v127", 126, 127))
+    assert(itemName("upper_bounds") == ("k129_v130", 129, 130))
+  }
 }

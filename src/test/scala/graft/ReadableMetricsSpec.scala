@@ -73,4 +73,30 @@ class ReadableMetricsSpec extends AnyFunSuite {
         "WHERE content = 0 AND record_count = 4").head
     assert(ec.getLong(0) == 1L)
   }
+
+  test("declared stat ids divergent from position still serve counts") {
+    // b's declared stat id (7) differs from its positional id (2):
+    // bounds AND counts/column_sizes must all key under the DECLARED id,
+    // or the metrics reader resolves bounds but serves null counts
+    spark.sql("CREATE TABLE rmx.db.d (a BIGINT, b BIGINT) " +
+      "USING `graft-iceberg` " +
+      "TBLPROPERTIES ('pushdown.fields' = 'b:7:long')")
+    spark.sql("INSERT INTO rmx.db.d SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, 10L), (2L, CAST(NULL AS BIGINT)), (3L, 30L) AS t(a, b)")
+    val r = spark.sql(
+      """SELECT readable_metrics.b.value_count,
+        |  readable_metrics.b.null_value_count,
+        |  readable_metrics.b.column_size,
+        |  readable_metrics.b.lower_bound,
+        |  readable_metrics.b.upper_bound,
+        |  readable_metrics.a.value_count,
+        |  readable_metrics.a.null_value_count
+        |FROM rmx.db.d.files WHERE content = 0""".stripMargin).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L,
+      s"b counts under declared id 7: $r")
+    assert(r.getLong(2) > 0L, s"b column_size under declared id 7: $r")
+    assert(r.getLong(3) == 10L && r.getLong(4) == 30L, s"b bounds: $r")
+    assert(r.getLong(5) == 3L && r.getLong(6) == 0L,
+      s"a counts under the positional id: $r")
+  }
 }

@@ -214,6 +214,45 @@ class TemporalTypesSpec extends AnyFunSuite {
     assert(state() == want, s"ORC rewrite arm: ${state()}")
   }
 
+  test("NESTED TIME survives a rewrite onto the ORC long dialect") {
+    // maintenance rewrites route through Spark's native ORC writer,
+    // which has no TIME case — orcWritable must rewrite TIME to the
+    // long dialect at ANY nesting depth, not just top level
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    val tbl = "temporal.db.timenest"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, " +
+      "s STRUCT<label: STRING, at: TIME(6)>, " +
+      "ts ARRAY<TIME(6)>) USING `graft-iceberg` TBLPROPERTIES (" +
+      "'write.format.default' = 'parquet')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, named_struct('label', 'open', 'at', TIME'09:30:00'), " +
+      "  array(TIME'01:02:03', TIME'04:05:06.500000')), " +
+      "(2L, named_struct('label', 'close', 'at', TIME'16:00:00.000001'), " +
+      "  array(TIME'23:59:59')), " +
+      "(3L, CAST(NULL AS STRUCT<label: STRING, at: TIME(6)>), " +
+      "  CAST(NULL AS ARRAY<TIME(6)>)) AS v(k, s, ts)")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.format.default' = 'orc')")
+    spark.sql("CALL temporal.system.rewrite_data_files('db.timenest')")
+    // the rewritten file really is ORC
+    val fmts = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, "target/tmp-temporal-wh/db/timenest",
+        "t", Nil)
+      .filter(col("content") === 0)
+      .select("file_format").collect().map(_.getString(0)).toSet
+    assert(fmts == Set("ORC"), fmts.toString)
+    val got = spark.sql(
+      s"SELECT k, s.label, CAST(s.at AS STRING), " +
+        s"CAST(ts[0] AS STRING) FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"),
+        Option(r.getString(2)).getOrElse("-"),
+        Option(r.getString(3)).getOrElse("-"))).toSeq
+    assert(got == Seq(
+      (1L, "open", "09:30:00", "01:02:03"),
+      (2L, "close", "16:00:00.000001", "23:59:59"),
+      (3L, "-", "-", "-")), got.mkString(", "))
+  }
+
   test("PARTITIONED BY (month(ntz)): naive-timestamp transform clusters") {
     spark.sql("CREATE TABLE temporal.db.pn (k BIGINT, ts TIMESTAMP_NTZ) " +
       "USING `graft-iceberg` PARTITIONED BY (month(ts))")
