@@ -454,6 +454,74 @@ object Queries18 {
                |  sum(okey) AS sum_okey
                |FROM $cat.tm.clk
                |GROUP BY 1 ORDER BY hh""".stripMargin)
+    },
+
+    // format-version fidelity end-to-end: a table PINNED to v2 (no row
+    // lineage, v3 features refuse), the spec's one-way metadata-only
+    // upgrade to 3, then v3 features in anger — a deletion-vector
+    // DELETE and lineage-assigning appends — with the final state
+    // hash-gated against the oracle.
+    "q301_format_version" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q301wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.fv")
+      s.sql(s"DROP TABLE IF EXISTS $cat.fv.ord")
+      t(dir, "orders").createOrReplaceTempView("q301_src")
+      s.sql(s"""CREATE TABLE $cat.fv.ord (okey BIGINT, price BIGINT,
+               |  mon BIGINT) USING `graft-iceberg` TBLPROPERTIES (
+               |  'format-version' = '2',
+               |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      def insertSlice(pred: String): Unit =
+        s.sql(s"""INSERT INTO $cat.fv.ord
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price,
+                 |  CAST(month(o_orderdate) AS BIGINT) AS mon
+                 |FROM q301_src
+                 |WHERE year(o_orderdate) = 1995 AND ($pred)""".stripMargin)
+      insertSlice("o_orderkey % 3 IN (0, 1)")
+      val tdir = s"${wh.getAbsolutePath}/fv/ord"
+      require(graft.sources.LayoutMaintenance
+        .tableFormatVersion(s, tdir) == 2,
+        "an explicitly-v2 table must be stamped 2")
+      // the spec's upgrade: ONE metadata-only commit (version bumps,
+      // snapshot count does not)
+      val hintBefore = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tdir, "metadata/version-hint.text").toPath),
+        "UTF-8").trim.toLong
+      val snapsBefore = graft.sources.LayoutMaintenance
+        .snapshotIds(s, tdir).size
+      s.sql(s"ALTER TABLE $cat.fv.ord SET TBLPROPERTIES (" +
+        "'format-version' = '3', 'write.delete.format' = 'dv')")
+      require(graft.sources.LayoutMaintenance
+        .tableFormatVersion(s, tdir) == 3, "the upgrade stamps 3")
+      require(new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tdir, "metadata/version-hint.text").toPath),
+        "UTF-8").trim.toLong == hintBefore + 1 &&
+        graft.sources.LayoutMaintenance.snapshotIds(s, tdir)
+          .size == snapsBefore,
+        "the upgrade is ONE metadata-only commit")
+      // v3 feature #1: a deletion-vector DELETE (PUFFIN tombstones)
+      s.sql(s"DELETE FROM $cat.fv.ord WHERE okey % 10 < 2")
+      val delFmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 1)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(delFmts == Set("PUFFIN"),
+        s"the post-upgrade DELETE must land deletion vectors: $delFmts")
+      // v3 feature #2: row lineage assigns on post-upgrade appends
+      insertSlice("o_orderkey % 3 = 2")
+      require(graft.sources.LayoutMaintenance.nextRowId(s, tdir) > 0,
+        "post-upgrade appends must assign row lineage")
+      s.sql(s"""SELECT mon, count(*) AS n_rows,
+               |  sum(price) AS sum_price,
+               |  min(okey) AS min_okey, max(okey) AS max_okey
+               |FROM $cat.fv.ord
+               |GROUP BY mon ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -559,5 +627,20 @@ object Queries18 {
         |  CAST(sum(okey) AS BIGINT) AS sum_okey
         |FROM src
         |WHERE t >= TIME '06:00:00'
-        |GROUP BY 1 ORDER BY hh""".stripMargin)
+        |GROUP BY 1 ORDER BY hh""".stripMargin,
+
+    // the first slice (okey % 3 in (0,1)) loses its okey % 10 < 2 rows
+    // to the deletion-vector DELETE; the second slice (okey % 3 = 2)
+    // lands after it and keeps them
+    "q301_format_version" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(FLOOR(o_totalprice)) AS BIGINT) AS sum_price,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_okey
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  AND ((o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 >= 2)
+        |    OR o_orderkey % 3 = 2)
+        |GROUP BY 1 ORDER BY mon""".stripMargin)
 }

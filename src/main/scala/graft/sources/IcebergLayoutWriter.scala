@@ -704,7 +704,10 @@ object IcebergLayoutWriter {
   def writeTableFromList(tableDir: java.io.File, snapshotId: Long,
       srcList: java.io.File,
       partitionSpecs: Seq[Seq[(String, String, Int)]] = Nil,
-      sortOrder: Seq[(Int, String, String, String)] = Nil): Unit = {
+      sortOrder: Seq[(Int, String, String, String)] = Nil,
+      /** stamped `format-version` — a clone passes its SOURCE's version
+        * so the referenced layout's feature level carries over. */
+      formatVersion: Int = 2): Unit = {
     val metaDir = new java.io.File(tableDir, "metadata")
     org.apache.commons.io.FileUtils.deleteQuietly(metaDir)
     require(metaDir.mkdirs(), s"cannot create $metaDir")
@@ -736,7 +739,7 @@ object IcebergLayoutWriter {
       }
     val json =
       s"""{
-         |  "format-version": 2,
+         |  "format-version": $formatVersion,
          |  "current-snapshot-id": $snapshotId,
          |  "snapshots": [
          |    {"snapshot-id": $snapshotId, "timestamp-ms": ${System.currentTimeMillis()}, "manifest-list": "${list.getAbsolutePath}"}
@@ -886,10 +889,11 @@ object IcebergLayoutWriter {
       snapshotId: Long = 1L,
       partitionSpec: Seq[(String, String, Int)] = Nil,
       sortOrder: Seq[(Int, String, String, String)] = Nil,
-      assignRowIds: Boolean = true): Unit =
+      assignRowIds: Boolean = true,
+      formatVersion: Int = 2): Unit =
     writeTableSnapshots(tableDir, Seq(snapshotId -> entries),
       partitionSpec = partitionSpec, sortOrder = sortOrder,
-      assignRowIds = assignRowIds)
+      assignRowIds = assignRowIds, formatVersion = formatVersion)
 
   /** Multi-snapshot layout (the time-travel surface): every snapshot's
     * manifest list + manifests are written, the metadata JSON lists them
@@ -922,7 +926,10 @@ object IcebergLayoutWriter {
         * `_row_id` then reads null until a lineage-assigning commit
         * touches the rows (the spec's upgrade rule, pinned by
         * RowLineageSpec). */
-      assignRowIds: Boolean = true): Unit = {
+      assignRowIds: Boolean = true,
+      /** declared `format-version` floor — raised to 3 automatically
+        * when the layout carries v3 constructs (row lineage here). */
+      formatVersion: Int = 2): Unit = {
     require(snapshots.nonEmpty, "at least one snapshot")
     // one spec (the common case) or a full evolution history: specs is
     // indexed by spec-id; entries choose theirs via ManifestEntrySpec.specId
@@ -1013,9 +1020,15 @@ object IcebergLayoutWriter {
       }
     val rowIdJson =
       if (assignRowIds) s"""  "next-row-id": $rowIdCounter,\n""" else ""
+    // format-version fidelity: row lineage (first_row_id entries +
+    // the next-row-id counter) is a v3-only construct — a layout that
+    // assigns it must say 3; pre-lineage layouts honor the declared
+    // version (2 unless the caller raised it)
+    val effectiveFormatVersion =
+      if (assignRowIds) math.max(formatVersion, 3) else formatVersion
     val json =
       s"""{
-         |  "format-version": 2,
+         |  "format-version": $effectiveFormatVersion,
          |  "current-snapshot-id": ${snapshots.last._1},
          |$rowIdJson  "snapshots": [
          |$snapJson

@@ -160,6 +160,82 @@ object LayoutMaintenance {
       fromDescriptor.orElse(fromMetadata))
   }
 
+  /** The table's DECLARED `format-version` property (descriptor wins
+    * over metadata properties; same resolution as [[tableWriteFormat]]).
+    * None = unset: the dialect then auto-raises the stamped version
+    * when a commit first lands a v3 construct. Some(2) = the user
+    * pinned v2 — v3 features (row lineage, deletion vectors, VARIANT
+    * columns) REFUSE, the spec's per-version feature gates. */
+  private[graft] def declaredFormatVersion(spark: SparkSession,
+      tableDir: String): Option[Int] = {
+    val fromDescriptor = {
+      val d = new java.io.File(tableDir, "graft-table.json")
+      if (!d.exists()) None
+      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(d).get("properties"))
+        .flatMap(n => Option(n.get("format-version")))
+        .map(_.asText())
+    }
+    val fromMetadata =
+      try Option(readMetadata(spark, tableDir).get("properties"))
+        .flatMap(n => Option(n.get("format-version"))).map(_.asText())
+      catch { case scala.util.control.NonFatal(_) => None }
+    fromDescriptor.orElse(fromMetadata).flatMap(_.toIntOption)
+  }
+
+  /** The `format-version` the CURRENT metadata document is stamped
+    * with (2 when the field is absent or the table has no metadata
+    * yet — the pre-v3 dialect default). */
+  def tableFormatVersion(spark: SparkSession, tableDir: String): Int =
+    try Option(readMetadata(spark, tableDir).get("format-version"))
+      .filter(_.canConvertToInt).map(_.asInt()).getOrElse(2)
+    catch { case scala.util.control.NonFatal(_) => 2 }
+
+  /** Refuse a v3-only construct on an explicitly format-version-2
+    * table. Unset tables never refuse — their stamp auto-raises with
+    * the construct instead (spec upgrade semantics). */
+  private[graft] def requireV3(spark: SparkSession, tableDir: String,
+      feature: String): Unit =
+    if (declaredFormatVersion(spark, tableDir).contains(2))
+      sys.error(s"graft-iceberg: $feature requires format-version 3, " +
+        s"but $tableDir declares format-version 2 — upgrade with " +
+        "ALTER TABLE ... SET TBLPROPERTIES ('format-version' = '3') " +
+        "(one metadata-only commit, irreversible)")
+
+  /** The spec's v2→v3 UPGRADE: one metadata-only commit re-stamping
+    * the current document at `v` (irreversible — downgrades refuse at
+    * the property layer). No-op when the table has no metadata yet
+    * (the first commit then stamps the declared version) or is already
+    * at `v` or above. */
+  def upgradeFormatVersion(spark: SparkSession, tableDir: String,
+      v: Int): Unit = commitLock(tableDir).synchronized {
+    val m = metaDir(tableDir)
+    val hasMeta = new java.io.File(m, "version-hint.text").exists() ||
+      Option(m.listFiles()).exists(_.exists(
+        _.getName.endsWith(".metadata.json")))
+    if (!hasMeta) return
+    val base = metaBase(spark, tableDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(base.file)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cur = Option(root.get("format-version"))
+      .filter(_.canConvertToInt).map(_.asInt()).getOrElse(2)
+    if (cur >= v) return
+    root.put("format-version", v)
+    try java.nio.file.Files.write(
+      new java.io.File(m, s"v${base.version + 1}.metadata.json").toPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"metadata version conflict on $tableDir during format-version " +
+            s"upgrade: base v${base.version} is no longer current", e)
+    }
+    writeHintAtomic(m, base.version + 1)
+  }
+
   /** The table's `graft.lake-type.<column>` declarations (uuid /
     * fixed[N] columns) — descriptor properties win over the metadata
     * document's, same resolution as [[tableWriteFormat]]. MorRead
@@ -308,7 +384,11 @@ object LayoutMaintenance {
       nextRowIdAfter: Option[Long] = None,
       /** (snapshotId → first-row-id) to stamp on the NEW snapshot's
         * node — the spec's per-snapshot assignment record. */
-      snapshotFirstRowId: Option[(Long, Long)] = None): Long = {
+      snapshotFirstRowId: Option[(Long, Long)] = None,
+      /** true when this commit lands a v3-only construct the lineage
+        * params don't already witness (deletion-vector PUFFIN entries)
+        * — forces the format-version stamp to 3. */
+      v3Construct: Boolean = false): Long = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val m = metaDir(tableDir)
@@ -358,6 +438,17 @@ object LayoutMaintenance {
     }
     root.set[ArrayNode]("snapshots", snapArr)
     nextRowIdAfter.foreach(v => root.put("next-row-id", v))
+    // format-version fidelity: the stamp must admit the constructs the
+    // document carries — 3 whenever the table records row lineage (the
+    // counter or a per-snapshot assignment), the commit lands a DV, or
+    // the table DECLARES 3. Never lowered: the spec's upgrade is
+    // irreversible.
+    val stampedFv = Option(root.get("format-version"))
+      .filter(_.canConvertToInt).map(_.asInt()).getOrElse(2)
+    if (stampedFv < 3 && (v3Construct || nextRowIdAfter.nonEmpty ||
+        snapshotFirstRowId.nonEmpty || root.has("next-row-id") ||
+        declaredFormatVersion(spark, tableDir).contains(3)))
+      root.put("format-version", 3)
     // refs: original node per surviving name (extra fields like
     // min-snapshots-to-keep survive), target id patched when moved
     if (keepRefs.isEmpty) root.remove("refs")
@@ -1050,6 +1141,11 @@ object LayoutMaintenance {
   private def assignRowIds(spark: SparkSession, tableDir: String,
       entries: Seq[IcebergLayoutWriter.ManifestEntrySpec], newId: Long)
       : (Seq[IcebergLayoutWriter.ManifestEntrySpec], Option[Long], Option[Long]) = {
+    // row lineage is a v3-only construct: an explicitly-v2 table never
+    // assigns it (_row_id reads null — the v2 contract), and its
+    // metadata stays stamped 2
+    if (declaredFormatVersion(spark, tableDir).contains(2))
+      return (entries, None, None)
     val start = nextRowId(spark, tableDir)
     var cur = start
     val stamped = entries.map { e =>
@@ -1071,6 +1167,12 @@ object LayoutMaintenance {
       extraSummary: Seq[(String, String)] = Nil): Long = {
     val (entries, firstRowId, nextRowIdAfter) =
       assignRowIds(spark, tableDir, entriesIn, newId)
+    // deletion vectors are v3-only: refuse on an explicitly-v2 table,
+    // stamp 3 otherwise (DV-only commits add no data rows, so the
+    // lineage params alone would not witness the construct)
+    val addsDv = entriesIn.exists(e =>
+      e.sequenceNumber.longValue == newId && e.fileFormat == "PUFFIN")
+    if (addsDv) requireV3(spark, tableDir, "deletion vectors")
     val m = metaDir(tableDir)
     // spec "Snapshots": every snapshot records a summary with its
     // operation plus change counts — what `snapshots` metadata-table
@@ -1125,7 +1227,8 @@ object LayoutMaintenance {
         Snap(newId, newList.getAbsolutePath, Some(summary)),
       currentAfter, refsAfter, base,
       nextRowIdAfter = nextRowIdAfter,
-      snapshotFirstRowId = firstRowId.map(newId -> _))
+      snapshotFirstRowId = firstRowId.map(newId -> _),
+      v3Construct = addsDv)
     newId
   }
 
@@ -1274,11 +1377,17 @@ object LayoutMaintenance {
       // first write creates the table; a declared partition spec (from
       // the catalog descriptor or the write path) is born with it and
       // carried verbatim by every later metadata version — likewise the
-      // declared sort order ("sort-orders" + default-sort-order-id)
+      // declared sort order ("sort-orders" + default-sort-order-id).
+      // format-version honors the declared property: an explicitly-v2
+      // table is born WITHOUT row lineage (a v3 construct) and stamped
+      // 2; otherwise lineage assigns and the stamp says 3.
+      val declaredFv = declaredFormatVersion(spark, tableDir)
       IcebergLayoutWriter.writeTable(new java.io.File(tableDir),
         added.map(_.copy(sequenceNumber = 1L)),
         partitionSpec = partitionSpec,
-        sortOrder = sortOrder)
+        sortOrder = sortOrder,
+        assignRowIds = !declaredFv.contains(2),
+        formatVersion = declaredFv.getOrElse(2))
       1L
     } else {
       val base = metaBase(spark, tableDir)
@@ -1412,6 +1521,9 @@ object LayoutMaintenance {
     // their first_row_id already in the files)
     val (stampedAdded, firstRowId, nextRowIdAfter) =
       assignRowIds(spark, tableDir, stampedAddedIn, newId)
+    // deletion vectors are v3-only (see appendSnapshot's twin check)
+    val addsDv = stampedAddedIn.exists(_.fileFormat == "PUFFIN")
+    if (addsDv) requireV3(spark, tableDir, "deletion vectors")
     val defaultSpecId = IcebergManifestSource.partitionSpecs(
       spark, tableDir)._1
     val entries = stampedAdded.map(e =>
@@ -1436,7 +1548,8 @@ object LayoutMaintenance {
       totalDeltaDataFiles, totalDeltaRecords, totalDeltaDeleteFiles,
       currentAfter, refsAfterOpt, extraSummary,
       nextRowIdAfter = nextRowIdAfter,
-      snapshotFirstRowId = firstRowId.map(newId -> _))
+      snapshotFirstRowId = firstRowId.map(newId -> _),
+      v3Construct = addsDv)
   }
 
   /** Shared tail of every past-the-ceiling commit: filter-copy the
@@ -1456,7 +1569,8 @@ object LayoutMaintenance {
       refsAfterOpt: Option[Seq[(String, Long, String)]] = None,
       extraSummary: Seq[(String, String)] = Nil,
       nextRowIdAfter: Option[Long] = None,
-      snapshotFirstRowId: Option[(Long, Long)] = None): Long = {
+      snapshotFirstRowId: Option[(Long, Long)] = None,
+      v3Construct: Boolean = false): Long = {
     val oldList = IcebergManifestSource
       .resolveManifestList(spark, tableDir, Some(curId))
       .getOrElse(sys.error(
@@ -1489,7 +1603,8 @@ object LayoutMaintenance {
         Snap(newId, newList.getAbsolutePath, Some(summary)),
       if (currentAfter < 0) newId else currentAfter, refsAfter, base,
       nextRowIdAfter = nextRowIdAfter,
-      snapshotFirstRowId = snapshotFirstRowId)
+      snapshotFirstRowId = snapshotFirstRowId,
+      v3Construct = v3Construct)
     newId
   }
 
@@ -1584,7 +1699,10 @@ object LayoutMaintenance {
         IcebergLayoutWriter.writeTableFromList(new java.io.File(dstDir),
           cur, new java.io.File(list),
           partitionSpecs = specsForClone,
-          sortOrder = IcebergManifestSource.sortOrder(spark, srcDir))
+          sortOrder = IcebergManifestSource.sortOrder(spark, srcDir),
+          // the clone references the source's manifests verbatim — its
+          // feature level (row lineage, DVs) carries over with them
+          formatVersion = tableFormatVersion(spark, srcDir))
         val files = IcebergManifestSource
           .statsFromTableDir(spark, dstDir, "t", Nil).count().toInt
         (cur, files)
@@ -2468,7 +2586,8 @@ object LayoutMaintenance {
           totalDeltaRecords =
             dataAdded.map(_.recordCount).sum - results.map(_._6).sum,
           totalDeltaDeleteFiles =
-            stamped.count(_.content != 0) - droppedDeleteEntries)
+            stamped.count(_.content != 0) - droppedDeleteEntries,
+          v3Construct = stamped.exists(_.fileFormat == "PUFFIN"))
     }
   }
 

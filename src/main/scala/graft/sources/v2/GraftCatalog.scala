@@ -254,6 +254,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft catalog: a VIEW named $ident already exists")
     if (!isNamespace(nsDir(ident.namespace)))
       throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
+    // format-version is a REAL property (Iceberg's per-version feature
+    // gates): only 2 or 3, and an explicitly-v2 table refuses v3-only
+    // constructs from birth — VARIANT columns here; row lineage and
+    // deletion vectors refuse at their commit sites
+    Option(properties.get("format-version")).foreach { v =>
+      require(v == "2" || v == "3",
+        s"graft catalog: format-version must be 2 or 3, got '$v'")
+      if (v == "2")
+        schema.fields.foreach(f => require(
+          !GraftCatalog.hasVariant(f.dataType),
+          s"graft catalog: column ${f.name} is VARIANT, a format-version-3 " +
+            "type — declare format-version 3 (or omit the property)"))
+    }
     dir.mkdirs()
     writeDescriptor(dir, schema,
       properties.asScala.toMap.filter { case (k, _) =>
@@ -330,6 +343,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     val newProps = changes.foldLeft(props) {
+      // format-version: validated, and the UPGRADE (2 -> 3) is
+      // irreversible per the spec — a downgrade on a table whose
+      // metadata is stamped 3 (or that declared 3) refuses
+      case (p, c: TableChange.SetProperty)
+          if c.property() == "format-version" =>
+        val v = c.value()
+        require(v == "2" || v == "3",
+          s"graft catalog: format-version must be 2 or 3, got '$v'")
+        if (v == "2") {
+          val stamped = graft.sources.LayoutMaintenance.tableFormatVersion(
+            org.apache.spark.sql.SparkSession.active, dir.getAbsolutePath)
+          require(stamped < 3 && !p.get("format-version").contains("3"),
+            "graft catalog: format-version downgrade 3 -> 2 is not " +
+              "allowed (the spec's upgrade is one-way)")
+          schema.fields.foreach(f => require(
+            !GraftCatalog.hasVariant(f.dataType),
+            s"graft catalog: column ${f.name} is VARIANT, a " +
+              "format-version-3 type — the table cannot declare 2"))
+        }
+        p + (c.property() -> v)
       case (p, c: TableChange.SetProperty) => p + (c.property() -> c.value())
       case (p, c: TableChange.RemoveProperty) => p - c.property()
       // Schema evolution, Iceberg-style: ADD appends a nullable column
@@ -389,6 +422,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!retired.contains(name),
           s"graft catalog: '$name' was dropped; re-adding it would read " +
             "the dropped column's data back. rewrite_data_files first.")
+        // VARIANT is a v3-only type: an explicitly-v2 table refuses it
+        require(!(GraftCatalog.hasVariant(c.dataType()) &&
+            p.get("format-version").contains("2")),
+          s"graft catalog: $name is VARIANT, a format-version-3 type — " +
+            "upgrade with ALTER TABLE ... SET TBLPROPERTIES " +
+            "('format-version' = '3') first")
         schema = schema.add(org.apache.spark.sql.types.StructField(
           name, c.dataType(), nullable = true))
         // DEFAULT on ADD COLUMN (Iceberg v3): the INITIAL default is
@@ -512,6 +551,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     writeDescriptor(dir, schema, newProps, partSpec, ids, lastId,
       retired.distinct)
+    // the UPGRADE takes effect NOW as one metadata-only commit (spec
+    // v2 -> v3 upgrade), not lazily at the next data commit
+    if (newProps.get("format-version").contains("3") &&
+        !props.get("format-version").contains("3"))
+      graft.sources.LayoutMaintenance.upgradeFormatVersion(
+        org.apache.spark.sql.SparkSession.active, dir.getAbsolutePath, 3)
     loadTable(ident)
   }
 
@@ -1065,6 +1110,20 @@ object GraftCatalog {
         byName.get(f.name).fold(f)(c => decorate(f, c))
       })
     }
+
+  /** Does `dt` contain VARIANT anywhere (a v3-only type — the
+    * format-version feature gates consult this)? */
+  private[v2] def hasVariant(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: ArrayType => hasVariant(a.elementType)
+      case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+  }
 
   private[v2] def metaStr(f: org.apache.spark.sql.types.StructField,
       key: String): Option[String] =

@@ -178,7 +178,9 @@ class LayoutMaintenanceSpec extends AnyFunSuite {
     assert(after.get("table-uuid").asText == "9c3a2f00-aaaa-bbbb-cccc-123456789abc")
     assert(after.get("schemas").get(0).get("schema-id").asInt == 0)
     assert(after.get("properties").get("write.format.default").asText == "parquet")
-    assert(after.get("format-version").asInt == 2)
+    // the fixture assigns row lineage (a v3 construct), so the layout
+    // writer stamps 3 — maintenance must carry the stamp, never lower it
+    assert(after.get("format-version").asInt == 3)
     val snap2 = after.get("snapshots").get(1)
     assert(snap2.get("snapshot-id").asLong == 2L)
     assert(snap2.get("timestamp-ms").asLong == 1723500000000L,
