@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.PortableHash28Rewrite)
+    // variant-shred file skipping: variant_get predicates over declared
+    // shred paths gain a pushable twin on the _shred_* metadata column
+    ext.injectOptimizerRule(_ => graft.plans.VariantShredPrune)
     // SQL views over graft catalogs (Spark 4's ViewCatalog SPI has no
     // built-in SQL routing — see GraftViewRules): DDL intercepts at
     // parse time, view reads inline during resolution

@@ -522,6 +522,55 @@ object Queries18 {
                |  min(okey) AS min_okey, max(okey) AS max_okey
                |FROM $cat.fv.ord
                |GROUP BY mon ORDER BY mon""".stripMargin)
+    },
+
+    // VARIANT SHREDDING (Iceberg v3): declared paths materialize as
+    // typed parquet subcolumns with per-file bounds — a variant_get
+    // predicate SKIPS FILES (plan-asserted below) instead of running
+    // as a full-scan residual; reads reassemble losslessly.
+    "q302_variant_shred" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q302wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vs")
+      s.sql(s"DROP TABLE IF EXISTS $cat.vs.doc")
+      t(dir, "orders").createOrReplaceTempView("q302_src")
+      s.sql(s"""CREATE TABLE $cat.vs.doc (okey BIGINT, doc VARIANT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'graft.variant-shred.doc' =
+               |    '$$.mon:bigint,$$.cents:bigint')""".stripMargin)
+      // four files with DISJOINT $.mon ranges (one per quarter)
+      (0 until 4).foreach { qtr =>
+        s.sql(s"""INSERT INTO $cat.vs.doc
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  parse_json(concat('{"mon": ', month(o_orderdate),
+                 |    ', "cents": ', CAST(FLOOR(o_totalprice * 100) AS
+                 |      BIGINT), '}')) AS doc
+                 |FROM q302_src
+                 |WHERE year(o_orderdate) = 1995
+                 |  AND CAST((month(o_orderdate) - 1) / 3 AS INT) = $qtr
+                 |""".stripMargin)
+      }
+      // plan-asserted FILE SKIP: the Q4 predicate must touch ONE of the
+      // four files (the _shred_doc_mon twin pushes + prunes on bounds)
+      val probe = s.sql(s"SELECT okey FROM $cat.vs.doc " +
+        "WHERE variant_get(doc, '$.mon', 'bigint') >= 10")
+      require(probe.rdd.getNumPartitions == 1,
+        s"variant predicate must skip to 1 file, " +
+          s"got ${probe.rdd.getNumPartitions}")
+      require(probe.queryExecution.executedPlan.toString
+        .contains("_shred_doc_mon"),
+        "the shred pruning twin must reach the scan")
+      s.sql(s"""SELECT variant_get(doc, '$$.mon', 'bigint') AS mon,
+               |  count(*) AS n_rows,
+               |  sum(variant_get(doc, '$$.cents', 'bigint')) AS sum_cents,
+               |  min(okey) AS min_okey, max(okey) AS max_okey
+               |FROM $cat.vs.doc
+               |WHERE variant_get(doc, '$$.mon', 'bigint') >= 7
+               |GROUP BY 1 ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -642,5 +691,17 @@ object Queries18 {
         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
         |  AND ((o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 >= 2)
         |    OR o_orderkey % 3 = 2)
+        |GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    "q302_variant_shred" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_okey
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  AND month(CAST(o_orderdate AS DATE)) >= 7
         |GROUP BY 1 ORDER BY mon""".stripMargin)
 }

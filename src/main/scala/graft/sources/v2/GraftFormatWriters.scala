@@ -178,10 +178,15 @@ private[graft] object GraftFormatWriters {
 
   private[v2] def create(format: String, file: java.io.File,
       schema: StructType,
-      fieldIds: Map[String, Int]): GraftPhysicalWriter = format match {
+      fieldIds: Map[String, Int],
+      /** variant shred declarations — honored by the parquet arm (the
+        * spec's shredding is a parquet encoding); ORC/AVRO stay
+        * unshredded (two-binary pair). */
+      shreds: Map[String, Seq[(String, DataType)]] = Map.empty)
+      : GraftPhysicalWriter = format match {
     case "orc" => new OrcTaskWriter(file, schema)
     case "avro" => new AvroTaskWriter(file, schema, fieldIds)
-    case _ => new ParquetTaskWriter(file, schema, fieldIds)
+    case _ => new ParquetTaskWriter(file, schema, fieldIds, shreds)
   }
 
   /** Dialect bound: scalars, structs, arrays, and maps compose to any
@@ -205,7 +210,12 @@ private[graft] object GraftFormatWriters {
   * recursive struct/array composition, stable field ids embedded so
   * post-RENAME readers resolve by id. */
 private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
-    fieldIds: Map[String, Int]) extends GraftPhysicalWriter {
+    fieldIds: Map[String, Int],
+    /** declared variant shred paths per TOP-LEVEL column
+      * ([[graft.sources.v2.VariantShred]]): colName -> (field, type) —
+      * those variant columns write the v3 SHREDDED encoding. */
+    shreds: Map[String, Seq[(String, DataType)]] = Map.empty)
+    extends GraftPhysicalWriter {
 
   // lake-typed columns (uuid / fixed[N] — top-level, the declaration
   // grain): the schema dispatch below emits FIXED_LEN_BYTE_ARRAY and
@@ -306,7 +316,28 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
       case _: org.apache.spark.sql.types.VariantType =>
         val vb = Types.optionalGroup()
           .addField(Types.required(BINARY).named("metadata"))
-          .addField(Types.required(BINARY).named("value"))
+        shreds.get(path).filter(_ => path == name) match {
+          case None =>
+            vb.addField(Types.required(BINARY).named("value"))
+          case Some(fields) =>
+            // v3 SHREDDED shape: optional residual `value` + a
+            // typed_value group of {value, typed_value} field groups
+            vb.addField(Types.optional(BINARY).named("value"))
+            val tg = Types.optionalGroup()
+            fields.foreach { case (fname, fdt) =>
+              val inner = Types.optionalGroup()
+                .addField(Types.optional(BINARY).named("value"))
+              val typedField = fdt match {
+                case LongType => Types.optional(INT64)
+                case DoubleType => Types.optional(DOUBLE)
+                case _ => Types.optional(BINARY)
+                  .as(LogicalTypeAnnotation.stringType())
+              }
+              inner.addField(typedField.named("typed_value"))
+              tg.addField(inner.named(fname))
+            }
+            vb.addField(tg.named("typed_value"))
+        }
         id.fold(vb)(vb.id).named(name)
       case dt => primOf(dt, name, id)
     }
@@ -413,6 +444,51 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
     case other => sys.error(s"graft-iceberg write: unsupported type $other")
   }
 
+  /** Write one variant value in the v3 SHREDDED encoding: typed scalars
+    * land in typed_value.<f>.typed_value, present-but-mistyped fields
+    * fall back to typed_value.<f>.value (a verbatim sub-variant slice —
+    * it references the top-level metadata dictionary, written as-is),
+    * the residual object (minus every shredded field) lands in `value`
+    * (omitted when empty), and non-object variants ride `value` whole. */
+  private def addShredded(g: org.apache.parquet.example.data.Group,
+      name: String, vv: org.apache.spark.unsafe.types.VariantVal,
+      fields: Seq[(String, DataType)]): Unit = {
+    import org.apache.spark.types.variant.{Variant, VariantUtil}
+    val vg = g.addGroup(name)
+    vg.add("metadata", org.apache.parquet.io.api.Binary
+      .fromConstantByteArray(vv.getMetadata))
+    val v = new Variant(vv.getValue, vv.getMetadata)
+    if (v.getType != VariantUtil.Type.OBJECT) {
+      vg.add("value", org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(vv.getValue))
+      return
+    }
+    val tg = vg.addGroup("typed_value")
+    fields.foreach { case (fname, fdt) =>
+      val f = v.getFieldByKey(fname)
+      if (f != null) {
+        val fg = tg.addGroup(fname)
+        val typedMatch = (fdt, f.getType) match {
+          case (LongType, VariantUtil.Type.LONG) => true
+          case (DoubleType, VariantUtil.Type.DOUBLE) => true
+          case (StringType, VariantUtil.Type.STRING) => true
+          case _ => false
+        }
+        if (typedMatch) fdt match {
+          case LongType => fg.add("typed_value", f.getLong)
+          case DoubleType => fg.add("typed_value", f.getDouble)
+          case _ => fg.add("typed_value", f.getString)
+        }
+        else fg.add("value", org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(f.getValue))
+      }
+    }
+    graft.sources.v2.VariantShred
+      .residualValue(v, fields.map(_._1).toSet)
+      .foreach(res => vg.add("value", org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(res)))
+  }
+
   override def write(record: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
@@ -422,6 +498,11 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
           g.add(schema.fields(i).name,
             org.apache.parquet.io.api.Binary.fromConstantByteArray(
               GraftFormatWriters.lakeEncode(lakeType(i), record, i)))
+        else if (shreds.contains(schema.fields(i).name) &&
+            schema.fields(i).dataType
+              .isInstanceOf[org.apache.spark.sql.types.VariantType])
+          addShredded(g, schema.fields(i).name, record.getVariant(i),
+            shreds(schema.fields(i).name))
         else addValue(g, schema.fields(i).name, schema.fields(i).dataType,
           record, i)
       }

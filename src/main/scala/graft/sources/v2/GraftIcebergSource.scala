@@ -313,7 +313,7 @@ private[v2] object GraftTable {
   val PartitionMetadataColumn = "_partition"
 }
 
-private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
+private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Long],
     statFields: Seq[GraftIcebergSource.StatField],
     bootstrapSchema: Option[StructType] = None,
     userSchema: Option[StructType] = None,
@@ -463,7 +463,16 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       override def name(): String = GraftTable.LastUpdatedMetadataColumn
       override def dataType(): DataType = LongType
       override def isNullable: Boolean = true
-    })
+    }) ++
+    // one typed column per declared variant shred path: its value is
+    // variant_get(col, '$.field', type) with try-semantics — what the
+    // VariantShredPrune rewrite compares and the recorded bounds cover
+    variantShredDecls.toArray.map(d =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = d.metaName
+        override def dataType(): DataType = d.dt
+        override def isNullable: Boolean = true
+      }: org.apache.spark.sql.connector.catalog.MetadataColumn)
 
   /** SQL `DELETE FROM` (v1-filter form — Spark's SupportsDelete default
     * converts V2 predicates down): copy-on-write via
@@ -606,7 +615,11 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     if (!hasMetadata) (Seq.empty, Seq.empty, false) // created, never written
     else {
     val spark = SparkSession.active
-    val fields = statFields.map(f => (f.fieldId, f.name, f.dt))
+    // shred stat fields ride along: their bounds (recorded under the
+    // synthetic ids) decode like any declared column's and feed the
+    // same per-file pruning
+    val fields = (statFields ++ shredStatFields)
+      .map(f => (f.fieldId, f.name, f.dt))
     val cap = planningCap
     val rows = IcebergManifestSource
       .statsFromTableDir(spark, dir, "t", fields, snapshot)
@@ -616,7 +629,7 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     val files = rows.toSeq
       .filter(_.getAs[Int]("content") == 0)
       .map { r =>
-        val bounds = statFields.map { f =>
+        val bounds = (statFields ++ shredStatFields).map { f =>
           f.name -> ((r.getAs[Any](s"lo_${f.name}"), r.getAs[Any](s"hi_${f.name}")))
         }.toMap
         GraftIcebergSource.FileStat(r.getAs[String]("file_path"), bounds,
@@ -764,7 +777,9 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
       dataSeq = f.seq,
       firstRowId = f.firstRowId.map(Long.box).orNull,
       specId = f.specId,
-      pvals = f.pvals)
+      pvals = f.pvals,
+      shreds = variantShredDecls.map(d =>
+        (d.metaName, d.col, d.field, d.dt.catalogString)))
   }
 
   /** (partitionFieldName, sourceColumnName, sourceType) when — and only
@@ -876,8 +891,23 @@ private[v2] class GraftTable(private[v2] val dir: String, snapshot: Option[Long]
     }.toArray
   }
 
+  /** Declared variant shred paths (`graft.variant-shred.<col>`) —
+    * drives the v3 shredded parquet encoding on write, the synthetic
+    * `_shred_<col>_<field>` metadata columns, and variant-predicate
+    * file skipping ([[graft.plans.VariantShredPrune]]). */
+  private[graft] lazy val variantShredDecls: Seq[VariantShred.Decl] =
+    VariantShred.declsOf(tableProps, schema)
+
+  /** The shred paths' synthetic stat fields: bounds recorded by the
+    * writer under these ids, consumed by the scan's file pruning.
+    * Schema-FREE on purpose ([[VariantShred.rawDecls]]): the scan state
+    * computes these, and schema inference depends on the scan state. */
+  private[v2] lazy val shredStatFields: Seq[GraftIcebergSource.StatField] =
+    VariantShred.rawDecls(tableProps).map(d =>
+      GraftIcebergSource.StatField(d.metaName, d.statId, d.dt))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this, schema, statFields)
+    new GraftScanBuilder(this, schema, statFields ++ shredStatFields)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1626,7 +1656,12 @@ private[v2] case class GraftFilePartition(path: String,
       * under, and the values themselves (canonical-JSON-parsed) — the
       * `_spec_id` / `_partition` metadata columns' sources. */
     specId: Int = 0,
-    pvals: Map[String, Any] = Map.empty) extends InputPartition
+    pvals: Map[String, Any] = Map.empty,
+    /** declared variant shreds as (metaColName, srcCol, field, typeDdl)
+      * — the reader serves `_shred_*` metadata columns and reassembles
+      * shredded variant groups from these. */
+    shreds: Seq[(String, String, String, String)] = Nil)
+    extends InputPartition
 
 /** One partition-value group of files (the SPJ unit): `partitionKey`
   * is the identity partition values as an InternalRow — Spark's
@@ -1998,11 +2033,25 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   // `_file` (the reader materializes the path) and columns ABSENT from
   // this file's schema (pre-evolution files after ALTER TABLE ADD
   // COLUMN — null-filled, Iceberg's schema-evolution read semantics).
+  // `_shred_<col>_<field>` metadata columns: synthesized from the
+  // SOURCE variant column (variant_get try-cast semantics) — never
+  // footer-projected under their own name
+  private val shredOf: Array[(String, String, org.apache.spark.sql.types.DataType)] =
+    required.fields.map(f =>
+      part.shreds.collectFirst { case (meta, col, field, ddl)
+          if meta == f.name =>
+        (col, field,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(ddl))
+      }.orNull)
   private val isMeta: Array[Boolean] =
-    required.fields.map(f => f.name == GraftTable.FileMetadataColumn ||
+    required.fields.zipWithIndex.map { case (f, i) =>
+      f.name == GraftTable.FileMetadataColumn ||
       f.name == GraftTable.PosMetadataColumn ||
       f.name == GraftTable.SpecIdMetadataColumn ||
-      f.name == GraftTable.PartitionMetadataColumn)
+      f.name == GraftTable.PartitionMetadataColumn ||
+      shredOf(i) != null
+    }
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
   private val isSpecId: Array[Boolean] =
@@ -2102,7 +2151,10 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   // doesn't select them — appended to the parquet projection, excluded
   // from the output row
   private val extraKeyCols: Seq[String] =
-    part.eqDeletes.flatMap(_._2).distinct
+    (part.eqDeletes.flatMap(_._2) ++
+      // variant SOURCE columns a required _shred_ column extracts from:
+      // projected like eq keys (read, never output) when unselected
+      shredOf.toSeq.filter(_ != null).map(_._1)).distinct
       .filterNot(required.fieldNames.contains)
   // the key's PHYSICAL name in THIS file (pre-rename files carry the
   // old one): table name, else a recorded former name
@@ -2302,12 +2354,56 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** The v3 VARIANT group (required metadata + value binaries,
-    * unshredded encoding) as Spark's VariantVal. */
-  private def variantValue(vg: Group): org.apache.spark.unsafe.types.VariantVal =
-    new org.apache.spark.unsafe.types.VariantVal(
-      vg.getBinary("value", 0).getBytes,
-      vg.getBinary("metadata", 0).getBytes)
+  /** The v3 VARIANT group as Spark's VariantVal. Unshredded files carry
+    * the two-binary pair verbatim; SHREDDED files (a `typed_value`
+    * group next to the pair — [[VariantShred]]) reassemble losslessly:
+    * residual `value` fields merge with the typed subcolumns, all
+    * referencing the verbatim metadata dictionary. */
+  private def variantValue(vg: Group): org.apache.spark.unsafe.types.VariantVal = {
+    val gt = vg.getType.asGroupType()
+    val metadata = vg.getBinary("metadata", 0).getBytes
+    if (!gt.containsField("typed_value"))
+      return new org.apache.spark.unsafe.types.VariantVal(
+        vg.getBinary("value", 0).getBytes, metadata)
+    val residual =
+      if (vg.getFieldRepetitionCount("value") == 0) None
+      else Some(vg.getBinary("value", 0).getBytes)
+    val typed: Seq[(String, Either[Array[Byte], (Any, org.apache.spark.sql.types.DataType)])] =
+      if (vg.getFieldRepetitionCount("typed_value") == 0) Nil
+      else {
+        val tg = vg.getGroup("typed_value", 0)
+        val tgt = tg.getType.asGroupType()
+        import scala.jdk.CollectionConverters._
+        tgt.getFields.asScala.toSeq.flatMap { ft =>
+          val fname = ft.getName
+          if (tg.getFieldRepetitionCount(fname) == 0) None
+          else {
+            val fg = tg.getGroup(fname, 0)
+            if (fg.getFieldRepetitionCount("typed_value") != 0) {
+              val v: (Any, org.apache.spark.sql.types.DataType) =
+                fg.getType.asGroupType().getType("typed_value")
+                  .asPrimitiveType().getPrimitiveTypeName match {
+                  case org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT64 =>
+                    (fg.getLong("typed_value", 0),
+                      org.apache.spark.sql.types.LongType)
+                  case org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.DOUBLE =>
+                    (fg.getDouble("typed_value", 0),
+                      org.apache.spark.sql.types.DoubleType)
+                  case _ =>
+                    (fg.getString("typed_value", 0),
+                      org.apache.spark.sql.types.StringType)
+                }
+              Some(fname -> Right(v))
+            } else if (fg.getFieldRepetitionCount("value") != 0)
+              Some(fname -> Left(fg.getBinary("value", 0).getBytes))
+            else None // field absent from this row's object
+          }
+        }
+      }
+    VariantShred.reassemble(metadata, residual, typed)
+  }
 
   /** A MAP-annotated group (repeated key_value entries, required key,
     * optional value) as ArrayBasedMapData, key/value recursive. */
@@ -2340,6 +2436,22 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       else if (isSpecId(i)) row.setInt(i, part.specId)
       else if (isPartMeta(i)) row.update(i,
         new GenericInternalRow(partitionMetaValue.clone()))
+      else if (shredOf(i) != null) {
+        // variant_get(srcCol, '$.field', type) with try-semantics,
+        // extracted from the (possibly shredded) variant group — the
+        // source column rides the projection (selected or extra)
+        val (srcCol, field, dt) = shredOf(i)
+        val srcName = required.fieldNames.indexOf(srcCol) match {
+          case -1 => eqKeyPhys.getOrElse(srcCol, srcCol)
+          case j => physName(j)
+        }
+        val gt = current.getType.asGroupType()
+        row.update(i,
+          if (!gt.containsField(srcName) ||
+              current.getFieldRepetitionCount(srcName) == 0) null
+          else VariantShred.extract(
+            variantValue(current.getGroup(srcName, 0)), field, dt))
+      }
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isRowId(i)) {
         // materialized non-null value wins; null (or no materialized

@@ -590,6 +590,35 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     schema.fields.indices.map(i => declared.getOrElse(i, i + 1)).toArray
   }
 
+  // Variant shred declarations (graft.variant-shred.<col> — read from
+  // the table's own descriptor so EVERY GraftDataWriter construction
+  // site honors them without plumbing): the parquet encoder writes the
+  // v3 shredded shape and this writer records per-file bounds of each
+  // shredded path under its synthetic stat id, with the SAME try-cast
+  // semantics the _shred_* metadata columns serve.
+  private val shredDecls: Array[(Int, VariantShred.Decl)] = {
+    val d = new java.io.File(dir, "graft-table.json")
+    val props: Map[String, String] =
+      if (!d.exists()) Map.empty
+      else try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(d).get("properties")).map { n =>
+          val out = Map.newBuilder[String, String]
+          n.fields().forEachRemaining(e =>
+            out += (e.getKey -> e.getValue.asText()))
+          out.result()
+        }.getOrElse(Map.empty)
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, String] }
+    if (!props.keysIterator.exists(_.startsWith(VariantShred.PropPrefix)))
+      Array.empty
+    else VariantShred.declsOf(props, schema)
+      .map(decl => (schema.fieldNames.indexOf(decl.col), decl))
+      .filter(_._1 >= 0).toArray
+  }
+  private val shredsByCol: Map[String, Seq[(String, DataType)]] =
+    shredDecls.toSeq.groupBy(_._2.col)
+      .map { case (c, ds) => c -> ds.map(t => (t._2.field, t._2.dt)) }
+
   /** One open output file plus its running stats. The physical encoder
     * is the table's `write.format.default` — parquet, ORC, or AVRO
     * ([[GraftFormatWriters]]); everything around it (partition fan-out,
@@ -597,9 +626,12 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
   private class Sink(val file: java.io.File,
       val partition: Seq[(String, Any)]) {
     val writer: GraftPhysicalWriter =
-      GraftFormatWriters.create(format, file, schema, fieldIds)
+      GraftFormatWriters.create(format, file, schema, fieldIds, shredsByCol)
     val statMin = new Array[Any](statIdx.length)
     val statMax = new Array[Any](statIdx.length)
+    // per-file bounds of each declared variant shred path
+    val shredMin = new Array[Any](shredDecls.length)
+    val shredMax = new Array[Any](shredDecls.length)
     // spec value_counts/null_value_counts, EVERY top-level column —
     // one isNullAt per column per row, positional field ids
     val nullCount = new Array[Long](schema.length)
@@ -664,10 +696,14 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       org.apache.commons.io.FileUtils.deleteQuietly(sink.file)
       None
     } else {
-      val lower = statIdx.indices.flatMap { j =>
-        Option(sink.statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
-      val upper = statIdx.indices.flatMap { j =>
-        Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) }.toMap
+      val lower = (statIdx.indices.flatMap { j =>
+        Option(sink.statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) } ++
+        shredDecls.indices.flatMap { j => Option(sink.shredMin(j))
+          .map(v => shredDecls(j)._2.statId -> enc(v)) }).toMap
+      val upper = (statIdx.indices.flatMap { j =>
+        Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) } ++
+        shredDecls.indices.flatMap { j => Option(sink.shredMax(j))
+          .map(v => shredDecls(j)._2.statId -> enc(v)) }).toMap
       Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
         sink.file.length(), lower, upper, sink.partition,
         valueCounts =
@@ -788,6 +824,30 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
         case _ => ()
       }
       c += 1
+    }
+    var sj = 0
+    while (sj < shredDecls.length) {
+      val (ci, decl) = shredDecls(sj)
+      if (!record.isNullAt(ci)) {
+        val v: Any = VariantShred.extract(record.getVariant(ci),
+          decl.field, decl.dt) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        }
+        if (v != null) {
+          def lt(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: Long, y: Long) => x < y
+            case (x: Double, y: Double) => x < y
+            case (x: String, y: String) => x < y
+            case _ => false
+          }
+          if (sink.shredMin(sj) == null || lt(v, sink.shredMin(sj)))
+            sink.shredMin(sj) = v
+          if (sink.shredMax(sj) == null || lt(sink.shredMax(sj), v))
+            sink.shredMax(sj) = v
+        }
+      }
+      sj += 1
     }
     sink.rows += 1
     // Iceberg's write.target-file-size-bytes, task-side: when the open
