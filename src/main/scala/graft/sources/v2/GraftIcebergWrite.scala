@@ -714,9 +714,34 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
           case i if schema.fields(i).dataType == DoubleType ||
               schema.fields(i).dataType == FloatType =>
             statIdOf(i) -> sink.nanCount(i)
-        }.toMap,
-        columnSizes = columnSizesOf(sink.file)))
+        }.toMap))
+      // columnSizes intentionally absent here: the footer re-open is
+      // deferred to commit() and paid in PARALLEL across the task's
+      // files ([[withColumnSizes]]) instead of serially per sink
     }
+  }
+
+  /** Fill spec column_sizes (field 108) for every committed parquet
+    * file: one KB-grain footer read per file, fanned across a small
+    * pool — a task that rolled hundreds of near-target files (the
+    * write.target-file-size shape) pays max(read) instead of
+    * sum(read). */
+  private def withColumnSizes(infos: Seq[GraftFileInfo]): Seq[GraftFileInfo] = {
+    if (format != "parquet" || infos.isEmpty) return infos
+    if (infos.size == 1)
+      return infos.map(i =>
+        i.copy(columnSizes = columnSizesOf(new java.io.File(i.path))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(infos.size, 8))
+    try {
+      val futs = infos.map { i =>
+        pool.submit(new java.util.concurrent.Callable[Map[Int, Long]] {
+          override def call(): Map[Int, Long] =
+            columnSizesOf(new java.io.File(i.path))
+        })
+      }
+      infos.zip(futs).map { case (i, f) => i.copy(columnSizes = f.get()) }
+    } finally pool.shutdown()
   }
 
   /** transform(source value) → the partition ordinal this row lands in.
@@ -870,7 +895,8 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     // a zero-row task never opened a sink: commits nothing; bounds per
     // declared stat field, Iceberg Appendix-D encodings — all-null
     // columns carry no bound (the reader keeps such files)
-    GraftCommitMessage(rolled.toSeq ++ sinks.values.toSeq.flatMap(finalizeSink))
+    GraftCommitMessage(withColumnSizes(
+      rolled.toSeq ++ sinks.values.toSeq.flatMap(finalizeSink)))
 
   override def abort(): Unit = {
     sinks.values.foreach { sink =>
