@@ -288,6 +288,23 @@ object Queries17 {
       val nParts = s.sql(
         s"SELECT count(*) FROM $cat.en.prof.all_partitions").head.getLong(0)
       require(nParts == 1L, s"one partition bucket expected: $nParts")
+      // (8) ORC slice: column_size is recorded symmetrically from ORC
+      // stripe stream lengths (round 15 — mixed-format readable_metrics
+      // parity), alongside the parquet files' footer-derived sizes
+      s.sql(s"ALTER TABLE $cat.en.prof SET TBLPROPERTIES (" +
+        "'write.format.default' = 'orc')")
+      s.sql(s"""INSERT INTO $cat.en.prof
+               |SELECT /*+ COALESCE(1) */ o_orderkey,
+               |  CAST(year(o_orderdate) AS BIGINT)
+               |FROM q287_src WHERE year(o_orderdate) = 1997""".stripMargin)
+      val orcSizes = s.sql(
+        s"""SELECT f.readable_metrics.okey.column_size
+           |FROM $cat.en.prof.files f
+           |JOIN $cat.en.prof.entries e ON f.file_path = e.file_path
+           |WHERE f.content = 0 AND e.file_format = 'ORC'""".stripMargin)
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      require(orcSizes.nonEmpty && orcSizes.forall(_ > 0L),
+        s"ORC column_size must record: ${orcSizes.mkString(",")}")
       s.sql(s"""SELECT yr, count(*) AS n_orders, min(okey) AS min_okey,
                |  sum(okey % 100) AS sum_mod
                |FROM $cat.en.prof
@@ -715,8 +732,9 @@ object Queries17 {
         |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
         |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_mod
         |FROM orders
-        |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
-        |  AND o_orderkey % 10 <> 3
+        |WHERE (year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        |    AND o_orderkey % 10 <> 3)
+        |  OR year(CAST(o_orderdate AS DATE)) = 1997
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q288_row_lineage" ->

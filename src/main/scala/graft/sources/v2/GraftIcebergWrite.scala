@@ -660,13 +660,51 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
 
   /** Close a sink and turn it into its commit-message file record (None
     * for a zero-row sink, whose file is removed). */
-  /** spec column_sizes (field 108): per-top-level-column ON-DISK bytes,
-    * from the just-written parquet footer's column-chunk totals — one
-    * KB-grain footer read per committed file. ORC/AVRO record none
-    * (avro is row-major; readable_metrics serves null, the spec's
-    * absent-metrics convention). */
+  /** spec column_sizes (field 108): per-top-level-column ON-DISK bytes —
+    * parquet from the footer's column-chunk totals, ORC from stripe
+    * stream lengths ([[orcColumnSizesOf]]); one KB-grain tail read per
+    * committed file, paid in parallel at commit. AVRO records none
+    * (row-major: bytes are not attributable per column; readable_metrics
+    * serves null, the spec's absent-metrics convention). */
+  /** ORC twin of the parquet arm: per-top-level-column ON-DISK bytes
+    * from each stripe footer's stream lengths (data/present/length/
+    * index streams of the column's ORC id subtree) — so mixed-format
+    * `readable_metrics.column_size` is symmetric. One tail + stripe
+    * footer read per committed file, KB-grain. */
+  private def orcColumnSizesOf(file: java.io.File): Map[Int, Long] = {
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      org.apache.orc.OrcFile.readerOptions(
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val td = reader.getSchema
+      import scala.jdk.CollectionConverters._
+      val kids = td.getChildren.asScala.toSeq
+      val names = td.getFieldNames.asScala.toSeq
+      // ORC id range per top-level column: [child id, child maximumId]
+      // (a composite column's subtree shares its streams' bytes)
+      val ranges = names.zip(kids.map(c => (c.getId, c.getMaximumId)))
+      val byOrcId = scala.collection.mutable.HashMap.empty[Int, Long]
+      val rr = reader.rows()
+        .asInstanceOf[org.apache.orc.impl.RecordReaderImpl]
+      try reader.getStripes.asScala.foreach { st =>
+        rr.readStripeFooter(st).getStreamsList.asScala.foreach { s =>
+          byOrcId(s.getColumn) = byOrcId.getOrElse(s.getColumn, 0L) +
+            s.getLength
+        }
+      } finally rr.close()
+      schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        ranges.collectFirst { case (n, (lo, hi)) if n == f.name =>
+          val sum = (lo to hi).map(id => byOrcId.getOrElse(id, 0L)).sum
+          statIdOf(i) -> sum
+        }.filter(_._2 > 0L)
+      }.toMap
+    } finally reader.close()
+  }
+
   private def columnSizesOf(file: java.io.File): Map[Int, Long] =
-    if (format != "parquet") Map.empty
+    if (format == "orc") orcColumnSizesOf(file)
+    else if (format != "parquet") Map.empty
     else {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.getAbsolutePath),
@@ -727,7 +765,7 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     * write.target-file-size shape) pays max(read) instead of
     * sum(read). */
   private def withColumnSizes(infos: Seq[GraftFileInfo]): Seq[GraftFileInfo] = {
-    if (format != "parquet" || infos.isEmpty) return infos
+    if (format == "avro" || infos.isEmpty) return infos // avro: row-major
     if (infos.size == 1)
       return infos.map(i =>
         i.copy(columnSizes = columnSizesOf(new java.io.File(i.path))))

@@ -74,6 +74,33 @@ class ReadableMetricsSpec extends AnyFunSuite {
     assert(ec.getLong(0) == 1L)
   }
 
+  test("ORC files record column_sizes from stripe stream lengths") {
+    spark.sql("CREATE TABLE rmx.db.o (k BIGINT, s STRING, x DOUBLE) " +
+      "USING `graft-iceberg` " +
+      "TBLPROPERTIES ('write.format.default' = 'orc')")
+    spark.sql("INSERT INTO rmx.db.o SELECT /*+ COALESCE(1) */ id, " +
+      "concat('name-', id), id * 1.5 FROM range(0, 1000)")
+    val r = spark.sql(
+      """SELECT file_size_in_bytes,
+        |  readable_metrics.k.column_size,
+        |  readable_metrics.s.column_size,
+        |  readable_metrics.x.column_size,
+        |  readable_metrics.k.value_count,
+        |  readable_metrics.s.null_value_count
+        |FROM rmx.db.o.files WHERE content = 0""".stripMargin).head
+    val colSum = (1 to 3).map(r.getLong).sum
+    assert((1 to 3).forall(i => r.getLong(i) > 0L) &&
+      colSum <= r.getLong(0),
+      s"ORC column sizes must be positive and bounded by the file: $r")
+    assert(r.getLong(4) == 1000L && r.getLong(5) == 0L, s"counts: $r")
+    // the file really is ORC (the sizes came from stripe footers)
+    val fmt = graft.sources.IcebergManifestSource
+      .statsFromTableDir(spark, "target/tmp-rmx-wh/db/o", "t", Nil)
+      .filter(org.apache.spark.sql.functions.col("content") === 0)
+      .select("file_format").head.getString(0)
+    assert(fmt == "ORC")
+  }
+
   test("declared stat ids divergent from position still serve counts") {
     // b's declared stat id (7) differs from its positional id (2):
     // bounds AND counts/column_sizes must all key under the DECLARED id,
