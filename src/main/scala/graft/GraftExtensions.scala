@@ -60,6 +60,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.GraftFunctions.arity("simhash_sig", 1)(exprs =>
         graft.functions.SimHashSig(exprs.head, 16))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("st_point"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.StPointExpr].getName, "st_point"),
+      graft.functions.GraftFunctions.arity("st_point", 2)(exprs =>
+        graft.functions.StPointExpr(exprs(0), exprs(1)))))
+    Seq(("st_xmin", 0), ("st_ymin", 1), ("st_xmax", 2), ("st_ymax", 3))
+      .foreach { case (n, k) =>
+        ext.injectFunction((
+          new org.apache.spark.sql.catalyst.FunctionIdentifier(n),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[graft.functions.StBboxEdgeExpr].getName, n),
+          graft.functions.GraftFunctions.arity(n, 1)(exprs =>
+            graft.functions.StBboxEdgeExpr(exprs.head, k, n))))
+      }
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.NfcNormalizeExpr].getName, "nfc_normalize"),

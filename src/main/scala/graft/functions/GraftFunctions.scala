@@ -59,6 +59,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints", arity("winnow_fingerprints", 1)(exprs =>
         WinnowFingerprints(exprs.head, 3, 4)), "scala_udf")
+    // WKB helpers for GEOMETRY/GEOGRAPHY lake columns
+    reg.createOrReplaceTempFunction(
+      "st_point", arity("st_point", 2)(exprs =>
+        StPointExpr(exprs(0), exprs(1))), "scala_udf")
+    Seq(("st_xmin", 0), ("st_ymin", 1), ("st_xmax", 2), ("st_ymax", 3))
+      .foreach { case (n, k) =>
+        reg.createOrReplaceTempFunction(
+          n, arity(n, 1)(exprs => StBboxEdgeExpr(exprs.head, k, n)),
+          "scala_udf")
+      }
     spark.udf.register("format_size", (b: Double) => Pure.formatSize(b))
     spark.udf.register("format_duration", (ms: Double) => Pure.formatDuration(ms))
     spark.udf.register("read_file_cost", (b: Long) => Pure.readFileCost(b))

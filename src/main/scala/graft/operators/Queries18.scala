@@ -571,6 +571,72 @@ object Queries18 {
                |FROM $cat.vs.doc
                |WHERE variant_get(doc, '$$.mon', 'bigint') >= 7
                |GROUP BY 1 ORDER BY mon""".stripMargin)
+    },
+
+    // GEOMETRY lake columns (Iceberg v3): WKB points in all three data
+    // formats, per-file bbox bounds, and a bbox-intersects predicate
+    // that SKIPS FILES (plan-asserted) — plus an `unknown` null-only
+    // sibling column. The oracle recomputes coordinates numerically
+    // (DuckDB spatial is unavailable offline; the geometry machinery is
+    // exercised Spark-side and the VALUES are hash-gated).
+    "q303_geometry_lake" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q303wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ge")
+      s.sql(s"DROP TABLE IF EXISTS $cat.ge.pts")
+      t(dir, "orders").createOrReplaceTempView("q303_src")
+      s.sql(s"""CREATE TABLE $cat.ge.pts (okey BIGINT, g BINARY,
+               |  u STRING) USING `graft-iceberg` TBLPROPERTIES (
+               |  'graft.lake-type.g' = 'geometry',
+               |  'graft.lake-type.u' = 'unknown')""".stripMargin)
+      // three format slices with DISJOINT x ranges (x = month*30 + k%30)
+      def slice(fmt: String, moLo: Int, moHi: Int): Unit = {
+        s.sql(s"ALTER TABLE $cat.ge.pts SET TBLPROPERTIES (" +
+          s"'write.format.default' = '$fmt')")
+        s.sql(s"""INSERT INTO $cat.ge.pts
+                 |SELECT /*+ COALESCE(1) */ o_orderkey AS okey,
+                 |  st_point(
+                 |    CAST(month(o_orderdate) * 30 + o_orderkey % 30
+                 |      AS DOUBLE),
+                 |    CAST(o_orderkey % 90 AS DOUBLE)) AS g,
+                 |  CAST(NULL AS STRING) AS u
+                 |FROM q303_src
+                 |WHERE year(o_orderdate) = 1995
+                 |  AND month(o_orderdate) BETWEEN $moLo AND $moHi
+                 |""".stripMargin)
+      }
+      slice("parquet", 1, 4) // x in [30, 150)
+      slice("orc", 5, 8) //      x in [150, 270)
+      slice("avro", 9, 12) //    x in [270, 390)
+      val tdir = s"${wh.getAbsolutePath}/ge/pts"
+      val fmts = graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, tdir, "t", Nil)
+        .filter(col("content") === 0)
+        .select("file_format").distinct().collect()
+        .map(_.getString(0)).toSet
+      require(fmts == Set("PARQUET", "ORC", "AVRO"),
+        s"geometries must ride all three formats: $fmts")
+      // plan-asserted bbox FILE SKIP: the intersects window x in
+      // [280, 300] touches only the avro slice
+      val probe = s.sql(s"SELECT okey FROM $cat.ge.pts " +
+        "WHERE _geo_g_xmin <= 300.0 AND _geo_g_xmax >= 280.0")
+      require(probe.rdd.getNumPartitions == 1,
+        s"bbox predicate must skip to 1 file, " +
+          s"got ${probe.rdd.getNumPartitions}")
+      // the unknown column reads null across every format
+      require(s.sql(s"SELECT count(u) FROM $cat.ge.pts").head.getLong(0)
+        == 0L, "unknown columns are null-only")
+      s.sql(s"""SELECT CAST(st_xmin(g) AS BIGINT) div 30 AS mon,
+               |  count(*) AS n_pts,
+               |  CAST(sum(st_xmin(g)) AS BIGINT) AS sum_x,
+               |  CAST(sum(st_ymin(g)) AS BIGINT) AS sum_y,
+               |  min(okey) AS min_okey, max(okey) AS max_okey
+               |FROM $cat.ge.pts
+               |GROUP BY 1 ORDER BY mon""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -703,5 +769,21 @@ object Queries18 {
         |FROM orders
         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
         |  AND month(CAST(o_orderdate AS DATE)) >= 7
-        |GROUP BY 1 ORDER BY mon""".stripMargin)
+        |GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    // the numeric twin of the WKB points: x = month*30 + okey%30,
+    // y = okey%90 — bucket mon = x div 30 = month (okey%30 < 30)
+    "q303_geometry_lake" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey AS okey,
+        |    month(CAST(o_orderdate AS DATE)) * 30 + o_orderkey % 30 AS x,
+        |    o_orderkey % 90 AS y
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+        |SELECT CAST(x // 30 AS BIGINT) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_pts,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(min(okey) AS BIGINT) AS min_okey,
+        |  CAST(max(okey) AS BIGINT) AS max_okey
+        |FROM pts GROUP BY 1 ORDER BY mon""".stripMargin)
 }

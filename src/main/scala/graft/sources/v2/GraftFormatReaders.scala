@@ -406,11 +406,25 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
   private val rows = GraftFormatReaders.open(path, part.fileFormat)
   private val nameIdx: Map[String, Int] = rows.names.zipWithIndex.toMap
 
+  // `_geo_<col>_<edge>` metadata columns, parsed per row from the WKB
+  // source (these readers decode every file column, so the source is
+  // always at hand)
+  private val geoOf: Array[(String, Int)] =
+    required.fields.map { f =>
+      part.geoCols.iterator.flatMap { c =>
+        GeoLake.Suffixes.zipWithIndex.collectFirst {
+          case (sfx, k) if f.name == GeoLake.metaName(c, sfx) => (c, k)
+        }
+      }.nextOption().orNull
+    }
   private val isMeta: Array[Boolean] =
-    required.fields.map(f => f.name == GraftTable.FileMetadataColumn ||
+    required.fields.zipWithIndex.map { case (f, i) =>
+      f.name == GraftTable.FileMetadataColumn ||
       f.name == GraftTable.PosMetadataColumn ||
       f.name == GraftTable.SpecIdMetadataColumn ||
-      f.name == GraftTable.PartitionMetadataColumn)
+      f.name == GraftTable.PartitionMetadataColumn ||
+      geoOf(i) != null
+    }
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
   private val isSpecId: Array[Boolean] =
@@ -669,6 +683,14 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
       else if (isSpecId(i)) row.setInt(i, part.specId)
       else if (isPartMeta(i)) row.update(i,
         new GenericInternalRow(partitionMetaValue.clone()))
+      else if (geoOf(i) != null) {
+        val (srcCol, edge) = geoOf(i)
+        val v = nameIdx.get(srcCol).map(current(_)).orNull
+        row.update(i,
+          if (v == null) null
+          else graft.functions.GeoExprs.bboxEdge(
+            v.asInstanceOf[Array[Byte]], edge))
+      }
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isRowId(i)) {
         val mat = if (colIdx(i) < 0) null else current(colIdx(i))

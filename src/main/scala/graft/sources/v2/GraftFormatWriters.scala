@@ -121,11 +121,13 @@ private[graft] object GraftFormatWriters {
       lakeTypes.get(f.name) match {
         case Some(lt) =>
           require((lt == "uuid" && f.dataType == StringType) ||
+            (GeoLake.isGeoType(lt) && f.dataType == BinaryType) ||
+            lt == "unknown" ||
             (lt.startsWith("fixed[") && lt.endsWith("]") &&
               f.dataType == BinaryType),
             s"graft-iceberg: lake type $lt cannot annotate column " +
               s"${f.name}: ${f.dataType.sql} (uuid needs STRING, " +
-              "fixed[N] needs BINARY)")
+              "fixed[N] and geometry/geography need BINARY)")
           if (lt.startsWith("fixed[")) fixedLenOf(lt) // validate N
           f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata).putString(LakeTypeKey, lt).build())
@@ -145,6 +147,16 @@ private[graft] object GraftFormatWriters {
       src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
       i: Int): Array[Byte] =
     if (lakeType == "uuid") uuidBytes(src.getUTF8String(i).toString)
+    else if (GeoLake.isGeoType(lakeType)) {
+      // WKB rides verbatim; parsing the bbox here VALIDATES the bytes —
+      // a malformed geometry refuses at write, never poisons pruning
+      val b = src.getBinary(i)
+      GeoLake.bbox(b)
+      b
+    }
+    else if (lakeType == "unknown") sys.error(
+      "graft-iceberg write: `unknown` lake columns are null-only " +
+        "(Iceberg v3 unknown type)")
     else {
       val b = src.getBinary(i)
       require(b.length == fixedLenOf(lakeType),
@@ -350,6 +362,16 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
         if (lt == "uuid")
           Types.optional(FIXED_LEN_BYTE_ARRAY)
             .length(16).as(LogicalTypeAnnotation.uuidType())
+        // v3 geometry/geography: WKB in BINARY with the parquet GEOMETRY
+        // / GEOGRAPHY logical type (Iceberg's default CRS is OGC:CRS84)
+        else if (lt == "geometry")
+          Types.optional(BINARY)
+            .as(LogicalTypeAnnotation.geometryType("OGC:CRS84"))
+        else if (lt == "geography")
+          Types.optional(BINARY).as(LogicalTypeAnnotation.geographyType())
+        // v3 unknown: null-only — an optional BINARY that never carries
+        // a value
+        else if (lt == "unknown") Types.optional(BINARY)
         else Types.optional(FIXED_LEN_BYTE_ARRAY)
           .length(GraftFormatWriters.fixedLenOf(lt))
       id.fold(pb)(pb.id).named(name)
@@ -849,7 +871,12 @@ private[v2] class AvroTaskWriter(file: java.io.File, schema: StructType,
         val f = ASchema.createFixed(s"${name}_uuid", null, "graft.data", 16)
         f.addProp("logicalType", "uuid")
         f
-      } else ASchema.createFixed(s"${name}_fixed", null, "graft.data",
+      }
+      // geometry/geography ride plain avro bytes (WKB verbatim);
+      // unknown is null-only — bytes that never carry a value
+      else if (GeoLake.isGeoType(lt) || lt == "unknown")
+        ASchema.create(ASchema.Type.BYTES)
+      else ASchema.createFixed(s"${name}_fixed", null, "graft.data",
         GraftFormatWriters.fixedLenOf(lt))
     val lakeArr = GraftFormatWriters.lakeTypeArr(schema)
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>

@@ -472,7 +472,17 @@ private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Lo
         override def name(): String = d.metaName
         override def dataType(): DataType = d.dt
         override def isNullable: Boolean = true
-      }: org.apache.spark.sql.connector.catalog.MetadataColumn)
+      }: org.apache.spark.sql.connector.catalog.MetadataColumn) ++
+    // geometry columns' bbox edges: _geo_<col>_{xmin,ymin,xmax,ymax} —
+    // intersects queries write range conjuncts on these, which push and
+    // prune on the recorded per-file bbox bounds
+    GeoLake.geoStatFields(lakeTypes).toArray.map { case (n, _) =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): DataType = DoubleType
+        override def isNullable: Boolean = true
+      }: org.apache.spark.sql.connector.catalog.MetadataColumn
+    }
 
   /** SQL `DELETE FROM` (v1-filter form — Spark's SupportsDelete default
     * converts V2 predicates down): copy-on-write via
@@ -618,7 +628,7 @@ private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Lo
     // shred stat fields ride along: their bounds (recorded under the
     // synthetic ids) decode like any declared column's and feed the
     // same per-file pruning
-    val fields = (statFields ++ shredStatFields)
+    val fields = (statFields ++ shredStatFields ++ geoStatFields)
       .map(f => (f.fieldId, f.name, f.dt))
     val cap = planningCap
     val rows = IcebergManifestSource
@@ -629,7 +639,7 @@ private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Lo
     val files = rows.toSeq
       .filter(_.getAs[Int]("content") == 0)
       .map { r =>
-        val bounds = (statFields ++ shredStatFields).map { f =>
+        val bounds = (statFields ++ shredStatFields ++ geoStatFields).map { f =>
           f.name -> ((r.getAs[Any](s"lo_${f.name}"), r.getAs[Any](s"hi_${f.name}")))
         }.toMap
         GraftIcebergSource.FileStat(r.getAs[String]("file_path"), bounds,
@@ -779,7 +789,8 @@ private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Lo
       specId = f.specId,
       pvals = f.pvals,
       shreds = variantShredDecls.map(d =>
-        (d.metaName, d.col, d.field, d.dt.catalogString)))
+        (d.metaName, d.col, d.field, d.dt.catalogString)),
+      geoCols = GeoLake.geoColsOf(lakeTypes))
   }
 
   /** (partitionFieldName, sourceColumnName, sourceType) when — and only
@@ -906,8 +917,15 @@ private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Lo
     VariantShred.rawDecls(tableProps).map(d =>
       GraftIcebergSource.StatField(d.metaName, d.statId, d.dt))
 
+  /** GEOMETRY/GEOGRAPHY columns' 4 bbox-edge virtual stat fields
+    * ([[GeoLake]]) — schema-free like the shred fields. */
+  private[v2] lazy val geoStatFields: Seq[GraftIcebergSource.StatField] =
+    GeoLake.geoStatFields(lakeTypes).map { case (n, id) =>
+      GraftIcebergSource.StatField(n, id, DoubleType) }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this, schema, statFields ++ shredStatFields)
+    new GraftScanBuilder(this, schema,
+      statFields ++ shredStatFields ++ geoStatFields)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1660,7 +1678,10 @@ private[v2] case class GraftFilePartition(path: String,
     /** declared variant shreds as (metaColName, srcCol, field, typeDdl)
       * — the reader serves `_shred_*` metadata columns and reassembles
       * shredded variant groups from these. */
-    shreds: Seq[(String, String, String, String)] = Nil)
+    shreds: Seq[(String, String, String, String)] = Nil,
+    /** GEOMETRY/GEOGRAPHY lake columns — the reader serves their
+      * `_geo_*` bbox-edge metadata columns. */
+    geoCols: Seq[String] = Nil)
     extends InputPartition
 
 /** One partition-value group of files (the SPJ unit): `partitionKey`
@@ -2044,13 +2065,23 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseDataType(ddl))
       }.orNull)
+  // `_geo_<col>_{xmin,ymin,xmax,ymax}` metadata columns: the row's
+  // bbox edge, parsed from the WKB source column
+  private val geoOf: Array[(String, Int)] =
+    required.fields.map { f =>
+      part.geoCols.iterator.flatMap { c =>
+        GeoLake.Suffixes.zipWithIndex.collectFirst {
+          case (sfx, k) if f.name == GeoLake.metaName(c, sfx) => (c, k)
+        }
+      }.nextOption().orNull
+    }
   private val isMeta: Array[Boolean] =
     required.fields.zipWithIndex.map { case (f, i) =>
       f.name == GraftTable.FileMetadataColumn ||
       f.name == GraftTable.PosMetadataColumn ||
       f.name == GraftTable.SpecIdMetadataColumn ||
       f.name == GraftTable.PartitionMetadataColumn ||
-      shredOf(i) != null
+      shredOf(i) != null || geoOf(i) != null
     }
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
@@ -2152,9 +2183,10 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
   // from the output row
   private val extraKeyCols: Seq[String] =
     (part.eqDeletes.flatMap(_._2) ++
-      // variant SOURCE columns a required _shred_ column extracts from:
-      // projected like eq keys (read, never output) when unselected
-      shredOf.toSeq.filter(_ != null).map(_._1)).distinct
+      // variant/geometry SOURCE columns a required _shred_/_geo_ column
+      // extracts from: projected like eq keys (read, never output)
+      shredOf.toSeq.filter(_ != null).map(_._1) ++
+      geoOf.toSeq.filter(_ != null).map(_._1)).distinct
       .filterNot(required.fieldNames.contains)
   // the key's PHYSICAL name in THIS file (pre-rename files carry the
   // old one): table name, else a recorded former name
@@ -2451,6 +2483,19 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
               current.getFieldRepetitionCount(srcName) == 0) null
           else VariantShred.extract(
             variantValue(current.getGroup(srcName, 0)), field, dt))
+      }
+      else if (geoOf(i) != null) {
+        val (srcCol, edge) = geoOf(i)
+        val srcName = required.fieldNames.indexOf(srcCol) match {
+          case -1 => eqKeyPhys.getOrElse(srcCol, srcCol)
+          case j => physName(j)
+        }
+        val gt = current.getType.asGroupType()
+        row.update(i,
+          if (!gt.containsField(srcName) ||
+              current.getFieldRepetitionCount(srcName) == 0) null
+          else graft.functions.GeoExprs.bboxEdge(
+            current.getBinary(srcName, 0).getBytes, edge))
       }
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isRowId(i)) {

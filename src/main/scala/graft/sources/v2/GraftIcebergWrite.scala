@@ -619,6 +619,24 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     shredDecls.toSeq.groupBy(_._2.col)
       .map { case (c, ds) => c -> ds.map(t => (t._2.field, t._2.dt)) }
 
+  // GEOMETRY/GEOGRAPHY lake columns: (schema index, column, base stat id
+  // of its 4 _geo_* virtual bbox-edge fields) — bounds recorded per file
+  // for intersects pruning, plus the spec's WKB-point bounds under the
+  // column's own stat id. `unknown` lake columns are null-only.
+  private val lakeTypeOf: Array[String] =
+    GraftFormatWriters.lakeTypeArr(schema)
+  private val geoIdx: Array[(Int, String, Int)] = {
+    val lakeMap = schema.fields.indices.flatMap(i =>
+      Option(lakeTypeOf(i)).map(schema.fields(i).name -> _)).toMap
+    val base = GeoLake.geoStatFields(lakeMap)
+      .grouped(4).map(_.head._2).toSeq
+    GeoLake.geoColsOf(lakeMap).zip(base).map { case (c, b) =>
+      (schema.fieldNames.indexOf(c), c, b)
+    }.toArray
+  }
+  private val unknownCols: Array[Int] =
+    schema.fields.indices.filter(i => lakeTypeOf(i) == "unknown").toArray
+
   /** One open output file plus its running stats. The physical encoder
     * is the table's `write.format.default` — parquet, ORC, or AVRO
     * ([[GraftFormatWriters]]); everything around it (partition fan-out,
@@ -632,6 +650,9 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     // per-file bounds of each declared variant shred path
     val shredMin = new Array[Any](shredDecls.length)
     val shredMax = new Array[Any](shredDecls.length)
+    // per-file min/max of each geo column's 4 bbox-edge virtual columns
+    val geoLo = Array.fill(geoIdx.length * 4)(Double.NaN)
+    val geoHi = Array.fill(geoIdx.length * 4)(Double.NaN)
     // spec value_counts/null_value_counts, EVERY top-level column —
     // one isNullAt per column per row, positional field ids
     val nullCount = new Array[Long](schema.length)
@@ -728,20 +749,37 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       case x: Long => boundLong(x)
       case x: Double => boundDouble(x)
       case x: String => boundString(x)
+      case b: Array[Byte] => b // spec WKB-point geometry bounds
     }
     sink.writer.close()
     if (sink.rows == 0) {
       org.apache.commons.io.FileUtils.deleteQuietly(sink.file)
       None
     } else {
+      // geo columns: the 4 virtual bbox-edge fields' min/max, plus the
+      // spec's WKB-point lower/upper under the column's own stat id
+      val geoLower = geoIdx.indices.flatMap { g =>
+        val (ci, _, base) = geoIdx(g)
+        if (sink.geoLo(g * 4).isNaN) Nil
+        else (0 until 4).map(k => (base + k) -> enc(sink.geoLo(g * 4 + k))) :+
+          (statIdOf(ci) -> enc(GeoLake.wkbPoint(
+            sink.geoLo(g * 4), sink.geoLo(g * 4 + 1))))
+      }
+      val geoUpper = geoIdx.indices.flatMap { g =>
+        val (ci, _, base) = geoIdx(g)
+        if (sink.geoHi(g * 4).isNaN) Nil
+        else (0 until 4).map(k => (base + k) -> enc(sink.geoHi(g * 4 + k))) :+
+          (statIdOf(ci) -> enc(GeoLake.wkbPoint(
+            sink.geoHi(g * 4 + 2), sink.geoHi(g * 4 + 3))))
+      }
       val lower = (statIdx.indices.flatMap { j =>
         Option(sink.statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) } ++
         shredDecls.indices.flatMap { j => Option(sink.shredMin(j))
-          .map(v => shredDecls(j)._2.statId -> enc(v)) }).toMap
+          .map(v => shredDecls(j)._2.statId -> enc(v)) } ++ geoLower).toMap
       val upper = (statIdx.indices.flatMap { j =>
         Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) } ++
         shredDecls.indices.flatMap { j => Option(sink.shredMax(j))
-          .map(v => shredDecls(j)._2.statId -> enc(v)) }).toMap
+          .map(v => shredDecls(j)._2.statId -> enc(v)) } ++ geoUpper).toMap
       Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
         sink.file.length(), lower, upper, sink.partition,
         valueCounts =
@@ -911,6 +949,32 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
         }
       }
       sj += 1
+    }
+    var gj = 0
+    while (gj < geoIdx.length) {
+      val (ci, _, _) = geoIdx(gj)
+      if (!record.isNullAt(ci)) {
+        GeoLake.bbox(record.getBinary(ci)).foreach { case (x0, y0, x1, y1) =>
+          val edges = Array(x0, y0, x1, y1)
+          var k = 0
+          while (k < 4) {
+            val j = gj * 4 + k
+            val v = edges(k)
+            if (sink.geoLo(j).isNaN || v < sink.geoLo(j)) sink.geoLo(j) = v
+            if (sink.geoHi(j).isNaN || v > sink.geoHi(j)) sink.geoHi(j) = v
+            k += 1
+          }
+        }
+      }
+      gj += 1
+    }
+    var uj = 0
+    while (uj < unknownCols.length) {
+      require(record.isNullAt(unknownCols(uj)),
+        s"graft-iceberg write: column " +
+          s"${schema.fields(unknownCols(uj)).name} is the v3 `unknown` " +
+          "type — null-only")
+      uj += 1
     }
     sink.rows += 1
     // Iceberg's write.target-file-size-bytes, task-side: when the open
