@@ -305,6 +305,24 @@ object Queries17 {
         .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
       require(orcSizes.nonEmpty && orcSizes.forall(_ > 0L),
         s"ORC column_size must record: ${orcSizes.mkString(",")}")
+      // (9) NESTED readable_metrics (round 15): struct leaves key by
+      // LEAF field id and render bounds/counts as `col.leaf` entries
+      s.sql(s"DROP TABLE IF EXISTS $cat.en.nst")
+      s.sql(s"CREATE TABLE $cat.en.nst (k BIGINT, " +
+        "s STRUCT<lo: BIGINT, hi: BIGINT>) USING `graft-iceberg`")
+      s.sql(s"""INSERT INTO $cat.en.nst
+               |SELECT /*+ COALESCE(1) */ o_orderkey,
+               |  named_struct('lo', o_orderkey % 7,
+               |    'hi', o_orderkey % 7 + 100)
+               |FROM q287_src WHERE year(o_orderdate) = 1995""".stripMargin)
+      val nrm = s.sql(
+        s"""SELECT readable_metrics.`s.lo`.lower_bound,
+           |  readable_metrics.`s.hi`.upper_bound,
+           |  readable_metrics.`s.lo`.value_count, record_count
+           |FROM $cat.en.nst.files WHERE content = 0""".stripMargin).head
+      require(nrm.getLong(0) == 0L && nrm.getLong(1) == 106L &&
+        nrm.getLong(2) == nrm.getLong(3),
+        s"nested leaf bounds/counts must serve: $nrm")
       s.sql(s"""SELECT yr, count(*) AS n_orders, min(okey) AS min_okey,
                |  sum(okey % 100) AS sum_mod
                |FROM $cat.en.prof

@@ -30,7 +30,8 @@ object MetadataTables {
       snapshotId: Option[Long] = None,
       dataSchema: Option[StructType] = None): DataFrame = {
     val fields = dataSchema
-      .map(metricFields(_, declaredStatIds(tableDir))).getOrElse(Nil)
+      .map(metricFields(_, declaredStatIds(tableDir),
+        declaredLeafIds(tableDir))).getOrElse(Nil)
     val base = IcebergManifestSource
       .statsFromTableDir(spark, tableDir, "t", fields, snapshotId)
     val cols = Seq(col("content"), col("file_path"),
@@ -53,13 +54,15 @@ object MetadataTables {
       fields: Seq[(Int, String, org.apache.spark.sql.types.DataType)])
       : org.apache.spark.sql.Column =
     struct(fields.map { case (_, nm, _) =>
+      // nested leaves render as `col.leaf` entries (backticked: the
+      // physical stat columns carry the dot in their NAME)
       struct(
-        col(s"sz_$nm").as("column_size"),
-        col(s"vc_$nm").as("value_count"),
-        col(s"nc_$nm").as("null_value_count"),
-        col(s"xc_$nm").as("nan_value_count"),
-        col(s"lo_$nm").as("lower_bound"),
-        col(s"hi_$nm").as("upper_bound")).as(nm)
+        col(s"`sz_$nm`").as("column_size"),
+        col(s"`vc_$nm`").as("value_count"),
+        col(s"`nc_$nm`").as("null_value_count"),
+        col(s"`xc_$nm`").as("nan_value_count"),
+        col(s"`lo_$nm`").as("lower_bound"),
+        col(s"`hi_$nm`").as("upper_bound")).as(nm)
     }: _*).as("readable_metrics")
 
   /** The (field id, name, type) triples readable_metrics can serve:
@@ -71,17 +74,54 @@ object MetadataTables {
     * with another column's is dropped rather than risk serving the
     * wrong column's bounds. */
   private def metricFields(schema: StructType,
-      declared: Map[String, Int])
+      declared: Map[String, Int],
+      leafIds: Map[String, Int] = Map.empty)
       : Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
+    val scalar = Set[DataType](IntegerType, LongType, FloatType,
+      DoubleType, StringType)
     val eligible = schema.fields.toSeq.zipWithIndex.collect {
-      case (f, i) if Set[DataType](IntegerType, LongType, FloatType,
-          DoubleType, StringType)(f.dataType) =>
+      case (f, i) if scalar(f.dataType) =>
         (declared.getOrElse(f.name, i + 1), f.name, f.dataType)
-    }
+    } ++
+      // struct LEAVES with declared ids (descriptor column-ids fields):
+      // the spec keys metrics by leaf field id, rendered as `col.leaf`
+      schema.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case st: StructType => st.fields.toSeq.collect {
+            case nf if scalar(nf.dataType) &&
+                leafIds.contains(s"${f.name}.${nf.name}") =>
+              (leafIds(s"${f.name}.${nf.name}"),
+                s"${f.name}.${nf.name}", nf.dataType)
+          }
+          case _ => Nil
+        }
+      }
     val dupIds = eligible.groupBy(_._1).collect {
       case (id, fs) if fs.size > 1 => id }.toSet
     eligible.filterNot(t => dupIds(t._1))
+  }
+
+  /** The descriptor's NESTED column ids ("col.leaf" -> leaf field id)
+    * — what keys struct member metrics, the spec's leaf-id
+    * convention. */
+  private def declaredLeafIds(tableDir: String): Map[String, Int] = {
+    val d = new java.io.File(tableDir, "graft-table.json")
+    if (!d.exists()) return Map.empty
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(d)
+      Option(root.get("column-ids")).map { arr =>
+        val out = Map.newBuilder[String, Int]
+        arr.forEach { n =>
+          val parent = n.get("name").asText()
+          Option(n.get("fields")).foreach(_.forEach { k =>
+            out += (s"$parent.${k.get("name").asText()}" ->
+              k.get("id").asInt())
+          })
+        }
+        out.result()
+      }.getOrElse(Map.empty)
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   /** The table's declared `pushdown.fields` stat ids (name → id) from
@@ -270,7 +310,8 @@ object MetadataTables {
       snapshotId: Option[Long] = None,
       dataSchema: Option[StructType] = None): DataFrame = {
     val fields = dataSchema
-      .map(metricFields(_, declaredStatIds(tableDir))).getOrElse(Nil)
+      .map(metricFields(_, declaredStatIds(tableDir),
+        declaredLeafIds(tableDir))).getOrElse(Nil)
     val base = IcebergManifestSource
       .entriesFromTableDir(spark, tableDir, snapshotId, fields)
     if (fields.isEmpty) base

@@ -276,11 +276,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // field ids are born with the table: 1-based schema position (the
       // layout's positional convention), fixed for the column's lifetime;
       // DEFAULT clauses arrive as Spark's CURRENT_DEFAULT/EXISTS_DEFAULT
-      // field-metadata keys on this (schema-shaped) createTable path
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        GraftCatalog.ColumnId(f.name, i + 1,
-          currentDefault = GraftCatalog.metaStr(f, "CURRENT_DEFAULT"),
-          initialDefault = GraftCatalog.metaStr(f, "EXISTS_DEFAULT")) }.toSeq)
+      // field-metadata keys on this (schema-shaped) createTable path.
+      // STRUCT leaves get ids at birth too (allocated after the
+      // top-level block, field order) — what lets files embed leaf ids
+      // and nested readable_metrics key by leaf id from the first write.
+      {
+        var next = schema.length
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          val kids = f.dataType match {
+            case st: StructType => st.fields.toSeq.map { nf =>
+              next += 1; GraftCatalog.ColumnId(nf.name, next)
+            }
+            case _ => Nil
+          }
+          GraftCatalog.ColumnId(f.name, i + 1,
+            currentDefault = GraftCatalog.metaStr(f, "CURRENT_DEFAULT"),
+            initialDefault = GraftCatalog.metaStr(f, "EXISTS_DEFAULT"),
+            fields = kids)
+        }.toSeq
+      })
     loadTable(ident)
   }
 

@@ -637,6 +637,27 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
   private val unknownCols: Array[Int] =
     schema.fields.indices.filter(i => lakeTypeOf(i) == "unknown").toArray
 
+  // Struct LEAVES with declared field ids (the descriptor's nested
+  // column-ids — born with the table since round 15): value/null counts
+  // and bounds recorded under the LEAF id, the spec's convention, so
+  // readable_metrics can render nested columns. (parentIdx, leafIdx,
+  // leafFieldId, parentWidth, leafType).
+  private val leafStats: Array[(Int, Int, Int, Int, DataType)] =
+    schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      f.dataType match {
+        case st: StructType => st.fields.toSeq.zipWithIndex.flatMap {
+          case (nf, k) =>
+            val eligible = nf.dataType == LongType ||
+              nf.dataType == IntegerType || nf.dataType == DoubleType ||
+              nf.dataType == FloatType || nf.dataType == StringType
+            fieldIds.get(s"${f.name}.${nf.name}")
+              .filter(_ => eligible)
+              .map(id => (i, k, id, st.length, nf.dataType))
+        }
+        case _ => Seq.empty[(Int, Int, Int, Int, DataType)]
+      }
+    }.toArray
+
   /** One open output file plus its running stats. The physical encoder
     * is the table's `write.format.default` — parquet, ORC, or AVRO
     * ([[GraftFormatWriters]]); everything around it (partition fan-out,
@@ -653,6 +674,11 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     // per-file min/max of each geo column's 4 bbox-edge virtual columns
     val geoLo = Array.fill(geoIdx.length * 4)(Double.NaN)
     val geoHi = Array.fill(geoIdx.length * 4)(Double.NaN)
+    // struct leaves: value/null counts + bounds under LEAF field ids
+    val leafValue = new Array[Long](leafStats.length)
+    val leafNull = new Array[Long](leafStats.length)
+    val leafMin = new Array[Any](leafStats.length)
+    val leafMax = new Array[Any](leafStats.length)
     // spec value_counts/null_value_counts, EVERY top-level column —
     // one isNullAt per column per row, positional field ids
     val nullCount = new Array[Long](schema.length)
@@ -775,17 +801,25 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       val lower = (statIdx.indices.flatMap { j =>
         Option(sink.statMin(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) } ++
         shredDecls.indices.flatMap { j => Option(sink.shredMin(j))
-          .map(v => shredDecls(j)._2.statId -> enc(v)) } ++ geoLower).toMap
+          .map(v => shredDecls(j)._2.statId -> enc(v)) } ++
+        leafStats.indices.flatMap { j => Option(sink.leafMin(j))
+          .map(v => leafStats(j)._3 -> enc(v)) } ++ geoLower).toMap
       val upper = (statIdx.indices.flatMap { j =>
         Option(sink.statMax(j)).map(v => statIdx(j)._2.fieldId -> enc(v)) } ++
         shredDecls.indices.flatMap { j => Option(sink.shredMax(j))
-          .map(v => shredDecls(j)._2.statId -> enc(v)) } ++ geoUpper).toMap
+          .map(v => shredDecls(j)._2.statId -> enc(v)) } ++
+        leafStats.indices.flatMap { j => Option(sink.leafMax(j))
+          .map(v => leafStats(j)._3 -> enc(v)) } ++ geoUpper).toMap
       Some(GraftFileInfo(sink.file.getAbsolutePath, sink.rows,
         sink.file.length(), lower, upper, sink.partition,
         valueCounts =
-          schema.fields.indices.map(i => statIdOf(i) -> sink.rows).toMap,
+          (schema.fields.indices.map(i => statIdOf(i) -> sink.rows) ++
+            leafStats.indices.map(j =>
+              leafStats(j)._3 -> sink.leafValue(j))).toMap,
         nullValueCounts =
-          schema.fields.indices.map(i => statIdOf(i) -> sink.nullCount(i)).toMap,
+          (schema.fields.indices.map(i => statIdOf(i) -> sink.nullCount(i)) ++
+            leafStats.indices.map(j =>
+              leafStats(j)._3 -> sink.leafNull(j))).toMap,
         nanValueCounts = schema.fields.indices.collect {
           case i if schema.fields(i).dataType == DoubleType ||
               schema.fields(i).dataType == FloatType =>
@@ -967,6 +1001,38 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
         }
       }
       gj += 1
+    }
+    var lj = 0
+    while (lj < leafStats.length) {
+      val (pi, ki, _, width, dt) = leafStats(lj)
+      if (!record.isNullAt(pi)) {
+        val sr = record.getStruct(pi, width)
+        sink.leafValue(lj) += 1
+        if (sr.isNullAt(ki)) sink.leafNull(lj) += 1
+        else {
+          val v: Any = dt match {
+            case LongType => sr.getLong(ki)
+            case IntegerType => sr.getInt(ki).toLong
+            case DoubleType => sr.getDouble(ki)
+            case FloatType => sr.getFloat(ki).toDouble
+            case StringType => sr.getUTF8String(ki).toString
+            case _ => null
+          }
+          if (v != null) {
+            def lt(a: Any, b: Any): Boolean = (a, b) match {
+              case (x: Long, y: Long) => x < y
+              case (x: Double, y: Double) => x < y
+              case (x: String, y: String) => x < y
+              case _ => false
+            }
+            if (sink.leafMin(lj) == null || lt(v, sink.leafMin(lj)))
+              sink.leafMin(lj) = v
+            if (sink.leafMax(lj) == null || lt(sink.leafMax(lj), v))
+              sink.leafMax(lj) = v
+          }
+        }
+      }
+      lj += 1
     }
     var uj = 0
     while (uj < unknownCols.length) {

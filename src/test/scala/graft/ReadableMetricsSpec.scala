@@ -74,6 +74,30 @@ class ReadableMetricsSpec extends AnyFunSuite {
     assert(ec.getLong(0) == 1L)
   }
 
+  test("struct leaves render readable_metrics keyed by LEAF field id") {
+    spark.sql("CREATE TABLE rmx.db.n (k BIGINT, " +
+      "s STRUCT<a: BIGINT, b: STRING>) USING `graft-iceberg`")
+    spark.sql("INSERT INTO rmx.db.n SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, named_struct('a', 10L, 'b', 'x')), " +
+      "(2L, named_struct('a', 30L, 'b', CAST(NULL AS STRING))), " +
+      "(3L, CAST(NULL AS STRUCT<a: BIGINT, b: STRING>)) AS t(k, s)")
+    val r = spark.sql(
+      """SELECT readable_metrics.`s.a`.lower_bound,
+        |  readable_metrics.`s.a`.upper_bound,
+        |  readable_metrics.`s.a`.value_count,
+        |  readable_metrics.`s.a`.null_value_count,
+        |  readable_metrics.`s.b`.value_count,
+        |  readable_metrics.`s.b`.null_value_count,
+        |  readable_metrics.k.value_count
+        |FROM rmx.db.n.files WHERE content = 0""".stripMargin).head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 30L, s"s.a bounds: $r")
+    // value_count counts rows where the PARENT is present; nulls among
+    // them are null_value_count (the struct-null row counts in neither)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L, s"s.a counts: $r")
+    assert(r.getLong(4) == 2L && r.getLong(5) == 1L, s"s.b counts: $r")
+    assert(r.getLong(6) == 3L, s"top-level unchanged: $r")
+  }
+
   test("ORC files record column_sizes from stripe stream lengths") {
     spark.sql("CREATE TABLE rmx.db.o (k BIGINT, s STRING, x DOUBLE) " +
       "USING `graft-iceberg` " +
