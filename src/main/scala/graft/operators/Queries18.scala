@@ -494,8 +494,11 @@ object Queries18 {
         "UTF-8").trim.toLong
       val snapsBefore = graft.sources.LayoutMaintenance
         .snapshotIds(s, tdir).size
+      // no explicit delete-format: on a DECLARED-v3 table, position
+      // tombstones default to deletion vectors (the v3 spec rule) —
+      // the PUFFIN pin below gates the default flip itself
       s.sql(s"ALTER TABLE $cat.fv.ord SET TBLPROPERTIES (" +
-        "'format-version' = '3', 'write.delete.format' = 'dv')")
+        "'format-version' = '3')")
       require(graft.sources.LayoutMaintenance
         .tableFormatVersion(s, tdir) == 3, "the upgrade stamps 3")
       require(new String(java.nio.file.Files.readAllBytes(

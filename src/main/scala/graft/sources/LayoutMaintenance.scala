@@ -3020,14 +3020,37 @@ object LayoutMaintenance {
       .select(col("file_path"), col("pos")).distinct()
       .sort(col("file_path"), col("pos"))
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val pd = freshFile(dataDir, s"posdel-rw-$newId.parquet")
-    val n = IcebergLayoutWriter.writeSingleParquet(kept, pd)
+    // the consolidated output honors the table's DECLARED version: a
+    // format-version-3 table folds into ONE puffin of deletion vectors
+    // (the v3 spec prohibits new position-delete FILES); v2/unset
+    // tables keep the parquet tombstone shape
     val newEntry =
-      if (n == 0) Nil // every tombstone was dangling: none to carry
-      else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-        content = 1, filePath = pd.getAbsolutePath, recordCount = n,
-        sizeBytes = pd.length(), sequenceNumber = newId))
-    if (n == 0) org.apache.commons.io.FileUtils.deleteQuietly(pd)
+      if (declaredFormatVersion(spark, tableDir).contains(3)) {
+        val rows = kept.collect() // driver-fed, same grain as the
+        // parquet fold (writeSingleParquet streams through the driver)
+        if (rows.isEmpty) Nil
+        else {
+          val f = freshFile(dataDir, s"posdel-rw-$newId.puffin")
+          DeletionVectors.write(f, newId,
+            rows.groupBy(_.getString(0)).toSeq
+              .map { case (t, rs) => (t, rs.map(_.getLong(1)).toSeq) })
+          Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+            content = 1, filePath = f.getAbsolutePath,
+            recordCount = rows.length, sizeBytes = f.length(),
+            sequenceNumber = newId, fileFormat = "PUFFIN"))
+        }
+      } else {
+        val pd = freshFile(dataDir, s"posdel-rw-$newId.parquet")
+        val n = IcebergLayoutWriter.writeSingleParquet(kept, pd)
+        if (n == 0) { // every tombstone was dangling: none to carry
+          org.apache.commons.io.FileUtils.deleteQuietly(pd)
+          Nil
+        }
+        else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+          content = 1, filePath = pd.getAbsolutePath, recordCount = n,
+          sizeBytes = pd.length(), sequenceNumber = newId))
+      }
+    val nPairs = newEntry.headOption.map(_.recordCount).getOrElse(0L)
     carriedOpt match {
       case Some(carried) =>
         val movedRefs = refs(spark, tableDir).map {
@@ -3048,7 +3071,7 @@ object LayoutMaintenance {
           totalDeltaDeleteFiles = newEntry.size.toLong +
             delSide.count(_.content == 2) - delSide.size)
     }
-    (newId, posFiles.size, if (n == 0) 0 else 1, n)
+    (newId, posFiles.size, if (nPairs == 0) 0 else 1, nPairs)
   }
 
   /** `convert_equality_deletes` — eq→pos tombstone maintenance: resolve

@@ -348,10 +348,30 @@ private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Lo
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelOperationBuilder(this, info)
 
-  /** write.delete.format=dv: row-level tombstones land as Iceberg-v3
-    * deletion vectors instead of parquet position-delete files. */
+  /** Do row-level position tombstones land as Iceberg-v3 DELETION
+    * VECTORS instead of position-delete FILES?
+    *
+    *  - `write.delete.format=dv` opts in explicitly (any table).
+    *  - a table DECLARING `format-version=3` defaults to DVs (the v3
+    *    spec's rule: new position deletes are deletion vectors) unless
+    *    it declares a tombstone FILE format explicitly
+    *    (`write.delete.format.default`) — that names files, so files it
+    *    gets.
+    *  - v2 (and version-unset) tables keep file tombstones — the
+    *    dialect's established default; auto-stamped-v3 tables are NOT
+    *    flipped implicitly, only the declared property changes write
+    *    behavior (conservative: a stamp records what the layout
+    *    carries, the property records what the user chose). */
   private[v2] def dvTombstones: Boolean =
-    deleteFormat.map(_.toLowerCase).contains("dv")
+    deleteFormat.map(_.toLowerCase) match {
+      case Some("dv") => true
+      case Some(_) => false
+      case None => tableProps.get("format-version").contains("3") &&
+        !tableProps.contains("write.delete.format.default") &&
+        // equality granularity names its own tombstone dialect — the
+        // explicit choice wins over the v3 default
+        !deleteGranularity.map(_.toLowerCase).contains("equality")
+    }
 
   /** `write.delete.format.default`: the POSITION-tombstone FILE format
     * (parquet | orc | avro — Iceberg's delete-file format knob,
@@ -566,7 +586,7 @@ private[graft] class GraftTable(private[v2] val dir: String, snapshot: Option[Lo
     // deletion vector over a parquet position-delete file.
     deleteMode.map(_.toLowerCase).getOrElse("copy-on-write") match {
       case "merge-on-read" =>
-        if (deleteFormat.map(_.toLowerCase).contains("dv"))
+        if (dvTombstones)
           graft.sources.LayoutMaintenance.commitDeleteWhereDv(spark, dir,
             pred, renames = GraftCatalog.aliasesOf(schema),
             dataSchema = Some(plain))

@@ -128,6 +128,55 @@ class FormatVersionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("format-version"), e2.getMessage)
   }
 
+  test("v3-declared tables default position deletes to deletion vectors") {
+    def delFmts(name: String): Set[String] =
+      graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, tdir(name), "t", Nil)
+        .filter(org.apache.spark.sql.functions.col("content") === 1)
+        .select("file_format").collect().map(_.getString(0)).toSet
+    // declared v3 + merge-on-read, NO delete-format property -> DVs
+    spark.sql("CREATE TABLE fv.db.dv3 (k BIGINT, v BIGINT) " +
+      "USING `graft-iceberg` TBLPROPERTIES ('format-version' = '3', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO fv.db.dv3 SELECT /*+ COALESCE(1) */ id, id * 10 " +
+      "FROM range(0, 20)")
+    spark.sql("INSERT INTO fv.db.dv3 SELECT /*+ COALESCE(1) */ id, id * 10 " +
+      "FROM range(20, 40)")
+    spark.sql("DELETE FROM fv.db.dv3 WHERE k % 10 = 3")
+    assert(delFmts("dv3") == Set("PUFFIN"), delFmts("dv3").toString)
+    assert(spark.sql("SELECT count(*) FROM fv.db.dv3").head.getLong(0)
+      == 36L)
+    // a second delete, then the fold: rewrite_position_deletes on a v3
+    // table consolidates into ONE puffin (never a new tombstone FILE)
+    spark.sql("DELETE FROM fv.db.dv3 WHERE k % 10 = 7")
+    val (_, before, after, nPairs) = graft.sources.LayoutMaintenance
+      .rewritePositionDeletes(spark, tdir("dv3"))
+    // successive DELETEs already fold per-target (the one-DV-per-file
+    // invariant), so `before` may be 1 — the fold must still emit DV
+    assert(before >= 1 && after == 1 && nPairs == 8L,
+      s"fold: $before -> $after, $nPairs pairs")
+    assert(delFmts("dv3") == Set("PUFFIN"),
+      s"the v3 fold must stay DV: ${delFmts("dv3")}")
+    assert(spark.sql("SELECT count(*) FROM fv.db.dv3").head.getLong(0)
+      == 32L)
+    // an explicit tombstone FILE format wins over the v3 default
+    spark.sql("CREATE TABLE fv.db.dv3f (k BIGINT) USING `graft-iceberg` " +
+      "TBLPROPERTIES ('format-version' = '3', " +
+      "'write.delete.mode' = 'merge-on-read', " +
+      "'write.delete.format.default' = 'parquet')")
+    spark.sql("INSERT INTO fv.db.dv3f SELECT /*+ COALESCE(1) */ id " +
+      "FROM range(0, 10)")
+    spark.sql("DELETE FROM fv.db.dv3f WHERE k % 2 = 1")
+    assert(delFmts("dv3f") == Set("PARQUET"), delFmts("dv3f").toString)
+    // version-unset tables keep the dialect's file-tombstone default
+    spark.sql("CREATE TABLE fv.db.dvu (k BIGINT) USING `graft-iceberg` " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO fv.db.dvu SELECT /*+ COALESCE(1) */ id " +
+      "FROM range(0, 10)")
+    spark.sql("DELETE FROM fv.db.dvu WHERE k % 2 = 1")
+    assert(delFmts("dvu") == Set("PARQUET"), delFmts("dvu").toString)
+  }
+
   test("pre-lineage fixture layouts stamp 2 until a commit assigns lineage") {
     import spark.implicits._
     import graft.sources.{IcebergLayoutWriter, LayoutMaintenance}
