@@ -168,19 +168,24 @@ object LayoutMaintenance {
     * columns) REFUSE, the spec's per-version feature gates. */
   private[graft] def declaredFormatVersion(spark: SparkSession,
       tableDir: String): Option[Int] = {
-    val fromDescriptor = {
-      val d = new java.io.File(tableDir, "graft-table.json")
+    val d = new java.io.File(tableDir, "graft-table.json")
+    // the catalog descriptor is authoritative when it exists (SQL DDL
+    // lands properties there); only descriptor-LESS external layouts
+    // fall back to the metadata document's properties — this check runs
+    // per commit (assignRowIds), so the common catalog-table path must
+    // stay one small-file read
+    val fromDescriptor =
       if (!d.exists()) None
       else Option(new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(d).get("properties"))
         .flatMap(n => Option(n.get("format-version")))
         .map(_.asText())
-    }
-    val fromMetadata =
-      try Option(readMetadata(spark, tableDir).get("properties"))
+    val declared =
+      if (d.exists()) fromDescriptor
+      else try Option(readMetadata(spark, tableDir).get("properties"))
         .flatMap(n => Option(n.get("format-version"))).map(_.asText())
       catch { case scala.util.control.NonFatal(_) => None }
-    fromDescriptor.orElse(fromMetadata).flatMap(_.toIntOption)
+    declared.flatMap(_.toIntOption)
   }
 
   /** The `format-version` the CURRENT metadata document is stamped
