@@ -285,21 +285,50 @@ object MorRead {
         }
       }
     // TIME columns: the ORC/AVRO dialects store micros-from-midnight as
-    // LONG; rebuild the TIME value so every arm unions at the declared
-    // type (make_time is exact on whole micros)
-    val timeCols: Set[String] = effectiveDataSchema.toSeq.flatMap(_.fields)
-      .collect { case f
-        if f.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType] =>
-        f.name }.toSet
-    def timeDecode(df: DataFrame): DataFrame =
-      timeCols.foldLeft(df) { (d, c) =>
-        if (!d.columns.contains(c) ||
-            d.schema(c).dataType != org.apache.spark.sql.types.LongType) d
-        else d.withColumn(c, expr(
-          s"make_time(CAST(`$c` div 3600000000 AS INT), " +
-            s"CAST((`$c` div 60000000) % 60 AS INT), " +
-            s"CAST(`$c` % 60000000 AS DECIMAL(14,0)) / 1000000)"))
+    // LONG — at ANY nesting depth; rebuild the TIME value so every arm
+    // unions at the declared type (make_time is exact on whole micros)
+    val timeDeclared: Map[String, org.apache.spark.sql.types.DataType] =
+      effectiveDataSchema.toSeq.flatMap(_.fields)
+        .filter(f => hasTimeType(f.dataType))
+        .map(f => f.name -> f.dataType).toMap
+    def timeDecode(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types._
+      def micros(c: Column): Column =
+        call_function("make_time",
+          (c / lit(3600000000L)).cast(IntegerType),
+          ((c / lit(60000000L)).cast(LongType) % lit(60L)).cast(IntegerType),
+          (c % lit(60000000L)).cast(DecimalType(14, 0)) / lit(1000000))
+      // declared-vs-arrived recursion: a LONG where TIME is declared
+      // rebuilds; composites rebuild member-wise (the declared and
+      // arrived shapes agree except at TIME leaves)
+      def decode(c: Column, dec: DataType, act: DataType): Column =
+        (dec, act) match {
+          case (_: TimeType, LongType) => micros(c)
+          case (ds: StructType, as: StructType) =>
+            when(c.isNull, lit(null)).otherwise(struct(
+              ds.fields.toSeq.map { nf =>
+                val av = as.fields.find(_.name == nf.name)
+                  .map(_.dataType).getOrElse(nf.dataType)
+                decode(c.getField(nf.name), nf.dataType, av).as(nf.name)
+              }: _*))
+          case (da: ArrayType, aa: ArrayType) =>
+            transform(c, e => decode(e, da.elementType, aa.elementType))
+          case (dm: MapType, am: MapType) => map_from_arrays(
+            transform(map_keys(c), k => decode(k, dm.keyType, am.keyType)),
+            transform(map_values(c),
+              v => decode(v, dm.valueType, am.valueType)))
+          case _ => c
+        }
+      timeDeclared.foldLeft(df) { case (d, (c, dec)) =>
+        if (!d.columns.contains(c)) d
+        else {
+          val act = d.schema(c).dataType
+          if (act == dec) d
+          else d.withColumn(c, decode(d.col(s"`$c`"), dec, act))
+        }
       }
+    }
     // declared-schema read: current columns at their DECLARED (possibly
     // widened) types, plus one column per recorded FORMER name typed
     // like its current column — a file binds whichever generation it

@@ -706,20 +706,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partSpec = info.partitions().map(t => toSpecEntry(t, schema)).toSeq
     val props = info.properties().asScala.toMap.filter { case (k, _) =>
       !Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER)(k) }
+    // the same format-version gates the plain createTable applies
+    props.get("format-version").foreach { v =>
+      require(v == "2" || v == "3",
+        s"graft catalog: format-version must be 2 or 3, got '$v'")
+      if (v == "2")
+        schema.fields.foreach(f => require(
+          !GraftCatalog.hasVariant(f.dataType),
+          s"graft catalog: column ${f.name} is VARIANT, a format-version-3 " +
+            "type — declare format-version 3 (or omit the property)"))
+    }
     // RTAS re-creation continues the prior generation's field-id
     // counter: the replaced files stay reachable via time travel, and a
     // reused id would let a pre-replace file's column read back as an
     // unrelated post-replace column through the per-file id fallback.
     // Fresh ids (priorLast+1..) can never collide with any embedded id.
     val priorLast = if (exists) readDescriptor(dir)._5 else 0
+    // struct leaves get ids at birth, same as plain createTable
+    var next = priorLast + schema.length
     val ids = schema.fields.zipWithIndex.map { case (f, i) =>
+      val kids = f.dataType match {
+        case st: StructType => st.fields.toSeq.map { nf =>
+          next += 1; GraftCatalog.ColumnId(nf.name, next)
+        }
+        case _ => Nil
+      }
       GraftCatalog.ColumnId(f.name, priorLast + i + 1,
         currentDefault = GraftCatalog.metaStr(f, "CURRENT_DEFAULT"),
-        initialDefault = GraftCatalog.metaStr(f, "EXISTS_DEFAULT")) }.toSeq
+        initialDefault = GraftCatalog.metaStr(f, "EXISTS_DEFAULT"),
+        fields = kids) }.toSeq
     new GraftStagedTable(ident, dir, schema, partSpec, props, ids,
       existedBefore = exists, writeDesc =
         () => writeDescriptor(dir, schema, props, partSpec, ids,
-          lastColumnId = priorLast + schema.fields.length))
+          lastColumnId = next))
   }
 
   // ---- ViewCatalog ----

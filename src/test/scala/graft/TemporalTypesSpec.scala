@@ -253,6 +253,43 @@ class TemporalTypesSpec extends AnyFunSuite {
       (3L, "-", "-", "-")), got.mkString(", "))
   }
 
+  test("MIXED-format nested TIME unions in MorRead and survives rewrite") {
+    // parquet files surface struct<at: TIME> natively while the ORC/AVRO
+    // dialects arrive as struct<at: BIGINT micros> — MorRead's nested
+    // timeDecode rebuilds the declared type so the arms union
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    val tbl = "temporal.db.timenestmix"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, " +
+      "s STRUCT<label: STRING, at: TIME(6)>) USING `graft-iceberg` " +
+      "TBLPROPERTIES ('write.format.default' = 'parquet')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, named_struct('label', 'a', 'at', TIME'01:02:03')) AS v(k, s)")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.format.default' = 'orc')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(2L, named_struct('label', 'b', 'at', TIME'12:34:56.500000')) " +
+      "AS v(k, s)")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+      "'write.format.default' = 'avro')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(3L, named_struct('label', 'c', 'at', TIME'23:59:59.000001')), " +
+      "(4L, CAST(NULL AS STRUCT<label: STRING, at: TIME(6)>)) AS v(k, s)")
+    val want = Seq((1L, "01:02:03"), (2L, "12:34:56.5"),
+      (3L, "23:59:59.000001"), (4L, "-"))
+    def state() = spark.sql(
+      s"SELECT k, coalesce(CAST(s.at AS STRING), '-') FROM $tbl ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() == want, state().toString)
+    // the MorRead union across all three arms (the rewrite reads it)
+    val viaMor = graft.sources.MorRead
+      .readTable(spark, "target/tmp-temporal-wh/db/timenestmix")
+      .selectExpr("k", "coalesce(CAST(s.at AS STRING), '-')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(viaMor == want, viaMor.toString)
+    spark.sql("CALL temporal.system.rewrite_data_files('db.timenestmix')")
+    assert(state() == want, s"post-rewrite: ${state()}")
+  }
+
   test("PARTITIONED BY (month(ntz)): naive-timestamp transform clusters") {
     spark.sql("CREATE TABLE temporal.db.pn (k BIGINT, ts TIMESTAMP_NTZ) " +
       "USING `graft-iceberg` PARTITIONED BY (month(ts))")
