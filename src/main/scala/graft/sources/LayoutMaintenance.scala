@@ -2767,13 +2767,173 @@ object LayoutMaintenance {
         out
     }
     val n = added.map(_.recordCount).sum
+    // rewritten entries carry REAL bounds for the declared stat fields,
+    // harvested from the written files' own parquet/ORC statistics —
+    // a compaction (or a write.sort-order rewrite) must never erase the
+    // table's file skipping
+    val bounded = withHarvestedBounds(added, fmt,
+      declaredStatFieldsFor(spark, tableDir))
     val movedRefs = refs(spark, tableDir).map {
       case (name, id, "branch") if id == curId => (name, newId, "branch")
       case other => other
     }
-    appendSnapshot(spark, tableDir, added, newId, newId, movedRefs, base,
+    appendSnapshot(spark, tableDir, bounded, newId, newId, movedRefs, base,
       operation = "replace")
     (newId, n, filesBefore, added.size)
+  }
+
+  /** The table's declared `pushdown.fields` stat fields as
+    * (fieldId, name, type-letter) — descriptor wins over metadata
+    * properties, same resolution as [[tableWriteFormat]]. */
+  private def declaredStatFieldsFor(spark: SparkSession,
+      tableDir: String): Seq[(Int, String, String)] = {
+    val fromDescriptor = {
+      val d = new java.io.File(tableDir, "graft-table.json")
+      if (!d.exists()) None
+      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(d).get("properties"))
+        .flatMap(n => Option(n.get("pushdown.fields"))).map(_.asText())
+    }
+    val decl = fromDescriptor.orElse(
+      try Option(readMetadata(spark, tableDir).get("properties"))
+        .flatMap(n => Option(n.get("pushdown.fields"))).map(_.asText())
+      catch { case scala.util.control.NonFatal(_) => None })
+    decl.toSeq.flatMap(_.split(',')).filter(_.nonEmpty).flatMap { s =>
+      s.split(':') match {
+        case Array(n, id, t) if Set("long", "double", "string")(t) =>
+          id.toIntOption.map(i => (i, n, t))
+        case _ => None
+      }
+    }
+  }
+
+  /** Per-file lower/upper bounds for the declared stat fields,
+    * HARVESTED from the written file's own native statistics — parquet
+    * column-chunk stats folded across row groups, ORC file column
+    * statistics; AVRO records none. This is how maintenance REWRITES
+    * keep manifest-bound file skipping alive: the rewritten files'
+    * entries used to carry no bounds at all, so one compaction erased
+    * the table's skipping (and made `write.sort-order` rewrites
+    * pointless for pruning). Parquet string maxima may be truncated
+    * UPWARD by the writer — still a sound containment bound. */
+  private[sources] def harvestFileBounds(path: String, fmt: String,
+      fields: Seq[(Int, String, String)])
+      : (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    import IcebergLayoutWriter.{boundDouble, boundLong, boundString}
+    def enc(t: String, v: Any): Option[Array[Byte]] = (t, v) match {
+      case (_, null) => None
+      case ("long", n: Number) => Some(boundLong(n.longValue))
+      case ("double", n: Number) => Some(boundDouble(n.doubleValue))
+      case ("string", s: String) => Some(boundString(s))
+      case _ => None
+    }
+    fmt match {
+      case "parquet" =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val lo = Map.newBuilder[Int, Array[Byte]]
+          val hi = Map.newBuilder[Int, Array[Byte]]
+          fields.foreach { case (id, name, t) =>
+            val chunks = r.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala.filter { c =>
+                val p = c.getPath.toArray
+                p.length == 1 && p(0) == name
+              })
+            val stats = chunks.map(_.getStatistics)
+              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+            if (stats.nonEmpty) {
+              def jv(b: org.apache.parquet.column.statistics.Statistics[_],
+                  min: Boolean): Any =
+                (if (min) b.genericGetMin() else b.genericGetMax()) match {
+                  case bin: org.apache.parquet.io.api.Binary =>
+                    bin.toStringUsingUTF8
+                  case other => other
+                }
+              def fold(min: Boolean): Any =
+                stats.map(jv(_, min)).reduce { (a, b) =>
+                  val keepA = (a, b) match {
+                    case (x: Number, y: Number) =>
+                      (x.doubleValue < y.doubleValue) == min
+                    case (x: String, y: String) => (x < y) == min
+                    case _ => true
+                  }
+                  if (keepA) a else b
+                }
+              enc(t, fold(min = true)).foreach(lo += id -> _)
+              enc(t, fold(min = false)).foreach(hi += id -> _)
+            }
+          }
+          (lo.result(), hi.result())
+        } finally r.close()
+      case "orc" =>
+        val reader = org.apache.orc.OrcFile.createReader(
+          new org.apache.hadoop.fs.Path(path),
+          org.apache.orc.OrcFile.readerOptions(
+            new org.apache.hadoop.conf.Configuration()))
+        try {
+          import scala.jdk.CollectionConverters._
+          val td = reader.getSchema
+          val names = td.getFieldNames.asScala.toSeq
+          val kids = td.getChildren.asScala.toSeq
+          val all = reader.getStatistics
+          val lo = Map.newBuilder[Int, Array[Byte]]
+          val hi = Map.newBuilder[Int, Array[Byte]]
+          fields.foreach { case (id, name, t) =>
+            names.indexOf(name) match {
+              case -1 => ()
+              case k =>
+                val cid = kids(k).getId
+                if (cid < all.length && all(cid).getNumberOfValues > 0)
+                  all(cid) match {
+                    case s: org.apache.orc.IntegerColumnStatistics =>
+                      enc(t, Long.box(s.getMinimum)).foreach(lo += id -> _)
+                      enc(t, Long.box(s.getMaximum)).foreach(hi += id -> _)
+                    case s: org.apache.orc.DoubleColumnStatistics =>
+                      enc(t, Double.box(s.getMinimum)).foreach(lo += id -> _)
+                      enc(t, Double.box(s.getMaximum)).foreach(hi += id -> _)
+                    case s: org.apache.orc.StringColumnStatistics =>
+                      enc(t, s.getMinimum).foreach(lo += id -> _)
+                      enc(t, s.getMaximum).foreach(hi += id -> _)
+                    case _ => ()
+                  }
+            }
+          }
+          (lo.result(), hi.result())
+        } finally reader.close()
+      case _ => (Map.empty, Map.empty)
+    }
+  }
+
+  /** Attach harvested bounds to freshly-rewritten data entries, fanned
+    * over a small pool (one KB-grain tail read per file — max(read),
+    * not sum, when a rewrite emits hundreds of parts). */
+  private def withHarvestedBounds(
+      entries: Seq[IcebergLayoutWriter.ManifestEntrySpec], fmt: String,
+      fields: Seq[(Int, String, String)])
+      : Seq[IcebergLayoutWriter.ManifestEntrySpec] = {
+    if (fields.isEmpty || fmt == "avro" || entries.isEmpty) return entries
+    if (entries.size == 1) {
+      val (lo, hi) = harvestFileBounds(entries.head.filePath, fmt, fields)
+      return Seq(entries.head.copy(lower = lo, upper = hi))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(entries.size, 8))
+    try {
+      val futs = entries.map { e =>
+        pool.submit(new java.util.concurrent.Callable[
+            (Map[Int, Array[Byte]], Map[Int, Array[Byte]])] {
+          override def call() = harvestFileBounds(e.filePath, fmt, fields)
+        })
+      }
+      entries.zip(futs).map { case (e, f) =>
+        val (lo, hi) = f.get()
+        e.copy(lower = lo, upper = hi)
+      }
+    } finally pool.shutdown()
   }
 
   /** Greedy overshoot grouping — the EXECUTABLE form of the reference's

@@ -71,6 +71,44 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM proctest.db.ex").head.getLong(0) == 4L)
   }
 
+  test("rewrite_data_files keeps file skipping alive: bounds harvested from written files") {
+    for (fmt <- Seq("parquet", "orc")) {
+      val tbl = s"proctest.db.rwb_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, s STRING) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt', " +
+        "'pushdown.fields' = 'k:1:long,s:2:string', " +
+        "'write.sort-order' = 'k')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ id, " +
+        "concat('v', id) FROM range(0, 1000)")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ id, " +
+        "concat('v', id) FROM range(10000, 11000)")
+      // a SORTED multi-part rewrite: disjoint per-file k ranges
+      spark.sql(s"CALL proctest.system.rewrite_data_files(" +
+        s"table => 'db.rwb_$fmt', sort_by => 'k', " +
+        "target_file_size_bytes => 3000)")
+      val tdir = dirOf(s"rwb_$fmt")
+      val rows = graft.sources.IcebergManifestSource
+        .statsFromTableDir(spark, tdir, "t",
+          Seq((1, "k", org.apache.spark.sql.types.LongType),
+            (2, "s", org.apache.spark.sql.types.StringType)))
+        .filter(org.apache.spark.sql.functions.col("content") === 0)
+        .select("lo_k", "hi_k", "lo_s")
+        .collect()
+      assert(rows.length > 1, s"$fmt: multi-part rewrite expected")
+      assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.isNullAt(2)),
+        s"$fmt: rewritten entries must carry harvested bounds: " +
+          rows.mkString(", "))
+      // and the scan actually SKIPS on them post-rewrite
+      val q = spark.sql(s"SELECT k FROM $tbl WHERE k >= 10950")
+      assert(q.rdd.getNumPartitions < rows.length,
+        s"$fmt: post-rewrite skip expected " +
+          s"(${q.rdd.getNumPartitions} of ${rows.length})")
+      assert(q.count() == 50L)
+    }
+  }
+
   test("rewrite_data_files drops SQL-DELETE tombstones; reads unchanged") {
     spark.sql("CREATE TABLE proctest.db.rw (k BIGINT, v STRING) USING `graft-iceberg`")
     spark.sql("INSERT INTO proctest.db.rw SELECT id, concat('v', id) FROM range(100)")
