@@ -2272,10 +2272,12 @@ object LayoutMaintenance {
     val added =
       if (n == 0L) { // every in-scope row died: no empty file in the commit
         org.apache.commons.io.FileUtils.deleteQuietly(rw); Nil
-      } else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-        content = 0, filePath = rw.getAbsolutePath, recordCount = n,
-        sizeBytes = rw.length(), sequenceNumber = newId,
-        fileFormat = fmt.toUpperCase))
+      } else withHarvestedBounds(
+        Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+          content = 0, filePath = rw.getAbsolutePath, recordCount = n,
+          sizeBytes = rw.length(), sequenceNumber = newId,
+          fileFormat = fmt.toUpperCase)),
+        fmt, declaredStatFieldsFor(spark, tableDir))
     (carriedOpt, affectedOpt) match {
       case (Some(carried), _) =>
         val kept = affectedOpt match {
@@ -3079,7 +3081,9 @@ object LayoutMaintenance {
         fileFormat = outFmt.toUpperCase)
     }
     val removed = groups.flatMap(_._3.map(_._1))
-    val snap = commitReplaceFiles(spark, tableDir, removed, added)
+    val bounded = withHarvestedBounds(added, outFmt,
+      declaredStatFieldsFor(spark, tableDir))
+    val snap = commitReplaceFiles(spark, tableDir, removed, bounded)
     (snap, removed.size, groups.size)
   }
 
