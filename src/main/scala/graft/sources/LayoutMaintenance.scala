@@ -1335,11 +1335,12 @@ object LayoutMaintenance {
     val nk = IcebergLayoutWriter.writeSingleData(
       updates.select(keyCols.map(col): _*).distinct()
         .sort(keyCols.map(col): _*), ed, delFmt)
-    val added = Seq(
+    val added = withHarvestedBounds(Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = up.getAbsolutePath, recordCount = n,
         sizeBytes = up.length(), sequenceNumber = newId,
-        fileFormat = fmt.toUpperCase),
+        fileFormat = fmt.toUpperCase)),
+      fmt, declaredStatFieldsFor(spark, tableDir)) ++ Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
@@ -1757,11 +1758,12 @@ object LayoutMaintenance {
     val nk = IcebergLayoutWriter.writeSingleData(
       changes.select(keyCols.map(col): _*).distinct()
         .sort(keyCols.map(col): _*), ed, delFmt)
-    val added = Seq(
+    val added = withHarvestedBounds(Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
         filePath = up.getAbsolutePath, recordCount = n,
         sizeBytes = up.length(), sequenceNumber = newId,
-        fileFormat = fmt.toUpperCase),
+        fileFormat = fmt.toUpperCase)),
+      fmt, declaredStatFieldsFor(spark, tableDir)) ++ Seq(
       IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 2,
         filePath = ed.getAbsolutePath, recordCount = nk,
         sizeBytes = ed.length(), sequenceNumber = newId,
