@@ -2051,6 +2051,28 @@ object LayoutMaintenance {
       predicate: org.apache.spark.sql.Column,
       eqKeys: Seq[String] = Nil,
       renames: Map[String, Seq[String]] = Map.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+    // a DECLARED-v3 table defaults position tombstones to deletion
+    // vectors (the v3 spec prohibits new position-delete FILES) unless
+    // it names a tombstone file format explicitly — the same dispatch
+    // the connector's SQL DELETE applies, so the fixture/Cli path can
+    // never violate the table's declared version
+    if (declaredFormatVersion(spark, tableDir).contains(3) && {
+        val d = new java.io.File(tableDir, "graft-table.json")
+        !d.exists() || !Option(new com.fasterxml.jackson.databind
+            .ObjectMapper().readTree(d).get("properties"))
+          .exists(_.has("write.delete.format.default"))
+      })
+      return commitDeleteWhereDv(spark, tableDir, predicate, eqKeys,
+        renames, dataSchema)
+    commitDeleteWhereFiles(spark, tableDir, predicate, eqKeys, renames,
+      dataSchema)
+  }
+
+  private def commitDeleteWhereFiles(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      eqKeys: Seq[String] = Nil,
+      renames: Map[String, Seq[String]] = Map.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) =
       commitLock(tableDir).synchronized { withCommitRetry(tableDir) {
     import spark.implicits._
