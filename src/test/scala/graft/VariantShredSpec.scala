@@ -111,6 +111,27 @@ class VariantShredSpec extends AnyFunSuite {
     assert(low == (0L until 50L).sum, low.toString)
   }
 
+  test("maintenance rewrites preserve shredded variants losslessly") {
+    val tbl = "vsh.db.rw"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, doc VARIANT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'graft.variant-shred.doc' = '$.mon:bigint')")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ * FROM VALUES " +
+      "(1L, parse_json('{\"mon\": 5, \"other\": \"x\"}')), " +
+      "(2L, parse_json('{\"mon\": 9}')) AS t(k, doc)")
+    val before = spark.sql(
+      s"SELECT k, to_json(doc) FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(before == Seq((1L, """{"mon":5,"other":"x"}"""),
+      (2L, """{"mon":9}""")), before.toString)
+    spark.sql("CALL vsh.system.rewrite_data_files('db.rw')")
+    val after = spark.sql(
+      s"SELECT k, to_json(doc) FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == before,
+      s"rewrite must not lose shredded fields: $after vs $before")
+  }
+
   test("MOR deletes and unshredded history coexist with shredding") {
     val tbl = "vsh.db.mix"
     // table born UNSHREDDED, then the property lands via ALTER — old
