@@ -166,27 +166,50 @@ object LayoutMaintenance {
     * when a commit first lands a v3 construct. Some(2) = the user
     * pinned v2 — v3 features (row lineage, deletion vectors, VARIANT
     * columns) REFUSE, the spec's per-version feature gates. */
-  private[graft] def declaredFormatVersion(spark: SparkSession,
-      tableDir: String): Option[Int] = {
+  /** The catalog descriptor's `properties` map (graft-table.json) —
+    * empty for descriptor-less layouts or unreadable docs. One
+    * small-file read; the ONLY descriptor-properties parser (the
+    * write/commit paths all route through here). */
+  private[graft] def descriptorProps(tableDir: String): Map[String, String] = {
     val d = new java.io.File(tableDir, "graft-table.json")
-    // the catalog descriptor is authoritative when it exists (SQL DDL
-    // lands properties there); only descriptor-LESS external layouts
-    // fall back to the metadata document's properties — this check runs
-    // per commit (assignRowIds), so the common catalog-table path must
-    // stay one small-file read
-    val fromDescriptor =
-      if (!d.exists()) None
-      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(d).get("properties"))
-        .flatMap(n => Option(n.get("format-version")))
-        .map(_.asText())
-    val declared =
-      if (d.exists()) fromDescriptor
-      else try Option(readMetadata(spark, tableDir).get("properties"))
-        .flatMap(n => Option(n.get("format-version"))).map(_.asText())
-      catch { case scala.util.control.NonFatal(_) => None }
-    declared.flatMap(_.toIntOption)
+    if (!d.exists()) return Map.empty
+    try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(d).get("properties")).map { n =>
+        val out = Map.newBuilder[String, String]
+        n.fields().forEachRemaining(e =>
+          out += (e.getKey -> e.getValue.asText()))
+        out.result()
+      }.getOrElse(Map.empty)
+    catch { case scala.util.control.NonFatal(_) =>
+      Map.empty[String, String] }
   }
+
+  /** The metadata document's `properties` map (external layouts). */
+  private def metadataProps(spark: SparkSession,
+      tableDir: String): Map[String, String] =
+    try Option(readMetadata(spark, tableDir).get("properties")).map { n =>
+      val out = Map.newBuilder[String, String]
+      n.fields().forEachRemaining(e =>
+        out += (e.getKey -> e.getValue.asText()))
+      out.result()
+    }.getOrElse(Map.empty)
+    catch { case scala.util.control.NonFatal(_) =>
+      Map.empty[String, String] }
+
+  /** EFFECTIVE table properties for version/dialect decisions: the
+    * descriptor when one exists (SQL DDL lands properties there; one
+    * small-file read — this runs per commit), else the metadata
+    * document's (descriptor-less external layouts). */
+  private[graft] def tablePropsFor(spark: SparkSession,
+      tableDir: String): Map[String, String] =
+    if (new java.io.File(tableDir, "graft-table.json").exists())
+      descriptorProps(tableDir)
+    else metadataProps(spark, tableDir)
+
+  private[graft] def declaredFormatVersion(spark: SparkSession,
+      tableDir: String): Option[Int] =
+    tablePropsFor(spark, tableDir).get("format-version")
+      .flatMap(_.toIntOption)
 
   /** The `format-version` the CURRENT metadata document is stamped
     * with (2 when the field is absent or the table has no metadata
@@ -2053,16 +2076,18 @@ object LayoutMaintenance {
       renames: Map[String, Seq[String]] = Map.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
     // a DECLARED-v3 table defaults position tombstones to deletion
-    // vectors (the v3 spec prohibits new position-delete FILES) unless
-    // it names a tombstone file format explicitly — the same dispatch
-    // the connector's SQL DELETE applies, so the fixture/Cli path can
-    // never violate the table's declared version
-    if (declaredFormatVersion(spark, tableDir).contains(3) && {
-        val d = new java.io.File(tableDir, "graft-table.json")
-        !d.exists() || !Option(new com.fasterxml.jackson.databind
-            .ObjectMapper().readTree(d).get("properties"))
-          .exists(_.has("write.delete.format.default"))
-      })
+    // vectors (the v3 spec prohibits new position-delete FILES) —
+    // EXACTLY GraftTable.dvTombstones' rule, so the fixture/Cli path
+    // and the connector's SQL DELETE can never pick different dialects
+    // for the same table: an explicit tombstone FILE format opts out,
+    // equality granularity keeps its own dialect, and descriptor-less
+    // external layouts resolve from the metadata document's properties
+    val p = tablePropsFor(spark, tableDir)
+    if (p.get("format-version").contains("3") &&
+        !p.contains("write.delete.format.default") &&
+        !p.get("write.delete.granularity").map(_.toLowerCase)
+          .contains("equality") &&
+        p.get("write.delete.format").forall(_.toLowerCase == "dv"))
       return commitDeleteWhereDv(spark, tableDir, predicate, eqKeys,
         renames, dataSchema)
     commitDeleteWhereFiles(spark, tableDir, predicate, eqKeys, renames,
@@ -2796,7 +2821,11 @@ object LayoutMaintenance {
     // rewritten entries carry REAL bounds for the declared stat fields,
     // harvested from the written files' own parquet/ORC statistics —
     // a compaction (or a write.sort-order rewrite) must never erase the
-    // table's file skipping
+    // table's file skipping on those fields. KNOWN LIMIT: variant-shred
+    // and geometry bbox bounds (synthetic 5000+/6000+ stat ids) cannot
+    // be harvested from natively-written files (no typed subcolumns),
+    // so those re-establish on subsequent connector writes; until then
+    // the rewritten files are conservatively never skipped.
     val bounded = withHarvestedBounds(added, fmt,
       declaredStatFieldsFor(spark, tableDir))
     val movedRefs = refs(spark, tableDir).map {
@@ -2813,17 +2842,8 @@ object LayoutMaintenance {
     * properties, same resolution as [[tableWriteFormat]]. */
   private def declaredStatFieldsFor(spark: SparkSession,
       tableDir: String): Seq[(Int, String, String)] = {
-    val fromDescriptor = {
-      val d = new java.io.File(tableDir, "graft-table.json")
-      if (!d.exists()) None
-      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(d).get("properties"))
-        .flatMap(n => Option(n.get("pushdown.fields"))).map(_.asText())
-    }
-    val decl = fromDescriptor.orElse(
-      try Option(readMetadata(spark, tableDir).get("properties"))
-        .flatMap(n => Option(n.get("pushdown.fields"))).map(_.asText())
-      catch { case scala.util.control.NonFatal(_) => None })
+    val decl = descriptorProps(tableDir).get("pushdown.fields")
+      .orElse(metadataProps(spark, tableDir).get("pushdown.fields"))
     decl.toSeq.flatMap(_.split(',')).filter(_.nonEmpty).flatMap { s =>
       s.split(':') match {
         case Array(n, id, t) if Set("long", "double", "string")(t) =>

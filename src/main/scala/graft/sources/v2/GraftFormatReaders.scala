@@ -417,13 +417,31 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
         }
       }.nextOption().orNull
     }
+  // `_shred_<col>_<field>` metadata columns: ORC/AVRO data files of a
+  // shred-declared table are never shredded physically, but the
+  // pruning twin VariantShredPrune ands onto variant_get predicates is
+  // evaluated ROW-LEVEL here too — a reader that null-filled it would
+  // silently drop every matching row. (srcColIdx, converter, field, dt).
+  private val shredOf: Array[(Int, Any => Any, String, org.apache.spark.sql.types.DataType)] =
+    required.fields.map { f =>
+      part.shreds.collectFirst { case (meta, col, field, ddl)
+          if meta == f.name && nameIdx.contains(col) =>
+        val ci = nameIdx(col)
+        (ci,
+          convOf(StructField(col, org.apache.spark.sql.types.VariantType),
+            rows.nodes(ci)),
+          field,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(ddl))
+      }.orNull
+    }
   private val isMeta: Array[Boolean] =
     required.fields.zipWithIndex.map { case (f, i) =>
       f.name == GraftTable.FileMetadataColumn ||
       f.name == GraftTable.PosMetadataColumn ||
       f.name == GraftTable.SpecIdMetadataColumn ||
       f.name == GraftTable.PartitionMetadataColumn ||
-      geoOf(i) != null
+      geoOf(i) != null || shredOf(i) != null
     }
   private val isPos: Array[Boolean] =
     required.fields.map(_.name == GraftTable.PosMetadataColumn)
@@ -690,6 +708,15 @@ private[v2] class GraftRowPartitionReader(part: GraftFilePartition,
           if (v == null) null
           else graft.functions.GeoExprs.bboxEdge(
             v.asInstanceOf[Array[Byte]], edge))
+      }
+      else if (shredOf(i) != null) {
+        val (ci, conv, field, dt) = shredOf(i)
+        val raw = current(ci)
+        row.update(i,
+          if (raw == null) null
+          else VariantShred.extract(conv(raw)
+            .asInstanceOf[org.apache.spark.unsafe.types.VariantVal],
+            field, dt))
       }
       else if (isMeta(i)) row.update(i, UTF8String.fromString(path))
       else if (isRowId(i)) {

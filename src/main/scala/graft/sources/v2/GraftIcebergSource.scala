@@ -2489,9 +2489,13 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
       else if (isPartMeta(i)) row.update(i,
         new GenericInternalRow(partitionMetaValue.clone()))
       else if (shredOf(i) != null) {
-        // variant_get(srcCol, '$.field', type) with try-semantics,
-        // extracted from the (possibly shredded) variant group — the
-        // source column rides the projection (selected or extra)
+        // variant_get(srcCol, '$.field', type) with try-semantics —
+        // the source column rides the projection (selected or extra).
+        // FAST PATH: on a shredded file whose typed_value.<field>
+        // .typed_value is set, the value sits in its own subcolumn —
+        // read it directly instead of reassembling the whole variant;
+        // every other shape (unshredded file, value-slice fallback,
+        // absent field) reassembles and extracts.
         val (srcCol, field, dt) = shredOf(i)
         val srcName = required.fieldNames.indexOf(srcCol) match {
           case -1 => eqKeyPhys.getOrElse(srcCol, srcCol)
@@ -2501,8 +2505,41 @@ private[v2] class GraftPartitionReader(part: GraftFilePartition,
         row.update(i,
           if (!gt.containsField(srcName) ||
               current.getFieldRepetitionCount(srcName) == 0) null
-          else VariantShred.extract(
-            variantValue(current.getGroup(srcName, 0)), field, dt))
+          else {
+            val vg = current.getGroup(srcName, 0)
+            val vgt = vg.getType.asGroupType()
+            val typedDirect: Option[Any] =
+              if (!vgt.containsField("typed_value") ||
+                  vg.getFieldRepetitionCount("typed_value") == 0) None
+              else {
+                val tg = vg.getGroup("typed_value", 0)
+                val tgt = tg.getType.asGroupType()
+                if (!tgt.containsField(field) ||
+                    tg.getFieldRepetitionCount(field) == 0) None
+                else {
+                  val fg = tg.getGroup(field, 0)
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  // a re-declared path type reads old files' typed
+                  // columns at their OLD physical type: fall back
+                  lazy val phys = fg.getType.asGroupType()
+                    .getType("typed_value").asPrimitiveType()
+                    .getPrimitiveTypeName
+                  if (fg.getFieldRepetitionCount("typed_value") == 0) None
+                  else dt match {
+                    case LongType if phys == INT64 =>
+                      Some(fg.getLong("typed_value", 0))
+                    case DoubleType if phys == DOUBLE =>
+                      Some(fg.getDouble("typed_value", 0))
+                    case StringType if phys == BINARY =>
+                      Some(UTF8String.fromString(
+                        fg.getString("typed_value", 0)))
+                    case _ => None
+                  }
+                }
+              }
+            typedDirect.getOrElse(
+              VariantShred.extract(variantValue(vg), field, dt))
+          })
       }
       else if (geoOf(i) != null) {
         val (srcCol, edge) = geoOf(i)

@@ -590,25 +590,25 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     schema.fields.indices.map(i => declared.getOrElse(i, i + 1)).toArray
   }
 
+  /** The bound comparables' order (Long / Double / String). */
+  private def ltAny(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case _ => false
+  }
+
   // Variant shred declarations (graft.variant-shred.<col> — read from
   // the table's own descriptor so EVERY GraftDataWriter construction
   // site honors them without plumbing): the parquet encoder writes the
   // v3 shredded shape and this writer records per-file bounds of each
   // shredded path under its synthetic stat id, with the SAME try-cast
   // semantics the _shred_* metadata columns serve.
+  private val tableDescriptorProps: Map[String, String] =
+    graft.sources.LayoutMaintenance.descriptorProps(dir)
+
   private val shredDecls: Array[(Int, VariantShred.Decl)] = {
-    val d = new java.io.File(dir, "graft-table.json")
-    val props: Map[String, String] =
-      if (!d.exists()) Map.empty
-      else try Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(d).get("properties")).map { n =>
-          val out = Map.newBuilder[String, String]
-          n.fields().forEachRemaining(e =>
-            out += (e.getKey -> e.getValue.asText()))
-          out.result()
-        }.getOrElse(Map.empty)
-      catch { case scala.util.control.NonFatal(_) =>
-        Map.empty[String, String] }
+    val props = tableDescriptorProps
     if (!props.keysIterator.exists(_.startsWith(VariantShred.PropPrefix)))
       Array.empty
     else VariantShred.declsOf(props, schema)
@@ -626,13 +626,22 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
   private val lakeTypeOf: Array[String] =
     GraftFormatWriters.lakeTypeArr(schema)
   private val geoIdx: Array[(Int, String, Int)] = {
-    val lakeMap = schema.fields.indices.flatMap(i =>
-      Option(lakeTypeOf(i)).map(schema.fields(i).name -> _)).toMap
+    // ids derive from the TABLE's lake-type declarations (descriptor
+    // properties, the scan's source), NOT the write schema — a
+    // declaration for a schema-absent column (e.g. a stale property
+    // after DROP COLUMN) must not shift every other column's ids; the
+    // write-schema lake metadata only covers path-addressed writes
+    // without a descriptor
+    val declared = GraftFormatWriters.lakeTypesOf(tableDescriptorProps)
+    val lakeMap =
+      if (declared.exists { case (_, lt) => GeoLake.isGeoType(lt) }) declared
+      else schema.fields.indices.flatMap(i =>
+        Option(lakeTypeOf(i)).map(schema.fields(i).name -> _)).toMap
     val base = GeoLake.geoStatFields(lakeMap)
       .grouped(4).map(_.head._2).toSeq
     GeoLake.geoColsOf(lakeMap).zip(base).map { case (c, b) =>
       (schema.fieldNames.indexOf(c), c, b)
-    }.toArray
+    }.filter(_._1 >= 0).toArray
   }
   private val unknownCols: Array[Int] =
     schema.fields.indices.filter(i => lakeTypeOf(i) == "unknown").toArray
@@ -668,9 +677,14 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
       GraftFormatWriters.create(format, file, schema, fieldIds, shredsByCol)
     val statMin = new Array[Any](statIdx.length)
     val statMax = new Array[Any](statIdx.length)
-    // per-file bounds of each declared variant shred path
+    // per-file bounds of each declared variant shred path — STRICTLY
+    // typed values only; one present-but-mistyped value SUPPRESSES the
+    // file's bounds for that path (try-cast could still produce values
+    // outside the strict range, so recording would prune wrongly, and a
+    // strict variant_get error must never be masked by a skip)
     val shredMin = new Array[Any](shredDecls.length)
     val shredMax = new Array[Any](shredDecls.length)
+    val shredSuppress = new Array[Boolean](shredDecls.length)
     // per-file min/max of each geo column's 4 bbox-edge virtual columns
     val geoLo = Array.fill(geoIdx.length * 4)(Double.NaN)
     val geoHi = Array.fill(geoIdx.length * 4)(Double.NaN)
@@ -963,23 +977,20 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     var sj = 0
     while (sj < shredDecls.length) {
       val (ci, decl) = shredDecls(sj)
-      if (!record.isNullAt(ci)) {
-        val v: Any = VariantShred.extract(record.getVariant(ci),
+      if (!record.isNullAt(ci) && !sink.shredSuppress(sj)) {
+        VariantShred.extractStrict(record.getVariant(ci),
           decl.field, decl.dt) match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case other => other
-        }
-        if (v != null) {
-          def lt(a: Any, b: Any): Boolean = (a, b) match {
-            case (x: Long, y: Long) => x < y
-            case (x: Double, y: Double) => x < y
-            case (x: String, y: String) => x < y
-            case _ => false
-          }
-          if (sink.shredMin(sj) == null || lt(v, sink.shredMin(sj)))
-            sink.shredMin(sj) = v
-          if (sink.shredMax(sj) == null || lt(sink.shredMax(sj), v))
-            sink.shredMax(sj) = v
+          case None => () // field absent: extract is null, no coverage needed
+          case Some(null) => // present but mistyped: suppress this file
+            sink.shredSuppress(sj) = true
+            sink.shredMin(sj) = null
+            sink.shredMax(sj) = null
+          case Some(v0) =>
+            val v: Any = v0
+            if (sink.shredMin(sj) == null || ltAny(v, sink.shredMin(sj)))
+              sink.shredMin(sj) = v
+            if (sink.shredMax(sj) == null || ltAny(sink.shredMax(sj), v))
+              sink.shredMax(sj) = v
         }
       }
       sj += 1
@@ -1019,15 +1030,9 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
             case _ => null
           }
           if (v != null) {
-            def lt(a: Any, b: Any): Boolean = (a, b) match {
-              case (x: Long, y: Long) => x < y
-              case (x: Double, y: Double) => x < y
-              case (x: String, y: String) => x < y
-              case _ => false
-            }
-            if (sink.leafMin(lj) == null || lt(v, sink.leafMin(lj)))
+            if (sink.leafMin(lj) == null || ltAny(v, sink.leafMin(lj)))
               sink.leafMin(lj) = v
-            if (sink.leafMax(lj) == null || lt(sink.leafMax(lj), v))
+            if (sink.leafMax(lj) == null || ltAny(sink.leafMax(lj), v))
               sink.leafMax(lj) = v
           }
         }

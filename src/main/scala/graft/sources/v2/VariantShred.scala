@@ -126,9 +126,35 @@ private[graft] object VariantShred {
     val f = v.getFieldByKey(field)
     if (f == null) return null
     import org.apache.spark.sql.catalyst.expressions.variant.{VariantCastArgs, VariantGet}
+    // SESSION timezone, like the in-query variant_get the pruning twin
+    // must agree with row-for-row (a UTC pin would mis-render
+    // timestamp-valued fields cast to string under other sessions)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     VariantGet.cast(f, dt,
-      VariantCastArgs(failOnError = false, Some("UTC"),
-        java.time.ZoneOffset.UTC))
+      VariantCastArgs(failOnError = false, Some(tz),
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(tz)))
+  }
+
+  /** The STRICT extraction the writer's bounds use: the value only when
+    * its variant type matches the declared type exactly (the same rule
+    * [[GraftTable]] shredding writes typed_value under) — None when the
+    * field is absent, Some(null) when present but mistyped. Bounds built
+    * from strict values only are timezone-free and error-free, so
+    * pruning can never mask a strict variant_get cast error or a
+    * session-timezone rendering difference. */
+  def extractStrict(vv: VariantVal, field: String,
+      dt: DataType): Option[Any] = {
+    if (vv == null) return None
+    val v = new Variant(vv.getValue, vv.getMetadata)
+    if (v.getType != VariantUtil.Type.OBJECT) return None
+    val f = v.getFieldByKey(field)
+    if (f == null) return None
+    Some((dt, f.getType) match {
+      case (LongType, VariantUtil.Type.LONG) => f.getLong
+      case (DoubleType, VariantUtil.Type.DOUBLE) => f.getDouble
+      case (StringType, VariantUtil.Type.STRING) => f.getString
+      case _ => null
+    })
   }
 
   // ---- variant binary plumbing (spec encoding, public constants) ----

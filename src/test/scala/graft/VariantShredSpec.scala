@@ -111,6 +111,54 @@ class VariantShredSpec extends AnyFunSuite {
     assert(low == (0L until 50L).sum, low.toString)
   }
 
+  for (fmt <- Seq("orc", "avro")) {
+    test(s"variant_get filters answer correctly over $fmt data files") {
+      // non-parquet files of a shred-declared table are physically
+      // unshredded, but the pruning twin VariantShredPrune ands on is
+      // evaluated ROW-LEVEL by their reader too — a reader that
+      // null-filled _shred_* would silently drop every matching row
+      val tbl = s"vsh.db.row_$fmt"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, doc VARIANT) " +
+        "USING `graft-iceberg` TBLPROPERTIES (" +
+        s"'write.format.default' = '$fmt', " +
+        "'graft.variant-shred.doc' = '$.mon:bigint,$.tag:string')")
+      spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ id, " +
+        "parse_json(concat('{\"mon\": ', id, '}')) FROM range(0, 20)")
+      val got = spark.sql(s"SELECT k FROM $tbl " +
+        "WHERE variant_get(doc, '$.mon', 'bigint') >= 15 ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == (15L until 20L).toSeq, s"$fmt: $got")
+      // the _shred_ metadata column itself serves from the row reader
+      val meta = spark.sql(s"SELECT sum(_shred_doc_mon) FROM $tbl")
+        .head.getLong(0)
+      assert(meta == (0L until 20L).sum, s"$fmt meta: $meta")
+    }
+  }
+
+  test("a mistyped value suppresses the file's shred bounds (never pruned)") {
+    val tbl = "vsh.db.sup"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, doc VARIANT) " +
+      "USING `graft-iceberg` TBLPROPERTIES (" +
+      "'graft.variant-shred.doc' = '$.mon:bigint')")
+    // file A: strictly-typed 0..99; file B: strictly 200..299 PLUS one
+    // mistyped value ("5e2" is a string whose try-cast to bigint could
+    // exceed any strict bound) -> B records NO mon bounds
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ id, " +
+      "parse_json(concat('{\"mon\": ', id, '}')) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(1) */ id, " +
+      "CASE WHEN id = 250 THEN parse_json('{\"mon\": \"500\"}') " +
+      "ELSE parse_json(concat('{\"mon\": ', id, '}')) END " +
+      "FROM range(200, 300)")
+    // try-cast of the string lands OUTSIDE B's strict value range —
+    // B must still be read (bounds suppressed), A prunes away
+    val q = spark.sql(s"SELECT k FROM $tbl " +
+      "WHERE variant_get(doc, '$.mon', 'bigint') = 500")
+    assert(q.rdd.getNumPartitions == 1,
+      s"A pruned, B conservatively kept: ${q.rdd.getNumPartitions}")
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(250L), s"the mistyped row must surface: $got")
+  }
+
   test("maintenance rewrites preserve shredded variants losslessly") {
     val tbl = "vsh.db.rw"
     spark.sql(s"CREATE TABLE $tbl (k BIGINT, doc VARIANT) " +
