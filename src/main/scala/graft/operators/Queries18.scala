@@ -640,6 +640,59 @@ object Queries18 {
                |  min(okey) AS min_okey, max(okey) AS max_okey
                |FROM $cat.ge.pts
                |GROUP BY 1 ORDER BY mon""".stripMargin)
+    },
+
+    // The training-corpus shape variant shredding exists for: documents
+    // land with a VARIANT provenance/quality sidecar, declared shred
+    // paths give the semi-structured fields real file bounds, a
+    // quality-band predicate SKIPS FILES (plan-asserted), and a
+    // language gate runs as a MOR DELETE keyed off the variant — the
+    // corpus profile is hash-gated against the raw documents table.
+    "q304_shred_corpus" -> { (s, dir) => implicit val sp = s
+      val wh = TmpFixture.dir("q304wh", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(wh); wh.mkdirs()
+      val cat = "graft_" + Integer.toHexString(wh.getAbsolutePath.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.getAbsolutePath)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cp")
+      s.sql(s"DROP TABLE IF EXISTS $cat.cp.docs")
+      t(dir, "documents").createOrReplaceTempView("q304_src")
+      s.sql(s"""CREATE TABLE $cat.cp.docs (doc_id BIGINT, meta VARIANT)
+               |USING `graft-iceberg` TBLPROPERTIES (
+               |  'write.delete.mode' = 'merge-on-read',
+               |  'graft.variant-shred.meta' =
+               |    '$$.n_chars:bigint,$$.lang:string')""".stripMargin)
+      // three files banded by document length (disjoint $.n_chars)
+      Seq("n_chars < 200", "n_chars >= 200 AND n_chars < 400",
+        "n_chars >= 400").foreach { band =>
+        s.sql(s"""INSERT INTO $cat.cp.docs
+                 |SELECT /*+ COALESCE(1) */ doc_id,
+                 |  parse_json(to_json(named_struct(
+                 |    'lang', lang, 'n_chars', n_chars,
+                 |    'source', source))) AS meta
+                 |FROM q304_src WHERE $band""".stripMargin)
+      }
+      // the long-document band predicate must touch ONE of three files
+      val probe = s.sql(s"SELECT doc_id FROM $cat.cp.docs " +
+        "WHERE variant_get(meta, '$.n_chars', 'bigint') >= 400")
+      require(probe.rdd.getNumPartitions == 1,
+        s"length-band predicate must skip to 1 file, " +
+          s"got ${probe.rdd.getNumPartitions}")
+      // language gate as a MOR DELETE keyed off the variant sidecar
+      s.sql(s"DELETE FROM $cat.cp.docs " +
+        "WHERE variant_get(meta, '$.lang', 'string') = 'zh'")
+      require(graft.sources.IcebergManifestSource
+        .statsFromTableDir(s, s"${wh.getAbsolutePath}/cp/docs", "t", Nil)
+        .filter(col("content") =!= 0).count() > 0,
+        "the language gate must land tombstones")
+      s.sql(s"""SELECT variant_get(meta, '$$.lang', 'string') AS lang,
+               |  count(*) AS n_docs,
+               |  sum(variant_get(meta, '$$.n_chars', 'bigint'))
+               |    AS sum_chars,
+               |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+               |FROM $cat.cp.docs
+               |GROUP BY 1 ORDER BY lang""".stripMargin)
     })
 
   def oracles: Map[String, String] = Map(
@@ -788,5 +841,15 @@ object Queries18 {
         |  CAST(sum(y) AS BIGINT) AS sum_y,
         |  CAST(min(okey) AS BIGINT) AS min_okey,
         |  CAST(max(okey) AS BIGINT) AS max_okey
-        |FROM pts GROUP BY 1 ORDER BY mon""".stripMargin)
+        |FROM pts GROUP BY 1 ORDER BY mon""".stripMargin,
+
+    "q304_shred_corpus" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM documents
+        |WHERE lang <> 'zh'
+        |GROUP BY 1 ORDER BY lang""".stripMargin)
 }
