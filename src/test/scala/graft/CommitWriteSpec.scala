@@ -33,6 +33,27 @@ class CommitWriteSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy(_._1).toSeq
 
+  test("commitUpsert data files carry harvested bounds for declared stat fields") {
+    import spark.implicits._
+    val tbl = freshTable("ubounds", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // declare pushdown.fields the way a catalog descriptor does
+    java.nio.file.Files.write(
+      new java.io.File(tbl, "graft-table.json").toPath,
+      """{"properties": {"pushdown.fields": "k:1:long"}}"""
+        .getBytes("UTF-8"))
+    LayoutMaintenance.commitUpsert(spark, tbl.getPath,
+      Seq((2L, "bb", 22L), (5L, "e", 50L)).toDF("k", "name", "v"),
+      Seq("k"))
+    val rows = IcebergManifestSource
+      .statsFromTableDir(spark, tbl.getPath, "t",
+        Seq((1, "k", org.apache.spark.sql.types.LongType)))
+      .filter(col("content") === 0 && col("sequence_number") === 2)
+      .select("lo_k", "hi_k").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 2L &&
+      rows.head.getLong(1) == 5L,
+      s"upsert file must record harvested k bounds: ${rows.mkString}")
+  }
+
   test("commitUpsert: updates replace, inserts append, untouched rows survive") {
     import spark.implicits._
     val tbl = freshTable("upsert", Seq(
