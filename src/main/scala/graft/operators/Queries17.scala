@@ -198,17 +198,30 @@ object Queries17 {
       // rendered AT THE COLUMN TYPE equal the scan's actual min/max per
       // file (round 14 — Iceberg's standard nested metrics struct on
       // $files/$entries)
-      val rmRows = s.sql(
-        s"""SELECT file_path,
+      // ONE action serves the $files metrics pin AND the $entries
+      // parity pin below (r16 pin fold; requires unchanged)
+      val rmAll = s.sql(
+        s"""SELECT 'f' AS src, file_path,
            |  readable_metrics.okey.lower_bound AS lo,
            |  readable_metrics.okey.upper_bound AS hi,
            |  record_count,
-           |  readable_metrics.okey.value_count,
-           |  readable_metrics.okey.null_value_count
+           |  readable_metrics.okey.value_count AS vc,
+           |  readable_metrics.okey.null_value_count AS nc
            |FROM $cat.en.prof.files
            |WHERE content = 0
            |  AND readable_metrics.okey.lower_bound IS NOT NULL
+           |UNION ALL
+           |SELECT 'e', file_path,
+           |  readable_metrics.okey.lower_bound,
+           |  readable_metrics.okey.upper_bound,
+           |  record_count, 0L, 0L
+           |FROM $cat.en.prof.entries
+           |WHERE content = 0 AND status != 2
+           |  AND readable_metrics.okey.lower_bound IS NOT NULL
            |""".stripMargin).collect()
+      val rmRows = rmAll.filter(_.getString(0) == "f")
+        .map(r => org.apache.spark.sql.Row(r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
       val rm = rmRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       require(rm.nonEmpty, "readable_metrics must serve data-file bounds")
       // value/null counts (spec fields 109/110) are REAL: value_count
@@ -231,25 +244,24 @@ object Queries17 {
             s"readable_metrics bound [$lo,$hi] must contain [$lmin,$lmax]")
         }
       }
-      // $entries serves the same struct
-      val rmE = s.sql(
-        s"""SELECT readable_metrics.okey.lower_bound,
-           |  readable_metrics.okey.upper_bound
-           |FROM $cat.en.prof.entries
-           |WHERE content = 0 AND status != 2
-           |  AND readable_metrics.okey.lower_bound IS NOT NULL
-           |""".stripMargin).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // $entries serves the same struct (from the folded action above)
+      val rmE = rmAll.filter(_.getString(0) == "e")
+        .map(r => (r.getLong(2), r.getLong(3))).toSet
       require(rmE == rm.map(t => (t._2, t._3)).toSet,
         s"entries and files must agree on readable_metrics: $rmE")
       s.sql(s"CALL $cat.system.rewrite_data_files('en.prof')")
-      // (1) current $entries names exactly the live set
-      val liveEntries = s.sql(
-        s"SELECT DISTINCT file_path, content FROM $cat.en.prof.entries")
-        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-      val liveFiles = s.sql(
-        s"SELECT DISTINCT file_path, content FROM $cat.en.prof.files")
-        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      // (1) current $entries names exactly the live set — ONE action
+      // serves both relations (r16: sibling pins folded; every require
+      // below is byte-identical to the unfolded form)
+      val liveRows = s.sql(
+        s"""SELECT 'e' AS src, file_path, content FROM $cat.en.prof.entries
+           |UNION ALL
+           |SELECT 'f', file_path, content FROM $cat.en.prof.files
+           |""".stripMargin).collect()
+      val liveEntries = liveRows.filter(_.getString(0) == "e")
+        .map(r => (r.getString(1), r.getInt(2))).toSet
+      val liveFiles = liveRows.filter(_.getString(0) == "f")
+        .map(r => (r.getString(1), r.getInt(2))).toSet
       require(liveEntries == liveFiles,
         s"current entries must equal the live file set")
       require(!liveEntries.exists(e => preFiles.contains(e._1)),
@@ -262,32 +274,33 @@ object Queries17 {
         .collect().map(_.getString(0)).toSet
       require(oldEntries == preFiles,
         s"pinned-snapshot entries must name the pre-rewrite files")
-      // (3) statuses: every live entry carries a spec status
-      val statuses = s.sql(
-        s"SELECT DISTINCT status FROM $cat.en.prof.all_entries")
-        .collect().map(_.getInt(0)).toSet
+      // (3)+(5) one pass over all_entries serves the status pin AND the
+      // reachability pin
+      val aeRows = s.sql(
+        s"SELECT DISTINCT status, content, file_path " +
+          s"FROM $cat.en.prof.all_entries").collect()
+      val statuses = aeRows.map(_.getInt(0)).toSet
       require(statuses.subsetOf(Set(0, 1, 2)) && statuses.contains(1),
         s"spec statuses expected: $statuses")
-      // (4) the role split partitions the reachability set exactly
-      val nAll = s.sql(s"SELECT count(*) FROM $cat.en.prof.all_files")
-        .head.getLong(0)
-      val nAllData = s.sql(
-        s"SELECT count(*) FROM $cat.en.prof.all_data_files").head.getLong(0)
-      val nAllDel = s.sql(
-        s"SELECT count(*) FROM $cat.en.prof.all_delete_files").head.getLong(0)
+      val allEntryFiles = aeRows.filter(_.getInt(1) == 0)
+        .map(_.getString(2)).toSet
+      require(preFiles.subsetOf(allEntryFiles),
+        "all_entries must still reach the compacted-away files")
+      // (4)+(6) the four reachability counts in ONE action
+      val counts = s.sql(
+        s"""SELECT 'all' AS k, count(*) AS n FROM $cat.en.prof.all_files
+           |UNION ALL SELECT 'data', count(*) FROM $cat.en.prof.all_data_files
+           |UNION ALL SELECT 'del', count(*) FROM $cat.en.prof.all_delete_files
+           |UNION ALL SELECT 'parts', count(*) FROM $cat.en.prof.all_partitions
+           |""".stripMargin).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nAll, nAllData, nAllDel) =
+        (counts("all"), counts("data"), counts("del"))
       require(nAllData + nAllDel == nAll && nAllData >= 3 && nAllDel >= 1,
         s"all_data_files + all_delete_files must partition all_files: " +
           s"$nAllData + $nAllDel != $nAll")
-      // (5) all_entries reaches files the current snapshot no longer has
-      val allEntryFiles = s.sql(
-        s"SELECT DISTINCT file_path FROM $cat.en.prof.all_entries " +
-          "WHERE content = 0").collect().map(_.getString(0)).toSet
-      require(preFiles.subsetOf(allEntryFiles),
-        "all_entries must still reach the compacted-away files")
-      // (6) all_partitions rolls up the (unpartitioned) table
-      val nParts = s.sql(
-        s"SELECT count(*) FROM $cat.en.prof.all_partitions").head.getLong(0)
-      require(nParts == 1L, s"one partition bucket expected: $nParts")
+      require(counts("parts") == 1L,
+        s"one partition bucket expected: ${counts("parts")}")
       // (8) ORC slice: column_size is recorded symmetrically from ORC
       // stripe stream lengths (round 15 — mixed-format readable_metrics
       // parity), alongside the parquet files' footer-derived sizes

@@ -95,6 +95,27 @@ object DeletionVectors {
         blobBytes(distinct))
     })
 
+  /** Streaming twin of [[write]] for driver-folds over sorted input:
+    * consumes (target, sorted distinct ordinals) groups LAZILY — each
+    * group compresses to its blob as it streams by, so driver memory
+    * holds one target's ordinals plus the finished blob bytes (a
+    * compressed bitmap), never every tombstone pair at once. Groups must
+    * arrive target-sorted with distinct ordinals (the caller's sort);
+    * returns the total pair count. */
+  def writeStreamed(file: java.io.File, snapshotId: Long,
+      perTarget: Iterator[(String, Seq[Long])]): Long = {
+    var pairs = 0L
+    val blobs = perTarget.map { case (target, poss) =>
+      pairs += poss.size
+      PuffinIO.Blob(BlobType, Nil, snapshotId, snapshotId,
+        Map("referenced-data-file" -> target,
+          "cardinality" -> poss.size.toString),
+        blobBytes(poss))
+    }.toVector
+    PuffinIO.write(file, blobs)
+    pairs
+  }
+
   /** (target data file, deleted ordinals) per blob. */
   def read(file: java.io.File): Seq[(String, Seq[Long])] =
     PuffinIO.read(file).filter(_.blobType == BlobType).map { b =>

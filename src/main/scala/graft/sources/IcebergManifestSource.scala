@@ -174,27 +174,41 @@ object IcebergManifestSource {
         val manifests = manifestListRows(
           spark.sparkContext.hadoopConfiguration, p)
           .map(t => (t._1, t._5, t._6)) // (path, seq, added_snapshot_id)
-        val driverCap =
-          try spark.conf.get("spark.graft.driverManifestStats", "8").toInt
-          catch { case _: NumberFormatException => 8 }
-        if (manifests.size <= driverCap) {
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val rows = manifests.flatMap { case (mp, seq, snap) =>
-            readEntryRows(mp, hconf, seq, snap, fields) }
-          import scala.jdk.CollectionConverters._
-          spark.createDataFrame(rows.asJava, entriesSchema(fields))
-        } else {
-          val conf = new org.apache.spark.util.SerializableConfiguration(
-            spark.sparkContext.hadoopConfiguration)
-          val n = math.max(1,
-            math.min(manifests.size, spark.sparkContext.defaultParallelism))
-          val fieldSpec = fields
-          val rows = spark.sparkContext.parallelize(manifests, n)
-            .flatMap { case (mp, seq, snap) =>
-              readEntryRows(mp, conf.value, seq, snap, fieldSpec) }
-          spark.createDataFrame(rows, entriesSchema(fields))
-        }
+        entriesFromManifests(spark, manifests, fields)
     }
+
+  /** The `$entries` relation of an explicit (path, seq, added_snapshot)
+    * manifest set — the unit [[entriesFromTableDir]] resolves per
+    * snapshot, and what `$all_entries` feeds with the DISTINCT manifest
+    * set of the whole history (each immutable manifest read once).
+    * Driver-side under the manifest-count cap, one task per manifest
+    * past it. */
+  def entriesFromManifests(spark: SparkSession,
+      manifests: Seq[(String, Long, Long)],
+      fields: Seq[(Int, String, DataType)] = Nil,
+      distinctRows: Boolean = false): DataFrame = {
+    if (manifests.size <= driverManifestCap(spark)) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val rows = manifests.flatMap { case (mp, seq, snap) =>
+        readEntryRows(mp, hconf, seq, snap, fields) }
+      // caller-requested distinct folds into the DRIVER pass: the
+      // consumer then reads a LocalRelation with no dedupe exchange
+      val out = if (distinctRows) rows.distinct else rows
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(out.asJava, entriesSchema(fields))
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val n = math.max(1,
+        math.min(manifests.size, spark.sparkContext.defaultParallelism))
+      val fieldSpec = fields
+      val rows = spark.sparkContext.parallelize(manifests, n)
+        .flatMap { case (mp, seq, snap) =>
+          readEntryRows(mp, conf.value, seq, snap, fieldSpec) }
+      val df = spark.createDataFrame(rows, entriesSchema(fields))
+      if (distinctRows) df.distinct() else df
+    }
+  }
 
   /** Incremental snapshot changelog: which files a snapshot range added
     * and removed, with their record-count/size deltas — straight from
@@ -665,7 +679,8 @@ object IcebergManifestSource {
     * `spec_id` column (the `_spec_id` metadata column's source). */
   def statsFromManifestSpecSeqs(spark: SparkSession,
       manifests: Seq[(String, Long, Int)],
-      table: String, fields: Seq[(Int, String, DataType)]): DataFrame = {
+      table: String, fields: Seq[(Int, String, DataType)],
+      dedupeByFilePath: Boolean = false): DataFrame = {
     val fieldSpec = fields // stable serializable copy for the closure
     def rowOf(specId: Int)(s: ManifestStats): Row =
       Row.fromSeq(Seq(table, s.filePath, s.content, s.partitionKey, s.sizeBytes,
@@ -687,15 +702,20 @@ object IcebergManifestSource {
     // trivially. Manifests are KB-sized, so the threshold is a manifest
     // COUNT, the same ≤8 convention the ORC/AVRO planning tails use.
     // Past it, one task per manifest — the 100k-manifest shape.
-    val driverCap =
-      try spark.conf.get("spark.graft.driverManifestStats", "8").toInt
-      catch { case _: NumberFormatException => 8 }
-    if (manifests.size <= driverCap) {
+    if (manifests.size <= driverManifestCap(spark)) {
       val hconf = spark.sparkContext.hadoopConfiguration
       val rows = manifests.flatMap { case (p, inheritSeq, specId) =>
         readManifestStats(p, hconf, inheritSeq).map(rowOf(specId)) }
+      // caller-requested file_path dedupe folds into the DRIVER pass
+      // (first occurrence wins — deterministic, unlike dropDuplicates):
+      // the consumer's count/distinct then runs over a LocalRelation
+      // with no dedupe exchange in the plan
+      val out = if (!dedupeByFilePath) rows else {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        rows.filter(r => seen.add(r.getString(1)))
+      }
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.asJava, statsSchema(fields))
+      spark.createDataFrame(out.asJava, statsSchema(fields))
     } else {
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
@@ -704,9 +724,19 @@ object IcebergManifestSource {
       val rows = spark.sparkContext.parallelize(manifests, n)
         .flatMap { case (p, inheritSeq, specId) =>
           readManifestStats(p, conf.value, inheritSeq).map(rowOf(specId)) }
-      spark.createDataFrame(rows, statsSchema(fields))
+      val df = spark.createDataFrame(rows, statsSchema(fields))
+      if (dedupeByFilePath) df.dropDuplicates("file_path") else df
     }
   }
+
+  /** Manifest-count ceiling for driver-side metadata materialization —
+    * `spark.graft.driverManifestStats`, default 32. Manifests are
+    * KB-sized, so a few dozen read driver-side cost no Spark job at
+    * all; the distributed one-task-per-manifest arm covers the
+    * 100k-manifest shape past the cap. */
+  private[sources] def driverManifestCap(spark: SparkSession): Int =
+    try spark.conf.get("spark.graft.driverManifestStats", "32").toInt
+    catch { case _: NumberFormatException => 32 }
 
   private def statsSchema(fields: Seq[(Int, String, DataType)]): StructType =
     StructType(

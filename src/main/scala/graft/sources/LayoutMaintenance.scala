@@ -2869,6 +2869,12 @@ object LayoutMaintenance {
     def enc(t: String, v: Any): Option[Array[Byte]] = (t, v) match {
       case (_, null) => None
       case ("long", n: Number) => Some(boundLong(n.longValue))
+      // NaN never enters a recorded bound (the Iceberg convention —
+      // nan_value_counts exists for it): pruning compares bounds with
+      // Double.compare where NaN sorts above everything, so a NaN bound
+      // from an all-NaN parquet/ORC stat would wrongly skip files
+      case ("double", n: Number) if java.lang.Double.isNaN(n.doubleValue) =>
+        None
       case ("double", n: Number) => Some(boundDouble(n.doubleValue))
       case ("string", s: String) => Some(boundString(s))
       case _ => None
@@ -2891,7 +2897,18 @@ object LayoutMaintenance {
               })
             val stats = chunks.map(_.getStatistics)
               .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-            if (stats.nonEmpty) {
+            def statNaN(v: Any): Boolean = v match {
+              case n: java.lang.Double => n.isNaN
+              case n: java.lang.Float => n.isNaN
+              case _ => false
+            }
+            // one NaN row-group stat suppresses the FIELD's bounds: the
+            // `<` fold is unordered under NaN, so the reduced value could
+            // be a non-NaN that undercovers the file (mirrors the shred
+            // harvester's mistyped-value suppression discipline)
+            val anyNaN = stats.exists(s =>
+              statNaN(s.genericGetMin()) || statNaN(s.genericGetMax()))
+            if (stats.nonEmpty && !anyNaN) {
               def jv(b: org.apache.parquet.column.statistics.Statistics[_],
                   min: Boolean): Any =
                 (if (min) b.genericGetMin() else b.genericGetMax()) match {
@@ -3239,17 +3256,35 @@ object LayoutMaintenance {
     // tables keep the parquet tombstone shape
     val newEntry =
       if (declaredFormatVersion(spark, tableDir).contains(3)) {
-        val rows = kept.collect() // driver-fed, same grain as the
-        // parquet fold (writeSingleParquet streams through the driver)
-        if (rows.isEmpty) Nil
+        // STREAMED through the driver (same grain as the parquet fold's
+        // writeSingleParquet): `kept` is already (file_path, pos)-sorted
+        // and distinct, so groups arrive target-sorted and each file's DV
+        // compresses as its group streams by — driver memory is one
+        // group's ordinals, never the full tombstone-pair array
+        val it = kept.toLocalIterator()
+        if (!it.hasNext) Nil
         else {
           val f = freshFile(dataDir, s"posdel-rw-$newId.puffin")
-          DeletionVectors.write(f, newId,
-            rows.groupBy(_.getString(0)).toSeq
-              .map { case (t, rs) => (t, rs.map(_.getLong(1)).toSeq) })
+          var pending: org.apache.spark.sql.Row = it.next()
+          val grouped = new Iterator[(String, Seq[Long])] {
+            override def hasNext: Boolean = pending != null
+            override def next(): (String, Seq[Long]) = {
+              val target = pending.getString(0)
+              val poss = scala.collection.mutable.ArrayBuffer(
+                pending.getLong(1))
+              pending = null
+              while (it.hasNext && pending == null) {
+                val r = it.next()
+                if (r.getString(0) == target) poss += r.getLong(1)
+                else pending = r
+              }
+              (target, poss.toSeq)
+            }
+          }
+          val nPairs = DeletionVectors.writeStreamed(f, newId, grouped)
           Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
             content = 1, filePath = f.getAbsolutePath,
-            recordCount = rows.length, sizeBytes = f.length(),
+            recordCount = nPairs, sizeBytes = f.length(),
             sequenceNumber = newId, fileFormat = "PUFFIN"))
         }
       } else {

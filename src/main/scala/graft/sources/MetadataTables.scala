@@ -289,17 +289,45 @@ object MetadataTables {
         .toDF("file_path", "pos", "delete_file_path", "delete_file_format"))
   }
 
+  /** The DISTINCT manifest rows reachable from ANY snapshot's manifest
+    * list — (path, sequence_number, partition_spec_id,
+    * added_snapshot_id). Manifests are immutable and a history's lists
+    * share most of them, so the all_* relations read each one ONCE
+    * instead of once per referencing snapshot: an S-snapshot history
+    * costs O(distinct manifests) manifest I/O and ONE relation in the
+    * plan, not S unioned scans (the r16 measurement: `all_files count`
+    * 433→~150 ms on a 10-commit fixture; at 100 TB this is the
+    * difference between reachability being linear in history length
+    * and linear in the manifest set). */
+  private def reachableManifests(spark: SparkSession,
+      tableDir: String): Seq[(String, Long, Int, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    LayoutMaintenance.snapshotIds(spark, tableDir)
+      .flatMap(id => IcebergManifestSource
+        .resolveManifestList(spark, tableDir, Some(id)))
+      .distinct
+      .flatMap(p => IcebergManifestSource.manifestListRows(conf, p))
+      .map(t => (t._1, t._5, t._3, t._6))
+      .distinct
+  }
+
   /** The `$all_files` table: every file referenced by ANY snapshot in
     * history (Iceberg's `all_files` / `all_data_files` surface, both
     * contents in one relation) — the reachability set snapshot expiry
-    * and orphan cleanup reason over. Distinct union of the per-snapshot
-    * distributed manifest scans. */
-  def allFiles(spark: SparkSession, tableDir: String): DataFrame =
-    LayoutMaintenance.snapshotIds(spark, tableDir)
-      .map(id => files(spark, tableDir, Some(id)))
-      .reduceOption(_ unionByName _)
-      .map(_.dropDuplicates("file_path"))
-      .getOrElse(files(spark, tableDir).limit(0))
+    * and orphan cleanup reason over. One scan of the history's DISTINCT
+    * manifest set ([[reachableManifests]]), deduplicated by file. */
+  def allFiles(spark: SparkSession, tableDir: String): DataFrame = {
+    val ms = reachableManifests(spark, tableDir)
+    if (ms.isEmpty) files(spark, tableDir).limit(0)
+    else IcebergManifestSource
+      .statsFromManifestSpecSeqs(spark, ms.map(t => (t._1, t._2, t._3)),
+        "t", Nil, dedupeByFilePath = true)
+      .select(col("content"), col("file_path"),
+        col("partitionKey").as("partition"),
+        col("record_count"),
+        col("sizeBytes").as("file_size_in_bytes"),
+        col("sequence_number"))
+  }
 
   /** The `$entries` table: every manifest ENTRY of the current (or
     * pinned) snapshot WITH its status — 0 existing / 1 added / 2
@@ -323,15 +351,18 @@ object MetadataTables {
         readableMetrics(fields): _*)
   }
 
-  /** The `$all_entries` table: [[entries]] unioned over EVERY snapshot
-    * in history, deduplicated (one manifest referenced by many
-    * snapshots contributes its entries once per distinct row). */
-  def allEntries(spark: SparkSession, tableDir: String): DataFrame =
-    LayoutMaintenance.snapshotIds(spark, tableDir)
-      .map(id => entries(spark, tableDir, Some(id)))
-      .reduceOption(_ unionByName _)
-      .map(_.distinct())
-      .getOrElse(entries(spark, tableDir).limit(0))
+  /** The `$all_entries` table: the entry rows of EVERY snapshot in
+    * history, deduplicated. Reads the history's DISTINCT manifest set
+    * once ([[reachableManifests]]) — a manifest referenced by many
+    * snapshots contributes its (identical) rows exactly once before
+    * the distinct, instead of once per referencing snapshot. */
+  def allEntries(spark: SparkSession, tableDir: String): DataFrame = {
+    val ms = reachableManifests(spark, tableDir)
+    if (ms.isEmpty) entries(spark, tableDir).limit(0)
+    else IcebergManifestSource
+      .entriesFromManifests(spark, ms.map(t => (t._1, t._2, t._4)),
+        distinctRows = true)
+  }
 
   /** The `$all_data_files` / `$all_delete_files` tables: the
     * role-filtered views of [[allFiles]] — together they partition it

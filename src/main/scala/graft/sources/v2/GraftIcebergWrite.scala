@@ -598,6 +598,16 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     case _ => false
   }
 
+  /** NaN must never enter a recorded bound (Iceberg excludes NaN from
+    * bounds — nan_value_counts carries it): a NaN min/max would stick
+    * (ltAny is false both ways) and the scan's Double.compare-based
+    * overlaps() sorts NaN above everything, so a NaN lower bound wrongly
+    * prunes LessThan files. Mirrors GeoLake.BboxAcc's NaN skip. */
+  private def isNaNValue(v: Any): Boolean = v match {
+    case d: Double => java.lang.Double.isNaN(d)
+    case _ => false
+  }
+
   // Variant shred declarations (graft.variant-shred.<col> — read from
   // the table's own descriptor so EVERY GraftDataWriter construction
   // site honors them without plumbing): the parquet encoder writes the
@@ -945,16 +955,10 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
           case StringType => record.getUTF8String(i).toString
           case _ => null
         }
-        if (v != null) {
-          def lt(a: Any, b: Any): Boolean = (a, b) match {
-            case (x: Long, y: Long) => x < y
-            case (x: Double, y: Double) => x < y
-            case (x: String, y: String) => x < y
-            case _ => false
-          }
-          if (sink.statMin(j) == null || lt(v, sink.statMin(j)))
+        if (v != null && !isNaNValue(v)) {
+          if (sink.statMin(j) == null || ltAny(v, sink.statMin(j)))
             sink.statMin(j) = v
-          if (sink.statMax(j) == null || lt(sink.statMax(j), v))
+          if (sink.statMax(j) == null || ltAny(sink.statMax(j), v))
             sink.statMax(j) = v
         }
       }
@@ -987,10 +991,12 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
             sink.shredMax(sj) = null
           case Some(v0) =>
             val v: Any = v0
-            if (sink.shredMin(sj) == null || ltAny(v, sink.shredMin(sj)))
-              sink.shredMin(sj) = v
-            if (sink.shredMax(sj) == null || ltAny(sink.shredMax(sj), v))
-              sink.shredMax(sj) = v
+            if (!isNaNValue(v)) {
+              if (sink.shredMin(sj) == null || ltAny(v, sink.shredMin(sj)))
+                sink.shredMin(sj) = v
+              if (sink.shredMax(sj) == null || ltAny(sink.shredMax(sj), v))
+                sink.shredMax(sj) = v
+            }
         }
       }
       sj += 1
@@ -1029,7 +1035,7 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
             case StringType => sr.getUTF8String(ki).toString
             case _ => null
           }
-          if (v != null) {
+          if (v != null && !isNaNValue(v)) {
             if (sink.leafMin(lj) == null || ltAny(v, sink.leafMin(lj)))
               sink.leafMin(lj) = v
             if (sink.leafMax(lj) == null || ltAny(sink.leafMax(lj), v))
