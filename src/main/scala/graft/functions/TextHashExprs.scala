@@ -57,6 +57,38 @@ object TextHashKernels {
     top28(d.digest())
   }
 
+  /** One-pass (n, s1) ingredients of the q187/q200 char-entropy score
+    * over the fixed a-z+space alphabet: n = Σ n_c,
+    * s1 = Σ n_c · floor(ln(n_c) · 1e6). Replaces 27 per-char
+    * regexp_replace length-difference passes with ONE scan of the
+    * string; every double op (ln, ·1e6, floor) matches Spark's
+    * LOG/FLOOR on the same values, so results are bit-identical.
+    * Alphabet chars are single UTF-16 units that surrogates can never
+    * equal, so unit counts == codepoint counts. */
+  def charEntropyParts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new Array[Long](27)
+    var i = 0
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      if (ch >= 'a' && ch <= 'z') counts(ch - 'a') += 1L
+      else if (ch == ' ') counts(26) += 1L
+      i += 1
+    }
+    var n = 0L
+    var s1 = 0L
+    var j = 0
+    while (j < 27) {
+      val c = counts(j)
+      if (c > 0L) {
+        n += c
+        s1 += c * math.floor(math.log(c.toDouble) * 1e6).toLong
+      }
+      j += 1
+    }
+    new GenericArrayData(Array(n, s1))
+  }
+
   /** DISTINCT 28-bit hashes of the doc's n-gram shingles, ascending.
     * Matches explode(array_distinct(shingles)) → hash28 with one caveat:
     * distinctness here is keyed on the shingles' top-64-bit MD5 (not the
@@ -399,7 +431,42 @@ case class Hash28(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_entropy_parts(text)` → array(n, s1) of the 27-char-alphabet
+  * entropy ingredients in one codegen'd pass
+  * ([[TextHashKernels.charEntropyParts]]) — the q187/q200 ingest-scoring
+  * hot path. */
+case class CharEntropyParts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_entropy_parts"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextHashKernels.charEntropyParts(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cep", this, classOf[CharEntropyParts].getName)
+    val r = ctx.freshName("cepRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.kernel($c);
+       |${ev.value} = $r;
+     """.stripMargin)
+  }
+
+  def kernel(text: UTF8String): ArrayData =
+    TextHashKernels.charEntropyParts(text)
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyParts =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
+  def charEntropyParts(text: Column): Column =
+    ColumnBridge.column(CharEntropyParts(ColumnBridge.expression(text)))
+
   def cdcChunks(text: Column, n: Int = 8, mask: Int = 16): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), n, mask))
 

@@ -34,10 +34,21 @@ object PageRank {
     *           one boxed (Long, Long) per node on collect, so the default
     *           1M nodes is ~100 MB driver heap — same sizing discipline as
     *           [[ClusterOps.connectedComponents]]
+    * @param localEdgeThreshold max (order, part) PAIRS for the fully
+    *           local path: ONE collect of the pair list replaces the
+    *           (1 + rounds) cluster jobs of the driver-map path — at 2M
+    *           pairs that is a ~50 MB transient, and each in-memory
+    *           round is a linear pass (r16: q91's three broadcast-join-
+    *           window rounds cost ~0.65 s each at sf0.1 for arithmetic
+    *           a single thread does in ~10 ms). Past it, the existing
+    *           node-count dispatch decides, unchanged — the 100 TB
+    *           paths are exactly what they were.
     * @return (part, rank) for ALL nodes with deg > 0, unordered */
   def partRanks(op: DataFrame, rounds: Int = 3,
-      localNodeThreshold: Long = 1000000L): DataFrame = {
+      localNodeThreshold: Long = 1000000L,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
     implicit val sp: SparkSession = op.sparkSession
+    if (op.count() <= localEdgeThreshold) return localRanks(op, rounds)
     val wo = Window.partitionBy(col("o"))
     // deg(p) = sum over p's orders of (basket size - 1); parts that only
     // ever appear alone have no edges and are excluded (matches the edge-
@@ -49,6 +60,66 @@ object PageRank {
     val nNodes = degDf.count()
     if (nNodes <= localNodeThreshold) driverRanks(op, degDf, wo, rounds)
     else distributedRanks(op, degDf, wo, rounds)
+  }
+
+  /** The fully-local arm: the SAME integer arithmetic as the cluster
+    * rounds (PageRankSpec pins all three paths bit-identical), computed
+    * over the collected pair list. S_o sums c over the order's deg>0
+    * parts — exactly what the cluster round's inner join + window
+    * produces — and in(p) folds (S_o - c(p)) over p's orders. */
+  private def localRanks(op: DataFrame, rounds: Int)
+      (implicit sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    val pairs = op.select(col("o"), col("p")).as[(Long, Long)].collect()
+    // group pairs by order once; baskets are the per-round unit
+    val baskets: Array[Array[Long]] = {
+      val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofLong]()
+      pairs.foreach { case (o, p) =>
+        m.computeIfAbsent(o, _ => new scala.collection.mutable.ArrayBuilder.ofLong) += p
+      }
+      val out = new Array[Array[Long]](m.size)
+      val it = m.values().iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next().result(); i += 1 }
+      out
+    }
+    // deg(p) = Σ over p's orders of (basket size - 1); deg 0 excluded
+    val deg = new java.util.HashMap[Long, Long]()
+    baskets.foreach { b =>
+      val d = (b.length - 1).toLong
+      if (d > 0) b.foreach(p => deg.merge(p, d, java.lang.Long.sum))
+    }
+    // parts only ever alone: merge never ran for them, nothing to drop
+    var rank = new java.util.HashMap[Long, Long](deg.size)
+    deg.keySet().forEach(p => rank.put(p, 1000000L))
+    for (_ <- 1 to rounds) {
+      val in = new java.util.HashMap[Long, Long](deg.size)
+      baskets.foreach { b =>
+        // S_o over the order's deg>0 parts (the inner-join semantics)
+        var so = 0L
+        var k = 0
+        while (k < b.length) {
+          val d = deg.get(b(k))
+          if (d != 0L) so += rank.get(b(k)) / d
+          k += 1
+        }
+        k = 0
+        while (k < b.length) {
+          val p = b(k)
+          val d = deg.get(p)
+          if (d != 0L) in.merge(p, so - rank.get(p) / d, java.lang.Long.sum)
+          k += 1
+        }
+      }
+      val next = new java.util.HashMap[Long, Long](deg.size)
+      deg.keySet().forEach { p =>
+        val i = in.getOrDefault(p, 0L)
+        next.put(p, 150000L + 85L * i / 100L)
+      }
+      rank = next
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    rank.forEach((p, r) => out += ((p, r)))
+    out.result().toDF("part", "rank")
   }
 
   private def driverRanks(op: DataFrame, degDf: DataFrame,

@@ -86,14 +86,14 @@ object Queries12 {
   /** (n, h_mnats) columns of the q187 entropy score over `text` — ONE
     * definition feeds q187 and the q200 release gate. */
   private def entropyCols: (Column, Column) = {
-    val counts: Seq[Column] = Alphabet.map(c =>
-      (length(col("text")) - length(regexp_replace(col("text"),
-        java.util.regex.Pattern.quote(c.toString), ""))).cast("long"))
-    val nTotal = counts.reduce(_ + _)
-    val s1 = counts.map(n =>
-      when(n > 0L, n * floor(log(n.cast("double")) * lit(1e6)).cast("long"))
-        .otherwise(lit(0L))).reduce(_ + _)
-    (nTotal, s1)
+    // ONE native codegen'd pass over the text computes the whole
+    // 27-char histogram and both entropy ingredients (guide §4: native
+    // kernel in the hot path) — the per-char length(regexp_replace)
+    // histogram cost 27 regex passes per row and was the dominant cost
+    // of q187 and q200's ingest scoring; values are bit-identical
+    // (same floor∘log∘·1e6 per count, same Σ).
+    val parts = graft.functions.TextHashExprs.charEntropyParts(col("text"))
+    (parts.getItem(0), parts.getItem(1))
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

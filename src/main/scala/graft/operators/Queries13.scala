@@ -139,15 +139,19 @@ object Queries13 {
       val queries = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("qid"),
           array_distinct(col("toks")).as("qterms"))
-      // lexical: explode corpus terms, count tf per (doc, term), join
-      // the query term sets (broadcast — queries are few)
-      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val lex = tf.join(broadcast(queries.select(col("qid"),
-            explode(col("qterms")).as("term"))), "term")
+      // lexical: explode corpus terms and join the query term sets
+      // (broadcast — queries are few) BEFORE any shuffle: non-query
+      // terms die map-side (guide §3.2), and since qterms are distinct
+      // per query, count per (qid, doc) == Σ tf over matched terms —
+      // the old tf pre-aggregation's extra full-corpus shuffle computed
+      // term counts the fusion never read (r16: two ~10M-row exchanges
+      // folded into one post-filter exchange)
+      val lex = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(queries.select(col("qid"),
+          explode(col("qterms")).as("term"))), "term")
         .filter(col("doc_id") =!= col("qid"))
         .groupBy(col("qid"), col("doc_id"))
-        .agg(sum(col("tf")).as("score_lex"))
+        .agg(count(lit(1)).as("score_lex"))
         .withColumn("r_lex", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("score_lex").desc, col("doc_id"))).cast("long"))
       // dense: exact double cosine, q29 discipline

@@ -381,10 +381,13 @@ object Queries6 {
     // distributed DataFrame localCheckpointed per round. PageRankSpec
     // proves both paths bit-identical on the same fixture.
     "q91_part_pagerank" -> { (s, dir) => implicit val sp = s
-      // distinct (order, part) FIRST: per-order part sets, no multiplicity
+      // distinct (order, part) FIRST: per-order part sets, no multiplicity.
+      // No o-clustering here (r16): the fully-local arm just collects the
+      // pairs, and the cluster arms' windows insert their own exchange
+      // when they need o-clustering — pre-shuffling for a path that may
+      // never run was a wasted full sort of the pair list.
       val li = t(dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .repartition(col("o")).sortWithinPartitions(col("o"))
         .cache()
       val ranks = PageRank.partRanks(li)
         .orderBy(col("rank").desc, col("part")).limit(20)

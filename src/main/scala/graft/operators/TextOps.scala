@@ -14,17 +14,17 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace token count via occurrence arithmetic (portable across
-    * engines, unlike regex splits). */
+    * engines, unlike regex splits). `translate` removes every space in
+    * one codegen'd charmap pass — no regex engine in the hot path. */
   def tokenCount(text: Column): Column =
-    (length(text) - length(regexp_replace(text, lit(" "), lit(""))) + lit(1)).cast("long")
+    (length(text) - length(translate(text, " ", "")) + lit(1)).cast("long")
 
   /** Occurrences of the LITERAL `needle` in `hay` (non-overlapping replace
-    * semantics). The needle is regex-quoted so metacharacters ("$5.00",
-    * "(") count literally instead of miscounting or throwing. */
-  def occurrences(hay: Column, needle: String): Column = {
-    val quoted = java.util.regex.Pattern.quote(needle)
-    ((length(hay) - length(regexp_replace(hay, lit(quoted), lit("")))) / needle.length).cast("long")
-  }
+    * semantics). Plain `replace` (StringReplace) — literal scan, no regex
+    * compile/match; metacharacters ("$5.00", "(") count literally. */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(call_function("replace", hay, lit(needle),
+      lit("")))) / needle.length).cast("long")
 
   /** 28-bit portable hash of a string: first 7 hex digits of md5. Safe for
     * `(a*h+b) % p` permutations with a < 2^31 under ANSI arithmetic. */

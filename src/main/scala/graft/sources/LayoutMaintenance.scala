@@ -2286,24 +2286,34 @@ object LayoutMaintenance {
     val lineage =
       if (lineageOn) MorRead.resolveRowLineage(spark, tableDir, lineage0)
       else lineage0
-    if (lineage.isEmpty) return (curId, 0L)
     // DELETE removes rows where the predicate is TRUE; null keeps
     val keep = not(coalesce(predicate, lit(false)))
     // tombstoned tables rewrite the WHOLE state (tombstone contents
     // reference files by path, partial carry cannot prove safety) —
-    // modeled as affected = None so no all-files set ever materializes
-    val affectedOpt: Option[Set[String]] =
+    // modeled as affected = None so no all-files set ever materializes.
+    // ONE action serves the affected-file set AND the deleted count
+    // (r16: the set, the count, and a separate isEmpty probe were three
+    // scans; an empty table or no-match predicate still short-circuits
+    // through the empty map / zero count below).
+    val affectedCounts: Option[Map[String, Long]] =
       if (hasTombstones) None
-      else Some(lineage.filter(predicate).select("file_path")
-        .distinct().collect().map(_.getString(0)).toSet)
-    if (affectedOpt.exists(_.isEmpty)) return (curId, 0L) // nothing matched
-    val normAffected = affectedOpt.map(_.map(
+      else Some(lineage.filter(predicate).groupBy(col("file_path"))
+        .count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    if (affectedCounts.exists(_.isEmpty)) return (curId, 0L) // nothing matched
+    val normAffected = affectedCounts.map(_.keySet.map(
       _.replaceFirst("^file:/+", "/")))
-    val inScope = normAffected
+    val inScopeRaw = normAffected
       .fold(lineage)(a => lineage.filter(col("file_path")
         .isin(a.toSeq: _*)))
-      .localCheckpoint() // two actions (count + write) over one read
-    val deleted = inScope.filter(predicate).count()
+    // checkpoint only when a count action AND the write both read it
+    // (the tombstoned whole-state arm); the affected-files arm has one
+    // consumer — the survivor write — so materializing first is waste
+    val inScope =
+      if (affectedCounts.isDefined) inScopeRaw
+      else inScopeRaw.localCheckpoint()
+    val deleted = affectedCounts.map(_.valuesIterator.sum)
+      .getOrElse(inScope.filter(predicate).count())
     if (deleted == 0L) return (curId, 0L)
     val survivors = inScope.filter(keep).drop("file_path", "pos", "data_seq")
     val newId = carriedOpt match {
@@ -2327,9 +2337,9 @@ object LayoutMaintenance {
           sizeBytes = rw.length(), sequenceNumber = newId,
           fileFormat = fmt.toUpperCase)),
         fmt, declaredStatFieldsFor(spark, tableDir))
-    (carriedOpt, affectedOpt) match {
-      case (Some(carried), _) =>
-        val kept = affectedOpt match {
+    (carriedOpt, affectedCounts.map(_.keySet)) match {
+      case (Some(carried), aff) =>
+        val kept = aff match {
           case None => Nil // whole-state rewrite
           case Some(affected) =>
             val norm = normAffected.get
@@ -2355,8 +2365,9 @@ object LayoutMaintenance {
         // past the ceiling, targeted COW: distributed manifest carry —
         // untouched manifests ride verbatim, touched ones rewrite in
         // tasks (same machinery as the group-replace commit)
-        replaceReuse(spark, tableDir, Some(affected.toSeq), added,
-          dropDeletes = false, all, curId, base, operation = "delete")
+        replaceReuse(spark, tableDir, Some(affected.toSeq: Seq[String]),
+          added, dropDeletes = false, all, curId, base,
+          operation = "delete")
     }
     (newId, deleted)
   }
@@ -3214,41 +3225,77 @@ object LayoutMaintenance {
       }
     }
     // fixed tombstone schema: no footer-inference job
-    val parqTomb = fileTombArm("PARQUET", ps => spark.read
-      .schema("file_path STRING, pos BIGINT").parquet(ps: _*))
-    val orcTomb = fileTombArm("ORC", ps => spark.read
-      .schema("file_path STRING, pos BIGINT").orc(ps: _*))
     val avroTombRows = fileTombEntries.filter(_.fileFormat == "AVRO")
       .flatMap(e => AvroDataRead.readPosDeletes(e.filePath)
         .map { case (t, p) => (norm(t), p, e.sequenceNumber.longValue) })
-    val avroTomb =
-      if (avroTombRows.isEmpty) None
-      else Some(avroTombRows.toDF("file_path", "pos", "seq"))
-    val dvTomb =
-      if (dvTombRows.isEmpty) None
-      else Some(dvTombRows.toDF("file_path", "pos", "seq"))
-    val tomb = Seq(parqTomb, orcTomb, avroTomb, dvTomb).flatten
-      .reduceOption(_ unionByName _) match {
-      case Some(t) => t
-      case None => return (curId, 0, 0, 0L)
+    // DRIVER fold when every ingredient is already driver-side (DV and
+    // avro tombstones decode on the driver, and under the entry ceiling
+    // the live data set is a carried list): the liveness join, distinct
+    // and sort are a map lookup + in-memory sort over reject-sized
+    // pairs, skipping the multi-stage Spark job the DataFrame shape
+    // cost per fold (r16: q253's fold was ~0.9 s of job overhead for
+    // ~17k pairs). Parquet/ORC tombstone FILES keep the distributed
+    // scan arm — their rows were never driver-materialized.
+    val hasFileScanTombs = fileTombEntries.exists(e =>
+      e.fileFormat == "PARQUET" || e.fileFormat == "ORC")
+    val keptDriver: Option[Seq[(String, Long)]] =
+      if (hasFileScanTombs || carriedOpt.isEmpty) None
+      else {
+        if (dvTombRows.isEmpty && avroTombRows.isEmpty)
+          return (curId, 0, 0, 0L) // no tombstone rows at all
+        val liveSeqMap = carriedOpt.get.filter(_.content == 0)
+          .map(e => norm(e.filePath) -> e.sequenceNumber.longValue).toMap
+        Some((dvTombRows ++ avroTombRows)
+          .filter(t => liveSeqMap.get(t._1).exists(_ <= t._3))
+          .map(t => (t._1, t._2)).distinct.sorted)
+      }
+    lazy val keptDf = {
+      val parqTomb = fileTombArm("PARQUET", ps => spark.read
+        .schema("file_path STRING, pos BIGINT").parquet(ps: _*))
+      val orcTomb = fileTombArm("ORC", ps => spark.read
+        .schema("file_path STRING, pos BIGINT").orc(ps: _*))
+      val avroTomb =
+        if (avroTombRows.isEmpty) None
+        else Some(avroTombRows.toDF("file_path", "pos", "seq"))
+      val dvTomb =
+        if (dvTombRows.isEmpty) None
+        else Some(dvTombRows.toDF("file_path", "pos", "seq"))
+      Seq(parqTomb, orcTomb, avroTomb, dvTomb).flatten
+        .reduceOption(_ unionByName _).map { tomb =>
+          // data-file liveness (the dangling-pair filter): driver map
+          // under the ceiling, the DISTRIBUTED manifest scan past it —
+          // the tombstone side is the small one either way
+          val liveSeq = carriedOpt match {
+            case Some(carried) => broadcast(carried.filter(_.content == 0)
+              .map(e => (norm(e.filePath), e.sequenceNumber.longValue))
+              .toDF("file_path", "data_seq"))
+            case None => IcebergManifestSource
+              .statsFromTableDir(spark, tableDir, "t", Nil)
+              .filter(col("content") === 0)
+              .select(regexp_replace(col("file_path"), "^file:/+", "/")
+                .as("file_path"), col("sequence_number").as("data_seq"))
+          }
+          tomb.join(liveSeq, Seq("file_path"))
+            .filter(col("data_seq") <= col("seq")) // the pair applies
+            .select(col("file_path"), col("pos")).distinct()
+            .sort(col("file_path"), col("pos"))
+        }
     }
-    // data-file liveness (the dangling-pair filter): driver map under
-    // the ceiling, the DISTRIBUTED manifest scan past it — the tombstone
-    // side is the small one either way
-    val liveSeq = carriedOpt match {
-      case Some(carried) => broadcast(carried.filter(_.content == 0)
-        .map(e => (norm(e.filePath), e.sequenceNumber.longValue))
-        .toDF("file_path", "data_seq"))
-      case None => IcebergManifestSource
-        .statsFromTableDir(spark, tableDir, "t", Nil)
-        .filter(col("content") === 0)
-        .select(regexp_replace(col("file_path"), "^file:/+", "/")
-          .as("file_path"), col("sequence_number").as("data_seq"))
+    if (keptDriver.isEmpty && keptDf.isEmpty) return (curId, 0, 0, 0L)
+    // sorted distinct (file_path, pos) pairs, streamed: driver fold →
+    // plain iterator; DataFrame fold → toLocalIterator over the sorted
+    // frame (driver memory bounded by one group either way)
+    def pairIter(): Iterator[(String, Long)] = keptDriver match {
+      case Some(pairs) => pairs.iterator
+      case None =>
+        val it = keptDf.get.toLocalIterator()
+        new Iterator[(String, Long)] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (String, Long) = {
+            val r = it.next(); (r.getString(0), r.getLong(1))
+          }
+        }
     }
-    val kept = tomb.join(liveSeq, Seq("file_path"))
-      .filter(col("data_seq") <= col("seq")) // the pair actually applies
-      .select(col("file_path"), col("pos")).distinct()
-      .sort(col("file_path"), col("pos"))
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
     // the consolidated output honors the table's DECLARED version: a
     // format-version-3 table folds into ONE puffin of deletion vectors
@@ -3256,26 +3303,20 @@ object LayoutMaintenance {
     // tables keep the parquet tombstone shape
     val newEntry =
       if (declaredFormatVersion(spark, tableDir).contains(3)) {
-        // STREAMED through the driver (same grain as the parquet fold's
-        // writeSingleParquet): `kept` is already (file_path, pos)-sorted
-        // and distinct, so groups arrive target-sorted and each file's DV
-        // compresses as its group streams by — driver memory is one
-        // group's ordinals, never the full tombstone-pair array
-        val it = kept.toLocalIterator()
+        val it = pairIter()
         if (!it.hasNext) Nil
         else {
           val f = freshFile(dataDir, s"posdel-rw-$newId.puffin")
-          var pending: org.apache.spark.sql.Row = it.next()
+          var pending: (String, Long) = it.next()
           val grouped = new Iterator[(String, Seq[Long])] {
             override def hasNext: Boolean = pending != null
             override def next(): (String, Seq[Long]) = {
-              val target = pending.getString(0)
-              val poss = scala.collection.mutable.ArrayBuffer(
-                pending.getLong(1))
+              val target = pending._1
+              val poss = scala.collection.mutable.ArrayBuffer(pending._2)
               pending = null
               while (it.hasNext && pending == null) {
                 val r = it.next()
-                if (r.getString(0) == target) poss += r.getLong(1)
+                if (r._1 == target) poss += r._2
                 else pending = r
               }
               (target, poss.toSeq)
@@ -3287,16 +3328,27 @@ object LayoutMaintenance {
             recordCount = nPairs, sizeBytes = f.length(),
             sequenceNumber = newId, fileFormat = "PUFFIN"))
         }
-      } else {
-        val pd = freshFile(dataDir, s"posdel-rw-$newId.parquet")
-        val n = IcebergLayoutWriter.writeSingleParquet(kept, pd)
-        if (n == 0) { // every tombstone was dangling: none to carry
-          org.apache.commons.io.FileUtils.deleteQuietly(pd)
-          Nil
-        }
-        else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
-          content = 1, filePath = pd.getAbsolutePath, recordCount = n,
-          sizeBytes = pd.length(), sequenceNumber = newId))
+      } else keptDriver match {
+        case Some(pairs) =>
+          if (pairs.isEmpty) Nil // every tombstone was dangling
+          else {
+            val pd = freshFile(dataDir, s"posdel-rw-$newId.parquet")
+            val n = IcebergLayoutWriter.writePosDeleteParquet(pd, pairs,
+              spark.sparkContext.hadoopConfiguration)
+            Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+              content = 1, filePath = pd.getAbsolutePath, recordCount = n,
+              sizeBytes = pd.length(), sequenceNumber = newId))
+          }
+        case None =>
+          val pd = freshFile(dataDir, s"posdel-rw-$newId.parquet")
+          val n = IcebergLayoutWriter.writeSingleParquet(keptDf.get, pd)
+          if (n == 0) { // every tombstone was dangling: none to carry
+            org.apache.commons.io.FileUtils.deleteQuietly(pd)
+            Nil
+          }
+          else Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1,
+            content = 1, filePath = pd.getAbsolutePath, recordCount = n,
+            sizeBytes = pd.length(), sequenceNumber = newId))
       }
     val nPairs = newEntry.headOption.map(_.recordCount).getOrElse(0L)
     carriedOpt match {

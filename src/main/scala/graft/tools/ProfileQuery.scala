@@ -45,27 +45,30 @@ object ProfileQuery {
       }
     })
 
-    val fn = graft.SparkEntry.queries(q)
-    (1 to warmReps).foreach { i =>
+    q.split(',').foreach { qn =>
+      val fn = graft.SparkEntry.queries(qn)
+      execs.clear(); jobTimeMs = 0L
+      (1 to warmReps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        println(f"[prof] $qn warm rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+      record = true
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
-      println(f"[prof] warm rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-    }
-    record = true
-    val t0 = System.nanoTime()
-    val n = fn(spark, dir).count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    record = false
-    Thread.sleep(1500) // let the listener bus drain
-    println(f"[prof] RECORDED rep ${wall}%.3f s ($n rows); spark job time ${jobTimeMs / 1e3}%.3f s")
-    val byDesc = execs.values.toSeq.filter(_.end > 0)
-      .groupBy(_.desc)
-      .map { case (d, es) => (d, es.size, es.map(e => e.end - e.start).sum) }
-      .toSeq.sortBy(-_._3)
-    val totalMs = byDesc.map(_._3).sum
-    println(f"[prof] sum of SQL executions ${totalMs / 1e3}%.3f s over ${execs.size} executions")
-    byDesc.foreach { case (d, cnt, ms) =>
-      println(f"[prof]   ${ms}%6d ms x$cnt%-3d $d")
+      val wall = (System.nanoTime() - t0) / 1e9
+      record = false
+      Thread.sleep(1500) // let the listener bus drain
+      println(f"[prof] $qn RECORDED rep ${wall}%.3f s ($n rows); spark job time ${jobTimeMs / 1e3}%.3f s")
+      val byDesc = execs.values.toSeq.filter(_.end > 0)
+        .groupBy(_.desc)
+        .map { case (d, es) => (d, es.size, es.map(e => e.end - e.start).sum) }
+        .toSeq.sortBy(-_._3)
+      val totalMs = byDesc.map(_._3).sum
+      println(f"[prof] $qn sum of SQL executions ${totalMs / 1e3}%.3f s over ${execs.size} executions")
+      byDesc.take(20).foreach { case (d, cnt, ms) =>
+        println(f"[prof]   ${ms}%6d ms x$cnt%-3d $d")
+      }
     }
     spark.stop()
   }

@@ -24,22 +24,40 @@ class PageRankSpec extends AnyFunSuite {
     val op = orderParts()
     try {
       // threshold above any node count -> driver path; 0 -> distributed
-      val driver = PageRank.partRanks(op, localNodeThreshold = Long.MaxValue)
+      // (edge threshold 0 keeps the fully-local arm out of both)
+      val driver = PageRank.partRanks(op, localNodeThreshold = Long.MaxValue,
+          localEdgeThreshold = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      val dist = PageRank.partRanks(op, localNodeThreshold = 0L)
+      val dist = PageRank.partRanks(op, localNodeThreshold = 0L,
+          localEdgeThreshold = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(driver.nonEmpty)
       assert(dist == driver, "distributed rank vector diverges from driver path")
     } finally op.unpersist(blocking = false)
   }
 
+  test("fully-local arm is bit-identical to the driver-map path") {
+    val op = orderParts()
+    try {
+      val local = PageRank.partRanks(op) // default edge threshold: local
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val driver = PageRank.partRanks(op, localNodeThreshold = Long.MaxValue,
+          localEdgeThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(local.nonEmpty)
+      assert(local == driver, "local rank vector diverges from driver path")
+    } finally op.unpersist(blocking = false)
+  }
+
   test("q91 top-20 is stable under the forced-distributed path") {
     val op = orderParts()
     try {
-      val driverTop = PageRank.partRanks(op, localNodeThreshold = Long.MaxValue)
+      val driverTop = PageRank.partRanks(op, localNodeThreshold = Long.MaxValue,
+          localEdgeThreshold = 0L)
         .orderBy(col("rank").desc, col("part")).limit(20)
         .collect().map(_.toString).toSeq
-      val distTop = PageRank.partRanks(op, localNodeThreshold = 0L)
+      val distTop = PageRank.partRanks(op, localNodeThreshold = 0L,
+          localEdgeThreshold = 0L)
         .orderBy(col("rank").desc, col("part")).limit(20)
         .collect().map(_.toString).toSeq
       assert(driverTop.size == 20)
