@@ -351,13 +351,14 @@ object Queries10 {
       val pairs = t(dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
         .cache()
-      // seed reused three ways (node count, round-0 labels, the final
-      // n_changed join) — parts-sized, so one materialization is cheap
+      // seed label = pmod(pk, 5), a PURE FUNCTION of pk — so the final
+      // n_changed comparison re-derives lbl0 from pk instead of joining
+      // the seed relation back, and the seed needs no checkpoint (its
+      // one remaining consumer is labelPropagation's round-0 snapshot)
       val seed = pairs.select(col("pk")).distinct()
         .select(col("pk"), pmod(col("pk"), lit(5L)).as("lbl"))
-        .localCheckpoint()
       val r2 = GraphOps.labelPropagation(pairs, seed, rounds = 2)
-      val out = r2.join(seed.select(col("pk"), col("lbl").as("lbl0")), "pk")
+      val out = r2.withColumn("lbl0", pmod(col("pk"), lit(5L)))
         .groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_parts"),
           sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L)).as("n_changed"))

@@ -1494,16 +1494,20 @@ object Queries13 {
             / (col("sn") * col("tn")))
         .select("src_id", "tgt_id", "cos")
         .localCheckpoint() // the cross is reused 3x (sums x2 + margin)
+      // top-4 per endpoint via the bounded-buffer aggregator (the q54
+      // discipline; r16): the window formulation shuffled AND sorted all
+      // ~6M cross pairs per side — the partial top-k caps each map
+      // partition at 4 rows per key before the exchange. Ranking is the
+      // same (cos desc, neighbor id asc), and the rank-ordered sum
+      // 1+2+3+4 keeps the fixed left-to-right float fold.
       def nn4Sum(key: String): DataFrame = {
-        val w = Window.partitionBy(col(key))
-          .orderBy(col("cos").desc,
-            col(if (key == "src_id") "tgt_id" else "src_id"))
-        pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
-          .groupBy(col(key))
-          .agg((max(when(col("rk") === 1, col("cos")))
-            + max(when(col("rk") === 2, col("cos")))
-            + max(when(col("rk") === 3, col("cos")))
-            + max(when(col("rk") === 4, col("cos")))).as(s"nn_$key"))
+        val other = if (key == "src_id") "tgt_id" else "src_id"
+        val top4 = udaf(new graft.functions.TopKAggregator.TopK(4))
+        def at(i: Int) = element_at(col("t"), i).getField("value")
+        pairs.groupBy(col(key))
+          .agg(top4(col("cos"), col(other)).as("t"))
+          .select(col(key),
+            (at(1) + at(2) + at(3) + at(4)).as(s"nn_$key"))
       }
       val withMargin = pairs
         .join(broadcast(nn4Sum("src_id")), "src_id")

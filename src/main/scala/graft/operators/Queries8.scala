@@ -96,6 +96,13 @@ object Queries8 {
         .withColumn("n", size(col("toks")).cast("long"))
         // prefix len = n - ceil(4n/5) + 1; ceil via (4n + 4) DIV 5 (n > 0)
         .withColumn("plen", expr(s"CAST(n - (n * $JacNum + ${JacDen - 1}) DIV $JacDen + 1 AS INT)"))
+        // three consumers (prefix explode + both verify-side re-attach
+        // joins), each of which would re-run the shingle-hash pass and
+        // the df join from the scan (column pruning defeats
+        // ReuseExchange across them — the q112/q166 lineage-cut rule);
+        // doc-count-sized with one array per doc, so the checkpoint is
+        // cheap and the MD5 shingle pass runs ONCE (r16)
+        .localCheckpoint()
       val prefix = docToks.select(col("doc_id"),
         explode(slice(col("toks"), lit(1), col("plen"))).as("h"))
       val cand = prefix.as("a").join(prefix.as("b"),
