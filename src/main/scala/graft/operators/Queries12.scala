@@ -1346,8 +1346,14 @@ object Queries12 {
           equalityIds = Seq(3)))) // l_partkey = 3rd data column
       val viaConnector = s.read.format("graft-iceberg").load(tbl.getPath)
       val viaMor = MorRead.readTable(s, tbl.getPath) // also metadata keys
-      require(viaConnector.exceptAll(viaMor).isEmpty &&
-        viaMor.exceptAll(viaConnector).isEmpty,
+      // multiset equality in ONE action (r16: the two exceptAll arms
+      // each re-planned both MOR reads): signed row counts over every
+      // column cancel exactly iff both exceptAll directions are empty
+      val cols = viaConnector.columns.map(col).toSeq
+      require(viaConnector.withColumn("__side", lit(1L))
+        .unionByName(viaMor.withColumn("__side", lit(-1L)))
+        .groupBy(cols: _*).agg(sum(col("__side")).as("d"))
+        .filter(col("d") =!= 0L).isEmpty,
         "connector MOR read must equal MorRead")
       viaConnector
         .groupBy(col("l_returnflag"))

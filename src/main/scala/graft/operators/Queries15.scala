@@ -360,12 +360,17 @@ object Queries15 {
         "incremental input must be exactly the new batch")
       val incr = score(incrIn).withColumn("src", lit("incr"))
       val acc = state.unionByName(incr).localCheckpoint()
-      // every planted leak flagged; verdicts cover the corpus exactly once
-      val caught = acc.filter(col("vec_id") >= 900000L)
-      require(caught.count() > 0 &&
-        caught.filter(col("status") =!= "contaminated").count() == 0,
+      // every planted leak flagged; verdicts cover the corpus exactly
+      // once — BOTH pins from ONE pass over the checkpointed state
+      // (r16: the three separate count actions each re-read it)
+      val pin = acc.agg(count(lit(1)).as("n"),
+        sum(when(col("vec_id") >= 900000L, 1L).otherwise(0L)).as("caught"),
+        sum(when(col("vec_id") >= 900000L &&
+          col("status") =!= "contaminated", 1L).otherwise(0L)).as("bad"))
+        .head()
+      require(pin.getLong(1) > 0 && pin.getLong(2) == 0,
         "all planted leaks must flag contaminated")
-      require(acc.count() == batch1.count() + batch2.count(),
+      require(pin.getLong(0) == batch1.count() + batch2.count(),
         "state union must cover the corpus exactly once")
       acc.groupBy(col("src"), col("status"))
         .agg(count(lit(1)).as("n_docs"), min(col("vec_id")).as("min_vec"),

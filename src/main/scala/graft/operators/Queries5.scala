@@ -127,9 +127,25 @@ object Queries5 {
   private[graft] def kmFinalAssign(qd0: DataFrame)(implicit sp: SparkSession): DataFrame =
     kmFit(qd0)._2
 
+  /** Exploded-row cap for the fully-local Lloyd's arm (the PageRank/
+    * GraphOps local-arm discipline): ~2M (vec, pos, qv) rows is a
+    * ~50 MB transient collect, far under where the per-iteration
+    * cluster jobs would be worth their fixed cost. */
+  private val KmLocalRowCap = 2000000
+
   /** Lloyd's run → (final centroids, final assignment). */
   private def kmFit(qd0: DataFrame)(implicit sp: SparkSession): (DataFrame, DataFrame) = {
     import sp.implicits._
+    // LIMIT-bounded dispatch probe + local-arm materialization in ONE
+    // action (the GraphOps.labelPropagation pattern): if the exploded
+    // corpus fits, the whole 2·iters+1-job loop runs in arrays with
+    // zero further cluster jobs — identical integer/IEEE arithmetic, so
+    // q78/q79/q81's oracle gates hold bit-for-bit (r16: the loop's
+    // three collect rounds were ~1.1–1.5 s of job overhead at sf0.1
+    // for arithmetic a thread does in ~20 ms).
+    val snap = qd0.select(col("vec_id"), col("pos"), col("qv"))
+      .limit(KmLocalRowCap + 1).as[(Long, Int, Long)].collect()
+    if (snap.length <= KmLocalRowCap) return kmFitLocal(snap)
     val qd = qd0.cache()
     val init = qd.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("cid"), col("pos"), col("qv").as("s"), lit(1L).as("n"))
@@ -143,6 +159,75 @@ object Queries5 {
     // one uncached scan instead
     qd.unpersist(blocking = false)
     (cent, kmAssign(qd, cent))
+  }
+
+  /** The local arm: [[kmAssign]]/[[kmUpdate]]'s exact arithmetic over
+    * collected rows — num = Σ_pos (qv·n − s)² in longs, cost =
+    * num.toDouble / (n·n).toDouble, ties to the smallest cid (the rank
+    * order), per-(cid,pos) member counts as n. Assumes the exploded
+    * corpus is DENSE in pos (posexplode of fixed-length vectors — what
+    * every caller feeds); both return frames are local relations, so
+    * downstream joins broadcast them for free. */
+  private def kmFitLocal(rows: Array[(Long, Int, Long)])(
+      implicit sp: SparkSession): (DataFrame, DataFrame) = {
+    import sp.implicits._
+    val dims = rows.iterator.map(_._2).max + 1
+    val vecs = new java.util.LinkedHashMap[Long, Array[Long]]()
+    rows.foreach { case (v, p, q) =>
+      vecs.computeIfAbsent(v, _ => new Array[Long](dims))(p) = q
+    }
+    // centroids in ascending cid order: (cid, s array, n)
+    var cids = Array.newBuilder[Long].result()
+    var cs: Array[Array[Long]] = null
+    var cn: Array[Long] = null
+    locally {
+      val init = scala.collection.mutable.TreeMap.empty[Long, Array[Long]]
+      vecs.forEach((v, arr) => if (v < KmK) init += v -> arr.clone())
+      cids = init.keys.toArray
+      cs = cids.map(init)
+      cn = Array.fill(cids.length)(1L)
+    }
+    def assignAll(): Array[(Long, Long, Double)] = {
+      val out = new Array[(Long, Long, Double)](vecs.size)
+      var i = 0
+      val it = vecs.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); val qv = e.getValue
+        var bestCid = -1L; var bestCost = 0.0
+        var c = 0
+        while (c < cids.length) {
+          val s = cs(c); val n = cn(c)
+          var num = 0L
+          var p = 0
+          while (p < dims) { val d = qv(p) * n - s(p); num += d * d; p += 1 }
+          val cost = num.toDouble / (n * n).toDouble
+          if (bestCid < 0L || cost < bestCost) { bestCost = cost; bestCid = cids(c) }
+          c += 1
+        }
+        out(i) = (e.getKey, bestCid, bestCost); i += 1
+      }
+      out
+    }
+    for (_ <- 1 to KmIters) {
+      val a = assignAll()
+      val sums = scala.collection.mutable.TreeMap.empty[Long, Array[Long]]
+      val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+      a.foreach { case (v, cid, _) =>
+        val qv = vecs.get(v)
+        val s = sums.getOrElseUpdate(cid, new Array[Long](dims))
+        var p = 0
+        while (p < dims) { s(p) += qv(p); p += 1 }
+        counts(cid) = counts.getOrElse(cid, 0L) + 1L
+      }
+      cids = sums.keys.toArray // members only, ascending — groupBy semantics
+      cs = cids.map(sums)
+      cn = cids.map(counts)
+    }
+    val centRows = cids.indices.flatMap(c =>
+      (0 until dims).map(p => (cids(c), p, cs(c)(p), cn(c))))
+    val asg = assignAll().toSeq
+    (centRows.toDF("cid", "pos", "s", "n"),
+      asg.toDF("vec_id", "cid", "cost"))
   }
 
   // -------------------------------------------------------- q79 SemDeDup
