@@ -1041,7 +1041,10 @@ object Queries13 {
         .statsFromTableDir(s, tbl.getPath, "t", Nil, Some(1L))
         .filter(col("content") === 0)
         .select("file_path").collect().map(_.getString(0)).toSeq
+      // bucket-vocabulary-sized and consumed by BOTH the parity pin and
+      // the final PSI frame — checkpoint so the snap-1 scan runs once
       val h1 = histOf(s.read.parquet(snap1Files: _*).select(col("bkt")))
+        .localCheckpoint()
       // hist at head: INCREMENTALLY from the changelog fold over h1
       val ch = IcebergManifestSource.changesBetween(s, tbl.getPath, "t", 1L, head)
         .filter(col("content") === 0)
@@ -1060,6 +1063,9 @@ object Queries13 {
           (coalesce(col("c1"), lit(0L)) + coalesce(col("ca"), lit(0L))
             - coalesce(col("cr"), lit(0L))).as("c"))
         .filter(col("c") > 0)
+        // same rule: the added/removed scans + 2-way fold run once for
+        // the pin AND the PSI (bucket-sized result)
+        .localCheckpoint()
       // pin: incremental == direct head histogram
       val h2dir = histOf(graft.sources.MorRead.readTable(s, tbl.getPath))
       val mism = h2inc.join(h2dir.withColumnRenamed("c", "cd"),

@@ -239,16 +239,24 @@ object Queries15 {
                |  okey BIGINT, price BIGINT, mon BIGINT, yr BIGINT)
                |USING `graft-iceberg`""".stripMargin)
       // 12 small files: one INSERT per 1995 month (a streaming ingest's
-      // small-file accretion, the reference's diagnosis target)
+      // small-file accretion, the reference's diagnosis target). The
+      // projected 1995 slice is CACHED across the loop (r16): the 12
+      // per-month commits each re-scanned the source for ~1/12th of it;
+      // rows and commit shape are identical.
+      val src95 = t(dir, "orders")
+        .filter(expr("year(o_orderdate) = 1995"))
+        .select(col("o_orderkey"),
+          expr("CAST(FLOOR(o_totalprice) AS BIGINT)").as("price"),
+          expr("CAST(month(o_orderdate) AS BIGINT)").as("mon"),
+          expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+        .cache()
+      src95.createOrReplaceTempView("q273_src95")
       (1 to 12).foreach { m =>
         s.sql(s"""INSERT INTO $cat.bp.prof
-                 |SELECT /*+ COALESCE(1) */ o_orderkey,
-                 |  CAST(FLOOR(o_totalprice) AS BIGINT),
-                 |  CAST(month(o_orderdate) AS BIGINT),
-                 |  CAST(year(o_orderdate) AS BIGINT)
-                 |FROM q273_src WHERE year(o_orderdate) = 1995
-                 |  AND month(o_orderdate) = $m""".stripMargin)
+                 |SELECT /*+ COALESCE(1) */ o_orderkey, price, mon, yr
+                 |FROM q273_src95 WHERE mon = $m""".stripMargin)
       }
+      src95.unpersist(blocking = false)
       // one large file: the whole of 1996 in a single INSERT
       s.sql(s"""INSERT INTO $cat.bp.prof
                |SELECT /*+ COALESCE(1) */ o_orderkey,
