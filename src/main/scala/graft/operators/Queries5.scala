@@ -145,7 +145,8 @@ object Queries5 {
     // for arithmetic a thread does in ~20 ms).
     val snap = qd0.select(col("vec_id"), col("pos"), col("qv"))
       .limit(KmLocalRowCap + 1).as[(Long, Int, Long)].collect()
-    if (snap.length <= KmLocalRowCap) return kmFitLocal(snap)
+    if (snap.nonEmpty && snap.length <= KmLocalRowCap)
+      return kmFitLocal(snap)
     val qd = qd0.cache()
     val init = qd.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("cid"), col("pos"), col("qv").as("s"), lit(1L).as("n"))
