@@ -21,65 +21,88 @@ import org.apache.spark.sql.expressions.Window
   * materialized: within an order o, part p receives S_o - c(p) where
   * S_o = sum of the order's contributions, so each round is ONE pass over
   * the linear (order, part) relation. In the driver path the contribution
-  * table is broadcast, so the o-partitioned cached relation needs no
-  * exchange for the per-order window; the distributed path pays one
-  * p-shuffle (rank join) and one o-shuffle (window) per round — the price
-  * of not holding the rank vector in driver heap at 100 TB.
+  * table is broadcast and the per-order window inserts one o-exchange per
+  * round over the cached relation; the distributed path additionally pays
+  * one p-shuffle (rank join) per round — the price of not holding the
+  * rank vector in driver heap at 100 TB.
   */
 object PageRank {
 
-  /** @param op distinct (order, part) pairs, columns `o` and `p`, already
-    *           repartitioned+sorted by `o` and cached by the caller
+  /** @param op distinct (order, part) pairs, columns `o` and `p`; needs no
+    *           particular partitioning — the cluster arms' windows insert
+    *           their own o-exchange when they run, and this method caches
+    *           the relation itself for the (1 + rounds) cluster-arm scans
     * @param localNodeThreshold max graph nodes for the driver-map path;
     *           one boxed (Long, Long) per node on collect, so the default
     *           1M nodes is ~100 MB driver heap — same sizing discipline as
     *           [[ClusterOps.connectedComponents]]
     * @param localEdgeThreshold max (order, part) PAIRS for the fully
-    *           local path: ONE collect of the pair list replaces the
-    *           (1 + rounds) cluster jobs of the driver-map path — at 2M
-    *           pairs that is a ~50 MB transient, and each in-memory
-    *           round is a linear pass (r16: q91's three broadcast-join-
-    *           window rounds cost ~0.65 s each at sf0.1 for arithmetic
-    *           a single thread does in ~10 ms). Past it, the existing
-    *           node-count dispatch decides, unchanged — the 100 TB
-    *           paths are exactly what they were.
+    *           local path: the LIMIT-bounded dispatch probe (the kmFit
+    *           pattern — ONE action, no count() job, no cache
+    *           materialization) IS the local arm's input when everything
+    *           fits under the cap; rows land in two primitive long arrays
+    *           (~32 MB at 2M pairs, no boxed tuples). Past the cap, the
+    *           existing node-count dispatch decides, unchanged — the
+    *           100 TB paths are exactly what they were, minus the count.
     * @return (part, rank) for ALL nodes with deg > 0, unordered */
   def partRanks(op: DataFrame, rounds: Int = 3,
       localNodeThreshold: Long = 1000000L,
       localEdgeThreshold: Long = 2000000L): DataFrame = {
     implicit val sp: SparkSession = op.sparkSession
-    if (op.count() <= localEdgeThreshold) return localRanks(op, rounds)
-    val wo = Window.partitionBy(col("o"))
-    // deg(p) = sum over p's orders of (basket size - 1); parts that only
-    // ever appear alone have no edges and are excluded (matches the edge-
-    // list node set, and keeps c = rank div deg well-defined)
-    val degDf = op.withColumn("sz", count(lit(1)).over(wo))
-      .groupBy(col("p")).agg(sum(col("sz") - 1).as("deg"))
-      .filter(col("deg") > 0)
-      .localCheckpoint()
-    val nNodes = degDf.count()
-    if (nNodes <= localNodeThreshold) driverRanks(op, degDf, wo, rounds)
-    else distributedRanks(op, degDf, wo, rounds)
+    if (localEdgeThreshold > 0L) {
+      val cap = math.min(localEdgeThreshold, (Int.MaxValue - 8).toLong).toInt
+      val probe = op.select(col("o"), col("p")).limit(cap + 1).collect()
+      if (probe.length <= cap) {
+        val os = new Array[Long](probe.length)
+        val ps = new Array[Long](probe.length)
+        var i = 0
+        while (i < probe.length) {
+          os(i) = probe(i).getLong(0); ps(i) = probe(i).getLong(1); i += 1
+        }
+        return localRanks(os, ps, rounds)
+      }
+    }
+    // past the cap: the cluster arms scan op (1 + rounds) times — cache it
+    // here (not in the caller) so the local arm above never pays for a
+    // cache it won't read
+    val opC = op.cache()
+    try {
+      val wo = Window.partitionBy(col("o"))
+      // deg(p) = sum over p's orders of (basket size - 1); parts that only
+      // ever appear alone have no edges and are excluded (matches the edge-
+      // list node set, and keeps c = rank div deg well-defined)
+      val degDf = opC.withColumn("sz", count(lit(1)).over(wo))
+        .groupBy(col("p")).agg(sum(col("sz") - 1).as("deg"))
+        .filter(col("deg") > 0)
+        .localCheckpoint()
+      val nNodes = degDf.count()
+      // both arms fully consume opC before returning (driverRanks collects
+      // per round; distributedRanks localCheckpoints per round)
+      if (nNodes <= localNodeThreshold) driverRanks(opC, degDf, wo, rounds)
+      else distributedRanks(opC, degDf, wo, rounds)
+    } finally opC.unpersist(blocking = false)
   }
 
   /** The fully-local arm: the SAME integer arithmetic as the cluster
     * rounds (PageRankSpec pins all three paths bit-identical), computed
-    * over the collected pair list. S_o sums c over the order's deg>0
-    * parts — exactly what the cluster round's inner join + window
-    * produces — and in(p) folds (S_o - c(p)) over p's orders. */
-  private def localRanks(op: DataFrame, rounds: Int)
+    * over the probed pair list (two primitive arrays, one entry per
+    * (order, part) pair). S_o sums c over the order's deg>0 parts —
+    * exactly what the cluster round's inner join + window produces — and
+    * in(p) folds (S_o - c(p)) over p's orders. */
+  private def localRanks(os: Array[Long], ps: Array[Long], rounds: Int)
       (implicit sp: SparkSession): DataFrame = {
     import sp.implicits._
-    val pairs = op.select(col("o"), col("p")).as[(Long, Long)].collect()
     // group pairs by order once; baskets are the per-round unit
     val baskets: Array[Array[Long]] = {
       val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofLong]()
-      pairs.foreach { case (o, p) =>
-        m.computeIfAbsent(o, _ => new scala.collection.mutable.ArrayBuilder.ofLong) += p
+      var i = 0
+      while (i < os.length) {
+        m.computeIfAbsent(os(i), _ => new scala.collection.mutable.ArrayBuilder.ofLong) += ps(i)
+        i += 1
       }
       val out = new Array[Array[Long]](m.size)
-      val it = m.values().iterator(); var i = 0
-      while (it.hasNext) { out(i) = it.next().result(); i += 1 }
+      val it = m.values().iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next().result(); j += 1 }
       out
     }
     // deg(p) = Σ over p's orders of (basket size - 1); deg 0 excluded
@@ -98,14 +121,16 @@ object PageRank {
         var so = 0L
         var k = 0
         while (k < b.length) {
-          val d = deg.get(b(k))
+          // deg-0 parts (only ever alone in their basket) have no entry:
+          // skip them explicitly — the inner-join semantics
+          val d = deg.getOrDefault(b(k), 0L)
           if (d != 0L) so += rank.get(b(k)) / d
           k += 1
         }
         k = 0
         while (k < b.length) {
           val p = b(k)
-          val d = deg.get(p)
+          val d = deg.getOrDefault(p, 0L)
           if (d != 0L) in.merge(p, so - rank.get(p) / d, java.lang.Long.sum)
           k += 1
         }

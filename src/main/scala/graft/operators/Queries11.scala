@@ -331,11 +331,14 @@ object Queries11 {
       // object path over ~200k distinct keys instead of 6M lineitem
       // rows (r16: the monolithic UDAF+countDistinct agg was 3.1 s at
       // sf0.1, the whole query's cost). Values are bit-identical.
+      // count(col) not count(lit(1)): countDistinct excluded NULL keys,
+      // and count over a column keeps that NULL-exclusion semantics
+      // identical (inert on TPC-H's non-null keys, honest elsewhere)
       def colSketch(c: String, prefix: String) =
         li.select(col(c).cast("string").as("ks")).distinct()
           .agg(minK(TextOps.portableHash28(
             concat(lit(prefix), col("ks")))).as("m"),
-            count(lit(1)).as("d")).head()
+            count(col("ks")).as("d")).head()
       val (pa, sa) = (colSketch("l_partkey", "ndv:p:"),
         colSketch("l_suppkey", "ndv:s:"))
       val (pm, sm) = (pa.getSeq[Long](0), sa.getSeq[Long](0))

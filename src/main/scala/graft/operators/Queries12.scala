@@ -404,13 +404,20 @@ object Queries12 {
       val tbl = TmpFixture.dir("q193", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
-      val entries = Seq(0, 1).map { f =>
-        val df = new java.io.File(dataDir, s"f$f.parquet")
-        val n = IcebergLayoutWriter.writeSingleParquet(IcebergLayoutWriter.sortedSingle(
-          base.filter(col("fid") === f).drop("fid"), col("k")), df)
-        IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
-          filePath = df.getAbsolutePath, recordCount = n,
-          sizeBytes = df.length(), sequenceNumber = 1L)
+      // the two slice writes are independent jobs — overlap them
+      // (guide §2.6); entry order in the manifest is unchanged
+      val entries = locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Seq(0, 1).map { f => Future {
+          val df = new java.io.File(dataDir, s"f$f.parquet")
+          val n = IcebergLayoutWriter.writeSingleParquet(IcebergLayoutWriter.sortedSingle(
+            base.filter(col("fid") === f).drop("fid"), col("k")), df)
+          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+            filePath = df.getAbsolutePath, recordCount = n,
+            sizeBytes = df.length(), sequenceNumber = 1L)
+        } }.map(Await.result(_, Duration.Inf))
       }
       IcebergLayoutWriter.writeTable(tbl, entries)
       val (snap, nDel) = LayoutMaintenance.commitDeleteWhere(s, tbl.getPath,
@@ -1210,8 +1217,17 @@ object Queries12 {
         .select(col("l_orderkey").as("okey"),
           (col("l_orderkey") % 16).as("grp"),
           col("l_quantity").cast("long").as("qty"))
-      writeIdentityPartitioned(s, tblA, a, "grp", 2, 16)
-      writeIdentityPartitioned(s, tblB, b, "grp", 2, 16)
+      // the two table ingests are independent Spark jobs — overlap them
+      // (guide §2.6); each is one repartition+partitionBy write plus its
+      // driver-side manifest fold, and neither reads the other's table
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fA = Future(writeIdentityPartitioned(s, tblA, a, "grp", 2, 16))
+        val fB = Future(writeIdentityPartitioned(s, tblB, b, "grp", 2, 16))
+        Await.result(fA, Duration.Inf); Await.result(fB, Duration.Inf)
+      }
       def rd(tbl: java.io.File) = s.read.format("graft-iceberg")
         .option("pushdown.fields", "grp:2:long").load(tbl.getPath)
       val (bucketing, bcast, allKeys) = ("spark.sql.sources.v2.bucketing.enabled",
@@ -1325,13 +1341,24 @@ object Queries12 {
           base.filter(col("fid") === fid).drop("fid"),
           col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey")), dest)
-      val nA = commit(0, fa); val nB = commit(1, fb)
+      // the four slice/tombstone files are independent Spark jobs (pd
+      // needs only nA) — overlap them (guide §2.6); the manifest write
+      // below sees identical bytes either way
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       import s.implicits._
+      val futA = Future(commit(0, fa))
+      val futB = Future(commit(1, fb))
+      val futE = Future(IcebergLayoutWriter.writeSingleParquet(
+        IcebergLayoutWriter.sortedSingle(
+          base.filter(col("l_partkey") % 131 === 0).select(col("l_partkey"))
+            .distinct(), col("l_partkey")), ed))
+      val nA = Await.result(futA, Duration.Inf)
       IcebergLayoutWriter.writeSingleParquet(
         (0L until nA by 7).map(p => (fa.getAbsolutePath, p)).toDF("file_path", "pos"), pd)
-      IcebergLayoutWriter.writeSingleParquet(IcebergLayoutWriter.sortedSingle(
-        base.filter(col("l_partkey") % 131 === 0).select(col("l_partkey"))
-          .distinct(), col("l_partkey")), ed)
+      val nB = Await.result(futB, Duration.Inf)
+      Await.result(futE, Duration.Inf)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = fa.getAbsolutePath, recordCount = nA, sizeBytes = fa.length(),
@@ -1402,14 +1429,21 @@ object Queries12 {
         }
         .start()
       try {
+        // barrier 1 pins the stream's initial offset at the pre-upsert
+        // head (stream-from-latest) before any mutation lands
         q.processAllAvailable()
         // commit 2: upsert — every okey % 9 == 0 gets price + 1000
         LayoutMaintenance.commitUpsert(s, tbl.getPath,
           base.filter(col("okey") % 9 === 0)
             .select(col("okey"), (col("price") + 1000L).as("price"), col("mon")),
           keyCols = Seq("okey"))
-        q.processAllAvailable()
-        // commit 3: predicate delete
+        // commit 3: predicate delete. ONE drain covers both commits
+        // (r17): the source plans per-commit steps inside any offset
+        // range, so the change rows and their _commit_snapshot_id tags —
+        // and therefore the sid-grouped fold below — are identical to
+        // the two-barrier version; GraftSourceV2Spec pins the
+        // multi-commit-range planning, and the per-commit incremental
+        // delivery stays pinned by the CDC spec's own 3-cycle test.
         LayoutMaintenance.commitDeleteWhere(s, tbl.getPath,
           col("price") >= 400000L)
         q.processAllAvailable()

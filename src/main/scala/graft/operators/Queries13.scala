@@ -564,17 +564,25 @@ object Queries13 {
             cust.filter(col("ck") % 4 === mod), col("ck")), f)
         (f, n)
       }
-      val (f0, n0) = writeSlice("base", 0)
+      // the three slice writes are independent jobs — overlap them
+      // (guide §2.6); the table/stage/append COMMITS stay sequential
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fut0 = Future(writeSlice("base", 0))
+      val futA = Future(writeSlice("staged-a", 1))
+      val futB = Future(writeSlice("later-b", 2))
+      val (f0, n0) = Await.result(fut0, Duration.Inf)
       IcebergLayoutWriter.writeTable(tbl, Seq(ManifestEntrySpec(status = 1,
         content = 0, filePath = f0.getAbsolutePath, recordCount = n0,
         sizeBytes = f0.length(), sequenceNumber = 1L)))
-      val (fa, na) = writeSlice("staged-a", 1)
+      val (fa, na) = Await.result(futA, Duration.Inf)
       val staged = LayoutMaintenance.stageAppend(s, tbl.getPath,
         Seq(ManifestEntrySpec(status = 1, content = 0,
           filePath = fa.getAbsolutePath, recordCount = na,
           sizeBytes = fa.length())), branch = "audit")
       // the head ADVANCES while the stage is in audit
-      val (fb, nb) = writeSlice("later-b", 2)
+      val (fb, nb) = Await.result(futB, Duration.Inf)
       LayoutMaintenance.commitAppend(s, tbl.getPath,
         Seq(ManifestEntrySpec(status = 1, content = 0,
           filePath = fb.getAbsolutePath, recordCount = nb,
@@ -827,10 +835,19 @@ object Queries13 {
           filePath = fl.getAbsolutePath, recordCount = n,
           sizeBytes = fl.length()))
       }
-      LayoutMaintenance.commitAppend(s, tbl.getPath,
-        slice("a", col("k") % 3 === 0))                       // 1: creates
-      LayoutMaintenance.commitAppend(s, tbl.getPath,
-        slice("b", col("k") % 3 === 1))                       // 2: append
+      // the two slice writes are independent jobs — overlap them
+      // (guide §2.6); the COMMITS stay strictly sequential below
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = Future(slice("a", col("k") % 3 === 0))
+        val fb = Future(slice("b", col("k") % 3 === 1))
+        LayoutMaintenance.commitAppend(s, tbl.getPath,
+          Await.result(fa, Duration.Inf))                     // 1: creates
+        LayoutMaintenance.commitAppend(s, tbl.getPath,
+          Await.result(fb, Duration.Inf))                     // 2: append
+      }
       LayoutMaintenance.commitUpsert(s, tbl.getPath,
         base.filter(col("k") % 30 === 0)
           .select(col("k"), (col("price") + 7L).as("price")),
@@ -1026,10 +1043,18 @@ object Queries13 {
           filePath = fl.getAbsolutePath, recordCount = n,
           sizeBytes = fl.length()))
       }
-      LayoutMaintenance.commitAppend(s, tbl.getPath,
-        slice("base", col("lang") === "en"))              // snapshot 1
-      LayoutMaintenance.commitAppend(s, tbl.getPath,
-        slice("rest", col("lang") =!= "en"))              // snapshot 2
+      // independent slice writes overlap (guide §2.6); commits sequential
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fBase = Future(slice("base", col("lang") === "en"))
+        val fRest = Future(slice("rest", col("lang") =!= "en"))
+        LayoutMaintenance.commitAppend(s, tbl.getPath,
+          Await.result(fBase, Duration.Inf))              // snapshot 1
+        LayoutMaintenance.commitAppend(s, tbl.getPath,
+          Await.result(fRest, Duration.Inf))              // snapshot 2
+      }
       LayoutMaintenance.commitDeleteWhereCow(s, tbl.getPath,
         col("bkt") === 0L)                                // snapshot 3 (COW)
       val head = LayoutMaintenance.snapshotIds(s, tbl.getPath).max
@@ -1509,7 +1534,11 @@ object Queries13 {
       def nn4Sum(key: String): DataFrame = {
         val other = if (key == "src_id") "tgt_id" else "src_id"
         val top4 = udaf(new graft.functions.TopKAggregator.TopK(4))
-        def at(i: Int) = element_at(col("t"), i).getField("value")
+        // try_element_at: under ANSI mode a plain element_at THROWS when
+        // a key has fewer than 4 neighbors; the old window formulation
+        // yielded a NULL sum there — keep that graceful-null behavior
+        // (identical on any corpus with >=5 embeddings per side)
+        def at(i: Int) = try_element_at(col("t"), lit(i)).getField("value")
         pairs.groupBy(col(key))
           .agg(top4(col("cos"), col(other)).as("t"))
           .select(col(key),

@@ -27,20 +27,10 @@ object Queries14 {
     Rel.t(dir, name)
 
   /** Distinct data-file paths the table's live position tombstones
-    * target — ONE batched read over all tombstone files (schema declared,
-    * so no footer-inference pass) instead of a driver loop launching a
-    * job per file. */
-  private def tombstoneTargets(s: SparkSession, tableDir: String): Set[String] = {
-    val paths = graft.sources.IcebergManifestSource
-      .statsFromTableDir(s, tableDir, "t", Nil)
-      .filter(col("content") === 1)
-      .select(col("file_path")).collect()
-      .map(_.getString(0).replaceFirst("^file:/+", "/")).toIndexedSeq
-    if (paths.isEmpty) Set.empty
-    else s.read.schema("file_path STRING, pos BIGINT").parquet(paths: _*)
-      .select(col("file_path")).distinct()
-      .collect().map(_.getString(0)).toSet
-  }
+    * target — driver-decoded under the tombstone byte cap (zero Spark
+    * jobs for KB-sized objects), one batched Spark read past it. */
+  private def tombstoneTargets(s: SparkSession, tableDir: String): Set[String] =
+    graft.sources.MorRead.posTombstoneTargets(s, tableDir)
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -70,8 +60,16 @@ object Queries14 {
           filePath = f.getAbsolutePath, recordCount = n,
           sizeBytes = f.length())
       }
-      val mine = fileFor("mine.parquet", 1)
-      val theirs = fileFor("theirs.parquet", 2)
+      // the two racers' slice writes are independent jobs — overlap
+      // them (guide §2.6); the commit RACE below is unchanged
+      val (mine, theirs) = locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fM = Future(fileFor("mine.parquet", 1))
+        val fT = Future(fileFor("theirs.parquet", 2))
+        (Await.result(fM, Duration.Inf), Await.result(fT, Duration.Inf))
+      }
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       var interloperId = -1L
       val myId = LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(mine),

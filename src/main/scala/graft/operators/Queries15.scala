@@ -329,18 +329,28 @@ object Queries15 {
       val tbl = TmpFixture.dir("q274", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(tbl)
       val dataDir = new java.io.File(tbl, "data"); dataDir.mkdirs()
-      def commitBatch(df: org.apache.spark.sql.DataFrame,
-          name: String): Unit = {
+      def writeBatch(df: org.apache.spark.sql.DataFrame,
+          name: String): Seq[IcebergLayoutWriter.ManifestEntrySpec] = {
         val f = new java.io.File(dataDir, name)
         val n = IcebergLayoutWriter.writeSingleParquet(
           IcebergLayoutWriter.sortedSingle(df, col("vec_id")), f)
-        LayoutMaintenance.commitAppend(s, tbl.getPath, Seq(
-          IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
-            filePath = f.getAbsolutePath, recordCount = n,
-            sizeBytes = f.length())))
+        Seq(IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
+          filePath = f.getAbsolutePath, recordCount = n,
+          sizeBytes = f.length()))
       }
-      commitBatch(batch1, "b1.parquet")
-      commitBatch(batch2, "b2.parquet")
+      // the two batch writes are independent jobs — overlap them
+      // (guide §2.6); the commits stay sequential
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val f1 = Future(writeBatch(batch1, "b1.parquet"))
+        val f2 = Future(writeBatch(batch2, "b2.parquet"))
+        LayoutMaintenance.commitAppend(s, tbl.getPath,
+          Await.result(f1, Duration.Inf))
+        LayoutMaintenance.commitAppend(s, tbl.getPath,
+          Await.result(f2, Duration.Inf))
+      }
       def score(df: org.apache.spark.sql.DataFrame)
           : org.apache.spark.sql.DataFrame =
         EmbeddingDecon.maxCosine(df, "vec_id", "v", benchRows.toSeq)

@@ -382,18 +382,15 @@ object Queries6 {
     // proves both paths bit-identical on the same fixture.
     "q91_part_pagerank" -> { (s, dir) => implicit val sp = s
       // distinct (order, part) FIRST: per-order part sets, no multiplicity.
-      // No o-clustering here (r16): the fully-local arm just collects the
-      // pairs, and the cluster arms' windows insert their own exchange
-      // when they need o-clustering — pre-shuffling for a path that may
-      // never run was a wasted full sort of the pair list.
+      // No o-clustering and no cache here (r17): the fully-local arm's
+      // LIMIT probe collects the pairs in ONE action, and partRanks caches
+      // internally only when a cluster arm will actually re-scan — caching
+      // (or pre-shuffling) for a path that may never run was wasted work.
       val li = t(dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .cache()
-      val ranks = PageRank.partRanks(li)
+      PageRank.partRanks(li)
         .orderBy(col("rank").desc, col("part")).limit(20)
         .localCheckpoint()
-      li.unpersist(blocking = false)
-      ranks
     },
 
     // ---- product quantization (PQ) encode: 64-dim quantized vectors split

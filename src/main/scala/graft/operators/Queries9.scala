@@ -402,14 +402,23 @@ object Queries9 {
             base.filter(col("fid") === fid).drop("fid"),
             col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey")), dest)
-      val nA = commit(0, fa); val nB = commit(1, fb)
+      // independent slice/tombstone writes overlap (guide §2.6, the
+      // q259/q260 discipline); pd waits only on nA
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       import s.implicits._
-      IcebergLayoutWriter.writeSingleParquet(
-        (0L until nA by 7).map(p => (fa.getAbsolutePath, p)).toDF("file_path", "pos"), pd)
-      IcebergLayoutWriter.writeSingleParquet(
+      val futA = Future(commit(0, fa))
+      val futB = Future(commit(1, fb))
+      val futE = Future(IcebergLayoutWriter.writeSingleParquet(
         IcebergLayoutWriter.sortedSingle(
           base.filter(col("l_partkey") % 131 === 0)
-            .select(col("l_partkey")).distinct(), col("l_partkey")), ed)
+            .select(col("l_partkey")).distinct(), col("l_partkey")), ed))
+      val nA = Await.result(futA, Duration.Inf)
+      IcebergLayoutWriter.writeSingleParquet(
+        (0L until nA by 7).map(p => (fa.getAbsolutePath, p)).toDF("file_path", "pos"), pd)
+      val nB = Await.result(futB, Duration.Inf)
+      Await.result(futE, Duration.Inf)
       IcebergLayoutWriter.writeTable(tbl, Seq(
         IcebergLayoutWriter.ManifestEntrySpec(status = 1, content = 0,
           filePath = fa.getAbsolutePath, recordCount = nA, sizeBytes = fa.length(),

@@ -96,12 +96,12 @@ object DeletionVectors {
     })
 
   /** Streaming twin of [[write]] for driver-folds over sorted input:
-    * consumes (target, sorted distinct ordinals) groups LAZILY — each
-    * group compresses to its blob as it streams by, so driver memory
-    * holds one target's ordinals plus the finished blob bytes (a
-    * compressed bitmap), never every tombstone pair at once. Groups must
-    * arrive target-sorted with distinct ordinals (the caller's sort);
-    * returns the total pair count. */
+    * each group's RAW ordinals stream by and compress to a blob as they
+    * pass, but the finished blobs all buffer until PuffinIO.write — so
+    * driver memory is bounded by one target's ordinals plus the TOTAL
+    * compressed blob bytes, not by the raw pair list. Unlike [[write]]
+    * (which sorts and dedupes itself), callers must pass target-sorted
+    * groups of distinct ordinals; returns the total pair count. */
   def writeStreamed(file: java.io.File, snapshotId: Long,
       perTarget: Iterator[(String, Seq[Long])]): Long = {
     var pairs = 0L

@@ -208,6 +208,26 @@ object IcebergLayoutWriter {
     * count (read back from the written footer, one metadata-only job). */
   def writeSingleParquet(df: org.apache.spark.sql.DataFrame,
       dest: java.io.File): Long = {
+    // driver arm (guide §6: don't launch a job for a driver-sized write):
+    // a LIMIT-bounded probe collects the rows in ONE action and the file
+    // is encoded on the driver BYTE-IDENTICALLY to the single-task write
+    // (same ParquetWriteSupport, same session conf — pinned by
+    // SingleFileWriterSpec), skipping the write job's commit protocol,
+    // the staging rename, and the footer re-read for the count. Past the
+    // cap the cluster arm below is exactly what it was. A single target
+    // file is bounded (~1 write task's worth) by this method's contract,
+    // so the default cap is sizing discipline, not a semantics change.
+    val drvCap =
+      try df.sparkSession.conf.get("spark.graft.driverSingleFileRows",
+        "4194304").toInt
+      catch { case _: NumberFormatException => 4194304 }
+    if (drvCap > 0) {
+      val probed = org.apache.spark.sql.graftbridge.SingleFileWriter
+        .collectUpTo(df, drvCap)
+      if (probed.isDefined)
+        return org.apache.spark.sql.graftbridge.SingleFileWriter
+          .writeRowsParquet(df.sparkSession, df.schema, probed.get, dest)
+    }
     val tmp = new java.io.File(dest.getParentFile, dest.getName + ".tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     val part = tmp.listFiles()
@@ -353,8 +373,24 @@ object IcebergLayoutWriter {
 
   def writeSingleOrc(df: org.apache.spark.sql.DataFrame,
       dest: java.io.File): Long = {
+    val writable = orcWritable(df)
+    // driver arm (guide §6, the writeSingleParquet discipline): LIMIT-
+    // probe collect + Spark's own OrcOutputWriter on the driver —
+    // byte-identical to the single-task write (SingleFileWriterSpec),
+    // no write job, no staging rename, no ORC-tail re-read for the count
+    val drvCap =
+      try df.sparkSession.conf.get("spark.graft.driverSingleFileRows",
+        "4194304").toInt
+      catch { case _: NumberFormatException => 4194304 }
+    if (drvCap > 0) {
+      val probed = org.apache.spark.sql.graftbridge.SingleFileWriter
+        .collectUpTo(writable, drvCap)
+      if (probed.isDefined)
+        return org.apache.spark.sql.graftbridge.SingleFileWriter
+          .writeRowsOrc(df.sparkSession, writable.schema, probed.get, dest)
+    }
     val tmp = new java.io.File(dest.getParentFile, dest.getName + ".tmp")
-    orcWritable(df).coalesce(1).write.mode("overwrite").orc(tmp.getPath)
+    writable.coalesce(1).write.mode("overwrite").orc(tmp.getPath)
     val part = tmp.listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".orc"))
       .getOrElse(sys.error(s"no part file written under $tmp"))

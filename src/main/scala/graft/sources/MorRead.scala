@@ -35,6 +35,100 @@ object MorRead {
     try spark.conf.get("spark.graft.seqLiteralCap", "64").toInt
     catch { case _: NumberFormatException => 64 }
 
+  /** Total position-tombstone FILE bytes under which tombstones decode
+    * on the driver into a LocalRelation (zero Spark jobs for tombstone
+    * planning — same sizing discipline as `spark.graft.
+    * driverManifestStats`): tombstone files are reject-sized by the
+    * delete-commit contract, so the common MOR read was paying a scan
+    * job + a distinct job + a broadcast exchange for KB-sized objects.
+    * Past the cap (or for non-local paths) the distributed scan arms
+    * stay exactly what they were. */
+  private def driverTombstoneBytes(spark: SparkSession): Long =
+    try spark.conf.get("spark.graft.driverTombstoneBytes", "4194304").toLong
+    catch { case _: NumberFormatException => 4194304L }
+
+  /** Driver-side decode of one parquet position-tombstone file (the
+    * Group-API twin of [[IcebergLayoutWriter.writePosDeleteParquet]]):
+    * (file_path, pos) rows in file order. */
+  private[sources] def readPosDeleteParquetLocal(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val out = Seq.newBuilder[(String, Long)]
+    val r = ParquetReader
+      .builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        out += ((g.getString("file_path", 0), g.getLong("pos", 0)))
+        g = r.read()
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Driver-side decode of one ORC position-tombstone file (the twin of
+    * [[IcebergLayoutWriter.writePosDeleteOrc]]). */
+  private[sources] def readPosDeleteOrcLocal(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+    import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, LongColumnVector}
+    val r = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(path),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    val out = Seq.newBuilder[(String, Long)]
+    val rows = r.rows()
+    try {
+      val names = {
+        import scala.jdk.CollectionConverters._
+        r.getSchema.getFieldNames.asScala.toIndexedSeq
+      }
+      val fpIdx = names.indexOf("file_path")
+      val posIdx = names.indexOf("pos")
+      require(fpIdx >= 0 && posIdx >= 0,
+        s"$path is not a position-tombstone ORC file (fields: $names)")
+      val batch = r.getSchema.createRowBatch()
+      while (rows.nextBatch(batch)) {
+        val fp = batch.cols(fpIdx).asInstanceOf[BytesColumnVector]
+        val pos = batch.cols(posIdx).asInstanceOf[LongColumnVector]
+        var i = 0
+        while (i < batch.size) {
+          val fi = if (fp.isRepeating) 0 else i
+          val pi = if (pos.isRepeating) 0 else i
+          out += ((fp.toString(fi), pos.vector(pi)))
+          i += 1
+        }
+      }
+    } finally rows.close()
+    out.result()
+  }
+
+  /** The (target, pos, seq) pairs of a set of position-tombstone FILES
+    * decoded on the driver — `Some` only when every file is a local
+    * file and their total size fits [[driverTombstoneBytes]]; `None`
+    * sends the caller down the distributed scan arms. Target paths are
+    * normalized like the distributed arms normalize them. */
+  private[sources] def fileTombPairsLocal(spark: SparkSession,
+      files: Seq[(String, Long, String)]): Option[Seq[(String, Long, Long)]] = {
+    if (files.isEmpty) return Some(Nil)
+    val local = files.map { case (p, _, _) => new java.io.File(p) }
+    if (!local.forall(_.isFile) ||
+        local.map(_.length).sum > driverTombstoneBytes(spark)) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    try Some(files.flatMap { case (p, seq, fmt) =>
+      val pairs = fmt match {
+        case "PARQUET" => readPosDeleteParquetLocal(p, conf)
+        case "ORC" => readPosDeleteOrcLocal(p, conf)
+        case "AVRO" => AvroDataRead.readPosDeletes(p)
+        case other => sys.error(s"unknown tombstone file format $other ($p)")
+      }
+      pairs.map { case (t, pos) =>
+        (t.replaceFirst("^file:/+", "/"), pos, seq) }
+    })
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Broadcast only when the optimizer's size estimate fits the session's
     * autoBroadcastJoinThreshold (disabled threshold = never hint). */
   private def maybeBroadcast(df: DataFrame): DataFrame = {
@@ -459,6 +553,13 @@ object MorRead {
       if (dvFiles.isEmpty) None
       else Some(spark.createDataFrame(dvPairs)
         .toDF("file_path", "pos", "seq"))
+    // driver tombstone arm: under the byte cap the (target, pos, seq)
+    // pairs decode on the driver — the tombstone scan job, the targeted-
+    // ORC distinct job, and the broadcast exchange all disappear (the
+    // relation below is a LocalRelation). None = distributed arms.
+    val localFileTomb: Option[Seq[(String, Long, Long)]] =
+      fileTombPairsLocal(spark,
+        filePosFiles.toSeq.map(e => (e._1, e._3, e._4)))
     def fileTomb(files: Array[(String, Int, Long, String)],
         read: Seq[String] => DataFrame): Option[DataFrame] =
       if (files.isEmpty) None
@@ -468,11 +569,11 @@ object MorRead {
           col("pos"), col("seq")))
     // declaring the fixed schema (spec "Position-based delete files")
     // skips the footer-inference pass a schemaless read pays
-    val parqTomb = fileTomb(parqPosFiles, ps =>
+    lazy val parqTomb = fileTomb(parqPosFiles, ps =>
       spark.read.schema("file_path STRING, pos BIGINT").parquet(ps: _*))
-    val orcTomb = fileTomb(orcPosTomb, ps =>
+    lazy val orcTomb = fileTomb(orcPosTomb, ps =>
       spark.read.schema("file_path STRING, pos BIGINT").orc(ps: _*))
-    val avroTomb: Option[DataFrame] =
+    lazy val avroTomb: Option[DataFrame] =
       if (avroPosTomb.isEmpty) None
       else { // no avro datasource: one task per tombstone container
         val seqOf = avroPosTomb.map { case (p, _, sq, _) => p -> sq }.toMap
@@ -495,9 +596,16 @@ object MorRead {
             org.apache.spark.sql.types.StructField("seq",
               org.apache.spark.sql.types.LongType)))))
       }
-    val tomb: Option[DataFrame] =
-      Seq(parqTomb, orcTomb, avroTomb, dvTomb).flatten
-        .reduceOption(_ unionByName _)
+    val tomb: Option[DataFrame] = localFileTomb match {
+      case Some(pairs) =>
+        val all = dvPairs ++ pairs
+        if (all.isEmpty) None
+        else Some(spark.createDataFrame(all)
+          .toDF("file_path", "pos", "seq"))
+      case None =>
+        Seq(parqTomb, orcTomb, avroTomb, dvTomb).flatten
+          .reduceOption(_ unionByName _)
+    }
 
     // Mixed-format data: parquet files carry their row ordinal natively
     // (`_metadata.row_index` — the spec's `pos`); Spark's ORC reader has
@@ -513,19 +621,25 @@ object MorRead {
     // [[AvroDataRead]] — strictly sequential container, so every row
     // carries a REAL ordinal for free and tombstones need no routing
     val (avroData, parqData) = nonOrc.partition(e => avroPaths.contains(e._1))
-    // DV targets are decoded on the driver already — only file-based
-    // tombstones need a (file-count-sized) distinct job, and only when
-    // ORC data files exist to route
-    val fileTombs: Option[DataFrame] =
-      Seq(parqTomb, orcTomb, avroTomb).flatten.reduceOption(_ unionByName _)
+    // DV targets (and driver-decoded file tombstones) are already on the
+    // driver — only over-cap file-based tombstones need a (file-count-
+    // sized) distinct job, and only when ORC data files exist to route
     val targetedOrc: Set[String] =
       if (orcData.isEmpty) Set.empty
-      else (dvPairs.iterator.map(_._1).toSet ++ (fileTombs match {
-        case None => Set.empty[String]
-        case Some(tdf) =>
-          tdf.select(col("file_path")).distinct()
-            .collect().map(_.getString(0)).toSet
-      })).intersect(orcPaths)
+      else {
+        val fileTargets: Set[String] = localFileTomb match {
+          case Some(pairs) => pairs.iterator.map(_._1).toSet
+          case None =>
+            Seq(parqTomb, orcTomb, avroTomb).flatten
+              .reduceOption(_ unionByName _) match {
+              case None => Set.empty[String]
+              case Some(tdf) =>
+                tdf.select(col("file_path")).distinct()
+                  .collect().map(_.getString(0)).toSet
+            }
+        }
+        (dvPairs.iterator.map(_._1).toSet ++ fileTargets).intersect(orcPaths)
+      }
     val needPos = (orcPosPaths.map(norm) ++ targetedOrc).intersect(orcPaths)
     val (orcPosData, orcFastData) = orcData.partition(e => needPos(e._1))
     val parq =
@@ -579,6 +693,36 @@ object MorRead {
         .flatten.reduce(_ unionByName _)
       applyEqDeletes(afterPos, eqRows, resolvedEqKeys)
     }
+  }
+
+  /** Distinct data-file paths the table's live position tombstones —
+    * tombstone FILES of any spec format AND deletion vectors — target.
+    * Driver-decoded under [[driverTombstoneBytes]] (zero Spark jobs for
+    * KB-sized objects); a batched Spark read past the cap. Paths come
+    * back normalized (`file:` scheme stripped). */
+  def posTombstoneTargets(spark: SparkSession, tableDir: String): Set[String] = {
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val entries = IcebergManifestSource
+      .statsFromTableDir(spark, tableDir, "t", Nil)
+      .filter(col("content") === 1)
+      .select(col("file_path"), col("sequence_number"), col("file_format"))
+      .collect()
+      .map(r => (norm(r.getString(0)), r.getLong(1), r.getString(2)))
+      .toIndexedSeq
+    val (dv, files) = entries.partition(_._3 == "PUFFIN")
+    val dvTargets = dv.iterator.flatMap { case (p, _, _) =>
+      DeletionVectors.read(new java.io.File(p)).map(t => norm(t._1))
+    }.toSet
+    val fileTargets: Set[String] = fileTombPairsLocal(spark, files) match {
+      case Some(pairs) => pairs.iterator.map(_._1).toSet
+      case None =>
+        if (files.isEmpty) Set.empty[String]
+        else spark.read.schema("file_path STRING, pos BIGINT")
+          .parquet(files.map(_._1): _*)
+          .select(col("file_path")).distinct()
+          .collect().map(r => norm(r.getString(0))).toSet
+    }
+    dvTargets ++ fileTargets
   }
 
   /** ORC data files in the current snapshot whose rows MATCH

@@ -34,6 +34,13 @@ private[v2] trait GraftPhysicalWriter {
     * written value widths — rolling is a size heuristic, not an exact
     * accounting. */
   def dataSize: Long
+  /** Per TOP-LEVEL-column on-disk bytes, available after [[close]] and
+    * only when the format writer exposes its own footer in memory —
+    * byte-identical to a footer re-read of the closed file, so commit
+    * metadata (spec column_sizes, field 108) pipelines with the write
+    * instead of re-opening every rolled file. None = the caller falls
+    * back to the footer re-read. */
+  def closedColumnSizes: Option[Map[String, Long]] = None
 }
 
 private[graft] object GraftFormatWriters {
@@ -536,6 +543,17 @@ private[v2] class ParquetTaskWriter(file: java.io.File, schema: StructType,
   override def close(): Unit = writer.close()
 
   override def dataSize: Long = writer.getDataSize
+
+  /** The writer's own in-memory footer IS what a re-read would parse —
+    * per-top-level-column chunk totals, zero file I/O. */
+  override def closedColumnSizes: Option[Map[String, Long]] = {
+    val byTop = scala.collection.mutable.HashMap.empty[String, Long]
+    writer.getFooter.getBlocks.forEach(b => b.getColumns.forEach { c =>
+      val top = c.getPath.toArray()(0)
+      byTop(top) = byTop.getOrElse(top, 0L) + c.getTotalSize
+    })
+    Some(byTop.toMap)
+  }
 }
 
 /** ORC arm: orc-core `Writer` fed vectorized batches — the full type

@@ -848,10 +848,17 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
           case i if schema.fields(i).dataType == DoubleType ||
               schema.fields(i).dataType == FloatType =>
             statIdOf(i) -> sink.nanCount(i)
-        }.toMap))
-      // columnSizes intentionally absent here: the footer re-open is
-      // deferred to commit() and paid in PARALLEL across the task's
-      // files ([[withColumnSizes]]) instead of serially per sink
+        }.toMap,
+        // column_sizes pipelined from the writer's own in-memory footer
+        // when the format exposes it (parquet) — byte-identical to the
+        // commit-time re-read and zero extra I/O; formats without it
+        // leave the map empty and [[withColumnSizes]] fills it at
+        // commit as before
+        columnSizes = sink.writer.closedColumnSizes match {
+          case Some(byTop) => schema.fields.zipWithIndex.flatMap {
+            case (f, i) => byTop.get(f.name).map(statIdOf(i) -> _) }.toMap
+          case None => Map.empty
+        }))
     }
   }
 
@@ -862,19 +869,29 @@ private[v2] class GraftDataWriter(dir: String, schema: StructType,
     * sum(read). */
   private def withColumnSizes(infos: Seq[GraftFileInfo]): Seq[GraftFileInfo] = {
     if (format == "avro" || infos.isEmpty) return infos // avro: row-major
-    if (infos.size == 1)
-      return infos.map(i =>
-        i.copy(columnSizes = columnSizesOf(new java.io.File(i.path))))
+    // files whose writer pipelined its footer already carry sizes —
+    // only the rest (ORC today) pay the re-read
+    val missing = infos.filter(_.columnSizes.isEmpty)
+    if (missing.isEmpty) return infos
+    if (missing.size == 1) {
+      val m = missing.head
+      val filled = m.copy(
+        columnSizes = columnSizesOf(new java.io.File(m.path)))
+      return infos.map(i => if (i.path == m.path) filled else i)
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(infos.size, 8))
+      math.min(missing.size, 8))
     try {
-      val futs = infos.map { i =>
-        pool.submit(new java.util.concurrent.Callable[Map[Int, Long]] {
-          override def call(): Map[Int, Long] =
-            columnSizesOf(new java.io.File(i.path))
-        })
-      }
-      infos.zip(futs).map { case (i, f) => i.copy(columnSizes = f.get()) }
+      val futs = missing.map { i =>
+        i.path -> pool.submit(
+          new java.util.concurrent.Callable[Map[Int, Long]] {
+            override def call(): Map[Int, Long] =
+              columnSizesOf(new java.io.File(i.path))
+          })
+      }.toMap
+      infos.map(i =>
+        if (i.columnSizes.nonEmpty) i
+        else i.copy(columnSizes = futs(i.path).get()))
     } finally pool.shutdown()
   }
 

@@ -841,6 +841,52 @@ class GraftSourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC streaming read: one drain covers a multi-commit offset range per commit") {
+    import spark.implicits._
+    val t = new java.io.File("target/tmp-dsv2-cdc-multi")
+    val ckpt = new java.io.File("target/tmp-dsv2-cdc-multi-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(t)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    (0L until 10L).map(k => (k, k * 10)).toDF("k", "v")
+      .write.format("graft-iceberg")
+      .option("write.schema", "k LONG, v LONG").mode("append").save(t.getPath)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[Long], Option[Long], String, Long)]
+    val q = spark.readStream.format("graft-iceberg")
+      .option("read-changes", "true").load(t.getPath)
+      .writeStream.option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.collect().map(r => (
+            if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getString(2), r.getLong(3)))
+        }; ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // pin initial offset at the head
+      // TWO commits land before the next drain: the range must plan
+      // per-commit steps, so every change row keeps ITS commit's sid —
+      // exactly what q218's one-drain fold relies on
+      graft.sources.LayoutMaintenance.commitUpsert(spark, t.getPath,
+        Seq((3L, 333L), (11L, 111L)).toDF("k", "v"), keyCols = Seq("k"))
+      graft.sources.LayoutMaintenance.commitDeleteWhere(
+        spark, t.getPath, col("v") >= 80L)
+      q.processAllAvailable()
+      assert(got.toSet == Set(
+        (Some(3L), Some(333L), "insert", 2L),
+        (Some(11L), Some(111L), "insert", 2L),
+        (Some(3L), None, "delete", 2L),
+        (Some(11L), None, "delete", 2L),
+        (Some(8L), Some(80L), "delete", 3L),
+        (Some(9L), Some(90L), "delete", 3L),
+        (Some(3L), Some(333L), "delete", 3L),
+        (Some(11L), Some(111L), "delete", 3L)),
+        s"multi-commit range CDC wrong: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("manifest-granular distributed planning past the driver file ceiling") {
     val capKey = "spark.graft.maxDriverFileEntries"
     spark.conf.set(capKey, "3") // 8-file fixture > 3: oversized
